@@ -1,0 +1,92 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, Row}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DecimalType, FloatType}
+
+/** Core relational/dataflow operators (SURVEY.md §2.3).
+  *
+  * All are thin, declarative DataFrame transforms — Catalyst keeps full
+  * visibility (pushdown, pruning, join selection) because nothing here
+  * drops to RDDs except the explicitly driver-bound iterators at the
+  * bottom, which exist for bounded-memory egress, not dataflow.
+  */
+object Ops {
+
+  /** R1 `pandify` (reference `sparktools/core.py:1-20`): schema
+    * normalization — rename dotted column names to `__` and cast every
+    * DecimalType column to float. A single `select` so it stays one
+    * projection node (column-pruning friendly), not a fold of
+    * `withColumn` (which would stack N Project nodes). Idempotent. */
+  def pandify(df: DataFrame): DataFrame = {
+    val cols = df.schema.fields.map { f =>
+      val renamed = f.name.replace(".", "__")
+      val base = col(s"`${f.name}`")
+      val castd = f.dataType match {
+        case _: DecimalType => base.cast(FloatType)
+        case _              => base
+      }
+      castd.as(renamed)
+    }
+    df.select(cols.toIndexedSeq: _*)
+  }
+
+  /** R5 exact ordered limit (reference `core.py:23-27` zipWithIndex): with
+    * a sort key, Catalyst plans TakeOrderedAndProject — a distributed
+    * per-partition top-n plus a driver merge, no global sort. Without one
+    * it is Spark's first-n `limit`, same semantics as the reference. */
+  def exactLimit(df: DataFrame, n: Int, orderBy: Seq[Column] = Nil): DataFrame =
+    if (orderBy.isEmpty) df.limit(n) else df.orderBy(orderBy: _*).limit(n)
+
+  /** R6+R7+R8 stratified quota sampling (`proportion_samples`, reference
+    * `core.py:525-547`): join each row to its stratum's requested
+    * `rows_count`, keep `row_number <= rows_count` within the stratum.
+    *
+    * Differences from the reference, by design:
+    *  - the reference's window has NO orderBy (`core.py:543`) which is
+    *    nondeterministic; callers pass `tieBreaker` columns to make runs
+    *    reproducible/oracle-checkable (SURVEY.md §7 hard-parts);
+    *  - the proportions side is broadcast: it has one row per stratum, so
+    *    the join must never shuffle the fact table.
+    *
+    * At scale: the only shuffle is the window's hash-partition by the
+    * groupers — unavoidable for per-stratum ranking; with heavy skew in a
+    * stratum, pre-filter with an approximate per-stratum sample before
+    * ranking (quota N only needs ~N survivors per stratum).
+    */
+  def proportionSamples(
+      df: DataFrame,
+      proportions: DataFrame,
+      groupers: Seq[String],
+      tieBreaker: Seq[Column],
+      countCol: String = "rows_count"): DataFrame = {
+    val w0 = Window.partitionBy(groupers.map(col): _*)
+    val w = if (tieBreaker.isEmpty) w0.orderBy(monotonically_increasing_id()) else w0.orderBy(tieBreaker: _*)
+    df.join(broadcast(proportions), groupers, "inner")
+      .withColumn("__rownum", row_number().over(w))
+      .filter(col("__rownum") <= col(countCol))
+      .drop("__rownum", countCol)
+  }
+
+  /** R4 literal metadata projection (reference `scorer.py:53-57`):
+    * prepend constant columns to every row. */
+  def withMeta(df: DataFrame, meta: Seq[(String, String)]): DataFrame =
+    df.select(meta.map { case (k, v) => lit(v).as(k) } ++ Seq(col("*")): _*)
+
+  /** R15 partition-pruned iteration (reference `core.py:504-509`): iterate
+    * the dataset one Spark partition at a time on the driver, without ever
+    * holding more than one partition in memory. Unlike the reference
+    * (cache + N filtered passes), `toLocalIterator` already streams
+    * partition-by-partition in one pass. */
+  def partitionIterator(df: DataFrame): Iterator[Row] = df.toLocalIterator().asScala
+
+  /** R16/U4 batched driver collect (reference `core.py:512-522,76-84`):
+    * fixed-size row blocks with constant driver memory. */
+  def groupedCollect(df: DataFrame, batch: Int = 10000): Iterator[Seq[Row]] =
+    df.toLocalIterator().asScala.grouped(batch).map(_.toSeq)
+
+  private implicit class JIter[T](it: java.util.Iterator[T]) {
+    def asScala: Iterator[T] = scala.jdk.CollectionConverters.IteratorHasAsScala(it).asScala
+  }
+}

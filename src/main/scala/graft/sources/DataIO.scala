@@ -1,0 +1,181 @@
+package graft.sources
+
+import graft.conf.GraftConfig
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Config-driven source/sink layer.
+  *
+  * Re-expresses the reference's `define_data_frame` (S1-S8,
+  * `sparktools/core.py:121-168`) and `write` (K0-K6, `core.py:171-231`)
+  * dispatch on the Scala DataFrame API. Storage types: `local`, `hdfs`,
+  * `jdbc`, `hive`, `single-csv`, `csv`; post-read transforms
+  * `distribute-by` / `transform-sql` / `sample` / `limit`.
+  *
+  * Scale notes (100 TB design):
+  *  - file reads stay fully declarative (`spark.read.format(..).load`) so
+  *    Catalyst keeps partition pruning / filter pushdown / column pruning;
+  *  - JDBC reads are range-partitioned with a min/max probe when bounds are
+  *    absent (reference `core.py:432-438` — implemented here with the
+  *    bounds UNswapped; the reference assigns max to lowerBound, a bug);
+  *  - `transform-sql` registers a temp view and delegates to Catalyst —
+  *    user SQL is optimized together with the scan, not applied post-hoc.
+  */
+object DataIO {
+
+  val SampleSeed = 4233L // reference core.py:163
+  val DefaultFetchSize = 10000000 // reference core.py:421,439
+
+  /** S1-S8: build a (lazy) DataFrame from a source config. */
+  def read(spark: SparkSession, conf: GraftConfig): DataFrame = {
+    val storage = conf.getString("storage-type").getOrElse("local")
+    var df = storage match {
+      case "local" | "hdfs" =>
+        val fmt = conf.getString("dataset-store-format").getOrElse("parquet")
+        spark.read.format(fmt).load(conf.string("dataset-dir"))
+      case "single-csv" =>
+        spark.read
+          .option("header", conf.getBoolean("header").getOrElse(true).toString)
+          .option("sep", conf.getString("sep").getOrElse("\t"))
+          .option("inferSchema", "true")
+          .csv(conf.string("file-path"))
+      case "hive" =>
+        spark.sql(conf.string("query"))
+      case "jdbc" =>
+        readJdbc(spark, conf)
+      case other => throw new IllegalArgumentException(s"unknown source storage-type: $other")
+    }
+    // post-read transforms, reference order: distribute-by, transform-sql, sample, limit
+    conf.getString("distribute-by").foreach { key =>
+      val n = conf.getInt("n-partitions").getOrElse(df.sparkSession.sessionState.conf.numShufflePartitions)
+      df = df.repartition(n, col(key))
+    }
+    conf.getString("transform-sql").foreach { sql =>
+      df.createOrReplaceTempView("dataset_temp")
+      df = spark.sql(sql)
+    }
+    conf.getDouble("sample").foreach { fraction =>
+      df = df.sample(withReplacement = false, fraction, SampleSeed)
+    }
+    conf.getInt("limit").foreach { n => df = df.limit(n) }
+    df
+  }
+
+  /** S1: JDBC table-or-query read with optional range partitioning.
+    * Reference `core.py:414-445`; the bare query is wrapped `(q) a` and,
+    * when a partition column is configured without bounds, min/max are
+    * probed with a pushed-down aggregate. Code-complete but exercised only
+    * by unit stubs in this offline environment (no DB driver). */
+  private def readJdbc(spark: SparkSession, conf: GraftConfig): DataFrame = {
+    val url = conf.string("url")
+    val table = conf.getString("table")
+      .orElse(conf.getString("query").map(q => s"($q) a"))
+      .getOrElse(throw new IllegalArgumentException("jdbc source needs table or query"))
+    var r = spark.read.format("jdbc")
+      .option("url", url)
+      .option("dbtable", table)
+      .option("fetchsize", conf.getInt("fetch-size").getOrElse(DefaultFetchSize).toString)
+    conf.getString("driver").foreach(d => r = r.option("driver", d))
+    conf.getString("user").foreach(u => r = r.option("user", u))
+    conf.getString("password").foreach(p => r = r.option("password", p))
+    conf.getString("partition-column") match {
+      case Some(pc) =>
+        val (lo, hi) = (conf.getLong("lower-bound"), conf.getLong("upper-bound")) match {
+          case (Some(l), Some(h)) => (l, h)
+          case _ =>
+            // bound-discovery probe, pushed down to the remote DB; min->lower,
+            // max->upper (reference swaps them, core.py:437-438 — fixed here)
+            val probe = spark.read.format("jdbc")
+              .option("url", url)
+              .option("dbtable", s"(select min($pc) mn, max($pc) mx from $table x) b")
+              .load().first()
+            (probe.getAs[Number]("mn").longValue(), probe.getAs[Number]("mx").longValue())
+        }
+        r.option("partitionColumn", pc)
+          .option("lowerBound", lo.toString)
+          .option("upperBound", hi.toString)
+          .option("numPartitions", conf.getInt("num-partitions").getOrElse(50).toString)
+          .load()
+      case None => r.load()
+    }
+  }
+
+  /** K0-K6: write a DataFrame per a target config. */
+  def write(df0: DataFrame, conf: GraftConfig): Unit = {
+    if (conf.getBoolean("disabled").getOrElse(false)) return
+    val spark = df0.sparkSession
+    // K0 pre-write repartition (reference core.py:174-181)
+    var df = (conf.getString("distribute-by"), conf.getInt("n-partitions")) match {
+      case (Some(key), Some(n)) => df0.repartition(n, col(key))
+      case (Some(key), None)    => df0.repartition(col(key))
+      case (None, Some(n))      => df0.repartition(n)
+      case _                    => df0
+    }
+    val storage = conf.getString("storage-type").getOrElse("local")
+    storage match {
+      case "local" | "hdfs" => // K1/K2 — file formats; default overwrite (core.py:190,199)
+        val fmt = conf.getString("dataset-store-format").getOrElse(if (storage == "local") "orc" else "parquet")
+        val mode = conf.getString("write-mode").getOrElse("overwrite")
+        var w = df.write.mode(mode).format(fmt)
+        conf.getList("partition-by").foreach(cols => w = w.partitionBy(cols: _*))
+        w.save(conf.string("dataset-dir"))
+      case "jdbc" => // K3 — single-connection write (core.py:201-209); default append
+        val props = new java.util.Properties()
+        conf.getString("user").foreach(props.setProperty("user", _))
+        conf.getString("password").foreach(props.setProperty("password", _))
+        conf.getString("driver").foreach(props.setProperty("driver", _))
+        df.repartition(1).write
+          .mode(conf.getString("write-mode").getOrElse("append"))
+          .jdbc(conf.string("url"), conf.string("table"), props)
+      case "hive" => // K4 — column-reordered insertInto vs saveAsTable (core.py:210-216,234-250)
+        val table = conf.string("table")
+        val fmt = conf.getString("dataset-store-format").getOrElse("orc")
+        val mode = conf.getString("write-mode").getOrElse("append")
+        if (spark.catalog.tableExists(table)) {
+          val tableCols = spark.table(table).columns
+          df.select(tableCols.map(col).toIndexedSeq: _*).write.mode(mode).insertInto(table)
+        } else {
+          var w = df.write.mode(mode).format(fmt)
+          conf.getList("partition-by").foreach(cols => w = w.partitionBy(cols: _*))
+          w.saveAsTable(table)
+        }
+      case "single-csv" => // K5 — one file with header (core.py:217-223)
+        writeSingleCsv(df, conf.string("file-path"), conf.getString("sep").getOrElse("\t"))
+      case "csv" => // K6 — constant-driver-memory streaming CSV (core.py:224-229,253-263)
+        writeStreamingCsv(df, conf.string("file-path"), conf.getString("sep").getOrElse("\t"))
+      case other => throw new IllegalArgumentException(s"unknown target storage-type: $other")
+    }
+  }
+
+  /** K5: true single local CSV file. Deliberately driver-bound like the
+    * reference's `toPandas().to_csv` — use only for small results. */
+  def writeSingleCsv(df: DataFrame, path: String, sep: String): Unit =
+    writeCsvIterator(df, path, sep, df.collect().iterator)
+
+  /** K6: streaming CSV via `toLocalIterator` — constant driver memory, one
+    * partition in flight at a time (replaces the reference's py2 DictWriter
+    * loop, `core.py:253-263`). */
+  def writeStreamingCsv(df: DataFrame, path: String, sep: String): Unit = {
+    import scala.jdk.CollectionConverters._
+    writeCsvIterator(df, path, sep, df.toLocalIterator().asScala)
+  }
+
+  private def writeCsvIterator(df: DataFrame, path: String, sep: String,
+      rows: Iterator[org.apache.spark.sql.Row]): Unit = {
+    val file = new java.io.File(path)
+    Option(file.getParentFile).foreach(_.mkdirs())
+    val out = new java.io.PrintWriter(new java.io.BufferedWriter(
+      new java.io.FileWriter(file), 1 << 20))
+    try {
+      val cols = df.columns
+      def esc(v: Any): String = {
+        val s = if (v == null) "" else v.toString
+        if (s.contains(sep) || s.contains('"') || s.contains('\n'))
+          "\"" + s.replace("\"", "\"\"") + "\""
+        else s
+      }
+      out.println(cols.mkString(sep))
+      rows.foreach(r => out.println(cols.indices.map(i => esc(r.get(i))).mkString(sep)))
+    } finally out.close()
+  }
+}

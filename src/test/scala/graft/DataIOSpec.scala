@@ -1,0 +1,94 @@
+package graft
+
+import graft.conf.GraftConfig
+import graft.sources.DataIO
+import java.nio.file.Files
+
+class DataIOSpec extends SparkTestBase {
+
+  private def tmp(): String = Files.createTempDirectory("graft-io").toString
+
+  test("local source reads parquet with post-read limit + sample (S2,S7,S8)") {
+    val c = GraftConfig.parse(
+      s"""storage-type = local
+         |dataset-dir = "$sfDir/orders.parquet"
+         |dataset-store-format = parquet
+         |limit = 50""".stripMargin)
+    assert(DataIO.read(spark, c).count() == 50)
+  }
+
+  test("transform-sql applies SQL over dataset_temp (S6)") {
+    val c = GraftConfig.parse(
+      s"""storage-type = local
+         |dataset-dir = "$sfDir/orders.parquet"
+         |transform-sql = "select o_orderkey from dataset_temp where o_orderstatus = 'F'"
+         |""".stripMargin)
+    val df = DataIO.read(spark, c)
+    assert(df.columns.toSeq == Seq("o_orderkey"))
+    assert(df.count() > 0)
+  }
+
+  test("distribute-by repartitions by key (S5)") {
+    val c = GraftConfig.parse(
+      s"""storage-type = local
+         |dataset-dir = "$sfDir/orders.parquet"
+         |distribute-by = o_orderpriority
+         |n-partitions = 3""".stripMargin)
+    assert(DataIO.read(spark, c).rdd.getNumPartitions == 3)
+  }
+
+  test("hive source runs arbitrary SQL (S4)") {
+    spark.read.parquet(s"$sfDir/nation.parquet").createOrReplaceTempView("nation_v")
+    val c = GraftConfig.parse("""storage-type = hive
+                                |query = "select count(*) n from nation_v"""".stripMargin)
+    assert(DataIO.read(spark, c).collect()(0).getLong(0) == 25)
+  }
+
+  test("file sink roundtrip with write-mode + partition-by (K1/K2)") {
+    val dir = tmp() + "/out"
+    val df = spark.read.parquet(s"$sfDir/orders.parquet")
+    DataIO.write(df, GraftConfig.parse(
+      s"""storage-type = local
+         |dataset-dir = "$dir"
+         |dataset-store-format = parquet
+         |write-mode = overwrite
+         |partition-by = [o_orderpriority]""".stripMargin))
+    val back = spark.read.parquet(dir)
+    assert(back.count() == df.count())
+    assert(back.columns.toSet == df.columns.toSet)
+  }
+
+  test("disabled target writes nothing (K0)") {
+    val dir = tmp() + "/never"
+    DataIO.write(spark.range(5).toDF(),
+      GraftConfig.parse(s"""storage-type = local
+                           |disabled = true
+                           |dataset-dir = "$dir"""".stripMargin))
+    assert(!new java.io.File(dir).exists())
+  }
+
+  test("single-csv sink writes one file with header (K5); source reads it back (S3)") {
+    val path = tmp() + "/out.csv"
+    val df = spark.read.parquet(s"$sfDir/nation.parquet")
+    DataIO.write(df, GraftConfig.parse(
+      s"""storage-type = single-csv
+         |file-path = "$path"""".stripMargin))
+    val lines = Files.readAllLines(java.nio.file.Paths.get(path))
+    assert(lines.size == 26) // header + 25 nations
+    assert(lines.get(0) == "n_nationkey\tn_name\tn_regionkey")
+    val back = DataIO.read(spark, GraftConfig.parse(
+      s"""storage-type = single-csv
+         |file-path = "$path"""".stripMargin))
+    assert(back.count() == 25)
+  }
+
+  test("streaming csv sink matches single-csv content (K6)") {
+    val p1 = tmp() + "/a.csv"
+    val p2 = tmp() + "/b.csv"
+    val df = spark.read.parquet(s"$sfDir/region.parquet").orderBy("r_regionkey")
+    DataIO.writeSingleCsv(df, p1, "\t")
+    DataIO.writeStreamingCsv(df, p2, "\t")
+    assert(Files.readString(java.nio.file.Paths.get(p1)) ==
+      Files.readString(java.nio.file.Paths.get(p2)))
+  }
+}

@@ -1,0 +1,62 @@
+package graft
+
+import graft.operators.Ops
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+class OpsSpec extends SparkTestBase {
+  import spark.implicits._
+
+  test("pandify renames dotted columns and casts decimals to float (A3)") {
+    val df = spark.range(3).toDF("id")
+      .withColumn("a.b", col("id").cast(DecimalType(10, 2)))
+      .withColumn("c", lit("x"))
+    val out = Ops.pandify(df)
+    assert(out.columns.toSeq == Seq("id", "a__b", "c"))
+    assert(out.schema("a__b").dataType == FloatType)
+    assert(out.schema("c").dataType == StringType)
+  }
+
+  test("pandify is idempotent on clean schemas") {
+    val df = spark.read.parquet(s"$sfDir/orders.parquet")
+    val once = Ops.pandify(df)
+    val twice = Ops.pandify(once)
+    assert(once.schema == twice.schema)
+    assert(once.count() == twice.count())
+  }
+
+  test("exactLimit returns exactly n rows in order") {
+    val df = spark.read.parquet(s"$sfDir/orders.parquet")
+    val out = Ops.exactLimit(df, 10, Seq(col("o_orderkey"))).collect()
+    assert(out.length == 10)
+    val keys = out.map(_.getAs[Long]("o_orderkey"))
+    assert(keys.sorted.sameElements(keys))
+  }
+
+  test("proportionSamples: per-stratum count <= quota; missing strata dropped (A5)") {
+    val df = Seq(
+      ("a", 1L), ("a", 2L), ("a", 3L), ("a", 4L),
+      ("b", 5L), ("b", 6L),
+      ("c", 7L)).toDF("g", "v")
+    val props = Seq(("a", 2L), ("b", 5L)).toDF("g", "rows_count")
+    val out = Ops.proportionSamples(df, props, Seq("g"), Seq(col("v")))
+    val byG = out.groupBy("g").count().collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(byG == Map("a" -> 2L, "b" -> 2L)) // quota caps a; b has fewer rows than quota; c dropped
+    // deterministic: lowest v's kept within each stratum
+    assert(out.filter($"g" === "a").select("v").as[Long].collect().sorted.sameElements(Array(1L, 2L)))
+  }
+
+  test("withMeta prepends constant columns") {
+    val df = spark.range(2).toDF("id")
+    val out = Ops.withMeta(df, Seq("model_name" -> "m", "dt" -> "2026"))
+    assert(out.columns.toSeq == Seq("model_name", "dt", "id"))
+    assert(out.select("model_name").distinct().as[String].collect().sameElements(Array("m")))
+  }
+
+  test("groupedCollect yields fixed-size batches covering all rows") {
+    val df = spark.range(25).toDF("id")
+    val batches = Ops.groupedCollect(df, 10).toSeq
+    assert(batches.map(_.size).sum == 25)
+    assert(batches.forall(_.size <= 10))
+  }
+}
