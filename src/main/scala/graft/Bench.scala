@@ -1,24 +1,58 @@
 package graft
-import org.apache.spark.sql.SparkSession
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Benchmark main. Prints ONE JSON line `{"metric":"total","value":…,
+  * "unit":"sec","queries":{…},"sf":…}` for the driver's BENCH_r{N}.json.
+  *
+  * Hardening (round-1 verdict):
+  *  - a warmup pass (flagship query at the bench SF) runs before any timer
+  *    so JVM/codegen warmup is not charged to the first query;
+  *  - each query materializes via the `noop` sink — every row is fully
+  *    computed and serialized, unlike `.count()` which lets Catalyst prune
+  *    all columns of projection-only plans;
+  *  - failures are NOT swallowed: a failing query records `-1` and the
+  *    process exits nonzero, so a regression can never read as a speedup.
+  */
 object Bench {
+  private def materialize(df: DataFrame): Unit =
+    df.write.format("noop").mode("overwrite").save()
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val results = SparkEntry.queries.map { case (name, fn) =>
+
+    // Warmup: run the flagship agg + a join once, untimed.
+    try {
+      materialize(SparkEntry.queries("q1_pricing_summary")(spark, sfDir))
+      materialize(SparkEntry.queries("q6_join_agg")(spark, sfDir))
+    } catch { case e: Throwable => System.err.println(s"[bench] warmup failed: ${e.getMessage}") }
+
+    var failed = List.empty[String]
+    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      try {
+        materialize(fn(spark, sfDir))
+        name -> (System.nanoTime() - t0) / 1e9
+      } catch {
+        case e: Throwable =>
+          System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
+          failed ::= name
+          name -> -1.0
+      }
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val total = results.collect { case (_, v) if v >= 0 => v }.sum
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","failed":${failed.size}}""")
     spark.stop()
+    if (failed.nonEmpty) sys.exit(1)
   }
 }

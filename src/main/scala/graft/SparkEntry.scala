@@ -44,15 +44,13 @@ object SparkEntry {
         .filter(col("o_custkey").isNotNull && col("o_orderstatus") === "F")
         .select(col("o_orderkey").cast("string").as("uid"),
           col("o_totalprice"), col("o_orderpriority"))
-        .orderBy("uid")
     }),
 
     // ---- R4 literal metadata projection (reference scorer.py:53-57).
     "q3_literal_meta" -> ((s, dir) =>
       Ops.withMeta(
         t(s, dir, "customer"),
-        Seq("model_name" -> "m1", "current_dt" -> "2026-01-01 00:00:00"))
-        .orderBy("c_custkey")),
+        Seq("model_name" -> "m1", "current_dt" -> "2026-01-01 00:00:00"))),
 
     // ---- R5/S8 exact ordered limit: TakeOrderedAndProject (distributed
     // per-partition top-n + driver merge; no global sort).
@@ -134,11 +132,10 @@ object SparkEntry {
         |ORDER BY l_returnflag, l_linestatus""".stripMargin,
     "q2_filter_cast" ->
       """SELECT cast(o_orderkey AS varchar) AS uid, o_totalprice, o_orderpriority
-        |FROM orders WHERE o_custkey IS NOT NULL AND o_orderstatus = 'F'
-        |ORDER BY uid""".stripMargin,
+        |FROM orders WHERE o_custkey IS NOT NULL AND o_orderstatus = 'F'""".stripMargin,
     "q3_literal_meta" ->
       """SELECT 'm1' AS model_name, '2026-01-01 00:00:00' AS current_dt, *
-        |FROM customer ORDER BY c_custkey""".stripMargin,
+        |FROM customer""".stripMargin,
     "q4_limit" ->
       """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
         |ORDER BY o_orderkey LIMIT 100""".stripMargin,

@@ -67,9 +67,15 @@ object GraftConfig {
     parse(new String(java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(path)),
       java.nio.charset.StandardCharsets.UTF_8))
 
-  /** Parse a HOCON-subset document into a flattened config. */
+  /** Parse a HOCON-subset document into a flattened config. A document may
+    * optionally be wrapped in one top-level `{ }` (root-braced HOCON). */
   def parse(text: String): GraftConfig = {
-    val p = new Parser(text)
+    val trimmed = text.trim
+    val body =
+      if (trimmed.startsWith("{") && trimmed.endsWith("}"))
+        trimmed.substring(1, trimmed.length - 1)
+      else text
+    val p = new Parser(body)
     val raw = p.parseObject(topLevel = true)
     GraftConfig(resolveSubstitutions(raw))
   }
@@ -167,11 +173,12 @@ object GraftConfig {
           pos += 1
           var xs = Vector.empty[ConfValue]
           skipWs(newlines = true)
-          while (peek != ']') {
+          while (!eof && peek != ']') {
             xs :+= parseValue()
             skipWs(newlines = true)
-            if (peek == ',') { pos += 1; skipWs(newlines = true) }
+            if (!eof && peek == ',') { pos += 1; skipWs(newlines = true) }
           }
+          require(!eof, s"unterminated list: expected ']' before end of input (opened near $pos)")
           pos += 1
           CList(xs)
         case _ =>
@@ -197,7 +204,7 @@ object GraftConfig {
     private def parseQuoted(): String = {
       require(peek == '"'); pos += 1
       val sb = new StringBuilder
-      while (peek != '"') {
+      while (!eof && peek != '"') {
         if (peek == '\\' && pos + 1 < text.length) {
           pos += 1
           sb += (peek match {
@@ -207,6 +214,7 @@ object GraftConfig {
         } else sb += peek
         pos += 1
       }
+      require(!eof, s"unterminated quoted string: expected '\"' before end of input")
       pos += 1
       sb.result()
     }

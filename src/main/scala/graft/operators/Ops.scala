@@ -61,12 +61,16 @@ object Ops {
       groupers: Seq[String],
       tieBreaker: Seq[Column],
       countCol: String = "rows_count"): DataFrame = {
+    require(!df.columns.contains(countCol),
+      s"proportionSamples: input already has a '$countCol' column — rename it or pass a different countCol")
+    // unique internal rank column so user data can never collide with it
+    val rn = Iterator.from(0).map(i => s"__rownum$i").find(!df.columns.contains(_)).get
     val w0 = Window.partitionBy(groupers.map(col): _*)
     val w = if (tieBreaker.isEmpty) w0.orderBy(monotonically_increasing_id()) else w0.orderBy(tieBreaker: _*)
     df.join(broadcast(proportions), groupers, "inner")
-      .withColumn("__rownum", row_number().over(w))
-      .filter(col("__rownum") <= col(countCol))
-      .drop("__rownum", countCol)
+      .withColumn(rn, row_number().over(w))
+      .filter(col(rn) <= col(countCol))
+      .drop(rn, countCol)
   }
 
   /** R4 literal metadata projection (reference `scorer.py:53-57`):

@@ -84,10 +84,12 @@ object DataIO {
           case (Some(l), Some(h)) => (l, h)
           case _ =>
             // bound-discovery probe, pushed down to the remote DB; min->lower,
-            // max->upper (reference swaps them, core.py:437-438 — fixed here)
+            // max->upper (reference swaps them, core.py:437-438 — fixed here).
+            // No extra alias after $table: it is either a plain table name or
+            // an already-aliased wrapped query `(q) a`.
             val probe = spark.read.format("jdbc")
               .option("url", url)
-              .option("dbtable", s"(select min($pc) mn, max($pc) mx from $table x) b")
+              .option("dbtable", s"(select min($pc) mn, max($pc) mx from $table) b")
               .load().first()
             (probe.getAs[Number]("mn").longValue(), probe.getAs[Number]("mx").longValue())
         }
@@ -165,12 +167,13 @@ object DataIO {
     val file = new java.io.File(path)
     Option(file.getParentFile).foreach(_.mkdirs())
     val out = new java.io.PrintWriter(new java.io.BufferedWriter(
-      new java.io.FileWriter(file), 1 << 20))
+      new java.io.OutputStreamWriter(new java.io.FileOutputStream(file),
+        java.nio.charset.StandardCharsets.UTF_8), 1 << 20))
     try {
       val cols = df.columns
       def esc(v: Any): String = {
         val s = if (v == null) "" else v.toString
-        if (s.contains(sep) || s.contains('"') || s.contains('\n'))
+        if (s.contains(sep) || s.contains('"') || s.contains('\n') || s.contains('\r'))
           "\"" + s.replace("\"", "\"\"") + "\""
         else s
       }
