@@ -118,6 +118,30 @@ object SparkEntry {
         .agg(min("o_totalprice").as("min_price"),
           max("o_totalprice").as("max_price"),
           count(lit(1)).as("n"))),
+
+    // ---- R12 hashed discrete histogram (datadiff.py:4-15). The bin is an
+    // engine-portable multiplicative hash (DuckDB lacks crc32); the product
+    // default crc32Bin is covered by DataDiffSpec. One bounded-width
+    // shuffle: ≤50 keys regardless of column cardinality.
+    "q11_discrete_hist" -> ((s, dir) =>
+      graft.datadiff.DataDiff.histogramDF(
+        t(s, dir, "lineitem"),
+        pmod(col("l_orderkey") * lit(2654435761L), lit(50L)))
+        .withColumn("freq", round(col("freq"), 6))),
+
+    // ---- R13 total-variation distance as a distributed full-outer join +
+    // aggregate (datadiff.py:36-56) — l_returnflag vs l_linestatus
+    // distributions, identity bins (no hashing: keys already bounded).
+    "q12_tvd" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+      val h1 = graft.datadiff.DataDiff.histogramDF(li, col("l_returnflag"))
+      val h2 = graft.datadiff.DataDiff.histogramDF(li, col("l_linestatus"))
+      val a = h1.select(col("bin"), col("freq").as("p1"))
+      val b = h2.select(col("bin"), col("freq").as("p2"))
+      a.join(b, Seq("bin"), "full_outer")
+        .agg(round(
+          sum(abs(coalesce(col("p1"), lit(0.0)) - coalesce(col("p2"), lit(0.0)))) / 2, 6).as("tvd"))
+    }),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -161,5 +185,21 @@ object SparkEntry {
       "SELECT l_returnflag, count(*) AS cnt FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag",
     "q10_minmax" ->
       "SELECT min(o_totalprice) AS min_price, max(o_totalprice) AS max_price, count(*) AS n FROM orders",
+    "q11_discrete_hist" ->
+      """SELECT cast(mod(l_orderkey * 2654435761, 50) AS varchar) AS bin,
+        | count(*) AS cnt,
+        | round(count(*) / (sum(count(*)) OVER ()), 6) AS freq
+        |FROM lineitem GROUP BY 1""".stripMargin,
+    "q12_tvd" ->
+      """WITH h1 AS (
+        |  SELECT l_returnflag AS bin,
+        |         count(*) / (sum(count(*)) OVER ()) AS p1
+        |  FROM lineitem GROUP BY 1),
+        |h2 AS (
+        |  SELECT l_linestatus AS bin,
+        |         count(*) / (sum(count(*)) OVER ()) AS p2
+        |  FROM lineitem GROUP BY 1)
+        |SELECT round(sum(abs(coalesce(p1, 0) - coalesce(p2, 0))) / 2, 6) AS tvd
+        |FROM h1 FULL OUTER JOIN h2 USING (bin)""".stripMargin,
   )
 }

@@ -1,0 +1,127 @@
+package graft.datadiff
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Distribution-drift detection (SURVEY.md §2 R11–R14; reference
+  * `sparktools/datadiff.py:1-56`).
+  *
+  * Re-expressed Spark-first: histograms are `groupBy(bin).count()` frames
+  * that stay distributed, and total-variation distance is a full-outer
+  * join + aggregate over them — no `rdd.collectAsMap`, so the key set may
+  * be arbitrarily large. The reference's driver-side `Map` forms are kept
+  * as thin `collect` wrappers for parity, bounded by `maxBins` rows.
+  *
+  * Scale notes (100 TB design):
+  *  - hashed binning (crc32 % maxBins, reference `datadiff.py:5`) caps the
+  *    shuffle width at `maxBins` keys regardless of column cardinality;
+  *  - each histogram is one partial-aggregated shuffle of ≤ maxBins keys;
+  *  - the continuous path needs one extra min/max pass to fix bin edges
+  *    (same two-pass scheme as the reference, `datadiff.py:31-33`); a
+  *    one-pass sketch (t-digest-style TypedImperativeAggregate) is the
+  *    future upgrade if the extra scan ever dominates;
+  *  - TVD joins two ≤ maxBins-row aggregates — negligible at any scale.
+  */
+object DataDiff {
+
+  /** R12 default binning: `crc32(cast(col as string)) pmod maxBins`
+    * (reference `datadiff.py:5`; `pmod` is the safe spelling of `%`). */
+  def crc32Bin(c: Column, maxBins: Int): Column =
+    pmod(crc32(c.cast("string")), lit(maxBins.toLong))
+
+  /** R12 hashed discrete histogram as a distributed frame:
+    * `(bin string, cnt long, freq double)`, null bin folded to "None"
+    * (reference `datadiff.py:8-11`). `bin` accepts any expression so
+    * callers can swap crc32 for an engine-portable arithmetic hash.
+    *
+    * The unpartitioned normalization window is safe ONLY because the
+    * grouped histogram is ≤ maxBins rows (hashing bounds the key set);
+    * callers passing an unbounded `bin` expression should cap it. */
+  def histogramDF(df: DataFrame, bin: Column): DataFrame =
+    df.select(coalesce(bin.cast("string"), lit("None")).as("bin"))
+      .groupBy("bin")
+      .agg(count(lit(1)).as("cnt"))
+      .withColumn("freq", col("cnt") / sum("cnt").over())
+
+  def hashHistogramDF(df: DataFrame, columnName: String, maxBins: Int = 1000): DataFrame =
+    histogramDF(df, crc32Bin(col(columnName), maxBins))
+
+  /** Driver-side Map form for reference parity (`datadiff.py:4-15`) —
+    * bounded at `maxBins` rows by construction. */
+  def hashHistogram(df: DataFrame, columnName: String, maxBins: Int = 1000): Map[String, Double] =
+    hashHistogramDF(df, columnName, maxBins)
+      .collect().map(r => r.getString(0) -> r.getDouble(2)).toMap
+
+  /** R11 equi-width bin edges for a numeric column: one min/max aggregate
+    * pass (the same edge-fixing pass as `rdd.histogram(n)`,
+    * `datadiff.py:32`). Returns maxBins+1 edges; null column → empty. */
+  def equiWidthEdges(df: DataFrame, columnName: String, maxBins: Int): Array[Double] = {
+    val row = df.agg(
+      min(col(columnName).cast("double")).as("mn"),
+      max(col(columnName).cast("double")).as("mx")).head()
+    if (row.isNullAt(0)) return Array.empty
+    val (mn, mx) = (row.getDouble(0), row.getDouble(1))
+    if (mn == mx) Array(mn, mx)
+    else (0 to maxBins).map(i => mn + (mx - mn) * i / maxBins).toArray
+  }
+
+  /** R11 continuous histogram against fixed `edges`: values binned
+    * `[e_i, e_{i+1})`, last edge inclusive, out-of-range and null values
+    * dropped — `rdd.histogram(buckets)` semantics, computed as a single
+    * groupBy instead of an RDD pass. Returns `(bin long, cnt long,
+    * freq double)` over occupied bins. */
+  def continuousHistogramDF(df: DataFrame, columnName: String, edges: Array[Double]): DataFrame = {
+    require(edges.length >= 2, s"need >=2 bin edges, got ${edges.length}")
+    val bins = edges.length - 1
+    val (lo, hi) = (edges.head, edges.last)
+    val idx = least(
+      floor((col("x") - lit(lo)) / lit((hi - lo) / bins)).cast("long"),
+      lit(bins.toLong - 1))
+    df.select(col(columnName).cast("double").as("x"))
+      .filter(col("x").isNotNull && col("x") >= lo && col("x") <= hi)
+      .select(idx.as("bin"))
+      .groupBy("bin")
+      .agg(count(lit(1)).as("cnt"))
+      .withColumn("freq", col("cnt") / sum("cnt").over())
+  }
+
+  /** R14 histogram→map labeling (`datadiff.py:18-24`): bin edges →
+    * `"lower_upper"` keys. Driver-side pure function over a collected
+    * histogram — bounded at bins rows. */
+  def histogramToMap(edges: Array[Double], counts: Map[Long, Long]): Map[String, Long] =
+    (0 until edges.length - 1).map { i =>
+      s"${edges(i)}_${edges(i + 1)}" -> counts.getOrElse(i.toLong, 0L)
+    }.toMap
+
+  /** R13 total-variation distance between two `(bin, …, freq)` histogram
+    * frames: Σ|p1 − p2| / 2 over the union of bins (reference
+    * `datadiff.py:36-56`), as a full-outer join + aggregate. Frequencies
+    * are already normalized per side, so missing bins contribute their
+    * full mass. */
+  def tvdOfHistograms(h1: DataFrame, h2: DataFrame): Double = {
+    val a = h1.select(col("bin").cast("string").as("bin"), col("freq").as("p1"))
+    val b = h2.select(col("bin").cast("string").as("bin"), col("freq").as("p2"))
+    a.join(b, Seq("bin"), "full_outer")
+      .agg((sum(abs(coalesce(col("p1"), lit(0.0)) - coalesce(col("p2"), lit(0.0)))) / 2).as("tvd"))
+      .head().getDouble(0)
+  }
+
+  /** R12+R13 discrete comparator (`datadiff.py:47-56`): TVD between the
+    * crc32-hashed histograms of two columns. */
+  def discreteComparator(df1: DataFrame, col1: String, df2: DataFrame, col2: String,
+      maxBins: Int = 1000): Double =
+    tvdOfHistograms(hashHistogramDF(df1, col1, maxBins), hashHistogramDF(df2, col2, maxBins))
+
+  /** R11+R13 continuous comparator (`datadiff.py:27-44`): bin edges fixed
+    * by df1's min/max, df2 re-binned with the same edges, then TVD. Values
+    * of df2 outside df1's range are dropped (reference `histogram(buckets)`
+    * behavior) — each side is normalized by its own in-range total. */
+  def continuousComparator(df1: DataFrame, col1: String, df2: DataFrame, col2: String,
+      maxBins: Int = 1000): Double = {
+    val edges = equiWidthEdges(df1, col1, maxBins)
+    if (edges.length < 2) return 0.0
+    tvdOfHistograms(
+      continuousHistogramDF(df1, col1, edges),
+      continuousHistogramDF(df2, col2, edges))
+  }
+}

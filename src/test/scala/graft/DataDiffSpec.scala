@@ -1,0 +1,75 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.datadiff.DataDiff
+
+/** R11-R14 drift-detection semantics (reference `datadiff.py:1-56`). */
+class DataDiffSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private lazy val li = spark.read.parquet(s"$sfDir/lineitem.parquet")
+
+  test("hashHistogramDF: freqs sum to 1, width capped at maxBins (R12)") {
+    val h = DataDiff.hashHistogramDF(li, "l_returnflag", maxBins = 1000)
+    val rows = h.collect()
+    assert(rows.length <= 1000)
+    assert(rows.length >= 2) // A, N, R hash to distinct bins w.h.p.
+    assert(math.abs(rows.map(_.getDouble(2)).sum - 1.0) < 1e-9)
+    assert(rows.map(_.getLong(1)).sum == li.count())
+  }
+
+  test("hashHistogramDF folds null keys into 'None' (datadiff.py:9-11)") {
+    val df = Seq(Some("a"), Some("a"), None, Some("b")).toDF("v")
+    val h = DataDiff.hashHistogram(df, "v", 100)
+    assert(h.contains("None"))
+    assert(math.abs(h("None") - 0.25) < 1e-9)
+    assert(math.abs(h.values.sum - 1.0) < 1e-9)
+  }
+
+  test("histogramDF caps shuffle width with a custom arithmetic bin") {
+    val h = DataDiff.histogramDF(li, pmod(col("l_orderkey") * lit(2654435761L), lit(50L)))
+    assert(h.count() <= 50)
+  }
+
+  test("TVD(x,x) == 0 and TVD in [0,1] (datadiff.py invariants)") {
+    assert(DataDiff.discreteComparator(li, "l_returnflag", li, "l_returnflag") === 0.0)
+    val t = DataDiff.discreteComparator(li, "l_returnflag", li, "l_linestatus")
+    assert(t >= 0.0 && t <= 1.0)
+    assert(t > 0.0) // distributions genuinely differ
+  }
+
+  test("TVD = 1 for disjoint distributions") {
+    val d1 = Seq("a", "a", "b").toDF("v")
+    val d2 = Seq("x", "y", "y").toDF("v")
+    val t = DataDiff.discreteComparator(d1, "v", d2, "v", 1000)
+    assert(math.abs(t - 1.0) < 1e-9)
+  }
+
+  test("continuousComparator: same dist ~ 0, shifted dist >> 0 (R11+R13)") {
+    val same = DataDiff.continuousComparator(li, "l_quantity", li, "l_quantity", 100)
+    assert(same === 0.0)
+    val shifted = li.select((col("l_quantity") + 25.0).as("q2"))
+    val drift = DataDiff.continuousComparator(li, "l_quantity", shifted, "q2", 100)
+    assert(drift > 0.3, s"expected big drift, got $drift")
+    assert(drift <= 1.0)
+  }
+
+  test("continuousHistogramDF: last edge inclusive, out-of-range dropped") {
+    val df = Seq(0.0, 0.5, 1.0, 2.0, -1.0).toDF("x") // 2.0/-1.0 out of [0,1]
+    val h = DataDiff.continuousHistogramDF(df, "x", Array(0.0, 0.5, 1.0))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(h == Map(0L -> 1L, 1L -> 2L)) // 0.0 -> bin0; 0.5, 1.0 -> bin1
+  }
+
+  test("equiWidthEdges: maxBins+1 edges spanning min..max (R11)") {
+    val e = DataDiff.equiWidthEdges(li, "l_quantity", 10)
+    assert(e.length == 11)
+    assert(e.head < e.last)
+    assert(e.sameElements(e.sorted))
+  }
+
+  test("histogramToMap labels bins lower_upper (R14, datadiff.py:18-24)") {
+    val m = DataDiff.histogramToMap(Array(0.0, 1.0, 2.0), Map(0L -> 3L))
+    assert(m == Map("0.0_1.0" -> 3L, "1.0_2.0" -> 0L))
+  }
+}
