@@ -142,6 +142,15 @@ object SparkEntry {
         .agg(round(
           sum(abs(coalesce(col("p1"), lit(0.0)) - coalesce(col("p2"), lit(0.0)))) / 2, 6).as("tvd"))
     }),
+
+    // ---- U5 declarative model scoring (simple_model f1*f2 through the
+    // scorer's cols_to_save + pred contract) — a single codegen'd
+    // projection, the plan every expression-model score should have.
+    "q13_score_expr" -> ((s, dir) =>
+      graft.ml.Scorer.scoreExpr(
+        t(s, dir, "lineitem"),
+        Seq("pred" -> (col("l_extendedprice") * col("l_discount"))),
+        colsToSave = Seq("l_orderkey", "l_linenumber"))),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -201,5 +210,9 @@ object SparkEntry {
         |  FROM lineitem GROUP BY 1)
         |SELECT round(sum(abs(coalesce(p1, 0) - coalesce(p2, 0))) / 2, 6) AS tvd
         |FROM h1 FULL OUTER JOIN h2 USING (bin)""".stripMargin,
+    "q13_score_expr" ->
+      """SELECT l_orderkey, l_linenumber,
+        | cast(l_extendedprice * l_discount AS real) AS pred
+        |FROM lineitem""".stripMargin,
   )
 }

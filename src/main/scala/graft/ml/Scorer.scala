@@ -1,0 +1,124 @@
+package graft.ml
+
+import org.apache.spark.sql.{Column, DataFrame, Encoders, Row}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Distributed model scoring (SURVEY.md §2.5 U1–U5; reference
+  * `sparktools/core.py:30-118`, `scorer.py:41-48`).
+  *
+  * Spark-first re-design of the reference's scoring path:
+  *  - models that are really column expressions (the reference's
+  *    `simple_model`, `simple_model.py:1-2`) score through a pure Catalyst
+  *    projection (`scoreExpr`) — whole-stage-codegen'd, zero
+  *    serialization, the fastest possible path;
+  *  - black-box models go through `score`: the model is broadcast once
+  *    per executor (reference `core.py:93-95`), rows stream through
+  *    `mapPartitions` in fixed-size batches (reference block size 10000,
+  *    `core.py:107`), and the output schema is EXPLICIT — no
+  *    JSON-roundtrip schema inference (the reference's `core.py:112-117`
+  *    re-infers by serializing every row to JSON; SURVEY §7 flags this);
+  *  - prediction-column dispatch matches `predict` (`core.py:47-73`):
+  *    binary classifier → `target_proba` (P of class 1), multiclass →
+  *    one float column per class (given names or `class{i}`), regressor
+  *    or plain function → `pred`; `cols_to_save` pass through intersected
+  *    with the existing columns (`core.py:51-53`).
+  *
+  * At scale: scoring is embarrassingly parallel — no shuffle, no skew
+  * concern; batch size bounds per-task memory; broadcast ships the model
+  * once per executor instead of once per task.
+  */
+object Scorer {
+
+  val DefaultBatchSize = 10000 // reference core.py:107
+
+  /** U3 model contract: a serializable batch predictor. `predictBatch`
+    * returns one Array (length `numOutputs`) per input row; `cols` maps
+    * column name → index in the row. */
+  trait RowModel extends Serializable {
+    def predictBatch(rows: Seq[Row], cols: Map[String, Int]): Seq[Array[Double]]
+    def numOutputs: Int = 1
+    def isClassifier: Boolean = false
+  }
+
+  /** U5 `simple_model` (`simple_model.py:1-2`): rowwise `f1 * f2`, as a
+    * black-box RowModel for exercising the mapPartitions path. The
+    * declarative equivalent is `scoreExpr(df, col("f1") * col("f2"))`. */
+  final class SimpleModel(f1: String = "f1", f2: String = "f2") extends RowModel {
+    def predictBatch(rows: Seq[Row], cols: Map[String, Int]): Seq[Array[Double]] =
+      rows.map { r =>
+        Array(toDouble(r.get(cols(f1))) * toDouble(r.get(cols(f2))))
+      }
+  }
+
+  private def toDouble(v: Any): Double = v match {
+    case null          => Double.NaN
+    case n: Number     => n.doubleValue()
+    case other         => other.toString.toDouble
+  }
+
+  /** `cols_to_save` resolution (`core.py:51-53`): intersect with existing
+    * columns; order follows the caller's list (deterministic, unlike the
+    * reference's Python set). */
+  def resolveColsToSave(df: DataFrame, colsToSave: Seq[String]): Seq[String] =
+    colsToSave.filter(df.columns.contains)
+
+  /** U3 output-column naming dispatch (`core.py:56-71`). */
+  def predictionColumns(model: RowModel, targetClassNames: Seq[String]): Seq[String] =
+    if (model.isClassifier && model.numOutputs == 2) Seq("target_proba")
+    else if (model.isClassifier && model.numOutputs >= 3) {
+      if (targetClassNames.nonEmpty) {
+        require(targetClassNames.length == model.numOutputs,
+          s"${targetClassNames.length} class names for ${model.numOutputs} outputs")
+        targetClassNames
+      } else (0 until model.numOutputs).map(i => s"class$i")
+    } else Seq("pred")
+
+  /** U1 schema builder (`core.py:31-36`): saved columns keep their dtypes,
+    * prediction columns are float. */
+  def outputSchema(df: DataFrame, saved: Seq[String], predCols: Seq[String]): StructType = {
+    val byName = df.schema.fields.map(f => f.name -> f).toMap
+    StructType(
+      saved.map(byName) ++ predCols.map(StructField(_, FloatType, nullable = false)))
+  }
+
+  /** U2 broadcast + batched mapPartitions scorer (`core.py:87-118`). */
+  def score(
+      df: DataFrame,
+      model: RowModel,
+      colsToSave: Seq[String] = Nil,
+      targetClassNames: Seq[String] = Nil,
+      batchSize: Int = DefaultBatchSize): DataFrame = {
+    val spark = df.sparkSession
+    val saved = resolveColsToSave(df, colsToSave)
+    val predCols = predictionColumns(model, targetClassNames)
+    val schema = outputSchema(df, saved, predCols)
+    val colIdx = df.columns.zipWithIndex.toMap
+    val savedIdx = saved.map(colIdx).toArray
+    val modelBc = spark.sparkContext.broadcast(model)
+    val colsBc = spark.sparkContext.broadcast(colIdx)
+    df.mapPartitions { it =>
+      val mdl = modelBc.value
+      val cols = colsBc.value
+      it.grouped(batchSize).flatMap { batch =>
+        val preds = mdl.predictBatch(batch, cols)
+        batch.lazyZip(preds).map { (row, p) =>
+          Row.fromSeq(savedIdx.map(row.get).toSeq ++ p.map(_.toFloat))
+        }
+      }
+    }(Encoders.row(schema))
+  }
+
+  /** U5 declarative scoring: predictions are Catalyst expressions, so the
+    * whole job is a single codegen'd projection — use this whenever the
+    * model is expressible as columns (linear/tree-less models, feature
+    * arithmetic). Output columns are cast to float to match the scorer's
+    * schema contract. */
+  def scoreExpr(
+      df: DataFrame,
+      predictions: Seq[(String, Column)],
+      colsToSave: Seq[String] = Nil): DataFrame = {
+    val saved = resolveColsToSave(df, colsToSave).map(col)
+    df.select(saved ++ predictions.map { case (n, c) => c.cast(FloatType).as(n) }: _*)
+  }
+}
