@@ -1,0 +1,143 @@
+package graft.cli
+
+import graft.conf.GraftConfig
+import org.apache.spark.sql.SparkSession
+
+/** Shared CLI plumbing (SURVEY.md §2.7 B1–B3).
+  *
+  * Argument protocol (reference `mover.py:19-26`, `scorer.py:71-76`,
+  * `trainer.py:21-27`): `--conf <file>` plus any number of `a.b=c`
+  * override tokens, overrides winning over the file.
+  *
+  * Session bootstrap (reference `core.py:277-366,369-411`): the config's
+  * `spark { }` section drives the builder — `app` names the application,
+  * every `spark-prop { }` entry folds into `.config(k, v)` (including
+  * `spark.master`), `enableHiveSupport` when the master is yarn, and
+  * `hive-prop { }` entries apply post-create via `spark.conf.set`. The
+  * reference's PYSPARK_SUBMIT_ARGS/env gymnastics disappear in-JVM.
+  */
+object Cli {
+
+  /** B3 override protocol: `--conf file` + `k.ey=value` tokens. */
+  def parseConf(args: Array[String]): GraftConfig = {
+    val i = args.indexOf("--conf")
+    require(i >= 0 && i + 1 < args.length,
+      "usage: --conf <hocon-file> [key.path=value ...]")
+    val file = GraftConfig.parseFile(args(i + 1))
+    val overrides = args.zipWithIndex.collect {
+      case (tok, j) if j != i && j != i + 1 => tok
+    }
+    GraftConfig.fromOverrides(overrides.toIndexedSeq).withFallback(file)
+  }
+
+  /** B1/B2 session-from-config. Defaults `spark.master` to `local[*]`
+    * when the config does not set one (the reference hard-requires it;
+    * a default is friendlier for local runs). */
+  def session(conf: GraftConfig, defaultApp: String): SparkSession = {
+    val sc = conf.at("spark")
+    val props = sc.at("spark-prop").flat
+    var b = SparkSession.builder()
+      .appName(sc.getString("app").getOrElse(defaultApp))
+    if (!props.exists(_._1 == "spark.master")) b = b.master("local[*]")
+    if (props.toMap.get("spark.master").exists(_.startsWith("yarn")))
+      b = b.enableHiveSupport()
+    props.foreach { case (k, v) => b = b.config(k, v) }
+    val s = b.getOrCreate()
+    sc.at("hive-prop").flat.foreach { case (k, v) => s.conf.set(k, v) }
+    s
+  }
+
+  def log(msg: String): Unit = {
+    val tm = java.time.LocalDateTime.now()
+      .format(java.time.format.DateTimeFormatter.ofPattern("yyyy-MM-dd HH:mm:ss"))
+    println(s"$tm $msg")
+  }
+
+  /** Run `body` with timing + started/finished log lines (the shared
+    * shape of all three reference CLIs). */
+  def run(name: String, args: Array[String])(body: (GraftConfig, SparkSession) => Unit): Unit = {
+    val start = System.nanoTime()
+    log(s"------------------- $name started")
+    val conf = parseConf(args)
+    val spark = session(conf, name)
+    try body(conf, spark)
+    finally {
+      log(f"execution time: ${(System.nanoTime() - start) / 1e9}%.1f sec")
+    }
+  }
+}
+
+/** E1 `mover` (reference `mover.py:11-41`): copy a dataset between any
+  * source and any sink. The source is cached before the write so the
+  * trailing count reuses it instead of rescanning (the reference's
+  * missing-cache double-scan, `mover.py:33-35`, SURVEY §7). */
+object Mover {
+  def main(args: Array[String]): Unit = Cli.run("mover", args) { (conf, spark) =>
+    Cli.log("moving data...")
+    val df = graft.sources.DataIO.read(spark, conf.at("source")).cache()
+    graft.sources.DataIO.write(df, conf.at("target"))
+    println(s"data set size: ${df.count()}")
+    df.unpersist()
+    Cli.log("download is finished")
+  }
+}
+
+/** E2 `scorer` (reference `scorer.py:12-65`): batch model inference.
+  * Source → uid filter/cast → pandify → score → metadata columns →
+  * count + write (cached between the two actions, `scorer.py:48`).
+  *
+  * The model is config-selected (B4 without dynamic code loading):
+  *  - `model-path`  — a saved MLlib PipelineModel directory, scored
+  *    through the `Trainer.scoreModel` dispatch; the model name is the
+  *    path's basename (`scorer.py:53`);
+  *  - `model-expr`  — a SQL expression scored as a single projection
+  *    (`ml.Scorer.scoreExpr`), e.g. `"f1 * f2"`; named by `model-name`.
+  */
+object Scorer {
+  def main(args: Array[String]): Unit = Cli.run("scorer", args) { (conf, spark) =>
+    import org.apache.spark.sql.functions.{col, expr}
+    Cli.log("loading data...")
+    val uidCol = conf.getString("uid-column").getOrElse("uid")
+    val src = graft.sources.DataIO.read(spark, conf.at("source"))
+      .filter(col(uidCol).isNotNull)
+      .withColumn(uidCol, col(uidCol).cast("string"))
+    val df = graft.operators.Ops.pandify(src)
+    val colsToSave = conf.getList("cols-to-save")
+      .getOrElse(Seq("uid", "true_target", "business_dt")) // scorer.py:36
+    val (scored0, modelName) = (conf.getString("model-path"), conf.getString("model-expr")) match {
+      case (Some(path), _) =>
+        val m = graft.ml.Trainer.load(path)
+        (graft.ml.Trainer.scoreModel(m, df, colsToSave),
+          new java.io.File(path).getName)
+      case (None, Some(e)) =>
+        (graft.ml.Scorer.scoreExpr(df, Seq("pred" -> expr(e)), colsToSave),
+          conf.getString("model-name").getOrElse("expr"))
+      case _ => throw new IllegalArgumentException("scorer needs model-path or model-expr")
+    }
+    val currentDt = conf.getString("current-dt").getOrElse(
+      java.time.LocalDateTime.now()
+        .format(java.time.format.DateTimeFormatter.ofPattern("yyyy-MM-dd'T'HH-mm")))
+    val scored = graft.operators.Ops.withMeta(scored0,
+      Seq("model_name" -> modelName, "current_dt" -> currentDt)).cache()
+    println(s"scores generated: ${scored.count()}")
+    Cli.log("saving scores ...")
+    graft.sources.DataIO.write(scored, conf.at("target"))
+    scored.unpersist()
+  }
+}
+
+/** E3 `trainer` (reference `trainer.py:12-72`): fit a model from a Spark
+  * source and persist it — distributed MLlib fit + `model.write.save`
+  * instead of `toPandas` + sklearn + joblib. */
+object Trainer {
+  def main(args: Array[String]): Unit = Cli.run("trainer", args) { (conf, spark) =>
+    Cli.log("loading data...")
+    val md = conf.at("model-definition")
+    val df = graft.operators.Ops.pandify(
+      graft.sources.DataIO.read(spark, md.at("dataset")))
+    val model = graft.ml.Trainer.trainFromConf(df, md)
+    val path = conf.string("model-path")
+    graft.ml.Trainer.save(model, path)
+    println(s"model is saved to $path")
+  }
+}

@@ -1,0 +1,145 @@
+package graft
+
+import java.nio.file.{Files, Path}
+import graft.cli.Cli
+import graft.conf.GraftConfig
+
+/** E1-E3 CLI pipelines end-to-end against testdata (B1-B4). Sessions in
+  * these tests reuse the shared local session via getOrCreate (the
+  * configs set no master), so session-from-config props are asserted
+  * separately on the parse level. */
+class CliSpec extends SparkTestBase {
+
+  private def tmp(): Path = Files.createTempDirectory("graft-cli")
+
+  private def write(path: Path, text: String): String = {
+    Files.writeString(path, text)
+    path.toString
+  }
+
+  test("parseConf merges --conf file with k=v overrides (B3, scorer.py:71-76)") {
+    val f = write(tmp().resolve("c.conf"),
+      """source { storage-type = local, dataset-dir = /a }
+        |target { storage-type = local, dataset-dir = /b }
+        |""".stripMargin)
+    val conf = Cli.parseConf(Array("--conf", f, "target.dataset-dir=/c", "spark.app=x"))
+    assert(conf.string("source.dataset-dir") == "/a")
+    assert(conf.string("target.dataset-dir") == "/c") // override wins
+    assert(conf.string("spark.app") == "x")
+  }
+
+  test("session folds spark-prop into the builder (B1/B2)") {
+    // shared session already exists; getOrCreate returns it — assert the
+    // config path on a value that is safe to set redundantly.
+    val conf = GraftConfig.parse(
+      """spark {
+        |  app = graft-test
+        |  spark-prop { spark.sql.shuffle.partitions = 4 }
+        |}""".stripMargin)
+    val s = Cli.session(conf, "fallback")
+    assert(s.conf.get("spark.sql.shuffle.partitions") == "4")
+  }
+
+  test("mover copies source parquet to target directory (E1)") {
+    val out = tmp().resolve("moved").toString
+    val f = write(tmp().resolve("mover.conf"),
+      s"""source {
+         |  storage-type = local
+         |  dataset-dir = $sfDir/nation.parquet
+         |  dataset-store-format = parquet
+         |}
+         |target {
+         |  storage-type = local
+         |  dataset-dir = $out
+         |  dataset-store-format = parquet
+         |  write-mode = overwrite
+         |}
+         |""".stripMargin)
+    graft.cli.Mover.main(Array("--conf", f))
+    val moved = spark.read.parquet(out)
+    assert(moved.count() == 25)
+    assert(moved.columns.sameElements(spark.read.parquet(s"$sfDir/nation.parquet").columns))
+  }
+
+  test("mover applies post-read transform-sql + limit (S6/S8 through E1)") {
+    val out = tmp().resolve("moved2").toString
+    val f = write(tmp().resolve("mover2.conf"),
+      s"""source {
+         |  storage-type = local
+         |  dataset-dir = $sfDir/orders.parquet
+         |  transform-sql = "select o_orderkey, o_totalprice from dataset_temp where o_totalprice > 100"
+         |  limit = 10
+         |}
+         |target { storage-type = local, dataset-dir = $out, dataset-store-format = parquet }
+         |""".stripMargin)
+    graft.cli.Mover.main(Array("--conf", f))
+    val moved = spark.read.parquet(out)
+    assert(moved.count() == 10)
+    assert(moved.columns.toSeq == Seq("o_orderkey", "o_totalprice"))
+  }
+
+  test("trainer trains from config and scorer scores with the saved model (E2+E3)") {
+    val base = tmp()
+    val modelPath = base.resolve("model").toString
+    val scoresOut = base.resolve("scores").toString
+
+    // train: label = high-value order, features = price-ish numerics
+    import org.apache.spark.sql.functions._
+    val trainData = base.resolve("train_data").toString
+    spark.read.parquet(s"$sfDir/orders.parquet")
+      .select(col("o_orderkey").as("uid"), col("o_totalprice"),
+        col("o_custkey").cast("double").as("o_cust"),
+        (col("o_totalprice") > 150000).cast("double").as("label"))
+      .write.mode("overwrite").parquet(trainData)
+
+    val trainerConf = write(base.resolve("trainer.conf"),
+      s"""model-definition {
+         |  dataset { storage-type = local, dataset-dir = $trainData }
+         |  target-column = label
+         |  estimator = logistic-regression
+         |  feature-columns = [o_totalprice, o_cust]
+         |  params { maxIter = 20 }
+         |}
+         |model-path = $modelPath
+         |""".stripMargin)
+    graft.cli.Trainer.main(Array("--conf", trainerConf))
+    assert(Files.exists(java.nio.file.Paths.get(modelPath)))
+
+    val scorerConf = write(base.resolve("scorer.conf"),
+      s"""source { storage-type = local, dataset-dir = $trainData }
+         |target { storage-type = local, dataset-dir = $scoresOut, dataset-store-format = parquet }
+         |model-path = $modelPath
+         |cols-to-save = [uid, label]
+         |current-dt = 2026-01-01T00-00
+         |""".stripMargin)
+    graft.cli.Scorer.main(Array("--conf", scorerConf))
+
+    val scores = spark.read.parquet(scoresOut)
+    assert(scores.columns.toSeq ==
+      Seq("model_name", "current_dt", "uid", "label", "target_proba"))
+    assert(scores.count() == spark.read.parquet(trainData).count())
+    assert(scores.select("model_name").head().getString(0) == "model")
+    // the model actually separates: high-value orders score higher
+    val hi = scores.filter(col("label") === 1.0).agg(avg("target_proba")).head().getDouble(0)
+    val lo = scores.filter(col("label") === 0.0).agg(avg("target_proba")).head().getDouble(0)
+    assert(hi > lo, s"hi=$hi lo=$lo")
+  }
+
+  test("scorer with model-expr scores without a saved model (U5 through E2)") {
+    val base = tmp()
+    val out = base.resolve("scores").toString
+    val f = write(base.resolve("s.conf"),
+      s"""source { storage-type = local, dataset-dir = $sfDir/orders.parquet }
+         |target { storage-type = local, dataset-dir = $out, dataset-store-format = parquet }
+         |uid-column = o_orderkey
+         |model-expr = "o_totalprice * 2"
+         |model-name = doubler
+         |cols-to-save = [o_orderkey]
+         |current-dt = 2026-01-01T00-00
+         |""".stripMargin)
+    graft.cli.Scorer.main(Array("--conf", f))
+    val scores = spark.read.parquet(out)
+    assert(scores.columns.toSeq == Seq("model_name", "current_dt", "o_orderkey", "pred"))
+    assert(scores.select("model_name").head().getString(0) == "doubler")
+  }
+}
