@@ -151,6 +151,43 @@ object SparkEntry {
         t(s, dir, "lineitem"),
         Seq("pred" -> (col("l_extendedprice") * col("l_discount"))),
         colsToSave = Seq("l_orderkey", "l_linenumber"))),
+
+    // ---- LLM tier-1 exact dedup: sha2 content hash, one bounded shuffle
+    // (graft.llm.Dedup.exactDuplicateGroups).
+    "q14_exact_dedup" -> ((s, dir) =>
+      graft.llm.Dedup.exactDuplicateGroups(
+        t(s, dir, "documents"), "text", "doc_id")),
+
+    // ---- LLM similarity search: exact cosine top-k, query side
+    // broadcast, corpus scanned once shuffle-free before per-query top-k.
+    "q15_knn_brute" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      graft.llm.Similarity.bruteForceTopK(
+        emb.filter(col("vec_id") < 5), emb, k = 3)
+        .select(col("query_id"), col("neighbor_id"),
+          round(col("cos_sim"), 6).as("cos_sim"), col("rank"))
+    }),
+
+    // ---- LLM text analysis: token counts + punctuation as a pure
+    // codegen'd map over the scan — no shuffle (TextAnalysis).
+    "q16_doc_stats" -> ((s, dir) =>
+      t(s, dir, "documents").select(
+        col("doc_id"),
+        graft.llm.TextAnalysis.wsTokenCount(col("text")).cast("long").as("n_tokens"),
+        graft.llm.TextAnalysis.punctCount(col("text")).cast("long").as("n_punct"),
+        round(graft.llm.TextAnalysis.meanTokenLength(col("text")), 4).as("avg_token_len"))),
+
+    // ---- Multimodal/JSON column extraction: typed props out of the
+    // events stream table + per-type aggregates (one bounded shuffle).
+    "q17_events_json" -> ((s, dir) =>
+      t(s, dir, "events")
+        .select(col("event_type"), col("value"),
+          get_json_object(col("props"), "$.k").cast("long").as("k"))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n_events"),
+          round(avg("value"), 4).as("avg_value"),
+          round(avg("k"), 4).as("avg_k"),
+          max("k").as("max_k"))),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -214,5 +251,35 @@ object SparkEntry {
       """SELECT l_orderkey, l_linenumber,
         | cast(l_extendedprice * l_discount AS real) AS pred
         |FROM lineitem""".stripMargin,
+    "q14_exact_dedup" ->
+      """SELECT sha256(text) AS content_hash, min(doc_id) AS keep_id,
+        | count(*) AS n_copies
+        |FROM documents GROUP BY 1""".stripMargin,
+    "q15_knn_brute" ->
+      """SELECT query_id, neighbor_id, round(cos_sim, 6) AS cos_sim, rank FROM (
+        |  SELECT query_id, neighbor_id, cos_sim,
+        |    row_number() OVER (PARTITION BY query_id
+        |      ORDER BY cos_sim DESC, neighbor_id) AS rank
+        |  FROM (
+        |    SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+        |      (list_dot_product(q.embedding::DOUBLE[], c.embedding::DOUBLE[])
+        |        / (sqrt(list_dot_product(q.embedding::DOUBLE[], q.embedding::DOUBLE[]))
+        |           * sqrt(list_dot_product(c.embedding::DOUBLE[], c.embedding::DOUBLE[])))) AS cos_sim
+        |    FROM embeddings q, embeddings c
+        |    WHERE q.vec_id < 5 AND c.vec_id <> q.vec_id))
+        |WHERE rank <= 3""".stripMargin,
+    "q16_doc_stats" ->
+      """SELECT doc_id,
+        | len(regexp_extract_all(trim(text), '\S+')) AS n_tokens,
+        | length(regexp_replace(text, '[a-zA-Z0-9\s]', '', 'g')) AS n_punct,
+        | round(length(regexp_replace(text, '\s', '', 'g'))
+        |   / len(regexp_extract_all(trim(text), '\S+')), 4) AS avg_token_len
+        |FROM documents""".stripMargin,
+    "q17_events_json" ->
+      """SELECT event_type, count(*) AS n_events,
+        | round(avg(value), 4) AS avg_value,
+        | round(avg(cast(json_extract_string(props, '$.k') AS bigint)), 4) AS avg_k,
+        | max(cast(json_extract_string(props, '$.k') AS bigint)) AS max_k
+        |FROM events GROUP BY event_type""".stripMargin,
   )
 }

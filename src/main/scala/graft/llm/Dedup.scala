@@ -1,0 +1,204 @@
+package graft.llm
+
+import org.apache.spark.ml.Pipeline
+import org.apache.spark.ml.feature.{HashingTF, MinHashLSH, MinHashLSHModel}
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Document deduplication for LLM-training-data pipelines (north-star
+  * extension, SURVEY.md §7.6 — no reference counterpart).
+  *
+  * Four tiers, cheapest first; all are bucketed/bounded — nothing here
+  * ever builds an all-pairs cross join:
+  *  1. exact       — sha2(content) group-by: ONE shuffle on a 64-hex key,
+  *                   works at any scale, catches byte-identical docs;
+  *  2. MinHash-LSH — shingle → minhash signature → banded bucket join
+  *                   (MLlib `MinHashLSH.approxSimilarityJoin`), catches
+  *                   Jaccard-near duplicates; candidate pairs are only
+  *                   generated inside buckets;
+  *  3. SimHash     — 64-bit locality-sensitive fingerprint; near-dups =
+  *                   pairs within a Hamming radius, found by joining on
+  *                   16-bit bands (pigeonhole: radius ≤3 ⇒ some band of 4
+  *                   matches exactly), then verifying the full distance;
+  *  4. n-gram Jaccard — the exact verifier for candidate pairs from
+  *                   either LSH tier.
+  *
+  * 100 TB notes: exact dedup shuffles once on the hash; MinHash bucket
+  * width is controlled by `numHashTables`; SimHash bands bound each
+  * join's key cardinality at 2^16 per band. The classic skew trap —
+  * boilerplate docs exploding one bucket — is mitigated by raising
+  * bands/tables or pre-filtering exact dups first (tier 1 before 2/3).
+  */
+object Dedup {
+
+  // ---------------------------------------------------------------- exact
+
+  /** Content hash for exact dedup: sha2-256 over the column (hex). */
+  def contentHash(c: Column): Column = sha2(c.cast("string"), 256)
+
+  /** Exact duplicate groups: one row per distinct content with the
+    * representative (min id) and the multiplicity. Single shuffle. */
+  def exactDuplicateGroups(df: DataFrame, textCol: String, idCol: String): DataFrame =
+    df.groupBy(contentHash(col(textCol)).as("content_hash"))
+      .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_copies"))
+
+  /** Drop exact duplicates, keeping the lowest-id row per content.
+    * Window over the hash — same single shuffle as the group-by form. */
+  def dropExactDuplicates(df: DataFrame, textCol: String, idCol: String): DataFrame = {
+    val w = Window.partitionBy(contentHash(col(textCol))).orderBy(col(idCol))
+    df.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .drop("__rn")
+  }
+
+  // ------------------------------------------------------------- shingles
+
+  /** Word tokens (lowercased, whitespace-split, empties dropped). */
+  def tokens(c: Column): Column =
+    filter(split(lower(trim(c)), "\\s+"), t => length(t) > 0)
+
+  /** Word n-gram shingles as strings, e.g. n=3 → "a b c". Built with
+    * higher-order functions only — stays inside Catalyst. */
+  def shingles(c: Column, n: Int): Column = {
+    val toks = tokens(c)
+    array_distinct(
+      filter(
+        transform(sequence(lit(0), greatest(size(toks) - n, lit(0))),
+          i => concat_ws(" ", slice(toks, i + 1, lit(n)))),
+        s => length(s) > 0))
+  }
+
+  // ---------------------------------------------------------- MinHash-LSH
+
+  /** Fit a MinHash-LSH model over shingle sets. `numFeatures` is the
+    * shingle hash space (collisions only make dedup slightly more
+    * aggressive); `numHashTables` trades recall for bucket-join width. */
+  def fitMinHash(
+      df: DataFrame,
+      textCol: String,
+      shingleSize: Int = 3,
+      numFeatures: Int = 1 << 18,
+      numHashTables: Int = 5): (DataFrame, MinHashLSHModel) = {
+    val withShingles = df.withColumn("__shingles", shingles(col(textCol), shingleSize))
+      .filter(size(col("__shingles")) > 0) // MinHash requires ≥1 nonzero
+    val tf = new HashingTF()
+      .setInputCol("__shingles").setOutputCol("__features")
+      .setNumFeatures(numFeatures).setBinary(true)
+    val featured = tf.transform(withShingles)
+    val lsh = new MinHashLSH()
+      .setInputCol("__features").setOutputCol("__hashes")
+      .setNumHashTables(numHashTables)
+      .setSeed(4233L)
+    val model = lsh.fit(featured)
+    (model.transform(featured), model)
+  }
+
+  /** Near-duplicate pairs by MinHash-LSH bucketed join: pairs with
+    * Jaccard distance ≤ `maxJaccardDistance`, each pair once (id1<id2).
+    * Never an all-pairs join: candidates come from hash-bucket matches. */
+  def minHashNearDups(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      maxJaccardDistance: Double = 0.3,
+      shingleSize: Int = 3,
+      numHashTables: Int = 5): DataFrame = {
+    val (featured, model) = fitMinHash(df, textCol, shingleSize, numHashTables = numHashTables)
+    model.approxSimilarityJoin(featured, featured, maxJaccardDistance, "jaccard_distance")
+      .select(
+        col(s"datasetA.$idCol").as("id1"),
+        col(s"datasetB.$idCol").as("id2"),
+        col("jaccard_distance"))
+      .filter(col("id1") < col("id2"))
+  }
+
+  // -------------------------------------------------------------- SimHash
+
+  /** 64-bit SimHash over word tokens, entirely in Catalyst higher-order
+    * functions: each token hashes to 64 bits (xxhash64); bit i of the
+    * fingerprint is the sign of Σ_tokens (±1 per token's bit i). */
+  def simHash(c: Column): Column = {
+    val toks = tokens(c)
+    // per-bit vote counts: fold tokens into a 64-long array of sums
+    val votes = aggregate(
+      toks,
+      array_repeat(lit(0L), 64),
+      (acc, t) => zip_with(
+        acc,
+        transform(sequence(lit(0), lit(63)),
+          i => when(call_function("shiftright", xxhash64(t), i)
+            .bitwiseAND(lit(1L)) === 1L, lit(1L)).otherwise(lit(-1L))),
+        (a, b) => a + b))
+    // assemble: sum of 2^i over positive-vote bits
+    aggregate(
+      zip_with(votes, sequence(lit(0), lit(63)),
+        (v, i) => when(v > 0, call_function("shiftleft", lit(1L), i)).otherwise(lit(0L))),
+      lit(0L), (acc, x) => acc.bitwiseOR(x))
+  }
+
+  /** Hamming distance between two 64-bit fingerprints. */
+  def hamming(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
+
+  /** SimHash near-dup pairs within `maxHamming` (< bands), via banded
+    * self-join: fingerprints are split into `bands` equal bit-slices;
+    * by pigeonhole any pair within the radius agrees exactly on ≥1 band,
+    * so the join keys on (band index, band bits) — key space 2^(64/bands)
+    * per band, never all-pairs. Full Hamming verified after the join. */
+  def simHashNearDups(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      maxHamming: Int = 3,
+      bands: Int = 4): DataFrame = {
+    require(64 % bands == 0, s"bands must divide 64, got $bands")
+    require(maxHamming < bands,
+      s"pigeonhole needs maxHamming < bands ($maxHamming >= $bands misses pairs)")
+    val width = 64 / bands
+    val mask = (BigInt(1) << width) - 1
+    val sigs = df.select(col(idCol).as("id"), simHash(col(textCol)).as("sig"))
+    val banded = sigs.select(col("id"), col("sig"),
+      explode(array((0 until bands).map { b =>
+        struct(lit(b).as("band"),
+          shiftright(col("sig"), b * width).bitwiseAND(lit(mask.toLong)).as("bits"))
+      }: _*)).as("bb"))
+      .select(col("id"), col("sig"), col("bb.band"), col("bb.bits"))
+    val l = banded.select(col("band"), col("bits"), col("id").as("id1"), col("sig").as("sig1"))
+    val r = banded.select(col("band"), col("bits"), col("id").as("id2"), col("sig").as("sig2"))
+    l.join(r, Seq("band", "bits"))
+      .filter(col("id1") < col("id2"))
+      .select(col("id1"), col("id2"), hamming(col("sig1"), col("sig2")).as("hamming"))
+      .filter(col("hamming") <= maxHamming)
+      .distinct()
+  }
+
+  // ------------------------------------------------------- n-gram Jaccard
+
+  /** Exact Jaccard similarity of two documents' shingle sets — the
+    * verifier for LSH candidate pairs. */
+  def ngramJaccard(a: Column, b: Column, n: Int = 3): Column = {
+    val (sa, sb) = (shingles(a, n), shingles(b, n))
+    val inter = size(array_intersect(sa, sb)).cast("double")
+    val union = size(array_union(sa, sb)).cast("double")
+    when(union === 0.0, lit(1.0)).otherwise(inter / union)
+  }
+
+  /** Verify candidate pairs (id1, id2) against exact n-gram Jaccard:
+    * join the texts back (two broadcast-friendly joins when the pair
+    * set is small; key-partitioned otherwise) and keep pairs with
+    * similarity ≥ `minJaccard`. */
+  def verifyPairs(
+      pairs: DataFrame,
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      minJaccard: Double,
+      n: Int = 3): DataFrame = {
+    val t1 = docs.select(col(idCol).as("id1"), col(textCol).as("__t1"))
+    val t2 = docs.select(col(idCol).as("id2"), col(textCol).as("__t2"))
+    pairs.join(t1, "id1").join(t2, "id2")
+      .withColumn("jaccard", ngramJaccard(col("__t1"), col("__t2"), n))
+      .filter(col("jaccard") >= minJaccard)
+      .drop("__t1", "__t2")
+  }
+}

@@ -1,0 +1,155 @@
+package graft.llm
+
+import org.apache.spark.ml.feature.BucketedRandomProjectionLSH
+import org.apache.spark.ml.clustering.{KMeans, KMeansModel}
+import org.apache.spark.ml.functions.array_to_vector
+import org.apache.spark.ml.linalg.{Vector => MlVector}
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Embedding similarity search (north-star extension, SURVEY.md §7.6).
+  *
+  * Over an `array<float>` embedding column:
+  *  - `bruteForceTopK` — exact cosine top-k. The query side is
+  *    broadcast (it must be small — that is the contract of a brute
+  *    force scan); the corpus streams through one codegen'd projection +
+  *    per-query top-k, no shuffle of the corpus. O(|Q|·|C|) compute:
+  *    the correctness baseline, and the right tool when |Q| is tiny.
+  *  - `ivfBuild`/`ivfTopK` — inverted-file ANN: KMeans coarse centroids
+  *    partition the corpus into cells; a query probes only its
+  *    `nprobe` nearest cells. At 100 TB the corpus is hash-partitioned
+  *    by cell id, so a probe touches `nprobe/k` of the data instead of
+  *    all of it; centroids (k×dim doubles) broadcast everywhere.
+  *  - `lshNearDupPairs` — `BucketedRandomProjectionLSH` bucketed join
+  *    on L2-normalized vectors (Euclidean distance on the unit sphere
+  *    is a monotone proxy for cosine: d² = 2−2cos). Bucketed — never
+  *    all-pairs.
+  */
+object Similarity {
+
+  // ------------------------------------------------------ vector algebra
+  // Higher-order functions over array<float> — no UDFs, stays in
+  // Catalyst; arithmetic in double for stability.
+
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, x) => acc + x)
+
+  def norm2(a: Column): Column = sqrt(dot(a, a))
+
+  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm2(a) * norm2(b))
+
+  /** L2-normalize an array<float> column (unit sphere). */
+  def l2Normalize(a: Column): Column = {
+    val n = norm2(a)
+    transform(a, x => (x.cast("double") / n).cast("float"))
+  }
+
+  // ------------------------------------------------------- brute force
+
+  /** Exact top-k cosine neighbors for each query vector. `queries` MUST
+    * be small (it is collected into a broadcast join); `corpus` can be
+    * arbitrarily large — it is scanned once with no shuffle before the
+    * per-query top-k. Self-matches (same id) are excluded. */
+  def bruteForceTopK(
+      queries: DataFrame,
+      corpus: DataFrame,
+      k: Int,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("__qv"))
+    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("__cv"))
+    val scored = c.crossJoin(broadcast(q))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        cosine(col("__qv"), col("__cv")).as("cos_sim"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("cos_sim").desc, col("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+  }
+
+  // --------------------------------------------------------------- IVF
+
+  /** IVF coarse index: KMeans over the corpus embeddings; returns the
+    * model and the corpus tagged with its cell id. At scale, persist the
+    * tagged corpus partitioned/bucketed by `cell` so probes prune. */
+  def ivfBuild(
+      corpus: DataFrame,
+      numCells: Int,
+      vecCol: String = "embedding",
+      seed: Long = 4233L): (KMeansModel, DataFrame) = {
+    val vec = corpus.withColumn("__v", array_to_vector(col(vecCol)))
+    val model = new KMeans().setK(numCells).setSeed(seed)
+      .setFeaturesCol("__v").setPredictionCol("cell")
+      .fit(vec)
+    (model, model.transform(vec).drop("__v"))
+  }
+
+  /** IVF probe: each query searches only its `nprobe` nearest cells
+    * (by centroid cosine), then exact cosine re-ranks within them.
+    * The candidate join is an equi-join on `cell` — at 100 TB it prunes
+    * to ~nprobe/numCells of the corpus instead of a full scan. */
+  def ivfTopK(
+      queries: DataFrame,
+      taggedCorpus: DataFrame,
+      model: KMeansModel,
+      k: Int,
+      nprobe: Int = 3,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    val spark = queries.sparkSession
+    import spark.implicits._
+    // centroids: tiny (numCells × dim) — literal-broadcast as a DataFrame
+    val cents = model.clusterCenters.zipWithIndex.map { case (v, i) =>
+      (i, v.toArray.map(_.toFloat))
+    }.toSeq.toDF("cell", "__centroid")
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("__qv"))
+    val probed = q.crossJoin(broadcast(cents))
+      .select(col("query_id"), col("__qv"), col("cell"),
+        cosine(col("__qv"), col("__centroid")).as("__csim"))
+      .withColumn("__crank",
+        row_number().over(Window.partitionBy("query_id").orderBy(col("__csim").desc, col("cell"))))
+      .filter(col("__crank") <= nprobe)
+      .select("query_id", "__qv", "cell")
+    val c = taggedCorpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("__cv"), col("cell"))
+    val scored = c.join(broadcast(probed), Seq("cell"))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        cosine(col("__qv"), col("__cv")).as("cos_sim"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("cos_sim").desc, col("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+  }
+
+  // --------------------------------------------------------------- LSH
+
+  /** Near-duplicate vector pairs via bucketed random-projection LSH on
+    * the unit sphere. `maxCosineDistance` = 1 − min cosine similarity;
+    * pairs returned once (id1 < id2) with their cosine similarity. */
+  def lshNearDupPairs(
+      df: DataFrame,
+      maxCosineDistance: Double,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding",
+      bucketLength: Double = 0.5,
+      numHashTables: Int = 4): DataFrame = {
+    val unit = df.select(col(idCol), col(vecCol),
+      array_to_vector(l2Normalize(col(vecCol))).as("__unit"))
+    val lsh = new BucketedRandomProjectionLSH()
+      .setInputCol("__unit").setOutputCol("__hashes")
+      .setBucketLength(bucketLength).setNumHashTables(numHashTables)
+      .setSeed(4233L)
+    val model = lsh.fit(unit)
+    // on unit vectors: ||a-b||² = 2 − 2·cos ⇒ euclidean threshold
+    val maxEuclidean = math.sqrt(2.0 * maxCosineDistance)
+    model.approxSimilarityJoin(unit, unit, maxEuclidean, "__dist")
+      .select(
+        col(s"datasetA.$idCol").as("id1"),
+        col(s"datasetB.$idCol").as("id2"),
+        (lit(1.0) - col("__dist") * col("__dist") / 2.0).as("cos_sim"))
+      .filter(col("id1") < col("id2"))
+  }
+}

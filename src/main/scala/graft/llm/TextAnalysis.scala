@@ -1,0 +1,107 @@
+package graft.llm
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text analysis for LLM-training-data curation (north-star extension,
+  * SURVEY.md §7.6): token counting, quality scoring, language
+  * identification, document fingerprinting.
+  *
+  * Everything is a Catalyst column expression (built-ins + higher-order
+  * functions, zero UDFs) so analysis stays inside whole-stage codegen
+  * and scales as a pure map — no shuffle, no driver involvement, no
+  * Python workers. On 100 TB these run at parquet-scan speed.
+  */
+object TextAnalysis {
+
+  // ------------------------------------------------------------ tokens
+
+  /** Whitespace token count. */
+  def wsTokenCount(c: Column): Column =
+    size(filter(split(trim(c), "\\s+"), t => length(t) > 0))
+
+  /** BPE-ish subword count: letter runs split at length 4 (≈ one BPE
+    * merge depth), digit runs per char, punctuation per char — a cheap
+    * deterministic proxy for a trained tokenizer's token count. */
+  def bpeishTokenCount(c: Column): Column =
+    regexp_count(c, lit("[\\p{L}]{1,4}|[\\p{N}]|[^\\p{L}\\p{N}\\s]"))
+
+  /** Characters that are neither word-chars nor whitespace. */
+  def punctCount(c: Column): Column =
+    length(regexp_replace(c, "[\\p{L}\\p{N}\\s]", ""))
+
+  /** Mean token length over non-space characters. */
+  def meanTokenLength(c: Column): Column = {
+    val n = wsTokenCount(c)
+    when(n === 0, lit(0.0))
+      .otherwise(length(regexp_replace(c, "\\s", "")).cast("double") / n)
+  }
+
+  // ----------------------------------------------------------- quality
+
+  /** Tiny per-language stopword profiles (top function words). Public
+    * knowledge; intentionally small — presence counts, not coverage. */
+  val StopwordProfiles: Map[String, Seq[String]] = Map(
+    "en" -> Seq("the", "a", "of", "and", "to", "in", "is", "that", "it", "for"),
+    "de" -> Seq("der", "die", "das", "und", "ist", "nicht", "ein", "mit", "ich", "zu"),
+    "fr" -> Seq("le", "la", "les", "et", "est", "un", "une", "que", "des", "pour"),
+    "es" -> Seq("el", "la", "los", "y", "es", "un", "una", "que", "de", "por"),
+  )
+
+  /** Fraction of tokens that are stopwords of `lang` — high for natural
+    * prose, near zero for boilerplate/code/garbage. */
+  def stopwordRatio(c: Column, lang: String = "en"): Column = {
+    val stops = StopwordProfiles(lang)
+    val toks = Dedup.tokens(c)
+    val hits = size(filter(toks, t => t.isin(stops: _*)))
+    when(size(toks) === 0, lit(0.0))
+      .otherwise(hits.cast("double") / size(toks))
+  }
+
+  /** Composite quality score in [0,1]: length sufficiency (40%),
+    * stopword presence (40%), punctuation sanity (20%). Deterministic
+    * arithmetic only — filterable at scan time. */
+  def qualityScore(c: Column, lang: String = "en"): Column = {
+    val lengthScore = least(wsTokenCount(c).cast("double") / 20.0, lit(1.0))
+    val stopScore = least(stopwordRatio(c, lang) * 5.0, lit(1.0))
+    val punctRatio = when(length(c) === 0, lit(0.0))
+      .otherwise(punctCount(c).cast("double") / length(c))
+    val punctScore = greatest(lit(1.0) - punctRatio * 4.0, lit(0.0))
+    round(lengthScore * 0.4 + stopScore * 0.4 + punctScore * 0.2, 6)
+  }
+
+  // ----------------------------------------------------------- lang id
+
+  /** Language ID by stopword-profile voting plus a CJK character check:
+    * returns the profile code with the most distinct stopword hits
+    * ("und" beats "the"), `zh` when CJK chars dominate, `unknown` when
+    * nothing matches. Ties break lexicographically (deterministic). */
+  def langId(c: Column): Column = {
+    val toks = array_distinct(Dedup.tokens(c))
+    val scored = StopwordProfiles.toSeq.sortBy(_._1).map { case (lang, stops) =>
+      struct(size(array_intersect(toks, array(stops.map(lit): _*))).as("score"),
+        lit(lang).as("lang"))
+    }
+    val best = array_max(array(scored: _*))
+    val cjk = regexp_count(c, lit("[\\x{4e00}-\\x{9fff}]"))
+    when(cjk > length(c) / 4, lit("zh"))
+      .when(best.getField("score") > 0, best.getField("lang"))
+      .otherwise(lit("unknown"))
+  }
+
+  // ------------------------------------------------------ fingerprints
+
+  /** Document fingerprint: `m` min-hashes over rolling character
+    * `k`-grams (each with a distinct hash seed mixed in) — a compact
+    * signature for shift-tolerant near-dup detection and sampling keys.
+    * Pure higher-order functions; O(len·m) per document, no shuffle. */
+  def docFingerprint(c: Column, k: Int = 8, m: Int = 4): Column = {
+    // per seed: min over rolling k-gram positions of xxhash64(seed, gram)
+    val mins = (0 until m).map { seed =>
+      array_min(transform(
+        sequence(lit(1), greatest(length(c) - (k - 1), lit(1))),
+        i => xxhash64(lit(seed), call_function("substring", c, i, lit(k)))))
+    }
+    array(mins: _*)
+  }
+}

@@ -15,6 +15,7 @@ object Explain {
       .config("spark.sql.shuffle.partitions", "8")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true") // events.ts is timestamp[ns]
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     def run(): Double = {

@@ -1,0 +1,96 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.llm.Dedup
+
+/** Dedup tiers over documents testdata + planted duplicates. */
+class DedupSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private lazy val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+
+  /** documents + exact copies of docs 0,1 and a near-copy of doc 2. */
+  private lazy val withDups = {
+    val base = docs.select("doc_id", "text")
+    val exact = base.filter(col("doc_id") < 2)
+      .select((col("doc_id") + 10000).as("doc_id"), col("text"))
+    val near = base.filter(col("doc_id") === 2)
+      .select((col("doc_id") + 20000).as("doc_id"),
+        concat(col("text"), lit(" extra token")).as("text"))
+    base.union(exact).union(near).cache()
+  }
+
+  test("exactDuplicateGroups finds planted copies, one shuffle (tier 1)") {
+    val groups = Dedup.exactDuplicateGroups(withDups, "text", "doc_id")
+    val dups = groups.filter(col("n_copies") > 1).collect()
+    assert(dups.length == 2)
+    assert(dups.map(_.getAs[Long]("keep_id")).sorted.sameElements(Array(0L, 1L)))
+    val plan = groups.queryExecution.executedPlan.toString
+    assert(plan.split("Exchange").length - 1 <= 1, s"more than one shuffle:\n$plan")
+  }
+
+  test("dropExactDuplicates keeps the lowest id per content") {
+    val out = Dedup.dropExactDuplicates(withDups, "text", "doc_id")
+    assert(out.count() == withDups.count() - 2)
+    assert(out.filter(col("doc_id") isin (10000L, 10001L)).count() == 0)
+    assert(out.filter(col("doc_id") === 0L).count() == 1)
+  }
+
+  test("shingles builds distinct word n-grams") {
+    val s = spark.range(1).select(Dedup.shingles(lit("a b c d"), 3)).head().getSeq[String](0)
+    assert(s.toSet == Set("a b c", "b c d"))
+    val short = spark.range(1).select(Dedup.shingles(lit("a b"), 3)).head().getSeq[String](0)
+    assert(short.toSet == Set("a b")) // shorter than n → one truncated shingle
+  }
+
+  test("minHashNearDups finds planted exact+near dups, not unrelated docs (tier 2)") {
+    val pairs = Dedup.minHashNearDups(withDups, "doc_id", "text",
+      maxJaccardDistance = 0.5, numHashTables = 7)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((0L, 10000L)), s"missing exact pair in $pairs")
+    assert(pairs.contains((1L, 10001L)), s"missing exact pair in $pairs")
+    assert(pairs.contains((2L, 20002L)), s"missing near pair in $pairs")
+  }
+
+  test("simHash is deterministic, insensitive to small edits, 64-bit (tier 3)") {
+    val df = Seq(
+      ("a", "the quick brown fox jumps over the lazy dog and runs far away home tonight"),
+      ("b", "the quick brown fox jumps over the lazy dog and runs far away home today"),
+      ("c", "completely different words about database engines and query optimization plans")
+    ).toDF("id", "text").withColumn("sig", Dedup.simHash(col("text")))
+    val sigs = df.collect().map(r => r.getString(0) -> r.getLong(2)).toMap
+    val near = java.lang.Long.bitCount(sigs("a") ^ sigs("b"))
+    val far = java.lang.Long.bitCount(sigs("a") ^ sigs("c"))
+    assert(near < far, s"near=$near far=$far")
+    assert(near <= 16)
+    // deterministic across evaluations
+    val again = Seq(("a", "the quick brown fox jumps over the lazy dog and runs far away home tonight"))
+      .toDF("id", "text").select(Dedup.simHash(col("text"))).head().getLong(0)
+    assert(again == sigs("a"))
+  }
+
+  test("simHashNearDups banded join finds identical docs (tier 3)") {
+    val pairs = Dedup.simHashNearDups(withDups, "doc_id", "text", maxHamming = 3, bands = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((0L, 10000L)))
+    assert(pairs.contains((1L, 10001L)))
+    intercept[IllegalArgumentException] {
+      Dedup.simHashNearDups(withDups, "doc_id", "text", maxHamming = 4, bands = 4)
+    }
+  }
+
+  test("ngramJaccard: identical → 1, disjoint → 0 (tier 4)") {
+    val row = spark.range(1).select(
+      Dedup.ngramJaccard(lit("a b c d e"), lit("a b c d e")).as("same"),
+      Dedup.ngramJaccard(lit("a b c d e"), lit("v w x y z")).as("diff")).head()
+    assert(row.getDouble(0) == 1.0)
+    assert(row.getDouble(1) == 0.0)
+  }
+
+  test("verifyPairs filters LSH candidates by exact Jaccard") {
+    val candidates = Seq((0L, 10000L), (0L, 3L)).toDF("id1", "id2")
+    val verified = Dedup.verifyPairs(candidates, withDups, "doc_id", "text", minJaccard = 0.9)
+      .collect().map(r => (r.getLong(1), r.getLong(0))) // join reorders cols: id2, id1, ...
+    assert(verified.length == 1) // only the planted exact copy survives
+  }
+}

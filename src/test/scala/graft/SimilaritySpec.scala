@@ -1,0 +1,87 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.llm.Similarity
+
+/** Embedding similarity search over embeddings testdata. */
+class SimilaritySpec extends SparkTestBase {
+  import spark.implicits._
+
+  private lazy val emb = spark.read.parquet(s"$sfDir/../sf0.01/embeddings.parquet").cache()
+
+  test("cosine/dot/norm2 agree with driver-side math") {
+    val r = emb.filter(col("vec_id") < 2).collect()
+      .map(x => x.getSeq[Float](1).toArray).toArray
+    val want = {
+      val (a, b) = (r(0).map(_.toDouble), r(1).map(_.toDouble))
+      val d = a.zip(b).map { case (x, y) => x * y }.sum
+      d / (math.sqrt(a.map(x => x * x).sum) * math.sqrt(b.map(x => x * x).sum))
+    }
+    val a = emb.filter(col("vec_id") === 0).select(col("embedding").as("a"))
+    val b = emb.filter(col("vec_id") === 1).select(col("embedding").as("b"))
+    val got = a.crossJoin(b).select(Similarity.cosine(col("a"), col("b"))).head().getDouble(0)
+    assert(math.abs(got - want) < 1e-9)
+  }
+
+  test("l2Normalize produces unit vectors") {
+    val n = emb.limit(5)
+      .select(Similarity.norm2(Similarity.l2Normalize(col("embedding"))).as("n"))
+      .collect().map(_.getDouble(0))
+    assert(n.forall(x => math.abs(x - 1.0) < 1e-5))
+  }
+
+  test("bruteForceTopK: k ranked neighbors per query, no self-match") {
+    val queries = emb.filter(col("vec_id") < 3)
+    val top = Similarity.bruteForceTopK(queries, emb, k = 5).cache()
+    assert(top.count() == 15)
+    assert(top.filter(col("query_id") === col("neighbor_id")).count() == 0)
+    // ranks are 1..5 and cos_sim non-increasing within each query
+    val byQ = top.collect().groupBy(_.getAs[Long]("query_id"))
+    byQ.values.foreach { rows =>
+      val sorted = rows.sortBy(_.getAs[Long]("rank"))
+      assert(sorted.map(_.getAs[Long]("rank")).sameElements(1L to 5L))
+      val sims = sorted.map(_.getAs[Double]("cos_sim"))
+      assert(sims.zip(sims.tail).forall { case (x, y) => x >= y })
+    }
+    top.unpersist()
+  }
+
+  test("bruteForceTopK broadcasts the query side (plan check)") {
+    val plan = Similarity.bruteForceTopK(emb.limit(3), emb, 5)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastNestedLoopJoin") || plan.contains("BroadcastExchange"),
+      s"query side not broadcast:\n$plan")
+  }
+
+  test("IVF top-k ≈ brute force (high recall at nprobe=4/8 cells)") {
+    val (model, tagged) = Similarity.ivfBuild(emb, numCells = 8)
+    val queries = emb.filter(col("vec_id") < 10)
+    val ivf = Similarity.ivfTopK(queries, tagged, model, k = 5, nprobe = 4)
+      .collect().map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"))).toSet
+    val brute = Similarity.bruteForceTopK(queries, emb, k = 5)
+      .collect().map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"))).toSet
+    val recall = (ivf & brute).size.toDouble / brute.size
+    assert(recall >= 0.6, s"recall $recall too low") // 4/8 cells probed
+    assert(ivf.size == brute.size)
+  }
+
+  test("IVF probes prune the corpus (candidate count < full scan)") {
+    val (model, tagged) = Similarity.ivfBuild(emb, numCells = 8)
+    // each query joins only its nprobe cells: candidate rows ≤ corpus
+    val cellSizes = tagged.groupBy("cell").count().collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(cellSizes.size == 8)
+    assert(cellSizes.values.sum == emb.count())
+  }
+
+  test("lshNearDupPairs finds planted near-identical vectors, bucketed join") {
+    // plant a near-copy of vec 0 (tiny perturbation on one coordinate)
+    val planted = emb.filter(col("vec_id") === 0)
+      .select(lit(9999L).as("vec_id"),
+        transform(col("embedding"), x => x + lit(0.001f)).as("embedding"))
+    val df = emb.select("vec_id", "embedding").union(planted)
+    val pairs = Similarity.lshNearDupPairs(df, maxCosineDistance = 0.01)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((0L, 9999L)), s"planted pair missing from $pairs")
+  }
+}
