@@ -177,6 +177,16 @@ object SparkEntry {
         graft.llm.TextAnalysis.punctCount(col("text")).cast("long").as("n_punct"),
         round(graft.llm.TextAnalysis.meanTokenLength(col("text")), 4).as("avg_token_len"))),
 
+    // ---- Multimodal plumbing: binary assets → batched executor-side
+    // decode (deterministic stub codec) → fixed-dim features. Not
+    // SQL-expressible → rows-only check (like q5_sample).
+    "q18_multimodal_decode" -> ((s, dir) => {
+      val media = graft.llm.Multimodal.asMediaTable(
+        t(s, dir, "documents"), "doc_id", "text", "image",
+        Map("width" -> "16", "height" -> "8", "channels" -> "1"))
+      graft.llm.Multimodal.decodeAndFeaturize(media, graft.llm.Multimodal.FakeDecoder)
+    }),
+
     // ---- Multimodal/JSON column extraction: typed props out of the
     // events stream table + per-type aggregates (one bounded shuffle).
     "q17_events_json" -> ((s, dir) =>

@@ -1,0 +1,166 @@
+package graft.llm
+
+import org.apache.spark.sql.{Column, DataFrame, Encoders, Row}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Multimodal (image/audio/video) column plumbing for training-data
+  * pipelines (north-star extension, SURVEY.md §7.6).
+  *
+  * Media is carried as an opaque `binary` column plus a typed
+  * `map<string,string>` metadata column — the layout that scales: bytes
+  * stay columnar in parquet, pruning/predicates work on the metadata,
+  * and decode happens executor-side in bounded batches.
+  *
+  * The actual codecs (JPEG/PNG/audio/video) are NOT available in this
+  * environment, so `FakeDecoder` produces a deterministic stand-in
+  * derived from the bytes. Everything around the decoder — the schema
+  * contract, the batched `mapPartitions` shape, frame-index explosion,
+  * resize arithmetic — is real and tested; swapping in a real codec is
+  * implementing one trait.
+  *
+  * At scale: decode is a pure per-partition map (no shuffle); batch size
+  * bounds executor memory (`batchSize × avg_asset_size`); frame
+  * sampling multiplies rows BEFORE decode so each frame decodes
+  * independently and partitions stay balanced via the usual
+  * `maxPartitionBytes` splitting of the binary scan.
+  */
+object Multimodal {
+
+  /** Decoded media: dimensions + a flat float feature buffer (pixels,
+    * PCM samples, or frame features depending on modality). */
+  final case class Decoded(width: Int, height: Int, channels: Int, data: Array[Float])
+
+  /** The pluggable codec boundary. Implementations must be
+    * serializable (shipped to executors once per task). */
+  trait MediaDecoder extends Serializable {
+    def decode(content: Array[Byte], meta: Map[String, String]): Decoded
+  }
+
+  /** Deterministic fake codec: "decodes" bytes into a small
+    * pseudo-image whose pixels are a hash-seeded function of the
+    * content. Real decoding needs image/audio libraries that are not in
+    * this container — replace this impl, keep the plumbing. */
+  object FakeDecoder extends MediaDecoder {
+    def decode(content: Array[Byte], meta: Map[String, String]): Decoded = {
+      val w = meta.get("width").map(_.toInt).getOrElse(8)
+      val h = meta.get("height").map(_.toInt).getOrElse(8)
+      val c = meta.get("channels").map(_.toInt).getOrElse(1)
+      var seed = content.foldLeft(1125899906842597L)((acc, b) => acc * 31 + b)
+      val data = new Array[Float](w * h * c)
+      var i = 0
+      while (i < data.length) {
+        seed = seed * 6364136223846793005L + 1442695040888963407L
+        data(i) = ((seed >>> 40) & 0xff) / 255.0f
+        i += 1
+      }
+      Decoded(w, h, c, data)
+    }
+  }
+
+  /** Output schema of `decodeAndFeaturize` — explicit, never inferred. */
+  def decodedSchema(idCol: String, idType: DataType): StructType = StructType(Seq(
+    StructField(idCol, idType, nullable = false),
+    StructField("width", IntegerType, nullable = false),
+    StructField("height", IntegerType, nullable = false),
+    StructField("channels", IntegerType, nullable = false),
+    StructField("features", ArrayType(FloatType, containsNull = false), nullable = false)))
+
+  /** Batched executor-side decode + mean-pool featurization: the
+    * multimodal analog of the batched scorer (same mapPartitions shape,
+    * reference `core.py:107`). `featureDim` mean-pools the decoded
+    * buffer into a fixed-length embedding so downstream similarity ops
+    * (graft.llm.Similarity) apply unchanged. */
+  def decodeAndFeaturize(
+      df: DataFrame,
+      decoder: MediaDecoder,
+      idCol: String = "asset_id",
+      contentCol: String = "content",
+      metaCol: String = "meta",
+      featureDim: Int = 16,
+      batchSize: Int = 64): DataFrame = {
+    val idType = df.schema(idCol).dataType
+    val schema = decodedSchema(idCol, idType)
+    val (idIdx, cIdx, mIdx) =
+      (df.columns.indexOf(idCol), df.columns.indexOf(contentCol), df.columns.indexOf(metaCol))
+    df.mapPartitions { it =>
+      it.grouped(batchSize).flatMap { batch =>
+        batch.map { row =>
+          val meta = Option(row.getMap[String, String](mIdx))
+            .map(_.toMap).getOrElse(Map.empty[String, String])
+          val d = decoder.decode(row.getAs[Array[Byte]](cIdx), meta)
+          Row(row.get(idIdx), d.width, d.height, d.channels,
+            meanPool(d.data, featureDim).toSeq)
+        }
+      }
+    }(Encoders.row(schema))
+  }
+
+  /** Mean-pool an arbitrary-length buffer into `dim` buckets. */
+  private[graft] def meanPool(data: Array[Float], dim: Int): Array[Float] = {
+    val out = new Array[Float](dim)
+    if (data.isEmpty) return out
+    val counts = new Array[Int](dim)
+    var i = 0
+    while (i < data.length) {
+      val b = (i.toLong * dim / data.length).toInt
+      out(b) += data(i); counts(b) += 1
+      i += 1
+    }
+    var b = 0
+    while (b < dim) { if (counts(b) > 0) out(b) /= counts(b); b += 1 }
+    out
+  }
+
+  /** Nearest-neighbor resize on a decoded buffer — pure arithmetic,
+    * works identically on fake or real pixels. */
+  def resize(d: Decoded, newW: Int, newH: Int): Decoded = {
+    val out = new Array[Float](newW * newH * d.channels)
+    var y = 0
+    while (y < newH) {
+      val sy = y * d.height / newH
+      var x = 0
+      while (x < newW) {
+        val sx = x * d.width / newW
+        var ch = 0
+        while (ch < d.channels) {
+          out((y * newW + x) * d.channels + ch) =
+            d.data((sy * d.width + sx) * d.channels + ch)
+          ch += 1
+        }
+        x += 1
+      }
+      y += 1
+    }
+    Decoded(newW, newH, d.channels, out)
+  }
+
+  /** Video frame sampling as row explosion BEFORE decode: one output row
+    * per sampled frame index, driven by the `n_frames` metadata entry.
+    * Declarative (`sequence` + `explode`) so the planner parallelizes
+    * frames across tasks; the binary column is carried by reference. */
+  def sampleFrames(
+      df: DataFrame,
+      everyN: Int,
+      metaCol: String = "meta"): DataFrame = {
+    val n = element_at(col(metaCol), "n_frames").cast("int")
+    df.withColumn("frame_idx",
+      explode(sequence(lit(0), greatest(n - 1, lit(0)), lit(everyN))))
+  }
+
+  /** Wrap any table into the media layout for tests/examples: content =
+    * utf-8 bytes of a string column, metadata from literal entries. */
+  def asMediaTable(
+      df: DataFrame,
+      idCol: String,
+      payloadCol: String,
+      mediaType: String,
+      meta: Map[String, String]): DataFrame = {
+    val metaEntries = meta.flatMap { case (k, v) => Seq(lit(k), lit(v)) }.toSeq
+    df.select(
+      col(idCol).as("asset_id"),
+      lit(mediaType).as("media_type"),
+      encode(col(payloadCol), "UTF-8").as("content"),
+      map(metaEntries: _*).as("meta"))
+  }
+}

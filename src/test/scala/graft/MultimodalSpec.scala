@@ -1,0 +1,76 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.llm.Multimodal
+
+/** Multimodal plumbing: schema, batch shape, frame sampling — real;
+  * decode itself is the deterministic FakeDecoder stand-in. */
+class MultimodalSpec extends SparkTestBase {
+
+  private lazy val media = Multimodal.asMediaTable(
+    spark.read.parquet(s"$sfDir/documents.parquet"),
+    idCol = "doc_id", payloadCol = "text", mediaType = "image",
+    meta = Map("width" -> "16", "height" -> "8", "channels" -> "1")).cache()
+
+  test("asMediaTable produces the opaque-binary + typed-meta layout") {
+    val f = media.schema.fields.map(f => f.name -> f.dataType.typeName).toMap
+    assert(f("content") == "binary")
+    assert(f("meta") == "map")
+    assert(media.count() == 500)
+  }
+
+  test("decodeAndFeaturize: explicit schema, meta-driven dims, fixed-dim features") {
+    val out = Multimodal.decodeAndFeaturize(media, Multimodal.FakeDecoder,
+      featureDim = 16, batchSize = 32)
+    assert(out.schema.fieldNames.toSeq ==
+      Seq("asset_id", "width", "height", "channels", "features"))
+    val rows = out.collect()
+    assert(rows.length == 500)
+    assert(rows.forall(r => r.getInt(1) == 16 && r.getInt(2) == 8))
+    assert(rows.forall(_.getSeq[Float](4).length == 16))
+  }
+
+  test("decode is deterministic (same bytes → same features)") {
+    val a = Multimodal.decodeAndFeaturize(media, Multimodal.FakeDecoder)
+      .orderBy("asset_id").collect().map(_.getSeq[Float](4))
+    val b = Multimodal.decodeAndFeaturize(media, Multimodal.FakeDecoder)
+      .orderBy("asset_id").collect().map(_.getSeq[Float](4))
+    assert(a.zip(b).forall { case (x, y) => x == y })
+  }
+
+  test("decoded features feed the similarity ops unchanged") {
+    val feats = Multimodal.decodeAndFeaturize(media, Multimodal.FakeDecoder)
+      .select(col("asset_id").as("vec_id"), col("features").as("embedding"))
+    val top = graft.llm.Similarity.bruteForceTopK(
+      feats.filter(col("vec_id") < 2), feats, k = 3)
+    assert(top.count() == 6)
+  }
+
+  test("resize: nearest-neighbor downscale preserves channel count") {
+    val d = Multimodal.FakeDecoder.decode("hello-bytes".getBytes, Map("width" -> "8", "height" -> "8"))
+    val r = Multimodal.resize(d, 4, 2)
+    assert(r.width == 4 && r.height == 2 && r.channels == d.channels)
+    assert(r.data.length == 8)
+    // corner pixel maps to source corner
+    assert(r.data(0) == d.data(0))
+  }
+
+  test("sampleFrames explodes every Nth frame from metadata") {
+    val video = Multimodal.asMediaTable(
+      spark.read.parquet(s"$sfDir/documents.parquet").limit(3),
+      "doc_id", "text", "video", Map("n_frames" -> "10"))
+    val frames = Multimodal.sampleFrames(video, everyN = 3)
+    // frames 0,3,6,9 per asset
+    assert(frames.count() == 12)
+    val idx = frames.filter(col("asset_id") === 0).select("frame_idx")
+      .collect().map(_.getInt(0)).sorted
+    assert(idx.sameElements(Array(0, 3, 6, 9)))
+  }
+
+  test("meanPool buckets cover the buffer") {
+    val pooled = Multimodal.meanPool(Array.tabulate(100)(_.toFloat), 4)
+    assert(pooled.length == 4)
+    // bucket means are increasing for an increasing ramp
+    assert(pooled.zip(pooled.tail).forall { case (a, b) => a < b })
+  }
+}
