@@ -61,45 +61,66 @@ object DataIO {
     df
   }
 
-  /** S1: JDBC table-or-query read with optional range partitioning.
-    * Reference `core.py:414-445`; the bare query is wrapped `(q) a` and,
-    * when a partition column is configured without bounds, min/max are
-    * probed with a pushed-down aggregate. Code-complete but exercised only
-    * by unit stubs in this offline environment (no DB driver). */
-  private def readJdbc(spark: SparkSession, conf: GraftConfig): DataFrame = {
-    val url = conf.string("url")
-    val table = conf.getString("table")
-      .orElse(conf.getString("query").map(q => s"($q) a"))
-      .getOrElse(throw new IllegalArgumentException("jdbc source needs table or query"))
-    var r = spark.read.format("jdbc")
-      .option("url", url)
-      .option("dbtable", table)
-      .option("fetchsize", conf.getInt("fetch-size").getOrElse(DefaultFetchSize).toString)
-    conf.getString("driver").foreach(d => r = r.option("driver", d))
-    conf.getString("user").foreach(u => r = r.option("user", u))
-    conf.getString("password").foreach(p => r = r.option("password", p))
+  /** S1 option assembly, pure and unit-testable (no DB needed). The bare
+    * query is wrapped `(q) a` (reference `core.py:423-427`);
+    * `probedBounds` are (min, max) — assigned min→lowerBound,
+    * max→upperBound (the reference swaps them, `core.py:437-438`). */
+  def jdbcReadOptions(conf: GraftConfig, probedBounds: Option[(Long, Long)] = None): Map[String, String] = {
+    val table = jdbcTable(conf)
+    val base = Map(
+      "url" -> conf.string("url"),
+      "dbtable" -> table,
+      "fetchsize" -> conf.getInt("fetch-size").getOrElse(DefaultFetchSize).toString) ++
+      conf.getString("driver").map("driver" -> _) ++
+      conf.getString("user").map("user" -> _) ++
+      conf.getString("password").map("password" -> _)
     conf.getString("partition-column") match {
       case Some(pc) =>
         val (lo, hi) = (conf.getLong("lower-bound"), conf.getLong("upper-bound")) match {
           case (Some(l), Some(h)) => (l, h)
-          case _ =>
-            // bound-discovery probe, pushed down to the remote DB; min->lower,
-            // max->upper (reference swaps them, core.py:437-438 — fixed here).
-            // No extra alias after $table: it is either a plain table name or
-            // an already-aliased wrapped query `(q) a`.
-            val probe = spark.read.format("jdbc")
-              .option("url", url)
-              .option("dbtable", s"(select min($pc) mn, max($pc) mx from $table) b")
-              .load().first()
-            (probe.getAs[Number]("mn").longValue(), probe.getAs[Number]("mx").longValue())
+          case _ => probedBounds.getOrElse(throw new IllegalStateException(
+            s"partition-column $pc needs bounds: configure lower-bound/upper-bound or probe them"))
         }
-        r.option("partitionColumn", pc)
-          .option("lowerBound", lo.toString)
-          .option("upperBound", hi.toString)
-          .option("numPartitions", conf.getInt("num-partitions").getOrElse(50).toString)
-          .load()
-      case None => r.load()
+        base ++ Map(
+          "partitionColumn" -> pc,
+          "lowerBound" -> lo.toString,
+          "upperBound" -> hi.toString,
+          "numPartitions" -> conf.getInt("num-partitions").getOrElse(50).toString)
+      case None => base
     }
+  }
+
+  /** The table-or-wrapped-query string for the JDBC reader. */
+  def jdbcTable(conf: GraftConfig): String =
+    conf.getString("table")
+      .orElse(conf.getString("query").map(q => s"($q) a"))
+      .getOrElse(throw new IllegalArgumentException("jdbc source needs table or query"))
+
+  /** Bound-discovery probe SQL, pushed down to the remote DB. No extra
+    * alias after `table`: it is either a plain name or an
+    * already-aliased `(q) a`. */
+  def jdbcProbeSql(partitionColumn: String, table: String): String =
+    s"(select min($partitionColumn) mn, max($partitionColumn) mx from $table) b"
+
+  /** True when a bound probe is needed before assembling read options. */
+  def jdbcNeedsProbe(conf: GraftConfig): Boolean =
+    conf.getString("partition-column").isDefined &&
+      (conf.getLong("lower-bound").isEmpty || conf.getLong("upper-bound").isEmpty)
+
+  /** S1: JDBC table-or-query read with optional range partitioning
+    * (reference `core.py:414-445`). Code-complete; the option assembly
+    * and probe SQL above are unit-tested without a DB (offline env). */
+  private def readJdbc(spark: SparkSession, conf: GraftConfig): DataFrame = {
+    val bounds =
+      if (jdbcNeedsProbe(conf)) {
+        val pc = conf.string("partition-column")
+        val probe = spark.read.format("jdbc")
+          .option("url", conf.string("url"))
+          .option("dbtable", jdbcProbeSql(pc, jdbcTable(conf)))
+          .load().first()
+        Some((probe.getAs[Number]("mn").longValue(), probe.getAs[Number]("mx").longValue()))
+      } else None
+    spark.read.format("jdbc").options(jdbcReadOptions(conf, bounds)).load()
   }
 
   /** K0-K6: write a DataFrame per a target config. */

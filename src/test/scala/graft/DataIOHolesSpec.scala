@@ -1,0 +1,103 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.conf.GraftConfig
+import graft.sources.DataIO
+import graft.operators.Ops
+
+/** Round-1 verdict test holes: S1 JDBC option assembly (pure, no DB),
+  * K4 hive sink against the in-memory catalog, R15 partitionIterator. */
+class DataIOHolesSpec extends SparkTestBase {
+
+  // ------------------------------------------------------------ S1 JDBC
+
+  private def jdbcConf(extra: String = "") = GraftConfig.parse(
+    s"""url = "jdbc:postgresql://db/x"
+       |table = facts
+       |user = u
+       |$extra
+       |""".stripMargin)
+
+  test("jdbcReadOptions: basic table read with default fetch size (S1)") {
+    val o = DataIO.jdbcReadOptions(jdbcConf())
+    assert(o("dbtable") == "facts")
+    assert(o("fetchsize") == DataIO.DefaultFetchSize.toString)
+    assert(o("user") == "u")
+    assert(!o.contains("partitionColumn"))
+  }
+
+  test("jdbcReadOptions: explicit bounds pass through UNswapped (core.py:437-438 bug fixed)") {
+    val o = DataIO.jdbcReadOptions(jdbcConf(
+      "partition-column = id\nlower-bound = 5\nupper-bound = 99\nnum-partitions = 7"))
+    assert(o("partitionColumn") == "id")
+    assert(o("lowerBound") == "5")
+    assert(o("upperBound") == "99")
+    assert(o("numPartitions") == "7")
+  }
+
+  test("jdbcReadOptions: probed bounds map min->lower, max->upper") {
+    val conf = jdbcConf("partition-column = id")
+    assert(DataIO.jdbcNeedsProbe(conf))
+    val o = DataIO.jdbcReadOptions(conf, probedBounds = Some((3L, 42L)))
+    assert(o("lowerBound") == "3") // min
+    assert(o("upperBound") == "42") // max
+    intercept[IllegalStateException] { DataIO.jdbcReadOptions(conf) }
+  }
+
+  test("jdbcTable wraps a bare query as (q) a; probe SQL adds no second alias") {
+    val qc = GraftConfig.parse("url = u\nquery = \"select * from t where x > 0\"")
+    assert(DataIO.jdbcTable(qc) == "(select * from t where x > 0) a")
+    val probe = DataIO.jdbcProbeSql("id", DataIO.jdbcTable(qc))
+    assert(probe == "(select min(id) mn, max(id) mx from (select * from t where x > 0) a) b")
+    assert(!probe.contains(") a x")) // the double-alias bug
+    assert(DataIO.jdbcProbeSql("id", "facts") ==
+      "(select min(id) mn, max(id) mx from facts) b")
+  }
+
+  // ------------------------------------------------------- K4 hive sink
+
+  test("hive sink: saveAsTable then column-reordered insertInto (K4, core.py:210-216,234-250)") {
+    val table = "graft_k4_test"
+    spark.sql(s"DROP TABLE IF EXISTS $table")
+    try {
+      val df = spark.read.parquet(s"$sfDir/nation.parquet")
+        .select("n_nationkey", "n_name", "n_regionkey")
+      // first write: table absent -> saveAsTable
+      DataIO.write(df, GraftConfig.parse(
+        s"storage-type = hive\ntable = $table\ndataset-store-format = parquet"))
+      assert(spark.catalog.tableExists(table))
+      assert(spark.table(table).count() == 25)
+      // second write with SHUFFLED column order: must reorder to table order
+      val shuffled = df.select("n_name", "n_regionkey", "n_nationkey")
+      DataIO.write(shuffled, GraftConfig.parse(
+        s"storage-type = hive\ntable = $table\ndataset-store-format = parquet"))
+      val out = spark.table(table)
+      assert(out.count() == 50) // default append (core.py:211)
+      assert(out.columns.toSeq == Seq("n_nationkey", "n_name", "n_regionkey"))
+      // values landed in the right columns despite the input order
+      assert(out.filter(col("n_name") === "NATION_0").count() == 2)
+      assert(out.filter(col("n_name").startsWith("NATION_")).count() == 50)
+    } finally spark.sql(s"DROP TABLE IF EXISTS $table")
+  }
+
+  test("hive sink honors overwrite write-mode on existing table") {
+    val table = "graft_k4_overwrite"
+    spark.sql(s"DROP TABLE IF EXISTS $table")
+    try {
+      val df = spark.read.parquet(s"$sfDir/region.parquet")
+      DataIO.write(df, GraftConfig.parse(s"storage-type = hive\ntable = $table"))
+      DataIO.write(df, GraftConfig.parse(
+        s"storage-type = hive\ntable = $table\nwrite-mode = overwrite"))
+      assert(spark.table(table).count() == df.count())
+    } finally spark.sql(s"DROP TABLE IF EXISTS $table")
+  }
+
+  // -------------------------------------------------- R15 partition iter
+
+  test("partitionIterator streams all rows in partition order (R15)") {
+    val df = spark.read.parquet(s"$sfDir/nation.parquet").repartition(4)
+    val rows = Ops.partitionIterator(df).toSeq
+    assert(rows.size == 25)
+    assert(rows.map(_.getAs[Int]("n_nationkey")).toSet == (0 until 25).toSet)
+  }
+}
