@@ -18,6 +18,10 @@ object SparkEntry {
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     s.read.parquet(s"$dir/$name.parquet")
 
+  /** Unique memory-sink names so repeated runs (bench warmup + timed
+    * pass) never collide on an active query name. */
+  private val StreamRunSeq = new java.util.concurrent.atomic.AtomicInteger(0)
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
     queries("q1_pricing_summary")(spark, "/root/testdata/sf0.001")
@@ -187,6 +191,23 @@ object SparkEntry {
       graft.llm.Multimodal.decodeAndFeaturize(media, graft.llm.Multimodal.FakeDecoder)
     }),
 
+    // ---- Structured Streaming: event-time tumbling windows + watermark
+    // over the events table, run to completion (AvailableNow). Append
+    // mode emits exactly the windows the watermark has passed — the
+    // oracle reproduces that cutoff in SQL.
+    "q19_stream_window" -> ((s, dir) => {
+      val name = s"q19_mem_${StreamRunSeq.incrementAndGet()}"
+      graft.streaming.Streams.runToMemory(
+        graft.streaming.Streams.windowedEventStats(
+          graft.streaming.Streams.readEventStream(s, dir, "events.parquet"),
+          windowLength = "1 hour", watermarkDelay = "2 hours"),
+        name, org.apache.spark.sql.streaming.OutputMode.Append())
+        .select(
+          col("window_start").cast("long").as("window_start"),
+          col("window_end").cast("long").as("window_end"),
+          col("event_type"), col("n_events"), col("avg_value"), col("sum_value"))
+    }),
+
     // ---- Multimodal/JSON column extraction: typed props out of the
     // events stream table + per-type aggregates (one bounded shuffle).
     "q17_events_json" -> ((s, dir) =>
@@ -285,6 +306,20 @@ object SparkEntry {
         | round(length(regexp_replace(text, '\s', '', 'g'))
         |   / len(regexp_extract_all(trim(text), '\S+')), 4) AS avg_token_len
         |FROM documents""".stripMargin,
+    "q19_stream_window" ->
+      """WITH e AS (
+        |  SELECT epoch(time_bucket(INTERVAL 1 HOUR, ts)) AS ws,
+        |         event_type, value, epoch(ts) AS es
+        |  FROM events),
+        |m AS (SELECT max(es) AS met FROM e)
+        |SELECT cast(ws AS bigint) AS window_start,
+        |       cast(ws + 3600 AS bigint) AS window_end,
+        |       event_type, count(*) AS n_events,
+        |       round(avg(value), 4) AS avg_value,
+        |       round(sum(value), 4) AS sum_value
+        |FROM e, m
+        |GROUP BY ws, event_type, m.met
+        |HAVING ws + 3600 <= m.met - 7200""".stripMargin,
     "q17_events_json" ->
       """SELECT event_type, count(*) AS n_events,
         | round(avg(value), 4) AS avg_value,

@@ -1,0 +1,121 @@
+package graft.streaming
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.types._
+
+/** Structured Streaming surface over the `events` stream table
+  * (north-star extension, SURVEY.md §7.6 — the reference has no
+  * streaming at all, §2.6).
+  *
+  * Design: streams are the same declarative DataFrames as batch —
+  * every stateless operator in this library (scoring, text analysis,
+  * JSON extraction) applies to a stream unchanged. This module adds the
+  * genuinely streaming pieces: event-time watermarks, tumbling-window
+  * aggregation, in-stream dedup, and keyed running state.
+  *
+  * At scale: windowed aggs shuffle once per trigger on (window, key)
+  * with partial aggregation; the watermark bounds state size — state
+  * for windows older than the watermark is dropped; stream dedup keeps
+  * only ids younger than the watermark. `mapGroupsWithState` state is
+  * per-key and lives in the state store (RocksDB in production),
+  * checkpointed for exactly-once recovery.
+  */
+object Streams {
+
+  /** events schema as stored (`ts` arrives as nanos-since-epoch long —
+    * sessions read nano timestamps as longs). */
+  val EventsSchema: StructType = StructType(Seq(
+    StructField("event_id", LongType),
+    StructField("ts", LongType),
+    StructField("user_id", LongType),
+    StructField("event_type", StringType),
+    StructField("value", DoubleType),
+    StructField("props", StringType)))
+
+  /** Streaming read of an events directory (file source: new files are
+    * discovered per trigger — the standard landing-zone pattern). */
+  def readEventStream(spark: SparkSession, dir: String, globFilter: String = "*.parquet"): DataFrame =
+    spark.readStream
+      .schema(EventsSchema)
+      .option("pathGlobFilter", globFilter)
+      .parquet(dir)
+
+  /** Nanos-long → event-time timestamp column. */
+  def eventTime(ts: Column): Column = timestamp_micros((ts / 1000L).cast("long"))
+
+  /** Event-time tumbling-window stats per event type, with a watermark
+    * that bounds state: counts + value aggregates per (window, type). */
+  def windowedEventStats(
+      events: DataFrame,
+      windowLength: String = "1 hour",
+      watermarkDelay: String = "2 hours"): DataFrame =
+    events
+      .withColumn("event_time", eventTime(col("ts")))
+      .withWatermark("event_time", watermarkDelay)
+      .groupBy(window(col("event_time"), windowLength), col("event_type"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        round(avg("value"), 4).as("avg_value"),
+        round(sum("value"), 4).as("sum_value"))
+      .select(
+        col("window.start").as("window_start"),
+        col("window.end").as("window_end"),
+        col("event_type"), col("n_events"), col("avg_value"), col("sum_value"))
+
+  /** In-stream exact dedup on event id: duplicates arriving within the
+    * watermark horizon are dropped; state is bounded by the watermark. */
+  def dedupEventStream(events: DataFrame, watermarkDelay: String = "2 hours"): DataFrame =
+    events
+      .withColumn("event_time", eventTime(col("ts")))
+      .withWatermark("event_time", watermarkDelay)
+      .dropDuplicates("event_id")
+
+  /** Streaming model scoring: stateless, so the batch scorer's
+    * expression path applies verbatim (graft.ml.Scorer.scoreExpr works
+    * on a streaming DataFrame unchanged). Provided for discoverability. */
+  def scoreEventStream(
+      events: DataFrame,
+      predictions: Seq[(String, Column)],
+      colsToSave: Seq[String]): DataFrame =
+    graft.ml.Scorer.scoreExpr(events, predictions, colsToSave)
+
+  /** Keyed running state via mapGroupsWithState: per-user event count,
+    * running value sum, and last-seen event time. */
+  final case class UserStats(userId: Long, nEvents: Long, sumValue: Double, lastTs: Long)
+
+  def userRunningStats(events: DataFrame): DataFrame = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events
+      .select(col("user_id").as("userId"), col("ts"), col("value"))
+      .as[(Long, Long, Double)]
+      .groupByKey(_._1)
+      .mapGroupsWithState[UserStats, UserStats](GroupStateTimeout.NoTimeout) {
+        case (uid, rows, state: GroupState[UserStats]) =>
+          val prev = state.getOption.getOrElse(UserStats(uid, 0L, 0.0, Long.MinValue))
+          val next = rows.foldLeft(prev) { (acc, r) =>
+            UserStats(uid, acc.nEvents + 1, acc.sumValue + r._3, math.max(acc.lastTs, r._2))
+          }
+          state.update(next)
+          next
+      }
+      .toDF()
+  }
+
+  /** Run any of the above to completion over the files currently in the
+    * directory (AvailableNow trigger + memory sink) and return the
+    * result — the batch-parity harness used by specs and oracles. */
+  def runToMemory(stream: DataFrame, queryName: String, outputMode: OutputMode): DataFrame = {
+    val spark = stream.sparkSession
+    val q = stream.writeStream
+      .format("memory")
+      .queryName(queryName)
+      .outputMode(outputMode)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.table(queryName)
+  }
+}

@@ -1,0 +1,93 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.OutputMode
+import graft.streaming.Streams
+
+/** Structured Streaming over the events table: each query runs the
+  * stream to completion (AvailableNow) and is compared against the
+  * equivalent batch computation — streaming/batch parity. */
+class StreamsSpec extends SparkTestBase {
+
+  private def eventsDir = s"$sfDir"
+  private lazy val batchEvents = spark.read
+    .option("pathGlobFilter", "events.parquet").parquet(eventsDir)
+
+  test("readEventStream discovers the events file and is a streaming plan") {
+    val s = Streams.readEventStream(spark, eventsDir, "events.parquet")
+    assert(s.isStreaming)
+    assert(s.schema.fieldNames.toSeq ==
+      Seq("event_id", "ts", "user_id", "event_type", "value", "props"))
+  }
+
+  test("windowed event stats: streaming result == batch result (event time + watermark)") {
+    val stream = Streams.windowedEventStats(
+      Streams.readEventStream(spark, eventsDir, "events.parquet"),
+      windowLength = "1 hour", watermarkDelay = "2 hours")
+    val got = Streams.runToMemory(stream, "win_stats", OutputMode.Append())
+      .collect().map(r => (r.getTimestamp(0), r.getString(2), r.getLong(3), r.getDouble(4)))
+      .toSet
+    val want = batchEvents
+      .withColumn("event_time", Streams.eventTime(col("ts")))
+      .groupBy(window(col("event_time"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"), round(avg("value"), 4).as("av"))
+      .select(col("window.start"), col("event_type"), col("n"), col("av"))
+      .collect().map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2), r.getDouble(3)))
+      .toSet
+    // Append mode emits a window only once the watermark passes it; at
+    // end-of-stream the youngest windows (within watermarkDelay of the
+    // max event time) are still open and correctly withheld.
+    assert(got.subsetOf(want), s"stream emitted groups batch does not have: ${got -- want}")
+    val horizon = batchEvents
+      .agg(max(Streams.eventTime(col("ts")))).head().getTimestamp(0).getTime -
+      (2 * 3600 * 1000L) // watermarkDelay
+    val missing = want -- got
+    assert(missing.forall(_._1.getTime >= horizon - 3600 * 1000L),
+      s"finalized windows missing from stream output: ${missing.filter(_._1.getTime < horizon - 3600 * 1000L)}")
+    assert(got.size > want.size / 2)
+  }
+
+  test("stream dedup drops planted duplicate event ids (bounded state)") {
+    // stage a dir with the events file twice → every event_id duplicated
+    val dir = java.nio.file.Files.createTempDirectory("graft-stream").toString
+    batchEvents.write.mode("overwrite").parquet(dir)
+    val n0 = spark.read.parquet(dir).count()
+    batchEvents.write.mode("append").parquet(dir)
+    assert(spark.read.parquet(dir).count() == 2 * n0)
+    val deduped = Streams.runToMemory(
+      Streams.dedupEventStream(Streams.readEventStream(spark, dir)),
+      "dedup_stream", OutputMode.Append())
+    assert(deduped.count() == n0)
+    assert(deduped.select("event_id").distinct().count() == n0)
+  }
+
+  test("streaming scorer applies expression models stateless (batch parity)") {
+    val stream = Streams.scoreEventStream(
+      Streams.readEventStream(spark, eventsDir, "events.parquet"),
+      Seq("pred" -> (col("value") * 2)), Seq("event_id"))
+    val got = Streams.runToMemory(stream, "scored_stream", OutputMode.Append())
+    assert(got.columns.toSeq == Seq("event_id", "pred"))
+    assert(got.count() == batchEvents.count())
+    val sample = got.orderBy("event_id").limit(1).head()
+    val want = batchEvents.orderBy("event_id").limit(1).head()
+    assert(math.abs(sample.getFloat(1) - want.getAs[Double]("value") * 2) < 1e-4)
+  }
+
+  test("userRunningStats keeps per-key state across the stream") {
+    val stream = Streams.userRunningStats(
+      Streams.readEventStream(spark, eventsDir, "events.parquet"))
+    val got = Streams.runToMemory(stream, "user_stats", OutputMode.Update())
+    val want = batchEvents.groupBy("user_id")
+      .agg(count(lit(1)).as("n"), sum("value").as("s"), max("ts").as("t"))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2), r.getLong(3))).toMap
+    // final state per user (AvailableNow may emit one update per user)
+    val finalState = got.collect()
+      .map(r => (r.getLong(0), (r.getLong(1), r.getDouble(2), r.getLong(3))))
+      .groupBy(_._1).map { case (k, vs) => k -> vs.map(_._2).maxBy(_._1) }
+    assert(finalState.keySet == want.keySet)
+    finalState.foreach { case (uid, (n, s, t)) =>
+      val (wn, ws, wt) = want(uid)
+      assert(n == wn && t == wt && math.abs(s - ws) < 1e-6, s"user $uid: ($n,$s,$t) vs ($wn,$ws,$wt)")
+    }
+  }
+}
