@@ -1,0 +1,175 @@
+package graft.functions
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.analysis.FunctionRegistry
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ExpressionInfo, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.catalyst.expressions.XxHash64Function
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Native Catalyst expressions for the two hot scalar paths where
+  * built-ins are slow (SURVEY.md §4 "candidates where custom Catalyst
+  * machinery pays off"):
+  *
+  *  - `graft_cosine(a, b)` — cosine similarity over two `array<float>`
+  *    in ONE pass (dot + both norms in a single loop). The
+  *    higher-order-function formulation (`Similarity.cosine`) walks the
+  *    arrays three times through interpreted lambdas and allocates an
+  *    intermediate array per pair; in a KNN join this expression is on
+  *    the O(|Q|·|C|) hot path.
+  *  - `graft_simhash(text)` — 64-bit SimHash in one tokenizer pass. The
+  *    HOF formulation (`Dedup.simHash`) materializes a 64-element vote
+  *    array per TOKEN; this computes the same bits (same xxhash64
+  *    seed-42 token hashes) in a tight JIT'd loop.
+  *
+  * Both generate a single static call inside whole-stage codegen
+  * (`defineCodeGen`), so they never break the codegen span the way a
+  * Scala UDF or CodegenFallback would. Registered per-session via
+  * `GraftFunctions.register` or for all sessions through
+  * `GraftSparkExtensions` (spark.sql.extensions=graft.functions.GraftSparkExtensions).
+  */
+object VecMath {
+  /** One-pass cosine similarity over float arrays (double accumulators). */
+  def cosine(a: ArrayData, b: ArrayData): Double = {
+    val n = math.min(a.numElements(), b.numElements())
+    var dot = 0.0; var na = 0.0; var nb = 0.0
+    var i = 0
+    while (i < n) {
+      val x = a.getFloat(i).toDouble
+      val y = b.getFloat(i).toDouble
+      dot += x * y; na += x * x; nb += y * y
+      i += 1
+    }
+    val denom = math.sqrt(na) * math.sqrt(nb)
+    if (denom == 0.0) 0.0 else dot / denom
+  }
+
+  def dot(a: ArrayData, b: ArrayData): Double = {
+    val n = math.min(a.numElements(), b.numElements())
+    var s = 0.0
+    var i = 0
+    while (i < n) { s += a.getFloat(i).toDouble * b.getFloat(i).toDouble; i += 1 }
+    s
+  }
+}
+
+object SimHashImpl {
+  private final val XxHashSeed = 42L // Spark's xxhash64() seed
+
+  /** Hash of one token — bit-identical to Spark's `xxhash64(token)`. */
+  def tokenHash(tok: UTF8String): Long =
+    XxHash64Function.hash(tok, StringType, XxHashSeed)
+
+  /** 64-bit SimHash over lowercased whitespace tokens; same bits as the
+    * HOF formulation in `graft.llm.Dedup.simHash` (verified by spec). */
+  def compute(text: UTF8String): Long = {
+    val votes = new Array[Int](64)
+    val lower = text.toLowerCase
+    var tokStart = -1
+    val s = lower.toString
+    val len = s.length
+    var i = 0
+    while (i <= len) {
+      val isSpace = i == len || Character.isWhitespace(s.charAt(i))
+      if (!isSpace && tokStart < 0) tokStart = i
+      else if (isSpace && tokStart >= 0) {
+        val h = tokenHash(UTF8String.fromString(s.substring(tokStart, i)))
+        var b = 0
+        while (b < 64) {
+          if (((h >>> b) & 1L) == 1L) votes(b) += 1 else votes(b) -= 1
+          b += 1
+        }
+        tokStart = -1
+      }
+      i += 1
+    }
+    var sig = 0L
+    var b = 0
+    while (b < 64) { if (votes(b) > 0) sig |= (1L << b); b += 1 }
+    sig
+  }
+}
+
+/** `graft_cosine(array<float>, array<float>) -> double` */
+case class CosineSimilarity(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult = (left.dataType, right.dataType) match {
+    case (ArrayType(FloatType, _), ArrayType(FloatType, _)) => TypeCheckResult.TypeCheckSuccess
+    case (l, r) => TypeCheckResult.TypeCheckFailure(
+      s"graft_cosine expects (array<float>, array<float>), got ($l, $r)")
+  }
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "graft_cosine"
+
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    VecMath.cosine(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"graft.functions.VecMath.cosine($a, $b)")
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}
+
+/** `graft_simhash(string) -> bigint` */
+case class SimHash64(child: Expression)
+    extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case _: StringType => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(s"graft_simhash expects string, got $t")
+  }
+  override def dataType: DataType = LongType
+  override def prettyName: String = "graft_simhash"
+
+  override protected def nullSafeEval(t: Any): Any =
+    SimHashImpl.compute(t.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.SimHashImpl.compute($c)")
+
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
+}
+
+object GraftFunctions {
+  import org.apache.spark.sql.Column
+  import org.apache.spark.sql.graftbridge.ColumnBridge
+
+  /** Column-API forms, usable without registration. */
+  def cosineSim(a: Column, b: Column): Column =
+    ColumnBridge.column(CosineSimilarity(
+      ColumnBridge.expression(a), ColumnBridge.expression(b)))
+
+  def simhash64(c: Column): Column =
+    ColumnBridge.column(SimHash64(ColumnBridge.expression(c)))
+
+  val functions: Seq[(String, ExpressionInfo, Seq[Expression] => Expression)] = Seq(
+    ("graft_cosine",
+      new ExpressionInfo(classOf[CosineSimilarity].getName, "graft_cosine"),
+      (es: Seq[Expression]) => CosineSimilarity(es(0), es(1))),
+    ("graft_simhash",
+      new ExpressionInfo(classOf[SimHash64].getName, "graft_simhash"),
+      (es: Seq[Expression]) => SimHash64(es.head)))
+
+  /** Register into an existing session (idempotent). After this,
+    * `call_function("graft_cosine", a, b)` / SQL `graft_cosine(a, b)`
+    * resolve to the native expressions. */
+  def register(spark: SparkSession): Unit =
+    functions.foreach { case (name, _, builder) =>
+      spark.sessionState.functionRegistry
+        .createOrReplaceTempFunction(name, builder, "built-in")
+    }
+}
+
+/** Cluster-wide registration: add
+  * `spark.sql.extensions=graft.functions.GraftSparkExtensions`. */
+class GraftSparkExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Unit) {
+  override def apply(ext: org.apache.spark.sql.SparkSessionExtensions): Unit =
+    GraftFunctions.functions.foreach { case (name, info, builder) =>
+      ext.injectFunction((FunctionIdentifier(name), info, builder))
+    }
+}

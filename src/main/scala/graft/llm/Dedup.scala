@@ -115,10 +115,16 @@ object Dedup {
 
   // -------------------------------------------------------------- SimHash
 
-  /** 64-bit SimHash over word tokens, entirely in Catalyst higher-order
-    * functions: each token hashes to 64 bits (xxhash64); bit i of the
-    * fingerprint is the sign of Σ_tokens (±1 per token's bit i). */
-  def simHash(c: Column): Column = {
+  /** 64-bit SimHash over lowercased word tokens: bit i of the
+    * fingerprint is the sign of Σ_tokens (±1 per token's xxhash64 bit i).
+    * Delegates to the native one-pass codegen'd expression
+    * (`graft.functions.SimHash64`, ~20× the HOF formulation below —
+    * FnBench); both produce identical bits (GraftFunctionsSpec). */
+  def simHash(c: Column): Column = graft.functions.GraftFunctions.simhash64(c)
+
+  /** The HOF reference formulation the native expression is verified
+    * against. */
+  private[graft] def simHashHof(c: Column): Column = {
     val toks = tokens(c)
     // per-bit vote counts: fold tokens into a 64-long array of sums
     val votes = aggregate(

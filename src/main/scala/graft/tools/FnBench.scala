@@ -1,0 +1,47 @@
+package graft.tools
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Dev micro-benchmark: native Catalyst expressions vs the
+  * higher-order-function formulations, on sf0.1 data. */
+object FnBench {
+  def main(args: Array[String]): Unit = {
+    val sfDir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.1"
+    val spark = SparkSession.builder()
+      .master("local[8]")
+      .config("spark.sql.shuffle.partitions", "8")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    graft.functions.GraftFunctions.register(spark)
+
+    def time(label: String)(df: DataFrame): Unit = {
+      df.write.format("noop").mode("overwrite").save() // warm
+      val runs = (1 to 3).map { _ =>
+        val t0 = System.nanoTime()
+        df.write.format("noop").mode("overwrite").save()
+        (System.nanoTime() - t0) / 1e9
+      }
+      println(f"$label%-28s best ${runs.min}%.3f s  (runs: ${runs.map(r => f"$r%.3f").mkString(", ")})")
+    }
+
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet").cache()
+    emb.count()
+    val q = emb.limit(200).select(col("vec_id").as("qid"), col("embedding").as("qv"))
+    val pairs = emb.crossJoin(broadcast(q)) // 2000 × 200 = 400k pairs
+
+    time("cosine HOF")(pairs.select(
+      graft.llm.Similarity.cosine(col("embedding"), col("qv")).as("c")))
+    time("cosine native")(pairs.select(
+      call_function("graft_cosine", col("embedding"), col("qv")).as("c")))
+
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet").cache()
+    docs.count()
+    time("simhash HOF")(docs.select(graft.llm.Dedup.simHash(col("text")).as("s")))
+    time("simhash native")(docs.select(call_function("graft_simhash", col("text")).as("s")))
+
+    spark.stop()
+  }
+}

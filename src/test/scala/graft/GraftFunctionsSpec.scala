@@ -1,0 +1,63 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.functions.GraftFunctions
+import graft.llm.{Dedup, Similarity}
+
+/** Native expressions: bit/value parity with the HOF formulations and
+  * codegen integration. */
+class GraftFunctionsSpec extends SparkTestBase {
+
+  override def sfDir: String = "/root/testdata/sf0.001"
+  private lazy val emb = spark.read.parquet(s"$sfDir/../sf0.01/embeddings.parquet")
+  private lazy val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+
+  GraftFunctions.register(spark)
+
+  test("graft_cosine == HOF cosine on real embeddings (value parity)") {
+    val pairs = emb.limit(50).select(col("vec_id").as("id1"), col("embedding").as("e1"))
+      .crossJoin(emb.limit(10).select(col("vec_id").as("id2"), col("embedding").as("e2")))
+    val diff = pairs.select(
+      abs(call_function("graft_cosine", col("e1"), col("e2")) -
+        Similarity.cosineHof(col("e1"), col("e2"))).as("d"))
+      .agg(max("d")).head().getDouble(0)
+    assert(diff < 1e-12, s"max divergence $diff")
+  }
+
+  test("graft_simhash == HOF simHash bit-for-bit on real documents") {
+    val cmp = docs.select(
+      call_function("graft_simhash", col("text")).as("native"),
+      Dedup.simHashHof(col("text")).as("hof"))
+    assert(cmp.filter(col("native") =!= col("hof")).count() == 0)
+  }
+
+  test("both expressions run via SQL after registration") {
+    docs.limit(5).createOrReplaceTempView("gf_docs")
+    val r = spark.sql("SELECT graft_simhash(text) AS s FROM gf_docs").collect()
+    assert(r.length == 5 && r.forall(!_.isNullAt(0)))
+  }
+
+  test("expressions stay inside whole-stage codegen (no fallback)") {
+    val plan = docs.select(call_function("graft_simhash", col("text")).as("s"))
+      .queryExecution.executedPlan.toString
+    // the *(n) prefix marks a WholeStageCodegen stage containing the Project
+    assert(plan.contains("*(1) Project [graft_simhash"), s"no codegen span:\n$plan")
+  }
+
+  test("type errors are caught at analysis time") {
+    val ex = intercept[Exception] {
+      docs.select(call_function("graft_cosine", col("text"), col("text"))).collect()
+    }
+    assert(ex.getMessage.contains("graft_cosine"))
+  }
+
+  test("null inputs yield null, empty arrays yield 0") {
+    val r = spark.sql(
+      "SELECT graft_cosine(cast(null AS array<float>), array(cast(1.0 AS float))), " +
+      "graft_cosine(array(cast(1.0 AS float)), array(cast(0.0 AS float))), " +
+      "graft_simhash(cast(null AS string))").head()
+    assert(r.isNullAt(0))
+    assert(r.getDouble(1) == 0.0) // zero vector → 0 by convention
+    assert(r.isNullAt(2))
+  }
+}
