@@ -102,6 +102,15 @@ object DataIO {
   def jdbcProbeSql(partitionColumn: String, table: String): String =
     s"(select min($partitionColumn) mn, max($partitionColumn) mx from $table) b"
 
+  /** K3 connection properties, pure and unit-testable. */
+  def jdbcWriteProps(conf: GraftConfig): java.util.Properties = {
+    val props = new java.util.Properties()
+    conf.getString("user").foreach(props.setProperty("user", _))
+    conf.getString("password").foreach(props.setProperty("password", _))
+    conf.getString("driver").foreach(props.setProperty("driver", _))
+    props
+  }
+
   /** True when a bound probe is needed before assembling read options. */
   def jdbcNeedsProbe(conf: GraftConfig): Boolean =
     conf.getString("partition-column").isDefined &&
@@ -143,13 +152,9 @@ object DataIO {
         conf.getList("partition-by").foreach(cols => w = w.partitionBy(cols: _*))
         w.save(conf.string("dataset-dir"))
       case "jdbc" => // K3 — single-connection write (core.py:201-209); default append
-        val props = new java.util.Properties()
-        conf.getString("user").foreach(props.setProperty("user", _))
-        conf.getString("password").foreach(props.setProperty("password", _))
-        conf.getString("driver").foreach(props.setProperty("driver", _))
         df.repartition(1).write
           .mode(conf.getString("write-mode").getOrElse("append"))
-          .jdbc(conf.string("url"), conf.string("table"), props)
+          .jdbc(conf.string("url"), conf.string("table"), jdbcWriteProps(conf))
       case "hive" => // K4 — column-reordered insertInto vs saveAsTable (core.py:210-216,234-250)
         val table = conf.string("table")
         val fmt = conf.getString("dataset-store-format").getOrElse("orc")

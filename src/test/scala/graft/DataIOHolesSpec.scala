@@ -54,6 +54,15 @@ class DataIOHolesSpec extends SparkTestBase {
       "(select min(id) mn, max(id) mx from facts) b")
   }
 
+  test("jdbcWriteProps assembles only the configured credentials (K3)") {
+    val p = DataIO.jdbcWriteProps(jdbcConf("password = s3cret\ndriver = org.postgresql.Driver"))
+    assert(p.getProperty("user") == "u")
+    assert(p.getProperty("password") == "s3cret")
+    assert(p.getProperty("driver") == "org.postgresql.Driver")
+    val minimal = DataIO.jdbcWriteProps(GraftConfig.parse("url = u\ntable = t"))
+    assert(minimal.isEmpty)
+  }
+
   // ------------------------------------------------------- K4 hive sink
 
   test("hive sink: saveAsTable then column-reordered insertInto (K4, core.py:210-216,234-250)") {

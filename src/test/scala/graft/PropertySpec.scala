@@ -1,0 +1,119 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+
+import graft.datadiff.DataDiff
+import graft.llm.{Dedup, TextAnalysis}
+import graft.operators.Ops
+
+/** Property-based invariants (SURVEY.md §5): generated inputs, laws the
+  * reference implies but never tests. */
+class PropertySpec extends SparkTestBase {
+  import spark.implicits._
+
+  /** Deterministic scalacheck sampling (no scalatest bridge offline):
+    * n samples from `gen`, seeds 0..n-1. */
+  private def samples[A](gen: Gen[A], n: Int): Seq[A] =
+    (0 until n).flatMap(i => gen(Gen.Parameters.default, Seed(i.toLong)))
+
+  private val texts: Gen[List[String]] = Gen.listOfN(30,
+    Gen.chooseNum(0, 8).flatMap(n =>
+      Gen.listOfN(n, Gen.oneOf("the", "cat", "sat", "on", "mat", "a", "b", "x1", "", "42"))
+        .map(_.mkString(" "))))
+
+  private val doubles: Gen[List[Double]] =
+    Gen.listOfN(40, Gen.chooseNum(-1e6, 1e6)).suchThat(_.nonEmpty)
+
+  test("TVD is symmetric, in [0,1], and 0 on identical columns") {
+    samples(texts, 5).foreach { ts =>
+      if (ts.nonEmpty) {
+        val df = ts.toDF("v")
+        val d2 = ts.reverse.toDF("v")
+        val ab = DataDiff.discreteComparator(df, "v", d2, "v", 64)
+        val ba = DataDiff.discreteComparator(d2, "v", df, "v", 64)
+        assert(math.abs(ab - ba) < 1e-12)
+        assert(ab >= 0.0 && ab <= 1.0)
+        assert(DataDiff.discreteComparator(df, "v", df, "v", 64) == 0.0)
+      }
+    }
+  }
+
+  test("hash histogram frequencies always sum to 1") {
+    samples(texts, 5).foreach { ts =>
+      if (ts.nonEmpty) {
+        val h = DataDiff.hashHistogram(ts.toDF("v"), "v", 32)
+        assert(math.abs(h.values.sum - 1.0) < 1e-9)
+        assert(h.values.forall(f => f > 0.0 && f <= 1.0))
+      }
+    }
+  }
+
+  test("pandify is idempotent and preserves row count") {
+    val df = spark.read.parquet(s"$sfDir/lineitem.parquet").limit(100)
+    val once = Ops.pandify(df)
+    val twice = Ops.pandify(once)
+    assert(once.schema == twice.schema)
+    assert(once.count() == twice.count())
+  }
+
+  test("exactLimit(n) returns at most n rows for any n") {
+    val df = spark.read.parquet(s"$sfDir/orders.parquet")
+    samples(Gen.chooseNum(0, 2000), 5).foreach { n =>
+      assert(Ops.exactLimit(df, n).count() <= n)
+    }
+  }
+
+  test("proportionSamples never exceeds any stratum quota") {
+    val o = spark.read.parquet(s"$sfDir/orders.parquet")
+    samples(Gen.chooseNum(1, 20), 3).foreach { quota =>
+      val props = o.select("o_orderpriority").distinct()
+        .withColumn("rows_count", lit(quota))
+      val sampled = Ops.proportionSamples(o, props, Seq("o_orderpriority"), Seq(col("o_orderkey")))
+      val maxPerStratum = sampled.groupBy("o_orderpriority").count()
+        .agg(max("count")).head().getLong(0)
+      assert(maxPerStratum <= quota)
+    }
+  }
+
+  test("exact dedup: groups partition the rows (sum of copies == row count)") {
+    samples(texts, 5).foreach { ts =>
+      if (ts.nonEmpty) {
+        val df = ts.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("id", "text")
+        val groups = Dedup.exactDuplicateGroups(df, "text", "id")
+        assert(groups.agg(sum("n_copies")).head().getLong(0) == ts.length)
+        assert(Dedup.dropExactDuplicates(df, "text", "id").count() == groups.count())
+      }
+    }
+  }
+
+  test("ngramJaccard is within [0,1] and 1 on self") {
+    samples(Gen.alphaLowerStr.suchThat(_.nonEmpty), 5).foreach { s =>
+      val row = spark.range(1).select(
+        Dedup.ngramJaccard(lit(s), lit(s)).as("self"),
+        Dedup.ngramJaccard(lit(s), lit(s + " zzz qqq www vvv")).as("near")).head()
+      assert(row.getDouble(0) == 1.0)
+      assert(row.getDouble(1) >= 0.0 && row.getDouble(1) <= 1.0)
+    }
+  }
+
+  test("qualityScore stays in [0,1] on arbitrary strings") {
+    samples(Gen.asciiPrintableStr, 10).foreach { s =>
+      val q = spark.range(1).select(TextAnalysis.qualityScore(lit(s))).head().getDouble(0)
+      assert(q >= 0.0 && q <= 1.0, s"quality $q for ${s.take(30)}")
+    }
+  }
+
+  test("continuous histogram conserves in-range mass") {
+    samples(doubles, 5).foreach { xs =>
+      val df = xs.toDF("x")
+      val edges = DataDiff.equiWidthEdges(df, "x", 16)
+      if (edges.length >= 2) {
+        val total = DataDiff.continuousHistogramDF(df, "x", edges)
+          .agg(sum("cnt")).head().getLong(0)
+        assert(total == xs.length) // edges span min..max → nothing dropped
+      }
+    }
+  }
+}
