@@ -133,19 +133,14 @@ object SparkEntry {
         pmod(col("l_orderkey") * lit(2654435761L), lit(50L)))
         .withColumn("freq", round(col("freq"), 6))),
 
-    // ---- R13 total-variation distance as a distributed full-outer join +
-    // aggregate (datadiff.py:36-56) — l_returnflag vs l_linestatus
-    // distributions, identity bins (no hashing: keys already bounded).
-    "q12_tvd" -> ((s, dir) => {
-      val li = t(s, dir, "lineitem")
-      val h1 = graft.datadiff.DataDiff.histogramDF(li, col("l_returnflag"))
-      val h2 = graft.datadiff.DataDiff.histogramDF(li, col("l_linestatus"))
-      val a = h1.select(col("bin"), col("freq").as("p1"))
-      val b = h2.select(col("bin"), col("freq").as("p2"))
-      a.join(b, Seq("bin"), "full_outer")
-        .agg(round(
-          sum(abs(coalesce(col("p1"), lit(0.0)) - coalesce(col("p2"), lit(0.0)))) / 2, 6).as("tvd"))
-    }),
+    // ---- R13 total-variation distance, single-scan form: both columns'
+    // histograms from ONE pass over lineitem (explode to (side,bin) +
+    // partial-agg shuffle bounded at 2×bins keys), conditional pivot
+    // instead of a join (datadiff.py:36-56 semantics).
+    "q12_tvd" -> ((s, dir) =>
+      graft.datadiff.DataDiff.tvdSameTableDF(
+        t(s, dir, "lineitem"), "l_returnflag", "l_linestatus")
+        .select(round(col("tvd"), 6).as("tvd"))),
 
     // ---- U5 declarative model scoring (simple_model f1*f2 through the
     // scorer's cols_to_save + pred contract) — a single codegen'd

@@ -107,10 +107,40 @@ object DataDiff {
   }
 
   /** R12+R13 discrete comparator (`datadiff.py:47-56`): TVD between the
-    * crc32-hashed histograms of two columns. */
+    * crc32-hashed histograms of two columns. When both columns live in
+    * the SAME DataFrame, prefer [[tvdSameTable]] — it reads the table
+    * once instead of twice. */
   def discreteComparator(df1: DataFrame, col1: String, df2: DataFrame, col2: String,
       maxBins: Int = 1000): Double =
     tvdOfHistograms(hashHistogramDF(df1, col1, maxBins), hashHistogramDF(df2, col2, maxBins))
+
+  /** TVD between two columns of ONE table in a single scan: each row
+    * contributes a (side, bin) pair per column via a 2-element explode;
+    * one partially-aggregated shuffle bounded at 2×bins keys builds both
+    * histograms, and a conditional pivot replaces the full-outer join.
+    * At 100 TB this halves the table I/O vs. two hashHistogramDF passes
+    * — the scan, not the ≤2×bins-row shuffle, is the cost that matters.
+    * Returns a 1-row frame (`tvd` double) so callers can stay lazy. */
+  def tvdSameTableDF(df: DataFrame, col1: String, col2: String,
+      bin: Column => Column = identity): DataFrame = {
+    val pairs = df.select(explode(array(
+      struct(lit(1).as("side"),
+        coalesce(bin(col(col1)).cast("string"), lit("None")).as("bin")),
+      struct(lit(2).as("side"),
+        coalesce(bin(col(col2)).cast("string"), lit("None")).as("bin")))).as("e"))
+      .select(col("e.side").as("side"), col("e.bin").as("bin"))
+    val counts = pairs.groupBy("side", "bin").agg(count(lit(1)).as("cnt"))
+      .withColumn("freq",
+        col("cnt") / sum("cnt").over(org.apache.spark.sql.expressions.Window.partitionBy("side")))
+    counts.groupBy("bin")
+      .agg(sum(when(col("side") === 1, col("freq"))).as("p1"),
+        sum(when(col("side") === 2, col("freq"))).as("p2"))
+      .agg((sum(abs(coalesce(col("p1"), lit(0.0)) - coalesce(col("p2"), lit(0.0)))) / 2).as("tvd"))
+  }
+
+  def tvdSameTable(df: DataFrame, col1: String, col2: String,
+      bin: Column => Column = identity): Double =
+    tvdSameTableDF(df, col1, col2, bin).head().getDouble(0)
 
   /** R11+R13 continuous comparator (`datadiff.py:27-44`): bin edges fixed
     * by df1's min/max, df2 re-binned with the same edges, then TVD. Values

@@ -38,6 +38,18 @@ class DataDiffSpec extends SparkTestBase {
     assert(t > 0.0) // distributions genuinely differ
   }
 
+  test("tvdSameTable == join-based TVD, one table scan (single-scan form)") {
+    val joined = DataDiff.tvdOfHistograms(
+      DataDiff.histogramDF(li, col("l_returnflag")),
+      DataDiff.histogramDF(li, col("l_linestatus")))
+    val single = DataDiff.tvdSameTable(li, "l_returnflag", "l_linestatus")
+    assert(math.abs(joined - single) < 1e-12, s"join=$joined single=$single")
+    // exactly one scan of the parquet in the plan
+    val plan = DataDiff.tvdSameTableDF(li, "l_returnflag", "l_linestatus")
+      .queryExecution.executedPlan.toString
+    assert(plan.split("Scan parquet").length - 1 == 1, s"expected 1 scan:\n$plan")
+  }
+
   test("TVD = 1 for disjoint distributions") {
     val d1 = Seq("a", "a", "b").toDF("v")
     val d2 = Seq("x", "y", "y").toDF("v")
