@@ -55,10 +55,33 @@ object Similarity {
 
   // ------------------------------------------------------- brute force
 
+  /** Rank scored (query_id, neighbor_id, cos_sim) rows to per-query
+    * top-k via the bounded-heap aggregator (`graft.functions.TopK`):
+    * each map partition reduces to ≤ k pairs per query BEFORE the
+    * shuffle, so the exchange carries O(partitions × |Q| × k) rows —
+    * independent of corpus size. A window row_number here would shuffle
+    * every scored pair instead. */
+  private def rankTopK(scored: DataFrame, k: Int): DataFrame =
+    scored.groupBy("query_id")
+      .agg(graft.functions.TopK.topK(k)(col("cos_sim"), col("neighbor_id")).as("__topk"))
+      .select(col("query_id"), posexplode(col("__topk")).as(Seq("__pos", "__e")))
+      .select(col("query_id"), col("__e._2").as("neighbor_id"),
+        col("__e._1").as("cos_sim"), (col("__pos") + 1).cast("long").as("rank"))
+
+  /** The window formulation kept as the independent reference the
+    * aggregator is verified against (SimilaritySpec). */
+  private[graft] def rankTopKWindow(scored: DataFrame, k: Int): DataFrame = {
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("cos_sim").desc, col("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+  }
+
   /** Exact top-k cosine neighbors for each query vector. `queries` MUST
     * be small (it is collected into a broadcast join); `corpus` can be
-    * arbitrarily large — it is scanned once with no shuffle before the
-    * per-query top-k. Self-matches (same id) are excluded. */
+    * arbitrarily large — it is scanned once with no shuffle, reduced to
+    * ≤ k candidates per query per partition, then merged. Self-matches
+    * (same id) are excluded. */
   def bruteForceTopK(
       queries: DataFrame,
       corpus: DataFrame,
@@ -71,10 +94,7 @@ object Similarity {
       .filter(col("neighbor_id") =!= col("query_id"))
       .select(col("query_id"), col("neighbor_id"),
         cosine(col("__qv"), col("__cv")).as("cos_sim"))
-    val w = Window.partitionBy("query_id")
-      .orderBy(col("cos_sim").desc, col("neighbor_id"))
-    scored.withColumn("rank", row_number().over(w).cast("long"))
-      .filter(col("rank") <= k)
+    rankTopK(scored, k)
   }
 
   // --------------------------------------------------------------- IVF
@@ -125,10 +145,7 @@ object Similarity {
       .filter(col("neighbor_id") =!= col("query_id"))
       .select(col("query_id"), col("neighbor_id"),
         cosine(col("__qv"), col("__cv")).as("cos_sim"))
-    val w = Window.partitionBy("query_id")
-      .orderBy(col("cos_sim").desc, col("neighbor_id"))
-    scored.withColumn("rank", row_number().over(w).cast("long"))
-      .filter(col("rank") <= k)
+    rankTopK(scored, k)
   }
 
   // --------------------------------------------------------------- LSH

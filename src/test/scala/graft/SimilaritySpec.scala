@@ -46,6 +46,31 @@ class SimilaritySpec extends SparkTestBase {
     top.unpersist()
   }
 
+  test("heap-aggregator top-k == window top-k (exact parity incl. tie order)") {
+    val queries = emb.filter(col("vec_id") < 5)
+    val q = queries.select(col("vec_id").as("query_id"), col("embedding").as("__qv"))
+    val c = emb.select(col("vec_id").as("neighbor_id"), col("embedding").as("__cv"))
+    val scored = c.crossJoin(broadcast(q))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        Similarity.cosine(col("__qv"), col("__cv")).as("cos_sim")).cache()
+    val viaAgg = Similarity.bruteForceTopK(queries, emb, k = 7)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(3))).toSet
+    val viaWin = Similarity.rankTopKWindow(scored, 7)
+      .select("query_id", "neighbor_id", "cos_sim", "rank")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(3))).toSet
+    assert(viaAgg == viaWin)
+    scored.unpersist()
+  }
+
+  test("top-k aggregator does map-side partial aggregation (plan check)") {
+    val plan = Similarity.bruteForceTopK(emb.limit(3), emb, 5)
+      .queryExecution.executedPlan.toString
+    // ObjectHashAggregate appears twice: partial (before exchange) + final
+    assert(plan.split("ObjectHashAggregate").length - 1 >= 2,
+      s"no partial aggregation:\n$plan")
+  }
+
   test("bruteForceTopK broadcasts the query side (plan check)") {
     val plan = Similarity.bruteForceTopK(emb.limit(3), emb, 5)
       .queryExecution.executedPlan.toString
