@@ -186,6 +186,20 @@ object SparkEntry {
       graft.llm.Multimodal.decodeAndFeaturize(media, graft.llm.Multimodal.FakeDecoder)
     }),
 
+    // ---- LLM tier-1 dedup, drop form: keep the lowest-id row per
+    // content hash (window over the hash — same single shuffle).
+    "q20_drop_dups" -> ((s, dir) =>
+      graft.llm.Dedup.dropExactDuplicates(
+        t(s, dir, "documents"), "text", "doc_id")
+        .select("doc_id", "lang", "source", "n_chars")),
+
+    // ---- LLM text quality scoring as pure scan-time arithmetic;
+    // the full composite (length/stopword/punct) is SQL-expressible.
+    "q21_quality" -> ((s, dir) =>
+      t(s, dir, "documents").select(
+        col("doc_id"),
+        graft.llm.TextAnalysis.qualityScore(col("text")).as("quality"))),
+
     // ---- Structured Streaming: event-time tumbling windows + watermark
     // over the events table, run to completion (AvailableNow). Append
     // mode emits exactly the windows the watermark has passed — the
@@ -301,6 +315,28 @@ object SparkEntry {
         | round(length(regexp_replace(text, '\s', '', 'g'))
         |   / len(regexp_extract_all(trim(text), '\S+')), 4) AS avg_token_len
         |FROM documents""".stripMargin,
+    "q20_drop_dups" ->
+      """SELECT doc_id, lang, source, n_chars FROM (
+        |  SELECT doc_id, lang, source, n_chars,
+        |    row_number() OVER (PARTITION BY sha256(text) ORDER BY doc_id) AS rn
+        |  FROM documents) WHERE rn = 1""".stripMargin,
+    "q21_quality" ->
+      """WITH t AS (
+        |  SELECT doc_id, text,
+        |    regexp_extract_all(lower(trim(text)), '\S+') AS toks
+        |  FROM documents),
+        |c AS (
+        |  SELECT doc_id, text, len(toks) AS n_toks,
+        |    len(list_filter(toks, x -> list_contains(
+        |      ['the','a','of','and','to','in','is','that','it','for'], x))) AS hits,
+        |    length(regexp_replace(text, '[a-zA-Z0-9\s]', '', 'g')) AS n_punct
+        |  FROM t)
+        |SELECT doc_id, round(
+        |    least(n_toks / 20.0, 1.0) * 0.4
+        |  + least((CASE WHEN n_toks = 0 THEN 0.0 ELSE hits / CAST(n_toks AS DOUBLE) END) * 5.0, 1.0) * 0.4
+        |  + greatest(1.0 - (CASE WHEN length(text) = 0 THEN 0.0
+        |      ELSE n_punct / CAST(length(text) AS DOUBLE) END) * 4.0, 0.0) * 0.2, 6) AS quality
+        |FROM c""".stripMargin,
     "q19_stream_window" ->
       """WITH e AS (
         |  SELECT epoch(time_bucket(INTERVAL 1 HOUR, ts)) AS ws,

@@ -104,10 +104,11 @@ object Scorer {
     val df = graft.operators.Ops.pandify(src)
     val colsToSave = conf.getList("cols-to-save")
       .getOrElse(Seq("uid", "true_target", "business_dt")) // scorer.py:36
+    val classNames = conf.getList("target-class-names").getOrElse(Nil) // scorer.py:37
     val (scored0, modelName) = (conf.getString("model-path"), conf.getString("model-expr")) match {
       case (Some(path), _) =>
         val m = graft.ml.Trainer.load(path)
-        (graft.ml.Trainer.scoreModel(m, df, colsToSave),
+        (graft.ml.Trainer.scoreModel(m, df, colsToSave, classNames),
           new java.io.File(path).getName)
       case (None, Some(e)) =>
         (graft.ml.Scorer.scoreExpr(df, Seq("pred" -> expr(e)), colsToSave),

@@ -127,9 +127,11 @@ object Trainer {
 
   /** Score a fitted MLlib model under the Scorer dispatch contract
     * (`core.py:56-71`): binary classifier → `target_proba` = P(class 1),
-    * multiclass → `class{i}` columns, otherwise → `pred`. Pure
-    * DataFrame transform — distributed, no driver involvement. */
-  def scoreModel(model: PipelineModel, df: DataFrame, colsToSave: Seq[String] = Nil): DataFrame = {
+    * multiclass → one column per class (given `targetClassNames` or
+    * `class{i}`, `core.py:63-67`), otherwise → `pred`. Pure DataFrame
+    * transform — distributed, no driver involvement. */
+  def scoreModel(model: PipelineModel, df: DataFrame, colsToSave: Seq[String] = Nil,
+      targetClassNames: Seq[String] = Nil): DataFrame = {
     val out = model.transform(df)
     val saved = colsToSave.filter(out.columns.contains).map(col)
     if (out.columns.contains("probability")) {
@@ -139,8 +141,17 @@ object Trainer {
       }.getOrElse(2)
       if (n == 2)
         out.select(saved :+ probs.getItem(1).cast("float").as("target_proba"): _*)
-      else
-        out.select(saved ++ (0 until n).map(i => probs.getItem(i).cast("float").as(s"class$i")): _*)
+      else {
+        val names =
+          if (targetClassNames.nonEmpty) {
+            require(targetClassNames.length == n,
+              s"${targetClassNames.length} class names for $n classes")
+            targetClassNames
+          } else (0 until n).map(i => s"class$i")
+        out.select(saved ++ names.zipWithIndex.map { case (nm, i) =>
+          probs.getItem(i).cast("float").as(nm)
+        }: _*)
+      }
     } else
       out.select(saved :+ col("prediction").cast("float").as("pred"): _*)
   }

@@ -70,7 +70,15 @@ class TrainerSpec extends SparkTestBase {
     val model = Trainer.train(df, "label", "logistic-regression", Seq("e1", "e2", "e3"))
     val scored = Trainer.scoreModel(model, df, Seq("vec_id"))
     assert(scored.columns.head == "vec_id")
-    assert(scored.columns.count(_.startsWith("class")) >= 3)
+    val n = scored.columns.count(_.startsWith("class"))
+    assert(n >= 3)
+    // explicit class names (scorer.py target-class-names)
+    val named = Trainer.scoreModel(model, df, Seq("vec_id"),
+      targetClassNames = (0 until n).map(i => s"cat_$i"))
+    assert(named.columns.toSeq == "vec_id" +: (0 until n).map(i => s"cat_$i"))
+    intercept[IllegalArgumentException] {
+      Trainer.scoreModel(model, df, Nil, targetClassNames = Seq("just_one"))
+    }
   }
 
   test("trainFromConf wires target/estimator/features/params from HOCON (B4)") {
