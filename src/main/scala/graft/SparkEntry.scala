@@ -193,6 +193,15 @@ object SparkEntry {
         t(s, dir, "documents"), "text", "doc_id")
         .select("doc_id", "lang", "source", "n_chars")),
 
+    // ---- Full curation pipeline (annotate → quality filter → exact
+    // dedup → verified near-dedup). LSH stage is seeded but not
+    // SQL-expressible → rows-only check.
+    "q22_curation" -> ((s, dir) =>
+      graft.llm.Curation.curate(
+        t(s, dir, "documents"), "doc_id", "text",
+        graft.llm.Curation.Config(minQuality = 0.2))
+        .select("doc_id", "quality", "lang_id", "n_tokens")),
+
     // ---- LLM text quality scoring as pure scan-time arithmetic;
     // the full composite (length/stopword/punct) is SQL-expressible.
     "q21_quality" -> ((s, dir) =>

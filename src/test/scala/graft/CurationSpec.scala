@@ -1,0 +1,58 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.llm.Curation
+
+/** End-to-end curation over documents + planted noise. */
+class CurationSpec extends SparkTestBase {
+  import spark.implicits._
+
+  /** documents + an exact copy, a near copy, and a garbage doc. */
+  private lazy val noisy = {
+    val base = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select("doc_id", "text")
+    val exactCopy = base.filter(col("doc_id") === 0)
+      .select((col("doc_id") + 50000).as("doc_id"), col("text"))
+    val nearCopy = base.filter(col("doc_id") === 1)
+      .select((col("doc_id") + 60000).as("doc_id"),
+        concat(col("text"), lit(" tail")).as("text"))
+    val garbage = Seq((70000L, "$$$ ### @@@ !!! %%% ^^^ &&& *** ((( )))")).toDF("doc_id", "text")
+    base.union(exactCopy).union(nearCopy).union(garbage).cache()
+  }
+
+  test("annotate adds scan-speed signal columns without shuffle") {
+    val out = Curation.annotate(noisy, "text")
+    assert(Seq("quality", "lang_id", "n_tokens").forall(out.columns.contains))
+    assert(!out.queryExecution.executedPlan.toString.contains("Exchange"))
+  }
+
+  test("curate drops garbage, exact dup, and near dup; keeps originals") {
+    val curated = Curation.curate(noisy, "doc_id", "text",
+      Curation.Config(minQuality = 0.3, nearDupMaxJaccardDistance = 0.5, nearDupMinJaccard = 0.5))
+    val ids = curated.select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(!ids.contains(70000L), "garbage survived the quality filter")
+    assert(!ids.contains(50000L), "exact duplicate survived")
+    assert(!ids.contains(60000L), "near duplicate survived")
+    assert(ids.contains(0L) && ids.contains(1L), "originals must survive")
+    assert(curated.columns.contains("quality")) // annotations carried through
+  }
+
+  test("report counts monotonically decrease per stage") {
+    val r = Curation.report(noisy, "doc_id", "text",
+      Curation.Config(minQuality = 0.3, nearDupMaxJaccardDistance = 0.5, nearDupMinJaccard = 0.5))
+    assert(r("input") == noisy.count())
+    assert(r("after_quality") < r("input"))
+    assert(r("curated") <= r("after_quality"))
+    assert(r("curated") > 0)
+  }
+
+  test("lang filter keeps only requested languages") {
+    val planted = Seq(
+      (1L, "the cat is in the house and it is a good day for the garden"),
+      (2L, "der hund ist nicht mit der katze und ich gehe zu der schule")
+    ).toDF("doc_id", "text")
+    val onlyEn = Curation.curate(planted, "doc_id", "text",
+      Curation.Config(minQuality = 0.0, langs = Set("en")))
+    assert(onlyEn.select("doc_id").collect().map(_.getLong(0)).toSet == Set(1L))
+  }
+}
