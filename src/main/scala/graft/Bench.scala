@@ -30,11 +30,14 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    // Warmup: run the flagship agg + a join once, untimed.
-    try {
-      materialize(SparkEntry.queries("q1_pricing_summary")(spark, sfDir))
-      materialize(SparkEntry.queries("q6_join_agg")(spark, sfDir))
-    } catch { case e: Throwable => System.err.println(s"[bench] warmup failed: ${e.getMessage}") }
+    // Warmup: one untimed pass per distinct machinery shape (agg, join,
+    // udaf top-k, streaming microbatch) so one-time JVM/codegen/stream
+    // bootstrap costs are not charged to the first timed query.
+    Seq("q1_pricing_summary", "q6_join_agg", "q15_knn_brute", "q19_stream_window")
+      .foreach { q =>
+        try materialize(SparkEntry.queries(q)(spark, sfDir))
+        catch { case e: Throwable => System.err.println(s"[bench] warmup $q failed: ${e.getMessage}") }
+      }
 
     var failed = List.empty[String]
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>

@@ -66,26 +66,57 @@ object SimHashImpl {
 
   /** 64-bit SimHash over lowercased whitespace tokens; same bits as the
     * HOF formulation in `graft.llm.Dedup.simHash` (verified by spec). */
-  def compute(text: UTF8String): Long = {
+  def compute(text: UTF8String): Long = compute(text, 1)
+
+  /** SimHash over token `gramSize`-grams. gramSize=1 fingerprints the
+    * token DISTRIBUTION — which concentrates on corpora whose documents
+    * share vocabulary frequencies (templated/boilerplate text), turning
+    * banded near-dup joins quadratic. gramSize≥2 fingerprints token
+    * ORDER (rolling-mixed shingle hashes), spreading signatures of
+    * distinct docs apart while edits still only perturb the ≤ gramSize
+    * shingles they touch. One tokenizer pass either way. */
+  def compute(text: UTF8String, gramSize: Int): Long = {
     val votes = new Array[Int](64)
-    val lower = text.toLowerCase
-    var tokStart = -1
-    val s = lower.toString
+    val ring = new Array[Long](gramSize)
+    var nTok = 0
+    val s = text.toLowerCase.toString
     val len = s.length
+    var tokStart = -1
     var i = 0
     while (i <= len) {
       val isSpace = i == len || Character.isWhitespace(s.charAt(i))
       if (!isSpace && tokStart < 0) tokStart = i
       else if (isSpace && tokStart >= 0) {
-        val h = tokenHash(UTF8String.fromString(s.substring(tokStart, i)))
-        var b = 0
-        while (b < 64) {
-          if (((h >>> b) & 1L) == 1L) votes(b) += 1 else votes(b) -= 1
-          b += 1
+        ring(nTok % gramSize) = tokenHash(UTF8String.fromString(s.substring(tokStart, i)))
+        nTok += 1
+        if (nTok >= gramSize) {
+          // mix the gram's token hashes oldest-first
+          var h = 0L
+          var j = 0
+          while (j < gramSize) {
+            h = h * 0x9E3779B97F4A7C15L + ring((nTok - gramSize + j) % gramSize)
+            j += 1
+          }
+          var b = 0
+          while (b < 64) {
+            if (((h >>> b) & 1L) == 1L) votes(b) += 1 else votes(b) -= 1
+            b += 1
+          }
         }
         tokStart = -1
       }
       i += 1
+    }
+    // shorter than gramSize: fall back to one gram over what exists
+    if (nTok > 0 && nTok < gramSize) {
+      var h = 0L
+      var j = 0
+      while (j < nTok) { h = h * 0x9E3779B97F4A7C15L + ring(j % gramSize); j += 1 }
+      var b = 0
+      while (b < 64) {
+        if (((h >>> b) & 1L) == 1L) votes(b) += 1 else votes(b) -= 1
+        b += 1
+      }
     }
     var sig = 0L
     var b = 0
@@ -115,9 +146,10 @@ case class CosineSimilarity(left: Expression, right: Expression)
     copy(left = l, right = r)
 }
 
-/** `graft_simhash(string) -> bigint` */
-case class SimHash64(child: Expression)
+/** `graft_simhash(string[, gramSize]) -> bigint` */
+case class SimHash64(child: Expression, gramSize: Int = 1)
     extends UnaryExpression {
+  require(gramSize >= 1, s"gramSize must be >= 1, got $gramSize")
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
     case _: StringType => TypeCheckResult.TypeCheckSuccess
     case t => TypeCheckResult.TypeCheckFailure(s"graft_simhash expects string, got $t")
@@ -126,10 +158,10 @@ case class SimHash64(child: Expression)
   override def prettyName: String = "graft_simhash"
 
   override protected def nullSafeEval(t: Any): Any =
-    SimHashImpl.compute(t.asInstanceOf[UTF8String])
+    SimHashImpl.compute(t.asInstanceOf[UTF8String], gramSize)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    defineCodeGen(ctx, ev, c => s"graft.functions.SimHashImpl.compute($c)")
+    defineCodeGen(ctx, ev, c => s"graft.functions.SimHashImpl.compute($c, $gramSize)")
 
   override protected def withNewChildInternal(c: Expression): Expression =
     copy(child = c)
@@ -144,8 +176,8 @@ object GraftFunctions {
     ColumnBridge.column(CosineSimilarity(
       ColumnBridge.expression(a), ColumnBridge.expression(b)))
 
-  def simhash64(c: Column): Column =
-    ColumnBridge.column(SimHash64(ColumnBridge.expression(c)))
+  def simhash64(c: Column, gramSize: Int = 1): Column =
+    ColumnBridge.column(SimHash64(ColumnBridge.expression(c), gramSize))
 
   val functions: Seq[(String, ExpressionInfo, Seq[Expression] => Expression)] = Seq(
     ("graft_cosine",

@@ -26,8 +26,11 @@ object Curation {
   final case class Config(
       minQuality: Double = 0.3,
       langs: Set[String] = Set.empty, // empty = keep all
+      nearDupStrategy: String = "simhash", // or "minhash"
       nearDupMaxJaccardDistance: Double = 0.2,
       nearDupMinJaccard: Double = 0.8,
+      simHashMaxHamming: Int = 7,
+      simHashBands: Int = 8,
       shingleSize: Int = 3)
 
   /** Stage 1: annotate every document with curation signals — pure
@@ -49,14 +52,36 @@ object Curation {
     if (conf.langs.nonEmpty)
       df = df.filter(col("lang_id").isin(conf.langs.toSeq: _*))
 
-    // 3: exact dedup — one shuffle on sha2(text)
+    // 3: exact dedup — one shuffle on sha2(text). Persisted: the
+    // survivor set feeds both sides of the near-dup join, the verify
+    // joins, and the final anti-join — without a persist the full
+    // annotate+filter+window upstream recomputes for each (R19, the
+    // cache-before-fan-out rule). At 100 TB a real pipeline writes this
+    // stage out; in-memory/disk persist is the in-process equivalent.
     val exact = Dedup.dropExactDuplicates(df, textCol, idCol)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
-    // 4: near dedup on the survivors — bucketed LSH candidates,
-    // exact-Jaccard verified, drop the higher id of each pair
-    val pairs = Dedup.minHashNearDups(exact, idCol, textCol,
-      maxJaccardDistance = conf.nearDupMaxJaccardDistance,
-      shingleSize = conf.shingleSize)
+    // 4: near dedup on the survivors — LSH candidates, exact-Jaccard
+    // verified, drop the higher id of each pair. Default is the SimHash
+    // banded join: MinHash's hash buckets blow up on repetitive corpora
+    // (boilerplate/templated text puts a large fraction of docs in one
+    // bucket → quadratic candidates), while SimHash bands key on
+    // 64/bands-bit slices whose collision rate for genuinely different
+    // docs is ~2^-(64/bands) regardless of vocabulary overlap.
+    val pairs = conf.nearDupStrategy match {
+      case "simhash" =>
+        // shingle-mode simhash (gramSize = shingleSize): order-aware
+        // fingerprints stay spread out even when every document shares
+        // the same vocabulary distribution
+        Dedup.simHashNearDups(exact, idCol, textCol,
+          maxHamming = conf.simHashMaxHamming, bands = conf.simHashBands,
+          gramSize = conf.shingleSize)
+      case "minhash" =>
+        Dedup.minHashNearDups(exact, idCol, textCol,
+          maxJaccardDistance = conf.nearDupMaxJaccardDistance,
+          shingleSize = conf.shingleSize)
+      case other => throw new IllegalArgumentException(s"unknown nearDupStrategy: $other")
+    }
     val verified = Dedup.verifyPairs(pairs, exact, idCol, textCol,
       minJaccard = conf.nearDupMinJaccard, n = conf.shingleSize)
     val dropIds = verified.select(col("id2").as(idCol)).distinct()

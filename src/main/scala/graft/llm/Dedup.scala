@@ -120,7 +120,8 @@ object Dedup {
     * Delegates to the native one-pass codegen'd expression
     * (`graft.functions.SimHash64`, ~20× the HOF formulation below —
     * FnBench); both produce identical bits (GraftFunctionsSpec). */
-  def simHash(c: Column): Column = graft.functions.GraftFunctions.simhash64(c)
+  def simHash(c: Column, gramSize: Int = 1): Column =
+    graft.functions.GraftFunctions.simhash64(c, gramSize)
 
   /** The HOF reference formulation the native expression is verified
     * against. */
@@ -151,18 +152,23 @@ object Dedup {
     * by pigeonhole any pair within the radius agrees exactly on ≥1 band,
     * so the join keys on (band index, band bits) — key space 2^(64/bands)
     * per band, never all-pairs. Full Hamming verified after the join. */
+  /** `gramSize` > 1 fingerprints token order (shingle simhash) — use it
+    * on corpora whose documents share vocabulary distribution
+    * (templates/boilerplate), where 1-gram signatures concentrate and
+    * the banded join degenerates toward all-pairs. */
   def simHashNearDups(
       df: DataFrame,
       idCol: String,
       textCol: String,
       maxHamming: Int = 3,
-      bands: Int = 4): DataFrame = {
+      bands: Int = 4,
+      gramSize: Int = 1): DataFrame = {
     require(64 % bands == 0, s"bands must divide 64, got $bands")
     require(maxHamming < bands,
       s"pigeonhole needs maxHamming < bands ($maxHamming >= $bands misses pairs)")
     val width = 64 / bands
     val mask = (BigInt(1) << width) - 1
-    val sigs = df.select(col(idCol).as("id"), simHash(col(textCol)).as("sig"))
+    val sigs = df.select(col(idCol).as("id"), simHash(col(textCol), gramSize).as("sig"))
     val banded = sigs.select(col("id"), col("sig"),
       explode(array((0 until bands).map { b =>
         struct(lit(b).as("band"),
