@@ -127,6 +127,39 @@ object Scorer {
   }
 }
 
+/** `curator` (north-star, no reference counterpart): config-driven corpus
+  * curation — source → annotate → quality/lang filter → exact dedup →
+  * verified near-dedup → sink, with per-stage survivor counts logged.
+  *
+  * Config keys under `curation { }`: `id-column` (default doc_id),
+  * `text-column` (default text), `min-quality`, `langs = [en, ...]`,
+  * `near-dup-strategy` (simhash|minhash), `min-jaccard`,
+  * `max-jaccard-distance`, `max-hamming`, `bands`, `shingle-size`. */
+object Curator {
+  def main(args: Array[String]): Unit = Cli.run("curator", args) { (conf, spark) =>
+    Cli.log("loading corpus...")
+    val df = graft.sources.DataIO.read(spark, conf.at("source"))
+    val c = conf.at("curation")
+    val base = graft.llm.Curation.Config()
+    val cc = graft.llm.Curation.Config(
+      minQuality = c.getDouble("min-quality").getOrElse(base.minQuality),
+      langs = c.getList("langs").map(_.toSet).getOrElse(base.langs),
+      nearDupStrategy = c.getString("near-dup-strategy").getOrElse(base.nearDupStrategy),
+      nearDupMaxJaccardDistance = c.getDouble("max-jaccard-distance").getOrElse(base.nearDupMaxJaccardDistance),
+      nearDupMinJaccard = c.getDouble("min-jaccard").getOrElse(base.nearDupMinJaccard),
+      simHashMaxHamming = c.getInt("max-hamming").getOrElse(base.simHashMaxHamming),
+      simHashBands = c.getInt("bands").getOrElse(base.simHashBands),
+      shingleSize = c.getInt("shingle-size").getOrElse(base.shingleSize))
+    val idCol = c.getString("id-column").getOrElse("doc_id")
+    val textCol = c.getString("text-column").getOrElse("text")
+    val curated = graft.llm.Curation.curate(df, idCol, textCol, cc).cache()
+    println(s"curated corpus size: ${curated.count()}")
+    graft.sources.DataIO.write(curated, conf.at("target"))
+    curated.unpersist()
+    Cli.log("curation finished")
+  }
+}
+
 /** E3 `trainer` (reference `trainer.py:12-72`): fit a model from a Spark
   * source and persist it — distributed MLlib fit + `model.write.save`
   * instead of `toPandas` + sklearn + joblib. */

@@ -140,13 +140,31 @@ object Similarity {
         row_number().over(Window.partitionBy("query_id").orderBy(col("__csim").desc, col("cell"))))
       .filter(col("__crank") <= nprobe)
       .select("query_id", "__qv", "cell")
-    val c = taggedCorpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("__cv"), col("cell"))
+    // collect the probed cell ids (≤ |Q|×nprobe ints — bounded by the
+    // small-queries contract) so the corpus filter is a plain IN-list:
+    // on a cell-partitioned corpus layout (ivfSave) this becomes file-
+    // level partition pruning — only nprobe directories are read.
+    val cells = probed.select("cell").distinct().collect().map(_.getInt(0)).toSeq
+    val c = taggedCorpus
+      .filter(col("cell").isin(cells: _*))
+      .select(col(idCol).as("neighbor_id"), col(vecCol).as("__cv"), col("cell"))
     val scored = c.join(broadcast(probed), Seq("cell"))
       .filter(col("neighbor_id") =!= col("query_id"))
       .select(col("query_id"), col("neighbor_id"),
         cosine(col("__qv"), col("__cv")).as("cos_sim"))
     rankTopK(scored, k)
   }
+
+  /** Persist an IVF index: the KMeans model plus the corpus laid out
+    * partitioned BY CELL, so probes prune at the storage level (a query
+    * touching nprobe cells reads nprobe directories, not the corpus). */
+  def ivfSave(model: KMeansModel, taggedCorpus: DataFrame, dir: String): Unit = {
+    model.write.overwrite().save(s"$dir/kmeans")
+    taggedCorpus.write.mode("overwrite").partitionBy("cell").parquet(s"$dir/corpus")
+  }
+
+  def ivfLoad(spark: org.apache.spark.sql.SparkSession, dir: String): (KMeansModel, DataFrame) =
+    (KMeansModel.load(s"$dir/kmeans"), spark.read.parquet(s"$dir/corpus"))
 
   // --------------------------------------------------------------- LSH
 

@@ -73,6 +73,28 @@ object Ops {
       .drop(rn, countCol)
   }
 
+  /** Skew-safe equi-join: salt the skewed (big) side's key with a random
+    * suffix in [0, saltFactor) and explode the other side across all
+    * suffixes, so one hot key spreads over `saltFactor` reducers instead
+    * of one. Use when a handful of keys dominate (power-law joins) and
+    * AQE's skew splitting isn't enough — e.g. joining events to a user
+    * dimension where a few bot users hold most rows. The replicated side
+    * grows ×saltFactor, so keep it the smaller input.
+    *
+    * Inner joins only (salting drops no rows for inner semantics). */
+  def saltedJoin(
+      skewed: DataFrame,
+      other: DataFrame,
+      key: String,
+      saltFactor: Int = 16): DataFrame = {
+    require(saltFactor > 1, s"saltFactor must be > 1, got $saltFactor")
+    val salt = Iterator.from(0).map(i => s"__salt$i")
+      .find(c => !skewed.columns.contains(c) && !other.columns.contains(c)).get
+    val left = skewed.withColumn(salt, pmod(spark_partition_id() + monotonically_increasing_id(), lit(saltFactor)))
+    val right = other.withColumn(salt, explode(sequence(lit(0), lit(saltFactor - 1)).cast("array<long>")))
+    left.join(right, Seq(key, salt), "inner").drop(salt)
+  }
+
   /** R4 literal metadata projection (reference `scorer.py:53-57`):
     * prepend constant columns to every row. */
   def withMeta(df: DataFrame, meta: Seq[(String, String)]): DataFrame =

@@ -125,6 +125,25 @@ class CliSpec extends SparkTestBase {
     assert(hi > lo, s"hi=$hi lo=$lo")
   }
 
+  test("curator runs the full curation pipeline config-driven") {
+    val base = tmp()
+    val out = base.resolve("curated").toString
+    val f = write(base.resolve("curator.conf"),
+      s"""source { storage-type = local, dataset-dir = $sfDir/documents.parquet }
+         |target { storage-type = local, dataset-dir = $out, dataset-store-format = parquet, write-mode = overwrite }
+         |curation {
+         |  min-quality = 0.2
+         |  shingle-size = 3
+         |  near-dup-strategy = simhash
+         |}
+         |""".stripMargin)
+    graft.cli.Curator.main(Array("--conf", f))
+    val curated = spark.read.parquet(out)
+    assert(curated.count() > 0)
+    assert(curated.count() <= spark.read.parquet(s"$sfDir/documents.parquet").count())
+    assert(Seq("quality", "lang_id", "n_tokens").forall(curated.columns.contains))
+  }
+
   test("scorer with model-expr scores without a saved model (U5 through E2)") {
     val base = tmp()
     val out = base.resolve("scores").toString

@@ -1,5 +1,36 @@
 package graft
 
+import org.apache.spark.sql.functions.{col, count => cnt}
+
+class SaltedJoinSpec extends SparkTestBase {
+  import spark.implicits._
+
+  test("saltedJoin == plain inner join on skewed data, spreads the hot key") {
+    // 10k rows of one hot key + a tail, joined to a 3-row dimension
+    val skewed = ((1 to 10000).map(i => ("hot", i)) ++ (1 to 50).map(i => (s"k$i", i)))
+      .toDF("key", "v")
+    val dim = Seq(("hot", "H"), ("k1", "A"), ("k2", "B")).toDF("key", "name")
+    val plain = skewed.join(dim, Seq("key"), "inner")
+      .groupBy("key").agg(cnt("*").as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val salted = graft.operators.Ops.saltedJoin(skewed, dim, "key", saltFactor = 8)
+      .groupBy("key").agg(cnt("*").as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(salted == plain)
+    assert(salted("hot") == 10000L)
+  }
+
+  test("saltedJoin refuses degenerate salt and avoids column collisions") {
+    val df = Seq(("a", 1)).toDF("key", "__salt0") // collides with the default name
+    val dim = Seq(("a", "x")).toDF("key", "d")
+    val out = graft.operators.Ops.saltedJoin(df, dim, "key", 4)
+    assert(out.columns.toSeq.sorted == Seq("__salt0", "d", "key"))
+    intercept[IllegalArgumentException] {
+      graft.operators.Ops.saltedJoin(df, dim, "key", 1)
+    }
+  }
+}
+
 import graft.operators.Ops
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._

@@ -99,6 +99,26 @@ class SimilaritySpec extends SparkTestBase {
     assert(cellSizes.values.sum == emb.count())
   }
 
+  test("ivfSave/ivfLoad roundtrip: same results, cell-partitioned layout prunes") {
+    val (model, tagged) = Similarity.ivfBuild(emb, numCells = 8)
+    val dir = java.nio.file.Files.createTempDirectory("graft-ivf").toString
+    Similarity.ivfSave(model, tagged, dir)
+    val (m2, corpus2) = Similarity.ivfLoad(spark, dir)
+    val queries = emb.filter(col("vec_id") < 5)
+    val a = Similarity.ivfTopK(queries, tagged, model, k = 5, nprobe = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val b = Similarity.ivfTopK(queries, corpus2, m2, k = 5, nprobe = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(a == b)
+    // layout: one directory per cell → probe reads only its cells
+    val cellDirs = new java.io.File(s"$dir/corpus").listFiles().filter(_.getName.startsWith("cell="))
+    assert(cellDirs.length == 8)
+    // the probe plan on the partitioned corpus carries a partition filter
+    val plan = Similarity.ivfTopK(queries, corpus2, m2, k = 5, nprobe = 3)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters: [cell"), s"no partition pruning:\n$plan")
+  }
+
   test("lshNearDupPairs finds planted near-identical vectors, bucketed join") {
     // plant a near-copy of vec 0 (tiny perturbation on one coordinate)
     val planted = emb.filter(col("vec_id") === 0)
