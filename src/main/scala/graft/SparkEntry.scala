@@ -209,6 +209,16 @@ object SparkEntry {
         col("doc_id"),
         graft.llm.TextAnalysis.qualityScore(col("text")).as("quality"))),
 
+    // ---- One-pass drift sketch (custom TypedImperativeAggregate):
+    // both columns' histogram sketches from a single lineitem scan.
+    // Approximate + merge-order dependent → rows-only check.
+    "q23_sketch_tvd" -> ((s, dir) => {
+      import s.implicits._
+      val v = graft.datadiff.DataDiff.continuousComparatorSketchSameTable(
+        t(s, dir, "lineitem"), "l_quantity", "l_extendedprice", maxBins = 100)
+      Seq(v).toDF("tvd_sketch")
+    }),
+
     // ---- Structured Streaming: event-time tumbling windows + watermark
     // over the events table, run to completion (AvailableNow). Append
     // mode emits exactly the windows the watermark has passed — the

@@ -145,7 +145,9 @@ object DataDiff {
   /** R11+R13 continuous comparator (`datadiff.py:27-44`): bin edges fixed
     * by df1's min/max, df2 re-binned with the same edges, then TVD. Values
     * of df2 outside df1's range are dropped (reference `histogram(buckets)`
-    * behavior) — each side is normalized by its own in-range total. */
+    * behavior) — each side is normalized by its own in-range total.
+    * Exact, but costs 3 scans (edge pass + bin pass per side); see
+    * [[continuousComparatorSketch]] for the one-scan-per-side form. */
   def continuousComparator(df1: DataFrame, col1: String, df2: DataFrame, col2: String,
       maxBins: Int = 1000): Double = {
     val edges = equiWidthEdges(df1, col1, maxBins)
@@ -153,5 +155,32 @@ object DataDiff {
     tvdOfHistograms(
       continuousHistogramDF(df1, col1, edges),
       continuousHistogramDF(df2, col2, edges))
+  }
+
+  /** Approximate continuous comparator via the mergeable histogram-sketch
+    * aggregate (`graft.functions.HistogramSketch`): ONE scan per side
+    * (no separate min/max edge pass, no raw re-bin), with the TVD derived
+    * driver-side from two ≤ maxCentroids sketches. The scan reduction is
+    * the 100 TB win; accuracy is bounded by centroid resolution. */
+  def continuousComparatorSketch(df1: DataFrame, col1: String, df2: DataFrame, col2: String,
+      maxBins: Int = 1000, maxCentroids: Int = 256): Double = {
+    import graft.functions.HistogramSketch
+    def sketchOf(df: DataFrame, c: String) = HistogramSketch.decode(
+      df.agg(HistogramSketch.sketch(col(c).cast("double"), maxCentroids).as("s"))
+        .head().getSeq[org.apache.spark.sql.Row](0))
+    graft.functions.HistogramSketchImpl.tvd(sketchOf(df1, col1), sketchOf(df2, col2), maxBins)
+  }
+
+  /** Same-table variant: BOTH columns' sketches from a single scan (two
+    * aggregates, one Aggregate node). */
+  def continuousComparatorSketchSameTable(df: DataFrame, col1: String, col2: String,
+      maxBins: Int = 1000, maxCentroids: Int = 256): Double = {
+    import graft.functions.HistogramSketch
+    val row = df.agg(
+      HistogramSketch.sketch(col(col1).cast("double"), maxCentroids).as("s1"),
+      HistogramSketch.sketch(col(col2).cast("double"), maxCentroids).as("s2")).head()
+    graft.functions.HistogramSketchImpl.tvd(
+      HistogramSketch.decode(row.getSeq[org.apache.spark.sql.Row](0)),
+      HistogramSketch.decode(row.getSeq[org.apache.spark.sql.Row](1)), maxBins)
   }
 }
