@@ -44,6 +44,9 @@ object Cli {
     props.foreach { case (k, v) => b = b.config(k, v) }
     val s = b.getOrCreate()
     sc.at("hive-prop").flat.foreach { case (k, v) => s.conf.set(k, v) }
+    // graft's native SQL functions are available in every CLI session,
+    // so transform-sql can use graft_cosine / graft_simhash directly
+    graft.functions.GraftFunctions.register(s)
     s
   }
 

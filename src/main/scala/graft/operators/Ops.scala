@@ -73,6 +73,46 @@ object Ops {
       .drop(rn, countCol)
   }
 
+  /** Skew-safe stratified quota sampling — the scale path the
+    * [[proportionSamples]] scaladoc defers to: when one stratum holds a
+    * large share of all rows, ranking it with a window funnels that
+    * share through a single partition. This variant first thins each
+    * stratum with a seeded Bernoulli sample at rate
+    * `oversample × quota / strataCount` (rows that can't be in the top
+    * quota are dropped BEFORE the window shuffle; rate ≥ 1 keeps all),
+    * then ranks the survivors exactly.
+    *
+    * Deterministic given the seed and input partitioning. The thinning
+    * is safe w.h.p. for rank-agnostic tie-breakers (the reference's
+    * sampling intent); for adversarial tie-breakers raise `oversample`.
+    * Falls back to exact behavior when a stratum is small. */
+  def proportionSamplesSkewSafe(
+      df: DataFrame,
+      proportions: DataFrame,
+      groupers: Seq[String],
+      tieBreaker: Seq[Column],
+      countCol: String = "rows_count",
+      oversample: Double = 4.0,
+      seed: Long = 4233L): DataFrame = {
+    require(!df.columns.contains(countCol),
+      s"proportionSamplesSkewSafe: input already has a '$countCol' column")
+    val strataCounts = df.groupBy(groupers.map(col): _*)
+      .agg(count(lit(1)).as("__stratum_n"))
+    val joined = df
+      .join(broadcast(proportions), groupers, "inner")
+      .join(broadcast(strataCounts), groupers, "inner")
+    val keepRate = least(lit(1.0),
+      lit(oversample) * col(countCol) / col("__stratum_n"))
+    val thinned = joined.filter(rand(seed) < keepRate).drop("__stratum_n")
+    val rn = Iterator.from(0).map(i => s"__rownum$i").find(!df.columns.contains(_)).get
+    val w0 = Window.partitionBy(groupers.map(col): _*)
+    val w = if (tieBreaker.isEmpty) w0.orderBy(monotonically_increasing_id()) else w0.orderBy(tieBreaker: _*)
+    thinned
+      .withColumn(rn, row_number().over(w))
+      .filter(col(rn) <= col(countCol))
+      .drop(rn, countCol)
+  }
+
   /** Skew-safe equi-join: salt the skewed (big) side's key with a random
     * suffix in [0, saltFactor) and explode the other side across all
     * suffixes, so one hot key spreads over `saltFactor` reducers instead

@@ -64,6 +64,25 @@ object Streams {
         col("window.end").as("window_end"),
         col("event_type"), col("n_events"), col("avg_value"), col("sum_value"))
 
+  /** Per-user session windows: events closer than `gap` merge into one
+    * session; watermark bounds open-session state. Works identically in
+    * batch (session_window is a grouping expression). */
+  def sessionStats(
+      events: DataFrame,
+      gap: String = "30 minutes",
+      watermarkDelay: String = "2 hours"): DataFrame = {
+    val base = events.withColumn("event_time", eventTime(col("ts")))
+    val withWm =
+      if (base.isStreaming) base.withWatermark("event_time", watermarkDelay) else base
+    withWm
+      .groupBy(session_window(col("event_time"), gap), col("user_id"))
+      .agg(count(lit(1)).as("n_events"), round(sum("value"), 4).as("sum_value"))
+      .select(
+        col("session_window.start").as("session_start"),
+        col("session_window.end").as("session_end"),
+        col("user_id"), col("n_events"), col("sum_value"))
+  }
+
   /** In-stream exact dedup on event id: duplicates arriving within the
     * watermark horizon are dropped; state is bounded by the watermark. */
   def dedupEventStream(events: DataFrame, watermarkDelay: String = "2 hours"): DataFrame =

@@ -2,6 +2,33 @@ package graft
 
 import org.apache.spark.sql.functions.{col, count => cnt}
 
+class SkewSafeSamplingSpec extends SparkTestBase {
+  import spark.implicits._
+  import org.apache.spark.sql.functions.lit
+
+  test("proportionSamplesSkewSafe fills every quota with fewer window rows") {
+    val o = spark.read.parquet(s"$sfDir/orders.parquet")
+    val props = o.select("o_orderpriority").distinct().withColumn("rows_count", lit(5))
+    val out = graft.operators.Ops.proportionSamplesSkewSafe(
+      o, props, Seq("o_orderpriority"), Seq(col("o_orderkey")), oversample = 8.0)
+    val perStratum = out.groupBy("o_orderpriority").agg(cnt("*").as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(perStratum.size == 5)
+    assert(perStratum.values.forall(_ == 5L), s"quotas unfilled: $perStratum")
+  }
+
+  test("oversample >= stratum size degenerates to the exact sampler") {
+    val df = Seq(("a", 1L), ("a", 2L), ("b", 3L)).toDF("k", "id")
+    val props = Seq(("a", 1), ("b", 1)).toDF("k", "rows_count")
+    val exact = graft.operators.Ops.proportionSamples(df, props, Seq("k"), Seq(col("id")))
+      .collect().map(_.getLong(1)).toSet
+    val safe = graft.operators.Ops.proportionSamplesSkewSafe(df, props, Seq("k"), Seq(col("id")),
+      oversample = 100.0)
+      .collect().map(_.getLong(1)).toSet
+    assert(safe == exact) // keepRate clamps to 1 → identical top-1 per stratum
+  }
+}
+
 class SaltedJoinSpec extends SparkTestBase {
   import spark.implicits._
 

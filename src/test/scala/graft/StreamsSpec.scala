@@ -73,6 +73,30 @@ class StreamsSpec extends SparkTestBase {
     assert(math.abs(sample.getFloat(1) - want.getAs[Double]("value") * 2) < 1e-4)
   }
 
+  test("sessionStats merges events within the gap; batch and known-input checks") {
+    import spark.implicits._
+    // user 1: two bursts 10min apart then a 2h gap; user 2: one event
+    val h = 3600L * 1000000000L // ns
+    val rows = Seq(
+      (1L, 0L * h, 1L, "view", 1.0, "{}"),
+      (2L, 0L * h + 600L * 1000000000L, 1L, "view", 2.0, "{}"),
+      (3L, 3L * h, 1L, "view", 4.0, "{}"),
+      (4L, 1L * h, 2L, "view", 8.0, "{}")
+    ).toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val out = graft.streaming.Streams.sessionStats(rows, gap = "30 minutes")
+      .collect().map(r => (r.getLong(2), r.getLong(3), r.getDouble(4))).toSet
+    assert(out == Set((1L, 2L, 3.0), (1L, 1L, 4.0), (2L, 1L, 8.0)))
+  }
+
+  test("sessionStats streaming == batch on the events table") {
+    val stream = graft.streaming.Streams.sessionStats(
+      Streams.readEventStream(spark, eventsDir, "events.parquet"), gap = "30 minutes")
+    val got = Streams.runToMemory(stream, "session_stats", OutputMode.Append())
+    val want = graft.streaming.Streams.sessionStats(batchEvents, gap = "30 minutes")
+    // append-mode watermark holds back only the youngest sessions
+    assert(got.count() > 0 && got.count() <= want.count())
+  }
+
   test("userRunningStats keeps per-key state across the stream") {
     val stream = Streams.userRunningStats(
       Streams.readEventStream(spark, eventsDir, "events.parquet"))
