@@ -26,28 +26,57 @@ object DataIO {
   val SampleSeed = 4233L // reference core.py:163
   val DefaultFetchSize = 10000000 // reference core.py:421,439
 
+  /** Storage selector — the reference key is `storage` (`core.py:124`);
+    * `storage-type` is accepted as an alternate spelling. */
+  private def storageOf(conf: GraftConfig): String =
+    conf.getString("storage").orElse(conf.getString("storage-type")).getOrElse("local")
+
+  /** The reference's universal locator key is `query` — a path for
+    * local/hdfs/single-csv, SQL for hive, table-or-query for JDBC
+    * (`core.py:137,141,144,151`). Alternate explicit spellings
+    * (`dataset-dir`, `file-path`, `table`) are also accepted. */
+  private def locator(conf: GraftConfig, alternates: String*): String =
+    conf.getString("query")
+      .orElse(alternates.iterator.flatMap(conf.getString(_)).nextOption())
+      .getOrElse(throw new NoSuchElementException(
+        s"missing locator: need 'query' (or ${alternates.mkString("/")})"))
+
+  /** Reference `distribute-by` is an object `{key, n-partitions}`
+    * (`core.py:156`); a flat string key + top-level `n-partitions` is
+    * accepted as an alternate. Returns (key, numPartitions). */
+  private def distributeBy(conf: GraftConfig): Option[(String, Option[Int])] =
+    conf.getString("distribute-by.key")
+      .map(k => (k, conf.getInt("distribute-by.n-partitions")))
+      .orElse(conf.getString("distribute-by").filter(_.nonEmpty)
+        .map(k => (k, conf.getInt("n-partitions"))))
+
   /** S1-S8: build a (lazy) DataFrame from a source config. */
   def read(spark: SparkSession, conf: GraftConfig): DataFrame = {
-    val storage = conf.getString("storage-type").getOrElse("local")
+    val storage = storageOf(conf)
     var df = storage match {
       case "local" | "hdfs" =>
         val fmt = conf.getString("dataset-store-format").getOrElse("parquet")
-        spark.read.format(fmt).load(conf.string("dataset-dir"))
+        spark.read.format(fmt).load(locator(conf, "dataset-dir"))
       case "single-csv" =>
+        // reference: header 'infer', sep '\t', decimal '.' (core.py:145-147)
+        val header = conf.getString("header").getOrElse("infer") match {
+          case "infer" | "true" => "true"
+          case _                => "false"
+        }
         spark.read
-          .option("header", conf.getBoolean("header").getOrElse(true).toString)
+          .option("header", header)
           .option("sep", conf.getString("sep").getOrElse("\t"))
           .option("inferSchema", "true")
-          .csv(conf.string("file-path"))
+          .csv(locator(conf, "file-path"))
       case "hive" =>
         spark.sql(conf.string("query"))
       case "jdbc" =>
         readJdbc(spark, conf)
-      case other => throw new IllegalArgumentException(s"unknown source storage-type: $other")
+      case other => throw new IllegalArgumentException(s"unknown source storage: $other")
     }
     // post-read transforms, reference order: distribute-by, transform-sql, sample, limit
-    conf.getString("distribute-by").foreach { key =>
-      val n = conf.getInt("n-partitions").getOrElse(df.sparkSession.sessionState.conf.numShufflePartitions)
+    distributeBy(conf).foreach { case (key, nOpt) =>
+      val n = nOpt.getOrElse(df.sparkSession.sessionState.conf.numShufflePartitions)
       df = df.repartition(n, col(key))
     }
     conf.getString("transform-sql").foreach { sql =>
@@ -61,21 +90,27 @@ object DataIO {
     df
   }
 
-  /** S1 option assembly, pure and unit-testable (no DB needed). The bare
-    * query is wrapped `(q) a` (reference `core.py:423-427`);
+  /** S1 option assembly, pure and unit-testable (no DB needed). The
+    * `conn { }` block spreads into reader options exactly like the
+    * reference passes `conn_params` through (`core.py:429,445`); legacy
+    * top-level url/user/password/driver keys are accepted too.
     * `probedBounds` are (min, max) — assigned min→lowerBound,
     * max→upperBound (the reference swaps them, `core.py:437-438`). */
   def jdbcReadOptions(conf: GraftConfig, probedBounds: Option[(Long, Long)] = None): Map[String, String] = {
-    val table = jdbcTable(conf)
-    val base = Map(
-      "url" -> conf.string("url"),
-      "dbtable" -> table,
+    val conn = conf.at("conn").flat.toMap
+    val url = conn.get("url").orElse(conf.getString("url"))
+      .getOrElse(throw new IllegalArgumentException("jdbc source needs conn.url (or url)"))
+    val base = conn ++ Map(
+      "url" -> url,
+      "dbtable" -> jdbcTable(conf),
       "fetchsize" -> conf.getInt("fetch-size").getOrElse(DefaultFetchSize).toString) ++
       conf.getString("driver").map("driver" -> _) ++
       conf.getString("user").map("user" -> _) ++
       conf.getString("password").map("password" -> _)
-    conf.getString("partition-column") match {
-      case Some(pc) =>
+    // partitioned read only when BOTH a column and num-partitions > 1 are
+    // configured (reference `core.py:431`)
+    (conf.getString("partition-column"), conf.getInt("num-partitions")) match {
+      case (Some(pc), Some(np)) if np > 1 =>
         val (lo, hi) = (conf.getLong("lower-bound"), conf.getLong("upper-bound")) match {
           case (Some(l), Some(h)) => (l, h)
           case _ => probedBounds.getOrElse(throw new IllegalStateException(
@@ -85,16 +120,22 @@ object DataIO {
           "partitionColumn" -> pc,
           "lowerBound" -> lo.toString,
           "upperBound" -> hi.toString,
-          "numPartitions" -> conf.getInt("num-partitions").getOrElse(50).toString)
-      case None => base
+          "numPartitions" -> np.toString)
+      case _ => base
     }
   }
 
-  /** The table-or-wrapped-query string for the JDBC reader. */
+  /** The dbtable string: a `query` is wrapped `(q) as a` unless it
+    * already matches the aliased form (reference regex,
+    * `core.py:424-427`); an explicit `table` passes through raw. */
   def jdbcTable(conf: GraftConfig): String =
     conf.getString("table")
-      .orElse(conf.getString("query").map(q => s"($q) a"))
+      .orElse(conf.getString("query").map(wrapJdbcQuery))
       .getOrElse(throw new IllegalArgumentException("jdbc source needs table or query"))
+
+  private val AliasedQuery = """\s*\(.+\)\s+[aA][sS]\s+\w+\s*""".r
+  def wrapJdbcQuery(q: String): String =
+    if (AliasedQuery.matches(q)) q else s"($q) as a"
 
   /** Bound-discovery probe SQL, pushed down to the remote DB. No extra
     * alias after `table`: it is either a plain name or an
@@ -102,9 +143,14 @@ object DataIO {
   def jdbcProbeSql(partitionColumn: String, table: String): String =
     s"(select min($partitionColumn) mn, max($partitionColumn) mx from $table) b"
 
-  /** K3 connection properties, pure and unit-testable. */
+  /** K3 connection properties, pure and unit-testable: the `conn { }`
+    * block passes through as properties (reference `core.py:207-208`),
+    * legacy top-level credentials accepted. */
   def jdbcWriteProps(conf: GraftConfig): java.util.Properties = {
     val props = new java.util.Properties()
+    conf.at("conn").flat.foreach { case (k, v) =>
+      if (k != "url") props.setProperty(k, v)
+    }
     conf.getString("user").foreach(props.setProperty("user", _))
     conf.getString("password").foreach(props.setProperty("password", _))
     conf.getString("driver").foreach(props.setProperty("driver", _))
@@ -114,6 +160,7 @@ object DataIO {
   /** True when a bound probe is needed before assembling read options. */
   def jdbcNeedsProbe(conf: GraftConfig): Boolean =
     conf.getString("partition-column").isDefined &&
+      conf.getInt("num-partitions").exists(_ > 1) &&
       (conf.getLong("lower-bound").isEmpty || conf.getLong("upper-bound").isEmpty)
 
   /** S1: JDBC table-or-query read with optional range partitioning
@@ -123,8 +170,10 @@ object DataIO {
     val bounds =
       if (jdbcNeedsProbe(conf)) {
         val pc = conf.string("partition-column")
+        val url = conf.at("conn").getString("url").orElse(conf.getString("url"))
+          .getOrElse(throw new IllegalArgumentException("jdbc source needs conn.url (or url)"))
         val probe = spark.read.format("jdbc")
-          .option("url", conf.string("url"))
+          .option("url", url)
           .option("dbtable", jdbcProbeSql(pc, jdbcTable(conf)))
           .load().first()
         Some((probe.getAs[Number]("mn").longValue(), probe.getAs[Number]("mx").longValue()))
@@ -137,26 +186,30 @@ object DataIO {
     if (conf.getBoolean("disabled").getOrElse(false)) return
     val spark = df0.sparkSession
     // K0 pre-write repartition (reference core.py:174-181)
-    var df = (conf.getString("distribute-by"), conf.getInt("n-partitions")) match {
-      case (Some(key), Some(n)) => df0.repartition(n, col(key))
-      case (Some(key), None)    => df0.repartition(col(key))
-      case (None, Some(n))      => df0.repartition(n)
-      case _                    => df0
+    var df = distributeBy(conf) match {
+      case Some((key, Some(n))) => df0.repartition(n, col(key))
+      case Some((key, None))    => df0.repartition(col(key))
+      case None => conf.getInt("n-partitions") match {
+        case Some(n) => df0.repartition(n)
+        case None    => df0
+      }
     }
-    val storage = conf.getString("storage-type").getOrElse("local")
+    val storage = storageOf(conf)
     storage match {
       case "local" | "hdfs" => // K1/K2 — file formats; default overwrite (core.py:190,199)
-        val fmt = conf.getString("dataset-store-format").getOrElse(if (storage == "local") "orc" else "parquet")
+        val fmt = conf.getString("dataset-store-format").getOrElse("orc")
         val mode = conf.getString("write-mode").getOrElse("overwrite")
         var w = df.write.mode(mode).format(fmt)
         conf.getList("partition-by").foreach(cols => w = w.partitionBy(cols: _*))
-        w.save(conf.string("dataset-dir"))
+        w.save(locator(conf, "dataset-dir"))
       case "jdbc" => // K3 — single-connection write (core.py:201-209); default append
+        val url = conf.at("conn").getString("url").orElse(conf.getString("url"))
+          .getOrElse(throw new IllegalArgumentException("jdbc target needs conn.url (or url)"))
         df.repartition(1).write
           .mode(conf.getString("write-mode").getOrElse("append"))
-          .jdbc(conf.string("url"), conf.string("table"), jdbcWriteProps(conf))
+          .jdbc(url, locator(conf, "table"), jdbcWriteProps(conf))
       case "hive" => // K4 — column-reordered insertInto vs saveAsTable (core.py:210-216,234-250)
-        val table = conf.string("table")
+        val table = locator(conf, "table")
         val fmt = conf.getString("dataset-store-format").getOrElse("orc")
         val mode = conf.getString("write-mode").getOrElse("append")
         if (spark.catalog.tableExists(table)) {
@@ -168,10 +221,10 @@ object DataIO {
           w.saveAsTable(table)
         }
       case "single-csv" => // K5 — one file with header (core.py:217-223)
-        writeSingleCsv(df, conf.string("file-path"), conf.getString("sep").getOrElse("\t"))
+        writeSingleCsv(df, locator(conf, "file-path"), conf.getString("sep").getOrElse("\t"))
       case "csv" => // K6 — constant-driver-memory streaming CSV (core.py:224-229,253-263)
-        writeStreamingCsv(df, conf.string("file-path"), conf.getString("sep").getOrElse("\t"))
-      case other => throw new IllegalArgumentException(s"unknown target storage-type: $other")
+        writeStreamingCsv(df, locator(conf, "file-path"), conf.getString("sep").getOrElse("\t"))
+      case other => throw new IllegalArgumentException(s"unknown target storage: $other")
     }
   }
 

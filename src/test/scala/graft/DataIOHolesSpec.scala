@@ -36,22 +36,66 @@ class DataIOHolesSpec extends SparkTestBase {
   }
 
   test("jdbcReadOptions: probed bounds map min->lower, max->upper") {
-    val conf = jdbcConf("partition-column = id")
+    val conf = jdbcConf("partition-column = id\nnum-partitions = 8")
     assert(DataIO.jdbcNeedsProbe(conf))
     val o = DataIO.jdbcReadOptions(conf, probedBounds = Some((3L, 42L)))
     assert(o("lowerBound") == "3") // min
     assert(o("upperBound") == "42") // max
     intercept[IllegalStateException] { DataIO.jdbcReadOptions(conf) }
+    // reference gate (core.py:431): no num-partitions → unpartitioned read
+    assert(!DataIO.jdbcNeedsProbe(jdbcConf("partition-column = id")))
+    assert(!DataIO.jdbcReadOptions(jdbcConf("partition-column = id")).contains("partitionColumn"))
   }
 
-  test("jdbcTable wraps a bare query as (q) a; probe SQL adds no second alias") {
+  test("jdbcTable wraps a query as (q) as a unless already aliased (core.py:424-427)") {
     val qc = GraftConfig.parse("url = u\nquery = \"select * from t where x > 0\"")
-    assert(DataIO.jdbcTable(qc) == "(select * from t where x > 0) a")
+    assert(DataIO.jdbcTable(qc) == "(select * from t where x > 0) as a")
+    // already-aliased queries pass through untouched
+    assert(DataIO.wrapJdbcQuery("(select 1) as z") == "(select 1) as z")
+    // bare table names via `query` wrap too (valid SQL), `table` stays raw
+    assert(DataIO.wrapJdbcQuery("facts") == "(facts) as a")
     val probe = DataIO.jdbcProbeSql("id", DataIO.jdbcTable(qc))
-    assert(probe == "(select min(id) mn, max(id) mx from (select * from t where x > 0) a) b")
-    assert(!probe.contains(") a x")) // the double-alias bug
-    assert(DataIO.jdbcProbeSql("id", "facts") ==
-      "(select min(id) mn, max(id) mx from facts) b")
+    assert(probe == "(select min(id) mn, max(id) mx from (select * from t where x > 0) as a) b")
+    assert(!probe.contains(") as a x")) // the double-alias bug
+  }
+
+  test("reference README config shape works verbatim (storage/query/conn)") {
+    // the Greenplum-to-Hive source example, reference README.md:126-140
+    val conf = GraftConfig.parse(
+      """storage: jdbc
+        |query: "jdbc_schema.jdbc_table"
+        |conn: {
+        |  url: "jdbc:postgresql://HOST:PORT/DATABASE"
+        |  user: gp_user
+        |}
+        |partition-column: gp_segment_id
+        |num-partitions: 50
+        |lower-bound: 0
+        |upper-bound: 95
+        |""".stripMargin)
+    val o = DataIO.jdbcReadOptions(conf)
+    assert(o("url") == "jdbc:postgresql://HOST:PORT/DATABASE")
+    assert(o("user") == "gp_user")
+    assert(o("dbtable") == "(jdbc_schema.jdbc_table) as a")
+    assert(o("partitionColumn") == "gp_segment_id")
+    assert(o("lowerBound") == "0" && o("upperBound") == "95")
+    assert(o("numPartitions") == "50")
+  }
+
+  test("reference keys read/write files: storage + query as path") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-refkeys").toString
+    val df = spark.read.parquet(s"$sfDir/region.parquet")
+    DataIO.write(df, GraftConfig.parse(
+      s"""storage: local
+         |query: $dir/out
+         |dataset-store-format: parquet
+         |write-mode: overwrite
+         |""".stripMargin))
+    val back = DataIO.read(spark, GraftConfig.parse(
+      s"""storage: local
+         |query: $dir/out
+         |""".stripMargin))
+    assert(back.count() == df.count())
   }
 
   test("jdbcWriteProps assembles only the configured credentials (K3)") {
