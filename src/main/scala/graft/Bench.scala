@@ -55,7 +55,15 @@ object Bench {
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.collect { case (_, v) if v >= 0 => v }.sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","failed":${failed.size}}""")
+    // subtotal over the round-1 query set (q1-q10), the set BASELINE's
+    // 14.36 s total was measured on — the apples-to-apples comparison
+    // now that the suite has grown
+    val baselineSet = Set(
+      "q1_pricing_summary", "q2_filter_cast", "q3_literal_meta", "q4_limit",
+      "q5_sample", "q6_join_agg", "q7_window_topn", "q8_stratified_sample",
+      "q9_group_count", "q10_minmax")
+    val baseTotal = results.collect { case (k, v) if baselineSet(k) && v >= 0 => v }.sum
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","failed":${failed.size},"baseline_set_total":$baseTotal,"n_queries":${results.size}}""")
     spark.stop()
     if (failed.nonEmpty) sys.exit(1)
   }

@@ -229,7 +229,8 @@ object SparkEntry {
         graft.streaming.Streams.windowedEventStats(
           graft.streaming.Streams.readEventStream(s, dir, "events.parquet"),
           windowLength = "1 hour", watermarkDelay = "2 hours"),
-        name, org.apache.spark.sql.streaming.OutputMode.Append())
+        name, org.apache.spark.sql.streaming.OutputMode.Append(),
+        shufflePartitions = Some(8)) // state sized to 5 event types
         .select(
           col("window_start").cast("long").as("window_start"),
           col("window_end").cast("long").as("window_end"),

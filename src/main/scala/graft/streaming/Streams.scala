@@ -126,15 +126,28 @@ object Streams {
   /** Run any of the above to completion over the files currently in the
     * directory (AvailableNow trigger + memory sink) and return the
     * result — the batch-parity harness used by specs and oracles. */
-  def runToMemory(stream: DataFrame, queryName: String, outputMode: OutputMode): DataFrame = {
+  def runToMemory(
+      stream: DataFrame,
+      queryName: String,
+      outputMode: OutputMode,
+      shufflePartitions: Option[Int] = None): DataFrame = {
     val spark = stream.sparkSession
-    val q = stream.writeStream
-      .format("memory")
-      .queryName(queryName)
-      .outputMode(outputMode)
-      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
+    // Stateful streaming creates one state-store instance per shuffle
+    // partition; for modest key cardinality that bootstrap dominates a
+    // run-to-completion query, so callers may right-size it here. The
+    // session value is restored afterwards (partition count is captured
+    // at query start).
+    val prev = spark.conf.get("spark.sql.shuffle.partitions")
+    shufflePartitions.foreach(n => spark.conf.set("spark.sql.shuffle.partitions", n))
+    try {
+      val q = stream.writeStream
+        .format("memory")
+        .queryName(queryName)
+        .outputMode(outputMode)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
     spark.table(queryName)
   }
 }
