@@ -64,8 +64,24 @@ object GraftConfig {
   val empty: GraftConfig = GraftConfig(Map.empty)
 
   def parseFile(path: String): GraftConfig =
-    parse(new String(java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(path)),
-      java.nio.charset.StandardCharsets.UTF_8))
+    parse(readWithIncludes(java.nio.file.Paths.get(path), depth = 0))
+
+  /** HOCON `include "file"` support (the reference's configs include
+    * shared spark blocks, `README.md:92`): each include line is spliced
+    * with the referenced file's content, paths resolved relative to the
+    * including file. Bounded depth guards include cycles. */
+  private def readWithIncludes(path: java.nio.file.Path, depth: Int): String = {
+    require(depth < 16, s"include depth > 16 — include cycle at $path")
+    val text = new String(java.nio.file.Files.readAllBytes(path),
+      java.nio.charset.StandardCharsets.UTF_8)
+    val inc = """^\s*include\s+"([^"]+)"\s*$""".r
+    text.linesIterator.map {
+      case inc(rel) =>
+        val target = Option(path.getParent).map(_.resolve(rel)).getOrElse(java.nio.file.Paths.get(rel))
+        readWithIncludes(target, depth + 1)
+      case line => line
+    }.mkString("\n")
+  }
 
   /** Parse a HOCON-subset document into a flattened config. A document may
     * optionally be wrapped in one top-level `{ }` (root-braced HOCON). */

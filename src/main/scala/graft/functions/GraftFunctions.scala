@@ -33,14 +33,15 @@ import org.apache.spark.unsafe.types.UTF8String
   * `GraftSparkExtensions` (spark.sql.extensions=graft.functions.GraftSparkExtensions).
   */
 object VecMath {
-  /** One-pass cosine similarity over float arrays (double accumulators). */
-  def cosine(a: ArrayData, b: ArrayData): Double = {
+  /** One-pass cosine similarity over float/double arrays (double
+    * accumulators); `aFloat`/`bFloat` select the element reader. */
+  def cosine(a: ArrayData, b: ArrayData, aFloat: Boolean, bFloat: Boolean): Double = {
     val n = math.min(a.numElements(), b.numElements())
     var dot = 0.0; var na = 0.0; var nb = 0.0
     var i = 0
     while (i < n) {
-      val x = a.getFloat(i).toDouble
-      val y = b.getFloat(i).toDouble
+      val x = if (aFloat) a.getFloat(i).toDouble else a.getDouble(i)
+      val y = if (bFloat) b.getFloat(i).toDouble else b.getDouble(i)
       dot += x * y; na += x * x; nb += y * y
       i += 1
     }
@@ -48,13 +49,7 @@ object VecMath {
     if (denom == 0.0) 0.0 else dot / denom
   }
 
-  def dot(a: ArrayData, b: ArrayData): Double = {
-    val n = math.min(a.numElements(), b.numElements())
-    var s = 0.0
-    var i = 0
-    while (i < n) { s += a.getFloat(i).toDouble * b.getFloat(i).toDouble; i += 1 }
-    s
-  }
+  def cosine(a: ArrayData, b: ArrayData): Double = cosine(a, b, aFloat = true, bFloat = true)
 }
 
 object SimHashImpl {
@@ -125,22 +120,32 @@ object SimHashImpl {
   }
 }
 
-/** `graft_cosine(array<float>, array<float>) -> double` */
+/** `graft_cosine(array<float|double>, array<float|double>) -> double` */
 case class CosineSimilarity(left: Expression, right: Expression)
     extends BinaryExpression {
-  override def checkInputDataTypes(): TypeCheckResult = (left.dataType, right.dataType) match {
-    case (ArrayType(FloatType, _), ArrayType(FloatType, _)) => TypeCheckResult.TypeCheckSuccess
-    case (l, r) => TypeCheckResult.TypeCheckFailure(
-      s"graft_cosine expects (array<float>, array<float>), got ($l, $r)")
+  private def elemFloat(t: DataType): Option[Boolean] = t match {
+    case ArrayType(FloatType, _)  => Some(true)
+    case ArrayType(DoubleType, _) => Some(false)
+    case _                        => None
   }
+  override def checkInputDataTypes(): TypeCheckResult =
+    (elemFloat(left.dataType), elemFloat(right.dataType)) match {
+      case (Some(_), Some(_)) => TypeCheckResult.TypeCheckSuccess
+      case _ => TypeCheckResult.TypeCheckFailure(
+        s"graft_cosine expects float/double arrays, got (${left.dataType}, ${right.dataType})")
+    }
   override def dataType: DataType = DoubleType
   override def prettyName: String = "graft_cosine"
 
+  private lazy val aFloat = elemFloat(left.dataType).get
+  private lazy val bFloat = elemFloat(right.dataType).get
+
   override protected def nullSafeEval(a: Any, b: Any): Any =
-    VecMath.cosine(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+    VecMath.cosine(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData], aFloat, bFloat)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    defineCodeGen(ctx, ev, (a, b) => s"graft.functions.VecMath.cosine($a, $b)")
+    defineCodeGen(ctx, ev,
+      (a, b) => s"graft.functions.VecMath.cosine($a, $b, $aFloat, $bFloat)")
 
   override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
     copy(left = l, right = r)

@@ -1,0 +1,91 @@
+package graft.tools
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Dev tool: stress the scale-critical operators on synthetic data well
+  * beyond the testdata SFs (generated distributed via spark.range — no
+  * driver materialization), and print wall times. Deterministic seeds.
+  *
+  *   runMain graft.tools.ScaleProbe [rows] [vectors]
+  *
+  * Defaults: 5M rows for dedup/histogram paths, 200k 64-dim vectors for
+  * the ANN paths (≈100× the sf0.1 corpus).
+  */
+object ScaleProbe {
+  def main(args: Array[String]): Unit = {
+    val nRows = if (args.length > 0) args(0).toLong else 5000000L
+    val nVecs = if (args.length > 1) args(1).toLong else 200000L
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    import spark.implicits._
+
+    def time[A](label: String)(body: => A): A = {
+      val t0 = System.nanoTime()
+      val r = body
+      println(f"$label%-42s ${(System.nanoTime() - t0) / 1e9}%8.2f s")
+      r
+    }
+
+    // --- synthetic documents: 26-word vocabulary, 40 tokens; every 10
+    // consecutive ids share identical text (built-in dup factor 10)
+    val words = array(('a' to 'z').map(c => lit(c.toString)): _*)
+    val docs = spark.range(nRows).select(
+      col("id").as("doc_id"),
+      concat_ws(" ", (0 until 40).map(i =>
+        element_at(words,
+          (pmod(xxhash64((col("id") / 10).cast("long"), lit(i)), lit(26)) + 1).cast("int"))): _*).as("text"))
+    println(s"rows=$nRows vectors=$nVecs cpus=$cpus")
+
+    val dedupCount = time("exact dedup groups (1 shuffle)") {
+      graft.llm.Dedup.exactDuplicateGroups(docs, "text", "doc_id").count()
+    }
+    println(s"  distinct contents: $dedupCount")
+
+    time("simhash fingerprints (codegen scan)") {
+      docs.select(graft.llm.Dedup.simHash(col("text"), gramSize = 3).as("sig"))
+        .write.format("noop").mode("overwrite").save()
+    }
+
+    time("quality + langid + tokens (codegen scan)") {
+      docs.select(
+        graft.llm.TextAnalysis.qualityScore(col("text")),
+        graft.llm.TextAnalysis.langId(col("text")),
+        graft.llm.TextAnalysis.wsTokenCount(col("text")))
+        .write.format("noop").mode("overwrite").save()
+    }
+
+    time("histogram sketch (one-pass agg)") {
+      docs.select(length(col("text")).as("x"))
+        .agg(graft.functions.HistogramSketch.sketch(col("x"))).head()
+    }
+
+    // --- synthetic embeddings: 64-dim, deterministic
+    val vecs = spark.range(nVecs).select(
+      col("id").as("vec_id"),
+      transform(sequence(lit(0), lit(63)),
+        i => (pmod(xxhash64(col("id"), i), lit(1000L)).cast("float") / 500f - 1f)).as("embedding"))
+      .cache()
+    vecs.count()
+
+    val queries = vecs.filter(col("vec_id") < 16)
+    time(s"brute-force KNN 16 queries x $nVecs corpus") {
+      graft.llm.Similarity.bruteForceTopK(queries, vecs, k = 10).count()
+    }
+
+    val (model, tagged0) = time("IVF build (KMeans 64 cells)") {
+      graft.llm.Similarity.ivfBuild(vecs, numCells = 64)
+    }
+    val tagged = tagged0.cache(); tagged.count()
+    time("IVF KNN 16 queries (nprobe 8/64)") {
+      graft.llm.Similarity.ivfTopK(queries, tagged, model, k = 10, nprobe = 8).count()
+    }
+
+    spark.stop()
+  }
+}

@@ -28,6 +28,25 @@ class CliSpec extends SparkTestBase {
     assert(conf.string("spark.app") == "x")
   }
 
+  test("include \"file\" splices shared config blocks (reference README.md:92)") {
+    val dir = tmp()
+    write(dir.resolve("shared.conf"),
+      """spark-prop { spark.sql.shuffle.partitions = 4 }
+        |app = shared-app
+        |""".stripMargin)
+    val main = write(dir.resolve("main.conf"),
+      """spark {
+        |  include "shared.conf"
+        |  app = main-app
+        |}
+        |source { storage = local, query = /x }
+        |""".stripMargin)
+    val conf = GraftConfig.parseFile(main)
+    assert(conf.string("spark.spark-prop.spark.sql.shuffle.partitions") == "4")
+    assert(conf.string("spark.app") == "main-app") // later key wins
+    assert(conf.string("source.query") == "/x")
+  }
+
   test("session folds spark-prop into the builder (B1/B2)") {
     // shared session already exists; getOrCreate returns it — assert the
     // config path on a value that is safe to set redundantly.
