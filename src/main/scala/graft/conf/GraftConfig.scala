@@ -84,16 +84,12 @@ object GraftConfig {
   }
 
   /** Parse a HOCON-subset document into a flattened config. A document may
-    * optionally be wrapped in one top-level `{ }` (root-braced HOCON). */
+    * optionally be wrapped in one top-level `{ }` (root-braced HOCON) —
+    * detected after comment/whitespace skipping, so leading or trailing
+    * comments around the braces are fine. */
   def parse(text: String): GraftConfig = {
-    val trimmed = text.trim
-    val body =
-      if (trimmed.startsWith("{") && trimmed.endsWith("}"))
-        trimmed.substring(1, trimmed.length - 1)
-      else text
-    val p = new Parser(body)
-    val raw = p.parseObject(topLevel = true)
-    GraftConfig(resolveSubstitutions(raw))
+    val p = new Parser(text)
+    GraftConfig(resolveSubstitutions(p.parseDocument()))
   }
 
   /** CLI-override protocol: unknown argv tokens of the form `a.b=c`
@@ -140,6 +136,18 @@ object GraftConfig {
         } else if (c == ' ' || c == '\t' || c == '\r' || (newlines && c == '\n')) pos += 1
         else done = true
       }
+    }
+
+    /** Whole document: either bare `k = v` pairs or one root-braced
+      * object, with comments allowed around the braces. */
+    def parseDocument(): Map[String, ConfValue] = {
+      skipWs(newlines = true)
+      if (!eof && peek == '{') {
+        val m = parseObject(topLevel = false)
+        skipWs(newlines = true)
+        require(eof, s"unexpected content after root object at $pos")
+        m
+      } else parseObject(topLevel = true)
     }
 
     def parseObject(topLevel: Boolean): Map[String, ConfValue] = {

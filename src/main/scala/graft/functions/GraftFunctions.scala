@@ -59,6 +59,10 @@ object SimHashImpl {
   def tokenHash(tok: UTF8String): Long =
     XxHash64Function.hash(tok, StringType, XxHashSeed)
 
+  /** Java-regex `\s` class: ASCII whitespace only. */
+  private def isRegexSpace(c: Char): Boolean =
+    c == ' ' || c == '\t' || c == '\n' || c == '\u000B' || c == '\f' || c == '\r'
+
   /** 64-bit SimHash over lowercased whitespace tokens; same bits as the
     * HOF formulation in `graft.llm.Dedup.simHash` (verified by spec). */
   def compute(text: UTF8String): Long = compute(text, 1)
@@ -79,7 +83,10 @@ object SimHashImpl {
     var tokStart = -1
     var i = 0
     while (i <= len) {
-      val isSpace = i == len || Character.isWhitespace(s.charAt(i))
+      // ASCII \s semantics, matching the HOF reference's split("\\s+")
+      // (Character.isWhitespace would also match Unicode spaces and
+      // silently diverge from the HOF fingerprints on web text)
+      val isSpace = i == len || isRegexSpace(s.charAt(i))
       if (!isSpace && tokStart < 0) tokStart = i
       else if (isSpace && tokStart >= 0) {
         ring(nTok % gramSize) = tokenHash(UTF8String.fromString(s.substring(tokStart, i)))
@@ -190,7 +197,14 @@ object GraftFunctions {
       (es: Seq[Expression]) => CosineSimilarity(es(0), es(1))),
     ("graft_simhash",
       new ExpressionInfo(classOf[SimHash64].getName, "graft_simhash"),
-      (es: Seq[Expression]) => SimHash64(es.head)))
+      (es: Seq[Expression]) => es match {
+        case Seq(text) => SimHash64(text)
+        case Seq(text, gram) =>
+          require(gram.foldable, "graft_simhash gramSize must be a literal")
+          SimHash64(text, gram.eval().asInstanceOf[Number].intValue())
+        case _ => throw new IllegalArgumentException(
+          s"graft_simhash takes 1-2 arguments, got ${es.length}")
+      }))
 
   /** Register into an existing session (idempotent). After this,
     * `call_function("graft_cosine", a, b)` / SQL `graft_cosine(a, b)`

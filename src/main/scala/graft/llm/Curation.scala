@@ -41,7 +41,9 @@ object Curation {
       .withColumn("lang_id", TextAnalysis.langId(col(textCol)))
       .withColumn("n_tokens", TextAnalysis.wsTokenCount(col(textCol)))
 
-  /** Stages 1-4. Returns surviving rows with the annotation columns. */
+  /** Stages 1-4. EAGER: materializes (and returns) a persisted survivor
+    * frame — the caller owns the handle and should `unpersist()` it when
+    * done; the intermediate dedup cache is released before returning. */
   def curate(
       docs: DataFrame,
       idCol: String,
@@ -85,7 +87,13 @@ object Curation {
     val verified = Dedup.verifyPairs(pairs, exact, idCol, textCol,
       minJaccard = conf.nearDupMinJaccard, n = conf.shingleSize)
     val dropIds = verified.select(col("id2").as(idCol)).distinct()
-    exact.join(dropIds, Seq(idCol), "left_anti")
+    val result = exact.join(dropIds, Seq(idCol), "left_anti")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // materialize the result, then release the intermediate — the caller
+    // owns (and can unpersist) the returned frame; nothing hidden leaks
+    result.count()
+    exact.unpersist()
+    result
   }
 
   /** Curation report: per-stage survivor counts for observability —

@@ -82,10 +82,16 @@ object Ops {
     * quota are dropped BEFORE the window shuffle; rate ≥ 1 keeps all),
     * then ranks the survivors exactly.
     *
-    * Deterministic given the seed and input partitioning. The thinning
-    * is safe w.h.p. for rank-agnostic tie-breakers (the reference's
-    * sampling intent); for adversarial tie-breakers raise `oversample`.
-    * Falls back to exact behavior when a stratum is small. */
+    * APPROXIMATE by design, in two ways callers must accept:
+    *  - the thinning is rank-blind Bernoulli, so with a MEANINGFUL
+    *    tie-breaker the result is the top-q of a random subset, not the
+    *    stratum's true top-q — use this only where the tie-breaker is
+    *    arbitrary (the reference's unordered-sampling semantics,
+    *    `core.py:543`); use [[proportionSamples]] for true top-q;
+    *  - a stratum can in principle under-fill its quota; the `minKeep`
+    *    floor keeps expected survivors ≥ max(oversample×quota, minKeep),
+    *    making under-fill probability negligible for quotas ≪ minKeep.
+    * Deterministic given the seed and input partitioning. */
   def proportionSamplesSkewSafe(
       df: DataFrame,
       proportions: DataFrame,
@@ -93,6 +99,7 @@ object Ops {
       tieBreaker: Seq[Column],
       countCol: String = "rows_count",
       oversample: Double = 4.0,
+      minKeep: Int = 200,
       seed: Long = 4233L): DataFrame = {
     require(!df.columns.contains(countCol),
       s"proportionSamplesSkewSafe: input already has a '$countCol' column")
@@ -102,7 +109,7 @@ object Ops {
       .join(broadcast(proportions), groupers, "inner")
       .join(broadcast(strataCounts), groupers, "inner")
     val keepRate = least(lit(1.0),
-      lit(oversample) * col(countCol) / col("__stratum_n"))
+      greatest(lit(oversample) * col(countCol), lit(minKeep.toDouble)) / col("__stratum_n"))
     val thinned = joined.filter(rand(seed) < keepRate).drop("__stratum_n")
     val rn = Iterator.from(0).map(i => s"__rownum$i").find(!df.columns.contains(_)).get
     val w0 = Window.partitionBy(groupers.map(col): _*)

@@ -100,10 +100,12 @@ object DataIO {
     val conn = conf.at("conn").flat.toMap
     val url = conn.get("url").orElse(conf.getString("url"))
       .getOrElse(throw new IllegalArgumentException("jdbc source needs conn.url (or url)"))
-    val base = conn ++ Map(
-      "url" -> url,
-      "dbtable" -> jdbcTable(conf),
-      "fetchsize" -> conf.getInt("fetch-size").getOrElse(DefaultFetchSize).toString) ++
+    // precedence: defaults < conn{} < explicit top-level keys — a
+    // conn-tuned fetchsize must never be clobbered by the default
+    val base = Map("fetchsize" -> DefaultFetchSize.toString) ++
+      conn ++
+      Map("url" -> url, "dbtable" -> jdbcTable(conf)) ++
+      conf.getInt("fetch-size").map("fetchsize" -> _.toString) ++
       conf.getString("driver").map("driver" -> _) ++
       conf.getString("user").map("user" -> _) ++
       conf.getString("password").map("password" -> _)

@@ -32,14 +32,17 @@ object FnBench {
     val q = emb.limit(200).select(col("vec_id").as("qid"), col("embedding").as("qv"))
     val pairs = emb.crossJoin(broadcast(q)) // 2000 × 200 = 400k pairs
 
+    // NB: Similarity.cosine / Dedup.simHash now DELEGATE to the native
+    // expressions — the HOF rows must call the private[graft] reference
+    // formulations or this benchmark compares native against itself.
     time("cosine HOF")(pairs.select(
-      graft.llm.Similarity.cosine(col("embedding"), col("qv")).as("c")))
+      graft.llm.Similarity.cosineHof(col("embedding"), col("qv")).as("c")))
     time("cosine native")(pairs.select(
       call_function("graft_cosine", col("embedding"), col("qv")).as("c")))
 
     val docs = spark.read.parquet(s"$sfDir/documents.parquet").cache()
     docs.count()
-    time("simhash HOF")(docs.select(graft.llm.Dedup.simHash(col("text")).as("s")))
+    time("simhash HOF")(docs.select(graft.llm.Dedup.simHashHof(col("text")).as("s")))
     time("simhash native")(docs.select(call_function("graft_simhash", col("text")).as("s")))
 
     spark.stop()

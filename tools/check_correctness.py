@@ -47,17 +47,26 @@ def main(sf_dir: str, out_dir: str) -> int:
         elif len(got) != len(want):
             status.append(f"rows spark={len(got)} duckdb={len(want)}")
         else:
-            if [str(t) for t in got.dtypes] != [str(t) for t in want.dtypes]:
-                # benign width differences (int32 vs int64) are absorbed by
-                # the per-column coercion below; report, don't fail
-                print(f"note {name}: dtypes spark={list(map(str, got.dtypes))} duckdb={list(map(str, want.dtypes))}")
+            import numpy as np
+            dtype_fail = []
+            for c in got.columns:
+                ga, wa = got[c].dtype, want[c].dtype
+                if ga != wa:
+                    # absorb only same-kind WIDENING (cast both to the wider
+                    # dtype) - narrowing the oracle to a buggy narrow Spark
+                    # result would mask truncation bugs
+                    if ga.kind == wa.kind and ga.kind in "iuf":
+                        wider = ga if ga.itemsize >= wa.itemsize else wa
+                        got[c] = got[c].astype(wider)
+                        want[c] = want[c].astype(wider)
+                        print(f"note {name}.{c}: widened {ga}/{wa} -> {wider}")
+                    else:
+                        dtype_fail.append(f"{c}: spark={ga} duckdb={wa}")
+            if dtype_fail:
+                status.append("dtypes " + "; ".join(dtype_fail))
             neq_cols = []
             for c in got.columns:
                 a, b = got[c], want[c]
-                try:
-                    b = b.astype(a.dtype)
-                except (TypeError, ValueError):
-                    pass
                 try:
                     eq = (a.values == b.values) | (pd.isna(a.values) & pd.isna(b.values))
                     if not eq.all():
