@@ -220,6 +220,15 @@ object DataIO {
         } else {
           var w = df.write.mode(mode).format(fmt)
           conf.getList("partition-by").foreach(cols => w = w.partitionBy(cols: _*))
+          // bucket-by + n-buckets: lay the table out hash-bucketed (and
+          // sorted) on the join key so equi-joins between co-bucketed
+          // tables plan WITHOUT a shuffle — the storage-level co-location
+          // knob for repeated big-table joins
+          conf.getList("bucket-by").foreach { cols =>
+            val n = conf.getInt("n-buckets").getOrElse(throw new IllegalArgumentException(
+              "bucket-by requires n-buckets"))
+            w = w.bucketBy(n, cols.head, cols.tail: _*).sortBy(cols.head, cols.tail: _*)
+          }
           w.saveAsTable(table)
         }
       case "single-csv" => // K5 — one file with header (core.py:217-223)

@@ -145,6 +145,27 @@ class DataIOHolesSpec extends SparkTestBase {
     } finally spark.sql(s"DROP TABLE IF EXISTS $table")
   }
 
+  test("bucketed tables join without a shuffle (co-located join layout)") {
+    val (t1, t2) = ("graft_bkt_orders", "graft_bkt_customer")
+    spark.sql(s"DROP TABLE IF EXISTS $t1"); spark.sql(s"DROP TABLE IF EXISTS $t2")
+    try {
+      DataIO.write(spark.read.parquet(s"$sfDir/orders.parquet"),
+        GraftConfig.parse(
+          s"storage = hive\ntable = $t1\ndataset-store-format = parquet\nbucket-by = [o_custkey]\nn-buckets = 4"))
+      DataIO.write(spark.read.parquet(s"$sfDir/customer.parquet")
+        .withColumnRenamed("c_custkey", "o_custkey"),
+        GraftConfig.parse(
+          s"storage = hive\ntable = $t2\ndataset-store-format = parquet\nbucket-by = [o_custkey]\nn-buckets = 4"))
+      val joined = spark.table(t1).join(spark.table(t2), "o_custkey")
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange hashpartitioning"),
+        s"bucketed join still shuffles:\n$plan")
+      assert(joined.count() > 0)
+    } finally {
+      spark.sql(s"DROP TABLE IF EXISTS $t1"); spark.sql(s"DROP TABLE IF EXISTS $t2")
+    }
+  }
+
   // -------------------------------------------------- R15 partition iter
 
   test("partitionIterator streams all rows in partition order (R15)") {
