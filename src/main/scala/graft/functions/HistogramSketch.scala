@@ -44,33 +44,42 @@ object HistogramSketchImpl {
 
     private def maybeCompress(): Unit = if (n >= cs.length) compress(maxCentroids)
 
-    /** Sort by centroid and greedily merge nearest pairs down to `target`. */
+    /** Sort by centroid and merge smallest-gap adjacent pairs down to
+      * `target`. Runs in sweeps: each sweep merges every pair whose gap
+      * is at or below the (excess)-th smallest gap, each element merged
+      * at most once per sweep — O(n log n) per sweep, a few sweeps per
+      * compression, vs. the naive globally-nearest-pair loop's O(n²)
+      * which would dominate the per-row update path of a 100 TB scan. */
     def compress(target: Int): Unit = {
-      if (n <= target) return
-      val idx = (0 until n).sortBy(cs)
-      val sc = idx.map(cs).toArray
-      val sw = idx.map(ws).toArray
-      var m = n
-      while (m > target) {
-        // find the closest adjacent pair
-        var best = 0
-        var bestGap = Double.MaxValue
-        var i = 0
-        while (i < m - 1) {
-          val gap = sc(i + 1) - sc(i)
-          if (gap < bestGap) { bestGap = gap; best = i }
-          i += 1
+      while (n > target) {
+        val idx = (0 until n).sortBy(cs)
+        val sc = idx.map(cs).toArray
+        val sw = idx.map(ws).toArray
+        val m = n
+        val gaps = Array.tabulate(m - 1)(i => sc(i + 1) - sc(i))
+        val excess = m - target
+        val threshold = gaps.sorted.apply(math.min(excess, gaps.length) - 1)
+        val outC = new Array[Double](m)
+        val outW = new Array[Long](m)
+        var (i, o, merged) = (0, 0, 0)
+        while (i < m) {
+          if (i < m - 1 && merged < excess && gaps(i) <= threshold) {
+            val w = sw(i) + sw(i + 1)
+            outC(o) = (sc(i) * sw(i) + sc(i + 1) * sw(i + 1)) / w
+            outW(o) = w
+            merged += 1
+            i += 2
+          } else {
+            outC(o) = sc(i); outW(o) = sw(i)
+            i += 1
+          }
+          o += 1
         }
-        val w = sw(best) + sw(best + 1)
-        sc(best) = (sc(best) * sw(best) + sc(best + 1) * sw(best + 1)) / w
-        sw(best) = w
-        System.arraycopy(sc, best + 2, sc, best + 1, m - best - 2)
-        System.arraycopy(sw, best + 2, sw, best + 1, m - best - 2)
-        m -= 1
+        System.arraycopy(outC, 0, cs, 0, o)
+        System.arraycopy(outW, 0, ws, 0, o)
+        n = o
+        if (merged == 0) return // defensive: cannot shrink further
       }
-      System.arraycopy(sc, 0, cs, 0, m)
-      System.arraycopy(sw, 0, ws, 0, m)
-      n = m
     }
 
     def mergeWith(other: Sketch): Unit = {
@@ -170,7 +179,11 @@ case class HistogramSketchAgg(
 
   override def update(buf: HistogramSketchImpl.Sketch, input: InternalRow): HistogramSketchImpl.Sketch = {
     val v = child.eval(input)
-    if (v != null) buf.insert(v.asInstanceOf[Number].doubleValue())
+    if (v != null) buf.insert(v match {
+      case d: org.apache.spark.sql.types.Decimal => d.toDouble // not a java.lang.Number
+      case n: Number => n.doubleValue()
+      case other => other.toString.toDouble
+    })
     buf
   }
 

@@ -49,6 +49,8 @@ object Curation {
       idCol: String,
       textCol: String,
       conf: Config = Config()): DataFrame = {
+    require(Set("simhash", "minhash").contains(conf.nearDupStrategy),
+      s"unknown nearDupStrategy: ${conf.nearDupStrategy}") // before any work/persist
     // 1-2: annotate + cheap filters (pushed toward the scan)
     var df = annotate(docs, textCol).filter(col("quality") >= conf.minQuality)
     if (conf.langs.nonEmpty)
@@ -84,16 +86,17 @@ object Curation {
           shingleSize = conf.shingleSize)
       case other => throw new IllegalArgumentException(s"unknown nearDupStrategy: $other")
     }
-    val verified = Dedup.verifyPairs(pairs, exact, idCol, textCol,
-      minJaccard = conf.nearDupMinJaccard, n = conf.shingleSize)
-    val dropIds = verified.select(col("id2").as(idCol)).distinct()
-    val result = exact.join(dropIds, Seq(idCol), "left_anti")
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    // materialize the result, then release the intermediate — the caller
-    // owns (and can unpersist) the returned frame; nothing hidden leaks
-    result.count()
-    exact.unpersist()
-    result
+    try {
+      val verified = Dedup.verifyPairs(pairs, exact, idCol, textCol,
+        minJaccard = conf.nearDupMinJaccard, n = conf.shingleSize)
+      val dropIds = verified.select(col("id2").as(idCol)).distinct()
+      val result = exact.join(dropIds, Seq(idCol), "left_anti")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      // materialize the result, then release the intermediate — the
+      // caller owns (and should unpersist) the returned frame
+      result.count()
+      result
+    } finally { exact.unpersist(); () }
   }
 
   /** Curation report: per-stage survivor counts for observability —
@@ -104,8 +107,9 @@ object Curation {
     try {
       val total = annotated.count()
       val afterQuality = annotated.filter(col("quality") >= conf.minQuality).count()
-      val curated = curate(docs, idCol, textCol, conf).count()
-      Map("input" -> total, "after_quality" -> afterQuality, "curated" -> curated)
+      val curatedDf = curate(docs, idCol, textCol, conf)
+      try Map("input" -> total, "after_quality" -> afterQuality, "curated" -> curatedDf.count())
+      finally { curatedDf.unpersist(); () } // we own this handle here
     } finally { annotated.unpersist(); () }
   }
 }

@@ -62,7 +62,12 @@ object Similarity {
     * independent of corpus size. A window row_number here would shuffle
     * every scored pair instead. */
   private def rankTopK(scored: DataFrame, k: Int): DataFrame =
-    scored.groupBy("query_id")
+    scored
+      // null scores (null embeddings) would crash the primitive-tuple
+      // aggregator encoder; the window formulation ranks them last, so
+      // dropping them changes nothing for k below the non-null count
+      .filter(col("cos_sim").isNotNull && col("neighbor_id").isNotNull)
+      .groupBy("query_id")
       .agg(graft.functions.TopK.topK(k)(col("cos_sim"), col("neighbor_id")).as("__topk"))
       .select(col("query_id"), posexplode(col("__topk")).as(Seq("__pos", "__e")))
       .select(col("query_id"), col("__e._2").as("neighbor_id"),

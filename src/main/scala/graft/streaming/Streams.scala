@@ -42,8 +42,11 @@ object Streams {
       .option("pathGlobFilter", globFilter)
       .parquet(dir)
 
-  /** Nanos-long → event-time timestamp column. */
-  def eventTime(ts: Column): Column = timestamp_micros((ts / 1000L).cast("long"))
+  /** Nanos-long → event-time timestamp column. Integer division: `/` on
+    * Columns is double division, and epoch-nanos exceed a double's
+    * 53-bit mantissa — events within 1 µs of a window boundary would
+    * land in the wrong bucket. */
+  def eventTime(ts: Column): Column = timestamp_micros(call_function("div", ts, lit(1000L)))
 
   /** Event-time tumbling-window stats per event type, with a watermark
     * that bounds state: counts + value aggregates per (window, type). */
@@ -71,10 +74,9 @@ object Streams {
       events: DataFrame,
       gap: String = "30 minutes",
       watermarkDelay: String = "2 hours"): DataFrame = {
-    val base = events.withColumn("event_time", eventTime(col("ts")))
-    val withWm =
-      if (base.isStreaming) base.withWatermark("event_time", watermarkDelay) else base
-    withWm
+    // withWatermark is a no-op on batch plans (EliminateEventTimeWatermark)
+    events.withColumn("event_time", eventTime(col("ts")))
+      .withWatermark("event_time", watermarkDelay)
       .groupBy(session_window(col("event_time"), gap), col("user_id"))
       .agg(count(lit(1)).as("n_events"), round(sum("value"), 4).as("sum_value"))
       .select(
@@ -85,11 +87,16 @@ object Streams {
 
   /** In-stream exact dedup on event id: duplicates arriving within the
     * watermark horizon are dropped; state is bounded by the watermark. */
-  def dedupEventStream(events: DataFrame, watermarkDelay: String = "2 hours"): DataFrame =
-    events
+  def dedupEventStream(events: DataFrame, watermarkDelay: String = "2 hours"): DataFrame = {
+    val wm = events
       .withColumn("event_time", eventTime(col("ts")))
       .withWatermark("event_time", watermarkDelay)
-      .dropDuplicates("event_id")
+    // dropDuplicates on the id alone would keep state for every id ever
+    // seen (state is only evicted when the watermarked column is part of
+    // the key); the WithinWatermark variant expires ids with the horizon
+    if (wm.isStreaming) wm.dropDuplicatesWithinWatermark("event_id")
+    else wm.dropDuplicates("event_id")
+  }
 
   /** Streaming model scoring: stateless, so the batch scorer's
     * expression path applies verbatim (graft.ml.Scorer.scoreExpr works
@@ -109,6 +116,9 @@ object Streams {
     import spark.implicits._
     events
       .select(col("user_id").as("userId"), col("ts"), col("value"))
+      // a single null in a nullable source field would kill the whole
+      // streaming query at primitive-tuple deserialization
+      .filter(col("userId").isNotNull && col("ts").isNotNull && col("value").isNotNull)
       .as[(Long, Long, Double)]
       .groupByKey(_._1)
       .mapGroupsWithState[UserStats, UserStats](GroupStateTimeout.NoTimeout) {
