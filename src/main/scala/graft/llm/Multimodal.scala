@@ -85,12 +85,16 @@ object Multimodal {
       (df.columns.indexOf(idCol), df.columns.indexOf(contentCol), df.columns.indexOf(metaCol))
     df.mapPartitions { it =>
       it.grouped(batchSize).flatMap { batch =>
-        batch.map { row =>
-          val meta = Option(row.getMap[String, String](mIdx))
-            .map(_.toMap).getOrElse(Map.empty[String, String])
-          val d = decoder.decode(row.getAs[Array[Byte]](cIdx), meta)
-          Row(row.get(idIdx), d.width, d.height, d.channels,
-            meanPool(d.data, featureDim).toSeq)
+        batch.flatMap { row =>
+          val content = row.getAs[Array[Byte]](cIdx)
+          if (content == null) None // null assets are skipped, not decoded
+          else {
+            val meta = Option(row.getMap[String, String](mIdx))
+              .map(_.toMap).getOrElse(Map.empty[String, String])
+            val d = decoder.decode(content, meta)
+            Some(Row(row.get(idIdx), d.width, d.height, d.channels,
+              meanPool(d.data, featureDim).toSeq))
+          }
         }
       }
     }(Encoders.row(schema))
@@ -144,8 +148,10 @@ object Multimodal {
       everyN: Int,
       metaCol: String = "meta"): DataFrame = {
     val n = element_at(col(metaCol), "n_frames").cast("int")
+    // zero/missing n_frames → no rows (explode skips null), not a
+    // phantom frame 0
     df.withColumn("frame_idx",
-      explode(sequence(lit(0), greatest(n - 1, lit(0)), lit(everyN))))
+      explode(when(n >= 1, sequence(lit(0), n - 1, lit(everyN)))))
   }
 
   /** Wrap any table into the media layout for tests/examples: content =

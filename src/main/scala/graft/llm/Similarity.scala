@@ -47,10 +47,13 @@ object Similarity {
 
   def norm2(a: Column): Column = sqrt(dot(a, a))
 
-  /** L2-normalize an array<float> column (unit sphere). */
+  /** L2-normalize an array<float> column (unit sphere). A zero vector
+    * stays zero — non-ANSI x/0.0 would yield NULL elements, which
+    * crashes downstream `array_to_vector`. */
   def l2Normalize(a: Column): Column = {
     val n = norm2(a)
-    transform(a, x => (x.cast("double") / n).cast("float"))
+    when(n === 0.0, a)
+      .otherwise(transform(a, x => (x.cast("double") / n).cast("float")))
   }
 
   // ------------------------------------------------------- brute force
@@ -61,7 +64,18 @@ object Similarity {
     * shuffle, so the exchange carries O(partitions × |Q| × k) rows —
     * independent of corpus size. A window row_number here would shuffle
     * every scored pair instead. */
-  private def rankTopK(scored: DataFrame, k: Int): DataFrame =
+  private def rankTopK(scored: DataFrame, k: Int): DataFrame = {
+    // the bounded-heap aggregator encodes ids as Long; non-integral id
+    // types (e.g. string ids) fall back to the window formulation
+    // rather than crash in an implicit lossy cast
+    val integral = scored.schema("neighbor_id").dataType match {
+      case org.apache.spark.sql.types.ByteType | org.apache.spark.sql.types.ShortType |
+           org.apache.spark.sql.types.IntegerType | org.apache.spark.sql.types.LongType => true
+      case _ => false
+    }
+    if (!integral) return rankTopKWindow(
+      scored.filter(col("cos_sim").isNotNull), k)
+      .select("query_id", "neighbor_id", "cos_sim", "rank")
     scored
       // null scores (null embeddings) would crash the primitive-tuple
       // aggregator encoder; the window formulation ranks them last, so
@@ -72,6 +86,7 @@ object Similarity {
       .select(col("query_id"), posexplode(col("__topk")).as(Seq("__pos", "__e")))
       .select(col("query_id"), col("__e._2").as("neighbor_id"),
         col("__e._1").as("cos_sim"), (col("__pos") + 1).cast("long").as("rank"))
+  }
 
   /** The window formulation kept as the independent reference the
     * aggregator is verified against (SimilaritySpec). */
@@ -145,15 +160,20 @@ object Similarity {
         row_number().over(Window.partitionBy("query_id").orderBy(col("__csim").desc, col("cell"))))
       .filter(col("__crank") <= nprobe)
       .select("query_id", "__qv", "cell")
-    // collect the probed cell ids (≤ |Q|×nprobe ints — bounded by the
-    // small-queries contract) so the corpus filter is a plain IN-list:
-    // on a cell-partitioned corpus layout (ivfSave) this becomes file-
-    // level partition pruning — only nprobe directories are read.
-    val cells = probed.select("cell").distinct().collect().map(_.getInt(0)).toSeq
+    // materialize the probe result ONCE (≤ |Q|×nprobe rows — bounded by
+    // the small-queries contract): both the distinct cell IN-list and
+    // the join side derive from the same collected rows, so the probe
+    // plan is not recomputed and cannot disagree with itself. On a
+    // cell-partitioned corpus layout (ivfSave) the IN-list filter is
+    // file-level partition pruning — only nprobe directories are read.
+    val probedRows = probed.collect()
+    val probedDf = spark.createDataFrame(
+      java.util.Arrays.asList(probedRows: _*), probed.schema)
+    val cells = probedRows.map(_.getAs[Int]("cell")).distinct.toSeq
     val c = taggedCorpus
       .filter(col("cell").isin(cells: _*))
       .select(col(idCol).as("neighbor_id"), col(vecCol).as("__cv"), col("cell"))
-    val scored = c.join(broadcast(probed), Seq("cell"))
+    val scored = c.join(broadcast(probedDf), Seq("cell"))
       .filter(col("neighbor_id") =!= col("query_id"))
       .select(col("query_id"), col("neighbor_id"),
         cosine(col("__qv"), col("__cv")).as("cos_sim"))

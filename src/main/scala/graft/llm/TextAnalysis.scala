@@ -49,14 +49,18 @@ object TextAnalysis {
   )
 
   /** Fraction of tokens that are stopwords of `lang` — high for natural
-    * prose, near zero for boilerplate/code/garbage. */
-  def stopwordRatio(c: Column, lang: String = "en"): Column = {
-    val stops = StopwordProfiles(lang)
-    val toks = Dedup.tokens(c)
-    val hits = size(filter(toks, t => t.isin(stops: _*)))
-    when(size(toks) === 0, lit(0.0))
-      .otherwise(hits.cast("double") / size(toks))
-  }
+    * prose, near zero for boilerplate/code/garbage. Languages without a
+    * profile (incl. langId's own "zh"/"unknown" outputs) score 0 rather
+    * than throwing. */
+  def stopwordRatio(c: Column, lang: String = "en"): Column =
+    StopwordProfiles.get(lang) match {
+      case None | Some(Nil) => lit(0.0)
+      case Some(stops) =>
+        val toks = Dedup.tokens(c)
+        val hits = size(filter(toks, t => t.isin(stops: _*)))
+        when(size(toks) === 0, lit(0.0))
+          .otherwise(hits.cast("double") / size(toks))
+    }
 
   /** Composite quality score in [0,1]: length sufficiency (40%),
     * stopword presence (40%), punctuation sanity (20%). Deterministic

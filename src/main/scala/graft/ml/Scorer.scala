@@ -97,13 +97,20 @@ object Scorer {
     val savedIdx = saved.map(colIdx).toArray
     val modelBc = spark.sparkContext.broadcast(model)
     val colsBc = spark.sparkContext.broadcast(colIdx)
+    val binaryClassifier = model.isClassifier && model.numOutputs == 2
     df.mapPartitions { it =>
       val mdl = modelBc.value
       val cols = colsBc.value
       it.grouped(batchSize).flatMap { batch =>
         val preds = mdl.predictBatch(batch, cols)
+        require(preds.size == batch.size,
+          s"model returned ${preds.size} predictions for ${batch.size} rows")
         batch.lazyZip(preds).map { (row, p) =>
-          Row.fromSeq(savedIdx.map(row.get).toSeq ++ p.map(_.toFloat))
+          require(p.length == mdl.numOutputs,
+            s"model returned ${p.length} outputs, declared ${mdl.numOutputs}")
+          // binary classifiers emit ONE column = P(class 1) (core.py:60-61)
+          val out = if (binaryClassifier) Seq(p(1)) else p.toSeq
+          Row.fromSeq(savedIdx.map(row.get).toSeq ++ out.map(_.toFloat))
         }
       }
     }(Encoders.row(schema))

@@ -5,7 +5,7 @@ import org.apache.spark.ml.{Pipeline, PipelineModel, PipelineStage}
 import org.apache.spark.ml.classification.{GBTClassifier, LogisticRegression, RandomForestClassifier}
 import org.apache.spark.ml.feature.VectorAssembler
 import org.apache.spark.ml.functions.vector_to_array
-import org.apache.spark.ml.param.{BooleanParam, DoubleParam, IntParam, LongParam, Param}
+import org.apache.spark.ml.param.{BooleanParam, DoubleArrayParam, DoubleParam, FloatParam, IntArrayParam, IntParam, LongParam, Param, StringArrayParam}
 import org.apache.spark.ml.regression.{GBTRegressor, LinearRegression, RandomForestRegressor}
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
@@ -35,12 +35,15 @@ import org.apache.spark.sql.types.NumericType
   */
 object Trainer {
 
-  /** All-null column drop as one aggregate pass (`trainer.py:50`). */
+  /** All-null column drop as one aggregate pass (`trainer.py:50`).
+    * Positional lookups — name-based ones could collide with user
+    * column names. */
   def dropAllNullColumns(df: DataFrame): DataFrame = {
-    val counts = df.agg(
-      count(lit(1)).as("__rows"),
-      df.columns.map(c => count(col(c)).as(c)).toIndexedSeq: _*).head()
-    val keep = df.columns.filter(c => counts.getAs[Long](c) > 0L)
+    val aggs = df.columns.map(c => count(col(c)))
+    val counts = df.agg(aggs.head, aggs.tail.toIndexedSeq: _*).head()
+    val keep = df.columns.zipWithIndex.collect {
+      case (c, i) if counts.getLong(i) > 0L => c
+    }
     df.select(keep.map(col).toIndexedSeq: _*)
   }
 
@@ -60,7 +63,11 @@ object Trainer {
         case _: IntParam     => value.trim.toInt
         case _: LongParam    => value.trim.toLong
         case _: DoubleParam  => value.trim.toDouble
+        case _: FloatParam   => value.trim.toFloat
         case _: BooleanParam => value.trim.toBoolean
+        case _: DoubleArrayParam => value.split(",").map(_.trim.toDouble)
+        case _: IntArrayParam    => value.split(",").map(_.trim.toInt)
+        case _: StringArrayParam => value.split(",").map(_.trim)
         case _: Param[_]     => value
       }
       stage.set(p.asInstanceOf[Param[Any]], v)

@@ -33,9 +33,16 @@ class ScorerSpec extends SparkTestBase {
       def predictBatch(rows: Seq[Row], cols: Map[String, Int]) =
         rows.map { r => val p = r.getDouble(cols("f1")); Array(1 - p, p) }
     }
-    val scored = Scorer.score(featureDf(50), model, colsToSave = Seq("id"))
+    val df = featureDf(50).cache()
+    val scored = Scorer.score(df, model, colsToSave = Seq("id"))
     assert(scored.columns.toSeq == Seq("id", "target_proba"))
-    scored.collect() // single float column = probability of class 1
+    // target_proba must be P(class 1) = f1, NOT P(class 0) = 1 - f1
+    val want = df.collect().map(r => r.getLong(0) -> r.getDouble(1).toFloat).toMap
+    scored.collect().foreach { r =>
+      assert(math.abs(r.getFloat(1) - want(r.getLong(0))) < 1e-6,
+        s"target_proba is not P(class 1) for id ${r.getLong(0)}")
+    }
+    df.unpersist()
   }
 
   test("multiclass emits one column per class, default names class{i} (core.py:63-67)") {
