@@ -169,7 +169,22 @@ object GraftConfig {
             if (!eof && (peek == '=' || peek == ':')) { pos += 1; skipWs(newlines = false) }
             if (!eof && peek == '{')
               out = merge(out, parseObject(topLevel = false).map { case (k, v) => s"$key.$k" -> v })
-            else out += key -> parseValue()
+            else {
+              sawQuote = false
+              val v = parseValue()
+              // an EMPTY unquoted value means malformed input — commonly
+              // an unbracketed list 'k = a, b' whose tail would otherwise
+              // become a phantom key with an empty value (silent data
+              // loss downstream); explicit empty needs quotes: k = ""
+              v match {
+                case CStr("") if !sawQuote =>
+                  throw new IllegalArgumentException(
+                    s"missing value for key '$key' near position $pos " +
+                      "(unbracketed list? write k = [a, b]; empty value? write k = \"\")")
+                case _ => ()
+              }
+              out += key -> v
+            }
           }
         }
       }
@@ -178,6 +193,10 @@ object GraftConfig {
 
     /** Later keys override earlier (HOCON object merge). */
     private def merge(a: Map[String, ConfValue], b: Map[String, ConfValue]) = a ++ b
+
+    /** Set by parseValue when the scalar consumed a quoted section —
+      * distinguishes an intentional `k = ""` from a missing value. */
+    private var sawQuote = false
 
     private def parseKey(): String = {
       skipWs(newlines = true)
@@ -215,7 +234,7 @@ object GraftConfig {
             val c = peek
             if (c == '\n' || c == ',' || c == '}' || c == ']' || c == '#') done = true
             else if (c == '/' && pos + 1 < text.length && text.charAt(pos + 1) == '/') done = true
-            else if (c == '"') sb ++= parseQuoted()
+            else if (c == '"') { sawQuote = true; sb ++= parseQuoted() }
             else if (c == '$' && pos + 1 < text.length && text.charAt(pos + 1) == '{') {
               while (!eof && peek != '}') { sb += peek; pos += 1 }
               if (!eof) { sb += '}'; pos += 1 }

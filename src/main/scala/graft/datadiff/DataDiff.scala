@@ -72,6 +72,15 @@ object DataDiff {
     * freq double)` over occupied bins. */
   def continuousHistogramDF(df: DataFrame, columnName: String, edges: Array[Double]): DataFrame = {
     require(edges.length >= 2, s"need >=2 bin edges, got ${edges.length}")
+    // bin index arithmetic assumes EQUI-WIDTH edges (the only kind this
+    // module produces); arbitrary edges would silently mis-bin
+    if (edges.length > 2) {
+      val w = (edges.last - edges.head) / (edges.length - 1)
+      val uniform = edges.sliding(2).forall { case Array(a, b) =>
+        math.abs((b - a) - w) <= math.max(1e-9, math.abs(w) * 1e-9)
+      }
+      require(uniform, "continuousHistogramDF requires equi-width edges (use equiWidthEdges)")
+    }
     val bins = edges.length - 1
     val (lo, hi) = (edges.head, edges.last)
     val idx = least(
@@ -102,7 +111,9 @@ object DataDiff {
     val a = h1.select(col("bin").cast("string").as("bin"), col("freq").as("p1"))
     val b = h2.select(col("bin").cast("string").as("bin"), col("freq").as("p2"))
     a.join(b, Seq("bin"), "full_outer")
-      .agg((sum(abs(coalesce(col("p1"), lit(0.0)) - coalesce(col("p2"), lit(0.0)))) / 2).as("tvd"))
+      .agg(coalesce( // empty inputs: sum over zero rows is null, TVD is 0
+        sum(abs(coalesce(col("p1"), lit(0.0)) - coalesce(col("p2"), lit(0.0)))) / 2,
+        lit(0.0)).as("tvd"))
       .head().getDouble(0)
   }
 
@@ -135,7 +146,9 @@ object DataDiff {
     counts.groupBy("bin")
       .agg(sum(when(col("side") === 1, col("freq"))).as("p1"),
         sum(when(col("side") === 2, col("freq"))).as("p2"))
-      .agg((sum(abs(coalesce(col("p1"), lit(0.0)) - coalesce(col("p2"), lit(0.0)))) / 2).as("tvd"))
+      .agg(coalesce(
+        sum(abs(coalesce(col("p1"), lit(0.0)) - coalesce(col("p2"), lit(0.0)))) / 2,
+        lit(0.0)).as("tvd"))
   }
 
   def tvdSameTable(df: DataFrame, col1: String, col2: String,

@@ -103,15 +103,17 @@ object Ops {
       seed: Long = 4233L): DataFrame = {
     require(!df.columns.contains(countCol),
       s"proportionSamplesSkewSafe: input already has a '$countCol' column")
+    val taken = df.columns.toSet ++ proportions.columns
+    val cnt = Iterator.from(0).map(i => s"__stratum_n$i").find(!taken(_)).get
     val strataCounts = df.groupBy(groupers.map(col): _*)
-      .agg(count(lit(1)).as("__stratum_n"))
+      .agg(count(lit(1)).as(cnt))
     val joined = df
       .join(broadcast(proportions), groupers, "inner")
       .join(broadcast(strataCounts), groupers, "inner")
     val keepRate = least(lit(1.0),
-      greatest(lit(oversample) * col(countCol), lit(minKeep.toDouble)) / col("__stratum_n"))
-    val thinned = joined.filter(rand(seed) < keepRate).drop("__stratum_n")
-    val rn = Iterator.from(0).map(i => s"__rownum$i").find(!df.columns.contains(_)).get
+      greatest(lit(oversample) * col(countCol), lit(minKeep.toDouble)) / col(cnt))
+    val thinned = joined.filter(rand(seed) < keepRate).drop(cnt)
+    val rn = Iterator.from(0).map(i => s"__rownum$i").find(!taken(_)).get
     val w0 = Window.partitionBy(groupers.map(col): _*)
     val w = if (tieBreaker.isEmpty) w0.orderBy(monotonically_increasing_id()) else w0.orderBy(tieBreaker: _*)
     thinned

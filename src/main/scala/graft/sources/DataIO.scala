@@ -97,18 +97,6 @@ object DataIO {
     * `probedBounds` are (min, max) — assigned min→lowerBound,
     * max→upperBound (the reference swaps them, `core.py:437-438`). */
   def jdbcReadOptions(conf: GraftConfig, probedBounds: Option[(Long, Long)] = None): Map[String, String] = {
-    val conn = conf.at("conn").flat.toMap
-    val url = conn.get("url").orElse(conf.getString("url"))
-      .getOrElse(throw new IllegalArgumentException("jdbc source needs conn.url (or url)"))
-    // precedence: defaults < conn{} < explicit top-level keys — a
-    // conn-tuned fetchsize must never be clobbered by the default
-    val base = Map("fetchsize" -> DefaultFetchSize.toString) ++
-      conn ++
-      Map("url" -> url, "dbtable" -> jdbcTable(conf)) ++
-      conf.getInt("fetch-size").map("fetchsize" -> _.toString) ++
-      conf.getString("driver").map("driver" -> _) ++
-      conf.getString("user").map("user" -> _) ++
-      conf.getString("password").map("password" -> _)
     // partitioned read only when BOTH a column and num-partitions > 1 are
     // configured (reference `core.py:431`)
     (conf.getString("partition-column"), conf.getInt("num-partitions")) match {
@@ -118,13 +106,32 @@ object DataIO {
           case _ => probedBounds.getOrElse(throw new IllegalStateException(
             s"partition-column $pc needs bounds: configure lower-bound/upper-bound or probe them"))
         }
-        base ++ Map(
+        jdbcBaseOptions(conf) ++ Map(
           "partitionColumn" -> pc,
           "lowerBound" -> lo.toString,
           "upperBound" -> hi.toString,
           "numPartitions" -> np.toString)
-      case _ => base
+      case _ => jdbcBaseOptions(conf)
     }
+  }
+
+  /** Connection + table options without the partitioning keys — shared
+    * by the real read and the bound probe (which must carry the same
+    * credentials/driver or fail against any authenticated DB). */
+  def jdbcBaseOptions(conf: GraftConfig): Map[String, String] = {
+    val conn = conf.at("conn").flat.toMap
+    // precedence: defaults < conn{} < explicit top-level keys — a
+    // conn-tuned fetchsize must never be clobbered by the default, and a
+    // top-level url must override a conn-included one like every other key
+    val url = conf.getString("url").orElse(conn.get("url"))
+      .getOrElse(throw new IllegalArgumentException("jdbc source needs conn.url (or url)"))
+    Map("fetchsize" -> DefaultFetchSize.toString) ++
+      conn ++
+      Map("url" -> url, "dbtable" -> jdbcTable(conf)) ++
+      conf.getInt("fetch-size").map("fetchsize" -> _.toString) ++
+      conf.getString("driver").map("driver" -> _) ++
+      conf.getString("user").map("user" -> _) ++
+      conf.getString("password").map("password" -> _)
   }
 
   /** The dbtable string: a `query` is wrapped `(q) as a` unless it
@@ -172,15 +179,19 @@ object DataIO {
     val bounds =
       if (jdbcNeedsProbe(conf)) {
         val pc = conf.string("partition-column")
-        val url = conf.at("conn").getString("url").orElse(conf.getString("url"))
-          .getOrElse(throw new IllegalArgumentException("jdbc source needs conn.url (or url)"))
+        // probe with the SAME credentials/driver options as the real read
         val probe = spark.read.format("jdbc")
-          .option("url", url)
-          .option("dbtable", jdbcProbeSql(pc, jdbcTable(conf)))
+          .options(jdbcBaseOptions(conf) +
+            ("dbtable" -> jdbcProbeSql(pc, jdbcTable(conf))))
           .load().first()
-        Some((probe.getAs[Number]("mn").longValue(), probe.getAs[Number]("mx").longValue()))
+        if (probe.isNullAt(0) || probe.isNullAt(1)) None // empty table / all-null column
+        else Some((probe.getAs[Number]("mn").longValue(), probe.getAs[Number]("mx").longValue()))
       } else None
-    spark.read.format("jdbc").options(jdbcReadOptions(conf, bounds)).load()
+    if (jdbcNeedsProbe(conf) && bounds.isEmpty) {
+      // probed an empty table: partitioning is pointless — plain read
+      spark.read.format("jdbc").options(jdbcBaseOptions(conf)).load()
+    } else
+      spark.read.format("jdbc").options(jdbcReadOptions(conf, bounds)).load()
   }
 
   /** K0-K6: write a DataFrame per a target config. */
@@ -256,9 +267,11 @@ object DataIO {
       rows: Iterator[org.apache.spark.sql.Row]): Unit = {
     val file = new java.io.File(path)
     Option(file.getParentFile).foreach(_.mkdirs())
-    val out = new java.io.PrintWriter(new java.io.BufferedWriter(
+    // plain Writer, NOT PrintWriter: println there swallows IOExceptions
+    // and a full disk would silently truncate the file
+    val out = new java.io.BufferedWriter(
       new java.io.OutputStreamWriter(new java.io.FileOutputStream(file),
-        java.nio.charset.StandardCharsets.UTF_8), 1 << 20))
+        java.nio.charset.StandardCharsets.UTF_8), 1 << 20)
     try {
       val cols = df.columns
       def esc(v: Any): String = {
@@ -267,8 +280,9 @@ object DataIO {
           "\"" + s.replace("\"", "\"\"") + "\""
         else s
       }
-      out.println(cols.mkString(sep))
-      rows.foreach(r => out.println(cols.indices.map(i => esc(r.get(i))).mkString(sep)))
+      def line(s: String): Unit = { out.write(s); out.write('\n') }
+      line(cols.map(esc).mkString(sep)) // header escaped like data cells
+      rows.foreach(r => line(cols.indices.map(i => esc(r.get(i))).mkString(sep)))
     } finally out.close()
   }
 }
