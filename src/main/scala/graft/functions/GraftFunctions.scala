@@ -34,12 +34,17 @@ import org.apache.spark.unsafe.types.UTF8String
   */
 object VecMath {
   /** One-pass cosine similarity over float/double arrays (double
-    * accumulators); `aFloat`/`bFloat` select the element reader. */
+    * accumulators); `aFloat`/`bFloat` select the element reader.
+    * Degenerate inputs — mismatched lengths or null elements — return
+    * NaN so bad rows are visible (and filtered by the KNN rankers)
+    * instead of silently scoring a prefix or treating nulls as 0. */
   def cosine(a: ArrayData, b: ArrayData, aFloat: Boolean, bFloat: Boolean): Double = {
-    val n = math.min(a.numElements(), b.numElements())
+    val n = a.numElements()
+    if (n != b.numElements()) return Double.NaN
     var dot = 0.0; var na = 0.0; var nb = 0.0
     var i = 0
     while (i < n) {
+      if (a.isNullAt(i) || b.isNullAt(i)) return Double.NaN
       val x = if (aFloat) a.getFloat(i).toDouble else a.getDouble(i)
       val y = if (bFloat) b.getFloat(i).toDouble else b.getDouble(i)
       dot += x * y; na += x * x; nb += y * y
@@ -48,8 +53,6 @@ object VecMath {
     val denom = math.sqrt(na) * math.sqrt(nb)
     if (denom == 0.0) 0.0 else dot / denom
   }
-
-  def cosine(a: ArrayData, b: ArrayData): Double = cosine(a, b, aFloat = true, bFloat = true)
 }
 
 object SimHashImpl {
@@ -59,9 +62,10 @@ object SimHashImpl {
   def tokenHash(tok: UTF8String): Long =
     XxHash64Function.hash(tok, StringType, XxHashSeed)
 
-  /** Java-regex `\s` class: ASCII whitespace only. */
-  private def isRegexSpace(c: Char): Boolean =
-    c == ' ' || c == '\t' || c == '\n' || c == '\u000B' || c == '\f' || c == '\r'
+  /** Java-regex `\s` class: ASCII whitespace only (as bytes — UTF-8
+    * continuation bytes are negative and can never match). */
+  private def isRegexSpaceByte(b: Byte): Boolean =
+    b == 0x20 || b == 0x09 || b == 0x0A || b == 0x0B || b == 0x0C || b == 0x0D
 
   /** 64-bit SimHash over lowercased whitespace tokens; same bits as the
     * HOF formulation in `graft.llm.Dedup.simHash` (verified by spec). */
@@ -78,18 +82,21 @@ object SimHashImpl {
     val votes = new Array[Int](64)
     val ring = new Array[Long](gramSize)
     var nTok = 0
-    val s = text.toLowerCase.toString
-    val len = s.length
+    // operate on the lowercased UTF-8 bytes directly: fromBytes wraps a
+    // slice without copying or re-encoding, so the token loop does no
+    // per-token String allocation on the corpus-scan hot path
+    val bytes = text.toLowerCase.getBytes
+    val len = bytes.length
     var tokStart = -1
     var i = 0
     while (i <= len) {
       // ASCII \s semantics, matching the HOF reference's split("\\s+")
       // (Character.isWhitespace would also match Unicode spaces and
       // silently diverge from the HOF fingerprints on web text)
-      val isSpace = i == len || isRegexSpace(s.charAt(i))
+      val isSpace = i == len || isRegexSpaceByte(bytes(i))
       if (!isSpace && tokStart < 0) tokStart = i
       else if (isSpace && tokStart >= 0) {
-        ring(nTok % gramSize) = tokenHash(UTF8String.fromString(s.substring(tokStart, i)))
+        ring(nTok % gramSize) = tokenHash(UTF8String.fromBytes(bytes, tokStart, i - tokStart))
         nTok += 1
         if (nTok >= gramSize) {
           // mix the gram's token hashes oldest-first
@@ -194,14 +201,21 @@ object GraftFunctions {
   val functions: Seq[(String, ExpressionInfo, Seq[Expression] => Expression)] = Seq(
     ("graft_cosine",
       new ExpressionInfo(classOf[CosineSimilarity].getName, "graft_cosine"),
-      (es: Seq[Expression]) => CosineSimilarity(es(0), es(1))),
+      (es: Seq[Expression]) => {
+        require(es.length == 2, s"graft_cosine takes 2 arguments, got ${es.length}")
+        CosineSimilarity(es(0), es(1))
+      }),
     ("graft_simhash",
       new ExpressionInfo(classOf[SimHash64].getName, "graft_simhash"),
       (es: Seq[Expression]) => es match {
         case Seq(text) => SimHash64(text)
         case Seq(text, gram) =>
           require(gram.foldable, "graft_simhash gramSize must be a literal")
-          SimHash64(text, gram.eval().asInstanceOf[Number].intValue())
+          gram.eval() match {
+            case n: Number => SimHash64(text, n.intValue())
+            case other => throw new IllegalArgumentException(
+              s"graft_simhash gramSize must be an integer literal, got $other")
+          }
         case _ => throw new IllegalArgumentException(
           s"graft_simhash takes 1-2 arguments, got ${es.length}")
       }))

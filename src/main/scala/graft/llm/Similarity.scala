@@ -74,13 +74,13 @@ object Similarity {
       case _ => false
     }
     if (!integral) return rankTopKWindow(
-      scored.filter(col("cos_sim").isNotNull), k)
+      scored.filter(col("cos_sim").isNotNull && !isnan(col("cos_sim"))), k)
       .select("query_id", "neighbor_id", "cos_sim", "rank")
     scored
-      // null scores (null embeddings) would crash the primitive-tuple
-      // aggregator encoder; the window formulation ranks them last, so
-      // dropping them changes nothing for k below the non-null count
-      .filter(col("cos_sim").isNotNull && col("neighbor_id").isNotNull)
+      // null/NaN scores (null embeddings, dim-mismatched or null-element
+      // vectors — graft_cosine flags those NaN) are excluded: the window
+      // form ranks them last, so dropping changes nothing for valid k
+      .filter(col("cos_sim").isNotNull && !isnan(col("cos_sim")) && col("neighbor_id").isNotNull)
       .groupBy("query_id")
       .agg(graft.functions.TopK.topK(k)(col("cos_sim"), col("neighbor_id")).as("__topk"))
       .select(col("query_id"), posexplode(col("__topk")).as(Seq("__pos", "__e")))

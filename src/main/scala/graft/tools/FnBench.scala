@@ -8,13 +8,7 @@ import org.apache.spark.sql.functions._
 object FnBench {
   def main(args: Array[String]): Unit = {
     val sfDir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.1"
-    val spark = SparkSession.builder()
-      .master("local[8]")
-      .config("spark.sql.shuffle.partitions", "8")
-      .config("spark.ui.enabled", "false")
-      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("ERROR")
+    val spark = Local.session(sys.env.getOrElse("SPARK_GRAFT_CPUS", "8"), logLevel = "ERROR")
     graft.functions.GraftFunctions.register(spark)
 
     def time(label: String)(df: DataFrame): Unit = {

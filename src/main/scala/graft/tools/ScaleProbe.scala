@@ -17,12 +17,7 @@ object ScaleProbe {
     val nRows = if (args.length > 0) args(0).toLong else 5000000L
     val nVecs = if (args.length > 1) args(1).toLong else 200000L
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("ERROR")
+    val spark = Local.session(cpus, logLevel = "ERROR")
     import spark.implicits._
 
     def time[A](label: String)(body: => A): A = {
