@@ -93,6 +93,48 @@ object TextAnalysis {
       .otherwise(lit("unknown"))
   }
 
+  // ----------------------------------------------- single-pass fast path
+
+  /** One-pass stats struct (`graft.functions.TextStats`): every counter
+    * the metrics above need, from a single byte scan — use on hot scan
+    * paths where the composable forms' repeated tokenization costs.
+    * ASCII-oriented char classes (multi-byte chars count as letters);
+    * identical to the composable forms on ASCII corpora. */
+  def stats(c: Column): Column =
+    org.apache.spark.sql.graftbridge.ColumnBridge.column(
+      graft.functions.TextStats(
+        org.apache.spark.sql.graftbridge.ColumnBridge.expression(c)))
+
+  /** qualityScore computed from ONE stats struct (same formula/weights). */
+  def qualityScoreFast(stats: Column, lang: String = "en"): Column = {
+    val hits = stats.getField(s"hits_$lang")
+    val nTok = stats.getField("n_tokens")
+    val lengthScore = least(nTok.cast("double") / 20.0, lit(1.0))
+    val stopScore = least(
+      when(nTok === 0, lit(0.0)).otherwise(hits.cast("double") / nTok) * 5.0, lit(1.0))
+    // same denominator as the composable form: full length incl. spaces
+    // (n_bytes == length() on ASCII corpora)
+    val total = stats.getField("n_bytes")
+    val punctScore = greatest(lit(1.0) -
+      when(total === 0, lit(0.0))
+        .otherwise(stats.getField("n_punct").cast("double") / total) * 4.0, lit(0.0))
+    round(lengthScore * 0.4 + stopScore * 0.4 + punctScore * 0.2, 6)
+  }
+
+  /** langId computed from ONE stats struct. Hit counts here include
+    * repeats (every occurrence), which only strengthens the vote. */
+  def langIdFast(stats: Column): Column = {
+    val scored = graft.functions.TextStatsImpl.Langs.map { lang =>
+      struct(stats.getField(s"hits_$lang").as("score"), lit(lang).as("lang"))
+    }
+    val best = array_max(array(scored: _*))
+    // cjk counts CHARS, n_bytes counts BYTES (3 per CJK char): the
+    // "CJK chars dominate" test is cjk > chars/4 ≈ cjk*12 > n_bytes
+    when(stats.getField("cjk") * 12 > stats.getField("n_bytes"), lit("zh"))
+      .when(best.getField("score") > 0, best.getField("lang"))
+      .otherwise(lit("unknown"))
+  }
+
   // ------------------------------------------------------ fingerprints
 
   /** Document fingerprint: `m` min-hashes over rolling character

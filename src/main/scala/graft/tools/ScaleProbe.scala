@@ -47,11 +47,20 @@ object ScaleProbe {
         .write.format("noop").mode("overwrite").save()
     }
 
-    time("quality + langid + tokens (codegen scan)") {
+    time("quality + langid + tokens (composable)") {
       docs.select(
         graft.llm.TextAnalysis.qualityScore(col("text")),
         graft.llm.TextAnalysis.langId(col("text")),
         graft.llm.TextAnalysis.wsTokenCount(col("text")))
+        .write.format("noop").mode("overwrite").save()
+    }
+
+    time("quality + langid + tokens (one-pass stats)") {
+      val st = graft.llm.TextAnalysis.stats(col("text"))
+      docs.select(
+        graft.llm.TextAnalysis.qualityScoreFast(st),
+        graft.llm.TextAnalysis.langIdFast(st),
+        st.getField("n_tokens"))
         .write.format("noop").mode("overwrite").save()
     }
 
