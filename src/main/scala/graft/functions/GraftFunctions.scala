@@ -205,6 +205,12 @@ object GraftFunctions {
         require(es.length == 2, s"graft_cosine takes 2 arguments, got ${es.length}")
         CosineSimilarity(es(0), es(1))
       }),
+    ("graft_textstats",
+      new ExpressionInfo(classOf[TextStats].getName, "graft_textstats"),
+      (es: Seq[Expression]) => {
+        require(es.length == 1, s"graft_textstats takes 1 argument, got ${es.length}")
+        TextStats(es.head)
+      }),
     ("graft_simhash",
       new ExpressionInfo(classOf[SimHash64].getName, "graft_simhash"),
       (es: Seq[Expression]) => es match {
