@@ -105,6 +105,28 @@ class PropertySpec extends SparkTestBase {
     }
   }
 
+  test("histogram sketch: weight conserved and range correct under any partitioning") {
+    samples(doubles, 3).foreach { xs =>
+      (1 to 3).foreach { parts =>
+        val rows = xs.toDF("x").repartition(parts)
+          .agg(graft.functions.HistogramSketch.sketch(col("x")).as("s"))
+          .head().getSeq[org.apache.spark.sql.Row](0)
+        val (cs, ws) = graft.functions.HistogramSketch.decode(rows)
+        assert(ws.sum == xs.length, s"weight lost at $parts partitions")
+        assert(cs.head >= xs.min - 1e-9 && cs.last <= xs.max + 1e-9)
+      }
+    }
+  }
+
+  test("saltedJoin equals plain join for any salt factor") {
+    val skewed = ((1 to 500).map(i => ("hot", i)) ++ (1 to 20).map(i => (s"k$i", i))).toDF("key", "v")
+    val dim = Seq(("hot", "H"), ("k3", "C")).toDF("key", "name")
+    val want = skewed.join(dim, Seq("key")).count()
+    samples(Gen.chooseNum(2, 64), 4).foreach { factor =>
+      assert(Ops.saltedJoin(skewed, dim, "key", factor).count() == want, s"factor $factor")
+    }
+  }
+
   test("continuous histogram conserves in-range mass") {
     samples(doubles, 5).foreach { xs =>
       val df = xs.toDF("x")
