@@ -167,14 +167,19 @@ object SparkEntry {
           round(col("cos_sim"), 6).as("cos_sim"), col("rank"))
     }),
 
-    // ---- LLM text analysis: token counts + punctuation as a pure
-    // codegen'd map over the scan — no shuffle (TextAnalysis).
-    "q16_doc_stats" -> ((s, dir) =>
+    // ---- LLM text analysis via the one-pass stats expression (bit-
+    // identical to the composable forms on this ASCII corpus — same
+    // integer counters, same FP ops; TextStatsSpec pins the parity).
+    "q16_doc_stats" -> ((s, dir) => {
+      val st = graft.llm.TextAnalysis.stats(col("text"))
       t(s, dir, "documents").select(
         col("doc_id"),
-        graft.llm.TextAnalysis.wsTokenCount(col("text")).cast("long").as("n_tokens"),
-        graft.llm.TextAnalysis.punctCount(col("text")).cast("long").as("n_punct"),
-        round(graft.llm.TextAnalysis.meanTokenLength(col("text")), 4).as("avg_token_len"))),
+        st.getField("n_tokens").cast("long").as("n_tokens"),
+        st.getField("n_punct").cast("long").as("n_punct"),
+        round(when(st.getField("n_tokens") === 0, lit(0.0))
+          .otherwise(st.getField("n_nonspace").cast("double") / st.getField("n_tokens")), 4)
+          .as("avg_token_len"))
+    }),
 
     // ---- Multimodal plumbing: binary assets → batched executor-side
     // decode (deterministic stub codec) → fixed-dim features. Not
@@ -202,12 +207,13 @@ object SparkEntry {
         graft.llm.Curation.Config(minQuality = 0.2))
         .select("doc_id", "quality", "lang_id", "n_tokens")),
 
-    // ---- LLM text quality scoring as pure scan-time arithmetic;
-    // the full composite (length/stopword/punct) is SQL-expressible.
+    // ---- LLM text quality scoring, one-pass stats form (value-equal to
+    // the composable formula the oracle SQL reproduces).
     "q21_quality" -> ((s, dir) =>
       t(s, dir, "documents").select(
         col("doc_id"),
-        graft.llm.TextAnalysis.qualityScore(col("text")).as("quality"))),
+        graft.llm.TextAnalysis.qualityScoreFast(
+          graft.llm.TextAnalysis.stats(col("text"))).as("quality"))),
 
     // ---- One-pass drift sketch (custom TypedImperativeAggregate):
     // both columns' histogram sketches from a single lineitem scan.
