@@ -50,6 +50,12 @@ class DataDiffSpec extends SparkTestBase {
     assert(plan.split("Scan parquet").length - 1 == 1, s"expected 1 scan:\n$plan")
   }
 
+  test("TVD on empty inputs is 0, not an NPE") {
+    val empty = li.filter(col("l_quantity") < -1)
+    assert(DataDiff.discreteComparator(empty, "l_returnflag", empty, "l_linestatus") == 0.0)
+    assert(DataDiff.tvdSameTable(empty, "l_returnflag", "l_linestatus") == 0.0)
+  }
+
   test("TVD = 1 for disjoint distributions") {
     val d1 = Seq("a", "a", "b").toDF("v")
     val d2 = Seq("x", "y", "y").toDF("v")

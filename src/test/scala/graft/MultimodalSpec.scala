@@ -67,6 +67,26 @@ class MultimodalSpec extends SparkTestBase {
     assert(idx.sameElements(Array(0, 3, 6, 9)))
   }
 
+  test("null content assets are skipped, not NPE'd") {
+    import org.apache.spark.sql.functions.when
+    val withNull = media.withColumn("content",
+      when(col("asset_id") === 0, lit(null).cast("binary")).otherwise(col("content")))
+    val out = Multimodal.decodeAndFeaturize(withNull, Multimodal.FakeDecoder)
+    assert(out.count() == media.count() - 1)
+    assert(out.filter(col("asset_id") === 0).count() == 0)
+  }
+
+  test("zero or missing n_frames yields no frame rows (no phantom frame 0)") {
+    val video = Multimodal.asMediaTable(
+      spark.read.parquet(s"$sfDir/documents.parquet").limit(2),
+      "doc_id", "text", "video", Map("n_frames" -> "0"))
+    assert(Multimodal.sampleFrames(video, everyN = 2).count() == 0)
+    val noMeta = Multimodal.asMediaTable(
+      spark.read.parquet(s"$sfDir/documents.parquet").limit(2),
+      "doc_id", "text", "video", Map.empty)
+    assert(Multimodal.sampleFrames(noMeta, everyN = 2).count() == 0)
+  }
+
   test("meanPool buckets cover the buffer") {
     val pooled = Multimodal.meanPool(Array.tabulate(100)(_.toFloat), 4)
     assert(pooled.length == 4)

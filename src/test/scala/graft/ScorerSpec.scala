@@ -63,6 +63,26 @@ class ScorerSpec extends SparkTestBase {
     }
   }
 
+  test("models violating the batch/output arity contract fail loudly") {
+    val dropsRows = new RowModel {
+      def predictBatch(rows: Seq[Row], cols: Map[String, Int]) =
+        rows.drop(1).map(_ => Array(1.0)) // one prediction short
+    }
+    val ex = intercept[org.apache.spark.SparkException] {
+      Scorer.score(featureDf(10), dropsRows, Seq("id")).collect()
+    }
+    assert(ex.getMessage.contains("predictions") || ex.getCause != null)
+    val wrongWidth = new RowModel {
+      override def numOutputs = 2
+      override def isClassifier = true
+      def predictBatch(rows: Seq[Row], cols: Map[String, Int]) =
+        rows.map(_ => Array(0.5)) // declared 2 outputs, returns 1
+    }
+    intercept[org.apache.spark.SparkException] {
+      Scorer.score(featureDf(10), wrongWidth, Seq("id")).collect()
+    }
+  }
+
   test("cols_to_save intersects with existing columns (core.py:51-53)") {
     val scored = Scorer.score(featureDf(10), new Scorer.SimpleModel(),
       colsToSave = Seq("id", "not_a_column", "f1"))

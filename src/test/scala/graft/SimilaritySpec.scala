@@ -99,6 +99,18 @@ class SimilaritySpec extends SparkTestBase {
     assert(cellSizes.values.sum == emb.count())
   }
 
+  test("bruteForceTopK works with string ids (window fallback) and zero vectors (NaN excluded)") {
+    import spark.implicits._
+    val corpus = emb.limit(20)
+      .select(concat(lit("doc-"), col("vec_id")).as("vec_id"), col("embedding"))
+    val top = Similarity.bruteForceTopK(corpus.limit(2), corpus, k = 3)
+    assert(top.count() == 6) // string ids rank via the window fallback
+    // a zero vector scores cosine 0 everywhere but must not crash ranking
+    val zero = Seq(("zero", Array.fill(64)(0.0f).toSeq)).toDF("vec_id", "embedding")
+    val withZero = corpus.union(zero)
+    assert(Similarity.bruteForceTopK(withZero.limit(2), withZero, k = 3).count() == 6)
+  }
+
   test("ivfSave/ivfLoad roundtrip: same results, cell-partitioned layout prunes") {
     val (model, tagged) = Similarity.ivfBuild(emb, numCells = 8)
     val dir = java.nio.file.Files.createTempDirectory("graft-ivf").toString
