@@ -32,18 +32,29 @@ object Bench {
         catch { case e: Throwable => System.err.println(s"[bench] warmup $q failed: ${e.getMessage}") }
       }
 
+    // Medians of `runs` timed passes per query (round-2 verdict: a single
+    // pass makes the driver's 2× perf gate hostage to machine load; the
+    // median of 3 is robust to one noisy run).
+    val runs = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "3").toInt
     var failed = List.empty[String]
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try {
-        materialize(fn(spark, sfDir))
-        name -> (System.nanoTime() - t0) / 1e9
-      } catch {
-        case e: Throwable =>
-          System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
-          failed ::= name
-          name -> -1.0
+      val times = (1 to runs).map { _ =>
+        val t0 = System.nanoTime()
+        try {
+          val df = fn(spark, sfDir)
+          materialize(df)
+          // queries returning persisted frames (q22 curation) must not
+          // leave their cache resident across later timed queries
+          df.unpersist()
+          (System.nanoTime() - t0) / 1e9
+        } catch {
+          case e: Throwable =>
+            System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
+            -1.0
+        }
       }
+      if (times.exists(_ < 0)) { failed ::= name; name -> -1.0 }
+      else name -> times.sorted.apply(runs / 2)
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
@@ -56,7 +67,7 @@ object Bench {
       "q5_sample", "q6_join_agg", "q7_window_topn", "q8_stratified_sample",
       "q9_group_count", "q10_minmax")
     val baseTotal = results.collect { case (k, v) if baselineSet(k) && v >= 0 => v }.sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","failed":${failed.size},"baseline_set_total":$baseTotal,"n_queries":${results.size}}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","runs":$runs,"failed":${failed.size},"baseline_set_total":$baseTotal,"n_queries":${results.size}}""")
     spark.stop()
     if (failed.nonEmpty) sys.exit(1)
   }

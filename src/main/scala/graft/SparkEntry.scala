@@ -183,12 +183,19 @@ object SparkEntry {
 
     // ---- Multimodal plumbing: binary assets → batched executor-side
     // decode (deterministic stub codec) → fixed-dim features. Not
-    // SQL-expressible → rows-only check (like q5_sample).
+    // SQL-expressible → rows-only check (like q5_sample). The raw
+    // array<float> column is projected down to scalar digests here —
+    // the driver canonicalizes via a pandas all-columns sort, which
+    // cannot hash arrays; MultimodalSpec keeps the raw-array asserts.
     "q18_multimodal_decode" -> ((s, dir) => {
       val media = graft.llm.Multimodal.asMediaTable(
         t(s, dir, "documents"), "doc_id", "text", "image",
         Map("width" -> "16", "height" -> "8", "channels" -> "1"))
       graft.llm.Multimodal.decodeAndFeaturize(media, graft.llm.Multimodal.FakeDecoder)
+        .select(col("asset_id"), col("width"), col("height"), col("channels"),
+          size(col("features")).as("feat_dim"),
+          round(aggregate(col("features"), lit(0.0d), (acc, x) => acc + x), 4).as("feat_sum"),
+          round(element_at(col("features"), 1).cast("double"), 4).as("feat_0"))
     }),
 
     // ---- LLM tier-1 dedup, drop form: keep the lowest-id row per
@@ -241,6 +248,27 @@ object SparkEntry {
           col("window_start").cast("long").as("window_start"),
           col("window_end").cast("long").as("window_end"),
           col("event_type"), col("n_events"), col("avg_value"), col("sum_value"))
+    }),
+
+    // ---- R11 continuous (equi-width) histogram: edges fixed by one
+    // min/max pass, then a single bounded shuffle (≤ bins keys). The
+    // bin arithmetic floor((x−lo)/w) is engine-portable, so this is
+    // oracle-exact (reference datadiff.py:27-33 semantics).
+    "q24_continuous_hist" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+      val edges = graft.datadiff.DataDiff.equiWidthEdges(li, "l_extendedprice", 20)
+      graft.datadiff.DataDiff.continuousHistogramDF(li, "l_extendedprice", edges)
+        .withColumn("freq", round(col("freq"), 6))
+    }),
+
+    // ---- IVF ANN quality as data: per-query recall of the cell-pruned
+    // probe vs the exact brute-force ranking. KMeans cells are seeded
+    // but float-iteration-order dependent → rows-only check; the recall
+    // floor itself is pinned in SimilaritySpec.
+    "q25_ivf_recall" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      graft.llm.Similarity.ivfRecallVsBrute(
+        emb.filter(col("vec_id") < 20), emb, k = 10, numCells = 16, nprobe = 8)
     }),
 
     // ---- Multimodal/JSON column extraction: typed props out of the
@@ -377,6 +405,17 @@ object SparkEntry {
         |FROM e, m
         |GROUP BY ws, event_type, m.met
         |HAVING ws + 3600 <= m.met - 7200""".stripMargin,
+    "q24_continuous_hist" ->
+      """WITH b AS (
+        |  SELECT min(l_extendedprice) AS lo, max(l_extendedprice) AS hi
+        |  FROM lineitem)
+        |SELECT least(cast(floor((l_extendedprice - lo) / ((hi - lo) / 20)) AS bigint), 19) AS bin,
+        | count(*) AS cnt,
+        | round(count(*) / (sum(count(*)) OVER ()), 6) AS freq
+        |FROM lineitem, b
+        |WHERE l_extendedprice IS NOT NULL
+        |  AND l_extendedprice >= lo AND l_extendedprice <= hi
+        |GROUP BY 1""".stripMargin,
     "q17_events_json" ->
       """SELECT event_type, count(*) AS n_events,
         | round(avg(value), 4) AS avg_value,

@@ -20,9 +20,14 @@ object Verify {
         }
         rm(dir)
       }
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-        .parquet(s"$outDir/$name")
-      catch { case e: Throwable =>
+      try {
+        val df = fn(spark, sfDir)
+        df.coalesce(1).write.mode("overwrite").parquet(s"$outDir/$name")
+        // queries returning persisted frames (q22 curation) must not
+        // hold their cache across the remaining dumps
+        df.unpersist()
+        ()
+      } catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
     }

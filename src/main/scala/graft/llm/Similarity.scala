@@ -180,6 +180,36 @@ object Similarity {
     rankTopK(scored, k)
   }
 
+  /** Recall of the IVF probe against the exact brute-force ranking, as
+    * a per-query data frame `(query_id, n_true, n_hits, recall)` — the
+    * ANN quality signal expressed AS A QUERY, so the driver gate (and
+    * any monitoring job at scale) can watch it like any other table.
+    * Denominator is each query's actual exact-neighbor count (≤ k on
+    * small corpora). */
+  def ivfRecallVsBrute(
+      queries: DataFrame,
+      corpus: DataFrame,
+      k: Int,
+      numCells: Int,
+      nprobe: Int,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding",
+      seed: Long = 4233L): DataFrame = {
+    val brute = bruteForceTopK(queries, corpus, k, idCol, vecCol)
+      .select("query_id", "neighbor_id")
+    val (model, tagged) = ivfBuild(corpus, numCells, vecCol, seed)
+    val ivf = ivfTopK(queries, tagged, model, k, nprobe, idCol, vecCol)
+      .select("query_id", "neighbor_id")
+    val hits = brute.join(ivf, Seq("query_id", "neighbor_id"), "left_semi")
+      .groupBy("query_id").agg(count(lit(1)).as("n_hits"))
+    brute.groupBy("query_id").agg(count(lit(1)).as("n_true"))
+      .join(hits, Seq("query_id"), "left")
+      .select(col("query_id"),
+        col("n_true"),
+        coalesce(col("n_hits"), lit(0L)).as("n_hits"),
+        round(coalesce(col("n_hits"), lit(0L)).cast("double") / col("n_true"), 4).as("recall"))
+  }
+
   /** Persist an IVF index: the KMeans model plus the corpus laid out
     * partitioned BY CELL, so probes prune at the storage level (a query
     * touching nprobe cells reads nprobe directories, not the corpus). */

@@ -131,6 +131,35 @@ class SimilaritySpec extends SparkTestBase {
     assert(plan.contains("PartitionFilters: [cell"), s"no partition pruning:\n$plan")
   }
 
+  test("ivfRecallVsBrute: probing every cell must reproduce brute force exactly") {
+    val queries = emb.filter(col("vec_id") < 5)
+    val rec = Similarity.ivfRecallVsBrute(queries, emb, k = 5, numCells = 8, nprobe = 8)
+      .collect()
+    assert(rec.length == 5)
+    rec.foreach { r =>
+      assert(r.getAs[Long]("n_true") == 5)
+      assert(r.getAs[Double]("recall") == 1.0,
+        s"query ${r.get(0)}: recall ${r.getAs[Double]("recall")} != 1.0 at nprobe=numCells")
+    }
+  }
+
+  test("ivfRecallVsBrute: recall floor on clustered data at nprobe=2/8 cells") {
+    val rnd = new scala.util.Random(4233)
+    val dim = 16
+    val centers = Array.fill(8)(Array.fill(dim)(rnd.nextGaussian().toFloat * 5f))
+    val rows = (0 until 400).map { i =>
+      val c = centers(i % 8)
+      (i.toLong, c.map(x => x + rnd.nextGaussian().toFloat * 0.05f).toSeq)
+    }
+    val df = rows.toDF("vec_id", "embedding")
+    val rec = Similarity.ivfRecallVsBrute(
+      df.filter(col("vec_id") < 8), df, k = 5, numCells = 8, nprobe = 2)
+    val mean = rec.agg(avg("recall")).head().getDouble(0)
+    // neighbors of a clustered point live in its own cell; probing the
+    // 2 nearest of 8 cells must capture nearly all of them
+    assert(mean >= 0.9, s"mean recall $mean below clustered-data floor")
+  }
+
   test("lshNearDupPairs finds planted near-identical vectors, bucketed join") {
     // plant a near-copy of vec 0 (tiny perturbation on one coordinate)
     val planted = emb.filter(col("vec_id") === 0)
