@@ -15,23 +15,34 @@ import org.apache.spark.sql.functions._
   *                 smaller) survivor set; drops the higher id of each
   *                 candidate pair after exact-Jaccard verification.
   *
-  * Near-dup resolution is the standard one-pass approximation (drop
-  * pair's higher id), not a transitive closure — chains A~B~C where
-  * A!~C keep A and may keep C; exact for the dominant case (clusters of
-  * mutual near-dups). A connected-components pass (GraphX / iterative
-  * join) is the upgrade if chain-dedup is required.
+  * Near-dup resolution defaults to the one-pass approximation (drop
+  * pair's higher id) — exact for the dominant case (clusters of mutual
+  * near-dups), but a chain A~B~C where A≁C can keep both endpoints.
+  * `transitiveNearDups = true` switches to connected components over
+  * the verified pairs ([[Dedup.connectedComponents]]): one survivor
+  * (the min id) per transitive cluster.
   */
 object Curation {
 
+  /** SimHash banding defaults are the SCALE-SAFE shape: maxHamming=3 /
+    * bands=4 keys each banded join on 16-bit slices (2^16 values per
+    * band). Wider radii need proportionally more bands (pigeonhole),
+    * which shrinks band width — radius 7 would force 8-bit bands whose
+    * 256 key values make the self-join quadratic in corpus size. Pairs
+    * in the Hamming-(3,7] gap that are real near-dups are still
+    * reachable by raising `nearDupMinJaccard` recall via MinHash, or by
+    * running a second pass; do NOT widen the radius at scale. */
   final case class Config(
       minQuality: Double = 0.3,
       langs: Set[String] = Set.empty, // empty = keep all
       nearDupStrategy: String = "simhash", // or "minhash"
       nearDupMaxJaccardDistance: Double = 0.2,
       nearDupMinJaccard: Double = 0.8,
-      simHashMaxHamming: Int = 7,
-      simHashBands: Int = 8,
-      shingleSize: Int = 3)
+      simHashMaxHamming: Int = 3,
+      simHashBands: Int = 4,
+      simHashMaxBucket: Int = 10000,
+      shingleSize: Int = 3,
+      transitiveNearDups: Boolean = false)
 
   /** Stage 1: annotate every document with curation signals — pure
     * projection at scan speed, via the one-pass stats expression
@@ -66,7 +77,11 @@ object Curation {
     // annotate+filter+window upstream recomputes for each (R19, the
     // cache-before-fan-out rule). At 100 TB a real pipeline writes this
     // stage out; in-memory/disk persist is the in-process equivalent.
+    // The shingle set is materialized WITH the survivors so the verify
+    // stage joins stored arrays — tokenizing once per doc here instead
+    // of once per candidate pair there.
     val exact = Dedup.dropExactDuplicates(df, textCol, idCol)
+      .withColumn("__shingles", Dedup.shingles(col(textCol), conf.shingleSize))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
     // 4: near dedup on the survivors — LSH candidates, exact-Jaccard
@@ -83,7 +98,7 @@ object Curation {
         // the same vocabulary distribution
         Dedup.simHashNearDups(exact, idCol, textCol,
           maxHamming = conf.simHashMaxHamming, bands = conf.simHashBands,
-          gramSize = conf.shingleSize)
+          gramSize = conf.shingleSize, maxBucketSize = conf.simHashMaxBucket)
       case "minhash" =>
         Dedup.minHashNearDups(exact, idCol, textCol,
           maxJaccardDistance = conf.nearDupMaxJaccardDistance,
@@ -92,9 +107,18 @@ object Curation {
     }
     try {
       val verified = Dedup.verifyPairs(pairs, exact, idCol, textCol,
-        minJaccard = conf.nearDupMinJaccard, n = conf.shingleSize)
-      val dropIds = verified.select(col("id2").as(idCol)).distinct()
+        minJaccard = conf.nearDupMinJaccard, n = conf.shingleSize,
+        shingleCol = Some("__shingles"))
+      val dropIds =
+        if (conf.transitiveNearDups)
+          // transitive clusters: every non-minimum id of each connected
+          // component goes — the chain A~B~C keeps only min(A,B,C)
+          Dedup.connectedComponents(verified.select("id1", "id2"))
+            .filter(col("id") =!= col("label"))
+            .select(col("id").as(idCol))
+        else verified.select(col("id2").as(idCol)).distinct()
       val result = exact.join(dropIds, Seq(idCol), "left_anti")
+        .drop("__shingles")
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       // materialize the result, then release the intermediate — the
       // caller owns (and should unpersist) the returned frame

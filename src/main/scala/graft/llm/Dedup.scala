@@ -156,25 +156,44 @@ object Dedup {
     * on corpora whose documents share vocabulary distribution
     * (templates/boilerplate), where 1-gram signatures concentrate and
     * the banded join degenerates toward all-pairs. */
+  /** `maxBucketSize` caps the banded join's skew: a (band, bits) bucket
+    * of b rows generates b² candidate pairs, so one boilerplate-heavy
+    * bucket can turn the join quadratic. Buckets larger than the cap are
+    * dropped from the join (pairs in them are still found through any
+    * OTHER shared band that is not oversized — by pigeonhole a pair
+    * within the radius shares ≥ bands−maxHamming bands). The loss mode
+    * is documented, bounded, and detectable: byte-identical docs share
+    * ALL bands and should be removed by exact dedup (tier 1) before this
+    * tier runs. `maxBucketSize <= 0` disables the guard. */
   def simHashNearDups(
       df: DataFrame,
       idCol: String,
       textCol: String,
       maxHamming: Int = 3,
       bands: Int = 4,
-      gramSize: Int = 1): DataFrame = {
+      gramSize: Int = 1,
+      maxBucketSize: Int = 10000): DataFrame = {
     require(64 % bands == 0, s"bands must divide 64, got $bands")
     require(maxHamming < bands,
       s"pigeonhole needs maxHamming < bands ($maxHamming >= $bands misses pairs)")
     val width = 64 / bands
     val mask = (BigInt(1) << width) - 1
     val sigs = df.select(col(idCol).as("id"), simHash(col(textCol), gramSize).as("sig"))
-    val banded = sigs.select(col("id"), col("sig"),
+    val allBanded = sigs.select(col("id"), col("sig"),
       explode(array((0 until bands).map { b =>
         struct(lit(b).as("band"),
           shiftright(col("sig"), b * width).bitwiseAND(lit(mask.toLong)).as("bits"))
       }: _*)).as("bb"))
       .select(col("id"), col("sig"), col("bb.band"), col("bb.bits"))
+    // hot-bucket set: tiny by construction (≤ rows/maxBucketSize keys),
+    // so the anti-join broadcasts — the classic skew-key pattern
+    val banded = if (maxBucketSize > 0) {
+      val hot = allBanded.groupBy("band", "bits")
+        .agg(count(lit(1)).as("__n"))
+        .filter(col("__n") > maxBucketSize)
+        .select("band", "bits")
+      allBanded.join(broadcast(hot), Seq("band", "bits"), "left_anti")
+    } else allBanded
     val l = banded.select(col("band"), col("bits"), col("id").as("id1"), col("sig").as("sig1"))
     val r = banded.select(col("band"), col("bits"), col("id").as("id2"), col("sig").as("sig2"))
     l.join(r, Seq("band", "bits"))
@@ -186,31 +205,87 @@ object Dedup {
 
   // ------------------------------------------------------- n-gram Jaccard
 
-  /** Exact Jaccard similarity of two documents' shingle sets — the
-    * verifier for LSH candidate pairs. */
-  def ngramJaccard(a: Column, b: Column, n: Int = 3): Column = {
-    val (sa, sb) = (shingles(a, n), shingles(b, n))
+  /** Jaccard similarity of two PRECOMPUTED shingle-set columns. */
+  def jaccardOfShingles(sa: Column, sb: Column): Column = {
     val inter = size(array_intersect(sa, sb)).cast("double")
     val union = size(array_union(sa, sb)).cast("double")
     when(union === 0.0, lit(1.0)).otherwise(inter / union)
   }
 
+  /** Exact Jaccard similarity of two documents' shingle sets — the
+    * verifier for LSH candidate pairs. */
+  def ngramJaccard(a: Column, b: Column, n: Int = 3): Column =
+    jaccardOfShingles(shingles(a, n), shingles(b, n))
+
   /** Verify candidate pairs (id1, id2) against exact n-gram Jaccard:
-    * join the texts back (two broadcast-friendly joins when the pair
-    * set is small; key-partitioned otherwise) and keep pairs with
-    * similarity ≥ `minJaccard`. */
+    * join each side's shingle SET back (two broadcast-friendly joins
+    * when the pair set is small; key-partitioned otherwise) and keep
+    * pairs with similarity ≥ `minJaccard`.
+    *
+    * Shingles are projected per DOC (once per join side), never per
+    * pair — a doc in k candidate pairs must not re-tokenize k times.
+    * When `docs` already carries a materialized shingle column (the
+    * curation pipeline persists one alongside its survivor set), pass
+    * it as `shingleCol` and the verify stage joins the stored arrays
+    * directly. */
   def verifyPairs(
       pairs: DataFrame,
       docs: DataFrame,
       idCol: String,
       textCol: String,
       minJaccard: Double,
-      n: Int = 3): DataFrame = {
-    val t1 = docs.select(col(idCol).as("id1"), col(textCol).as("__t1"))
-    val t2 = docs.select(col(idCol).as("id2"), col(textCol).as("__t2"))
+      n: Int = 3,
+      shingleCol: Option[String] = None): DataFrame = {
+    val sh = shingleCol.map(col).getOrElse(shingles(col(textCol), n))
+    val t1 = docs.select(col(idCol).as("id1"), sh.as("__s1"))
+    val t2 = docs.select(col(idCol).as("id2"), sh.as("__s2"))
     pairs.join(t1, "id1").join(t2, "id2")
-      .withColumn("jaccard", ngramJaccard(col("__t1"), col("__t2"), n))
+      .withColumn("jaccard", jaccardOfShingles(col("__s1"), col("__s2")))
       .filter(col("jaccard") >= minJaccard)
-      .drop("__t1", "__t2")
+      .drop("__s1", "__s2")
+  }
+
+  // ------------------------------------------------- connected components
+
+  /** Connected components over an undirected candidate-pair edge list
+    * `(id1, id2)` — transitive near-dup clusters (chain A~B~C collapses
+    * to one survivor even when A≁C). Iterative min-label propagation
+    * with pointer jumping (`l(v) ← l(l(v))`), so convergence is
+    * O(log chain-length) rounds, not O(chain-length); no GraphX.
+    *
+    * Returns `(id, component)` for every id that appears in ≥1 pair,
+    * `component` = the minimum id reachable. Ids with no edges are not
+    * emitted (they are their own components).
+    *
+    * Scale shape: every step is an equi-join/aggregate on the PAIR
+    * graph — orders of magnitude smaller than the corpus after
+    * LSH+verify. Lineage is truncated each round via localCheckpoint
+    * (executor-local; swap for a checkpoint dir on a real cluster if
+    * task retries must survive executor loss). */
+  def connectedComponents(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
+    val edges = pairs.select(col("id1").as("src"), col("id2").as("dst"))
+      .union(pairs.select(col("id2").as("src"), col("id1").as("dst")))
+      .localCheckpoint(true)
+    var labels = edges.groupBy("src").agg(min("dst").as("__nmin"))
+      .select(col("src").as("id"), least(col("src"), col("__nmin")).as("label"))
+      .localCheckpoint(true)
+    var changed = 1L
+    var iter = 0
+    while (changed > 0 && iter < maxIter) {
+      val viaEdges = edges.join(labels, edges("src") === labels("id"))
+        .select(edges("dst").as("id"), col("label"))
+      val jumped = labels.toDF("id", "label").as("x")
+        .join(labels.toDF("jid", "jlabel").as("y"), col("x.label") === col("y.jid"))
+        .select(col("x.id").as("id"), col("y.jlabel").as("label"))
+      val next = labels.unionByName(viaEdges).unionByName(jumped)
+        .groupBy("id").agg(min("label").as("label"))
+        .localCheckpoint(true)
+      changed = next.toDF("nid", "nlabel")
+        .join(labels, col("nid") === col("id"))
+        .filter(col("nlabel") < col("label")).count()
+      labels = next
+      iter += 1
+    }
+    labels
   }
 }

@@ -46,6 +46,28 @@ class CurationSpec extends SparkTestBase {
     assert(r("curated") > 0)
   }
 
+  test("transitive near-dups: chain keeps one survivor, pair-drop keeps endpoints") {
+    // A(1) ~ MID(5000) and B(2) ~ MID, but A !~ B: a chain through the
+    // highest id. Pair-drop removes only id2 (=5000) of each verified
+    // pair and keeps BOTH endpoints; connected components collapses the
+    // cluster to its min id.
+    // measured: J(a,mid)=J(b,mid)=0.90, J(a,b)=0.81 — the verify
+    // threshold 0.85 sits between them, so only the mid pairs verify
+    val words = (0 until 40).map(i => s"word$i")
+    val mid = words.mkString(" ")
+    val a = ("xx yy" +: words.drop(2)).mkString(" ")
+    val b = (words.take(38) :+ "zz ww").mkString(" ")
+    val docs = Seq((1L, a), (2L, b), (5000L, mid)).toDF("doc_id", "text")
+    val conf = Curation.Config(minQuality = 0.0, nearDupStrategy = "minhash",
+      nearDupMaxJaccardDistance = 0.3, nearDupMinJaccard = 0.85)
+    val pairDrop = Curation.curate(docs, "doc_id", "text", conf)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(pairDrop == Set(1L, 2L), s"pair-drop kept $pairDrop")
+    val cc = Curation.curate(docs, "doc_id", "text", conf.copy(transitiveNearDups = true))
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(cc == Set(1L), s"transitive resolution kept $cc")
+  }
+
   test("lang filter keeps only requested languages") {
     val planted = Seq(
       (1L, "the cat is in the house and it is a good day for the garden"),

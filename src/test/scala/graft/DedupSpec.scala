@@ -93,4 +93,55 @@ class DedupSpec extends SparkTestBase {
       .collect().map(r => (r.getLong(1), r.getLong(0))) // join reorders cols: id2, id1, ...
     assert(verified.length == 1) // only the planted exact copy survives
   }
+
+  test("verifyPairs over a precomputed shingle column == on-the-fly form") {
+    val candidates = Seq((0L, 10000L), (0L, 3L), (2L, 20002L)).toDF("id1", "id2")
+    val docsSh = withDups.withColumn("__sh", Dedup.shingles(col("text"), 3))
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getAs[Long]("id1"), r.getAs[Long]("id2"),
+        BigDecimal(r.getAs[Double]("jaccard")).setScale(9, BigDecimal.RoundingMode.HALF_UP))
+    val onTheFly = Dedup.verifyPairs(candidates, withDups, "doc_id", "text", minJaccard = 0.1)
+      .collect().map(key).toSet
+    val stored = Dedup.verifyPairs(candidates, docsSh, "doc_id", "text", minJaccard = 0.1,
+      shingleCol = Some("__sh")).collect().map(key).toSet
+    assert(onTheFly == stored)
+  }
+
+  test("simHashNearDups oversized-bucket guard bounds the banded join") {
+    // 30 byte-identical docs share every band bucket → 435 quadratic
+    // pairs without the guard; a planted near-pair lives in small buckets
+    val boiler = (100L until 130L).map(i => (i, "this boilerplate footer repeats verbatim on every single page of the site"))
+    val near = Seq( // identical → hamming 0, 2-row buckets (below the cap)
+      (1L, "the quick brown fox jumps over the lazy dog and runs far away home tonight"),
+      (2L, "the quick brown fox jumps over the lazy dog and runs far away home tonight"))
+    val df = (boiler ++ near).toDF("doc_id", "text")
+    val guarded = Dedup.simHashNearDups(df, "doc_id", "text",
+      maxHamming = 3, bands = 4, maxBucketSize = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(guarded.contains((1L, 2L)), s"near pair lost by the guard: $guarded")
+    assert(!guarded.exists { case (a, b) => a >= 100L && b >= 100L },
+      s"oversized boilerplate bucket not dropped: $guarded")
+    val unguarded = Dedup.simHashNearDups(df, "doc_id", "text",
+      maxHamming = 3, bands = 4, maxBucketSize = 0)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(unguarded.count { case (a, b) => a >= 100L && b >= 100L } == 30 * 29 / 2)
+  }
+
+  test("connectedComponents labels transitive clusters with the min id") {
+    // star 1-4, 2-4 (pair-drop would keep 2; CC must not) + a 20-node
+    // chain (exercises pointer jumping past naive propagation depth)
+    val chain = (10L until 29L).map(i => (i, i + 1))
+    val pairs = (Seq((1L, 4L), (2L, 4L)) ++ chain).toDF("id1", "id2")
+    val labels = Dedup.connectedComponents(pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(labels(1L) == 1L && labels(2L) == 1L && labels(4L) == 1L)
+    (10L to 29L).foreach(i => assert(labels(i) == 10L, s"node $i labeled ${labels(i)}"))
+    // exactly two components
+    assert(labels.values.toSet == Set(1L, 10L))
+  }
+
+  test("connectedComponents on an empty pair set returns empty") {
+    val empty = Seq.empty[(Long, Long)].toDF("id1", "id2")
+    assert(Dedup.connectedComponents(empty).count() == 0)
+  }
 }
