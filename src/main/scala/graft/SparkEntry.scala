@@ -268,7 +268,9 @@ object SparkEntry {
     "q25_ivf_recall" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
       graft.llm.Similarity.ivfRecallVsBrute(
-        emb.filter(col("vec_id") < 20), emb, k = 10, numCells = 16, nprobe = 8)
+        emb.filter(col("vec_id") < 20), emb, k = 10, numCells = 16, nprobe = 8,
+        maxIter = 8) // coarse cells converge fast; probe quality, not
+        // centroid polish, dominates recall
     }),
 
     // ---- Multimodal/JSON column extraction: typed props out of the

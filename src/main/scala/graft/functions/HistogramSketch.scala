@@ -29,54 +29,106 @@ import org.apache.spark.sql.types._
   */
 object HistogramSketchImpl {
 
-  /** Mutable sketch buffer: parallel arrays of (centroid, weight). */
+  /** Mutable sketch buffer: parallel arrays of (centroid, weight).
+    *
+    * This is the per-ROW update path of a full-scan aggregate, so the
+    * hot loop is allocation-free primitive code: an in-place parallel-
+    * array quicksort (no boxed index `sortBy`), primitive gap sort for
+    * the merge threshold, in-place merge sweep, and scratch buffers
+    * reused across the ~1-per-256-inserts compressions. */
   final class Sketch(val maxCentroids: Int) {
     var n = 0
     var cs: Array[Double] = new Array[Double](maxCentroids * 2)
     var ws: Array[Long] = new Array[Long](maxCentroids * 2)
+    // gap scratch, reused across compressions; never escapes
+    private[this] var gapBuf: Array[Double] = null
+    private[this] var gapSort: Array[Double] = null
 
-    def insert(x: Double): Unit = { append(x, 1L); maybeCompress() }
+    def insert(x: Double): Unit = append(x, 1L)
 
     def append(c: Double, w: Long): Unit = {
       if (n == cs.length) compress(maxCentroids)
       cs(n) = c; ws(n) = w; n += 1
     }
 
-    private def maybeCompress(): Unit = if (n >= cs.length) compress(maxCentroids)
+    /** In-place quicksort of the (cs, ws) pairs by centroid —
+      * median-of-three pivot, insertion sort below 16 elements. */
+    def sortInPlace(): Unit = if (n > 1) quicksort(0, n - 1)
+
+    private def swap(i: Int, j: Int): Unit = {
+      val c = cs(i); cs(i) = cs(j); cs(j) = c
+      val w = ws(i); ws(i) = ws(j); ws(j) = w
+    }
+
+    private def quicksort(lo: Int, hi: Int): Unit = {
+      var l = lo
+      var h = hi
+      while (h - l >= 16) {
+        // median-of-three pivot to dodge the sorted-prefix worst case
+        // (after a compression the head of the buffer IS sorted)
+        val mid = (l + h) >>> 1
+        if (cs(mid) < cs(l)) swap(mid, l)
+        if (cs(h) < cs(l)) swap(h, l)
+        if (cs(h) < cs(mid)) swap(h, mid)
+        val pivot = cs(mid)
+        var i = l
+        var j = h
+        while (i <= j) {
+          while (cs(i) < pivot) i += 1
+          while (cs(j) > pivot) j -= 1
+          if (i <= j) { swap(i, j); i += 1; j -= 1 }
+        }
+        // recurse into the smaller half, loop on the larger
+        if (j - l < h - i) { if (l < j) quicksort(l, j); l = i }
+        else { if (i < h) quicksort(i, h); h = j }
+      }
+      // insertion sort for the short tail
+      var i = l + 1
+      while (i <= h) {
+        val c = cs(i); val w = ws(i)
+        var j = i - 1
+        while (j >= l && cs(j) > c) { cs(j + 1) = cs(j); ws(j + 1) = ws(j); j -= 1 }
+        cs(j + 1) = c; ws(j + 1) = w
+        i += 1
+      }
+    }
 
     /** Sort by centroid and merge smallest-gap adjacent pairs down to
       * `target`. Runs in sweeps: each sweep merges every pair whose gap
       * is at or below the (excess)-th smallest gap, each element merged
       * at most once per sweep — O(n log n) per sweep, a few sweeps per
-      * compression, vs. the naive globally-nearest-pair loop's O(n²)
-      * which would dominate the per-row update path of a 100 TB scan. */
+      * compression, vs. the naive globally-nearest-pair loop's O(n²). */
     def compress(target: Int): Unit = {
       while (n > target) {
-        val idx = (0 until n).sortBy(cs)
-        val sc = idx.map(cs).toArray
-        val sw = idx.map(ws).toArray
+        sortInPlace()
         val m = n
-        val gaps = Array.tabulate(m - 1)(i => sc(i + 1) - sc(i))
+        if (gapBuf == null || gapBuf.length < m) {
+          gapBuf = new Array[Double](cs.length)
+          gapSort = new Array[Double](cs.length)
+        }
+        var i = 0
+        while (i < m - 1) { gapBuf(i) = cs(i + 1) - cs(i); i += 1 }
         val excess = m - target
-        val threshold = gaps.sorted.apply(math.min(excess, gaps.length) - 1)
-        val outC = new Array[Double](m)
-        val outW = new Array[Long](m)
-        var (i, o, merged) = (0, 0, 0)
+        System.arraycopy(gapBuf, 0, gapSort, 0, m - 1)
+        java.util.Arrays.sort(gapSort, 0, m - 1)
+        val threshold = gapSort(math.min(excess, m - 1) - 1)
+        // in-place merge sweep: o trails i, reads happen before writes
+        var o = 0
+        var merged = 0
+        i = 0
         while (i < m) {
-          if (i < m - 1 && merged < excess && gaps(i) <= threshold) {
-            val w = sw(i) + sw(i + 1)
-            outC(o) = (sc(i) * sw(i) + sc(i + 1) * sw(i + 1)) / w
-            outW(o) = w
+          if (i < m - 1 && merged < excess && gapBuf(i) <= threshold) {
+            val w = ws(i) + ws(i + 1)
+            val c = (cs(i) * ws(i) + cs(i + 1) * ws(i + 1)) / w
+            cs(o) = c; ws(o) = w
             merged += 1
             i += 2
           } else {
-            outC(o) = sc(i); outW(o) = sw(i)
+            cs(o) = cs(i); ws(o) = ws(i)
             i += 1
           }
           o += 1
         }
-        System.arraycopy(outC, 0, cs, 0, o)
-        System.arraycopy(outW, 0, ws, 0, o)
         n = o
         if (merged == 0) return // defensive: cannot shrink further
       }
@@ -193,10 +245,12 @@ case class HistogramSketchAgg(
 
   override def eval(buf: HistogramSketchImpl.Sketch): Any = {
     buf.compress(maxCentroids)
-    val idx = (0 until buf.n).sortBy(buf.cs)
-    new GenericArrayData(idx.map { i =>
-      InternalRow(buf.cs(i), buf.ws(i))
-    }.toArray[Any])
+    buf.sortInPlace() // compress sorts only when it shrinks; the
+    // emitted array is ordered by centroid (cdf/decode rely on it)
+    val out = new Array[Any](buf.n)
+    var i = 0
+    while (i < buf.n) { out(i) = InternalRow(buf.cs(i), buf.ws(i)); i += 1 }
+    new GenericArrayData(out)
   }
 
   override def serialize(buf: HistogramSketchImpl.Sketch): Array[Byte] = buf.serialize()

@@ -126,9 +126,10 @@ object Similarity {
       corpus: DataFrame,
       numCells: Int,
       vecCol: String = "embedding",
-      seed: Long = 4233L): (KMeansModel, DataFrame) = {
+      seed: Long = 4233L,
+      maxIter: Int = 20): (KMeansModel, DataFrame) = {
     val vec = corpus.withColumn("__v", array_to_vector(col(vecCol)))
-    val model = new KMeans().setK(numCells).setSeed(seed)
+    val model = new KMeans().setK(numCells).setSeed(seed).setMaxIter(maxIter)
       .setFeaturesCol("__v").setPredictionCol("cell")
       .fit(vec)
     (model, model.transform(vec).drop("__v"))
@@ -194,10 +195,11 @@ object Similarity {
       nprobe: Int,
       idCol: String = "vec_id",
       vecCol: String = "embedding",
-      seed: Long = 4233L): DataFrame = {
+      seed: Long = 4233L,
+      maxIter: Int = 20): DataFrame = {
     val brute = bruteForceTopK(queries, corpus, k, idCol, vecCol)
       .select("query_id", "neighbor_id")
-    val (model, tagged) = ivfBuild(corpus, numCells, vecCol, seed)
+    val (model, tagged) = ivfBuild(corpus, numCells, vecCol, seed, maxIter)
     val ivf = ivfTopK(queries, tagged, model, k, nprobe, idCol, vecCol)
       .select("query_id", "neighbor_id")
     val hits = brute.join(ivf, Seq("query_id", "neighbor_id"), "left_semi")
