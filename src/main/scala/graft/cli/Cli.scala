@@ -163,6 +163,43 @@ object Curator {
   }
 }
 
+/** `streamer` (north-star, no reference counterpart): config-driven
+  * Structured Streaming job over an events landing directory — reads new
+  * parquet files per trigger, applies one of the streaming operators,
+  * and appends to a checkpointed parquet sink (exactly-once; a restart
+  * with the same checkpoint resumes from the offset log).
+  *
+  * Config keys under `streaming { }`: `events-dir`, `target-dir`,
+  * `checkpoint-location` (required — durable recovery), `operation`
+  * (window|sessions|dedup, default window), `window-length`,
+  * `session-gap`, `watermark`, `state-store` (`rocksdb` for the
+  * off-heap production state store), `shuffle-partitions`. */
+object Streamer {
+  def main(args: Array[String]): Unit = Cli.run("streamer", args) { (conf, spark) =>
+    import graft.streaming.Streams
+    val c = conf.at("streaming")
+    val events = Streams.readEventStream(spark, c.string("events-dir"))
+    val watermark = c.getString("watermark").getOrElse("2 hours")
+    val stream = c.getString("operation").getOrElse("window") match {
+      case "window" =>
+        Streams.windowedEventStats(events,
+          c.getString("window-length").getOrElse("1 hour"), watermark)
+      case "sessions" =>
+        Streams.sessionStats(events,
+          c.getString("session-gap").getOrElse("30 minutes"), watermark)
+      case "dedup" => Streams.dedupEventStream(events, watermark)
+      case other => throw new IllegalArgumentException(
+        s"unknown streaming.operation '$other' (window|sessions|dedup)")
+    }
+    val opts = Streams.RunOptions(
+      shufflePartitions = c.getInt("shuffle-partitions"),
+      useRocksDB = c.getString("state-store").contains("rocksdb"))
+    Cli.log("streaming run started (AvailableNow)...")
+    Streams.runToFiles(stream, c.string("target-dir"), c.string("checkpoint-location"), opts)
+    Cli.log("streaming run finished")
+  }
+}
+
 /** E3 `trainer` (reference `trainer.py:12-72`): fit a model from a Spark
   * source and persist it — distributed MLlib fit + `model.write.save`
   * instead of `toPandas` + sklearn + joblib. */

@@ -217,7 +217,20 @@ object GraftConfig {
           var xs = Vector.empty[ConfValue]
           skipWs(newlines = true)
           while (!eof && peek != ']') {
-            xs :+= parseValue()
+            val elemStart = pos
+            sawQuote = false
+            val elem = parseValue()
+            // same guard as object values: an empty UNQUOTED element
+            // ('[a,,b]' or a trailing ',]') would silently become an
+            // empty-string entry; explicit empty needs quotes: [""]
+            elem match {
+              case CStr("") if !sawQuote =>
+                throw new IllegalArgumentException(
+                  s"empty list element near position $elemStart " +
+                    "(stray comma? explicit empty element? write \"\")")
+              case _ => ()
+            }
+            xs :+= elem
             skipWs(newlines = true)
             if (!eof && peek == ',') { pos += 1; skipWs(newlines = true) }
           }

@@ -13,71 +13,105 @@ import org.apache.spark.unsafe.types.UTF8String
   * in ONE byte pass over the document:
   *
   *   struct<n_tokens int, n_nonspace int, n_punct int,
-  *          hits_en int, hits_de int, hits_fr int, hits_es int,
-  *          cjk int>
+  *          hits_en .. hits_ru int,    -- total stopword occurrences
+  *          dhits_en .. dhits_ru int,  -- DISTINCT stopword hits
+  *          cjk int, n_chars int>
   *
   * The composable column formulation (`TextAnalysis.qualityScore` +
   * `langId` + `wsTokenCount`) re-derives the token array per metric and
-  * runs four `array_intersect`s through interpreted lambdas — measured
-  * ~8 µs/doc on the 5M-doc scale probe. This expression tokenizes the
-  * lowercased UTF-8 bytes once, classifies bytes inline, and checks
-  * stopword membership against precomputed hash sets. Character
-  * classes: ASCII alnum = word chars; ASCII \s = space; other ASCII =
-  * punctuation; multi-byte chars = word chars (letters), with CJK
-  * (U+4E00–U+9FFF) additionally counted for language ID.
+  * runs one `array_intersect` per language profile through interpreted
+  * lambdas — measured ~8 µs/doc on the 5M-doc scale probe. This
+  * expression tokenizes the lowercased UTF-8 bytes once, classifies
+  * bytes inline, and checks stopword membership against precomputed
+  * hash sets.
+  *
+  * Semantics (matching the composable forms):
+  *  - counters count decoded CHARACTERS, not bytes (UTF-8 continuation
+  *    bytes are skipped), so `n_nonspace`/`n_chars` equal
+  *    `length(regexp_replace(c,"\\s",""))`/`length(c)` on any corpus;
+  *  - `hits_XX` are TOTAL stopword occurrences (what `stopwordRatio`
+  *    computes), while `dhits_XX` are DISTINCT stopword hits (a bitmask
+  *    per profile, one bit per stopword — the same vote `langId`
+  *    computes via `array_distinct` + `array_intersect`);
+  *  - ASCII alnum = word chars; ASCII \s = space; other ASCII =
+  *    punctuation; multi-byte chars = word chars (so non-ASCII
+  *    punctuation like "—" counts as a letter here but as punctuation
+  *    in the regex-based composable `punctCount` — the one remaining
+  *    documented divergence); CJK (U+4E00–U+9FFF) additionally counted
+  *    for language ID.
   */
 object TextStatsImpl {
 
-  val Langs: Seq[String] = Seq("en", "de", "fr", "es")
+  val Langs: Seq[String] = Seq("en", "de", "fr", "es", "pt", "it", "nl", "ru")
+  private val NumLangs = Langs.length
 
   /** token-hash sets per profile (xxhash64 of the stopword bytes) —
-    * membership by hash, collision odds negligible for 10-word sets. */
+    * membership by hash, collision odds negligible for 10-word sets.
+    * Sorted so binarySearch gives both membership AND the stopword's
+    * index within the profile (the distinct-hit bitmask bit). */
   private val profileHashes: Array[Array[Long]] =
     Langs.map(l => graft.llm.TextAnalysis.StopwordProfiles(l)
       .map(w => SimHashImpl.tokenHash(UTF8String.fromString(w))).toArray.sorted).toArray
 
-  private def inProfile(p: Array[Long], h: Long): Boolean =
-    java.util.Arrays.binarySearch(p, h) >= 0
+  // layout of the counter array returned by compute
+  private val IdxTokens = 0
+  private val IdxNonspace = 1
+  private val IdxPunct = 2
+  private val IdxHits = 3 // .. IdxHits + NumLangs - 1 (total occurrences)
+  private val IdxDHits = IdxHits + NumLangs // .. + NumLangs - 1 (distinct)
+  private val IdxCjk = IdxDHits + NumLangs
+  private val IdxChars = IdxCjk + 1
+  val NumCounters: Int = IdxChars + 1
 
-  /** One pass: returns the 8 counters. */
+  /** One pass: returns the counters (layout above). */
   def compute(text: UTF8String): Array[Int] = {
-    val out = new Array[Int](9) // tokens, nonspace, punct, en, de, fr, es, cjk, bytes
+    val out = new Array[Int](NumCounters)
+    val masks = new Array[Int](NumLangs) // distinct-hit bitmask per profile
     val bytes = text.toLowerCase.getBytes
     val len = bytes.length
     var tokStart = -1
     var i = 0
     while (i < len) {
       val b = bytes(i)
-      val isSpace = b == 0x20 || b == 0x09 || b == 0x0A || b == 0x0B || b == 0x0C || b == 0x0D
-      if (!isSpace) {
-        out(1) += 1
-        if (b >= 0) {
-          // ASCII: alnum is word-like, the rest is punctuation
-          val alnum = (b >= 'a' && b <= 'z') || (b >= '0' && b <= '9') || (b >= 'A' && b <= 'Z')
-          if (!alnum) out(2) += 1
-        } else if ((b & 0xF0) == 0xE0 && i + 2 < len) {
-          // 3-byte char: decode for the CJK range check
-          val cp = ((b & 0x0F) << 12) | ((bytes(i + 1) & 0x3F) << 6) | (bytes(i + 2) & 0x3F)
-          if (cp >= 0x4E00 && cp <= 0x9FFF) out(7) += 1
+      if ((b & 0xC0) != 0x80) { // skip UTF-8 continuation bytes: count chars
+        val isSpace = b == 0x20 || b == 0x09 || b == 0x0A || b == 0x0B || b == 0x0C || b == 0x0D
+        out(IdxChars) += 1
+        if (!isSpace) {
+          out(IdxNonspace) += 1
+          if (b >= 0) {
+            // ASCII: alnum is word-like, the rest is punctuation
+            val alnum = (b >= 'a' && b <= 'z') || (b >= '0' && b <= '9') || (b >= 'A' && b <= 'Z')
+            if (!alnum) out(IdxPunct) += 1
+          } else if ((b & 0xF0) == 0xE0 && i + 2 < len) {
+            // 3-byte char: decode for the CJK range check
+            val cp = ((b & 0x0F) << 12) | ((bytes(i + 1) & 0x3F) << 6) | (bytes(i + 2) & 0x3F)
+            if (cp >= 0x4E00 && cp <= 0x9FFF) out(IdxCjk) += 1
+          }
+          if (tokStart < 0) tokStart = i
+        } else if (tokStart >= 0) {
+          endToken(bytes, tokStart, i, out, masks)
+          tokStart = -1
         }
-        if (tokStart < 0) tokStart = i
-      } else if (tokStart >= 0) {
-        endToken(bytes, tokStart, i, out)
-        tokStart = -1
       }
       i += 1
     }
-    if (tokStart >= 0) endToken(bytes, tokStart, len, out)
-    out(8) = len
+    if (tokStart >= 0) endToken(bytes, tokStart, len, out, masks)
+    var l = 0
+    while (l < NumLangs) {
+      out(IdxDHits + l) = java.lang.Integer.bitCount(masks(l))
+      l += 1
+    }
     out
   }
 
-  private def endToken(bytes: Array[Byte], start: Int, end: Int, out: Array[Int]): Unit = {
-    out(0) += 1
+  private def endToken(
+      bytes: Array[Byte], start: Int, end: Int, out: Array[Int], masks: Array[Int]): Unit = {
+    out(IdxTokens) += 1
     val h = SimHashImpl.tokenHash(UTF8String.fromBytes(bytes, start, end - start))
     var l = 0
-    while (l < 4) {
-      if (inProfile(profileHashes(l), h)) out(3 + l) += 1
+    while (l < NumLangs) {
+      val idx = java.util.Arrays.binarySearch(profileHashes(l), h)
+      if (idx >= 0) { out(IdxHits + l) += 1; masks(l) |= 1 << idx }
       l += 1
     }
   }
@@ -86,8 +120,10 @@ object TextStatsImpl {
     * calls this static method and assigns the InternalRow). */
   def computeRow(text: UTF8String): InternalRow = {
     val c = compute(text)
-    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
-      Array[Any](c(0), c(1), c(2), c(3), c(4), c(5), c(6), c(7), c(8)))
+    val vals = new Array[Any](NumCounters)
+    var i = 0
+    while (i < NumCounters) { vals(i) = c(i); i += 1 }
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(vals)
   }
 }
 
@@ -97,16 +133,16 @@ case class TextStats(child: Expression) extends UnaryExpression {
     case _: StringType => TypeCheckResult.TypeCheckSuccess
     case t => TypeCheckResult.TypeCheckFailure(s"graft_textstats expects string, got $t")
   }
-  override def dataType: DataType = StructType(Seq(
-    StructField("n_tokens", IntegerType, nullable = false),
-    StructField("n_nonspace", IntegerType, nullable = false),
-    StructField("n_punct", IntegerType, nullable = false),
-    StructField("hits_en", IntegerType, nullable = false),
-    StructField("hits_de", IntegerType, nullable = false),
-    StructField("hits_fr", IntegerType, nullable = false),
-    StructField("hits_es", IntegerType, nullable = false),
-    StructField("cjk", IntegerType, nullable = false),
-    StructField("n_bytes", IntegerType, nullable = false)))
+  override def dataType: DataType = StructType(
+    Seq(
+      StructField("n_tokens", IntegerType, nullable = false),
+      StructField("n_nonspace", IntegerType, nullable = false),
+      StructField("n_punct", IntegerType, nullable = false)) ++
+    TextStatsImpl.Langs.map(l => StructField(s"hits_$l", IntegerType, nullable = false)) ++
+    TextStatsImpl.Langs.map(l => StructField(s"dhits_$l", IntegerType, nullable = false)) ++
+    Seq(
+      StructField("cjk", IntegerType, nullable = false),
+      StructField("n_chars", IntegerType, nullable = false)))
   override def nullable: Boolean = child.nullable
   override def prettyName: String = "graft_textstats"
 

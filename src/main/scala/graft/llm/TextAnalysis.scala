@@ -46,6 +46,10 @@ object TextAnalysis {
     "de" -> Seq("der", "die", "das", "und", "ist", "nicht", "ein", "mit", "ich", "zu"),
     "fr" -> Seq("le", "la", "les", "et", "est", "un", "une", "que", "des", "pour"),
     "es" -> Seq("el", "la", "los", "y", "es", "un", "una", "que", "de", "por"),
+    "pt" -> Seq("o", "os", "do", "da", "em", "e", "que", "um", "uma", "para"),
+    "it" -> Seq("il", "di", "che", "e", "la", "per", "non", "sono", "con", "una"),
+    "nl" -> Seq("de", "het", "een", "en", "van", "ik", "dat", "niet", "op", "te"),
+    "ru" -> Seq("и", "в", "не", "на", "я", "что", "с", "это", "он", "как"),
   )
 
   /** Fraction of tokens that are stopwords of `lang` — high for natural
@@ -98,8 +102,11 @@ object TextAnalysis {
   /** One-pass stats struct (`graft.functions.TextStats`): every counter
     * the metrics above need, from a single byte scan — use on hot scan
     * paths where the composable forms' repeated tokenization costs.
-    * ASCII-oriented char classes (multi-byte chars count as letters);
-    * identical to the composable forms on ASCII corpora. */
+    * Counters are character-based (UTF-8 continuation bytes skipped) and
+    * stopword hits are distinct, matching the composable forms on any
+    * corpus; the one divergence is non-ASCII punctuation, which the
+    * byte classifier counts as a letter while the regex-based
+    * `punctCount` counts as punctuation. */
   def stats(c: Column): Column =
     org.apache.spark.sql.graftbridge.ColumnBridge.column(
       graft.functions.TextStats(
@@ -113,24 +120,27 @@ object TextAnalysis {
     val stopScore = least(
       when(nTok === 0, lit(0.0)).otherwise(hits.cast("double") / nTok) * 5.0, lit(1.0))
     // same denominator as the composable form: full length incl. spaces
-    // (n_bytes == length() on ASCII corpora)
-    val total = stats.getField("n_bytes")
+    // (n_chars counts decoded characters, == length())
+    val total = stats.getField("n_chars")
     val punctScore = greatest(lit(1.0) -
       when(total === 0, lit(0.0))
         .otherwise(stats.getField("n_punct").cast("double") / total) * 4.0, lit(0.0))
     round(lengthScore * 0.4 + stopScore * 0.4 + punctScore * 0.2, 6)
   }
 
-  /** langId computed from ONE stats struct. Hit counts here include
-    * repeats (every occurrence), which only strengthens the vote. */
+  /** langId computed from ONE stats struct. The vote uses the DISTINCT
+    * hit counters (`dhits_XX`, bitmask-deduplicated in the expression),
+    * so it is identical to the composable `langId`'s `array_distinct` +
+    * `array_intersect` form — a doc repeating one English stopword
+    * cannot out-vote several distinct German ones. */
   def langIdFast(stats: Column): Column = {
     val scored = graft.functions.TextStatsImpl.Langs.map { lang =>
-      struct(stats.getField(s"hits_$lang").as("score"), lit(lang).as("lang"))
+      struct(stats.getField(s"dhits_$lang").as("score"), lit(lang).as("lang"))
     }
     val best = array_max(array(scored: _*))
-    // cjk counts CHARS, n_bytes counts BYTES (3 per CJK char): the
-    // "CJK chars dominate" test is cjk > chars/4 ≈ cjk*12 > n_bytes
-    when(stats.getField("cjk") * 12 > stats.getField("n_bytes"), lit("zh"))
+    // both cjk and n_chars count decoded characters: "CJK dominates"
+    // is cjk > chars/4, same test as the composable form
+    when(stats.getField("cjk") * 4 > stats.getField("n_chars"), lit("zh"))
       .when(best.getField("score") > 0, best.getField("lang"))
       .otherwise(lit("unknown"))
   }

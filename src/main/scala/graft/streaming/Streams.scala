@@ -133,6 +133,47 @@ object Streams {
       .toDF()
   }
 
+  /** Production run options for the streaming harnesses.
+    *
+    *  - `checkpointLocation`: durable WAL + state checkpoint dir —
+    *    REQUIRED for exactly-once recovery in production (the default
+    *    temp checkpoint is deleted on success and lost on crash);
+    *  - `useRocksDB`: swap the state store to the RocksDB provider —
+    *    state lives off-heap on local disk instead of the executor heap,
+    *    the production choice once keyed state exceeds memory (millions
+    *    of sessions/dedup ids per partition at 100 TB);
+    *  - `shufflePartitions`: stateful streaming creates one state-store
+    *    instance per shuffle partition; for modest key cardinality that
+    *    bootstrap dominates a run-to-completion query, so callers may
+    *    right-size it. Session values are restored afterwards (both
+    *    confs are captured at query start).
+    */
+  final case class RunOptions(
+      shufflePartitions: Option[Int] = None,
+      checkpointLocation: Option[String] = None,
+      useRocksDB: Boolean = false)
+
+  private val ProviderConf = "spark.sql.streaming.stateStore.providerClass"
+  private val RocksDBProvider =
+    "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
+
+  /** Apply RunOptions around a streaming start: sets session confs,
+    * runs `body`, restores the previous conf values. */
+  private def withRunOptions[A](spark: SparkSession, opts: RunOptions)(body: => A): A = {
+    val prevShuffle = spark.conf.get("spark.sql.shuffle.partitions")
+    val prevProvider = spark.conf.getOption(ProviderConf)
+    opts.shufflePartitions.foreach(n => spark.conf.set("spark.sql.shuffle.partitions", n))
+    if (opts.useRocksDB) spark.conf.set(ProviderConf, RocksDBProvider)
+    try body
+    finally {
+      spark.conf.set("spark.sql.shuffle.partitions", prevShuffle)
+      prevProvider match {
+        case Some(p) => spark.conf.set(ProviderConf, p)
+        case None => spark.conf.unset(ProviderConf)
+      }
+    }
+  }
+
   /** Run any of the above to completion over the files currently in the
     * directory (AvailableNow trigger + memory sink) and return the
     * result — the batch-parity harness used by specs and oracles. */
@@ -140,24 +181,46 @@ object Streams {
       stream: DataFrame,
       queryName: String,
       outputMode: OutputMode,
-      shufflePartitions: Option[Int] = None): DataFrame = {
+      shufflePartitions: Option[Int] = None): DataFrame =
+    runToMemory(stream, queryName, outputMode, RunOptions(shufflePartitions))
+
+  def runToMemory(
+      stream: DataFrame,
+      queryName: String,
+      outputMode: OutputMode,
+      opts: RunOptions): DataFrame = {
     val spark = stream.sparkSession
-    // Stateful streaming creates one state-store instance per shuffle
-    // partition; for modest key cardinality that bootstrap dominates a
-    // run-to-completion query, so callers may right-size it here. The
-    // session value is restored afterwards (partition count is captured
-    // at query start).
-    val prev = spark.conf.get("spark.sql.shuffle.partitions")
-    shufflePartitions.foreach(n => spark.conf.set("spark.sql.shuffle.partitions", n))
-    try {
-      val q = stream.writeStream
+    withRunOptions(spark, opts) {
+      var w = stream.writeStream
         .format("memory")
         .queryName(queryName)
         .outputMode(outputMode)
         .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-        .start()
-      q.awaitTermination()
-    } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
+      opts.checkpointLocation.foreach(c => w = w.option("checkpointLocation", c))
+      w.start().awaitTermination()
+    }
     spark.table(queryName)
+  }
+
+  /** Run a stream to a durable file sink (parquet) to completion — the
+    * production landing path: checkpointed, exactly-once, restartable
+    * (a later run with the same checkpoint resumes from the offset log
+    * and appends only new files' windows). */
+  def runToFiles(
+      stream: DataFrame,
+      outDir: String,
+      checkpointLocation: String,
+      opts: RunOptions = RunOptions()): Unit = {
+    val spark = stream.sparkSession
+    withRunOptions(spark, opts) {
+      stream.writeStream
+        .format("parquet")
+        .option("path", outDir)
+        .option("checkpointLocation", checkpointLocation)
+        .outputMode(OutputMode.Append) // file sinks support append only
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+        .awaitTermination()
+    }
   }
 }

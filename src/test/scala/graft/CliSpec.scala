@@ -163,6 +163,34 @@ class CliSpec extends SparkTestBase {
     assert(Seq("quality", "lang_id", "n_tokens").forall(curated.columns.contains))
   }
 
+  test("streamer runs a checkpointed windowed stream to a parquet sink (RocksDB state)") {
+    val base = tmp()
+    val events = base.resolve("events").toString
+    spark.read.option("pathGlobFilter", "events.parquet").parquet(sfDir)
+      .write.parquet(events)
+    val out = base.resolve("windows").toString
+    val f = write(base.resolve("stream.conf"),
+      s"""streaming {
+         |  events-dir = $events
+         |  target-dir = $out
+         |  checkpoint-location = ${base.resolve("ckpt")}
+         |  operation = window
+         |  window-length = "1 hour"
+         |  watermark = "2 hours"
+         |  state-store = rocksdb
+         |  shuffle-partitions = 8
+         |}
+         |""".stripMargin)
+    graft.cli.Streamer.main(Array("--conf", f))
+    val windows = spark.read.parquet(out)
+    assert(windows.count() > 0)
+    assert(Seq("window_start", "window_end", "event_type", "n_events").forall(windows.columns.contains))
+    // second run, same checkpoint, no new files → exactly-once, no re-append
+    val n1 = windows.count()
+    graft.cli.Streamer.main(Array("--conf", f))
+    assert(spark.read.parquet(out).count() == n1)
+  }
+
   test("scorer with model-expr scores without a saved model (U5 through E2)") {
     val base = tmp()
     val out = base.resolve("scores").toString

@@ -40,6 +40,13 @@ class ConfigSpec extends AnyFunSuite {
     assert(c.getList("target.partition-by").contains(Seq("business_dt", "region")))
   }
 
+  test("empty unquoted list elements are rejected; quoted empties parse") {
+    intercept[IllegalArgumentException] { GraftConfig.parse("k = [a,,b]") }
+    assert(GraftConfig.parse("""k = [a, "", b]""").getList("k").contains(Seq("a", "", "b")))
+    // trailing comma stays legal (common HOCON style)
+    assert(GraftConfig.parse("k = [a, b,]").getList("k").contains(Seq("a", "b")))
+  }
+
   test("substitution resolves") {
     val c = GraftConfig.parse(doc)
     assert(c.string("paths.derived") == "/data/x")

@@ -97,6 +97,39 @@ class StreamsSpec extends SparkTestBase {
     assert(got.count() > 0 && got.count() <= want.count())
   }
 
+  test("RocksDB state store provider: windowed stats match the default provider") {
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-rocks-ckpt").toString
+    val stream = Streams.windowedEventStats(
+      Streams.readEventStream(spark, eventsDir, "events.parquet"),
+      windowLength = "1 hour", watermarkDelay = "2 hours")
+    val rocks = Streams.runToMemory(stream, "win_stats_rocks", OutputMode.Append(),
+      Streams.RunOptions(checkpointLocation = Some(ckpt), useRocksDB = true))
+      .collect().map(r => (r.getTimestamp(0), r.getString(2), r.getLong(3), r.getDouble(4))).toSet
+    val default = Streams.runToMemory(stream, "win_stats_default", OutputMode.Append())
+      .collect().map(r => (r.getTimestamp(0), r.getString(2), r.getLong(3), r.getDouble(4))).toSet
+    assert(rocks == default)
+    // RocksDB provider setting was restored after the run
+    assert(!spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+      .exists(_.contains("RocksDB")))
+    // the checkpoint is durable: offset + state dirs exist
+    val sub = new java.io.File(ckpt).list().toSet
+    assert(sub.contains("offsets") && sub.contains("state"), s"checkpoint dirs: $sub")
+  }
+
+  test("runToFiles: checkpointed file sink is exactly-once across restarts") {
+    val base = java.nio.file.Files.createTempDirectory("graft-stream-files")
+    val ckpt = s"$base/ckpt"
+    val out = s"$base/out"
+    val stream = Streams.windowedEventStats(
+      Streams.readEventStream(spark, eventsDir, "events.parquet"))
+    Streams.runToFiles(stream, out, ckpt)
+    val n1 = spark.read.parquet(out).count()
+    assert(n1 > 0)
+    // same checkpoint, no new input files → the restart appends nothing
+    Streams.runToFiles(stream, out, ckpt)
+    assert(spark.read.parquet(out).count() == n1)
+  }
+
   test("userRunningStats keeps per-key state across the stream") {
     val stream = Streams.userRunningStats(
       Streams.readEventStream(spark, eventsDir, "events.parquet"))

@@ -45,6 +45,10 @@ class TextAnalysisSpec extends SparkTestBase {
       ("der hund ist nicht mit der katze und ich gehe zu dir", "de"),
       ("le chat est dans la maison et les enfants sont pour une heure", "fr"),
       ("el perro es un animal y la casa que es de madera", "es"),
+      ("o menino que mora em uma casa para os amigos do porto", "pt"),
+      ("il gatto che non sono con una casa di roma per la sera", "it"),
+      ("ik denk dat het een huis van de stad niet op straat te zien is", "nl"),
+      ("я не знаю что это он как в на с берегу", "ru"),
       ("你好世界这是一个中文句子没有空格", "zh"),
       ("xk9qq7 zzz9 blorp", "unknown"),
     ).toDF("text", "want")

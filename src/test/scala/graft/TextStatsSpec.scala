@@ -18,8 +18,40 @@ class TextStatsSpec extends SparkTestBase {
     val bad = cmp.filter(
       col("s.n_tokens") =!= col("toks") ||
       col("s.n_punct") =!= col("punct") ||
-      col("s.n_bytes") =!= col("chars")).count()
+      col("s.n_chars") =!= col("chars")).count()
     assert(bad == 0)
+  }
+
+  test("char counters are character-based (not bytes) on non-ASCII text") {
+    val samples = Seq(
+      "héllo wörld ça va",
+      "der große bär läuft über die straße",
+      "я не знаю что это",
+      "日本語 と 中文 mixed text").toDF("text")
+    val cmp = samples.select(
+      TextAnalysis.stats(col("text")).as("s"),
+      length(col("text")).as("chars"),
+      length(regexp_replace(col("text"), "\\s", "")).as("nonspace"))
+    val bad = cmp.filter(
+      col("s.n_chars") =!= col("chars") ||
+      col("s.n_nonspace") =!= col("nonspace")).count()
+    assert(bad == 0)
+  }
+
+  test("stopword hits are distinct: repeating one stopword cannot out-vote a profile") {
+    // 5 "the" = 1 distinct en hit; 5 distinct de stopwords = 5 de hits.
+    // A total-occurrence counter would tie 5-5; the distinct vote is 1-5.
+    val r = Seq("the the the the the und ist nicht ein mit").toDF("text")
+      .select(
+        TextAnalysis.stats(col("text")).as("s"),
+        TextAnalysis.langIdFast(TextAnalysis.stats(col("text"))).as("fast"),
+        TextAnalysis.langId(col("text")).as("slow"))
+      .head()
+    val s = r.getStruct(0)
+    assert(s.getAs[Int]("hits_en") == 5) // total occurrences (stopwordRatio form)
+    assert(s.getAs[Int]("dhits_en") == 1) // distinct (langId vote form)
+    assert(s.getAs[Int]("dhits_de") == 5)
+    assert(r.getString(1) == "de" && r.getString(2) == "de")
   }
 
   test("qualityScoreFast == qualityScore on the real corpus") {
@@ -35,6 +67,10 @@ class TextStatsSpec extends SparkTestBase {
       "der hund ist nicht mit der katze und ich gehe zu dir",
       "le chat est dans la maison et les enfants sont pour une heure",
       "el perro es un animal y la casa que es de madera",
+      "o menino que mora em uma casa para os amigos do porto",
+      "il gatto che non sono con una casa di roma per la sera",
+      "ik denk dat het een huis van de stad niet op straat te zien is",
+      "я не знаю что это он как в на с берегу",
       "你好世界这是一个中文句子没有空格",
       "xk9qq7 zzz9 blorp").toDF("text")
     val cmp = samples.select(
