@@ -284,6 +284,52 @@ object SparkEntry {
           round(avg("value"), 4).as("avg_value"),
           round(avg("k"), 4).as("avg_k"),
           max("k").as("max_k"))),
+
+    // ---- Context-window chunking: overlapping token windows per doc,
+    // shuffle-free map + bounded explode (CorpusPrep.chunkByTokens).
+    "q26_chunking" -> ((s, dir) =>
+      graft.llm.CorpusPrep.chunkByTokens(
+        t(s, dir, "documents"), "doc_id", "text", chunkSize = 32, overlap = 8)),
+
+    // ---- As-of join: each click joined to the user's latest preceding
+    // view — union + one windowed pass, a single shuffle, no join node
+    // (plan pinned in AsofRangeJoinSpec).
+    "q27_asof_join" -> ((s, dir) => {
+      val events = t(s, dir, "events")
+      val clicks = events.filter(col("event_type") === "click")
+      val views = events.filter(col("event_type") === "view")
+        .select(col("user_id"), col("ts"),
+          col("event_id").as("view_id"), col("value").as("view_value"))
+      graft.operators.Ops.asofJoin(clicks, views, Seq("user_id"), "ts",
+        Seq("view_id" -> "prior_view_id", "view_value" -> "prior_value"))
+        .select(col("event_id"), col("user_id"),
+          coalesce(col("prior_view_id"), lit(-1L)).as("prior_view_id"),
+          round(coalesce(col("prior_value"), lit(0.0)), 4).as("prior_value"))
+    }),
+
+    // ---- Training-mix composition: per-source deterministic keep
+    // fractions via md5 thresholds — reproducible across partitionings,
+    // retries, and engines (the oracle runs the SAME predicate).
+    "q28_mixture_sample" -> ((s, dir) =>
+      graft.llm.CorpusPrep.mixtureSample(
+        t(s, dir, "documents"), "doc_id", "source",
+        Map("src0" -> 1.0, "src1" -> 0.5, "src2" -> 0.25, "src3" -> 0.1),
+        defaultFraction = 0.05, salt = "mix1")
+        .select("doc_id", "source", "lang")),
+
+    // ---- Broadcast range join: band lookup on a non-equi interval
+    // condition; the fact side streams unshuffled through a
+    // BroadcastNestedLoopJoin against the 3-row band dimension.
+    "q29_range_join" -> ((s, dir) => {
+      import s.implicits._
+      val bands = Seq(("low", 0.0, 10.0), ("mid", 10.0, 25.0), ("high", 25.0, 1e9))
+        .toDF("band", "lo", "hi")
+      graft.operators.Ops.broadcastRangeJoin(
+        t(s, dir, "lineitem"), bands, "l_quantity", "lo", "hi")
+        .groupBy("band")
+        .agg(count(lit(1)).as("n"),
+          round(sum("l_extendedprice"), 2).as("revenue"))
+    }),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -424,5 +470,47 @@ object SparkEntry {
         | round(avg(cast(json_extract_string(props, '$.k') AS bigint)), 4) AS avg_k,
         | max(cast(json_extract_string(props, '$.k') AS bigint)) AS max_k
         |FROM events GROUP BY event_type""".stripMargin,
+    // chunk i covers tokens [i·24, i·24+32); chunk count = the first
+    // window reaching the end (same arithmetic as CorpusPrep)
+    "q26_chunking" ->
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |    list_filter(regexp_split_to_array(trim(text), '\s+'), t -> len(t) > 0) AS ts
+        |  FROM documents),
+        |sized AS (
+        |  SELECT doc_id, ts,
+        |    CASE WHEN len(ts) = 0 THEN 0
+        |         ELSE CAST(ceil(greatest(len(ts) - 32, 0) / 24.0) AS INT) + 1 END AS n
+        |  FROM toks)
+        |SELECT s.doc_id,
+        |  CAST(u.i AS BIGINT) AS chunk_id,
+        |  array_to_string(s.ts[u.i*24 + 1 : u.i*24 + 32], ' ') AS chunk_text,
+        |  CAST(len(s.ts[u.i*24 + 1 : u.i*24 + 32]) AS BIGINT) AS chunk_tokens
+        |FROM sized s, LATERAL (SELECT unnest(range(s.n)) AS i) u""".stripMargin,
+    "q27_asof_join" ->
+      """SELECT l.event_id, l.user_id,
+        | coalesce(r.event_id, -1) AS prior_view_id,
+        | round(coalesce(r.value, 0.0), 4) AS prior_value
+        |FROM (SELECT * FROM events WHERE event_type = 'click') l
+        |ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'view') r
+        |  ON l.user_id = r.user_id AND l.ts >= r.ts""".stripMargin,
+    // thresholds interpolated from the SAME function the Spark predicate
+    // uses — the oracle runs the identical md5-vs-hex comparison
+    "q28_mixture_sample" ->
+      s"""SELECT doc_id, source, lang FROM documents
+         |WHERE md5(CAST(doc_id AS VARCHAR) || 'mix1') <
+         |  CASE source
+         |    WHEN 'src0' THEN 'g'
+         |    WHEN 'src1' THEN '${graft.operators.Ops.hashThresholdHex(0.5)}'
+         |    WHEN 'src2' THEN '${graft.operators.Ops.hashThresholdHex(0.25)}'
+         |    WHEN 'src3' THEN '${graft.operators.Ops.hashThresholdHex(0.1)}'
+         |    ELSE '${graft.operators.Ops.hashThresholdHex(0.05)}' END""".stripMargin,
+    "q29_range_join" ->
+      """SELECT band, count(*) AS n, round(sum(l_extendedprice), 2) AS revenue
+        |FROM lineitem
+        |JOIN (VALUES ('low', 0.0, 10.0), ('mid', 10.0, 25.0), ('high', 25.0, 1e9))
+        |  b(band, lo, hi)
+        |  ON l_quantity >= lo AND l_quantity < hi
+        |GROUP BY band""".stripMargin,
   )
 }

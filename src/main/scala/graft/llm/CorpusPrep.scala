@@ -1,0 +1,91 @@
+package graft.llm
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Corpus preparation for LLM training (north-star extension, SURVEY.md
+  * §7.6): turning a curated document table into training-ready rows —
+  * fixed-size chunking and weighted mixture sampling.
+  *
+  * Both are pure per-row column programs (chunking adds one explode):
+  * no shuffle, no UDFs, no driver involvement — they run at parquet-scan
+  * speed and compose with any upstream filter/dedup stage.
+  */
+object CorpusPrep {
+
+  /** Split each document into fixed-size overlapping token-window
+    * chunks — the standard context-window packing step before
+    * tokenization. Chunk `i` covers whitespace tokens
+    * `[i·step, i·step + chunkSize)` with `step = chunkSize − overlap`;
+    * the last chunk is the first one whose window reaches the document
+    * end (so every token appears in ≥ 1 chunk and no start index runs
+    * past the end). Documents with zero tokens produce zero chunks.
+    *
+    * Output: input id column + `chunk_id` (0-based), `chunk_text`,
+    * `chunk_tokens` (size of the possibly-short final window).
+    *
+    * Scale shape: tokenize → compute chunk starts → posexplode. A pure
+    * map with bounded fan-out (≤ len/step rows per doc), no shuffle;
+    * the explode happens AFTER any pushed-down document filter. */
+  def chunkByTokens(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      chunkSize: Int = 64,
+      overlap: Int = 16): DataFrame = {
+    require(chunkSize > 0, s"chunkSize must be positive, got $chunkSize")
+    require(overlap >= 0 && overlap < chunkSize,
+      s"overlap must be in [0, chunkSize), got $overlap")
+    val step = chunkSize - overlap
+    // raw whitespace tokens — chunking must preserve case/punctuation
+    // (unlike Dedup.tokens, which lowercases for matching)
+    val toks = filter(split(trim(col(textCol)), "\\s+"), t => length(t) > 0)
+    val sz = size(col("__toks"))
+    // last chunk start L = step·ceil((sz − chunkSize)/step), clamped ≥ 0
+    val nChunks = (ceil(greatest(sz - chunkSize, lit(0)).cast("double") / step) + 1).cast("int")
+    val starts = when(sz <= 0, array().cast("array<int>"))
+      .otherwise(transform(sequence(lit(0), nChunks - 1), i => i * step))
+    val window = slice(col("__toks"), col("__start") + 1, lit(chunkSize))
+    df.withColumn("__toks", toks)
+      .withColumn("__starts", starts)
+      // posexplode drops zero-token documents (empty starts array)
+      .select(col(idCol), col("__toks"),
+        posexplode(col("__starts")).as(Seq("chunk_id", "__start")))
+      .select(col(idCol),
+        col("chunk_id").cast("long").as("chunk_id"),
+        array_join(window, " ").as("chunk_text"),
+        size(window).cast("long").as("chunk_tokens"))
+  }
+
+  /** Weighted mixture sampling: keep a per-source deterministic fraction
+    * of the corpus — how a training mix is composed ("20% of web, all of
+    * books, 5% of logs") at 100 TB, where `rand()`-based sampling is
+    * irreproducible across retries/partitionings (see
+    * [[graft.operators.Ops.hashSamplePredicate]]).
+    *
+    * `weights` maps source values to keep-fractions; sources absent from
+    * the map keep `defaultFraction`. The decision is a pure predicate of
+    * (id, salt), so it pushes into the scan, and the same document set
+    * is selected no matter how the corpus is partitioned or which
+    * engine evaluates it. */
+  def mixtureSample(
+      df: DataFrame,
+      idCol: String,
+      sourceCol: String,
+      weights: Map[String, Double],
+      defaultFraction: Double = 0.0,
+      salt: String = ""): DataFrame = {
+    require((weights.values ++ Seq(defaultFraction)).forall(f => f >= 0.0 && f <= 1.0),
+      "mixture fractions must be in [0,1]")
+    val digest = md5(concat(col(idCol).cast("string"), lit(salt)))
+    // per-source threshold string (32-hex, lexicographic = numeric);
+    // fraction 1.0 needs no digest compare ("g" sorts above every hex)
+    def thr(f: Double): Column =
+      if (f >= 1.0) lit("g") else lit(graft.operators.Ops.hashThresholdHex(f))
+    val threshold = weights.toSeq.sortBy(_._1).foldLeft(lit(null).cast("string")) {
+      case (acc, (src, f)) => when(col(sourceCol) === src, thr(f)).otherwise(acc)
+    }
+    val effective = coalesce(threshold, thr(defaultFraction))
+    df.filter(digest < effective)
+  }
+}

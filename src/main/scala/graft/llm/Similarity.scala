@@ -128,11 +128,17 @@ object Similarity {
       vecCol: String = "embedding",
       seed: Long = 4233L,
       maxIter: Int = 20): (KMeansModel, DataFrame) = {
+    // KMeans iterates over its input maxIter times: without a persist
+    // each iteration re-reads the source and re-runs array_to_vector
+    // (MLlib warns "input not cached" and pays the scan per pass)
     val vec = corpus.withColumn("__v", array_to_vector(col(vecCol)))
-    val model = new KMeans().setK(numCells).setSeed(seed).setMaxIter(maxIter)
-      .setFeaturesCol("__v").setPredictionCol("cell")
-      .fit(vec)
-    (model, model.transform(vec).drop("__v"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val model = new KMeans().setK(numCells).setSeed(seed).setMaxIter(maxIter)
+        .setFeaturesCol("__v").setPredictionCol("cell")
+        .fit(vec)
+      (model, model.transform(vec).drop("__v"))
+    } finally vec.unpersist(blocking = false)
   }
 
   /** IVF probe: each query searches only its `nprobe` nearest cells

@@ -144,6 +144,117 @@ object Ops {
     left.join(right, Seq(key, salt), "inner").drop(salt)
   }
 
+  /** As-of join: attach to each left row the LATEST right row whose
+    * `timeCol` is ≤ the left row's (per join key) — the standard
+    * event-to-most-recent-context join (impressions→latest model
+    * version, clicks→latest preceding view, trades→latest quote).
+    *
+    * Spark has no AsOfJoin operator; the naive formulations are a range
+    * join (quadratic per key) or a per-left-row subquery. This is the
+    * scalable shape: tag both inputs, union them, and take a running
+    * `last(_, ignoreNulls)` over one window — ONE shuffle on the key,
+    * each partition scanned once in time order, no join at all. Skewed
+    * keys shard exactly like any window (AQE handles the exchange; a
+    * hot key still serializes its own window, as any per-key ordering
+    * must).
+    *
+    * `payload` maps right-side columns to output names. Right rows at
+    * the same timestamp as a left row DO match (inclusive, DuckDB/pandas
+    * `merge_asof` semantics). A NULL payload value on a right row is
+    * treated as missing (the previous right row's value carries
+    * forward), so make payloads non-null upstream if that distinction
+    * matters. Left rows with no preceding right row get NULL payloads
+    * (left-outer semantics). */
+  def asofJoin(
+      left: DataFrame,
+      right: DataFrame,
+      keyCols: Seq[String],
+      timeCol: String,
+      payload: Seq[(String, String)]): DataFrame = {
+    require(payload.nonEmpty, "asofJoin: payload must name at least one right column")
+    require(payload.forall { case (_, out) => !left.columns.contains(out) },
+      s"asofJoin: payload output names collide with left columns")
+    val pCols = payload.map { case (src, out) =>
+      (s"__asof_$out", out, right.schema(src).dataType, src)
+    }
+    // left rows carry null payload slots; right rows carry null left-only
+    // columns — unionByName just needs both sides to expose all names
+    val lSel = left.columns.map(col) ++ Seq(lit(1).as("__asof_side")) ++
+      pCols.map { case (tmp, _, dt, _) => lit(null).cast(dt).as(tmp) }
+    val rSel = left.columns.map { c =>
+      if (keyCols.contains(c) || c == timeCol) col(c)
+      else lit(null).cast(left.schema(c).dataType).as(c)
+    } ++ Seq(lit(0).as("__asof_side")) ++
+      pCols.map { case (tmp, _, _, src) => col(src).as(tmp) }
+    val unioned = left.select(lSel.toIndexedSeq: _*)
+      .unionByName(right.select(rSel.toIndexedSeq: _*))
+    // right (side 0) sorts before left (side 1) at equal timestamps →
+    // inclusive "≤" match; running frame keeps the scan one-pass.
+    // Payload columns break ties among right rows sharing a timestamp
+    // (the max payload tuple wins — deterministic, oracle-checkable).
+    val w = Window.partitionBy(keyCols.map(col): _*)
+      .orderBy(col(timeCol).asc +: col("__asof_side").asc +:
+        pCols.map { case (tmp, _, _, _) => col(tmp).asc }: _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val attached = pCols.foldLeft(unioned) { case (df, (tmp, out, _, _)) =>
+      df.withColumn(out, last(col(tmp), ignoreNulls = true).over(w))
+    }
+    attached.filter(col("__asof_side") === 1)
+      .drop(pCols.map(_._1) :+ "__asof_side": _*)
+  }
+
+  /** Deterministic hash-sampling predicate: true iff
+    * `md5(id || salt) < fraction` (comparing the 32-hex digest against a
+    * threshold string — lexicographic order on equal-length lowercase
+    * hex IS numeric order). Granularity 2^-60.
+    *
+    * This is how sampling should work at 100 TB, where `rand(seed)` is
+    * NOT reproducible (it seeds per-partition, so any repartition,
+    * retry, or input split change reshuffles the sample):
+    *  - the decision is a pure function of the row's id — stable across
+    *    runs, partitionings, task retries, and engines (the same
+    *    expression runs in any SQL dialect with md5);
+    *  - it is a plain predicate, so it pushes into the scan and
+    *    composes with any other filter;
+    *  - independent samples come from different `salt`s; nested samples
+    *    (10% ⊃ 1%) from nested fractions with the SAME salt. */
+  def hashSamplePredicate(idCol: Column, fraction: Double, salt: String = ""): Column = {
+    require(fraction >= 0.0 && fraction <= 1.0, s"fraction must be in [0,1], got $fraction")
+    if (fraction <= 0.0) lit(false)
+    else if (fraction >= 1.0) lit(true)
+    else md5(concat(idCol.cast("string"), lit(salt))) < lit(hashThresholdHex(fraction))
+  }
+
+  /** The 32-char hex threshold encoding `fraction` (first 15 hex digits
+    * = floor(fraction·2^60), zero-padded). Exposed so SQL oracles can
+    * reproduce the predicate verbatim. */
+  def hashThresholdHex(fraction: Double): String =
+    f"${(fraction * (1L << 60)).toLong}%015x" + "0" * 17
+
+  /** Keep a deterministic `fraction` of `df` by id hash (see
+    * [[hashSamplePredicate]]). */
+  def hashSample(df: DataFrame, idCol: String, fraction: Double, salt: String = ""): DataFrame =
+    df.filter(hashSamplePredicate(col(idCol), fraction, salt))
+
+  /** Broadcast range join: match each fact row to dimension rows by a
+    * half-open interval `lo ≤ v < hi` — band/bucket/tier lookups
+    * (price bands, IP ranges, SLA tiers). The dimension is broadcast,
+    * so the plan is a BroadcastNestedLoopJoin: the fact side streams
+    * through unshuffled at scan speed and each row tests ≤ |dim| bands.
+    * Right for the small-dimension contract (bands ≪ facts — the only
+    * case a range join over a fact table makes sense); for fixed-width
+    * bands prefer computing the band key arithmetically (no join at
+    * all, see DataDiff's equi-width binning). */
+  def broadcastRangeJoin(
+      fact: DataFrame,
+      dim: DataFrame,
+      factCol: String,
+      loCol: String,
+      hiCol: String,
+      joinType: String = "inner"): DataFrame =
+    fact.join(broadcast(dim),
+      fact(factCol) >= dim(loCol) && fact(factCol) < dim(hiCol), joinType)
+
   /** R4 literal metadata projection (reference `scorer.py:53-57`):
     * prepend constant columns to every row. */
   def withMeta(df: DataFrame, meta: Seq[(String, String)]): DataFrame =

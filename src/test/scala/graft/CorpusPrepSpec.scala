@@ -1,0 +1,187 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.llm.CorpusPrep
+import graft.operators.Ops
+
+/** Chunking, deterministic sampling, mixture composition. */
+class CorpusPrepSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private lazy val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+
+  // ------------------------------------------------------------ chunking
+
+  test("chunkByTokens: known small inputs") {
+    val df = Seq(
+      (1L, "a b c d e f g h"), // 8 tokens
+      (2L, "x y"),             // shorter than one chunk
+      (3L, ""),                // no tokens → no chunks
+      (4L, "   ")              // whitespace only → no chunks
+    ).toDF("doc_id", "text")
+    val got = CorpusPrep.chunkByTokens(df, "doc_id", "text", chunkSize = 4, overlap = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3))).toSet
+    // step=2: doc1 starts 0,2,4 (start 4 reaches the end: 4+4 ≥ 8)
+    assert(got == Set(
+      (1L, 0L, "a b c d", 4L),
+      (1L, 1L, "c d e f", 4L),
+      (1L, 2L, "e f g h", 4L),
+      (2L, 0L, "x y", 2L)))
+  }
+
+  test("chunkByTokens: every token covered, overlap honored, ids dense") {
+    val out = CorpusPrep.chunkByTokens(docs, "doc_id", "text", chunkSize = 32, overlap = 8)
+      .cache()
+    try {
+      // chunk token counts: all full except possibly the last per doc
+      val bad = out.filter(col("chunk_tokens") > 32 || col("chunk_tokens") <= 0).count()
+      assert(bad == 0)
+      // reconstruction: stepping the chunks by (chunkSize − overlap) and
+      // dropping each chunk's first `overlap` tokens (except chunk 0)
+      // re-yields the doc's token stream exactly
+      val rebuilt2 = out
+        .orderBy("doc_id", "chunk_id")
+        .withColumn("__part",
+          when(col("chunk_id") === 0, col("chunk_text"))
+            .otherwise(array_join(slice(split(col("chunk_text"), " "), 9, 32), " ")))
+      val perDoc = rebuilt2.groupBy("doc_id")
+        .agg(concat_ws(" ", collect_list("__part")).as("rebuilt"))
+      val orig = docs.select(col("doc_id"),
+        array_join(filter(split(trim(col("text")), "\\s+"), t => length(t) > 0), " ").as("want"))
+      val mismatches = perDoc.join(orig, "doc_id")
+        .filter(col("rebuilt") =!= col("want")).count()
+      assert(mismatches == 0)
+      assert(out.count() > docs.count()) // fan-out happened
+    } finally out.unpersist()
+  }
+
+  test("chunkByTokens stays shuffle-free (pure map + explode)") {
+    val plan = CorpusPrep.chunkByTokens(docs, "doc_id", "text")
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"unexpected shuffle:\n$plan")
+  }
+
+  // ------------------------------------------- deterministic hash sample
+
+  test("hashSample: deterministic, partition-invariant, near the fraction") {
+    val a = Ops.hashSample(docs, "doc_id", 0.3).select("doc_id").collect().map(_.getLong(0)).toSet
+    val b = Ops.hashSample(docs.repartition(13), "doc_id", 0.3)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(a == b) // rand(seed) sampling fails exactly this property
+    val n = docs.count().toDouble
+    assert(math.abs(a.size / n - 0.3) < 0.1, s"got ${a.size / n}")
+  }
+
+  test("hashSample: nested fractions with same salt, independent with different salts") {
+    val small = Ops.hashSample(docs, "doc_id", 0.1).select("doc_id").collect().map(_.getLong(0)).toSet
+    val big = Ops.hashSample(docs, "doc_id", 0.5).select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(small.subsetOf(big)) // nested: threshold prefix ordering
+    val other = Ops.hashSample(docs, "doc_id", 0.1, salt = "v2")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(other != small) // different salt draws a different sample
+  }
+
+  test("hashSample predicate pushes into the parquet scan") {
+    val plan = Ops.hashSample(docs, "doc_id", 0.25)
+      .select("doc_id").queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"))
+    assert(plan.contains("*(1)"), s"not codegen'd:\n$plan")
+  }
+
+  test("hashSample edge fractions") {
+    assert(Ops.hashSample(docs, "doc_id", 0.0).count() == 0)
+    assert(Ops.hashSample(docs, "doc_id", 1.0).count() == docs.count())
+  }
+
+  // ------------------------------------------------------------- mixture
+
+  test("mixtureSample keeps per-source fractions; default drops unknown sources") {
+    val out = graft.llm.CorpusPrep.mixtureSample(
+      docs, "doc_id", "source",
+      Map("src0" -> 1.0, "src1" -> 0.4, "src2" -> 0.0), defaultFraction = 0.0)
+    val bySrc = out.groupBy("source").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val totals = docs.groupBy("source").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(bySrc.keySet.subsetOf(Set("src0", "src1")))
+    assert(bySrc("src0") == totals("src0")) // fraction 1.0 keeps all
+    val frac1 = bySrc.getOrElse("src1", 0L).toDouble / totals("src1")
+    assert(frac1 > 0.05 && frac1 < 0.8, s"src1 kept $frac1")
+  }
+
+  test("mixtureSample defaultFraction applies to unlisted sources") {
+    val out = graft.llm.CorpusPrep.mixtureSample(
+      docs, "doc_id", "source", Map("src0" -> 0.0), defaultFraction = 1.0)
+    assert(out.filter(col("source") === "src0").count() == 0)
+    assert(out.count() == docs.filter(col("source") =!= "src0").count())
+  }
+}
+
+/** As-of join and broadcast range join. */
+class AsofRangeJoinSpec extends SparkTestBase {
+  import spark.implicits._
+
+  test("asofJoin: known input — latest right row at or before each left time") {
+    val left = Seq(
+      (1L, "u1", 100L), (2L, "u1", 200L), (3L, "u1", 50L), (4L, "u2", 100L)
+    ).toDF("id", "user", "t")
+    val right = Seq(
+      ("u1", 60L, "a"), ("u1", 100L, "b"), ("u1", 150L, "c"), ("u3", 10L, "z")
+    ).toDF("user", "t", "tag")
+    val got = graft.operators.Ops.asofJoin(
+      left, right, Seq("user"), "t", Seq("tag" -> "prior_tag"))
+      .select("id", "prior_tag")
+      .collect().map(r => r.getLong(0) -> Option(r.getString(1))).toMap
+    assert(got == Map(
+      1L -> Some("b"),  // inclusive: right at t=100 matches left at t=100
+      2L -> Some("c"),  // latest ≤ 200 is t=150
+      3L -> None,       // nothing at or before 50
+      4L -> None))      // no right rows for u2 at all
+  }
+
+  test("asofJoin matches a per-row subquery on the events table (click→latest view)") {
+    val events = spark.read.option("pathGlobFilter", "events.parquet").parquet(sfDir)
+    val clicks = events.filter(col("event_type") === "click")
+    val views = events.filter(col("event_type") === "view")
+      .select(col("user_id"), col("ts"), col("event_id").as("view_id"))
+    val got = graft.operators.Ops.asofJoin(
+      clicks, views, Seq("user_id"), "ts", Seq("view_id" -> "prior_view_id"))
+      .select("event_id", "prior_view_id")
+    // independent formulation: max-ts view per click via join + agg
+    val pairs = clicks.select(col("event_id"), col("user_id"), col("ts").as("ct"))
+      .join(views.select(col("user_id"), col("ts").as("vt"), col("view_id")), Seq("user_id"))
+      .filter(col("vt") <= col("ct"))
+    val latest = pairs.groupBy("event_id").agg(max(struct(col("vt"), col("view_id"))).as("m"))
+      .select(col("event_id"), col("m.view_id").as("prior_view_id"))
+    val want = clicks.select("event_id").join(latest, Seq("event_id"), "left")
+    assert(got.count() == clicks.count())
+    val gotM = got.collect().map(r => r.getLong(0) -> Option(r.get(1))).toMap
+    val wantM = want.collect().map(r => r.getLong(0) -> Option(r.get(1))).toMap
+    assert(gotM == wantM)
+  }
+
+  test("asofJoin plans exactly one exchange (union + window, no join)") {
+    val events = spark.read.option("pathGlobFilter", "events.parquet").parquet(sfDir)
+    val clicks = events.filter(col("event_type") === "click")
+    val views = events.filter(col("event_type") === "view")
+      .select(col("user_id"), col("ts"), col("event_id").as("view_id"))
+    val plan = graft.operators.Ops.asofJoin(
+      clicks, views, Seq("user_id"), "ts", Seq("view_id" -> "prior_view_id"))
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Join"), s"asofJoin must not plan a join:\n$plan")
+    assert("Exchange".r.findAllIn(plan).size == 1, s"expected exactly 1 exchange:\n$plan")
+  }
+
+  test("broadcastRangeJoin: band lookup, broadcast plan, no cartesian blowup") {
+    val facts = spark.read.parquet(s"$sfDir/lineitem.parquet")
+    val bands = Seq(("low", 0.0, 10.0), ("mid", 10.0, 25.0), ("high", 25.0, 1e9))
+      .toDF("band", "lo", "hi")
+    val out = graft.operators.Ops.broadcastRangeJoin(
+      facts, bands, "l_quantity", "lo", "hi")
+    assert(out.count() == facts.count()) // bands partition the domain
+    val plan = out.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastNestedLoopJoin"), s"plan:\n$plan")
+    val byBand = out.groupBy("band").count().collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(byBand.keySet == Set("low", "mid", "high") && byBand.values.forall(_ > 0))
+  }
+}
