@@ -317,6 +317,36 @@ object SparkEntry {
         defaultFraction = 0.05, salt = "mix1")
         .select("doc_id", "source", "lang")),
 
+    // ---- Rolling min-hash document fingerprints (shift-tolerant
+    // signatures, R-fingerprint): xxhash64-based → no portable SQL
+    // equivalent → rows-only check; value semantics pinned in
+    // TextAnalysisSpec (shift tolerance + distinctness).
+    "q32_fingerprint" -> ((s, dir) => {
+      val fp = graft.llm.TextAnalysis.docFingerprint(col("text"), k = 8, m = 4)
+      t(s, dir, "documents").select(
+        col("doc_id"),
+        element_at(fp, 1).as("fp0"), element_at(fp, 2).as("fp1"),
+        element_at(fp, 3).as("fp2"), element_at(fp, 4).as("fp3"))
+    }),
+
+    // ---- PSI drift score (single scan, same plan family as q12's TVD):
+    // the ML-ops standard metric, log-sensitive to new-category mass.
+    "q30_psi" -> ((s, dir) =>
+      graft.datadiff.DataDiff.psiSameTableDF(
+        t(s, dir, "lineitem"), "l_returnflag", "l_linestatus")
+        .select(round(col("psi"), 6).as("psi"))),
+
+    // ---- Kolmogorov–Smirnov drift between a column and its discounted
+    // transform: shared equi-width bins, per-side CDFs, max gap. The
+    // cumulative window runs over ≤ 20 rows (bounded by construction).
+    "q31_ks" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+        .withColumn("disc_price", col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+      val edges = graft.datadiff.DataDiff.equiWidthEdges(li, "l_extendedprice", 20)
+      graft.datadiff.DataDiff.ksContinuousSameTableDF(li, "l_extendedprice", "disc_price", edges)
+        .select(round(col("ks"), 6).as("ks"))
+    }),
+
     // ---- Broadcast range join: band lookup on a non-equi interval
     // condition; the fact side streams unshuffled through a
     // BroadcastNestedLoopJoin against the 3-row band dimension.
@@ -512,5 +542,42 @@ object SparkEntry {
         |  b(band, lo, hi)
         |  ON l_quantity >= lo AND l_quantity < hi
         |GROUP BY band""".stripMargin,
+    "q30_psi" ->
+      """WITH h1 AS (
+        |  SELECT l_returnflag AS bin,
+        |         count(*) / (sum(count(*)) OVER ()) AS p1
+        |  FROM lineitem GROUP BY 1),
+        |h2 AS (
+        |  SELECT l_linestatus AS bin,
+        |         count(*) / (sum(count(*)) OVER ()) AS p2
+        |  FROM lineitem GROUP BY 1)
+        |SELECT round(sum(
+        |    (greatest(coalesce(p1, 0), 1e-6) - greatest(coalesce(p2, 0), 1e-6))
+        |  * ln(greatest(coalesce(p1, 0), 1e-6) / greatest(coalesce(p2, 0), 1e-6))), 6) AS psi
+        |FROM h1 FULL OUTER JOIN h2 USING (bin)""".stripMargin,
+    "q31_ks" ->
+      """WITH b AS (
+        |  SELECT min(l_extendedprice) AS lo, max(l_extendedprice) AS hi FROM lineitem),
+        |pairs AS (
+        |  SELECT 1 AS side, l_extendedprice AS x FROM lineitem
+        |  UNION ALL
+        |  SELECT 2 AS side, l_extendedprice * (1 - l_discount) AS x FROM lineitem),
+        |binned AS (
+        |  SELECT side, least(CAST(floor((x - lo) / ((hi - lo) / 20)) AS BIGINT), 19) AS bin
+        |  FROM pairs, b WHERE x IS NOT NULL AND x >= lo AND x <= hi),
+        |freqs AS (
+        |  SELECT side, bin,
+        |         count(*) / (sum(count(*)) OVER (PARTITION BY side)) AS p
+        |  FROM binned GROUP BY side, bin),
+        |piv AS (
+        |  SELECT bin,
+        |         coalesce(sum(CASE WHEN side = 1 THEN p END), 0) AS p1,
+        |         coalesce(sum(CASE WHEN side = 2 THEN p END), 0) AS p2
+        |  FROM freqs GROUP BY bin),
+        |cdf AS (
+        |  SELECT sum(p1) OVER (ORDER BY bin) AS c1,
+        |         sum(p2) OVER (ORDER BY bin) AS c2
+        |  FROM piv)
+        |SELECT round(max(abs(c1 - c2)), 6) AS ks FROM cdf""".stripMargin,
   )
 }

@@ -125,15 +125,16 @@ object DataDiff {
       maxBins: Int = 1000): Double =
     tvdOfHistograms(hashHistogramDF(df1, col1, maxBins), hashHistogramDF(df2, col2, maxBins))
 
-  /** TVD between two columns of ONE table in a single scan: each row
+  /** Single-scan `(bin, p1, p2)` frequency pivot for two columns of ONE
+    * table — the shared core of the same-table drift metrics: each row
     * contributes a (side, bin) pair per column via a 2-element explode;
     * one partially-aggregated shuffle bounded at 2×bins keys builds both
     * histograms, and a conditional pivot replaces the full-outer join.
     * At 100 TB this halves the table I/O vs. two hashHistogramDF passes
     * — the scan, not the ≤2×bins-row shuffle, is the cost that matters.
-    * Returns a 1-row frame (`tvd` double) so callers can stay lazy. */
-  def tvdSameTableDF(df: DataFrame, col1: String, col2: String,
-      bin: Column => Column = identity): DataFrame = {
+    * Bins absent from a side carry NULL (callers coalesce to 0). */
+  private[graft] def binPivotSameTable(df: DataFrame, col1: String, col2: String,
+      bin: Column => Column): DataFrame = {
     val pairs = df.select(explode(array(
       struct(lit(1).as("side"),
         coalesce(bin(col(col1)).cast("string"), lit("None")).as("bin")),
@@ -146,10 +147,87 @@ object DataDiff {
     counts.groupBy("bin")
       .agg(sum(when(col("side") === 1, col("freq"))).as("p1"),
         sum(when(col("side") === 2, col("freq"))).as("p2"))
+  }
+
+  /** TVD between two columns of ONE table in a single scan (see
+    * [[binPivotSameTable]] for the plan shape). Returns a 1-row frame
+    * (`tvd` double) so callers can stay lazy. */
+  def tvdSameTableDF(df: DataFrame, col1: String, col2: String,
+      bin: Column => Column = identity): DataFrame =
+    binPivotSameTable(df, col1, col2, bin)
       .agg(coalesce(
         sum(abs(coalesce(col("p1"), lit(0.0)) - coalesce(col("p2"), lit(0.0)))) / 2,
         lit(0.0)).as("tvd"))
+
+  /** Population stability index Σ (p1−p2)·ln(p1/p2) — the ML-ops
+    * standard drift score (PSI < 0.1 stable, > 0.25 shifted). Zero/empty
+    * bins are clamped to `eps` (the conventional fix for the log):
+    * unlike TVD, PSI diverges on mass appearing from nothing, which is
+    * exactly what makes it sensitive to new-category drift. Same
+    * single-scan plan as [[tvdSameTableDF]]. */
+  def psiSameTableDF(df: DataFrame, col1: String, col2: String,
+      bin: Column => Column = identity, eps: Double = 1e-6): DataFrame = {
+    val p1 = greatest(coalesce(col("p1"), lit(0.0)), lit(eps))
+    val p2 = greatest(coalesce(col("p2"), lit(0.0)), lit(eps))
+    binPivotSameTable(df, col1, col2, bin)
+      .agg(coalesce(sum((p1 - p2) * log(p1 / p2)), lit(0.0)).as("psi"))
   }
+
+  def psiSameTable(df: DataFrame, col1: String, col2: String,
+      bin: Column => Column = identity, eps: Double = 1e-6): Double =
+    psiSameTableDF(df, col1, col2, bin, eps).head().getDouble(0)
+
+  /** PSI between two `(bin, …, freq)` histogram frames (join form, for
+    * histograms of DIFFERENT tables — e.g. training vs serving). */
+  def psiOfHistograms(h1: DataFrame, h2: DataFrame, eps: Double = 1e-6): Double = {
+    val a = h1.select(col("bin").cast("string").as("bin"), col("freq").as("p1"))
+    val b = h2.select(col("bin").cast("string").as("bin"), col("freq").as("p2"))
+    val p1 = greatest(coalesce(col("p1"), lit(0.0)), lit(eps))
+    val p2 = greatest(coalesce(col("p2"), lit(0.0)), lit(eps))
+    a.join(b, Seq("bin"), "full_outer")
+      .agg(coalesce(sum((p1 - p2) * log(p1 / p2)), lit(0.0)).as("psi"))
+      .head().getDouble(0)
+  }
+
+  /** Kolmogorov–Smirnov statistic max|CDF1 − CDF2| between two numeric
+    * columns of ONE table, over shared equi-width `edges` (from
+    * [[equiWidthEdges]]); values outside the edge range are dropped and
+    * each side normalizes by its own in-range total (the same
+    * conventions as [[continuousComparator]]). One scan; the CDF
+    * cumulative window runs unpartitioned over ≤ bins rows — bounded by
+    * construction, same argument as [[histogramDF]]'s normalization. */
+  def ksContinuousSameTableDF(df: DataFrame, col1: String, col2: String,
+      edges: Array[Double]): DataFrame = {
+    require(edges.length >= 2, s"need >=2 bin edges, got ${edges.length}")
+    val bins = edges.length - 1
+    val (lo, hi) = (edges.head, edges.last)
+    val idx = least(
+      floor((col("x") - lit(lo)) / lit((hi - lo) / bins)).cast("long"),
+      lit(bins.toLong - 1))
+    val pairs = df.select(explode(array(
+      struct(lit(1).as("side"), col(col1).cast("double").as("x")),
+      struct(lit(2).as("side"), col(col2).cast("double").as("x")))).as("e"))
+      .select(col("e.side").as("side"), col("e.x").as("x"))
+      .filter(col("x").isNotNull && col("x") >= lo && col("x") <= hi)
+      .select(col("side"), idx.as("bin"))
+    val freqs = pairs.groupBy("side", "bin").agg(count(lit(1)).as("cnt"))
+      .withColumn("p",
+        col("cnt") / sum("cnt").over(org.apache.spark.sql.expressions.Window.partitionBy("side")))
+    val pivot = freqs.groupBy("bin")
+      .agg(sum(when(col("side") === 1, col("p"))).as("p1"),
+        sum(when(col("side") === 2, col("p"))).as("p2"))
+    val cdfW = org.apache.spark.sql.expressions.Window.orderBy("bin")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    pivot
+      .withColumn("c1", sum(coalesce(col("p1"), lit(0.0))).over(cdfW))
+      .withColumn("c2", sum(coalesce(col("p2"), lit(0.0))).over(cdfW))
+      .agg(coalesce(max(abs(col("c1") - col("c2"))), lit(0.0)).as("ks"))
+  }
+
+  def ksContinuousSameTable(df: DataFrame, col1: String, col2: String,
+      edges: Array[Double]): Double =
+    ksContinuousSameTableDF(df, col1, col2, edges).head().getDouble(0)
 
   def tvdSameTable(df: DataFrame, col1: String, col2: String,
       bin: Column => Column = identity): Double =

@@ -63,6 +63,45 @@ class DataDiffSpec extends SparkTestBase {
     assert(math.abs(t - 1.0) < 1e-9)
   }
 
+  test("PSI: same-table form == join form; 0 for identical; blows up on new mass") {
+    val joined = DataDiff.psiOfHistograms(
+      DataDiff.histogramDF(li, col("l_returnflag")),
+      DataDiff.histogramDF(li, col("l_linestatus")))
+    val single = DataDiff.psiSameTable(li, "l_returnflag", "l_linestatus")
+    assert(math.abs(joined - single) < 1e-12, s"join=$joined single=$single")
+    assert(DataDiff.psiSameTable(li, "l_returnflag", "l_returnflag") === 0.0)
+    // hand-computed: p1 = {x:.5, y:.5}, p2 = {x:.25, y:.5, z:.25}, eps=1e-6
+    val df = Seq(("x", "x"), ("x", "y"), ("y", "y"), ("y", "z")).toDF("a", "b")
+    val eps = 1e-6
+    val want = (0.5 - 0.25) * math.log(0.5 / 0.25) +
+      (eps - 0.25) * math.log(eps / 0.25)
+    assert(math.abs(DataDiff.psiSameTable(df, "a", "b") - want) < 1e-12)
+    // a category appearing from nothing dominates the score (the PSI
+    // property TVD lacks: TVD caps its contribution at its mass)
+    assert(want > 2.0)
+  }
+
+  test("PSI on empty inputs is 0") {
+    val empty = li.filter(col("l_quantity") < -1)
+    assert(DataDiff.psiSameTable(empty, "l_returnflag", "l_linestatus") == 0.0)
+  }
+
+  test("KS: 0 for identical columns, hand-checked for a known shift, <= 1") {
+    val edges = DataDiff.equiWidthEdges(li, "l_extendedprice", 20)
+    assert(DataDiff.ksContinuousSameTable(li, "l_extendedprice", "l_extendedprice", edges) === 0.0)
+    // values 0..9 vs 2..11 over edges 0..10 (10 bins of width 1): side2's
+    // in-range filter keeps 2..10 (9 values; 11 dropped), CDFs known
+    val df = (0 to 9).map(i => (i.toDouble, i + 2.0)).toDF("a", "b")
+    val e10 = (0 to 10).map(_.toDouble).toArray
+    val got = DataDiff.ksContinuousSameTable(df, "a", "b", e10)
+    // side1: 1/10 per bin 0..9; side2: 1/9 per bin 2..8, 2/9 in bin 9
+    // (10.0 folds in via last-edge-inclusive). max gap at bin 1: 2/10 = 0.2
+    assert(math.abs(got - 0.2) < 1e-12, s"ks=$got")
+    val li2 = li.withColumn("__disc", col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+    val drift = DataDiff.ksContinuousSameTable(li2, "l_extendedprice", "__disc", edges)
+    assert(drift > 0.0 && drift <= 1.0)
+  }
+
   test("continuousComparator: same dist ~ 0, shifted dist >> 0 (R11+R13)") {
     val same = DataDiff.continuousComparator(li, "l_quantity", li, "l_quantity", 100)
     assert(same === 0.0)
