@@ -243,7 +243,8 @@ object SparkEntry {
           graft.streaming.Streams.readEventStream(s, dir, "events.parquet"),
           windowLength = "1 hour", watermarkDelay = "2 hours"),
         name, org.apache.spark.sql.streaming.OutputMode.Append(),
-        shufflePartitions = Some(8)) // state sized to 5 event types
+        shufflePartitions = Some(4)) // state sized to 5 event types
+        // (4 store instances measured fastest on this box: PerfProbe)
         .select(
           col("window_start").cast("long").as("window_start"),
           col("window_end").cast("long").as("window_end"),
@@ -335,6 +336,13 @@ object SparkEntry {
       graft.datadiff.DataDiff.psiSameTableDF(
         t(s, dir, "lineitem"), "l_returnflag", "l_linestatus")
         .select(round(col("psi"), 6).as("psi"))),
+
+    // ---- Jensen–Shannon divergence: symmetric, finite drift (no eps),
+    // same single-scan pivot as q12/q30.
+    "q33_jsd" -> ((s, dir) =>
+      graft.datadiff.DataDiff.jsdSameTableDF(
+        t(s, dir, "lineitem"), "l_returnflag", "l_linestatus")
+        .select(round(col("jsd"), 6).as("jsd"))),
 
     // ---- Kolmogorov–Smirnov drift between a column and its discounted
     // transform: shared equi-width bins, per-side CDFs, max gap. The
@@ -555,6 +563,23 @@ object SparkEntry {
         |    (greatest(coalesce(p1, 0), 1e-6) - greatest(coalesce(p2, 0), 1e-6))
         |  * ln(greatest(coalesce(p1, 0), 1e-6) / greatest(coalesce(p2, 0), 1e-6))), 6) AS psi
         |FROM h1 FULL OUTER JOIN h2 USING (bin)""".stripMargin,
+    "q33_jsd" ->
+      """WITH h1 AS (
+        |  SELECT l_returnflag AS bin,
+        |         count(*) / (sum(count(*)) OVER ()) AS p1
+        |  FROM lineitem GROUP BY 1),
+        |h2 AS (
+        |  SELECT l_linestatus AS bin,
+        |         count(*) / (sum(count(*)) OVER ()) AS p2
+        |  FROM lineitem GROUP BY 1),
+        |j AS (
+        |  SELECT coalesce(p1, 0) AS p1, coalesce(p2, 0) AS p2,
+        |         (coalesce(p1, 0) + coalesce(p2, 0)) / 2 AS m
+        |  FROM h1 FULL OUTER JOIN h2 USING (bin))
+        |SELECT round(sum(
+        |    (CASE WHEN p1 > 0 THEN p1 * ln(p1 / m) ELSE 0 END) / 2
+        |  + (CASE WHEN p2 > 0 THEN p2 * ln(p2 / m) ELSE 0 END) / 2), 6) AS jsd
+        |FROM j""".stripMargin,
     "q31_ks" ->
       """WITH b AS (
         |  SELECT min(l_extendedprice) AS lo, max(l_extendedprice) AS hi FROM lineitem),

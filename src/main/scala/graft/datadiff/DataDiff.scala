@@ -189,6 +189,25 @@ object DataDiff {
       .head().getDouble(0)
   }
 
+  /** Jensen–Shannon divergence ½KL(p1‖m) + ½KL(p2‖m), m = (p1+p2)/2 —
+    * the symmetric, always-finite drift score (∈ [0, ln 2]): zero bins
+    * contribute 0 (0·log 0 = 0), so unlike PSI no eps clamp is needed,
+    * and unlike KL it never diverges. Same single-scan plan as
+    * [[tvdSameTableDF]]. */
+  def jsdSameTableDF(df: DataFrame, col1: String, col2: String,
+      bin: Column => Column = identity): DataFrame = {
+    val p1 = coalesce(col("p1"), lit(0.0))
+    val p2 = coalesce(col("p2"), lit(0.0))
+    val m = (p1 + p2) / 2
+    val term = (p: Column) => when(p > 0, p * log(p / m)).otherwise(lit(0.0))
+    binPivotSameTable(df, col1, col2, bin)
+      .agg(coalesce(sum(term(p1) / 2 + term(p2) / 2), lit(0.0)).as("jsd"))
+  }
+
+  def jsdSameTable(df: DataFrame, col1: String, col2: String,
+      bin: Column => Column = identity): Double =
+    jsdSameTableDF(df, col1, col2, bin).head().getDouble(0)
+
   /** Kolmogorov–Smirnov statistic max|CDF1 − CDF2| between two numeric
     * columns of ONE table, over shared equi-width `edges` (from
     * [[equiWidthEdges]]); values outside the edge range are dropped and

