@@ -132,12 +132,18 @@ object Scorer {
 
 /** `curator` (north-star, no reference counterpart): config-driven corpus
   * curation — source → annotate → quality/lang filter → exact dedup →
-  * verified near-dedup → sink, with per-stage survivor counts logged.
+  * verified near-dedup → optional training-mix sampling → optional
+  * context-window chunking → sink, with survivor counts logged. The full
+  * "raw corpus in, training set out" pipeline.
   *
   * Config keys under `curation { }`: `id-column` (default doc_id),
   * `text-column` (default text), `min-quality`, `langs = [en, ...]`,
   * `near-dup-strategy` (simhash|minhash), `min-jaccard`,
-  * `max-jaccard-distance`, `max-hamming`, `bands`, `shingle-size`. */
+  * `max-jaccard-distance`, `max-hamming`, `bands`, `shingle-size`,
+  * `transitive-near-dups`; post-curation: `mixture-weights { src = f }`
+  * (+ `mixture-source-column`, `mixture-default-fraction`,
+  * `mixture-salt`) and `chunk-size` (+ `chunk-overlap`, default
+  * size/4). */
 object Curator {
   def main(args: Array[String]): Unit = Cli.run("curator", args) { (conf, spark) =>
     Cli.log("loading corpus...")
@@ -152,12 +158,29 @@ object Curator {
       nearDupMinJaccard = c.getDouble("min-jaccard").getOrElse(base.nearDupMinJaccard),
       simHashMaxHamming = c.getInt("max-hamming").getOrElse(base.simHashMaxHamming),
       simHashBands = c.getInt("bands").getOrElse(base.simHashBands),
-      shingleSize = c.getInt("shingle-size").getOrElse(base.shingleSize))
+      shingleSize = c.getInt("shingle-size").getOrElse(base.shingleSize),
+      transitiveNearDups = c.getString("transitive-near-dups").exists(_.toBoolean))
     val idCol = c.getString("id-column").getOrElse("doc_id")
     val textCol = c.getString("text-column").getOrElse("text")
-    val curated = graft.llm.Curation.curate(df, idCol, textCol, cc).cache()
+    val curated = graft.llm.Curation.curate(df, idCol, textCol, cc)
     println(s"curated corpus size: ${curated.count()}")
-    graft.sources.DataIO.write(curated, conf.at("target"))
+    // optional training-mix composition (deterministic per-source keep
+    // fractions) on the curated survivors
+    val mixWeights = c.at("mixture-weights").flat
+    val mixed =
+      if (mixWeights.isEmpty) curated
+      else graft.llm.CorpusPrep.mixtureSample(curated, idCol,
+        c.getString("mixture-source-column").getOrElse("source"),
+        mixWeights.map { case (k, v) => k -> v.toDouble }.toMap,
+        defaultFraction = c.getDouble("mixture-default-fraction").getOrElse(0.0),
+        salt = c.getString("mixture-salt").getOrElse(""))
+    // optional context-window chunking: emit training-ready rows
+    val out = c.getInt("chunk-size") match {
+      case Some(cs) => graft.llm.CorpusPrep.chunkByTokens(mixed, idCol, textCol,
+        chunkSize = cs, overlap = c.getInt("chunk-overlap").getOrElse(cs / 4))
+      case None => mixed
+    }
+    graft.sources.DataIO.write(out, conf.at("target"))
     curated.unpersist()
     Cli.log("curation finished")
   }

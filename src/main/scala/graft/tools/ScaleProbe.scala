@@ -69,6 +69,32 @@ object ScaleProbe {
         .agg(graft.functions.HistogramSketch.sketch(col("x"))).head()
     }
 
+    time("doc fingerprints (native one-pass)") {
+      docs.select(graft.llm.TextAnalysis.docFingerprint(col("text")).as("fp"))
+        .write.format("noop").mode("overwrite").save()
+    }
+
+    time("context-window chunking (map + explode)") {
+      graft.llm.CorpusPrep.chunkByTokens(docs, "doc_id", "text", chunkSize = 16, overlap = 4)
+        .write.format("noop").mode("overwrite").save()
+    }
+
+    time("deterministic mixture sample (scan predicate)") {
+      graft.llm.CorpusPrep.mixtureSample(
+        docs.withColumn("source", pmod(col("doc_id"), lit(20)).cast("string")),
+        "doc_id", "source", Map("0" -> 1.0, "1" -> 0.5), defaultFraction = 0.1)
+        .write.format("noop").mode("overwrite").save()
+    }
+
+    time("as-of join (self, 1 shuffle)") {
+      val l = docs.select(col("doc_id"), pmod(col("doc_id"), lit(100000)).as("k"),
+        col("doc_id").as("t"))
+      val r = docs.select(pmod(col("doc_id"), lit(100000)).as("k"),
+        (col("doc_id") - 1).as("t"), col("doc_id").as("payload"))
+      graft.operators.Ops.asofJoin(l, r, Seq("k"), "t", Seq("payload" -> "prior"))
+        .write.format("noop").mode("overwrite").save()
+    }
+
     // --- synthetic embeddings: 64-dim, deterministic
     val vecs = spark.range(nVecs).select(
       col("id").as("vec_id"),

@@ -163,6 +163,31 @@ class CliSpec extends SparkTestBase {
     assert(Seq("quality", "lang_id", "n_tokens").forall(curated.columns.contains))
   }
 
+  test("curator with mixture + chunking emits training-ready chunk rows") {
+    val base = tmp()
+    val out = base.resolve("chunks").toString
+    val f = write(base.resolve("curator2.conf"),
+      s"""source { storage-type = local, dataset-dir = $sfDir/documents.parquet }
+         |target { storage-type = local, dataset-dir = $out, dataset-store-format = parquet, write-mode = overwrite }
+         |curation {
+         |  min-quality = 0.2
+         |  mixture-weights { src0 = 1.0, src1 = 1.0 }
+         |  mixture-default-fraction = 0.5
+         |  chunk-size = 32
+         |  chunk-overlap = 8
+         |}
+         |""".stripMargin)
+    graft.cli.Curator.main(Array("--conf", f))
+    val chunks = spark.read.parquet(out)
+    assert(chunks.columns.toSeq == Seq("doc_id", "chunk_id", "chunk_text", "chunk_tokens"))
+    assert(chunks.count() > 0)
+    assert(chunks.filter(org.apache.spark.sql.functions.col("chunk_tokens") > 32).count() == 0)
+    // mixture dropped roughly half the unlisted sources before chunking
+    val docsKept = chunks.select("doc_id").distinct().count()
+    val total = spark.read.parquet(s"$sfDir/documents.parquet").count()
+    assert(docsKept < total, s"mixture should drop some docs ($docsKept vs $total)")
+  }
+
   test("streamer runs a checkpointed windowed stream to a parquet sink (RocksDB state)") {
     val base = tmp()
     val events = base.resolve("events").toString
