@@ -337,6 +337,19 @@ object SparkEntry {
         t(s, dir, "lineitem"), "l_returnflag", "l_linestatus")
         .select(round(col("psi"), 6).as("psi"))),
 
+    // ---- Per-group exact quantiles (linear interpolation — matches
+    // DuckDB quantile_cont bit-for-bit). Exact percentile sorts each
+    // group; at 100 TB swap in approx_percentile(col, p, accuracy)
+    // (KLL-style mergeable sketch, one pass) and keep this form as the
+    // verification oracle on samples.
+    "q34_quantiles" -> ((s, dir) =>
+      t(s, dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+          round(percentile(col("l_extendedprice"), lit(0.5)), 4).as("p50"),
+          round(percentile(col("l_extendedprice"), lit(0.95)), 4).as("p95"),
+          round(percentile(col("l_extendedprice"), lit(0.99)), 4).as("p99"))),
+
     // ---- Jensen–Shannon divergence: symmetric, finite drift (no eps),
     // same single-scan pivot as q12/q30.
     "q33_jsd" -> ((s, dir) =>
@@ -563,6 +576,12 @@ object SparkEntry {
         |    (greatest(coalesce(p1, 0), 1e-6) - greatest(coalesce(p2, 0), 1e-6))
         |  * ln(greatest(coalesce(p1, 0), 1e-6) / greatest(coalesce(p2, 0), 1e-6))), 6) AS psi
         |FROM h1 FULL OUTER JOIN h2 USING (bin)""".stripMargin,
+    "q34_quantiles" ->
+      """SELECT l_returnflag,
+        | round(quantile_cont(l_extendedprice, 0.5), 4) AS p50,
+        | round(quantile_cont(l_extendedprice, 0.95), 4) AS p95,
+        | round(quantile_cont(l_extendedprice, 0.99), 4) AS p99
+        |FROM lineitem GROUP BY l_returnflag""".stripMargin,
     "q33_jsd" ->
       """WITH h1 AS (
         |  SELECT l_returnflag AS bin,
