@@ -547,11 +547,12 @@ object SparkEntry {
         |  ON l.user_id = r.user_id AND l.ts >= r.ts""".stripMargin,
     // thresholds interpolated from the SAME function the Spark predicate
     // uses — the oracle runs the identical md5-vs-hex comparison
+    // (digest recipe: md5(id || '|' || salt), Ops.hashDigestCol)
     "q28_mixture_sample" ->
       s"""SELECT doc_id, source, lang FROM documents
-         |WHERE md5(CAST(doc_id AS VARCHAR) || 'mix1') <
+         |WHERE md5(CAST(doc_id AS VARCHAR) || '|' || 'mix1') <
          |  CASE source
-         |    WHEN 'src0' THEN 'g'
+         |    WHEN 'src0' THEN '${graft.operators.Ops.hashThresholdHex(1.0)}'
          |    WHEN 'src1' THEN '${graft.operators.Ops.hashThresholdHex(0.5)}'
          |    WHEN 'src2' THEN '${graft.operators.Ops.hashThresholdHex(0.25)}'
          |    WHEN 'src3' THEN '${graft.operators.Ops.hashThresholdHex(0.1)}'

@@ -214,9 +214,15 @@ object Streamer {
       case other => throw new IllegalArgumentException(
         s"unknown streaming.operation '$other' (window|sessions|dedup)")
     }
+    val useRocksDB = c.getString("state-store") match {
+      case None | Some("default") => false
+      case Some("rocksdb") => true
+      case Some(other) => throw new IllegalArgumentException(
+        s"unknown streaming.state-store '$other' (rocksdb|default)")
+    }
     val opts = Streams.RunOptions(
       shufflePartitions = c.getInt("shuffle-partitions"),
-      useRocksDB = c.getString("state-store").contains("rocksdb"))
+      useRocksDB = useRocksDB)
     Cli.log("streaming run started (AvailableNow)...")
     Streams.runToFiles(stream, c.string("target-dir"), c.string("checkpoint-location"), opts)
     Cli.log("streaming run finished")

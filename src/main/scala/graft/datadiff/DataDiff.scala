@@ -70,17 +70,21 @@ object DataDiff {
     * dropped — `rdd.histogram(buckets)` semantics, computed as a single
     * groupBy instead of an RDD pass. Returns `(bin long, cnt long,
     * freq double)` over occupied bins. */
-  def continuousHistogramDF(df: DataFrame, columnName: String, edges: Array[Double]): DataFrame = {
+  /** Bin-index arithmetic in this module assumes EQUI-WIDTH edges (the
+    * only kind it produces); arbitrary edges would silently mis-bin. */
+  private def requireEquiWidth(edges: Array[Double], caller: String): Unit = {
     require(edges.length >= 2, s"need >=2 bin edges, got ${edges.length}")
-    // bin index arithmetic assumes EQUI-WIDTH edges (the only kind this
-    // module produces); arbitrary edges would silently mis-bin
     if (edges.length > 2) {
       val w = (edges.last - edges.head) / (edges.length - 1)
       val uniform = edges.sliding(2).forall { case Array(a, b) =>
         math.abs((b - a) - w) <= math.max(1e-9, math.abs(w) * 1e-9)
       }
-      require(uniform, "continuousHistogramDF requires equi-width edges (use equiWidthEdges)")
+      require(uniform, s"$caller requires equi-width edges (use equiWidthEdges)")
     }
+  }
+
+  def continuousHistogramDF(df: DataFrame, columnName: String, edges: Array[Double]): DataFrame = {
+    requireEquiWidth(edges, "continuousHistogramDF")
     val bins = edges.length - 1
     val (lo, hi) = (edges.head, edges.last)
     val idx = least(
@@ -217,7 +221,7 @@ object DataDiff {
     * construction, same argument as [[histogramDF]]'s normalization. */
   def ksContinuousSameTableDF(df: DataFrame, col1: String, col2: String,
       edges: Array[Double]): DataFrame = {
-    require(edges.length >= 2, s"need >=2 bin edges, got ${edges.length}")
+    requireEquiWidth(edges, "ksContinuousSameTableDF")
     val bins = edges.length - 1
     val (lo, hi) = (edges.head, edges.last)
     val idx = least(

@@ -63,11 +63,18 @@ object TextStatsImpl {
   private val IdxChars = IdxCjk + 1
   val NumCounters: Int = IdxChars + 1
 
-  /** One pass: returns the counters (layout above). */
+  /** One pass: returns the counters (layout above).
+    *
+    * Counting walks the ORIGINAL bytes — Unicode lowercasing can change
+    * the character count (e.g. U+0130 'İ' lowercases to two code
+    * points), so lowercasing the whole document first would break the
+    * `n_chars == length()` parity. Only the per-token stopword hash
+    * lowercases (its token slice), matching the composable forms'
+    * `lower()` + tokenize. */
   def compute(text: UTF8String): Array[Int] = {
     val out = new Array[Int](NumCounters)
     val masks = new Array[Int](NumLangs) // distinct-hit bitmask per profile
-    val bytes = text.toLowerCase.getBytes
+    val bytes = text.getBytes
     val len = bytes.length
     var tokStart = -1
     var i = 0
@@ -107,7 +114,9 @@ object TextStatsImpl {
   private def endToken(
       bytes: Array[Byte], start: Int, end: Int, out: Array[Int], masks: Array[Int]): Unit = {
     out(IdxTokens) += 1
-    val h = SimHashImpl.tokenHash(UTF8String.fromBytes(bytes, start, end - start))
+    // stopword membership is case-insensitive: lowercase the token slice
+    // (ASCII-only slices lowercase without allocation inside UTF8String)
+    val h = SimHashImpl.tokenHash(UTF8String.fromBytes(bytes, start, end - start).toLowerCase)
     var l = 0
     while (l < NumLangs) {
       val idx = java.util.Arrays.binarySearch(profileHashes(l), h)

@@ -77,11 +77,12 @@ object CorpusPrep {
       salt: String = ""): DataFrame = {
     require((weights.values ++ Seq(defaultFraction)).forall(f => f >= 0.0 && f <= 1.0),
       "mixture fractions must be in [0,1]")
-    val digest = md5(concat(col(idCol).cast("string"), lit(salt)))
-    // per-source threshold string (32-hex, lexicographic = numeric);
-    // fraction 1.0 needs no digest compare ("g" sorts above every hex)
-    def thr(f: Double): Column =
-      if (f >= 1.0) lit("g") else lit(graft.operators.Ops.hashThresholdHex(f))
+    // same digest recipe as Ops.hashSamplePredicate so mixture decisions
+    // compose/nest with plain hashSample decisions for the same salt
+    val digest = graft.operators.Ops.hashDigestCol(col(idCol), salt)
+    // per-source threshold string (32-hex, lexicographic = numeric;
+    // fraction 1.0 → "g", which sorts above every hex digest)
+    def thr(f: Double): Column = lit(graft.operators.Ops.hashThresholdHex(f))
     val threshold = weights.toSeq.sortBy(_._1).foldLeft(lit(null).cast("string")) {
       case (acc, (src, f)) => when(col(sourceCol) === src, thr(f)).otherwise(acc)
     }

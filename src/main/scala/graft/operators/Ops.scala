@@ -3,7 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame, Row}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.{DecimalType, FloatType}
+import org.apache.spark.sql.types.{DecimalType, FloatType, StructField, StructType}
 
 /** Core relational/dataflow operators (SURVEY.md §2.3).
   *
@@ -160,10 +160,10 @@ object Ops {
     *
     * `payload` maps right-side columns to output names. Right rows at
     * the same timestamp as a left row DO match (inclusive, DuckDB/pandas
-    * `merge_asof` semantics). A NULL payload value on a right row is
-    * treated as missing (the previous right row's value carries
-    * forward), so make payloads non-null upstream if that distinction
-    * matters. Left rows with no preceding right row get NULL payloads
+    * `merge_asof` semantics). The payload is carried as ONE struct, so
+    * the output always reflects a single right ROW — a NULL field on the
+    * latest right row stays NULL (it is not back-filled from an older
+    * row). Left rows with no preceding right row get NULL payloads
     * (left-outer semantics). */
   def asofJoin(
       left: DataFrame,
@@ -174,33 +174,37 @@ object Ops {
     require(payload.nonEmpty, "asofJoin: payload must name at least one right column")
     require(payload.forall { case (_, out) => !left.columns.contains(out) },
       s"asofJoin: payload output names collide with left columns")
-    val pCols = payload.map { case (src, out) =>
-      (s"__asof_$out", out, right.schema(src).dataType, src)
-    }
-    // left rows carry null payload slots; right rows carry null left-only
-    // columns — unionByName just needs both sides to expose all names
-    val lSel = left.columns.map(col) ++ Seq(lit(1).as("__asof_side")) ++
-      pCols.map { case (tmp, _, dt, _) => lit(null).cast(dt).as(tmp) }
+    // the payload travels as ONE struct so all output fields come from
+    // the SAME right row (independent per-column last() could combine
+    // fields of different rows when some payload values are null)
+    val pStructType = StructType(payload.map { case (src, out) =>
+      StructField(out, right.schema(src).dataType, nullable = true)
+    })
+    // left rows carry a null payload struct; right rows carry null
+    // left-only columns — unionByName just needs both sides to expose
+    // all names
+    val lSel = left.columns.map(col) ++ Seq(lit(1).as("__asof_side"),
+      lit(null).cast(pStructType).as("__asof_p"))
     val rSel = left.columns.map { c =>
       if (keyCols.contains(c) || c == timeCol) col(c)
       else lit(null).cast(left.schema(c).dataType).as(c)
-    } ++ Seq(lit(0).as("__asof_side")) ++
-      pCols.map { case (tmp, _, _, src) => col(src).as(tmp) }
+    } ++ Seq(lit(0).as("__asof_side"),
+      struct(payload.map { case (src, out) => col(src).as(out) }: _*).as("__asof_p"))
     val unioned = left.select(lSel.toIndexedSeq: _*)
       .unionByName(right.select(rSel.toIndexedSeq: _*))
     // right (side 0) sorts before left (side 1) at equal timestamps →
     // inclusive "≤" match; running frame keeps the scan one-pass.
-    // Payload columns break ties among right rows sharing a timestamp
-    // (the max payload tuple wins — deterministic, oracle-checkable).
+    // The payload struct breaks ties among right rows sharing a
+    // timestamp (the max payload tuple wins — deterministic,
+    // oracle-checkable).
     val w = Window.partitionBy(keyCols.map(col): _*)
-      .orderBy(col(timeCol).asc +: col("__asof_side").asc +:
-        pCols.map { case (tmp, _, _, _) => col(tmp).asc }: _*)
+      .orderBy(col(timeCol).asc, col("__asof_side").asc, col("__asof_p").asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val attached = pCols.foldLeft(unioned) { case (df, (tmp, out, _, _)) =>
-      df.withColumn(out, last(col(tmp), ignoreNulls = true).over(w))
-    }
+    val attached = unioned
+      .withColumn("__asof_hit", last(col("__asof_p"), ignoreNulls = true).over(w))
     attached.filter(col("__asof_side") === 1)
-      .drop(pCols.map(_._1) :+ "__asof_side": _*)
+      .select(left.columns.map(col) ++
+        payload.map { case (_, out) => col(s"__asof_hit.$out").as(out) }: _*)
   }
 
   /** Deterministic hash-sampling predicate: true iff
@@ -222,14 +226,27 @@ object Ops {
     require(fraction >= 0.0 && fraction <= 1.0, s"fraction must be in [0,1], got $fraction")
     if (fraction <= 0.0) lit(false)
     else if (fraction >= 1.0) lit(true)
-    else md5(concat(idCol.cast("string"), lit(salt))) < lit(hashThresholdHex(fraction))
+    else hashDigestCol(idCol, salt) < lit(hashThresholdHex(fraction))
   }
+
+  /** The sampling digest: `md5(id || '|' || salt)` — the single recipe
+    * every deterministic-sampling path (and its SQL oracles) must share
+    * so samples with the same salt compose/nest. The delimiter keeps
+    * (id, salt) unambiguous (id "1" + salt "2x" ≠ id "12" + salt "x"). */
+  def hashDigestCol(idCol: Column, salt: String = ""): Column =
+    md5(concat(idCol.cast("string"), lit("|"), lit(salt)))
 
   /** The 32-char hex threshold encoding `fraction` (first 15 hex digits
     * = floor(fraction·2^60), zero-padded). Exposed so SQL oracles can
-    * reproduce the predicate verbatim. */
-  def hashThresholdHex(fraction: Double): String =
-    f"${(fraction * (1L << 60)).toLong}%015x" + "0" * 17
+    * reproduce the predicate verbatim. Total on [0,1]: 1.0 maps to "g"
+    * (sorts above every hex digest → keep all), 0.0 to all-zeros (keep
+    * none); out-of-range fractions are rejected. */
+  def hashThresholdHex(fraction: Double): String = {
+    require(fraction >= 0.0 && fraction <= 1.0,
+      s"fraction must be in [0,1], got $fraction")
+    if (fraction >= 1.0) "g" // 2^60 needs 16 hex digits — handle total
+    else f"${(fraction * (1L << 60)).toLong}%015x" + "0" * 17
+  }
 
   /** Keep a deterministic `fraction` of `df` by id hash (see
     * [[hashSamplePredicate]]). */

@@ -211,6 +211,8 @@ object Streams {
       outDir: String,
       checkpointLocation: String,
       opts: RunOptions = RunOptions()): Unit = {
+    require(opts.checkpointLocation.forall(_ == checkpointLocation),
+      "runToFiles: RunOptions.checkpointLocation conflicts with the checkpointLocation argument")
     val spark = stream.sparkSession
     withRunOptions(spark, opts) {
       stream.writeStream

@@ -31,14 +31,14 @@ object PerfProbe {
     }
     val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
     for (iter <- Seq(3, 5, 8)) {
+      var mean = Double.NaN
       time(s"q25 maxIter=$iter") {
-        graft.llm.Similarity.ivfRecallVsBrute(
+        val r = graft.llm.Similarity.ivfRecallVsBrute(
           emb.filter(col("vec_id") < 20), emb, k = 10, numCells = 16, nprobe = 8,
-          maxIter = iter).write.format("noop").mode("overwrite").save()
+          maxIter = iter).cache()
+        try mean = r.agg(avg("recall")).head().getDouble(0)
+        finally r.unpersist()
       }
-      val mean = graft.llm.Similarity.ivfRecallVsBrute(
-        emb.filter(col("vec_id") < 20), emb, k = 10, numCells = 16, nprobe = 8,
-        maxIter = iter).agg(avg("recall")).head().getDouble(0)
       println(f"[perf] q25 maxIter=$iter mean recall: $mean%.4f")
     }
     spark.stop()

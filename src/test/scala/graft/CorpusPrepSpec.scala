@@ -139,6 +139,21 @@ class AsofRangeJoinSpec extends SparkTestBase {
       4L -> None))      // no right rows for u2 at all
   }
 
+  test("asofJoin payload is row-atomic: a null field on the latest right row stays null") {
+    val left = Seq((1L, "u", 10L)).toDF("id", "user", "t")
+    val right = Seq(
+      ("u", 1L, Option(10L), Option(0.5)),
+      ("u", 2L, Option(20L), Option.empty[Double]) // latest row, value NULL
+    ).toDF("user", "t", "vid", "vval")
+    val r = graft.operators.Ops.asofJoin(
+      left, right, Seq("user"), "t", Seq("vid" -> "pv", "vval" -> "pval")).head()
+    // the latest right ROW (t=2) wins as a unit: pv=20 and pval stays
+    // NULL — not back-filled with t=1's 0.5 (which would fabricate a
+    // (20, 0.5) row that never existed)
+    assert(r.getAs[Long]("pv") == 20L)
+    assert(r.isNullAt(r.fieldIndex("pval")))
+  }
+
   test("asofJoin matches a per-row subquery on the events table (click→latest view)") {
     val events = spark.read.option("pathGlobFilter", "events.parquet").parquet(sfDir)
     val clicks = events.filter(col("event_type") === "click")

@@ -27,6 +27,9 @@ class TextStatsSpec extends SparkTestBase {
       "héllo wörld ça va",
       "der große bär läuft über die straße",
       "я не знаю что это",
+      // U+0130 'İ' lowercases to TWO code points — counting must happen
+      // on the original text, not a lowercased copy
+      "İstanbul İİİ kebap",
       "日本語 と 中文 mixed text").toDF("text")
     val cmp = samples.select(
       TextAnalysis.stats(col("text")).as("s"),
