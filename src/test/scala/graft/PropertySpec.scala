@@ -138,4 +138,65 @@ class PropertySpec extends SparkTestBase {
       }
     }
   }
+
+  test("chunking conserves the token stream for any (chunkSize, overlap)") {
+    val params = Gen.chooseNum(2, 12).flatMap(cs =>
+      Gen.chooseNum(0, cs - 1).map(ov => (cs, ov)))
+    val docs = samples(texts, 1).head.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("doc_id", "text")
+    val tokenTotal = docs.select(
+      sum(size(filter(split(trim(col("text")), "\\s+"), t => length(t) > 0))))
+      .head().getLong(0)
+    samples(params, 6).foreach { case (cs, ov) =>
+      val step = cs - ov
+      val chunks = graft.llm.CorpusPrep.chunkByTokens(docs, "doc_id", "text", cs, ov)
+      // every chunk but a doc's last carries exactly chunkSize tokens;
+      // total tokens = sum over chunks of (full steps + last remainder):
+      // ids dense from 0 and each token appears in ≥1 chunk ⇒ the
+      // de-overlapped total equals the doc token total
+      val deOverlapped = chunks
+        .withColumn("own", when(col("chunk_id") === 0, col("chunk_tokens"))
+          .otherwise(greatest(col("chunk_tokens") - ov, lit(0L))))
+        .agg(sum("own")).head().getLong(0)
+      assert(deOverlapped == tokenTotal, s"cs=$cs ov=$ov step=$step")
+      val over = chunks.filter(col("chunk_tokens") > cs).count()
+      assert(over == 0)
+    }
+  }
+
+  test("hashSample: nested thresholds nest and fractions concentrate for any salt") {
+    val ids = (1L to 400L).toDF("id")
+    samples(Gen.alphaNumStr.map(_.take(6)), 4).foreach { salt =>
+      val s10 = Ops.hashSample(ids, "id", 0.1, salt).collect().map(_.getLong(0)).toSet
+      val s50 = Ops.hashSample(ids, "id", 0.5, salt).collect().map(_.getLong(0)).toSet
+      val all = Ops.hashSample(ids, "id", 1.0, salt).count()
+      assert(s10.subsetOf(s50), s"salt=$salt")
+      assert(all == 400L) // fraction 1.0 is total after the threshold fix
+      assert(s50.size > s10.size)
+    }
+  }
+
+  test("asofJoin equals the max-struct subquery on random event sets") {
+    val gen = for {
+      lefts <- Gen.listOfN(25, Gen.zip(Gen.chooseNum(1L, 5L), Gen.chooseNum(0L, 50L)))
+      rights <- Gen.listOfN(25, Gen.zip(Gen.chooseNum(1L, 5L), Gen.chooseNum(0L, 50L)))
+    } yield (lefts, rights)
+    samples(gen, 4).zipWithIndex.foreach { case ((ls, rs), it) =>
+      val left = ls.zipWithIndex.map { case ((k, t), i) => (i.toLong, k, t) }
+        .toDF("lid", "k", "t")
+      val right = rs.zipWithIndex.map { case ((k, t), i) => (i.toLong + 1000L, k, t) }
+        .toDF("rid", "k", "t")
+      val got = Ops.asofJoin(left, right.select(col("k"), col("t"), col("rid")),
+        Seq("k"), "t", Seq("rid" -> "prior"))
+        .collect().map(r => r.getLong(0) -> Option(r.get(3))).toMap
+      val want = left.join(right.select(col("k"), col("t").as("rt"), col("rid")), Seq("k"), "left")
+        .filter(col("rt").isNull || col("rt") <= col("t"))
+        .groupBy("lid").agg(max(struct(col("rt"), col("rid"))).as("m"))
+        .select(col("lid"), col("m.rid"))
+        .collect().map(r => r.getLong(0) -> Option(r.get(1))).toMap
+      // rows with no match at all drop out of the filtered join; fold in
+      val wantFull = got.keys.map(k => k -> want.getOrElse(k, None)).toMap
+      assert(got == wantFull, s"iteration $it")
+    }
+  }
 }
