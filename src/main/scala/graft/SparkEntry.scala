@@ -337,6 +337,15 @@ object SparkEntry {
         t(s, dir, "lineitem"), "l_returnflag", "l_linestatus")
         .select(round(col("psi"), 6).as("psi"))),
 
+    // ---- Column profiling: nulls/distincts/min/max per column in one
+    // scan (exact distincts here for the oracle; approx_count_distinct
+    // is the no-expand 100 TB default — see DataDiff.profile).
+    "q35_profile" -> ((s, dir) =>
+      graft.datadiff.DataDiff.profile(
+        t(s, dir, "orders"),
+        Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority"),
+        exact = true)),
+
     // ---- Per-group exact quantiles (linear interpolation — matches
     // DuckDB quantile_cont bit-for-bit). Exact percentile sorts each
     // group; at 100 TB swap in approx_percentile(col, p, accuracy)
@@ -577,6 +586,31 @@ object SparkEntry {
         |    (greatest(coalesce(p1, 0), 1e-6) - greatest(coalesce(p2, 0), 1e-6))
         |  * ln(greatest(coalesce(p1, 0), 1e-6) / greatest(coalesce(p2, 0), 1e-6))), 6) AS psi
         |FROM h1 FULL OUTER JOIN h2 USING (bin)""".stripMargin,
+    "q35_profile" ->
+      """SELECT col_name, n_rows, n_nulls, n_distinct, min_val, max_val FROM (
+        |  SELECT 'o_orderkey' AS col_name, count(*) AS n_rows,
+        |    sum(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) AS n_nulls,
+        |    count(DISTINCT o_orderkey) AS n_distinct,
+        |    CAST(min(o_orderkey) AS VARCHAR) AS min_val, CAST(max(o_orderkey) AS VARCHAR) AS max_val
+        |  FROM orders
+        |  UNION ALL
+        |  SELECT 'o_custkey', count(*),
+        |    sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END),
+        |    count(DISTINCT o_custkey),
+        |    CAST(min(o_custkey) AS VARCHAR), CAST(max(o_custkey) AS VARCHAR)
+        |  FROM orders
+        |  UNION ALL
+        |  SELECT 'o_orderstatus', count(*),
+        |    sum(CASE WHEN o_orderstatus IS NULL THEN 1 ELSE 0 END),
+        |    count(DISTINCT o_orderstatus),
+        |    min(o_orderstatus), max(o_orderstatus)
+        |  FROM orders
+        |  UNION ALL
+        |  SELECT 'o_orderpriority', count(*),
+        |    sum(CASE WHEN o_orderpriority IS NULL THEN 1 ELSE 0 END),
+        |    count(DISTINCT o_orderpriority),
+        |    min(o_orderpriority), max(o_orderpriority)
+        |  FROM orders)""".stripMargin,
     "q34_quantiles" ->
       """SELECT l_returnflag,
         | round(quantile_cont(l_extendedprice, 0.5), 4) AS p50,

@@ -65,11 +65,6 @@ object DataDiff {
     else (0 to maxBins).map(i => mn + (mx - mn) * i / maxBins).toArray
   }
 
-  /** R11 continuous histogram against fixed `edges`: values binned
-    * `[e_i, e_{i+1})`, last edge inclusive, out-of-range and null values
-    * dropped — `rdd.histogram(buckets)` semantics, computed as a single
-    * groupBy instead of an RDD pass. Returns `(bin long, cnt long,
-    * freq double)` over occupied bins. */
   /** Bin-index arithmetic in this module assumes EQUI-WIDTH edges (the
     * only kind it produces); arbitrary edges would silently mis-bin. */
   private def requireEquiWidth(edges: Array[Double], caller: String): Unit = {
@@ -83,6 +78,11 @@ object DataDiff {
     }
   }
 
+  /** R11 continuous histogram against fixed `edges`: values binned
+    * `[e_i, e_{i+1})`, last edge inclusive, out-of-range and null values
+    * dropped — `rdd.histogram(buckets)` semantics, computed as a single
+    * groupBy instead of an RDD pass. Returns `(bin long, cnt long,
+    * freq double)` over occupied bins. */
   def continuousHistogramDF(df: DataFrame, columnName: String, edges: Array[Double]): DataFrame = {
     requireEquiWidth(edges, "continuousHistogramDF")
     val bins = edges.length - 1
@@ -96,6 +96,35 @@ object DataDiff {
       .groupBy("bin")
       .agg(count(lit(1)).as("cnt"))
       .withColumn("freq", col("cnt") / sum("cnt").over())
+  }
+
+  /** Column profile — the standard ingestion data-quality sweep: per
+    * column, row/null counts, distinct cardinality, min/max (stringified
+    * for a uniform schema). ONE scan of the table: all per-column
+    * aggregates run in a single global Aggregate, then `stack` unpivots
+    * the 1-row result (driver-free, ≤ |cols| output rows).
+    *
+    * `exact = false` (default) uses `approx_count_distinct` (HLL++):
+    * partial-aggregated, no expand — the 100 TB shape. `exact = true`
+    * uses `count(DISTINCT)`: Catalyst plans an Expand of |cols| copies
+    * of every row — exact but ×|cols| shuffle volume; use it for
+    * verification on samples (the q35 oracle does). */
+  def profile(df: DataFrame, cols: Seq[String], exact: Boolean = false): DataFrame = {
+    require(cols.nonEmpty, "profile: need at least one column")
+    require(cols.forall(df.columns.contains), s"profile: unknown columns ${cols.filterNot(df.columns.contains)}")
+    def cd(c: Column) = if (exact) count_distinct(c) else approx_count_distinct(c)
+    val aggCols = count(lit(1)).as("__n") +: cols.flatMap(c => Seq(
+      sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"__nulls__$c"),
+      cd(col(c)).as(s"__distinct__$c"),
+      min(col(c)).cast("string").as(s"__min__$c"),
+      max(col(c)).cast("string").as(s"__max__$c")))
+    val one = df.agg(aggCols.head, aggCols.tail: _*)
+    val stackArgs = cols.map(c =>
+      s"'$c', `__nulls__$c`, `__distinct__$c`, `__min__$c`, `__max__$c`").mkString(", ")
+    one.select(
+      expr(s"stack(${cols.length}, $stackArgs) AS (col_name, n_nulls, n_distinct, min_val, max_val)"),
+      col("__n").as("n_rows"))
+      .select("col_name", "n_rows", "n_nulls", "n_distinct", "min_val", "max_val")
   }
 
   /** R14 histogram→map labeling (`datadiff.py:18-24`): bin edges →

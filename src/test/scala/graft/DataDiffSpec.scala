@@ -63,6 +63,25 @@ class DataDiffSpec extends SparkTestBase {
     assert(math.abs(t - 1.0) < 1e-9)
   }
 
+  test("profile: nulls/distincts/min/max correct; approx path is one scan, no Expand") {
+    val df = Seq(
+      (Option(1), Option("a")), (Option.empty[Int], Option("b")),
+      (Option(3), Option.empty[String]), (Option(1), Option("a"))
+    ).toDF("x", "s")
+    val p = DataDiff.profile(df, Seq("x", "s"), exact = true)
+      .collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4), r.getString(5)))).toMap
+    assert(p("x") == ((4L, 1L, 2L, "1", "3")))
+    assert(p("s") == ((4L, 1L, 2L, "a", "b")))
+    // scale path: HLL distincts keep everything in ONE partial-agg scan
+    // (exact count-distinct would plan an Expand of |cols| row copies)
+    val plan = DataDiff.profile(li, Seq("l_orderkey", "l_returnflag"))
+      .queryExecution.executedPlan.toString
+    assert(plan.split("Scan parquet").length - 1 == 1, s"expected 1 scan:\n$plan")
+    assert(!plan.contains("Expand"), s"approx profile must not Expand:\n$plan")
+  }
+
   test("PSI: same-table form == join form; 0 for identical; blows up on new mass") {
     val joined = DataDiff.psiOfHistograms(
       DataDiff.histogramDF(li, col("l_returnflag")),
