@@ -589,25 +589,25 @@ object SparkEntry {
     "q35_profile" ->
       """SELECT col_name, n_rows, n_nulls, n_distinct, min_val, max_val FROM (
         |  SELECT 'o_orderkey' AS col_name, count(*) AS n_rows,
-        |    sum(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) AS n_nulls,
+        |    CAST(sum(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls,
         |    count(DISTINCT o_orderkey) AS n_distinct,
         |    CAST(min(o_orderkey) AS VARCHAR) AS min_val, CAST(max(o_orderkey) AS VARCHAR) AS max_val
         |  FROM orders
         |  UNION ALL
         |  SELECT 'o_custkey', count(*),
-        |    sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END),
+        |    CAST(sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT),
         |    count(DISTINCT o_custkey),
         |    CAST(min(o_custkey) AS VARCHAR), CAST(max(o_custkey) AS VARCHAR)
         |  FROM orders
         |  UNION ALL
         |  SELECT 'o_orderstatus', count(*),
-        |    sum(CASE WHEN o_orderstatus IS NULL THEN 1 ELSE 0 END),
+        |    CAST(sum(CASE WHEN o_orderstatus IS NULL THEN 1 ELSE 0 END) AS BIGINT),
         |    count(DISTINCT o_orderstatus),
         |    min(o_orderstatus), max(o_orderstatus)
         |  FROM orders
         |  UNION ALL
         |  SELECT 'o_orderpriority', count(*),
-        |    sum(CASE WHEN o_orderpriority IS NULL THEN 1 ELSE 0 END),
+        |    CAST(sum(CASE WHEN o_orderpriority IS NULL THEN 1 ELSE 0 END) AS BIGINT),
         |    count(DISTINCT o_orderpriority),
         |    min(o_orderpriority), max(o_orderpriority)
         |  FROM orders)""".stripMargin,

@@ -112,12 +112,20 @@ object DataDiff {
   def profile(df: DataFrame, cols: Seq[String], exact: Boolean = false): DataFrame = {
     require(cols.nonEmpty, "profile: need at least one column")
     require(cols.forall(df.columns.contains), s"profile: unknown columns ${cols.filterNot(df.columns.contains)}")
+    require(cols.distinct == cols, "profile: duplicate columns requested")
+    // names are spliced into stack() SQL below and used as aliases —
+    // backticks/quotes would break the parse, so reject them up front
+    require(cols.forall(c => !c.contains("`") && !c.contains("'")),
+      "profile: column names must not contain backticks or quotes")
+    def src(c: String) = col(s"`$c`") // dotted names stay top-level refs
     def cd(c: Column) = if (exact) count_distinct(c) else approx_count_distinct(c)
     val aggCols = count(lit(1)).as("__n") +: cols.flatMap(c => Seq(
-      sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"__nulls__$c"),
-      cd(col(c)).as(s"__distinct__$c"),
-      min(col(c)).cast("string").as(s"__min__$c"),
-      max(col(c)).cast("string").as(s"__max__$c")))
+      // coalesce: sum over ZERO rows is null — an empty table must
+      // profile as 0 nulls, not null nulls
+      coalesce(sum(when(src(c).isNull, 1L).otherwise(0L)), lit(0L)).as(s"__nulls__$c"),
+      cd(src(c)).as(s"__distinct__$c"),
+      min(src(c)).cast("string").as(s"__min__$c"),
+      max(src(c)).cast("string").as(s"__max__$c")))
     val one = df.agg(aggCols.head, aggCols.tail: _*)
     val stackArgs = cols.map(c =>
       s"'$c', `__nulls__$c`, `__distinct__$c`, `__min__$c`, `__max__$c`").mkString(", ")

@@ -80,6 +80,13 @@ class DataDiffSpec extends SparkTestBase {
       .queryExecution.executedPlan.toString
     assert(plan.split("Scan parquet").length - 1 == 1, s"expected 1 scan:\n$plan")
     assert(!plan.contains("Expand"), s"approx profile must not Expand:\n$plan")
+    // empty table: well-defined zeros, not nulls
+    val e = DataDiff.profile(df.filter(lit(false)), Seq("x"), exact = true).head()
+    assert(e.getLong(1) == 0L && e.getLong(2) == 0L && e.getLong(3) == 0L)
+    // dotted column names resolve as top-level refs, not struct access
+    val dotted = Seq((1, 2)).toDF("a.b", "c")
+    val pd = DataDiff.profile(dotted, Seq("a.b"), exact = true).head()
+    assert(pd.getString(0) == "a.b" && pd.getLong(3) == 1L)
   }
 
   test("PSI: same-table form == join form; 0 for identical; blows up on new mass") {
