@@ -17,6 +17,27 @@ class DataIOSpec extends SparkTestBase {
     assert(DataIO.read(spark, c).count() == 50)
   }
 
+  test("json and orc roundtrip through the format passthrough (S2/K1)") {
+    for (fmt <- Seq("json", "orc")) {
+      val dir = s"${tmp()}/data"
+      val src = GraftConfig.parse(
+        s"""storage-type = local
+           |dataset-dir = "$sfDir/nation.parquet"""".stripMargin)
+      val sink = GraftConfig.parse(
+        s"""storage-type = local
+           |dataset-dir = "$dir"
+           |dataset-store-format = $fmt
+           |write-mode = overwrite""".stripMargin)
+      DataIO.write(DataIO.read(spark, src), sink)
+      val back = DataIO.read(spark, GraftConfig.parse(
+        s"""storage-type = local
+           |dataset-dir = "$dir"
+           |dataset-store-format = $fmt""".stripMargin))
+      assert(back.count() == 25, s"format $fmt")
+      assert(back.select("n_name").collect().map(_.getString(0)).sorted.head == "NATION_0")
+    }
+  }
+
   test("transform-sql applies SQL over dataset_temp (S6)") {
     val c = GraftConfig.parse(
       s"""storage-type = local
