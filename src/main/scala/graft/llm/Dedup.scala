@@ -176,24 +176,8 @@ object Dedup {
     require(64 % bands == 0, s"bands must divide 64, got $bands")
     require(maxHamming < bands,
       s"pigeonhole needs maxHamming < bands ($maxHamming >= $bands misses pairs)")
-    val width = 64 / bands
-    val mask = (BigInt(1) << width) - 1
-    val sigs = df.select(col(idCol).as("id"), simHash(col(textCol), gramSize).as("sig"))
-    val allBanded = sigs.select(col("id"), col("sig"),
-      explode(array((0 until bands).map { b =>
-        struct(lit(b).as("band"),
-          shiftright(col("sig"), b * width).bitwiseAND(lit(mask.toLong)).as("bits"))
-      }: _*)).as("bb"))
-      .select(col("id"), col("sig"), col("bb.band"), col("bb.bits"))
-    // hot-bucket set: tiny by construction (≤ rows/maxBucketSize keys),
-    // so the anti-join broadcasts — the classic skew-key pattern
-    val banded = if (maxBucketSize > 0) {
-      val hot = allBanded.groupBy("band", "bits")
-        .agg(count(lit(1)).as("__n"))
-        .filter(col("__n") > maxBucketSize)
-        .select("band", "bits")
-      allBanded.join(broadcast(hot), Seq("band", "bits"), "left_anti")
-    } else allBanded
+    val sigs = simHashSignatures(df, idCol, textCol, gramSize)
+    val banded = dropHotBuckets(bandSignatures(sigs, bands), maxBucketSize)
     val l = banded.select(col("band"), col("bits"), col("id").as("id1"), col("sig").as("sig1"))
     val r = banded.select(col("band"), col("bits"), col("id").as("id2"), col("sig").as("sig2"))
     l.join(r, Seq("band", "bits"))
@@ -201,6 +185,101 @@ object Dedup {
       .select(col("id1"), col("id2"), hamming(col("sig1"), col("sig2")).as("hamming"))
       .filter(col("hamming") <= maxHamming)
       .distinct()
+  }
+
+  /** SimHash signatures `(id, sig)` — the per-run STATE an incremental
+    * pipeline persists (at scale, written partitioned by a band key so
+    * the next increment's banded join prunes at the storage level). */
+  def simHashSignatures(df: DataFrame, idCol: String, textCol: String,
+      gramSize: Int = 1): DataFrame =
+    df.select(col(idCol).as("id"), simHash(col(textCol), gramSize).as("sig"))
+
+  /** Explode `(id, sig)` into one row per (band, bits) key. */
+  private def bandSignatures(sigs: DataFrame, bands: Int): DataFrame = {
+    val width = 64 / bands
+    val mask = (BigInt(1) << width) - 1
+    sigs.select(col("id"), col("sig"),
+      explode(array((0 until bands).map { b =>
+        struct(lit(b).as("band"),
+          shiftright(col("sig"), b * width).bitwiseAND(lit(mask.toLong)).as("bits"))
+      }: _*)).as("bb"))
+      .select(col("id"), col("sig"), col("bb.band"), col("bb.bits"))
+  }
+
+  /** Drop oversized (band, bits) buckets. The hot-bucket set is tiny by
+    * construction (≤ rows/maxBucketSize keys), so the anti-join
+    * broadcasts — the classic skew-key pattern. `maxBucketSize <= 0`
+    * disables the guard. */
+  private def dropHotBuckets(banded: DataFrame, maxBucketSize: Int): DataFrame =
+    if (maxBucketSize <= 0) banded
+    else {
+      val hot = banded.groupBy("band", "bits")
+        .agg(count(lit(1)).as("__n"))
+        .filter(col("__n") > maxBucketSize)
+        .select("band", "bits")
+      banded.join(broadcast(hot), Seq("band", "bits"), "left_anti")
+    }
+
+  // --------------------------------------- incremental (batch vs corpus)
+
+  /** Incremental exact dedup: drop `batch` rows whose content hash
+    * already exists in `seenHashes` (a `content_hash` sha2-hex column —
+    * persist `exactDuplicateGroups`' output each run), then drop
+    * in-batch duplicates. THIS is how tier-1 dedup runs at 100 TB in
+    * production: each daily increment anti-joins against the corpus
+    * hash STATE — the corpus text is never re-read. One shuffle on the
+    * same 64-hex key as the batch dedup. */
+  def dropSeenExact(batch: DataFrame, textCol: String, idCol: String,
+      seenHashes: DataFrame): DataFrame =
+    dropExactDuplicates(batch, textCol, idCol)
+      .join(seenHashes.select(col("content_hash").as("__seen_hash")),
+        contentHash(col(textCol)) === col("__seen_hash"), "left_anti")
+
+  /** Incremental SimHash near-dup: `(batch_id, corpus_id, hamming)`
+    * pairs within `maxHamming`, joining the batch's bands against the
+    * STORED corpus signatures — same pigeonhole guarantee as the
+    * self-join, but the corpus side is precomputed state: an increment
+    * only shuffles its own band keys. Hot-bucket guard applies to the
+    * corpus side (that is where boilerplate accumulates). */
+  def simHashNearDupsAgainst(
+      batchSigs: DataFrame,
+      corpusSigs: DataFrame,
+      maxHamming: Int = 3,
+      bands: Int = 4,
+      maxBucketSize: Int = 10000): DataFrame = {
+    require(64 % bands == 0, s"bands must divide 64, got $bands")
+    require(maxHamming < bands,
+      s"pigeonhole needs maxHamming < bands ($maxHamming >= $bands misses pairs)")
+    val b = bandSignatures(batchSigs, bands)
+      .select(col("band"), col("bits"), col("id").as("batch_id"), col("sig").as("__bsig"))
+    val c = dropHotBuckets(bandSignatures(corpusSigs, bands), maxBucketSize)
+      .select(col("band"), col("bits"), col("id").as("corpus_id"), col("sig").as("__csig"))
+    b.join(c, Seq("band", "bits"))
+      .select(col("batch_id"), col("corpus_id"),
+        hamming(col("__bsig"), col("__csig")).as("hamming"))
+      .filter(col("hamming") <= maxHamming)
+      .distinct()
+  }
+
+  /** Incremental curation step: batch survivors after BOTH incremental
+    * tiers — exact-vs-seen (and in-batch), then near-dup-vs-corpus on
+    * the exact survivors' signatures. */
+  def dropSeen(
+      batch: DataFrame,
+      textCol: String,
+      idCol: String,
+      seenHashes: DataFrame,
+      corpusSigs: DataFrame,
+      maxHamming: Int = 3,
+      bands: Int = 4,
+      gramSize: Int = 1,
+      maxBucketSize: Int = 10000): DataFrame = {
+    val exact = dropSeenExact(batch, textCol, idCol, seenHashes)
+    val nearIds = simHashNearDupsAgainst(
+      simHashSignatures(exact, idCol, textCol, gramSize), corpusSigs,
+      maxHamming, bands, maxBucketSize)
+      .select(col("batch_id").as(idCol)).distinct()
+    exact.join(nearIds, Seq(idCol), "left_anti")
   }
 
   // ------------------------------------------------------- n-gram Jaccard

@@ -127,6 +127,33 @@ class DedupSpec extends SparkTestBase {
     assert(unguarded.count { case (a, b) => a >= 100L && b >= 100L } == 30 * 29 / 2)
   }
 
+  test("incremental dedup: batch drops seen-exact and near-dup-of-corpus, keeps fresh") {
+    val corpus = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog and runs far away home tonight"),
+      (2L, "completely different corpus document about database engines and columnar storage")
+    ).toDF("doc_id", "text")
+    // the persisted state an incremental pipeline carries between runs
+    val seen = Dedup.exactDuplicateGroups(corpus, "text", "doc_id").select("content_hash")
+    val sigs = Dedup.simHashSignatures(corpus, "doc_id", "text", gramSize = 3)
+    val batch = Seq(
+      (10L, "the quick brown fox jumps over the lazy dog and runs far away home tonight"),
+      // case-changed copy: sha2 differs (tier 1 misses) but the simhash
+      // tokenizer lowercases, so the signature is identical (tier 2 hits)
+      (11L, "The Quick Brown Fox jumps over the lazy dog and runs far away home tonight"),
+      (12L, "a genuinely fresh batch document about cooking pasta at home this evening"),
+      (13L, "a genuinely fresh batch document about cooking pasta at home this evening")
+    ).toDF("doc_id", "text")
+    val out = Dedup.dropSeen(batch, "text", "doc_id", seen, sigs, gramSize = 3)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    // 10 = exact-seen, 11 = near-dup of corpus 1, 13 = in-batch dup of 12
+    assert(out == Set(12L), s"survivors: $out")
+    // the pair form reports WHICH corpus doc an increment row duplicates
+    val pairs = Dedup.simHashNearDupsAgainst(
+      Dedup.simHashSignatures(batch, "doc_id", "text", gramSize = 3), sigs)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((10L, 1L)) && pairs.contains((11L, 1L)), s"pairs: $pairs")
+  }
+
   test("connectedComponents labels transitive clusters with the min id") {
     // star 1-4, 2-4 (pair-drop would keep 2; CC must not) + a 20-node
     // chain (exercises pointer jumping past naive propagation depth)
