@@ -206,19 +206,36 @@ object Dedup {
       .select(col("id"), col("sig"), col("bb.band"), col("bb.bits"))
   }
 
-  /** Drop oversized (band, bits) buckets. The hot-bucket set is tiny by
-    * construction (≤ rows/maxBucketSize keys), so the anti-join
-    * broadcasts — the classic skew-key pattern. `maxBucketSize <= 0`
-    * disables the guard. */
-  private def dropHotBuckets(banded: DataFrame, maxBucketSize: Int): DataFrame =
-    if (maxBucketSize <= 0) banded
-    else {
-      val hot = banded.groupBy("band", "bits")
-        .agg(count(lit(1)).as("__n"))
-        .filter(col("__n") > maxBucketSize)
-        .select("band", "bits")
-      banded.join(broadcast(hot), Seq("band", "bits"), "left_anti")
+  /** Oversized (band, bits) bucket keys of a banded signature frame —
+    * tiny by construction (≤ rows/maxBucketSize keys). For incremental
+    * pipelines this IS part of the persisted corpus state: computing it
+    * costs a full aggregate over the corpus bands, so store it next to
+    * the signatures instead of recomputing per increment. */
+  private def hotBucketKeys(banded: DataFrame, maxBucketSize: Int): DataFrame =
+    banded.groupBy("band", "bits")
+      .agg(count(lit(1)).as("__n"))
+      .filter(col("__n") > maxBucketSize)
+      .select("band", "bits")
+
+  /** Drop oversized (band, bits) buckets. The hot-key set broadcasts —
+    * the classic skew-key pattern. `maxBucketSize <= 0` disables the
+    * guard (pass `precomputedHot` to skip the aggregate). */
+  private def dropHotBuckets(banded: DataFrame, maxBucketSize: Int,
+      precomputedHot: Option[DataFrame] = None): DataFrame =
+    precomputedHot match {
+      case Some(hot) => banded.join(broadcast(hot), Seq("band", "bits"), "left_anti")
+      case None if maxBucketSize <= 0 => banded
+      case None =>
+        banded.join(broadcast(hotBucketKeys(banded, maxBucketSize)),
+          Seq("band", "bits"), "left_anti")
     }
+
+  /** The hot-bucket key set for a signature frame — persist alongside
+    * `simHashSignatures` output so increments skip the corpus-wide
+    * aggregate (see [[simHashNearDupsAgainst]]). */
+  def simHashHotBuckets(sigs: DataFrame, bands: Int = 4,
+      maxBucketSize: Int = 10000): DataFrame =
+    hotBucketKeys(bandSignatures(sigs, bands), maxBucketSize)
 
   // --------------------------------------- incremental (batch vs corpus)
 
@@ -227,32 +244,47 @@ object Dedup {
     * persist `exactDuplicateGroups`' output each run), then drop
     * in-batch duplicates. THIS is how tier-1 dedup runs at 100 TB in
     * production: each daily increment anti-joins against the corpus
-    * hash STATE — the corpus text is never re-read. One shuffle on the
-    * same 64-hex key as the batch dedup. */
+    * hash STATE — the corpus text is never re-read. The hash is
+    * projected ONCE per row and reused by both the in-batch window and
+    * the anti-join (document hashing is a dominant CPU cost at scale). */
   def dropSeenExact(batch: DataFrame, textCol: String, idCol: String,
-      seenHashes: DataFrame): DataFrame =
-    dropExactDuplicates(batch, textCol, idCol)
+      seenHashes: DataFrame): DataFrame = {
+    val hashed = batch.withColumn("__hash", contentHash(col(textCol)))
+    val w = Window.partitionBy(col("__hash")).orderBy(col(idCol))
+    hashed.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
       .join(seenHashes.select(col("content_hash").as("__seen_hash")),
-        contentHash(col(textCol)) === col("__seen_hash"), "left_anti")
+        col("__hash") === col("__seen_hash"), "left_anti")
+      .drop("__rn", "__hash")
+  }
 
   /** Incremental SimHash near-dup: `(batch_id, corpus_id, hamming)`
     * pairs within `maxHamming`, joining the batch's bands against the
     * STORED corpus signatures — same pigeonhole guarantee as the
-    * self-join, but the corpus side is precomputed state: an increment
-    * only shuffles its own band keys. Hot-bucket guard applies to the
-    * corpus side (that is where boilerplate accumulates). */
+    * self-join. The hot-bucket guard applies to BOTH sides (today's
+    * boilerplate flood is in the batch; yesterday's is in the corpus).
+    * Pass `corpusHotBuckets` (persist [[simHashHotBuckets]] with the
+    * corpus state) to skip the per-increment corpus-wide aggregate —
+    * without it, finding the corpus's hot keys re-scans all corpus
+    * bands every run.
+    *
+    * CONTRACT: both signature sets must come from the same `gramSize`
+    * (fingerprints from different shingle spaces have ~random Hamming
+    * distances and every near-dup sails through). Persist the gramSize
+    * with your state; [[dropSeen]] takes one parameter for both. */
   def simHashNearDupsAgainst(
       batchSigs: DataFrame,
       corpusSigs: DataFrame,
       maxHamming: Int = 3,
       bands: Int = 4,
-      maxBucketSize: Int = 10000): DataFrame = {
+      maxBucketSize: Int = 10000,
+      corpusHotBuckets: Option[DataFrame] = None): DataFrame = {
     require(64 % bands == 0, s"bands must divide 64, got $bands")
     require(maxHamming < bands,
       s"pigeonhole needs maxHamming < bands ($maxHamming >= $bands misses pairs)")
-    val b = bandSignatures(batchSigs, bands)
+    val b = dropHotBuckets(bandSignatures(batchSigs, bands), maxBucketSize)
       .select(col("band"), col("bits"), col("id").as("batch_id"), col("sig").as("__bsig"))
-    val c = dropHotBuckets(bandSignatures(corpusSigs, bands), maxBucketSize)
+    val c = dropHotBuckets(bandSignatures(corpusSigs, bands), maxBucketSize, corpusHotBuckets)
       .select(col("band"), col("bits"), col("id").as("corpus_id"), col("sig").as("__csig"))
     b.join(c, Seq("band", "bits"))
       .select(col("batch_id"), col("corpus_id"),
@@ -261,9 +293,15 @@ object Dedup {
       .distinct()
   }
 
-  /** Incremental curation step: batch survivors after BOTH incremental
-    * tiers — exact-vs-seen (and in-batch), then near-dup-vs-corpus on
-    * the exact survivors' signatures. */
+  /** Incremental curation step: batch survivors after all three
+    * incremental tiers — exact-vs-seen (and in-batch exact), in-batch
+    * near-dup (drop the higher id per pair; otherwise a near-dup pair
+    * arriving in the same increment enters the corpus forever — future
+    * runs only compare against the corpus), then near-dup-vs-corpus.
+    * Signature-tier only: compose with [[verifyPairs]]/[[Curation]] when
+    * Jaccard verification of the drops is required. `gramSize` MUST
+    * match the one `corpusSigs` was persisted with (see
+    * [[simHashNearDupsAgainst]]). */
   def dropSeen(
       batch: DataFrame,
       textCol: String,
@@ -273,13 +311,27 @@ object Dedup {
       maxHamming: Int = 3,
       bands: Int = 4,
       gramSize: Int = 1,
-      maxBucketSize: Int = 10000): DataFrame = {
+      maxBucketSize: Int = 10000,
+      corpusHotBuckets: Option[DataFrame] = None): DataFrame = {
     val exact = dropSeenExact(batch, textCol, idCol, seenHashes)
-    val nearIds = simHashNearDupsAgainst(
-      simHashSignatures(exact, idCol, textCol, gramSize), corpusSigs,
-      maxHamming, bands, maxBucketSize)
-      .select(col("batch_id").as(idCol)).distinct()
-    exact.join(nearIds, Seq(idCol), "left_anti")
+    val sigs = simHashSignatures(exact, idCol, textCol, gramSize)
+    // in-batch near-dups: banded self-join on the (already deduped)
+    // batch signatures; drop the higher id of each pair
+    val inBatchDrop = {
+      val banded = dropHotBuckets(bandSignatures(sigs, bands), maxBucketSize)
+      val l = banded.select(col("band"), col("bits"), col("id").as("id1"), col("sig").as("sig1"))
+      val r = banded.select(col("band"), col("bits"), col("id").as("id2"), col("sig").as("sig2"))
+      l.join(r, Seq("band", "bits"))
+        .filter(col("id1") < col("id2"))
+        .filter(hamming(col("sig1"), col("sig2")) <= maxHamming)
+        .select(col("id2").as(idCol))
+    }
+    val corpusDrop = simHashNearDupsAgainst(sigs, corpusSigs,
+      maxHamming, bands, maxBucketSize, corpusHotBuckets)
+      .select(col("batch_id").as(idCol))
+    // left_anti is insensitive to duplicate keys on the right — no
+    // distinct needed on the union of drop ids
+    exact.join(inBatchDrop.unionByName(corpusDrop), Seq(idCol), "left_anti")
   }
 
   // ------------------------------------------------------- n-gram Jaccard

@@ -141,17 +141,29 @@ class DedupSpec extends SparkTestBase {
       // tokenizer lowercases, so the signature is identical (tier 2 hits)
       (11L, "The Quick Brown Fox jumps over the lazy dog and runs far away home tonight"),
       (12L, "a genuinely fresh batch document about cooking pasta at home this evening"),
-      (13L, "a genuinely fresh batch document about cooking pasta at home this evening")
+      (13L, "a genuinely fresh batch document about cooking pasta at home this evening"),
+      // IN-BATCH near-dup of 12 (case variant): not in the corpus — both
+      // would survive (and poison the corpus state forever) without the
+      // in-batch near tier
+      (14L, "A Genuinely Fresh Batch document about cooking pasta at home this evening")
     ).toDF("doc_id", "text")
     val out = Dedup.dropSeen(batch, "text", "doc_id", seen, sigs, gramSize = 3)
       .select("doc_id").collect().map(_.getLong(0)).toSet
-    // 10 = exact-seen, 11 = near-dup of corpus 1, 13 = in-batch dup of 12
+    // 10 = exact-seen, 11 = near-dup of corpus 1, 13 = in-batch exact
+    // dup of 12, 14 = in-batch NEAR dup of 12
     assert(out == Set(12L), s"survivors: $out")
     // the pair form reports WHICH corpus doc an increment row duplicates
     val pairs = Dedup.simHashNearDupsAgainst(
       Dedup.simHashSignatures(batch, "doc_id", "text", gramSize = 3), sigs)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(pairs.contains((10L, 1L)) && pairs.contains((11L, 1L)), s"pairs: $pairs")
+    // persisted hot-bucket state: passing it skips the corpus aggregate
+    // and (empty here) must not change the result
+    val hot = Dedup.simHashHotBuckets(sigs)
+    val withState = Dedup.dropSeen(batch, "text", "doc_id", seen, sigs,
+      gramSize = 3, corpusHotBuckets = Some(hot))
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(withState == out)
   }
 
   test("connectedComponents labels transitive clusters with the min id") {
