@@ -143,12 +143,25 @@ object Scorer {
   * `transitive-near-dups`; post-curation: `mixture-weights { src = f }`
   * (+ `mixture-source-column`, `mixture-default-fraction`,
   * `mixture-salt`) and `chunk-size` (+ `chunk-overlap`, default
-  * size/4). */
+  * size/4).
+  *
+  * INCREMENTAL mode (how curation runs in production — daily batches
+  * against persisted dedup state, never re-reading the corpus):
+  * `state-dir` points at a previous run's `state-out-dir` (parquet
+  * subdirs `hashes/`, `sigs/`, `hot/`); batch rows already in — or
+  * SimHash-near — the corpus are dropped before curation, and
+  * `state-out-dir` receives old-state ∪ this run's survivors for the
+  * next increment. Alternate A/B state dirs between runs. */
 object Curator {
   def main(args: Array[String]): Unit = Cli.run("curator", args) { (conf, spark) =>
+    import org.apache.spark.sql.functions.col
     Cli.log("loading corpus...")
     val df = graft.sources.DataIO.read(spark, conf.at("source"))
     val c = conf.at("curation")
+    // writing state over the dir being read would corrupt it mid-scan
+    require(c.getString("state-out-dir").isEmpty ||
+      c.getString("state-out-dir") != c.getString("state-dir"),
+      "curation.state-out-dir must differ from state-dir (alternate A/B dirs between runs)")
     val base = graft.llm.Curation.Config()
     val cc = graft.llm.Curation.Config(
       minQuality = c.getDouble("min-quality").getOrElse(base.minQuality),
@@ -162,8 +175,47 @@ object Curator {
       transitiveNearDups = c.getString("transitive-near-dups").exists(_.toBoolean))
     val idCol = c.getString("id-column").getOrElse("doc_id")
     val textCol = c.getString("text-column").getOrElse("text")
-    val curated = graft.llm.Curation.curate(df, idCol, textCol, cc)
+    // incremental mode: drop batch rows already in (or near) the
+    // persisted corpus STATE before curating — `state-dir` holds
+    // `hashes/` (content_hash) and `sigs/` (id, sig) parquet from a
+    // previous run's `state-out-dir`; first run: point state-dir at a
+    // nonexistent path or omit it
+    val stateDir = c.getString("state-dir").filter(d =>
+      new java.io.File(s"$d/hashes").exists())
+    val batch = stateDir match {
+      case Some(d) =>
+        Cli.log(s"incremental: dropping docs seen in state at $d ...")
+        graft.llm.Dedup.dropSeen(df, textCol, idCol,
+          spark.read.parquet(s"$d/hashes"),
+          spark.read.parquet(s"$d/sigs"),
+          maxHamming = cc.simHashMaxHamming, bands = cc.simHashBands,
+          gramSize = cc.shingleSize, maxBucketSize = cc.simHashMaxBucket,
+          corpusHotBuckets =
+            if (new java.io.File(s"$d/hot").exists()) Some(spark.read.parquet(s"$d/hot"))
+            else None)
+      case None => df
+    }
+    val curated = graft.llm.Curation.curate(batch, idCol, textCol, cc)
     println(s"curated corpus size: ${curated.count()}")
+    // write the updated dedup state (old state ∪ this run's survivors)
+    // for the NEXT increment
+    c.getString("state-out-dir").foreach { outDir =>
+      import graft.llm.Dedup
+      val newHashes = curated.select(Dedup.contentHash(col(textCol)).as("content_hash"))
+      val newSigs = Dedup.simHashSignatures(curated, idCol, textCol, cc.shingleSize)
+      val (hashes, sigs) = stateDir match {
+        case Some(d) => (
+          spark.read.parquet(s"$d/hashes").unionByName(newHashes),
+          spark.read.parquet(s"$d/sigs").unionByName(newSigs))
+        case None => (newHashes, newSigs)
+      }
+      hashes.write.mode("overwrite").parquet(s"$outDir/hashes")
+      sigs.write.mode("overwrite").parquet(s"$outDir/sigs")
+      Dedup.simHashHotBuckets(spark.read.parquet(s"$outDir/sigs"),
+        cc.simHashBands, cc.simHashMaxBucket)
+        .write.mode("overwrite").parquet(s"$outDir/hot")
+      Cli.log(s"dedup state written to $outDir")
+    }
     // optional training-mix composition (deterministic per-source keep
     // fractions) on the curated survivors
     val mixWeights = c.at("mixture-weights").flat

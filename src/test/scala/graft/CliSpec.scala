@@ -188,6 +188,37 @@ class CliSpec extends SparkTestBase {
     assert(docsKept < total, s"mixture should drop some docs ($docsKept vs $total)")
   }
 
+  test("curator incremental mode: re-running the same corpus against state keeps nothing") {
+    val base = tmp()
+    def conf(run: Int, stateIn: Option[String]) = write(base.resolve(s"cur$run.conf"),
+      s"""source { storage-type = local, dataset-dir = $sfDir/documents.parquet }
+         |target { storage-type = local, dataset-dir = ${base.resolve(s"out$run")}, dataset-store-format = parquet, write-mode = overwrite }
+         |curation {
+         |  min-quality = 0.2
+         |${stateIn.map(d => s"  state-dir = $d").getOrElse("")}
+         |  state-out-dir = ${base.resolve(s"state$run")}
+         |}
+         |""".stripMargin)
+    // run 1: no prior state — curates the corpus, writes state1
+    graft.cli.Curator.main(Array("--conf", conf(1, None)))
+    val n1 = spark.read.parquet(base.resolve("out1").toString).count()
+    assert(n1 > 0)
+    assert(new java.io.File(base.resolve("state1").resolve("hashes").toString).exists())
+    assert(new java.io.File(base.resolve("state1").resolve("hot").toString).exists())
+    // run 2: SAME corpus against run 1's state — everything is seen
+    graft.cli.Curator.main(Array("--conf", conf(2, Some(base.resolve("state1").toString))))
+    assert(spark.read.parquet(base.resolve("out2").toString).count() == 0)
+    // state carried forward: run 2's state still holds run 1's survivors
+    assert(spark.read.parquet(base.resolve("state2").resolve("hashes").toString).count() == n1)
+    // writing state over the dir being read is rejected
+    val bad = write(base.resolve("bad.conf"),
+      s"""source { storage-type = local, dataset-dir = $sfDir/documents.parquet }
+         |target { storage-type = local, dataset-dir = ${base.resolve("outX")} }
+         |curation { state-dir = ${base.resolve("state1")}, state-out-dir = ${base.resolve("state1")} }
+         |""".stripMargin)
+    intercept[IllegalArgumentException] { graft.cli.Curator.main(Array("--conf", bad)) }
+  }
+
   test("streamer runs a checkpointed windowed stream to a parquet sink (RocksDB state)") {
     val base = tmp()
     val events = base.resolve("events").toString
