@@ -158,10 +158,6 @@ object Curator {
     Cli.log("loading corpus...")
     val df = graft.sources.DataIO.read(spark, conf.at("source"))
     val c = conf.at("curation")
-    // writing state over the dir being read would corrupt it mid-scan
-    require(c.getString("state-out-dir").isEmpty ||
-      c.getString("state-out-dir") != c.getString("state-dir"),
-      "curation.state-out-dir must differ from state-dir (alternate A/B dirs between runs)")
     val base = graft.llm.Curation.Config()
     val cc = graft.llm.Curation.Config(
       minQuality = c.getDouble("min-quality").getOrElse(base.minQuality),
@@ -175,13 +171,41 @@ object Curator {
       transitiveNearDups = c.getString("transitive-near-dups").exists(_.toBoolean))
     val idCol = c.getString("id-column").getOrElse("doc_id")
     val textCol = c.getString("text-column").getOrElse("text")
-    // incremental mode: drop batch rows already in (or near) the
-    // persisted corpus STATE before curating — `state-dir` holds
-    // `hashes/` (content_hash) and `sigs/` (id, sig) parquet from a
-    // previous run's `state-out-dir`; first run: point state-dir at a
-    // nonexistent path or omit it
-    val stateDir = c.getString("state-dir").filter(d =>
-      new java.io.File(s"$d/hashes").exists())
+    // ---- incremental mode: drop batch rows already in (or near) the
+    // persisted corpus STATE before curating. All state paths go through
+    // Hadoop FileSystem (java.io.File is silently false for hdfs:// etc.
+    // — that failure mode would skip dedup AND overwrite the state).
+    import org.apache.hadoop.fs.Path
+    val hconf = spark.sparkContext.hadoopConfiguration
+    def qual(d: String): Path = {
+      val p = new Path(d); p.getFileSystem(hconf).makeQualified(p)
+    }
+    def exists(p: Path): Boolean = p.getFileSystem(hconf).exists(p)
+    // the fingerprint parameters the persisted signatures/hot-buckets
+    // are only valid for — recorded in the commit marker and required
+    // to match on read (config drift makes stored sigs silently useless)
+    val stateParams =
+      s"shingle-size=${cc.shingleSize};bands=${cc.simHashBands};max-bucket=${cc.simHashMaxBucket}"
+    val stateDir = c.getString("state-dir")
+    stateDir.foreach { d =>
+      val marker = new Path(qual(d), "_COMMITTED")
+      require(exists(marker),
+        s"curation.state-dir '$d' holds no committed state (_COMMITTED missing — " +
+          "crashed previous run or wrong path?); omit state-dir on the first run")
+      val fs = marker.getFileSystem(hconf)
+      val in = fs.open(marker)
+      val stored = try scala.io.Source.fromInputStream(in, "UTF-8").mkString finally in.close()
+      require(stored == stateParams,
+        s"curation.state-dir '$d' was built with [$stored] but this run uses " +
+          s"[$stateParams] — fingerprints from different parameters do not compare; " +
+          "re-curate from scratch or restore the original parameters")
+    }
+    // canonical-path guard: raw-string compare would accept aliases
+    // (trailing slash, relative vs absolute) and then overwrite the
+    // state dir while the union plan below lazily reads it
+    require(!c.getString("state-out-dir").exists(out =>
+      stateDir.exists(in => qual(in) == qual(out))),
+      "curation.state-out-dir must differ from state-dir (alternate A/B dirs between runs)")
     val batch = stateDir match {
       case Some(d) =>
         Cli.log(s"incremental: dropping docs seen in state at $d ...")
@@ -190,15 +214,19 @@ object Curator {
           spark.read.parquet(s"$d/sigs"),
           maxHamming = cc.simHashMaxHamming, bands = cc.simHashBands,
           gramSize = cc.shingleSize, maxBucketSize = cc.simHashMaxBucket,
-          corpusHotBuckets =
-            if (new java.io.File(s"$d/hot").exists()) Some(spark.read.parquet(s"$d/hot"))
-            else None)
+          corpusHotBuckets = Some(spark.read.parquet(s"$d/hot")),
+          // curate() runs verified near-dedup on these survivors next —
+          // the signature-only in-batch tier would pre-empt it with
+          // unverified drops and repeat the banded self-join
+          inBatchNear = false)
       case None => df
     }
     val curated = graft.llm.Curation.curate(batch, idCol, textCol, cc)
     println(s"curated corpus size: ${curated.count()}")
     // write the updated dedup state (old state ∪ this run's survivors)
-    // for the NEXT increment
+    // for the NEXT increment; the _COMMITTED marker is written LAST so
+    // a crash mid-write leaves a state dir the next run REFUSES (mixed
+    // old/new subdirs would silently lose near-dup coverage)
     c.getString("state-out-dir").foreach { outDir =>
       import graft.llm.Dedup
       val newHashes = curated.select(Dedup.contentHash(col(textCol)).as("content_hash"))
@@ -209,11 +237,16 @@ object Curator {
           spark.read.parquet(s"$d/sigs").unionByName(newSigs))
         case None => (newHashes, newSigs)
       }
+      val out = qual(outDir)
+      val fs = out.getFileSystem(hconf)
+      fs.delete(new Path(out, "_COMMITTED"), false) // out dir is now in-progress
       hashes.write.mode("overwrite").parquet(s"$outDir/hashes")
       sigs.write.mode("overwrite").parquet(s"$outDir/sigs")
       Dedup.simHashHotBuckets(spark.read.parquet(s"$outDir/sigs"),
         cc.simHashBands, cc.simHashMaxBucket)
         .write.mode("overwrite").parquet(s"$outDir/hot")
+      val marker = fs.create(new Path(out, "_COMMITTED"), true)
+      try marker.write(stateParams.getBytes("UTF-8")) finally marker.close()
       Cli.log(s"dedup state written to $outDir")
     }
     // optional training-mix composition (deterministic per-source keep

@@ -302,6 +302,10 @@ object Dedup {
     * Jaccard verification of the drops is required. `gramSize` MUST
     * match the one `corpusSigs` was persisted with (see
     * [[simHashNearDupsAgainst]]). */
+  /** `inBatchNear = false` skips the in-batch near tier — use when a
+    * verified near-dedup stage (e.g. [[Curation.curate]]) runs on the
+    * survivors right after, which would otherwise repeat the banded
+    * self-join WITHOUT this tier's unverified signature-only drops. */
   def dropSeen(
       batch: DataFrame,
       textCol: String,
@@ -312,26 +316,30 @@ object Dedup {
       bands: Int = 4,
       gramSize: Int = 1,
       maxBucketSize: Int = 10000,
-      corpusHotBuckets: Option[DataFrame] = None): DataFrame = {
+      corpusHotBuckets: Option[DataFrame] = None,
+      inBatchNear: Boolean = true): DataFrame = {
     val exact = dropSeenExact(batch, textCol, idCol, seenHashes)
     val sigs = simHashSignatures(exact, idCol, textCol, gramSize)
     // in-batch near-dups: banded self-join on the (already deduped)
     // batch signatures; drop the higher id of each pair
-    val inBatchDrop = {
-      val banded = dropHotBuckets(bandSignatures(sigs, bands), maxBucketSize)
-      val l = banded.select(col("band"), col("bits"), col("id").as("id1"), col("sig").as("sig1"))
-      val r = banded.select(col("band"), col("bits"), col("id").as("id2"), col("sig").as("sig2"))
-      l.join(r, Seq("band", "bits"))
-        .filter(col("id1") < col("id2"))
-        .filter(hamming(col("sig1"), col("sig2")) <= maxHamming)
-        .select(col("id2").as(idCol))
-    }
+    val inBatchDrop =
+      if (!inBatchNear) None
+      else Some {
+        val banded = dropHotBuckets(bandSignatures(sigs, bands), maxBucketSize)
+        val l = banded.select(col("band"), col("bits"), col("id").as("id1"), col("sig").as("sig1"))
+        val r = banded.select(col("band"), col("bits"), col("id").as("id2"), col("sig").as("sig2"))
+        l.join(r, Seq("band", "bits"))
+          .filter(col("id1") < col("id2"))
+          .filter(hamming(col("sig1"), col("sig2")) <= maxHamming)
+          .select(col("id2").as(idCol))
+      }
     val corpusDrop = simHashNearDupsAgainst(sigs, corpusSigs,
       maxHamming, bands, maxBucketSize, corpusHotBuckets)
       .select(col("batch_id").as(idCol))
     // left_anti is insensitive to duplicate keys on the right — no
     // distinct needed on the union of drop ids
-    exact.join(inBatchDrop.unionByName(corpusDrop), Seq(idCol), "left_anti")
+    val dropIds = inBatchDrop.map(_.unionByName(corpusDrop)).getOrElse(corpusDrop)
+    exact.join(dropIds, Seq(idCol), "left_anti")
   }
 
   // ------------------------------------------------------- n-gram Jaccard

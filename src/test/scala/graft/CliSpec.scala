@@ -205,18 +205,43 @@ class CliSpec extends SparkTestBase {
     assert(n1 > 0)
     assert(new java.io.File(base.resolve("state1").resolve("hashes").toString).exists())
     assert(new java.io.File(base.resolve("state1").resolve("hot").toString).exists())
-    // run 2: SAME corpus against run 1's state — everything is seen
+    // run 2: SAME corpus against run 1's state — everything exact-seen
+    // or SimHash-near the corpus is dropped. A handful of chain remnants
+    // may survive (doc B near dropped-doc X near corpus, with B itself
+    // beyond the radius — triangle inequality only bounds B at 2×radius)
     graft.cli.Curator.main(Array("--conf", conf(2, Some(base.resolve("state1").toString))))
-    assert(spark.read.parquet(base.resolve("out2").toString).count() == 0)
-    // state carried forward: run 2's state still holds run 1's survivors
-    assert(spark.read.parquet(base.resolve("state2").resolve("hashes").toString).count() == n1)
-    // writing state over the dir being read is rejected
+    val n2 = spark.read.parquet(base.resolve("out2").toString).count()
+    assert(n2 <= n1 / 50, s"run 2 kept $n2 of $n1 — incremental dedup not effective")
+    // state accumulated: run 1's survivors plus run 2's remnants
+    assert(spark.read.parquet(base.resolve("state2").resolve("hashes").toString).count() == n1 + n2)
+    // run 3: remnants are now IN the state → converges to zero new docs
+    graft.cli.Curator.main(Array("--conf", conf(3, Some(base.resolve("state2").toString))))
+    assert(spark.read.parquet(base.resolve("out3").toString).count() == 0)
+    assert(new java.io.File(base.resolve("state2").resolve("_COMMITTED").toString).exists())
+    // writing state over the dir being read is rejected, even via a
+    // path alias (trailing slash) the raw-string compare would miss
     val bad = write(base.resolve("bad.conf"),
       s"""source { storage-type = local, dataset-dir = $sfDir/documents.parquet }
          |target { storage-type = local, dataset-dir = ${base.resolve("outX")} }
-         |curation { state-dir = ${base.resolve("state1")}, state-out-dir = ${base.resolve("state1")} }
+         |curation { state-dir = ${base.resolve("state1")}, state-out-dir = "${base.resolve("state1")}/" }
          |""".stripMargin)
     intercept[IllegalArgumentException] { graft.cli.Curator.main(Array("--conf", bad)) }
+    // an uncommitted / nonexistent state dir fails loudly instead of
+    // silently skipping dedup and clobbering accumulated state
+    val missing = write(base.resolve("missing.conf"),
+      s"""source { storage-type = local, dataset-dir = $sfDir/documents.parquet }
+         |target { storage-type = local, dataset-dir = ${base.resolve("outY")} }
+         |curation { state-dir = ${base.resolve("no-such-state")} }
+         |""".stripMargin)
+    intercept[IllegalArgumentException] { graft.cli.Curator.main(Array("--conf", missing)) }
+    // parameter drift between increments is rejected (stored sigs are
+    // only comparable under the parameters that built them)
+    val drift = write(base.resolve("drift.conf"),
+      s"""source { storage-type = local, dataset-dir = $sfDir/documents.parquet }
+         |target { storage-type = local, dataset-dir = ${base.resolve("outZ")} }
+         |curation { state-dir = ${base.resolve("state1")}, shingle-size = 5 }
+         |""".stripMargin)
+    intercept[IllegalArgumentException] { graft.cli.Curator.main(Array("--conf", drift)) }
   }
 
   test("streamer runs a checkpointed windowed stream to a parquet sink (RocksDB state)") {
