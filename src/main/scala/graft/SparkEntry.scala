@@ -337,6 +337,26 @@ object SparkEntry {
         t(s, dir, "lineitem"), "l_returnflag", "l_linestatus")
         .select(round(col("psi"), 6).as("psi"))),
 
+    // ---- Dimension-chain join: supplier ⋈ nation ⋈ region with BOTH
+    // dims broadcast — the snowflake lookup pattern; the fact side
+    // (supplier) never shuffles before the aggregate.
+    "q36_supplier_region" -> ((s, dir) =>
+      t(s, dir, "supplier")
+        .join(broadcast(t(s, dir, "nation")), col("s_nationkey") === col("n_nationkey"))
+        .join(broadcast(t(s, dir, "region")), col("n_regionkey") === col("r_regionkey"))
+        .groupBy("r_name")
+        .agg(count(lit(1)).as("n_suppliers"),
+          round(avg("s_acctbal"), 4).as("avg_acctbal"),
+          round(max("s_acctbal"), 2).as("max_acctbal"))),
+
+    // ---- Multi-key rollup over part: brand × size-band aggregation
+    // (arithmetic banding — no join needed for fixed-width bands).
+    "q37_part_brands" -> ((s, dir) =>
+      t(s, dir, "part")
+        .groupBy(col("p_brand"), (floor(col("p_size") / 10) * 10).cast("long").as("size_band"))
+        .agg(count(lit(1)).as("n_parts"),
+          round(avg("p_retailprice"), 4).as("avg_retail"))),
+
     // ---- Column profiling: nulls/distincts/min/max per column in one
     // scan (exact distincts here for the oracle; approx_count_distinct
     // is the no-expand 100 TB default — see DataDiff.profile).
@@ -586,6 +606,19 @@ object SparkEntry {
         |    (greatest(coalesce(p1, 0), 1e-6) - greatest(coalesce(p2, 0), 1e-6))
         |  * ln(greatest(coalesce(p1, 0), 1e-6) / greatest(coalesce(p2, 0), 1e-6))), 6) AS psi
         |FROM h1 FULL OUTER JOIN h2 USING (bin)""".stripMargin,
+    "q36_supplier_region" ->
+      """SELECT r_name, count(*) AS n_suppliers,
+        | round(avg(s_acctbal), 4) AS avg_acctbal,
+        | round(max(s_acctbal), 2) AS max_acctbal
+        |FROM supplier
+        |JOIN nation ON s_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY r_name""".stripMargin,
+    "q37_part_brands" ->
+      """SELECT p_brand, CAST(floor(p_size / 10) * 10 AS BIGINT) AS size_band,
+        | count(*) AS n_parts,
+        | round(avg(p_retailprice), 4) AS avg_retail
+        |FROM part GROUP BY 1, 2""".stripMargin,
     "q35_profile" ->
       """SELECT col_name, n_rows, n_nulls, n_distinct, min_val, max_val FROM (
         |  SELECT 'o_orderkey' AS col_name, count(*) AS n_rows,
