@@ -18,4 +18,11 @@ class EntrySpec extends SparkTestBase {
     val missing = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet
     assert(missing.isEmpty, s"oracleSql without queries: $missing")
   }
+
+  test("q36 dim-chain plan: both dimensions broadcast, no sort-merge join") {
+    val plan = SparkEntry.queries("q36_supplier_region")(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert("BroadcastHashJoin".r.findAllIn(plan).size == 2, s"plan:\n$plan")
+    assert(!plan.contains("SortMergeJoin"), s"fact side must not shuffle for dims:\n$plan")
+  }
 }
