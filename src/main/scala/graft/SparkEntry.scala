@@ -358,26 +358,32 @@ object SparkEntry {
           round(avg("p_retailprice"), 4).as("avg_retail"))),
 
     // ---- Column profiling: nulls/distincts/min/max per column in one
-    // scan (exact distincts here for the oracle; approx_count_distinct
-    // is the no-expand 100 TB default — see DataDiff.profile).
+    // scan. exact = true here ONLY for the oracle: count(DISTINCT) over
+    // 4 columns makes Catalyst plan an Expand of 4 copies of EVERY row
+    // (×4 shuffle volume) — the API default (exact = false) is
+    // approx_count_distinct (HLL++), partial-aggregated with no Expand,
+    // which is the 100 TB shape (plan-asserted in DataDiffSpec).
     "q35_profile" -> ((s, dir) =>
       graft.datadiff.DataDiff.profile(
         t(s, dir, "orders"),
         Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority"),
         exact = true)),
 
-    // ---- Per-group exact quantiles (linear interpolation — matches
-    // DuckDB quantile_cont bit-for-bit). Exact percentile sorts each
-    // group; at 100 TB swap in approx_percentile(col, p, accuracy)
-    // (KLL-style mergeable sketch, one pass) and keep this form as the
-    // verification oracle on samples.
+    // ---- Per-group quantiles via DataDiff.quantiles. exact = true here
+    // ONLY because the oracle needs bit-identical linear interpolation
+    // (Spark percentile == DuckDB quantile_cont): exact percentile
+    // buffers every group value on a 3-key shuffle — an OOM at 100 TB.
+    // The API default (exact = false) is approx_percentile: a mergeable
+    // bounded-buffer sketch, partial-aggregated — that is the scale
+    // path, and QuantilesSpec pins its error against this exact form.
     "q34_quantiles" -> ((s, dir) =>
-      t(s, dir, "lineitem")
-        .groupBy("l_returnflag")
-        .agg(
-          round(percentile(col("l_extendedprice"), lit(0.5)), 4).as("p50"),
-          round(percentile(col("l_extendedprice"), lit(0.95)), 4).as("p95"),
-          round(percentile(col("l_extendedprice"), lit(0.99)), 4).as("p99"))),
+      graft.datadiff.DataDiff.quantiles(
+        t(s, dir, "lineitem"), "l_extendedprice",
+        Seq("l_returnflag"), Seq(0.5, 0.95, 0.99), exact = true)
+        .select(col("l_returnflag"),
+          round(col("p50"), 4).as("p50"),
+          round(col("p95"), 4).as("p95"),
+          round(col("p99"), 4).as("p99"))),
 
     // ---- Jensen–Shannon divergence: symmetric, finite drift (no eps),
     // same single-scan pivot as q12/q30.

@@ -135,6 +135,51 @@ object DataDiff {
       .select("col_name", "n_rows", "n_nulls", "n_distinct", "min_val", "max_val")
   }
 
+  /** Column name for a quantile probability: 0.5 → `p50`, 0.95 → `p95`,
+    * 0.999 → `p99_9`. Deterministic so callers (and oracles) can predict
+    * the output schema from the probs they pass. */
+  private[graft] def quantileColName(p: Double): String = {
+    val s = BigDecimal(p * 100).underlying.stripTrailingZeros.toPlainString
+    "p" + s.replace(".", "_")
+  }
+
+  /** Per-group quantiles with a scale-safe default.
+    *
+    * `exact = false` (default) uses `approx_percentile(col, probs,
+    * accuracy)`: a mergeable Greenwald–Khanna quantile summary whose
+    * aggregation buffer is bounded by `accuracy` (rank error ≤
+    * n/accuracy), partial-aggregated map-side — the 100 TB shape.
+    * `exact = true` uses `percentile(col, probs)`: Spark's exact
+    * ImperativeAggregate, which buffers EVERY group value in the
+    * aggregation buffer — a low-cardinality grouper at scale means a few
+    * reducers each holding the full group (OOM by design). Use exact only
+    * for verification on samples (the q34 oracle does; its linear
+    * interpolation is bit-identical to DuckDB `quantile_cont`).
+    *
+    * All probs share ONE aggregate buffer (array form), not one buffer
+    * per prob. Output: groupers ++ one double column per prob, named via
+    * [[quantileColName]]. Empty `groupers` → a single global row. */
+  def quantiles(df: DataFrame, valueCol: String, groupers: Seq[String], probs: Seq[Double],
+      exact: Boolean = false, accuracy: Int = 10000): DataFrame = {
+    require(probs.nonEmpty, "quantiles: need at least one probability")
+    require(probs.forall(p => p >= 0.0 && p <= 1.0), s"quantiles: probs must be in [0,1], got $probs")
+    require(probs.map(quantileColName).distinct.size == probs.size,
+      s"quantiles: probs map to duplicate column names: $probs")
+    require(accuracy > 0, s"quantiles: accuracy must be positive, got $accuracy")
+    val probsArr = array(probs.map(lit): _*)
+    val v = col(valueCol).cast("double")
+    val agg =
+      if (exact) percentile(v, probsArr).as("__q")
+      else percentile_approx(v, probsArr, lit(accuracy)).as("__q")
+    val grouped =
+      if (groupers.isEmpty) df.agg(agg)
+      else df.groupBy(groupers.map(col): _*).agg(agg)
+    val qCols = probs.zipWithIndex.map { case (p, i) =>
+      element_at(col("__q"), i + 1).cast("double").as(quantileColName(p))
+    }
+    grouped.select(groupers.map(col) ++ qCols: _*)
+  }
+
   /** R14 histogram→map labeling (`datadiff.py:18-24`): bin edges →
     * `"lower_upper"` keys. Driver-side pure function over a collected
     * histogram — bounded at bins rows. */
