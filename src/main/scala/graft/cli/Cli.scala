@@ -206,49 +206,41 @@ object Curator {
     require(!c.getString("state-out-dir").exists(out =>
       stateDir.exists(in => qual(in) == qual(out))),
       "curation.state-out-dir must differ from state-dir (alternate A/B dirs between runs)")
-    val batch = stateDir match {
+    val (batch, batchToFree) = stateDir match {
       case Some(d) =>
         Cli.log(s"incremental: dropping docs seen in state at $d ...")
-        graft.llm.Dedup.dropSeen(df, textCol, idCol,
-          spark.read.parquet(s"$d/hashes"),
-          spark.read.parquet(s"$d/sigs"),
-          maxHamming = cc.simHashMaxHamming, bands = cc.simHashBands,
-          gramSize = cc.shingleSize, maxBucketSize = cc.simHashMaxBucket,
-          corpusHotBuckets = Some(spark.read.parquet(s"$d/hot")),
-          // curate() runs verified near-dedup on these survivors next —
-          // the signature-only in-batch tier would pre-empt it with
-          // unverified drops and repeat the banded self-join
-          inBatchNear = false)
-      case None => df
+        val hashes = spark.read.parquet(s"$d/hashes")
+        val sigs = spark.read.parquet(s"$d/sigs")
+        val hot = Some(spark.read.parquet(s"$d/hot"))
+        // curate() runs verified near-dedup on these survivors next —
+        // the signature-only in-batch tier would pre-empt it with
+        // unverified drops and repeat the banded self-join
+        if (c.getString("log-drop-counts").exists(v => !v.toBoolean)) {
+          (graft.llm.Dedup.dropSeen(df, textCol, idCol, hashes, sigs,
+            maxHamming = cc.simHashMaxHamming, bands = cc.simHashBands,
+            gramSize = cc.shingleSize, maxBucketSize = cc.simHashMaxBucket,
+            corpusHotBuckets = hot, inBatchNear = false), None)
+        } else {
+          // per-tier observability (default ON; log-drop-counts = false to
+          // skip the extra count jobs): the corpus-near tier drops on
+          // signature-only evidence — the state keeps no corpus text to
+          // Jaccard-verify against — so an increment where that tier
+          // spikes is the signal that maxHamming/gramSize over-drop
+          val (s, n) = graft.llm.Dedup.dropSeenCounted(df, textCol, idCol, hashes, sigs,
+            maxHamming = cc.simHashMaxHamming, bands = cc.simHashBands,
+            gramSize = cc.shingleSize, maxBucketSize = cc.simHashMaxBucket,
+            corpusHotBuckets = hot, inBatchNear = false)
+          Cli.log(s"incremental tiers: batch=${n.batchRows} rows, " +
+            s"exact tier dropped ${n.droppedExactTier} (seen in corpus or in-batch exact dup), " +
+            s"corpus-near tier dropped ${n.droppedNearTier} (signature-only, unverified), " +
+            s"${n.survivors} rows continue to curation")
+          (s, Some(s))
+        }
+      case None => (df, None)
     }
     val curated = graft.llm.Curation.curate(batch, idCol, textCol, cc)
     println(s"curated corpus size: ${curated.count()}")
-    // write the updated dedup state (old state ∪ this run's survivors)
-    // for the NEXT increment; the _COMMITTED marker is written LAST so
-    // a crash mid-write leaves a state dir the next run REFUSES (mixed
-    // old/new subdirs would silently lose near-dup coverage)
-    c.getString("state-out-dir").foreach { outDir =>
-      import graft.llm.Dedup
-      val newHashes = curated.select(Dedup.contentHash(col(textCol)).as("content_hash"))
-      val newSigs = Dedup.simHashSignatures(curated, idCol, textCol, cc.shingleSize)
-      val (hashes, sigs) = stateDir match {
-        case Some(d) => (
-          spark.read.parquet(s"$d/hashes").unionByName(newHashes),
-          spark.read.parquet(s"$d/sigs").unionByName(newSigs))
-        case None => (newHashes, newSigs)
-      }
-      val out = qual(outDir)
-      val fs = out.getFileSystem(hconf)
-      fs.delete(new Path(out, "_COMMITTED"), false) // out dir is now in-progress
-      hashes.write.mode("overwrite").parquet(s"$outDir/hashes")
-      sigs.write.mode("overwrite").parquet(s"$outDir/sigs")
-      Dedup.simHashHotBuckets(spark.read.parquet(s"$outDir/sigs"),
-        cc.simHashBands, cc.simHashMaxBucket)
-        .write.mode("overwrite").parquet(s"$outDir/hot")
-      val marker = fs.create(new Path(out, "_COMMITTED"), true)
-      try marker.write(stateParams.getBytes("UTF-8")) finally marker.close()
-      Cli.log(s"dedup state written to $outDir")
-    }
+    batchToFree.foreach(_.unpersist()) // curated cache is materialized
     // optional training-mix composition (deterministic per-source keep
     // fractions) on the curated survivors
     val mixWeights = c.at("mixture-weights").flat
@@ -265,7 +257,43 @@ object Curator {
         chunkSize = cs, overlap = c.getInt("chunk-overlap").getOrElse(cs / 4))
       case None => mixed
     }
+    // TARGET FIRST, STATE LAST: committing dedup state before the target
+    // write would mean a crash in between leaves this batch's survivors
+    // marked seen while their training output never landed — re-running
+    // the batch would then silently drop every doc. With target-first, a
+    // crash before the marker leaves UNcommitted state the next run
+    // refuses, and re-running re-writes the target (at-least-once; use
+    // an overwrite-mode target for idempotent re-runs).
     graft.sources.DataIO.write(out, conf.at("target"))
+    // dedup state = the CURATED corpus, not the emitted training set:
+    // docs excluded downstream (mixture sampling, chunking) are still
+    // recorded as seen — by design, so raising mixture weights later
+    // cannot re-admit near-duplicates of already-curated documents.
+    // The _COMMITTED marker is written LAST so a crash mid-write leaves
+    // a state dir the next run REFUSES (mixed old/new subdirs would
+    // silently lose near-dup coverage).
+    c.getString("state-out-dir").foreach { outDir =>
+      import graft.llm.Dedup
+      val newHashes = curated.select(Dedup.contentHash(col(textCol)).as("content_hash"))
+      val newSigs = Dedup.simHashSignatures(curated, idCol, textCol, cc.shingleSize)
+      val (hashes, sigs) = stateDir match {
+        case Some(d) => (
+          spark.read.parquet(s"$d/hashes").unionByName(newHashes),
+          spark.read.parquet(s"$d/sigs").unionByName(newSigs))
+        case None => (newHashes, newSigs)
+      }
+      val outPath = qual(outDir)
+      val fs = outPath.getFileSystem(hconf)
+      fs.delete(new Path(outPath, "_COMMITTED"), false) // out dir is now in-progress
+      hashes.write.mode("overwrite").parquet(s"$outDir/hashes")
+      sigs.write.mode("overwrite").parquet(s"$outDir/sigs")
+      Dedup.simHashHotBuckets(spark.read.parquet(s"$outDir/sigs"),
+        cc.simHashBands, cc.simHashMaxBucket)
+        .write.mode("overwrite").parquet(s"$outDir/hot")
+      val marker = fs.create(new Path(outPath, "_COMMITTED"), true)
+      try marker.write(stateParams.getBytes("UTF-8")) finally marker.close()
+      Cli.log(s"dedup state written to $outDir")
+    }
     curated.unpersist()
     Cli.log("curation finished")
   }

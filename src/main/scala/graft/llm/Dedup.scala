@@ -317,8 +317,55 @@ object Dedup {
       gramSize: Int = 1,
       maxBucketSize: Int = 10000,
       corpusHotBuckets: Option[DataFrame] = None,
-      inBatchNear: Boolean = true): DataFrame = {
-    val exact = dropSeenExact(batch, textCol, idCol, seenHashes)
+      inBatchNear: Boolean = true): DataFrame =
+    nearTiers(dropSeenExact(batch, textCol, idCol, seenHashes), textCol, idCol,
+      corpusSigs, maxHamming, bands, gramSize, maxBucketSize, corpusHotBuckets, inBatchNear)
+
+  /** Per-tier row counts from [[dropSeenCounted]]. The near tier drops on
+    * signature-only evidence (no Jaccard verification against corpus
+    * text, which the state deliberately does not retain) — these counts
+    * are the observability hook that makes silent over-dropping by a
+    * too-loose `maxHamming`/`gramSize` visible per increment. */
+  case class DropSeenCounts(batchRows: Long, afterExactTier: Long, survivors: Long) {
+    def droppedExactTier: Long = batchRows - afterExactTier
+    def droppedNearTier: Long = afterExactTier - survivors
+  }
+
+  /** [[dropSeen]] plus [[DropSeenCounts]]: costs two extra count jobs and
+    * caches the exact-tier survivors (dropping the cache once the
+    * returned frame — itself persisted — is materialized by the final
+    * count). Caller unpersists the returned frame when done with it. */
+  def dropSeenCounted(
+      batch: DataFrame,
+      textCol: String,
+      idCol: String,
+      seenHashes: DataFrame,
+      corpusSigs: DataFrame,
+      maxHamming: Int = 3,
+      bands: Int = 4,
+      gramSize: Int = 1,
+      maxBucketSize: Int = 10000,
+      corpusHotBuckets: Option[DataFrame] = None,
+      inBatchNear: Boolean = true): (DataFrame, DropSeenCounts) = {
+    val exact = dropSeenExact(batch, textCol, idCol, seenHashes).persist()
+    val survivors = nearTiers(exact, textCol, idCol, corpusSigs,
+      maxHamming, bands, gramSize, maxBucketSize, corpusHotBuckets, inBatchNear).persist()
+    val counts = DropSeenCounts(batch.count(), exact.count(), survivors.count())
+    exact.unpersist() // survivors is materialized; exact no longer feeds anything
+    (survivors, counts)
+  }
+
+  private def nearTiers(
+      exact: DataFrame,
+      textCol: String,
+      idCol: String,
+      corpusSigs: DataFrame,
+      maxHamming: Int,
+      bands: Int,
+      gramSize: Int,
+      maxBucketSize: Int,
+      corpusHotBuckets: Option[DataFrame],
+      inBatchNear: Boolean): DataFrame = {
     val sigs = simHashSignatures(exact, idCol, textCol, gramSize)
     // in-batch near-dups: banded self-join on the (already deduped)
     // batch signatures; drop the higher id of each pair

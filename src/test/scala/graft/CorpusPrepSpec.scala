@@ -175,6 +175,22 @@ class AsofRangeJoinSpec extends SparkTestBase {
     assert(gotM == wantM)
   }
 
+  test("q27 oracle precondition: view-side (user_id, ts) is unique in events testdata") {
+    // asofJoin breaks (key, ts) ties deterministically (max payload
+    // struct), but DuckDB ASOF JOIN leaves its tie choice unspecified —
+    // the q27 comparison is only deterministic while the view side has
+    // no duplicate (user_id, ts). Pin that precondition here, at every
+    // generated scale the gate runs, so a testdata regen that violates
+    // it fails loudly instead of flaking the oracle.
+    for (dir <- Seq(sfDir, "/root/testdata/sf0.001", "/root/testdata/sf0.01")
+        if new java.io.File(s"$dir/events.parquet").exists) {
+      val views = spark.read.option("pathGlobFilter", "events.parquet").parquet(dir)
+        .filter(col("event_type") === "view")
+      val dups = views.groupBy("user_id", "ts").count().filter(col("count") > 1).count()
+      assert(dups == 0, s"$dir: $dups duplicate (user_id, ts) view rows — q27 oracle nondeterministic")
+    }
+  }
+
   test("asofJoin plans exactly one exchange (union + window, no join)") {
     val events = spark.read.option("pathGlobFilter", "events.parquet").parquet(sfDir)
     val clicks = events.filter(col("event_type") === "click")

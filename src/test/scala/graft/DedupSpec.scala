@@ -164,6 +164,14 @@ class DedupSpec extends SparkTestBase {
       gramSize = 3, corpusHotBuckets = Some(hot))
       .select("doc_id").collect().map(_.getLong(0)).toSet
     assert(withState == out)
+    // counted variant: same survivors + per-tier attribution. Of 5 batch
+    // rows: exact tier drops 10 (seen) and 13 (in-batch exact) → 3;
+    // near tiers drop 11 (corpus-near) and 14 (in-batch near) → 1.
+    val (survivors, n) = Dedup.dropSeenCounted(batch, "text", "doc_id", seen, sigs, gramSize = 3)
+    assert(survivors.select("doc_id").collect().map(_.getLong(0)).toSet == out)
+    survivors.unpersist()
+    assert(n == Dedup.DropSeenCounts(batchRows = 5, afterExactTier = 3, survivors = 1), s"counts: $n")
+    assert(n.droppedExactTier == 2 && n.droppedNearTier == 2)
   }
 
   test("connectedComponents labels transitive clusters with the min id") {
