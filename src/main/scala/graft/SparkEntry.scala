@@ -416,6 +416,82 @@ object SparkEntry {
         .agg(count(lit(1)).as("n"),
           round(sum("l_extendedprice"), 2).as("revenue"))
     }),
+
+    // ---- Transitive near-dup clustering under the gate: hub-and-
+    // endpoint chains planted from real documents. For each base doc A,
+    // hub B = A + k sentinel tokens and endpoint C = B + k more, with
+    // k ≈ (n_shingles)/6 so the distinct-trigram Jaccards straddle the
+    // 0.8 verify threshold: J(A,B)≈6/7, J(B,C)≈7/8 (both pairs real),
+    // J(A,C)≈6/8 (not a near-dup). The hub carries the HIGHEST id, so
+    // pair-drop mode (drop the higher id per verified pair) keeps BOTH
+    // endpoints, while connected components keeps one survivor (min id)
+    // per chain — the two modes must return different counts, which is
+    // the exact semantics this entry pins. Seeded MinHash-LSH, not
+    // SQL-expressible → rows-only; arithmetic asserted in EntrySpec.
+    "q38_transitive_dedup" -> ((s, dir) => {
+      import s.implicits._
+      import graft.llm.{Curation, Dedup}
+      val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
+      val n = size(Dedup.tokens(col("text")))
+      val base = docs.filter(col("doc_id") < 100 && n.between(40, 300))
+      val k = floor((n - lit(2)) / lit(6)).cast("int")
+      def extras(to: Column) = concat_ws(" ",
+        transform(sequence(lit(1), to), i => concat(lit("zzq"), col("doc_id"), lit("x"), i)))
+      // variant texts are derived BEFORE the id shift (withColumn, not a
+      // sibling select expression) so B and C embed the SAME base-id
+      // sentinels — B's token stream must be a prefix of C's
+      val prepped = base
+        .withColumn("__textB", concat_ws(" ", col("text"), extras(k)))
+        .withColumn("__textC", concat_ws(" ", col("text"), extras(k * 2)))
+      val endC = prepped.select((col("doc_id") + 10000).as("doc_id"), col("__textC").as("text"))
+      val hubB = prepped.select((col("doc_id") + 20000).as("doc_id"), col("__textB").as("text"))
+      val planted = base.unionByName(endC).unionByName(hubB)
+      val cfg = Curation.Config(minQuality = 0.0, nearDupStrategy = "minhash",
+        nearDupMaxJaccardDistance = 0.2, nearDupMinJaccard = 0.8)
+      def run(transitive: Boolean): (Long, Long, Long) = {
+        val surv = Curation.curate(planted, "doc_id", "text",
+          cfg.copy(transitiveNearDups = transitive))
+        try ((surv.count(),
+          surv.filter(col("doc_id") >= 10000 && col("doc_id") < 20000).count(),
+          surv.filter(col("doc_id") >= 20000).count()))
+        finally { surv.unpersist(); () }
+      }
+      val (pt, pe, ph) = run(transitive = false)
+      val (tt, te, th) = run(transitive = true)
+      Seq(("pair_drop", pt, pe, ph), ("transitive", tt, te, th))
+        .toDF("mode", "n_survivors", "n_endpoint_survivors", "n_hub_survivors")
+    }),
+
+    // ---- Incremental dedup under the gate: a two-batch scenario from
+    // the documents table. "Yesterday's corpus" = even doc_ids; its
+    // hash + signature + hot-bucket state is built in-query (exactly
+    // what the Curator CLI persists between runs). Today's batch = odd
+    // doc_ids (fresh) plus planted echoes of the corpus: exact copies
+    // (id+30000, caught by the hash tier) and case-changed copies
+    // (id+40000 — sha2 differs, but the simhash tokenizer lowercases so
+    // the signature tier catches them). Survivors grouped by cohort:
+    // the only expected row is ("fresh", n_odd). sha2/xxhash64 not
+    // portable to the oracle → rows-only; asserted in EntrySpec.
+    "q40_incremental_dedup" -> ((s, dir) => {
+      import graft.llm.Dedup
+      val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
+      val corpus = docs.filter(col("doc_id") % 2 === 0)
+      val seen = Dedup.exactDuplicateGroups(corpus, "text", "doc_id").select("content_hash")
+      val sigs = Dedup.simHashSignatures(corpus, "doc_id", "text", gramSize = 3)
+      val hot = Dedup.simHashHotBuckets(sigs)
+      val planted = corpus.filter(col("doc_id") < 50)
+      val batch = docs.filter(col("doc_id") % 2 === 1)
+        .unionByName(planted.select((col("doc_id") + 30000).as("doc_id"), col("text")))
+        .unionByName(planted.select((col("doc_id") + 40000).as("doc_id"),
+          upper(col("text")).as("text")))
+      Dedup.dropSeen(batch, "text", "doc_id", seen, sigs,
+        gramSize = 3, corpusHotBuckets = Some(hot))
+        .groupBy(
+          when(col("doc_id") >= 40000, "near_echo")
+            .when(col("doc_id") >= 30000, "exact_echo")
+            .otherwise("fresh").as("cohort"))
+        .agg(count(lit(1)).as("n_survivors"))
+    }),
   )
 
   def oracleSql: Map[String, String] = Map(

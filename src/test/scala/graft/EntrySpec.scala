@@ -19,6 +19,29 @@ class EntrySpec extends SparkTestBase {
     assert(missing.isEmpty, s"oracleSql without queries: $missing")
   }
 
+  test("q38: pair-drop keeps both chain endpoints, transitive keeps one per chain") {
+    val rows = SparkEntry.queries("q38_transitive_dedup")(spark, sfDir)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    val (pt, pe, ph) = rows("pair_drop")
+    val (tt, te, th) = rows("transitive")
+    assert(pt > 0 && tt > 0)
+    // hub (highest id of each planted chain) is dropped in BOTH modes
+    assert(ph == 0 && th == 0, s"hub survivors: pair=$ph transitive=$th")
+    // pair-drop keeps the C endpoints; transitive collapses each chain
+    // to its min id, so every C endpoint goes too
+    assert(pe > 0, s"pair_drop must keep chain endpoints, got $pe")
+    assert(te == 0, s"transitive must drop chain endpoints, got $te")
+    assert(pt == tt + pe, s"survivor delta must be exactly the endpoints: $pt vs $tt + $pe")
+  }
+
+  test("q40: incremental dropSeen removes every planted echo, keeps fresh batch rows") {
+    val rows = SparkEntry.queries("q40_incremental_dedup")(spark, sfDir)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(rows.keySet == Set("fresh"), s"echo cohorts survived: $rows")
+    assert(rows("fresh") > 0)
+  }
+
   test("q36 dim-chain plan: both dimensions broadcast, no sort-merge join") {
     val plan = SparkEntry.queries("q36_supplier_region")(spark, sfDir)
       .queryExecution.executedPlan.toString
