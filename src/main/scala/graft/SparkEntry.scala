@@ -181,17 +181,20 @@ object SparkEntry {
           .as("avg_token_len"))
     }),
 
-    // ---- Multimodal plumbing: binary assets → batched executor-side
-    // decode (deterministic stub codec) → fixed-dim features. Not
-    // SQL-expressible → rows-only check (like q5_sample). The raw
-    // array<float> column is projected down to scalar digests here —
-    // the driver canonicalizes via a pandas all-columns sort, which
-    // cannot hash arrays; MultimodalSpec keeps the raw-array asserts.
+    // ---- Multimodal plumbing through the REAL codec: deterministic
+    // pixels derived from each document are encoded as genuine PNG
+    // bytes in-query (reencodeAsPng), then decoded by javax.imageio
+    // (ImageIoDecoder — width/height come from the PNG header, pixel
+    // values from the raster). FakeDecoder pixels live on the n/255
+    // grid, so the PNG round trip is bit-exact and the digests below
+    // are identical to the stub-codec values. Not SQL-expressible →
+    // rows-only check; MultimodalSpec keeps the raw-array asserts.
     "q18_multimodal_decode" -> ((s, dir) => {
       val media = graft.llm.Multimodal.asMediaTable(
         t(s, dir, "documents"), "doc_id", "text", "image",
         Map("width" -> "16", "height" -> "8", "channels" -> "1"))
-      graft.llm.Multimodal.decodeAndFeaturize(media, graft.llm.Multimodal.FakeDecoder)
+      val png = graft.llm.Multimodal.reencodeAsPng(media)
+      graft.llm.Multimodal.decodeAndFeaturize(png, graft.llm.Multimodal.ImageIoDecoder)
         .select(col("asset_id"), col("width"), col("height"), col("channels"),
           size(col("features")).as("feat_dim"),
           round(aggregate(col("features"), lit(0.0d), (acc, x) => acc + x), 4).as("feat_sum"),

@@ -58,6 +58,126 @@ object Multimodal {
     }
   }
 
+  /** REAL image decode on the JDK's built-in codecs (`javax.imageio`:
+    * PNG/JPEG/GIF/BMP — zero external dependencies). Dimensions come
+    * from the image header, not metadata. Channel layout: grayscale → 1
+    * channel read from raw raster samples (getRGB would gamma-convert
+    * gray→sRGB and break exactness), RGB → 3, with alpha → 4; all
+    * normalized to [0,1]. Exotic formats (video, audio) still go through
+    * [[FakeDecoder]] — that is the honest boundary in this container. */
+  object ImageIoDecoder extends MediaDecoder {
+    def decode(content: Array[Byte], meta: Map[String, String]): Decoded = {
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(content))
+      require(img != null, "ImageIO could not decode asset bytes (unsupported or corrupt format)")
+      val w = img.getWidth
+      val h = img.getHeight
+      val cm = img.getColorModel
+      val gray = cm.getNumColorComponents == 1 && !cm.hasAlpha
+      val c = if (gray) 1 else if (cm.hasAlpha) 4 else 3
+      val data = new Array[Float](w * h * c)
+      if (gray) {
+        val raster = img.getRaster
+        val maxVal = (1 << raster.getSampleModel.getSampleSize(0)) - 1
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            data(y * w + x) = raster.getSample(x, y, 0).toFloat / maxVal
+            x += 1
+          }
+          y += 1
+        }
+      } else {
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            val argb = img.getRGB(x, y)
+            val base = (y * w + x) * c
+            data(base) = ((argb >> 16) & 0xff) / 255.0f
+            data(base + 1) = ((argb >> 8) & 0xff) / 255.0f
+            data(base + 2) = (argb & 0xff) / 255.0f
+            if (c == 4) data(base + 3) = ((argb >>> 24) & 0xff) / 255.0f
+            x += 1
+          }
+          y += 1
+        }
+      }
+      Decoded(w, h, c, data)
+    }
+  }
+
+  /** Encode a decoded buffer as real PNG bytes (lossless; values
+    * quantized to 8 bits). The inverse of [[ImageIoDecoder]] for 1/3/4
+    * channels — fixture generation and in-query re-encoding both use it,
+    * and the round trip is bit-exact for data already on the n/255
+    * grid. */
+  def encodePng(d: Decoded): Array[Byte] = {
+    import java.awt.image.BufferedImage
+    require(Set(1, 3, 4).contains(d.channels),
+      s"encodePng supports 1/3/4 channels, got ${d.channels}")
+    def q(f: Float): Int = math.max(0, math.min(255, math.round(f * 255.0f)))
+    val img = d.channels match {
+      case 1 =>
+        val im = new BufferedImage(d.width, d.height, BufferedImage.TYPE_BYTE_GRAY)
+        val raster = im.getRaster
+        var y = 0
+        while (y < d.height) {
+          var x = 0
+          while (x < d.width) {
+            raster.setSample(x, y, 0, q(d.data(y * d.width + x)))
+            x += 1
+          }
+          y += 1
+        }
+        im
+      case n =>
+        val t = if (n == 4) BufferedImage.TYPE_INT_ARGB else BufferedImage.TYPE_INT_RGB
+        val im = new BufferedImage(d.width, d.height, t)
+        var y = 0
+        while (y < d.height) {
+          var x = 0
+          while (x < d.width) {
+            val base = (y * d.width + x) * n
+            val a = if (n == 4) q(d.data(base + 3)) else 0xff
+            im.setRGB(x, y, (a << 24) | (q(d.data(base)) << 16) |
+              (q(d.data(base + 1)) << 8) | q(d.data(base + 2)))
+            x += 1
+          }
+          y += 1
+        }
+        im
+    }
+    val baos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", baos)
+    baos.toByteArray
+  }
+
+  /** Replace each asset's payload with real PNG bytes derived from it
+    * (deterministic [[FakeDecoder]] pixels → [[encodePng]]). Test/demo
+    * plumbing: turns any media table into one that exercises the REAL
+    * codec path end-to-end in an environment with no image testdata.
+    * Same mapPartitions shape as decode — no shuffle. */
+  def reencodeAsPng(
+      df: DataFrame,
+      contentCol: String = "content",
+      metaCol: String = "meta"): DataFrame = {
+    val schema = df.schema
+    val cIdx = df.columns.indexOf(contentCol)
+    val mIdx = df.columns.indexOf(metaCol)
+    df.mapPartitions { it =>
+      it.map { row =>
+        val content = row.getAs[Array[Byte]](cIdx)
+        if (content == null) row
+        else {
+          val meta = Option(row.getMap[String, String](mIdx))
+            .map(_.toMap).getOrElse(Map.empty[String, String])
+          Row.fromSeq(row.toSeq.updated(cIdx, encodePng(FakeDecoder.decode(content, meta))))
+        }
+      }
+    }(Encoders.row(schema))
+  }
+
   /** Output schema of `decodeAndFeaturize` — explicit, never inferred. */
   def decodedSchema(idCol: String, idType: DataType): StructType = StructType(Seq(
     StructField(idCol, idType, nullable = false),

@@ -93,4 +93,53 @@ class MultimodalSpec extends SparkTestBase {
     // bucket means are increasing for an increasing ramp
     assert(pooled.zip(pooled.tail).forall { case (a, b) => a < b })
   }
+
+  // ------------------------------------------------ real codec (ImageIO)
+
+  test("ImageIoDecoder decodes a genuine PNG with known pixels, exactly") {
+    // 2x2 RGB fixture: red, green, blue, mid-gray — encoded as real PNG
+    // bytes, decoded by the real codec, asserted value-exact
+    val px = Array[Float](
+      1f, 0f, 0f,  0f, 1f, 0f,
+      0f, 0f, 1f,  128 / 255.0f, 128 / 255.0f, 128 / 255.0f)
+    val png = Multimodal.encodePng(Multimodal.Decoded(2, 2, 3, px))
+    // a real PNG: magic bytes present
+    assert(png.take(4).sameElements(Array(0x89.toByte, 'P'.toByte, 'N'.toByte, 'G'.toByte)))
+    val d = Multimodal.ImageIoDecoder.decode(png, Map.empty)
+    assert(d.width == 2 && d.height == 2 && d.channels == 3)
+    assert(d.data.sameElements(px))
+  }
+
+  test("PNG round trip is bit-exact for 1-, 3- and 4-channel buffers") {
+    for (c <- Seq(1, 3, 4)) {
+      val src = Multimodal.FakeDecoder.decode(s"asset-$c".getBytes,
+        Map("width" -> "7", "height" -> "5", "channels" -> c.toString))
+      val back = Multimodal.ImageIoDecoder.decode(Multimodal.encodePng(src), Map.empty)
+      assert(back.width == 7 && back.height == 5 && back.channels == c, s"channels=$c")
+      // FakeDecoder pixels are n/255 — already on the 8-bit grid, so
+      // quantize(encode) + decode must reproduce them exactly
+      assert(back.data.sameElements(src.data), s"channels=$c: pixel mismatch")
+    }
+  }
+
+  test("ImageIoDecoder rejects non-image bytes instead of returning garbage") {
+    intercept[IllegalArgumentException] {
+      Multimodal.ImageIoDecoder.decode("this is not an image".getBytes, Map.empty)
+    }
+  }
+
+  test("reencodeAsPng + ImageIoDecoder: real end-to-end codec path on the media table") {
+    val png = Multimodal.reencodeAsPng(media.limit(20))
+    val out = Multimodal.decodeAndFeaturize(png, Multimodal.ImageIoDecoder,
+      featureDim = 16, batchSize = 8)
+    val rows = out.collect()
+    assert(rows.length == 20)
+    // dims come from the PNG header now, not the meta map
+    assert(rows.forall(r => r.getInt(1) == 16 && r.getInt(2) == 8 && r.getInt(3) == 1))
+    // and the features equal the stub-codec features (n/255-grid round trip)
+    val fake = Multimodal.decodeAndFeaturize(media.limit(20), Multimodal.FakeDecoder,
+      featureDim = 16, batchSize = 8)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Float](4)).toMap
+    assert(rows.forall(r => r.getSeq[Float](4) == fake(r.getLong(0))))
+  }
 }
