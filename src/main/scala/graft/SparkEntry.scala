@@ -465,6 +465,33 @@ object SparkEntry {
         .toDF("mode", "n_survivors", "n_endpoint_survivors", "n_hub_survivors")
     }),
 
+    // ---- Vector near-dup under the gate: the testdata embeddings are
+    // pure random (max natural pairwise cosine ~0.47), so real near-dups
+    // are planted in-query — each corpus vector gets a deterministic
+    // perturbed copy (±10% multiplicative sin-noise per element, scale-
+    // independent → cosine ≈ 0.997, id + 100000), then lshNearDupPairs
+    // must surface exactly the planted pairs at cos ≥ 0.95 and nothing
+    // else. Seeded
+    // random-projection LSH, not SQL-expressible → rows-only; pair
+    // accounting asserted in EntrySpec.
+    "q39_vector_near_dup" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings").select(col("vec_id"), col("embedding"))
+      // noise BEFORE the id shift (withColumn, not a sibling select
+      // alias) so the perturbation is seeded by the base id
+      val noisy = emb
+        .withColumn("embedding", transform(col("embedding"),
+          (x, i) => (x * (lit(1.0) + lit(0.1) * sin(col("vec_id") * 7919 + i * 104729))).cast("float")))
+        .select((col("vec_id") + 100000).as("vec_id"), col("embedding"))
+      val pairs = graft.llm.Similarity.lshNearDupPairs(
+        emb.unionByName(noisy), maxCosineDistance = 0.05)
+      pairs
+        .groupBy(when(col("id2") - col("id1") === 100000, "planted")
+          .otherwise("other").as("pair_type"))
+        .agg(count(lit(1)).as("n_pairs"),
+          round(min("cos_sim"), 4).as("min_cos"),
+          round(avg("cos_sim"), 4).as("avg_cos"))
+    }),
+
     // ---- Incremental dedup under the gate: a two-batch scenario from
     // the documents table. "Yesterday's corpus" = even doc_ids; its
     // hash + signature + hot-bucket state is built in-query (exactly

@@ -35,6 +35,21 @@ class EntrySpec extends SparkTestBase {
     assert(pt == tt + pe, s"survivor delta must be exactly the endpoints: $pt vs $tt + $pe")
   }
 
+  test("q39: LSH vector near-dup finds the planted perturbed pairs and nothing else") {
+    val nBase = spark.read.parquet(s"$sfDir/embeddings.parquet").count()
+    val rows = SparkEntry.queries("q39_vector_near_dup")(spark, sfDir)
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(rows.contains("planted"), s"no planted pairs surfaced: $rows")
+    val (nPlanted, minCos) = rows("planted")
+    // seeded LSH: misses are deterministic, but allow a small recall
+    // slack rather than pinning the exact table draw
+    assert(nPlanted >= (nBase * 9) / 10, s"found $nPlanted of $nBase planted pairs")
+    assert(minCos >= 0.95, s"planted pair below threshold: $minCos")
+    // random embeddings have max natural cosine ~0.47 — nothing else
+    // may clear 0.95
+    assert(!rows.contains("other"), s"non-planted pairs above threshold: $rows")
+  }
+
   test("q40: incremental dropSeen removes every planted echo, keeps fresh batch rows") {
     val rows = SparkEntry.queries("q40_incremental_dedup")(spark, sfDir)
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
