@@ -463,9 +463,13 @@ object Dedup {
       val jumped = labels.toDF("id", "label").as("x")
         .join(labels.toDF("jid", "jlabel").as("y"), col("x.label") === col("y.jid"))
         .select(col("x.id").as("id"), col("y.jlabel").as("label"))
+      // lazy checkpoint: lineage still truncates, but materialization
+      // piggybacks on the `changed` count below instead of spending a
+      // separate job per iteration (the loop is job-overhead-bound on
+      // small pair graphs)
       val next = labels.unionByName(viaEdges).unionByName(jumped)
         .groupBy("id").agg(min("label").as("label"))
-        .localCheckpoint(true)
+        .localCheckpoint(false)
       changed = next.toDF("nid", "nlabel")
         .join(labels, col("nid") === col("id"))
         .filter(col("nlabel") < col("label")).count()

@@ -160,6 +160,34 @@ class SimilaritySpec extends SparkTestBase {
     assert(mean >= 0.9, s"mean recall $mean below clustered-data floor")
   }
 
+  test("ivfEnsure builds once, then serves the persisted index (q25's shape)") {
+    val idx = java.nio.file.Files.createTempDirectory("graft_ivf_spec").toString + "/index"
+    val queries = emb.filter(col("vec_id") < 5)
+    def recallRows() = {
+      val (model, tagged) = Similarity.ivfEnsure(emb, numCells = 8, indexDir = idx)
+      Similarity.probeRecall(
+        Similarity.bruteForceTopK(queries, emb, k = 5).select("query_id", "neighbor_id"),
+        Similarity.ivfTopK(queries, tagged, model, k = 5, nprobe = 8)
+          .select("query_id", "neighbor_id"))
+        .collect().map(r => r.getLong(0) -> r.getDouble(3)).toMap
+    }
+    val first = recallRows()
+    assert(new java.io.File(idx, "_BUILT").exists, "marker not written after build")
+    // second call must LOAD (marker present), and at nprobe == numCells
+    // the persisted-index probe reproduces brute force exactly — same
+    // floor the build-per-call harness pins above
+    val kmeansDir = new java.io.File(idx, "kmeans")
+    val mtime = kmeansDir.lastModified
+    val second = recallRows()
+    assert(kmeansDir.lastModified == mtime, "second call rebuilt the index")
+    assert(first == second)
+    assert(first.values.forall(_ == 1.0), s"full-probe recall != 1.0: $first")
+    // a missing marker (crashed half-write) forces a rebuild
+    assert(new java.io.File(idx, "_BUILT").delete())
+    recallRows()
+    assert(new java.io.File(idx, "_BUILT").exists, "rebuild did not restore the marker")
+  }
+
   test("lshNearDupPairs finds planted near-identical vectors, bucketed join") {
     // plant a near-copy of vec 0 (tiny perturbation on one coordinate)
     val planted = emb.filter(col("vec_id") === 0)
