@@ -1,0 +1,163 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Real byte-pair-encoding token counting from a config-loaded merge
+  * table (the `merges.txt` format trained BPE tokenizers publish: one
+  * `left right` pair per line, priority = line order, optional
+  * `#version` header).
+  *
+  * Algorithm (the standard one): pretokenize into letter runs, digit
+  * runs, and symbol runs (whitespace dropped); within each pretoken,
+  * start from characters and repeatedly merge ALL occurrences of the
+  * lowest-rank adjacent pair present in the table until none applies;
+  * the token count is the number of surviving symbols. With a real
+  * tokenizer's merge table this reproduces its segment count for text
+  * covered by the table — upgrading `n_tokens` from the
+  * `bpeishTokenCount` heuristic to actual subword counts.
+  *
+  * Scale shape: the merge table is loaded ONCE per executor JVM
+  * ([[BpeRegistry]], keyed by path) — the expression ships only the
+  * path string, never the table; per-word results are memoized
+  * (Zipfian corpora hit the cache constantly); and the expression
+  * codegens to a static call so the scan stays inside whole-stage
+  * codegen. Paths should be absolute URIs reachable from executors
+  * (`file:///...` on shared storage, `hdfs://...`) — ship small tables
+  * with `--files` and reference the local name.
+  */
+final class BpeVocab private (ranks: java.util.HashMap[String, Integer]) {
+
+  /** Memoized per-pretoken counts (bounded; cleared if it ever grows
+    * past the cap so a pathological vocabulary cannot leak memory). */
+  private val memo = new java.util.concurrent.ConcurrentHashMap[String, Integer]()
+  private val MemoCap = 1 << 16
+
+  private def rank(a: String, b: String): Int = {
+    val r = ranks.get(a + " " + b)
+    if (r == null) Int.MaxValue else r.intValue()
+  }
+
+  /** BPE token count of ONE pretoken (no whitespace inside). */
+  def countWord(word: String): Int = {
+    if (word.isEmpty) return 0
+    val cached = memo.get(word)
+    if (cached != null) return cached.intValue()
+    var syms = new java.util.ArrayList[String](word.length)
+    var i = 0
+    while (i < word.length) { syms.add(String.valueOf(word.charAt(i))); i += 1 }
+    var done = false
+    while (!done && syms.size >= 2) {
+      // lowest-rank adjacent pair present in the table
+      var best = Int.MaxValue
+      var j = 0
+      while (j < syms.size - 1) {
+        val r = rank(syms.get(j), syms.get(j + 1))
+        if (r < best) best = r
+        j += 1
+      }
+      if (best == Int.MaxValue) done = true
+      else {
+        // merge ALL (non-overlapping, left-to-right) occurrences of it
+        val merged = new java.util.ArrayList[String](syms.size)
+        var p = 0
+        while (p < syms.size) {
+          if (p < syms.size - 1 && rank(syms.get(p), syms.get(p + 1)) == best) {
+            merged.add(syms.get(p) + syms.get(p + 1)); p += 2
+          } else { merged.add(syms.get(p)); p += 1 }
+        }
+        syms = merged
+      }
+    }
+    val n = syms.size
+    if (memo.size >= MemoCap) memo.clear()
+    memo.put(word, Integer.valueOf(n))
+    n
+  }
+
+  /** Total BPE token count of a text: sum over pretokens (letter runs /
+    * digit runs / symbol runs; whitespace contributes nothing). */
+  def countText(text: String): Int = {
+    val m = BpeVocab.Pretoken.matcher(text)
+    var n = 0
+    while (m.find()) n += countWord(m.group())
+    n
+  }
+}
+
+object BpeVocab {
+  private[functions] val Pretoken =
+    java.util.regex.Pattern.compile("""[\p{L}]+|[\p{N}]+|[^\p{L}\p{N}\s]+""")
+
+  /** Parse `merges.txt` lines: `left right` per line, rank = order;
+    * blank lines and a leading `#version` header are skipped. */
+  def parse(lines: Iterator[String]): BpeVocab = {
+    val ranks = new java.util.HashMap[String, Integer]()
+    var rank = 0
+    var first = true
+    for (line <- lines) {
+      val l = line.trim
+      val isHeader = first && l.startsWith("#version")
+      first = false
+      if (l.nonEmpty && !isHeader) {
+        val sp = l.indexOf(' ')
+        require(sp > 0 && sp < l.length - 1 && l.indexOf(' ', sp + 1) < 0,
+          s"malformed merge line (need exactly 'left right'): '$l'")
+        if (!ranks.containsKey(l)) { ranks.put(l, Integer.valueOf(rank)); rank += 1 }
+      }
+    }
+    new BpeVocab(ranks)
+  }
+}
+
+/** Executor-side merge-table cache: one load per (JVM, path). Static so
+  * generated code and every task share it; the expression tree carries
+  * only the path. */
+object BpeRegistry {
+  private val cache = new java.util.concurrent.ConcurrentHashMap[String, BpeVocab]()
+
+  def get(path: String): BpeVocab =
+    cache.computeIfAbsent(path, load(_))
+
+  /** Test hook: drop a cached table (e.g. after rewriting the file). */
+  private[graft] def invalidate(path: String): Unit = { cache.remove(path); () }
+
+  private def load(path: String): BpeVocab = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(new org.apache.hadoop.conf.Configuration())
+    val in = fs.open(p)
+    try BpeVocab.parse(scala.io.Source.fromInputStream(in, "UTF-8").getLines())
+    finally in.close()
+  }
+
+  /** Codegen / eval entry: count tokens of `text` under the table at
+    * `path`. */
+  def count(path: String, text: UTF8String): Int = get(path).countText(text.toString)
+}
+
+/** `graft_bpe_count(string, 'merges-path') -> int` */
+case class BpeCount(child: Expression, mergesPath: String) extends UnaryExpression {
+  require(mergesPath.nonEmpty, "graft_bpe_count needs a merges path")
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case _: StringType => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(s"graft_bpe_count expects string, got $t")
+  }
+  override def dataType: DataType = IntegerType
+  override def prettyName: String = "graft_bpe_count"
+
+  override protected def nullSafeEval(t: Any): Any =
+    BpeRegistry.count(mergesPath, t.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    // the path goes through a reference object, not a string literal —
+    // no escaping hazards in generated Java
+    val pathRef = ctx.addReferenceObj("bpeMergesPath", mergesPath, "java.lang.String")
+    defineCodeGen(ctx, ev, c => s"graft.functions.BpeRegistry.count($pathRef, $c)")
+  }
+
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
+}

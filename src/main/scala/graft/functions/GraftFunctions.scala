@@ -279,6 +279,9 @@ object GraftFunctions {
   def fingerprint(c: Column, k: Int = 8, m: Int = 4): Column =
     ColumnBridge.column(DocFingerprint(ColumnBridge.expression(c), k, m))
 
+  def bpeCount(c: Column, mergesPath: String): Column =
+    ColumnBridge.column(BpeCount(ColumnBridge.expression(c), mergesPath))
+
   val functions: Seq[(String, ExpressionInfo, Seq[Expression] => Expression)] = Seq(
     ("graft_cosine",
       new ExpressionInfo(classOf[CosineSimilarity].getName, "graft_cosine"),
@@ -322,6 +325,17 @@ object GraftFunctions {
         DocFingerprint(es.head,
           if (es.length >= 2) litInt(es(1), "k") else 8,
           if (es.length >= 3) litInt(es(2), "m") else 4)
+      }),
+    ("graft_bpe_count",
+      new ExpressionInfo(classOf[BpeCount].getName, "graft_bpe_count"),
+      (es: Seq[Expression]) => {
+        require(es.length == 2, s"graft_bpe_count takes 2 arguments, got ${es.length}")
+        require(es(1).foldable, "graft_bpe_count merges path must be a literal")
+        es(1).eval() match {
+          case s: UTF8String => BpeCount(es.head, s.toString)
+          case other => throw new IllegalArgumentException(
+            s"graft_bpe_count merges path must be a string literal, got $other")
+        }
       }))
 
   /** Register into an existing session (idempotent). After this,

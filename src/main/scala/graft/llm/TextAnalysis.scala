@@ -22,9 +22,19 @@ object TextAnalysis {
 
   /** BPE-ish subword count: letter runs split at length 4 (≈ one BPE
     * merge depth), digit runs per char, punctuation per char — a cheap
-    * deterministic proxy for a trained tokenizer's token count. */
+    * deterministic proxy for a trained tokenizer's token count. For
+    * REAL subword counts from a published merge table, use
+    * [[bpeTokenCount]]. */
   def bpeishTokenCount(c: Column): Column =
     regexp_count(c, lit("[\\p{L}]{1,4}|[\\p{N}]|[^\\p{L}\\p{N}\\s]"))
+
+  /** Real BPE subword count from a config-loaded merge table
+    * (`merges.txt` format; loaded once per executor JVM, memoized per
+    * pretoken, codegen'd — see `graft.functions.BpeCount`). With a
+    * trained tokenizer's table this makes `n_tokens` match the actual
+    * training tokenizer instead of the [[bpeishTokenCount]] heuristic. */
+  def bpeTokenCount(c: Column, mergesPath: String): Column =
+    graft.functions.GraftFunctions.bpeCount(c, mergesPath)
 
   /** Characters that are neither word-chars nor whitespace. */
   def punctCount(c: Column): Column =
