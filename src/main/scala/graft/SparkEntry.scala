@@ -309,6 +309,14 @@ object SparkEntry {
       graft.llm.CorpusPrep.chunkByTokens(
         t(s, dir, "documents"), "doc_id", "text", chunkSize = 32, overlap = 8)),
 
+    // ---- The same chunking through the native one-pass expression
+    // (graft_chunks: byte-boundary scan + byte-range copies, no token
+    // array per doc) — verified hash-exactly by the SAME oracle as q26,
+    // so HOF and native paths are both under the gate independently.
+    "q41_native_chunking" -> ((s, dir) =>
+      graft.llm.CorpusPrep.chunkByTokensFast(
+        t(s, dir, "documents"), "doc_id", "text", chunkSize = 32, overlap = 8)),
+
     // ---- As-of join: each click joined to the user's latest preceding
     // view — union + one windowed pass, a single shuffle, no join node
     // (plan pinned in AsofRangeJoinSpec).
@@ -555,6 +563,24 @@ object SparkEntry {
     }),
   )
 
+  /** Shared by q26 (HOF chunker) and q41 (native expression): both
+    * implement the identical window program, so one oracle pins both. */
+  private val ChunkingOracleSql: String =
+    """WITH toks AS (
+      |  SELECT doc_id,
+      |    list_filter(regexp_split_to_array(trim(text), '\s+'), t -> len(t) > 0) AS ts
+      |  FROM documents),
+      |sized AS (
+      |  SELECT doc_id, ts,
+      |    CASE WHEN len(ts) = 0 THEN 0
+      |         ELSE CAST(ceil(greatest(len(ts) - 32, 0) / 24.0) AS INT) + 1 END AS n
+      |  FROM toks)
+      |SELECT s.doc_id,
+      |  CAST(u.i AS BIGINT) AS chunk_id,
+      |  array_to_string(s.ts[u.i*24 + 1 : u.i*24 + 32], ' ') AS chunk_text,
+      |  CAST(len(s.ts[u.i*24 + 1 : u.i*24 + 32]) AS BIGINT) AS chunk_tokens
+      |FROM sized s, LATERAL (SELECT unnest(range(s.n)) AS i) u""".stripMargin
+
   def oracleSql: Map[String, String] = Map(
     "q1_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,
@@ -695,21 +721,9 @@ object SparkEntry {
         |FROM events GROUP BY event_type""".stripMargin,
     // chunk i covers tokens [i·24, i·24+32); chunk count = the first
     // window reaching the end (same arithmetic as CorpusPrep)
-    "q26_chunking" ->
-      """WITH toks AS (
-        |  SELECT doc_id,
-        |    list_filter(regexp_split_to_array(trim(text), '\s+'), t -> len(t) > 0) AS ts
-        |  FROM documents),
-        |sized AS (
-        |  SELECT doc_id, ts,
-        |    CASE WHEN len(ts) = 0 THEN 0
-        |         ELSE CAST(ceil(greatest(len(ts) - 32, 0) / 24.0) AS INT) + 1 END AS n
-        |  FROM toks)
-        |SELECT s.doc_id,
-        |  CAST(u.i AS BIGINT) AS chunk_id,
-        |  array_to_string(s.ts[u.i*24 + 1 : u.i*24 + 32], ' ') AS chunk_text,
-        |  CAST(len(s.ts[u.i*24 + 1 : u.i*24 + 32]) AS BIGINT) AS chunk_tokens
-        |FROM sized s, LATERAL (SELECT unnest(range(s.n)) AS i) u""".stripMargin,
+    "q26_chunking" -> ChunkingOracleSql,
+    // native path, same window arithmetic → same oracle
+    "q41_native_chunking" -> ChunkingOracleSql,
     "q27_asof_join" ->
       """SELECT l.event_id, l.user_id,
         | coalesce(r.event_id, -1) AS prior_view_id,

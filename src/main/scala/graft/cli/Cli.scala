@@ -251,9 +251,10 @@ object Curator {
         mixWeights.map { case (k, v) => k -> v.toDouble }.toMap,
         defaultFraction = c.getDouble("mixture-default-fraction").getOrElse(0.0),
         salt = c.getString("mixture-salt").getOrElse(""))
-    // optional context-window chunking: emit training-ready rows
+    // optional context-window chunking: emit training-ready rows (the
+    // native one-pass expression; bit-identical to the HOF reference)
     val out = c.getInt("chunk-size") match {
-      case Some(cs) => graft.llm.CorpusPrep.chunkByTokens(mixed, idCol, textCol,
+      case Some(cs) => graft.llm.CorpusPrep.chunkByTokensFast(mixed, idCol, textCol,
         chunkSize = cs, overlap = c.getInt("chunk-overlap").getOrElse(cs / 4))
       case None => mixed
     }

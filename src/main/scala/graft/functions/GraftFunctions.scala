@@ -64,7 +64,7 @@ object SimHashImpl {
 
   /** Java-regex `\s` class: ASCII whitespace only (as bytes — UTF-8
     * continuation bytes are negative and can never match). */
-  private def isRegexSpaceByte(b: Byte): Boolean =
+  private[functions] def isRegexSpaceByte(b: Byte): Boolean =
     b == 0x20 || b == 0x09 || b == 0x0A || b == 0x0B || b == 0x0C || b == 0x0D
 
   /** 64-bit SimHash over lowercased whitespace tokens; same bits as the
@@ -282,6 +282,9 @@ object GraftFunctions {
   def bpeCount(c: Column, mergesPath: String): Column =
     ColumnBridge.column(BpeCount(ColumnBridge.expression(c), mergesPath))
 
+  def chunks(c: Column, chunkSize: Int, overlap: Int): Column =
+    ColumnBridge.column(DocChunks(ColumnBridge.expression(c), chunkSize, overlap))
+
   val functions: Seq[(String, ExpressionInfo, Seq[Expression] => Expression)] = Seq(
     ("graft_cosine",
       new ExpressionInfo(classOf[CosineSimilarity].getName, "graft_cosine"),
@@ -336,6 +339,20 @@ object GraftFunctions {
           case other => throw new IllegalArgumentException(
             s"graft_bpe_count merges path must be a string literal, got $other")
         }
+      }),
+    ("graft_chunks",
+      new ExpressionInfo(classOf[DocChunks].getName, "graft_chunks"),
+      (es: Seq[Expression]) => {
+        require(es.length == 3, s"graft_chunks takes 3 arguments, got ${es.length}")
+        def litInt(e: Expression, name: String): Int = {
+          require(e.foldable, s"graft_chunks $name must be a literal")
+          e.eval() match {
+            case n: Number => n.intValue()
+            case other => throw new IllegalArgumentException(
+              s"graft_chunks $name must be an integer literal, got $other")
+          }
+        }
+        DocChunks(es.head, litInt(es(1), "chunkSize"), litInt(es(2), "overlap"))
       }))
 
   /** Register into an existing session (idempotent). After this,

@@ -57,6 +57,28 @@ object CorpusPrep {
         size(window).cast("long").as("chunk_tokens"))
   }
 
+  /** [[chunkByTokens]] through the one-pass native expression
+    * (`graft_chunks`): identical output — same window arithmetic, same
+    * ASCII `\s+` tokenization, same single-space join; spec-pinned
+    * bit-parity and the same q26 oracle verifies it hash-exactly (q41).
+    * The HOF form allocates a token array per document and re-joins it
+    * per chunk; this one finds byte boundaries in a single scan and
+    * copies byte ranges, so corpus prep stays parquet-scan-bound. The
+    * HOF form above remains the readable reference. */
+  def chunkByTokensFast(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      chunkSize: Int = 64,
+      overlap: Int = 16): DataFrame =
+    df.select(col(idCol),
+      posexplode(graft.functions.GraftFunctions.chunks(col(textCol), chunkSize, overlap))
+        .as(Seq("chunk_id", "__c")))
+      .select(col(idCol),
+        col("chunk_id").cast("long").as("chunk_id"),
+        col("__c.chunk_text").as("chunk_text"),
+        col("__c.chunk_tokens").cast("long").as("chunk_tokens"))
+
   /** Weighted mixture sampling: keep a per-source deterministic fraction
     * of the corpus — how a training mix is composed ("20% of web, all of
     * books, 5% of logs") at 100 TB, where `rand()`-based sampling is

@@ -39,6 +39,16 @@ object FnBench {
     time("simhash HOF")(docs.select(graft.llm.Dedup.simHashHof(col("text")).as("s")))
     time("simhash native")(docs.select(call_function("graft_simhash", col("text")).as("s")))
 
+    // chunking: the HOF form is its own public reference (q26) — no
+    // delegation, so this comparison stays honest. 20× replication so
+    // the numbers measure the expression, not fixed job overhead.
+    val docs20 = (1 to 20).map(_ => docs).reduce(_ union _).cache()
+    docs20.count()
+    time("chunking HOF")(
+      graft.llm.CorpusPrep.chunkByTokens(docs20, "doc_id", "text", 64, 16))
+    time("chunking native")(
+      graft.llm.CorpusPrep.chunkByTokensFast(docs20, "doc_id", "text", 64, 16))
+
     spark.stop()
   }
 }

@@ -61,6 +61,36 @@ class CorpusPrepSpec extends SparkTestBase {
     assert(!plan.contains("Exchange"), s"unexpected shuffle:\n$plan")
   }
 
+  test("chunkByTokensFast (native expression) is bit-identical to the HOF chunker") {
+    // real corpus + handpicked edges: whitespace runs/tabs/newlines,
+    // unicode (incl. a non-breaking space, which \s must NOT split),
+    // single token, exactly-chunk-size, empty, blank
+    val edges = Seq(
+      (9001L, "  a\t\tb\nc   d  "), (9002L, "héllo wörld glued"),
+      (9003L, "single"), (9004L, "t1 t2 t3 t4"), (9005L, ""), (9006L, " \t \n ")
+    ).toDF("doc_id", "text")
+    for (df <- Seq(docs, edges); (cs, ov) <- Seq((32, 8), (4, 2), (4, 0))) {
+      def canon(d: org.apache.spark.sql.DataFrame) =
+        d.collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3))).toSet
+      val hof = canon(CorpusPrep.chunkByTokens(df, "doc_id", "text", cs, ov))
+      val fast = canon(CorpusPrep.chunkByTokensFast(df, "doc_id", "text", cs, ov))
+      assert(fast == hof, s"chunkSize=$cs overlap=$ov: native diverges from HOF")
+    }
+    // names + dtypes agree (the oracle hashes dtypes); the native form
+    // is stricter on nullability (chunk fields provably non-null)
+    def nt(d: org.apache.spark.sql.DataFrame) =
+      d.schema.fields.map(f => f.name -> f.dataType).toSeq
+    assert(nt(CorpusPrep.chunkByTokensFast(docs, "doc_id", "text")) ==
+      nt(CorpusPrep.chunkByTokens(docs, "doc_id", "text")))
+  }
+
+  test("chunkByTokensFast stays shuffle-free and inside codegen") {
+    val plan = CorpusPrep.chunkByTokensFast(docs, "doc_id", "text")
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"unexpected shuffle:\n$plan")
+    assert(plan.contains("*(1)"), s"expected WholeStageCodegen:\n$plan")
+  }
+
   // ------------------------------------------- deterministic hash sample
 
   test("hashSample: deterministic, partition-invariant, near the fraction") {
