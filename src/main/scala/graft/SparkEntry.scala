@@ -531,6 +531,29 @@ object SparkEntry {
           round(avg("cos_sim"), 4).as("avg_cos"))
     }),
 
+    // ---- The same planted-pair harness through SRP signatures + the
+    // text-SimHash banded join (Similarity.srpNearDupPairs): the
+    // density-independent, knob-free, persistable-state alternative to
+    // distance-bucketed LSH (scaladoc derives the collision math).
+    // Smaller noise than q39 (0.01 amplitude → cos ≈ 0.99995) because
+    // SRP recall targets NEAR-DUPLICATES, not 0.95-neighbors.
+    "q42_srp_near_dup" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings").select(col("vec_id"), col("embedding"))
+      val noisy = emb.filter(col("vec_id") < 500)
+        .withColumn("embedding", transform(col("embedding"),
+          (x, i) => (x * (lit(1.0) + lit(0.01) * sin(col("vec_id") * 7919 + i * 104729))).cast("float")))
+        .select((col("vec_id") + 100000).as("vec_id"), col("embedding"))
+      val all = emb.unionByName(noisy)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val pairs = graft.llm.Similarity.srpNearDupPairs(all, minCosine = 0.999)
+      pairs
+        .groupBy(when(col("id2") - col("id1") === 100000, "planted")
+          .otherwise("other").as("pair_type"))
+        .agg(count(lit(1)).as("n_pairs"),
+          round(min("cos_sim"), 4).as("min_cos"),
+          round(avg("cos_sim"), 4).as("avg_cos"))
+    }),
+
     // ---- Incremental dedup under the gate: a two-batch scenario from
     // the documents table. "Yesterday's corpus" = even doc_ids; its
     // hash + signature + hot-bucket state is built in-query (exactly
@@ -724,12 +747,21 @@ object SparkEntry {
     "q26_chunking" -> ChunkingOracleSql,
     // native path, same window arithmetic → same oracle
     "q41_native_chunking" -> ChunkingOracleSql,
+    // The view side is deduped to one row per (user_id, ts) — the max
+    // (event_id, value) tuple, mirroring asofJoin's max-payload-struct
+    // tie-break — because native ASOF JOIN leaves the choice among
+    // equal-timestamp matches unspecified. Testdata has no such ties
+    // today; this keeps the oracle deterministic if it ever does.
     "q27_asof_join" ->
       """SELECT l.event_id, l.user_id,
         | coalesce(r.event_id, -1) AS prior_view_id,
         | round(coalesce(r.value, 0.0), 4) AS prior_value
         |FROM (SELECT * FROM events WHERE event_type = 'click') l
-        |ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'view') r
+        |ASOF LEFT JOIN (
+        |  SELECT * FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY user_id, ts
+        |      ORDER BY event_id DESC, value DESC) AS __rn
+        |    FROM events WHERE event_type = 'view') WHERE __rn = 1) r
         |  ON l.user_id = r.user_id AND l.ts >= r.ts""".stripMargin,
     // thresholds interpolated from the SAME function the Spark predicate
     // uses — the oracle runs the identical md5-vs-hex comparison

@@ -285,6 +285,9 @@ object GraftFunctions {
   def chunks(c: Column, chunkSize: Int, overlap: Int): Column =
     ColumnBridge.column(DocChunks(ColumnBridge.expression(c), chunkSize, overlap))
 
+  def srp(c: Column, seed: Long = 4233L): Column =
+    ColumnBridge.column(Srp64(ColumnBridge.expression(c), seed))
+
   val functions: Seq[(String, ExpressionInfo, Seq[Expression] => Expression)] = Seq(
     ("graft_cosine",
       new ExpressionInfo(classOf[CosineSimilarity].getName, "graft_cosine"),
@@ -353,6 +356,21 @@ object GraftFunctions {
           }
         }
         DocChunks(es.head, litInt(es(1), "chunkSize"), litInt(es(2), "overlap"))
+      }),
+    ("graft_srp",
+      new ExpressionInfo(classOf[Srp64].getName, "graft_srp"),
+      (es: Seq[Expression]) => {
+        require(es.length == 1 || es.length == 2,
+          s"graft_srp takes 1 or 2 arguments, got ${es.length}")
+        val seed = if (es.length == 1) 4233L else {
+          require(es(1).foldable, "graft_srp seed must be a literal")
+          es(1).eval() match {
+            case n: Number => n.longValue()
+            case other => throw new IllegalArgumentException(
+              s"graft_srp seed must be an integer literal, got $other")
+          }
+        }
+        Srp64(es.head, seed)
       }))
 
   /** Register into an existing session (idempotent). After this,

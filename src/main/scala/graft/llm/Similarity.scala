@@ -25,6 +25,10 @@ import org.apache.spark.sql.functions._
   *    on L2-normalized vectors (Euclidean distance on the unit sphere
   *    is a monotone proxy for cosine: d² = 2−2cos). Bucketed — never
   *    all-pairs.
+  *  - `srpNearDupPairs` — sign-random-projection signatures through the
+  *    SAME banded machinery as text SimHash: density-independent
+  *    candidate volume, no bucket-length knob, signatures persistable
+  *    as incremental dedup state (see its scaladoc for the math).
   */
 object Similarity {
 
@@ -279,6 +283,82 @@ object Similarity {
     * its difference (‖δ‖ ≤ 0.32) onto a random unit direction at
     * ~‖δ‖/√dim, well inside one bucket, so recall stays ~1 with 4
     * OR-ed tables. */
+  /** 64-bit sign-random-projection signatures (`graft_srp`): one row
+    * per vector, `(id, sig)` — the persistable dedup STATE form, same
+    * shape as [[Dedup.simHashSignatures]] for text. Signatures are a
+    * pure function of (vector, seed): comparable across runs, batches,
+    * and engines that reproduce xxhash64. */
+  def srpSignatures(
+      df: DataFrame,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding",
+      seed: Long = 4233L): DataFrame =
+    df.select(col(idCol).as("id"),
+      graft.functions.GraftFunctions.srp(col(vecCol), seed).as("sig"))
+
+  /** Near-duplicate vector pairs via SRP signatures + the SAME banded
+    * join machinery as text SimHash ([[Dedup]]): `(id1, id2, cos_sim)`
+    * with `id1 < id2` and `cos_sim >= minCosine`, exact-cosine-verified.
+    *
+    * Why this instead of [[lshNearDupPairs]] at 100 TB: distance-bucketed
+    * LSH's bucket occupancy tracks data DENSITY — a corpus that clusters
+    * (real embeddings do) floods buckets and the candidate join grows
+    * superlinearly, while `bucketLength` needs per-corpus tuning (see
+    * the trap documented on [[lshNearDupPairs]]). SRP band keys collide
+    * at ~2^-16 per band for unrelated pairs REGARDLESS of density (bit i
+    * is the sign of a random projection — fair coin for unrelated
+    * vectors), there is no length knob, and the signatures persist as
+    * incremental state the way text SimHash signatures do. Per-band
+    * false-collision odds are density-free; candidate volume stays
+    * linear, then exact cosine verifies every pair.
+    *
+    * Recall: a pair at cosine c disagrees on E[h] = 64·acos(c)/π bits
+    * (hyperplane LSH); h ≤ 3 is CAUGHT by pigeonhole with 4 bands, and
+    * `numTables` independent signature sets OR together for
+    * 1−(1−r)^T recall on the probabilistic tail. The `maxHamming`
+    * prune (default mean+3σ for `minCosine`) only trims verification
+    * candidates — band collision, not the prune, decides recall. */
+  def srpNearDupPairs(
+      df: DataFrame,
+      minCosine: Double,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding",
+      bands: Int = 4,
+      numTables: Int = 2,
+      maxHamming: Int = -1,
+      maxBucketSize: Int = 10000,
+      seed: Long = 4233L): DataFrame = {
+    require(minCosine > -1.0 && minCosine < 1.0,
+      s"minCosine must be in (-1, 1), got $minCosine")
+    require(numTables >= 1, s"numTables must be >= 1, got $numTables")
+    val p = math.acos(minCosine) / math.Pi
+    val mh =
+      if (maxHamming >= 0) maxHamming
+      else math.min(63, math.ceil(64 * p + 3 * math.sqrt(64 * p * (1 - p))).toInt)
+    val base = df.select(col(idCol).as("id"), col(vecCol).as("__v"))
+    val candidates = (0 until numTables).map { t =>
+      // distinct tables = distinct SRP direction sets (seed offset by a
+      // 64-bit odd constant — any distinct seeds give independent planes)
+      val sigs = srpSignatures(base, "id", "__v", seed + t * 0x9E3779B97F4A7C15L)
+      val banded = Dedup.dropHotBuckets(Dedup.bandSignatures(sigs, bands), maxBucketSize)
+      banded.select(col("band"), col("bits"), col("id").as("id1"), col("sig").as("__s1"))
+        .join(banded.select(col("band"), col("bits"), col("id").as("id2"), col("sig").as("__s2")),
+          Seq("band", "bits"))
+        .filter(col("id1") < col("id2") &&
+          Dedup.hamming(col("__s1"), col("__s2")) <= mh)
+        .select("id1", "id2")
+    }.reduce(_ unionByName _).distinct()
+    // exact verification: join the (linear) candidate set back to the
+    // vectors — false band collisions die here, so the output threshold
+    // is exact cosine, not a signature approximation
+    candidates
+      .join(base.select(col("id").as("id1"), col("__v").as("__v1")), Seq("id1"))
+      .join(base.select(col("id").as("id2"), col("__v").as("__v2")), Seq("id2"))
+      .select(col("id1"), col("id2"),
+        cosine(col("__v1"), col("__v2")).as("cos_sim"))
+      .filter(col("cos_sim") >= minCosine)
+  }
+
   def lshNearDupPairs(
       df: DataFrame,
       maxCosineDistance: Double,

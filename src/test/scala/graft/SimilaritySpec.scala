@@ -198,4 +198,75 @@ class SimilaritySpec extends SparkTestBase {
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(pairs.contains((0L, 9999L)), s"planted pair missing from $pairs")
   }
+
+  // ---------------------------------------------------------------- SRP
+
+  test("graft_srp: deterministic, float/double parity, inside codegen") {
+    val f = emb.select(graft.functions.GraftFunctions.srp(col("embedding")).as("s"))
+    val d = emb.select(graft.functions.GraftFunctions.srp(
+      transform(col("embedding"), _.cast("double"))).as("s"))
+    assert(f.collect().map(_.getLong(0)).toSeq == d.collect().map(_.getLong(0)).toSeq,
+      "float and double arrays must hash to the same signature")
+    // repartitioning must not change signatures (pure function of vector)
+    val a = emb.select(col("vec_id"), graft.functions.GraftFunctions.srp(col("embedding")).as("s"))
+    val b = emb.repartition(7)
+      .select(col("vec_id"), graft.functions.GraftFunctions.srp(col("embedding")).as("s"))
+    assert(a.collect().map(r => (r.getLong(0), r.getLong(1))).toSet ==
+      b.collect().map(r => (r.getLong(0), r.getLong(1))).toSet)
+    // different seeds give different (independent) signatures
+    val s2 = emb.select(graft.functions.GraftFunctions.srp(col("embedding"), seed = 7L).as("s"))
+    assert(f.collect().map(_.getLong(0)).toSeq != s2.collect().map(_.getLong(0)).toSeq)
+    val plan = f.queryExecution.executedPlan.toString
+    assert(plan.contains("*(1)"), s"expected WholeStageCodegen:\n$plan")
+    // SQL form == Column form
+    graft.functions.GraftFunctions.register(spark)
+    emb.limit(8).createOrReplaceTempView("__srp_t")
+    val viaSql = spark.sql("SELECT graft_srp(embedding) AS s FROM __srp_t")
+      .collect().map(_.getLong(0)).toSeq
+    val viaCol = emb.limit(8)
+      .select(graft.functions.GraftFunctions.srp(col("embedding")).as("s"))
+      .collect().map(_.getLong(0)).toSeq
+    assert(viaSql == viaCol)
+  }
+
+  test("SRP hyperplane property: near pairs few bits apart, unrelated near 32") {
+    import graft.llm.Dedup
+    // near-copy: perturb every coordinate by 0.1% → cosine ~0.9999995
+    val near = emb.select(col("vec_id"),
+      graft.functions.GraftFunctions.srp(col("embedding")).as("s1"),
+      graft.functions.GraftFunctions.srp(
+        transform(col("embedding"), x => x * lit(1.001f))).as("s2"))
+      .select(Dedup.hamming(col("s1"), col("s2")).as("h"))
+      .agg(avg("h"), max("h")).head()
+    assert(near.getDouble(0) < 2.0, s"near pairs should differ on ~0 bits, got avg ${near.getDouble(0)}")
+    // unrelated random vectors: P[bit differs] = 1/2 → hamming ~ Binom(64, .5)
+    val far = emb.filter(col("vec_id") < 200)
+      .select(col("vec_id").as("id1"), graft.functions.GraftFunctions.srp(col("embedding")).as("s1"))
+      .crossJoin(emb.filter(col("vec_id") >= 200 && col("vec_id") < 400)
+        .select(col("vec_id").as("id2"), graft.functions.GraftFunctions.srp(col("embedding")).as("s2")))
+      .select(Dedup.hamming(col("s1"), col("s2")).as("h"))
+      .agg(avg("h")).head().getDouble(0)
+    assert(far > 28 && far < 36, s"unrelated pairs should average ~32 bits apart, got $far")
+  }
+
+  test("srpNearDupPairs: planted pairs found + exact-verified, unrelated excluded") {
+    // plant near-copies of vecs 0..19 (deterministic per-coordinate noise)
+    val planted = emb.filter(col("vec_id") < 20)
+      .select((col("vec_id") + 9000L).as("vec_id"),
+        transform(col("embedding"),
+          (x, i) => (x * (lit(1.0) + lit(0.002) * sin(col("vec_id") * 31 + i))).cast("float"))
+          .as("embedding"))
+    val df = emb.select("vec_id", "embedding").union(planted).cache()
+    val pairs = Similarity.srpNearDupPairs(df, minCosine = 0.99).cache()
+    val ids = pairs.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val wanted = (0L until 20L).map(i => (i, i + 9000L)).toSet
+    val hit = wanted.intersect(ids).size
+    assert(hit >= 18, s"expected >=18/20 planted pairs, found $hit: $ids")
+    // every returned pair is exact-verified above the threshold, ordered
+    assert(pairs.filter(col("cos_sim") < 0.99 || col("id1") >= col("id2")).count() == 0)
+    // random testdata pairs (max natural cosine ~0.47) never pass
+    assert(ids.forall { case (a, b) => b - a == 9000L },
+      s"unrelated pair leaked through exact verification: $ids")
+    pairs.unpersist(); df.unpersist()
+  }
 }
