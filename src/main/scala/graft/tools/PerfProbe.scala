@@ -2,7 +2,7 @@ package graft.tools
 
 import org.apache.spark.sql.functions._
 
-/** Throwaway-style perf probe for round-3 tuning experiments (kept in
+/** Throwaway-style perf probe for round-4 tuning experiments (kept in
   * tools/ like ScaleProbe; run manually, never part of the gate). */
 object PerfProbe {
   def main(args: Array[String]): Unit = {
@@ -13,33 +13,53 @@ object PerfProbe {
       body
       println(f"[perf] $label: ${(System.nanoTime() - t0) / 1e9}%.2f s")
     }
-    // warmup both machineries
-    graft.SparkEntry.queries("q19_stream_window")(spark, sfDir).write.format("noop").mode("overwrite").save()
-    graft.SparkEntry.queries("q25_ivf_recall")(spark, sfDir).write.format("noop").mode("overwrite").save()
+    def noop(df: org.apache.spark.sql.DataFrame): Unit =
+      df.write.format("noop").mode("overwrite").save()
 
-    for (parts <- Seq(2, 4, 8)) {
-      time(s"q19 shufflePartitions=$parts") {
-        val name = s"perf_q19_$parts"
-        graft.streaming.Streams.runToMemory(
-          graft.streaming.Streams.windowedEventStats(
-            graft.streaming.Streams.readEventStream(spark, sfDir, "events.parquet"),
-            windowLength = "1 hour", watermarkDelay = "2 hours"),
-          name, org.apache.spark.sql.streaming.OutputMode.Append(),
-          shufflePartitions = Some(parts))
-          .write.format("noop").mode("overwrite").save()
-      }
+    // warmup
+    noop(graft.SparkEntry.queries("q22_curation")(spark, sfDir))
+
+    // ---- where do q38's seconds go?
+    time("q38 whole") { noop(graft.SparkEntry.queries("q38_transitive_dedup")(spark, sfDir)) }
+
+    import graft.llm.{Curation, Dedup}
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet").select(col("doc_id"), col("text"))
+    val n = size(Dedup.tokens(col("text")))
+    val base = docs.filter(col("doc_id") < 100 && n.between(40, 300))
+    val k = floor((n - lit(2)) / lit(6)).cast("int")
+    def extras(to: org.apache.spark.sql.Column) = concat_ws(" ",
+      transform(sequence(lit(1), to), i => concat(lit("zzq"), col("doc_id"), lit("x"), i)))
+    val prepped = base
+      .withColumn("__textB", concat_ws(" ", col("text"), extras(k)))
+      .withColumn("__textC", concat_ws(" ", col("text"), extras(k * 2)))
+    val endC = prepped.select((col("doc_id") + 10000).as("doc_id"), col("__textC").as("text"))
+    val hubB = prepped.select((col("doc_id") + 20000).as("doc_id"), col("__textB").as("text"))
+    val planted = base.unionByName(endC).unionByName(hubB)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    planted.count()
+    val cfg = Curation.Config(minQuality = 0.0, nearDupStrategy = "minhash",
+      nearDupMaxJaccardDistance = 0.2, nearDupMinJaccard = 0.8)
+    time("curate(pair-drop)") {
+      val s = Curation.curate(planted, "doc_id", "text", cfg); s.count(); s.unpersist()
     }
-    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
-    for (iter <- Seq(3, 5, 8)) {
-      var mean = Double.NaN
-      time(s"q25 maxIter=$iter") {
-        val r = graft.llm.Similarity.ivfRecallVsBrute(
-          emb.filter(col("vec_id") < 20), emb, k = 10, numCells = 16, nprobe = 8,
-          maxIter = iter).cache()
-        try mean = r.agg(avg("recall")).head().getDouble(0)
-        finally r.unpersist()
-      }
-      println(f"[perf] q25 maxIter=$iter mean recall: $mean%.4f")
+    time("curate(transitive)") {
+      val s = Curation.curate(planted, "doc_id", "text", cfg.copy(transitiveNearDups = true))
+      s.count(); s.unpersist()
+    }
+    // CC alone on the verified pair graph
+    val cands = Dedup.minHashNearDups(planted, "doc_id", "text",
+      maxJaccardDistance = cfg.nearDupMaxJaccardDistance)
+    val verified = Dedup.verifyPairs(cands, planted, "doc_id", "text", 0.8)
+      .select("id1", "id2").persist()
+    println(s"[perf] verified pairs: ${verified.count()}")
+    time("connectedComponents alone") {
+      Dedup.connectedComponents(verified).count(); ()
+    }
+    time("minhash candidates + verify alone") {
+      Dedup.verifyPairs(
+        Dedup.minHashNearDups(planted, "doc_id", "text",
+          maxJaccardDistance = cfg.nearDupMaxJaccardDistance),
+        planted, "doc_id", "text", 0.8).count(); ()
     }
     spark.stop()
   }

@@ -50,6 +50,19 @@ class EntrySpec extends SparkTestBase {
     assert(!rows.contains("other"), s"non-planted pairs above threshold: $rows")
   }
 
+  test("q42: SRP near-dup finds the planted perturbed pairs and nothing else") {
+    val nBase = math.min(500L, spark.read.parquet(s"$sfDir/embeddings.parquet").count())
+    val rows = SparkEntry.queries("q42_srp_near_dup")(spark, sfDir)
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(rows.contains("planted"), s"no planted pairs surfaced: $rows")
+    val (nPlanted, minCos) = rows("planted")
+    // two OR-ed signature tables cover the recall tail; allow slack
+    // rather than pinning the exact hash draw
+    assert(nPlanted >= (nBase * 9) / 10, s"found $nPlanted of $nBase planted pairs")
+    assert(minCos >= 0.999, s"planted pair below threshold: $minCos")
+    assert(!rows.contains("other"), s"non-planted pairs above threshold: $rows")
+  }
+
   test("q40: incremental dropSeen removes every planted echo, keeps fresh batch rows") {
     val rows = SparkEntry.queries("q40_incremental_dedup")(spark, sfDir)
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
