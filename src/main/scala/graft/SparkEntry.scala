@@ -562,6 +562,22 @@ object SparkEntry {
           round(avg("cos_sim"), 4).as("avg_cos"))
     }),
 
+    // ---- Gap-based batch sessionization (Ops.sessionize): one shuffle
+    // on user_id, lag-flag + running sum in a single window scan, then
+    // per-session rollup. Times are epoch-MICROS on both sides (Spark
+    // div(ts,1000) == DuckDB epoch_us — both truncate), because DuckDB
+    // reads the ns-precision parquet timestamps at us precision.
+    "q43_sessionize" -> ((s, dir) => {
+      val ev = t(s, dir, "events").select(col("user_id"), col("event_id"),
+        call_function("div", col("ts"), lit(1000L)).as("ts_us"))
+      graft.operators.Ops.sessionize(ev, Seq("user_id"), "ts_us",
+          maxGap = 30L * 60 * 1000000, tieBreakCols = Seq("event_id"))
+        .groupBy("user_id", "session_id")
+        .agg(count(lit(1)).as("n_events"),
+          min("ts_us").as("session_start"),
+          max("ts_us").as("session_end"))
+    }),
+
     // ---- Incremental dedup under the gate: a two-batch scenario from
     // the documents table. "Yesterday's corpus" = even doc_ids; its
     // hash + signature + hot-bucket state is built in-query (exactly
@@ -771,6 +787,27 @@ object SparkEntry {
         |      ORDER BY event_id DESC, value DESC) AS __rn
         |    FROM events WHERE event_type = 'view') WHERE __rn = 1) r
         |  ON l.user_id = r.user_id AND l.ts >= r.ts""".stripMargin,
+    // identical session program: epoch_us both sides, same tie-break,
+    // same 30-min gap in micros
+    "q43_sessionize" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, epoch_us(ts) AS ts_us FROM events),
+        |s AS (
+        |  SELECT user_id, event_id, ts_us,
+        |    CASE WHEN lag(ts_us) OVER w IS NULL
+        |              OR ts_us - lag(ts_us) OVER w > 1800000000
+        |         THEN 1 ELSE 0 END AS is_new
+        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)),
+        |t AS (
+        |  SELECT user_id, ts_us,
+        |    CAST(sum(is_new) OVER (PARTITION BY user_id
+        |      ORDER BY ts_us, event_id ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
+        |  FROM s)
+        |SELECT user_id, session_id,
+        |  CAST(count(*) AS BIGINT) AS n_events,
+        |  min(ts_us) AS session_start,
+        |  max(ts_us) AS session_end
+        |FROM t GROUP BY user_id, session_id""".stripMargin,
     // thresholds interpolated from the SAME function the Spark predicate
     // uses — the oracle runs the identical md5-vs-hex comparison
     // (digest recipe: md5(id || '|' || salt), Ops.hashDigestCol)

@@ -207,6 +207,42 @@ object Ops {
         payload.map { case (_, out) => col(s"__asof_hit.$out").as(out) }: _*)
   }
 
+  /** Gap-based batch sessionization: number each key's events into
+    * sessions, a new session starting whenever the gap to the previous
+    * event exceeds `maxGap` (same units as `timeCol` — pass epoch-micros
+    * with a micros gap, epoch-seconds with seconds). Adds `sessionCol`:
+    * a per-key ordinal starting at 1, via lag-flag + running sum.
+    *
+    * Scale shape: ONE shuffle on the keys — both window passes (the lag
+    * and the cumulative sum) share the same partitioning and ordering,
+    * so Catalyst plans a single Exchange + Sort and evaluates both in
+    * one `WindowExec` scan over each partition (plan-asserted in
+    * OpsSpec). The streaming equivalent is
+    * `Streams`' session windows; this is the batch/backfill form.
+    *
+    * `tieBreakCols` orders events at equal timestamps deterministically
+    * (session BOUNDARIES are tie-invariant — a zero gap never opens a
+    * session — but downstream per-row consumers of running ordinals
+    * deserve a stable order). */
+  def sessionize(
+      df: DataFrame,
+      keyCols: Seq[String],
+      timeCol: String,
+      maxGap: Long,
+      sessionCol: String = "session_id",
+      tieBreakCols: Seq[String] = Nil): DataFrame = {
+    require(keyCols.nonEmpty, "sessionize: at least one key column")
+    require(maxGap > 0, s"sessionize: maxGap must be positive, got $maxGap")
+    require(!df.columns.contains(sessionCol),
+      s"sessionize: column $sessionCol already exists")
+    val w = Window.partitionBy(keyCols.map(col): _*)
+      .orderBy((col(timeCol) +: tieBreakCols.map(col)).map(_.asc): _*)
+    val prev = lag(col(timeCol), 1).over(w)
+    val isNew = when(prev.isNull || col(timeCol) - prev > maxGap, 1L).otherwise(0L)
+    df.withColumn(sessionCol,
+      sum(isNew).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+  }
+
   /** Deterministic hash-sampling predicate: true iff
     * `md5(id || salt) < fraction` (comparing the 32-hex digest against a
     * threshold string — lexicographic order on equal-length lowercase

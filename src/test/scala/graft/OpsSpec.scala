@@ -117,4 +117,40 @@ class OpsSpec extends SparkTestBase {
     assert(batches.map(_.size).sum == 25)
     assert(batches.forall(_.size <= 10))
   }
+
+  test("sessionize: hand-computed session boundaries, ordinals start at 1") {
+    // user 1: events at t=0,10,20 (one session), 100 (gap 80 > 25 → new),
+    //         110 (same); user 2: single event; gap boundary: exactly
+    //         maxGap does NOT open a session (> not >=)
+    val df = Seq(
+      (1L, 0L), (1L, 10L), (1L, 20L), (1L, 100L), (1L, 110L),
+      (2L, 5L), (3L, 0L), (3L, 25L), (3L, 51L)
+    ).toDF("uid", "t")
+    val got = Ops.sessionize(df, Seq("uid"), "t", maxGap = 25L)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val want = Set(
+      (1L, 0L, 1L), (1L, 10L, 1L), (1L, 20L, 1L), (1L, 100L, 2L), (1L, 110L, 2L),
+      (2L, 5L, 1L),
+      (3L, 0L, 1L), (3L, 25L, 1L), // gap == maxGap → same session
+      (3L, 51L, 2L)) // gap 26 > 25 → new session
+    assert(got == want, s"got $got")
+  }
+
+  test("sessionize: both window passes share one Exchange + one Sort") {
+    val df = Seq((1L, 0L, 10L), (1L, 9L, 11L)).toDF("uid", "t", "eid")
+    val plan = Ops.sessionize(df, Seq("uid"), "t", 5L, tieBreakCols = Seq("eid"))
+      .queryExecution.executedPlan.toString
+    assert("Exchange".r.findAllIn(plan).size == 1, s"plan:\n$plan")
+    assert("(?m)^\\s*[+:]?-?\\s*\\*?\\(?\\d*\\)?\\s*Sort ".r.findAllIn(plan).size <= 1,
+      s"expected a single Sort:\n$plan")
+    assert("WindowGroupLimit|Window".r.findAllIn(plan).size >= 1)
+  }
+
+  test("sessionize rejects bad arguments") {
+    val df = Seq((1L, 0L)).toDF("uid", "t")
+    intercept[IllegalArgumentException](Ops.sessionize(df, Nil, "t", 5L))
+    intercept[IllegalArgumentException](Ops.sessionize(df, Seq("uid"), "t", 0L))
+    intercept[IllegalArgumentException](
+      Ops.sessionize(df, Seq("uid"), "t", 5L, sessionCol = "t"))
+  }
 }
