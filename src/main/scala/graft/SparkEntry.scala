@@ -578,6 +578,16 @@ object SparkEntry {
           max("ts_us").as("session_end"))
     }),
 
+    // ---- Okapi BM25 keyword relevance (TextAnalysis.bm25Score): one
+    // tiny global-stats aggregate broadcast into one scoring scan.
+    // Terms span the idf range of the synthetic vocabulary ("dup" is
+    // ~50× rarer than "join"/"scan"). Oracle runs the identical
+    // program — same token split, same Lucene-form idf, same operation
+    // nesting — so the score is hash-exact at round(4).
+    "q44_bm25" -> ((s, dir) =>
+      graft.llm.TextAnalysis.bm25Score(
+        t(s, dir, "documents"), "doc_id", "text", Seq("dup", "join", "scan"))),
+
     // ---- Incremental dedup under the gate: a two-batch scenario from
     // the documents table. "Yesterday's corpus" = even doc_ids; its
     // hash + signature + hot-bucket state is built in-query (exactly
@@ -787,6 +797,38 @@ object SparkEntry {
         |      ORDER BY event_id DESC, value DESC) AS __rn
         |    FROM events WHERE event_type = 'view') WHERE __rn = 1) r
         |  ON l.user_id = r.user_id AND l.ts >= r.ts""".stripMargin,
+    // identical BM25 program: same tokenization as the chunking oracle,
+    // idf = ln(1 + (N-df+.5)/(df+.5)), numerator (1.2 + 1.0) written as
+    // the same float op Scala performs (the literal 2.2 is a DIFFERENT
+    // double), operation nesting mirrored term by term
+    "q44_bm25" -> {
+      val tfs = Seq("dup" -> 0, "join" -> 1, "scan" -> 2)
+      val tfCols = tfs.map { case (term, i) =>
+        s"CAST(len(list_filter(toks, t -> t = '$term')) AS DOUBLE) AS tf$i"
+      }.mkString(",\n    ")
+      val dfCols = tfs.map { case (_, i) =>
+        s"sum(CASE WHEN tf$i > 0 THEN 1.0 ELSE 0.0 END) AS df$i"
+      }.mkString(", ")
+      val scoreTerms = tfs.map { case (_, i) =>
+        s"ln((s.n - s.df$i + 0.5)/(s.df$i + 0.5) + 1.0) * f.tf$i * (1.2 + 1.0) / " +
+          s"(f.tf$i + 1.2*(0.25 + 0.75*f.dl/s.avgdl))"
+      }.mkString(" + ")
+      s"""WITH d AS (
+         |  SELECT doc_id,
+         |    list_filter(regexp_split_to_array(trim(lower(text)), '\\s+'),
+         |                t -> len(t) > 0) AS toks
+         |  FROM documents),
+         |f AS (
+         |  SELECT doc_id, CAST(len(toks) AS DOUBLE) AS dl,
+         |    $tfCols
+         |  FROM d),
+         |s AS (
+         |  SELECT CAST(count(*) AS DOUBLE) AS n, avg(dl) AS avgdl, $dfCols
+         |  FROM f)
+         |SELECT f.doc_id, CAST(f.dl AS BIGINT) AS n_tokens,
+         |  round($scoreTerms, 4) AS bm25
+         |FROM f, s WHERE f.tf0 > 0 OR f.tf1 > 0 OR f.tf2 > 0""".stripMargin
+    },
     // identical session program: epoch_us both sides, same tie-break,
     // same 30-min gap in micros
     "q43_sessionize" ->

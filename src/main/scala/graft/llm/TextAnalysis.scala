@@ -155,6 +155,62 @@ object TextAnalysis {
       .otherwise(lit("unknown"))
   }
 
+  // ------------------------------------------------------------- bm25
+
+  /** Okapi BM25 relevance of every document against a FIXED term set —
+    * keyword retrieval / relevance labeling over a corpus ("find the
+    * training docs about X"), as two scans and zero wide shuffles:
+    *
+    *  1. one aggregate pass for the global stats row (N, avgdl, and
+    *     per-term document frequency) — a single tiny row,
+    *  2. one scoring pass with that row broadcast, each doc's per-term
+    *     tf computed from its token array in-place.
+    *
+    * `score = Σ_t idf(t) · tf·(k1+1) / (tf + k1·(1−b+b·dl/avgdl))`,
+    * `idf = ln(1 + (N−df+0.5)/(df+0.5))` (the Lucene form — always
+    * positive, so a term in most docs degrades smoothly instead of
+    * flipping negative). Returns `(id, n_tokens, bm25)` for docs
+    * matching ≥1 term, bm25 rounded to `roundTo` for cross-engine
+    * comparability (q44 reproduces the identical program in SQL).
+    *
+    * At 100 TB: both passes are scan-bound column programs (tokenize +
+    * per-term `filter` counts); the stats row is O(|terms|) and
+    * broadcast. For ranked top-k over many ad-hoc queries, precompute an
+    * inverted index instead — this is the scoring primitive. */
+  def bm25Score(
+      docs: org.apache.spark.sql.DataFrame,
+      idCol: String,
+      textCol: String,
+      terms: Seq[String],
+      k1: Double = 1.2,
+      b: Double = 0.75,
+      roundTo: Int = 4): org.apache.spark.sql.DataFrame = {
+    require(terms.nonEmpty, "bm25Score: at least one term")
+    require(terms.distinct == terms, s"bm25Score: duplicate terms in $terms")
+    require(terms.forall(t => t.nonEmpty && t == t.toLowerCase),
+      s"bm25Score: terms must be non-empty lowercase (matching is on lowercased tokens)")
+    val base = docs.select(col(idCol), Dedup.tokens(col(textCol)).as("__toks"))
+      .withColumn("__dl", size(col("__toks")).cast("double"))
+    val withTf = terms.indices.foldLeft(base) { case (d, i) =>
+      d.withColumn(s"__tf_$i",
+        size(filter(col("__toks"), x => x === lit(terms(i)))).cast("double"))
+    }.drop("__toks")
+    val statsAggs = Seq(count(lit(1)).cast("double").as("__n"), avg(col("__dl")).as("__avgdl")) ++
+      terms.indices.map(i => sum(when(col(s"__tf_$i") > 0, 1.0).otherwise(0.0)).as(s"__df_$i"))
+    val stats = withTf.agg(statsAggs.head, statsAggs.tail: _*)
+    val score = terms.indices.map { i =>
+      val tf = col(s"__tf_$i")
+      val df = col(s"__df_$i")
+      val idf = log((col("__n") - df + lit(0.5)) / (df + lit(0.5)) + lit(1.0))
+      idf * tf * lit(k1 + 1.0) /
+        (tf + lit(k1) * (lit(1.0 - b) + lit(b) * col("__dl") / col("__avgdl")))
+    }.reduce(_ + _)
+    withTf.crossJoin(broadcast(stats))
+      .withColumn("bm25", round(score, roundTo))
+      .filter(terms.indices.map(i => col(s"__tf_$i") > 0).reduce(_ || _))
+      .select(col(idCol), col("__dl").cast("long").as("n_tokens"), col("bm25"))
+  }
+
   // ------------------------------------------------------ fingerprints
 
   /** Document fingerprint: `m` min-hashes over rolling character

@@ -91,6 +91,36 @@ class TextAnalysisSpec extends SparkTestBase {
     assert(overlapNear >= 3, s"near overlap $overlapNear")
   }
 
+  test("bm25Score: hand-computed scores on a tiny fixture") {
+    import spark.implicits._
+    // corpus: 3 docs; "rare" appears only in doc 1, "com" in all;
+    // doc 3 matches nothing and must be excluded
+    val docs = Seq(
+      (1L, "rare com com"),          // dl=3, tf(rare)=1, tf(com)=2
+      (2L, "com alpha beta gamma"),  // dl=4, tf(com)=1
+      (3L, "alpha beta")             // dl=2, no match
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.bm25Score(docs, "doc_id", "text", Seq("rare", "com"))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    // N=3, avgdl=3; idf(rare)=ln(1+(3-1+.5)/(1.5)), idf(com)=ln(1+(3-2+.5)/(2.5))
+    def term(tf: Double, df: Double, dl: Double): Double = {
+      val idf = math.log(1.0 + (3.0 - df + 0.5) / (df + 0.5))
+      idf * tf * 2.2 / (tf + 1.2 * (0.25 + 0.75 * dl / 3.0))
+    }
+    def r4(x: Double): Double = BigDecimal(x).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(got.keySet == Set(1L, 2L), s"doc 3 must be excluded: $got")
+    assert(got(1L) == (3L, r4(term(1, 1, 3) + term(2, 2, 3))), s"got ${got(1L)}")
+    assert(got(2L) == (4L, r4(term(0, 1, 4) + term(1, 2, 4))), s"got ${got(2L)}")
+    // rare-term doc outranks common-term doc
+    assert(got(1L)._2 > got(2L)._2)
+    // argument guards
+    intercept[IllegalArgumentException](TextAnalysis.bm25Score(docs, "doc_id", "text", Nil))
+    intercept[IllegalArgumentException](
+      TextAnalysis.bm25Score(docs, "doc_id", "text", Seq("UPPER")))
+    intercept[IllegalArgumentException](
+      TextAnalysis.bm25Score(docs, "doc_id", "text", Seq("a", "a")))
+  }
+
   test("analysis runs shuffle-free over documents (scan-speed map)") {
     val docs = spark.read.parquet(s"$sfDir/documents.parquet")
     val out = docs.select(col("doc_id"),
