@@ -578,6 +578,25 @@ object SparkEntry {
           max("ts_us").as("session_end"))
     }),
 
+    // ---- Multi-level rollup aggregation: Spark's rollup() plans ONE
+    // Expand + one shuffle for all three grouping levels (leaf /
+    // per-flag / grand total) — not three scans. Rollup null
+    // placeholders are coalesced to 'ALL' (group cols are non-null in
+    // data) and grouping_id disambiguates levels; DuckDB's GROUPING()
+    // bit order matches Spark's grouping_id (verified: 0/1/3).
+    "q45_rollup" -> ((s, dir) =>
+      t(s, dir, "lineitem")
+        .rollup(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          round(sum("l_quantity"), 2).as("sum_qty"),
+          round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("sum_disc_price"),
+          count(lit(1)).as("n_rows"),
+          grouping_id().cast("long").as("gid"))
+        .select(
+          coalesce(col("l_returnflag"), lit("ALL")).as("l_returnflag"),
+          coalesce(col("l_linestatus"), lit("ALL")).as("l_linestatus"),
+          col("sum_qty"), col("sum_disc_price"), col("n_rows"), col("gid"))),
+
     // ---- Okapi BM25 keyword relevance (TextAnalysis.bm25Score): one
     // tiny global-stats aggregate broadcast into one scoring scan.
     // Terms span the idf range of the synthetic vocabulary ("dup" is
@@ -797,6 +816,14 @@ object SparkEntry {
         |      ORDER BY event_id DESC, value DESC) AS __rn
         |    FROM events WHERE event_type = 'view') WHERE __rn = 1) r
         |  ON l.user_id = r.user_id AND l.ts >= r.ts""".stripMargin,
+    "q45_rollup" ->
+      """SELECT coalesce(l_returnflag, 'ALL') AS l_returnflag,
+        |  coalesce(l_linestatus, 'ALL') AS l_linestatus,
+        |  round(sum(l_quantity), 2) AS sum_qty,
+        |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+        |  count(*) AS n_rows,
+        |  CAST(GROUPING(l_returnflag, l_linestatus) AS BIGINT) AS gid
+        |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)""".stripMargin,
     // identical BM25 program: same tokenization as the chunking oracle,
     // idf = ln(1 + (N-df+.5)/(df+.5)), numerator (1.2 + 1.0) written as
     // the same float op Scala performs (the literal 2.2 is a DIFFERENT
