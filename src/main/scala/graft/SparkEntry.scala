@@ -597,6 +597,19 @@ object SparkEntry {
           coalesce(col("l_linestatus"), lit("ALL")).as("l_linestatus"),
           col("sum_qty"), col("sum_disc_price"), col("n_rows"), col("gid"))),
 
+    // ---- Heavy hitters over the corpus token stream via the mergeable
+    // Misra-Gries aggregate (graft_freq_sketch). k=4096 far exceeds the
+    // synthetic vocabulary, so no decrement ever fires and every count
+    // is EXACT — the property that makes a sketch query oracle-checkable
+    // against a plain GROUP BY. Top 20 by (count desc, token) matches
+    // the SQL LIMIT under the same deterministic tie-break.
+    "q46_heavy_hitters" -> ((s, dir) =>
+      t(s, dir, "documents")
+        .select(explode(graft.llm.Dedup.tokens(col("text"))).as("token"))
+        .agg(graft.functions.FreqSketch.sketch(col("token"), 4096).as("sk"))
+        .select(explode(slice(col("sk"), 1, 20)).as("e"))
+        .select(col("e.item").as("token"), col("e.count").as("n"))),
+
     // ---- Okapi BM25 keyword relevance (TextAnalysis.bm25Score): one
     // tiny global-stats aggregate broadcast into one scoring scan.
     // Terms span the idf range of the synthetic vocabulary ("dup" is
@@ -816,6 +829,12 @@ object SparkEntry {
         |      ORDER BY event_id DESC, value DESC) AS __rn
         |    FROM events WHERE event_type = 'view') WHERE __rn = 1) r
         |  ON l.user_id = r.user_id AND l.ts >= r.ts""".stripMargin,
+    "q46_heavy_hitters" ->
+      """SELECT t AS token, CAST(count(*) AS BIGINT) AS n FROM (
+        |  SELECT unnest(list_filter(regexp_split_to_array(trim(lower(text)), '\s+'),
+        |                t -> len(t) > 0)) AS t
+        |  FROM documents)
+        |GROUP BY 1 ORDER BY n DESC, token LIMIT 20""".stripMargin,
     "q45_rollup" ->
       """SELECT coalesce(l_returnflag, 'ALL') AS l_returnflag,
         |  coalesce(l_linestatus, 'ALL') AS l_linestatus,
