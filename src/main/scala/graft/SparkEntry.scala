@@ -597,6 +597,19 @@ object SparkEntry {
           coalesce(col("l_linestatus"), lit("ALL")).as("l_linestatus"),
           col("sum_qty"), col("sum_disc_price"), col("n_rows"), col("gid"))),
 
+    // ---- Deterministic train/val/test split (CorpusPrep.hashSplit):
+    // consecutive md5-digest ranges, exhaustive + disjoint, stable
+    // under repartition/retry/engine — the oracle runs the IDENTICAL
+    // threshold predicate, so per-split counts and id extremes are
+    // hash-exact.
+    "q47_hash_split" -> ((s, dir) =>
+      graft.llm.CorpusPrep.hashSplit(
+        t(s, dir, "documents"), "doc_id",
+        Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1), salt = "split1")
+        .groupBy("split")
+        .agg(count(lit(1)).as("n_docs"),
+          min("doc_id").as("min_id"), max("doc_id").as("max_id"))),
+
     // ---- Heavy hitters over the corpus token stream via the mergeable
     // Misra-Gries aggregate (graft_freq_sketch). k=4096 far exceeds the
     // synthetic vocabulary, so no decrement ever fires and every count
@@ -829,6 +842,17 @@ object SparkEntry {
         |      ORDER BY event_id DESC, value DESC) AS __rn
         |    FROM events WHERE event_type = 'view') WHERE __rn = 1) r
         |  ON l.user_id = r.user_id AND l.ts >= r.ts""".stripMargin,
+    // same digest recipe and threshold strings as the Spark when-chain
+    "q47_hash_split" ->
+      s"""SELECT CASE
+         |    WHEN md5(CAST(doc_id AS VARCHAR) || '|' || 'split1')
+         |         < '${graft.operators.Ops.hashThresholdHex(0.8)}' THEN 'train'
+         |    WHEN md5(CAST(doc_id AS VARCHAR) || '|' || 'split1')
+         |         < '${graft.operators.Ops.hashThresholdHex(0.8 + 0.1)}' THEN 'val'
+         |    ELSE 'test' END AS split,
+         |  CAST(count(*) AS BIGINT) AS n_docs,
+         |  min(doc_id) AS min_id, max(doc_id) AS max_id
+         |FROM documents GROUP BY 1""".stripMargin,
     "q46_heavy_hitters" ->
       """SELECT t AS token, CAST(count(*) AS BIGINT) AS n FROM (
         |  SELECT unnest(list_filter(regexp_split_to_array(trim(lower(text)), '\s+'),

@@ -79,6 +79,47 @@ object CorpusPrep {
         col("__c.chunk_text").as("chunk_text"),
         col("__c.chunk_tokens").cast("long").as("chunk_tokens"))
 
+  /** Deterministic train/val/test split: label every row with the name
+    * of its split, by consecutive ranges of the SAME md5 digest space
+    * deterministic sampling uses ([[graft.operators.Ops.hashDigestCol]]).
+    * Splits are exhaustive and disjoint by construction (the last split
+    * takes everything past the last threshold — no float-gap leakage);
+    * membership is a pure function of (id, salt), so the assignment
+    * survives repartitioning, retries, reruns, engine swaps — and
+    * composes with [[graft.operators.Ops.hashSample]]: a hashSample
+    * with the same salt NESTS inside the first split rather than
+    * cutting across all of them.
+    *
+    * At 100 TB this is a scan-speed projection (one md5 per row, CSE'd
+    * across the branch comparisons); downstream filters on `splitCol`
+    * stay plain predicates. */
+  def hashSplit(
+      df: DataFrame,
+      idCol: String,
+      splits: Seq[(String, Double)],
+      salt: String = "",
+      splitCol: String = "split"): DataFrame = {
+    require(splits.size >= 2, "hashSplit: at least two splits")
+    require(splits.map(_._1).distinct.size == splits.size,
+      s"hashSplit: duplicate split names in ${splits.map(_._1)}")
+    require(splits.forall(_._2 > 0.0), s"hashSplit: weights must be positive")
+    val total = splits.map(_._2).sum
+    require(math.abs(total - 1.0) < 1e-9,
+      s"hashSplit: weights must sum to 1.0, got $total")
+    require(!df.columns.contains(splitCol),
+      s"hashSplit: column $splitCol already exists")
+    val digest = graft.operators.Ops.hashDigestCol(col(idCol), salt)
+    val cums = splits.map(_._2).scanLeft(0.0)(_ + _).tail
+    // when-chain over the cumulative thresholds; the final split is the
+    // unconditional otherwise
+    val label = splits.init.zip(cums.init).foldLeft(Option.empty[Column]) {
+      case (acc, ((name, _), cum)) =>
+        val cond = digest < lit(graft.operators.Ops.hashThresholdHex(cum))
+        Some(acc.fold(when(cond, lit(name)))(_.when(cond, lit(name))))
+    }.get.otherwise(lit(splits.last._1))
+    df.withColumn(splitCol, label)
+  }
+
   /** Weighted mixture sampling: keep a per-source deterministic fraction
     * of the corpus — how a training mix is composed ("20% of web, all of
     * books, 5% of logs") at 100 TB, where `rand()`-based sampling is

@@ -91,6 +91,38 @@ class CorpusPrepSpec extends SparkTestBase {
     assert(plan.contains("*(1)"), s"expected WholeStageCodegen:\n$plan")
   }
 
+  test("hashSplit: exhaustive, disjoint, partition-invariant, nests with hashSample") {
+    val splits = Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)
+    val labeled = CorpusPrep.hashSplit(docs, "doc_id", splits, salt = "s1").cache()
+    // every row gets exactly one label; no rows lost or duplicated
+    assert(labeled.count() == docs.count())
+    val byLabel = labeled.groupBy("split").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(byLabel.keySet == Set("train", "val", "test"))
+    // fractions near the weights (binomial tolerance on 500 docs)
+    assert(byLabel("train") > 350 && byLabel("val") < 100 && byLabel("test") < 100, s"$byLabel")
+    // partition-invariant assignment
+    val re = CorpusPrep.hashSplit(docs.repartition(7), "doc_id", splits, salt = "s1")
+    assert(re.select("doc_id", "split").collect().map(r => (r.getLong(0), r.getString(1))).toSet ==
+      labeled.select("doc_id", "split").collect().map(r => (r.getLong(0), r.getString(1))).toSet)
+    // same-salt hashSample(0.5) ⊂ train(0.8): nesting, not crosscutting
+    val sampled = graft.operators.Ops.hashSample(docs, "doc_id", 0.5, salt = "s1")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val train = labeled.filter(col("split") === "train")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(sampled.subsetOf(train), "same-salt sample must nest inside the first split")
+    labeled.unpersist()
+    // guards
+    intercept[IllegalArgumentException](
+      CorpusPrep.hashSplit(docs, "doc_id", Seq("a" -> 1.0)))
+    intercept[IllegalArgumentException](
+      CorpusPrep.hashSplit(docs, "doc_id", Seq("a" -> 0.5, "a" -> 0.5)))
+    intercept[IllegalArgumentException](
+      CorpusPrep.hashSplit(docs, "doc_id", Seq("a" -> 0.5, "b" -> 0.4)))
+    intercept[IllegalArgumentException](
+      CorpusPrep.hashSplit(docs, "doc_id", Seq("a" -> 0.5, "b" -> 0.5), splitCol = "text"))
+  }
+
   // ------------------------------------------- deterministic hash sample
 
   test("hashSample: deterministic, partition-invariant, near the fraction") {
