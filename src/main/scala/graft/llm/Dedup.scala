@@ -281,9 +281,27 @@ object Dedup {
       bands: Int = 4,
       maxBucketSize: Int = 10000,
       corpusHotBuckets: Option[DataFrame] = None): DataFrame = {
-    require(64 % bands == 0, s"bands must divide 64, got $bands")
     require(maxHamming < bands,
       s"pigeonhole needs maxHamming < bands ($maxHamming >= $bands misses pairs)")
+    bandedSignaturesAgainst(batchSigs, corpusSigs, maxHamming, bands,
+      maxBucketSize, corpusHotBuckets)
+  }
+
+  /** The banded batch-vs-corpus join core, signature-agnostic: any
+    * `(id, sig)` 64-bit signature frames band the same way (text
+    * SimHash here, vector SRP in [[Similarity]]). No pigeonhole check —
+    * callers own their recall contract: text SimHash requires
+    * maxHamming < bands for the deterministic guarantee; SRP runs
+    * probabilistic recall where maxHamming ≥ bands is legitimate (a
+    * band match, not the Hamming prune, decides candidacy). */
+  private[llm] def bandedSignaturesAgainst(
+      batchSigs: DataFrame,
+      corpusSigs: DataFrame,
+      maxHamming: Int,
+      bands: Int,
+      maxBucketSize: Int,
+      corpusHotBuckets: Option[DataFrame]): DataFrame = {
+    require(64 % bands == 0, s"bands must divide 64, got $bands")
     val b = dropHotBuckets(bandSignatures(batchSigs, bands), maxBucketSize)
       .select(col("band"), col("bits"), col("id").as("batch_id"), col("sig").as("__bsig"))
     val c = dropHotBuckets(bandSignatures(corpusSigs, bands), maxBucketSize, corpusHotBuckets)

@@ -296,6 +296,73 @@ object Similarity {
     df.select(col(idCol).as("id"),
       graft.functions.GraftFunctions.srp(col(vecCol), seed).as("sig"))
 
+  /** Hamming prune for a cosine threshold: mean + 3σ of the bit-diff
+    * distribution Binom(64, acos(c)/π) — generous enough that band
+    * collision, not this prune, decides recall. */
+  private def defaultMaxHamming(minCosine: Double): Int = {
+    val p = math.acos(minCosine) / math.Pi
+    math.min(63, math.ceil(64 * p + 3 * math.sqrt(64 * p * (1 - p))).toInt)
+  }
+
+  /** Incremental vector near-dup: `(batch_id, corpus_id, hamming)`
+    * pairs joining the batch's SRP bands against STORED corpus
+    * signatures ([[srpSignatures]] persisted each run — the vector
+    * analog of [[Dedup.simHashNearDupsAgainst]], sharing its banded
+    * join core and hot-bucket guard). Both signature sets MUST come
+    * from the same `seed` (different seeds give independent hyperplanes
+    * and ~random Hamming distances — persist the seed with the state,
+    * as the Curator does for text gramSize).
+    *
+    * Unlike text SimHash, signature-only dropping is SAFE here: an
+    * unrelated pair must both match a full 16-bit band AND sit inside
+    * the Hamming prune — joint probability ~1e-13 at the 0.99 default,
+    * so false drops are negligible without a verification join (the
+    * state would need to retain raw vectors to verify; it only keeps
+    * 8-byte signatures). */
+  def srpNearDupsAgainst(
+      batchSigs: DataFrame,
+      corpusSigs: DataFrame,
+      minCosine: Double = 0.99,
+      bands: Int = 4,
+      maxBucketSize: Int = 10000,
+      corpusHotBuckets: Option[DataFrame] = None): DataFrame =
+    Dedup.bandedSignaturesAgainst(batchSigs, corpusSigs,
+      defaultMaxHamming(minCosine), bands, maxBucketSize, corpusHotBuckets)
+
+  /** Drop batch vectors whose SRP signature collides with the persisted
+    * corpus state within the `minCosine`-derived Hamming budget, then
+    * drop in-batch near-dups (keep the lower id per pair) — the vector
+    * counterpart of [[Dedup.dropSeen]], state = 8 bytes per corpus
+    * vector. Append [[srpSignatures]] of the survivors to the state for
+    * the next increment (same seed!). */
+  def dropSeenVectors(
+      batch: DataFrame,
+      corpusSigs: DataFrame,
+      minCosine: Double = 0.99,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding",
+      bands: Int = 4,
+      maxBucketSize: Int = 10000,
+      corpusHotBuckets: Option[DataFrame] = None,
+      seed: Long = 4233L,
+      inBatchNear: Boolean = true): DataFrame = {
+    val batchSigs = srpSignatures(batch, idCol, vecCol, seed)
+    val seen = srpNearDupsAgainst(batchSigs, corpusSigs, minCosine, bands,
+      maxBucketSize, corpusHotBuckets)
+      .select(col("batch_id").as(idCol)).distinct()
+    val fresh = batch.join(seen, Seq(idCol), "left_anti")
+    if (!inBatchNear) fresh
+    else {
+      // in-batch tier: without it a near-dup pair arriving in the same
+      // increment enters the corpus forever (future runs only compare
+      // against the state) — same rationale as Dedup.dropSeen
+      val drops = srpNearDupPairs(fresh, minCosine, idCol, vecCol, bands,
+        numTables = 1, maxBucketSize = maxBucketSize, seed = seed)
+        .select(col("id2").as(idCol)).distinct()
+      fresh.join(drops, Seq(idCol), "left_anti")
+    }
+  }
+
   /** Near-duplicate vector pairs via SRP signatures + the SAME banded
     * join machinery as text SimHash ([[Dedup]]): `(id1, id2, cos_sim)`
     * with `id1 < id2` and `cos_sim >= minCosine`, exact-cosine-verified.
@@ -331,10 +398,7 @@ object Similarity {
     require(minCosine > -1.0 && minCosine < 1.0,
       s"minCosine must be in (-1, 1), got $minCosine")
     require(numTables >= 1, s"numTables must be >= 1, got $numTables")
-    val p = math.acos(minCosine) / math.Pi
-    val mh =
-      if (maxHamming >= 0) maxHamming
-      else math.min(63, math.ceil(64 * p + 3 * math.sqrt(64 * p * (1 - p))).toInt)
+    val mh = if (maxHamming >= 0) maxHamming else defaultMaxHamming(minCosine)
     val base = df.select(col(idCol).as("id"), col(vecCol).as("__v"))
     val candidates = (0 until numTables).map { t =>
       // distinct tables = distinct SRP direction sets (seed offset by a

@@ -249,6 +249,37 @@ class SimilaritySpec extends SparkTestBase {
     assert(far > 28 && far < 36, s"unrelated pairs should average ~32 bits apart, got $far")
   }
 
+  test("dropSeenVectors: two-batch incremental — echoes dropped, fresh kept, in-batch pair collapsed") {
+    // "yesterday's corpus": vectors 0..99 → persisted signature state
+    val corpus = emb.filter(col("vec_id") < 100)
+    val state = Similarity.srpSignatures(corpus).cache()
+    // today's batch: 10 near-echoes of corpus vectors (perturbed copies,
+    // id+5000), 20 genuinely fresh vectors (200..219), and one in-batch
+    // near-dup pair (7000, 7001 = perturbed copy of the SAME fresh vector)
+    val echoes = corpus.filter(col("vec_id") < 10)
+      .select((col("vec_id") + 5000).as("vec_id"),
+        transform(col("embedding"), x => (x * lit(1.001f)).cast("float")).as("embedding"))
+    val freshSrc = emb.filter(col("vec_id") >= 200 && col("vec_id") < 220)
+    val pairA = emb.filter(col("vec_id") === 300)
+      .select(lit(7000L).as("vec_id"), col("embedding"))
+    val pairB = emb.filter(col("vec_id") === 300)
+      .select(lit(7001L).as("vec_id"),
+        transform(col("embedding"), x => (x * lit(0.999f)).cast("float")).as("embedding"))
+    val batch = echoes.unionByName(freshSrc.select("vec_id", "embedding"))
+      .unionByName(pairA).unionByName(pairB).cache()
+    val surv = Similarity.dropSeenVectors(batch, state, minCosine = 0.99)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    assert((5000L until 5010L).forall(!surv.contains(_)), s"echoes survived: $surv")
+    assert((200L until 220L).forall(surv.contains), s"fresh rows dropped: $surv")
+    assert(surv.contains(7000L) && !surv.contains(7001L),
+      s"in-batch pair must keep the lower id only: $surv")
+    // inBatchNear = false keeps both halves of the in-batch pair
+    val noTier = Similarity.dropSeenVectors(batch, state, minCosine = 0.99,
+      inBatchNear = false).select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(noTier.contains(7000L) && noTier.contains(7001L))
+    batch.unpersist(); state.unpersist()
+  }
+
   test("srpNearDupPairs: planted pairs found + exact-verified, unrelated excluded") {
     // plant near-copies of vecs 0..19 (deterministic per-coordinate noise)
     val planted = emb.filter(col("vec_id") < 20)
