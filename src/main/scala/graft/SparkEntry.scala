@@ -597,6 +597,31 @@ object SparkEntry {
           coalesce(col("l_linestatus"), lit("ALL")).as("l_linestatus"),
           col("sum_qty"), col("sum_disc_price"), col("n_rows"), col("gid"))),
 
+    // ---- PII redaction (TextAnalysis.redact): corpus text has no
+    // digits or '@' (checked), so planted snippets are the only matches
+    // — email/ip/phone planted on varying doc_id residues, scrubbed by
+    // the default rule set. Patterns live in the Java ∩ RE2 regex
+    // subset, so the oracle runs them VERBATIM; the redacted text and
+    // per-rule counts are hash-exact.
+    "q48_pii_redaction" -> ((s, dir) => {
+      val id = col("doc_id")
+      val planted = t(s, dir, "documents").select(col("doc_id"),
+        concat(col("text"),
+          when(pmod(id, lit(3)) === 0, lit("")).otherwise(
+            concat(lit(" contact user"), id.cast("string"), lit("@example.com"))),
+          when(pmod(id, lit(4)) === 0, lit("")).otherwise(
+            concat(lit(" from 10.0."), pmod(id, lit(256)).cast("string"), lit(".7"))),
+          when(pmod(id, lit(5)) === 0, lit("")).otherwise(
+            concat(lit(" tel +1 555 010 "),
+              (lit(1000) + pmod(id, lit(9000))).cast("string"))),
+          lit(" end")).as("text"))
+      val rules = graft.llm.TextAnalysis.defaultRedactions
+      planted.select(Seq(col("doc_id"),
+        graft.llm.TextAnalysis.redact(col("text")).as("redacted")) ++
+        rules.map(r =>
+          graft.llm.TextAnalysis.redactionCount(col("text"), r).as(s"n_${r.name}")): _*)
+    }),
+
     // ---- Deterministic train/val/test split (CorpusPrep.hashSplit):
     // consecutive md5-digest ranges, exhaustive + disjoint, stable
     // under repartition/retry/engine — the oracle runs the IDENTICAL
@@ -842,6 +867,30 @@ object SparkEntry {
         |      ORDER BY event_id DESC, value DESC) AS __rn
         |    FROM events WHERE event_type = 'view') WHERE __rn = 1) r
         |  ON l.user_id = r.user_id AND l.ts >= r.ts""".stripMargin,
+    // the same rule patterns verbatim (Java ∩ RE2 subset), same
+    // application order, same planted snippets
+    "q48_pii_redaction" -> {
+      val rs = graft.llm.TextAnalysis.defaultRedactions
+      val redactExpr = rs.foldLeft("text") { (acc, r) =>
+        s"regexp_replace($acc, '${r.pattern}', '${r.replacement}', 'g')"
+      }
+      val countCols = rs.map(r =>
+        s"CAST(len(regexp_extract_all(text, '${r.pattern}')) AS BIGINT) AS n_${r.name}")
+        .mkString(",\n  ")
+      s"""WITH p AS (
+         |  SELECT doc_id, text
+         |    || CASE WHEN doc_id % 3 = 0 THEN ''
+         |            ELSE ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com' END
+         |    || CASE WHEN doc_id % 4 = 0 THEN ''
+         |            ELSE ' from 10.0.' || CAST(doc_id % 256 AS VARCHAR) || '.7' END
+         |    || CASE WHEN doc_id % 5 = 0 THEN ''
+         |            ELSE ' tel +1 555 010 ' || CAST(1000 + doc_id % 9000 AS VARCHAR) END
+         |    || ' end' AS text
+         |  FROM documents)
+         |SELECT doc_id, $redactExpr AS redacted,
+         |  $countCols
+         |FROM p""".stripMargin
+    },
     // same digest recipe and threshold strings as the Spark when-chain
     "q47_hash_split" ->
       s"""SELECT CASE

@@ -155,6 +155,33 @@ object TextAnalysis {
       .otherwise(lit("unknown"))
   }
 
+  // -------------------------------------------------------- redaction
+
+  /** One PII scrub rule: regex → replacement tag. Patterns stay in the
+    * Java ∩ RE2 regex subset (no lookaround, no backrefs) so the same
+    * rule runs verbatim in Spark, DuckDB, Trino, Go — a redaction
+    * pipeline must behave identically wherever the corpus is reprocessed
+    * (q48 pins Spark == DuckDB on planted PII). */
+  final case class RedactionRule(name: String, pattern: String, replacement: String)
+
+  /** Default scrub set, applied in order (email before phone, so a
+    * phone-ish digit run inside an address never splits the match). */
+  val defaultRedactions: Seq[RedactionRule] = Seq(
+    RedactionRule("email", "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}", "<EMAIL>"),
+    RedactionRule("ipv4", "\\b(?:\\d{1,3}\\.){3}\\d{1,3}\\b", "<IP>"),
+    RedactionRule("phone", "\\+?\\d[\\d -]{7,}\\d", "<PHONE>"))
+
+  /** Scrub `c` with `rules` in order — scan-speed nested
+    * `regexp_replace`, no UDF, no shuffle. */
+  def redact(c: Column, rules: Seq[RedactionRule] = defaultRedactions): Column =
+    rules.foldLeft(c)((acc, r) => regexp_replace(acc, r.pattern, r.replacement))
+
+  /** Count of matches for one rule (pre-redaction text) — the
+    * observability side: redaction rates per rule are how silent PII
+    * floods (or dead rules) surface in a corpus report. */
+  def redactionCount(c: Column, rule: RedactionRule): Column =
+    regexp_count(c, lit(rule.pattern)).cast("long")
+
   // ------------------------------------------------------------- bm25
 
   /** Okapi BM25 relevance of every document against a FIXED term set —

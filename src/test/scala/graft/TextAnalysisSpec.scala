@@ -91,6 +91,31 @@ class TextAnalysisSpec extends SparkTestBase {
     assert(overlapNear >= 3, s"near overlap $overlapNear")
   }
 
+  test("redact: scrubs planted PII, order protects addresses, passthrough otherwise") {
+    import spark.implicits._
+    val rows = Seq(
+      "write a1_b%+x@sub.example.co or c@d.io",    // two emails
+      "host 192.168.0.1 and 10.0.255.7",           // two IPs
+      "call +1 555 010 1234 or 020-7946-0958 now", // two phones
+      "mixed bob@x.org at 10.0.0.1 tel 5550101234",
+      "clean text with no pii at all"
+    ).toDF("text")
+    val got = rows.select(TextAnalysis.redact(col("text")).as("r"))
+      .collect().map(_.getString(0)).toSeq
+    assert(got(0) == "write <EMAIL> or <EMAIL>")
+    assert(got(1) == "host <IP> and <IP>")
+    assert(got(2) == "call <PHONE> or <PHONE> now")
+    assert(got(3) == "mixed <EMAIL> at <IP> tel <PHONE>")
+    assert(got(4) == "clean text with no pii at all")
+    // counts per rule (pre-redaction)
+    val counts = rows.select(
+      TextAnalysis.defaultRedactions.map(r =>
+        TextAnalysis.redactionCount(col("text"), r).as(r.name)): _*)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(counts(0) == ((2L, 0L, 0L)) && counts(1) == ((0L, 2L, 0L)) &&
+      counts(2) == ((0L, 0L, 2L)) && counts(4) == ((0L, 0L, 0L)))
+  }
+
   test("bm25Score: hand-computed scores on a tiny fixture") {
     import spark.implicits._
     // corpus: 3 docs; "rare" appears only in doc 1, "com" in all;
