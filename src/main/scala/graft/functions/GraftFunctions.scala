@@ -357,6 +357,35 @@ object GraftFunctions {
         }
         DocChunks(es.head, litInt(es(1), "chunkSize"), litInt(es(2), "overlap"))
       }),
+    ("graft_hist_sketch",
+      new ExpressionInfo(classOf[HistogramSketchAgg].getName, "graft_hist_sketch"),
+      (es: Seq[Expression]) => {
+        require(es.length == 1 || es.length == 2,
+          s"graft_hist_sketch takes 1 or 2 arguments, got ${es.length}")
+        def litInt(e: Expression): Int = {
+          require(e.foldable, "graft_hist_sketch maxCentroids must be a literal")
+          e.eval() match {
+            case n: Number => n.intValue()
+            case other => throw new IllegalArgumentException(
+              s"graft_hist_sketch maxCentroids must be an integer literal, got $other")
+          }
+        }
+        // the analyzer wraps a bare AggregateFunction builder result
+        if (es.length == 1) HistogramSketchAgg(es.head)
+        else HistogramSketchAgg(es.head, litInt(es(1)))
+      }),
+    ("graft_freq_sketch",
+      new ExpressionInfo(classOf[FreqSketchAgg].getName, "graft_freq_sketch"),
+      (es: Seq[Expression]) => {
+        require(es.length == 2, s"graft_freq_sketch takes 2 arguments, got ${es.length}")
+        require(es(1).foldable, "graft_freq_sketch k must be a literal")
+        val k = es(1).eval() match {
+          case n: Number => n.intValue()
+          case other => throw new IllegalArgumentException(
+            s"graft_freq_sketch k must be an integer literal, got $other")
+        }
+        FreqSketchAgg(es.head, k)
+      }),
     ("graft_srp",
       new ExpressionInfo(classOf[Srp64].getName, "graft_srp"),
       (es: Seq[Expression]) => {

@@ -60,4 +60,21 @@ class GraftFunctionsSpec extends SparkTestBase {
     assert(r.getDouble(1) == 0.0) // zero vector → 0 by convention
     assert(r.isNullAt(2))
   }
+
+  test("sketch aggregates run via SQL (analyzer wraps the bare AggregateFunction)") {
+    import spark.implicits._
+    GraftFunctions.register(spark)
+    Seq("a", "b", "a", 1.0.toString).toDF("s").createOrReplaceTempView("__sk_t")
+    val freq = spark.sql("SELECT graft_freq_sketch(s, 8) FROM __sk_t")
+      .head().getSeq[org.apache.spark.sql.Row](0)
+    assert(freq.map(r => (r.getString(0), r.getLong(1))).toList ==
+      List(("a", 2L), ("1.0", 1L), ("b", 1L)))
+    Seq(1.0, 2.0, 3.0).toDF("x").createOrReplaceTempView("__hs_t")
+    val hist = spark.sql("SELECT graft_hist_sketch(x, 16) FROM __hs_t")
+      .head().getSeq[org.apache.spark.sql.Row](0)
+    assert(hist.map(r => (r.getDouble(0), r.getLong(1))).toList ==
+      List((1.0, 1L), (2.0, 1L), (3.0, 1L)))
+    // 1-arg hist form (default centroids) parses too
+    assert(spark.sql("SELECT graft_hist_sketch(x) FROM __hs_t").head().getSeq[Any](0).size == 3)
+  }
 }
