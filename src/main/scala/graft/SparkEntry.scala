@@ -597,6 +597,25 @@ object SparkEntry {
           coalesce(col("l_linestatus"), lit("ALL")).as("l_linestatus"),
           col("sum_qty"), col("sum_disc_price"), col("n_rows"), col("gid"))),
 
+    // ---- Snapshot diff (DataDiff.tableDiff): yesterday's orders vs a
+    // planted today — keys %97 removed, prices %13 bumped, %101 re-keyed
+    // as additions. One full-outer shuffle join; per-column null-safe
+    // comparison replayed verbatim by the oracle (IS NOT DISTINCT FROM).
+    "q49_table_diff" -> ((s, dir) => {
+      val o = t(s, dir, "orders").select("o_orderkey", "o_totalprice", "o_orderstatus")
+      val kept = o.filter(pmod(col("o_orderkey"), lit(97)) =!= 0)
+        .withColumn("o_totalprice",
+          when(pmod(col("o_orderkey"), lit(13)) === 0, col("o_totalprice") + 1.0)
+            .otherwise(col("o_totalprice")))
+      val added = o.filter(pmod(col("o_orderkey"), lit(101)) === 0)
+        .select((col("o_orderkey") + 10000000L).as("o_orderkey"),
+          col("o_totalprice"), col("o_orderstatus"))
+      graft.datadiff.DataDiff.tableDiff(o, kept.unionByName(added), Seq("o_orderkey"))
+        .groupBy("diff_status")
+        .agg(count(lit(1)).as("n_rows"),
+          min("o_orderkey").as("min_key"), max("o_orderkey").as("max_key"))
+    }),
+
     // ---- PII redaction (TextAnalysis.redact): corpus text has no
     // digits or '@' (checked), so planted snippets are the only matches
     // — email/ip/phone planted on varying doc_id residues, scrubbed by
@@ -867,6 +886,31 @@ object SparkEntry {
         |      ORDER BY event_id DESC, value DESC) AS __rn
         |    FROM events WHERE event_type = 'view') WHERE __rn = 1) r
         |  ON l.user_id = r.user_id AND l.ts >= r.ts""".stripMargin,
+    // identical planted snapshot; null-safe per-column comparison via
+    // IS NOT DISTINCT FROM; presence from the join sides (keys non-null)
+    "q49_table_diff" ->
+      """WITH o AS (SELECT o_orderkey, o_totalprice, o_orderstatus FROM orders),
+        |n AS (
+        |  SELECT o_orderkey,
+        |    CASE WHEN o_orderkey % 13 = 0 THEN o_totalprice + 1.0
+        |         ELSE o_totalprice END AS o_totalprice,
+        |    o_orderstatus
+        |  FROM orders WHERE o_orderkey % 97 <> 0
+        |  UNION ALL
+        |  SELECT o_orderkey + 10000000, o_totalprice, o_orderstatus
+        |  FROM orders WHERE o_orderkey % 101 = 0),
+        |j AS (
+        |  SELECT coalesce(o.o_orderkey, n.o_orderkey) AS k,
+        |    CASE WHEN o.o_orderkey IS NULL THEN 'added'
+        |         WHEN n.o_orderkey IS NULL THEN 'removed'
+        |         WHEN NOT (o.o_totalprice IS NOT DISTINCT FROM n.o_totalprice)
+        |           OR NOT (o.o_orderstatus IS NOT DISTINCT FROM n.o_orderstatus)
+        |           THEN 'changed'
+        |         ELSE 'unchanged' END AS diff_status
+        |  FROM o FULL OUTER JOIN n ON o.o_orderkey = n.o_orderkey)
+        |SELECT diff_status, CAST(count(*) AS BIGINT) AS n_rows,
+        |  min(k) AS min_key, max(k) AS max_key
+        |FROM j GROUP BY diff_status""".stripMargin,
     // the same rule patterns verbatim (Java ∩ RE2 subset), same
     // application order, same planted snippets
     "q48_pii_redaction" -> {

@@ -379,4 +379,54 @@ object DataDiff {
       HistogramSketch.decode(row.getSeq[org.apache.spark.sql.Row](0)),
       HistogramSketch.decode(row.getSeq[org.apache.spark.sql.Row](1)), maxBins)
   }
+
+  // ------------------------------------------------------ snapshot diff
+
+  /** Row-level diff of two versions of a table by key: every key
+    * labeled `added` / `removed` / `changed` / `unchanged` — the "what
+    * moved between yesterday's corpus and today's" primitive behind
+    * incremental publishing, cache invalidation, and regression triage.
+    *
+    * `compareCols` defaults to every shared non-key column. Comparison
+    * is per-column null-safe equality (`<=>`), not a hash — portable to
+    * any SQL engine (q49's oracle replays it verbatim) and immune to
+    * hash collisions silently masking a change.
+    *
+    * Scale shape: ONE full-outer shuffle join on the key columns — both
+    * sides partial-projected to key + compared columns first (column
+    * pruning reaches the scans). Row-level output; compose with
+    * `groupBy("diff_status").count()` for the summary (one extra
+    * ≤4-key aggregate). For very wide compare sets at 100 TB, pass an
+    * explicit `compareCols` subset rather than diffing every column. */
+  def tableDiff(
+      oldDf: DataFrame,
+      newDf: DataFrame,
+      keyCols: Seq[String],
+      compareCols: Seq[String] = Nil,
+      statusCol: String = "diff_status"): DataFrame = {
+    require(keyCols.nonEmpty, "tableDiff: at least one key column")
+    val shared = newDf.columns.toSet.intersect(oldDf.columns.toSet)
+    require(keyCols.forall(shared.contains),
+      s"tableDiff: key columns $keyCols must exist on both sides")
+    val cmp =
+      if (compareCols.nonEmpty) compareCols
+      else oldDf.columns.filter(c => shared.contains(c) && !keyCols.contains(c)).toSeq
+    require(cmp.forall(shared.contains),
+      s"tableDiff: compare columns $cmp must exist on both sides")
+    require(!(keyCols ++ cmp).contains(statusCol),
+      s"tableDiff: $statusCol collides with a data column")
+    val o = oldDf.select((keyCols ++ cmp).map(col): _*)
+      .withColumn("__in_old", lit(1))
+    val n = newDf.select((keyCols ++ cmp).map(col): _*)
+      .withColumn("__in_new", lit(1))
+    val joined = o.alias("o").join(n.alias("n"), keyCols, "full_outer")
+    val changed = cmp.map(c => !(col(s"o.$c") <=> col(s"n.$c")))
+      .reduceOption(_ || _).getOrElse(lit(false))
+    val status = when(col("__in_old").isNull, "added")
+      .when(col("__in_new").isNull, "removed")
+      .when(changed, "changed")
+      .otherwise("unchanged")
+    joined.select(keyCols.map(col) ++ Seq(status.as(statusCol)) ++
+      cmp.flatMap(c => Seq(col(s"o.$c").as(s"old_$c"), col(s"n.$c").as(s"new_$c"))): _*)
+  }
 }

@@ -169,4 +169,38 @@ class DataDiffSpec extends SparkTestBase {
     val m = DataDiff.histogramToMap(Array(0.0, 1.0, 2.0), Map(0L -> 3L))
     assert(m == Map("0.0_1.0" -> 3L, "1.0_2.0" -> 0L))
   }
+
+  test("tableDiff: added/removed/changed/unchanged incl. null transitions") {
+    import spark.implicits._
+    val oldDf = Seq(
+      (1L, Some("a"), Some(10.0)), // unchanged
+      (2L, Some("b"), Some(20.0)), // changed (value)
+      (3L, None, Some(30.0)),      // changed (null → value)
+      (4L, Some("d"), None),       // unchanged (null == null)
+      (5L, Some("e"), Some(50.0))  // removed
+    ).toDF("k", "s", "v")
+    val newDf = Seq(
+      (1L, Some("a"), Some(10.0)),
+      (2L, Some("B"), Some(20.0)),
+      (3L, Some("c"), Some(30.0)),
+      (4L, Some("d"), None),
+      (6L, Some("f"), Some(60.0))  // added
+    ).toDF("k", "s", "v")
+    val out = DataDiff.tableDiff(oldDf, newDf, Seq("k")).cache()
+    val st = out.collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(st == Map(1L -> "unchanged", 2L -> "changed", 3L -> "changed",
+      4L -> "unchanged", 5L -> "removed", 6L -> "added"), s"$st")
+    // old/new value columns carried for triage
+    val r2 = out.filter(col("k") === 2L).head()
+    assert(r2.getAs[String]("old_s") == "b" && r2.getAs[String]("new_s") == "B")
+    assert(out.filter(col("k") === 6L).head().getAs[Any]("old_s") == null)
+    out.unpersist()
+    // explicit compareCols subset: status ignores other columns
+    val sub = DataDiff.tableDiff(oldDf, newDf, Seq("k"), compareCols = Seq("v"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(sub(2L) == "unchanged" && sub(3L) == "unchanged")
+    intercept[IllegalArgumentException](DataDiff.tableDiff(oldDf, newDf, Nil))
+    intercept[IllegalArgumentException](
+      DataDiff.tableDiff(oldDf, newDf, Seq("k"), compareCols = Seq("nope")))
+  }
 }
