@@ -597,6 +597,28 @@ object SparkEntry {
           coalesce(col("l_linestatus"), lit("ALL")).as("l_linestatus"),
           col("sum_qty"), col("sum_disc_price"), col("n_rows"), col("gid"))),
 
+    // ---- Running totals + moving window per customer: one shuffle on
+    // o_custkey, every frame (row_number, cumulative sum, 3-row moving
+    // sum, lag) shares the same partitioning/ordering. Money runs in
+    // integer CENTS and gaps in epoch-millis so ordered window sums are
+    // bit-exact across engines (float accumulation order is not).
+    "q50_running_totals" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("o_custkey").orderBy(col("o_orderdate"), col("o_orderkey"))
+      val cum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val last3 = w.rowsBetween(-2, Window.currentRow)
+      // o_orderdate reads as TIMESTAMP_NTZ; the session runs UTC, so the
+      // LTZ cast is identity and unix_millis == DuckDB epoch_ms
+      val ms = unix_millis(col("o_orderdate").cast("timestamp_ltz"))
+      t(s, dir, "orders")
+        .withColumn("__cents", round(col("o_totalprice") * 100, 0).cast("long"))
+        .select(col("o_custkey"), col("o_orderkey"),
+          row_number().over(w).cast("long").as("n_so_far"),
+          sum(col("__cents")).over(cum).as("cum_cents"),
+          sum(col("__cents")).over(last3).as("last3_cents"),
+          coalesce(ms - lag(ms, 1).over(w), lit(-1L)).as("gap_ms"))
+    }),
+
     // ---- Snapshot diff (DataDiff.tableDiff): yesterday's orders vs a
     // planted today — keys %97 removed, prices %13 bumped, %101 re-keyed
     // as additions. One full-outer shuffle join; per-column null-safe
@@ -886,6 +908,20 @@ object SparkEntry {
         |      ORDER BY event_id DESC, value DESC) AS __rn
         |    FROM events WHERE event_type = 'view') WHERE __rn = 1) r
         |  ON l.user_id = r.user_id AND l.ts >= r.ts""".stripMargin,
+    // integer-cents window sums (exact regardless of engine-internal
+    // accumulation order), same (date, key) tie-break, same frames
+    "q50_running_totals" ->
+      """SELECT o_custkey, o_orderkey,
+        |  CAST(row_number() OVER w AS BIGINT) AS n_so_far,
+        |  CAST(sum(cents) OVER (PARTITION BY o_custkey
+        |    ORDER BY o_orderdate, o_orderkey
+        |    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_cents,
+        |  CAST(sum(cents) OVER (PARTITION BY o_custkey
+        |    ORDER BY o_orderdate, o_orderkey
+        |    ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS BIGINT) AS last3_cents,
+        |  coalesce(epoch_ms(o_orderdate) - lag(epoch_ms(o_orderdate)) OVER w, -1) AS gap_ms
+        |FROM (SELECT *, CAST(round(o_totalprice * 100) AS BIGINT) AS cents FROM orders)
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)""".stripMargin,
     // identical planted snapshot; null-safe per-column comparison via
     // IS NOT DISTINCT FROM; presence from the join sides (keys non-null)
     "q49_table_diff" ->
