@@ -511,11 +511,15 @@ object SparkEntry {
     // random-projection LSH, not SQL-expressible → rows-only; pair
     // accounting asserted in EntrySpec.
     "q39_vector_near_dup" -> ((s, dir) => {
+      // the corpus slice is capped at 1000 vectors for the same reason
+      // planting is capped at 500 pairs: the signal (planted found,
+      // natural excluded) does not grow with corpus size, the LSH join
+      // cost does — and q42 runs the scale-path (SRP) alternative on the
+      // same harness
       val emb = t(s, dir, "embeddings").select(col("vec_id"), col("embedding"))
+        .filter(col("vec_id") < 1000)
       // noise BEFORE the id shift (withColumn, not a sibling select
-      // alias) so the perturbation is seeded by the base id. Planting is
-      // capped at 500 pairs — the signal (planted found, natural
-      // excluded) does not grow with corpus size, the LSH join cost does.
+      // alias) so the perturbation is seeded by the base id
       val noisy = emb.filter(col("vec_id") < 500)
         .withColumn("embedding", transform(col("embedding"),
           (x, i) => (x * (lit(1.0) + lit(0.1) * sin(col("vec_id") * 7919 + i * 104729))).cast("float")))
@@ -596,6 +600,24 @@ object SparkEntry {
           coalesce(col("l_returnflag"), lit("ALL")).as("l_returnflag"),
           coalesce(col("l_linestatus"), lit("ALL")).as("l_linestatus"),
           col("sum_qty"), col("sum_disc_price"), col("n_rows"), col("gid"))),
+
+    // ---- Pivot/crosstab: hour-of-day × event_type counts + summed
+    // value. Pivot values are EXPLICIT (no distinct-collect job — at
+    // 100 TB an implicit pivot first scans the data to list columns);
+    // one shuffle on ≤24 keys, aggregation pushed partial. ts is long
+    // nanos (nanosAsLong), so the hour is integer epoch arithmetic.
+    "q51_pivot" -> ((s, dir) => {
+      val hour = pmod(call_function("div", col("ts"), lit(3600L * 1000000000L)), lit(24L))
+      val types = Seq("view", "click", "purchase", "signup", "error")
+      t(s, dir, "events")
+        .groupBy(hour.as("hour_utc"))
+        .pivot("event_type", types)
+        .agg(count(lit(1)).as("n"), round(sum("value"), 4).as("val"))
+        .select(col("hour_utc") +:
+          types.flatMap(tp => Seq(
+            coalesce(col(s"${tp}_n"), lit(0L)).as(s"${tp}_n"),
+            coalesce(col(s"${tp}_val"), lit(0.0)).as(s"${tp}_val"))): _*)
+    }),
 
     // ---- Running totals + moving window per customer: one shuffle on
     // o_custkey, every frame (row_number, cumulative sum, 3-row moving
@@ -908,6 +930,17 @@ object SparkEntry {
         |      ORDER BY event_id DESC, value DESC) AS __rn
         |    FROM events WHERE event_type = 'view') WHERE __rn = 1) r
         |  ON l.user_id = r.user_id AND l.ts >= r.ts""".stripMargin,
+    // CASE-pivot replay; hour boundaries are whole microseconds, so the
+    // ns→us truncation in DuckDB's timestamp read cannot flip a bucket
+    "q51_pivot" -> {
+      val cols = Seq("view", "click", "purchase", "signup", "error").map { tp =>
+        s"""  CAST(count(CASE WHEN event_type = '$tp' THEN 1 END) AS BIGINT) AS ${tp}_n,
+           |  round(coalesce(sum(CASE WHEN event_type = '$tp' THEN value END), 0.0), 4) AS ${tp}_val""".stripMargin
+      }.mkString(",\n")
+      s"""SELECT (epoch_ns(ts) // 3600000000000) % 24 AS hour_utc,
+         |$cols
+         |FROM events GROUP BY 1""".stripMargin
+    },
     // integer-cents window sums (exact regardless of engine-internal
     // accumulation order), same (date, key) tie-break, same frames
     "q50_running_totals" ->
