@@ -140,10 +140,14 @@ object Scorer {
   * `text-column` (default text), `min-quality`, `langs = [en, ...]`,
   * `near-dup-strategy` (simhash|minhash), `min-jaccard`,
   * `max-jaccard-distance`, `max-hamming`, `bands`, `shingle-size`,
-  * `transitive-near-dups`; post-curation: `mixture-weights { src = f }`
-  * (+ `mixture-source-column`, `mixture-default-fraction`,
-  * `mixture-salt`) and `chunk-size` (+ `chunk-overlap`, default
-  * size/4).
+  * `transitive-near-dups`; pre-curation: `redact = true` scrubs PII
+  * BEFORE any hashing, so dedup state is computed over scrubbed text;
+  * post-curation: `mixture-weights { src = f }` (+
+  * `mixture-source-column`, `mixture-default-fraction`,
+  * `mixture-salt`), `splits = ["train:0.8", "val:0.1", "test:0.1"]`
+  * (+ `split-salt`, `split-column`; ordered — ranges are cumulative)
+  * and `chunk-size` (+ `chunk-overlap`, default size/4; the split
+  * label rides along on every chunk).
   *
   * INCREMENTAL mode (how curation runs in production — daily batches
   * against persisted dedup state, never re-reading the corpus):
@@ -156,8 +160,17 @@ object Curator {
   def main(args: Array[String]): Unit = Cli.run("curator", args) { (conf, spark) =>
     import org.apache.spark.sql.functions.col
     Cli.log("loading corpus...")
-    val df = graft.sources.DataIO.read(spark, conf.at("source"))
+    val raw = graft.sources.DataIO.read(spark, conf.at("source"))
     val c = conf.at("curation")
+    // optional PII scrub FIRST — before any hashing/signatures, so the
+    // persisted dedup state is computed over scrubbed text (state built
+    // on unscrubbed text would stop matching future scrubbed batches)
+    val df =
+      if (!c.getBoolean("redact").getOrElse(false)) raw
+      else {
+        val tcol = c.getString("text-column").getOrElse("text")
+        raw.withColumn(tcol, graft.llm.TextAnalysis.redact(col(tcol)))
+      }
     val base = graft.llm.Curation.Config()
     val cc = graft.llm.Curation.Config(
       minQuality = c.getDouble("min-quality").getOrElse(base.minQuality),
@@ -251,12 +264,32 @@ object Curator {
         mixWeights.map { case (k, v) => k -> v.toDouble }.toMap,
         defaultFraction = c.getDouble("mixture-default-fraction").getOrElse(0.0),
         salt = c.getString("mixture-salt").getOrElse(""))
+    // optional deterministic train/val/test split on the emitted set
+    // (ordered "name:weight" entries — range assignment is cumulative,
+    // so order is part of the contract and a list, not a map, carries it)
+    val splitCol = c.getString("split-column").getOrElse("split")
+    val (labeled, keep) = c.getList("splits") match {
+      case Some(entries) if entries.nonEmpty =>
+        val splits = entries.map { e =>
+          e.split(":") match {
+            case Array(n, w) => n.trim -> w.trim.toDouble
+            case _ => throw new IllegalArgumentException(
+              s"curation.splits entries must be name:weight, got '$e'")
+          }
+        }
+        (graft.llm.CorpusPrep.hashSplit(mixed, idCol, splits,
+          salt = c.getString("split-salt").getOrElse(""), splitCol = splitCol),
+          Seq(splitCol))
+      case _ => (mixed, Nil)
+    }
     // optional context-window chunking: emit training-ready rows (the
-    // native one-pass expression; bit-identical to the HOF reference)
+    // native one-pass expression; bit-identical to the HOF reference);
+    // the split label rides along on every chunk
     val out = c.getInt("chunk-size") match {
-      case Some(cs) => graft.llm.CorpusPrep.chunkByTokensFast(mixed, idCol, textCol,
-        chunkSize = cs, overlap = c.getInt("chunk-overlap").getOrElse(cs / 4))
-      case None => mixed
+      case Some(cs) => graft.llm.CorpusPrep.chunkByTokensFast(labeled, idCol, textCol,
+        chunkSize = cs, overlap = c.getInt("chunk-overlap").getOrElse(cs / 4),
+        keepCols = keep)
+      case None => labeled
     }
     // TARGET FIRST, STATE LAST: committing dedup state before the target
     // write would mean a crash in between leaves this batch's survivors

@@ -70,14 +70,15 @@ object CorpusPrep {
       idCol: String,
       textCol: String,
       chunkSize: Int = 64,
-      overlap: Int = 16): DataFrame =
-    df.select(col(idCol),
+      overlap: Int = 16,
+      keepCols: Seq[String] = Nil): DataFrame =
+    df.select(col(idCol) +: keepCols.map(col) :+
       posexplode(graft.functions.GraftFunctions.chunks(col(textCol), chunkSize, overlap))
-        .as(Seq("chunk_id", "__c")))
-      .select(col(idCol),
-        col("chunk_id").cast("long").as("chunk_id"),
-        col("__c.chunk_text").as("chunk_text"),
-        col("__c.chunk_tokens").cast("long").as("chunk_tokens"))
+        .as(Seq("chunk_id", "__c")): _*)
+      .select(col(idCol) +: keepCols.map(col) :+
+        col("chunk_id").cast("long").as("chunk_id") :+
+        col("__c.chunk_text").as("chunk_text") :+
+        col("__c.chunk_tokens").cast("long").as("chunk_tokens"): _*)
 
   /** Deterministic train/val/test split: label every row with the name
     * of its split, by consecutive ranges of the SAME md5 digest space

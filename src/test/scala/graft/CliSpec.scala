@@ -188,6 +188,44 @@ class CliSpec extends SparkTestBase {
     assert(docsKept < total, s"mixture should drop some docs ($docsKept vs $total)")
   }
 
+  test("curator with redact + splits labels every chunk and scrubs planted PII") {
+    import org.apache.spark.sql.functions.{col, concat, lit}
+    val base = tmp()
+    // corpus with planted PII in every doc
+    val src = base.resolve("pii_docs").toString
+    spark.read.parquet(s"$sfDir/documents.parquet")
+      .withColumn("text", concat(col("text"), lit(" mail bob@example.com now")))
+      .write.parquet(src)
+    val out = base.resolve("split_chunks").toString
+    val f = write(base.resolve("curator3.conf"),
+      s"""source { storage-type = local, dataset-dir = $src }
+         |target { storage-type = local, dataset-dir = $out, dataset-store-format = parquet, write-mode = overwrite }
+         |curation {
+         |  min-quality = 0.0
+         |  redact = true
+         |  splits = ["train:0.8", "val:0.1", "test:0.1"]
+         |  split-salt = s1
+         |  chunk-size = 32
+         |  chunk-overlap = 8
+         |}
+         |""".stripMargin)
+    graft.cli.Curator.main(Array("--conf", f))
+    val chunks = spark.read.parquet(out)
+    assert(chunks.columns.toSeq ==
+      Seq("doc_id", "split", "chunk_id", "chunk_text", "chunk_tokens"))
+    val bySplit = chunks.select("doc_id", "split").distinct()
+      .groupBy("split").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(bySplit.keySet.subsetOf(Set("train", "val", "test")) && bySplit.contains("train"),
+      s"$bySplit")
+    // each doc carries exactly one split label
+    assert(chunks.select("doc_id", "split").distinct().count() ==
+      chunks.select("doc_id").distinct().count())
+    // the PII never reaches the training output (scrubbed pre-curation)
+    assert(chunks.filter(col("chunk_text").contains("bob@example.com")).count() == 0)
+    assert(chunks.filter(col("chunk_text").contains("<EMAIL>")).count() > 0)
+  }
+
   test("curator incremental mode: re-running the same corpus against state keeps nothing") {
     val base = tmp()
     def conf(run: Int, stateIn: Option[String]) = write(base.resolve(s"cur$run.conf"),
