@@ -95,6 +95,36 @@ object ScaleProbe {
         .write.format("noop").mode("overwrite").save()
     }
 
+    time("BM25 scoring, 3 terms (stats + scoring scan)") {
+      graft.llm.TextAnalysis.bm25Score(docs, "doc_id", "text", Seq("a", "b", "c"))
+        .write.format("noop").mode("overwrite").save()
+    }
+
+    time("PII redaction, 3 rules (regex scan)") {
+      docs.select(graft.llm.TextAnalysis.redact(col("text")))
+        .write.format("noop").mode("overwrite").save()
+    }
+
+    time("heavy hitters k=64 (MG partial/final agg)") {
+      docs.select(explode(graft.llm.Dedup.tokens(col("text"))).as("t"))
+        .agg(graft.functions.FreqSketch.sketch(col("t"), 64))
+        .write.format("noop").mode("overwrite").save()
+    }
+
+    time("train/val/test hashSplit (scan projection)") {
+      graft.llm.CorpusPrep.hashSplit(docs, "doc_id",
+        Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+        .write.format("noop").mode("overwrite").save()
+    }
+
+    time("sessionize 100k keys (1 shuffle, 2 window fns)") {
+      graft.operators.Ops.sessionize(
+        docs.select(pmod(col("doc_id"), lit(100000)).as("k"),
+          col("doc_id").as("t")),
+        Seq("k"), "t", maxGap = 3L)
+        .write.format("noop").mode("overwrite").save()
+    }
+
     // --- synthetic embeddings: 64-dim, deterministic
     val vecs = spark.range(nVecs).select(
       col("id").as("vec_id"),
@@ -115,6 +145,18 @@ object ScaleProbe {
     time("IVF KNN 16 queries (nprobe 8/64)") {
       graft.llm.Similarity.ivfTopK(queries, tagged, model, k = 10, nprobe = 8).count()
     }
+
+    time(s"SRP signatures, $nVecs vectors (codegen scan)") {
+      graft.llm.Similarity.srpSignatures(vecs)
+        .write.format("noop").mode("overwrite").save()
+    }
+
+    // random vectors: no natural near-dups, so this measures the banded
+    // join + verify machinery cost at zero-candidate density
+    val srpPairs = time(s"SRP near-dup self-join, $nVecs vectors") {
+      graft.llm.Similarity.srpNearDupPairs(vecs, minCosine = 0.95).count()
+    }
+    println(s"  pairs found: $srpPairs")
 
     spark.stop()
   }
