@@ -198,14 +198,32 @@ object DataIO {
   def write(df0: DataFrame, conf: GraftConfig): Unit = {
     if (conf.getBoolean("disabled").getOrElse(false)) return
     val spark = df0.sparkSession
-    // K0 pre-write repartition (reference core.py:174-181)
-    var df = distributeBy(conf) match {
-      case Some((key, Some(n))) => df0.repartition(n, col(key))
-      case Some((key, None))    => df0.repartition(col(key))
-      case None => conf.getInt("n-partitions") match {
-        case Some(n) => df0.repartition(n)
-        case None    => df0
+    // K0 pre-write repartition (reference core.py:174-181).
+    // `range-by` replaces the hash repartition with a RANGE partition:
+    // files then hold disjoint key ranges, so parquet/orc footer min/max
+    // stats actually PRUNE — the data-skipping layout knob for columns
+    // readers filter on (dates, ids). Hash-partitioned files each span
+    // the whole key range and skip nothing.
+    var df = conf.getList("range-by") match {
+      case Some(cols0) =>
+        val cols = cols0.map(col)
+        conf.getInt("n-partitions") match {
+          case Some(n) => df0.repartitionByRange(n, cols: _*)
+          case None    => df0.repartitionByRange(cols: _*)
+        }
+      case None => distributeBy(conf) match {
+        case Some((key, Some(n))) => df0.repartition(n, col(key))
+        case Some((key, None))    => df0.repartition(col(key))
+        case None => conf.getInt("n-partitions") match {
+          case Some(n) => df0.repartition(n)
+          case None    => df0
+        }
       }
+    }
+    // order rows INSIDE each file (no shuffle): tightens row-group
+    // min/max spans so stats-based skipping works within files too
+    conf.getList("sort-within-partitions").foreach { cols =>
+      df = df.sortWithinPartitions(cols.map(col): _*)
     }
     val storage = storageOf(conf)
     storage match {

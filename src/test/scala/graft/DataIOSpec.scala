@@ -79,6 +79,37 @@ class DataIOSpec extends SparkTestBase {
     assert(back.columns.toSet == df.columns.toSet)
   }
 
+  test("range-by + sort-within-partitions lay out disjoint, sorted files (data skipping)") {
+    import org.apache.spark.sql.functions._
+    val dir = s"${tmp()}/ranged"
+    val df = spark.read.parquet(s"$sfDir/orders.parquet")
+    DataIO.write(df, GraftConfig.parse(
+      s"""storage-type = local
+         |dataset-dir = "$dir"
+         |dataset-store-format = parquet
+         |write-mode = overwrite
+         |range-by = [o_orderkey]
+         |sort-within-partitions = [o_orderkey]
+         |n-partitions = 4""".stripMargin))
+    val back = spark.read.parquet(dir)
+    assert(back.count() == df.count())
+    // files hold DISJOINT key ranges — the property parquet footer
+    // min/max pruning needs (hash layout would interleave every file)
+    val spans = back.groupBy(input_file_name().as("f"))
+      .agg(min("o_orderkey").as("lo"), max("o_orderkey").as("hi"))
+      .collect().map(r => (r.getLong(1), r.getLong(2))).sortBy(_._1)
+    assert(spans.length > 1, "expected multiple files")
+    spans.sliding(2).foreach {
+      case Array((_, hi1), (lo2, _)) => assert(hi1 <= lo2, s"overlap: ${spans.toSeq}")
+      case _ =>
+    }
+    // a selective key filter prunes at the file level: the matching
+    // key lives in exactly one file span
+    val k = spans.head._2 // a key from the first file
+    val hits = spans.count { case (lo, hi) => lo <= k && k <= hi }
+    assert(hits == 1, s"key $k should fall in exactly one file span")
+  }
+
   test("disabled target writes nothing (K0)") {
     val dir = tmp() + "/never"
     DataIO.write(spark.range(5).toDF(),
