@@ -601,6 +601,31 @@ object SparkEntry {
           coalesce(col("l_linestatus"), lit("ALL")).as("l_linestatus"),
           col("sum_qty"), col("sum_disc_price"), col("n_rows"), col("gid"))),
 
+    // ---- The scale-safe quantile path AS DATA (the q25-recall
+    // pattern): per-group approx_percentile (mergeable sketch, bounded
+    // buffers — the plan that survives 100 TB) joined against the exact
+    // form (unbounded buffers — oracle-only), reporting worst relative
+    // error. Sketch internals aren't SQL-portable → rows-only; the
+    // error FLOOR is pinned in QuantilesSpec.
+    "q52_quantile_error" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+      val probs = Seq(0.5, 0.95, 0.99)
+      def q(exact: Boolean) = graft.datadiff.DataDiff.quantiles(
+        li, "l_extendedprice", Seq("l_returnflag"), probs, exact = exact)
+      val ex = q(exact = true)
+      val ap = q(exact = false)
+      val renamed = ap.columns.foldLeft(ap)((d, c) =>
+        if (c == "l_returnflag") d else d.withColumnRenamed(c, s"a_$c"))
+      ex.join(renamed, "l_returnflag")
+        .select(col("l_returnflag") +: probs.map { p =>
+          val n = f"p${(p * 100).toInt}%d"
+          (abs(col(s"a_$n") - col(n)) / abs(col(n))).as(s"err_$n")
+        }: _*)
+        .agg(count(lit(1)).as("n_groups"),
+          probs.map(p => round(max(col(f"err_p${(p * 100).toInt}%d")), 6)
+            .as(f"max_rel_err_p${(p * 100).toInt}%d")): _*)
+    }),
+
     // ---- Pivot/crosstab: hour-of-day × event_type counts + summed
     // value. Pivot values are EXPLICIT (no distinct-collect job — at
     // 100 TB an implicit pivot first scans the data to list columns);
