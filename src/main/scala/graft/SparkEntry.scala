@@ -608,7 +608,12 @@ object SparkEntry {
     // error. Sketch internals aren't SQL-portable → rows-only; the
     // error FLOOR is pinned in QuantilesSpec.
     "q52_quantile_error" -> ((s, dir) => {
-      val li = t(s, dir, "lineitem")
+      // the EXACT side buffers every group value — monitoring runs it on
+      // a deterministic 25% sample so the comparison stays bounded at
+      // any scale (both sides see the same sample: the error measured is
+      // still sketch-vs-truth on identical data)
+      val li = graft.operators.Ops.hashSample(
+        t(s, dir, "lineitem"), "l_orderkey", 0.25, salt = "q52")
       val probs = Seq(0.5, 0.95, 0.99)
       def q(exact: Boolean) = graft.datadiff.DataDiff.quantiles(
         li, "l_extendedprice", Seq("l_returnflag"), probs, exact = exact)

@@ -181,7 +181,8 @@ object Curator {
       simHashMaxHamming = c.getInt("max-hamming").getOrElse(base.simHashMaxHamming),
       simHashBands = c.getInt("bands").getOrElse(base.simHashBands),
       shingleSize = c.getInt("shingle-size").getOrElse(base.shingleSize),
-      transitiveNearDups = c.getString("transitive-near-dups").exists(_.toBoolean))
+      transitiveNearDups = c.getString("transitive-near-dups").exists(_.toBoolean),
+      keepPolicy = c.getString("keep-policy").getOrElse(base.keepPolicy))
     val idCol = c.getString("id-column").getOrElse("doc_id")
     val textCol = c.getString("text-column").getOrElse("text")
     // ---- incremental mode: drop batch rows already in (or near) the

@@ -42,7 +42,13 @@ object Curation {
       simHashBands: Int = 4,
       simHashMaxBucket: Int = 10000,
       shingleSize: Int = 3,
-      transitiveNearDups: Boolean = false)
+      transitiveNearDups: Boolean = false,
+      /** Which member of a transitive near-dup cluster survives:
+        * `min-id` (stable, arbitrary) or `best-quality` (highest
+        * quality score, id as tie-break) — the copy worth training on
+        * is rarely the lowest-numbered one. Transitive mode only: pair
+        * mode has no well-defined cluster to choose within. */
+      keepPolicy: String = "min-id")
 
   /** Stage 1: annotate every document with curation signals — pure
     * projection at scan speed, via the one-pass stats expression
@@ -66,6 +72,11 @@ object Curation {
       conf: Config = Config()): DataFrame = {
     require(Set("simhash", "minhash").contains(conf.nearDupStrategy),
       s"unknown nearDupStrategy: ${conf.nearDupStrategy}") // before any work/persist
+    require(Set("min-id", "best-quality").contains(conf.keepPolicy),
+      s"unknown keepPolicy: ${conf.keepPolicy}")
+    require(conf.keepPolicy == "min-id" || conf.transitiveNearDups,
+      "keepPolicy = best-quality requires transitiveNearDups = true " +
+        "(pair mode has no cluster to choose within)")
     // 1-2: annotate + cheap filters (pushed toward the scan)
     var df = annotate(docs, textCol).filter(col("quality") >= conf.minQuality)
     if (conf.langs.nonEmpty)
@@ -110,13 +121,28 @@ object Curation {
         minJaccard = conf.nearDupMinJaccard, n = conf.shingleSize,
         shingleCol = Some("__shingles"))
       val dropIds =
-        if (conf.transitiveNearDups)
-          // transitive clusters: every non-minimum id of each connected
-          // component goes — the chain A~B~C keeps only min(A,B,C)
-          Dedup.connectedComponents(verified.select("id1", "id2"))
-            .filter(col("id") =!= col("label"))
-            .select(col("id").as(idCol))
-        else verified.select(col("id2").as(idCol)).distinct()
+        if (conf.transitiveNearDups) {
+          val members = Dedup.connectedComponents(verified.select("id1", "id2"))
+          conf.keepPolicy match {
+            case "min-id" =>
+              // every non-minimum id of each connected component goes —
+              // the chain A~B~C keeps only min(A,B,C)
+              members.filter(col("id") =!= col("label")).select(col("id").as(idCol))
+            case "best-quality" =>
+              // keep the highest-quality member per cluster (id asc
+              // tie-break). The ranking window runs on the PAIR-GRAPH
+              // members only — orders of magnitude smaller than the
+              // corpus — partitioned by cluster label.
+              import org.apache.spark.sql.expressions.Window
+              val w = Window.partitionBy("label")
+                .orderBy(col("quality").desc, col("id").asc)
+              members
+                .join(exact.select(col(idCol).as("id"), col("quality")), Seq("id"))
+                .withColumn("__rn", row_number().over(w))
+                .filter(col("__rn") =!= 1)
+                .select(col("id").as(idCol))
+          }
+        } else verified.select(col("id2").as(idCol)).distinct()
       val result = exact.join(dropIds, Seq(idCol), "left_anti")
         .drop("__shingles")
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)

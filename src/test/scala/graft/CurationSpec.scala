@@ -68,6 +68,35 @@ class CurationSpec extends SparkTestBase {
     assert(cc == Set(1L), s"transitive resolution kept $cc")
   }
 
+  test("keepPolicy best-quality keeps the highest-quality cluster member") {
+    // same chain shape as above (1 ~ 5000 ~ 2, 1 !~ 2), but doc 2's two
+    // distinctive tokens are English stopwords, boosting its quality
+    // score above the others — so the two policies pick DIFFERENT
+    // survivors and the test discriminates
+    val words = (0 until 40).map(i => s"word$i")
+    val mid = words.mkString(" ")
+    val a = ("xx yy" +: words.drop(2)).mkString(" ")
+    val b = (words.take(38) :+ "the of").mkString(" ")
+    val docs = Seq((1L, a), (2L, b), (5000L, mid)).toDF("doc_id", "text")
+    val conf = Curation.Config(minQuality = 0.0, nearDupStrategy = "minhash",
+      nearDupMaxJaccardDistance = 0.3, nearDupMinJaccard = 0.85,
+      transitiveNearDups = true)
+    val q = Curation.annotate(docs, "text").select("doc_id", "quality")
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(q(2L) > q(1L) && q(2L) > q(5000L), s"fixture must favor doc 2: $q")
+    val best = Curation.curate(docs, "doc_id", "text",
+      conf.copy(keepPolicy = "best-quality"))
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(best == Set(2L), s"best-quality kept $best")
+    val minId = Curation.curate(docs, "doc_id", "text", conf)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(minId == Set(1L), s"min-id kept $minId")
+    intercept[IllegalArgumentException](Curation.curate(docs, "doc_id", "text",
+      Curation.Config(keepPolicy = "best-quality"))) // needs transitive mode
+    intercept[IllegalArgumentException](Curation.curate(docs, "doc_id", "text",
+      Curation.Config(keepPolicy = "bogus", transitiveNearDups = true)))
+  }
+
   test("lang filter keeps only requested languages") {
     val planted = Seq(
       (1L, "the cat is in the house and it is a good day for the garden"),
