@@ -22,6 +22,45 @@ object SparkEntry {
     * pass) never collide on an active query name. */
   private val StreamRunSeq = new java.util.concurrent.atomic.AtomicInteger(0)
 
+  /** q38's planted chain corpus (shared with PerfProbe so the probe
+    * always times the exact gate workload): for each base doc, C = base
+    * + 2k sentinel tokens (id+10000) and hub B = base + k sentinels
+    * (id+20000) — B sits between base and C in Jaccard, so base ~ B ~ C
+    * chains without base ~ C. Variant texts derive BEFORE the id shift
+    * (withColumn, not a sibling select) so B and C embed the SAME
+    * base-id sentinels — B's token stream must be a prefix of C's. */
+  private[graft] def q38Planted(docs0: DataFrame): DataFrame = {
+    val docs = docs0.select(col("doc_id"), col("text"))
+    val n = size(graft.llm.Dedup.tokens(col("text")))
+    val base = docs.filter(col("doc_id") < 100 && n.between(40, 300))
+    val k = floor((n - lit(2)) / lit(6)).cast("int")
+    def extras(to: Column) = concat_ws(" ",
+      transform(sequence(lit(1), to), i => concat(lit("zzq"), col("doc_id"), lit("x"), i)))
+    val prepped = base
+      .withColumn("__textB", concat_ws(" ", col("text"), extras(k)))
+      .withColumn("__textC", concat_ws(" ", col("text"), extras(k * 2)))
+    val endC = prepped.select((col("doc_id") + 10000).as("doc_id"), col("__textC").as("text"))
+    val hubB = prepped.select((col("doc_id") + 20000).as("doc_id"), col("__textB").as("text"))
+    base.unionByName(endC).unionByName(hubB)
+  }
+
+  /** q39/q42 planted-pair accounting: collect the ≤2-row summary
+    * EAGERLY so the persisted planted frame can be unpersisted before
+    * returning (a lazily-returned frame would pin the cache for the
+    * rest of the session — Verify/Bench run ~50 queries in one). */
+  private def pairTypeSummary(s: SparkSession, pairs: DataFrame,
+      cached: DataFrame): DataFrame = {
+    val out = pairs
+      .groupBy(when(col("id2") - col("id1") === 100000, "planted")
+        .otherwise("other").as("pair_type"))
+      .agg(count(lit(1)).as("n_pairs"),
+        round(min("cos_sim"), 4).as("min_cos"),
+        round(avg("cos_sim"), 4).as("avg_cos"))
+    val rows = out.collect()
+    cached.unpersist()
+    s.createDataFrame(java.util.Arrays.asList(rows: _*), out.schema)
+  }
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
     queries("q1_pricing_summary")(spark, "/root/testdata/sf0.001")
@@ -456,23 +495,9 @@ object SparkEntry {
     "q38_transitive_dedup" -> ((s, dir) => {
       import s.implicits._
       import graft.llm.Dedup
-      val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
-      val n = size(Dedup.tokens(col("text")))
-      val base = docs.filter(col("doc_id") < 100 && n.between(40, 300))
-      val k = floor((n - lit(2)) / lit(6)).cast("int")
-      def extras(to: Column) = concat_ws(" ",
-        transform(sequence(lit(1), to), i => concat(lit("zzq"), col("doc_id"), lit("x"), i)))
-      // variant texts are derived BEFORE the id shift (withColumn, not a
-      // sibling select expression) so B and C embed the SAME base-id
-      // sentinels — B's token stream must be a prefix of C's
-      val prepped = base
-        .withColumn("__textB", concat_ws(" ", col("text"), extras(k)))
-        .withColumn("__textC", concat_ws(" ", col("text"), extras(k * 2)))
-      val endC = prepped.select((col("doc_id") + 10000).as("doc_id"), col("__textC").as("text"))
-      val hubB = prepped.select((col("doc_id") + 20000).as("doc_id"), col("__textB").as("text"))
-      // persisted: both curate modes read the planted frame several
-      // times (LSH fit, join sides, verify) — build the variants once
-      val planted = base.unionByName(endC).unionByName(hubB)
+      // persisted: the pair graph reads the planted frame several times
+      // (LSH fit, join sides, verify) — build the variants once
+      val planted = q38Planted(t(s, dir, "documents"))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       // The MinHash candidate join + Jaccard verification run ONCE; both
       // drop disciplines derive from the same verified pair graph (the
@@ -535,12 +560,7 @@ object SparkEntry {
       // still collide in ≥1 of the 4 tables with ~98% probability
       val pairs = graft.llm.Similarity.lshNearDupPairs(all,
         maxCosineDistance = 0.05, bucketLength = 0.02)
-      pairs
-        .groupBy(when(col("id2") - col("id1") === 100000, "planted")
-          .otherwise("other").as("pair_type"))
-        .agg(count(lit(1)).as("n_pairs"),
-          round(min("cos_sim"), 4).as("min_cos"),
-          round(avg("cos_sim"), 4).as("avg_cos"))
+      pairTypeSummary(s, pairs, all)
     }),
 
     // ---- The same planted-pair harness through SRP signatures + the
@@ -558,12 +578,7 @@ object SparkEntry {
       val all = emb.unionByName(noisy)
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val pairs = graft.llm.Similarity.srpNearDupPairs(all, minCosine = 0.999)
-      pairs
-        .groupBy(when(col("id2") - col("id1") === 100000, "planted")
-          .otherwise("other").as("pair_type"))
-        .agg(count(lit(1)).as("n_pairs"),
-          round(min("cos_sim"), 4).as("min_cos"),
-          round(avg("cos_sim"), 4).as("avg_cos"))
+      pairTypeSummary(s, pairs, all)
     }),
 
     // ---- Gap-based batch sessionization (Ops.sessionize): one shuffle
@@ -708,11 +723,9 @@ object SparkEntry {
             concat(lit(" tel +1 555 010 "),
               (lit(1000) + pmod(id, lit(9000))).cast("string"))),
           lit(" end")).as("text"))
-      val rules = graft.llm.TextAnalysis.defaultRedactions
       planted.select(Seq(col("doc_id"),
         graft.llm.TextAnalysis.redact(col("text")).as("redacted")) ++
-        rules.map(r =>
-          graft.llm.TextAnalysis.redactionCount(col("text"), r).as(s"n_${r.name}")): _*)
+        graft.llm.TextAnalysis.redactionCounts(col("text")): _*)
     }),
 
     // ---- Deterministic train/val/test split (CorpusPrep.hashSplit):
@@ -1017,9 +1030,14 @@ object SparkEntry {
       val redactExpr = rs.foldLeft("text") { (acc, r) =>
         s"regexp_replace($acc, '${r.pattern}', '${r.replacement}', 'g')"
       }
-      val countCols = rs.map(r =>
-        s"CAST(len(regexp_extract_all(text, '${r.pattern}')) AS BIGINT) AS n_${r.name}")
-        .mkString(",\n  ")
+      // counts are progressive (rule i counted after rules 0..i-1
+      // replaced), matching TextAnalysis.redactionCounts
+      val countCols = rs.indices.map { i =>
+        val prior = rs.take(i).foldLeft("text") { (acc, r) =>
+          s"regexp_replace($acc, '${r.pattern}', '${r.replacement}', 'g')"
+        }
+        s"CAST(len(regexp_extract_all($prior, '${rs(i).pattern}')) AS BIGINT) AS n_${rs(i).name}"
+      }.mkString(",\n  ")
       s"""WITH p AS (
          |  SELECT doc_id, text
          |    || CASE WHEN doc_id % 3 = 0 THEN ''

@@ -392,6 +392,12 @@ object DataDiff {
     * any SQL engine (q49's oracle replays it verbatim) and immune to
     * hash collisions silently masking a change.
     *
+    * PRECONDITION: the key columns identify rows UNIQUELY on each side.
+    * Duplicate keys fan out through the full-outer join and mislabel
+    * (a disappearing duplicate is never reported `removed`); pass
+    * `requireUniqueKeys = true` to fail fast instead — one extra
+    * aggregate per side, worth it on snapshots of unknown provenance.
+    *
     * Scale shape: ONE full-outer shuffle join on the key columns — both
     * sides partial-projected to key + compared columns first (column
     * pruning reaches the scans). Row-level output; compose with
@@ -403,7 +409,16 @@ object DataDiff {
       newDf: DataFrame,
       keyCols: Seq[String],
       compareCols: Seq[String] = Nil,
-      statusCol: String = "diff_status"): DataFrame = {
+      statusCol: String = "diff_status",
+      requireUniqueKeys: Boolean = false): DataFrame = {
+    if (requireUniqueKeys) {
+      for ((side, df) <- Seq("old" -> oldDf, "new" -> newDf)) {
+        val dup = df.groupBy(keyCols.map(col): _*).count()
+          .filter(col("count") > 1).limit(1).collect()
+        require(dup.isEmpty,
+          s"tableDiff: $side side has duplicate keys, e.g. ${dup.head.mkString("(", ",", ")")}")
+      }
+    }
     require(keyCols.nonEmpty, "tableDiff: at least one key column")
     val shared = newDf.columns.toSet.intersect(oldDf.columns.toSet)
     require(keyCols.forall(shared.contains),

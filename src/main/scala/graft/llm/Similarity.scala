@@ -355,10 +355,20 @@ object Similarity {
     else {
       // in-batch tier: without it a near-dup pair arriving in the same
       // increment enters the corpus forever (future runs only compare
-      // against the state) — same rationale as Dedup.dropSeen
-      val drops = srpNearDupPairs(fresh, minCosine, idCol, vecCol, bands,
-        numTables = 1, maxBucketSize = maxBucketSize, seed = seed)
-        .select(col("id2").as(idCol)).distinct()
+      // against the state) — same rationale as Dedup.dropSeen. The
+      // survivors' signatures are derived from batchSigs by anti-join
+      // (same vectors, same seed) — never recomputed.
+      val freshSigs = batchSigs.join(seen.withColumnRenamed(idCol, "id"),
+        Seq("id"), "left_anti")
+      val cand = Dedup.bandedSignaturesAgainst(freshSigs, freshSigs,
+        defaultMaxHamming(minCosine), bands, maxBucketSize, None)
+        .filter(col("batch_id") < col("corpus_id"))
+      val vecs = fresh.select(col(idCol).as("__vid"), col(vecCol).as("__v"))
+      val drops = cand
+        .join(vecs.select(col("__vid").as("batch_id"), col("__v").as("__v1")), Seq("batch_id"))
+        .join(vecs.select(col("__vid").as("corpus_id"), col("__v").as("__v2")), Seq("corpus_id"))
+        .filter(cosine(col("__v1"), col("__v2")) >= minCosine)
+        .select(col("corpus_id").as(idCol)).distinct()
       fresh.join(drops, Seq(idCol), "left_anti")
     }
   }

@@ -176,9 +176,21 @@ object TextAnalysis {
   def redact(c: Column, rules: Seq[RedactionRule] = defaultRedactions): Column =
     rules.foldLeft(c)((acc, r) => regexp_replace(acc, r.pattern, r.replacement))
 
-  /** Count of matches for one rule (pre-redaction text) — the
-    * observability side: redaction rates per rule are how silent PII
-    * floods (or dead rules) surface in a corpus report. */
+  /** Per-rule REPLACEMENT counts, aligned with what [[redact]] actually
+    * does: rule i is counted on the text after rules 0..i-1 have been
+    * applied, so a span consumed by an earlier rule (a phone-ish digit
+    * run inside an email address) is never double-reported. Returns one
+    * column per rule, in rule order — the observability side: redaction
+    * rates per rule are how silent PII floods (or dead rules) surface
+    * in a corpus report. */
+  def redactionCounts(c: Column, rules: Seq[RedactionRule] = defaultRedactions): Seq[Column] =
+    rules.indices.map { i =>
+      redactionCount(redact(c, rules.take(i)), rules(i)).as(s"n_${rules(i).name}")
+    }
+
+  /** Raw match count of ONE rule's pattern against `c` as given (no
+    * prior rules applied) — prefer [[redactionCounts]] when reporting
+    * alongside [[redact]], which applies rules progressively. */
   def redactionCount(c: Column, rule: RedactionRule): Column =
     regexp_count(c, lit(rule.pattern)).cast("long")
 

@@ -206,6 +206,11 @@ object DataIO {
     // the whole key range and skip nothing.
     var df = conf.getList("range-by") match {
       case Some(cols0) =>
+        require(cols0.nonEmpty, "range-by must name at least one column")
+        require(distributeBy(conf).isEmpty,
+          "range-by and distribute-by are mutually exclusive layouts — " +
+            "range-by gives disjoint-range files (data skipping), " +
+            "distribute-by gives hash co-location; pick one")
         val cols = cols0.map(col)
         conf.getInt("n-partitions") match {
           case Some(n) => df0.repartitionByRange(n, cols: _*)

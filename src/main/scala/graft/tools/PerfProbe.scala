@@ -23,18 +23,9 @@ object PerfProbe {
     time("q38 whole") { noop(graft.SparkEntry.queries("q38_transitive_dedup")(spark, sfDir)) }
 
     import graft.llm.{Curation, Dedup}
-    val docs = spark.read.parquet(s"$sfDir/documents.parquet").select(col("doc_id"), col("text"))
-    val n = size(Dedup.tokens(col("text")))
-    val base = docs.filter(col("doc_id") < 100 && n.between(40, 300))
-    val k = floor((n - lit(2)) / lit(6)).cast("int")
-    def extras(to: org.apache.spark.sql.Column) = concat_ws(" ",
-      transform(sequence(lit(1), to), i => concat(lit("zzq"), col("doc_id"), lit("x"), i)))
-    val prepped = base
-      .withColumn("__textB", concat_ws(" ", col("text"), extras(k)))
-      .withColumn("__textC", concat_ws(" ", col("text"), extras(k * 2)))
-    val endC = prepped.select((col("doc_id") + 10000).as("doc_id"), col("__textC").as("text"))
-    val hubB = prepped.select((col("doc_id") + 20000).as("doc_id"), col("__textB").as("text"))
-    val planted = base.unionByName(endC).unionByName(hubB)
+    // the exact gate fixture, shared with SparkEntry (no drift)
+    val planted = graft.SparkEntry.q38Planted(
+      spark.read.parquet(s"$sfDir/documents.parquet"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     planted.count()
     val cfg = Curation.Config(minQuality = 0.0, nearDupStrategy = "minhash",

@@ -107,13 +107,23 @@ class TextAnalysisSpec extends SparkTestBase {
     assert(got(2) == "call <PHONE> or <PHONE> now")
     assert(got(3) == "mixed <EMAIL> at <IP> tel <PHONE>")
     assert(got(4) == "clean text with no pii at all")
-    // counts per rule (pre-redaction)
-    val counts = rows.select(
-      TextAnalysis.defaultRedactions.map(r =>
-        TextAnalysis.redactionCount(col("text"), r).as(r.name)): _*)
+    // per-rule counts == actual replacements (progressive)
+    val counts = rows.select(TextAnalysis.redactionCounts(col("text")): _*)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
     assert(counts(0) == ((2L, 0L, 0L)) && counts(1) == ((0L, 2L, 0L)) &&
       counts(2) == ((0L, 0L, 2L)) && counts(4) == ((0L, 0L, 0L)))
+    // a phone-ish digit run INSIDE an email address: the email rule
+    // consumes it, so the phone count must be 0 (raw-text counting
+    // would claim 1 — the metric must agree with the scrub)
+    val nested = Seq("reach bob5551234567@mail.com ok").toDF("text")
+    assert(nested.select(TextAnalysis.redact(col("text")))
+      .head().getString(0) == "reach <EMAIL> ok")
+    val nc = nested.select(TextAnalysis.redactionCounts(col("text")): _*).head()
+    assert((nc.getLong(0), nc.getLong(1), nc.getLong(2)) == ((1L, 0L, 0L)),
+      s"progressive counts must not report the consumed span: $nc")
+    assert(nested.select(TextAnalysis.redactionCount(col("text"),
+      TextAnalysis.defaultRedactions(2))).head().getLong(0) == 1L,
+      "raw single-rule count keeps its as-given semantics")
   }
 
   test("bm25Score: hand-computed scores on a tiny fixture") {
