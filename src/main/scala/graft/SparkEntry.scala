@@ -616,6 +616,35 @@ object SparkEntry {
           coalesce(col("l_linestatus"), lit("ALL")).as("l_linestatus"),
           col("sum_qty"), col("sum_disc_price"), col("n_rows"), col("gid"))),
 
+    // ---- Int8 embedding quantization AS DATA: 4× less storage/shuffle
+    // for an embedding store; the quality cost is reported as a query —
+    // direction fidelity (self-cosine after round-trip) and top-10
+    // KNN recall of the quantized store against the float32 truth.
+    // Asserted floors in EntrySpec; not SQL-rankable → rows-only.
+    "q53_quantized_recall" -> ((s, dir) => {
+      import graft.llm.Similarity
+      val emb = t(s, dir, "embeddings").select(col("vec_id"), col("embedding"))
+      val deq = Similarity.quantize(emb)
+        .select(col("vec_id"),
+          Similarity.dequantize(col("q_vec"), col("q_scale")).as("embedding"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val exact = Similarity.bruteForceTopK(
+        emb.filter(col("vec_id") < 20), emb, k = 10).select("query_id", "neighbor_id")
+      val quant = Similarity.bruteForceTopK(
+        deq.filter(col("vec_id") < 20), deq, k = 10).select("query_id", "neighbor_id")
+      val recall = Similarity.probeRecall(exact, quant)
+        .agg(count(lit(1)).as("n_queries"),
+          round(avg("recall"), 4).as("avg_recall"),
+          round(min("recall"), 4).as("min_recall"))
+      val fidelity = emb.join(deq.withColumnRenamed("embedding", "__deq"), "vec_id")
+        .select(Similarity.cosine(col("embedding"), col("__deq")).as("c"))
+        .agg(round(min("c"), 6).as("min_self_cos"))
+      val out = recall.crossJoin(fidelity)
+      val rows = out.collect()
+      deq.unpersist()
+      s.createDataFrame(java.util.Arrays.asList(rows: _*), out.schema)
+    }),
+
     // ---- The scale-safe quantile path AS DATA (the q25-recall
     // pattern): per-group approx_percentile (mergeable sketch, bounded
     // buffers — the plan that survives 100 TB) joined against the exact

@@ -296,6 +296,33 @@ object Similarity {
     df.select(col(idCol).as("id"),
       graft.functions.GraftFunctions.srp(col(vecCol), seed).as("sig"))
 
+  // ------------------------------------------------------- quantization
+
+  /** Symmetric per-vector int8 quantization: `q_i = round(x_i/scale)`,
+    * `scale = max|x|/127` — 4× less storage and shuffle than float32
+    * for an embedding store (the knob that matters when embeddings for
+    * 100 TB of text are themselves terabytes). Per-VECTOR scales keep
+    * direction fidelity high regardless of magnitude spread across the
+    * corpus; cosine is scale-invariant, so similarity search on
+    * dequantized vectors degrades only by rounding (~1e-4 self-cosine
+    * loss at 64 dims — pinned as data by q53 and in SimilaritySpec).
+    * All-zero vectors take scale 0 and quantize to zeros. */
+  def quantize(
+      df: DataFrame,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    val scale = (array_max(transform(col(vecCol), x => abs(x))) / 127.0f).cast("float")
+    df.select(col(idCol),
+      scale.as("q_scale"),
+      when(scale === 0.0f, transform(col(vecCol), _ => lit(0).cast("tinyint")))
+        .otherwise(transform(col(vecCol),
+          x => round(x / scale, 0).cast("tinyint"))).as("q_vec"))
+  }
+
+  /** Inverse of [[quantize]]: `x_i ≈ q_i · scale`, back to float. */
+  def dequantize(qVec: Column, scale: Column): Column =
+    transform(qVec, b => (b.cast("float") * scale).cast("float"))
+
   /** Hamming prune for a cosine threshold: mean + 3σ of the bit-diff
     * distribution Binom(64, acos(c)/π) — generous enough that band
     * collision, not this prune, decides recall. */

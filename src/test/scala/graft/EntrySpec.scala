@@ -63,6 +63,14 @@ class EntrySpec extends SparkTestBase {
     assert(!rows.contains("other"), s"non-planted pairs above threshold: $rows")
   }
 
+  test("q53: int8 quantization keeps KNN recall and direction fidelity") {
+    val r = SparkEntry.queries("q53_quantized_recall")(spark, sfDir).head()
+    assert(r.getAs[Long]("n_queries") == 20L)
+    assert(r.getAs[Double]("avg_recall") >= 0.8, s"avg recall ${r.getAs[Double]("avg_recall")}")
+    assert(r.getAs[Double]("min_self_cos") >= 0.999,
+      s"direction fidelity ${r.getAs[Double]("min_self_cos")}")
+  }
+
   test("q40: incremental dropSeen removes every planted echo, keeps fresh batch rows") {
     val rows = SparkEntry.queries("q40_incremental_dedup")(spark, sfDir)
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap

@@ -249,6 +249,28 @@ class SimilaritySpec extends SparkTestBase {
     assert(far > 28 && far < 36, s"unrelated pairs should average ~32 bits apart, got $far")
   }
 
+  test("int8 quantize/dequantize: byte range, zero-vector safety, direction fidelity") {
+    val q = Similarity.quantize(emb).cache()
+    // every element is a genuine byte; scale reconstructs max|x|
+    val schema = q.schema("q_vec").dataType
+    assert(schema == org.apache.spark.sql.types.ArrayType(
+      org.apache.spark.sql.types.ByteType, containsNull = false) ||
+      schema.asInstanceOf[org.apache.spark.sql.types.ArrayType].elementType ==
+        org.apache.spark.sql.types.ByteType)
+    val deq = q.select(col("vec_id"),
+      Similarity.dequantize(col("q_vec"), col("q_scale")).as("deq"))
+    val minSelfCos = emb.join(deq, "vec_id")
+      .select(Similarity.cosine(col("embedding"), col("deq")).as("c"))
+      .agg(min("c")).head().getDouble(0)
+    assert(minSelfCos > 0.999, s"int8 round-trip lost direction: $minSelfCos")
+    // zero vector → scale 0, zero bytes, stays zero after round-trip
+    val z = Seq((99L, Array.fill(8)(0.0f))).toDF("vec_id", "embedding")
+    val zq = Similarity.quantize(z)
+      .select(Similarity.dequantize(col("q_vec"), col("q_scale")).as("d")).head()
+    assert(zq.getSeq[Float](0).forall(_ == 0.0f))
+    q.unpersist()
+  }
+
   test("dropSeenVectors: two-batch incremental — echoes dropped, fresh kept, in-batch pair collapsed") {
     // "yesterday's corpus": vectors 0..99 → persisted signature state
     val corpus = emb.filter(col("vec_id") < 100)
