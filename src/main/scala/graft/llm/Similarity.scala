@@ -266,6 +266,24 @@ object Similarity {
   def ivfLoad(spark: org.apache.spark.sql.SparkSession, dir: String): (KMeansModel, DataFrame) =
     (KMeansModel.load(s"$dir/kmeans"), spark.read.parquet(s"$dir/corpus"))
 
+  /** Incremental index growth: tag `newVecs` with their nearest
+    * EXISTING centroid (no KMeans re-training — the daily-increment
+    * path) and append them to the persisted cell-partitioned layout.
+    * Probes see the new vectors immediately; only the touched cell
+    * directories gain files. Re-train (ivfBuild) when drift makes the
+    * old centroids a poor partition of new data — the recall monitor
+    * (q25's probeRecall) is the signal for that. */
+  def ivfAppend(
+      model: KMeansModel,
+      newVecs: DataFrame,
+      indexDir: String,
+      vecCol: String = "embedding"): Unit = {
+    val tagged = model.transform(
+      newVecs.withColumn("__v", array_to_vector(col(vecCol))))
+      .drop("__v")
+    tagged.write.mode("append").partitionBy("cell").parquet(s"$indexDir/corpus")
+  }
+
   // --------------------------------------------------------------- LSH
 
   /** Near-duplicate vector pairs via bucketed random-projection LSH on

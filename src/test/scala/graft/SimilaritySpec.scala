@@ -249,6 +249,27 @@ class SimilaritySpec extends SparkTestBase {
     assert(far > 28 && far < 36, s"unrelated pairs should average ~32 bits apart, got $far")
   }
 
+  test("ivfAppend grows a persisted index without retraining; probes see new vectors") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-ivf-append").toString
+    val oldHalf = emb.filter(col("vec_id") < 250)
+    val newHalf = emb.filter(col("vec_id") >= 250 && col("vec_id") < 500)
+    val (model, tagged) = Similarity.ivfBuild(oldHalf, numCells = 8)
+    Similarity.ivfSave(model, tagged, dir)
+    Similarity.ivfAppend(model, newHalf, dir)
+    val (loadedModel, loadedCorpus) = Similarity.ivfLoad(spark, dir)
+    assert(loadedCorpus.count() == 500, "append must grow the persisted corpus")
+    // probing every cell over the grown index == brute force over the
+    // union: appended vectors are fully searchable
+    val queries = emb.filter(col("vec_id") < 3)
+    val viaIndex = Similarity.ivfTopK(queries, loadedCorpus, loadedModel,
+      k = 5, nprobe = 8).select("query_id", "neighbor_id")
+    val brute = Similarity.bruteForceTopK(queries,
+      oldHalf.unionByName(newHalf), k = 5).select("query_id", "neighbor_id")
+    val rec = Similarity.probeRecall(brute, viaIndex)
+      .agg(min("recall")).head().getDouble(0)
+    assert(rec == 1.0, s"full-probe recall over the appended index must be exact, got $rec")
+  }
+
   test("int8 quantize/dequantize: byte range, zero-vector safety, direction fidelity") {
     val q = Similarity.quantize(emb).cache()
     // every element is a genuine byte; scale reconstructs max|x|
