@@ -44,22 +44,26 @@ object SparkEntry {
     base.unionByName(endC).unionByName(hubB)
   }
 
-  /** q39/q42 planted-pair accounting: collect the ≤2-row summary
-    * EAGERLY so the persisted planted frame can be unpersisted before
-    * returning (a lazily-returned frame would pin the cache for the
-    * rest of the session — Verify/Bench run ~50 queries in one). */
+  /** Collect a small summary frame EAGERLY so its persisted inputs can
+    * be unpersisted before returning (a lazily-returned frame would pin
+    * every cache for the rest of the session — Verify/Bench run ~50
+    * queries in one). Use ONLY for results of a few rows. */
+  private def eagerSummary(s: SparkSession, out: DataFrame,
+      cached: DataFrame*): DataFrame = {
+    val rows = out.collect()
+    cached.foreach(_.unpersist())
+    s.createDataFrame(java.util.Arrays.asList(rows: _*), out.schema)
+  }
+
+  /** q39/q42 planted-pair accounting (eager — see [[eagerSummary]]). */
   private def pairTypeSummary(s: SparkSession, pairs: DataFrame,
-      cached: DataFrame): DataFrame = {
-    val out = pairs
+      cached: DataFrame): DataFrame =
+    eagerSummary(s, pairs
       .groupBy(when(col("id2") - col("id1") === 100000, "planted")
         .otherwise("other").as("pair_type"))
       .agg(count(lit(1)).as("n_pairs"),
         round(min("cos_sim"), 4).as("min_cos"),
-        round(avg("cos_sim"), 4).as("avg_cos"))
-    val rows = out.collect()
-    cached.unpersist()
-    s.createDataFrame(java.util.Arrays.asList(rows: _*), out.schema)
-  }
+        round(avg("cos_sim"), 4).as("avg_cos")), cached)
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
@@ -522,6 +526,7 @@ object SparkEntry {
         Dedup.connectedComponents(verified)
           .filter(col("id") =!= col("label")).select(col("id").as("doc_id")))
       verified.unpersist()
+      planted.unpersist() // counts are eager — nothing reads it again
       Seq(("pair_drop", pt, pe, ph), ("transitive", tt, te, th))
         .toDF("mode", "n_survivors", "n_endpoint_survivors", "n_hub_survivors")
     }),
@@ -639,10 +644,7 @@ object SparkEntry {
       val fidelity = emb.join(deq.withColumnRenamed("embedding", "__deq"), "vec_id")
         .select(Similarity.cosine(col("embedding"), col("__deq")).as("c"))
         .agg(round(min("c"), 6).as("min_self_cos"))
-      val out = recall.crossJoin(fidelity)
-      val rows = out.collect()
-      deq.unpersist()
-      s.createDataFrame(java.util.Arrays.asList(rows: _*), out.schema)
+      eagerSummary(s, recall.crossJoin(fidelity), deq)
     }),
 
     // ---- The scale-safe quantile path AS DATA (the q25-recall

@@ -411,18 +411,20 @@ object DataDiff {
       compareCols: Seq[String] = Nil,
       statusCol: String = "diff_status",
       requireUniqueKeys: Boolean = false): DataFrame = {
-    if (requireUniqueKeys) {
-      for ((side, df) <- Seq("old" -> oldDf, "new" -> newDf)) {
-        val dup = df.groupBy(keyCols.map(col): _*).count()
-          .filter(col("count") > 1).limit(1).collect()
-        require(dup.isEmpty,
-          s"tableDiff: $side side has duplicate keys, e.g. ${dup.head.mkString("(", ",", ")")}")
-      }
-    }
     require(keyCols.nonEmpty, "tableDiff: at least one key column")
     val shared = newDf.columns.toSet.intersect(oldDf.columns.toSet)
     require(keyCols.forall(shared.contains),
       s"tableDiff: key columns $keyCols must exist on both sides")
+    if (requireUniqueKeys) {
+      // aliased count: a key column literally named "count" must not
+      // collide with the probe's aggregate
+      for ((side, df) <- Seq("old" -> oldDf, "new" -> newDf)) {
+        val dup = df.groupBy(keyCols.map(col): _*).agg(count(lit(1)).as("__n"))
+          .filter(col("__n") > 1).limit(1).collect()
+        require(dup.isEmpty,
+          s"tableDiff: $side side has duplicate keys, e.g. ${dup.head.mkString("(", ",", ")")}")
+      }
+    }
     val cmp =
       if (compareCols.nonEmpty) compareCols
       else oldDf.columns.filter(c => shared.contains(c) && !keyCols.contains(c)).toSeq

@@ -278,10 +278,20 @@ object Similarity {
       newVecs: DataFrame,
       indexDir: String,
       vecCol: String = "embedding"): Unit = {
+    // same durability story as ivfEnsure's initial build: the _BUILT
+    // marker comes DOWN before the append and back up after, so a crash
+    // mid-append leaves an index ivfEnsure refuses and rebuilds rather
+    // than one silently containing an unknown subset of the increment
+    val spark = newVecs.sparkSession
+    val marker = new org.apache.hadoop.fs.Path(indexDir, "_BUILT")
+    val fs = marker.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val hadMarker = fs.exists(marker)
+    if (hadMarker) fs.delete(marker, false)
     val tagged = model.transform(
       newVecs.withColumn("__v", array_to_vector(col(vecCol))))
       .drop("__v")
     tagged.write.mode("append").partitionBy("cell").parquet(s"$indexDir/corpus")
+    if (hadMarker) fs.create(marker, true).close()
   }
 
   // --------------------------------------------------------------- LSH
@@ -329,12 +339,20 @@ object Similarity {
       df: DataFrame,
       idCol: String = "vec_id",
       vecCol: String = "embedding"): DataFrame = {
-    val scale = (array_max(transform(col(vecCol), x => abs(x))) / 127.0f).cast("float")
-    df.select(col(idCol),
-      scale.as("q_scale"),
-      when(scale === 0.0f, transform(col(vecCol), _ => lit(0).cast("tinyint")))
-        .otherwise(transform(col(vecCol),
-          x => round(x / scale, 0).cast("tinyint"))).as("q_vec"))
+    // the scale is projected FIRST and referenced by name in the
+    // element lambda: HOF lambda bodies re-evaluate per element, so an
+    // embedded array_max(transform(...)) subtree would cost O(dim²)
+    // per row (Catalyst does not hoist loop-invariant subtrees out of
+    // interpreted lambdas)
+    df.select(col(idCol), col(vecCol),
+      (array_max(transform(col(vecCol), x => abs(x))) / 127.0f)
+        .cast("float").as("q_scale"))
+      .select(col(idCol),
+        col("q_scale"),
+        when(col("q_scale") === 0.0f,
+          transform(col(vecCol), _ => lit(0).cast("tinyint")))
+          .otherwise(transform(col(vecCol),
+            x => round(x / col("q_scale"), 0).cast("tinyint"))).as("q_vec"))
   }
 
   /** Inverse of [[quantize]]: `x_i ≈ q_i · scale`, back to float. */
