@@ -621,6 +621,39 @@ object SparkEntry {
           coalesce(col("l_linestatus"), lit("ALL")).as("l_linestatus"),
           col("sum_qty"), col("sum_disc_price"), col("n_rows"), col("gid"))),
 
+    // ---- Full cube aggregation: all FOUR grouping levels (leaf /
+    // per-status / per-priority / grand total) from ONE Expand + one
+    // shuffle — the cross-dimension rollup q45's ROLLUP cannot express.
+    // Shuffle keys ≤ |status|×|priority| ×4 levels, partial-aggregated;
+    // grouping_id bit order matches DuckDB GROUPING() (q45 precedent).
+    "q54_cube" -> ((s, dir) =>
+      t(s, dir, "orders")
+        .cube(col("o_orderstatus"), col("o_orderpriority"))
+        .agg(count(lit(1)).as("n_orders"),
+          round(sum("o_totalprice"), 2).as("sum_price"),
+          grouping_id().cast("long").as("gid"))
+        .select(
+          coalesce(col("o_orderstatus"), lit("ALL")).as("o_orderstatus"),
+          coalesce(col("o_orderpriority"), lit("ALL")).as("o_orderpriority"),
+          col("n_orders"), col("sum_price"), col("gid"))),
+
+    // ---- Salted skew join under the oracle gate: Ops.saltedJoin
+    // spreads one hot key over 16 reducers (salt on the big side,
+    // explode ×16 on the small side). The machinery must be INVISIBLE
+    // in the result — the oracle runs the PLAIN join, so hash-equality
+    // proves salting preserves inner-join semantics exactly.
+    "q55_salted_join" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_quantity"), col("l_extendedprice"))
+      val ords = t(s, dir, "orders")
+        .select(col("o_orderkey").as("l_orderkey"), col("o_orderpriority"))
+      graft.operators.Ops.saltedJoin(li, ords, "l_orderkey", saltFactor = 16)
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("n_items"),
+          round(sum("l_quantity"), 2).as("sum_qty"),
+          round(sum("l_extendedprice"), 2).as("sum_price"))
+    }),
+
     // ---- Int8 embedding quantization AS DATA: 4× less storage/shuffle
     // for an embedding store; the quality cost is reported as a query —
     // direction fidelity (self-cosine after round-trip) and top-10
@@ -1108,6 +1141,20 @@ object SparkEntry {
         |  count(*) AS n_rows,
         |  CAST(GROUPING(l_returnflag, l_linestatus) AS BIGINT) AS gid
         |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)""".stripMargin,
+    "q54_cube" ->
+      """SELECT coalesce(o_orderstatus, 'ALL') AS o_orderstatus,
+        |  coalesce(o_orderpriority, 'ALL') AS o_orderpriority,
+        |  count(*) AS n_orders,
+        |  round(sum(o_totalprice), 2) AS sum_price,
+        |  CAST(GROUPING(o_orderstatus, o_orderpriority) AS BIGINT) AS gid
+        |FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)""".stripMargin,
+    "q55_salted_join" ->
+      """SELECT o_orderpriority,
+        |  count(*) AS n_items,
+        |  round(sum(l_quantity), 2) AS sum_qty,
+        |  round(sum(l_extendedprice), 2) AS sum_price
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY o_orderpriority""".stripMargin,
     // identical BM25 program: same tokenization as the chunking oracle,
     // idf = ln(1 + (N-df+.5)/(df+.5)), numerator (1.2 + 1.0) written as
     // the same float op Scala performs (the literal 2.2 is a DIFFERENT

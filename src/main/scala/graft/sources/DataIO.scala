@@ -204,25 +204,36 @@ object DataIO {
     // stats actually PRUNE — the data-skipping layout knob for columns
     // readers filter on (dates, ids). Hash-partitioned files each span
     // the whole key range and skip nothing.
-    var df = conf.getList("range-by") match {
-      case Some(cols0) =>
+    // `zorder-by` is the MULTI-column data-skipping layout: bit-interleaved
+    // equi-depth ranks (graft.operators.ZOrder) so footer min/max prune on
+    // EVERY listed column, where range-by prunes only its leading column.
+    val layouts = Seq("zorder-by" -> conf.getList("zorder-by").isDefined,
+      "range-by" -> conf.getList("range-by").isDefined,
+      "distribute-by" -> distributeBy(conf).isDefined).collect { case (k, true) => k }
+    require(layouts.size <= 1,
+      s"${layouts.mkString(" and ")} are mutually exclusive layouts — " +
+        "zorder-by prunes on every listed column, range-by on its leading " +
+        "column, distribute-by gives hash co-location; pick one")
+    val nParts = conf.getInt("n-partitions")
+    var df = (conf.getList("zorder-by"), conf.getList("range-by"), distributeBy(conf)) match {
+      case (Some(zcols), _, _) =>
+        require(zcols.nonEmpty, "zorder-by must name at least one column")
+        graft.operators.ZOrder.layout(df0, zcols,
+          bits = conf.getInt("zorder-bits").getOrElse(8), nPartitions = nParts)
+      case (_, Some(cols0), _) =>
         require(cols0.nonEmpty, "range-by must name at least one column")
-        require(distributeBy(conf).isEmpty,
-          "range-by and distribute-by are mutually exclusive layouts — " +
-            "range-by gives disjoint-range files (data skipping), " +
-            "distribute-by gives hash co-location; pick one")
         val cols = cols0.map(col)
-        conf.getInt("n-partitions") match {
+        nParts match {
           case Some(n) => df0.repartitionByRange(n, cols: _*)
           case None    => df0.repartitionByRange(cols: _*)
         }
-      case None => distributeBy(conf) match {
-        case Some((key, Some(n))) => df0.repartition(n, col(key))
-        case Some((key, None))    => df0.repartition(col(key))
-        case None => conf.getInt("n-partitions") match {
-          case Some(n) => df0.repartition(n)
-          case None    => df0
-        }
+      case (_, _, Some((key, nOpt))) => nOpt match {
+        case Some(n) => df0.repartition(n, col(key))
+        case None    => df0.repartition(col(key))
+      }
+      case _ => nParts match {
+        case Some(n) => df0.repartition(n)
+        case None    => df0
       }
     }
     // order rows INSIDE each file (no shuffle): tightens row-group
