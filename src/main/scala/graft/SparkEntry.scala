@@ -297,6 +297,25 @@ object SparkEntry {
           col("event_type"), col("n_events"), col("avg_value"), col("sum_value"))
     }),
 
+    // ---- Stream-stream interval join: click→prior-views attribution
+    // with watermarked state eviction (join state bounded by
+    // horizon + delay, not stream length). Inner-join matches emit
+    // immediately, and the single AvailableNow batch starts below any
+    // watermark cutoff, so the oracle is the plain interval self-join —
+    // micro-truncated timestamps compare identically in both engines.
+    "q56_stream_join" -> ((s, dir) => {
+      val name = s"q56_mem_${StreamRunSeq.incrementAndGet()}"
+      graft.streaming.Streams.runToMemory(
+        graft.streaming.Streams.attributionJoin(
+          graft.streaming.Streams.readEventStream(s, dir, "events.parquet")),
+        name, org.apache.spark.sql.streaming.OutputMode.Append(),
+        shufflePartitions = Some(4))
+        .select(col("click_id"), col("user_id"),
+          unix_micros(col("click_time")).as("click_us"),
+          col("view_id"), unix_micros(col("view_time")).as("view_us"),
+          col("view_value"))
+    }),
+
     // ---- R11 continuous (equi-width) histogram: edges fixed by one
     // min/max pass, then a single bounded shuffle (≤ bins keys). The
     // bin arithmetic floor((x−lo)/w) is engine-portable, so this is
@@ -999,6 +1018,17 @@ object SparkEntry {
         |FROM e, m
         |GROUP BY ws, event_type, m.met
         |HAVING ws + 3600 <= m.met - 7200""".stripMargin,
+    // plain interval self-join at microsecond precision (both engines
+    // truncate ns→us identically; 1 hour = 3 600 000 000 us)
+    "q56_stream_join" ->
+      """SELECT c.event_id AS click_id, c.user_id,
+        |  epoch_us(c.ts) AS click_us,
+        |  v.event_id AS view_id, epoch_us(v.ts) AS view_us,
+        |  v.value AS view_value
+        |FROM events c JOIN events v ON v.user_id = c.user_id
+        |WHERE c.event_type = 'click' AND v.event_type = 'view'
+        |  AND epoch_us(v.ts) <= epoch_us(c.ts)
+        |  AND epoch_us(v.ts) >= epoch_us(c.ts) - 3600000000""".stripMargin,
     "q24_continuous_hist" ->
       """WITH b AS (
         |  SELECT min(l_extendedprice) AS lo, max(l_extendedprice) AS hi

@@ -98,6 +98,43 @@ object Streams {
     else wm.dropDuplicates("event_id")
   }
 
+  /** Watermarked stream-stream interval join (attribution): pair each
+    * click with every view by the same user in the preceding `horizon`.
+    *
+    * The time-range predicate + watermarks are what make this run
+    * unbounded: Spark derives a state watermark from them and evicts
+    * buffered view rows older than `click watermark − horizon` (and
+    * clicks older than the view watermark), so join state is bounded by
+    * horizon + delay instead of growing with the stream. Without the
+    * range condition a stream-stream join must buffer both sides
+    * forever. Batch parity: on batch frames the watermark is a no-op
+    * and this is a plain interval self-join — same rows out.
+    *
+    * At scale: one shuffle per side on `user_id`; per-user view fan-in
+    * is bounded by event rate × horizon. Timestamps compare at
+    * microsecond precision (`eventTime`) on both sides. */
+  def attributionJoin(
+      events: DataFrame,
+      clickType: String = "click",
+      viewType: String = "view",
+      horizon: String = "1 hour",
+      watermarkDelay: String = "2 hours"): DataFrame = {
+    val clicks = events.filter(col("event_type") === clickType)
+      .select(col("event_id").as("click_id"), col("user_id"),
+        eventTime(col("ts")).as("click_time"))
+      .withWatermark("click_time", watermarkDelay)
+    val views = events.filter(col("event_type") === viewType)
+      .select(col("event_id").as("view_id"), col("user_id").as("__view_user"),
+        eventTime(col("ts")).as("view_time"), col("value").as("view_value"))
+      .withWatermark("view_time", watermarkDelay)
+    clicks.join(views,
+      col("user_id") === col("__view_user") &&
+        col("view_time") <= col("click_time") &&
+        col("view_time") >= col("click_time") - expr(s"INTERVAL $horizon"),
+      "inner")
+      .drop("__view_user")
+  }
+
   /** Streaming model scoring: stateless, so the batch scorer's
     * expression path applies verbatim (graft.ml.Scorer.scoreExpr works
     * on a streaming DataFrame unchanged). Provided for discoverability. */

@@ -47,6 +47,21 @@ class StreamsSpec extends SparkTestBase {
     assert(got.size > want.size / 2)
   }
 
+  test("stream-stream attribution join == batch interval self-join (inner emits all)") {
+    val got = Streams.runToMemory(
+      Streams.attributionJoin(
+        Streams.readEventStream(spark, eventsDir, "events.parquet")),
+      "attr_join", OutputMode.Append())
+      .collect().map(r => (r.getLong(0), r.getLong(3))).toSet // (click_id, view_id)
+    // batch frames make the watermark a no-op → plain interval self-join
+    val want = Streams.attributionJoin(batchEvents)
+      .collect().map(r => (r.getLong(0), r.getLong(3))).toSet
+    // inner-join matches emit immediately (no watermark withholding),
+    // and the single AvailableNow batch runs below any cutoff
+    assert(got == want, s"stream-only: ${got -- want}; batch-only: ${want -- got}")
+    assert(got.nonEmpty, "expected at least one click with a prior view")
+  }
+
   test("stream dedup drops planted duplicate event ids (bounded state)") {
     // stage a dir with the events file twice → every event_id duplicated
     val dir = java.nio.file.Files.createTempDirectory("graft-stream").toString
