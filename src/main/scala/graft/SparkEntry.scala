@@ -673,6 +673,47 @@ object SparkEntry {
           round(sum("l_extendedprice"), 2).as("sum_price"))
     }),
 
+    // ---- Semi/anti join surface: per-nation balance of customers WITH
+    // orders (left_semi) and WITHOUT (left_anti). Both plan as one
+    // existence join on the key — no row multiplication, the orders
+    // side carries only its join key through the shuffle.
+    "q57_semi_anti" -> ((s, dir) => {
+      val c = t(s, dir, "customer")
+      val o = t(s, dir, "orders").select(col("o_custkey"))
+      def side(tp: String, label: String) =
+        c.join(o, col("c_custkey") === col("o_custkey"), tp)
+          .groupBy("c_nationkey")
+          .agg(count(lit(1)).as("n_customers"),
+            round(sum("c_acctbal"), 2).as("sum_bal"))
+          .withColumn("segment", lit(label))
+      side("left_semi", "active").unionByName(side("left_anti", "inactive"))
+    }),
+
+    // ---- Deterministic weighted sampling (Efraimidis–Spirakis
+    // bottom-k): 100 lineitems proportional-to-quantity. The rank key
+    // is a pure function of (id, salt, weight) → the oracle replays the
+    // identical md5 + ln arithmetic in SQL. TakeOrderedAndProject plan:
+    // per-partition heaps, exchange carries ≤ k rows per partition.
+    "q58_weighted_sample" -> ((s, dir) =>
+      graft.operators.Ops.weightedSample(
+        t(s, dir, "lineitem")
+          .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity")),
+        idCol = concat(col("l_orderkey"), lit("-"), col("l_linenumber")),
+        weightCol = col("l_quantity"), k = 100, salt = "q58")),
+
+    // ---- Bounded top-k per group via the TopK TypedImperativeAggregate
+    // (map-side ≤k-entry heaps — the exchange carries k rows per
+    // partition per group, corpus-size-independent, where the window
+    // form shuffles EVERY row). The oracle is the row_number window —
+    // hash-equality proves the heap implements exactly that semantic.
+    "q59_topk_groups" -> ((s, dir) =>
+      t(s, dir, "customer")
+        .groupBy(col("c_nationkey"))
+        .agg(graft.functions.TopK.topK(3)(col("c_acctbal"), col("c_custkey")).as("top"))
+        .select(col("c_nationkey"), posexplode(col("top")))
+        .select(col("c_nationkey"), (col("pos") + 1).cast("long").as("rank"),
+          col("col._2").as("c_custkey"), col("col._1").as("c_acctbal"))),
+
     // ---- Int8 embedding quantization AS DATA: 4× less storage/shuffle
     // for an embedding store; the quality cost is reported as a query —
     // direction fidelity (self-cosine after round-trip) and top-10
@@ -1185,6 +1226,37 @@ object SparkEntry {
         |  round(sum(l_extendedprice), 2) AS sum_price
         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         |GROUP BY o_orderpriority""".stripMargin,
+    "q57_semi_anti" ->
+      """SELECT c_nationkey, count(*) AS n_customers,
+        |  round(sum(c_acctbal), 2) AS sum_bal, 'active' AS segment
+        |FROM customer c
+        |WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+        |GROUP BY c_nationkey
+        |UNION ALL
+        |SELECT c_nationkey, count(*) AS n_customers,
+        |  round(sum(c_acctbal), 2) AS sum_bal, 'inactive' AS segment
+        |FROM customer c
+        |WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+        |GROUP BY c_nationkey""".stripMargin,
+    // identical Efraimidis–Spirakis arithmetic: same digest, same 60-bit
+    // uniform, same -ln(u)/w key, same (key, id) tie order
+    "q58_weighted_sample" ->
+      """SELECT l_orderkey, l_linenumber, l_quantity FROM (
+        |  SELECT *,
+        |    -ln((('0x' || substr(md5(
+        |        CAST(l_orderkey AS VARCHAR) || '-' || CAST(l_linenumber AS VARCHAR)
+        |          || '|' || 'q58'), 1, 15))::UBIGINT + 1.0)
+        |        / 1152921504606846976.0) / l_quantity AS wkey,
+        |    CAST(l_orderkey AS VARCHAR) || '-' || CAST(l_linenumber AS VARCHAR) AS wid
+        |  FROM lineitem WHERE l_quantity > 0)
+        |ORDER BY wkey, wid LIMIT 100""".stripMargin,
+    "q59_topk_groups" ->
+      """SELECT c_nationkey, CAST(rnk AS BIGINT) AS rank, c_custkey, c_acctbal
+        |FROM (SELECT c_nationkey, c_custkey, c_acctbal,
+        |        row_number() OVER (PARTITION BY c_nationkey
+        |          ORDER BY c_acctbal DESC, c_custkey) AS rnk
+        |      FROM customer)
+        |WHERE rnk <= 3""".stripMargin,
     // identical BM25 program: same tokenization as the chunking oracle,
     // idf = ln(1 + (N-df+.5)/(df+.5)), numerator (1.2 + 1.0) written as
     // the same float op Scala performs (the literal 2.2 is a DIFFERENT

@@ -289,6 +289,36 @@ object Ops {
   def hashSample(df: DataFrame, idCol: String, fraction: Double, salt: String = ""): DataFrame =
     df.filter(hashSamplePredicate(col(idCol), fraction, salt))
 
+  /** Deterministic weighted sampling WITHOUT replacement (Efraimidis–
+    * Spirakis bottom-k): every row gets rank key `-ln(u) / w`, where
+    * `u ∈ (0,1]` is a unit uniform derived from the shared md5 sampling
+    * digest of (id, salt) and `w` the row's weight; the k smallest keys
+    * ARE the sample. Inclusion probability is proportional-to-size, and
+    * the decision is a pure function of (id, salt, weight) — stable
+    * under repartition/retry, and reproducible in any engine with md5
+    * (the q58 oracle replays the identical arithmetic in SQL).
+    *
+    * At scale: `orderBy(key).limit(k)` plans as TakeOrderedAndProject —
+    * per-partition bounded heaps, NO global sort; the exchange carries
+    * ≤ k rows per partition regardless of input size. Rows with
+    * non-positive weight are excluded (E–S is defined for w > 0);
+    * ties (u collisions) break on ascending id. */
+  def weightedSample(df: DataFrame, idCol: Column, weightCol: Column,
+      k: Int, salt: String = ""): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    val keyName = Iterator.from(0).map(i => s"__wkey$i")
+      .find(!df.columns.contains(_)).get
+    // first 15 hex digits = a 60-bit integer; +1 maps [0,2^60) to (0,2^60]
+    // so u is never 0 (ln(0) would make the key infinite)
+    val v = conv(substring(hashDigestCol(idCol, salt), 1, 15), 16, 10).cast("double")
+    val u = (v + lit(1.0)) / lit(1.152921504606846976e18) // 2^60
+    df.filter(weightCol > lit(0.0))
+      .withColumn(keyName, -log(u) / weightCol)
+      .orderBy(col(keyName), idCol)
+      .limit(k)
+      .drop(keyName)
+  }
+
   /** Broadcast range join: match each fact row to dimension rows by a
     * half-open interval `lo ≤ v < hi` — band/bucket/tier lookups
     * (price bands, IP ranges, SLA tiers). The dimension is broadcast,

@@ -154,3 +154,43 @@ class OpsSpec extends SparkTestBase {
       Ops.sessionize(df, Seq("uid"), "t", 5L, sessionCol = "t"))
   }
 }
+
+class WeightedSampleSpec extends SparkTestBase {
+  import spark.implicits._
+  import org.apache.spark.sql.functions._
+  import graft.operators.Ops
+
+  private def pool = spark.range(2000)
+    .select(col("id"), when(col("id") < 200, 50.0).otherwise(1.0).as("w"))
+
+  test("weightedSample is deterministic and biased toward heavy weights") {
+    val a = Ops.weightedSample(pool, col("id"), col("w"), k = 200, salt = "s1")
+      .select("id").as[Long].collect().toSet
+    val b = Ops.weightedSample(pool, col("id"), col("w"), k = 200, salt = "s1")
+      .select("id").as[Long].collect().toSet
+    assert(a == b, "same (data, salt, k) must select the same rows")
+    assert(a.size == 200)
+    // 200 rows carry weight 50 (total 10000) vs 1800 rows at weight 1
+    // (total 1800): heavy rows should dominate the sample — under E-S
+    // their expected share is far above 80%; uniform sampling gives 10%
+    val heavy = a.count(_ < 200)
+    assert(heavy > 140, s"expected heavy-weight dominance, got $heavy/200")
+    // a different salt draws a genuinely different sample
+    val c = Ops.weightedSample(pool, col("id"), col("w"), k = 200, salt = "s2")
+      .select("id").as[Long].collect().toSet
+    assert(a != c)
+  }
+
+  test("weightedSample excludes non-positive weights and bounds the plan") {
+    val withBad = pool.withColumn("w",
+      when(col("id") === 7, -1.0).when(col("id") === 8, 0.0).otherwise(col("w")))
+    val got = Ops.weightedSample(withBad, col("id"), col("w"), k = 2000, salt = "s")
+    assert(!got.select("id").as[Long].collect().toSet.exists(Set(7L, 8L)))
+    // TakeOrderedAndProject = per-partition heaps, no global Sort+Exchange
+    val plan = Ops.weightedSample(pool, col("id"), col("w"), k = 10, salt = "s")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"), s"plan:\n$plan")
+    intercept[IllegalArgumentException](
+      Ops.weightedSample(pool, col("id"), col("w"), k = 0))
+  }
+}
