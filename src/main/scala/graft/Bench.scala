@@ -13,10 +13,35 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *    all columns of projection-only plans;
   *  - failures are NOT swallowed: a failing query records `-1` and the
   *    process exits nonzero, so a regression can never read as a speedup.
+  *
+  * Round-5 hardening (the q36 incident): at 59 queries in ONE JVM the
+  * bench stopped isolating queries — q36's two-broadcast-join plan
+  * measured 3.61 s in the suite vs 0.34–0.72 s in isolation (PerfProbe),
+  * i.e. the number was heap/GC pressure from persisted LSH neighbours,
+  * not the plan. Two fixes:
+  *  - HYGIENE: before each query's timed runs, `clearCache()` evicts any
+  *    cache a previous query leaked and an explicit GC compacts the heap,
+  *    so query N+1 does not pay query N's garbage (untimed, between
+  *    queries only — never inside a timed pass);
+  *  - OBSERVABILITY: the JSON carries per-query heap-used before/after
+  *    and GC-time deltas (`"mem"`), so the NEXT anomaly is diagnosable
+  *    from the artifact alone — an honest slow plan shows stable heap and
+  *    small gc_ms; an environment artifact shows gc_ms rivalling the
+  *    query time.
   */
 object Bench {
   private def materialize(df: DataFrame): Unit =
     df.write.format("noop").mode("overwrite").save()
+
+  private def gcMillis: Long = {
+    import scala.jdk.CollectionConverters._
+    java.lang.management.ManagementFactory.getGarbageCollectorMXBeans
+      .asScala.map(_.getCollectionTime).sum
+  }
+  private def heapUsedMb: Long = {
+    val r = Runtime.getRuntime
+    (r.totalMemory - r.freeMemory) >> 20
+  }
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -37,7 +62,13 @@ object Bench {
     // median of 3 is robust to one noisy run).
     val runs = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "3").toInt
     var failed = List.empty[String]
+    val mem = scala.collection.mutable.LinkedHashMap.empty[String, (Long, Long, Long)]
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+      // hygiene barrier (untimed): evict leaked caches, compact the heap
+      spark.catalog.clearCache()
+      System.gc()
+      val heapBefore = heapUsedMb
+      val gcBefore = gcMillis
       val times = (1 to runs).map { _ =>
         val t0 = System.nanoTime()
         try {
@@ -53,11 +84,15 @@ object Bench {
             -1.0
         }
       }
+      mem(name) = (heapBefore, heapUsedMb, gcMillis - gcBefore)
       if (times.exists(_ < 0)) { failed ::= name; name -> -1.0 }
       else name -> times.sorted.apply(runs / 2)
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
+    val memJson = mem.map { case (k, (hb, ha, gc)) =>
+      s"\"" + k + s"\":{\"heap_before_mb\":$hb,\"heap_after_mb\":$ha,\"gc_ms\":$gc}"
+    }.mkString("{", ",", "}")
     val total = results.collect { case (_, v) if v >= 0 => v }.sum
     // subtotal over the round-1 query set (q1-q10), the set BASELINE's
     // 14.36 s total was measured on — the apples-to-apples comparison
@@ -67,7 +102,7 @@ object Bench {
       "q5_sample", "q6_join_agg", "q7_window_topn", "q8_stratified_sample",
       "q9_group_count", "q10_minmax")
     val baseTotal = results.collect { case (k, v) if baselineSet(k) && v >= 0 => v }.sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","runs":$runs,"failed":${failed.size},"baseline_set_total":$baseTotal,"n_queries":${results.size}}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","runs":$runs,"failed":${failed.size},"baseline_set_total":$baseTotal,"n_queries":${results.size},"mem":$memJson}""")
     spark.stop()
     if (failed.nonEmpty) sys.exit(1)
   }

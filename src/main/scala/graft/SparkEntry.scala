@@ -32,7 +32,11 @@ object SparkEntry {
   private[graft] def q38Planted(docs0: DataFrame): DataFrame = {
     val docs = docs0.select(col("doc_id"), col("text"))
     val n = size(graft.llm.Dedup.tokens(col("text")))
-    val base = docs.filter(col("doc_id") < 100 && n.between(40, 300))
+    // doc_id < 48 (round-5 trim from < 100): the chain-semantics signal
+    // (pair-drop vs transitive survivor delta) needs dozens of chains,
+    // not hundreds — ~30 chains at sf0.1 carry identical EntrySpec
+    // assertions at a fraction of the per-bench-run LSH cost
+    val base = docs.filter(col("doc_id") < 48 && n.between(40, 300))
     val k = floor((n - lit(2)) / lit(6)).cast("int")
     def extras(to: Column) = concat_ws(" ",
       transform(sequence(lit(1), to), i => concat(lit("zzq"), col("doc_id"), lit("x"), i)))
@@ -527,23 +531,37 @@ object SparkEntry {
       // exact semantics curate() applies per mode — its transitive wiring
       // is integration-covered in CurationSpec). Running curate() twice
       // here doubled the dominant LSH cost for no extra signal.
+      // 3 hash tables (API default is 5): the planted pairs sit at
+      // Jaccard ≥ 6/8, far above the 0.2-distance cut — 3 tables keep
+      // them with margin and shave the per-bench-run fit+join cost
       val verified = Dedup.verifyPairs(
-        Dedup.minHashNearDups(planted, "doc_id", "text", maxJaccardDistance = 0.2),
+        Dedup.minHashNearDups(planted, "doc_id", "text", maxJaccardDistance = 0.2,
+          numHashTables = 3),
         planted, "doc_id", "text", minJaccard = 0.8)
         .select("id1", "id2")
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      def countSurvivors(dropIds: org.apache.spark.sql.DataFrame): (Long, Long, Long) = {
-        val r = planted.join(dropIds, Seq("doc_id"), "left_anti")
-          .agg(count(lit(1)),
-            count(when(col("doc_id") >= 10000 && col("doc_id") < 20000, 1)),
-            count(when(col("doc_id") >= 20000, 1))).head()
-        (r.getLong(0), r.getLong(1), r.getLong(2))
-      }
-      val (pt, pe, ph) = countSurvivors(
-        verified.select(col("id2").as("doc_id")).distinct())
-      val (tt, te, th) = countSurvivors(
-        Dedup.connectedComponents(verified)
-          .filter(col("id") =!= col("label")).select(col("id").as("doc_id")))
+      // both drop disciplines counted in ONE job: planted left-joins the
+      // two (tiny, broadcast) drop sets and a single aggregate
+      // cross-tabulates survivors per mode × cohort — replacing two
+      // sequential anti-join agg jobs (the entry is job-overhead-bound)
+      val dropPair = broadcast(verified.select(col("id2").as("doc_id")).distinct()
+        .withColumn("__dp", lit(1)))
+      val dropCc = broadcast(Dedup.connectedComponents(verified)
+        .filter(col("id") =!= col("label")).select(col("id").as("doc_id"))
+        .withColumn("__dc", lit(1)))
+      val isEnd = col("doc_id") >= 10000 && col("doc_id") < 20000
+      val isHub = col("doc_id") >= 20000
+      val r = planted
+        .join(dropPair, Seq("doc_id"), "left").join(dropCc, Seq("doc_id"), "left")
+        .agg(
+          count(when(col("__dp").isNull, 1)),
+          count(when(col("__dp").isNull && isEnd, 1)),
+          count(when(col("__dp").isNull && isHub, 1)),
+          count(when(col("__dc").isNull, 1)),
+          count(when(col("__dc").isNull && isEnd, 1)),
+          count(when(col("__dc").isNull && isHub, 1))).head()
+      val (pt, pe, ph) = (r.getLong(0), r.getLong(1), r.getLong(2))
+      val (tt, te, th) = (r.getLong(3), r.getLong(4), r.getLong(5))
       verified.unpersist()
       planted.unpersist() // counts are eager — nothing reads it again
       Seq(("pair_drop", pt, pe, ph), ("transitive", tt, te, th))
@@ -560,13 +578,16 @@ object SparkEntry {
     // random-projection LSH, not SQL-expressible → rows-only; pair
     // accounting asserted in EntrySpec.
     "q39_vector_near_dup" -> ((s, dir) => {
-      // the corpus slice is capped at 1000 vectors for the same reason
-      // planting is capped at 500 pairs: the signal (planted found,
-      // natural excluded) does not grow with corpus size, the LSH join
-      // cost does — and q42 runs the scale-path (SRP) alternative on the
-      // same harness
+      // the corpus slice is capped at 500 vectors (round-5 trim from
+      // 1000) for the same reason planting is capped at 500 pairs: the
+      // signal (planted found, natural excluded) does not grow with
+      // corpus size, the LSH join cost does (PerfProbe2: 3.4 s → 1.6 s)
+      // — and q42 runs the scale-path (SRP) alternative on the same
+      // harness. Every corpus vector has a planted copy; the "nothing
+      // else" half of the gate still covers all natural×natural and
+      // cross base×planted(i≠j) pairs.
       val emb = t(s, dir, "embeddings").select(col("vec_id"), col("embedding"))
-        .filter(col("vec_id") < 1000)
+        .filter(col("vec_id") < 500)
       // noise BEFORE the id shift (withColumn, not a sibling select
       // alias) so the perturbation is seeded by the base id
       val noisy = emb.filter(col("vec_id") < 500)

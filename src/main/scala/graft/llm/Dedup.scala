@@ -469,31 +469,37 @@ object Dedup {
     * (executor-local; swap for a checkpoint dir on a real cluster if
     * task retries must survive executor loss). */
   def connectedComponents(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
+    // lazy checkpoint on edges: it materializes inside labels' first job
+    // instead of paying a separate eager job (the graph is read many
+    // times across rounds, so the truncated lineage still caches)
     val edges = pairs.select(col("id1").as("src"), col("id2").as("dst"))
       .union(pairs.select(col("id2").as("src"), col("id1").as("dst")))
-      .localCheckpoint(true)
+      .localCheckpoint(false)
     var labels = edges.groupBy("src").agg(min("dst").as("__nmin"))
       .select(col("src").as("id"), least(col("src"), col("__nmin")).as("label"))
       .localCheckpoint(true)
     var changed = 1L
     var iter = 0
     while (changed > 0 && iter < maxIter) {
+      // the previous label rides through the union as a tagged column
+      // (exactly one non-null per id — the `labels` leg), so convergence
+      // is a filter over the materialized result instead of an extra
+      // next⋈labels shuffle join per round — the loop is job-overhead-
+      // bound on small pair graphs, and this halves its per-round jobs
       val viaEdges = edges.join(labels, edges("src") === labels("id"))
-        .select(edges("dst").as("id"), col("label"))
+        .select(edges("dst").as("id"), col("label"), lit(null).cast("long").as("__old"))
       val jumped = labels.toDF("id", "label").as("x")
         .join(labels.toDF("jid", "jlabel").as("y"), col("x.label") === col("y.jid"))
-        .select(col("x.id").as("id"), col("y.jlabel").as("label"))
+        .select(col("x.id").as("id"), col("y.jlabel").as("label"), lit(null).cast("long").as("__old"))
       // lazy checkpoint: lineage still truncates, but materialization
       // piggybacks on the `changed` count below instead of spending a
-      // separate job per iteration (the loop is job-overhead-bound on
-      // small pair graphs)
-      val next = labels.unionByName(viaEdges).unionByName(jumped)
-        .groupBy("id").agg(min("label").as("label"))
+      // separate job per iteration
+      val next = labels.select(col("id"), col("label"), col("label").as("__old"))
+        .unionByName(viaEdges).unionByName(jumped)
+        .groupBy("id").agg(min("label").as("label"), min("__old").as("__old"))
         .localCheckpoint(false)
-      changed = next.toDF("nid", "nlabel")
-        .join(labels, col("nid") === col("id"))
-        .filter(col("nlabel") < col("label")).count()
-      labels = next
+      changed = next.filter(col("label") < col("__old")).count()
+      labels = next.select("id", "label")
       iter += 1
     }
     labels
