@@ -284,13 +284,24 @@ object Curator {
       case _ => (mixed, Nil)
     }
     // optional context-window chunking: emit training-ready rows (the
-    // native one-pass expression; bit-identical to the HOF reference);
-    // the split label rides along on every chunk
-    val out = c.getInt("chunk-size") match {
-      case Some(cs) => graft.llm.CorpusPrep.chunkByTokensFast(labeled, idCol, textCol,
+    // native one-pass expressions; the split label rides along on every
+    // chunk). Two modes: `chunk-size` cuts at a fixed WHITESPACE-token
+    // width; `bpe-budget` + `bpe-merges` greedy-packs to a real SUBWORD
+    // budget (the model's context window) under the named merge table.
+    require(c.getInt("chunk-size").isEmpty || c.getInt("bpe-budget").isEmpty,
+      "curation.chunk-size and curation.bpe-budget are mutually exclusive — " +
+        "fixed whitespace-token windows vs a BPE subword budget; pick one")
+    val out = (c.getInt("chunk-size"), c.getInt("bpe-budget")) match {
+      case (Some(cs), _) => graft.llm.CorpusPrep.chunkByTokensFast(labeled, idCol, textCol,
         chunkSize = cs, overlap = c.getInt("chunk-overlap").getOrElse(cs / 4),
         keepCols = keep)
-      case None => labeled
+      case (_, Some(budget)) =>
+        val merges = c.getString("bpe-merges").getOrElse(throw new IllegalArgumentException(
+          "curation.bpe-budget needs curation.bpe-merges (path to a merges.txt)"))
+        graft.llm.CorpusPrep.chunkByBpeBudget(labeled, idCol, textCol,
+          bpeBudget = budget, mergesPath = merges,
+          overlap = c.getInt("chunk-overlap").getOrElse(0), keepCols = keep)
+      case _ => labeled
     }
     // TARGET FIRST, STATE LAST: committing dedup state before the target
     // write would mean a crash in between leaves this batch's survivors

@@ -138,6 +138,127 @@ object BpeRegistry {
   def count(path: String, text: UTF8String): Int = get(path).countText(text.toString)
 }
 
+/** Greedy BPE-budget chunking (`graft_bpe_chunks`): split a document at
+  * WHITESPACE-token boundaries so that each chunk's REAL subword count
+  * (under the config-loaded merge table) stays within `budget` — the
+  * packing step training pipelines actually need, since a context
+  * window is a SUBWORD budget and a 32-whitespace-token chunk can be
+  * anywhere from 10 to 80 BPE tokens.
+  *
+  * Semantics: walk whitespace tokens left to right, accumulating each
+  * token's BPE count (pretokens never span whitespace, so a chunk's
+  * count is exactly the sum of its tokens' counts); cut BEFORE the
+  * token that would exceed `budget`. A single token whose own count
+  * exceeds the budget forms its own (over-budget) chunk — progress is
+  * guaranteed and nothing is silently dropped; filter on the emitted
+  * `chunk_bpe_tokens` if hard enforcement is wanted. The next chunk
+  * starts `overlap` whitespace tokens before the previous end (clamped
+  * to always advance). Zero tokens → empty array.
+  *
+  * Scale shape: same as [[BpeCount]] — the merge table loads once per
+  * executor JVM, per-token counts hit the Zipfian memo, the chunk text
+  * is built by byte-range copies (no token-array materialization), and
+  * the expression codegens to one static call. */
+object BpeChunksImpl {
+  import org.apache.spark.sql.catalyst.InternalRow
+  import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+
+  def compute(path: String, text: UTF8String, budget: Int, overlap: Int): ArrayData = {
+    val vocab = BpeRegistry.get(path)
+    val bytes = text.getBytes
+    val len = bytes.length
+    // whitespace-token boundary scan — byte-for-byte the same `\s+`
+    // semantics as ChunksImpl so the two chunkers cut at identical
+    // boundaries
+    var cap = 16
+    var starts = new Array[Int](cap)
+    var ends = new Array[Int](cap)
+    var n = 0
+    var tokStart = -1
+    var i = 0
+    while (i <= len) {
+      val isSpace = i == len || SimHashImpl.isRegexSpaceByte(bytes(i))
+      if (!isSpace && tokStart < 0) tokStart = i
+      else if (isSpace && tokStart >= 0) {
+        if (n == cap) {
+          cap *= 2
+          starts = java.util.Arrays.copyOf(starts, cap)
+          ends = java.util.Arrays.copyOf(ends, cap)
+        }
+        starts(n) = tokStart; ends(n) = i; n += 1
+        tokStart = -1
+      }
+      i += 1
+    }
+    if (n == 0) return new GenericArrayData(Array.empty[Any])
+    // per-token subword counts (memoized in the vocab)
+    val bpe = new Array[Int](n)
+    i = 0
+    while (i < n) {
+      bpe(i) = vocab.countText(
+        UTF8String.fromBytes(bytes, starts(i), ends(i) - starts(i)).toString)
+      i += 1
+    }
+    val out = new java.util.ArrayList[Any](8)
+    var t0 = 0
+    while (t0 < n) {
+      var t1 = t0
+      var sum = 0
+      // greedy fill; always take at least one token
+      while (t1 < n && (t1 == t0 || sum + bpe(t1) <= budget)) {
+        sum += bpe(t1); t1 += 1
+      }
+      var outLen = t1 - t0 - 1
+      var t = t0
+      while (t < t1) { outLen += ends(t) - starts(t); t += 1 }
+      val buf = new Array[Byte](outLen)
+      var pos = 0
+      t = t0
+      while (t < t1) {
+        if (t > t0) { buf(pos) = 0x20; pos += 1 }
+        val l = ends(t) - starts(t)
+        System.arraycopy(bytes, starts(t), buf, pos, l)
+        pos += l
+        t += 1
+      }
+      out.add(InternalRow(UTF8String.fromBytes(buf), t1 - t0, sum))
+      // next start: overlap whitespace tokens back, but always advance
+      t0 = if (t1 >= n) n else math.max(t1 - overlap, t0 + 1)
+    }
+    new GenericArrayData(out.toArray)
+  }
+}
+
+/** `graft_bpe_chunks(string, 'merges-path', budget, overlap) ->
+  * array<struct<chunk_text string, chunk_tokens int, chunk_bpe_tokens int>>` */
+case class BpeChunks(child: Expression, mergesPath: String, budget: Int,
+    overlap: Int) extends UnaryExpression {
+  require(mergesPath.nonEmpty, "graft_bpe_chunks needs a merges path")
+  require(budget > 0, s"budget must be positive, got $budget")
+  require(overlap >= 0, s"overlap must be non-negative, got $overlap")
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case _: StringType => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(s"graft_bpe_chunks expects string, got $t")
+  }
+  override def dataType: DataType = ArrayType(StructType(Seq(
+    StructField("chunk_text", StringType, nullable = false),
+    StructField("chunk_tokens", IntegerType, nullable = false),
+    StructField("chunk_bpe_tokens", IntegerType, nullable = false))), containsNull = false)
+  override def prettyName: String = "graft_bpe_chunks"
+
+  override protected def nullSafeEval(t: Any): Any =
+    BpeChunksImpl.compute(mergesPath, t.asInstanceOf[UTF8String], budget, overlap)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val pathRef = ctx.addReferenceObj("bpeMergesPath", mergesPath, "java.lang.String")
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.BpeChunksImpl.compute($pathRef, $c, $budget, $overlap)")
+  }
+
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
+}
+
 /** `graft_bpe_count(string, 'merges-path') -> int` */
 case class BpeCount(child: Expression, mergesPath: String) extends UnaryExpression {
   require(mergesPath.nonEmpty, "graft_bpe_count needs a merges path")

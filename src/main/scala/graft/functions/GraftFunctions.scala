@@ -285,6 +285,9 @@ object GraftFunctions {
   def chunks(c: Column, chunkSize: Int, overlap: Int): Column =
     ColumnBridge.column(DocChunks(ColumnBridge.expression(c), chunkSize, overlap))
 
+  def bpeChunks(c: Column, mergesPath: String, budget: Int, overlap: Int): Column =
+    ColumnBridge.column(BpeChunks(ColumnBridge.expression(c), mergesPath, budget, overlap))
+
   def srp(c: Column, seed: Long = 4233L): Column =
     ColumnBridge.column(Srp64(ColumnBridge.expression(c), seed))
 
@@ -356,6 +359,26 @@ object GraftFunctions {
           }
         }
         DocChunks(es.head, litInt(es(1), "chunkSize"), litInt(es(2), "overlap"))
+      }),
+    ("graft_bpe_chunks",
+      new ExpressionInfo(classOf[BpeChunks].getName, "graft_bpe_chunks"),
+      (es: Seq[Expression]) => {
+        require(es.length == 4, s"graft_bpe_chunks takes 4 arguments, got ${es.length}")
+        require(es(1).foldable, "graft_bpe_chunks merges path must be a literal")
+        val path = es(1).eval() match {
+          case s: UTF8String => s.toString
+          case other => throw new IllegalArgumentException(
+            s"graft_bpe_chunks merges path must be a string literal, got $other")
+        }
+        def litInt(e: Expression, name: String): Int = {
+          require(e.foldable, s"graft_bpe_chunks $name must be a literal")
+          e.eval() match {
+            case n: Number => n.intValue()
+            case other => throw new IllegalArgumentException(
+              s"graft_bpe_chunks $name must be an integer literal, got $other")
+          }
+        }
+        BpeChunks(es.head, path, litInt(es(2), "budget"), litInt(es(3), "overlap"))
       }),
     ("graft_hist_sketch",
       new ExpressionInfo(classOf[HistogramSketchAgg].getName, "graft_hist_sketch"),

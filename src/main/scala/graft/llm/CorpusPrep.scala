@@ -80,6 +80,42 @@ object CorpusPrep {
         col("__c.chunk_text").as("chunk_text") :+
         col("__c.chunk_tokens").cast("long").as("chunk_tokens"): _*)
 
+  /** Chunk to a model's REAL context window: greedy-pack whitespace
+    * tokens until the chunk's BPE subword count (under the merge table
+    * at `mergesPath` — see [[graft.functions.BpeVocab]]) would exceed
+    * `bpeBudget`. The existing chunkers cut at a fixed WHITESPACE-token
+    * width, but a context window is a SUBWORD budget — a 32-whitespace-
+    * token chunk can be 10–80 BPE tokens, so fixed-width chunks either
+    * waste window or overflow it.
+    *
+    * Output rows: id + keepCols + `chunk_id`, `chunk_text`,
+    * `chunk_tokens` (whitespace), `chunk_bpe_tokens` (subword count the
+    * budget applies to). A single token over the budget forms its own
+    * over-budget chunk rather than being dropped — filter
+    * `chunk_bpe_tokens <= budget` downstream for hard enforcement.
+    * `overlap` is in whitespace tokens, like the other chunkers.
+    *
+    * Same scale shape as [[chunkByTokensFast]]: one native-expression
+    * scan + posexplode, no shuffle; the merge table loads once per
+    * executor JVM. */
+  def chunkByBpeBudget(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      bpeBudget: Int,
+      mergesPath: String,
+      overlap: Int = 0,
+      keepCols: Seq[String] = Nil): DataFrame =
+    df.select(col(idCol) +: keepCols.map(col) :+
+      posexplode(graft.functions.GraftFunctions.bpeChunks(
+        col(textCol), mergesPath, bpeBudget, overlap))
+        .as(Seq("chunk_id", "__c")): _*)
+      .select(col(idCol) +: keepCols.map(col) :+
+        col("chunk_id").cast("long").as("chunk_id") :+
+        col("__c.chunk_text").as("chunk_text") :+
+        col("__c.chunk_tokens").cast("long").as("chunk_tokens") :+
+        col("__c.chunk_bpe_tokens").cast("long").as("chunk_bpe_tokens"): _*)
+
   /** Deterministic train/val/test split: label every row with the name
     * of its split, by consecutive ranges of the SAME md5 digest space
     * deterministic sampling uses ([[graft.operators.Ops.hashDigestCol]]).

@@ -302,7 +302,18 @@ object Ops {
     * per-partition bounded heaps, NO global sort; the exchange carries
     * ≤ k rows per partition regardless of input size. Rows with
     * non-positive weight are excluded (E–S is defined for w > 0);
-    * ties (u collisions) break on ascending id. */
+    * ties (u collisions) break on ascending id.
+    *
+    * Oracle portability caveat (q58): the cross-engine hash-exact check
+    * assumes `java.lang.Math.log` and the oracle engine's libm `log`
+    * round identically on the evaluated u values. Neither is guaranteed
+    * correctly rounded, so a 1-ulp divergence at the k-th/(k+1)-th key
+    * boundary could flip one membership on another platform/libm — the
+    * SAMPLE ITSELF stays valid (E–S holds for any exact-real log; only
+    * the bit-replay is at risk). Verified bit-identical for JDK17 +
+    * DuckDB on this box; if the q58 gate ever flakes on a new platform,
+    * relax the oracle to top-(k+ε) set containment rather than touching
+    * this operator. */
   def weightedSample(df: DataFrame, idCol: Column, weightCol: Column,
       k: Int, salt: String = ""): DataFrame = {
     require(k > 0, s"k must be positive, got $k")

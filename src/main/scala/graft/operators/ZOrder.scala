@@ -35,17 +35,32 @@ object ZOrder {
 
   val MaxBits = 16 // 4 cols × 16 bits = 64-bit z-key ceiling
 
-  /** Rank bucket of `c` given ascending percentile `edges`: the count of
-    * edges ≤ value — a fold of codegen'd comparisons, no UDF. Nulls sort
-    * to bucket 0 (lowest curve corner) so they cluster too. */
+  /** Rank bucket of `c` given ascending duplicate-free `edges`: the
+    * count of edges ≤ value — a native binary-search expression
+    * (`graft.functions.BucketCount`), O(1) plan nodes and O(log n) per
+    * row, inside whole-stage codegen. (The original chained-`when` fold
+    * was O(2^bits) nested nodes per column — a Catalyst/Janino blowup
+    * at bits>10.) Nulls sort to bucket 0 (lowest curve corner) so they
+    * cluster too. */
   def bucketize(c: Column, edges: Seq[Double]): Column =
-    edges.foldLeft(lit(0L)) { (acc, e) =>
-      acc + when(c.isNotNull && c.cast("double") >= lit(e), 1L).otherwise(0L)
-    }
+    if (edges.isEmpty) lit(0L)
+    else coalesce(
+      org.apache.spark.sql.graftbridge.ColumnBridge.column(
+        graft.functions.BucketCount(
+          org.apache.spark.sql.graftbridge.ColumnBridge.expression(c.cast("double")),
+          // dedup+sort defensively: binary search needs ascending
+          // distinct edges; duplicate edges would double-count a rank
+          edges.distinct.sorted.toArray)),
+      lit(0L))
 
-  /** Interleave `bits` bits of each bucket column (values in
-    * [0, 2^bits)) into one long: bit i of column j lands at position
-    * i * nCols + j — the Morton code. */
+  /** Interleave `bits` bits of each bucket column into one long: bit i
+    * of column j lands at position i * nCols + j — the Morton code.
+    *
+    * PRECONDITION: every bucket value must lie in [0, 2^bits) — only
+    * the low `bits` bits are inspected, so a larger value would alias
+    * onto another z-cell silently. `withZKey` guarantees this by
+    * construction (bucketize is bounded by its edge count, ≤ 2^bits−1)
+    * and asserts it; direct callers own the check. */
   def interleave(buckets: Seq[Column], bits: Int): Column = {
     require(buckets.nonEmpty, "interleave needs at least one column")
     require(bits > 0 && bits <= MaxBits, s"bits must be in [1,$MaxBits], got $bits")
@@ -80,8 +95,12 @@ object ZOrder {
           percentile_approx(col(c), typedLit(probs), lit(10000)).as(c)): _*)
       .head()
     val buckets = cols.zipWithIndex.map { case (c, i) =>
-      val edges = Option(edgeRow.getSeq[Double](i)).getOrElse(Seq.empty)
-      bucketize(col(c), edges.distinct)
+      val edges = Option(edgeRow.getSeq[Double](i)).getOrElse(Seq.empty).distinct
+      // interleave's aliasing precondition: bucket ∈ [0, 2^bits) ⇐
+      // #edges ≤ 2^bits − 1 (bucketize returns a count of edges ≤ v)
+      require(edges.size <= nEdges,
+        s"zorder: ${edges.size} edges for '$c' exceed 2^$bits-1 = $nEdges")
+      bucketize(col(c), edges)
     }
     df.withColumn(keyName, interleave(buckets, bits))
   }

@@ -214,6 +214,17 @@ object DataIO {
       s"${layouts.mkString(" and ")} are mutually exclusive layouts — " +
         "zorder-by prunes on every listed column, range-by on its leading " +
         "column, distribute-by gives hash co-location; pick one")
+    // sort-within-partitions would re-sort each partition AFTER the
+    // z-curve ordering, silently discarding the in-file row-group
+    // clustering that is zorder-by's point (file-level pruning would
+    // survive, row-group skipping would not) — reject the combination
+    // like the layout pairs above instead of quietly honoring the last
+    // sort
+    require(conf.getList("zorder-by").isEmpty || conf.getList("sort-within-partitions").isEmpty,
+      "zorder-by and sort-within-partitions are mutually exclusive — the " +
+        "z-order layout already sorts rows inside each file along the " +
+        "curve; a second within-partition sort would discard that " +
+        "row-group clustering")
     val nParts = conf.getInt("n-partitions")
     var df = (conf.getList("zorder-by"), conf.getList("range-by"), distributeBy(conf)) match {
       case (Some(zcols), _, _) =>

@@ -90,6 +90,72 @@ class BpeSpec extends SparkTestBase {
     assert(plan.contains("*(1)"), s"expected WholeStageCodegen:\n$plan")
   }
 
+  test("BPE-budget chunking cuts at hand-computed subword boundaries") {
+    // classic fixture: low=1, lower=2, newer=4 subwords
+    // budget 4: [low lower]=3 (newer would make 7), [newer]=4, [low low]=2
+    val df = Seq((1L, "low lower newer low low")).toDF("doc_id", "text")
+    val got = graft.llm.CorpusPrep.chunkByBpeBudget(
+      df, "doc_id", "text", bpeBudget = 4, mergesPath = classicPath)
+      .select("chunk_id", "chunk_text", "chunk_tokens", "chunk_bpe_tokens")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3))).toSeq
+    assert(got == Seq(
+      (0L, "low lower", 2L, 3L),
+      (1L, "newer", 1L, 4L),
+      (2L, "low low", 2L, 2L)))
+  }
+
+  test("a single token over the budget forms its own chunk, never dropped") {
+    val df = Seq((1L, "newer low")).toDF("doc_id", "text")
+    val got = graft.llm.CorpusPrep.chunkByBpeBudget(
+      df, "doc_id", "text", bpeBudget = 3, mergesPath = classicPath)
+      .select("chunk_text", "chunk_bpe_tokens").as[(String, Long)].collect().toSeq
+    // newer alone is 4 > 3 — emitted over-budget (filterable), low packs next
+    assert(got == Seq(("newer", 4L), ("low", 1L)))
+  }
+
+  test("BPE-budget chunking with whitespace-token overlap advances and re-covers") {
+    val df = Seq((1L, "low lower newer")).toDF("doc_id", "text")
+    val got = graft.llm.CorpusPrep.chunkByBpeBudget(
+      df, "doc_id", "text", bpeBudget = 3, mergesPath = classicPath, overlap = 1)
+      .select("chunk_text").as[String].collect().toSeq
+    // [low lower]=3; restart one token back: [lower]=2 (newer would be 6);
+    // restart clamps forward: [newer]
+    assert(got == Seq("low lower", "lower", "newer"))
+  }
+
+  test("chunk_bpe_tokens equals a re-count of the chunk text; empty/null text gives no rows") {
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet").limit(30)
+      .select(col("doc_id"), col("text"))
+      .union(Seq((-1L, ""), (-2L, null.asInstanceOf[String])).toDF("doc_id", "text"))
+    val chunks = graft.llm.CorpusPrep.chunkByBpeBudget(
+      docs, "doc_id", "text", bpeBudget = 32, mergesPath = classicPath)
+    assert(chunks.filter(col("doc_id") < 0).count() == 0)
+    val mismatch = chunks.withColumn("recount",
+      graft.llm.TextAnalysis.bpeTokenCount(col("chunk_text"), classicPath).cast("long"))
+      .filter(col("recount") =!= col("chunk_bpe_tokens")).count()
+    assert(mismatch == 0)
+    // every chunk within budget on real text (no single pretoken run in
+    // the docs table exceeds 32 under a table with no applicable merges
+    // only if tokens are short — instead assert the budget is respected
+    // wherever a chunk has more than one whitespace token)
+    val overBudgetMulti = chunks
+      .filter(col("chunk_tokens") > 1 && col("chunk_bpe_tokens") > 32).count()
+    assert(overBudgetMulti == 0)
+  }
+
+  test("graft_bpe_chunks SQL surface agrees with the Column form") {
+    GraftFunctions.register(spark)
+    Seq((1L, "low lower newer low low")).toDF("doc_id", "text")
+      .createOrReplaceTempView("bpe_chunk_docs")
+    val viaSql = spark.sql(
+      s"""SELECT c.chunk_text, c.chunk_bpe_tokens
+         |FROM bpe_chunk_docs
+         |LATERAL VIEW explode(graft_bpe_chunks(text, '$classicPath', 4, 0)) t AS c
+         |""".stripMargin)
+      .collect().map(r => (r.getString(0), r.getInt(1))).toSeq
+    assert(viaSql == Seq(("low lower", 3), ("newer", 4), ("low low", 2)))
+  }
+
   test("counts over the documents table are sane vs the heuristic") {
     // with a tiny table most text stays at ~1 token per character run;
     // a real merges table only ever lowers counts relative to raw chars

@@ -188,6 +188,44 @@ class CliSpec extends SparkTestBase {
     assert(docsKept < total, s"mixture should drop some docs ($docsKept vs $total)")
   }
 
+  test("curator chunks to a BPE subword budget when bpe-budget + bpe-merges are set") {
+    import org.apache.spark.sql.functions.col
+    val base = tmp()
+    val merges = write(base.resolve("merges.txt"), "#version: 0.2\nl o\nlo w\ne r")
+    val out = base.resolve("bpe_chunks").toString
+    val f = write(base.resolve("curator_bpe.conf"),
+      s"""source { storage-type = local, dataset-dir = $sfDir/documents.parquet }
+         |target { storage-type = local, dataset-dir = $out, dataset-store-format = parquet, write-mode = overwrite }
+         |curation {
+         |  min-quality = 0.2
+         |  bpe-budget = 48
+         |  bpe-merges = "$merges"
+         |}
+         |""".stripMargin)
+    graft.cli.Curator.main(Array("--conf", f))
+    val chunks = spark.read.parquet(out)
+    assert(chunks.columns.toSeq ==
+      Seq("doc_id", "chunk_id", "chunk_text", "chunk_tokens", "chunk_bpe_tokens"))
+    assert(chunks.count() > 0)
+    // the budget binds on the SUBWORD count: no multi-token chunk above
+    // it, and the recorded counts replay under graft_bpe_count
+    assert(chunks.filter(col("chunk_tokens") > 1 && col("chunk_bpe_tokens") > 48).count() == 0)
+    val mismatch = chunks.withColumn("recount",
+      graft.llm.TextAnalysis.bpeTokenCount(col("chunk_text"), merges).cast("long"))
+      .filter(col("recount") =!= col("chunk_bpe_tokens")).count()
+    assert(mismatch == 0)
+    // chunk-size and bpe-budget cannot combine
+    val bad = write(base.resolve("curator_bad.conf"),
+      s"""source { storage-type = local, dataset-dir = $sfDir/documents.parquet }
+         |target { storage-type = local, dataset-dir = ${base.resolve("nope")}, dataset-store-format = parquet }
+         |curation { chunk-size = 32, bpe-budget = 48, bpe-merges = "$merges" }
+         |""".stripMargin)
+    val e = intercept[IllegalArgumentException] {
+      graft.cli.Curator.main(Array("--conf", bad))
+    }
+    assert(e.getMessage.contains("mutually exclusive"))
+  }
+
   test("curator with redact + splits labels every chunk and scrubs planted PII") {
     import org.apache.spark.sql.functions.{col, concat, lit}
     val base = tmp()

@@ -89,6 +89,40 @@ class ZOrderSpec extends SparkTestBase {
     assert(spark.read.parquet(zdir).count() == 4096)
   }
 
+  test("bucketize at bits=12 (4095 edges) plans and evaluates — no expression blowup") {
+    // the former chained-when fold built 2^bits-1 nested nodes per
+    // column; the BucketCount binary-search expression is O(1) nodes,
+    // so bits=12 must both plan quickly and stay codegen'd
+    val edges = (1 until 4096).map(_.toDouble)
+    val df = spark.range(8192)
+      .select(ZOrder.bucketize(col("id").cast("double"), edges).as("b"))
+    // `*(n)` is the WholeStageCodegen marker in the compact plan form
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("*(1) Project [graft_bucket_count"),
+      s"fell out of codegen:\n$plan")
+    // value check: bucket of v = #edges <= v = min(floor(v), 4095)
+    val got = df.as[Long].collect()
+    (0 until 8192).foreach { v =>
+      assert(got(v) == math.min(v, 4095).toLong, s"v=$v got ${got(v)}")
+    }
+    // and the full layout path accepts bits=12 end-to-end
+    val keyed = ZOrder.withZKey(
+      spark.range(1000).select(col("id").cast("double").as("a"),
+        (col("id") % 37).cast("double").as("b")), Seq("a", "b"), bits = 12)
+    assert(keyed.select("__zkey").distinct().count() > 1)
+  }
+
+  test("zorder-by rejects sort-within-partitions (it would discard the curve order)") {
+    val e = intercept[IllegalArgumentException] {
+      DataIO.write(spark.range(10).toDF(), GraftConfig.parse(
+        s"""storage-type = local
+           |dataset-dir = "${tmp()}/x"
+           |zorder-by = [id]
+           |sort-within-partitions = [id]""".stripMargin))
+    }
+    assert(e.getMessage.contains("mutually exclusive"))
+  }
+
   test("zorder-by is mutually exclusive with range-by and distribute-by") {
     val e = intercept[IllegalArgumentException] {
       DataIO.write(spark.range(10).toDF(), GraftConfig.parse(
