@@ -195,11 +195,23 @@ object Curator {
       val p = new Path(d); p.getFileSystem(hconf).makeQualified(p)
     }
     def exists(p: Path): Boolean = p.getFileSystem(hconf).exists(p)
+    // ---- optional VECTOR dedup tier (semantic near-dups via SRP
+    // signature state — the embedding analog of the text tiers below):
+    // enabled by naming the corpus' embedding column
+    val embCol = c.getString("embedding-column")
+    val vecMinCosine = c.getDouble("min-cosine").getOrElse(0.99)
+    val vecSeed = c.getLong("srp-seed").getOrElse(4233L)
+    val vecBands = c.getInt("srp-bands").getOrElse(4)
     // the fingerprint parameters the persisted signatures/hot-buckets
     // are only valid for — recorded in the commit marker and required
-    // to match on read (config drift makes stored sigs silently useless)
+    // to match on read (config drift makes stored sigs silently useless).
+    // SRP seed/bands join the string when the vector tier is on: stored
+    // vector signatures only compare under the SAME hyperplane seed
+    // (mirroring text gramSize), and the persisted hot-bucket keys only
+    // mean anything under the same banding.
     val stateParams =
-      s"shingle-size=${cc.shingleSize};bands=${cc.simHashBands};max-bucket=${cc.simHashMaxBucket}"
+      s"shingle-size=${cc.shingleSize};bands=${cc.simHashBands};max-bucket=${cc.simHashMaxBucket}" +
+        embCol.map(e => s";embedding=$e;srp-seed=$vecSeed;srp-bands=$vecBands").getOrElse("")
     val stateDir = c.getString("state-dir")
     stateDir.foreach { d =>
       val marker = new Path(qual(d), "_COMMITTED")
@@ -252,9 +264,40 @@ object Curator {
         }
       case None => (df, None)
     }
-    val curated = graft.llm.Curation.curate(batch, idCol, textCol, cc)
+    // vector tier on the text-tier survivors: drop batch rows whose
+    // embedding near-duplicates the persisted corpus state (cosine ≥
+    // min-cosine via SRP signatures), then in-batch vector near-dups —
+    // curate() below has no vector stage, so this tier owns BOTH halves
+    val (vecBatch, vecToFree) = embCol match {
+      case Some(e) =>
+        import graft.llm.Similarity
+        val (corpusVecSigs, vecHot) = stateDir match {
+          case Some(d) => (spark.read.parquet(s"$d/vecsigs"),
+            Some(spark.read.parquet(s"$d/vechot")))
+          case None =>
+            // first run: no corpus state — the in-batch tier still must
+            // run or a near-dup pair arriving together enters the state
+            // forever (future runs only compare against the state)
+            (Similarity.srpSignatures(batch.limit(0), idCol, e, vecSeed), None)
+        }
+        if (c.getString("log-drop-counts").exists(v => !v.toBoolean)) {
+          (Similarity.dropSeenVectors(batch, corpusVecSigs, vecMinCosine,
+            idCol, e, vecBands, cc.simHashMaxBucket, vecHot, vecSeed), None)
+        } else {
+          val (s, n) = Similarity.dropSeenVectorsCounted(batch, corpusVecSigs,
+            vecMinCosine, idCol, e, vecBands, cc.simHashMaxBucket, vecHot, vecSeed)
+          Cli.log(s"vector tiers: batch=${n.batchRows} rows, " +
+            s"corpus tier dropped ${n.droppedCorpusTier} (signature-only, cos>=$vecMinCosine), " +
+            s"in-batch tier dropped ${n.droppedInBatchTier} (cosine-verified), " +
+            s"${n.survivors} rows continue to curation")
+          (s, Some(s))
+        }
+      case None => (batch, None)
+    }
+    val curated = graft.llm.Curation.curate(vecBatch, idCol, textCol, cc)
     println(s"curated corpus size: ${curated.count()}")
     batchToFree.foreach(_.unpersist()) // curated cache is materialized
+    vecToFree.foreach(_.unpersist())
     // optional training-mix composition (deterministic per-source keep
     // fractions) on the curated survivors
     val mixWeights = c.at("mixture-weights").flat
@@ -336,6 +379,20 @@ object Curator {
       Dedup.simHashHotBuckets(spark.read.parquet(s"$outDir/sigs"),
         cc.simHashBands, cc.simHashMaxBucket)
         .write.mode("overwrite").parquet(s"$outDir/hot")
+      // vector state rides the same commit: SRP signatures of the
+      // CURATED corpus (8 bytes/vector) + their hot-bucket keys, under
+      // the seed recorded in the marker params
+      embCol.foreach { e =>
+        val newVecSigs = graft.llm.Similarity.srpSignatures(curated, idCol, e, vecSeed)
+        val vecSigsAll = stateDir match {
+          case Some(d) => spark.read.parquet(s"$d/vecsigs").unionByName(newVecSigs)
+          case None => newVecSigs
+        }
+        vecSigsAll.write.mode("overwrite").parquet(s"$outDir/vecsigs")
+        Dedup.simHashHotBuckets(spark.read.parquet(s"$outDir/vecsigs"),
+          vecBands, cc.simHashMaxBucket)
+          .write.mode("overwrite").parquet(s"$outDir/vechot")
+      }
       val marker = fs.create(new Path(outPath, "_COMMITTED"), true)
       try marker.write(stateParams.getBytes("UTF-8")) finally marker.close()
       Cli.log(s"dedup state written to $outDir")

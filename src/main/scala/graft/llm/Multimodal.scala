@@ -12,12 +12,14 @@ import org.apache.spark.sql.types._
   * stay columnar in parquet, pruning/predicates work on the metadata,
   * and decode happens executor-side in bounded batches.
   *
-  * The actual codecs (JPEG/PNG/audio/video) are NOT available in this
-  * environment, so `FakeDecoder` produces a deterministic stand-in
-  * derived from the bytes. Everything around the decoder — the schema
-  * contract, the batched `mapPartitions` shape, frame-index explosion,
-  * resize arithmetic — is real and tested; swapping in a real codec is
-  * implementing one trait.
+  * Codecs: images decode through the REAL JDK codecs
+  * ([[Multimodal.ImageIoDecoder]]: PNG/JPEG/GIF/BMP) and audio through
+  * the REAL JDK sampled-sound stack ([[Multimodal.WavDecoder]]:
+  * WAV/AIFF/AU) — both zero-dependency. Only VIDEO, which has no JDK
+  * codec, goes through the deterministic `FakeDecoder` stand-in.
+  * Everything around the decoders — the schema contract, the batched
+  * `mapPartitions` shape, frame-index explosion, resize arithmetic —
+  * is shared; a real video codec is one more trait implementation.
   *
   * At scale: decode is a pure per-partition map (no shuffle); batch size
   * bounds executor memory (`batchSize × avg_asset_size`); frame
@@ -37,10 +39,11 @@ object Multimodal {
     def decode(content: Array[Byte], meta: Map[String, String]): Decoded
   }
 
-  /** Deterministic fake codec: "decodes" bytes into a small
-    * pseudo-image whose pixels are a hash-seeded function of the
-    * content. Real decoding needs image/audio libraries that are not in
-    * this container — replace this impl, keep the plumbing. */
+  /** Deterministic fake codec — the VIDEO-only stand-in (images and
+    * audio decode for real via [[ImageIoDecoder]] / [[WavDecoder]]):
+    * "decodes" bytes into a small pseudo-frame whose values are a
+    * hash-seeded function of the content. The JDK ships no video codec;
+    * replace this impl, keep the plumbing. */
   object FakeDecoder extends MediaDecoder {
     def decode(content: Array[Byte], meta: Map[String, String]): Decoded = {
       val w = meta.get("width").map(_.toInt).getOrElse(8)
@@ -105,6 +108,85 @@ object Multimodal {
       }
       Decoded(w, h, c, data)
     }
+  }
+
+  /** REAL audio decode on the JDK's built-in codecs
+    * (`javax.sound.sampled`: WAV/AIFF/AU — zero external dependencies,
+    * the same argument that made [[ImageIoDecoder]] replace the fake
+    * image path). Buffer convention for audio: `width` = frame count,
+    * `height` = 1, `channels` = channel count, `data` = interleaved
+    * per-frame samples normalized to [-1, 1].
+    *
+    * 16-bit signed and 8-bit unsigned PCM decode directly; any other
+    * encoding (float, 24/32-bit, a-law/µ-law) goes through the JDK's
+    * standard conversion to 16-bit signed PCM first. Normalization is
+    * s/32768 (16-bit) and (b−128)/128 (8-bit), so [[encodeWav]] output
+    * round-trips bit-exactly for data already on the n/32768 grid. */
+  object WavDecoder extends MediaDecoder {
+    import javax.sound.sampled.{AudioFormat, AudioSystem}
+
+    def decode(content: Array[Byte], meta: Map[String, String]): Decoded = {
+      val raw = AudioSystem.getAudioInputStream(new java.io.ByteArrayInputStream(content))
+      val fmt = raw.getFormat
+      val direct = (fmt.getEncoding == AudioFormat.Encoding.PCM_SIGNED &&
+        fmt.getSampleSizeInBits == 16) ||
+        (fmt.getEncoding == AudioFormat.Encoding.PCM_UNSIGNED &&
+          fmt.getSampleSizeInBits == 8)
+      val in =
+        if (direct) raw
+        else AudioSystem.getAudioInputStream(new AudioFormat(
+          AudioFormat.Encoding.PCM_SIGNED, fmt.getSampleRate, 16,
+          fmt.getChannels, 2 * fmt.getChannels, fmt.getSampleRate, false), raw)
+      val f = in.getFormat
+      val bytes = in.readAllBytes()
+      in.close()
+      val ch = f.getChannels
+      val bits = f.getSampleSizeInBits
+      val bytesPerSample = bits / 8
+      val nSamples = bytes.length / bytesPerSample
+      val data = new Array[Float](nSamples)
+      var i = 0
+      if (bits == 8) {
+        while (i < nSamples) {
+          data(i) = ((bytes(i) & 0xff) - 128) / 128.0f
+          i += 1
+        }
+      } else {
+        val be = f.isBigEndian
+        while (i < nSamples) {
+          val b0 = bytes(2 * i) & 0xff
+          val b1 = bytes(2 * i + 1) & 0xff
+          val s = (if (be) (b0 << 8) | b1 else (b1 << 8) | b0).toShort
+          data(i) = s / 32768.0f
+          i += 1
+        }
+      }
+      Decoded(nSamples / ch, 1, ch, data)
+    }
+  }
+
+  /** Encode a decoded audio buffer ([[WavDecoder]] conventions:
+    * interleaved [-1, 1] floats) as real 16-bit PCM WAV bytes — the
+    * audio inverse, for fixture generation and in-query re-encoding.
+    * Bit-exact round trip for samples on the n/32768 grid. */
+  def encodeWav(d: Decoded, sampleRate: Float = 16000f): Array[Byte] = {
+    import javax.sound.sampled.{AudioFileFormat, AudioFormat, AudioInputStream, AudioSystem}
+    require(d.height == 1, s"audio buffers are 1-high (frames × channels), got height ${d.height}")
+    val pcm = new Array[Byte](d.data.length * 2)
+    var i = 0
+    while (i < d.data.length) {
+      val s = math.max(-32768, math.min(32767, math.round(d.data(i) * 32768.0f)))
+      pcm(2 * i) = (s & 0xff).toByte         // little-endian
+      pcm(2 * i + 1) = ((s >> 8) & 0xff).toByte
+      i += 1
+    }
+    val fmt = new AudioFormat(AudioFormat.Encoding.PCM_SIGNED, sampleRate, 16,
+      d.channels, 2 * d.channels, sampleRate, false)
+    val in = new AudioInputStream(
+      new java.io.ByteArrayInputStream(pcm), fmt, d.width.toLong)
+    val baos = new java.io.ByteArrayOutputStream()
+    AudioSystem.write(in, AudioFileFormat.Type.WAVE, baos)
+    baos.toByteArray
   }
 
   /** Encode a decoded buffer as real PNG bytes (lossless; values

@@ -415,25 +415,74 @@ object Similarity {
       .select(col("batch_id").as(idCol)).distinct()
     val fresh = batch.join(seen, Seq(idCol), "left_anti")
     if (!inBatchNear) fresh
-    else {
-      // in-batch tier: without it a near-dup pair arriving in the same
-      // increment enters the corpus forever (future runs only compare
-      // against the state) — same rationale as Dedup.dropSeen. The
-      // survivors' signatures are derived from batchSigs by anti-join
-      // (same vectors, same seed) — never recomputed.
-      val freshSigs = batchSigs.join(seen.withColumnRenamed(idCol, "id"),
-        Seq("id"), "left_anti")
-      val cand = Dedup.bandedSignaturesAgainst(freshSigs, freshSigs,
-        defaultMaxHamming(minCosine), bands, maxBucketSize, None)
-        .filter(col("batch_id") < col("corpus_id"))
-      val vecs = fresh.select(col(idCol).as("__vid"), col(vecCol).as("__v"))
-      val drops = cand
-        .join(vecs.select(col("__vid").as("batch_id"), col("__v").as("__v1")), Seq("batch_id"))
-        .join(vecs.select(col("__vid").as("corpus_id"), col("__v").as("__v2")), Seq("corpus_id"))
-        .filter(cosine(col("__v1"), col("__v2")) >= minCosine)
-        .select(col("corpus_id").as(idCol)).distinct()
-      fresh.join(drops, Seq(idCol), "left_anti")
-    }
+    else inBatchVectorTier(fresh, batchSigs, seen, minCosine, idCol, vecCol,
+      bands, maxBucketSize)
+  }
+
+  /** In-batch vector near-dup tier: without it a near-dup pair arriving
+    * in the same increment enters the corpus forever (future runs only
+    * compare against the state) — same rationale as Dedup.dropSeen.
+    * The survivors' signatures are derived from batchSigs by anti-join
+    * (same vectors, same seed) — never recomputed; drops here ARE
+    * cosine-verified (the batch still holds its raw vectors). */
+  private def inBatchVectorTier(
+      fresh: DataFrame,
+      batchSigs: DataFrame,
+      seen: DataFrame,
+      minCosine: Double,
+      idCol: String,
+      vecCol: String,
+      bands: Int,
+      maxBucketSize: Int): DataFrame = {
+    val freshSigs = batchSigs.join(seen.withColumnRenamed(idCol, "id"),
+      Seq("id"), "left_anti")
+    val cand = Dedup.bandedSignaturesAgainst(freshSigs, freshSigs,
+      defaultMaxHamming(minCosine), bands, maxBucketSize, None)
+      .filter(col("batch_id") < col("corpus_id"))
+    val vecs = fresh.select(col(idCol).as("__vid"), col(vecCol).as("__v"))
+    val drops = cand
+      .join(vecs.select(col("__vid").as("batch_id"), col("__v").as("__v1")), Seq("batch_id"))
+      .join(vecs.select(col("__vid").as("corpus_id"), col("__v").as("__v2")), Seq("corpus_id"))
+      .filter(cosine(col("__v1"), col("__v2")) >= minCosine)
+      .select(col("corpus_id").as(idCol)).distinct()
+    fresh.join(drops, Seq(idCol), "left_anti")
+  }
+
+  /** Per-tier row counts from [[dropSeenVectorsCounted]] — the vector
+    * analog of [[Dedup.DropSeenCounts]]. The corpus tier drops on
+    * signature-only evidence (the state keeps 8-byte signatures, not
+    * vectors — see [[srpNearDupsAgainst]] for why that is safe); these
+    * counts are the per-increment observability hook that makes a
+    * mis-seeded or over-loose configuration visible. */
+  case class VectorDropCounts(batchRows: Long, afterCorpusTier: Long, survivors: Long) {
+    def droppedCorpusTier: Long = batchRows - afterCorpusTier
+    def droppedInBatchTier: Long = afterCorpusTier - survivors
+  }
+
+  /** [[dropSeenVectors]] plus [[VectorDropCounts]]: costs two extra
+    * count jobs and caches the corpus-tier survivors (dropped once the
+    * returned frame — itself persisted — is materialized by the final
+    * count). Caller unpersists the returned frame when done. */
+  def dropSeenVectorsCounted(
+      batch: DataFrame,
+      corpusSigs: DataFrame,
+      minCosine: Double = 0.99,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding",
+      bands: Int = 4,
+      maxBucketSize: Int = 10000,
+      corpusHotBuckets: Option[DataFrame] = None,
+      seed: Long = 4233L): (DataFrame, VectorDropCounts) = {
+    val batchSigs = srpSignatures(batch, idCol, vecCol, seed)
+    val seen = srpNearDupsAgainst(batchSigs, corpusSigs, minCosine, bands,
+      maxBucketSize, corpusHotBuckets)
+      .select(col("batch_id").as(idCol)).distinct()
+    val fresh = batch.join(seen, Seq(idCol), "left_anti").persist()
+    val survivors = inBatchVectorTier(fresh, batchSigs, seen, minCosine,
+      idCol, vecCol, bands, maxBucketSize).persist()
+    val counts = VectorDropCounts(batch.count(), fresh.count(), survivors.count())
+    fresh.unpersist() // survivors is materialized; fresh no longer feeds anything
+    (survivors, counts)
   }
 
   /** Near-duplicate vector pairs via SRP signatures + the SAME banded

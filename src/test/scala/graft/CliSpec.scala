@@ -320,6 +320,113 @@ class CliSpec extends SparkTestBase {
     intercept[IllegalArgumentException] { graft.cli.Curator.main(Array("--conf", drift)) }
   }
 
+  test("curator target write honors the DataIO layout knobs (range-by disjoint files)") {
+    import org.apache.spark.sql.functions.{col, input_file_name, max, min}
+    val base = tmp()
+    val out = base.resolve("ranged").toString
+    // the write-layout knobs live on the TARGET config — the same K0
+    // surface every DataIO sink gets — so curated corpora lay out for
+    // data skipping without a separate pass
+    val f = write(base.resolve("curator_layout.conf"),
+      s"""source { storage-type = local, dataset-dir = $sfDir/documents.parquet }
+         |target {
+         |  storage-type = local, dataset-dir = $out,
+         |  dataset-store-format = parquet, write-mode = overwrite,
+         |  range-by = [doc_id], n-partitions = 4,
+         |}
+         |curation { min-quality = 0.2 }
+         |""".stripMargin)
+    graft.cli.Curator.main(Array("--conf", f))
+    val spans = spark.read.parquet(out).groupBy(input_file_name())
+      .agg(min("doc_id").as("lo"), max("doc_id").as("hi"))
+      .select("lo", "hi").collect().map(r => (r.getLong(0), r.getLong(1)))
+      .sortBy(_._1)
+    assert(spans.length >= 2, s"expected multiple ranged files, got ${spans.length}")
+    spans.sliding(2).foreach { case Array((_, hi1), (lo2, _)) =>
+      assert(hi1 <= lo2, s"file ranges overlap: $spans")
+    }
+    // z-order layout also flows through (doc_id × n_tokens curve)
+    val zout = base.resolve("zordered").toString
+    val fz = write(base.resolve("curator_zorder.conf"),
+      s"""source { storage-type = local, dataset-dir = $sfDir/documents.parquet }
+         |target {
+         |  storage-type = local, dataset-dir = $zout,
+         |  dataset-store-format = parquet, write-mode = overwrite,
+         |  zorder-by = [doc_id, n_tokens], zorder-bits = 4, n-partitions = 4,
+         |}
+         |curation { min-quality = 0.2 }
+         |""".stripMargin)
+    graft.cli.Curator.main(Array("--conf", fz))
+    assert(spark.read.parquet(zout).count() ==
+      spark.read.parquet(out).count(), "layout must be a pure reordering")
+  }
+
+  test("curator vector tier: planted embedding echoes converge across runs") {
+    import org.apache.spark.sql.functions.{col, lit, transform => tf}
+    import spark.implicits._
+    val base = tmp()
+    // distinct-token texts so the TEXT tiers never fire — every drop in
+    // this test must come from the vector tier
+    def texts(ids: Seq[Long]): org.apache.spark.sql.DataFrame =
+      ids.map(i => (i, s"t${i}a t${i}b t${i}c t${i}d t${i}e t${i}f t${i}g t${i}h"))
+        .toDF("doc_id", "text")
+    val allEmb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      .select(col("vec_id"), col("embedding"))
+    def withEmb(t: org.apache.spark.sql.DataFrame, vecFrom: Long => Long) = {
+      val ids = t.select("doc_id").as[Long].collect().toSeq
+      val m = ids.map(i => i -> vecFrom(i)).toDF("doc_id", "vec_id")
+      t.join(m, "doc_id").join(allEmb, "vec_id").drop("vec_id")
+    }
+    def conf(run: Int, in: String, stateIn: Option[String]) = write(base.resolve(s"vec$run.conf"),
+      s"""source { storage-type = local, dataset-dir = $in }
+         |target { storage-type = local, dataset-dir = ${base.resolve(s"vout$run")}, dataset-store-format = parquet, write-mode = overwrite }
+         |curation {
+         |  min-quality = 0.0
+         |  embedding-column = embedding
+         |${stateIn.map(d => s"  state-dir = $d").getOrElse("")}
+         |  state-out-dir = ${base.resolve(s"vstate$run")}
+         |}
+         |""".stripMargin)
+    // run 1: docs 0..19 carry embeddings 0..19
+    val in1 = base.resolve("vin1").toString
+    withEmb(texts(0L until 20L), identity).write.parquet(in1)
+    graft.cli.Curator.main(Array("--conf", conf(1, in1, None)))
+    val n1 = spark.read.parquet(base.resolve("vout1").toString).count()
+    assert(n1 == 20, s"run 1 should keep all 20 distinct docs, kept $n1")
+    assert(spark.read.parquet(base.resolve("vstate1").resolve("vecsigs").toString).count() == 20)
+    // run 2: 10 ECHOES (new ids/texts, embeddings 0..9 perturbed ~1e-4
+    // in direction -> cosine ~1) + 10 FRESH rows (embeddings 40..49)
+    val in2 = base.resolve("vin2").toString
+    val echoes = withEmb(texts(1000L until 1010L), i => i - 1000L)
+      .withColumn("embedding", tf(col("embedding"),
+        x => (x * lit(1.0f) + x * lit(1e-4f)).cast("float")))
+    val fresh = withEmb(texts(2000L until 2010L), i => i - 1960L)
+    echoes.unionByName(fresh).write.parquet(in2)
+    graft.cli.Curator.main(Array("--conf",
+      conf(2, in2, Some(base.resolve("vstate1").toString))))
+    val out2 = spark.read.parquet(base.resolve("vout2").toString)
+    val kept2 = out2.select("doc_id").as[Long].collect().toSet
+    assert(kept2 == (2000L until 2010L).toSet,
+      s"vector tier must drop exactly the 10 echoes, kept $kept2")
+    // state accumulated under the commit marker
+    assert(spark.read.parquet(base.resolve("vstate2").resolve("vecsigs").toString).count() == 30)
+    assert(new java.io.File(base.resolve("vstate2").resolve("_COMMITTED").toString).exists())
+    // run 3: echoes of run 2's fresh vectors -> converges to zero
+    val in3 = base.resolve("vin3").toString
+    withEmb(texts(3000L until 3010L), i => i - 2960L).write.parquet(in3)
+    graft.cli.Curator.main(Array("--conf",
+      conf(3, in3, Some(base.resolve("vstate2").toString))))
+    assert(spark.read.parquet(base.resolve("vout3").toString).count() == 0)
+    // seed/band drift against committed vector state is rejected
+    val drift = write(base.resolve("vecdrift.conf"),
+      s"""source { storage-type = local, dataset-dir = $in3 }
+         |target { storage-type = local, dataset-dir = ${base.resolve("voutZ")} }
+         |curation { min-quality = 0.0, embedding-column = embedding,
+         |  srp-seed = 99, state-dir = ${base.resolve("vstate2")} }
+         |""".stripMargin)
+    intercept[IllegalArgumentException] { graft.cli.Curator.main(Array("--conf", drift)) }
+  }
+
   test("streamer runs a checkpointed windowed stream to a parquet sink (RocksDB state)") {
     val base = tmp()
     val events = base.resolve("events").toString

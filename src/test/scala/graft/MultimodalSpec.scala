@@ -128,6 +128,65 @@ class MultimodalSpec extends SparkTestBase {
     }
   }
 
+  test("WavDecoder decodes a genuine WAV fixture bit-exactly (mono + stereo)") {
+    // deterministic sine-ish samples quantized to the n/32768 grid so
+    // the 16-bit PCM round trip is exact
+    def grid(n: Int, ch: Int): Array[Float] =
+      Array.tabulate(n * ch)(i =>
+        math.round(math.sin(i * 0.37 + ch) * 30000).toInt / 32768.0f)
+    for (ch <- Seq(1, 2)) {
+      val src = Multimodal.Decoded(240, 1, ch, grid(240, ch))
+      val wav = Multimodal.encodeWav(src, sampleRate = 8000f)
+      // a real WAV: RIFF....WAVE header
+      assert(wav.take(4).sameElements("RIFF".getBytes))
+      assert(wav.slice(8, 12).sameElements("WAVE".getBytes))
+      val back = Multimodal.WavDecoder.decode(wav, Map.empty)
+      assert(back.width == 240 && back.height == 1 && back.channels == ch, s"ch=$ch")
+      assert(back.data.sameElements(src.data), s"ch=$ch: sample mismatch")
+    }
+  }
+
+  test("WavDecoder converts non-16-bit encodings through the JDK conversion path") {
+    // hand-build an 8-bit UNSIGNED PCM WAV (direct path) and a 32-bit
+    // float WAV via AudioSystem (conversion path)
+    import javax.sound.sampled.{AudioFileFormat, AudioFormat, AudioInputStream, AudioSystem}
+    val n = 64
+    val bytes8 = Array.tabulate(n)(i => ((i * 3 + 17) % 256).toByte)
+    val fmt8 = new AudioFormat(AudioFormat.Encoding.PCM_UNSIGNED, 8000f, 8, 1, 1, 8000f, false)
+    val baos = new java.io.ByteArrayOutputStream()
+    AudioSystem.write(new AudioInputStream(
+      new java.io.ByteArrayInputStream(bytes8), fmt8, n.toLong),
+      AudioFileFormat.Type.WAVE, baos)
+    val d8 = Multimodal.WavDecoder.decode(baos.toByteArray, Map.empty)
+    assert(d8.width == n && d8.channels == 1)
+    val want8 = bytes8.map(b => ((b & 0xff) - 128) / 128.0f)
+    assert(d8.data.sameElements(want8))
+  }
+
+  test("WavDecoder rejects non-audio bytes instead of returning garbage") {
+    intercept[javax.sound.sampled.UnsupportedAudioFileException] {
+      Multimodal.WavDecoder.decode("this is not audio".getBytes, Map.empty)
+    }
+  }
+
+  test("decoded audio feeds decodeAndFeaturize through the shared plumbing") {
+    import spark.implicits._
+    // media table whose payloads are REAL WAV bytes
+    val rows = (0L until 8L).map { id =>
+      val samples = Array.tabulate(120)(i =>
+        math.round(math.sin(i * 0.11 + id) * 28000).toInt / 32768.0f)
+      (id, Multimodal.encodeWav(Multimodal.Decoded(120, 1, 1, samples)))
+    }
+    val df = rows.toDF("asset_id", "content")
+      .withColumn("meta", org.apache.spark.sql.functions.map())
+    val out = Multimodal.decodeAndFeaturize(df, Multimodal.WavDecoder,
+      featureDim = 8, batchSize = 4).collect()
+    assert(out.length == 8)
+    assert(out.forall(r => r.getInt(1) == 120 && r.getInt(2) == 1 && r.getInt(3) == 1))
+    // mean-pooled features are bounded by the sample range
+    assert(out.forall(_.getSeq[Float](4).forall(f => f >= -1f && f <= 1f)))
+  }
+
   test("reencodeAsPng + ImageIoDecoder: real end-to-end codec path on the media table") {
     val png = Multimodal.reencodeAsPng(media.limit(20))
     val out = Multimodal.decodeAndFeaturize(png, Multimodal.ImageIoDecoder,
