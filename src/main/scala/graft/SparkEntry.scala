@@ -939,7 +939,90 @@ object SparkEntry {
             .otherwise("fresh").as("cohort"))
         .agg(count(lit(1)).as("n_survivors"))
     }),
+
+    // ---- BPE-budget chunking under the gate: greedy-pack whitespace
+    // tokens until the chunk's REAL subword count (under a merge table
+    // of common English merges, written deterministically at first use)
+    // would exceed the budget. Merge-table lookup + sequential greedy
+    // packing are not SQL-expressible → rows-only; budget adherence and
+    // recount parity are asserted in EntrySpec.
+    "q60_bpe_chunking" -> ((s, dir) =>
+      graft.llm.CorpusPrep.chunkByBpeBudget(
+        t(s, dir, "documents").filter(col("doc_id") < 200),
+        "doc_id", "text", bpeBudget = 128, mergesPath = q60MergesPath)
+        .select("doc_id", "chunk_id", "chunk_tokens", "chunk_bpe_tokens")),
+
+    // ---- Multimodal AUDIO plumbing through the REAL codec (the q18
+    // pattern for sound): deterministic PCM derived from each document
+    // is encoded as genuine 16-bit WAV bytes in-query (reencodeAsWav),
+    // then decoded by javax.sound.sampled (WavDecoder — frame count
+    // from the RIFF header, samples from the PCM payload). Not
+    // SQL-expressible → rows-only; MultimodalSpec keeps the raw
+    // bit-exactness asserts.
+    "q61_audio_decode" -> ((s, dir) => {
+      import graft.llm.Multimodal
+      val media = Multimodal.asMediaTable(
+        t(s, dir, "documents").filter(col("doc_id") < 200), "doc_id", "text", "audio",
+        Map("width" -> "256", "height" -> "1", "channels" -> "1"))
+      val wav = Multimodal.reencodeAsWav(media)
+      Multimodal.decodeAndFeaturize(wav, Multimodal.WavDecoder, featureDim = 8)
+        .select(col("asset_id"), col("width").as("n_frames"), col("channels"),
+          size(col("features")).as("feat_dim"),
+          round(aggregate(col("features"), lit(0.0d), (acc, x) => acc + x), 4).as("feat_sum"))
+    }),
+
+    // ---- Incremental VECTOR dedup under the gate (the q40 pattern for
+    // embeddings, the tier the Curator's embedding-column now drives):
+    // "yesterday's corpus" = even vec_ids, its 8-byte SRP signature +
+    // hot-bucket state built in-query; today's batch = odd vec_ids
+    // (fresh) plus planted echoes of the corpus — rescaled copies
+    // (id+30000; cosine exactly 1, so the signature tier must catch
+    // every one). Survivors grouped by cohort: the only expected row is
+    // ("fresh", n_odd). xxhash64 signatures not portable to the oracle
+    // → rows-only; asserted in EntrySpec.
+    "q62_incremental_vector_dedup" -> ((s, dir) => {
+      import graft.llm.{Dedup, Similarity}
+      val emb = t(s, dir, "embeddings").select(col("vec_id"), col("embedding"))
+      val corpus = emb.filter(col("vec_id") % 2 === 0)
+      // persisted: sigs feed the hot-bucket aggregate AND the banded
+      // join's corpus side; batch feeds signature derivation AND two
+      // anti-joins — without the persists each consumer re-derives the
+      // full lineage (the q39 lesson)
+      val sigs = Similarity.srpSignatures(corpus)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val hot = Dedup.simHashHotBuckets(sigs)
+      val echoes = corpus.filter(col("vec_id") < 100)
+        .select((col("vec_id") + 30000).as("vec_id"),
+          transform(col("embedding"), x => (x * 0.5f).cast("float")).as("embedding"))
+      val batch = emb.filter(col("vec_id") % 2 === 1).unionByName(echoes)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      eagerSummary(s,
+        Similarity.dropSeenVectors(batch, sigs, corpusHotBuckets = Some(hot))
+          .groupBy(when(col("vec_id") >= 30000, "echo").otherwise("fresh").as("cohort"))
+          .agg(count(lit(1)).as("n_survivors")),
+        sigs, batch)
+    }),
   )
+
+  /** q60's deterministic merge table (common English pair merges),
+    * written once to the JVM temp dir — the gate needs a merges PATH
+    * and the environment ships none. Content is fixed, so the BPE
+    * counts are reproducible across runs and processes. */
+  private lazy val q60MergesPath: String = {
+    val f = new java.io.File(
+      System.getProperty("java.io.tmpdir"), "graft_q60_merges.txt")
+    val content = Seq("#version: 0.2",
+      "t h", "th e", "i n", "in g", "a n", "an d", "e r", "o n",
+      "r e", "a t", "e n", "o r", "t i", "ti on", "s t", "l e")
+      .mkString("\n")
+    if (!f.exists || f.length != content.getBytes("UTF-8").length) {
+      val tmp = java.io.File.createTempFile("graft_q60_merges", ".tmp")
+      java.nio.file.Files.write(tmp.toPath, content.getBytes("UTF-8"))
+      tmp.renameTo(f) // atomic-enough publish; content is constant
+      ()
+    }
+    f.getAbsolutePath
+  }
 
   /** Shared by q26 (HOF chunker) and q41 (native expression): both
     * implement the identical window program, so one oracle pins both. */

@@ -260,6 +260,36 @@ object Multimodal {
     }(Encoders.row(schema))
   }
 
+  /** Replace each asset's payload with real 16-bit PCM WAV bytes
+    * derived from it (deterministic [[FakeDecoder]] values → mono PCM →
+    * [[encodeWav]]) — the audio twin of [[reencodeAsPng]]: turns any
+    * media table into one that exercises the REAL audio codec
+    * end-to-end in an environment with no audio testdata. Same
+    * mapPartitions shape as decode — no shuffle. */
+  def reencodeAsWav(
+      df: DataFrame,
+      contentCol: String = "content",
+      metaCol: String = "meta"): DataFrame = {
+    val schema = df.schema
+    val cIdx = df.columns.indexOf(contentCol)
+    val mIdx = df.columns.indexOf(metaCol)
+    df.mapPartitions { it =>
+      it.map { row =>
+        val content = row.getAs[Array[Byte]](cIdx)
+        if (content == null) row
+        else {
+          val meta = Option(row.getMap[String, String](mIdx))
+            .map(_.toMap).getOrElse(Map.empty[String, String])
+          val d = FakeDecoder.decode(content, meta)
+          // fake values are [0,1) frames×1×channels — reinterpret as a
+          // mono sample stream (any [-1,1] payload is valid PCM)
+          val audio = Decoded(d.data.length, 1, 1, d.data)
+          Row.fromSeq(row.toSeq.updated(cIdx, encodeWav(audio)))
+        }
+      }
+    }(Encoders.row(schema))
+  }
+
   /** Output schema of `decodeAndFeaturize` — explicit, never inferred. */
   def decodedSchema(idCol: String, idType: DataType): StructType = StructType(Seq(
     StructField(idCol, idType, nullable = false),

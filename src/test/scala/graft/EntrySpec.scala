@@ -78,6 +78,47 @@ class EntrySpec extends SparkTestBase {
     assert(rows("fresh") > 0)
   }
 
+  test("q60: every multi-token chunk respects the BPE budget and counts replay") {
+    import org.apache.spark.sql.functions.col
+    val chunks = SparkEntry.queries("q60_bpe_chunking")(spark, sfDir)
+      .persist()
+    assert(chunks.count() > 0)
+    // the budget binds on the subword count wherever splitting was possible
+    assert(chunks.filter(col("chunk_tokens") > 1 && col("chunk_bpe_tokens") > 128).count() == 0)
+    // overlap 0: chunks partition the tokens — per-doc sums match the raw count
+    import org.apache.spark.sql.functions.{filter => afilter, length, size, split, trim}
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      .filter(col("doc_id") < 200)
+      .select(col("doc_id"),
+        size(afilter(split(trim(col("text")), "\\s+"), t => length(t) > 0)).as("n_toks"))
+    val bad = chunks.groupBy("doc_id")
+      .agg(org.apache.spark.sql.functions.sum("chunk_tokens").as("sum_toks"))
+      .join(docs, "doc_id")
+      .filter(col("sum_toks") =!= col("n_toks")).count()
+    assert(bad == 0, "chunk token sums must re-cover each document exactly")
+    chunks.unpersist()
+  }
+
+  test("q61: real WAV codec path — header-derived frames, bounded samples") {
+    val rows = SparkEntry.queries("q61_audio_decode")(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Int]("n_frames") == 256) // the 256×1×1 fake buffer as PCM frames
+      assert(r.getAs[Int]("channels") == 1)
+      assert(r.getAs[Int]("feat_dim") == 8)
+      // mean-pooled [0,1) fake samples stay in [0,1) through the PCM trip
+      val sum = r.getAs[Double]("feat_sum")
+      assert(sum >= 0.0 && sum <= 8.0, s"feat_sum out of range: $sum")
+    }
+  }
+
+  test("q62: vector signature tier drops every rescaled echo, keeps fresh rows") {
+    val rows = SparkEntry.queries("q62_incremental_vector_dedup")(spark, sfDir)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(rows.keySet == Set("fresh"), s"echo cohorts survived: $rows")
+    assert(rows("fresh") > 0)
+  }
+
   test("q36 dim-chain plan: both dimensions broadcast, no sort-merge join") {
     val plan = SparkEntry.queries("q36_supplier_region")(spark, sfDir)
       .queryExecution.executedPlan.toString
