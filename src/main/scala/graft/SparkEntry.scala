@@ -1002,6 +1002,48 @@ object SparkEntry {
           .agg(count(lit(1)).as("n_survivors")),
         sigs, batch)
     }),
+
+    // ---- Benchmark decontamination (train/test overlap): distinct
+    // 8-gram hits of each corpus doc against a benchmark set (docs
+    // 0-9), with planted echoes (id+50000 copies of the benchmark) so
+    // the gate signal is corpus-independent. The benchmark gram set
+    // broadcasts; the corpus side is scan + explode + broadcast
+    // semi-join — no corpus-vs-corpus join. Oracle replays the same
+    // tokenize/shingle/semi-join program in SQL → hash-exact.
+    "q63_contamination" -> ((s, dir) => {
+      // corpus slice doc_id < 1500: the gate signal (planted echoes
+      // flagged, 5-gram-only overlaps not) is corpus-size-independent;
+      // the 8-gram explode cost is not — same budget rule as q38/q39
+      val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
+        .filter(col("doc_id") < 1500)
+      val bench = docs.filter(col("doc_id") < 10)
+      val corpus = docs.filter(col("doc_id") >= 10)
+        .unionByName(bench.select((col("doc_id") + 50000).as("doc_id"), col("text")))
+      graft.llm.TextAnalysis.contaminationHits(
+        corpus, bench, "doc_id", "text", "text", n = 8)
+    }),
+
+    // ---- Within-document repetition (Gopher-style quality signal):
+    // duplicate word-trigram fraction per document — boilerplate and
+    // keyword stuffing score high, natural prose near 0. Pure HOF
+    // projection at scan speed; the oracle replays the identical
+    // list program in SQL → hash-exact.
+    // (doc_id < 1500 on both forms AND the shared oracle: the HOF form
+    // exists to pin semantics, not to scan corpora — the native q65
+    // form is the one that runs at scale, and TextAnalysisSpec proves
+    // them bit-identical over the FULL table)
+    "q64_repetition" -> ((s, dir) =>
+      t(s, dir, "documents").filter(col("doc_id") < 1500).select(col("doc_id"),
+        round(graft.llm.TextAnalysis.repetitionScore(col("text"), 3), 6).as("rep3"))),
+
+    // ---- The same semantics through the native one-pass expression
+    // (graft_repetition — exact byte-compare distinctness in an
+    // open-addressing table, no per-gram String): both forms are
+    // hash-exact against the SAME oracle, proving the fast path
+    // implements precisely the declared program (the q26/q41 pattern).
+    "q65_native_repetition" -> ((s, dir) =>
+      t(s, dir, "documents").filter(col("doc_id") < 1500).select(col("doc_id"),
+        round(graft.llm.TextAnalysis.repetitionScoreFast(col("text"), 3), 6).as("rep3"))),
   )
 
   /** q60's deterministic merge table (common English pair merges),
@@ -1024,6 +1066,24 @@ object SparkEntry {
     f.getAbsolutePath
   }
 
+  /** Shared by q64 (HOF repetition score) and q65 (native expression):
+    * identical program, one oracle pins both hash-exactly. */
+  private val RepetitionOracleSql: String =
+    """WITH toks AS (
+      |  SELECT doc_id,
+      |    list_filter(regexp_split_to_array(lower(trim(text)), '\s+'), t -> len(t) > 0) AS ts
+      |  FROM documents WHERE doc_id < 1500),
+      |g AS (
+      |  SELECT doc_id,
+      |    list_filter(list_transform(range(0, greatest(len(ts) - 3, 0) + 1),
+      |      i -> array_to_string(ts[i+1:i+3], ' ')), s -> len(s) > 0) AS grams,
+      |    greatest(len(ts) - 2, 0) AS total
+      |  FROM toks)
+      |SELECT doc_id,
+      |  round(CASE WHEN total <= 0 THEN 0.0
+      |             ELSE 1.0 - CAST(len(list_distinct(grams)) AS DOUBLE) / total END, 6) AS rep3
+      |FROM g""".stripMargin
+
   /** Shared by q26 (HOF chunker) and q41 (native expression): both
     * implement the identical window program, so one oracle pins both. */
   private val ChunkingOracleSql: String =
@@ -1043,6 +1103,26 @@ object SparkEntry {
       |FROM sized s, LATERAL (SELECT unnest(range(s.n)) AS i) u""".stripMargin
 
   def oracleSql: Map[String, String] = Map(
+    "q63_contamination" ->
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |    list_filter(regexp_split_to_array(lower(trim(text)), '\s+'), t -> len(t) > 0) AS ts
+        |  FROM documents WHERE doc_id < 1500),
+        |grams AS (
+        |  SELECT doc_id, list_distinct(list_filter(list_transform(
+        |    range(0, greatest(len(ts) - 8, 0) + 1),
+        |    i -> array_to_string(ts[i+1:i+8], ' ')), s -> len(s) > 0)) AS gs
+        |  FROM toks),
+        |benchg AS (SELECT DISTINCT unnest(gs) AS gram FROM grams WHERE doc_id < 10),
+        |docg AS (
+        |  SELECT doc_id, unnest(gs) AS gram FROM grams WHERE doc_id >= 10
+        |  UNION ALL
+        |  SELECT doc_id + 50000 AS doc_id, unnest(gs) AS gram FROM grams WHERE doc_id < 10)
+        |SELECT doc_id, count(*) AS n_hits
+        |FROM docg WHERE gram IN (SELECT gram FROM benchg)
+        |GROUP BY doc_id""".stripMargin,
+    "q64_repetition" -> RepetitionOracleSql,
+    "q65_native_repetition" -> RepetitionOracleSql,
     "q1_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,
         | round(sum(l_quantity), 2) AS sum_qty,

@@ -291,6 +291,9 @@ object GraftFunctions {
   def srp(c: Column, seed: Long = 4233L): Column =
     ColumnBridge.column(Srp64(ColumnBridge.expression(c), seed))
 
+  def repetition(c: Column, n: Int = 3): Column =
+    ColumnBridge.column(Repetition(ColumnBridge.expression(c), n))
+
   val functions: Seq[(String, ExpressionInfo, Seq[Expression] => Expression)] = Seq(
     ("graft_cosine",
       new ExpressionInfo(classOf[CosineSimilarity].getName, "graft_cosine"),
@@ -408,6 +411,21 @@ object GraftFunctions {
             s"graft_freq_sketch k must be an integer literal, got $other")
         }
         FreqSketchAgg(es.head, k)
+      }),
+    ("graft_repetition",
+      new ExpressionInfo(classOf[Repetition].getName, "graft_repetition"),
+      (es: Seq[Expression]) => {
+        require(es.length == 1 || es.length == 2,
+          s"graft_repetition takes 1 or 2 arguments, got ${es.length}")
+        val n = if (es.length == 1) 3 else {
+          require(es(1).foldable, "graft_repetition n must be a literal")
+          es(1).eval() match {
+            case v: Number => v.intValue()
+            case other => throw new IllegalArgumentException(
+              s"graft_repetition n must be an integer literal, got $other")
+          }
+        }
+        Repetition(es.head, n)
       }),
     ("graft_srp",
       new ExpressionInfo(classOf[Srp64].getName, "graft_srp"),

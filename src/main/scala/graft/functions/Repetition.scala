@@ -1,0 +1,125 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** One-pass within-document repetition score (`graft_repetition`): the
+  * native form of `TextAnalysis.repetitionScore`'s HOF program —
+  * `1 − distinct/total` over word n-grams of the lowercased
+  * whitespace-token stream, 0.0 when fewer than n tokens.
+  *
+  * The HOF pipeline materializes a token array, builds every n-gram as
+  * a joined String, and runs `array_distinct` over them — one String
+  * allocation per gram per document. This expression finds token byte
+  * boundaries in a single scan (the SimHashImpl tokenizer contract:
+  * `lower()`-equivalent UTF8String.toLowerCase + ASCII `\s`), then
+  * counts distinct n-grams with an open-addressing table whose
+  * collisions verify by EXACT byte comparison of the token sequence —
+  * so the result is bit-identical to the HOF/SQL form (a space-joined
+  * gram equals another iff the token sequences match; tokens contain
+  * no spaces, so the join is injective). Same double arithmetic at the
+  * end → the q64 oracle pins both forms hash-exactly (the q41
+  * pattern). */
+object RepetitionImpl {
+
+  def compute(text: UTF8String, n: Int): Double = {
+    val bytes = text.toLowerCase.getBytes
+    val len = bytes.length
+    // token boundary scan (ASCII \s+, as in ChunksImpl/SimHashImpl)
+    var cap = 16
+    var starts = new Array[Int](cap)
+    var ends = new Array[Int](cap)
+    var nTok = 0
+    var tokStart = -1
+    var i = 0
+    while (i <= len) {
+      val isSpace = i == len || SimHashImpl.isRegexSpaceByte(bytes(i))
+      if (!isSpace && tokStart < 0) tokStart = i
+      else if (isSpace && tokStart >= 0) {
+        if (nTok == cap) {
+          cap *= 2
+          starts = java.util.Arrays.copyOf(starts, cap)
+          ends = java.util.Arrays.copyOf(ends, cap)
+        }
+        starts(nTok) = tokStart; ends(nTok) = i; nTok += 1
+        tokStart = -1
+      }
+      i += 1
+    }
+    val total = nTok - n + 1
+    if (total <= 0) return 0.0
+    // per-token hashes once, gram hash = mix over n token hashes
+    val tokHash = new Array[Long](nTok)
+    i = 0
+    while (i < nTok) {
+      tokHash(i) = SimHashImpl.tokenHash(
+        UTF8String.fromBytes(bytes, starts(i), ends(i) - starts(i)))
+      i += 1
+    }
+    // open-addressing table of gram START indices; equality = exact
+    // token-sequence byte comparison, so hash collisions cannot
+    // inflate or deflate the distinct count
+    var tcap = Integer.highestOneBit(math.max(4, total * 2) - 1) << 1
+    if (tcap < 4) tcap = 4
+    val table = new Array[Int](tcap)
+    java.util.Arrays.fill(table, -1)
+    val mask = tcap - 1
+
+    def gramsEqual(a: Int, b: Int): Boolean = {
+      var k = 0
+      while (k < n) {
+        val la = ends(a + k) - starts(a + k)
+        if (la != ends(b + k) - starts(b + k)) return false
+        var p = 0
+        val sa = starts(a + k); val sb = starts(b + k)
+        while (p < la) {
+          if (bytes(sa + p) != bytes(sb + p)) return false
+          p += 1
+        }
+        k += 1
+      }
+      true
+    }
+
+    var distinct = 0
+    var g = 0
+    while (g < total) {
+      var h = 0L
+      var k = 0
+      while (k < n) { h = h * 0x9E3779B97F4A7C15L + tokHash(g + k); k += 1 }
+      var slot = (h ^ (h >>> 32)).toInt & mask
+      var placed = false
+      while (!placed) {
+        val occ = table(slot)
+        if (occ < 0) { table(slot) = g; distinct += 1; placed = true }
+        else if (gramsEqual(occ, g)) placed = true // duplicate
+        else slot = (slot + 1) & mask
+      }
+      g += 1
+    }
+    1.0 - distinct.toDouble / total
+  }
+}
+
+/** `graft_repetition(string, n) -> double` */
+case class Repetition(child: Expression, n: Int) extends UnaryExpression {
+  require(n >= 1, s"repetition n-gram size must be >= 1, got $n")
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case _: StringType => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(s"graft_repetition expects string, got $t")
+  }
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "graft_repetition"
+
+  override protected def nullSafeEval(t: Any): Any =
+    RepetitionImpl.compute(t.asInstanceOf[UTF8String], n)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.RepetitionImpl.compute($c, $n)")
+
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
+}

@@ -40,6 +40,80 @@ object TextAnalysis {
   def punctCount(c: Column): Column =
     length(regexp_replace(c, "[\\p{L}\\p{N}\\s]", ""))
 
+  /** Within-document repetition score (the Gopher-style quality
+    * signal): the fraction of word `n`-grams that are DUPLICATES of an
+    * earlier n-gram in the same document — `1 − distinct/total`, 0.0
+    * for documents with < n tokens. Template/boilerplate text (lorem
+    * runs, scraped nav bars, keyword stuffing) scores high; natural
+    * prose scores near 0. Pure HOF projection over [[Dedup.tokens]]'
+    * lowercased split — scan speed, no shuffle, and replayable in
+    * plain SQL (the q64 oracle). */
+  def repetitionScore(c: Column, n: Int = 3): Column = {
+    require(n >= 1, s"repetition n-gram size must be >= 1, got $n")
+    val toks = Dedup.tokens(c)
+    val total = greatest(size(toks) - (n - 1), lit(0))
+    val grams = filter(
+      transform(sequence(lit(0), greatest(size(toks) - n, lit(0))),
+        i => concat_ws(" ", slice(toks, i + 1, lit(n)))),
+      s => length(s) > 0)
+    when(total <= 0, lit(0.0))
+      .otherwise(lit(1.0) - size(array_distinct(grams)).cast("double") / total)
+  }
+
+  /** [[repetitionScore]] through the one-pass native expression
+    * (`graft_repetition`): identical semantics and bit-identical
+    * doubles (exact byte-compare distinctness, same final arithmetic —
+    * spec-pinned, and q64/q65 share one oracle). The HOF form builds a
+    * String per n-gram and runs `array_distinct` over them; this one
+    * scans the lowercased bytes once and counts distinct grams in an
+    * open-addressing table — corpus-quality scans stay parquet-bound. */
+  def repetitionScoreFast(c: Column, n: Int = 3): Column =
+    graft.functions.GraftFunctions.repetition(c, n)
+
+  /** Benchmark decontamination: per-document count of distinct word
+    * `n`-grams shared with ANY document of an evaluation/benchmark set
+    * — the standard train/test-overlap check run before training
+    * (n = 8-ish word grams is the usual contamination definition;
+    * substring matches below n words don't count). Returns
+    * `(idCol, n_hits)` for documents with ≥ 1 hit.
+    *
+    * 100 TB shape: the benchmark side is SMALL (eval sets are
+    * thousands of docs, the corpus is billions) — its distinct gram
+    * set builds once and BROADCASTS; the corpus side is scan + explode
+    * + broadcast semi-join, so only matching grams ever reach the
+    * per-doc aggregate shuffle. No corpus-vs-corpus join exists
+    * anywhere. Grams are per-doc distinct ([[Dedup.shingles]]), so
+    * `n_hits` counts distinct contaminated grams, robust to in-doc
+    * repetition. */
+  def contaminationHits(
+      docs: org.apache.spark.sql.DataFrame,
+      bench: org.apache.spark.sql.DataFrame,
+      idCol: String,
+      textCol: String,
+      benchTextCol: String,
+      n: Int = 8): org.apache.spark.sql.DataFrame = {
+    val benchGrams = bench
+      .select(explode(Dedup.shingles(col(benchTextCol), n)).as("gram")).distinct()
+    docs.select(col(idCol), explode(Dedup.shingles(col(textCol), n)).as("gram"))
+      .join(broadcast(benchGrams), Seq("gram"), "left_semi")
+      .groupBy(idCol).agg(count(lit(1)).as("n_hits"))
+  }
+
+  /** Drop every document sharing ≥ `minHits` distinct `n`-grams with
+    * the benchmark set — [[contaminationHits]] as a filter. */
+  def decontaminate(
+      docs: org.apache.spark.sql.DataFrame,
+      bench: org.apache.spark.sql.DataFrame,
+      idCol: String,
+      textCol: String,
+      benchTextCol: String,
+      n: Int = 8,
+      minHits: Int = 1): org.apache.spark.sql.DataFrame =
+    docs.join(
+      contaminationHits(docs, bench, idCol, textCol, benchTextCol, n)
+        .filter(col("n_hits") >= minHits).select(idCol),
+      Seq(idCol), "left_anti")
+
   /** Mean token length over non-space characters. */
   def meanTokenLength(c: Column): Column = {
     val n = wsTokenCount(c)

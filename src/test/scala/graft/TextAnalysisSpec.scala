@@ -156,6 +156,76 @@ class TextAnalysisSpec extends SparkTestBase {
       TextAnalysis.bm25Score(docs, "doc_id", "text", Seq("a", "a")))
   }
 
+  test("repetitionScore: hand-computed duplicate-trigram fractions") {
+    import spark.implicits._
+    val got = Seq(
+      ("loop", "a b a b a b"),       // trigrams: aba, bab, aba, bab → 1 − 2/4
+      ("prose", "one two three four"), // all distinct → 0
+      ("short", "just two"),          // < 3 tokens → 0 by definition
+      ("empty", " "),
+      ("stuffed", "buy now buy now buy now buy now")) // 1 − 2/6
+      .toDF("id", "text")
+      .select(col("id"), TextAnalysis.repetitionScore(col("text"), 3).as("r"))
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(got("loop") == 0.5)
+    assert(got("prose") == 0.0)
+    assert(got("short") == 0.0)
+    assert(got("empty") == 0.0)
+    assert(math.abs(got("stuffed") - (1.0 - 2.0 / 6.0)) < 1e-12)
+  }
+
+  test("native repetition is bit-identical to the HOF reference form") {
+    import spark.implicits._
+    // edge fixtures + the real corpus — doubles must match EXACTLY
+    val edges = Seq("a b a b a b", "one two three four", "just two", " ", "",
+      "x X x X x", "tab\tseparated tab\tseparated tab\tseparated")
+      .zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+    val corpus = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select("doc_id", "text").unionByName(edges.withColumn("doc_id", col("doc_id") + 900000))
+    for (n <- Seq(1, 2, 3, 8)) {
+      val mismatch = corpus.select(
+        TextAnalysis.repetitionScore(col("text"), n).as("hof"),
+        TextAnalysis.repetitionScoreFast(col("text"), n).as("native"))
+        .filter(col("hof") =!= col("native")).count()
+      assert(mismatch == 0, s"n=$n: native diverged from HOF")
+    }
+  }
+
+  test("contaminationHits/decontaminate: planted benchmark overlap, clean docs untouched") {
+    import spark.implicits._
+    val bench = Seq((900L, "the quick brown fox jumps over the lazy dog today"))
+      .toDF("bid", "btext")
+    val docs = Seq(
+      // full copy: shares every 8-gram with the bench doc
+      (1L, "the quick brown fox jumps over the lazy dog today"),
+      // embedded: the 10-token bench phrase inside other text
+      (2L, "intro words the quick brown fox jumps over the lazy dog today and more"),
+      // shares only a 5-gram — below the 8-gram contamination bar
+      (3L, "the quick brown fox jumps somewhere else entirely now then"),
+      (4L, "completely unrelated content about spark query planning here"))
+      .toDF("doc_id", "text")
+    val hits = TextAnalysis.contaminationHits(docs, bench, "doc_id", "text", "btext", n = 8)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // 10 tokens → 3 distinct 8-grams; the full copy hits all 3; the
+    // embedded copy still contains all 3 (plus unshared grams)
+    assert(hits(1L) == 3)
+    assert(hits(2L) == 3)
+    assert(!hits.contains(3L), s"5-gram overlap must not flag: $hits")
+    assert(!hits.contains(4L))
+    val clean = TextAnalysis.decontaminate(docs, bench, "doc_id", "text", "btext", n = 8)
+      .select("doc_id").as[Long].collect().toSet
+    assert(clean == Set(3L, 4L))
+  }
+
+  test("contamination plan: benchmark grams broadcast, corpus side not shuffled before the semi-join") {
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet").select("doc_id", "text")
+    val plan = TextAnalysis.contaminationHits(
+      docs.filter(col("doc_id") >= 10), docs.filter(col("doc_id") < 10),
+      "doc_id", "text", "text").queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastExchange"), s"bench grams must broadcast:\n$plan")
+    assert(!plan.contains("SortMergeJoin"), s"corpus must not shuffle for the semi-join:\n$plan")
+  }
+
   test("analysis runs shuffle-free over documents (scan-speed map)") {
     val docs = spark.read.parquet(s"$sfDir/documents.parquet")
     val out = docs.select(col("doc_id"),
