@@ -174,6 +174,8 @@ object Curator {
     val base = graft.llm.Curation.Config()
     val cc = graft.llm.Curation.Config(
       minQuality = c.getDouble("min-quality").getOrElse(base.minQuality),
+      maxRepetition = c.getDouble("max-repetition").getOrElse(base.maxRepetition),
+      repetitionNgram = c.getInt("repetition-ngram").getOrElse(base.repetitionNgram),
       langs = c.getList("langs").map(_.toSet).getOrElse(base.langs),
       nearDupStrategy = c.getString("near-dup-strategy").getOrElse(base.nearDupStrategy),
       nearDupMaxJaccardDistance = c.getDouble("max-jaccard-distance").getOrElse(base.nearDupMaxJaccardDistance),
@@ -298,12 +300,36 @@ object Curator {
     println(s"curated corpus size: ${curated.count()}")
     batchToFree.foreach(_.unpersist()) // curated cache is materialized
     vecToFree.foreach(_.unpersist())
+    // optional benchmark decontamination (train/test-overlap filter) on
+    // the curated survivors: docs sharing >= min-hits distinct n-grams
+    // with ANY doc of the benchmark set are dropped from the training
+    // OUTPUT (the dedup state still records them as curated — by
+    // design, matching the mixture/chunking exclusion rule below)
+    val decontaminated = c.getString("benchmark-dir") match {
+      case Some(bdir) =>
+        val bench = graft.sources.DataIO.read(spark,
+          graft.conf.GraftConfig.parse(
+            s"""storage-type = local
+               |dataset-dir = "$bdir"""".stripMargin))
+        val out = graft.llm.TextAnalysis.decontaminate(curated, bench,
+          idCol, textCol, c.getString("benchmark-text-column").getOrElse(textCol),
+          n = c.getInt("contamination-ngram").getOrElse(8),
+          minHits = c.getInt("contamination-min-hits").getOrElse(1),
+          // native hashed grams: ~8× the string form on the 5M-doc
+          // probe; over-drop odds ~2^-64 per gram pair — right default
+          // for a pipeline (set false to replay the oracle-exact form)
+          hashGrams = c.getBoolean("contamination-hash-grams").getOrElse(true))
+        Cli.log(s"decontamination: ${out.count()} of ${curated.count()} survive " +
+          s"the ${c.getInt("contamination-ngram").getOrElse(8)}-gram benchmark check")
+        out
+      case None => curated
+    }
     // optional training-mix composition (deterministic per-source keep
     // fractions) on the curated survivors
     val mixWeights = c.at("mixture-weights").flat
     val mixed =
-      if (mixWeights.isEmpty) curated
-      else graft.llm.CorpusPrep.mixtureSample(curated, idCol,
+      if (mixWeights.isEmpty) decontaminated
+      else graft.llm.CorpusPrep.mixtureSample(decontaminated, idCol,
         c.getString("mixture-source-column").getOrElse("source"),
         mixWeights.map { case (k, v) => k -> v.toDouble }.toMap,
         defaultFraction = c.getDouble("mixture-default-fraction").getOrElse(0.0),

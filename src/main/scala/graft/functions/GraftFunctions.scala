@@ -294,6 +294,9 @@ object GraftFunctions {
   def repetition(c: Column, n: Int = 3): Column =
     ColumnBridge.column(Repetition(ColumnBridge.expression(c), n))
 
+  def gramHashes(c: Column, n: Int): Column =
+    ColumnBridge.column(GramHashes(ColumnBridge.expression(c), n))
+
   val functions: Seq[(String, ExpressionInfo, Seq[Expression] => Expression)] = Seq(
     ("graft_cosine",
       new ExpressionInfo(classOf[CosineSimilarity].getName, "graft_cosine"),

@@ -104,6 +104,102 @@ object RepetitionImpl {
   }
 }
 
+/** Distinct word-n-gram hashes of a document (`graft_gram_hashes`):
+  * one-pass tokenize (same lowercase + ASCII `\s` contract as
+  * [[RepetitionImpl]]) → per-token xxhash64 → rolling gram mix →
+  * DISTINCT 64-bit hashes, deduplicated in the same open-addressing
+  * table. No gram String is ever built — this is the scale form of
+  * `Dedup.shingles` for hash-based consumers (decontamination), where
+  * the HOF slice+concat construction dominates the cost (measured:
+  * the string-gram decontamination probe spends ~75 s of its 77 s
+  * building grams on 5M docs). Shorter-than-n documents emit one gram
+  * over the tokens that exist, mirroring `shingles`. */
+object GramHashesImpl {
+  import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+
+  def compute(text: UTF8String, n: Int): ArrayData = {
+    val bytes = text.toLowerCase.getBytes
+    val len = bytes.length
+    var cap = 16
+    var starts = new Array[Int](cap)
+    var ends = new Array[Int](cap)
+    var nTok = 0
+    var tokStart = -1
+    var i = 0
+    while (i <= len) {
+      val isSpace = i == len || SimHashImpl.isRegexSpaceByte(bytes(i))
+      if (!isSpace && tokStart < 0) tokStart = i
+      else if (isSpace && tokStart >= 0) {
+        if (nTok == cap) {
+          cap *= 2
+          starts = java.util.Arrays.copyOf(starts, cap)
+          ends = java.util.Arrays.copyOf(ends, cap)
+        }
+        starts(nTok) = tokStart; ends(nTok) = i; nTok += 1
+        tokStart = -1
+      }
+      i += 1
+    }
+    if (nTok == 0) return new GenericArrayData(Array.empty[Any])
+    val tokHash = new Array[Long](nTok)
+    i = 0
+    while (i < nTok) {
+      tokHash(i) = SimHashImpl.tokenHash(
+        UTF8String.fromBytes(bytes, starts(i), ends(i) - starts(i)))
+      i += 1
+    }
+    val g = math.min(n, nTok) // short doc → one gram over what exists
+    val total = nTok - g + 1
+    var tcap = Integer.highestOneBit(math.max(4, total * 2) - 1) << 1
+    if (tcap < 4) tcap = 4
+    val table = new Array[Long](tcap)
+    val used = new Array[Boolean](tcap)
+    val mask = tcap - 1
+    val out = new Array[Long](total)
+    var distinct = 0
+    var s = 0
+    while (s < total) {
+      var h = 0L
+      var k = 0
+      while (k < g) { h = h * 0x9E3779B97F4A7C15L + tokHash(s + k); k += 1 }
+      var slot = (h ^ (h >>> 32)).toInt & mask
+      var placed = false
+      while (!placed) {
+        if (!used(slot)) {
+          used(slot) = true; table(slot) = h
+          out(distinct) = h; distinct += 1; placed = true
+        } else if (table(slot) == h) placed = true // hash-level duplicate
+        else slot = (slot + 1) & mask
+      }
+      s += 1
+    }
+    val vals = new Array[Any](distinct)
+    i = 0
+    while (i < distinct) { vals(i) = out(i); i += 1 }
+    new GenericArrayData(vals)
+  }
+}
+
+/** `graft_gram_hashes(string, n) -> array<bigint>` (distinct) */
+case class GramHashes(child: Expression, n: Int) extends UnaryExpression {
+  require(n >= 1, s"gram size must be >= 1, got $n")
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case _: StringType => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(s"graft_gram_hashes expects string, got $t")
+  }
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "graft_gram_hashes"
+
+  override protected def nullSafeEval(t: Any): Any =
+    GramHashesImpl.compute(t.asInstanceOf[UTF8String], n)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.GramHashesImpl.compute($c, $n)")
+
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
+}
+
 /** `graft_repetition(string, n) -> double` */
 case class Repetition(child: Expression, n: Int) extends UnaryExpression {
   require(n >= 1, s"repetition n-gram size must be >= 1, got $n")

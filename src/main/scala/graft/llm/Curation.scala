@@ -34,6 +34,12 @@ object Curation {
     * running a second pass; do NOT widen the radius at scale. */
   final case class Config(
       minQuality: Double = 0.3,
+      /** Drop documents whose duplicate word-n-gram fraction exceeds
+        * this (Gopher-style repetition filter; boilerplate and keyword
+        * stuffing score high). 1.0 = off. Scan-speed native expression
+        * — see [[TextAnalysis.repetitionScoreFast]]. */
+      maxRepetition: Double = 1.0,
+      repetitionNgram: Int = 3,
       langs: Set[String] = Set.empty, // empty = keep all
       nearDupStrategy: String = "simhash", // or "minhash"
       nearDupMaxJaccardDistance: Double = 0.2,
@@ -54,12 +60,15 @@ object Curation {
     * projection at scan speed, via the one-pass stats expression
     * (codegen CSE collapses the three uses into one byte scan;
     * ~2.7× the composable forms on the 5M-doc probe). */
-  def annotate(docs: DataFrame, textCol: String): DataFrame = {
+  def annotate(docs: DataFrame, textCol: String,
+      repetitionNgram: Int = 3): DataFrame = {
     val st = TextAnalysis.stats(col(textCol))
     docs
       .withColumn("quality", TextAnalysis.qualityScoreFast(st))
       .withColumn("lang_id", TextAnalysis.langIdFast(st))
       .withColumn("n_tokens", st.getField("n_tokens"))
+      .withColumn("repetition",
+        TextAnalysis.repetitionScoreFast(col(textCol), repetitionNgram))
   }
 
   /** Stages 1-4. EAGER: materializes (and returns) a persisted survivor
@@ -78,7 +87,10 @@ object Curation {
       "keepPolicy = best-quality requires transitiveNearDups = true " +
         "(pair mode has no cluster to choose within)")
     // 1-2: annotate + cheap filters (pushed toward the scan)
-    var df = annotate(docs, textCol).filter(col("quality") >= conf.minQuality)
+    var df = annotate(docs, textCol, conf.repetitionNgram)
+      .filter(col("quality") >= conf.minQuality)
+    if (conf.maxRepetition < 1.0)
+      df = df.filter(col("repetition") <= conf.maxRepetition)
     if (conf.langs.nonEmpty)
       df = df.filter(col("lang_id").isin(conf.langs.toSeq: _*))
 

@@ -85,16 +85,30 @@ object TextAnalysis {
     * anywhere. Grams are per-doc distinct ([[Dedup.shingles]]), so
     * `n_hits` counts distinct contaminated grams, robust to in-doc
     * repetition. */
+  /** `hashGrams = true` is the scale form: both sides explode distinct
+    * 64-bit gram hashes from the NATIVE one-pass expression
+    * (`graft_gram_hashes` — tokenize + rolling mix, no gram String is
+    * ever built). The HOF slice+concat gram construction dominates the
+    * string form's cost (5M-doc probe: ~80 s strings vs 9.5 s
+    * hashed). A 64-bit collision could flag one extra doc with
+    * probability ~|corpus grams|·|bench grams|/2^64 — decontamination
+    * then drops a hair too MUCH, never too little, so the scale form
+    * is safe where it matters. `false` keeps exact string grams (the
+    * q63 oracle form). */
   def contaminationHits(
       docs: org.apache.spark.sql.DataFrame,
       bench: org.apache.spark.sql.DataFrame,
       idCol: String,
       textCol: String,
       benchTextCol: String,
-      n: Int = 8): org.apache.spark.sql.DataFrame = {
+      n: Int = 8,
+      hashGrams: Boolean = false): org.apache.spark.sql.DataFrame = {
+    def grams(c: Column): Column =
+      if (hashGrams) graft.functions.GraftFunctions.gramHashes(c, n)
+      else Dedup.shingles(c, n)
     val benchGrams = bench
-      .select(explode(Dedup.shingles(col(benchTextCol), n)).as("gram")).distinct()
-    docs.select(col(idCol), explode(Dedup.shingles(col(textCol), n)).as("gram"))
+      .select(explode(grams(col(benchTextCol))).as("gram")).distinct()
+    docs.select(col(idCol), explode(grams(col(textCol))).as("gram"))
       .join(broadcast(benchGrams), Seq("gram"), "left_semi")
       .groupBy(idCol).agg(count(lit(1)).as("n_hits"))
   }
@@ -108,9 +122,10 @@ object TextAnalysis {
       textCol: String,
       benchTextCol: String,
       n: Int = 8,
-      minHits: Int = 1): org.apache.spark.sql.DataFrame =
+      minHits: Int = 1,
+      hashGrams: Boolean = false): org.apache.spark.sql.DataFrame =
     docs.join(
-      contaminationHits(docs, bench, idCol, textCol, benchTextCol, n)
+      contaminationHits(docs, bench, idCol, textCol, benchTextCol, n, hashGrams)
         .filter(col("n_hits") >= minHits).select(idCol),
       Seq(idCol), "left_anti")
 

@@ -125,6 +125,39 @@ object ScaleProbe {
         .write.format("noop").mode("overwrite").save()
     }
 
+    time("repetition score HOF (array_distinct)") {
+      docs.select(graft.llm.TextAnalysis.repetitionScore(col("text"), 3))
+        .write.format("noop").mode("overwrite").save()
+    }
+
+    time("repetition score native (one-pass)") {
+      docs.select(graft.llm.TextAnalysis.repetitionScoreFast(col("text"), 3))
+        .write.format("noop").mode("overwrite").save()
+    }
+
+    time("BPE-budget chunking (registry + explode)") {
+      val merges = java.io.File.createTempFile("scaleprobe_merges", ".txt")
+      java.nio.file.Files.write(merges.toPath,
+        "a b\nab c\nc d\ne f\ng h\n".getBytes("UTF-8"))
+      graft.llm.CorpusPrep.chunkByBpeBudget(docs, "doc_id", "text",
+        bpeBudget = 24, mergesPath = merges.getAbsolutePath)
+        .write.format("noop").mode("overwrite").save()
+    }
+
+    time("decontamination vs 1k-doc benchmark (string grams)") {
+      graft.llm.TextAnalysis.contaminationHits(
+        docs, docs.filter(col("doc_id") < 10000 && col("doc_id") % 10 === 0),
+        "doc_id", "text", "text", n = 8)
+        .write.format("noop").mode("overwrite").save()
+    }
+
+    time("decontamination vs 1k-doc benchmark (hashed grams)") {
+      graft.llm.TextAnalysis.contaminationHits(
+        docs, docs.filter(col("doc_id") < 10000 && col("doc_id") % 10 === 0),
+        "doc_id", "text", "text", n = 8, hashGrams = true)
+        .write.format("noop").mode("overwrite").save()
+    }
+
     // --- synthetic embeddings: 64-dim, deterministic
     val vecs = spark.range(nVecs).select(
       col("id").as("vec_id"),

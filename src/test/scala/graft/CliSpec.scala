@@ -361,6 +361,35 @@ class CliSpec extends SparkTestBase {
       spark.read.parquet(out).count(), "layout must be a pure reordering")
   }
 
+  test("curator drops stuffed docs (max-repetition) and benchmark-contaminated docs") {
+    import spark.implicits._
+    val base = tmp()
+    val benchText = "alpha bravo charlie delta echo foxtrot golf hotel india juliet"
+    Seq((900L, benchText)).toDF("doc_id", "text")
+      .write.parquet(base.resolve("bench").toString)
+    val corpus = Seq(
+      (1L, "w1a w1b w1c w1d w1e w1f w1g w1h w1i w1j w1k w1l"), // clean prose
+      (2L, Seq.fill(30)("buy now").mkString(" ")),              // stuffed: rep ≈ 0.97
+      (3L, s"intro words $benchText outro words"))              // contaminated
+      .toDF("doc_id", "text")
+    corpus.write.parquet(base.resolve("corpus").toString)
+    val f = write(base.resolve("curator_filters.conf"),
+      s"""source { storage-type = local, dataset-dir = ${base.resolve("corpus")} }
+         |target { storage-type = local, dataset-dir = ${base.resolve("fout")}, dataset-store-format = parquet, write-mode = overwrite }
+         |curation {
+         |  min-quality = 0.0
+         |  max-repetition = 0.5
+         |  benchmark-dir = ${base.resolve("bench")}
+         |}
+         |""".stripMargin)
+    graft.cli.Curator.main(Array("--conf", f))
+    val out = spark.read.parquet(base.resolve("fout").toString)
+    assert(out.select("doc_id").as[Long].collect().toSet == Set(1L),
+      "only the clean doc may survive repetition + contamination filters")
+    // the annotation rides along for observability
+    assert(out.columns.contains("repetition"))
+  }
+
   test("curator vector tier: planted embedding echoes converge across runs") {
     import org.apache.spark.sql.functions.{col, lit, transform => tf}
     import spark.implicits._

@@ -217,6 +217,18 @@ class TextAnalysisSpec extends SparkTestBase {
     assert(clean == Set(3L, 4L))
   }
 
+  test("hashed-gram contamination agrees with the string form on the real corpus") {
+    // 64-bit collisions are ~impossible at this scale, so the scale
+    // form must flag EXACTLY the same docs with the same hit counts
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet").select("doc_id", "text")
+    val bench = docs.filter(col("doc_id") < 10)
+    val corpus = docs.filter(col("doc_id") >= 10)
+    def hits(h: Boolean) = TextAnalysis.contaminationHits(
+      corpus, bench, "doc_id", "text", "text", n = 8, hashGrams = h)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(hits(true) == hits(false))
+  }
+
   test("contamination plan: benchmark grams broadcast, corpus side not shuffled before the semi-join") {
     val docs = spark.read.parquet(s"$sfDir/documents.parquet").select("doc_id", "text")
     val plan = TextAnalysis.contaminationHits(
