@@ -1044,6 +1044,20 @@ object SparkEntry {
     "q65_native_repetition" -> ((s, dir) =>
       t(s, dir, "documents").filter(col("doc_id") < 1500).select(col("doc_id"),
         round(graft.llm.TextAnalysis.repetitionScoreFast(col("text"), 3), 6).as("rep3"))),
+
+    // ---- Sequence packing: chunks → fixed-token-budget training
+    // sequences by bucketed offset binning (one shuffle on the bucket
+    // key, one running-sum window per bucket — never a global order).
+    // The oracle replays bucket → cumsum → floor boundary arithmetic
+    // in SQL over the SAME chunk set, so the packing is hash-exact.
+    "q66_pack_sequences" -> ((s, dir) => {
+      val chunks = graft.llm.CorpusPrep.chunkByTokensFast(
+        t(s, dir, "documents"), "doc_id", "text", chunkSize = 32, overlap = 8)
+      graft.llm.CorpusPrep.packSequences(
+        chunks, "doc_id", "chunk_tokens", budget = 256, buckets = 8)
+        .groupBy("seq_id")
+        .agg(count(lit(1)).as("n_chunks"), sum("chunk_tokens").as("seq_tokens"))
+    }),
   )
 
   /** q60's deterministic merge table (common English pair merges),
@@ -1123,6 +1137,16 @@ object SparkEntry {
         |GROUP BY doc_id""".stripMargin,
     "q64_repetition" -> RepetitionOracleSql,
     "q65_native_repetition" -> RepetitionOracleSql,
+    "q66_pack_sequences" ->
+      (s"""WITH chunks AS ($ChunkingOracleSql),
+        |b AS (SELECT doc_id, chunk_id, chunk_tokens, doc_id % 8 AS bucket FROM chunks),
+        |c AS (SELECT *, sum(chunk_tokens) OVER (
+        |        PARTITION BY bucket ORDER BY doc_id, chunk_id) AS cum FROM b),
+        |s AS (SELECT bucket * 4294967296 + CAST(floor((cum - chunk_tokens) / 256.0) AS BIGINT) AS seq_id,
+        |        chunk_tokens FROM c)
+        |SELECT seq_id, count(*) AS n_chunks,
+        |  CAST(sum(chunk_tokens) AS BIGINT) AS seq_tokens
+        |FROM s GROUP BY seq_id""").stripMargin,
     "q1_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,
         | round(sum(l_quantity), 2) AS sum_qty,

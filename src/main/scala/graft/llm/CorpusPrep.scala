@@ -116,6 +116,52 @@ object CorpusPrep {
         col("__c.chunk_tokens").cast("long").as("chunk_tokens") :+
         col("__c.chunk_bpe_tokens").cast("long").as("chunk_bpe_tokens"): _*)
 
+  /** Sequence packing: assign every chunk to a fixed-token-budget
+    * training sequence — the step between chunking and batch
+    * construction (training rows are SEQUENCES of budget tokens, not
+    * raw chunks; packing several short chunks per sequence is what
+    * keeps the context window dense).
+    *
+    * Offset binning, fully declarative: chunks are bucketed by
+    * `pmod(idCol, buckets)`, totally ordered inside each bucket by
+    * `orderCols`, and a chunk starts a new sequence when its START
+    * offset (running token sum minus its own tokens) crosses a budget
+    * boundary — `seq = floor(startOffset / budget)`. A chunk
+    * straddling the boundary stays with the sequence it started in, so
+    * a sequence's total can exceed the budget by at most
+    * `max(chunkTokens) − 1`; pre-filter over-budget chunks for hard
+    * caps. `seq_id = bucket · 2^32 + seq` is stable and dense per
+    * bucket.
+    *
+    * 100 TB shape: ONE shuffle on the bucket key and one running-sum
+    * window per bucket — no global ordering, no driver involvement
+    * (a single global window would serialize the corpus through one
+    * partition; with `buckets` ≈ cluster parallelism the only waste is
+    * ≤ 1 partial sequence per bucket). Deterministic given (idCol,
+    * orderCols), so re-runs and engine swaps produce identical
+    * packing — the q66 oracle replays it in SQL. */
+  def packSequences(
+      chunks: DataFrame,
+      idCol: String,
+      tokenCol: String,
+      budget: Int,
+      buckets: Int = 256,
+      orderCols: Seq[String] = Seq("doc_id", "chunk_id"),
+      seqCol: String = "seq_id"): DataFrame = {
+    require(budget > 0, s"budget must be positive, got $budget")
+    require(buckets > 0 && buckets <= (1 << 20), s"buckets must be in [1, 2^20], got $buckets")
+    require(!chunks.columns.contains(seqCol), s"column $seqCol already exists")
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("__bucket").orderBy(orderCols.map(col): _*)
+    chunks
+      .withColumn("__bucket", pmod(col(idCol), lit(buckets.toLong)))
+      .withColumn("__cum", sum(col(tokenCol)).over(w))
+      .withColumn(seqCol,
+        col("__bucket") * lit(1L << 32) +
+          floor((col("__cum") - col(tokenCol)) / lit(budget)).cast("long"))
+      .drop("__bucket", "__cum")
+  }
+
   /** Deterministic train/val/test split: label every row with the name
     * of its split, by consecutive ranges of the SAME md5 digest space
     * deterministic sampling uses ([[graft.operators.Ops.hashDigestCol]]).

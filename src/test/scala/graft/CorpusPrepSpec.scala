@@ -91,6 +91,39 @@ class CorpusPrepSpec extends SparkTestBase {
     assert(plan.contains("*(1)"), s"expected WholeStageCodegen:\n$plan")
   }
 
+  test("packSequences: budget-dense bins, bounded overflow, deterministic, no global order") {
+    import org.apache.spark.sql.functions.{col, countDistinct, max, sum}
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val chunks = CorpusPrep.chunkByTokensFast(docs, "doc_id", "text", 32, 8)
+    val packed = CorpusPrep.packSequences(chunks, "doc_id", "chunk_tokens",
+      budget = 256, buckets = 8).cache()
+    // every chunk assigned, chunk set unchanged
+    assert(packed.count() == chunks.count())
+    val seqs = packed.groupBy("seq_id")
+      .agg(sum("chunk_tokens").as("tok"), max("chunk_tokens").as("mx"),
+        countDistinct("doc_id").as("docs"))
+      .cache()
+    // overflow bound: a sequence exceeds the budget by < its largest chunk
+    assert(seqs.filter(col("tok") >= lit(256) + col("mx")).count() == 0)
+    // packing is DENSE: every sequence except (possibly) the last one
+    // per bucket crosses the budget boundary — so at most `buckets`
+    // sequences may be underfull below budget − 31 (max chunk is 32)
+    val under = seqs.filter(col("tok") < 256 - 31).count()
+    assert(under <= 8, s"$under underfull sequences for 8 buckets")
+    // sequences do pack MULTIPLE docs' chunks together (the point)
+    assert(seqs.filter(col("docs") > 1).count() > 0)
+    // deterministic: same input → identical assignment
+    val again = CorpusPrep.packSequences(chunks, "doc_id", "chunk_tokens",
+      budget = 256, buckets = 8)
+    assert(packed.select("doc_id", "chunk_id", "seq_id")
+      .except(again.select("doc_id", "chunk_id", "seq_id")).count() == 0)
+    // plan: exactly one exchange (the bucket shuffle) feeds the window —
+    // no single-partition global sort
+    val plan = packed.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange SinglePartition"), s"global window:\n$plan")
+    packed.unpersist(); seqs.unpersist()
+  }
+
   test("hashSplit: exhaustive, disjoint, partition-invariant, nests with hashSample") {
     val splits = Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)
     val labeled = CorpusPrep.hashSplit(docs, "doc_id", splits, salt = "s1").cache()
