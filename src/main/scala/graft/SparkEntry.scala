@@ -531,12 +531,14 @@ object SparkEntry {
       // exact semantics curate() applies per mode — its transitive wiring
       // is integration-covered in CurationSpec). Running curate() twice
       // here doubled the dominant LSH cost for no extra signal.
-      // 3 hash tables (API default is 5): the planted pairs sit at
-      // Jaccard ≥ 6/8, far above the 0.2-distance cut — 3 tables keep
-      // them with margin and shave the per-bench-run fit+join cost
+      // keep the API default 5 hash tables: q38's EntrySpec assertions
+      // are EXACT (any missed chain edge leaves an endpoint surviving
+      // transitive mode), and OR-amplified MinHash misses an edge at
+      // J≈0.86 with prob (1−J)^T — 0.3% per edge at T=3 is one broken
+      // chain per ~6 corpus regenerations, while T=5 is 6e-5 (review
+      // finding: the round-5 T=3 trim had no real margin)
       val verified = Dedup.verifyPairs(
-        Dedup.minHashNearDups(planted, "doc_id", "text", maxJaccardDistance = 0.2,
-          numHashTables = 3),
+        Dedup.minHashNearDups(planted, "doc_id", "text", maxJaccardDistance = 0.2),
         planted, "doc_id", "text", minJaccard = 0.8)
         .select("id1", "id2")
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -1142,7 +1144,7 @@ object SparkEntry {
         |b AS (SELECT doc_id, chunk_id, chunk_tokens, doc_id % 8 AS bucket FROM chunks),
         |c AS (SELECT *, sum(chunk_tokens) OVER (
         |        PARTITION BY bucket ORDER BY doc_id, chunk_id) AS cum FROM b),
-        |s AS (SELECT bucket * 4294967296 + CAST(floor((cum - chunk_tokens) / 256.0) AS BIGINT) AS seq_id,
+        |s AS (SELECT bucket * 1099511627776 + CAST(floor((cum - chunk_tokens) / 256.0) AS BIGINT) AS seq_id,
         |        chunk_tokens FROM c)
         |SELECT seq_id, count(*) AS n_chunks,
         |  CAST(sum(chunk_tokens) AS BIGINT) AS seq_tokens

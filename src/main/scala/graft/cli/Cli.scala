@@ -187,6 +187,13 @@ object Curator {
       keepPolicy = c.getString("keep-policy").getOrElse(base.keepPolicy))
     val idCol = c.getString("id-column").getOrElse("doc_id")
     val textCol = c.getString("text-column").getOrElse("text")
+    // pure-config validation up front (review finding: these previously
+    // fired AFTER curation/dedup had already run for minutes)
+    require(c.getInt("chunk-size").isEmpty || c.getInt("bpe-budget").isEmpty,
+      "curation.chunk-size and curation.bpe-budget are mutually exclusive — " +
+        "fixed whitespace-token windows vs a BPE subword budget; pick one")
+    require(c.getInt("bpe-budget").isEmpty || c.getString("bpe-merges").isDefined,
+      "curation.bpe-budget needs curation.bpe-merges (path to a merges.txt)")
     // ---- incremental mode: drop batch rows already in (or near) the
     // persisted corpus STATE before curating. All state paths go through
     // Hadoop FileSystem (java.io.File is silently false for hdfs:// etc.
@@ -305,7 +312,7 @@ object Curator {
     // with ANY doc of the benchmark set are dropped from the training
     // OUTPUT (the dedup state still records them as curated — by
     // design, matching the mixture/chunking exclusion rule below)
-    val decontaminated = c.getString("benchmark-dir") match {
+    val (decontaminated, decontToFree) = c.getString("benchmark-dir") match {
       case Some(bdir) =>
         val bench = graft.sources.DataIO.read(spark,
           graft.conf.GraftConfig.parse(
@@ -319,10 +326,17 @@ object Curator {
           // probe; over-drop odds ~2^-64 per gram pair — right default
           // for a pipeline (set false to replay the oracle-exact form)
           hashGrams = c.getBoolean("contamination-hash-grams").getOrElse(true))
-        Cli.log(s"decontamination: ${out.count()} of ${curated.count()} survive " +
-          s"the ${c.getInt("contamination-ngram").getOrElse(8)}-gram benchmark check")
-        out
-      case None => curated
+        if (c.getString("log-drop-counts").exists(v => !v.toBoolean)) (out, None)
+        else {
+          // persist BEFORE counting: the log count and the downstream
+          // target write must not each re-run the corpus-side gram scan
+          // (curated is already persisted, so its count is free)
+          val p = out.persist()
+          Cli.log(s"decontamination: ${p.count()} of ${curated.count()} survive " +
+            s"the ${c.getInt("contamination-ngram").getOrElse(8)}-gram benchmark check")
+          (p, Some(p))
+        }
+      case None => (curated, None)
     }
     // optional training-mix composition (deterministic per-source keep
     // fractions) on the curated survivors
@@ -357,18 +371,14 @@ object Curator {
     // chunk). Two modes: `chunk-size` cuts at a fixed WHITESPACE-token
     // width; `bpe-budget` + `bpe-merges` greedy-packs to a real SUBWORD
     // budget (the model's context window) under the named merge table.
-    require(c.getInt("chunk-size").isEmpty || c.getInt("bpe-budget").isEmpty,
-      "curation.chunk-size and curation.bpe-budget are mutually exclusive — " +
-        "fixed whitespace-token windows vs a BPE subword budget; pick one")
+    // (Mutual exclusion + bpe-merges presence validated up front.)
     val out = (c.getInt("chunk-size"), c.getInt("bpe-budget")) match {
       case (Some(cs), _) => graft.llm.CorpusPrep.chunkByTokensFast(labeled, idCol, textCol,
         chunkSize = cs, overlap = c.getInt("chunk-overlap").getOrElse(cs / 4),
         keepCols = keep)
       case (_, Some(budget)) =>
-        val merges = c.getString("bpe-merges").getOrElse(throw new IllegalArgumentException(
-          "curation.bpe-budget needs curation.bpe-merges (path to a merges.txt)"))
         graft.llm.CorpusPrep.chunkByBpeBudget(labeled, idCol, textCol,
-          bpeBudget = budget, mergesPath = merges,
+          bpeBudget = budget, mergesPath = c.getString("bpe-merges").get,
           overlap = c.getInt("chunk-overlap").getOrElse(0), keepCols = keep)
       case _ => labeled
     }
@@ -424,6 +434,7 @@ object Curator {
       Cli.log(s"dedup state written to $outDir")
     }
     curated.unpersist()
+    decontToFree.foreach(_.unpersist())
     Cli.log("curation finished")
   }
 }

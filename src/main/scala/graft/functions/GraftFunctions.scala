@@ -415,6 +415,17 @@ object GraftFunctions {
         }
         FreqSketchAgg(es.head, k)
       }),
+    ("graft_gram_hashes",
+      new ExpressionInfo(classOf[GramHashes].getName, "graft_gram_hashes"),
+      (es: Seq[Expression]) => {
+        require(es.length == 2, s"graft_gram_hashes takes 2 arguments, got ${es.length}")
+        require(es(1).foldable, "graft_gram_hashes n must be a literal")
+        es(1).eval() match {
+          case v: Number => GramHashes(es.head, v.intValue())
+          case other => throw new IllegalArgumentException(
+            s"graft_gram_hashes n must be an integer literal, got $other")
+        }
+      }),
     ("graft_repetition",
       new ExpressionInfo(classOf[Repetition].getName, "graft_repetition"),
       (es: Seq[Expression]) => {

@@ -130,8 +130,11 @@ object CorpusPrep {
     * straddling the boundary stays with the sequence it started in, so
     * a sequence's total can exceed the budget by at most
     * `max(chunkTokens) − 1`; pre-filter over-budget chunks for hard
-    * caps. `seq_id = bucket · 2^32 + seq` is stable and dense per
-    * bucket.
+    * caps. `seq_id = bucket · 2^40 + seq` is stable and dense per
+    * bucket; a bucket overflowing 2^40 sequences (≥ 2^40·budget tokens
+    * in ONE bucket — raise `buckets` long before that) fails loudly
+    * via `raise_error` instead of silently aliasing into the next
+    * bucket's id space.
     *
     * 100 TB shape: ONE shuffle on the bucket key and one running-sum
     * window per bucket — no global ordering, no driver involvement
@@ -146,19 +149,27 @@ object CorpusPrep {
       tokenCol: String,
       budget: Int,
       buckets: Int = 256,
-      orderCols: Seq[String] = Seq("doc_id", "chunk_id"),
+      orderCols: Seq[String] = Nil, // default: (idCol, "chunk_id")
       seqCol: String = "seq_id"): DataFrame = {
     require(budget > 0, s"budget must be positive, got $budget")
     require(buckets > 0 && buckets <= (1 << 20), s"buckets must be in [1, 2^20], got $buckets")
     require(!chunks.columns.contains(seqCol), s"column $seqCol already exists")
+    val order = if (orderCols.nonEmpty) orderCols else Seq(idCol, "chunk_id")
     import org.apache.spark.sql.expressions.Window
-    val w = Window.partitionBy("__bucket").orderBy(orderCols.map(col): _*)
+    val w = Window.partitionBy("__bucket").orderBy(order.map(col): _*)
+    val seq0 = floor((col("__cum") - col(tokenCol)) / lit(budget)).cast("long")
     chunks
       .withColumn("__bucket", pmod(col(idCol), lit(buckets.toLong)))
       .withColumn("__cum", sum(col(tokenCol)).over(w))
       .withColumn(seqCol,
-        col("__bucket") * lit(1L << 32) +
-          floor((col("__cum") - col(tokenCol)) / lit(budget)).cast("long"))
+        col("__bucket") * lit(1L << 40) +
+          // loud failure beats silent cross-bucket id aliasing; the
+          // branch is codegen'd and free until a bucket actually holds
+          // ≥ 2^40 sequences
+          when(seq0 >= lit(1L << 40),
+            raise_error(lit(s"packSequences: bucket overflowed 2^40 sequences " +
+              s"(budget=$budget, buckets=$buckets) — raise `buckets`")))
+            .otherwise(seq0).cast("long"))
       .drop("__bucket", "__cum")
   }
 

@@ -61,14 +61,18 @@ object Curation {
     * (codegen CSE collapses the three uses into one byte scan;
     * ~2.7× the composable forms on the 5M-doc probe). */
   def annotate(docs: DataFrame, textCol: String,
-      repetitionNgram: Int = 3): DataFrame = {
+      repetitionNgram: Option[Int] = None): DataFrame = {
     val st = TextAnalysis.stats(col(textCol))
-    docs
+    val base = docs
       .withColumn("quality", TextAnalysis.qualityScoreFast(st))
       .withColumn("lang_id", TextAnalysis.langIdFast(st))
       .withColumn("n_tokens", st.getField("n_tokens"))
-      .withColumn("repetition",
-        TextAnalysis.repetitionScoreFast(col(textCol), repetitionNgram))
+    // the repetition column is a SECOND tokenizing pass (native, but
+    // still O(len) + a hash table per doc) — computed only when the
+    // repetition filter is actually on, preserving the one-byte-scan
+    // annotate contract for default configs
+    repetitionNgram.fold(base)(n => base.withColumn("repetition",
+      TextAnalysis.repetitionScoreFast(col(textCol), n)))
   }
 
   /** Stages 1-4. EAGER: materializes (and returns) a persisted survivor
@@ -87,7 +91,8 @@ object Curation {
       "keepPolicy = best-quality requires transitiveNearDups = true " +
         "(pair mode has no cluster to choose within)")
     // 1-2: annotate + cheap filters (pushed toward the scan)
-    var df = annotate(docs, textCol, conf.repetitionNgram)
+    var df = annotate(docs, textCol,
+      if (conf.maxRepetition < 1.0) Some(conf.repetitionNgram) else None)
       .filter(col("quality") >= conf.minQuality)
     if (conf.maxRepetition < 1.0)
       df = df.filter(col("repetition") <= conf.maxRepetition)
