@@ -1060,6 +1060,20 @@ object SparkEntry {
         .groupBy("seq_id")
         .agg(count(lit(1)).as("n_chunks"), sum("chunk_tokens").as("seq_tokens"))
     }),
+
+    // ---- The full training-export chain: chunk → pack → ASSEMBLE one
+    // text row per sequence (ordered concat via sort_array over
+    // (doc_id, chunk_id) structs — collect_list alone has no order
+    // guarantee). The oracle replays the assembly with
+    // `string_agg(... ORDER BY ...)` over the same packing CTEs, so
+    // even the concatenated text is hash-exact.
+    "q67_assemble_sequences" -> ((s, dir) => {
+      val chunks = graft.llm.CorpusPrep.chunkByTokensFast(
+        t(s, dir, "documents"), "doc_id", "text", chunkSize = 32, overlap = 8)
+      val packed = graft.llm.CorpusPrep.packSequences(
+        chunks, "doc_id", "chunk_tokens", budget = 256, buckets = 8)
+      graft.llm.CorpusPrep.assembleSequences(packed)
+    }),
   )
 
   /** q60's deterministic merge table (common English pair merges),
@@ -1147,6 +1161,18 @@ object SparkEntry {
         |s AS (SELECT bucket * 1099511627776 + CAST(floor((cum - chunk_tokens) / 256.0) AS BIGINT) AS seq_id,
         |        chunk_tokens FROM c)
         |SELECT seq_id, count(*) AS n_chunks,
+        |  CAST(sum(chunk_tokens) AS BIGINT) AS seq_tokens
+        |FROM s GROUP BY seq_id""").stripMargin,
+    "q67_assemble_sequences" ->
+      (s"""WITH chunks AS ($ChunkingOracleSql),
+        |b AS (SELECT doc_id, chunk_id, chunk_text, chunk_tokens, doc_id % 8 AS bucket FROM chunks),
+        |c AS (SELECT *, sum(chunk_tokens) OVER (
+        |        PARTITION BY bucket ORDER BY doc_id, chunk_id) AS cum FROM b),
+        |s AS (SELECT bucket * 1099511627776 + CAST(floor((cum - chunk_tokens) / 256.0) AS BIGINT) AS seq_id,
+        |        doc_id, chunk_id, chunk_text, chunk_tokens FROM c)
+        |SELECT seq_id,
+        |  string_agg(chunk_text, ' ' ORDER BY doc_id, chunk_id) AS seq_text,
+        |  count(*) AS n_chunks,
         |  CAST(sum(chunk_tokens) AS BIGINT) AS seq_tokens
         |FROM s GROUP BY seq_id""").stripMargin,
     "q1_pricing_summary" ->

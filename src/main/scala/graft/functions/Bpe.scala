@@ -31,9 +31,11 @@ import org.apache.spark.unsafe.types.UTF8String
   */
 final class BpeVocab private (ranks: java.util.HashMap[String, Integer]) {
 
-  /** Memoized per-pretoken counts (bounded; cleared if it ever grows
-    * past the cap so a pathological vocabulary cannot leak memory). */
-  private val memo = new java.util.concurrent.ConcurrentHashMap[String, Integer]()
+  /** Memoized per-pretoken SEGMENTATIONS (bounded; cleared if it ever
+    * grows past the cap so a pathological vocabulary cannot leak
+    * memory) — counts derive from the same entry, so count and segment
+    * consumers share one cache. */
+  private val memo = new java.util.concurrent.ConcurrentHashMap[String, Array[String]]()
   private val MemoCap = 1 << 16
 
   private def rank(a: String, b: String): Int = {
@@ -41,11 +43,12 @@ final class BpeVocab private (ranks: java.util.HashMap[String, Integer]) {
     if (r == null) Int.MaxValue else r.intValue()
   }
 
-  /** BPE token count of ONE pretoken (no whitespace inside). */
-  def countWord(word: String): Int = {
-    if (word.isEmpty) return 0
+  /** BPE segmentation of ONE pretoken (no whitespace inside): the
+    * surviving merge symbols, in order. */
+  def segmentWord(word: String): Array[String] = {
+    if (word.isEmpty) return Array.empty
     val cached = memo.get(word)
-    if (cached != null) return cached.intValue()
+    if (cached != null) return cached
     var syms = new java.util.ArrayList[String](word.length)
     var i = 0
     while (i < word.length) { syms.add(String.valueOf(word.charAt(i))); i += 1 }
@@ -72,11 +75,14 @@ final class BpeVocab private (ranks: java.util.HashMap[String, Integer]) {
         syms = merged
       }
     }
-    val n = syms.size
+    val arr = syms.toArray(new Array[String](syms.size))
     if (memo.size >= MemoCap) memo.clear()
-    memo.put(word, Integer.valueOf(n))
-    n
+    memo.put(word, arr)
+    arr
   }
+
+  /** BPE token count of ONE pretoken. */
+  def countWord(word: String): Int = segmentWord(word).length
 
   /** Total BPE token count of a text: sum over pretokens (letter runs /
     * digit runs / symbol runs; whitespace contributes nothing). */
@@ -85,6 +91,20 @@ final class BpeVocab private (ranks: java.util.HashMap[String, Integer]) {
     var n = 0
     while (m.find()) n += countWord(m.group())
     n
+  }
+
+  /** Full subword segmentation of a text: segments of every pretoken
+    * in order — the training-export form (map segments to ids with any
+    * published vocab downstream). */
+  def segmentText(text: String): java.util.ArrayList[String] = {
+    val out = new java.util.ArrayList[String]()
+    val m = BpeVocab.Pretoken.matcher(text)
+    while (m.find()) {
+      val segs = segmentWord(m.group())
+      var i = 0
+      while (i < segs.length) { out.add(segs(i)); i += 1 }
+    }
+    out
   }
 }
 
@@ -136,6 +156,41 @@ object BpeRegistry {
   /** Codegen / eval entry: count tokens of `text` under the table at
     * `path`. */
   def count(path: String, text: UTF8String): Int = get(path).countText(text.toString)
+
+  /** Codegen / eval entry: full subword segmentation of `text`. */
+  def segments(path: String, text: UTF8String): org.apache.spark.sql.catalyst.util.ArrayData = {
+    val segs = get(path).segmentText(text.toString)
+    val vals = new Array[Any](segs.size)
+    var i = 0
+    while (i < vals.length) { vals(i) = UTF8String.fromString(segs.get(i)); i += 1 }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(vals)
+  }
+}
+
+/** `graft_bpe_segments(string, 'merges-path') -> array<string>`: the
+  * actual subword SEGMENTS under the merge table (the training-export
+  * form — join against any published vocab for ids), same registry /
+  * memo / codegen contract as [[BpeCount]], and `size(segments) ==
+  * graft_bpe_count` by construction (one shared cache entry). */
+case class BpeSegments(child: Expression, mergesPath: String) extends UnaryExpression {
+  require(mergesPath.nonEmpty, "graft_bpe_segments needs a merges path")
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case _: StringType => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(s"graft_bpe_segments expects string, got $t")
+  }
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "graft_bpe_segments"
+
+  override protected def nullSafeEval(t: Any): Any =
+    BpeRegistry.segments(mergesPath, t.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val pathRef = ctx.addReferenceObj("bpeMergesPath", mergesPath, "java.lang.String")
+    defineCodeGen(ctx, ev, c => s"graft.functions.BpeRegistry.segments($pathRef, $c)")
+  }
+
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
 }
 
 /** Greedy BPE-budget chunking (`graft_bpe_chunks`): split a document at

@@ -282,6 +282,9 @@ object GraftFunctions {
   def bpeCount(c: Column, mergesPath: String): Column =
     ColumnBridge.column(BpeCount(ColumnBridge.expression(c), mergesPath))
 
+  def bpeSegments(c: Column, mergesPath: String): Column =
+    ColumnBridge.column(BpeSegments(ColumnBridge.expression(c), mergesPath))
+
   def chunks(c: Column, chunkSize: Int, overlap: Int): Column =
     ColumnBridge.column(DocChunks(ColumnBridge.expression(c), chunkSize, overlap))
 
@@ -350,6 +353,17 @@ object GraftFunctions {
           case s: UTF8String => BpeCount(es.head, s.toString)
           case other => throw new IllegalArgumentException(
             s"graft_bpe_count merges path must be a string literal, got $other")
+        }
+      }),
+    ("graft_bpe_segments",
+      new ExpressionInfo(classOf[BpeSegments].getName, "graft_bpe_segments"),
+      (es: Seq[Expression]) => {
+        require(es.length == 2, s"graft_bpe_segments takes 2 arguments, got ${es.length}")
+        require(es(1).foldable, "graft_bpe_segments merges path must be a literal")
+        es(1).eval() match {
+          case s: UTF8String => BpeSegments(es.head, s.toString)
+          case other => throw new IllegalArgumentException(
+            s"graft_bpe_segments merges path must be a string literal, got $other")
         }
       }),
     ("graft_chunks",

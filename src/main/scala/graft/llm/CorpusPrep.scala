@@ -173,6 +173,29 @@ object CorpusPrep {
       .drop("__bucket", "__cum")
   }
 
+  /** Assemble packed chunks into one training row per sequence:
+    * `(seqCol, seq_text, n_chunks, seq_tokens)`. Chunks concatenate in
+    * `orderCols` order — enforced via `sort_array(collect_list(struct))`
+    * because `collect_list` alone has NO cross-partition order
+    * guarantee (the classic silent-corruption trap in assembly jobs).
+    * One shuffle on the sequence id; per-group state is bounded by the
+    * pack budget, so buffers stay small no matter the corpus size. */
+  def assembleSequences(
+      packed: DataFrame,
+      seqCol: String = "seq_id",
+      textCol: String = "chunk_text",
+      tokenCol: String = "chunk_tokens",
+      orderCols: Seq[String] = Seq("doc_id", "chunk_id"),
+      sep: String = " "): DataFrame = {
+    val ordered = sort_array(collect_list(
+      struct(orderCols.map(col) :+ col(textCol).as("__t"): _*)))
+    packed.groupBy(col(seqCol))
+      .agg(
+        concat_ws(sep, transform(ordered, s => s.getField("__t"))).as("seq_text"),
+        count(lit(1)).as("n_chunks"),
+        sum(col(tokenCol)).as("seq_tokens"))
+  }
+
   /** Deterministic train/val/test split: label every row with the name
     * of its split, by consecutive ranges of the SAME md5 digest space
     * deterministic sampling uses ([[graft.operators.Ops.hashDigestCol]]).

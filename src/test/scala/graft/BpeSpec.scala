@@ -90,6 +90,30 @@ class BpeSpec extends SparkTestBase {
     assert(plan.contains("*(1)"), s"expected WholeStageCodegen:\n$plan")
   }
 
+  test("bpe segments: hand-applied merges, count parity, Column + SQL surfaces") {
+    val v = BpeRegistry.get(classicPath)
+    assert(v.segmentWord("lower").toSeq == Seq("low", "er"))
+    assert(v.segmentWord("newer").toSeq == Seq("n", "e", "w", "er"))
+    assert(v.segmentText("low lower newer").toArray.toSeq ==
+      Seq("low", "low", "er", "n", "e", "w", "er"))
+    val df = Seq((1L, "low lower newer"), (2L, null.asInstanceOf[String]))
+      .toDF("id", "text")
+    val rows = df.select(col("id"),
+      GraftFunctions.bpeSegments(col("text"), classicPath).as("segs"),
+      GraftFunctions.bpeCount(col("text"), classicPath).as("n"))
+      .collect()
+    val r1 = rows.find(_.getLong(0) == 1L).get
+    assert(r1.getSeq[String](1) == Seq("low", "low", "er", "n", "e", "w", "er"))
+    assert(r1.getSeq[String](1).size == r1.getInt(2)) // size(segments) == count
+    assert(rows.find(_.getLong(0) == 2L).get.isNullAt(1))
+    GraftFunctions.register(spark)
+    df.createOrReplaceTempView("bpe_seg_docs")
+    val viaSql = spark.sql(
+      s"SELECT graft_bpe_segments(text, '$classicPath') FROM bpe_seg_docs WHERE id = 1")
+      .head().getSeq[String](0)
+    assert(viaSql == Seq("low", "low", "er", "n", "e", "w", "er"))
+  }
+
   test("BPE-budget chunking cuts at hand-computed subword boundaries") {
     // classic fixture: low=1, lower=2, newer=4 subwords
     // budget 4: [low lower]=3 (newer would make 7), [newer]=4, [low low]=2

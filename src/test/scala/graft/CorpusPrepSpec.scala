@@ -124,6 +124,29 @@ class CorpusPrepSpec extends SparkTestBase {
     packed.unpersist(); seqs.unpersist()
   }
 
+  test("assembleSequences: ordered concat per sequence, token totals re-verify") {
+    import org.apache.spark.sql.functions.{col, size => asize, split, trim}
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    // overlap 0 so assembled text token counts are exactly additive
+    val chunks = CorpusPrep.chunkByTokensFast(docs, "doc_id", "text", 32, 0)
+    val packed = CorpusPrep.packSequences(chunks, "doc_id", "chunk_tokens",
+      budget = 128, buckets = 4)
+    val seqs = CorpusPrep.assembleSequences(packed).cache()
+    assert(seqs.count() > 0)
+    // the assembled text's whitespace token count equals the recorded sum
+    val bad = seqs.filter(
+      asize(split(trim(col("seq_text")), "\\s+")) =!= col("seq_tokens")).count()
+    assert(bad == 0, "assembled token counts must match chunk sums")
+    // chunk order inside a sequence: the first chunk of the min doc_id
+    // leads the text (sort_array over (doc_id, chunk_id) structs)
+    val probe = packed.filter(col("seq_id") === packed.select("seq_id").head().getLong(0))
+      .orderBy("doc_id", "chunk_id").select("chunk_text").collect().map(_.getString(0))
+    val assembled = seqs.filter(col("seq_id") === packed.select("seq_id").head().getLong(0))
+      .head().getAs[String]("seq_text")
+    assert(assembled == probe.mkString(" "))
+    seqs.unpersist()
+  }
+
   test("hashSplit: exhaustive, disjoint, partition-invariant, nests with hashSample") {
     val splits = Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)
     val labeled = CorpusPrep.hashSplit(docs, "doc_id", splits, salt = "s1").cache()
