@@ -1061,6 +1061,33 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_chunks"), sum("chunk_tokens").as("seq_tokens"))
     }),
 
+    // ---- Streaming incremental dedup against persisted corpus state
+    // (Streams.dropSeenStream — the streaming arrival path of the
+    // Curator's exact tier): corpus = even doc_ids' content hashes
+    // (static), stream = odd doc_ids; corpus-seen texts are dropped by
+    // a stateless stream-static anti-join, in-stream duplicates
+    // collapse within the watermark. Output = surviving TEXTS (the id
+    // kept per duplicate group is arrival-order-arbitrary; the text
+    // set is deterministic), which the oracle replays as a plain
+    // NOT EXISTS + DISTINCT — oracle-exact streaming semantics.
+    "q68_stream_dedup" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val seen = docs.filter(col("doc_id") % 2 === 0)
+        .select(graft.llm.Dedup.contentHash(col("text")).as("content_hash")).distinct()
+      val name = s"q68_mem_${StreamRunSeq.incrementAndGet()}"
+      // the streaming file source takes a DIRECTORY; select the one
+      // table file with the glob (the readEventStream pattern)
+      val stream = s.readStream.schema(docs.schema)
+        .option("pathGlobFilter", "documents.parquet").parquet(dir)
+        .filter(col("doc_id") % 2 === 1)
+        .withColumn("__ts", col("doc_id") * lit(1000000L)) // doc_id ms as nanos
+      graft.streaming.Streams.runToMemory(
+        graft.streaming.Streams.dropSeenStream(stream, seen, "text", timeCol = "__ts"),
+        name, org.apache.spark.sql.streaming.OutputMode.Append(),
+        shufflePartitions = Some(4))
+        .select("text")
+    }),
+
     // ---- The full training-export chain: chunk → pack → ASSEMBLE one
     // text row per sequence (ordered concat via sort_array over
     // (doc_id, chunk_id) structs — collect_list alone has no order
@@ -1163,6 +1190,12 @@ object SparkEntry {
         |SELECT seq_id, count(*) AS n_chunks,
         |  CAST(sum(chunk_tokens) AS BIGINT) AS seq_tokens
         |FROM s GROUP BY seq_id""").stripMargin,
+    "q68_stream_dedup" ->
+      """SELECT DISTINCT text FROM documents o
+        |WHERE doc_id % 2 = 1
+        |  AND NOT EXISTS (
+        |    SELECT 1 FROM documents e
+        |    WHERE e.doc_id % 2 = 0 AND e.text = o.text)""".stripMargin,
     "q67_assemble_sequences" ->
       (s"""WITH chunks AS ($ChunkingOracleSql),
         |b AS (SELECT doc_id, chunk_id, chunk_text, chunk_tokens, doc_id % 8 AS bucket FROM chunks),

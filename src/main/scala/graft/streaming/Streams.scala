@@ -98,6 +98,44 @@ object Streams {
     else wm.dropDuplicates("event_id")
   }
 
+  /** Streaming incremental dedup against PERSISTED corpus state: drop
+    * stream rows whose content hash already exists in `seenHashes` (a
+    * STATIC frame — point it at the Curator's committed `hashes` state
+    * dir), then drop in-stream exact duplicates within the watermark
+    * horizon. The streaming arrival path of the Curator's batch
+    * `Dedup.dropSeen` tier 1.
+    *
+    * Shapes: the stream-static anti-join keeps NO join state (the
+    * static side is re-planned per microbatch — broadcast when the
+    * hash table fits, shuffled otherwise); the in-stream tier's state
+    * is bounded by the watermark horizon via
+    * `dropDuplicatesWithinWatermark`, never by stream lifetime. Batch
+    * parity: on a batch frame the same code is a plain anti-join +
+    * dropDuplicates — same rows out (spec-pinned).
+    *
+    * Near-dup tiers need the signature state and a banded join — run
+    * those in the incremental BATCH Curator on the stream's sink
+    * output; exact-vs-corpus is the tier with streaming value (drop
+    * known content before it lands). */
+  def dropSeenStream(
+      stream: DataFrame,
+      seenHashes: DataFrame,
+      textCol: String,
+      timeCol: String = "ts",
+      watermarkDelay: String = "2 hours"): DataFrame = {
+    require(!seenHashes.isStreaming, "seenHashes must be a static frame (persisted state)")
+    val hashed = stream
+      .withColumn("__content_hash", graft.llm.Dedup.contentHash(col(textCol)))
+      .withColumn("event_time", eventTime(col(timeCol)))
+      .withWatermark("event_time", watermarkDelay)
+    val fresh = hashed.join(
+      seenHashes.select(col("content_hash").as("__content_hash")),
+      Seq("__content_hash"), "left_anti")
+    (if (fresh.isStreaming) fresh.dropDuplicatesWithinWatermark("__content_hash")
+     else fresh.dropDuplicates("__content_hash"))
+      .drop("__content_hash")
+  }
+
   /** Watermarked stream-stream interval join (attribution): pair each
     * click with every view by the same user in the preceding `horizon`.
     *

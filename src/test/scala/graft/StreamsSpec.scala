@@ -145,6 +145,39 @@ class StreamsSpec extends SparkTestBase {
     assert(spark.read.parquet(out).count() == n1)
   }
 
+  test("dropSeenStream: corpus-seen and in-stream duplicate texts dropped; batch parity") {
+    import spark.implicits._
+    import graft.llm.Dedup
+    val dir = s"${java.nio.file.Files.createTempDirectory("stream_dedup")}/docs"
+    // ts in NANOS like events.ts (eventTime divides to micros)
+    val h = 3600L * 1000 * 1000 * 1000
+    Seq(
+      (1L, "fresh alpha doc", 1 * h),
+      (2L, "fresh beta doc", 2 * h),
+      (3L, "seen corpus doc one", 3 * h),   // echo of corpus state
+      (4L, "arriving twice tonight", 4 * h),
+      (5L, "arriving twice tonight", 5 * h) // in-stream duplicate
+    ).toDF("doc_id", "text", "ts").write.parquet(dir)
+    val seen = Seq("seen corpus doc one", "seen corpus doc two").toDF("t")
+      .select(Dedup.contentHash(col("t")).as("content_hash"))
+    val got = Streams.runToMemory(
+      Streams.dropSeenStream(
+        spark.readStream.schema(spark.read.parquet(dir).schema).parquet(dir),
+        seen, "text"),
+      "stream_dedup", OutputMode.Append())
+      .select("doc_id").as[Long].collect().toSet
+    // corpus echo gone; exactly ONE of the in-stream pair survives
+    assert(got.intersect(Set(1L, 2L)) == Set(1L, 2L), s"fresh docs lost: $got")
+    assert(!got.contains(3L), s"corpus-seen doc survived: $got")
+    assert(got.count(Set(4L, 5L)) == 1, s"in-stream dup not collapsed to one: $got")
+    // batch parity: same code path on a batch frame keeps the same TEXT
+    // set (dropDuplicates may pick either id of the duplicate pair)
+    val batch = Streams.dropSeenStream(spark.read.parquet(dir), seen, "text")
+      .select("text").as[String].collect().toSet
+    val streamTexts = spark.table("stream_dedup").select("text").as[String].collect().toSet
+    assert(batch == streamTexts)
+  }
+
   test("userRunningStats keeps per-key state across the stream") {
     val stream = Streams.userRunningStats(
       Streams.readEventStream(spark, eventsDir, "events.parquet"))
