@@ -31,11 +31,16 @@ import org.apache.spark.unsafe.types.UTF8String
   */
 final class BpeVocab private (ranks: java.util.HashMap[String, Integer]) {
 
-  /** Memoized per-pretoken SEGMENTATIONS (bounded; cleared if it ever
-    * grows past the cap so a pathological vocabulary cannot leak
-    * memory) — counts derive from the same entry, so count and segment
-    * consumers share one cache. */
-  private val memo = new java.util.concurrent.ConcurrentHashMap[String, Array[String]]()
+  /** Memoized per-pretoken segmentations, stored SPACE-JOINED (one
+    * String per entry, ~word length — pretokens contain no whitespace,
+    * so the join is unambiguous; an Array[String] payload would cost
+    * one object per SYMBOL and break the cap's memory bound). Words
+    * longer than [[BpeVocab.MaxMemoWordLen]] are recomputed instead of
+    * cached — unbounded pretoken runs (base64 blobs, URLs) are rare,
+    * low-reuse, and would blow the per-entry size bound. Counts derive
+    * from the same entries, so count and segment consumers share one
+    * cache. */
+  private val memo = new java.util.concurrent.ConcurrentHashMap[String, String]()
   private val MemoCap = 1 << 16
 
   private def rank(a: String, b: String): Int = {
@@ -48,7 +53,7 @@ final class BpeVocab private (ranks: java.util.HashMap[String, Integer]) {
   def segmentWord(word: String): Array[String] = {
     if (word.isEmpty) return Array.empty
     val cached = memo.get(word)
-    if (cached != null) return cached
+    if (cached != null) return cached.split(' ')
     var syms = new java.util.ArrayList[String](word.length)
     var i = 0
     while (i < word.length) { syms.add(String.valueOf(word.charAt(i))); i += 1 }
@@ -76,13 +81,26 @@ final class BpeVocab private (ranks: java.util.HashMap[String, Integer]) {
       }
     }
     val arr = syms.toArray(new Array[String](syms.size))
-    if (memo.size >= MemoCap) memo.clear()
-    memo.put(word, arr)
+    if (word.length <= BpeVocab.MaxMemoWordLen) {
+      if (memo.size >= MemoCap) memo.clear()
+      memo.put(word, String.join(" ", syms))
+      ()
+    }
     arr
   }
 
-  /** BPE token count of ONE pretoken. */
-  def countWord(word: String): Int = segmentWord(word).length
+  /** BPE token count of ONE pretoken — the hot BpeCount path reads the
+    * cached joined form without materializing the segment array. */
+  def countWord(word: String): Int = {
+    if (word.isEmpty) return 0
+    val cached = memo.get(word)
+    if (cached != null) {
+      var n = 1
+      var i = 0
+      while (i < cached.length) { if (cached.charAt(i) == ' ') n += 1; i += 1 }
+      n
+    } else segmentWord(word).length
+  }
 
   /** Total BPE token count of a text: sum over pretokens (letter runs /
     * digit runs / symbol runs; whitespace contributes nothing). */
@@ -111,6 +129,10 @@ final class BpeVocab private (ranks: java.util.HashMap[String, Integer]) {
 object BpeVocab {
   private[functions] val Pretoken =
     java.util.regex.Pattern.compile("""[\p{L}]+|[\p{N}]+|[^\p{L}\p{N}\s]+""")
+
+  /** Pretokens longer than this are recomputed instead of memoized —
+    * keeps the memo's retained memory ≤ MemoCap × this many chars. */
+  private[functions] val MaxMemoWordLen = 512
 
   /** Parse `merges.txt` lines: `left right` per line, rank = order;
     * blank lines and a leading `#version` header are skipped. */

@@ -124,16 +124,23 @@ object Streams {
       timeCol: String = "ts",
       watermarkDelay: String = "2 hours"): DataFrame = {
     require(!seenHashes.isStreaming, "seenHashes must be a static frame (persisted state)")
+    // temp columns pick unused names and are BOTH dropped on the way
+    // out — the output schema is exactly the input schema, and a
+    // pre-existing event_time/hash column is never clobbered
+    def fresh(base: String): String = Iterator.from(0).map(i => s"$base$i")
+      .find(!stream.columns.contains(_)).get
+    val hashCol = fresh("__content_hash")
+    val timeTmp = fresh("__dedup_event_time")
     val hashed = stream
-      .withColumn("__content_hash", graft.llm.Dedup.contentHash(col(textCol)))
-      .withColumn("event_time", eventTime(col(timeCol)))
-      .withWatermark("event_time", watermarkDelay)
-    val fresh = hashed.join(
-      seenHashes.select(col("content_hash").as("__content_hash")),
-      Seq("__content_hash"), "left_anti")
-    (if (fresh.isStreaming) fresh.dropDuplicatesWithinWatermark("__content_hash")
-     else fresh.dropDuplicates("__content_hash"))
-      .drop("__content_hash")
+      .withColumn(hashCol, graft.llm.Dedup.contentHash(col(textCol)))
+      .withColumn(timeTmp, eventTime(col(timeCol)))
+      .withWatermark(timeTmp, watermarkDelay)
+    val unseen = hashed.join(
+      seenHashes.select(col("content_hash").as(hashCol)),
+      Seq(hashCol), "left_anti")
+    (if (unseen.isStreaming) unseen.dropDuplicatesWithinWatermark(hashCol)
+     else unseen.dropDuplicates(hashCol))
+      .drop(hashCol, timeTmp)
   }
 
   /** Watermarked stream-stream interval join (attribution): pair each

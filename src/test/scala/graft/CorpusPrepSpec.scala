@@ -139,9 +139,10 @@ class CorpusPrepSpec extends SparkTestBase {
     assert(bad == 0, "assembled token counts must match chunk sums")
     // chunk order inside a sequence: the first chunk of the min doc_id
     // leads the text (sort_array over (doc_id, chunk_id) structs)
-    val probe = packed.filter(col("seq_id") === packed.select("seq_id").head().getLong(0))
+    val sid = packed.select("seq_id").head().getLong(0) // one draw — head() is unordered
+    val probe = packed.filter(col("seq_id") === sid)
       .orderBy("doc_id", "chunk_id").select("chunk_text").collect().map(_.getString(0))
-    val assembled = seqs.filter(col("seq_id") === packed.select("seq_id").head().getLong(0))
+    val assembled = seqs.filter(col("seq_id") === sid)
       .head().getAs[String]("seq_text")
     assert(assembled == probe.mkString(" "))
     seqs.unpersist()
