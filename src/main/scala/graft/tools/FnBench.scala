@@ -49,6 +49,20 @@ object FnBench {
     time("chunking native")(
       graft.llm.CorpusPrep.chunkByTokensFast(docs20, "doc_id", "text", 64, 16))
 
+    // repetition: HOF reference (q64) vs native (q65) — same program,
+    // one oracle; the gap is per-gram String construction + distinct
+    time("repetition HOF")(docs20.select(
+      graft.llm.TextAnalysis.repetitionScore(col("text"), 3).as("r")))
+    time("repetition native")(docs20.select(
+      call_function("graft_repetition", col("text"), lit(3)).as("r")))
+
+    // gram hashes vs HOF string shingles (the decontamination explode
+    // inputs): construction cost, before any join
+    time("shingles HOF (strings)")(docs20.select(
+      graft.llm.Dedup.shingles(col("text"), 8).as("g")))
+    time("gram hashes native")(docs20.select(
+      call_function("graft_gram_hashes", col("text"), lit(8)).as("g")))
+
     spark.stop()
   }
 }
