@@ -984,7 +984,11 @@ object SparkEntry {
     // → rows-only; asserted in EntrySpec.
     "q62_incremental_vector_dedup" -> ((s, dir) => {
       import graft.llm.{Dedup, Similarity}
+      // vec_id < 1000 cap: the cohort signal (50 planted echoes all
+      // dropped, fresh kept) is corpus-size-independent; the two banded
+      // joins' cost is not — same budget rule as q38/q39/q63
       val emb = t(s, dir, "embeddings").select(col("vec_id"), col("embedding"))
+        .filter(col("vec_id") < 1000)
       val corpus = emb.filter(col("vec_id") % 2 === 0)
       // persisted: sigs feed the hot-bucket aggregate AND the banded
       // join's corpus side; batch feeds signature derivation AND two
