@@ -1105,6 +1105,32 @@ object SparkEntry {
         chunks, "doc_id", "chunk_tokens", budget = 256, buckets = 8)
       graft.llm.CorpusPrep.assembleSequences(packed)
     }),
+
+    // ---- Per-group quantile filter: keep the top 25% of documents by
+    // length WITHIN each language — the "top X% quality per language"
+    // curation step a global cut gets wrong. This is the EXACT
+    // (percent_rank window) form, whose arithmetic DuckDB replays
+    // verbatim → oracle-exact; the API default (keepTopQuantile) is the
+    // scale path — approx-percentile thresholds (one row per group)
+    // broadcast into a scan filter, no per-group window — and
+    // CurationSpec pins the two forms' agreement.
+    "q69_quantile_filter" -> ((s, dir) =>
+      graft.llm.Curation.keepTopQuantileExact(
+        t(s, dir, "documents").select(col("doc_id"), col("lang"), col("n_chars")),
+        "lang", "n_chars", keepFraction = 0.25)),
+
+    // ---- Deterministic corpus shuffle for training export: a
+    // reproducible pseudo-random permutation keyed by the shared md5
+    // sampling digest (salt = epoch), planned as repartitionByRange +
+    // local sort — a distributed total sort, nothing funnels through
+    // one task. The oracle replays the key derivation verbatim; the
+    // ORDER itself (range-partitioned, monotone across partitions,
+    // salt-sensitive) is pinned in CorpusPrepSpec — the driver compare
+    // is order-insensitive by design.
+    "q70_corpus_shuffle" -> ((s, dir) =>
+      graft.llm.CorpusPrep.deterministicShuffle(
+        t(s, dir, "documents").select(col("doc_id"), col("lang")),
+        "doc_id", salt = "epoch1")),
   )
 
   /** q60's deterministic merge table (common English pair merges),
@@ -1200,6 +1226,15 @@ object SparkEntry {
         |  AND NOT EXISTS (
         |    SELECT 1 FROM documents e
         |    WHERE e.doc_id % 2 = 0 AND e.text = o.text)""".stripMargin,
+    "q69_quantile_filter" ->
+      """SELECT doc_id, lang, n_chars FROM (
+        |  SELECT doc_id, lang, n_chars,
+        |    percent_rank() OVER (PARTITION BY lang ORDER BY n_chars DESC) AS pr
+        |  FROM documents) WHERE pr <= 0.25""".stripMargin,
+    "q70_corpus_shuffle" ->
+      """SELECT doc_id, lang,
+        |  md5(CAST(doc_id AS varchar) || '|' || 'epoch1') AS shuffle_key
+        |FROM documents""".stripMargin,
     "q67_assemble_sequences" ->
       (s"""WITH chunks AS ($ChunkingOracleSql),
         |b AS (SELECT doc_id, chunk_id, chunk_text, chunk_tokens, doc_id % 8 AS bucket FROM chunks),

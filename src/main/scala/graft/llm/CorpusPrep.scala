@@ -269,4 +269,41 @@ object CorpusPrep {
     val effective = coalesce(threshold, thr(defaultFraction))
     df.filter(digest < effective)
   }
+
+  /** Deterministic global shuffle for training export: order the corpus
+    * by `(md5(id|salt), id)` — a reproducible pseudo-random permutation
+    * of the rows, the "shuffle the sequences before training" step.
+    * `rand()`-keyed sorts are irreproducible across retries (a lost
+    * executor re-rolls its partition); this key is a pure function of
+    * (id, salt), so the permutation survives retries, repartitionings,
+    * and reruns, and a different `salt` yields an independent epoch
+    * order. The digest recipe is shared with the sampling family
+    * ([[graft.operators.Ops.hashDigestCol]]), so the q70 oracle replays
+    * the key verbatim in SQL.
+    *
+    * At 100 TB: `repartitionByRange` + `sortWithinPartitions` is
+    * Spark's distributed total sort — range bounds come from a sample,
+    * every partition sorts locally, nothing funnels through one task.
+    * Writing the result preserves file order, so a sequential reader
+    * (a training loader) sees the shuffled order without any further
+    * work. The key column stays on the output (`keyCol`) so downstream
+    * stages can re-assert or resume the order cheaply. */
+  def deterministicShuffle(
+      df: DataFrame,
+      idCol: String,
+      salt: String = "",
+      numPartitions: Option[Int] = None,
+      keyCol: String = "shuffle_key"): DataFrame = {
+    require(!df.columns.contains(keyCol),
+      s"deterministicShuffle: column $keyCol already exists")
+    val keyed = df.withColumn(keyCol,
+      graft.operators.Ops.hashDigestCol(col(idCol), salt))
+    val ranged = numPartitions match {
+      case Some(n) => keyed.repartitionByRange(n, col(keyCol), col(idCol))
+      case None    => keyed.repartitionByRange(col(keyCol), col(idCol))
+    }
+    // id as the tie-break makes the order total even if two ids ever
+    // collide on the 128-bit digest (they won't, but total is free)
+    ranged.sortWithinPartitions(col(keyCol), col(idCol))
+  }
 }

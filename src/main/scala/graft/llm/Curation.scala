@@ -170,6 +170,81 @@ object Curation {
     } finally { exact.unpersist(); () }
   }
 
+  // -------------------------------------------- per-group quantile filter
+
+  /** Per-group score thresholds for [[keepTopQuantile]]: one row per
+    * group with the (1 − keepFraction) percentile of `scoreCol` — the
+    * cut below which rows are dropped. `approx_percentile` is a
+    * mergeable sketch (map-side partial aggregation), so the aggregate
+    * never buffers a group's values on one reducer; the output is one
+    * row per group regardless of corpus size. */
+  def topQuantileThresholds(
+      df: DataFrame,
+      groupCol: String,
+      scoreCol: String,
+      keepFraction: Double,
+      accuracy: Int = 10000): DataFrame = {
+    require(keepFraction > 0.0 && keepFraction <= 1.0,
+      s"keepFraction must be in (0,1], got $keepFraction")
+    df.groupBy(groupCol).agg(
+      percentile_approx(col(scoreCol), lit(1.0 - keepFraction), lit(accuracy))
+        .as("score_threshold"))
+  }
+
+  /** Keep (approximately) the top `keepFraction` of rows by `scoreCol`
+    * WITHIN each `groupCol` group — the "top X% quality per language"
+    * curation step, which a global threshold gets wrong because score
+    * distributions differ per language.
+    *
+    * 100 TB shape: per-group thresholds are a tiny mergeable aggregate
+    * (one row per group) broadcast back into a scan-speed filter —
+    * never a per-group window, whose partitionBy(lang) would put the
+    * dominant language's entire corpus in ONE task. The kept set is
+    * always a top-prefix of each group's score order; the kept
+    * FRACTION is approximate at the threshold boundary (sketch rank
+    * error ~1/accuracy, plus ties at the cut are all kept).
+    *
+    * [[keepTopQuantileExact]] is the exact-fraction form (percent_rank
+    * window) — the q69 oracle replays it verbatim in SQL; use it only
+    * when every group is small enough to sort in one task. */
+  def keepTopQuantile(
+      df: DataFrame,
+      groupCol: String,
+      scoreCol: String,
+      keepFraction: Double,
+      accuracy: Int = 10000): DataFrame = {
+    if (keepFraction >= 1.0) df
+    else {
+      val thr = topQuantileThresholds(df, groupCol, scoreCol, keepFraction, accuracy)
+      df.join(broadcast(thr), Seq(groupCol))
+        .filter(col(scoreCol) >= col("score_threshold"))
+        .drop("score_threshold")
+    }
+  }
+
+  /** Exact-fraction top-quantile filter: keep rows whose
+    * `percent_rank()` over (group, score DESC) is ≤ keepFraction —
+    * rank ties at the boundary are all kept (percent_rank assigns
+    * equal values equal rank, so membership never depends on a
+    * nondeterministic sort order). SQL-replayable (q69). Scale caveat:
+    * the window partitions by group — one task must sort the largest
+    * group; prefer [[keepTopQuantile]] for corpus-scale data. */
+  def keepTopQuantileExact(
+      df: DataFrame,
+      groupCol: String,
+      scoreCol: String,
+      keepFraction: Double): DataFrame = {
+    require(keepFraction >= 0.0 && keepFraction <= 1.0,
+      s"keepFraction must be in [0,1], got $keepFraction")
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(groupCol).orderBy(col(scoreCol).desc)
+    val prName = Iterator.from(0).map(i => s"__pr$i")
+      .find(!df.columns.contains(_)).get
+    df.withColumn(prName, percent_rank().over(w))
+      .filter(col(prName) <= keepFraction)
+      .drop(prName)
+  }
+
   /** Curation report: per-stage survivor counts for observability —
     * actions, so call on samples or cache the input. */
   def report(docs: DataFrame, idCol: String, textCol: String,

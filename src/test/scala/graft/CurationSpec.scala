@@ -97,6 +97,56 @@ class CurationSpec extends SparkTestBase {
       Curation.Config(keepPolicy = "bogus", transitiveNearDups = true)))
   }
 
+  test("keepTopQuantileExact: hand-computed percent_rank boundaries, ties kept") {
+    // group a: scores 10..1 → pr = (rank-1)/9; 0.25 keeps ranks 1-3
+    val a = (1 to 10).map(i => ("a", i.toLong, (11 - i).toDouble))
+    // group b: ties AT the boundary — scores 5,4,4,1: pr(4) = 1/3 ≤ 0.4,
+    // BOTH 4s kept (equal values share a rank; membership never depends
+    // on sort order among ties)
+    val b = Seq(("b", 101L, 5.0), ("b", 102L, 4.0), ("b", 103L, 4.0), ("b", 104L, 1.0))
+    val df = (a ++ b).toDF("g", "id", "score")
+    val kept25 = Curation.keepTopQuantileExact(df, "g", "score", 0.25)
+      .filter(col("g") === "a").select("id").collect().map(_.getLong(0)).toSet
+    assert(kept25 == Set(1L, 2L, 3L), s"group a at 0.25 kept $kept25")
+    val keptB = Curation.keepTopQuantileExact(df, "g", "score", 0.4)
+      .filter(col("g") === "b").select("id").collect().map(_.getLong(0)).toSet
+    assert(keptB == Set(101L, 102L, 103L), s"group b ties at 0.4 kept $keptB")
+    // fraction 0 keeps exactly the top rank (pr = 0)
+    val top = Curation.keepTopQuantileExact(df, "g", "score", 0.0)
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(top == Set(1L, 101L))
+    intercept[IllegalArgumentException](
+      Curation.keepTopQuantileExact(df, "g", "score", 1.5))
+  }
+
+  test("keepTopQuantile (approx threshold form): top-prefix per group, " +
+      "fraction near target, broadcast plan with no window") {
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select(col("doc_id"), col("lang"), col("n_chars").cast("double").as("score"))
+    val kept = Curation.keepTopQuantile(docs, "lang", "score", 0.25)
+    // scale shape: thresholds broadcast into a scan filter — no
+    // per-group window, no sort
+    val plan = kept.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), s"expected broadcast join:\n$plan")
+    assert(!plan.contains("Window"), s"approx form must not plan a window:\n$plan")
+    // kept set is a top-prefix of each group's score order: the lowest
+    // kept score is ≥ the highest dropped score
+    val dropped = docs.join(kept.select("doc_id"), Seq("doc_id"), "left_anti")
+    val keptMin = kept.groupBy("lang").agg(min("score").as("kmin"))
+    val dropMax = dropped.groupBy("lang").agg(max("score").as("dmax"))
+    val bad = keptMin.join(dropMax, Seq("lang"))
+      .filter(col("kmin") < col("dmax")).count()
+    assert(bad == 0, "kept set is not a top-prefix of the score order")
+    // kept fraction lands near the target (ties + sketch boundary slack)
+    val fracs = docs.groupBy("lang").count().withColumnRenamed("count", "n")
+      .join(kept.groupBy("lang").count().withColumnRenamed("count", "k"), Seq("lang"))
+      .select((col("k") / col("n")).as("f")).collect().map(_.getDouble(0))
+    assert(fracs.nonEmpty && fracs.forall(f => f > 0.15 && f < 0.40),
+      s"kept fractions off target 0.25: ${fracs.mkString(",")}")
+    // keepFraction = 1.0 is the identity
+    assert(Curation.keepTopQuantile(docs, "lang", "score", 1.0).count() == docs.count())
+  }
+
   test("lang filter keeps only requested languages") {
     val planted = Seq(
       (1L, "the cat is in the house and it is a good day for the garden"),
