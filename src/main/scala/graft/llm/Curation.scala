@@ -213,12 +213,25 @@ object Curation {
       scoreCol: String,
       keepFraction: Double,
       accuracy: Int = 10000): DataFrame = {
+    require(keepFraction > 0.0 && keepFraction <= 1.0,
+      s"keepFraction must be in (0,1], got $keepFraction")
     if (keepFraction >= 1.0) df
     else {
+      // fresh names: the input may already carry a score_threshold (e.g.
+      // a frame that went through topQuantileThresholds), and the join
+      // key must not collide either
+      val thrName = Iterator.from(0).map(i => s"__thr$i")
+        .find(!df.columns.contains(_)).get
+      val grpName = Iterator.from(0).map(i => s"__grp$i")
+        .find(n => !df.columns.contains(n) && n != thrName).get
       val thr = topQuantileThresholds(df, groupCol, scoreCol, keepFraction, accuracy)
-      df.join(broadcast(thr), Seq(groupCol))
-        .filter(col(scoreCol) >= col("score_threshold"))
-        .drop("score_threshold")
+        .select(col(groupCol).as(grpName), col("score_threshold").as(thrName))
+      // null-safe equality: a NULL group (unidentified language) is a
+      // real group — groupBy emits its threshold row, and `<=>` joins
+      // it back where plain `=` would silently drop every NULL-group row
+      df.join(broadcast(thr), df(groupCol) <=> thr(grpName))
+        .filter(col(scoreCol) >= col(thrName))
+        .drop(grpName, thrName)
     }
   }
 
@@ -234,8 +247,10 @@ object Curation {
       groupCol: String,
       scoreCol: String,
       keepFraction: Double): DataFrame = {
-    require(keepFraction >= 0.0 && keepFraction <= 1.0,
-      s"keepFraction must be in [0,1], got $keepFraction")
+    // same domain as keepTopQuantile — the two forms are the same
+    // operation at different scales and must agree on what they accept
+    require(keepFraction > 0.0 && keepFraction <= 1.0,
+      s"keepFraction must be in (0,1], got $keepFraction")
     import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy(groupCol).orderBy(col(scoreCol).desc)
     val prName = Iterator.from(0).map(i => s"__pr$i")

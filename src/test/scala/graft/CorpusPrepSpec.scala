@@ -234,6 +234,41 @@ class CorpusPrepSpec extends SparkTestBase {
     assert(out.filter(col("source") === "src0").count() == 0)
     assert(out.count() == docs.filter(col("source") =!= "src0").count())
   }
+
+  test("deterministicShuffle: md5 key, global order across partitions, " +
+      "salt-sensitive, reproducible") {
+    val input = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select("doc_id", "lang")
+    val shuffled = graft.llm.CorpusPrep.deterministicShuffle(
+      input, "doc_id", salt = "ep0", numPartitions = Some(4))
+    // key is exactly the shared sampling digest
+    val wrongKeys = shuffled.filter(col("shuffle_key") =!=
+      md5(concat(col("doc_id").cast("string"), lit("|"), lit("ep0")))).count()
+    assert(wrongKeys == 0)
+    // collect() preserves partition order, and each partition is
+    // locally sorted over disjoint ascending ranges — so the collected
+    // key sequence must BE the globally sorted sequence
+    val keys = shuffled.select("shuffle_key").collect().map(_.getString(0))
+    assert(keys.length == input.count())
+    assert((keys, keys.sorted).zipped.forall(_ == _),
+      "collected order is not the global (key, id) sort order")
+    // reproducible: a second run yields the identical permutation
+    val again = graft.llm.CorpusPrep.deterministicShuffle(
+      input, "doc_id", salt = "ep0", numPartitions = Some(4))
+      .select("doc_id").collect().map(_.getLong(0))
+    val first = shuffled.select("doc_id").collect().map(_.getLong(0))
+    assert((first, again).zipped.forall(_ == _), "shuffle is not reproducible")
+    // a different salt is a different (independent) permutation
+    val other = graft.llm.CorpusPrep.deterministicShuffle(
+      input, "doc_id", salt = "ep1", numPartitions = Some(4))
+      .select("doc_id").collect().map(_.getLong(0))
+    assert(!(first, other).zipped.forall(_ == _), "salt must change the order")
+    // and it IS a permutation, not a resample
+    assert(first.sorted.sameElements(other.sorted))
+    // key-column collision is rejected up front
+    intercept[IllegalArgumentException](graft.llm.CorpusPrep.deterministicShuffle(
+      shuffled, "doc_id", salt = "x"))
+  }
 }
 
 /** As-of join and broadcast range join. */
@@ -308,41 +343,6 @@ class AsofRangeJoinSpec extends SparkTestBase {
       val dups = views.groupBy("user_id", "ts").count().filter(col("count") > 1).count()
       assert(dups == 0, s"$dir: $dups duplicate (user_id, ts) view rows — q27 oracle nondeterministic")
     }
-  }
-
-  test("deterministicShuffle: md5 key, global order across partitions, " +
-      "salt-sensitive, reproducible") {
-    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
-      .select("doc_id", "lang")
-    val shuffled = graft.llm.CorpusPrep.deterministicShuffle(
-      docs, "doc_id", salt = "ep0", numPartitions = Some(4))
-    // key is exactly the shared sampling digest
-    val wrongKeys = shuffled.filter(col("shuffle_key") =!=
-      md5(concat(col("doc_id").cast("string"), lit("|"), lit("ep0")))).count()
-    assert(wrongKeys == 0)
-    // collect() preserves partition order, and each partition is
-    // locally sorted over disjoint ascending ranges — so the collected
-    // key sequence must BE the globally sorted sequence
-    val keys = shuffled.select("shuffle_key").collect().map(_.getString(0))
-    assert(keys.length == docs.count())
-    assert((keys, keys.sorted).zipped.forall(_ == _),
-      "collected order is not the global (key, id) sort order")
-    // reproducible: a second run yields the identical permutation
-    val again = graft.llm.CorpusPrep.deterministicShuffle(
-      docs, "doc_id", salt = "ep0", numPartitions = Some(4))
-      .select("doc_id").collect().map(_.getLong(0))
-    val first = shuffled.select("doc_id").collect().map(_.getLong(0))
-    assert((first, again).zipped.forall(_ == _), "shuffle is not reproducible")
-    // a different salt is a different (independent) permutation
-    val other = graft.llm.CorpusPrep.deterministicShuffle(
-      docs, "doc_id", salt = "ep1", numPartitions = Some(4))
-      .select("doc_id").collect().map(_.getLong(0))
-    assert(!(first, other).zipped.forall(_ == _), "salt must change the order")
-    // and it IS a permutation, not a resample
-    assert(first.sorted.sameElements(other.sorted))
-    // key-column collision is rejected up front
-    intercept[IllegalArgumentException](graft.llm.CorpusPrep.deterministicShuffle(
-      shuffled, "doc_id", salt = "x"))
   }
 
   test("asofJoin plans exactly one exchange (union + window, no join)") {

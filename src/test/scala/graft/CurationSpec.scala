@@ -111,12 +111,36 @@ class CurationSpec extends SparkTestBase {
     val keptB = Curation.keepTopQuantileExact(df, "g", "score", 0.4)
       .filter(col("g") === "b").select("id").collect().map(_.getLong(0)).toSet
     assert(keptB == Set(101L, 102L, 103L), s"group b ties at 0.4 kept $keptB")
-    // fraction 0 keeps exactly the top rank (pr = 0)
-    val top = Curation.keepTopQuantileExact(df, "g", "score", 0.0)
-      .select("id").collect().map(_.getLong(0)).toSet
-    assert(top == Set(1L, 101L))
+    // both forms share the (0,1] domain — a percentage passed where a
+    // fraction belongs must fail loudly, not silently keep everything
     intercept[IllegalArgumentException](
       Curation.keepTopQuantileExact(df, "g", "score", 1.5))
+    intercept[IllegalArgumentException](
+      Curation.keepTopQuantile(df, "g", "score", 25.0))
+    intercept[IllegalArgumentException](
+      Curation.keepTopQuantileExact(df, "g", "score", 0.0))
+    intercept[IllegalArgumentException](
+      Curation.keepTopQuantile(df, "g", "score", 0.0))
+  }
+
+  test("keepTopQuantile treats a NULL group as a real group (null-safe join)") {
+    val df = Seq(
+      (Some("en"), 1L, 9.0), (Some("en"), 2L, 5.0), (Some("en"), 3L, 1.0),
+      (None, 11L, 9.0), (None, 12L, 5.0), (None, 13L, 1.0)
+    ).toDF("g", "id", "score")
+    val kept = Curation.keepTopQuantile(df, "g", "score", 0.4)
+      .select("id").collect().map(_.getLong(0)).toSet
+    // the NULL group keeps its own top scores — a non-null-safe join
+    // would silently drop all of 11/12/13
+    assert(kept.exists(_ >= 11L), s"NULL-group rows all dropped: $kept")
+    assert(kept.contains(11L), s"NULL group's top row must survive: $kept")
+    assert(!kept.contains(13L) && !kept.contains(3L), s"bottom rows survived: $kept")
+    // threshold-name collision: a frame already carrying score_threshold
+    // (e.g. from topQuantileThresholds) still filters cleanly
+    val carrying = df.withColumn("score_threshold", lit(0.0))
+    val kept2 = Curation.keepTopQuantile(carrying, "g", "score", 0.4)
+    assert(kept2.columns.count(_ == "score_threshold") == 1)
+    assert(kept2.select("id").collect().map(_.getLong(0)).toSet == kept)
   }
 
   test("keepTopQuantile (approx threshold form): top-prefix per group, " +
