@@ -158,7 +158,7 @@ object Scorer {
   * next increment. Alternate A/B state dirs between runs. */
 object Curator {
   def main(args: Array[String]): Unit = Cli.run("curator", args) { (conf, spark) =>
-    import org.apache.spark.sql.functions.col
+    import org.apache.spark.sql.functions.{col, concat, lit}
     Cli.log("loading corpus...")
     val raw = graft.sources.DataIO.read(spark, conf.at("source"))
     val c = conf.at("curation")
@@ -307,6 +307,28 @@ object Curator {
     println(s"curated corpus size: ${curated.count()}")
     batchToFree.foreach(_.unpersist()) // curated cache is materialized
     vecToFree.foreach(_.unpersist())
+    // optional per-group quality-quantile filter on the curated
+    // survivors ("keep the top X% by quality WITHIN each language" — a
+    // global threshold gets this wrong because score distributions
+    // differ per language). Runs the scale form: per-group
+    // approx-percentile thresholds broadcast into a scan filter.
+    // Downstream selection like mixture/chunking: the dedup state still
+    // records the full curated corpus.
+    val quantiled = c.getDouble("quality-quantile") match {
+      case Some(frac) =>
+        val q = graft.llm.Curation.keepTopQuantile(curated,
+          c.getString("quantile-group-column").getOrElse("lang_id"),
+          c.getString("quantile-score-column").getOrElse("quality"), frac,
+          accuracy = c.getInt("quantile-accuracy").getOrElse(10000))
+        if (c.getString("log-drop-counts").exists(v => !v.toBoolean)) q
+        else {
+          // curated is persisted, so both counts are cheap scans
+          Cli.log(s"quality-quantile: ${q.count()} of ${curated.count()} " +
+            s"survive the top-$frac per-group cut")
+          q
+        }
+      case None => curated
+    }
     // optional benchmark decontamination (train/test-overlap filter) on
     // the curated survivors: docs sharing >= min-hits distinct n-grams
     // with ANY doc of the benchmark set are dropped from the training
@@ -318,7 +340,7 @@ object Curator {
           graft.conf.GraftConfig.parse(
             s"""storage-type = local
                |dataset-dir = "$bdir"""".stripMargin))
-        val out = graft.llm.TextAnalysis.decontaminate(curated, bench,
+        val out = graft.llm.TextAnalysis.decontaminate(quantiled, bench,
           idCol, textCol, c.getString("benchmark-text-column").getOrElse(textCol),
           n = c.getInt("contamination-ngram").getOrElse(8),
           minHits = c.getInt("contamination-min-hits").getOrElse(1),
@@ -332,11 +354,11 @@ object Curator {
           // target write must not each re-run the corpus-side gram scan
           // (curated is already persisted, so its count is free)
           val p = out.persist()
-          Cli.log(s"decontamination: ${p.count()} of ${curated.count()} survive " +
+          Cli.log(s"decontamination: ${p.count()} of ${quantiled.count()} survive " +
             s"the ${c.getInt("contamination-ngram").getOrElse(8)}-gram benchmark check")
           (p, Some(p))
         }
-      case None => (curated, None)
+      case None => (quantiled, None)
     }
     // optional training-mix composition (deterministic per-source keep
     // fractions) on the curated survivors
@@ -382,6 +404,36 @@ object Curator {
           overlap = c.getInt("chunk-overlap").getOrElse(0), keepCols = keep)
       case _ => labeled
     }
+    // optional deterministic training-export shuffle: a reproducible
+    // pseudo-random row permutation (salt = epoch) so a sequential
+    // training loader reads the corpus in shuffled order. The row
+    // identity is (doc, chunk) when chunking is on. The shuffle IS the
+    // write layout — the target's own layout knobs would re-partition
+    // or re-sort and silently destroy the permutation, so they are
+    // rejected up front.
+    val emitted = c.getString("shuffle-salt") match {
+      case Some(salt) =>
+        val target = conf.at("target")
+        val conflicting = Seq(
+          "n-partitions" -> target.getInt("n-partitions").isDefined,
+          "distribute-by" -> (target.getString("distribute-by.key")
+            .orElse(target.getString("distribute-by").filter(_.nonEmpty)).isDefined),
+          "range-by" -> target.getList("range-by").isDefined,
+          "zorder-by" -> target.getList("zorder-by").isDefined,
+          "sort-within-partitions" -> target.getList("sort-within-partitions").isDefined
+        ).collect { case (k, true) => k }
+        require(conflicting.isEmpty,
+          s"curation.shuffle-salt and target ${conflicting.mkString("/")} are " +
+            "mutually exclusive — the deterministic shuffle is itself the " +
+            "write layout; a post-shuffle repartition or sort would destroy it")
+        val chunked = c.getInt("chunk-size").isDefined || c.getInt("bpe-budget").isDefined
+        val rowId =
+          if (chunked) concat(col(idCol).cast("string"), lit(":"), col("chunk_id"))
+          else col(idCol).cast("string")
+        graft.llm.CorpusPrep.deterministicShuffleBy(out, rowId, salt,
+          numPartitions = c.getInt("shuffle-partitions"))
+      case None => out
+    }
     // TARGET FIRST, STATE LAST: committing dedup state before the target
     // write would mean a crash in between leaves this batch's survivors
     // marked seen while their training output never landed — re-running
@@ -389,7 +441,7 @@ object Curator {
     // crash before the marker leaves UNcommitted state the next run
     // refuses, and re-running re-writes the target (at-least-once; use
     // an overwrite-mode target for idempotent re-runs).
-    graft.sources.DataIO.write(out, conf.at("target"))
+    graft.sources.DataIO.write(emitted, conf.at("target"))
     // dedup state = the CURATED corpus, not the emitted training set:
     // docs excluded downstream (mixture sampling, chunking) are still
     // recorded as seen — by design, so raising mixture weights later

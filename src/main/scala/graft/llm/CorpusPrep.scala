@@ -293,17 +293,29 @@ object CorpusPrep {
       idCol: String,
       salt: String = "",
       numPartitions: Option[Int] = None,
+      keyCol: String = "shuffle_key"): DataFrame =
+    deterministicShuffleBy(df, col(idCol), salt, numPartitions, keyCol)
+
+  /** Column-expression form of [[deterministicShuffle]] — for composite
+    * row identities (e.g. chunked output, where the row id is
+    * `(doc_id, chunk_id)`): pass any deterministic unique expression,
+    * such as `concat(col("doc_id"), lit(":"), col("chunk_id"))`. */
+  def deterministicShuffleBy(
+      df: DataFrame,
+      id: Column,
+      salt: String = "",
+      numPartitions: Option[Int] = None,
       keyCol: String = "shuffle_key"): DataFrame = {
     require(!df.columns.contains(keyCol),
       s"deterministicShuffle: column $keyCol already exists")
     val keyed = df.withColumn(keyCol,
-      graft.operators.Ops.hashDigestCol(col(idCol), salt))
+      graft.operators.Ops.hashDigestCol(id, salt))
     val ranged = numPartitions match {
-      case Some(n) => keyed.repartitionByRange(n, col(keyCol), col(idCol))
-      case None    => keyed.repartitionByRange(col(keyCol), col(idCol))
+      case Some(n) => keyed.repartitionByRange(n, col(keyCol), id)
+      case None    => keyed.repartitionByRange(col(keyCol), id)
     }
     // id as the tie-break makes the order total even if two ids ever
     // collide on the 128-bit digest (they won't, but total is free)
-    ranged.sortWithinPartitions(col(keyCol), col(idCol))
+    ranged.sortWithinPartitions(col(keyCol), id)
   }
 }

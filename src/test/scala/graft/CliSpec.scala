@@ -361,6 +361,75 @@ class CliSpec extends SparkTestBase {
       spark.read.parquet(out).count(), "layout must be a pure reordering")
   }
 
+  test("curator quality-quantile keeps a per-group top-prefix; shuffle-salt " +
+      "emits the deterministic export permutation") {
+    import org.apache.spark.sql.functions.{col, concat, input_file_name, lit, max, md5, min}
+    val base = tmp()
+    // run 1: plain curation — the reference survivor set
+    val out1 = base.resolve("all").toString
+    val f1 = write(base.resolve("curator_all.conf"),
+      s"""source { storage-type = local, dataset-dir = $sfDir/documents.parquet }
+         |target { storage-type = local, dataset-dir = $out1, dataset-store-format = parquet, write-mode = overwrite }
+         |curation { min-quality = 0.2 }
+         |""".stripMargin)
+    graft.cli.Curator.main(Array("--conf", f1))
+    // run 2: same curation + top-50% by n_chars within each lang + a
+    // shuffled export. Score/group columns ride on documents natively,
+    // so the top-prefix check below is independent of the annotators.
+    val out2 = base.resolve("quantiled").toString
+    val f2 = write(base.resolve("curator_quant.conf"),
+      s"""source { storage-type = local, dataset-dir = $sfDir/documents.parquet }
+         |target { storage-type = local, dataset-dir = $out2, dataset-store-format = parquet, write-mode = overwrite }
+         |curation {
+         |  min-quality = 0.2
+         |  quality-quantile = 0.5
+         |  quantile-group-column = lang
+         |  quantile-score-column = n_chars
+         |  shuffle-salt = ep0
+         |  shuffle-partitions = 3
+         |}
+         |""".stripMargin)
+    graft.cli.Curator.main(Array("--conf", f2))
+    val all = spark.read.parquet(out1).select("doc_id", "lang", "n_chars")
+    val kept = spark.read.parquet(out2)
+    // quantile stage: kept ⊂ all, and within each lang the kept set is a
+    // top-prefix of the n_chars order (lowest kept ≥ highest dropped)
+    assert(kept.count() > 0 && kept.count() < all.count(),
+      s"quantile must drop some but not all: ${kept.count()} of ${all.count()}")
+    val dropped = all.join(kept.select("doc_id"), Seq("doc_id"), "left_anti")
+    val bad = kept.groupBy("lang").agg(min("n_chars").as("kmin"))
+      .join(dropped.groupBy("lang").agg(max("n_chars").as("dmax")), Seq("lang"))
+      .filter(col("kmin") < col("dmax")).count()
+    assert(bad == 0, "kept set is not a per-lang top-prefix of n_chars")
+    // shuffle stage: the key column landed and matches the shared md5
+    // digest of the doc id (no chunking → row identity is the doc)
+    assert(kept.columns.contains("shuffle_key"))
+    assert(kept.filter(col("shuffle_key") =!= md5(concat(
+      col("doc_id").cast("string"), lit("|"), lit("ep0")))).count() == 0)
+    // file layout IS the permutation: each file holds a disjoint
+    // ascending key range (range partition), readable in file order
+    val spans = kept.groupBy(input_file_name())
+      .agg(min("shuffle_key").as("lo"), max("shuffle_key").as("hi"))
+      .select("lo", "hi").collect().map(r => (r.getString(0), r.getString(1)))
+      .sortBy(_._1)
+    assert(spans.length >= 2, s"expected multiple shuffled files, got ${spans.length}")
+    spans.sliding(2).foreach { case Array((_, hi1), (lo2, _)) =>
+      assert(hi1 <= lo2, s"shuffled file key ranges overlap: ${spans.mkString(",")}")
+    }
+    // combining the shuffle with a target layout knob is rejected up
+    // front — a post-shuffle repartition would destroy the permutation
+    val fBad = write(base.resolve("curator_badshuffle.conf"),
+      s"""source { storage-type = local, dataset-dir = $sfDir/documents.parquet }
+         |target {
+         |  storage-type = local, dataset-dir = ${base.resolve("nope")},
+         |  dataset-store-format = parquet, write-mode = overwrite,
+         |  range-by = [doc_id],
+         |}
+         |curation { min-quality = 0.2, shuffle-salt = ep0 }
+         |""".stripMargin)
+    intercept[IllegalArgumentException](graft.cli.Curator.main(Array("--conf", fBad)))
+  }
+
   test("curator drops stuffed docs (max-repetition) and benchmark-contaminated docs") {
     import spark.implicits._
     val base = tmp()
