@@ -194,6 +194,19 @@ object Curator {
         "fixed whitespace-token windows vs a BPE subword budget; pick one")
     require(c.getInt("bpe-budget").isEmpty || c.getString("bpe-merges").isDefined,
       "curation.bpe-budget needs curation.bpe-merges (path to a merges.txt)")
+    c.getDouble("quality-quantile").foreach(f => require(f > 0.0 && f <= 1.0,
+      s"curation.quality-quantile must be a keep-fraction in (0,1], got $f"))
+    if (c.getString("shuffle-salt").isDefined) {
+      // the deterministic export shuffle IS the write layout — any
+      // target knob that re-partitions/re-sorts/re-groups rows would
+      // silently destroy the permutation (knob list owned by DataIO,
+      // next to write() itself, so it cannot drift)
+      val conflicting = graft.sources.DataIO.activeLayoutKnobs(conf.at("target"))
+      require(conflicting.isEmpty,
+        s"curation.shuffle-salt and target ${conflicting.mkString("/")} are " +
+          "mutually exclusive — the deterministic shuffle is itself the " +
+          "write layout; a post-shuffle repartition or sort would destroy it")
+    }
     // ---- incremental mode: drop batch rows already in (or near) the
     // persisted corpus STATE before curating. All state paths go through
     // Hadoop FileSystem (java.io.File is silently false for hdfs:// etc.
@@ -314,20 +327,24 @@ object Curator {
     // approx-percentile thresholds broadcast into a scan filter.
     // Downstream selection like mixture/chunking: the dedup state still
     // records the full curated corpus.
-    val quantiled = c.getDouble("quality-quantile") match {
+    val (quantiled, quantToFree) = c.getDouble("quality-quantile") match {
       case Some(frac) =>
         val q = graft.llm.Curation.keepTopQuantile(curated,
           c.getString("quantile-group-column").getOrElse("lang_id"),
           c.getString("quantile-score-column").getOrElse("quality"), frac,
           accuracy = c.getInt("quantile-accuracy").getOrElse(10000))
-        if (c.getString("log-drop-counts").exists(v => !v.toBoolean)) q
+        if (c.getString("log-drop-counts").exists(v => !v.toBoolean)) (q, None)
         else {
-          // curated is persisted, so both counts are cheap scans
-          Cli.log(s"quality-quantile: ${q.count()} of ${curated.count()} " +
+          // persist BEFORE counting — this frame is read again by the
+          // decontamination log and the target write, and each would
+          // otherwise re-run the threshold aggregate + broadcast join
+          // (curated itself is persisted, so ITS count is free)
+          val p = q.persist()
+          Cli.log(s"quality-quantile: ${p.count()} of ${curated.count()} " +
             s"survive the top-$frac per-group cut")
-          q
+          (p, Some(p))
         }
-      case None => curated
+      case None => (curated, None)
     }
     // optional benchmark decontamination (train/test-overlap filter) on
     // the curated survivors: docs sharing >= min-hits distinct n-grams
@@ -352,7 +369,7 @@ object Curator {
         else {
           // persist BEFORE counting: the log count and the downstream
           // target write must not each re-run the corpus-side gram scan
-          // (curated is already persisted, so its count is free)
+          // (quantiled is persisted-or-curated, so its count is cheap)
           val p = out.persist()
           Cli.log(s"decontamination: ${p.count()} of ${quantiled.count()} survive " +
             s"the ${c.getInt("contamination-ngram").getOrElse(8)}-gram benchmark check")
@@ -413,19 +430,7 @@ object Curator {
     // rejected up front.
     val emitted = c.getString("shuffle-salt") match {
       case Some(salt) =>
-        val target = conf.at("target")
-        val conflicting = Seq(
-          "n-partitions" -> target.getInt("n-partitions").isDefined,
-          "distribute-by" -> (target.getString("distribute-by.key")
-            .orElse(target.getString("distribute-by").filter(_.nonEmpty)).isDefined),
-          "range-by" -> target.getList("range-by").isDefined,
-          "zorder-by" -> target.getList("zorder-by").isDefined,
-          "sort-within-partitions" -> target.getList("sort-within-partitions").isDefined
-        ).collect { case (k, true) => k }
-        require(conflicting.isEmpty,
-          s"curation.shuffle-salt and target ${conflicting.mkString("/")} are " +
-            "mutually exclusive — the deterministic shuffle is itself the " +
-            "write layout; a post-shuffle repartition or sort would destroy it")
+        // (target layout conflicts rejected in the up-front block)
         val chunked = c.getInt("chunk-size").isDefined || c.getInt("bpe-budget").isDefined
         val rowId =
           if (chunked) concat(col(idCol).cast("string"), lit(":"), col("chunk_id"))
@@ -486,6 +491,7 @@ object Curator {
       Cli.log(s"dedup state written to $outDir")
     }
     curated.unpersist()
+    quantToFree.foreach(_.unpersist())
     decontToFree.foreach(_.unpersist())
     Cli.log("curation finished")
   }

@@ -195,6 +195,23 @@ object DataIO {
   }
 
   /** K0-K6: write a DataFrame per a target config. */
+  /** The target-config knobs [[write]] honors that re-partition,
+    * re-sort, or re-group rows on the way out (K0 layouts, file
+    * partitioning, hive bucketing). A caller whose input row ORDER must
+    * survive the write (e.g. the Curator's deterministic export
+    * shuffle) rejects configs where any of these is set. Lives here,
+    * next to write() itself, so the list cannot drift from what write()
+    * actually does. */
+  def activeLayoutKnobs(conf: GraftConfig): Seq[String] = Seq(
+    "n-partitions" -> conf.getInt("n-partitions").isDefined,
+    "distribute-by" -> distributeBy(conf).isDefined,
+    "range-by" -> conf.getList("range-by").isDefined,
+    "zorder-by" -> conf.getList("zorder-by").isDefined,
+    "sort-within-partitions" -> conf.getList("sort-within-partitions").isDefined,
+    "partition-by" -> conf.getList("partition-by").isDefined,
+    "bucket-by" -> conf.getList("bucket-by").isDefined
+  ).collect { case (k, true) => k }
+
   def write(df0: DataFrame, conf: GraftConfig): Unit = {
     if (conf.getBoolean("disabled").getOrElse(false)) return
     val spark = df0.sparkSession

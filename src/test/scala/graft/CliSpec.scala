@@ -428,6 +428,26 @@ class CliSpec extends SparkTestBase {
          |curation { min-quality = 0.2, shuffle-salt = ep0 }
          |""".stripMargin)
     intercept[IllegalArgumentException](graft.cli.Curator.main(Array("--conf", fBad)))
+    // partition-by regroups rows into per-value subdirectories — just as
+    // order-destroying as the K0 layouts, and guarded by the same
+    // DataIO-owned knob list
+    val fBad2 = write(base.resolve("curator_badshuffle2.conf"),
+      s"""source { storage-type = local, dataset-dir = $sfDir/documents.parquet }
+         |target {
+         |  storage-type = local, dataset-dir = ${base.resolve("nope2")},
+         |  dataset-store-format = parquet, write-mode = overwrite,
+         |  partition-by = [lang],
+         |}
+         |curation { min-quality = 0.2, shuffle-salt = ep0 }
+         |""".stripMargin)
+    intercept[IllegalArgumentException](graft.cli.Curator.main(Array("--conf", fBad2)))
+    // and the conflict fires from config alone — before any Spark work
+    val fBad3 = write(base.resolve("curator_badquant.conf"),
+      s"""source { storage-type = local, dataset-dir = $sfDir/documents.parquet }
+         |target { storage-type = local, dataset-dir = ${base.resolve("nope3")}, dataset-store-format = parquet }
+         |curation { quality-quantile = 25 }
+         |""".stripMargin)
+    intercept[IllegalArgumentException](graft.cli.Curator.main(Array("--conf", fBad3)))
   }
 
   test("curator drops stuffed docs (max-repetition) and benchmark-contaminated docs") {
