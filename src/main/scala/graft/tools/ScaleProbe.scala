@@ -158,6 +158,27 @@ object ScaleProbe {
         .write.format("noop").mode("overwrite").save()
     }
 
+    // quantile filter: group skew mirrors a real corpus (one dominant
+    // language) — the window form would sort the dominant group in ONE
+    // task; the threshold form stays a tiny aggregate + broadcast filter
+    val grouped = docs.withColumn("grp",
+      when(pmod(col("doc_id"), lit(10)) < 7, lit("en"))
+        .when(pmod(col("doc_id"), lit(10)) < 9, lit("de")).otherwise(lit("fr")))
+      .withColumn("score", pmod(xxhash64(col("doc_id"), lit(99)), lit(100000L)).cast("double"))
+    time("per-group top-25% (approx threshold + broadcast)") {
+      graft.llm.Curation.keepTopQuantile(grouped, "grp", "score", 0.25)
+        .write.format("noop").mode("overwrite").save()
+    }
+    time("per-group top-25% (exact window — verification form)") {
+      graft.llm.Curation.keepTopQuantileExact(grouped, "grp", "score", 0.25)
+        .write.format("noop").mode("overwrite").save()
+    }
+
+    time("deterministic shuffle (range sort on md5 key)") {
+      graft.llm.CorpusPrep.deterministicShuffle(docs, "doc_id", salt = "ep0")
+        .write.format("noop").mode("overwrite").save()
+    }
+
     // --- synthetic embeddings: 64-dim, deterministic
     val vecs = spark.range(nVecs).select(
       col("id").as("vec_id"),
