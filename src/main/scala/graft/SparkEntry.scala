@@ -1131,6 +1131,51 @@ object SparkEntry {
       graft.llm.CorpusPrep.deterministicShuffle(
         t(s, dir, "documents").select(col("doc_id"), col("lang")),
         "doc_id", salt = "epoch1")),
+
+    // ---- CCNet-style LM quality scoring, composable REFERENCE form:
+    // unigram LM (Laplace-smoothed, minCount-bounded vocab) trained on
+    // a reference slice, every other document scored by avg log10
+    // token probability. Integer counts + one shared denominator make
+    // the arithmetic SQL-replayable → oracle-exact; round(6) absorbs
+    // the libm-vs-StrictMath log10 1-ulp gap (the q58 caveat class).
+    // Scale note: this form shuffles corpus TOKENS (explode+groupBy) —
+    // it exists as the oracle anchor; q72 is the shape you run at
+    // 100 TB, and LangModelSpec pins the two bit-identical.
+    "q71_lm_logprob" -> ((s, dir) => {
+      import graft.llm.LangModel
+      val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
+      val lm = LangModel.trainUnigram(
+        docs.filter(col("doc_id") < 100), "text", minCount = 2)
+      LangModel.logProbPerDoc(
+        docs.filter(col("doc_id") >= 100), lm, "doc_id", "text")
+        .select(col("doc_id"), round(col("lm_logp"), 6).as("lm_logp"),
+          col("lm_tokens"))
+    }),
+
+    // ---- The same scores through the SCALE path: LM saved as one
+    // small file, loaded once per executor JVM (LmRegistry), scoring a
+    // zero-shuffle codegen'd projection (graft_lm_logprob) — no
+    // explode, no token shuffle, no join. Same oracle as q71 pins the
+    // native expression hash-exactly (the q41/q65 pattern). Train+save
+    // is paid per run because the reference slice is tiny; at scale
+    // the artifact is built once and shipped like the BPE merges.
+    "q72_lm_native" -> ((s, dir) => {
+      import graft.llm.LangModel
+      val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
+      val lm = LangModel.trainUnigram(
+        docs.filter(col("doc_id") < 100), "text", minCount = 2)
+      val lmPath = new java.io.File(
+        new java.io.File(System.getProperty("java.io.tmpdir"), "graft_lm"),
+        s"${dir.replaceAll("[^A-Za-z0-9.-]", "_")}_mc2.lm").toString
+      LangModel.save(lm, lmPath)
+      docs.filter(col("doc_id") >= 100)
+        .select(col("doc_id"),
+          round(graft.functions.GraftFunctions.lmLogProb(col("text"), lmPath), 6)
+            .as("lm_logp"),
+          graft.llm.TextAnalysis.wsTokenCount(col("text")).cast("long")
+            .as("lm_tokens"))
+        .filter(col("lm_logp").isNotNull)
+    }),
   )
 
   /** q60's deterministic merge table (common English pair merges),
@@ -1152,6 +1197,29 @@ object SparkEntry {
     }
     f.getAbsolutePath
   }
+
+  /** Shared by q71 (composable explode+join+avg) and q72 (native
+    * graft_lm_logprob over a saved LM file): ONE oracle pins both
+    * hash-exactly — the Laplace arithmetic replayed verbatim
+    * (vocab = ref tokens with count ≥ 2; D = N + V + 1; OOV cnt 0). */
+  private val LmOracleSql: String =
+    """WITH toks AS (
+      |  SELECT doc_id,
+      |    unnest(list_filter(regexp_split_to_array(lower(trim(text)), '\s+'),
+      |      t -> len(t) > 0)) AS token
+      |  FROM documents),
+      |vocab AS (
+      |  SELECT token, count(*) AS cnt FROM toks WHERE doc_id < 100
+      |  GROUP BY token HAVING count(*) >= 2),
+      |c AS (SELECT CAST(coalesce(sum(cnt), 0) + count(*) + 1 AS DOUBLE) AS d
+      |      FROM vocab),
+      |scored AS (
+      |  SELECT t.doc_id, log10(CAST(coalesce(v.cnt, 0) + 1 AS DOUBLE) / c.d) AS logp
+      |  FROM toks t LEFT JOIN vocab v USING (token) CROSS JOIN c
+      |  WHERE t.doc_id >= 100)
+      |SELECT doc_id, round(avg(logp), 6) AS lm_logp,
+      |  CAST(count(*) AS BIGINT) AS lm_tokens
+      |FROM scored GROUP BY doc_id""".stripMargin
 
   /** Shared by q64 (HOF repetition score) and q65 (native expression):
     * identical program, one oracle pins both hash-exactly. */
@@ -1235,6 +1303,8 @@ object SparkEntry {
       """SELECT doc_id, lang,
         |  md5(CAST(doc_id AS varchar) || '|' || 'epoch1') AS shuffle_key
         |FROM documents""".stripMargin,
+    "q71_lm_logprob" -> LmOracleSql,
+    "q72_lm_native" -> LmOracleSql,
     "q67_assemble_sequences" ->
       (s"""WITH chunks AS ($ChunkingOracleSql),
         |b AS (SELECT doc_id, chunk_id, chunk_text, chunk_tokens, doc_id % 8 AS bucket FROM chunks),

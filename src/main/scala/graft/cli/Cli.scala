@@ -184,7 +184,13 @@ object Curator {
       simHashBands = c.getInt("bands").getOrElse(base.simHashBands),
       shingleSize = c.getInt("shingle-size").getOrElse(base.shingleSize),
       transitiveNearDups = c.getString("transitive-near-dups").exists(_.toBoolean),
-      keepPolicy = c.getString("keep-policy").getOrElse(base.keepPolicy))
+      keepPolicy = c.getString("keep-policy").getOrElse(base.keepPolicy),
+      // CCNet-style LM quality filter: `lm-path` points at a saved
+      // unigram LM (LangModel.save artifact, built offline on a
+      // curated reference slice); `min-lm-logp` is the avg log10
+      // token-probability floor (omit to annotate without filtering)
+      lmPath = c.getString("lm-path"),
+      minLmLogP = c.getDouble("min-lm-logp").getOrElse(base.minLmLogP))
     val idCol = c.getString("id-column").getOrElse("doc_id")
     val textCol = c.getString("text-column").getOrElse("text")
     // pure-config validation up front (review finding: these previously
@@ -194,6 +200,8 @@ object Curator {
         "fixed whitespace-token windows vs a BPE subword budget; pick one")
     require(c.getInt("bpe-budget").isEmpty || c.getString("bpe-merges").isDefined,
       "curation.bpe-budget needs curation.bpe-merges (path to a merges.txt)")
+    require(c.getDouble("min-lm-logp").isEmpty || c.getString("lm-path").isDefined,
+      "curation.min-lm-logp needs curation.lm-path (a saved unigram LM file)")
     c.getDouble("quality-quantile").foreach(f => require(f > 0.0 && f <= 1.0,
       s"curation.quality-quantile must be a keep-fraction in (0,1], got $f"))
     if (c.getString("shuffle-salt").isDefined) {

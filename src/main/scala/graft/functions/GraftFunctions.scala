@@ -300,6 +300,9 @@ object GraftFunctions {
   def gramHashes(c: Column, n: Int): Column =
     ColumnBridge.column(GramHashes(ColumnBridge.expression(c), n))
 
+  def lmLogProb(c: Column, lmPath: String): Column =
+    ColumnBridge.column(LmLogProb(ColumnBridge.expression(c), lmPath))
+
   val functions: Seq[(String, ExpressionInfo, Seq[Expression] => Expression)] = Seq(
     ("graft_cosine",
       new ExpressionInfo(classOf[CosineSimilarity].getName, "graft_cosine"),
@@ -353,6 +356,17 @@ object GraftFunctions {
           case s: UTF8String => BpeCount(es.head, s.toString)
           case other => throw new IllegalArgumentException(
             s"graft_bpe_count merges path must be a string literal, got $other")
+        }
+      }),
+    ("graft_lm_logprob",
+      new ExpressionInfo(classOf[LmLogProb].getName, "graft_lm_logprob"),
+      (es: Seq[Expression]) => {
+        require(es.length == 2, s"graft_lm_logprob takes 2 arguments, got ${es.length}")
+        require(es(1).foldable, "graft_lm_logprob LM path must be a literal")
+        es(1).eval() match {
+          case s: UTF8String => LmLogProb(es.head, s.toString)
+          case other => throw new IllegalArgumentException(
+            s"graft_lm_logprob LM path must be a string literal, got $other")
         }
       }),
     ("graft_bpe_segments",

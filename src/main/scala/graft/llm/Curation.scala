@@ -54,7 +54,18 @@ object Curation {
         * quality score, id as tie-break) — the copy worth training on
         * is rarely the lowest-numbered one. Transitive mode only: pair
         * mode has no well-defined cluster to choose within. */
-      keepPolicy: String = "min-id")
+      keepPolicy: String = "min-id",
+      /** Saved unigram LM file ([[LangModel.save]]): when set, every
+        * document gains an `lm_logp` column (average log10 token
+        * probability under the LM — the CCNet-style reference-corpus
+        * quality signal) via the zero-shuffle native expression, and
+        * documents below [[minLmLogP]] are dropped. Token-less
+        * documents score null and are dropped whenever the filter is
+        * on (unscorable text is not trainable text). */
+      lmPath: Option[String] = None,
+      /** Keep documents with `lm_logp >= minLmLogP` (log10 scale:
+        * -3.5 ≈ perplexity 3162). -Infinity = annotate only. */
+      minLmLogP: Double = Double.NegativeInfinity)
 
   /** Stage 1: annotate every document with curation signals — pure
     * projection at scan speed, via the one-pass stats expression
@@ -98,6 +109,16 @@ object Curation {
       df = df.filter(col("repetition") <= conf.maxRepetition)
     if (conf.langs.nonEmpty)
       df = df.filter(col("lang_id").isin(conf.langs.toSeq: _*))
+    // LM perplexity filter — still scan-speed (the LM file loads once
+    // per executor JVM; scoring is a codegen'd projection), but it
+    // re-tokenizes, so it runs AFTER the one-byte-scan filters above
+    // have shrunk the data
+    conf.lmPath.foreach { p =>
+      df = df.withColumn("lm_logp",
+        graft.functions.GraftFunctions.lmLogProb(col(textCol), p))
+      if (!conf.minLmLogP.isNegInfinity)
+        df = df.filter(col("lm_logp") >= conf.minLmLogP)
+    }
 
     // 3: exact dedup — one shuffle on sha2(text). Persisted: the
     // survivor set feeds both sides of the near-dup join, the verify

@@ -1,0 +1,136 @@
+package graft.llm
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Trained unigram language model: the vocab count table plus the two
+  * scalars every scoring form shares. Laplace-smoothed probabilities:
+  *
+  *   p(w in vocab) = (count(w) + 1) / (N + V + 1)
+  *   p(OOV)        =              1 / (N + V + 1)
+  *
+  * where N = total token occurrences of the kept vocab and V = kept
+  * vocab size. All three are integers, so the denominator is exact and
+  * the model is bit-reproducible from the table alone — which is what
+  * lets the DuckDB oracle replay scoring verbatim (q71/q72).
+  */
+final case class UnigramLm(table: DataFrame, totalTokens: Long, vocab: Long) {
+
+  /** The shared Laplace denominator `N + V + 1` as a double — computed
+    * ONCE here so the composable column form, the native expression,
+    * and the saved-file header can never disagree on it. */
+  def denom: Double = (totalTokens + vocab + 1).toDouble
+}
+
+/** CCNet-style n-gram language-model quality scoring: train a small
+  * unigram LM on a REFERENCE corpus (a curated high-quality slice),
+  * then score every candidate document by its average per-token log10
+  * probability under that LM. Gibberish, boilerplate, and
+  * wrong-language text sit far from the reference distribution and
+  * score low; `perplexity = 10^(-avg log10 p)` is the familiar form of
+  * the same number. (CCNet does this with a 5-gram KenLM; the unigram
+  * form keeps the model a broadcastable table and the arithmetic
+  * SQL-replayable, which is what the correctness gate needs — the
+  * quality ORDERING it induces is what curation filters use.)
+  *
+  * Scale shape:
+  *  - `trainUnigram` shuffles only REFERENCE tokens (one groupBy) —
+  *    the reference slice is small by construction, and `minCount`
+  *    bounds the vocab (rare-token mass folds into OOV smoothing, and
+  *    a count threshold stays SQL-replayable where a top-K vocab cut
+  *    would need tie-breaking the oracle can't mirror).
+  *  - [[logProbPerDoc]] is the composable REFERENCE form: explode +
+  *    broadcast-join + one groupBy(doc) shuffle whose width is the
+  *    corpus TOKEN count — fine at verify scale, wrong at 100 TB.
+  *  - the native expression (`graft_lm_logprob`,
+  *    [[graft.functions.LmLogProb]]) is the scale path: the saved LM
+  *    loads once per executor JVM, scoring is a zero-shuffle
+  *    scan-speed projection, and both forms produce bit-identical
+  *    doubles (same token boundaries, same `StrictMath.log10`, same
+  *    left-to-right accumulation) — pinned by ONE shared oracle, the
+  *    q41/q65 pattern.
+  */
+object LangModel {
+
+  /** Train the unigram table over `Dedup.tokens` (lowercased
+    * whitespace tokens — the same tokenizer contract as shingling and
+    * the native text expressions). `minCount` drops rare tokens from
+    * the vocab (they score as OOV); the vocab table is bounded by it. */
+  def trainUnigram(
+      ref: DataFrame,
+      textCol: String,
+      minCount: Long = 1L): UnigramLm = {
+    val counts = ref
+      .select(explode(Dedup.tokens(col(textCol))).as("token"))
+      .groupBy("token").agg(count(lit(1)).as("cnt"))
+      .filter(col("cnt") >= minCount)
+    // one tiny aggregate for both scalars; bounded driver egress (2 longs)
+    val row = counts
+      .agg(coalesce(sum("cnt"), lit(0L)).as("n"), count(lit(1)).as("v"))
+      .head()
+    UnigramLm(counts, row.getLong(0), row.getLong(1))
+  }
+
+  /** Per-token log10 probability column for a joined `cnt` column
+    * (null = OOV): `log10((cnt + 1) / (N + V + 1))`. Exposed so the
+    * gate query and any custom pipeline share one arithmetic shape. */
+  def tokenLogProb(cnt: Column, lm: UnigramLm): Column =
+    log10((coalesce(cnt, lit(0L)) + lit(1L)).cast("double") / lit(lm.denom))
+
+  /** Composable scoring (REFERENCE form — see the scale note above):
+    * one row per document with `lm_logp` (average log10 token
+    * probability; null when the document has no tokens — explode drops
+    * it and the caller's left join keeps the null) and `lm_tokens`.
+    * Documents with no tokens are absent from the result. */
+  def logProbPerDoc(
+      docs: DataFrame,
+      lm: UnigramLm,
+      idCol: String,
+      textCol: String): DataFrame = {
+    val toks = docs.select(col(idCol),
+      explode(Dedup.tokens(col(textCol))).as("token"))
+    toks
+      .join(broadcast(lm.table), Seq("token"), "left")
+      .select(col(idCol), tokenLogProb(col("cnt"), lm).as("logp"))
+      .groupBy(idCol)
+      .agg(avg("logp").as("lm_logp"), count(lit(1)).as("lm_tokens"))
+  }
+
+  /** [[logProbPerDoc]] joined back onto the input: every document
+    * keeps its columns and gains `lm_logp` / `lm_tokens` (null for
+    * token-less documents). */
+  def annotateLogProb(
+      docs: DataFrame,
+      lm: UnigramLm,
+      idCol: String,
+      textCol: String): DataFrame =
+    docs.join(logProbPerDoc(docs, lm, idCol, textCol), Seq(idCol), "left")
+
+  /** `perplexity = 10^(-avg log10 p)` — the conventional reading of
+    * the score (lower = more reference-like). */
+  def perplexity(avgLogP: Column): Column = pow(lit(10.0), -avgLogP)
+
+  /** Persist the LM as ONE small text file (`token<TAB>count` lines,
+    * header carries N and V): the artifact [[graft.functions.LmRegistry]]
+    * loads once per executor JVM. The collect is bounded driver egress
+    * — the vocab is `minCount`-bounded by construction (same contract
+    * as the other documented driver-side sinks). Lines are sorted so
+    * the file bytes are deterministic for identical training data;
+    * the registry entry for `path` is invalidated after the write. */
+  def save(lm: UnigramLm, path: String): Unit = {
+    val spark = lm.table.sparkSession
+    val rows = lm.table.orderBy("token").collect()
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val out = new java.io.BufferedWriter(new java.io.OutputStreamWriter(
+      fs.create(p, true), java.nio.charset.StandardCharsets.UTF_8))
+    try {
+      out.write(s"#graft-unigram-lm v1 total=${lm.totalTokens} vocab=${lm.vocab}\n")
+      rows.foreach { r =>
+        out.write(r.getString(0)); out.write('\t')
+        out.write(r.getLong(1).toString); out.write('\n')
+      }
+    } finally out.close()
+    graft.functions.LmRegistry.invalidate(path)
+  }
+}

@@ -545,6 +545,51 @@ class CliSpec extends SparkTestBase {
     intercept[IllegalArgumentException] { graft.cli.Curator.main(Array("--conf", drift)) }
   }
 
+  test("curator LM filter: lm-path + min-lm-logp drop off-distribution docs; floor alone rejects") {
+    import org.apache.spark.sql.functions.col
+    val base = tmp()
+    // train + save an LM on the corpus' own reference slice
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet").select("doc_id", "text")
+    val lm = graft.llm.LangModel.trainUnigram(
+      docs.filter(col("doc_id") < 200), "text", minCount = 2)
+    val lmPath = base.resolve("ref.lm").toString
+    graft.llm.LangModel.save(lm, lmPath)
+    // corpus with a planted off-distribution doc
+    val src = base.resolve("src").toString
+    import spark.implicits._
+    docs.filter(col("doc_id") < 50)
+      .unionByName(
+        Seq((80000L, "zxqv kwpj vrtn qplm wxyz bcdf " * 8)).toDF("doc_id", "text"))
+      .write.parquet(src)
+    val out = base.resolve("curated").toString
+    val f = write(base.resolve("curator_lm.conf"),
+      s"""source { storage-type = local, dataset-dir = $src }
+         |target { storage-type = local, dataset-dir = $out, dataset-store-format = parquet, write-mode = overwrite }
+         |curation {
+         |  min-quality = 0.0
+         |  lm-path = "$lmPath"
+         |  min-lm-logp = -2.5
+         |}
+         |""".stripMargin)
+    graft.cli.Curator.main(Array("--conf", f))
+    val curated = spark.read.parquet(out)
+    val ids = curated.select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(!ids.contains(80000L), "off-distribution doc survived the curator LM filter")
+    assert(ids.contains(0L))
+    assert(curated.columns.contains("lm_logp"))
+
+    // min-lm-logp without lm-path is a config error, caught UP FRONT
+    val bad = write(base.resolve("curator_lm_bad.conf"),
+      s"""source { storage-type = local, dataset-dir = $src }
+         |target { storage-type = local, dataset-dir = $out, dataset-store-format = parquet, write-mode = overwrite }
+         |curation { min-lm-logp = -2.5 }
+         |""".stripMargin)
+    val err = intercept[IllegalArgumentException] {
+      graft.cli.Curator.main(Array("--conf", bad))
+    }
+    assert(err.getMessage.contains("lm-path"))
+  }
+
   test("streamer runs a checkpointed windowed stream to a parquet sink (RocksDB state)") {
     val base = tmp()
     val events = base.resolve("events").toString

@@ -171,6 +171,36 @@ class CurationSpec extends SparkTestBase {
     assert(Curation.keepTopQuantile(docs, "lang", "score", 1.0).count() == docs.count())
   }
 
+  test("LM filter drops off-distribution gibberish, keeps prose, annotates lm_logp") {
+    import graft.llm.LangModel
+    val base = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select("doc_id", "text")
+    val lm = LangModel.trainUnigram(base.filter(col("doc_id") < 200), "text", minCount = 2)
+    val lmPath = new java.io.File(
+      new java.io.File(System.getProperty("java.io.tmpdir"), "graft_lm_spec"),
+      "curation.lm").toString
+    LangModel.save(lm, lmPath)
+    // gibberish that PASSES the surface-quality filter (real-looking
+    // words structure) but sits far from the reference distribution
+    val offDist = Seq((80000L, "zxqv kwpj vrtn qplm wxyz bcdf " * 8))
+      .toDF("doc_id", "text")
+    val docs = base.filter(col("doc_id") < 50).union(offDist)
+    // threshold between the corpus' own scores and the gibberish score
+    val cutoff = -2.5
+    val curated = Curation.curate(docs, "doc_id", "text",
+      Curation.Config(minQuality = 0.0, lmPath = Some(lmPath), minLmLogP = cutoff))
+    val ids = curated.select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(!ids.contains(80000L), "off-distribution doc survived the LM filter")
+    assert(ids.contains(0L), "reference-like docs must survive")
+    assert(curated.columns.contains("lm_logp"))
+    // annotate-only mode: no filter, column still present
+    val annotated = Curation.curate(docs, "doc_id", "text",
+      Curation.Config(minQuality = 0.0, lmPath = Some(lmPath)))
+    assert(annotated.select("doc_id").collect().map(_.getLong(0)).toSet.contains(80000L),
+      "without a floor the LM column must not drop anything")
+    assert(annotated.columns.contains("lm_logp"))
+  }
+
   test("lang filter keeps only requested languages") {
     val planted = Seq(
       (1L, "the cat is in the house and it is a good day for the garden"),

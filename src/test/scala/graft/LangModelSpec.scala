@@ -1,0 +1,126 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.llm.LangModel
+import graft.functions.{GraftFunctions, LmRegistry}
+
+class LangModelSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def tmpLm(name: String): String =
+    new java.io.File(
+      new java.io.File(System.getProperty("java.io.tmpdir"), "graft_lm_spec"),
+      name).toString
+
+  test("trainUnigram counts lowercased whitespace tokens; minCount folds rare tokens into OOV") {
+    val ref = Seq("A a b", "a C").toDF("text")
+    val lm = LangModel.trainUnigram(ref, "text")
+    val counts = lm.table.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(counts == Map("a" -> 3L, "b" -> 1L, "c" -> 1L))
+    assert(lm.totalTokens == 5L && lm.vocab == 3L)
+    assert(lm.denom == 9.0)
+
+    val lm2 = LangModel.trainUnigram(ref, "text", minCount = 2)
+    val counts2 = lm2.table.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(counts2 == Map("a" -> 3L))
+    // N counts only KEPT vocab occurrences — b and c become OOV mass
+    assert(lm2.totalTokens == 3L && lm2.vocab == 1L && lm2.denom == 5.0)
+  }
+
+  test("logProbPerDoc matches hand-computed Laplace arithmetic incl. OOV") {
+    val ref = Seq("a a b").toDF("text") // counts: a=2, b=1; N=3, V=2, D=6
+    val lm = LangModel.trainUnigram(ref, "text")
+    assert(lm.denom == 6.0)
+    val docs = Seq((1L, "a b zz"), (2L, "a a"), (3L, "   "), (4L, "a")).toDF("doc_id", "text")
+    val got = LangModel.logProbPerDoc(docs, lm, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> (r.getDouble(1), r.getLong(2))).toMap
+    val pa = StrictMath.log10(3.0 / 6.0); val pb = StrictMath.log10(2.0 / 6.0)
+    val oov = StrictMath.log10(1.0 / 6.0)
+    assert(got(1L) == (((pa + pb) + oov) / 3, 3L))
+    assert(got(2L) == ((pa + pa) / 2, 2L))
+    assert(got(4L) == (pa, 1L))
+    assert(!got.contains(3L), "token-less docs are absent (caller left-joins to null)")
+  }
+
+  test("annotateLogProb keeps every doc; perplexity inverts the score") {
+    val ref = Seq("a a b").toDF("text")
+    val lm = LangModel.trainUnigram(ref, "text")
+    val docs = Seq((1L, "a"), (2L, "")).toDF("doc_id", "text")
+    val out = LangModel.annotateLogProb(docs, lm, "doc_id", "text")
+      .withColumn("ppl", LangModel.perplexity(col("lm_logp")))
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(out(2L).isNullAt(out(2L).fieldIndex("lm_logp")))
+    val lp = out(1L).getDouble(out(1L).fieldIndex("lm_logp"))
+    val ppl = out(1L).getDouble(out(1L).fieldIndex("ppl"))
+    assert(ppl == Math.pow(10.0, -lp))
+    assert(lp == StrictMath.log10(3.0 / 6.0))
+  }
+
+  test("reference-like prose scores above gibberish under a prose-trained LM") {
+    val ref = spark.read.parquet(s"$sfDir/documents.parquet").filter(col("doc_id") < 200)
+    val lm = LangModel.trainUnigram(ref, "text", minCount = 2)
+    val probe = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog and runs to the forest"),
+      (2L, "xq9 zzkw qqv 9x7j wv0p zzt kkx q0q9")).toDF("doc_id", "text")
+    val got = LangModel.logProbPerDoc(probe, lm, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(got(1L) > got(2L) + 0.5,
+      s"prose ${got(1L)} should clearly beat gibberish ${got(2L)}")
+  }
+
+  test("save/load round trip: native expression is bit-identical to the composable form") {
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select("doc_id", "text")
+      .unionByName(Seq(
+        (900001L, ""), (900002L, "   \t\n"), (900003L, "Mixed CASE tokens mixed case"),
+        (900004L, "unicode héllo wörld ça"), (900005L, "tab\tsep\nnewline"))
+        .toDF("doc_id", "text"))
+    val lm = LangModel.trainUnigram(docs.filter(col("doc_id") < 150), "text", minCount = 2)
+    val path = tmpLm("roundtrip.lm")
+    LangModel.save(lm, path)
+
+    val composable = LangModel.logProbPerDoc(docs, lm, "doc_id", "text")
+    val native = docs.select(col("doc_id"),
+      GraftFunctions.lmLogProb(col("text"), path).as("lm_logp_n"))
+    val joined = native.join(composable, Seq("doc_id"), "left")
+    val mismatch = joined.filter(
+      !(col("lm_logp_n") <=> col("lm_logp"))).count()
+    assert(mismatch == 0, "native and composable forms must be bit-identical")
+    // token-less docs: absent from composable, null from native
+    assert(joined.filter(col("doc_id") === 900001L).head().isNullAt(1))
+  }
+
+  test("SQL surface graft_lm_logprob works and rejects non-literal paths") {
+    val ref = Seq("a a b").toDF("text")
+    val lm = LangModel.trainUnigram(ref, "text")
+    val path = tmpLm("sql.lm")
+    LangModel.save(lm, path)
+    GraftFunctions.register(spark)
+    val v = spark.sql(s"SELECT graft_lm_logprob('a b', '$path') AS lp").head().getDouble(0)
+    assert(v == (StrictMath.log10(3.0 / 6.0) + StrictMath.log10(2.0 / 6.0)) / 2)
+    val err = intercept[Exception] {
+      spark.sql("SELECT graft_lm_logprob('a', text) FROM VALUES ('x') t(text)").collect()
+    }
+    assert(err.getMessage.toLowerCase.contains("literal"))
+  }
+
+  test("registry rejects malformed files and vocab-size drift") {
+    val dir = new java.io.File(System.getProperty("java.io.tmpdir"), "graft_lm_spec")
+    dir.mkdirs()
+    val bad = new java.io.File(dir, "bad.lm")
+    val w = new java.io.PrintWriter(bad, "UTF-8")
+    try { w.println("#graft-unigram-lm v1 total=3 vocab=2"); w.println("a\t3") }
+    finally w.close()
+    LmRegistry.invalidate(bad.toString)
+    val err = intercept[IllegalArgumentException] {
+      LmRegistry.get(bad.toString)
+    }
+    assert(err.getMessage.contains("vocab=2"))
+
+    val notLm = new java.io.File(dir, "not.lm")
+    val w2 = new java.io.PrintWriter(notLm, "UTF-8")
+    try w2.println("hello") finally w2.close()
+    val err2 = intercept[IllegalArgumentException] { LmRegistry.get(notLm.toString) }
+    assert(err2.getMessage.contains("not a graft unigram LM"))
+  }
+}
