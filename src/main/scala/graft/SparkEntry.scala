@@ -1132,6 +1132,37 @@ object SparkEntry {
         t(s, dir, "documents").select(col("doc_id"), col("lang")),
         "doc_id", salt = "epoch1")),
 
+    // ---- SemDeDup (Abbas et al. 2023): semantic dedup = KMeans cells
+    // over L2-NORMALIZED embeddings, within-cell cosine pair graph,
+    // one survivor per connected component (keep = farthest from its
+    // cell centroid, the paper's diversity-preserving choice). Planted
+    // triples {base, 1.5× rescale (cos 1.0), tiny perturbation} must
+    // collapse to ONE survivor each; untouched vectors all survive.
+    // KMeans is float-iteration-order dependent → rows-only; the
+    // accounting is pinned in EntrySpec.
+    "q73_semdedup" -> ((s, dir) => {
+      import graft.llm.Similarity
+      val emb = t(s, dir, "embeddings").select(col("vec_id"), col("embedding"))
+        .filter(col("vec_id") < 300)
+      val rescaled = emb.filter(col("vec_id") < 30)
+        .select((col("vec_id") + 100000L).as("vec_id"),
+          transform(col("embedding"), x => (x * lit(1.5f)).cast("float")).as("embedding"))
+      val noisy = emb.filter(col("vec_id") < 30)
+        .withColumn("embedding", transform(col("embedding"),
+          (x, i) => (x * (lit(1.0) + lit(0.002) * sin(col("vec_id") * 31 + i))).cast("float")))
+        .select((col("vec_id") + 200000L).as("vec_id"), col("embedding"))
+      val corpus = emb.unionByName(rescaled).unionByName(noisy)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val survivors = Similarity.semDedup(corpus, numCells = 8,
+        minCosine = 0.99, keepPolicy = "far-from-centroid", maxIter = 8)
+      val out = eagerSummary(s, survivors
+        .groupBy(when(col("vec_id") < 30 || col("vec_id") >= 100000L, "triple")
+          .otherwise("untouched").as("vec_class"))
+        .agg(count(lit(1)).as("n_survivors")), corpus)
+      survivors.unpersist()
+      out
+    }),
+
     // ---- CCNet-style LM quality scoring, composable REFERENCE form:
     // unigram LM (Laplace-smoothed, minCount-bounded vocab) trained on
     // a reference slice, every other document scored by avg log10

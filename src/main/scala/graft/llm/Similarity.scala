@@ -568,4 +568,118 @@ object Similarity {
         (lit(1.0) - col("__dist") * col("__dist") / 2.0).as("cos_sim"))
       .filter(col("id1") < col("id2"))
   }
+
+  // ----------------------------------------------------------- SemDeDup
+
+  /** SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic dedup by
+    * clustering embeddings (KMeans cells — the IVF machinery), then
+    * dropping all but one member of every group of mutually-similar
+    * vectors WITHIN a cell. The cluster step is what makes it scale:
+    * candidate pairs are generated inside cells only, so the quadratic
+    * term is Σ|cell|² instead of |corpus|² — with numCells ~ √N the
+    * expected pair volume is linear in N.
+    *
+    * Groups are the connected components of the within-cell pair graph
+    * (cos ≥ `minCosine`), so chains collapse to one survivor like the
+    * text transitive mode. `keepPolicy`:
+    *  - `far-from-centroid` (the paper's choice): keep the member with
+    *    the LOWEST cosine to its cell centroid — of a redundant group,
+    *    the most atypical copy preserves the most diversity;
+    *  - `min-id`: stable arbitrary survivor (cheapest, no centroid
+    *    join).
+    *
+    * Oversized cells (skewed corpora — KMeans happily puts 30% of a
+    * templated corpus in one cell) are subdivided by the LEADING sign
+    * bits of the SRP signature: each halving doubles the sub-buckets,
+    * and a truly-similar pair (cos ≥ 0.95 ⇒ per-bit flip prob
+    * θ/π ≤ 0.10) straddles a b-bit split with prob ≤ 1−0.9^b — the
+    * same bounded-recall-loss guard as text SimHash's hot-bucket cap,
+    * traded for never letting one cell go quadratic.
+    *
+    * Returns the SURVIVOR rows of `corpus` (original columns). EAGER:
+    * the result is materialized and persisted (the KMeans-tagged
+    * intermediate must be released before returning) — the caller owns
+    * the handle and should `unpersist()` it when done, the `curate`
+    * contract. KMeans is seeded but float-iteration-order dependent →
+    * gate queries over this are rows-only with planted-group
+    * assertions (the q25/q39 class).
+    */
+  def semDedup(
+      corpus: DataFrame,
+      numCells: Int,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding",
+      minCosine: Double = 0.95,
+      keepPolicy: String = "far-from-centroid",
+      maxCellSize: Int = 100000,
+      seed: Long = 4233L,
+      maxIter: Int = 20): DataFrame = {
+    require(Set("far-from-centroid", "min-id").contains(keepPolicy),
+      s"unknown keepPolicy: $keepPolicy")
+    require(numCells > 0 && maxCellSize > 1, "numCells/maxCellSize must be positive")
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    // cluster the L2-NORMALIZED vectors (the paper's prep): KMeans
+    // assigns by EUCLIDEAN distance, and on the unit sphere euclidean
+    // is monotone in cosine — without normalization a vector and its
+    // 2× rescale (cosine 1.0, a true semantic dup) can land in
+    // different cells and never meet. Cosine is scale-invariant, so
+    // pair similarity over normalized vectors equals the original.
+    val prep = corpus.select(col(idCol).as("id"),
+      l2Normalize(col(vecCol)).as("__nv"))
+    val (model, tagged0) = ivfBuild(prep, numCells, "__nv", seed, maxIter)
+    // the tagged frame feeds pair-gen twice (both join sides) + the
+    // centroid join — persist or the KMeans transform re-runs per
+    // consumer (the R19 cache-before-fan-out rule)
+    val tagged = tagged0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      // hot-cell guard: cells beyond maxCellSize get a sub-key from the
+      // top ceil(log2(cnt/max)) SRP sign bits. Cell counts are ≤
+      // numCells rows — broadcast.
+      val cellCounts = tagged.groupBy("cell").agg(count(lit(1)).as("__n"))
+        .withColumn("__subBits",
+          ceil(log(2.0, col("__n").cast("double") / maxCellSize))
+            .cast("int")) // ≤ 0 when the cell fits
+      val keyed = tagged
+        .join(broadcast(cellCounts.select(col("cell"), col("__subBits"))), Seq("cell"))
+        .withColumn("__sub",
+          when(col("__subBits") <= 0, lit(0L))
+            .otherwise(call_function("shiftrightunsigned",
+              graft.functions.GraftFunctions.srp(col("__nv"), seed),
+              (lit(64) - col("__subBits")).cast("int"))))
+      val left = keyed.select(col("cell"), col("__sub"),
+        col("id").as("id1"), col("__nv").as("__v1"))
+      val right = keyed.select(col("cell"), col("__sub"),
+        col("id").as("id2"), col("__nv").as("__v2"))
+      val pairs = left.join(right, Seq("cell", "__sub"))
+        .filter(col("id1") < col("id2"))
+        .filter(cosine(col("__v1"), col("__v2")) >= minCosine)
+        .select("id1", "id2")
+      val members = Dedup.connectedComponents(pairs) // (id, label)
+      val dropIds = keepPolicy match {
+        case "min-id" =>
+          members.filter(col("id") =!= col("label")).select(col("id"))
+        case "far-from-centroid" =>
+          // centroid cosine for MEMBERS only (the pair graph is orders
+          // of magnitude smaller than the corpus); centroids broadcast
+          val cents = model.clusterCenters.zipWithIndex.map { case (v, i) =>
+            (i, v.toArray.map(_.toFloat))
+          }.toSeq.toDF("cell", "__centroid")
+          val w = Window.partitionBy("label")
+            .orderBy(col("__ccos").asc, col("id").asc)
+          members
+            .join(tagged.select(col("id"), col("cell"), col("__nv")), Seq("id"))
+            .join(broadcast(cents), Seq("cell"))
+            .withColumn("__ccos", cosine(col("__nv"), col("__centroid")))
+            .withColumn("__rn", row_number().over(w))
+            .filter(col("__rn") =!= 1)
+            .select(col("id"))
+      }
+      val survivors = corpus.join(
+        dropIds.withColumnRenamed("id", idCol), Seq(idCol), "left_anti")
+      // materialize before unpersisting the tagged frame the plan reads
+      survivors.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK).count()
+      survivors
+    } finally { tagged.unpersist(); () }
+  }
 }

@@ -119,6 +119,16 @@ class EntrySpec extends SparkTestBase {
     assert(rows("fresh") > 0)
   }
 
+  test("q73: SemDeDup collapses each planted triple to one survivor, untouched intact") {
+    val rows = SparkEntry.queries("q73_semdedup")(spark, sfDir)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // 30 planted triples {base, rescale, perturbation} → exactly one
+    // survivor each; the other 270 bases have no semantic dup (natural
+    // max cosine ~0.47 << 0.99) and must all survive
+    assert(rows("triple") == 30L, s"one survivor per planted triple, got ${rows.get("triple")}")
+    assert(rows("untouched") == 270L, s"untouched vectors must all survive, got ${rows.get("untouched")}")
+  }
+
   test("q36 dim-chain plan: both dimensions broadcast, no sort-merge join") {
     val plan = SparkEntry.queries("q36_supplier_region")(spark, sfDir)
       .queryExecution.executedPlan.toString

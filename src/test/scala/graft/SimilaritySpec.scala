@@ -343,4 +343,63 @@ class SimilaritySpec extends SparkTestBase {
       s"unrelated pair leaked through exact verification: $ids")
     pairs.unpersist(); df.unpersist()
   }
+
+  test("semDedup: planted semantic groups collapse to one survivor each, others untouched") {
+    // groups of 3: base vec + a rescale (cos 1.0) + a tiny perturbation
+    val base = emb.filter(col("vec_id") < 200).select("vec_id", "embedding")
+    val rescaled = base.filter(col("vec_id") < 20)
+      .select((col("vec_id") + 10000L).as("vec_id"),
+        transform(col("embedding"), x => (x * 1.5f).cast("float")).as("embedding"))
+    val noisy = base.filter(col("vec_id") < 20)
+      .select((col("vec_id") + 20000L).as("vec_id"),
+        transform(col("embedding"),
+          (x, i) => (x * (lit(1.0) + lit(0.002) * sin(col("vec_id") * 31 + i))).cast("float"))
+          .as("embedding"))
+    val corpus = base.union(rescaled).union(noisy).cache()
+    val survivors = Similarity.semDedup(corpus, numCells = 8, minCosine = 0.99,
+      keepPolicy = "min-id", maxIter = 8)
+    val ids = survivors.select("vec_id").collect().map(_.getLong(0)).toSet
+    // each planted triple {i, i+10000, i+20000} keeps exactly min = i
+    for (i <- 0L until 20L) {
+      assert(ids.contains(i), s"group min $i must survive")
+      assert(!ids.contains(i + 10000L) && !ids.contains(i + 20000L),
+        s"semantic copies of $i must be dropped")
+    }
+    // vectors without planted copies are untouched (natural max cos ~0.47)
+    assert((20L until 200L).forall(ids.contains),
+      "non-duplicated vectors must all survive")
+    assert(survivors.count() == 200)
+    survivors.unpersist()
+
+    // far-from-centroid policy: still one survivor per group, and the
+    // group sizes/count match min-id (only the REPRESENTATIVE differs)
+    val surv2 = Similarity.semDedup(corpus, numCells = 8, minCosine = 0.99,
+      keepPolicy = "far-from-centroid", maxIter = 8)
+    val ids2 = surv2.select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(surv2.count() == 200)
+    for (i <- 0L until 20L) {
+      val group = Set(i, i + 10000L, i + 20000L)
+      assert(group.intersect(ids2).size == 1,
+        s"exactly one of $group must survive, got ${group.intersect(ids2)}")
+    }
+    surv2.unpersist(); corpus.unpersist()
+  }
+
+  test("semDedup hot-cell guard subdivides without losing planted pairs (within sub-bucket)") {
+    // force subdivision: 2 cells over 200 vectors with a tiny
+    // maxCellSize forces SRP-bit splits (KMeans requires k >= 2).
+    // Planted rescales have cos 1.0 with their base — identical SRP
+    // sign bits — so they always share the sub-bucket and must still
+    // be dropped.
+    val base = emb.filter(col("vec_id") < 100).select("vec_id", "embedding")
+    val rescaled = base.select((col("vec_id") + 10000L).as("vec_id"),
+      transform(col("embedding"), x => (x * 2.0f).cast("float")).as("embedding"))
+    val corpus = base.union(rescaled).cache()
+    val survivors = Similarity.semDedup(corpus, numCells = 2, minCosine = 0.999,
+      keepPolicy = "min-id", maxCellSize = 25, maxIter = 2)
+    val ids = survivors.select("vec_id").collect().map(_.getLong(0)).toSet
+    assert((0L until 100L).forall(ids.contains), "bases must survive")
+    assert(ids.forall(_ < 10000L), s"all rescaled copies must drop (same sub-bucket as base)")
+    survivors.unpersist(); corpus.unpersist()
+  }
 }
