@@ -1207,6 +1207,37 @@ object SparkEntry {
             .as("lm_tokens"))
         .filter(col("lm_logp").isNotNull)
     }),
+
+    // ---- Temperature-scaled domain mixing: rates derived from the
+    // observed per-source counts (∝ n^(alpha-1), largest rate pinned to
+    // budget), decisions from the shared numeric unit uniform. The
+    // corpus is skewed deterministically (doc_id ≡ 0 mod src#+2) so
+    // the temperature actually has something to flatten; the oracle
+    // replays count→pow→least→compare arithmetic verbatim.
+    "q74_temperature_mix" -> ((s, dir) => {
+      val corpus = t(s, dir, "documents").select(col("doc_id"), col("source"))
+        .filter(col("doc_id") % (substring(col("source"), 4, 5).cast("int") + lit(2)) === 0)
+      graft.llm.CorpusPrep.temperatureMix(
+        corpus, "doc_id", "source", alpha = 0.5, budget = 0.9, salt = "q74")
+    }),
+
+    // ---- Line-level boilerplate removal: lines verbatim-shared by
+    // ≥ minDocFreq docs are dropped everywhere, the rest reassembled in
+    // order. Header/footer planted on every doc (df 200) and a promo
+    // line on every 4th (df 50) must vanish at minDocFreq=10; the rare
+    // tag (df ≈ 2–3 per doc_id%97 value) and the natural one-line body
+    // survive. Oracle replays split→count→anti-join→string_agg.
+    "q75_boilerplate" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").select(col("doc_id"),
+          concat(
+            lit("graft common header\n"), col("text"),
+            when(col("doc_id") % 4 === 0, lit("\npromo line")).otherwise(lit("")),
+            concat(lit("\nrare tag "), (col("doc_id") % 97).cast("string")),
+            lit("\ngraft common footer")).as("text"))
+        .filter(col("doc_id") < 200)
+      graft.llm.TextAnalysis.stripBoilerplate(
+        docs, "doc_id", "text", minDocFreq = 10)
+    }),
   )
 
   /** q60's deterministic merge table (common English pair merges),
@@ -1336,6 +1367,51 @@ object SparkEntry {
         |FROM documents""".stripMargin,
     "q71_lm_logprob" -> LmOracleSql,
     "q72_lm_native" -> LmOracleSql,
+    // identical temperature arithmetic: same skewed corpus, same
+    // count→pow(n, alpha-1)→least(1, budget·w/max w) rates, same 60-bit
+    // numeric uniform (the q58 idiom) on the shared digest
+    "q74_temperature_mix" ->
+      """WITH corpus AS (
+        |  SELECT doc_id, source FROM documents
+        |  WHERE doc_id % (CAST(substr(source, 4) AS INT) + 2) = 0),
+        |counts AS (
+        |  SELECT source, CAST(count(*) AS DOUBLE) AS n
+        |  FROM corpus GROUP BY source),
+        |rates AS (
+        |  SELECT source, least(1.0, 0.9 * pow(n, -0.5) /
+        |    (SELECT max(pow(n, -0.5)) FROM counts)) AS rate
+        |  FROM counts)
+        |SELECT c.doc_id, c.source
+        |FROM corpus c JOIN rates r USING (source)
+        |WHERE (('0x' || substr(md5(CAST(c.doc_id AS VARCHAR) || '|' || 'q74'),
+        |          1, 15))::UBIGINT + 1.0) / 1152921504606846976.0 <= r.rate""".stripMargin,
+    // identical boilerplate program: same planted corpus, same exact-line
+    // doc-frequency threshold, same ordered reassembly (empty text +
+    // n_kept 0 for fully-boilerplate docs)
+    "q75_boilerplate" ->
+      """WITH docs AS (
+        |  SELECT doc_id,
+        |    'graft common header' || chr(10) || text ||
+        |    CASE WHEN doc_id % 4 = 0 THEN chr(10) || 'promo line' ELSE '' END ||
+        |    chr(10) || 'rare tag ' || CAST(doc_id % 97 AS VARCHAR) ||
+        |    chr(10) || 'graft common footer' AS text
+        |  FROM documents WHERE doc_id < 200),
+        |lines AS (
+        |  SELECT doc_id,
+        |    unnest(generate_series(1, len(string_split(text, chr(10))))) - 1 AS pos,
+        |    unnest(string_split(text, chr(10))) AS line
+        |  FROM docs),
+        |boiler AS (
+        |  SELECT line FROM lines GROUP BY line
+        |  HAVING count(DISTINCT doc_id) >= 10),
+        |rebuilt AS (
+        |  SELECT doc_id, string_agg(line, chr(10) ORDER BY pos) AS clean,
+        |    count(*) AS n_kept
+        |  FROM lines WHERE line NOT IN (SELECT line FROM boiler)
+        |  GROUP BY doc_id)
+        |SELECT d.doc_id, coalesce(r.clean, '') AS text,
+        |  coalesce(r.n_kept, 0) AS n_kept
+        |FROM docs d LEFT JOIN rebuilt r USING (doc_id)""".stripMargin,
     "q67_assemble_sequences" ->
       (s"""WITH chunks AS ($ChunkingOracleSql),
         |b AS (SELECT doc_id, chunk_id, chunk_text, chunk_tokens, doc_id % 8 AS bucket FROM chunks),

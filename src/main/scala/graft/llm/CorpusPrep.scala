@@ -270,6 +270,50 @@ object CorpusPrep {
     df.filter(digest < effective)
   }
 
+  /** Temperature-scaled domain mixing — the multilingual/multi-domain
+    * sampling rule (sample domain s with probability ∝ n_s^alpha):
+    * `alpha = 1` preserves the natural mix, `alpha = 0` equalizes
+    * domains, values between damp the head without starving the tail.
+    * Implemented as a per-domain keep-RATE ∝ n_s^(alpha-1), scaled so
+    * the largest rate (the smallest domain when alpha < 1) equals
+    * `budget` — budget = 1.0 keeps the rarest domain whole and
+    * downsamples everything else toward the temperature target.
+    *
+    * Unlike [[mixtureSample]] (explicit per-source fractions), the rates
+    * here are DERIVED from the observed domain counts: one tiny
+    * groupBy(domain) aggregate (map-side partial — the shuffle carries
+    * one row per domain per partition), broadcast back as a join, and
+    * the per-row decision `u <= rate` uses the numeric unit uniform of
+    * the shared sampling digest ([[graft.operators.Ops.hashUniform]]) —
+    * stable across partitionings/retries/engines, and the q74 oracle
+    * replays count→pow→least→compare verbatim in SQL. The corpus is
+    * scanned twice (once for counts, once filtered) but never shuffled.
+    *
+    * Oracle caveat (the q58 class): cross-engine bit-parity assumes
+    * `pow`/division round identically in both libms at the `u = rate`
+    * boundary; the sample itself is valid under any exact-real
+    * arithmetic — only the bit-replay is at stake. */
+  def temperatureMix(
+      df: DataFrame,
+      idCol: String,
+      domainCol: String,
+      alpha: Double,
+      budget: Double = 1.0,
+      salt: String = ""): DataFrame = {
+    require(alpha >= 0.0 && alpha <= 1.0, s"alpha must be in [0,1], got $alpha")
+    require(budget > 0.0 && budget <= 1.0, s"budget must be in (0,1], got $budget")
+    val counts = df.groupBy(col(domainCol))
+      .agg(count(lit(1)).cast("double").as("__n"))
+      .withColumn("__w", pow(col("__n"), lit(alpha - 1.0)))
+    val maxw = counts.agg(max(col("__w")).as("__maxw"))
+    val rates = counts.crossJoin(broadcast(maxw))
+      .select(col(domainCol),
+        least(lit(1.0), lit(budget) * col("__w") / col("__maxw")).as("__rate"))
+    df.join(broadcast(rates), Seq(domainCol))
+      .filter(graft.operators.Ops.hashUniform(col(idCol), salt) <= col("__rate"))
+      .select(df.columns.map(col): _*) // the join fronted domainCol
+  }
+
   /** Deterministic global shuffle for training export: order the corpus
     * by `(md5(id|salt), id)` — a reproducible pseudo-random permutation
     * of the rows, the "shuffle the sequences before training" step.

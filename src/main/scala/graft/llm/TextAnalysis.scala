@@ -129,6 +129,55 @@ object TextAnalysis {
         .filter(col("n_hits") >= minHits).select(idCol),
       Seq(idCol), "left_anti")
 
+  /** Line-level boilerplate removal (the C4/RefinedWeb cleaning step):
+    * a line occurring VERBATIM in ≥ `minDocFreq` distinct documents is
+    * boilerplate (headers, footers, cookie banners, nav chrome) and is
+    * dropped from every document; surviving lines are reassembled in
+    * their original order. Returns `df` with `textCol` replaced by the
+    * cleaned text plus an `n_kept` line count — documents whose every
+    * line was boilerplate come back with empty text and n_kept = 0
+    * (filter on it if you want them gone). Matching is exact by design
+    * (both engines agree on string equality; normalize upstream for
+    * case-insensitive semantics).
+    *
+    * Shape at 100 TB: one explode + groupBy(line) with countDistinct —
+    * partial aggregation collapses repeats map-side, so the shuffle
+    * carries distinct (line, doc) pairs, not total lines; the
+    * boilerplate set (lines over the threshold) is tiny by nature and
+    * feeds a left_anti join (AQE broadcasts it); reassembly is one
+    * shuffle on the doc id with per-doc state bounded by document size.
+    * Everything is built-ins — the q75 oracle replays
+    * split→count→anti-join→reassemble verbatim in SQL. */
+  def stripBoilerplate(
+      df: org.apache.spark.sql.DataFrame,
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      minDocFreq: Int = 10,
+      delim: String = "\n"): org.apache.spark.sql.DataFrame = {
+    require(minDocFreq >= 2, s"minDocFreq must be >= 2, got $minDocFreq")
+    require(delim.nonEmpty, "delim must be non-empty")
+    val lines = df.select(col(idCol),
+      posexplode(split(col(textCol), java.util.regex.Pattern.quote(delim)))
+        .as(Seq("__pos", "__line")))
+    val boiler = lines.groupBy(col("__line"))
+      .agg(countDistinct(col(idCol)).as("__df"))
+      .filter(col("__df") >= minDocFreq)
+      .select("__line")
+    val rebuilt = lines.join(boiler, Seq("__line"), "left_anti")
+      .groupBy(col(idCol))
+      .agg(
+        array_join(
+          transform(array_sort(collect_list(struct(col("__pos"), col("__line")))),
+            x => x.getField("__line")),
+          delim).as("__clean"),
+        count(lit(1)).as("n_kept"))
+    df.withColumnRenamed(textCol, "__orig")
+      .join(rebuilt, Seq(idCol), "left")
+      .withColumn(textCol, coalesce(col("__clean"), lit("")))
+      .withColumn("n_kept", coalesce(col("n_kept"), lit(0L)))
+      .select(df.columns.map(col) :+ col("n_kept"): _*)
+  }
+
   /** Mean token length over non-space characters. */
   def meanTokenLength(c: Column): Column = {
     val n = wsTokenCount(c)

@@ -289,6 +289,16 @@ object Ops {
   def hashSample(df: DataFrame, idCol: String, fraction: Double, salt: String = ""): DataFrame =
     df.filter(hashSamplePredicate(col(idCol), fraction, salt))
 
+  /** The 60-bit unit uniform `u ∈ (0, 1]` of the sampling digest: the
+    * first 15 hex digits of `md5(id|salt)` as an integer, +1 (so u is
+    * never 0 — `ln(0)` would blow up weightedSample's key), over 2^60.
+    * The single recipe every numeric-uniform consumer (weightedSample,
+    * CorpusPrep.temperatureMix) and its SQL oracles must share. */
+  def hashUniform(idCol: Column, salt: String = ""): Column = {
+    val v = conv(substring(hashDigestCol(idCol, salt), 1, 15), 16, 10).cast("double")
+    (v + lit(1.0)) / lit(1.152921504606846976e18) // 2^60
+  }
+
   /** Deterministic weighted sampling WITHOUT replacement (Efraimidis–
     * Spirakis bottom-k): every row gets rank key `-ln(u) / w`, where
     * `u ∈ (0,1]` is a unit uniform derived from the shared md5 sampling
@@ -319,10 +329,7 @@ object Ops {
     require(k > 0, s"k must be positive, got $k")
     val keyName = Iterator.from(0).map(i => s"__wkey$i")
       .find(!df.columns.contains(_)).get
-    // first 15 hex digits = a 60-bit integer; +1 maps [0,2^60) to (0,2^60]
-    // so u is never 0 (ln(0) would make the key infinite)
-    val v = conv(substring(hashDigestCol(idCol, salt), 1, 15), 16, 10).cast("double")
-    val u = (v + lit(1.0)) / lit(1.152921504606846976e18) // 2^60
+    val u = hashUniform(idCol, salt)
     df.filter(weightCol > lit(0.0))
       .withColumn(keyName, -log(u) / weightCol)
       .orderBy(col(keyName), idCol)

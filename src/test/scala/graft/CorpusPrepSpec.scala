@@ -235,6 +235,73 @@ class CorpusPrepSpec extends SparkTestBase {
     assert(out.count() == docs.filter(col("source") =!= "src0").count())
   }
 
+  test("temperatureMix: rates follow n^(alpha-1), smallest domain pinned to budget") {
+    // skewed corpus: per-source counts differ, so alpha < 1 has a head to damp
+    val corpus = docs.select(col("doc_id"), col("source"))
+      .filter(col("doc_id") % (substring(col("source"), 4, 5).cast("int") + lit(2)) === 0)
+      .cache()
+    try {
+      val totals = corpus.groupBy("source").count()
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      assert(totals.values.toSet.size > 1, s"corpus must be skewed: $totals")
+      val out = CorpusPrep.temperatureMix(
+        corpus, "doc_id", "source", alpha = 0.5, budget = 1.0, salt = "tm")
+      assert(out.columns.toSeq == Seq("doc_id", "source")) // schema preserved
+      val kept = out.select("doc_id").as[Long].collect().toSet
+      // replay the rate arithmetic in plain Scala and the per-row uniform
+      // via the shared digest recipe (itself pinned by the q58 oracle):
+      // the keep-set must match EXACTLY, no statistical tolerance
+      val maxw = totals.values.map(n => math.pow(n.toDouble, -0.5)).max
+      val rates = totals.map { case (src, n) =>
+        src -> math.min(1.0, math.pow(n.toDouble, -0.5) / maxw)
+      }
+      val want = corpus
+        .withColumn("__u", Ops.hashUniform(col("doc_id"), "tm"))
+        .collect()
+        .filter(r => r.getDouble(2) <= rates(r.getString(1)))
+        .map(_.getLong(0)).toSet
+      assert(kept == want, s"keep-set diverges: extra=${kept -- want}, missing=${want -- kept}")
+      // the smallest domain has rate 1.0 at budget=1 → kept WHOLE, exactly
+      val smallest = totals.minBy(_._2)._1
+      val keptSmallest = out.filter(col("source") === smallest).count()
+      assert(keptSmallest == totals(smallest), s"smallest domain $smallest must be kept whole")
+    } finally corpus.unpersist()
+  }
+
+  test("temperatureMix: alpha=1 keeps the natural mix scaled by budget; " +
+      "budget-monotone subset; deterministic") {
+    val corpus = docs.select(col("doc_id"), col("source"))
+    // alpha=1 → every rate = budget; budget=1 → identity
+    val all = CorpusPrep.temperatureMix(corpus, "doc_id", "source", alpha = 1.0)
+    assert(all.count() == corpus.count())
+    // the keep-set shrinks monotonically with budget (same uniform u)
+    val at1 = CorpusPrep.temperatureMix(corpus, "doc_id", "source", 0.3, 1.0, "tm")
+      .select("doc_id").as[Long].collect().toSet
+    val atHalf = CorpusPrep.temperatureMix(corpus, "doc_id", "source", 0.3, 0.5, "tm")
+      .select("doc_id").as[Long].collect().toSet
+    assert(atHalf.subsetOf(at1), "budget=0.5 keep-set must nest inside budget=1")
+    assert(atHalf.size < at1.size)
+    // rerun is bit-identical (pure hash decisions, no RNG)
+    val again = CorpusPrep.temperatureMix(corpus, "doc_id", "source", 0.3, 0.5, "tm")
+      .select("doc_id").as[Long].collect().toSet
+    assert(again == atHalf)
+  }
+
+  test("temperatureMix: rejects out-of-range alpha/budget; corpus never shuffled") {
+    val corpus = docs.select(col("doc_id"), col("source"))
+    intercept[IllegalArgumentException] {
+      CorpusPrep.temperatureMix(corpus, "doc_id", "source", alpha = 1.5)
+    }
+    intercept[IllegalArgumentException] {
+      CorpusPrep.temperatureMix(corpus, "doc_id", "source", alpha = 0.5, budget = 0.0)
+    }
+    // the corpus side joins the broadcast rates without an exchange of its own
+    val plan = CorpusPrep.temperatureMix(corpus, "doc_id", "source", 0.5, 0.9, "tm")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), s"rates must broadcast:\n$plan")
+    assert(!plan.contains("SortMergeJoin"), s"corpus must not shuffle for the rate join:\n$plan")
+  }
+
   test("deterministicShuffle: md5 key, global order across partitions, " +
       "salt-sensitive, reproducible") {
     val input = spark.read.parquet(s"$sfDir/documents.parquet")

@@ -238,6 +238,42 @@ class TextAnalysisSpec extends SparkTestBase {
     assert(!plan.contains("SortMergeJoin"), s"corpus must not shuffle for the semi-join:\n$plan")
   }
 
+  test("stripBoilerplate: planted header/footer vanish, bodies survive in order, " +
+      "all-boilerplate doc comes back empty") {
+    val docs = ((0 until 12).map { i =>
+      (i.toLong, s"HEADER\nbody $i line one\nbody $i line two\nFOOTER")
+    } :+ (99L, "HEADER\nFOOTER")).toDF("doc_id", "text")
+    val out = TextAnalysis.stripBoilerplate(docs, "doc_id", "text", minDocFreq = 10)
+      .collect().map(r => r.getLong(0) -> (r.getString(1), r.getLong(2))).toMap
+    assert(out.size == 13) // every input doc present, including the emptied one
+    (0 until 12).foreach { i =>
+      assert(out(i.toLong) == (s"body $i line one\nbody $i line two", 2L), s"doc $i: ${out(i.toLong)}")
+    }
+    assert(out(99L) == ("", 0L), "fully-boilerplate doc must come back empty, not dropped")
+  }
+
+  test("stripBoilerplate: doc frequency is per-DISTINCT-doc; kept duplicate lines " +
+      "survive with multiplicity") {
+    // "echo" appears 20× but inside ONE doc → df=1, NOT boilerplate;
+    // "banner" appears once in each of 10 docs → df=10, dropped
+    val spam = (1L, (Seq.fill(20)("echo") :+ "banner").mkString("\n"))
+    val others = (2L to 10L).map(i => (i, s"banner\nunique $i"))
+    val out = TextAnalysis.stripBoilerplate(
+      (others :+ spam).toDF("doc_id", "text"), "doc_id", "text", minDocFreq = 10)
+      .collect().map(r => r.getLong(0) -> (r.getString(1), r.getLong(2))).toMap
+    assert(out(1L) == (Seq.fill(20)("echo").mkString("\n"), 20L))
+    (2L to 10L).foreach(i => assert(out(i) == (s"unique $i", 1L)))
+  }
+
+  test("stripBoilerplate: threshold boundary — df = minDocFreq-1 survives everywhere") {
+    val docs = (1L to 9L).map(i => (i, s"shared\nown $i")).toDF("doc_id", "text")
+    val out = TextAnalysis.stripBoilerplate(docs, "doc_id", "text", minDocFreq = 10)
+    assert(out.filter(col("text").contains("shared")).count() == 9)
+    intercept[IllegalArgumentException] {
+      TextAnalysis.stripBoilerplate(docs, "doc_id", "text", minDocFreq = 1)
+    }
+  }
+
   test("analysis runs shuffle-free over documents (scan-speed map)") {
     val docs = spark.read.parquet(s"$sfDir/documents.parquet")
     val out = docs.select(col("doc_id"),
