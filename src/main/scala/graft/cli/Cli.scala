@@ -165,12 +165,37 @@ object Curator {
     // optional PII scrub FIRST — before any hashing/signatures, so the
     // persisted dedup state is computed over scrubbed text (state built
     // on unscrubbed text would stop matching future scrubbed batches)
-    val df =
+    val df0 =
       if (!c.getBoolean("redact").getOrElse(false)) raw
       else {
         val tcol = c.getString("text-column").getOrElse("text")
         raw.withColumn(tcol, graft.llm.TextAnalysis.redact(col(tcol)))
       }
+    // optional line-level boilerplate removal, ALSO before any
+    // hashing/signatures — dedup state built over un-cleaned text would
+    // stop matching future cleaned batches (the redact argument).
+    // Doc frequency is computed over THIS batch: in incremental mode a
+    // batch sees only its own headers/footers, which is the C4-style
+    // semantics (boilerplate is batch-pervasive by nature); docs whose
+    // every line was boilerplate are dropped, not emitted empty
+    val df = c.getInt("boilerplate-min-doc-freq") match {
+      case Some(mdf) =>
+        val tcol = c.getString("text-column").getOrElse("text")
+        val icol = c.getString("id-column").getOrElse("doc_id")
+        val cleaned = graft.llm.TextAnalysis
+          .stripBoilerplate(df0, icol, tcol, minDocFreq = mdf)
+          .filter(col("n_kept") > 0).drop("n_kept")
+        if (c.getString("log-drop-counts").exists(v => !v.toBoolean)) cleaned
+        else {
+          // one extra pair of count jobs, same convention as the tiers
+          // below; the boilerplate line-frequency aggregate re-runs for
+          // the real pass — cheaper than persisting the whole corpus here
+          Cli.log(s"boilerplate: ${cleaned.count()} of ${df0.count()} docs " +
+            s"keep at least one line at min-doc-freq=$mdf")
+          cleaned
+        }
+      case None => df0
+    }
     val base = graft.llm.Curation.Config()
     val cc = graft.llm.Curation.Config(
       minQuality = c.getDouble("min-quality").getOrElse(base.minQuality),
@@ -204,6 +229,18 @@ object Curator {
       "curation.min-lm-logp needs curation.lm-path (a saved unigram LM file)")
     c.getDouble("quality-quantile").foreach(f => require(f > 0.0 && f <= 1.0,
       s"curation.quality-quantile must be a keep-fraction in (0,1], got $f"))
+    require(c.getDouble("temperature-alpha").isEmpty || c.at("mixture-weights").flat.isEmpty,
+      "curation.temperature-alpha and curation.mixture-weights are mutually " +
+        "exclusive — rates derived from observed domain counts vs explicit " +
+        "per-source fractions; pick one mixing rule")
+    c.getDouble("temperature-alpha").foreach(a => require(a >= 0.0 && a <= 1.0,
+      s"curation.temperature-alpha must be in [0,1], got $a"))
+    c.getDouble("temperature-budget").foreach(b => require(b > 0.0 && b <= 1.0,
+      s"curation.temperature-budget must be in (0,1], got $b"))
+    require(c.getDouble("temperature-budget").isEmpty || c.getDouble("temperature-alpha").isDefined,
+      "curation.temperature-budget needs curation.temperature-alpha")
+    c.getInt("boilerplate-min-doc-freq").foreach(m => require(m >= 2,
+      s"curation.boilerplate-min-doc-freq must be >= 2, got $m"))
     if (c.getString("shuffle-salt").isDefined) {
       // the deterministic export shuffle IS the write layout — any
       // target knob that re-partitions/re-sorts/re-groups rows would
@@ -388,13 +425,24 @@ object Curator {
     // optional training-mix composition (deterministic per-source keep
     // fractions) on the curated survivors
     val mixWeights = c.at("mixture-weights").flat
-    val mixed =
-      if (mixWeights.isEmpty) decontaminated
-      else graft.llm.CorpusPrep.mixtureSample(decontaminated, idCol,
-        c.getString("mixture-source-column").getOrElse("source"),
-        mixWeights.map { case (k, v) => k -> v.toDouble }.toMap,
-        defaultFraction = c.getDouble("mixture-default-fraction").getOrElse(0.0),
-        salt = c.getString("mixture-salt").getOrElse(""))
+    val mixed = c.getDouble("temperature-alpha") match {
+      // temperature mixing: rates DERIVED from the observed per-domain
+      // counts (∝ n^(alpha-1), largest pinned to temperature-budget) —
+      // the multilingual rule when explicit per-source fractions aren't
+      // known up front; mutually exclusive with mixture-weights (above)
+      case Some(alpha) =>
+        graft.llm.CorpusPrep.temperatureMix(decontaminated, idCol,
+          c.getString("mixture-source-column").getOrElse("source"),
+          alpha, budget = c.getDouble("temperature-budget").getOrElse(1.0),
+          salt = c.getString("mixture-salt").getOrElse(""))
+      case None if mixWeights.isEmpty => decontaminated
+      case None =>
+        graft.llm.CorpusPrep.mixtureSample(decontaminated, idCol,
+          c.getString("mixture-source-column").getOrElse("source"),
+          mixWeights.map { case (k, v) => k -> v.toDouble }.toMap,
+          defaultFraction = c.getDouble("mixture-default-fraction").getOrElse(0.0),
+          salt = c.getString("mixture-salt").getOrElse(""))
+    }
     // optional deterministic train/val/test split on the emitted set
     // (ordered "name:weight" entries — range assignment is cumulative,
     // so order is part of the contract and a list, not a map, carries it)

@@ -590,6 +590,93 @@ class CliSpec extends SparkTestBase {
     assert(err.getMessage.contains("lm-path"))
   }
 
+  test("curator boilerplate stage: shared lines stripped BEFORE dedup state, " +
+      "all-boilerplate docs dropped, state matches cleaned re-runs") {
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    val base = tmp()
+    val in = base.resolve("bin").toString
+    // 12 docs share a header+footer (df 12 ≥ 10); bodies are distinct
+    // multi-token lines; doc 99 is NOTHING BUT boilerplate
+    val docs = ((0 until 12).map { i =>
+      (i.toLong, s"graft shared header\nunique body $i alpha beta gamma delta\ngraft shared footer")
+    } :+ (99L, "graft shared header\ngraft shared footer")).toDF("doc_id", "text")
+    docs.write.parquet(in)
+    def conf(run: Int, stateIn: Option[String]) = write(base.resolve(s"bp$run.conf"),
+      s"""source { storage-type = local, dataset-dir = $in }
+         |target { storage-type = local, dataset-dir = ${base.resolve(s"bout$run")}, dataset-store-format = parquet, write-mode = overwrite }
+         |curation {
+         |  min-quality = 0.0
+         |  boilerplate-min-doc-freq = 10
+         |${stateIn.map(d => s"  state-dir = $d").getOrElse("")}
+         |  state-out-dir = ${base.resolve(s"bstate$run")}
+         |}
+         |""".stripMargin)
+    graft.cli.Curator.main(Array("--conf", conf(1, None)))
+    val out1 = spark.read.parquet(base.resolve("bout1").toString)
+    val texts = out1.select("doc_id", "text").as[(Long, String)].collect().toMap
+    assert(texts.keySet == (0 until 12).map(_.toLong).toSet,
+      s"12 body docs survive, all-boilerplate doc 99 is dropped: ${texts.keySet}")
+    (0 until 12).foreach(i => assert(
+      texts(i.toLong) == s"unique body $i alpha beta gamma delta", s"doc $i: ${texts(i.toLong)}"))
+    // the dedup state was hashed over the CLEANED text: re-running the
+    // same RAW batch (boilerplate re-stripped to identical bodies)
+    // against it keeps nothing — the design reason the stage runs first
+    graft.cli.Curator.main(Array("--conf", conf(2, Some(base.resolve("bstate1").toString))))
+    assert(spark.read.parquet(base.resolve("bout2").toString).count() == 0,
+      "re-run of the same raw batch against state must converge to zero")
+  }
+
+  test("curator temperature mixing: rates replay exactly from the no-mix run; " +
+      "conflicts with mixture-weights") {
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    val base = tmp()
+    val in = base.resolve("tin").toString
+    // skewed domains: 200 "big" docs vs 20 "small" docs, distinct texts
+    ((0 until 200).map(i => (i.toLong, s"big doc $i alpha beta gamma delta", "big")) ++
+      (1000 until 1020).map(i => (i.toLong, s"small doc $i alpha beta gamma delta", "small")))
+      .toDF("doc_id", "text", "source").write.parquet(in)
+    def conf(run: Int, extra: String) = write(base.resolve(s"tm$run.conf"),
+      s"""source { storage-type = local, dataset-dir = $in }
+         |target { storage-type = local, dataset-dir = ${base.resolve(s"tout$run")}, dataset-store-format = parquet, write-mode = overwrite }
+         |curation {
+         |  min-quality = 0.0
+         |$extra
+         |}
+         |""".stripMargin)
+    graft.cli.Curator.main(Array("--conf", conf(1, ""))) // baseline: no mixing
+    graft.cli.Curator.main(Array("--conf", conf(2, "  temperature-alpha = 0.5")))
+    val pre = spark.read.parquet(base.resolve("tout1").toString)
+    val got = spark.read.parquet(base.resolve("tout2").toString)
+      .select("doc_id").as[Long].collect().toSet
+    // replay: totals from the baseline run, rates in plain Scala, the
+    // row decision via the shared uniform — keep-sets must match EXACTLY
+    val totals = pre.groupBy("source").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val maxw = totals.values.map(n => math.pow(n.toDouble, -0.5)).max
+    val rates = totals.map { case (s, n) =>
+      s -> math.min(1.0, math.pow(n.toDouble, -0.5) / maxw)
+    }
+    val want = pre.withColumn("__u", graft.operators.Ops.hashUniform(col("doc_id")))
+      .select("doc_id", "source", "__u").as[(Long, String, Double)].collect()
+      .filter { case (_, s, u) => u <= rates(s) }.map(_._1).toSet
+    assert(got == want, s"extra=${got -- want}, missing=${want -- got}")
+    // the small domain is the largest rate → kept whole at budget 1
+    assert((1000L until 1020L).toSet.subsetOf(got))
+    assert(got.size < 220, "big domain must be downsampled")
+    // explicit fractions and derived rates cannot combine
+    val bad = write(base.resolve("tm_bad.conf"),
+      s"""source { storage-type = local, dataset-dir = $in }
+         |target { storage-type = local, dataset-dir = ${base.resolve("tnope")}, dataset-store-format = parquet }
+         |curation { temperature-alpha = 0.5, mixture-weights { big = 0.5 } }
+         |""".stripMargin)
+    val e = intercept[IllegalArgumentException] {
+      graft.cli.Curator.main(Array("--conf", bad))
+    }
+    assert(e.getMessage.contains("mutually exclusive"))
+  }
+
   test("streamer runs a checkpointed windowed stream to a parquet sink (RocksDB state)") {
     val base = tmp()
     val events = base.resolve("events").toString
