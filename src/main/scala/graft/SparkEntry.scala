@@ -1238,7 +1238,48 @@ object SparkEntry {
       graft.llm.TextAnalysis.stripBoilerplate(
         docs, "doc_id", "text", minDocFreq = 10)
     }),
+
+    // ---- Exact duplicated-span removal (Lee et al. substring dedup):
+    // a 12-token passage planted on every 5th doc (and twice on doc 7)
+    // must survive only at its globally-first occurrence; every other
+    // copy is cut and the doc rebuilt around it. q76 runs the
+    // SQL-replayable string-span form, q77 the native rolling-hash
+    // scale path — BOTH against the same oracle (the q41/q65 pattern).
+    "q76_span_dedup" -> ((s, dir) =>
+      graft.llm.Dedup.removeDuplicateSpans(
+        SpanDedupCorpus(t(s, dir, "documents")), "doc_id", "text",
+        n = 10, hashSpans = false)),
+    "q77_span_dedup_native" -> ((s, dir) =>
+      graft.llm.Dedup.removeDuplicateSpans(
+        SpanDedupCorpus(t(s, dir, "documents")), "doc_id", "text",
+        n = 10, hashSpans = true)),
+
+    // ---- BPE merge learning (tokenizer training): Spark counts
+    // pretokens corpus-scale, the (inherently sequential) merge loop
+    // runs driver-side on the bounded frequency table. Rows-only by
+    // design — the loop is not SQL-expressible; EntrySpec re-derives
+    // merge 1 from raw pair counts independently and round-trips the
+    // table through the graft_bpe_* consumers.
+    "q78_bpe_learn" -> ((s, dir) => {
+      import s.implicits._
+      val merges = graft.llm.BpeTrainer.learnMerges(
+        t(s, dir, "documents").select(col("text")), "text", numMerges = 12)
+      merges.zipWithIndex
+        .map { case ((a, b), r) => (r.toLong, a, b) }
+        .toDF("rank", "left", "right")
+    }),
   )
+
+  /** q76/q77's planted corpus: a shared 12-token passage appended to
+    * every 5th doc, twice (a self-repeat) on doc 7. */
+  private def SpanDedupCorpus(documents: DataFrame): DataFrame = {
+    val p = "the quick brown fox jumps over the lazy dog again and again"
+    documents.select(col("doc_id"), col("text")).filter(col("doc_id") < 150)
+      .withColumn("text",
+        when(col("doc_id") % 5 === 0, concat(col("text"), lit(" " + p)))
+          .when(col("doc_id") === 7, concat(col("text"), lit(" " + p + " " + p)))
+          .otherwise(col("text")))
+  }
 
   /** q60's deterministic merge table (common English pair merges),
     * written once to the JVM temp dir — the gate needs a merges PATH
@@ -1264,6 +1305,66 @@ object SparkEntry {
     * graft_lm_logprob over a saved LM file): ONE oracle pins both
     * hash-exactly — the Laplace arithmetic replayed verbatim
     * (vocab = ref tokens with count ≥ 2; D = N + V + 1; OOV cnt 0). */
+  /** q76/q77's shared oracle: the span-dedup program replayed verbatim
+    * in SQL — same planted corpus, same first-occurrence keep rule with
+    * the same-doc overlap exemption, same windowed index union, same
+    * ordered reassembly with untouched docs passing through verbatim. */
+  private val SpanDedupOracleSql: String = {
+    val p = "the quick brown fox jumps over the lazy dog again and again"
+    s"""WITH docs AS (
+      |  SELECT doc_id,
+      |    CASE WHEN doc_id % 5 = 0 THEN text || ' ' || '$p'
+      |         WHEN doc_id = 7 THEN text || ' ' || '$p' || ' ' || '$p'
+      |         ELSE text END AS text
+      |  FROM documents WHERE doc_id < 150),
+      |toks AS (
+      |  SELECT doc_id, text,
+      |    list_filter(string_split_regex(trim(text), '\\s+'), x -> len(x) > 0) AS tk
+      |  FROM docs),
+      |span0 AS (
+      |  SELECT doc_id, tk,
+      |    unnest(generate_series(1, greatest(len(tk) - 9, 0))) AS i
+      |  FROM toks),
+      |spans AS (
+      |  SELECT doc_id, i - 1 AS off, array_to_string(tk[i:i+9], ' ') AS key
+      |  FROM span0),
+      |ranked AS (
+      |  SELECT doc_id, off,
+      |    count(*) OVER (PARTITION BY key) AS cnt,
+      |    first_value(doc_id) OVER w AS fid,
+      |    first_value(off) OVER w AS foff
+      |  FROM spans
+      |  WINDOW w AS (PARTITION BY key ORDER BY doc_id, off
+      |               ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)),
+      |marked AS (
+      |  SELECT doc_id, off FROM ranked
+      |  WHERE cnt >= 2 AND NOT (doc_id = fid AND abs(off - foff) < 10)),
+      |removed AS (
+      |  SELECT DISTINCT doc_id, idx FROM (
+      |    SELECT doc_id, unnest(generate_series(off, off + 9)) AS idx FROM marked)),
+      |toks_pos AS (
+      |  SELECT doc_id, unnest(tk) AS tok,
+      |    unnest(generate_series(1, len(tk))) - 1 AS idx
+      |  FROM toks WHERE doc_id IN (SELECT doc_id FROM removed)),
+      |kept AS (
+      |  SELECT t.doc_id, t.idx, t.tok FROM toks_pos t
+      |  WHERE NOT EXISTS (SELECT 1 FROM removed r
+      |                    WHERE r.doc_id = t.doc_id AND r.idx = t.idx)),
+      |rebuilt AS (
+      |  SELECT doc_id, string_agg(tok, ' ' ORDER BY idx) AS rtext,
+      |    count(*) AS n_kept
+      |  FROM kept GROUP BY doc_id)
+      |SELECT d.doc_id,
+      |  CASE WHEN r0.doc_id IS NULL THEN d.text
+      |       ELSE coalesce(rb.rtext, '') END AS text,
+      |  CASE WHEN r0.doc_id IS NULL THEN CAST(0 AS BIGINT)
+      |       ELSE len(t.tk) - coalesce(rb.n_kept, 0) END AS n_removed
+      |FROM docs d
+      |JOIN toks t USING (doc_id)
+      |LEFT JOIN (SELECT DISTINCT doc_id FROM removed) r0 USING (doc_id)
+      |LEFT JOIN rebuilt rb USING (doc_id)""".stripMargin
+  }
+
   private val LmOracleSql: String =
     """WITH toks AS (
       |  SELECT doc_id,
@@ -1367,6 +1468,8 @@ object SparkEntry {
         |FROM documents""".stripMargin,
     "q71_lm_logprob" -> LmOracleSql,
     "q72_lm_native" -> LmOracleSql,
+    "q76_span_dedup" -> SpanDedupOracleSql,
+    "q77_span_dedup_native" -> SpanDedupOracleSql,
     // identical temperature arithmetic: same skewed corpus, same
     // count→pow(n, alpha-1)→least(1, budget·w/max w) rates, same 60-bit
     // numeric uniform (the q58 idiom) on the shared digest

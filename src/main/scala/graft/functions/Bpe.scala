@@ -130,6 +130,12 @@ object BpeVocab {
   private[functions] val Pretoken =
     java.util.regex.Pattern.compile("""[\p{L}]+|[\p{N}]+|[^\p{L}\p{N}\s]+""")
 
+  /** The pretokenization regex as a string — the trainer
+    * ([[graft.llm.BpeTrainer]]) must count words under EXACTLY the
+    * contract segmentation/counting use, or learned merges would not
+    * round-trip. */
+  def pretokenRegex: String = Pretoken.pattern()
+
   /** Pretokens longer than this are recomputed instead of memoized —
     * keeps the memo's retained memory ≤ MemoCap × this many chars. */
   private[functions] val MaxMemoWordLen = 512

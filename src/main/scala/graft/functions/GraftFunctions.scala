@@ -300,6 +300,9 @@ object GraftFunctions {
   def gramHashes(c: Column, n: Int): Column =
     ColumnBridge.column(GramHashes(ColumnBridge.expression(c), n))
 
+  def spanHashes(c: Column, n: Int): Column =
+    ColumnBridge.column(SpanHashes(ColumnBridge.expression(c), n))
+
   def lmLogProb(c: Column, lmPath: String): Column =
     ColumnBridge.column(LmLogProb(ColumnBridge.expression(c), lmPath))
 
@@ -452,6 +455,17 @@ object GraftFunctions {
           case v: Number => GramHashes(es.head, v.intValue())
           case other => throw new IllegalArgumentException(
             s"graft_gram_hashes n must be an integer literal, got $other")
+        }
+      }),
+    ("graft_span_hashes",
+      new ExpressionInfo(classOf[SpanHashes].getName, "graft_span_hashes"),
+      (es: Seq[Expression]) => {
+        require(es.length == 2, s"graft_span_hashes takes 2 arguments, got ${es.length}")
+        require(es(1).foldable, "graft_span_hashes n must be a literal")
+        es(1).eval() match {
+          case v: Number => SpanHashes(es.head, v.intValue())
+          case other => throw new IllegalArgumentException(
+            s"graft_span_hashes n must be an integer literal, got $other")
         }
       }),
     ("graft_repetition",

@@ -180,6 +180,93 @@ object GramHashesImpl {
   }
 }
 
+/** Per-OFFSET span hashes (`graft_span_hashes`): the i-th element is a
+  * 64-bit polynomial hash of the n-token span starting at whitespace
+  * token i — ALL offsets in order, duplicates included, case PRESERVED
+  * (unlike [[GramHashesImpl]], which lowercases and deduplicates for
+  * signature semantics; span REMOVAL must key on the exact text it
+  * will cut). A true rolling update (subtract `tokHash(s)·K^(n-1)`,
+  * multiply by K, add the entering token — exact in mod-2^64 Long
+  * arithmetic) makes this O(tokens), not O(tokens·n). Documents
+  * shorter than n tokens have no n-token span → empty array.
+  * Hash-equality stands in for sequence-equality at ~2^-64 collision
+  * odds per pair. */
+object SpanHashesImpl {
+  import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+
+  private val K = 0x9E3779B97F4A7C15L
+
+  def compute(text: UTF8String, n: Int): ArrayData = {
+    val bytes = text.getBytes
+    val len = bytes.length
+    var cap = 16
+    var starts = new Array[Int](cap)
+    var ends = new Array[Int](cap)
+    var nTok = 0
+    var tokStart = -1
+    var i = 0
+    while (i <= len) {
+      val isSpace = i == len || SimHashImpl.isRegexSpaceByte(bytes(i))
+      if (!isSpace && tokStart < 0) tokStart = i
+      else if (isSpace && tokStart >= 0) {
+        if (nTok == cap) {
+          cap *= 2
+          starts = java.util.Arrays.copyOf(starts, cap)
+          ends = java.util.Arrays.copyOf(ends, cap)
+        }
+        starts(nTok) = tokStart; ends(nTok) = i; nTok += 1
+        tokStart = -1
+      }
+      i += 1
+    }
+    if (nTok < n) return new GenericArrayData(Array.empty[Any])
+    val tokHash = new Array[Long](nTok)
+    i = 0
+    while (i < nTok) {
+      tokHash(i) = SimHashImpl.tokenHash(
+        UTF8String.fromBytes(bytes, starts(i), ends(i) - starts(i)))
+      i += 1
+    }
+    // K^(n-1): the weight the leaving token carries in the window hash
+    var kPow = 1L
+    i = 1
+    while (i < n) { kPow *= K; i += 1 }
+    val total = nTok - n + 1
+    val out = new Array[Any](total)
+    var h = 0L
+    i = 0
+    while (i < n) { h = h * K + tokHash(i); i += 1 }
+    out(0) = h
+    var s = 1
+    while (s < total) {
+      h = (h - tokHash(s - 1) * kPow) * K + tokHash(s + n - 1)
+      out(s) = h
+      s += 1
+    }
+    new GenericArrayData(out)
+  }
+}
+
+/** `graft_span_hashes(string, n) -> array<bigint>` (per offset, in order) */
+case class SpanHashes(child: Expression, n: Int) extends UnaryExpression {
+  require(n >= 2, s"span size must be >= 2, got $n")
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case _: StringType => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(s"graft_span_hashes expects string, got $t")
+  }
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "graft_span_hashes"
+
+  override protected def nullSafeEval(t: Any): Any =
+    SpanHashesImpl.compute(t.asInstanceOf[UTF8String], n)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.SpanHashesImpl.compute($c, $n)")
+
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
+}
+
 /** `graft_gram_hashes(string, n) -> array<bigint>` (distinct) */
 case class GramHashes(child: Expression, n: Int) extends UnaryExpression {
   require(n >= 1, s"gram size must be >= 1, got $n")

@@ -1,0 +1,150 @@
+package graft.llm
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** BPE merge-table LEARNING (Sennrich et al. 2016, arXiv:1508.07909) —
+  * the tokenizer-training side of the BPE surface in
+  * [[graft.functions.BpeVocab]] (which consumes published merge
+  * tables): train on a corpus, save `merges.txt`, and every existing
+  * consumer (`graft_bpe_count`/`graft_bpe_segments`/`graft_bpe_chunks`,
+  * the Curator's `bpe-merges` knob) runs the learned tokenizer.
+  *
+  * Division of labor, which is how every production trainer works
+  * (a merge decision depends on the counts AFTER the previous merge —
+  * the loop is inherently sequential and NOT distributable):
+  *  - Spark does the corpus-scale part: pretokenize (the exact
+  *    [[graft.functions.BpeVocab.pretokenRegex]] contract — counting
+  *    under any other tokenization would learn merges that don't
+  *    round-trip through segmentation) and aggregate word frequencies.
+  *    One explode + one shuffle; partial aggregation collapses repeats
+  *    map-side, so the shuffle carries distinct words per partition.
+  *  - The merge loop runs driver-side over the top-`maxWords` rows of
+  *    that table (a deterministic `TakeOrdered` cut: by count desc,
+  *    then word — never a hash-order-dependent `limit`). Driver memory
+  *    is bounded by `maxWords`; the frequency mass beyond the cut is
+  *    negligible for merge decisions at any realistic cap.
+  *
+  * Determinism: merge selection is max count with ties broken by the
+  * lexicographically smallest `(left, right)` — byte-order ties, NOT
+  * hash-map iteration order — so the same corpus always learns the
+  * same table. Merge application mirrors `segmentWord` exactly (all
+  * non-overlapping occurrences, left to right), so re-segmenting a
+  * training word with the learned table reproduces the trainer's own
+  * final symbols.
+  */
+object BpeTrainer {
+
+  /** Corpus pretoken frequencies: `(word, n)`, one shuffle. */
+  def pretokenCounts(df: DataFrame, textCol: String): DataFrame =
+    df.select(explode(regexp_extract_all(col(textCol),
+        lit(graft.functions.BpeVocab.pretokenRegex), lit(0))).as("word"))
+      .groupBy("word").agg(count(lit(1)).as("n"))
+
+  /** Learn `numMerges` merges from a corpus. */
+  def learnMerges(
+      df: DataFrame,
+      textCol: String,
+      numMerges: Int,
+      maxWords: Int = 1 << 20): Seq[(String, String)] = {
+    require(numMerges > 0, s"numMerges must be positive, got $numMerges")
+    require(maxWords > 0, s"maxWords must be positive, got $maxWords")
+    val top = pretokenCounts(df, textCol)
+      .orderBy(desc("n"), asc("word")).limit(maxWords)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toSeq
+    learnFromCounts(top, numMerges)
+  }
+
+  /** The driver-side merge loop over a word-frequency table. Cost per
+    * merge is proportional to the words CONTAINING the chosen pair
+    * (tracked in an inverted index), not the vocabulary — the standard
+    * incremental trainer shape. Stops early when no adjacent pair
+    * occurs twice (merging a count-1 pair would just memorize one
+    * word). */
+  def learnFromCounts(
+      wordCounts: Seq[(String, Long)],
+      numMerges: Int): Seq[(String, String)] = {
+    import scala.collection.mutable
+    val words: Array[(mutable.ArrayBuffer[String], Long)] =
+      wordCounts.iterator.filter(_._1.nonEmpty).map { case (w, c) =>
+        (mutable.ArrayBuffer.tabulate(w.length)(i => String.valueOf(w.charAt(i))), c)
+      }.toArray
+    val pairCount = mutable.HashMap.empty[(String, String), Long]
+    // pair -> indices of words that contained it at some point; stale
+    // entries are filtered at use (cheaper than precise maintenance)
+    val pairWords = mutable.HashMap.empty[(String, String), mutable.Set[Int]]
+    def adjustWord(wi: Int, sign: Long): Unit = {
+      val (syms, c) = words(wi)
+      var i = 0
+      while (i < syms.length - 1) {
+        val p = (syms(i), syms(i + 1))
+        val n = pairCount.getOrElse(p, 0L) + sign * c
+        if (n == 0L) pairCount.remove(p) else pairCount(p) = n
+        if (sign > 0) pairWords.getOrElseUpdate(p, mutable.Set.empty) += wi
+        i += 1
+      }
+    }
+    words.indices.foreach(adjustWord(_, 1L))
+    val merges = mutable.ArrayBuffer.empty[(String, String)]
+    var round = 0
+    var exhausted = false
+    while (round < numMerges && !exhausted) {
+      // deterministic argmax: count desc, then (left, right) asc
+      var best: (String, String) = null
+      var bestN = 1L // pairs must occur at least twice to merge
+      for ((p, n) <- pairCount) {
+        if (n > bestN || (n == bestN && best != null &&
+            (p._1 < best._1 || (p._1 == best._1 && p._2 < best._2)))) {
+          best = p; bestN = n
+        }
+      }
+      if (best == null) exhausted = true
+      else {
+        merges += best
+        val affected = pairWords.getOrElse(best, mutable.Set.empty).toArray.sorted
+        for (wi <- affected) {
+          val (syms, _) = words(wi)
+          var has = false
+          var i = 0
+          while (!has && i < syms.length - 1) {
+            has = syms(i) == best._1 && syms(i + 1) == best._2; i += 1
+          }
+          if (has) { // stale index entries skip here
+            adjustWord(wi, -1L)
+            // merge all non-overlapping occurrences, left to right —
+            // the exact segmentWord application order
+            val merged = mutable.ArrayBuffer.empty[String]
+            var p = 0
+            while (p < syms.length) {
+              if (p < syms.length - 1 && syms(p) == best._1 && syms(p + 1) == best._2) {
+                merged += syms(p) + syms(p + 1); p += 2
+              } else { merged += syms(p); p += 1 }
+            }
+            syms.clear(); syms ++= merged
+            adjustWord(wi, 1L)
+          }
+        }
+        round += 1
+      }
+    }
+    merges.toSeq
+  }
+
+  /** Write merges in the standard `merges.txt` format
+    * ([[graft.functions.BpeVocab.parse]] round-trips it; so does any
+    * tool consuming trained-tokenizer merge files). Hadoop-FS path,
+    * like every other artifact writer here. */
+  def saveMerges(
+      spark: org.apache.spark.sql.SparkSession,
+      path: String,
+      merges: Seq[(String, String)]): Unit = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val out = new java.io.BufferedWriter(new java.io.OutputStreamWriter(
+      fs.create(p, true), java.nio.charset.StandardCharsets.UTF_8))
+    try {
+      out.write("#version: 0.2\n")
+      merges.foreach { case (a, b) => out.write(a); out.write(' '); out.write(b); out.write('\n') }
+    } finally out.close()
+  }
+}

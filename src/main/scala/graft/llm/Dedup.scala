@@ -504,4 +504,106 @@ object Dedup {
     }
     labels
   }
+
+  // --------------------------------------------- duplicated-span removal
+
+  /** Exact duplicated-SPAN removal (Lee et al. 2022, arXiv:2107.06499
+    * "Deduplicating Training Data Makes Language Models Better"): any
+    * `n`-token span occurring more than once in the corpus — across
+    * documents OR repeated within one — is removed from every
+    * occurrence except the globally first (ordered by `(id, offset)`).
+    * Document-level dedup misses this entirely: two long articles
+    * quoting the same 200-token passage are not near-duplicates, yet
+    * the passage is memorization fuel.
+    *
+    * Semantics:
+    *  - spans are n consecutive WHITESPACE tokens, case-sensitive
+    *    (removal must key on the exact text it will cut — unlike the
+    *    lowercased signature tokenization of [[tokens]]);
+    *  - same-doc occurrences overlapping the kept first copy (offset
+    *    distance < n) are spared, so a self-repeat like "x"×200 keeps
+    *    its leading window intact instead of eroding to one token;
+    *  - removed token indices are the UNION of the marked windows —
+    *    overlapping duplicate spans merge naturally;
+    *  - touched documents are rebuilt from surviving tokens joined by
+    *    single spaces (whitespace-normalized, like the chunkers);
+    *    UNTOUCHED documents keep their original text byte-for-byte;
+    *  - `n_removed` counts the tokens cut (0 for untouched docs);
+    *  - documents shorter than `n` tokens have no span and pass through.
+    *
+    * 100 TB shape: the occurrence extraction is a scan + one explode —
+    * (tokens − n + 1) rows per doc, so the duplicate-finding shuffle
+    * carries ~8 bytes per corpus TOKEN with `hashSpans` (the native
+    * rolling-hash path, O(tokens) per doc; string spans multiply that
+    * by n and exist for the SQL-replayable oracle). That token-scale
+    * shuffle is inherent to exact substring dedup without a distributed
+    * suffix array — it is ONE pass, keyed, partial-agg-friendly, never
+    * all-pairs. Downstream work is proportional to the DUPLICATED
+    * portion: the token explode and reassembly run solely over touched
+    * docs (left-semi on marked ids); the final merge of rebuilt text
+    * back into the corpus is one join on the id (AQE broadcasts it when
+    * the touched set is small). */
+  def removeDuplicateSpans(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      n: Int = 50,
+      hashSpans: Boolean = true): DataFrame = {
+    require(n >= 2, s"span size must be >= 2, got $n")
+    // case-preserving tokens: what removal cuts and reassembly emits
+    def rawTokens(c: Column): Column =
+      filter(split(trim(c), "\\s+"), t => length(t) > 0)
+    val spanKeys: Column =
+      if (hashSpans) graft.functions.GraftFunctions.spanHashes(col(textCol), n)
+      else {
+        val toks = rawTokens(col(textCol))
+        when(size(toks) >= n,
+          transform(sequence(lit(0), size(toks) - n),
+            i => concat_ws(" ", slice(toks, i + 1, lit(n)))))
+          .otherwise(array())
+      }
+    val occ = df.select(col(idCol).as("__id"),
+      posexplode(spanKeys).as(Seq("__off", "__key")))
+    // one shuffle on the span key: occurrence count + globally-first
+    // occurrence in a single aggregate; only keys seen twice survive
+    val dups = occ.groupBy("__key")
+      .agg(count(lit(1)).as("__cnt"),
+        min(struct(col("__id"), col("__off"))).as("__first"))
+      .filter(col("__cnt") >= 2)
+      .select(col("__key"),
+        col("__first.__id").as("__fid"), col("__first.__off").as("__foff"))
+    val marked = occ.join(dups, Seq("__key"))
+      .filter(!(col("__id") === col("__fid") &&
+        abs(col("__off") - col("__foff")) < n))
+      .select(col("__id"), col("__off"))
+    // union of marked windows per doc, as distinct token indices
+    val removed = marked.select(col("__id"),
+      explode(sequence(col("__off"), col("__off") + lit(n - 1))).as("__idx"))
+      .distinct()
+    val touchedIds = removed.select(col("__id")).distinct()
+    // rebuild ONLY touched docs: token explode bounded by the docs that
+    // actually lose spans, not the corpus
+    val touched = df
+      .join(touchedIds.withColumnRenamed("__id", idCol), Seq(idCol), "left_semi")
+    val keptTokens = touched.select(col(idCol),
+        posexplode(rawTokens(col(textCol))).as(Seq("__idx", "__tok")))
+      .join(removed.withColumnRenamed("__id", idCol), Seq(idCol, "__idx"), "left_anti")
+    val rebuilt = keptTokens.groupBy(col(idCol))
+      .agg(array_join(
+          transform(array_sort(collect_list(struct(col("__idx"), col("__tok")))),
+            x => x.getField("__tok")), " ").as("__rebuilt"),
+        count(lit(1)).as("__n_kept"))
+    val flags = touchedIds.withColumnRenamed("__id", idCol)
+      .withColumn("__touched", lit(true))
+    df.withColumn("__n_orig", size(rawTokens(col(textCol))).cast("long"))
+      .join(flags, Seq(idCol), "left")
+      .join(rebuilt, Seq(idCol), "left")
+      .withColumn(textCol,
+        when(col("__touched").isNull, col(textCol))
+          .otherwise(coalesce(col("__rebuilt"), lit(""))))
+      .withColumn("n_removed",
+        when(col("__touched").isNull, lit(0L))
+          .otherwise(col("__n_orig") - coalesce(col("__n_kept"), lit(0L))))
+      .select(df.columns.map(col) :+ col("n_removed"): _*)
+  }
 }

@@ -194,4 +194,66 @@ class BpeSpec extends SparkTestBase {
       assert(r.getInt(0) <= r.getInt(2), "token count cannot exceed char count")
     }
   }
+
+  // ---------------------------------------------------- merge LEARNING
+
+  test("learnFromCounts: the classic corpus learns hand-computed merges " +
+      "(max count, lexicographic ties)") {
+    // pair counts by hand: (e,s)=9 (s,t)=9 -> lex picks (e,s); after it
+    // (es,t)=9; then (l,o)=7 ties (o,w)=7 -> (l,o); then (lo,w)=7
+    val merges = graft.llm.BpeTrainer.learnFromCounts(
+      Seq("low" -> 5L, "lower" -> 2L, "newest" -> 6L, "widest" -> 3L), 4)
+    assert(merges == Seq(("e", "s"), ("es", "t"), ("l", "o"), ("lo", "w")))
+  }
+
+  test("learned merges round-trip through BpeVocab: training words AND unseen " +
+      "compositions segment under the learned table") {
+    val merges = graft.llm.BpeTrainer.learnFromCounts(
+      Seq("low" -> 5L, "lower" -> 2L, "newest" -> 6L, "widest" -> 3L), 4)
+    val path = java.nio.file.Files.createTempDirectory("bpe-learn")
+      .resolve("merges.txt").toString
+    graft.llm.BpeTrainer.saveMerges(spark, path, merges)
+    val vocab = graft.functions.BpeVocab.parse(
+      scala.io.Source.fromFile(path, "UTF-8").getLines())
+    assert(vocab.segmentWord("newest").toSeq == Seq("n", "e", "w", "est"))
+    // "lowest" never occurred, yet composes from learned symbols
+    assert(vocab.segmentWord("lowest").toSeq == Seq("low", "est"))
+  }
+
+  test("learning stops when no pair occurs twice (count-1 pairs never merge)") {
+    assert(graft.llm.BpeTrainer.learnFromCounts(Seq("ab" -> 1L, "cd" -> 1L), 5).isEmpty)
+    // asking for more merges than exist stops early, no padding
+    val m = graft.llm.BpeTrainer.learnFromCounts(Seq("aaa" -> 3L), 50)
+    assert(m.nonEmpty && m.length < 50)
+  }
+
+  test("pretokenCounts matches the BpeVocab pretokenization contract") {
+    import spark.implicits._
+    val counts = graft.llm.BpeTrainer.pretokenCounts(
+      Seq("don't stop, don't", "stop 42!").toDF("text"), "text")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // letter runs, digit runs, symbol runs; whitespace contributes nothing
+    assert(counts == Map("don" -> 2L, "'" -> 2L, "t" -> 2L, "stop" -> 2L,
+      "," -> 1L, "42" -> 1L, "!" -> 1L))
+  }
+
+  test("learnMerges on the real corpus is deterministic and its first merge " +
+      "is the true argmax of raw pair counts") {
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet").select("text")
+    val m1 = graft.llm.BpeTrainer.learnMerges(docs, "text", numMerges = 6)
+    val m2 = graft.llm.BpeTrainer.learnMerges(docs, "text", numMerges = 6)
+    assert(m1 == m2 && m1.length == 6)
+    // independent argmax: count char pairs over the word-frequency
+    // table in plain Scala, no trainer code involved
+    val wc = graft.llm.BpeTrainer.pretokenCounts(docs, "text")
+      .collect().map(r => r.getString(0) -> r.getLong(1))
+    val pairs = scala.collection.mutable.HashMap.empty[(String, String), Long]
+    for ((w, c) <- wc; i <- 0 until w.length - 1) {
+      val p = (String.valueOf(w(i)), String.valueOf(w(i + 1)))
+      pairs(p) = pairs.getOrElse(p, 0L) + c
+    }
+    val best = pairs.toSeq.maxBy { case ((a, b), n) => (n, a, b) }
+    val expected = pairs.filter(_._2 == best._2).keys.toSeq.sorted.head
+    assert(m1.head == expected, s"first merge ${m1.head} vs independent argmax $expected")
+  }
 }

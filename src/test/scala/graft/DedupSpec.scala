@@ -191,4 +191,64 @@ class DedupSpec extends SparkTestBase {
     val empty = Seq.empty[(Long, Long)].toDF("id1", "id2")
     assert(Dedup.connectedComponents(empty).count() == 0)
   }
+
+  // ------------------------------------------- duplicated-span removal
+
+  test("removeDuplicateSpans: first occurrence kept, later copy cut, " +
+      "untouched docs keep ORIGINAL spacing") {
+    val docs = Seq(
+      (1L, "a  b c d e f g h"),   // double space: must survive verbatim
+      (2L, "x y a b c d e f"),    // shares span "a b c d e f" at offset 2
+      (3L, "p q r s t u")         // no duplicate span
+    ).toDF("doc_id", "text")
+    for (hash <- Seq(false, true)) {
+      val out = Dedup.removeDuplicateSpans(docs, "doc_id", "text", n = 6, hashSpans = hash)
+        .collect().map(r => r.getLong(0) -> (r.getString(1), r.getLong(2))).toMap
+      assert(out(1L) == ("a  b c d e f g h", 0L), s"hash=$hash: ${out(1L)}")
+      assert(out(2L) == ("x y", 6L), s"hash=$hash: ${out(2L)}")
+      assert(out(3L) == ("p q r s t u", 0L))
+    }
+  }
+
+  test("removeDuplicateSpans: self-repeat keeps the leading window intact " +
+      "(overlap exemption), erodes the rest") {
+    val unit = "r1 r2 r3 r4 r5"
+    val docs = Seq((1L, Seq.fill(4)(unit).mkString(" "))).toDF("doc_id", "text")
+    val r = Dedup.removeDuplicateSpans(docs, "doc_id", "text", n = 5)
+      .head()
+    assert(r.getString(1) == unit, s"kept: ${r.getString(1)}")
+    assert(r.getLong(2) == 15L)
+  }
+
+  test("removeDuplicateSpans: docs shorter than n pass through even when identical") {
+    // whole-doc duplicates are exact dedup's job, not span removal's
+    val docs = Seq((1L, "same short doc"), (2L, "same short doc")).toDF("doc_id", "text")
+    val out = Dedup.removeDuplicateSpans(docs, "doc_id", "text", n = 5)
+      .collect().map(r => (r.getString(1), r.getLong(2)))
+    assert(out.toSet == Set(("same short doc", 0L)))
+  }
+
+  test("removeDuplicateSpans: span matching is case-sensitive") {
+    val docs = Seq(
+      (1L, "The Quick Brown Fox Jumps Over"),
+      (2L, "the quick brown fox jumps over")).toDF("doc_id", "text")
+    val out = Dedup.removeDuplicateSpans(docs, "doc_id", "text", n = 6)
+    assert(out.filter(col("n_removed") > 0).count() == 0)
+  }
+
+  test("removeDuplicateSpans: native hash form is identical to the string form " +
+      "on the real corpus") {
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet").select("doc_id", "text")
+    def run(h: Boolean) = Dedup.removeDuplicateSpans(docs, "doc_id", "text", n = 10, hashSpans = h)
+      .collect().map(r => r.getLong(0) -> (r.getString(1), r.getLong(2))).toMap
+    assert(run(true) == run(false))
+  }
+
+  test("removeDuplicateSpans: token explode is bounded to touched docs (left-semi in plan)") {
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet").select("doc_id", "text")
+    val plan = Dedup.removeDuplicateSpans(docs, "doc_id", "text", n = 10)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("LeftSemi"), s"reassembly must be gated on touched ids:\n$plan")
+    assert(plan.contains("graft_span_hashes"), s"default path must use the native expression:\n$plan")
+  }
 }

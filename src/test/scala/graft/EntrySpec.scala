@@ -129,6 +129,40 @@ class EntrySpec extends SparkTestBase {
     assert(rows("untouched") == 270L, s"untouched vectors must all survive, got ${rows.get("untouched")}")
   }
 
+  test("q78: learned merge table — dense ranks, true-argmax first merge, " +
+      "table genuinely compresses the corpus under graft_bpe_count") {
+    import org.apache.spark.sql.functions.col
+    val m = SparkEntry.queries("q78_bpe_learn")(spark, sfDir)
+      .orderBy("rank").collect().map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    assert(m.length == 12 && m.map(_._1).toSeq == (0L until 12L))
+    // merge 1 re-derived from raw pair counts, no trainer code involved
+    val wc = graft.llm.BpeTrainer.pretokenCounts(
+      spark.read.parquet(s"$sfDir/documents.parquet").select("text"), "text")
+      .collect().map(r => r.getString(0) -> r.getLong(1))
+    val pairs = scala.collection.mutable.HashMap.empty[(String, String), Long]
+    for ((w, c) <- wc; i <- 0 until w.length - 1) {
+      val p = (String.valueOf(w(i)), String.valueOf(w(i + 1)))
+      pairs(p) = pairs.getOrElse(p, 0L) + c
+    }
+    val maxN = pairs.values.max
+    val expect = pairs.filter(_._2 == maxN).keys.toSeq.sorted.head
+    assert((m(0)._2, m(0)._3) == expect, s"first merge ${m(0)} vs argmax $expect")
+    // round trip: the learned table drives the existing consumers and
+    // strictly compresses vs char-level (an empty table)
+    val dir = java.nio.file.Files.createTempDirectory("q78")
+    val learned = dir.resolve("learned.txt").toString
+    val empty = dir.resolve("empty.txt").toString
+    graft.llm.BpeTrainer.saveMerges(spark, learned, m.map(x => (x._2, x._3)).toSeq)
+    graft.llm.BpeTrainer.saveMerges(spark, empty, Seq.empty)
+    val cmp = spark.read.parquet(s"$sfDir/documents.parquet").limit(200).select(
+      org.apache.spark.sql.functions.sum(
+        graft.llm.TextAnalysis.bpeTokenCount(col("text"), learned)).as("l"),
+      org.apache.spark.sql.functions.sum(
+        graft.llm.TextAnalysis.bpeTokenCount(col("text"), empty)).as("e")).head()
+    assert(cmp.getLong(0) < cmp.getLong(1),
+      s"learned table must compress: ${cmp.getLong(0)} vs ${cmp.getLong(1)}")
+  }
+
   test("q36 dim-chain plan: both dimensions broadcast, no sort-merge join") {
     val plan = SparkEntry.queries("q36_supplier_region")(spark, sfDir)
       .queryExecution.executedPlan.toString

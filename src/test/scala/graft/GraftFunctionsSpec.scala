@@ -44,6 +44,34 @@ class GraftFunctionsSpec extends SparkTestBase {
     assert(plan.contains("*(1) Project [graft_simhash"), s"no codegen span:\n$plan")
   }
 
+  test("graft_span_hashes: per-offset count, rolling parity with a fresh " +
+      "computation, case-sensitive, short docs empty") {
+    import spark.implicits._
+    val r = spark.sql(
+      "SELECT graft_span_hashes('a b c d e', 2) AS h5, " +
+      "graft_span_hashes('b c d e', 2) AS h4, " +
+      "graft_span_hashes('a b', 3) AS short, " +
+      "graft_span_hashes('A b c', 2) AS upper, " +
+      "graft_span_hashes('a b c', 2) AS lower").head()
+    val h5 = r.getSeq[Long](0); val h4 = r.getSeq[Long](1)
+    assert(h5.length == 4 && h4.length == 3)
+    // the ROLLING update at offset i must equal a FRESH hash of the
+    // suffix: h5[1..] covers the same spans as h4[0..]
+    assert(h5.drop(1) == h4, s"rolling drift: ${h5.drop(1)} vs $h4")
+    assert(r.getSeq[Long](2).isEmpty, "doc shorter than n must have no span")
+    assert(r.getSeq[Long](3).head != r.getSeq[Long](4).head,
+      "span hashes must be case-sensitive (unlike graft_gram_hashes)")
+    // duplicate spans collide exactly: "a b" at two offsets
+    val d = spark.sql("SELECT graft_span_hashes('a b x a b', 2) AS h").head().getSeq[Long](0)
+    assert(d.length == 4 && d(0) == d(3) && d.distinct.length == 3)
+  }
+
+  test("graft_span_hashes stays inside whole-stage codegen") {
+    val plan = docs.select(GraftFunctions.spanHashes(col("text"), 10).as("h"))
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("*(1) Project [graft_span_hashes"), s"no codegen span:\n$plan")
+  }
+
   test("type errors are caught at analysis time") {
     val ex = intercept[Exception] {
       docs.select(call_function("graft_cosine", col("text"), col("text"))).collect()
