@@ -1268,6 +1268,39 @@ object SparkEntry {
         .map { case ((a, b), r) => (r.toLong, a, b) }
         .toDF("rank", "left", "right")
     }),
+
+    // ---- DSIR importance resampling: select 150 docs TOWARD the src0
+    // domain via the likelihood ratio of two unigram LMs (target =
+    // src0-trained, raw = full-corpus-trained), then the deterministic
+    // E–S bottom-k. Pure composition of the oracle-pinned LM scoring
+    // (q71/q72) and weighted sampling (q58) — the q79 oracle replays
+    // BOTH LM trainings, the ratio, and the rank arithmetic verbatim.
+    // q80 is the same program through the zero-shuffle native scoring
+    // path (saved LM files + graft_lm_logprob) under the SAME oracle.
+    "q79_dsir_sample" -> ((s, dir) => {
+      import graft.llm.{CorpusPrep, LangModel}
+      val docs = t(s, dir, "documents").select(col("doc_id"), col("source"), col("text"))
+      val target = LangModel.trainUnigram(
+        docs.filter(col("source") === "src0"), "text", minCount = 2)
+      val raw = LangModel.trainUnigram(docs, "text", minCount = 2)
+      CorpusPrep.dsirSample(docs, "doc_id", "text", target, raw,
+          k = 150, salt = "q79", roundLogP = Some(6))
+        .select(col("doc_id"), col("source"), round(col("dsir_weight"), 6).as("dsir_weight"))
+    }),
+    "q80_dsir_native" -> ((s, dir) => {
+      import graft.llm.{CorpusPrep, LangModel}
+      val docs = t(s, dir, "documents").select(col("doc_id"), col("source"), col("text"))
+      val base = new java.io.File(System.getProperty("java.io.tmpdir"), "graft_lm")
+      val tag = dir.replaceAll("[^A-Za-z0-9.-]", "_")
+      val tPath = new java.io.File(base, s"${tag}_dsir_target.lm").toString
+      val rPath = new java.io.File(base, s"${tag}_dsir_raw.lm").toString
+      LangModel.save(LangModel.trainUnigram(
+        docs.filter(col("source") === "src0"), "text", minCount = 2), tPath)
+      LangModel.save(LangModel.trainUnigram(docs, "text", minCount = 2), rPath)
+      CorpusPrep.dsirSampleFast(docs, "doc_id", "text", tPath, rPath,
+          k = 150, salt = "q79", roundLogP = Some(6))
+        .select(col("doc_id"), col("source"), round(col("dsir_weight"), 6).as("dsir_weight"))
+    }),
   )
 
   /** q76/q77's planted corpus: a shared 12-token passage appended to
@@ -1364,6 +1397,45 @@ object SparkEntry {
       |LEFT JOIN (SELECT DISTINCT doc_id FROM removed) r0 USING (doc_id)
       |LEFT JOIN rebuilt rb USING (doc_id)""".stripMargin
   }
+
+  /** q79/q80's shared oracle: BOTH unigram LM trainings (src0-target
+    * and full-corpus-raw, the exact q71 Laplace arithmetic), the
+    * rounded log-prob ratio, and the q58 E–S rank replay — the whole
+    * DSIR pipeline verbatim in SQL. */
+  private val DsirOracleSql: String =
+    """WITH toks AS (
+      |  SELECT doc_id, source,
+      |    unnest(list_filter(regexp_split_to_array(lower(trim(text)), '\s+'),
+      |      t -> len(t) > 0)) AS token
+      |  FROM documents),
+      |tvocab AS (
+      |  SELECT token, count(*) AS cnt FROM toks WHERE source = 'src0'
+      |  GROUP BY token HAVING count(*) >= 2),
+      |td AS (SELECT CAST(coalesce(sum(cnt), 0) + count(*) + 1 AS DOUBLE) AS d
+      |       FROM tvocab),
+      |rvocab AS (
+      |  SELECT token, count(*) AS cnt FROM toks
+      |  GROUP BY token HAVING count(*) >= 2),
+      |rd AS (SELECT CAST(coalesce(sum(cnt), 0) + count(*) + 1 AS DOUBLE) AS d
+      |       FROM rvocab),
+      |lt AS (
+      |  SELECT t.doc_id,
+      |    round(avg(log10(CAST(coalesce(v.cnt, 0) + 1 AS DOUBLE) / td.d)), 6) AS lt
+      |  FROM toks t LEFT JOIN tvocab v USING (token) CROSS JOIN td
+      |  GROUP BY t.doc_id),
+      |lr AS (
+      |  SELECT t.doc_id,
+      |    round(avg(log10(CAST(coalesce(v.cnt, 0) + 1 AS DOUBLE) / rd.d)), 6) AS lr
+      |  FROM toks t LEFT JOIN rvocab v USING (token) CROSS JOIN rd
+      |  GROUP BY t.doc_id),
+      |w AS (
+      |  SELECT d.doc_id, d.source, pow(10.0, lt.lt - lr.lr) AS w
+      |  FROM documents d JOIN lt USING (doc_id) JOIN lr USING (doc_id))
+      |SELECT doc_id, source, round(w, 6) AS dsir_weight FROM (
+      |  SELECT *, -ln((('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '|' || 'q79'),
+      |      1, 15))::UBIGINT + 1.0) / 1152921504606846976.0) / w AS wkey
+      |  FROM w WHERE w > 0)
+      |ORDER BY wkey, doc_id LIMIT 150""".stripMargin
 
   private val LmOracleSql: String =
     """WITH toks AS (
@@ -1470,6 +1542,8 @@ object SparkEntry {
     "q72_lm_native" -> LmOracleSql,
     "q76_span_dedup" -> SpanDedupOracleSql,
     "q77_span_dedup_native" -> SpanDedupOracleSql,
+    "q79_dsir_sample" -> DsirOracleSql,
+    "q80_dsir_native" -> DsirOracleSql,
     // identical temperature arithmetic: same skewed corpus, same
     // count→pow(n, alpha-1)→least(1, budget·w/max w) rates, same 60-bit
     // numeric uniform (the q58 idiom) on the shared digest

@@ -158,7 +158,7 @@ object Scorer {
   * next increment. Alternate A/B state dirs between runs. */
 object Curator {
   def main(args: Array[String]): Unit = Cli.run("curator", args) { (conf, spark) =>
-    import org.apache.spark.sql.functions.{col, concat, lit}
+    import org.apache.spark.sql.functions.{col, concat, count, length, lit, sum}
     Cli.log("loading corpus...")
     val raw = graft.sources.DataIO.read(spark, conf.at("source"))
     val c = conf.at("curation")
@@ -178,7 +178,7 @@ object Curator {
     // batch sees only its own headers/footers, which is the C4-style
     // semantics (boilerplate is batch-pervasive by nature); docs whose
     // every line was boilerplate are dropped, not emitted empty
-    val df = c.getInt("boilerplate-min-doc-freq") match {
+    val dfB = c.getInt("boilerplate-min-doc-freq") match {
       case Some(mdf) =>
         val tcol = c.getString("text-column").getOrElse("text")
         val icol = c.getString("id-column").getOrElse("doc_id")
@@ -195,6 +195,32 @@ object Curator {
           cleaned
         }
       case None => df0
+    }
+    // optional exact duplicated-SPAN removal (Lee et al. substring
+    // dedup), the third pre-state text-rewriting stage after redact and
+    // boilerplate — same ordering argument: the persisted dedup state
+    // must hash the text future batches will actually carry. Spans are
+    // found within THIS batch only (the state keeps no span index);
+    // docs whose every token was a duplicated span are dropped
+    val df = c.getInt("span-dedup-tokens") match {
+      case Some(n) =>
+        val tcol = c.getString("text-column").getOrElse("text")
+        val icol = c.getString("id-column").getOrElse("doc_id")
+        val deduped = graft.llm.Dedup.removeDuplicateSpans(dfB, icol, tcol, n = n)
+        val kept = deduped
+          .filter(col("n_removed") === 0 || length(col(tcol)) > 0)
+        if (c.getString("log-drop-counts").exists(v => !v.toBoolean))
+          kept.drop("n_removed")
+        else {
+          val stats = deduped.agg(
+            count(lit(1)).as("docs"),
+            sum((col("n_removed") > 0).cast("long")).as("touched"),
+            sum("n_removed").as("toks")).head()
+          Cli.log(s"span-dedup: ${stats.getLong(2)} duplicate tokens cut from " +
+            s"${stats.getLong(1)} of ${stats.getLong(0)} docs (span=$n)")
+          kept.drop("n_removed")
+        }
+      case None => dfB
     }
     val base = graft.llm.Curation.Config()
     val cc = graft.llm.Curation.Config(
@@ -229,10 +255,16 @@ object Curator {
       "curation.min-lm-logp needs curation.lm-path (a saved unigram LM file)")
     c.getDouble("quality-quantile").foreach(f => require(f > 0.0 && f <= 1.0,
       s"curation.quality-quantile must be a keep-fraction in (0,1], got $f"))
-    require(c.getDouble("temperature-alpha").isEmpty || c.at("mixture-weights").flat.isEmpty,
-      "curation.temperature-alpha and curation.mixture-weights are mutually " +
-        "exclusive — rates derived from observed domain counts vs explicit " +
-        "per-source fractions; pick one mixing rule")
+    require(Seq(c.getDouble("temperature-alpha").isDefined,
+        c.at("mixture-weights").flat.nonEmpty,
+        c.getInt("dsir-k").isDefined).count(identity) <= 1,
+      "curation.temperature-alpha, curation.mixture-weights and curation.dsir-k " +
+        "are mutually exclusive — count-derived rates vs explicit per-source " +
+        "fractions vs importance resampling; pick one composition rule")
+    require(c.getInt("dsir-k").isEmpty ||
+        (c.getString("dsir-target-lm").isDefined && c.getString("dsir-raw-lm").isDefined),
+      "curation.dsir-k needs curation.dsir-target-lm and curation.dsir-raw-lm " +
+        "(saved unigram LM files — LangModel.save artifacts)")
     c.getDouble("temperature-alpha").foreach(a => require(a >= 0.0 && a <= 1.0,
       s"curation.temperature-alpha must be in [0,1], got $a"))
     c.getDouble("temperature-budget").foreach(b => require(b > 0.0 && b <= 1.0,
@@ -425,19 +457,31 @@ object Curator {
     // optional training-mix composition (deterministic per-source keep
     // fractions) on the curated survivors
     val mixWeights = c.at("mixture-weights").flat
+    // DSIR selection (importance resampling toward a target domain) is
+    // the third composition rule, exclusive with the two below: score
+    // with saved target/raw LMs (native zero-shuffle path), keep the
+    // top-k by the deterministic E–S rank
+    val dsired = c.getInt("dsir-k") match {
+      case Some(k) =>
+        graft.llm.CorpusPrep.dsirSampleFast(decontaminated, idCol, textCol,
+          c.getString("dsir-target-lm").get, c.getString("dsir-raw-lm").get,
+          k = k, salt = c.getString("dsir-salt").getOrElse(""))
+          .drop("dsir_weight")
+      case None => decontaminated
+    }
     val mixed = c.getDouble("temperature-alpha") match {
       // temperature mixing: rates DERIVED from the observed per-domain
       // counts (∝ n^(alpha-1), largest pinned to temperature-budget) —
       // the multilingual rule when explicit per-source fractions aren't
       // known up front; mutually exclusive with mixture-weights (above)
       case Some(alpha) =>
-        graft.llm.CorpusPrep.temperatureMix(decontaminated, idCol,
+        graft.llm.CorpusPrep.temperatureMix(dsired, idCol,
           c.getString("mixture-source-column").getOrElse("source"),
           alpha, budget = c.getDouble("temperature-budget").getOrElse(1.0),
           salt = c.getString("mixture-salt").getOrElse(""))
-      case None if mixWeights.isEmpty => decontaminated
+      case None if mixWeights.isEmpty => dsired
       case None =>
-        graft.llm.CorpusPrep.mixtureSample(decontaminated, idCol,
+        graft.llm.CorpusPrep.mixtureSample(dsired, idCol,
           c.getString("mixture-source-column").getOrElse("source"),
           mixWeights.map { case (k, v) => k -> v.toDouble }.toMap,
           defaultFraction = c.getDouble("mixture-default-fraction").getOrElse(0.0),

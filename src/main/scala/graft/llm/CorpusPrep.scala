@@ -314,6 +314,84 @@ object CorpusPrep {
       .select(df.columns.map(col): _*) // the join fronted domainCol
   }
 
+  /** DSIR-style importance resampling (Xie et al. 2023,
+    * arXiv:2302.03169 "Data Selection for Language Models via
+    * Importance Resampling"): select `k` documents from a raw corpus
+    * TOWARD a target distribution. Importance weight = the per-token
+    * geometric-mean likelihood ratio `10^(lm_target − lm_raw)`, where
+    * each `lm_*` is the average log10 token probability under a
+    * [[LangModel]] unigram LM (the paper uses hashed-ngram LMs; the
+    * unigram ratio is the same estimator family and shares this
+    * engine's oracle-pinned scoring), then DETERMINISTIC weighted
+    * sampling without replacement ([[graft.operators.Ops.weightedSample]]
+    * — Efraimidis–Spirakis bottom-k on the shared md5 digest, so the
+    * selection is stable across partitionings/retries and replayable
+    * in SQL).
+    *
+    * Composition is the whole point: both halves are existing
+    * oracle-exact operators (q71/q72 scoring, q58 sampling), so the
+    * full pipeline — two LM scorings, a pow, a rank key, a bottom-k —
+    * replays verbatim in the q79/q80 oracle. Token-less documents have
+    * null scores → null weight → excluded (they carry no evidence).
+    *
+    * Shape at 100 TB: each scoring is a broadcast join + aggregate in
+    * the composable form, or a ZERO-shuffle codegen'd projection in the
+    * native form ([[dsirSampleFast]]); the bottom-k is a
+    * TakeOrderedAndProject — k rows per partition cross the wire, never
+    * the corpus. Same q58-class caveat: cross-engine bit-parity at the
+    * k-th/k+1-th boundary assumes both libms round `pow`/`ln`
+    * identically; the sample is valid under any exact arithmetic.
+    * `roundLogP = Some(d)` additionally rounds each avg log-prob to d
+    * decimals BEFORE the ratio — the float-summation-order stabilizer
+    * the q71 oracle uses, making the weights (not just the scores)
+    * replay across engines; selection quality is unaffected at d ≥ 6. */
+  def dsirSample(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      targetLm: UnigramLm,
+      rawLm: UnigramLm,
+      k: Int,
+      salt: String = "",
+      roundLogP: Option[Int] = None): DataFrame = {
+    def rnd(c: Column): Column = roundLogP.map(round(c, _)).getOrElse(c)
+    val t = LangModel.logProbPerDoc(df, targetLm, idCol, textCol)
+      .select(col(idCol), col("lm_logp").as("__lt"))
+    val r = LangModel.logProbPerDoc(df, rawLm, idCol, textCol)
+      .select(col(idCol), col("lm_logp").as("__lr"))
+    val weighted = df.join(t, Seq(idCol), "left").join(r, Seq(idCol), "left")
+      .withColumn("dsir_weight",
+        pow(lit(10.0), rnd(col("__lt")) - rnd(col("__lr"))))
+    graft.operators.Ops.weightedSample(
+        weighted, col(idCol), col("dsir_weight"), k, salt)
+      .select(df.columns.map(col) :+ col("dsir_weight"): _*)
+  }
+
+  /** [[dsirSample]] through the native scale path: weights from
+    * `graft_lm_logprob` over SAVED LM files (one load per executor JVM,
+    * zero-shuffle scoring scan) — bit-identical weights to the
+    * composable form (LangModelSpec pins the scoring parity), so both
+    * run under ONE oracle. */
+  def dsirSampleFast(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      targetLmPath: String,
+      rawLmPath: String,
+      k: Int,
+      salt: String = "",
+      roundLogP: Option[Int] = None): DataFrame = {
+    import graft.functions.GraftFunctions.lmLogProb
+    def rnd(c: Column): Column = roundLogP.map(round(c, _)).getOrElse(c)
+    val weighted = df.withColumn("dsir_weight",
+      pow(lit(10.0),
+        rnd(lmLogProb(col(textCol), targetLmPath)) -
+          rnd(lmLogProb(col(textCol), rawLmPath))))
+    graft.operators.Ops.weightedSample(
+        weighted, col(idCol), col("dsir_weight"), k, salt)
+      .select(df.columns.map(col) :+ col("dsir_weight"): _*)
+  }
+
   /** Deterministic global shuffle for training export: order the corpus
     * by `(md5(id|salt), id)` — a reproducible pseudo-random permutation
     * of the rows, the "shuffle the sequences before training" step.

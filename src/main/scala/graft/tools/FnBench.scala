@@ -63,6 +63,18 @@ object FnBench {
     time("gram hashes native")(docs20.select(
       call_function("graft_gram_hashes", col("text"), lit(8)).as("g")))
 
+    // span hashes (q76/q77 inputs): per-offset string spans (slice +
+    // concat_ws per offset, O(tokens·n) chars) vs the rolling
+    // polynomial hash (O(tokens), no String ever built)
+    val spanToks = filter(split(trim(col("text")), "\\s+"), t => length(t) > 0)
+    time("span strings HOF")(docs20.select(
+      when(size(spanToks) >= 10,
+        transform(sequence(lit(0), size(spanToks) - 10),
+          i => concat_ws(" ", slice(spanToks, i + 1, lit(10)))))
+        .otherwise(array()).as("s")))
+    time("span hashes native")(docs20.select(
+      call_function("graft_span_hashes", col("text"), lit(10)).as("s")))
+
     spark.stop()
   }
 }

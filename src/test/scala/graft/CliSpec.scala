@@ -627,6 +627,45 @@ class CliSpec extends SparkTestBase {
       "re-run of the same raw batch against state must converge to zero")
   }
 
+  test("curator span-dedup stage: duplicated passage survives only at its first " +
+      "occurrence, fully-duplicated docs drop, state hashes the cut text") {
+    import spark.implicits._
+    val base = tmp()
+    val in = base.resolve("sin").toString
+    val passage = "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu"
+    // docs 0..9 all end with the same 12-token passage; doc 50 is ONLY
+    // the passage; doc 100 shares nothing
+    val docs = ((0 until 10).map { i =>
+      (i.toLong, s"own body $i one two three four five six $passage")
+    } ++ Seq((50L, passage), (100L, "completely unrelated body text here okay")))
+      .toDF("doc_id", "text")
+    docs.write.parquet(in)
+    val f = write(base.resolve("span.conf"),
+      s"""source { storage-type = local, dataset-dir = $in }
+         |target { storage-type = local, dataset-dir = ${base.resolve("sout")}, dataset-store-format = parquet, write-mode = overwrite }
+         |curation {
+         |  min-quality = 0.0
+         |  span-dedup-tokens = 10
+         |  state-out-dir = ${base.resolve("sstate")}
+         |}
+         |""".stripMargin)
+    graft.cli.Curator.main(Array("--conf", f))
+    val out = spark.read.parquet(base.resolve("sout").toString)
+      .select("doc_id", "text").as[(Long, String)].collect().toMap
+    // doc 0 holds the globally-first occurrence and keeps it verbatim
+    assert(out(0L).endsWith(passage), s"doc 0 must keep the passage: ${out(0L)}")
+    (1 until 10).foreach { i =>
+      assert(!out(i.toLong).contains("alpha beta"), s"doc $i still has the passage")
+      assert(out(i.toLong).contains(s"own body $i"), s"doc $i lost its own text")
+    }
+    assert(!out.contains(50L), "the all-passage doc must be dropped")
+    assert(out(100L) == "completely unrelated body text here okay")
+    // the dedup state hashed the POST-cut text (the ordering argument):
+    // state row count covers exactly the emitted docs
+    assert(spark.read.parquet(base.resolve("sstate").resolve("hashes").toString)
+      .count() == out.size)
+  }
+
   test("curator temperature mixing: rates replay exactly from the no-mix run; " +
       "conflicts with mixture-weights") {
     import org.apache.spark.sql.functions.col
@@ -670,6 +709,52 @@ class CliSpec extends SparkTestBase {
       s"""source { storage-type = local, dataset-dir = $in }
          |target { storage-type = local, dataset-dir = ${base.resolve("tnope")}, dataset-store-format = parquet }
          |curation { temperature-alpha = 0.5, mixture-weights { big = 0.5 } }
+         |""".stripMargin)
+    val e = intercept[IllegalArgumentException] {
+      graft.cli.Curator.main(Array("--conf", bad))
+    }
+    assert(e.getMessage.contains("mutually exclusive"))
+  }
+
+  test("curator DSIR stage: importance resampling keeps target-domain docs; " +
+      "conflicts with the other composition rules") {
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    val base = tmp()
+    val in = base.resolve("din").toString
+    // pool: 30 fruit docs + 30 metal docs; target domain speaks fruit
+    val pool = ((0 until 30).map(i => (i.toLong, s"apple banana cherry date fig d$i")) ++
+      (100 until 130).map(i => (i.toLong, s"iron copper zinc nickel cobalt d$i")))
+      .toDF("doc_id", "text")
+    pool.write.parquet(in)
+    val tLm = graft.llm.LangModel.trainUnigram(
+      (1 to 20).map(i => s"apple banana cherry date apple t$i").toDF("text"), "text", minCount = 2)
+    val rLm = graft.llm.LangModel.trainUnigram(pool, "text", minCount = 2)
+    val tPath = base.resolve("t.lm").toString
+    val rPath = base.resolve("r.lm").toString
+    graft.llm.LangModel.save(tLm, tPath)
+    graft.llm.LangModel.save(rLm, rPath)
+    val f = write(base.resolve("dsir.conf"),
+      s"""source { storage-type = local, dataset-dir = $in }
+         |target { storage-type = local, dataset-dir = ${base.resolve("dout")}, dataset-store-format = parquet, write-mode = overwrite }
+         |curation {
+         |  min-quality = 0.0
+         |  dsir-k = 20
+         |  dsir-target-lm = "$tPath"
+         |  dsir-raw-lm = "$rPath"
+         |}
+         |""".stripMargin)
+    graft.cli.Curator.main(Array("--conf", f))
+    val kept = spark.read.parquet(base.resolve("dout").toString)
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept.size == 20)
+    assert(kept.count(_ < 100) >= 18,
+      s"DSIR must select overwhelmingly from the target domain: $kept")
+    val bad = write(base.resolve("dsir_bad.conf"),
+      s"""source { storage-type = local, dataset-dir = $in }
+         |target { storage-type = local, dataset-dir = ${base.resolve("dnope")}, dataset-store-format = parquet }
+         |curation { dsir-k = 20, dsir-target-lm = "$tPath", dsir-raw-lm = "$rPath",
+         |  mixture-weights { a = 0.5 } }
          |""".stripMargin)
     val e = intercept[IllegalArgumentException] {
       graft.cli.Curator.main(Array("--conf", bad))

@@ -123,4 +123,50 @@ class LangModelSpec extends SparkTestBase {
     val err2 = intercept[IllegalArgumentException] { LmRegistry.get(notLm.toString) }
     assert(err2.getMessage.contains("not a graft unigram LM"))
   }
+
+  // ------------------------------------------------- DSIR resampling
+
+  test("dsirSample: target-vocabulary docs out-weigh off-target docs and " +
+      "dominate the sample; token-less docs are excluded") {
+    import graft.llm.CorpusPrep
+    // target domain speaks fruit; raw corpus is fruit + metals
+    val target = (1 to 20).map(i => s"apple banana cherry date apple banana t$i")
+      .toDF("text")
+    val pool = ((1 to 30).map(i => (i.toLong, s"apple banana cherry date fig p$i")) ++
+      (101 to 130).map(i => (i.toLong, s"iron copper zinc nickel cobalt p$i")) :+
+      (999L, "   ")).toDF("doc_id", "text")
+    val raw = LangModel.trainUnigram(pool, "text", minCount = 2)
+    val tLm = LangModel.trainUnigram(target, "text", minCount = 2)
+    val out = CorpusPrep.dsirSample(pool, "doc_id", "text", tLm, raw, k = 25, salt = "s")
+      .select(col("doc_id"), col("dsir_weight")).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(out.size == 25)
+    assert(!out.contains(999L), "token-less doc must never be sampled")
+    val fruit = out.keys.count(_ < 100)
+    assert(fruit >= 23, s"sample must be dominated by target-like docs, got $fruit/25")
+    // every sampled fruit doc out-weighs every sampled metal doc
+    val minFruit = out.filter(_._1 < 100).values.minOption.getOrElse(0.0)
+    val maxMetal = out.filter(_._1 > 100).values.maxOption.getOrElse(0.0)
+    assert(minFruit > maxMetal, s"fruit weights must dominate: $minFruit vs $maxMetal")
+  }
+
+  test("dsirSampleFast (saved LMs + native scoring) selects the identical sample " +
+      "with identical weights") {
+    import graft.llm.CorpusPrep
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select(col("doc_id"), col("text"))
+    val tLm = LangModel.trainUnigram(
+      docs.filter(col("doc_id") < 80), "text", minCount = 2)
+    val rLm = LangModel.trainUnigram(docs, "text", minCount = 2)
+    val tPath = tmpLm("dsir_t.lm"); val rPath = tmpLm("dsir_r.lm")
+    LangModel.save(tLm, tPath); LangModel.save(rLm, rPath)
+    LmRegistry.invalidate(tPath); LmRegistry.invalidate(rPath)
+    def key(df: org.apache.spark.sql.DataFrame) =
+      df.select("doc_id", "dsir_weight").collect()
+        .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val slow = key(CorpusPrep.dsirSample(docs, "doc_id", "text", tLm, rLm, 50, "x"))
+    val fast = key(CorpusPrep.dsirSampleFast(docs, "doc_id", "text", tPath, rPath, 50, "x"))
+    assert(slow == fast, "composable and native DSIR must agree exactly")
+    assert(slow.size == 50)
+  }
 }
