@@ -1301,6 +1301,13 @@ object SparkEntry {
           k = 150, salt = "q79", roundLogP = Some(6))
         .select(col("doc_id"), col("source"), round(col("dsir_weight"), 6).as("dsir_weight"))
     }),
+
+    // ---- Corpus report (data card): per-(source, lang) counts and
+    // size totals, integer-only aggregates so the table is bit-exact
+    // on any engine. One partial-agg shuffle, one row per group.
+    "q81_corpus_report" -> ((s, dir) =>
+      graft.llm.TextAnalysis.corpusReport(
+        t(s, dir, "documents"), Seq("source", "lang"), "text")),
   )
 
   /** q76/q77's planted corpus: a shared 12-token passage appended to
@@ -1544,6 +1551,18 @@ object SparkEntry {
     "q77_span_dedup_native" -> SpanDedupOracleSql,
     "q79_dsir_sample" -> DsirOracleSql,
     "q80_dsir_native" -> DsirOracleSql,
+    // same whitespace-token arithmetic as the q16 oracle; all-integer
+    // aggregates, so no float caveat anywhere
+    "q81_corpus_report" ->
+      """SELECT source, lang,
+        |  count(*) AS n_docs,
+        |  CAST(sum(length(text)) AS BIGINT) AS total_chars,
+        |  CAST(sum(len(regexp_extract_all(trim(text), '\S+'))) AS BIGINT) AS total_tokens,
+        |  CAST(min(len(regexp_extract_all(trim(text), '\S+'))) AS BIGINT) AS min_doc_tokens,
+        |  CAST(max(len(regexp_extract_all(trim(text), '\S+'))) AS BIGINT) AS max_doc_tokens,
+        |  CAST(sum(CASE WHEN len(regexp_extract_all(trim(text), '\S+')) = 0
+        |           THEN 1 ELSE 0 END) AS BIGINT) AS n_empty
+        |FROM documents GROUP BY source, lang""".stripMargin,
     // identical temperature arithmetic: same skewed corpus, same
     // count→pow(n, alpha-1)→least(1, budget·w/max w) rates, same 60-bit
     // numeric uniform (the q58 idiom) on the shared digest

@@ -547,6 +547,17 @@ object Curator {
     // refuses, and re-running re-writes the target (at-least-once; use
     // an overwrite-mode target for idempotent re-runs).
     graft.sources.DataIO.write(emitted, conf.at("target"))
+    // optional data card: the per-group corpus report over the CURATED
+    // corpus (pre-mixture/chunking — the release-documentation view of
+    // what survived curation), written as one small parquet next to the
+    // output. Integer-only aggregates; curated is already persisted, so
+    // this costs one aggregate job
+    c.getString("report-dir").foreach { rdir =>
+      val groups = c.getList("report-group-columns").getOrElse(Seq("lang_id"))
+      graft.llm.TextAnalysis.corpusReport(curated, groups, textCol)
+        .coalesce(1).write.mode("overwrite").parquet(rdir)
+      Cli.log(s"corpus report written to $rdir (grouped by ${groups.mkString(", ")})")
+    }
     // dedup state = the CURATED corpus, not the emitted training set:
     // docs excluded downstream (mixture sampling, chunking) are still
     // recorded as seen — by design, so raising mixture weights later

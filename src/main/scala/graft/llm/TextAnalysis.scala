@@ -178,6 +178,36 @@ object TextAnalysis {
       .select(df.columns.map(col) :+ col("n_kept"): _*)
   }
 
+  /** Corpus report ("data card"): per-group document counts and size
+    * totals — the summary table a dataset release ships with, and the
+    * first sanity check before/after any curation stage. DELIBERATELY
+    * integer-only aggregates (counts, sums, min/max — no float means),
+    * so the result is bit-exact on any engine; derive means downstream
+    * as `total_tokens / n_docs` at display time.
+    *
+    * Shape at any scale: one groupBy with full partial aggregation —
+    * the shuffle carries one row per (partition, group). The token
+    * count (the q16 whitespace contract, which is what keeps the
+    * oracle exact) is computed ONCE per row in a pre-aggregation
+    * projection, not re-evaluated by each of the four aggregates that
+    * consume it. */
+  def corpusReport(
+      df: org.apache.spark.sql.DataFrame,
+      groupCols: Seq[String],
+      textCol: String = "text"): org.apache.spark.sql.DataFrame = {
+    require(groupCols.nonEmpty, "corpusReport needs at least one group column")
+    df.select(groupCols.map(col) :+
+        wsTokenCount(col(textCol)).cast("long").as("__toks") :+
+        length(col(textCol)).cast("long").as("__chars"): _*)
+      .groupBy(groupCols.map(col): _*).agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("__chars")).as("total_chars"),
+        sum(col("__toks")).as("total_tokens"),
+        min(col("__toks")).as("min_doc_tokens"),
+        max(col("__toks")).as("max_doc_tokens"),
+        sum((col("__toks") === 0).cast("long")).as("n_empty"))
+  }
+
   /** Mean token length over non-space characters. */
   def meanTokenLength(c: Column): Column = {
     val n = wsTokenCount(c)

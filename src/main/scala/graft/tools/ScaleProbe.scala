@@ -158,6 +158,26 @@ object ScaleProbe {
         .write.format("noop").mode("overwrite").save()
     }
 
+    // span dedup: DISTINCT 40-token docs (per-id hash, not the /10 dup
+    // factor — exact dedup runs before this in any real pipeline) with
+    // a 12-token passage planted on every 100th doc. Measures the real
+    // shape: the full-corpus per-offset occurrence shuffle (~31 rows/
+    // doc) plus reassembly for the ~1% touched slice.
+    val spanDocs = spark.range(nRows).select(
+      col("id").as("doc_id"),
+      concat_ws(" ", (0 until 40).map(i =>
+        element_at(words,
+          (pmod(xxhash64(col("id"), lit(i)), lit(26)) + 1).cast("int"))): _*).as("text"))
+      .withColumn("text",
+        when(col("doc_id") % 100 === 0,
+          concat(col("text"), lit(" the quick brown fox jumps over the lazy dog again and again")))
+          .otherwise(col("text")))
+    val spanCut = time("span dedup, distinct docs + 1% planted passage") {
+      graft.llm.Dedup.removeDuplicateSpans(spanDocs, "doc_id", "text", n = 10)
+        .agg(sum((col("n_removed") > 0).cast("long")), sum("n_removed")).head()
+    }
+    println(s"  touched docs: ${spanCut.getLong(0)}, tokens cut: ${spanCut.getLong(1)}")
+
     // quantile filter: group skew mirrors a real corpus (one dominant
     // language) — the window form would sort the dominant group in ONE
     // task; the threshold form stays a tiny aggregate + broadcast filter

@@ -154,6 +154,7 @@ class CliSpec extends SparkTestBase {
          |  min-quality = 0.2
          |  shingle-size = 3
          |  near-dup-strategy = simhash
+         |  report-dir = ${base.resolve("report")}
          |}
          |""".stripMargin)
     graft.cli.Curator.main(Array("--conf", f))
@@ -161,6 +162,14 @@ class CliSpec extends SparkTestBase {
     assert(curated.count() > 0)
     assert(curated.count() <= spark.read.parquet(s"$sfDir/documents.parquet").count())
     assert(Seq("quality", "lang_id", "n_tokens").forall(curated.columns.contains))
+    // the data card rides along: per-lang rows whose doc counts sum to
+    // the curated corpus
+    val report = spark.read.parquet(base.resolve("report").toString)
+    assert(report.columns.toSeq == Seq("lang_id", "n_docs", "total_chars",
+      "total_tokens", "min_doc_tokens", "max_doc_tokens", "n_empty"))
+    val totalDocs = report.agg(org.apache.spark.sql.functions.sum("n_docs"))
+      .head().getLong(0)
+    assert(totalDocs == curated.count(), s"report must cover the curated corpus")
   }
 
   test("curator with mixture + chunking emits training-ready chunk rows") {

@@ -274,6 +274,28 @@ class TextAnalysisSpec extends SparkTestBase {
     }
   }
 
+  test("corpusReport: hand-computed group totals, empty docs counted, " +
+      "single partial-agg shuffle") {
+    val docs = Seq(
+      (1L, "en", "a b c"),       // 3 tokens, 5 chars
+      (2L, "en", "d e"),         // 2 tokens, 3 chars
+      (3L, "en", "   "),         // 0 tokens, 3 chars — empty
+      (4L, "fr", "xyz")          // 1 token, 3 chars
+    ).toDF("doc_id", "lang", "text")
+    val rep = TextAnalysis.corpusReport(docs, Seq("lang"))
+    val byLang = rep.collect().map(r => r.getString(0) ->
+      (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6))).toMap
+    assert(byLang("en") == (3L, 11L, 5L, 0L, 3L, 1L))
+    assert(byLang("fr") == (1L, 3L, 1L, 1L, 1L, 0L))
+    // with AQE the plan string repeats under "== Initial Plan ==" —
+    // count exchanges only in the final plan section
+    val plan = rep.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    assert("Exchange".r.findAllIn(plan).size == 1, s"one partial-agg shuffle expected:\n$plan")
+    assert(plan.contains("partial_count") || plan.contains("HashAggregate"),
+      s"partial aggregation expected:\n$plan")
+    intercept[IllegalArgumentException] { TextAnalysis.corpusReport(docs, Nil) }
+  }
+
   test("analysis runs shuffle-free over documents (scan-speed map)") {
     val docs = spark.read.parquet(s"$sfDir/documents.parquet")
     val out = docs.select(col("doc_id"),
