@@ -202,26 +202,31 @@ object Curator {
     // must hash the text future batches will actually carry. Spans are
     // found within THIS batch only (the state keeps no span index);
     // docs whose every token was a duplicated span are dropped
-    val df = c.getInt("span-dedup-tokens") match {
+    val df0ToFree = c.getInt("span-dedup-tokens") match {
       case Some(n) =>
         val tcol = c.getString("text-column").getOrElse("text")
         val icol = c.getString("id-column").getOrElse("doc_id")
+        // span removal is the one EXPENSIVE pre-state stage (a
+        // token-scale shuffle) and everything downstream — the tier
+        // counts, curation, state — re-reads its output several times:
+        // persist the cut corpus (released after `curated` materializes
+        // below, alongside the tier caches)
         val deduped = graft.llm.Dedup.removeDuplicateSpans(dfB, icol, tcol, n = n)
+          .persist()
         val kept = deduped
           .filter(col("n_removed") === 0 || length(col(tcol)) > 0)
-        if (c.getString("log-drop-counts").exists(v => !v.toBoolean))
-          kept.drop("n_removed")
-        else {
+        if (!c.getString("log-drop-counts").exists(v => !v.toBoolean)) {
           val stats = deduped.agg(
             count(lit(1)).as("docs"),
             sum((col("n_removed") > 0).cast("long")).as("touched"),
             sum("n_removed").as("toks")).head()
           Cli.log(s"span-dedup: ${stats.getLong(2)} duplicate tokens cut from " +
             s"${stats.getLong(1)} of ${stats.getLong(0)} docs (span=$n)")
-          kept.drop("n_removed")
         }
-      case None => dfB
+        Some(kept.drop("n_removed") -> deduped)
+      case None => None
     }
+    val df = df0ToFree.map(_._1).getOrElse(dfB)
     val base = graft.llm.Curation.Config()
     val cc = graft.llm.Curation.Config(
       minQuality = c.getDouble("min-quality").getOrElse(base.minQuality),
@@ -396,6 +401,7 @@ object Curator {
     val curated = graft.llm.Curation.curate(vecBatch, idCol, textCol, cc)
     println(s"curated corpus size: ${curated.count()}")
     batchToFree.foreach(_.unpersist()) // curated cache is materialized
+    df0ToFree.foreach(_._2.unpersist()) // span-cut corpus no longer re-read
     vecToFree.foreach(_.unpersist())
     // optional per-group quality-quantile filter on the curated
     // survivors ("keep the top X% by quality WITHIN each language" — a

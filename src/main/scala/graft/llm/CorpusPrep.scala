@@ -354,6 +354,8 @@ object CorpusPrep {
       k: Int,
       salt: String = "",
       roundLogP: Option[Int] = None): DataFrame = {
+    require(!df.columns.contains("dsir_weight"),
+      "input already has a dsir_weight column — rename it before resampling")
     def rnd(c: Column): Column = roundLogP.map(round(c, _)).getOrElse(c)
     val t = LangModel.logProbPerDoc(df, targetLm, idCol, textCol)
       .select(col(idCol), col("lm_logp").as("__lt"))
@@ -381,6 +383,8 @@ object CorpusPrep {
       k: Int,
       salt: String = "",
       roundLogP: Option[Int] = None): DataFrame = {
+    require(!df.columns.contains("dsir_weight"),
+      "input already has a dsir_weight column — rename it before resampling")
     import graft.functions.GraftFunctions.lmLogProb
     def rnd(c: Column): Column = roundLogP.map(round(c, _)).getOrElse(c)
     val weighted = df.withColumn("dsir_weight",

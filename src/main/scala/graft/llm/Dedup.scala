@@ -529,7 +529,9 @@ object Dedup {
     *    single spaces (whitespace-normalized, like the chunkers);
     *    UNTOUCHED documents keep their original text byte-for-byte;
     *  - `n_removed` counts the tokens cut (0 for untouched docs);
-    *  - documents shorter than `n` tokens have no span and pass through.
+    *  - documents shorter than `n` tokens have no span and pass through;
+    *  - `idCol` must uniquely identify rows (it keys the reassembly
+    *    joins) — run exact dedup first, as any real pipeline does.
     *
     * 100 TB shape: the occurrence extraction is a scan + one explode —
     * (tokens − n + 1) rows per doc, so the duplicate-finding shuffle
@@ -550,6 +552,8 @@ object Dedup {
       n: Int = 50,
       hashSpans: Boolean = true): DataFrame = {
     require(n >= 2, s"span size must be >= 2, got $n")
+    require(!df.columns.contains("n_removed"),
+      "input already has an n_removed column — rename it before span removal")
     // case-preserving tokens: what removal cuts and reassembly emits
     def rawTokens(c: Column): Column =
       filter(split(trim(c), "\\s+"), t => length(t) > 0)

@@ -156,6 +156,8 @@ object TextAnalysis {
       delim: String = "\n"): org.apache.spark.sql.DataFrame = {
     require(minDocFreq >= 2, s"minDocFreq must be >= 2, got $minDocFreq")
     require(delim.nonEmpty, "delim must be non-empty")
+    require(!df.columns.contains("n_kept"),
+      "input already has an n_kept column — rename it before boilerplate removal")
     val lines = df.select(col(idCol),
       posexplode(split(col(textCol), java.util.regex.Pattern.quote(delim)))
         .as(Seq("__pos", "__line")))
