@@ -14,6 +14,11 @@ import org.apache.spark.sql.functions._
   * the model is bit-reproducible from the table alone — which is what
   * lets the DuckDB oracle replay scoring verbatim (q71/q72).
   */
+/** Bigram LM: the minCount-pruned `(w1, w2, cnt2)` table plus the
+  * unigram model that supplies context counts, vocab size, and the
+  * first-position score. */
+final case class BigramLm(unigram: UnigramLm, table: DataFrame)
+
 final case class UnigramLm(table: DataFrame, totalTokens: Long, vocab: Long) {
 
   /** The shared Laplace denominator `N + V + 1` as a double — computed
@@ -69,6 +74,79 @@ object LangModel {
       .agg(coalesce(sum("cnt"), lit(0L)).as("n"), count(lit(1)).as("v"))
       .head()
     UnigramLm(counts, row.getLong(0), row.getLong(1))
+  }
+
+  /** Train a bigram LM over the SAME tokenizer contract: within-doc
+    * adjacent token pairs, `minCount`-pruned, plus the unigram model
+    * for context counts and the first position. Word order now
+    * matters — a bigram LM ranks ordered prose above the same tokens
+    * shuffled, which NO unigram model can (their scores are
+    * permutation-invariant by construction); that ordering fidelity is
+    * the CCNet-direction upgrade for perplexity filtering and DSIR
+    * weights.
+    *
+    * Bigram pairs are built with an in-row HOF over the token array
+    * (no shuffle, no window) and aggregated once; the table is
+    * minCount-bounded like the unigram vocab. */
+  def trainBigram(
+      ref: DataFrame,
+      textCol: String,
+      minCount: Long = 1L): BigramLm = {
+    val pairs = ref
+      .select(Dedup.tokens(col(textCol)).as("tk"))
+      .select(explode(pairsOf(col("tk"))).as("p"))
+      .select(col("p.w1"), col("p.w2"))
+      .groupBy("w1", "w2").agg(count(lit(1)).as("cnt2"))
+      .filter(col("cnt2") >= minCount)
+    BigramLm(trainUnigram(ref, textCol, minCount), pairs)
+  }
+
+  /** Adjacent `(w1, w2)` pairs of a token array, in order — shared by
+    * training and scoring so the two can never disagree on pair
+    * construction. */
+  private def pairsOf(tk: Column): Column =
+    when(size(tk) >= 2,
+      transform(sequence(lit(1), size(tk) - 1),
+        i => struct(element_at(tk, i).as("w1"), element_at(tk, i + 1).as("w2"))))
+      .otherwise(array().cast("array<struct<w1:string,w2:string>>"))
+
+  /** Composable bigram scoring: one row per scoring doc with
+    * `lm2_logp` (average log10 conditional probability over ALL
+    * positions — position 0 scores under the unigram model, position
+    * i>0 under Laplace `log10((c(w1,w2)+1) / (c(w1)+V+1))`) and
+    * `lm2_positions`. Token-less docs are absent, single-token docs
+    * score their one position under the unigram.
+    *
+    * Shape: pair construction is in-row (no shuffle); the unigram/
+    * context joins broadcast (minCount-bounded vocab); the bigram join
+    * keys on (w1, w2) — minCount-bounded too, but larger, so AQE picks
+    * broadcast vs shuffle at runtime; one final aggregate per doc. */
+  def logProbPerDocBigram(
+      docs: DataFrame,
+      lm: BigramLm,
+      idCol: String,
+      textCol: String): DataFrame = {
+    val base = docs
+      .select(col(idCol), Dedup.tokens(col(textCol)).as("tk"))
+      .filter(size(col("tk")) > 0)
+    val first = base
+      .select(col(idCol), element_at(col("tk"), 1).as("token"))
+      .join(broadcast(lm.unigram.table), Seq("token"), "left")
+      .select(col(idCol), tokenLogProb(col("cnt"), lm.unigram).as("logp"))
+    val ctx = lm.unigram.table
+      .withColumnRenamed("token", "w1").withColumnRenamed("cnt", "__c1")
+    val scored = base
+      .select(col(idCol), explode(pairsOf(col("tk"))).as("p"))
+      .select(col(idCol), col("p.w1"), col("p.w2"))
+      .join(broadcast(ctx), Seq("w1"), "left")
+      .join(lm.table, Seq("w1", "w2"), "left")
+      .select(col(idCol),
+        log10((coalesce(col("cnt2"), lit(0L)) + lit(1L)).cast("double") /
+          (coalesce(col("__c1"), lit(0L)) + lit(lm.unigram.vocab) + lit(1L)).cast("double"))
+          .as("logp"))
+    first.unionByName(scored)
+      .groupBy(idCol)
+      .agg(avg("logp").as("lm2_logp"), count(lit(1)).as("lm2_positions"))
   }
 
   /** Per-token log10 probability column for a joined `cnt` column

@@ -124,6 +124,44 @@ class LangModelSpec extends SparkTestBase {
     assert(err2.getMessage.contains("not a graft unigram LM"))
   }
 
+  // --------------------------------------------------- bigram LM
+
+  test("trainBigram + logProbPerDocBigram: hand-computed Laplace positions") {
+    val ref = Seq("a b", "a b").toDF("text")
+    val lm = LangModel.trainBigram(ref, "text", minCount = 1)
+    // unigram: a:2 b:2, N=4, V=2, denom=7; bigram: (a,b):2
+    assert(lm.table.collect().map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet ==
+      Set(("a", "b", 2L)))
+    val out = LangModel.logProbPerDocBigram(
+      Seq((1L, "a b a"), (2L, "a"), (3L, "  ")).toDF("doc_id", "text"),
+      lm, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> (r.getDouble(1), r.getLong(2))).toMap
+    // doc 1: first 'a' log10(3/7); (a,b) log10(3/5); (b,a) log10(1/5)
+    val want1 = (math.log10(3.0 / 7) + math.log10(3.0 / 5) + math.log10(1.0 / 5)) / 3
+    assert(math.abs(out(1L)._1 - want1) < 1e-12 && out(1L)._2 == 3L)
+    // doc 2: single token scores only the unigram position
+    assert(math.abs(out(2L)._1 - math.log10(3.0 / 7)) < 1e-12 && out(2L)._2 == 1L)
+    assert(!out.contains(3L), "token-less docs are absent")
+  }
+
+  test("bigram LM ranks ordered prose above the SAME tokens shuffled — " +
+      "which the unigram provably cannot") {
+    val ref = (1 to 50).map(_ => "the cat sat on the mat and the dog ran").toDF("text")
+    val bi = LangModel.trainBigram(ref, "text", minCount = 2)
+    val docs = Seq(
+      (1L, "the cat sat on the mat"),   // training order
+      (2L, "mat the on sat cat the")    // same multiset, shuffled
+    ).toDF("doc_id", "text")
+    val b = LangModel.logProbPerDocBigram(docs, bi, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(b(1L) > b(2L) + 0.1,
+      s"bigram must prefer training order: ${b(1L)} vs ${b(2L)}")
+    val u = LangModel.logProbPerDoc(docs, bi.unigram, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(math.abs(u(1L) - u(2L)) < 1e-12,
+      "unigram scores are permutation-invariant — the bigram's whole point")
+  }
+
   // ------------------------------------------------- DSIR resampling
 
   test("dsirSample: target-vocabulary docs out-weigh off-target docs and " +
