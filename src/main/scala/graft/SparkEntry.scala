@@ -1324,6 +1324,30 @@ object SparkEntry {
         .select(col("doc_id"), round(col("lm2_logp"), 6).as("lm2_logp"),
           col("lm2_positions"))
     }),
+
+    // ---- The same bigram scores through the SCALE path: LM saved as
+    // one file, loaded once per executor JVM (Lm2Registry — all
+    // probabilities precomputed at load), scoring a zero-shuffle
+    // codegen'd projection. Same oracle as q82 pins the parity at the
+    // 6-decimal rounding (the union-vs-left-to-right float order is
+    // inside the rounding, unlike the single-branch unigram pair).
+    "q83_bigram_native" -> ((s, dir) => {
+      import graft.llm.LangModel
+      val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
+      val lm = LangModel.trainBigram(
+        docs.filter(col("doc_id") < 100), "text", minCount = 2)
+      val lmPath = new java.io.File(
+        new java.io.File(System.getProperty("java.io.tmpdir"), "graft_lm"),
+        s"${dir.replaceAll("[^A-Za-z0-9.-]", "_")}_mc2.lm2").toString
+      LangModel.saveBigram(lm, lmPath)
+      docs.filter(col("doc_id") >= 100)
+        .select(col("doc_id"),
+          round(graft.functions.GraftFunctions.lm2LogProb(col("text"), lmPath), 6)
+            .as("lm2_logp"),
+          graft.llm.TextAnalysis.wsTokenCount(col("text")).cast("long")
+            .as("lm2_positions"))
+        .filter(col("lm2_logp").isNotNull)
+    }),
   )
 
   /** q76/q77's planted corpus: a shared 12-token passage appended to
@@ -1460,6 +1484,49 @@ object SparkEntry {
       |  FROM w WHERE w > 0)
       |ORDER BY wkey, doc_id LIMIT 150""".stripMargin
 
+  /** q82/q83's shared oracle: both trainings, position-0 unigram
+    * arithmetic, Laplace conditionals, 6-decimal rounding. */
+  private val BigramOracleSql: String =
+    """WITH toks AS (
+        |  SELECT doc_id,
+        |    list_filter(regexp_split_to_array(lower(trim(text)), '\s+'),
+        |      t -> len(t) > 0) AS tk
+        |  FROM documents),
+        |uni AS (
+        |  SELECT token, count(*) AS cnt FROM (
+        |    SELECT unnest(tk) AS token FROM toks WHERE doc_id < 100)
+        |  GROUP BY token HAVING count(*) >= 2),
+        |uv AS (SELECT CAST(coalesce(sum(cnt), 0) + count(*) + 1 AS DOUBLE) AS du,
+        |              CAST(count(*) AS DOUBLE) AS v
+        |       FROM uni),
+        |big AS (
+        |  SELECT w1, w2, count(*) AS cnt2 FROM (
+        |    SELECT tk[i-1] AS w1, tk[i] AS w2 FROM (
+        |      SELECT tk, unnest(generate_series(2, len(tk))) AS i
+        |      FROM toks WHERE doc_id < 100))
+        |  GROUP BY w1, w2 HAVING count(*) >= 2),
+        |first AS (
+        |  SELECT t.doc_id, log10((coalesce(u.cnt, 0) + 1) / uv.du) AS logp
+        |  FROM (SELECT doc_id, tk[1] AS token FROM toks
+        |        WHERE doc_id >= 100 AND len(tk) > 0) t
+        |  LEFT JOIN uni u USING (token) CROSS JOIN uv),
+        |pairs AS (
+        |  SELECT doc_id, tk[i-1] AS w1, tk[i] AS w2 FROM (
+        |    SELECT doc_id, tk, unnest(generate_series(2, len(tk))) AS i
+        |    FROM toks WHERE doc_id >= 100)),
+        |scored AS (
+        |  SELECT p.doc_id,
+        |    log10(CAST(coalesce(b.cnt2, 0) + 1 AS DOUBLE) /
+        |          (coalesce(u.cnt, 0) + uv.v + 1)) AS logp
+        |  FROM pairs p
+        |  LEFT JOIN big b USING (w1, w2)
+        |  LEFT JOIN uni u ON p.w1 = u.token
+        |  CROSS JOIN uv),
+        |allpos AS (SELECT * FROM first UNION ALL SELECT * FROM scored)
+        |SELECT doc_id, round(avg(logp), 6) AS lm2_logp,
+        |  CAST(count(*) AS BIGINT) AS lm2_positions
+        |FROM allpos GROUP BY doc_id""".stripMargin
+
   private val LmOracleSql: String =
     """WITH toks AS (
       |  SELECT doc_id,
@@ -1567,51 +1634,14 @@ object SparkEntry {
     "q77_span_dedup_native" -> SpanDedupOracleSql,
     "q79_dsir_sample" -> DsirOracleSql,
     "q80_dsir_native" -> DsirOracleSql,
-    // same whitespace-token arithmetic as the q16 oracle; all-integer
-    // aggregates, so no float caveat anywhere
     // same tokenizer as the q71 oracle; bigram pairs are within-doc
     // adjacent tokens in BOTH training and scoring; position 0 is the
-    // q71 unigram arithmetic, later positions Laplace over (c1, V)
-    "q82_bigram_logprob" ->
-      """WITH toks AS (
-        |  SELECT doc_id,
-        |    list_filter(regexp_split_to_array(lower(trim(text)), '\s+'),
-        |      t -> len(t) > 0) AS tk
-        |  FROM documents),
-        |uni AS (
-        |  SELECT token, count(*) AS cnt FROM (
-        |    SELECT unnest(tk) AS token FROM toks WHERE doc_id < 100)
-        |  GROUP BY token HAVING count(*) >= 2),
-        |uv AS (SELECT CAST(coalesce(sum(cnt), 0) + count(*) + 1 AS DOUBLE) AS du,
-        |              CAST(count(*) AS DOUBLE) AS v
-        |       FROM uni),
-        |big AS (
-        |  SELECT w1, w2, count(*) AS cnt2 FROM (
-        |    SELECT tk[i-1] AS w1, tk[i] AS w2 FROM (
-        |      SELECT tk, unnest(generate_series(2, len(tk))) AS i
-        |      FROM toks WHERE doc_id < 100))
-        |  GROUP BY w1, w2 HAVING count(*) >= 2),
-        |first AS (
-        |  SELECT t.doc_id, log10((coalesce(u.cnt, 0) + 1) / uv.du) AS logp
-        |  FROM (SELECT doc_id, tk[1] AS token FROM toks
-        |        WHERE doc_id >= 100 AND len(tk) > 0) t
-        |  LEFT JOIN uni u USING (token) CROSS JOIN uv),
-        |pairs AS (
-        |  SELECT doc_id, tk[i-1] AS w1, tk[i] AS w2 FROM (
-        |    SELECT doc_id, tk, unnest(generate_series(2, len(tk))) AS i
-        |    FROM toks WHERE doc_id >= 100)),
-        |scored AS (
-        |  SELECT p.doc_id,
-        |    log10(CAST(coalesce(b.cnt2, 0) + 1 AS DOUBLE) /
-        |          (coalesce(u.cnt, 0) + uv.v + 1)) AS logp
-        |  FROM pairs p
-        |  LEFT JOIN big b USING (w1, w2)
-        |  LEFT JOIN uni u ON p.w1 = u.token
-        |  CROSS JOIN uv),
-        |allpos AS (SELECT * FROM first UNION ALL SELECT * FROM scored)
-        |SELECT doc_id, round(avg(logp), 6) AS lm2_logp,
-        |  CAST(count(*) AS BIGINT) AS lm2_positions
-        |FROM allpos GROUP BY doc_id""".stripMargin,
+    // q71 unigram arithmetic, later positions Laplace over (c1, V);
+    // ONE oracle pins the composable (q82) and native (q83) forms
+    "q82_bigram_logprob" -> BigramOracleSql,
+    "q83_bigram_native" -> BigramOracleSql,
+    // same whitespace-token arithmetic as the q16 oracle; all-integer
+    // aggregates, so no float caveat anywhere
     "q81_corpus_report" ->
       """SELECT source, lang,
         |  count(*) AS n_docs,

@@ -306,6 +306,9 @@ object GraftFunctions {
   def lmLogProb(c: Column, lmPath: String): Column =
     ColumnBridge.column(LmLogProb(ColumnBridge.expression(c), lmPath))
 
+  def lm2LogProb(c: Column, lmPath: String): Column =
+    ColumnBridge.column(Lm2LogProb(ColumnBridge.expression(c), lmPath))
+
   val functions: Seq[(String, ExpressionInfo, Seq[Expression] => Expression)] = Seq(
     ("graft_cosine",
       new ExpressionInfo(classOf[CosineSimilarity].getName, "graft_cosine"),
@@ -370,6 +373,17 @@ object GraftFunctions {
           case s: UTF8String => LmLogProb(es.head, s.toString)
           case other => throw new IllegalArgumentException(
             s"graft_lm_logprob LM path must be a string literal, got $other")
+        }
+      }),
+    ("graft_lm2_logprob",
+      new ExpressionInfo(classOf[Lm2LogProb].getName, "graft_lm2_logprob"),
+      (es: Seq[Expression]) => {
+        require(es.length == 2, s"graft_lm2_logprob takes 2 arguments, got ${es.length}")
+        require(es(1).foldable, "graft_lm2_logprob LM path must be a literal")
+        es(1).eval() match {
+          case s: UTF8String => Lm2LogProb(es.head, s.toString)
+          case other => throw new IllegalArgumentException(
+            s"graft_lm2_logprob LM path must be a string literal, got $other")
         }
       }),
     ("graft_bpe_segments",

@@ -195,6 +195,37 @@ object LangModel {
     * as the other documented driver-side sinks). Lines are sorted so
     * the file bytes are deterministic for identical training data;
     * the registry entry for `path` is invalidated after the write. */
+  /** Persist a bigram LM as ONE text file (unigram section, a
+    * `#pairs` marker — unambiguous, tokens cannot contain the tab that
+    * would follow it in a data line — then `w1<TAB>w2<TAB>count`
+    * lines). Both collects are minCount-bounded driver egress, sorted
+    * for deterministic bytes; [[graft.functions.Lm2Registry]] loads it
+    * once per executor JVM. */
+  def saveBigram(lm: BigramLm, path: String): Unit = {
+    val spark = lm.unigram.table.sparkSession
+    val uniRows = lm.unigram.table.orderBy("token").collect()
+    val pairRows = lm.table.orderBy("w1", "w2").collect()
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val out = new java.io.BufferedWriter(new java.io.OutputStreamWriter(
+      fs.create(p, true), java.nio.charset.StandardCharsets.UTF_8))
+    try {
+      out.write(s"#graft-bigram-lm v1 total=${lm.unigram.totalTokens} " +
+        s"vocab=${lm.unigram.vocab} pairs=${pairRows.length}\n")
+      uniRows.foreach { r =>
+        out.write(r.getString(0)); out.write('\t')
+        out.write(r.getLong(1).toString); out.write('\n')
+      }
+      out.write("#pairs\n")
+      pairRows.foreach { r =>
+        out.write(r.getString(0)); out.write('\t')
+        out.write(r.getString(1)); out.write('\t')
+        out.write(r.getLong(2).toString); out.write('\n')
+      }
+    } finally out.close()
+    graft.functions.Lm2Registry.invalidate(path)
+  }
+
   def save(lm: UnigramLm, path: String): Unit = {
     val spark = lm.table.sparkSession
     val rows = lm.table.orderBy("token").collect()

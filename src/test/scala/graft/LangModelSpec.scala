@@ -162,6 +162,42 @@ class LangModelSpec extends SparkTestBase {
       "unigram scores are permutation-invariant — the bigram's whole point")
   }
 
+  test("bigram save/load: native scoring matches the composable form at the " +
+      "oracle rounding on the real corpus; registry rejects tampering") {
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select(col("doc_id"), col("text"))
+    val lm = LangModel.trainBigram(
+      docs.filter(col("doc_id") < 100), "text", minCount = 2)
+    val path = tmpLm("bigram.lm2")
+    LangModel.saveBigram(lm, path)
+    val composable = LangModel.logProbPerDocBigram(
+      docs.filter(col("doc_id") >= 100), lm, "doc_id", "text")
+      .select(col("doc_id"), round(col("lm2_logp"), 6).as("l"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val native = docs.filter(col("doc_id") >= 100)
+      .select(col("doc_id"),
+        round(GraftFunctions.lm2LogProb(col("text"), path), 6).as("l"))
+      .filter(col("l").isNotNull)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(native == composable,
+      "native bigram scoring must match the composable form at round(6)")
+    // SQL surface
+    docs.limit(3).createOrReplaceTempView("lm2_docs")
+    val viaSql = spark.sql(
+      s"SELECT graft_lm2_logprob(text, '$path') FROM lm2_docs").collect()
+    assert(viaSql.length == 3 && viaSql.forall(!_.isNullAt(0)))
+    // tampered pair section (context missing from unigram part) rejected
+    val bad = tmpLm("bigram_bad.lm2")
+    val w = new java.io.PrintWriter(bad, "UTF-8")
+    try {
+      w.println("#graft-bigram-lm v1 total=2 vocab=1 pairs=1")
+      w.println("a\t2"); w.println("#pairs"); w.println("zz\ta\t2")
+    } finally w.close()
+    graft.functions.Lm2Registry.invalidate(bad)
+    val err = intercept[IllegalArgumentException] { graft.functions.Lm2Registry.get(bad) }
+    assert(err.getMessage.contains("missing from the unigram section"))
+  }
+
   // ------------------------------------------------- DSIR resampling
 
   test("dsirSample: target-vocabulary docs out-weigh off-target docs and " +
