@@ -246,7 +246,9 @@ object Curator {
       // curated reference slice); `min-lm-logp` is the avg log10
       // token-probability floor (omit to annotate without filtering)
       lmPath = c.getString("lm-path"),
-      minLmLogP = c.getDouble("min-lm-logp").getOrElse(base.minLmLogP))
+      minLmLogP = c.getDouble("min-lm-logp").getOrElse(base.minLmLogP),
+      lm2Path = c.getString("lm2-path"),
+      minLm2LogP = c.getDouble("min-lm2-logp").getOrElse(base.minLm2LogP))
     val idCol = c.getString("id-column").getOrElse("doc_id")
     val textCol = c.getString("text-column").getOrElse("text")
     // pure-config validation up front (review finding: these previously
@@ -258,6 +260,8 @@ object Curator {
       "curation.bpe-budget needs curation.bpe-merges (path to a merges.txt)")
     require(c.getDouble("min-lm-logp").isEmpty || c.getString("lm-path").isDefined,
       "curation.min-lm-logp needs curation.lm-path (a saved unigram LM file)")
+    require(c.getDouble("min-lm2-logp").isEmpty || c.getString("lm2-path").isDefined,
+      "curation.min-lm2-logp needs curation.lm2-path (a saved bigram LM file)")
     c.getDouble("quality-quantile").foreach(f => require(f > 0.0 && f <= 1.0,
       s"curation.quality-quantile must be a keep-fraction in (0,1], got $f"))
     require(Seq(c.getDouble("temperature-alpha").isDefined,

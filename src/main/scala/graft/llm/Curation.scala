@@ -65,7 +65,15 @@ object Curation {
       lmPath: Option[String] = None,
       /** Keep documents with `lm_logp >= minLmLogP` (log10 scale:
         * -3.5 ≈ perplexity 3162). -Infinity = annotate only. */
-      minLmLogP: Double = Double.NegativeInfinity)
+      minLmLogP: Double = Double.NegativeInfinity,
+      /** Saved BIGRAM LM file ([[LangModel.saveBigram]]): like
+        * [[lmPath]] but order-2 — word order matters, so shuffled /
+        * concatenated-fragment text that fools a unigram scores low.
+        * Adds `lm2_logp`; both LM filters may run together. */
+      lm2Path: Option[String] = None,
+      /** Keep documents with `lm2_logp >= minLm2LogP`. -Infinity =
+        * annotate only. */
+      minLm2LogP: Double = Double.NegativeInfinity)
 
   /** Stage 1: annotate every document with curation signals — pure
     * projection at scan speed, via the one-pass stats expression
@@ -118,6 +126,12 @@ object Curation {
         graft.functions.GraftFunctions.lmLogProb(col(textCol), p))
       if (!conf.minLmLogP.isNegInfinity)
         df = df.filter(col("lm_logp") >= conf.minLmLogP)
+    }
+    conf.lm2Path.foreach { p =>
+      df = df.withColumn("lm2_logp",
+        graft.functions.GraftFunctions.lm2LogProb(col(textCol), p))
+      if (!conf.minLm2LogP.isNegInfinity)
+        df = df.filter(col("lm2_logp") >= conf.minLm2LogP)
     }
 
     // 3: exact dedup — one shuffle on sha2(text). Persisted: the

@@ -587,6 +587,42 @@ class CliSpec extends SparkTestBase {
     assert(ids.contains(0L))
     assert(curated.columns.contains("lm_logp"))
 
+    // the bigram filter stacks on the same pipeline: a doc built from
+    // REAL in-distribution tokens in scrambled order passes the
+    // unigram filter but fails the order-aware bigram one
+    val bi = graft.llm.LangModel.trainBigram(
+      docs.filter(col("doc_id") < 200), "text", minCount = 2)
+    val lm2Path = base.resolve("ref.lm2").toString
+    graft.llm.LangModel.saveBigram(bi, lm2Path)
+    val sample = docs.filter(col("doc_id") === 0L)
+      .head().getString(1).split("\\s+").filter(_.nonEmpty)
+    val scrambled = sample.reverse.mkString(" ")
+    val src2 = base.resolve("src2").toString
+    docs.filter(col("doc_id") < 50)
+      .unionByName(Seq((90000L, scrambled)).toDF("doc_id", "text"))
+      .write.parquet(src2)
+    // floor = the scrambled doc's unigram-equivalent would pass; pick
+    // the bigram floor between the natural docs' scores and scrambled's
+    val probe = spark.read.parquet(src2)
+      .select(col("doc_id"),
+        graft.functions.GraftFunctions.lm2LogProb(col("text"), lm2Path).as("l"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val floor2 = (probe(90000L) + probe.filter(_._1 < 50).values.min) / 2
+    val f2 = write(base.resolve("curator_lm2.conf"),
+      s"""source { storage-type = local, dataset-dir = $src2 }
+         |target { storage-type = local, dataset-dir = ${base.resolve("curated2")}, dataset-store-format = parquet, write-mode = overwrite }
+         |curation {
+         |  min-quality = 0.0
+         |  lm2-path = "$lm2Path"
+         |  min-lm2-logp = $floor2
+         |}
+         |""".stripMargin)
+    graft.cli.Curator.main(Array("--conf", f2))
+    val ids2 = spark.read.parquet(base.resolve("curated2").toString)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(!ids2.contains(90000L), "scrambled doc survived the bigram filter")
+    assert(ids2.contains(0L), "the in-order original must survive")
+
     // min-lm-logp without lm-path is a config error, caught UP FRONT
     val bad = write(base.resolve("curator_lm_bad.conf"),
       s"""source { storage-type = local, dataset-dir = $src }
