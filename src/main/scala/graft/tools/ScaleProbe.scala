@@ -178,6 +178,26 @@ object ScaleProbe {
     }
     println(s"  touched docs: ${spanCut.getLong(0)}, tokens cut: ${spanCut.getLong(1)}")
 
+    // bigram LM scoring: composable (explode + joins + aggregate) vs
+    // the saved-file native projection — trained once on a 100k-doc
+    // slice, scoring the full corpus
+    val lm2 = time("bigram LM train (100k-doc slice)") {
+      graft.llm.LangModel.trainBigram(
+        docs.filter(col("doc_id") < 100000L), "text", minCount = 2)
+    }
+    time("bigram scoring, composable (joins + agg)") {
+      graft.llm.LangModel.logProbPerDocBigram(docs, lm2, "doc_id", "text")
+        .write.format("noop").mode("overwrite").save()
+    }
+    val lm2Path = new java.io.File(
+      System.getProperty("java.io.tmpdir"), "scaleprobe.lm2").toString
+    graft.llm.LangModel.saveBigram(lm2, lm2Path)
+    time("bigram scoring, native (registry projection)") {
+      docs.select(col("doc_id"),
+          graft.functions.GraftFunctions.lm2LogProb(col("text"), lm2Path).as("l"))
+        .write.format("noop").mode("overwrite").save()
+    }
+
     // quantile filter: group skew mirrors a real corpus (one dominant
     // language) — the window form would sort the dominant group in ONE
     // task; the threshold form stays a tiny aggregate + broadcast filter
