@@ -102,7 +102,19 @@ object Bench {
       "q5_sample", "q6_join_agg", "q7_window_topn", "q8_stratified_sample",
       "q9_group_count", "q10_minmax")
     val baseTotal = results.collect { case (k, v) if baselineSet(k) && v >= 0 => v }.sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","runs":$runs,"failed":${failed.size},"baseline_set_total":$baseTotal,"n_queries":${results.size},"mem":$memJson}""")
+    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","runs":$runs,"failed":${failed.size},"baseline_set_total":$baseTotal,"n_queries":${results.size},"mem":$memJson}"""
+    println(json)
+    // Armor against tail-capture truncation (round-5 verdict: the driver
+    // keeps only the last 2,000 bytes of stdout, which at 83 queries lost
+    // the per-query timings): the same line also lands in a file.
+    try {
+      val f = new java.io.File("target/bench.json")
+      f.getParentFile.mkdirs()
+      val w = new java.io.PrintWriter(f, "UTF-8")
+      try w.println(json) finally w.close()
+    } catch { case e: Throwable =>
+      System.err.println(s"[bench] could not write target/bench.json: ${e.getMessage}")
+    }
     spark.stop()
     if (failed.nonEmpty) sys.exit(1)
   }

@@ -12,9 +12,9 @@ import org.apache.spark.unsafe.types.UTF8String
   *  - position 0: the unigram table's `log10((cnt+1)/(N+V+1))`;
   *  - position i>0 with a stored pair: its exact
   *    `log10((cnt2+1)/(c1+V+1))`;
-  *  - stored context `w1`, unseen pair: the per-context OOV
-  *    `log10(1/(c1+V+1))`;
-  *  - unseen context: the global `log10(1/(V+1))`.
+  *  - in-vocab context `w1` (even if all its bigrams were pruned),
+  *    unseen pair: the per-context OOV `log10(1/(c1+V+1))`;
+  *  - out-of-vocab context: the global `log10(1/(V+1))`.
   * The layout is a nested map `w1 -> (pairs of w1, context OOV)` — one
   * outer lookup per position serves both cases.
   *
@@ -139,6 +139,18 @@ object Lm2Registry {
     }
     require(uniLogp.size().toLong == vocab,
       s"bigram LM $path header says vocab=$vocab but has ${uniLogp.size()} unigram entries")
+    // EVERY vocab word is a known context (denominator c1+V+1), whether
+    // or not any of its bigrams survived minCount pruning — a pair-less
+    // context must score its per-context OOV, not the global one
+    val uit = uniCnt.entrySet().iterator()
+    while (uit.hasNext) {
+      val ue = uit.next()
+      val denom = (ue.getValue.longValue() + vocab + 1).toDouble
+      contexts.put(ue.getKey, new BigramLmTable.Context(
+        new java.util.HashMap[UTF8String, java.lang.Double](4),
+        StrictMath.log10(1.0 / denom)))
+      ()
+    }
     var pairCount = 0L
     // every stored context has a stored unigram count (a kept bigram's
     // c1 >= cnt2 >= minCount under the shared minCount) — enforced, not
@@ -150,8 +162,7 @@ object Lm2Registry {
       require(c1Boxed != null,
         s"bigram LM $path has pairs for context '${e.getKey}' missing from the unigram section")
       val denom = (c1Boxed.longValue() + vocab + 1).toDouble
-      val inner = new java.util.HashMap[UTF8String, java.lang.Double](
-        math.max(4, e.getValue.size() * 2))
+      val inner = contexts.get(e.getKey).pairs
       val pit = e.getValue.entrySet().iterator()
       while (pit.hasNext) {
         val pe = pit.next()
@@ -159,9 +170,6 @@ object Lm2Registry {
           StrictMath.log10((pe.getValue.longValue() + 1).toDouble / denom)))
         pairCount += 1
       }
-      contexts.put(e.getKey, new BigramLmTable.Context(
-        inner, StrictMath.log10(1.0 / denom)))
-      ()
     }
     require(pairCount == nPairs,
       s"bigram LM $path header says pairs=$nPairs but has $pairCount pair entries")

@@ -307,11 +307,14 @@ object CorpusPrep {
       .withColumn("__w", pow(col("__n"), lit(alpha - 1.0)))
     val maxw = counts.agg(max(col("__w")).as("__maxw"))
     val rates = counts.crossJoin(broadcast(maxw))
-      .select(col(domainCol),
+      .select(col(domainCol).as("__dom"),
         least(lit(1.0), lit(budget) * col("__w") / col("__maxw")).as("__rate"))
-    df.join(broadcast(rates), Seq(domainCol))
+    // null-safe join: NULL-domain rows were counted in the rate
+    // aggregate, so they must survive into the output too (the
+    // keepTopQuantile convention)
+    df.join(broadcast(rates), df(domainCol) <=> rates("__dom"))
       .filter(graft.operators.Ops.hashUniform(col(idCol), salt) <= col("__rate"))
-      .select(df.columns.map(col): _*) // the join fronted domainCol
+      .select(df.columns.map(df(_)): _*)
   }
 
   /** DSIR-style importance resampling (Xie et al. 2023,

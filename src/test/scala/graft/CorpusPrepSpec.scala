@@ -287,6 +287,23 @@ class CorpusPrepSpec extends SparkTestBase {
     assert(again == atHalf)
   }
 
+  test("temperatureMix: NULL-domain rows form their own domain — counted AND kept") {
+    // 3 null-domain rows vs 12 "big" rows: alpha=0 damps big to 1/12,
+    // null's rate is 3^-1/3^-1... maxw comes from the smaller group
+    val corpus = ((1 to 12).map(i => (i.toLong, "big")) ++
+      (101 to 103).map(i => (i.toLong, null: String))).toDF("doc_id", "source")
+    val out = CorpusPrep.temperatureMix(corpus, "doc_id", "source",
+      alpha = 1.0, budget = 1.0, salt = "nd")
+    // alpha=1, budget=1 → identity: EVERY row survives, including NULL domain
+    assert(out.count() == 15, "NULL-domain rows must not be dropped by the rate join")
+    assert(out.filter(col("source").isNull).count() == 3)
+    // and at alpha<1 the null group is rate-limited like any other domain
+    val damped = CorpusPrep.temperatureMix(corpus, "doc_id", "source",
+      alpha = 0.0, budget = 1.0, salt = "nd")
+    assert(damped.filter(col("source").isNull).count() == 3,
+      "smallest (null) domain has rate 1 → kept whole")
+  }
+
   test("temperatureMix: rejects out-of-range alpha/budget; corpus never shuffled") {
     val corpus = docs.select(col("doc_id"), col("source"))
     intercept[IllegalArgumentException] {

@@ -198,6 +198,28 @@ class LangModelSpec extends SparkTestBase {
     assert(err.getMessage.contains("missing from the unigram section"))
   }
 
+  test("pair-less in-vocab context scores its per-context OOV, not the global " +
+      "one — native matches composable when minCount prunes every bigram") {
+    // unigram x survives minCount=2 but BOTH its bigrams are pruned:
+    // vocab={x:2}, V=1, N=2, no pairs section entries
+    val ref = Seq("x a", "x b").toDF("text")
+    val lm = LangModel.trainBigram(ref, "text", minCount = 2)
+    assert(lm.table.isEmpty, "no bigram survives pruning in this fixture")
+    assert(lm.unigram.vocab == 1L && lm.unigram.totalTokens == 2L)
+    val path = tmpLm("pairless.lm2")
+    LangModel.saveBigram(lm, path)
+    val docs = Seq((1L, "x y")).toDF("doc_id", "text")
+    val comp = LangModel.logProbPerDocBigram(docs, lm, "doc_id", "text")
+      .head().getDouble(1)
+    val nat = docs
+      .select(GraftFunctions.lm2LogProb(col("text"), path)).head().getDouble(0)
+    // pos 0 'x': log10((2+1)/(2+1+1)); pos 1 'y'|x in-vocab pair-less
+    // context: log10(1/(c1+V+1)) = log10(1/4) — NOT global log10(1/(V+1))
+    val want = (StrictMath.log10(3.0 / 4) + StrictMath.log10(1.0 / 4)) / 2
+    assert(math.abs(comp - want) < 1e-12, s"composable $comp vs $want")
+    assert(math.abs(nat - want) < 1e-12, s"native $nat vs $want")
+  }
+
   // ------------------------------------------------- DSIR resampling
 
   test("dsirSample: target-vocabulary docs out-weigh off-target docs and " +
