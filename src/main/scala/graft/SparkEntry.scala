@@ -1348,6 +1348,43 @@ object SparkEntry {
             .as("lm2_positions"))
         .filter(col("lm2_logp").isNotNull)
     }),
+
+    // ---- Learned quality classifier, SCORING path: sigmoid(b + w·x)
+    // over the fixed SQL-replayable feature surface, with pinned
+    // weights so the oracle replays the entire dot product (plausible
+    // hand-set values: longer prose with stopwords up, punctuation
+    // noise and repetition down). The identical score() code path runs
+    // in production with TRAINED weights (q88 + Curation stage); the
+    // arithmetic is the same either way. round(6) absorbs the one
+    // libm-dependent op (exp) — the q71/q58 caveat class.
+    "q84_classifier_score" -> ((s, dir) => {
+      val clf = graft.llm.QualityClassifier(
+        Seq("tok_score" -> 1.25, "avg_token_len" -> 0.3, "stop_ratio" -> 2.5,
+          "punct_ratio" -> -3.0, "repetition" -> -2.0),
+        intercept = -0.75)
+      t(s, dir, "documents").select(col("doc_id"),
+        round(clf.score(col("text")), 6).as("clf_score"))
+    }),
+
+    // ---- Learned quality classifier, TRAINING path (fastText-style
+    // reference-vs-random, the LLaMA recipe): positives = the real
+    // corpus, negatives = deterministic hex gibberish derived from it
+    // (md5 chains — long uniform tokens, no stopwords). Distributed
+    // MLlib LR fit; output is the 6-scalar model. LBFGS float order is
+    // engine-specific → rows-only; EntrySpec re-scores both cohorts
+    // with the trained model and asserts separation.
+    "q88_classifier_train" -> ((s, dir) => {
+      import s.implicits._
+      val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
+      val ref = docs.filter(col("doc_id") % 2 === 0)
+      val neg = docs.filter(col("doc_id") % 2 === 1)
+        .withColumn("text", concat_ws(" ",
+          md5(col("text")), md5(concat(col("text"), lit("a"))),
+          md5(concat(col("text"), lit("b"))), md5(concat(col("text"), lit("c")))))
+      val clf = graft.llm.QualityClassifier.train(ref, neg, "text")
+      (clf.weights :+ ("intercept" -> clf.intercept))
+        .toDF("feature", "weight")
+    }),
   )
 
   /** q76/q77's planted corpus: a shared 12-token passage appended to
@@ -1640,6 +1677,43 @@ object SparkEntry {
     // ONE oracle pins the composable (q82) and native (q83) forms
     "q82_bigram_logprob" -> BigramOracleSql,
     "q83_bigram_native" -> BigramOracleSql,
+    // the full learned-classifier dot product replayed: the five
+    // features are the q16/q21/q64 replays, the sigmoid accumulates
+    // intercept-first then features in declaration order (matching the
+    // score() fold); round(6) absorbs exp's libm dependence
+    "q84_classifier_score" ->
+      """WITH st AS (
+        |  SELECT doc_id,
+        |    len(regexp_extract_all(trim(text), '\S+')) AS n_tokens,
+        |    length(regexp_replace(text, '\s', '', 'g')) AS n_nonspace,
+        |    length(regexp_replace(text, '[a-zA-Z0-9\s]', '', 'g')) AS n_punct,
+        |    length(text) AS n_chars,
+        |    len(list_filter(regexp_extract_all(lower(trim(text)), '\S+'),
+        |      x -> list_contains(['the','a','of','and','to','in','is','that','it','for'], x))) AS hits,
+        |    list_filter(regexp_split_to_array(lower(trim(text)), '\s+'), t -> len(t) > 0) AS ts
+        |  FROM documents),
+        |r AS (
+        |  SELECT doc_id, n_tokens, n_nonspace, n_punct, n_chars, hits,
+        |    greatest(len(ts) - 2, 0) AS total,
+        |    list_filter(list_transform(range(0, greatest(len(ts) - 3, 0) + 1),
+        |      i -> array_to_string(ts[i+1:i+3], ' ')), g -> len(g) > 0) AS grams
+        |  FROM st),
+        |f AS (
+        |  SELECT doc_id,
+        |    least(n_tokens / 100.0, 1.0) AS tok_score,
+        |    CASE WHEN n_tokens = 0 THEN 0.0
+        |         ELSE n_nonspace / CAST(n_tokens AS DOUBLE) END AS avg_token_len,
+        |    CASE WHEN n_tokens = 0 THEN 0.0
+        |         ELSE hits / CAST(n_tokens AS DOUBLE) END AS stop_ratio,
+        |    CASE WHEN n_chars = 0 THEN 0.0
+        |         ELSE n_punct / CAST(n_chars AS DOUBLE) END AS punct_ratio,
+        |    CASE WHEN total <= 0 THEN 0.0
+        |         ELSE 1.0 - CAST(len(list_distinct(grams)) AS DOUBLE) / total END AS repetition
+        |  FROM r)
+        |SELECT doc_id,
+        |  round(1.0 / (1.0 + exp(-(-0.75 + 1.25 * tok_score + 0.3 * avg_token_len
+        |    + 2.5 * stop_ratio + -3.0 * punct_ratio + -2.0 * repetition))), 6) AS clf_score
+        |FROM f""".stripMargin,
     // same whitespace-token arithmetic as the q16 oracle; all-integer
     // aggregates, so no float caveat anywhere
     "q81_corpus_report" ->

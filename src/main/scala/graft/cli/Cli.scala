@@ -248,7 +248,14 @@ object Curator {
       lmPath = c.getString("lm-path"),
       minLmLogP = c.getDouble("min-lm-logp").getOrElse(base.minLmLogP),
       lm2Path = c.getString("lm2-path"),
-      minLm2LogP = c.getDouble("min-lm2-logp").getOrElse(base.minLm2LogP))
+      minLm2LogP = c.getDouble("min-lm2-logp").getOrElse(base.minLm2LogP),
+      // learned quality filter: `classifier-path` points at a saved
+      // QualityClassifier (fastText-style reference-vs-random logistic
+      // model, trained offline); `min-classifier-score` is the
+      // P(reference-like) floor (omit to annotate without filtering)
+      classifierPath = c.getString("classifier-path"),
+      minClassifierScore =
+        c.getDouble("min-classifier-score").getOrElse(base.minClassifierScore))
     val idCol = c.getString("id-column").getOrElse("doc_id")
     val textCol = c.getString("text-column").getOrElse("text")
     // pure-config validation up front (review finding: these previously
@@ -262,6 +269,10 @@ object Curator {
       "curation.min-lm-logp needs curation.lm-path (a saved unigram LM file)")
     require(c.getDouble("min-lm2-logp").isEmpty || c.getString("lm2-path").isDefined,
       "curation.min-lm2-logp needs curation.lm2-path (a saved bigram LM file)")
+    require(c.getDouble("min-classifier-score").isEmpty ||
+        c.getString("classifier-path").isDefined,
+      "curation.min-classifier-score needs curation.classifier-path " +
+        "(a saved QualityClassifier file)")
     c.getDouble("quality-quantile").foreach(f => require(f > 0.0 && f <= 1.0,
       s"curation.quality-quantile must be a keep-fraction in (0,1], got $f"))
     require(Seq(c.getDouble("temperature-alpha").isDefined,

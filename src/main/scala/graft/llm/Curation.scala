@@ -73,7 +73,19 @@ object Curation {
       lm2Path: Option[String] = None,
       /** Keep documents with `lm2_logp >= minLm2LogP`. -Infinity =
         * annotate only. */
-      minLm2LogP: Double = Double.NegativeInfinity)
+      minLm2LogP: Double = Double.NegativeInfinity,
+      /** Saved learned quality classifier
+        * ([[QualityClassifier#save]] artifact — fastText-style
+        * reference-vs-random logistic model): when set, every document
+        * gains a `clf_score` column (P(reference-like), sigmoid over
+        * the fixed feature surface — a zero-shuffle codegen'd
+        * projection) and documents below [[minClassifierScore]] are
+        * dropped. The LEARNED complement to the fixed-formula
+        * heuristics above. */
+      classifierPath: Option[String] = None,
+      /** Keep documents with `clf_score >= minClassifierScore` (a
+        * probability in [0,1]). -Infinity = annotate only. */
+      minClassifierScore: Double = Double.NegativeInfinity)
 
   /** Stage 1: annotate every document with curation signals — pure
     * projection at scan speed, via the one-pass stats expression
@@ -132,6 +144,15 @@ object Curation {
         graft.functions.GraftFunctions.lm2LogProb(col(textCol), p))
       if (!conf.minLm2LogP.isNegInfinity)
         df = df.filter(col("lm2_logp") >= conf.minLm2LogP)
+    }
+    // learned quality classifier — 6 scalars load once on the driver
+    // and become plan literals; scoring is another scan-speed
+    // projection (one stats struct + one repetition pass per doc)
+    conf.classifierPath.foreach { p =>
+      val clf = QualityClassifier.load(df.sparkSession, p)
+      df = df.withColumn("clf_score", clf.score(col(textCol)))
+      if (!conf.minClassifierScore.isNegInfinity)
+        df = df.filter(col("clf_score") >= conf.minClassifierScore)
     }
 
     // 3: exact dedup — one shuffle on sha2(text). Persisted: the

@@ -1,0 +1,156 @@
+package graft.llm
+
+import org.apache.spark.ml.classification.LogisticRegressionModel
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Learned document-quality classifier — the fastText-style
+  * reference-vs-random filter (Joulin et al. 2016, arXiv:1607.01759;
+  * the LLaMA recipe trains one on "pages used as references by
+  * Wikipedia" vs random CommonCrawl, Touvron et al. 2023,
+  * arXiv:2302.13971). Heuristics ([[TextAnalysis.qualityScore]]) and LM
+  * perplexity ([[LangModel]]) are fixed formulas; this stage LEARNS the
+  * decision boundary from a curated positive slice and a random/garbage
+  * negative slice, which is the most common production quality filter.
+  *
+  * Spark-first composition of machinery this engine already has
+  * (reference `sparktools/trainer.py:12-72` / `scorer.py:12-65`, both
+  * MLlib-ported in [[graft.ml.Trainer]]/[[graft.ml.Scorer]]):
+  *  - TRAINING is the distributed MLlib flow: the fixed feature columns
+  *    below + `Trainer.train(..., "logistic-regression")` — cluster-side
+  *    fit, no driver materialization;
+  *  - the MODEL is extracted to a tiny artifact (5 weights + intercept,
+  *    one text file — the [[LangModel.save]] pattern), because logistic
+  *    scoring with saved coefficients is pure arithmetic;
+  *  - SCORING is `sigmoid(b + w·x)` as a codegen'd column expression —
+  *    zero shuffle, zero UDFs, scan speed at 100 TB, and every feature
+  *    is SQL-replayable so the q84 oracle replays the whole dot product
+  *    (the weights become literals in the plan).
+  *
+  * The feature surface is deliberately the ORACLE-REPLAYABLE slice of
+  * [[TextAnalysis]] (the q16/q21/q64 idiom): token-count sufficiency,
+  * average token length, stopword ratio, punctuation ratio, 3-gram
+  * repetition. A hashing-TF bag-of-words model would be stronger but
+  * not replayable cross-engine; these five already separate prose from
+  * the gibberish/boilerplate/stuffing classes the heuristics pass
+  * through (CurationSpec plants exactly such a cohort).
+  */
+final case class QualityClassifier(
+    weights: Seq[(String, Double)],
+    intercept: Double) {
+  require(weights.map(_._1) == QualityClassifier.FeatureNames,
+    s"classifier weights must cover ${QualityClassifier.FeatureNames} in order, " +
+      s"got ${weights.map(_._1)}")
+
+  /** `sigmoid(intercept + Σ wᵢ·fᵢ)` over the fixed feature columns —
+    * a pure codegen'd projection; the accumulation order (intercept
+    * first, then features in declaration order) is part of the oracle
+    * contract. Null text → null score (drops under any >= filter). */
+  def score(textCol: Column): Column = {
+    val feats = QualityClassifier.features(textCol).toMap
+    val z = weights.foldLeft(lit(intercept)) { case (acc, (name, w)) =>
+      acc + lit(w) * feats(name)
+    }
+    lit(1.0) / (lit(1.0) + exp(-z))
+  }
+
+  /** Persist as ONE tiny text file (the [[LangModel.save]] pattern):
+    * header, `feature<TAB>weight` lines in feature order, then
+    * `#intercept<TAB>b`. `Double.toString` round-trips exactly, so the
+    * loaded model scores bit-identically. */
+  def save(spark: org.apache.spark.sql.SparkSession, path: String): Unit = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val out = new java.io.BufferedWriter(new java.io.OutputStreamWriter(
+      fs.create(p, true), java.nio.charset.StandardCharsets.UTF_8))
+    try {
+      out.write(s"#graft-quality-clf v1 features=${weights.size}\n")
+      weights.foreach { case (n, w) => out.write(s"$n\t$w\n") }
+      out.write(s"#intercept\t$intercept\n")
+    } finally out.close()
+  }
+}
+
+object QualityClassifier {
+
+  /** The fixed feature surface, in order — training, scoring, the saved
+    * artifact, and the q84 oracle all share this list. */
+  val FeatureNames: Seq[String] =
+    Seq("tok_score", "avg_token_len", "stop_ratio", "punct_ratio", "repetition")
+
+  /** Named feature columns over one [[TextAnalysis.stats]] struct
+    * (codegen CSE collapses the getFields into a single byte scan; the
+    * repetition feature is the one extra tokenizing pass — same cost
+    * class as the LM filters it runs beside):
+    *  - `tok_score`     = min(n_tokens / 100, 1) — length sufficiency;
+    *  - `avg_token_len` = n_nonspace / n_tokens (0 if no tokens) —
+    *    hex/base64/url garbage runs long, prose averages ~5;
+    *  - `stop_ratio`    = en-stopword occurrences / n_tokens — near
+    *    zero for non-linguistic text;
+    *  - `punct_ratio`   = n_punct / n_chars — markup and stuffing
+    *    score high;
+    *  - `repetition`    = duplicate 3-gram fraction
+    *    ([[TextAnalysis.repetitionScoreFast]]) — boilerplate/template
+    *    signal the other four miss. */
+  def features(textCol: Column): Seq[(String, Column)] = {
+    val st = TextAnalysis.stats(textCol)
+    val nTok = st.getField("n_tokens")
+    Seq(
+      "tok_score" -> least(nTok.cast("double") / lit(100.0), lit(1.0)),
+      "avg_token_len" -> when(nTok === 0, lit(0.0))
+        .otherwise(st.getField("n_nonspace").cast("double") / nTok),
+      "stop_ratio" -> when(nTok === 0, lit(0.0))
+        .otherwise(st.getField("hits_en").cast("double") / nTok),
+      "punct_ratio" -> when(st.getField("n_chars") === 0, lit(0.0))
+        .otherwise(st.getField("n_punct").cast("double") / st.getField("n_chars")),
+      "repetition" -> TextAnalysis.repetitionScoreFast(textCol, 3))
+  }
+
+  /** Train reference-vs-random: label 1 = `ref` (curated high-quality
+    * slice), label 0 = `rand` (random/garbage slice), logistic
+    * regression over the fixed features via the standard
+    * [[graft.ml.Trainer]] flow (E3). The fit is distributed; only the
+    * 6 learned scalars come back to the driver. */
+  def train(
+      ref: DataFrame,
+      rand: DataFrame,
+      textCol: String,
+      maxIter: Int = 100,
+      regParam: Double = 0.0): QualityClassifier = {
+    def prep(df: DataFrame, label: Double) = df.select(
+      features(col(textCol)).map { case (n, c) => c.as(n) } :+
+        lit(label).as("label"): _*)
+    val data = prep(ref, 1.0).unionByName(prep(rand, 0.0))
+    val model = graft.ml.Trainer.train(data, "label", "logistic-regression",
+      featureCols = FeatureNames,
+      params = Seq("maxIter" -> maxIter.toString, "regParam" -> regParam.toString))
+    val lr = model.stages.collectFirst { case m: LogisticRegressionModel => m }
+      .getOrElse(throw new IllegalStateException("pipeline has no LR stage"))
+    QualityClassifier(FeatureNames.zip(lr.coefficients.toArray).toSeq, lr.intercept)
+  }
+
+  /** Load a [[QualityClassifier#save]] artifact; validates the feature
+    * list matches this library's surface (a file from a different
+    * feature version must fail loudly, not score garbage). */
+  def load(spark: org.apache.spark.sql.SparkSession, path: String): QualityClassifier = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val in = fs.open(p)
+    val lines =
+      try scala.io.Source.fromInputStream(in, "UTF-8").getLines().toArray
+      finally in.close()
+    require(lines.nonEmpty && lines(0).startsWith("#graft-quality-clf v1 "),
+      s"not a graft quality-classifier file: $path")
+    val body = lines.drop(1).filter(_.nonEmpty)
+    val (wLines, iLines) = body.partition(!_.startsWith("#intercept"))
+    require(iLines.length == 1, s"classifier file $path needs exactly one #intercept line")
+    val ws = wLines.map { l =>
+      val t = l.indexOf('\t')
+      require(t > 0, s"malformed weight line (need name<TAB>weight): '$l'")
+      l.substring(0, t) -> l.substring(t + 1).toDouble
+    }.toSeq
+    require(ws.map(_._1) == FeatureNames,
+      s"classifier file $path features ${ws.map(_._1)} don't match $FeatureNames")
+    QualityClassifier(ws, iLines.head.split('\t')(1).toDouble)
+  }
+}

@@ -635,6 +635,69 @@ class CliSpec extends SparkTestBase {
     assert(err.getMessage.contains("lm-path"))
   }
 
+  test("curator learned classifier: outfilters stopword-stuffed hex gibberish " +
+      "that the heuristic quality filter PASSES") {
+    import org.apache.spark.sql.functions._
+    val base = tmp()
+    import spark.implicits._
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet").select("doc_id", "text")
+    // adversarial construction: enough stopwords for a perfect heuristic
+    // stop-score, enough tokens for a perfect length score, zero
+    // punctuation — qualityScore ≈ 1.0 — but long uniform hex tokens
+    // and in-doc repetition, which only the LEARNED boundary penalizes
+    val stops = "the of and to in is that it for a"
+    def stuffed(src: org.apache.spark.sql.DataFrame) = src.withColumn("text",
+      concat_ws(" ", lit(stops), md5(col("text")),
+        md5(concat(col("text"), lit("a"))), lit(stops), md5(col("text")),
+        md5(concat(col("text"), lit("a")))))
+    // train reference-vs-random on the corpus vs the same construction
+    // (disjoint doc ids from the planted cohort below)
+    val clf = graft.llm.QualityClassifier.train(
+      docs.filter(col("doc_id") < 200),
+      stuffed(docs.filter(col("doc_id") >= 200 && col("doc_id") < 400)),
+      "text")
+    val clfPath = base.resolve("quality.clf").toString
+    clf.save(spark, clfPath)
+    // corpus: 50 real docs + 3 planted stuffed docs (fresh ids/text)
+    val planted = stuffed(
+      docs.filter(col("doc_id") >= 400 && col("doc_id") < 403)
+        .withColumn("doc_id", col("doc_id") + lit(80000L)))
+    val src = base.resolve("src").toString
+    docs.filter(col("doc_id") < 50).unionByName(planted).write.parquet(src)
+    // the planted cohort PASSES the heuristic filter it will be run under
+    val hq = planted.select(min(graft.llm.TextAnalysis.qualityScoreFast(
+      graft.llm.TextAnalysis.stats(col("text"))))).head().getDouble(0)
+    assert(hq >= 0.9, s"planted docs must pass the heuristic, quality=$hq")
+    val out = base.resolve("curated").toString
+    val f = write(base.resolve("curator_clf.conf"),
+      s"""source { storage-type = local, dataset-dir = $src }
+         |target { storage-type = local, dataset-dir = $out, dataset-store-format = parquet, write-mode = overwrite }
+         |curation {
+         |  min-quality = 0.3
+         |  classifier-path = "$clfPath"
+         |  min-classifier-score = 0.5
+         |}
+         |""".stripMargin)
+    graft.cli.Curator.main(Array("--conf", f))
+    val curated = spark.read.parquet(out)
+    val ids = curated.select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(ids.intersect(Set(80400L, 80401L, 80402L)).isEmpty,
+      "stuffed docs survived the learned classifier filter")
+    assert(ids.contains(0L), "real docs must survive")
+    assert(curated.columns.contains("clf_score"))
+
+    // min-classifier-score without classifier-path is caught up front
+    val bad = write(base.resolve("curator_clf_bad.conf"),
+      s"""source { storage-type = local, dataset-dir = $src }
+         |target { storage-type = local, dataset-dir = $out, dataset-store-format = parquet, write-mode = overwrite }
+         |curation { min-classifier-score = 0.5 }
+         |""".stripMargin)
+    val err = intercept[IllegalArgumentException] {
+      graft.cli.Curator.main(Array("--conf", bad))
+    }
+    assert(err.getMessage.contains("classifier-path"))
+  }
+
   test("curator boilerplate stage: shared lines stripped BEFORE dedup state, " +
       "all-boilerplate docs dropped, state matches cleaned re-runs") {
     import org.apache.spark.sql.functions.col

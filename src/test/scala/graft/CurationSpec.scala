@@ -210,4 +210,45 @@ class CurationSpec extends SparkTestBase {
       Curation.Config(minQuality = 0.0, langs = Set("en")))
     assert(onlyEn.select("doc_id").collect().map(_.getLong(0)).toSet == Set(1L))
   }
+
+  // -------------------------------------------- learned quality classifier
+
+  test("QualityClassifier: save/load round-trips to bit-identical scores; " +
+      "loader rejects foreign files and feature drift") {
+    import graft.llm.QualityClassifier
+    val clf = QualityClassifier(
+      QualityClassifier.FeatureNames.zip(
+        Seq(1.25, 0.3, 2.5, -3.0, -2.0)),
+      intercept = -0.7512345678901234) // full-precision round trip
+    val dir = java.nio.file.Files.createTempDirectory("graft_clf")
+    val path = dir.resolve("q.clf").toString
+    clf.save(spark, path)
+    val loaded = QualityClassifier.load(spark, path)
+    assert(loaded == clf, "Double.toString round-trip must be exact")
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select(col("doc_id"), col("text")).limit(100)
+    val mism = docs.select(
+      clf.score(col("text")).as("a"), loaded.score(col("text")).as("b"))
+      .filter(!(col("a") <=> col("b"))).count()
+    assert(mism == 0, "saved+loaded model must score bit-identically")
+    // null text → null score
+    assert(Seq((1L, null: String)).toDF("doc_id", "text")
+      .select(clf.score(col("text"))).head().isNullAt(0))
+    // wrong feature list / foreign file rejected
+    val badF = dir.resolve("bad.clf")
+    java.nio.file.Files.write(badF,
+      "#graft-quality-clf v1 features=1\nnope\t1.0\n#intercept\t0.0\n".getBytes("UTF-8"))
+    val e1 = intercept[IllegalArgumentException] {
+      QualityClassifier.load(spark, badF.toString) }
+    assert(e1.getMessage.contains("don't match"))
+    val notClf = dir.resolve("not.clf")
+    java.nio.file.Files.write(notClf, "hello\n".getBytes("UTF-8"))
+    val e2 = intercept[IllegalArgumentException] {
+      QualityClassifier.load(spark, notClf.toString) }
+    assert(e2.getMessage.contains("not a graft quality-classifier"))
+    // constructor enforces the feature contract (order included)
+    intercept[IllegalArgumentException] {
+      QualityClassifier(QualityClassifier.FeatureNames.reverse.map(_ -> 1.0), 0.0)
+    }
+  }
 }

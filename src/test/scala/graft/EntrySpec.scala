@@ -163,6 +163,32 @@ class EntrySpec extends SparkTestBase {
       s"learned table must compress: ${cmp.getLong(0)} vs ${cmp.getLong(1)}")
   }
 
+  test("q88: trained classifier separates corpus prose from hex gibberish — " +
+      "and the weights round-trip into a working scorer") {
+    import org.apache.spark.sql.functions._
+    val rows = SparkEntry.queries("q88_classifier_train")(spark, sfDir)
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(rows.keySet ==
+      (graft.llm.QualityClassifier.FeatureNames :+ "intercept").toSet)
+    assert(rows.values.forall(w => !w.isNaN && !w.isInfinite))
+    // rebuild the model from the QUERY OUTPUT (not trainer internals)
+    // and re-score both training cohorts: prose ~1, gibberish ~0
+    val clf = graft.llm.QualityClassifier(
+      graft.llm.QualityClassifier.FeatureNames.map(n => n -> rows(n)),
+      rows("intercept"))
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select(col("doc_id"), col("text"))
+    val mRef = docs.filter(col("doc_id") % 2 === 0)
+      .select(avg(clf.score(col("text")))).head().getDouble(0)
+    val mNeg = docs.filter(col("doc_id") % 2 === 1)
+      .withColumn("text", concat_ws(" ",
+        md5(col("text")), md5(concat(col("text"), lit("a"))),
+        md5(concat(col("text"), lit("b"))), md5(concat(col("text"), lit("c")))))
+      .select(avg(clf.score(col("text")))).head().getDouble(0)
+    assert(mRef > 0.9 && mNeg < 0.1,
+      s"classifier must separate the cohorts: ref=$mRef neg=$mNeg")
+  }
+
   test("q36 dim-chain plan: both dimensions broadcast, no sort-merge join") {
     val plan = SparkEntry.queries("q36_supplier_region")(spark, sfDir)
       .queryExecution.executedPlan.toString
