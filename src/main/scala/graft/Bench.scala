@@ -61,9 +61,15 @@ object Bench {
     // pass makes the driver's 2× perf gate hostage to machine load; the
     // median of 3 is robust to one noisy run).
     val runs = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "3").toInt
+    // dev-only subset filter (comma-separated names): time a few queries
+    // in bench conditions without paying the whole suite
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(",").map(_.trim).toSet).filter(_.nonEmpty)
     var failed = List.empty[String]
     val mem = scala.collection.mutable.LinkedHashMap.empty[String, (Long, Long, Long)]
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    val results = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (name, _) => only.forall(_.contains(name)) }
+      .map { case (name, fn) =>
       // hygiene barrier (untimed): evict leaked caches, compact the heap
       spark.catalog.clearCache()
       System.gc()

@@ -400,8 +400,10 @@ object Curator {
             (Similarity.srpSignatures(batch.limit(0), idCol, e, vecSeed), None)
         }
         if (c.getString("log-drop-counts").exists(v => !v.toBoolean)) {
-          (Similarity.dropSeenVectors(batch, corpusVecSigs, vecMinCosine,
-            idCol, e, vecBands, cc.simHashMaxBucket, vecHot, vecSeed), None)
+          // dropSeenVectors returns a PERSISTED materialized frame
+          val s = Similarity.dropSeenVectors(batch, corpusVecSigs, vecMinCosine,
+            idCol, e, vecBands, cc.simHashMaxBucket, vecHot, vecSeed)
+          (s, Some(s))
         } else {
           val (s, n) = Similarity.dropSeenVectorsCounted(batch, corpusVecSigs,
             vecMinCosine, idCol, e, vecBands, cc.simHashMaxBucket, vecHot, vecSeed)

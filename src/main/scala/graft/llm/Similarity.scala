@@ -410,13 +410,25 @@ object Similarity {
       seed: Long = 4233L,
       inBatchNear: Boolean = true): DataFrame = {
     val batchSigs = srpSignatures(batch, idCol, vecCol, seed)
+    // `seen` is a tiny id frame read by BOTH the survivor anti-join and
+    // the in-batch tier's signature anti-join (the R19 cache-before-
+    // fan-out rule) — unpersisted, AQE re-derives the whole banded-join
+    // lineage per consumer (measured: 59 jobs/pass vs 13 at sf0.1)
     val seen = srpNearDupsAgainst(batchSigs, corpusSigs, minCosine, bands,
       maxBucketSize, corpusHotBuckets)
       .select(col("batch_id").as(idCol)).distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val fresh = batch.join(seen, Seq(idCol), "left_anti")
-    if (!inBatchNear) fresh
-    else inBatchVectorTier(fresh, batchSigs, seen, minCosine, idCol, vecCol,
-      bands, maxBucketSize)
+    val out = if (!inBatchNear) fresh
+      else inBatchVectorTier(fresh, batchSigs, seen, minCosine, idCol, vecCol,
+        bands, maxBucketSize)
+    // materialize before releasing `seen` (the plan reads it); the
+    // returned frame is PERSISTED — caller unpersists when done (the
+    // [[semDedupWithIndex]] contract). Incremental dedup is an
+    // action-per-batch pipeline, so the eager count is not extra work.
+    out.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK).count()
+    seen.unpersist()
+    out
   }
 
   /** In-batch vector near-dup tier: without it a near-dup pair arriving
@@ -614,20 +626,49 @@ object Similarity {
       maxCellSize: Int = 100000,
       seed: Long = 4233L,
       maxIter: Int = 20): DataFrame = {
-    require(Set("far-from-centroid", "min-id").contains(keepPolicy),
-      s"unknown keepPolicy: $keepPolicy")
-    require(numCells > 0 && maxCellSize > 1, "numCells/maxCellSize must be positive")
-    val spark = corpus.sparkSession
-    import spark.implicits._
+    require(numCells > 0, "numCells must be positive")
     // cluster the L2-NORMALIZED vectors (the paper's prep): KMeans
     // assigns by EUCLIDEAN distance, and on the unit sphere euclidean
     // is monotone in cosine — without normalization a vector and its
     // 2× rescale (cosine 1.0, a true semantic dup) can land in
     // different cells and never meet. Cosine is scale-invariant, so
     // pair similarity over normalized vectors equals the original.
-    val prep = corpus.select(col(idCol).as("id"),
-      l2Normalize(col(vecCol)).as("__nv"))
+    val prep = semDedupPrep(corpus, idCol, vecCol)
     val (model, tagged0) = ivfBuild(prep, numCells, "__nv", seed, maxIter)
+    semDedupWithIndex(corpus, model, tagged0, idCol, vecCol, minCosine,
+      keepPolicy, maxCellSize, seed)
+  }
+
+  /** The `(id, __nv)` frame [[semDedup]] clusters — exposed so a caller
+    * can [[ivfEnsure]] this exact prep under a marker-gated state dir
+    * and pay the KMeans fit once per corpus version. */
+  def semDedupPrep(
+      corpus: DataFrame,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame =
+    corpus.select(col(idCol).as("id"), l2Normalize(col(vecCol)).as("__nv"))
+
+  /** [[semDedup]] against a PREBUILT cell index — `model` + `tagged`
+    * (the `(id, __nv, cell)` frame [[ivfBuild]]/[[ivfEnsure]] return
+    * over [[semDedupPrep]]). This is the production arrival path: the
+    * KMeans fit is paid once per corpus version ([[ivfEnsure]]'s
+    * `_BUILT` marker), every subsequent dedup pass reads the persisted
+    * assignment. */
+  def semDedupWithIndex(
+      corpus: DataFrame,
+      model: KMeansModel,
+      tagged0: DataFrame,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding",
+      minCosine: Double = 0.95,
+      keepPolicy: String = "far-from-centroid",
+      maxCellSize: Int = 100000,
+      seed: Long = 4233L): DataFrame = {
+    require(Set("far-from-centroid", "min-id").contains(keepPolicy),
+      s"unknown keepPolicy: $keepPolicy")
+    require(maxCellSize > 1, "maxCellSize must be positive")
+    val spark = corpus.sparkSession
+    import spark.implicits._
     // the tagged frame feeds pair-gen twice (both join sides) + the
     // centroid join — persist or the KMeans transform re-runs per
     // consumer (the R19 cache-before-fan-out rule)
