@@ -1392,6 +1392,45 @@ object SparkEntry {
         .filter(col("lm2_logp").isNotNull)
     }),
 
+    // ---- Trigram stupid-backoff LM scoring (Brants et al. 2007):
+    // position 0 unigram Laplace, position 1 bigram-with-backoff,
+    // positions ≥2 trigram → bigram → unigram with ×0.4 per backoff
+    // step. Order now matters TWO tokens back. Oracle replays all
+    // three trainings and every position's CASE arithmetic.
+    "q85_trigram_logprob" -> ((s, dir) => {
+      import graft.llm.LangModel
+      val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
+      val lm = LangModel.trainTrigram(
+        docs.filter(col("doc_id") < 100), "text", minCount = 2)
+      LangModel.logProbPerDocTrigram(
+        docs.filter(col("doc_id") >= 100), lm, "doc_id", "text")
+        .select(col("doc_id"), round(col("lm3_logp"), 6).as("lm3_logp"),
+          col("lm3_positions"))
+    }),
+
+    // ---- The same trigram scores through the SCALE path: LM saved as
+    // one file (unigram/#pairs/#triples sections), loaded once per
+    // executor JVM (Lm3Registry — every ratio precomputed), scoring a
+    // zero-shuffle codegen'd projection. Same oracle as q85 pins the
+    // parity at the 6-decimal rounding.
+    "q86_trigram_native" -> ((s, dir) => {
+      import graft.llm.LangModel
+      val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
+      val lm = LangModel.trainTrigram(
+        docs.filter(col("doc_id") < 100), "text", minCount = 2)
+      val lmPath = new java.io.File(
+        new java.io.File(System.getProperty("java.io.tmpdir"), "graft_lm"),
+        s"${dir.replaceAll("[^A-Za-z0-9.-]", "_")}_mc2.lm3").toString
+      LangModel.saveTrigram(lm, lmPath)
+      docs.filter(col("doc_id") >= 100)
+        .select(col("doc_id"),
+          round(graft.functions.GraftFunctions.lm3LogProb(col("text"), lmPath), 6)
+            .as("lm3_logp"),
+          graft.llm.TextAnalysis.wsTokenCount(col("text")).cast("long")
+            .as("lm3_positions"))
+        .filter(col("lm3_logp").isNotNull)
+    }),
+
     // ---- Learned quality classifier, SCORING path: sigmoid(b + w·x)
     // over the fixed SQL-replayable feature surface, with pinned
     // weights so the oracle replays the entire dot product (plausible
@@ -1607,6 +1646,74 @@ object SparkEntry {
         |  CAST(count(*) AS BIGINT) AS lm2_positions
         |FROM allpos GROUP BY doc_id""".stripMargin
 
+  /** q85/q86's shared oracle: all three trainings, then the exact
+    * per-position stupid-backoff CASE — raw ratios at the n-gram
+    * levels, `log10(0.4)` added per backoff step, Laplace floor at the
+    * unigram, 6-decimal rounding. */
+  private val TrigramOracleSql: String =
+    """WITH toks AS (
+        |  SELECT doc_id,
+        |    list_filter(regexp_split_to_array(lower(trim(text)), '\s+'),
+        |      t -> len(t) > 0) AS tk
+        |  FROM documents),
+        |uni AS (
+        |  SELECT token, count(*) AS cnt FROM (
+        |    SELECT unnest(tk) AS token FROM toks WHERE doc_id < 100)
+        |  GROUP BY token HAVING count(*) >= 2),
+        |uv AS (SELECT CAST(coalesce(sum(cnt), 0) + count(*) + 1 AS DOUBLE) AS du
+        |       FROM uni),
+        |big AS (
+        |  SELECT w1, w2, count(*) AS cnt2 FROM (
+        |    SELECT tk[i-1] AS w1, tk[i] AS w2 FROM (
+        |      SELECT tk, unnest(generate_series(2, len(tk))) AS i
+        |      FROM toks WHERE doc_id < 100))
+        |  GROUP BY w1, w2 HAVING count(*) >= 2),
+        |tri AS (
+        |  SELECT w1, w2, w3, count(*) AS cnt3 FROM (
+        |    SELECT tk[i-2] AS w1, tk[i-1] AS w2, tk[i] AS w3 FROM (
+        |      SELECT tk, unnest(generate_series(3, len(tk))) AS i
+        |      FROM toks WHERE doc_id < 100))
+        |  GROUP BY w1, w2, w3 HAVING count(*) >= 2),
+        |first AS (
+        |  SELECT t.doc_id, log10((coalesce(u.cnt, 0) + 1) / uv.du) AS logp
+        |  FROM (SELECT doc_id, tk[1] AS token FROM toks
+        |        WHERE doc_id >= 100 AND len(tk) > 0) t
+        |  LEFT JOIN uni u USING (token) CROSS JOIN uv),
+        |second AS (
+        |  SELECT t.doc_id,
+        |    CASE WHEN b.cnt2 IS NOT NULL
+        |         THEN log10(CAST(b.cnt2 AS DOUBLE) / u1.cnt)
+        |         ELSE log10(0.4) + log10((coalesce(u2.cnt, 0) + 1) / uv.du)
+        |    END AS logp
+        |  FROM (SELECT doc_id, tk[1] AS w1, tk[2] AS w2 FROM toks
+        |        WHERE doc_id >= 100 AND len(tk) >= 2) t
+        |  LEFT JOIN big b USING (w1, w2)
+        |  LEFT JOIN uni u1 ON t.w1 = u1.token
+        |  LEFT JOIN uni u2 ON t.w2 = u2.token
+        |  CROSS JOIN uv),
+        |rest AS (
+        |  SELECT p.doc_id,
+        |    CASE WHEN tr.cnt3 IS NOT NULL
+        |         THEN log10(CAST(tr.cnt3 AS DOUBLE) / b12.cnt2)
+        |         WHEN b23.cnt2 IS NOT NULL
+        |         THEN log10(0.4) + log10(CAST(b23.cnt2 AS DOUBLE) / u2.cnt)
+        |         ELSE 2 * log10(0.4) + log10((coalesce(u3.cnt, 0) + 1) / uv.du)
+        |    END AS logp
+        |  FROM (SELECT doc_id, tk[i-2] AS w1, tk[i-1] AS w2, tk[i] AS w3 FROM (
+        |          SELECT doc_id, tk, unnest(generate_series(3, len(tk))) AS i
+        |          FROM toks WHERE doc_id >= 100)) p
+        |  LEFT JOIN tri tr USING (w1, w2, w3)
+        |  LEFT JOIN big b12 ON p.w1 = b12.w1 AND p.w2 = b12.w2
+        |  LEFT JOIN big b23 ON p.w2 = b23.w1 AND p.w3 = b23.w2
+        |  LEFT JOIN uni u2 ON p.w2 = u2.token
+        |  LEFT JOIN uni u3 ON p.w3 = u3.token
+        |  CROSS JOIN uv),
+        |allpos AS (SELECT * FROM first UNION ALL SELECT * FROM second
+        |           UNION ALL SELECT * FROM rest)
+        |SELECT doc_id, round(avg(logp), 6) AS lm3_logp,
+        |  CAST(count(*) AS BIGINT) AS lm3_positions
+        |FROM allpos GROUP BY doc_id""".stripMargin
+
   private val LmOracleSql: String =
     """WITH toks AS (
       |  SELECT doc_id,
@@ -1720,6 +1827,8 @@ object SparkEntry {
     // ONE oracle pins the composable (q82) and native (q83) forms
     "q82_bigram_logprob" -> BigramOracleSql,
     "q83_bigram_native" -> BigramOracleSql,
+    "q85_trigram_logprob" -> TrigramOracleSql,
+    "q86_trigram_native" -> TrigramOracleSql,
     // the full learned-classifier dot product replayed: the five
     // features are the q16/q21/q64 replays, the sigmoid accumulates
     // intercept-first then features in declaration order (matching the

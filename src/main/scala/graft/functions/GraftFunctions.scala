@@ -309,6 +309,9 @@ object GraftFunctions {
   def lm2LogProb(c: Column, lmPath: String): Column =
     ColumnBridge.column(Lm2LogProb(ColumnBridge.expression(c), lmPath))
 
+  def lm3LogProb(c: Column, lmPath: String): Column =
+    ColumnBridge.column(Lm3LogProb(ColumnBridge.expression(c), lmPath))
+
   val functions: Seq[(String, ExpressionInfo, Seq[Expression] => Expression)] = Seq(
     ("graft_cosine",
       new ExpressionInfo(classOf[CosineSimilarity].getName, "graft_cosine"),
@@ -384,6 +387,17 @@ object GraftFunctions {
           case s: UTF8String => Lm2LogProb(es.head, s.toString)
           case other => throw new IllegalArgumentException(
             s"graft_lm2_logprob LM path must be a string literal, got $other")
+        }
+      }),
+    ("graft_lm3_logprob",
+      new ExpressionInfo(classOf[Lm3LogProb].getName, "graft_lm3_logprob"),
+      (es: Seq[Expression]) => {
+        require(es.length == 2, s"graft_lm3_logprob takes 2 arguments, got ${es.length}")
+        require(es(1).foldable, "graft_lm3_logprob LM path must be a literal")
+        es(1).eval() match {
+          case s: UTF8String => Lm3LogProb(es.head, s.toString)
+          case other => throw new IllegalArgumentException(
+            s"graft_lm3_logprob LM path must be a string literal, got $other")
         }
       }),
     ("graft_bpe_segments",

@@ -19,6 +19,11 @@ import org.apache.spark.sql.functions._
   * first-position score. */
 final case class BigramLm(unigram: UnigramLm, table: DataFrame)
 
+/** Trigram stupid-backoff LM: the minCount-pruned `(w1, w2, w3, cnt3)`
+  * table plus the bigram model that supplies context counts and the
+  * two backoff levels. */
+final case class TrigramLm(bigram: BigramLm, table: DataFrame)
+
 final case class UnigramLm(table: DataFrame, totalTokens: Long, vocab: Long) {
 
   /** The shared Laplace denominator `N + V + 1` as a double — computed
@@ -109,6 +114,119 @@ object LangModel {
       transform(sequence(lit(1), size(tk) - 1),
         i => struct(element_at(tk, i).as("w1"), element_at(tk, i + 1).as("w2"))))
       .otherwise(array().cast("array<struct<w1:string,w2:string>>"))
+
+  /** Adjacent `(w1, w2, w3)` triples of a token array, in order —
+    * shared by trigram training and scoring. */
+  private def triplesOf(tk: Column): Column =
+    when(size(tk) >= 3,
+      transform(sequence(lit(3), size(tk)),
+        i => struct(element_at(tk, i - 2).as("w1"),
+          element_at(tk, i - 1).as("w2"), element_at(tk, i).as("w3"))))
+      .otherwise(array().cast("array<struct<w1:string,w2:string,w3:string>>"))
+
+  /** Train a trigram LM (same tokenizer contract, same shared
+    * `minCount` pruning at all three orders — which is what guarantees
+    * a kept n-gram's context survives at order n−1, the invariant the
+    * saved-file loader enforces). Triple construction is an in-row HOF
+    * (no shuffle); one aggregate whose width is the corpus token
+    * count, partial-agg collapsed map-side like the bigram's. */
+  def trainTrigram(
+      ref: DataFrame,
+      textCol: String,
+      minCount: Long = 1L): TrigramLm = {
+    val triples = ref
+      .select(Dedup.tokens(col(textCol)).as("tk"))
+      .select(explode(triplesOf(col("tk"))).as("t"))
+      .select(col("t.w1"), col("t.w2"), col("t.w3"))
+      .groupBy("w1", "w2", "w3").agg(count(lit(1)).as("cnt3"))
+      .filter(col("cnt3") >= minCount)
+    TrigramLm(trainBigram(ref, textCol, minCount), triples)
+  }
+
+  /** Composable trigram scoring with STUPID BACKOFF (Brants et al.
+    * 2007; α = 0.4): one row per doc with `lm3_logp` (average log10
+    * score over all positions) and `lm3_positions`. Per position:
+    *  - 0: unigram Laplace (identical to [[logProbPerDocBigram]]'s);
+    *  - 1: stored pair → `log10(cnt2/c1(w1))`,
+    *       else `log10(0.4) + unigram Laplace(w2)`;
+    *  - ≥2: stored triple → `log10(cnt3/cnt2(w1,w2))`,
+    *        stored (w2,w3) pair → `log10(0.4) + log10(cnt2/c1(w2))`,
+    *        else `2·log10(0.4) + unigram Laplace(w3)`.
+    * Raw count ratios at the n-gram levels (no Laplace — backoff IS
+    * the smoothing), a Laplace floor at the unigram so OOV tokens
+    * score finitely. The backoff constant is ADDED (`log10(0.4) +
+    * log10(ratio)`), the spelling all three forms and the oracle
+    * share. A stored n-gram's context count is present by the shared
+    * minCount (cnt(ctx) ≥ cnt(gram)), so the denominators never null.
+    *
+    * Word order now matters TWO tokens back: "the quick brown fox"
+    * vs "brown the fox quick" separate harder than under the bigram
+    * (LangModelSpec pins the separation ordering).
+    *
+    * Shape: in-row gram construction; broadcast joins against the
+    * minCount-bounded unigram table; (w1,w2)-keyed joins AQE-picked;
+    * one final per-doc aggregate. The native form
+    * (`graft_lm3_logprob`, [[graft.functions.Lm3LogProb]]) is the
+    * zero-shuffle scale path against the SAME oracle. */
+  def logProbPerDocTrigram(
+      docs: DataFrame,
+      lm: TrigramLm,
+      idCol: String,
+      textCol: String): DataFrame = {
+    val uni = lm.bigram.unigram
+    val log04 = log10(lit(0.4))
+    val base = docs
+      .select(col(idCol), Dedup.tokens(col(textCol)).as("tk"))
+      .filter(size(col("tk")) > 0)
+    // position 0: unigram Laplace
+    val first = base
+      .select(col(idCol), element_at(col("tk"), 1).as("token"))
+      .join(broadcast(uni.table), Seq("token"), "left")
+      .select(col(idCol), tokenLogProb(col("cnt"), uni).as("logp"))
+    // position 1: bigram level, one backoff step
+    val u1 = uni.table
+      .withColumnRenamed("token", "w1").withColumnRenamed("cnt", "__c1")
+    val u2 = uni.table
+      .withColumnRenamed("token", "w2").withColumnRenamed("cnt", "__cw2")
+    val second = base
+      .filter(size(col("tk")) >= 2)
+      .select(col(idCol), element_at(col("tk"), 1).as("w1"),
+        element_at(col("tk"), 2).as("w2"))
+      .join(broadcast(lm.bigram.table), Seq("w1", "w2"), "left")
+      .join(broadcast(u1), Seq("w1"), "left")
+      .join(broadcast(u2), Seq("w2"), "left")
+      .select(col(idCol),
+        when(col("cnt2").isNotNull,
+          log10(col("cnt2").cast("double") / col("__c1").cast("double")))
+        .otherwise(log04 + tokenLogProb(col("__cw2"), uni))
+        .as("logp"))
+    // positions ≥2: trigram level, two backoff steps
+    val b12 = lm.bigram.table.withColumnRenamed("cnt2", "__c12")
+    val b23 = lm.bigram.table.select(col("w1").as("w2"),
+      col("w2").as("w3"), col("cnt2").as("__c23"))
+    val u2c = uni.table
+      .withColumnRenamed("token", "w2").withColumnRenamed("cnt", "__c2")
+    val u3 = uni.table
+      .withColumnRenamed("token", "w3").withColumnRenamed("cnt", "__cw3")
+    val rest = base
+      .select(col(idCol), explode(triplesOf(col("tk"))).as("t"))
+      .select(col(idCol), col("t.w1"), col("t.w2"), col("t.w3"))
+      .join(lm.table, Seq("w1", "w2", "w3"), "left")
+      .join(b12, Seq("w1", "w2"), "left")
+      .join(b23, Seq("w2", "w3"), "left")
+      .join(broadcast(u2c), Seq("w2"), "left")
+      .join(broadcast(u3), Seq("w3"), "left")
+      .select(col(idCol),
+        when(col("cnt3").isNotNull,
+          log10(col("cnt3").cast("double") / col("__c12").cast("double")))
+        .when(col("__c23").isNotNull,
+          log04 + log10(col("__c23").cast("double") / col("__c2").cast("double")))
+        .otherwise(lit(2.0) * log04 + tokenLogProb(col("__cw3"), uni))
+        .as("logp"))
+    first.unionByName(second).unionByName(rest)
+      .groupBy(idCol)
+      .agg(avg("logp").as("lm3_logp"), count(lit(1)).as("lm3_positions"))
+  }
 
   /** Composable bigram scoring: one row per scoring doc with
     * `lm2_logp` (average log10 conditional probability over ALL
@@ -224,6 +342,45 @@ object LangModel {
       }
     } finally out.close()
     graft.functions.Lm2Registry.invalidate(path)
+  }
+
+  /** Persist a trigram LM as ONE text file (unigram section, `#pairs`,
+    * `#triples` — tab-separated lines, sorted for deterministic
+    * bytes). All three collects are minCount-bounded driver egress;
+    * [[graft.functions.Lm3Registry]] loads the file once per executor
+    * JVM and precomputes every ratio. */
+  def saveTrigram(lm: TrigramLm, path: String): Unit = {
+    val spark = lm.table.sparkSession
+    val uniRows = lm.bigram.unigram.table.orderBy("token").collect()
+    val pairRows = lm.bigram.table.orderBy("w1", "w2").collect()
+    val triRows = lm.table.orderBy("w1", "w2", "w3").collect()
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val out = new java.io.BufferedWriter(new java.io.OutputStreamWriter(
+      fs.create(p, true), java.nio.charset.StandardCharsets.UTF_8))
+    try {
+      out.write(s"#graft-trigram-lm v1 total=${lm.bigram.unigram.totalTokens} " +
+        s"vocab=${lm.bigram.unigram.vocab} pairs=${pairRows.length} " +
+        s"triples=${triRows.length}\n")
+      uniRows.foreach { r =>
+        out.write(r.getString(0)); out.write('\t')
+        out.write(r.getLong(1).toString); out.write('\n')
+      }
+      out.write("#pairs\n")
+      pairRows.foreach { r =>
+        out.write(r.getString(0)); out.write('\t')
+        out.write(r.getString(1)); out.write('\t')
+        out.write(r.getLong(2).toString); out.write('\n')
+      }
+      out.write("#triples\n")
+      triRows.foreach { r =>
+        out.write(r.getString(0)); out.write('\t')
+        out.write(r.getString(1)); out.write('\t')
+        out.write(r.getString(2)); out.write('\t')
+        out.write(r.getLong(3).toString); out.write('\n')
+      }
+    } finally out.close()
+    graft.functions.Lm3Registry.invalidate(path)
   }
 
   def save(lm: UnigramLm, path: String): Unit = {

@@ -220,6 +220,102 @@ class LangModelSpec extends SparkTestBase {
     assert(math.abs(nat - want) < 1e-12, s"native $nat vs $want")
   }
 
+  // ------------------------------------------------ trigram backoff LM
+
+  test("logProbPerDocTrigram: hand-computed stupid-backoff positions cover " +
+      "every branch (trigram hit, each backoff level, OOV floor)") {
+    val ref = Seq("a b c", "a b c").toDF("text")
+    val lm = LangModel.trainTrigram(ref, "text", minCount = 2)
+    // uni: a,b,c ×2 → N=6 V=3 denom=10; big: (a,b),(b,c) ×2; tri: (a,b,c) ×2
+    assert(lm.table.collect().map(r =>
+      (r.getString(0), r.getString(1), r.getString(2), r.getLong(3))).toSet ==
+      Set(("a", "b", "c", 2L)))
+    val docs = Seq((1L, "a b c b c"), (2L, "z a b"), (3L, " ")).toDF("doc_id", "text")
+    val out = LangModel.logProbPerDocTrigram(docs, lm, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> (r.getDouble(1), r.getLong(2))).toMap
+    val l04 = StrictMath.log10(0.4)
+    val uniA = StrictMath.log10(3.0 / 10) // Laplace, cnt=2
+    val uniOov = StrictMath.log10(1.0 / 10)
+    // doc 1: 'a' uniA; (a,b) hit log10(2/2)=0; (a,b,c) hit log10(2/2)=0;
+    // ctx (b,c) tok 'b': no triple, no (c,b) pair → 2·l04 + uniA;
+    // ctx (c,b) tok 'c': no triple, (b,c) pair hit → l04 + log10(2/2)
+    val want1 = (uniA + 0.0 + 0.0 + (2 * l04 + uniA) + (l04 + 0.0)) / 5
+    assert(math.abs(out(1L)._1 - want1) < 1e-12 && out(1L)._2 == 5L,
+      s"got ${out(1L)} want $want1")
+    // doc 2: 'z' OOV; (z,a) no pair → l04 + uniA;
+    // ctx (z,a) tok 'b': no triple, (a,b) pair hit → l04 + log10(2/2)
+    val want2 = (uniOov + (l04 + uniA) + (l04 + 0.0)) / 3
+    assert(math.abs(out(2L)._1 - want2) < 1e-12 && out(2L)._2 == 3L)
+    assert(!out.contains(3L), "token-less docs are absent")
+  }
+
+  test("trigram separates two-token-back order that the bigram provably " +
+      "cannot — and beats it on ordered-vs-scrambled separation") {
+    // 'b' continues to 'c' after 'a', to 'e' after 'd' — pure trigram signal
+    val ref = ((1 to 30).map(_ => "a b c") ++ (1 to 30).map(_ => "d b e"))
+      .toDF("text")
+    val lm = LangModel.trainTrigram(ref, "text", minCount = 2)
+    val docs = Seq(
+      (1L, "a b c"),  // trigram-consistent
+      (2L, "a b e")   // every BIGRAM seen, trigram violated
+    ).toDF("doc_id", "text")
+    val tri = LangModel.logProbPerDocTrigram(docs, lm, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(tri(1L) > tri(2L) + 0.1,
+      s"trigram must prefer the attested continuation: ${tri(1L)} vs ${tri(2L)}")
+    val bi = LangModel.logProbPerDocBigram(docs, lm.bigram, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(math.abs(bi(1L) - bi(2L)) < 1e-12,
+      "both docs are pairwise identical to the bigram — the trigram's whole point")
+    // ordered-vs-scrambled: strictly wider separation than the bigram's
+    val shuf = Seq((1L, "a b c"), (2L, "c a b")).toDF("doc_id", "text")
+    val t2 = LangModel.logProbPerDocTrigram(shuf, lm, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val b2 = LangModel.logProbPerDocBigram(shuf, lm.bigram, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(t2(1L) - t2(2L) > b2(1L) - b2(2L),
+      s"trigram separation ${t2(1L) - t2(2L)} must beat bigram ${b2(1L) - b2(2L)}")
+  }
+
+  test("trigram save/load: native matches composable at the oracle rounding " +
+      "on the real corpus; loader rejects a triple with no pair context") {
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select(col("doc_id"), col("text"))
+    val lm = LangModel.trainTrigram(
+      docs.filter(col("doc_id") < 100), "text", minCount = 2)
+    val path = tmpLm("trigram.lm3")
+    LangModel.saveTrigram(lm, path)
+    val composable = LangModel.logProbPerDocTrigram(
+      docs.filter(col("doc_id") >= 100), lm, "doc_id", "text")
+      .select(col("doc_id"), round(col("lm3_logp"), 6).as("l"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val native = docs.filter(col("doc_id") >= 100)
+      .select(col("doc_id"),
+        round(GraftFunctions.lm3LogProb(col("text"), path), 6).as("l"))
+      .filter(col("l").isNotNull)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(native == composable,
+      "native trigram scoring must match the composable form at round(6)")
+    // SQL surface
+    GraftFunctions.register(spark)
+    docs.limit(3).createOrReplaceTempView("lm3_docs")
+    val viaSql = spark.sql(
+      s"SELECT graft_lm3_logprob(text, '$path') FROM lm3_docs").collect()
+    assert(viaSql.length == 3 && viaSql.forall(!_.isNullAt(0)))
+    // tampered file: triple whose (w1,w2) context is not in #pairs
+    val bad = tmpLm("trigram_bad.lm3")
+    val w = new java.io.PrintWriter(bad, "UTF-8")
+    try {
+      w.println("#graft-trigram-lm v1 total=4 vocab=2 pairs=1 triples=1")
+      w.println("a\t2"); w.println("b\t2")
+      w.println("#pairs"); w.println("a\tb\t2")
+      w.println("#triples"); w.println("b\ta\tb\t2")
+    } finally w.close()
+    graft.functions.Lm3Registry.invalidate(bad)
+    val err = intercept[IllegalArgumentException] { graft.functions.Lm3Registry.get(bad) }
+    assert(err.getMessage.contains("missing from the pairs section"))
+  }
+
   // ------------------------------------------------- DSIR resampling
 
   test("dsirSample: target-vocabulary docs out-weigh off-target docs and " +
