@@ -171,62 +171,6 @@ object Curator {
         val tcol = c.getString("text-column").getOrElse("text")
         raw.withColumn(tcol, graft.llm.TextAnalysis.redact(col(tcol)))
       }
-    // optional line-level boilerplate removal, ALSO before any
-    // hashing/signatures — dedup state built over un-cleaned text would
-    // stop matching future cleaned batches (the redact argument).
-    // Doc frequency is computed over THIS batch: in incremental mode a
-    // batch sees only its own headers/footers, which is the C4-style
-    // semantics (boilerplate is batch-pervasive by nature); docs whose
-    // every line was boilerplate are dropped, not emitted empty
-    val dfB = c.getInt("boilerplate-min-doc-freq") match {
-      case Some(mdf) =>
-        val tcol = c.getString("text-column").getOrElse("text")
-        val icol = c.getString("id-column").getOrElse("doc_id")
-        val cleaned = graft.llm.TextAnalysis
-          .stripBoilerplate(df0, icol, tcol, minDocFreq = mdf)
-          .filter(col("n_kept") > 0).drop("n_kept")
-        if (c.getString("log-drop-counts").exists(v => !v.toBoolean)) cleaned
-        else {
-          // one extra pair of count jobs, same convention as the tiers
-          // below; the boilerplate line-frequency aggregate re-runs for
-          // the real pass — cheaper than persisting the whole corpus here
-          Cli.log(s"boilerplate: ${cleaned.count()} of ${df0.count()} docs " +
-            s"keep at least one line at min-doc-freq=$mdf")
-          cleaned
-        }
-      case None => df0
-    }
-    // optional exact duplicated-SPAN removal (Lee et al. substring
-    // dedup), the third pre-state text-rewriting stage after redact and
-    // boilerplate — same ordering argument: the persisted dedup state
-    // must hash the text future batches will actually carry. Spans are
-    // found within THIS batch only (the state keeps no span index);
-    // docs whose every token was a duplicated span are dropped
-    val df0ToFree = c.getInt("span-dedup-tokens") match {
-      case Some(n) =>
-        val tcol = c.getString("text-column").getOrElse("text")
-        val icol = c.getString("id-column").getOrElse("doc_id")
-        // span removal is the one EXPENSIVE pre-state stage (a
-        // token-scale shuffle) and everything downstream — the tier
-        // counts, curation, state — re-reads its output several times:
-        // persist the cut corpus (released after `curated` materializes
-        // below, alongside the tier caches)
-        val deduped = graft.llm.Dedup.removeDuplicateSpans(dfB, icol, tcol, n = n)
-          .persist()
-        val kept = deduped
-          .filter(col("n_removed") === 0 || length(col(tcol)) > 0)
-        if (!c.getString("log-drop-counts").exists(v => !v.toBoolean)) {
-          val stats = deduped.agg(
-            count(lit(1)).as("docs"),
-            sum((col("n_removed") > 0).cast("long")).as("touched"),
-            sum("n_removed").as("toks")).head()
-          Cli.log(s"span-dedup: ${stats.getLong(2)} duplicate tokens cut from " +
-            s"${stats.getLong(1)} of ${stats.getLong(0)} docs (span=$n)")
-        }
-        Some(kept.drop("n_removed") -> deduped)
-      case None => None
-    }
-    val df = df0ToFree.map(_._1).getOrElse(dfB)
     val base = graft.llm.Curation.Config()
     val cc = graft.llm.Curation.Config(
       minQuality = c.getDouble("min-quality").getOrElse(base.minQuality),
@@ -351,6 +295,71 @@ object Curator {
     require(!c.getString("state-out-dir").exists(out =>
       stateDir.exists(in => qual(in) == qual(out))),
       "curation.state-out-dir must differ from state-dir (alternate A/B dirs between runs)")
+    // ---- text-rewriting stages, after state validation (they may read
+    // accumulated evidence from the state dir) but BEFORE any
+    // hashing/signatures — dedup state built over un-rewritten text
+    // would stop matching future rewritten batches (the redact argument)
+    //
+    // line-level boilerplate removal with ACCUMULATED evidence: prior
+    // line frequencies ride the committed state (`linefreqs`), so a
+    // header that only becomes pervasive ACROSS batches is stripped
+    // once the accumulated count crosses the threshold — per-batch
+    // evidence alone structurally misses it. The evidence table is
+    // parameter-free (verbatim lines), so old state dirs without it
+    // stay valid: the stage just starts from this batch's counts.
+    val priorLineFreqs = stateDir
+      .filter(d => exists(new Path(qual(d), "linefreqs")))
+      .map(d => spark.read.parquet(s"$d/linefreqs"))
+    val (dfB, boilerFreqs) = c.getInt("boilerplate-min-doc-freq") match {
+      case Some(mdf) =>
+        // combined evidence feeds the strip's threshold subset AND the
+        // state write below — persist against the double traversal
+        val freqs = graft.llm.TextAnalysis.combineLineFreqs(
+          priorLineFreqs.toSeq :+
+            graft.llm.TextAnalysis.lineDocFreqs(df0, idCol, textCol))
+          .persist()
+        val cleaned = graft.llm.TextAnalysis
+          .stripBoilerplateAgainst(df0, freqs, idCol, textCol, minDocFreq = mdf)
+          .filter(col("n_kept") > 0).drop("n_kept")
+        if (!c.getString("log-drop-counts").exists(v => !v.toBoolean)) {
+          // one extra pair of count jobs, same convention as the tiers below
+          Cli.log(s"boilerplate: ${cleaned.count()} of ${df0.count()} docs " +
+            s"keep at least one line at min-doc-freq=$mdf" +
+            (if (priorLineFreqs.isDefined) " (accumulated evidence)" else ""))
+        }
+        (cleaned, Some(freqs))
+      // stage off: carry prior evidence forward unchanged, so toggling
+      // boilerplate off for one batch never discards accumulated state
+      case None => (df0, priorLineFreqs)
+    }
+    // optional exact duplicated-SPAN removal (Lee et al. substring
+    // dedup), the third pre-state text-rewriting stage after redact and
+    // boilerplate. Spans are found within THIS batch only (the state
+    // keeps no span index); docs whose every token was a duplicated
+    // span are dropped
+    val df0ToFree = c.getInt("span-dedup-tokens") match {
+      case Some(n) =>
+        // span removal is the one EXPENSIVE pre-state stage (a
+        // token-scale shuffle) and everything downstream — the tier
+        // counts, curation, state — re-reads its output several times:
+        // persist the cut corpus (released after `curated` materializes
+        // below, alongside the tier caches)
+        val deduped = graft.llm.Dedup.removeDuplicateSpans(dfB, idCol, textCol, n = n)
+          .persist()
+        val kept = deduped
+          .filter(col("n_removed") === 0 || length(col(textCol)) > 0)
+        if (!c.getString("log-drop-counts").exists(v => !v.toBoolean)) {
+          val stats = deduped.agg(
+            count(lit(1)).as("docs"),
+            sum((col("n_removed") > 0).cast("long")).as("touched"),
+            sum("n_removed").as("toks")).head()
+          Cli.log(s"span-dedup: ${stats.getLong(2)} duplicate tokens cut from " +
+            s"${stats.getLong(1)} of ${stats.getLong(0)} docs (span=$n)")
+        }
+        Some(kept.drop("n_removed") -> deduped)
+      case None => None
+    }
+    val df = df0ToFree.map(_._1).getOrElse(dfB)
     val (batch, batchToFree) = stateDir match {
       case Some(d) =>
         Cli.log(s"incremental: dropping docs seen in state at $d ...")
@@ -620,6 +629,10 @@ object Curator {
           vecBands, cc.simHashMaxBucket)
           .write.mode("overwrite").parquet(s"$outDir/vechot")
       }
+      // boilerplate evidence rides the same commit: accumulated line
+      // frequencies (prior + this batch when the stage ran; prior
+      // carried forward when it didn't)
+      boilerFreqs.foreach(_.write.mode("overwrite").parquet(s"$outDir/linefreqs"))
       val marker = fs.create(new Path(outPath, "_COMMITTED"), true)
       try marker.write(stateParams.getBytes("UTF-8")) finally marker.close()
       Cli.log(s"dedup state written to $outDir")
@@ -627,6 +640,7 @@ object Curator {
     curated.unpersist()
     quantToFree.foreach(_.unpersist())
     decontToFree.foreach(_.unpersist())
+    boilerFreqs.foreach(_.unpersist()) // no-op for the carried-forward case
     Cli.log("curation finished")
   }
 }

@@ -153,6 +153,51 @@ object TextAnalysis {
       idCol: String = "doc_id",
       textCol: String = "text",
       minDocFreq: Int = 10,
+      delim: String = "\n"): org.apache.spark.sql.DataFrame =
+    stripBoilerplateAgainst(df, lineDocFreqs(df, idCol, textCol, delim),
+      idCol, textCol, minDocFreq, delim)
+
+  /** Per-line document frequencies `(__line, __df)` of a batch — the
+    * evidence table [[stripBoilerplateAgainst]] thresholds, and the
+    * unit of ACCUMULATED state in the Curator's incremental mode
+    * (prior + batch tables sum via [[combineLineFreqs]], so a line
+    * that only becomes pervasive ACROSS batches is still caught).
+    * `__df` is distinct docs within one batch; summing across batches
+    * counts a doc per batch it appears in — ids are batch-unique in an
+    * incremental pipeline, and over-counting a re-sent doc only makes
+    * a real boilerplate line cross the threshold sooner. */
+  def lineDocFreqs(
+      df: org.apache.spark.sql.DataFrame,
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      delim: String = "\n"): org.apache.spark.sql.DataFrame = {
+    require(delim.nonEmpty, "delim must be non-empty")
+    df.select(col(idCol),
+        posexplode(split(col(textCol), java.util.regex.Pattern.quote(delim)))
+          .as(Seq("__pos", "__line")))
+      .groupBy(col("__line"))
+      .agg(countDistinct(col(idCol)).as("__df"))
+  }
+
+  /** Sum line-frequency evidence tables (prior state + a new batch). */
+  def combineLineFreqs(
+      tables: Seq[org.apache.spark.sql.DataFrame]): org.apache.spark.sql.DataFrame = {
+    require(tables.nonEmpty, "combineLineFreqs needs at least one table")
+    tables.reduce(_ unionByName _)
+      .groupBy(col("__line")).agg(sum(col("__df")).as("__df"))
+  }
+
+  /** [[stripBoilerplate]] against a SUPPLIED evidence table — the
+    * incremental form: `freqs` is accumulated line frequency from all
+    * batches so far ([[combineLineFreqs]] of the persisted state and
+    * [[lineDocFreqs]] of this batch), so future batches are cleaned
+    * against everything the corpus has seen, not just themselves. */
+  def stripBoilerplateAgainst(
+      df: org.apache.spark.sql.DataFrame,
+      freqs: org.apache.spark.sql.DataFrame,
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      minDocFreq: Int = 10,
       delim: String = "\n"): org.apache.spark.sql.DataFrame = {
     require(minDocFreq >= 2, s"minDocFreq must be >= 2, got $minDocFreq")
     require(delim.nonEmpty, "delim must be non-empty")
@@ -161,8 +206,7 @@ object TextAnalysis {
     val lines = df.select(col(idCol),
       posexplode(split(col(textCol), java.util.regex.Pattern.quote(delim)))
         .as(Seq("__pos", "__line")))
-    val boiler = lines.groupBy(col("__line"))
-      .agg(countDistinct(col(idCol)).as("__df"))
+    val boiler = freqs
       .filter(col("__df") >= minDocFreq)
       .select("__line")
     val rebuilt = lines.join(boiler, Seq("__line"), "left_anti")

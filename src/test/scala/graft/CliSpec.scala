@@ -735,6 +735,56 @@ class CliSpec extends SparkTestBase {
       "re-run of the same raw batch against state must converge to zero")
   }
 
+  test("curator boilerplate accumulates evidence across batches: a header below " +
+      "the threshold in EVERY batch is stripped once the corpus has seen enough") {
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    val base = tmp()
+    val header = "graft cross batch header"
+    def mk(ids: Range, tag: String) = ids.map { i =>
+      (i.toLong, s"$header\n$tag body $i alpha beta gamma delta epsilon")
+    }.toDF("doc_id", "text")
+    val inA = base.resolve("xa").toString
+    val inB = base.resolve("xb").toString
+    mk(0 until 6, "first").write.parquet(inA)
+    mk(100 until 106, "second wholly different content").write.parquet(inB)
+    def conf(run: Int, in: String, stateIn: Option[String]) =
+      write(base.resolve(s"xb$run.conf"),
+        s"""source { storage-type = local, dataset-dir = $in }
+           |target { storage-type = local, dataset-dir = ${base.resolve(s"xout$run")}, dataset-store-format = parquet, write-mode = overwrite }
+           |curation {
+           |  min-quality = 0.0
+           |  boilerplate-min-doc-freq = 10
+           |${stateIn.map(d => s"  state-dir = $d").getOrElse("")}
+           |  state-out-dir = ${base.resolve(s"xstate$run")}
+           |}
+           |""".stripMargin)
+    // run 1: the header appears in 6 docs — below min-doc-freq=10, so
+    // per-batch evidence keeps it; the evidence table commits with state
+    graft.cli.Curator.main(Array("--conf", conf(1, inA, None)))
+    val out1 = spark.read.parquet(base.resolve("xout1").toString)
+      .select("doc_id", "text").as[(Long, String)].collect().toMap
+    assert(out1.size == 6 && out1.values.forall(_.startsWith(header)),
+      s"run 1 must keep the under-threshold header: $out1")
+    assert(new java.io.File(
+      base.resolve("xstate1").resolve("linefreqs").toString).exists(),
+      "line-frequency evidence must ride the committed state")
+    // run 2: a DIFFERENT batch where the header again appears only 6
+    // times — per-batch evidence would keep it again, but accumulated
+    // evidence (6 + 6 = 12 ≥ 10) strips it
+    graft.cli.Curator.main(Array("--conf",
+      conf(2, inB, Some(base.resolve("xstate1").toString))))
+    val out2 = spark.read.parquet(base.resolve("xout2").toString)
+      .select("doc_id", "text").as[(Long, String)].collect().toMap
+    assert(out2.nonEmpty, "batch 2's distinct bodies must survive dedup")
+    assert(out2.values.forall(!_.contains(header)),
+      s"accumulated evidence must strip the cross-batch header: $out2")
+    // the accumulated table records the full cross-batch count
+    val acc = spark.read.parquet(base.resolve("xstate2").resolve("linefreqs").toString)
+      .filter(col("__line") === header).head().getLong(1)
+    assert(acc == 12L, s"accumulated header doc-frequency must be 12, got $acc")
+  }
+
   test("curator span-dedup stage: duplicated passage survives only at its first " +
       "occurrence, fully-duplicated docs drop, state hashes the cut text") {
     import spark.implicits._
