@@ -197,7 +197,7 @@ object Dedup {
   /** Explode `(id, sig)` into one row per (band, bits) key. Shared with
     * the vector-SRP near-dup path (Similarity) — any 64-bit signature
     * bands the same way. */
-  private[llm] def bandSignatures(sigs: DataFrame, bands: Int): DataFrame = {
+  private[graft] def bandSignatures(sigs: DataFrame, bands: Int): DataFrame = {
     val width = 64 / bands
     val mask = (BigInt(1) << width) - 1
     sigs.select(col("id"), col("sig"),
@@ -222,7 +222,7 @@ object Dedup {
   /** Drop oversized (band, bits) buckets. The hot-key set broadcasts —
     * the classic skew-key pattern. `maxBucketSize <= 0` disables the
     * guard (pass `precomputedHot` to skip the aggregate). */
-  private[llm] def dropHotBuckets(banded: DataFrame, maxBucketSize: Int,
+  private[graft] def dropHotBuckets(banded: DataFrame, maxBucketSize: Int,
       precomputedHot: Option[DataFrame] = None): DataFrame =
     precomputedHot match {
       case Some(hot) => banded.join(broadcast(hot), Seq("band", "bits"), "left_anti")

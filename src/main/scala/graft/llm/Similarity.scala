@@ -362,7 +362,7 @@ object Similarity {
   /** Hamming prune for a cosine threshold: mean + 3σ of the bit-diff
     * distribution Binom(64, acos(c)/π) — generous enough that band
     * collision, not this prune, decides recall. */
-  private def defaultMaxHamming(minCosine: Double): Int = {
+  private[graft] def defaultMaxHamming(minCosine: Double): Int = {
     val p = math.acos(minCosine) / math.Pi
     math.min(63, math.ceil(64 * p + 3 * math.sqrt(64 * p * (1 - p))).toInt)
   }

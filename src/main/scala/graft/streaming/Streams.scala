@@ -113,10 +113,10 @@ object Streams {
     * parity: on a batch frame the same code is a plain anti-join +
     * dropDuplicates — same rows out (spec-pinned).
     *
-    * Near-dup tiers need the signature state and a banded join — run
-    * those in the incremental BATCH Curator on the stream's sink
-    * output; exact-vs-corpus is the tier with streaming value (drop
-    * known content before it lands). */
+    * Near-dup-vs-corpus has its own streaming arrival path —
+    * [[dropNearSeenStream]] below; full in-batch near-dup clustering
+    * (keep-lower-id within the arriving set) still belongs to the
+    * incremental BATCH Curator on the stream's sink output. */
   def dropSeenStream(
       stream: DataFrame,
       seenHashes: DataFrame,
@@ -141,6 +141,136 @@ object Streams {
     (if (unseen.isStreaming) unseen.dropDuplicatesWithinWatermark(hashCol)
      else unseen.dropDuplicates(hashCol))
       .drop(hashCol, timeTmp)
+  }
+
+  /** Streaming NEAR-dup dedup against persisted corpus signature state:
+    * drop stream rows whose SimHash lands within `maxHamming` bits of
+    * any corpus signature — the streaming arrival path of the batch
+    * `Dedup.simHashNearDupsAgainst` tier. `corpusSigs` is the same
+    * `(id, sig)` state frame the batch tier reads (point it at the
+    * Curator's committed `simhash` state dir; SimHash is a pure
+    * function of the text, so batch and stream signatures agree).
+    *
+    * Why not the batch shape (band-explode both sides, join, distinct
+    * batch ids, anti-join back)? The distinct-ids step is a streaming
+    * AGGREGATION — in append mode its output waits for the watermark,
+    * and the re-join of stream against its own derived stream is a
+    * second stateful stage. Instead the per-doc "any band matched"
+    * decision stays ON the stream row: compute the `bands` band-bits
+    * columns in the projection, then chain `bands` STATELESS
+    * stream-static left_anti joins, one per band slice of the corpus
+    * state, each with the `hamming <= maxHamming` residual predicate.
+    * Candidate rule is identical to the batch banded join (drop iff
+    * some corpus sig shares >= 1 band AND is within the Hamming
+    * budget), so the pigeonhole recall contract carries over:
+    * `maxHamming < bands` guarantees every true near-dup shares a
+    * band. Batch parity: on a batch frame the same code is `bands`
+    * plain anti-joins — same rows out (spec-pinned).
+    *
+    * Shapes at scale: zero streaming join state (every anti-join is
+    * stream-static — the corpus side is re-planned per microbatch and
+    * broadcasts when it fits, shuffles on the band bits otherwise);
+    * `bands` joins per microbatch instead of batch's single exploded
+    * join is the price of statelessness, and `bands` is a small
+    * constant (4). The hot-bucket guard bounds worst-case per-key
+    * fan-in; pass `corpusHotBuckets` (part of the persisted state —
+    * see `Dedup.simHashHotBuckets`) so the guard costs a broadcast
+    * instead of a per-microbatch corpus aggregate. The in-stream tier
+    * collapses only exact-signature duplicates within the watermark
+    * horizon (`dropDuplicatesWithinWatermark` keys exactly; a
+    * within-stream HAMMING tier would need the stateful aggregation
+    * this design avoids — run the batch Curator on the sink output for
+    * that). */
+  def dropNearSeenStream(
+      stream: DataFrame,
+      corpusSigs: DataFrame,
+      textCol: String,
+      maxHamming: Int = 3,
+      bands: Int = 4,
+      maxBucketSize: Int = 10000,
+      corpusHotBuckets: Option[DataFrame] = None,
+      timeCol: String = "ts",
+      watermarkDelay: String = "2 hours",
+      gramSize: Int = 1): DataFrame = {
+    require(maxHamming < bands,
+      s"pigeonhole needs maxHamming < bands ($maxHamming >= $bands misses pairs)")
+    dropNearSigStream(stream, graft.llm.Dedup.simHash(col(textCol), gramSize),
+      corpusSigs, maxHamming, bands, maxBucketSize, corpusHotBuckets,
+      timeCol, watermarkDelay)
+  }
+
+  /** Vector counterpart of [[dropNearSeenStream]]: drop stream rows
+    * whose SRP signature collides with the persisted corpus state
+    * within the `minCosine`-derived Hamming budget — the streaming
+    * arrival path of `Similarity.dropSeenVectors`' vs-corpus tier.
+    * Same seed as the state builder, or signatures diverge (the
+    * `srpSignatures` contract). SRP recall is probabilistic (a band
+    * match decides candidacy), so no pigeonhole requirement here. */
+  def dropNearSeenVectorStream(
+      stream: DataFrame,
+      corpusSigs: DataFrame,
+      vecCol: String = "embedding",
+      minCosine: Double = 0.99,
+      bands: Int = 4,
+      maxBucketSize: Int = 10000,
+      corpusHotBuckets: Option[DataFrame] = None,
+      timeCol: String = "ts",
+      watermarkDelay: String = "2 hours",
+      seed: Long = 4233L): DataFrame =
+    dropNearSigStream(stream,
+      graft.functions.GraftFunctions.srp(col(vecCol), seed), corpusSigs,
+      graft.llm.Similarity.defaultMaxHamming(minCosine), bands,
+      maxBucketSize, corpusHotBuckets, timeCol, watermarkDelay)
+
+  /** Shared signature-agnostic core of the two near-dup streams. */
+  private def dropNearSigStream(
+      stream: DataFrame,
+      sig: Column,
+      corpusSigs: DataFrame,
+      maxHamming: Int,
+      bands: Int,
+      maxBucketSize: Int,
+      corpusHotBuckets: Option[DataFrame],
+      timeCol: String,
+      watermarkDelay: String): DataFrame = {
+    require(!corpusSigs.isStreaming, "corpusSigs must be a static frame (persisted state)")
+    require(64 % bands == 0, s"bands must divide 64, got $bands")
+    val width = 64 / bands
+    val mask = ((BigInt(1) << width) - 1).toLong
+    // temp columns pick unused names and are ALL dropped on the way out
+    // (the dropSeenStream convention — output schema = input schema)
+    def fresh(base: String): String = Iterator.from(0).map(i => s"$base$i")
+      .find(!stream.columns.contains(_)).get
+    val sigCol = fresh("__nd_sig")
+    val timeTmp = fresh("__nd_event_time")
+    val bitsBase = Iterator.from(0).map(i => s"__nd_bits${i}_")
+      .find(b => (0 until bands).forall(k => !stream.columns.contains(s"$b$k"))).get
+    val withSig = stream
+      .withColumn(sigCol, sig)
+      .withColumn(timeTmp, eventTime(col(timeCol)))
+      .withWatermark(timeTmp, watermarkDelay)
+    // band bits live on the stream row — same bit slicing as the batch
+    // bandSignatures explode, without the explode
+    val withBits = (0 until bands).foldLeft(withSig) { (df, b) =>
+      df.withColumn(s"$bitsBase$b",
+        shiftright(col(sigCol), b * width).bitwiseAND(lit(mask)))
+    }
+    val banded = graft.llm.Dedup.dropHotBuckets(
+      graft.llm.Dedup.bandSignatures(corpusSigs, bands), maxBucketSize,
+      corpusHotBuckets)
+    val unseen = (0 until bands).foldLeft(withBits) { (df, b) =>
+      val cBits = s"${bitsBase}c$b"
+      val cSig = s"${bitsBase}s$b"
+      val slice = banded.filter(col("band") === b)
+        .select(col("bits").as(cBits), col("sig").as(cSig))
+      df.join(slice,
+        df(s"$bitsBase$b") === slice(cBits) &&
+          graft.llm.Dedup.hamming(df(sigCol), slice(cSig)) <= maxHamming,
+        "left_anti")
+    }
+    (if (unseen.isStreaming) unseen.dropDuplicatesWithinWatermark(sigCol)
+     else unseen.dropDuplicates(sigCol))
+      .drop(sigCol +: timeTmp +: (0 until bands).map(b => s"$bitsBase$b"): _*)
   }
 
   /** Watermarked stream-stream interval join (attribution): pair each
