@@ -320,8 +320,10 @@ object SparkEntry {
         shufflePartitions = Some(4)) // state sized to 5 event types
         // (4 store instances measured fastest on this box: PerfProbe)
         .select(
-          col("window_start").cast("long").as("window_start"),
-          col("window_end").cast("long").as("window_end"),
+          // NTZ → instant under the UTC session, then epoch seconds
+          // (NTZ has no direct numeric cast)
+          col("window_start").cast("timestamp").cast("long").as("window_start"),
+          col("window_end").cast("timestamp").cast("long").as("window_end"),
           col("event_type"), col("n_events"), col("avg_value"), col("sum_value"))
     }),
 
@@ -339,8 +341,8 @@ object SparkEntry {
         name, org.apache.spark.sql.streaming.OutputMode.Append(),
         shufflePartitions = Some(4))
         .select(col("click_id"), col("user_id"),
-          unix_micros(col("click_time")).as("click_us"),
-          col("view_id"), unix_micros(col("view_time")).as("view_us"),
+          unix_micros(col("click_time").cast("timestamp")).as("click_us"),
+          col("view_id"), unix_micros(col("view_time").cast("timestamp")).as("view_us"),
           col("view_value"))
     }),
 
@@ -654,12 +656,12 @@ object SparkEntry {
 
     // ---- Gap-based batch sessionization (Ops.sessionize): one shuffle
     // on user_id, lag-flag + running sum in a single window scan, then
-    // per-session rollup. Times are epoch-MICROS on both sides (Spark
-    // div(ts,1000) == DuckDB epoch_us — both truncate), because DuckDB
-    // reads the ns-precision parquet timestamps at us precision.
+    // per-session rollup. Times are epoch-MICROS on both sides: ts is a
+    // zone-less us-precision timestamp, so Spark unix_micros (via the
+    // UTC session) == DuckDB epoch_us exactly.
     "q43_sessionize" -> ((s, dir) => {
       val ev = t(s, dir, "events").select(col("user_id"), col("event_id"),
-        call_function("div", col("ts"), lit(1000L)).as("ts_us"))
+        unix_micros(col("ts").cast("timestamp")).as("ts_us"))
       graft.operators.Ops.sessionize(ev, Seq("user_id"), "ts_us",
           maxGap = 30L * 60 * 1000000, tieBreakCols = Seq("event_id"))
         .groupBy("user_id", "session_id")
@@ -820,10 +822,12 @@ object SparkEntry {
     // ---- Pivot/crosstab: hour-of-day × event_type counts + summed
     // value. Pivot values are EXPLICIT (no distinct-collect job — at
     // 100 TB an implicit pivot first scans the data to list columns);
-    // one shuffle on ≤24 keys, aggregation pushed partial. ts is long
-    // nanos (nanosAsLong), so the hour is integer epoch arithmetic.
+    // one shuffle on ≤24 keys, aggregation pushed partial. The hour is
+    // integer epoch-micros arithmetic (matches the oracle's epoch_ns
+    // floor-division exactly — both are UTC-epoch based).
     "q51_pivot" -> ((s, dir) => {
-      val hour = pmod(call_function("div", col("ts"), lit(3600L * 1000000000L)), lit(24L))
+      val hour = pmod(call_function("div",
+        unix_micros(col("ts").cast("timestamp")), lit(3600L * 1000000L)), lit(24L))
       val types = Seq("view", "click", "purchase", "signup", "error")
       t(s, dir, "events")
         .groupBy(hour.as("hour_utc"))

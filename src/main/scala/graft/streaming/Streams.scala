@@ -24,11 +24,13 @@ import org.apache.spark.sql.types._
   */
 object Streams {
 
-  /** events schema as stored (`ts` arrives as nanos-since-epoch long —
-    * sessions read nano timestamps as longs). */
+  /** events schema as stored (`ts` is a microsecond-precision
+    * zone-less parquet timestamp — Spark reads it as TIMESTAMP_NTZ;
+    * the session timezone is pinned to UTC so NTZ and instant
+    * semantics coincide). */
   val EventsSchema: StructType = StructType(Seq(
     StructField("event_id", LongType),
-    StructField("ts", LongType),
+    StructField("ts", TimestampNTZType),
     StructField("user_id", LongType),
     StructField("event_type", StringType),
     StructField("value", DoubleType),
@@ -42,11 +44,12 @@ object Streams {
       .option("pathGlobFilter", globFilter)
       .parquet(dir)
 
-  /** Nanos-long → event-time timestamp column. Integer division: `/` on
-    * Columns is double division, and epoch-nanos exceed a double's
-    * 53-bit mantissa — events within 1 µs of a window boundary would
-    * land in the wrong bucket. */
-  def eventTime(ts: Column): Column = timestamp_micros(call_function("div", ts, lit(1000L)))
+  /** Event-time column: `ts` is a timestamp (NTZ from the parquet
+    * source) cast to the instant type — Spark's event-time watermark
+    * accepts only TIMESTAMP, and the UTC session pins the NTZ→instant
+    * conversion so values are preserved exactly. Identity for already-
+    * instant fixtures. */
+  def eventTime(ts: Column): Column = ts.cast("timestamp")
 
   /** Event-time tumbling-window stats per event type, with a watermark
     * that bounds state: counts + value aggregates per (window, type). */
@@ -320,14 +323,16 @@ object Streams {
     graft.ml.Scorer.scoreExpr(events, predictions, colsToSave)
 
   /** Keyed running state via mapGroupsWithState: per-user event count,
-    * running value sum, and last-seen event time. */
+    * running value sum, and last-seen event time (epoch micros — keyed
+    * state wants a primitive, not a timestamp object). */
   final case class UserStats(userId: Long, nEvents: Long, sumValue: Double, lastTs: Long)
 
   def userRunningStats(events: DataFrame): DataFrame = {
     val spark = events.sparkSession
     import spark.implicits._
     events
-      .select(col("user_id").as("userId"), col("ts"), col("value"))
+      .select(col("user_id").as("userId"),
+        unix_micros(col("ts").cast("timestamp")).as("ts"), col("value"))
       // a single null in a nullable source field would kill the whole
       // streaming query at primitive-tuple deserialization
       .filter(col("userId").isNotNull && col("ts").isNotNull && col("value").isNotNull)

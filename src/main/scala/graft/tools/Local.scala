@@ -13,7 +13,9 @@ object Local {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
-      .config("spark.sql.legacy.parquet.nanosAsLong", "true") // events.ts is timestamp[ns]
+      // harmless for the current us-precision testdata; keeps a
+      // ns-precision source readable (as raw longs) rather than failing
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .getOrCreate()
     s.sparkContext.setLogLevel(logLevel)
     s

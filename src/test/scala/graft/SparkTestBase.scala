@@ -17,7 +17,7 @@ object SparkTestBase {
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
-      .config("spark.sql.legacy.parquet.nanosAsLong", "true") // events.ts is timestamp[ns]
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true") // tolerate a ns-precision source
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")
     s

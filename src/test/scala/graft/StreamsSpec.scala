@@ -24,26 +24,30 @@ class StreamsSpec extends SparkTestBase {
     val stream = Streams.windowedEventStats(
       Streams.readEventStream(spark, eventsDir, "events.parquet"),
       windowLength = "1 hour", watermarkDelay = "2 hours")
+    // window starts are NTZ → collect as epoch millis via the UTC cast
     val got = Streams.runToMemory(stream, "win_stats", OutputMode.Append())
-      .collect().map(r => (r.getTimestamp(0), r.getString(2), r.getLong(3), r.getDouble(4)))
+      .select(col("window_start").cast("timestamp").cast("long") * 1000,
+        col("event_type"), col("n_events"), col("avg_value"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getDouble(3)))
       .toSet
     val want = batchEvents
       .withColumn("event_time", Streams.eventTime(col("ts")))
       .groupBy(window(col("event_time"), "1 hour"), col("event_type"))
       .agg(count(lit(1)).as("n"), round(avg("value"), 4).as("av"))
-      .select(col("window.start"), col("event_type"), col("n"), col("av"))
-      .collect().map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2), r.getDouble(3)))
+      .select(col("window.start").cast("timestamp").cast("long") * 1000,
+        col("event_type"), col("n"), col("av"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getDouble(3)))
       .toSet
     // Append mode emits a window only once the watermark passes it; at
     // end-of-stream the youngest windows (within watermarkDelay of the
     // max event time) are still open and correctly withheld.
     assert(got.subsetOf(want), s"stream emitted groups batch does not have: ${got -- want}")
     val horizon = batchEvents
-      .agg(max(Streams.eventTime(col("ts")))).head().getTimestamp(0).getTime -
+      .agg(max(unix_millis(Streams.eventTime(col("ts")).cast("timestamp")))).head().getLong(0) -
       (2 * 3600 * 1000L) // watermarkDelay
     val missing = want -- got
-    assert(missing.forall(_._1.getTime >= horizon - 3600 * 1000L),
-      s"finalized windows missing from stream output: ${missing.filter(_._1.getTime < horizon - 3600 * 1000L)}")
+    assert(missing.forall(_._1 >= horizon - 3600 * 1000L),
+      s"finalized windows missing from stream output: ${missing.filter(_._1 < horizon - 3600 * 1000L)}")
     assert(got.size > want.size / 2)
   }
 
@@ -91,13 +95,14 @@ class StreamsSpec extends SparkTestBase {
   test("sessionStats merges events within the gap; batch and known-input checks") {
     import spark.implicits._
     // user 1: two bursts 10min apart then a 2h gap; user 2: one event
-    val h = 3600L * 1000000000L // ns
+    val h = 3600L * 1000000L // us
     val rows = Seq(
       (1L, 0L * h, 1L, "view", 1.0, "{}"),
-      (2L, 0L * h + 600L * 1000000000L, 1L, "view", 2.0, "{}"),
+      (2L, 0L * h + 600L * 1000000L, 1L, "view", 2.0, "{}"),
       (3L, 3L * h, 1L, "view", 4.0, "{}"),
       (4L, 1L * h, 2L, "view", 8.0, "{}")
     ).toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .withColumn("ts", timestamp_micros(col("ts")))
     val out = graft.streaming.Streams.sessionStats(rows, gap = "30 minutes")
       .collect().map(r => (r.getLong(2), r.getLong(3), r.getDouble(4))).toSet
     assert(out == Set((1L, 2L, 3.0), (1L, 1L, 4.0), (2L, 1L, 8.0)))
@@ -149,15 +154,16 @@ class StreamsSpec extends SparkTestBase {
     import spark.implicits._
     import graft.llm.Dedup
     val dir = s"${java.nio.file.Files.createTempDirectory("stream_dedup")}/docs"
-    // ts in NANOS like events.ts (eventTime divides to micros)
-    val h = 3600L * 1000 * 1000 * 1000
+    // ts is a timestamp column like events.ts
+    val h = 3600L * 1000 * 1000 // us
     Seq(
       (1L, "fresh alpha doc", 1 * h),
       (2L, "fresh beta doc", 2 * h),
       (3L, "seen corpus doc one", 3 * h),   // echo of corpus state
       (4L, "arriving twice tonight", 4 * h),
       (5L, "arriving twice tonight", 5 * h) // in-stream duplicate
-    ).toDF("doc_id", "text", "ts").write.parquet(dir)
+    ).toDF("doc_id", "text", "ts")
+      .withColumn("ts", timestamp_micros(col("ts"))).write.parquet(dir)
     val seen = Seq("seen corpus doc one", "seen corpus doc two").toDF("t")
       .select(Dedup.contentHash(col("t")).as("content_hash"))
     val got = Streams.runToMemory(
@@ -178,12 +184,83 @@ class StreamsSpec extends SparkTestBase {
     assert(batch == streamTexts)
   }
 
+  test("dropNearSeenStream: SimHash-near corpus echo dropped in-stream; batch parity") {
+    import spark.implicits._
+    import graft.llm.Dedup
+    val dir = s"${java.nio.file.Files.createTempDirectory("stream_neardup")}/docs"
+    val h = 3600L * 1000 * 1000 // us
+    // the echo is a CASE-CHANGED copy of a corpus doc: SimHash tokenizes
+    // lowercased, so the signature matches at Hamming 0 — exact-hash
+    // tier (dropSeenStream) would MISS it, the near tier must not
+    val corpusTexts = Seq(
+      "the quick brown fox jumps over the lazy dog tonight",
+      "completely different corpus material about spark shuffles")
+    Seq(
+      (1L, "fresh alpha doc about windows", 1 * h),
+      (2L, "THE QUICK BROWN FOX JUMPS OVER THE LAZY DOG TONIGHT", 2 * h), // near echo
+      (3L, "fresh beta doc about joins", 3 * h),
+      (4L, "arriving twice with the same words", 4 * h),
+      (5L, "arriving twice with the same words", 5 * h) // in-stream sig duplicate
+    ).toDF("doc_id", "text", "ts")
+      .withColumn("ts", timestamp_micros(col("ts"))).write.parquet(dir)
+    val sigs = Dedup.simHashSignatures(
+      corpusTexts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+        .toDF("doc_id", "text"), "doc_id", "text")
+    val got = Streams.runToMemory(
+      Streams.dropNearSeenStream(
+        spark.readStream.schema(spark.read.parquet(dir).schema).parquet(dir),
+        sigs, "text", maxHamming = 3, bands = 4),
+      "stream_neardup", OutputMode.Append())
+      .select("doc_id").as[Long].collect().toSet
+    assert(got.intersect(Set(1L, 3L)) == Set(1L, 3L), s"fresh docs lost: $got")
+    assert(!got.contains(2L), s"case-changed corpus echo survived the near tier: $got")
+    assert(got.count(Set(4L, 5L)) == 1, s"in-stream sig dup not collapsed: $got")
+    // batch parity: the same code path on a batch frame keeps the same
+    // text set (dropDuplicates may pick either id of the dup pair)
+    val batch = Streams.dropNearSeenStream(spark.read.parquet(dir), sigs, "text",
+      maxHamming = 3, bands = 4).select("text").as[String].collect().toSet
+    val streamTexts = spark.table("stream_neardup").select("text").as[String].collect().toSet
+    assert(batch == streamTexts, s"batch $batch vs stream $streamTexts")
+  }
+
+  test("dropNearSeenVectorStream: rescaled corpus-vector echo dropped in-stream; batch parity") {
+    import spark.implicits._
+    import graft.llm.Similarity
+    val dir = s"${java.nio.file.Files.createTempDirectory("stream_vecdup")}/vecs"
+    val h = 3600L * 1000 * 1000 // us
+    def vec(seed: Int): Array[Float] =
+      Array.tabulate(16)(i => math.sin(seed * 31 + i * 7).toFloat)
+    // corpus state: SRP signatures of two vectors (default seed)
+    val corpus = Seq((100L, vec(1)), (101L, vec(2))).toDF("vec_id", "embedding")
+    val sigs = Similarity.srpSignatures(corpus)
+    // stream: a 0.5-rescaled echo of corpus vec 1 (cosine exactly 1 →
+    // identical SRP signature), plus two fresh vectors
+    Seq(
+      (1L, vec(3), 1 * h),
+      (2L, vec(1).map(_ * 0.5f), 2 * h), // echo of corpus 100
+      (3L, vec(4), 3 * h)
+    ).toDF("vec_id", "embedding", "ts")
+      .withColumn("ts", timestamp_micros(col("ts"))).write.parquet(dir)
+    val got = Streams.runToMemory(
+      Streams.dropNearSeenVectorStream(
+        spark.readStream.schema(spark.read.parquet(dir).schema).parquet(dir),
+        sigs, minCosine = 0.99),
+      "stream_vecdup", OutputMode.Append())
+      .select("vec_id").as[Long].collect().toSet
+    assert(got == Set(1L, 3L), s"expected fresh {1,3}, got: $got")
+    // batch parity on the same code path
+    val batch = Streams.dropNearSeenVectorStream(spark.read.parquet(dir), sigs,
+      minCosine = 0.99).select("vec_id").as[Long].collect().toSet
+    assert(batch == got, s"batch $batch vs stream $got")
+  }
+
   test("userRunningStats keeps per-key state across the stream") {
     val stream = Streams.userRunningStats(
       Streams.readEventStream(spark, eventsDir, "events.parquet"))
     val got = Streams.runToMemory(stream, "user_stats", OutputMode.Update())
     val want = batchEvents.groupBy("user_id")
-      .agg(count(lit(1)).as("n"), sum("value").as("s"), max("ts").as("t"))
+      .agg(count(lit(1)).as("n"), sum("value").as("s"),
+        max(unix_micros(col("ts").cast("timestamp"))).as("t"))
       .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2), r.getLong(3))).toMap
     // final state per user (AvailableNow may emit one update per user)
     val finalState = got.collect()
