@@ -77,11 +77,18 @@ object SparkEntry {
   }
 
   /** Per-(sf dir, name) state path under the JVM temp dir — the q72
-    * LM-file keying convention. */
-  private def statePath(dir: String, name: String): String =
+    * LM-file keying convention. The source tables' max mtime is part of
+    * the key (the q25 ivfEnsure rule): testdata regenerated IN PLACE
+    * must rebuild state, never serve signatures of the previous
+    * corpus — exactly what happened when the round-6 bench read
+    * round-5-era SRP state over regenerated embeddings. */
+  private def statePath(dir: String, name: String): String = {
+    val mtime = Option(new java.io.File(dir).listFiles())
+      .map(_.map(_.lastModified).max).getOrElse(0L)
     new java.io.File(
       new java.io.File(System.getProperty("java.io.tmpdir"), "graft_state"),
-      s"${dir.replaceAll("[^A-Za-z0-9.-]", "_")}_$name").toString
+      s"${dir.replaceAll("[^A-Za-z0-9.-]", "_")}_m${mtime}_$name").toString
+  }
 
   /** q39/q42 planted-pair accounting (eager — see [[eagerSummary]]). */
   private def pairTypeSummary(s: SparkSession, pairs: DataFrame,
@@ -1140,6 +1147,19 @@ object SparkEntry {
       graft.llm.CorpusPrep.assembleSequences(packed)
     }),
 
+    // ---- Packing density as DATA (CorpusPrep.packingReport): totals,
+    // efficiency, and the underfull/overfull split of the q66 packing.
+    // The one-underfull-per-bucket invariant of offset-bin packing is
+    // emitted as max_underfull_per_bucket (spec-pinned ≤ 1); integer
+    // arithmetic + one division → the oracle replays it exactly.
+    "q87_packing_report" -> ((s, dir) => {
+      val chunks = graft.llm.CorpusPrep.chunkByTokensFast(
+        t(s, dir, "documents"), "doc_id", "text", chunkSize = 32, overlap = 8)
+      val packed = graft.llm.CorpusPrep.packSequences(
+        chunks, "doc_id", "chunk_tokens", budget = 256, buckets = 8)
+      graft.llm.CorpusPrep.packingReport(packed, budget = 256)
+    }),
+
     // ---- Per-group quantile filter: keep the top 25% of documents by
     // length WITHIN each language — the "top X% quality per language"
     // curation step a global cut gets wrong. This is the EXACT
@@ -1804,6 +1824,36 @@ object SparkEntry {
         |SELECT seq_id, count(*) AS n_chunks,
         |  CAST(sum(chunk_tokens) AS BIGINT) AS seq_tokens
         |FROM s GROUP BY seq_id""").stripMargin,
+    // the q66 packing CTEs aggregated twice (per-seq, per-bucket) then
+    // reduced to one row; all-integer except the final division
+    "q87_packing_report" ->
+      (s"""WITH chunks AS ($ChunkingOracleSql),
+        |b AS (SELECT doc_id, chunk_id, chunk_tokens, doc_id % 8 AS bucket FROM chunks),
+        |c AS (SELECT *, sum(chunk_tokens) OVER (
+        |        PARTITION BY bucket ORDER BY doc_id, chunk_id) AS cum FROM b),
+        |s AS (SELECT bucket * 1099511627776 + CAST(floor((cum - chunk_tokens) / 256.0) AS BIGINT) AS seq_id,
+        |        chunk_tokens FROM c),
+        |mx AS (SELECT max(chunk_tokens) AS m FROM s),
+        |per AS (SELECT seq_id, sum(chunk_tokens) AS t, count(*) AS c
+        |        FROM s GROUP BY seq_id),
+        |pb AS (SELECT seq_id // 1099511627776 AS bucket,
+        |         count(*) AS nseq, sum(c) AS nchunk, sum(t) AS tok,
+        |         count(CASE WHEN t < 256 THEN 1 END) AS und,
+        |         count(CASE WHEN t < 256 - mx.m + 1 THEN 1 END) AS deep,
+        |         count(CASE WHEN t > 256 THEN 1 END) AS ov,
+        |         max(mx.m) AS m
+        |       FROM per, mx GROUP BY 1)
+        |SELECT CAST(sum(nseq) AS BIGINT) AS n_sequences,
+        |  CAST(sum(nchunk) AS BIGINT) AS n_chunks,
+        |  CAST(sum(tok) AS BIGINT) AS tokens_packed,
+        |  CAST(sum(nseq) * 256 AS BIGINT) AS budget_tokens,
+        |  round(sum(tok) / (sum(nseq) * 256.0), 6) AS efficiency,
+        |  CAST(sum(und) AS BIGINT) AS n_underfull,
+        |  CAST(sum(deep) AS BIGINT) AS n_deep_underfull,
+        |  CAST(sum(ov) AS BIGINT) AS n_overfull,
+        |  CAST(max(deep) AS BIGINT) AS max_deep_underfull_per_bucket,
+        |  CAST(max(m) AS BIGINT) AS max_chunk_tokens
+        |FROM pb""").stripMargin,
     "q68_stream_dedup" ->
       """SELECT DISTINCT text FROM documents o
         |WHERE doc_id % 2 = 1

@@ -196,6 +196,64 @@ object CorpusPrep {
         sum(col(tokenCol)).as("seq_tokens"))
   }
 
+  /** Packing-efficiency report for a [[packSequences]] output — makes
+    * the packer's density claims OBSERVABLE on a real corpus instead of
+    * asserted in prose: one row with sequence/chunk/token totals,
+    * `efficiency` = tokens packed / (sequences × budget), and the
+    * underfull/overfull split.
+    *
+    * Invariant this surfaces (and the spec pins): offset-bin packing
+    * tiles each bucket's token offset space, so a non-final bin spans
+    * at least `budget − maxChunk + 1` tokens (a boundary-straddling
+    * chunk can push the next bin's start up to maxChunk−1 tokens past
+    * the boundary, no further). DEEP-underfull sequences — below that
+    * structural floor — are therefore bounded by ONE PER BUCKET
+    * (`max_deep_underfull_per_bucket ≤ 1`): waste is O(buckets ×
+    * budget) regardless of corpus size. `n_underfull` (below budget)
+    * is informational; overfull sequences are straddling chunks (a
+    * chunk is never split), not an error — their count calibrates the
+    * chunk-size/budget ratio.
+    *
+    * Shape: one shuffle on the sequence id (bounded groups), one on the
+    * bucket id (≤ buckets rows), a 1-row broadcast of the global max
+    * chunk size, then a single-row reduce — report cost is a rounding
+    * error next to the packing itself. Integer arithmetic except the
+    * one final division → engine-portable. */
+  def packingReport(
+      packed: DataFrame,
+      budget: Int,
+      seqCol: String = "seq_id",
+      tokenCol: String = "chunk_tokens"): DataFrame = {
+    require(budget > 0, s"budget must be positive, got $budget")
+    val mx = packed.agg(max(col(tokenCol)).as("__mx"))
+    val perSeq = packed.groupBy(col(seqCol))
+      .agg(sum(col(tokenCol)).as("__t"), count(lit(1)).as("__c"))
+    // bucket = high 24 bits of the packed id (packSequences layout)
+    val perBucket = perSeq
+      .crossJoin(broadcast(mx))
+      .withColumn("__bucket", floor(col(seqCol) / lit(1L << 40)).cast("long"))
+      .groupBy("__bucket")
+      .agg(
+        count(lit(1)).as("__nseq"),
+        sum("__c").as("__nchunk"),
+        sum("__t").as("__tok"),
+        count(when(col("__t") < budget, 1)).as("__under"),
+        count(when(col("__t") < lit(budget) - col("__mx") + 1, 1)).as("__deep"),
+        count(when(col("__t") > budget, 1)).as("__over"),
+        max("__mx").as("__mx"))
+    perBucket.agg(
+      sum("__nseq").cast("long").as("n_sequences"),
+      sum("__nchunk").cast("long").as("n_chunks"),
+      sum("__tok").cast("long").as("tokens_packed"),
+      (sum("__nseq") * budget).cast("long").as("budget_tokens"),
+      round(sum("__tok") / (sum("__nseq") * lit(budget.toDouble)), 6).as("efficiency"),
+      sum("__under").cast("long").as("n_underfull"),
+      sum("__deep").cast("long").as("n_deep_underfull"),
+      sum("__over").cast("long").as("n_overfull"),
+      max("__deep").cast("long").as("max_deep_underfull_per_bucket"),
+      max("__mx").cast("long").as("max_chunk_tokens"))
+  }
+
   /** Deterministic train/val/test split: label every row with the name
     * of its split, by consecutive ranges of the SAME md5 digest space
     * deterministic sampling uses ([[graft.operators.Ops.hashDigestCol]]).

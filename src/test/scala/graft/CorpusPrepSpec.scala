@@ -124,6 +124,32 @@ class CorpusPrepSpec extends SparkTestBase {
     packed.unpersist(); seqs.unpersist()
   }
 
+  test("packingReport: totals re-verify, efficiency bounded, ≤1 underfull per bucket") {
+    import org.apache.spark.sql.functions.col
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val chunks = CorpusPrep.chunkByTokensFast(docs, "doc_id", "text", 32, 8)
+    val packed = CorpusPrep.packSequences(chunks, "doc_id", "chunk_tokens",
+      budget = 256, buckets = 8).cache()
+    val r = CorpusPrep.packingReport(packed, budget = 256).head()
+    // totals re-verify against the packed frame itself
+    assert(r.getAs[Long]("n_chunks") == packed.count())
+    assert(r.getAs[Long]("tokens_packed") ==
+      packed.agg(org.apache.spark.sql.functions.sum("chunk_tokens")).head().getLong(0))
+    assert(r.getAs[Long]("budget_tokens") == r.getAs[Long]("n_sequences") * 256)
+    // the offset-bin invariant: deep-underfull (below budget − maxChunk
+    // + 1, the structural floor of non-final bins) ⇔ bucket-final bin
+    assert(r.getAs[Long]("max_deep_underfull_per_bucket") <= 1,
+      s"packing invariant broken: ${r.getAs[Long]("max_deep_underfull_per_bucket")} deep-underfull in one bucket")
+    assert(r.getAs[Long]("n_deep_underfull") <= 8)
+    // density floor from the invariant: nseq ≤ tokens/(B−mx+1) + buckets
+    val eff = r.getAs[Double]("efficiency")
+    val T = r.getAs[Long]("tokens_packed").toDouble
+    val span = 256.0 - r.getAs[Long]("max_chunk_tokens") + 1
+    val floor = T / (256.0 * (T / span + 8))
+    assert(eff >= floor, s"efficiency $eff below structural floor $floor")
+    packed.unpersist()
+  }
+
   test("assembleSequences: ordered concat per sequence, token totals re-verify") {
     import org.apache.spark.sql.functions.{col, size => asize, split, trim}
     val docs = spark.read.parquet(s"$sfDir/documents.parquet")
