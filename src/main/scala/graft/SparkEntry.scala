@@ -1160,6 +1160,24 @@ object SparkEntry {
       graft.llm.CorpusPrep.packingReport(packed, budget = 256)
     }),
 
+    // ---- Incremental corpus cardinality (Cardinality.sketchState /
+    // mergeStates / report): per-lang distinct-doc and distinct-token
+    // estimates from TWO batch HLL states (even/odd doc_ids) merged
+    // without rescanning either batch — the mergeable data-card
+    // statistic exact counting cannot provide incrementally. The
+    // sketch is deterministic (hash-based) but engine-specific, so
+    // rows-only; EntrySpec asserts the estimates against exact
+    // distinct counts and merge-vs-single-pass identity.
+    "q89_cardinality" -> ((s, dir) => {
+      import graft.llm.Cardinality
+      val docs = t(s, dir, "documents").select(col("doc_id"), col("lang"), col("text"))
+      val merged = Cardinality.mergeStates(Seq(
+        Cardinality.sketchState(docs.filter(col("doc_id") % 2 === 0), Seq("lang")),
+        Cardinality.sketchState(docs.filter(col("doc_id") % 2 === 1), Seq("lang"))),
+        Seq("lang"))
+      Cardinality.report(merged, Seq("lang")).orderBy("lang")
+    }),
+
     // ---- Per-group quantile filter: keep the top 25% of documents by
     // length WITHIN each language — the "top X% quality per language"
     // curation step a global cut gets wrong. This is the EXACT

@@ -147,7 +147,12 @@ object Scorer {
   * `mixture-salt`), `splits = ["train:0.8", "val:0.1", "test:0.1"]`
   * (+ `split-salt`, `split-column`; ordered — ranges are cumulative)
   * and `chunk-size` (+ `chunk-overlap`, default size/4; the split
-  * label rides along on every chunk).
+  * label rides along on every chunk). Reporting: `report-dir` (+
+  * `report-group-columns`) writes the per-group corpus data card;
+  * `cardinality-group-columns` (+ `cardinality-report-dir`) adds
+  * mergeable per-group HLL sketches of distinct docs/tokens — the
+  * lifetime estimates accumulate across batches via the `cardsketch`
+  * state subdir.
   *
   * INCREMENTAL mode (how curation runs in production — daily batches
   * against persisted dedup state, never re-reading the corpus):
@@ -590,6 +595,35 @@ object Curator {
         .coalesce(1).write.mode("overwrite").parquet(rdir)
       Cli.log(s"corpus report written to $rdir (grouped by ${groups.mkString(", ")})")
     }
+    // optional incremental cardinality (opt-in via
+    // `cardinality-group-columns`): per-group HLL sketches of distinct
+    // docs/tokens over the CURATED batch, merged with the prior
+    // committed `cardsketch` state — the corpus-LIFETIME distinct
+    // counts no exact aggregate can provide without rescanning every
+    // prior batch. Group-column drift is rejected by schema compare
+    // (sketches grouped differently do not merge); lgK drift fails in
+    // hll_union_agg itself (strict mode). Old state dirs without a
+    // cardsketch stay valid — sketching simply starts at this batch.
+    val cardState = c.getList("cardinality-group-columns").map { groups =>
+      val batch = graft.llm.Cardinality.sketchState(curated, groups, textCol)
+      val merged = stateDir
+        .filter(d => exists(new Path(qual(d), "cardsketch")))
+        .map { d =>
+          val prior = spark.read.parquet(s"$d/cardsketch")
+          require(prior.columns.sorted.sameElements(batch.columns.sorted),
+            s"cardsketch state at $d has columns ${prior.columns.toSeq} but this run " +
+              s"groups by ${groups.mkString(", ")} — sketches grouped differently do not merge")
+          graft.llm.Cardinality.mergeStates(Seq(prior, batch), groups)
+        }.getOrElse(batch)
+      (groups, merged.persist())
+    }
+    cardState.foreach { case (groups, st) =>
+      c.getString("cardinality-report-dir").foreach { rdir =>
+        graft.llm.Cardinality.report(st, groups)
+          .coalesce(1).write.mode("overwrite").parquet(rdir)
+        Cli.log(s"cardinality report written to $rdir (corpus-lifetime estimates)")
+      }
+    }
     // dedup state = the CURATED corpus, not the emitted training set:
     // docs excluded downstream (mixture sampling, chunking) are still
     // recorded as seen — by design, so raising mixture weights later
@@ -633,6 +667,11 @@ object Curator {
       // frequencies (prior + this batch when the stage ran; prior
       // carried forward when it didn't)
       boilerFreqs.foreach(_.write.mode("overwrite").parquet(s"$outDir/linefreqs"))
+      // cardinality sketches ride the same commit: lifetime per-group
+      // HLL state (a few KB per group), mergeable by the next batch
+      cardState.foreach { case (_, st) =>
+        st.write.mode("overwrite").parquet(s"$outDir/cardsketch")
+      }
       val marker = fs.create(new Path(outPath, "_COMMITTED"), true)
       try marker.write(stateParams.getBytes("UTF-8")) finally marker.close()
       Cli.log(s"dedup state written to $outDir")
@@ -640,6 +679,7 @@ object Curator {
     curated.unpersist()
     quantToFree.foreach(_.unpersist())
     decontToFree.foreach(_.unpersist())
+    cardState.foreach(_._2.unpersist())
     boilerFreqs.foreach(_.unpersist()) // no-op for the carried-forward case
     Cli.log("curation finished")
   }

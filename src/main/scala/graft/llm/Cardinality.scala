@@ -1,0 +1,86 @@
+package graft.llm
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Mergeable corpus-cardinality state: per-group HyperLogLog sketches
+  * (Apache DataSketches HLL via Spark's `hll_sketch_agg`) of distinct
+  * documents and distinct tokens, persistable as small binary columns
+  * and UNIONABLE across batches — the data-card statistic exact
+  * counting cannot provide incrementally.
+  *
+  * Why sketches are the 100 TB shape: an exact lifetime
+  * `countDistinct(token)` over an incrementally-curated corpus would
+  * either rescan every prior batch per increment or keep the full
+  * distinct-token set as state (corpus-sized). An HLL sketch is a few
+  * KB per group at lgK=12 (~1.6% relative standard error), its
+  * aggregation is map-side partial (the token shuffle carries one
+  * sketch per partition × group, not one row per token), and
+  * `hll_union_agg` over persisted batch sketches is LOSSLESS with
+  * respect to the sketch state: merging per-batch sketches yields the
+  * IDENTICAL estimate a single pass over the union would — the
+  * property CardinalitySpec pins exactly, and what makes the persisted
+  * state trustworthy release documentation.
+  *
+  * The sketch estimate is a pure function of the input set (hash-based,
+  * no RNG), so results are retry/partitioning-stable — but DuckDB's
+  * approx_count_distinct is a DIFFERENT HLL implementation, so the
+  * gate query (q89) is rows-only with the estimates value-asserted in
+  * EntrySpec against exact counts.
+  *
+  * Reference anchor: the reference's datadiff histograms
+  * (datadiff.py:27-51) summarize distributions; this extends the same
+  * "summaries as data" idea to cardinality with mergeable state. */
+object Cardinality {
+
+  /** One batch's cardinality state: per `groupCols` group, HLL sketches
+    * of distinct document texts (via the content hash — whitespace
+    * variants are distinct documents, the dedup tiers' contract) and
+    * distinct lowercased whitespace tokens.
+    *
+    * Two aggregates (docs on the un-exploded frame, tokens on the
+    * exploded one) joined on the group key: sketching docs through the
+    * token explode would silently drop token-less documents. Both
+    * shuffles are partial-aggregated sketches, bounded by group count. */
+  def sketchState(
+      df: DataFrame,
+      groupCols: Seq[String],
+      textCol: String = "text",
+      lgK: Int = 12): DataFrame = {
+    require(groupCols.nonEmpty, "sketchState needs at least one group column")
+    require(lgK >= 4 && lgK <= 21, s"lgK must be in [4, 21], got $lgK")
+    val g = groupCols.map(col)
+    val docs = df
+      .select(g :+ Dedup.contentHash(col(textCol)).as("__h"): _*)
+      .groupBy(g: _*)
+      .agg(hll_sketch_agg(col("__h"), lit(lgK)).as("doc_sketch"))
+    val toks = df
+      .select(g :+ explode(Dedup.tokens(col(textCol))).as("__tok"): _*)
+      .groupBy(g: _*)
+      .agg(hll_sketch_agg(col("__tok"), lit(lgK)).as("token_sketch"))
+    // left join: a group whose docs are all token-less keeps its doc
+    // sketch and reports 0 distinct tokens (estimate of a null sketch
+    // is handled in report())
+    docs.join(toks, groupCols, "left")
+  }
+
+  /** Union batch states into corpus-lifetime state — same schema in,
+    * same schema out, so the result persists under the same protocol.
+    * `hll_union_agg` merges sketch registers; nothing rescans text. */
+  def mergeStates(states: Seq[DataFrame], groupCols: Seq[String]): DataFrame = {
+    require(states.nonEmpty, "mergeStates needs at least one state frame")
+    states.reduce(_.unionByName(_))
+      .groupBy(groupCols.map(col): _*)
+      .agg(
+        hll_union_agg(col("doc_sketch")).as("doc_sketch"),
+        hll_union_agg(col("token_sketch")).as("token_sketch"))
+  }
+
+  /** Human-readable estimates from a state frame: per group, the
+    * approximate distinct document and token counts. */
+  def report(state: DataFrame, groupCols: Seq[String]): DataFrame =
+    state.select(groupCols.map(col) :+
+      hll_sketch_estimate(col("doc_sketch")).as("distinct_docs") :+
+      coalesce(hll_sketch_estimate(col("token_sketch")), lit(0L))
+        .as("distinct_tokens"): _*)
+}

@@ -329,6 +329,66 @@ class CliSpec extends SparkTestBase {
     intercept[IllegalArgumentException] { graft.cli.Curator.main(Array("--conf", drift)) }
   }
 
+  test("curator cardinality state accumulates lifetime distincts across batches") {
+    import org.apache.spark.sql.functions.{col, countDistinct, explode}
+    val base = tmp()
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val b1 = base.resolve("b1.parquet").toString
+    val b2 = base.resolve("b2.parquet").toString
+    docs.filter(col("doc_id") % 2 === 0).write.parquet(b1)
+    docs.filter(col("doc_id") % 2 === 1).write.parquet(b2)
+    def conf(run: Int, src: String, stateIn: Option[String]) =
+      write(base.resolve(s"card$run.conf"),
+        s"""source { storage-type = local, dataset-dir = $src }
+           |target { storage-type = local, dataset-dir = ${base.resolve(s"out$run")}, dataset-store-format = parquet, write-mode = overwrite }
+           |curation {
+           |${stateIn.map(d => s"  state-dir = $d").getOrElse("")}
+           |  state-out-dir = ${base.resolve(s"state$run")}
+           |  cardinality-group-columns = [lang]
+           |  cardinality-report-dir = ${base.resolve(s"cardrep$run")}
+           |}
+           |""".stripMargin)
+    graft.cli.Curator.main(Array("--conf", conf(1, b1, None)))
+    assert(new java.io.File(base.resolve("state1").resolve("cardsketch").toString).exists())
+    graft.cli.Curator.main(Array("--conf",
+      conf(2, b2, Some(base.resolve("state1").toString))))
+    // lifetime estimates after batch 2 track EXACT distincts over the
+    // union of what the two runs actually emitted — not batch 2 alone,
+    // and not the (overlap-inflated) sum of per-batch distincts
+    val got = spark.read.parquet(base.resolve("cardrep2").toString)
+      .collect().map(r => r.getAs[String]("lang") ->
+        (r.getAs[Long]("distinct_docs"), r.getAs[Long]("distinct_tokens"))).toMap
+    val emitted = spark.read.parquet(base.resolve("out1").toString)
+      .unionByName(spark.read.parquet(base.resolve("out2").toString))
+    val exact = emitted
+      .select(col("lang"), col("text"),
+        explode(graft.llm.Dedup.tokens(col("text"))).as("tok"))
+      .groupBy("lang")
+      .agg(countDistinct("text").as("d"), countDistinct("tok").as("t"))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(got.keySet == exact.keySet, s"langs ${got.keySet} vs ${exact.keySet}")
+    got.foreach { case (lang, (dd, dt)) =>
+      val (ed, et) = exact(lang)
+      assert(math.abs(dd - ed) <= math.max(2.0, 0.05 * ed), s"$lang docs: $dd vs $ed")
+      assert(math.abs(dt - et) <= math.max(2.0, 0.05 * et), s"$lang tokens: $dt vs $et")
+      // accumulation is real: the lifetime doc estimate exceeds what
+      // batch 2 alone could account for
+      val n2 = spark.read.parquet(base.resolve("out2").toString)
+        .filter(col("lang") === lang).count()
+      assert(dd > n2 * 0.9, s"$lang lifetime $dd does not exceed batch-2-only $n2")
+    }
+    // group-column drift between increments is rejected loudly
+    val drift = write(base.resolve("carddrift.conf"),
+      s"""source { storage-type = local, dataset-dir = $b1 }
+         |target { storage-type = local, dataset-dir = ${base.resolve("outD")} }
+         |curation {
+         |  state-dir = ${base.resolve("state2")}
+         |  cardinality-group-columns = [source]
+         |}
+         |""".stripMargin)
+    intercept[IllegalArgumentException] { graft.cli.Curator.main(Array("--conf", drift)) }
+  }
+
   test("curator target write honors the DataIO layout knobs (range-by disjoint files)") {
     import org.apache.spark.sql.functions.{col, input_file_name, max, min}
     val base = tmp()

@@ -129,6 +129,33 @@ class EntrySpec extends SparkTestBase {
     assert(rows("untouched") == 270L, s"untouched vectors must all survive, got ${rows.get("untouched")}")
   }
 
+  test("q89: merged batch sketches track exact distincts; merge == single pass") {
+    import org.apache.spark.sql.functions.{col, countDistinct, explode, lower}
+    val got = SparkEntry.queries("q89_cardinality")(spark, sfDir)
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select(col("lang"), col("text"))
+    val exact = docs
+      .select(col("lang"), col("text"),
+        explode(graft.llm.Dedup.tokens(col("text"))).as("tok"))
+      .groupBy("lang")
+      .agg(countDistinct("text").as("d"), countDistinct("tok").as("t"))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(got.keySet == exact.keySet, s"langs ${got.keySet} vs ${exact.keySet}")
+    got.foreach { case (lang, (dd, dt)) =>
+      val (ed, et) = exact(lang)
+      // lgK=12 → ~1.6% RSE; 5% is > 3 sigma
+      assert(math.abs(dd - ed) <= math.max(2.0, 0.05 * ed), s"$lang docs: $dd vs exact $ed")
+      assert(math.abs(dt - et) <= math.max(2.0, 0.05 * et), s"$lang tokens: $dt vs exact $et")
+    }
+    // merging per-batch sketches is lossless wrt the sketch: identical
+    // estimates to one pass over the whole corpus
+    val single = graft.llm.Cardinality.report(
+      graft.llm.Cardinality.sketchState(docs, Seq("lang")), Seq("lang"))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(single == got, s"merge lost information: $single vs $got")
+  }
+
   test("q78: learned merge table — dense ranks, true-argmax first merge, " +
       "table genuinely compresses the corpus under graft_bpe_count") {
     import org.apache.spark.sql.functions.col
