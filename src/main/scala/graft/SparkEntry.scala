@@ -1354,6 +1354,38 @@ object SparkEntry {
         .toDF("rank", "left", "right")
     }),
 
+    // ---- BPE id ENCODING for training export (graft_bpe_encode): the
+    // learned tokenizer applied end-to-end — merges + vocab trained on
+    // docs < 100 (the q78 trainer), every doc encoded to int token ids
+    // at scan speed (registry-loaded table + vocab, codegen'd, zero
+    // shuffle). Per-doc output: id count, <unk> count, and an integer
+    // id checksum so value drift is visible, not just lengths. The
+    // greedy segmentation is not SQL-expressible → rows-only; EntrySpec
+    // pins zero <unk>s on the training slice, size(ids)==bpe_count
+    // parity, and decode round-trip at the API level.
+    "q90_bpe_encode" -> ((s, dir) => {
+      import graft.llm.BpeTrainer
+      val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
+      val train = docs.filter(col("doc_id") < 100)
+      val base = statePath(dir, "q90_bpe")
+      val mergesPath = s"$base/merges.txt"
+      val vocabPath = s"$base/vocab.txt"
+      // artifacts are mtime-keyed (statePath): regenerated corpora
+      // retrain instead of serving a stale tokenizer
+      if (!new java.io.File(mergesPath).exists()) {
+        val merges = BpeTrainer.learnMerges(train, "text", numMerges = 64)
+        BpeTrainer.saveMerges(s, mergesPath, merges)
+        BpeTrainer.saveVocab(s, vocabPath, BpeTrainer.buildVocab(train, "text", merges))
+      }
+      val ids = graft.functions.GraftFunctions.bpeEncode(col("text"), mergesPath, vocabPath)
+      docs.select(col("doc_id"),
+          ids.as("__ids"))
+        .select(col("doc_id"),
+          size(col("__ids")).cast("long").as("n_ids"),
+          size(filter(col("__ids"), i => i === 0)).cast("long").as("n_unk"),
+          aggregate(col("__ids"), lit(0L), (acc, x) => acc + x).as("id_sum"))
+    }),
+
     // ---- DSIR importance resampling: select 150 docs TOWARD the src0
     // domain via the likelihood ratio of two unigram LMs (target =
     // src0-trained, raw = full-corpus-trained), then the deterministic

@@ -29,19 +29,26 @@ object DataDiff {
   def crc32Bin(c: Column, maxBins: Int): Column =
     pmod(crc32(c.cast("string")), lit(maxBins.toLong))
 
+  /** Single-partition normalization window over a literal key: the
+    * histogram totals below run over ≤ maxBins grouped rows — bounded
+    * by construction — and the literal partition key states that in
+    * the plan instead of tripping `WindowExec: No Partition Defined`,
+    * keeping that warning meaningful for genuinely unbounded windows. */
+  private val normW = org.apache.spark.sql.expressions.Window.partitionBy(lit(0))
+
   /** R12 hashed discrete histogram as a distributed frame:
     * `(bin string, cnt long, freq double)`, null bin folded to "None"
     * (reference `datadiff.py:8-11`). `bin` accepts any expression so
     * callers can swap crc32 for an engine-portable arithmetic hash.
     *
-    * The unpartitioned normalization window is safe ONLY because the
-    * grouped histogram is ≤ maxBins rows (hashing bounds the key set);
-    * callers passing an unbounded `bin` expression should cap it. */
+    * The single-partition normalization window is safe ONLY because
+    * the grouped histogram is ≤ maxBins rows (hashing bounds the key
+    * set); callers passing an unbounded `bin` expression should cap it. */
   def histogramDF(df: DataFrame, bin: Column): DataFrame =
     df.select(coalesce(bin.cast("string"), lit("None")).as("bin"))
       .groupBy("bin")
       .agg(count(lit(1)).as("cnt"))
-      .withColumn("freq", col("cnt") / sum("cnt").over())
+      .withColumn("freq", col("cnt") / sum("cnt").over(normW))
 
   def hashHistogramDF(df: DataFrame, columnName: String, maxBins: Int = 1000): DataFrame =
     histogramDF(df, crc32Bin(col(columnName), maxBins))
@@ -95,7 +102,7 @@ object DataDiff {
       .select(idx.as("bin"))
       .groupBy("bin")
       .agg(count(lit(1)).as("cnt"))
-      .withColumn("freq", col("cnt") / sum("cnt").over())
+      .withColumn("freq", col("cnt") / sum("cnt").over(normW))
   }
 
   /** Column profile — the standard ingestion data-quality sweep: per
@@ -321,7 +328,12 @@ object DataDiff {
     val pivot = freqs.groupBy("bin")
       .agg(sum(when(col("side") === 1, col("p"))).as("p1"),
         sum(when(col("side") === 2, col("p"))).as("p2"))
-    val cdfW = org.apache.spark.sql.expressions.Window.orderBy("bin")
+    // the literal partition key spells out what the plan does anyway
+    // (ONE partition over ≤ bins rows — bounded by construction) and
+    // keeps the honest `WindowExec: No Partition Defined` warning free
+    // for windows that are actually unbounded
+    val cdfW = org.apache.spark.sql.expressions.Window.partitionBy(lit(0))
+      .orderBy("bin")
       .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
         org.apache.spark.sql.expressions.Window.currentRow)
     pivot

@@ -221,6 +221,87 @@ case class BpeSegments(child: Expression, mergesPath: String) extends UnaryExpre
     copy(child = c)
 }
 
+/** Executor-side vocab cache for id encoding: one token per line, id =
+  * line number, `<unk>` REQUIRED at line 0 (unknown segments — base
+  * characters the training corpus never saw — map to it instead of
+  * poisoning the batch with nulls). Same one-load-per-(JVM, path)
+  * contract as [[BpeRegistry]]. */
+object BpeVocabIdRegistry {
+  private val cache =
+    new java.util.concurrent.ConcurrentHashMap[String, java.util.HashMap[String, Integer]]()
+
+  def get(path: String): java.util.HashMap[String, Integer] =
+    cache.computeIfAbsent(path, load(_))
+
+  /** Test hook: drop a cached vocab (e.g. after rewriting the file). */
+  private[graft] def invalidate(path: String): Unit = { cache.remove(path); () }
+
+  private def load(path: String): java.util.HashMap[String, Integer] = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(new org.apache.hadoop.conf.Configuration())
+    val in = fs.open(p)
+    val m = new java.util.HashMap[String, Integer]()
+    try {
+      var id = 0
+      for (line <- scala.io.Source.fromInputStream(in, "UTF-8").getLines()) {
+        // tokens never contain whitespace (pretokens exclude it), so
+        // the line IS the token — no escaping needed; duplicate lines
+        // keep the FIRST id (merge products can collide textually)
+        if (!m.containsKey(line)) { m.put(line, Integer.valueOf(id)); () }
+        id += 1
+      }
+    } finally in.close()
+    require(m.containsKey("<unk>") && m.get("<unk>").intValue() == 0,
+      s"vocab at $path must have <unk> on line 0 (the unknown-segment id)")
+    m
+  }
+
+  /** Codegen / eval entry: segment `text` under the merge table, map
+    * each segment to its vocab id (`<unk>` = 0 for out-of-vocab). */
+  def encode(mergesPath: String, vocabPath: String,
+      text: UTF8String): org.apache.spark.sql.catalyst.util.ArrayData = {
+    val segs = BpeRegistry.get(mergesPath).segmentText(text.toString)
+    val vocab = get(vocabPath)
+    val ids = new Array[Int](segs.size)
+    var i = 0
+    while (i < ids.length) {
+      val id = vocab.get(segs.get(i))
+      ids(i) = if (id == null) 0 else id.intValue()
+      i += 1
+    }
+    org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(ids)
+  }
+}
+
+/** `graft_bpe_encode(string, 'merges-path', 'vocab-path') -> array<int>`:
+  * token IDS for training export — the segments of [[BpeSegments]]
+  * mapped through a line-per-token vocab file (`<unk>` = id 0 for
+  * segments outside it). `size(ids) == graft_bpe_count` by
+  * construction (same segmentation, same memo). */
+case class BpeEncode(child: Expression, mergesPath: String,
+    vocabPath: String) extends UnaryExpression {
+  require(mergesPath.nonEmpty, "graft_bpe_encode needs a merges path")
+  require(vocabPath.nonEmpty, "graft_bpe_encode needs a vocab path")
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case _: StringType => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(s"graft_bpe_encode expects string, got $t")
+  }
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def prettyName: String = "graft_bpe_encode"
+
+  override protected def nullSafeEval(t: Any): Any =
+    BpeVocabIdRegistry.encode(mergesPath, vocabPath, t.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val mRef = ctx.addReferenceObj("bpeMergesPath", mergesPath, "java.lang.String")
+    val vRef = ctx.addReferenceObj("bpeVocabPath", vocabPath, "java.lang.String")
+    defineCodeGen(ctx, ev, c => s"graft.functions.BpeVocabIdRegistry.encode($mRef, $vRef, $c)")
+  }
+
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
+}
+
 /** Greedy BPE-budget chunking (`graft_bpe_chunks`): split a document at
   * WHITESPACE-token boundaries so that each chunk's REAL subword count
   * (under the config-loaded merge table) stays within `budget` — the

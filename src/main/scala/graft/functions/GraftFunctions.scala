@@ -285,6 +285,9 @@ object GraftFunctions {
   def bpeSegments(c: Column, mergesPath: String): Column =
     ColumnBridge.column(BpeSegments(ColumnBridge.expression(c), mergesPath))
 
+  def bpeEncode(c: Column, mergesPath: String, vocabPath: String): Column =
+    ColumnBridge.column(BpeEncode(ColumnBridge.expression(c), mergesPath, vocabPath))
+
   def chunks(c: Column, chunkSize: Int, overlap: Int): Column =
     ColumnBridge.column(DocChunks(ColumnBridge.expression(c), chunkSize, overlap))
 
@@ -410,6 +413,20 @@ object GraftFunctions {
           case other => throw new IllegalArgumentException(
             s"graft_bpe_segments merges path must be a string literal, got $other")
         }
+      }),
+    ("graft_bpe_encode",
+      new ExpressionInfo(classOf[BpeEncode].getName, "graft_bpe_encode"),
+      (es: Seq[Expression]) => {
+        require(es.length == 3, s"graft_bpe_encode takes 3 arguments, got ${es.length}")
+        def litStr(e: Expression, name: String): String = {
+          require(e.foldable, s"graft_bpe_encode $name must be a literal")
+          e.eval() match {
+            case s: UTF8String => s.toString
+            case other => throw new IllegalArgumentException(
+              s"graft_bpe_encode $name must be a string literal, got $other")
+          }
+        }
+        BpeEncode(es.head, litStr(es(1), "merges path"), litStr(es(2), "vocab path"))
       }),
     ("graft_chunks",
       new ExpressionInfo(classOf[DocChunks].getName, "graft_chunks"),

@@ -161,6 +161,54 @@ object BpeTrainer {
     merges.toSeq
   }
 
+  /** Vocab for id encoding (`graft_bpe_encode`): `<unk>` first (id 0 —
+    * the out-of-vocab sink), then the training corpus's distinct base
+    * characters in codepoint order, then each merge's product in rank
+    * order (first occurrence wins when two merges produce the same
+    * string, mirroring [[graft.functions.BpeVocabIdRegistry]]'s
+    * first-id-wins parse). Every segment the tokenizer can emit over
+    * the TRAINING corpus is covered by construction — the segmenter
+    * only ever outputs base characters or merge products — so
+    * encoding the training slice produces zero `<unk>`s, and unseen
+    * characters in future text degrade to id 0 instead of nulls.
+    *
+    * The base alphabet comes from one Spark aggregate over pretoken
+    * characters (distinct chars — bounded by the script, not the
+    * corpus); the merge list is driver-side already. */
+  def buildVocab(
+      df: DataFrame,
+      textCol: String,
+      merges: Seq[(String, String)]): Seq[String] = {
+    val chars = df
+      .select(explode(regexp_extract_all(col(textCol),
+        lit(graft.functions.BpeVocab.pretokenRegex), lit(0))).as("w"))
+      .select(explode(split(col("w"), "")).as("ch"))
+      .filter(length(col("ch")) > 0)
+      .distinct()
+      .collect().map(_.getString(0)).sorted
+    val out = new scala.collection.mutable.LinkedHashSet[String]
+    out += "<unk>"
+    chars.foreach(out += _)
+    merges.foreach { case (a, b) => out += (a + b) }
+    out.toSeq
+  }
+
+  /** Write a vocab (one token per line, id = line number) — the
+    * [[graft.functions.BpeVocabIdRegistry]] format. Tokens contain no
+    * whitespace (pretokens exclude it), so the line is the token. */
+  def saveVocab(
+      spark: org.apache.spark.sql.SparkSession,
+      path: String,
+      vocab: Seq[String]): Unit = {
+    require(vocab.headOption.contains("<unk>"), "vocab must start with <unk>")
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val out = new java.io.BufferedWriter(new java.io.OutputStreamWriter(
+      fs.create(p, true), java.nio.charset.StandardCharsets.UTF_8))
+    try vocab.foreach { t => out.write(t); out.write('\n') }
+    finally out.close()
+  }
+
   /** Write merges in the standard `merges.txt` format
     * ([[graft.functions.BpeVocab.parse]] round-trips it; so does any
     * tool consuming trained-tokenizer merge files). Hadoop-FS path,

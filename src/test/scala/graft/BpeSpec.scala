@@ -114,6 +114,61 @@ class BpeSpec extends SparkTestBase {
     assert(viaSql == Seq("low", "low", "er", "n", "e", "w", "er"))
   }
 
+  test("id encoding: vocab round-trip decodes to the segments; unseen chars hit <unk>") {
+    import graft.functions.BpeVocabIdRegistry
+    val merges = classicPath
+    val vocabFile = java.nio.file.Files.createTempFile("graft_bpe_vocab", ".txt")
+    // <unk>, base chars of the fixture corpus, merge products in order
+    val vocab = Seq("<unk>", "e", "l", "n", "o", "r", "w", "lo", "low", "er")
+    java.nio.file.Files.write(vocabFile, vocab.mkString("\n").getBytes("UTF-8"))
+    val df = Seq((1L, "low lower newer"), (2L, "zzz low")).toDF("id", "text")
+    val got = df.select(col("id"),
+        GraftFunctions.bpeEncode(col("text"), merges, vocabFile.toString).as("ids"),
+        GraftFunctions.bpeSegments(col("text"), merges).as("segs"))
+      .collect().map(r => (r.getLong(0), r.getSeq[Int](1), r.getSeq[String](2))).toList
+    val byId = got.map(t => t._1 -> (t._2, t._3)).toMap
+    // decode(ids) == segments wherever the segment is in-vocab
+    val (ids1, segs1) = byId(1L)
+    assert(ids1.map(vocab(_)) == segs1, s"round trip: $ids1 vs $segs1")
+    assert(!ids1.contains(0), "no <unk> expected for covered text")
+    // 'z' was never in the vocab → each z maps to <unk>=0; 'low' still encodes
+    val (ids2, segs2) = byId(2L)
+    assert(segs2 == Seq("z", "z", "z", "low"))
+    assert(ids2 == Seq(0, 0, 0, vocab.indexOf("low")))
+    // SQL surface agrees with the Column surface
+    GraftFunctions.register(spark)
+    df.createOrReplaceTempView("bpe_enc_t")
+    val sqlIds = spark.sql(
+      s"SELECT graft_bpe_encode(text, '$merges', '$vocabFile') FROM bpe_enc_t WHERE id = 1")
+      .head().getSeq[Int](0)
+    assert(sqlIds == ids1)
+    // a vocab without <unk> at line 0 is rejected loudly
+    val bad = java.nio.file.Files.createTempFile("graft_bpe_vocab_bad", ".txt")
+    java.nio.file.Files.write(bad, "a\nb\n".getBytes("UTF-8"))
+    val e = intercept[Exception] {
+      df.select(GraftFunctions.bpeEncode(col("text"), merges, bad.toString)).collect()
+    }
+    assert(e.getMessage != null)
+  }
+
+  test("buildVocab covers the training corpus: trainer-learned table encodes it unk-free") {
+    import graft.llm.BpeTrainer
+    val corpus = Seq("the quick brown fox", "the lazy dog", "quick quick the")
+      .toDF("text")
+    val merges = BpeTrainer.learnMerges(corpus, "text", numMerges = 10)
+    val vocab = BpeTrainer.buildVocab(corpus, "text", merges)
+    assert(vocab.head == "<unk>" && vocab.distinct == vocab)
+    val dir = java.nio.file.Files.createTempDirectory("graft_bpe_enc")
+    val mPath = s"$dir/merges.txt"
+    val vPath = s"$dir/vocab.txt"
+    BpeTrainer.saveMerges(spark, mPath, merges)
+    BpeTrainer.saveVocab(spark, vPath, vocab)
+    val unks = corpus.select(
+        GraftFunctions.bpeEncode(col("text"), mPath, vPath).as("ids"))
+      .select(explode(col("ids")).as("i")).filter(col("i") === 0).count()
+    assert(unks == 0, s"training corpus produced $unks <unk> ids")
+  }
+
   test("BPE-budget chunking cuts at hand-computed subword boundaries") {
     // classic fixture: low=1, lower=2, newer=4 subwords
     // budget 4: [low lower]=3 (newer would make 7), [newer]=4, [low low]=2

@@ -156,6 +156,35 @@ class EntrySpec extends SparkTestBase {
     assert(single == got, s"merge lost information: $single vs $got")
   }
 
+  test("q90: id encoding — zero unks on the training slice, count parity, checksum sane") {
+    import org.apache.spark.sql.functions.col
+    val out = SparkEntry.queries("q90_bpe_encode")(spark, sfDir)
+      .persist()
+    // the vocab covers every segment the tokenizer can emit over its
+    // own training corpus — docs < 100 must encode with ZERO <unk>s
+    assert(out.filter(col("doc_id") < 100 && col("n_unk") > 0).count() == 0,
+      "training-slice docs hit <unk> — vocab does not cover its own corpus")
+    // id count == the native bpe token count for every doc (same
+    // segmentation, same memo)
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet").select("doc_id", "text")
+    val joined = out.join(docs, "doc_id")
+    val base = {
+      val mtime = Option(new java.io.File(sfDir).listFiles())
+        .map(_.map(_.lastModified).max).getOrElse(0L)
+      new java.io.File(
+        new java.io.File(System.getProperty("java.io.tmpdir"), "graft_state"),
+        s"${sfDir.replaceAll("[^A-Za-z0-9.-]", "_")}_m${mtime}_q90_bpe").toString
+    }
+    val counts = joined.withColumn("__n",
+      graft.functions.GraftFunctions.bpeCount(col("text"), s"$base/merges.txt"))
+    assert(counts.filter(col("n_ids") =!= col("__n")).count() == 0,
+      "size(ids) diverged from graft_bpe_count")
+    // checksums are nonzero wherever a doc has any non-<unk> id
+    assert(out.filter(col("n_ids") > 0 && col("n_ids") =!= col("n_unk") &&
+      col("id_sum") === 0).count() == 0)
+    out.unpersist()
+  }
+
   test("q78: learned merge table — dense ranks, true-argmax first merge, " +
       "table genuinely compresses the corpus under graft_bpe_count") {
     import org.apache.spark.sql.functions.col
