@@ -147,7 +147,10 @@ object Scorer {
   * `mixture-salt`), `splits = ["train:0.8", "val:0.1", "test:0.1"]`
   * (+ `split-salt`, `split-column`; ordered — ranges are cumulative)
   * and `chunk-size` (+ `chunk-overlap`, default size/4; the split
-  * label rides along on every chunk). Reporting: `report-dir` (+
+  * label rides along on every chunk); `bpe-vocab` (requires
+  * `bpe-merges`) adds a `token_ids` int-array column — chunk text (or
+  * doc text) encoded under the learned tokenizer, the form a trainer
+  * consumes. Reporting: `report-dir` (+
   * `report-group-columns`) writes the per-group corpus data card;
   * `cardinality-group-columns` (+ `cardinality-report-dir`) adds
   * mergeable per-group HLL sketches of distinct docs/tokens — the
@@ -558,6 +561,21 @@ object Curator {
           overlap = c.getInt("chunk-overlap").getOrElse(0), keepCols = keep)
       case _ => labeled
     }
+    // optional id encoding (`bpe-vocab`, requires `bpe-merges`): the
+    // emitted rows carry `token_ids` — the int ids a trainer consumes —
+    // encoded from the chunk text (or whole-doc text when chunking is
+    // off) under the learned tokenizer. Scan-speed projection: table +
+    // vocab load once per executor, zero shuffle added.
+    val encoded = c.getString("bpe-vocab") match {
+      case Some(vocabPath) =>
+        val mergesPath = c.getString("bpe-merges").getOrElse(throw new IllegalArgumentException(
+          "curation.bpe-vocab requires curation.bpe-merges (ids are defined by a merge table)"))
+        val encCol =
+          if (out.columns.contains("chunk_text")) "chunk_text" else textCol
+        out.withColumn("token_ids",
+          graft.functions.GraftFunctions.bpeEncode(col(encCol), mergesPath, vocabPath))
+      case None => out
+    }
     // optional deterministic training-export shuffle: a reproducible
     // pseudo-random row permutation (salt = epoch) so a sequential
     // training loader reads the corpus in shuffled order. The row
@@ -572,9 +590,9 @@ object Curator {
         val rowId =
           if (chunked) concat(col(idCol).cast("string"), lit(":"), col("chunk_id"))
           else col(idCol).cast("string")
-        graft.llm.CorpusPrep.deterministicShuffleBy(out, rowId, salt,
+        graft.llm.CorpusPrep.deterministicShuffleBy(encoded, rowId, salt,
           numPartitions = c.getInt("shuffle-partitions"))
-      case None => out
+      case None => encoded
     }
     // TARGET FIRST, STATE LAST: committing dedup state before the target
     // write would mean a crash in between leaves this batch's survivors
@@ -693,9 +711,15 @@ object Curator {
   *
   * Config keys under `streaming { }`: `events-dir`, `target-dir`,
   * `checkpoint-location` (required — durable recovery), `operation`
-  * (window|sessions|dedup, default window), `window-length`,
-  * `session-gap`, `watermark`, `state-store` (`rocksdb` for the
-  * off-heap production state store), `shuffle-partitions`. */
+  * (window|sessions|dedup|near-dedup, default window),
+  * `window-length`, `session-gap`, `watermark`, `state-store`
+  * (`rocksdb` for the off-heap production state store),
+  * `shuffle-partitions`. `near-dedup` is the streaming arrival path
+  * of the Curator's SimHash tier: `state-dir` points at a committed
+  * Curator state (its `sigs`/`hot` subdirs become the corpus side of
+  * the stateless stream-static band joins), `text-column`/
+  * `time-column` name the stream's payload, `max-hamming`/`bands`
+  * must match the state's parameters. */
 object Streamer {
   def main(args: Array[String]): Unit = Cli.run("streamer", args) { (conf, spark) =>
     import graft.streaming.Streams
@@ -710,8 +734,31 @@ object Streamer {
         Streams.sessionStats(events,
           c.getString("session-gap").getOrElse("30 minutes"), watermark)
       case "dedup" => Streams.dedupEventStream(events, watermark)
+      case "near-dedup" =>
+        // document stream vs persisted corpus signatures: read the
+        // stream with ITS OWN schema (inferred from the landing files —
+        // this operation is for document streams, not the events table)
+        val dir = c.string("events-dir")
+        val docs = spark.readStream
+          .schema(spark.read.parquet(dir).schema).parquet(dir)
+        val stateDir = c.string("state-dir")
+        val marker = new org.apache.hadoop.fs.Path(s"$stateDir/_COMMITTED")
+        require(marker.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(marker),
+          s"streaming.state-dir '$stateDir' holds no committed state (_COMMITTED missing)")
+        Streams.dropNearSeenStream(docs,
+          spark.read.parquet(s"$stateDir/sigs"),
+          c.getString("text-column").getOrElse("text"),
+          maxHamming = c.getInt("max-hamming").getOrElse(3),
+          bands = c.getInt("bands").getOrElse(4),
+          corpusHotBuckets = Some(spark.read.parquet(s"$stateDir/hot")),
+          timeCol = c.getString("time-column").getOrElse("ts"),
+          watermarkDelay = watermark,
+          // MUST match the state's shingle-size or signatures diverge —
+          // the Curator records it in the _COMMITTED marker; default
+          // mirrors CurationConf.shingleSize (3)
+          gramSize = c.getInt("shingle-size").getOrElse(3))
       case other => throw new IllegalArgumentException(
-        s"unknown streaming.operation '$other' (window|sessions|dedup)")
+        s"unknown streaming.operation '$other' (window|sessions|dedup|near-dedup)")
     }
     val useRocksDB = c.getString("state-store") match {
       case None | Some("default") => false

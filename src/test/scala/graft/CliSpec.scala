@@ -1008,6 +1008,96 @@ class CliSpec extends SparkTestBase {
     assert(spark.read.parquet(out).count() == n1)
   }
 
+  test("streamer near-dedup drops a case-changed corpus echo against Curator state") {
+    import org.apache.spark.sql.functions.{col, lower, timestamp_micros}
+    val base = tmp()
+    // 1. curate a corpus slice and commit its dedup state
+    val stateDir = base.resolve("state").toString
+    val cf = write(base.resolve("cur.conf"),
+      s"""source { storage-type = local, dataset-dir = $sfDir/documents.parquet }
+         |target { storage-type = local, dataset-dir = ${base.resolve("curated")}, dataset-store-format = parquet, write-mode = overwrite }
+         |curation { state-out-dir = $stateDir }
+         |""".stripMargin)
+    graft.cli.Curator.main(Array("--conf", cf))
+    // 2. stage a landing dir: a case-changed echo of a curated doc
+    //    (identical SimHash under lowercased tokenization) + fresh docs
+    import spark.implicits._
+    val curated = spark.read.parquet(base.resolve("curated").toString)
+    val echoText = curated.select("text").head().getString(0).toUpperCase
+    val landing = base.resolve("landing").toString
+    Seq(
+      (900001L, echoText, 1L),
+      (900002L, "a genuinely fresh arriving document tonight", 2L),
+      (900003L, "another unseen arrival with different words", 3L)
+    ).toDF("doc_id", "text", "ts")
+      .withColumn("ts", timestamp_micros(col("ts") * 3600L * 1000000L))
+      .write.parquet(landing)
+    // 3. run the near-dedup stream against the committed state
+    val out = base.resolve("survivors").toString
+    val sf = write(base.resolve("nd.conf"),
+      s"""streaming {
+         |  events-dir = $landing
+         |  target-dir = $out
+         |  checkpoint-location = ${base.resolve("ndckpt")}
+         |  operation = near-dedup
+         |  state-dir = $stateDir
+         |  shuffle-partitions = 4
+         |}
+         |""".stripMargin)
+    graft.cli.Streamer.main(Array("--conf", sf))
+    val survivors = spark.read.parquet(out)
+    val ids = survivors.select("doc_id").as[Long].collect().toSet
+    assert(!ids.contains(900001L), s"case-changed corpus echo survived: $ids")
+    assert(ids == Set(900002L, 900003L), s"fresh arrivals lost: $ids")
+    // an uncommitted state dir is refused loudly
+    val bad = write(base.resolve("ndbad.conf"),
+      s"""streaming {
+         |  events-dir = $landing
+         |  target-dir = ${base.resolve("outB")}
+         |  checkpoint-location = ${base.resolve("ckptB")}
+         |  operation = near-dedup
+         |  state-dir = ${base.resolve("nope")}
+         |}
+         |""".stripMargin)
+    intercept[IllegalArgumentException] { graft.cli.Streamer.main(Array("--conf", bad)) }
+  }
+
+  test("curator bpe-vocab emits token_ids on chunks (trained tokenizer end-to-end)") {
+    import org.apache.spark.sql.functions.{col, explode, size => asize}
+    val base = tmp()
+    // train a small tokenizer on the corpus and save both artifacts
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val merges = graft.llm.BpeTrainer.learnMerges(docs, "text", numMerges = 32)
+    val mPath = base.resolve("merges.txt").toString
+    val vPath = base.resolve("vocab.txt").toString
+    graft.llm.BpeTrainer.saveMerges(spark, mPath, merges)
+    graft.llm.BpeTrainer.saveVocab(spark, vPath,
+      graft.llm.BpeTrainer.buildVocab(docs, "text", merges))
+    val out = base.resolve("chunks").toString
+    val f = write(base.resolve("enc.conf"),
+      s"""source { storage-type = local, dataset-dir = $sfDir/documents.parquet }
+         |target { storage-type = local, dataset-dir = $out, dataset-store-format = parquet, write-mode = overwrite }
+         |curation {
+         |  chunk-size = 32
+         |  bpe-merges = $mPath
+         |  bpe-vocab = $vPath
+         |}
+         |""".stripMargin)
+    graft.cli.Curator.main(Array("--conf", f))
+    val chunks = spark.read.parquet(out)
+    assert(chunks.columns.contains("token_ids"))
+    assert(chunks.filter(asize(col("token_ids")) === 0).count() ==
+      chunks.filter(col("chunk_tokens") === 0).count())
+    // the tokenizer was trained on this corpus → no <unk> ids anywhere
+    assert(chunks.select(explode(col("token_ids")).as("i"))
+      .filter(col("i") === 0).count() == 0)
+    // ids are consistent with the independent count expression
+    val bad = chunks.withColumn("__n",
+      graft.functions.GraftFunctions.bpeCount(col("chunk_text"), mPath))
+      .filter(asize(col("token_ids")) =!= col("__n")).count()
+    assert(bad == 0, "token_ids length diverged from graft_bpe_count on chunk_text")
+  }
+
   test("scorer with model-expr scores without a saved model (U5 through E2)") {
     val base = tmp()
     val out = base.resolve("scores").toString
