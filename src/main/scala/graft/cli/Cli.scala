@@ -152,10 +152,12 @@ object Scorer {
   * doc text) encoded under the learned tokenizer, the form a trainer
   * consumes. Reporting: `report-dir` (+
   * `report-group-columns`) writes the per-group corpus data card;
-  * `cardinality-group-columns` (+ `cardinality-report-dir`) adds
-  * mergeable per-group HLL sketches of distinct docs/tokens — the
-  * lifetime estimates accumulate across batches via the `cardsketch`
-  * state subdir.
+  * `cardinality-group-columns` (+ `cardinality-report-dir`,
+  * `cardinality-gram-size` — 1 counts distinct tokens, n > 1 distinct
+  * word n-grams for contamination budgeting) adds mergeable per-group
+  * HLL sketches of distinct docs/tokens — the lifetime estimates
+  * accumulate across batches via the `cardsketch` state subdir;
+  * gram-size drift between increments is rejected.
   *
   * INCREMENTAL mode (how curation runs in production — daily batches
   * against persisted dedup state, never re-reading the corpus):
@@ -623,7 +625,9 @@ object Curator {
     // hll_union_agg itself (strict mode). Old state dirs without a
     // cardsketch stay valid — sketching simply starts at this batch.
     val cardState = c.getList("cardinality-group-columns").map { groups =>
-      val batch = graft.llm.Cardinality.sketchState(curated, groups, textCol)
+      val cardGramSize = c.getInt("cardinality-gram-size").getOrElse(1)
+      val batch = graft.llm.Cardinality.sketchState(curated, groups, textCol,
+        gramSize = cardGramSize)
       val merged = stateDir
         .filter(d => exists(new Path(qual(d), "cardsketch")))
         .map { d =>
@@ -631,6 +635,10 @@ object Curator {
           require(prior.columns.sorted.sameElements(batch.columns.sorted),
             s"cardsketch state at $d has columns ${prior.columns.toSeq} but this run " +
               s"groups by ${groups.mkString(", ")} — sketches grouped differently do not merge")
+          val priorGs = prior.select("gram_size").distinct().collect().map(_.getInt(0)).toSeq
+          require(priorGs == Seq(cardGramSize),
+            s"cardsketch state at $d was built with gram-size ${priorGs.mkString(",")} but " +
+              s"this run uses $cardGramSize — token and n-gram sketches do not merge")
           graft.llm.Cardinality.mergeStates(Seq(prior, batch), groups)
         }.getOrElse(batch)
       (groups, merged.persist())

@@ -36,44 +36,67 @@ object Cardinality {
   /** One batch's cardinality state: per `groupCols` group, HLL sketches
     * of distinct document texts (via the content hash — whitespace
     * variants are distinct documents, the dedup tiers' contract) and
-    * distinct lowercased whitespace tokens.
+    * distinct lowercased whitespace tokens (`gramSize` = 1) or word
+    * n-gram shingles (`gramSize` > 1 — distinct-shingle cardinality is
+    * the denominator contamination budgeting needs: "how many of the
+    * corpus's N distinct 8-grams does this benchmark share?").
     *
-    * Two aggregates (docs on the un-exploded frame, tokens on the
+    * Two aggregates (docs on the un-exploded frame, grams on the
     * exploded one) joined on the group key: sketching docs through the
-    * token explode would silently drop token-less documents. Both
-    * shuffles are partial-aggregated sketches, bounded by group count. */
+    * gram explode would silently drop token-less documents. Both
+    * shuffles are partial-aggregated sketches, bounded by group count.
+    * `gram_size` rides the state as data so incremental merges can
+    * reject a drifted configuration (sketches of tokens and sketches
+    * of 8-grams merge into nonsense). */
   def sketchState(
       df: DataFrame,
       groupCols: Seq[String],
       textCol: String = "text",
-      lgK: Int = 12): DataFrame = {
+      lgK: Int = 12,
+      gramSize: Int = 1): DataFrame = {
     require(groupCols.nonEmpty, "sketchState needs at least one group column")
     require(lgK >= 4 && lgK <= 21, s"lgK must be in [4, 21], got $lgK")
+    require(gramSize >= 1, s"gramSize must be >= 1, got $gramSize")
     val g = groupCols.map(col)
+    val grams =
+      if (gramSize == 1) Dedup.tokens(col(textCol))
+      else Dedup.shingles(col(textCol), gramSize)
     val docs = df
       .select(g :+ Dedup.contentHash(col(textCol)).as("__h"): _*)
       .groupBy(g: _*)
       .agg(hll_sketch_agg(col("__h"), lit(lgK)).as("doc_sketch"))
     val toks = df
-      .select(g :+ explode(Dedup.tokens(col(textCol))).as("__tok"): _*)
+      .select(g :+ explode(grams).as("__tok"): _*)
       .groupBy(g: _*)
       .agg(hll_sketch_agg(col("__tok"), lit(lgK)).as("token_sketch"))
     // left join: a group whose docs are all token-less keeps its doc
     // sketch and reports 0 distinct tokens (estimate of a null sketch
     // is handled in report())
     docs.join(toks, groupCols, "left")
+      .withColumn("gram_size", lit(gramSize))
   }
 
   /** Union batch states into corpus-lifetime state — same schema in,
     * same schema out, so the result persists under the same protocol.
-    * `hll_union_agg` merges sketch registers; nothing rescans text. */
+    * `hll_union_agg` merges sketch registers; nothing rescans text.
+    * Mixed `gram_size` states are rejected: token sketches and n-gram
+    * sketches do not mean anything merged. */
   def mergeStates(states: Seq[DataFrame], groupCols: Seq[String]): DataFrame = {
     require(states.nonEmpty, "mergeStates needs at least one state frame")
     states.reduce(_.unionByName(_))
       .groupBy(groupCols.map(col): _*)
       .agg(
         hll_union_agg(col("doc_sketch")).as("doc_sketch"),
-        hll_union_agg(col("token_sketch")).as("token_sketch"))
+        hll_union_agg(col("token_sketch")).as("token_sketch"),
+        min("gram_size").as("__gs_min"),
+        max("gram_size").as("__gs_max"))
+      // the guard lives INSIDE the kept column (a dropped guard column
+      // would be pruned by Catalyst and never evaluate)
+      .withColumn("gram_size",
+        when(col("__gs_min") =!= col("__gs_max"),
+          raise_error(lit("mergeStates: mixed gram_size states do not merge")))
+          .otherwise(col("__gs_min")).cast("int"))
+      .drop("__gs_min", "__gs_max")
   }
 
   /** Human-readable estimates from a state frame: per group, the

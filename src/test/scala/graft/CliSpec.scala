@@ -387,6 +387,27 @@ class CliSpec extends SparkTestBase {
          |}
          |""".stripMargin)
     intercept[IllegalArgumentException] { graft.cli.Curator.main(Array("--conf", drift)) }
+    // gram-size drift is rejected too (token and n-gram sketches do
+    // not mean anything merged)
+    val gdrift = write(base.resolve("cardgdrift.conf"),
+      s"""source { storage-type = local, dataset-dir = $b1 }
+         |target { storage-type = local, dataset-dir = ${base.resolve("outG")} }
+         |curation {
+         |  state-dir = ${base.resolve("state2")}
+         |  cardinality-group-columns = [lang]
+         |  cardinality-gram-size = 3
+         |}
+         |""".stripMargin)
+    intercept[IllegalArgumentException] { graft.cli.Curator.main(Array("--conf", gdrift)) }
+    // shingle mode: distinct trigram estimate exceeds distinct tokens
+    // (each doc contributes ~as many trigrams as tokens, far fewer repeats)
+    import org.apache.spark.sql.functions.sum
+    val tokTotal = spark.read.parquet(base.resolve("cardrep2").toString)
+      .agg(sum("distinct_tokens")).head().getLong(0)
+    val g3 = graft.llm.Cardinality.report(
+      graft.llm.Cardinality.sketchState(docs, Seq("lang"), gramSize = 3), Seq("lang"))
+      .agg(sum("distinct_tokens")).head().getLong(0)
+    assert(g3 > tokTotal, s"distinct trigrams $g3 should exceed distinct tokens $tokTotal")
   }
 
   test("curator target write honors the DataIO layout knobs (range-by disjoint files)") {
