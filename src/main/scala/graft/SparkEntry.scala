@@ -81,13 +81,34 @@ object SparkEntry {
     * the key (the q25 ivfEnsure rule): testdata regenerated IN PLACE
     * must rebuild state, never serve signatures of the previous
     * corpus — exactly what happened when the round-6 bench read
-    * round-5-era SRP state over regenerated embeddings. */
+    * round-5-era SRP state over regenerated embeddings.
+    *
+    * The mtime walks the WHOLE tree (not just direct children): a
+    * regeneration that rewrites files inside nested partition
+    * subdirectories may not bump any direct child's mtime. Superseded
+    * sibling keys for the same (dir, name) are deleted on the way —
+    * each regeneration mints a new key, and without cleanup the old
+    * state dirs accumulate unbounded under java.io.tmpdir. */
   private def statePath(dir: String, name: String): String = {
-    val mtime = Option(new java.io.File(dir).listFiles())
-      .map(_.map(_.lastModified).max).getOrElse(0L)
-    new java.io.File(
-      new java.io.File(System.getProperty("java.io.tmpdir"), "graft_state"),
-      s"${dir.replaceAll("[^A-Za-z0-9.-]", "_")}_m${mtime}_$name").toString
+    def maxMtime(f: java.io.File): Long = {
+      val kids = Option(f.listFiles()).getOrElse(Array.empty[java.io.File])
+      kids.foldLeft(f.lastModified)((m, k) => math.max(m, maxMtime(k)))
+    }
+    val mtime = maxMtime(new java.io.File(dir))
+    val root = new java.io.File(System.getProperty("java.io.tmpdir"), "graft_state")
+    val base = dir.replaceAll("[^A-Za-z0-9.-]", "_")
+    val keyed = s"${base}_m${mtime}_$name"
+    val stale = ("^" + java.util.regex.Pattern.quote(base) + "_m\\d+_" +
+      java.util.regex.Pattern.quote(name) + "$").r
+    Option(root.listFiles()).getOrElse(Array.empty[java.io.File])
+      .filter(f => f.getName != keyed && stale.matches(f.getName))
+      .foreach(deleteTree)
+    new java.io.File(root, keyed).toString
+  }
+
+  private def deleteTree(f: java.io.File): Unit = {
+    Option(f.listFiles()).getOrElse(Array.empty[java.io.File]).foreach(deleteTree)
+    f.delete(): Unit
   }
 
   /** q39/q42 planted-pair accounting (eager — see [[eagerSummary]]). */
@@ -1371,11 +1392,17 @@ object SparkEntry {
       val mergesPath = s"$base/merges.txt"
       val vocabPath = s"$base/vocab.txt"
       // artifacts are mtime-keyed (statePath): regenerated corpora
-      // retrain instead of serving a stale tokenizer
-      if (!new java.io.File(mergesPath).exists()) {
+      // retrain instead of serving a stale tokenizer. The retrain gate
+      // is a _DONE marker written AFTER both artifacts (the ensureState
+      // _BUILT idiom): gating on merges.txt — the first artifact — left
+      // a crash between the two saves permanently half-built, since the
+      // mtime key only changes when the data does.
+      val doneMarker = new java.io.File(base, "_DONE")
+      if (!doneMarker.exists()) {
         val merges = BpeTrainer.learnMerges(train, "text", numMerges = 64)
         BpeTrainer.saveMerges(s, mergesPath, merges)
         BpeTrainer.saveVocab(s, vocabPath, BpeTrainer.buildVocab(train, "text", merges))
+        doneMarker.createNewFile(): Unit
       }
       val ids = graft.functions.GraftFunctions.bpeEncode(col("text"), mergesPath, vocabPath)
       docs.select(col("doc_id"),

@@ -726,8 +726,10 @@ object Curator {
   * of the Curator's SimHash tier: `state-dir` points at a committed
   * Curator state (its `sigs`/`hot` subdirs become the corpus side of
   * the stateless stream-static band joins), `text-column`/
-  * `time-column` name the stream's payload, `max-hamming`/`bands`
-  * must match the state's parameters. */
+  * `time-column` name the stream's payload; `bands`/`shingle-size`
+  * default from the state's `_COMMITTED` parameter record and an
+  * explicit override that diverges from it is rejected
+  * (`max-hamming` is a query-time radius, not baked into state). */
 object Streamer {
   def main(args: Array[String]): Unit = Cli.run("streamer", args) { (conf, spark) =>
     import graft.streaming.Streams
@@ -751,20 +753,46 @@ object Streamer {
           .schema(spark.read.parquet(dir).schema).parquet(dir)
         val stateDir = c.string("state-dir")
         val marker = new org.apache.hadoop.fs.Path(s"$stateDir/_COMMITTED")
-        require(marker.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(marker),
+        val mfs = marker.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        require(mfs.exists(marker),
           s"streaming.state-dir '$stateDir' holds no committed state (_COMMITTED missing)")
+        // the Curator records the fingerprint parameters the persisted
+        // signatures are only valid for in the marker body
+        // (`shingle-size=…;bands=…;…`). Default the stream's parameters
+        // FROM that record and reject explicit overrides that diverge —
+        // a silently mismatched banding/shingling would pass near-dup
+        // echoes straight through, the exact failure the Curator's own
+        // state-dir check prevents batch-side.
+        val storedParams = {
+          val in = mfs.open(marker)
+          try scala.io.Source.fromInputStream(in, "UTF-8").mkString finally in.close()
+        }
+        val stateKv = storedParams.split(";").iterator
+          .map(_.split("=", 2)).collect { case Array(k, v) => k -> v }.toMap
+        def fromState(stateKey: String, confKey: String, default: Int): Int = {
+          val stored = stateKv.get(stateKey).map(_.trim.toInt)
+          val fromConf = c.getInt(confKey)
+          (fromConf, stored) match {
+            case (Some(g), Some(st)) =>
+              require(g == st, s"streaming.$confKey=$g but state-dir '$stateDir' was " +
+                s"built with $stateKey=$st ([$storedParams]) — signatures from different " +
+                "parameters do not compare; drop the override or re-curate")
+              g
+            case (Some(g), None) => g
+            case (None, Some(st)) => st
+            case (None, None) => default
+          }
+        }
         Streams.dropNearSeenStream(docs,
           spark.read.parquet(s"$stateDir/sigs"),
           c.getString("text-column").getOrElse("text"),
+          // query-time radius (not baked into stored signatures)
           maxHamming = c.getInt("max-hamming").getOrElse(3),
-          bands = c.getInt("bands").getOrElse(4),
+          bands = fromState("bands", "bands", 4),
           corpusHotBuckets = Some(spark.read.parquet(s"$stateDir/hot")),
           timeCol = c.getString("time-column").getOrElse("ts"),
           watermarkDelay = watermark,
-          // MUST match the state's shingle-size or signatures diverge —
-          // the Curator records it in the _COMMITTED marker; default
-          // mirrors CurationConf.shingleSize (3)
-          gramSize = c.getInt("shingle-size").getOrElse(3))
+          gramSize = fromState("shingle-size", "shingle-size", 3))
       case other => throw new IllegalArgumentException(
         s"unknown streaming.operation '$other' (window|sessions|dedup|near-dedup)")
     }

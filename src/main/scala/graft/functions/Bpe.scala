@@ -54,9 +54,18 @@ final class BpeVocab private (ranks: java.util.HashMap[String, Integer]) {
     if (word.isEmpty) return Array.empty
     val cached = memo.get(word)
     if (cached != null) return cached.split(' ')
+    // codepoint-aware base split (surrogate pairs stay together): base
+    // symbols must be valid Unicode strings or they cannot round-trip
+    // through UTF-8 merge/vocab files — lone surrogates encode as '?'.
+    // The trainer (BpeTrainer.learnFromCounts) and the vocab builder
+    // use the same unit, so the three always agree.
     var syms = new java.util.ArrayList[String](word.length)
     var i = 0
-    while (i < word.length) { syms.add(String.valueOf(word.charAt(i))); i += 1 }
+    while (i < word.length) {
+      val n = Character.charCount(word.codePointAt(i))
+      syms.add(word.substring(i, i + n))
+      i += n
+    }
     var done = false
     while (!done && syms.size >= 2) {
       // lowest-rank adjacent pair present in the table

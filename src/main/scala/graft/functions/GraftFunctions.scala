@@ -306,6 +306,21 @@ object GraftFunctions {
   def spanHashes(c: Column, n: Int): Column =
     ColumnBridge.column(SpanHashes(ColumnBridge.expression(c), n))
 
+  /** Scan-side bloom probe over a serialized
+    * `spark.util.sketch.BloomFilter` — Spark's own codegen'd
+    * `BloomFilterMightContain` with the filter inlined as a binary
+    * literal (the expression requires a constant/scalar-subquery bloom;
+    * a driver-held filter of bounded size IS that constant). Used as
+    * the incremental span-dedup pre-filter: `c` must be a LONG column
+    * probed against a bloom built with `putLong` semantics
+    * ([[graft.llm.Dedup.spanBloom]]). */
+  def bloomMightContain(bloom: Array[Byte], c: Column): Column =
+    ColumnBridge.column(
+      org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(
+        org.apache.spark.sql.catalyst.expressions.Literal.create(
+          bloom, org.apache.spark.sql.types.BinaryType),
+        ColumnBridge.expression(c)))
+
   def lmLogProb(c: Column, lmPath: String): Column =
     ColumnBridge.column(LmLogProb(ColumnBridge.expression(c), lmPath))
 

@@ -70,10 +70,21 @@ object BpeTrainer {
       wordCounts: Seq[(String, Long)],
       numMerges: Int): Seq[(String, String)] = {
     import scala.collection.mutable
+    // codepoint-aware base split — the exact segmentWord contract
+    // (surrogate pairs stay whole, so every symbol is valid Unicode)
+    def units(w: String): mutable.ArrayBuffer[String] = {
+      val out = mutable.ArrayBuffer.empty[String]
+      var i = 0
+      while (i < w.length) {
+        val n = Character.charCount(w.codePointAt(i))
+        out += w.substring(i, i + n)
+        i += n
+      }
+      out
+    }
     val words: Array[(mutable.ArrayBuffer[String], Long)] =
-      wordCounts.iterator.filter(_._1.nonEmpty).map { case (w, c) =>
-        (mutable.ArrayBuffer.tabulate(w.length)(i => String.valueOf(w.charAt(i))), c)
-      }.toArray
+      wordCounts.iterator.filter(_._1.nonEmpty)
+        .map { case (w, c) => (units(w), c) }.toArray
     val pairCount = mutable.HashMap.empty[(String, String), Long]
     // pair -> indices of words that contained it at some point; stale
     // entries are filtered at use (cheaper than precise maintenance)
@@ -174,7 +185,15 @@ object BpeTrainer {
     *
     * The base alphabet comes from one Spark aggregate over pretoken
     * characters (distinct chars — bounded by the script, not the
-    * corpus); the merge list is driver-side already. */
+    * corpus); the merge list is driver-side already.
+    *
+    * Alphabet unit contract: the trainer ([[learnFromCounts]]), the
+    * segmenter ([[graft.functions.BpeVocab.segmentWord]]), and this
+    * builder all split words into CODEPOINTS (surrogate pairs stay
+    * whole) — which is exactly what Spark's `split(w, "")` produces.
+    * Codepoints, not UTF-16 units, because base symbols must be valid
+    * Unicode strings to round-trip through the UTF-8 merge/vocab
+    * files (a lone surrogate half encodes as `?`). */
   def buildVocab(
       df: DataFrame,
       textCol: String,

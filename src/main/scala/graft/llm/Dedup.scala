@@ -554,32 +554,139 @@ object Dedup {
     require(n >= 2, s"span size must be >= 2, got $n")
     require(!df.columns.contains("n_removed"),
       "input already has an n_removed column — rename it before span removal")
-    // case-preserving tokens: what removal cuts and reassembly emits
-    def rawTokens(c: Column): Column =
-      filter(split(trim(c), "\\s+"), t => length(t) > 0)
+    val occ = spanOccurrences(df, idCol, textCol, n, hashSpans)
+    cutMarkedSpans(df, idCol, textCol, n, inBatchMarked(occ, n))
+  }
+
+  /** Incremental duplicated-span removal against persisted corpus
+    * evidence: every batch occurrence of a span hash ALREADY IN the
+    * corpus state is cut (the kept first copy lives in a previously
+    * committed batch), plus the ordinary within-batch rule of
+    * [[removeDuplicateSpans]]. This is what lets an arrival batch at
+    * 100 TB pay a shuffle proportional to ITS OWN tokens — never the
+    * corpus's — while still cutting spans duplicated ACROSS batches,
+    * which per-batch span dedup structurally misses.
+    *
+    * `bloom` (a serialized `spark.util.sketch.BloomFilter` over the
+    * state's span hashes — [[spanBloom]]) is a scan-side PRE-FILTER for
+    * the state probe: occurrences the bloom rejects cannot be in state
+    * and skip the state semi-join entirely, so for a mostly-clean batch
+    * the join input shrinks to ~fpp of the occurrences. Correctness
+    * does not depend on the bloom — survivors are verified against the
+    * exact state table (false positives re-checked, false negatives
+    * impossible), so an undersized bloom only costs join input, never
+    * results.
+    *
+    * Hash-keyed only (`span_hash` longs, the [[removeDuplicateSpans]]
+    * `hashSpans=true` path): state stores 8 bytes per distinct corpus
+    * span, and the string form exists solely for the SQL-replayable
+    * oracle. */
+  def removeDuplicateSpansAgainst(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      priorSpans: DataFrame,
+      n: Int = 50,
+      bloom: Option[Array[Byte]] = None): DataFrame = {
+    require(n >= 2, s"span size must be >= 2, got $n")
+    require(!df.columns.contains("n_removed"),
+      "input already has an n_removed column — rename it before span removal")
+    val occ = spanOccurrences(df, idCol, textCol, n, hashSpans = true)
+    val candidates = bloom match {
+      case Some(b) => occ.filter(
+        graft.functions.GraftFunctions.bloomMightContain(b, col("__key")))
+      case None => occ
+    }
+    val seenMarked = candidates
+      .join(priorSpans.select(col("span_hash").as("__key")), Seq("__key"), "left_semi")
+      .select(col("__id"), col("__off"))
+    cutMarkedSpans(df, idCol, textCol, n,
+      inBatchMarked(occ, n).unionByName(seenMarked))
+  }
+
+  /** Distinct span hashes of a corpus slice — the per-batch evidence the
+    * incremental state accumulates (column `span_hash`). One group-by
+    * shuffle over batch tokens with map-side partial dedup. */
+  def spanHashTable(df: DataFrame, textCol: String, n: Int): DataFrame = {
+    require(n >= 2, s"span size must be >= 2, got $n")
+    df.select(explode(
+        graft.functions.GraftFunctions.spanHashes(col(textCol), n)).as("span_hash"))
+      .distinct()
+  }
+
+  /** Build the serialized bloom pre-filter over a span-hash table.
+    * Driver-bounded egress: the bloom's bit array (size fixed by
+    * `expectedItems`/`fpp`, independent of the actual table size —
+    * overflow degrades fpp, never correctness, because the exact state
+    * join re-checks every bloom survivor). Batches merge blooms with
+    * [[mergeSpanBlooms]], which requires identical sizing — record the
+    * sizing next to the state and validate it on read. */
+  def spanBloom(spans: DataFrame, expectedItems: Long, fpp: Double): Array[Byte] = {
+    val bf = spans.stat.bloomFilter("span_hash", expectedItems, fpp)
+    val bos = new java.io.ByteArrayOutputStream()
+    bf.writeTo(bos)
+    bos.toByteArray
+  }
+
+  /** Union of two same-sized span blooms (bit-OR; `mergeInPlace` throws
+    * on sizing mismatch rather than silently mis-merging). */
+  def mergeSpanBlooms(a: Array[Byte], b: Array[Byte]): Array[Byte] = {
+    val fa = org.apache.spark.util.sketch.BloomFilter.readFrom(
+      new java.io.ByteArrayInputStream(a))
+    val fb = org.apache.spark.util.sketch.BloomFilter.readFrom(
+      new java.io.ByteArrayInputStream(b))
+    fa.mergeInPlace(fb)
+    val bos = new java.io.ByteArrayOutputStream()
+    fa.writeTo(bos)
+    bos.toByteArray
+  }
+
+  /** Case-preserving tokens: what span removal cuts and reassembly
+    * emits (unlike the lowercased signature tokenization of [[tokens]]). */
+  private def rawSpanTokens(c: Column): Column =
+    filter(split(trim(c), "\\s+"), t => length(t) > 0)
+
+  /** Span occurrences `(__id, __off, __key)` — a scan + one explode,
+    * (tokens − n + 1) rows per doc, no shuffle. */
+  private def spanOccurrences(df: DataFrame, idCol: String, textCol: String,
+      n: Int, hashSpans: Boolean): DataFrame = {
     val spanKeys: Column =
       if (hashSpans) graft.functions.GraftFunctions.spanHashes(col(textCol), n)
       else {
-        val toks = rawTokens(col(textCol))
+        val toks = rawSpanTokens(col(textCol))
         when(size(toks) >= n,
           transform(sequence(lit(0), size(toks) - n),
             i => concat_ws(" ", slice(toks, i + 1, lit(n)))))
           .otherwise(array())
       }
-    val occ = df.select(col(idCol).as("__id"),
-      posexplode(spanKeys).as(Seq("__off", "__key")))
-    // one shuffle on the span key: occurrence count + globally-first
-    // occurrence in a single aggregate; only keys seen twice survive
+    df.select(col(idCol).as("__id"), posexplode(spanKeys).as(Seq("__off", "__key")))
+  }
+
+  /** Within-batch duplicate marking: one shuffle on the span key —
+    * occurrence count + globally-first occurrence in a single
+    * aggregate; only keys seen twice survive; same-doc occurrences
+    * overlapping the kept first copy (offset distance < n) are spared. */
+  private def inBatchMarked(occ: DataFrame, n: Int): DataFrame = {
     val dups = occ.groupBy("__key")
       .agg(count(lit(1)).as("__cnt"),
         min(struct(col("__id"), col("__off"))).as("__first"))
       .filter(col("__cnt") >= 2)
       .select(col("__key"),
         col("__first.__id").as("__fid"), col("__first.__off").as("__foff"))
-    val marked = occ.join(dups, Seq("__key"))
+    occ.join(dups, Seq("__key"))
       .filter(!(col("__id") === col("__fid") &&
         abs(col("__off") - col("__foff")) < n))
       .select(col("__id"), col("__off"))
+  }
+
+  /** Cut the marked `(__id, __off)` windows and rebuild touched docs —
+    * the shared tail of both span-removal forms. Downstream work is
+    * proportional to the DUPLICATED portion: the token explode and
+    * reassembly run solely over touched docs (left-semi on marked ids);
+    * the final merge of rebuilt text back into the corpus is one join
+    * on the id (AQE broadcasts it when the touched set is small). */
+  private def cutMarkedSpans(df: DataFrame, idCol: String, textCol: String,
+      n: Int, marked: DataFrame): DataFrame = {
     // union of marked windows per doc, as distinct token indices
     val removed = marked.select(col("__id"),
       explode(sequence(col("__off"), col("__off") + lit(n - 1))).as("__idx"))
@@ -590,7 +697,7 @@ object Dedup {
     val touched = df
       .join(touchedIds.withColumnRenamed("__id", idCol), Seq(idCol), "left_semi")
     val keptTokens = touched.select(col(idCol),
-        posexplode(rawTokens(col(textCol))).as(Seq("__idx", "__tok")))
+        posexplode(rawSpanTokens(col(textCol))).as(Seq("__idx", "__tok")))
       .join(removed.withColumnRenamed("__id", idCol), Seq(idCol, "__idx"), "left_anti")
     val rebuilt = keptTokens.groupBy(col(idCol))
       .agg(array_join(
@@ -599,7 +706,7 @@ object Dedup {
         count(lit(1)).as("__n_kept"))
     val flags = touchedIds.withColumnRenamed("__id", idCol)
       .withColumn("__touched", lit(true))
-    df.withColumn("__n_orig", size(rawTokens(col(textCol))).cast("long"))
+    df.withColumn("__n_orig", size(rawSpanTokens(col(textCol))).cast("long"))
       .join(flags, Seq(idCol), "left")
       .join(rebuilt, Seq(idCol), "left")
       .withColumn(textCol,

@@ -13,9 +13,11 @@ object Local {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
-      // harmless for the current us-precision testdata; keeps a
-      // ns-precision source readable (as raw longs) rather than failing
-      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // NO nanosAsLong: every timestamp consumer assumes a real
+      // timestamp column. Reading a ns-precision source as raw longs
+      // would silently shift event-time math by 9 orders of magnitude;
+      // a loud read failure is the correct behavior until a consumer
+      // actually handles long-nanos columns.
       .getOrCreate()
     s.sparkContext.setLogLevel(logLevel)
     s

@@ -169,6 +169,29 @@ class BpeSpec extends SparkTestBase {
     assert(unks == 0, s"training corpus produced $unks <unk> ids")
   }
 
+  test("buildVocab covers supplementary-plane characters (codepoint alphabet)") {
+    // 😀 = U+1F600, a surrogate pair in UTF-16. Trainer, segmenter, and
+    // vocab builder all split into CODEPOINTS, so a single occurrence —
+    // no merge ever covers it — segments to the whole emoji, which the
+    // base alphabet must carry; a UTF-16-unit split would emit lone
+    // surrogates that can't round-trip through the UTF-8 vocab file
+    // and the training corpus itself would encode to <unk>.
+    import graft.llm.BpeTrainer
+    val corpus = Seq("hello world 😀", "hello hello world").toDF("text")
+    val merges = BpeTrainer.learnMerges(corpus, "text", numMerges = 10)
+    val vocab = BpeTrainer.buildVocab(corpus, "text", merges)
+    assert(vocab.contains("😀"), "base alphabet must hold the emoji codepoint")
+    val dir = java.nio.file.Files.createTempDirectory("graft_bpe_sup")
+    val mPath = s"$dir/merges.txt"
+    val vPath = s"$dir/vocab.txt"
+    BpeTrainer.saveMerges(spark, mPath, merges)
+    BpeTrainer.saveVocab(spark, vPath, vocab)
+    val unks = corpus.select(
+        GraftFunctions.bpeEncode(col("text"), mPath, vPath).as("ids"))
+      .select(explode(col("ids")).as("i")).filter(col("i") === 0).count()
+    assert(unks == 0, s"supplementary-plane corpus produced $unks <unk> ids")
+  }
+
   test("BPE-budget chunking cuts at hand-computed subword boundaries") {
     // classic fixture: low=1, lower=2, newer=4 subwords
     // budget 4: [low lower]=3 (newer would make 7), [newer]=4, [low low]=2

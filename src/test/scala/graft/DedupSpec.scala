@@ -251,4 +251,84 @@ class DedupSpec extends SparkTestBase {
     assert(plan.contains("LeftSemi"), s"reassembly must be gated on touched ids:\n$plan")
     assert(plan.contains("graft_span_hashes"), s"default path must use the native expression:\n$plan")
   }
+
+  // ------------------------------- incremental span removal vs prior state
+
+  test("removeDuplicateSpansAgainst: a span seen only ONCE in the batch is cut " +
+      "when the state holds it; untouched docs pass through") {
+    val batch1 = Seq((1L, "a b c d e f g h")).toDF("doc_id", "text")
+    val state = Dedup.spanHashTable(batch1, "text", n = 6)
+    val batch2 = Seq(
+      (10L, "x y a b c d e f tail1 tail2"), // state span at offset 2, once
+      (11L, "p q r s t u v w")              // clean
+    ).toDF("doc_id", "text")
+    for (bloom <- Seq(None, Some(Dedup.spanBloom(state, 1000L, 0.01)))) {
+      val out = Dedup.removeDuplicateSpansAgainst(batch2, "doc_id", "text",
+          priorSpans = state, n = 6, bloom = bloom)
+        .collect().map(r => r.getLong(0) -> (r.getString(1), r.getLong(2))).toMap
+      assert(out(10L) == ("x y tail1 tail2", 6L), s"bloom=${bloom.isDefined}: ${out(10L)}")
+      assert(out(11L) == ("p q r s t u v w", 0L))
+    }
+  }
+
+  test("removeDuplicateSpansAgainst: state marks ALL batch occurrences (no kept " +
+      "first copy — it lives in the corpus) and composes with in-batch dups") {
+    val state = Dedup.spanHashTable(
+      Seq((1L, "s1 s2 s3 s4 s5 s6")).toDF("doc_id", "text"), "text", n = 6)
+    val batch = Seq(
+      (20L, "s1 s2 s3 s4 s5 s6 mid s1 s2 s3 s4 s5 s6"), // state span twice
+      (21L, "k1 k2 k3 k4 k5 k6 junk"),                  // in-batch pair, first copy
+      (22L, "pre k1 k2 k3 k4 k5 k6")                    // in-batch pair, later copy
+    ).toDF("doc_id", "text")
+    val out = Dedup.removeDuplicateSpansAgainst(batch, "doc_id", "text",
+        priorSpans = state, n = 6)
+      .collect().map(r => r.getLong(0) -> (r.getString(1), r.getLong(2))).toMap
+    assert(out(20L) == ("mid", 12L), s"${out(20L)}")
+    assert(out(21L) == ("k1 k2 k3 k4 k5 k6 junk", 0L), "in-batch first copy kept")
+    assert(out(22L) == ("pre", 6L), "in-batch later copy cut")
+  }
+
+  test("spanBloom pre-filter: candidate rows entering the state probe shrink " +
+      ">=5x on a mostly-clean batch; results identical with and without") {
+    // state = one planted span; batch = the real corpus (mostly clean)
+    // plus one doc re-quoting the planted span
+    val planted = "z1 z2 z3 z4 z5 z6 z7 z8 z9 z10"
+    val state = Dedup.spanHashTable(
+      Seq((1L, planted)).toDF("doc_id", "text"), "text", n = 10)
+    val corpus = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select(col("doc_id"), col("text"))
+    val batch = corpus.unionByName(
+      Seq((999999L, s"prefix words $planted suffix words")).toDF("doc_id", "text"))
+    val bloomBytes = Dedup.spanBloom(state, 1000L, 0.01)
+    // the reduction claim: occurrences surviving the bloom vs all
+    val occ = batch.select(col("doc_id"),
+      posexplode(graft.functions.GraftFunctions.spanHashes(col("text"), 10))
+        .as(Seq("off", "key")))
+    val total = occ.count()
+    val candidates = occ.filter(
+      graft.functions.GraftFunctions.bloomMightContain(bloomBytes, col("key"))).count()
+    assert(total >= 5 * math.max(candidates, 1),
+      s"pre-filter must shrink the state probe >=5x: $candidates of $total survived")
+    // and the pre-filter never changes results
+    def run(b: Option[Array[Byte]]) =
+      Dedup.removeDuplicateSpansAgainst(batch, "doc_id", "text", state, n = 10, bloom = b)
+        .collect().map(r => r.getLong(0) -> (r.getString(1), r.getLong(2))).toMap
+    val withBloom = run(Some(bloomBytes))
+    assert(withBloom == run(None))
+    assert(withBloom(999999L)._1 == "prefix words suffix words")
+  }
+
+  test("mergeSpanBlooms: union answers for both sides; sizing mismatch throws") {
+    val s1 = Dedup.spanHashTable(Seq((1L, "a b c d e f")).toDF("doc_id", "text"), "text", 6)
+    val s2 = Dedup.spanHashTable(Seq((2L, "g h i j k l")).toDF("doc_id", "text"), "text", 6)
+    val merged = Dedup.mergeSpanBlooms(
+      Dedup.spanBloom(s1, 100L, 0.01), Dedup.spanBloom(s2, 100L, 0.01))
+    val hits = s1.unionByName(s2).filter(
+      graft.functions.GraftFunctions.bloomMightContain(merged, col("span_hash"))).count()
+    assert(hits == 2, "merged bloom must contain both sides' span hashes")
+    intercept[Exception] {
+      Dedup.mergeSpanBlooms(
+        Dedup.spanBloom(s1, 100L, 0.01), Dedup.spanBloom(s2, 100000L, 0.01))
+    }
+  }
 }

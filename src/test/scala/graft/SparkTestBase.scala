@@ -17,7 +17,8 @@ object SparkTestBase {
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
-      .config("spark.sql.legacy.parquet.nanosAsLong", "true") // tolerate a ns-precision source
+      // no nanosAsLong — match Local.session: a ns-precision source
+      // must fail loudly, not read as misinterpreted raw longs
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")
     s
