@@ -1568,6 +1568,67 @@ object SparkEntry {
       (clf.weights :+ ("intercept" -> clf.intercept))
         .toDF("feature", "weight")
     }),
+
+    // ---- Bag-of-words classifier (hashed TF→IDF→LR, the production
+    // fastText recipe; q88's shape-feature form is the oracle anchor,
+    // THIS is the fidelity step — word identity, not just shape):
+    // train reference-vs-negative on docs >= 100, score the HELD-OUT
+    // docs < 100 (both cohorts), emit per-cohort score aggregates.
+    // Negatives are REVERSED text: identical lengths, punctuation and
+    // repetition — the shape features are nearly blind to it — but a
+    // disjoint stable pseudo-vocabulary the BOW model learns and
+    // GENERALIZES to held-out docs (hex-hash gibberish would not: every
+    // hash is an unseen token with zero learned weight, the word-level
+    // analog of why fastText needs char n-grams). LBFGS float order and
+    // hashing are engine-specific → rows-only; EntrySpec asserts the
+    // separation floor on the held-out cohorts.
+    "q91_bow_classifier" -> ((s, dir) => {
+      import graft.llm.QualityClassifier
+      val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
+      def reversed(d: DataFrame): DataFrame =
+        d.withColumn("text", reverse(col("text")))
+      val train = docs.filter(col("doc_id") >= 100)
+      val model = QualityClassifier.trainBow(
+        train.filter(col("doc_id") % 2 === 0),
+        reversed(train.filter(col("doc_id") % 2 === 1)),
+        "text", numFeatures = 1 << 16)
+      val holdout = docs.filter(col("doc_id") < 100)
+      val scored = QualityClassifier.scoreBow(
+        holdout.filter(col("doc_id") % 2 === 0).withColumn("cohort", lit("ref"))
+          .unionByName(reversed(holdout.filter(col("doc_id") % 2 === 1))
+            .withColumn("cohort", lit("neg"))),
+        "text", model)
+      scored.groupBy("cohort").agg(
+        count(lit(1)).as("n_docs"),
+        round(avg("bow_score"), 6).as("avg_score"),
+        round(min("bow_score"), 6).as("min_score"),
+        round(max("bow_score"), 6).as("max_score"))
+    }),
+
+    // ---- Domain/URL metadata gate (the pre-text stage of every
+    // production web pipeline): synthesize a URL per doc from its
+    // source (the corpus ships no url column — the construction is part
+    // of the oracle), normalize to the registrable host, and
+    // anti-join a blocklist with parent-suffix matching — blocking
+    // `example.com` also blocks `ads.srcN.example.com`. The Spark side
+    // runs the scale shape (bounded parent-chain explode + broadcast
+    // equi semi-join + AQE-broadcast id anti-join); the oracle replays
+    // normalization and suffix semantics directly (NOT EXISTS with
+    // equality-or-LIKE — fine at oracle scale, wrong at corpus scale).
+    "q92_domain_filter" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").select(col("doc_id"), col("source"))
+        .withColumn("url", concat(
+          when(col("doc_id") % 3 === 0, lit("https://www.")).otherwise(lit("http://")),
+          when(col("doc_id") % 7 === 0,
+            concat(lit("ads."), col("source"), lit(".example.com")))
+            .otherwise(concat(col("source"), lit(".example.org"))),
+          lit("/page/"), col("doc_id").cast("string")))
+      import s.implicits._
+      val block = Seq("example.com", "src3.example.org").toDF("domain")
+      graft.llm.DomainFilter.filterByDomains(docs, "doc_id", "url", block)
+        .select(col("doc_id"),
+          graft.llm.DomainFilter.normalizeDomain(col("url")).as("domain"))
+    }),
   )
 
   /** q76/q77's planted corpus: a shared 12-token passage appended to
@@ -1997,6 +2058,29 @@ object SparkEntry {
         |  round(1.0 / (1.0 + exp(-(-0.75 + 1.25 * tok_score + 0.3 * avg_token_len
         |    + 2.5 * stop_ratio + -3.0 * punct_ratio + -2.0 * repetition))), 6) AS clf_score
         |FROM f""".stripMargin,
+    // the whole domain gate replayed: same synthetic URL construction,
+    // same regexp_replace normalization chain (every pattern anchored /
+    // single-match, so first-match-vs-global replace semantics agree),
+    // same exact-or-parent-suffix block semantics via NOT EXISTS
+    "q92_domain_filter" ->
+      """WITH docs AS (
+        |  SELECT doc_id,
+        |    (CASE WHEN doc_id % 3 = 0 THEN 'https://www.' ELSE 'http://' END) ||
+        |    (CASE WHEN doc_id % 7 = 0 THEN 'ads.' || source || '.example.com'
+        |          ELSE source || '.example.org' END) ||
+        |    '/page/' || CAST(doc_id AS VARCHAR) AS url
+        |  FROM documents),
+        |norm AS (
+        |  SELECT doc_id,
+        |    regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+        |      lower(trim(url)),
+        |      '^[a-z][a-z0-9+.-]*://', ''), '[/?#].*$', ''),
+        |      ':[0-9]+$', ''), '^www\.', '') AS domain
+        |  FROM docs),
+        |block AS (SELECT * FROM (VALUES ('example.com'), ('src3.example.org')) AS t(domain))
+        |SELECT n.doc_id, n.domain FROM norm n
+        |WHERE NOT EXISTS (SELECT 1 FROM block b
+        |  WHERE n.domain = b.domain OR n.domain LIKE '%.' || b.domain)""".stripMargin,
     // same whitespace-token arithmetic as the q16 oracle; all-integer
     // aggregates, so no float caveat anywhere
     "q81_corpus_report" ->

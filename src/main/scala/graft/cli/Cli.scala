@@ -170,9 +170,40 @@ object Curator {
   def main(args: Array[String]): Unit = Cli.run("curator", args) { (conf, spark) =>
     import org.apache.spark.sql.functions.{col, concat, count, length, lit, sum}
     Cli.log("loading corpus...")
-    val raw = graft.sources.DataIO.read(spark, conf.at("source"))
+    val rawIn = graft.sources.DataIO.read(spark, conf.at("source"))
     val c = conf.at("curation")
-    // optional PII scrub FIRST — before any hashing/signatures, so the
+    // optional domain/URL gate FIRST of all — metadata-only, the
+    // cheapest stage, so redact/boilerplate/dedup and every persisted
+    // signature only ever see ADMITTED documents: `domain-column` names
+    // the url/domain metadata, `blocklist-path` a one-domain-per-line
+    // file (UT1 convention; `domain-list-mode = allow` inverts it,
+    // `domain-match-parents = false` disables suffix matching),
+    // `blocked-tlds` a TLD list gated by scan predicate
+    require((c.getString("blocklist-path").isEmpty &&
+        c.getList("blocked-tlds").isEmpty) || c.getString("domain-column").isDefined,
+      "curation.blocklist-path / curation.blocked-tlds need " +
+        "curation.domain-column (the url/domain metadata column)")
+    val raw = c.getString("domain-column") match {
+      case Some(dcol) =>
+        import graft.llm.DomainFilter
+        var d = rawIn
+        c.getString("blocklist-path").foreach { bp =>
+          d = DomainFilter.filterByDomains(d,
+            c.getString("id-column").getOrElse("doc_id"), dcol,
+            DomainFilter.loadDomainList(spark, bp),
+            mode = c.getString("domain-list-mode").getOrElse("block"),
+            matchParents = c.getBoolean("domain-match-parents").getOrElse(true))
+        }
+        c.getList("blocked-tlds").filter(_.nonEmpty).foreach { tlds =>
+          d = DomainFilter.filterByTlds(d, dcol, tlds)
+        }
+        if (!c.getString("log-drop-counts").exists(v => !v.toBoolean)) {
+          Cli.log(s"domain gate: ${d.count()} of ${rawIn.count()} docs admitted")
+        }
+        d
+      case None => rawIn
+    }
+    // optional PII scrub next — before any hashing/signatures, so the
     // persisted dedup state is computed over scrubbed text (state built
     // on unscrubbed text would stop matching future scrubbed batches)
     val df0 =
@@ -209,7 +240,13 @@ object Curator {
       // P(reference-like) floor (omit to annotate without filtering)
       classifierPath = c.getString("classifier-path"),
       minClassifierScore =
-        c.getDouble("min-classifier-score").getOrElse(base.minClassifierScore))
+        c.getDouble("min-classifier-score").getOrElse(base.minClassifierScore),
+      // bag-of-words quality filter: `bow-classifier-path` points at a
+      // saved HashingTF(+IDF)->LR pipeline (QualityClassifier.saveBow,
+      // trained offline); `min-bow-score` is the P(reference-like)
+      // floor (omit to annotate without filtering)
+      bowClassifierPath = c.getString("bow-classifier-path"),
+      minBowScore = c.getDouble("min-bow-score").getOrElse(base.minBowScore))
     val idCol = c.getString("id-column").getOrElse("doc_id")
     val textCol = c.getString("text-column").getOrElse("text")
     // pure-config validation up front (review finding: these previously
@@ -227,6 +264,10 @@ object Curator {
         c.getString("classifier-path").isDefined,
       "curation.min-classifier-score needs curation.classifier-path " +
         "(a saved QualityClassifier file)")
+    require(c.getDouble("min-bow-score").isEmpty ||
+        c.getString("bow-classifier-path").isDefined,
+      "curation.min-bow-score needs curation.bow-classifier-path " +
+        "(a saved bag-of-words pipeline directory)")
     c.getDouble("quality-quantile").foreach(f => require(f > 0.0 && f <= 1.0,
       s"curation.quality-quantile must be a keep-fraction in (0,1], got $f"))
     require(Seq(c.getDouble("temperature-alpha").isDefined,
@@ -344,18 +385,58 @@ object Curator {
     }
     // optional exact duplicated-SPAN removal (Lee et al. substring
     // dedup), the third pre-state text-rewriting stage after redact and
-    // boilerplate. Spans are found within THIS batch only (the state
-    // keeps no span index); docs whose every token was a duplicated
-    // span are dropped
-    val df0ToFree = c.getInt("span-dedup-tokens") match {
+    // boilerplate — with ACCUMULATED evidence like boilerplate: the
+    // state's `spans` table (distinct corpus span hashes, 8 B each) and
+    // its `spanbloom` pre-filter let an arrival batch cut spans whose
+    // first copy lives in a PREVIOUS batch, while only ever shuffling
+    // its own tokens. Docs whose every token was a duplicated span are
+    // dropped. Span evidence is parameterized (hashes only compare
+    // under the same span width; blooms only merge under the same
+    // sizing), so the parameters ride a `spanparams` record next to the
+    // state and a mismatched run is rejected — the stateParams rule,
+    // kept separate so pre-span state dirs stay valid.
+    def readSmall(p: Path): String = {
+      val in = p.getFileSystem(hconf).open(p)
+      try scala.io.Source.fromInputStream(in, "UTF-8").mkString finally in.close()
+    }
+    def readBytes(p: Path): Array[Byte] = {
+      val fs = p.getFileSystem(hconf)
+      val in = fs.open(p)
+      try {
+        val out = new java.io.ByteArrayOutputStream()
+        org.apache.hadoop.io.IOUtils.copyBytes(in, out, 64 * 1024)
+        out.toByteArray
+      } finally in.close()
+    }
+    case class SpanEvidence(batch: Option[org.apache.spark.sql.DataFrame],
+        prior: Option[org.apache.spark.sql.DataFrame],
+        priorBloom: Option[Array[Byte]], params: String,
+        bloomItems: Long, bloomFpp: Double)
+    val priorSpanDir = stateDir.filter(d => exists(new Path(qual(d), "spans")))
+    val (df0ToFree, spanEvidence) = c.getInt("span-dedup-tokens") match {
       case Some(n) =>
+        val bloomItems = c.getLong("span-bloom-items").getOrElse(1L << 22)
+        val bloomFpp = c.getDouble("span-bloom-fpp").getOrElse(0.01)
+        val spanParams = s"span-tokens=$n;span-bloom-items=$bloomItems;span-bloom-fpp=$bloomFpp"
+        priorSpanDir.foreach { d =>
+          val stored = readSmall(new Path(qual(d), "spanparams"))
+          require(stored == spanParams,
+            s"span state at '$d' was built with [$stored] but this run uses " +
+              s"[$spanParams] — span hashes/blooms from different parameters do " +
+              "not compare or merge; re-curate from scratch or restore them")
+        }
+        val prior = priorSpanDir.map(d => spark.read.parquet(s"$d/spans"))
+        val priorBloom = priorSpanDir.map(d => readBytes(new Path(qual(d), "spanbloom")))
         // span removal is the one EXPENSIVE pre-state stage (a
         // token-scale shuffle) and everything downstream — the tier
         // counts, curation, state — re-reads its output several times:
         // persist the cut corpus (released after `curated` materializes
         // below, alongside the tier caches)
-        val deduped = graft.llm.Dedup.removeDuplicateSpans(dfB, idCol, textCol, n = n)
-          .persist()
+        val deduped = (prior match {
+          case Some(ps) => graft.llm.Dedup.removeDuplicateSpansAgainst(
+            dfB, idCol, textCol, ps, n = n, bloom = priorBloom)
+          case None => graft.llm.Dedup.removeDuplicateSpans(dfB, idCol, textCol, n = n)
+        }).persist()
         val kept = deduped
           .filter(col("n_removed") === 0 || length(col(textCol)) > 0)
         if (!c.getString("log-drop-counts").exists(v => !v.toBoolean)) {
@@ -364,10 +445,27 @@ object Curator {
             sum((col("n_removed") > 0).cast("long")).as("touched"),
             sum("n_removed").as("toks")).head()
           Cli.log(s"span-dedup: ${stats.getLong(2)} duplicate tokens cut from " +
-            s"${stats.getLong(1)} of ${stats.getLong(0)} docs (span=$n)")
+            s"${stats.getLong(1)} of ${stats.getLong(0)} docs (span=$n" +
+            (if (prior.isDefined) ", accumulated evidence" else "") + ")")
         }
-        Some(kept.drop("n_removed") -> deduped)
-      case None => None
+        // batch evidence for the state write: hashes of the stage INPUT
+        // (post-rewrite, pre-cut — the kept first copies realize every
+        // hash; persisted because the state write reads it twice, for
+        // the spans union and the bloom build)
+        val batchSpans = graft.llm.Dedup.spanHashTable(dfB, textCol, n).persist()
+        (Some(kept.drop("n_removed") -> deduped),
+          Some(SpanEvidence(Some(batchSpans), prior, priorBloom, spanParams,
+            bloomItems, bloomFpp)))
+      case None =>
+        // stage off: carry prior span evidence forward unchanged (the
+        // boilerplate rule — toggling the stage off for one batch never
+        // discards accumulated state)
+        val carried = priorSpanDir.map { d =>
+          SpanEvidence(None, Some(spark.read.parquet(s"$d/spans")),
+            Some(readBytes(new Path(qual(d), "spanbloom"))),
+            readSmall(new Path(qual(d), "spanparams")), 0L, 0.0)
+        }
+        (None, carried)
     }
     val df = df0ToFree.map(_._1).getOrElse(dfB)
     val (batch, batchToFree) = stateDir match {
@@ -693,6 +791,27 @@ object Curator {
       // frequencies (prior + this batch when the stage ran; prior
       // carried forward when it didn't)
       boilerFreqs.foreach(_.write.mode("overwrite").parquet(s"$outDir/linefreqs"))
+      // span evidence rides the same commit: accumulated distinct span
+      // hashes + the merged bloom pre-filter + the parameter record.
+      // The spans union is a narrow read+write (no shuffle — duplicate
+      // hashes across batches are harmless to the semi-join and the
+      // bloom); the per-batch cost is one IO pass over span state,
+      // which an object-store deployment would replace with a
+      // metadata-only manifest of the prior immutable parquet parts.
+      spanEvidence.foreach { ev =>
+        val all = (ev.prior.toSeq ++ ev.batch.toSeq).reduce(_.unionByName(_))
+        all.write.mode("overwrite").parquet(s"$outDir/spans")
+        val newBloom = ev.batch.map(b => Dedup.spanBloom(b, ev.bloomItems, ev.bloomFpp))
+        val outBloom = (ev.priorBloom, newBloom) match {
+          case (Some(p), Some(b)) => Dedup.mergeSpanBlooms(p, b)
+          case (p, b) => b.orElse(p).getOrElse(
+            throw new IllegalStateException("span evidence with neither prior nor batch bloom"))
+        }
+        val bOut = fs.create(new Path(outPath, "spanbloom"), true)
+        try bOut.write(outBloom) finally bOut.close()
+        val pOut = fs.create(new Path(outPath, "spanparams"), true)
+        try pOut.write(ev.params.getBytes("UTF-8")) finally pOut.close()
+      }
       // cardinality sketches ride the same commit: lifetime per-group
       // HLL state (a few KB per group), mergeable by the next batch
       cardState.foreach { case (_, st) =>
@@ -707,6 +826,7 @@ object Curator {
     decontToFree.foreach(_.unpersist())
     cardState.foreach(_._2.unpersist())
     boilerFreqs.foreach(_.unpersist()) // no-op for the carried-forward case
+    spanEvidence.foreach(_.batch.foreach(_.unpersist()))
     Cli.log("curation finished")
   }
 }

@@ -307,19 +307,18 @@ object GraftFunctions {
     ColumnBridge.column(SpanHashes(ColumnBridge.expression(c), n))
 
   /** Scan-side bloom probe over a serialized
-    * `spark.util.sketch.BloomFilter` — Spark's own codegen'd
-    * `BloomFilterMightContain` with the filter inlined as a binary
-    * literal (the expression requires a constant/scalar-subquery bloom;
-    * a driver-held filter of bounded size IS that constant). Used as
-    * the incremental span-dedup pre-filter: `c` must be a LONG column
-    * probed against a bloom built with `putLong` semantics
-    * ([[graft.llm.Dedup.spanBloom]]). */
-  def bloomMightContain(bloom: Array[Byte], c: Column): Column =
-    ColumnBridge.column(
-      org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(
-        org.apache.spark.sql.catalyst.expressions.Literal.create(
-          bloom, org.apache.spark.sql.types.BinaryType),
-        ColumnBridge.expression(c)))
+    * `spark.util.sketch.BloomFilter` — deserialized once driver-side
+    * and shipped as a BROADCAST (see [[BloomMightContain]] for why a
+    * plan literal is structurally wrong for multi-MB filters). `c` must
+    * be a LONG column probed against a bloom built with `putLong`
+    * semantics ([[graft.llm.Dedup.spanBloom]]). Each call broadcasts
+    * anew — build the Column once per query, not per row/branch. */
+  def bloomMightContain(bloom: Array[Byte], c: Column): Column = {
+    val bf = org.apache.spark.util.sketch.BloomFilter.readFrom(
+      new java.io.ByteArrayInputStream(bloom))
+    val bc = org.apache.spark.sql.SparkSession.active.sparkContext.broadcast(bf)
+    ColumnBridge.column(BloomMightContain(ColumnBridge.expression(c), bc))
+  }
 
   def lmLogProb(c: Column, lmPath: String): Column =
     ColumnBridge.column(LmLogProb(ColumnBridge.expression(c), lmPath))

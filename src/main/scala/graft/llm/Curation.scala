@@ -85,7 +85,19 @@ object Curation {
       classifierPath: Option[String] = None,
       /** Keep documents with `clf_score >= minClassifierScore` (a
         * probability in [0,1]). -Infinity = annotate only. */
-      minClassifierScore: Double = Double.NegativeInfinity)
+      minClassifierScore: Double = Double.NegativeInfinity,
+      /** Saved bag-of-words classifier
+        * ([[QualityClassifier.saveBow]] MLlib pipeline directory —
+        * HashingTF(+IDF)→LR, the production-fidelity fastText recipe):
+        * when set, every document gains a `bow_score` column
+        * (P(reference-like) from word identity, not just shape) and
+        * documents below [[minBowScore]] are dropped. May run together
+        * with [[classifierPath]] — shape and vocabulary are
+        * complementary evidence. */
+      bowClassifierPath: Option[String] = None,
+      /** Keep documents with `bow_score >= minBowScore` (a probability
+        * in [0,1]). -Infinity = annotate only. */
+      minBowScore: Double = Double.NegativeInfinity)
 
   /** Stage 1: annotate every document with curation signals — pure
     * projection at scan speed, via the one-pass stats expression
@@ -153,6 +165,16 @@ object Curation {
       df = df.withColumn("clf_score", clf.score(col(textCol)))
       if (!conf.minClassifierScore.isNegInfinity)
         df = df.filter(col("clf_score") >= conf.minClassifierScore)
+    }
+    // bag-of-words classifier — the MLlib pipeline transform is a chain
+    // of narrow per-row stages (tokenize/hash/IDF/LR with broadcast
+    // coefficients), so this too adds zero shuffle; it re-tokenizes,
+    // same cost class as the LM filters beside it
+    conf.bowClassifierPath.foreach { p =>
+      val model = QualityClassifier.loadBow(p)
+      df = QualityClassifier.scoreBow(df, textCol, model)
+      if (!conf.minBowScore.isNegInfinity)
+        df = df.filter(col("bow_score") >= conf.minBowScore)
     }
 
     // 3: exact dedup — one shuffle on sha2(text). Persisted: the

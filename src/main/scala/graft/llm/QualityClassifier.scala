@@ -129,6 +129,76 @@ object QualityClassifier {
     QualityClassifier(FeatureNames.zip(lr.coefficients.toArray).toSeq, lr.intercept)
   }
 
+  // ------------------------------------------- bag-of-words variant
+
+  /** The production-fidelity fastText recipe: hashed bag-of-words
+    * (HashingTF) → IDF → logistic regression, trained
+    * reference-vs-random like [[train]]. The 5-feature replayable form
+    * stays the oracle anchor (q84); THIS is what a real deployment
+    * runs — word identity separates domains the shape features cannot
+    * (e.g. on-topic prose vs fluent off-topic prose with identical
+    * length/stopword/punctuation profiles).
+    *
+    * 100 TB shape: training is the distributed MLlib fit; scoring
+    * ([[scoreBow]]) is `PipelineModel.transform` — tokenize/hash/IDF/LR
+    * are all narrow per-row transforms (the IDF vector and LR
+    * coefficients broadcast with the task closure, ~`2^18` doubles),
+    * zero shuffle added to a scan. `numFeatures` bounds memory
+    * regardless of vocabulary; hash collisions degrade resolution,
+    * never correctness of the pipeline.
+    *
+    * Whitespace tokenization (lowercased) matches [[TextAnalysis]]'s
+    * token contract rather than learning a separate one. */
+  def trainBow(
+      ref: DataFrame,
+      rand: DataFrame,
+      textCol: String,
+      numFeatures: Int = 1 << 18,
+      maxIter: Int = 100,
+      regParam: Double = 0.0): org.apache.spark.ml.PipelineModel = {
+    import org.apache.spark.ml.Pipeline
+    import org.apache.spark.ml.classification.LogisticRegression
+    import org.apache.spark.ml.feature.{HashingTF, IDF, RegexTokenizer}
+    def prep(df: DataFrame, label: Double) =
+      df.select(col(textCol).as("__bow_text"), lit(label).as("label"))
+    val data = prep(ref, 1.0).unionByName(prep(rand, 0.0))
+    val tok = new RegexTokenizer().setInputCol("__bow_text")
+      .setOutputCol("__bow_words").setPattern("\\s+").setToLowercase(true)
+    val tf = new HashingTF().setInputCol("__bow_words")
+      .setOutputCol("__bow_tf").setNumFeatures(numFeatures)
+    val idf = new IDF().setInputCol("__bow_tf").setOutputCol("__bow_features")
+    val lr = new LogisticRegression().setFeaturesCol("__bow_features")
+      .setLabelCol("label").setMaxIter(maxIter).setRegParam(regParam)
+    new Pipeline().setStages(Array(tok, tf, idf, lr)).fit(data)
+  }
+
+  /** Score with a [[trainBow]] model: P(reference class) as `scoreCol`,
+    * input columns preserved, internal pipeline columns dropped. Null
+    * text scores null (drops under any >= filter), matching the
+    * composable form's contract. */
+  def scoreBow(
+      df: DataFrame,
+      textCol: String,
+      model: org.apache.spark.ml.PipelineModel,
+      scoreCol: String = "bow_score"): DataFrame = {
+    import org.apache.spark.ml.functions.vector_to_array
+    val in = df.withColumn("__bow_text", coalesce(col(textCol), lit("")))
+    val out = model.transform(in)
+      .withColumn(scoreCol,
+        when(col(textCol).isNull, lit(null).cast("double"))
+          .otherwise(vector_to_array(col("probability")).getItem(1).cast("double")))
+    out.select(df.columns.map(col) :+ col(scoreCol): _*)
+  }
+
+  /** Persist/load a [[trainBow]] model — the MLlib native directory
+    * artifact ([[graft.ml.Trainer.save]] idiom): tokenizer params,
+    * hash width, IDF vector, LR coefficients all ride the pipeline. */
+  def saveBow(model: org.apache.spark.ml.PipelineModel, path: String): Unit =
+    model.write.overwrite().save(path)
+
+  def loadBow(path: String): org.apache.spark.ml.PipelineModel =
+    org.apache.spark.ml.PipelineModel.load(path)
+
   /** Load a [[QualityClassifier#save]] artifact; validates the feature
     * list matches this library's surface (a file from a different
     * feature version must fail loudly, not score garbage). */

@@ -779,6 +779,102 @@ class CliSpec extends SparkTestBase {
     assert(err.getMessage.contains("classifier-path"))
   }
 
+  test("curator domain gate: blocklisted domains (and their subdomains) drop " +
+      "BEFORE any text stage — dedup state covers admitted docs only") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val base = tmp()
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select("doc_id", "text").filter(col("doc_id") < 40)
+      .withColumn("url",
+        when(col("doc_id") % 10 === 0, concat(lit("https://ads.badsite.com/p/"), col("doc_id")))
+          .when(col("doc_id") % 10 === 1, concat(lit("http://tracker.net/x"), col("doc_id")))
+          .otherwise(concat(lit("https://www.goodnews.org/a/"), col("doc_id"))))
+    val src = base.resolve("dsrc").toString
+    docs.write.parquet(src)
+    val bl = base.resolve("blocklist.txt")
+    write(bl, "# test list\nbadsite.com\ntracker.net\n")
+    val out = base.resolve("dout").toString
+    val f = write(base.resolve("curator_dom.conf"),
+      s"""source { storage-type = local, dataset-dir = $src }
+         |target { storage-type = local, dataset-dir = $out, dataset-store-format = parquet, write-mode = overwrite }
+         |curation {
+         |  min-quality = 0.0
+         |  domain-column = url
+         |  blocklist-path = "$bl"
+         |  state-out-dir = ${base.resolve("dstate")}
+         |}
+         |""".stripMargin)
+    graft.cli.Curator.main(Array("--conf", f))
+    val ids = spark.read.parquet(out).select("doc_id").as[Long].collect().toSet
+    assert(ids.nonEmpty && ids.forall(i => i % 10 >= 2),
+      s"blocked-domain docs must not survive: ${ids.filter(i => i % 10 < 2)}")
+    // the gate ran before state: hashes cover ONLY admitted docs
+    val nState = spark.read.parquet(base.resolve("dstate").resolve("hashes").toString).count()
+    assert(nState == ids.size,
+      s"state must hash admitted docs only: $nState hashes vs ${ids.size} docs")
+    // blocked-tlds without domain-column is rejected up front
+    val bad = write(base.resolve("curator_dom_bad.conf"),
+      s"""source { storage-type = local, dataset-dir = $src }
+         |target { storage-type = local, dataset-dir = $out, dataset-store-format = parquet, write-mode = overwrite }
+         |curation { blocked-tlds = [xxx] }
+         |""".stripMargin)
+    val err = intercept[IllegalArgumentException] {
+      graft.cli.Curator.main(Array("--conf", bad))
+    }
+    assert(err.getMessage.contains("domain-column"))
+  }
+
+  test("curator bag-of-words classifier: outfilters planted reversed-text docs " +
+      "by word identity; floor without model path rejected up front") {
+    import org.apache.spark.sql.functions._
+    val base = tmp()
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet").select("doc_id", "text")
+    // reversed text: shape features (length/punct/repetition) can't see
+    // it, word identity can — the BOW model's distinctive value; the
+    // pseudo-vocabulary is stable, so the model generalizes to planted
+    // docs it never trained on
+    def reversed(src: org.apache.spark.sql.DataFrame) =
+      src.withColumn("text", reverse(col("text")))
+    val model = graft.llm.QualityClassifier.trainBow(
+      docs.filter(col("doc_id") < 200),
+      reversed(docs.filter(col("doc_id") >= 200 && col("doc_id") < 400)),
+      "text", numFeatures = 1 << 16)
+    val modelPath = base.resolve("bow_clf").toString
+    graft.llm.QualityClassifier.saveBow(model, modelPath)
+    val planted = reversed(
+      docs.filter(col("doc_id") >= 400 && col("doc_id") < 403)
+        .withColumn("doc_id", col("doc_id") + lit(90000L)))
+    val src = base.resolve("bsrc").toString
+    docs.filter(col("doc_id") < 50).unionByName(planted).write.parquet(src)
+    val out = base.resolve("bcurated").toString
+    val f = write(base.resolve("curator_bow.conf"),
+      s"""source { storage-type = local, dataset-dir = $src }
+         |target { storage-type = local, dataset-dir = $out, dataset-store-format = parquet, write-mode = overwrite }
+         |curation {
+         |  min-quality = 0.0
+         |  bow-classifier-path = "$modelPath"
+         |  min-bow-score = 0.5
+         |}
+         |""".stripMargin)
+    graft.cli.Curator.main(Array("--conf", f))
+    val curated = spark.read.parquet(out)
+    val ids = curated.select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(ids.intersect(Set(90400L, 90401L, 90402L)).isEmpty,
+      "planted gibberish survived the BOW classifier filter")
+    assert(ids.contains(0L), "real docs must survive")
+    assert(curated.columns.contains("bow_score"))
+    val bad = write(base.resolve("curator_bow_bad.conf"),
+      s"""source { storage-type = local, dataset-dir = $src }
+         |target { storage-type = local, dataset-dir = $out, dataset-store-format = parquet, write-mode = overwrite }
+         |curation { min-bow-score = 0.5 }
+         |""".stripMargin)
+    val err = intercept[IllegalArgumentException] {
+      graft.cli.Curator.main(Array("--conf", bad))
+    }
+    assert(err.getMessage.contains("bow-classifier-path"))
+  }
+
   test("curator boilerplate stage: shared lines stripped BEFORE dedup state, " +
       "all-boilerplate docs dropped, state matches cleaned re-runs") {
     import org.apache.spark.sql.functions.col
@@ -903,6 +999,79 @@ class CliSpec extends SparkTestBase {
     // state row count covers exactly the emitted docs
     assert(spark.read.parquet(base.resolve("sstate").resolve("hashes").toString)
       .count() == out.size)
+  }
+
+  test("curator span-dedup accumulates evidence across batches: a passage " +
+      "duplicated only ACROSS batches is cut in batch 2; parameters are pinned") {
+    import spark.implicits._
+    val base = tmp()
+    val passage = "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu"
+    val inA = base.resolve("spa").toString
+    val inB = base.resolve("spb").toString
+    // batch 1: the passage appears ONCE (kept — it is the corpus's
+    // first copy); batch 2: the passage again appears ONCE, in a doc
+    // that shares nothing else with batch 1
+    (Seq((1L, s"first batch owner doc carries the quoted text $passage"),
+      (2L, "plain first batch document nothing shared at all")): Seq[(Long, String)])
+      .toDF("doc_id", "text").write.parquet(inA)
+    (Seq((200L, "second batch quoting entity reuses verbatim material " +
+        s"$passage trailing words continue afterwards"),
+      (201L, "another clean second batch document full of fresh words")): Seq[(Long, String)])
+      .toDF("doc_id", "text").write.parquet(inB)
+    def conf(run: Int, in: String, stateIn: Option[String], spanTokens: Int) =
+      write(base.resolve(s"sp$run.conf"),
+        s"""source { storage-type = local, dataset-dir = $in }
+           |target { storage-type = local, dataset-dir = ${base.resolve(s"spout$run")}, dataset-store-format = parquet, write-mode = overwrite }
+           |curation {
+           |  min-quality = 0.0
+           |  span-dedup-tokens = $spanTokens
+           |${stateIn.map(d => s"  state-dir = $d").getOrElse("")}
+           |  state-out-dir = ${base.resolve(s"spstate$run")}
+           |}
+           |""".stripMargin)
+    graft.cli.Curator.main(Array("--conf", conf(1, inA, None, 10)))
+    val out1 = spark.read.parquet(base.resolve("spout1").toString)
+      .select("doc_id", "text").as[(Long, String)].collect().toMap
+    assert(out1(1L).endsWith(passage), "batch 1's single copy must be kept verbatim")
+    val st1 = base.resolve("spstate1")
+    assert(new java.io.File(st1.resolve("spans").toString).exists(), "span table must commit")
+    assert(new java.io.File(st1.resolve("spanbloom").toString).exists(), "bloom must commit")
+    assert(new java.io.File(st1.resolve("spanparams").toString).exists(), "params must commit")
+    // batch 2 vs state: the passage occurs once IN THE BATCH — per-batch
+    // span dedup keeps it; accumulated evidence cuts it
+    graft.cli.Curator.main(Array("--conf", conf(2, inB, Some(st1.toString), 10)))
+    val out2 = spark.read.parquet(base.resolve("spout2").toString)
+      .select("doc_id", "text").as[(Long, String)].collect().toMap
+    assert(!out2(200L).contains("alpha beta"),
+      s"cross-batch duplicated passage must be cut: ${out2(200L)}")
+    assert(out2(200L).contains("second batch quoting entity") &&
+      out2(200L).contains("trailing words continue afterwards"),
+      s"doc 200 must keep its own text: ${out2(200L)}")
+    assert(out2(201L) == "another clean second batch document full of fresh words")
+    // the accumulated table is a superset of batch 1's
+    val st2 = base.resolve("spstate2")
+    assert(spark.read.parquet(st2.resolve("spans").toString).count() >
+      spark.read.parquet(st1.resolve("spans").toString).count() / 2,
+      "batch 2's state must accumulate, not replace")
+    // parameter drift is rejected: same state, different span width
+    val e = intercept[IllegalArgumentException] {
+      graft.cli.Curator.main(Array("--conf", conf(3, inB, Some(st2.toString), 12)))
+    }
+    assert(e.getMessage.contains("span"), e.getMessage)
+    // stage toggled OFF for one batch: evidence carries forward unchanged
+    val f4 = write(base.resolve("sp4.conf"),
+      s"""source { storage-type = local, dataset-dir = $inB }
+         |target { storage-type = local, dataset-dir = ${base.resolve("spout4")}, dataset-store-format = parquet, write-mode = overwrite }
+         |curation {
+         |  min-quality = 0.0
+         |  state-dir = $st2
+         |  state-out-dir = ${base.resolve("spstate4")}
+         |}
+         |""".stripMargin)
+    graft.cli.Curator.main(Array("--conf", f4))
+    assert(spark.read.parquet(base.resolve("spstate4").resolve("spans").toString).count() ==
+      spark.read.parquet(st2.resolve("spans").toString).count(),
+      "span evidence must carry forward when the stage is off")
   }
 
   test("curator temperature mixing: rates replay exactly from the no-mix run; " +

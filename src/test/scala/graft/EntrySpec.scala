@@ -169,11 +169,15 @@ class EntrySpec extends SparkTestBase {
     val docs = spark.read.parquet(s"$sfDir/documents.parquet").select("doc_id", "text")
     val joined = out.join(docs, "doc_id")
     val base = {
-      val mtime = Option(new java.io.File(sfDir).listFiles())
-        .map(_.map(_.lastModified).max).getOrElse(0L)
+      // mirror SparkEntry.statePath exactly: WHOLE-tree max mtime,
+      // including the dir's own timestamp
+      def maxMtime(f: java.io.File): Long = {
+        val kids = Option(f.listFiles()).getOrElse(Array.empty[java.io.File])
+        kids.foldLeft(f.lastModified)((m, k) => math.max(m, maxMtime(k)))
+      }
       new java.io.File(
         new java.io.File(System.getProperty("java.io.tmpdir"), "graft_state"),
-        s"${sfDir.replaceAll("[^A-Za-z0-9.-]", "_")}_m${mtime}_q90_bpe").toString
+        s"${sfDir.replaceAll("[^A-Za-z0-9.-]", "_")}_m${maxMtime(new java.io.File(sfDir))}_q90_bpe").toString
     }
     val counts = joined.withColumn("__n",
       graft.functions.GraftFunctions.bpeCount(col("text"), s"$base/merges.txt"))
@@ -243,6 +247,25 @@ class EntrySpec extends SparkTestBase {
       .select(avg(clf.score(col("text")))).head().getDouble(0)
     assert(mRef > 0.9 && mNeg < 0.1,
       s"classifier must separate the cohorts: ref=$mRef neg=$mNeg")
+  }
+
+  test("q91: bag-of-words classifier separates HELD-OUT prose from gibberish " +
+      "with a margin the shape features alone need not reach") {
+    import org.apache.spark.sql.functions.col
+    val rows = SparkEntry.queries("q91_bow_classifier")(spark, sfDir)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getDouble(2), r.getDouble(3), r.getDouble(4))).toMap
+    assert(rows.keySet == Set("ref", "neg"), s"cohorts: ${rows.keySet}")
+    val (nRef, avgRef, minRef, _) = rows("ref")
+    val (nNeg, avgNeg, _, maxNeg) = rows("neg")
+    assert(nRef > 0 && nNeg > 0)
+    // held-out separation floor: cohorts land on the right side of 0.5
+    // and the averages are far apart (the planted vocabularies do not
+    // overlap, so a working BOW model should be near-saturated)
+    assert(avgRef > 0.9 && avgNeg < 0.1,
+      s"BOW classifier must separate held-out cohorts: ref=$avgRef neg=$avgNeg")
+    assert(minRef > 0.5 && maxNeg < 0.5,
+      s"every held-out doc must classify correctly: minRef=$minRef maxNeg=$maxNeg")
   }
 
   test("q36 dim-chain plan: both dimensions broadcast, no sort-merge join") {
