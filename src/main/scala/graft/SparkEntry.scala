@@ -1532,6 +1532,47 @@ object SparkEntry {
         .filter(col("lm3_logp").isNotNull)
     }),
 
+    // ---- Order-4 stupid-backoff LM, composable path: the trigram
+    // program one order up — position p starts at order min(4, p+1)
+    // and adds log10(0.4) per backoff step down to the unigram Laplace
+    // floor. round(5), not 6: the SHARED oracle also pins q94's
+    // quantized native tables, whose float32 values carry ~6e-7 error.
+    "q93_quadgram_logprob" -> ((s, dir) => {
+      import graft.llm.LangModel
+      val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
+      val lm = LangModel.trainNgram(
+        docs.filter(col("doc_id") < 100), "text", order = 4, minCount = 2)
+      LangModel.logProbPerDocNgram(
+        docs.filter(col("doc_id") >= 100), lm, "doc_id", "text")
+        .select(col("doc_id"), round(col("lmn_logp"), 5).as("lmn_logp"),
+          col("lmn_positions"))
+    }),
+
+    // ---- The same 4-gram scores through the memory-engineered SCALE
+    // path: one saved file, loaded once per executor JVM into FLAT
+    // fingerprinted tables (64-bit FNV keys, float32 log-probs, ~24 B
+    // per gram — the KenLM layout) with every backoff ratio
+    // precomputed; scoring is a zero-shuffle codegen'd projection. The
+    // SAME oracle as q93 pins parity at round(5) — quantization's one
+    // visible cost, documented in the registry scaladoc.
+    "q94_quadgram_native" -> ((s, dir) => {
+      import graft.llm.LangModel
+      val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
+      val lm = LangModel.trainNgram(
+        docs.filter(col("doc_id") < 100), "text", order = 4, minCount = 2)
+      val lmPath = new java.io.File(
+        new java.io.File(System.getProperty("java.io.tmpdir"), "graft_lm"),
+        s"${dir.replaceAll("[^A-Za-z0-9.-]", "_")}_mc2.lm4").toString
+      LangModel.saveNgram(lm, lmPath)
+      docs.filter(col("doc_id") >= 100)
+        .select(col("doc_id"),
+          round(graft.functions.GraftFunctions.lmNLogProb(col("text"), lmPath), 5)
+            .as("lmn_logp"),
+          graft.llm.TextAnalysis.wsTokenCount(col("text")).cast("long")
+            .as("lmn_positions"))
+        .filter(col("lmn_logp").isNotNull)
+    }),
+
     // ---- Learned quality classifier, SCORING path: sigmoid(b + w·x)
     // over the fixed SQL-replayable feature surface, with pinned
     // weights so the oracle replays the entire dot product (plausible
@@ -1876,6 +1917,101 @@ object SparkEntry {
         |  CAST(count(*) AS BIGINT) AS lm3_positions
         |FROM allpos GROUP BY doc_id""".stripMargin
 
+  /** Shared by q93 (composable order-4 scoring) and q94 (native
+    * fingerprinted/quantized registry): the trigram oracle one order
+    * up, rounded at 5 decimals because q94's float32 tables carry
+    * ~6e-7 absolute error. */
+  private val QuadgramOracleSql: String =
+    """WITH toks AS (
+        |  SELECT doc_id,
+        |    list_filter(regexp_split_to_array(lower(trim(text)), '\s+'),
+        |      t -> len(t) > 0) AS tk
+        |  FROM documents),
+        |uni AS (
+        |  SELECT token, count(*) AS cnt FROM (
+        |    SELECT unnest(tk) AS token FROM toks WHERE doc_id < 100)
+        |  GROUP BY token HAVING count(*) >= 2),
+        |uv AS (SELECT CAST(coalesce(sum(cnt), 0) + count(*) + 1 AS DOUBLE) AS du
+        |       FROM uni),
+        |big AS (
+        |  SELECT w1, w2, count(*) AS cnt2 FROM (
+        |    SELECT tk[i-1] AS w1, tk[i] AS w2 FROM (
+        |      SELECT tk, unnest(generate_series(2, len(tk))) AS i
+        |      FROM toks WHERE doc_id < 100))
+        |  GROUP BY w1, w2 HAVING count(*) >= 2),
+        |tri AS (
+        |  SELECT w1, w2, w3, count(*) AS cnt3 FROM (
+        |    SELECT tk[i-2] AS w1, tk[i-1] AS w2, tk[i] AS w3 FROM (
+        |      SELECT tk, unnest(generate_series(3, len(tk))) AS i
+        |      FROM toks WHERE doc_id < 100))
+        |  GROUP BY w1, w2, w3 HAVING count(*) >= 2),
+        |quad AS (
+        |  SELECT w1, w2, w3, w4, count(*) AS cnt4 FROM (
+        |    SELECT tk[i-3] AS w1, tk[i-2] AS w2, tk[i-1] AS w3, tk[i] AS w4 FROM (
+        |      SELECT tk, unnest(generate_series(4, len(tk))) AS i
+        |      FROM toks WHERE doc_id < 100))
+        |  GROUP BY w1, w2, w3, w4 HAVING count(*) >= 2),
+        |first AS (
+        |  SELECT t.doc_id, log10((coalesce(u.cnt, 0) + 1) / uv.du) AS logp
+        |  FROM (SELECT doc_id, tk[1] AS token FROM toks
+        |        WHERE doc_id >= 100 AND len(tk) > 0) t
+        |  LEFT JOIN uni u USING (token) CROSS JOIN uv),
+        |second AS (
+        |  SELECT t.doc_id,
+        |    CASE WHEN b.cnt2 IS NOT NULL
+        |         THEN log10(CAST(b.cnt2 AS DOUBLE) / u1.cnt)
+        |         ELSE log10(0.4) + log10((coalesce(u2.cnt, 0) + 1) / uv.du)
+        |    END AS logp
+        |  FROM (SELECT doc_id, tk[1] AS w1, tk[2] AS w2 FROM toks
+        |        WHERE doc_id >= 100 AND len(tk) >= 2) t
+        |  LEFT JOIN big b USING (w1, w2)
+        |  LEFT JOIN uni u1 ON t.w1 = u1.token
+        |  LEFT JOIN uni u2 ON t.w2 = u2.token
+        |  CROSS JOIN uv),
+        |third AS (
+        |  SELECT p.doc_id,
+        |    CASE WHEN tr.cnt3 IS NOT NULL
+        |         THEN log10(CAST(tr.cnt3 AS DOUBLE) / b12.cnt2)
+        |         WHEN b23.cnt2 IS NOT NULL
+        |         THEN log10(0.4) + log10(CAST(b23.cnt2 AS DOUBLE) / u2.cnt)
+        |         ELSE 2 * log10(0.4) + log10((coalesce(u3.cnt, 0) + 1) / uv.du)
+        |    END AS logp
+        |  FROM (SELECT doc_id, tk[1] AS w1, tk[2] AS w2, tk[3] AS w3 FROM toks
+        |        WHERE doc_id >= 100 AND len(tk) >= 3) p
+        |  LEFT JOIN tri tr USING (w1, w2, w3)
+        |  LEFT JOIN big b12 ON p.w1 = b12.w1 AND p.w2 = b12.w2
+        |  LEFT JOIN big b23 ON p.w2 = b23.w1 AND p.w3 = b23.w2
+        |  LEFT JOIN uni u2 ON p.w2 = u2.token
+        |  LEFT JOIN uni u3 ON p.w3 = u3.token
+        |  CROSS JOIN uv),
+        |rest AS (
+        |  SELECT p.doc_id,
+        |    CASE WHEN q.cnt4 IS NOT NULL
+        |         THEN log10(CAST(q.cnt4 AS DOUBLE) / t123.cnt3)
+        |         WHEN t234.cnt3 IS NOT NULL
+        |         THEN log10(0.4) + log10(CAST(t234.cnt3 AS DOUBLE) / b23.cnt2)
+        |         WHEN b34.cnt2 IS NOT NULL
+        |         THEN 2 * log10(0.4) + log10(CAST(b34.cnt2 AS DOUBLE) / u3.cnt)
+        |         ELSE 3 * log10(0.4) + log10((coalesce(u4.cnt, 0) + 1) / uv.du)
+        |    END AS logp
+        |  FROM (SELECT doc_id, tk[i-3] AS w1, tk[i-2] AS w2, tk[i-1] AS w3,
+        |               tk[i] AS w4 FROM (
+        |          SELECT doc_id, tk, unnest(generate_series(4, len(tk))) AS i
+        |          FROM toks WHERE doc_id >= 100)) p
+        |  LEFT JOIN quad q USING (w1, w2, w3, w4)
+        |  LEFT JOIN tri t123 ON p.w1 = t123.w1 AND p.w2 = t123.w2 AND p.w3 = t123.w3
+        |  LEFT JOIN tri t234 ON p.w2 = t234.w1 AND p.w3 = t234.w2 AND p.w4 = t234.w3
+        |  LEFT JOIN big b23 ON p.w2 = b23.w1 AND p.w3 = b23.w2
+        |  LEFT JOIN big b34 ON p.w3 = b34.w1 AND p.w4 = b34.w2
+        |  LEFT JOIN uni u3 ON p.w3 = u3.token
+        |  LEFT JOIN uni u4 ON p.w4 = u4.token
+        |  CROSS JOIN uv),
+        |allpos AS (SELECT * FROM first UNION ALL SELECT * FROM second
+        |           UNION ALL SELECT * FROM third UNION ALL SELECT * FROM rest)
+        |SELECT doc_id, round(avg(logp), 5) AS lmn_logp,
+        |  CAST(count(*) AS BIGINT) AS lmn_positions
+        |FROM allpos GROUP BY doc_id""".stripMargin
+
   private val LmOracleSql: String =
     """WITH toks AS (
       |  SELECT doc_id,
@@ -2021,6 +2157,8 @@ object SparkEntry {
     "q83_bigram_native" -> BigramOracleSql,
     "q85_trigram_logprob" -> TrigramOracleSql,
     "q86_trigram_native" -> TrigramOracleSql,
+    "q93_quadgram_logprob" -> QuadgramOracleSql,
+    "q94_quadgram_native" -> QuadgramOracleSql,
     // the full learned-classifier dot product replayed: the five
     // features are the q16/q21/q64 replays, the sigmoid accumulates
     // intercept-first then features in declaration order (matching the

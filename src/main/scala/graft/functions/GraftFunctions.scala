@@ -329,6 +329,9 @@ object GraftFunctions {
   def lm3LogProb(c: Column, lmPath: String): Column =
     ColumnBridge.column(Lm3LogProb(ColumnBridge.expression(c), lmPath))
 
+  def lmNLogProb(c: Column, lmPath: String): Column =
+    ColumnBridge.column(NgramLogProb(ColumnBridge.expression(c), lmPath))
+
   val functions: Seq[(String, ExpressionInfo, Seq[Expression] => Expression)] = Seq(
     ("graft_cosine",
       new ExpressionInfo(classOf[CosineSimilarity].getName, "graft_cosine"),
@@ -415,6 +418,17 @@ object GraftFunctions {
           case s: UTF8String => Lm3LogProb(es.head, s.toString)
           case other => throw new IllegalArgumentException(
             s"graft_lm3_logprob LM path must be a string literal, got $other")
+        }
+      }),
+    ("graft_lmn_logprob",
+      new ExpressionInfo(classOf[NgramLogProb].getName, "graft_lmn_logprob"),
+      (es: Seq[Expression]) => {
+        require(es.length == 2, s"graft_lmn_logprob takes 2 arguments, got ${es.length}")
+        require(es(1).foldable, "graft_lmn_logprob LM path must be a literal")
+        es(1).eval() match {
+          case s: UTF8String => NgramLogProb(es.head, s.toString)
+          case other => throw new IllegalArgumentException(
+            s"graft_lmn_logprob LM path must be a string literal, got $other")
         }
       }),
     ("graft_bpe_segments",

@@ -24,6 +24,20 @@ final case class BigramLm(unigram: UnigramLm, table: DataFrame)
   * two backoff levels. */
 final case class TrigramLm(bigram: BigramLm, table: DataFrame)
 
+/** Order-n stupid-backoff LM (KenLM-shaped, n ≥ 2): the unigram model
+  * plus one minCount-pruned count table per order 2..n (`tables(k)` =
+  * the (k+2)-gram table with columns `w1..w{k+2}, cnt{k+2}`). The
+  * shared minCount guarantees every kept gram's context survives at
+  * the next order down — the invariant both scorers and the file
+  * loader rely on. */
+final case class NgramLm(order: Int, unigram: UnigramLm, tables: Seq[DataFrame]) {
+  require(order >= 2, s"order must be >= 2, got $order")
+  require(tables.length == order - 1, s"need ${order - 1} tables, got ${tables.length}")
+
+  /** The order-k count table (2 ≤ k ≤ order). */
+  def table(k: Int): DataFrame = tables(k - 2)
+}
+
 final case class UnigramLm(table: DataFrame, totalTokens: Long, vocab: Long) {
 
   /** The shared Laplace denominator `N + V + 1` as a double — computed
@@ -141,6 +155,161 @@ object LangModel {
       .groupBy("w1", "w2", "w3").agg(count(lit(1)).as("cnt3"))
       .filter(col("cnt3") >= minCount)
     TrigramLm(trainBigram(ref, textCol, minCount), triples)
+  }
+
+  /** Sliding `(w1..wn)` grams of a token array, in order — the
+    * order-n generalization of [[pairsOf]]/[[triplesOf]], shared by
+    * training and scoring. */
+  private def gramsOf(tk: Column, n: Int): Column = {
+    val fields = (1 to n).map(j => s"w$j:string").mkString(",")
+    when(size(tk) >= n,
+      transform(sequence(lit(n), size(tk)),
+        i => struct((1 to n).map(j =>
+          element_at(tk, i - n + j).as(s"w$j")): _*)))
+      .otherwise(array().cast(s"array<struct<$fields>>"))
+  }
+
+  /** Train an order-n stupid-backoff LM (same tokenizer contract, same
+    * shared minCount pruning at every order). One aggregate per order,
+    * each an in-row gram HOF + a map-side-collapsed groupBy — the
+    * count shuffles are corpus-token-width like the trigram's; at
+    * production scale the higher orders dominate table size, which is
+    * what minCount pruning and the quantized/fingerprinted native
+    * registry ([[graft.functions.NgramRegistry]]) are for. */
+  def trainNgram(
+      ref: DataFrame,
+      textCol: String,
+      order: Int,
+      minCount: Long = 1L): NgramLm = {
+    require(order >= 2 && order <= 8, s"order must be in [2,8], got $order")
+    val tables = (2 to order).map { k =>
+      ref.select(Dedup.tokens(col(textCol)).as("tk"))
+        .select(explode(gramsOf(col("tk"), k)).as("g"))
+        .select((1 to k).map(j => col(s"g.w$j")): _*)
+        .groupBy((1 to k).map(j => col(s"w$j")): _*)
+        .agg(count(lit(1)).as(s"cnt$k"))
+        .filter(col(s"cnt$k") >= minCount)
+    }
+    NgramLm(order, trainUnigram(ref, textCol, minCount), tables)
+  }
+
+  /** Composable order-n stupid-backoff scoring — the
+    * [[logProbPerDocTrigram]] program generalized: position p (0-based)
+    * starts at order m₀ = min(n, p+1) and backs off one order per miss,
+    * adding `log10(0.4)` per step down to the unigram Laplace floor.
+    * One row per doc: `lmn_logp` (average log10 score over all
+    * positions), `lmn_positions`.
+    *
+    * Shape: per starting order, an in-row gram frame joined against
+    * the minCount-bounded tables (hit + context per backoff level —
+    * ~2(n−1) joins for the top group, AQE-broadcast when the tables
+    * are small) and one final per-doc aggregate. The native form
+    * (`graft_lmn_logprob`) is the zero-shuffle scale path against the
+    * SAME oracle (q93/q94). */
+  def logProbPerDocNgram(
+      docs: DataFrame,
+      lm: NgramLm,
+      idCol: String,
+      textCol: String): DataFrame = {
+    val n = lm.order
+    val uni = lm.unigram
+    val log04 = log10(lit(0.4))
+    val base = docs
+      .select(col(idCol), Dedup.tokens(col(textCol)).as("tk"))
+      .filter(size(col("tk")) > 0)
+
+    // score a frame of k-grams (columns __g1..__gk): hit/context joins
+    // per backoff level, then the descending when-chain
+    def scoreGrams(frame: DataFrame, k: Int): DataFrame = {
+      if (k == 1) {
+        return frame
+          .join(broadcast(uni.table.withColumnRenamed("token", "__g1")
+            .withColumnRenamed("cnt", "__u")), Seq("__g1"), "left")
+          .select(col(idCol), tokenLogProb(col("__u"), uni).as("logp"))
+      }
+      var f = frame
+      for (j <- 2 to k) {
+        // hit at order j: gram (g_{k-j+1}..g_k)
+        val hit = lm.table(j).select(
+          (1 to j).map(x => col(s"w$x").as(s"__g${k - j + x}")) :+
+            col(s"cnt$j").as(s"__hit$j"): _*)
+        f = f.join(hit, (k - j + 1 to k).map(x => s"__g$x"), "left")
+        // context at order j-1: gram (g_{k-j+1}..g_{k-1})
+        val ctx =
+          if (j == 2) broadcast(uni.table.select(
+            col("token").as(s"__g${k - 1}"), col("cnt").as("__ctx2")))
+          else lm.table(j - 1).select(
+            (1 until j).map(x => col(s"w$x").as(s"__g${k - j + x}")) :+
+              col(s"cnt${j - 1}").as(s"__ctx$j"): _*)
+        f = f.join(ctx, (k - j + 1 until k).map(x => s"__g$x"), "left")
+      }
+      // terminal: unigram Laplace on the last word
+      f = f.join(broadcast(uni.table.select(
+        col("token").as(s"__g$k"), col("cnt").as("__u"))), Seq(s"__g$k"), "left")
+      var expr: Column = lit((k - 1).toDouble) * log04 + tokenLogProb(col("__u"), uni)
+      for (j <- 2 to k) { // ascending build = descending priority
+        expr = when(col(s"__hit$j").isNotNull,
+          lit((k - j).toDouble) * log04 +
+            log10(col(s"__hit$j").cast("double") / col(s"__ctx$j").cast("double")))
+          .otherwise(expr)
+      }
+      f.select(col(idCol), expr.as("logp"))
+    }
+
+    // positions 0..n-2: one frame per starting order k (the first k
+    // tokens of every doc holding at least k)
+    val heads = (1 to n - 1).map { k =>
+      scoreGrams(
+        base.filter(size(col("tk")) >= k).select(
+          col(idCol) +: (1 to k).map(j => element_at(col("tk"), j).as(s"__g$j")): _*),
+        k)
+    }
+    // positions >= n-1: sliding n-grams
+    val top = scoreGrams(
+      base.select(col(idCol), explode(gramsOf(col("tk"), n)).as("g"))
+        .select(col(idCol) +: (1 to n).map(j => col(s"g.w$j").as(s"__g$j")): _*),
+      n)
+    (heads :+ top).reduce(_.unionByName(_))
+      .groupBy(idCol)
+      .agg(avg("logp").as("lmn_logp"), count(lit(1)).as("lmn_positions"))
+  }
+
+  /** Persist an order-n LM as ONE text file: header
+    * `#graft-ngram-lm v1 order=N total= vocab= counts=c2,...,cN`, the
+    * unigram section, then a `#<k>grams` marker per order with
+    * tab-separated `w1..wk count` lines — the [[saveTrigram]] layout
+    * generalized. All collects are minCount-bounded driver egress,
+    * sorted for deterministic bytes;
+    * [[graft.functions.NgramRegistry]] loads the file once per
+    * executor JVM into fingerprinted/quantized flat tables. */
+  def saveNgram(lm: NgramLm, path: String): Unit = {
+    val spark = lm.unigram.table.sparkSession
+    val uniRows = lm.unigram.table.orderBy("token").collect()
+    val orderRows = (2 to lm.order).map { k =>
+      k -> lm.table(k).orderBy((1 to k).map(j => col(s"w$j")): _*).collect()
+    }
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val out = new java.io.BufferedWriter(new java.io.OutputStreamWriter(
+      fs.create(p, true), java.nio.charset.StandardCharsets.UTF_8))
+    try {
+      out.write(s"#graft-ngram-lm v1 order=${lm.order} " +
+        s"total=${lm.unigram.totalTokens} vocab=${lm.unigram.vocab} " +
+        s"counts=${orderRows.map(_._2.length).mkString(",")}\n")
+      uniRows.foreach { r =>
+        out.write(r.getString(0)); out.write('\t')
+        out.write(r.getLong(1).toString); out.write('\n')
+      }
+      orderRows.foreach { case (k, rows) =>
+        out.write(s"#${k}grams\n")
+        rows.foreach { r =>
+          var j = 0
+          while (j < k) { out.write(r.getString(j)); out.write('\t'); j += 1 }
+          out.write(r.getLong(k).toString); out.write('\n')
+        }
+      }
+    } finally out.close()
+    graft.functions.NgramRegistry.invalidate(path)
   }
 
   /** Composable trigram scoring with STUPID BACKOFF (Brants et al.

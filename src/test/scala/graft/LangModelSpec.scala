@@ -316,6 +316,108 @@ class LangModelSpec extends SparkTestBase {
     assert(err.getMessage.contains("missing from the pairs section"))
   }
 
+  // ------------------------------------------------- order-n (4-gram)
+
+  test("order-3 trainNgram/logProbPerDocNgram reproduces the trigram form " +
+      "at the oracle rounding — the generic program subsumes the special case") {
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select(col("doc_id"), col("text")).filter(col("doc_id") < 300)
+    val ref = docs.filter(col("doc_id") < 100)
+    val lm3 = LangModel.trainTrigram(ref, "text", minCount = 2)
+    val lmN = LangModel.trainNgram(ref, "text", order = 3, minCount = 2)
+    val score = docs.filter(col("doc_id") >= 100)
+    val a = LangModel.logProbPerDocTrigram(score, lm3, "doc_id", "text")
+      .select(col("doc_id"), round(col("lm3_logp"), 6).as("l"), col("lm3_positions").as("n"))
+      .collect().map(r => r.getLong(0) -> (r.getDouble(1), r.getLong(2))).toMap
+    val b = LangModel.logProbPerDocNgram(score, lmN, "doc_id", "text")
+      .select(col("doc_id"), round(col("lmn_logp"), 6).as("l"), col("lmn_positions").as("n"))
+      .collect().map(r => r.getLong(0) -> (r.getDouble(1), r.getLong(2))).toMap
+    assert(a == b, "generic order-3 scoring must equal the trigram scorer")
+  }
+
+  test("quadgram separates THREE-token-back order the trigram provably " +
+      "cannot — and at least matches it on ordered-vs-scrambled") {
+    // 'c' continues to 'd' after 'a b', to 'f' after 'e b' — both
+    // CONTINUATION trigrams (b,c,d)/(b,c,f) are equally attested, so
+    // only the 4-gram sees which is licensed
+    val ref = ((1 to 30).map(_ => "a b c d") ++ (1 to 30).map(_ => "e b c f"))
+      .toDF("text")
+    val lm4 = LangModel.trainNgram(ref, "text", order = 4, minCount = 2)
+    val lm3 = LangModel.trainTrigram(ref, "text", minCount = 2)
+    val docs = Seq(
+      (1L, "a b c d"), // quadgram-consistent
+      (2L, "a b c f")  // every trigram attested, 4-gram violated
+    ).toDF("doc_id", "text")
+    val q = LangModel.logProbPerDocNgram(docs, lm4, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(q(1L) > q(2L) + 0.05,
+      s"quadgram must prefer the attested continuation: ${q(1L)} vs ${q(2L)}")
+    val t = LangModel.logProbPerDocTrigram(docs, lm3, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(math.abs(t(1L) - t(2L)) < 1e-12,
+      "both docs are trigram-identical — the 4-gram's whole point")
+    // ordered-vs-scrambled separation at least matches the trigram's
+    val shuf = Seq((1L, "a b c d"), (2L, "c a d b")).toDF("doc_id", "text")
+    val q2 = LangModel.logProbPerDocNgram(shuf, lm4, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val t2 = LangModel.logProbPerDocTrigram(shuf, lm3, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(q2(1L) - q2(2L) >= t2(1L) - t2(2L) - 1e-12,
+      s"4-gram separation ${q2(1L) - q2(2L)} must not lose to trigram ${t2(1L) - t2(2L)}")
+  }
+
+  test("ngram save/load: native fingerprinted/quantized scoring matches the " +
+      "composable form at round(5) on the real corpus; loader rejects drift") {
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select(col("doc_id"), col("text"))
+    val lm = LangModel.trainNgram(
+      docs.filter(col("doc_id") < 100), "text", order = 4, minCount = 2)
+    val path = tmpLm("quadgram.lm4")
+    LangModel.saveNgram(lm, path)
+    val composable = LangModel.logProbPerDocNgram(
+      docs.filter(col("doc_id") >= 100), lm, "doc_id", "text")
+      .select(col("doc_id"), round(col("lmn_logp"), 5).as("l"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val native = docs.filter(col("doc_id") >= 100)
+      .select(col("doc_id"),
+        round(GraftFunctions.lmNLogProb(col("text"), path), 5).as("l"))
+      .filter(col("l").isNotNull)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(native == composable,
+      "native ngram scoring must match the composable form at round(5)")
+    // SQL surface
+    GraftFunctions.register(spark)
+    docs.limit(3).createOrReplaceTempView("lmn_docs")
+    val viaSql = spark.sql(
+      s"SELECT graft_lmn_logprob(text, '$path') FROM lmn_docs").collect()
+    assert(viaSql.length == 3 && viaSql.forall(!_.isNullAt(0)))
+    // tampered file: a 3-gram whose (w1,w2) context is not in #2grams
+    val bad = tmpLm("quadgram_bad.lm4")
+    val w = new java.io.PrintWriter(bad, "UTF-8")
+    try {
+      w.println("#graft-ngram-lm v1 order=3 total=4 vocab=2 counts=1,1")
+      w.println("a\t2"); w.println("b\t2")
+      w.println("#2grams"); w.println("a\tb\t2")
+      w.println("#3grams"); w.println("b\ta\tb\t2")
+    } finally w.close()
+    graft.functions.NgramRegistry.invalidate(bad)
+    val err = intercept[IllegalArgumentException] { graft.functions.NgramRegistry.get(bad) }
+    assert(err.getMessage.contains("missing at order"))
+  }
+
+  test("LongFloatMap: put/get across growth, zero-key remap, NaN absence") {
+    val m = new graft.functions.LongFloatMap(4)
+    val rnd = new scala.util.Random(7)
+    val keys = Array.fill(5000)(rnd.nextLong()) :+ 0L
+    keys.zipWithIndex.foreach { case (k, i) => m.put(k, i.toFloat) }
+    keys.zipWithIndex.foreach { case (k, i) =>
+      assert(m.getOrNaN(k) == i.toFloat, s"key $k") }
+    assert(java.lang.Float.isNaN(m.getOrNaN(123456789L)))
+    m.put(0L, 42f) // overwrite the zero key
+    assert(m.getOrNaN(0L) == 42f)
+    assert(m.size == keys.length)
+  }
+
   // ------------------------------------------------- DSIR resampling
 
   test("dsirSample: target-vocabulary docs out-weigh off-target docs and " +
