@@ -1670,6 +1670,27 @@ object SparkEntry {
         .select(col("doc_id"),
           graft.llm.DomainFilter.normalizeDomain(col("url")).as("domain"))
     }),
+
+    // ---- Contamination budget (the data-card number NEXT TO the
+    // decontamination claim): per source, what fraction of the corpus's
+    // distinct 8-gram shingles does the benchmark share? Benchmark =
+    // docs < 50 drawn from the corpus itself, so every source has real
+    // planted overlap. Numerator EXACT (distinct hit grams are bounded
+    // by the benchmark — semi-join state, mergeable by union-distinct);
+    // denominator = the mergeable HLL gram sketch (q89's state at
+    // gram_size 8). Sketch internals differ from DuckDB's HLL →
+    // rows-only; EntrySpec replays the arithmetic against exact counts.
+    "q95_contamination_budget" -> ((s, dir) => {
+      import graft.llm.Cardinality
+      val docs = t(s, dir, "documents").select(col("doc_id"), col("source"), col("text"))
+      val bench = docs.filter(col("doc_id") < 50).select(col("text"))
+      val state = Cardinality.sketchState(docs, Seq("source"), "text", gramSize = 8)
+      val hits = Cardinality.benchmarkHitGrams(docs, bench, Seq("source"),
+        "text", "text", gramSize = 8)
+      Cardinality.contaminationReport(state, hits, Seq("source"))
+        .select(col("source"), col("distinct_grams"), col("shared_grams"),
+          round(col("contaminated_fraction"), 6).as("contaminated_fraction"))
+    }),
   )
 
   /** q76/q77's planted corpus: a shared 12-token passage appended to

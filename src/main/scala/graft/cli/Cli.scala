@@ -56,6 +56,47 @@ object Cli {
     println(s"$tm $msg")
   }
 
+  /** Per-stage wall-time + row-count collector for the Curator's run
+    * artifact (the Bench mem-block idiom: a production run should be
+    * diagnosable from its artifacts alone, without logs). Spark is
+    * lazy, so a stage's `sec` is the wall time spent INSIDE its block —
+    * construction plus whatever eager work (counts, persists, writes)
+    * the block performs; a lazy stage's execution cost lands in the
+    * next eager stage's timing, which is faithful to where the time is
+    * actually spent. Insertion order is preserved — the artifact reads
+    * top-to-bottom as the pipeline ran. */
+  final class StageLog {
+    private val entries = scala.collection.mutable.LinkedHashMap
+      .empty[String, (Double, Option[Long])]
+
+    def timed[T](name: String)(body: => T): T = {
+      val t0 = System.nanoTime()
+      val r = body
+      val sec = (System.nanoTime() - t0) / 1e9
+      val rows = entries.get(name).flatMap(_._2)
+      entries.put(name, (sec, rows))
+      r
+    }
+
+    /** Attach a row count observed for a stage (kept across the
+      * enclosing `timed` call). */
+    def rows(name: String, n: Long): Unit = {
+      val sec = entries.get(name).map(_._1).getOrElse(0.0)
+      entries.put(name, (sec, Some(n)))
+      ()
+    }
+
+    def writeJson(spark: SparkSession, path: String): Unit = {
+      val body = entries.map { case (k, (sec, rows)) =>
+        f""""$k":{"sec":$sec%.3f${rows.map(r => s""","rows":$r""").getOrElse("")}}"""
+      }.mkString("{", ",", "}")
+      val p = new org.apache.hadoop.fs.Path(path)
+      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val out = fs.create(p, true)
+      try out.write(body.getBytes("UTF-8")) finally out.close()
+    }
+  }
+
   /** Run `body` with timing + started/finished log lines (the shared
     * shape of all three reference CLIs). */
   def run(name: String, args: Array[String])(body: (GraftConfig, SparkSession) => Unit): Unit = {
@@ -157,7 +198,13 @@ object Scorer {
   * word n-grams for contamination budgeting) adds mergeable per-group
   * HLL sketches of distinct docs/tokens — the lifetime estimates
   * accumulate across batches via the `cardsketch` state subdir;
-  * gram-size drift between increments is rejected.
+  * gram-size drift between increments is rejected. With BOTH a
+  * gram-size sketch (> 1) and `benchmark-dir`, the cardinality report
+  * gains the contamination budget (exact lifetime hit grams via the
+  * `benchhits` state over the sketch denominator). `stage-log-path`
+  * writes a per-stage wall-time/row-count JSON artifact at the end of
+  * the run — the run-diagnosability counterpart of the Bench mem
+  * block.
   *
   * INCREMENTAL mode (how curation runs in production — daily batches
   * against persisted dedup state, never re-reading the corpus):
@@ -172,6 +219,10 @@ object Curator {
     Cli.log("loading corpus...")
     val rawIn = graft.sources.DataIO.read(spark, conf.at("source"))
     val c = conf.at("curation")
+    // per-stage artifact collector (written at the end when
+    // `stage-log-path` is set) — every ENABLED stage appears, in run
+    // order, with its wall seconds and any row count it observed
+    val stages = new Cli.StageLog
     // optional domain/URL gate FIRST of all — metadata-only, the
     // cheapest stage, so redact/boilerplate/dedup and every persisted
     // signature only ever see ADMITTED documents: `domain-column` names
@@ -184,7 +235,7 @@ object Curator {
       "curation.blocklist-path / curation.blocked-tlds need " +
         "curation.domain-column (the url/domain metadata column)")
     val raw = c.getString("domain-column") match {
-      case Some(dcol) =>
+      case Some(dcol) => stages.timed("domain-gate") {
         import graft.llm.DomainFilter
         var d = rawIn
         c.getString("blocklist-path").foreach { bp =>
@@ -198,9 +249,12 @@ object Curator {
           d = DomainFilter.filterByTlds(d, dcol, tlds)
         }
         if (!c.getString("log-drop-counts").exists(v => !v.toBoolean)) {
-          Cli.log(s"domain gate: ${d.count()} of ${rawIn.count()} docs admitted")
+          val n = d.count()
+          stages.rows("domain-gate", n)
+          Cli.log(s"domain gate: $n of ${rawIn.count()} docs admitted")
         }
         d
+      }
       case None => rawIn
     }
     // optional PII scrub next — before any hashing/signatures, so the
@@ -208,7 +262,7 @@ object Curator {
     // on unscrubbed text would stop matching future scrubbed batches)
     val df0 =
       if (!c.getBoolean("redact").getOrElse(false)) raw
-      else {
+      else stages.timed("redact") {
         val tcol = c.getString("text-column").getOrElse("text")
         raw.withColumn(tcol, graft.llm.TextAnalysis.redact(col(tcol)))
       }
@@ -362,7 +416,7 @@ object Curator {
       .filter(d => exists(new Path(qual(d), "linefreqs")))
       .map(d => spark.read.parquet(s"$d/linefreqs"))
     val (dfB, boilerFreqs) = c.getInt("boilerplate-min-doc-freq") match {
-      case Some(mdf) =>
+      case Some(mdf) => stages.timed("boilerplate") {
         // combined evidence feeds the strip's threshold subset AND the
         // state write below — persist against the double traversal
         val freqs = graft.llm.TextAnalysis.combineLineFreqs(
@@ -374,11 +428,14 @@ object Curator {
           .filter(col("n_kept") > 0).drop("n_kept")
         if (!c.getString("log-drop-counts").exists(v => !v.toBoolean)) {
           // one extra pair of count jobs, same convention as the tiers below
-          Cli.log(s"boilerplate: ${cleaned.count()} of ${df0.count()} docs " +
+          val n = cleaned.count()
+          stages.rows("boilerplate", n)
+          Cli.log(s"boilerplate: $n of ${df0.count()} docs " +
             s"keep at least one line at min-doc-freq=$mdf" +
             (if (priorLineFreqs.isDefined) " (accumulated evidence)" else ""))
         }
         (cleaned, Some(freqs))
+      }
       // stage off: carry prior evidence forward unchanged, so toggling
       // boilerplate off for one batch never discards accumulated state
       case None => (df0, priorLineFreqs)
@@ -414,7 +471,7 @@ object Curator {
         bloomItems: Long, bloomFpp: Double)
     val priorSpanDir = stateDir.filter(d => exists(new Path(qual(d), "spans")))
     val (df0ToFree, spanEvidence) = c.getInt("span-dedup-tokens") match {
-      case Some(n) =>
+      case Some(n) => stages.timed("span-dedup") {
         val bloomItems = c.getLong("span-bloom-items").getOrElse(1L << 22)
         val bloomFpp = c.getDouble("span-bloom-fpp").getOrElse(0.01)
         val spanParams = s"span-tokens=$n;span-bloom-items=$bloomItems;span-bloom-fpp=$bloomFpp"
@@ -456,6 +513,7 @@ object Curator {
         (Some(kept.drop("n_removed") -> deduped),
           Some(SpanEvidence(Some(batchSpans), prior, priorBloom, spanParams,
             bloomItems, bloomFpp)))
+      }
       case None =>
         // stage off: carry prior span evidence forward unchanged (the
         // boilerplate rule — toggling the stage off for one batch never
@@ -469,7 +527,7 @@ object Curator {
     }
     val df = df0ToFree.map(_._1).getOrElse(dfB)
     val (batch, batchToFree) = stateDir match {
-      case Some(d) =>
+      case Some(d) => stages.timed("incremental-text-tiers") {
         Cli.log(s"incremental: dropping docs seen in state at $d ...")
         val hashes = spark.read.parquet(s"$d/hashes")
         val sigs = spark.read.parquet(s"$d/sigs")
@@ -496,8 +554,10 @@ object Curator {
             s"exact tier dropped ${n.droppedExactTier} (seen in corpus or in-batch exact dup), " +
             s"corpus-near tier dropped ${n.droppedNearTier} (signature-only, unverified), " +
             s"${n.survivors} rows continue to curation")
+          stages.rows("incremental-text-tiers", n.survivors)
           (s, Some(s))
         }
+      }
       case None => (df, None)
     }
     // vector tier on the text-tier survivors: drop batch rows whose
@@ -505,7 +565,7 @@ object Curator {
     // min-cosine via SRP signatures), then in-batch vector near-dups —
     // curate() below has no vector stage, so this tier owns BOTH halves
     val (vecBatch, vecToFree) = embCol match {
-      case Some(e) =>
+      case Some(e) => stages.timed("vector-tiers") {
         import graft.llm.Similarity
         val (corpusVecSigs, vecHot) = stateDir match {
           case Some(d) => (spark.read.parquet(s"$d/vecsigs"),
@@ -528,12 +588,18 @@ object Curator {
             s"corpus tier dropped ${n.droppedCorpusTier} (signature-only, cos>=$vecMinCosine), " +
             s"in-batch tier dropped ${n.droppedInBatchTier} (cosine-verified), " +
             s"${n.survivors} rows continue to curation")
+          stages.rows("vector-tiers", n.survivors)
           (s, Some(s))
         }
+      }
       case None => (batch, None)
     }
-    val curated = graft.llm.Curation.curate(vecBatch, idCol, textCol, cc)
-    println(s"curated corpus size: ${curated.count()}")
+    val curated = stages.timed("curate") {
+      graft.llm.Curation.curate(vecBatch, idCol, textCol, cc)
+    }
+    val curatedN = curated.count()
+    stages.rows("curate", curatedN)
+    println(s"curated corpus size: $curatedN")
     batchToFree.foreach(_.unpersist()) // curated cache is materialized
     df0ToFree.foreach(_._2.unpersist()) // span-cut corpus no longer re-read
     vecToFree.foreach(_.unpersist())
@@ -545,7 +611,7 @@ object Curator {
     // Downstream selection like mixture/chunking: the dedup state still
     // records the full curated corpus.
     val (quantiled, quantToFree) = c.getDouble("quality-quantile") match {
-      case Some(frac) =>
+      case Some(frac) => stages.timed("quality-quantile") {
         val q = graft.llm.Curation.keepTopQuantile(curated,
           c.getString("quantile-group-column").getOrElse("lang_id"),
           c.getString("quantile-score-column").getOrElse("quality"), frac,
@@ -557,10 +623,13 @@ object Curator {
           // otherwise re-run the threshold aggregate + broadcast join
           // (curated itself is persisted, so ITS count is free)
           val p = q.persist()
-          Cli.log(s"quality-quantile: ${p.count()} of ${curated.count()} " +
+          val np = p.count()
+          stages.rows("quality-quantile", np)
+          Cli.log(s"quality-quantile: $np of ${curated.count()} " +
             s"survive the top-$frac per-group cut")
           (p, Some(p))
         }
+      }
       case None => (curated, None)
     }
     // optional benchmark decontamination (train/test-overlap filter) on
@@ -569,7 +638,7 @@ object Curator {
     // OUTPUT (the dedup state still records them as curated — by
     // design, matching the mixture/chunking exclusion rule below)
     val (decontaminated, decontToFree) = c.getString("benchmark-dir") match {
-      case Some(bdir) =>
+      case Some(bdir) => stages.timed("decontaminate") {
         val bench = graft.sources.DataIO.read(spark,
           graft.conf.GraftConfig.parse(
             s"""storage-type = local
@@ -588,10 +657,13 @@ object Curator {
           // target write must not each re-run the corpus-side gram scan
           // (quantiled is persisted-or-curated, so its count is cheap)
           val p = out.persist()
-          Cli.log(s"decontamination: ${p.count()} of ${quantiled.count()} survive " +
+          val np = p.count()
+          stages.rows("decontaminate", np)
+          Cli.log(s"decontamination: $np of ${quantiled.count()} survive " +
             s"the ${c.getInt("contamination-ngram").getOrElse(8)}-gram benchmark check")
           (p, Some(p))
         }
+      }
       case None => (quantiled, None)
     }
     // optional training-mix composition (deterministic per-source keep
@@ -602,11 +674,12 @@ object Curator {
     // with saved target/raw LMs (native zero-shuffle path), keep the
     // top-k by the deterministic E–S rank
     val dsired = c.getInt("dsir-k") match {
-      case Some(k) =>
+      case Some(k) => stages.timed("dsir") {
         graft.llm.CorpusPrep.dsirSampleFast(decontaminated, idCol, textCol,
           c.getString("dsir-target-lm").get, c.getString("dsir-raw-lm").get,
           k = k, salt = c.getString("dsir-salt").getOrElse(""))
           .drop("dsir_weight")
+      }
       case None => decontaminated
     }
     val mixed = c.getDouble("temperature-alpha") match {
@@ -614,25 +687,27 @@ object Curator {
       // counts (∝ n^(alpha-1), largest pinned to temperature-budget) —
       // the multilingual rule when explicit per-source fractions aren't
       // known up front; mutually exclusive with mixture-weights (above)
-      case Some(alpha) =>
+      case Some(alpha) => stages.timed("mixture") {
         graft.llm.CorpusPrep.temperatureMix(dsired, idCol,
           c.getString("mixture-source-column").getOrElse("source"),
           alpha, budget = c.getDouble("temperature-budget").getOrElse(1.0),
           salt = c.getString("mixture-salt").getOrElse(""))
+      }
       case None if mixWeights.isEmpty => dsired
-      case None =>
+      case None => stages.timed("mixture") {
         graft.llm.CorpusPrep.mixtureSample(dsired, idCol,
           c.getString("mixture-source-column").getOrElse("source"),
           mixWeights.map { case (k, v) => k -> v.toDouble }.toMap,
           defaultFraction = c.getDouble("mixture-default-fraction").getOrElse(0.0),
           salt = c.getString("mixture-salt").getOrElse(""))
+      }
     }
     // optional deterministic train/val/test split on the emitted set
     // (ordered "name:weight" entries — range assignment is cumulative,
     // so order is part of the contract and a list, not a map, carries it)
     val splitCol = c.getString("split-column").getOrElse("split")
     val (labeled, keep) = c.getList("splits") match {
-      case Some(entries) if entries.nonEmpty =>
+      case Some(entries) if entries.nonEmpty => stages.timed("splits") {
         val splits = entries.map { e =>
           e.split(":") match {
             case Array(n, w) => n.trim -> w.trim.toDouble
@@ -643,6 +718,7 @@ object Curator {
         (graft.llm.CorpusPrep.hashSplit(mixed, idCol, splits,
           salt = c.getString("split-salt").getOrElse(""), splitCol = splitCol),
           Seq(splitCol))
+      }
       case _ => (mixed, Nil)
     }
     // optional context-window chunking: emit training-ready rows (the
@@ -652,13 +728,16 @@ object Curator {
     // budget (the model's context window) under the named merge table.
     // (Mutual exclusion + bpe-merges presence validated up front.)
     val out = (c.getInt("chunk-size"), c.getInt("bpe-budget")) match {
-      case (Some(cs), _) => graft.llm.CorpusPrep.chunkByTokensFast(labeled, idCol, textCol,
-        chunkSize = cs, overlap = c.getInt("chunk-overlap").getOrElse(cs / 4),
-        keepCols = keep)
-      case (_, Some(budget)) =>
+      case (Some(cs), _) => stages.timed("chunking") {
+        graft.llm.CorpusPrep.chunkByTokensFast(labeled, idCol, textCol,
+          chunkSize = cs, overlap = c.getInt("chunk-overlap").getOrElse(cs / 4),
+          keepCols = keep)
+      }
+      case (_, Some(budget)) => stages.timed("chunking") {
         graft.llm.CorpusPrep.chunkByBpeBudget(labeled, idCol, textCol,
           bpeBudget = budget, mergesPath = c.getString("bpe-merges").get,
           overlap = c.getInt("chunk-overlap").getOrElse(0), keepCols = keep)
+      }
       case _ => labeled
     }
     // optional id encoding (`bpe-vocab`, requires `bpe-merges`): the
@@ -667,13 +746,14 @@ object Curator {
     // off) under the learned tokenizer. Scan-speed projection: table +
     // vocab load once per executor, zero shuffle added.
     val encoded = c.getString("bpe-vocab") match {
-      case Some(vocabPath) =>
+      case Some(vocabPath) => stages.timed("encode-ids") {
         val mergesPath = c.getString("bpe-merges").getOrElse(throw new IllegalArgumentException(
           "curation.bpe-vocab requires curation.bpe-merges (ids are defined by a merge table)"))
         val encCol =
           if (out.columns.contains("chunk_text")) "chunk_text" else textCol
         out.withColumn("token_ids",
           graft.functions.GraftFunctions.bpeEncode(col(encCol), mergesPath, vocabPath))
+      }
       case None => out
     }
     // optional deterministic training-export shuffle: a reproducible
@@ -684,7 +764,7 @@ object Curator {
     // or re-sort and silently destroy the permutation, so they are
     // rejected up front.
     val emitted = c.getString("shuffle-salt") match {
-      case Some(salt) =>
+      case Some(salt) => stages.timed("shuffle") {
         // (target layout conflicts rejected in the up-front block)
         val chunked = c.getInt("chunk-size").isDefined || c.getInt("bpe-budget").isDefined
         val rowId =
@@ -692,6 +772,7 @@ object Curator {
           else col(idCol).cast("string")
         graft.llm.CorpusPrep.deterministicShuffleBy(encoded, rowId, salt,
           numPartitions = c.getInt("shuffle-partitions"))
+      }
       case None => encoded
     }
     // TARGET FIRST, STATE LAST: committing dedup state before the target
@@ -701,17 +782,21 @@ object Curator {
     // crash before the marker leaves UNcommitted state the next run
     // refuses, and re-running re-writes the target (at-least-once; use
     // an overwrite-mode target for idempotent re-runs).
-    graft.sources.DataIO.write(emitted, conf.at("target"))
+    stages.timed("target-write") {
+      graft.sources.DataIO.write(emitted, conf.at("target"))
+    }
     // optional data card: the per-group corpus report over the CURATED
     // corpus (pre-mixture/chunking — the release-documentation view of
     // what survived curation), written as one small parquet next to the
     // output. Integer-only aggregates; curated is already persisted, so
     // this costs one aggregate job
     c.getString("report-dir").foreach { rdir =>
-      val groups = c.getList("report-group-columns").getOrElse(Seq("lang_id"))
-      graft.llm.TextAnalysis.corpusReport(curated, groups, textCol)
-        .coalesce(1).write.mode("overwrite").parquet(rdir)
-      Cli.log(s"corpus report written to $rdir (grouped by ${groups.mkString(", ")})")
+      stages.timed("corpus-report") {
+        val groups = c.getList("report-group-columns").getOrElse(Seq("lang_id"))
+        graft.llm.TextAnalysis.corpusReport(curated, groups, textCol)
+          .coalesce(1).write.mode("overwrite").parquet(rdir)
+        Cli.log(s"corpus report written to $rdir (grouped by ${groups.mkString(", ")})")
+      }
     }
     // optional incremental cardinality (opt-in via
     // `cardinality-group-columns`): per-group HLL sketches of distinct
@@ -723,6 +808,7 @@ object Curator {
     // hll_union_agg itself (strict mode). Old state dirs without a
     // cardsketch stay valid — sketching simply starts at this batch.
     val cardState = c.getList("cardinality-group-columns").map { groups =>
+      stages.timed("cardinality") {
       val cardGramSize = c.getInt("cardinality-gram-size").getOrElse(1)
       val batch = graft.llm.Cardinality.sketchState(curated, groups, textCol,
         gramSize = cardGramSize)
@@ -740,12 +826,48 @@ object Curator {
           graft.llm.Cardinality.mergeStates(Seq(prior, batch), groups)
         }.getOrElse(batch)
       (groups, merged.persist())
+      }
+    }
+    // contamination budget rides the cardinality state when BOTH a
+    // gram-size sketch (> 1) and a benchmark are configured: the
+    // lifetime distinct hit-gram state (EXACT — bounded by the
+    // benchmark's gram count, mergeable by union-distinct) over the
+    // sketch denominator → "fraction of corpus distinct n-grams the
+    // benchmark shares", per group, in the data card.
+    val benchHits = cardState.flatMap { case (groups, _) =>
+      val gs = c.getInt("cardinality-gram-size").getOrElse(1)
+      c.getString("benchmark-dir").filter(_ => gs > 1).map { bdir =>
+        stages.timed("contamination-budget") {
+        val bench = graft.sources.DataIO.read(spark,
+          graft.conf.GraftConfig.parse(
+            s"""storage-type = local
+               |dataset-dir = "$bdir"""".stripMargin))
+        val batchHits = graft.llm.Cardinality.benchmarkHitGrams(curated, bench,
+          groups, textCol, c.getString("benchmark-text-column").getOrElse(textCol),
+          gramSize = gs)
+        val merged = stateDir
+          .filter(d => exists(new Path(qual(d), "benchhits")))
+          .map(d => spark.read.parquet(s"$d/benchhits")
+            .unionByName(batchHits).distinct())
+          .getOrElse(batchHits)
+        (groups, merged.persist())
+        }
+      }
     }
     cardState.foreach { case (groups, st) =>
       c.getString("cardinality-report-dir").foreach { rdir =>
-        graft.llm.Cardinality.report(st, groups)
-          .coalesce(1).write.mode("overwrite").parquet(rdir)
-        Cli.log(s"cardinality report written to $rdir (corpus-lifetime estimates)")
+        stages.timed("cardinality-report") {
+        val report = benchHits match {
+          case Some((_, hits)) =>
+            graft.llm.Cardinality.report(st, groups).join(
+              graft.llm.Cardinality.contaminationReport(st, hits, groups)
+                .drop("gram_size"), groups)
+          case None => graft.llm.Cardinality.report(st, groups)
+        }
+        report.coalesce(1).write.mode("overwrite").parquet(rdir)
+        Cli.log(s"cardinality report written to $rdir (corpus-lifetime estimates" +
+          (if (benchHits.isDefined) " + contamination budget)" else ")"))
+        }
       }
     }
     // dedup state = the CURATED corpus, not the emitted training set:
@@ -755,7 +877,7 @@ object Curator {
     // The _COMMITTED marker is written LAST so a crash mid-write leaves
     // a state dir the next run REFUSES (mixed old/new subdirs would
     // silently lose near-dup coverage).
-    c.getString("state-out-dir").foreach { outDir =>
+    c.getString("state-out-dir").foreach { outDir => stages.timed("state-write") {
       import graft.llm.Dedup
       val newHashes = curated.select(Dedup.contentHash(col(textCol)).as("content_hash"))
       val newSigs = Dedup.simHashSignatures(curated, idCol, textCol, cc.shingleSize)
@@ -817,14 +939,26 @@ object Curator {
       cardState.foreach { case (_, st) =>
         st.write.mode("overwrite").parquet(s"$outDir/cardsketch")
       }
+      // benchmark hit grams ride it too: exact lifetime contamination
+      // numerator, bounded by the benchmark's gram count
+      benchHits.foreach { case (_, hits) =>
+        hits.write.mode("overwrite").parquet(s"$outDir/benchhits")
+      }
       val marker = fs.create(new Path(outPath, "_COMMITTED"), true)
       try marker.write(stateParams.getBytes("UTF-8")) finally marker.close()
       Cli.log(s"dedup state written to $outDir")
+    } }
+    // the per-stage artifact, written LAST so it also covers the state
+    // write; every enabled stage appears in run order
+    c.getString("stage-log-path").foreach { p =>
+      stages.writeJson(spark, p)
+      Cli.log(s"stage log written to $p")
     }
     curated.unpersist()
     quantToFree.foreach(_.unpersist())
     decontToFree.foreach(_.unpersist())
     cardState.foreach(_._2.unpersist())
+    benchHits.foreach(_._2.unpersist())
     boilerFreqs.foreach(_.unpersist()) // no-op for the carried-forward case
     spanEvidence.foreach(_.batch.foreach(_.unpersist()))
     Cli.log("curation finished")

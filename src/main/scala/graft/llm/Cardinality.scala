@@ -106,4 +106,60 @@ object Cardinality {
       hll_sketch_estimate(col("doc_sketch")).as("distinct_docs") :+
       coalesce(hll_sketch_estimate(col("token_sketch")), lit(0L))
         .as("distinct_tokens"): _*)
+
+  // -------------------------------------------- contamination budget
+
+  /** Per-group DISTINCT corpus n-grams that also appear in the
+    * benchmark set — the EXACT numerator of the contamination budget.
+    * Why exact state is affordable here when distinct-gram state is
+    * not: the hit set is bounded by the BENCHMARK's gram count (the
+    * semi-join keeps nothing else), and benchmarks are small by
+    * definition — so lifetime hit state is a few MB of parquet however
+    * large the corpus grows, and batches merge by union-distinct.
+    * Shape: benchmark grams broadcast; the corpus-side explode is the
+    * same token-scale pass the cardinality sketch pays. */
+  def benchmarkHitGrams(
+      df: DataFrame,
+      bench: DataFrame,
+      groupCols: Seq[String],
+      textCol: String = "text",
+      benchTextCol: String = "text",
+      gramSize: Int = 8): DataFrame = {
+    require(groupCols.nonEmpty, "benchmarkHitGrams needs at least one group column")
+    require(gramSize >= 2, s"contamination gramSize must be >= 2, got $gramSize")
+    val benchGrams = bench
+      .select(explode(Dedup.shingles(col(benchTextCol), gramSize)).as("gram"))
+      .distinct()
+    df.select(groupCols.map(col) :+
+        explode(Dedup.shingles(col(textCol), gramSize)).as("gram"): _*)
+      .join(broadcast(benchGrams), Seq("gram"), "left_semi")
+      .distinct()
+  }
+
+  /** The data-card contamination budget: per group, the (estimated)
+    * distinct n-gram count from the sketch state, the EXACT count of
+    * distinct grams shared with the benchmark (from [[benchmarkHitGrams]]
+    * state), and their ratio — "what fraction of this group's distinct
+    * 8-grams does the benchmark share?", the number a release card
+    * needs next to its decontamination claim. Composable with the
+    * incremental protocol on BOTH sides: sketches merge via
+    * [[mergeStates]], hit grams via union-distinct. */
+  def contaminationReport(
+      state: DataFrame,
+      hitGrams: DataFrame,
+      groupCols: Seq[String]): DataFrame = {
+    val shared = hitGrams
+      .groupBy(groupCols.map(col): _*)
+      .agg(count(lit(1)).as("shared_grams"))
+    state.select(groupCols.map(col) :+
+        coalesce(hll_sketch_estimate(col("token_sketch")), lit(0L))
+          .as("distinct_grams") :+
+        col("gram_size"): _*)
+      .join(shared, groupCols, "left")
+      .withColumn("shared_grams", coalesce(col("shared_grams"), lit(0L)))
+      .withColumn("contaminated_fraction",
+        when(col("distinct_grams") > 0,
+          col("shared_grams").cast("double") / col("distinct_grams"))
+          .otherwise(lit(0.0)))
+  }
 }

@@ -37,6 +37,13 @@ object Multimodal {
     * serializable (shipped to executors once per task). */
   trait MediaDecoder extends Serializable {
     def decode(content: Array[Byte], meta: Map[String, String]): Decoded
+
+    /** True when the "decoded" values are a stand-in rather than the
+      * asset's real content. [[decodeAndFeaturize]] emits this as the
+      * `synthetic_decode` column on EVERY output row, so a downstream
+      * data card can never silently launder stand-in features as real
+      * ones — the honesty guard for the video path. */
+    def synthetic: Boolean = false
   }
 
   /** Deterministic fake codec — the VIDEO-only stand-in (images and
@@ -45,6 +52,7 @@ object Multimodal {
     * hash-seeded function of the content. The JDK ships no video codec;
     * replace this impl, keep the plumbing. */
   object FakeDecoder extends MediaDecoder {
+    override def synthetic: Boolean = true
     def decode(content: Array[Byte], meta: Map[String, String]): Decoded = {
       val w = meta.get("width").map(_.toInt).getOrElse(8)
       val h = meta.get("height").map(_.toInt).getOrElse(8)
@@ -290,13 +298,17 @@ object Multimodal {
     }(Encoders.row(schema))
   }
 
-  /** Output schema of `decodeAndFeaturize` — explicit, never inferred. */
+  /** Output schema of `decodeAndFeaturize` — explicit, never inferred.
+    * `synthetic_decode` is the honesty flag: true iff the decoder is a
+    * stand-in (video), so stand-in features can never silently pass as
+    * real ones downstream. */
   def decodedSchema(idCol: String, idType: DataType): StructType = StructType(Seq(
     StructField(idCol, idType, nullable = false),
     StructField("width", IntegerType, nullable = false),
     StructField("height", IntegerType, nullable = false),
     StructField("channels", IntegerType, nullable = false),
-    StructField("features", ArrayType(FloatType, containsNull = false), nullable = false)))
+    StructField("features", ArrayType(FloatType, containsNull = false), nullable = false),
+    StructField("synthetic_decode", BooleanType, nullable = false)))
 
   /** Batched executor-side decode + mean-pool featurization: the
     * multimodal analog of the batched scorer (same mapPartitions shape,
@@ -325,7 +337,7 @@ object Multimodal {
               .map(_.toMap).getOrElse(Map.empty[String, String])
             val d = decoder.decode(content, meta)
             Some(Row(row.get(idIdx), d.width, d.height, d.channels,
-              meanPool(d.data, featureDim).toSeq))
+              meanPool(d.data, featureDim).toSeq, decoder.synthetic))
           }
         }
       }

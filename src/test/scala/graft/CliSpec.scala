@@ -410,6 +410,121 @@ class CliSpec extends SparkTestBase {
     assert(g3 > tokTotal, s"distinct trigrams $g3 should exceed distinct tokens $tokTotal")
   }
 
+  test("curator stage log: the artifact covers every enabled stage in run " +
+      "order with seconds and observed row counts") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val base = tmp()
+    val src = base.resolve("slsrc").toString
+    spark.read.parquet(s"$sfDir/documents.parquet")
+      .filter(col("doc_id") < 60)
+      .withColumn("url", concat(lit("https://ok.example.org/"), col("doc_id")))
+      .write.parquet(src)
+    val bl = base.resolve("sl_block.txt")
+    write(bl, "blocked.example.net\n")
+    val logPath = base.resolve("stage_log.json").toString
+    val f = write(base.resolve("curator_sl.conf"),
+      s"""source { storage-type = local, dataset-dir = $src }
+         |target { storage-type = local, dataset-dir = ${base.resolve("slout")}, dataset-store-format = parquet, write-mode = overwrite }
+         |curation {
+         |  min-quality = 0.0
+         |  domain-column = url
+         |  blocklist-path = "$bl"
+         |  redact = true
+         |  boilerplate-min-doc-freq = 50
+         |  span-dedup-tokens = 20
+         |  quality-quantile = 0.9
+         |  splits = ["train:0.9", "val:0.1"]
+         |  chunk-size = 64
+         |  shuffle-salt = e1
+         |  state-out-dir = ${base.resolve("slstate")}
+         |  report-dir = ${base.resolve("slrep")}
+         |  cardinality-group-columns = [source]
+         |  stage-log-path = "$logPath"
+         |}
+         |""".stripMargin)
+    graft.cli.Curator.main(Array("--conf", f))
+    val json = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(logPath)), "UTF-8")
+    val enabled = Seq("domain-gate", "redact", "boilerplate", "span-dedup",
+      "curate", "quality-quantile", "splits", "chunking", "shuffle",
+      "target-write", "corpus-report", "cardinality", "state-write")
+    enabled.foreach { st =>
+      assert(json.contains(s""""$st":{"sec":"""), s"stage '$st' missing from: $json")
+    }
+    // disabled stages are absent; counted stages carry their rows
+    Seq("decontaminate", "mixture", "dsir", "encode-ids", "incremental-text-tiers")
+      .foreach { st => assert(!json.contains(s""""$st""""), s"'$st' should be absent") }
+    assert(json.contains(""""curate":{"sec":""") && json.contains(""""rows":"""))
+    // run order is preserved: the gate precedes the write
+    assert(json.indexOf("domain-gate") < json.indexOf("target-write"))
+  }
+
+  test("curator contamination budget: lifetime hit grams accumulate across " +
+      "batches; report carries the fraction next to the distinct estimates") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val base = tmp()
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    // two 10-token benchmark snippets of unique tokens → 3 distinct
+    // 8-gram shingles each; batch 1 quotes snippet A, batch 2 snippet B
+    val snipA = (1 to 10).map(i => s"zqa$i").mkString(" ")
+    val snipB = (1 to 10).map(i => s"zqb$i").mkString(" ")
+    val benchDir = base.resolve("bench.parquet").toString
+    Seq(snipA, snipB).toDF("text").write.parquet(benchDir)
+    val b1 = base.resolve("cb1.parquet").toString
+    val b2 = base.resolve("cb2.parquet").toString
+    docs.filter(col("doc_id") < 50)
+      .withColumn("text", when(col("doc_id") === 0, concat(col("text"), lit(" " + snipA)))
+        .otherwise(col("text"))).write.parquet(b1)
+    docs.filter(col("doc_id") >= 50 && col("doc_id") < 100)
+      .withColumn("text", when(col("doc_id") === 50, concat(col("text"), lit(" " + snipB)))
+        .otherwise(col("text"))).write.parquet(b2)
+    def conf(run: Int, src: String, stateIn: Option[String]) =
+      write(base.resolve(s"cont$run.conf"),
+        s"""source { storage-type = local, dataset-dir = $src }
+           |target { storage-type = local, dataset-dir = ${base.resolve(s"cout$run")}, dataset-store-format = parquet, write-mode = overwrite }
+           |curation {
+           |  min-quality = 0.0
+           |${stateIn.map(d => s"  state-dir = $d").getOrElse("")}
+           |  state-out-dir = ${base.resolve(s"cstate$run")}
+           |  cardinality-group-columns = [source]
+           |  cardinality-gram-size = 8
+           |  benchmark-dir = $benchDir
+           |  contamination-min-hits = 1000000
+           |  cardinality-report-dir = ${base.resolve(s"contrep$run")}
+           |}
+           |""".stripMargin)
+    // (contamination-min-hits set sky-high so the decontamination FILTER
+    // keeps the planted docs — this test is about the BUDGET numbers)
+    graft.cli.Curator.main(Array("--conf", conf(1, b1, None)))
+    assert(new java.io.File(base.resolve("cstate1").resolve("benchhits").toString).exists(),
+      "hit-gram state must ride the commit")
+    val rep1 = spark.read.parquet(base.resolve("contrep1").toString)
+    assert(rep1.columns.toSet.contains("contaminated_fraction") &&
+      rep1.columns.toSet.contains("shared_grams"))
+    assert(rep1.agg(sum("shared_grams")).head().getLong(0) == 3L,
+      "snippet A contributes exactly its 3 interior 8-gram shingles")
+    graft.cli.Curator.main(Array("--conf",
+      conf(2, b2, Some(base.resolve("cstate1").toString))))
+    val rep2 = spark.read.parquet(base.resolve("contrep2").toString).persist()
+    // lifetime: batch 1's snippet-A hits persist even though batch 2
+    // never contained snippet A
+    assert(rep2.agg(sum("shared_grams")).head().getLong(0) == 6L,
+      "lifetime hit grams must accumulate across batches")
+    // fraction arithmetic: shared / estimated distinct, per group
+    rep2.collect().foreach { r =>
+      val est = r.getAs[Long]("distinct_grams")
+      val shared = r.getAs[Long]("shared_grams")
+      val frac = r.getAs[Double]("contaminated_fraction")
+      if (est > 0)
+        assert(math.abs(frac - shared.toDouble / est) < 1e-9,
+          s"${r.getAs[String]("source")}: $frac vs $shared/$est")
+    }
+    rep2.unpersist()
+    ()
+  }
+
   test("curator target write honors the DataIO layout knobs (range-by disjoint files)") {
     import org.apache.spark.sql.functions.{col, input_file_name, max, min}
     val base = tmp()

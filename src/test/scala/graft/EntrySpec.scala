@@ -268,6 +268,39 @@ class EntrySpec extends SparkTestBase {
       s"every held-out doc must classify correctly: minRef=$minRef maxNeg=$maxNeg")
   }
 
+  test("q95: contamination budget — shared grams EXACT, sketch denominator " +
+      "within 5% of exact, fraction arithmetic consistent") {
+    import org.apache.spark.sql.functions._
+    val rows = SparkEntry.queries("q95_contamination_budget")(spark, sfDir)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    assert(rows.nonEmpty)
+    // exact replay: per-source distinct 8-gram shingles + exact overlap
+    // with the benchmark slice (docs < 50)
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select(col("doc_id"), col("source"), col("text"))
+    val grams = docs.select(col("source"),
+      explode(graft.llm.Dedup.shingles(col("text"), 8)).as("g")).distinct()
+    val benchGrams = docs.filter(col("doc_id") < 50)
+      .select(explode(graft.llm.Dedup.shingles(col("text"), 8)).as("g")).distinct()
+    val exactDistinct = grams.groupBy("source").agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val exactShared = grams.join(benchGrams, Seq("g"), "left_semi")
+      .groupBy("source").agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(rows.keySet == exactDistinct.keySet)
+    rows.foreach { case (src, (est, shared, frac)) =>
+      assert(shared == exactShared.getOrElse(src, 0L),
+        s"$src: shared grams must be EXACT: $shared vs ${exactShared.get(src)}")
+      assert(shared > 0, s"$src: benchmark drawn from the corpus must overlap")
+      val exact = exactDistinct(src)
+      assert(math.abs(est - exact) <= 0.05 * exact,
+        s"$src: sketch estimate $est vs exact $exact beyond 5%")
+      assert(math.abs(frac - shared.toDouble / est) < 1e-5,
+        s"$src: fraction must be shared/estimate")
+    }
+  }
+
   test("q36 dim-chain plan: both dimensions broadcast, no sort-merge join") {
     val plan = SparkEntry.queries("q36_supplier_region")(spark, sfDir)
       .queryExecution.executedPlan.toString

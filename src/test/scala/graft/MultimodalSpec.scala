@@ -23,11 +23,22 @@ class MultimodalSpec extends SparkTestBase {
     val out = Multimodal.decodeAndFeaturize(media, Multimodal.FakeDecoder,
       featureDim = 16, batchSize = 32)
     assert(out.schema.fieldNames.toSeq ==
-      Seq("asset_id", "width", "height", "channels", "features"))
+      Seq("asset_id", "width", "height", "channels", "features", "synthetic_decode"))
     val rows = out.collect()
     assert(rows.length == 500)
     assert(rows.forall(r => r.getInt(1) == 16 && r.getInt(2) == 8))
     assert(rows.forall(_.getSeq[Float](4).length == 16))
+  }
+
+  test("synthetic_decode honesty flag: true on the video stand-in path, false " +
+      "on every real decoder — stand-in features can never pass as real") {
+    assert(Multimodal.decodeAndFeaturize(media.limit(5), Multimodal.FakeDecoder)
+      .collect().forall(_.getBoolean(5)),
+      "FakeDecoder output must be flagged synthetic")
+    val png = Multimodal.reencodeAsPng(media.limit(5))
+    assert(!Multimodal.decodeAndFeaturize(png, Multimodal.ImageIoDecoder)
+      .collect().exists(_.getBoolean(5)),
+      "real image decode must NOT be flagged synthetic")
   }
 
   test("decode is deterministic (same bytes → same features)") {
