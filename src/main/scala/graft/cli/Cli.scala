@@ -288,6 +288,10 @@ object Curator {
       minLmLogP = c.getDouble("min-lm-logp").getOrElse(base.minLmLogP),
       lm2Path = c.getString("lm2-path"),
       minLm2LogP = c.getDouble("min-lm2-logp").getOrElse(base.minLm2LogP),
+      // order-n LM filter: `lmn-path` points at a saved LangModel
+      // .saveNgram artifact (order self-described in the header)
+      lmnPath = c.getString("lmn-path"),
+      minLmnLogP = c.getDouble("min-lmn-logp").getOrElse(base.minLmnLogP),
       // learned quality filter: `classifier-path` points at a saved
       // QualityClassifier (fastText-style reference-vs-random logistic
       // model, trained offline); `min-classifier-score` is the
@@ -314,6 +318,8 @@ object Curator {
       "curation.min-lm-logp needs curation.lm-path (a saved unigram LM file)")
     require(c.getDouble("min-lm2-logp").isEmpty || c.getString("lm2-path").isDefined,
       "curation.min-lm2-logp needs curation.lm2-path (a saved bigram LM file)")
+    require(c.getDouble("min-lmn-logp").isEmpty || c.getString("lmn-path").isDefined,
+      "curation.min-lmn-logp needs curation.lmn-path (a saved order-n LM file)")
     require(c.getDouble("min-classifier-score").isEmpty ||
         c.getString("classifier-path").isDefined,
       "curation.min-classifier-score needs curation.classifier-path " +

@@ -74,6 +74,17 @@ object Curation {
       /** Keep documents with `lm2_logp >= minLm2LogP`. -Infinity =
         * annotate only. */
       minLm2LogP: Double = Double.NegativeInfinity,
+      /** Saved ORDER-N stupid-backoff LM file
+        * ([[LangModel.saveNgram]]; the order is self-described by the
+        * file header): the CCNet-direction upgrade — a 4/5-gram sees
+        * word order several tokens back, and the fingerprinted/
+        * quantized registry keeps the table ~24 B per kept gram, with
+        * a size log on every load. Adds `lmn_logp`; stackable with the
+        * other LM filters. */
+      lmnPath: Option[String] = None,
+      /** Keep documents with `lmn_logp >= minLmnLogP`. -Infinity =
+        * annotate only. */
+      minLmnLogP: Double = Double.NegativeInfinity,
       /** Saved learned quality classifier
         * ([[QualityClassifier#save]] artifact — fastText-style
         * reference-vs-random logistic model): when set, every document
@@ -156,6 +167,12 @@ object Curation {
         graft.functions.GraftFunctions.lm2LogProb(col(textCol), p))
       if (!conf.minLm2LogP.isNegInfinity)
         df = df.filter(col("lm2_logp") >= conf.minLm2LogP)
+    }
+    conf.lmnPath.foreach { p =>
+      df = df.withColumn("lmn_logp",
+        graft.functions.GraftFunctions.lmNLogProb(col(textCol), p))
+      if (!conf.minLmnLogP.isNegInfinity)
+        df = df.filter(col("lmn_logp") >= conf.minLmnLogP)
     }
     // learned quality classifier — 6 scalars load once on the driver
     // and become plan literals; scoring is another scan-speed

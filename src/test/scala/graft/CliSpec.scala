@@ -831,6 +831,64 @@ class CliSpec extends SparkTestBase {
     assert(err.getMessage.contains("lm-path"))
   }
 
+  test("curator order-n LM filter: lmn-path + min-lmn-logp drop a scrambled " +
+      "doc under the 4-gram; floor alone rejects up front") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val base = tmp()
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet").select("doc_id", "text")
+    val lm = graft.llm.LangModel.trainNgram(
+      docs.filter(col("doc_id") < 100), "text", order = 4, minCount = 2)
+    val lmnPath = base.resolve("ref.lm4").toString
+    graft.llm.LangModel.saveNgram(lm, lmnPath)
+    // plant the SAME tokens twice: in corpus order (91001) and reversed
+    // (91000) — identical unigrams, so only the higher-order
+    // continuations separate them; the floor sits between THEIR scores
+    // (real docs vary too much for a global floor, the whole reason the
+    // filter is a knob)
+    val sample = docs.filter(col("doc_id") === 0).head().getString(1)
+      .split("\\s+").filter(_.nonEmpty).take(40)
+    val ordered = sample.mkString(" ")
+    val scrambled = sample.reverse.mkString(" ")
+    val src = base.resolve("lmnsrc").toString
+    // doc 0 itself stays OUT of the corpus: 91001 is its 40-token
+    // prefix and would near-dup against it in curation
+    docs.filter(col("doc_id") > 0 && col("doc_id") < 50)
+      .unionByName(Seq((91000L, scrambled), (91001L, ordered)).toDF("doc_id", "text"))
+      .write.parquet(src)
+    val probe = spark.read.parquet(src)
+      .select(col("doc_id"),
+        graft.functions.GraftFunctions.lmNLogProb(col("text"), lmnPath).as("l"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(probe(91001L) > probe(91000L),
+      "the 4-gram must score ordered text above its scramble")
+    val floor = (probe(91000L) + probe(91001L)) / 2
+    val f = write(base.resolve("curator_lmn.conf"),
+      s"""source { storage-type = local, dataset-dir = $src }
+         |target { storage-type = local, dataset-dir = ${base.resolve("lmncur")}, dataset-store-format = parquet, write-mode = overwrite }
+         |curation {
+         |  min-quality = 0.0
+         |  lmn-path = "$lmnPath"
+         |  min-lmn-logp = $floor
+         |}
+         |""".stripMargin)
+    graft.cli.Curator.main(Array("--conf", f))
+    val out = spark.read.parquet(base.resolve("lmncur").toString)
+    val ids = out.select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(!ids.contains(91000L), "scrambled doc survived the 4-gram filter")
+    assert(ids.contains(91001L), "the in-order twin must survive the same floor")
+    assert(out.columns.contains("lmn_logp"))
+    val bad = write(base.resolve("curator_lmn_bad.conf"),
+      s"""source { storage-type = local, dataset-dir = $src }
+         |target { storage-type = local, dataset-dir = ${base.resolve("lmncur")}, dataset-store-format = parquet, write-mode = overwrite }
+         |curation { min-lmn-logp = -2.5 }
+         |""".stripMargin)
+    val err = intercept[IllegalArgumentException] {
+      graft.cli.Curator.main(Array("--conf", bad))
+    }
+    assert(err.getMessage.contains("lmn-path"))
+  }
+
   test("curator learned classifier: outfilters stopword-stuffed hex gibberish " +
       "that the heuristic quality filter PASSES") {
     import org.apache.spark.sql.functions._
