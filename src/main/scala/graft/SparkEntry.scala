@@ -1691,6 +1691,73 @@ object SparkEntry {
         .select(col("source"), col("distinct_grams"), col("shared_grams"),
           round(col("contaminated_fraction"), 6).as("contaminated_fraction"))
     }),
+
+    // ---- Char-n-gram classifier (TRUE fastText, Bojanowski et al.
+    // 2017): word tokens + boundary-marked char 3..5-grams, vs the
+    // word-identity BOW model on the SAME task — held-out negatives
+    // whose every WORD is unseen (hex-hash gibberish under a held-out
+    // salt). Word identity hashes unseen tokens to untrained buckets
+    // and scores ~prior; the char-gram surface is drawn from the
+    // stable hex alphabet and generalizes. Both models' per-cohort
+    // aggregates come back so the gap itself is the asserted result
+    // (EntrySpec: char saturates the separation, word does not
+    // confidently reject the unseen cohort). LBFGS/hashing are
+    // engine-specific → rows-only.
+    "q96_chargram_classifier" -> ((s, dir) => {
+      import graft.llm.QualityClassifier
+      val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
+      // deterministic hex gibberish; the salt decides the vocabulary,
+      // so train ("t") and held-out ("z") negatives share NO words
+      def hexed(d: DataFrame, salt: String): DataFrame =
+        d.withColumn("text", concat_ws(" ",
+          md5(concat(col("text"), lit(salt))),
+          md5(concat(col("text"), lit(salt + "a"))),
+          md5(concat(col("text"), lit(salt + "b"))),
+          md5(concat(col("text"), lit(salt + "c")))))
+      // training slice bounded to 1000 docs so the two MLlib fits cost
+      // the same at every SF — the gate demonstrates the MODEL-CLASS
+      // gap, not training throughput (q88/q91 already cover the fit);
+      // 20 LBFGS iterations saturate this separable task
+      val train = docs.filter(col("doc_id") >= 100 && col("doc_id") < 1100)
+      val ref = train.filter(col("doc_id") % 2 === 0)
+      val neg = hexed(train.filter(col("doc_id") % 2 === 1), "t")
+      val wordModel = QualityClassifier.trainBow(ref, neg, "text",
+        numFeatures = 1 << 16, maxIter = 20)
+      val charModel = QualityClassifier.trainCharBow(ref, neg, "text",
+        numFeatures = 1 << 18, maxIter = 20)
+      val holdout = docs.filter(col("doc_id") < 100)
+      val testSet = holdout.filter(col("doc_id") % 2 === 0)
+        .withColumn("cohort", lit("ref"))
+        .unionByName(hexed(holdout.filter(col("doc_id") % 2 === 1), "z")
+          .withColumn("cohort", lit("neg")))
+      val w = QualityClassifier.scoreBow(testSet, "text", wordModel, "score")
+        .withColumn("model", lit("word"))
+      val c = QualityClassifier.scoreBow(testSet, "text", charModel, "score")
+        .withColumn("model", lit("char"))
+      w.unionByName(c).groupBy("model", "cohort").agg(
+        count(lit(1)).as("n_docs"),
+        round(avg("score"), 6).as("avg_score"),
+        round(min("score"), 6).as("min_score"),
+        round(max("score"), 6).as("max_score"))
+    }),
+
+    // ---- Interpolated Kneser–Ney bigram LM (the perplexity-optimal
+    // smoothing next to q85's production-scale stupid backoff): proper
+    // conditional distribution — discounted ML mass + D·nfwd·pcont
+    // interpolation, continuation counts at the lower order, discount
+    // estimated from the bigram count-of-counts. minCount=1 by
+    // construction (the discount IS the singleton treatment). Training
+    // AND scoring are count arithmetic, so the oracle replays both;
+    // round(6) absorbs log10 libm variation (the q71 caveat class).
+    "q97_kneser_ney" -> ((s, dir) => {
+      import graft.llm.LangModel
+      val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
+      val lm = LangModel.trainKneserNey(docs.filter(col("doc_id") < 100), "text")
+      LangModel.logProbPerDocKneserNey(
+        docs.filter(col("doc_id") >= 100), lm, "doc_id", "text")
+        .select(col("doc_id"), round(col("kn_logp"), 6).as("kn_logp"),
+          col("kn_positions"))
+    }),
   )
 
   /** q76/q77's planted corpus: a shared 12-token passage appended to
@@ -2180,6 +2247,62 @@ object SparkEntry {
     "q86_trigram_native" -> TrigramOracleSql,
     "q93_quadgram_logprob" -> QuadgramOracleSql,
     "q94_quadgram_native" -> QuadgramOracleSql,
+    // interpolated Kneser–Ney replayed end to end: UNPRUNED count
+    // tables, count-of-counts discount, continuation counts with the
+    // Laplace-style OOV floor; the CASE arms and operator grouping
+    // mirror logProbPerDocKneserNey exactly
+    "q97_kneser_ney" ->
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |    list_filter(regexp_split_to_array(lower(trim(text)), '\s+'),
+        |      t -> len(t) > 0) AS tk
+        |  FROM documents),
+        |uni AS (
+        |  SELECT token, count(*) AS cnt FROM (
+        |    SELECT unnest(tk) AS token FROM toks WHERE doc_id < 100)
+        |  GROUP BY token),
+        |big AS (
+        |  SELECT w1, w2, count(*) AS cnt2 FROM (
+        |    SELECT tk[i-1] AS w1, tk[i] AS w2 FROM (
+        |      SELECT tk, unnest(generate_series(2, len(tk))) AS i
+        |      FROM toks WHERE doc_id < 100))
+        |  GROUP BY w1, w2),
+        |sc AS (
+        |  SELECT CAST(bb.b + vv.v + 1 AS DOUBLE) AS dc,
+        |    CASE WHEN bb.n1 + 2 * bb.n2 = 0 THEN 0.5
+        |         ELSE CAST(bb.n1 AS DOUBLE) / (bb.n1 + 2.0 * bb.n2) END AS d
+        |  FROM (SELECT count(*) AS b,
+        |          coalesce(sum(CASE WHEN cnt2 = 1 THEN 1 ELSE 0 END), 0) AS n1,
+        |          coalesce(sum(CASE WHEN cnt2 = 2 THEN 1 ELSE 0 END), 0) AS n2
+        |        FROM big) bb,
+        |       (SELECT count(*) AS v FROM uni) vv),
+        |fwd AS (SELECT w1, sum(cnt2) AS ctx, count(*) AS nfwd FROM big GROUP BY w1),
+        |bwd AS (SELECT w2, count(*) AS nbwd FROM big GROUP BY w2),
+        |first AS (
+        |  SELECT t.doc_id, log10((coalesce(b.nbwd, 0) + 1) / sc.dc) AS logp
+        |  FROM (SELECT doc_id, tk[1] AS w2 FROM toks
+        |        WHERE doc_id >= 100 AND len(tk) > 0) t
+        |  LEFT JOIN bwd b USING (w2) CROSS JOIN sc),
+        |pairs AS (
+        |  SELECT p.doc_id,
+        |    CASE WHEN f.ctx IS NOT NULL
+        |      THEN log10((greatest(CAST(coalesce(bg.cnt2, 0) AS DOUBLE) - sc.d, 0.0) +
+        |                  sc.d * CAST(f.nfwd AS DOUBLE) *
+        |                    ((coalesce(b.nbwd, 0) + 1) / sc.dc))
+        |                 / CAST(f.ctx AS DOUBLE))
+        |      ELSE log10((coalesce(b.nbwd, 0) + 1) / sc.dc)
+        |    END AS logp
+        |  FROM (SELECT doc_id, tk[i-1] AS w1, tk[i] AS w2 FROM (
+        |          SELECT doc_id, tk, unnest(generate_series(2, len(tk))) AS i
+        |          FROM toks WHERE doc_id >= 100)) p
+        |  LEFT JOIN big bg USING (w1, w2)
+        |  LEFT JOIN fwd f USING (w1)
+        |  LEFT JOIN bwd b USING (w2)
+        |  CROSS JOIN sc),
+        |allpos AS (SELECT * FROM first UNION ALL SELECT * FROM pairs)
+        |SELECT doc_id, round(avg(logp), 6) AS kn_logp,
+        |  CAST(count(*) AS BIGINT) AS kn_positions
+        |FROM allpos GROUP BY doc_id""".stripMargin,
     // the full learned-classifier dot product replayed: the five
     // features are the q16/q21/q64 replays, the sigmoid accumulates
     // intercept-first then features in declaration order (matching the

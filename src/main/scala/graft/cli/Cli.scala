@@ -475,12 +475,38 @@ object Curator {
         prior: Option[org.apache.spark.sql.DataFrame],
         priorBloom: Option[Array[Byte]], params: String,
         bloomItems: Long, bloomFpp: Double)
-    val priorSpanDir = stateDir.filter(d => exists(new Path(qual(d), "spans")))
+    // `span-parts-dir` switches span-state upkeep from rewrite-the-
+    // union to IMMUTABLE PARTS: each batch writes only its own span
+    // hashes as a new write-once parquet part under this stable
+    // directory, and the A/B state dirs carry just a `spanmanifest`
+    // text file listing the parts — the object-store deployment shape
+    // (prior parts are never rewritten, per-batch upkeep IO is the
+    // batch's own spans, not the corpus's). One parts dir per corpus
+    // lineage; the parameter rides spanparams so mixing modes or
+    // lineages against one state is rejected like any other drift.
+    val spanPartsDir = c.getString("span-parts-dir")
+    def spanManifestParts(d: String): Option[Seq[String]] = {
+      val mp = new Path(qual(d), "spanmanifest")
+      if (exists(mp)) {
+        val in = mp.getFileSystem(hconf).open(mp)
+        val txt = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+          finally in.close()
+        Some(txt.split("\n").filter(_.nonEmpty).toSeq)
+      } else None
+    }
+    def readPriorSpans(d: String): org.apache.spark.sql.DataFrame =
+      spanManifestParts(d) match {
+        case Some(parts) => spark.read.parquet(parts: _*)
+        case None => spark.read.parquet(s"$d/spans")
+      }
+    val priorSpanDir = stateDir.filter(d =>
+      exists(new Path(qual(d), "spans")) || exists(new Path(qual(d), "spanmanifest")))
     val (df0ToFree, spanEvidence) = c.getInt("span-dedup-tokens") match {
       case Some(n) => stages.timed("span-dedup") {
         val bloomItems = c.getLong("span-bloom-items").getOrElse(1L << 22)
         val bloomFpp = c.getDouble("span-bloom-fpp").getOrElse(0.01)
-        val spanParams = s"span-tokens=$n;span-bloom-items=$bloomItems;span-bloom-fpp=$bloomFpp"
+        val spanParams = s"span-tokens=$n;span-bloom-items=$bloomItems;span-bloom-fpp=$bloomFpp" +
+          spanPartsDir.map(p => s";span-parts-dir=$p").getOrElse("")
         priorSpanDir.foreach { d =>
           val stored = readSmall(new Path(qual(d), "spanparams"))
           require(stored == spanParams,
@@ -488,7 +514,7 @@ object Curator {
               s"[$spanParams] — span hashes/blooms from different parameters do " +
               "not compare or merge; re-curate from scratch or restore them")
         }
-        val prior = priorSpanDir.map(d => spark.read.parquet(s"$d/spans"))
+        val prior = priorSpanDir.map(readPriorSpans)
         val priorBloom = priorSpanDir.map(d => readBytes(new Path(qual(d), "spanbloom")))
         // span removal is the one EXPENSIVE pre-state stage (a
         // token-scale shuffle) and everything downstream — the tier
@@ -525,7 +551,7 @@ object Curator {
         // boilerplate rule — toggling the stage off for one batch never
         // discards accumulated state)
         val carried = priorSpanDir.map { d =>
-          SpanEvidence(None, Some(spark.read.parquet(s"$d/spans")),
+          SpanEvidence(None, Some(readPriorSpans(d)),
             Some(readBytes(new Path(qual(d), "spanbloom"))),
             readSmall(new Path(qual(d), "spanparams")), 0L, 0.0)
         }
@@ -927,8 +953,35 @@ object Curator {
       // which an object-store deployment would replace with a
       // metadata-only manifest of the prior immutable parquet parts.
       spanEvidence.foreach { ev =>
-        val all = (ev.prior.toSeq ++ ev.batch.toSeq).reduce(_.unionByName(_))
-        all.write.mode("overwrite").parquet(s"$outDir/spans")
+        def writeManifest(parts: Seq[String]): Unit = {
+          require(parts.nonEmpty,
+            "span evidence with neither prior parts nor a batch part")
+          val mOut = fs.create(new Path(outPath, "spanmanifest"), true)
+          try mOut.write(parts.mkString("\n").getBytes("UTF-8"))
+          finally mOut.close()
+        }
+        val priorParts = priorSpanDir.flatMap(spanManifestParts)
+        (spanPartsDir, ev.batch) match {
+          case (Some(pd), Some(b)) =>
+            // immutable-parts mode: persist ONLY this batch's spans as
+            // a new write-once part; the state dir gets a manifest.
+            // Part index = prior manifest length, so a crash-retry of
+            // the same batch overwrites its own orphan instead of
+            // leaking one — prior parts are never touched. (A parts-
+            // mode run against rewrite-mode state — or vice versa — is
+            // rejected by the spanparams check before reaching here.)
+            val pp = priorParts.getOrElse(Seq.empty)
+            val newPart = s"${qual(pd)}/part-${pp.length}"
+            b.write.mode("overwrite").parquet(newPart)
+            writeManifest(pp :+ newPart)
+          case (_, None) if priorParts.isDefined =>
+            // stage toggled off over parts-mode state: the carry is
+            // METADATA-ONLY — copy the manifest, touch no parquet
+            writeManifest(priorParts.get)
+          case _ =>
+            val all = (ev.prior.toSeq ++ ev.batch.toSeq).reduce(_.unionByName(_))
+            all.write.mode("overwrite").parquet(s"$outDir/spans")
+        }
         val newBloom = ev.batch.map(b => Dedup.spanBloom(b, ev.bloomItems, ev.bloomFpp))
         val outBloom = (ev.priorBloom, newBloom) match {
           case (Some(p), Some(b)) => Dedup.mergeSpanBlooms(p, b)

@@ -38,6 +38,20 @@ final case class NgramLm(order: Int, unigram: UnigramLm, tables: Seq[DataFrame])
   def table(k: Int): DataFrame = tables(k - 2)
 }
 
+/** Interpolated Kneser–Ney bigram LM (Kneser & Ney 1995; Chen &
+  * Goodman 1999 §3): the UNPRUNED bigram model plus the absolute
+  * discount `D` estimated from the bigram count-of-counts
+  * (`D = n1 / (n1 + 2·n2)`, Ney et al. 1994). Unlike stupid backoff
+  * this is a PROPER conditional distribution — for every seen context
+  * the probabilities over vocab ∪ OOV sum to exactly 1
+  * (LangModelSpec pins it) — which is what makes its perplexities
+  * comparable across corpora. minCount is fixed at 1: the discount IS
+  * the singleton treatment, pruning would break the sums the
+  * normalization proof needs. */
+final case class KneserNeyLm(bigram: BigramLm, discount: Double) {
+  require(discount > 0 && discount < 1, s"discount must be in (0,1), got $discount")
+}
+
 final case class UnigramLm(table: DataFrame, totalTokens: Long, vocab: Long) {
 
   /** The shared Laplace denominator `N + V + 1` as a double — computed
@@ -155,6 +169,88 @@ object LangModel {
       .groupBy("w1", "w2", "w3").agg(count(lit(1)).as("cnt3"))
       .filter(col("cnt3") >= minCount)
     TrigramLm(trainBigram(ref, textCol, minCount), triples)
+  }
+
+  /** Train an interpolated Kneser–Ney bigram LM: the minCount=1
+    * bigram tables (see [[KneserNeyLm]] for why pruning is off) plus
+    * the count-of-counts discount estimate. One extra tiny aggregate
+    * over the bigram table (2 longs of driver egress) beyond
+    * [[trainBigram]]'s cost. */
+  def trainKneserNey(ref: DataFrame, textCol: String): KneserNeyLm = {
+    val bg = trainBigram(ref, textCol, minCount = 1L)
+    val r = bg.table.agg(
+      coalesce(sum((col("cnt2") === 1).cast("long")), lit(0L)).as("n1"),
+      coalesce(sum((col("cnt2") === 2).cast("long")), lit(0L)).as("n2")).head()
+    val n1 = r.getLong(0); val n2 = r.getLong(1)
+    val d = if (n1 + 2 * n2 == 0) 0.5 else n1.toDouble / (n1 + 2.0 * n2)
+    KneserNeyLm(bg, d)
+  }
+
+  /** Composable interpolated-KN scoring: one row per doc with
+    * `kn_logp` (average log10 probability over all positions) and
+    * `kn_positions`. Derived statistics, all from the unpruned bigram
+    * table so every sum is complete:
+    *  - `ctx(w1)   = Σ_w2 c(w1,w2)` — the conditional denominator;
+    *  - `nfwd(w1)  = |{w2 : c(w1,w2) > 0}|` — distinct continuations,
+    *    the interpolation weight's numerator;
+    *  - `nbwd(w2)  = |{w1 : c(w1,w2) > 0}|` — the CONTINUATION count:
+    *    how many contexts w2 completes ("Francisco" is frequent but
+    *    completes almost nothing — the insight the method is named for);
+    *  - `pcont(w2) = (nbwd(w2) + 1) / (B + V + 1)` with B = distinct
+    *    bigram types — the unigram-Laplace trick applied to
+    *    continuation counts, reserving `1/(B+V+1)` for OOV so the
+    *    distribution still sums to exactly 1 over vocab ∪ OOV.
+    * Per position: seen context →
+    * `(max(c−D,0) + D·nfwd(w1)·pcont(w2)) / ctx(w1)`; unseen context
+    * (and position 0) → `pcont(w2)`. Every piece is SQL arithmetic on
+    * the two count tables, so the q97 oracle replays training AND
+    * scoring verbatim.
+    *
+    * Shape: in-row pair construction; the fwd/bwd aggregates are one
+    * map-side-collapsed groupBy each over the UNPRUNED bigram table,
+    * so their size is the reference's bigram-type count and AQE picks
+    * broadcast vs shuffle for the scoring joins; one final per-doc
+    * aggregate, same as the other composable scorers. */
+  def logProbPerDocKneserNey(
+      docs: DataFrame,
+      lm: KneserNeyLm,
+      idCol: String,
+      textCol: String): DataFrame = {
+    val bt = lm.bigram.table
+    val fwd = bt.groupBy("w1")
+      .agg(sum("cnt2").as("__ctx"), count(lit(1)).as("__nfwd"))
+    val bwd = bt.groupBy("w2").agg(count(lit(1)).as("__nbwd"))
+    val r = bt.agg(count(lit(1))).head()
+    val denomCont = (r.getLong(0) + lm.bigram.unigram.vocab + 1).toDouble
+    def pcont(nbwd: Column): Column =
+      (coalesce(nbwd, lit(0L)) + lit(1L)).cast("double") / lit(denomCont)
+    val dD = lm.discount
+    val base = docs
+      .select(col(idCol), Dedup.tokens(col(textCol)).as("tk"))
+      .filter(size(col("tk")) > 0)
+    // position 0: the continuation unigram (interpolated KN's lowest
+    // order — the distribution position i>0 interpolates toward)
+    val first = base
+      .select(col(idCol), element_at(col("tk"), 1).as("w2"))
+      .join(bwd, Seq("w2"), "left")
+      .select(col(idCol), log10(pcont(col("__nbwd"))).as("logp"))
+    val pairs = base
+      .select(col(idCol), explode(pairsOf(col("tk"))).as("p"))
+      .select(col(idCol), col("p.w1"), col("p.w2"))
+      .join(bt, Seq("w1", "w2"), "left")
+      .join(fwd, Seq("w1"), "left")
+      .join(bwd, Seq("w2"), "left")
+      .select(col(idCol),
+        when(col("__ctx").isNotNull,
+          log10((greatest(coalesce(col("cnt2"), lit(0L)).cast("double") - lit(dD),
+            lit(0.0)) +
+            lit(dD) * col("__nfwd").cast("double") * pcont(col("__nbwd"))) /
+            col("__ctx").cast("double")))
+        .otherwise(log10(pcont(col("__nbwd"))))
+        .as("logp"))
+    first.unionByName(pairs)
+      .groupBy(idCol)
+      .agg(avg("logp").as("kn_logp"), count(lit(1)).as("kn_positions"))
   }
 
   /** Sliding `(w1..wn)` grams of a token array, in order — the

@@ -1247,6 +1247,89 @@ class CliSpec extends SparkTestBase {
       "span evidence must carry forward when the stage is off")
   }
 
+  test("curator span-parts-dir: immutable parts + manifest — prior parts never " +
+      "rewritten, cross-batch cut identical, stage-off carry is metadata-only") {
+    import spark.implicits._
+    val base = tmp()
+    val passage = "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu"
+    val inA = base.resolve("ppa").toString
+    val inB = base.resolve("ppb").toString
+    (Seq((1L, s"first batch owner doc carries the quoted text $passage"),
+      (2L, "plain first batch document nothing shared at all")): Seq[(Long, String)])
+      .toDF("doc_id", "text").write.parquet(inA)
+    (Seq((200L, "second batch quoting entity reuses verbatim material " +
+        s"$passage trailing words continue afterwards"),
+      (201L, "another clean second batch document full of fresh words")): Seq[(Long, String)])
+      .toDF("doc_id", "text").write.parquet(inB)
+    val partsDir = base.resolve("spanparts").toString
+    def conf(run: Int, in: String, stateIn: Option[String], partsLine: String) =
+      write(base.resolve(s"pp$run.conf"),
+        s"""source { storage-type = local, dataset-dir = $in }
+           |target { storage-type = local, dataset-dir = ${base.resolve(s"ppout$run")}, dataset-store-format = parquet, write-mode = overwrite }
+           |curation {
+           |  min-quality = 0.0
+           |  span-dedup-tokens = 10
+           |$partsLine
+           |${stateIn.map(d => s"  state-dir = $d").getOrElse("")}
+           |  state-out-dir = ${base.resolve(s"ppstate$run")}
+           |}
+           |""".stripMargin)
+    val partsLine = s"  span-parts-dir = $partsDir"
+    graft.cli.Curator.main(Array("--conf", conf(1, inA, None, partsLine)))
+    val st1 = base.resolve("ppstate1")
+    assert(new java.io.File(st1.resolve("spanmanifest").toString).exists(),
+      "parts mode must commit a manifest")
+    assert(!new java.io.File(st1.resolve("spans").toString).exists(),
+      "parts mode must NOT write the union parquet")
+    val part0 = new java.io.File(partsDir, "part-0")
+    assert(part0.exists(), "batch 1's spans must land in part-0")
+    def partFiles(d: java.io.File): Map[String, (Long, Long)] =
+      d.listFiles().filter(_.getName.endsWith(".parquet"))
+        .map(f => f.getName -> (f.length, f.lastModified)).toMap
+    val part0Before = partFiles(part0)
+    // batch 2: cross-batch passage cut, part-0 untouched, manifest grows
+    graft.cli.Curator.main(Array("--conf",
+      conf(2, inB, Some(st1.toString), partsLine)))
+    val out2 = spark.read.parquet(base.resolve("ppout2").toString)
+      .select("doc_id", "text").as[(Long, String)].collect().toMap
+    assert(!out2(200L).contains("alpha beta"),
+      s"cross-batch duplicated passage must be cut: ${out2(200L)}")
+    assert(out2(201L) == "another clean second batch document full of fresh words")
+    assert(partFiles(part0) == part0Before,
+      "prior part must be byte-identical after batch 2 — immutability is the point")
+    assert(new java.io.File(partsDir, "part-1").exists())
+    val manifest2 = scala.io.Source.fromFile(
+      base.resolve("ppstate2").resolve("spanmanifest").toString).mkString
+      .split("\n").filter(_.nonEmpty)
+    assert(manifest2.length == 2 && manifest2(0).endsWith("part-0") &&
+      manifest2(1).endsWith("part-1"), s"manifest: ${manifest2.toSeq}")
+    // dropping span-parts-dir against parts-mode state = parameter drift
+    val e = intercept[IllegalArgumentException] {
+      graft.cli.Curator.main(Array("--conf",
+        conf(3, inB, Some(base.resolve("ppstate2").toString), "")))
+    }
+    assert(e.getMessage.contains("span"), e.getMessage)
+    // stage off: metadata-only carry — manifest copied, no parquet written
+    val f4 = write(base.resolve("pp4.conf"),
+      s"""source { storage-type = local, dataset-dir = $inB }
+         |target { storage-type = local, dataset-dir = ${base.resolve("ppout4")}, dataset-store-format = parquet, write-mode = overwrite }
+         |curation {
+         |  min-quality = 0.0
+         |  state-dir = ${base.resolve("ppstate2")}
+         |  state-out-dir = ${base.resolve("ppstate4")}
+         |}
+         |""".stripMargin)
+    graft.cli.Curator.main(Array("--conf", f4))
+    val manifest4 = scala.io.Source.fromFile(
+      base.resolve("ppstate4").resolve("spanmanifest").toString).mkString
+    assert(manifest4.split("\n").filter(_.nonEmpty).toSeq == manifest2.toSeq,
+      "stage-off carry must copy the manifest verbatim")
+    assert(!new java.io.File(base.resolve("ppstate4").resolve("spans").toString).exists(),
+      "stage-off carry over parts-mode state must not materialize a union")
+    assert(new java.io.File(partsDir).listFiles().map(_.getName).toSet ==
+      Set("part-0", "part-1"), "no new parts without a batch")
+  }
+
   test("curator temperature mixing: rates replay exactly from the no-mix run; " +
       "conflicts with mixture-weights") {
     import org.apache.spark.sql.functions.col

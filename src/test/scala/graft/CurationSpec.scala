@@ -251,4 +251,48 @@ class CurationSpec extends SparkTestBase {
       QualityClassifier(QualityClassifier.FeatureNames.reverse.map(_ -> 1.0), 0.0)
     }
   }
+
+  test("charGramSql: boundary-marked fastText grams, word token kept, " +
+      "char model save/load round-trips through the BOW artifact path") {
+    import graft.llm.QualityClassifier
+    // grams of "<where>" at n=3..4 plus the word itself
+    val grams = Seq(("where zz", 1L)).toDF("__bow_text", "doc_id")
+      .selectExpr(s"(${QualityClassifier.charGramSql(3, 4)}) AS g")
+      .head().getSeq[String](0)
+    assert(grams.contains("where") && grams.contains("zz"), "word tokens kept")
+    assert(grams.contains("<wh") && grams.contains("her") && grams.contains("re>"),
+      "3-grams of <where> present")
+    assert(grams.contains("<whe") && grams.contains("ere>"),
+      "4-grams of <where> present")
+    assert(grams.contains("<zz") && grams.contains("zz>") &&
+      grams.contains("<zz>"), "short word: <zz> is 4 chars, so n=3 gives " +
+      "<zz/zz> and n=4 the whole marked word")
+    assert(!grams.exists(g => g.startsWith("<zz") && g.length > 4),
+      "no gram longer than the marked word")
+    assert(!grams.contains(""), "no empty grams")
+    // train a tiny char model, save through the SAME BOW artifact path
+    // the Curator loads, and assert identical scores after reload
+    val ref = (0 until 40).map(i => s"the quick brown fox number $i jumps high")
+      .toDF("text")
+    val neg = (0 until 40).map(i => f"deadbeef$i%04x cafebabe$i%04x feedface$i%04x")
+      .toDF("text")
+    val model = QualityClassifier.trainCharBow(ref, neg, "text",
+      numFeatures = 1 << 14, regParam = 0.01)
+    val dir = java.nio.file.Files.createTempDirectory("graft_charclf")
+    val path = dir.resolve("char_clf").toString
+    QualityClassifier.saveBow(model, path)
+    val loaded = QualityClassifier.loadBow(path)
+    val probe = Seq((1L, "an unseen quick fox sentence"),
+      (2L, "0123abcd4567ef89 aabbccddeeff0011")).toDF("doc_id", "text")
+    val a = QualityClassifier.scoreBow(probe, "text", model)
+      .select("doc_id", "bow_score")
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val b = QualityClassifier.scoreBow(probe, "text", loaded)
+      .select("doc_id", "bow_score")
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(a == b, "saved+loaded char model must score identically")
+    // generalization to unseen hex words — the char-gram point
+    assert(a(1L) > 0.5 && a(2L) < 0.5,
+      s"char model must generalize to unseen words: prose=${a(1L)} hex=${a(2L)}")
+  }
 }

@@ -301,6 +301,35 @@ class EntrySpec extends SparkTestBase {
     }
   }
 
+  test("q96: char-n-gram classifier saturates separation on UNSEEN-word noise; " +
+      "the word-identity model demonstrably does not") {
+    val rows = SparkEntry.queries("q96_chargram_classifier")(spark, sfDir)
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getDouble(3), r.getDouble(4), r.getDouble(5))).toMap
+    assert(rows.keySet ==
+      Set(("word", "ref"), ("word", "neg"), ("char", "ref"), ("char", "neg")),
+      s"model×cohort grid: ${rows.keySet}")
+    val (nCharRef, avgCharRef, minCharRef, _) = rows(("char", "ref"))
+    val (nCharNeg, avgCharNeg, _, maxCharNeg) = rows(("char", "neg"))
+    assert(nCharRef > 0 && nCharNeg > 0)
+    // the char-gram surface generalizes: hex grams were trained even
+    // though every held-out WORD is new
+    assert(avgCharRef > 0.9 && avgCharNeg < 0.1,
+      s"char model must separate unseen-word cohorts: ref=$avgCharRef neg=$avgCharNeg")
+    assert(minCharRef > 0.5 && maxCharNeg < 0.5,
+      s"every held-out doc must classify: minRef=$minCharRef maxNeg=$maxCharNeg")
+    // the word model's failure IS the demonstration: unseen tokens hash
+    // to untrained buckets, so the unseen-noise cohort is NOT
+    // confidently rejected (scores sit near the prior, not near 0)
+    val (_, avgWordNeg, _, _) = rows(("word", "neg"))
+    assert(avgWordNeg > 0.3,
+      s"word model should NOT confidently reject unseen-word noise " +
+        s"(that's the char-gram gap): avgWordNeg=$avgWordNeg")
+    assert(avgCharNeg < avgWordNeg - 0.2,
+      s"char model must beat word identity on unseen noise: " +
+        s"char=$avgCharNeg word=$avgWordNeg")
+  }
+
   test("q36 dim-chain plan: both dimensions broadcast, no sort-merge join") {
     val plan = SparkEntry.queries("q36_supplier_region")(spark, sfDir)
       .queryExecution.executedPlan.toString
