@@ -56,6 +56,46 @@ object Cli {
     println(s"$tm $msg")
   }
 
+  /** Immutable-parts manifest for a dedup-state table: when a state
+    * dir holds `<table>manifest` (a text file of write-once parquet
+    * part paths, one per batch), readers union the parts; otherwise
+    * the table is the materialized `<dir>/<table>` parquet. The parts
+    * live under a STABLE parts dir (one per corpus lineage), so the
+    * per-batch upkeep IO is the batch's own rows, not the corpus's —
+    * the object-store shape. */
+  private[graft] def stateTableParts(
+      spark: SparkSession, d: String, table: String): Option[Seq[String]] = {
+    val mp = new org.apache.hadoop.fs.Path(d, s"${table}manifest")
+    val fs = mp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(mp)) {
+      val in = fs.open(mp)
+      val txt = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+        finally in.close()
+      Some(txt.split("\n").filter(_.nonEmpty).toSeq)
+    } else None
+  }
+
+  /** Read a state table through its manifest when present, else the
+    * materialized parquet dir — every consumer of `hashes`/`sigs`/
+    * `vecsigs`/`spans` state goes through here so parts mode is
+    * transparent to the tiers (and to the Streamer). */
+  private[graft] def readStateTable(
+      spark: SparkSession, d: String, table: String): org.apache.spark.sql.DataFrame =
+    stateTableParts(spark, d, table) match {
+      case Some(parts) => spark.read.parquet(parts: _*)
+      case None => spark.read.parquet(s"$d/$table")
+    }
+
+  /** Write a `<table>manifest` listing `parts` into `outPath`. */
+  private[graft] def writeStateManifest(
+      spark: SparkSession, outPath: org.apache.hadoop.fs.Path,
+      table: String, parts: Seq[String]): Unit = {
+    require(parts.nonEmpty, s"$table manifest with no parts")
+    val fs = outPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val out = fs.create(new org.apache.hadoop.fs.Path(outPath, s"${table}manifest"), true)
+    try out.write(parts.mkString("\n").getBytes("UTF-8")) finally out.close()
+  }
+
   /** Per-stage wall-time + row-count collector for the Curator's run
     * artifact (the Bench mem-block idiom: a production run should be
     * diagnosable from its artifacts alone, without logs). Spark is
@@ -383,9 +423,16 @@ object Curator {
     // vector signatures only compare under the SAME hyperplane seed
     // (mirroring text gramSize), and the persisted hot-bucket keys only
     // mean anything under the same banding.
+    // `state-parts-dir` switches hashes/sigs/vecsigs upkeep to the
+    // immutable-parts manifest (same design as span's `span-parts-dir`
+    // — see the span stage comment); it rides stateParams so mode or
+    // lineage drift against a committed state is rejected like any
+    // fingerprint-parameter drift
+    val statePartsDir = c.getString("state-parts-dir")
     val stateParams =
       s"shingle-size=${cc.shingleSize};bands=${cc.simHashBands};max-bucket=${cc.simHashMaxBucket}" +
-        embCol.map(e => s";embedding=$e;srp-seed=$vecSeed;srp-bands=$vecBands").getOrElse("")
+        embCol.map(e => s";embedding=$e;srp-seed=$vecSeed;srp-bands=$vecBands").getOrElse("") +
+        statePartsDir.map(p => s";state-parts-dir=$p").getOrElse("")
     val stateDir = c.getString("state-dir")
     stateDir.foreach { d =>
       val marker = new Path(qual(d), "_COMMITTED")
@@ -485,22 +532,10 @@ object Curator {
     // lineage; the parameter rides spanparams so mixing modes or
     // lineages against one state is rejected like any other drift.
     val spanPartsDir = c.getString("span-parts-dir")
-    def spanManifestParts(d: String): Option[Seq[String]] = {
-      val mp = new Path(qual(d), "spanmanifest")
-      if (exists(mp)) {
-        val in = mp.getFileSystem(hconf).open(mp)
-        val txt = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
-          finally in.close()
-        Some(txt.split("\n").filter(_.nonEmpty).toSeq)
-      } else None
-    }
     def readPriorSpans(d: String): org.apache.spark.sql.DataFrame =
-      spanManifestParts(d) match {
-        case Some(parts) => spark.read.parquet(parts: _*)
-        case None => spark.read.parquet(s"$d/spans")
-      }
+      Cli.readStateTable(spark, d, "spans")
     val priorSpanDir = stateDir.filter(d =>
-      exists(new Path(qual(d), "spans")) || exists(new Path(qual(d), "spanmanifest")))
+      exists(new Path(qual(d), "spans")) || exists(new Path(qual(d), "spansmanifest")))
     val (df0ToFree, spanEvidence) = c.getInt("span-dedup-tokens") match {
       case Some(n) => stages.timed("span-dedup") {
         val bloomItems = c.getLong("span-bloom-items").getOrElse(1L << 22)
@@ -561,8 +596,8 @@ object Curator {
     val (batch, batchToFree) = stateDir match {
       case Some(d) => stages.timed("incremental-text-tiers") {
         Cli.log(s"incremental: dropping docs seen in state at $d ...")
-        val hashes = spark.read.parquet(s"$d/hashes")
-        val sigs = spark.read.parquet(s"$d/sigs")
+        val hashes = Cli.readStateTable(spark, d, "hashes")
+        val sigs = Cli.readStateTable(spark, d, "sigs")
         val hot = Some(spark.read.parquet(s"$d/hot"))
         // curate() runs verified near-dedup on these survivors next —
         // the signature-only in-batch tier would pre-empt it with
@@ -600,7 +635,7 @@ object Curator {
       case Some(e) => stages.timed("vector-tiers") {
         import graft.llm.Similarity
         val (corpusVecSigs, vecHot) = stateDir match {
-          case Some(d) => (spark.read.parquet(s"$d/vecsigs"),
+          case Some(d) => (Cli.readStateTable(spark, d, "vecsigs"),
             Some(spark.read.parquet(s"$d/vechot")))
           case None =>
             // first run: no corpus state — the in-batch tier still must
@@ -913,32 +948,47 @@ object Curator {
       import graft.llm.Dedup
       val newHashes = curated.select(Dedup.contentHash(col(textCol)).as("content_hash"))
       val newSigs = Dedup.simHashSignatures(curated, idCol, textCol, cc.shingleSize)
-      val (hashes, sigs) = stateDir match {
-        case Some(d) => (
-          spark.read.parquet(s"$d/hashes").unionByName(newHashes),
-          spark.read.parquet(s"$d/sigs").unionByName(newSigs))
-        case None => (newHashes, newSigs)
-      }
       val outPath = qual(outDir)
       val fs = outPath.getFileSystem(hconf)
       fs.delete(new Path(outPath, "_COMMITTED"), false) // out dir is now in-progress
-      hashes.write.mode("overwrite").parquet(s"$outDir/hashes")
-      sigs.write.mode("overwrite").parquet(s"$outDir/sigs")
-      Dedup.simHashHotBuckets(spark.read.parquet(s"$outDir/sigs"),
-        cc.simHashBands, cc.simHashMaxBucket)
+      // In parts mode, write ONLY this batch's rows as a new write-once
+      // part and return the full part list; readers union the parts.
+      // The hot-bucket tables are aggregates over the FULL table either
+      // way (small outputs — recomputed per commit), so they read the
+      // parts union but stay materialized. Rewrite mode keeps the
+      // original union-write. Returns the DataFrame covering the whole
+      // table for those aggregates.
+      def writeStateTable(table: String,
+          batchRows: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+        statePartsDir match {
+          case Some(pd) =>
+            val pp = stateDir
+              .flatMap(d => Cli.stateTableParts(spark, d, table))
+              .getOrElse(Seq.empty)
+            val newPart = s"${qual(pd)}/$table/part-${pp.length}"
+            batchRows.write.mode("overwrite").parquet(newPart)
+            val parts = pp :+ newPart
+            Cli.writeStateManifest(spark, outPath, table, parts)
+            spark.read.parquet(parts: _*)
+          case None =>
+            val all = stateDir match {
+              case Some(d) => Cli.readStateTable(spark, d, table).unionByName(batchRows)
+              case None => batchRows
+            }
+            all.write.mode("overwrite").parquet(s"$outDir/$table")
+            spark.read.parquet(s"$outDir/$table")
+        }
+      writeStateTable("hashes", newHashes)
+      val allSigs = writeStateTable("sigs", newSigs)
+      Dedup.simHashHotBuckets(allSigs, cc.simHashBands, cc.simHashMaxBucket)
         .write.mode("overwrite").parquet(s"$outDir/hot")
       // vector state rides the same commit: SRP signatures of the
       // CURATED corpus (8 bytes/vector) + their hot-bucket keys, under
       // the seed recorded in the marker params
       embCol.foreach { e =>
         val newVecSigs = graft.llm.Similarity.srpSignatures(curated, idCol, e, vecSeed)
-        val vecSigsAll = stateDir match {
-          case Some(d) => spark.read.parquet(s"$d/vecsigs").unionByName(newVecSigs)
-          case None => newVecSigs
-        }
-        vecSigsAll.write.mode("overwrite").parquet(s"$outDir/vecsigs")
-        Dedup.simHashHotBuckets(spark.read.parquet(s"$outDir/vecsigs"),
-          vecBands, cc.simHashMaxBucket)
+        val allVecSigs = writeStateTable("vecsigs", newVecSigs)
+        Dedup.simHashHotBuckets(allVecSigs, vecBands, cc.simHashMaxBucket)
           .write.mode("overwrite").parquet(s"$outDir/vechot")
       }
       // boilerplate evidence rides the same commit: accumulated line
@@ -953,14 +1003,7 @@ object Curator {
       // which an object-store deployment would replace with a
       // metadata-only manifest of the prior immutable parquet parts.
       spanEvidence.foreach { ev =>
-        def writeManifest(parts: Seq[String]): Unit = {
-          require(parts.nonEmpty,
-            "span evidence with neither prior parts nor a batch part")
-          val mOut = fs.create(new Path(outPath, "spanmanifest"), true)
-          try mOut.write(parts.mkString("\n").getBytes("UTF-8"))
-          finally mOut.close()
-        }
-        val priorParts = priorSpanDir.flatMap(spanManifestParts)
+        val priorParts = priorSpanDir.flatMap(d => Cli.stateTableParts(spark, d, "spans"))
         (spanPartsDir, ev.batch) match {
           case (Some(pd), Some(b)) =>
             // immutable-parts mode: persist ONLY this batch's spans as
@@ -971,13 +1014,13 @@ object Curator {
             // mode run against rewrite-mode state — or vice versa — is
             // rejected by the spanparams check before reaching here.)
             val pp = priorParts.getOrElse(Seq.empty)
-            val newPart = s"${qual(pd)}/part-${pp.length}"
+            val newPart = s"${qual(pd)}/spans/part-${pp.length}"
             b.write.mode("overwrite").parquet(newPart)
-            writeManifest(pp :+ newPart)
+            Cli.writeStateManifest(spark, outPath, "spans", pp :+ newPart)
           case (_, None) if priorParts.isDefined =>
             // stage toggled off over parts-mode state: the carry is
             // METADATA-ONLY — copy the manifest, touch no parquet
-            writeManifest(priorParts.get)
+            Cli.writeStateManifest(spark, outPath, "spans", priorParts.get)
           case _ =>
             val all = (ev.prior.toSeq ++ ev.batch.toSeq).reduce(_.unionByName(_))
             all.write.mode("overwrite").parquet(s"$outDir/spans")
@@ -1097,7 +1140,9 @@ object Streamer {
           }
         }
         Streams.dropNearSeenStream(docs,
-          spark.read.parquet(s"$stateDir/sigs"),
+          // parts-manifest-transparent: a state built with
+          // `state-parts-dir` streams identically
+          Cli.readStateTable(spark, stateDir, "sigs"),
           c.getString("text-column").getOrElse("text"),
           // query-time radius (not baked into stored signatures)
           maxHamming = c.getInt("max-hamming").getOrElse(3),

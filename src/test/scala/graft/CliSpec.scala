@@ -329,6 +329,69 @@ class CliSpec extends SparkTestBase {
     intercept[IllegalArgumentException] { graft.cli.Curator.main(Array("--conf", drift)) }
   }
 
+  test("curator state-parts-dir: hashes/sigs become immutable parts + manifests; " +
+      "incremental convergence identical, prior parts untouched, drift rejected") {
+    val base = tmp()
+    val partsDir = base.resolve("stparts").toString
+    def conf(run: Int, stateIn: Option[String], partsLine: String) =
+      write(base.resolve(s"pcur$run.conf"),
+        s"""source { storage-type = local, dataset-dir = $sfDir/documents.parquet }
+           |target { storage-type = local, dataset-dir = ${base.resolve(s"pout$run")}, dataset-store-format = parquet, write-mode = overwrite }
+           |curation {
+           |  min-quality = 0.2
+           |$partsLine
+           |${stateIn.map(d => s"  state-dir = $d").getOrElse("")}
+           |  state-out-dir = ${base.resolve(s"pstate$run")}
+           |}
+           |""".stripMargin)
+    val partsLine = s"  state-parts-dir = $partsDir"
+    graft.cli.Curator.main(Array("--conf", conf(1, None, partsLine)))
+    val n1 = spark.read.parquet(base.resolve("pout1").toString).count()
+    assert(n1 > 0)
+    val st1 = base.resolve("pstate1")
+    for (t <- Seq("hashes", "sigs")) {
+      assert(new java.io.File(st1.resolve(s"${t}manifest").toString).exists(),
+        s"$t manifest must commit")
+      assert(!new java.io.File(st1.resolve(t).toString).exists(),
+        s"parts mode must not materialize $t in the state dir")
+    }
+    // hot buckets stay a materialized aggregate either way
+    assert(new java.io.File(st1.resolve("hot").toString).exists())
+    def partFiles(t: String, i: Int): Map[String, (Long, Long)] = {
+      val d = new java.io.File(s"$partsDir/$t", s"part-$i")
+      assert(d.exists(), s"$t/part-$i must exist")
+      d.listFiles().filter(_.getName.endsWith(".parquet"))
+        .map(f => f.getName -> (f.length, f.lastModified)).toMap
+    }
+    val hashes0 = partFiles("hashes", 0)
+    val sigs0 = partFiles("sigs", 0)
+    // run 2: same corpus against state — drops to remnants, same
+    // convergence contract as rewrite mode
+    graft.cli.Curator.main(Array("--conf",
+      conf(2, Some(st1.toString), partsLine)))
+    val n2 = spark.read.parquet(base.resolve("pout2").toString).count()
+    assert(n2 <= n1 / 50, s"run 2 kept $n2 of $n1 — incremental dedup not effective")
+    assert(partFiles("hashes", 0) == hashes0 && partFiles("sigs", 0) == sigs0,
+      "prior parts must be byte-identical after run 2 — immutability is the point")
+    // manifest union covers corpus + remnants, exactly like the
+    // rewrite-mode accumulated table
+    val manifest2 = scala.io.Source.fromFile(
+      base.resolve("pstate2").resolve("hashesmanifest").toString).mkString
+      .split("\n").filter(_.nonEmpty)
+    assert(manifest2.length == 2, s"manifest: ${manifest2.toSeq}")
+    assert(spark.read.parquet(manifest2.toIndexedSeq: _*).count() == n1 + n2)
+    // run 3 converges to zero
+    graft.cli.Curator.main(Array("--conf",
+      conf(3, Some(base.resolve("pstate2").toString), partsLine)))
+    assert(spark.read.parquet(base.resolve("pout3").toString).count() == 0)
+    // dropping state-parts-dir against a parts-mode state = param drift
+    val e = intercept[IllegalArgumentException] {
+      graft.cli.Curator.main(Array("--conf",
+        conf(4, Some(base.resolve("pstate2").toString), "")))
+    }
+    assert(e.getMessage.contains("state-parts-dir"), e.getMessage)
+  }
+
   test("curator cardinality state accumulates lifetime distincts across batches") {
     import org.apache.spark.sql.functions.{col, countDistinct, explode}
     val base = tmp()
@@ -1277,11 +1340,11 @@ class CliSpec extends SparkTestBase {
     val partsLine = s"  span-parts-dir = $partsDir"
     graft.cli.Curator.main(Array("--conf", conf(1, inA, None, partsLine)))
     val st1 = base.resolve("ppstate1")
-    assert(new java.io.File(st1.resolve("spanmanifest").toString).exists(),
+    assert(new java.io.File(st1.resolve("spansmanifest").toString).exists(),
       "parts mode must commit a manifest")
     assert(!new java.io.File(st1.resolve("spans").toString).exists(),
       "parts mode must NOT write the union parquet")
-    val part0 = new java.io.File(partsDir, "part-0")
+    val part0 = new java.io.File(s"$partsDir/spans", "part-0")
     assert(part0.exists(), "batch 1's spans must land in part-0")
     def partFiles(d: java.io.File): Map[String, (Long, Long)] =
       d.listFiles().filter(_.getName.endsWith(".parquet"))
@@ -1297,9 +1360,9 @@ class CliSpec extends SparkTestBase {
     assert(out2(201L) == "another clean second batch document full of fresh words")
     assert(partFiles(part0) == part0Before,
       "prior part must be byte-identical after batch 2 — immutability is the point")
-    assert(new java.io.File(partsDir, "part-1").exists())
+    assert(new java.io.File(s"$partsDir/spans", "part-1").exists())
     val manifest2 = scala.io.Source.fromFile(
-      base.resolve("ppstate2").resolve("spanmanifest").toString).mkString
+      base.resolve("ppstate2").resolve("spansmanifest").toString).mkString
       .split("\n").filter(_.nonEmpty)
     assert(manifest2.length == 2 && manifest2(0).endsWith("part-0") &&
       manifest2(1).endsWith("part-1"), s"manifest: ${manifest2.toSeq}")
@@ -1321,12 +1384,12 @@ class CliSpec extends SparkTestBase {
          |""".stripMargin)
     graft.cli.Curator.main(Array("--conf", f4))
     val manifest4 = scala.io.Source.fromFile(
-      base.resolve("ppstate4").resolve("spanmanifest").toString).mkString
+      base.resolve("ppstate4").resolve("spansmanifest").toString).mkString
     assert(manifest4.split("\n").filter(_.nonEmpty).toSeq == manifest2.toSeq,
       "stage-off carry must copy the manifest verbatim")
     assert(!new java.io.File(base.resolve("ppstate4").resolve("spans").toString).exists(),
       "stage-off carry over parts-mode state must not materialize a union")
-    assert(new java.io.File(partsDir).listFiles().map(_.getName).toSet ==
+    assert(new java.io.File(s"$partsDir/spans").listFiles().map(_.getName).toSet ==
       Set("part-0", "part-1"), "no new parts without a batch")
   }
 
