@@ -1758,6 +1758,51 @@ object SparkEntry {
         .select(col("doc_id"), round(col("kn_logp"), 6).as("kn_logp"),
           col("kn_positions"))
     }),
+
+    // ---- The same KN scores through the SCALE path: the saveBigram
+    // artifact of the UNPRUNED tables loads once per executor JVM; the
+    // registry recomputes every derived statistic (context sums,
+    // continuation counts, the clamped count-of-counts discount) from
+    // the stored counts and precomputes stored-pair log-probs; scoring
+    // is a zero-shuffle codegen'd projection. The SAME oracle as q97
+    // pins parity at round(6).
+    "q99_kn_native" -> ((s, dir) => {
+      import graft.llm.LangModel
+      val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
+      val lm = LangModel.trainKneserNey(docs.filter(col("doc_id") < 100), "text")
+      val lmPath = new java.io.File(
+        new java.io.File(System.getProperty("java.io.tmpdir"), "graft_lm"),
+        s"${dir.replaceAll("[^A-Za-z0-9.-]", "_")}_kn.lm2").toString
+      LangModel.saveBigram(lm.bigram, lmPath)
+      docs.filter(col("doc_id") >= 100)
+        .select(col("doc_id"),
+          round(graft.functions.GraftFunctions.knLogProb(col("text"), lmPath), 6)
+            .as("kn_logp"),
+          graft.llm.TextAnalysis.wsTokenCount(col("text")).cast("long")
+            .as("kn_positions"))
+        .filter(col("kn_logp").isNotNull)
+    }),
+
+    // ---- CCNet perplexity buckets (Wenzek et al. 2019): per source,
+    // head/middle/tail thirds by unigram-LM score (q71's training and
+    // arithmetic). The score is rounded to the oracle's 6 decimals
+    // BEFORE ranking so cross-engine libm noise cannot flip an
+    // ordering; percent_rank tie/boundary semantics are identical in
+    // Spark and DuckDB (ties share a rank; a pr exactly on 1/3 is
+    // middle in both). The scale path (threshold form, zero per-group
+    // sort) is pinned against this exact form in CorpusPrepSpec.
+    "q98_ppl_buckets" -> ((s, dir) => {
+      import graft.llm.{CorpusPrep, LangModel}
+      val docs = t(s, dir, "documents").select(col("doc_id"), col("source"), col("text"))
+      val lm = LangModel.trainUnigram(
+        docs.filter(col("doc_id") < 100), "text", minCount = 2)
+      val scored = LangModel.logProbPerDoc(
+        docs.filter(col("doc_id") >= 100), lm, "doc_id", "text")
+        .join(docs.select("doc_id", "source"), Seq("doc_id"))
+        .select(col("doc_id"), col("source"), round(col("lm_logp"), 6).as("lm_logp"))
+      CorpusPrep.perplexityBuckets(scored, "lm_logp", Seq("source"))
+        .select(col("doc_id"), col("source"), col("lm_logp"), col("ppl_bucket"))
+    }),
   )
 
   /** q76/q77's planted corpus: a shared 12-token passage appended to
@@ -2100,6 +2145,62 @@ object SparkEntry {
         |  CAST(count(*) AS BIGINT) AS lmn_positions
         |FROM allpos GROUP BY doc_id""".stripMargin
 
+  /** Shared by q97 (composable interpolated KN) and q99 (native
+    * registry over the saveBigram artifact): training and scoring
+    * replayed from the unpruned count tables. */
+  private val KneserNeyOracleSql: String =
+    """WITH toks AS (
+        |  SELECT doc_id,
+        |    list_filter(regexp_split_to_array(lower(trim(text)), '\s+'),
+        |      t -> len(t) > 0) AS tk
+        |  FROM documents),
+        |uni AS (
+        |  SELECT token, count(*) AS cnt FROM (
+        |    SELECT unnest(tk) AS token FROM toks WHERE doc_id < 100)
+        |  GROUP BY token),
+        |big AS (
+        |  SELECT w1, w2, count(*) AS cnt2 FROM (
+        |    SELECT tk[i-1] AS w1, tk[i] AS w2 FROM (
+        |      SELECT tk, unnest(generate_series(2, len(tk))) AS i
+        |      FROM toks WHERE doc_id < 100))
+        |  GROUP BY w1, w2),
+        |sc AS (
+        |  SELECT CAST(bb.b + vv.v + 1 AS DOUBLE) AS dc,
+        |    CASE WHEN bb.n1 = 0 THEN 0.5
+        |         ELSE least(CAST(bb.n1 AS DOUBLE) / (bb.n1 + 2.0 * bb.n2), 1.0) END AS d
+        |  FROM (SELECT count(*) AS b,
+        |          coalesce(sum(CASE WHEN cnt2 = 1 THEN 1 ELSE 0 END), 0) AS n1,
+        |          coalesce(sum(CASE WHEN cnt2 = 2 THEN 1 ELSE 0 END), 0) AS n2
+        |        FROM big) bb,
+        |       (SELECT count(*) AS v FROM uni) vv),
+        |fwd AS (SELECT w1, sum(cnt2) AS ctx, count(*) AS nfwd FROM big GROUP BY w1),
+        |bwd AS (SELECT w2, count(*) AS nbwd FROM big GROUP BY w2),
+        |first AS (
+        |  SELECT t.doc_id, log10((coalesce(b.nbwd, 0) + 1) / sc.dc) AS logp
+        |  FROM (SELECT doc_id, tk[1] AS w2 FROM toks
+        |        WHERE doc_id >= 100 AND len(tk) > 0) t
+        |  LEFT JOIN bwd b USING (w2) CROSS JOIN sc),
+        |pairs AS (
+        |  SELECT p.doc_id,
+        |    CASE WHEN f.ctx IS NOT NULL
+        |      THEN log10((greatest(CAST(coalesce(bg.cnt2, 0) AS DOUBLE) - sc.d, 0.0) +
+        |                  sc.d * CAST(f.nfwd AS DOUBLE) *
+        |                    ((coalesce(b.nbwd, 0) + 1) / sc.dc))
+        |                 / CAST(f.ctx AS DOUBLE))
+        |      ELSE log10((coalesce(b.nbwd, 0) + 1) / sc.dc)
+        |    END AS logp
+        |  FROM (SELECT doc_id, tk[i-1] AS w1, tk[i] AS w2 FROM (
+        |          SELECT doc_id, tk, unnest(generate_series(2, len(tk))) AS i
+        |          FROM toks WHERE doc_id >= 100)) p
+        |  LEFT JOIN big bg USING (w1, w2)
+        |  LEFT JOIN fwd f USING (w1)
+        |  LEFT JOIN bwd b USING (w2)
+        |  CROSS JOIN sc),
+        |allpos AS (SELECT * FROM first UNION ALL SELECT * FROM pairs)
+        |SELECT doc_id, round(avg(logp), 6) AS kn_logp,
+        |  CAST(count(*) AS BIGINT) AS kn_positions
+        |FROM allpos GROUP BY doc_id""".stripMargin
+
   private val LmOracleSql: String =
     """WITH toks AS (
       |  SELECT doc_id,
@@ -2233,6 +2334,35 @@ object SparkEntry {
         |FROM documents""".stripMargin,
     "q71_lm_logprob" -> LmOracleSql,
     "q72_lm_native" -> LmOracleSql,
+    // q71's LM replay + percent_rank bucketing; ranking happens on the
+    // round(6) score both engines agree on, boundaries at 1.0/3 and
+    // 1.0/3 + 1.0/3 (bit-identical to Spark's headFrac arithmetic —
+    // doubling a double is exact)
+    "q98_ppl_buckets" ->
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |    unnest(list_filter(regexp_split_to_array(lower(trim(text)), '\s+'),
+        |      t -> len(t) > 0)) AS token
+        |  FROM documents),
+        |vocab AS (
+        |  SELECT token, count(*) AS cnt FROM toks WHERE doc_id < 100
+        |  GROUP BY token HAVING count(*) >= 2),
+        |c AS (SELECT CAST(coalesce(sum(cnt), 0) + count(*) + 1 AS DOUBLE) AS d
+        |      FROM vocab),
+        |perdoc AS (
+        |  SELECT t.doc_id,
+        |    round(avg(log10(CAST(coalesce(v.cnt, 0) + 1 AS DOUBLE) / c.d)), 6) AS lm_logp
+        |  FROM toks t LEFT JOIN vocab v USING (token) CROSS JOIN c
+        |  WHERE t.doc_id >= 100 GROUP BY t.doc_id),
+        |scored AS (
+        |  SELECT p.doc_id, d.source, p.lm_logp,
+        |    percent_rank() OVER (PARTITION BY d.source ORDER BY p.lm_logp DESC) AS pr
+        |  FROM perdoc p JOIN documents d USING (doc_id))
+        |SELECT doc_id, source, lm_logp,
+        |  CASE WHEN pr < 1.0/3 THEN 'head'
+        |       WHEN pr < 1.0/3 + 1.0/3 THEN 'middle'
+        |       ELSE 'tail' END AS ppl_bucket
+        |FROM scored""".stripMargin,
     "q76_span_dedup" -> SpanDedupOracleSql,
     "q77_span_dedup_native" -> SpanDedupOracleSql,
     "q79_dsir_sample" -> DsirOracleSql,
@@ -2250,59 +2380,10 @@ object SparkEntry {
     // interpolated Kneser–Ney replayed end to end: UNPRUNED count
     // tables, count-of-counts discount, continuation counts with the
     // Laplace-style OOV floor; the CASE arms and operator grouping
-    // mirror logProbPerDocKneserNey exactly
-    "q97_kneser_ney" ->
-      """WITH toks AS (
-        |  SELECT doc_id,
-        |    list_filter(regexp_split_to_array(lower(trim(text)), '\s+'),
-        |      t -> len(t) > 0) AS tk
-        |  FROM documents),
-        |uni AS (
-        |  SELECT token, count(*) AS cnt FROM (
-        |    SELECT unnest(tk) AS token FROM toks WHERE doc_id < 100)
-        |  GROUP BY token),
-        |big AS (
-        |  SELECT w1, w2, count(*) AS cnt2 FROM (
-        |    SELECT tk[i-1] AS w1, tk[i] AS w2 FROM (
-        |      SELECT tk, unnest(generate_series(2, len(tk))) AS i
-        |      FROM toks WHERE doc_id < 100))
-        |  GROUP BY w1, w2),
-        |sc AS (
-        |  SELECT CAST(bb.b + vv.v + 1 AS DOUBLE) AS dc,
-        |    CASE WHEN bb.n1 + 2 * bb.n2 = 0 THEN 0.5
-        |         ELSE CAST(bb.n1 AS DOUBLE) / (bb.n1 + 2.0 * bb.n2) END AS d
-        |  FROM (SELECT count(*) AS b,
-        |          coalesce(sum(CASE WHEN cnt2 = 1 THEN 1 ELSE 0 END), 0) AS n1,
-        |          coalesce(sum(CASE WHEN cnt2 = 2 THEN 1 ELSE 0 END), 0) AS n2
-        |        FROM big) bb,
-        |       (SELECT count(*) AS v FROM uni) vv),
-        |fwd AS (SELECT w1, sum(cnt2) AS ctx, count(*) AS nfwd FROM big GROUP BY w1),
-        |bwd AS (SELECT w2, count(*) AS nbwd FROM big GROUP BY w2),
-        |first AS (
-        |  SELECT t.doc_id, log10((coalesce(b.nbwd, 0) + 1) / sc.dc) AS logp
-        |  FROM (SELECT doc_id, tk[1] AS w2 FROM toks
-        |        WHERE doc_id >= 100 AND len(tk) > 0) t
-        |  LEFT JOIN bwd b USING (w2) CROSS JOIN sc),
-        |pairs AS (
-        |  SELECT p.doc_id,
-        |    CASE WHEN f.ctx IS NOT NULL
-        |      THEN log10((greatest(CAST(coalesce(bg.cnt2, 0) AS DOUBLE) - sc.d, 0.0) +
-        |                  sc.d * CAST(f.nfwd AS DOUBLE) *
-        |                    ((coalesce(b.nbwd, 0) + 1) / sc.dc))
-        |                 / CAST(f.ctx AS DOUBLE))
-        |      ELSE log10((coalesce(b.nbwd, 0) + 1) / sc.dc)
-        |    END AS logp
-        |  FROM (SELECT doc_id, tk[i-1] AS w1, tk[i] AS w2 FROM (
-        |          SELECT doc_id, tk, unnest(generate_series(2, len(tk))) AS i
-        |          FROM toks WHERE doc_id >= 100)) p
-        |  LEFT JOIN big bg USING (w1, w2)
-        |  LEFT JOIN fwd f USING (w1)
-        |  LEFT JOIN bwd b USING (w2)
-        |  CROSS JOIN sc),
-        |allpos AS (SELECT * FROM first UNION ALL SELECT * FROM pairs)
-        |SELECT doc_id, round(avg(logp), 6) AS kn_logp,
-        |  CAST(count(*) AS BIGINT) AS kn_positions
-        |FROM allpos GROUP BY doc_id""".stripMargin,
+    // mirror logProbPerDocKneserNey exactly. ONE oracle pins the
+    // composable (q97) and native-registry (q99) forms.
+    "q97_kneser_ney" -> KneserNeyOracleSql,
+    "q99_kn_native" -> KneserNeyOracleSql,
     // the full learned-classifier dot product replayed: the five
     // features are the q16/q21/q64 replays, the sigmoid accumulates
     // intercept-first then features in declaration order (matching the

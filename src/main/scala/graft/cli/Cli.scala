@@ -223,7 +223,11 @@ object Scorer {
   * `max-jaccard-distance`, `max-hamming`, `bands`, `shingle-size`,
   * `transitive-near-dups`; pre-curation: `redact = true` scrubs PII
   * BEFORE any hashing, so dedup state is computed over scrubbed text;
-  * post-curation: `mixture-weights { src = f }` (+
+  * post-curation: `ppl-bucket-keep = [head, middle]` (CCNet
+  * perplexity buckets per `ppl-bucket-group-column`, default
+  * `source`; needs `lm-path`; `ppl-bucket-head-frac`/
+  * `ppl-bucket-middle-frac` default thirds; the kept rows carry a
+  * `ppl_bucket` provenance column), `mixture-weights { src = f }` (+
   * `mixture-source-column`, `mixture-default-fraction`,
   * `mixture-salt`), `splits = ["train:0.8", "val:0.1", "test:0.1"]`
   * (+ `split-salt`, `split-column`; ordered — ranges are cumulative)
@@ -360,6 +364,9 @@ object Curator {
       "curation.min-lm2-logp needs curation.lm2-path (a saved bigram LM file)")
     require(c.getDouble("min-lmn-logp").isEmpty || c.getString("lmn-path").isDefined,
       "curation.min-lmn-logp needs curation.lmn-path (a saved order-n LM file)")
+    require(c.getList("ppl-bucket-keep").forall(_.isEmpty) ||
+        c.getString("lm-path").isDefined,
+      "curation.ppl-bucket-keep needs curation.lm-path (a saved unigram LM file)")
     require(c.getDouble("min-classifier-score").isEmpty ||
         c.getString("classifier-path").isDefined,
       "curation.min-classifier-score needs curation.classifier-path " +
@@ -733,6 +740,40 @@ object Curator {
       }
       case None => (quantiled, None)
     }
+    // optional CCNet perplexity bucketing (Wenzek et al. 2019) on the
+    // decontaminated survivors: score with the saved unigram LM
+    // (`lm-path`, native zero-shuffle expression), split each
+    // `ppl-bucket-group-column` group into head/middle/tail by the
+    // THRESHOLD form (per-group percentile sketch + scan predicate —
+    // no per-group sort, group skew is just more scan rows), keep the
+    // buckets in `ppl-bucket-keep` (CCNet trains on head+middle). The
+    // bucket label stays on the output rows as provenance metadata.
+    val bucketed = c.getList("ppl-bucket-keep").filter(_.nonEmpty) match {
+      case Some(keep) => stages.timed("ppl-buckets") {
+        val bad = keep.filterNot(Set("head", "middle", "tail"))
+        require(bad.isEmpty,
+          s"curation.ppl-bucket-keep: unknown buckets $bad (head|middle|tail)")
+        val lmPath = c.getString("lm-path").getOrElse(throw new IllegalArgumentException(
+          "curation.ppl-bucket-keep needs curation.lm-path (a saved unigram LM file)"))
+        val gcol = c.getString("ppl-bucket-group-column").getOrElse("source")
+        val hf = c.getDouble("ppl-bucket-head-frac").getOrElse(1.0 / 3)
+        val mf = c.getDouble("ppl-bucket-middle-frac").getOrElse(1.0 / 3)
+        val scored = decontaminated.withColumn("__ppl_logp",
+          graft.functions.GraftFunctions.lmLogProb(col(textCol), lmPath))
+        val b = graft.llm.CorpusPrep.perplexityBucketsByThreshold(
+          scored, "__ppl_logp", Seq(gcol), headFrac = hf, middleFrac = mf)
+          .filter(col("ppl_bucket").isin(keep: _*))
+          .drop("__ppl_logp")
+        if (!c.getString("log-drop-counts").exists(v => !v.toBoolean)) {
+          val n = b.count()
+          stages.rows("ppl-buckets", n)
+          Cli.log(s"ppl buckets: $n docs kept in ${keep.mkString("+")} " +
+            s"(group=$gcol, head=$hf, middle=$mf)")
+        }
+        b
+      }
+      case None => decontaminated
+    }
     // optional training-mix composition (deterministic per-source keep
     // fractions) on the curated survivors
     val mixWeights = c.at("mixture-weights").flat
@@ -742,12 +783,12 @@ object Curator {
     // top-k by the deterministic E–S rank
     val dsired = c.getInt("dsir-k") match {
       case Some(k) => stages.timed("dsir") {
-        graft.llm.CorpusPrep.dsirSampleFast(decontaminated, idCol, textCol,
+        graft.llm.CorpusPrep.dsirSampleFast(bucketed, idCol, textCol,
           c.getString("dsir-target-lm").get, c.getString("dsir-raw-lm").get,
           k = k, salt = c.getString("dsir-salt").getOrElse(""))
           .drop("dsir_weight")
       }
-      case None => decontaminated
+      case None => bucketed
     }
     val mixed = c.getDouble("temperature-alpha") match {
       // temperature mixing: rates DERIVED from the observed per-domain

@@ -329,6 +329,9 @@ object GraftFunctions {
   def lm3LogProb(c: Column, lmPath: String): Column =
     ColumnBridge.column(Lm3LogProb(ColumnBridge.expression(c), lmPath))
 
+  def knLogProb(c: Column, lmPath: String): Column =
+    ColumnBridge.column(KnLogProb(ColumnBridge.expression(c), lmPath))
+
   def lmNLogProb(c: Column, lmPath: String): Column =
     ColumnBridge.column(NgramLogProb(ColumnBridge.expression(c), lmPath))
 
@@ -407,6 +410,17 @@ object GraftFunctions {
           case s: UTF8String => Lm2LogProb(es.head, s.toString)
           case other => throw new IllegalArgumentException(
             s"graft_lm2_logprob LM path must be a string literal, got $other")
+        }
+      }),
+    ("graft_kn_logprob",
+      new ExpressionInfo(classOf[KnLogProb].getName, "graft_kn_logprob"),
+      (es: Seq[Expression]) => {
+        require(es.length == 2, s"graft_kn_logprob takes 2 arguments, got ${es.length}")
+        require(es(1).foldable, "graft_kn_logprob LM path must be a literal")
+        es(1).eval() match {
+          case s: UTF8String => KnLogProb(es.head, s.toString)
+          case other => throw new IllegalArgumentException(
+            s"graft_kn_logprob LM path must be a string literal, got $other")
         }
       }),
     ("graft_lm3_logprob",

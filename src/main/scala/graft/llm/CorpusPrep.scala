@@ -475,6 +475,88 @@ object CorpusPrep {
     * (a training loader) sees the shuffled order without any further
     * work. The key column stays on the output (`keyCol`) so downstream
     * stages can re-assert or resume the order cheaply. */
+  /** CCNet-style perplexity bucketing (Wenzek et al. 2019,
+    * arXiv:1911.00359): per group (language/domain), split documents
+    * into `head` / `middle` / `tail` by their LM score — CCNet trains
+    * on head+middle and drops tail, and downstream mixing often
+    * up-weights head. `scoreCol` is an average per-token LOG
+    * probability (higher = lower perplexity = better), so `head` is
+    * the TOP `headFrac` of each group by score.
+    *
+    * EXACT form: `percent_rank` over (group, score desc) — rank ties
+    * share a bucket, and the boundaries compare against
+    * `headFrac` / `headFrac + middleFrac` exactly, which makes the
+    * whole assignment SQL-replayable (q98 pins it against DuckDB; pass
+    * a score ROUNDED to the oracle's precision so cross-engine libm
+    * noise cannot flip an ordering). Callers should filter null scores
+    * first (token-less docs): nulls would count into `n` under
+    * engine-specific null ordering.
+    *
+    * Scale caveat — this form sorts each group in one window
+    * partition, so a group holding most of the corpus serializes into
+    * one task; it is the verify-scale reference. The scale path is
+    * [[perplexityBucketsByThreshold]]: two scans, no per-group sort. */
+  def perplexityBuckets(
+      scored: DataFrame,
+      scoreCol: String,
+      groupCols: Seq[String],
+      headFrac: Double = 1.0 / 3,
+      middleFrac: Double = 1.0 / 3,
+      bucketCol: String = "ppl_bucket"): DataFrame = {
+    require(headFrac > 0 && middleFrac >= 0 && headFrac + middleFrac <= 1,
+      s"fractions must satisfy 0 < head, 0 <= middle, head+middle <= 1, " +
+        s"got $headFrac/$middleFrac")
+    require(groupCols.nonEmpty, "perplexityBuckets needs at least one group column")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(groupCols.map(col): _*)
+      .orderBy(col(scoreCol).desc_nulls_last)
+    val pr = percent_rank().over(w)
+    scored.withColumn(bucketCol,
+      when(pr < lit(headFrac), lit("head"))
+        .when(pr < lit(headFrac + middleFrac), lit("middle"))
+        .otherwise(lit("tail")))
+  }
+
+  /** The 100 TB form of [[perplexityBuckets]]: per-group score
+    * thresholds from one mergeable `percentile_approx` aggregate
+    * (map-side partial, numeric-histogram sketch), broadcast back, and
+    * bucket assignment as a scan predicate — two passes, ZERO
+    * per-group sort, immune to group skew (the biggest language is
+    * just more scan rows). Bucket boundaries are approximate at the
+    * sketch's accuracy (docs within ±ε of a cutoff may land one bucket
+    * over — CorpusPrepSpec pins agreement with the exact form); CCNet
+    * itself computes bucket cutoffs once on a sample, so threshold
+    * semantics are faithful to the method. Null scores bucket to null;
+    * docs whose GROUP value is null fall to `tail` (join on null keys
+    * finds no thresholds) — coalesce the group column upstream if null
+    * groups must be bucketed. */
+  def perplexityBucketsByThreshold(
+      scored: DataFrame,
+      scoreCol: String,
+      groupCols: Seq[String],
+      headFrac: Double = 1.0 / 3,
+      middleFrac: Double = 1.0 / 3,
+      accuracy: Int = 10000,
+      bucketCol: String = "ppl_bucket"): DataFrame = {
+    require(headFrac > 0 && middleFrac >= 0 && headFrac + middleFrac <= 1,
+      s"fractions must satisfy 0 < head, 0 <= middle, head+middle <= 1, " +
+        s"got $headFrac/$middleFrac")
+    require(groupCols.nonEmpty, "perplexityBucketsByThreshold needs at least one group column")
+    val cuts = scored
+      .filter(col(scoreCol).isNotNull)
+      .groupBy(groupCols.map(col): _*)
+      .agg(percentile_approx(col(scoreCol),
+        array(lit(1.0 - headFrac - middleFrac), lit(1.0 - headFrac)),
+        lit(accuracy)).as("__ppl_cuts"))
+    scored.join(broadcast(cuts), groupCols, "left")
+      .withColumn(bucketCol,
+        when(col(scoreCol).isNull, lit(null).cast("string"))
+          .when(col(scoreCol) >= col("__ppl_cuts").getItem(1), lit("head"))
+          .when(col(scoreCol) >= col("__ppl_cuts").getItem(0), lit("middle"))
+          .otherwise(lit("tail")))
+      .drop("__ppl_cuts")
+  }
+
   def deterministicShuffle(
       df: DataFrame,
       idCol: String,

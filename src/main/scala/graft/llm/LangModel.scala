@@ -49,7 +49,7 @@ final case class NgramLm(order: Int, unigram: UnigramLm, tables: Seq[DataFrame])
   * the singleton treatment, pruning would break the sums the
   * normalization proof needs. */
 final case class KneserNeyLm(bigram: BigramLm, discount: Double) {
-  require(discount > 0 && discount < 1, s"discount must be in (0,1), got $discount")
+  require(discount > 0 && discount <= 1, s"discount must be in (0,1], got $discount")
 }
 
 final case class UnigramLm(table: DataFrame, totalTokens: Long, vocab: Long) {
@@ -182,7 +182,12 @@ object LangModel {
       coalesce(sum((col("cnt2") === 1).cast("long")), lit(0L)).as("n1"),
       coalesce(sum((col("cnt2") === 2).cast("long")), lit(0L)).as("n2")).head()
     val n1 = r.getLong(0); val n2 = r.getLong(1)
-    val d = if (n1 + 2 * n2 == 0) 0.5 else n1.toDouble / (n1 + 2.0 * n2)
+    // n1 = 0 would give D = 0 (no discounting → zero mass for unseen
+    // continuations → -Inf scores), so fall back to the conventional
+    // 0.5; n2 = 0 gives D = 1 (singletons fully discounted), which is
+    // well-defined under max(c−D, 0) and kept. The q97 oracle and the
+    // native registry replay this exact arithmetic.
+    val d = if (n1 == 0) 0.5 else math.min(n1.toDouble / (n1 + 2.0 * n2), 1.0)
     KneserNeyLm(bg, d)
   }
 
@@ -607,6 +612,8 @@ object LangModel {
       }
     } finally out.close()
     graft.functions.Lm2Registry.invalidate(path)
+    // the KN registry scores the SAME artifact — keep both caches honest
+    graft.functions.KnRegistry.invalidate(path)
   }
 
   /** Persist a trigram LM as ONE text file (unigram section, `#pairs`,

@@ -894,6 +894,66 @@ class CliSpec extends SparkTestBase {
     assert(err.getMessage.contains("lm-path"))
   }
 
+  test("curator ppl buckets: CCNet head+middle keep drops the per-group " +
+      "worst scorers; bucket label rides the output; keep-list validated") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val base = tmp()
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet").select("doc_id", "text")
+    val lm = graft.llm.LangModel.trainUnigram(
+      docs.filter(col("doc_id") < 200), "text", minCount = 2)
+    val lmPath = base.resolve("ppl_ref.lm").toString
+    graft.llm.LangModel.save(lm, lmPath)
+    // one group of 30 real docs + 3 planted extreme off-distribution
+    // docs: the planted rows are the group's worst scorers, so with
+    // thirds they are guaranteed inside the tail bucket
+    val src = base.resolve("pplsrc").toString
+    docs.filter(col("doc_id") < 30)
+      .unionByName((0 until 3).map(i =>
+        (70000L + i, s"zxqv$i kwpj vrtn qplm wxyz bcdf " * 8))
+        .toDF("doc_id", "text"))
+      .withColumn("source", lit("web"))
+      .write.parquet(src)
+    val out = base.resolve("pplcurated").toString
+    val f = write(base.resolve("curator_ppl.conf"),
+      s"""source { storage-type = local, dataset-dir = $src }
+         |target { storage-type = local, dataset-dir = $out, dataset-store-format = parquet, write-mode = overwrite }
+         |curation {
+         |  min-quality = 0.0
+         |  lm-path = "$lmPath"
+         |  ppl-bucket-keep = [head, middle]
+         |}
+         |""".stripMargin)
+    graft.cli.Curator.main(Array("--conf", f))
+    val curated = spark.read.parquet(out)
+    val ids = curated.select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(ids.intersect(Set(70000L, 70001L, 70002L)).isEmpty,
+      "planted worst scorers must fall in the dropped tail bucket")
+    assert(ids.nonEmpty && ids.exists(_ < 30),
+      "head+middle docs must survive")
+    assert(curated.columns.contains("ppl_bucket"),
+      "bucket label must ride the output as provenance")
+    assert(curated.select("ppl_bucket").distinct().collect()
+      .map(_.getString(0)).toSet.subsetOf(Set("head", "middle")))
+    // keep-list without lm-path rejected up front; unknown bucket too
+    val bad1 = write(base.resolve("curator_ppl_bad1.conf"),
+      s"""source { storage-type = local, dataset-dir = $src }
+         |target { storage-type = local, dataset-dir = $out, dataset-store-format = parquet, write-mode = overwrite }
+         |curation { ppl-bucket-keep = [head] }
+         |""".stripMargin)
+    assert(intercept[IllegalArgumentException] {
+      graft.cli.Curator.main(Array("--conf", bad1))
+    }.getMessage.contains("lm-path"))
+    val bad2 = write(base.resolve("curator_ppl_bad2.conf"),
+      s"""source { storage-type = local, dataset-dir = $src }
+         |target { storage-type = local, dataset-dir = $out, dataset-store-format = parquet, write-mode = overwrite }
+         |curation { lm-path = "$lmPath", ppl-bucket-keep = [head, bogus] }
+         |""".stripMargin)
+    assert(intercept[IllegalArgumentException] {
+      graft.cli.Curator.main(Array("--conf", bad2))
+    }.getMessage.contains("bogus"))
+  }
+
   test("curator order-n LM filter: lmn-path + min-lmn-logp drop a scrambled " +
       "doc under the 4-gram; floor alone rejects up front") {
     import org.apache.spark.sql.functions._

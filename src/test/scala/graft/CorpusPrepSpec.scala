@@ -479,4 +479,61 @@ class AsofRangeJoinSpec extends SparkTestBase {
     val byBand = out.groupBy("band").count().collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     assert(byBand.keySet == Set("low", "mid", "high") && byBand.values.forall(_ > 0))
   }
+
+  test("perplexityBuckets: hand-computed thirds per group, ties share a bucket, " +
+      "higher score = head") {
+    val scored = Seq(
+      ("en", 1L, -1.0), ("en", 2L, -2.0), ("en", 3L, -3.0),
+      ("en", 4L, -4.0), ("en", 5L, -5.0), ("en", 6L, -6.0),
+      ("de", 7L, -1.0), ("de", 8L, -1.0), ("de", 9L, -9.0), // tie at the top
+      ("fr", 10L, -2.0) // single-row group
+    ).toDF("lang", "doc_id", "logp")
+    val got = CorpusPrep.perplexityBuckets(scored, "logp", Seq("lang"))
+      .collect().map(r => r.getLong(1) -> r.getString(3)).toMap
+    // en: pr = 0, .2, .4, .6, .8, 1 → head, head, middle, middle, tail, tail
+    assert(got(1L) == "head" && got(2L) == "head")
+    assert(got(3L) == "middle" && got(4L) == "middle")
+    assert(got(5L) == "tail" && got(6L) == "tail")
+    // de: tied best rows share pr = 0 → both head; worst pr = 1 → tail
+    assert(got(7L) == "head" && got(8L) == "head" && got(9L) == "tail")
+    // single-row group: pr = 0 → head
+    assert(got(10L) == "head")
+  }
+
+  test("perplexityBucketsByThreshold agrees with the exact form on the real " +
+      "corpus and never sorts a group in one task") {
+    import graft.llm.LangModel
+    val d = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select(col("doc_id"), col("source"), col("text"))
+    val lm = LangModel.trainUnigram(d.filter(col("doc_id") < 200), "text", minCount = 2)
+    val scored = LangModel.logProbPerDoc(
+      d.filter(col("doc_id") >= 200), lm, "doc_id", "text")
+      .join(d.select("doc_id", "source"), Seq("doc_id"))
+      .select(col("doc_id"), col("source"), col("lm_logp"))
+    val exact = CorpusPrep.perplexityBuckets(scored, "lm_logp", Seq("source"))
+      .select(col("doc_id"), col("ppl_bucket").as("b_exact"))
+    val approx = CorpusPrep.perplexityBucketsByThreshold(scored, "lm_logp", Seq("source"))
+      .select(col("doc_id"), col("ppl_bucket").as("b_approx"))
+    val joined = exact.join(approx, "doc_id").cache()
+    val n = joined.count()
+    val agree = joined.filter(col("b_exact") === col("b_approx")).count()
+    assert(n > 0 && agree >= (n * 0.95).toLong,
+      s"threshold form must agree with exact on >=95%: $agree/$n")
+    // bucket mass lands near the requested thirds
+    val frac = joined.groupBy("b_approx").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1).toDouble / n).toMap
+    Seq("head", "middle", "tail").foreach { b =>
+      assert(math.abs(frac.getOrElse(b, 0.0) - 1.0 / 3) < 0.08,
+        s"$b fraction ${frac.get(b)} far from 1/3")
+    }
+    joined.unpersist()
+    // null scores bucket to null in the threshold form (exact form
+    // callers filter nulls — documented)
+    val withNull = Seq(("en", 1L, Some(-1.0)), ("en", 2L, None: Option[Double]))
+      .toDF("lang", "doc_id", "logp")
+    val nb = CorpusPrep.perplexityBucketsByThreshold(withNull, "logp", Seq("lang"))
+      .collect().map(r => r.getLong(1) -> Option(r.getString(3))).toMap
+    assert(nb(2L).isEmpty, "null score must bucket to null")
+    assert(nb(1L).contains("head"))
+  }
 }

@@ -519,4 +519,36 @@ class LangModelSpec extends SparkTestBase {
     assert(sc(1L) > sc(2L) + 0.1,
       s"KN must prefer training order: ${sc(1L)} vs ${sc(2L)}")
   }
+
+  test("KN native registry scores the saveBigram artifact: parity with the " +
+      "composable form at the oracle rounding; foreign files rejected") {
+    import graft.functions.GraftFunctions
+    val all = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select(col("doc_id"), col("text"))
+    val kn = LangModel.trainKneserNey(all.filter(col("doc_id") < 200), "text")
+    val path = tmpLm("kn_parity.lm2")
+    LangModel.saveBigram(kn.bigram, path)
+    val held = all.filter(col("doc_id") >= 200 && col("doc_id") < 500)
+    val slow = LangModel.logProbPerDocKneserNey(held, kn, "doc_id", "text")
+      .select(col("doc_id"), round(col("kn_logp"), 6).as("s"))
+    val fast = held.select(col("doc_id"),
+      round(GraftFunctions.knLogProb(col("text"), path), 6).as("f"))
+    val mism = slow.join(fast, "doc_id").filter(col("s") =!= col("f")).count()
+    assert(mism == 0, s"$mism docs disagree between composable and native KN")
+    // OOV context and OOV word paths agree too
+    val edge = Seq((1L, "zzz qqq"), (2L, "the zzz"), (3L, "zzz")).toDF("doc_id", "text")
+    val se = LangModel.logProbPerDocKneserNey(edge, kn, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> math.rint(r.getDouble(1) * 1e6)).toMap
+    val fe = edge.select(col("doc_id"),
+      GraftFunctions.knLogProb(col("text"), path))
+      .collect().map(r => r.getLong(0) -> math.rint(r.getDouble(1) * 1e6)).toMap
+    assert(se == fe, s"edge paths must agree: $se vs $fe")
+    // a unigram LM file is not a KN artifact
+    val uniPath = tmpLm("kn_notbigram.lm")
+    LangModel.save(kn.bigram.unigram, uniPath)
+    val err = intercept[Exception] {
+      spark.range(1).select(GraftFunctions.knLogProb(lit("a b"), uniPath)).head()
+    }
+    assert(err.getMessage != null)
+  }
 }
