@@ -1783,6 +1783,48 @@ object SparkEntry {
         .filter(col("kn_logp").isNotNull)
     }),
 
+    // ---- Interpolated Kneser–Ney at ORDER 3 (Chen & Goodman 1999
+    // §3's recursion): top level discounts raw trigram counts; the
+    // middle level runs on CONTINUATION counts N1+(·ab) derived from
+    // the trigram table; the bottom level is the continuation-unigram
+    // Laplace floor. One discount per level, each from its own
+    // count-of-counts. Proper distribution at every level (spec-pinned);
+    // training AND scoring replay in SQL, round(6) as q97.
+    "q100_kn3" -> ((s, dir) => {
+      import graft.llm.LangModel
+      val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
+      val lm = LangModel.trainKneserNey3(docs.filter(col("doc_id") < 100), "text")
+      LangModel.logProbPerDocKneserNey3(
+        docs.filter(col("doc_id") >= 100), lm, "doc_id", "text")
+        .select(col("doc_id"), round(col("kn3_logp"), 6).as("kn3_logp"),
+          col("kn3_positions"))
+    }),
+
+    // ---- The same KN3 scores through the SCALE path: the saveTrigram
+    // artifact (the SAME file the stupid-backoff registry scores)
+    // loads once per executor JVM; the registry recomputes every
+    // derived statistic — the continuation-bigram table, both
+    // discounts, all sums/fan-outs — from the stored trigram counts
+    // and precomputes stored-triple log-probs; scoring is a
+    // zero-shuffle codegen'd projection. The SAME oracle as q100 pins
+    // parity at round(6).
+    "q101_kn3_native" -> ((s, dir) => {
+      import graft.llm.LangModel
+      val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
+      val lm = LangModel.trainKneserNey3(docs.filter(col("doc_id") < 100), "text")
+      val lmPath = new java.io.File(
+        new java.io.File(System.getProperty("java.io.tmpdir"), "graft_lm"),
+        s"${dir.replaceAll("[^A-Za-z0-9.-]", "_")}_kn3.lm3").toString
+      LangModel.saveTrigram(lm.trigram, lmPath)
+      docs.filter(col("doc_id") >= 100)
+        .select(col("doc_id"),
+          round(graft.functions.GraftFunctions.kn3LogProb(col("text"), lmPath), 6)
+            .as("kn3_logp"),
+          graft.llm.TextAnalysis.wsTokenCount(col("text")).cast("long")
+            .as("kn3_positions"))
+        .filter(col("kn3_logp").isNotNull)
+    }),
+
     // ---- CCNet perplexity buckets (Wenzek et al. 2019): per source,
     // head/middle/tail thirds by unigram-LM score (q71's training and
     // arithmetic). The score is rounded to the oracle's 6 decimals
@@ -2201,6 +2243,95 @@ object SparkEntry {
         |  CAST(count(*) AS BIGINT) AS kn_positions
         |FROM allpos GROUP BY doc_id""".stripMargin
 
+  /** Shared by q100 (composable KN3) and q101 (native registry):
+    * identical recursion — trigram discounting over continuation-count
+    * middle/bottom levels — so ONE oracle pins both at round(6). */
+  private val KneserNey3OracleSql: String =
+    """WITH toks AS (
+        |  SELECT doc_id,
+        |    list_filter(regexp_split_to_array(lower(trim(text)), '\s+'),
+        |      t -> len(t) > 0) AS tk
+        |  FROM documents),
+        |uni AS (
+        |  SELECT token, count(*) AS cnt FROM (
+        |    SELECT unnest(tk) AS token FROM toks WHERE doc_id < 100)
+        |  GROUP BY token),
+        |tri AS (
+        |  SELECT w1, w2, w3, count(*) AS cnt3 FROM (
+        |    SELECT tk[i-2] AS w1, tk[i-1] AS w2, tk[i] AS w3 FROM (
+        |      SELECT tk, unnest(generate_series(3, len(tk))) AS i
+        |      FROM toks WHERE doc_id < 100))
+        |  GROUP BY w1, w2, w3),
+        |cbg AS (SELECT w2, w3, count(*) AS ccnt FROM tri GROUP BY w2, w3),
+        |sc AS (
+        |  SELECT CAST(bb.b + vv.v + 1 AS DOUBLE) AS dc,
+        |    CASE WHEN tt.n1 = 0 THEN 0.5
+        |         ELSE least(CAST(tt.n1 AS DOUBLE) / (tt.n1 + 2.0 * tt.n2), 1.0) END AS d3,
+        |    CASE WHEN bb.n1 = 0 THEN 0.5
+        |         ELSE least(CAST(bb.n1 AS DOUBLE) / (bb.n1 + 2.0 * bb.n2), 1.0) END AS d2
+        |  FROM (SELECT count(*) AS b,
+        |          coalesce(sum(CASE WHEN ccnt = 1 THEN 1 ELSE 0 END), 0) AS n1,
+        |          coalesce(sum(CASE WHEN ccnt = 2 THEN 1 ELSE 0 END), 0) AS n2
+        |        FROM cbg) bb,
+        |       (SELECT coalesce(sum(CASE WHEN cnt3 = 1 THEN 1 ELSE 0 END), 0) AS n1,
+        |          coalesce(sum(CASE WHEN cnt3 = 2 THEN 1 ELSE 0 END), 0) AS n2
+        |        FROM tri) tt,
+        |       (SELECT count(*) AS v FROM uni) vv),
+        |fwd3 AS (SELECT w1, w2, sum(cnt3) AS ctx3, count(*) AS nfwd3 FROM tri GROUP BY w1, w2),
+        |fwd2 AS (SELECT w2, sum(ccnt) AS ctx2, count(*) AS nfwd2 FROM cbg GROUP BY w2),
+        |bwd1 AS (SELECT w3, count(*) AS nbwd1 FROM cbg GROUP BY w3),
+        |first AS (
+        |  SELECT t.doc_id, log10((coalesce(b.nbwd1, 0) + 1) / sc.dc) AS logp
+        |  FROM (SELECT doc_id, tk[1] AS w3 FROM toks
+        |        WHERE doc_id >= 100 AND len(tk) > 0) t
+        |  LEFT JOIN bwd1 b USING (w3) CROSS JOIN sc),
+        |second AS (
+        |  SELECT p.doc_id,
+        |    CASE WHEN f2.ctx2 IS NOT NULL
+        |      THEN log10((greatest(CAST(coalesce(cb.ccnt, 0) AS DOUBLE) - sc.d2, 0.0) +
+        |                  sc.d2 * CAST(f2.nfwd2 AS DOUBLE) *
+        |                    ((coalesce(b.nbwd1, 0) + 1) / sc.dc))
+        |                 / CAST(f2.ctx2 AS DOUBLE))
+        |      ELSE log10((coalesce(b.nbwd1, 0) + 1) / sc.dc)
+        |    END AS logp
+        |  FROM (SELECT doc_id, tk[1] AS w2, tk[2] AS w3 FROM toks
+        |        WHERE doc_id >= 100 AND len(tk) >= 2) p
+        |  LEFT JOIN cbg cb USING (w2, w3)
+        |  LEFT JOIN fwd2 f2 USING (w2)
+        |  LEFT JOIN bwd1 b USING (w3)
+        |  CROSS JOIN sc),
+        |tripos0 AS (
+        |  SELECT p.doc_id, tg.cnt3, f3.ctx3, f3.nfwd3, sc.d3,
+        |    CASE WHEN f2.ctx2 IS NOT NULL
+        |      THEN (greatest(CAST(coalesce(cb.ccnt, 0) AS DOUBLE) - sc.d2, 0.0) +
+        |            sc.d2 * CAST(f2.nfwd2 AS DOUBLE) *
+        |              ((coalesce(b.nbwd1, 0) + 1) / sc.dc))
+        |           / CAST(f2.ctx2 AS DOUBLE)
+        |      ELSE (coalesce(b.nbwd1, 0) + 1) / sc.dc
+        |    END AS p2
+        |  FROM (SELECT doc_id, tk[i-2] AS w1, tk[i-1] AS w2, tk[i] AS w3 FROM (
+        |          SELECT doc_id, tk, unnest(generate_series(3, len(tk))) AS i
+        |          FROM toks WHERE doc_id >= 100)) p
+        |  LEFT JOIN tri tg USING (w1, w2, w3)
+        |  LEFT JOIN fwd3 f3 USING (w1, w2)
+        |  LEFT JOIN cbg cb USING (w2, w3)
+        |  LEFT JOIN fwd2 f2 USING (w2)
+        |  LEFT JOIN bwd1 b USING (w3)
+        |  CROSS JOIN sc),
+        |tripos AS (
+        |  SELECT doc_id,
+        |    CASE WHEN ctx3 IS NOT NULL
+        |      THEN log10((greatest(CAST(coalesce(cnt3, 0) AS DOUBLE) - d3, 0.0) +
+        |                  d3 * CAST(nfwd3 AS DOUBLE) * p2) / CAST(ctx3 AS DOUBLE))
+        |      ELSE log10(p2)
+        |    END AS logp
+        |  FROM tripos0),
+        |allpos AS (SELECT * FROM first UNION ALL SELECT * FROM second
+        |           UNION ALL SELECT * FROM tripos)
+        |SELECT doc_id, round(avg(logp), 6) AS kn3_logp,
+        |  CAST(count(*) AS BIGINT) AS kn3_positions
+        |FROM allpos GROUP BY doc_id""".stripMargin
+
   private val LmOracleSql: String =
     """WITH toks AS (
       |  SELECT doc_id,
@@ -2384,6 +2515,8 @@ object SparkEntry {
     // composable (q97) and native-registry (q99) forms.
     "q97_kneser_ney" -> KneserNeyOracleSql,
     "q99_kn_native" -> KneserNeyOracleSql,
+    "q100_kn3" -> KneserNey3OracleSql,
+    "q101_kn3_native" -> KneserNey3OracleSql,
     // the full learned-classifier dot product replayed: the five
     // features are the q16/q21/q64 replays, the sigmoid accumulates
     // intercept-first then features in declaration order (matching the

@@ -9,7 +9,13 @@ object Verify {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = graft.tools.Local.session(cpus)
     new java.io.File(outDir).mkdirs()
-    SparkEntry.queries.foreach { case (name, fn) =>
+    // dev-only subset filter (comma-separated names), the Bench idiom:
+    // check a few queries against the oracle without dumping the suite
+    val only = sys.env.get("SPARK_GRAFT_VERIFY_ONLY")
+      .map(_.split(",").map(_.trim).toSet).filter(_.nonEmpty)
+    SparkEntry.queries
+      .filter { case (name, _) => only.forall(_.contains(name)) }
+      .foreach { case (name, fn) =>
       // delete any previous run's output FIRST: a failing query must
       // leave a missing directory (which the checker reports), never a
       // stale result that silently compares clean

@@ -96,6 +96,47 @@ object Cli {
     try out.write(parts.mkString("\n").getBytes("UTF-8")) finally out.close()
   }
 
+  /** Parts-mode hygiene, half 1: a FRESH lineage (no prior state dir)
+    * must start in an EMPTY parts table dir. Silently overwriting
+    * `part-0` of whatever already lives there would corrupt any state
+    * dir still referencing those bytes — crashed-run leftovers whose
+    * retry changed parameters, or a second lineage pointed at the same
+    * parts dir. A loud error naming the dir beats either corruption. */
+  private[graft] def requireEmptyPartsDir(
+      spark: SparkSession, pd: String, table: String): Unit = {
+    val td = new org.apache.hadoop.fs.Path(s"$pd/$table")
+    val fs = td.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(td) && fs.listStatus(td).nonEmpty)
+      throw new IllegalStateException(
+        s"parts dir '$td' is not empty but this run starts a FRESH state " +
+          "lineage (no state-dir) — its contents belong to a previous " +
+          "lineage (possibly a crashed run with since-changed parameters) " +
+          "and would be silently clobbered from part-0. Delete the dir to " +
+          "abandon that lineage, or point state-parts-dir/span-parts-dir " +
+          "somewhere fresh")
+  }
+
+  /** Parts-mode hygiene, half 2: after a manifest of `keptLen` parts is
+    * written, any `part-K` dir with K ≥ keptLen under the table dir is
+    * dead weight for this lineage — a crashed commit's orphan that a
+    * parameter-compatible retry did not reclaim, or parts superseded by
+    * compaction. Safe to sweep because [[requireEmptyPartsDir]] pins
+    * one parts dir to one lineage, and prior state dirs' manifests only
+    * ever reference a PREFIX of the current part list. */
+  private[graft] def sweepOrphanParts(
+      spark: SparkSession, pd: String, table: String, keptLen: Int): Unit = {
+    val td = new org.apache.hadoop.fs.Path(s"$pd/$table")
+    val fs = td.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(td)) fs.listStatus(td).foreach { st =>
+      val name = st.getPath.getName
+      if (name.startsWith("part-") &&
+          name.drop(5).toIntOption.exists(_ >= keptLen)) {
+        fs.delete(st.getPath, true)
+        log(s"swept orphan state part ${st.getPath}")
+      }
+    }
+  }
+
   /** Per-stage wall-time + row-count collector for the Curator's run
     * artifact (the Bench mem-block idiom: a production run should be
     * diagnosable from its artifacts alone, without logs). Spark is
@@ -321,6 +362,7 @@ object Curator {
       nearDupMinJaccard = c.getDouble("min-jaccard").getOrElse(base.nearDupMinJaccard),
       simHashMaxHamming = c.getInt("max-hamming").getOrElse(base.simHashMaxHamming),
       simHashBands = c.getInt("bands").getOrElse(base.simHashBands),
+      simHashMaxBucket = c.getInt("max-bucket").getOrElse(base.simHashMaxBucket),
       shingleSize = c.getInt("shingle-size").getOrElse(base.shingleSize),
       transitiveNearDups = c.getString("transitive-near-dups").exists(_.toBoolean),
       keepPolicy = c.getString("keep-policy").getOrElse(base.keepPolicy),
@@ -336,6 +378,10 @@ object Curator {
       // .saveNgram artifact (order self-described in the header)
       lmnPath = c.getString("lmn-path"),
       minLmnLogP = c.getDouble("min-lmn-logp").getOrElse(base.minLmnLogP),
+      // interpolated-KN trigram filter: `kn3-path` points at a saved
+      // saveTrigram artifact of UNPRUNED tables (trainKneserNey3)
+      kn3Path = c.getString("kn3-path"),
+      minKn3LogP = c.getDouble("min-kn3-logp").getOrElse(base.minKn3LogP),
       // learned quality filter: `classifier-path` points at a saved
       // QualityClassifier (fastText-style reference-vs-random logistic
       // model, trained offline); `min-classifier-score` is the
@@ -364,6 +410,8 @@ object Curator {
       "curation.min-lm2-logp needs curation.lm2-path (a saved bigram LM file)")
     require(c.getDouble("min-lmn-logp").isEmpty || c.getString("lmn-path").isDefined,
       "curation.min-lmn-logp needs curation.lmn-path (a saved order-n LM file)")
+    require(c.getDouble("min-kn3-logp").isEmpty || c.getString("kn3-path").isDefined,
+      "curation.min-kn3-logp needs curation.kn3-path (a saved trigram LM file)")
     require(c.getList("ppl-bucket-keep").forall(_.isEmpty) ||
         c.getString("lm-path").isDefined,
       "curation.ppl-bucket-keep needs curation.lm-path (a saved unigram LM file)")
@@ -460,6 +508,14 @@ object Curator {
     require(!c.getString("state-out-dir").exists(out =>
       stateDir.exists(in => qual(in) == qual(out))),
       "curation.state-out-dir must differ from state-dir (alternate A/B dirs between runs)")
+    // FRESH parts-mode lineage: fail here — before minutes of curation —
+    // if the parts dir already holds another lineage's tables (the
+    // state-write guard re-checks as defense in depth)
+    if (stateDir.isEmpty && c.getString("state-out-dir").isDefined)
+      statePartsDir.foreach { pd =>
+        Seq("hashes", "sigs", "vecsigs", "hotcounts", "vechotcounts")
+          .foreach(t => Cli.requireEmptyPartsDir(spark, qual(pd).toString, t))
+      }
     // ---- text-rewriting stages, after state validation (they may read
     // accumulated evidence from the state dir) but BEFORE any
     // hashing/signatures — dedup state built over un-rewritten text
@@ -994,15 +1050,15 @@ object Curator {
       fs.delete(new Path(outPath, "_COMMITTED"), false) // out dir is now in-progress
       // In parts mode, write ONLY this batch's rows as a new write-once
       // part and return the full part list; readers union the parts.
-      // The hot-bucket tables are aggregates over the FULL table either
-      // way (small outputs — recomputed per commit), so they read the
-      // parts union but stay materialized. Rewrite mode keeps the
-      // original union-write. Returns the DataFrame covering the whole
-      // table for those aggregates.
+      // Rewrite mode keeps the original union-write. Returns the
+      // DataFrame covering the whole table (lazily — parts-mode callers
+      // that don't need the union never pay the multi-part scan).
       def writeStateTable(table: String,
           batchRows: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
         statePartsDir match {
           case Some(pd) =>
+            if (stateDir.isEmpty)
+              Cli.requireEmptyPartsDir(spark, qual(pd).toString, table)
             val pp = stateDir
               .flatMap(d => Cli.stateTableParts(spark, d, table))
               .getOrElse(Seq.empty)
@@ -1010,6 +1066,7 @@ object Curator {
             batchRows.write.mode("overwrite").parquet(newPart)
             val parts = pp :+ newPart
             Cli.writeStateManifest(spark, outPath, table, parts)
+            Cli.sweepOrphanParts(spark, qual(pd).toString, table, parts.length)
             spark.read.parquet(parts: _*)
           case None =>
             val all = stateDir match {
@@ -1019,18 +1076,68 @@ object Curator {
             all.write.mode("overwrite").parquet(s"$outDir/$table")
             spark.read.parquet(s"$outDir/$table")
         }
+      // The hot-bucket tables derive from persisted per-bucket COUNTS
+      // (`hotcounts`/`vechotcounts`: band, bits, n — bounded by the
+      // bits keyspace, ≤ bands·2^(64/bands) rows, ~262k at 4 bands)
+      // instead of a corpus-wide re-band of the full signature union:
+      // per-commit upkeep is one pre-aggregated batch count plus a
+      // bounded-table merge, identical output because signature state
+      // is append-only so batch-count sums equal one count over the
+      // union. A prior dir WITHOUT counts (pre-counts lineage)
+      // bootstraps from the signature union once, then increments.
+      def writeHotState(sigTable: String, countsTable: String,
+          hotTable: String, newSigs: org.apache.spark.sql.DataFrame,
+          bands: Int): Unit = {
+        val batchCounts = Dedup.bucketCounts(newSigs, bands)
+        val allCounts = statePartsDir match {
+          case Some(pd) =>
+            if (stateDir.isEmpty)
+              Cli.requireEmptyPartsDir(spark, qual(pd).toString, countsTable)
+            val pp = stateDir
+              .flatMap(d => Cli.stateTableParts(spark, d, countsTable))
+            val (idx, part) = pp match {
+              case Some(parts) => (parts.length, batchCounts)
+              case None =>
+                // bootstrap part: counts over prior sigs ∪ batch, so
+                // the manifest's sum covers the whole lineage
+                val priorSigs = stateDir.map(d =>
+                  Cli.readStateTable(spark, d, sigTable))
+                (0, Dedup.mergeBucketCounts(priorSigs
+                  .map(s => Dedup.bucketCounts(s, bands).unionByName(batchCounts))
+                  .getOrElse(batchCounts)))
+            }
+            val newPart = s"${qual(pd)}/$countsTable/part-$idx"
+            part.write.mode("overwrite").parquet(newPart)
+            val parts = pp.getOrElse(Seq.empty) :+ newPart
+            Cli.writeStateManifest(spark, outPath, countsTable, parts)
+            Cli.sweepOrphanParts(spark, qual(pd).toString, countsTable, parts.length)
+            spark.read.parquet(parts: _*)
+          case None =>
+            val merged = stateDir match {
+              case Some(d) if exists(new Path(qual(d), countsTable)) =>
+                Dedup.mergeBucketCounts(
+                  spark.read.parquet(s"$d/$countsTable").unionByName(batchCounts))
+              case Some(d) => // pre-counts lineage: one-time bootstrap
+                Dedup.bucketCounts(Cli.readStateTable(spark, d, sigTable)
+                  .unionByName(newSigs), bands)
+              case None => batchCounts
+            }
+            merged.write.mode("overwrite").parquet(s"$outDir/$countsTable")
+            spark.read.parquet(s"$outDir/$countsTable")
+        }
+        Dedup.hotFromCounts(Dedup.mergeBucketCounts(allCounts), cc.simHashMaxBucket)
+          .write.mode("overwrite").parquet(s"$outDir/$hotTable")
+      }
       writeStateTable("hashes", newHashes)
-      val allSigs = writeStateTable("sigs", newSigs)
-      Dedup.simHashHotBuckets(allSigs, cc.simHashBands, cc.simHashMaxBucket)
-        .write.mode("overwrite").parquet(s"$outDir/hot")
+      writeStateTable("sigs", newSigs)
+      writeHotState("sigs", "hotcounts", "hot", newSigs, cc.simHashBands)
       // vector state rides the same commit: SRP signatures of the
       // CURATED corpus (8 bytes/vector) + their hot-bucket keys, under
       // the seed recorded in the marker params
       embCol.foreach { e =>
         val newVecSigs = graft.llm.Similarity.srpSignatures(curated, idCol, e, vecSeed)
-        val allVecSigs = writeStateTable("vecsigs", newVecSigs)
-        Dedup.simHashHotBuckets(allVecSigs, vecBands, cc.simHashMaxBucket)
-          .write.mode("overwrite").parquet(s"$outDir/vechot")
+        writeStateTable("vecsigs", newVecSigs)
+        writeHotState("vecsigs", "vechotcounts", "vechot", newVecSigs, vecBands)
       }
       // boilerplate evidence rides the same commit: accumulated line
       // frequencies (prior + this batch when the stage ran; prior
@@ -1054,10 +1161,13 @@ object Curator {
             // leaking one — prior parts are never touched. (A parts-
             // mode run against rewrite-mode state — or vice versa — is
             // rejected by the spanparams check before reaching here.)
+            if (priorSpanDir.isEmpty)
+              Cli.requireEmptyPartsDir(spark, qual(pd).toString, "spans")
             val pp = priorParts.getOrElse(Seq.empty)
             val newPart = s"${qual(pd)}/spans/part-${pp.length}"
             b.write.mode("overwrite").parquet(newPart)
             Cli.writeStateManifest(spark, outPath, "spans", pp :+ newPart)
+            Cli.sweepOrphanParts(spark, qual(pd).toString, "spans", pp.length + 1)
           case (_, None) if priorParts.isDefined =>
             // stage toggled off over parts-mode state: the carry is
             // METADATA-ONLY — copy the manifest, touch no parquet

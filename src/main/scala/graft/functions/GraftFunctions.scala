@@ -332,6 +332,9 @@ object GraftFunctions {
   def knLogProb(c: Column, lmPath: String): Column =
     ColumnBridge.column(KnLogProb(ColumnBridge.expression(c), lmPath))
 
+  def kn3LogProb(c: Column, lmPath: String): Column =
+    ColumnBridge.column(Kn3LogProb(ColumnBridge.expression(c), lmPath))
+
   def lmNLogProb(c: Column, lmPath: String): Column =
     ColumnBridge.column(NgramLogProb(ColumnBridge.expression(c), lmPath))
 
@@ -421,6 +424,17 @@ object GraftFunctions {
           case s: UTF8String => KnLogProb(es.head, s.toString)
           case other => throw new IllegalArgumentException(
             s"graft_kn_logprob LM path must be a string literal, got $other")
+        }
+      }),
+    ("graft_kn3_logprob",
+      new ExpressionInfo(classOf[Kn3LogProb].getName, "graft_kn3_logprob"),
+      (es: Seq[Expression]) => {
+        require(es.length == 2, s"graft_kn3_logprob takes 2 arguments, got ${es.length}")
+        require(es(1).foldable, "graft_kn3_logprob LM path must be a literal")
+        es(1).eval() match {
+          case s: UTF8String => Kn3LogProb(es.head, s.toString)
+          case other => throw new IllegalArgumentException(
+            s"graft_kn3_logprob LM path must be a string literal, got $other")
         }
       }),
     ("graft_lm3_logprob",

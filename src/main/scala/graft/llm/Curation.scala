@@ -85,6 +85,18 @@ object Curation {
       /** Keep documents with `lmn_logp >= minLmnLogP`. -Infinity =
         * annotate only. */
       minLmnLogP: Double = Double.NegativeInfinity,
+      /** Saved TRIGRAM LM file ([[LangModel.saveTrigram]] of an
+        * UNPRUNED `trainKneserNey3(...).trigram`), scored with
+        * interpolated Kneser–Ney smoothing — the perplexity-optimal
+        * counterpart to the stupid-backoff filters: a PROPER
+        * distribution whose scores are comparable across corpora,
+        * which is what CCNet-style head/middle/tail bucketing by
+        * perplexity assumes (KenLM is a modified-KN model). Adds
+        * `kn3_logp`; stackable with the other LM filters. */
+      kn3Path: Option[String] = None,
+      /** Keep documents with `kn3_logp >= minKn3LogP`. -Infinity =
+        * annotate only. */
+      minKn3LogP: Double = Double.NegativeInfinity,
       /** Saved learned quality classifier
         * ([[QualityClassifier#save]] artifact — fastText-style
         * reference-vs-random logistic model): when set, every document
@@ -173,6 +185,12 @@ object Curation {
         graft.functions.GraftFunctions.lmNLogProb(col(textCol), p))
       if (!conf.minLmnLogP.isNegInfinity)
         df = df.filter(col("lmn_logp") >= conf.minLmnLogP)
+    }
+    conf.kn3Path.foreach { p =>
+      df = df.withColumn("kn3_logp",
+        graft.functions.GraftFunctions.kn3LogProb(col(textCol), p))
+      if (!conf.minKn3LogP.isNegInfinity)
+        df = df.filter(col("kn3_logp") >= conf.minKn3LogP)
     }
     // learned quality classifier — 6 scalars load once on the driver
     // and become plan literals; scoring is another scan-speed

@@ -237,7 +237,32 @@ object Dedup {
     * aggregate (see [[simHashNearDupsAgainst]]). */
   def simHashHotBuckets(sigs: DataFrame, bands: Int = 4,
       maxBucketSize: Int = 10000): DataFrame =
-    hotBucketKeys(bandSignatures(sigs, bands), maxBucketSize)
+    hotFromCounts(bucketCounts(sigs, bands), maxBucketSize)
+
+  /** Per-bucket occupancy counts `(band, bits, n)` of a signature
+    * frame — the MERGEABLE form of the hot-bucket aggregate. An
+    * incremental pipeline persists these instead of re-deriving hot
+    * keys from the full signature corpus each commit: per-batch counts
+    * are pre-aggregated (≤ bands × distinct batch buckets rows, no
+    * per-row banding over prior corpus), and summing batch count
+    * tables equals one count over the union because signature state is
+    * append-only. Counts only merge within ONE (gramSize, bands)
+    * lineage — the same contract the Curator pins in stateParams. */
+  def bucketCounts(sigs: DataFrame, bands: Int): DataFrame =
+    bandSignatures(sigs, bands).groupBy("band", "bits")
+      .agg(count(lit(1)).as("n"))
+
+  /** Sum per-batch [[bucketCounts]] tables into cumulative corpus
+    * counts. Associative and commutative, so any grouping of batches
+    * (including compaction of many persisted count parts into one)
+    * yields the same table. */
+  def mergeBucketCounts(counts: DataFrame): DataFrame =
+    counts.groupBy("band", "bits").agg(sum(col("n")).as("n"))
+
+  /** Hot keys from a (merged) [[bucketCounts]] table — identical to
+    * [[simHashHotBuckets]] over the signatures the counts describe. */
+  def hotFromCounts(counts: DataFrame, maxBucketSize: Int): DataFrame =
+    counts.filter(col("n") > maxBucketSize).select("band", "bits")
 
   // --------------------------------------- incremental (batch vs corpus)
 

@@ -52,6 +52,23 @@ final case class KneserNeyLm(bigram: BigramLm, discount: Double) {
   require(discount > 0 && discount <= 1, s"discount must be in (0,1], got $discount")
 }
 
+/** Interpolated Kneser–Ney TRIGRAM LM (Chen & Goodman 1999 §3's
+  * recursive formulation at order 3): the UNPRUNED trigram model plus
+  * one absolute discount per level — `d3` from the trigram
+  * count-of-counts, `d2` from the count-of-counts of the CONTINUATION
+  * bigram table N1+(·ab) (how many distinct words precede "a b" in a
+  * trigram — the middle order of KN uses continuation counts, not raw
+  * counts, all the way down). Like the bigram form it is a PROPER
+  * distribution at every level: for any context, probabilities over
+  * vocab ∪ OOV sum to exactly 1 (LangModelSpec pins all three
+  * levels). Everything below the top order derives from the trigram
+  * table alone, so the [[LangModel.saveTrigram]] artifact is
+  * sufficient for the native scorer to reconstruct the model. */
+final case class KneserNey3Lm(trigram: TrigramLm, d3: Double, d2: Double) {
+  require(d3 > 0 && d3 <= 1, s"d3 must be in (0,1], got $d3")
+  require(d2 > 0 && d2 <= 1, s"d2 must be in (0,1], got $d2")
+}
+
 final case class UnigramLm(table: DataFrame, totalTokens: Long, vocab: Long) {
 
   /** The shared Laplace denominator `N + V + 1` as a double — computed
@@ -256,6 +273,117 @@ object LangModel {
     first.unionByName(pairs)
       .groupBy(idCol)
       .agg(avg("logp").as("kn_logp"), count(lit(1)).as("kn_positions"))
+  }
+
+  /** Train an interpolated Kneser–Ney trigram LM: the minCount=1
+    * trigram tables plus the two count-of-counts discount estimates
+    * (trigram counts for `d3`; continuation-bigram counts for `d2` —
+    * the singleton statistics OF THE LEVEL each discount applies to,
+    * Ney et al. 1994). Beyond [[trainTrigram]]'s cost: one aggregate
+    * over the trigram table per discount, 2 longs of driver egress
+    * each. Same n1=0 → 0.5 fallback and ≤1 cap as the bigram form. */
+  def trainKneserNey3(ref: DataFrame, textCol: String): KneserNey3Lm = {
+    val t3 = trainTrigram(ref, textCol, minCount = 1L)
+    def discountOf(counts: DataFrame, cntCol: String): Double = {
+      val r = counts.agg(
+        coalesce(sum((col(cntCol) === 1).cast("long")), lit(0L)).as("n1"),
+        coalesce(sum((col(cntCol) === 2).cast("long")), lit(0L)).as("n2")).head()
+      val n1 = r.getLong(0); val n2 = r.getLong(1)
+      if (n1 == 0) 0.5 else math.min(n1.toDouble / (n1 + 2.0 * n2), 1.0)
+    }
+    val cbg = t3.table.groupBy("w2", "w3").agg(count(lit(1)).as("ccnt"))
+    KneserNey3Lm(t3, discountOf(t3.table, "cnt3"), discountOf(cbg, "ccnt"))
+  }
+
+  /** Composable interpolated-KN trigram scoring: one row per doc with
+    * `kn3_logp` (average log10 probability over all positions) and
+    * `kn3_positions`. All derived statistics come from the UNPRUNED
+    * trigram table, the continuation principle applied recursively:
+    *  - top level, position i ≥ 2 with context (w1,w2):
+    *    `ctx3(w1,w2) = Σ_w c(w1w2w)`, `nfwd3(w1,w2) = |{w : c>0}|`;
+    *    seen → `(max(c−D3,0) + D3·nfwd3·p2cont(w3|w2)) / ctx3`,
+    *    unseen context → `p2cont(w3|w2)`;
+    *  - middle level over CONTINUATION counts `cbg(a,b) = N1+(·ab)`
+    *    (distinct w1 preceding "a b" — raw counts would overweight
+    *    words frequent only inside one frozen phrase):
+    *    `ctx2c(a) = Σ_b cbg(a,b)`, `nfwd2c(a) = |{b : cbg>0}|`;
+    *    seen → `(max(cbg−D2,0) + D2·nfwd2c·p1cont(b)) / ctx2c`,
+    *    unseen → `p1cont(b)`; position 1 scores here, position 0 at
+    *    the level below;
+    *  - bottom level `p1cont(w) = (N1+(·w) + 1) / (B′ + V + 1)` with
+    *    `N1+(·w) = |{a : cbg(a,w)>0}|` and `B′ = |cbg|` — the same
+    *    Laplace-over-continuation-counts OOV floor as the bigram
+    *    form, summing to exactly 1 over vocab ∪ OOV.
+    * Every piece is SQL arithmetic on the trigram count table, so the
+    * q100 oracle replays training AND scoring verbatim.
+    *
+    * Shape: in-row gram construction; the derived tables are one
+    * map-side-collapsed groupBy each over the reference's trigram
+    * types (AQE picks broadcast for the scoring joins); one final
+    * per-doc aggregate — [[logProbPerDocKneserNey]] one order up. */
+  def logProbPerDocKneserNey3(
+      docs: DataFrame,
+      lm: KneserNey3Lm,
+      idCol: String,
+      textCol: String): DataFrame = {
+    val t3 = lm.trigram.table
+    val cbg = t3.groupBy("w2", "w3").agg(count(lit(1)).as("__ccnt"))
+    val fwd3 = t3.groupBy("w1", "w2")
+      .agg(sum("cnt3").as("__ctx3"), count(lit(1)).as("__nfwd3"))
+    val fwd2 = cbg.groupBy("w2")
+      .agg(sum("__ccnt").as("__ctx2"), count(lit(1)).as("__nfwd2"))
+    val bwd1 = cbg.groupBy("w3").agg(count(lit(1)).as("__nbwd1"))
+    val bPrime = cbg.count()
+    val denomCont = (bPrime + lm.trigram.bigram.unigram.vocab + 1).toDouble
+    def p1cont(nbwd1: Column): Column =
+      (coalesce(nbwd1, lit(0L)) + lit(1L)).cast("double") / lit(denomCont)
+    // p2cont(b | a) given the joined __ccnt/__ctx2/__nfwd2/__nbwd1 row
+    def p2cont(ccnt: Column, ctx2: Column, nfwd2: Column, nbwd1: Column): Column =
+      when(ctx2.isNotNull,
+        (greatest(coalesce(ccnt, lit(0L)).cast("double") - lit(lm.d2), lit(0.0)) +
+          lit(lm.d2) * nfwd2.cast("double") * p1cont(nbwd1)) / ctx2.cast("double"))
+        .otherwise(p1cont(nbwd1))
+    val base = docs
+      .select(col(idCol), Dedup.tokens(col(textCol)).as("tk"))
+      .filter(size(col("tk")) > 0)
+    // position 0: the continuation unigram
+    val first = base
+      .select(col(idCol), element_at(col("tk"), 1).as("w3"))
+      .join(bwd1, Seq("w3"), "left")
+      .select(col(idCol), log10(p1cont(col("__nbwd1"))).as("logp"))
+    // position 1: the continuation-bigram level, context = token 1
+    val second = base
+      .filter(size(col("tk")) >= 2)
+      .select(col(idCol), element_at(col("tk"), 1).as("w2"),
+        element_at(col("tk"), 2).as("w3"))
+      .join(cbg, Seq("w2", "w3"), "left")
+      .join(fwd2, Seq("w2"), "left")
+      .join(bwd1, Seq("w3"), "left")
+      .select(col(idCol),
+        log10(p2cont(col("__ccnt"), col("__ctx2"), col("__nfwd2"),
+          col("__nbwd1"))).as("logp"))
+    // positions ≥ 2: full trigram recursion
+    val triples = base
+      .select(col(idCol), explode(triplesOf(col("tk"))).as("t"))
+      .select(col(idCol), col("t.w1"), col("t.w2"), col("t.w3"))
+      .join(t3, Seq("w1", "w2", "w3"), "left")
+      .join(fwd3, Seq("w1", "w2"), "left")
+      .join(cbg, Seq("w2", "w3"), "left")
+      .join(fwd2, Seq("w2"), "left")
+      .join(bwd1, Seq("w3"), "left")
+      .select(col(idCol),
+        when(col("__ctx3").isNotNull,
+          log10((greatest(coalesce(col("cnt3"), lit(0L)).cast("double") - lit(lm.d3),
+            lit(0.0)) +
+            lit(lm.d3) * col("__nfwd3").cast("double") *
+              p2cont(col("__ccnt"), col("__ctx2"), col("__nfwd2"), col("__nbwd1"))) /
+            col("__ctx3").cast("double")))
+        .otherwise(log10(p2cont(col("__ccnt"), col("__ctx2"), col("__nfwd2"),
+          col("__nbwd1"))))
+        .as("logp"))
+    first.unionByName(second).unionByName(triples)
+      .groupBy(idCol)
+      .agg(avg("logp").as("kn3_logp"), count(lit(1)).as("kn3_positions"))
   }
 
   /** Sliding `(w1..wn)` grams of a token array, in order — the
@@ -653,6 +781,8 @@ object LangModel {
       }
     } finally out.close()
     graft.functions.Lm3Registry.invalidate(path)
+    // the KN3 registry scores the SAME artifact — keep both caches honest
+    graft.functions.Kn3Registry.invalidate(path)
   }
 
   def save(lm: UnigramLm, path: String): Unit = {

@@ -327,6 +327,29 @@ class CliSpec extends SparkTestBase {
          |curation { state-dir = ${base.resolve("state1")}, shingle-size = 5 }
          |""".stripMargin)
     intercept[IllegalArgumentException] { graft.cli.Curator.main(Array("--conf", drift)) }
+    // max-bucket rides stateParams too: persisted hotcounts thresholds
+    // only mean anything under the cap that built the lineage
+    val bdrift = write(base.resolve("bdrift.conf"),
+      s"""source { storage-type = local, dataset-dir = $sfDir/documents.parquet }
+         |target { storage-type = local, dataset-dir = ${base.resolve("outW")} }
+         |curation { state-dir = ${base.resolve("state1")}, max-bucket = 7 }
+         |""".stripMargin)
+    intercept[IllegalArgumentException] { graft.cli.Curator.main(Array("--conf", bdrift)) }
+    // a pre-counts state dir (no hotcounts table) bootstraps from the
+    // signature union once, then the lineage is incremental
+    val fs = java.nio.file.Paths.get(base.resolve("state2").resolve("hotcounts").toString)
+    assert(fs.toFile.exists())
+    def deleteRec(f: java.io.File): Unit = {
+      if (f.isDirectory) f.listFiles().foreach(deleteRec)
+      f.delete()
+    }
+    deleteRec(fs.toFile)
+    graft.cli.Curator.main(Array("--conf", conf(4, Some(base.resolve("state2").toString))))
+    assert(new java.io.File(base.resolve("state4").resolve("hotcounts").toString).exists())
+    val counts4 = spark.read.parquet(base.resolve("state4").resolve("hotcounts").toString)
+    val sigs4 = spark.read.parquet(base.resolve("state4").resolve("sigs").toString)
+    assert(counts4.agg(org.apache.spark.sql.functions.sum("n")).head.getLong(0) ==
+      sigs4.count() * 4, "bootstrapped counts must cover the full signature union")
   }
 
   test("curator state-parts-dir: hashes/sigs become immutable parts + manifests; " +
@@ -355,8 +378,11 @@ class CliSpec extends SparkTestBase {
       assert(!new java.io.File(st1.resolve(t).toString).exists(),
         s"parts mode must not materialize $t in the state dir")
     }
-    // hot buckets stay a materialized aggregate either way
+    // hot buckets stay a materialized aggregate either way — but they
+    // derive from the mergeable hotcounts parts, not a re-band of the
+    // full signature union
     assert(new java.io.File(st1.resolve("hot").toString).exists())
+    assert(new java.io.File(st1.resolve("hotcountsmanifest").toString).exists())
     def partFiles(t: String, i: Int): Map[String, (Long, Long)] = {
       val d = new java.io.File(s"$partsDir/$t", s"part-$i")
       assert(d.exists(), s"$t/part-$i must exist")
@@ -373,6 +399,16 @@ class CliSpec extends SparkTestBase {
     assert(n2 <= n1 / 50, s"run 2 kept $n2 of $n1 — incremental dedup not effective")
     assert(partFiles("hashes", 0) == hashes0 && partFiles("sigs", 0) == sigs0,
       "prior parts must be byte-identical after run 2 — immutability is the point")
+    // hotcounts appended a batch part (counts merge by sum; no corpus
+    // signature re-band), and the derived hot table equals the direct
+    // aggregate over the full signature union
+    assert(new java.io.File(s"$partsDir/hotcounts", "part-1").exists())
+    val st2 = base.resolve("pstate2")
+    val sigsAll = graft.cli.Cli.readStateTable(spark, st2.toString, "sigs")
+    def hotSet(df: org.apache.spark.sql.DataFrame) =
+      df.select("band", "bits").collect().map(r => (r.getInt(0), r.getLong(1))).toSet
+    assert(hotSet(spark.read.parquet(st2.resolve("hot").toString)) ==
+      hotSet(graft.llm.Dedup.simHashHotBuckets(sigsAll, 4, 10000)))
     // manifest union covers corpus + remnants, exactly like the
     // rewrite-mode accumulated table
     val manifest2 = scala.io.Source.fromFile(
@@ -390,6 +426,22 @@ class CliSpec extends SparkTestBase {
         conf(4, Some(base.resolve("pstate2").toString), "")))
     }
     assert(e.getMessage.contains("state-parts-dir"), e.getMessage)
+    // a crashed commit's orphan part beyond the manifest is swept by the
+    // next successful commit (a param-compatible retry overwrites its
+    // own index; anything higher is dead weight within the lineage)
+    val orphan = new java.io.File(s"$partsDir/hashes", "part-7")
+    orphan.mkdirs()
+    val orphanFile = new java.io.File(orphan, "junk.parquet")
+    orphanFile.createNewFile()
+    graft.cli.Curator.main(Array("--conf",
+      conf(5, Some(base.resolve("pstate3").toString), partsLine)))
+    assert(!orphan.exists(), "orphan part beyond the manifest must be swept")
+    // a FRESH lineage (no state-dir) refuses a non-empty parts table dir
+    // instead of silently clobbering it from part-0
+    val fresh = intercept[IllegalStateException] {
+      graft.cli.Curator.main(Array("--conf", conf(6, None, partsLine)))
+    }
+    assert(fresh.getMessage.contains("not empty"), fresh.getMessage)
   }
 
   test("curator cardinality state accumulates lifetime distincts across batches") {
@@ -1010,6 +1062,59 @@ class CliSpec extends SparkTestBase {
       graft.cli.Curator.main(Array("--conf", bad))
     }
     assert(err.getMessage.contains("lmn-path"))
+  }
+
+  test("curator KN3 filter: kn3-path + min-kn3-logp drop a scrambled doc " +
+      "under interpolated Kneser-Ney; floor alone rejects up front") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val base = tmp()
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet").select("doc_id", "text")
+    val lm = graft.llm.LangModel.trainKneserNey3(
+      docs.filter(col("doc_id") < 100), "text")
+    val kn3Path = base.resolve("ref_kn.lm3").toString
+    graft.llm.LangModel.saveTrigram(lm.trigram, kn3Path)
+    // ordered prefix vs its reverse: identical unigrams, trigram
+    // continuations separate them; the floor sits between THEIR scores
+    val sample = docs.filter(col("doc_id") === 0).head().getString(1)
+      .split("\\s+").filter(_.nonEmpty).take(40)
+    val ordered = sample.mkString(" ")
+    val scrambled = sample.reverse.mkString(" ")
+    val src = base.resolve("kn3src").toString
+    docs.filter(col("doc_id") > 0 && col("doc_id") < 50)
+      .unionByName(Seq((91000L, scrambled), (91001L, ordered)).toDF("doc_id", "text"))
+      .write.parquet(src)
+    val probe = spark.read.parquet(src)
+      .select(col("doc_id"),
+        graft.functions.GraftFunctions.kn3LogProb(col("text"), kn3Path).as("l"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(probe(91001L) > probe(91000L),
+      "KN3 must score ordered text above its scramble")
+    val floor = (probe(91000L) + probe(91001L)) / 2
+    val f = write(base.resolve("curator_kn3.conf"),
+      s"""source { storage-type = local, dataset-dir = $src }
+         |target { storage-type = local, dataset-dir = ${base.resolve("kn3cur")}, dataset-store-format = parquet, write-mode = overwrite }
+         |curation {
+         |  min-quality = 0.0
+         |  kn3-path = "$kn3Path"
+         |  min-kn3-logp = $floor
+         |}
+         |""".stripMargin)
+    graft.cli.Curator.main(Array("--conf", f))
+    val out = spark.read.parquet(base.resolve("kn3cur").toString)
+    val ids = out.select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(!ids.contains(91000L), "scrambled doc survived the KN3 filter")
+    assert(ids.contains(91001L), "the in-order twin must survive the same floor")
+    assert(out.columns.contains("kn3_logp"))
+    val bad = write(base.resolve("curator_kn3_bad.conf"),
+      s"""source { storage-type = local, dataset-dir = $src }
+         |target { storage-type = local, dataset-dir = ${base.resolve("kn3cur")}, dataset-store-format = parquet, write-mode = overwrite }
+         |curation { min-kn3-logp = -2.5 }
+         |""".stripMargin)
+    val err = intercept[IllegalArgumentException] {
+      graft.cli.Curator.main(Array("--conf", bad))
+    }
+    assert(err.getMessage.contains("kn3-path"))
   }
 
   test("curator learned classifier: outfilters stopword-stuffed hex gibberish " +

@@ -127,6 +127,31 @@ class DedupSpec extends SparkTestBase {
     assert(unguarded.count { case (a, b) => a >= 100L && b >= 100L } == 30 * 29 / 2)
   }
 
+  test("bucketCounts merge across batches == one count over the union; " +
+      "hotFromCounts == simHashHotBuckets") {
+    // the mergeability that lets incremental state keep per-bucket
+    // COUNTS (bounded by the bits keyspace) instead of re-banding the
+    // full signature corpus at every commit
+    val b1 = Dedup.simHashSignatures(withDups.filter(col("doc_id") < 100), "doc_id", "text")
+    val b2 = Dedup.simHashSignatures(withDups.filter(col("doc_id") >= 100), "doc_id", "text")
+    val union = b1.unionByName(b2)
+    def asMap(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getInt(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val merged = Dedup.mergeBucketCounts(
+      Dedup.bucketCounts(b1, 4).unionByName(Dedup.bucketCounts(b2, 4)))
+    assert(asMap(merged) == asMap(Dedup.bucketCounts(union, 4)),
+      "summed per-batch counts must equal a single count over the union")
+    // merge is idempotent over an already-merged table (the rewrite-mode
+    // A/B path re-merges every commit)
+    assert(asMap(Dedup.mergeBucketCounts(merged)) == asMap(merged))
+    def keySet(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getInt(0), r.getLong(1))).toSet
+    val maxBucket = 1 // planted exact dups guarantee size-2 buckets
+    val viaCounts = keySet(Dedup.hotFromCounts(merged, maxBucket))
+    assert(viaCounts == keySet(Dedup.simHashHotBuckets(union, 4, maxBucket)))
+    assert(viaCounts.nonEmpty, "pick maxBucket so the identity is non-vacuous")
+  }
+
   test("incremental dedup: batch drops seen-exact and near-dup-of-corpus, keeps fresh") {
     val corpus = Seq(
       (1L, "the quick brown fox jumps over the lazy dog and runs far away home tonight"),

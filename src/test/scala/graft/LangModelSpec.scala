@@ -520,6 +520,86 @@ class LangModelSpec extends SparkTestBase {
       s"KN must prefer training order: ${sc(1L)} vs ${sc(2L)}")
   }
 
+  test("Kneser–Ney trigram: per-level count-of-counts discounts; PROPER " +
+      "distribution at every backoff level — seen trigram context, " +
+      "seen-middle-only, and fully unseen") {
+    val ref = Seq("a b a c a b d c a").toDF("text")
+    val lm = LangModel.trainKneserNey3(ref, "text")
+    // 7 trigram types, all singletons → d3 = 7/(7+0) capped at 1;
+    // continuation bigrams: (c,a)×2 and 5 singletons → d2 = 5/(5+2·1)
+    assert(lm.d3 == 1.0, s"d3: ${lm.d3}")
+    assert(lm.d2 == 5.0 / 7.0, s"d2: ${lm.d2}")
+    val outcomes = Seq("a", "b", "c", "d", "zz") // zz = the OOV bucket
+    for ((w1, w2) <- Seq(("a", "b"), ("zz", "a"), ("zz", "zz"))) {
+      // "w1 w2 w" averages three positions; "w1 w2" isolates the first
+      // two — so the third position's conditional is 3·avg3 − 2·avg2
+      val docs = (outcomes.zipWithIndex.map { case (w, i) =>
+        (i.toLong, s"$w1 $w2 $w") } :+ (99L -> s"$w1 $w2")).toDF("doc_id", "text")
+      val got = LangModel.logProbPerDocKneserNey3(docs, lm, "doc_id", "text")
+        .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+      val prefix = 2 * got(99L)
+      val total = outcomes.indices.map { i =>
+        math.pow(10.0, 3 * got(i.toLong) - prefix) }.sum
+      assert(math.abs(total - 1.0) < 1e-9,
+        s"p(·|'$w1 $w2') must sum to 1 over vocab ∪ OOV, got $total")
+    }
+  }
+
+  test("Kneser–Ney trigram separates two-token-back order the KN bigram " +
+      "provably cannot") {
+    // 'b' continues to 'c' after 'a', to 'e' after 'd' — pure trigram
+    // signal; both probes are pairwise identical
+    val ref = ((1 to 30).map(_ => "a b c") ++ (1 to 30).map(_ => "d b e"))
+      .toDF("text")
+    val kn3 = LangModel.trainKneserNey3(ref, "text")
+    val kn2 = LangModel.trainKneserNey(ref, "text")
+    val docs = Seq(
+      (1L, "a b c"),  // trigram-consistent
+      (2L, "a b e")   // every BIGRAM seen, trigram violated
+    ).toDF("doc_id", "text")
+    val s3 = LangModel.logProbPerDocKneserNey3(docs, kn3, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(s3(1L) > s3(2L) + 0.1,
+      s"KN3 must prefer the attested continuation: ${s3(1L)} vs ${s3(2L)}")
+    val s2 = LangModel.logProbPerDocKneserNey(docs, kn2, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(math.abs(s2(1L) - s2(2L)) < 1e-12,
+      "both docs are pairwise identical to the KN bigram — order 3's whole point")
+  }
+
+  test("KN3 native registry scores the saveTrigram artifact: parity with the " +
+      "composable form at the oracle rounding; foreign files rejected") {
+    import graft.functions.GraftFunctions
+    val all = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select(col("doc_id"), col("text"))
+    val kn = LangModel.trainKneserNey3(all.filter(col("doc_id") < 200), "text")
+    val path = tmpLm("kn3_parity.lm3")
+    LangModel.saveTrigram(kn.trigram, path)
+    val held = all.filter(col("doc_id") >= 200 && col("doc_id") < 500)
+    val slow = LangModel.logProbPerDocKneserNey3(held, kn, "doc_id", "text")
+      .select(col("doc_id"), round(col("kn3_logp"), 6).as("s"))
+    val fast = held.select(col("doc_id"),
+      round(GraftFunctions.kn3LogProb(col("text"), path), 6).as("f"))
+    val mism = slow.join(fast, "doc_id").filter(col("s") =!= col("f")).count()
+    assert(mism == 0, s"$mism docs disagree between composable and native KN3")
+    // OOV-context, seen-middle-only, and short-doc edges agree too
+    val edge = Seq((1L, "zzz qqq rrr"), (2L, "the zzz qqq"), (3L, "zzz"),
+      (4L, "the of"), (5L, "zzz the of and")).toDF("doc_id", "text")
+    val se = LangModel.logProbPerDocKneserNey3(edge, kn, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> math.rint(r.getDouble(1) * 1e6)).toMap
+    val fe = edge.select(col("doc_id"),
+      GraftFunctions.kn3LogProb(col("text"), path))
+      .collect().map(r => r.getLong(0) -> math.rint(r.getDouble(1) * 1e6)).toMap
+    assert(se == fe, s"edge paths must agree: $se vs $fe")
+    // a bigram artifact is not a trigram artifact
+    val biPath = tmpLm("kn3_notbigram.lm2")
+    LangModel.saveBigram(kn.trigram.bigram, biPath)
+    val err = intercept[Exception] {
+      spark.range(1).select(GraftFunctions.kn3LogProb(lit("a b c"), biPath)).head()
+    }
+    assert(err.getMessage != null)
+  }
+
   test("KN native registry scores the saveBigram artifact: parity with the " +
       "composable form at the oracle rounding; foreign files rejected") {
     import graft.functions.GraftFunctions
