@@ -116,21 +116,26 @@ object Cli {
           "somewhere fresh")
   }
 
-  /** Parts-mode hygiene, half 2: after a manifest of `keptLen` parts is
-    * written, any `part-K` dir with K ≥ keptLen under the table dir is
-    * dead weight for this lineage — a crashed commit's orphan that a
-    * parameter-compatible retry did not reclaim, or parts superseded by
-    * compaction. Safe to sweep because [[requireEmptyPartsDir]] pins
-    * one parts dir to one lineage, and prior state dirs' manifests only
-    * ever reference a PREFIX of the current part list. */
+  /** Parts-mode hygiene, half 2: after a manifest is committed, any
+    * `part-*` dir under the table dir that the manifest does NOT
+    * reference is dead weight for this lineage — a crashed commit's
+    * orphan that a parameter-compatible retry did not reclaim, or
+    * parts superseded by compaction. Safe to sweep because
+    * [[requireEmptyPartsDir]] pins one parts dir to one lineage, and
+    * in the append flow prior state dirs' manifests only ever
+    * reference a subset of the current part list. (The Compactor's
+    * manifest does NOT cover prior parts — it calls this only after
+    * its `_COMMITTED` lands, because sweeping first would destroy the
+    * input state dir's tables on a crashed compaction.) */
   private[graft] def sweepOrphanParts(
-      spark: SparkSession, pd: String, table: String, keptLen: Int): Unit = {
+      spark: SparkSession, pd: String, table: String,
+      kept: Seq[String]): Unit = {
     val td = new org.apache.hadoop.fs.Path(s"$pd/$table")
     val fs = td.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val keptNames = kept.map(p => new org.apache.hadoop.fs.Path(p).getName).toSet
     if (fs.exists(td)) fs.listStatus(td).foreach { st =>
       val name = st.getPath.getName
-      if (name.startsWith("part-") &&
-          name.drop(5).toIntOption.exists(_ >= keptLen)) {
+      if (name.startsWith("part-") && !keptNames.contains(name)) {
         fs.delete(st.getPath, true)
         log(s"swept orphan state part ${st.getPath}")
       }
@@ -1066,7 +1071,7 @@ object Curator {
             batchRows.write.mode("overwrite").parquet(newPart)
             val parts = pp :+ newPart
             Cli.writeStateManifest(spark, outPath, table, parts)
-            Cli.sweepOrphanParts(spark, qual(pd).toString, table, parts.length)
+            Cli.sweepOrphanParts(spark, qual(pd).toString, table, parts)
             spark.read.parquet(parts: _*)
           case None =>
             val all = stateDir match {
@@ -1110,7 +1115,7 @@ object Curator {
             part.write.mode("overwrite").parquet(newPart)
             val parts = pp.getOrElse(Seq.empty) :+ newPart
             Cli.writeStateManifest(spark, outPath, countsTable, parts)
-            Cli.sweepOrphanParts(spark, qual(pd).toString, countsTable, parts.length)
+            Cli.sweepOrphanParts(spark, qual(pd).toString, countsTable, parts)
             spark.read.parquet(parts: _*)
           case None =>
             val merged = stateDir match {
@@ -1167,7 +1172,7 @@ object Curator {
             val newPart = s"${qual(pd)}/spans/part-${pp.length}"
             b.write.mode("overwrite").parquet(newPart)
             Cli.writeStateManifest(spark, outPath, "spans", pp :+ newPart)
-            Cli.sweepOrphanParts(spark, qual(pd).toString, "spans", pp.length + 1)
+            Cli.sweepOrphanParts(spark, qual(pd).toString, "spans", pp :+ newPart)
           case (_, None) if priorParts.isDefined =>
             // stage toggled off over parts-mode state: the carry is
             // METADATA-ONLY — copy the manifest, touch no parquet
@@ -1218,6 +1223,157 @@ object Curator {
   }
 }
 
+/** `compactor` (north-star, no reference counterpart): merge a
+  * parts-mode state lineage's accumulated write-once parts into one
+  * compacted part per table and emit a fresh committed state dir whose
+  * manifests reference only the compacted parts. A long-lived lineage
+  * appends one part per batch per table; reads stay correct through
+  * the manifests, but hundreds of small parquet parts cost open/footer
+  * overhead on every probe — the standard object-store read-
+  * amplification problem, with the standard answer.
+  *
+  * Config keys under `compaction { }`: `state-dir` (a COMMITTED state
+  * dir), `state-out-dir` (the fresh dir to commit). The parts
+  * directories are parsed from the state's own parameter records
+  * (`_COMMITTED` stateParams / `spanparams`), never from config —
+  * compaction cannot be pointed at the wrong lineage.
+  *
+  * Semantics per table: `hashes`/`sigs`/`vecsigs` concatenate;
+  * `hotcounts`/`vechotcounts` MERGE (sum per bucket — the mergeable-
+  * counts contract); `spans` dedups (duplicate hashes across batches
+  * were always semantically redundant to the semi-join). Compacted
+  * parts get fresh `part-c<g>` names so live parts are never written
+  * while a reader could union them. Materialized artifacts (`hot`,
+  * `vechot`, `linefreqs`, `cardsketch`, `benchhits`, `spanbloom`,
+  * `spanparams`) copy forward unchanged; the output marker carries the
+  * SAME stateParams, so the next Curator batch continues the lineage
+  * against the compacted dir transparently.
+  *
+  * Crash safety: superseded parts are swept ONLY AFTER the output
+  * `_COMMITTED` lands — a compaction that dies mid-way leaves the
+  * input dir fully usable and an uncommitted output dir the protocol
+  * refuses. A COMMITTED compaction invalidates all earlier state-dir
+  * generations (their manifests reference swept parts); the input
+  * dir's marker is removed so it is refused loudly instead of failing
+  * at read time. */
+object Compactor {
+  def main(args: Array[String]): Unit = Cli.run("compactor", args) { (conf, spark) =>
+    import org.apache.hadoop.fs.Path
+    val c = conf.at("compaction")
+    val inDir = c.string("state-dir")
+    val outDir = c.string("state-out-dir")
+    val hconf = spark.sparkContext.hadoopConfiguration
+    def qual(d: String): Path = {
+      val p = new Path(d); p.getFileSystem(hconf).makeQualified(p)
+    }
+    def exists(p: Path): Boolean = p.getFileSystem(hconf).exists(p)
+    def readSmall(p: Path): String = {
+      val in = p.getFileSystem(hconf).open(p)
+      try scala.io.Source.fromInputStream(in, "UTF-8").mkString finally in.close()
+    }
+    val inPath = qual(inDir)
+    val outPath = qual(outDir)
+    require(inPath != outPath,
+      "compaction.state-out-dir must differ from state-dir (the input stays " +
+        "usable until the compacted dir commits)")
+    val marker = new Path(inPath, "_COMMITTED")
+    require(exists(marker),
+      s"compaction.state-dir '$inDir' holds no committed state (_COMMITTED missing)")
+    val stateParams = readSmall(marker)
+    def paramOf(params: String, key: String): Option[String] =
+      params.split(';').collectFirst {
+        case kv if kv.startsWith(key + "=") => kv.substring(key.length + 1)
+      }
+    val partsDir = paramOf(stateParams, "state-parts-dir")
+    val spanParams = Some(new Path(inPath, "spanparams")).filter(exists).map(readSmall)
+    val spanPartsDir = spanParams.flatMap(paramOf(_, "span-parts-dir"))
+    require(partsDir.isDefined || spanPartsDir.isDefined,
+      s"state at '$inDir' has no parts-mode tables (no state-parts-dir / " +
+        "span-parts-dir in its parameter records) — nothing to compact; " +
+        "rewrite-mode state is already one materialized table per commit")
+    val fs = outPath.getFileSystem(hconf)
+    fs.mkdirs(outPath)
+    fs.delete(new Path(outPath, "_COMMITTED"), false)
+    // fresh generation suffix per table: part-c<g> names never collide
+    // with live parts, so the union read and the compacted write are
+    // never the same files
+    def nextGen(pd: String, table: String): Int = {
+      val td = new Path(s"$pd/$table")
+      val tfs = td.getFileSystem(hconf)
+      val gens =
+        if (!tfs.exists(td)) Array.empty[Int]
+        else tfs.listStatus(td).flatMap { st =>
+          val n = st.getPath.getName
+          if (n.startsWith("part-c")) n.drop(6).toIntOption else None
+        }
+      if (gens.isEmpty) 1 else gens.max + 1
+    }
+    // compact one manifested table; returns (partsDir, table, kept)
+    // for the post-commit sweep
+    def compactTable(pd: String, table: String,
+        transform: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame)
+        : Option[(String, String, Seq[String])] =
+      Cli.stateTableParts(spark, inDir, table).map { parts =>
+        val target = s"${qual(pd)}/$table/part-c${nextGen(qual(pd).toString, table)}"
+        transform(spark.read.parquet(parts: _*))
+          .write.mode("overwrite").parquet(target)
+        Cli.writeStateManifest(spark, outPath, table, Seq(target))
+        Cli.log(s"compacted $table: ${parts.length} parts -> $target")
+        (qual(pd).toString, table, Seq(target))
+      }
+    val sweeps = scala.collection.mutable.ListBuffer
+      .empty[(String, String, Seq[String])]
+    partsDir.foreach { pd =>
+      Seq("hashes", "sigs", "vecsigs")
+        .flatMap(t => compactTable(pd, t, identity)).foreach(sweeps += _)
+      Seq("hotcounts", "vechotcounts")
+        .flatMap(t => compactTable(pd, t, graft.llm.Dedup.mergeBucketCounts))
+        .foreach(sweeps += _)
+    }
+    spanPartsDir.foreach { pd =>
+      compactTable(pd, "spans", _.distinct()).foreach(sweeps += _)
+    }
+    // carry everything materialized forward unchanged: rewrite-mode
+    // tables (no manifest) and the derived/auxiliary artifacts
+    def copyParquet(table: String): Unit = {
+      val src = new Path(inPath, table)
+      if (exists(src) && Cli.stateTableParts(spark, inDir, table).isEmpty)
+        spark.read.parquet(src.toString)
+          .write.mode("overwrite").parquet(new Path(outPath, table).toString)
+    }
+    Seq("hashes", "sigs", "vecsigs", "hotcounts", "vechotcounts", "spans",
+      "hot", "vechot", "linefreqs", "cardsketch", "benchhits")
+      .foreach(copyParquet)
+    def copyFile(name: String): Unit = {
+      val src = new Path(inPath, name)
+      if (exists(src)) {
+        val in = src.getFileSystem(hconf).open(src)
+        val bytes =
+          try {
+            val buf = new java.io.ByteArrayOutputStream()
+            val tmp = new Array[Byte](65536)
+            var n = in.read(tmp)
+            while (n >= 0) { buf.write(tmp, 0, n); n = in.read(tmp) }
+            buf.toByteArray
+          } finally in.close()
+        val out = fs.create(new Path(outPath, name), true)
+        try out.write(bytes) finally out.close()
+      }
+    }
+    copyFile("spanbloom")
+    copyFile("spanparams")
+    val m = fs.create(new Path(outPath, "_COMMITTED"), true)
+    try m.write(stateParams.getBytes("UTF-8")) finally m.close()
+    // ONLY now is it safe to drop superseded parts and retire the input
+    sweeps.foreach { case (pd, table, kept) =>
+      Cli.sweepOrphanParts(spark, pd, table, kept)
+    }
+    marker.getFileSystem(hconf).delete(marker, false)
+    Cli.log(s"compacted state committed to $outDir; input dir '$inDir' retired " +
+      "(its manifests reference swept parts)")
+  }
+}
+
 /** `streamer` (north-star, no reference counterpart): config-driven
   * Structured Streaming job over an events landing directory — reads new
   * parquet files per trigger, applies one of the streaming operators,
@@ -1226,7 +1382,7 @@ object Curator {
   *
   * Config keys under `streaming { }`: `events-dir`, `target-dir`,
   * `checkpoint-location` (required — durable recovery), `operation`
-  * (window|sessions|dedup|near-dedup, default window),
+  * (window|sessions|dedup|near-dedup|filter, default window),
   * `window-length`, `session-gap`, `watermark`, `state-store`
   * (`rocksdb` for the off-heap production state store),
   * `shuffle-partitions`. `near-dedup` is the streaming arrival path
@@ -1236,7 +1392,12 @@ object Curator {
   * `time-column` name the stream's payload; `bands`/`shingle-size`
   * default from the state's `_COMMITTED` parameter record and an
   * explicit override that diverges from it is rejected
-  * (`max-hamming` is a query-time radius, not baked into state). */
+  * (`max-hamming` is a query-time radius, not baked into state).
+  * `filter` is stateless curation-lite over a document stream —
+  * `min-quality`/`langs`/`max-repetition`(+`repetition-ngram`)/
+  * `lm-path`+`min-lm-logp`/`kn3-path`+`min-kn3-logp`/
+  * `classifier-path`+`min-classifier-score`, the Curator's scan-speed
+  * stages at arrival time; floors omitted = annotate only. */
 object Streamer {
   def main(args: Array[String]): Unit = Cli.run("streamer", args) { (conf, spark) =>
     import graft.streaming.Streams
@@ -1302,8 +1463,27 @@ object Streamer {
           timeCol = c.getString("time-column").getOrElse("ts"),
           watermarkDelay = watermark,
           gramSize = fromState("shingle-size", "shingle-size", 3))
+      case "filter" =>
+        // stateless curation-lite over a document stream: quality
+        // heuristics + native LM scorers + learned classifier, all
+        // scan-speed projections — no watermark, no state store
+        val dir = c.string("events-dir")
+        val docs = spark.readStream
+          .schema(spark.read.parquet(dir).schema).parquet(dir)
+        Streams.filterDocStream(docs,
+          textCol = c.getString("text-column").getOrElse("text"),
+          minQuality = c.getDouble("min-quality"),
+          langs = c.getList("langs").map(_.toSet).getOrElse(Set.empty),
+          repetition = c.getDouble("max-repetition").map(m =>
+            (c.getInt("repetition-ngram").getOrElse(3), m)),
+          lmPath = c.getString("lm-path"),
+          minLmLogP = c.getDouble("min-lm-logp"),
+          kn3Path = c.getString("kn3-path"),
+          minKn3LogP = c.getDouble("min-kn3-logp"),
+          classifierPath = c.getString("classifier-path"),
+          minClassifierScore = c.getDouble("min-classifier-score"))
       case other => throw new IllegalArgumentException(
-        s"unknown streaming.operation '$other' (window|sessions|dedup|near-dedup)")
+        s"unknown streaming.operation '$other' (window|sessions|dedup|near-dedup|filter)")
     }
     val useRocksDB = c.getString("state-store") match {
       case None | Some("default") => false

@@ -647,7 +647,13 @@ object Dedup {
     * [[mergeSpanBlooms]], which requires identical sizing — record the
     * sizing next to the state and validate it on read. */
   def spanBloom(spans: DataFrame, expectedItems: Long, fpp: Double): Array[Byte] = {
-    val bf = spans.stat.bloomFilter("span_hash", expectedItems, fpp)
+    // stat.bloomFilter NPEs on a zero-row frame (a batch where every
+    // doc is shorter than the span width); an empty filter of the SAME
+    // sizing keeps the merge/sizing contract intact
+    val bf =
+      if (spans.isEmpty)
+        org.apache.spark.util.sketch.BloomFilter.create(expectedItems, fpp)
+      else spans.stat.bloomFilter("span_hash", expectedItems, fpp)
     val bos = new java.io.ByteArrayOutputStream()
     bf.writeTo(bos)
     bos.toByteArray

@@ -146,6 +146,68 @@ object Streams {
       .drop(hashCol, timeTmp)
   }
 
+  /** Stateless streaming curation-lite: annotate a DOCUMENT stream
+    * with the Curator's scan-speed quality signals and apply the
+    * configured floors — the streaming arrival path of the Curator's
+    * projection stages (quality heuristic, language gate, repetition,
+    * native LM scorers, learned classifier). Everything here is a
+    * per-row projection or filter: NO watermark, NO state store, NO
+    * shuffle — a microbatch is one codegen'd scan, so throughput is
+    * the file source's. Floors of `None` annotate without filtering
+    * (the Curator's own -Infinity convention). Batch parity is
+    * structural: the same code path on a batch frame produces the same
+    * rows (spec-pinned), because nothing here depends on streaming
+    * semantics.
+    *
+    * The heavier Curator stages stay OUT by design: dedup tiers have
+    * their own streaming arrival paths ([[dropSeenStream]]/
+    * [[dropNearSeenStream]]), and corpus-relative stages (boilerplate
+    * evidence, DSIR, mixing, packing) need corpus state a stateless
+    * stream cannot see — they belong to the incremental batch Curator
+    * over the stream's sink output. */
+  def filterDocStream(
+      docs: DataFrame,
+      textCol: String = "text",
+      minQuality: Option[Double] = None,
+      langs: Set[String] = Set.empty,
+      repetition: Option[(Int, Double)] = None,
+      lmPath: Option[String] = None,
+      minLmLogP: Option[Double] = None,
+      kn3Path: Option[String] = None,
+      minKn3LogP: Option[Double] = None,
+      classifierPath: Option[String] = None,
+      minClassifierScore: Option[Double] = None): DataFrame = {
+    import graft.llm.TextAnalysis
+    val st = TextAnalysis.stats(col(textCol))
+    var df = docs
+      .withColumn("quality", TextAnalysis.qualityScoreFast(st))
+      .withColumn("lang_id", TextAnalysis.langIdFast(st))
+    minQuality.foreach(q => df = df.filter(col("quality") >= q))
+    if (langs.nonEmpty)
+      df = df.filter(col("lang_id").isin(langs.toSeq: _*))
+    repetition.foreach { case (n, maxRep) =>
+      df = df.withColumn("repetition",
+        TextAnalysis.repetitionScoreFast(col(textCol), n))
+        .filter(col("repetition") <= maxRep)
+    }
+    lmPath.foreach { p =>
+      df = df.withColumn("lm_logp",
+        graft.functions.GraftFunctions.lmLogProb(col(textCol), p))
+      minLmLogP.foreach(f => df = df.filter(col("lm_logp") >= f))
+    }
+    kn3Path.foreach { p =>
+      df = df.withColumn("kn3_logp",
+        graft.functions.GraftFunctions.kn3LogProb(col(textCol), p))
+      minKn3LogP.foreach(f => df = df.filter(col("kn3_logp") >= f))
+    }
+    classifierPath.foreach { p =>
+      val clf = graft.llm.QualityClassifier.load(docs.sparkSession, p)
+      df = df.withColumn("clf_score", clf.score(col(textCol)))
+      minClassifierScore.foreach(f => df = df.filter(col("clf_score") >= f))
+    }
+    df
+  }
+
   /** Streaming NEAR-dup dedup against persisted corpus signature state:
     * drop stream rows whose SimHash lands within `maxHamming` bits of
     * any corpus signature — the streaming arrival path of the batch

@@ -1475,6 +1475,113 @@ class CliSpec extends SparkTestBase {
       "span evidence must carry forward when the stage is off")
   }
 
+  test("compactor: parts collapse to one compacted part per table, lineage " +
+      "continues against the compacted dir, input generation retired") {
+    import spark.implicits._
+    val base = tmp()
+    val passage = "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu"
+    val inA = base.resolve("ca").toString
+    val inB = base.resolve("cb").toString
+    val inC = base.resolve("cc").toString
+    (Seq((1L, s"first batch owner doc carries the quoted text $passage"),
+      (2L, "plain first batch document nothing shared at all")): Seq[(Long, String)])
+      .toDF("doc_id", "text").write.parquet(inA)
+    (Seq((200L, "second batch quoting entity reuses verbatim material " +
+        s"$passage trailing words continue afterwards"),
+      (201L, "another clean second batch document full of fresh words")): Seq[(Long, String)])
+      .toDF("doc_id", "text").write.parquet(inB)
+    (Seq((2L, "plain first batch document nothing shared at all"),
+      (201L, "another clean second batch document full of fresh words"),
+      (300L, "a genuinely novel third batch document with unseen content")): Seq[(Long, String)])
+      .toDF("doc_id", "text").write.parquet(inC)
+    val spd = base.resolve("cstparts").toString
+    val spp = base.resolve("cspparts").toString
+    def conf(run: Int, in: String, stateIn: Option[String]) =
+      write(base.resolve(s"cmp$run.conf"),
+        s"""source { storage-type = local, dataset-dir = $in }
+           |target { storage-type = local, dataset-dir = ${base.resolve(s"cout$run")}, dataset-store-format = parquet, write-mode = overwrite }
+           |curation {
+           |  min-quality = 0.0
+           |  span-dedup-tokens = 10
+           |  state-parts-dir = $spd
+           |  span-parts-dir = $spp
+           |${stateIn.map(d => s"  state-dir = $d").getOrElse("")}
+           |  state-out-dir = ${base.resolve(s"cstate$run")}
+           |}
+           |""".stripMargin)
+    graft.cli.Curator.main(Array("--conf", conf(1, inA, None)))
+    val st1 = base.resolve("cstate1")
+    graft.cli.Curator.main(Array("--conf", conf(2, inB, Some(st1.toString))))
+    val st2 = base.resolve("cstate2")
+    val markerBefore = scala.io.Source.fromFile(
+      st2.resolve("_COMMITTED").toString).mkString
+    def tableCount(d: String, t: String): Long =
+      graft.cli.Cli.readStateTable(spark, d, t).count()
+    val hashesBefore = tableCount(st2.toString, "hashes")
+    val sigsBefore = tableCount(st2.toString, "sigs")
+    val spansDistinctBefore =
+      graft.cli.Cli.readStateTable(spark, st2.toString, "spans").distinct().count()
+    // compact: state-dir is the committed generation, parts dirs come
+    // from its own parameter records
+    val cst = base.resolve("ccompact")
+    val cf = write(base.resolve("compact.conf"),
+      s"""compaction { state-dir = $st2, state-out-dir = $cst }
+         |""".stripMargin)
+    graft.cli.Compactor.main(Array("--conf", cf))
+    // output committed with the SAME params; input generation retired
+    assert(scala.io.Source.fromFile(cst.resolve("_COMMITTED").toString).mkString
+      == markerBefore, "compaction must not alter the lineage parameters")
+    assert(!new java.io.File(st2.resolve("_COMMITTED").toString).exists(),
+      "input dir must be retired — its manifests reference swept parts")
+    // one compacted part per table; superseded parts swept
+    for ((pd, t) <- Seq((spd, "hashes"), (spd, "sigs"), (spd, "hotcounts"),
+        (spp, "spans"))) {
+      val manifest = scala.io.Source.fromFile(
+        cst.resolve(s"${t}manifest").toString).mkString
+        .split("\n").filter(_.nonEmpty)
+      assert(manifest.length == 1 && manifest(0).endsWith("part-c1"),
+        s"$t manifest: ${manifest.toSeq}")
+      assert(new java.io.File(s"$pd/$t").listFiles().map(_.getName).toSet ==
+        Set("part-c1"), s"$t parts dir must hold only the compacted part")
+    }
+    // semantics preserved: concatenation for hashes/sigs, sum-merge for
+    // hotcounts, distinct for spans
+    assert(tableCount(cst.toString, "hashes") == hashesBefore)
+    assert(tableCount(cst.toString, "sigs") == sigsBefore)
+    assert(tableCount(cst.toString, "spans") == spansDistinctBefore)
+    val countsSum = graft.cli.Cli.readStateTable(spark, cst.toString, "hotcounts")
+      .agg(org.apache.spark.sql.functions.sum("n")).head.getLong(0)
+    assert(countsSum == sigsBefore * 4,
+      "merged counts must still cover every signature's four bands")
+    assert(new java.io.File(cst.resolve("hot").toString).exists())
+    assert(new java.io.File(cst.resolve("spanbloom").toString).exists())
+    // the lineage continues transparently: everything seen converges,
+    // fresh content survives, the new batch part sits beside part-c1
+    graft.cli.Curator.main(Array("--conf", conf(3, inC, Some(cst.toString))))
+    val ids3 = spark.read.parquet(base.resolve("cout3").toString)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(ids3 == Set(300L), s"convergence through compaction broken: $ids3")
+    val manifest3 = scala.io.Source.fromFile(
+      base.resolve("cstate3").resolve("hashesmanifest").toString).mkString
+      .split("\n").filter(_.nonEmpty)
+    assert(manifest3.length == 2 && manifest3(0).endsWith("part-c1") &&
+      manifest3(1).endsWith("part-1"), s"manifest: ${manifest3.toSeq}")
+    // rewrite-mode state (no parts anywhere) has nothing to compact
+    val plainState = base.resolve("plainstate")
+    val pc = write(base.resolve("plain.conf"),
+      s"""source { storage-type = local, dataset-dir = $inA }
+         |target { storage-type = local, dataset-dir = ${base.resolve("plainout")}, dataset-store-format = parquet, write-mode = overwrite }
+         |curation { min-quality = 0.0, state-out-dir = $plainState }
+         |""".stripMargin)
+    graft.cli.Curator.main(Array("--conf", pc))
+    val err = intercept[IllegalArgumentException] {
+      graft.cli.Compactor.main(Array("--conf", write(base.resolve("badc.conf"),
+        s"""compaction { state-dir = $plainState, state-out-dir = ${base.resolve("badout")} }
+           |""".stripMargin)))
+    }
+    assert(err.getMessage.contains("nothing to compact"), err.getMessage)
+  }
+
   test("curator span-parts-dir: immutable parts + manifest — prior parts never " +
       "rewritten, cross-batch cut identical, stage-off carry is metadata-only") {
     import spark.implicits._

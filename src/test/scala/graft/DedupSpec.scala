@@ -356,4 +356,19 @@ class DedupSpec extends SparkTestBase {
         Dedup.spanBloom(s1, 100L, 0.01), Dedup.spanBloom(s2, 100000L, 0.01))
     }
   }
+
+  test("spanBloom on an empty batch is a mergeable same-sized empty filter " +
+      "(every doc shorter than the span width)") {
+    // Spark's stat.bloomFilter NPEs on zero rows; a batch of short docs
+    // must still commit state (the Curator calls this unconditionally)
+    val none = Dedup.spanHashTable(
+      Seq((1L, "too short")).toDF("doc_id", "text"), "text", 10)
+    assert(none.isEmpty)
+    val eb = Dedup.spanBloom(none, 100L, 0.01)
+    val s1 = Dedup.spanHashTable(Seq((2L, "a b c d e f")).toDF("doc_id", "text"), "text", 6)
+    val merged = Dedup.mergeSpanBlooms(eb, Dedup.spanBloom(s1, 100L, 0.01))
+    val hits = s1.filter(
+      graft.functions.GraftFunctions.bloomMightContain(merged, col("span_hash"))).count()
+    assert(hits == 1, "empty-side merge must preserve the non-empty side")
+  }
 }

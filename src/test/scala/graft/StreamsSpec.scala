@@ -150,6 +150,58 @@ class StreamsSpec extends SparkTestBase {
     assert(spark.read.parquet(out).count() == n1)
   }
 
+  test("filterDocStream: stateless curation-lite drops gibberish and " +
+      "low-LM docs at arrival; batch parity; annotate-only keeps all") {
+    import spark.implicits._
+    import graft.llm.LangModel
+    val corpus = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select(col("doc_id"), col("text"))
+    val lm = LangModel.trainKneserNey3(corpus.filter(col("doc_id") < 100), "text")
+    val lmPath = s"${java.nio.file.Files.createTempDirectory("stream_filter")}/kn.lm3"
+    LangModel.saveTrigram(lm.trigram, lmPath)
+    val prose = corpus.filter(col("doc_id") === 150).head().getString(1)
+    val dir = s"${java.nio.file.Files.createTempDirectory("stream_filter")}/docs"
+    Seq(
+      (1L, prose),                                // reference-like: keep
+      (2L, "zq9 xv3 qq7 zz1 kj2 pw9 vv3 mm1 xx7 rr4 tt2 yy8"), // gibberish
+      (3L, prose.split("\\s+").take(30).mkString(" "))          // prose prefix: keep
+    ).toDF("doc_id", "text").write.parquet(dir)
+    def stream() = spark.readStream
+      .schema(spark.read.parquet(dir).schema).parquet(dir)
+    // floors: quality catches symbol soup, the KN floor catches
+    // off-distribution token sequences; both planted on the probes
+    val probe = spark.read.parquet(dir).select(col("doc_id"),
+      graft.functions.GraftFunctions.kn3LogProb(col("text"), lmPath).as("l"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val floor = (probe(2L) + math.min(probe(1L), probe(3L))) / 2
+    assert(probe(1L) > floor && probe(3L) > floor && probe(2L) < floor)
+    val got = Streams.runToMemory(
+      Streams.filterDocStream(stream(), "text",
+        minQuality = Some(0.0), kn3Path = Some(lmPath), minKn3LogP = Some(floor)),
+      "filtered_docs", OutputMode.Append())
+    val ids = got.select("doc_id").as[Long].collect().toSet
+    assert(ids == Set(1L, 3L), s"filter stream kept: $ids")
+    assert(got.columns.contains("quality") && got.columns.contains("kn3_logp")
+      && got.columns.contains("lang_id"))
+    // batch parity: identical rows through the same code path
+    val batchIds = Streams.filterDocStream(spark.read.parquet(dir), "text",
+      minQuality = Some(0.0), kn3Path = Some(lmPath), minKn3LogP = Some(floor))
+      .select("doc_id").as[Long].collect().toSet
+    assert(batchIds == ids)
+    // no floors = annotate only, every doc survives with its signals
+    val all = Streams.runToMemory(
+      Streams.filterDocStream(stream(), "text", kn3Path = Some(lmPath)),
+      "annotated_docs", OutputMode.Append())
+    assert(all.count() == 3 && all.columns.contains("kn3_logp"))
+    // the whole thing is stateless: projections and filters only — no
+    // stateful operator (aggregate/dedup/join) anywhere in the plan
+    val plan = Streams.filterDocStream(stream(), "text",
+      minQuality = Some(0.0), kn3Path = Some(lmPath), minKn3LogP = Some(floor))
+      .queryExecution.analyzed.toString
+    assert(!plan.contains("Aggregate") && !plan.contains("Deduplicate") &&
+      !plan.contains("Join"), s"filter stream must be stateless:\n$plan")
+  }
+
   test("dropSeenStream: corpus-seen and in-stream duplicate texts dropped; batch parity") {
     import spark.implicits._
     import graft.llm.Dedup
