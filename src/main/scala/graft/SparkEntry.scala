@@ -1327,6 +1327,20 @@ object SparkEntry {
         corpus, "doc_id", "source", alpha = 0.5, budget = 0.9, salt = "q74")
     }),
 
+    // ---- Epoched mixture (the UP-sampling half next to q74's
+    // temperature down-sampling): per-source repetition factors — the
+    // GPT-3/Llama/Dolma "epochs per source" recipe. floor(w) full
+    // copies + one more for the deterministic md5-fraction frac(w) of
+    // the source's docs, every copy tagged with its epoch index. The
+    // oracle replays weight lookup, 60-bit uniform, and
+    // generate_series explosion verbatim.
+    "q102_epoch_mix" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").select(col("doc_id"), col("source"))
+      graft.llm.CorpusPrep.epochMix(docs, "doc_id", "source",
+        Map("src0" -> 2.5, "src1" -> 0.5, "src2" -> 0.0, "src3" -> 3.0),
+        defaultWeight = 1.0, salt = "q102")
+    }),
+
     // ---- Line-level boilerplate removal: lines verbatim-shared by
     // ≥ minDocFreq docs are dropped everywhere, the rest reassembled in
     // order. Header/footer planted on every doc (df 200) and a promo
@@ -2607,6 +2621,27 @@ object SparkEntry {
         |FROM corpus c JOIN rates r USING (source)
         |WHERE (('0x' || substr(md5(CAST(c.doc_id AS VARCHAR) || '|' || 'q74'),
         |          1, 15))::UBIGINT + 1.0) / 1152921504606846976.0 <= r.rate""".stripMargin,
+    // identical epoch arithmetic: same weight map (when-chain ==
+    // coalesced scalar lookup), same 60-bit md5 uniform, same
+    // floor+fraction copy count, same 0..k-1 epoch tags
+    "q102_epoch_mix" ->
+      """WITH w AS (SELECT * FROM (VALUES
+        |    ('src0', 2.5), ('src1', 0.5), ('src2', 0.0), ('src3', 3.0))
+        |    t(source, wt)),
+        |d AS (
+        |  SELECT doc_id, d0.source,
+        |    coalesce((SELECT wt FROM w WHERE w.source = d0.source), 1.0) AS wt
+        |  FROM documents d0),
+        |k AS (
+        |  SELECT doc_id, source,
+        |    CAST(floor(wt) AS BIGINT) +
+        |    CASE WHEN (('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '|' || 'q102'),
+        |             1, 15))::UBIGINT + 1.0) / 1152921504606846976.0 <= wt - floor(wt)
+        |         THEN 1 ELSE 0 END AS copies
+        |  FROM d)
+        |SELECT doc_id, source,
+        |  CAST(unnest(generate_series(0, copies - 1)) AS BIGINT) AS epoch
+        |FROM k WHERE copies > 0""".stripMargin,
     // identical boilerplate program: same planted corpus, same exact-line
     // doc-frequency threshold, same ordered reassembly (empty text +
     // n_kept 0 for fully-boilerplate docs)

@@ -275,7 +275,11 @@ object Scorer {
   * `ppl-bucket-middle-frac` default thirds; the kept rows carry a
   * `ppl_bucket` provenance column), `mixture-weights { src = f }` (+
   * `mixture-source-column`, `mixture-default-fraction`,
-  * `mixture-salt`), `splits = ["train:0.8", "val:0.1", "test:0.1"]`
+  * `mixture-salt`), `epoch-weights { src = w }` (+
+  * `epoch-default-weight`, `epoch-salt`; w may exceed 1 — repeats
+  * each source's docs ~w times with an `epoch` tag, composable with
+  * any composition rule and with splits/chunking; the epoch joins the
+  * shuffle row identity), `splits = ["train:0.8", "val:0.1", "test:0.1"]`
   * (+ `split-salt`, `split-column`; ordered — ranges are cumulative)
   * and `chunk-size` (+ `chunk-overlap`, default size/4; the split
   * label rides along on every chunk); `bpe-vocab` (requires
@@ -871,6 +875,22 @@ object Curator {
           salt = c.getString("mixture-salt").getOrElse(""))
       }
     }
+    // optional epoched repetition AFTER composition: `epoch-weights
+    // { src = w }` repeats each source's docs ~w times (floor + the
+    // deterministic md5-fraction extra copy), every copy tagged with
+    // `epoch`. COMPOSES with any composition rule above — mixing
+    // decides what's in the pot, epoching how often the pot repeats —
+    // and runs before splits/chunking so every copy is export-ready.
+    val epochWeights = c.at("epoch-weights").flat
+    val epoched =
+      if (epochWeights.isEmpty) mixed
+      else stages.timed("epoch-mix") {
+        graft.llm.CorpusPrep.epochMix(mixed, idCol,
+          c.getString("mixture-source-column").getOrElse("source"),
+          epochWeights.map { case (k, v) => k -> v.toDouble }.toMap,
+          defaultWeight = c.getDouble("epoch-default-weight").getOrElse(1.0),
+          salt = c.getString("epoch-salt").getOrElse(""))
+      }
     // optional deterministic train/val/test split on the emitted set
     // (ordered "name:weight" entries — range assignment is cumulative,
     // so order is part of the contract and a list, not a map, carries it)
@@ -884,12 +904,16 @@ object Curator {
               s"curation.splits entries must be name:weight, got '$e'")
           }
         }
-        (graft.llm.CorpusPrep.hashSplit(mixed, idCol, splits,
+        (graft.llm.CorpusPrep.hashSplit(epoched, idCol, splits,
           salt = c.getString("split-salt").getOrElse(""), splitCol = splitCol),
           Seq(splitCol))
       }
-      case _ => (mixed, Nil)
+      case _ => (epoched, Nil)
     }
+    // the epoch tag must ride through chunking like the split label —
+    // without it, two epochs of one doc would emit indistinguishable
+    // chunk rows
+    val keepWithEpoch = if (epochWeights.isEmpty) keep else keep :+ "epoch"
     // optional context-window chunking: emit training-ready rows (the
     // native one-pass expressions; the split label rides along on every
     // chunk). Two modes: `chunk-size` cuts at a fixed WHITESPACE-token
@@ -900,12 +924,12 @@ object Curator {
       case (Some(cs), _) => stages.timed("chunking") {
         graft.llm.CorpusPrep.chunkByTokensFast(labeled, idCol, textCol,
           chunkSize = cs, overlap = c.getInt("chunk-overlap").getOrElse(cs / 4),
-          keepCols = keep)
+          keepCols = keepWithEpoch)
       }
       case (_, Some(budget)) => stages.timed("chunking") {
         graft.llm.CorpusPrep.chunkByBpeBudget(labeled, idCol, textCol,
           bpeBudget = budget, mergesPath = c.getString("bpe-merges").get,
-          overlap = c.getInt("chunk-overlap").getOrElse(0), keepCols = keep)
+          overlap = c.getInt("chunk-overlap").getOrElse(0), keepCols = keepWithEpoch)
       }
       case _ => labeled
     }
@@ -936,9 +960,15 @@ object Curator {
       case Some(salt) => stages.timed("shuffle") {
         // (target layout conflicts rejected in the up-front block)
         val chunked = c.getInt("chunk-size").isDefined || c.getInt("bpe-budget").isDefined
-        val rowId =
+        var rowId =
           if (chunked) concat(col(idCol).cast("string"), lit(":"), col("chunk_id"))
           else col(idCol).cast("string")
+        // epoch copies share a doc id — the epoch joins the row
+        // identity so a doc's repetitions land FAR APART in the
+        // emitted order (adjacent duplicates are the worst case for
+        // training), not adjacent under the same digest
+        if (epochWeights.nonEmpty)
+          rowId = concat(rowId, lit("#"), col("epoch"))
         graft.llm.CorpusPrep.deterministicShuffleBy(encoded, rowId, salt,
           numPartitions = c.getInt("shuffle-partitions"))
       }

@@ -375,6 +375,51 @@ object CorpusPrep {
       .select(df.columns.map(df(_)): _*)
   }
 
+  /** Epoched mixture — the UP-sampling half of mix composition
+    * ([[temperatureMix]] is the down-sampling half): per-group
+    * repetition factors ("epochs"), the published training-mix recipe
+    * (GPT-3 Table 2.2, Llama, Dolma) where weight `w_g > 1` repeats
+    * group g's documents ~`w_g` times over a training run. Every
+    * group-g doc appears `floor(w_g)` times, plus ONE more copy for
+    * the deterministic hash-fraction `frac(w_g)` of the group's docs
+    * — expected group multiplicity exactly `w_g`, and the per-doc
+    * decision is a pure function of (id, salt): stable under
+    * repartition/retry/rerun and replayable in any engine with md5
+    * (the q102 oracle replays it verbatim). Copies carry
+    * `epochCol` = 0..k−1; feed the epoch into the export shuffle salt
+    * so a doc's epochs land far apart in the emitted order. Groups
+    * absent from `weights` (including NULL groups) take
+    * `defaultWeight`; weight 0 drops the group.
+    *
+    * Scale shape: the weight map is a config-sized when-chain of plan
+    * literals — no join, no shuffle; per row one md5 (CSE'd with any
+    * same-salt split/sample) and one sequence-explode of length
+    * ≤ ceil(max w). Output rows = Σ_g ~w_g·|g| — the training set's
+    * actual size, which no operator can avoid materializing. */
+  def epochMix(
+      df: DataFrame,
+      idCol: String,
+      groupCol: String,
+      weights: Map[String, Double],
+      defaultWeight: Double = 1.0,
+      salt: String = "",
+      epochCol: String = "epoch"): DataFrame = {
+    require(weights.values.forall(_ >= 0.0) && defaultWeight >= 0.0,
+      "epochMix: weights must be >= 0")
+    require(!df.columns.contains(epochCol),
+      s"epochMix: column $epochCol already exists")
+    val w = weights.foldLeft(lit(defaultWeight)) { case (acc, (g, wg)) =>
+      when(col(groupCol) === lit(g), lit(wg)).otherwise(acc)
+    }
+    val copies = (floor(w) +
+      when(graft.operators.Ops.hashUniform(col(idCol), salt) <= w - floor(w),
+        lit(1.0)).otherwise(lit(0.0))).cast("long")
+    df.withColumn("__epochs", copies)
+      .filter(col("__epochs") > 0)
+      .withColumn(epochCol, explode(sequence(lit(0L), col("__epochs") - 1)))
+      .drop("__epochs")
+  }
+
   /** DSIR-style importance resampling (Xie et al. 2023,
     * arXiv:2302.03169 "Data Selection for Language Models via
     * Importance Resampling"): select `k` documents from a raw corpus

@@ -1064,6 +1064,46 @@ class CliSpec extends SparkTestBase {
     assert(err.getMessage.contains("lmn-path"))
   }
 
+  test("curator epoch-weights: sources repeat with epoch tags that ride " +
+      "chunking and join the shuffle row identity") {
+    import org.apache.spark.sql.functions._
+    val base = tmp()
+    val src = base.resolve("epochsrc").toString
+    spark.read.parquet(s"$sfDir/documents.parquet")
+      .filter(col("doc_id") < 40).write.parquet(src)
+    val out = base.resolve("epochout").toString
+    val f = write(base.resolve("epoch.conf"),
+      s"""source { storage-type = local, dataset-dir = $src }
+         |target { storage-type = local, dataset-dir = $out, dataset-store-format = parquet, write-mode = overwrite }
+         |curation {
+         |  min-quality = 0.0
+         |  epoch-weights { src0 = 2.0 }
+         |  chunk-size = 32
+         |  shuffle-salt = es
+         |}
+         |""".stripMargin)
+    graft.cli.Curator.main(Array("--conf", f))
+    val chunks = spark.read.parquet(out)
+    assert(chunks.columns.contains("epoch"), chunks.columns.mkString(","))
+    val srcOf = spark.read.parquet(src)
+      .select("doc_id", "source").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val perChunk = chunks.groupBy("doc_id", "chunk_id")
+      .agg(count(lit(1)).as("k"),
+        collect_set("epoch").as("es"))
+      .collect().map(r => (r.getLong(0), r.getLong(2), r.getSeq[Long](3).toSet))
+    assert(perChunk.nonEmpty)
+    perChunk.foreach { case (id, k, es) =>
+      if (srcOf(id) == "src0")
+        assert(k == 2 && es == Set(0L, 1L), s"doc $id: k=$k epochs=$es")
+      else assert(k == 1 && es == Set(0L), s"doc $id: k=$k epochs=$es")
+    }
+    // the shuffle key includes the epoch: both copies emitted, distinct
+    // key positions (no collapsed duplicates), shuffle_key column dropped
+    // from user-facing output only if the writer drops it — here it rides
+    assert(chunks.filter(col("chunk_text").isNull).count() == 0)
+  }
+
   test("curator KN3 filter: kn3-path + min-kn3-logp drop a scrambled doc " +
       "under interpolated Kneser-Ney; floor alone rejects up front") {
     import org.apache.spark.sql.functions._

@@ -294,6 +294,51 @@ class CorpusPrepSpec extends SparkTestBase {
     } finally corpus.unpersist()
   }
 
+  test("epochMix: integral weights repeat exactly, fractional weights add the " +
+      "deterministic md5-share extra copy, weight 0 drops, epochs tag 0..k-1") {
+    val corpus = docs.select(col("doc_id"), col("source"))
+    val out = CorpusPrep.epochMix(corpus, "doc_id", "source",
+      Map("src0" -> 3.0, "src1" -> 0.5, "src2" -> 0.0, "src3" -> 2.25),
+      defaultWeight = 1.0, salt = "em")
+    assert(out.columns.toSeq == Seq("doc_id", "source", "epoch"))
+    val perDoc = out.groupBy("doc_id", "source")
+      .agg(count(lit(1)).as("k"), min("epoch").as("lo"), max("epoch").as("hi"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+        r.getLong(3), r.getLong(4)))
+    // epochs are a contiguous 0..k-1 tag on every emitted doc
+    assert(perDoc.forall { case (_, _, k, lo, hi) => lo == 0 && hi == k - 1 })
+    val bySrc = perDoc.groupBy(_._2).map { case (s2, rows) => s2 -> rows.map(_._3) }
+    assert(bySrc("src0").forall(_ == 3), "integral weight 3 = exactly 3 copies")
+    assert(!bySrc.contains("src2"), "weight 0 drops the source")
+    assert(bySrc("src9").forall(_ == 1), "unlisted sources take the default once")
+    // fractional parts are the EXACT md5-share, replayed independently
+    val docsOf = { src: String => corpus.filter(col("source") === src)
+      .withColumn("__u", Ops.hashUniform(col("doc_id"), "em"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap }
+    val u1 = docsOf("src1")
+    val got1 = out.filter(col("source") === "src1")
+      .select("doc_id").distinct().as[Long].collect().toSet
+    assert(got1 == u1.filter(_._2 <= 0.5).keySet,
+      "w=0.5: exactly the md5-half of src1 appears, once")
+    val u3 = docsOf("src3")
+    val want3 = perDoc.filter(_._2 == "src3").map { case (id, _, k, _, _) =>
+      id -> k }.toMap
+    assert(u3.forall { case (id, u) =>
+      want3(id) == (if (u <= 0.25) 3L else 2L) },
+      "w=2.25: 2 copies, or 3 for the md5-quarter")
+    // pure function of (id, salt): a second run is identical
+    val again = CorpusPrep.epochMix(corpus, "doc_id", "source",
+      Map("src0" -> 3.0, "src1" -> 0.5, "src2" -> 0.0, "src3" -> 2.25),
+      defaultWeight = 1.0, salt = "em")
+      .groupBy("doc_id").agg(count(lit(1)).as("k"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(again == perDoc.map(r => r._1 -> r._3).toMap)
+    // existing-column collision is rejected
+    intercept[IllegalArgumentException] {
+      CorpusPrep.epochMix(out, "doc_id", "source", Map("src0" -> 2.0))
+    }
+  }
+
   test("temperatureMix: alpha=1 keeps the natural mix scaled by budget; " +
       "budget-monotone subset; deterministic") {
     val corpus = docs.select(col("doc_id"), col("source"))
