@@ -1341,6 +1341,50 @@ object SparkEntry {
         defaultWeight = 1.0, salt = "q102")
     }),
 
+    // ---- Gopher rule-based quality filter (Rae et al. 2021 §A1.1):
+    // per-rule evidence, per-rule pass booleans (as int for cross-engine
+    // hashing), and the conjunction `keep` — one scan projection whose
+    // every rule (token split, replace-counting, line fractions,
+    // stopword intersection) the oracle replays in SQL. Flags compare
+    // UNROUNDED IEEE ratios in both engines; only the reported evidence
+    // columns round.
+    "q104_gopher_rules" -> ((s, dir) => {
+      val num = Seq("n_words", "mean_word_len", "hash_ratio", "ellipsis_ratio",
+        "bullet_line_frac", "ellipsis_line_frac", "alpha_word_frac", "stop_hits")
+      val flags = Seq("ok_word_count", "ok_word_len", "ok_symbols", "ok_bullets",
+        "ok_ellipsis_lines", "ok_alpha", "ok_stopwords", "keep")
+      t(s, dir, "documents")
+        .select(col("doc_id"), graft.llm.TextAnalysis.gopherFlags(col("text")).as("g"))
+        .select(col("doc_id") +: (num.map(f => col(s"g.$f").as(f)) ++
+          flags.map(f => col(s"g.$f").cast("int").as(f))): _*)
+    }),
+
+    // ---- Product-quantization ANN (Jégou et al. 2011): codebook
+    // ensured once per corpus version (marker-gated, the q25 pattern),
+    // corpus encoded to m byte-sized codes (4·dim → m bytes/vector),
+    // queries ADC-shortlist + exact re-rank on the shortlist only.
+    // KMeans is seeded but float-iteration-order dependent → rows-only;
+    // the recall floor is pinned in EntrySpec/SimilaritySpec.
+    "q103_pq_recall" -> ((s, dir) => {
+      import graft.llm.Similarity
+      val emb = t(s, dir, "embeddings").select(col("vec_id"), col("embedding"))
+      val cb = Similarity.pqEnsure(emb, m = 8, k = 32,
+        indexDir = statePath(dir, "q103_pq"), maxIter = 8)
+      val codes = Similarity.pqEncode(emb, cb)
+      val queries = emb.filter(col("vec_id") < 20)
+      val brute = Similarity.bruteForceTopK(queries, emb, k = 10)
+        .select("query_id", "neighbor_id")
+      val probe = Similarity.pqAdcTopKReranked(
+        queries, codes, cb, emb, k = 10, oversample = 8)
+        .select("query_id", "neighbor_id")
+      Similarity.probeRecall(brute, probe)
+        .agg(count(lit(1)).as("n_queries"),
+          round(avg("recall"), 4).as("avg_recall"),
+          round(min("recall"), 4).as("min_recall"))
+        .withColumn("bytes_per_vec_raw", lit(cb.dim * 4))
+        .withColumn("bytes_per_vec_pq", lit(cb.m))
+    }),
+
     // ---- Line-level boilerplate removal: lines verbatim-shared by
     // ≥ minDocFreq docs are dropped everywhere, the rest reassembled in
     // order. Header/footer planted on every doc (df 200) and a promo
@@ -2642,6 +2686,57 @@ object SparkEntry {
         |SELECT doc_id, source,
         |  CAST(unnest(generate_series(0, copies - 1)) AS BIGINT) AS epoch
         |FROM k WHERE copies > 0""".stripMargin,
+    // every Gopher rule replayed: regexp token split, replace-delta
+    // symbol counting (the '...' delta is a multiple of 3, so the
+    // double division is exact), line fractions, distinct-stopword
+    // intersection; flags compare UNROUNDED IEEE ratios in both engines
+    "q104_gopher_rules" ->
+      """WITH t AS (
+        |  SELECT doc_id, text,
+        |    regexp_extract_all(trim(text), '\S+') AS toks,
+        |    string_split(text, chr(10)) AS lines
+        |  FROM documents),
+        |c AS (
+        |  SELECT doc_id,
+        |    len(toks) AS n_words,
+        |    CAST(greatest(len(toks), 1) AS DOUBLE) AS dw,
+        |    CAST(greatest(len(lines), 1) AS DOUBLE) AS dl,
+        |    length(regexp_replace(text, '\s', '', 'g')) AS n_nonspace,
+        |    length(text) - length(replace(text, '#', '')) AS n_hash,
+        |    (length(text) - length(replace(text, '…', ''))) +
+        |      (length(text) - length(replace(text, '...', ''))) / 3 AS n_ell,
+        |    len(list_filter(lines, l -> substr(ltrim(l), 1, 1) IN ('•','‣','-','*'))) AS n_bullet,
+        |    len(list_filter(lines, l -> rtrim(l) LIKE '%...' OR rtrim(l) LIKE '%…')) AS n_ell_lines,
+        |    len(list_filter(toks, x -> regexp_matches(x, '[A-Za-z]'))) AS n_alpha,
+        |    len(list_intersect(list_distinct(list_transform(toks, x -> lower(x))),
+        |        ['the','be','to','of','and','that','have','with'])) AS stop_hits
+        |  FROM t),
+        |f AS (
+        |  SELECT doc_id, n_words, stop_hits,
+        |    n_nonspace / dw AS mwl, n_hash / dw AS hr, n_ell / dw AS er,
+        |    n_bullet / dl AS bf, n_ell_lines / dl AS ef, n_alpha / dw AS af
+        |  FROM c)
+        |SELECT doc_id,
+        |  CAST(n_words AS BIGINT) AS n_words,
+        |  round(mwl, 6) AS mean_word_len,
+        |  round(hr, 6) AS hash_ratio,
+        |  round(er, 6) AS ellipsis_ratio,
+        |  round(bf, 6) AS bullet_line_frac,
+        |  round(ef, 6) AS ellipsis_line_frac,
+        |  round(af, 6) AS alpha_word_frac,
+        |  CAST(stop_hits AS BIGINT) AS stop_hits,
+        |  CAST(n_words BETWEEN 50 AND 100000 AS INT) AS ok_word_count,
+        |  CAST(n_words > 0 AND mwl BETWEEN 3.0 AND 10.0 AS INT) AS ok_word_len,
+        |  CAST(hr <= 0.1 AND er <= 0.1 AS INT) AS ok_symbols,
+        |  CAST(bf <= 0.9 AS INT) AS ok_bullets,
+        |  CAST(ef <= 0.3 AS INT) AS ok_ellipsis_lines,
+        |  CAST(n_words > 0 AND af >= 0.8 AS INT) AS ok_alpha,
+        |  CAST(stop_hits >= 2 AS INT) AS ok_stopwords,
+        |  CAST(n_words BETWEEN 50 AND 100000
+        |    AND n_words > 0 AND mwl BETWEEN 3.0 AND 10.0
+        |    AND hr <= 0.1 AND er <= 0.1 AND bf <= 0.9 AND ef <= 0.3
+        |    AND af >= 0.8 AND stop_hits >= 2 AS INT) AS keep
+        |FROM f""".stripMargin,
     // identical boilerplate program: same planted corpus, same exact-line
     // doc-frequency threshold, same ordered reassembly (empty text +
     // n_kept 0 for fully-boilerplate docs)

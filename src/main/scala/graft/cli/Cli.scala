@@ -264,7 +264,9 @@ object Scorer {
   * "raw corpus in, training set out" pipeline.
   *
   * Config keys under `curation { }`: `id-column` (default doc_id),
-  * `text-column` (default text), `min-quality`, `langs = [en, ...]`,
+  * `text-column` (default text), `min-quality`, `gopher-rules = true`
+  * (the full published Gopher rule set as one more scan predicate),
+  * `langs = [en, ...]`,
   * `near-dup-strategy` (simhash|minhash), `min-jaccard`,
   * `max-jaccard-distance`, `max-hamming`, `bands`, `shingle-size`,
   * `transitive-near-dups`; pre-curation: `redact = true` scrubs PII
@@ -363,6 +365,9 @@ object Curator {
     val base = graft.llm.Curation.Config()
     val cc = graft.llm.Curation.Config(
       minQuality = c.getDouble("min-quality").getOrElse(base.minQuality),
+      // full Gopher rule set (published thresholds) as one more
+      // scan predicate: `gopher-rules = true`
+      gopherRules = c.getString("gopher-rules").exists(_.toBoolean),
       maxRepetition = c.getDouble("max-repetition").getOrElse(base.maxRepetition),
       repetitionNgram = c.getInt("repetition-ngram").getOrElse(base.repetitionNgram),
       langs = c.getList("langs").map(_.toSet).getOrElse(base.langs),
@@ -1503,6 +1508,7 @@ object Streamer {
         Streams.filterDocStream(docs,
           textCol = c.getString("text-column").getOrElse("text"),
           minQuality = c.getDouble("min-quality"),
+          gopherRules = c.getString("gopher-rules").exists(_.toBoolean),
           langs = c.getList("langs").map(_.toSet).getOrElse(Set.empty),
           repetition = c.getDouble("max-repetition").map(m =>
             (c.getInt("repetition-ngram").getOrElse(3), m)),

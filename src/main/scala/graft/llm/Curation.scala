@@ -34,6 +34,12 @@ object Curation {
     * running a second pass; do NOT widen the radius at scale. */
   final case class Config(
       minQuality: Double = 0.3,
+      /** Apply the FULL Gopher rule set (Rae et al. 2021 §A1.1 — word
+        * count/length bounds, symbol and bullet/ellipsis line ratios,
+        * alpha-word fraction, required stopwords) at the published
+        * thresholds, via [[TextAnalysis.gopherKeep]]. One more
+        * scan-speed predicate; false = off. */
+      gopherRules: Boolean = false,
       /** Drop documents whose duplicate word-n-gram fraction exceeds
         * this (Gopher-style repetition filter; boilerplate and keyword
         * stuffing score high). 1.0 = off. Scan-speed native expression
@@ -164,6 +170,11 @@ object Curation {
       df = df.filter(col("repetition") <= conf.maxRepetition)
     if (conf.langs.nonEmpty)
       df = df.filter(col("lang_id").isin(conf.langs.toSeq: _*))
+    // Gopher rule set — re-tokenizes (same cost class as the LM
+    // filters below), but it is a pure scan predicate, so it runs with
+    // the cheap filters before any state/hashing sees the text
+    if (conf.gopherRules)
+      df = df.filter(TextAnalysis.gopherKeep(col(textCol)))
     // LM perplexity filter — still scan-speed (the LM file loads once
     // per executor JVM; scoring is a codegen'd projection), but it
     // re-tokenizes, so it runs AFTER the one-byte-scan filters above

@@ -359,6 +359,227 @@ object Similarity {
   def dequantize(qVec: Column, scale: Column): Column =
     transform(qVec, b => (b.cast("float") * scale).cast("float"))
 
+  // ------------------------------------------- product quantization (PQ)
+
+  /** PQ codebook (Jégou, Douze & Schmid 2011, "Product Quantization
+    * for Nearest Neighbor Search", IEEE TPAMI 33(1)): `m` subspaces of
+    * `subDim` dims, `k` centroids per subspace. m·k·subDim floats —
+    * a few hundred KB even at the production 8×256 — so it travels as
+    * PLAN LITERALS (broadcast with the plan), never as a join side. */
+  case class PqCodebook(subDim: Int, centroids: Array[Array[Array[Float]]]) {
+    def m: Int = centroids.length
+    def k: Int = centroids.head.length
+    def dim: Int = m * subDim
+    private[llm] def lit3: Column =
+      typedLit(centroids.map(_.map(_.toSeq).toSeq).toSeq)
+    /** Per-centroid squared L2 norms — the query-independent half of
+      * the ADC cosine denominator (‖recon‖² = Σ_m ‖cent_m‖², exact for
+      * a concatenation of orthogonal subspace blocks). */
+    private[llm] def normSqLit: Column =
+      typedLit(centroids.map(_.map(c => c.map(x => x.toDouble * x).sum).toSeq).toSeq)
+  }
+
+  /** Train a PQ codebook: an independent KMeans per subspace over the
+    * corpus' sub-vectors. Training is M distributed fits over ONE
+    * persisted sliced projection (offline index-build cost, paid once
+    * per corpus version — the [[ivfEnsure]] cost model). `k` ≤ 256
+    * keeps one code byte-sized. */
+  def pqTrain(
+      corpus: DataFrame,
+      m: Int,
+      k: Int,
+      vecCol: String = "embedding",
+      seed: Long = 4233L,
+      maxIter: Int = 20): PqCodebook = {
+    require(k >= 2 && k <= 256, s"PQ centroids per subspace must be in [2,256], got $k")
+    val dim = corpus.select(size(col(vecCol)).as("__d"))
+      .filter(col("__d") > 0).head.getInt(0)
+    require(dim % m == 0, s"embedding dim $dim must divide into m=$m subspaces")
+    val subDim = dim / m
+    val subCols = (0 until m).map(mi =>
+      array_to_vector(slice(col(vecCol), mi * subDim + 1, subDim)).as(s"__s$mi"))
+    val sliced = corpus.select(subCols: _*)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val cents = (0 until m).map { mi =>
+        new KMeans().setK(k).setSeed(seed + mi).setMaxIter(maxIter)
+          .setFeaturesCol(s"__s$mi").setPredictionCol("__c")
+          .fit(sliced)
+          .clusterCenters.map(_.toArray.map(_.toFloat))
+      }.toArray
+      PqCodebook(subDim, cents)
+    } finally sliced.unpersist(blocking = false)
+  }
+
+  /** Encode vectors to PQ codes: `codes[mi] = argmin_c ‖sub_mi − cent‖²`.
+    * Pure HOF projection against the literal codebook — scan speed, no
+    * shuffle, no model object. Output `(idCol, pq_codes: array<int>)`;
+    * with k ≤ 256 each code is one byte of information (parquet
+    * dictionary + bit-packing stores it as such), so the embedding
+    * store shrinks from 4·dim bytes to ~m bytes per vector — the knob
+    * that turns a TB-scale vector corpus into a GB-scale one. */
+  def pqEncode(
+      df: DataFrame,
+      codebook: PqCodebook,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    val cb = codebook.lit3
+    val sub = codebook.subDim
+    val codes = transform(sequence(lit(0), lit(codebook.m - 1)), mi => {
+      val sv = slice(col(vecCol), mi * sub + 1, lit(sub))
+      val dists = transform(element_at(cb, mi + 1), cent =>
+        aggregate(zip_with(sv, cent,
+            (x, c) => (x.cast("double") - c) * (x.cast("double") - c)),
+          lit(0.0), (a, d) => a + d))
+      (array_position(dists, array_min(dists)) - 1).cast("int")
+    })
+    df.select(col(idCol), codes.as("pq_codes"))
+  }
+
+  /** Reconstruct the quantized vector from its codes (centroid
+    * concatenation) — the decode side of [[pqEncode]], for fidelity
+    * checks and exact re-ranking without the raw corpus. */
+  def pqDecode(codes: Column, codebook: PqCodebook): Column =
+    flatten(zip_with(codes, codebook.lit3,
+      (cd, tbl) => element_at(tbl, cd + 1)))
+
+  /** ADC (asymmetric distance computation) top-k: the query stays
+    * exact, the corpus is its PQ codes. Per query, ONE m×k lookup
+    * table of subspace inner products builds in the projection; each
+    * corpus row is then scored with m table lookups — no
+    * reconstruction, no dim-length arithmetic on the hot path. The
+    * score is the EXACT cosine between the query and the PQ
+    * reconstruction, so ranking error comes only from quantization.
+    * Queries broadcast (small-side contract, as [[bruteForceTopK]]);
+    * the code scan parallelizes per partition and reduces to ≤ k rows
+    * per query per partition before the shuffle. */
+  def pqAdcTopK(
+      queries: DataFrame,
+      codes: DataFrame,
+      codebook: PqCodebook,
+      k: Int,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    val cb = codebook.lit3
+    val sub = codebook.subDim
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("__qv"))
+      .withColumn("__lut", transform(sequence(lit(0), lit(codebook.m - 1)), mi =>
+        transform(element_at(cb, mi + 1), cent =>
+          aggregate(zip_with(slice(col("__qv"), mi * sub + 1, lit(sub)), cent,
+              (x, c) => x.cast("double") * c),
+            lit(0.0), (a, d) => a + d))))
+      .withColumn("__qnorm", norm2(col("__qv")))
+      .select("query_id", "__lut", "__qnorm")
+    val scored = codes.crossJoin(broadcast(q))
+      .filter(col(idCol) =!= col("query_id"))
+      .select(col("query_id"), col(idCol).as("neighbor_id"),
+        (aggregate(zip_with(col("pq_codes"), col("__lut"),
+            (cd, tbl) => element_at(tbl, cd + 1)), lit(0.0), (a, d) => a + d) /
+          (col("__qnorm") * sqrt(aggregate(zip_with(col("pq_codes"), codebook.normSqLit,
+            (cd, tbl) => element_at(tbl, cd + 1)), lit(0.0), (a, d) => a + d)))
+        ).as("cos_sim"))
+    rankTopK(scored, k)
+  }
+
+  /** The production shape: ADC shortlists `k·oversample` candidates
+    * from the code scan, exact cosine re-ranks ONLY the shortlist
+    * against the raw corpus. The shortlist is O(|Q|·k·oversample) —
+    * broadcast into the corpus-side equi-join, so the raw vectors are
+    * touched for a vanishing fraction of the corpus. */
+  def pqAdcTopKReranked(
+      queries: DataFrame,
+      codes: DataFrame,
+      codebook: PqCodebook,
+      corpus: DataFrame,
+      k: Int,
+      oversample: Int = 5,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    require(oversample >= 1, s"oversample must be >= 1, got $oversample")
+    val shortlist = pqAdcTopK(queries, codes, codebook, k * oversample, idCol, vecCol)
+      .select("query_id", "neighbor_id")
+    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("__cv"))
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("__qv"))
+    val scored = c.join(broadcast(shortlist), Seq("neighbor_id"))
+      .join(broadcast(q), Seq("query_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        cosine(col("__qv"), col("__cv")).as("cos_sim"))
+    rankTopK(scored, k)
+  }
+
+  /** Persist/load a codebook as a tiny parquet table `(mi, ci,
+    * centroid)` — the artifact an incremental encode job loads so
+    * appended batches share ONE code space with the existing corpus
+    * (the [[ivfAppend]] increment model: re-train only when the recall
+    * monitor says the codebook no longer fits the data). */
+  def pqSave(codebook: PqCodebook, spark: org.apache.spark.sql.SparkSession, path: String): Unit = {
+    import spark.implicits._
+    val rows = for {
+      (subs, mi) <- codebook.centroids.zipWithIndex
+      (cent, ci) <- subs.zipWithIndex
+    } yield (mi, ci, cent.toSeq)
+    rows.toSeq.toDF("mi", "ci", "centroid").coalesce(1).write.mode("overwrite").parquet(path)
+  }
+
+  def pqLoad(spark: org.apache.spark.sql.SparkSession, path: String): PqCodebook = {
+    val rows = spark.read.parquet(path)
+      .select(col("mi"), col("ci"), col("centroid"))
+      .collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getSeq[Float](2).toArray))
+    require(rows.nonEmpty, s"empty PQ codebook at $path")
+    val cents = rows.groupBy(_._1).toSeq.sortBy(_._1).map { case (_, g) =>
+      g.sortBy(_._2).map(_._3).toArray
+    }.toArray
+    val sub = cents.head.head.length
+    require(cents.forall(_.forall(_.length == sub)),
+      s"inconsistent centroid widths in PQ codebook at $path")
+    PqCodebook(sub, cents)
+  }
+
+  /** Build-or-load a persisted codebook (the [[ivfEnsure]] marker
+    * protocol): training is paid once per corpus version, every later
+    * run loads the tiny parquet artifact. */
+  def pqEnsure(
+      corpus: DataFrame,
+      m: Int,
+      k: Int,
+      indexDir: String,
+      vecCol: String = "embedding",
+      seed: Long = 4233L,
+      maxIter: Int = 20): PqCodebook = {
+    val spark = corpus.sparkSession
+    val marker = new org.apache.hadoop.fs.Path(indexDir, "_BUILT")
+    val fs = marker.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(marker)) {
+      pqSave(pqTrain(corpus, m, k, vecCol, seed, maxIter), spark, s"$indexDir/codebook")
+      fs.create(marker, true).close()
+    }
+    pqLoad(spark, s"$indexDir/codebook")
+  }
+
+  /** Recall of the PQ ADC(+re-rank) probe against the exact brute-force
+    * ranking — the ANN quality monitor expressed as a query (the
+    * [[ivfRecallVsBrute]] pattern). */
+  def pqRecallVsBrute(
+      queries: DataFrame,
+      corpus: DataFrame,
+      k: Int,
+      m: Int,
+      kPerSub: Int,
+      oversample: Int = 5,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding",
+      seed: Long = 4233L,
+      maxIter: Int = 20): DataFrame = {
+    val brute = bruteForceTopK(queries, corpus, k, idCol, vecCol)
+      .select("query_id", "neighbor_id")
+    val codebook = pqTrain(corpus, m, kPerSub, vecCol, seed, maxIter)
+    val codes = pqEncode(corpus, codebook, idCol, vecCol)
+    val probe = pqAdcTopKReranked(queries, codes, codebook, corpus, k, oversample, idCol, vecCol)
+      .select("query_id", "neighbor_id")
+    probeRecall(brute, probe)
+  }
+
   /** Hamming prune for a cosine threshold: mean + 3σ of the bit-diff
     * distribution Binom(64, acos(c)/π) — generous enough that band
     * collision, not this prune, decides recall. */

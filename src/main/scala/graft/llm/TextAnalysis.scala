@@ -302,6 +302,100 @@ object TextAnalysis {
     round(lengthScore * 0.4 + stopScore * 0.4 + punctScore * 0.2, 6)
   }
 
+  // ------------------------------------------- Gopher rule-based filter
+
+  /** Thresholds for [[gopherFlags]] — defaults are the published Gopher
+    * values (Rae et al. 2021, arXiv:2112.11446 §A1.1). */
+  case class GopherThresholds(
+      minWords: Int = 50,
+      maxWords: Int = 100000,
+      minMeanWordLen: Double = 3.0,
+      maxMeanWordLen: Double = 10.0,
+      maxHashRatio: Double = 0.1,
+      maxEllipsisRatio: Double = 0.1,
+      maxBulletLineFrac: Double = 0.9,
+      maxEllipsisLineFrac: Double = 0.3,
+      minAlphaWordFrac: Double = 0.8,
+      minStopwordHits: Int = 2)
+
+  /** The Gopher "required words" list (loc. cit.): a document must
+    * contain at least [[GopherThresholds.minStopwordHits]] DISTINCT of
+    * these to pass the stop-word rule. */
+  val GopherStopwords: Seq[String] =
+    Seq("the", "be", "to", "of", "and", "that", "have", "with")
+
+  /** The Gopher rule-based document filter (Rae et al. 2021 §A1.1) as
+    * ONE struct-valued scan projection: per-rule evidence (counts and
+    * ratios), per-rule pass booleans, and the conjunction `keep`.
+    * Deterministic integer/IEEE arithmetic only — every rule replays in
+    * ANSI SQL (the q104 oracle), and at 100 TB the whole rule set runs
+    * at parquet-scan speed with `keep` usable as a scan predicate.
+    *
+    * Rules (a doc is kept only if ALL pass):
+    *  - word count in [minWords, maxWords];
+    *  - mean word length (non-space chars / words) in [3, 10];
+    *  - '#' per word ≤ 0.1 and ellipsis ('…' or "...") per word ≤ 0.1;
+    *  - ≤ 90% of lines start with a bullet ('•', '‣', '-', '*');
+    *  - ≤ 30% of lines end with an ellipsis;
+    *  - ≥ 80% of words contain at least one alphabetic character;
+    *  - ≥ 2 distinct words from [[GopherStopwords]].
+    *
+    * Ratios use max(n, 1) denominators so an empty document yields 0s
+    * and `keep = false` (via the word-count rule) with no NULL logic to
+    * replicate cross-engine. */
+  def gopherFlags(c: Column, t: GopherThresholds = GopherThresholds()): Column = {
+    val toks = filter(split(trim(c), "\\s+"), x => length(x) > 0)
+    val nWords = size(toks)
+    val dw = greatest(nWords, lit(1)).cast("double")
+    val meanWordLen = length(regexp_replace(c, "\\s", "")).cast("double") / dw
+    val nHash = length(c) - length(regexp_replace(c, "#", ""))
+    // each non-overlapping "..." removal drops exactly 3 chars, so the
+    // length delta is a multiple of 3 and the double division is exact
+    val nEllipsis = (length(c) - length(regexp_replace(c, "…", ""))) +
+      (length(c) - length(regexp_replace(c, "\\.\\.\\.", ""))) / 3
+    val lines = split(c, "\n")
+    val dl = greatest(size(lines), lit(1)).cast("double")
+    val nBullet = size(filter(lines,
+      l => substring(ltrim(l), 1, 1).isin("•", "‣", "-", "*")))
+    val nEllLines = size(filter(lines,
+      l => rtrim(l).endsWith("...") || rtrim(l).endsWith("…")))
+    val nAlpha = size(filter(toks, x => x.rlike("[A-Za-z]")))
+    val stopHits = size(array_intersect(
+      array_distinct(transform(toks, x => lower(x))),
+      array(GopherStopwords.map(lit): _*)))
+    val okWordCount = nWords >= t.minWords && nWords <= t.maxWords
+    val okWordLen = nWords > 0 &&
+      meanWordLen >= t.minMeanWordLen && meanWordLen <= t.maxMeanWordLen
+    val okSymbols = nHash.cast("double") / dw <= t.maxHashRatio &&
+      nEllipsis.cast("double") / dw <= t.maxEllipsisRatio
+    val okBullets = nBullet.cast("double") / dl <= t.maxBulletLineFrac
+    val okEllLines = nEllLines.cast("double") / dl <= t.maxEllipsisLineFrac
+    val okAlpha = nWords > 0 && nAlpha.cast("double") / dw >= t.minAlphaWordFrac
+    val okStopwords = stopHits >= t.minStopwordHits
+    struct(
+      nWords.cast("long").as("n_words"),
+      round(meanWordLen, 6).as("mean_word_len"),
+      round(nHash.cast("double") / dw, 6).as("hash_ratio"),
+      round(nEllipsis.cast("double") / dw, 6).as("ellipsis_ratio"),
+      round(nBullet.cast("double") / dl, 6).as("bullet_line_frac"),
+      round(nEllLines.cast("double") / dl, 6).as("ellipsis_line_frac"),
+      round(nAlpha.cast("double") / dw, 6).as("alpha_word_frac"),
+      stopHits.cast("long").as("stop_hits"),
+      okWordCount.as("ok_word_count"),
+      okWordLen.as("ok_word_len"),
+      okSymbols.as("ok_symbols"),
+      okBullets.as("ok_bullets"),
+      okEllLines.as("ok_ellipsis_lines"),
+      okAlpha.as("ok_alpha"),
+      okStopwords.as("ok_stopwords"),
+      (okWordCount && okWordLen && okSymbols && okBullets &&
+        okEllLines && okAlpha && okStopwords).as("keep"))
+  }
+
+  /** `keep` alone — the scan-predicate form of [[gopherFlags]]. */
+  def gopherKeep(c: Column, t: GopherThresholds = GopherThresholds()): Column =
+    gopherFlags(c, t).getField("keep")
+
   // ----------------------------------------------------------- lang id
 
   /** Language ID by stopword-profile voting plus a CJK character check:

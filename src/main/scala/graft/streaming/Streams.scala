@@ -169,6 +169,7 @@ object Streams {
       docs: DataFrame,
       textCol: String = "text",
       minQuality: Option[Double] = None,
+      gopherRules: Boolean = false,
       langs: Set[String] = Set.empty,
       repetition: Option[(Int, Double)] = None,
       lmPath: Option[String] = None,
@@ -183,6 +184,10 @@ object Streams {
       .withColumn("quality", TextAnalysis.qualityScoreFast(st))
       .withColumn("lang_id", TextAnalysis.langIdFast(st))
     minQuality.foreach(q => df = df.filter(col("quality") >= q))
+    // the published Gopher rule set — still a pure scan predicate, so
+    // the stream stays stateless with it on
+    if (gopherRules)
+      df = df.filter(TextAnalysis.gopherKeep(col(textCol)))
     if (langs.nonEmpty)
       df = df.filter(col("lang_id").isin(langs.toSeq: _*))
     repetition.foreach { case (n, maxRep) =>

@@ -1220,6 +1220,41 @@ class CliSpec extends SparkTestBase {
     assert(err.getMessage.contains("classifier-path"))
   }
 
+  test("curator gopher-rules: the published rule set drops planted violators " +
+      "the heuristic quality floor alone would keep") {
+    val base = tmp()
+    import spark.implicits._
+    // 20 good docs: 6 Gopher stopwords + 48 distinct hex tokens each —
+    // pass every rule, and per-doc-unique hex keeps SimHash far apart
+    def hex(seed: String) =
+      f"${scala.util.hashing.MurmurHash3.stringHash(seed)}%08x"
+    val good = (0L until 20L).map(i => (i,
+      "the of and that have with " +
+        (0 until 48).map(j => hex(s"$i-$j")).mkString(" ")))
+    val planted = Seq(
+      (90001L, (0 until 60).map(j => s"- item ${hex(s"b$j")}").mkString("\n")),
+      (90002L, "the cat sat"),
+      (90003L, (0 until 54).map(j => hex(s"s$j")).mkString(" ")))
+    val src = base.resolve("src").toString
+    (good ++ planted).toDF("doc_id", "text").write.parquet(src)
+    val out = base.resolve("curated").toString
+    val f = write(base.resolve("curator_gopher.conf"),
+      s"""source { storage-type = local, dataset-dir = $src }
+         |target { storage-type = local, dataset-dir = $out, dataset-store-format = parquet, write-mode = overwrite }
+         |curation {
+         |  min-quality = 0.0
+         |  gopher-rules = true
+         |}
+         |""".stripMargin)
+    graft.cli.Curator.main(Array("--conf", f))
+    val ids = spark.read.parquet(out)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(ids.intersect(Set(90001L, 90002L, 90003L)).isEmpty,
+      s"bullet-list / too-short / stopword-free docs must drop: $ids")
+    assert((0L until 20L).forall(ids.contains),
+      s"all rule-passing docs must survive: $ids")
+  }
+
   test("curator domain gate: blocklisted domains (and their subdomains) drop " +
       "BEFORE any text stage — dedup state covers admitted docs only") {
     import org.apache.spark.sql.functions._

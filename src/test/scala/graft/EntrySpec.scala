@@ -71,6 +71,15 @@ class EntrySpec extends SparkTestBase {
       s"direction fidelity ${r.getAs[Double]("min_self_cos")}")
   }
 
+  test("q103: PQ ADC + exact re-rank holds recall at 32× compression") {
+    val r = SparkEntry.queries("q103_pq_recall")(spark, sfDir).head()
+    assert(r.getAs[Long]("n_queries") == 20L)
+    assert(r.getAs[Double]("avg_recall") >= 0.8,
+      s"avg recall ${r.getAs[Double]("avg_recall")}")
+    assert(r.getAs[Int]("bytes_per_vec_raw") == 256) // 64 dims × float32
+    assert(r.getAs[Int]("bytes_per_vec_pq") == 8)    // m byte-sized codes
+  }
+
   test("q40: incremental dropSeen removes every planted echo, keeps fresh batch rows") {
     val rows = SparkEntry.queries("q40_incremental_dedup")(spark, sfDir)
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap

@@ -402,4 +402,76 @@ class SimilaritySpec extends SparkTestBase {
     assert(ids.forall(_ < 10000L), s"all rescaled copies must drop (same sub-bucket as base)")
     survivors.unpersist(); corpus.unpersist()
   }
+
+  // ------------------------------------------- product quantization (PQ)
+
+  test("pqTrain/pqEncode/pqDecode: valid codes, shuffle-free encode, " +
+      "reconstruction points the right way") {
+    val cb = Similarity.pqTrain(emb, m = 8, k = 16, maxIter = 8)
+    assert(cb.m == 8 && cb.k == 16 && cb.dim == 64 && cb.subDim == 8)
+    val codes = Similarity.pqEncode(emb, cb).cache()
+    assert(codes.count() == emb.count())
+    assert(codes.select(explode(col("pq_codes")).as("c"))
+      .filter(col("c") < 0 || col("c") >= 16).count() == 0, "codes out of range")
+    // encode is a pure scan projection — no shuffle, no model object
+    val plan = Similarity.pqEncode(emb, cb).queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"pqEncode must not shuffle:\n$plan")
+    // reconstruction fidelity: self-cosine far above the ~0 of a random
+    // 64-dim direction (the floor is empirical on the gate embeddings)
+    val selfCos = codes.join(emb, "vec_id")
+      .select(Similarity.cosine(col("embedding"),
+        Similarity.pqDecode(col("pq_codes"), cb)).as("c"))
+      .agg(avg("c"), min("c")).head()
+    assert(selfCos.getDouble(0) >= 0.6,
+      s"avg reconstruction cosine ${selfCos.getDouble(0)}")
+    assert(selfCos.getDouble(1) >= 0.2,
+      s"min reconstruction cosine ${selfCos.getDouble(1)}")
+    codes.unpersist()
+  }
+
+  test("pqAdcTopKReranked with full oversample reproduces brute force exactly " +
+      "(shortlist covers the corpus, re-rank is the native cosine)") {
+    val cb = Similarity.pqTrain(emb, m = 8, k = 16, maxIter = 2)
+    val codes = Similarity.pqEncode(emb, cb)
+    val queries = emb.filter(col("vec_id") < 5)
+    val got = Similarity.pqAdcTopKReranked(queries, codes, cb, emb,
+        k = 5, oversample = 100) // 5·100 ≥ |corpus| → shortlist = everything
+      .select("query_id", "neighbor_id", "rank")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val want = Similarity.bruteForceTopK(queries, emb, k = 5)
+      .select("query_id", "neighbor_id", "rank")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == want, "full-oversample re-rank must equal brute force incl. rank")
+  }
+
+  test("pqRecallVsBrute: ADC shortlist + exact re-rank holds a recall floor " +
+      "at 32× compression") {
+    val queries = emb.filter(col("vec_id") < 20)
+    val rec = Similarity.pqRecallVsBrute(queries, emb, k = 10, m = 8,
+      kPerSub = 32, oversample = 8, maxIter = 8).cache()
+    assert(rec.count() == 20)
+    val avgRecall = rec.agg(avg("recall")).head().getDouble(0)
+    assert(avgRecall >= 0.8, s"avg recall $avgRecall at oversample=8")
+    rec.unpersist()
+  }
+
+  test("pqSave/pqLoad/pqEnsure: codebook round-trips; ensure loads the artifact") {
+    val cb = Similarity.pqTrain(emb, m = 4, k = 8, maxIter = 4)
+    val dir = java.nio.file.Files.createTempDirectory("graft-pq").toString
+    Similarity.pqSave(cb, spark, s"$dir/codebook")
+    val got = Similarity.pqLoad(spark, s"$dir/codebook")
+    assert(got.subDim == cb.subDim && got.m == cb.m && got.k == cb.k)
+    def deep(c: Similarity.PqCodebook) = c.centroids.map(_.map(_.toSeq).toSeq).toSeq
+    assert(deep(got) == deep(cb), "centroids must round-trip bit-identically")
+    // ensure: second call must LOAD (marker present), not retrain —
+    // codes computed against both must agree everywhere
+    val dir2 = java.nio.file.Files.createTempDirectory("graft-pq-ensure").toString
+    val e1 = Similarity.pqEnsure(emb, m = 4, k = 8, indexDir = dir2, maxIter = 4)
+    val e2 = Similarity.pqEnsure(emb, m = 4, k = 8, indexDir = dir2, maxIter = 4)
+    assert(deep(e1) == deep(e2))
+    val mismatches = Similarity.pqEncode(emb, e1).withColumnRenamed("pq_codes", "a")
+      .join(Similarity.pqEncode(emb, e2).withColumnRenamed("pq_codes", "b"), "vec_id")
+      .filter(col("a") =!= col("b")).count()
+    assert(mismatches == 0)
+  }
 }

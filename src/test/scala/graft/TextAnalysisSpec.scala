@@ -296,6 +296,70 @@ class TextAnalysisSpec extends SparkTestBase {
     intercept[IllegalArgumentException] { TextAnalysis.corpusReport(docs, Nil) }
   }
 
+  test("gopherFlags: hand-computed evidence on a crafted doc") {
+    // toks = [one#, two…, -, three, four...]  → n_words 5, nonspace 21
+    // lines: "one# two…" (ends …), "- three" (bullet), "four..." (ends ...)
+    val out = Seq((1L, "one# two…\n- three\nfour..."))
+      .toDF("doc_id", "text")
+      .select(TextAnalysis.gopherFlags(col("text")).as("g"))
+      .select(col("g.*")).collect().head
+    assert(out.getAs[Long]("n_words") == 5L)
+    assert(out.getAs[Double]("mean_word_len") == 4.2)
+    assert(out.getAs[Double]("hash_ratio") == 0.2)
+    assert(out.getAs[Double]("ellipsis_ratio") == 0.4) // '…' + one '...'
+    assert(out.getAs[Double]("bullet_line_frac") == 0.333333)
+    assert(out.getAs[Double]("ellipsis_line_frac") == 0.666667)
+    assert(out.getAs[Double]("alpha_word_frac") == 0.8)
+    assert(out.getAs[Long]("stop_hits") == 0L)
+    assert(!out.getAs[Boolean]("ok_word_count")) // 5 < 50
+    assert(out.getAs[Boolean]("ok_word_len"))    // 4.2 ∈ [3,10]
+    assert(!out.getAs[Boolean]("ok_symbols"))    // 0.2 > 0.1
+    assert(out.getAs[Boolean]("ok_bullets"))     // 1/3 ≤ 0.9
+    assert(!out.getAs[Boolean]("ok_ellipsis_lines")) // 2/3 > 0.3
+    assert(out.getAs[Boolean]("ok_alpha"))       // 4/5 ≥ 0.8
+    assert(!out.getAs[Boolean]("ok_stopwords"))
+    assert(!out.getAs[Boolean]("keep"))
+  }
+
+  test("gopherFlags: each rule flips keep; prose passes; empty doc yields zeros") {
+    val prose = Array.fill(5)(
+      "the quick brown fox jumps over that lazy dog with vigor today").mkString(" ")
+    def keepOf(text: String): Boolean =
+      Seq((1L, text)).toDF("doc_id", "text")
+        .select(TextAnalysis.gopherKeep(col("text")).as("k"))
+        .collect().head.getBoolean(0)
+    assert(keepOf(prose), "60 words of stopworded prose must pass all rules")
+    assert(!keepOf("the cat with hat"), "word count below 50")
+    assert(!keepOf(prose + " " + Array.fill(10)("####").mkString(" ")),
+      "hash symbol ratio above 0.1")
+    assert(!keepOf(prose.split(" ").map("- " + _).mkString("\n")),
+      "every line bullet-prefixed")
+    assert(!keepOf(prose.split(" ").map(_ + "...").mkString("\n")),
+      "every line ellipsis-terminated")
+    assert(!keepOf((1 to 60).map(_.toString + "9").mkString(" ")),
+      "alphabetic-word fraction below 0.8")
+    assert(!keepOf(Array.fill(60)("lorem ipsum dolor").mkString(" ")),
+      "no Gopher stopwords present")
+    assert(!keepOf(Array.fill(60)("a").mkString(" ") + " the be"),
+      "mean word length below 3")
+    val empty = Seq((1L, "")).toDF("doc_id", "text")
+      .select(TextAnalysis.gopherFlags(col("text")).as("g"))
+      .select(col("g.*")).collect().head
+    assert(empty.getAs[Long]("n_words") == 0L)
+    assert(empty.getAs[Double]("mean_word_len") == 0.0) // max(n,1) denominator
+    assert(!empty.getAs[Boolean]("keep"))
+    assert(!empty.anyNull, "no NULL logic to replicate cross-engine")
+  }
+
+  test("gopherFlags: custom thresholds override the published defaults") {
+    val t = TextAnalysis.GopherThresholds(minWords = 3, minStopwordHits = 1)
+    val k = Seq((1L, "the quick brown fox runs"))
+      .toDF("doc_id", "text")
+      .select(TextAnalysis.gopherKeep(col("text"), t).as("k"))
+      .collect().head.getBoolean(0)
+    assert(k, "5 words + 1 stopword passes with relaxed thresholds")
+  }
+
   test("analysis runs shuffle-free over documents (scan-speed map)") {
     val docs = spark.read.parquet(s"$sfDir/documents.parquet")
     val out = docs.select(col("doc_id"),
