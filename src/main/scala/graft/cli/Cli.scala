@@ -1268,10 +1268,14 @@ object Curator {
   * amplification problem, with the standard answer.
   *
   * Config keys under `compaction { }`: `state-dir` (a COMMITTED state
-  * dir), `state-out-dir` (the fresh dir to commit). The parts
-  * directories are parsed from the state's own parameter records
-  * (`_COMMITTED` stateParams / `spanparams`), never from config —
-  * compaction cannot be pointed at the wrong lineage.
+  * dir), `state-out-dir` (the fresh dir to commit), optional
+  * `max-part-bytes` (size-tiered mode: merge ONLY parts at or below
+  * the threshold, carry bigger parts untouched — bounds compaction IO
+  * by the small tail instead of the lineage, the LSM recipe for very
+  * large lineages). The parts directories are parsed from the state's
+  * own parameter records (`_COMMITTED` stateParams / `spanparams`),
+  * never from config — compaction cannot be pointed at the wrong
+  * lineage.
   *
   * Semantics per table: `hashes`/`sigs`/`vecsigs` concatenate;
   * `hotcounts`/`vechotcounts` MERGE (sum per bucket — the mergeable-
@@ -1343,18 +1347,47 @@ object Compactor {
         }
       if (gens.isEmpty) 1 else gens.max + 1
     }
+    // size-tiered mode: `max-part-bytes` merges only parts at or below
+    // the threshold — the LSM small-tail recipe. Big parts are carried
+    // into the new manifest UNTOUCHED, so compaction IO is bounded by
+    // the tail instead of the lineage (the merge laws are associative,
+    // so merging any subset preserves the union's semantics; span
+    // duplicates that straddle the tier boundary stay — the probe is
+    // set-membership, so they cost bytes, never correctness)
+    val maxPartBytes = c.getLong("max-part-bytes")
+    maxPartBytes.foreach(b => require(b > 0,
+      s"compaction.max-part-bytes must be positive, got $b"))
+    def partSize(p: String): Long = {
+      val pp = new Path(p)
+      pp.getFileSystem(hconf).getContentSummary(pp).getLength
+    }
     // compact one manifested table; returns (partsDir, table, kept)
     // for the post-commit sweep
     def compactTable(pd: String, table: String,
         transform: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame)
         : Option[(String, String, Seq[String])] =
       Cli.stateTableParts(spark, inDir, table).map { parts =>
-        val target = s"${qual(pd)}/$table/part-c${nextGen(qual(pd).toString, table)}"
-        transform(spark.read.parquet(parts: _*))
-          .write.mode("overwrite").parquet(target)
-        Cli.writeStateManifest(spark, outPath, table, Seq(target))
-        Cli.log(s"compacted $table: ${parts.length} parts -> $target")
-        (qual(pd).toString, table, Seq(target))
+        val (small, big) = maxPartBytes match {
+          case Some(b) => parts.partition(partSize(_) <= b)
+          case None => (parts, Seq.empty[String])
+        }
+        if (small.length <= 1) {
+          // nothing in the tier to merge: manifest carries unchanged
+          Cli.writeStateManifest(spark, outPath, table, parts)
+          Cli.log(s"$table: ${small.length} part(s) within the size tier — " +
+            s"all ${parts.length} carried unchanged")
+          (qual(pd).toString, table, parts)
+        } else {
+          val target = s"${qual(pd)}/$table/part-c${nextGen(qual(pd).toString, table)}"
+          transform(spark.read.parquet(small: _*))
+            .write.mode("overwrite").parquet(target)
+          val kept = big ++ Seq(target)
+          Cli.writeStateManifest(spark, outPath, table, kept)
+          Cli.log(s"compacted $table: ${small.length} of ${parts.length} " +
+            s"parts -> $target" +
+            (if (big.nonEmpty) s" (${big.length} above the size tier untouched)" else ""))
+          (qual(pd).toString, table, kept)
+        }
       }
     val sweeps = scala.collection.mutable.ListBuffer
       .empty[(String, String, Seq[String])]

@@ -1657,6 +1657,84 @@ class CliSpec extends SparkTestBase {
     assert(err.getMessage.contains("nothing to compact"), err.getMessage)
   }
 
+  test("compactor size tier: only the small-tail parts merge; the big part " +
+      "is carried untouched and the lineage continues") {
+    import spark.implicits._
+    val base = tmp()
+    def hex(seed: String) =
+      f"${scala.util.hashing.MurmurHash3.stringHash(seed)}%08x"
+    def doc(i: Long) = (i,
+      s"distinct corpus document number $i " +
+        (0 until 30).map(j => hex(s"$i-$j")).mkString(" "))
+    val inBig = base.resolve("tin1").toString
+    val inS1 = base.resolve("tin2").toString
+    val inS2 = base.resolve("tin3").toString
+    (0L until 150L).map(doc).toDF("doc_id", "text").write.parquet(inBig)
+    Seq(doc(1000L), doc(1001L)).toDF("doc_id", "text").write.parquet(inS1)
+    Seq(doc(2000L), doc(2001L)).toDF("doc_id", "text").write.parquet(inS2)
+    val spd = base.resolve("tierparts").toString
+    def conf(run: Int, in: String, stateIn: Option[String]) =
+      write(base.resolve(s"tier$run.conf"),
+        s"""source { storage-type = local, dataset-dir = $in }
+           |target { storage-type = local, dataset-dir = ${base.resolve(s"tout$run")}, dataset-store-format = parquet, write-mode = overwrite }
+           |curation {
+           |  min-quality = 0.0
+           |  state-parts-dir = $spd
+           |${stateIn.map(d => s"  state-dir = $d").getOrElse("")}
+           |  state-out-dir = ${base.resolve(s"tstate$run")}
+           |}
+           |""".stripMargin)
+    graft.cli.Curator.main(Array("--conf", conf(1, inBig, None)))
+    graft.cli.Curator.main(Array("--conf",
+      conf(2, inS1, Some(base.resolve("tstate1").toString))))
+    graft.cli.Curator.main(Array("--conf",
+      conf(3, inS2, Some(base.resolve("tstate2").toString))))
+    val st3 = base.resolve("tstate3").toString
+    def dirSize(f: java.io.File): Long = {
+      // the SAME measure the Compactor tiers on
+      val pp = new org.apache.hadoop.fs.Path(f.toString)
+      pp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        .getContentSummary(pp).getLength
+    }
+    def snapshot(f: java.io.File): Map[String, (Long, Long)] =
+      Option(f.listFiles()).getOrElse(Array.empty[java.io.File])
+        .filter(_.isFile).map(x => x.getName -> (x.length, x.lastModified)).toMap
+    val hashesDir = new java.io.File(s"$spd/hashes")
+    val big = new java.io.File(hashesDir, "part-0")
+    val bigBefore = snapshot(big)
+    val sizes = hashesDir.listFiles().map(f => f.getName -> dirSize(f)).toMap
+    assert(sizes("part-0") > sizes("part-1") && sizes("part-0") > sizes("part-2"),
+      s"batch-1 part must be the big one: $sizes")
+    // threshold excludes ONLY the big part
+    val threshold = (sizes("part-0") + math.max(sizes("part-1"), sizes("part-2"))) / 2
+    assert(sizes("part-1") <= threshold && sizes("part-2") <= threshold, s"$sizes")
+    val hashesBefore = graft.cli.Cli.readStateTable(spark, st3, "hashes").count()
+    val cst = base.resolve("tiercompact")
+    graft.cli.Compactor.main(Array("--conf", write(base.resolve("tierc.conf"),
+      s"""compaction { state-dir = $st3, state-out-dir = $cst, max-part-bytes = $threshold }
+         |""".stripMargin)))
+    // manifest: untouched big part first, then the merged tail
+    val manifest = scala.io.Source.fromFile(
+      cst.resolve("hashesmanifest").toString).mkString.split("\n").filter(_.nonEmpty)
+    assert(manifest.length == 2 && manifest(0).endsWith("part-0") &&
+      manifest(1).endsWith("part-c1"), s"manifest: ${manifest.toSeq}")
+    assert(snapshot(big) == bigBefore,
+      "the big part's files must be byte-and-mtime identical after tiered compaction")
+    assert(hashesDir.listFiles().map(_.getName).toSet == Set("part-0", "part-c1"),
+      "small-tail parts must be swept, big part kept")
+    assert(graft.cli.Cli.readStateTable(spark, cst.toString, "hashes").count()
+      == hashesBefore, "tiered merge must preserve the union")
+    // the lineage continues: everything seen converges, fresh survives
+    val inNext = base.resolve("tin4").toString
+    (Seq(doc(3L), doc(1000L), doc(2001L), doc(9000L)): Seq[(Long, String)])
+      .toDF("doc_id", "text").write.parquet(inNext)
+    graft.cli.Curator.main(Array("--conf",
+      conf(4, inNext, Some(cst.toString))))
+    val ids4 = spark.read.parquet(base.resolve("tout4").toString)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(ids4 == Set(9000L), s"convergence through tiered compaction broken: $ids4")
+  }
+
   test("curator span-parts-dir: immutable parts + manifest — prior parts never " +
       "rewritten, cross-batch cut identical, stage-off carry is metadata-only") {
     import spark.implicits._
