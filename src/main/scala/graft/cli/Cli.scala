@@ -1584,3 +1584,128 @@ object Trainer {
     println(s"model is saved to $path")
   }
 }
+
+/** `indexer` (north-star, no reference counterpart): build or grow a
+  * persisted ANN index over an embeddings table — the operational
+  * surface of the Similarity stack (IVF cells, optional PQ codes).
+  *
+  * Config keys under `index { }`:
+  *  - `embeddings-dir` (parquet), `index-dir` (the index root)
+  *  - `mode = build | append` — build trains the KMeans cells (and the
+  *    PQ codebook when `pq-m`/`pq-k` are set) and lays the corpus out
+  *    partitioned BY CELL; append tags new vectors with the EXISTING
+  *    centroids and encodes with the EXISTING codebook — no
+  *    retraining, only the touched cell directories gain files
+  *  - `num-cells` (default 16), `kmeans-max-iter` (default 20),
+  *    `id-column` (default vec_id), `vector-column` (default embedding)
+  *  - `pq-m`/`pq-k`: also persist byte-sized PQ codes per cell plus the
+  *    codebook artifact — probes then scan codes, not raw floats
+  *  - `recall-queries` (default 0): after commit, report IVF(-PQ)
+  *    recall-vs-brute over that many sampled queries to
+  *    `index-dir/recall` (+ `recall-k`/`recall-nprobe`/
+  *    `recall-oversample`) — the monitor that tells an operator when
+  *    drift warrants a rebuild
+  *
+  * Durability is the [[graft.llm.Similarity.ivfEnsure]] marker
+  * protocol: `_BUILT` comes down before an append and back up after,
+  * so a crash mid-append leaves an index the protocol refuses instead
+  * of one silently holding an unknown subset of the increment. */
+object Indexer {
+  def main(args: Array[String]): Unit = Cli.run("indexer", args) { (conf, spark) =>
+    import org.apache.hadoop.fs.Path
+    import org.apache.spark.sql.functions._
+    import graft.llm.Similarity
+    val c = conf.at("index")
+    val embDir = c.string("embeddings-dir")
+    val indexDir = c.string("index-dir")
+    val idCol = c.getString("id-column").getOrElse("vec_id")
+    val vecCol = c.getString("vector-column").getOrElse("embedding")
+    val numCells = c.getInt("num-cells").getOrElse(16)
+    val maxIter = c.getInt("kmeans-max-iter").getOrElse(20)
+    val pqM = c.getInt("pq-m")
+    val pqK = c.getInt("pq-k")
+    require(pqM.isDefined == pqK.isDefined,
+      "index.pq-m and index.pq-k must be set together")
+    val hconf = spark.sparkContext.hadoopConfiguration
+    val marker = new Path(indexDir, "_BUILT")
+    val fs = marker.getFileSystem(hconf)
+    val codesPath = new Path(indexDir, "codes")
+    val emb = spark.read.parquet(embDir).select(col(idCol), col(vecCol))
+    c.getString("mode").getOrElse("build") match {
+      case "build" =>
+        require(!fs.exists(marker),
+          s"index at '$indexDir' is already built — use mode = append, " +
+            "or point at a fresh dir")
+        val (model, tagged0) = Similarity.ivfBuild(emb, numCells, vecCol, maxIter = maxIter)
+        val tagged = tagged0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        try {
+          Similarity.ivfSave(model, tagged, indexDir)
+          pqM.foreach { m =>
+            val cb = Similarity.pqTrain(tagged, m, pqK.get, vecCol, maxIter = maxIter)
+            Similarity.pqSave(cb, spark, s"$indexDir/pq/codebook")
+            Similarity.pqEncode(tagged, cb, idCol, vecCol)
+              .join(tagged.select(col(idCol), col("cell")), Seq(idCol))
+              .write.mode("overwrite").partitionBy("cell").parquet(codesPath.toString)
+          }
+          fs.create(marker, true).close()
+          Cli.log(s"index built at $indexDir: ${tagged.count()} vectors, " +
+            s"$numCells cells" + pqM.map(m => s", PQ $m×${pqK.get}").getOrElse(""))
+        } finally tagged.unpersist(blocking = false)
+      case "append" =>
+        require(fs.exists(marker),
+          s"no committed index at '$indexDir' (_BUILT missing)")
+        val hasCodes = fs.exists(codesPath)
+        require(hasCodes == pqM.isDefined,
+          if (pqM.isDefined)
+            "index.pq-m/pq-k set, but the index was built without PQ codes"
+          else
+            "the index holds PQ codes — append must carry index.pq-m/pq-k " +
+              "so the code table stays complete")
+        val model = org.apache.spark.ml.clustering.KMeansModel.load(s"$indexDir/kmeans")
+        fs.delete(marker, false)
+        val tagged = model.transform(
+            emb.withColumn("__v", org.apache.spark.ml.functions.array_to_vector(col(vecCol))))
+          .drop("__v")
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        try {
+          tagged.write.mode("append").partitionBy("cell").parquet(s"$indexDir/corpus")
+          pqM.foreach { m =>
+            val cb = Similarity.pqLoad(spark, s"$indexDir/pq/codebook")
+            require(cb.m == m && cb.k == pqK.get,
+              s"index.pq-m/pq-k ($m/${pqK.get}) do not match the saved " +
+                s"codebook (${cb.m}/${cb.k})")
+            Similarity.pqEncode(tagged, cb, idCol, vecCol)
+              .join(tagged.select(col(idCol), col("cell")), Seq(idCol))
+              .write.mode("append").partitionBy("cell").parquet(codesPath.toString)
+          }
+          fs.create(marker, true).close()
+          Cli.log(s"appended ${tagged.count()} vectors to $indexDir")
+        } finally tagged.unpersist(blocking = false)
+      case other => throw new IllegalArgumentException(
+        s"unknown index.mode '$other' (build|append)")
+    }
+    val nQ = c.getInt("recall-queries").getOrElse(0)
+    if (nQ > 0) {
+      val (model, corpus) = Similarity.ivfLoad(spark, indexDir)
+      val cells = model.clusterCenters.length
+      val k = c.getInt("recall-k").getOrElse(10)
+      val nprobe = c.getInt("recall-nprobe").getOrElse(math.max(1, cells / 4))
+      val queries = corpus.select(col(idCol), col(vecCol)).orderBy(col(idCol)).limit(nQ)
+      val brute = Similarity.bruteForceTopK(queries, corpus, k, idCol, vecCol)
+        .select("query_id", "neighbor_id")
+      val probe =
+        if (fs.exists(codesPath)) {
+          val cb = Similarity.pqLoad(spark, s"$indexDir/pq/codebook")
+          Similarity.ivfPqTopK(queries, spark.read.parquet(codesPath.toString),
+            model, cb, corpus, k, nprobe,
+            oversample = c.getInt("recall-oversample").getOrElse(5), idCol, vecCol)
+        } else Similarity.ivfTopK(queries, corpus, model, k, nprobe, idCol, vecCol)
+      Similarity.probeRecall(brute, probe.select("query_id", "neighbor_id"))
+        .coalesce(1).write.mode("overwrite").parquet(s"$indexDir/recall")
+      val avgR = spark.read.parquet(s"$indexDir/recall")
+        .agg(avg("recall")).head.getDouble(0)
+      Cli.log(f"index recall@$k (nprobe=$nprobe): avg $avgR%.4f over $nQ " +
+        s"queries -> $indexDir/recall")
+    }
+  }
+}

@@ -453,6 +453,42 @@ object Similarity {
     * Queries broadcast (small-side contract, as [[bruteForceTopK]]);
     * the code scan parallelizes per partition and reduces to ≤ k rows
     * per query per partition before the shuffle. */
+  /** Per-query m×k lookup table of subspace inner products — the ADC
+    * precompute, built as a projection over the query frame. */
+  private def adcLut(qv: Column, codebook: PqCodebook): Column = {
+    val cb = codebook.lit3
+    val sub = codebook.subDim
+    transform(sequence(lit(0), lit(codebook.m - 1)), mi =>
+      transform(element_at(cb, mi + 1), cent =>
+        aggregate(zip_with(slice(qv, mi * sub + 1, lit(sub)), cent,
+            (x, c) => x.cast("double") * c),
+          lit(0.0), (a, d) => a + d)))
+  }
+
+  /** ADC cosine: m lookups of subspace inner products over the LUT,
+    * normalized by ‖q‖ and the code-derived reconstruction norm —
+    * the exact cosine between the query and the PQ reconstruction. */
+  private def adcCosine(codes: Column, lut: Column, qnorm: Column,
+      codebook: PqCodebook): Column =
+    aggregate(zip_with(codes, lut, (cd, tbl) => element_at(tbl, cd + 1)),
+      lit(0.0), (a, d) => a + d) /
+      (qnorm * sqrt(aggregate(zip_with(codes, codebook.normSqLit,
+        (cd, tbl) => element_at(tbl, cd + 1)), lit(0.0), (a, d) => a + d)))
+
+  /** Exact-cosine re-rank of a small shortlist against the raw corpus:
+    * both the shortlist and the query frame broadcast into the
+    * corpus-side equi-join. */
+  private def exactRerank(shortlist: DataFrame, queries: DataFrame,
+      corpus: DataFrame, k: Int, idCol: String, vecCol: String): DataFrame = {
+    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("__cv"))
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("__qv"))
+    val scored = c.join(broadcast(shortlist), Seq("neighbor_id"))
+      .join(broadcast(q), Seq("query_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        cosine(col("__qv"), col("__cv")).as("cos_sim"))
+    rankTopK(scored, k)
+  }
+
   def pqAdcTopK(
       queries: DataFrame,
       codes: DataFrame,
@@ -460,24 +496,15 @@ object Similarity {
       k: Int,
       idCol: String = "vec_id",
       vecCol: String = "embedding"): DataFrame = {
-    val cb = codebook.lit3
-    val sub = codebook.subDim
     val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("__qv"))
-      .withColumn("__lut", transform(sequence(lit(0), lit(codebook.m - 1)), mi =>
-        transform(element_at(cb, mi + 1), cent =>
-          aggregate(zip_with(slice(col("__qv"), mi * sub + 1, lit(sub)), cent,
-              (x, c) => x.cast("double") * c),
-            lit(0.0), (a, d) => a + d))))
+      .withColumn("__lut", adcLut(col("__qv"), codebook))
       .withColumn("__qnorm", norm2(col("__qv")))
       .select("query_id", "__lut", "__qnorm")
     val scored = codes.crossJoin(broadcast(q))
       .filter(col(idCol) =!= col("query_id"))
       .select(col("query_id"), col(idCol).as("neighbor_id"),
-        (aggregate(zip_with(col("pq_codes"), col("__lut"),
-            (cd, tbl) => element_at(tbl, cd + 1)), lit(0.0), (a, d) => a + d) /
-          (col("__qnorm") * sqrt(aggregate(zip_with(col("pq_codes"), codebook.normSqLit,
-            (cd, tbl) => element_at(tbl, cd + 1)), lit(0.0), (a, d) => a + d)))
-        ).as("cos_sim"))
+        adcCosine(col("pq_codes"), col("__lut"), col("__qnorm"), codebook)
+          .as("cos_sim"))
     rankTopK(scored, k)
   }
 
@@ -498,13 +525,63 @@ object Similarity {
     require(oversample >= 1, s"oversample must be >= 1, got $oversample")
     val shortlist = pqAdcTopK(queries, codes, codebook, k * oversample, idCol, vecCol)
       .select("query_id", "neighbor_id")
-    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("__cv"))
+    exactRerank(shortlist, queries, corpus, k, idCol, vecCol)
+  }
+
+  /** IVF-PQ (the full Jégou et al. 2011 composition, and THE 100 TB
+    * ANN shape): the coarse KMeans cells prune the scan to
+    * ~nprobe/numCells of the corpus, the scanned fraction is PQ CODES
+    * (m bytes/vector, not 4·dim), ADC shortlists with per-query lookup
+    * tables, and only the shortlist touches raw vectors for the exact
+    * re-rank. `taggedCodes` is [[pqEncode]] over the IVF-tagged corpus
+    * keeping `cell` — persist it partitioned by cell ([[ivfSave]]'s
+    * layout) and a probe reads nprobe directories of byte-sized codes. */
+  def ivfPqTopK(
+      queries: DataFrame,
+      taggedCodes: DataFrame,
+      model: KMeansModel,
+      codebook: PqCodebook,
+      corpus: DataFrame,
+      k: Int,
+      nprobe: Int = 3,
+      oversample: Int = 5,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    require(oversample >= 1, s"oversample must be >= 1, got $oversample")
+    val spark = queries.sparkSession
+    import spark.implicits._
+    val cents = model.clusterCenters.zipWithIndex.map { case (v, i) =>
+      (i, v.toArray.map(_.toFloat))
+    }.toSeq.toDF("cell", "__centroid")
     val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("__qv"))
-    val scored = c.join(broadcast(shortlist), Seq("neighbor_id"))
-      .join(broadcast(q), Seq("query_id"))
+    val probed = q.crossJoin(broadcast(cents))
+      .select(col("query_id"), col("__qv"), col("cell"),
+        cosine(col("__qv"), col("__centroid")).as("__csim"))
+      .withColumn("__crank",
+        row_number().over(Window.partitionBy("query_id").orderBy(col("__csim").desc, col("cell"))))
+      .filter(col("__crank") <= nprobe)
+      .select("query_id", "__qv", "cell")
+    // one materialization (≤ |Q|·nprobe rows): IN-list and join side
+    // derive from the same rows — the ivfTopK probe contract
+    val probedRows = probed.collect()
+    val probedDf = spark.createDataFrame(
+      java.util.Arrays.asList(probedRows: _*), probed.schema)
+    val cells = probedRows.map(_.getAs[Int]("cell")).distinct.toSeq
+    val qlut = probedDf
+      .withColumn("__lut", adcLut(col("__qv"), codebook))
+      .withColumn("__qnorm", norm2(col("__qv")))
+      .select("query_id", "cell", "__lut", "__qnorm")
+    val c = taggedCodes
+      .filter(col("cell").isin(cells: _*))
+      .select(col(idCol).as("neighbor_id"), col("cell"), col("pq_codes"))
+    val scored = c.join(broadcast(qlut), Seq("cell"))
+      .filter(col("neighbor_id") =!= col("query_id"))
       .select(col("query_id"), col("neighbor_id"),
-        cosine(col("__qv"), col("__cv")).as("cos_sim"))
-    rankTopK(scored, k)
+        adcCosine(col("pq_codes"), col("__lut"), col("__qnorm"), codebook)
+          .as("cos_sim"))
+    val shortlist = rankTopK(scored, k * oversample)
+      .select("query_id", "neighbor_id")
+    exactRerank(shortlist, queries, corpus, k, idCol, vecCol)
   }
 
   /** Persist/load a codebook as a tiny parquet table `(mi, ci,

@@ -1657,6 +1657,62 @@ class CliSpec extends SparkTestBase {
     assert(err.getMessage.contains("nothing to compact"), err.getMessage)
   }
 
+  test("indexer: build lays out cells + PQ codes with a perfect full-probe " +
+      "recall; append grows without retraining; drift rejected") {
+    val base = tmp()
+    val idx = base.resolve("annindex").toString
+    def conf(mode: String, src: String, pq: Boolean, recallQ: Int) =
+      write(base.resolve(s"idx_${mode}_${pq}_$recallQ.conf"),
+        s"""index {
+           |  embeddings-dir = $src
+           |  index-dir = $idx
+           |  mode = $mode
+           |  num-cells = 8
+           |  kmeans-max-iter = 8
+           |${if (pq) "  pq-m = 8\n  pq-k = 16" else ""}
+           |  recall-queries = $recallQ
+           |  recall-nprobe = 8
+           |  recall-oversample = 100
+           |}
+           |""".stripMargin)
+    val embSrc = s"$sfDir/embeddings.parquet"
+    graft.cli.Indexer.main(Array("--conf", conf("build", embSrc, pq = true, recallQ = 5)))
+    val n = spark.read.parquet(embSrc).count()
+    assert(new java.io.File(s"$idx/_BUILT").exists())
+    assert(new java.io.File(s"$idx/corpus").listFiles()
+      .count(_.getName.startsWith("cell=")) == 8)
+    assert(new java.io.File(s"$idx/codes").listFiles()
+      .count(_.getName.startsWith("cell=")) == 8)
+    assert(spark.read.parquet(s"$idx/codes").count() == n)
+    assert(spark.read.parquet(s"$idx/pq/codebook").count() == 8 * 16)
+    // full probe + full oversample → the recall monitor reads exactly 1.0
+    val rec = spark.read.parquet(s"$idx/recall")
+    assert(rec.count() == 5)
+    assert(rec.filter(org.apache.spark.sql.functions.col("recall") < 1.0).count() == 0,
+      "full-probe recall must be exact")
+    // append: same vectors under fresh ids — no retraining, cells grow
+    import spark.implicits._
+    val more = base.resolve("more").toString
+    spark.read.parquet(embSrc)
+      .select((org.apache.spark.sql.functions.col("vec_id") + 10000L).as("vec_id"),
+        org.apache.spark.sql.functions.col("embedding"))
+      .write.parquet(more)
+    graft.cli.Indexer.main(Array("--conf", conf("append", more, pq = true, recallQ = 0)))
+    assert(new java.io.File(s"$idx/_BUILT").exists(), "marker must come back after append")
+    assert(spark.read.parquet(s"$idx/corpus").count() == 2 * n)
+    assert(spark.read.parquet(s"$idx/codes").count() == 2 * n)
+    // drift: appending without the pq knobs against a coded index
+    val err = intercept[IllegalArgumentException] {
+      graft.cli.Indexer.main(Array("--conf", conf("append", more, pq = false, recallQ = 0)))
+    }
+    assert(err.getMessage.contains("pq-m"), err.getMessage)
+    // rebuilding over a committed index is refused
+    val err2 = intercept[IllegalArgumentException] {
+      graft.cli.Indexer.main(Array("--conf", conf("build", embSrc, pq = true, recallQ = 0)))
+    }
+    assert(err2.getMessage.contains("already built"), err2.getMessage)
+  }
+
   test("compactor size tier: only the small-tail parts merge; the big part " +
       "is carried untouched and the lineage continues") {
     import spark.implicits._

@@ -455,6 +455,33 @@ class SimilaritySpec extends SparkTestBase {
     rec.unpersist()
   }
 
+  test("ivfPqTopK: probing every cell with full oversample reproduces brute " +
+      "force; pruned probes hold a recall floor") {
+    val (model, tagged) = Similarity.ivfBuild(emb, numCells = 8)
+    val cb = Similarity.pqTrain(emb, m = 8, k = 32, maxIter = 8)
+    val taggedCodes = Similarity.pqEncode(tagged, cb)
+      .join(tagged.select("vec_id", "cell"), "vec_id").cache()
+    val queries = emb.filter(col("vec_id") < 10)
+    val brute = Similarity.bruteForceTopK(queries, emb, k = 5)
+      .select("query_id", "neighbor_id", "rank")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    // all cells + shortlist covering the corpus → exact, incl. rank
+    val exact = Similarity.ivfPqTopK(queries, taggedCodes, model, cb, emb,
+        k = 5, nprobe = 8, oversample = 100)
+      .select("query_id", "neighbor_id", "rank")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(exact == brute, "nprobe=numCells + full oversample must equal brute force")
+    // pruned: half the cells, byte-sized codes, small shortlist
+    val pruned = Similarity.ivfPqTopK(queries, taggedCodes, model, cb, emb,
+        k = 5, nprobe = 4, oversample = 8)
+      .select("query_id", "neighbor_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val bruteIds = brute.map(t => (t._1, t._2))
+    val recall = (pruned & bruteIds).size.toDouble / bruteIds.size
+    assert(recall >= 0.5, s"IVF-PQ recall $recall at nprobe=4/8, oversample=8")
+    taggedCodes.unpersist()
+  }
+
   test("pqSave/pqLoad/pqEnsure: codebook round-trips; ensure loads the artifact") {
     val cb = Similarity.pqTrain(emb, m = 4, k = 8, maxIter = 4)
     val dir = java.nio.file.Files.createTempDirectory("graft-pq").toString
