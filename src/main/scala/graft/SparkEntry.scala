@@ -1359,6 +1359,47 @@ object SparkEntry {
           flags.map(f => col(s"g.$f").cast("int").as(f))): _*)
     }),
 
+    // ---- C4 cleaning filter (Raffel et al. 2020 §2.2): line-level
+    // retention (terminal punctuation, >=3 words, no "javascript")
+    // REWRITES the text; page rules (>=5 sentences over retained
+    // lines, no '{', no "lorem ipsum", no bad word) decide `keep`.
+    // One scan projection; every rule — line filtering, the joined
+    // clean text, terminal-punct sentence counting, substring and
+    // whole-word page checks — replays in SQL.
+    // The synthetic corpus has no punctuation or newlines (every page
+    // would fail line retention), so — the q75 planting pattern — the
+    // query builds a multi-line page per doc in BOTH engines: a kept
+    // prose line, a too-short line, a javascript line, an
+    // unterminated line, and doc_id-keyed sentence/lorem/brace/badword
+    // lines, so every rule fires both ways (~100 keeps at sf0.001).
+    "q105_c4_rules" -> ((s, dir) => {
+      val planted = concat(
+        substring(col("text"), 1, 80), lit(" end."),
+        lit("\ntoo short."),
+        lit("\nplease enable Javascript now."),
+        lit("\nno terminal punctuation here"),
+        when(col("doc_id") % 3 === 0,
+          lit("\nOne more. And another! Question? Sure. Done.")).otherwise(lit("")),
+        when(col("doc_id") % 5 === 0,
+          lit("\nlorem ipsum dolor sit amet.")).otherwise(lit("")),
+        when(col("doc_id") % 7 === 0,
+          lit("\ncode block { x } inside.")).otherwise(lit("")),
+        when(col("doc_id") % 11 === 0,
+          lit("\nwell shit happens sometimes.")).otherwise(lit("")))
+      val f = graft.llm.TextAnalysis.c4Flags(planted)
+      t(s, dir, "documents")
+        .select(col("doc_id"), f.as("c"))
+        .select(col("doc_id"),
+          col("c.n_lines").as("n_lines"),
+          col("c.n_lines_kept").as("n_lines_kept"),
+          col("c.n_sentences").as("n_sentences"),
+          col("c.has_brace").cast("int").as("has_brace"),
+          col("c.has_lorem").cast("int").as("has_lorem"),
+          col("c.has_badword").cast("int").as("has_badword"),
+          col("c.clean_text").as("clean_text"),
+          col("c.keep").cast("int").as("keep"))
+    }),
+
     // ---- Product-quantization ANN (Jégou et al. 2011): codebook
     // ensured once per corpus version (marker-gated, the q25 pattern),
     // corpus encoded to m byte-sized codes (4·dim → m bytes/vector),
@@ -2736,6 +2777,61 @@ object SparkEntry {
         |    AND n_words > 0 AND mwl BETWEEN 3.0 AND 10.0
         |    AND hr <= 0.1 AND er <= 0.1 AND bf <= 0.9 AND ef <= 0.3
         |    AND af >= 0.8 AND stop_hits >= 2 AS INT) AS keep
+        |FROM f""".stripMargin,
+    // every C4 rule replayed: line retention (terminal-punct regex,
+    // \S+ word count, javascript substring), array_to_string rejoin,
+    // terminal-punct sentence counting, page-level substring checks,
+    // whole-word bad-word intersection over letter runs
+    "q105_c4_rules" ->
+      """WITH p AS (
+        |  SELECT doc_id,
+        |    substr(text, 1, 80) || ' end.' ||
+        |    chr(10) || 'too short.' ||
+        |    chr(10) || 'please enable Javascript now.' ||
+        |    chr(10) || 'no terminal punctuation here' ||
+        |    CASE WHEN doc_id % 3 = 0 THEN chr(10) ||
+        |      'One more. And another! Question? Sure. Done.' ELSE '' END ||
+        |    CASE WHEN doc_id % 5 = 0 THEN chr(10) ||
+        |      'lorem ipsum dolor sit amet.' ELSE '' END ||
+        |    CASE WHEN doc_id % 7 = 0 THEN chr(10) ||
+        |      'code block { x } inside.' ELSE '' END ||
+        |    CASE WHEN doc_id % 11 = 0 THEN chr(10) ||
+        |      'well shit happens sometimes.' ELSE '' END AS text
+        |  FROM documents),
+        |t AS (
+        |  SELECT doc_id, text, string_split(text, chr(10)) AS lines
+        |  FROM p),
+        |k AS (
+        |  SELECT doc_id, text, lines,
+        |    list_filter(lines, l ->
+        |      regexp_matches(rtrim(l), '[.!?"”]$')
+        |      AND len(regexp_extract_all(l, '\S+')) >= 3
+        |      AND NOT contains(lower(l), 'javascript')) AS kept
+        |  FROM t),
+        |c AS (
+        |  SELECT doc_id, text, lines, kept,
+        |    coalesce(array_to_string(kept, chr(10)), '') AS clean,
+        |    contains(text, '{') AS has_brace,
+        |    contains(lower(text), 'lorem ipsum') AS has_lorem,
+        |    len(list_intersect(
+        |      list_distinct(regexp_extract_all(lower(text), '[a-z]+')),
+        |      ['fuck','shit','porn'])) > 0 AS has_bad
+        |  FROM k),
+        |f AS (
+        |  SELECT doc_id, lines, kept, clean, has_brace, has_lorem, has_bad,
+        |    length(clean) - length(regexp_replace(clean, '[.!?]', '', 'g'))
+        |      AS n_sentences
+        |  FROM c)
+        |SELECT doc_id,
+        |  CAST(len(lines) AS BIGINT) AS n_lines,
+        |  CAST(len(kept) AS BIGINT) AS n_lines_kept,
+        |  CAST(n_sentences AS BIGINT) AS n_sentences,
+        |  CAST(has_brace AS INT) AS has_brace,
+        |  CAST(has_lorem AS INT) AS has_lorem,
+        |  CAST(has_bad AS INT) AS has_badword,
+        |  clean AS clean_text,
+        |  CAST(NOT has_brace AND NOT has_lorem AND NOT has_bad
+        |    AND n_sentences >= 5 AS INT) AS keep
         |FROM f""".stripMargin,
     // identical boilerplate program: same planted corpus, same exact-line
     // doc-frequency threshold, same ordered reassembly (empty text +

@@ -266,6 +266,8 @@ object Scorer {
   * Config keys under `curation { }`: `id-column` (default doc_id),
   * `text-column` (default text), `min-quality`, `gopher-rules = true`
   * (the full published Gopher rule set as one more scan predicate),
+  * `c4-rules = true` (the published C4 cleaning: line retention
+  * rewrites the text FIRST, page rules drop pages),
   * `langs = [en, ...]`,
   * `near-dup-strategy` (simhash|minhash), `min-jaccard`,
   * `max-jaccard-distance`, `max-hamming`, `bands`, `shingle-size`,
@@ -368,6 +370,9 @@ object Curator {
       // full Gopher rule set (published thresholds) as one more
       // scan predicate: `gopher-rules = true`
       gopherRules = c.getString("gopher-rules").exists(_.toBoolean),
+      // C4 cleaning (published thresholds): `c4-rules = true` — line
+      // retention rewrites the text FIRST, page rules drop pages
+      c4Rules = c.getString("c4-rules").exists(_.toBoolean),
       maxRepetition = c.getDouble("max-repetition").getOrElse(base.maxRepetition),
       repetitionNgram = c.getInt("repetition-ngram").getOrElse(base.repetitionNgram),
       langs = c.getList("langs").map(_.toSet).getOrElse(base.langs),
@@ -1542,6 +1547,7 @@ object Streamer {
           textCol = c.getString("text-column").getOrElse("text"),
           minQuality = c.getDouble("min-quality"),
           gopherRules = c.getString("gopher-rules").exists(_.toBoolean),
+          c4Rules = c.getString("c4-rules").exists(_.toBoolean),
           langs = c.getList("langs").map(_.toSet).getOrElse(Set.empty),
           repetition = c.getDouble("max-repetition").map(m =>
             (c.getInt("repetition-ngram").getOrElse(3), m)),

@@ -40,6 +40,15 @@ object Curation {
         * thresholds, via [[TextAnalysis.gopherKeep]]. One more
         * scan-speed predicate; false = off. */
       gopherRules: Boolean = false,
+      /** Apply the C4 cleaning filter (Raffel et al. 2020 §2.2) at the
+        * published thresholds, via [[TextAnalysis.c4Apply]]: line-level
+        * retention (terminal punctuation, ≥3 words, no "javascript")
+        * REWRITES the text, then the page-level rules (≥5 sentences,
+        * no '{', no "lorem ipsum", no bad word) drop pages. Runs
+        * FIRST — before annotation — so every later signal (quality,
+        * LM scores, signatures) sees the cleaned text, matching the
+        * C4 pipeline order; false = off. */
+      c4Rules: Boolean = false,
       /** Drop documents whose duplicate word-n-gram fraction exceeds
         * this (Gopher-style repetition filter; boilerplate and keyword
         * stuffing score high). 1.0 = off. Scan-speed native expression
@@ -162,8 +171,13 @@ object Curation {
     require(conf.keepPolicy == "min-id" || conf.transitiveNearDups,
       "keepPolicy = best-quality requires transitiveNearDups = true " +
         "(pair mode has no cluster to choose within)")
+    // 0: C4 line cleaning — rewrites the text, so it must run before
+    // annotation (quality/lang/LM signals describe what survives, and
+    // dedup state hashes cleaned text, matching future cleaned batches)
+    val docs0 =
+      if (conf.c4Rules) TextAnalysis.c4Apply(docs, textCol) else docs
     // 1-2: annotate + cheap filters (pushed toward the scan)
-    var df = annotate(docs, textCol,
+    var df = annotate(docs0, textCol,
       if (conf.maxRepetition < 1.0) Some(conf.repetitionNgram) else None)
       .filter(col("quality") >= conf.minQuality)
     if (conf.maxRepetition < 1.0)

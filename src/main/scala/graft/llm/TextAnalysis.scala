@@ -396,6 +396,88 @@ object TextAnalysis {
   def gopherKeep(c: Column, t: GopherThresholds = GopherThresholds()): Column =
     gopherFlags(c, t).getField("keep")
 
+  // ----------------------------------------------- C4 cleaning filter
+
+  /** Thresholds for [[c4Flags]] — defaults are the published C4 values
+    * (Raffel et al. 2020, arXiv:1910.10683 §2.2). `badWords` is a
+    * SMALL STAND-IN for the published "List of Dirty, Naughty, Obscene
+    * or Otherwise Bad Words" (which is not shipped here); pass the
+    * real list in production. Empty = rule off. */
+  case class C4Thresholds(
+      minSentences: Int = 5,
+      minLineWords: Int = 3,
+      badWords: Seq[String] = C4BadWordsStandIn)
+
+  /** Stand-in profanity list (see [[C4Thresholds.badWords]]). */
+  val C4BadWordsStandIn: Seq[String] = Seq("fuck", "shit", "porn")
+
+  /** The C4 cleaning filter (Raffel et al. 2020 §2.2) as ONE
+    * struct-valued scan projection. Unlike [[gopherFlags]] this is a
+    * line-REWRITING stage: the struct carries `clean_text` (the
+    * retained lines, original order, '\n'-joined) alongside the
+    * evidence and the page-level `keep`. Deterministic string/integer
+    * arithmetic only — every rule replays in ANSI SQL (the q105
+    * oracle), and at 100 TB the whole stage is a parquet-scan-speed
+    * projection plus a scan predicate.
+    *
+    * Line rules (a line is RETAINED only if all pass):
+    *  - ends in a terminal punctuation mark after right-trim
+    *    ('.', '!', '?', '"', '”');
+    *  - contains ≥ [[C4Thresholds.minLineWords]] words;
+    *  - does not mention "javascript" (case-insensitive).
+    * Page rules (the page is KEPT only if all pass, judged on the
+    * ORIGINAL text except the sentence count):
+    *  - ≥ [[C4Thresholds.minSentences]] sentences across retained
+    *    lines — counted as terminal '.', '!', '?' marks, the
+    *    deterministic proxy for the paper's sentence tokenizer;
+    *  - no curly brace '{' (the paper's code heuristic);
+    *  - no "lorem ipsum" (case-insensitive);
+    *  - no word from [[C4Thresholds.badWords]] (lower-cased
+    *    letter-run word extraction, whole-word match).
+    * The paper's remaining steps compose with existing stages: the
+    * three-sentence-span dedup is [[Dedup.removeDuplicateSpans]], the
+    * langdetect gate is [[langId]]. */
+  def c4Flags(c: Column, t: C4Thresholds = C4Thresholds()): Column = {
+    val lines = split(c, "\n")
+    val kept = filter(lines, l =>
+      rtrim(l).rlike("[.!?\"”]$") &&
+        size(regexp_extract_all(l, lit("\\S+"), lit(0))) >= t.minLineWords &&
+        !lower(l).contains("javascript"))
+    val clean = array_join(kept, "\n")
+    val nSentences = length(clean) - length(regexp_replace(clean, "[.!?]", ""))
+    val hasBrace = c.contains("{")
+    val hasLorem = lower(c).contains("lorem ipsum")
+    val hasBad =
+      if (t.badWords.isEmpty) lit(false)
+      else size(array_intersect(
+        array_distinct(regexp_extract_all(lower(c), lit("[a-z]+"), lit(0))),
+        array(t.badWords.map(w => lit(w.toLowerCase)): _*))) > 0
+    val keep = !hasBrace && !hasLorem && !hasBad &&
+      nSentences >= t.minSentences
+    struct(
+      size(lines).cast("long").as("n_lines"),
+      size(kept).cast("long").as("n_lines_kept"),
+      nSentences.cast("long").as("n_sentences"),
+      hasBrace.as("has_brace"),
+      hasLorem.as("has_lorem"),
+      hasBad.as("has_badword"),
+      clean.as("clean_text"),
+      keep.as("keep"))
+  }
+
+  /** Apply [[c4Flags]] as the C4 pipeline does: drop non-`keep` pages
+    * and REWRITE `textCol` to the retained lines. One projection and
+    * one scan predicate; output schema = input schema. */
+  def c4Apply(df: org.apache.spark.sql.DataFrame, textCol: String,
+      t: C4Thresholds = C4Thresholds()): org.apache.spark.sql.DataFrame = {
+    val tmp = Iterator.from(0).map(i => s"__c4_$i")
+      .find(!df.columns.contains(_)).get
+    df.withColumn(tmp, c4Flags(col(textCol), t))
+      .filter(col(s"$tmp.keep"))
+      .withColumn(textCol, col(s"$tmp.clean_text"))
+      .drop(tmp)
+  }
+
   // ----------------------------------------------------------- lang id
 
   /** Language ID by stopword-profile voting plus a CJK character check:

@@ -170,6 +170,7 @@ object Streams {
       textCol: String = "text",
       minQuality: Option[Double] = None,
       gopherRules: Boolean = false,
+      c4Rules: Boolean = false,
       langs: Set[String] = Set.empty,
       repetition: Option[(Int, Double)] = None,
       lmPath: Option[String] = None,
@@ -179,8 +180,13 @@ object Streams {
       classifierPath: Option[String] = None,
       minClassifierScore: Option[Double] = None): DataFrame = {
     import graft.llm.TextAnalysis
+    // C4 cleaning first (the same pre-annotation order as the batch
+    // Curator): a projection + a predicate, so the stream stays
+    // stateless with it on — and every later signal sees cleaned text
+    val cleaned =
+      if (c4Rules) TextAnalysis.c4Apply(docs, textCol) else docs
     val st = TextAnalysis.stats(col(textCol))
-    var df = docs
+    var df = cleaned
       .withColumn("quality", TextAnalysis.qualityScoreFast(st))
       .withColumn("lang_id", TextAnalysis.langIdFast(st))
     minQuality.foreach(q => df = df.filter(col("quality") >= q))

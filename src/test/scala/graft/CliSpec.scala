@@ -1255,6 +1255,44 @@ class CliSpec extends SparkTestBase {
       s"all rule-passing docs must survive: $ids")
   }
 
+  test("curator c4-rules: line retention rewrites surviving text; page rules " +
+      "drop planted brace/lorem/badword/thin pages") {
+    val base = tmp()
+    import spark.implicits._
+    def hex(seed: String) =
+      f"${scala.util.hashing.MurmurHash3.stringHash(seed)}%08x"
+    // 10 good pages: five sentences of per-doc-unique hex prose (keeps
+    // SimHash far apart) + a junk trailer line C4 must strip
+    def prose(i: Long) = (0 until 5).map(j =>
+      s"${hex(s"$i-$j-a")} ${hex(s"$i-$j-b")} ${hex(s"$i-$j-c")} " +
+        s"${hex(s"$i-$j-d")} stands firmly.").mkString(" ")
+    val good = (0L until 10L).map(i =>
+      (i, prose(i) + "\ntrailing junk without punctuation"))
+    val planted = Seq(
+      (90001L, prose(101L) + "\ncode block { x } inside."),
+      (90002L, prose(102L) + "\nmore lorem ipsum filler text."),
+      (90003L, prose(103L) + "\nwell shit happens sometimes."),
+      (90004L, s"Only one sentence of ${hex("thin")} prose here."))
+    val src = base.resolve("c4src").toString
+    (good ++ planted).toDF("doc_id", "text").write.parquet(src)
+    val out = base.resolve("c4out").toString
+    val f = write(base.resolve("curator_c4.conf"),
+      s"""source { storage-type = local, dataset-dir = $src }
+         |target { storage-type = local, dataset-dir = $out, dataset-store-format = parquet, write-mode = overwrite }
+         |curation {
+         |  min-quality = 0.0
+         |  c4-rules = true
+         |}
+         |""".stripMargin)
+    graft.cli.Curator.main(Array("--conf", f))
+    val rows = spark.read.parquet(out).select("doc_id", "text")
+      .as[(Long, String)].collect().toMap
+    assert(rows.keySet == (0L until 10L).toSet,
+      s"brace/lorem/badword/thin pages must drop, good pages survive: ${rows.keySet}")
+    (0L until 10L).foreach(i => assert(rows(i) == prose(i),
+      s"doc $i text must be rewritten to the retained lines"))
+  }
+
   test("curator domain gate: blocklisted domains (and their subdomains) drop " +
       "BEFORE any text stage — dedup state covers admitted docs only") {
     import org.apache.spark.sql.functions._

@@ -202,6 +202,31 @@ class StreamsSpec extends SparkTestBase {
       !plan.contains("Join"), s"filter stream must be stateless:\n$plan")
   }
 
+  test("filterDocStream c4-rules: in-stream line retention rewrites text, " +
+      "page rules drop; the stream stays stateless") {
+    import spark.implicits._
+    val prose = "It was a fine day. The dog barked loudly! Was it fun? " +
+      "Yes it was. All good."
+    val dir = s"${java.nio.file.Files.createTempDirectory("stream_c4")}/docs"
+    Seq(
+      (1L, prose + "\ntrailing junk without punctuation"), // keep, rewritten
+      (2L, prose + "\ncode block { x } inside."),          // brace: drop
+      (3L, "Only one sentence in this page.")              // thin: drop
+    ).toDF("doc_id", "text").write.parquet(dir)
+    def stream() = spark.readStream
+      .schema(spark.read.parquet(dir).schema).parquet(dir)
+    val got = Streams.runToMemory(
+      Streams.filterDocStream(stream(), "text", c4Rules = true),
+      "c4_docs", OutputMode.Append())
+    val rows = got.select("doc_id", "text").as[(Long, String)].collect().toMap
+    assert(rows.keySet == Set(1L), s"c4 stream kept: ${rows.keySet}")
+    assert(rows(1L) == prose, "text must be rewritten to the retained lines")
+    val plan = Streams.filterDocStream(stream(), "text", c4Rules = true)
+      .queryExecution.analyzed.toString
+    assert(!plan.contains("Aggregate") && !plan.contains("Deduplicate") &&
+      !plan.contains("Join"), s"c4 stream must be stateless:\n$plan")
+  }
+
   test("dropSeenStream: corpus-seen and in-stream duplicate texts dropped; batch parity") {
     import spark.implicits._
     import graft.llm.Dedup

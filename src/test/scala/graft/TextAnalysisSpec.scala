@@ -360,6 +360,67 @@ class TextAnalysisSpec extends SparkTestBase {
     assert(k, "5 words + 1 stopword passes with relaxed thresholds")
   }
 
+  test("c4Flags: hand-computed evidence; line retention; sentence counting") {
+    val prose = "It was a fine day. The dog barked loudly! Was it fun? " +
+      "Yes it was. All good."
+    val text = prose + "\ntoo short.\nenable Javascript today please." +
+      "\nno punctuation here"
+    val out = Seq((1L, text)).toDF("doc_id", "text")
+      .select(TextAnalysis.c4Flags(col("text")).as("c"))
+      .select(col("c.*")).collect().head
+    assert(out.getAs[Long]("n_lines") == 4L)
+    assert(out.getAs[Long]("n_lines_kept") == 1L,
+      "short / javascript / unterminated lines must drop")
+    assert(out.getAs[String]("clean_text") == prose)
+    assert(out.getAs[Long]("n_sentences") == 5L) // 3×'.', '!', '?'
+    assert(!out.getAs[Boolean]("has_brace"))
+    assert(!out.getAs[Boolean]("has_lorem"))
+    assert(!out.getAs[Boolean]("has_badword"))
+    assert(out.getAs[Boolean]("keep"))
+  }
+
+  test("c4Flags: each page rule flips keep; bad-word match is whole-word; " +
+      "empty doc yields zeros") {
+    val prose = "It was a fine day. The dog barked loudly! Was it fun? " +
+      "Yes it was. All good."
+    def keepOf(text: String): Boolean =
+      Seq((1L, text)).toDF("doc_id", "text")
+        .select(TextAnalysis.c4Flags(col("text")).getField("keep").as("k"))
+        .collect().head.getBoolean(0)
+    assert(keepOf(prose))
+    assert(!keepOf(prose + "\ncode { x } inside."), "curly brace drops the page")
+    assert(!keepOf(prose + "\nmore Lorem Ipsum filler text."), "lorem ipsum drops")
+    assert(!keepOf(prose + "\nwell shit happens sometimes."), "bad word drops")
+    assert(keepOf(prose + "\nhe mishit the ball completely today."),
+      "bad-word match is whole-word, not substring ('mishit' passes)")
+    assert(!keepOf("One two three. Four five six! Seven eight nine? Ten so far."),
+      "4 sentences is below the 5-sentence floor")
+    val empty = Seq((1L, "")).toDF("doc_id", "text")
+      .select(TextAnalysis.c4Flags(col("text")).as("c"))
+      .select(col("c.*")).collect().head
+    assert(empty.getAs[Long]("n_lines_kept") == 0L)
+    assert(empty.getAs[Long]("n_sentences") == 0L)
+    assert(empty.getAs[String]("clean_text") == "")
+    assert(!empty.getAs[Boolean]("keep"))
+    assert(!empty.anyNull, "no NULL logic to replicate cross-engine")
+  }
+
+  test("c4Apply: drops failing pages, rewrites survivors to retained lines, " +
+      "preserves schema") {
+    val prose = "It was a fine day. The dog barked loudly! Was it fun? " +
+      "Yes it was. All good."
+    val df = Seq(
+      (1L, prose + "\ntrailing junk without punctuation", "m1"),
+      (2L, "Short page here. Only two sentences here.", "m2"))
+      .toDF("doc_id", "text", "meta")
+    val out = TextAnalysis.c4Apply(df, "text")
+    assert(out.columns.toSeq == df.columns.toSeq, "schema preserved")
+    val rows = out.collect()
+    assert(rows.map(_.getLong(0)).toSet == Set(1L), "2-sentence page dropped")
+    assert(rows.head.getString(1) == prose, "text rewritten to retained lines")
+    assert(rows.head.getString(2) == "m1", "other columns ride along")
+  }
+
   test("analysis runs shuffle-free over documents (scan-speed map)") {
     val docs = spark.read.parquet(s"$sfDir/documents.parquet")
     val out = docs.select(col("doc_id"),
