@@ -299,7 +299,14 @@ object Scorer {
   * gram-size drift between increments is rejected. With BOTH a
   * gram-size sketch (> 1) and `benchmark-dir`, the cardinality report
   * gains the contamination budget (exact lifetime hit grams via the
-  * `benchhits` state over the sketch denominator). `stage-log-path`
+  * `benchhits` state over the sketch denominator).
+  * `freq-value-columns` (+ `freq-k` default 64, `freq-report-dir`)
+  * adds mergeable per-column Misra–Gries heavy-hitter sketches — the
+  * corpus-lifetime dominant sources/domains/languages, accumulated
+  * across batches via the `freqsketch` state subdir; column-set and
+  * k drift between increments are rejected. Lifetime statistics whose
+  * stage is off in a given run carry forward unchanged.
+  * `stage-log-path`
   * writes a per-stage wall-time/row-count JSON artifact at the end of
   * the run — the run-diagnosability counterpart of the Bench mem
   * block.
@@ -1063,6 +1070,40 @@ object Curator {
         }
       }
     }
+    // optional incremental heavy hitters (opt-in via
+    // `freq-value-columns`): per-column Misra–Gries top sketches of the
+    // CURATED batch's values, MG-merged with the prior committed
+    // `freqsketch` state — the corpus-LIFETIME dominant sources /
+    // domains / languages with a hard k-entry state bound. Column-set
+    // drift is rejected here; k drift is rejected inside the merge
+    // (different trim depths do not merge).
+    val freqState = c.getList("freq-value-columns").map { fcols =>
+      stages.timed("freq-items") {
+        val k = c.getInt("freq-k").getOrElse(64)
+        val batch = graft.llm.Cardinality.freqState(curated, fcols, k)
+        val merged = stateDir
+          .filter(d => exists(new Path(qual(d), "freqsketch")))
+          .map { d =>
+            val prior = spark.read.parquet(s"$d/freqsketch")
+            val priorCols = prior.select("value_column").distinct()
+              .collect().map(_.getString(0)).toSet
+            require(priorCols == fcols.toSet,
+              s"freqsketch state at $d covers columns $priorCols but this run " +
+                s"sketches ${fcols.toSet} — per-column sketches do not merge across sets")
+            graft.llm.Cardinality.mergeFreqStates(Seq(prior, batch))
+          }.getOrElse(batch)
+        merged.persist()
+      }
+    }
+    freqState.foreach { st =>
+      c.getString("freq-report-dir").foreach { rdir =>
+        stages.timed("freq-report") {
+          graft.llm.Cardinality.freqReport(st)
+            .coalesce(1).write.mode("overwrite").parquet(rdir)
+          Cli.log(s"heavy-hitters report written to $rdir (corpus-lifetime estimates)")
+        }
+      }
+    }
     cardState.foreach { case (groups, st) =>
       c.getString("cardinality-report-dir").foreach { rdir =>
         stages.timed("cardinality-report") {
@@ -1242,6 +1283,24 @@ object Curator {
       benchHits.foreach { case (_, hits) =>
         hits.write.mode("overwrite").parquet(s"$outDir/benchhits")
       }
+      // heavy-hitter sketches ride the commit: lifetime per-column MG
+      // state (≤ columns × k entries), mergeable by the next batch
+      freqState.foreach { st =>
+        st.write.mode("overwrite").parquet(s"$outDir/freqsketch")
+      }
+      // lifetime statistics whose stage is OFF this run carry forward
+      // unchanged (the linefreqs/spans convention): toggling a
+      // reporting stage must never drop accumulated evidence
+      Seq("cardsketch" -> cardState.isDefined,
+          "benchhits" -> benchHits.isDefined,
+          "freqsketch" -> freqState.isDefined)
+        .collect { case (t, false) => t }
+        .foreach { t =>
+          stateDir.filter(d => exists(new Path(qual(d), t))).foreach { d =>
+            spark.read.parquet(s"$d/$t")
+              .write.mode("overwrite").parquet(s"$outDir/$t")
+          }
+        }
       val marker = fs.create(new Path(outPath, "_COMMITTED"), true)
       try marker.write(stateParams.getBytes("UTF-8")) finally marker.close()
       Cli.log(s"dedup state written to $outDir")
@@ -1257,6 +1316,7 @@ object Curator {
     decontToFree.foreach(_.unpersist())
     cardState.foreach(_._2.unpersist())
     benchHits.foreach(_._2.unpersist())
+    freqState.foreach(_.unpersist())
     boilerFreqs.foreach(_.unpersist()) // no-op for the carried-forward case
     spanEvidence.foreach(_.batch.foreach(_.unpersist()))
     Cli.log("curation finished")
@@ -1288,8 +1348,9 @@ object Curator {
   * were always semantically redundant to the semi-join). Compacted
   * parts get fresh `part-c<g>` names so live parts are never written
   * while a reader could union them. Materialized artifacts (`hot`,
-  * `vechot`, `linefreqs`, `cardsketch`, `benchhits`, `spanbloom`,
-  * `spanparams`) copy forward unchanged; the output marker carries the
+  * `vechot`, `linefreqs`, `cardsketch`, `benchhits`, `freqsketch`,
+  * `spanbloom`, `spanparams`) copy forward unchanged; the output
+  * marker carries the
   * SAME stateParams, so the next Curator batch continues the lineage
   * against the compacted dir transparently.
   *
@@ -1415,7 +1476,7 @@ object Compactor {
           .write.mode("overwrite").parquet(new Path(outPath, table).toString)
     }
     Seq("hashes", "sigs", "vecsigs", "hotcounts", "vechotcounts", "spans",
-      "hot", "vechot", "linefreqs", "cardsketch", "benchhits")
+      "hot", "vechot", "linefreqs", "cardsketch", "benchhits", "freqsketch")
       .foreach(copyParquet)
     def copyFile(name: String): Unit = {
       val src = new Path(inPath, name)

@@ -107,6 +107,82 @@ object Cardinality {
       coalesce(hll_sketch_estimate(col("token_sketch")), lit(0L))
         .as("distinct_tokens"): _*)
 
+  // -------------------------------------- frequent-items (heavy hitters)
+
+  /** One batch's heavy-hitter state: for each named value column, the
+    * Misra–Gries top sketch of its values ([[graft.functions.FreqSketch]]
+    * — estimated counts, hard k-entry bound, every estimate
+    * undercounting by at most n/(k+1)) — "what are the dominant
+    * sources / domains / languages" as persistable state. One scan: the
+    * columns melt into (value_column, value) pairs and a single grouped
+    * aggregate sketches all of them; the shuffle carries one ≤ k-entry
+    * sketch per partition × column. Output schema
+    * `(value_column, k, items array<struct<item, count>>)` — the same
+    * schema [[mergeFreqStates]] returns, so lifetime state persists
+    * under the incremental protocol like `cardsketch`. Null values are
+    * counted under the literal item "null" (a data-card signal worth
+    * surfacing, and it keeps the state frame null-free). */
+  def freqState(df: DataFrame, valueCols: Seq[String], k: Int = 64): DataFrame = {
+    require(valueCols.nonEmpty, "freqState needs at least one value column")
+    require(k > 0, s"freqState k must be positive, got $k")
+    val pairs = df.select(explode(array(valueCols.map(cn =>
+        struct(lit(cn).as("value_column"),
+          coalesce(col(cn).cast("string"), lit("null")).as("__v"))): _*)).as("e"))
+      .select(col("e.value_column"), col("e.__v"))
+    pairs.groupBy("value_column")
+      .agg(graft.functions.FreqSketch.sketch(col("__v"), k).as("items"))
+      .withColumn("k", lit(k))
+  }
+
+  /** Merge batch heavy-hitter states into corpus-lifetime state — the
+    * standard MG merge (union-sum, then subtract the (k+1)-th largest
+    * count and drop non-positives), which preserves the n/(k+1) error
+    * bound over the COMBINED stream; with fewer than k lifetime
+    * distinct values no trim ever fires and the merged counts are
+    * EXACT (the spec-pinned regime). Driver-side by design: state is
+    * ≤ columns × k entries — the same bounded-egress class as the
+    * histogram maps — and the driver merge reuses the aggregate's own
+    * MG buffers, so batch and lifetime semantics cannot drift. Mixed
+    * `k` states are rejected (different trim depths do not merge). */
+  def mergeFreqStates(states: Seq[DataFrame]): DataFrame = {
+    require(states.nonEmpty, "mergeFreqStates needs at least one state frame")
+    import graft.functions.FreqSketchImpl
+    import org.apache.spark.unsafe.types.UTF8String
+    val spark = states.head.sparkSession
+    val rows = states.map(_.select("value_column", "k", "items")).reduce(_.unionByName(_))
+      .collect()
+    val ks = rows.map(_.getInt(1)).distinct
+    require(ks.length <= 1,
+      s"mergeFreqStates: mixed k states do not merge (saw k = ${ks.sorted.mkString(", ")})")
+    val k = ks.headOption.getOrElse(0)
+    val merged = new scala.collection.mutable.LinkedHashMap[String, FreqSketchImpl.MG]
+    rows.foreach { r =>
+      val m = new FreqSketchImpl.MG(k)
+      r.getSeq[org.apache.spark.sql.Row](2).foreach { e =>
+        m.counts.put(UTF8String.fromString(e.getString(0)),
+          new FreqSketchImpl.Ctr(e.getLong(1)))
+      }
+      merged.get(r.getString(0)) match {
+        case Some(acc) => acc.mergeWith(m)
+        case None => merged.put(r.getString(0), m)
+      }
+    }
+    import spark.implicits._
+    merged.toSeq.map { case (cn, m) =>
+      (cn, k, m.sortedEntries().map { case (it, n) => (it.toString, n) }.toSeq)
+    }.toDF("value_column", "k", "items")
+      .select(col("value_column"), col("k"),
+        col("items").cast("array<struct<item:string,count:bigint>>").as("items"))
+  }
+
+  /** Human-readable heavy hitters from a state frame: one row per
+    * (value_column, item) with its rank and estimated count. */
+  def freqReport(state: DataFrame): DataFrame =
+    state.select(col("value_column"),
+        posexplode(col("items")).as(Seq("__pos", "e")))
+      .select(col("value_column"), (col("__pos") + 1).as("rank"),
+        col("e.item").as("item"), col("e.count").as("estimate"))
+
   // -------------------------------------------- contamination budget
 
   /** Per-group DISTINCT corpus n-grams that also appear in the

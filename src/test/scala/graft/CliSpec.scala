@@ -525,6 +525,69 @@ class CliSpec extends SparkTestBase {
     assert(g3 > tokTotal, s"distinct trigrams $g3 should exceed distinct tokens $tokTotal")
   }
 
+  test("curator freq state: lifetime heavy hitters accumulate exactly across " +
+      "batches, carry forward on stage-off, reject column-set and k drift") {
+    import org.apache.spark.sql.functions.col
+    val base = tmp()
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val b1 = base.resolve("fb1.parquet").toString
+    val b2 = base.resolve("fb2.parquet").toString
+    docs.filter(col("doc_id") % 2 === 0).write.parquet(b1)
+    docs.filter(col("doc_id") % 2 === 1).write.parquet(b2)
+    def conf(run: Int, src: String, stateIn: Option[String], knobs: String) =
+      write(base.resolve(s"freq$run.conf"),
+        s"""source { storage-type = local, dataset-dir = $src }
+           |target { storage-type = local, dataset-dir = ${base.resolve(s"fout$run")}, dataset-store-format = parquet, write-mode = overwrite }
+           |curation {
+           |${stateIn.map(d => s"  state-dir = $d").getOrElse("")}
+           |  state-out-dir = ${base.resolve(s"fstate$run")}
+           |$knobs
+           |}
+           |""".stripMargin)
+    val freqKnobs =
+      s"""  freq-value-columns = [source, lang]
+         |  freq-report-dir = ${base.resolve("freqrep")}""".stripMargin
+    graft.cli.Curator.main(Array("--conf", conf(1, b1, None, freqKnobs)))
+    assert(new java.io.File(base.resolve("fstate1").resolve("freqsketch").toString).exists())
+    graft.cli.Curator.main(Array("--conf",
+      conf(2, b2, Some(base.resolve("fstate1").toString), freqKnobs)))
+    // k=64 exceeds the lifetime distinct sources/langs, so no MG trim
+    // ever fires: the lifetime report must EQUAL the exact group-by
+    // over the union of what the two runs actually emitted
+    val emitted = spark.read.parquet(base.resolve("fout1").toString)
+      .unionByName(spark.read.parquet(base.resolve("fout2").toString))
+    val rep = spark.read.parquet(base.resolve("freqrep").toString)
+    Seq("source", "lang").foreach { cn =>
+      val got = rep.filter(col("value_column") === cn)
+        .select("item", "estimate")
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      val exact = emitted.groupBy(cn).count()
+        .collect().map(r => String.valueOf(r.get(0)) -> r.getLong(1)).toMap
+      assert(got == exact, s"$cn lifetime: $got vs exact $exact")
+    }
+    // stage off in run 3: the lifetime sketch carries forward unchanged
+    graft.cli.Curator.main(Array("--conf",
+      conf(3, b1, Some(base.resolve("fstate2").toString), "")))
+    val carried = spark.read.parquet(base.resolve("fstate3").resolve("freqsketch").toString)
+    val prior = spark.read.parquet(base.resolve("fstate2").resolve("freqsketch").toString)
+    assert(carried.collect().toSet == prior.collect().toSet,
+      "stage-off run must carry the freqsketch state forward unchanged")
+    // column-set drift between increments is rejected loudly
+    val cdrift = conf(4, b1, Some(base.resolve("fstate2").toString),
+      "  freq-value-columns = [lang]")
+    val e1 = intercept[IllegalArgumentException] {
+      graft.cli.Curator.main(Array("--conf", cdrift))
+    }
+    assert(e1.getMessage.contains("per-column sketches"), e1.getMessage)
+    // k drift is rejected inside the merge
+    val kdrift = conf(5, b1, Some(base.resolve("fstate2").toString),
+      "  freq-value-columns = [source, lang]\n  freq-k = 8")
+    val e2 = intercept[IllegalArgumentException] {
+      graft.cli.Curator.main(Array("--conf", kdrift))
+    }
+    assert(e2.getMessage.contains("mixed k"), e2.getMessage)
+  }
+
   test("curator stage log: the artifact covers every enabled stage in run " +
       "order with seconds and observed row counts") {
     import org.apache.spark.sql.functions._

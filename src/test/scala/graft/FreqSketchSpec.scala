@@ -60,6 +60,64 @@ class FreqSketchSpec extends SparkTestBase {
     intercept[IllegalArgumentException](FreqSketch.sketch(lit("a"), 0))
   }
 
+  test("freqState/mergeFreqStates: lifetime counts exact under k; nulls " +
+      "surface as 'null'; k drift rejected; report ranks") {
+    import graft.llm.Cardinality
+    val b1 = Seq(("s0", "en"), ("s0", "en"), ("s1", "de"), ("s0", null))
+      .toDF("source", "lang")
+    val b2 = Seq(("s0", "en"), ("s2", "en"), ("s2", "fr")).toDF("source", "lang")
+    val s1 = Cardinality.freqState(b1, Seq("source", "lang"), k = 16)
+    val s2 = Cardinality.freqState(b2, Seq("source", "lang"), k = 16)
+    val merged = Cardinality.mergeFreqStates(Seq(s1, s2))
+    val got = merged.select(col("value_column"), explode(col("items")).as("e"))
+      .select(col("value_column"), col("e.item"), col("e.count"))
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    // under k lifetime distincts no MG trim ever fires: merged state
+    // equals the exact group-by over the union of both batches
+    assert(got == Map(
+      ("source", "s0") -> 4L, ("source", "s1") -> 1L, ("source", "s2") -> 2L,
+      ("lang", "en") -> 4L, ("lang", "de") -> 1L, ("lang", "fr") -> 1L,
+      ("lang", "null") -> 1L), s"got $got")
+    // single-frame merge is identity on the entries
+    val one = Cardinality.mergeFreqStates(Seq(s1))
+    assert(one.count() == s1.count())
+    // report: rank 1 is the dominant value per column
+    val top = Cardinality.freqReport(merged)
+      .filter(col("rank") === 1)
+      .collect().map(r => r.getAs[String]("value_column") ->
+        (r.getAs[String]("item"), r.getAs[Long]("estimate"))).toMap
+    assert(top == Map("source" -> ("s0", 4L), "lang" -> ("en", 4L)))
+    // mixed k states do not merge
+    val s8 = Cardinality.freqState(b2, Seq("source", "lang"), k = 8)
+    val err = intercept[IllegalArgumentException] {
+      Cardinality.mergeFreqStates(Seq(s1, s8))
+    }
+    assert(err.getMessage.contains("mixed k"), err.getMessage)
+  }
+
+  test("mergeFreqStates over k: MG bound holds on the combined stream, " +
+      "the heavy item survives the merge") {
+    import graft.llm.Cardinality
+    // two batches of mostly-unique values + one value heavy ACROSS
+    // batches: the lifetime sketch must surface it even though neither
+    // batch alone makes it dominant enough to be safe from trims
+    val k = 8
+    val b1 = ((1 to 60).map(i => s"u1_$i") ++ Seq.fill(30)("heavy")).toDF("v")
+    val b2 = ((1 to 60).map(i => s"u2_$i") ++ Seq.fill(30)("heavy")).toDF("v")
+    val merged = Cardinality.mergeFreqStates(Seq(
+      Cardinality.freqState(b1, Seq("v"), k),
+      Cardinality.freqState(b2, Seq("v"), k)))
+    val items = merged.select(explode(col("items")).as("e"))
+      .select(col("e.item"), col("e.count"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val n = 180L // total rows fed across both batches
+    assert(items.contains("heavy"),
+      s"true count 60 > n/(k+1) = ${n / (k + 1)} guarantees presence: $items")
+    assert(items("heavy") <= 60L && items("heavy") >= 60L - n / (k + 1),
+      s"MG undercounts by at most n/(k+1): ${items("heavy")}")
+    assert(items.size <= k, "hard k-entry state bound")
+  }
+
   test("plans as a partial/final aggregate (map-side summaries)") {
     val plan = spark.read.parquet(s"$sfDir/documents.parquet")
       .select(explode(graft.llm.Dedup.tokens(col("text"))).as("t"))
