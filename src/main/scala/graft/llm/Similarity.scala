@@ -377,6 +377,10 @@ object Similarity {
       * a concatenation of orthogonal subspace blocks). */
     private[llm] def normSqLit: Column =
       typedLit(centroids.map(_.map(c => c.map(x => x.toDouble * x).sum).toSeq).toSeq)
+    /** The same table as a plain array — bound to the native ADC
+      * expression as a codegen reference object. */
+    private[graft] def normSqArr: Array[Array[Double]] =
+      centroids.map(_.map(c => c.map(x => x.toDouble * x).sum))
   }
 
   /** Train a PQ codebook: an independent KMeans per subspace over the
@@ -422,6 +426,18 @@ object Similarity {
       df: DataFrame,
       codebook: PqCodebook,
       idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame =
+    df.select(col(idCol),
+      graft.functions.PqAdc.encode(col(vecCol), codebook.centroids, codebook.subDim)
+        .as("pq_codes"))
+
+  /** The interpreted higher-order-function form of [[pqEncode]] — the
+    * readable reference implementation the native expression must
+    * match code-for-code (SimilaritySpec pins it). */
+  private[graft] def pqEncodeRef(
+      df: DataFrame,
+      codebook: PqCodebook,
+      idCol: String = "vec_id",
       vecCol: String = "embedding"): DataFrame = {
     val cb = codebook.lit3
     val sub = codebook.subDim
@@ -455,7 +471,7 @@ object Similarity {
     * per query per partition before the shuffle. */
   /** Per-query m×k lookup table of subspace inner products — the ADC
     * precompute, built as a projection over the query frame. */
-  private def adcLut(qv: Column, codebook: PqCodebook): Column = {
+  private[graft] def adcLut(qv: Column, codebook: PqCodebook): Column = {
     val cb = codebook.lit3
     val sub = codebook.subDim
     transform(sequence(lit(0), lit(codebook.m - 1)), mi =>
@@ -467,8 +483,19 @@ object Similarity {
 
   /** ADC cosine: m lookups of subspace inner products over the LUT,
     * normalized by ‖q‖ and the code-derived reconstruction norm —
-    * the exact cosine between the query and the PQ reconstruction. */
+    * the exact cosine between the query and the PQ reconstruction.
+    * Scored by the native codegen'd expression
+    * ([[graft.functions.PqAdcCosine]]) — the code scan is the hot
+    * path of every PQ probe; the HOF reference form below is kept for
+    * the spec's bit-identity pin. */
   private def adcCosine(codes: Column, lut: Column, qnorm: Column,
+      codebook: PqCodebook): Column =
+    graft.functions.PqAdc.cosine(codes, lut, qnorm, codebook.normSqArr)
+
+  /** The interpreted higher-order-function form of [[adcCosine]] —
+    * the readable reference implementation the native expression must
+    * match bit-for-bit (SimilaritySpec pins it). */
+  private[graft] def adcCosineRef(codes: Column, lut: Column, qnorm: Column,
       codebook: PqCodebook): Column =
     aggregate(zip_with(codes, lut, (cd, tbl) => element_at(tbl, cd + 1)),
       lit(0.0), (a, d) => a + d) /

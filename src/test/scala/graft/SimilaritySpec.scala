@@ -482,6 +482,56 @@ class SimilaritySpec extends SparkTestBase {
     taggedCodes.unpersist()
   }
 
+  test("native ADC cosine is bit-identical to the HOF reference form and " +
+      "stays inside whole-stage codegen") {
+    val cb = Similarity.pqTrain(emb, m = 8, k = 16, maxIter = 4)
+    val codes = Similarity.pqEncode(emb, cb)
+    val q = emb.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("query_id"), col("embedding").as("__qv"))
+      .withColumn("__lut", Similarity.adcLut(col("__qv"), cb))
+      .withColumn("__qnorm", Similarity.norm2(col("__qv")))
+      .select("query_id", "__lut", "__qnorm")
+    val scored = codes.crossJoin(broadcast(q)).select(
+      col("vec_id"), col("query_id"),
+      graft.functions.PqAdc.cosine(col("pq_codes"), col("__lut"), col("__qnorm"), cb.normSqArr)
+        .as("native"),
+      Similarity.adcCosineRef(col("pq_codes"), col("__lut"), col("__qnorm"), cb)
+        .as("ref"))
+    assert(scored.filter(col("native") =!= col("ref")).count() == 0,
+      "native ADC must match the HOF form bit-for-bit")
+    assert(scored.count() == emb.count() * 5)
+    // the NATIVE scoring projection stays inside whole-stage codegen
+    // (the HOF reference form above is CodegenFallback — that is the
+    // point of the native expression); AQE finalizes on the action
+    val nativeOnly = codes.crossJoin(broadcast(q)).select(
+      graft.functions.PqAdc.cosine(col("pq_codes"), col("__lut"), col("__qnorm"), cb.normSqArr)
+        .as("native"))
+    nativeOnly.collect()
+    val plan = nativeOnly.queryExecution.executedPlan.toString
+    // AQE's final-plan string marks codegen stages with "*(n)"
+    assert("""\*\(\d+\) Project \[graft_pq_adc""".r.findFirstIn(plan).isDefined,
+      s"native ADC projection must be whole-stage codegen'd:\n${plan.take(2000)}")
+    // type misuse is rejected at analysis, not at runtime
+    intercept[Exception] {
+      codes.select(graft.functions.PqAdc.cosine(col("pq_codes"), col("pq_codes"),
+        lit(1.0), cb.normSqArr)).collect()
+    }
+  }
+
+  test("native PQ encoder emits the HOF reference codes exactly") {
+    val cb = Similarity.pqTrain(emb, m = 8, k = 16, maxIter = 4)
+    val native = Similarity.pqEncode(emb, cb)
+    val ref = Similarity.pqEncodeRef(emb, cb)
+    val joined = native.join(ref.withColumnRenamed("pq_codes", "ref_codes"), "vec_id")
+    assert(joined.filter(col("pq_codes") =!= col("ref_codes")).count() == 0,
+      "native encode must match the HOF argmin code-for-code")
+    assert(native.count() == emb.count())
+    intercept[Exception] {
+      emb.select(graft.functions.PqAdc.encode(col("vec_id"), cb.centroids, cb.subDim))
+        .collect()
+    }
+  }
+
   test("pqSave/pqLoad/pqEnsure: codebook round-trips; ensure loads the artifact") {
     val cb = Similarity.pqTrain(emb, m = 4, k = 8, maxIter = 4)
     val dir = java.nio.file.Files.createTempDirectory("graft-pq").toString
