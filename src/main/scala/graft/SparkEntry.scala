@@ -1400,6 +1400,25 @@ object SparkEntry {
           col("c.keep").cast("int").as("keep"))
     }),
 
+    // ---- Text normalization (the pre-hashing stage every cross-source
+    // corpus needs): mojibake repair (documented cp1252 AND latin-1
+    // renderings), CRLF→LF + control stripping, Unicode NFC via the
+    // native graft_nfc expression. The corpus is plain ASCII, so the
+    // query plants mojibake/combining/control constructs identically in
+    // both engines (the q75 pattern); DuckDB's nfc_normalize implements
+    // the same Unicode algorithm → oracle-exact.
+    "q106_normalize_text" -> ((s, dir) => {
+      val planted = concat(
+        substring(col("text"), 1, 40),
+        lit(" cafÃ© â€œquotedâ€"),
+        lit(" âdash"),
+        lit("\r\nLine2 étude"),
+        lit("bellctrl"))
+      t(s, dir, "documents").select(col("doc_id"),
+          graft.llm.TextAnalysis.normalizeText(planted).as("text_norm"))
+        .withColumn("n_chars", length(col("text_norm")).cast("long"))
+    }),
+
     // ---- Product-quantization ANN (Jégou et al. 2011): codebook
     // ensured once per corpus version (marker-gated, the q25 pattern),
     // corpus encoded to m byte-sized codes (4·dim → m bytes/vector),
@@ -2782,6 +2801,30 @@ object SparkEntry {
         |    AND hr <= 0.1 AND er <= 0.1 AND bf <= 0.9 AND ef <= 0.3
         |    AND af >= 0.8 AND stop_hits >= 2 AS INT) AS keep
         |FROM f""".stripMargin,
+    // the whole normalization chain replayed: the SAME MojibakeRepairs
+    // list unfolds into a replace() chain (no transcription gap
+    // possible), then CRLF->LF, control strip, and DuckDB's
+    // nfc_normalize (the same Unicode NFC algorithm)
+    "q106_normalize_text" -> {
+      val chain = graft.llm.TextAnalysis.MojibakeRepairs.foldLeft("t") {
+        case (acc, (bad, good)) => s"replace($acc, '$bad', '$good')"
+      }
+      val planted = " caf\u00c3\u00a9 \u00e2\u20ac\u0153quoted" +
+        "\u00e2\u20ac\u009d \u00e2\u0080\u0093dash"
+      s"""WITH p AS (
+         |  SELECT doc_id,
+         |    substr(text, 1, 40) || '$planted' ||
+         |    chr(13) || chr(10) || 'Line2 e' || chr(769) || 'tude' ||
+         |    chr(7) || 'bell' || chr(128) || 'ctrl' AS t
+         |  FROM documents),
+         |r AS (SELECT doc_id, $chain AS t FROM p),
+         |n AS (SELECT doc_id,
+         |  regexp_replace(replace(t, chr(13) || chr(10), chr(10)),
+         |    '[\\x00-\\x08\\x0B-\\x1F\\x7F-\\x9F]', '', 'g') AS t FROM r)
+         |SELECT doc_id, nfc_normalize(t) AS text_norm,
+         |  length(nfc_normalize(t)) AS n_chars
+         |FROM n""".stripMargin
+    },
     // every C4 rule replayed: line retention (terminal-punct regex,
     // \S+ word count, javascript substring), array_to_string rejoin,
     // terminal-punct sentence counting, page-level substring checks,

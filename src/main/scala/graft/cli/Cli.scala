@@ -268,6 +268,8 @@ object Scorer {
   * (the full published Gopher rule set as one more scan predicate),
   * `c4-rules = true` (the published C4 cleaning: line retention
   * rewrites the text FIRST, page rules drop pages),
+  * `normalize-text = true` (mojibake repair + CRLF/control cleanup +
+  * Unicode NFC, before redaction and all hashing),
   * `langs = [en, ...]`,
   * `near-dup-strategy` (simhash|minhash), `min-jaccard`,
   * `max-jaccard-distance`, `max-hamming`, `bands`, `shingle-size`,
@@ -362,14 +364,25 @@ object Curator {
       }
       case None => rawIn
     }
+    // optional text normalization next (`normalize-text = true`):
+    // mojibake repair, CRLF/control cleanup, Unicode NFC — BEFORE
+    // redaction and any hashing, so PII regexes see repaired text and
+    // dedup state hashes canonical bytes (the same visible string in
+    // composed and decomposed form must carry ONE content hash)
+    val rawN =
+      if (!c.getBoolean("normalize-text").getOrElse(false)) raw
+      else stages.timed("normalize-text") {
+        val tcol = c.getString("text-column").getOrElse("text")
+        raw.withColumn(tcol, graft.llm.TextAnalysis.normalizeText(col(tcol)))
+      }
     // optional PII scrub next — before any hashing/signatures, so the
     // persisted dedup state is computed over scrubbed text (state built
     // on unscrubbed text would stop matching future scrubbed batches)
     val df0 =
-      if (!c.getBoolean("redact").getOrElse(false)) raw
+      if (!c.getBoolean("redact").getOrElse(false)) rawN
       else stages.timed("redact") {
         val tcol = c.getString("text-column").getOrElse("text")
-        raw.withColumn(tcol, graft.llm.TextAnalysis.redact(col(tcol)))
+        rawN.withColumn(tcol, graft.llm.TextAnalysis.redact(col(tcol)))
       }
     val base = graft.llm.Curation.Config()
     val cc = graft.llm.Curation.Config(
@@ -1607,6 +1620,7 @@ object Streamer {
         Streams.filterDocStream(docs,
           textCol = c.getString("text-column").getOrElse("text"),
           minQuality = c.getDouble("min-quality"),
+          normalizeText = c.getString("normalize-text").exists(_.toBoolean),
           gopherRules = c.getString("gopher-rules").exists(_.toBoolean),
           c4Rules = c.getString("c4-rules").exists(_.toBoolean),
           langs = c.getList("langs").map(_.toSet).getOrElse(Set.empty),

@@ -297,6 +297,9 @@ object GraftFunctions {
   def srp(c: Column, seed: Long = 4233L): Column =
     ColumnBridge.column(Srp64(ColumnBridge.expression(c), seed))
 
+  def nfc(c: Column): Column =
+    ColumnBridge.column(NfcNormalize(ColumnBridge.expression(c)))
+
   def repetition(c: Column, n: Int = 3): Column =
     ColumnBridge.column(Repetition(ColumnBridge.expression(c), n))
 
@@ -568,6 +571,12 @@ object GraftFunctions {
           case other => throw new IllegalArgumentException(
             s"graft_span_hashes n must be an integer literal, got $other")
         }
+      }),
+    ("graft_nfc",
+      new ExpressionInfo(classOf[NfcNormalize].getName, "graft_nfc"),
+      (es: Seq[Expression]) => {
+        require(es.length == 1, s"graft_nfc takes 1 argument, got ${es.length}")
+        NfcNormalize(es.head)
       }),
     ("graft_repetition",
       new ExpressionInfo(classOf[Repetition].getName, "graft_repetition"),

@@ -396,6 +396,72 @@ object TextAnalysis {
   def gopherKeep(c: Column, t: GopherThresholds = GopherThresholds()): Column =
     gopherFlags(c, t).getField("keep")
 
+  // ------------------------------------------- text normalization
+
+  /** Common UTF-8-read-as-cp1252 mojibake sequences and their
+    * intended characters — the ftfy-core repairs (each left side is
+    * the cp1252 rendering of the right side's UTF-8 bytes). DOCUMENTED
+    * LIMITED LIST, applied in this exact order (longest/most-specific
+    * first): a full ftfy does chained heuristics; this covers the
+    * punctuation and Latin-1 accents that dominate real web mojibake
+    * and stays exactly replayable in SQL. */
+  val MojibakeRepairs: Seq[(String, String)] = Seq(
+    // cp1252 renderings (0x80-0x9F bytes show as euro-range glyphs)
+    "\u00e2\u20ac\u2122" -> "\u2019", // a-circ,euro,TM    -> right single quote
+    "\u00e2\u20ac\u02dc" -> "\u2018", // a-circ,euro,tilde -> left single quote
+    "\u00e2\u20ac\u0153" -> "\u201c", // a-circ,euro,oe    -> left double quote
+    "\u00e2\u20ac\u009d" -> "\u201d", // a-circ,euro,9D    -> right double quote
+    "\u00e2\u20ac\u201c" -> "\u2013", // a-circ,euro,ldq   -> en dash
+    "\u00e2\u20ac\u201d" -> "\u2014", // a-circ,euro,rdq   -> em dash
+    "\u00e2\u20ac\u00a6" -> "\u2026", // a-circ,euro,brokenbar -> ellipsis
+    "\u00e2\u20ac\u00a2" -> "\u2022", // a-circ,euro,cent  -> bullet
+    // latin-1 renderings of the same bytes (0x80-0x9F stay C1 controls)
+    "\u00e2\u0080\u0099" -> "\u2019",
+    "\u00e2\u0080\u0098" -> "\u2018",
+    "\u00e2\u0080\u009c" -> "\u201c",
+    "\u00e2\u0080\u009d" -> "\u201d",
+    "\u00e2\u0080\u0093" -> "\u2013",
+    "\u00e2\u0080\u0094" -> "\u2014",
+    "\u00e2\u0080\u00a6" -> "\u2026",
+    "\u00e2\u0080\u00a2" -> "\u2022",
+    // Latin-1 accents (identical bytes under cp1252 and latin-1)
+    "\u00c3\u00a9" -> "\u00e9", // e-acute
+    "\u00c3\u00a8" -> "\u00e8", // e-grave
+    "\u00c3\u00a7" -> "\u00e7", // c-cedilla
+    "\u00c3\u00b1" -> "\u00f1", // n-tilde
+    "\u00c3\u00bc" -> "\u00fc", // u-umlaut
+    "\u00c3\u00b6" -> "\u00f6", // o-umlaut
+    "\u00c3\u00a4" -> "\u00e4", // a-umlaut
+    "\u00c3\u00b3" -> "\u00f3", // o-acute
+    "\u00c3\u00a1" -> "\u00e1", // a-acute
+    "\u00c2\u00ab" -> "\u00ab", // left guillemet
+    "\u00c2\u00bb" -> "\u00bb", // right guillemet
+    "\u00c2\u00b0" -> "\u00b0") // degree sign
+
+  /** The corpus text-normalization stage, in the order a cross-source
+    * pipeline needs BEFORE any hashing (the same visible string in
+    * two byte forms would otherwise carry two content hashes, two
+    * SimHashes, two BPE segmentations):
+    *  1. mojibake repair ([[MojibakeRepairs]], fixed order);
+    *  2. CRLF → LF, then strip other C0/C1-adjacent control chars
+    *     (keeping '\t' and '\n');
+    *  3. Unicode NFC canonical composition (`graft_nfc`, the native
+    *     codegen'd expression — combining sequences collapse to
+    *     precomposed forms).
+    * Every step is deterministic string rewriting — the q106 oracle
+    * replays the whole chain (DuckDB `nfc_normalize` implements the
+    * same Unicode algorithm). At 100 TB this is one more scan-speed
+    * projection with no shuffle. */
+  def normalizeText(c: Column): Column = {
+    val repaired = MojibakeRepairs.foldLeft(c) { case (acc, (bad, good)) =>
+      regexp_replace(acc, java.util.regex.Pattern.quote(bad), good)
+    }
+    val unixNl = regexp_replace(repaired, "\\r\\n", "\n")
+    val stripped = regexp_replace(unixNl,
+      "[\\x00-\\x08\\x0B-\\x1F\\x7F-\\x9F]", "")
+    graft.functions.GraftFunctions.nfc(stripped)
+  }
+
   // ----------------------------------------------- C4 cleaning filter
 
   /** Thresholds for [[c4Flags]] — defaults are the published C4 values

@@ -169,6 +169,7 @@ object Streams {
       docs: DataFrame,
       textCol: String = "text",
       minQuality: Option[Double] = None,
+      normalizeText: Boolean = false,
       gopherRules: Boolean = false,
       c4Rules: Boolean = false,
       langs: Set[String] = Set.empty,
@@ -180,11 +181,16 @@ object Streams {
       classifierPath: Option[String] = None,
       minClassifierScore: Option[Double] = None): DataFrame = {
     import graft.llm.TextAnalysis
-    // C4 cleaning first (the same pre-annotation order as the batch
-    // Curator): a projection + a predicate, so the stream stays
-    // stateless with it on — and every later signal sees cleaned text
+    // normalization, then C4 cleaning (the same pre-annotation order
+    // as the batch Curator): projections + a predicate, so the stream
+    // stays stateless with them on — every later signal sees repaired,
+    // cleaned text
+    val normed =
+      if (normalizeText)
+        docs.withColumn(textCol, TextAnalysis.normalizeText(col(textCol)))
+      else docs
     val cleaned =
-      if (c4Rules) TextAnalysis.c4Apply(docs, textCol) else docs
+      if (c4Rules) TextAnalysis.c4Apply(normed, textCol) else normed
     val st = TextAnalysis.stats(col(textCol))
     var df = cleaned
       .withColumn("quality", TextAnalysis.qualityScoreFast(st))

@@ -1356,6 +1356,47 @@ class CliSpec extends SparkTestBase {
       s"doc $i text must be rewritten to the retained lines"))
   }
 
+  test("curator normalize-text: mojibake repaired before hashing, so a later " +
+      "batch arriving in canonical form dedups against the repaired state") {
+    import org.apache.spark.sql.functions.col
+    val base = tmp()
+    import spark.implicits._
+    def hex(seed: String) =
+      f"${scala.util.hashing.MurmurHash3.stringHash(seed)}%08x"
+    def prose(i: Long) = (0 until 40).map(j => hex(s"$i-$j")).mkString(" ")
+    // batch 1 carries doc 5 in MOJIBAKE form; batch 2 carries the SAME
+    // doc in clean canonical form plus one genuinely new doc
+    val dirty = "caf\u00c3\u00a9 \u00e2\u20ac\u0153quoted\u00e2\u20ac\u009d " + prose(5L)
+    val clean = "caf\u00e9 \u201cquoted\u201d " + prose(5L)
+    val b1 = base.resolve("nb1").toString
+    val b2 = base.resolve("nb2").toString
+    ((0L until 5L).map(i => (i, prose(i))) :+ (5L, dirty)).toDF("doc_id", "text")
+      .write.parquet(b1)
+    Seq((105L, clean), (106L, prose(106L))).toDF("doc_id", "text").write.parquet(b2)
+    def conf(run: Int, src: String, stateIn: Option[String]) =
+      write(base.resolve(s"norm$run.conf"),
+        s"""source { storage-type = local, dataset-dir = $src }
+           |target { storage-type = local, dataset-dir = ${base.resolve(s"nout$run")}, dataset-store-format = parquet, write-mode = overwrite }
+           |curation {
+           |${stateIn.map(d => s"  state-dir = $d").getOrElse("")}
+           |  state-out-dir = ${base.resolve(s"nstate$run")}
+           |  min-quality = 0.0
+           |  normalize-text = true
+           |}
+           |""".stripMargin)
+    graft.cli.Curator.main(Array("--conf", conf(1, b1, None)))
+    val out1 = spark.read.parquet(base.resolve("nout1").toString)
+      .select("doc_id", "text").as[(Long, String)].collect().toMap
+    assert(out1(5L) == clean, "emitted text must be the repaired form")
+    graft.cli.Curator.main(Array("--conf",
+      conf(2, b2, Some(base.resolve("nstate1").toString))))
+    val ids2 = spark.read.parquet(base.resolve("nout2").toString)
+      .select("doc_id").as[Long].collect().toSet
+    assert(ids2 == Set(106L),
+      s"the canonical-form echo of the mojibake doc must dedup against " +
+        s"state hashed over NORMALIZED text: $ids2")
+  }
+
   test("curator domain gate: blocklisted domains (and their subdomains) drop " +
       "BEFORE any text stage — dedup state covers admitted docs only") {
     import org.apache.spark.sql.functions._

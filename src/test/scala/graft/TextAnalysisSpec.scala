@@ -360,6 +360,29 @@ class TextAnalysisSpec extends SparkTestBase {
     assert(k, "5 words + 1 stopword passes with relaxed thresholds")
   }
 
+  test("normalizeText: mojibake (both cp1252 and latin-1 renderings) repaired, " +
+      "CRLF and controls cleaned, NFC composed, idempotent") {
+    def norm(s: String): String =
+      Seq((1L, s)).toDF("doc_id", "text")
+        .select(TextAnalysis.normalizeText(col("text")).as("t"))
+        .collect().head.getString(0)
+    // cp1252 rendering of e-acute and curly quotes
+    assert(norm("caf\u00c3\u00a9 \u00e2\u20ac\u0153ok\u00e2\u20ac\u009d") ==
+      "caf\u00e9 \u201cok\u201d")
+    // latin-1 rendering (C1 controls in the sequence: repaired before
+    // the control strip can destroy the evidence)
+    assert(norm("it\u00e2\u0080\u0099s \u00e2\u0080\u0093 fine") ==
+      "it\u2019s \u2013 fine")
+    // CRLF -> LF; bare controls stripped; tab and newline kept
+    assert(norm("a\r\nb\u0007c\td\u009fe") == "a\nbc\tde")
+    // NFC: combining acute composes; already-NFC text unchanged
+    assert(norm("e\u0301tude") == "\u00e9tude")
+    assert(norm("plain ascii text") == "plain ascii text")
+    // idempotence: a normalized corpus re-normalizes to itself
+    val once = norm("caf\u00c3\u00a9 e\u0301\r\nx")
+    assert(norm(once) == once)
+  }
+
   test("c4Flags: hand-computed evidence; line retention; sentence counting") {
     val prose = "It was a fine day. The dog barked loudly! Was it fun? " +
       "Yes it was. All good."
