@@ -812,7 +812,7 @@ object Curator {
           graft.conf.GraftConfig.parse(
             s"""storage-type = local
                |dataset-dir = "$bdir"""".stripMargin))
-        val out = graft.llm.TextAnalysis.decontaminate(quantiled, bench,
+        val exact = graft.llm.TextAnalysis.decontaminate(quantiled, bench,
           idCol, textCol, c.getString("benchmark-text-column").getOrElse(textCol),
           n = c.getInt("contamination-ngram").getOrElse(8),
           minHits = c.getInt("contamination-min-hits").getOrElse(1),
@@ -820,6 +820,16 @@ object Curator {
           // probe; over-drop odds ~2^-64 per gram pair — right default
           // for a pipeline (set false to replay the oracle-exact form)
           hashGrams = c.getBoolean("contamination-hash-grams").getOrElse(true))
+        // `contamination-near-dup = true` adds the whole-document
+        // SimHash tier: paraphrased/reformatted benchmark copies whose
+        // exact n-grams no longer match (uses the near-dedup banding
+        // knobs; both tiers together are the release-audit shape)
+        val out =
+          if (!c.getString("contamination-near-dup").exists(_.toBoolean)) exact
+          else graft.llm.TextAnalysis.decontaminateNearDup(exact, bench,
+            idCol, textCol, c.getString("benchmark-text-column").getOrElse(textCol),
+            maxHamming = cc.simHashMaxHamming, bands = cc.simHashBands,
+            shingleSize = cc.shingleSize, maxBucketSize = cc.simHashMaxBucket)
         if (c.getString("log-drop-counts").exists(v => !v.toBoolean)) (out, None)
         else {
           // persist BEFORE counting: the log count and the downstream

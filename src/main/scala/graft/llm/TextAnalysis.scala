@@ -129,6 +129,41 @@ object TextAnalysis {
         .filter(col("n_hits") >= minHits).select(idCol),
       Seq(idCol), "left_anti")
 
+  /** NEAR-duplicate benchmark decontamination: drop documents whose
+    * SimHash lands within `maxHamming` bits of ANY benchmark document
+    * — the whole-document complement of [[decontaminate]]'s n-gram
+    * check. The two catch different contamination: shared n-grams find
+    * VERBATIM spans quoted inside otherwise-clean documents; the
+    * SimHash tier finds whole-document paraphrases/reformats (case or
+    * punctuation changes, re-wrapped lines, light edits) whose exact
+    * 8-grams no longer match. Production release audits run both.
+    *
+    * 100 TB shape: the benchmark side is small, so its signatures are
+    * tiny; the corpus pays one scan for signatures and the banded
+    * equi-join prunes candidates exactly as the incremental dedup tier
+    * does (pigeonhole recall contract `maxHamming < bands`; hot-bucket
+    * guard bounds worst-case fan-in). No corpus-vs-corpus join. */
+  def decontaminateNearDup(
+      docs: org.apache.spark.sql.DataFrame,
+      bench: org.apache.spark.sql.DataFrame,
+      idCol: String,
+      textCol: String,
+      benchTextCol: String = "text",
+      maxHamming: Int = 3,
+      bands: Int = 4,
+      shingleSize: Int = 3,
+      maxBucketSize: Int = 10000): org.apache.spark.sql.DataFrame = {
+    val docSigs = Dedup.simHashSignatures(docs, idCol, textCol, shingleSize)
+    val benchSigs = Dedup.simHashSignatures(
+      bench.select(col(benchTextCol))
+        .withColumn("__bench_id", monotonically_increasing_id()),
+      "__bench_id", benchTextCol, shingleSize)
+    val hits = Dedup.simHashNearDupsAgainst(docSigs, benchSigs,
+        maxHamming, bands, maxBucketSize)
+      .select(col("batch_id").as(idCol)).distinct()
+    docs.join(hits, Seq(idCol), "left_anti")
+  }
+
   /** Line-level boilerplate removal (the C4/RefinedWeb cleaning step):
     * a line occurring VERBATIM in ≥ `minDocFreq` distinct documents is
     * boilerplate (headers, footers, cookie banners, nav chrome) and is

@@ -862,6 +862,46 @@ class CliSpec extends SparkTestBase {
     assert(out.columns.contains("repetition"))
   }
 
+  test("curator contamination-near-dup: a paraphrased benchmark copy the " +
+      "n-gram tier misses is dropped by the SimHash tier") {
+    import spark.implicits._
+    val base = tmp()
+    def hex(seed: String) =
+      f"${scala.util.hashing.MurmurHash3.stringHash(seed)}%08x"
+    val benchWords = (0 until 50).map(j => hex(s"cb-$j"))
+    Seq((900L, benchWords.mkString(" "))).toDF("doc_id", "text")
+      .write.parquet(base.resolve("ndbench").toString)
+    // near-copy: case-reformatted token stream (identical shingles ->
+    // hamming 0; different bytes -> no exact-hash or 8-gram-cased match
+    // for the disabled tier); unrelated: fresh vocabulary
+    val corpus = Seq(
+      (1L, benchWords.zipWithIndex.map { case (w, i) =>
+        if (i % 7 == 0) w.toUpperCase else w }.mkString(" ")),
+      (2L, (0 until 50).map(j => hex(s"clean-$j")).mkString(" ")))
+      .toDF("doc_id", "text")
+    corpus.write.parquet(base.resolve("ndcorpus").toString)
+    def conf(name: String, nearDup: Boolean) = write(base.resolve(s"$name.conf"),
+      s"""source { storage-type = local, dataset-dir = ${base.resolve("ndcorpus")} }
+         |target { storage-type = local, dataset-dir = ${base.resolve(s"out_$name")}, dataset-store-format = parquet, write-mode = overwrite }
+         |curation {
+         |  min-quality = 0.0
+         |  benchmark-dir = ${base.resolve("ndbench")}
+         |  contamination-min-hits = 999
+         |${if (nearDup) "  contamination-near-dup = true" else ""}
+         |}
+         |""".stripMargin)
+    // min-hits 999 disables the exact tier: without the near-dup tier
+    // the paraphrase sails through...
+    graft.cli.Curator.main(Array("--conf", conf("ndoff", nearDup = false)))
+    assert(spark.read.parquet(base.resolve("out_ndoff").toString)
+      .select("doc_id").as[Long].collect().toSet == Set(1L, 2L))
+    // ...and with it, only the genuinely clean doc survives
+    graft.cli.Curator.main(Array("--conf", conf("ndon", nearDup = true)))
+    assert(spark.read.parquet(base.resolve("out_ndon").toString)
+      .select("doc_id").as[Long].collect().toSet == Set(2L),
+      "the SimHash tier must catch what the n-gram tier was blinded to")
+  }
+
   test("curator vector tier: planted embedding echoes converge across runs") {
     import org.apache.spark.sql.functions.{col, lit, transform => tf}
     import spark.implicits._

@@ -217,6 +217,28 @@ class TextAnalysisSpec extends SparkTestBase {
     assert(clean == Set(3L, 4L))
   }
 
+  test("decontaminateNearDup: case-reformatted benchmark copy dropped, unrelated " +
+      "docs untouched (the whole-document complement of the n-gram check)") {
+    import spark.implicits._
+    def hex(seed: String) =
+      f"${scala.util.hashing.MurmurHash3.stringHash(seed)}%08x"
+    val benchWords = (0 until 50).map(j => hex(s"bench-$j"))
+    val bench = Seq(benchWords.mkString(" ")).toDF("text")
+    // the reformat/paraphrase class: case changes re-wrap the SAME
+    // token stream, so the shingle SimHash is identical (hamming 0)
+    // while the raw bytes (and content hash) differ
+    val nearCopy = benchWords.zipWithIndex.map { case (w, i) =>
+      if (i % 7 == 0) w.toUpperCase else w }.mkString(" ")
+    val docs = Seq(
+      (1L, nearCopy),
+      (2L, (0 until 50).map(j => hex(s"other-$j")).mkString(" ")),
+      (3L, (0 until 50).map(j => hex(s"more-$j")).mkString(" ")))
+      .toDF("doc_id", "text")
+    val kept = TextAnalysis.decontaminateNearDup(docs, bench, "doc_id", "text")
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept == Set(2L, 3L), s"near-copy must drop, unrelated kept: $kept")
+  }
+
   test("hashed-gram contamination agrees with the string form on the real corpus") {
     // 64-bit collisions are ~impossible at this scale, so the scale
     // form must flag EXACTLY the same docs with the same hit counts
