@@ -1802,9 +1802,15 @@ object SparkEntry {
       import graft.llm.Cardinality
       val docs = t(s, dir, "documents").select(col("doc_id"), col("source"), col("text"))
       val bench = docs.filter(col("doc_id") < 50).select(col("text"))
-      val state = Cardinality.sketchState(docs, Seq("source"), "text", gramSize = 8)
+      // hashed grams — the scale form: native 64-bit gram hashes feed
+      // the sketch and the hit join, no 8-word gram String is ever
+      // built. EntrySpec replays the budget with STRING shingles and
+      // the numbers must still agree (collisions are 2^-64-grade) —
+      // the cross-representation assertion.
+      val state = Cardinality.sketchState(docs, Seq("source"), "text",
+        gramSize = 8, hashGrams = true)
       val hits = Cardinality.benchmarkHitGrams(docs, bench, Seq("source"),
-        "text", "text", gramSize = 8)
+        "text", "text", gramSize = 8, hashGrams = true)
       Cardinality.contaminationReport(state, hits, Seq("source"))
         .select(col("source"), col("distinct_grams"), col("shared_grams"),
           round(col("contaminated_fraction"), 6).as("contaminated_fraction"))

@@ -295,7 +295,10 @@ object Scorer {
   * `report-group-columns`) writes the per-group corpus data card;
   * `cardinality-group-columns` (+ `cardinality-report-dir`,
   * `cardinality-gram-size` — 1 counts distinct tokens, n > 1 distinct
-  * word n-grams for contamination budgeting) adds mergeable per-group
+  * word n-grams for contamination budgeting; `cardinality-hash-grams
+  * = true` is the scale form — native 64-bit gram hashes instead of
+  * gram strings feed the sketch and the hit state, with
+  * representation drift rejected) adds mergeable per-group
   * HLL sketches of distinct docs/tokens — the lifetime estimates
   * accumulate across batches via the `cardsketch` state subdir;
   * gram-size drift between increments is rejected. With BOTH a
@@ -1049,15 +1052,22 @@ object Curator {
     val cardState = c.getList("cardinality-group-columns").map { groups =>
       stages.timed("cardinality") {
       val cardGramSize = c.getInt("cardinality-gram-size").getOrElse(1)
+      // `cardinality-hash-grams = true`: the scale form — native 64-bit
+      // gram hashes feed the sketch (and the budget's hit state below)
+      // instead of materialized gram strings; the representation rides
+      // the state schema, so toggling it against prior state fails the
+      // schema compare, not silently merges
+      val cardHashed = c.getBoolean("cardinality-hash-grams").getOrElse(false)
       val batch = graft.llm.Cardinality.sketchState(curated, groups, textCol,
-        gramSize = cardGramSize)
+        gramSize = cardGramSize, hashGrams = cardHashed)
       val merged = stateDir
         .filter(d => exists(new Path(qual(d), "cardsketch")))
         .map { d =>
           val prior = spark.read.parquet(s"$d/cardsketch")
           require(prior.columns.sorted.sameElements(batch.columns.sorted),
             s"cardsketch state at $d has columns ${prior.columns.toSeq} but this run " +
-              s"groups by ${groups.mkString(", ")} — sketches grouped differently do not merge")
+              s"uses groups ${groups.mkString(", ")} with hash-grams=$cardHashed — " +
+              "sketches grouped or represented differently do not merge")
           val priorGs = prior.select("gram_size").distinct().collect().map(_.getInt(0)).toSeq
           require(priorGs == Seq(cardGramSize),
             s"cardsketch state at $d was built with gram-size ${priorGs.mkString(",")} but " +
@@ -1083,11 +1093,18 @@ object Curator {
                |dataset-dir = "$bdir"""".stripMargin))
         val batchHits = graft.llm.Cardinality.benchmarkHitGrams(curated, bench,
           groups, textCol, c.getString("benchmark-text-column").getOrElse(textCol),
-          gramSize = gs)
+          gramSize = gs,
+          hashGrams = c.getBoolean("cardinality-hash-grams").getOrElse(false))
         val merged = stateDir
           .filter(d => exists(new Path(qual(d), "benchhits")))
-          .map(d => spark.read.parquet(s"$d/benchhits")
-            .unionByName(batchHits).distinct())
+          .map { d =>
+            val prior = spark.read.parquet(s"$d/benchhits")
+            require(prior.columns.sorted.sameElements(batchHits.columns.sorted),
+              s"benchhits state at $d has columns ${prior.columns.toSeq} but this " +
+                s"run produces ${batchHits.columns.toSeq} — string and hashed gram " +
+                "states do not merge")
+            prior.unionByName(batchHits).distinct()
+          }
           .getOrElse(batchHits)
         (groups, merged.persist())
         }

@@ -1,6 +1,6 @@
 package graft.llm
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Mergeable corpus-cardinality state: per-group HyperLogLog sketches
@@ -48,18 +48,32 @@ object Cardinality {
     * `gram_size` rides the state as data so incremental merges can
     * reject a drifted configuration (sketches of tokens and sketches
     * of 8-grams merge into nonsense). */
+  /** `hashGrams = true` is the SCALE form (the contamination-hits
+    * convention): both the sketch input and [[benchmarkHitGrams]]'
+    * join keys become per-doc-distinct 64-bit gram hashes from the
+    * native one-pass expression (`graft_gram_hashes` — tokenize +
+    * rolling mix, no gram String ever built). HLL estimates are
+    * statistically identical (the sketch hashes its input anyway) and
+    * the exploded token-scale pass stops materializing 8-word
+    * Strings. States sketched over strings and hashes do not merge —
+    * the representation rides the state as `hashed_grams` (the column
+    * is added only in hashed mode, so pre-existing string states stay
+    * schema-compatible and a representation drift fails the schema
+    * compare loudly). */
   def sketchState(
       df: DataFrame,
       groupCols: Seq[String],
       textCol: String = "text",
       lgK: Int = 12,
-      gramSize: Int = 1): DataFrame = {
+      gramSize: Int = 1,
+      hashGrams: Boolean = false): DataFrame = {
     require(groupCols.nonEmpty, "sketchState needs at least one group column")
     require(lgK >= 4 && lgK <= 21, s"lgK must be in [4, 21], got $lgK")
     require(gramSize >= 1, s"gramSize must be >= 1, got $gramSize")
     val g = groupCols.map(col)
     val grams =
-      if (gramSize == 1) Dedup.tokens(col(textCol))
+      if (hashGrams) graft.functions.GraftFunctions.gramHashes(col(textCol), gramSize)
+      else if (gramSize == 1) Dedup.tokens(col(textCol))
       else Dedup.shingles(col(textCol), gramSize)
     val docs = df
       .select(g :+ Dedup.contentHash(col(textCol)).as("__h"): _*)
@@ -72,8 +86,9 @@ object Cardinality {
     // left join: a group whose docs are all token-less keeps its doc
     // sketch and reports 0 distinct tokens (estimate of a null sketch
     // is handled in report())
-    docs.join(toks, groupCols, "left")
+    val joined = docs.join(toks, groupCols, "left")
       .withColumn("gram_size", lit(gramSize))
+    if (hashGrams) joined.withColumn("hashed_grams", lit(true)) else joined
   }
 
   /** Union batch states into corpus-lifetime state — same schema in,
@@ -83,13 +98,20 @@ object Cardinality {
     * sketches do not mean anything merged. */
   def mergeStates(states: Seq[DataFrame], groupCols: Seq[String]): DataFrame = {
     require(states.nonEmpty, "mergeStates needs at least one state frame")
-    states.reduce(_.unionByName(_))
-      .groupBy(groupCols.map(col): _*)
+    // a string-gram state and a hashed-gram state differ in schema
+    // (hashed_grams present only in hashed mode), so a representation
+    // drift fails unionByName loudly before any merge happens
+    val u = states.reduce(_.unionByName(_))
+    val hashedCol =
+      if (u.columns.contains("hashed_grams"))
+        Seq(min("hashed_grams").as("hashed_grams"))
+      else Nil
+    u.groupBy(groupCols.map(col): _*)
       .agg(
         hll_union_agg(col("doc_sketch")).as("doc_sketch"),
-        hll_union_agg(col("token_sketch")).as("token_sketch"),
-        min("gram_size").as("__gs_min"),
-        max("gram_size").as("__gs_max"))
+        (Seq(hll_union_agg(col("token_sketch")).as("token_sketch"),
+          min("gram_size").as("__gs_min"),
+          max("gram_size").as("__gs_max")) ++ hashedCol): _*)
       // the guard lives INSIDE the kept column (a dropped guard column
       // would be pruned by Catalyst and never evaluate)
       .withColumn("gram_size",
@@ -194,21 +216,34 @@ object Cardinality {
     * large the corpus grows, and batches merge by union-distinct.
     * Shape: benchmark grams broadcast; the corpus-side explode is the
     * same token-scale pass the cardinality sketch pays. */
+  /** `hashGrams = true`: 64-bit gram hashes as the join keys and the
+    * persisted hit rows — the state shrinks from 8-word strings to
+    * 8 bytes per hit, and no gram String is ever built (same tradeoff
+    * as [[TextAnalysis.contaminationHits]]: a 2^-64 collision could
+    * count one extra shared gram — the budget then reads a hair too
+    * HIGH, the conservative direction for a release gate). The hit
+    * column is named `gram_hash` (vs `gram`), so merging hashed state
+    * into string state fails loudly on schema. */
   def benchmarkHitGrams(
       df: DataFrame,
       bench: DataFrame,
       groupCols: Seq[String],
       textCol: String = "text",
       benchTextCol: String = "text",
-      gramSize: Int = 8): DataFrame = {
+      gramSize: Int = 8,
+      hashGrams: Boolean = false): DataFrame = {
     require(groupCols.nonEmpty, "benchmarkHitGrams needs at least one group column")
     require(gramSize >= 2, s"contamination gramSize must be >= 2, got $gramSize")
+    def grams(c: Column): Column =
+      if (hashGrams) graft.functions.GraftFunctions.gramHashes(c, gramSize)
+      else Dedup.shingles(c, gramSize)
+    val gcol = if (hashGrams) "gram_hash" else "gram"
     val benchGrams = bench
-      .select(explode(Dedup.shingles(col(benchTextCol), gramSize)).as("gram"))
+      .select(explode(grams(col(benchTextCol))).as(gcol))
       .distinct()
     df.select(groupCols.map(col) :+
-        explode(Dedup.shingles(col(textCol), gramSize)).as("gram"): _*)
-      .join(broadcast(benchGrams), Seq("gram"), "left_semi")
+        explode(grams(col(textCol))).as(gcol): _*)
+      .join(broadcast(benchGrams), Seq(gcol), "left_semi")
       .distinct()
   }
 

@@ -588,6 +588,47 @@ class CliSpec extends SparkTestBase {
     assert(e2.getMessage.contains("mixed k"), e2.getMessage)
   }
 
+  test("curator cardinality-hash-grams: hashed sketch+hit state accumulates; " +
+      "representation drift against string state is rejected") {
+    import org.apache.spark.sql.functions.col
+    val base = tmp()
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val b1 = base.resolve("hb1.parquet").toString
+    docs.filter(col("doc_id") < 100).write.parquet(b1)
+    val benchDir = base.resolve("hbench").toString
+    docs.filter(col("doc_id") < 10).select("doc_id", "text").write.parquet(benchDir)
+    def conf(run: Int, stateIn: Option[String], hashed: Boolean) =
+      write(base.resolve(s"hash$run.conf"),
+        s"""source { storage-type = local, dataset-dir = $b1 }
+           |target { storage-type = local, dataset-dir = ${base.resolve(s"hout$run")}, dataset-store-format = parquet, write-mode = overwrite }
+           |curation {
+           |${stateIn.map(d => s"  state-dir = $d").getOrElse("")}
+           |  state-out-dir = ${base.resolve(s"hstate$run")}
+           |  cardinality-group-columns = [source]
+           |  cardinality-gram-size = 8
+           |  cardinality-hash-grams = $hashed
+           |  benchmark-dir = $benchDir
+           |  contamination-min-hits = 999
+           |  cardinality-report-dir = ${base.resolve(s"hrep$run")}
+           |}
+           |""".stripMargin)
+    graft.cli.Curator.main(Array("--conf", conf(1, None, hashed = true)))
+    // the hit state is 8-byte hashes, not strings
+    val hits = spark.read.parquet(base.resolve("hstate1").resolve("benchhits").toString)
+    assert(hits.columns.contains("gram_hash") && !hits.columns.contains("gram"))
+    assert(hits.count() > 0)
+    val rep = spark.read.parquet(base.resolve("hrep1").toString)
+    assert(rep.filter(col("shared_grams") > 0).count() > 0,
+      "benchmark drawn from the corpus must overlap")
+    // toggling the representation against committed hashed state fails
+    // loudly (cardsketch schema compare catches it first)
+    val err = intercept[IllegalArgumentException] {
+      graft.cli.Curator.main(Array("--conf",
+        conf(2, Some(base.resolve("hstate1").toString), hashed = false)))
+    }
+    assert(err.getMessage.contains("do not merge"), err.getMessage)
+  }
+
   test("curator stage log: the artifact covers every enabled stage in run " +
       "order with seconds and observed row counts") {
     import org.apache.spark.sql.functions._
