@@ -1816,6 +1816,25 @@ object SparkEntry {
           round(col("contaminated_fraction"), 6).as("contaminated_fraction"))
     }),
 
+    // ---- Token-budget mixture (the production mixing contract —
+    // budgets in TOKENS per source, not doc fractions): per source,
+    // docs taken in deterministic md5(id|salt) order until the
+    // cumulative token sum reaches the budget; the crossing doc is
+    // included (overshoot ≤ one doc, never underfilled). src2's zero
+    // budget keeps nothing; unbudgeted sources keep everything.
+    // Window + integer arithmetic → the oracle replays verbatim.
+    "q107_token_budget_mix" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+        .select(col("doc_id"), col("source"), col("text"))
+        .withColumn("n_tokens",
+          size(regexp_extract_all(col("text"), lit("\\S+"), lit(0))).cast("long"))
+      graft.llm.CorpusPrep.tokenBudgetMix(docs, "doc_id", "source", "n_tokens",
+          Map("src0" -> 500L, "src1" -> 200L, "src2" -> 0L),
+          defaultBudget = -1L, salt = "q107")
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"), sum("n_tokens").as("tokens_kept"))
+    }),
+
     // ---- Char-n-gram classifier (TRUE fastText, Bojanowski et al.
     // 2017): word tokens + boundary-marked char 3..5-grams, vs the
     // word-identity BOW model on the SAME task — held-out negatives
@@ -2807,6 +2826,26 @@ object SparkEntry {
         |    AND hr <= 0.1 AND er <= 0.1 AND bf <= 0.9 AND ef <= 0.3
         |    AND af >= 0.8 AND stop_hits >= 2 AS INT) AS keep
         |FROM f""".stripMargin,
+    // prefix-by-digest token budgeting replayed: md5 order, cumulative
+    // sum window, crossing-doc rule (cum - n < budget), zero and
+    // unlimited budgets
+    "q107_token_budget_mix" ->
+      """WITH d AS (
+        |  SELECT doc_id, source,
+        |    CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT) AS n_tokens,
+        |    md5(CAST(doc_id AS VARCHAR) || '|' || 'q107') AS dg
+        |  FROM documents),
+        |c AS (
+        |  SELECT doc_id, source, n_tokens,
+        |    sum(n_tokens) OVER (PARTITION BY source ORDER BY dg, doc_id
+        |      ROWS UNBOUNDED PRECEDING) AS cum,
+        |    CASE source WHEN 'src0' THEN 500 WHEN 'src1' THEN 200
+        |      WHEN 'src2' THEN 0 ELSE -1 END AS budget
+        |  FROM d)
+        |SELECT source, count(*) AS n_docs,
+        |  CAST(sum(n_tokens) AS BIGINT) AS tokens_kept
+        |FROM c WHERE budget < 0 OR cum - n_tokens < budget
+        |GROUP BY source""".stripMargin,
     // the whole normalization chain replayed: the SAME MojibakeRepairs
     // list unfolds into a replace() chain (no transcription gap
     // possible), then CRLF->LF, control strip, and DuckDB's

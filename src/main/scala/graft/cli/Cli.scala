@@ -281,7 +281,12 @@ object Scorer {
   * `ppl-bucket-middle-frac` default thirds; the kept rows carry a
   * `ppl_bucket` provenance column), `mixture-weights { src = f }` (+
   * `mixture-source-column`, `mixture-default-fraction`,
-  * `mixture-salt`), `epoch-weights { src = w }` (+
+  * `mixture-salt`), `token-budgets { src = N }` (+
+  * `token-budget-column` default n_tokens, `token-budget-salt`,
+  * `token-budget-default` default unlimited, `token-budget-scale =
+  * true` for the windowless threshold form — budgets in TOKENS per
+  * source, prefix-by-digest, composing after any rule above),
+  * `epoch-weights { src = w }` (+
   * `epoch-default-weight`, `epoch-salt`; w may exceed 1 — repeats
   * each source's docs ~w times with an `epoch` tag, composable with
   * any composition rule and with splits/chunking; the epoch joins the
@@ -918,6 +923,32 @@ object Curator {
           salt = c.getString("mixture-salt").getOrElse(""))
       }
     }
+    // optional token-budget cap AFTER composition: `token-budgets
+    // { src = N }` takes each source's docs in deterministic digest
+    // order until the budget in TOKENS is reached (crossing doc
+    // included) — the production mixing contract ("20 B web tokens"),
+    // where fractions are the wrong unit. COMPOSES with the rules
+    // above: they decide the distribution, the budget caps the mass.
+    // `token-budget-scale = true` switches to the windowless threshold
+    // form for very large sources (approximate token mass, no
+    // per-source sort); `token-budget-column` defaults to the
+    // annotated n_tokens; absent sources keep everything unless
+    // `token-budget-default` says otherwise.
+    val tokenBudgets = c.at("token-budgets").flat
+    val budgeted =
+      if (tokenBudgets.isEmpty) mixed
+      else stages.timed("token-budget") {
+        val srcCol = c.getString("mixture-source-column").getOrElse("source")
+        val tokCol = c.getString("token-budget-column").getOrElse("n_tokens")
+        val bmap = tokenBudgets.map { case (k, v) => k -> v.toLong }.toMap
+        val dflt = c.getString("token-budget-default").map(_.toLong).getOrElse(-1L)
+        val salt = c.getString("token-budget-salt").getOrElse("")
+        if (c.getBoolean("token-budget-scale").getOrElse(false))
+          graft.llm.CorpusPrep.tokenBudgetMixByFraction(
+            mixed, idCol, srcCol, tokCol, bmap, dflt, salt)
+        else graft.llm.CorpusPrep.tokenBudgetMix(
+          mixed, idCol, srcCol, tokCol, bmap, dflt, salt)
+      }
     // optional epoched repetition AFTER composition: `epoch-weights
     // { src = w }` repeats each source's docs ~w times (floor + the
     // deterministic md5-fraction extra copy), every copy tagged with
@@ -926,9 +957,9 @@ object Curator {
     // and runs before splits/chunking so every copy is export-ready.
     val epochWeights = c.at("epoch-weights").flat
     val epoched =
-      if (epochWeights.isEmpty) mixed
+      if (epochWeights.isEmpty) budgeted
       else stages.timed("epoch-mix") {
-        graft.llm.CorpusPrep.epochMix(mixed, idCol,
+        graft.llm.CorpusPrep.epochMix(budgeted, idCol,
           c.getString("mixture-source-column").getOrElse("source"),
           epochWeights.map { case (k, v) => k -> v.toDouble }.toMap,
           defaultWeight = c.getDouble("epoch-default-weight").getOrElse(1.0),

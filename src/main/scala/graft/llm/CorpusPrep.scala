@@ -420,6 +420,82 @@ object CorpusPrep {
       .drop("__epochs")
   }
 
+  /** Token-BUDGET mixture — the production mixing contract ("20 B web
+    * tokens, 5 B code tokens"), where [[mixtureSample]]'s per-source
+    * FRACTIONS are the wrong unit: a fraction keeps doc counts, but a
+    * training mix is specified in tokens, and per-source document
+    * length distributions differ. Per source, documents are taken in
+    * the deterministic md5(id|salt) order (an unbiased reproducible
+    * permutation — the [[hashSplit]]/[[deterministicShuffle]] digest)
+    * until the cumulative `tokenCol` sum reaches the source's budget;
+    * the first document CROSSING the budget is included (overshoot
+    * bounded by one document — the documented rule, so a budget is
+    * never silently underfilled by a long tail doc). Sources absent
+    * from `budgets` keep everything (`-1` = unlimited) unless
+    * `defaultBudget` says otherwise.
+    *
+    * Shape: ONE window (cumulative sum per source in digest order) —
+    * a per-source sort, the exact-form cost. For 100 TB sources use
+    * [[tokenBudgetMixByFraction]]: same digest, no window. The window
+    * arithmetic is integer-only, so the q107 oracle replays it
+    * verbatim. */
+  def tokenBudgetMix(
+      df: DataFrame,
+      idCol: String,
+      sourceCol: String,
+      tokenCol: String,
+      budgets: Map[String, Long],
+      defaultBudget: Long = -1L,
+      salt: String = ""): DataFrame = {
+    require(budgets.values.forall(b => b >= 0L),
+      "tokenBudgetMix: budgets must be >= 0 (use defaultBudget = -1 for unlimited)")
+    val budget = budgets.toSeq.sortBy(_._1).foldLeft(lit(defaultBudget)) {
+      case (acc, (src, b)) => when(col(sourceCol) === lit(src), lit(b)).otherwise(acc)
+    }
+    val digest = graft.operators.Ops.hashDigestCol(col(idCol), salt)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(sourceCol).orderBy(digest, col(idCol))
+    df.withColumn("__cum", sum(col(tokenCol)).over(w))
+      .withColumn("__budget", budget)
+      .filter(col("__budget") < 0 ||
+        col("__cum") - col(tokenCol) < col("__budget"))
+      .drop("__cum", "__budget")
+  }
+
+  /** The SCALE form of [[tokenBudgetMix]]: derive each source's keep
+    * fraction `f = min(1, budget / total_tokens)` from one tiny
+    * groupBy(source) aggregate, then keep documents whose unit uniform
+    * of the SAME digest is < f — a scan predicate, NO window, no
+    * per-source sort. The selected token mass is approximate
+    * (Binomial concentration: relative error ~1/sqrt(docs kept)), the
+    * price of skipping the sort; the exact form remains the oracle
+    * anchor. Budget semantics and digest match [[tokenBudgetMix]], so
+    * switching forms changes WHICH docs are kept (threshold vs prefix
+    * rule) but not the distributional contract. */
+  def tokenBudgetMixByFraction(
+      df: DataFrame,
+      idCol: String,
+      sourceCol: String,
+      tokenCol: String,
+      budgets: Map[String, Long],
+      defaultBudget: Long = -1L,
+      salt: String = ""): DataFrame = {
+    require(budgets.values.forall(b => b >= 0L),
+      "tokenBudgetMixByFraction: budgets must be >= 0")
+    val totals = df.groupBy(sourceCol)
+      .agg(sum(col(tokenCol)).cast("double").as("__total"))
+    val budget = budgets.toSeq.sortBy(_._1).foldLeft(lit(defaultBudget)) {
+      case (acc, (src, b)) => when(col(sourceCol) === lit(src), lit(b)).otherwise(acc)
+    }
+    df.join(broadcast(totals), Seq(sourceCol))
+      .withColumn("__budget", budget)
+      .filter(col("__budget") < 0 ||
+        graft.operators.Ops.hashUniform(col(idCol), salt) <
+          least(lit(1.0), col("__budget").cast("double") /
+            greatest(col("__total"), lit(1.0))))
+      .drop("__total", "__budget")
+  }
+
   /** DSIR-style importance resampling (Xie et al. 2023,
     * arXiv:2302.03169 "Data Selection for Language Models via
     * Importance Resampling"): select `k` documents from a raw corpus

@@ -629,6 +629,42 @@ class CliSpec extends SparkTestBase {
     assert(err.getMessage.contains("do not merge"), err.getMessage)
   }
 
+  test("curator token-budgets: per-source token caps bite in docs-in-digest " +
+      "order; unbudgeted sources pass whole; scale knob avoids the window") {
+    import org.apache.spark.sql.functions.{col, sum}
+    val base = tmp()
+    val src = base.resolve("tbsrc").toString
+    spark.read.parquet(s"$sfDir/documents.parquet")
+      .select("doc_id", "source", "text").write.parquet(src)
+    def conf(name: String, extra: String) = write(base.resolve(s"$name.conf"),
+      s"""source { storage-type = local, dataset-dir = $src }
+         |target { storage-type = local, dataset-dir = ${base.resolve(s"out_$name")}, dataset-store-format = parquet, write-mode = overwrite }
+         |curation {
+         |  min-quality = 0.0
+         |  token-budgets { src0 = 300, src1 = 0 }
+         |$extra
+         |}
+         |""".stripMargin)
+    graft.cli.Curator.main(Array("--conf", conf("tb", "")))
+    val out = spark.read.parquet(base.resolve("out_tb").toString)
+    val tok = out.groupBy("source").agg(sum("n_tokens").as("t"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val maxDoc = out.filter(col("source") === "src0")
+      .agg(org.apache.spark.sql.functions.max("n_tokens").cast("long")).head().getLong(0)
+    assert(tok("src0") >= 300 && tok("src0") < 300 + maxDoc,
+      s"budget with crossing-doc overshoot: ${tok.get("src0")}")
+    assert(!tok.contains("src1"), "zero budget keeps nothing")
+    val full = spark.read.parquet(src).filter(col("source") === "src2").count()
+    assert(out.filter(col("source") === "src2").count() == full,
+      "unbudgeted source passes whole")
+    // scale form: approximate mass, same knobs
+    graft.cli.Curator.main(Array("--conf", conf("tbs", "  token-budget-scale = true")))
+    val gotS = spark.read.parquet(base.resolve("out_tbs").toString)
+      .filter(col("source") === "src0").agg(sum("n_tokens")).head().getLong(0)
+    assert(gotS > 0 && math.abs(gotS - 300) <= 300,
+      s"scale form lands in the budget band: $gotS")
+  }
+
   test("curator stage log: the artifact covers every enabled stage in run " +
       "order with seconds and observed row counts") {
     import org.apache.spark.sql.functions._

@@ -294,6 +294,52 @@ class CorpusPrepSpec extends SparkTestBase {
     } finally corpus.unpersist()
   }
 
+  test("tokenBudgetMix: digest-prefix per source, crossing doc included, zero " +
+      "and unlimited budgets; scale form lands near the budget") {
+    import spark.implicits._
+    // 20 docs/source, 10 tokens each → source totals of 200 tokens
+    val docs = (0L until 60L).map(i => (i, s"src${i % 3}", 10L))
+      .toDF("doc_id", "source", "n_tokens")
+    val kept = CorpusPrep.tokenBudgetMix(docs, "doc_id", "source", "n_tokens",
+      Map("src0" -> 95L, "src1" -> 0L), defaultBudget = -1L, salt = "s")
+    val bySrc = kept.groupBy("source")
+      .agg(org.apache.spark.sql.functions.count(org.apache.spark.sql.functions.lit(1)).as("n"),
+        org.apache.spark.sql.functions.sum("n_tokens").as("t"))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    // 95-token budget over 10-token docs: 9 docs end at 90 < 95, the
+    // 10th CROSSES (cum-before 90 < 95) and is included → 100 tokens
+    assert(bySrc("src0") == ((10L, 100L)), s"crossing-doc rule: ${bySrc.get("src0")}")
+    assert(!bySrc.contains("src1"), "zero budget keeps nothing")
+    assert(bySrc("src2") == ((20L, 200L)), "unbudgeted source keeps everything")
+    // determinism + prefix property: the kept src0 set is the 10
+    // smallest digests, so re-running with a LARGER budget is a superset
+    val kept0 = kept.filter(col("source") === "src0")
+      .select("doc_id").as[Long].collect().toSet
+    val kept0b = CorpusPrep.tokenBudgetMix(docs, "doc_id", "source", "n_tokens",
+        Map("src0" -> 155L), salt = "s")
+      .filter(col("source") === "src0").select("doc_id").as[Long].collect().toSet
+    assert(kept0.subsetOf(kept0b) && kept0b.size == 16,
+      s"budgets nest as digest prefixes: ${kept0.size} ⊆ ${kept0b.size}")
+    // scale form: no window in the plan; token mass ~ budget on the
+    // real corpus (law-of-large-numbers band, exact form is the anchor)
+    val real = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select(col("doc_id"), col("source"),
+        org.apache.spark.sql.functions.size(
+          org.apache.spark.sql.functions.split(col("text"), "\\s+")).cast("long").as("n_tokens"))
+    val budget = 600L
+    val scale = CorpusPrep.tokenBudgetMixByFraction(real, "doc_id", "source",
+      "n_tokens", Map("src0" -> budget), salt = "s")
+    assert(!scale.queryExecution.executedPlan.toString.contains("Window"),
+      "scale form must not sort per source")
+    val got = scale.filter(col("source") === "src0")
+      .agg(org.apache.spark.sql.functions.sum("n_tokens")).head().getLong(0)
+    assert(math.abs(got - budget) <= budget / 2,
+      s"scale form token mass $got should land near the $budget budget")
+    // unbudgeted sources pass through whole in the scale form too
+    assert(scale.filter(col("source") === "src1").count() ==
+      real.filter(col("source") === "src1").count())
+  }
+
   test("epochMix: integral weights repeat exactly, fractional weights add the " +
       "deterministic md5-share extra copy, weight 0 drops, epochs tag 0..k-1") {
     val corpus = docs.select(col("doc_id"), col("source"))
