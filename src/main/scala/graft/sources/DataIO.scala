@@ -276,6 +276,21 @@ object DataIO {
         val mode = conf.getString("write-mode").getOrElse("overwrite")
         var w = df.write.mode(mode).format(fmt)
         conf.getList("partition-by").foreach(cols => w = w.partitionBy(cols: _*))
+        // `bloom-filter-columns`: parquet row-group bloom filters on the
+        // listed columns — the data-skipping complement for EQUALITY
+        // probes on high-cardinality keys (content hashes, ids), where
+        // min/max stats prune nothing because every row group spans the
+        // whole hash range. Readers (Spark included) skip row groups
+        // whose bloom excludes the probed value; ~1 bit/row-ish of file
+        // overhead at the default FPP. Parquet-only by construction.
+        conf.getList("bloom-filter-columns").foreach { cols =>
+          require(fmt == "parquet",
+            s"bloom-filter-columns requires dataset-store-format = parquet, got $fmt")
+          require(cols.nonEmpty, "bloom-filter-columns must name at least one column")
+          cols.foreach { c =>
+            w = w.option(s"parquet.bloom.filter.enabled#$c", "true")
+          }
+        }
         w.save(locator(conf, "dataset-dir"))
       case "jdbc" => // K3 — single-connection write (core.py:201-209); default append
         val url = conf.at("conn").getString("url").orElse(conf.getString("url"))

@@ -134,6 +134,41 @@ class DataIOSpec extends SparkTestBase {
     assert(back.count() == 25)
   }
 
+  test("bloom-filter-columns: parquet footers carry blooms for the listed " +
+      "columns only; non-parquet formats rejected") {
+    val dir = tmp() + "/bloomout"
+    val df = spark.read.parquet(s"$sfDir/nation.parquet")
+    DataIO.write(df, GraftConfig.parse(
+      s"""storage-type = local
+         |dataset-dir = "$dir"
+         |dataset-store-format = parquet
+         |n-partitions = 1
+         |bloom-filter-columns = [n_name]""".stripMargin))
+    val pf = new java.io.File(dir).listFiles()
+      .filter(f => f.getName.endsWith(".parquet")).head
+    val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+      new org.apache.hadoop.fs.Path(pf.getAbsolutePath),
+      spark.sparkContext.hadoopConfiguration)
+    val reader = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+    try {
+      import scala.jdk.CollectionConverters._
+      val cols = reader.getRowGroups.get(0).getColumns.asScala
+        .map(c => c.getPath.toDotString -> (c.getBloomFilterOffset >= 0)).toMap
+      assert(cols("n_name"), s"n_name must carry a bloom filter: $cols")
+      assert(!cols("n_nationkey"), s"unlisted columns must not: $cols")
+    } finally reader.close()
+    // read-back equivalence (blooms are a pure skipping aid)
+    assert(spark.read.parquet(dir).count() == df.count())
+    val err = intercept[IllegalArgumentException] {
+      DataIO.write(df, GraftConfig.parse(
+        s"""storage-type = local
+           |dataset-dir = "$dir-orc"
+           |dataset-store-format = orc
+           |bloom-filter-columns = [n_name]""".stripMargin))
+    }
+    assert(err.getMessage.contains("parquet"), err.getMessage)
+  }
+
   test("streaming csv sink matches single-csv content (K6)") {
     val p1 = tmp() + "/a.csv"
     val p2 = tmp() + "/b.csv"
