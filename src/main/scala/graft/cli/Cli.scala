@@ -1800,26 +1800,26 @@ object Indexer {
           else
             "the index holds PQ codes — append must carry index.pq-m/pq-k " +
               "so the code table stays complete")
+        // validate the codebook BEFORE touching the index: a config
+        // mismatch must be a clean no-op failure, never a half-appended
+        // corpus with the marker already down (review finding)
+        val cbOpt = pqM.map { m =>
+          val cb = Similarity.pqLoad(spark, s"$indexDir/pq/codebook")
+          require(cb.m == m && cb.k == pqK.get,
+            s"index.pq-m/pq-k ($m/${pqK.get}) do not match the saved " +
+              s"codebook (${cb.m}/${cb.k})")
+          cb
+        }
         val model = org.apache.spark.ml.clustering.KMeansModel.load(s"$indexDir/kmeans")
-        fs.delete(marker, false)
-        val tagged = model.transform(
-            emb.withColumn("__v", org.apache.spark.ml.functions.array_to_vector(col(vecCol))))
-          .drop("__v")
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-        try {
-          tagged.write.mode("append").partitionBy("cell").parquet(s"$indexDir/corpus")
-          pqM.foreach { m =>
-            val cb = Similarity.pqLoad(spark, s"$indexDir/pq/codebook")
-            require(cb.m == m && cb.k == pqK.get,
-              s"index.pq-m/pq-k ($m/${pqK.get}) do not match the saved " +
-                s"codebook (${cb.m}/${cb.k})")
+        // corpus append + PQ-code append share ONE marker window — the
+        // protocol lives in ivfAppend, the codes ride its hook
+        Similarity.ivfAppend(model, emb, indexDir, vecCol, inWindow = tagged =>
+          cbOpt.foreach { cb =>
             Similarity.pqEncode(tagged, cb, idCol, vecCol)
               .join(tagged.select(col(idCol), col("cell")), Seq(idCol))
               .write.mode("append").partitionBy("cell").parquet(codesPath.toString)
-          }
-          fs.create(marker, true).close()
-          Cli.log(s"appended ${tagged.count()} vectors to $indexDir")
-        } finally tagged.unpersist(blocking = false)
+          })
+        Cli.log(s"appended ${emb.count()} vectors to $indexDir")
       case other => throw new IllegalArgumentException(
         s"unknown index.mode '$other' (build|append)")
     }
@@ -1839,10 +1839,11 @@ object Indexer {
             model, cb, corpus, k, nprobe,
             oversample = c.getInt("recall-oversample").getOrElse(5), idCol, vecCol)
         } else Similarity.ivfTopK(queries, corpus, model, k, nprobe, idCol, vecCol)
-      Similarity.probeRecall(brute, probe.select("query_id", "neighbor_id"))
-        .coalesce(1).write.mode("overwrite").parquet(s"$indexDir/recall")
-      val avgR = spark.read.parquet(s"$indexDir/recall")
-        .agg(avg("recall")).head.getDouble(0)
+      val recall = Similarity.probeRecall(brute, probe.select("query_id", "neighbor_id"))
+        .persist()
+      recall.coalesce(1).write.mode("overwrite").parquet(s"$indexDir/recall")
+      val avgR = recall.agg(avg("recall")).head.getDouble(0)
+      recall.unpersist()
       Cli.log(f"index recall@$k (nprobe=$nprobe): avg $avgR%.4f over $nQ " +
         s"queries -> $indexDir/recall")
     }

@@ -453,8 +453,13 @@ object CorpusPrep {
       case (acc, (src, b)) => when(col(sourceCol) === lit(src), lit(b)).otherwise(acc)
     }
     val digest = graft.operators.Ops.hashDigestCol(col(idCol), salt)
+    // explicit ROWS frame: the default RANGE frame makes duplicate
+    // (digest, id) rows peers sharing one cumulative sum, which would
+    // underfill the budget — and the q107 oracle is ROWS (review finding)
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(sourceCol).orderBy(digest, col(idCol))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
     df.withColumn("__cum", sum(col(tokenCol)).over(w))
       .withColumn("__budget", budget)
       .filter(col("__budget") < 0 ||
@@ -484,10 +489,15 @@ object CorpusPrep {
       "tokenBudgetMixByFraction: budgets must be >= 0")
     val totals = df.groupBy(sourceCol)
       .agg(sum(col(tokenCol)).cast("double").as("__total"))
+      .withColumnRenamed(sourceCol, "__tb_src")
     val budget = budgets.toSeq.sortBy(_._1).foldLeft(lit(defaultBudget)) {
       case (acc, (src, b)) => when(col(sourceCol) === lit(src), lit(b)).otherwise(acc)
     }
-    df.join(broadcast(totals), Seq(sourceCol))
+    // null-safe join: NULL-source docs must meet their own total (the
+    // groupBy produced a null group) and keep flowing under
+    // defaultBudget, matching the exact form (review finding)
+    df.join(broadcast(totals), col(sourceCol) <=> col("__tb_src"))
+      .drop("__tb_src")
       .withColumn("__budget", budget)
       .filter(col("__budget") < 0 ||
         graft.operators.Ops.hashUniform(col(idCol), salt) <

@@ -149,14 +149,21 @@ object Similarity {
     * (by centroid cosine), then exact cosine re-ranks within them.
     * The candidate join is an equi-join on `cell` — at 100 TB it prunes
     * to ~nprobe/numCells of the corpus instead of a full scan. */
-  def ivfTopK(
+  /** The shared IVF cell probe: rank cells per query by centroid
+    * cosine, keep the top `nprobe`, and materialize the result ONCE
+    * (≤ |Q|×nprobe rows — bounded by the small-queries contract): both
+    * the distinct cell IN-list and the join side derive from the same
+    * collected rows, so the probe plan is not recomputed and cannot
+    * disagree with itself. On a cell-partitioned corpus layout
+    * ([[ivfSave]]) the IN-list filter is file-level partition pruning —
+    * only nprobe directories are read. Returns the probed
+    * `(query_id, __qv, cell)` frame and the distinct cell list. */
+  private def probeCells(
       queries: DataFrame,
-      taggedCorpus: DataFrame,
       model: KMeansModel,
-      k: Int,
-      nprobe: Int = 3,
-      idCol: String = "vec_id",
-      vecCol: String = "embedding"): DataFrame = {
+      nprobe: Int,
+      idCol: String,
+      vecCol: String): (DataFrame, Seq[Int]) = {
     val spark = queries.sparkSession
     import spark.implicits._
     // centroids: tiny (numCells × dim) — literal-broadcast as a DataFrame
@@ -171,16 +178,21 @@ object Similarity {
         row_number().over(Window.partitionBy("query_id").orderBy(col("__csim").desc, col("cell"))))
       .filter(col("__crank") <= nprobe)
       .select("query_id", "__qv", "cell")
-    // materialize the probe result ONCE (≤ |Q|×nprobe rows — bounded by
-    // the small-queries contract): both the distinct cell IN-list and
-    // the join side derive from the same collected rows, so the probe
-    // plan is not recomputed and cannot disagree with itself. On a
-    // cell-partitioned corpus layout (ivfSave) the IN-list filter is
-    // file-level partition pruning — only nprobe directories are read.
     val probedRows = probed.collect()
     val probedDf = spark.createDataFrame(
       java.util.Arrays.asList(probedRows: _*), probed.schema)
-    val cells = probedRows.map(_.getAs[Int]("cell")).distinct.toSeq
+    (probedDf, probedRows.map(_.getAs[Int]("cell")).distinct.toSeq)
+  }
+
+  def ivfTopK(
+      queries: DataFrame,
+      taggedCorpus: DataFrame,
+      model: KMeansModel,
+      k: Int,
+      nprobe: Int = 3,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    val (probedDf, cells) = probeCells(queries, model, nprobe, idCol, vecCol)
     val c = taggedCorpus
       .filter(col("cell").isin(cells: _*))
       .select(col(idCol).as("neighbor_id"), col(vecCol).as("__cv"), col("cell"))
@@ -277,11 +289,15 @@ object Similarity {
       model: KMeansModel,
       newVecs: DataFrame,
       indexDir: String,
-      vecCol: String = "embedding"): Unit = {
+      vecCol: String = "embedding",
+      inWindow: DataFrame => Unit = _ => ()): Unit = {
     // same durability story as ivfEnsure's initial build: the _BUILT
     // marker comes DOWN before the append and back up after, so a crash
     // mid-append leaves an index ivfEnsure refuses and rebuilds rather
-    // than one silently containing an unknown subset of the increment
+    // than one silently containing an unknown subset of the increment.
+    // `inWindow` runs with the tagged batch INSIDE that window — the
+    // hook for auxiliary appends (PQ codes, stats) that must share the
+    // corpus append's crash-safety, so the protocol lives in ONE place.
     val spark = newVecs.sparkSession
     val marker = new org.apache.hadoop.fs.Path(indexDir, "_BUILT")
     val fs = marker.getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -290,8 +306,12 @@ object Similarity {
     val tagged = model.transform(
       newVecs.withColumn("__v", array_to_vector(col(vecCol))))
       .drop("__v")
-    tagged.write.mode("append").partitionBy("cell").parquet(s"$indexDir/corpus")
-    if (hadMarker) fs.create(marker, true).close()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      tagged.write.mode("append").partitionBy("cell").parquet(s"$indexDir/corpus")
+      inWindow(tagged)
+      if (hadMarker) fs.create(marker, true).close()
+    } finally tagged.unpersist(blocking = false)
   }
 
   // --------------------------------------------------------------- LSH
@@ -575,25 +595,7 @@ object Similarity {
       idCol: String = "vec_id",
       vecCol: String = "embedding"): DataFrame = {
     require(oversample >= 1, s"oversample must be >= 1, got $oversample")
-    val spark = queries.sparkSession
-    import spark.implicits._
-    val cents = model.clusterCenters.zipWithIndex.map { case (v, i) =>
-      (i, v.toArray.map(_.toFloat))
-    }.toSeq.toDF("cell", "__centroid")
-    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("__qv"))
-    val probed = q.crossJoin(broadcast(cents))
-      .select(col("query_id"), col("__qv"), col("cell"),
-        cosine(col("__qv"), col("__centroid")).as("__csim"))
-      .withColumn("__crank",
-        row_number().over(Window.partitionBy("query_id").orderBy(col("__csim").desc, col("cell"))))
-      .filter(col("__crank") <= nprobe)
-      .select("query_id", "__qv", "cell")
-    // one materialization (≤ |Q|·nprobe rows): IN-list and join side
-    // derive from the same rows — the ivfTopK probe contract
-    val probedRows = probed.collect()
-    val probedDf = spark.createDataFrame(
-      java.util.Arrays.asList(probedRows: _*), probed.schema)
-    val cells = probedRows.map(_.getAs[Int]("cell")).distinct.toSeq
+    val (probedDf, cells) = probeCells(queries, model, nprobe, idCol, vecCol)
     val qlut = probedDf
       .withColumn("__lut", adcLut(col("__qv"), codebook))
       .withColumn("__qnorm", norm2(col("__qv")))

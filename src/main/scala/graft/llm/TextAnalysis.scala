@@ -488,8 +488,10 @@ object TextAnalysis {
     * same Unicode algorithm). At 100 TB this is one more scan-speed
     * projection with no shuffle. */
   def normalizeText(c: Column): Column = {
+    // literal substring replace (no regex engine) — the repairs are
+    // fixed strings, and this mirrors the oracle's replace() chain
     val repaired = MojibakeRepairs.foldLeft(c) { case (acc, (bad, good)) =>
-      regexp_replace(acc, java.util.regex.Pattern.quote(bad), good)
+      replace(acc, lit(bad), lit(good))
     }
     val unixNl = regexp_replace(repaired, "\\r\\n", "\n")
     val stripped = regexp_replace(unixNl,
@@ -539,7 +541,13 @@ object TextAnalysis {
     * three-sentence-span dedup is [[Dedup.removeDuplicateSpans]], the
     * langdetect gate is [[langId]]. */
   def c4Flags(c: Column, t: C4Thresholds = C4Thresholds()): Column = {
-    val lines = split(c, "\n")
+    // CRLF-tolerant split: a Windows-formatted page must not leave a
+    // trailing '\r' on every retained line — clean_text would then hash
+    // differently from the same page arriving LF-formatted, exactly
+    // the two-hashes problem normalizeText exists to prevent, and the
+    // terminal-punctuation test would hinge on a Java-regex '$' quirk
+    // that other engines do not share (review finding)
+    val lines = split(c, "\r?\n")
     val kept = filter(lines, l =>
       rtrim(l).rlike("[.!?\"”]$") &&
         size(regexp_extract_all(l, lit("\\S+"), lit(0))) >= t.minLineWords &&
