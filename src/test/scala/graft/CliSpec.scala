@@ -1965,6 +1965,26 @@ class CliSpec extends SparkTestBase {
       graft.cli.Indexer.main(Array("--conf", conf("append", more, pq = false, recallQ = 0)))
     }
     assert(err.getMessage.contains("pq-m"), err.getMessage)
+    // review-fix pin: a codebook-mismatch append is a clean NO-OP —
+    // validation runs before the marker comes down or any rows land
+    val nBefore = spark.read.parquet(s"$idx/corpus").count()
+    val mism = write(base.resolve("idx_mismatch.conf"),
+      s"""index {
+         |  embeddings-dir = $more
+         |  index-dir = $idx
+         |  mode = append
+         |  pq-m = 8
+         |  pq-k = 32
+         |}
+         |""".stripMargin)
+    val err3 = intercept[IllegalArgumentException] {
+      graft.cli.Indexer.main(Array("--conf", mism))
+    }
+    assert(err3.getMessage.contains("codebook"), err3.getMessage)
+    assert(new java.io.File(s"$idx/_BUILT").exists(),
+      "marker must survive a rejected append")
+    assert(spark.read.parquet(s"$idx/corpus").count() == nBefore,
+      "no rows may land before validation")
     // rebuilding over a committed index is refused
     val err2 = intercept[IllegalArgumentException] {
       graft.cli.Indexer.main(Array("--conf", conf("build", embSrc, pq = true, recallQ = 0)))

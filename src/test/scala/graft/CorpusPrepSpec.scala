@@ -338,6 +338,20 @@ class CorpusPrepSpec extends SparkTestBase {
     // unbudgeted sources pass through whole in the scale form too
     assert(scale.filter(col("source") === "src1").count() ==
       real.filter(col("source") === "src1").count())
+    // review-fix pins: duplicate ids are NOT window peers (explicit
+    // ROWS frame) — a 10-token budget over two identical 10-token rows
+    // keeps exactly one, never zero
+    val dup = Seq((1L, "s", 10L), (1L, "s", 10L)).toDF("doc_id", "source", "n_tokens")
+    assert(CorpusPrep.tokenBudgetMix(dup, "doc_id", "source", "n_tokens",
+      Map("s" -> 10L)).count() == 1, "RANGE-frame peers would underfill to 0")
+    // NULL-source docs flow under defaultBudget in BOTH forms
+    val withNull = Seq((1L, Option("s"), 10L), (2L, None, 10L))
+      .toDF("doc_id", "source", "n_tokens")
+    assert(CorpusPrep.tokenBudgetMix(withNull, "doc_id", "source", "n_tokens",
+      Map("s" -> 100L)).count() == 2)
+    assert(CorpusPrep.tokenBudgetMixByFraction(withNull, "doc_id", "source",
+      "n_tokens", Map("s" -> 100L)).count() == 2,
+      "the scale form's join must be null-safe")
   }
 
   test("epochMix: integral weights repeat exactly, fractional weights add the " +

@@ -450,6 +450,19 @@ class TextAnalysisSpec extends SparkTestBase {
     assert(!empty.anyNull, "no NULL logic to replicate cross-engine")
   }
 
+  test("c4Flags: CRLF and LF pages produce identical flags and clean_text") {
+    val prose = "It was a fine day. The dog barked loudly! Was it fun? " +
+      "Yes it was. All good."
+    val lf = prose + "\ntoo short.\nmore prose follows here today."
+    val crlf = lf.replace("\n", "\r\n")
+    val out = Seq((1L, lf), (2L, crlf)).toDF("doc_id", "text")
+      .select(col("doc_id"), TextAnalysis.c4Flags(col("text")).as("c"))
+      .collect().map(r => r.getLong(0) -> r.getStruct(1)).toMap
+    assert(out(1L) == out(2L),
+      "a Windows-formatted page must not carry stray \\r into clean_text")
+    assert(!out(2L).getAs[String]("clean_text").contains("\r"))
+  }
+
   test("c4Apply: drops failing pages, rewrites survivors to retained lines, " +
       "preserves schema") {
     val prose = "It was a fine day. The dog barked loudly! Was it fun? " +
