@@ -199,4 +199,87 @@ class PropertySpec extends SparkTestBase {
       assert(got == wantFull, s"iteration $it")
     }
   }
+
+  test("normalizeText is idempotent and returns NFC on generated unicode soup") {
+    val soup: Gen[List[String]] = Gen.listOfN(20,
+      Gen.listOfN(12, Gen.oneOf(
+        "a", "B", " ", "\n", "\t", "\r\n",
+        "\u00e9", "e\u0301", "caf\u00c3\u00a9",
+        "\u00e2\u20ac\u0153", "\u00e2\u0080\u0099",
+        "\u0007", "\u009f",
+        "\u4f60\u597d", "\ud83d\ude00", "x.y!", "{", "0")).map(_.mkString))
+    samples(soup, 4).foreach { ts =>
+      val df = ts.toDF("text")
+      val once = df.select(TextAnalysis.normalizeText(col("text")).as("t"))
+      val twice = once.select(TextAnalysis.normalizeText(col("t")).as("t"))
+      val o = once.collect().map(_.getString(0))
+      val w = twice.collect().map(_.getString(0))
+      assert(o.sameElements(w), "normalizeText must be idempotent")
+      o.foreach { s =>
+        assert(java.text.Normalizer.isNormalized(s, java.text.Normalizer.Form.NFC))
+        assert(!s.exists(ch => ch < ' ' && ch != '\n' && ch != '\t'),
+          s"no bare control chars may survive: ${s.map(_.toInt)}")
+      }
+    }
+  }
+
+  test("tokenBudgetMix: kept sets nest as budgets grow; token mass within " +
+      "one doc of the budget; whole-corpus budget is identity") {
+    val rows: Gen[List[(Long, String, Long)]] = Gen.listOfN(40,
+      for {
+        id <- Gen.chooseNum(0L, 10000L)
+        src <- Gen.oneOf("a", "b", "c")
+        n <- Gen.chooseNum(1L, 50L)
+      } yield (id, src, n)).map(_.distinctBy(_._1))
+    samples(rows, 4).filter(_.nonEmpty).foreach { rs =>
+      val df = rs.toDF("doc_id", "source", "n_tokens")
+      val total = rs.filter(_._2 == "a").map(_._3).sum
+      val budgets = Seq(total / 4, total / 2, total + 1).filter(_ > 0)
+      val keptSets = budgets.map { b =>
+        graft.llm.CorpusPrep.tokenBudgetMix(df, "doc_id", "source", "n_tokens",
+            Map("a" -> b))
+          .filter(col("source") === "a")
+          .select("doc_id").as[Long].collect().toSet
+      }
+      keptSets.sliding(2).foreach {
+        case Seq(small, big) => assert(small.subsetOf(big), "budgets must nest")
+        case _ =>
+      }
+      budgets.zip(keptSets).foreach { case (b, kept) =>
+        val mass = rs.filter(r => kept.contains(r._1)).map(_._3).sum
+        val maxDoc = rs.filter(_._2 == "a").map(_._3).max
+        assert(mass >= math.min(b, total), s"budget $b underfilled: $mass")
+        assert(mass < b + maxDoc, s"budget $b overshot beyond one doc: $mass")
+      }
+      assert(keptSets.last == rs.filter(_._2 == "a").map(_._1).toSet,
+        "a budget covering the whole source is identity")
+    }
+  }
+
+  test("MG heavy-hitter merge: lifetime estimates within n/(k+1) of exact " +
+      "for any batch split") {
+    val vals: Gen[List[String]] = Gen.listOfN(120,
+      Gen.frequency(3 -> Gen.const("hot"), 2 -> Gen.const("warm"),
+        5 -> Gen.chooseNum(0, 40).map(i => s"v$i")))
+    samples(vals, 4).foreach { vs =>
+      val k = 8
+      val (b1, b2) = vs.splitAt(vs.length / 3)
+      val merged = graft.llm.Cardinality.mergeFreqStates(Seq(
+        graft.llm.Cardinality.freqState(b1.toDF("v"), Seq("v"), k),
+        graft.llm.Cardinality.freqState(b2.toDF("v"), Seq("v"), k)))
+      val got = merged.select(explode(col("items")).as("e"))
+        .select(col("e.item"), col("e.count"))
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      val truth = vs.groupBy(identity).view.mapValues(_.size.toLong).toMap
+      val bound = vs.length.toLong / (k + 1)
+      got.foreach { case (item, est) =>
+        val t = truth(item)
+        assert(est <= t && est >= t - bound,
+          s"$item: estimate $est outside [${t - bound}, $t]")
+      }
+      truth.filter(_._2 > bound).keys.foreach(item =>
+        assert(got.contains(item), s"guaranteed-heavy $item missing"))
+      assert(got.size <= k)
+    }
+  }
 }
