@@ -1816,6 +1816,28 @@ object SparkEntry {
           round(col("contaminated_fraction"), 6).as("contaminated_fraction"))
     }),
 
+    // ---- HTML text extraction (the ingest step upstream of every
+    // web-corpus stage): script/style/comment blocks dropped, block
+    // separators become newlines, tags stripped, the named entity
+    // list decoded, whitespace squeezed. Planted markup built
+    // identically in both engines; no backreferences anywhere so the
+    // RE2 oracle replays every pattern.
+    "q108_html_extract" -> ((s, dir) => {
+      val planted = concat(
+        lit("<html><head><style type=\"text/css\">body { color: red }</style>"),
+        lit("<script>var x = 1 < 2;</script></head><body>"),
+        lit("<!-- hidden comment --><h1>Title  here</h1>"),
+        lit("<p>First&nbsp;para with <b>bold</b> &amp; "),
+        substring(col("text"), 1, 40),
+        lit("</p><div>Second &lt;div&gt; line</div>"),
+        lit("<ul><li>item one</li><li>item&#39;s two</li></ul>"),
+        lit("<br/>tail text</body></html>"))
+      t(s, dir, "documents").select(col("doc_id"),
+          graft.llm.TextAnalysis.stripHtml(planted).as("text_plain"))
+        .withColumn("n_lines",
+          size(split(col("text_plain"), "\n")).cast("long"))
+    }),
+
     // ---- Token-budget mixture (the production mixing contract —
     // budgets in TOKENS per source, not doc fractions): per source,
     // docs taken in deterministic md5(id|salt) order until the
@@ -2826,6 +2848,45 @@ object SparkEntry {
         |    AND hr <= 0.1 AND er <= 0.1 AND bf <= 0.9 AND ef <= 0.3
         |    AND af >= 0.8 AND stop_hits >= 2 AS INT) AS keep
         |FROM f""".stripMargin,
+    // the whole extraction chain replayed in RE2: block drops (script/
+    // style/comments), break-tag newlines, tag strip, the SAME entity
+    // list unfolded into replace() calls, whitespace squeeze
+    "q108_html_extract" -> {
+      val entityChain = graft.llm.TextAnalysis.HtmlEntities.foldLeft("t4") {
+        case (acc, (e, ch)) =>
+          val lit = ch.replace("'", "''")
+          s"replace($acc, '$e', '$lit')"
+      }
+      s"""WITH p AS (
+         |  SELECT doc_id,
+         |    '<html><head><style type="text/css">body { color: red }</style>' ||
+         |    '<script>var x = 1 < 2;</script></head><body>' ||
+         |    '<!-- hidden comment --><h1>Title  here</h1>' ||
+         |    '<p>First&nbsp;para with <b>bold</b> &amp; ' ||
+         |    substr(text, 1, 40) ||
+         |    '</p><div>Second &lt;div&gt; line</div>' ||
+         |    '<ul><li>item one</li><li>item&#39;s two</li></ul>' ||
+         |    '<br/>tail text</body></html>' AS t
+         |  FROM documents),
+         |s1 AS (SELECT doc_id,
+         |  regexp_replace(regexp_replace(regexp_replace(t,
+         |    '(?is)<script\\b[^>]*>.*?</script\\s*>', '', 'g'),
+         |    '(?is)<style\\b[^>]*>.*?</style\\s*>', '', 'g'),
+         |    '(?s)<!--.*?-->', '', 'g') AS t FROM p),
+         |s2 AS (SELECT doc_id, regexp_replace(t,
+         |  '(?i)<br\\s*/?>|</p\\s*>|</div\\s*>|</li\\s*>|</h[1-6]\\s*>|</tr\\s*>',
+         |  chr(10), 'g') AS t FROM s1),
+         |s3 AS (SELECT doc_id, regexp_replace(t, '<[^>]+>', '', 'g') AS t FROM s2),
+         |s4 AS (SELECT doc_id, t AS t4 FROM s3),
+         |s5 AS (SELECT doc_id, $entityChain AS t FROM s4),
+         |s6 AS (SELECT doc_id,
+         |  regexp_replace(regexp_replace(regexp_replace(t, '[ \\t]+', ' ', 'g'),
+         |    '(?m)^ +| +$$', '', 'g'),
+         |    '^\\n+|\\n+$$', '', 'g') AS t FROM s5)
+         |SELECT doc_id, t AS text_plain,
+         |  CAST(len(string_split(t, chr(10))) AS BIGINT) AS n_lines
+         |FROM s6""".stripMargin
+    },
     // prefix-by-digest token budgeting replayed: md5 order, cumulative
     // sum window, crossing-doc rule (cum - n < budget), zero and
     // unlimited budgets

@@ -268,8 +268,11 @@ object Scorer {
   * (the full published Gopher rule set as one more scan predicate),
   * `c4-rules = true` (the published C4 cleaning: line retention
   * rewrites the text FIRST, page rules drop pages),
-  * `normalize-text = true` (mojibake repair + CRLF/control cleanup +
-  * Unicode NFC, before redaction and all hashing),
+  * `strip-html = true` (deterministic HTML-to-text extraction, first
+  * of the text rewrites), `normalize-text = true` (mojibake repair +
+  * CRLF/control cleanup + Unicode NFC, before redaction and all
+  * hashing), `max-pii-hits = N` (drop documents whose progressive
+  * redaction hit count exceeds N — directory/dump pages),
   * `langs = [en, ...]`,
   * `near-dup-strategy` (simhash|minhash), `min-jaccard`,
   * `max-jaccard-distance`, `max-hamming`, `bands`, `shingle-size`,
@@ -372,25 +375,49 @@ object Curator {
       }
       case None => rawIn
     }
+    // optional HTML extraction FIRST of the text rewrites
+    // (`strip-html = true`): markup never reaches normalization, PII
+    // regexes, or any hash — the ingest boundary for web corpora
+    val rawH =
+      if (!c.getBoolean("strip-html").getOrElse(false)) raw
+      else stages.timed("strip-html") {
+        val tcol = c.getString("text-column").getOrElse("text")
+        raw.withColumn(tcol, graft.llm.TextAnalysis.stripHtml(col(tcol)))
+      }
     // optional text normalization next (`normalize-text = true`):
     // mojibake repair, CRLF/control cleanup, Unicode NFC — BEFORE
     // redaction and any hashing, so PII regexes see repaired text and
     // dedup state hashes canonical bytes (the same visible string in
     // composed and decomposed form must carry ONE content hash)
     val rawN =
-      if (!c.getBoolean("normalize-text").getOrElse(false)) raw
+      if (!c.getBoolean("normalize-text").getOrElse(false)) rawH
       else stages.timed("normalize-text") {
         val tcol = c.getString("text-column").getOrElse("text")
-        raw.withColumn(tcol, graft.llm.TextAnalysis.normalizeText(col(tcol)))
+        rawH.withColumn(tcol, graft.llm.TextAnalysis.normalizeText(col(tcol)))
       }
+    // optional PII density gate (`max-pii-hits = N`): documents with
+    // more than N progressive redaction hits are DROPPED, not scrubbed
+    // — a page that is mostly emails/phones/IPs is a directory listing
+    // or a dump, not prose worth training on after scrubbing. Counted
+    // on the (extracted, normalized) text the scrub itself would see.
+    val rawP = c.getInt("max-pii-hits") match {
+      case None => rawN
+      case Some(maxHits) => stages.timed("pii-gate") {
+        require(maxHits >= 0, s"curation.max-pii-hits must be >= 0, got $maxHits")
+        val tcol = c.getString("text-column").getOrElse("text")
+        val total = graft.llm.TextAnalysis.redactionCounts(col(tcol))
+          .reduce(_ + _)
+        rawN.filter(total <= maxHits)
+      }
+    }
     // optional PII scrub next — before any hashing/signatures, so the
     // persisted dedup state is computed over scrubbed text (state built
     // on unscrubbed text would stop matching future scrubbed batches)
     val df0 =
-      if (!c.getBoolean("redact").getOrElse(false)) rawN
+      if (!c.getBoolean("redact").getOrElse(false)) rawP
       else stages.timed("redact") {
         val tcol = c.getString("text-column").getOrElse("text")
-        rawN.withColumn(tcol, graft.llm.TextAnalysis.redact(col(tcol)))
+        rawP.withColumn(tcol, graft.llm.TextAnalysis.redact(col(tcol)))
       }
     val base = graft.llm.Curation.Config()
     val cc = graft.llm.Curation.Config(
@@ -1678,6 +1705,7 @@ object Streamer {
         Streams.filterDocStream(docs,
           textCol = c.getString("text-column").getOrElse("text"),
           minQuality = c.getDouble("min-quality"),
+          stripHtml = c.getString("strip-html").exists(_.toBoolean),
           normalizeText = c.getString("normalize-text").exists(_.toBoolean),
           gopherRules = c.getString("gopher-rules").exists(_.toBoolean),
           c4Rules = c.getString("c4-rules").exists(_.toBoolean),

@@ -431,6 +431,55 @@ object TextAnalysis {
   def gopherKeep(c: Column, t: GopherThresholds = GopherThresholds()): Column =
     gopherFlags(c, t).getField("keep")
 
+  // ------------------------------------------- HTML text extraction
+
+  /** Named HTML entities the extractor decodes — the short list
+    * (plus `&#39;`) that dominates real web text. Other numeric
+    * entities are LEFT AS-IS (full decoding is a parser's job, not a
+    * regex's). Documented and fixed so the q108 oracle replays the
+    * exact chain. */
+  val HtmlEntities: Seq[(String, String)] = Seq(
+    "&nbsp;" -> " ", "&lt;" -> "<", "&gt;" -> ">",
+    "&quot;" -> "\"", "&#39;" -> "'", "&apos;" -> "'",
+    "&amp;" -> "&") // &amp; LAST: "&amp;lt;" must yield "&lt;", not "<"
+
+  /** Deterministic HTML-to-text extraction (the ingest step upstream
+    * of every web-corpus pipeline; trafilatura-class boilerplate
+    * REMOVAL is the separate [[stripBoilerplate]]/[[c4Flags]] stage —
+    * this one just gets the text out of the markup):
+    *  1. drop `<script>`/`<style>`/`<!-- -->` blocks wholesale
+    *     (case-insensitive, dotall — their content is never prose);
+    *  2. turn the block-level separators `<br>`, `</p>`, `</div>`,
+    *     `</li>`, `</h1..6>`, `</tr>` into newlines (document
+    *     structure survives as line structure, which the line-level
+    *     stages key on);
+    *  3. strip every remaining tag;
+    *  4. decode [[HtmlEntities]];
+    *  5. collapse runs of spaces/tabs, trim each line, and trim
+    *     outer newlines (markup residue, not structure).
+    * Pure regexp/string rewriting — replays in SQL (q108), scan-speed
+    * at 100 TB. A real parser handles malformed nesting better; this
+    * is the deterministic 99% with no dependency. */
+  def stripHtml(c: Column): Column = {
+    // no backreferences anywhere: the q108 oracle replays these in
+    // RE2, which has none — script and style get separate patterns
+    val noScript = regexp_replace(c,
+      "(?is)<script\\b[^>]*>.*?</script\\s*>", "")
+    val noStyle = regexp_replace(noScript,
+      "(?is)<style\\b[^>]*>.*?</style\\s*>", "")
+    val noComments = regexp_replace(noStyle, "(?s)<!--.*?-->", "")
+    val withBreaks = regexp_replace(noComments,
+      "(?i)<br\\s*/?>|</p\\s*>|</div\\s*>|</li\\s*>|</h[1-6]\\s*>|</tr\\s*>", "\n")
+    val noTags = regexp_replace(withBreaks, "<[^>]+>", "")
+    val entities = HtmlEntities.foldLeft(noTags) { case (acc, (e, ch)) =>
+      replace(acc, lit(e), lit(ch))
+    }
+    val squeezed = regexp_replace(entities, "[ \\t]+", " ")
+    val trimmed = regexp_replace(squeezed, "(?m)^ +| +$", "")
+    // outer newlines are markup residue, not document structure
+    regexp_replace(trimmed, "^\\n+|\\n+$", "")
+  }
+
   // ------------------------------------------- text normalization
 
   /** Common UTF-8-read-as-cp1252 mojibake sequences and their

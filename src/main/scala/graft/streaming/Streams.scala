@@ -169,6 +169,7 @@ object Streams {
       docs: DataFrame,
       textCol: String = "text",
       minQuality: Option[Double] = None,
+      stripHtml: Boolean = false,
       normalizeText: Boolean = false,
       gopherRules: Boolean = false,
       c4Rules: Boolean = false,
@@ -185,10 +186,13 @@ object Streams {
     // as the batch Curator): projections + a predicate, so the stream
     // stays stateless with them on — every later signal sees repaired,
     // cleaned text
+    val unHtmled =
+      if (stripHtml) docs.withColumn(textCol, TextAnalysis.stripHtml(col(textCol)))
+      else docs
     val normed =
       if (normalizeText)
-        docs.withColumn(textCol, TextAnalysis.normalizeText(col(textCol)))
-      else docs
+        unHtmled.withColumn(textCol, TextAnalysis.normalizeText(col(textCol)))
+      else unHtmled
     val cleaned =
       if (c4Rules) TextAnalysis.c4Apply(normed, textCol) else normed
     val st = TextAnalysis.stats(col(textCol))

@@ -1514,6 +1514,46 @@ class CliSpec extends SparkTestBase {
         s"state hashed over NORMALIZED text: $ids2")
   }
 
+  test("curator strip-html + max-pii-hits: markup extracted before any text " +
+      "stage; PII-dense directory pages dropped, light PII scrubbed") {
+    import spark.implicits._
+    val base = tmp()
+    // letters-only filler: digit runs would trip the phone/IP rules
+    // and make the PII count depend on hash luck
+    def word(seed: String) =
+      f"${scala.util.hashing.MurmurHash3.stringHash(seed)}%08x"
+        .map(c => if (c.isDigit) ('g' + (c - '0')).toChar else c)
+    def prose(i: Long) = (0 until 30).map(j => word(s"h$i-$j")).mkString(" ")
+    val docs = Seq(
+      // HTML page: markup must be gone from the output text
+      (1L, s"<html><body><p>${prose(1L)}</p><script>var x=1;</script></body></html>"),
+      // light PII (1 email): survives the gate, gets scrubbed
+      (2L, s"${prose(2L)} contact bob@example.com thanks"),
+      // PII-dense directory page (6 emails): dropped by the gate
+      (3L, (0 until 6).map(k => s"user$k@example.com").mkString(" ") + " " + prose(3L)))
+      .toDF("doc_id", "text")
+    val src = base.resolve("hsrc").toString
+    docs.write.parquet(src)
+    val out = base.resolve("hout").toString
+    val f = write(base.resolve("curator_html.conf"),
+      s"""source { storage-type = local, dataset-dir = $src }
+         |target { storage-type = local, dataset-dir = $out, dataset-store-format = parquet, write-mode = overwrite }
+         |curation {
+         |  min-quality = 0.0
+         |  strip-html = true
+         |  max-pii-hits = 3
+         |  redact = true
+         |}
+         |""".stripMargin)
+    graft.cli.Curator.main(Array("--conf", f))
+    val rows = spark.read.parquet(out).select("doc_id", "text")
+      .as[(Long, String)].collect().toMap
+    assert(rows.keySet == Set(1L, 2L), s"directory page must drop: ${rows.keySet}")
+    assert(rows(1L) == prose(1L), s"markup must be extracted: '${rows(1L).take(60)}'")
+    assert(rows(2L).contains("<EMAIL>") && !rows(2L).contains("bob@"),
+      "light PII scrubbed after the density gate")
+  }
+
   test("curator domain gate: blocklisted domains (and their subdomains) drop " +
       "BEFORE any text stage — dedup state covers admitted docs only") {
     import org.apache.spark.sql.functions._

@@ -382,6 +382,27 @@ class TextAnalysisSpec extends SparkTestBase {
     assert(k, "5 words + 1 stopword passes with relaxed thresholds")
   }
 
+  test("stripHtml: blocks dropped, breaks become lines, tags stripped, " +
+      "entities decoded in order, whitespace squeezed") {
+    def strip(s: String): String =
+      Seq((1L, s)).toDF("doc_id", "text")
+        .select(TextAnalysis.stripHtml(col("text")).as("t"))
+        .collect().head.getString(0)
+    assert(strip("<p>Hello <b>world</b></p><div>bye</div>") == "Hello world\nbye")
+    assert(strip("<script>if (a < b) alert('x');</script>keep") == "keep",
+      "script content (even with '<') must vanish wholesale")
+    assert(strip("<style>.c { color: red }</style>keep") == "keep")
+    assert(strip("a<!-- no -->b") == "ab")
+    assert(strip("one&nbsp;two &amp; three &lt;tag&gt;") == "one two & three <tag>")
+    assert(strip("&amp;lt;") == "&lt;",
+      "&amp; decodes LAST: double-escaped stays single-escaped")
+    assert(strip("x   y\t\tz") == "x y z", "space runs squeeze")
+    assert(strip("  <h1>Padded</h1>  next  ") == "Padded\nnext",
+      "lines trim at both ends")
+    assert(strip("line<br>break<br/>both") == "line\nbreak\nboth")
+    assert(strip("no markup at all.") == "no markup at all.")
+  }
+
   test("normalizeText: mojibake (both cp1252 and latin-1 renderings) repaired, " +
       "CRLF and controls cleaned, NFC composed, idempotent") {
     def norm(s: String): String =
