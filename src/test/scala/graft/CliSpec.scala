@@ -1554,6 +1554,56 @@ class CliSpec extends SparkTestBase {
       "light PII scrubbed after the density gate")
   }
 
+  test("curator web-ingest chain: strip-html + normalize-text + c4 + gopher " +
+      "+ budget compose in one config, each stage catching its own class") {
+    import org.apache.spark.sql.functions.{col, sum}
+    import spark.implicits._
+    val base = tmp()
+    // C4/Gopher-passing prose: stopworded sentences, terminal punct
+    def prose(i: Long) = (0 until 8).map(j =>
+      s"the data value v$i$j holds with care and that is good to have.").mkString(" ")
+    val docs = Seq(
+      // 1: healthy page wrapped in markup + mojibake — must survive,
+      // fully cleaned
+      (1L, s"<html><body><p>${prose(1L)} caf\u00c3\u00a9 bonus.</p>" +
+        "<script>var x=1;</script></body></html>"),
+      // 2: page whose text is one long unterminated line — C4 drops it
+      (2L, prose(2L).replace(".", "")),
+      // 3: bullet-list page — Gopher drops it
+      (3L, (0 until 60).map(j => s"- item v3$j the of and that with have").mkString("\n")),
+      // 4: healthy page in a zero-budget source
+      (4L, prose(4L)))
+      .toDF("doc_id", "text")
+      .withColumn("source",
+        org.apache.spark.sql.functions.when(col("doc_id") === 4L, "blocked")
+          .otherwise("web"))
+    val src = base.resolve("wsrc").toString
+    docs.write.parquet(src)
+    val out = base.resolve("wout").toString
+    val f = write(base.resolve("curator_web.conf"),
+      s"""source { storage-type = local, dataset-dir = $src }
+         |target { storage-type = local, dataset-dir = $out, dataset-store-format = parquet, write-mode = overwrite }
+         |curation {
+         |  min-quality = 0.0
+         |  strip-html = true
+         |  normalize-text = true
+         |  c4-rules = true
+         |  gopher-rules = true
+         |  token-budgets { blocked = 0 }
+         |}
+         |""".stripMargin)
+    graft.cli.Curator.main(Array("--conf", f))
+    val rows = spark.read.parquet(out).select("doc_id", "text")
+      .as[(Long, String)].collect().toMap
+    assert(rows.keySet == Set(1L),
+      s"unterminated/bullet/zero-budget pages must drop: ${rows.keySet}")
+    val t = rows(1L)
+    assert(!t.contains("<") && !t.contains("var x"), "markup extracted")
+    assert(t.contains("caf\u00e9") && !t.contains("caf\u00c3"),
+      "mojibake repaired before hashing")
+    assert(t.endsWith("caf\u00e9 bonus."), s"retained lines rejoined: '${t.takeRight(40)}'")
+  }
+
   test("curator domain gate: blocklisted domains (and their subdomains) drop " +
       "BEFORE any text stage — dedup state covers admitted docs only") {
     import org.apache.spark.sql.functions._
