@@ -75,6 +75,42 @@ object FnBench {
     time("span hashes native")(docs20.select(
       call_function("graft_span_hashes", col("text"), lit(10)).as("s")))
 
+    // round-8 scan stages: HTML extraction + normalization throughput
+    // (regex/replace chains over ~200-char docs; ASCII fast path for
+    // NFC since the corpus is already normalized — the common case)
+    val html = docs20.select(concat(
+      lit("<html><body><p>"), col("text"),
+      lit("</p><script>var x=1;</script><div>tail</div></body></html>")).as("text"))
+      .cache()
+    html.count()
+    time("stripHtml")(html.select(
+      graft.llm.TextAnalysis.stripHtml(col("text")).as("t")))
+    time("normalizeText")(docs20.select(
+      graft.llm.TextAnalysis.normalizeText(col("text")).as("t")))
+    html.unpersist()
+
+    // PQ kernels: native vs HOF reference (encode is the index-build
+    // cost per vector; ADC the probe cost per code row)
+    val cb = graft.llm.Similarity.pqTrain(emb, m = 8, k = 32, maxIter = 4)
+    val emb20 = (1 to 20).map(_ => emb).reduce(_ union _).cache()
+    emb20.count()
+    time("pqEncode HOF")(graft.llm.Similarity.pqEncodeRef(emb20, cb))
+    time("pqEncode native")(graft.llm.Similarity.pqEncode(emb20, cb))
+    val codes = graft.llm.Similarity.pqEncode(emb, cb).cache()
+    codes.count()
+    val qlut = emb.limit(50)
+      .select(col("vec_id").as("query_id"), col("embedding").as("__qv"))
+      .withColumn("__lut", graft.llm.Similarity.adcLut(col("__qv"), cb))
+      .withColumn("__qnorm", graft.llm.Similarity.norm2(col("__qv")))
+      .select("query_id", "__lut", "__qnorm")
+    val adcPairs = codes.crossJoin(broadcast(qlut)).cache()
+    adcPairs.count()
+    time("pqAdc HOF")(adcPairs.select(
+      graft.llm.Similarity.adcCosineRef(col("pq_codes"), col("__lut"), col("__qnorm"), cb).as("c")))
+    time("pqAdc native")(adcPairs.select(
+      graft.functions.PqAdc.cosine(col("pq_codes"), col("__lut"), col("__qnorm"), cb.normSqArr).as("c")))
+    adcPairs.unpersist(); codes.unpersist(); emb20.unpersist()
+
     spark.stop()
   }
 }
