@@ -227,6 +227,33 @@ class StreamsSpec extends SparkTestBase {
       !plan.contains("Join"), s"c4 stream must be stateless:\n$plan")
   }
 
+  test("filterDocStream strip-html + normalize: markup extracted and mojibake " +
+      "repaired in-stream before any signal; still stateless") {
+    import spark.implicits._
+    val prose = "It was a fine day. The dog barked loudly! Was it fun? " +
+      "Yes it was. All good."
+    val dir = s"${java.nio.file.Files.createTempDirectory("stream_html")}/docs"
+    Seq(
+      (1L, s"<html><body><p>$prose caf\u00c3\u00a9 bonus.</p>" +
+        "<script>var x=1;</script></body></html>"))
+      .toDF("doc_id", "text").write.parquet(dir)
+    def stream() = spark.readStream
+      .schema(spark.read.parquet(dir).schema).parquet(dir)
+    val got = Streams.runToMemory(
+      Streams.filterDocStream(stream(), "text",
+        stripHtml = true, normalizeText = true, c4Rules = true),
+      "html_docs", OutputMode.Append())
+    val rows = got.select("doc_id", "text").as[(Long, String)].collect().toMap
+    assert(rows.keySet == Set(1L))
+    assert(rows(1L) == s"$prose caf\u00e9 bonus.",
+      s"extracted+repaired in-stream: '${rows(1L).take(60)}'")
+    val plan = Streams.filterDocStream(stream(), "text",
+      stripHtml = true, normalizeText = true, c4Rules = true)
+      .queryExecution.analyzed.toString
+    assert(!plan.contains("Aggregate") && !plan.contains("Join"),
+      s"the ingest chain must stay stateless:\n$plan")
+  }
+
   test("dropSeenStream: corpus-seen and in-stream duplicate texts dropped; batch parity") {
     import spark.implicits._
     import graft.llm.Dedup
