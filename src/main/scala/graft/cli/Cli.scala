@@ -1877,3 +1877,59 @@ object Indexer {
     }
   }
 }
+
+/** `differ` (reference `datadiff.py` as an operational CLI): config-
+  * driven distribution-drift check between two datasets — the nightly
+  * "has the corpus/feature distribution moved" gate, with a report
+  * artifact and a nonzero exit on breach so schedulers can alert.
+  *
+  * Config: `source { }` (the dataset under test), `reference { }`
+  * (the baseline — yesterday's snapshot, the training-time
+  * distribution), and `diff { }`:
+  *  - `discrete-columns = [...]`: hashed-histogram TVD per column;
+  *  - `continuous-columns = [...]`: equi-width-binned TVD on the
+  *    REFERENCE's range (`sketch = true` switches to the one-scan
+  *    mergeable-sketch form — the 100 TB shape);
+  *  - `max-bins` (default 1000);
+  *  - `report-dir`: per-column parquet report, written BEFORE any
+  *    breach is raised (operators need the artifact most when it
+  *    fails);
+  *  - `max-drift`: threshold — any column above it fails the run
+  *    AFTER all columns are measured and reported. */
+object Differ {
+  def main(args: Array[String]): Unit = Cli.run("differ", args) { (conf, spark) =>
+    import graft.datadiff.DataDiff
+    val cur = graft.sources.DataIO.read(spark, conf.at("source"))
+    val ref = graft.sources.DataIO.read(spark, conf.at("reference"))
+    val c = conf.at("diff")
+    val discrete = c.getList("discrete-columns").getOrElse(Nil)
+    val continuous = c.getList("continuous-columns").getOrElse(Nil)
+    require(discrete.nonEmpty || continuous.nonEmpty,
+      "diff.discrete-columns and/or diff.continuous-columns must name columns")
+    val maxBins = c.getInt("max-bins").getOrElse(1000)
+    val useSketch = c.getBoolean("sketch").getOrElse(false)
+    val rows =
+      discrete.map { cn =>
+        (cn, "tvd_discrete", DataDiff.discreteComparator(ref, cn, cur, cn, maxBins))
+      } ++ continuous.map { cn =>
+        val d =
+          if (useSketch) DataDiff.continuousComparatorSketch(ref, cn, cur, cn, maxBins)
+          else DataDiff.continuousComparator(ref, cn, cur, cn, maxBins)
+        (cn, if (useSketch) "tvd_sketch" else "tvd_continuous", d)
+      }
+    rows.foreach { case (cn, m, d) => Cli.log(f"drift $cn ($m): $d%.6f") }
+    c.getString("report-dir").foreach { rdir =>
+      import spark.implicits._
+      rows.toDF("column", "metric", "drift")
+        .coalesce(1).write.mode("overwrite").parquet(rdir)
+      Cli.log(s"drift report written to $rdir")
+    }
+    c.getDouble("max-drift").foreach { thr =>
+      val breaches = rows.filter(_._3 > thr)
+      if (breaches.nonEmpty)
+        throw new IllegalStateException(
+          s"drift above ${thr} on ${breaches.map(b => f"${b._1}=${b._3}%.4f").mkString(", ")}" +
+            " — distribution moved beyond the configured gate")
+    }
+  }
+}

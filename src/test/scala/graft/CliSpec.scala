@@ -665,6 +665,54 @@ class CliSpec extends SparkTestBase {
       s"scale form lands in the budget band: $gotS")
   }
 
+  test("differ: zero drift on identical data passes; a shifted dataset " +
+      "breaches the gate AFTER the report is written") {
+    import org.apache.spark.sql.functions.col
+    val base = tmp()
+    val refDir = base.resolve("dref").toString
+    val sameDir = base.resolve("dsame").toString
+    val shiftDir = base.resolve("dshift").toString
+    val li = spark.read.parquet(s"$sfDir/lineitem.parquet")
+      .select("l_returnflag", "l_quantity")
+    li.write.parquet(refDir)
+    li.write.parquet(sameDir)
+    // shifted copy: quantities doubled, flags collapsed to one value
+    li.select(org.apache.spark.sql.functions.lit("X").as("l_returnflag"),
+        (col("l_quantity") * 2).as("l_quantity"))
+      .write.parquet(shiftDir)
+    def conf(name: String, srcDir: String, extra: String) =
+      write(base.resolve(s"$name.conf"),
+        s"""source { storage-type = local, dataset-dir = $srcDir }
+           |reference { storage-type = local, dataset-dir = $refDir }
+           |diff {
+           |  discrete-columns = [l_returnflag]
+           |  continuous-columns = [l_quantity]
+           |  report-dir = ${base.resolve(s"rep_$name")}
+           |  max-drift = 0.1
+           |$extra
+           |}
+           |""".stripMargin)
+    graft.cli.Differ.main(Array("--conf", conf("same", sameDir, "")))
+    val rep = spark.read.parquet(base.resolve("rep_same").toString)
+      .collect().map(r => r.getString(0) -> r.getDouble(2)).toMap
+    assert(rep.keySet == Set("l_returnflag", "l_quantity"))
+    assert(rep.values.forall(_ == 0.0), s"identical data must show zero drift: $rep")
+    val err = intercept[IllegalStateException] {
+      graft.cli.Differ.main(Array("--conf", conf("shift", shiftDir, "")))
+    }
+    assert(err.getMessage.contains("l_returnflag"), err.getMessage)
+    // the artifact landed BEFORE the breach was raised
+    val rep2 = spark.read.parquet(base.resolve("rep_shift").toString)
+      .collect().map(r => r.getString(0) -> r.getDouble(2)).toMap
+    assert(rep2("l_returnflag") > 0.5, s"collapsed flags must drift hard: $rep2")
+    // sketch form agrees on the continuous column within tolerance
+    graft.cli.Differ.main(Array("--conf",
+      conf("sk", sameDir, "  sketch = true")))
+    val rep3 = spark.read.parquet(base.resolve("rep_sk").toString)
+      .collect().map(r => r.getString(0) -> r.getDouble(2)).toMap
+    assert(rep3("l_quantity") <= 0.05, s"sketch drift on identical data: $rep3")
+  }
+
   test("curator stage log: the artifact covers every enabled stage in run " +
       "order with seconds and observed row counts") {
     import org.apache.spark.sql.functions._
