@@ -1626,7 +1626,9 @@ object Compactor {
   * explicit override that diverges from it is rejected
   * (`max-hamming` is a query-time radius, not baked into state).
   * `filter` is stateless curation-lite over a document stream —
-  * `min-quality`/`langs`/`max-repetition`(+`repetition-ngram`)/
+  * `strip-html`/`normalize-text` (the ingest rewrites, applied first),
+  * `min-quality`/`gopher-rules`/`c4-rules`/`langs`/
+  * `max-repetition`(+`repetition-ngram`)/
   * `lm-path`+`min-lm-logp`/`kn3-path`+`min-kn3-logp`/
   * `classifier-path`+`min-classifier-score`, the Curator's scan-speed
   * stages at arrival time; floors omitted = annotate only. */
