@@ -283,6 +283,15 @@ object DataIO {
         // whole hash range. Readers (Spark included) skip row groups
         // whose bloom excludes the probed value; ~1 bit/row-ish of file
         // overhead at the default FPP. Parquet-only by construction.
+        // `max-records-per-file`: cap rows per output file WITHOUT
+        // changing partitioning (Spark splits a partition's write into
+        // multiple files) — the trainer-facing shard-size knob; files
+        // stay deterministic under the deterministic export shuffle
+        // because row order within partitions is what it caps.
+        conf.getInt("max-records-per-file").foreach { n =>
+          require(n > 0, s"max-records-per-file must be positive, got $n")
+          w = w.option("maxRecordsPerFile", n.toLong)
+        }
         conf.getList("bloom-filter-columns").foreach { cols =>
           require(fmt == "parquet",
             s"bloom-filter-columns requires dataset-store-format = parquet, got $fmt")

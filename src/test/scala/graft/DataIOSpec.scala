@@ -134,6 +134,31 @@ class DataIOSpec extends SparkTestBase {
     assert(back.count() == 25)
   }
 
+  test("max-records-per-file caps shard size without changing row content") {
+    val dir = tmp() + "/shards"
+    val df = spark.read.parquet(s"$sfDir/orders.parquet")
+    DataIO.write(df, GraftConfig.parse(
+      s"""storage-type = local
+         |dataset-dir = "$dir"
+         |dataset-store-format = parquet
+         |n-partitions = 2
+         |max-records-per-file = 100""".stripMargin))
+    val files = new java.io.File(dir).listFiles()
+      .filter(_.getName.endsWith(".parquet"))
+    assert(files.length > 2, s"partitions must split into shards: ${files.length}")
+    files.foreach { f =>
+      val n = spark.read.parquet(f.getAbsolutePath).count()
+      assert(n <= 100, s"${f.getName} holds $n rows")
+    }
+    assert(spark.read.parquet(dir).count() == df.count())
+    intercept[IllegalArgumentException] {
+      DataIO.write(df, GraftConfig.parse(
+        s"""storage-type = local
+           |dataset-dir = "$dir-bad"
+           |max-records-per-file = 0""".stripMargin))
+    }
+  }
+
   test("bloom-filter-columns: parquet footers carry blooms for the listed " +
       "columns only; non-parquet formats rejected") {
     val dir = tmp() + "/bloomout"
