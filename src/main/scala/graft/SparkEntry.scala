@@ -2868,15 +2868,18 @@ object SparkEntry {
          |    '<ul><li>item one</li><li>item&#39;s two</li></ul>' ||
          |    '<br/>tail text</body></html>' AS t
          |  FROM documents),
+         |s0 AS (SELECT doc_id,
+         |  regexp_replace(t, '\\r\\n?', chr(10), 'g') AS t FROM p),
          |s1 AS (SELECT doc_id,
          |  regexp_replace(regexp_replace(regexp_replace(t,
          |    '(?is)<script\\b[^>]*>.*?</script\\s*>', '', 'g'),
          |    '(?is)<style\\b[^>]*>.*?</style\\s*>', '', 'g'),
-         |    '(?s)<!--.*?-->', '', 'g') AS t FROM p),
+         |    '(?s)<!--.*?-->', '', 'g') AS t FROM s0),
          |s2 AS (SELECT doc_id, regexp_replace(t,
          |  '(?i)<br\\s*/?>|</p\\s*>|</div\\s*>|</li\\s*>|</h[1-6]\\s*>|</tr\\s*>',
          |  chr(10), 'g') AS t FROM s1),
-         |s3 AS (SELECT doc_id, regexp_replace(t, '<[^>]+>', '', 'g') AS t FROM s2),
+         |s3 AS (SELECT doc_id, regexp_replace(t,
+         |  '</?[A-Za-z][^>]*>|<![A-Za-z][^>]*>', '', 'g') AS t FROM s2),
          |s4 AS (SELECT doc_id, t AS t4 FROM s3),
          |s5 AS (SELECT doc_id, $entityChain AS t FROM s4),
          |s6 AS (SELECT doc_id,

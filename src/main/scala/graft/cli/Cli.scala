@@ -1910,6 +1910,20 @@ object Differ {
       "diff.discrete-columns and/or diff.continuous-columns must name columns")
     val maxBins = c.getInt("max-bins").getOrElse(1000)
     val useSketch = c.getBoolean("sketch").getOrElse(false)
+    // a degenerate reference must fail LOUDLY, not read as zero drift:
+    // an empty/all-null/constant reference column yields < 2 bin edges
+    // and the continuous comparator reports 0.0 — the exact false
+    // negative a nightly gate exists to prevent (a truncated snapshot
+    // would pass every run). Constant columns belong in
+    // discrete-columns, where collapse shows up as drift.
+    continuous.foreach { cn =>
+      val d = ref.select(org.apache.spark.sql.functions.countDistinct(
+        org.apache.spark.sql.functions.col(cn)).as("d")).head.getLong(0)
+      require(d >= 2,
+        s"reference column '$cn' has $d distinct non-null values — binned " +
+          "drift needs >= 2 (empty/corrupted snapshot, or a constant " +
+          "column that belongs in diff.discrete-columns)")
+    }
     val rows =
       discrete.map { cn =>
         (cn, "tvd_discrete", DataDiff.discreteComparator(ref, cn, cur, cn, maxBins))

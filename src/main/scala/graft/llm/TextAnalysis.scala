@@ -461,16 +461,24 @@ object TextAnalysis {
     * at 100 TB. A real parser handles malformed nesting better; this
     * is the deterministic 99% with no dependency. */
   def stripHtml(c: Column): Column = {
+    // line endings first: CR/CRLF → LF, so the multiline trim below
+    // agrees between Java regex and RE2 ('$' before \r\n differs) and
+    // no \r ever reaches the line-level stages (review finding)
+    val unixNl = regexp_replace(c, "\\r\\n?", "\n")
     // no backreferences anywhere: the q108 oracle replays these in
     // RE2, which has none — script and style get separate patterns
-    val noScript = regexp_replace(c,
+    val noScript = regexp_replace(unixNl,
       "(?is)<script\\b[^>]*>.*?</script\\s*>", "")
     val noStyle = regexp_replace(noScript,
       "(?is)<style\\b[^>]*>.*?</style\\s*>", "")
     val noComments = regexp_replace(noStyle, "(?s)<!--.*?-->", "")
     val withBreaks = regexp_replace(noComments,
       "(?i)<br\\s*/?>|</p\\s*>|</div\\s*>|</li\\s*>|</h[1-6]\\s*>|</tr\\s*>", "\n")
-    val noTags = regexp_replace(withBreaks, "<[^>]+>", "")
+    // tag shape matches the browser rule: '<' followed by an optional
+    // '/' and a LETTER (or '!' for doctype) — "1 < n and n > 5" is
+    // prose and survives; "<em>" and "<john@example.com>" are markup
+    // to a browser and are stripped (review finding)
+    val noTags = regexp_replace(withBreaks, "</?[A-Za-z][^>]*>|<![A-Za-z][^>]*>", "")
     val entities = HtmlEntities.foldLeft(noTags) { case (acc, (e, ch)) =>
       replace(acc, lit(e), lit(ch))
     }

@@ -270,6 +270,14 @@ object DataIO {
       df = df.sortWithinPartitions(cols.map(col): _*)
     }
     val storage = storageOf(conf)
+    // file-writer-only knobs fail fast on other sinks — a silently
+    // ignored shard-size contract is worse than an error
+    require(conf.getInt("max-records-per-file").isEmpty ||
+        storage == "local" || storage == "hdfs",
+      s"max-records-per-file applies to local/hdfs file sinks, not $storage")
+    require(conf.getList("bloom-filter-columns").isEmpty ||
+        storage == "local" || storage == "hdfs",
+      s"bloom-filter-columns applies to local/hdfs parquet sinks, not $storage")
     storage match {
       case "local" | "hdfs" => // K1/K2 — file formats; default overwrite (core.py:190,199)
         val fmt = conf.getString("dataset-store-format").getOrElse("orc")

@@ -705,6 +705,21 @@ class CliSpec extends SparkTestBase {
     val rep2 = spark.read.parquet(base.resolve("rep_shift").toString)
       .collect().map(r => r.getString(0) -> r.getDouble(2)).toMap
     assert(rep2("l_returnflag") > 0.5, s"collapsed flags must drift hard: $rep2")
+    // degenerate reference: an all-constant continuous column must
+    // fail loudly, never read as zero drift (review finding)
+    val constDir = base.resolve("dconst").toString
+    li.select(col("l_returnflag"),
+        org.apache.spark.sql.functions.lit(1.0).as("l_quantity"))
+      .write.parquet(constDir)
+    val badConf = write(base.resolve("dbad.conf"),
+      s"""source { storage-type = local, dataset-dir = $sameDir }
+         |reference { storage-type = local, dataset-dir = $constDir }
+         |diff { continuous-columns = [l_quantity], max-drift = 0.1 }
+         |""".stripMargin)
+    val degen = intercept[IllegalArgumentException] {
+      graft.cli.Differ.main(Array("--conf", badConf))
+    }
+    assert(degen.getMessage.contains("distinct"), degen.getMessage)
     // sketch form agrees on the continuous column within tolerance
     graft.cli.Differ.main(Array("--conf",
       conf("sk", sameDir, "  sketch = true")))

@@ -157,6 +157,15 @@ class DataIOSpec extends SparkTestBase {
            |dataset-dir = "$dir-bad"
            |max-records-per-file = 0""".stripMargin))
     }
+    // file-only knobs fail fast on non-file sinks instead of being
+    // silently ignored (review finding)
+    val e = intercept[IllegalArgumentException] {
+      DataIO.write(df, GraftConfig.parse(
+        """storage-type = hive
+          |table = t
+          |max-records-per-file = 100""".stripMargin))
+    }
+    assert(e.getMessage.contains("local/hdfs"), e.getMessage)
   }
 
   test("bloom-filter-columns: parquet footers carry blooms for the listed " +

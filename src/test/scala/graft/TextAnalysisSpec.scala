@@ -401,6 +401,13 @@ class TextAnalysisSpec extends SparkTestBase {
       "lines trim at both ends")
     assert(strip("line<br>break<br/>both") == "line\nbreak\nboth")
     assert(strip("no markup at all.") == "no markup at all.")
+    // review-fix pins: prose '<'/'>' survives (tags must start with a
+    // letter, '/', or '!'); browsers treat <john@...> as a tag and so
+    // do we; CRLF normalizes so the line trim is engine-agnostic
+    assert(strip("for 1 < n and n > 5 it holds") == "for 1 < n and n > 5 it holds")
+    assert(strip("<!DOCTYPE html>x") == "x")
+    assert(strip("John <john@example.com> wrote") == "John wrote")
+    assert(strip("a \r\nb<br>c") == "a\nb\nc", "CRLF cleaned, trailing space trimmed")
   }
 
   test("normalizeText: mojibake (both cp1252 and latin-1 renderings) repaired, " +
