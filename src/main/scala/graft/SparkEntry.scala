@@ -2928,7 +2928,7 @@ object SparkEntry {
          |  FROM documents),
          |r AS (SELECT doc_id, $chain AS t FROM p),
          |n AS (SELECT doc_id,
-         |  regexp_replace(replace(t, chr(13) || chr(10), chr(10)),
+         |  regexp_replace(regexp_replace(t, '\\r\\n?', chr(10), 'g'),
          |    '[\\x00-\\x08\\x0B-\\x1F\\x7F-\\x9F]', '', 'g') AS t FROM r)
          |SELECT doc_id, nfc_normalize(t) AS text_norm,
          |  length(nfc_normalize(t)) AS n_chars

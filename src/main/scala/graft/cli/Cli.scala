@@ -1859,7 +1859,13 @@ object Indexer {
       val cells = model.clusterCenters.length
       val k = c.getInt("recall-k").getOrElse(10)
       val nprobe = c.getInt("recall-nprobe").getOrElse(math.max(1, cells / 4))
-      val queries = corpus.select(col(idCol), col(vecCol)).orderBy(col(idCol)).limit(nQ)
+      // deterministic hash-ordered sample over the WHOLE corpus: an
+      // id-ordered prefix would always probe the oldest (build-time)
+      // vectors and never observe drift in appended data — the one
+      // thing the monitor exists to catch (review finding)
+      val queries = corpus.select(col(idCol), col(vecCol))
+        .orderBy(graft.operators.Ops.hashDigestCol(col(idCol), "recall"), col(idCol))
+        .limit(nQ)
       val brute = Similarity.bruteForceTopK(queries, corpus, k, idCol, vecCol)
         .select("query_id", "neighbor_id")
       val probe =
@@ -1916,13 +1922,16 @@ object Differ {
     // negative a nightly gate exists to prevent (a truncated snapshot
     // would pass every run). Constant columns belong in
     // discrete-columns, where collapse shows up as drift.
-    continuous.foreach { cn =>
-      val d = ref.select(org.apache.spark.sql.functions.countDistinct(
-        org.apache.spark.sql.functions.col(cn)).as("d")).head.getLong(0)
-      require(d >= 2,
-        s"reference column '$cn' has $d distinct non-null values — binned " +
-          "drift needs >= 2 (empty/corrupted snapshot, or a constant " +
-          "column that belongs in diff.discrete-columns)")
+    if (continuous.nonEmpty) {
+      import org.apache.spark.sql.functions.{col => fcol, countDistinct}
+      val counts = ref.agg(countDistinct(fcol(continuous.head)),
+        continuous.tail.map(cn => countDistinct(fcol(cn))): _*).head
+      continuous.zipWithIndex.foreach { case (cn, i) =>
+        require(counts.getLong(i) >= 2,
+          s"reference column '$cn' has ${counts.getLong(i)} distinct non-null " +
+            "values — binned drift needs >= 2 (empty/corrupted snapshot, or a " +
+            "constant column that belongs in diff.discrete-columns)")
+      }
     }
     val rows =
       discrete.map { cn =>

@@ -98,6 +98,13 @@ object PqEncodeImpl {
   def encode(v: ArrayData, isFloat: Boolean,
       cents: Array[Array[Array[Float]]], subDim: Int): ArrayData = {
     val m = cents.length
+    // dim contract up front: an unchecked read past a short vector's
+    // end would silently emit garbage codes into a persisted code
+    // table (UnsafeArrayData does not bounds-check) — review finding
+    if (v.numElements() != m * subDim)
+      throw new IllegalArgumentException(
+        s"graft_pq_encode: vector has ${v.numElements()} elements, " +
+          s"codebook expects ${m * subDim} (m=$m × subDim=$subDim)")
     val out = new Array[Int](m)
     var mi = 0
     while (mi < m) {

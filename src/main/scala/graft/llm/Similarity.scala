@@ -596,10 +596,16 @@ object Similarity {
       vecCol: String = "embedding"): DataFrame = {
     require(oversample >= 1, s"oversample must be >= 1, got $oversample")
     val (probedDf, cells) = probeCells(queries, model, nprobe, idCol, vecCol)
-    val qlut = probedDf
+    // LUT/qnorm once per QUERY, not per (query, cell) row: the m×k
+    // table is the expensive projection and the broadcast payload —
+    // nprobe duplicate copies per query would multiply both (review
+    // finding). Both frames are probe-contract tiny; the join is local.
+    val perQuery = probedDf.select("query_id", "__qv").dropDuplicates("query_id")
       .withColumn("__lut", adcLut(col("__qv"), codebook))
       .withColumn("__qnorm", norm2(col("__qv")))
-      .select("query_id", "cell", "__lut", "__qnorm")
+      .select("query_id", "__lut", "__qnorm")
+    val qlut = probedDf.select("query_id", "cell")
+      .join(perQuery, Seq("query_id"))
     val c = taggedCodes
       .filter(col("cell").isin(cells: _*))
       .select(col(idCol).as("neighbor_id"), col("cell"), col("pq_codes"))

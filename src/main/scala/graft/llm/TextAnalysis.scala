@@ -550,7 +550,10 @@ object TextAnalysis {
     val repaired = MojibakeRepairs.foldLeft(c) { case (acc, (bad, good)) =>
       replace(acc, lit(bad), lit(good))
     }
-    val unixNl = regexp_replace(repaired, "\\r\\n", "\n")
+    // CR or CRLF -> LF: a lone \r must become a line break, not be
+    // deleted by the control strip below (which would fuse words and
+    // give the CR-only twin a different canonical form)
+    val unixNl = regexp_replace(repaired, "\\r\\n?", "\n")
     val stripped = regexp_replace(unixNl,
       "[\\x00-\\x08\\x0B-\\x1F\\x7F-\\x9F]", "")
     graft.functions.GraftFunctions.nfc(stripped)

@@ -530,6 +530,17 @@ class SimilaritySpec extends SparkTestBase {
       emb.select(graft.functions.PqAdc.encode(col("vec_id"), cb.centroids, cb.subDim))
         .collect()
     }
+    // a dim-mismatched vector fails loudly instead of reading past the
+    // buffer into garbage codes (review finding)
+    import spark.implicits._
+    val short = Seq((1L, Array.fill(8)(0.5f))).toDF("vec_id", "embedding")
+    val err = intercept[Exception] {
+      Similarity.pqEncode(short, cb).collect()
+    }
+    assert(err.getMessage != null &&
+      (err.getMessage.contains("codebook expects") ||
+        Option(err.getCause).exists(_.getMessage.contains("codebook expects"))),
+      s"want the dim-contract error, got: ${err.getMessage}")
   }
 
   test("pqSave/pqLoad/pqEnsure: codebook round-trips; ensure loads the artifact") {

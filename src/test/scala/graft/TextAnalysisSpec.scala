@@ -425,6 +425,10 @@ class TextAnalysisSpec extends SparkTestBase {
       "it\u2019s \u2013 fine")
     // CRLF -> LF; bare controls stripped; tab and newline kept
     assert(norm("a\r\nb\u0007c\td\u009fe") == "a\nbc\tde")
+    // a LONE \r is a line ending too (classic-Mac scrapes): it must
+    // become \n, never be strip-deleted into fused words — the CR-only
+    // twin of an LF document must share ONE canonical form
+    assert(norm("First line.\rSecond line.") == "First line.\nSecond line.")
     // NFC: combining acute composes; already-NFC text unchanged
     assert(norm("e\u0301tude") == "\u00e9tude")
     assert(norm("plain ascii text") == "plain ascii text")
