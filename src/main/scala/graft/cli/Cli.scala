@@ -1770,10 +1770,11 @@ object Trainer {
   *  - `pq-m`/`pq-k`: also persist byte-sized PQ codes per cell plus the
   *    codebook artifact — probes then scan codes, not raw floats
   *  - `recall-queries` (default 0): after commit, report IVF(-PQ)
-  *    recall-vs-brute over that many sampled queries to
+  *    recall-vs-brute over that many digest-sampled queries to
   *    `index-dir/recall` (+ `recall-k`/`recall-nprobe`/
   *    `recall-oversample`) — the monitor that tells an operator when
-  *    drift warrants a rebuild
+  *    drift warrants a rebuild; `min-recall` turns it into a GATE
+  *    (report lands first, then a breach exits nonzero)
   *
   * Durability is the [[graft.llm.Similarity.ivfEnsure]] marker
   * protocol: `_BUILT` comes down before an append and back up after,
@@ -1882,6 +1883,15 @@ object Indexer {
       recall.unpersist()
       Cli.log(f"index recall@$k (nprobe=$nprobe): avg $avgR%.4f over $nQ " +
         s"queries -> $indexDir/recall")
+      // `min-recall`: the monitor as an operator GATE — the report is
+      // already on disk, so a breach exits nonzero for schedulers to
+      // alert on (the Differ's max-drift convention)
+      c.getDouble("min-recall").foreach { floor =>
+        if (avgR < floor)
+          throw new IllegalStateException(
+            f"index recall $avgR%.4f below the $floor gate — centroids/" +
+              "codebook no longer fit the data; rebuild the index")
+      }
     }
   }
 }

@@ -2143,6 +2143,29 @@ class CliSpec extends SparkTestBase {
       graft.cli.Indexer.main(Array("--conf", conf("build", embSrc, pq = true, recallQ = 0)))
     }
     assert(err2.getMessage.contains("already built"), err2.getMessage)
+    // min-recall gate: an impossible floor breaches AFTER the report
+    // lands (full-probe recall is 1.0, so floor 1.01 must trip)
+    val gateConf = write(base.resolve("idx_gate.conf"),
+      s"""index {
+         |  embeddings-dir = $embSrc
+         |  index-dir = $idx
+         |  mode = append
+         |  pq-m = 8
+         |  pq-k = 16
+         |  recall-queries = 3
+         |  recall-nprobe = 8
+         |  recall-oversample = 100
+         |  min-recall = 1.01
+         |}
+         |""".stripMargin)
+    val gate = intercept[IllegalStateException] {
+      graft.cli.Indexer.main(Array("--conf", gateConf))
+    }
+    assert(gate.getMessage.contains("rebuild"), gate.getMessage)
+    // (this append re-used the original ids, so the digest sample may
+    // collapse duplicates — presence, not count, is the contract here)
+    assert(spark.read.parquet(s"$idx/recall").count() >= 1,
+      "the recall artifact must land before the gate trips")
   }
 
   test("compactor size tier: only the small-tail parts merge; the big part " +
