@@ -2805,7 +2805,7 @@ object SparkEntry {
       """WITH t AS (
         |  SELECT doc_id, text,
         |    regexp_extract_all(trim(text), '\S+') AS toks,
-        |    string_split(text, chr(10)) AS lines
+        |    regexp_split_to_array(text, '\r?\n') AS lines
         |  FROM documents),
         |c AS (
         |  SELECT doc_id,

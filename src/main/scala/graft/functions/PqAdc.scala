@@ -33,13 +33,23 @@ object PqAdcImpl {
   def cosine(codes: ArrayData, lut: ArrayData,
       normSq: Array[Array[Double]], qnorm: Double): Double = {
     val m = codes.numElements()
+    // dim contract up front (mirrors the encode-path guard): codes
+    // persisted under a smaller-m codebook would otherwise score the
+    // cosine of a PREFIX reconstruction — wrong but plausible-looking
+    if (m != normSq.length)
+      throw new IllegalArgumentException(
+        s"graft_pq_adc: codes have $m subspaces, codebook expects ${normSq.length}")
     var ip = 0.0
     var ns = 0.0
     var i = 0
     while (i < m) {
       val c = codes.getInt(i)
+      val row = normSq(i)
+      if (c < 0 || c >= row.length)
+        throw new IllegalArgumentException(
+          s"graft_pq_adc: code $c out of range for k=${row.length} (subspace $i)")
       ip += lut.getArray(i).getDouble(c)
-      ns += normSq(i)(c)
+      ns += row(c)
       i += 1
     }
     ip / (qnorm * math.sqrt(ns))

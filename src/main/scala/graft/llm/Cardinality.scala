@@ -131,6 +131,12 @@ object Cardinality {
 
   // -------------------------------------- frequent-items (heavy hitters)
 
+  /** Sentinel under which [[freqState]] counts NULL values: the NUL
+    * prefix keeps it outside any printable value's range, so a column
+    * that genuinely holds the string "null" stays distinguishable in
+    * persisted heavy-hitter state. */
+  val NullItem: String = "\u0000<null>"
+
   /** One batch's heavy-hitter state: for each named value column, the
     * Misra–Gries top sketch of its values ([[graft.functions.FreqSketch]]
     * — estimated counts, hard k-entry bound, every estimate
@@ -142,14 +148,18 @@ object Cardinality {
     * `(value_column, k, items array<struct<item, count>>)` — the same
     * schema [[mergeFreqStates]] returns, so lifetime state persists
     * under the incremental protocol like `cardsketch`. Null values are
-    * counted under the literal item "null" (a data-card signal worth
-    * surfacing, and it keeps the state frame null-free). */
+    * counted under [[NullItem]] — a NUL-prefixed sentinel that
+    * no printable source value can collide with (the literal string
+    * "null" is a plausible value in CSV-ingested string columns, and
+    * the conflation would persist into lifetime state where it could
+    * never be untangled — review finding). [[freqReport]] surfaces the
+    * sentinel as a real SQL NULL plus an `is_null` flag. */
   def freqState(df: DataFrame, valueCols: Seq[String], k: Int = 64): DataFrame = {
     require(valueCols.nonEmpty, "freqState needs at least one value column")
     require(k > 0, s"freqState k must be positive, got $k")
     val pairs = df.select(explode(array(valueCols.map(cn =>
         struct(lit(cn).as("value_column"),
-          coalesce(col(cn).cast("string"), lit("null")).as("__v"))): _*)).as("e"))
+          coalesce(col(cn).cast("string"), lit(NullItem)).as("__v"))): _*)).as("e"))
       .select(col("e.value_column"), col("e.__v"))
     pairs.groupBy("value_column")
       .agg(graft.functions.FreqSketch.sketch(col("__v"), k).as("items"))
@@ -198,12 +208,18 @@ object Cardinality {
   }
 
   /** Human-readable heavy hitters from a state frame: one row per
-    * (value_column, item) with its rank and estimated count. */
+    * (value_column, item) with its rank and estimated count. The
+    * [[NullItem]] sentinel surfaces as a real SQL NULL item plus
+    * `is_null = true`, so a report consumer never sees the NUL byte
+    * and a genuine string "null" stays `is_null = false`. */
   def freqReport(state: DataFrame): DataFrame =
     state.select(col("value_column"),
         posexplode(col("items")).as(Seq("__pos", "e")))
       .select(col("value_column"), (col("__pos") + 1).as("rank"),
-        col("e.item").as("item"), col("e.count").as("estimate"))
+        when(col("e.item") === NullItem, lit(null)).otherwise(col("e.item"))
+          .as("item"),
+        (col("e.item") === NullItem).as("is_null"),
+        col("e.count").as("estimate"))
 
   // -------------------------------------------- contamination budget
 

@@ -388,7 +388,11 @@ object TextAnalysis {
     // length delta is a multiple of 3 and the double division is exact
     val nEllipsis = (length(c) - length(regexp_replace(c, "…", ""))) +
       (length(c) - length(regexp_replace(c, "\\.\\.\\.", ""))) / 3
-    val lines = split(c, "\n")
+    // CRLF-tolerant split (mirrors c4Flags): with normalize-text off, a
+    // Windows-formatted page must not leave a trailing \r on every line
+    // — rtrim strips spaces only, so the ellipsis-line rule could never
+    // fire and bullet/line rules would judge \r-suffixed lines
+    val lines = split(c, "\r?\n")
     val dl = greatest(size(lines), lit(1)).cast("double")
     val nBullet = size(filter(lines,
       l => substring(ltrim(l), 1, 1).isin("•", "‣", "-", "*")))

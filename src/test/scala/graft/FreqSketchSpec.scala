@@ -61,9 +61,12 @@ class FreqSketchSpec extends SparkTestBase {
   }
 
   test("freqState/mergeFreqStates: lifetime counts exact under k; nulls " +
-      "surface as 'null'; k drift rejected; report ranks") {
+      "surface as the non-colliding sentinel; k drift rejected; report ranks") {
     import graft.llm.Cardinality
-    val b1 = Seq(("s0", "en"), ("s0", "en"), ("s1", "de"), ("s0", null))
+    // "null" the STRING is a real value here — it must stay separate
+    // from the NULL row in persisted state (review finding)
+    val b1 = Seq(("s0", "en"), ("s0", "en"), ("s1", "de"), ("s0", null),
+        ("s1", "null"))
       .toDF("source", "lang")
     val b2 = Seq(("s0", "en"), ("s2", "en"), ("s2", "fr")).toDF("source", "lang")
     val s1 = Cardinality.freqState(b1, Seq("source", "lang"), k = 16)
@@ -75,9 +78,18 @@ class FreqSketchSpec extends SparkTestBase {
     // under k lifetime distincts no MG trim ever fires: merged state
     // equals the exact group-by over the union of both batches
     assert(got == Map(
-      ("source", "s0") -> 4L, ("source", "s1") -> 1L, ("source", "s2") -> 2L,
+      ("source", "s0") -> 4L, ("source", "s1") -> 2L, ("source", "s2") -> 2L,
       ("lang", "en") -> 4L, ("lang", "de") -> 1L, ("lang", "fr") -> 1L,
-      ("lang", "null") -> 1L), s"got $got")
+      ("lang", "null") -> 1L,
+      ("lang", Cardinality.NullItem) -> 1L), s"got $got")
+    // the report surfaces the sentinel as SQL NULL + is_null, and the
+    // genuine string "null" stays is_null = false
+    val rep = Cardinality.freqReport(merged)
+      .filter(col("value_column") === "lang")
+      .collect().map(r => (Option(r.getAs[String]("item")),
+        r.getAs[Boolean]("is_null"), r.getAs[Long]("estimate"))).toSet
+    assert(rep.contains((None, true, 1L)), s"report $rep")
+    assert(rep.contains((Some("null"), false, 1L)), s"report $rep")
     // single-frame merge is identity on the entries
     val one = Cardinality.mergeFreqStates(Seq(s1))
     assert(one.count() == s1.count())

@@ -516,6 +516,22 @@ class SimilaritySpec extends SparkTestBase {
       codes.select(graft.functions.PqAdc.cosine(col("pq_codes"), col("pq_codes"),
         lit(1.0), cb.normSqArr)).collect()
     }
+    // codes persisted under a different-m codebook fail loudly instead
+    // of scoring a prefix reconstruction (review finding — the encode
+    // path got this guard earlier; the ADC read path mirrors it)
+    val cbSmall = Similarity.pqTrain(emb, m = 4, k = 16, maxIter = 4)
+    val qS = emb.filter(col("vec_id") < 2)
+      .select(Similarity.adcLut(col("embedding"), cbSmall).as("__lut"),
+        Similarity.norm2(col("embedding")).as("__qnorm"))
+    val mErr = intercept[Exception] {
+      codes.crossJoin(broadcast(qS)).select(
+        graft.functions.PqAdc.cosine(col("pq_codes"), col("__lut"),
+          col("__qnorm"), cbSmall.normSqArr)).collect()
+    }
+    assert(mErr.getMessage != null &&
+      (mErr.getMessage.contains("subspaces") ||
+        String.valueOf(mErr.getCause).contains("subspaces")),
+      s"got: ${mErr.getMessage}")
   }
 
   test("native PQ encoder emits the HOF reference codes exactly") {

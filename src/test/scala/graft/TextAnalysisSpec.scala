@@ -495,6 +495,22 @@ class TextAnalysisSpec extends SparkTestBase {
     assert(!out(2L).getAs[String]("clean_text").contains("\r"))
   }
 
+  test("gopherFlags: CRLF and LF documents produce identical flags") {
+    // with normalize-text off, a Windows-formatted page must not leave
+    // a trailing \r on every line: rtrim strips spaces only, so the
+    // ellipsis-line rule could never fire and bullet/line rules would
+    // judge \r-suffixed lines (review finding)
+    val words = (1 to 60).map(i => s"the word$i and").mkString(" ")
+    val lf = words + "\nthis line trails off...\n• a bullet line"
+    val crlf = lf.replace("\n", "\r\n")
+    val out = Seq((1L, lf), (2L, crlf)).toDF("doc_id", "text")
+      .select(col("doc_id"), TextAnalysis.gopherFlags(col("text")).as("g"))
+      .collect().map(r => r.getLong(0) -> r.getStruct(1)).toMap
+    assert(out(1L) == out(2L), s"CRLF drift: ${out(1L)} vs ${out(2L)}")
+    // the ellipsis-line rule actually fires on the CRLF form too
+    assert(out(2L).getAs[Double]("ellipsis_line_frac") > 0.0)
+  }
+
   test("c4Apply: drops failing pages, rewrites survivors to retained lines, " +
       "preserves schema") {
     val prose = "It was a fine day. The dog barked loudly! Was it fun? " +
