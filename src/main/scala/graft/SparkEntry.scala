@@ -1519,7 +1519,13 @@ object SparkEntry {
       if (!doneMarker.exists()) {
         val merges = BpeTrainer.learnMerges(train, "text", numMerges = 64)
         BpeTrainer.saveMerges(s, mergesPath, merges)
-        BpeTrainer.saveVocab(s, vocabPath, BpeTrainer.buildVocab(train, "text", merges))
+        // byteFallback = false ON PURPOSE: q90 pins the LEGACY vocab
+        // contract — size(ids) == graft_bpe_count for every doc (one id
+        // per segment) and <unk> = 0 marking out-of-vocab segments.
+        // The total-encoding contract (byte fallback, <unk> impossible,
+        // lossless round-trip) is q109's gate.
+        BpeTrainer.saveVocab(s, vocabPath,
+          BpeTrainer.buildVocab(train, "text", merges, byteFallback = false))
         doneMarker.createNewFile(): Unit
       }
       val ids = graft.functions.GraftFunctions.bpeEncode(col("text"), mergesPath, vocabPath)
@@ -1529,6 +1535,72 @@ object SparkEntry {
           size(col("__ids")).cast("long").as("n_ids"),
           size(filter(col("__ids"), i => i === 0)).cast("long").as("n_unk"),
           aggregate(col("__ids"), lit(0L), (acc, x) => acc + x).as("id_sum"))
+    }),
+
+    // ---- Byte-fallback TOTAL encoding (GPT-2/SentencePiece
+    // byte_fallback): tokenizer trained on doc_id < 100, the HELD-OUT
+    // slice encoded under a byte-fallback vocab — unseen segments
+    // degrade to their UTF-8 bytes through the reserved <0xNN> tokens,
+    // so <unk> is structurally impossible on ANY input; and the
+    // lossless form (whitespace rides the byte tokens too) decodes back
+    // byte-for-byte. Every 7th held-out doc gets characters the
+    // training slice cannot contain appended (the corpus is ASCII), so
+    // the fallback path provably fires. rows-only: BPE segmentation is
+    // not SQL-expressible; EntrySpec pins zero-unk on the WHOLE
+    // held-out slice, fallback-fired, and round-trip parity.
+    "q109_bpe_byte_fallback" -> ((s, dir) => {
+      import graft.llm.BpeTrainer
+      val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
+      val train = docs.filter(col("doc_id") < 100)
+      val base = statePath(dir, "q109_bpe_fb")
+      val mergesPath = s"$base/merges.txt"
+      val vocabPath = s"$base/vocab.txt"
+      val doneMarker = new java.io.File(base, "_DONE")
+      if (!doneMarker.exists()) {
+        val merges = BpeTrainer.learnMerges(train, "text", numMerges = 64)
+        BpeTrainer.saveMerges(s, mergesPath, merges)
+        BpeTrainer.saveVocab(s, vocabPath,
+          BpeTrainer.buildVocab(train, "text", merges))
+        doneMarker.createNewFile(): Unit
+      }
+      val heldOut = docs.filter(col("doc_id") >= 100)
+        .withColumn("text",
+          when(pmod(col("doc_id"), lit(7)) === 0,
+            concat(col("text"), lit(" naïve ☃😀")))
+            .otherwise(col("text")))
+      val ids = graft.functions.GraftFunctions.bpeEncodeLossless(
+        col("text"), mergesPath, vocabPath)
+      heldOut.select(col("doc_id"), col("text"), ids.as("__ids"))
+        .select(col("doc_id"),
+          size(col("__ids")).cast("long").as("n_ids"),
+          size(filter(col("__ids"), i => i === 0)).cast("long").as("n_unk"),
+          // byte-token ids occupy the reserved range 2..257
+          size(filter(col("__ids"), i => i >= 2 && i <= 257)).cast("long")
+            .as("n_byte_ids"),
+          (graft.functions.GraftFunctions.bpeDecode(col("__ids"), vocabPath)
+            === col("text")).cast("int").as("roundtrip_ok"))
+    }),
+
+    // ---- Packed token-id sequences with document separators (the
+    // trainer-facing export: GPT-2-style packing where docs CROSS
+    // sequence boundaries, an EOS id after every doc, and per-sequence
+    // doc-start offsets for attention masking). The ids here are
+    // SQL-computable (whitespace-token lengths) so the oracle replays
+    // the ENTIRE per-bucket stream arithmetic — cumulative offsets,
+    // window assignment, slice concatenation, boundary offsets — in
+    // DuckDB; the real-BPE-ids bridge is the Curator's `pack-seq-len`
+    // path (CliSpec e2e) over the exact same operator. Arrays compare
+    // as canonical CSV strings (the q67 seq_text convention).
+    "q110_pack_token_ids" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").select(col("doc_id"),
+        transform(filter(split(trim(col("text")), "\\s+"), x => length(x) > 0),
+          x => length(x)).as("ids"))
+      graft.llm.CorpusPrep.packTokenIds(docs, "doc_id", "ids",
+          seqLen = 128, eosId = 0, buckets = 8)
+        .select(col("seq_id"), col("n_tokens"), col("n_docs_started"),
+          concat_ws(",", transform(col("input_ids"), _.cast("string"))).as("ids_csv"),
+          concat_ws(",", transform(col("doc_boundaries"), _.cast("string")))
+            .as("boundaries_csv"))
     }),
 
     // ---- DSIR importance resampling: select 150 docs TOWARD the src0
@@ -2801,6 +2873,44 @@ object SparkEntry {
     // symbol counting (the '...' delta is a multiple of 3, so the
     // double division is exact), line fractions, distinct-stopword
     // intersection; flags compare UNROUNDED IEEE ratios in both engines
+    // the whole packing arithmetic replayed: per-bucket cumulative
+    // stream offsets, fixed-length window assignment via integer
+    // division of each token's global position, ordered concatenation,
+    // and doc-start boundary offsets (idx = 0 within the doc stream)
+    "q110_pack_token_ids" ->
+      """WITH d AS (
+        |  SELECT doc_id,
+        |    list_transform(regexp_extract_all(trim(text), '\S+'),
+        |      t -> length(t)) AS ids
+        |  FROM documents),
+        |e AS (
+        |  SELECT doc_id, doc_id % 8 AS bucket,
+        |    list_append(ids, 0) AS stream, len(ids) + 1 AS n
+        |  FROM d),
+        |c AS (
+        |  SELECT *, sum(n) OVER (PARTITION BY bucket ORDER BY doc_id) - n AS start
+        |  FROM e),
+        |tok AS (
+        |  SELECT bucket, start, stream,
+        |    unnest(generate_series(1, n)) AS i
+        |  FROM c),
+        |pos AS (
+        |  SELECT bucket,
+        |    (start + i - 1) // 128 AS s,
+        |    start + i - 1 AS gpos,
+        |    stream[i] AS tk,
+        |    CASE WHEN i = 1 THEN 1 ELSE 0 END AS is_start
+        |  FROM tok)
+        |SELECT
+        |  bucket * (1::BIGINT << 40) + s AS seq_id,
+        |  count(*)::BIGINT AS n_tokens,
+        |  sum(is_start)::BIGINT AS n_docs_started,
+        |  string_agg(tk::VARCHAR, ',' ORDER BY gpos) AS ids_csv,
+        |  coalesce(string_agg(CASE WHEN is_start = 1
+        |    THEN (gpos % 128)::VARCHAR END, ',' ORDER BY gpos), '')
+        |    AS boundaries_csv
+        |FROM pos
+        |GROUP BY bucket, s""".stripMargin,
     "q104_gopher_rules" ->
       """WITH t AS (
         |  SELECT doc_id, text,

@@ -299,7 +299,12 @@ object Scorer {
   * label rides along on every chunk); `bpe-vocab` (requires
   * `bpe-merges`) adds a `token_ids` int-array column — chunk text (or
   * doc text) encoded under the learned tokenizer, the form a trainer
-  * consumes. Reporting: `report-dir` (+
+  * consumes; `pack-seq-len` (+ `pack-buckets`, requires `bpe-vocab`
+  * with the `<eos>`-bearing byte-fallback layout) replaces the per-row
+  * export with packed fixed-length `input_ids` sequences — the vocab's
+  * `<eos>` id after every doc and `doc_boundaries` offsets for
+  * attention masking (docs cross sequence boundaries, nothing padded).
+  * Reporting: `report-dir` (+
   * `report-group-columns`) writes the per-group corpus data card;
   * `cardinality-group-columns` (+ `cardinality-report-dir`,
   * `cardinality-gram-size` — 1 counts distinct tokens, n > 1 distinct
@@ -478,6 +483,11 @@ object Curator {
         "fixed whitespace-token windows vs a BPE subword budget; pick one")
     require(c.getInt("bpe-budget").isEmpty || c.getString("bpe-merges").isDefined,
       "curation.bpe-budget needs curation.bpe-merges (path to a merges.txt)")
+    require(c.getInt("pack-seq-len").isEmpty || c.getString("bpe-vocab").isDefined,
+      "curation.pack-seq-len needs curation.bpe-vocab — packed sequences are " +
+        "token ids, which only a tokenizer vocab defines")
+    c.getInt("pack-seq-len").foreach(l => require(l > 0,
+      s"curation.pack-seq-len must be positive, got $l"))
     require(c.getDouble("min-lm-logp").isEmpty || c.getString("lm-path").isDefined,
       "curation.min-lm-logp needs curation.lm-path (a saved unigram LM file)")
     require(c.getDouble("min-lm2-logp").isEmpty || c.getString("lm2-path").isDefined,
@@ -1050,30 +1060,60 @@ object Curator {
       }
       case None => out
     }
+    // optional packed token-id export (`pack-seq-len`, requires
+    // `bpe-vocab`): the terminal trainer contract — fixed-length
+    // `input_ids` with the vocab's <eos> id after every doc/chunk and
+    // `doc_boundaries` offsets for attention masking. Replaces the
+    // per-row export: the packed sequences ARE what a training loader
+    // reads. One bounded shuffle on (bucket, window); group state ≤
+    // seqLen ids regardless of corpus size.
+    val chunkedOn = c.getInt("chunk-size").isDefined || c.getInt("bpe-budget").isDefined
+    val packedOut = c.getInt("pack-seq-len") match {
+      case Some(seqLen) => stages.timed("pack-ids") {
+        val vocabPath = c.getString("bpe-vocab").get
+        val eos = graft.functions.BpeVocabIdRegistry.get(vocabPath).eosId
+        require(eos >= 0,
+          s"curation.pack-seq-len needs an <eos> token in the vocab at " +
+            s"$vocabPath — rebuild it with BpeTrainer.buildVocab (the " +
+            "byte-fallback layout carries <eos> at id 1)")
+        // epoch copies share (doc, chunk) — the epoch must join the
+        // stream order or window assembly would be nondeterministic
+        val orderCols = Seq(idCol) ++
+          (if (chunkedOn) Seq("chunk_id") else Nil) ++
+          (if (epochWeights.nonEmpty) Seq("epoch") else Nil)
+        graft.llm.CorpusPrep.packTokenIds(encoded, idCol, "token_ids",
+          seqLen = seqLen, eosId = eos,
+          buckets = c.getInt("pack-buckets").getOrElse(256),
+          orderCols = orderCols)
+      }
+      case None => encoded
+    }
     // optional deterministic training-export shuffle: a reproducible
     // pseudo-random row permutation (salt = epoch) so a sequential
     // training loader reads the corpus in shuffled order. The row
-    // identity is (doc, chunk) when chunking is on. The shuffle IS the
-    // write layout — the target's own layout knobs would re-partition
-    // or re-sort and silently destroy the permutation, so they are
-    // rejected up front.
+    // identity is (doc, chunk) when chunking is on, and the sequence id
+    // when packing is on. The shuffle IS the write layout — the
+    // target's own layout knobs would re-partition or re-sort and
+    // silently destroy the permutation, so they are rejected up front.
     val emitted = c.getString("shuffle-salt") match {
       case Some(salt) => stages.timed("shuffle") {
         // (target layout conflicts rejected in the up-front block)
-        val chunked = c.getInt("chunk-size").isDefined || c.getInt("bpe-budget").isDefined
         var rowId =
-          if (chunked) concat(col(idCol).cast("string"), lit(":"), col("chunk_id"))
+          if (c.getInt("pack-seq-len").isDefined) col("seq_id").cast("string")
+          else if (chunkedOn) concat(col(idCol).cast("string"), lit(":"), col("chunk_id"))
           else col(idCol).cast("string")
         // epoch copies share a doc id — the epoch joins the row
         // identity so a doc's repetitions land FAR APART in the
         // emitted order (adjacent duplicates are the worst case for
-        // training), not adjacent under the same digest
-        if (epochWeights.nonEmpty)
+        // training), not adjacent under the same digest. (Packed rows
+        // are already epoch-disambiguated: the epoch is in the stream
+        // order, the seq_id is unique.)
+        if (epochWeights.nonEmpty && c.getInt("pack-seq-len").isEmpty)
           rowId = concat(rowId, lit("#"), col("epoch"))
-        graft.llm.CorpusPrep.deterministicShuffleBy(encoded, rowId, salt,
+        graft.llm.CorpusPrep.deterministicShuffleBy(packedOut, rowId, salt,
           numPartitions = c.getInt("shuffle-partitions"))
       }
-      case None => encoded
+      case None => packedOut
     }
     // TARGET FIRST, STATE LAST: committing dedup state before the target
     // write would mean a crash in between leaves this batch's survivors

@@ -133,6 +133,28 @@ final class BpeVocab private (ranks: java.util.HashMap[String, Integer]) {
     }
     out
   }
+
+  /** LOSSLESS segmentation: like [[segmentText]], but the whitespace
+    * gaps BETWEEN pretokens are emitted as segments too (verbatim, one
+    * segment per gap — merges never span whitespace, so gaps need no
+    * merge loop). Concatenating the segments reproduces the input
+    * byte-for-byte, which is what makes `decode(encode(x)) == x`
+    * possible downstream: whitespace segments are never in a vocab and
+    * ride the byte-fallback ids. */
+  def segmentTextLossless(text: String): java.util.ArrayList[String] = {
+    val out = new java.util.ArrayList[String]()
+    val m = BpeVocab.Pretoken.matcher(text)
+    var last = 0
+    while (m.find()) {
+      if (m.start() > last) out.add(text.substring(last, m.start()))
+      val segs = segmentWord(m.group())
+      var i = 0
+      while (i < segs.length) { out.add(segs(i)); i += 1 }
+      last = m.end()
+    }
+    if (last < text.length) out.add(text.substring(last))
+    out
+  }
 }
 
 object BpeVocab {
@@ -230,26 +252,78 @@ case class BpeSegments(child: Expression, mergesPath: String) extends UnaryExpre
     copy(child = c)
 }
 
+/** A loaded id vocab: token→id map, id→token table, and the derived
+  * byte-fallback / control-token structure. */
+final class IdVocab(
+    val ids: java.util.HashMap[String, Integer],
+    val tokens: Array[String]) {
+
+  /** Byte-fallback table: `byteIds(b)` = id of the reserved token
+    * `<0xNN>`; null when the vocab does not carry all 256 byte tokens
+    * (legacy vocabs → `<unk>` behavior). The reserved spelling cannot
+    * collide with a real segment: pretokens are single-class runs
+    * (letters | digits | symbols), so no segment or merge product ever
+    * mixes `<`, digits, and letters. */
+  val byteIds: Array[Int] = {
+    val b = new Array[Int](256)
+    var ok = true
+    var i = 0
+    while (ok && i < 256) {
+      val id = ids.get(IdVocab.byteToken(i))
+      if (id == null) ok = false else b(i) = id.intValue()
+      i += 1
+    }
+    if (ok) b else null
+  }
+
+  /** Id of the `<eos>` document separator, or -1 when absent. */
+  val eosId: Int = {
+    val id = ids.get("<eos>")
+    if (id == null) -1 else id.intValue()
+  }
+
+  /** `byteValue(id)` = the raw byte an id decodes to, or -1 for
+    * non-byte tokens — the decode-side inverse of `byteIds`. */
+  val byteValue: Array[Int] = {
+    val v = Array.fill(tokens.length)(-1)
+    if (byteIds != null) {
+      var b = 0
+      while (b < 256) { v(byteIds(b)) = b; b += 1 }
+    }
+    v
+  }
+
+  def hasByteFallback: Boolean = byteIds != null
+}
+
+object IdVocab {
+  /** The reserved byte-token spelling: `<0x00>` … `<0xFF>`. */
+  def byteToken(b: Int): String = f"<0x$b%02X>"
+}
+
 /** Executor-side vocab cache for id encoding: one token per line, id =
-  * line number, `<unk>` REQUIRED at line 0 (unknown segments — base
-  * characters the training corpus never saw — map to it instead of
-  * poisoning the batch with nulls). Same one-load-per-(JVM, path)
-  * contract as [[BpeRegistry]]. */
+  * line number, `<unk>` REQUIRED at line 0. Unknown segments map to
+  * their UTF-8 bytes through the reserved `<0xNN>` byte tokens when the
+  * vocab carries all 256 of them (the SentencePiece byte_fallback
+  * contract — encoding is TOTAL, `<unk>` structurally impossible), and
+  * to `<unk>` = 0 on legacy vocabs without them. Same
+  * one-load-per-(JVM, path) contract as [[BpeRegistry]]. */
 object BpeVocabIdRegistry {
   private val cache =
-    new java.util.concurrent.ConcurrentHashMap[String, java.util.HashMap[String, Integer]]()
+    new java.util.concurrent.ConcurrentHashMap[String, IdVocab]()
 
-  def get(path: String): java.util.HashMap[String, Integer] =
+  def get(path: String): IdVocab =
     cache.computeIfAbsent(path, load(_))
 
   /** Test hook: drop a cached vocab (e.g. after rewriting the file). */
   private[graft] def invalidate(path: String): Unit = { cache.remove(path); () }
 
-  private def load(path: String): java.util.HashMap[String, Integer] = {
+  private def load(path: String): IdVocab = {
     val p = new org.apache.hadoop.fs.Path(path)
     val fs = p.getFileSystem(new org.apache.hadoop.conf.Configuration())
     val in = fs.open(p)
     val m = new java.util.HashMap[String, Integer]()
+    val toks = new java.util.ArrayList[String]()
     try {
       var id = 0
       for (line <- scala.io.Source.fromInputStream(in, "UTF-8").getLines()) {
@@ -257,28 +331,97 @@ object BpeVocabIdRegistry {
         // the line IS the token — no escaping needed; duplicate lines
         // keep the FIRST id (merge products can collide textually)
         if (!m.containsKey(line)) { m.put(line, Integer.valueOf(id)); () }
+        toks.add(line)
         id += 1
       }
     } finally in.close()
     require(m.containsKey("<unk>") && m.get("<unk>").intValue() == 0,
       s"vocab at $path must have <unk> on line 0 (the unknown-segment id)")
-    m
+    new IdVocab(m, toks.toArray(new Array[String](toks.size())))
+  }
+
+  /** Map one segment to ids into `out`: its vocab id, or its UTF-8
+    * bytes through the byte tokens, or `<unk>` = 0 (legacy vocab). */
+  private def emitSegment(v: IdVocab, seg: String,
+      out: java.util.ArrayList[Integer]): Unit = {
+    val id = v.ids.get(seg)
+    if (id != null) { out.add(id); () }
+    else if (v.byteIds != null) {
+      val bytes = seg.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      var i = 0
+      while (i < bytes.length) {
+        out.add(Integer.valueOf(v.byteIds(bytes(i) & 0xFF)))
+        i += 1
+      }
+    } else { out.add(Integer.valueOf(0)); () }
+  }
+
+  private def toArrayData(
+      out: java.util.ArrayList[Integer]): org.apache.spark.sql.catalyst.util.ArrayData = {
+    val ids = new Array[Int](out.size)
+    var i = 0
+    while (i < ids.length) { ids(i) = out.get(i).intValue(); i += 1 }
+    org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(ids)
   }
 
   /** Codegen / eval entry: segment `text` under the merge table, map
-    * each segment to its vocab id (`<unk>` = 0 for out-of-vocab). */
+    * each segment to ids (byte fallback when the vocab supports it). */
   def encode(mergesPath: String, vocabPath: String,
       text: UTF8String): org.apache.spark.sql.catalyst.util.ArrayData = {
     val segs = BpeRegistry.get(mergesPath).segmentText(text.toString)
-    val vocab = get(vocabPath)
-    val ids = new Array[Int](segs.size)
+    val v = get(vocabPath)
+    val out = new java.util.ArrayList[Integer](segs.size)
     var i = 0
-    while (i < ids.length) {
-      val id = vocab.get(segs.get(i))
-      ids(i) = if (id == null) 0 else id.intValue()
+    while (i < segs.size) { emitSegment(v, segs.get(i), out); i += 1 }
+    toArrayData(out)
+  }
+
+  /** Codegen / eval entry for the LOSSLESS form: whitespace gaps are
+    * encoded too (always through byte fallback — whitespace is never in
+    * a vocab), so `decode(encodeLossless(x)) == x` byte-for-byte.
+    * Requires a byte-fallback vocab: without one the whitespace would
+    * collapse into `<unk>` runs and the round-trip contract would be
+    * silently broken — fail loudly instead. */
+  def encodeLossless(mergesPath: String, vocabPath: String,
+      text: UTF8String): org.apache.spark.sql.catalyst.util.ArrayData = {
+    val v = get(vocabPath)
+    require(v.hasByteFallback,
+      s"graft_bpe_encode_lossless: vocab at $vocabPath has no byte-fallback " +
+        "tokens (<0x00>..<0xFF>) — rebuild it with BpeTrainer.buildVocab")
+    val segs = BpeRegistry.get(mergesPath).segmentTextLossless(text.toString)
+    val out = new java.util.ArrayList[Integer](segs.size)
+    var i = 0
+    while (i < segs.size) { emitSegment(v, segs.get(i), out); i += 1 }
+    toArrayData(out)
+  }
+
+  /** Codegen / eval entry: ids → text. Byte tokens contribute their raw
+    * byte; every other token contributes its UTF-8 bytes; `<unk>`
+    * decodes to U+FFFD (it carries no recoverable content) and `<eos>`
+    * to nothing (a control separator — document structure rides the
+    * boundaries column of the packed export, not the text). Inverse of
+    * [[encodeLossless]] by construction: in-vocab segments decode to
+    * their own spelling, fallback bytes reassemble verbatim. */
+  def decode(vocabPath: String,
+      ids: org.apache.spark.sql.catalyst.util.ArrayData): UTF8String = {
+    val v = get(vocabPath)
+    val n = ids.numElements()
+    val buf = new java.io.ByteArrayOutputStream(n * 4)
+    var i = 0
+    while (i < n) {
+      require(!ids.isNullAt(i), s"graft_bpe_decode: null id at position $i")
+      val id = ids.getInt(i)
+      require(id >= 0 && id < v.tokens.length,
+        s"graft_bpe_decode: id $id out of range for vocab of ${v.tokens.length}")
+      val b = v.byteValue(id)
+      if (b >= 0) buf.write(b)
+      else if (id == 0) // <unk>
+        buf.write("�".getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      else if (id != v.eosId)
+        buf.write(v.tokens(id).getBytes(java.nio.charset.StandardCharsets.UTF_8))
       i += 1
     }
-    org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(ids)
+    UTF8String.fromBytes(buf.toByteArray)
   }
 }
 
@@ -305,6 +448,62 @@ case class BpeEncode(child: Expression, mergesPath: String,
     val mRef = ctx.addReferenceObj("bpeMergesPath", mergesPath, "java.lang.String")
     val vRef = ctx.addReferenceObj("bpeVocabPath", vocabPath, "java.lang.String")
     defineCodeGen(ctx, ev, c => s"graft.functions.BpeVocabIdRegistry.encode($mRef, $vRef, $c)")
+  }
+
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
+}
+
+/** `graft_bpe_encode_lossless(string, 'merges-path', 'vocab-path') ->
+  * array<int>`: token ids with whitespace preserved through byte
+  * fallback — `graft_bpe_decode` of the result reproduces the input
+  * byte-for-byte (the training-export contract where nothing may be
+  * lost). Requires a byte-fallback vocab (fails loudly otherwise). */
+case class BpeEncodeLossless(child: Expression, mergesPath: String,
+    vocabPath: String) extends UnaryExpression {
+  require(mergesPath.nonEmpty, "graft_bpe_encode_lossless needs a merges path")
+  require(vocabPath.nonEmpty, "graft_bpe_encode_lossless needs a vocab path")
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case _: StringType => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(s"graft_bpe_encode_lossless expects string, got $t")
+  }
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def prettyName: String = "graft_bpe_encode_lossless"
+
+  override protected def nullSafeEval(t: Any): Any =
+    BpeVocabIdRegistry.encodeLossless(mergesPath, vocabPath, t.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val mRef = ctx.addReferenceObj("bpeMergesPath", mergesPath, "java.lang.String")
+    val vRef = ctx.addReferenceObj("bpeVocabPath", vocabPath, "java.lang.String")
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.BpeVocabIdRegistry.encodeLossless($mRef, $vRef, $c)")
+  }
+
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
+}
+
+/** `graft_bpe_decode(array<int>, 'vocab-path') -> string`: ids back to
+  * text. Byte tokens reassemble verbatim; `<unk>` renders U+FFFD;
+  * `<eos>` renders nothing. `decode(encode_lossless(x)) == x`
+  * byte-parity (spec-pinned). */
+case class BpeDecode(child: Expression, vocabPath: String) extends UnaryExpression {
+  require(vocabPath.nonEmpty, "graft_bpe_decode needs a vocab path")
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(IntegerType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(s"graft_bpe_decode expects array<int>, got $t")
+  }
+  override def dataType: DataType = StringType
+  override def prettyName: String = "graft_bpe_decode"
+
+  override protected def nullSafeEval(ids: Any): Any =
+    BpeVocabIdRegistry.decode(vocabPath,
+      ids.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val vRef = ctx.addReferenceObj("bpeVocabPath", vocabPath, "java.lang.String")
+    defineCodeGen(ctx, ev, c => s"graft.functions.BpeVocabIdRegistry.decode($vRef, $c)")
   }
 
   override protected def withNewChildInternal(c: Expression): Expression =

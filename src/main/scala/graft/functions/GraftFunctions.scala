@@ -288,6 +288,12 @@ object GraftFunctions {
   def bpeEncode(c: Column, mergesPath: String, vocabPath: String): Column =
     ColumnBridge.column(BpeEncode(ColumnBridge.expression(c), mergesPath, vocabPath))
 
+  def bpeEncodeLossless(c: Column, mergesPath: String, vocabPath: String): Column =
+    ColumnBridge.column(BpeEncodeLossless(ColumnBridge.expression(c), mergesPath, vocabPath))
+
+  def bpeDecode(c: Column, vocabPath: String): Column =
+    ColumnBridge.column(BpeDecode(ColumnBridge.expression(c), vocabPath))
+
   def chunks(c: Column, chunkSize: Int, overlap: Int): Column =
     ColumnBridge.column(DocChunks(ColumnBridge.expression(c), chunkSize, overlap))
 
@@ -486,6 +492,32 @@ object GraftFunctions {
           }
         }
         BpeEncode(es.head, litStr(es(1), "merges path"), litStr(es(2), "vocab path"))
+      }),
+    ("graft_bpe_encode_lossless",
+      new ExpressionInfo(classOf[BpeEncodeLossless].getName, "graft_bpe_encode_lossless"),
+      (es: Seq[Expression]) => {
+        require(es.length == 3,
+          s"graft_bpe_encode_lossless takes 3 arguments, got ${es.length}")
+        def litStr(e: Expression, name: String): String = {
+          require(e.foldable, s"graft_bpe_encode_lossless $name must be a literal")
+          e.eval() match {
+            case s: UTF8String => s.toString
+            case other => throw new IllegalArgumentException(
+              s"graft_bpe_encode_lossless $name must be a string literal, got $other")
+          }
+        }
+        BpeEncodeLossless(es.head, litStr(es(1), "merges path"), litStr(es(2), "vocab path"))
+      }),
+    ("graft_bpe_decode",
+      new ExpressionInfo(classOf[BpeDecode].getName, "graft_bpe_decode"),
+      (es: Seq[Expression]) => {
+        require(es.length == 2, s"graft_bpe_decode takes 2 arguments, got ${es.length}")
+        require(es(1).foldable, "graft_bpe_decode vocab path must be a literal")
+        es(1).eval() match {
+          case s: UTF8String => BpeDecode(es.head, s.toString)
+          case other => throw new IllegalArgumentException(
+            s"graft_bpe_decode vocab path must be a string literal, got $other")
+        }
       }),
     ("graft_chunks",
       new ExpressionInfo(classOf[DocChunks].getName, "graft_chunks"),

@@ -173,15 +173,23 @@ object BpeTrainer {
   }
 
   /** Vocab for id encoding (`graft_bpe_encode`): `<unk>` first (id 0 —
-    * the out-of-vocab sink), then the training corpus's distinct base
-    * characters in codepoint order, then each merge's product in rank
-    * order (first occurrence wins when two merges produce the same
-    * string, mirroring [[graft.functions.BpeVocabIdRegistry]]'s
-    * first-id-wins parse). Every segment the tokenizer can emit over
-    * the TRAINING corpus is covered by construction — the segmenter
-    * only ever outputs base characters or merge products — so
-    * encoding the training slice produces zero `<unk>`s, and unseen
-    * characters in future text degrade to id 0 instead of nulls.
+    * kept for legacy decode and the registry's line-0 contract, never
+    * emitted under byte fallback), then `<eos>` (id 1 — the document
+    * separator the packed-sequence export uses), then the 256 reserved
+    * byte tokens `<0x00>`…`<0xFF>` (ids 2–257 — the GPT-2/SentencePiece
+    * byte-fallback alphabet that makes encoding TOTAL: any segment the
+    * training corpus never saw degrades to its UTF-8 bytes instead of
+    * `<unk>`), then the training corpus's distinct base characters in
+    * codepoint order, then each merge's product in rank order (first
+    * occurrence wins when two merges produce the same string, mirroring
+    * [[graft.functions.BpeVocabIdRegistry]]'s first-id-wins parse).
+    * Every segment the tokenizer can emit over ANY input is covered by
+    * construction — base characters or merge products directly, and
+    * everything else through the byte tokens — so `<unk>` is
+    * structurally impossible with `byteFallback = true` (the default).
+    * Reserved spellings cannot collide with real segments: pretokens
+    * are single-class runs (letters | digits | symbols), so no segment
+    * or merge product ever mixes `<`, letters, and digits.
     *
     * The base alphabet comes from one Spark aggregate over pretoken
     * characters (distinct chars — bounded by the script, not the
@@ -197,7 +205,8 @@ object BpeTrainer {
   def buildVocab(
       df: DataFrame,
       textCol: String,
-      merges: Seq[(String, String)]): Seq[String] = {
+      merges: Seq[(String, String)],
+      byteFallback: Boolean = true): Seq[String] = {
     val chars = df
       .select(explode(regexp_extract_all(col(textCol),
         lit(graft.functions.BpeVocab.pretokenRegex), lit(0))).as("w"))
@@ -207,6 +216,10 @@ object BpeTrainer {
       .collect().map(_.getString(0)).sorted
     val out = new scala.collection.mutable.LinkedHashSet[String]
     out += "<unk>"
+    if (byteFallback) {
+      out += "<eos>"
+      (0 until 256).foreach(out += graft.functions.IdVocab.byteToken(_))
+    }
     chars.foreach(out += _)
     merges.foreach { case (a, b) => out += (a + b) }
     out.toSeq

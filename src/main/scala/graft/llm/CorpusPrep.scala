@@ -196,6 +196,106 @@ object CorpusPrep {
         sum(col(tokenCol)).as("seq_tokens"))
   }
 
+  /** Pack per-document token-id arrays into FIXED-LENGTH training
+    * sequences with an `eosId` separator after every document — the
+    * contract an actual trainer consumes (GPT-2-style packing: documents
+    * CROSS sequence boundaries; nothing is padded or dropped except the
+    * one partial tail sequence per bucket, which is emitted with
+    * `n_tokens < seqLen` for the consumer to keep or drop).
+    *
+    * Output, one row per sequence:
+    *  - `seq_id` — `bucket·2^40 + window` (the [[packSequences]] id
+    *    layout, same overflow guard);
+    *  - `input_ids array<int>` — exactly `seqLen` ids (except the tail);
+    *  - `n_tokens` — `size(input_ids)`;
+    *  - `doc_boundaries array<int>` — offsets in `[0, seqLen)` where a
+    *    document STARTS (the attention-masking contract: a sequence that
+    *    begins mid-document has no 0 entry); consecutive boundaries
+    *    differ by that document's id count + 1 (its EOS), so the
+    *    boundary arithmetic re-derives per-doc token counts — the
+    *    property CorpusPrepSpec pins;
+    *  - `n_docs_started` — `size(doc_boundaries)`.
+    *
+    * Scale shape (the [[packSequences]] recipe): ids are laid into one
+    * conceptual token stream PER BUCKET (`pmod(idCol, buckets)`), with
+    * one bounded window per bucket over `orderCols` (default `idCol`) —
+    * no global ordering, no driver involvement. Each document explodes
+    * into the ≤ `n/seqLen + 1` sequence windows it touches and ships
+    * only the `slice` of its ids inside each window; the group state per
+    * sequence is bounded by `seqLen` tokens regardless of corpus size.
+    * Deterministic given (idCol, orderCols) — re-runs and engine swaps
+    * produce identical sequences, which is what lets a DuckDB oracle
+    * replay the whole concatenation arithmetic (q110). */
+  def packTokenIds(
+      docs: DataFrame,
+      idCol: String,
+      idsCol: String,
+      seqLen: Int,
+      eosId: Int,
+      buckets: Int = 256,
+      orderCols: Seq[String] = Nil): DataFrame = {
+    require(seqLen > 0, s"seqLen must be positive, got $seqLen")
+    require(eosId >= 0, s"eosId must be non-negative, got $eosId")
+    require(buckets > 0 && buckets <= (1 << 20), s"buckets must be in [1, 2^20], got $buckets")
+    // bucketing is pmod on the id itself (deterministic AND replayable
+    // in any engine — a hash bucket would be engine-specific); that
+    // needs an integral id, and an implicit string→numeric cast would
+    // silently null out the bucket instead
+    require(docs.schema(idCol).dataType match {
+      case _: org.apache.spark.sql.types.IntegerType |
+           _: org.apache.spark.sql.types.LongType |
+           _: org.apache.spark.sql.types.ShortType => true
+      case _ => false
+    }, s"packTokenIds needs an integral $idCol (got " +
+      s"${docs.schema(idCol).dataType.simpleString}) — derive a numeric " +
+      "surrogate id upstream")
+    val order = if (orderCols.nonEmpty) orderCols else Seq(idCol)
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("__bucket").orderBy(order.map(col): _*)
+    val L = lit(seqLen.toLong)
+    val withStream = docs
+      .withColumn("__ids",
+        when(col(idsCol).isNull,
+          raise_error(lit(s"packTokenIds: null $idsCol array — filter or encode upstream")))
+          .otherwise(concat(col(idsCol), array(lit(eosId)))))
+      .withColumn("__n", size(col("__ids")).cast("long"))
+      .withColumn("__bucket", pmod(col(idCol), lit(buckets.toLong)))
+      .withColumn("__cum", sum(col("__n")).over(w))
+      .withColumn("__start", col("__cum") - col("__n"))
+    // sequence windows this doc touches: floor(start/L) .. floor((cum-1)/L)
+    val exploded = withStream
+      .withColumn("__s", explode(sequence(
+        floor(col("__start") / L), floor((col("__cum") - 1) / L))))
+      .withColumn("__from", col("__s") * L)
+      // local slice of this doc's ids that falls inside the window
+      .withColumn("__off", greatest(col("__from") - col("__start"), lit(0L)))
+      .withColumn("__take",
+        least(col("__n"), (col("__s") + 1) * L - col("__start")) - col("__off"))
+      .withColumn("__pos", greatest(col("__start") - col("__from"), lit(0L)))
+      .withColumn("__slice",
+        slice(col("__ids"), (col("__off") + 1).cast("int"), col("__take").cast("int")))
+      .withColumn("__is_start", (col("__start") >= col("__from")).cast("int"))
+    // one shuffle on (bucket, window); docs tile a sequence at disjoint
+    // __pos, so the sort key is unique and assembly order deterministic
+    val ordered = sort_array(collect_list(struct(
+      col("__pos"), col("__is_start"), col("__slice"))))
+    val seq0 = col("__s")
+    exploded
+      .groupBy(col("__bucket"), col("__s"))
+      .agg(ordered.as("__parts"))
+      .select(
+        (col("__bucket") * lit(1L << 40) +
+          when(seq0 >= lit(1L << 40),
+            raise_error(lit(s"packTokenIds: bucket overflowed 2^40 sequences " +
+              s"(seqLen=$seqLen, buckets=$buckets) — raise `buckets`")))
+            .otherwise(seq0)).cast("long").as("seq_id"),
+        flatten(transform(col("__parts"), p => p.getField("__slice"))).as("input_ids"),
+        transform(filter(col("__parts"), p => p.getField("__is_start") === 1),
+          p => p.getField("__pos").cast("int")).as("doc_boundaries"))
+      .withColumn("n_tokens", size(col("input_ids")).cast("long"))
+      .withColumn("n_docs_started", size(col("doc_boundaries")).cast("long"))
+  }
+
   /** Packing-efficiency report for a [[packSequences]] output — makes
     * the packer's density claims OBSERVABLE on a real corpus instead of
     * asserted in prose: one row with sequence/chunk/token totals,

@@ -192,6 +192,78 @@ class BpeSpec extends SparkTestBase {
     assert(unks == 0, s"supplementary-plane corpus produced $unks <unk> ids")
   }
 
+  test("byte fallback: unseen characters encode to byte tokens, never <unk>; " +
+      "legacy vocab keeps <unk>; lossless round-trips byte-for-byte") {
+    import graft.llm.BpeTrainer
+    import graft.functions.IdVocab
+    val corpus = Seq("the quick brown fox", "the lazy dog", "quick quick the")
+      .toDF("text")
+    val merges = BpeTrainer.learnMerges(corpus, "text", numMerges = 10)
+    val vocab = BpeTrainer.buildVocab(corpus, "text", merges)
+    // layout: <unk>, <eos>, 256 byte tokens, base chars, merge products
+    assert(vocab.take(2) == Seq("<unk>", "<eos>"))
+    assert(vocab.slice(2, 258) == (0 until 256).map(IdVocab.byteToken))
+    val dir = java.nio.file.Files.createTempDirectory("graft_bpe_fb")
+    val mPath = s"$dir/merges.txt"
+    val vPath = s"$dir/vocab.txt"
+    BpeTrainer.saveMerges(spark, mPath, merges)
+    BpeTrainer.saveVocab(spark, vPath, vocab)
+    // held-out doc with characters the training corpus never saw:
+    // 'z' (BMP letter), 'ü' (2-byte UTF-8), '☃' (3-byte), '😀'
+    // (supplementary plane, 4-byte) — plus covered words
+    val heldOut = "the zügel ☃ quick 😀"
+    val df = Seq((1L, heldOut)).toDF("id", "text")
+    val ids = df.select(
+        GraftFunctions.bpeEncode(col("text"), mPath, vPath).as("ids"))
+      .head().getSeq[Int](0)
+    assert(!ids.contains(0), s"byte-fallback vocab must never emit <unk>: $ids")
+    // the unseen chars really did go through byte tokens (ids 2..257)
+    assert(ids.exists(i => i >= 2 && i < 258), s"no byte-fallback ids in $ids")
+    // lossless: decode(encode(x)) == x byte-for-byte, whitespace included
+    val rt = df.select(GraftFunctions.bpeDecode(
+        GraftFunctions.bpeEncodeLossless(col("text"), mPath, vPath), vPath).as("t"))
+      .head().getString(0)
+    assert(rt == heldOut, s"round trip: '$rt' vs '$heldOut'")
+    // round-trip parity over messier inputs: CRLF, tabs, runs of spaces,
+    // leading/trailing whitespace, mixed scripts
+    val messy = Seq(
+      "  leading and trailing  ",
+      "tabs\tand\r\nCRLF\rlines\n",
+      "mixed Ωμέγα and 中文 text",
+      "")
+    messy.zipWithIndex.foreach { case (s, i) =>
+      val got = Seq((i.toLong, s)).toDF("id", "text")
+        .select(GraftFunctions.bpeDecode(
+          GraftFunctions.bpeEncodeLossless(col("text"), mPath, vPath), vPath))
+        .head().getString(0)
+      assert(got == s, s"round trip failed on ${s.getBytes("UTF-8").toSeq}")
+    }
+    // SQL surface agrees
+    GraftFunctions.register(spark)
+    df.createOrReplaceTempView("bpe_fb_t")
+    val viaSql = spark.sql(
+      s"""SELECT graft_bpe_decode(
+         |  graft_bpe_encode_lossless(text, '$mPath', '$vPath'), '$vPath')
+         |FROM bpe_fb_t""".stripMargin).head().getString(0)
+    assert(viaSql == heldOut)
+    // a LEGACY vocab (byteFallback = false) keeps the <unk> = 0 contract
+    val legacy = BpeTrainer.buildVocab(corpus, "text", merges, byteFallback = false)
+    assert(legacy.head == "<unk>" && !legacy.contains("<0x00>"))
+    val lPath = s"$dir/vocab_legacy.txt"
+    BpeTrainer.saveVocab(spark, lPath, legacy)
+    val legacyIds = df.select(
+        GraftFunctions.bpeEncode(col("text"), mPath, lPath).as("ids"))
+      .head().getSeq[Int](0)
+    assert(legacyIds.contains(0), "legacy vocab must map unseen chars to <unk>")
+    // lossless encode on a legacy vocab fails loudly (silent <unk>
+    // whitespace would break the round-trip contract)
+    val e = intercept[Exception] {
+      df.select(GraftFunctions.bpeEncodeLossless(col("text"), mPath, lPath)).collect()
+    }
+    assert(String.valueOf(e.getMessage).contains("byte-fallback") ||
+      String.valueOf(e.getCause).contains("byte-fallback"), s"got $e")
+  }
+
   test("BPE-budget chunking cuts at hand-computed subword boundaries") {
     // classic fixture: low=1, lower=2, newer=4 subwords
     // budget 4: [low lower]=3 (newer would make 7), [newer]=4, [low low]=2

@@ -2543,6 +2543,64 @@ class CliSpec extends SparkTestBase {
     assert(bad == 0, "token_ids length diverged from graft_bpe_count on chunk_text")
   }
 
+  test("curator pack-seq-len emits packed input_ids sequences with <eos> " +
+      "separators and doc boundaries (the trainer-facing export)") {
+    import org.apache.spark.sql.functions.{col, explode, sum => asum, size => asize}
+    val base = tmp()
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val merges = graft.llm.BpeTrainer.learnMerges(docs, "text", numMerges = 32)
+    val mPath = base.resolve("merges.txt").toString
+    val vPath = base.resolve("vocab.txt").toString
+    graft.llm.BpeTrainer.saveMerges(spark, mPath, merges)
+    graft.llm.BpeTrainer.saveVocab(spark, vPath,
+      graft.llm.BpeTrainer.buildVocab(docs, "text", merges))
+    val eos = graft.functions.BpeVocabIdRegistry.get(vPath).eosId
+    assert(eos == 1, "byte-fallback layout carries <eos> at id 1")
+    // run 1: the SAME curation with packing off — the per-doc token_ids
+    // export is the conservation baseline (default curation drops docs,
+    // so raw-corpus totals would not be comparable)
+    val flat = base.resolve("flat").toString
+    def conf(out: String, extra: String) = write(base.resolve(s"pack${extra.length}.conf"),
+      s"""source { storage-type = local, dataset-dir = $sfDir/documents.parquet }
+         |target { storage-type = local, dataset-dir = $out, dataset-store-format = parquet, write-mode = overwrite }
+         |curation {
+         |  bpe-merges = $mPath
+         |  bpe-vocab = $vPath
+         |$extra
+         |}
+         |""".stripMargin)
+    graft.cli.Curator.main(Array("--conf", conf(flat, "")))
+    val flatRows = spark.read.parquet(flat)
+    val nDocs = flatRows.count()
+    val nIds = flatRows.select(asum(asize(col("token_ids")) + 1)).head().getLong(0)
+    // run 2: identical curation + packing
+    val out = base.resolve("packed").toString
+    graft.cli.Curator.main(Array("--conf",
+      conf(out, "  pack-seq-len = 256\n  pack-buckets = 4")))
+    val packed = spark.read.parquet(out)
+    assert(packed.columns.toSet ==
+      Set("seq_id", "input_ids", "doc_boundaries", "n_tokens", "n_docs_started"))
+    // token conservation vs the unpacked export: every surviving doc's
+    // ids + one <eos> each, nothing lost or duplicated
+    assert(packed.select(asum(col("n_tokens"))).head().getLong(0) == nIds)
+    // every surviving doc started exactly once; non-tail sequences full
+    assert(packed.select(asum(col("n_docs_started"))).head().getLong(0) == nDocs)
+    assert(packed.filter(col("n_tokens") =!= 256).count() <= 4)
+    // the separator between docs is the vocab's <eos> id, one per doc
+    assert(packed.select(explode(col("input_ids")).as("i"))
+      .filter(col("i") === eos).count() == nDocs)
+    // a packing run without a vocab is rejected up front
+    val badConf = write(base.resolve("pack_bad.conf"),
+      s"""source { storage-type = local, dataset-dir = $sfDir/documents.parquet }
+         |target { storage-type = local, dataset-dir = ${base.resolve("nope")}, dataset-store-format = parquet, write-mode = overwrite }
+         |curation { pack-seq-len = 256 }
+         |""".stripMargin)
+    val e = intercept[IllegalArgumentException] {
+      graft.cli.Curator.main(Array("--conf", badConf))
+    }
+    assert(e.getMessage.contains("bpe-vocab"), e.getMessage)
+  }
+
   test("scorer with model-expr scores without a saved model (U5 through E2)") {
     val base = tmp()
     val out = base.resolve("scores").toString

@@ -174,6 +174,74 @@ class CorpusPrepSpec extends SparkTestBase {
     seqs.unpersist()
   }
 
+  test("packTokenIds: hand-computed sequences — docs cross boundaries, EOS " +
+      "separators placed, boundary offsets re-derive doc token counts") {
+    // one bucket; stream = [10,11,12,99 | 20,99 | 30..35,99] (13 tokens)
+    val df = Seq(
+      (1L, Seq(10, 11, 12)),
+      (2L, Seq(20)),
+      (3L, Seq(30, 31, 32, 33, 34, 35)))
+      .toDF("doc_id", "ids")
+    val got = CorpusPrep.packTokenIds(df, "doc_id", "ids",
+        seqLen = 5, eosId = 99, buckets = 1)
+      .orderBy("seq_id")
+      .collect().map(r => (r.getLong(0), r.getSeq[Int](1).toList,
+        r.getSeq[Int](2).toList, r.getLong(3), r.getLong(4)))
+    assert(got.toList == List(
+      // seq 0: doc1 whole + its EOS + doc2's first token; doc1 starts at
+      // 0, doc2 at 4
+      (0L, List(10, 11, 12, 99, 20), List(0, 4), 5L, 2L),
+      // seq 1: doc2's EOS crossed the boundary; doc3 starts at offset 1
+      (1L, List(99, 30, 31, 32, 33), List(1), 5L, 1L),
+      // partial tail: emitted short, no doc starts
+      (2L, List(34, 35, 99), List(), 3L, 0L)))
+    // boundary arithmetic re-derives doc token counts: within seq 0,
+    // 4 - 0 = doc1's 3 ids + 1 EOS
+    assert(got(0)._3(1) - got(0)._3(0) == 3 + 1)
+  }
+
+  test("packTokenIds: token conservation, fixed length, determinism under " +
+      "repartitioning, empty docs, null ids rejected") {
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select(col("doc_id"),
+        transform(filter(split(trim(col("text")), "\\s+"), t => length(t) > 0),
+          t => length(t)).as("ids"))
+    val packed = CorpusPrep.packTokenIds(docs, "doc_id", "ids",
+      seqLen = 128, eosId = 0, buckets = 8).cache()
+    // every token lands in exactly one sequence (+1 EOS per doc)
+    val totalIn = docs.select(sum(size(col("ids")) + 1)).head().getLong(0)
+    val totalOut = packed.select(sum("n_tokens")).head().getLong(0)
+    assert(totalIn == totalOut, s"token conservation: $totalIn vs $totalOut")
+    // every doc started exactly once
+    assert(packed.select(sum("n_docs_started")).head().getLong(0) == docs.count())
+    // all but ≤ buckets tail sequences are exactly seqLen
+    val short = packed.filter(col("n_tokens") =!= 128).count()
+    assert(short <= 8, s"more than one partial tail per bucket: $short")
+    // boundaries are valid offsets and sorted
+    assert(packed.filter(exists(col("doc_boundaries"),
+      b => b < 0 || b >= 128)).count() == 0)
+    // determinism: a repartitioned input packs identically
+    val re = CorpusPrep.packTokenIds(docs.repartition(13), "doc_id", "ids",
+      seqLen = 128, eosId = 0, buckets = 8)
+    assert(packed.exceptAll(re).count() == 0 && re.exceptAll(packed).count() == 0,
+      "packing must be partitioning-invariant")
+    packed.unpersist()
+    // an empty-ids doc contributes exactly its EOS
+    val lone = CorpusPrep.packTokenIds(
+      Seq((5L, Seq.empty[Int])).toDF("doc_id", "ids"),
+      "doc_id", "ids", seqLen = 4, eosId = 7, buckets = 1)
+      .collect().map(r => (r.getSeq[Int](1).toList, r.getSeq[Int](2).toList))
+    assert(lone.toList == List((List(7), List(0))))
+    // null ids fail loudly instead of silently corrupting the stream
+    val err = intercept[Exception] {
+      CorpusPrep.packTokenIds(
+        Seq((1L, Seq(1, 2)), (2L, null)).toDF("doc_id", "ids"),
+        "doc_id", "ids", seqLen = 4, eosId = 0, buckets = 1).collect()
+    }
+    assert(String.valueOf(err.getMessage).contains("null") ||
+      String.valueOf(err.getCause).contains("null"))
+  }
+
   test("hashSplit: exhaustive, disjoint, partition-invariant, nests with hashSample") {
     val splits = Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)
     val labeled = CorpusPrep.hashSplit(docs, "doc_id", splits, salt = "s1").cache()

@@ -198,6 +198,43 @@ class EntrySpec extends SparkTestBase {
     out.unpersist()
   }
 
+  test("q109: byte-fallback total encoding — zero unks on the WHOLE held-out " +
+      "slice, fallback provably fires on unseen characters, lossless round-trip") {
+    import org.apache.spark.sql.functions.col
+    val out = SparkEntry.queries("q109_bpe_byte_fallback")(spark, sfDir)
+      .persist()
+    // <unk> is structurally impossible under a byte-fallback vocab —
+    // including on held-out docs with planted never-seen characters
+    assert(out.filter(col("n_unk") > 0).count() == 0,
+      "held-out docs hit <unk> — byte fallback did not fire")
+    // decode(encode_lossless(x)) == x byte-for-byte on EVERY held-out doc
+    assert(out.filter(col("roundtrip_ok") =!= 1).count() == 0,
+      "lossless round-trip broke on a held-out doc")
+    // the byte-token path is genuinely exercised
+    assert(out.filter(col("n_byte_ids") > 0).count() > 0)
+    // and specifically by UNSEEN CHARS, not just whitespace: the planted
+    // string encodes (non-lossless — no whitespace ids) to byte tokens
+    // with zero <unk>, under the same artifacts the query built
+    val base = {
+      def maxMtime(f: java.io.File): Long = {
+        val kids = Option(f.listFiles()).getOrElse(Array.empty[java.io.File])
+        kids.foldLeft(f.lastModified)((m, k) => math.max(m, maxMtime(k)))
+      }
+      new java.io.File(
+        new java.io.File(System.getProperty("java.io.tmpdir"), "graft_state"),
+        s"${sfDir.replaceAll("[^A-Za-z0-9.-]", "_")}_m${maxMtime(new java.io.File(sfDir))}_q109_bpe_fb").toString
+    }
+    import spark.implicits._
+    val planted = Seq("naïve ☃😀").toDF("t")
+      .select(graft.functions.GraftFunctions.bpeEncode(
+        col("t"), s"$base/merges.txt", s"$base/vocab.txt").as("ids"))
+      .head().getSeq[Int](0)
+    assert(!planted.contains(0), s"planted chars hit <unk>: $planted")
+    assert(planted.exists(i => i >= 2 && i <= 257),
+      s"planted chars did not use the byte-token range: $planted")
+    out.unpersist()
+  }
+
   test("q78: learned merge table — dense ranks, true-argmax first merge, " +
       "table genuinely compresses the corpus under graft_bpe_count") {
     import org.apache.spark.sql.functions.col
