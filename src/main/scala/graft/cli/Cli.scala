@@ -271,7 +271,13 @@ object Scorer {
   * `strip-html = true` (deterministic HTML-to-text extraction, first
   * of the text rewrites), `normalize-text = true` (mojibake repair +
   * CRLF/control cleanup + Unicode NFC, before redaction and all
-  * hashing), `max-pii-hits = N` (drop documents whose progressive
+  * hashing); the shipped rewrite/filter tables are stand-ins for the
+  * published data and each has a file knob: `entity-list-path` /
+  * `mojibake-list-path` (ordered `find<TAB>replace` per line, needs
+  * its stage on) and `badword-list-path` (word per line, needs
+  * `c4-rules`); loaded pair lists change the canonical bytes dedup
+  * state hashes, so their content fingerprint joins the state commit
+  * record and drift is rejected; `max-pii-hits = N` (drop documents whose progressive
   * redaction hit count exceeds N — directory/dump pages),
   * `langs = [en, ...]`,
   * `near-dup-strategy` (simhash|minhash), `min-jaccard`,
@@ -380,6 +386,30 @@ object Curator {
       }
       case None => rawIn
     }
+    // config-loadable filter lists (the loadDomainList/bpe-merges
+    // idiom): the shipped in-source tables are documented STAND-INS for
+    // the full published data — `entity-list-path` (HTML5 entity
+    // table), `mojibake-list-path` (ftfy repair table),
+    // `badword-list-path` (the LDNOOBW list). The chains are
+    // list-agnostic; a loaded list interpolates into the scan
+    // projection as literals exactly like the defaults (which is what
+    // keeps the stages oracle-replayable). A list path without its
+    // stage on would be silently dead config — rejected up front.
+    require(c.getString("entity-list-path").isEmpty ||
+        c.getBoolean("strip-html").getOrElse(false),
+      "curation.entity-list-path needs curation.strip-html = true")
+    require(c.getString("mojibake-list-path").isEmpty ||
+        c.getBoolean("normalize-text").getOrElse(false),
+      "curation.mojibake-list-path needs curation.normalize-text = true")
+    require(c.getString("badword-list-path").isEmpty ||
+        c.getString("c4-rules").exists(_.toBoolean),
+      "curation.badword-list-path needs curation.c4-rules = true")
+    val entityList = c.getString("entity-list-path")
+      .map(graft.llm.TextAnalysis.loadPairList(spark, _))
+    val mojibakeList = c.getString("mojibake-list-path")
+      .map(graft.llm.TextAnalysis.loadPairList(spark, _))
+    val badwordList = c.getString("badword-list-path")
+      .map(graft.llm.TextAnalysis.loadWordList(spark, _))
     // optional HTML extraction FIRST of the text rewrites
     // (`strip-html = true`): markup never reaches normalization, PII
     // regexes, or any hash — the ingest boundary for web corpora
@@ -387,7 +417,8 @@ object Curator {
       if (!c.getBoolean("strip-html").getOrElse(false)) raw
       else stages.timed("strip-html") {
         val tcol = c.getString("text-column").getOrElse("text")
-        raw.withColumn(tcol, graft.llm.TextAnalysis.stripHtml(col(tcol)))
+        raw.withColumn(tcol, graft.llm.TextAnalysis.stripHtml(col(tcol),
+          entityList.getOrElse(graft.llm.TextAnalysis.HtmlEntities)))
       }
     // optional text normalization next (`normalize-text = true`):
     // mojibake repair, CRLF/control cleanup, Unicode NFC — BEFORE
@@ -398,7 +429,8 @@ object Curator {
       if (!c.getBoolean("normalize-text").getOrElse(false)) rawH
       else stages.timed("normalize-text") {
         val tcol = c.getString("text-column").getOrElse("text")
-        rawH.withColumn(tcol, graft.llm.TextAnalysis.normalizeText(col(tcol)))
+        rawH.withColumn(tcol, graft.llm.TextAnalysis.normalizeText(col(tcol),
+          mojibakeList.getOrElse(graft.llm.TextAnalysis.MojibakeRepairs)))
       }
     // optional PII density gate (`max-pii-hits = N`): documents with
     // more than N progressive redaction hits are DROPPED, not scrubbed
@@ -433,6 +465,7 @@ object Curator {
       // C4 cleaning (published thresholds): `c4-rules = true` — line
       // retention rewrites the text FIRST, page rules drop pages
       c4Rules = c.getString("c4-rules").exists(_.toBoolean),
+      c4BadWords = badwordList.getOrElse(base.c4BadWords),
       maxRepetition = c.getDouble("max-repetition").getOrElse(base.maxRepetition),
       repetitionNgram = c.getInt("repetition-ngram").getOrElse(base.repetitionNgram),
       langs = c.getList("langs").map(_.toSet).getOrElse(base.langs),
@@ -568,10 +601,27 @@ object Curator {
     // lineage drift against a committed state is rejected like any
     // fingerprint-parameter drift
     val statePartsDir = c.getString("state-parts-dir")
+    // custom rewrite lists change the CANONICAL BYTES every dedup tier
+    // hashes — state built under one list would silently stop matching
+    // batches curated under another, so a fingerprint of the parsed
+    // list content (not the path — renames are harmless) joins the
+    // commit record. Absent when the shipped defaults run, so existing
+    // lineages stay valid. (badword-list-path selects WHICH docs
+    // survive, like min-quality — it does not change any hash and is
+    // deliberately not fingerprinted.)
+    def listFp(entries: Seq[String]): String = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      entries.foreach { e => md.update(e.getBytes("UTF-8")); md.update(0.toByte) }
+      md.digest().map("%02x".format(_)).mkString.take(12)
+    }
     val stateParams =
       s"shingle-size=${cc.shingleSize};bands=${cc.simHashBands};max-bucket=${cc.simHashMaxBucket}" +
         embCol.map(e => s";embedding=$e;srp-seed=$vecSeed;srp-bands=$vecBands").getOrElse("") +
-        statePartsDir.map(p => s";state-parts-dir=$p").getOrElse("")
+        statePartsDir.map(p => s";state-parts-dir=$p").getOrElse("") +
+        mojibakeList.map(l =>
+          s";mojibake-list=${listFp(l.map(p => p._1 + "\t" + p._2))}").getOrElse("") +
+        entityList.map(l =>
+          s";entity-list=${listFp(l.map(p => p._1 + "\t" + p._2))}").getOrElse("")
     val stateDir = c.getString("state-dir")
     stateDir.foreach { d =>
       val marker = new Path(qual(d), "_COMMITTED")
@@ -1733,7 +1783,12 @@ object Streamer {
           // query-time radius (not baked into stored signatures)
           maxHamming = c.getInt("max-hamming").getOrElse(3),
           bands = fromState("bands", "bands", 4),
-          corpusHotBuckets = Some(spark.read.parquet(s"$stateDir/hot")),
+          // through the same accessor every other state consumer uses:
+          // `hot` is a materialized aggregate in parts mode TODAY
+          // (writeHotState), but reading the raw dir here would
+          // silently break the stream path the day hot moves to
+          // manifests (review finding)
+          corpusHotBuckets = Some(Cli.readStateTable(spark, stateDir, "hot")),
           timeCol = c.getString("time-column").getOrElse("ts"),
           watermarkDelay = watermark,
           gramSize = fromState("shingle-size", "shingle-size", 3))
@@ -1966,13 +2021,44 @@ object Differ {
       "diff.discrete-columns and/or diff.continuous-columns must name columns")
     val maxBins = c.getInt("max-bins").getOrElse(1000)
     val useSketch = c.getBoolean("sketch").getOrElse(false)
+    // `edges-dir`: persist the FIRST run's equi-width bin edges and
+    // reuse them on every later run (the R11 fixed-edge idea as an
+    // operational artifact). Without it each nightly run re-derives
+    // edges from the reference's observed range, so two runs' TVDs are
+    // not comparable once the reference range drifts — exactly the
+    // longitudinal comparison a nightly gate wants to make. Exact
+    // comparator only: the sketch derives its bins from merged
+    // centroids, fixed edges do not apply.
+    val edgesDir = c.getString("edges-dir")
+    require(edgesDir.isEmpty || !useSketch,
+      "diff.edges-dir applies to the exact comparator only — " +
+        "diff.sketch derives its bins from merged centroids; pick one")
+    require(edgesDir.isEmpty || continuous.nonEmpty,
+      "diff.edges-dir without diff.continuous-columns is dead config")
+    val storedEdges: Option[Map[String, Array[Double]]] = edgesDir.flatMap { d =>
+      val p = new org.apache.hadoop.fs.Path(s"$d/edges")
+      if (p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p))
+        Some(spark.read.parquet(p.toString).collect()
+          .map(r => r.getString(0) -> r.getSeq[Double](1).toArray).toMap)
+      else None
+    }
+    storedEdges.foreach { m =>
+      val missing = continuous.filterNot(m.contains)
+      require(missing.isEmpty,
+        s"edges at $edgesDir/edges cover [${m.keys.toSeq.sorted.mkString(", ")}] " +
+          s"but this run also diffs [${missing.mkString(", ")}] — a changed " +
+          "column set does not compare longitudinally; use a fresh edges-dir")
+    }
     // a degenerate reference must fail LOUDLY, not read as zero drift:
     // an empty/all-null/constant reference column yields < 2 bin edges
     // and the continuous comparator reports 0.0 — the exact false
     // negative a nightly gate exists to prevent (a truncated snapshot
     // would pass every run). Constant columns belong in
-    // discrete-columns, where collapse shows up as drift.
-    if (continuous.nonEmpty) {
+    // discrete-columns, where collapse shows up as drift. (Skipped when
+    // stored edges bin this run — they carry >= 2 edges by
+    // construction, and a degenerate CURRENT reference then shows up AS
+    // drift instead of masking it.)
+    if (continuous.nonEmpty && storedEdges.isEmpty) {
       import org.apache.spark.sql.functions.{col => fcol, countDistinct}
       val counts = ref.agg(countDistinct(fcol(continuous.head)),
         continuous.tail.map(cn => countDistinct(fcol(cn))): _*).head
@@ -1987,11 +2073,28 @@ object Differ {
       discrete.map { cn =>
         (cn, "tvd_discrete", DataDiff.discreteComparator(ref, cn, cur, cn, maxBins))
       } ++ continuous.map { cn =>
-        val d =
-          if (useSketch) DataDiff.continuousComparatorSketch(ref, cn, cur, cn, maxBins)
-          else DataDiff.continuousComparator(ref, cn, cur, cn, maxBins)
-        (cn, if (useSketch) "tvd_sketch" else "tvd_continuous", d)
+        val (metric, d) = (useSketch, storedEdges) match {
+          case (true, _) =>
+            ("tvd_sketch", DataDiff.continuousComparatorSketch(ref, cn, cur, cn, maxBins))
+          case (false, Some(m)) =>
+            ("tvd_fixed_edges",
+              DataDiff.continuousComparatorWithEdges(ref, cn, cur, cn, m(cn)))
+          case (false, None) =>
+            ("tvd_continuous", DataDiff.continuousComparator(ref, cn, cur, cn, maxBins))
+        }
+        (cn, metric, d)
       }
+    // first run with edges-dir: persist this run's reference edges for
+    // every later run to bin with (written AFTER the comparisons so a
+    // failed first run does not commit half-derived edges)
+    if (edgesDir.isDefined && storedEdges.isEmpty) {
+      import spark.implicits._
+      val derived = continuous.map(cn =>
+        (cn, DataDiff.equiWidthEdges(ref, cn, maxBins).toSeq))
+      derived.toDF("column", "edges")
+        .coalesce(1).write.mode("errorifexists").parquet(s"${edgesDir.get}/edges")
+      Cli.log(s"bin edges persisted to ${edgesDir.get}/edges")
+    }
     rows.foreach { case (cn, m, d) => Cli.log(f"drift $cn ($m): $d%.6f") }
     c.getString("report-dir").foreach { rdir =>
       import spark.implicits._

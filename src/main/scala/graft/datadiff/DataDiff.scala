@@ -365,6 +365,25 @@ object DataDiff {
       continuousHistogramDF(df2, col2, edges))
   }
 
+  /** Fixed-edge continuous comparator: both sides binned under EDGES
+    * SUPPLIED BY THE CALLER rather than re-derived from side 1's
+    * observed range — the longitudinal form (the Differ's `edges-dir`
+    * artifact): TVDs from different runs only compare if they binned
+    * the same way, so a nightly gate pins run 1's edges and reuses
+    * them. Values outside the pinned range DROP before normalization
+    * (`continuousHistogramDF` = the reference's `rdd.histogram`
+    * semantics, datadiff.py:32-33); a side shifted fully out of range
+    * normalizes to an empty histogram and the TVD reads 1.0 — range
+    * drift surfaces as drift, never as silent rebinning. */
+  def continuousComparatorWithEdges(df1: DataFrame, col1: String,
+      df2: DataFrame, col2: String, edges: Array[Double]): Double = {
+    require(edges.length >= 2,
+      s"fixed-edge comparison needs >= 2 bin edges, got ${edges.length}")
+    tvdOfHistograms(
+      continuousHistogramDF(df1, col1, edges),
+      continuousHistogramDF(df2, col2, edges))
+  }
+
   /** Approximate continuous comparator via the mergeable histogram-sketch
     * aggregate (`graft.functions.HistogramSketch`): ONE scan per side
     * (no separate min/max edge pass, no raw re-bin), with the TVD derived

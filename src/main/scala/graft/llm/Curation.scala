@@ -49,6 +49,12 @@ object Curation {
         * LM scores, signatures) sees the cleaned text, matching the
         * C4 pipeline order; false = off. */
       c4Rules: Boolean = false,
+      /** Bad-word list for the C4 page rule — defaults to the shipped
+        * [[TextAnalysis.C4BadWordsStandIn]]; load the published
+        * LDNOOBW list via [[TextAnalysis.loadWordList]] (the Curator's
+        * `badword-list-path` knob). Only consulted when [[c4Rules]]
+        * is on. */
+      c4BadWords: Seq[String] = TextAnalysis.C4BadWordsStandIn,
       /** Drop documents whose duplicate word-n-gram fraction exceeds
         * this (Gopher-style repetition filter; boilerplate and keyword
         * stuffing score high). 1.0 = off. Scan-speed native expression
@@ -175,7 +181,9 @@ object Curation {
     // annotation (quality/lang/LM signals describe what survives, and
     // dedup state hashes cleaned text, matching future cleaned batches)
     val docs0 =
-      if (conf.c4Rules) TextAnalysis.c4Apply(docs, textCol) else docs
+      if (conf.c4Rules) TextAnalysis.c4Apply(docs, textCol,
+        TextAnalysis.C4Thresholds(badWords = conf.c4BadWords))
+      else docs
     // 1-2: annotate + cheap filters (pushed toward the scan)
     var df = annotate(docs0, textCol,
       if (conf.maxRepetition < 1.0) Some(conf.repetitionNgram) else None)

@@ -447,6 +447,44 @@ object TextAnalysis {
     "&quot;" -> "\"", "&#39;" -> "'", "&apos;" -> "'",
     "&amp;" -> "&") // &amp; LAST: "&amp;lt;" must yield "&lt;", not "<"
 
+  // ---------------------------------------- config-loadable lists
+
+  /** Load an ordered find→replace pair list (one `find<TAB>replace`
+    * per line, line order = application order — order is semantic for
+    * both the entity chain and the mojibake chain; blank lines and
+    * `#` comments skipped). Driver-side Hadoop-FS read: the lists are
+    * small and interpolate into the scan projection as literals, the
+    * same shape the shipped defaults use — which is also what keeps a
+    * loaded list oracle-replayable. The replace side may be empty
+    * (delete). Use for `entity-list-path` (the full HTML5 entity
+    * table) and `mojibake-list-path` (the full ftfy repair table). */
+  def loadPairList(spark: org.apache.spark.sql.SparkSession,
+      path: String): Seq[(String, String)] = {
+    val lines = readSmallTextFile(spark, path)
+    lines.filter(l => l.nonEmpty && !l.startsWith("#")).map { l =>
+      val i = l.indexOf('\t')
+      require(i > 0, s"malformed pair line in $path (need 'find<TAB>replace'): '$l'")
+      (l.substring(0, i), l.substring(i + 1))
+    }
+  }
+
+  /** Load a one-word-per-line list (blank lines and `#` comments
+    * skipped, order irrelevant — membership semantics). Use for
+    * `badword-list-path` (the published LDNOOBW list). */
+  def loadWordList(spark: org.apache.spark.sql.SparkSession,
+      path: String): Seq[String] =
+    readSmallTextFile(spark, path)
+      .map(_.trim).filter(l => l.nonEmpty && !l.startsWith("#"))
+
+  private def readSmallTextFile(spark: org.apache.spark.sql.SparkSession,
+      path: String): Seq[String] = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val in = fs.open(p)
+    try scala.io.Source.fromInputStream(in, "UTF-8").getLines().toList
+    finally in.close()
+  }
+
   /** Deterministic HTML-to-text extraction (the ingest step upstream
     * of every web-corpus pipeline; trafilatura-class boilerplate
     * REMOVAL is the separate [[stripBoilerplate]]/[[c4Flags]] stage —
@@ -463,8 +501,15 @@ object TextAnalysis {
     *     outer newlines (markup residue, not structure).
     * Pure regexp/string rewriting — replays in SQL (q108), scan-speed
     * at 100 TB. A real parser handles malformed nesting better; this
-    * is the deterministic 99% with no dependency. */
-  def stripHtml(c: Column): Column = {
+    * is the deterministic 99% with no dependency.
+    *
+    * `entities` defaults to the shipped [[HtmlEntities]] stand-in;
+    * load the full HTML5 entity table with [[loadPairList]] (the
+    * Curator's `entity-list-path` knob) — the chain is list-agnostic
+    * and a loaded list interpolates into the plan (and into an oracle
+    * replay) exactly like the default. */
+  def stripHtml(c: Column,
+      entities: Seq[(String, String)] = HtmlEntities): Column = {
     // line endings first: CR/CRLF → LF, so the multiline trim below
     // agrees between Java regex and RE2 ('$' before \r\n differs) and
     // no \r ever reaches the line-level stages (review finding)
@@ -483,10 +528,10 @@ object TextAnalysis {
     // prose and survives; "<em>" and "<john@example.com>" are markup
     // to a browser and are stripped (review finding)
     val noTags = regexp_replace(withBreaks, "</?[A-Za-z][^>]*>|<![A-Za-z][^>]*>", "")
-    val entities = HtmlEntities.foldLeft(noTags) { case (acc, (e, ch)) =>
+    val decoded = entities.foldLeft(noTags) { case (acc, (e, ch)) =>
       replace(acc, lit(e), lit(ch))
     }
-    val squeezed = regexp_replace(entities, "[ \\t]+", " ")
+    val squeezed = regexp_replace(decoded, "[ \\t]+", " ")
     val trimmed = regexp_replace(squeezed, "(?m)^ +| +$", "")
     // outer newlines are markup residue, not document structure
     regexp_replace(trimmed, "^\\n+|\\n+$", "")
@@ -547,11 +592,21 @@ object TextAnalysis {
     * Every step is deterministic string rewriting — the q106 oracle
     * replays the whole chain (DuckDB `nfc_normalize` implements the
     * same Unicode algorithm). At 100 TB this is one more scan-speed
-    * projection with no shuffle. */
-  def normalizeText(c: Column): Column = {
+    * projection with no shuffle.
+    *
+    * `repairs` defaults to the shipped [[MojibakeRepairs]] stand-in;
+    * load the full ftfy repair table with [[loadPairList]] (the
+    * Curator's `mojibake-list-path` knob). NOTE the state interaction:
+    * normalization decides the canonical bytes every dedup tier
+    * hashes, so changing the repair list against a committed state
+    * would silently stop old hashes matching — the Curator folds a
+    * fingerprint of any loaded list into the state commit record and
+    * rejects the drift. */
+  def normalizeText(c: Column,
+      repairs: Seq[(String, String)] = MojibakeRepairs): Column = {
     // literal substring replace (no regex engine) — the repairs are
     // fixed strings, and this mirrors the oracle's replace() chain
-    val repaired = MojibakeRepairs.foldLeft(c) { case (acc, (bad, good)) =>
+    val repaired = repairs.foldLeft(c) { case (acc, (bad, good)) =>
       replace(acc, lit(bad), lit(good))
     }
     // CR or CRLF -> LF: a lone \r must become a line break, not be

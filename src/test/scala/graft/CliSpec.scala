@@ -728,6 +728,75 @@ class CliSpec extends SparkTestBase {
     assert(rep3("l_quantity") <= 0.05, s"sketch drift on identical data: $rep3")
   }
 
+  test("differ edges-dir: run 1 persists bin edges, run 2 reuses them so " +
+      "nightly TVDs compare even as the reference range drifts; a shifted " +
+      "copy still breaches under pinned edges") {
+    import org.apache.spark.sql.functions.col
+    val base = tmp()
+    val refDir = base.resolve("eref").toString
+    val ref2Dir = base.resolve("eref2").toString
+    val shiftDir = base.resolve("eshift").toString
+    val li = spark.read.parquet(s"$sfDir/lineitem.parquet").select("l_quantity")
+    li.write.parquet(refDir)
+    // a DIFFERENT reference snapshot with a wider range — without
+    // pinned edges this run would re-bin everything
+    li.select((col("l_quantity") * 10).as("l_quantity")).write.parquet(ref2Dir)
+    li.select((col("l_quantity") * 2).as("l_quantity")).write.parquet(shiftDir)
+    val edges = base.resolve("edges").toString
+    def conf(name: String, srcDir: String, refD: String, extra: String = "") =
+      write(base.resolve(s"e$name.conf"),
+        s"""source { storage-type = local, dataset-dir = $srcDir }
+           |reference { storage-type = local, dataset-dir = $refD }
+           |diff {
+           |  continuous-columns = [l_quantity]
+           |  report-dir = ${base.resolve(s"erep_$name")}
+           |  edges-dir = $edges
+           |  max-drift = 0.1
+           |$extra
+           |}
+           |""".stripMargin)
+    // run 1: derives and persists the reference edges; identical data
+    // shows zero drift
+    graft.cli.Differ.main(Array("--conf", conf("r1", refDir, refDir)))
+    val stored = spark.read.parquet(s"$edges/edges").collect()
+    assert(stored.length == 1 && stored.head.getString(0) == "l_quantity")
+    val run1Edges = stored.head.getSeq[Double](1)
+    assert(run1Edges.length >= 2)
+    val rep1 = spark.read.parquet(base.resolve("erep_r1").toString).head()
+    assert(rep1.getString(1) == "tvd_continuous" && rep1.getDouble(2) == 0.0)
+    // run 2: reuses run-1 edges (metric says so, file unchanged) even
+    // though THIS run's reference has a 10x range — without the pin the
+    // shifted source below would be rebinned into looking closer
+    val err = intercept[IllegalStateException] {
+      graft.cli.Differ.main(Array("--conf", conf("r2", shiftDir, ref2Dir)))
+    }
+    assert(err.getMessage.contains("l_quantity"), err.getMessage)
+    val rep2 = spark.read.parquet(base.resolve("erep_r2").toString).head()
+    assert(rep2.getString(1) == "tvd_fixed_edges", rep2.toString)
+    assert(rep2.getDouble(2) > 0.1, s"shifted copy must breach under pinned edges: $rep2")
+    val stored2 = spark.read.parquet(s"$edges/edges").head().getSeq[Double](1)
+    assert(stored2 == run1Edges, "run 2 must not rewrite the pinned edges")
+    // a changed column set does not compare longitudinally — rejected
+    val badCols = write(base.resolve("ebad.conf"),
+      s"""source { storage-type = local, dataset-dir = $refDir }
+         |reference { storage-type = local, dataset-dir = $refDir }
+         |diff {
+         |  continuous-columns = [l_quantity, l_missing]
+         |  edges-dir = $edges
+         |}
+         |""".stripMargin)
+    val e1 = intercept[IllegalArgumentException] {
+      graft.cli.Differ.main(Array("--conf", badCols))
+    }
+    assert(e1.getMessage.contains("l_missing"), e1.getMessage)
+    // edges-dir + sketch is contradictory config — rejected
+    val e2 = intercept[IllegalArgumentException] {
+      graft.cli.Differ.main(Array("--conf",
+        conf("sk", refDir, refDir, "  sketch = true")))
+    }
+    assert(e2.getMessage.contains("sketch"), e2.getMessage)
+  }
+
   test("curator stage log: the artifact covers every enabled stage in run " +
       "order with seconds and observed row counts") {
     import org.apache.spark.sql.functions._
@@ -1667,6 +1736,88 @@ class CliSpec extends SparkTestBase {
     assert(t.endsWith("caf\u00e9 bonus."), s"retained lines rejoined: '${t.takeRight(40)}'")
   }
 
+  test("curator config-loadable lists: custom mojibake/entity/badword files " +
+      "change the outcome; a loaded rewrite list fingerprints into state and " +
+      "drift is rejected") {
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    val base = tmp()
+    def prose(i: Long) = (0 until 8).map(j =>
+      s"the data value v$i$j holds with care and that is good to have.").mkString(" ")
+    // &copy; is OUTSIDE the shipped entity list; Ã¿ (latin-1
+    // mojibake of 'ÿ') is OUTSIDE the shipped repair list; 'gubbins' is
+    // outside the shipped badword stand-in
+    val docs = Seq(
+      (1L, s"<p>${prose(1L)} marker &copy; sign Ã¿ here.</p>"),
+      (2L, s"${prose(2L)} gubbins appears here."))
+      .toDF("doc_id", "text")
+    val src = base.resolve("lsrc").toString
+    docs.write.parquet(src)
+    val entityList = base.resolve("entities.tsv")
+    write(entityList, "# extra entities\n&copy;\t©\n&nbsp;\t \n")
+    val mojiList = base.resolve("mojibake.tsv")
+    write(mojiList, "Ã¿\tÿ\n")
+    val badList = base.resolve("badwords.txt")
+    write(badList, "# custom\ngubbins\n")
+    def conf(run: Int, extra: String, stateIn: Option[String] = None) =
+      write(base.resolve(s"lists$run.conf"),
+        s"""source { storage-type = local, dataset-dir = $src }
+           |target { storage-type = local, dataset-dir = ${base.resolve(s"lout$run")}, dataset-store-format = parquet, write-mode = overwrite }
+           |curation {
+           |${stateIn.map(d => s"  state-dir = $d").getOrElse("")}
+           |  state-out-dir = ${base.resolve(s"lstate$run")}
+           |  min-quality = 0.0
+           |  strip-html = true
+           |  normalize-text = true
+           |  c4-rules = true
+           |$extra
+           |}
+           |""".stripMargin)
+    // run 1: shipped defaults — &copy; undecoded, mojibake unrepaired,
+    // 'gubbins' not a bad word → both docs survive
+    graft.cli.Curator.main(Array("--conf", conf(1, "")))
+    val out1 = spark.read.parquet(base.resolve("lout1").toString)
+      .select("doc_id", "text").as[(Long, String)].collect().toMap
+    assert(out1.keySet == Set(1L, 2L))
+    assert(out1(1L).contains("&copy;") && out1(1L).contains("Ã¿"))
+    // run 2: custom lists — entity decoded, mojibake repaired, and the
+    // custom bad word drops doc 2
+    graft.cli.Curator.main(Array("--conf", conf(2,
+      s"""  entity-list-path = "$entityList"
+         |  mojibake-list-path = "$mojiList"
+         |  badword-list-path = "$badList"""".stripMargin)))
+    val out2 = spark.read.parquet(base.resolve("lout2").toString)
+      .select("doc_id", "text").as[(Long, String)].collect().toMap
+    assert(out2.keySet == Set(1L), s"custom bad word must drop doc 2: ${out2.keySet}")
+    assert(out2(1L).contains("©") && !out2(1L).contains("&copy;"),
+      s"custom entity must decode: '${out2(1L).takeRight(60)}'")
+    assert(out2(1L).contains("ÿ") && !out2(1L).contains("Ã¿"),
+      "custom mojibake pair must repair")
+    // run 3: continuing run 2's state lineage with the DEFAULT lists is
+    // a canonical-bytes drift — rejected via the commit fingerprint
+    val e = intercept[IllegalArgumentException] {
+      graft.cli.Curator.main(Array("--conf",
+        conf(3, "", Some(base.resolve("lstate2").toString))))
+    }
+    assert(e.getMessage.contains("parameters"), e.getMessage)
+    // run 4: same custom lists against the same state → accepted
+    graft.cli.Curator.main(Array("--conf", conf(4,
+      s"""  entity-list-path = "$entityList"
+         |  mojibake-list-path = "$mojiList"
+         |  badword-list-path = "$badList"""".stripMargin,
+      Some(base.resolve("lstate2").toString))))
+    // a list path without its stage on is dead config — rejected
+    val bad = write(base.resolve("lists_dead.conf"),
+      s"""source { storage-type = local, dataset-dir = $src }
+         |target { storage-type = local, dataset-dir = ${base.resolve("ldead")}, dataset-store-format = parquet, write-mode = overwrite }
+         |curation { badword-list-path = "$badList" }
+         |""".stripMargin)
+    val e2 = intercept[IllegalArgumentException] {
+      graft.cli.Curator.main(Array("--conf", bad))
+    }
+    assert(e2.getMessage.contains("c4-rules"), e2.getMessage)
+  }
+
   test("curator domain gate: blocklisted domains (and their subdomains) drop " +
       "BEFORE any text stage — dedup state covers admitted docs only") {
     import org.apache.spark.sql.functions._
@@ -2456,14 +2607,29 @@ class CliSpec extends SparkTestBase {
   test("streamer near-dedup drops a case-changed corpus echo against Curator state") {
     import org.apache.spark.sql.functions.{col, lower, timestamp_micros}
     val base = tmp()
-    // 1. curate a corpus slice and commit its dedup state
+    // 1. curate a corpus slice and commit its dedup state — in PARTS
+    //    mode, so the stream path provably reads sigs through the
+    //    manifest accessor and the materialized `hot` aggregate through
+    //    the same readStateTable entry point (review finding: a raw
+    //    `$stateDir/hot` read would break the day hot moves to
+    //    manifests; both accessor paths are exercised here)
     val stateDir = base.resolve("state").toString
     val cf = write(base.resolve("cur.conf"),
       s"""source { storage-type = local, dataset-dir = $sfDir/documents.parquet }
          |target { storage-type = local, dataset-dir = ${base.resolve("curated")}, dataset-store-format = parquet, write-mode = overwrite }
-         |curation { state-out-dir = $stateDir }
+         |curation {
+         |  state-out-dir = $stateDir
+         |  state-parts-dir = ${base.resolve("parts")}
+         |  bands = 8
+         |  max-bucket = 3
+         |}
          |""".stripMargin)
     graft.cli.Curator.main(Array("--conf", cf))
+    // precondition: parts mode actually engaged and hot is non-empty
+    assert(new java.io.File(base.resolve("state").toString, "sigsmanifest").exists(),
+      "curate must have committed sigs via a parts manifest")
+    assert(spark.read.parquet(s"$stateDir/hot").count() > 0,
+      "hot-bucket state must be non-empty for the stream to consult")
     // 2. stage a landing dir: a case-changed echo of a curated doc
     //    (identical SimHash under lowercased tokenization) + fresh docs
     import spark.implicits._
