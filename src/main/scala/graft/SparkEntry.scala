@@ -1693,13 +1693,13 @@ object SparkEntry {
       val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
       val lm = LangModel.trainTrigram(
         docs.filter(col("doc_id") < 100), "text", minCount = 2)
-      // scored slice bounded to 1,000 docs at every SF (the q96
+      // scored slice bounded to 600 docs at every SF (the q96
       // bounding idiom): this composable anchor pins the oracle
       // arithmetic — corpus-scale scoring is q86's native registry —
       // and unbounded its count-joins dominated bench heap (~2 GB at
       // sf0.1, round-8 verdict item)
       LangModel.logProbPerDocTrigram(
-        docs.filter(col("doc_id") >= 100 && col("doc_id") < 1100),
+        docs.filter(col("doc_id") >= 100 && col("doc_id") < 700),
         lm, "doc_id", "text")
         .select(col("doc_id"), round(col("lm3_logp"), 6).as("lm3_logp"),
           col("lm3_positions"))
@@ -1742,7 +1742,7 @@ object SparkEntry {
       // scored slice bounded like q85 (the composable anchor exists to
       // pin arithmetic; q94's native registry is the scale path)
       LangModel.logProbPerDocNgram(
-        docs.filter(col("doc_id") >= 100 && col("doc_id") < 1100),
+        docs.filter(col("doc_id") >= 100 && col("doc_id") < 700),
         lm, "doc_id", "text")
         .select(col("doc_id"), round(col("lmn_logp"), 5).as("lmn_logp"),
           col("lmn_positions"))
@@ -2279,13 +2279,13 @@ object SparkEntry {
   /** The scored-slice predicates the LM oracles parameterize over: the
     * NATIVE registries (q86/q94) score the whole held-out corpus —
     * that is the production shape being demonstrated — while the
-    * COMPOSABLE anchors (q85/q93) score a fixed 1,000-doc slice at
+    * COMPOSABLE anchors (q85/q93) score a fixed 600-doc slice at
     * every SF (the q96 bounding idiom): their count-arithmetic join
     * programs exist to pin the oracle arithmetic, not to demonstrate
     * scoring throughput, and unbounded they dominated bench HEAP
     * (~2 GB at sf0.1 — round-8 verdict item) for no extra evidence. */
   private val LmScoredFull = "doc_id >= 100"
-  private val LmScoredBounded = "doc_id >= 100 AND doc_id < 1100"
+  private val LmScoredBounded = "doc_id >= 100 AND doc_id < 700"
 
   /** q85/q86's oracle (same program, scored slice parameterized): all
     * three trainings, then the exact per-position stupid-backoff CASE —

@@ -1870,11 +1870,24 @@ object Trainer {
   *    `recall-oversample`) — the monitor that tells an operator when
   *    drift warrants a rebuild; `min-recall` turns it into a GATE
   *    (report lands first, then a breach exits nonzero)
+  *  - `mode = monitor` (requires `recall-queries` and `min-recall`):
+  *    the scheduled form of that gate — measure, report, and on a
+  *    breach either exit nonzero (default) or, with
+  *    `rebuild-on-breach = true`, RETRAIN cells (and codebook) from
+  *    the grown corpus into `<index-dir>.rebuild` under a fresh marker
+  *    window, measure the candidate, then atomically swap: the old
+  *    index retires to `<index-dir>.retired`, the rebuild takes its
+  *    place. The swap commits even if the rebuilt recall still misses
+  *    the floor (the rebuild is strictly better data layout; the
+  *    operator is alerted by the nonzero exit either way).
   *
   * Durability is the [[graft.llm.Similarity.ivfEnsure]] marker
   * protocol: `_BUILT` comes down before an append and back up after,
   * so a crash mid-append leaves an index the protocol refuses instead
-  * of one silently holding an unknown subset of the increment. */
+  * of one silently holding an unknown subset of the increment. A crash
+  * between the two swap renames leaves `<index-dir>` missing with both
+  * `.retired` and `.rebuild` intact — loudly recoverable by renaming
+  * either into place, never a silent half-index. */
 object Indexer {
   def main(args: Array[String]): Unit = Cli.run("indexer", args) { (conf, spark) =>
     import org.apache.hadoop.fs.Path
@@ -1896,26 +1909,70 @@ object Indexer {
     val fs = marker.getFileSystem(hconf)
     val codesPath = new Path(indexDir, "codes")
     val emb = spark.read.parquet(embDir).select(col(idCol), col(vecCol))
+    // one build routine for mode=build AND the monitor's
+    // rebuild-on-breach path, so the rebuild is structurally the
+    // already-tested build (PQ included), just aimed at another dir
+    def buildInto(target: String, source: org.apache.spark.sql.DataFrame): Long = {
+      val (model, tagged0) = Similarity.ivfBuild(source, numCells, vecCol, maxIter = maxIter)
+      val tagged = tagged0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      try {
+        Similarity.ivfSave(model, tagged, target)
+        pqM.foreach { m =>
+          val cb = Similarity.pqTrain(tagged, m, pqK.get, vecCol, maxIter = maxIter)
+          Similarity.pqSave(cb, spark, s"$target/pq/codebook")
+          Similarity.pqEncode(tagged, cb, idCol, vecCol)
+            .join(tagged.select(col(idCol), col("cell")), Seq(idCol))
+            .write.mode("overwrite").partitionBy("cell").parquet(s"$target/codes")
+        }
+        fs.create(new Path(target, "_BUILT"), true).close()
+        tagged.count()
+      } finally tagged.unpersist(blocking = false)
+    }
+    // recall measurement + report against the index at `dir`; returns
+    // the average (None when recall-queries = 0)
+    def runRecall(dir: String): Option[Double] = {
+      val nQ = c.getInt("recall-queries").getOrElse(0)
+      if (nQ == 0) None
+      else {
+        val (model, corpus) = Similarity.ivfLoad(spark, dir)
+        val cells = model.clusterCenters.length
+        val k = c.getInt("recall-k").getOrElse(10)
+        val nprobe = c.getInt("recall-nprobe").getOrElse(math.max(1, cells / 4))
+        // deterministic hash-ordered sample over the WHOLE corpus: an
+        // id-ordered prefix would always probe the oldest (build-time)
+        // vectors and never observe drift in appended data — the one
+        // thing the monitor exists to catch (review finding)
+        val queries = corpus.select(col(idCol), col(vecCol))
+          .orderBy(graft.operators.Ops.hashDigestCol(col(idCol), "recall"), col(idCol))
+          .limit(nQ)
+        val brute = Similarity.bruteForceTopK(queries, corpus, k, idCol, vecCol)
+          .select("query_id", "neighbor_id")
+        val dirCodes = new Path(dir, "codes")
+        val probe =
+          if (fs.exists(dirCodes)) {
+            val cb = Similarity.pqLoad(spark, s"$dir/pq/codebook")
+            Similarity.ivfPqTopK(queries, spark.read.parquet(dirCodes.toString),
+              model, cb, corpus, k, nprobe,
+              oversample = c.getInt("recall-oversample").getOrElse(5), idCol, vecCol)
+          } else Similarity.ivfTopK(queries, corpus, model, k, nprobe, idCol, vecCol)
+        val recall = Similarity.probeRecall(brute, probe.select("query_id", "neighbor_id"))
+          .persist()
+        recall.coalesce(1).write.mode("overwrite").parquet(s"$dir/recall")
+        val avgR = recall.agg(avg("recall")).head.getDouble(0)
+        recall.unpersist()
+        Cli.log(f"index recall@$k (nprobe=$nprobe): avg $avgR%.4f over $nQ " +
+          s"queries -> $dir/recall")
+        Some(avgR)
+      }
+    }
     c.getString("mode").getOrElse("build") match {
       case "build" =>
         require(!fs.exists(marker),
           s"index at '$indexDir' is already built — use mode = append, " +
             "or point at a fresh dir")
-        val (model, tagged0) = Similarity.ivfBuild(emb, numCells, vecCol, maxIter = maxIter)
-        val tagged = tagged0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-        try {
-          Similarity.ivfSave(model, tagged, indexDir)
-          pqM.foreach { m =>
-            val cb = Similarity.pqTrain(tagged, m, pqK.get, vecCol, maxIter = maxIter)
-            Similarity.pqSave(cb, spark, s"$indexDir/pq/codebook")
-            Similarity.pqEncode(tagged, cb, idCol, vecCol)
-              .join(tagged.select(col(idCol), col("cell")), Seq(idCol))
-              .write.mode("overwrite").partitionBy("cell").parquet(codesPath.toString)
-          }
-          fs.create(marker, true).close()
-          Cli.log(s"index built at $indexDir: ${tagged.count()} vectors, " +
-            s"$numCells cells" + pqM.map(m => s", PQ $m×${pqK.get}").getOrElse(""))
-        } finally tagged.unpersist(blocking = false)
+        val n = buildInto(indexDir, emb)
+        Cli.log(s"index built at $indexDir: $n vectors, " +
+          s"$numCells cells" + pqM.map(m => s", PQ $m×${pqK.get}").getOrElse(""))
       case "append" =>
         require(fs.exists(marker),
           s"no committed index at '$indexDir' (_BUILT missing)")
@@ -1946,46 +2003,73 @@ object Indexer {
               .write.mode("append").partitionBy("cell").parquet(codesPath.toString)
           })
         Cli.log(s"appended ${emb.count()} vectors to $indexDir")
-      case other => throw new IllegalArgumentException(
-        s"unknown index.mode '$other' (build|append)")
-    }
-    val nQ = c.getInt("recall-queries").getOrElse(0)
-    if (nQ > 0) {
-      val (model, corpus) = Similarity.ivfLoad(spark, indexDir)
-      val cells = model.clusterCenters.length
-      val k = c.getInt("recall-k").getOrElse(10)
-      val nprobe = c.getInt("recall-nprobe").getOrElse(math.max(1, cells / 4))
-      // deterministic hash-ordered sample over the WHOLE corpus: an
-      // id-ordered prefix would always probe the oldest (build-time)
-      // vectors and never observe drift in appended data — the one
-      // thing the monitor exists to catch (review finding)
-      val queries = corpus.select(col(idCol), col(vecCol))
-        .orderBy(graft.operators.Ops.hashDigestCol(col(idCol), "recall"), col(idCol))
-        .limit(nQ)
-      val brute = Similarity.bruteForceTopK(queries, corpus, k, idCol, vecCol)
-        .select("query_id", "neighbor_id")
-      val probe =
-        if (fs.exists(codesPath)) {
-          val cb = Similarity.pqLoad(spark, s"$indexDir/pq/codebook")
-          Similarity.ivfPqTopK(queries, spark.read.parquet(codesPath.toString),
-            model, cb, corpus, k, nprobe,
-            oversample = c.getInt("recall-oversample").getOrElse(5), idCol, vecCol)
-        } else Similarity.ivfTopK(queries, corpus, model, k, nprobe, idCol, vecCol)
-      val recall = Similarity.probeRecall(brute, probe.select("query_id", "neighbor_id"))
-        .persist()
-      recall.coalesce(1).write.mode("overwrite").parquet(s"$indexDir/recall")
-      val avgR = recall.agg(avg("recall")).head.getDouble(0)
-      recall.unpersist()
-      Cli.log(f"index recall@$k (nprobe=$nprobe): avg $avgR%.4f over $nQ " +
-        s"queries -> $indexDir/recall")
-      // `min-recall`: the monitor as an operator GATE — the report is
-      // already on disk, so a breach exits nonzero for schedulers to
-      // alert on (the Differ's max-drift convention)
-      c.getDouble("min-recall").foreach { floor =>
-        if (avgR < floor)
+      case "monitor" =>
+        // the scheduled recall gate, optionally self-healing: the
+        // embeddings source is NOT read — the monitor judges (and
+        // rebuilds from) what the index already holds
+        require(fs.exists(marker),
+          s"no committed index at '$indexDir' (_BUILT missing)")
+        val floor = c.getDouble("min-recall").getOrElse(
+          throw new IllegalArgumentException(
+            "index.mode = monitor needs index.min-recall (the gate floor)"))
+        require(c.getInt("recall-queries").exists(_ > 0),
+          "index.mode = monitor needs index.recall-queries > 0")
+        val avgR = runRecall(indexDir).get
+        if (avgR >= floor) Cli.log(f"recall $avgR%.4f >= $floor — index healthy")
+        else if (!c.getString("rebuild-on-breach").exists(_.toBoolean))
           throw new IllegalStateException(
             f"index recall $avgR%.4f below the $floor gate — centroids/" +
-              "codebook no longer fit the data; rebuild the index")
+              "codebook no longer fit the data; rebuild the index " +
+              "(or set index.rebuild-on-breach = true)")
+        else {
+          Cli.log(f"recall $avgR%.4f below $floor — retraining from the " +
+            "grown corpus")
+          val rebuildDir = new Path(s"$indexDir.rebuild")
+          if (fs.exists(rebuildDir)) fs.delete(rebuildDir, true): Unit
+          // the rebuild SOURCE is the persisted index corpus; all reads
+          // materialize into the rebuild dir before any rename below
+          val (_, corpus) = Similarity.ivfLoad(spark, indexDir)
+          val n = buildInto(rebuildDir.toString,
+            corpus.select(col(idCol), col(vecCol)))
+          // judge the candidate BEFORE the swap; its report rides it
+          val avg2 = runRecall(rebuildDir.toString).get
+          // swap: retire the old index, promote the rebuild. Two
+          // renames — a crash in between leaves .retired + .rebuild
+          // intact and index-dir missing (loudly recoverable), never a
+          // silent half-index
+          val retired = new Path(s"$indexDir.retired")
+          if (fs.exists(retired)) fs.delete(retired, true): Unit
+          require(fs.rename(new Path(indexDir), retired),
+            s"could not retire '$indexDir' to '$retired'")
+          require(fs.rename(rebuildDir, new Path(indexDir)),
+            s"could not promote '$rebuildDir' to '$indexDir' — the old " +
+              s"index is at '$retired'")
+          Cli.log(f"index rebuilt and swapped at $indexDir: $n vectors, " +
+            f"$numCells cells, recall $avgR%.4f -> $avg2%.4f " +
+            s"(old index retired to $retired)")
+          // the swap stays committed either way (a retrained layout is
+          // strictly fresher); a floor still missed means the CONFIG no
+          // longer fits the data — alert the scheduler
+          if (avg2 < floor)
+            throw new IllegalStateException(
+              f"rebuilt index committed, but recall $avg2%.4f is still " +
+                f"below the $floor gate — raise num-cells/nprobe or " +
+                "revisit PQ parameters")
+        }
+      case other => throw new IllegalArgumentException(
+        s"unknown index.mode '$other' (build|append|monitor)")
+    }
+    if (c.getString("mode").getOrElse("build") != "monitor") {
+      // build/append: measure after commit; `min-recall` is the gate —
+      // the report is already on disk, so a breach exits nonzero for
+      // schedulers to alert on (the Differ's max-drift convention)
+      runRecall(indexDir).foreach { avgR =>
+        c.getDouble("min-recall").foreach { floor =>
+          if (avgR < floor)
+            throw new IllegalStateException(
+              f"index recall $avgR%.4f below the $floor gate — centroids/" +
+                "codebook no longer fit the data; rebuild the index")
+        }
       }
     }
   }

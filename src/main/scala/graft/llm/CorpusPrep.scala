@@ -255,13 +255,27 @@ object CorpusPrep {
     val L = lit(seqLen.toLong)
     val withStream = docs
       .withColumn("__ids",
-        when(col(idsCol).isNull,
-          raise_error(lit(s"packTokenIds: null $idsCol array — filter or encode upstream")))
+        when(col(idsCol).isNull || exists(col(idsCol), x => x.isNull),
+          raise_error(lit(s"packTokenIds: null $idsCol array or null id " +
+            "element — filter or encode upstream")))
           .otherwise(concat(col(idsCol), array(lit(eosId)))))
       .withColumn("__n", size(col("__ids")).cast("long"))
       .withColumn("__bucket", pmod(col(idCol), lit(buckets.toLong)))
       .withColumn("__cum", sum(col("__n")).over(w))
-      .withColumn("__start", col("__cum") - col("__n"))
+      // duplicate order keys would be SILENT corruption: the RANGE
+      // cumulative frame gives tied rows one shared __cum, so their
+      // streams overlap and sequences assemble over-long. Every stream
+      // is non-empty (n >= 1), so across distinct keys __cum strictly
+      // increases — a tie with the previous row IS a duplicate key.
+      // The guard rides __start (a pruned side column would never
+      // evaluate).
+      .withColumn("__start",
+        col("__cum") - col("__n") +
+          when(lag(col("__cum"), 1).over(w) === col("__cum"),
+            raise_error(lit(s"packTokenIds: duplicate order key under " +
+              s"(${order.mkString(", ")}) — stream positions would overlap; " +
+              "add a disambiguating column (chunk_id, epoch) to orderCols")))
+            .otherwise(lit(0L)))
     // sequence windows this doc touches: floor(start/L) .. floor((cum-1)/L)
     val exploded = withStream
       .withColumn("__s", explode(sequence(

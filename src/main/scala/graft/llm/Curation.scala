@@ -240,7 +240,12 @@ object Curation {
     // same cost class as the LM filters beside it
     conf.bowClassifierPath.foreach { p =>
       val model = QualityClassifier.loadBow(p)
-      df = QualityClassifier.scoreBow(df, textCol, model)
+      // a Platt sidecar in the artifact (QualityClassifier.calibrateBow
+      // + saveBow) makes `bow_score` a CALIBRATED probability, so
+      // minBowScore floors keep their meaning across retrains; without
+      // one the raw sigmoid emits unchanged
+      df = QualityClassifier.scoreBow(df, textCol, model,
+        calibration = QualityClassifier.loadBowCalibration(p))
       if (!conf.minBowScore.isNegInfinity)
         df = df.filter(col("bow_score") >= conf.minBowScore)
     }

@@ -175,18 +175,25 @@ object QualityClassifier {
   /** Score with a [[trainBow]] model: P(reference class) as `scoreCol`,
     * input columns preserved, internal pipeline columns dropped. Null
     * text scores null (drops under any >= filter), matching the
-    * composable form's contract. */
+    * composable form's contract. With `calibration` set (a
+    * [[calibrateBow]] fit, typically recovered from the artifact via
+    * [[loadBowCalibration]]) the emitted score is the Platt-calibrated
+    * probability — a strictly monotone rescale, so rankings and the
+    * zero-shuffle scoring shape are unchanged; only the meaning of a
+    * threshold improves. */
   def scoreBow(
       df: DataFrame,
       textCol: String,
       model: org.apache.spark.ml.PipelineModel,
-      scoreCol: String = "bow_score"): DataFrame = {
+      scoreCol: String = "bow_score",
+      calibration: Option[PlattCalibration] = None): DataFrame = {
     import org.apache.spark.ml.functions.vector_to_array
     val in = df.withColumn("__bow_text", coalesce(col(textCol), lit("")))
+    val raw = vector_to_array(col("probability")).getItem(1).cast("double")
+    val scoreExpr = calibration.fold(raw)(_.apply(raw))
     val out = model.transform(in)
       .withColumn(scoreCol,
-        when(col(textCol).isNull, lit(null).cast("double"))
-          .otherwise(vector_to_array(col("probability")).getItem(1).cast("double")))
+        when(col(textCol).isNull, lit(null).cast("double")).otherwise(scoreExpr))
     out.select(df.columns.map(col) :+ col(scoreCol): _*)
   }
 
@@ -252,14 +259,167 @@ object QualityClassifier {
     new Pipeline().setStages(Array(tok, tf, idf, lr)).fit(data)
   }
 
+  // ----------------------------------------------- Platt calibration
+
+  /** Platt scaling (Platt 1999, "Probabilistic Outputs for Support
+    * Vector Machines..."): `calibrated = sigmoid(a·z + b)` over the raw
+    * score's LOGIT `z`. Why it matters here: a HashingTF→LR fit's raw
+    * sigmoid outputs drift in meaning across retrains (different
+    * corpus, regularization, iteration budget ⇒ differently-scaled
+    * decision values), so a `min-bow-score = 0.8` floor tuned against
+    * one artifact silently means something else against the next.
+    * Calibrating on a HELD-OUT slice anchors the score to an actual
+    * probability, making floors retrain-portable. `a > 0` ⇒ the
+    * transform is strictly monotone: calibration re-scales confidence,
+    * it never reorders documents. */
+  final case class PlattCalibration(a: Double, b: Double) {
+    require(a.isFinite && b.isFinite, s"non-finite Platt parameters ($a, $b)")
+    require(a > 0,
+      s"Platt slope must be positive (monotone transform), got $a — the " +
+        "held-out slice disagrees with the model's score direction")
+
+    /** Calibrated probability column from a raw-probability column
+      * (null-safe: null raw ⇒ null calibrated). Raw scores clamp to
+      * [1e-12, 1−1e-12] before the logit so saturated LR outputs stay
+      * finite. */
+    def apply(raw: Column): Column = {
+      val p = least(greatest(raw, lit(1e-12)), lit(1.0 - 1e-12))
+      val z = log(p / (lit(1.0) - p))
+      lit(1.0) / (lit(1.0) + exp(-(lit(a) * z + lit(b))))
+    }
+  }
+
+  /** Fit Platt scaling for a [[trainBow]]/[[trainCharBow]] model on
+    * HELD-OUT reference/random slices (never the training slices — the
+    * whole point is correcting the fit's overconfidence, which the
+    * training data cannot see). Classic Platt details: the targets are
+    * the smoothed `(n₊+1)/(n₊+2)` / `1/(n₋+2)` values (an out-of-sample
+    * Bayes correction that keeps the fit from chasing 0/1 asymptotes),
+    * and the 2-parameter logistic fit runs as Newton iterations whose
+    * gradient/Hessian are ONE Spark aggregate each over the cached
+    * `(z, target)` frame — distributed over any held-out size, ~10
+    * iterations, nothing but two doubles ever on the driver. */
+  def calibrateBow(
+      model: org.apache.spark.ml.PipelineModel,
+      refHeldOut: DataFrame,
+      randHeldOut: DataFrame,
+      textCol: String,
+      maxIter: Int = 50): PlattCalibration = {
+    val nPos = refHeldOut.count()
+    val nNeg = randHeldOut.count()
+    require(nPos > 0 && nNeg > 0,
+      s"calibrateBow needs non-empty held-out slices (got $nPos ref, $nNeg rand)")
+    val tPos = (nPos + 1.0) / (nPos + 2.0)
+    val tNeg = 1.0 / (nNeg + 2.0)
+    def side(df: DataFrame, t: Double) =
+      scoreBow(df.select(col(textCol)), textCol, model, "__p")
+        .filter(col("__p").isNotNull)
+        .select(col("__p"), lit(t).as("__t"))
+    val zt = side(refHeldOut, tPos).unionByName(side(randHeldOut, tNeg))
+      .select({
+        val p = least(greatest(col("__p"), lit(1e-12)), lit(1.0 - 1e-12))
+        log(p / (lit(1.0) - p)).as("z")
+      }, col("__t").as("t"))
+      .cache()
+    try {
+      // Lin–Weng–Lin 2007 ("A Note on Platt's Probabilistic Outputs"):
+      // Newton with BACKTRACKING from the a=0 / b=prior-logit start.
+      // Plain Newton from a=1 fails exactly here — an overconfident LR
+      // emits saturated z≈±27, where q(1−q)≈0 flattens the Hessian and
+      // the ridge-dominated step explodes (observed: calibration made
+      // Brier WORSE before the damping).
+      def stats(a: Double, b: Double): (Double, Double, Double, Double, Double, Double) = {
+        val m = lit(a) * col("z") + lit(b)
+        val q = lit(1.0) / (lit(1.0) + exp(-m))
+        // softplus(x) = max(x,0) + log1p(exp(−|x|)) — stable at ±27
+        def softplus(x: Column): Column =
+          greatest(x, lit(0.0)) + log1p(exp(-abs(x)))
+        val r = zt.agg(
+          sum(col("t") * softplus(-m) + (lit(1.0) - col("t")) * softplus(m)).as("loss"),
+          sum((q - col("t")) * col("z")).as("ga"),
+          sum(q - col("t")).as("gb"),
+          sum(q * (lit(1.0) - q) * col("z") * col("z")).as("haa"),
+          sum(q * (lit(1.0) - q) * col("z")).as("hab"),
+          sum(q * (lit(1.0) - q)).as("hbb")).head()
+        (r.getDouble(0), r.getDouble(1), r.getDouble(2),
+          r.getDouble(3), r.getDouble(4), r.getDouble(5))
+      }
+      var a = 0.0
+      var b = math.log((nNeg + 1.0) / (nPos + 1.0))
+      var (loss, ga, gb, haa0, hab, hbb0) = stats(a, b)
+      var it = 0
+      var done = false
+      while (it < maxIter && !done) {
+        val (haa, hbb) = (haa0 + 1e-9, hbb0 + 1e-9)
+        val det = haa * hbb - hab * hab
+        val da = (hbb * ga - hab * gb) / det
+        val db = (haa * gb - hab * ga) / det
+        if (math.abs(da) < 1e-10 && math.abs(db) < 1e-10) done = true
+        else {
+          // backtracking line search: halve until the loss decreases
+          var step = 1.0
+          var accepted = false
+          var tries = 0
+          while (!accepted && tries < 20) {
+            val (l2, g2a, g2b, h2aa, h2ab, h2bb) = stats(a - step * da, b - step * db)
+            if (l2 < loss) {
+              a -= step * da; b -= step * db
+              loss = l2; ga = g2a; gb = g2b; haa0 = h2aa; hab = h2ab; hbb0 = h2bb
+              accepted = true
+            } else { step /= 2; tries += 1 }
+          }
+          if (!accepted) done = true // at a local optimum within precision
+        }
+        it += 1
+      }
+      PlattCalibration(a, b)
+    } finally { zt.unpersist(); () }
+  }
+
+  private val PlattFile = "graft_platt.txt"
+
   /** Persist/load a [[trainBow]] model — the MLlib native directory
     * artifact ([[graft.ml.Trainer.save]] idiom): tokenizer params,
-    * hash width, IDF vector, LR coefficients all ride the pipeline. */
-  def saveBow(model: org.apache.spark.ml.PipelineModel, path: String): Unit =
+    * hash width, IDF vector, LR coefficients all ride the pipeline.
+    * With `calibration` set, the Platt parameters ride the SAME
+    * directory (a `graft_platt.txt` sidecar), so the calibrated score
+    * travels with the model it calibrates — [[loadBowCalibration]]
+    * recovers it and the Curator applies it automatically. */
+  def saveBow(model: org.apache.spark.ml.PipelineModel, path: String,
+      calibration: Option[PlattCalibration] = None): Unit = {
     model.write.overwrite().save(path)
+    calibration.foreach { cal =>
+      val p = new org.apache.hadoop.fs.Path(path, PlattFile)
+      val fs = p.getFileSystem(new org.apache.hadoop.conf.Configuration())
+      val out = fs.create(p, true)
+      try out.write(
+        s"#graft-platt v1\na\t${cal.a}\nb\t${cal.b}\n".getBytes("UTF-8"))
+      finally out.close()
+    }
+  }
 
   def loadBow(path: String): org.apache.spark.ml.PipelineModel =
     org.apache.spark.ml.PipelineModel.load(path)
+
+  /** The Platt sidecar of a [[saveBow]] artifact, if one was stored. */
+  def loadBowCalibration(path: String): Option[PlattCalibration] = {
+    val p = new org.apache.hadoop.fs.Path(path, PlattFile)
+    val fs = p.getFileSystem(new org.apache.hadoop.conf.Configuration())
+    if (!fs.exists(p)) None
+    else {
+      val in = fs.open(p)
+      val lines =
+        try scala.io.Source.fromInputStream(in, "UTF-8").getLines().toArray
+        finally in.close()
+      require(lines.nonEmpty && lines(0).startsWith("#graft-platt v1"),
+        s"not a graft Platt-calibration file: $p")
+      val kv = lines.drop(1).filter(_.nonEmpty).map { l =>
+        val t = l.split('\t'); require(t.length == 2, s"malformed line '$l' in $p")
+        t(0) -> t(1).toDouble
+      }.toMap
+      Some(PlattCalibration(kv("a"), kv("b")))
+    }
+  }
 
   /** Load a [[QualityClassifier#save]] artifact; validates the feature
     * list matches this library's surface (a file from a different

@@ -1912,6 +1912,38 @@ class CliSpec extends SparkTestBase {
       graft.cli.Curator.main(Array("--conf", bad))
     }
     assert(err.getMessage.contains("bow-classifier-path"))
+    // a Platt sidecar in the artifact flows through the same knob: the
+    // emitted bow_score becomes the calibrated probability (monotone, so
+    // the same docs drop at the same floor, and the score provably went
+    // through the transform)
+    val cal = graft.llm.QualityClassifier.calibrateBow(model,
+      docs.filter(col("doc_id") >= 403 && col("doc_id") < 450),
+      reversed(docs.filter(col("doc_id") >= 450 && col("doc_id") < 500)),
+      "text")
+    val calPath = base.resolve("bow_clf_cal").toString
+    graft.llm.QualityClassifier.saveBow(model, calPath, Some(cal))
+    val outC = base.resolve("bcurated_cal").toString
+    val fc = write(base.resolve("curator_bow_cal.conf"),
+      s"""source { storage-type = local, dataset-dir = $src }
+         |target { storage-type = local, dataset-dir = $outC, dataset-store-format = parquet, write-mode = overwrite }
+         |curation {
+         |  min-quality = 0.0
+         |  bow-classifier-path = "$calPath"
+         |  min-bow-score = 0.5
+         |}
+         |""".stripMargin)
+    graft.cli.Curator.main(Array("--conf", fc))
+    val curatedCal = spark.read.parquet(outC)
+    assert(curatedCal.select("doc_id").collect().map(_.getLong(0)).toSet == ids,
+      "calibration is monotone — the same docs survive the same floor")
+    // scores differ from the raw run on every surviving doc (the
+    // sidecar was actually applied, not silently ignored)
+    val rawScores = curated.select(col("doc_id"), col("bow_score").as("raw"))
+    val diffCount = curatedCal.select(col("doc_id"), col("bow_score").as("cal"))
+      .join(rawScores, "doc_id")
+      .filter(col("cal") === col("raw")).count()
+    assert(diffCount == 0,
+      "calibrated run must emit transformed scores, not the raw sigmoid")
   }
 
   test("curator boilerplate stage: shared lines stripped BEFORE dedup state, " +
@@ -2317,6 +2349,88 @@ class CliSpec extends SparkTestBase {
     // collapse duplicates — presence, not count, is the contract here)
     assert(spark.read.parquet(s"$idx/recall").count() >= 1,
       "the recall artifact must land before the gate trips")
+  }
+
+  test("indexer monitor: appends degrade recall below the floor; a plain " +
+      "monitor run alerts; one rebuild-on-breach run retrains, swaps " +
+      "atomically, retires the old index, and restores the gate") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{avg => favg, col}
+    val base = tmp()
+    val idx = base.resolve("monidx").toString
+    // three tight 4-d clusters; the appended one sits EXACTLY between
+    // the two build-time centroids, so its members split ~half/half
+    // across the two cells and an nprobe=1 probe finds only half of
+    // any appended query's true neighbors — the drift signature the
+    // monitor exists to catch
+    def noise(seed: String, j: Int) =
+      ((scala.util.hashing.MurmurHash3.stringHash(s"$seed-$j") & 0xFFFF) / 65536.0f - 0.5f) * 0.2f
+    def cluster(lo: Long, n: Int, cx: Float, cy: Float) =
+      (0 until n).map { i =>
+        val id = lo + i
+        (id, Array(cx + noise(s"v$id", 0), cy + noise(s"v$id", 1),
+          noise(s"v$id", 2), noise(s"v$id", 3)))
+      }
+    val builtSrc = base.resolve("mon_built").toString
+    val apSrc = base.resolve("mon_appended").toString
+    (cluster(0L, 60, 10f, 0f) ++ cluster(100L, 60, 0f, 10f))
+      .toDF("vec_id", "embedding").write.parquet(builtSrc)
+    cluster(200L, 80, 6f, 6f).toDF("vec_id", "embedding").write.parquet(apSrc)
+    def conf(name: String, mode: String, src: String, cells: Int, extra: String) =
+      write(base.resolve(s"mon_$name.conf"),
+        s"""index {
+           |  embeddings-dir = $src
+           |  index-dir = $idx
+           |  mode = $mode
+           |  num-cells = $cells
+           |  kmeans-max-iter = 10
+           |  recall-queries = 40
+           |  recall-k = 5
+           |  recall-nprobe = 1
+           |$extra
+           |}
+           |""".stripMargin)
+    // build on two clusters: each lives in one cell, the gate passes
+    graft.cli.Indexer.main(Array("--conf",
+      conf("build", "build", builtSrc, 2, "  min-recall = 0.9")))
+    // the between-centroids cluster arrives
+    graft.cli.Indexer.main(Array("--conf",
+      conf("append", "append", apSrc, 2, "")))
+    // plain monitor: reports, then alerts nonzero
+    val breach = intercept[IllegalStateException] {
+      graft.cli.Indexer.main(Array("--conf",
+        conf("watch", "monitor", apSrc, 2, "  min-recall = 0.9")))
+    }
+    assert(breach.getMessage.contains("rebuild"), breach.getMessage)
+    val degraded = spark.read.parquet(s"$idx/recall")
+      .agg(favg("recall")).head().getDouble(0)
+    assert(degraded < 0.9, s"appends must degrade nprobe=1 recall: $degraded")
+    // rebuild-on-breach: retrain (3 cells now — the grown corpus has 3
+    // clusters), swap, retire, and the gate passes in the same run
+    graft.cli.Indexer.main(Array("--conf",
+      conf("heal", "monitor", apSrc, 3,
+        "  min-recall = 0.9\n  rebuild-on-breach = true")))
+    assert(new java.io.File(s"$idx/_BUILT").exists(), "promoted index committed")
+    assert(new java.io.File(s"$idx.retired/_BUILT").exists(),
+      "old index retired intact")
+    assert(!new java.io.File(s"$idx.rebuild").exists(), "staging dir promoted away")
+    assert(spark.read.parquet(s"$idx/corpus").count() == 200,
+      "rebuild covers the whole grown corpus")
+    assert(new java.io.File(s"$idx/corpus").listFiles()
+      .count(_.getName.startsWith("cell=")) == 3, "retrained cell layout")
+    val restored = spark.read.parquet(s"$idx/recall")
+      .agg(favg("recall")).head().getDouble(0)
+    assert(restored >= 0.9, s"rebuild must restore the gate: $restored")
+    // healthy index: a further monitor run is a clean pass, no new swap
+    graft.cli.Indexer.main(Array("--conf",
+      conf("ok", "monitor", apSrc, 3,
+        "  min-recall = 0.9\n  rebuild-on-breach = true")))
+    assert(spark.read.parquet(s"$idx/corpus").count() == 200)
+    // monitor without its gate knobs is dead config — rejected
+    val e = intercept[IllegalArgumentException] {
+      graft.cli.Indexer.main(Array("--conf", conf("bad", "monitor", apSrc, 3, "")))
+    }
+    assert(e.getMessage.contains("min-recall"), e.getMessage)
   }
 
   test("compactor size tier: only the small-tail parts merge; the big part " +

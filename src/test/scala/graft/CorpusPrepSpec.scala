@@ -240,6 +240,17 @@ class CorpusPrepSpec extends SparkTestBase {
     }
     assert(String.valueOf(err.getMessage).contains("null") ||
       String.valueOf(err.getCause).contains("null"))
+    // duplicate order keys fail loudly: under the RANGE cumulative
+    // frame tied rows would share one offset and sequences would
+    // silently assemble over-long (epoch copies without `epoch` in
+    // orderCols — the exact trap)
+    val dup = intercept[Exception] {
+      CorpusPrep.packTokenIds(
+        Seq((1L, Seq(1, 2)), (1L, Seq(3, 4)), (2L, Seq(5))).toDF("doc_id", "ids"),
+        "doc_id", "ids", seqLen = 4, eosId = 0, buckets = 1).collect()
+    }
+    assert(String.valueOf(dup.getMessage).contains("duplicate") ||
+      String.valueOf(dup.getCause).contains("duplicate"), s"got $dup")
   }
 
   test("hashSplit: exhaustive, disjoint, partition-invariant, nests with hashSample") {

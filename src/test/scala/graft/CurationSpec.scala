@@ -295,4 +295,69 @@ class CurationSpec extends SparkTestBase {
     assert(a(1L) > 0.5 && a(2L) < 0.5,
       s"char model must generalize to unseen words: prose=${a(1L)} hex=${a(2L)}")
   }
+
+  test("Platt calibration: monotone rescale (a > 0, no reorders), improved " +
+      "held-out reliability on noisy cohorts, sidecar round-trip, raw scores " +
+      "unchanged at the defaults") {
+    import graft.llm.QualityClassifier
+    import org.apache.spark.sql.functions.{avg, col, pow}
+    def hex(seed: String) =
+      f"${scala.util.hashing.MurmurHash3.stringHash(seed)}%08x"
+    def prose(i: Int) =
+      s"the quick value number v$i holds with care and that is good " +
+        (0 until 4).map(j => s"w${(i + j) % 50}").mkString(" ")
+    def gib(i: Int) = (0 until 10).map(j => hex(s"g$i-$j")).mkString(" ")
+    // 15% LABEL NOISE in every slice (same generative process): docs
+    // labeled reference that are really gibberish and vice versa. LR
+    // with hashing memorizes the TRAINING noise and scores held-out
+    // docs overconfidently — the exact miscalibration Platt corrects.
+    def cohort(lo: Int, n: Int, refSide: Boolean) = (lo until lo + n).map { i =>
+      val flipped = i % 7 == 0
+      val isProse = refSide != flipped
+      (i.toLong, if (isProse) prose(i) else gib(i),
+        if (refSide) 1.0 else 0.0)
+    }.toDF("id", "text", "label")
+    val (refTrain, randTrain) = (cohort(0, 140, true), cohort(1000, 140, false))
+    val (refHeld, randHeld) = (cohort(2000, 140, true), cohort(3000, 140, false))
+    val (refEval, randEval) = (cohort(4000, 200, true), cohort(5000, 200, false))
+    val model = QualityClassifier.trainBow(refTrain, randTrain, "text",
+      numFeatures = 1 << 14, maxIter = 80)
+    val cal = QualityClassifier.calibrateBow(model, refHeld, randHeld, "text")
+    assert(cal.a > 0, s"monotone slope: $cal")
+    // monotone: calibrated order == raw order on the eval slice
+    val eval = refEval.unionByName(randEval)
+    val both = QualityClassifier.scoreBow(eval, "text", model, "raw")
+    val scored = QualityClassifier.scoreBow(both, "text", model, "calib",
+        calibration = Some(cal))
+      .select("id", "label", "raw", "calib").cache()
+    val ordered = scored.orderBy("raw").select("calib")
+      .collect().map(_.getDouble(0))
+    assert(ordered.sliding(2).forall(p => p(0) <= p(1)),
+      "calibration must never reorder documents")
+    // reliability: Brier score against the (noisy) labels improves —
+    // the held-out fit shrinks the memorized-noise overconfidence
+    val r = scored.agg(
+      avg(pow(col("raw") - col("label"), 2)).as("b_raw"),
+      avg(pow(col("calib") - col("label"), 2)).as("b_cal")).head()
+    val (bRaw, bCal) = (r.getDouble(0), r.getDouble(1))
+    assert(bCal < bRaw,
+      f"calibrated Brier must improve: raw=$bRaw%.4f calibrated=$bCal%.4f")
+    scored.unpersist()
+    // sidecar round-trip through the artifact the Curator loads
+    val dir = java.nio.file.Files.createTempDirectory("graft_platt")
+    val path = dir.resolve("bow_cal").toString
+    QualityClassifier.saveBow(model, path, Some(cal))
+    val back = QualityClassifier.loadBowCalibration(path)
+    assert(back.contains(cal), s"sidecar round-trip: $back vs $cal")
+    // an artifact saved WITHOUT calibration has no sidecar, and the
+    // default scoreBow emits the raw sigmoid — q84/q91 behavior
+    val path2 = dir.resolve("bow_plain").toString
+    QualityClassifier.saveBow(model, path2)
+    assert(QualityClassifier.loadBowCalibration(path2).isEmpty)
+    val rawAgain = QualityClassifier.scoreBow(eval, "text", model, "raw2")
+      .select("id", "raw2")
+    val joined = both.select("id", "raw").join(rawAgain, "id")
+      .filter(col("raw") =!= col("raw2")).count()
+    assert(joined == 0, "default scoring path must be unchanged")
+  }
 }
