@@ -521,6 +521,8 @@ object Curator {
         "token ids, which only a tokenizer vocab defines")
     c.getInt("pack-seq-len").foreach(l => require(l > 0,
       s"curation.pack-seq-len must be positive, got $l"))
+    require(c.getInt("pack-buckets").isEmpty || c.getInt("pack-seq-len").isDefined,
+      "curation.pack-buckets without curation.pack-seq-len is dead config")
     require(c.getDouble("min-lm-logp").isEmpty || c.getString("lm-path").isDefined,
       "curation.min-lm-logp needs curation.lm-path (a saved unigram LM file)")
     require(c.getDouble("min-lm2-logp").isEmpty || c.getString("lm2-path").isDefined,
@@ -1088,9 +1090,15 @@ object Curator {
           keepCols = keepWithEpoch)
       }
       case (_, Some(budget)) => stages.timed("chunking") {
+        // with `bpe-vocab` alongside, the budget counts token IDS under
+        // that vocab rather than segments — under byte fallback an
+        // unseen segment costs its UTF-8 byte count of ids, and a
+        // segment-counted chunk could silently exceed the context
+        // window the exported token_ids are sized for (review finding)
         graft.llm.CorpusPrep.chunkByBpeBudget(labeled, idCol, textCol,
           bpeBudget = budget, mergesPath = c.getString("bpe-merges").get,
-          overlap = c.getInt("chunk-overlap").getOrElse(0), keepCols = keepWithEpoch)
+          overlap = c.getInt("chunk-overlap").getOrElse(0), keepCols = keepWithEpoch,
+          vocabPath = c.getString("bpe-vocab"))
       }
       case _ => labeled
     }
@@ -1126,15 +1134,35 @@ object Curator {
           s"curation.pack-seq-len needs an <eos> token in the vocab at " +
             s"$vocabPath — rebuild it with BpeTrainer.buildVocab (the " +
             "byte-fallback layout carries <eos> at id 1)")
-        // epoch copies share (doc, chunk) — the epoch must join the
-        // stream order or window assembly would be nondeterministic
-        val orderCols = Seq(idCol) ++
+        // the row identity within a bucket stream: epoch copies share
+        // (doc, chunk), so chunk/epoch must join the stream order or
+        // window assembly would be nondeterministic
+        val identCols = Seq(idCol) ++
           (if (chunkedOn) Seq("chunk_id") else Nil) ++
           (if (epochWeights.nonEmpty) Seq("epoch") else Nil)
-        graft.llm.CorpusPrep.packTokenIds(encoded, idCol, "token_ids",
+        // with epochs, a plain (doc, chunk, epoch) order lays a doc's
+        // repetitions back-to-back in the stream — the adjacent-
+        // duplicates worst case the unpacked shuffle path explicitly
+        // engineered against (review finding). A digest of the full row
+        // identity leads the order instead: deterministic, and copies
+        // scatter across the bucket stream.
+        val (toPack, orderCols) =
+          if (epochWeights.nonEmpty) {
+            val ident = org.apache.spark.sql.functions.concat_ws(":",
+              identCols.map(col(_).cast("string")): _*)
+            (encoded.withColumn("__pack_order",
+              graft.operators.Ops.hashDigestCol(ident, "pack")),
+              Seq("__pack_order") ++ identCols)
+          } else (encoded, identCols)
+        // split labels partition the packing: train/val/test documents
+        // must never share a sequence (review finding — silently packing
+        // across the split would contaminate held-out evaluation)
+        val partitionCols =
+          if (c.getList("splits").exists(_.nonEmpty)) Seq(splitCol) else Nil
+        graft.llm.CorpusPrep.packTokenIds(toPack, idCol, "token_ids",
           seqLen = seqLen, eosId = eos,
           buckets = c.getInt("pack-buckets").getOrElse(256),
-          orderCols = orderCols)
+          orderCols = orderCols, partitionCols = partitionCols)
       }
       case None => encoded
     }
@@ -1149,8 +1177,14 @@ object Curator {
       case Some(salt) => stages.timed("shuffle") {
         // (target layout conflicts rejected in the up-front block)
         var rowId =
-          if (c.getInt("pack-seq-len").isDefined) col("seq_id").cast("string")
-          else if (chunkedOn) concat(col(idCol).cast("string"), lit(":"), col("chunk_id"))
+          if (c.getInt("pack-seq-len").isDefined) {
+            // seq_id is unique only within a split partition — the
+            // split joins the identity so the shuffle digest stays a
+            // total order
+            if (c.getList("splits").exists(_.nonEmpty))
+              concat(col(splitCol), lit(":"), col("seq_id"))
+            else col("seq_id").cast("string")
+          } else if (chunkedOn) concat(col(idCol).cast("string"), lit(":"), col("chunk_id"))
           else col(idCol).cast("string")
         // epoch copies share a doc id — the epoch joins the row
         // identity so a doc's repetitions land FAR APART in the
@@ -1894,7 +1928,7 @@ object Indexer {
     import org.apache.spark.sql.functions._
     import graft.llm.Similarity
     val c = conf.at("index")
-    val embDir = c.string("embeddings-dir")
+    def embDir = c.string("embeddings-dir") // monitor runs without it
     val indexDir = c.string("index-dir")
     val idCol = c.getString("id-column").getOrElse("vec_id")
     val vecCol = c.getString("vector-column").getOrElse("embedding")
@@ -1908,12 +1942,17 @@ object Indexer {
     val marker = new Path(indexDir, "_BUILT")
     val fs = marker.getFileSystem(hconf)
     val codesPath = new Path(indexDir, "codes")
-    val emb = spark.read.parquet(embDir).select(col(idCol), col(vecCol))
+    // a def, not a val: mode=monitor never reads the embeddings source
+    // (it judges — and rebuilds from — what the index already holds), so
+    // a scheduled monitor must keep working after the original export is
+    // gone and without `embeddings-dir` in its config (review finding)
+    def emb = spark.read.parquet(embDir).select(col(idCol), col(vecCol))
     // one build routine for mode=build AND the monitor's
     // rebuild-on-breach path, so the rebuild is structurally the
     // already-tested build (PQ included), just aimed at another dir
-    def buildInto(target: String, source: org.apache.spark.sql.DataFrame): Long = {
-      val (model, tagged0) = Similarity.ivfBuild(source, numCells, vecCol, maxIter = maxIter)
+    def buildInto(target: String, source: org.apache.spark.sql.DataFrame,
+        cells: Int): Long = {
+      val (model, tagged0) = Similarity.ivfBuild(source, cells, vecCol, maxIter = maxIter)
       val tagged = tagged0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       try {
         Similarity.ivfSave(model, tagged, target)
@@ -1970,7 +2009,7 @@ object Indexer {
         require(!fs.exists(marker),
           s"index at '$indexDir' is already built — use mode = append, " +
             "or point at a fresh dir")
-        val n = buildInto(indexDir, emb)
+        val n = buildInto(indexDir, emb, numCells)
         Cli.log(s"index built at $indexDir: $n vectors, " +
           s"$numCells cells" + pqM.map(m => s", PQ $m×${pqK.get}").getOrElse(""))
       case "append" =>
@@ -2028,9 +2067,15 @@ object Indexer {
           if (fs.exists(rebuildDir)) fs.delete(rebuildDir, true): Unit
           // the rebuild SOURCE is the persisted index corpus; all reads
           // materialize into the rebuild dir before any rename below
-          val (_, corpus) = Similarity.ivfLoad(spark, indexDir)
+          val (liveModel, corpus) = Similarity.ivfLoad(spark, indexDir)
+          // cell geometry defaults to the LIVE index's, not the config
+          // default — a gate-knobs-only monitor config must never
+          // silently retrain a 256-cell index down to 16 cells (review
+          // finding); set index.num-cells explicitly to re-shape
+          val rebuildCells = c.getInt("num-cells")
+            .getOrElse(liveModel.clusterCenters.length)
           val n = buildInto(rebuildDir.toString,
-            corpus.select(col(idCol), col(vecCol)))
+            corpus.select(col(idCol), col(vecCol)), rebuildCells)
           // judge the candidate BEFORE the swap; its report rides it
           val avg2 = runRecall(rebuildDir.toString).get
           // swap: retire the old index, promote the rebuild. Two
@@ -2045,7 +2090,7 @@ object Indexer {
             s"could not promote '$rebuildDir' to '$indexDir' — the old " +
               s"index is at '$retired'")
           Cli.log(f"index rebuilt and swapped at $indexDir: $n vectors, " +
-            f"$numCells cells, recall $avgR%.4f -> $avg2%.4f " +
+            f"$rebuildCells cells, recall $avgR%.4f -> $avg2%.4f " +
             s"(old index retired to $retired)")
           // the swap stays committed either way (a retrained layout is
           // strictly fresher); a floor still missed means the CONFIG no
@@ -2153,6 +2198,15 @@ object Differ {
             "constant column that belongs in diff.discrete-columns)")
       }
     }
+    // with edges-dir but no stored edges yet (run 1), derive each
+    // column's reference edges ONCE up front and bin this run with
+    // exactly what gets persisted — a second derivation at persist time
+    // would cost an extra min/max scan per column AND could diverge
+    // from the reported TVD's binning if the reference is live
+    val derivedEdges: Map[String, Array[Double]] =
+      if (edgesDir.isDefined && storedEdges.isEmpty)
+        continuous.map(cn => cn -> DataDiff.equiWidthEdges(ref, cn, maxBins)).toMap
+      else Map.empty
     val rows =
       discrete.map { cn =>
         (cn, "tvd_discrete", DataDiff.discreteComparator(ref, cn, cur, cn, maxBins))
@@ -2163,19 +2217,23 @@ object Differ {
           case (false, Some(m)) =>
             ("tvd_fixed_edges",
               DataDiff.continuousComparatorWithEdges(ref, cn, cur, cn, m(cn)))
+          case (false, None) if derivedEdges.contains(cn) =>
+            // reference-derived semantics (the metric name says so),
+            // computed through the fixed-edge path on the about-to-be-
+            // persisted edges
+            ("tvd_continuous",
+              DataDiff.continuousComparatorWithEdges(ref, cn, cur, cn, derivedEdges(cn)))
           case (false, None) =>
             ("tvd_continuous", DataDiff.continuousComparator(ref, cn, cur, cn, maxBins))
         }
         (cn, metric, d)
       }
-    // first run with edges-dir: persist this run's reference edges for
-    // every later run to bin with (written AFTER the comparisons so a
-    // failed first run does not commit half-derived edges)
-    if (edgesDir.isDefined && storedEdges.isEmpty) {
+    // first run with edges-dir: persist the derived edges for every
+    // later run to bin with (written AFTER the comparisons so a failed
+    // first run does not commit half-derived edges)
+    if (derivedEdges.nonEmpty) {
       import spark.implicits._
-      val derived = continuous.map(cn =>
-        (cn, DataDiff.equiWidthEdges(ref, cn, maxBins).toSeq))
-      derived.toDF("column", "edges")
+      continuous.map(cn => (cn, derivedEdges(cn).toSeq)).toDF("column", "edges")
         .coalesce(1).write.mode("errorifexists").parquet(s"${edgesDir.get}/edges")
       Cli.log(s"bin edges persisted to ${edgesDir.get}/edges")
     }

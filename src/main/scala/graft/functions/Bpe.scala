@@ -395,6 +395,33 @@ object BpeVocabIdRegistry {
     toArrayData(out)
   }
 
+  /** Number of ids one segment encodes to: 1 when in-vocab, its UTF-8
+    * byte count under byte fallback, 1 (`<unk>`) on a legacy vocab —
+    * so `idCountText == size(encode(text))` by construction. */
+  private def idCountSegment(v: IdVocab, seg: String): Int =
+    if (v.ids.containsKey(seg)) 1
+    else if (v.byteIds != null)
+      seg.getBytes(java.nio.charset.StandardCharsets.UTF_8).length
+    else 1
+
+  /** Token-ID count of a text under (merges, vocab) — what
+    * `size(graft_bpe_encode(text))` would return, without building the
+    * array. This, not the segment count, is the budget a context
+    * window actually consumes once byte fallback exists: an unseen
+    * segment costs its UTF-8 byte count of ids, not 1. */
+  def idCountText(mergesPath: String, vocabPath: String, text: String): Int = {
+    val bpe = BpeRegistry.get(mergesPath)
+    val v = get(vocabPath)
+    val m = BpeVocab.Pretoken.matcher(text)
+    var n = 0
+    while (m.find()) {
+      val segs = bpe.segmentWord(m.group())
+      var i = 0
+      while (i < segs.length) { n += idCountSegment(v, segs(i)); i += 1 }
+    }
+    n
+  }
+
   /** Codegen / eval entry: ids → text. Byte tokens contribute their raw
     * byte; every other token contributes its UTF-8 bytes; `<unk>`
     * decodes to U+FFFD (it carries no recoverable content) and `<eos>`
@@ -535,8 +562,18 @@ object BpeChunksImpl {
   import org.apache.spark.sql.catalyst.InternalRow
   import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 
-  def compute(path: String, text: UTF8String, budget: Int, overlap: Int): ArrayData = {
+  /** `vocabPath` empty = budget in SEGMENTS (the legacy contract,
+    * `graft_bpe_count` units); non-empty = budget in token IDS under
+    * that vocab (`size(graft_bpe_encode)` units) — the honest budget
+    * once byte fallback exists, where an unseen segment encodes to its
+    * UTF-8 byte count of ids and a segment-counted chunk could
+    * silently overflow the context window it was sized for. */
+  def compute(path: String, vocabPath: String, text: UTF8String,
+      budget: Int, overlap: Int): ArrayData = {
     val vocab = BpeRegistry.get(path)
+    val countOf: String => Int =
+      if (vocabPath.isEmpty) vocab.countText(_)
+      else BpeVocabIdRegistry.idCountText(path, vocabPath, _)
     val bytes = text.getBytes
     val len = bytes.length
     // whitespace-token boundary scan — byte-for-byte the same `\s+`
@@ -567,7 +604,7 @@ object BpeChunksImpl {
     val bpe = new Array[Int](n)
     i = 0
     while (i < n) {
-      bpe(i) = vocab.countText(
+      bpe(i) = countOf(
         UTF8String.fromBytes(bytes, starts(i), ends(i) - starts(i)).toString)
       i += 1
     }
@@ -602,9 +639,11 @@ object BpeChunksImpl {
 }
 
 /** `graft_bpe_chunks(string, 'merges-path', budget, overlap) ->
-  * array<struct<chunk_text string, chunk_tokens int, chunk_bpe_tokens int>>` */
+  * array<struct<chunk_text string, chunk_tokens int, chunk_bpe_tokens int>>`
+  * — with `vocabPath` non-empty the budget (and `chunk_bpe_tokens`)
+  * count token IDS under that vocab instead of segments. */
 case class BpeChunks(child: Expression, mergesPath: String, budget: Int,
-    overlap: Int) extends UnaryExpression {
+    overlap: Int, vocabPath: String = "") extends UnaryExpression {
   require(mergesPath.nonEmpty, "graft_bpe_chunks needs a merges path")
   require(budget > 0, s"budget must be positive, got $budget")
   require(overlap >= 0, s"overlap must be non-negative, got $overlap")
@@ -619,12 +658,14 @@ case class BpeChunks(child: Expression, mergesPath: String, budget: Int,
   override def prettyName: String = "graft_bpe_chunks"
 
   override protected def nullSafeEval(t: Any): Any =
-    BpeChunksImpl.compute(mergesPath, t.asInstanceOf[UTF8String], budget, overlap)
+    BpeChunksImpl.compute(mergesPath, vocabPath, t.asInstanceOf[UTF8String],
+      budget, overlap)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
     val pathRef = ctx.addReferenceObj("bpeMergesPath", mergesPath, "java.lang.String")
+    val vRef = ctx.addReferenceObj("bpeVocabPath", vocabPath, "java.lang.String")
     defineCodeGen(ctx, ev,
-      c => s"graft.functions.BpeChunksImpl.compute($pathRef, $c, $budget, $overlap)")
+      c => s"graft.functions.BpeChunksImpl.compute($pathRef, $vRef, $c, $budget, $overlap)")
   }
 
   override protected def withNewChildInternal(c: Expression): Expression =

@@ -297,8 +297,10 @@ object GraftFunctions {
   def chunks(c: Column, chunkSize: Int, overlap: Int): Column =
     ColumnBridge.column(DocChunks(ColumnBridge.expression(c), chunkSize, overlap))
 
-  def bpeChunks(c: Column, mergesPath: String, budget: Int, overlap: Int): Column =
-    ColumnBridge.column(BpeChunks(ColumnBridge.expression(c), mergesPath, budget, overlap))
+  def bpeChunks(c: Column, mergesPath: String, budget: Int, overlap: Int,
+      vocabPath: String = ""): Column =
+    ColumnBridge.column(BpeChunks(ColumnBridge.expression(c), mergesPath,
+      budget, overlap, vocabPath))
 
   def srp(c: Column, seed: Long = 4233L): Column =
     ColumnBridge.column(Srp64(ColumnBridge.expression(c), seed))

@@ -134,7 +134,15 @@ object Cardinality {
   /** Sentinel under which [[freqState]] counts NULL values: the NUL
     * prefix keeps it outside any printable value's range, so a column
     * that genuinely holds the string "null" stays distinguishable in
-    * persisted heavy-hitter state. */
+    * persisted heavy-hitter state.
+    *
+    * STATE-ERA NOTE: lifetime `freqsketch` state committed before this
+    * sentinel existed counted NULLs under the literal string "null";
+    * merging such state forward keeps those historical counts under
+    * "null" (indistinguishable from the real value, which is exactly
+    * why the sentinel exists). The schema carries no era marker to
+    * reject on — rebuild pre-sentinel lifetimes if the distinction
+    * matters for the column. */
   val NullItem: String = "\u0000<null>"
 
   /** One batch's heavy-hitter state: for each named value column, the

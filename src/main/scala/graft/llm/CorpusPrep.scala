@@ -98,6 +98,12 @@ object CorpusPrep {
     * Same scale shape as [[chunkByTokensFast]]: one native-expression
     * scan + posexplode, no shuffle; the merge table loads once per
     * executor JVM. */
+  /** `vocabPath` set = the budget (and `chunk_bpe_tokens`) count token
+    * IDS under that vocab — `size(graft_bpe_encode(chunk_text))` units —
+    * instead of segments. The honest budget when the vocab has byte
+    * fallback: an unseen segment encodes to its UTF-8 byte count of
+    * ids, so a segment-counted chunk could silently exceed the context
+    * window it was sized for. */
   def chunkByBpeBudget(
       df: DataFrame,
       idCol: String,
@@ -105,10 +111,11 @@ object CorpusPrep {
       bpeBudget: Int,
       mergesPath: String,
       overlap: Int = 0,
-      keepCols: Seq[String] = Nil): DataFrame =
+      keepCols: Seq[String] = Nil,
+      vocabPath: Option[String] = None): DataFrame =
     df.select(col(idCol) +: keepCols.map(col) :+
       posexplode(graft.functions.GraftFunctions.bpeChunks(
-        col(textCol), mergesPath, bpeBudget, overlap))
+        col(textCol), mergesPath, bpeBudget, overlap, vocabPath.getOrElse("")))
         .as(Seq("chunk_id", "__c")): _*)
       .select(col(idCol) +: keepCols.map(col) :+
         col("chunk_id").cast("long").as("chunk_id") :+
@@ -226,6 +233,12 @@ object CorpusPrep {
     * Deterministic given (idCol, orderCols) — re-runs and engine swaps
     * produce identical sequences, which is what lets a DuckDB oracle
     * replay the whole concatenation arithmetic (q110). */
+  /** `partitionCols` (e.g. the train/val/test split label): each value
+    * combination packs its OWN per-bucket streams and the columns ride
+    * every output row — documents from different partitions never share
+    * a sequence (the eval-contamination guarantee packing must not
+    * silently break). `seq_id` is unique only WITHIN a partition-column
+    * combination; consumers group by the carried columns anyway. */
   def packTokenIds(
       docs: DataFrame,
       idCol: String,
@@ -233,7 +246,8 @@ object CorpusPrep {
       seqLen: Int,
       eosId: Int,
       buckets: Int = 256,
-      orderCols: Seq[String] = Nil): DataFrame = {
+      orderCols: Seq[String] = Nil,
+      partitionCols: Seq[String] = Nil): DataFrame = {
     require(seqLen > 0, s"seqLen must be positive, got $seqLen")
     require(eosId >= 0, s"eosId must be non-negative, got $eosId")
     require(buckets > 0 && buckets <= (1 << 20), s"buckets must be in [1, 2^20], got $buckets")
@@ -251,7 +265,9 @@ object CorpusPrep {
       "surrogate id upstream")
     val order = if (orderCols.nonEmpty) orderCols else Seq(idCol)
     import org.apache.spark.sql.expressions.Window
-    val w = Window.partitionBy("__bucket").orderBy(order.map(col): _*)
+    val pc = partitionCols.map(col)
+    val w = Window.partitionBy(pc :+ col("__bucket"): _*)
+      .orderBy(order.map(col): _*)
     val L = lit(seqLen.toLong)
     val withStream = docs
       .withColumn("__ids",
@@ -295,9 +311,9 @@ object CorpusPrep {
       col("__pos"), col("__is_start"), col("__slice"))))
     val seq0 = col("__s")
     exploded
-      .groupBy(col("__bucket"), col("__s"))
+      .groupBy(pc ++ Seq(col("__bucket"), col("__s")): _*)
       .agg(ordered.as("__parts"))
-      .select(
+      .select(pc ++ Seq(
         (col("__bucket") * lit(1L << 40) +
           when(seq0 >= lit(1L << 40),
             raise_error(lit(s"packTokenIds: bucket overflowed 2^40 sequences " +
@@ -305,7 +321,7 @@ object CorpusPrep {
             .otherwise(seq0)).cast("long").as("seq_id"),
         flatten(transform(col("__parts"), p => p.getField("__slice"))).as("input_ids"),
         transform(filter(col("__parts"), p => p.getField("__is_start") === 1),
-          p => p.getField("__pos").cast("int")).as("doc_boundaries"))
+          p => p.getField("__pos").cast("int")).as("doc_boundaries")): _*)
       .withColumn("n_tokens", size(col("input_ids")).cast("long"))
       .withColumn("n_docs_started", size(col("doc_boundaries")).cast("long"))
   }

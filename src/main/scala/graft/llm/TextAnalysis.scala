@@ -675,11 +675,25 @@ object TextAnalysis {
     val nSentences = length(clean) - length(regexp_replace(clean, "[.!?]", ""))
     val hasBrace = c.contains("{")
     val hasLorem = lower(c).contains("lorem ipsum")
-    val hasBad =
-      if (t.badWords.isEmpty) lit(false)
+    // the published LDNOOBW list (the `badword-list-path` target) holds
+    // multi-word phrases and entries with digits/punctuation, which the
+    // single-[a-z]+-word intersect can never fire on — those entries
+    // match as whole phrases with non-letter boundaries instead
+    // (review finding). Boundary groups, not lookarounds, so a loaded
+    // list still replays in RE2.
+    val (simpleWords, phraseEntries) =
+      t.badWords.map(_.toLowerCase).partition(_.matches("[a-z]+"))
+    val hasBadWord =
+      if (simpleWords.isEmpty) lit(false)
       else size(array_intersect(
         array_distinct(regexp_extract_all(lower(c), lit("[a-z]+"), lit(0))),
-        array(t.badWords.map(w => lit(w.toLowerCase)): _*))) > 0
+        array(simpleWords.map(lit): _*))) > 0
+    val hasBadPhrase =
+      if (phraseEntries.isEmpty) lit(false)
+      else lower(c).rlike("(^|[^a-z])(" +
+        phraseEntries.map(java.util.regex.Pattern.quote).mkString("|") +
+        ")([^a-z]|$)")
+    val hasBad = hasBadWord || hasBadPhrase
     val keep = !hasBrace && !hasLorem && !hasBad &&
       nSentences >= t.minSentences
     struct(

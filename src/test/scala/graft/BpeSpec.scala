@@ -264,6 +264,42 @@ class BpeSpec extends SparkTestBase {
       String.valueOf(e.getCause).contains("byte-fallback"), s"got $e")
   }
 
+  test("id-aware BPE budget: with a byte-fallback vocab the chunker budgets " +
+      "in token ids, so exported chunks never silently exceed the context " +
+      "window the segment count would claim") {
+    import graft.llm.BpeTrainer
+    val corpus = Seq("the quick brown fox", "the lazy dog").toDF("text")
+    val merges = BpeTrainer.learnMerges(corpus, "text", numMerges = 8)
+    val dir = java.nio.file.Files.createTempDirectory("graft_bpe_idbudget")
+    val mPath = s"$dir/merges.txt"
+    val vPath = s"$dir/vocab.txt"
+    BpeTrainer.saveMerges(spark, mPath, merges)
+    BpeTrainer.saveVocab(spark, vPath, BpeTrainer.buildVocab(corpus, "text", merges))
+    // unseen multi-byte characters: each costs SEVERAL byte-fallback ids
+    // but only ONE segment — the gap between the two budget units
+    val doc = Seq((1L, Array.fill(12)("☃ü the").mkString(" ")))
+      .toDF("doc_id", "text")
+    def overBudget(vocab: Option[String]): Long =
+      graft.llm.CorpusPrep.chunkByBpeBudget(doc, "doc_id", "text",
+          bpeBudget = 12, mergesPath = mPath, vocabPath = vocab)
+        .select(size(GraftFunctions.bpeEncode(col("chunk_text"), mPath, vPath))
+          .as("n_ids"))
+        .filter(col("n_ids") > 12).count()
+    // segment-counted budget: chunks silently overflow in id units
+    assert(overBudget(None) > 0,
+      "precondition: the segment budget must under-count ids here")
+    // id-counted budget: every exported chunk fits the context window
+    assert(overBudget(Some(vPath)) == 0,
+      "id-aware budget must bound size(token_ids) per chunk")
+    // and chunk_bpe_tokens reports the id count exactly in vocab mode
+    val rows = graft.llm.CorpusPrep.chunkByBpeBudget(doc, "doc_id", "text",
+        bpeBudget = 12, mergesPath = mPath, vocabPath = Some(vPath))
+      .select(col("chunk_bpe_tokens"),
+        size(GraftFunctions.bpeEncode(col("chunk_text"), mPath, vPath))
+          .cast("long").as("n_ids"))
+    assert(rows.filter(col("chunk_bpe_tokens") =!= col("n_ids")).count() == 0)
+  }
+
   test("BPE-budget chunking cuts at hand-computed subword boundaries") {
     // classic fixture: low=1, lower=2, newer=4 subwords
     // budget 4: [low lower]=3 (newer would make 7), [newer]=4, [low low]=2

@@ -2422,9 +2422,20 @@ class CliSpec extends SparkTestBase {
       .agg(favg("recall")).head().getDouble(0)
     assert(restored >= 0.9, s"rebuild must restore the gate: $restored")
     // healthy index: a further monitor run is a clean pass, no new swap
-    graft.cli.Indexer.main(Array("--conf",
-      conf("ok", "monitor", apSrc, 3,
-        "  min-recall = 0.9\n  rebuild-on-breach = true")))
+    // — and it needs NO embeddings-dir: a scheduled monitor keeps
+    // working after the original export is gone (review finding: the
+    // source read must be lazy, not a startup requirement)
+    graft.cli.Indexer.main(Array("--conf", write(base.resolve("mon_noemb.conf"),
+      s"""index {
+         |  index-dir = $idx
+         |  mode = monitor
+         |  recall-queries = 40
+         |  recall-k = 5
+         |  recall-nprobe = 1
+         |  min-recall = 0.9
+         |  rebuild-on-breach = true
+         |}
+         |""".stripMargin)))
     assert(spark.read.parquet(s"$idx/corpus").count() == 200)
     // monitor without its gate knobs is dead config — rejected
     val e = intercept[IllegalArgumentException] {
@@ -2869,6 +2880,29 @@ class CliSpec extends SparkTestBase {
     // the separator between docs is the vocab's <eos> id, one per doc
     assert(packed.select(explode(col("input_ids")).as("i"))
       .filter(col("i") === eos).count() == nDocs)
+    // with splits, the split label partitions the packing and rides the
+    // output — train/val docs must never share a sequence (review
+    // finding: packing across the split would contaminate evaluation)
+    val outS = base.resolve("packed_split").toString
+    graft.cli.Curator.main(Array("--conf",
+      conf(outS, "  pack-seq-len = 256\n  pack-buckets = 4\n" +
+        "  splits = [\"train:0.8\", \"val:0.2\"]")))
+    val packedS = spark.read.parquet(outS)
+    assert(packedS.columns.contains("split"), "split label must ride the export")
+    assert(packedS.select("split").distinct().count() == 2)
+    // token conservation still holds across the partitioned packing
+    assert(packedS.select(asum(col("n_tokens"))).head().getLong(0) == nIds)
+    // ≤ 1 partial tail per (split, bucket)
+    assert(packedS.filter(col("n_tokens") =!= 256).count() <= 8)
+    // with epochs, the digest-led stream order still conserves every
+    // copy's tokens (each doc's ids + EOS, times its multiplicity)
+    val outE = base.resolve("packed_epoch").toString
+    graft.cli.Curator.main(Array("--conf",
+      conf(outE, "  pack-seq-len = 256\n" +
+        "  epoch-weights { src0 = 2 }\n  epoch-default-weight = 2")))
+    assert(spark.read.parquet(outE).select(asum(col("n_tokens")))
+      .head().getLong(0) == 2 * nIds,
+      "epoch copies must pack with exact multiplicity")
     // a packing run without a vocab is rejected up front
     val badConf = write(base.resolve("pack_bad.conf"),
       s"""source { storage-type = local, dataset-dir = $sfDir/documents.parquet }

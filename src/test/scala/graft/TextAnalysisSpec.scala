@@ -470,6 +470,25 @@ class TextAnalysisSpec extends SparkTestBase {
     assert(!keepOf(prose + "\nwell shit happens sometimes."), "bad word drops")
     assert(keepOf(prose + "\nhe mishit the ball completely today."),
       "bad-word match is whole-word, not substring ('mishit' passes)")
+    // the published-list entry classes the single-word intersect can't
+    // see: multi-word phrases and entries with digits match as whole
+    // phrases with non-letter boundaries (review finding)
+    def keepWith(text: String, words: Seq[String]): Boolean =
+      Seq((1L, text)).toDF("doc_id", "text")
+        .select(TextAnalysis.c4Flags(col("text"),
+          TextAnalysis.C4Thresholds(badWords = words)).getField("keep").as("k"))
+        .collect().head.getBoolean(0)
+    val phrasy = Seq("bad phrase", "x4x")
+    assert(!keepWith(prose + "\nthis bad phrase appears here today.", phrasy),
+      "multi-word entry must fire as a whole phrase")
+    assert(keepWith(prose + "\nthis badphrase appears here today.", phrasy),
+      "phrase must not fire without its internal boundary")
+    assert(keepWith(prose + "\nabad phrase appears right here today.", phrasy),
+      "phrase needs a non-letter left boundary")
+    assert(!keepWith(prose + "\nsee x4x here now.", phrasy),
+      "digit-bearing entry must fire with boundaries")
+    assert(keepWith(prose + "\nsee ax4x here now.", phrasy),
+      "digit-bearing entry must not fire inside a letter run")
     assert(!keepOf("One two three. Four five six! Seven eight nine? Ten so far."),
       "4 sentences is below the 5-sentence floor")
     val empty = Seq((1L, "")).toDF("doc_id", "text")
