@@ -1603,6 +1603,21 @@ object SparkEntry {
             .as("boundaries_csv"))
     }),
 
+    // ---- The packed export's observability report (the packingReport
+    // analog): sequence/full/partial counts, packed tokens vs capacity,
+    // docs-started totals — integer arithmetic plus two divisions, the
+    // oracle replays it OVER the q110 packing replay, so the report's
+    // numbers are pinned against an independent reconstruction of the
+    // entire packing.
+    "q111_packed_report" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").select(col("doc_id"),
+        transform(filter(split(trim(col("text")), "\\s+"), x => length(x) > 0),
+          x => length(x)).as("ids"))
+      graft.llm.CorpusPrep.packedIdsReport(
+        graft.llm.CorpusPrep.packTokenIds(docs, "doc_id", "ids",
+          seqLen = 128, eosId = 0, buckets = 8), seqLen = 128)
+    }),
+
     // ---- DSIR importance resampling: select 150 docs TOWARD the src0
     // domain via the likelihood ratio of two unigram LMs (target =
     // src0-trained, raw = full-corpus-trained), then the deterministic
@@ -2005,8 +2020,10 @@ object SparkEntry {
       import graft.llm.LangModel
       val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
       val lm = LangModel.trainKneserNey(docs.filter(col("doc_id") < 100), "text")
+      // scored slice bounded like q85/q93: composable anchors pin the
+      // oracle arithmetic, the native registries are the scale path
       LangModel.logProbPerDocKneserNey(
-        docs.filter(col("doc_id") >= 100), lm, "doc_id", "text")
+        docs.filter(col("doc_id") >= 100 && col("doc_id") < 700), lm, "doc_id", "text")
         .select(col("doc_id"), round(col("kn_logp"), 6).as("kn_logp"),
           col("kn_positions"))
     }),
@@ -2046,8 +2063,9 @@ object SparkEntry {
       import graft.llm.LangModel
       val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
       val lm = LangModel.trainKneserNey3(docs.filter(col("doc_id") < 100), "text")
+      // scored slice bounded like q85/q93 (q101 is the scale path)
       LangModel.logProbPerDocKneserNey3(
-        docs.filter(col("doc_id") >= 100), lm, "doc_id", "text")
+        docs.filter(col("doc_id") >= 100 && col("doc_id") < 700), lm, "doc_id", "text")
         .select(col("doc_id"), round(col("kn3_logp"), 6).as("kn3_logp"),
           col("kn3_positions"))
     }),
@@ -2276,6 +2294,41 @@ object SparkEntry {
         |  CAST(count(*) AS BIGINT) AS lm2_positions
         |FROM allpos GROUP BY doc_id""".stripMargin
 
+  private val PackTokenIdsOracleSql: String =
+    """WITH d AS (
+        |  SELECT doc_id,
+        |    list_transform(regexp_extract_all(trim(text), '\S+'),
+        |      t -> length(t)) AS ids
+        |  FROM documents),
+        |e AS (
+        |  SELECT doc_id, doc_id % 8 AS bucket,
+        |    list_append(ids, 0) AS stream, len(ids) + 1 AS n
+        |  FROM d),
+        |c AS (
+        |  SELECT *, sum(n) OVER (PARTITION BY bucket ORDER BY doc_id) - n AS start
+        |  FROM e),
+        |tok AS (
+        |  SELECT bucket, start, stream,
+        |    unnest(generate_series(1, n)) AS i
+        |  FROM c),
+        |pos AS (
+        |  SELECT bucket,
+        |    (start + i - 1) // 128 AS s,
+        |    start + i - 1 AS gpos,
+        |    stream[i] AS tk,
+        |    CASE WHEN i = 1 THEN 1 ELSE 0 END AS is_start
+        |  FROM tok)
+        |SELECT
+        |  bucket * (1::BIGINT << 40) + s AS seq_id,
+        |  count(*)::BIGINT AS n_tokens,
+        |  sum(is_start)::BIGINT AS n_docs_started,
+        |  string_agg(tk::VARCHAR, ',' ORDER BY gpos) AS ids_csv,
+        |  coalesce(string_agg(CASE WHEN is_start = 1
+        |    THEN (gpos % 128)::VARCHAR END, ',' ORDER BY gpos), '')
+        |    AS boundaries_csv
+        |FROM pos
+        |GROUP BY bucket, s""".stripMargin
+
   /** The scored-slice predicates the LM oracles parameterize over: the
     * NATIVE registries (q86/q94) score the whole held-out corpus —
     * that is the production shape being demonstrated — while the
@@ -2453,8 +2506,8 @@ object SparkEntry {
   /** Shared by q97 (composable interpolated KN) and q99 (native
     * registry over the saveBigram artifact): training and scoring
     * replayed from the unpruned count tables. */
-  private val KneserNeyOracleSql: String =
-    """WITH toks AS (
+  private def kneserNeyOracleSql(scored: String): String =
+    raw"""WITH toks AS (
         |  SELECT doc_id,
         |    list_filter(regexp_split_to_array(lower(trim(text)), '\s+'),
         |      t -> len(t) > 0) AS tk
@@ -2483,7 +2536,7 @@ object SparkEntry {
         |first AS (
         |  SELECT t.doc_id, log10((coalesce(b.nbwd, 0) + 1) / sc.dc) AS logp
         |  FROM (SELECT doc_id, tk[1] AS w2 FROM toks
-        |        WHERE doc_id >= 100 AND len(tk) > 0) t
+        |        WHERE $scored AND len(tk) > 0) t
         |  LEFT JOIN bwd b USING (w2) CROSS JOIN sc),
         |pairs AS (
         |  SELECT p.doc_id,
@@ -2496,7 +2549,7 @@ object SparkEntry {
         |    END AS logp
         |  FROM (SELECT doc_id, tk[i-1] AS w1, tk[i] AS w2 FROM (
         |          SELECT doc_id, tk, unnest(generate_series(2, len(tk))) AS i
-        |          FROM toks WHERE doc_id >= 100)) p
+        |          FROM toks WHERE $scored)) p
         |  LEFT JOIN big bg USING (w1, w2)
         |  LEFT JOIN fwd f USING (w1)
         |  LEFT JOIN bwd b USING (w2)
@@ -2509,8 +2562,8 @@ object SparkEntry {
   /** Shared by q100 (composable KN3) and q101 (native registry):
     * identical recursion — trigram discounting over continuation-count
     * middle/bottom levels — so ONE oracle pins both at round(6). */
-  private val KneserNey3OracleSql: String =
-    """WITH toks AS (
+  private def kneserNey3OracleSql(scored: String): String =
+    raw"""WITH toks AS (
         |  SELECT doc_id,
         |    list_filter(regexp_split_to_array(lower(trim(text)), '\s+'),
         |      t -> len(t) > 0) AS tk
@@ -2546,7 +2599,7 @@ object SparkEntry {
         |first AS (
         |  SELECT t.doc_id, log10((coalesce(b.nbwd1, 0) + 1) / sc.dc) AS logp
         |  FROM (SELECT doc_id, tk[1] AS w3 FROM toks
-        |        WHERE doc_id >= 100 AND len(tk) > 0) t
+        |        WHERE $scored AND len(tk) > 0) t
         |  LEFT JOIN bwd1 b USING (w3) CROSS JOIN sc),
         |second AS (
         |  SELECT p.doc_id,
@@ -2558,7 +2611,7 @@ object SparkEntry {
         |      ELSE log10((coalesce(b.nbwd1, 0) + 1) / sc.dc)
         |    END AS logp
         |  FROM (SELECT doc_id, tk[1] AS w2, tk[2] AS w3 FROM toks
-        |        WHERE doc_id >= 100 AND len(tk) >= 2) p
+        |        WHERE $scored AND len(tk) >= 2) p
         |  LEFT JOIN cbg cb USING (w2, w3)
         |  LEFT JOIN fwd2 f2 USING (w2)
         |  LEFT JOIN bwd1 b USING (w3)
@@ -2574,7 +2627,7 @@ object SparkEntry {
         |    END AS p2
         |  FROM (SELECT doc_id, tk[i-2] AS w1, tk[i-1] AS w2, tk[i] AS w3 FROM (
         |          SELECT doc_id, tk, unnest(generate_series(3, len(tk))) AS i
-        |          FROM toks WHERE doc_id >= 100)) p
+        |          FROM toks WHERE $scored)) p
         |  LEFT JOIN tri tg USING (w1, w2, w3)
         |  LEFT JOIN fwd3 f3 USING (w1, w2)
         |  LEFT JOIN cbg cb USING (w2, w3)
@@ -2776,10 +2829,10 @@ object SparkEntry {
     // Laplace-style OOV floor; the CASE arms and operator grouping
     // mirror logProbPerDocKneserNey exactly. ONE oracle pins the
     // composable (q97) and native-registry (q99) forms.
-    "q97_kneser_ney" -> KneserNeyOracleSql,
-    "q99_kn_native" -> KneserNeyOracleSql,
-    "q100_kn3" -> KneserNey3OracleSql,
-    "q101_kn3_native" -> KneserNey3OracleSql,
+    "q97_kneser_ney" -> kneserNeyOracleSql(LmScoredBounded),
+    "q99_kn_native" -> kneserNeyOracleSql(LmScoredFull),
+    "q100_kn3" -> kneserNey3OracleSql(LmScoredBounded),
+    "q101_kn3_native" -> kneserNey3OracleSql(LmScoredFull),
     // the full learned-classifier dot product replayed: the five
     // features are the q16/q21/q64 replays, the sigmoid accumulates
     // intercept-first then features in declaration order (matching the
@@ -2899,40 +2952,19 @@ object SparkEntry {
     // stream offsets, fixed-length window assignment via integer
     // division of each token's global position, ordered concatenation,
     // and doc-start boundary offsets (idx = 0 within the doc stream)
-    "q110_pack_token_ids" ->
-      """WITH d AS (
-        |  SELECT doc_id,
-        |    list_transform(regexp_extract_all(trim(text), '\S+'),
-        |      t -> length(t)) AS ids
-        |  FROM documents),
-        |e AS (
-        |  SELECT doc_id, doc_id % 8 AS bucket,
-        |    list_append(ids, 0) AS stream, len(ids) + 1 AS n
-        |  FROM d),
-        |c AS (
-        |  SELECT *, sum(n) OVER (PARTITION BY bucket ORDER BY doc_id) - n AS start
-        |  FROM e),
-        |tok AS (
-        |  SELECT bucket, start, stream,
-        |    unnest(generate_series(1, n)) AS i
-        |  FROM c),
-        |pos AS (
-        |  SELECT bucket,
-        |    (start + i - 1) // 128 AS s,
-        |    start + i - 1 AS gpos,
-        |    stream[i] AS tk,
-        |    CASE WHEN i = 1 THEN 1 ELSE 0 END AS is_start
-        |  FROM tok)
-        |SELECT
-        |  bucket * (1::BIGINT << 40) + s AS seq_id,
-        |  count(*)::BIGINT AS n_tokens,
-        |  sum(is_start)::BIGINT AS n_docs_started,
-        |  string_agg(tk::VARCHAR, ',' ORDER BY gpos) AS ids_csv,
-        |  coalesce(string_agg(CASE WHEN is_start = 1
-        |    THEN (gpos % 128)::VARCHAR END, ',' ORDER BY gpos), '')
-        |    AS boundaries_csv
-        |FROM pos
-        |GROUP BY bucket, s""".stripMargin,
+    "q110_pack_token_ids" -> PackTokenIdsOracleSql,
+    // the report replayed OVER the packing replay (nested CTE)
+    "q111_packed_report" ->
+      s"""WITH pk AS ($PackTokenIdsOracleSql)
+         |SELECT count(*)::BIGINT AS n_sequences,
+         |  (count(*) FILTER (WHERE n_tokens = 128))::BIGINT AS n_full,
+         |  (count(*) FILTER (WHERE n_tokens <> 128))::BIGINT AS n_partial,
+         |  sum(n_tokens)::BIGINT AS tokens_packed,
+         |  (count(*) * 128)::BIGINT AS capacity_tokens,
+         |  round(sum(n_tokens) / (count(*) * 128.0), 6) AS efficiency,
+         |  sum(n_docs_started)::BIGINT AS n_docs_started,
+         |  round(sum(n_docs_started)::DOUBLE / count(*), 6) AS avg_docs_per_seq
+         |FROM pk""".stripMargin,
     "q104_gopher_rules" ->
       """WITH t AS (
         |  SELECT doc_id, text,

@@ -523,6 +523,8 @@ object Curator {
       s"curation.pack-seq-len must be positive, got $l"))
     require(c.getInt("pack-buckets").isEmpty || c.getInt("pack-seq-len").isDefined,
       "curation.pack-buckets without curation.pack-seq-len is dead config")
+    require(c.getString("pack-report-dir").isEmpty || c.getInt("pack-seq-len").isDefined,
+      "curation.pack-report-dir without curation.pack-seq-len is dead config")
     require(c.getDouble("min-lm-logp").isEmpty || c.getString("lm-path").isDefined,
       "curation.min-lm-logp needs curation.lm-path (a saved unigram LM file)")
     require(c.getDouble("min-lm2-logp").isEmpty || c.getString("lm2-path").isDefined,
@@ -1159,10 +1161,21 @@ object Curator {
         // across the split would contaminate held-out evaluation)
         val partitionCols =
           if (c.getList("splits").exists(_.nonEmpty)) Seq(splitCol) else Nil
-        graft.llm.CorpusPrep.packTokenIds(toPack, idCol, "token_ids",
+        val packed = graft.llm.CorpusPrep.packTokenIds(toPack, idCol, "token_ids",
           seqLen = seqLen, eosId = eos,
           buckets = c.getInt("pack-buckets").getOrElse(256),
           orderCols = orderCols, partitionCols = partitionCols)
+        // optional 1-row observability artifact (`pack-report-dir`):
+        // sequence/full/partial counts, packed-vs-capacity efficiency.
+        // (Separate action — the pack shuffle reruns for it, but its
+        // upstream is the PERSISTED curated frame, so the cost is one
+        // bounded shuffle, not a pipeline replay.)
+        c.getString("pack-report-dir").foreach { rdir =>
+          graft.llm.CorpusPrep.packedIdsReport(packed, seqLen)
+            .coalesce(1).write.mode("overwrite").parquet(rdir)
+          Cli.log(s"packing report written to $rdir")
+        }
+        packed
       }
       case None => encoded
     }
@@ -1833,6 +1846,17 @@ object Streamer {
         val dir = c.string("events-dir")
         val docs = spark.readStream
           .schema(spark.read.parquet(dir).schema).parquet(dir)
+        // same custom-list knobs (and dead-config rules) as the batch
+        // Curator, so stream and batch judge with the same data
+        require(c.getString("entity-list-path").isEmpty ||
+            c.getString("strip-html").exists(_.toBoolean),
+          "streaming.entity-list-path needs streaming.strip-html = true")
+        require(c.getString("mojibake-list-path").isEmpty ||
+            c.getString("normalize-text").exists(_.toBoolean),
+          "streaming.mojibake-list-path needs streaming.normalize-text = true")
+        require(c.getString("badword-list-path").isEmpty ||
+            c.getString("c4-rules").exists(_.toBoolean),
+          "streaming.badword-list-path needs streaming.c4-rules = true")
         Streams.filterDocStream(docs,
           textCol = c.getString("text-column").getOrElse("text"),
           minQuality = c.getDouble("min-quality"),
@@ -1840,6 +1864,12 @@ object Streamer {
           normalizeText = c.getString("normalize-text").exists(_.toBoolean),
           gopherRules = c.getString("gopher-rules").exists(_.toBoolean),
           c4Rules = c.getString("c4-rules").exists(_.toBoolean),
+          entityList = c.getString("entity-list-path")
+            .map(graft.llm.TextAnalysis.loadPairList(spark, _)),
+          mojibakeList = c.getString("mojibake-list-path")
+            .map(graft.llm.TextAnalysis.loadPairList(spark, _)),
+          badwordList = c.getString("badword-list-path")
+            .map(graft.llm.TextAnalysis.loadWordList(spark, _)),
           langs = c.getList("langs").map(_.toSet).getOrElse(Set.empty),
           repetition = c.getDouble("max-repetition").map(m =>
             (c.getInt("repetition-ngram").getOrElse(3), m)),

@@ -326,6 +326,28 @@ object CorpusPrep {
       .withColumn("n_docs_started", size(col("doc_boundaries")).cast("long"))
   }
 
+  /** One-row observability report for a [[packTokenIds]] output — the
+    * packed-export analog of [[packingReport]]: sequence/full/partial
+    * counts, packed tokens vs `n_sequences × seqLen` capacity (the
+    * only waste packing can have is the ≤ 1 partial tail per bucket —
+    * docs cross boundaries, nothing pads), and docs-started totals.
+    * Integer arithmetic plus two final divisions → engine-portable
+    * (the q111 oracle replays it over the q110 packing replay). */
+  def packedIdsReport(packed: DataFrame, seqLen: Int): DataFrame = {
+    require(seqLen > 0, s"seqLen must be positive, got $seqLen")
+    packed.agg(
+      count(lit(1)).cast("long").as("n_sequences"),
+      count(when(col("n_tokens") === seqLen, 1)).cast("long").as("n_full"),
+      count(when(col("n_tokens") =!= seqLen, 1)).cast("long").as("n_partial"),
+      sum("n_tokens").cast("long").as("tokens_packed"),
+      (count(lit(1)) * seqLen).cast("long").as("capacity_tokens"),
+      round(sum("n_tokens") / (count(lit(1)) * lit(seqLen.toDouble)), 6)
+        .as("efficiency"),
+      sum("n_docs_started").cast("long").as("n_docs_started"),
+      round(sum("n_docs_started") / count(lit(1)).cast("double"), 6)
+        .as("avg_docs_per_seq"))
+  }
+
   /** Packing-efficiency report for a [[packSequences]] output — makes
     * the packer's density claims OBSERVABLE on a real corpus instead of
     * asserted in prose: one row with sequence/chunk/token totals,

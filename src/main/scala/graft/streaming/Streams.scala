@@ -180,21 +180,33 @@ object Streams {
       kn3Path: Option[String] = None,
       minKn3LogP: Option[Double] = None,
       classifierPath: Option[String] = None,
-      minClassifierScore: Option[Double] = None): DataFrame = {
+      minClassifierScore: Option[Double] = None,
+      // optional custom rewrite/filter lists (the batch Curator's
+      // entity-list-path / mojibake-list-path / badword-list-path
+      // knobs, mirrored so arrival-time filtering and batch curation
+      // judge with the same data); defaults = the shipped stand-ins
+      entityList: Option[Seq[(String, String)]] = None,
+      mojibakeList: Option[Seq[(String, String)]] = None,
+      badwordList: Option[Seq[String]] = None): DataFrame = {
     import graft.llm.TextAnalysis
     // normalization, then C4 cleaning (the same pre-annotation order
     // as the batch Curator): projections + a predicate, so the stream
     // stays stateless with them on — every later signal sees repaired,
     // cleaned text
     val unHtmled =
-      if (stripHtml) docs.withColumn(textCol, TextAnalysis.stripHtml(col(textCol)))
+      if (stripHtml) docs.withColumn(textCol, TextAnalysis.stripHtml(col(textCol),
+        entityList.getOrElse(TextAnalysis.HtmlEntities)))
       else docs
     val normed =
       if (normalizeText)
-        unHtmled.withColumn(textCol, TextAnalysis.normalizeText(col(textCol)))
+        unHtmled.withColumn(textCol, TextAnalysis.normalizeText(col(textCol),
+          mojibakeList.getOrElse(TextAnalysis.MojibakeRepairs)))
       else unHtmled
     val cleaned =
-      if (c4Rules) TextAnalysis.c4Apply(normed, textCol) else normed
+      if (c4Rules) TextAnalysis.c4Apply(normed, textCol,
+        TextAnalysis.C4Thresholds(
+          badWords = badwordList.getOrElse(TextAnalysis.C4BadWordsStandIn)))
+      else normed
     val st = TextAnalysis.stats(col(textCol))
     var df = cleaned
       .withColumn("quality", TextAnalysis.qualityScoreFast(st))

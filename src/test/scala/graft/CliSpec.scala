@@ -2864,10 +2864,12 @@ class CliSpec extends SparkTestBase {
     val flatRows = spark.read.parquet(flat)
     val nDocs = flatRows.count()
     val nIds = flatRows.select(asum(asize(col("token_ids")) + 1)).head().getLong(0)
-    // run 2: identical curation + packing
+    // run 2: identical curation + packing (+ the 1-row report artifact)
     val out = base.resolve("packed").toString
+    val repDir = base.resolve("packrep").toString
     graft.cli.Curator.main(Array("--conf",
-      conf(out, "  pack-seq-len = 256\n  pack-buckets = 4")))
+      conf(out, "  pack-seq-len = 256\n  pack-buckets = 4\n" +
+        s"  pack-report-dir = $repDir")))
     val packed = spark.read.parquet(out)
     assert(packed.columns.toSet ==
       Set("seq_id", "input_ids", "doc_boundaries", "n_tokens", "n_docs_started"))
@@ -2880,6 +2882,11 @@ class CliSpec extends SparkTestBase {
     // the separator between docs is the vocab's <eos> id, one per doc
     assert(packed.select(explode(col("input_ids")).as("i"))
       .filter(col("i") === eos).count() == nDocs)
+    // the report artifact re-verifies against the export
+    val rep = spark.read.parquet(repDir).head()
+    assert(rep.getAs[Long]("n_sequences") == packed.count())
+    assert(rep.getAs[Long]("tokens_packed") == nIds)
+    assert(rep.getAs[Long]("n_docs_started") == nDocs)
     // with splits, the split label partitions the packing and rides the
     // output — train/val docs must never share a sequence (review
     // finding: packing across the split would contaminate evaluation)

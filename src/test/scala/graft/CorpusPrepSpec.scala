@@ -253,6 +253,39 @@ class CorpusPrepSpec extends SparkTestBase {
       String.valueOf(dup.getCause).contains("duplicate"), s"got $dup")
   }
 
+  test("packedIdsReport: totals re-verify against the packed frame; " +
+      "partitioned packing carries its labels and never mixes them") {
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select(col("doc_id"),
+        transform(filter(split(trim(col("text")), "\\s+"), t => length(t) > 0),
+          t => length(t)).as("ids"),
+        (pmod(col("doc_id"), lit(3)) === 0).cast("string").as("part"))
+    val packed = CorpusPrep.packTokenIds(docs, "doc_id", "ids",
+      seqLen = 64, eosId = 0, buckets = 4).cache()
+    val r = CorpusPrep.packedIdsReport(packed, 64).head()
+    assert(r.getAs[Long]("n_sequences") == packed.count())
+    assert(r.getAs[Long]("n_full") + r.getAs[Long]("n_partial") ==
+      r.getAs[Long]("n_sequences"))
+    assert(r.getAs[Long]("tokens_packed") ==
+      packed.agg(sum("n_tokens")).head().getLong(0))
+    assert(r.getAs[Long]("capacity_tokens") == r.getAs[Long]("n_sequences") * 64)
+    assert(r.getAs[Double]("efficiency") > 0.9,
+      s"crossing-doc packing should be dense: $r")
+    assert(r.getAs[Long]("n_docs_started") == docs.count())
+    packed.unpersist()
+    // partitioned packing: the label rides every row; per-label token
+    // totals equal per-label input totals (no cross-label leakage)
+    val pp = CorpusPrep.packTokenIds(docs, "doc_id", "ids",
+      seqLen = 64, eosId = 0, buckets = 4, partitionCols = Seq("part")).cache()
+    assert(pp.columns.contains("part"))
+    val inTotals = docs.groupBy("part").agg(sum(size(col("ids")) + 1).as("n"))
+      .collect().map(x => x.getString(0) -> x.getLong(1)).toMap
+    val outTotals = pp.groupBy("part").agg(sum("n_tokens").as("n"))
+      .collect().map(x => x.getString(0) -> x.getLong(1)).toMap
+    assert(inTotals == outTotals, s"$inTotals vs $outTotals")
+    pp.unpersist()
+  }
+
   test("hashSplit: exhaustive, disjoint, partition-invariant, nests with hashSample") {
     val splits = Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)
     val labeled = CorpusPrep.hashSplit(docs, "doc_id", splits, salt = "s1").cache()

@@ -225,6 +225,14 @@ class StreamsSpec extends SparkTestBase {
       .queryExecution.analyzed.toString
     assert(!plan.contains("Aggregate") && !plan.contains("Deduplicate") &&
       !plan.contains("Join"), s"c4 stream must be stateless:\n$plan")
+    // the batch Curator's custom-list knob mirrored in-stream: a custom
+    // bad word (outside the shipped stand-in) drops the page at arrival
+    val custom = Streams.runToMemory(
+      Streams.filterDocStream(stream(), "text", c4Rules = true,
+        badwordList = Some(Seq("barked"))),
+      "c4_docs_custom", OutputMode.Append())
+    assert(custom.count() == 0,
+      "custom badword list must drop every page containing it in-stream")
   }
 
   test("filterDocStream strip-html + normalize: markup extracted and mojibake " +
