@@ -280,14 +280,15 @@ object CorpusPrep {
       .withColumn("__cum", sum(col("__n")).over(w))
       // duplicate order keys would be SILENT corruption: the RANGE
       // cumulative frame gives tied rows one shared __cum, so their
-      // streams overlap and sequences assemble over-long. Every stream
-      // is non-empty (n >= 1), so across distinct keys __cum strictly
-      // increases — a tie with the previous row IS a duplicate key.
-      // The guard rides __start (a pruned side column would never
-      // evaluate).
+      // streams overlap and sequences assemble over-long. The guard
+      // lags the ORDER KEY itself and rides __start so Catalyst cannot
+      // prune it; the lag frame differs from the cumulative frame, so
+      // Spark plans a second Window PASS, but both share the single
+      // Exchange+Sort — no extra shuffle (plan-verified).
       .withColumn("__start",
         col("__cum") - col("__n") +
-          when(lag(col("__cum"), 1).over(w) === col("__cum"),
+          when(lag(struct(order.map(col): _*), 1).over(w) ===
+              struct(order.map(col): _*),
             raise_error(lit(s"packTokenIds: duplicate order key under " +
               s"(${order.mkString(", ")}) — stream positions would overlap; " +
               "add a disambiguating column (chunk_id, epoch) to orderCols")))
