@@ -59,7 +59,8 @@ object Bench {
     // corpus (the mtime-keyed rebuild-on-regeneration contract).
     Seq("q1_pricing_summary", "q6_join_agg", "q15_knn_brute", "q19_stream_window",
         "q25_ivf_recall", "q62_incremental_vector_dedup", "q73_semdedup",
-        "q90_bpe_encode", "q103_pq_recall", "q109_bpe_byte_fallback")
+        "q90_bpe_encode", "q103_pq_recall", "q109_bpe_byte_fallback",
+        "q112_bpe_byte_roundtrip")
       .foreach { q =>
         try materialize(SparkEntry.queries(q)(spark, sfDir))
         catch { case e: Throwable => System.err.println(s"[bench] warmup $q failed: ${e.getMessage}") }

@@ -111,6 +111,33 @@ object SparkEntry {
     f.delete(): Unit
   }
 
+  /** Train-once BPE artifacts (mtime-keyed state dir, `_DONE` written
+    * AFTER both files — the q90 crash-safety idiom), trained on
+    * `doc_id < 100`. Shared by the gates that score with them: q109 and
+    * q113 (byte-FALLBACK pair), q112 and q113 (byte-LEVEL pair) —
+    * whichever runs first builds, the rest reuse. */
+  private def ensureBpeArtifacts(s: SparkSession, dir: String, name: String,
+      byteLevel: Boolean): (String, String) = {
+    import graft.llm.BpeTrainer
+    val base = statePath(dir, name)
+    val mergesPath = s"$base/merges.txt"
+    val vocabPath = s"$base/vocab.txt"
+    val doneMarker = new java.io.File(base, "_DONE")
+    if (!doneMarker.exists()) {
+      val train = t(s, dir, "documents")
+        .filter(col("doc_id") < 100).select(col("text"))
+      val merges =
+        if (byteLevel) BpeTrainer.learnByteMerges(train, "text", numMerges = 64)
+        else BpeTrainer.learnMerges(train, "text", numMerges = 64)
+      BpeTrainer.saveMerges(s, mergesPath, merges)
+      BpeTrainer.saveVocab(s, vocabPath,
+        if (byteLevel) BpeTrainer.buildByteVocab(merges)
+        else BpeTrainer.buildVocab(train, "text", merges))
+      doneMarker.createNewFile(): Unit
+    }
+    (mergesPath, vocabPath)
+  }
+
   /** q39/q42 planted-pair accounting (eager — see [[eagerSummary]]). */
   private def pairTypeSummary(s: SparkSession, pairs: DataFrame,
       cached: DataFrame): DataFrame =
@@ -1549,20 +1576,9 @@ object SparkEntry {
     // not SQL-expressible; EntrySpec pins zero-unk on the WHOLE
     // held-out slice, fallback-fired, and round-trip parity.
     "q109_bpe_byte_fallback" -> ((s, dir) => {
-      import graft.llm.BpeTrainer
       val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
-      val train = docs.filter(col("doc_id") < 100)
-      val base = statePath(dir, "q109_bpe_fb")
-      val mergesPath = s"$base/merges.txt"
-      val vocabPath = s"$base/vocab.txt"
-      val doneMarker = new java.io.File(base, "_DONE")
-      if (!doneMarker.exists()) {
-        val merges = BpeTrainer.learnMerges(train, "text", numMerges = 64)
-        BpeTrainer.saveMerges(s, mergesPath, merges)
-        BpeTrainer.saveVocab(s, vocabPath,
-          BpeTrainer.buildVocab(train, "text", merges))
-        doneMarker.createNewFile(): Unit
-      }
+      val (mergesPath, vocabPath) =
+        ensureBpeArtifacts(s, dir, "q109_bpe_fb", byteLevel = false)
       val heldOut = docs.filter(col("doc_id") >= 100)
         .withColumn("text",
           when(pmod(col("doc_id"), lit(7)) === 0,
@@ -1616,6 +1632,65 @@ object SparkEntry {
       graft.llm.CorpusPrep.packedIdsReport(
         graft.llm.CorpusPrep.packTokenIds(docs, "doc_id", "ids",
           seqLen = 128, eosId = 0, buckets = 8), seqLen = 128)
+    }),
+
+    // ---- Byte-level (GPT-2-style) BPE round-trip, ORACLE-EXACT: the
+    // tokenizer trains on doc_id < 100, then EVERY doc — with
+    // characters the training slice cannot contain planted on every 7th
+    // (the corpus is ASCII; the plant includes a supplementary-plane
+    // emoji) — goes text → byte-level ids → text, and the oracle is
+    // simply the input itself. A hash match means the full
+    // pretokenize → byte-map → merge → id → unmap cycle is byte-exact
+    // over the whole corpus in any script; any drift anywhere in the
+    // chain breaks the hash. (The ids themselves are not
+    // SQL-expressible — totality IS the SQL-checkable contract.)
+    "q112_bpe_byte_roundtrip" -> ((s, dir) => {
+      val (mergesPath, vocabPath) =
+        ensureBpeArtifacts(s, dir, "q112_bpe_byte", byteLevel = true)
+      t(s, dir, "documents")
+        .select(col("doc_id"),
+          when(pmod(col("doc_id"), lit(7)) === 0,
+            concat(col("text"), lit(" naïve ☃😀")))
+            .otherwise(col("text")).as("text"))
+        .select(col("doc_id"),
+          graft.functions.GraftFunctions.bpeByteDecode(
+            graft.functions.GraftFunctions.bpeByteEncode(
+              col("text"), mergesPath, vocabPath), vocabPath).as("text"))
+    }),
+
+    // ---- Byte-level vs byte-fallback token economy (the reason the
+    // second tokenizer family exists): both LOSSLESS total encodings of
+    // the same held-out slice, summed. Byte-level attaches the leading
+    // space to the word (Ġ-prefix merges); byte-fallback spends one id
+    // per whitespace byte — on natural text the byte-level stream must
+    // be strictly smaller. rows-only (greedy merges not SQL-
+    // expressible); EntrySpec pins byte_ids < fallback_ids and both
+    // round-tripping (the q112 oracle already pins byte-level parity).
+    "q113_bpe_byte_economy" -> ((s, dir) => {
+      val (mSeg, vSeg) = ensureBpeArtifacts(s, dir, "q109_bpe_fb", byteLevel = false)
+      val (mByte, vByte) = ensureBpeArtifacts(s, dir, "q112_bpe_byte", byteLevel = true)
+      val heldOut = t(s, dir, "documents")
+        .filter(col("doc_id") >= 100).select(col("text"))
+      heldOut.select(
+          size(graft.functions.GraftFunctions.bpeByteEncode(
+            col("text"), mByte, vByte)).cast("long").as("byte_ids"),
+          size(graft.functions.GraftFunctions.bpeEncodeLossless(
+            col("text"), mSeg, vSeg)).cast("long").as("fb_ids"),
+          (graft.functions.GraftFunctions.bpeByteDecode(
+            graft.functions.GraftFunctions.bpeByteEncode(
+              col("text"), mByte, vByte), vByte) === col("text"))
+            .cast("long").as("rt_byte"),
+          (graft.functions.GraftFunctions.bpeDecode(
+            graft.functions.GraftFunctions.bpeEncodeLossless(
+              col("text"), mSeg, vSeg), vSeg) === col("text"))
+            .cast("long").as("rt_fb"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("byte_ids")).as("byte_level_ids"),
+          sum(col("fb_ids")).as("byte_fallback_ids"),
+          sum(col("rt_byte")).as("n_roundtrip_byte"),
+          sum(col("rt_fb")).as("n_roundtrip_fallback"),
+          round(sum(col("byte_ids")) / sum(col("fb_ids")).cast("double"), 6)
+            .as("byte_per_fallback"))
     }),
 
     // ---- DSIR importance resampling: select 150 docs TOWARD the src0
@@ -2965,6 +3040,14 @@ object SparkEntry {
          |  sum(n_docs_started)::BIGINT AS n_docs_started,
          |  round(sum(n_docs_started)::DOUBLE / count(*), 6) AS avg_docs_per_seq
          |FROM pk""".stripMargin,
+    // the round-trip gate: Spark returns decode(encode(text)) — the
+    // oracle is the INPUT text itself (with the same planted suffix),
+    // so a hash match proves the entire byte-level tokenize/detokenize
+    // cycle is byte-exact over every document
+    "q112_bpe_byte_roundtrip" ->
+      """SELECT doc_id,
+        |  CASE WHEN doc_id % 7 = 0 THEN text || ' naïve ☃😀' ELSE text END AS text
+        |FROM documents""".stripMargin,
     "q104_gopher_rules" ->
       """WITH t AS (
         |  SELECT doc_id, text,

@@ -294,6 +294,15 @@ object GraftFunctions {
   def bpeDecode(c: Column, vocabPath: String): Column =
     ColumnBridge.column(BpeDecode(ColumnBridge.expression(c), vocabPath))
 
+  def bpeByteEncode(c: Column, mergesPath: String, vocabPath: String): Column =
+    ColumnBridge.column(BpeByteEncode(ColumnBridge.expression(c), mergesPath, vocabPath))
+
+  def bpeByteDecode(c: Column, vocabPath: String): Column =
+    ColumnBridge.column(BpeByteDecode(ColumnBridge.expression(c), vocabPath))
+
+  def bpeByteCount(c: Column, mergesPath: String): Column =
+    ColumnBridge.column(BpeByteCount(ColumnBridge.expression(c), mergesPath))
+
   def chunks(c: Column, chunkSize: Int, overlap: Int): Column =
     ColumnBridge.column(DocChunks(ColumnBridge.expression(c), chunkSize, overlap))
 
@@ -519,6 +528,42 @@ object GraftFunctions {
           case s: UTF8String => BpeDecode(es.head, s.toString)
           case other => throw new IllegalArgumentException(
             s"graft_bpe_decode vocab path must be a string literal, got $other")
+        }
+      }),
+    ("graft_bpe_byte_encode",
+      new ExpressionInfo(classOf[BpeByteEncode].getName, "graft_bpe_byte_encode"),
+      (es: Seq[Expression]) => {
+        require(es.length == 3, s"graft_bpe_byte_encode takes 3 arguments, got ${es.length}")
+        def litStr(e: Expression, name: String): String = {
+          require(e.foldable, s"graft_bpe_byte_encode $name must be a literal")
+          e.eval() match {
+            case s: UTF8String => s.toString
+            case other => throw new IllegalArgumentException(
+              s"graft_bpe_byte_encode $name must be a string literal, got $other")
+          }
+        }
+        BpeByteEncode(es.head, litStr(es(1), "merges path"), litStr(es(2), "vocab path"))
+      }),
+    ("graft_bpe_byte_decode",
+      new ExpressionInfo(classOf[BpeByteDecode].getName, "graft_bpe_byte_decode"),
+      (es: Seq[Expression]) => {
+        require(es.length == 2, s"graft_bpe_byte_decode takes 2 arguments, got ${es.length}")
+        require(es(1).foldable, "graft_bpe_byte_decode vocab path must be a literal")
+        es(1).eval() match {
+          case s: UTF8String => BpeByteDecode(es.head, s.toString)
+          case other => throw new IllegalArgumentException(
+            s"graft_bpe_byte_decode vocab path must be a string literal, got $other")
+        }
+      }),
+    ("graft_bpe_byte_count",
+      new ExpressionInfo(classOf[BpeByteCount].getName, "graft_bpe_byte_count"),
+      (es: Seq[Expression]) => {
+        require(es.length == 2, s"graft_bpe_byte_count takes 2 arguments, got ${es.length}")
+        require(es(1).foldable, "graft_bpe_byte_count merges path must be a literal")
+        es(1).eval() match {
+          case s: UTF8String => BpeByteCount(es.head, s.toString)
+          case other => throw new IllegalArgumentException(
+            s"graft_bpe_byte_count merges path must be a string literal, got $other")
         }
       }),
     ("graft_chunks",

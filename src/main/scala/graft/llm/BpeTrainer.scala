@@ -225,6 +225,58 @@ object BpeTrainer {
     out.toSeq
   }
 
+  /** Corpus pretoken frequencies under the GPT-2 BYTE-LEVEL
+    * pretokenizer ([[graft.functions.ByteUnicode.pretokenRegex]] —
+    * contractions, ` ?`-prefixed runs, whitespace runs): `(word, n)`,
+    * one shuffle, raw (unmapped) spellings. Same shape as
+    * [[pretokenCounts]]; the byte→unicode mapping happens driver-side
+    * on the top-`maxWords` cut (it is not expressible as a builtin
+    * column function, and the cut is already driver-bounded). */
+  def bytePretokenCounts(df: DataFrame, textCol: String): DataFrame =
+    df.select(explode(regexp_extract_all(col(textCol),
+        lit(graft.functions.ByteUnicode.pretokenRegex), lit(0))).as("word"))
+      .groupBy("word").agg(count(lit(1)).as("n"))
+
+  /** Learn `numMerges` BYTE-LEVEL merges: pretokenize with the GPT-2
+    * regex, map each word's UTF-8 bytes through the byte↔unicode
+    * bijection (injective, so distinct words stay distinct counts), and
+    * run the exact same driver-side merge loop — mapped symbols are
+    * ordinary BMP chars, so [[learnFromCounts]]'s codepoint splits, tie
+    * rules, and merge application carry over unchanged. The saved
+    * `merges.txt` is what a published byte-level tokenizer ships. */
+  def learnByteMerges(
+      df: DataFrame,
+      textCol: String,
+      numMerges: Int,
+      maxWords: Int = 1 << 20): Seq[(String, String)] = {
+    require(numMerges > 0, s"numMerges must be positive, got $numMerges")
+    require(maxWords > 0, s"maxWords must be positive, got $maxWords")
+    val top = bytePretokenCounts(df, textCol)
+      .orderBy(desc("n"), asc("word")).limit(maxWords)
+      .collect()
+      .map(r => graft.functions.ByteUnicode.mapBytes(r.getString(0)) -> r.getLong(1))
+      .toSeq
+    learnFromCounts(top, numMerges)
+  }
+
+  /** Byte-level vocab: `<unk>` (id 0 — the uniform line-0 loader
+    * contract; byte-level encoding never emits it), `<eos>` (id 1 —
+    * the packed-export document separator), the 256 mapped byte
+    * symbols in byte order (ids 2–257 — the ENTIRE base alphabet, which
+    * is what makes encoding total with no fallback path at all), then
+    * each merge's product in rank order (first occurrence wins). Needs
+    * no corpus scan: the alphabet is fixed by the bijection, not the
+    * data — every pretoken maps into it and every merge product is a
+    * concatenation of its symbols. */
+  def buildByteVocab(merges: Seq[(String, String)]): Seq[String] = {
+    val out = new scala.collection.mutable.LinkedHashSet[String]
+    out += "<unk>"
+    out += "<eos>"
+    (0 until 256).foreach(b => out += graft.functions.ByteUnicode.toChar(b).toString)
+    merges.foreach { case (a, b) => out += (a + b) }
+    out.toSeq
+  }
+
   /** Write a vocab (one token per line, id = line number) — the
     * [[graft.functions.BpeVocabIdRegistry]] format. Tokens contain no
     * whitespace (pretokens exclude it), so the line is the token. */

@@ -1,0 +1,221 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.functions.{BpeByteVocabRegistry, ByteUnicode, GraftFunctions}
+import graft.llm.BpeTrainer
+
+/** GPT-2-style byte-level BPE: the byte↔unicode bijection's published
+  * fixed points (space = Ġ, newline = Ċ), the pretokenizer's tiling
+  * property (which is what makes encoding total and lossless), trainer
+  * → encode → decode round-trips on held-out text in scripts the
+  * training corpus never saw, the Ġ-economy claim vs the
+  * byte-fallback lossless export, loud failures on artifact drift, and
+  * the SQL surface. */
+class BpeByteSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def tmpDir(): String =
+    java.nio.file.Files.createTempDirectory("graft_bpe_byte").toString
+
+  /** Train byte-level artifacts on `corpus`, return (merges, vocab) paths. */
+  private def train(corpus: Seq[String], numMerges: Int): (String, String) = {
+    val dir = tmpDir()
+    val merges = BpeTrainer.learnByteMerges(corpus.toDF("text"), "text", numMerges)
+    val mergesPath = s"$dir/merges.txt"
+    val vocabPath = s"$dir/vocab.txt"
+    BpeTrainer.saveMerges(spark, mergesPath, merges)
+    BpeTrainer.saveVocab(spark, vocabPath, BpeTrainer.buildByteVocab(merges))
+    (mergesPath, vocabPath)
+  }
+
+  test("byte<->unicode table is a bijection with the published fixed points") {
+    // bijective over 256 bytes
+    assert(ByteUnicode.toChar.distinct.length == 256)
+    (0 until 256).foreach { b =>
+      assert(ByteUnicode.fromChar(ByteUnicode.toChar(b).toInt) == b)
+    }
+    // printable ASCII maps to itself
+    assert(ByteUnicode.toChar('A'.toInt) == 'A')
+    assert(ByteUnicode.toChar('!'.toInt) == '!')
+    assert(ByteUnicode.toChar('~'.toInt) == '~')
+    // the famous shifted bytes: space (33rd non-printable) = U+0120 Ġ,
+    // newline (11th) = U+010A Ċ, tab (10th) = U+0109 ĉ
+    assert(ByteUnicode.toChar(0x20) == 'Ġ')
+    assert(ByteUnicode.toChar(0x0A) == 'Ċ')
+    assert(ByteUnicode.toChar(0x09) == 'ĉ')
+    // no mapped char is whitespace or a control — the line-oriented
+    // merges.txt / vocab.txt formats stay unambiguous
+    ByteUnicode.toChar.foreach { c =>
+      assert(!Character.isWhitespace(c) && !Character.isISOControl(c))
+    }
+    // chars outside the alphabet decode to -1
+    assert(ByteUnicode.fromChar(' '.toInt) == -1)
+  }
+
+  test("pretokenizer tiles any input (concat of matches == input)") {
+    val nasty = Seq(
+      "hello world",
+      "  leading and trailing  ",
+      "don't stop, won't I'll we're you've I'm they'd",
+      "tabs\tand\r\nnewlines\n\n double  spaces",
+      "naïve café ☃ 😀 中文 العربية",
+      "x86-64 v2.0 (beta) [#1] 100%",
+      "", " ", "\n", "a")
+    nasty.foreach { s =>
+      val m = ByteUnicode.Pretoken.matcher(s)
+      val sb = new StringBuilder
+      while (m.find()) sb.append(m.group())
+      assert(sb.toString == s, s"pretokens must tile '$s'")
+    }
+  }
+
+  test("trainer round-trip: decode(encode(x)) == x on held-out scripts") {
+    val (mergesPath, vocabPath) = train(
+      Seq("the quick brown fox", "the lazy dog", "the the the"), numMerges = 16)
+    val heldOut = Seq(
+      "the quick dog",                    // seen words
+      "completely unseen words here",     // unseen ASCII
+      "naïve café ☃ 😀",                  // unseen scripts + supplementary plane
+      "tabs\tCRLF\r\nand  runs   ",       // whitespace structure
+      "")                                  // empty
+    heldOut.foreach { s =>
+      val ids = BpeByteVocabRegistry.encode(mergesPath, vocabPath,
+        org.apache.spark.unsafe.types.UTF8String.fromString(s))
+      val back = BpeByteVocabRegistry.decode(vocabPath, ids).toString
+      assert(back == s, s"round-trip must be byte-exact for '$s'")
+      // count == size(encode) by construction
+      assert(BpeByteVocabRegistry.count(mergesPath,
+        org.apache.spark.unsafe.types.UTF8String.fromString(s)) == ids.numElements())
+    }
+  }
+
+  test("space rides the token: ' the' becomes one id after merges") {
+    // heavy repetition of ' the' so (Ġ,t),(Ġt,h),(Ġth,e) all get learned
+    val (mergesPath, vocabPath) = train(
+      Seq.fill(20)("the the the the the"), numMerges = 16)
+    val u = org.apache.spark.unsafe.types.UTF8String.fromString(" the the the")
+    val n = BpeByteVocabRegistry.count(mergesPath, u)
+    assert(n == 3, s"' the' x3 should be 3 ids (Ġthe each), got $n")
+    // and the economy claim vs the byte-fallback lossless export: the
+    // segment-level lossless form spends one id PER SPACE on top of the
+    // word ids — byte-level must be strictly cheaper on spaced text
+    val dir = tmpDir()
+    val segMerges = BpeTrainer.learnMerges(
+      Seq.fill(20)("the the the the the").toDF("text"), "text", numMerges = 16)
+    BpeTrainer.saveMerges(spark, s"$dir/m.txt", segMerges)
+    BpeTrainer.saveVocab(spark, s"$dir/v.txt",
+      BpeTrainer.buildVocab(Seq.fill(20)("the the the the the").toDF("text"),
+        "text", segMerges))
+    val lossless = graft.functions.BpeVocabIdRegistry.encodeLossless(
+      s"$dir/m.txt", s"$dir/v.txt", u)
+    assert(n < lossless.numElements(),
+      s"byte-level ($n ids) must beat byte-fallback lossless (${lossless.numElements()}) on spaced text")
+    assert(BpeByteVocabRegistry.decode(vocabPath,
+      BpeByteVocabRegistry.encode(mergesPath, vocabPath, u)).toString == " the the the")
+  }
+
+  test("contractions split like the published tokenizer") {
+    val (mergesPath, vocabPath) = train(Seq("plain text"), numMerges = 2)
+    // "don't" pretokenizes as don | 't — the 't lands in its own ids
+    // whose decoded concatenation still reproduces the input
+    val u = org.apache.spark.unsafe.types.UTF8String.fromString("don't")
+    val ids = BpeByteVocabRegistry.encode(mergesPath, vocabPath, u)
+    assert(BpeByteVocabRegistry.decode(vocabPath, ids).toString == "don't")
+  }
+
+  test("published-format interop: a hand-written 'Ġ t' merge applies") {
+    // a real GPT-2 merges.txt carries mapped spellings like 'Ġ t' —
+    // our loader + segmenter consume them directly
+    val dir = tmpDir()
+    val mergesPath = s"$dir/merges.txt"
+    java.nio.file.Files.write(java.nio.file.Paths.get(mergesPath),
+      "#version: 0.2\nĠ t\nĠt o\n".getBytes("UTF-8"))
+    val vocabPath = s"$dir/vocab.txt"
+    BpeTrainer.saveVocab(spark, vocabPath,
+      BpeTrainer.buildByteVocab(Seq(("Ġ", "t"), ("Ġt", "o"))))
+    val u = org.apache.spark.unsafe.types.UTF8String.fromString("go to")
+    // 'go' -> g,o (2) ; ' to' -> Ġto (1)
+    assert(BpeByteVocabRegistry.count(mergesPath, u) == 3)
+    assert(BpeByteVocabRegistry.decode(vocabPath,
+      BpeByteVocabRegistry.encode(mergesPath, vocabPath, u)).toString == "go to")
+  }
+
+  test("artifact drift fails loudly, never silently") {
+    val dir = tmpDir()
+    // vocab missing the byte alphabet -> rejected at load
+    val badVocab = s"$dir/bad_vocab.txt"
+    java.nio.file.Files.write(java.nio.file.Paths.get(badVocab),
+      "<unk>\n<eos>\nab\n".getBytes("UTF-8"))
+    val e1 = intercept[IllegalArgumentException] {
+      BpeByteVocabRegistry.get(badVocab)
+    }
+    assert(e1.getMessage.contains("byte-level"))
+    // vocab with a token outside the alphabet -> rejected at load
+    val badTok = s"$dir/bad_tok.txt"
+    val full = BpeTrainer.buildByteVocab(Nil) :+ "badtok"
+    java.nio.file.Files.write(java.nio.file.Paths.get(badTok),
+      full.mkString("\n").getBytes("UTF-8"))
+    val e2 = intercept[IllegalArgumentException] {
+      BpeByteVocabRegistry.get(badTok)
+    }
+    assert(e2.getMessage.contains("alphabet"))
+    // merges whose product the vocab lacks -> loud at encode
+    val mergesPath = s"$dir/merges.txt"
+    java.nio.file.Files.write(java.nio.file.Paths.get(mergesPath),
+      "a b\n".getBytes("UTF-8"))
+    val vocabPath = s"$dir/vocab.txt"
+    BpeTrainer.saveVocab(spark, vocabPath, BpeTrainer.buildByteVocab(Nil))
+    val e3 = intercept[IllegalArgumentException] {
+      BpeByteVocabRegistry.encode(mergesPath, vocabPath,
+        org.apache.spark.unsafe.types.UTF8String.fromString("ab"))
+    }
+    assert(e3.getMessage.contains("not built together"))
+  }
+
+  test("Column + SQL surfaces agree; null stays null; codegen survives") {
+    val (mergesPath, vocabPath) = train(Seq("alpha beta gamma"), numMerges = 8)
+    val df = Seq((1L, "alpha beta"), (2L, null.asInstanceOf[String]))
+      .toDF("id", "text")
+    val viaColumn = df.select(col("id"),
+      GraftFunctions.bpeByteDecode(
+        GraftFunctions.bpeByteEncode(col("text"), mergesPath, vocabPath),
+        vocabPath).as("back"),
+      GraftFunctions.bpeByteCount(col("text"), mergesPath).as("n"))
+    val rows = viaColumn.collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(1)) null else r.getString(1))).toMap
+    assert(rows == Map(1L -> "alpha beta", 2L -> null))
+
+    GraftFunctions.register(spark)
+    df.createOrReplaceTempView("bpe_byte_docs")
+    val viaSql = spark.sql(
+      s"""SELECT id,
+         |  graft_bpe_byte_decode(
+         |    graft_bpe_byte_encode(text, '$mergesPath', '$vocabPath'),
+         |    '$vocabPath') AS back,
+         |  graft_bpe_byte_count(text, '$mergesPath') AS n,
+         |  size(graft_bpe_byte_encode(text, '$mergesPath', '$vocabPath')) AS sz
+         |FROM bpe_byte_docs""".stripMargin).collect()
+    viaSql.foreach { r =>
+      if (!r.isNullAt(1)) {
+        assert(r.getString(1) == "alpha beta")
+        assert(r.getInt(2) == r.getInt(3), "count must equal size(encode)")
+      }
+    }
+  }
+
+  test("vocab layout: <unk>=0, <eos>=1, bytes 2..257, merge products after") {
+    val vocab = BpeTrainer.buildByteVocab(Seq(("t", "h"), ("th", "e")))
+    assert(vocab.take(2) == Seq("<unk>", "<eos>"))
+    assert(vocab.slice(2, 258) ==
+      (0 until 256).map(b => ByteUnicode.toChar(b).toString))
+    assert(vocab.drop(258) == Seq("th", "the"))
+    val v = {
+      val dir = tmpDir()
+      BpeTrainer.saveVocab(spark, s"$dir/v.txt", vocab)
+      BpeByteVocabRegistry.get(s"$dir/v.txt")
+    }
+    assert(v.eosId == 1)
+    assert(v.tokenBytes(0) == null && v.tokenBytes(1) == null)
+    assert(v.tokenBytes(2).sameElements(Array(0.toByte)))
+  }
+}

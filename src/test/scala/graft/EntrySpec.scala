@@ -235,6 +235,32 @@ class EntrySpec extends SparkTestBase {
     out.unpersist()
   }
 
+  test("q112/q113: byte-level BPE — round-trip reproduces the input " +
+      "corpus-wide, and the Ġ-economy beats byte-fallback lossless") {
+    import org.apache.spark.sql.functions.{col, concat, lit, pmod, when}
+    // q112 returns decode(encode(text)); the API-level twin of the
+    // driver's oracle: it must equal the (suffix-planted) input exactly
+    val rt = SparkEntry.queries("q112_bpe_byte_roundtrip")(spark, sfDir)
+    val expected = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select(col("doc_id"),
+        when(pmod(col("doc_id"), lit(7)) === 0,
+          concat(col("text"), lit(" naïve ☃😀")))
+          .otherwise(col("text")).as("text"))
+    assert(rt.except(expected).count() == 0 && expected.except(rt).count() == 0,
+      "byte-level decode(encode(x)) diverged from x somewhere in the corpus")
+    // q113: the whole point of the second tokenizer family — fewer ids
+    // than the byte-fallback lossless export on the same text, with
+    // BOTH streams still round-tripping every held-out doc
+    val e = SparkEntry.queries("q113_bpe_byte_economy")(spark, sfDir).head()
+    val n = e.getAs[Long]("n_docs")
+    assert(n > 0)
+    assert(e.getAs[Long]("byte_level_ids") < e.getAs[Long]("byte_fallback_ids"),
+      s"byte-level (${e.getAs[Long]("byte_level_ids")}) must be strictly cheaper " +
+        s"than byte-fallback (${e.getAs[Long]("byte_fallback_ids")})")
+    assert(e.getAs[Long]("n_roundtrip_byte") == n, "a byte-level round-trip broke")
+    assert(e.getAs[Long]("n_roundtrip_fallback") == n, "a fallback round-trip broke")
+  }
+
   test("q78: learned merge table — dense ranks, true-argmax first merge, " +
       "table genuinely compresses the corpus under graft_bpe_count") {
     import org.apache.spark.sql.functions.col
