@@ -2170,6 +2170,78 @@ object SparkEntry {
         .filter(col("kn3_logp").isNotNull)
     }),
 
+    // ---- Interpolated Kneser–Ney at ORDER 4 — the generic recursion
+    // (trainKneserNeyN / logProbPerDocKneserNeyN) at the order real
+    // CCNet/KenLM filters run near, ORACLE-EXACT: training (UNPRUNED
+    // 4-gram counts, the three-level continuation chain, per-level
+    // count-of-counts discounts) AND scoring (the bottom-up
+    // interpolation at every starting order) replayed verbatim by the
+    // GENERATED CTE chain (kneserNeyNOracleSql(4, ·) — the same
+    // program that would write the order-5 oracle). Scored slice
+    // bounded like q100 (q115 is the scale path).
+    "q114_kn4" -> ((s, dir) => {
+      import graft.llm.LangModel
+      val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
+      val lm = LangModel.trainKneserNeyN(
+        docs.filter(col("doc_id") < 100), "text", order = 4)
+      LangModel.logProbPerDocKneserNeyN(
+        docs.filter(col("doc_id") >= 100 && col("doc_id") < 700), lm, "doc_id", "text")
+        .select(col("doc_id"), round(col("knn_logp"), 6).as("knn_logp"),
+          col("knn_positions"))
+    }),
+
+    // ---- The same KN4 scores through the SCALE path: the saveNgram
+    // artifact (the SAME file the stupid-backoff order-n registry
+    // scores) loads once per executor JVM; the registry re-derives the
+    // whole continuation chain, every context sum/fan-out, and all
+    // three discounts from the stored top-order counts; scoring is a
+    // zero-shuffle codegen'd projection. The SAME generated oracle as
+    // q114 pins parity at round(6).
+    "q115_kn4_native" -> ((s, dir) => {
+      import graft.llm.LangModel
+      val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
+      val lm = LangModel.trainKneserNeyN(
+        docs.filter(col("doc_id") < 100), "text", order = 4)
+      val lmPath = new java.io.File(
+        new java.io.File(System.getProperty("java.io.tmpdir"), "graft_lm"),
+        s"${dir.replaceAll("[^A-Za-z0-9.-]", "_")}_kn4.lm4").toString
+      LangModel.saveNgram(lm.ngram, lmPath)
+      docs.filter(col("doc_id") >= 100)
+        .select(col("doc_id"),
+          round(graft.functions.GraftFunctions.knNLogProb(col("text"), lmPath), 6)
+            .as("knn_logp"),
+          graft.llm.TextAnalysis.wsTokenCount(col("text")).cast("long")
+            .as("knn_positions"))
+        .filter(col("knn_logp").isNotNull)
+    }),
+
+    // ---- The same KN4 scores once more through the PACKED registry
+    // (flat 64-bit-fingerprint → float32 tables — the KenLM memory
+    // layout the stupid-backoff registry already uses, here carrying
+    // the live KN recursion: pre-discounted numerators per gram,
+    // D·nfwd / ctx per context). Same artifact, same generated oracle,
+    // pinned at round(4): float32 quantization perturbs scores by
+    // ~1e-8 relative, and round(5) measured a ~1/400-doc boundary-flip
+    // rate across SFs — round(4) buys a ~10x margin while still
+    // pinning real parity.
+    "q116_kn4_packed" -> ((s, dir) => {
+      import graft.llm.LangModel
+      val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
+      val lm = LangModel.trainKneserNeyN(
+        docs.filter(col("doc_id") < 100), "text", order = 4)
+      val lmPath = new java.io.File(
+        new java.io.File(System.getProperty("java.io.tmpdir"), "graft_lm"),
+        s"${dir.replaceAll("[^A-Za-z0-9.-]", "_")}_kn4.lm4").toString
+      LangModel.saveNgram(lm.ngram, lmPath)
+      docs.filter(col("doc_id") >= 100)
+        .select(col("doc_id"),
+          round(graft.functions.GraftFunctions.knNLogProbPacked(col("text"), lmPath), 4)
+            .as("knn_logp"),
+          graft.llm.TextAnalysis.wsTokenCount(col("text")).cast("long")
+            .as("knn_positions"))
+        .filter(col("knn_logp").isNotNull)
+    }),
+
     // ---- CCNet perplexity buckets (Wenzek et al. 2019): per source,
     // head/middle/tail thirds by unigram-LM score (q71's training and
     // arithmetic). The score is rounded to the oracle's 6 decimals
@@ -2723,6 +2795,106 @@ object SparkEntry {
         |  CAST(count(*) AS BIGINT) AS kn3_positions
         |FROM allpos GROUP BY doc_id""".stripMargin
 
+  /** GENERATED interpolated-KN order-n oracle — the
+    * kneserNey3OracleSql program produced programmatically for any
+    * order: raw top-order counts, the continuation chain (`g{k}` =
+    * distinct left extensions of `g{k+1}`), per-level count-of-counts
+    * discounts, context sums/fan-outs, the Laplace-over-continuations
+    * OOV floor, and one frame per starting order running the bottom-up
+    * interpolation as nested CASE arithmetic. Generating the SQL from
+    * the same index arithmetic the Scala scorer loops over means the
+    * order-4 gate exercises the GENERIC recursion, not a hand-kept
+    * transcription. Shared by q114 (composable) and q115 (native). */
+  private def kneserNeyNOracleSql(n: Int, scored: String, decimals: Int = 6): String = {
+    require(n >= 2, s"order must be >= 2, got $n")
+    val sb = new StringBuilder
+    sb ++= """WITH toks AS (
+             |  SELECT doc_id,
+             |    list_filter(regexp_split_to_array(lower(trim(text)), '\s+'),
+             |      t -> len(t) > 0) AS tk
+             |  FROM documents),
+             |""".stripMargin
+    // raw top-order counts from the training slice
+    val topCols = (1 to n).map(j => s"tk[i-${n - j}] AS w$j").mkString(", ")
+    sb ++= s"""g$n AS (
+              |  SELECT ${(1 to n).map("w" + _).mkString(", ")}, count(*) AS cnt$n FROM (
+              |    SELECT $topCols FROM (
+              |      SELECT tk, unnest(generate_series($n, len(tk))) AS i
+              |      FROM toks WHERE doc_id < 100))
+              |  GROUP BY ${(1 to n).map("w" + _).mkString(", ")}),
+              |""".stripMargin
+    // continuation chain: distinct left extensions, renamed down
+    for (k <- n - 1 to 2 by -1)
+      sb ++= s"""g$k AS (SELECT ${(2 to k + 1).map(j => s"w$j AS w${j - 1}").mkString(", ")},
+                |  count(*) AS cnt$k FROM g${k + 1}
+                |  GROUP BY ${(2 to k + 1).map("w" + _).mkString(", ")}),
+                |""".stripMargin
+    // scalars: the continuation-unigram denominator and one
+    // count-of-counts discount per level (same clamped arithmetic as
+    // LangModel.trainKneserNeyN)
+    val dExprs = (2 to n).map { k =>
+      s"""CASE WHEN s$k.n1 = 0 THEN 0.5
+         |      ELSE least(CAST(s$k.n1 AS DOUBLE) / (s$k.n1 + 2.0 * s$k.n2), 1.0) END AS d$k""".stripMargin
+    }.mkString(",\n    ")
+    val dFroms = (2 to n).map { k =>
+      s"""(SELECT coalesce(sum(CASE WHEN cnt$k = 1 THEN 1 ELSE 0 END), 0) AS n1,
+         |     coalesce(sum(CASE WHEN cnt$k = 2 THEN 1 ELSE 0 END), 0) AS n2
+         |   FROM g$k) s$k""".stripMargin
+    }.mkString(",\n  ")
+    sb ++= s"""sc AS (
+              |  SELECT CAST(bb.b + vv.v + 1 AS DOUBLE) AS dc,
+              |    $dExprs
+              |  FROM (SELECT count(*) AS b FROM g2) bb,
+              |  (SELECT count(DISTINCT token) AS v FROM
+              |    (SELECT unnest(tk) AS token FROM toks WHERE doc_id < 100)) vv,
+              |  $dFroms),
+              |""".stripMargin
+    // per-level context sums/fan-outs and the bottom fan-in
+    for (k <- 2 to n)
+      sb ++= s"""fwd$k AS (SELECT ${(1 until k).map("w" + _).mkString(", ")},
+                |  sum(cnt$k) AS ctx$k, count(*) AS nfwd$k FROM g$k
+                |  GROUP BY ${(1 until k).map("w" + _).mkString(", ")}),
+                |""".stripMargin
+    sb ++= "bwd1 AS (SELECT w2, count(*) AS nbwd1 FROM g2 GROUP BY w2),\n"
+    // the bottom-up interpolation as a nested CASE over joined columns
+    def pExpr(j: Int): String =
+      if (j == 1) "((coalesce(b.nbwd1, 0) + 1) / sc.dc)"
+      else
+        s"""(CASE WHEN f$j.ctx$j IS NOT NULL
+           | THEN (greatest(CAST(coalesce(c$j.cnt$j, 0) AS DOUBLE) - sc.d$j, 0.0) +
+           |       sc.d$j * CAST(f$j.nfwd$j AS DOUBLE) * ${pExpr(j - 1)})
+           |      / CAST(f$j.ctx$j AS DOUBLE)
+           | ELSE ${pExpr(j - 1)} END)""".stripMargin
+    // one frame per starting order: m < n scores position m-1 from the
+    // doc's first m tokens; m = n scores every sliding n-gram
+    for (m <- 1 to n) {
+      val src =
+        if (m < n)
+          s"""(SELECT doc_id, ${(1 to m).map(j => s"tk[$j] AS t$j").mkString(", ")}
+             |   FROM toks WHERE $scored AND len(tk) >= $m) f""".stripMargin
+        else
+          s"""(SELECT doc_id, ${(1 to n).map(j => s"tk[i-${n - j}] AS t$j").mkString(", ")}
+             |   FROM (SELECT doc_id, tk, unnest(generate_series($n, len(tk))) AS i
+             |         FROM toks WHERE $scored)) f""".stripMargin
+      val joins = (2 to m).map { j =>
+        s"""LEFT JOIN g$j c$j ON ${(1 to j).map(x => s"c$j.w$x = f.t${m - j + x}").mkString(" AND ")}
+           |LEFT JOIN fwd$j f$j ON ${(1 until j).map(x => s"f$j.w$x = f.t${m - j + x}").mkString(" AND ")}""".stripMargin
+      }.mkString("\n")
+      sb ++= s"""fr$m AS (
+                |  SELECT f.doc_id, log10(${pExpr(m)}) AS logp
+                |  FROM $src
+                |$joins
+                |LEFT JOIN bwd1 b ON b.w2 = f.t$m
+                |CROSS JOIN sc),
+                |""".stripMargin
+    }
+    sb ++= s"""allpos AS (${(1 to n).map(m => s"SELECT * FROM fr$m").mkString(" UNION ALL ")})
+              |SELECT doc_id, round(avg(logp), $decimals) AS knn_logp,
+              |  CAST(count(*) AS BIGINT) AS knn_positions
+              |FROM allpos GROUP BY doc_id""".stripMargin
+    sb.toString
+  }
+
   private val LmOracleSql: String =
     """WITH toks AS (
       |  SELECT doc_id,
@@ -2908,6 +3080,14 @@ object SparkEntry {
     "q99_kn_native" -> kneserNeyOracleSql(LmScoredFull),
     "q100_kn3" -> kneserNey3OracleSql(LmScoredBounded),
     "q101_kn3_native" -> kneserNey3OracleSql(LmScoredFull),
+    // the order-4 KN recursion replayed by the GENERATED CTE chain —
+    // training, continuation chain, discounts, and all four frame
+    // programs produced from the same index arithmetic the Scala
+    // scorer loops over; ONE oracle pins the composable (q114) and
+    // native-registry (q115) forms
+    "q114_kn4" -> kneserNeyNOracleSql(4, LmScoredBounded),
+    "q115_kn4_native" -> kneserNeyNOracleSql(4, LmScoredFull),
+    "q116_kn4_packed" -> kneserNeyNOracleSql(4, LmScoredFull, decimals = 4),
     // the full learned-classifier dot product replayed: the five
     // features are the q16/q21/q64 replays, the sigmoid accumulates
     // intercept-first then features in declaration order (matching the

@@ -305,8 +305,11 @@ object Scorer {
   * label rides along on every chunk); `bpe-vocab` (requires
   * `bpe-merges`) adds a `token_ids` int-array column — chunk text (or
   * doc text) encoded under the learned tokenizer, the form a trainer
-  * consumes; `pack-seq-len` (+ `pack-buckets`, requires `bpe-vocab`
-  * with the `<eos>`-bearing byte-fallback layout) replaces the per-row
+  * consumes (`bpe-byte-level = true` switches encoding and packing to
+  * the GPT-2-style byte-level tokenizer over byte-level artifacts);
+  * `pack-seq-len` (+ `pack-buckets`, requires `bpe-vocab` with an
+  * `<eos>`-bearing layout — byte-fallback or byte-level, both carry
+  * it at id 1) replaces the per-row
   * export with packed fixed-length `input_ids` sequences — the vocab's
   * `<eos>` id after every doc and `doc_boundaries` offsets for
   * attention masking (docs cross sequence boundaries, nothing padded).
@@ -494,6 +497,15 @@ object Curator {
       // saveTrigram artifact of UNPRUNED tables (trainKneserNey3)
       kn3Path = c.getString("kn3-path"),
       minKn3LogP = c.getDouble("min-kn3-logp").getOrElse(base.minKn3LogP),
+      // interpolated-KN ORDER-N filter: `knn-path` points at a saved
+      // saveNgram artifact of UNPRUNED tables (trainKneserNeyN); the
+      // order is self-described in the header
+      knnPath = c.getString("knn-path"),
+      minKnnLogP = c.getDouble("min-knn-logp").getOrElse(base.minKnnLogP),
+      // `knn-packed = true` scores through the flat fingerprint/f32
+      // registry (order-5-scale executor footprint; ~1e-5 score
+      // agreement with the exact registry)
+      knnPacked = c.getBoolean("knn-packed").getOrElse(base.knnPacked),
       // learned quality filter: `classifier-path` points at a saved
       // QualityClassifier (fastText-style reference-vs-random logistic
       // model, trained offline); `min-classifier-score` is the
@@ -519,6 +531,17 @@ object Curator {
     require(c.getInt("pack-seq-len").isEmpty || c.getString("bpe-vocab").isDefined,
       "curation.pack-seq-len needs curation.bpe-vocab — packed sequences are " +
         "token ids, which only a tokenizer vocab defines")
+    // `bpe-byte-level = true` encodes token_ids (and packs) under the
+    // GPT-2-style byte-level tokenizer: same merges.txt/vocab formats,
+    // byte-level artifacts (BpeTrainer.learnByteMerges/buildByteVocab)
+    require(c.getBoolean("bpe-byte-level").isEmpty || c.getString("bpe-vocab").isDefined,
+      "curation.bpe-byte-level without curation.bpe-vocab is dead config — " +
+        "it selects the tokenizer for token_ids encoding and packing")
+    require(!c.getBoolean("bpe-byte-level").getOrElse(false) ||
+        c.getInt("bpe-budget").isEmpty,
+      "curation.bpe-budget chunking counts under the byte-FALLBACK " +
+        "tokenizer; with curation.bpe-byte-level use chunk-size windows " +
+        "(or no chunking) so chunk budgets and emitted ids agree")
     c.getInt("pack-seq-len").foreach(l => require(l > 0,
       s"curation.pack-seq-len must be positive, got $l"))
     require(c.getInt("pack-buckets").isEmpty || c.getInt("pack-seq-len").isDefined,
@@ -533,6 +556,10 @@ object Curator {
       "curation.min-lmn-logp needs curation.lmn-path (a saved order-n LM file)")
     require(c.getDouble("min-kn3-logp").isEmpty || c.getString("kn3-path").isDefined,
       "curation.min-kn3-logp needs curation.kn3-path (a saved trigram LM file)")
+    require(c.getDouble("min-knn-logp").isEmpty || c.getString("knn-path").isDefined,
+      "curation.min-knn-logp needs curation.knn-path (a saved order-n LM file)")
+    require(c.getBoolean("knn-packed").isEmpty || c.getString("knn-path").isDefined,
+      "curation.knn-packed without curation.knn-path is dead config")
     require(c.getList("ppl-bucket-keep").forall(_.isEmpty) ||
         c.getString("lm-path").isDefined,
       "curation.ppl-bucket-keep needs curation.lm-path (a saved unigram LM file)")
@@ -1109,6 +1136,7 @@ object Curator {
     // encoded from the chunk text (or whole-doc text when chunking is
     // off) under the learned tokenizer. Scan-speed projection: table +
     // vocab load once per executor, zero shuffle added.
+    val bpeByteLevel = c.getBoolean("bpe-byte-level").getOrElse(false)
     val encoded = c.getString("bpe-vocab") match {
       case Some(vocabPath) => stages.timed("encode-ids") {
         val mergesPath = c.getString("bpe-merges").getOrElse(throw new IllegalArgumentException(
@@ -1116,7 +1144,10 @@ object Curator {
         val encCol =
           if (out.columns.contains("chunk_text")) "chunk_text" else textCol
         out.withColumn("token_ids",
-          graft.functions.GraftFunctions.bpeEncode(col(encCol), mergesPath, vocabPath))
+          if (bpeByteLevel)
+            graft.functions.GraftFunctions.bpeByteEncode(col(encCol), mergesPath, vocabPath)
+          else
+            graft.functions.GraftFunctions.bpeEncode(col(encCol), mergesPath, vocabPath))
       }
       case None => out
     }
@@ -1131,11 +1162,13 @@ object Curator {
     val packedOut = c.getInt("pack-seq-len") match {
       case Some(seqLen) => stages.timed("pack-ids") {
         val vocabPath = c.getString("bpe-vocab").get
-        val eos = graft.functions.BpeVocabIdRegistry.get(vocabPath).eosId
+        val eos =
+          if (bpeByteLevel) graft.functions.BpeByteVocabRegistry.get(vocabPath).eosId
+          else graft.functions.BpeVocabIdRegistry.get(vocabPath).eosId
         require(eos >= 0,
           s"curation.pack-seq-len needs an <eos> token in the vocab at " +
-            s"$vocabPath — rebuild it with BpeTrainer.buildVocab (the " +
-            "byte-fallback layout carries <eos> at id 1)")
+            s"$vocabPath — rebuild it with BpeTrainer.buildVocab/" +
+            "buildByteVocab (both layouts carry <eos> at id 1)")
         // the row identity within a bucket stream: epoch copies share
         // (doc, chunk), so chunk/epoch must join the stream order or
         // window assembly would be nondeterministic
@@ -1767,6 +1800,7 @@ object Compactor {
   * `min-quality`/`gopher-rules`/`c4-rules`/`langs`/
   * `max-repetition`(+`repetition-ngram`)/
   * `lm-path`+`min-lm-logp`/`kn3-path`+`min-kn3-logp`/
+  * `knn-path`+`min-knn-logp`/
   * `classifier-path`+`min-classifier-score`, the Curator's scan-speed
   * stages at arrival time; floors omitted = annotate only. */
 object Streamer {
@@ -1877,6 +1911,9 @@ object Streamer {
           minLmLogP = c.getDouble("min-lm-logp"),
           kn3Path = c.getString("kn3-path"),
           minKn3LogP = c.getDouble("min-kn3-logp"),
+          knnPath = c.getString("knn-path"),
+          minKnnLogP = c.getDouble("min-knn-logp"),
+          knnPacked = c.getBoolean("knn-packed").getOrElse(false),
           classifierPath = c.getString("classifier-path"),
           minClassifierScore = c.getDouble("min-classifier-score"))
       case other => throw new IllegalArgumentException(

@@ -338,3 +338,43 @@ case class BpeByteCount(child: Expression, mergesPath: String)
   override protected def withNewChildInternal(c: Expression): Expression =
     copy(child = c)
 }
+
+/** `graft_byte_unicode(string) -> string`: the byte→unicode bijection
+  * over the input's UTF-8 bytes — the mapped form the byte-level merge
+  * table operates on (`ByteUnicode.mapBytes` as a codegen'd column).
+  * Injective and whitespace-free by construction. Exists so the
+  * TRAINER's pretoken-count shuffle can carry mapped strings directly:
+  * the groupBy keys are already merge-table symbols and the driver's
+  * top-`maxWords` cut does zero per-word re-mapping. */
+case class ByteUnicodeMap(child: Expression) extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case _: StringType => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(s"graft_byte_unicode expects string, got $t")
+  }
+  override def dataType: DataType = StringType
+  override def prettyName: String = "graft_byte_unicode"
+
+  override protected def nullSafeEval(t: Any): Any =
+    ByteUnicodeMapImpl.map(t.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.ByteUnicodeMapImpl.map($c)")
+
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
+}
+
+object ByteUnicodeMapImpl {
+  /** The UTF8String form of [[ByteUnicode.mapBytes]]: the input's bytes
+    * ARE its UTF-8 encoding, so the map is one pass, no decode. */
+  def map(t: UTF8String): UTF8String = {
+    val bytes = t.getBytes
+    val sb = new java.lang.StringBuilder(bytes.length)
+    var i = 0
+    while (i < bytes.length) {
+      sb.append(ByteUnicode.toChar(bytes(i) & 0xFF))
+      i += 1
+    }
+    UTF8String.fromString(sb.toString)
+  }
+}

@@ -303,6 +303,9 @@ object GraftFunctions {
   def bpeByteCount(c: Column, mergesPath: String): Column =
     ColumnBridge.column(BpeByteCount(ColumnBridge.expression(c), mergesPath))
 
+  def byteUnicodeMap(c: Column): Column =
+    ColumnBridge.column(ByteUnicodeMap(ColumnBridge.expression(c)))
+
   def chunks(c: Column, chunkSize: Int, overlap: Int): Column =
     ColumnBridge.column(DocChunks(ColumnBridge.expression(c), chunkSize, overlap))
 
@@ -357,6 +360,12 @@ object GraftFunctions {
 
   def lmNLogProb(c: Column, lmPath: String): Column =
     ColumnBridge.column(NgramLogProb(ColumnBridge.expression(c), lmPath))
+
+  def knNLogProb(c: Column, lmPath: String): Column =
+    ColumnBridge.column(KnNLogProb(ColumnBridge.expression(c), lmPath))
+
+  def knNLogProbPacked(c: Column, lmPath: String): Column =
+    ColumnBridge.column(KnNLogProbPacked(ColumnBridge.expression(c), lmPath))
 
   val functions: Seq[(String, ExpressionInfo, Seq[Expression] => Expression)] = Seq(
     ("graft_cosine",
@@ -479,6 +488,29 @@ object GraftFunctions {
             s"graft_lmn_logprob LM path must be a string literal, got $other")
         }
       }),
+    ("graft_knn_logprob",
+      new ExpressionInfo(classOf[KnNLogProb].getName, "graft_knn_logprob"),
+      (es: Seq[Expression]) => {
+        require(es.length == 2, s"graft_knn_logprob takes 2 arguments, got ${es.length}")
+        require(es(1).foldable, "graft_knn_logprob LM path must be a literal")
+        es(1).eval() match {
+          case s: UTF8String => KnNLogProb(es.head, s.toString)
+          case other => throw new IllegalArgumentException(
+            s"graft_knn_logprob LM path must be a string literal, got $other")
+        }
+      }),
+    ("graft_knn_logprob_packed",
+      new ExpressionInfo(classOf[KnNLogProbPacked].getName, "graft_knn_logprob_packed"),
+      (es: Seq[Expression]) => {
+        require(es.length == 2,
+          s"graft_knn_logprob_packed takes 2 arguments, got ${es.length}")
+        require(es(1).foldable, "graft_knn_logprob_packed LM path must be a literal")
+        es(1).eval() match {
+          case s: UTF8String => KnNLogProbPacked(es.head, s.toString)
+          case other => throw new IllegalArgumentException(
+            s"graft_knn_logprob_packed LM path must be a string literal, got $other")
+        }
+      }),
     ("graft_bpe_segments",
       new ExpressionInfo(classOf[BpeSegments].getName, "graft_bpe_segments"),
       (es: Seq[Expression]) => {
@@ -565,6 +597,12 @@ object GraftFunctions {
           case other => throw new IllegalArgumentException(
             s"graft_bpe_byte_count merges path must be a string literal, got $other")
         }
+      }),
+    ("graft_byte_unicode",
+      new ExpressionInfo(classOf[ByteUnicodeMap].getName, "graft_byte_unicode"),
+      (es: Seq[Expression]) => {
+        require(es.length == 1, s"graft_byte_unicode takes 1 argument, got ${es.length}")
+        ByteUnicodeMap(es.head)
       }),
     ("graft_chunks",
       new ExpressionInfo(classOf[DocChunks].getName, "graft_chunks"),

@@ -234,12 +234,19 @@ object BpeTrainer {
     * column function, and the cut is already driver-bounded). */
   def bytePretokenCounts(df: DataFrame, textCol: String): DataFrame =
     df.select(explode(regexp_extract_all(col(textCol),
-        lit(graft.functions.ByteUnicode.pretokenRegex), lit(0))).as("word"))
+        lit(graft.functions.ByteUnicode.pretokenRegex), lit(0))).as("raw"))
+      // map through the byte→unicode bijection IN the plan
+      // (`graft_byte_unicode`, codegen'd): the count shuffle carries
+      // merge-table symbols directly and the driver's top-maxWords cut
+      // collects rows it can feed to the merge loop verbatim.
+      // Injective, so distinct raw words stay distinct counts.
+      .select(graft.functions.GraftFunctions.byteUnicodeMap(col("raw")).as("word"))
       .groupBy("word").agg(count(lit(1)).as("n"))
 
   /** Learn `numMerges` BYTE-LEVEL merges: pretokenize with the GPT-2
     * regex, map each word's UTF-8 bytes through the byte↔unicode
-    * bijection (injective, so distinct words stay distinct counts), and
+    * bijection inside the count plan ([[bytePretokenCounts]] — the
+    * shuffle carries mapped symbols, nothing re-maps driver-side), and
     * run the exact same driver-side merge loop — mapped symbols are
     * ordinary BMP chars, so [[learnFromCounts]]'s codepoint splits, tie
     * rules, and merge application carry over unchanged. The saved
@@ -254,7 +261,7 @@ object BpeTrainer {
     val top = bytePretokenCounts(df, textCol)
       .orderBy(desc("n"), asc("word")).limit(maxWords)
       .collect()
-      .map(r => graft.functions.ByteUnicode.mapBytes(r.getString(0)) -> r.getLong(1))
+      .map(r => r.getString(0) -> r.getLong(1))
       .toSeq
     learnFromCounts(top, numMerges)
   }

@@ -118,6 +118,25 @@ object Curation {
       /** Keep documents with `kn3_logp >= minKn3LogP`. -Infinity =
         * annotate only. */
       minKn3LogP: Double = Double.NegativeInfinity,
+      /** Saved ORDER-N LM file ([[LangModel.saveNgram]] of an
+        * UNPRUNED `trainKneserNeyN(...).ngram`), scored with
+        * interpolated Kneser–Ney smoothing at the artifact's own
+        * order — the full KenLM-class filter (CCNet runs a 5-gram
+        * modified-KN model): the registry re-derives the whole
+        * continuation chain and every discount from the stored
+        * top-order counts. Adds `knn_logp`; stackable with the other
+        * LM filters. */
+      knnPath: Option[String] = None,
+      /** Keep documents with `knn_logp >= minKnnLogP`. -Infinity =
+        * annotate only. */
+      minKnnLogP: Double = Double.NegativeInfinity,
+      /** Score `knnPath` through the PACKED registry
+        * ([[graft.functions.KnNPackedRegistry]] — flat fingerprint →
+        * float32 tables, the KenLM memory layout): the order-5-scale
+        * executor footprint, at a documented float32 quantization
+        * (scores agree with the exact registry to ~1e-5) and 64-bit
+        * fingerprint collision budget. */
+      knnPacked: Boolean = false,
       /** Saved learned quality classifier
         * ([[QualityClassifier#save]] artifact — fastText-style
         * reference-vs-random logistic model): when set, every document
@@ -224,6 +243,13 @@ object Curation {
         graft.functions.GraftFunctions.kn3LogProb(col(textCol), p))
       if (!conf.minKn3LogP.isNegInfinity)
         df = df.filter(col("kn3_logp") >= conf.minKn3LogP)
+    }
+    conf.knnPath.foreach { p =>
+      df = df.withColumn("knn_logp",
+        if (conf.knnPacked) graft.functions.GraftFunctions.knNLogProbPacked(col(textCol), p)
+        else graft.functions.GraftFunctions.knNLogProb(col(textCol), p))
+      if (!conf.minKnnLogP.isNegInfinity)
+        df = df.filter(col("knn_logp") >= conf.minKnnLogP)
     }
     // learned quality classifier — 6 scalars load once on the driver
     // and become plan literals; scoring is another scan-speed

@@ -69,6 +69,35 @@ final case class KneserNey3Lm(trigram: TrigramLm, d3: Double, d2: Double) {
   require(d2 > 0 && d2 <= 1, s"d2 must be in (0,1], got $d2")
 }
 
+/** Interpolated Kneser–Ney ORDER-N LM (Chen & Goodman 1999 §3's full
+  * recursion — what KenLM actually ships and what CCNet's perplexity
+  * filter assumes): the UNPRUNED minCount=1 [[NgramLm]] plus one
+  * absolute discount per level n..2, each estimated from the
+  * count-of-counts of THAT level's own count table — raw counts at the
+  * top order, CONTINUATION counts below (`c_k(g) = N1+(·g)` = distinct
+  * left extensions at order k+1, recursively — Ney et al. 1994).
+  * `discounts(j-2) = D_j`. Only the top-order table and the unigram
+  * vocab feed scoring — every lower level derives from them by the
+  * continuation recursion, so the ordinary [[LangModel.saveNgram]]
+  * artifact is sufficient for the native registry
+  * ([[graft.functions.KnNRegistry]]), exactly the [[KneserNey3Lm]] /
+  * saveTrigram contract one order generalized. At order 2 and 3 the
+  * recursion collapses to [[KneserNeyLm]] / [[KneserNey3Lm]]
+  * (LangModelSpec pins bit-equality at 3). Like them it is a PROPER
+  * distribution at every level: for any context, probabilities over
+  * vocab ∪ OOV sum to exactly 1. */
+final case class KneserNeyNLm(ngram: NgramLm, discounts: Seq[Double]) {
+  require(discounts.length == ngram.order - 1,
+    s"need ${ngram.order - 1} discounts (D_${ngram.order}..D_2), got ${discounts.length}")
+  discounts.zipWithIndex.foreach { case (d, i) =>
+    require(d > 0 && d <= 1, s"D_${i + 2} must be in (0,1], got $d") }
+
+  def order: Int = ngram.order
+
+  /** The absolute discount applied at level j (2 ≤ j ≤ order). */
+  def discount(j: Int): Double = discounts(j - 2)
+}
+
 final case class UnigramLm(table: DataFrame, totalTokens: Long, vocab: Long) {
 
   /** The shared Laplace denominator `N + V + 1` as a double — computed
@@ -539,6 +568,142 @@ object LangModel {
       }
     } finally out.close()
     graft.functions.NgramRegistry.invalidate(path)
+    graft.functions.KnNRegistry.invalidate(path)
+    graft.functions.KnNPackedRegistry.invalidate(path)
+  }
+
+  /** The continuation-count table one level below `counts` (columns
+    * `w1..w{k+1}, <cntCol>`): distinct LEFT extensions per k-suffix —
+    * `c_k(w1..wk) = |{w0 : c_{k+1}(w0,w1..wk) > 0}|` — with the
+    * output renamed to `w1..wk, cnt{k}`. One map-side-collapsed
+    * groupBy over the level above's TYPES (not tokens). */
+  private def continuationTable(counts: DataFrame, k: Int): DataFrame =
+    counts.groupBy((2 to k + 1).map(j => col(s"w$j").as(s"w${j - 1}")): _*)
+      .agg(count(lit(1)).as(s"cnt$k"))
+
+  /** Ney et al. 1994's count-of-counts discount estimate over one
+    * count table — the exact arithmetic [[trainKneserNey]]/
+    * [[trainKneserNey3]] use (n1 = 0 → 0.5 fallback; capped at 1). */
+  private def discountOf(counts: DataFrame, cntCol: String): Double = {
+    val r = counts.agg(
+      coalesce(sum((col(cntCol) === 1).cast("long")), lit(0L)).as("n1"),
+      coalesce(sum((col(cntCol) === 2).cast("long")), lit(0L)).as("n2")).head()
+    val n1 = r.getLong(0); val n2 = r.getLong(1)
+    if (n1 == 0) 0.5 else math.min(n1.toDouble / (n1 + 2.0 * n2), 1.0)
+  }
+
+  /** Train an interpolated Kneser–Ney order-n LM: the minCount=1
+    * [[NgramLm]] (KN's discount IS the singleton treatment — pruning
+    * would break the Σp=1 proofs) plus the per-level count-of-counts
+    * discounts, `D_n` from the raw top table and `D_k` (k < n) from
+    * the level-k continuation table. Beyond [[trainNgram]]'s cost:
+    * the continuation chain is n−2 groupBys over gram TYPES (each one
+    * level smaller) and one 2-long aggregate per level. */
+  def trainKneserNeyN(ref: DataFrame, textCol: String, order: Int): KneserNeyNLm = {
+    require(order >= 2 && order <= 8, s"order must be in [2,8], got $order")
+    val ng = trainNgram(ref, textCol, order, minCount = 1L)
+    val ds = new Array[Double](order - 1)
+    var level = ng.table(order)
+    ds(order - 2) = discountOf(level, s"cnt$order")
+    var k = order - 1
+    while (k >= 2) {
+      level = continuationTable(level, k)
+      ds(k - 2) = discountOf(level, s"cnt$k")
+      k -= 1
+    }
+    KneserNeyNLm(ng, ds.toIndexedSeq)
+  }
+
+  /** Composable interpolated-KN order-n scoring — the
+    * [[logProbPerDocKneserNey3]] recursion at arbitrary order. One row
+    * per doc: `knn_logp` (average log10 probability over all
+    * positions), `knn_positions`. Derived statistics, all from the
+    * UNPRUNED top table via [[continuationTable]]:
+    *  - `cnt_k` — raw counts at k = n, continuation counts below;
+    *  - `ctx_k / nfwd_k` — per-context sums and fan-outs of `cnt_k`;
+    *  - `nbwd1(w) = |{a : cnt_2(a,w) > 0}|` and
+    *    `p1cont(w) = (nbwd1 + 1) / (B′ + V + 1)`, B′ = |cnt_2| — the
+    *    Laplace-over-continuation-counts OOV floor.
+    * Position p (0-based) scores at order m = min(n, p+1) with the
+    * bottom-up recursion: `p_1 = p1cont`; seen level-j context →
+    * `p_j = (max(c_j − D_j, 0) + D_j·nfwd_j·p_{j−1}) / ctx_j`, unseen
+    * → `p_j = p_{j−1}`. Every piece is SQL arithmetic on the top
+    * count table, so the q114 oracle replays training AND scoring
+    * verbatim (the generated [[SparkEntry]] CTE chain).
+    *
+    * Shape: in-row gram construction; the derived tables are one
+    * map-side-collapsed groupBy each over the reference's gram TYPES
+    * (AQE picks broadcast for the scoring joins — ~2(n−1) of them for
+    * the top frame); one final per-doc aggregate. The native form
+    * (`graft_knn_logprob`, [[graft.functions.KnNLogProb]]) is the
+    * zero-shuffle scale path against the SAME oracle. */
+  def logProbPerDocKneserNeyN(
+      docs: DataFrame,
+      lm: KneserNeyNLm,
+      idCol: String,
+      textCol: String): DataFrame = {
+    val n = lm.order
+    // cnts(k) = the level-k count table, columns w1..wk, cnt{k}
+    val cnts = new Array[DataFrame](n + 1)
+    cnts(n) = lm.ngram.table(n)
+    var k = n - 1
+    while (k >= 2) { cnts(k) = continuationTable(cnts(k + 1), k); k -= 1 }
+    val fwds = (2 to n).map { j =>
+      j -> cnts(j).groupBy((1 until j).map(x => col(s"w$x")): _*)
+        .agg(sum(s"cnt$j").as(s"__ctx$j"), count(lit(1)).as(s"__nfwd$j"))
+    }.toMap
+    val bwd1 = cnts(2).groupBy(col("w2")).agg(count(lit(1)).as("__nbwd1"))
+    val bPrime = cnts(2).count()
+    val denomCont = (bPrime + lm.ngram.unigram.vocab + 1).toDouble
+    def p1cont(nbwd: Column): Column =
+      (coalesce(nbwd, lit(0L)) + lit(1L)).cast("double") / lit(denomCont)
+
+    val base = docs
+      .select(col(idCol), Dedup.tokens(col(textCol)).as("tk"))
+      .filter(size(col("tk")) > 0)
+
+    // score a frame of m-grams (columns __g1..__gm): level-j count +
+    // context joins for j = 2..m, then the bottom-up interpolation
+    def scoreFrame(frame: DataFrame, m: Int): DataFrame = {
+      var f = frame.join(
+        bwd1.select(col("w2").as(s"__g$m"), col("__nbwd1")), Seq(s"__g$m"), "left")
+      for (j <- 2 to m) {
+        val hit = cnts(j).select(
+          (1 to j).map(x => col(s"w$x").as(s"__g${m - j + x}")) :+
+            col(s"cnt$j").as(s"__c$j"): _*)
+        f = f.join(hit, (m - j + 1 to m).map(x => s"__g$x"), "left")
+        val ctx = fwds(j).select(
+          (1 until j).map(x => col(s"w$x").as(s"__g${m - j + x}")) :+
+            col(s"__ctx$j") :+ col(s"__nfwd$j"): _*)
+        f = f.join(ctx, (m - j + 1 until m).map(x => s"__g$x"), "left")
+      }
+      var p: Column = p1cont(col("__nbwd1"))
+      for (j <- 2 to m) {
+        p = when(col(s"__ctx$j").isNotNull,
+          (greatest(coalesce(col(s"__c$j"), lit(0L)).cast("double") -
+            lit(lm.discount(j)), lit(0.0)) +
+            lit(lm.discount(j)) * col(s"__nfwd$j").cast("double") * p) /
+            col(s"__ctx$j").cast("double"))
+          .otherwise(p)
+      }
+      f.select(col(idCol), log10(p).as("logp"))
+    }
+
+    // positions 0..n-2: one frame per starting order m; positions
+    // >= n-1: sliding n-grams — the logProbPerDocNgram frame plan
+    val heads = (1 to n - 1).map { m =>
+      scoreFrame(
+        base.filter(size(col("tk")) >= m).select(
+          col(idCol) +: (1 to m).map(j => element_at(col("tk"), j).as(s"__g$j")): _*),
+        m)
+    }
+    val top = scoreFrame(
+      base.select(col(idCol), explode(gramsOf(col("tk"), n)).as("g"))
+        .select(col(idCol) +: (1 to n).map(j => col(s"g.w$j").as(s"__g$j")): _*),
+      n)
+    (heads :+ top).reduce(_.unionByName(_))
+      .groupBy(idCol)
+      .agg(avg("logp").as("knn_logp"), count(lit(1)).as("knn_positions"))
   }
 
   /** Composable trigram scoring with STUPID BACKOFF (Brants et al.

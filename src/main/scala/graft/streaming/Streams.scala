@@ -179,6 +179,9 @@ object Streams {
       minLmLogP: Option[Double] = None,
       kn3Path: Option[String] = None,
       minKn3LogP: Option[Double] = None,
+      knnPath: Option[String] = None,
+      minKnnLogP: Option[Double] = None,
+      knnPacked: Boolean = false,
       classifierPath: Option[String] = None,
       minClassifierScore: Option[Double] = None,
       // optional custom rewrite/filter lists (the batch Curator's
@@ -232,6 +235,12 @@ object Streams {
       df = df.withColumn("kn3_logp",
         graft.functions.GraftFunctions.kn3LogProb(col(textCol), p))
       minKn3LogP.foreach(f => df = df.filter(col("kn3_logp") >= f))
+    }
+    knnPath.foreach { p =>
+      df = df.withColumn("knn_logp",
+        if (knnPacked) graft.functions.GraftFunctions.knNLogProbPacked(col(textCol), p)
+        else graft.functions.GraftFunctions.knNLogProb(col(textCol), p))
+      minKnnLogP.foreach(f => df = df.filter(col("knn_logp") >= f))
     }
     classifierPath.foreach { p =>
       val clf = graft.llm.QualityClassifier.load(docs.sparkSession, p)

@@ -218,4 +218,38 @@ class BpeByteSpec extends SparkTestBase {
     assert(v.tokenBytes(0) == null && v.tokenBytes(1) == null)
     assert(v.tokenBytes(2).sameElements(Array(0.toByte)))
   }
+
+  test("graft_byte_unicode: the in-plan byte map equals the driver-side " +
+      "bijection on multi-byte/supplementary/whitespace input, and the " +
+      "trainer's count shuffle carries mapped symbols") {
+    val tricky = Seq(
+      "hello world", " leading", "trailing ", "tab\there", "a\nb",
+      "héllo wörld", "日本語テスト", "emoji 😀 pair", "mixedСкрипт",
+      " nul", "ascii!~")
+    val viaPlan = tricky.toDF("s")
+      .select(GraftFunctions.byteUnicodeMap(col("s")).as("m"))
+      .collect().map(_.getString(0)).toSeq
+    assert(viaPlan == tricky.map(ByteUnicode.mapBytes),
+      "plan-side map must equal ByteUnicode.mapBytes byte-for-byte")
+    // null stays null; SQL name registered
+    assert(Seq((1, null: String)).toDF("i", "s")
+      .select(GraftFunctions.byteUnicodeMap(col("s"))).head().isNullAt(0))
+    tricky.toDF("s").createOrReplaceTempView("byteuni_docs")
+    val viaSql = spark.sql(
+      "SELECT graft_byte_unicode(s) FROM byteuni_docs")
+      .collect().map(_.getString(0)).toSeq
+    assert(viaSql == tricky.map(ByteUnicode.mapBytes))
+    // the count table's words ARE mapped symbols: every key survives
+    // a fromChar round-trip and contains no raw whitespace
+    val words = BpeTrainer.bytePretokenCounts(tricky.toDF("text"), "text")
+      .collect().map(_.getString(0))
+    assert(words.nonEmpty)
+    words.foreach { w =>
+      assert(w.forall(c => c < 512 && ByteUnicode.fromChar(c.toInt) >= 0),
+        s"count-table word '$w' is not in the mapped alphabet")
+      assert(!w.exists(_.isWhitespace), s"mapped word '$w' contains whitespace")
+    }
+    assert(words.exists(_.startsWith("Ġ")),
+      "space-prefixed pretokens must appear as Ġ-words in the count table")
+  }
 }

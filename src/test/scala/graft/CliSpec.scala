@@ -1469,6 +1469,84 @@ class CliSpec extends SparkTestBase {
     assert(err.getMessage.contains("kn3-path"))
   }
 
+  test("curator KN-n filter: knn-path + min-knn-logp drop a scrambled doc " +
+      "under order-4 interpolated Kneser-Ney; floor alone rejects up front") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val base = tmp()
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet").select("doc_id", "text")
+    val lm = graft.llm.LangModel.trainKneserNeyN(
+      docs.filter(col("doc_id") < 100), "text", order = 4)
+    val knnPath = base.resolve("ref_kn.lm4").toString
+    graft.llm.LangModel.saveNgram(lm.ngram, knnPath)
+    val sample = docs.filter(col("doc_id") === 0).head().getString(1)
+      .split("\\s+").filter(_.nonEmpty).take(40)
+    val ordered = sample.mkString(" ")
+    val scrambled = sample.reverse.mkString(" ")
+    val src = base.resolve("knnsrc").toString
+    docs.filter(col("doc_id") > 0 && col("doc_id") < 50)
+      .unionByName(Seq((91000L, scrambled), (91001L, ordered)).toDF("doc_id", "text"))
+      .write.parquet(src)
+    val probe = spark.read.parquet(src)
+      .select(col("doc_id"),
+        graft.functions.GraftFunctions.knNLogProb(col("text"), knnPath).as("l"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(probe(91001L) > probe(91000L),
+      "KN-4 must score ordered text above its scramble")
+    val floor = (probe(91000L) + probe(91001L)) / 2
+    val f = write(base.resolve("curator_knn.conf"),
+      s"""source { storage-type = local, dataset-dir = $src }
+         |target { storage-type = local, dataset-dir = ${base.resolve("knncur")}, dataset-store-format = parquet, write-mode = overwrite }
+         |curation {
+         |  min-quality = 0.0
+         |  knn-path = "$knnPath"
+         |  min-knn-logp = $floor
+         |}
+         |""".stripMargin)
+    graft.cli.Curator.main(Array("--conf", f))
+    val out = spark.read.parquet(base.resolve("knncur").toString)
+    val ids = out.select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(!ids.contains(91000L), "scrambled doc survived the KN-4 filter")
+    assert(ids.contains(91001L), "the in-order twin must survive the same floor")
+    assert(out.columns.contains("knn_logp"))
+    // the PACKED registry path (`knn-packed = true`) judges the same
+    // floor identically: exact and quantized scores agree to ~1e-5,
+    // the floor sits mid-gap between the twins
+    val fp = write(base.resolve("curator_knn_packed.conf"),
+      s"""source { storage-type = local, dataset-dir = $src }
+         |target { storage-type = local, dataset-dir = ${base.resolve("knncurp")}, dataset-store-format = parquet, write-mode = overwrite }
+         |curation {
+         |  min-quality = 0.0
+         |  knn-path = "$knnPath"
+         |  knn-packed = true
+         |  min-knn-logp = $floor
+         |}
+         |""".stripMargin)
+    graft.cli.Curator.main(Array("--conf", fp))
+    val idsP = spark.read.parquet(base.resolve("knncurp").toString)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(idsP == ids, "packed and exact KN-4 registries must agree at the floor")
+    val bad = write(base.resolve("curator_knn_bad.conf"),
+      s"""source { storage-type = local, dataset-dir = $src }
+         |target { storage-type = local, dataset-dir = ${base.resolve("knncur")}, dataset-store-format = parquet, write-mode = overwrite }
+         |curation { min-knn-logp = -2.5 }
+         |""".stripMargin)
+    val err2 = intercept[IllegalArgumentException] {
+      graft.cli.Curator.main(Array("--conf", bad))
+    }
+    assert(err2.getMessage.contains("knn-path"))
+    // knn-packed without knn-path is dead config
+    val bad2 = write(base.resolve("curator_knn_bad2.conf"),
+      s"""source { storage-type = local, dataset-dir = $src }
+         |target { storage-type = local, dataset-dir = ${base.resolve("knncur")}, dataset-store-format = parquet, write-mode = overwrite }
+         |curation { knn-packed = true }
+         |""".stripMargin)
+    val err3 = intercept[IllegalArgumentException] {
+      graft.cli.Curator.main(Array("--conf", bad2))
+    }
+    assert(err3.getMessage.contains("knn-packed"))
+  }
+
   test("curator learned classifier: outfilters stopword-stuffed hex gibberish " +
       "that the heuristic quality filter PASSES") {
     import org.apache.spark.sql.functions._
@@ -2920,6 +2998,74 @@ class CliSpec extends SparkTestBase {
       graft.cli.Curator.main(Array("--conf", badConf))
     }
     assert(e.getMessage.contains("bpe-vocab"), e.getMessage)
+  }
+
+  test("curator bpe-byte-level: token_ids and the packed export speak the " +
+      "GPT-2-style byte-level tokenizer — byte-exact round trip through " +
+      "the CLI path; incompatible/dead configs rejected up front") {
+    import org.apache.spark.sql.functions.{col, explode, sum => asum, size => asize}
+    val base = tmp()
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val merges = graft.llm.BpeTrainer.learnByteMerges(docs, "text", numMerges = 32)
+    val mPath = base.resolve("bmerges.txt").toString
+    val vPath = base.resolve("bvocab.txt").toString
+    graft.llm.BpeTrainer.saveMerges(spark, mPath, merges)
+    graft.llm.BpeTrainer.saveVocab(spark, vPath,
+      graft.llm.BpeTrainer.buildByteVocab(merges))
+    val eos = graft.functions.BpeByteVocabRegistry.get(vPath).eosId
+    assert(eos == 1, "byte-level layout carries <eos> at id 1")
+    def conf(out: String, extra: String) = write(base.resolve(s"bl${extra.length}.conf"),
+      s"""source { storage-type = local, dataset-dir = $sfDir/documents.parquet }
+         |target { storage-type = local, dataset-dir = $out, dataset-store-format = parquet, write-mode = overwrite }
+         |curation {
+         |  bpe-merges = $mPath
+         |  bpe-vocab = $vPath
+         |  bpe-byte-level = true
+         |$extra
+         |}
+         |""".stripMargin)
+    // flat run: per-doc token_ids decode byte-exactly back to the text
+    val flat = base.resolve("blflat").toString
+    graft.cli.Curator.main(Array("--conf", conf(flat, "")))
+    val flatRows = spark.read.parquet(flat)
+    assert(flatRows.columns.contains("token_ids"))
+    val broken = flatRows.filter(
+      graft.functions.GraftFunctions.bpeByteDecode(col("token_ids"), vPath)
+        =!= col("text")).count()
+    assert(broken == 0, s"$broken docs failed decode(token_ids) == text")
+    // byte-level never emits <unk> (id 0) — totality is structural
+    assert(flatRows.select(explode(col("token_ids")).as("i"))
+      .filter(col("i") === 0).count() == 0)
+    val nDocs = flatRows.count()
+    val nIds = flatRows.select(asum(asize(col("token_ids")) + 1)).head().getLong(0)
+    // packed run: same structure contract as the byte-fallback export,
+    // conservation against the flat run, <eos> separator per doc
+    val out = base.resolve("blpacked").toString
+    graft.cli.Curator.main(Array("--conf", conf(out, "  pack-seq-len = 128\n  pack-buckets = 4")))
+    val packed = spark.read.parquet(out)
+    assert(packed.columns.toSet ==
+      Set("seq_id", "input_ids", "doc_boundaries", "n_tokens", "n_docs_started"))
+    assert(packed.select(asum(col("n_tokens"))).head().getLong(0) == nIds)
+    assert(packed.select(asum(col("n_docs_started"))).head().getLong(0) == nDocs)
+    assert(packed.select(explode(col("input_ids")).as("i"))
+      .filter(col("i") === eos).count() == nDocs)
+    // byte-level + bpe-budget chunking is rejected (budgets would count
+    // under the byte-fallback tokenizer, ids under byte-level)
+    val e1 = intercept[IllegalArgumentException] {
+      graft.cli.Curator.main(Array("--conf", conf(base.resolve("nope1").toString,
+        "  bpe-budget = 64")))
+    }
+    assert(e1.getMessage.contains("bpe-byte-level"), e1.getMessage)
+    // byte-level without a vocab is dead config
+    val badConf = write(base.resolve("bl_bad.conf"),
+      s"""source { storage-type = local, dataset-dir = $sfDir/documents.parquet }
+         |target { storage-type = local, dataset-dir = ${base.resolve("nope2")}, dataset-store-format = parquet, write-mode = overwrite }
+         |curation { bpe-byte-level = true }
+         |""".stripMargin)
+    val e2 = intercept[IllegalArgumentException] {
+      graft.cli.Curator.main(Array("--conf", badConf))
+    }
+    assert(e2.getMessage.contains("bpe-byte-level"), e2.getMessage)
   }
 
   test("scorer with model-expr scores without a saved model (U5 through E2)") {

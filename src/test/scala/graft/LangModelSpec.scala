@@ -631,4 +631,155 @@ class LangModelSpec extends SparkTestBase {
     }
     assert(err.getMessage != null)
   }
+
+  test("order-n Kneser–Ney at order 3 reproduces the dedicated KN3: same " +
+      "discounts, same per-doc scores — the recursion collapses correctly") {
+    val all = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select(col("doc_id"), col("text"))
+    val ref = all.filter(col("doc_id") < 200)
+    val kn3 = LangModel.trainKneserNey3(ref, "text")
+    val knN = LangModel.trainKneserNeyN(ref, "text", order = 3)
+    assert(knN.discount(3) == kn3.d3 && knN.discount(2) == kn3.d2,
+      s"discounts must be identical: D3 ${knN.discount(3)} vs ${kn3.d3}, " +
+        s"D2 ${knN.discount(2)} vs ${kn3.d2}")
+    val held = all.filter(col("doc_id") >= 200 && col("doc_id") < 400)
+    val a = LangModel.logProbPerDocKneserNey3(held, kn3, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val b = LangModel.logProbPerDocKneserNeyN(held, knN, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(a.keySet == b.keySet)
+    val worst = a.keys.map(k => math.abs(a(k) - b(k))).max
+    assert(worst < 1e-12,
+      s"generic-at-3 must match KN3 (identical arithmetic graph), worst=$worst")
+  }
+
+  test("order-4 Kneser–Ney: per-level count-of-counts discounts; PROPER " +
+      "distribution at every backoff level — seen 4-gram context, " +
+      "middle-only, and fully unseen") {
+    val ref = Seq("a b a c a b d c a").toDF("text")
+    val lm = LangModel.trainKneserNeyN(ref, "text", order = 4)
+    assert(lm.order == 4 && lm.discounts.length == 3)
+    val outcomes = Seq("a", "b", "c", "d", "zz") // zz = the OOV bucket
+    for ((w1, w2, w3) <- Seq(("a", "b", "a"), ("zz", "a", "b"), ("zz", "zz", "zz"))) {
+      // "w1 w2 w3 w" averages four positions; "w1 w2 w3" isolates the
+      // first three — the fourth position's conditional is 4·avg4 − 3·avg3
+      val docs = (outcomes.zipWithIndex.map { case (w, i) =>
+        (i.toLong, s"$w1 $w2 $w3 $w") } :+ (99L -> s"$w1 $w2 $w3")).toDF("doc_id", "text")
+      val got = LangModel.logProbPerDocKneserNeyN(docs, lm, "doc_id", "text")
+        .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+      val prefix = 3 * got(99L)
+      val total = outcomes.indices.map { i =>
+        math.pow(10.0, 4 * got(i.toLong) - prefix) }.sum
+      assert(math.abs(total - 1.0) < 1e-9,
+        s"p(·|'$w1 $w2 $w3') must sum to 1 over vocab ∪ OOV, got $total")
+    }
+  }
+
+  test("order-4 Kneser–Ney separates three-tokens-back order that KN3 " +
+      "provably cannot") {
+    // 'c' continues to 'd' after "a b", to 'f' after "e b" — pure
+    // 4-gram signal; all trigram statistics are pairwise symmetric
+    val ref = ((1 to 30).map(_ => "a b c d") ++ (1 to 30).map(_ => "e b c f"))
+      .toDF("text")
+    val kn4 = LangModel.trainKneserNeyN(ref, "text", order = 4)
+    val kn3 = LangModel.trainKneserNey3(ref, "text")
+    val docs = Seq(
+      (1L, "a b c d"),  // 4-gram-consistent
+      (2L, "a b c f")   // every TRIGRAM seen, 4-gram violated
+    ).toDF("doc_id", "text")
+    val s4 = LangModel.logProbPerDocKneserNeyN(docs, kn4, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(s4(1L) > s4(2L) + 0.1,
+      s"KN4 must prefer the attested continuation: ${s4(1L)} vs ${s4(2L)}")
+    val s3 = LangModel.logProbPerDocKneserNey3(docs, kn3, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(math.abs(s3(1L) - s3(2L)) < 1e-12,
+      "both docs are pairwise identical to KN3 — order 4's whole point")
+  }
+
+  test("KN-n native registry scores the saveNgram artifact: parity with the " +
+      "composable form at the oracle rounding; foreign files rejected") {
+    import graft.functions.GraftFunctions
+    val all = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select(col("doc_id"), col("text"))
+    val kn = LangModel.trainKneserNeyN(all.filter(col("doc_id") < 200), "text", 4)
+    val path = tmpLm("knn_parity.lm4")
+    LangModel.saveNgram(kn.ngram, path)
+    val held = all.filter(col("doc_id") >= 200 && col("doc_id") < 500)
+    val slow = LangModel.logProbPerDocKneserNeyN(held, kn, "doc_id", "text")
+      .select(col("doc_id"), round(col("knn_logp"), 6).as("s"))
+    val fast = held.select(col("doc_id"),
+      round(GraftFunctions.knNLogProb(col("text"), path), 6).as("f"))
+    val mism = slow.join(fast, "doc_id").filter(col("s") =!= col("f")).count()
+    assert(mism == 0, s"$mism docs disagree between composable and native KN-4")
+    // OOV-context, partially-seen-context, and short-doc edges agree
+    val edge = Seq((1L, "zzz qqq rrr www"), (2L, "the zzz qqq rrr"), (3L, "zzz"),
+      (4L, "the of"), (5L, "the of and"), (6L, "zzz the of and to")).toDF("doc_id", "text")
+    val se = LangModel.logProbPerDocKneserNeyN(edge, kn, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> math.rint(r.getDouble(1) * 1e6)).toMap
+    val fe = edge.select(col("doc_id"),
+      GraftFunctions.knNLogProb(col("text"), path))
+      .collect().map(r => r.getLong(0) -> math.rint(r.getDouble(1) * 1e6)).toMap
+    assert(se == fe, s"edge paths must agree: $se vs $fe")
+    // a trigram artifact is not an ngram artifact
+    val triPath = tmpLm("knn_nottrigram.lm3")
+    LangModel.saveTrigram(LangModel.trainTrigram(
+      all.filter(col("doc_id") < 50), "text", minCount = 1), triPath)
+    val err = intercept[Exception] {
+      spark.range(1).select(GraftFunctions.knNLogProb(lit("a b c d"), triPath)).head()
+    }
+    assert(err.getMessage != null)
+  }
+
+  test("packed KN-n registry: flat fingerprint/float32 tables agree with " +
+      "the exact-string registry at the quantization rounding, OOV edges " +
+      "included; a trigram artifact is rejected through the shared loader") {
+    import graft.functions.GraftFunctions
+    val all = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select(col("doc_id"), col("text"))
+    val kn = LangModel.trainKneserNeyN(all.filter(col("doc_id") < 200), "text", 4)
+    val path = tmpLm("knn_packed.lm4")
+    LangModel.saveNgram(kn.ngram, path)
+    val held = all.filter(col("doc_id") >= 200 && col("doc_id") < 500)
+    val exact = held.select(col("doc_id"),
+      GraftFunctions.knNLogProb(col("text"), path).as("e"))
+    val packed = held.select(col("doc_id"),
+      GraftFunctions.knNLogProbPacked(col("text"), path).as("p"))
+    val joined = exact.join(packed, "doc_id")
+    assert(joined.count() >= 250, "held-out slice must actually score")
+    // float32 quantization bounds the divergence (~1e-7 relative per
+    // stored value); round-EQUALITY would be a boundary lottery —
+    // tolerance is the honest contract (the q116 gate pins round(5)
+    // exactness on its own fixed corpus)
+    val worst = joined.select(max(abs(col("e") - col("p")))).head().getDouble(0)
+    assert(worst < 2e-5,
+      s"packed KN-4 diverged from exact by $worst (> 2e-5) on held-out docs")
+    // OOV-context / short-doc / partially-seen edges agree too
+    val edge = Seq((1L, "zzz qqq rrr www"), (2L, "the zzz qqq rrr"), (3L, "zzz"),
+      (4L, "the of"), (5L, "the of and"), (6L, "zzz the of and to"))
+      .toDF("doc_id", "text")
+    val ee = edge.select(col("doc_id"),
+      GraftFunctions.knNLogProb(col("text"), path))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val pe = edge.select(col("doc_id"),
+      GraftFunctions.knNLogProbPacked(col("text"), path))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    ee.keys.foreach { k =>
+      assert(math.abs(ee(k) - pe(k)) < 2e-5,
+        s"edge doc $k: exact ${ee(k)} vs packed ${pe(k)}")
+    }
+    // null / empty stay null through the packed expression
+    val nulls = Seq((1L, null: String), (2L, "   ")).toDF("doc_id", "text")
+      .select(GraftFunctions.knNLogProbPacked(col("text"), path).as("s"))
+      .collect()
+    assert(nulls.forall(_.isNullAt(0)))
+    val triPath = tmpLm("knn_packed_nottrigram.lm3")
+    LangModel.saveTrigram(LangModel.trainTrigram(
+      all.filter(col("doc_id") < 50), "text", minCount = 1), triPath)
+    val err = intercept[Exception] {
+      spark.range(1).select(
+        GraftFunctions.knNLogProbPacked(lit("a b c d"), triPath)).head()
+    }
+    assert(err.getMessage != null)
+  }
 }

@@ -189,10 +189,17 @@ class StreamsSpec extends SparkTestBase {
       .select("doc_id").as[Long].collect().toSet
     assert(batchIds == ids)
     // no floors = annotate only, every doc survives with its signals
+    // (the order-n KN knob rides the same stateless path)
+    val kn4 = LangModel.trainKneserNeyN(
+      corpus.filter(col("doc_id") < 100), "text", order = 4)
+    val knnPath = s"${java.nio.file.Files.createTempDirectory("stream_filter")}/kn.lm4"
+    LangModel.saveNgram(kn4.ngram, knnPath)
     val all = Streams.runToMemory(
-      Streams.filterDocStream(stream(), "text", kn3Path = Some(lmPath)),
+      Streams.filterDocStream(stream(), "text", kn3Path = Some(lmPath),
+        knnPath = Some(knnPath)),
       "annotated_docs", OutputMode.Append())
-    assert(all.count() == 3 && all.columns.contains("kn3_logp"))
+    assert(all.count() == 3 && all.columns.contains("kn3_logp")
+      && all.columns.contains("knn_logp"))
     // the whole thing is stateless: projections and filters only — no
     // stateful operator (aggregate/dedup/join) anywhere in the plan
     val plan = Streams.filterDocStream(stream(), "text",
