@@ -305,8 +305,11 @@ object Scorer {
   * label rides along on every chunk); `bpe-vocab` (requires
   * `bpe-merges`) adds a `token_ids` int-array column — chunk text (or
   * doc text) encoded under the learned tokenizer, the form a trainer
-  * consumes (`bpe-byte-level = true` switches encoding and packing to
-  * the GPT-2-style byte-level tokenizer over byte-level artifacts);
+  * consumes (`bpe-byte-level = true` switches budget chunking, encoding,
+  * and packing to the GPT-2-style byte-level tokenizer over byte-level
+  * artifacts — `bpe-budget` then counts byte-level ids, cuts at
+  * pretoken boundaries, and overlap-0 chunks tile the document
+  * byte-for-byte);
   * `pack-seq-len` (+ `pack-buckets`, requires `bpe-vocab` with an
   * `<eos>`-bearing layout — byte-fallback or byte-level, both carry
   * it at id 1) replaces the per-row
@@ -534,14 +537,11 @@ object Curator {
     // `bpe-byte-level = true` encodes token_ids (and packs) under the
     // GPT-2-style byte-level tokenizer: same merges.txt/vocab formats,
     // byte-level artifacts (BpeTrainer.learnByteMerges/buildByteVocab)
-    require(c.getBoolean("bpe-byte-level").isEmpty || c.getString("bpe-vocab").isDefined,
-      "curation.bpe-byte-level without curation.bpe-vocab is dead config — " +
-        "it selects the tokenizer for token_ids encoding and packing")
-    require(!c.getBoolean("bpe-byte-level").getOrElse(false) ||
-        c.getInt("bpe-budget").isEmpty,
-      "curation.bpe-budget chunking counts under the byte-FALLBACK " +
-        "tokenizer; with curation.bpe-byte-level use chunk-size windows " +
-        "(or no chunking) so chunk budgets and emitted ids agree")
+    require(c.getBoolean("bpe-byte-level").isEmpty ||
+        c.getString("bpe-vocab").isDefined || c.getInt("bpe-budget").isDefined,
+      "curation.bpe-byte-level without curation.bpe-vocab or " +
+        "curation.bpe-budget is dead config — it selects the tokenizer " +
+        "for budget chunking, token_ids encoding, and packing")
     c.getInt("pack-seq-len").foreach(l => require(l > 0,
       s"curation.pack-seq-len must be positive, got $l"))
     require(c.getInt("pack-buckets").isEmpty || c.getInt("pack-seq-len").isDefined,
@@ -1112,11 +1112,20 @@ object Curator {
     // width; `bpe-budget` + `bpe-merges` greedy-packs to a real SUBWORD
     // budget (the model's context window) under the named merge table.
     // (Mutual exclusion + bpe-merges presence validated up front.)
+    val bpeByteLevel = c.getBoolean("bpe-byte-level").getOrElse(false)
     val out = (c.getInt("chunk-size"), c.getInt("bpe-budget")) match {
       case (Some(cs), _) => stages.timed("chunking") {
         graft.llm.CorpusPrep.chunkByTokensFast(labeled, idCol, textCol,
           chunkSize = cs, overlap = c.getInt("chunk-overlap").getOrElse(cs / 4),
           keepCols = keepWithEpoch)
+      }
+      case (_, Some(budget)) if bpeByteLevel => stages.timed("chunking") {
+        // byte-level budgets count byte-level ids and cut at pretoken
+        // boundaries — chunk_bpe_tokens is exactly what the byte-level
+        // token_ids encoding of chunk_text will emit
+        graft.llm.CorpusPrep.chunkByByteBudget(labeled, idCol, textCol,
+          bpeBudget = budget, mergesPath = c.getString("bpe-merges").get,
+          overlap = c.getInt("chunk-overlap").getOrElse(0), keepCols = keepWithEpoch)
       }
       case (_, Some(budget)) => stages.timed("chunking") {
         // with `bpe-vocab` alongside, the budget counts token IDS under
@@ -1136,7 +1145,6 @@ object Curator {
     // encoded from the chunk text (or whole-doc text when chunking is
     // off) under the learned tokenizer. Scan-speed projection: table +
     // vocab load once per executor, zero shuffle added.
-    val bpeByteLevel = c.getBoolean("bpe-byte-level").getOrElse(false)
     val encoded = c.getString("bpe-vocab") match {
       case Some(vocabPath) => stages.timed("encode-ids") {
         val mergesPath = c.getString("bpe-merges").getOrElse(throw new IllegalArgumentException(

@@ -378,3 +378,105 @@ object ByteUnicodeMapImpl {
     UTF8String.fromString(sb.toString)
   }
 }
+
+/** Greedy BYTE-LEVEL budget chunking (`graft_bpe_byte_chunks`) — the
+  * [[BpeChunksImpl]] contract under the byte-level tokenizer. Cuts at
+  * PRETOKEN boundaries (the GPT-2 regex tiles the input, so cutting
+  * between matches never splits a token) and each chunk's text is the
+  * EXACT substring between its first and last pretoken — with
+  * overlap 0 the chunks concatenate back to the input byte-for-byte,
+  * the lossless property the byte-level family exists for (the
+  * whitespace-token chunker rebuilds text with single-space joins).
+  * A chunk's `chunk_bpe_tokens` equals `graft_bpe_byte_count` of its
+  * own text: a pretoken-boundary-aligned substring re-pretokenizes to
+  * the same tiling (the one context-sensitive branch, `\s+(?!\S)`,
+  * only distinguishes trailing whitespace, and a cut turns a mid-doc
+  * whitespace run into a trailing one — same single pretoken), so the
+  * budget a chunk was sized under is exactly what encode emits for it.
+  *
+  * Same greedy semantics as the segment chunker: cut BEFORE the
+  * pretoken that would exceed `budget`; a single over-budget pretoken
+  * forms its own chunk (progress guaranteed, nothing dropped — filter
+  * on `chunk_bpe_tokens` for hard caps); the next chunk starts
+  * `overlap` pretokens back, clamped to always advance.
+  * `chunk_tokens` counts PRETOKENS (the unit this chunker cuts in).
+  * Scale shape: merge table loads once per executor JVM, per-pretoken
+  * counts hit the Zipfian memo, chunk text is one substring copy. */
+object BpeByteChunksImpl {
+  import org.apache.spark.sql.catalyst.InternalRow
+  import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+
+  def compute(mergesPath: String, text: UTF8String,
+      budget: Int, overlap: Int): ArrayData = {
+    val bpe = BpeRegistry.get(mergesPath)
+    val s = text.toString
+    // pretoken tiling: char offsets + per-pretoken byte-level id count
+    var cap = 16
+    var starts = new Array[Int](cap)
+    var ends = new Array[Int](cap)
+    var counts = new Array[Int](cap)
+    var n = 0
+    val m = ByteUnicode.Pretoken.matcher(s)
+    while (m.find()) {
+      if (n == cap) {
+        cap *= 2
+        starts = java.util.Arrays.copyOf(starts, cap)
+        ends = java.util.Arrays.copyOf(ends, cap)
+        counts = java.util.Arrays.copyOf(counts, cap)
+      }
+      starts(n) = m.start(); ends(n) = m.end()
+      counts(n) = bpe.countWord(ByteUnicode.mapBytes(m.group()))
+      n += 1
+    }
+    if (n == 0) return new GenericArrayData(Array.empty[Any])
+    val out = new java.util.ArrayList[Any](8)
+    var t0 = 0
+    while (t0 < n) {
+      var t1 = t0
+      var sum = 0
+      while (t1 < n && (t1 == t0 || sum + counts(t1) <= budget)) {
+        sum += counts(t1); t1 += 1
+      }
+      // pretokens tile, so the chunk is one contiguous substring
+      out.add(InternalRow(
+        UTF8String.fromString(s.substring(starts(t0), ends(t1 - 1))),
+        t1 - t0, sum))
+      t0 = if (t1 >= n) n else math.max(t1 - overlap, t0 + 1)
+    }
+    new GenericArrayData(out.toArray)
+  }
+}
+
+/** `graft_bpe_byte_chunks(string, 'merges-path', budget, overlap) ->
+  * array<struct<chunk_text string, chunk_tokens int, chunk_bpe_tokens
+  * int>>` — budget and `chunk_bpe_tokens` in BYTE-LEVEL token ids
+  * (`graft_bpe_byte_count` units); `chunk_tokens` counts pretokens.
+  * With overlap 0 the chunk texts concatenate back to the input. */
+case class BpeByteChunks(child: Expression, mergesPath: String,
+    budget: Int, overlap: Int) extends UnaryExpression {
+  require(mergesPath.nonEmpty, "graft_bpe_byte_chunks needs a merges path")
+  require(budget > 0, s"budget must be positive, got $budget")
+  require(overlap >= 0, s"overlap must be non-negative, got $overlap")
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case _: StringType => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(s"graft_bpe_byte_chunks expects string, got $t")
+  }
+  override def dataType: DataType = ArrayType(StructType(Seq(
+    StructField("chunk_text", StringType, nullable = false),
+    StructField("chunk_tokens", IntegerType, nullable = false),
+    StructField("chunk_bpe_tokens", IntegerType, nullable = false))), containsNull = false)
+  override def prettyName: String = "graft_bpe_byte_chunks"
+
+  override protected def nullSafeEval(t: Any): Any =
+    BpeByteChunksImpl.compute(mergesPath, t.asInstanceOf[UTF8String],
+      budget, overlap)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val mRef = ctx.addReferenceObj("bpeByteMergesPath", mergesPath, "java.lang.String")
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.BpeByteChunksImpl.compute($mRef, $c, $budget, $overlap)")
+  }
+
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
+}

@@ -306,6 +306,10 @@ object GraftFunctions {
   def byteUnicodeMap(c: Column): Column =
     ColumnBridge.column(ByteUnicodeMap(ColumnBridge.expression(c)))
 
+  def bpeByteChunks(c: Column, mergesPath: String, budget: Int, overlap: Int): Column =
+    ColumnBridge.column(BpeByteChunks(ColumnBridge.expression(c), mergesPath,
+      budget, overlap))
+
   def chunks(c: Column, chunkSize: Int, overlap: Int): Column =
     ColumnBridge.column(DocChunks(ColumnBridge.expression(c), chunkSize, overlap))
 
@@ -637,6 +641,26 @@ object GraftFunctions {
           }
         }
         BpeChunks(es.head, path, litInt(es(2), "budget"), litInt(es(3), "overlap"))
+      }),
+    ("graft_bpe_byte_chunks",
+      new ExpressionInfo(classOf[BpeByteChunks].getName, "graft_bpe_byte_chunks"),
+      (es: Seq[Expression]) => {
+        require(es.length == 4, s"graft_bpe_byte_chunks takes 4 arguments, got ${es.length}")
+        require(es(1).foldable, "graft_bpe_byte_chunks merges path must be a literal")
+        val path = es(1).eval() match {
+          case s: UTF8String => s.toString
+          case other => throw new IllegalArgumentException(
+            s"graft_bpe_byte_chunks merges path must be a string literal, got $other")
+        }
+        def litInt(e: Expression, name: String): Int = {
+          require(e.foldable, s"graft_bpe_byte_chunks $name must be a literal")
+          e.eval() match {
+            case n: Number => n.intValue()
+            case other => throw new IllegalArgumentException(
+              s"graft_bpe_byte_chunks $name must be an integer literal, got $other")
+          }
+        }
+        BpeByteChunks(es.head, path, litInt(es(2), "budget"), litInt(es(3), "overlap"))
       }),
     ("graft_hist_sketch",
       new ExpressionInfo(classOf[HistogramSketchAgg].getName, "graft_hist_sketch"),

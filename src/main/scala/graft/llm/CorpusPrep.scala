@@ -123,6 +123,32 @@ object CorpusPrep {
         col("__c.chunk_tokens").cast("long").as("chunk_tokens") :+
         col("__c.chunk_bpe_tokens").cast("long").as("chunk_bpe_tokens"): _*)
 
+  /** [[chunkByBpeBudget]] under the BYTE-LEVEL tokenizer
+    * (`graft_bpe_byte_chunks`): budgets and `chunk_bpe_tokens` count
+    * byte-level ids, cuts land on pretoken boundaries, and with
+    * overlap 0 the chunk texts concatenate back to the document
+    * byte-for-byte — so downstream byte-level `token_ids` encoding of
+    * `chunk_text` emits exactly the budget each chunk was sized under.
+    * `chunk_tokens` counts pretokens. Same 100 TB shape: one
+    * scan-speed projection, no shuffle. */
+  def chunkByByteBudget(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      bpeBudget: Int,
+      mergesPath: String,
+      overlap: Int = 0,
+      keepCols: Seq[String] = Nil): DataFrame =
+    df.select(col(idCol) +: keepCols.map(col) :+
+      posexplode(graft.functions.GraftFunctions.bpeByteChunks(
+        col(textCol), mergesPath, bpeBudget, overlap))
+        .as(Seq("chunk_id", "__c")): _*)
+      .select(col(idCol) +: keepCols.map(col) :+
+        col("chunk_id").cast("long").as("chunk_id") :+
+        col("__c.chunk_text").as("chunk_text") :+
+        col("__c.chunk_tokens").cast("long").as("chunk_tokens") :+
+        col("__c.chunk_bpe_tokens").cast("long").as("chunk_bpe_tokens"): _*)
+
   /** Sequence packing: assign every chunk to a fixed-token-budget
     * training sequence — the step between chunking and batch
     * construction (training rows are SEQUENCES of budget tokens, not

@@ -234,6 +234,7 @@ class BpeByteSpec extends SparkTestBase {
     // null stays null; SQL name registered
     assert(Seq((1, null: String)).toDF("i", "s")
       .select(GraftFunctions.byteUnicodeMap(col("s"))).head().isNullAt(0))
+    GraftFunctions.register(spark)
     tricky.toDF("s").createOrReplaceTempView("byteuni_docs")
     val viaSql = spark.sql(
       "SELECT graft_byte_unicode(s) FROM byteuni_docs")
@@ -251,5 +252,55 @@ class BpeByteSpec extends SparkTestBase {
     }
     assert(words.exists(_.startsWith("Ġ")),
       "space-prefixed pretokens must appear as Ġ-words in the count table")
+  }
+
+  test("graft_bpe_byte_chunks: pretoken-boundary cuts under a byte-level id " +
+      "budget — overlap-0 chunks concatenate back byte-for-byte, every " +
+      "chunk's count equals its own re-count, budget respected") {
+    val corpus = Seq(
+      "the quick brown fox jumps over the lazy dog again and again",
+      "spaces   run  long\t\tand\nnewlines too", "short",
+      "code { x = 1;  y = 2; }  // indented\n    block")
+    val (mergesPath, _) = train(corpus, 24)
+    val docs = (corpus ++ Seq(
+      "héllo wörld and 日本語 mixed with emoji 😀 text",
+      "")).zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("id", "text")
+    val chunks = docs.select(col("id"),
+      posexplode(GraftFunctions.bpeByteChunks(col("text"), mergesPath, 8, 0))
+        .as(Seq("cid", "c")))
+      .select(col("id"), col("cid"), col("c.chunk_text").as("t"),
+        col("c.chunk_tokens").as("n"), col("c.chunk_bpe_tokens").as("b"))
+    // budget respected for multi-pretoken chunks; single over-budget
+    // pretokens form their own chunk
+    assert(chunks.filter(col("b") > 8 && col("n") > 1).count() == 0)
+    // a chunk's count equals graft_bpe_byte_count of its own text —
+    // boundary-aligned substrings re-pretokenize identically
+    assert(chunks.filter(
+      GraftFunctions.bpeByteCount(col("t"), mergesPath) =!= col("b")).count() == 0)
+    // overlap-0 lossless reconstruction (includes whitespace runs)
+    val rebuilt = chunks.groupBy("id")
+      .agg(concat_ws("", array_sort(collect_list(struct(col("cid"), col("t"))))
+        .getField("t")).as("r"))
+      .join(docs, "id")
+    assert(rebuilt.filter(col("r") =!= col("text")).count() == 0,
+      "chunks must tile the document byte-for-byte")
+    // empty doc -> zero chunks; null -> null
+    assert(chunks.filter(col("id") === 5L).count() == 0)
+    assert(Seq((1, null: String)).toDF("i", "text")
+      .select(GraftFunctions.bpeByteChunks(col("text"), mergesPath, 8, 0))
+      .head().isNullAt(0))
+    // overlap advances and re-covers: with overlap 1 every later chunk
+    // starts one pretoken before the previous end
+    val withOverlap = docs.filter(col("id") === 0)
+      .select(posexplode(GraftFunctions.bpeByteChunks(col("text"), mergesPath, 8, 1))
+        .as(Seq("cid", "c")))
+    assert(withOverlap.count() >= chunks.filter(col("id") === 0).count())
+    // SQL surface
+    GraftFunctions.register(spark)
+    docs.createOrReplaceTempView("bpe_byte_chunk_docs")
+    val viaSql = spark.sql(
+      s"SELECT size(graft_bpe_byte_chunks(text, '$mergesPath', 8, 0)) FROM bpe_byte_chunk_docs WHERE id = 0")
+      .head().getInt(0)
+    assert(viaSql == chunks.filter(col("id") === 0).count())
   }
 }

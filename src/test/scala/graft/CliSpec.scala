@@ -3000,9 +3000,9 @@ class CliSpec extends SparkTestBase {
     assert(e.getMessage.contains("bpe-vocab"), e.getMessage)
   }
 
-  test("curator bpe-byte-level: token_ids and the packed export speak the " +
-      "GPT-2-style byte-level tokenizer — byte-exact round trip through " +
-      "the CLI path; incompatible/dead configs rejected up front") {
+  test("curator bpe-byte-level: token_ids, budget chunking, and the packed " +
+      "export speak the GPT-2-style byte-level tokenizer — byte-exact " +
+      "round trips through the CLI path; dead config rejected up front") {
     import org.apache.spark.sql.functions.{col, explode, sum => asum, size => asize}
     val base = tmp()
     val docs = spark.read.parquet(s"$sfDir/documents.parquet")
@@ -3049,13 +3049,34 @@ class CliSpec extends SparkTestBase {
     assert(packed.select(asum(col("n_docs_started"))).head().getLong(0) == nDocs)
     assert(packed.select(explode(col("input_ids")).as("i"))
       .filter(col("i") === eos).count() == nDocs)
-    // byte-level + bpe-budget chunking is rejected (budgets would count
-    // under the byte-fallback tokenizer, ids under byte-level)
-    val e1 = intercept[IllegalArgumentException] {
-      graft.cli.Curator.main(Array("--conf", conf(base.resolve("nope1").toString,
-        "  bpe-budget = 64")))
-    }
-    assert(e1.getMessage.contains("bpe-byte-level"), e1.getMessage)
+    // byte-level + bpe-budget: chunks cut at pretoken boundaries under
+    // a byte-level id budget, and each chunk's encoding emits EXACTLY
+    // the budget it was sized under (chunk_bpe_tokens == size(ids))
+    val chunked = base.resolve("blchunks").toString
+    graft.cli.Curator.main(Array("--conf", conf(chunked,
+      "  bpe-budget = 48\n  chunk-overlap = 0")))
+    val chunkRows = spark.read.parquet(chunked)
+    assert(chunkRows.columns.contains("chunk_text") &&
+      chunkRows.columns.contains("token_ids"))
+    assert(chunkRows.filter(col("chunk_bpe_tokens") > 48)
+      .filter(col("chunk_tokens") > 1).count() == 0,
+      "multi-pretoken chunks must respect the byte-level budget")
+    assert(chunkRows.filter(asize(col("token_ids")) =!= col("chunk_bpe_tokens"))
+      .count() == 0,
+      "byte-level encoding of a chunk must emit exactly its sized budget")
+    // overlap-0 lossless property THROUGH the CLI: per doc, the chunks
+    // concatenate back to the curated text byte-for-byte
+    val rebuilt = chunkRows
+      .groupBy("doc_id")
+      .agg(org.apache.spark.sql.functions.concat_ws("",
+        org.apache.spark.sql.functions.array_sort(
+          org.apache.spark.sql.functions.collect_list(
+            org.apache.spark.sql.functions.struct(col("chunk_id"), col("chunk_text"))))
+          .getField("chunk_text")).as("rebuilt"))
+    val srcTexts = flatRows.select(col("doc_id"), col("text"))
+    assert(rebuilt.join(srcTexts, "doc_id")
+      .filter(col("rebuilt") =!= col("text")).count() == 0,
+      "overlap-0 byte-level chunks must concatenate back to the document")
     // byte-level without a vocab is dead config
     val badConf = write(base.resolve("bl_bad.conf"),
       s"""source { storage-type = local, dataset-dir = $sfDir/documents.parquet }
