@@ -2242,6 +2242,73 @@ object SparkEntry {
         .filter(col("knn_logp").isNotNull)
     }),
 
+    // ---- MODIFIED Kneser–Ney at order 4 (Chen & Goodman 1999 §5 —
+    // KenLM's DEFAULT smoothing, the one CCNet's 5-gram filter
+    // actually runs): three discounts per level selected by count
+    // bucket, interpolation weight = the context's exact discounted
+    // mass. ORACLE-EXACT vs the generated mod-CTE chain
+    // (kneserNeyNModOracleSql(4, ·)) — training (count-of-counts n1-n4,
+    // clamped discount triples), per-context bucketed fan-outs, AND the
+    // count-bucketed numerator all replayed. Composable anchor on the
+    // bounded slice; q118/q119 are the scale paths.
+    "q117_mkn4" -> ((s, dir) => {
+      import graft.llm.LangModel
+      val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
+      val lm = LangModel.trainKneserNeyNMod(
+        docs.filter(col("doc_id") < 100), "text", order = 4)
+      LangModel.logProbPerDocKneserNeyNMod(
+        docs.filter(col("doc_id") >= 100 && col("doc_id") < 700), lm, "doc_id", "text")
+        .select(col("doc_id"), round(col("mkn_logp"), 6).as("mkn_logp"),
+          col("mkn_positions"))
+    }),
+
+    // ---- Modified KN through the native exact-string registry: the
+    // SAME saveNgram artifact every other LM scores — the smoothing is
+    // entirely load-time derivation, so one persisted file serves
+    // stupid-backoff, interpolated KN, and modified KN. Zero-shuffle
+    // codegen'd projection; the SAME generated oracle as q117 pins
+    // parity at round(6).
+    "q118_mkn4_native" -> ((s, dir) => {
+      import graft.llm.LangModel
+      val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
+      val lm = LangModel.trainKneserNeyNMod(
+        docs.filter(col("doc_id") < 100), "text", order = 4)
+      val lmPath = new java.io.File(
+        new java.io.File(System.getProperty("java.io.tmpdir"), "graft_lm"),
+        s"${dir.replaceAll("[^A-Za-z0-9.-]", "_")}_mkn4.lm4").toString
+      LangModel.saveNgram(lm.ngram, lmPath)
+      docs.filter(col("doc_id") >= 100)
+        .select(col("doc_id"),
+          round(graft.functions.GraftFunctions.knModLogProb(col("text"), lmPath), 6)
+            .as("mkn_logp"),
+          graft.llm.TextAnalysis.wsTokenCount(col("text")).cast("long")
+            .as("mkn_positions"))
+        .filter(col("mkn_logp").isNotNull)
+    }),
+
+    // ---- Modified KN through the PACKED registry — the same
+    // KnNPackedTable class as q116, because once `c − D(c)` per gram
+    // and the discount mass per context are precomputed, the scoring
+    // recursion cannot tell how many discounts the smoothing had.
+    // Pinned at round(4), the measured float32 margin.
+    "q119_mkn4_packed" -> ((s, dir) => {
+      import graft.llm.LangModel
+      val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
+      val lm = LangModel.trainKneserNeyNMod(
+        docs.filter(col("doc_id") < 100), "text", order = 4)
+      val lmPath = new java.io.File(
+        new java.io.File(System.getProperty("java.io.tmpdir"), "graft_lm"),
+        s"${dir.replaceAll("[^A-Za-z0-9.-]", "_")}_mkn4.lm4").toString
+      LangModel.saveNgram(lm.ngram, lmPath)
+      docs.filter(col("doc_id") >= 100)
+        .select(col("doc_id"),
+          round(graft.functions.GraftFunctions.knModLogProbPacked(col("text"), lmPath), 4)
+            .as("mkn_logp"),
+          graft.llm.TextAnalysis.wsTokenCount(col("text")).cast("long")
+            .as("mkn_positions"))
+        .filter(col("mkn_logp").isNotNull)
+    }),
+
     // ---- CCNet perplexity buckets (Wenzek et al. 2019): per source,
     // head/middle/tail thirds by unigram-LM score (q71's training and
     // arithmetic). The score is rounded to the oracle's 6 decimals
@@ -2895,6 +2962,118 @@ object SparkEntry {
     sb.toString
   }
 
+  /** GENERATED MODIFIED-KN order-n oracle — [[kneserNeyNOracleSql]]
+    * with the three-discount derivation: per level, count-of-counts
+    * n1..n4 feed the Chen–Goodman triple (`Y = n1/(n1+2n2)`,
+    * `D1 = 1−2Y·n2/n1` capped at 1, `D2 = 2−3Y·n3/n2` at 2,
+    * `D3 = 3−4Y·n4/n3` at 3; nk = 0 or a non-positive estimate → the
+    * strictly-positive range midpoint);
+    * per context the interpolation weight is the EXACT discounted mass
+    * `D1·N1 + D2·N2 + D3·N3+`; per gram the numerator selects the
+    * discount by count bucket. Shared by q117 (composable), q118
+    * (native registry), q119 (packed registry). */
+  private def kneserNeyNModOracleSql(n: Int, scored: String, decimals: Int = 6): String = {
+    require(n >= 2, s"order must be >= 2, got $n")
+    val sb = new StringBuilder
+    sb ++= """WITH toks AS (
+             |  SELECT doc_id,
+             |    list_filter(regexp_split_to_array(lower(trim(text)), '\s+'),
+             |      t -> len(t) > 0) AS tk
+             |  FROM documents),
+             |""".stripMargin
+    val topCols = (1 to n).map(j => s"tk[i-${n - j}] AS w$j").mkString(", ")
+    sb ++= s"""g$n AS (
+              |  SELECT ${(1 to n).map("w" + _).mkString(", ")}, count(*) AS cnt$n FROM (
+              |    SELECT $topCols FROM (
+              |      SELECT tk, unnest(generate_series($n, len(tk))) AS i
+              |      FROM toks WHERE doc_id < 100))
+              |  GROUP BY ${(1 to n).map("w" + _).mkString(", ")}),
+              |""".stripMargin
+    for (k <- n - 1 to 2 by -1)
+      sb ++= s"""g$k AS (SELECT ${(2 to k + 1).map(j => s"w$j AS w${j - 1}").mkString(", ")},
+                |  count(*) AS cnt$k FROM g${k + 1}
+                |  GROUP BY ${(2 to k + 1).map("w" + _).mkString(", ")}),
+                |""".stripMargin
+    // per-level Chen–Goodman triples from n1..n4, with the strictly-
+    // positive fallback rule (nk = 0 OR a non-positive estimate → the
+    // range midpoint) — zero-mass contexts would zero out unseen
+    // continuations, which the implementations forbid
+    val dExprs = (2 to n).map { k =>
+      val y = s"(CASE WHEN s$k.n1 = 0 THEN 0.5 ELSE CAST(s$k.n1 AS DOUBLE) / (s$k.n1 + 2.0 * s$k.n2) END)"
+      val e1 = s"(1.0 - 2.0 * $y * s$k.n2 / s$k.n1)"
+      val e2 = s"(2.0 - 3.0 * $y * s$k.n3 / s$k.n2)"
+      val e3 = s"(3.0 - 4.0 * $y * s$k.n4 / s$k.n3)"
+      s"""CASE WHEN s$k.n1 = 0 OR $e1 <= 0 THEN 0.5 ELSE least($e1, 1.0) END AS d1_$k,
+         |    CASE WHEN s$k.n2 = 0 OR $e2 <= 0 THEN 1.0 ELSE least($e2, 2.0) END AS d2_$k,
+         |    CASE WHEN s$k.n3 = 0 OR $e3 <= 0 THEN 1.5 ELSE least($e3, 3.0) END AS d3_$k""".stripMargin
+    }.mkString(",\n    ")
+    val dFroms = (2 to n).map { k =>
+      s"""(SELECT coalesce(sum(CASE WHEN cnt$k = 1 THEN 1 ELSE 0 END), 0) AS n1,
+         |     coalesce(sum(CASE WHEN cnt$k = 2 THEN 1 ELSE 0 END), 0) AS n2,
+         |     coalesce(sum(CASE WHEN cnt$k = 3 THEN 1 ELSE 0 END), 0) AS n3,
+         |     coalesce(sum(CASE WHEN cnt$k = 4 THEN 1 ELSE 0 END), 0) AS n4
+         |   FROM g$k) s$k""".stripMargin
+    }.mkString(",\n  ")
+    sb ++= s"""sc AS (
+              |  SELECT CAST(bb.b + vv.v + 1 AS DOUBLE) AS dc,
+              |    $dExprs
+              |  FROM (SELECT count(*) AS b FROM g2) bb,
+              |  (SELECT count(DISTINCT token) AS v FROM
+              |    (SELECT unnest(tk) AS token FROM toks WHERE doc_id < 100)) vv,
+              |  $dFroms),
+              |""".stripMargin
+    // per-level context sums + count-bucketed fan-outs (the discount
+    // mass assembles in the frame, where sc's d's are in scope)
+    for (k <- 2 to n)
+      sb ++= s"""fwd$k AS (SELECT ${(1 until k).map("w" + _).mkString(", ")},
+                |  sum(cnt$k) AS ctx$k,
+                |  sum(CASE WHEN cnt$k = 1 THEN 1 ELSE 0 END) AS nf1_$k,
+                |  sum(CASE WHEN cnt$k = 2 THEN 1 ELSE 0 END) AS nf2_$k,
+                |  sum(CASE WHEN cnt$k >= 3 THEN 1 ELSE 0 END) AS nf3_$k FROM g$k
+                |  GROUP BY ${(1 until k).map("w" + _).mkString(", ")}),
+                |""".stripMargin
+    sb ++= "bwd1 AS (SELECT w2, count(*) AS nbwd1 FROM g2 GROUP BY w2),\n"
+    def pExpr(j: Int): String =
+      if (j == 1) "((coalesce(b.nbwd1, 0) + 1) / sc.dc)"
+      else
+        s"""(CASE WHEN f$j.ctx$j IS NOT NULL
+           | THEN ((CASE WHEN c$j.cnt$j IS NULL THEN 0.0
+           |        ELSE CAST(c$j.cnt$j AS DOUBLE) -
+           |          (CASE WHEN c$j.cnt$j = 1 THEN sc.d1_$j
+           |                WHEN c$j.cnt$j = 2 THEN sc.d2_$j
+           |                ELSE sc.d3_$j END) END) +
+           |       (sc.d1_$j * f$j.nf1_$j + sc.d2_$j * f$j.nf2_$j +
+           |        sc.d3_$j * f$j.nf3_$j) * ${pExpr(j - 1)})
+           |      / CAST(f$j.ctx$j AS DOUBLE)
+           | ELSE ${pExpr(j - 1)} END)""".stripMargin
+    for (m <- 1 to n) {
+      val src =
+        if (m < n)
+          s"""(SELECT doc_id, ${(1 to m).map(j => s"tk[$j] AS t$j").mkString(", ")}
+             |   FROM toks WHERE $scored AND len(tk) >= $m) f""".stripMargin
+        else
+          s"""(SELECT doc_id, ${(1 to n).map(j => s"tk[i-${n - j}] AS t$j").mkString(", ")}
+             |   FROM (SELECT doc_id, tk, unnest(generate_series($n, len(tk))) AS i
+             |         FROM toks WHERE $scored)) f""".stripMargin
+      val joins = (2 to m).map { j =>
+        s"""LEFT JOIN g$j c$j ON ${(1 to j).map(x => s"c$j.w$x = f.t${m - j + x}").mkString(" AND ")}
+           |LEFT JOIN fwd$j f$j ON ${(1 until j).map(x => s"f$j.w$x = f.t${m - j + x}").mkString(" AND ")}""".stripMargin
+      }.mkString("\n")
+      sb ++= s"""fr$m AS (
+                |  SELECT f.doc_id, log10(${pExpr(m)}) AS logp
+                |  FROM $src
+                |$joins
+                |LEFT JOIN bwd1 b ON b.w2 = f.t$m
+                |CROSS JOIN sc),
+                |""".stripMargin
+    }
+    sb ++= s"""allpos AS (${(1 to n).map(m => s"SELECT * FROM fr$m").mkString(" UNION ALL ")})
+              |SELECT doc_id, round(avg(logp), $decimals) AS mkn_logp,
+              |  CAST(count(*) AS BIGINT) AS mkn_positions
+              |FROM allpos GROUP BY doc_id""".stripMargin
+    sb.toString
+  }
+
   private val LmOracleSql: String =
     """WITH toks AS (
       |  SELECT doc_id,
@@ -3088,6 +3267,12 @@ object SparkEntry {
     "q114_kn4" -> kneserNeyNOracleSql(4, LmScoredBounded),
     "q115_kn4_native" -> kneserNeyNOracleSql(4, LmScoredFull),
     "q116_kn4_packed" -> kneserNeyNOracleSql(4, LmScoredFull, decimals = 4),
+    // modified KN: the three-discount derivation replayed by ITS
+    // generated CTE chain; ONE oracle pins the composable (q117),
+    // native (q118), and packed (q119) forms
+    "q117_mkn4" -> kneserNeyNModOracleSql(4, LmScoredBounded),
+    "q118_mkn4_native" -> kneserNeyNModOracleSql(4, LmScoredFull),
+    "q119_mkn4_packed" -> kneserNeyNModOracleSql(4, LmScoredFull, decimals = 4),
     // the full learned-classifier dot product replayed: the five
     // features are the q16/q21/q64 replays, the sigmoid accumulates
     // intercept-first then features in declaration order (matching the

@@ -507,8 +507,11 @@ object Curator {
       minKnnLogP = c.getDouble("min-knn-logp").getOrElse(base.minKnnLogP),
       // `knn-packed = true` scores through the flat fingerprint/f32
       // registry (order-5-scale executor footprint; ~1e-5 score
-      // agreement with the exact registry)
+      // agreement with the exact registry); `knn-modified = true`
+      // selects modified KN (KenLM's default three-discount smoothing)
+      // over the same artifact — the two compose
       knnPacked = c.getBoolean("knn-packed").getOrElse(base.knnPacked),
+      knnModified = c.getBoolean("knn-modified").getOrElse(base.knnModified),
       // learned quality filter: `classifier-path` points at a saved
       // QualityClassifier (fastText-style reference-vs-random logistic
       // model, trained offline); `min-classifier-score` is the
@@ -560,6 +563,8 @@ object Curator {
       "curation.min-knn-logp needs curation.knn-path (a saved order-n LM file)")
     require(c.getBoolean("knn-packed").isEmpty || c.getString("knn-path").isDefined,
       "curation.knn-packed without curation.knn-path is dead config")
+    require(c.getBoolean("knn-modified").isEmpty || c.getString("knn-path").isDefined,
+      "curation.knn-modified without curation.knn-path is dead config")
     require(c.getList("ppl-bucket-keep").forall(_.isEmpty) ||
         c.getString("lm-path").isDefined,
       "curation.ppl-bucket-keep needs curation.lm-path (a saved unigram LM file)")
@@ -1922,6 +1927,7 @@ object Streamer {
           knnPath = c.getString("knn-path"),
           minKnnLogP = c.getDouble("min-knn-logp"),
           knnPacked = c.getBoolean("knn-packed").getOrElse(false),
+          knnModified = c.getBoolean("knn-modified").getOrElse(false),
           classifierPath = c.getString("classifier-path"),
           minClassifierScore = c.getDouble("min-classifier-score"))
       case other => throw new IllegalArgumentException(

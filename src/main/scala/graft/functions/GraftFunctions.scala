@@ -371,6 +371,12 @@ object GraftFunctions {
   def knNLogProbPacked(c: Column, lmPath: String): Column =
     ColumnBridge.column(KnNLogProbPacked(ColumnBridge.expression(c), lmPath))
 
+  def knModLogProb(c: Column, lmPath: String): Column =
+    ColumnBridge.column(KnModLogProb(ColumnBridge.expression(c), lmPath))
+
+  def knModLogProbPacked(c: Column, lmPath: String): Column =
+    ColumnBridge.column(KnModLogProbPacked(ColumnBridge.expression(c), lmPath))
+
   val functions: Seq[(String, ExpressionInfo, Seq[Expression] => Expression)] = Seq(
     ("graft_cosine",
       new ExpressionInfo(classOf[CosineSimilarity].getName, "graft_cosine"),
@@ -513,6 +519,29 @@ object GraftFunctions {
           case s: UTF8String => KnNLogProbPacked(es.head, s.toString)
           case other => throw new IllegalArgumentException(
             s"graft_knn_logprob_packed LM path must be a string literal, got $other")
+        }
+      }),
+    ("graft_knmod_logprob",
+      new ExpressionInfo(classOf[KnModLogProb].getName, "graft_knmod_logprob"),
+      (es: Seq[Expression]) => {
+        require(es.length == 2, s"graft_knmod_logprob takes 2 arguments, got ${es.length}")
+        require(es(1).foldable, "graft_knmod_logprob LM path must be a literal")
+        es(1).eval() match {
+          case s: UTF8String => KnModLogProb(es.head, s.toString)
+          case other => throw new IllegalArgumentException(
+            s"graft_knmod_logprob LM path must be a string literal, got $other")
+        }
+      }),
+    ("graft_knmod_logprob_packed",
+      new ExpressionInfo(classOf[KnModLogProbPacked].getName, "graft_knmod_logprob_packed"),
+      (es: Seq[Expression]) => {
+        require(es.length == 2,
+          s"graft_knmod_logprob_packed takes 2 arguments, got ${es.length}")
+        require(es(1).foldable, "graft_knmod_logprob_packed LM path must be a literal")
+        es(1).eval() match {
+          case s: UTF8String => KnModLogProbPacked(es.head, s.toString)
+          case other => throw new IllegalArgumentException(
+            s"graft_knmod_logprob_packed LM path must be a string literal, got $other")
         }
       }),
     ("graft_bpe_segments",

@@ -132,9 +132,13 @@ object KnNRegistry {
     new KnNLmTable(ch.order, ch.p1, ch.p1Oov, ch.cnts, ch.ctxs, ch.discounts)
   }
 
-  /** Parse a saveNgram artifact and run the whole continuation
-    * recursion — shared by the exact-string and the packed loaders. */
-  private[functions] def buildChain(path: String): KnChain = {
+  /** Parse a saveNgram artifact and build the raw count chain (top
+    * section verbatim, continuation counts below) — the smoothing-
+    * agnostic half, shared with the modified-KN loaders
+    * ([[KnModRegistry]]): returns (order, vocab, level tables at
+    * index j-2). */
+  private[functions] def buildCounts(
+      path: String): (Int, Long, Array[java.util.HashMap[String, java.lang.Long]]) = {
     val p = new org.apache.hadoop.fs.Path(path)
     val fs = p.getFileSystem(new org.apache.hadoop.conf.Configuration())
     val in = fs.open(p)
@@ -213,6 +217,13 @@ object KnNRegistry {
       cnts(k - 2) = below
       k -= 1
     }
+    (order, vocab, cnts)
+  }
+
+  /** Run the interpolated-KN derivation over the raw count chain —
+    * shared by the exact-string and the packed loaders. */
+  private[functions] def buildChain(path: String): KnChain = {
+    val (order, vocab, cnts) = buildCounts(path)
     // per level: count-of-counts discount, then context sums/fan-outs
     // with a_j = D_j * nfwd_j precomputed (the composable's operand
     // order: (D * nfwd) * p)

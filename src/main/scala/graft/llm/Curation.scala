@@ -137,6 +137,11 @@ object Curation {
         * (scores agree with the exact registry to ~1e-5) and 64-bit
         * fingerprint collision budget. */
       knnPacked: Boolean = false,
+      /** Score `knnPath` with MODIFIED Kneser–Ney (three discounts per
+        * level — KenLM's default smoothing) instead of interpolated
+        * KN. Same artifact; the smoothing is load-time derivation.
+        * Composes with [[knnPacked]]. */
+      knnModified: Boolean = false,
       /** Saved learned quality classifier
         * ([[QualityClassifier#save]] artifact — fastText-style
         * reference-vs-random logistic model): when set, every document
@@ -245,9 +250,14 @@ object Curation {
         df = df.filter(col("kn3_logp") >= conf.minKn3LogP)
     }
     conf.knnPath.foreach { p =>
-      df = df.withColumn("knn_logp",
-        if (conf.knnPacked) graft.functions.GraftFunctions.knNLogProbPacked(col(textCol), p)
-        else graft.functions.GraftFunctions.knNLogProb(col(textCol), p))
+      import graft.functions.GraftFunctions._
+      val score = (conf.knnModified, conf.knnPacked) match {
+        case (true, true) => knModLogProbPacked(col(textCol), p)
+        case (true, false) => knModLogProb(col(textCol), p)
+        case (false, true) => knNLogProbPacked(col(textCol), p)
+        case (false, false) => knNLogProb(col(textCol), p)
+      }
+      df = df.withColumn("knn_logp", score)
       if (!conf.minKnnLogP.isNegInfinity)
         df = df.filter(col("knn_logp") >= conf.minKnnLogP)
     }

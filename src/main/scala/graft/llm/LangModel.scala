@@ -98,6 +98,33 @@ final case class KneserNeyNLm(ngram: NgramLm, discounts: Seq[Double]) {
   def discount(j: Int): Double = discounts(j - 2)
 }
 
+/** MODIFIED Kneser–Ney order-N LM (Chen & Goodman 1999 §5 — KenLM's
+  * default smoothing and what CCNet's 5-gram perplexity filter runs):
+  * [[KneserNeyNLm]] with THREE discounts per level — `D1` paid by
+  * singleton grams, `D2` by doubletons, `D3` by counts ≥ 3 — each
+  * level's triple estimated from its own count-of-counts — capped at
+  * 1 / 2 / 3 so `c − D(c) ≥ 0` always, floored strictly above 0
+  * (degenerate or non-positive estimates → the range midpoint) so
+  * every context keeps positive mass for unseen continuations — and
+  * every backoff level stays a PROPER distribution (the per-context
+  * interpolation weight is exactly the discounted mass
+  * `D1·N1 + D2·N2 + D3·N3+`). `discounts(j-2) = (D1_j, D2_j, D3_j)`. */
+final case class KneserNeyNModLm(
+    ngram: NgramLm, discounts: Seq[(Double, Double, Double)]) {
+  require(discounts.length == ngram.order - 1,
+    s"need ${ngram.order - 1} discount triples, got ${discounts.length}")
+  discounts.zipWithIndex.foreach { case ((d1, d2, d3), i) =>
+    require(d1 > 0 && d1 <= 1, s"D1_${i + 2} must be in (0,1], got $d1")
+    require(d2 > 0 && d2 <= 2, s"D2_${i + 2} must be in (0,2], got $d2")
+    require(d3 > 0 && d3 <= 3, s"D3_${i + 2} must be in (0,3], got $d3")
+  }
+
+  def order: Int = ngram.order
+
+  /** The discount triple applied at level j (2 ≤ j ≤ order). */
+  def discount(j: Int): (Double, Double, Double) = discounts(j - 2)
+}
+
 final case class UnigramLm(table: DataFrame, totalTokens: Long, vocab: Long) {
 
   /** The shared Laplace denominator `N + V + 1` as a double — computed
@@ -570,6 +597,8 @@ object LangModel {
     graft.functions.NgramRegistry.invalidate(path)
     graft.functions.KnNRegistry.invalidate(path)
     graft.functions.KnNPackedRegistry.invalidate(path)
+    graft.functions.KnModRegistry.invalidate(path)
+    graft.functions.KnModPackedRegistry.invalidate(path)
   }
 
   /** The continuation-count table one level below `counts` (columns
@@ -704,6 +733,145 @@ object LangModel {
     (heads :+ top).reduce(_.unionByName(_))
       .groupBy(idCol)
       .agg(avg("logp").as("knn_logp"), count(lit(1)).as("knn_positions"))
+  }
+
+  /** The clamped Chen–Goodman three-discount estimate over one count
+    * table — term-for-term [[graft.functions.KnMod.discountsOf]]
+    * (`Y = n1/(n1+2n2)`; `D1 = 1−2Y·n2/n1`, `D2 = 2−3Y·n3/n2`,
+    * `D3 = 3−4Y·n4/n3`; any `nk = 0` → the clamp-range midpoint). */
+  private def modDiscountsOf(
+      counts: DataFrame, cntCol: String): (Double, Double, Double) = {
+    val r = counts.agg(
+      coalesce(sum((col(cntCol) === 1).cast("long")), lit(0L)).as("n1"),
+      coalesce(sum((col(cntCol) === 2).cast("long")), lit(0L)).as("n2"),
+      coalesce(sum((col(cntCol) === 3).cast("long")), lit(0L)).as("n3"),
+      coalesce(sum((col(cntCol) === 4).cast("long")), lit(0L)).as("n4")).head()
+    val n1 = r.getLong(0); val n2 = r.getLong(1)
+    val n3 = r.getLong(2); val n4 = r.getLong(3)
+    val y = if (n1 == 0) 0.5 else n1.toDouble / (n1 + 2.0 * n2)
+    // non-positive estimates fall back to the range midpoint like the
+    // degenerate nk = 0 case — a zero discount would reserve zero mass
+    // and assign unseen continuations probability 0 (see
+    // KnMod.discountsOf, which this mirrors term-for-term)
+    val d1 = if (n1 == 0) 0.5 else {
+      val est = 1.0 - 2.0 * y * n2 / n1
+      if (est <= 0) 0.5 else math.min(est, 1.0)
+    }
+    val d2 = if (n2 == 0) 1.0 else {
+      val est = 2.0 - 3.0 * y * n3 / n2
+      if (est <= 0) 1.0 else math.min(est, 2.0)
+    }
+    val d3 = if (n3 == 0) 1.5 else {
+      val est = 3.0 - 4.0 * y * n4 / n3
+      if (est <= 0) 1.5 else math.min(est, 3.0)
+    }
+    (d1, d2, d3)
+  }
+
+  /** Train a MODIFIED Kneser–Ney order-n LM: the same minCount=1
+    * [[NgramLm]] and continuation chain as [[trainKneserNeyN]], with
+    * the three-discount estimate per level. The saved artifact is the
+    * ordinary [[saveNgram]] file — the smoothing lives entirely in the
+    * derivation, so one artifact serves stupid-backoff, interpolated
+    * KN, and modified KN. */
+  def trainKneserNeyNMod(
+      ref: DataFrame, textCol: String, order: Int): KneserNeyNModLm = {
+    require(order >= 2 && order <= 8, s"order must be in [2,8], got $order")
+    val ng = trainNgram(ref, textCol, order, minCount = 1L)
+    val ds = new Array[(Double, Double, Double)](order - 1)
+    var level = ng.table(order)
+    ds(order - 2) = modDiscountsOf(level, s"cnt$order")
+    var k = order - 1
+    while (k >= 2) {
+      level = continuationTable(level, k)
+      ds(k - 2) = modDiscountsOf(level, s"cnt$k")
+      k -= 1
+    }
+    KneserNeyNModLm(ng, ds.toIndexedSeq)
+  }
+
+  /** Composable MODIFIED-KN order-n scoring — [[logProbPerDocKneserNeyN]]
+    * with the count-bucketed discount: at each seen level-j context,
+    * `p_j = (c − D_j(c) + a_j·p_{j−1}) / ctx_j` where `D_j(c)` selects
+    * D1/D2/D3 by the gram's count bucket (absent gram → numerator 0)
+    * and `a_j = D1·N1 + D2·N2 + D3·N3+` is the context's exact
+    * discounted mass (so Σp = 1 at every level — the clamps guarantee
+    * every numerator is non-negative without a max). One row per doc:
+    * `mkn_logp`, `mkn_positions`. Same plan shape and the same
+    * generated-oracle contract (the q117 CTE chain replays training
+    * AND scoring); the native forms (`graft_knmod_logprob`,
+    * `graft_knmod_logprob_packed`) are the zero-shuffle scale paths
+    * against the SAME oracle. */
+  def logProbPerDocKneserNeyNMod(
+      docs: DataFrame,
+      lm: KneserNeyNModLm,
+      idCol: String,
+      textCol: String): DataFrame = {
+    val n = lm.order
+    val cnts = new Array[DataFrame](n + 1)
+    cnts(n) = lm.ngram.table(n)
+    var k = n - 1
+    while (k >= 2) { cnts(k) = continuationTable(cnts(k + 1), k); k -= 1 }
+    // per-context denominator + exact discounted mass under the level's
+    // (D1, D2, D3) — one map-side-collapsed groupBy per level
+    val fwds = (2 to n).map { j =>
+      val (d1, d2, d3) = lm.discount(j)
+      j -> cnts(j).groupBy((1 until j).map(x => col(s"w$x")): _*)
+        .agg(sum(s"cnt$j").as(s"__ctx$j"),
+          (lit(d1) * sum((col(s"cnt$j") === 1).cast("long")) +
+            lit(d2) * sum((col(s"cnt$j") === 2).cast("long")) +
+            lit(d3) * sum((col(s"cnt$j") >= 3).cast("long"))).as(s"__a$j"))
+    }.toMap
+    val bwd1 = cnts(2).groupBy(col("w2")).agg(count(lit(1)).as("__nbwd1"))
+    val bPrime = cnts(2).count()
+    val denomCont = (bPrime + lm.ngram.unigram.vocab + 1).toDouble
+    def p1cont(nbwd: Column): Column =
+      (coalesce(nbwd, lit(0L)) + lit(1L)).cast("double") / lit(denomCont)
+
+    val base = docs
+      .select(col(idCol), Dedup.tokens(col(textCol)).as("tk"))
+      .filter(size(col("tk")) > 0)
+
+    def scoreFrame(frame: DataFrame, m: Int): DataFrame = {
+      var f = frame.join(
+        bwd1.select(col("w2").as(s"__g$m"), col("__nbwd1")), Seq(s"__g$m"), "left")
+      for (j <- 2 to m) {
+        val hit = cnts(j).select(
+          (1 to j).map(x => col(s"w$x").as(s"__g${m - j + x}")) :+
+            col(s"cnt$j").as(s"__c$j"): _*)
+        f = f.join(hit, (m - j + 1 to m).map(x => s"__g$x"), "left")
+        val ctx = fwds(j).select(
+          (1 until j).map(x => col(s"w$x").as(s"__g${m - j + x}")) :+
+            col(s"__ctx$j") :+ col(s"__a$j"): _*)
+        f = f.join(ctx, (m - j + 1 until m).map(x => s"__g$x"), "left")
+      }
+      var p: Column = p1cont(col("__nbwd1"))
+      for (j <- 2 to m) {
+        val (d1, d2, d3) = lm.discount(j)
+        val c = col(s"__c$j")
+        val num = when(c.isNull, lit(0.0)).otherwise(
+          c.cast("double") - when(c === 1, lit(d1))
+            .when(c === 2, lit(d2)).otherwise(lit(d3)))
+        p = when(col(s"__ctx$j").isNotNull,
+          (num + col(s"__a$j") * p) / col(s"__ctx$j").cast("double"))
+          .otherwise(p)
+      }
+      f.select(col(idCol), log10(p).as("logp"))
+    }
+
+    val heads = (1 to n - 1).map { m =>
+      scoreFrame(
+        base.filter(size(col("tk")) >= m).select(
+          col(idCol) +: (1 to m).map(j => element_at(col("tk"), j).as(s"__g$j")): _*),
+        m)
+    }
+    val top = scoreFrame(
+      base.select(col(idCol), explode(gramsOf(col("tk"), n)).as("g"))
+        .select(col(idCol) +: (1 to n).map(j => col(s"g.w$j").as(s"__g$j")): _*),
+      n)
+    (heads :+ top).reduce(_.unionByName(_))
+      .groupBy(idCol)
+      .agg(avg("logp").as("mkn_logp"), count(lit(1)).as("mkn_positions"))
   }
 
   /** Composable trigram scoring with STUPID BACKOFF (Brants et al.

@@ -182,6 +182,7 @@ object Streams {
       knnPath: Option[String] = None,
       minKnnLogP: Option[Double] = None,
       knnPacked: Boolean = false,
+      knnModified: Boolean = false,
       classifierPath: Option[String] = None,
       minClassifierScore: Option[Double] = None,
       // optional custom rewrite/filter lists (the batch Curator's
@@ -237,9 +238,14 @@ object Streams {
       minKn3LogP.foreach(f => df = df.filter(col("kn3_logp") >= f))
     }
     knnPath.foreach { p =>
-      df = df.withColumn("knn_logp",
-        if (knnPacked) graft.functions.GraftFunctions.knNLogProbPacked(col(textCol), p)
-        else graft.functions.GraftFunctions.knNLogProb(col(textCol), p))
+      import graft.functions.GraftFunctions._
+      val score = (knnModified, knnPacked) match {
+        case (true, true) => knModLogProbPacked(col(textCol), p)
+        case (true, false) => knModLogProb(col(textCol), p)
+        case (false, true) => knNLogProbPacked(col(textCol), p)
+        case (false, false) => knNLogProb(col(textCol), p)
+      }
+      df = df.withColumn("knn_logp", score)
       minKnnLogP.foreach(f => df = df.filter(col("knn_logp") >= f))
     }
     classifierPath.foreach { p =>

@@ -1545,6 +1545,41 @@ class CliSpec extends SparkTestBase {
       graft.cli.Curator.main(Array("--conf", bad2))
     }
     assert(err3.getMessage.contains("knn-packed"))
+    // MODIFIED KN over the SAME artifact (`knn-modified = true` — the
+    // smoothing is load-time derivation, not a file format): the
+    // scramble still drops at a mod-score floor
+    val probeM = spark.read.parquet(src)
+      .select(col("doc_id"),
+        graft.functions.GraftFunctions.knModLogProb(col("text"), knnPath).as("l"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(probeM(91001L) > probeM(91000L),
+      "modified KN must also score ordered text above its scramble")
+    val floorM = (probeM(91000L) + probeM(91001L)) / 2
+    val fm = write(base.resolve("curator_mkn.conf"),
+      s"""source { storage-type = local, dataset-dir = $src }
+         |target { storage-type = local, dataset-dir = ${base.resolve("mkncur")}, dataset-store-format = parquet, write-mode = overwrite }
+         |curation {
+         |  min-quality = 0.0
+         |  knn-path = "$knnPath"
+         |  knn-modified = true
+         |  min-knn-logp = $floorM
+         |}
+         |""".stripMargin)
+    graft.cli.Curator.main(Array("--conf", fm))
+    val idsM = spark.read.parquet(base.resolve("mkncur").toString)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(!idsM.contains(91000L) && idsM.contains(91001L),
+      "modified-KN floor must drop the scramble and keep the twin")
+    // knn-modified without knn-path is dead config
+    val bad3 = write(base.resolve("curator_knn_bad3.conf"),
+      s"""source { storage-type = local, dataset-dir = $src }
+         |target { storage-type = local, dataset-dir = ${base.resolve("knncur")}, dataset-store-format = parquet, write-mode = overwrite }
+         |curation { knn-modified = true }
+         |""".stripMargin)
+    val err4 = intercept[IllegalArgumentException] {
+      graft.cli.Curator.main(Array("--conf", bad3))
+    }
+    assert(err4.getMessage.contains("knn-modified"))
   }
 
   test("curator learned classifier: outfilters stopword-stuffed hex gibberish " +

@@ -782,4 +782,85 @@ class LangModelSpec extends SparkTestBase {
     }
     assert(err.getMessage != null)
   }
+
+  test("modified Kneser–Ney order 4: positive capped discount triples; PROPER " +
+      "distribution at every backoff level; the smoothing genuinely differs " +
+      "from single-discount interpolated KN on mixed-count contexts") {
+    // counts 1, 2, and >= 3 all present at the top level so all three
+    // discount buckets are exercised
+    val ref = (Seq.fill(4)("a b c d") ++ Seq.fill(2)("a b c e") ++
+      Seq("a b c f") ++ Seq.fill(3)("e b c d") ++ Seq("b c a b")).toDF("text")
+    val lm = LangModel.trainKneserNeyNMod(ref, "text", order = 4)
+    assert(lm.order == 4 && lm.discounts.length == 3)
+    lm.discounts.foreach { case (d1, d2, d3) =>
+      assert(d1 > 0 && d1 <= 1 && d2 > 0 && d2 <= 2 && d3 > 0 && d3 <= 3,
+        "discounts must be strictly positive and capped")
+    }
+    val outcomes = Seq("a", "b", "c", "d", "e", "f", "zz")
+    for ((w1, w2, w3) <- Seq(("a", "b", "c"), ("zz", "b", "c"), ("zz", "zz", "zz"))) {
+      val docs = (outcomes.zipWithIndex.map { case (w, i) =>
+        (i.toLong, s"$w1 $w2 $w3 $w") } :+ (99L -> s"$w1 $w2 $w3")).toDF("doc_id", "text")
+      val got = LangModel.logProbPerDocKneserNeyNMod(docs, lm, "doc_id", "text")
+        .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+      val prefix = 3 * got(99L)
+      val total = outcomes.indices.map { i =>
+        math.pow(10.0, 4 * got(i.toLong) - prefix) }.sum
+      assert(math.abs(total - 1.0) < 1e-9,
+        s"mod-KN p(·|'$w1 $w2 $w3') must sum to 1 over vocab ∪ OOV, got $total")
+    }
+    // the count-bucketed discount is real: on a context whose
+    // extensions have MIXED counts, modified and interpolated KN must
+    // disagree (a single D cannot equal D1, D2, AND D3 after training
+    // produced distinct clamped values)
+    val plain = LangModel.trainKneserNeyN(ref, "text", order = 4)
+    val probe = Seq((1L, "a b c d"), (2L, "a b c e"), (3L, "a b c f"))
+      .toDF("doc_id", "text")
+    val sm = LangModel.logProbPerDocKneserNeyNMod(probe, lm, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val sp = LangModel.logProbPerDocKneserNeyN(probe, plain, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(sm.keys.exists(k => math.abs(sm(k) - sp(k)) > 1e-6),
+      s"modified KN must differ from interpolated KN on mixed counts: $sm vs $sp")
+    // both must still prefer the frequent continuation over the rare
+    assert(sm(1L) > sm(3L), "c(abcd)=4 must outscore c(abcf)=1 under mod-KN")
+  }
+
+  test("modified-KN native and packed registries score the saveNgram " +
+      "artifact: parity with the composable form; packed within the " +
+      "float32 budget; one artifact serves all three smoothings") {
+    import graft.functions.GraftFunctions
+    val all = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select(col("doc_id"), col("text"))
+    val lm = LangModel.trainKneserNeyNMod(all.filter(col("doc_id") < 200), "text", 4)
+    val path = tmpLm("mkn_parity.lm4")
+    LangModel.saveNgram(lm.ngram, path)
+    val held = all.filter(col("doc_id") >= 200 && col("doc_id") < 500)
+    val slow = LangModel.logProbPerDocKneserNeyNMod(held, lm, "doc_id", "text")
+      .select(col("doc_id"), round(col("mkn_logp"), 6).as("s"))
+    val fast = held.select(col("doc_id"),
+      round(GraftFunctions.knModLogProb(col("text"), path), 6).as("f"))
+    val mism = slow.join(fast, "doc_id").filter(col("s") =!= col("f")).count()
+    assert(mism == 0, s"$mism docs disagree between composable and native mod-KN")
+    // packed: tolerance, not round-equality (the q116 contract)
+    val exact = held.select(col("doc_id"),
+      GraftFunctions.knModLogProb(col("text"), path).as("e"))
+    val packed = held.select(col("doc_id"),
+      GraftFunctions.knModLogProbPacked(col("text"), path).as("p"))
+    val worst = exact.join(packed, "doc_id")
+      .select(max(abs(col("e") - col("p")))).head().getDouble(0)
+    assert(worst < 2e-5, s"packed mod-KN diverged by $worst")
+    // same artifact scores under interpolated KN and stupid backoff too
+    // — the smoothing is load-time derivation, not a file format
+    val others = held.limit(50).select(
+      GraftFunctions.knNLogProb(col("text"), path).as("kn"),
+      GraftFunctions.lmNLogProb(col("text"), path).as("sb"),
+      GraftFunctions.knModLogProb(col("text"), path).as("mkn"))
+      .collect()
+    assert(others.forall(r => !r.isNullAt(0) && !r.isNullAt(1) && !r.isNullAt(2)))
+    // null / empty stay null
+    val nulls = Seq((1L, null: String), (2L, "   ")).toDF("doc_id", "text")
+      .select(GraftFunctions.knModLogProb(col("text"), path).as("s"))
+      .collect()
+    assert(nulls.forall(_.isNullAt(0)))
+  }
 }

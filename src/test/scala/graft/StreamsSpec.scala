@@ -196,7 +196,7 @@ class StreamsSpec extends SparkTestBase {
     LangModel.saveNgram(kn4.ngram, knnPath)
     val all = Streams.runToMemory(
       Streams.filterDocStream(stream(), "text", kn3Path = Some(lmPath),
-        knnPath = Some(knnPath)),
+        knnPath = Some(knnPath), knnModified = true),
       "annotated_docs", OutputMode.Append())
     assert(all.count() == 3 && all.columns.contains("kn3_logp")
       && all.columns.contains("knn_logp"))
