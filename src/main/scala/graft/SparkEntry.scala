@@ -2309,6 +2309,32 @@ object SparkEntry {
         .filter(col("mkn_logp").isNotNull)
     }),
 
+    // ---- CCNet in its PRODUCTION configuration: per-source
+    // head/middle/tail thirds by the KenLM-class model's score — q98's
+    // bucket machinery over MODIFIED-KN (q98 buckets on the unigram
+    // LM; Wenzek et al. 2019 bucket on a 5-gram KenLM model). Scores
+    // come through the native registry (the zero-shuffle production
+    // path) and round to 6 BEFORE ranking so percent_rank ties
+    // identically cross-engine. ORACLE-EXACT: the whole mod chain AND
+    // the bucket replay in one generated CTE program.
+    "q120_mkn_ppl_buckets" -> ((s, dir) => {
+      import graft.llm.{CorpusPrep, LangModel}
+      val docs = t(s, dir, "documents").select(col("doc_id"), col("source"), col("text"))
+      val lm = LangModel.trainKneserNeyNMod(
+        docs.filter(col("doc_id") < 100), "text", order = 4)
+      val lmPath = new java.io.File(
+        new java.io.File(System.getProperty("java.io.tmpdir"), "graft_lm"),
+        s"${dir.replaceAll("[^A-Za-z0-9.-]", "_")}_mkn4.lm4").toString
+      LangModel.saveNgram(lm.ngram, lmPath)
+      val scored = docs.filter(col("doc_id") >= 100)
+        .select(col("doc_id"), col("source"),
+          round(graft.functions.GraftFunctions.knModLogProb(col("text"), lmPath), 6)
+            .as("mkn_logp"))
+        .filter(col("mkn_logp").isNotNull)
+      CorpusPrep.perplexityBuckets(scored, "mkn_logp", Seq("source"))
+        .select(col("doc_id"), col("source"), col("mkn_logp"), col("ppl_bucket"))
+    }),
+
     // ---- CCNet perplexity buckets (Wenzek et al. 2019): per source,
     // head/middle/tail thirds by unigram-LM score (q71's training and
     // arithmetic). The score is rounded to the oracle's 6 decimals
@@ -2972,7 +2998,8 @@ object SparkEntry {
     * `D1·N1 + D2·N2 + D3·N3+`; per gram the numerator selects the
     * discount by count bucket. Shared by q117 (composable), q118
     * (native registry), q119 (packed registry). */
-  private def kneserNeyNModOracleSql(n: Int, scored: String, decimals: Int = 6): String = {
+  private def kneserNeyNModOracleSql(n: Int, scored: String, decimals: Int = 6,
+      buckets: Boolean = false): String = {
     require(n >= 2, s"order must be >= 2, got $n")
     val sb = new StringBuilder
     sb ++= """WITH toks AS (
@@ -3067,10 +3094,28 @@ object SparkEntry {
                 |CROSS JOIN sc),
                 |""".stripMargin
     }
-    sb ++= s"""allpos AS (${(1 to n).map(m => s"SELECT * FROM fr$m").mkString(" UNION ALL ")})
-              |SELECT doc_id, round(avg(logp), $decimals) AS mkn_logp,
-              |  CAST(count(*) AS BIGINT) AS mkn_positions
-              |FROM allpos GROUP BY doc_id""".stripMargin
+    if (!buckets)
+      sb ++= s"""allpos AS (${(1 to n).map(m => s"SELECT * FROM fr$m").mkString(" UNION ALL ")})
+                |SELECT doc_id, round(avg(logp), $decimals) AS mkn_logp,
+                |  CAST(count(*) AS BIGINT) AS mkn_positions
+                |FROM allpos GROUP BY doc_id""".stripMargin
+    else
+      // the CCNet production configuration: per-source head/middle/tail
+      // thirds by the MODIFIED-KN score — the q98 percent_rank replay
+      // over the mod chain's per-doc scores (rounded BEFORE ranking so
+      // cross-engine libm noise cannot flip a tie)
+      sb ++= s"""allpos AS (${(1 to n).map(m => s"SELECT * FROM fr$m").mkString(" UNION ALL ")}),
+                |perdoc AS (SELECT doc_id, round(avg(logp), $decimals) AS mkn_logp
+                |  FROM allpos GROUP BY doc_id),
+                |scoredb AS (
+                |  SELECT p.doc_id, d.source, p.mkn_logp,
+                |    percent_rank() OVER (PARTITION BY d.source ORDER BY p.mkn_logp DESC) AS pr
+                |  FROM perdoc p JOIN documents d USING (doc_id))
+                |SELECT doc_id, source, mkn_logp,
+                |  CASE WHEN pr < 1.0/3 THEN 'head'
+                |       WHEN pr < 1.0/3 + 1.0/3 THEN 'middle'
+                |       ELSE 'tail' END AS ppl_bucket
+                |FROM scoredb""".stripMargin
     sb.toString
   }
 
@@ -3273,6 +3318,7 @@ object SparkEntry {
     "q117_mkn4" -> kneserNeyNModOracleSql(4, LmScoredBounded),
     "q118_mkn4_native" -> kneserNeyNModOracleSql(4, LmScoredFull),
     "q119_mkn4_packed" -> kneserNeyNModOracleSql(4, LmScoredFull, decimals = 4),
+    "q120_mkn_ppl_buckets" -> kneserNeyNModOracleSql(4, LmScoredFull, buckets = true),
     // the full learned-classifier dot product replayed: the five
     // features are the q16/q21/q64 replays, the sigmoid accumulates
     // intercept-first then features in declaration order (matching the

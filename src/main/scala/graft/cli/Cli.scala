@@ -286,7 +286,10 @@ object Scorer {
   * BEFORE any hashing, so dedup state is computed over scrubbed text;
   * post-curation: `ppl-bucket-keep = [head, middle]` (CCNet
   * perplexity buckets per `ppl-bucket-group-column`, default
-  * `source`; needs `lm-path`; `ppl-bucket-head-frac`/
+  * `source`; `ppl-bucket-model = unigram|knn|mkn` picks the scoring
+  * model — unigram needs `lm-path`, knn/mkn score the `knn-path`
+  * artifact with interpolated/modified KN (CCNet's actual KenLM-class
+  * configuration; `knn-packed` composes); `ppl-bucket-head-frac`/
   * `ppl-bucket-middle-frac` default thirds; the kept rows carry a
   * `ppl_bucket` provenance column), `mixture-weights { src = f }` (+
   * `mixture-source-column`, `mixture-default-fraction`,
@@ -565,9 +568,19 @@ object Curator {
       "curation.knn-packed without curation.knn-path is dead config")
     require(c.getBoolean("knn-modified").isEmpty || c.getString("knn-path").isDefined,
       "curation.knn-modified without curation.knn-path is dead config")
+    val pplModel = c.getString("ppl-bucket-model").getOrElse("unigram")
+    require(Set("unigram", "knn", "mkn")(pplModel),
+      s"curation.ppl-bucket-model must be unigram|knn|mkn, got $pplModel")
+    require(c.getString("ppl-bucket-model").isEmpty ||
+        c.getList("ppl-bucket-keep").exists(_.nonEmpty),
+      "curation.ppl-bucket-model without curation.ppl-bucket-keep is dead config")
     require(c.getList("ppl-bucket-keep").forall(_.isEmpty) ||
-        c.getString("lm-path").isDefined,
-      "curation.ppl-bucket-keep needs curation.lm-path (a saved unigram LM file)")
+        (if (pplModel == "unigram") c.getString("lm-path").isDefined
+         else c.getString("knn-path").isDefined),
+      if (pplModel == "unigram")
+        "curation.ppl-bucket-keep needs curation.lm-path (a saved unigram LM file)"
+      else
+        s"curation.ppl-bucket-model = $pplModel needs curation.knn-path (a saved order-n LM file)")
     require(c.getDouble("min-classifier-score").isEmpty ||
         c.getString("classifier-path").isDefined,
       "curation.min-classifier-score needs curation.classifier-path " +
@@ -989,13 +1002,35 @@ object Curator {
         val bad = keep.filterNot(Set("head", "middle", "tail"))
         require(bad.isEmpty,
           s"curation.ppl-bucket-keep: unknown buckets $bad (head|middle|tail)")
-        val lmPath = c.getString("lm-path").getOrElse(throw new IllegalArgumentException(
-          "curation.ppl-bucket-keep needs curation.lm-path (a saved unigram LM file)"))
         val gcol = c.getString("ppl-bucket-group-column").getOrElse("source")
         val hf = c.getDouble("ppl-bucket-head-frac").getOrElse(1.0 / 3)
         val mf = c.getDouble("ppl-bucket-middle-frac").getOrElse(1.0 / 3)
-        val scored = decontaminated.withColumn("__ppl_logp",
-          graft.functions.GraftFunctions.lmLogProb(col(textCol), lmPath))
+        // `ppl-bucket-model` picks the scoring model: `unigram` (the
+        // q71 default, needs lm-path) or `knn`/`mkn` — interpolated or
+        // modified KN over the knn-path artifact, CCNet's actual
+        // configuration (Wenzek 2019 buckets on a 5-gram KenLM model);
+        // knn-packed composes, selecting the flat f32 registries
+        import graft.functions.GraftFunctions._
+        val model = c.getString("ppl-bucket-model").getOrElse("unigram")
+        val packed = c.getBoolean("knn-packed").getOrElse(false)
+        val scoreExpr = model match {
+          case "unigram" =>
+            val lmPath = c.getString("lm-path").getOrElse(throw new IllegalArgumentException(
+              "curation.ppl-bucket-keep needs curation.lm-path (a saved unigram LM file)"))
+            lmLogProb(col(textCol), lmPath)
+          case "knn" | "mkn" =>
+            val p = c.getString("knn-path").getOrElse(throw new IllegalArgumentException(
+              s"curation.ppl-bucket-model = $model needs curation.knn-path (a saved order-n LM file)"))
+            (model, packed) match {
+              case ("knn", false) => knNLogProb(col(textCol), p)
+              case ("knn", true) => knNLogProbPacked(col(textCol), p)
+              case (_, false) => knModLogProb(col(textCol), p)
+              case (_, true) => knModLogProbPacked(col(textCol), p)
+            }
+          case other => throw new IllegalArgumentException(
+            s"curation.ppl-bucket-model must be unigram|knn|mkn, got $other")
+        }
+        val scored = decontaminated.withColumn("__ppl_logp", scoreExpr)
         val b = graft.llm.CorpusPrep.perplexityBucketsByThreshold(
           scored, "__ppl_logp", Seq(gcol), headFrac = hf, middleFrac = mf)
           .filter(col("ppl_bucket").isin(keep: _*))

@@ -1316,6 +1316,47 @@ class CliSpec extends SparkTestBase {
     assert(intercept[IllegalArgumentException] {
       graft.cli.Curator.main(Array("--conf", bad2))
     }.getMessage.contains("bogus"))
+    // `ppl-bucket-model = mkn`: CCNet's ACTUAL configuration — buckets
+    // by the KenLM-class modified-KN score over the knn-path artifact.
+    // The planted gibberish has no seen n-grams at any order, so it
+    // bottoms out at the OOV floor per position and lands in the
+    // dropped tail under the stronger model too.
+    val kn = graft.llm.LangModel.trainKneserNeyNMod(
+      docs.filter(col("doc_id") < 200), "text", order = 4)
+    val knPath = base.resolve("ppl_mkn.lm4").toString
+    graft.llm.LangModel.saveNgram(kn.ngram, knPath)
+    val outM = base.resolve("pplmkn").toString
+    val fm = write(base.resolve("curator_ppl_mkn.conf"),
+      s"""source { storage-type = local, dataset-dir = $src }
+         |target { storage-type = local, dataset-dir = $outM, dataset-store-format = parquet, write-mode = overwrite }
+         |curation {
+         |  min-quality = 0.0
+         |  knn-path = "$knPath"
+         |  ppl-bucket-model = mkn
+         |  ppl-bucket-keep = [head, middle]
+         |}
+         |""".stripMargin)
+    graft.cli.Curator.main(Array("--conf", fm))
+    val idsM = spark.read.parquet(outM).select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(idsM.intersect(Set(70000L, 70001L, 70002L)).isEmpty,
+      "planted gibberish must fall in the tail under the mkn model too")
+    assert(idsM.nonEmpty && idsM.exists(_ < 30))
+    // model knob without the keep list is dead config; knn model
+    // without knn-path rejected up front
+    assert(intercept[IllegalArgumentException] {
+      graft.cli.Curator.main(Array("--conf", write(base.resolve("curator_ppl_bad3.conf"),
+        s"""source { storage-type = local, dataset-dir = $src }
+           |target { storage-type = local, dataset-dir = $outM, dataset-store-format = parquet, write-mode = overwrite }
+           |curation { ppl-bucket-model = mkn }
+           |""".stripMargin)))
+    }.getMessage.contains("ppl-bucket-keep"))
+    assert(intercept[IllegalArgumentException] {
+      graft.cli.Curator.main(Array("--conf", write(base.resolve("curator_ppl_bad4.conf"),
+        s"""source { storage-type = local, dataset-dir = $src }
+           |target { storage-type = local, dataset-dir = $outM, dataset-store-format = parquet, write-mode = overwrite }
+           |curation { ppl-bucket-model = knn, ppl-bucket-keep = [head] }
+           |""".stripMargin)))
+    }.getMessage.contains("knn-path"))
   }
 
   test("curator order-n LM filter: lmn-path + min-lmn-logp drop a scrambled " +
