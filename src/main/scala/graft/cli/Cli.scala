@@ -1939,6 +1939,23 @@ object Streamer {
         require(c.getString("badword-list-path").isEmpty ||
             c.getString("c4-rules").exists(_.toBoolean),
           "streaming.badword-list-path needs streaming.c4-rules = true")
+        // LM floors/knobs without their path are dead config — the
+        // stream filter would silently no-op a floor the operator
+        // believes is active (review finding: the batch Curator
+        // rejects these; the Streamer previously dropped them)
+        require(c.getDouble("min-lm-logp").isEmpty || c.getString("lm-path").isDefined,
+          "streaming.min-lm-logp without streaming.lm-path is dead config")
+        require(c.getDouble("min-kn3-logp").isEmpty || c.getString("kn3-path").isDefined,
+          "streaming.min-kn3-logp without streaming.kn3-path is dead config")
+        require(c.getDouble("min-knn-logp").isEmpty || c.getString("knn-path").isDefined,
+          "streaming.min-knn-logp without streaming.knn-path is dead config")
+        require(c.getBoolean("knn-packed").isEmpty || c.getString("knn-path").isDefined,
+          "streaming.knn-packed without streaming.knn-path is dead config")
+        require(c.getBoolean("knn-modified").isEmpty || c.getString("knn-path").isDefined,
+          "streaming.knn-modified without streaming.knn-path is dead config")
+        require(c.getDouble("min-classifier-score").isEmpty ||
+            c.getString("classifier-path").isDefined,
+          "streaming.min-classifier-score without streaming.classifier-path is dead config")
         Streams.filterDocStream(docs,
           textCol = c.getString("text-column").getOrElse("text"),
           minQuality = c.getDouble("min-quality"),

@@ -265,8 +265,7 @@ object KnModPackedRegistry {
   private def load(path: String): KnNPackedTable = {
     val (order, cnts, discounts, ctxsEx, p1Ex, p1Oov) = KnModRegistry.derive(path)
     val grams = new Array[LongFloatMap](order - 1)
-    val ctxA = new Array[LongFloatMap](order - 1)
-    val ctxDen = new Array[LongFloatMap](order - 1)
+    val ctxs = new Array[LongFloat2Map](order - 1)
     var j = 2
     while (j <= order) {
       val d = discounts(j - 2)
@@ -280,17 +279,14 @@ object KnModPackedRegistry {
       }
       grams(j - 2) = g
       val cx = ctxsEx(j - 2)
-      val a = new LongFloatMap(cx.size())
-      val den = new LongFloatMap(cx.size())
+      val pair = new LongFloat2Map(cx.size())
       val cit = cx.entrySet().iterator()
       while (cit.hasNext) {
         val e = cit.next()
-        val fp = fpOfKey(e.getKey)
-        a.put(fp, e.getValue()(0).toFloat)
-        den.put(fp, e.getValue()(1).toFloat)
+        pair.put(fpOfKey(e.getKey),
+          e.getValue()(0).toFloat, e.getValue()(1).toFloat)
       }
-      ctxA(j - 2) = a
-      ctxDen(j - 2) = den
+      ctxs(j - 2) = pair
       j += 1
     }
     val p1 = new LongFloatMap(p1Ex.size())
@@ -299,14 +295,14 @@ object KnModPackedRegistry {
       val e = pit.next()
       p1.put(NgramFingerprint.ofString(e.getKey), e.getValue.doubleValue().toFloat)
     }
-    val bytes = (p1.capacity.toLong + grams.map(_.capacity.toLong).sum +
-      ctxA.map(_.capacity.toLong).sum + ctxDen.map(_.capacity.toLong).sum) * 12
+    val bytes = (p1.capacity.toLong + grams.map(_.capacity.toLong).sum) * 12 +
+      ctxs.map(_.capacity.toLong).sum * 16
     System.err.println(s"[graft] packed modified-KN-$order LM $path: " +
-      (2 to order).map(x => s"o$x=${grams(x - 2).size}+ctx${ctxDen(x - 2).size}")
+      (2 to order).map(x => s"o$x=${grams(x - 2).size}+ctx${ctxs(x - 2).size}")
         .mkString(" ") +
       f" p1=${p1.size} resident=${bytes / 1024.0 / 1024.0}%.1f MB " +
       "(flat fp64->f32 tables)")
-    new KnNPackedTable(order, p1, p1Oov, grams, ctxA, ctxDen)
+    new KnNPackedTable(order, p1, p1Oov, grams, ctxs)
   }
 
   def score(path: String, text: UTF8String): java.lang.Double =

@@ -15,10 +15,10 @@ import org.apache.spark.unsafe.types.UTF8String
   *  - level-j grams store the PRE-DISCOUNTED numerator
   *    `max(c_j − D_j, 0)` (the only per-gram quantity the recursion
   *    reads, so the discount subtraction leaves the hot loop);
-  *  - level-j contexts store `D_j·nfwd_j` and `ctx_j` in two parallel
-  *    maps sharing one fingerprint (context presence = a hit in the
-  *    denominator map — exactly the exact-string registry's
-  *    `ctx != null` test);
+  *  - level-j contexts store `D_j·nfwd_j` and `ctx_j` as ONE paired
+  *    entry ([[LongFloat2Map]]): a single probe sequence per level per
+  *    position answers presence (the exact-string registry's
+  *    `ctx != null` test) and yields both values;
   *  - the unigram floor stores `p1cont(w)` per continuing token with
   *    the shared OOV fallback.
   *
@@ -37,8 +37,7 @@ final class KnNPackedTable(
     p1: LongFloatMap,
     p1Oov: Double,
     grams: Array[LongFloatMap], // level j at j-2: fp(gram) -> max(c-D,0)
-    ctxA: Array[LongFloatMap], // fp(ctx) -> D_j * nfwd_j
-    ctxDen: Array[LongFloatMap]) { // fp(ctx) -> ctx_j
+    ctxs: Array[LongFloat2Map]) { // fp(ctx) -> (D_j * nfwd_j, ctx_j)
 
   def avgLogProb(text: UTF8String): java.lang.Double = {
     val bytes = text.toLowerCase.getBytes
@@ -74,13 +73,13 @@ final class KnNPackedTable(
             h = NgramFingerprint.absorb(h, bytes, starts(s), ends(s) - starts(s))
             x -= 1
           }
-          val den = ctxDen(j - 2).getOrNaN(h)
-          if (!java.lang.Float.isNaN(den)) {
-            val a = ctxA(j - 2).getOrNaN(h)
+          val slot = ctxs(j - 2).slot(h)
+          if (slot >= 0) {
             val cD = grams(j - 2).getOrNaN(NgramFingerprint.absorb(
               NgramFingerprint.absorbSep(h), bytes, tokStart, i - tokStart))
             val num = if (java.lang.Float.isNaN(cD)) 0.0 else cD.toDouble
-            p = (num + a.toDouble * p) / den.toDouble
+            p = (num + ctxs(j - 2).a(slot).toDouble * p) /
+              ctxs(j - 2).b(slot).toDouble
           }
           j += 1
         }
@@ -114,8 +113,7 @@ object KnNPackedRegistry {
     val ch = KnNRegistry.buildChain(path)
     val n = ch.order
     val grams = new Array[LongFloatMap](n - 1)
-    val ctxA = new Array[LongFloatMap](n - 1)
-    val ctxDen = new Array[LongFloatMap](n - 1)
+    val ctxs = new Array[LongFloat2Map](n - 1)
     var j = 2
     while (j <= n) {
       val d = ch.discounts(j - 2)
@@ -129,17 +127,14 @@ object KnNPackedRegistry {
       }
       grams(j - 2) = g
       val cx = ch.ctxs(j - 2)
-      val a = new LongFloatMap(cx.size())
-      val den = new LongFloatMap(cx.size())
+      val pair = new LongFloat2Map(cx.size())
       val cit = cx.entrySet().iterator()
       while (cit.hasNext) {
         val e = cit.next()
-        val fp = fpOfKey(e.getKey)
-        a.put(fp, e.getValue()(0).toFloat)
-        den.put(fp, e.getValue()(1).toFloat)
+        pair.put(fpOfKey(e.getKey),
+          e.getValue()(0).toFloat, e.getValue()(1).toFloat)
       }
-      ctxA(j - 2) = a
-      ctxDen(j - 2) = den
+      ctxs(j - 2) = pair
       j += 1
     }
     val p1 = new LongFloatMap(ch.p1.size())
@@ -149,14 +144,14 @@ object KnNPackedRegistry {
       p1.put(NgramFingerprint.ofString(e.getKey), e.getValue.doubleValue().toFloat)
     }
     // the size report that decides whether an order-5 model ships
-    val bytes = (p1.capacity.toLong + grams.map(_.capacity.toLong).sum +
-      ctxA.map(_.capacity.toLong).sum + ctxDen.map(_.capacity.toLong).sum) * 12
+    val bytes = (p1.capacity.toLong + grams.map(_.capacity.toLong).sum) * 12 +
+      ctxs.map(_.capacity.toLong).sum * 16
     System.err.println(s"[graft] packed KN-$n LM $path: " +
-      (2 to n).map(x => s"o$x=${grams(x - 2).size}+ctx${ctxDen(x - 2).size}")
+      (2 to n).map(x => s"o$x=${grams(x - 2).size}+ctx${ctxs(x - 2).size}")
         .mkString(" ") +
       f" p1=${p1.size} resident=${bytes / 1024.0 / 1024.0}%.1f MB " +
       "(flat fp64->f32 tables)")
-    new KnNPackedTable(n, p1, ch.p1Oov, grams, ctxA, ctxDen)
+    new KnNPackedTable(n, p1, ch.p1Oov, grams, ctxs)
   }
 
   def score(path: String, text: UTF8String): java.lang.Double =

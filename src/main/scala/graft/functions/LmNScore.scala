@@ -74,6 +74,79 @@ final class LongFloatMap(expected: Int) {
   }
 }
 
+/** Open-addressing long → (float, float) map — [[LongFloatMap]] with a
+  * paired payload, for tables whose two values are always read
+  * together (the packed KN registries' per-context discount mass +
+  * denominator): ONE probe sequence returns a slot, both floats read
+  * from it. 16 bytes of array per slot, ~32 bytes per entry at the
+  * load ceiling. */
+final class LongFloat2Map(expected: Int) {
+  private[this] var cap = {
+    var c = 16
+    while (c < expected * 2 && c < (1 << 30)) c <<= 1
+    c
+  }
+  private[this] var keys = new Array[Long](cap)
+  private[this] var valsA = new Array[Float](cap)
+  private[this] var valsB = new Array[Float](cap)
+  private[this] var n = 0
+
+  private def slotOf(k: Long, ks: Array[Long]): Int = {
+    val mask = ks.length - 1
+    var h = k * -7046029254386353131L
+    h ^= (h >>> 32)
+    var i = (h & mask).toInt
+    while (ks(i) != 0L && ks(i) != k) i = (i + 1) & mask
+    i
+  }
+
+  private def norm(k: Long): Long = if (k == 0L) -6148914691236517205L else k
+
+  def put(key: Long, a: Float, b: Float): Unit = {
+    if (n * 2 >= cap) grow()
+    val k = norm(key)
+    val i = slotOf(k, keys)
+    if (keys(i) == 0L) { keys(i) = k; n += 1 }
+    valsA(i) = a
+    valsB(i) = b
+  }
+
+  /** Slot of `key`, or -1 when absent — pass to [[a]]/[[b]]. */
+  def slot(key: Long): Int = {
+    val k = norm(key)
+    val i = slotOf(k, keys)
+    if (keys(i) == 0L) -1 else i
+  }
+
+  def a(slot: Int): Float = valsA(slot)
+  def b(slot: Int): Float = valsB(slot)
+
+  def size: Int = n
+  def capacity: Int = cap
+
+  private def grow(): Unit = {
+    val nk = new Array[Long](cap << 1)
+    val na = new Array[Float](cap << 1)
+    val nb = new Array[Float](cap << 1)
+    var i = 0
+    while (i < cap) {
+      val k = keys(i)
+      if (k != 0L) {
+        val mask = nk.length - 1
+        var h = k * -7046029254386353131L
+        h ^= (h >>> 32)
+        var j = (h & mask).toInt
+        while (nk(j) != 0L) j = (j + 1) & mask
+        nk(j) = k
+        na(j) = valsA(i)
+        nb(j) = valsB(i)
+      }
+      i += 1
+    }
+    keys = nk; valsA = na; valsB = nb; cap <<= 1
+  }
+}
+
 object NgramFingerprint {
   /** FNV-1a 64 over the gram's token bytes with a 0x1F separator —
     * computable identically from the file loader's strings and the

@@ -2952,6 +2952,38 @@ class CliSpec extends SparkTestBase {
     intercept[IllegalArgumentException] { graft.cli.Streamer.main(Array("--conf", bad)) }
   }
 
+  test("streamer filter: LM floors/knobs without their path are rejected " +
+      "up front (the batch Curator's dead-config rules)") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val base = tmp()
+    val landing = base.resolve("fland").toString
+    Seq((1L, "a doc", 1L)).toDF("doc_id", "text", "ts")
+      .withColumn("ts", timestamp_micros(col("ts") * 3600L * 1000000L))
+      .write.parquet(landing)
+    def conf(extra: String) = write(base.resolve(s"sf${extra.length}.conf"),
+      s"""streaming {
+         |  events-dir = $landing
+         |  target-dir = ${base.resolve("fout")}
+         |  checkpoint-location = ${base.resolve("fckpt")}
+         |  operation = filter
+         |$extra
+         |}
+         |""".stripMargin)
+    for ((knob, needle) <- Seq(
+        ("  min-knn-logp = -2.0", "knn-path"),
+        ("  knn-packed = true", "knn-path"),
+        ("  knn-modified = true", "knn-path"),
+        ("  min-kn3-logp = -2.0", "kn3-path"),
+        ("  min-lm-logp = -2.0", "lm-path"),
+        ("  min-classifier-score = 0.5", "classifier-path"))) {
+      val e = intercept[IllegalArgumentException] {
+        graft.cli.Streamer.main(Array("--conf", conf(knob)))
+      }
+      assert(e.getMessage.contains(needle), s"$knob: ${e.getMessage}")
+    }
+  }
+
   test("curator bpe-vocab emits token_ids on chunks (trained tokenizer end-to-end)") {
     import org.apache.spark.sql.functions.{col, explode, size => asize}
     val base = tmp()
