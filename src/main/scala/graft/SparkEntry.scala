@@ -2309,6 +2309,32 @@ object SparkEntry {
         .filter(col("mkn_logp").isNotNull)
     }),
 
+    // ---- Modified KN at ORDER 5 — CCNet's actual order — through
+    // the SAME generic machinery: trainKneserNeyNMod(·, 5), the
+    // native registry's four-level continuation re-derivation, and
+    // the GENERATED oracle at n = 5 (the same program that wrote the
+    // order-4 oracles — five frame programs, a three-level
+    // continuation chain, four discount triples, all from the same
+    // index arithmetic). Bounded scored slice: the order-5 oracle's
+    // CTE chain is the widest in the suite.
+    "q121_mkn5" -> ((s, dir) => {
+      import graft.llm.LangModel
+      val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
+      val lm = LangModel.trainKneserNeyNMod(
+        docs.filter(col("doc_id") < 100), "text", order = 5)
+      val lmPath = new java.io.File(
+        new java.io.File(System.getProperty("java.io.tmpdir"), "graft_lm"),
+        s"${dir.replaceAll("[^A-Za-z0-9.-]", "_")}_mkn5.lm5").toString
+      LangModel.saveNgram(lm.ngram, lmPath)
+      docs.filter(col("doc_id") >= 100 && col("doc_id") < 700)
+        .select(col("doc_id"),
+          round(graft.functions.GraftFunctions.knModLogProb(col("text"), lmPath), 6)
+            .as("mkn_logp"),
+          graft.llm.TextAnalysis.wsTokenCount(col("text")).cast("long")
+            .as("mkn_positions"))
+        .filter(col("mkn_logp").isNotNull)
+    }),
+
     // ---- CCNet in its PRODUCTION configuration: per-source
     // head/middle/tail thirds by the KenLM-class model's score — q98's
     // bucket machinery over MODIFIED-KN (q98 buckets on the unigram
@@ -3319,6 +3345,9 @@ object SparkEntry {
     "q118_mkn4_native" -> kneserNeyNModOracleSql(4, LmScoredFull),
     "q119_mkn4_packed" -> kneserNeyNModOracleSql(4, LmScoredFull, decimals = 4),
     "q120_mkn_ppl_buckets" -> kneserNeyNModOracleSql(4, LmScoredFull, buckets = true),
+    // the generic program at CCNet's actual order — nothing in the
+    // generator or the engine is order-4-specific
+    "q121_mkn5" -> kneserNeyNModOracleSql(5, LmScoredBounded),
     // the full learned-classifier dot product replayed: the five
     // features are the q16/q21/q64 replays, the sigmoid accumulates
     // intercept-first then features in declaration order (matching the
