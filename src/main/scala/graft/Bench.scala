@@ -60,7 +60,11 @@ object Bench {
     Seq("q1_pricing_summary", "q6_join_agg", "q15_knn_brute", "q19_stream_window",
         "q25_ivf_recall", "q62_incremental_vector_dedup", "q73_semdedup",
         "q90_bpe_encode", "q103_pq_recall", "q109_bpe_byte_fallback",
-        "q112_bpe_byte_roundtrip")
+        "q112_bpe_byte_roundtrip",
+        // marker-gated shared KN artifacts (order 4 and 5): one-time
+        // corpus state builds here, the six native/packed KN queries
+        // then time steady-state scoring
+        "q115_kn4_native", "q121_mkn5")
       .foreach { q =>
         try materialize(SparkEntry.queries(q)(spark, sfDir))
         catch { case e: Throwable => System.err.println(s"[bench] warmup $q failed: ${e.getMessage}") }

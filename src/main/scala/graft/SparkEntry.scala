@@ -138,6 +138,30 @@ object SparkEntry {
     (mergesPath, vocabPath)
   }
 
+  /** Marker-gated shared KN count artifact (the [[ensureBpeArtifacts]]
+    * idiom): the UNPRUNED order-n `saveNgram` file every native/packed
+    * KN gate query scores — `trainNgram(minCount = 1)` of the docs<100
+    * training slice, built once per (testdata mtime, order) and reused
+    * across q115/q116/q118/q119/q120 (order 4) and q121 (order 5);
+    * interpolated and modified KN derive from the same counts, so ONE
+    * file serves both. Construction is one-time corpus state and runs
+    * in Bench's untimed warmup (the q62 steady-state-timing contract);
+    * the composable anchors q114/q117 keep training inline — their
+    * cost IS the demonstration. */
+  private def ensureKnArtifact(s: SparkSession, dir: String, order: Int): String = {
+    val base = statePath(dir, s"kn_o$order")
+    val lmPath = s"$base/ngram.lm"
+    val doneMarker = new java.io.File(base, "_DONE")
+    if (!doneMarker.exists()) {
+      val ng = graft.llm.LangModel.trainNgram(
+        t(s, dir, "documents").filter(col("doc_id") < 100), "text",
+        order, minCount = 1L)
+      graft.llm.LangModel.saveNgram(ng, lmPath)
+      doneMarker.createNewFile(): Unit
+    }
+    lmPath
+  }
+
   /** q39/q42 planted-pair accounting (eager — see [[eagerSummary]]). */
   private def pairTypeSummary(s: SparkSession, pairs: DataFrame,
       cached: DataFrame): DataFrame =
@@ -2198,14 +2222,8 @@ object SparkEntry {
     // zero-shuffle codegen'd projection. The SAME generated oracle as
     // q114 pins parity at round(6).
     "q115_kn4_native" -> ((s, dir) => {
-      import graft.llm.LangModel
       val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
-      val lm = LangModel.trainKneserNeyN(
-        docs.filter(col("doc_id") < 100), "text", order = 4)
-      val lmPath = new java.io.File(
-        new java.io.File(System.getProperty("java.io.tmpdir"), "graft_lm"),
-        s"${dir.replaceAll("[^A-Za-z0-9.-]", "_")}_kn4.lm4").toString
-      LangModel.saveNgram(lm.ngram, lmPath)
+      val lmPath = ensureKnArtifact(s, dir, order = 4)
       docs.filter(col("doc_id") >= 100)
         .select(col("doc_id"),
           round(graft.functions.GraftFunctions.knNLogProb(col("text"), lmPath), 6)
@@ -2225,14 +2243,8 @@ object SparkEntry {
     // rate across SFs — round(4) buys a ~10x margin while still
     // pinning real parity.
     "q116_kn4_packed" -> ((s, dir) => {
-      import graft.llm.LangModel
       val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
-      val lm = LangModel.trainKneserNeyN(
-        docs.filter(col("doc_id") < 100), "text", order = 4)
-      val lmPath = new java.io.File(
-        new java.io.File(System.getProperty("java.io.tmpdir"), "graft_lm"),
-        s"${dir.replaceAll("[^A-Za-z0-9.-]", "_")}_kn4.lm4").toString
-      LangModel.saveNgram(lm.ngram, lmPath)
+      val lmPath = ensureKnArtifact(s, dir, order = 4)
       docs.filter(col("doc_id") >= 100)
         .select(col("doc_id"),
           round(graft.functions.GraftFunctions.knNLogProbPacked(col("text"), lmPath), 4)
@@ -2269,14 +2281,8 @@ object SparkEntry {
     // codegen'd projection; the SAME generated oracle as q117 pins
     // parity at round(6).
     "q118_mkn4_native" -> ((s, dir) => {
-      import graft.llm.LangModel
       val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
-      val lm = LangModel.trainKneserNeyNMod(
-        docs.filter(col("doc_id") < 100), "text", order = 4)
-      val lmPath = new java.io.File(
-        new java.io.File(System.getProperty("java.io.tmpdir"), "graft_lm"),
-        s"${dir.replaceAll("[^A-Za-z0-9.-]", "_")}_mkn4.lm4").toString
-      LangModel.saveNgram(lm.ngram, lmPath)
+      val lmPath = ensureKnArtifact(s, dir, order = 4)
       docs.filter(col("doc_id") >= 100)
         .select(col("doc_id"),
           round(graft.functions.GraftFunctions.knModLogProb(col("text"), lmPath), 6)
@@ -2292,14 +2298,8 @@ object SparkEntry {
     // recursion cannot tell how many discounts the smoothing had.
     // Pinned at round(4), the measured float32 margin.
     "q119_mkn4_packed" -> ((s, dir) => {
-      import graft.llm.LangModel
       val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
-      val lm = LangModel.trainKneserNeyNMod(
-        docs.filter(col("doc_id") < 100), "text", order = 4)
-      val lmPath = new java.io.File(
-        new java.io.File(System.getProperty("java.io.tmpdir"), "graft_lm"),
-        s"${dir.replaceAll("[^A-Za-z0-9.-]", "_")}_mkn4.lm4").toString
-      LangModel.saveNgram(lm.ngram, lmPath)
+      val lmPath = ensureKnArtifact(s, dir, order = 4)
       docs.filter(col("doc_id") >= 100)
         .select(col("doc_id"),
           round(graft.functions.GraftFunctions.knModLogProbPacked(col("text"), lmPath), 4)
@@ -2310,22 +2310,17 @@ object SparkEntry {
     }),
 
     // ---- Modified KN at ORDER 5 — CCNet's actual order — through
-    // the SAME generic machinery: trainKneserNeyNMod(·, 5), the
-    // native registry's four-level continuation re-derivation, and
-    // the GENERATED oracle at n = 5 (the same program that wrote the
-    // order-4 oracles — five frame programs, a three-level
-    // continuation chain, four discount triples, all from the same
-    // index arithmetic). Bounded scored slice: the order-5 oracle's
-    // CTE chain is the widest in the suite.
+    // the SAME generic machinery: the shared order-5 count artifact
+    // (marker-gated one-time corpus state), the native registry's
+    // four-level continuation re-derivation, and the GENERATED oracle
+    // at n = 5 (the same program that wrote the order-4 oracles —
+    // five frame programs, a three-level continuation chain, four
+    // discount triples, all from the same index arithmetic). Bounded
+    // scored slice: the order-5 oracle's CTE chain is the widest in
+    // the suite.
     "q121_mkn5" -> ((s, dir) => {
-      import graft.llm.LangModel
       val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
-      val lm = LangModel.trainKneserNeyNMod(
-        docs.filter(col("doc_id") < 100), "text", order = 5)
-      val lmPath = new java.io.File(
-        new java.io.File(System.getProperty("java.io.tmpdir"), "graft_lm"),
-        s"${dir.replaceAll("[^A-Za-z0-9.-]", "_")}_mkn5.lm5").toString
-      LangModel.saveNgram(lm.ngram, lmPath)
+      val lmPath = ensureKnArtifact(s, dir, order = 5)
       docs.filter(col("doc_id") >= 100 && col("doc_id") < 700)
         .select(col("doc_id"),
           round(graft.functions.GraftFunctions.knModLogProb(col("text"), lmPath), 6)
@@ -2344,14 +2339,9 @@ object SparkEntry {
     // identically cross-engine. ORACLE-EXACT: the whole mod chain AND
     // the bucket replay in one generated CTE program.
     "q120_mkn_ppl_buckets" -> ((s, dir) => {
-      import graft.llm.{CorpusPrep, LangModel}
+      import graft.llm.CorpusPrep
       val docs = t(s, dir, "documents").select(col("doc_id"), col("source"), col("text"))
-      val lm = LangModel.trainKneserNeyNMod(
-        docs.filter(col("doc_id") < 100), "text", order = 4)
-      val lmPath = new java.io.File(
-        new java.io.File(System.getProperty("java.io.tmpdir"), "graft_lm"),
-        s"${dir.replaceAll("[^A-Za-z0-9.-]", "_")}_mkn4.lm4").toString
-      LangModel.saveNgram(lm.ngram, lmPath)
+      val lmPath = ensureKnArtifact(s, dir, order = 4)
       val scored = docs.filter(col("doc_id") >= 100)
         .select(col("doc_id"), col("source"),
           round(graft.functions.GraftFunctions.knModLogProb(col("text"), lmPath), 6)

@@ -119,13 +119,13 @@ object Curation {
         * annotate only. */
       minKn3LogP: Double = Double.NegativeInfinity,
       /** Saved ORDER-N LM file ([[LangModel.saveNgram]] of an
-        * UNPRUNED `trainKneserNeyN(...).ngram`), scored with
-        * interpolated Kneser–Ney smoothing at the artifact's own
-        * order — the full KenLM-class filter (CCNet runs a 5-gram
-        * modified-KN model): the registry re-derives the whole
-        * continuation chain and every discount from the stored
-        * top-order counts. Adds `knn_logp`; stackable with the other
-        * LM filters. */
+        * UNPRUNED minCount=1 n-gram model), scored with Kneser–Ney
+        * smoothing at the artifact's own order — interpolated by
+        * default, MODIFIED (KenLM's default; what CCNet's 5-gram
+        * filter runs) with [[knnModified]]: the registries re-derive
+        * the whole continuation chain and every discount from the
+        * stored top-order counts. Adds `knn_logp`; stackable with the
+        * other LM filters. */
       knnPath: Option[String] = None,
       /** Keep documents with `knn_logp >= minKnnLogP`. -Infinity =
         * annotate only. */

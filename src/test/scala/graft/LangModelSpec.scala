@@ -863,4 +863,27 @@ class LangModelSpec extends SparkTestBase {
       .collect()
     assert(nulls.forall(_.isNullAt(0)))
   }
+
+  test("native KN scoring is a zero-shuffle codegen'd projection " +
+      "(plan-asserted for all four registry expressions)") {
+    import graft.functions.GraftFunctions._
+    val all = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select(col("doc_id"), col("text"))
+    val lm = LangModel.trainKneserNeyN(all.filter(col("doc_id") < 50), "text", 3)
+    val path = tmpLm("knn_plan.lm3")
+    LangModel.saveNgram(lm.ngram, path)
+    for (expr <- Seq(knNLogProb(col("text"), path),
+        knNLogProbPacked(col("text"), path),
+        knModLogProb(col("text"), path),
+        knModLogProbPacked(col("text"), path))) {
+      val plan = all.select(col("doc_id"), expr.as("s"))
+        .queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange"), s"unexpected shuffle:\n$plan")
+      // the `*(n)` prefix is the executedPlan string's whole-stage-
+      // codegen marker — the Project carrying the score must wear it
+      assert(plan.linesIterator.exists(l =>
+        l.contains("Project") && l.trim.startsWith("*(")),
+        s"scoring projection must stay inside whole-stage codegen:\n$plan")
+    }
+  }
 }
