@@ -2330,6 +2330,29 @@ object SparkEntry {
         .filter(col("mkn_logp").isNotNull)
     }),
 
+    // ---- Corpus-global LINE dedup, first occurrence wins (the
+    // Dolma/RefinedWeb exact-paragraph dedup step — distinct from
+    // q75's boilerplate threshold, which drops the FIRST copy too):
+    // a promo line planted on every 3rd doc and a footer on EVERY doc
+    // survive exactly once each (lowest doc_id); the short "-" line is
+    // exempt everywhere; unique bodies untouched. ORACLE-EXACT: the
+    // whole program — split, first-wins row_number over (doc, pos),
+    // short-line exemption, ordered reassembly, removal counts —
+    // replayed in SQL.
+    "q122_line_dedup" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").select(col("doc_id"),
+          concat(
+            when(col("doc_id") % 3 === 0,
+              lit("subscribe to our newsletter for weekly updates\n"))
+              .otherwise(lit("")),
+            lit("-\n"),
+            col("text"),
+            lit("\nall rights reserved by the original publisher"))
+          .as("text"))
+        .filter(col("doc_id") < 200)
+      graft.llm.Dedup.dedupLinesGlobal(docs, "doc_id", "text", minLineLen = 15)
+    }),
+
     // ---- CCNet in its PRODUCTION configuration: per-source
     // head/middle/tail thirds by the KenLM-class model's score — q98's
     // bucket machinery over MODIFIED-KN (q98 buckets on the unigram
@@ -3338,6 +3361,34 @@ object SparkEntry {
     // the generic program at CCNet's actual order — nothing in the
     // generator or the engine is order-4-specific
     "q121_mkn5" -> kneserNeyNModOracleSql(5, LmScoredBounded),
+    // the whole first-wins line-dedup program replayed: same planted
+    // corpus, same (doc, pos) tie order, same exemption and counts
+    "q122_line_dedup" ->
+      """WITH arr AS (
+        |  SELECT doc_id,
+        |    str_split(
+        |      CASE WHEN doc_id % 3 = 0
+        |           THEN 'subscribe to our newsletter for weekly updates' || chr(10)
+        |           ELSE '' END ||
+        |      '-' || chr(10) || text || chr(10) ||
+        |      'all rights reserved by the original publisher', chr(10)) AS ls
+        |  FROM documents WHERE doc_id < 200),
+        |lines AS (
+        |  SELECT doc_id, i, ls[i] AS line
+        |  FROM (SELECT doc_id, ls, unnest(generate_series(1, len(ls))) AS i FROM arr)),
+        |kept AS (
+        |  SELECT doc_id, i, line FROM (
+        |    SELECT doc_id, i, line,
+        |      row_number() OVER (PARTITION BY line ORDER BY doc_id, i) AS rn
+        |    FROM lines)
+        |  WHERE len(line) < 15 OR rn = 1),
+        |rebuilt AS (
+        |  SELECT doc_id, string_agg(line, chr(10) ORDER BY i) AS clean,
+        |    count(*) AS n_kept
+        |  FROM kept GROUP BY doc_id)
+        |SELECT a.doc_id, coalesce(r.clean, '') AS text,
+        |  CAST(len(a.ls) - coalesce(r.n_kept, 0) AS BIGINT) AS n_lines_removed
+        |FROM arr a LEFT JOIN rebuilt r USING (doc_id)""".stripMargin,
     // the full learned-classifier dot product replayed: the five
     // features are the q16/q21/q64 replays, the sigmoid accumulates
     // intercept-first then features in declaration order (matching the

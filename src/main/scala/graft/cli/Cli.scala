@@ -284,6 +284,11 @@ object Scorer {
   * `max-jaccard-distance`, `max-hamming`, `bands`, `shingle-size`,
   * `transitive-near-dups`; pre-curation: `redact = true` scrubs PII
   * BEFORE any hashing, so dedup state is computed over scrubbed text;
+  * `dedup-lines = true` (+ `dedup-lines-min-len`, default 15):
+  * corpus-global first-occurrence-wins LINE dedup (the Dolma/
+  * RefinedWeb exact-paragraph step) between boilerplate and span
+  * dedup, with accumulated `lines` hash state and a `lineparams`
+  * drift guard;
   * post-curation: `ppl-bucket-keep = [head, middle]` (CCNet
   * perplexity buckets per `ppl-bucket-group-column`, default
   * `source`; `ppl-bucket-model = unigram|knn|mkn` picks the scoring
@@ -609,6 +614,11 @@ object Curator {
       "curation.temperature-budget needs curation.temperature-alpha")
     c.getInt("boilerplate-min-doc-freq").foreach(m => require(m >= 2,
       s"curation.boilerplate-min-doc-freq must be >= 2, got $m"))
+    require(c.getInt("dedup-lines-min-len").isEmpty ||
+        c.getBoolean("dedup-lines").getOrElse(false),
+      "curation.dedup-lines-min-len without curation.dedup-lines = true is dead config")
+    c.getInt("dedup-lines-min-len").foreach(m => require(m >= 0,
+      s"curation.dedup-lines-min-len must be >= 0, got $m"))
     if (c.getString("shuffle-salt").isDefined) {
       // the deterministic export shuffle IS the write layout — any
       // target knob that re-partitions/re-sorts/re-groups rows would
@@ -764,6 +774,59 @@ object Curator {
         out.toByteArray
       } finally in.close()
     }
+    // corpus-global LINE dedup, first occurrence wins (the Dolma/
+    // RefinedWeb exact-paragraph dedup step — distinct from
+    // boilerplate, which drops frequency-threshold lines from EVERY
+    // doc, first copy included: here one copy always survives), the
+    // text-rewriting stage between boilerplate and span dedup — with
+    // ACCUMULATED evidence: the state's `lines` table (distinct corpus
+    // line hashes, 8 B each) cuts arrival-batch line occurrences whose
+    // first copy lives in a PREVIOUS batch, while the batch only ever
+    // shuffles its own lines. The short-line exemption threshold
+    // parameterizes the state (exempt lines never enter it), so it
+    // rides a `lineparams` record and a mismatched run is rejected —
+    // the spanparams rule.
+    val priorLineDir = stateDir.filter(d => exists(new Path(qual(d), "lines")))
+    val (dfL, lineEvidence, lineParamsOut) =
+      c.getBoolean("dedup-lines").getOrElse(false) match {
+        case true => stages.timed("line-dedup") {
+          val minLen = c.getInt("dedup-lines-min-len").getOrElse(15)
+          val lineParams = s"dedup-lines-min-len=$minLen"
+          priorLineDir.foreach { d =>
+            val stored = readSmall(new Path(qual(d), "lineparams"))
+            require(stored == lineParams,
+              s"line-dedup state at '$d' was built with [$stored] but this run " +
+                s"uses [$lineParams] — line hashes under a different exemption " +
+                "threshold do not compare; re-curate from scratch or restore it")
+          }
+          val prior = priorLineDir.map(d => spark.read.parquet(s"$d/lines"))
+          val cleaned = graft.llm.Dedup.dedupLinesAgainst(
+            dfB, idCol, textCol, prior, minLineLen = minLen).persist()
+          val kept = cleaned
+            .filter(col("n_lines_removed") === 0 || length(col(textCol)) > 0)
+            .drop("n_lines_removed")
+          if (!c.getString("log-drop-counts").exists(v => !v.toBoolean)) {
+            val stats = cleaned.agg(count(lit(1)).as("docs"),
+              sum((col("n_lines_removed") > 0).cast("long")).as("touched"),
+              sum("n_lines_removed").as("lines")).head()
+            Cli.log(s"line-dedup: ${stats.getLong(2)} duplicate lines cut from " +
+              s"${stats.getLong(1)} of ${stats.getLong(0)} docs (min-len=$minLen" +
+              (if (prior.isDefined) ", accumulated evidence" else "") + ")")
+          }
+          // state = prior ∪ this batch's distinct hashes — hashes of
+          // the stage INPUT, the kept first copies realize every hash
+          val state = (prior.toSeq :+
+            graft.llm.Dedup.lineHashTable(dfB, textCol, minLineLen = minLen))
+            .reduce(_.unionByName(_)).distinct().persist()
+          (kept, Some(state), Some(lineParams))
+        }
+        case false =>
+          // stage off: carry prior evidence forward unchanged (the
+          // linefreqs/spans convention)
+          (dfB,
+            priorLineDir.map(d => spark.read.parquet(s"$d/lines")),
+            priorLineDir.map(d => readSmall(new Path(qual(d), "lineparams"))))
+      }
     case class SpanEvidence(batch: Option[org.apache.spark.sql.DataFrame],
         prior: Option[org.apache.spark.sql.DataFrame],
         priorBloom: Option[Array[Byte]], params: String,
@@ -804,8 +867,8 @@ object Curator {
         // below, alongside the tier caches)
         val deduped = (prior match {
           case Some(ps) => graft.llm.Dedup.removeDuplicateSpansAgainst(
-            dfB, idCol, textCol, ps, n = n, bloom = priorBloom)
-          case None => graft.llm.Dedup.removeDuplicateSpans(dfB, idCol, textCol, n = n)
+            dfL, idCol, textCol, ps, n = n, bloom = priorBloom)
+          case None => graft.llm.Dedup.removeDuplicateSpans(dfL, idCol, textCol, n = n)
         }).persist()
         val kept = deduped
           .filter(col("n_removed") === 0 || length(col(textCol)) > 0)
@@ -822,7 +885,7 @@ object Curator {
         // (post-rewrite, pre-cut — the kept first copies realize every
         // hash; persisted because the state write reads it twice, for
         // the spans union and the bloom build)
-        val batchSpans = graft.llm.Dedup.spanHashTable(dfB, textCol, n).persist()
+        val batchSpans = graft.llm.Dedup.spanHashTable(dfL, textCol, n).persist()
         (Some(kept.drop("n_removed") -> deduped),
           Some(SpanEvidence(Some(batchSpans), prior, priorBloom, spanParams,
             bloomItems, bloomFpp)))
@@ -838,7 +901,7 @@ object Curator {
         }
         (None, carried)
     }
-    val df = df0ToFree.map(_._1).getOrElse(dfB)
+    val df = df0ToFree.map(_._1).getOrElse(dfL)
     val (batch, batchToFree) = stateDir match {
       case Some(d) => stages.timed("incremental-text-tiers") {
         Cli.log(s"incremental: dropping docs seen in state at $d ...")
@@ -1545,6 +1608,13 @@ object Curator {
       // frequencies (prior + this batch when the stage ran; prior
       // carried forward when it didn't)
       boilerFreqs.foreach(_.write.mode("overwrite").parquet(s"$outDir/linefreqs"))
+      // line-dedup evidence rides the same commit: accumulated
+      // distinct line hashes + the exemption-parameter record
+      lineEvidence.foreach(_.write.mode("overwrite").parquet(s"$outDir/lines"))
+      lineParamsOut.foreach { lp =>
+        val lOut = fs.create(new Path(outPath, "lineparams"), true)
+        try lOut.write(lp.getBytes("UTF-8")) finally lOut.close()
+      }
       // span evidence rides the same commit: accumulated distinct span
       // hashes + the merged bloom pre-filter + the parameter record.
       // The spans union is a narrow read+write (no shuffle — duplicate
@@ -1634,6 +1704,7 @@ object Curator {
     benchHits.foreach(_._2.unpersist())
     freqState.foreach(_.unpersist())
     boilerFreqs.foreach(_.unpersist()) // no-op for the carried-forward case
+    lineEvidence.foreach(_.unpersist())
     spanEvidence.foreach(_.batch.foreach(_.unpersist()))
     Cli.log("curation finished")
   }
@@ -1792,7 +1863,8 @@ object Compactor {
           .write.mode("overwrite").parquet(new Path(outPath, table).toString)
     }
     Seq("hashes", "sigs", "vecsigs", "hotcounts", "vechotcounts", "spans",
-      "hot", "vechot", "linefreqs", "cardsketch", "benchhits", "freqsketch")
+      "hot", "vechot", "linefreqs", "lines", "cardsketch", "benchhits",
+      "freqsketch")
       .foreach(copyParquet)
     def copyFile(name: String): Unit = {
       val src = new Path(inPath, name)
@@ -1812,6 +1884,7 @@ object Compactor {
     }
     copyFile("spanbloom")
     copyFile("spanparams")
+    copyFile("lineparams")
     val m = fs.create(new Path(outPath, "_COMMITTED"), true)
     try m.write(stateParams.getBytes("UTF-8")) finally m.close()
     // ONLY now is it safe to drop superseded parts and retire the input

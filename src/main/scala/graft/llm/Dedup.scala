@@ -748,4 +748,112 @@ object Dedup {
           .otherwise(col("__n_orig") - coalesce(col("__n_kept"), lit(0L))))
       .select(df.columns.map(col) :+ col("n_removed"): _*)
   }
+
+  /** Corpus-global LINE deduplication, FIRST occurrence wins — the
+    * exact-paragraph dedup step the Dolma / RefinedWeb pipelines run
+    * between document dedup and span dedup: any line (delimiter-split
+    * unit) appearing VERBATIM more than once in the corpus keeps only
+    * its first occurrence in (`idCol`, line-position) order; every
+    * later copy is cut from its document, and survivors reassemble in
+    * their original order. DIFFERS from [[TextAnalysis.stripBoilerplate]]
+    * (which drops frequency-threshold lines from EVERY doc, first copy
+    * included) — here one copy always survives, so content is never
+    * lost corpus-wide, only de-duplicated.
+    *
+    * Lines shorter than `minLineLen` characters are EXEMPT: blank
+    * lines, bullets, and short structural fragments ("Introduction")
+    * would otherwise vanish everywhere after their first appearance
+    * and destroy document formatting — the published pipelines exempt
+    * short paragraphs for exactly this reason. The exemption also caps
+    * the dedup window's key skew: the overwhelmingly-frequent lines in
+    * web text are the short ones.
+    *
+    * Returns `df` with `textCol` replaced and `n_lines_removed` (0 for
+    * untouched docs; a doc whose every line was a later copy comes
+    * back with empty text — filter on it if such docs should drop).
+    *
+    * 100 TB shape: one explode, ONE shuffle on the line key (the
+    * first-wins window sorts (id, pos) within each line's partition —
+    * never global), reassembly grouped by doc id with per-doc state
+    * bounded by document size. Everything is built-ins; the q122
+    * oracle replays split → row_number → filter → ordered string_agg
+    * verbatim in SQL. The incremental form is
+    * [[dedupLinesAgainst]] + [[lineHashTable]] (8 B per distinct
+    * corpus line of state, the span-state recipe). */
+  def dedupLinesGlobal(
+      df: DataFrame,
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      delim: String = "\n",
+      minLineLen: Int = 15): DataFrame =
+    dedupLinesAgainst(df, idCol, textCol, None, delim, minLineLen)
+
+  /** Distinct xxhash64 line hashes of a batch (lines at or above
+    * `minLineLen` only — exempt lines never enter state): the 8-bytes-
+    * per-line accumulated-state unit [[dedupLinesAgainst]] consumes,
+    * exactly the span-state recipe one granularity up. */
+  def lineHashTable(
+      df: DataFrame,
+      textCol: String = "text",
+      delim: String = "\n",
+      minLineLen: Int = 15): DataFrame =
+    df.select(explode(split(col(textCol),
+        java.util.regex.Pattern.quote(delim))).as("__line"))
+      .filter(length(col("__line")) >= minLineLen)
+      .select(xxhash64(col("__line")).as("line_hash"))
+      .distinct()
+
+  /** [[dedupLinesGlobal]] with ACCUMULATED evidence — the incremental
+    * batch-vs-corpus form: occurrences whose line hash appears in
+    * `priorLines` (a `line_hash` table from [[lineHashTable]] unioned
+    * across prior batches) are cut UNCONDITIONALLY (their first copy
+    * lives in an earlier batch); the rest deduplicate first-wins
+    * within the batch. The prior side joins as a broadcast-friendly
+    * left join on the 8-byte hash, so a batch only ever shuffles its
+    * own lines. Collision budget: a 64-bit hash collision cuts an
+    * innocent line (never corrupts text) — the documented span-state
+    * trade. */
+  def dedupLinesAgainst(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      priorLines: Option[DataFrame],
+      delim: String = "\n",
+      minLineLen: Int = 15): DataFrame = {
+    require(delim.nonEmpty, "delim must be non-empty")
+    require(minLineLen >= 0, s"minLineLen must be >= 0, got $minLineLen")
+    require(!df.columns.contains("n_lines_removed"),
+      "input already has an n_lines_removed column — rename it first")
+    val q = java.util.regex.Pattern.quote(delim)
+    val lines = df.select(col(idCol),
+      posexplode(split(col(textCol), q)).as(Seq("__pos", "__line")))
+    val seenPrior = priorLines match {
+      case Some(ps) => lines
+        .join(ps.select(col("line_hash").as("__ph")),
+          xxhash64(col("__line")) === col("__ph"), "left")
+        .withColumn("__prior", col("__ph").isNotNull).drop("__ph")
+      case None => lines.withColumn("__prior", lit(false))
+    }
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("__line")).orderBy(col(idCol), col("__pos"))
+    val kept = seenPrior
+      .withColumn("__rn", row_number().over(w))
+      .filter(length(col("__line")) < minLineLen ||
+        (!col("__prior") && col("__rn") === 1))
+      .drop("__rn", "__prior")
+    val rebuilt = kept.groupBy(col(idCol))
+      .agg(
+        array_join(
+          transform(array_sort(collect_list(struct(col("__pos"), col("__line")))),
+            x => x.getField("__line")),
+          delim).as("__clean"),
+        count(lit(1)).as("__n_kept"))
+    df.withColumn("__n_orig", size(split(col(textCol), q)).cast("long"))
+      .withColumnRenamed(textCol, "__orig")
+      .join(rebuilt, Seq(idCol), "left")
+      .withColumn(textCol, coalesce(col("__clean"), lit("")))
+      .withColumn("n_lines_removed",
+        col("__n_orig") - coalesce(col("__n_kept"), lit(0L)))
+      .select(df.columns.map(col) :+ col("n_lines_removed"): _*)
+  }
 }

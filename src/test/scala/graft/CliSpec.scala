@@ -2952,6 +2952,91 @@ class CliSpec extends SparkTestBase {
     intercept[IllegalArgumentException] { graft.cli.Streamer.main(Array("--conf", bad)) }
   }
 
+  test("curator dedup-lines: first-occurrence-wins line dedup with " +
+      "accumulated cross-batch state; exemption-parameter drift rejected; " +
+      "stage-off batches carry the evidence forward") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val base = tmp()
+    val nl = "\n"
+    val promo = "this exact promotional line repeats across many documents"
+    // batch 1: the promo line on docs 1 AND 2 (first-wins in-batch),
+    // unique long bodies, a short line everywhere
+    val src1 = base.resolve("lsrc1").toString
+    Seq(
+      (1L, Seq(promo, "-", "unique body of document one with plenty of words").mkString(nl)),
+      (2L, Seq("unique body of document two with plenty of words", "-", promo).mkString(nl)),
+      (3L, Seq("unique body of document three with plenty of words").mkString(nl))
+    ).toDF("doc_id", "text").write.parquet(src1)
+    def conf(n: Int, src: String, stateIn: Option[String], extra: String = "") =
+      write(base.resolve(s"ldcur$n.conf"),
+        s"""source { storage-type = local, dataset-dir = $src }
+           |target { storage-type = local, dataset-dir = ${base.resolve(s"ldout$n")}, dataset-store-format = parquet, write-mode = overwrite }
+           |curation {
+           |  min-quality = 0.0
+           |  dedup-lines = true
+           |${stateIn.map(d => s"  state-dir = $d").getOrElse("")}
+           |  state-out-dir = ${base.resolve(s"ldstate$n")}
+           |$extra
+           |}
+           |""".stripMargin)
+    graft.cli.Curator.main(Array("--conf", conf(1, src1, None)))
+    val out1 = spark.read.parquet(base.resolve("ldout1").toString)
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("text")).toMap
+    assert(out1(1L).contains(promo), "doc 1 holds the first copy")
+    assert(!out1(2L).contains(promo), "doc 2's later copy must be cut")
+    assert(out1(2L).split(nl).toSeq ==
+      Seq("unique body of document two with plenty of words", "-"),
+      "order + exempt short line preserved")
+    assert(new java.io.File(base.resolve("ldstate1").resolve("lines").toString).exists())
+    // batch 2 against state: the promo line's first copy lives in
+    // batch 1 -> cut at arrival even at its batch-first occurrence;
+    // a NEW repeated line still dedups first-wins within the batch
+    val fresh = "a brand new line arriving for the first time in batch two"
+    val src2 = base.resolve("lsrc2").toString
+    Seq(
+      (100L, Seq(promo, fresh, "unique body of document one hundred").mkString(nl)),
+      (101L, Seq(fresh, "unique body of document one hundred one").mkString(nl))
+    ).toDF("doc_id", "text").write.parquet(src2)
+    graft.cli.Curator.main(Array("--conf",
+      conf(2, src2, Some(base.resolve("ldstate1").toString))))
+    val out2 = spark.read.parquet(base.resolve("ldout2").toString)
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("text")).toMap
+    assert(!out2(100L).contains(promo), "prior-corpus line must be cut at arrival")
+    assert(out2(100L).contains(fresh), "doc 100 holds the batch-first copy")
+    assert(!out2(101L).contains(fresh), "doc 101's later copy must be cut")
+    // exemption-threshold drift against committed state is rejected
+    val err = intercept[IllegalArgumentException] {
+      graft.cli.Curator.main(Array("--conf",
+        conf(3, src2, Some(base.resolve("ldstate2").toString),
+          extra = "  dedup-lines-min-len = 20")))
+    }
+    assert(err.getMessage.contains("dedup-lines-min-len"), err.getMessage)
+    // a stage-off batch carries the lines state forward unchanged
+    val offConf = write(base.resolve("ldoff.conf"),
+      s"""source { storage-type = local, dataset-dir = $src2 }
+         |target { storage-type = local, dataset-dir = ${base.resolve("ldoutOff")}, dataset-store-format = parquet, write-mode = overwrite }
+         |curation {
+         |  min-quality = 0.0
+         |  state-dir = ${base.resolve("ldstate2")}
+         |  state-out-dir = ${base.resolve("ldstateOff")}
+         |}
+         |""".stripMargin)
+    graft.cli.Curator.main(Array("--conf", offConf))
+    assert(spark.read.parquet(base.resolve("ldstateOff").resolve("lines").toString).count() ==
+      spark.read.parquet(base.resolve("ldstate2").resolve("lines").toString).count(),
+      "toggling the stage off must not discard accumulated line state")
+    // min-len without the stage is dead config
+    val bad = write(base.resolve("ldbad.conf"),
+      s"""source { storage-type = local, dataset-dir = $src1 }
+         |target { storage-type = local, dataset-dir = ${base.resolve("ldoutB")}, dataset-store-format = parquet, write-mode = overwrite }
+         |curation { dedup-lines-min-len = 20 }
+         |""".stripMargin)
+    assert(intercept[IllegalArgumentException] {
+      graft.cli.Curator.main(Array("--conf", bad))
+    }.getMessage.contains("dedup-lines"))
+  }
+
   test("streamer filter: LM floors/knobs without their path are rejected " +
       "up front (the batch Curator's dead-config rules)") {
     import org.apache.spark.sql.functions._

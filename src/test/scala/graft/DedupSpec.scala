@@ -371,4 +371,68 @@ class DedupSpec extends SparkTestBase {
       graft.functions.GraftFunctions.bloomMightContain(merged, col("span_hash"))).count()
     assert(hits == 1, "empty-side merge must preserve the non-empty side")
   }
+
+  test("dedupLinesGlobal: first occurrence of a repeated line survives, " +
+      "later copies cut, short lines exempt, order preserved, all-dup " +
+      "docs come back empty") {
+    import spark.implicits._
+    val nl = "\n"
+    val docs = Seq(
+      (1L, Seq("unique opening line of document one",
+        "this exact promotional line repeats in many documents",
+        "-", "closing line of document one").mkString(nl)),
+      (2L, Seq("this exact promotional line repeats in many documents",
+        "-", "unique body of document two").mkString(nl)),
+      (3L, Seq("this exact promotional line repeats in many documents").mkString(nl)),
+      (4L, Seq("short", "-", "short").mkString(nl))
+    ).toDF("doc_id", "text")
+    val out = Dedup.dedupLinesGlobal(docs, "doc_id", "text", minLineLen = 15)
+      .collect().map(r => r.getLong(0) -> (r.getString(1), r.getLong(2))).toMap
+    // doc 1 holds the FIRST copy -> untouched
+    assert(out(1L)._1.split(nl).toSeq == Seq("unique opening line of document one",
+      "this exact promotional line repeats in many documents",
+      "-", "closing line of document one"))
+    assert(out(1L)._2 == 0L)
+    // doc 2 loses the repeat, keeps order incl. the exempt short line
+    assert(out(2L)._1.split(nl).toSeq == Seq("-", "unique body of document two"))
+    assert(out(2L)._2 == 1L)
+    // doc 3 was ONLY the repeated line -> empty text
+    assert(out(3L)._1 == "" && out(3L)._2 == 1L)
+    // short lines are exempt even when repeated within one doc
+    assert(out(4L)._1.split(nl).toSeq == Seq("short", "-", "short"))
+    assert(out(4L)._2 == 0L)
+  }
+
+  test("dedupLinesAgainst: a line whose first copy lives in a PRIOR batch " +
+      "is cut from every occurrence in this batch; state is 8-byte hashes") {
+    import spark.implicits._
+    val nl = "\n"
+    val prior = Seq((1L, "this exact promotional line repeats in many documents"))
+      .toDF("doc_id", "text")
+    val state = Dedup.lineHashTable(prior, "text", minLineLen = 15)
+    assert(state.columns.toSeq == Seq("line_hash"))
+    // exempt-short lines never enter state
+    assert(Dedup.lineHashTable(Seq((1L, "short")).toDF("doc_id", "text"),
+      "text", minLineLen = 15).count() == 0)
+    val batch = Seq(
+      (10L, Seq("this exact promotional line repeats in many documents",
+        "a genuinely new line arriving in this batch").mkString(nl)),
+      (11L, Seq("a genuinely new line arriving in this batch",
+        "another new line that is unique").mkString(nl))
+    ).toDF("doc_id", "text")
+    val out = Dedup.dedupLinesAgainst(batch, "doc_id", "text", Some(state),
+      minLineLen = 15)
+      .collect().map(r => r.getLong(0) -> (r.getString(1), r.getLong(2))).toMap
+    // the prior-corpus line is cut even at its batch-first occurrence;
+    // the new repeated line still dedups first-wins WITHIN the batch
+    assert(out(10L)._1 == "a genuinely new line arriving in this batch"
+      && out(10L)._2 == 1L)
+    assert(out(11L)._1 == "another new line that is unique" && out(11L)._2 == 1L)
+    // batch parity: no prior state == the global form
+    val a = Dedup.dedupLinesAgainst(batch, "doc_id", "text", None, minLineLen = 15)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val b = Dedup.dedupLinesGlobal(batch, "doc_id", "text", minLineLen = 15)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(a == b)
+  }
 }
