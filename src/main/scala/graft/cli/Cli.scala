@@ -787,6 +787,7 @@ object Curator {
     // rides a `lineparams` record and a mismatched run is rejected —
     // the spanparams rule.
     val priorLineDir = stateDir.filter(d => exists(new Path(qual(d), "lines")))
+    var lineCleanedToFree: Option[org.apache.spark.sql.DataFrame] = None
     val (dfL, lineEvidence, lineParamsOut) =
       c.getBoolean("dedup-lines").getOrElse(false) match {
         case true => stages.timed("line-dedup") {
@@ -802,6 +803,7 @@ object Curator {
           val prior = priorLineDir.map(d => spark.read.parquet(s"$d/lines"))
           val cleaned = graft.llm.Dedup.dedupLinesAgainst(
             dfB, idCol, textCol, prior, minLineLen = minLen).persist()
+          lineCleanedToFree = Some(cleaned)
           val kept = cleaned
             .filter(col("n_lines_removed") === 0 || length(col(textCol)) > 0)
             .drop("n_lines_removed")
@@ -1705,6 +1707,7 @@ object Curator {
     freqState.foreach(_.unpersist())
     boilerFreqs.foreach(_.unpersist()) // no-op for the carried-forward case
     lineEvidence.foreach(_.unpersist())
+    lineCleanedToFree.foreach(_.unpersist())
     spanEvidence.foreach(_.batch.foreach(_.unpersist()))
     Cli.log("curation finished")
   }
