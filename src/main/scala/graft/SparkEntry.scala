@@ -2353,6 +2353,29 @@ object SparkEntry {
       graft.llm.Dedup.dedupLinesGlobal(docs, "doc_id", "text", minLineLen = 15)
     }),
 
+    // ---- URL-keyed dedup over canonicalized URLs (RefinedWeb
+    // deduplicates fetched pages by URL before any text touch —
+    // Penedo 2023): messy synthetic URLs (case-varied scheme/host,
+    // www, default ports, utm params, fragments, trailing slashes)
+    // collapse to canonical keys, one survivor per key (smallest id).
+    // ORACLE-EXACT: the whole normalization chain (every regex RE2-
+    // compatible, no backreferences) AND the first-wins window
+    // replayed in SQL.
+    "q123_url_dedup" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").select(col("doc_id"), col("source"))
+        .filter(col("doc_id") < 300)
+        .withColumn("url", concat(
+          when(col("doc_id") % 2 === 0, lit("HTTPS://WWW.")).otherwise(lit("https://")),
+          col("source"), lit(".example.org"),
+          when(col("doc_id") % 5 === 0, lit(":443")).otherwise(lit("")),
+          lit("/page/"), (col("doc_id") % 25).cast("string"),
+          when(col("doc_id") % 3 === 0, lit("/")).otherwise(lit("")),
+          when(col("doc_id") % 4 === 0, lit("?utm_source=feed&ref=a")).otherwise(lit("")),
+          when(col("doc_id") % 7 === 0, lit("#frag")).otherwise(lit(""))))
+      graft.llm.DomainFilter.dedupByUrl(docs, "doc_id", "url")
+        .select(col("doc_id"), col("url_norm"))
+    }),
+
     // ---- CCNet in its PRODUCTION configuration: per-source
     // head/middle/tail thirds by the KenLM-class model's score — q98's
     // bucket machinery over MODIFIED-KN (q98 buckets on the unigram
@@ -3361,6 +3384,44 @@ object SparkEntry {
     // the generic program at CCNet's actual order — nothing in the
     // generator or the engine is order-4-specific
     "q121_mkn5" -> kneserNeyNModOracleSql(5, LmScoredBounded),
+    // the whole URL canonicalization chain + first-wins window
+    // replayed: same synthetic URLs, same regex steps in RE2
+    "q123_url_dedup" ->
+      """WITH raw AS (
+        |  SELECT doc_id,
+        |    (CASE WHEN doc_id % 2 = 0 THEN 'HTTPS://WWW.' ELSE 'https://' END) ||
+        |    source || '.example.org' ||
+        |    (CASE WHEN doc_id % 5 = 0 THEN ':443' ELSE '' END) ||
+        |    '/page/' || CAST(doc_id % 25 AS VARCHAR) ||
+        |    (CASE WHEN doc_id % 3 = 0 THEN '/' ELSE '' END) ||
+        |    (CASE WHEN doc_id % 4 = 0 THEN '?utm_source=feed&ref=a' ELSE '' END) ||
+        |    (CASE WHEN doc_id % 7 = 0 THEN '#frag' ELSE '' END) AS url
+        |  FROM documents WHERE doc_id < 300),
+        |n1 AS (SELECT doc_id, regexp_replace(trim(url), '#.*$', '') AS t FROM raw),
+        |n2 AS (SELECT doc_id, t,
+        |    lower(regexp_extract(t, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS scheme,
+        |    regexp_replace(t, '^[A-Za-z][A-Za-z0-9+.-]*://', '') AS rest FROM n1),
+        |n3 AS (SELECT doc_id, t, scheme,
+        |    regexp_replace(lower(regexp_extract(rest, '^([^/?]*)', 1)), '^www\.', '') AS h0,
+        |    regexp_replace(rest, '^[^/?]*', '') AS rem FROM n2),
+        |n4 AS (SELECT doc_id, t, scheme,
+        |    CASE WHEN scheme = 'http' THEN regexp_replace(h0, ':80$', '')
+        |         WHEN scheme = 'https' THEN regexp_replace(h0, ':443$', '')
+        |         ELSE h0 END AS host,
+        |    regexp_replace(regexp_replace(rem, '\?.*$', ''), '/+$', '') AS path,
+        |    regexp_replace(rem, '^[^?]*\??', '') AS q FROM n3),
+        |n5 AS (SELECT doc_id, t, scheme, host, path,
+        |    array_to_string(list_filter(str_split(q, '&'),
+        |      p -> p <> '' AND NOT starts_with(p, 'utm_')), '&') AS kept FROM n4),
+        |norm AS (SELECT doc_id,
+        |    CASE WHEN scheme = '' THEN t
+        |         ELSE scheme || '://' || host || path ||
+        |              (CASE WHEN kept <> '' THEN '?' || kept ELSE '' END) END AS url_norm
+        |  FROM n5)
+        |SELECT doc_id, url_norm FROM (
+        |  SELECT doc_id, url_norm,
+        |    row_number() OVER (PARTITION BY url_norm ORDER BY doc_id) AS rn
+        |  FROM norm) WHERE rn = 1""".stripMargin,
     // the whole first-wins line-dedup program replayed: same planted
     // corpus, same (doc, pos) tie order, same exemption and counts
     "q122_line_dedup" ->

@@ -33,6 +33,66 @@ object DomainFilter {
     regexp_replace(noPort, "^www\\.", "")
   }
 
+  /** Full-URL canonicalization for URL-keyed dedup (RefinedWeb
+    * deduplicates fetched pages by URL before any text processing —
+    * Penedo et al. 2023): one normative, SQL-replayable rewrite so
+    * that the same page fetched under trivially-different spellings
+    * keys identically. Steps, in order:
+    *
+    *  1. trim; cut the `#fragment`;
+    *  2. no `scheme://` → returned as-is (not a URL — never guess);
+    *  3. scheme and host lowercase (path/query case is significant and
+    *     stays); ONE leading `www.` stripped; the scheme's default
+    *     port stripped (`:80` for http, `:443` for https — others are
+    *     real distinctions and stay);
+    *  4. `utm_*` tracking parameters and empty params dropped from the
+    *     query, remaining params in their original order (reordering
+    *     would be a semantic claim; tracking-stripping is the
+    *     published hygiene); an emptied query drops its `?`;
+    *  5. trailing `/` runs on the path stripped (`…/a/` == `…/a`,
+    *     host-root `…com/` == `…com`).
+    *
+    * Pure built-in composition (regex chain + higher-order array ops,
+    * no backreferences) — codegen'd for free and replayed verbatim by
+    * the q123 oracle in RE2. Null in → null out. */
+  def normalizeUrl(c: Column): Column = {
+    val t = regexp_replace(trim(c), "#.*$", "")
+    val scheme = lower(regexp_extract(t, "^([A-Za-z][A-Za-z0-9+.-]*)://", 1))
+    val rest = regexp_replace(t, "^[A-Za-z][A-Za-z0-9+.-]*://", "")
+    val hostRaw = lower(regexp_extract(rest, "^([^/?]*)", 1))
+    val hostNoWww = regexp_replace(hostRaw, "^www\\.", "")
+    val host = when(scheme === "http", regexp_replace(hostNoWww, ":80$", ""))
+      .when(scheme === "https", regexp_replace(hostNoWww, ":443$", ""))
+      .otherwise(hostNoWww)
+    val rem = regexp_replace(rest, "^[^/?]*", "")
+    val path = regexp_replace(regexp_replace(rem, "\\?.*$", ""), "/+$", "")
+    val query = regexp_replace(rem, "^[^?]*\\??", "")
+    val keptParams = array_join(
+      filter(split(query, "&"),
+        p => p =!= "" && !p.startsWith("utm_")), "&")
+    val tail = concat(path,
+      when(keptParams =!= "", concat(lit("?"), keptParams)).otherwise(lit("")))
+    when(scheme === "", t)
+      .otherwise(concat(scheme, lit("://"), host, tail))
+  }
+
+  /** URL-keyed exact dedup, first occurrence wins: one survivor per
+    * [[normalizeUrl]] key — the row with the smallest `idCol` — with
+    * the canonical URL attached as `url_norm`. Rows whose URL column
+    * is null pass through (no key to collide on). One shuffle on the
+    * canonical key. */
+  def dedupByUrl(
+      df: DataFrame,
+      idCol: String,
+      urlCol: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("url_norm")).orderBy(col(idCol))
+    df.withColumn("url_norm", normalizeUrl(col(urlCol)))
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("url_norm").isNull || col("__rn") === 1)
+      .drop("__rn")
+  }
+
   /** The parent-suffix chain of a normalized domain:
     * `a.b.c → [a.b.c, b.c, c]` — how "block example.com" also blocks
     * `sub.example.com` with pure equi-joins. Bounded by the label

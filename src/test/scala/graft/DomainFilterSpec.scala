@@ -91,4 +91,56 @@ class DomainFilterSpec extends SparkTestBase {
     assert(!plan.contains("BroadcastNestedLoopJoin"),
       s"suffix matching must stay equi-join (chain explode), never nested-loop:\n$plan")
   }
+
+  test("normalizeUrl: scheme/host lowercase, fragment cut, default port and " +
+      "one www stripped, utm params dropped in place, trailing slash runs " +
+      "cut, non-URLs pass through, null stays null") {
+    import spark.implicits._
+    val cases = Seq(
+      // (raw, expected)
+      ("HTTP://WWW.Example.COM:80/Path/To/Page", "http://example.com/Path/To/Page"),
+      ("https://example.com:443/a/", "https://example.com/a"),
+      ("https://example.com:8443/a", "https://example.com:8443/a"),
+      ("http://example.com:80", "http://example.com"),
+      ("https://example.com/a?utm_source=x&id=7&utm_campaign=y", "https://example.com/a?id=7"),
+      ("https://example.com/a?utm_source=x&utm_campaign=y", "https://example.com/a"),
+      ("https://example.com/a?b=2&a=1", "https://example.com/a?b=2&a=1"), // order kept
+      ("https://example.com/a#section-3", "https://example.com/a"),
+      ("https://example.com///", "https://example.com"),
+      ("  https://example.com/a  ", "https://example.com/a"),
+      ("https://sub.www.example.com/a", "https://sub.www.example.com/a"), // only LEADING www
+      ("ftp://Files.Example.com/X", "ftp://files.example.com/X"),
+      ("not a url at all", "not a url at all"),
+      ("example.com/path", "example.com/path"), // no scheme -> untouched
+      ("https://example.com/a?&&id=7&", "https://example.com/a?id=7") // empty params dropped
+    )
+    val got = cases.map(_._1).toDF("url")
+      .select(DomainFilter.normalizeUrl(col("url")).as("n"))
+      .collect().map(_.getString(0)).toSeq
+    cases.zip(got).foreach { case ((raw, want), g) =>
+      assert(g == want, s"normalizeUrl('$raw') = '$g', want '$want'")
+    }
+    assert(Seq((1, null: String)).toDF("i", "url")
+      .select(DomainFilter.normalizeUrl(col("url"))).head().isNullAt(0))
+  }
+
+  test("dedupByUrl: one survivor per canonical URL (smallest id), null urls " +
+      "pass through, url_norm attached") {
+    import spark.implicits._
+    val docs = Seq(
+      (3L, "https://example.com/a?utm_source=x"),
+      (1L, "HTTP://WWW.Other.COM/b"),
+      (2L, "https://example.com/a"),          // same canonical as 3
+      (4L, "https://other.com/b"),            // DIFFERENT scheme than 1 -> distinct
+      (5L, null: String),
+      (6L, null: String)
+    ).toDF("doc_id", "url")
+    val out = DomainFilter.dedupByUrl(docs, "doc_id", "url")
+      .collect().map(r => r.getLong(0) -> Option(r.getString(2))).toMap
+    assert(out.keySet == Set(1L, 2L, 4L, 5L, 6L),
+      s"smallest id per canonical URL must win, nulls pass: ${out.keySet}")
+    assert(out(2L).contains("https://example.com/a"))
+    assert(out(1L).contains("http://other.com/b"))
+    assert(out(4L).contains("https://other.com/b"))
+  }
 }
