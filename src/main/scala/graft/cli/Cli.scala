@@ -284,6 +284,10 @@ object Scorer {
   * `max-jaccard-distance`, `max-hamming`, `bands`, `shingle-size`,
   * `transitive-near-dups`; pre-curation: `redact = true` scrubs PII
   * BEFORE any hashing, so dedup state is computed over scrubbed text;
+  * `dedup-urls = true` (+ `url-column`): URL-keyed first-seen-wins
+  * dedup over `DomainFilter.normalizeUrl` canonical keys, FIRST of
+  * the content stages, with accumulated `urls` hash state (the
+  * RefinedWeb fetch-dedup step);
   * `dedup-lines = true` (+ `dedup-lines-min-len`, default 15):
   * corpus-global first-occurrence-wins LINE dedup (the Dolma/
   * RefinedWeb exact-paragraph step) between boilerplate and span
@@ -358,7 +362,7 @@ object Scorer {
   * next increment. Alternate A/B state dirs between runs. */
 object Curator {
   def main(args: Array[String]): Unit = Cli.run("curator", args) { (conf, spark) =>
-    import org.apache.spark.sql.functions.{col, concat, count, length, lit, sum}
+    import org.apache.spark.sql.functions.{col, concat, count, length, lit, row_number, sum, xxhash64}
     Cli.log("loading corpus...")
     val rawIn = graft.sources.DataIO.read(spark, conf.at("source"))
     val c = conf.at("curation")
@@ -619,6 +623,11 @@ object Curator {
       "curation.dedup-lines-min-len without curation.dedup-lines = true is dead config")
     c.getInt("dedup-lines-min-len").foreach(m => require(m >= 0,
       s"curation.dedup-lines-min-len must be >= 0, got $m"))
+    require(c.getBoolean("dedup-urls").isEmpty || c.getString("url-column").isDefined,
+      "curation.dedup-urls needs curation.url-column (the URL metadata column)")
+    require(c.getString("url-column").isEmpty ||
+        c.getBoolean("dedup-urls").getOrElse(false),
+      "curation.url-column without curation.dedup-urls = true is dead config")
     if (c.getString("shuffle-salt").isDefined) {
       // the deterministic export shuffle IS the write layout — any
       // target knob that re-partitions/re-sorts/re-groups rows would
@@ -709,6 +718,51 @@ object Curator {
         Seq("hashes", "sigs", "vecsigs", "hotcounts", "vechotcounts")
           .foreach(t => Cli.requireEmptyPartsDir(spark, qual(pd).toString, t))
       }
+    // URL-keyed dedup FIRST of the content stages (the RefinedWeb
+    // fetch-dedup step — pages dedup by canonical URL before any text
+    // processing): batch-internal first-wins on the
+    // DomainFilter.normalizeUrl key, then an anti-join against the
+    // state's `urls` table (8 B xxhash64 of the canonical URL) drops
+    // arrivals whose URL was fetched by ANY prior batch. Runs before
+    // every text stage so rewrites, hashing, and persisted signatures
+    // never see refetched pages; rows with a null/absent URL always
+    // pass (no key to collide on). The normalization is parameter-free,
+    // so the evidence table needs no params record (the linefreqs
+    // convention) and old state dirs without it stay valid.
+    val priorUrlDir = stateDir.filter(d => exists(new Path(qual(d), "urls")))
+    val (df0U, urlEvidence) = c.getBoolean("dedup-urls").getOrElse(false) match {
+      case true => stages.timed("url-dedup") {
+        val ucol = c.getString("url-column").get
+        val prior = priorUrlDir.map(d => spark.read.parquet(s"$d/urls"))
+        val normed = df0.withColumn("__url_norm",
+          graft.llm.DomainFilter.normalizeUrl(col(ucol)))
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("__url_norm")).orderBy(col(idCol))
+        var kept = normed.withColumn("__rn", row_number().over(w))
+          .filter(col("__url_norm").isNull || col("__rn") === 1).drop("__rn")
+        prior.foreach { ps =>
+          kept = kept.join(ps.select(col("url_hash").as("__ph")),
+            xxhash64(col("__url_norm")) === col("__ph"), "left_anti")
+        }
+        val keptDf = kept.drop("__url_norm")
+        if (!c.getString("log-drop-counts").exists(v => !v.toBoolean)) {
+          val n = keptDf.count()
+          stages.rows("url-dedup", n)
+          Cli.log(s"url-dedup: $n of ${df0.count()} docs hold a first-seen URL" +
+            (if (prior.isDefined) " (accumulated evidence)" else ""))
+        }
+        // state = prior ∪ this batch's distinct canonical-URL hashes —
+        // hashes of the stage INPUT, so even the batch's dropped later
+        // copies (same hash) are covered by their kept first
+        val batchUrls = normed.filter(col("__url_norm").isNotNull)
+          .select(xxhash64(col("__url_norm")).as("url_hash")).distinct()
+        val state = (prior.toSeq :+ batchUrls)
+          .reduce(_.unionByName(_)).distinct().persist()
+        (keptDf, Some(state))
+      }
+      case false =>
+        (df0, priorUrlDir.map(d => spark.read.parquet(s"$d/urls")))
+    }
     // ---- text-rewriting stages, after state validation (they may read
     // accumulated evidence from the state dir) but BEFORE any
     // hashing/signatures — dedup state built over un-rewritten text
@@ -730,16 +784,16 @@ object Curator {
         // state write below — persist against the double traversal
         val freqs = graft.llm.TextAnalysis.combineLineFreqs(
           priorLineFreqs.toSeq :+
-            graft.llm.TextAnalysis.lineDocFreqs(df0, idCol, textCol))
+            graft.llm.TextAnalysis.lineDocFreqs(df0U, idCol, textCol))
           .persist()
         val cleaned = graft.llm.TextAnalysis
-          .stripBoilerplateAgainst(df0, freqs, idCol, textCol, minDocFreq = mdf)
+          .stripBoilerplateAgainst(df0U, freqs, idCol, textCol, minDocFreq = mdf)
           .filter(col("n_kept") > 0).drop("n_kept")
         if (!c.getString("log-drop-counts").exists(v => !v.toBoolean)) {
           // one extra pair of count jobs, same convention as the tiers below
           val n = cleaned.count()
           stages.rows("boilerplate", n)
-          Cli.log(s"boilerplate: $n of ${df0.count()} docs " +
+          Cli.log(s"boilerplate: $n of ${df0U.count()} docs " +
             s"keep at least one line at min-doc-freq=$mdf" +
             (if (priorLineFreqs.isDefined) " (accumulated evidence)" else ""))
         }
@@ -747,7 +801,7 @@ object Curator {
       }
       // stage off: carry prior evidence forward unchanged, so toggling
       // boilerplate off for one batch never discards accumulated state
-      case None => (df0, priorLineFreqs)
+      case None => (df0U, priorLineFreqs)
     }
     // optional exact duplicated-SPAN removal (Lee et al. substring
     // dedup), the third pre-state text-rewriting stage after redact and
@@ -1613,6 +1667,8 @@ object Curator {
       // line-dedup evidence rides the same commit: accumulated
       // distinct line hashes + the exemption-parameter record
       lineEvidence.foreach(_.write.mode("overwrite").parquet(s"$outDir/lines"))
+      // url-dedup evidence rides the same commit
+      urlEvidence.foreach(_.write.mode("overwrite").parquet(s"$outDir/urls"))
       lineParamsOut.foreach { lp =>
         val lOut = fs.create(new Path(outPath, "lineparams"), true)
         try lOut.write(lp.getBytes("UTF-8")) finally lOut.close()
@@ -1708,6 +1764,7 @@ object Curator {
     boilerFreqs.foreach(_.unpersist()) // no-op for the carried-forward case
     lineEvidence.foreach(_.unpersist())
     lineCleanedToFree.foreach(_.unpersist())
+    urlEvidence.foreach(_.unpersist())
     spanEvidence.foreach(_.batch.foreach(_.unpersist()))
     Cli.log("curation finished")
   }
@@ -1866,7 +1923,7 @@ object Compactor {
           .write.mode("overwrite").parquet(new Path(outPath, table).toString)
     }
     Seq("hashes", "sigs", "vecsigs", "hotcounts", "vechotcounts", "spans",
-      "hot", "vechot", "linefreqs", "lines", "cardsketch", "benchhits",
+      "hot", "vechot", "linefreqs", "lines", "urls", "cardsketch", "benchhits",
       "freqsketch")
       .foreach(copyParquet)
     def copyFile(name: String): Unit = {

@@ -3037,6 +3037,81 @@ class CliSpec extends SparkTestBase {
     }.getMessage.contains("dedup-lines"))
   }
 
+  test("curator dedup-urls: canonical-URL first-seen-wins dedup with " +
+      "accumulated cross-batch state; null urls pass; dead config rejected") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val base = tmp()
+    // batch 1: three spellings of ONE page + a distinct page + no-url
+    val src1 = base.resolve("usrc1").toString
+    Seq(
+      (1L, "HTTPS://WWW.Example.COM/a?utm_source=x", "body one"),
+      (2L, "https://example.com/a/", "body two"),
+      (3L, "https://example.com/a#frag", "body three"),
+      (4L, "https://example.com/b", "body four"),
+      (5L, null: String, "body five")
+    ).toDF("doc_id", "url", "text").write.parquet(src1)
+    def conf(n: Int, src: String, stateIn: Option[String], extra: String = "") =
+      write(base.resolve(s"ud$n.conf"),
+        s"""source { storage-type = local, dataset-dir = $src }
+           |target { storage-type = local, dataset-dir = ${base.resolve(s"udout$n")}, dataset-store-format = parquet, write-mode = overwrite }
+           |curation {
+           |  min-quality = 0.0
+           |  dedup-urls = true
+           |  url-column = url
+           |${stateIn.map(d => s"  state-dir = $d").getOrElse("")}
+           |  state-out-dir = ${base.resolve(s"udstate$n")}
+           |$extra
+           |}
+           |""".stripMargin)
+    graft.cli.Curator.main(Array("--conf", conf(1, src1, None)))
+    val ids1 = spark.read.parquet(base.resolve("udout1").toString)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(ids1 == Set(1L, 4L, 5L),
+      s"one survivor per canonical URL (smallest id), null passes: $ids1")
+    assert(new java.io.File(base.resolve("udstate1").resolve("urls").toString).exists())
+    // batch 2: yet another spelling of the batch-1 page -> cut at
+    // arrival; a genuinely new page survives
+    val src2 = base.resolve("usrc2").toString
+    Seq(
+      (100L, "https://example.com:443/a", "refetched body"),
+      (101L, "https://example.com/c", "new page body")
+    ).toDF("doc_id", "url", "text").write.parquet(src2)
+    graft.cli.Curator.main(Array("--conf",
+      conf(2, src2, Some(base.resolve("udstate1").toString))))
+    val ids2 = spark.read.parquet(base.resolve("udout2").toString)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(ids2 == Set(101L), s"prior-corpus URL must be cut at arrival: $ids2")
+    // stage-off batch carries the urls state forward unchanged
+    val offConf = write(base.resolve("udoff.conf"),
+      s"""source { storage-type = local, dataset-dir = $src2 }
+         |target { storage-type = local, dataset-dir = ${base.resolve("udoutOff")}, dataset-store-format = parquet, write-mode = overwrite }
+         |curation {
+         |  min-quality = 0.0
+         |  state-dir = ${base.resolve("udstate2")}
+         |  state-out-dir = ${base.resolve("udstateOff")}
+         |}
+         |""".stripMargin)
+    graft.cli.Curator.main(Array("--conf", offConf))
+    assert(spark.read.parquet(base.resolve("udstateOff").resolve("urls").toString).count() ==
+      spark.read.parquet(base.resolve("udstate2").resolve("urls").toString).count())
+    // dead configs rejected up front, both directions
+    assert(intercept[IllegalArgumentException] {
+      graft.cli.Curator.main(Array("--conf", write(base.resolve("udbad1.conf"),
+        s"""source { storage-type = local, dataset-dir = $src1 }
+           |target { storage-type = local, dataset-dir = ${base.resolve("udoutB")}, dataset-store-format = parquet, write-mode = overwrite }
+           |curation { dedup-urls = true }
+           |""".stripMargin)))
+    }.getMessage.contains("url-column"))
+    assert(intercept[IllegalArgumentException] {
+      graft.cli.Curator.main(Array("--conf", write(base.resolve("udbad2.conf"),
+        s"""source { storage-type = local, dataset-dir = $src1 }
+           |target { storage-type = local, dataset-dir = ${base.resolve("udoutB")}, dataset-store-format = parquet, write-mode = overwrite }
+           |curation { url-column = url }
+           |""".stripMargin)))
+    }.getMessage.contains("dedup-urls"))
+  }
+
   test("streamer filter: LM floors/knobs without their path are rejected " +
       "up front (the batch Curator's dead-config rules)") {
     import org.apache.spark.sql.functions._
