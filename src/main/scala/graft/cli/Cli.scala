@@ -2037,7 +2037,20 @@ object Streamer {
             case (None, None) => default
           }
         }
-        Streams.dropNearSeenStream(docs,
+        // optional URL tier FIRST (`url-column`): refetched pages cut
+        // by the committed `urls` state before any text-tier work —
+        // stream-static anti-join, stateless like everything else here
+        val urlGated = c.getString("url-column") match {
+          case Some(ucol) =>
+            val urlsPath = new org.apache.hadoop.fs.Path(s"$stateDir/urls")
+            require(mfs.exists(urlsPath),
+              s"streaming.url-column is set but state-dir '$stateDir' holds no " +
+                "urls table — run the Curator with dedup-urls to accumulate it")
+            Streams.dropSeenUrlsStream(docs, ucol,
+              spark.read.parquet(s"$stateDir/urls"))
+          case None => docs
+        }
+        Streams.dropNearSeenStream(urlGated,
           // parts-manifest-transparent: a state built with
           // `state-parts-dir` streams identically
           Cli.readStateTable(spark, stateDir, "sigs"),

@@ -101,6 +101,23 @@ object Streams {
     else wm.dropDuplicates("event_id")
   }
 
+  /** Stream-static URL tier: drop arriving docs whose CANONICAL URL
+    * ([[graft.llm.DomainFilter.normalizeUrl]]) hash appears in the
+    * batch Curator's committed `urls` state — the metadata tier BEFORE
+    * any text tier, so refetched pages cost one 8-byte-hash probe and
+    * no text work. Stateless: a stream-static anti-join, re-planned
+    * per microbatch (broadcast when the hash table fits) — no
+    * watermark, no state store. Null/absent URLs pass (no key to
+    * collide on). Batch parity: the same code on a batch frame is a
+    * plain anti-join (spec-pinned). */
+  def dropSeenUrlsStream(
+      docs: DataFrame,
+      urlCol: String,
+      urlState: DataFrame): DataFrame =
+    docs.join(urlState.select(col("url_hash").as("__url_ph")),
+      xxhash64(graft.llm.DomainFilter.normalizeUrl(col(urlCol))) === col("__url_ph"),
+      "left_anti")
+
   /** Streaming incremental dedup against PERSISTED corpus state: drop
     * stream rows whose content hash already exists in `seenHashes` (a
     * STATIC frame — point it at the Curator's committed `hashes` state

@@ -3095,6 +3095,30 @@ class CliSpec extends SparkTestBase {
     graft.cli.Curator.main(Array("--conf", offConf))
     assert(spark.read.parquet(base.resolve("udstateOff").resolve("urls").toString).count() ==
       spark.read.parquet(base.resolve("udstate2").resolve("urls").toString).count())
+    // the Streamer's near-dedup gains the same URL tier: a refetched
+    // canonical URL is cut at ARRIVAL, before any text-tier work
+    val landing = base.resolve("udland").toString
+    Seq(
+      (900L, "https://example.com:443/a?utm_campaign=z", "totally different text one", 1L),
+      (901L, "https://example.com/z", "totally different text two", 2L)
+    ).toDF("doc_id", "url", "text", "ts")
+      .withColumn("ts", timestamp_micros(col("ts") * 3600L * 1000000L))
+      .write.parquet(landing)
+    val sconf = write(base.resolve("udstream.conf"),
+      s"""streaming {
+         |  events-dir = $landing
+         |  target-dir = ${base.resolve("udsurv")}
+         |  checkpoint-location = ${base.resolve("udckpt")}
+         |  operation = near-dedup
+         |  state-dir = ${base.resolve("udstate2")}
+         |  url-column = url
+         |  shuffle-partitions = 4
+         |}
+         |""".stripMargin)
+    graft.cli.Streamer.main(Array("--conf", sconf))
+    val surv = spark.read.parquet(base.resolve("udsurv").toString)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(surv == Set(901L), s"URL-refetched arrival must be cut in-stream: $surv")
     // dead configs rejected up front, both directions
     assert(intercept[IllegalArgumentException] {
       graft.cli.Curator.main(Array("--conf", write(base.resolve("udbad1.conf"),

@@ -269,6 +269,40 @@ class StreamsSpec extends SparkTestBase {
       s"the ingest chain must stay stateless:\n$plan")
   }
 
+  test("dropSeenUrlsStream: refetched canonical URLs dropped in-stream " +
+      "against committed urls state; nulls pass; batch parity; stateless") {
+    import spark.implicits._
+    import graft.llm.DomainFilter
+    val dir = s"${java.nio.file.Files.createTempDirectory("stream_urls")}/docs"
+    val h = 3600L * 1000 * 1000
+    Seq(
+      (1L, "HTTPS://WWW.Example.COM/a?utm_source=x", "refetched spelling", 1 * h),
+      (2L, "https://example.com/c", "genuinely new page", 2 * h),
+      (3L, null: String, "no url metadata", 3 * h)
+    ).toDF("doc_id", "url", "text", "ts")
+      .withColumn("ts", timestamp_micros(col("ts"))).write.parquet(dir)
+    // committed state: hash of the CANONICAL form of page /a
+    val state = Seq("https://example.com/a").toDF("u")
+      .select(xxhash64(DomainFilter.normalizeUrl(col("u"))).as("url_hash"))
+    def stream() = spark.readStream
+      .schema(spark.read.parquet(dir).schema).parquet(dir)
+    val got = Streams.runToMemory(
+      Streams.dropSeenUrlsStream(stream(), "url", state),
+      "stream_urls", OutputMode.Append())
+      .select("doc_id").as[Long].collect().toSet
+    assert(got == Set(2L, 3L),
+      s"canonical refetch must drop, new page and null-url pass: $got")
+    // batch parity
+    val batch = Streams.dropSeenUrlsStream(spark.read.parquet(dir), "url", state)
+      .select("doc_id").as[Long].collect().toSet
+    assert(batch == got)
+    // stateless: no stateful operator in the plan
+    val plan = Streams.dropSeenUrlsStream(stream(), "url", state)
+      .queryExecution.analyzed.toString
+    assert(!plan.contains("Deduplicate") && !plan.contains("Aggregate"),
+      s"URL tier must stay stateless:\n$plan")
+  }
+
   test("dropSeenStream: corpus-seen and in-stream duplicate texts dropped; batch parity") {
     import spark.implicits._
     import graft.llm.Dedup
