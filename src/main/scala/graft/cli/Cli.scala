@@ -729,11 +729,15 @@ object Curator {
     // pass (no key to collide on). The normalization is parameter-free,
     // so the evidence table needs no params record (the linefreqs
     // convention) and old state dirs without it stay valid.
-    val priorUrlDir = stateDir.filter(d => exists(new Path(qual(d), "urls")))
+    // manifest-transparent like every other state consumer (the hot-
+    // state lesson): accept either a materialized table or a parts
+    // manifest, and read through the shared accessor
+    val priorUrlDir = stateDir.filter(d =>
+      exists(new Path(qual(d), "urls")) || exists(new Path(qual(d), "urlsmanifest")))
     val (df0U, urlEvidence) = c.getBoolean("dedup-urls").getOrElse(false) match {
       case true => stages.timed("url-dedup") {
         val ucol = c.getString("url-column").get
-        val prior = priorUrlDir.map(d => spark.read.parquet(s"$d/urls"))
+        val prior = priorUrlDir.map(d => Cli.readStateTable(spark, d, "urls"))
         val normed = df0.withColumn("__url_norm",
           graft.llm.DomainFilter.normalizeUrl(col(ucol)))
         val w = org.apache.spark.sql.expressions.Window
@@ -761,7 +765,7 @@ object Curator {
         (keptDf, Some(state))
       }
       case false =>
-        (df0, priorUrlDir.map(d => spark.read.parquet(s"$d/urls")))
+        (df0, priorUrlDir.map(d => Cli.readStateTable(spark, d, "urls")))
     }
     // ---- text-rewriting stages, after state validation (they may read
     // accumulated evidence from the state dir) but BEFORE any
@@ -840,7 +844,8 @@ object Curator {
     // parameterizes the state (exempt lines never enter it), so it
     // rides a `lineparams` record and a mismatched run is rejected —
     // the spanparams rule.
-    val priorLineDir = stateDir.filter(d => exists(new Path(qual(d), "lines")))
+    val priorLineDir = stateDir.filter(d =>
+      exists(new Path(qual(d), "lines")) || exists(new Path(qual(d), "linesmanifest")))
     var lineCleanedToFree: Option[org.apache.spark.sql.DataFrame] = None
     val (dfL, lineEvidence, lineParamsOut) =
       c.getBoolean("dedup-lines").getOrElse(false) match {
@@ -854,7 +859,7 @@ object Curator {
                 s"uses [$lineParams] — line hashes under a different exemption " +
                 "threshold do not compare; re-curate from scratch or restore it")
           }
-          val prior = priorLineDir.map(d => spark.read.parquet(s"$d/lines"))
+          val prior = priorLineDir.map(d => Cli.readStateTable(spark, d, "lines"))
           val cleaned = graft.llm.Dedup.dedupLinesAgainst(
             dfB, idCol, textCol, prior, minLineLen = minLen).persist()
           lineCleanedToFree = Some(cleaned)
@@ -880,7 +885,7 @@ object Curator {
           // stage off: carry prior evidence forward unchanged (the
           // linefreqs/spans convention)
           (dfB,
-            priorLineDir.map(d => spark.read.parquet(s"$d/lines")),
+            priorLineDir.map(d => Cli.readStateTable(spark, d, "lines")),
             priorLineDir.map(d => readSmall(new Path(qual(d), "lineparams"))))
       }
     case class SpanEvidence(batch: Option[org.apache.spark.sql.DataFrame],
@@ -2043,11 +2048,12 @@ object Streamer {
         val urlGated = c.getString("url-column") match {
           case Some(ucol) =>
             val urlsPath = new org.apache.hadoop.fs.Path(s"$stateDir/urls")
-            require(mfs.exists(urlsPath),
+            val urlsManifest = new org.apache.hadoop.fs.Path(s"$stateDir/urlsmanifest")
+            require(mfs.exists(urlsPath) || mfs.exists(urlsManifest),
               s"streaming.url-column is set but state-dir '$stateDir' holds no " +
                 "urls table — run the Curator with dedup-urls to accumulate it")
             Streams.dropSeenUrlsStream(docs, ucol,
-              spark.read.parquet(s"$stateDir/urls"))
+              Cli.readStateTable(spark, stateDir, "urls"))
           case None => docs
         }
         Streams.dropNearSeenStream(urlGated,
