@@ -2376,6 +2376,47 @@ object SparkEntry {
         .select(col("doc_id"), col("url_norm"))
     }),
 
+    // ---- Multimodal VIDEO plumbing through the REAL container+codec
+    // (closes the last synthetic modality): deterministic per-frame
+    // pixels derived from each document are muxed as genuine RIFF/AVI
+    // bytes in-query (reencodeAsAvi) — once as lossless 24-bit DIB
+    // `00db` frames, once as MJPEG `00dc` (a real JDK JPEG per frame)
+    // — then frame-sampled declaratively (sampleFrames row explosion
+    // on the probed n_frames), frame-selected via metadata, and
+    // decoded by the RIFF parser + javax.imageio (AviDecoder;
+    // synthetic_decode = FALSE on every row). The two decodes are
+    // joined per asset: every frame must decode (3 per asset, as
+    // data), shapes must agree, and the lossy MJPEG feature sum must
+    // sit within JPEG tolerance of the bit-exact DIB sum. Not
+    // SQL-expressible → rows-only; MultimodalSpec holds the raw
+    // bit-exactness asserts.
+    "q124_video_decode" -> ((s, dir) => {
+      import graft.llm.Multimodal
+      val media = Multimodal.asMediaTable(
+        t(s, dir, "documents").filter(col("doc_id") < 150), "doc_id", "text", "video",
+        Map("width" -> "16", "height" -> "8"))
+      def perAsset(mjpeg: Boolean): DataFrame = {
+        val avi = Multimodal.reencodeAsAvi(media, nFrames = 3, mjpeg = mjpeg)
+        val frames = Multimodal.frameIdxIntoMeta(
+          Multimodal.sampleFrames(avi, everyN = 1))
+        Multimodal.decodeAndFeaturize(frames, Multimodal.AviDecoder, featureDim = 8)
+          .groupBy(col("asset_id"))
+          .agg(count(lit(1)).as("n_frames_decoded"),
+            max("width").as("width"), max("height").as("height"),
+            max("channels").as("channels"),
+            max(col("synthetic_decode").cast("int")).as("synthetic_any"),
+            sum(aggregate(col("features"), lit(0.0d), (a, x) => a + x)).as("feat_sum"))
+      }
+      perAsset(mjpeg = false).alias("d")
+        .join(perAsset(mjpeg = true).alias("m"), Seq("asset_id"))
+        .select(col("asset_id"),
+          col("d.n_frames_decoded").as("n_frames"),
+          col("d.width"), col("d.height"), col("d.channels"),
+          (col("d.synthetic_any") + col("m.synthetic_any")).as("synthetic_decodes"),
+          round(col("d.feat_sum"), 4).as("dib_feat_sum"),
+          (abs(col("m.feat_sum") - col("d.feat_sum")) < 1.0).as("mjpeg_within_tol"))
+    }),
+
     // ---- CCNet in its PRODUCTION configuration: per-source
     // head/middle/tail thirds by the KenLM-class model's score — q98's
     // bucket machinery over MODIFIED-KN (q98 buckets on the unigram
@@ -2621,7 +2662,7 @@ object SparkEntry {
         |    CASE WHEN i = 1 THEN 1 ELSE 0 END AS is_start
         |  FROM tok)
         |SELECT
-        |  bucket * (1::BIGINT << 40) + s AS seq_id,
+        |  (bucket * (1::BIGINT << 40) + s)::BIGINT AS seq_id,
         |  count(*)::BIGINT AS n_tokens,
         |  sum(is_start)::BIGINT AS n_docs_started,
         |  string_agg(tk::VARCHAR, ',' ORDER BY gpos) AS ids_csv,

@@ -121,6 +121,23 @@ class EntrySpec extends SparkTestBase {
     }
   }
 
+  test("q124: real AVI codec path — every frame decodes, real flag, MJPEG in tolerance") {
+    val rows = SparkEntry.queries("q124_video_decode")(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_frames") == 3, "all 3 muxed frames must decode")
+      assert(r.getAs[Int]("width") == 16 && r.getAs[Int]("height") == 8)
+      assert(r.getAs[Int]("channels") == 3)
+      assert(r.getAs[Int]("synthetic_decodes") == 0,
+        "AVI decode is real — no row may carry the stand-in flag")
+      val sum = r.getAs[Double]("dib_feat_sum")
+      // 3 frames × 8 mean-pooled [0,1) buckets
+      assert(sum >= 0.0 && sum <= 24.0, s"dib_feat_sum out of range: $sum")
+      assert(r.getAs[Boolean]("mjpeg_within_tol"),
+        "lossy MJPEG features must stay within tolerance of the exact DIB features")
+    }
+  }
+
   test("q62: vector signature tier drops every rescaled echo, keeps fresh rows") {
     val rows = SparkEntry.queries("q62_incremental_vector_dedup")(spark, sfDir)
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap

@@ -3,8 +3,10 @@ package graft
 import org.apache.spark.sql.functions._
 import graft.llm.Multimodal
 
-/** Multimodal plumbing: schema, batch shape, frame sampling — real;
-  * decode itself is the deterministic FakeDecoder stand-in. */
+/** Multimodal plumbing (schema, batch shape, frame sampling) plus the
+  * real zero-dependency codecs: ImageIO (PNG/JPEG), javax.sound (WAV),
+  * and the in-repo RIFF/AVI container (MJPEG + uncompressed DIB). The
+  * deterministic FakeDecoder appears only as a fixture pixel source. */
 class MultimodalSpec extends SparkTestBase {
 
   private lazy val media = Multimodal.asMediaTable(
@@ -196,6 +198,106 @@ class MultimodalSpec extends SparkTestBase {
     assert(out.forall(r => r.getInt(1) == 120 && r.getInt(2) == 1 && r.getInt(3) == 1))
     // mean-pooled features are bounded by the sample range
     assert(out.forall(_.getSeq[Float](4).forall(f => f >= -1f && f <= 1f)))
+  }
+
+  // ------------------------------------------------ real codec (RIFF/AVI)
+
+  private def gridFrames(n: Int, w: Int, h: Int): Seq[Multimodal.Decoded] =
+    (0 until n).map { f =>
+      Multimodal.FakeDecoder.decode(s"clip-frame-$f".getBytes,
+        Map("width" -> w.toString, "height" -> h.toString, "channels" -> "3"))
+    }
+
+  test("AVI DIB round trip is bit-exact per frame (real RIFF container)") {
+    val frames = gridFrames(3, 16, 8)
+    val avi = Multimodal.encodeAvi(frames, fps = 10, mjpeg = false)
+    // a real AVI: RIFF....AVI  header
+    assert(avi.take(4).sameElements("RIFF".getBytes))
+    assert(avi.slice(8, 12).sameElements("AVI ".getBytes))
+    val parsed = Multimodal.Avi.parse(avi)
+    assert(parsed.nFrames == 3 && parsed.width == 16 && parsed.height == 8)
+    assert(parsed.compression == 0, "DIB clips advertise biCompression=0")
+    for (i <- 0 until 3) {
+      val back = Multimodal.AviDecoder.decode(avi, Map("frame_idx" -> i.toString))
+      assert(back.width == 16 && back.height == 8 && back.channels == 3, s"frame $i")
+      // FakeDecoder pixels are n/255 — already on the 8-bit grid, so
+      // the uncompressed round trip must reproduce them exactly
+      assert(back.data.sameElements(frames(i).data), s"frame $i: pixel mismatch")
+    }
+  }
+
+  test("AVI MJPEG frames decode through the real JDK JPEG codec within lossy tolerance") {
+    // smooth horizontal ramps (JPEG's representative case — hash noise
+    // is its adversarial worst case and belongs to the DIB path)
+    val frames = (0 until 2).map { f =>
+      val w = 16; val h = 8
+      val px = Array.tabulate(w * h * 3) { i =>
+        val x = (i / 3) % w
+        math.min(1f, x / (w - 1).toFloat + 0.1f * f)
+      }
+      Multimodal.Decoded(w, h, 3, px)
+    }
+    val avi = Multimodal.encodeAvi(frames, fps = 10, mjpeg = true)
+    val parsed = Multimodal.Avi.parse(avi)
+    assert(parsed.nFrames == 2)
+    // MJPG fourcc little-endian in biCompression
+    assert(parsed.compression == ('M' | ('J' << 8) | ('P' << 16) | ('G' << 24)))
+    // each frame payload is a genuine JPEG (SOI marker FF D8)
+    assert(parsed.frames.forall(f => (f(0) & 0xff) == 0xff && (f(1) & 0xff) == 0xd8))
+    val d = Multimodal.AviDecoder.decode(avi, Map("frame_idx" -> "0"))
+    assert(d.width == 16 && d.height == 8 && d.channels == 3)
+    val mad = d.data.zip(frames(0).data).map { case (a, b) => math.abs(a - b) }.sum / d.data.length
+    assert(mad < 0.05, s"JPEG mean abs deviation too high: $mad")
+  }
+
+  test("AVI parser handles odd-size chunk padding and defaults to frame 0") {
+    // raw odd-length payloads exercise the word-alignment rule directly
+    val payloads = Seq(Array[Byte](1, 2, 3), Array[Byte](4, 5, 6, 7, 8))
+    val avi = Multimodal.Avi.build(4, 2, 10, mjpeg = false, payloads)
+    val parsed = Multimodal.Avi.parse(avi)
+    assert(parsed.nFrames == 2)
+    assert(parsed.frames(0).sameElements(payloads(0)))
+    assert(parsed.frames(1).sameElements(payloads(1)))
+    // default frame selection: meta without frame_idx decodes frame 0
+    val frames = gridFrames(2, 4, 4)
+    val clip = Multimodal.encodeAvi(frames, mjpeg = false)
+    val d = Multimodal.AviDecoder.decode(clip, Map.empty)
+    assert(d.data.sameElements(frames(0).data))
+  }
+
+  test("probeAvi reports container-level n_frames/width/height without decoding") {
+    val avi = Multimodal.encodeAvi(gridFrames(4, 6, 3), mjpeg = false)
+    assert(Multimodal.probeAvi(avi) ==
+      Map("n_frames" -> "4", "width" -> "6", "height" -> "3"))
+  }
+
+  test("AviDecoder rejects out-of-range frames and non-AVI bytes") {
+    val avi = Multimodal.encodeAvi(gridFrames(2, 4, 4), mjpeg = false)
+    intercept[IllegalArgumentException] {
+      Multimodal.AviDecoder.decode(avi, Map("frame_idx" -> "2"))
+    }
+    intercept[IllegalArgumentException] {
+      Multimodal.AviDecoder.decode("this is not a video".getBytes, Map.empty)
+    }
+  }
+
+  test("reencodeAsAvi + sampleFrames + AviDecoder: real end-to-end video path, " +
+      "synthetic_decode false on every row") {
+    val avi = Multimodal.reencodeAsAvi(media.limit(5), nFrames = 3)
+    // probe merged real container metadata into the meta map
+    val metas = avi.select(col("meta")).collect()
+      .map(_.getMap[String, String](0))
+    assert(metas.forall(m => m("n_frames") == "3" && m("width") == "16" && m("height") == "8"))
+    val frames = Multimodal.frameIdxIntoMeta(Multimodal.sampleFrames(avi, everyN = 1))
+    assert(frames.count() == 15)
+    val out = Multimodal.decodeAndFeaturize(frames, Multimodal.AviDecoder,
+      featureDim = 8, batchSize = 4).collect()
+    assert(out.length == 15)
+    assert(out.forall(r => r.getInt(1) == 16 && r.getInt(2) == 8 && r.getInt(3) == 3))
+    assert(!out.exists(_.getBoolean(5)), "real video decode must NOT be flagged synthetic")
+    // frames differ within an asset (per-frame seeds) → featurized rows differ
+    val perAsset = out.groupBy(_.getLong(0)).values
+    assert(perAsset.forall(_.map(_.getSeq[Float](4)).distinct.length == 3))
   }
 
   test("reencodeAsPng + ImageIoDecoder: real end-to-end codec path on the media table") {
