@@ -10,20 +10,25 @@ import org.apache.spark.sql.functions._
   * consumer (`graft_bpe_count`/`graft_bpe_segments`/`graft_bpe_chunks`,
   * the Curator's `bpe-merges` knob) runs the learned tokenizer.
   *
-  * Division of labor, which is how every production trainer works
-  * (a merge decision depends on the counts AFTER the previous merge —
-  * the loop is inherently sequential and NOT distributable):
-  *  - Spark does the corpus-scale part: pretokenize (the exact
+  * Division of labor (a merge decision depends on the counts AFTER the
+  * previous merge — the loop is inherently sequential in MERGE RANK,
+  * but each round's pair COUNTING distributes):
+  *  - Spark always does the corpus-scale part: pretokenize (the exact
   *    [[graft.functions.BpeVocab.pretokenRegex]] contract — counting
   *    under any other tokenization would learn merges that don't
   *    round-trip through segmentation) and aggregate word frequencies.
   *    One explode + one shuffle; partial aggregation collapses repeats
   *    map-side, so the shuffle carries distinct words per partition.
-  *  - The merge loop runs driver-side over the top-`maxWords` rows of
-  *    that table (a deterministic `TakeOrdered` cut: by count desc,
-  *    then word — never a hash-order-dependent `limit`). Driver memory
-  *    is bounded by `maxWords`; the frequency mass beyond the cut is
-  *    negligible for merge decisions at any realistic cap.
+  *  - Below `maxWords` distinct pretokens the merge loop runs
+  *    driver-side over the top-`maxWords` rows of that table (a
+  *    deterministic `TakeOrdered` cut: by count desc, then word —
+  *    never a hash-order-dependent `limit`); driver memory is bounded
+  *    by `maxWords` and per-merge cost by the inverted index.
+  *  - ABOVE the cut the loop itself distributes
+  *    ([[learnMergesDistributedFromCounts]]): the symbol table stays a
+  *    cached Dataset, each round re-counts pairs with one aggregation,
+  *    and only the top-`batchK` pairs ever reach the driver — the
+  *    256k-merge multilingual-vocabulary shape, no truncated tail.
   *
   * Determinism: merge selection is max count with ties broken by the
   * lexicographically smallest `(left, right)` — byte-order ties, NOT
@@ -41,18 +46,27 @@ object BpeTrainer {
         lit(graft.functions.BpeVocab.pretokenRegex), lit(0))).as("word"))
       .groupBy("word").agg(count(lit(1)).as("n"))
 
-  /** Learn `numMerges` merges from a corpus. */
+  /** Learn `numMerges` merges from a corpus. Below `maxWords` distinct
+    * pretokens the merge loop runs in-heap over the collected frequency
+    * table ([[learnFromCounts]] — fastest, exact); above it the
+    * DISTRIBUTED loop engages ([[learnMergesDistributedFromCounts]]) so
+    * driver memory stays flat instead of silently truncating the tail
+    * of a larger-than-`maxWords` vocabulary. */
   def learnMerges(
       df: DataFrame,
       textCol: String,
       numMerges: Int,
-      maxWords: Int = 1 << 20): Seq[(String, String)] = {
+      maxWords: Int = 1 << 20,
+      batchK: Int = 16): Seq[(String, String)] = {
     require(numMerges > 0, s"numMerges must be positive, got $numMerges")
     require(maxWords > 0, s"maxWords must be positive, got $maxWords")
-    val top = pretokenCounts(df, textCol)
-      .orderBy(desc("n"), asc("word")).limit(maxWords)
+    val counts = pretokenCounts(df, textCol)
+    // one extra row beyond the cut tells us whether the cut truncates
+    val top = counts
+      .orderBy(desc("n"), asc("word")).limit(maxWords + 1)
       .collect().map(r => r.getString(0) -> r.getLong(1)).toSeq
-    learnFromCounts(top, numMerges)
+    if (top.size <= maxWords) learnFromCounts(top, numMerges)
+    else learnMergesDistributedFromCounts(counts, numMerges, batchK)
   }
 
   /** The driver-side merge loop over a word-frequency table. Cost per
@@ -172,6 +186,140 @@ object BpeTrainer {
     merges.toSeq
   }
 
+  /** Codepoint-aware base split shared by the in-heap and distributed
+    * loops — the exact `segmentWord` contract (surrogate pairs stay
+    * whole, so every symbol is valid Unicode). */
+  private def unitsSeq(w: String): IndexedSeq[String] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[String]
+    var i = 0
+    while (i < w.length) {
+      val n = Character.charCount(w.codePointAt(i))
+      out += w.substring(i, i + n)
+      i += n
+    }
+    out.toIndexedSeq
+  }
+
+  /** Merge all non-overlapping occurrences of `(a, b)` left to right —
+    * the exact `segmentWord` application order, shared with the in-heap
+    * loop's rebuild step. Returns `syms` unchanged (same reference) when
+    * the pair is absent, so unaffected words cost one scan, no alloc. */
+  private def applyMergeTo(
+      syms: IndexedSeq[String], a: String, b: String): IndexedSeq[String] = {
+    var has = false
+    var i = 0
+    while (!has && i < syms.length - 1) {
+      has = syms(i) == a && syms(i + 1) == b; i += 1
+    }
+    if (!has) syms
+    else {
+      val merged = scala.collection.mutable.ArrayBuffer.empty[String]
+      var p = 0
+      while (p < syms.length) {
+        if (p < syms.length - 1 && syms(p) == a && syms(p + 1) == b) {
+          merged += a + b; p += 2
+        } else { merged += syms(p); p += 1 }
+      }
+      merged.toIndexedSeq
+    }
+  }
+
+  /** The DISTRIBUTED merge loop — engaged by [[learnMerges]] /
+    * [[learnByteMerges]] when the vocabulary exceeds the driver cut.
+    * The word-frequency table stays a cached Dataset of
+    * `(symbols, count)`; each round is one pair-count aggregation
+    * (flatMap adjacents → groupBy → sum, partial aggregation map-side)
+    * whose top-`batchK` rows — and ONLY those — come to the driver.
+    * Driver memory is O(batchK + merges), flat in the vocabulary size.
+    *
+    * Batching (the standard distributed-BPE throughput trade): from the
+    * round's top-`batchK` pairs, the maximal PREFIX of pairwise
+    * NON-INTERACTING pairs (no symbol of one equals a symbol or product
+    * of another) is applied in a single pass over the table, so `k`
+    * merges cost one aggregation instead of `k`. `batchK = 1` replays
+    * the in-heap loop exactly (one aggregation per merge — same argmax,
+    * same tie order, same application order). With `batchK > 1` a pair
+    * CREATED by an earlier accepted merge can occasionally out-count a
+    * later accepted one, reordering a handful of adjacent ranks vs the
+    * strictly sequential trainer — the accepted approximation in every
+    * production distributed trainer, and tightly bounded here by the
+    * prefix-interaction stop (interacting pairs never share a batch).
+    *
+    * Tie order matches the in-heap comparator (count desc, then
+    * lexicographically smallest pair) via Spark's binary string sort —
+    * identical to Java's `compareTo` for BMP-only symbol sets (always
+    * true byte-level; classic path with supplementary-plane text could
+    * tie-break differently, same as any UTF-8-ordered system).
+    *
+    * Lineage is cut with an eager `localCheckpoint` every
+    * `checkpointEvery` batches — without it the per-round map lineage
+    * compounds and job setup grows linearly in rounds. */
+  def learnMergesDistributedFromCounts(
+      counts: DataFrame, // (word: String, n: Long)
+      numMerges: Int,
+      batchK: Int = 16,
+      checkpointEvery: Int = 12): Seq[(String, String)] = {
+    require(numMerges > 0, s"numMerges must be positive, got $numMerges")
+    require(batchK > 0, s"batchK must be positive, got $batchK")
+    val spark = counts.sparkSession
+    import spark.implicits._
+    import scala.collection.mutable
+    var words = counts.select(col("word"), col("n").cast("long"))
+      .as[(String, Long)]
+      .filter(_._1.nonEmpty)
+      .map { case (w, n) => (unitsSeq(w): Seq[String], n) }
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    words.count() // materialize before the source `counts` plan re-runs
+    val merges = mutable.ArrayBuffer.empty[(String, String)]
+    var exhausted = false
+    var round = 0
+    try {
+      while (merges.size < numMerges && !exhausted) {
+        val want = math.min(batchK, numMerges - merges.size)
+        val top = words.flatMap { case (syms, n) =>
+            (0 until syms.length - 1).iterator.map(i => (syms(i), syms(i + 1), n))
+          }.toDF("l", "r", "c")
+          .groupBy("l", "r").agg(sum("c").as("cnt"))
+          .filter(col("cnt") > 1) // a count-1 merge would just memorize one word
+          .orderBy(desc("cnt"), asc("l"), asc("r"))
+          .limit(want)
+          .collect()
+          .map(r => (r.getString(0), r.getString(1)))
+        if (top.isEmpty) exhausted = true
+        else {
+          // maximal non-interacting PREFIX: stop at the first pair that
+          // shares a symbol (or product) with an already-accepted one —
+          // its count would change under the earlier merge
+          val accepted = mutable.ArrayBuffer.empty[(String, String)]
+          val involved = mutable.HashSet.empty[String]
+          var stop = false
+          for ((l, r) <- top if !stop) {
+            if (involved(l) || involved(r) || involved(l + r)) stop = true
+            else {
+              accepted += ((l, r))
+              involved += l; involved += r; involved += (l + r)
+            }
+          }
+          val batch = accepted.toArray
+          val next = words.map { case (syms, n) =>
+            var cur = syms.toIndexedSeq
+            batch.foreach { case (a, b) => cur = applyMergeTo(cur, a, b) }
+            (cur: Seq[String], n)
+          }.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          next.count()
+          words.unpersist()
+          words =
+            if (round % checkpointEvery == checkpointEvery - 1)
+              next.localCheckpoint(true)
+            else next
+          merges ++= batch
+          round += 1
+        }
+      }
+      merges.toSeq
+    } finally words.unpersist()
+  }
+
   /** Vocab for id encoding (`graft_bpe_encode`): `<unk>` first (id 0 —
     * kept for legacy decode and the registry's line-0 contract, never
     * emitted under byte fallback), then `<eos>` (id 1 — the document
@@ -255,15 +403,22 @@ object BpeTrainer {
       df: DataFrame,
       textCol: String,
       numMerges: Int,
-      maxWords: Int = 1 << 20): Seq[(String, String)] = {
+      maxWords: Int = 1 << 20,
+      batchK: Int = 16): Seq[(String, String)] = {
     require(numMerges > 0, s"numMerges must be positive, got $numMerges")
     require(maxWords > 0, s"maxWords must be positive, got $maxWords")
-    val top = bytePretokenCounts(df, textCol)
-      .orderBy(desc("n"), asc("word")).limit(maxWords)
+    val counts = bytePretokenCounts(df, textCol)
+    val top = counts
+      .orderBy(desc("n"), asc("word")).limit(maxWords + 1)
       .collect()
       .map(r => r.getString(0) -> r.getLong(1))
       .toSeq
-    learnFromCounts(top, numMerges)
+    // same threshold contract as learnMerges: in-heap below the cut,
+    // distributed pair-count loop above it (driver heap flat — the
+    // 256k-multilingual-vocab shape; mapped symbols are ordinary BMP
+    // chars, so tie order is identical to the in-heap comparator)
+    if (top.size <= maxWords) learnFromCounts(top, numMerges)
+    else learnMergesDistributedFromCounts(counts, numMerges, batchK)
   }
 
   /** Byte-level vocab: `<unk>` (id 0 — the uniform line-0 loader

@@ -413,6 +413,53 @@ class BpeSpec extends SparkTestBase {
     assert(m.nonEmpty && m.length < 50)
   }
 
+  test("distributed merge loop replays the in-heap trainer exactly at batchK=1 " +
+      "(classic fixture + real corpus prefix)") {
+    import spark.implicits._
+    val fixture = Seq("low" -> 5L, "lower" -> 2L, "newest" -> 6L, "widest" -> 3L)
+    val inHeap = graft.llm.BpeTrainer.learnFromCounts(fixture, 4)
+    val dist = graft.llm.BpeTrainer.learnMergesDistributedFromCounts(
+      fixture.toDF("word", "n"), numMerges = 4, batchK = 1)
+    assert(dist == inHeap && dist == Seq(("e", "s"), ("es", "t"), ("l", "o"), ("lo", "w")))
+    // real corpus: first 8 merges identical under both loops
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet").select("text").limit(100)
+    val counts = graft.llm.BpeTrainer.pretokenCounts(docs, "text")
+    val heapTop = counts.orderBy(org.apache.spark.sql.functions.desc("n"),
+        org.apache.spark.sql.functions.asc("word"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toSeq
+    assert(graft.llm.BpeTrainer.learnMergesDistributedFromCounts(counts, 8, batchK = 1)
+      == graft.llm.BpeTrainer.learnFromCounts(heapTop, 8))
+  }
+
+  test("batched distributed loop: non-interacting prefix preserves the fixture's " +
+      "merge sequence; interacting chains are split across batches") {
+    import spark.implicits._
+    val fixture = Seq("low" -> 5L, "lower" -> 2L, "newest" -> 6L, "widest" -> 3L)
+    // (e,s) then (es,t) INTERACT (product of the first is the left of the
+    // second) — the prefix stop must separate them, keeping sequential order
+    val batched = graft.llm.BpeTrainer.learnMergesDistributedFromCounts(
+      fixture.toDF("word", "n"), numMerges = 4, batchK = 8)
+    assert(batched == Seq(("e", "s"), ("es", "t"), ("l", "o"), ("lo", "w")))
+    // early stop parity: no pair occurs twice → no merges, either loop
+    assert(graft.llm.BpeTrainer.learnMergesDistributedFromCounts(
+      Seq("ab" -> 1L, "cd" -> 1L).toDF("word", "n"), 5).isEmpty)
+  }
+
+  test("learnMerges auto-switches to the distributed loop above the maxWords cut, " +
+      "same merges (vocab is no longer truncated to the cut)") {
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet").select("text").limit(60)
+    // corpus has far more than 10 distinct pretokens → distributed path
+    val viaSwitch = graft.llm.BpeTrainer.learnMerges(docs, "text",
+      numMerges = 6, maxWords = 10, batchK = 1)
+    val inHeapFull = graft.llm.BpeTrainer.learnMerges(docs, "text", numMerges = 6)
+    assert(viaSwitch == inHeapFull)
+    // byte-level twin: same switch, same parity
+    val viaByteSwitch = graft.llm.BpeTrainer.learnByteMerges(docs, "text",
+      numMerges = 6, maxWords = 10, batchK = 1)
+    val byteFull = graft.llm.BpeTrainer.learnByteMerges(docs, "text", numMerges = 6)
+    assert(viaByteSwitch == byteFull)
+  }
+
   test("pretokenCounts matches the BpeVocab pretokenization contract") {
     import spark.implicits._
     val counts = graft.llm.BpeTrainer.pretokenCounts(
