@@ -2015,10 +2015,17 @@ object SparkEntry {
 
     // ---- HTML text extraction (the ingest step upstream of every
     // web-corpus stage): script/style/comment blocks dropped, block
-    // separators become newlines, tags stripped, the named entity
-    // list decoded, whitespace squeezed. Planted markup built
+    // separators become newlines, tags stripped, character references
+    // decoded through the FULL bundled WHATWG table (stripHtmlFull —
+    // named entities beyond the old core list, decimal and hex numeric
+    // forms including a supplementary-plane codepoint; unknown names
+    // pass through), whitespace squeezed. Planted markup built
     // identically in both engines; no backreferences anywhere so the
-    // RE2 oracle replays every pattern.
+    // RE2 oracle replays every pattern, and the oracle's decode chain
+    // replays EXACTLY the planted reference set (LOCKSTEP: adding a
+    // reference here requires adding its replace below — documents
+    // text itself contains no '&' at any SF, asserted in
+    // TextAnalysisSpec).
     "q108_html_extract" -> ((s, dir) => {
       val planted = concat(
         lit("<html><head><style type=\"text/css\">body { color: red }</style>"),
@@ -2028,9 +2035,11 @@ object SparkEntry {
         substring(col("text"), 1, 40),
         lit("</p><div>Second &lt;div&gt; line</div>"),
         lit("<ul><li>item one</li><li>item&#39;s two</li></ul>"),
+        lit("<p>Caf&eacute; &hellip; &copy; 2024 &mdash; n&#8212;m"),
+        lit(" &#x1F60A; but &notareal; and Fish&Chips stay</p>"),
         lit("<br/>tail text</body></html>"))
       t(s, dir, "documents").select(col("doc_id"),
-          graft.llm.TextAnalysis.stripHtml(planted).as("text_plain"))
+          graft.llm.TextAnalysis.stripHtmlFull(planted).as("text_plain"))
         .withColumn("n_lines",
           size(split(col("text_plain"), "\n")).cast("long"))
     }),
@@ -3682,7 +3691,18 @@ object SparkEntry {
     // style/comments), break-tag newlines, tag strip, the SAME entity
     // list unfolded into replace() calls, whitespace squeeze
     "q108_html_extract" -> {
-      val entityChain = graft.llm.TextAnalysis.HtmlEntities.foldLeft("t4") {
+      // LOCKSTEP with the q108 fixture: the chain replays the decode of
+      // exactly the PLANTED references (the engine side decodes through
+      // the full WHATWG table, whose single-pass semantics equal an
+      // ordered chain with &amp; last when — as here — no replacement
+      // value contains a reference form). The extended names prove the
+      // full-table default: they are OUTSIDE the old 7-entity core.
+      val plantedRefs = graft.llm.TextAnalysis.HtmlEntities.filterNot(_._1 == "&amp;") ++ Seq(
+        "&eacute;" -> "é", "&hellip;" -> "…",
+        "&copy;" -> "©", "&mdash;" -> "—",
+        "&#8212;" -> "—", "&#x1F60A;" -> new String(Character.toChars(0x1f60a)),
+        "&amp;" -> "&") // &amp; LAST: "&amp;lt;" must yield "&lt;", not "<"
+      val entityChain = plantedRefs.foldLeft("t4") {
         case (acc, (e, ch)) =>
           val lit = ch.replace("'", "''")
           s"replace($acc, '$e', '$lit')"
@@ -3696,6 +3716,8 @@ object SparkEntry {
          |    substr(text, 1, 40) ||
          |    '</p><div>Second &lt;div&gt; line</div>' ||
          |    '<ul><li>item one</li><li>item&#39;s two</li></ul>' ||
+         |    '<p>Caf&eacute; &hellip; &copy; 2024 &mdash; n&#8212;m' ||
+         |    ' &#x1F60A; but &notareal; and Fish&Chips stay</p>' ||
          |    '<br/>tail text</body></html>' AS t
          |  FROM documents),
          |s0 AS (SELECT doc_id,

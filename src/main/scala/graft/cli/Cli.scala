@@ -435,8 +435,14 @@ object Curator {
       if (!c.getBoolean("strip-html").getOrElse(false)) raw
       else stages.timed("strip-html") {
         val tcol = c.getString("text-column").getOrElse("text")
-        raw.withColumn(tcol, graft.llm.TextAnalysis.stripHtml(col(tcol),
-          entityList.getOrElse(graft.llm.TextAnalysis.HtmlEntities)))
+        // default = the COMPLETE published WHATWG set (2,125 named
+        // references + numeric forms) through the native single-pass
+        // decoder; `entity-list-path` overrides with an ordered
+        // literal chain when an operator needs a custom/replayable list
+        raw.withColumn(tcol, entityList match {
+          case Some(list) => graft.llm.TextAnalysis.stripHtml(col(tcol), list)
+          case None => graft.llm.TextAnalysis.stripHtmlFull(col(tcol))
+        })
       }
     // optional text normalization next (`normalize-text = true`):
     // mojibake repair, CRLF/control cleanup, Unicode NFC — BEFORE
@@ -2189,6 +2195,12 @@ object Trainer {
   *    `recall-oversample`) — the monitor that tells an operator when
   *    drift warrants a rebuild; `min-recall` turns it into a GATE
   *    (report lands first, then a breach exits nonzero)
+  *  - `mode = compact` (+ `target-files-per-cell`, default 1): index
+  *    upkeep — every append leaves one file per batch per touched
+  *    cell, so probe scans accumulate file opens; compact rewrites
+  *    each cell directory holding more than the target back down to
+  *    it (corpus + PQ codes in one marker window, IO bounded by the
+  *    rewritten cells, tight cells skipped without reading a row)
   *  - `mode = monitor` (requires `recall-queries` and `min-recall`):
   *    the scheduled form of that gate — measure, report, and on a
   *    breach either exit nonzero (default) or, with
@@ -2327,6 +2339,54 @@ object Indexer {
               .write.mode("append").partitionBy("cell").parquet(codesPath.toString)
           })
         Cli.log(s"appended ${emb.count()} vectors to $indexDir")
+      case "compact" =>
+        // index-layout upkeep (the Compactor's job for the INDEX
+        // rather than state tables): every append lands one file per
+        // batch per touched cell, so after N appends a cell directory
+        // holds N small files and probe scans pay N file opens. Each
+        // cell with more than `target-files-per-cell` data files is
+        // rewritten to exactly that many — corpus and (when present)
+        // PQ codes in the SAME marker window. IO is O(rewritten
+        // cells), never the index: tight cells are skipped by the
+        // file-count check, no rows are read for them. Crash-safe by
+        // the append protocol: _BUILT is down for the whole window, so
+        // a crash mid-rewrite leaves an index ivfEnsure refuses; the
+        // per-cell tmp dir is dot-prefixed (reader-invisible) and
+        // promoted by rename only after its rewrite completes.
+        require(fs.exists(marker),
+          s"no committed index at '$indexDir' (_BUILT missing)")
+        val targetFiles = c.getInt("target-files-per-cell").getOrElse(1)
+        require(targetFiles >= 1,
+          s"index.target-files-per-cell must be >= 1, got $targetFiles")
+        val tables = Seq("corpus") ++ (if (fs.exists(codesPath)) Seq("codes") else Nil)
+        fs.delete(marker, false)
+        var rewrote = 0
+        var tight = 0
+        tables.foreach { tbl =>
+          val tdir = new Path(indexDir, tbl)
+          fs.listStatus(tdir)
+            .filter(st => st.isDirectory && st.getPath.getName.startsWith("cell="))
+            .foreach { st =>
+              val nFiles = fs.listStatus(st.getPath)
+                .count(f => f.isFile && f.getPath.getName.startsWith("part-"))
+              if (nFiles > targetFiles) {
+                val tmp = new Path(tdir, s".compact-${st.getPath.getName}")
+                if (fs.exists(tmp)) fs.delete(tmp, true): Unit
+                spark.read.parquet(st.getPath.toString)
+                  .coalesce(targetFiles)
+                  .write.mode("overwrite").parquet(tmp.toString)
+                require(fs.delete(st.getPath, true),
+                  s"could not remove '${st.getPath}' for compaction")
+                require(fs.rename(tmp, st.getPath),
+                  s"could not promote '$tmp' to '${st.getPath}'")
+                rewrote += 1
+              } else tight += 1
+            }
+        }
+        fs.create(marker, true).close()
+        Cli.log(s"compacted index at $indexDir: $rewrote cell dir(s) " +
+          s"rewritten to <= $targetFiles file(s) across ${tables.mkString("+")}" +
+          s" ($tight already tight)")
       case "monitor" =>
         // the scheduled recall gate, optionally self-healing: the
         // embeddings source is NOT read — the monitor judges (and
@@ -2387,7 +2447,7 @@ object Indexer {
                 "revisit PQ parameters")
         }
       case other => throw new IllegalArgumentException(
-        s"unknown index.mode '$other' (build|append|monitor)")
+        s"unknown index.mode '$other' (build|append|compact|monitor)")
     }
     if (c.getString("mode").getOrElse("build") != "monitor") {
       // build/append: measure after commit; `min-recall` is the gate —

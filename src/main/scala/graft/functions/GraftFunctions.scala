@@ -324,6 +324,9 @@ object GraftFunctions {
   def nfc(c: Column): Column =
     ColumnBridge.column(NfcNormalize(ColumnBridge.expression(c)))
 
+  def htmlEntities(c: Column): Column =
+    ColumnBridge.column(HtmlEntityDecode(ColumnBridge.expression(c)))
+
   def repetition(c: Column, n: Int = 3): Column =
     ColumnBridge.column(Repetition(ColumnBridge.expression(c), n))
 
@@ -747,6 +750,12 @@ object GraftFunctions {
       (es: Seq[Expression]) => {
         require(es.length == 1, s"graft_nfc takes 1 argument, got ${es.length}")
         NfcNormalize(es.head)
+      }),
+    ("graft_html_entities",
+      new ExpressionInfo(classOf[HtmlEntityDecode].getName, "graft_html_entities"),
+      (es: Seq[Expression]) => {
+        require(es.length == 1, s"graft_html_entities takes 1 argument, got ${es.length}")
+        HtmlEntityDecode(es.head)
       }),
     ("graft_repetition",
       new ExpressionInfo(classOf[Repetition].getName, "graft_repetition"),

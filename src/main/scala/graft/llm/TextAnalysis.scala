@@ -503,13 +503,34 @@ object TextAnalysis {
     * at 100 TB. A real parser handles malformed nesting better; this
     * is the deterministic 99% with no dependency.
     *
-    * `entities` defaults to the shipped [[HtmlEntities]] stand-in;
-    * load the full HTML5 entity table with [[loadPairList]] (the
-    * Curator's `entity-list-path` knob) — the chain is list-agnostic
-    * and a loaded list interpolates into the plan (and into an oracle
-    * replay) exactly like the default. */
+    * `entities` defaults to the shipped [[HtmlEntities]] core list —
+    * the ordered-literal-chain form that replays verbatim in the q108
+    * oracle; a list loaded with [[loadPairList]] (the Curator's
+    * `entity-list-path` knob) interpolates the same way. For the FULL
+    * published WHATWG set (2,125 named references + numeric forms) use
+    * [[stripHtmlFull]] — a 2,125-deep replace chain would blow up the
+    * expression tree, so the full set decodes through the native
+    * single-pass expression instead. */
   def stripHtml(c: Column,
-      entities: Seq[(String, String)] = HtmlEntities): Column = {
+      entities: Seq[(String, String)] = HtmlEntities): Column =
+    stripHtmlWith(c, tags => entities.foldLeft(tags) { case (acc, (e, ch)) =>
+      replace(acc, lit(e), lit(ch))
+    })
+
+  /** [[stripHtml]] with the COMPLETE HTML5 character-reference set:
+    * the same extraction pipeline, entity decoding through
+    * `graft_html_entities` ([[graft.functions.HtmlEntityImpl]] — the
+    * bundled WHATWG table of all 2,125 semicolon-terminated named
+    * references plus numeric `&#NNN;`/`&#xHH;` forms, one codegen'd
+    * pass). The production default for the Curator's `strip-html`
+    * stage; the literal-chain [[stripHtml]] core remains the
+    * oracle-replay form. Single-pass and ordered-chain semantics agree
+    * on the shared subset (`&amp;` double-escape behavior included —
+    * spec-pinned). */
+  def stripHtmlFull(c: Column): Column =
+    stripHtmlWith(c, graft.functions.GraftFunctions.htmlEntities)
+
+  private def stripHtmlWith(c: Column, decodeEntities: Column => Column): Column = {
     // line endings first: CR/CRLF → LF, so the multiline trim below
     // agrees between Java regex and RE2 ('$' before \r\n differs) and
     // no \r ever reaches the line-level stages (review finding)
@@ -528,10 +549,13 @@ object TextAnalysis {
     // prose and survives; "<em>" and "<john@example.com>" are markup
     // to a browser and are stripped (review finding)
     val noTags = regexp_replace(withBreaks, "</?[A-Za-z][^>]*>|<![A-Za-z][^>]*>", "")
-    val decoded = entities.foldLeft(noTags) { case (acc, (e, ch)) =>
-      replace(acc, lit(e), lit(ch))
-    }
-    val squeezed = regexp_replace(decoded, "[ \\t]+", " ")
+    val decoded = decodeEntities(noTags)
+    // U+00A0 counts as squeezable whitespace: the full WHATWG table
+    // decodes &nbsp; to a REAL non-breaking space (the core chain maps
+    // it to ' ' directly), and for text extraction both must render as
+    // one plain space — mixed runs collapse identically, so the q108
+    // oracle's plain-space replace + plain squeeze replays this exactly
+    val squeezed = regexp_replace(decoded, "[ \\t\\u00A0]+", " ")
     val trimmed = regexp_replace(squeezed, "(?m)^ +| +$", "")
     // outer newlines are markup residue, not document structure
     regexp_replace(trimmed, "^\\n+|\\n+$", "")

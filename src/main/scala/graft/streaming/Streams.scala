@@ -215,8 +215,12 @@ object Streams {
     // stays stateless with them on — every later signal sees repaired,
     // cleaned text
     val unHtmled =
-      if (stripHtml) docs.withColumn(textCol, TextAnalysis.stripHtml(col(textCol),
-        entityList.getOrElse(TextAnalysis.HtmlEntities)))
+      if (stripHtml) docs.withColumn(textCol, entityList match {
+        // same default as the batch Curator: the full WHATWG set via
+        // the native decoder; a custom list switches to the chain form
+        case Some(list) => TextAnalysis.stripHtml(col(textCol), list)
+        case None => TextAnalysis.stripHtmlFull(col(textCol))
+      })
       else docs
     val normed =
       if (normalizeText)

@@ -2505,6 +2505,80 @@ class CliSpec extends SparkTestBase {
       "the recall artifact must land before the gate trips")
   }
 
+  test("indexer compact: repeated appends pile files per cell; compact rewrites " +
+      "to one file per cell (corpus + codes, one marker window), recall is " +
+      "unchanged, appends continue") {
+    import org.apache.spark.sql.functions.col
+    val base = tmp()
+    val idx = base.resolve("cidx").toString
+    def conf(name: String, mode: String, src: String, extra: String = "") =
+      write(base.resolve(s"cidx_$name.conf"),
+        s"""index {
+           |  embeddings-dir = $src
+           |  index-dir = $idx
+           |  mode = $mode
+           |  num-cells = 4
+           |  kmeans-max-iter = 8
+           |  pq-m = 8
+           |  pq-k = 16
+           |$extra
+           |}
+           |""".stripMargin)
+    val embSrc = s"$sfDir/embeddings.parquet"
+    graft.cli.Indexer.main(Array("--conf", conf("build", "build", embSrc)))
+    val n = spark.read.parquet(embSrc).count()
+    // 3 appends, fresh ids each — every touched cell gains a file per batch
+    (1 to 3).foreach { i =>
+      val more = base.resolve(s"more$i").toString
+      spark.read.parquet(embSrc)
+        .select((col("vec_id") + i * 10000L).as("vec_id"), col("embedding"))
+        .write.parquet(more)
+      graft.cli.Indexer.main(Array("--conf", conf(s"ap$i", "append", more)))
+    }
+    def cellFileCounts(tbl: String): Map[String, Int] =
+      new java.io.File(s"$idx/$tbl").listFiles()
+        .filter(f => f.isDirectory && f.getName.startsWith("cell="))
+        .map(d => d.getName ->
+          d.listFiles().count(f => f.isFile && f.getName.startsWith("part-")))
+        .toMap
+    assert(cellFileCounts("corpus").values.max > 1,
+      "appends must have accumulated multiple files in at least one cell")
+    // content digests before compaction (xor: overflow-free, order-free);
+    // recall is measured full-probe (= exact) by the compact run below
+    def corpusDigest: Long = spark.read.parquet(s"$idx/corpus")
+      .selectExpr("bit_xor(xxhash64(vec_id, cell)) AS d").head.getLong(0)
+    val corpusBefore = corpusDigest
+    val codesBefore = spark.read.parquet(s"$idx/codes").count()
+    graft.cli.Indexer.main(Array("--conf", conf("cp", "compact", embSrc,
+      "  recall-queries = 4\n  recall-nprobe = 4\n  recall-oversample = 100")))
+    // one file per cell in BOTH tables, marker restored, content identical
+    assert(cellFileCounts("corpus").values.forall(_ == 1),
+      s"corpus cells not compacted: ${cellFileCounts("corpus")}")
+    assert(cellFileCounts("codes").values.forall(_ == 1),
+      s"codes cells not compacted: ${cellFileCounts("codes")}")
+    assert(new java.io.File(s"$idx/_BUILT").exists(), "marker must come back")
+    assert(spark.read.parquet(s"$idx/corpus").count() == 4 * n)
+    assert(corpusDigest == corpusBefore,
+      "compaction must not change corpus content")
+    assert(spark.read.parquet(s"$idx/codes").count() == codesBefore)
+    // full-probe recall over the compacted layout stays exact
+    val rec = spark.read.parquet(s"$idx/recall")
+    assert(rec.count() == 4 &&
+      rec.filter(col("recall") < 1.0).count() == 0,
+      "recall must be unchanged (exact) after compaction")
+    // a second compact run is a cheap no-op: everything already tight
+    graft.cli.Indexer.main(Array("--conf", conf("cp2", "compact", embSrc)))
+    assert(cellFileCounts("corpus").values.forall(_ == 1))
+    // appends continue against the compacted layout
+    val more = base.resolve("more9").toString
+    spark.read.parquet(embSrc)
+      .select((col("vec_id") + 90000L).as("vec_id"), col("embedding"))
+      .write.parquet(more)
+    graft.cli.Indexer.main(Array("--conf", conf("ap9", "append", more)))
+    assert(spark.read.parquet(s"$idx/corpus").count() == 5 * n)
+    assert(new java.io.File(s"$idx/_BUILT").exists())
+  }
+
   test("indexer monitor: appends degrade recall below the floor; a plain " +
       "monitor run alerts; one rebuild-on-breach run retrains, swaps " +
       "atomically, retires the old index, and restores the gate") {

@@ -410,6 +410,50 @@ class TextAnalysisSpec extends SparkTestBase {
     assert(strip("a \r\nb<br>c") == "a\nb\nc", "CRLF cleaned, trailing space trimmed")
   }
 
+  test("stripHtmlFull decodes the COMPLETE WHATWG set: names outside the core " +
+      "list, numeric forms, multi-codepoint replacements; unknowns pass through") {
+    def strip(s: String): String =
+      Seq((1L, s)).toDF("doc_id", "text")
+        .select(TextAnalysis.stripHtmlFull(col("text")).as("t"))
+        .collect().head.getString(0)
+    // names OUTSIDE the 7-entity core list — the full-table proof
+    assert(strip("Caf&eacute; costs 5&euro; &hellip; &copy;2024") ==
+      "Café costs 5€ … ©2024")
+    assert(strip("x &mdash; y &trade; &Uuml;ber") == "x — y ™ Über")
+    // the longest name in the published table, and a multi-codepoint one
+    assert(strip("&CounterClockwiseContourIntegral;") == "∳")
+    assert(strip("&fjlig;ord") == "fjord", "multi-char replacement (fj ligature)")
+    // numeric references: decimal, hex, supplementary plane
+    assert(strip("n&#8212;m &#233; &#x1F60A;") ==
+      "n—m é " + new String(Character.toChars(0x1f60a)))
+    // non-references pass through verbatim: unknown name, no semicolon,
+    // bare prose ampersand, invalid numerics (zero, surrogate, overflow)
+    assert(strip("&notareal; Fish&Chips AT&T &amp x") ==
+      "&notareal; Fish&Chips AT&T &amp x")
+    assert(strip("&#0; &#xD800; &#x110000; &#; &#x;") ==
+      "&#0; &#xD800; &#x110000; &#; &#x;")
+    // single-pass semantics match the ordered core chain on its subset,
+    // double-escape included
+    assert(strip("one&nbsp;two &amp; three &lt;tag&gt;") == "one two & three <tag>")
+    assert(strip("&amp;lt;") == "&lt;",
+      "the scanner continues AFTER a replacement: double-escape survives one level")
+    // scanning continues cleanly across adjacent references
+    assert(strip("&lt;&lt;&gt;&gt;") == "<<>>")
+    // table size sanity: this IS the full published set, not a stand-in
+    assert(graft.functions.HtmlEntityImpl.table.size == 2125,
+      s"bundled WHATWG table should hold 2125 names, got " +
+        s"${graft.functions.HtmlEntityImpl.table.size}")
+  }
+
+  test("q108 lockstep guard: documents text contains no ampersand at this SF " +
+      "(the oracle replays only the PLANTED references)") {
+    val n = spark.read.parquet(s"$sfDir/documents.parquet")
+      .filter(col("text").contains("&")).count()
+    assert(n == 0, "documents text grew ampersands — q108's oracle decode " +
+      "chain no longer covers every reference the engine side sees; extend " +
+      "the planted-reference list in SparkEntry (both sides) in lockstep")
+  }
+
   test("normalizeText: mojibake (both cp1252 and latin-1 renderings) repaired, " +
       "CRLF and controls cleaned, NFC composed, idempotent") {
     def norm(s: String): String =
