@@ -23,11 +23,15 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *    cache a previous query leaked and an explicit GC compacts the heap,
   *    so query N+1 does not pay query N's garbage (untimed, between
   *    queries only — never inside a timed pass);
-  *  - OBSERVABILITY: the JSON carries per-query heap-used before/after
-  *    and GC-time deltas (`"mem"`), so the NEXT anomaly is diagnosable
-  *    from the artifact alone — an honest slow plan shows stable heap and
-  *    small gc_ms; an environment artifact shows gc_ms rivalling the
-  *    query time.
+  *  - OBSERVABILITY: the JSON carries per-query heap before (post-GC),
+  *    heap RETAINED after (post-GC — the leak signal), transient
+  *    allocation abandoned by the query (raw-after minus retained — the
+  *    GC-pressure signal), and GC-time deltas (`"mem"`), so the NEXT
+  *    anomaly is diagnosable from the artifact alone — an honest slow
+  *    plan shows stable retained heap and small gc_ms; an environment
+  *    artifact shows gc_ms rivalling the query time. (Until r9,
+  *    heap_after skipped the collect and read garbage, not residency —
+  *    the "4.9 GB dedup band" was 90 MB retained.)
   */
 object Bench {
   private def materialize(df: DataFrame): Unit =
@@ -79,7 +83,7 @@ object Bench {
     val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
       .map(_.split(",").map(_.trim).toSet).filter(_.nonEmpty)
     var failed = List.empty[String]
-    val mem = scala.collection.mutable.LinkedHashMap.empty[String, (Long, Long, Long)]
+    val mem = scala.collection.mutable.LinkedHashMap.empty[String, (Long, Long, Long, Long)]
     val results = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .map { case (name, fn) =>
@@ -103,14 +107,25 @@ object Bench {
             -1.0
         }
       }
-      mem(name) = (heapBefore, heapUsedMb, gcMillis - gcBefore)
+      // retained vs transient (round-10 finding): the r5–r9 artifacts
+      // measured used-heap WITHOUT collecting first, so on a 128 GiB
+      // heap the number was dominated by garbage the collector had not
+      // bothered to reclaim — the "dedup heap band" read 3.3–4.9 GB
+      // while the actually-retained set is 83–135 MB (HeapProbe).
+      // heap_after_mb is now RETAINED (post-GC — the leak signal);
+      // heap_transient_mb is what the query allocated and abandoned
+      // (the GC-pressure signal, pairing with gc_ms). Untimed: the GC
+      // runs after the last timed pass.
+      val rawAfter = heapUsedMb
+      System.gc()
+      mem(name) = (heapBefore, heapUsedMb, gcMillis - gcBefore, rawAfter)
       if (times.exists(_ < 0)) { failed ::= name; name -> -1.0 }
       else name -> times.sorted.apply(runs / 2)
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val memJson = mem.map { case (k, (hb, ha, gc)) =>
-      s"\"" + k + s"\":{\"heap_before_mb\":$hb,\"heap_after_mb\":$ha,\"gc_ms\":$gc}"
+    val memJson = mem.map { case (k, (hb, ha, gc, raw)) =>
+      s"\"" + k + s"\":{\"heap_before_mb\":$hb,\"heap_after_mb\":$ha,\"gc_ms\":$gc,\"heap_transient_mb\":${math.max(0L, raw - ha)}}"
     }.mkString("{", ",", "}")
     val total = results.collect { case (_, v) if v >= 0 => v }.sum
     // subtotal over the round-1 query set (q1-q10), the set BASELINE's
