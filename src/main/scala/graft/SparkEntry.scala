@@ -1452,21 +1452,33 @@ object SparkEntry {
     }),
 
     // ---- Text normalization (the pre-hashing stage every cross-source
-    // corpus needs): mojibake repair (documented cp1252 AND latin-1
-    // renderings), CRLF→LF + control stripping, Unicode NFC via the
-    // native graft_nfc expression. The corpus is plain ASCII, so the
-    // query plants mojibake/combining/control constructs identically in
-    // both engines (the q75 pattern); DuckDB's nfc_normalize implements
-    // the same Unicode algorithm → oracle-exact.
+    // ---- Text normalization through the ALGORITHMIC mojibake fixer
+    // (normalizeTextFull — graft_fix_mojibake re-decodes any cp1252/
+    // latin-1-rendered UTF-8, looped for double encodings; the
+    // production default since round 10), then CRLF→LF + control
+    // stripping, Unicode NFC via the native graft_nfc expression. The
+    // corpus is plain ASCII (spec-guarded), so the query plants the
+    // constructs identically in both engines: list-covered repairs,
+    // repairs OUTSIDE any list (&dagger;-class ‡, š), a DOUBLE-encoded
+    // quote the algorithm unwinds in two passes, and a legitimate
+    // "Ã " that must survive unrepaired (no continuation glyph
+    // follows). LOCKSTEP: the oracle replays exactly the planted
+    // sequences — adding one here requires adding its replace there.
     "q106_normalize_text" -> ((s, dir) => {
       val planted = concat(
         substring(col("text"), 1, 40),
         lit(" cafÃ© â€œquotedâ€"),
         lit(" âdash"),
+        // outside the core list: double dagger (cp1252 rendering of
+        // E2 80 A1) and s-caron (C5 A1); a two-layer double encoding
+        // of the right single quote; a legit standalone "Ã "
+        lit(" â€¡x Å¡ip"),
+        lit(" Ã¢â‚¬â„¢twice"),
+        lit(" Ã stays"),
         lit("\r\nLine2 étude"),
         lit("bellctrl"))
       t(s, dir, "documents").select(col("doc_id"),
-          graft.llm.TextAnalysis.normalizeText(planted).as("text_norm"))
+          graft.llm.TextAnalysis.normalizeTextFull(planted).as("text_norm"))
         .withColumn("n_chars", length(col("text_norm")).cast("long"))
     }),
 
@@ -3771,14 +3783,26 @@ object SparkEntry {
         case (acc, (bad, good)) => s"replace($acc, '$bad', '$good')"
       }
       val planted = " caf\u00c3\u00a9 \u00e2\u20ac\u0153quoted" +
-        "\u00e2\u20ac\u009d \u00e2\u0080\u0093dash"
+        "\u00e2\u20ac\u009d \u00e2\u0080\u0093dash" +
+        " \u00e2\u20ac\u00a1x \u00c5\u00a1ip" +
+        " \u00c3\u00a2\u00e2\u201a\u00ac\u00e2\u201e\u00a2twice" +
+        " \u00c3 stays"
+      // LOCKSTEP with the q106 fixture: the plants OUTSIDE the core
+      // list (double dagger, s-caron, the two-layer double encoding)
+      // replay as explicit replaces BEFORE the list chain; the legit
+      // "\u00c3 " has no replace on either side and must survive
+      val extra = "replace(replace(replace(t, " +
+        "'\u00c3\u00a2\u00e2\u201a\u00ac\u00e2\u201e\u00a2', '\u2019'), " +
+        "'\u00e2\u20ac\u00a1', '\u2021'), " +
+        "'\u00c5\u00a1', '\u0161')"
       s"""WITH p AS (
          |  SELECT doc_id,
          |    substr(text, 1, 40) || '$planted' ||
          |    chr(13) || chr(10) || 'Line2 e' || chr(769) || 'tude' ||
          |    chr(7) || 'bell' || chr(128) || 'ctrl' AS t
          |  FROM documents),
-         |r AS (SELECT doc_id, $chain AS t FROM p),
+         |r0 AS (SELECT doc_id, $extra AS t FROM p),
+         |r AS (SELECT doc_id, $chain AS t FROM r0),
          |n AS (SELECT doc_id,
          |  regexp_replace(regexp_replace(t, '\\r\\n?', chr(10), 'g'),
          |    '[\\x00-\\x08\\x0B-\\x1F\\x7F-\\x9F]', '', 'g') AS t FROM r)

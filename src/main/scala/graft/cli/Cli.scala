@@ -453,8 +453,14 @@ object Curator {
       if (!c.getBoolean("normalize-text").getOrElse(false)) rawH
       else stages.timed("normalize-text") {
         val tcol = c.getString("text-column").getOrElse("text")
-        rawH.withColumn(tcol, graft.llm.TextAnalysis.normalizeText(col(tcol),
-          mojibakeList.getOrElse(graft.llm.TextAnalysis.MojibakeRepairs)))
+        // default = the ftfy-core ALGORITHM (re-decode any cp1252/
+        // latin-1-rendered UTF-8, looped for double encodings);
+        // `mojibake-list-path` overrides with an ordered literal chain
+        // when an operator needs a pinned/replayable repair set
+        rawH.withColumn(tcol, mojibakeList match {
+          case Some(list) => graft.llm.TextAnalysis.normalizeText(col(tcol), list)
+          case None => graft.llm.TextAnalysis.normalizeTextFull(col(tcol))
+        })
       }
     // optional PII density gate (`max-pii-hits = N`): documents with
     // more than N progressive redaction hits are DROPPED, not scrubbed
@@ -695,7 +701,17 @@ object Curator {
         mojibakeList.map(l =>
           s";mojibake-list=${listFp(l.map(p => p._1 + "\t" + p._2))}").getOrElse("") +
         entityList.map(l =>
-          s";entity-list=${listFp(l.map(p => p._1 + "\t" + p._2))}").getOrElse("")
+          s";entity-list=${listFp(l.map(p => p._1 + "\t" + p._2))}").getOrElse("") +
+        // the round-10 DEFAULT flavors (algorithmic ftfy-core repair;
+        // full-WHATWG entity decode) change the canonical bytes vs the
+        // old literal-chain defaults, so when their stages run on
+        // defaults the flavor joins the record — a state built under
+        // the old defaults (no flavor token) is rejected loudly, never
+        // silently mismatched
+        (if (c.getBoolean("normalize-text").getOrElse(false) && mojibakeList.isEmpty)
+          ";norm=ftfy" else "") +
+        (if (c.getBoolean("strip-html").getOrElse(false) && entityList.isEmpty)
+          ";entities=whatwg" else "")
     val stateDir = c.getString("state-dir")
     stateDir.foreach { d =>
       val marker = new Path(qual(d), "_COMMITTED")

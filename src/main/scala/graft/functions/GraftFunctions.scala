@@ -327,6 +327,9 @@ object GraftFunctions {
   def htmlEntities(c: Column): Column =
     ColumnBridge.column(HtmlEntityDecode(ColumnBridge.expression(c)))
 
+  def fixMojibake(c: Column): Column =
+    ColumnBridge.column(FixMojibake(ColumnBridge.expression(c)))
+
   def repetition(c: Column, n: Int = 3): Column =
     ColumnBridge.column(Repetition(ColumnBridge.expression(c), n))
 
@@ -756,6 +759,12 @@ object GraftFunctions {
       (es: Seq[Expression]) => {
         require(es.length == 1, s"graft_html_entities takes 1 argument, got ${es.length}")
         HtmlEntityDecode(es.head)
+      }),
+    ("graft_fix_mojibake",
+      new ExpressionInfo(classOf[FixMojibake].getName, "graft_fix_mojibake"),
+      (es: Seq[Expression]) => {
+        require(es.length == 1, s"graft_fix_mojibake takes 1 argument, got ${es.length}")
+        FixMojibake(es.head)
       }),
     ("graft_repetition",
       new ExpressionInfo(classOf[Repetition].getName, "graft_repetition"),

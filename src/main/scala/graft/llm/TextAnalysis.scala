@@ -618,21 +618,45 @@ object TextAnalysis {
     * same Unicode algorithm). At 100 TB this is one more scan-speed
     * projection with no shuffle.
     *
-    * `repairs` defaults to the shipped [[MojibakeRepairs]] stand-in;
-    * load the full ftfy repair table with [[loadPairList]] (the
-    * Curator's `mojibake-list-path` knob). NOTE the state interaction:
+    * `repairs` defaults to the shipped [[MojibakeRepairs]] core list —
+    * the ordered-chain form the q106 oracle replays; a list loaded
+    * with [[loadPairList]] (the Curator's `mojibake-list-path` knob)
+    * interpolates the same way, and [[normalizeTextFull]] replaces the
+    * list with the ftfy-core ALGORITHM (the production default).
+    * NOTE the state interaction:
     * normalization decides the canonical bytes every dedup tier
     * hashes, so changing the repair list against a committed state
     * would silently stop old hashes matching — the Curator folds a
     * fingerprint of any loaded list into the state commit record and
     * rejects the drift. */
   def normalizeText(c: Column,
-      repairs: Seq[(String, String)] = MojibakeRepairs): Column = {
-    // literal substring replace (no regex engine) — the repairs are
-    // fixed strings, and this mirrors the oracle's replace() chain
-    val repaired = repairs.foldLeft(c) { case (acc, (bad, good)) =>
-      replace(acc, lit(bad), lit(good))
-    }
+      repairs: Seq[(String, String)] = MojibakeRepairs): Column =
+    normalizeTextWith(c, repaired => repairs.foldLeft(repaired) {
+      case (acc, (bad, good)) => replace(acc, lit(bad), lit(good))
+    })
+
+  /** [[normalizeText]] with ALGORITHMIC mojibake repair: the same
+    * pipeline, step 1 through `graft_fix_mojibake`
+    * ([[graft.functions.MojibakeImpl]] — the ftfy-core re-decode that
+    * the [[MojibakeRepairs]] list was hand-derived from: map glyphs
+    * back to their cp1252/latin-1 bytes, reassemble wherever valid
+    * UTF-8 forms, looped to a fixed point so double-encoded text
+    * unwinds too). Strictly generalizes the list — every list entry is
+    * a special case of the algorithm (spec-pinned) — and repairs the
+    * long tail (any accented letter, any symbol, doubly-encoded text)
+    * no finite list covers. The production default for the Curator's
+    * `normalize-text` stage; the literal-chain [[normalizeText]]
+    * remains the oracle-replay form and the `mojibake-list-path`
+    * override. */
+  def normalizeTextFull(c: Column): Column =
+    normalizeTextWith(c, graft.functions.GraftFunctions.fixMojibake)
+
+  private def normalizeTextWith(c: Column, repair: Column => Column): Column = {
+    // repairs first (no regex engine in the chain form — fixed strings,
+    // mirroring the oracle's replace() chain): latin-1 renderings
+    // contain C1 controls, so repair must see them BEFORE the strip
+    // below destroys the evidence
+    val repaired = repair(c)
     // CR or CRLF -> LF: a lone \r must become a line break, not be
     // deleted by the control strip below (which would fuse words and
     // give the CR-only twin a different canonical form)

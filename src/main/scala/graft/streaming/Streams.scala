@@ -224,8 +224,12 @@ object Streams {
       else docs
     val normed =
       if (normalizeText)
-        unHtmled.withColumn(textCol, TextAnalysis.normalizeText(col(textCol),
-          mojibakeList.getOrElse(TextAnalysis.MojibakeRepairs)))
+        unHtmled.withColumn(textCol, mojibakeList match {
+          // same default as the batch Curator: algorithmic ftfy-core
+          // repair; a custom list switches to the chain form
+          case Some(list) => TextAnalysis.normalizeText(col(textCol), list)
+          case None => TextAnalysis.normalizeTextFull(col(textCol))
+        })
       else unHtmled
     val cleaned =
       if (c4Rules) TextAnalysis.c4Apply(normed, textCol,

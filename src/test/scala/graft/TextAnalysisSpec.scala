@@ -454,6 +454,55 @@ class TextAnalysisSpec extends SparkTestBase {
       "the planted-reference list in SparkEntry (both sides) in lockstep")
   }
 
+  test("graft_fix_mojibake: the algorithm strictly generalizes the repair list, " +
+      "unwinds double encodings, and never touches clean text") {
+    def fix(s: String): String =
+      Seq((1L, s)).toDF("doc_id", "text")
+        .select(graft.functions.GraftFunctions.fixMojibake(col("text")).as("t"))
+        .collect().head.getString(0)
+    // every hand-derived list entry is a special case of the algorithm
+    TextAnalysis.MojibakeRepairs.foreach { case (bad, good) =>
+      assert(fix(s"x${bad}y") == s"x${good}y",
+        s"list entry ${bad.map(c => f"\\u${c.toInt}%04x").mkString} not generalized")
+    }
+    // the long tail no finite list covers: any accent, any symbol
+    assert(fix("naÃ¯ve Å¡ â€¡") ==
+      "naïve š ‡", "i-umlaut, s-caron, double dagger")
+    // double-encoded right single quote unwinds in two passes
+    assert(fix("itÃ¢â‚¬â„¢s") == "it’s")
+    // clean text passes through untouched — including a legitimate
+    // lead-byte glyph with no continuation rendering after it
+    assert(fix("plain ascii stays.") == "plain ascii stays.")
+    assert(fix("Ã la carte, 25°, résumé") ==
+      "Ã la carte, 25°, résumé",
+      "already-correct text (and bare Ã) must survive")
+    // idempotent: a fixed string has no renderings left
+    val s = "cafÃ© â€œqâ€"
+    assert(fix(fix(s)) == fix(s))
+  }
+
+  test("normalizeTextFull == normalizeText on list-covered fixtures; q106 guard: " +
+      "corpus is pure ASCII (the oracle replays only planted sequences)") {
+    val fixtures = Seq(
+      "cafÃ© â€œokâ€",
+      "itâs â fine",
+      "a\r\nbc\tde",
+      "plain text.")
+    val df = fixtures.zipWithIndex.map { case (s, i) => (i.toLong, s) }
+      .toDF("doc_id", "text")
+    val both = df.select(
+        TextAnalysis.normalizeText(col("text")).as("chain"),
+        TextAnalysis.normalizeTextFull(col("text")).as("algo"))
+      .collect()
+    both.foreach(r => assert(r.getString(0) == r.getString(1),
+      s"chain='${r.getString(0)}' algo='${r.getString(1)}'"))
+    val n = spark.read.parquet(s"$sfDir/documents.parquet")
+      .filter(col("text").rlike("[^\\x00-\\x7F]")).count()
+    assert(n == 0, "documents text grew non-ASCII — q106's oracle replay " +
+      "no longer covers what the algorithmic fixer sees; extend the " +
+      "planted-sequence list in SparkEntry (both sides) in lockstep")
+  }
+
   test("normalizeText: mojibake (both cp1252 and latin-1 renderings) repaired, " +
       "CRLF and controls cleaned, NFC composed, idempotent") {
     def norm(s: String): String =
