@@ -1898,11 +1898,15 @@ class CliSpec extends SparkTestBase {
     val base = tmp()
     def prose(i: Long) = (0 until 8).map(j =>
       s"the data value v$i$j holds with care and that is good to have.").mkString(" ")
-    // &copy; is OUTSIDE the shipped entity list; Ã¿ (latin-1
-    // mojibake of 'ÿ') is OUTSIDE the shipped repair list; 'gubbins' is
-    // outside the shipped badword stand-in
+    // &copy;/&eacute; are OUTSIDE the old 7-entity core list (the r10
+    // defaults decode the full WHATWG table); Ã¿/Ã± are OUTSIDE the
+    // core repair list (the r10 default repairs algorithmically);
+    // 'gubbins' is outside the shipped badword stand-in. The custom
+    // lists below cover only &copy;/&nbsp; and Ã¿ — so under them
+    // &eacute; and Ã± must SURVIVE RAW, proving the override actually
+    // switches decode/repair to the listed chain
     val docs = Seq(
-      (1L, s"<p>${prose(1L)} marker &copy; sign Ã¿ here.</p>"),
+      (1L, s"<p>${prose(1L)} marker &copy; caf&eacute; sign Ã¿ and Ã± here.</p>"),
       (2L, s"${prose(2L)} gubbins appears here."))
       .toDF("doc_id", "text")
     val src = base.resolve("lsrc").toString
@@ -1927,14 +1931,21 @@ class CliSpec extends SparkTestBase {
            |$extra
            |}
            |""".stripMargin)
-    // run 1: shipped defaults — &copy; undecoded, mojibake unrepaired,
-    // 'gubbins' not a bad word → both docs survive
+    // run 1: shipped defaults (full WHATWG decode + algorithmic
+    // repair since r10) — everything decodes/repairs, 'gubbins' not a
+    // bad word → both docs survive with clean text
     graft.cli.Curator.main(Array("--conf", conf(1, "")))
     val out1 = spark.read.parquet(base.resolve("lout1").toString)
       .select("doc_id", "text").as[(Long, String)].collect().toMap
     assert(out1.keySet == Set(1L, 2L))
-    assert(out1(1L).contains("&copy;") && out1(1L).contains("Ã¿"))
-    // run 2: custom lists — entity decoded, mojibake repaired, and the
+    assert(out1(1L).contains("©") && !out1(1L).contains("&copy;"),
+      s"default full-table decode: '${out1(1L).takeRight(60)}'")
+    assert(out1(1L).contains("café") && !out1(1L).contains("&eacute;"))
+    assert(out1(1L).contains("ÿ") && !out1(1L).contains("Ã¿"),
+      "default algorithmic repair")
+    assert(out1(1L).contains("ñ") && !out1(1L).contains("Ã±"))
+    // run 2: custom lists RESTRICT decode/repair to the listed pairs —
+    // listed forms transform, unlisted ones survive raw, and the
     // custom bad word drops doc 2
     graft.cli.Curator.main(Array("--conf", conf(2,
       s"""  entity-list-path = "$entityList"
@@ -1944,9 +1955,13 @@ class CliSpec extends SparkTestBase {
       .select("doc_id", "text").as[(Long, String)].collect().toMap
     assert(out2.keySet == Set(1L), s"custom bad word must drop doc 2: ${out2.keySet}")
     assert(out2(1L).contains("©") && !out2(1L).contains("&copy;"),
-      s"custom entity must decode: '${out2(1L).takeRight(60)}'")
+      s"listed entity must decode: '${out2(1L).takeRight(60)}'")
+    assert(out2(1L).contains("&eacute;"),
+      "an entity OUTSIDE the custom list must survive raw under the override")
     assert(out2(1L).contains("ÿ") && !out2(1L).contains("Ã¿"),
-      "custom mojibake pair must repair")
+      "listed mojibake pair must repair")
+    assert(out2(1L).contains("Ã±"),
+      "a rendering OUTSIDE the custom repair list must survive raw under the override")
     // run 3: continuing run 2's state lineage with the DEFAULT lists is
     // a canonical-bytes drift — rejected via the commit fingerprint
     val e = intercept[IllegalArgumentException] {
