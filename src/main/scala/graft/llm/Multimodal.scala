@@ -236,6 +236,10 @@ object Multimodal {
         fourcc(bytes, 8) == "AVI ", "not a RIFF/AVI file")
       var width = 0; var height = 0; var bitCount = 24; var compression = 0
       var uspf = 0
+      var haveVids = false        // first 'vids' strf wins
+      var curStreamType = ""      // fccType of the last strh seen
+      var vidsStreamId = "00"     // zero-based stream number of that vids stream
+      var streamIdx = -1
       val ids = Vector.newBuilder[String]
       val frames = Vector.newBuilder[Array[Byte]]
       def walk(start: Int, end: Int, inMovi: Boolean): Unit = {
@@ -250,14 +254,28 @@ object Multimodal {
           } else if (id == "avih" && size >= 40) {
             uspf = u32(bytes, body).toInt
             if (width == 0) { width = u32(bytes, body + 32).toInt; height = u32(bytes, body + 36).toInt }
-          } else if (id == "strf" && size >= 40) {
-            // BITMAPINFOHEADER of the (first) video stream
+          } else if (id == "strh" && size >= 4) {
+            // remember the stream type so only a VIDEO stream's strf is
+            // read as a BITMAPINFOHEADER — an audio stream's strf is a
+            // WAVEFORMATEX and would corrupt the dimensions (foreign
+            // multi-stream files; our own writer emits video only)
+            curStreamType = fourcc(bytes, body)
+            streamIdx += 1
+          } else if (id == "strf" && size >= 40 &&
+              curStreamType == "vids" && !haveVids) {
+            haveVids = true
+            vidsStreamId = f"$streamIdx%02d"
             width = u32(bytes, body + 4).toInt
             height = math.abs(u32(bytes, body + 8).toInt)
             bitCount = u16(bytes, body + 14)
             compression = u32(bytes, body + 16).toInt
           } else if (inMovi && size >= 0 &&
-              (id.endsWith("dc") || id.endsWith("db"))) {
+              (id.endsWith("dc") || id.endsWith("db")) &&
+              // frame chunks are '<NN>dc'/'<NN>db' where NN is the
+              // stream number: take only the video stream's (audio data
+              // rides '<NN>wb' and never matches, but a SECOND video
+              // stream's frames must not interleave into this one)
+              (!haveVids || id.startsWith(vidsStreamId))) {
             ids += id
             frames += java.util.Arrays.copyOfRange(bytes, body, body + size)
           }

@@ -265,6 +265,61 @@ class MultimodalSpec extends SparkTestBase {
     assert(d.data.sameElements(frames(0).data))
   }
 
+  test("AVI parser on a foreign multi-stream file: an audio stream's strf is " +
+      "not misread as a video header, and only the video stream's frames load") {
+    // hand-mux an audio-first AVI: strl(auds + 40-byte junk strf),
+    // strl(vids + real BITMAPINFOHEADER), movi('00wb' junk, '01db' frame)
+    val frame = gridFrames(1, 4, 2).head
+    val dib = Multimodal.Avi.encodeDib(frame)
+    val out = new java.io.ByteArrayOutputStream()
+    def u16(v: Int): Unit = { out.write(v & 0xff); out.write((v >> 8) & 0xff) }
+    def u32(v: Long): Unit = (0 until 4).foreach(i => out.write(((v >> (8 * i)) & 0xff).toInt))
+    def cc(s: String): Unit = out.write(s.getBytes("US-ASCII"), 0, 4)
+    def chunk(id: String)(body: => Unit): Unit = {
+      cc(id)
+      val sizeAt = out.size(); u32(0)
+      val start = out.size(); body
+      val size = out.size() - start
+      if ((size & 1) == 1) out.write(0)
+      val b = out.toByteArray
+      (0 until 4).foreach(i => b(sizeAt + i) = ((size >> (8 * i)) & 0xff).toByte)
+      out.reset(); out.write(b, 0, b.length)
+    }
+    cc("RIFF"); val riffSizeAt = out.size(); u32(0); cc("AVI ")
+    chunk("LIST") { cc("hdrl")
+      chunk("avih") { u32(100000); u32(0); u32(0); u32(0x10); u32(1); u32(0)
+        u32(2); u32(dib.length); u32(4); u32(2); (0 until 4).foreach(_ => u32(0)) }
+      chunk("LIST") { cc("strl")
+        chunk("strh") { cc("auds"); u32(0); u32(0); u16(0); u16(0); u32(0)
+          u32(1); u32(8000); u32(0); u32(8000); u32(0); u32(0xffffffffL); u32(1)
+          u16(0); u16(0); u16(0); u16(0) }
+        // 40 bytes of WAVEFORMATEX-ish junk: read as a BITMAPINFOHEADER
+        // it would claim width=9999 — the old-parser failure mode
+        chunk("strf") { u32(40); u32(9999); u32(7777); u16(1); u16(16)
+          u32(0x12345678L); u32(0); u32(0); u32(0); u32(0); u32(0) }
+      }
+      chunk("LIST") { cc("strl")
+        chunk("strh") { cc("vids"); u32(0); u32(0); u16(0); u16(0); u32(0)
+          u32(1); u32(10); u32(0); u32(1); u32(dib.length); u32(0xffffffffL); u32(0)
+          u16(0); u16(0); u16(4); u16(2) }
+        chunk("strf") { u32(40); u32(4); u32(2); u16(1); u16(24)
+          u32(0); u32(dib.length.toLong); u32(0); u32(0); u32(0); u32(0) }
+      }
+    }
+    chunk("LIST") { cc("movi")
+      chunk("00wb") { out.write(Array[Byte](1, 2, 3, 4), 0, 4) } // audio data
+      chunk("01db") { out.write(dib, 0, dib.length) }            // the video frame
+    }
+    val bytes = out.toByteArray
+    (0 until 4).foreach(i => bytes(riffSizeAt + i) = (((bytes.length - 8) >> (8 * i)) & 0xff).toByte)
+    val parsed = Multimodal.Avi.parse(bytes)
+    assert(parsed.width == 4 && parsed.height == 2,
+      s"audio strf misread as video header: ${parsed.width}x${parsed.height}")
+    assert(parsed.nFrames == 1 && parsed.chunkIds == Vector("01db"))
+    val d = Multimodal.AviDecoder.decode(bytes, Map.empty)
+    assert(d.data.sameElements(frame.data), "video frame must decode bit-exact")
+  }
+
   test("probeAvi reports container-level n_frames/width/height without decoding") {
     val avi = Multimodal.encodeAvi(gridFrames(4, 6, 3), mjpeg = false)
     assert(Multimodal.probeAvi(avi) ==
