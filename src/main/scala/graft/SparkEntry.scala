@@ -688,7 +688,7 @@ object SparkEntry {
       // the corpus slice is capped at 500 vectors (round-5 trim from
       // 1000) for the same reason planting is capped at 500 pairs: the
       // signal (planted found, natural excluded) does not grow with
-      // corpus size, the LSH join cost does (PerfProbe2: 3.4 s → 1.6 s)
+      // corpus size, the LSH join cost does (PerfProbe 2: 3.4 s → 1.6 s)
       // — and q42 runs the scale-path (SRP) alternative on the same
       // harness. Every corpus vector has a planted copy; the "nothing
       // else" half of the gate still covers all natural×natural and

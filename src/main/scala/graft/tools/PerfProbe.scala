@@ -1,19 +1,41 @@
 package graft.tools
 
+import org.apache.spark.scheduler._
 import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
 
-/** Throwaway-style perf probe for round-5 tuning experiments (kept in
-  * tools/ like ScaleProbe; run manually, never part of the gate).
-  *
-  * Round-5 questions:
-  *  1. does q36 cost ~0.3 s when run in ISOLATION at sf0.1 (verdict:
-  *     3.61 s inside the 59-query bench with unchanged code)?
-  *  2. where do q39's 8 s go — persist materialization, LSH fit,
-  *     candidate join, or the summary collect?
-  *  3. what does q38 cost broken into fit/join/verify stages?
-  */
+/** The historical perf probes (rounds 5-9), one per investigation,
+  * consolidated behind a single main: `runMain graft.tools.PerfProbe <n>`
+  * runs probe n (1-9). Each probe keeps its original doc comment —
+  * DESIGN.md cites them as "PerfProbeN" with measured numbers; the
+  * bodies are unchanged so those measurements stay reproducible.
+  * Manual tools, never part of the gate. */
 object PerfProbe {
-  def main(args: Array[String]): Unit = {
+  def main(args: Array[String]): Unit = args.headOption match {
+    case Some("1") => probe1(args.drop(1))
+    case Some("2") => probe2(args.drop(1))
+    case Some("3") => probe3(args.drop(1))
+    case Some("4") => probe4(args.drop(1))
+    case Some("5") => probe5(args.drop(1))
+    case Some("6") => probe6(args.drop(1))
+    case Some("7") => probe7(args.drop(1))
+    case Some("8") => probe8(args.drop(1))
+    case Some("9") => probe9(args.drop(1))
+    case other => sys.error(
+      s"usage: runMain graft.tools.PerfProbe <1-9> [probe args]; got $other")
+  }
+
+  /** Throwaway-style perf probe for round-5 tuning experiments (kept in
+    * tools/ like ScaleProbe; run manually, never part of the gate).
+    *
+    * Round-5 questions:
+    *  1. does q36 cost ~0.3 s when run in ISOLATION at sf0.1 (verdict:
+    *     3.61 s inside the 59-query bench with unchanged code)?
+    *  2. where do q39's 8 s go — persist materialization, LSH fit,
+    *     candidate join, or the summary collect?
+    *  3. what does q38 cost broken into fit/join/verify stages?
+    */
+  private def probe1(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val spark = Local.session(sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
     def time(label: String)(body: => Unit): Unit = {
@@ -93,4 +115,507 @@ object PerfProbe {
     }
     spark.stop()
   }
+
+  /** Round-5 probe #2: q38 tail cost (CC + survivor counts) and q39 trim
+    * variants. Manual tool, never part of the gate. */
+  private def probe2(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val spark = Local.session(sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
+    def time(label: String)(body: => Unit): Unit = {
+      val t0 = System.nanoTime()
+      body
+      println(f"[perf] $label: ${(System.nanoTime() - t0) / 1e9}%.2f s")
+    }
+
+    // warmup
+    spark.read.parquet(s"$sfDir/documents.parquet").count()
+
+    import graft.llm.Dedup
+    val planted = graft.SparkEntry.q38Planted(
+      spark.read.parquet(s"$sfDir/documents.parquet"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    planted.count()
+    val verified = Dedup.verifyPairs(
+      Dedup.minHashNearDups(planted, "doc_id", "text", maxJaccardDistance = 0.2,
+        numHashTables = 3),
+      planted, "doc_id", "text", 0.8)
+      .select("id1", "id2").persist(StorageLevel.MEMORY_AND_DISK)
+    time("q38 verified materialize (3 tables)") { println(s"[perf]   pairs: ${verified.count()}") }
+    time("q38 connectedComponents") {
+      Dedup.connectedComponents(verified).count(); ()
+    }
+    time("q38 countSurvivors x2") {
+      def countSurvivors(dropIds: org.apache.spark.sql.DataFrame): Unit = {
+        planted.join(dropIds, Seq("doc_id"), "left_anti")
+          .agg(count(lit(1)),
+            count(when(col("doc_id") >= 10000 && col("doc_id") < 20000, 1)),
+            count(when(col("doc_id") >= 20000, 1))).head()
+        ()
+      }
+      countSurvivors(verified.select(col("id2").as("doc_id")).distinct())
+      countSurvivors(Dedup.connectedComponents(verified)
+        .filter(col("id") =!= col("label")).select(col("id").as("doc_id")))
+    }
+    verified.unpersist(); planted.unpersist()
+
+    // smaller base slice: doc_id < 48
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select(col("doc_id"), col("text"))
+    val n = size(Dedup.tokens(col("text")))
+    val base = docs.filter(col("doc_id") < 48 && n.between(40, 300))
+    val k = floor((n - lit(2)) / lit(6)).cast("int")
+    def extras(to: org.apache.spark.sql.Column) = concat_ws(" ",
+      transform(sequence(lit(1), to), i => concat(lit("zzq"), col("doc_id"), lit("x"), i)))
+    val prepped = base
+      .withColumn("__textB", concat_ws(" ", col("text"), extras(k)))
+      .withColumn("__textC", concat_ws(" ", col("text"), extras(k * 2)))
+    val planted2 = base
+      .unionByName(prepped.select((col("doc_id") + 10000).as("doc_id"), col("__textC").as("text")))
+      .unionByName(prepped.select((col("doc_id") + 20000).as("doc_id"), col("__textB").as("text")))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    time("q38-small planted materialize") { println(s"[perf]   planted: ${planted2.count()}") }
+    time("q38-small full pipeline (3 tables)") {
+      val v2 = Dedup.verifyPairs(
+        Dedup.minHashNearDups(planted2, "doc_id", "text", maxJaccardDistance = 0.2,
+          numHashTables = 3),
+        planted2, "doc_id", "text", 0.8)
+        .select("id1", "id2").persist(StorageLevel.MEMORY_AND_DISK)
+      v2.count()
+      Dedup.connectedComponents(v2).count()
+      v2.unpersist()
+    }
+    planted2.unpersist()
+
+    // ---- q39 variants
+    def q39Variant(label: String, corpusCap: Int, plantCap: Int): Unit = {
+      val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+        .select(col("vec_id"), col("embedding")).filter(col("vec_id") < corpusCap)
+      val noisy = emb.filter(col("vec_id") < plantCap)
+        .withColumn("embedding", transform(col("embedding"),
+          (x, i) => (x * (lit(1.0) + lit(0.1) * sin(col("vec_id") * 7919 + i * 104729))).cast("float")))
+        .select((col("vec_id") + 100000).as("vec_id"), col("embedding"))
+      val all = emb.unionByName(noisy).persist(StorageLevel.MEMORY_AND_DISK)
+      all.count()
+      time(s"q39 $label lshNearDupPairs") {
+        val pairs = graft.llm.Similarity.lshNearDupPairs(all,
+          maxCosineDistance = 0.05, bucketLength = 0.02)
+        val planted = pairs.filter(col("id2") - col("id1") === 100000).count()
+        println(s"[perf]   planted found: $planted / $plantCap")
+      }
+      all.unpersist()
+    }
+    q39Variant("1000/500 (current)", 1000, 500)
+    q39Variant("500/500 (no extra naturals)", 500, 500)
+    q39Variant("600/300", 600, 300)
+    spark.stop()
+  }
+
+  /** Round-5 probe #3: where do q38's remaining seconds go with the new
+    * tagged-union CC and the trimmed corpus? Manual tool, not in the gate. */
+  private def probe3(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val spark = Local.session(sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
+    def time(label: String)(body: => Unit): Unit = {
+      val t0 = System.nanoTime()
+      body
+      println(f"[perf] $label: ${(System.nanoTime() - t0) / 1e9}%.2f s")
+    }
+    spark.read.parquet(s"$sfDir/documents.parquet").count() // warmup
+
+    import graft.llm.Dedup
+    (1 to 2).foreach { pass =>
+      val planted = graft.SparkEntry.q38Planted(
+        spark.read.parquet(s"$sfDir/documents.parquet"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      time(s"[$pass] planted materialize") { planted.count(); () }
+      var cands: org.apache.spark.sql.DataFrame = null
+      time(s"[$pass] minhash fit+join (3 tables)") {
+        cands = Dedup.minHashNearDups(planted, "doc_id", "text",
+          maxJaccardDistance = 0.2, numHashTables = 3)
+        cands.count(); ()
+      }
+      val verified = Dedup.verifyPairs(cands, planted, "doc_id", "text", 0.8)
+        .select("id1", "id2").persist(StorageLevel.MEMORY_AND_DISK)
+      time(s"[$pass] verify materialize") { verified.count(); () }
+      var cc: org.apache.spark.sql.DataFrame = null
+      time(s"[$pass] connectedComponents (new)") {
+        cc = Dedup.connectedComponents(verified)
+        cc.count(); ()
+      }
+      time(s"[$pass] survivors x2") {
+        def countSurvivors(dropIds: org.apache.spark.sql.DataFrame): Unit = {
+          planted.join(dropIds, Seq("doc_id"), "left_anti")
+            .agg(count(lit(1)),
+              count(when(col("doc_id") >= 10000 && col("doc_id") < 20000, 1)),
+              count(when(col("doc_id") >= 20000, 1))).head()
+          ()
+        }
+        countSurvivors(verified.select(col("id2").as("doc_id")).distinct())
+        countSurvivors(cc.filter(col("id") =!= col("label")).select(col("id").as("doc_id")))
+      }
+      verified.unpersist(); planted.unpersist()
+    }
+    spark.stop()
+  }
+
+  /** Round-6 probe: where does a single q62/q73 pass spend its ~3 s at
+    * sf0.1, given that the marker-gated state cache (r5 verdict #3)
+    * removed the state-construction cost but the wall time barely moved?
+    * Decomposes each query into its dataflow stages and times them
+    * individually (warm JVM, warm state). */
+  private def probe4(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val spark = Local.session(sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
+    def time(label: String)(body: => Unit): Unit = {
+      val t0 = System.nanoTime()
+      body
+      println(f"[perf] $label: ${(System.nanoTime() - t0) / 1e9}%.2f s")
+    }
+    def noop(df: org.apache.spark.sql.DataFrame): Unit =
+      df.write.format("noop").mode("overwrite").save()
+
+    // warmup
+    Seq("q1_pricing_summary", "q6_join_agg", "q15_knn_brute").foreach { q =>
+      noop(graft.SparkEntry.queries(q)(spark, sfDir))
+    }
+    // warm the state markers
+    noop(graft.SparkEntry.queries("q62_incremental_vector_dedup")(spark, sfDir))
+    noop(graft.SparkEntry.queries("q73_semdedup")(spark, sfDir))
+
+    // ---- q62 whole, then stages
+    (1 to 2).foreach { i =>
+      time(s"q62 whole pass $i") {
+        noop(graft.SparkEntry.queries("q62_incremental_vector_dedup")(spark, sfDir))
+      }
+    }
+    import graft.llm.{Dedup, Similarity}
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      .select(col("vec_id"), col("embedding")).filter(col("vec_id") < 1000)
+    val corpus = emb.filter(col("vec_id") % 2 === 0)
+    val stateDir = new java.io.File(
+      new java.io.File(System.getProperty("java.io.tmpdir"), "graft_state"),
+      s"${sfDir.replaceAll("[^A-Za-z0-9.-]", "_")}_q62_sigs").toString
+    val sigs0 = spark.read.parquet(s"$stateDir/data")
+    time("q62/a state read+persist+count") {
+      sigs0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK).count()
+    }
+    val hot = Dedup.simHashHotBuckets(sigs0)
+    time("q62/b hotBuckets materialize") { noop(hot) }
+    val echoes = corpus.filter(col("vec_id") < 100)
+      .select((col("vec_id") + 30000).as("vec_id"),
+        transform(col("embedding"), x => (x * 0.5f).cast("float")).as("embedding"))
+    val batch = emb.filter(col("vec_id") % 2 === 1).unionByName(echoes)
+    time("q62/c batch persist+count") {
+      batch.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK).count()
+    }
+    val dropped = Similarity.dropSeenVectors(batch, sigs0, corpusHotBuckets = Some(hot))
+    time("q62/d dropSeenVectors materialize") { noop(dropped) }
+    time("q62/e final groupBy+summary") {
+      noop(dropped.groupBy(when(col("vec_id") >= 30000, "echo")
+        .otherwise("fresh").as("cohort")).agg(count(lit(1)).as("n_survivors")))
+    }
+    sigs0.unpersist(); batch.unpersist()
+
+    // ---- q73 whole, then stages
+    (1 to 2).foreach { i =>
+      time(s"q73 whole pass $i") {
+        noop(graft.SparkEntry.queries("q73_semdedup")(spark, sfDir))
+      }
+    }
+    val emb2 = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      .select(col("vec_id"), col("embedding")).filter(col("vec_id") < 100000L)
+    val rescaled = emb2.filter(col("vec_id") < 30)
+      .select((col("vec_id") + 100000L).as("vec_id"),
+        transform(col("embedding"), x => (x * 2.0f).cast("float")).as("embedding"))
+    val noisy = emb2.filter(col("vec_id") < 30)
+      .select((col("vec_id") + 200000L).as("vec_id"), col("embedding"))
+    val corpus2 = emb2.unionByName(rescaled).unionByName(noisy)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    time("q73/a corpus persist+count") { corpus2.count(); () }
+    val ivfDir = new java.io.File(
+      new java.io.File(System.getProperty("java.io.tmpdir"), "graft_state"),
+      s"${sfDir.replaceAll("[^A-Za-z0-9.-]", "_")}_q73_ivf").toString
+    var model: org.apache.spark.ml.clustering.KMeansModel = null
+    var tagged: org.apache.spark.sql.DataFrame = null
+    time("q73/b ivfLoad (model+corpus read)") {
+      val mt = Similarity.ivfLoad(spark, ivfDir)
+      model = mt._1; tagged = mt._2
+      tagged.count(); ()
+    }
+    var surv: org.apache.spark.sql.DataFrame = null
+    time("q73/c semDedupWithIndex") {
+      surv = Similarity.semDedupWithIndex(corpus2, model, tagged,
+        minCosine = 0.99, keepPolicy = "far-from-centroid")
+    }
+    time("q73/d final groupBy+summary") {
+      noop(surv.groupBy(when(col("vec_id") < 30 || col("vec_id") >= 100000L, "triple")
+        .otherwise("untouched").as("vec_class"))
+        .agg(count(lit(1)).as("n")))
+    }
+    corpus2.unpersist()
+    spark.stop()
+  }
+
+  /** Round-6 probe: job/stage accounting for one q62 pass. Counts Spark
+    * jobs, stages, tasks and sums task runtimes — if wall time >> summed
+    * task time, the cost is DAG scheduling/planning, not execution. */
+  private def probe5(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val spark = Local.session(sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
+    def noop(df: org.apache.spark.sql.DataFrame): Unit =
+      df.write.format("noop").mode("overwrite").save()
+    Seq("q1_pricing_summary", "q6_join_agg", "q15_knn_brute").foreach { q =>
+      noop(graft.SparkEntry.queries(q)(spark, sfDir))
+    }
+    noop(graft.SparkEntry.queries("q62_incremental_vector_dedup")(spark, sfDir))
+
+    @volatile var jobs = 0
+    @volatile var stages = 0
+    @volatile var tasks = 0
+    @volatile var taskMs = 0L
+    val listener = new SparkListener {
+      override def onJobStart(j: SparkListenerJobStart): Unit = jobs += 1
+      override def onStageCompleted(s: SparkListenerStageCompleted): Unit = {
+        stages += 1
+        tasks += s.stageInfo.numTasks
+      }
+      override def onTaskEnd(t: SparkListenerTaskEnd): Unit =
+        if (t.taskInfo != null) taskMs += t.taskInfo.duration
+    }
+    spark.sparkContext.addSparkListener(listener)
+    val t0 = System.nanoTime()
+    noop(graft.SparkEntry.queries("q62_incremental_vector_dedup")(spark, sfDir))
+    val wall = (System.nanoTime() - t0) / 1e9
+    Thread.sleep(500) // listener drain
+    println(f"[probe5] q62: wall=$wall%.2f s jobs=$jobs stages=$stages tasks=$tasks taskTime=${taskMs / 1000.0}%.2f s")
+
+    jobs = 0; stages = 0; tasks = 0; taskMs = 0L
+    val t1 = System.nanoTime()
+    noop(graft.SparkEntry.queries("q73_semdedup")(spark, sfDir))
+    val wall2 = (System.nanoTime() - t1) / 1e9
+    Thread.sleep(500)
+    println(f"[probe5] q73: wall=$wall2%.2f s jobs=$jobs stages=$stages tasks=$tasks taskTime=${taskMs / 1000.0}%.2f s")
+
+    // ---- q62 sub-step job accounting
+    def acct(label: String)(body: => Unit): Unit = {
+      jobs = 0; stages = 0; tasks = 0; taskMs = 0L
+      val s0 = System.nanoTime()
+      body
+      val w = (System.nanoTime() - s0) / 1e9
+      Thread.sleep(300)
+      println(f"[probe5] $label: wall=$w%.2f s jobs=$jobs stages=$stages tasks=$tasks taskTime=${taskMs / 1000.0}%.2f s")
+    }
+    import graft.llm.{Dedup, Similarity}
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      .select(col("vec_id"), col("embedding")).filter(col("vec_id") < 1000)
+    val corpus = emb.filter(col("vec_id") % 2 === 0)
+    val stateDir = new java.io.File(
+      new java.io.File(System.getProperty("java.io.tmpdir"), "graft_state"),
+      s"${sfDir.replaceAll("[^A-Za-z0-9.-]", "_")}_q62_sigs").toString
+    val sigs = spark.read.parquet(s"$stateDir/data")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    acct("q62/sigs persist")(sigs.count())
+    val hot = Dedup.simHashHotBuckets(sigs)
+    acct("q62/hot noop")(noop(hot))
+    val echoes = corpus.filter(col("vec_id") < 100)
+      .select((col("vec_id") + 30000).as("vec_id"),
+        transform(col("embedding"), x => (x * 0.5f).cast("float")).as("embedding"))
+    val batch = emb.filter(col("vec_id") % 2 === 1).unionByName(echoes)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    acct("q62/batch persist")(batch.count())
+    val batchSigs = Similarity.srpSignatures(batch)
+    acct("q62/batchSigs noop")(noop(batchSigs))
+    val seen = Similarity.srpNearDupsAgainst(batchSigs, sigs, 0.99, 4, 10000, Some(hot))
+      .select(col("batch_id").as("vec_id")).distinct()
+    acct("q62/seen(corpus tier) noop")(noop(seen))
+    val fresh = batch.join(seen, Seq("vec_id"), "left_anti")
+    acct("q62/fresh anti noop")(noop(fresh))
+    val full = Similarity.dropSeenVectors(batch, sigs, corpusHotBuckets = Some(hot))
+    acct("q62/full dropSeenVectors noop")(noop(full))
+    sigs.unpersist(); batch.unpersist()
+    spark.stop()
+  }
+
+  /** Round-6 probe: top stages by summed task time for one q62 and one
+    * q73 pass — names the actual compute sink that job-count accounting
+    * (PerfProbe5) cannot see. */
+  private def probe6(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val spark = Local.session(sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
+    def noop(df: org.apache.spark.sql.DataFrame): Unit =
+      df.write.format("noop").mode("overwrite").save()
+    Seq("q1_pricing_summary", "q6_join_agg", "q15_knn_brute").foreach { q =>
+      noop(graft.SparkEntry.queries(q)(spark, sfDir))
+    }
+    noop(graft.SparkEntry.queries("q62_incremental_vector_dedup")(spark, sfDir))
+    noop(graft.SparkEntry.queries("q73_semdedup")(spark, sfDir))
+
+    val stages = scala.collection.concurrent.TrieMap.empty[Int, (String, Long, Int)]
+    val listener = new SparkListener {
+      override def onStageCompleted(sc: SparkListenerStageCompleted): Unit = {
+        val si = sc.stageInfo
+        val dur = (for (s <- si.submissionTime; e <- si.completionTime) yield e - s).getOrElse(0L)
+        stages(si.stageId) = (si.name.take(120), dur, si.numTasks)
+      }
+    }
+    spark.sparkContext.addSparkListener(listener)
+    def top(label: String)(body: => Unit): Unit = {
+      stages.clear()
+      val t0 = System.nanoTime()
+      body
+      val wall = (System.nanoTime() - t0) / 1e9
+      Thread.sleep(500)
+      println(f"[probe6] ==== $label wall=$wall%.2f s, ${stages.size} stages; top by stage wall-duration:")
+      stages.toSeq.sortBy(-_._2._2).take(12).foreach { case (id, (name, dur, nt)) =>
+        println(f"[probe6]   stage $id%4d dur=${dur / 1000.0}%6.2f s tasks=$nt%4d  $name")
+      }
+    }
+    top("q62")(noop(graft.SparkEntry.queries("q62_incremental_vector_dedup")(spark, sfDir)))
+    top("q73")(noop(graft.SparkEntry.queries("q73_semdedup")(spark, sfDir)))
+    spark.stop()
+  }
+
+  /** Stage accounting for q38's regression on the regenerated testdata:
+    * where do the seconds go — planted-frame build, MinHash fit, LSH
+    * candidate join, Jaccard verify, or the survivor cross-tab? */
+  private def probe7(args: Array[String]): Unit = {
+    val dir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val s = Local.session("32")
+    import graft.llm.Dedup
+    def timed[A](label: String)(f: => A): A = {
+      val t0 = System.nanoTime(); val r = f
+      println(f"[probe7] $label%-28s ${(System.nanoTime() - t0) / 1e9}%8.2f s"); r
+    }
+    val docs = s.read.parquet(s"$dir/documents.parquet")
+    val planted = graft.SparkEntry.q38Planted(docs)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    timed("planted count")(println(s"  rows=${planted.count()}"))
+    timed("planted token stats") {
+      planted.select(size(Dedup.tokens(col("text"))).as("n"))
+        .agg(min("n"), avg("n"), max("n")).show()
+    }
+    val (featured, model) = timed("fitMinHash") {
+      val r = Dedup.fitMinHash(planted, "text", 3, numHashTables = 5)
+      r._1.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK).count()
+      r
+    }
+    val cand = timed("approxSimilarityJoin") {
+      val c = model.approxSimilarityJoin(featured, featured, 0.2, "jaccard_distance")
+        .select(col("datasetA.doc_id").as("id1"), col("datasetB.doc_id").as("id2"),
+          col("jaccard_distance"))
+        .filter(col("id1") < col("id2"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      println(s"  candidates=${c.count()}")
+      c
+    }
+    val verified = timed("verifyPairs") {
+      val v = Dedup.verifyPairs(cand, planted, "doc_id", "text", minJaccard = 0.8)
+        .select("id1", "id2")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      println(s"  verified=${v.count()}")
+      v
+    }
+    timed("connectedComponents")(
+      println(s"  cc=${Dedup.connectedComponents(verified).count()}"))
+    s.stop()
+  }
+
+  /** Quantify the hot-bucket upkeep change: per-commit cost of deriving
+    * the hot tables from the FULL signature union (the old path: band
+    * every corpus signature, shuffle, count) vs merging the persisted
+    * cumulative bucket counts with one batch's pre-aggregated counts
+    * (the new path). Synthetic corpus so the signature count scales
+    * beyond what sf0.1 holds: `SPARK_GRAFT_PROBE8_CORPUS` signatures
+    * (default 5M) against a `SPARK_GRAFT_PROBE8_BATCH` batch (default
+    * 50k), bands = 4 → a counts table capped at 4·2^16 rows. */
+  private def probe8(args: Array[String]): Unit = {
+    val corpusN = sys.env.getOrElse("SPARK_GRAFT_PROBE8_CORPUS", "5000000").toLong
+    val batchN = sys.env.getOrElse("SPARK_GRAFT_PROBE8_BATCH", "50000").toLong
+    val s = Local.session("32")
+    import graft.llm.Dedup
+    def timed[A](label: String)(f: => A): A = {
+      val t0 = System.nanoTime(); val r = f
+      println(f"[probe8] $label%-34s ${(System.nanoTime() - t0) / 1e9}%8.2f s"); r
+    }
+    val base = java.nio.file.Files.createTempDirectory("probe8").toString
+    // synthetic signatures: xxhash64 of the id is as uniform as SimHash
+    // bits over real text for banding purposes
+    def sigs(n: Long, seed: Int) = s.range(n)
+      .select(col("id"), xxhash64(col("id"), lit(seed)).as("sig"))
+    timed(s"write corpus sigs ($corpusN)") {
+      sigs(corpusN, 1).write.mode("overwrite").parquet(s"$base/sigs")
+    }
+    val corpus = s.read.parquet(s"$base/sigs")
+    timed("write cumulative counts (once)") {
+      Dedup.bucketCounts(corpus, 4).write.mode("overwrite").parquet(s"$base/counts")
+    }
+    val prior = s.read.parquet(s"$base/counts")
+    val batch = sigs(batchN, 2)
+    // old path: re-band the full union every commit
+    val oldHot = timed("OLD: hot from full sig union") {
+      val h = Dedup.simHashHotBuckets(corpus.unionByName(batch), 4, 100)
+      println(s"  hot keys=${h.count()}"); h
+    }
+    // new path: batch counts + bounded-table merge
+    val newHot = timed("NEW: hot from counts merge") {
+      val h = Dedup.hotFromCounts(Dedup.mergeBucketCounts(
+        prior.unionByName(Dedup.bucketCounts(batch, 4))), 100)
+      println(s"  hot keys=${h.count()}"); h
+    }
+    val diff = oldHot.unionByName(newHot)
+      .groupBy("band", "bits").count().filter(col("count") =!= 2).count()
+    println(s"[probe8] hot-set symmetric difference = $diff (must be 0)")
+    println(s"[probe8] counts table rows = ${prior.count()} (bounded by 4*2^16 = ${4 << 16})")
+    s.stop()
+  }
+
+  /** Round-9 dev probe: throughput of the byte-fallback encode paths and
+    * the packed token-id export on the sf0.1 corpus (numbers cited in
+    * DESIGN.md). Usage: runMain graft.tools.PerfProbe9 [sfDir] */
+  private def probe9(args: Array[String]): Unit = {
+    val sfDir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.1"
+    val spark = Local.session(sys.env.getOrElse("SPARK_GRAFT_CPUS", "8"),
+      logLevel = "ERROR")
+    import graft.llm.BpeTrainer
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select(col("doc_id"), col("text")).cache()
+    val n = docs.count()
+    val dir = java.nio.file.Files.createTempDirectory("probe9").toString
+    val (mPath, vPath) = (s"$dir/merges.txt", s"$dir/vocab.txt")
+    val t0 = System.nanoTime()
+    val merges = BpeTrainer.learnMerges(docs, "text", numMerges = 512)
+    BpeTrainer.saveMerges(spark, mPath, merges)
+    BpeTrainer.saveVocab(spark, vPath, BpeTrainer.buildVocab(docs, "text", merges))
+    println(f"train 512 merges + byte-fallback vocab over $n docs: " +
+      f"${(System.nanoTime() - t0) / 1e9}%.2f s")
+    def time(tag: String)(f: => Unit): Unit = {
+      f // warm
+      val t = System.nanoTime(); f
+      println(f"$tag: ${(System.nanoTime() - t) / 1e9}%.2f s over $n docs")
+    }
+    time("bpeEncode (plain)") {
+      docs.select(sum(size(graft.functions.GraftFunctions.bpeEncode(
+        col("text"), mPath, vPath)))).head()
+    }
+    time("bpeEncodeLossless") {
+      docs.select(sum(size(graft.functions.GraftFunctions.bpeEncodeLossless(
+        col("text"), mPath, vPath)))).head()
+    }
+    time("lossless round-trip (encode+decode+compare)") {
+      docs.select(count(when(graft.functions.GraftFunctions.bpeDecode(
+        graft.functions.GraftFunctions.bpeEncodeLossless(col("text"), mPath, vPath),
+        vPath) === col("text"), 1))).head()
+    }
+    val ids = docs.select(col("doc_id"),
+      graft.functions.GraftFunctions.bpeEncode(col("text"), mPath, vPath).as("ids"))
+      .cache()
+    val tok = ids.select(sum(size(col("ids")))).head().getLong(0)
+    time(s"packTokenIds seqLen=2048 over $tok ids") {
+      graft.llm.CorpusPrep.packTokenIds(ids, "doc_id", "ids",
+        seqLen = 2048, eosId = 1, buckets = 64)
+        .write.format("noop").mode("overwrite").save()
+    }
+    spark.stop()
+  }
+
 }
