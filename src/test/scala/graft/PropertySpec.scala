@@ -223,6 +223,85 @@ class PropertySpec extends SparkTestBase {
     }
   }
 
+  test("graft_html_entities: identity without '&'; every table name decodes in " +
+      "context; valid numerics round-trip; invalid forms pass through") {
+    import scala.jdk.CollectionConverters._
+    def decode(ss: Seq[String]): Seq[String] =
+      ss.toDF("text")
+        .select(graft.functions.GraftFunctions.htmlEntities(col("text")).as("t"))
+        .collect().toSeq.map(_.getString(0))
+    val table = graft.functions.HtmlEntityImpl.table.asScala
+    // ampersand-free text is untouched (also byte-identical fast path)
+    val plain: Gen[List[String]] = Gen.listOfN(25,
+      Gen.listOfN(10, Gen.oneOf("a", "Z", " ", "<", ">", ";", "#",
+        "é", "你", "😀", "lt", "amp", "9")).map(_.mkString))
+    samples(plain, 3).foreach { ts =>
+      assert(decode(ts) == ts, "no '&' → identity")
+    }
+    // sampled named references decode between random safe affixes
+    val names = table.keys.toVector.sorted
+    val named: Gen[List[(String, String)]] = Gen.listOfN(40,
+      for {
+        n <- Gen.oneOf(names)
+        pre <- Gen.oneOf("", "x", " ", "&", "&#", "&zz ")
+        post <- Gen.oneOf("", "y", ";", " &", "q;")
+      } yield (pre + n + post, pre + table(n) + post))
+    samples(named, 3).foreach { pairs =>
+      // affixes chosen so they cannot complete a reference themselves:
+      // '&'/'&#'/'&zz ' have no terminating ';' before the next ref
+      val (in, want) = pairs.unzip
+      assert(decode(in) == want, "table names must decode in any context")
+    }
+    // valid numeric references round-trip any non-surrogate codepoint
+    val cps: Gen[List[Int]] = Gen.listOfN(30, Gen.frequency(
+      4 -> Gen.chooseNum(1, 0xd7ff), 1 -> Gen.chooseNum(0xe000, 0x10ffff)))
+    samples(cps, 3).foreach { cs =>
+      val dec = cs.map(cp => s"a&#$cp;b")
+      val hex = cs.map(cp => f"a&#x$cp%X;b")
+      val want = cs.map(cp => "a" + new String(Character.toChars(cp)) + "b")
+      assert(decode(dec) == want, "decimal numerics")
+      assert(decode(hex) == want, "hex numerics")
+    }
+    // invalid forms survive verbatim
+    val bad = Seq("&#0;", "&#xD800;", "&#x110000;", "&#;", "&nosuchname;",
+      "&amp", "& amp;", "&#12a;")
+    assert(decode(bad) == bad, "invalid references must pass through")
+  }
+
+  test("graft_fix_mojibake: inverts the cp1252 rendering of any clean string; " +
+      "idempotent on arbitrary soup") {
+    def fix(ss: Seq[String]): Seq[String] =
+      ss.toDF("text")
+        .select(graft.functions.GraftFunctions.fixMojibake(col("text")).as("t"))
+        .collect().toSeq.map(_.getString(0))
+    def render(s: String): String = // UTF-8 bytes read as cp1252 — the damage
+      new String(s.getBytes(java.nio.charset.StandardCharsets.UTF_8), "windows-1252")
+    // clean strings over 2/3/4-byte codepoints: fix(render(s)) == s
+    // whenever s is itself a fixed point (a string that already looks
+    // like mojibake legitimately unwinds one layer further — that IS
+    // the contract, so such samples are asserted to unwind instead)
+    val clean: Gen[List[String]] = Gen.listOfN(25,
+      Gen.listOfN(8, Gen.oneOf(
+        "a", " ", "9", "é", "ñ", "€", "’", "—",
+        "你", "š", "😊", ".")).map(_.mkString))
+    samples(clean, 4).foreach { ts =>
+      val fixedPoint = ts.zip(fix(ts)).collect { case (s, f) if s == f => s }
+      val back = fix(fixedPoint.map(render))
+      fixedPoint.zip(back).foreach { case (s, b) =>
+        assert(b == s, s"fix(render('$s')) = '$b'")
+      }
+    }
+    // idempotence on arbitrary soup, mojibake fragments included
+    val soup: Gen[List[String]] = Gen.listOfN(25,
+      Gen.listOfN(10, Gen.oneOf(
+        "a", "Ã", "©", "â", "€", "™", "",
+        "", "¿", "😊", " ", "&")).map(_.mkString))
+    samples(soup, 4).foreach { ts =>
+      val once = fix(ts)
+      assert(fix(once) == once, "fix must be idempotent")
+    }
+  }
+
   test("tokenBudgetMix: kept sets nest as budgets grow; token mass within " +
       "one doc of the budget; whole-corpus budget is identity") {
     val rows: Gen[List[(Long, String, Long)]] = Gen.listOfN(40,
