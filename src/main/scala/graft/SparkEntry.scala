@@ -3815,7 +3815,10 @@ object SparkEntry {
     // terminal-punct sentence counting, page-level substring checks,
     // whole-word bad-word intersection over letter runs
     "q105_c4_rules" ->
-      """WITH p AS (
+      // the bad-word IN-list is GENERATED from the same default the
+      // engine side scores with (the bundled LDNOOBW-subset resource)
+      // — no transcription gap as the list grows
+      s"""WITH p AS (
         |  SELECT doc_id,
         |    substr(text, 1, 80) || ' end.' ||
         |    chr(10) || 'too short.' ||
@@ -3836,8 +3839,8 @@ object SparkEntry {
         |k AS (
         |  SELECT doc_id, text, lines,
         |    list_filter(lines, l ->
-        |      regexp_matches(rtrim(l), '[.!?"”]$')
-        |      AND len(regexp_extract_all(l, '\S+')) >= 3
+        |      regexp_matches(rtrim(l), '[.!?"”]$$')
+        |      AND len(regexp_extract_all(l, '\\S+')) >= 3
         |      AND NOT contains(lower(l), 'javascript')) AS kept
         |  FROM t),
         |c AS (
@@ -3847,7 +3850,7 @@ object SparkEntry {
         |    contains(lower(text), 'lorem ipsum') AS has_lorem,
         |    len(list_intersect(
         |      list_distinct(regexp_extract_all(lower(text), '[a-z]+')),
-        |      ['fuck','shit','porn'])) > 0 AS has_bad
+        |      [${graft.llm.TextAnalysis.C4BadWordsDefault.map(w => s"'$w'").mkString(",")}])) > 0 AS has_bad
         |  FROM k),
         |f AS (
         |  SELECT doc_id, lines, kept, clean, has_brace, has_lorem, has_bad,

@@ -50,11 +50,11 @@ object Curation {
         * C4 pipeline order; false = off. */
       c4Rules: Boolean = false,
       /** Bad-word list for the C4 page rule — defaults to the shipped
-        * [[TextAnalysis.C4BadWordsStandIn]]; load the published
+        * [[TextAnalysis.C4BadWordsDefault]]; load the published
         * LDNOOBW list via [[TextAnalysis.loadWordList]] (the Curator's
         * `badword-list-path` knob). Only consulted when [[c4Rules]]
         * is on. */
-      c4BadWords: Seq[String] = TextAnalysis.C4BadWordsStandIn,
+      c4BadWords: Seq[String] = TextAnalysis.C4BadWordsDefault,
       /** Drop documents whose duplicate word-n-gram fraction exceeds
         * this (Gopher-style repetition filter; boilerplate and keyword
         * stuffing score high). 1.0 = off. Scan-speed native expression

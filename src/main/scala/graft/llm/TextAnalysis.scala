@@ -676,10 +676,22 @@ object TextAnalysis {
   case class C4Thresholds(
       minSentences: Int = 5,
       minLineWords: Int = 3,
-      badWords: Seq[String] = C4BadWordsStandIn)
+      badWords: Seq[String] = C4BadWordsDefault)
 
-  /** Stand-in profanity list (see [[C4Thresholds.badWords]]). */
-  val C4BadWordsStandIn: Seq[String] = Seq("fuck", "shit", "porn")
+  /** Default bad-word list: the bundled `/graft/badwords-en.txt`
+    * resource — a compact (~90-entry) subset covering the
+    * high-frequency head of the published LDNOOBW list that C4
+    * (Raffel et al. 2020 §2.2) cites. Pass the complete published
+    * file via the Curator's `badword-list-path` in production; empty
+    * = rule off. Loaded once per JVM. */
+  lazy val C4BadWordsDefault: Seq[String] = {
+    val in = getClass.getResourceAsStream("/graft/badwords-en.txt")
+    require(in != null, "bundled /graft/badwords-en.txt missing from classpath")
+    val src = scala.io.Source.fromInputStream(in, "UTF-8")
+    try src.getLines().map(_.trim)
+      .filter(l => l.nonEmpty && !l.startsWith("#")).toList
+    finally src.close()
+  }
 
   /** The C4 cleaning filter (Raffel et al. 2020 §2.2) as ONE
     * struct-valued scan projection. Unlike [[gopherFlags]] this is a

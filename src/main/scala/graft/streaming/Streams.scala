@@ -234,7 +234,7 @@ object Streams {
     val cleaned =
       if (c4Rules) TextAnalysis.c4Apply(normed, textCol,
         TextAnalysis.C4Thresholds(
-          badWords = badwordList.getOrElse(TextAnalysis.C4BadWordsStandIn)))
+          badWords = badwordList.getOrElse(TextAnalysis.C4BadWordsDefault)))
       else normed
     val st = TextAnalysis.stats(col(textCol))
     var df = cleaned
