@@ -15,7 +15,9 @@ import org.apache.spark.unsafe.types.UTF8String
   *   struct<n_tokens int, n_nonspace int, n_punct int,
   *          hits_en .. hits_ru int,    -- total stopword occurrences
   *          dhits_en .. dhits_ru int,  -- DISTINCT stopword hits
-  *          cjk int, n_chars int>
+  *          cjk int, n_chars int,
+  *          kana int, hangul int, cyr int, arab int,
+  *          hebr int, grek int, deva int, thai int>  -- script tier
   *
   * The composable column formulation (`TextAnalysis.qualityScore` +
   * `langId` + `wsTokenCount`) re-derives the token array per metric and
@@ -61,7 +63,21 @@ object TextStatsImpl {
   private val IdxDHits = IdxHits + NumLangs // .. + NumLangs - 1 (distinct)
   private val IdxCjk = IdxDHits + NumLangs
   private val IdxChars = IdxCjk + 1
-  val NumCounters: Int = IdxChars + 1
+  // script counters (round 10 — the non-Latin script tier of langId):
+  // appended AFTER the original layout so every existing getField
+  // consumer keeps its offsets
+  private val IdxKana = IdxChars + 1
+  private val IdxHangul = IdxKana + 1
+  private val IdxCyr = IdxHangul + 1
+  private val IdxArab = IdxCyr + 1
+  private val IdxHebr = IdxArab + 1
+  private val IdxGrek = IdxHebr + 1
+  private val IdxDeva = IdxGrek + 1
+  private val IdxThai = IdxDeva + 1
+  val NumCounters: Int = IdxThai + 1
+
+  /** Script names in struct order (see the Idx constants above). */
+  val Scripts: Seq[String] = Seq("kana", "hangul", "cyr", "arab", "hebr", "grek", "deva", "thai")
 
   /** One pass: returns the counters (layout above).
     *
@@ -89,10 +105,22 @@ object TextStatsImpl {
             // ASCII: alnum is word-like, the rest is punctuation
             val alnum = (b >= 'a' && b <= 'z') || (b >= '0' && b <= '9') || (b >= 'A' && b <= 'Z')
             if (!alnum) out(IdxPunct) += 1
+          } else if ((b & 0xE0) == 0xC0 && i + 1 < len) {
+            // 2-byte char: decode for the alphabetic-script counters
+            val cp = ((b & 0x1F) << 6) | (bytes(i + 1) & 0x3F)
+            if (cp >= 0x0400 && cp <= 0x04FF) out(IdxCyr) += 1
+            else if (cp >= 0x0600 && cp <= 0x06FF) out(IdxArab) += 1
+            else if (cp >= 0x0590 && cp <= 0x05FF) out(IdxHebr) += 1
+            else if (cp >= 0x0370 && cp <= 0x03FF) out(IdxGrek) += 1
           } else if ((b & 0xF0) == 0xE0 && i + 2 < len) {
-            // 3-byte char: decode for the CJK range check
+            // 3-byte char: decode for the CJK/script range checks
             val cp = ((b & 0x0F) << 12) | ((bytes(i + 1) & 0x3F) << 6) | (bytes(i + 2) & 0x3F)
             if (cp >= 0x4E00 && cp <= 0x9FFF) out(IdxCjk) += 1
+            else if (cp >= 0x3040 && cp <= 0x30FF) out(IdxKana) += 1
+            else if ((cp >= 0xAC00 && cp <= 0xD7AF) || (cp >= 0x1100 && cp <= 0x11FF))
+              out(IdxHangul) += 1
+            else if (cp >= 0x0900 && cp <= 0x097F) out(IdxDeva) += 1
+            else if (cp >= 0x0E00 && cp <= 0x0E7F) out(IdxThai) += 1
           }
           if (tokStart < 0) tokStart = i
         } else if (tokStart >= 0) {
@@ -151,7 +179,8 @@ case class TextStats(child: Expression) extends UnaryExpression {
     TextStatsImpl.Langs.map(l => StructField(s"dhits_$l", IntegerType, nullable = false)) ++
     Seq(
       StructField("cjk", IntegerType, nullable = false),
-      StructField("n_chars", IntegerType, nullable = false)))
+      StructField("n_chars", IntegerType, nullable = false)) ++
+    TextStatsImpl.Scripts.map(s => StructField(s, IntegerType, nullable = false)))
   override def nullable: Boolean = child.nullable
   override def prettyName: String = "graft_textstats"
 

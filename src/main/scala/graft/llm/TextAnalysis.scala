@@ -782,10 +782,12 @@ object TextAnalysis {
 
   // ----------------------------------------------------------- lang id
 
-  /** Language ID by stopword-profile voting plus a CJK character check:
-    * returns the profile code with the most distinct stopword hits
-    * ("und" beats "the"), `zh` when CJK chars dominate, `unknown` when
-    * nothing matches. Ties break lexicographically (deterministic). */
+  /** Language ID: a SCRIPT tier for the nine non-Latin scripts
+    * (ja/ko/zh/ar/he/el/hi/th + Cyrillic fallback — see
+    * [[langDecision]]) above a Latin stopword-profile vote (the profile
+    * code with the most DISTINCT stopword hits — "und" beats "the";
+    * ties break lexicographically, deterministic); `unknown` when
+    * nothing matches. 16 language codes total. */
   def langId(c: Column): Column = {
     val toks = array_distinct(Dedup.tokens(c))
     val scored = StopwordProfiles.toSeq.sortBy(_._1).map { case (lang, stops) =>
@@ -793,11 +795,48 @@ object TextAnalysis {
         lit(lang).as("lang"))
     }
     val best = array_max(array(scored: _*))
-    val cjk = regexp_count(c, lit("[\\x{4e00}-\\x{9fff}]"))
-    when(cjk > length(c) / 4, lit("zh"))
-      .when(best.getField("score") > 0, best.getField("lang"))
-      .otherwise(lit("unknown"))
+    def sc(range: String) = regexp_count(c, lit(range))
+    langDecision(length(c),
+      cjk = sc("[\\x{4e00}-\\x{9fff}]"),
+      kana = sc("[\\x{3040}-\\x{30ff}]"),
+      hangul = sc("[\\x{ac00}-\\x{d7af}\\x{1100}-\\x{11ff}]"),
+      cyr = sc("[\\x{0400}-\\x{04ff}]"),
+      arab = sc("[\\x{0600}-\\x{06ff}]"),
+      hebr = sc("[\\x{0590}-\\x{05ff}]"),
+      grek = sc("[\\x{0370}-\\x{03ff}]"),
+      deva = sc("[\\x{0900}-\\x{097f}]"),
+      thai = sc("[\\x{0e00}-\\x{0e7f}]"),
+      bestScore = best.getField("score"), bestLang = best.getField("lang"))
   }
+
+  /** The shared language decision (round 10 — script tier above the
+    * Latin stopword vote): dominant non-Latin scripts classify directly
+    * — kana FIRST and at a lower threshold (≥5% of chars) because
+    * Japanese prose mixes kana with dominant han and would otherwise
+    * read "zh"; hangul/han/arabic/hebrew/greek/devanagari/thai at the
+    * original quarter-dominance rule. The stopword vote then covers
+    * Latin scripts (and Russian, which has a profile); dominant
+    * Cyrillic with a silent vote falls back to "ru" — a SCRIPT-level
+    * guess (Ukrainian/Bulgarian read "ru" here; add profiles to split
+    * them), which is why it ranks below the vote. Shared verbatim by
+    * the composable [[langId]] and the one-pass [[langIdFast]], so the
+    * parity contract survives the extension. */
+  private def langDecision(
+      nChars: Column, cjk: Column, kana: Column, hangul: Column,
+      cyr: Column, arab: Column, hebr: Column, grek: Column,
+      deva: Column, thai: Column,
+      bestScore: Column, bestLang: Column): Column =
+    when(kana * 20 > nChars, lit("ja"))
+      .when(hangul * 4 > nChars, lit("ko"))
+      .when(cjk * 4 > nChars, lit("zh"))
+      .when(arab * 4 > nChars, lit("ar"))
+      .when(hebr * 4 > nChars, lit("he"))
+      .when(grek * 4 > nChars, lit("el"))
+      .when(deva * 4 > nChars, lit("hi"))
+      .when(thai * 4 > nChars, lit("th"))
+      .when(bestScore > 0, bestLang)
+      .when(cyr * 4 > nChars, lit("ru"))
+      .otherwise(lit("unknown"))
 
   // ----------------------------------------------- single-pass fast path
 
@@ -840,11 +879,15 @@ object TextAnalysis {
       struct(stats.getField(s"dhits_$lang").as("score"), lit(lang).as("lang"))
     }
     val best = array_max(array(scored: _*))
-    // both cjk and n_chars count decoded characters: "CJK dominates"
-    // is cjk > chars/4, same test as the composable form
-    when(stats.getField("cjk") * 4 > stats.getField("n_chars"), lit("zh"))
-      .when(best.getField("score") > 0, best.getField("lang"))
-      .otherwise(lit("unknown"))
+    // all script counters and n_chars count decoded characters, so the
+    // dominance tests are identical to the composable form's
+    langDecision(stats.getField("n_chars"),
+      cjk = stats.getField("cjk"), kana = stats.getField("kana"),
+      hangul = stats.getField("hangul"), cyr = stats.getField("cyr"),
+      arab = stats.getField("arab"), hebr = stats.getField("hebr"),
+      grek = stats.getField("grek"), deva = stats.getField("deva"),
+      thai = stats.getField("thai"),
+      bestScore = best.getField("score"), bestLang = best.getField("lang"))
   }
 
   // -------------------------------------------------------- redaction

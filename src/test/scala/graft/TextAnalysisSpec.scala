@@ -50,6 +50,19 @@ class TextAnalysisSpec extends SparkTestBase {
       ("ik denk dat het een huis van de stad niet op straat te zien is", "nl"),
       ("я не знаю что это он как в на с берегу", "ru"),
       ("你好世界这是一个中文句子没有空格", "zh"),
+      // script tier (round 10): nine non-Latin scripts classify by
+      // dominant script — including JAPANESE, which mixes dominant han
+      // with kana and must NOT read "zh"
+      ("これは日本語の文章ですテストです", "ja"),
+      ("日本語の漢字が多い文でも、かなが出れば日本語です", "ja"),
+      ("이것은 한국어 테스트 문장입니다", "ko"),
+      ("هذا اختبار للغة العربية فقط", "ar"),
+      ("זהו מבחן בשפה העברית בלבד", "he"),
+      ("αυτό είναι ένα τεστ στα ελληνικά", "el"),
+      ("यह हिंदी में एक परीक्षण है", "hi"),
+      ("นี่คือการทดสอบภาษาไทย", "th"),
+      // Cyrillic WITHOUT Russian stopwords: the script-level fallback
+      ("председательство телевидение возможность", "ru"),
       ("xk9qq7 zzz9 blorp", "unknown"),
     ).toDF("text", "want")
     val got = samples.withColumn("got", TextAnalysis.langId(col("text"))).collect()

@@ -75,6 +75,15 @@ class TextStatsSpec extends SparkTestBase {
       "ik denk dat het een huis van de stad niet op straat te zien is",
       "я не знаю что это он как в на с берегу",
       "你好世界这是一个中文句子没有空格",
+      "これは日本語の文章ですテストです",
+      "日本語の漢字が多い文でも、かなが出れば日本語です",
+      "이것은 한국어 테스트 문장입니다",
+      "هذا اختبار للغة العربية فقط",
+      "זהו מבחן בשפה העברית בלבד",
+      "αυτό είναι ένα τεστ στα ελληνικά",
+      "यह हिंदी में एक परीक्षण है",
+      "นี่คือการทดสอบภาษาไทย",
+      "председательство телевидение возможность",
       "xk9qq7 zzz9 blorp").toDF("text")
     val cmp = samples.select(
       TextAnalysis.langIdFast(TextAnalysis.stats(col("text"))).as("fast"),
