@@ -29,6 +29,29 @@ object SparkEntry {
     * chains without base ~ C. Variant texts derive BEFORE the id shift
     * (withColumn, not a sibling select) so B and C embed the SAME
     * base-id sentinels — B's token stream must be a prefix of C's. */
+  /** q125's planted language samples (ASCII corpus → the gate plants
+    * its multilingual text, the q106/q108 idiom): the 8 stopword
+    * profiles, the 8 script-tier languages, garbage. Shared verbatim
+    * by the query and its generated oracle. */
+  private val Q125Samples: Seq[String] = Seq(
+    "the house and it is of that for them old",
+    "der hund ist nicht mit der katze und ich zu",
+    "le chat est dans la maison et les une pour",
+    "el perro es un animal y la los que por",
+    "o menino em uma casa para os do da amigos",
+    "il gatto che non sono con una di per la",
+    "ik denk dat het een huis van de niet op te",
+    "я не знаю что это он как в на с",
+    "你好世界这是一个中文句子没有空格测试",
+    "これは日本語の文章ですテストです",
+    "이것은 한국어 테스트 문장입니다",
+    "هذا اختبار للغة العربية فقط",
+    "זהו מבחן בשפה העברית בלבד",
+    "αυτό είναι ένα τεστ στα ελληνικά",
+    "यह हिंदी में एक परीक्षण है",
+    "นี่คือการทดสอบภาษาไทย",
+    "xk9 zz9 blorp qqq")
+
   private[graft] def q38Planted(docs0: DataFrame): DataFrame = {
     val docs = docs0.select(col("doc_id"), col("text"))
     val n = size(graft.llm.Dedup.tokens(col("text")))
@@ -2397,6 +2420,26 @@ object SparkEntry {
         .select(col("doc_id"), col("url_norm"))
     }),
 
+    // ---- Language ID under the ORACLE (previously spec-only): 17
+    // planted samples — the 8 stopword-profile languages, the 8
+    // script-tier languages (including Japanese, whose han+kana mix
+    // must NOT read "zh"), and garbage — keyed by doc_id, classified
+    // by the composable langId. The fast_agrees column additionally
+    // pins the native one-pass TextStats form against the composable
+    // form INSIDE the gate (the oracle expects constant true, so any
+    // future divergence hash-fails). Every step — tokenize, distinct,
+    // stopword intersect, (score, lang) max with its lexicographic
+    // tie, script regexp counts, the decision CASE — replays in SQL.
+    "q125_langid" -> ((s, dir) => {
+      import graft.llm.TextAnalysis
+      val txt = element_at(array(Q125Samples.map(lit): _*),
+        (col("doc_id") % Q125Samples.length + 1).cast("int"))
+      t(s, dir, "documents").select(col("doc_id"),
+        TextAnalysis.langId(txt).as("lang_id"),
+        (TextAnalysis.langIdFast(TextAnalysis.stats(txt)) === TextAnalysis.langId(txt))
+          .as("fast_agrees"))
+    }),
+
     // ---- Multimodal VIDEO plumbing through the REAL container+codec
     // (closes the last synthetic modality): deterministic per-frame
     // pixels derived from each document are muxed as genuine RIFF/AVI
@@ -3446,6 +3489,65 @@ object SparkEntry {
     // the generic program at CCNet's actual order — nothing in the
     // generator or the engine is order-4-specific
     "q121_mkn5" -> kneserNeyNModOracleSql(5, LmScoredBounded),
+    // the whole language-ID program replayed: same planted samples,
+    // same tokenizer (split lower-trimmed on \s+, drop empties), same
+    // distinct-stopword intersects, the same (score, lang) max with
+    // Spark's struct-ordering tie (equal score → lexicographically
+    // LARGEST lang), the same script regexp counts and decision CASE.
+    // fast_agrees replays as constant TRUE — the native one-pass form
+    // is pinned to the composable form inside the gate.
+    "q125_langid" -> {
+      val samples = Q125Samples.map(s => s"'$s'").mkString(", ")
+      val langs = graft.llm.TextAnalysis.StopwordProfiles.toSeq.sortBy(_._1)
+      val scoreCols = langs.map { case (lang, stops) =>
+        val list = stops.map(w => s"'$w'").mkString(",")
+        s"len(list_intersect(toks, [$list])) AS s_$lang"
+      }.mkString(",\n        |    ")
+      val bestScore = "greatest(" + langs.map(l => s"s_${l._1}").mkString(", ") + ")"
+      val bestLang = langs.map(_._1).sorted.reverse
+        .map(l => s"WHEN s_$l = best_score THEN '$l'").mkString(" ")
+      def rc(range: String) = s"len(regexp_extract_all(t, '$range'))"
+      s"""WITH p AS (
+        |  SELECT doc_id,
+        |    ([$samples])[(doc_id % ${Q125Samples.length} + 1)::INT] AS t
+        |  FROM documents),
+        |k AS (
+        |  SELECT doc_id, t,
+        |    list_distinct(list_filter(
+        |      string_split_regex(lower(trim(t)), '\\s+'), x -> len(x) > 0)) AS toks
+        |  FROM p),
+        |sc AS (
+        |  SELECT doc_id, t, length(t) AS n,
+        |    $scoreCols,
+        |    ${rc("[\\x{4e00}-\\x{9fff}]")} AS cjk,
+        |    ${rc("[\\x{3040}-\\x{30ff}]")} AS kana,
+        |    ${rc("[\\x{ac00}-\\x{d7af}\\x{1100}-\\x{11ff}]")} AS hangul,
+        |    ${rc("[\\x{0400}-\\x{04ff}]")} AS cyr,
+        |    ${rc("[\\x{0600}-\\x{06ff}]")} AS arab,
+        |    ${rc("[\\x{0590}-\\x{05ff}]")} AS hebr,
+        |    ${rc("[\\x{0370}-\\x{03ff}]")} AS grek,
+        |    ${rc("[\\x{0900}-\\x{097f}]")} AS deva,
+        |    ${rc("[\\x{0e00}-\\x{0e7f}]")} AS thai
+        |  FROM k),
+        |b AS (
+        |  SELECT *, $bestScore AS best_score FROM sc),
+        |v AS (
+        |  SELECT *, CASE $bestLang END AS best_lang FROM b)
+        |SELECT doc_id,
+        |  CASE WHEN kana * 20 > n THEN 'ja'
+        |       WHEN hangul * 4 > n THEN 'ko'
+        |       WHEN cjk * 4 > n THEN 'zh'
+        |       WHEN arab * 4 > n THEN 'ar'
+        |       WHEN hebr * 4 > n THEN 'he'
+        |       WHEN grek * 4 > n THEN 'el'
+        |       WHEN deva * 4 > n THEN 'hi'
+        |       WHEN thai * 4 > n THEN 'th'
+        |       WHEN best_score > 0 THEN best_lang
+        |       WHEN cyr * 4 > n THEN 'ru'
+        |       ELSE 'unknown' END AS lang_id,
+        |  TRUE AS fast_agrees
+        |FROM v""".stripMargin
+    },
     // the whole URL canonicalization chain + first-wins window
     // replayed: same synthetic URLs, same regex steps in RE2
     "q123_url_dedup" ->
