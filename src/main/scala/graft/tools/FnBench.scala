@@ -83,10 +83,23 @@ object FnBench {
       lit("</p><script>var x=1;</script><div>tail</div></body></html>")).as("text"))
       .cache()
     html.count()
-    time("stripHtml")(html.select(
+    time("stripHtml (core chain)")(html.select(
       graft.llm.TextAnalysis.stripHtml(col("text")).as("t")))
-    time("normalizeText")(docs20.select(
+    time("stripHtmlFull (WHATWG)")(html.select(
+      graft.llm.TextAnalysis.stripHtmlFull(col("text")).as("t")))
+    time("normalizeText (chain)")(docs20.select(
       graft.llm.TextAnalysis.normalizeText(col("text")).as("t")))
+    time("normalizeTextFull (algo)")(docs20.select(
+      graft.llm.TextAnalysis.normalizeTextFull(col("text")).as("t")))
+    // the decode/repair kernels alone (no regex pipeline around them)
+    time("htmlEntities native")(html.select(
+      graft.functions.GraftFunctions.htmlEntities(col("text")).as("t")))
+    time("fixMojibake native")(docs20.select(
+      graft.functions.GraftFunctions.fixMojibake(col("text")).as("t")))
+    time("langId composable")(docs20.select(
+      graft.llm.TextAnalysis.langId(col("text")).as("l")))
+    time("langIdFast (textstats)")(docs20.select(
+      graft.llm.TextAnalysis.langIdFast(graft.llm.TextAnalysis.stats(col("text"))).as("l")))
     html.unpersist()
 
     // PQ kernels: native vs HOF reference (encode is the index-build
