@@ -166,7 +166,8 @@ object Bench {
     val headline = (baselineSet.toSeq.sorted.flatMap(q => results.find(_._1 == q)) ++
       results.filter { case (k, v) => v >= 0 && !baselineSet(k) }
         .sortBy(-_._2).take(5)).distinct
-    val compact = s"""{"metric":"total","value":${r3(total)},"unit":"sec","sf":"$sfDir","runs":$runs,"failed":${failed.size},"baseline_set_total":${r3(baseTotal)},"n_queries":${results.size},"queries":${headline.map { case (k, v) => s"\"" + k + "\":" + r3(v) }.mkString("{", ",", "}")},"queries_truncated":true,"full_queries":"target/bench.json"}"""
+    val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
+    val compact = s"""{"metric":"total","value":${r3(total)},"unit":"sec","sf":"$sfDir","runs":$runs,"failed":${failed.size},"failed_queries":$failedJson,"baseline_set_total":${r3(baseTotal)},"n_queries":${results.size},"queries":${headline.map { case (k, v) => s"\"" + k + "\":" + r3(v) }.mkString("{", ",", "}")},"queries_truncated":true,"full_queries":"target/bench.json"}"""
     org.apache.logging.log4j.core.config.Configurator.setLevel(
       "org.apache.spark.sql.execution.streaming.state",
       org.apache.logging.log4j.Level.OFF)

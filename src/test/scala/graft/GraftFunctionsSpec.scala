@@ -37,6 +37,19 @@ class GraftFunctionsSpec extends SparkTestBase {
     assert(r.length == 5 && r.forall(!_.isNullAt(0)))
   }
 
+  test("graft_html_entities and graft_fix_mojibake run via SQL and stay in codegen") {
+    val r = spark.sql(
+      "SELECT graft_html_entities('Caf&eacute; &amp; more &#33;') AS e, " +
+        "graft_fix_mojibake('cafÃ© itâ€™s') AS m").head()
+    assert(r.getString(0) == "Café & more !")
+    assert(r.getString(1) == "café it’s")
+    val plan = docs.select(
+        call_function("graft_html_entities", col("text")).as("e"),
+        call_function("graft_fix_mojibake", col("text")).as("m"))
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("*(1) Project"), s"no codegen span:\n$plan")
+  }
+
   test("expressions stay inside whole-stage codegen (no fallback)") {
     val plan = docs.select(call_function("graft_simhash", col("text")).as("s"))
       .queryExecution.executedPlan.toString

@@ -209,6 +209,36 @@ class StreamsSpec extends SparkTestBase {
       !plan.contains("Join"), s"filter stream must be stateless:\n$plan")
   }
 
+  test("multimodal decode rides a stream unchanged: AVI frames decode per " +
+      "microbatch, stateless, batch parity") {
+    import graft.llm.Multimodal
+    val dir = s"${java.nio.file.Files.createTempDirectory("stream_mm")}/assets"
+    // real 2-frame AVI clips as the stream payload
+    val media = Multimodal.asMediaTable(
+      spark.read.parquet(s"$sfDir/documents.parquet").filter(col("doc_id") < 6),
+      "doc_id", "text", "video", Map("width" -> "8", "height" -> "4"))
+    Multimodal.reencodeAsAvi(media, nFrames = 2).write.parquet(dir)
+    def decode(df: org.apache.spark.sql.DataFrame) =
+      Multimodal.decodeAndFeaturize(
+        Multimodal.frameIdxIntoMeta(Multimodal.sampleFrames(df, everyN = 1)),
+        Multimodal.AviDecoder, featureDim = 4, batchSize = 4)
+    val stream = spark.readStream
+      .schema(spark.read.parquet(dir).schema).parquet(dir)
+    val got = Streams.runToMemory(decode(stream), "mm_decoded", OutputMode.Append())
+    assert(got.count() == 12, "6 assets x 2 frames per microbatch")
+    assert(got.collect().forall(r => r.getInt(1) == 8 && r.getInt(2) == 4 &&
+      r.getInt(3) == 3 && !r.getBoolean(5)))
+    // batch parity: identical features through the same code path
+    def rows(df: org.apache.spark.sql.DataFrame): Seq[(Long, String)] =
+      df.select("asset_id", "features").collect()
+        .map(r => (r.getLong(0), r.getSeq[Float](1).mkString(","))).toSeq.sorted
+    assert(rows(decode(spark.read.parquet(dir))) == rows(got))
+    // stateless: the decode pipeline has no stateful operator
+    val plan = decode(stream).queryExecution.analyzed.toString
+    assert(!plan.contains("Aggregate") && !plan.contains("Deduplicate") &&
+      !plan.contains("Join"), s"decode stream must be stateless:\n$plan")
+  }
+
   test("filterDocStream c4-rules: in-stream line retention rewrites text, " +
       "page rules drop; the stream stays stateless") {
     import spark.implicits._
