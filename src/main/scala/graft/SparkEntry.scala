@@ -50,6 +50,20 @@ object SparkEntry {
     "αυτό είναι ένα τεστ στα ελληνικά",
     "यह हिंदी में एक परीक्षण है",
     "นี่คือการทดสอบภาษาไทย",
+    // the round-10 profile additions — ukrainian FIRST among them: its
+    // stopword vote must beat both the ru profile (3 shared words) and
+    // the Cyrillic script fallback
+    "і в не на що як з до це та мова",
+    "i w nie na się z do to jest że dom",
+    "och att det som en på är av för med hus",
+    "ve bir bu için ile de da ne gibi çok ev",
+    "a se na je že s z do to k dům",
+    "și de la cu un o în pe este care casă",
+    "ja on ei että se hän oli mutta niin kun talo",
+    "og i at det en den til er som på hus",
+    "a az és hogy nem is egy van de ez ház",
+    "yang dan di itu dengan untuk tidak ini dari ke rumah",
+    "và của là có không được trong đã người này",
     "xk9 zz9 blorp qqq")
 
   private[graft] def q38Planted(docs0: DataFrame): DataFrame = {

@@ -44,7 +44,11 @@ import org.apache.spark.unsafe.types.UTF8String
   */
 object TextStatsImpl {
 
-  val Langs: Seq[String] = Seq("en", "de", "fr", "es", "pt", "it", "nl", "ru")
+  // derived from the profile map so a new profile automatically joins
+  // the one-pass vote (and the struct schema) in the same sorted order
+  // the composable vote uses
+  val Langs: Seq[String] =
+    graft.llm.TextAnalysis.StopwordProfiles.keys.toSeq.sorted
   private val NumLangs = Langs.length
 
   /** token-hash sets per profile (xxhash64 of the stopword bytes) —

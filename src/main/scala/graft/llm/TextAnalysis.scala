@@ -309,6 +309,23 @@ object TextAnalysis {
     "it" -> Seq("il", "di", "che", "e", "la", "per", "non", "sono", "con", "una"),
     "nl" -> Seq("de", "het", "een", "en", "van", "ik", "dat", "niet", "op", "te"),
     "ru" -> Seq("и", "в", "не", "на", "я", "что", "с", "это", "он", "как"),
+    // round 10: eleven more profiles — same 10-word shape, chosen to
+    // keep each EXISTING sample's own-language vote strictly ahead of
+    // any cross-language collision ("is"∈hu, "de"∈tr/hu, "i"∈pl/da,
+    // "a"∈cs/hu all score ≤2 on foreign prose). uk deliberately shares
+    // only 3 words with ru, so Ukrainian text outvotes the Cyrillic
+    // script fallback while Russian text keeps winning its own vote.
+    "uk" -> Seq("і", "в", "не", "на", "що", "як", "з", "до", "це", "та"),
+    "pl" -> Seq("i", "w", "nie", "na", "się", "z", "do", "to", "jest", "że"),
+    "sv" -> Seq("och", "att", "det", "som", "en", "på", "är", "av", "för", "med"),
+    "tr" -> Seq("ve", "bir", "bu", "için", "ile", "de", "da", "ne", "gibi", "çok"),
+    "cs" -> Seq("a", "se", "na", "je", "že", "s", "z", "do", "to", "k"),
+    "ro" -> Seq("și", "de", "la", "cu", "un", "o", "în", "pe", "este", "care"),
+    "fi" -> Seq("ja", "on", "ei", "että", "se", "hän", "oli", "mutta", "niin", "kun"),
+    "da" -> Seq("og", "i", "at", "det", "en", "den", "til", "er", "som", "på"),
+    "hu" -> Seq("a", "az", "és", "hogy", "nem", "is", "egy", "van", "de", "ez"),
+    "id" -> Seq("yang", "dan", "di", "itu", "dengan", "untuk", "tidak", "ini", "dari", "ke"),
+    "vi" -> Seq("và", "của", "là", "có", "không", "được", "trong", "đã", "người", "này"),
   )
 
   /** Fraction of tokens that are stopwords of `lang` — high for natural

@@ -63,6 +63,19 @@ class TextAnalysisSpec extends SparkTestBase {
       ("นี่คือการทดสอบภาษาไทย", "th"),
       // Cyrillic WITHOUT Russian stopwords: the script-level fallback
       ("председательство телевидение возможность", "ru"),
+      // the round-10 profile additions; Ukrainian must outvote both
+      // the ru profile and the Cyrillic script fallback
+      ("і в не на що як з до це та мова", "uk"),
+      ("i w nie na się z do to jest że dom", "pl"),
+      ("och att det som en på är av för med hus", "sv"),
+      ("ve bir bu için ile de da ne gibi çok ev", "tr"),
+      ("a se na je že s z do to k dům", "cs"),
+      ("și de la cu un o în pe este care casă", "ro"),
+      ("ja on ei että se hän oli mutta niin kun talo", "fi"),
+      ("og i at det en den til er som på hus", "da"),
+      ("a az és hogy nem is egy van de ez ház", "hu"),
+      ("yang dan di itu dengan untuk tidak ini dari ke rumah", "id"),
+      ("và của là có không được trong đã người này", "vi"),
       ("xk9qq7 zzz9 blorp", "unknown"),
     ).toDF("text", "want")
     val got = samples.withColumn("got", TextAnalysis.langId(col("text"))).collect()
