@@ -2454,6 +2454,28 @@ object SparkEntry {
           .as("fast_agrees"))
     }),
 
+    // ---- zlib-compressibility quality signal (the repetitiveness
+    // ratio published quality suites carry): every 5th doc becomes a
+    // 40×-repeated template line — it must deflate far below prose.
+    // The gate reports, per cohort, how many docs a 0.25 floor would
+    // drop: templates all, prose none (EntrySpec value-asserts the
+    // separation; deflate output is not SQL-expressible → rows-only).
+    "q126_deflate_ratio" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
+        .filter(col("doc_id") < 300)
+      val planted = docs.withColumn("text",
+        when(col("doc_id") % 5 === 0,
+          concat_ws(" ", transform(sequence(lit(1), lit(40)),
+            _ => lit("click here to win a free prize now"))))
+          .otherwise(col("text")))
+      planted.select(col("doc_id"), (col("doc_id") % 5 === 0).as("is_template"),
+          graft.functions.GraftFunctions.deflateRatio(col("text")).as("ratio"))
+        .groupBy(col("is_template"))
+        .agg(count(lit(1)).as("n_docs"),
+          count(when(col("ratio") < 0.25, 1)).as("n_below_floor"),
+          round(avg("ratio"), 2).as("avg_ratio"))
+    }),
+
     // ---- Multimodal VIDEO plumbing through the REAL container+codec
     // (closes the last synthetic modality): deterministic per-frame
     // pixels derived from each document are muxed as genuine RIFF/AVI

@@ -498,6 +498,10 @@ object Curator {
       c4BadWords = badwordList.getOrElse(base.c4BadWords),
       maxRepetition = c.getDouble("max-repetition").getOrElse(base.maxRepetition),
       repetitionNgram = c.getInt("repetition-ngram").getOrElse(base.repetitionNgram),
+      // zlib-compressibility floor (`min-deflate-ratio`): drop docs
+      // that deflate below the ratio — the template/keyword-stuffing
+      // signal; 0 (default) = off
+      minDeflateRatio = c.getDouble("min-deflate-ratio").getOrElse(base.minDeflateRatio),
       langs = c.getList("langs").map(_.toSet).getOrElse(base.langs),
       nearDupStrategy = c.getString("near-dup-strategy").getOrElse(base.nearDupStrategy),
       nearDupMaxJaccardDistance = c.getDouble("max-jaccard-distance").getOrElse(base.nearDupMaxJaccardDistance),
@@ -2146,6 +2150,7 @@ object Streamer {
           langs = c.getList("langs").map(_.toSet).getOrElse(Set.empty),
           repetition = c.getDouble("max-repetition").map(m =>
             (c.getInt("repetition-ngram").getOrElse(3), m)),
+          minDeflateRatio = c.getDouble("min-deflate-ratio"),
           lmPath = c.getString("lm-path"),
           minLmLogP = c.getDouble("min-lm-logp"),
           kn3Path = c.getString("kn3-path"),

@@ -330,6 +330,9 @@ object GraftFunctions {
   def fixMojibake(c: Column): Column =
     ColumnBridge.column(FixMojibake(ColumnBridge.expression(c)))
 
+  def deflateRatio(c: Column): Column =
+    ColumnBridge.column(DeflateRatio(ColumnBridge.expression(c)))
+
   def repetition(c: Column, n: Int = 3): Column =
     ColumnBridge.column(Repetition(ColumnBridge.expression(c), n))
 
@@ -765,6 +768,12 @@ object GraftFunctions {
       (es: Seq[Expression]) => {
         require(es.length == 1, s"graft_fix_mojibake takes 1 argument, got ${es.length}")
         FixMojibake(es.head)
+      }),
+    ("graft_deflate_ratio",
+      new ExpressionInfo(classOf[DeflateRatio].getName, "graft_deflate_ratio"),
+      (es: Seq[Expression]) => {
+        require(es.length == 1, s"graft_deflate_ratio takes 1 argument, got ${es.length}")
+        DeflateRatio(es.head)
       }),
     ("graft_repetition",
       new ExpressionInfo(classOf[Repetition].getName, "graft_repetition"),

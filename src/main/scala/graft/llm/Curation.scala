@@ -61,6 +61,15 @@ object Curation {
         * — see [[TextAnalysis.repetitionScoreFast]]. */
       maxRepetition: Double = 1.0,
       repetitionNgram: Int = 3,
+      /** Drop documents whose zlib compressibility (deflated size /
+        * raw size, `graft_deflate_ratio`) falls BELOW this — the
+        * repetitiveness signal published quality suites carry:
+        * template farms and keyword stuffing compress far better than
+        * prose (~0.4–0.7 for natural text; heavy repetition < ~0.2).
+        * 0.0 = off. One-sided by design: high ratios (short or
+        * high-entropy text) are never penalized here — that is the
+        * quality score's job. Scan-speed native expression. */
+      minDeflateRatio: Double = 0.0,
       langs: Set[String] = Set.empty, // empty = keep all
       nearDupStrategy: String = "simhash", // or "minhash"
       nearDupMaxJaccardDistance: Double = 0.2,
@@ -214,6 +223,9 @@ object Curation {
       .filter(col("quality") >= conf.minQuality)
     if (conf.maxRepetition < 1.0)
       df = df.filter(col("repetition") <= conf.maxRepetition)
+    if (conf.minDeflateRatio > 0.0)
+      df = df.filter(
+        graft.functions.GraftFunctions.deflateRatio(col(textCol)) >= conf.minDeflateRatio)
     if (conf.langs.nonEmpty)
       df = df.filter(col("lang_id").isin(conf.langs.toSeq: _*))
     // Gopher rule set — re-tokenizes (same cost class as the LM

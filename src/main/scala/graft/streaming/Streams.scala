@@ -192,6 +192,7 @@ object Streams {
       c4Rules: Boolean = false,
       langs: Set[String] = Set.empty,
       repetition: Option[(Int, Double)] = None,
+      minDeflateRatio: Option[Double] = None,
       lmPath: Option[String] = None,
       minLmLogP: Option[Double] = None,
       kn3Path: Option[String] = None,
@@ -251,6 +252,13 @@ object Streams {
       df = df.withColumn("repetition",
         TextAnalysis.repetitionScoreFast(col(textCol), n))
         .filter(col("repetition") <= maxRep)
+    }
+    // zlib-compressibility floor (the batch Curator's min-deflate-ratio,
+    // mirrored): still a stateless scan predicate
+    minDeflateRatio.foreach { floor =>
+      df = df.withColumn("deflate_ratio",
+        graft.functions.GraftFunctions.deflateRatio(col(textCol)))
+        .filter(col("deflate_ratio") >= floor)
     }
     lmPath.foreach { p =>
       df = df.withColumn("lm_logp",

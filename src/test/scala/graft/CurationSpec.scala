@@ -20,6 +20,25 @@ class CurationSpec extends SparkTestBase {
     base.union(exactCopy).union(nearCopy).union(garbage).cache()
   }
 
+  test("minDeflateRatio drops a planted template doc, keeps prose, off by default") {
+    val template = Seq((80000L,
+      Array.fill(40)("click here to win a free prize now").mkString(" ")))
+      .toDF("doc_id", "text")
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select("doc_id", "text").filter(col("doc_id") < 20)
+      .union(template)
+    val kept = Curation.curate(docs, "doc_id", "text",
+      Curation.Config(minQuality = 0.0, minDeflateRatio = 0.25))
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(!kept.contains(80000L), "the template must deflate below the floor")
+    assert(kept.exists(_ < 20), "prose must survive the floor")
+    // default (0.0) = off: the template rides through
+    val keptOff = Curation.curate(docs, "doc_id", "text",
+      Curation.Config(minQuality = 0.0))
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(keptOff.contains(80000L))
+  }
+
   test("annotate adds scan-speed signal columns without shuffle") {
     val out = Curation.annotate(noisy, "text")
     assert(Seq("quality", "lang_id", "n_tokens").forall(out.columns.contains))

@@ -138,6 +138,18 @@ class EntrySpec extends SparkTestBase {
     }
   }
 
+  test("q126: deflate ratio separates templates from prose; a 0.25 floor splits exactly") {
+    val rows = SparkEntry.queries("q126_deflate_ratio")(spark, sfDir).collect()
+      .map(r => r.getBoolean(0) -> r).toMap
+    assert(rows.size == 2)
+    val tpl = rows(true); val prose = rows(false)
+    assert(tpl.getAs[Long]("n_below_floor") == tpl.getAs[Long]("n_docs"),
+      "every 40x-repeated template must deflate below the floor")
+    assert(prose.getAs[Long]("n_below_floor") == 0L,
+      "no prose document may deflate below the floor")
+    assert(tpl.getAs[Double]("avg_ratio") < prose.getAs[Double]("avg_ratio"))
+  }
+
   test("q62: vector signature tier drops every rescaled echo, keeps fresh rows") {
     val rows = SparkEntry.queries("q62_incremental_vector_dedup")(spark, sfDir)
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap

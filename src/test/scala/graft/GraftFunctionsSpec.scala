@@ -50,6 +50,21 @@ class GraftFunctionsSpec extends SparkTestBase {
     assert(plan.contains("*(1) Project"), s"no codegen span:\n$plan")
   }
 
+  test("graft_deflate_ratio: repetition compresses, prose does not, empty is 1.0") {
+    val r = spark.sql(
+      "SELECT graft_deflate_ratio(repeat('spam template line ', 50)) AS tpl, " +
+        "graft_deflate_ratio('The quick brown fox jumps over the lazy dog near the riverbank.') AS prose, " +
+        "graft_deflate_ratio('') AS empty").head()
+    assert(r.getDouble(0) < 0.1, s"heavy repetition must compress hard: ${r.getDouble(0)}")
+    assert(r.getDouble(1) > 0.4, s"one prose sentence barely compresses: ${r.getDouble(1)}")
+    assert(r.getDouble(2) == 1.0)
+    // deterministic across invocations (thresholds rely on it)
+    val twice = docs.limit(50).select(
+      call_function("graft_deflate_ratio", col("text")).as("a"),
+      call_function("graft_deflate_ratio", col("text")).as("b"))
+    assert(twice.filter(col("a") =!= col("b")).count() == 0)
+  }
+
   test("expressions stay inside whole-stage codegen (no fallback)") {
     val plan = docs.select(call_function("graft_simhash", col("text")).as("s"))
       .queryExecution.executedPlan.toString
