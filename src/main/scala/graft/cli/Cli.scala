@@ -2195,6 +2195,81 @@ object Trainer {
   }
 }
 
+/** `tokenizer` (north-star, no reference counterpart): train a BPE
+  * tokenizer from a config-described corpus and persist the artifact
+  * pair every consumer runs on — `merges.txt` (the published format)
+  * plus the id vocab — closing the operational loop: until now the
+  * Curator/Streamer/packing knobs CONSUMED tokenizer artifacts but
+  * nothing config-driven produced them.
+  *
+  * Config keys under `tokenizer { }`:
+  *  - `source { }` — any DataIO source (the S1–S8 dispatch)
+  *  - `text-column` (default `text`), `num-merges` (required)
+  *  - `byte-level = true` → GPT-2-style byte-level (256-symbol base
+  *    alphabet, encoding total by construction); default = segment
+  *    level with the byte-fallback vocab (also total)
+  *  - `max-words` (default 2^20) / `batch-k` (default 16): above the
+  *    cut the DISTRIBUTED merge loop engages automatically — driver
+  *    memory stays O(batch-k), no silent vocabulary truncation
+  *  - `merges-path` / `vocab-path` (both required)
+  *  - `verify-docs` (default 100, 0 = off): the Indexer-recall idiom
+  *    baked in — a digest-sampled slice must round-trip byte-exactly
+  *    under the artifacts JUST written with zero `<unk>` ids, or the
+  *    run exits nonzero (artifacts are already on disk for debugging,
+  *    like the Indexer's report-then-gate order). */
+object Tokenizer {
+  def main(args: Array[String]): Unit = Cli.run("tokenizer", args) { (conf, spark) =>
+    import org.apache.spark.sql.functions._
+    import graft.functions.GraftFunctions
+    import graft.llm.BpeTrainer
+    val c = conf.at("tokenizer")
+    val docs = graft.sources.DataIO.read(spark, c.at("source"))
+    val textCol = c.getString("text-column").getOrElse("text")
+    val numMerges = c.getInt("num-merges").getOrElse(throw new IllegalArgumentException(
+      "tokenizer.num-merges is required"))
+    val byteLevel = c.getBoolean("byte-level").getOrElse(false)
+    val maxWords = c.getInt("max-words").getOrElse(1 << 20)
+    val batchK = c.getInt("batch-k").getOrElse(16)
+    val mergesPath = c.string("merges-path")
+    val vocabPath = c.string("vocab-path")
+    Cli.log(s"training ${if (byteLevel) "byte-level" else "segment-level"} BPE " +
+      s"($numMerges merges, distributed above $maxWords words)...")
+    val df = docs.select(col(textCol))
+    val merges =
+      if (byteLevel) BpeTrainer.learnByteMerges(df, textCol, numMerges, maxWords, batchK)
+      else BpeTrainer.learnMerges(df, textCol, numMerges, maxWords, batchK)
+    val vocab =
+      if (byteLevel) BpeTrainer.buildByteVocab(merges)
+      else BpeTrainer.buildVocab(df, textCol, merges)
+    BpeTrainer.saveMerges(spark, mergesPath, merges)
+    BpeTrainer.saveVocab(spark, vocabPath, vocab)
+    Cli.log(s"saved ${merges.length} merges -> $mergesPath; " +
+      s"${vocab.size}-token vocab -> $vocabPath")
+    val nVerify = c.getInt("verify-docs").getOrElse(100)
+    if (nVerify > 0) {
+      val sample = docs.select(col(textCol).as("t")).filter(col("t").isNotNull)
+        .orderBy(graft.operators.Ops.hashDigestCol(col("t"), "tokverify"))
+        .limit(nVerify)
+      val enc =
+        if (byteLevel) GraftFunctions.bpeByteEncode(col("t"), mergesPath, vocabPath)
+        else GraftFunctions.bpeEncodeLossless(col("t"), mergesPath, vocabPath)
+      def dec(ids: org.apache.spark.sql.Column) =
+        if (byteLevel) GraftFunctions.bpeByteDecode(ids, vocabPath)
+        else GraftFunctions.bpeDecode(ids, vocabPath)
+      val r = sample.withColumn("ids", enc)
+        .agg(count(lit(1)),
+          count(when(dec(col("ids")) === col("t"), 1)),
+          coalesce(sum(size(filter(col("ids"), i => i === 0))), lit(0L))).head()
+      val (n, ok, unks) = (r.getLong(0), r.getLong(1), r.getLong(2))
+      require(ok == n && unks == 0L,
+        s"tokenizer self-check FAILED: $ok/$n sampled docs round-trip, $unks <unk> " +
+          s"ids — the artifacts at $mergesPath / $vocabPath are not total/lossless " +
+          "on this corpus")
+      Cli.log(s"self-check: $n/$n sampled docs round-trip byte-exactly, zero <unk>")
+    }
+  }
+}
+
 /** `indexer` (north-star, no reference counterpart): build or grow a
   * persisted ANN index over an embeddings table — the operational
   * surface of the Similarity stack (IVF cells, optional PQ codes).

@@ -2520,6 +2520,63 @@ class CliSpec extends SparkTestBase {
       "the recall artifact must land before the gate trips")
   }
 
+  test("tokenizer: trains both layouts end-to-end, artifacts drive every consumer, " +
+      "self-check gates, missing knobs rejected") {
+    import org.apache.spark.sql.functions.col
+    val base = tmp()
+    def conf(name: String, byteLevel: Boolean, extra: String = "") =
+      write(base.resolve(s"tok_$name.conf"),
+        s"""tokenizer {
+           |  source { storage-type = local, dataset-dir = $sfDir/documents.parquet }
+           |  num-merges = 48
+           |  byte-level = $byteLevel
+           |  merges-path = ${base.resolve(s"m_$name.txt")}
+           |  vocab-path = ${base.resolve(s"v_$name.txt")}
+           |$extra
+           |}
+           |""".stripMargin)
+    // segment level (byte-fallback vocab): artifacts land, self-check runs
+    graft.cli.Tokenizer.main(Array("--conf", conf("seg", byteLevel = false)))
+    val segMerges = base.resolve("m_seg.txt").toString
+    val segVocab = base.resolve("v_seg.txt").toString
+    val mergeLines = scala.io.Source.fromFile(segMerges, "UTF-8").getLines().toList
+    assert(mergeLines.head == "#version: 0.2" && mergeLines.length == 49)
+    val vocabLines = scala.io.Source.fromFile(segVocab, "UTF-8").getLines().toList
+    assert(vocabLines.head == "<unk>" && vocabLines(1) == "<eos>")
+    // the artifacts drive an existing consumer lossless end-to-end
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet").limit(50)
+    val rt = docs.select(
+        graft.functions.GraftFunctions.bpeDecode(
+          graft.functions.GraftFunctions.bpeEncodeLossless(
+            col("text"), segMerges, segVocab), segVocab).as("rt"),
+        col("text"))
+      .filter(col("rt") =!= col("text")).count()
+    assert(rt == 0, "CLI-trained artifacts must round-trip through the consumers")
+    // byte level: same surface, GPT-2-style layout
+    graft.cli.Tokenizer.main(Array("--conf", conf("byte", byteLevel = true)))
+    val byteVocab = scala.io.Source.fromFile(
+      base.resolve("v_byte.txt").toString, "UTF-8").getLines().toList
+    assert(byteVocab.take(2) == List("<unk>", "<eos>") && byteVocab.length == 2 + 256 + 48)
+    // CLI parity with the library call (same corpus, same determinism)
+    val lib = graft.llm.BpeTrainer.learnMerges(
+      spark.read.parquet(s"$sfDir/documents.parquet").select("text"),
+      "text", numMerges = 48)
+    assert(mergeLines.tail == lib.map { case (a, b) => s"$a $b" },
+      "CLI merges must equal the library's on the same corpus")
+    // missing required knobs are clean failures
+    val bad = write(base.resolve("tok_bad.conf"),
+      s"""tokenizer {
+         |  source { storage-type = local, dataset-dir = $sfDir/documents.parquet }
+         |  merges-path = ${base.resolve("m_bad.txt")}
+         |  vocab-path = ${base.resolve("v_bad.txt")}
+         |}
+         |""".stripMargin)
+    val e = intercept[IllegalArgumentException] {
+      graft.cli.Tokenizer.main(Array("--conf", bad))
+    }
+    assert(e.getMessage.contains("num-merges"), e.getMessage)
+  }
+
   test("indexer compact: repeated appends pile files per cell; compact rewrites " +
       "to one file per cell (corpus + codes, one marker window), recall is " +
       "unchanged, appends continue") {
