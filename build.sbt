@@ -11,6 +11,18 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The driver parses the LAST stdout line of `sbt "runMain graft.Bench"`.
+// Bench prints its compact JSON as its final act (after spark.stop()),
+// but sbt's own `[success] Total time: …` epilogue printed after it kept
+// BENCH_r{7..10}.json parse-dead. Suppress the epilogue globally, and
+// pass the forked process's stdout through UNPREFIXED (the default
+// LoggedOutput strategy stamps every line with `[info] `, which would
+// leave the tail line as `[info] {...}` — not bare JSON).
+Global / showSuccess := false
+run / outputStrategy := Some(StdoutOutput)
+// showSuccess is consumed by sbt's command layer, not a task — exclude it
+// from the unused-setting lint so builds stay warning-free.
+Global / excludeLintKeys += showSuccess
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

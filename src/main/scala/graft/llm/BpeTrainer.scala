@@ -270,6 +270,16 @@ object BpeTrainer {
       .map { case (w, n) => (unitsSeq(w): Seq[String], n) }
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     words.count() // materialize before the source `counts` plan re-runs
+    // The one live checkpoint generation's RDD handle. Checkpointing is
+    // done at the RDD level (not Dataset.localCheckpoint) so the blocks
+    // of a superseded generation can be unpersisted EXPLICITLY the
+    // moment the next generation materializes — Dataset.unpersist() on
+    // a localCheckpoint-backed Dataset is a cache-manager no-op for the
+    // RDD-persisted checkpoint blocks, so the r10 form leaked one block
+    // set per checkpoint round until the ContextCleaner happened to GC
+    // the plan (round-10 advice: unbounded storage growth on long 256k
+    // runs).
+    var liveCkpt: Option[org.apache.spark.rdd.RDD[_]] = None
     val merges = mutable.ArrayBuffer.empty[(String, String)]
     var exhausted = false
     var round = 0
@@ -309,15 +319,29 @@ object BpeTrainer {
           next.count()
           words.unpersist()
           words =
-            if (round % checkpointEvery == checkpointEvery - 1)
-              next.localCheckpoint(true)
-            else next
+            if (round % checkpointEvery == checkpointEvery - 1) {
+              // cut lineage: materialize a fresh checkpoint generation,
+              // then free BOTH superseded block sets — `next`'s persist
+              // (the checkpoint has its own blocks once counted) and
+              // the previous checkpoint generation (the new one's
+              // lineage was truncated by the materializing count, so
+              // its ancestors' blocks are no longer reachable).
+              val ckpt = next.rdd.localCheckpoint()
+              ckpt.count()
+              next.unpersist()
+              liveCkpt.foreach(_.unpersist(blocking = false))
+              liveCkpt = Some(ckpt)
+              spark.createDataset(ckpt)
+            } else next
           merges ++= batch
           round += 1
         }
       }
       merges.toSeq
-    } finally words.unpersist()
+    } finally {
+      words.unpersist()
+      liveCkpt.foreach(_.unpersist(blocking = false))
+    }
   }
 
   /** Vocab for id encoding (`graft_bpe_encode`): `<unk>` first (id 0 —
