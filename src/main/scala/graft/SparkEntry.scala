@@ -154,7 +154,7 @@ object SparkEntry {
     * q113 (byte-FALLBACK pair), q112 and q113 (byte-LEVEL pair) —
     * whichever runs first builds, the rest reuse. */
   private def ensureBpeArtifacts(s: SparkSession, dir: String, name: String,
-      byteLevel: Boolean): (String, String) = {
+      byteLevel: Boolean, specials: Seq[String] = Nil): (String, String) = {
     import graft.llm.BpeTrainer
     val base = statePath(dir, name)
     val mergesPath = s"$base/merges.txt"
@@ -167,12 +167,23 @@ object SparkEntry {
         if (byteLevel) BpeTrainer.learnByteMerges(train, "text", numMerges = 64)
         else BpeTrainer.learnMerges(train, "text", numMerges = 64)
       BpeTrainer.saveMerges(s, mergesPath, merges)
+      // declared specials ride the vocab TAIL (fixed ids = their lines)
       BpeTrainer.saveVocab(s, vocabPath,
-        if (byteLevel) BpeTrainer.buildByteVocab(merges)
-        else BpeTrainer.buildVocab(train, "text", merges))
+        (if (byteLevel) BpeTrainer.buildByteVocab(merges)
+         else BpeTrainer.buildVocab(train, "text", merges)) ++ specials)
       doneMarker.createNewFile(): Unit
     }
     (mergesPath, vocabPath)
+  }
+
+  /** Fixed id of a special at the tail of the vocab at `vocabPath`
+    * (local artifact file): its line number. */
+  private def vocabIdOf(vocabPath: String, spelling: String): Int = {
+    val lines = java.nio.file.Files.readAllLines(
+      java.nio.file.Paths.get(vocabPath))
+    val id = lines.indexOf(spelling)
+    require(id >= 0, s"$spelling not in vocab at $vocabPath")
+    id
   }
 
   /** Marker-gated shared KN count artifact (the [[ensureBpeArtifacts]]
@@ -2517,6 +2528,42 @@ object SparkEntry {
           (abs(col("m.feat_sum") - col("d.feat_sum")) < 1.0).as("mjpeg_within_tol"))
     }),
 
+    // ---- Protected special tokens (<|endoftext|>-class), ORACLE-EXACT
+    // on BOTH encode paths: every 5th doc gets the spelling planted
+    // mid-text (whitespace-free on one side, so a merge-across would
+    // change the id stream); encode-with-specials must emit EXACTLY ONE
+    // occurrence of the fixed tail id (n_special_* — the never-split
+    // pin, replayed in SQL as the plant indicator) and decode must
+    // reproduce the planted text byte-for-byte (text_* — the
+    // round-trip pin, replayed in SQL as the plant expression itself).
+    // A special that merged across, split into pieces, or re-segmented
+    // as plain text breaks the hash on n_special_*; any decode drift
+    // breaks it on text_*.
+    "q127_special_tokens" -> ((s, dir) => {
+      import graft.functions.GraftFunctions._
+      val Eot = "<|endoftext|>"
+      val sp = Seq(Eot)
+      val (mSeg, vSeg) =
+        ensureBpeArtifacts(s, dir, "q127_bpe_sp_seg", byteLevel = false, specials = sp)
+      val (mByte, vByte) =
+        ensureBpeArtifacts(s, dir, "q127_bpe_sp_byte", byteLevel = true, specials = sp)
+      val segId = vocabIdOf(vSeg, Eot)
+      val byteId = vocabIdOf(vByte, Eot)
+      val planted = t(s, dir, "documents").select(col("doc_id"),
+        when(col("doc_id") % 5 === 0,
+          concat(lit("pre "), col("text"), lit(s" mid${Eot}post")))
+          .otherwise(col("text")).as("text"))
+      planted
+        .select(col("doc_id"), col("text"),
+          bpeEncodeLossless(col("text"), mSeg, vSeg, sp).as("ids_seg"),
+          bpeByteEncode(col("text"), mByte, vByte, sp).as("ids_byte"))
+        .select(col("doc_id"),
+          bpeDecode(col("ids_seg"), vSeg).as("text_seg"),
+          bpeByteDecode(col("ids_byte"), vByte).as("text_byte"),
+          size(filter(col("ids_seg"), i => i === segId)).as("n_special_seg"),
+          size(filter(col("ids_byte"), i => i === byteId)).as("n_special_byte"))
+    }),
+
     // ---- CCNet in its PRODUCTION configuration: per-source
     // head/middle/tail thirds by the KenLM-class model's score — q98's
     // bucket machinery over MODIFIED-KN (q98 buckets on the unigram
@@ -3512,6 +3559,19 @@ object SparkEntry {
     // programs produced from the same index arithmetic the Scala
     // scorer loops over; ONE oracle pins the composable (q114) and
     // native-registry (q115) forms
+    // special tokens: the round-trip oracle is the plant expression
+    // itself (both encode paths must decode back to it), and the
+    // never-split pin is the plant indicator (exactly one fixed tail
+    // id per planted spelling, zero elsewhere)
+    "q127_special_tokens" ->
+      """SELECT doc_id,
+        |  CASE WHEN doc_id % 5 = 0
+        |       THEN 'pre ' || text || ' mid<|endoftext|>post' ELSE text END AS text_seg,
+        |  CASE WHEN doc_id % 5 = 0
+        |       THEN 'pre ' || text || ' mid<|endoftext|>post' ELSE text END AS text_byte,
+        |  CASE WHEN doc_id % 5 = 0 THEN 1 ELSE 0 END AS n_special_seg,
+        |  CASE WHEN doc_id % 5 = 0 THEN 1 ELSE 0 END AS n_special_byte
+        |FROM documents""".stripMargin,
     "q114_kn4" -> kneserNeyNOracleSql(4, LmScoredBounded),
     "q115_kn4_native" -> kneserNeyNOracleSql(4, LmScoredFull),
     "q116_kn4_packed" -> kneserNeyNOracleSql(4, LmScoredFull, decimals = 4),

@@ -2238,21 +2238,36 @@ object Tokenizer {
     val merges =
       if (byteLevel) BpeTrainer.learnByteMerges(df, textCol, numMerges, maxWords, batchK)
       else BpeTrainer.learnMerges(df, textCol, numMerges, maxWords, batchK)
-    val vocab =
+    val baseVocab =
       if (byteLevel) BpeTrainer.buildByteVocab(merges)
       else BpeTrainer.buildVocab(df, textCol, merges)
+    // `special-tokens`: protected spellings appended at the vocab TAIL
+    // in declaration order — fixed ids (line numbers past the learned
+    // vocab) stable across re-encodes of this artifact; encode carves
+    // them out before pretokenization (never merged across), decode
+    // reproduces the spelling. Byte-level spellings must stay inside
+    // the printable byte alphabet (ASCII `<|endoftext|>`-class ones do;
+    // the vocab loader rejects others at load, loudly).
+    val specials = c.getList("special-tokens").getOrElse(Nil)
+    specials.foreach { sp =>
+      require(sp.nonEmpty && !sp.exists(_.isWhitespace),
+        s"tokenizer.special-tokens entry '$sp' must be non-empty, whitespace-free")
+      require(!baseVocab.contains(sp),
+        s"tokenizer.special-tokens entry '$sp' collides with a learned vocab token")
+    }
+    val vocab = baseVocab ++ specials
     BpeTrainer.saveMerges(spark, mergesPath, merges)
     BpeTrainer.saveVocab(spark, vocabPath, vocab)
     Cli.log(s"saved ${merges.length} merges -> $mergesPath; " +
-      s"${vocab.size}-token vocab -> $vocabPath")
+      s"${vocab.size}-token vocab (${specials.size} specials at the tail) -> $vocabPath")
     val nVerify = c.getInt("verify-docs").getOrElse(100)
     if (nVerify > 0) {
       val sample = docs.select(col(textCol).as("t")).filter(col("t").isNotNull)
         .orderBy(graft.operators.Ops.hashDigestCol(col("t"), "tokverify"))
         .limit(nVerify)
       val enc =
-        if (byteLevel) GraftFunctions.bpeByteEncode(col("t"), mergesPath, vocabPath)
-        else GraftFunctions.bpeEncodeLossless(col("t"), mergesPath, vocabPath)
+        if (byteLevel) GraftFunctions.bpeByteEncode(col("t"), mergesPath, vocabPath, specials)
+        else GraftFunctions.bpeEncodeLossless(col("t"), mergesPath, vocabPath, specials)
       def dec(ids: org.apache.spark.sql.Column) =
         if (byteLevel) GraftFunctions.bpeByteDecode(ids, vocabPath)
         else GraftFunctions.bpeDecode(ids, vocabPath)
@@ -2266,6 +2281,24 @@ object Tokenizer {
           s"ids — the artifacts at $mergesPath / $vocabPath are not total/lossless " +
           "on this corpus")
       Cli.log(s"self-check: $n/$n sampled docs round-trip byte-exactly, zero <unk>")
+      // specials self-check: each declared spelling, planted mid-text,
+      // must encode to EXACTLY its fixed tail id (never split) and
+      // round-trip — asserted on a synthetic doc so it holds even when
+      // the corpus itself never contains the spelling
+      specials.zipWithIndex.foreach { case (sp, i) =>
+        val wantId = baseVocab.size + i
+        val planted = s"before $sp after"
+        val row = spark.range(1).select(lit(planted).as("t"))
+          .select(enc.as("ids"), dec(enc).as("back")).head()
+        val ids = row.getSeq[Int](0)
+        require(ids.count(_ == wantId) == 1,
+          s"special '$sp' did not encode to exactly one id $wantId: $ids")
+        require(row.getString(1) == planted,
+          s"special '$sp' broke the round-trip: '${row.getString(1)}'")
+      }
+      if (specials.nonEmpty)
+        Cli.log(s"self-check: ${specials.size} special tokens encode to their " +
+          s"fixed tail ids (${baseVocab.size}..${vocab.size - 1}) and round-trip")
     }
   }
 }

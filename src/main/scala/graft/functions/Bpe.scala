@@ -252,6 +252,75 @@ case class BpeSegments(child: Expression, mergesPath: String) extends UnaryExpre
     copy(child = c)
 }
 
+/** User-defined PROTECTED special tokens (`<|endoftext|>`-class): spans
+  * of the input that match a declared spelling are carved out BEFORE
+  * pretokenization, so they are never merged across, always emit their
+  * single fixed vocab id, and decode back to their spelling verbatim —
+  * the contract every downstream trainer consumes (the HuggingFace
+  * `added_tokens` / SentencePiece `user_defined_symbols` behavior,
+  * reimplemented from the published semantics).
+  *
+  * The FIXED-ID guarantee is the artifact's: a special's id is its
+  * vocab line number like any token, so pinning `<|endoftext|>` to an
+  * id means putting it on that line (the Tokenizer CLI appends
+  * declared specials at the vocab tail in declaration order — stable
+  * ids across re-encodes of the same artifact). Encoding with a
+  * special the vocab does not carry fails loudly, never silently
+  * re-segments.
+  *
+  * Matching is literal (no regex), earliest-occurrence-first; when two
+  * spellings match at the same position the LONGEST wins (so
+  * `<|endoftext|>` beats a declared `<|end|>` prefix). A special found
+  * mid-word splits the word: `ab<|eot|>cd` encodes as
+  * `encode("ab") :+ eotId :++ encode("cd")` — nothing merges across
+  * the boundary by construction, because the surrounding spans are
+  * segmented independently.
+  *
+  * Scale shape: the expression ships one joined spelling string; the
+  * parsed array is cached per key (static, shared by generated code);
+  * matching is k × indexOf per span with k = a handful of declared
+  * tokens. */
+object SpecialTokensImpl {
+  /** Joiner for shipping a spelling list through one codegen reference
+    * object — U+0001 can never appear in a declared spelling (the
+    * expressions reject it). */
+  val Sep = "\u0001"
+
+  private val cache =
+    new java.util.concurrent.ConcurrentHashMap[String, Array[String]]()
+
+  def parse(key: String): Array[String] =
+    cache.computeIfAbsent(key, _.split(Sep).filter(_.nonEmpty))
+
+  def join(spellings: Seq[String]): String = {
+    spellings.foreach { s =>
+      require(s.nonEmpty, "special token spelling must be non-empty")
+      require(!s.contains(Sep),
+        "special token spelling must not contain U+0001")
+    }
+    spellings.mkString(Sep)
+  }
+
+  /** Earliest occurrence of any spelling at or after `from`:
+    * `(start << 32) | spellingIndex`, or -1 when none occurs. Ties on
+    * start go to the longest spelling. */
+  def findNext(text: String, from: Int, spellings: Array[String]): Long = {
+    var bestStart = -1
+    var bestIdx = -1
+    var bestLen = 0
+    var i = 0
+    while (i < spellings.length) {
+      val p = text.indexOf(spellings(i), from)
+      if (p >= 0 && (bestStart < 0 || p < bestStart ||
+          (p == bestStart && spellings(i).length > bestLen))) {
+        bestStart = p; bestIdx = i; bestLen = spellings(i).length
+      }
+      i += 1
+    }
+    if (bestIdx < 0) -1L else (bestStart.toLong << 32) | bestIdx.toLong
+  }
+}
+
 /** A loaded id vocab: token→id map, id→token table, and the derived
   * byte-fallback / control-token structure. */
 final class IdVocab(
@@ -364,36 +433,89 @@ object BpeVocabIdRegistry {
     org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(ids)
   }
 
-  /** Codegen / eval entry: segment `text` under the merge table, map
-    * each segment to ids (byte fallback when the vocab supports it). */
-  def encode(mergesPath: String, vocabPath: String,
-      text: UTF8String): org.apache.spark.sql.catalyst.util.ArrayData = {
-    val segs = BpeRegistry.get(mergesPath).segmentText(text.toString)
-    val v = get(vocabPath)
-    val out = new java.util.ArrayList[Integer](segs.size)
+  /** Encode one normal (special-free) span into `out`. */
+  private def encodeSpan(bpe: BpeVocab, v: IdVocab, span: String,
+      lossless: Boolean, out: java.util.ArrayList[Integer]): Unit = {
+    val segs =
+      if (lossless) bpe.segmentTextLossless(span) else bpe.segmentText(span)
     var i = 0
     while (i < segs.size) { emitSegment(v, segs.get(i), out); i += 1 }
+  }
+
+  /** Resolve one declared special spelling to its fixed vocab id —
+    * loudly: encoding with a special the vocab does not carry would
+    * otherwise silently re-segment it as ordinary text. */
+  private def specialId(v: IdVocab, vocabPath: String, spelling: String): Integer = {
+    val id = v.ids.get(spelling)
+    require(id != null,
+      s"special token '$spelling' missing from vocab at $vocabPath — " +
+        "append it to the vocab (fixed id = its line) before encoding with it")
+    id
+  }
+
+  /** Shared encode core: carve out declared special-token spans
+    * ([[SpecialTokensImpl]] — emitted as their single fixed id), encode
+    * the text between them through the normal segment path. With no
+    * specials the whole text is one span (zero extra work). */
+  private def encodeWithSpecials(mergesPath: String, vocabPath: String,
+      specialsKey: String, text: UTF8String,
+      lossless: Boolean): org.apache.spark.sql.catalyst.util.ArrayData = {
+    val bpe = BpeRegistry.get(mergesPath)
+    val v = get(vocabPath)
+    if (lossless) require(v.hasByteFallback,
+      s"graft_bpe_encode_lossless: vocab at $vocabPath has no byte-fallback " +
+        "tokens (<0x00>..<0xFF>) — rebuild it with BpeTrainer.buildVocab")
+    val s = text.toString
+    val out = new java.util.ArrayList[Integer](32)
+    val spellings =
+      if (specialsKey.isEmpty) null else SpecialTokensImpl.parse(specialsKey)
+    if (spellings == null || spellings.isEmpty) {
+      encodeSpan(bpe, v, s, lossless, out)
+      return toArrayData(out)
+    }
+    var pos = 0
+    while (pos < s.length) {
+      val hit = SpecialTokensImpl.findNext(s, pos, spellings)
+      if (hit < 0) {
+        encodeSpan(bpe, v, s.substring(pos), lossless, out)
+        pos = s.length
+      } else {
+        val start = (hit >> 32).toInt
+        val spelling = spellings((hit & 0xFFFFFFFFL).toInt)
+        if (start > pos) encodeSpan(bpe, v, s.substring(pos, start), lossless, out)
+        out.add(specialId(v, vocabPath, spelling))
+        pos = start + spelling.length
+      }
+    }
     toArrayData(out)
   }
+
+  /** Codegen / eval entry: segment `text` under the merge table, map
+    * each segment to ids (byte fallback when the vocab supports it);
+    * `specialsKey` (possibly empty) declares protected special tokens
+    * — see [[SpecialTokensImpl]]. */
+  def encode(mergesPath: String, vocabPath: String, specialsKey: String,
+      text: UTF8String): org.apache.spark.sql.catalyst.util.ArrayData =
+    encodeWithSpecials(mergesPath, vocabPath, specialsKey, text, lossless = false)
+
+  def encode(mergesPath: String, vocabPath: String,
+      text: UTF8String): org.apache.spark.sql.catalyst.util.ArrayData =
+    encode(mergesPath, vocabPath, "", text)
 
   /** Codegen / eval entry for the LOSSLESS form: whitespace gaps are
     * encoded too (always through byte fallback — whitespace is never in
     * a vocab), so `decode(encodeLossless(x)) == x` byte-for-byte.
     * Requires a byte-fallback vocab: without one the whitespace would
     * collapse into `<unk>` runs and the round-trip contract would be
-    * silently broken — fail loudly instead. */
+    * silently broken — fail loudly instead. Declared specials keep the
+    * round-trip: their id decodes to their spelling verbatim. */
+  def encodeLossless(mergesPath: String, vocabPath: String, specialsKey: String,
+      text: UTF8String): org.apache.spark.sql.catalyst.util.ArrayData =
+    encodeWithSpecials(mergesPath, vocabPath, specialsKey, text, lossless = true)
+
   def encodeLossless(mergesPath: String, vocabPath: String,
-      text: UTF8String): org.apache.spark.sql.catalyst.util.ArrayData = {
-    val v = get(vocabPath)
-    require(v.hasByteFallback,
-      s"graft_bpe_encode_lossless: vocab at $vocabPath has no byte-fallback " +
-        "tokens (<0x00>..<0xFF>) — rebuild it with BpeTrainer.buildVocab")
-    val segs = BpeRegistry.get(mergesPath).segmentTextLossless(text.toString)
-    val out = new java.util.ArrayList[Integer](segs.size)
-    var i = 0
-    while (i < segs.size) { emitSegment(v, segs.get(i), out); i += 1 }
-    toArrayData(out)
-  }
+      text: UTF8String): org.apache.spark.sql.catalyst.util.ArrayData =
+    encodeLossless(mergesPath, vocabPath, "", text)
 
   /** Number of ids one segment encodes to: 1 when in-vocab, its UTF-8
     * byte count under byte fallback, 1 (`<unk>`) on a legacy vocab —
@@ -452,15 +574,19 @@ object BpeVocabIdRegistry {
   }
 }
 
-/** `graft_bpe_encode(string, 'merges-path', 'vocab-path') -> array<int>`:
-  * token IDS for training export — the segments of [[BpeSegments]]
-  * mapped through a line-per-token vocab file (`<unk>` = id 0 for
-  * segments outside it). `size(ids) == graft_bpe_count` by
-  * construction (same segmentation, same memo). */
+/** `graft_bpe_encode(string, 'merges-path', 'vocab-path'[, 'specials'])
+  * -> array<int>`: token IDS for training export — the segments of
+  * [[BpeSegments]] mapped through a line-per-token vocab file (`<unk>`
+  * = id 0 for segments outside it). `size(ids) == graft_bpe_count` by
+  * construction (same segmentation, same memo) when no specials are
+  * declared. `specials` (comma-separated in SQL, a Seq in the Column
+  * API) declares protected special tokens — see
+  * [[SpecialTokensImpl]]. */
 case class BpeEncode(child: Expression, mergesPath: String,
-    vocabPath: String) extends UnaryExpression {
+    vocabPath: String, specials: Seq[String] = Nil) extends UnaryExpression {
   require(mergesPath.nonEmpty, "graft_bpe_encode needs a merges path")
   require(vocabPath.nonEmpty, "graft_bpe_encode needs a vocab path")
+  private val specialsKey = SpecialTokensImpl.join(specials)
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
     case _: StringType => TypeCheckResult.TypeCheckSuccess
     case t => TypeCheckResult.TypeCheckFailure(s"graft_bpe_encode expects string, got $t")
@@ -469,27 +595,33 @@ case class BpeEncode(child: Expression, mergesPath: String,
   override def prettyName: String = "graft_bpe_encode"
 
   override protected def nullSafeEval(t: Any): Any =
-    BpeVocabIdRegistry.encode(mergesPath, vocabPath, t.asInstanceOf[UTF8String])
+    BpeVocabIdRegistry.encode(mergesPath, vocabPath, specialsKey,
+      t.asInstanceOf[UTF8String])
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
     val mRef = ctx.addReferenceObj("bpeMergesPath", mergesPath, "java.lang.String")
     val vRef = ctx.addReferenceObj("bpeVocabPath", vocabPath, "java.lang.String")
-    defineCodeGen(ctx, ev, c => s"graft.functions.BpeVocabIdRegistry.encode($mRef, $vRef, $c)")
+    val sRef = ctx.addReferenceObj("bpeSpecials", specialsKey, "java.lang.String")
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.BpeVocabIdRegistry.encode($mRef, $vRef, $sRef, $c)")
   }
 
   override protected def withNewChildInternal(c: Expression): Expression =
     copy(child = c)
 }
 
-/** `graft_bpe_encode_lossless(string, 'merges-path', 'vocab-path') ->
-  * array<int>`: token ids with whitespace preserved through byte
-  * fallback — `graft_bpe_decode` of the result reproduces the input
-  * byte-for-byte (the training-export contract where nothing may be
-  * lost). Requires a byte-fallback vocab (fails loudly otherwise). */
+/** `graft_bpe_encode_lossless(string, 'merges-path', 'vocab-path'[,
+  * 'specials']) -> array<int>`: token ids with whitespace preserved
+  * through byte fallback — `graft_bpe_decode` of the result reproduces
+  * the input byte-for-byte (the training-export contract where nothing
+  * may be lost). Requires a byte-fallback vocab (fails loudly
+  * otherwise). Declared specials ([[SpecialTokensImpl]]) keep the
+  * round-trip: their single fixed id decodes to their spelling. */
 case class BpeEncodeLossless(child: Expression, mergesPath: String,
-    vocabPath: String) extends UnaryExpression {
+    vocabPath: String, specials: Seq[String] = Nil) extends UnaryExpression {
   require(mergesPath.nonEmpty, "graft_bpe_encode_lossless needs a merges path")
   require(vocabPath.nonEmpty, "graft_bpe_encode_lossless needs a vocab path")
+  private val specialsKey = SpecialTokensImpl.join(specials)
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
     case _: StringType => TypeCheckResult.TypeCheckSuccess
     case t => TypeCheckResult.TypeCheckFailure(s"graft_bpe_encode_lossless expects string, got $t")
@@ -498,13 +630,15 @@ case class BpeEncodeLossless(child: Expression, mergesPath: String,
   override def prettyName: String = "graft_bpe_encode_lossless"
 
   override protected def nullSafeEval(t: Any): Any =
-    BpeVocabIdRegistry.encodeLossless(mergesPath, vocabPath, t.asInstanceOf[UTF8String])
+    BpeVocabIdRegistry.encodeLossless(mergesPath, vocabPath, specialsKey,
+      t.asInstanceOf[UTF8String])
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
     val mRef = ctx.addReferenceObj("bpeMergesPath", mergesPath, "java.lang.String")
     val vRef = ctx.addReferenceObj("bpeVocabPath", vocabPath, "java.lang.String")
+    val sRef = ctx.addReferenceObj("bpeSpecials", specialsKey, "java.lang.String")
     defineCodeGen(ctx, ev,
-      c => s"graft.functions.BpeVocabIdRegistry.encodeLossless($mRef, $vRef, $c)")
+      c => s"graft.functions.BpeVocabIdRegistry.encodeLossless($mRef, $vRef, $sRef, $c)")
   }
 
   override protected def withNewChildInternal(c: Expression): Expression =

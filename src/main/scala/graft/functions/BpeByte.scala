@@ -189,18 +189,10 @@ object BpeByteVocabRegistry {
     new ByteLevelVocab(m, toks.toArray(new Array[String](toks.size())))
   }
 
-  /** Codegen / eval entry: text → byte-level token ids. Total over any
-    * input: every pretoken maps to alphabet chars, every surviving
-    * segment is a base char or a merge product — both in any
-    * consistently-built vocab; a miss means the (merges, vocab) pair
-    * drifted apart, which is artifact corruption → loud failure, never
-    * a silent `<unk>`. */
-  def encode(mergesPath: String, vocabPath: String,
-      text: UTF8String): org.apache.spark.sql.catalyst.util.ArrayData = {
-    val bpe = BpeRegistry.get(mergesPath)
-    val v = get(vocabPath)
-    val out = new java.util.ArrayList[Integer](32)
-    val m = ByteUnicode.Pretoken.matcher(text.toString)
+  /** Encode one normal (special-free) span into `out`. */
+  private def encodeSpan(bpe: BpeVocab, v: ByteLevelVocab, vocabPath: String,
+      span: String, out: java.util.ArrayList[Integer]): Unit = {
+    val m = ByteUnicode.Pretoken.matcher(span)
     while (m.find()) {
       val segs = bpe.segmentWord(ByteUnicode.mapBytes(m.group()))
       var i = 0
@@ -213,11 +205,59 @@ object BpeByteVocabRegistry {
         i += 1
       }
     }
+  }
+
+  /** Codegen / eval entry: text → byte-level token ids. Total over any
+    * input: every pretoken maps to alphabet chars, every surviving
+    * segment is a base char or a merge product — both in any
+    * consistently-built vocab; a miss means the (merges, vocab) pair
+    * drifted apart, which is artifact corruption → loud failure, never
+    * a silent `<unk>`. `specialsKey` (possibly empty) declares
+    * protected special tokens ([[graft.functions.SpecialTokensImpl]]):
+    * matching spans emit their single fixed vocab id and are never
+    * merged across. Byte-level special spellings must sit inside the
+    * printable byte alphabet (ASCII `<|endoftext|>`-class spellings
+    * do), because the vocab loader unmaps every non-control line —
+    * such a spelling unmaps to itself, so decode reproduces it. */
+  def encode(mergesPath: String, vocabPath: String, specialsKey: String,
+      text: UTF8String): org.apache.spark.sql.catalyst.util.ArrayData = {
+    val bpe = BpeRegistry.get(mergesPath)
+    val v = get(vocabPath)
+    val s = text.toString
+    val out = new java.util.ArrayList[Integer](32)
+    val spellings =
+      if (specialsKey.isEmpty) null else SpecialTokensImpl.parse(specialsKey)
+    if (spellings == null || spellings.isEmpty) {
+      encodeSpan(bpe, v, vocabPath, s, out)
+    } else {
+      var pos = 0
+      while (pos < s.length) {
+        val hit = SpecialTokensImpl.findNext(s, pos, spellings)
+        if (hit < 0) {
+          encodeSpan(bpe, v, vocabPath, s.substring(pos), out)
+          pos = s.length
+        } else {
+          val start = (hit >> 32).toInt
+          val spelling = spellings((hit & 0xFFFFFFFFL).toInt)
+          if (start > pos) encodeSpan(bpe, v, vocabPath, s.substring(pos, start), out)
+          val id = v.ids.get(spelling)
+          require(id != null,
+            s"special token '$spelling' missing from vocab at $vocabPath — " +
+              "append it to the vocab (fixed id = its line) before encoding with it")
+          out.add(id)
+          pos = start + spelling.length
+        }
+      }
+    }
     val ids = new Array[Int](out.size)
     var i = 0
     while (i < ids.length) { ids(i) = out.get(i).intValue(); i += 1 }
     org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(ids)
   }
+
+  def encode(mergesPath: String, vocabPath: String,
+      text: UTF8String): org.apache.spark.sql.catalyst.util.ArrayData =
+    encode(mergesPath, vocabPath, "", text)
 
   /** Codegen / eval entry: byte-level token count of `text` — exactly
     * `size(encode(text))` (every segment is one id; byte-level has no
@@ -257,15 +297,20 @@ object BpeByteVocabRegistry {
   }
 }
 
-/** `graft_bpe_byte_encode(string, 'merges-path', 'vocab-path') ->
-  * array<int>`: GPT-2-style byte-level token ids. Total AND lossless
-  * over any input (whitespace rides the `Ġ`-class symbols, not
-  * per-byte fallback ids); `graft_bpe_byte_decode` inverts it
-  * byte-for-byte. */
+/** `graft_bpe_byte_encode(string, 'merges-path', 'vocab-path'[,
+  * 'specials']) -> array<int>`: GPT-2-style byte-level token ids.
+  * Total AND lossless over any input (whitespace rides the `Ġ`-class
+  * symbols, not per-byte fallback ids); `graft_bpe_byte_decode`
+  * inverts it byte-for-byte. `specials` (comma-separated in SQL, a Seq
+  * in the Column API) declares protected special tokens
+  * ([[SpecialTokensImpl]]) — the published GPT-2 artifact's own
+  * `<|endoftext|>` is exactly this contract (one fixed id, never
+  * merged across, decodes to its spelling). */
 case class BpeByteEncode(child: Expression, mergesPath: String,
-    vocabPath: String) extends UnaryExpression {
+    vocabPath: String, specials: Seq[String] = Nil) extends UnaryExpression {
   require(mergesPath.nonEmpty, "graft_bpe_byte_encode needs a merges path")
   require(vocabPath.nonEmpty, "graft_bpe_byte_encode needs a vocab path")
+  private val specialsKey = SpecialTokensImpl.join(specials)
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
     case _: StringType => TypeCheckResult.TypeCheckSuccess
     case t => TypeCheckResult.TypeCheckFailure(s"graft_bpe_byte_encode expects string, got $t")
@@ -274,13 +319,15 @@ case class BpeByteEncode(child: Expression, mergesPath: String,
   override def prettyName: String = "graft_bpe_byte_encode"
 
   override protected def nullSafeEval(t: Any): Any =
-    BpeByteVocabRegistry.encode(mergesPath, vocabPath, t.asInstanceOf[UTF8String])
+    BpeByteVocabRegistry.encode(mergesPath, vocabPath, specialsKey,
+      t.asInstanceOf[UTF8String])
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
     val mRef = ctx.addReferenceObj("bpeByteMergesPath", mergesPath, "java.lang.String")
     val vRef = ctx.addReferenceObj("bpeByteVocabPath", vocabPath, "java.lang.String")
+    val sRef = ctx.addReferenceObj("bpeByteSpecials", specialsKey, "java.lang.String")
     defineCodeGen(ctx, ev,
-      c => s"graft.functions.BpeByteVocabRegistry.encode($mRef, $vRef, $c)")
+      c => s"graft.functions.BpeByteVocabRegistry.encode($mRef, $vRef, $sRef, $c)")
   }
 
   override protected def withNewChildInternal(c: Expression): Expression =

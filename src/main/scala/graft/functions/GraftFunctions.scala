@@ -285,17 +285,23 @@ object GraftFunctions {
   def bpeSegments(c: Column, mergesPath: String): Column =
     ColumnBridge.column(BpeSegments(ColumnBridge.expression(c), mergesPath))
 
-  def bpeEncode(c: Column, mergesPath: String, vocabPath: String): Column =
-    ColumnBridge.column(BpeEncode(ColumnBridge.expression(c), mergesPath, vocabPath))
+  def bpeEncode(c: Column, mergesPath: String, vocabPath: String,
+      specials: Seq[String] = Nil): Column =
+    ColumnBridge.column(BpeEncode(ColumnBridge.expression(c), mergesPath,
+      vocabPath, specials))
 
-  def bpeEncodeLossless(c: Column, mergesPath: String, vocabPath: String): Column =
-    ColumnBridge.column(BpeEncodeLossless(ColumnBridge.expression(c), mergesPath, vocabPath))
+  def bpeEncodeLossless(c: Column, mergesPath: String, vocabPath: String,
+      specials: Seq[String] = Nil): Column =
+    ColumnBridge.column(BpeEncodeLossless(ColumnBridge.expression(c), mergesPath,
+      vocabPath, specials))
 
   def bpeDecode(c: Column, vocabPath: String): Column =
     ColumnBridge.column(BpeDecode(ColumnBridge.expression(c), vocabPath))
 
-  def bpeByteEncode(c: Column, mergesPath: String, vocabPath: String): Column =
-    ColumnBridge.column(BpeByteEncode(ColumnBridge.expression(c), mergesPath, vocabPath))
+  def bpeByteEncode(c: Column, mergesPath: String, vocabPath: String,
+      specials: Seq[String] = Nil): Column =
+    ColumnBridge.column(BpeByteEncode(ColumnBridge.expression(c), mergesPath,
+      vocabPath, specials))
 
   def bpeByteDecode(c: Column, vocabPath: String): Column =
     ColumnBridge.column(BpeByteDecode(ColumnBridge.expression(c), vocabPath))
@@ -567,7 +573,8 @@ object GraftFunctions {
     ("graft_bpe_encode",
       new ExpressionInfo(classOf[BpeEncode].getName, "graft_bpe_encode"),
       (es: Seq[Expression]) => {
-        require(es.length == 3, s"graft_bpe_encode takes 3 arguments, got ${es.length}")
+        require(es.length == 3 || es.length == 4,
+          s"graft_bpe_encode takes 3 or 4 arguments, got ${es.length}")
         def litStr(e: Expression, name: String): String = {
           require(e.foldable, s"graft_bpe_encode $name must be a literal")
           e.eval() match {
@@ -576,13 +583,16 @@ object GraftFunctions {
               s"graft_bpe_encode $name must be a string literal, got $other")
           }
         }
-        BpeEncode(es.head, litStr(es(1), "merges path"), litStr(es(2), "vocab path"))
+        // optional 4th arg: comma-separated special-token spellings
+        val sp = if (es.length == 4)
+          litStr(es(3), "specials").split(',').toSeq.filter(_.nonEmpty) else Nil
+        BpeEncode(es.head, litStr(es(1), "merges path"), litStr(es(2), "vocab path"), sp)
       }),
     ("graft_bpe_encode_lossless",
       new ExpressionInfo(classOf[BpeEncodeLossless].getName, "graft_bpe_encode_lossless"),
       (es: Seq[Expression]) => {
-        require(es.length == 3,
-          s"graft_bpe_encode_lossless takes 3 arguments, got ${es.length}")
+        require(es.length == 3 || es.length == 4,
+          s"graft_bpe_encode_lossless takes 3 or 4 arguments, got ${es.length}")
         def litStr(e: Expression, name: String): String = {
           require(e.foldable, s"graft_bpe_encode_lossless $name must be a literal")
           e.eval() match {
@@ -591,7 +601,10 @@ object GraftFunctions {
               s"graft_bpe_encode_lossless $name must be a string literal, got $other")
           }
         }
-        BpeEncodeLossless(es.head, litStr(es(1), "merges path"), litStr(es(2), "vocab path"))
+        val sp = if (es.length == 4)
+          litStr(es(3), "specials").split(',').toSeq.filter(_.nonEmpty) else Nil
+        BpeEncodeLossless(es.head, litStr(es(1), "merges path"),
+          litStr(es(2), "vocab path"), sp)
       }),
     ("graft_bpe_decode",
       new ExpressionInfo(classOf[BpeDecode].getName, "graft_bpe_decode"),
@@ -607,7 +620,8 @@ object GraftFunctions {
     ("graft_bpe_byte_encode",
       new ExpressionInfo(classOf[BpeByteEncode].getName, "graft_bpe_byte_encode"),
       (es: Seq[Expression]) => {
-        require(es.length == 3, s"graft_bpe_byte_encode takes 3 arguments, got ${es.length}")
+        require(es.length == 3 || es.length == 4,
+          s"graft_bpe_byte_encode takes 3 or 4 arguments, got ${es.length}")
         def litStr(e: Expression, name: String): String = {
           require(e.foldable, s"graft_bpe_byte_encode $name must be a literal")
           e.eval() match {
@@ -616,7 +630,9 @@ object GraftFunctions {
               s"graft_bpe_byte_encode $name must be a string literal, got $other")
           }
         }
-        BpeByteEncode(es.head, litStr(es(1), "merges path"), litStr(es(2), "vocab path"))
+        val sp = if (es.length == 4)
+          litStr(es(3), "specials").split(',').toSeq.filter(_.nonEmpty) else Nil
+        BpeByteEncode(es.head, litStr(es(1), "merges path"), litStr(es(2), "vocab path"), sp)
       }),
     ("graft_bpe_byte_decode",
       new ExpressionInfo(classOf[BpeByteDecode].getName, "graft_bpe_byte_decode"),

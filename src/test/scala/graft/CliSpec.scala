@@ -2575,6 +2575,31 @@ class CliSpec extends SparkTestBase {
       graft.cli.Tokenizer.main(Array("--conf", bad))
     }
     assert(e.getMessage.contains("num-merges"), e.getMessage)
+    // special-tokens knob: spellings land at the vocab TAIL in
+    // declaration order (fixed ids), the CLI's own planted self-check
+    // passes (it asserts exactly-one-fixed-id + round-trip), and the
+    // artifacts drive the encode surface with the specials protected
+    val spConf = conf("sp", byteLevel = true,
+      """  special-tokens = ["<|endoftext|>", "<|fim|>"]""")
+    graft.cli.Tokenizer.main(Array("--conf", spConf))
+    val spVocab = scala.io.Source.fromFile(
+      base.resolve("v_sp.txt").toString, "UTF-8").getLines().toList
+    assert(spVocab.takeRight(2) == List("<|endoftext|>", "<|fim|>"))
+    val eotId = spVocab.length - 2
+    val ids = spark.range(1)
+      .select(org.apache.spark.sql.functions.lit("a<|endoftext|>b").as("t"))
+      .select(graft.functions.GraftFunctions.bpeByteEncode(col("t"),
+        base.resolve("m_sp.txt").toString, base.resolve("v_sp.txt").toString,
+        Seq("<|endoftext|>", "<|fim|>")).as("ids"))
+      .head().getSeq[Int](0)
+    assert(ids.count(_ == eotId) == 1, s"want one id $eotId in $ids")
+    // a whitespace-bearing spelling is rejected loudly
+    val wsConf = conf("ws", byteLevel = false,
+      """  special-tokens = ["<|bad token|>"]""")
+    val we = intercept[IllegalArgumentException] {
+      graft.cli.Tokenizer.main(Array("--conf", wsConf))
+    }
+    assert(we.getMessage.contains("whitespace-free"), we.getMessage)
   }
 
   test("indexer compact: repeated appends pile files per cell; compact rewrites " +
