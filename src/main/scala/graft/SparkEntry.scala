@@ -30,9 +30,11 @@ object SparkEntry {
     * (withColumn, not a sibling select) so B and C embed the SAME
     * base-id sentinels — B's token stream must be a prefix of C's. */
   /** q125's planted language samples (ASCII corpus → the gate plants
-    * its multilingual text, the q106/q108 idiom): the 8 stopword
-    * profiles, the 8 script-tier languages, garbage. Shared verbatim
-    * by the query and its generated oracle. */
+    * its multilingual text, the q106/q108 idiom): one per stopword
+    * profile (tracks [[graft.llm.TextAnalysis.StopwordProfiles]]), one
+    * per script-tier language, plus garbage. Shared verbatim by the
+    * query and its generated oracle; TextAnalysisSpec pins each
+    * sample's expected code. */
   private val Q125Samples: Seq[String] = Seq(
     "the house and it is of that for them old",
     "der hund ist nicht mit der katze und ich zu",
@@ -64,6 +66,10 @@ object SparkEntry {
     "a az és hogy nem is egy van de ez ház",
     "yang dan di itu dengan untuk tidak ini dari ke rumah",
     "và của là có không được trong đã người này",
+    // round 11, the Cyrillic split: bulgarian and serbian samples must
+    // outvote ru (and each other) instead of riding the script fallback
+    "и в на не се да е за от с език",
+    "и у је се на да не за су од реч",
     "xk9 zz9 blorp qqq")
 
   private[graft] def q38Planted(docs0: DataFrame): DataFrame = {
@@ -2445,10 +2451,11 @@ object SparkEntry {
         .select(col("doc_id"), col("url_norm"))
     }),
 
-    // ---- Language ID under the ORACLE (previously spec-only): 17
-    // planted samples — the 8 stopword-profile languages, the 8
-    // script-tier languages (including Japanese, whose han+kana mix
-    // must NOT read "zh"), and garbage — keyed by doc_id, classified
+    // ---- Language ID under the ORACLE (previously spec-only): one
+    // planted sample per stopword profile (Q125Samples tracks
+    // StopwordProfiles — 21 as of the round-11 bg/sr Cyrillic split),
+    // the 8 script-tier languages (including Japanese, whose han+kana
+    // mix must NOT read "zh"), and garbage — keyed by doc_id, classified
     // by the composable langId. The fast_agrees column additionally
     // pins the native one-pass TextStats form against the composable
     // form INSIDE the gate (the oracle expects constant true, so any

@@ -326,6 +326,16 @@ object TextAnalysis {
     "hu" -> Seq("a", "az", "és", "hogy", "nem", "is", "egy", "van", "de", "ez"),
     "id" -> Seq("yang", "dan", "di", "itu", "dengan", "untuk", "tidak", "ini", "dari", "ke"),
     "vi" -> Seq("và", "của", "là", "có", "không", "được", "trong", "đã", "người", "này"),
+    // round 11: the Cyrillic split (the script tier alone guessed "ru"
+    // for any dominant-Cyrillic text) — Bulgarian and Serbian profiles
+    // join Russian and Ukrainian. Collision budget on the EXISTING
+    // samples: the ru sample scores ru=9 vs bg=4/sr=2, the uk sample
+    // uk=10 vs bg=3/sr=2; Latin-script profiles share no tokens with
+    // Cyrillic ones. A bg sample scores bg=10 vs sr=6/ru=5/uk=3, an sr
+    // sample sr=10 vs bg=6/ru=3 — every own-language vote stays
+    // strictly ahead.
+    "bg" -> Seq("и", "в", "на", "не", "се", "да", "е", "за", "от", "с"),
+    "sr" -> Seq("и", "у", "је", "се", "на", "да", "не", "за", "су", "од"),
   )
 
   /** Fraction of tokens that are stopwords of `lang` — high for natural
@@ -686,10 +696,17 @@ object TextAnalysis {
   // ----------------------------------------------- C4 cleaning filter
 
   /** Thresholds for [[c4Flags]] — defaults are the published C4 values
-    * (Raffel et al. 2020, arXiv:1910.10683 §2.2). `badWords` is a
-    * SMALL STAND-IN for the published "List of Dirty, Naughty, Obscene
-    * or Otherwise Bad Words" (which is not shipped here); pass the
-    * real list in production. Empty = rule off. */
+    * (Raffel et al. 2020, arXiv:1910.10683 §2.2). `badWords` defaults
+    * to [[C4BadWordsDefault]], the bundled ~90-entry head subset of the
+    * published LDNOOBW list; pass the complete published file (the
+    * Curator's `badword-list-path`) in production. Empty = rule off.
+    * NOTE: the q105 oracle replays only the simple-`[a-z]+` word
+    * intersect, so entries in the bundled DEFAULT must stay simple
+    * lowercase words — a phrase/digit entry added there would route
+    * through the engine's phrase-regex branch with no oracle
+    * counterpart (it fails loudly on the hash, by design; lists loaded
+    * via `badword-list-path` carry phrases fine, they are outside the
+    * oracle). */
   case class C4Thresholds(
       minSentences: Int = 5,
       minLineWords: Int = 3,
@@ -801,10 +818,12 @@ object TextAnalysis {
 
   /** Language ID: a SCRIPT tier for the nine non-Latin scripts
     * (ja/ko/zh/ar/he/el/hi/th + Cyrillic fallback — see
-    * [[langDecision]]) above a Latin stopword-profile vote (the profile
+    * [[langDecision]]) above a stopword-profile vote (the profile
     * code with the most DISTINCT stopword hits — "und" beats "the";
     * ties break lexicographically, deterministic); `unknown` when
-    * nothing matches. 16 language codes total. */
+    * nothing matches. Code inventory: one code per [[StopwordProfiles]]
+    * key (21 as of round 11, incl. the ru/uk/bg/sr Cyrillic split) +
+    * the 8 script-tier codes + "unknown". */
   def langId(c: Column): Column = {
     val toks = array_distinct(Dedup.tokens(c))
     val scored = StopwordProfiles.toSeq.sortBy(_._1).map { case (lang, stops) =>
@@ -832,10 +851,11 @@ object TextAnalysis {
     * Japanese prose mixes kana with dominant han and would otherwise
     * read "zh"; hangul/han/arabic/hebrew/greek/devanagari/thai at the
     * original quarter-dominance rule. The stopword vote then covers
-    * Latin scripts (and Russian, which has a profile); dominant
-    * Cyrillic with a silent vote falls back to "ru" — a SCRIPT-level
-    * guess (Ukrainian/Bulgarian read "ru" here; add profiles to split
-    * them), which is why it ranks below the vote. Shared verbatim by
+    * Latin scripts and the Cyrillic split (ru/uk/bg/sr each carry a
+    * profile since round 11); dominant Cyrillic with a SILENT vote
+    * still falls back to "ru" — a script-level guess for Cyrillic
+    * languages without a profile yet (e.g. mk/kk), which is why it
+    * ranks below the vote. Shared verbatim by
     * the composable [[langId]] and the one-pass [[langIdFast]], so the
     * parity contract survives the extension. */
   private def langDecision(

@@ -76,6 +76,13 @@ class TextAnalysisSpec extends SparkTestBase {
       ("a az és hogy nem is egy van de ez ház", "hu"),
       ("yang dan di itu dengan untuk tidak ini dari ke rumah", "id"),
       ("và của là có không được trong đã người này", "vi"),
+      // round 11, the Cyrillic split: bulgarian and serbian profiles
+      // must outvote ru (their samples share up to 5/3 words with the
+      // ru profile) and each other (bg/sr share 6), and RUSSIAN text
+      // must keep winning its own vote against the new profiles
+      ("и в на не се да е за от с език", "bg"),
+      ("и у је се на да не за су од реч", "sr"),
+      ("это он как что я не знаю про море", "ru"),
       ("xk9qq7 zzz9 blorp", "unknown"),
     ).toDF("text", "want")
     val got = samples.withColumn("got", TextAnalysis.langId(col("text"))).collect()
