@@ -2571,6 +2571,49 @@ object SparkEntry {
           size(filter(col("ids_byte"), i => i === byteId)).as("n_special_byte"))
     }),
 
+    // ---- Curator END-TO-END as a timed bench line (round-10 verdict:
+    // the product surface users actually run had per-stage wall
+    // seconds but no round-over-round trend). Every invocation REDOES
+    // the full config-driven pipeline — quality floor, PII redaction,
+    // SimHash near-dup, deterministic splits, window chunking, data
+    // card, stage log — into a fixed overwrite target, so the bench
+    // median times the real multi-stage production path, not a cache.
+    // The returned per-split summary is deterministic (fixed salts);
+    // the composed pipeline (SimHash banding + redaction + chunker)
+    // is not SQL-expressible → rows-only; CliSpec holds the per-stage
+    // semantics.
+    "q128_curator_e2e" -> ((s, dir) => {
+      val root = new java.io.File(System.getProperty("java.io.tmpdir"),
+        "graft_q128_" + Integer.toHexString(dir.hashCode))
+      root.mkdirs()
+      val out = new java.io.File(root, "curated").toString
+      val report = new java.io.File(root, "report").toString
+      val confFile = new java.io.File(root, "curator.conf")
+      java.nio.file.Files.writeString(confFile.toPath,
+        s"""source { storage-type = local, dataset-dir = $dir/documents.parquet }
+           |target { storage-type = local, dataset-dir = $out, dataset-store-format = parquet, write-mode = overwrite }
+           |curation {
+           |  min-quality = 0.2
+           |  redact = true
+           |  shingle-size = 3
+           |  near-dup-strategy = simhash
+           |  splits = ["train:0.8", "val:0.1", "test:0.1"]
+           |  split-salt = q128
+           |  chunk-size = 64
+           |  chunk-overlap = 16
+           |  report-dir = $report
+           |  stage-log-path = ${new java.io.File(root, "stages.json")}
+           |}
+           |""".stripMargin)
+      graft.cli.Curator.main(Array("--conf", confFile.toString))
+      s.read.parquet(out)
+        .groupBy(col("split"))
+        .agg(count(lit(1)).as("n_chunks"),
+          countDistinct(col("doc_id")).as("n_docs"),
+          sum(col("chunk_tokens")).as("total_tokens"),
+          max(col("chunk_tokens")).as("max_chunk_tokens"))
+    }),
+
     // ---- CCNet in its PRODUCTION configuration: per-source
     // head/middle/tail thirds by the KenLM-class model's score — q98's
     // bucket machinery over MODIFIED-KN (q98 buckets on the unigram
