@@ -322,6 +322,9 @@ object Scorer {
   * artifacts — `bpe-budget` then counts byte-level ids, cuts at
   * pretoken boundaries, and overlap-0 chunks tile the document
   * byte-for-byte);
+  * `bpe-special-tokens` protects declared spellings during the
+  * token_ids encoding (fixed vocab-tail ids, never merged across —
+  * the Tokenizer CLI's special-tokens contract, consumed here);
   * `pack-seq-len` (+ `pack-buckets`, requires `bpe-vocab` with an
   * `<eos>`-bearing layout — byte-fallback or byte-level, both carry
   * it at id 1) replaces the per-row
@@ -1341,11 +1344,17 @@ object Curator {
           "curation.bpe-vocab requires curation.bpe-merges (ids are defined by a merge table)"))
         val encCol =
           if (out.columns.contains("chunk_text")) "chunk_text" else textCol
+        // `bpe-special-tokens`: protected spellings (the Tokenizer
+        // CLI's special-tokens contract) — each occurrence in the
+        // text emits its single fixed vocab id, never merged across
+        val specials = c.getList("bpe-special-tokens").getOrElse(Nil)
         out.withColumn("token_ids",
           if (bpeByteLevel)
-            graft.functions.GraftFunctions.bpeByteEncode(col(encCol), mergesPath, vocabPath)
+            graft.functions.GraftFunctions.bpeByteEncode(
+              col(encCol), mergesPath, vocabPath, specials)
           else
-            graft.functions.GraftFunctions.bpeEncode(col(encCol), mergesPath, vocabPath))
+            graft.functions.GraftFunctions.bpeEncode(
+              col(encCol), mergesPath, vocabPath, specials))
       }
       case None => out
     }

@@ -3373,6 +3373,37 @@ class CliSpec extends SparkTestBase {
       graft.functions.GraftFunctions.bpeCount(col("chunk_text"), mPath))
       .filter(asize(col("token_ids")) =!= col("__n")).count()
     assert(bad == 0, "token_ids length diverged from graft_bpe_count on chunk_text")
+    // bpe-special-tokens: plant the spelling into the corpus, append it
+    // to the vocab tail, and the Curator's token_ids export must emit
+    // its single fixed id per occurrence (never split or merged across)
+    val eot = "<|endoftext|>"
+    val srcSp = base.resolve("sp_docs").toString
+    spark.read.parquet(s"$sfDir/documents.parquet")
+      .withColumn("text", org.apache.spark.sql.functions.concat(
+        col("text"), org.apache.spark.sql.functions.lit(s" tail$eot")))
+      .write.parquet(srcSp)
+    val vSp = base.resolve("vocab_sp.txt").toString
+    graft.llm.BpeTrainer.saveVocab(spark, vSp,
+      graft.llm.BpeTrainer.buildVocab(docs, "text", merges) :+ eot)
+    val eotId = scala.io.Source.fromFile(vSp, "UTF-8").getLines().size - 1
+    val outSp = base.resolve("sp_out").toString
+    val fSp = write(base.resolve("enc_sp.conf"),
+      s"""source { storage-type = local, dataset-dir = $srcSp }
+         |target { storage-type = local, dataset-dir = $outSp, dataset-store-format = parquet, write-mode = overwrite }
+         |curation {
+         |  min-quality = 0.0
+         |  bpe-merges = $mPath
+         |  bpe-vocab = $vSp
+         |  bpe-special-tokens = ["$eot"]
+         |}
+         |""".stripMargin)
+    graft.cli.Curator.main(Array("--conf", fSp))
+    val spRows = spark.read.parquet(outSp)
+    val nRows = spRows.count()
+    assert(nRows > 0)
+    assert(spRows.select(explode(col("token_ids")).as("i"))
+      .filter(col("i") === eotId).count() == nRows,
+      "every doc plants one spelling -> exactly one fixed id per doc")
   }
 
   test("curator pack-seq-len emits packed input_ids sequences with <eos> " +
