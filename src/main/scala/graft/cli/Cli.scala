@@ -330,7 +330,9 @@ object Scorer {
   * it at id 1) replaces the per-row
   * export with packed fixed-length `input_ids` sequences — the vocab's
   * `<eos>` id after every doc and `doc_boundaries` offsets for
-  * attention masking (docs cross sequence boundaries, nothing padded).
+  * attention masking (docs cross sequence boundaries, nothing padded);
+  * `pack-eos-token` names a vocab token (typically a declared special
+  * like `<|endoftext|>`) as the separator instead of `<eos>`.
   * Reporting: `report-dir` (+
   * `report-group-columns`) writes the per-group corpus data card;
   * `cardinality-group-columns` (+ `cardinality-report-dir`,
@@ -1369,13 +1371,32 @@ object Curator {
     val packedOut = c.getInt("pack-seq-len") match {
       case Some(seqLen) => stages.timed("pack-ids") {
         val vocabPath = c.getString("bpe-vocab").get
-        val eos =
-          if (bpeByteLevel) graft.functions.BpeByteVocabRegistry.get(vocabPath).eosId
-          else graft.functions.BpeVocabIdRegistry.get(vocabPath).eosId
-        require(eos >= 0,
-          s"curation.pack-seq-len needs an <eos> token in the vocab at " +
-            s"$vocabPath — rebuild it with BpeTrainer.buildVocab/" +
-            "buildByteVocab (both layouts carry <eos> at id 1)")
+        // `pack-eos-token`: use a NAMED vocab token (typically a
+        // declared special like <|endoftext|> — the GPT-2-style
+        // trainer contract, where the separator decodes to its
+        // spelling) as the document separator instead of the layout's
+        // control `<eos>`; default stays `<eos>` (id 1, decodes to
+        // nothing).
+        def idOf(tok: String): Int = {
+          val id =
+            if (bpeByteLevel) graft.functions.BpeByteVocabRegistry.get(vocabPath).ids.get(tok)
+            else graft.functions.BpeVocabIdRegistry.get(vocabPath).ids.get(tok)
+          require(id != null,
+            s"curation.pack-eos-token '$tok' is not in the vocab at $vocabPath — " +
+              "append it (e.g. the Tokenizer CLI's special-tokens knob)")
+          id.intValue()
+        }
+        val eos = c.getString("pack-eos-token").map(idOf).getOrElse {
+          val e =
+            if (bpeByteLevel) graft.functions.BpeByteVocabRegistry.get(vocabPath).eosId
+            else graft.functions.BpeVocabIdRegistry.get(vocabPath).eosId
+          require(e >= 0,
+            s"curation.pack-seq-len needs an <eos> token in the vocab at " +
+              s"$vocabPath — rebuild it with BpeTrainer.buildVocab/" +
+              "buildByteVocab (both layouts carry <eos> at id 1), or name a " +
+              "separator via curation.pack-eos-token")
+          e
+        }
         // the row identity within a bucket stream: epoch copies share
         // (doc, chunk), so chunk/epoch must join the stream order or
         // window assembly would be nondeterministic

@@ -431,6 +431,27 @@ class BpeSpec extends SparkTestBase {
       == graft.llm.BpeTrainer.learnFromCounts(heapTop, 8))
   }
 
+  test("distributed loop frees ALL storage, including checkpoint generations " +
+      "(the round-10 leak: Dataset.localCheckpoint blocks were never unpersisted)") {
+    import spark.implicits._
+    val before = spark.sparkContext.getPersistentRDDs.keySet
+    // checkpointEvery=2 over enough rounds to mint and SUPERSEDE several
+    // checkpoint generations (batchK=1 → one merge per round)
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet").select("text").limit(200)
+    val counts = graft.llm.BpeTrainer.pretokenCounts(docs, "text")
+    val merges = graft.llm.BpeTrainer.learnMergesDistributedFromCounts(
+      counts, numMerges = 9, batchK = 1, checkpointEvery = 2)
+    assert(merges.length == 9)
+    val leaked = spark.sparkContext.getPersistentRDDs.keySet -- before
+    assert(leaked.isEmpty,
+      s"distributed trainer left ${leaked.size} persisted RDD(s) behind: $leaked")
+    // and the checkpointed path still replays the in-heap trainer exactly
+    val heapTop = counts.orderBy(org.apache.spark.sql.functions.desc("n"),
+        org.apache.spark.sql.functions.asc("word"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toSeq
+    assert(merges == graft.llm.BpeTrainer.learnFromCounts(heapTop, 9))
+  }
+
   test("batched distributed loop: non-interacting prefix preserves the fixture's " +
       "merge sequence; interacting chains are split across batches") {
     import spark.implicits._

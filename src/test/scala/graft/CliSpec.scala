@@ -3482,6 +3482,33 @@ class CliSpec extends SparkTestBase {
     assert(spark.read.parquet(outE).select(asum(col("n_tokens")))
       .head().getLong(0) == 2 * nIds,
       "epoch copies must pack with exact multiplicity")
+    // pack-eos-token: a declared special (appended to the vocab tail)
+    // replaces <eos> as the separator — the GPT-2-style export where
+    // the separator has a spelling. Conservation math is unchanged.
+    val eot = "<|endoftext|>"
+    val vSp = base.resolve("vocab_eot.txt").toString
+    graft.llm.BpeTrainer.saveVocab(spark, vSp,
+      graft.llm.BpeTrainer.buildVocab(docs, "text", merges) :+ eot)
+    val eotId = scala.io.Source.fromFile(vSp, "UTF-8").getLines().size - 1
+    val outT = base.resolve("packed_eot").toString
+    graft.cli.Curator.main(Array("--conf",
+      conf(outT, s"  pack-seq-len = 256\n  pack-eos-token = \"$eot\"\n" +
+        s"  bpe-vocab = $vSp")))
+    val packedT = spark.read.parquet(outT)
+    assert(packedT.select(explode(col("input_ids")).as("i"))
+      .filter(col("i") === eotId).count() == nDocs,
+      "every doc ends with the named separator's fixed id")
+    assert(packedT.select(explode(col("input_ids")).as("i"))
+      .filter(col("i") === eos).count() == 0,
+      "the control <eos> must not appear when a named separator is set")
+    assert(packedT.select(asum(col("n_tokens"))).head().getLong(0) == nIds)
+    // a separator missing from the vocab is rejected up front
+    val eMiss = intercept[IllegalArgumentException] {
+      graft.cli.Curator.main(Array("--conf",
+        conf(base.resolve("nope2").toString,
+          "  pack-seq-len = 256\n  pack-eos-token = \"<|nope|>\"")))
+    }
+    assert(eMiss.getMessage.contains("pack-eos-token"), eMiss.getMessage)
     // a packing run without a vocab is rejected up front
     val badConf = write(base.resolve("pack_bad.conf"),
       s"""source { storage-type = local, dataset-dir = $sfDir/documents.parquet }
