@@ -324,7 +324,9 @@ object Scorer {
   * byte-for-byte);
   * `bpe-special-tokens` protects declared spellings during the
   * token_ids encoding (fixed vocab-tail ids, never merged across —
-  * the Tokenizer CLI's special-tokens contract, consumed here);
+  * the Tokenizer CLI's special-tokens contract, consumed here; budget
+  * chunking counts a special span as plain text, an OVER-estimate of
+  * its one-id cost, so budget-sized chunks never exceed the window);
   * `pack-seq-len` (+ `pack-buckets`, requires `bpe-vocab` with an
   * `<eos>`-bearing layout — byte-fallback or byte-level, both carry
   * it at id 1) replaces the per-row
@@ -2265,9 +2267,43 @@ object Tokenizer {
     Cli.log(s"training ${if (byteLevel) "byte-level" else "segment-level"} BPE " +
       s"($numMerges merges, distributed above $maxWords words)...")
     val df = docs.select(col(textCol))
+    // `merges-checkpoint-path`: crash resume for the multi-hour
+    // distributed runs. The trainer's progress hook persists the
+    // merges-so-far (tmp + rename, so a crash mid-write leaves the
+    // previous checkpoint intact) every lineage-checkpoint round; on
+    // restart an existing file seeds `resumeFrom` and the loop
+    // continues from that round boundary (identical final merges under
+    // the same corpus and batch-k). In-heap runs (below max-words)
+    // ignore resume — they are fast enough to just retrain.
+    val ckptPath = c.getString("merges-checkpoint-path")
+    val resumeFrom: Seq[(String, String)] = ckptPath match {
+      case Some(cp) if new java.io.File(cp).exists() =>
+        val prior = BpeTrainer.loadMerges(spark, cp)
+        require(prior.size <= numMerges,
+          s"checkpoint at $cp carries ${prior.size} merges > num-merges $numMerges — " +
+            "stale checkpoint from another configuration; delete it to retrain")
+        Cli.log(s"resuming from ${prior.size} checkpointed merges at $cp")
+        prior
+      case _ => Nil
+    }
+    val onProgress: Seq[(String, String)] => Unit = ckptPath match {
+      case Some(cp) => ms => {
+        val tmpCp = cp + ".tmp"
+        BpeTrainer.saveMerges(spark, tmpCp, ms)
+        val p = new org.apache.hadoop.fs.Path(cp)
+        val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        fs.delete(p, false)
+        require(fs.rename(new org.apache.hadoop.fs.Path(tmpCp), p),
+          s"could not promote merge checkpoint $tmpCp -> $cp")
+      }
+      case None => _ => ()
+    }
+    val ckptEvery = c.getInt("checkpoint-every").getOrElse(12)
     val merges =
-      if (byteLevel) BpeTrainer.learnByteMerges(df, textCol, numMerges, maxWords, batchK)
-      else BpeTrainer.learnMerges(df, textCol, numMerges, maxWords, batchK)
+      if (byteLevel) BpeTrainer.learnByteMerges(df, textCol, numMerges, maxWords,
+        batchK, resumeFrom, onProgress, ckptEvery)
+      else BpeTrainer.learnMerges(df, textCol, numMerges, maxWords,
+        batchK, resumeFrom, onProgress, ckptEvery)
     val baseVocab =
       if (byteLevel) BpeTrainer.buildByteVocab(merges)
       else BpeTrainer.buildVocab(df, textCol, merges)

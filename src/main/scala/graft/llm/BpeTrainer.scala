@@ -57,7 +57,10 @@ object BpeTrainer {
       textCol: String,
       numMerges: Int,
       maxWords: Int = 1 << 20,
-      batchK: Int = 16): Seq[(String, String)] = {
+      batchK: Int = 16,
+      resumeFrom: Seq[(String, String)] = Nil,
+      onProgress: Seq[(String, String)] => Unit = _ => (),
+      checkpointEvery: Int = 12): Seq[(String, String)] = {
     require(numMerges > 0, s"numMerges must be positive, got $numMerges")
     require(maxWords > 0, s"maxWords must be positive, got $maxWords")
     val counts = pretokenCounts(df, textCol)
@@ -65,8 +68,11 @@ object BpeTrainer {
     val top = counts
       .orderBy(desc("n"), asc("word")).limit(maxWords + 1)
       .collect().map(r => r.getString(0) -> r.getLong(1)).toSeq
+    // resume only matters on the distributed path (the multi-hour
+    // runs); the in-heap trainer is fast enough to just retrain
     if (top.size <= maxWords) learnFromCounts(top, numMerges)
-    else learnMergesDistributedFromCounts(counts, numMerges, batchK)
+    else learnMergesDistributedFromCounts(counts, numMerges, batchK,
+      checkpointEvery, resumeFrom, onProgress)
   }
 
   /** The driver-side merge loop over a word-frequency table. Cost per
@@ -253,21 +259,41 @@ object BpeTrainer {
     *
     * Lineage is cut with an eager `localCheckpoint` every
     * `checkpointEvery` batches — without it the per-round map lineage
-    * compounds and job setup grows linearly in rounds. */
+    * compounds and job setup grows linearly in rounds.
+    *
+    * CRASH RESUME (the multi-hour 256k-merge concern): `resumeFrom`
+    * seeds the loop with an already-learned merge prefix — the symbol
+    * table is rebuilt by applying the prefix in order (one map over
+    * the base units, same `applyMergeTo` order the original rounds
+    * used), so continuing from a ROUND-boundary prefix with the same
+    * `batchK` reproduces the uninterrupted run's remaining merges
+    * exactly. `onProgress` fires with the full merge list so far on
+    * every lineage-checkpoint round (and on the final round) — the
+    * hook the Tokenizer CLI's `merges-checkpoint-path` persists
+    * through. The returned list INCLUDES the resumed prefix. */
   def learnMergesDistributedFromCounts(
       counts: DataFrame, // (word: String, n: Long)
       numMerges: Int,
       batchK: Int = 16,
-      checkpointEvery: Int = 12): Seq[(String, String)] = {
+      checkpointEvery: Int = 12,
+      resumeFrom: Seq[(String, String)] = Nil,
+      onProgress: Seq[(String, String)] => Unit = _ => ()): Seq[(String, String)] = {
     require(numMerges > 0, s"numMerges must be positive, got $numMerges")
     require(batchK > 0, s"batchK must be positive, got $batchK")
+    require(resumeFrom.size <= numMerges,
+      s"resumeFrom carries ${resumeFrom.size} merges but numMerges is $numMerges")
     val spark = counts.sparkSession
     import spark.implicits._
     import scala.collection.mutable
+    val prefix = resumeFrom.toArray
     var words = counts.select(col("word"), col("n").cast("long"))
       .as[(String, Long)]
       .filter(_._1.nonEmpty)
-      .map { case (w, n) => (unitsSeq(w): Seq[String], n) }
+      .map { case (w, n) =>
+        var cur: IndexedSeq[String] = unitsSeq(w)
+        prefix.foreach { case (a, b) => cur = applyMergeTo(cur, a, b) }
+        (cur: Seq[String], n)
+      }
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     words.count() // materialize before the source `counts` plan re-runs
     // The one live checkpoint generation's RDD handle. Checkpointing is
@@ -281,6 +307,7 @@ object BpeTrainer {
     // runs).
     var liveCkpt: Option[org.apache.spark.rdd.RDD[_]] = None
     val merges = mutable.ArrayBuffer.empty[(String, String)]
+    merges ++= resumeFrom
     var exhausted = false
     var round = 0
     try {
@@ -334,9 +361,15 @@ object BpeTrainer {
               spark.createDataset(ckpt)
             } else next
           merges ++= batch
+          // progress hook on lineage-checkpoint rounds: cheap relative
+          // to the localCheckpoint just paid, and a crash between
+          // hooks loses at most checkpointEvery rounds of merges
+          if (round % checkpointEvery == checkpointEvery - 1)
+            onProgress(merges.toSeq)
           round += 1
         }
       }
+      onProgress(merges.toSeq)
       merges.toSeq
     } finally {
       words.unpersist()
@@ -428,7 +461,10 @@ object BpeTrainer {
       textCol: String,
       numMerges: Int,
       maxWords: Int = 1 << 20,
-      batchK: Int = 16): Seq[(String, String)] = {
+      batchK: Int = 16,
+      resumeFrom: Seq[(String, String)] = Nil,
+      onProgress: Seq[(String, String)] => Unit = _ => (),
+      checkpointEvery: Int = 12): Seq[(String, String)] = {
     require(numMerges > 0, s"numMerges must be positive, got $numMerges")
     require(maxWords > 0, s"maxWords must be positive, got $maxWords")
     val counts = bytePretokenCounts(df, textCol)
@@ -440,9 +476,11 @@ object BpeTrainer {
     // same threshold contract as learnMerges: in-heap below the cut,
     // distributed pair-count loop above it (driver heap flat — the
     // 256k-multilingual-vocab shape; mapped symbols are ordinary BMP
-    // chars, so tie order is identical to the in-heap comparator)
+    // chars, so tie order is identical to the in-heap comparator);
+    // resume only engages on the distributed path
     if (top.size <= maxWords) learnFromCounts(top, numMerges)
-    else learnMergesDistributedFromCounts(counts, numMerges, batchK)
+    else learnMergesDistributedFromCounts(counts, numMerges, batchK,
+      checkpointEvery, resumeFrom, onProgress)
   }
 
   /** Byte-level vocab: `<unk>` (id 0 — the uniform line-0 loader
@@ -495,5 +533,25 @@ object BpeTrainer {
       out.write("#version: 0.2\n")
       merges.foreach { case (a, b) => out.write(a); out.write(' '); out.write(b); out.write('\n') }
     } finally out.close()
+  }
+
+  /** Read a `merges.txt` back into the trainer's pair form — the
+    * inverse of [[saveMerges]] (header and blank lines skipped), used
+    * to seed `resumeFrom` from a crash checkpoint. */
+  def loadMerges(
+      spark: org.apache.spark.sql.SparkSession,
+      path: String): Seq[(String, String)] = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val in = fs.open(p)
+    try scala.io.Source.fromInputStream(in, "UTF-8").getLines().zipWithIndex
+      .filter { case (l, i) => l.trim.nonEmpty && !(i == 0 && l.startsWith("#version")) }
+      .map { case (l, _) =>
+        val sp = l.indexOf(' ')
+        require(sp > 0 && sp < l.length - 1 && l.indexOf(' ', sp + 1) < 0,
+          s"malformed merge line in $path: '$l'")
+        (l.substring(0, sp), l.substring(sp + 1))
+      }.toList
+    finally in.close()
   }
 }

@@ -431,6 +431,34 @@ class BpeSpec extends SparkTestBase {
       == graft.llm.BpeTrainer.learnFromCounts(heapTop, 8))
   }
 
+  test("distributed loop crash-resume: continuing from a round-boundary prefix " +
+      "reproduces the uninterrupted run exactly (batchK=1 and batched)") {
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet").select("text").limit(200)
+    val counts = graft.llm.BpeTrainer.pretokenCounts(docs, "text")
+    // batchK=1: every merge is a round boundary
+    val full = graft.llm.BpeTrainer.learnMergesDistributedFromCounts(
+      counts, numMerges = 8, batchK = 1)
+    val resumed = graft.llm.BpeTrainer.learnMergesDistributedFromCounts(
+      counts, numMerges = 8, batchK = 1, resumeFrom = full.take(4))
+    assert(resumed == full, "resume from a 4-merge prefix must replay the full run")
+    // batched: resume from what the PROGRESS HOOK actually persists —
+    // the CLI's crash-checkpoint mechanism end-to-end
+    val snapshots = scala.collection.mutable.ArrayBuffer.empty[Seq[(String, String)]]
+    val fullB = graft.llm.BpeTrainer.learnMergesDistributedFromCounts(
+      counts, numMerges = 9, batchK = 3, checkpointEvery = 2,
+      onProgress = ms => { snapshots += ms; () })
+    val mid = snapshots.find(_.size < fullB.size).getOrElse(
+      fail("no mid-run progress snapshot fired"))
+    assert(graft.llm.BpeTrainer.learnMergesDistributedFromCounts(
+      counts, numMerges = 9, batchK = 3, checkpointEvery = 2, resumeFrom = mid)
+      == fullB, "resume from a progress-hook snapshot must replay the batched run")
+    // a prefix longer than the target is rejected up front
+    intercept[IllegalArgumentException] {
+      graft.llm.BpeTrainer.learnMergesDistributedFromCounts(
+        counts, numMerges = 3, resumeFrom = full.take(4))
+    }
+  }
+
   test("distributed loop frees ALL storage, including checkpoint generations " +
       "(the round-10 leak: Dataset.localCheckpoint blocks were never unpersisted)") {
     import spark.implicits._

@@ -2600,6 +2600,39 @@ class CliSpec extends SparkTestBase {
       graft.cli.Tokenizer.main(Array("--conf", wsConf))
     }
     assert(we.getMessage.contains("whitespace-free"), we.getMessage)
+    // merges-checkpoint-path: force the distributed path (max-words=10),
+    // pre-seed the checkpoint with a ROUND-BOUNDARY prefix captured from
+    // the library's own progress hook (what a crashed CLI run leaves
+    // behind) — the CLI must RESUME (identical final merges to an
+    // uninterrupted run) and leave the checkpoint holding the full list
+    val ckpt = base.resolve("merges_ckpt.txt").toString
+    val ckptKnobs = s"  max-words = 10\n  checkpoint-every = 1\n" +
+      s"  merges-checkpoint-path = $ckpt\n"
+    graft.cli.Tokenizer.main(Array("--conf",
+      conf("full", byteLevel = false, "  max-words = 10\n  checkpoint-every = 1\n")))
+    val fullMerges = graft.llm.BpeTrainer.loadMerges(spark,
+      base.resolve("m_full.txt").toString)
+    val snaps = scala.collection.mutable.ArrayBuffer.empty[Seq[(String, String)]]
+    graft.llm.BpeTrainer.learnMerges(
+      spark.read.parquet(s"$sfDir/documents.parquet").select("text"), "text",
+      numMerges = 48, maxWords = 10, checkpointEvery = 1,
+      onProgress = ms => { snaps += ms; () })
+    val mid = snaps.find(s => s.nonEmpty && s.size < fullMerges.size).get
+    graft.llm.BpeTrainer.saveMerges(spark, ckpt, mid)
+    graft.cli.Tokenizer.main(Array("--conf", conf("res", byteLevel = false, ckptKnobs)))
+    val resumed = graft.llm.BpeTrainer.loadMerges(spark,
+      base.resolve("m_res.txt").toString)
+    assert(resumed == fullMerges,
+      s"resumed CLI run must reproduce the uninterrupted run's merges " +
+        s"(resumed from ${mid.size}/${fullMerges.size})")
+    assert(graft.llm.BpeTrainer.loadMerges(spark, ckpt) == fullMerges,
+      "the checkpoint file must end holding the full merge list")
+    // a stale over-long checkpoint (from another config) is rejected
+    graft.llm.BpeTrainer.saveMerges(spark, ckpt, fullMerges ++ fullMerges.take(5))
+    val ce = intercept[IllegalArgumentException] {
+      graft.cli.Tokenizer.main(Array("--conf", conf("res2", byteLevel = false, ckptKnobs)))
+    }
+    assert(ce.getMessage.contains("stale checkpoint"), ce.getMessage)
   }
 
   test("indexer compact: repeated appends pile files per cell; compact rewrites " +
