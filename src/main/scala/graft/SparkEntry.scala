@@ -2614,6 +2614,37 @@ object SparkEntry {
           max(col("chunk_tokens")).as("max_chunk_tokens"))
     }),
 
+    // ---- Image NEAR-DUP via perceptual hash (dHash), cross-codec:
+    // 150 deterministic smooth plates rendered as REAL PNGs; every 6th
+    // also rendered as a REAL JPEG of the SAME plate under id+100000.
+    // Both decode through javax.imageio, hash through the published
+    // dHash (gray → 9×8 → gradient signs), and pair through the SAME
+    // banded engine as SimHash text near-dup (Dedup.sigNearDups —
+    // never all-pairs). Every planted cross-codec twin must pair
+    // within Hamming 3; PerfProbe 10 calibrates the margins (planted
+    // ≤ 2, cross-seed min 4 over these seeds). Pixels are not
+    // SQL-expressible → rows-only; MultimodalSpec holds the per-step
+    // asserts and EntrySpec the pair accounting.
+    "q129_image_neardup" -> ((s, dir) => {
+      import graft.llm.Multimodal
+      val media = Multimodal.asMediaTable(
+        t(s, dir, "documents").filter(col("doc_id") < 150), "doc_id", "text",
+        "image", Map.empty)
+      val png = Multimodal.reencodeAsSmoothImage(media, jpeg = false)
+      val jpgTwins = Multimodal.reencodeAsSmoothImage(
+        media.filter(col("asset_id") % 6 === 0), jpeg = true,
+        seedCol = "asset_id")
+        .withColumn("asset_id", col("asset_id") + 100000)
+      val pairs = Multimodal.imageNearDups(
+        png.unionByName(jpgTwins), Multimodal.ImageIoDecoder, maxHamming = 3)
+      pairs
+        .groupBy(when(col("id2") - col("id1") === 100000, "planted_cross_codec")
+          .otherwise("other").as("pair_type"))
+        .agg(count(lit(1)).as("n_pairs"),
+          min(col("hamming")).as("min_hamming"),
+          max(col("hamming")).as("max_hamming"))
+    }),
+
     // ---- CCNet in its PRODUCTION configuration: per-source
     // head/middle/tail thirds by the KenLM-class model's score — q98's
     // bucket machinery over MODIFIED-KN (q98 buckets on the unigram

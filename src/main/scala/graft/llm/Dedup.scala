@@ -172,11 +172,25 @@ object Dedup {
       maxHamming: Int = 3,
       bands: Int = 4,
       gramSize: Int = 1,
+      maxBucketSize: Int = 10000): DataFrame =
+    sigNearDups(simHashSignatures(df, idCol, textCol, gramSize),
+      maxHamming, bands, maxBucketSize)
+
+  /** The banded near-dup self-join over ANY 64-bit signature frame
+    * `(id, sig)` — the shared engine under SimHash text near-dup (this
+    * file), SRP vector near-dup ([[Similarity]]), and perceptual-hash
+    * image near-dup ([[Multimodal.imageNearDups]]): any 64-bit
+    * fingerprint family with Hamming-distance semantics bands the same
+    * way, so the pigeonhole argument, the hot-bucket guard, and the
+    * never-all-pairs shape are written once. */
+  def sigNearDups(
+      sigs: DataFrame, // (id, sig: long)
+      maxHamming: Int = 3,
+      bands: Int = 4,
       maxBucketSize: Int = 10000): DataFrame = {
     require(64 % bands == 0, s"bands must divide 64, got $bands")
     require(maxHamming < bands,
       s"pigeonhole needs maxHamming < bands ($maxHamming >= $bands misses pairs)")
-    val sigs = simHashSignatures(df, idCol, textCol, gramSize)
     val banded = dropHotBuckets(bandSignatures(sigs, bands), maxBucketSize)
     val l = banded.select(col("band"), col("bits"), col("id").as("id1"), col("sig").as("sig1"))
     val r = banded.select(col("band"), col("bits"), col("id").as("id2"), col("sig").as("sig2"))

@@ -695,6 +695,181 @@ object Multimodal {
     out
   }
 
+  /** Grayscale plane of a decoded image: ITU-R BT.601 luma
+    * (0.299 R + 0.587 G + 0.114 B) for 3/4-channel buffers, the raw
+    * plane for 1-channel — the standard perceptual-hash preprocessing
+    * step. */
+  private[graft] def toGray(d: Decoded): Decoded = {
+    if (d.channels == 1) return d
+    require(d.channels >= 3, s"toGray needs 1/3/4 channels, got ${d.channels}")
+    val out = new Array[Float](d.width * d.height)
+    var p = 0
+    while (p < out.length) {
+      val base = p * d.channels
+      out(p) = 0.299f * d.data(base) + 0.587f * d.data(base + 1) +
+        0.114f * d.data(base + 2)
+      p += 1
+    }
+    Decoded(d.width, d.height, 1, out)
+  }
+
+  /** 64-bit DIFFERENCE HASH (dHash — the published perceptual-hash
+    * family's gradient variant): grayscale → nearest-neighbor resize to
+    * 9×8 → each bit = "left pixel brighter than its right neighbor",
+    * row-major MSB-first. Two renderings of the same picture (PNG vs
+    * JPEG vs DIB, or a rescale) land within a few Hamming bits;
+    * unrelated pictures differ in ~32. Published limitation: NOT robust
+    * to crops, rotations, or mirrors. Deterministic — same pixels, same
+    * hash, any decoder. */
+  def dHash64(d: Decoded): Long = {
+    val g = resize(toGray(d), 9, 8).data
+    var h = 0L
+    var y = 0
+    while (y < 8) {
+      var x = 0
+      while (x < 8) {
+        h = (h << 1) | (if (g(y * 9 + x) > g(y * 9 + x + 1)) 1L else 0L)
+        x += 1
+      }
+      y += 1
+    }
+    h
+  }
+
+  /** Per-asset perceptual hashes `(id, sig)` — the image analog of
+    * [[graft.llm.Dedup.simHashSignatures]], and like them the per-run
+    * STATE an incremental pipeline persists. Same batched mapPartitions
+    * decode shape as [[decodeAndFeaturize]]; null assets are skipped. */
+  def perceptualHashes(
+      df: DataFrame,
+      decoder: MediaDecoder,
+      idCol: String = "asset_id",
+      contentCol: String = "content",
+      metaCol: String = "meta",
+      batchSize: Int = 64): DataFrame = {
+    val idType = df.schema(idCol).dataType
+    val schema = StructType(Seq(
+      StructField("id", idType, nullable = false),
+      StructField("sig", LongType, nullable = false)))
+    val (idIdx, cIdx, mIdx) =
+      (df.columns.indexOf(idCol), df.columns.indexOf(contentCol), df.columns.indexOf(metaCol))
+    df.mapPartitions { it =>
+      it.grouped(batchSize).flatMap { batch =>
+        batch.flatMap { row =>
+          val content = row.getAs[Array[Byte]](cIdx)
+          if (content == null) None
+          else {
+            val meta = Option(row.getMap[String, String](mIdx))
+              .map(_.toMap).getOrElse(Map.empty[String, String])
+            Some(Row(row.get(idIdx), dHash64(decoder.decode(content, meta))))
+          }
+        }
+      }
+    }(Encoders.row(schema))
+  }
+
+  /** Image NEAR-DUPLICATE pairs within `maxHamming` dHash bits — the
+    * multimodal entry into the shared banded near-dup engine
+    * ([[graft.llm.Dedup.sigNearDups]]): decode → dHash (one
+    * mapPartitions pass, no shuffle) → banded self-join (never
+    * all-pairs, hot-bucket-guarded). Catches re-encodes (PNG ↔ JPEG ↔
+    * DIB), recompressions, and rescales of the same picture; crops and
+    * rotations are outside dHash's published envelope. Returns
+    * `(id1, id2, hamming)`. */
+  def imageNearDups(
+      df: DataFrame,
+      decoder: MediaDecoder,
+      idCol: String = "asset_id",
+      contentCol: String = "content",
+      metaCol: String = "meta",
+      maxHamming: Int = 3,
+      bands: Int = 4,
+      maxBucketSize: Int = 10000): DataFrame =
+    graft.llm.Dedup.sigNearDups(
+      perceptualHashes(df, decoder, idCol, contentCol, metaCol),
+      maxHamming, bands, maxBucketSize)
+
+  /** Deterministic SMOOTH test image for a seed: a sinusoidal plate
+    * whose frequencies and phase derive from the seed. Smooth content
+    * is JPEG's representative case (FakeDecoder noise is its
+    * adversarial worst case), so a JPEG re-encode of the same seed
+    * stays perceptually identical — the fixture a cross-codec
+    * near-dup test needs — while different seeds give clearly
+    * different plates. Grayscale written to all three channels, so
+    * luma == the plate exactly. */
+  def smoothImage(seed: Long, w: Int = 32, h: Int = 32): Decoded = {
+    // splitmix64 finalizer: sequential ids must give decorrelated
+    // plates, not neighbors in (fx, fy, phase) space
+    var z = seed + 0x9E3779B97F4A7C15L
+    z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+    z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+    z = z ^ (z >>> 31)
+    val fx = 0.5 + (z & 63L) / 16.0
+    val fy = 0.5 + ((z >> 6) & 63L) / 16.0
+    val ph = ((z >> 12) & 255L) / 255.0
+    val data = new Array[Float](w * h * 3)
+    var p = 0
+    while (p < w * h) {
+      val x = (p % w).toDouble / w
+      val y = (p / w).toDouble / h
+      val v = (0.5 + 0.5 * math.sin(2 * math.Pi * (fx * x + fy * y + ph))).toFloat
+      data(p * 3) = v; data(p * 3 + 1) = v; data(p * 3 + 2) = v
+      p += 1
+    }
+    Decoded(w, h, 3, data)
+  }
+
+  /** Replace each asset's payload with a REAL PNG (or JPEG) rendering
+    * of the deterministic smooth image keyed by `seedCol` (a long
+    * column, default the asset id) — the cross-codec twin fixture:
+    * render the same seed once as PNG and once as JPEG under different
+    * ids and the pair is two genuine codecs' renderings of the same
+    * picture. Same mapPartitions shape as decode — no shuffle. */
+  def reencodeAsSmoothImage(
+      df: DataFrame,
+      jpeg: Boolean,
+      seedCol: String = "asset_id",
+      contentCol: String = "content",
+      w: Int = 32,
+      h: Int = 32): DataFrame = {
+    val schema = df.schema
+    val cIdx = df.columns.indexOf(contentCol)
+    val sIdx = df.columns.indexOf(seedCol)
+    df.mapPartitions { it =>
+      it.map { row =>
+        val img = smoothImage(row.getLong(sIdx), w, h)
+        val bytes = if (jpeg) Avi.encodeJpegFrame(img) else encodePng(img)
+        Row.fromSeq(row.toSeq.updated(cIdx, bytes))
+      }
+    }(Encoders.row(schema))
+  }
+
+  /** Replace each asset's payload with real JPEG bytes derived from it
+    * (deterministic [[FakeDecoder]] pixels → the JDK JPEG encoder) —
+    * the lossy twin of [[reencodeAsPng]], so a (PNG, JPEG) pair of the
+    * SAME picture exists to exercise cross-codec near-dup detection
+    * end-to-end. Same mapPartitions shape as decode — no shuffle. */
+  def reencodeAsJpeg(
+      df: DataFrame,
+      contentCol: String = "content",
+      metaCol: String = "meta"): DataFrame = {
+    val schema = df.schema
+    val cIdx = df.columns.indexOf(contentCol)
+    val mIdx = df.columns.indexOf(metaCol)
+    df.mapPartitions { it =>
+      it.map { row =>
+        val content = row.getAs[Array[Byte]](cIdx)
+        if (content == null) row
+        else {
+          val meta = Option(row.getMap[String, String](mIdx))
+            .map(_.toMap).getOrElse(Map.empty[String, String])
+          Row.fromSeq(row.toSeq.updated(cIdx,
+            Avi.encodeJpegFrame(FakeDecoder.decode(content, meta))))
+        }
+      }
+    }(Encoders.row(schema))
+  }
+
   /** Nearest-neighbor resize on a decoded buffer — pure arithmetic,
     * works identically on fake or real pixels. */
   def resize(d: Decoded, newW: Int, newH: Int): Decoded = {

@@ -21,8 +21,9 @@ object PerfProbe {
     case Some("7") => probe7(args.drop(1))
     case Some("8") => probe8(args.drop(1))
     case Some("9") => probe9(args.drop(1))
+    case Some("10") => probe10(args.drop(1))
     case other => sys.error(
-      s"usage: runMain graft.tools.PerfProbe <1-9> [probe args]; got $other")
+      s"usage: runMain graft.tools.PerfProbe <1-10> [probe args]; got $other")
   }
 
   /** Throwaway-style perf probe for round-5 tuning experiments (kept in
@@ -618,4 +619,29 @@ object PerfProbe {
     spark.stop()
   }
 
+
+  /** Round-11 dHash calibration (thresholds in MultimodalSpec and the
+    * q129 gate come from this run): PNG-vs-orig max 2, PNG-vs-JPEG max
+    * 2 (smooth plates), cross-seed min 4 with 0 pairs <= 3 over 150
+    * split-mixed seeds, 64x64-vs-32x32 rescale max 5. */
+  private def probe10(args: Array[String]): Unit = {
+
+    import graft.llm.Multimodal._
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    val seeds = (0L until 150L)
+    val orig = seeds.map(s => s -> smoothImage(s)).toMap
+    val pngH = seeds.map(s => s -> dHash64(ImageIoDecoder.decode(encodePng(orig(s)), Map.empty))).toMap
+    val jpgH = seeds.map(s => s -> dHash64(ImageIoDecoder.decode(Avi.encodeJpegFrame(orig(s)), Map.empty))).toMap
+    val origH = seeds.map(s => s -> dHash64(orig(s))).toMap
+    val pngVsOrig = seeds.map(s => ham(pngH(s), origH(s)))
+    val pngVsJpg = seeds.map(s => ham(pngH(s), jpgH(s)))
+    println(s"png-vs-orig max=${pngVsOrig.max} avg=${pngVsOrig.sum/150.0}")
+    println(s"png-vs-jpg  max=${pngVsJpg.max} avg=${pngVsJpg.sum/150.0}")
+    // cross-seed collisions at radius 6 over png hashes
+    val cross = for (a <- seeds; b <- seeds if a < b) yield ham(pngH(a), pngH(b))
+    println(s"cross-seed min=${cross.min} avg=${cross.sum/cross.size.toDouble} n_le6=${cross.count(_ <= 6)} n_le3=${cross.count(_ <= 3)}")
+    // resize robustness: 64x64 vs 32x32
+    val rs = seeds.take(30).map(s => ham(dHash64(smoothImage(s, 64, 64)), origH(s)))
+    println(s"scale-64-vs-32 max=${rs.max}")
+    }
 }

@@ -150,6 +150,17 @@ class EntrySpec extends SparkTestBase {
     assert(tpl.getAs[Double]("avg_ratio") < prose.getAs[Double]("avg_ratio"))
   }
 
+  test("q129: every cross-codec twin pairs within dHash radius 3; nothing else does") {
+    val rows = SparkEntry.queries("q129_image_neardup")(spark, sfDir).collect()
+      .map(r => r.getString(0) -> r).toMap
+    assert(rows.keySet == Set("planted_cross_codec"),
+      s"non-planted pairs inside the radius: ${rows.keySet}")
+    val p = rows("planted_cross_codec")
+    assert(p.getAs[Long]("n_pairs") == 25L, // 150 plates, every 6th twinned
+      s"want all 25 planted PNG<->JPEG twins, got ${p.getAs[Long]("n_pairs")}")
+    assert(p.getAs[Int]("max_hamming") <= 3)
+  }
+
   test("q62: vector signature tier drops every rescaled echo, keeps fresh rows") {
     val rows = SparkEntry.queries("q62_incremental_vector_dedup")(spark, sfDir)
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap

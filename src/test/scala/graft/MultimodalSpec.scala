@@ -369,4 +369,53 @@ class MultimodalSpec extends SparkTestBase {
       .collect().map(r => r.getLong(0) -> r.getSeq[Float](4)).toMap
     assert(rows.forall(r => r.getSeq[Float](4) == fake(r.getLong(0))))
   }
+
+  test("dHash64: codec-invariant on smooth plates, distinct across seeds, " +
+      "scale-tolerant (PerfProbe 10 calibration)") {
+    import graft.llm.Multimodal._
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    // toGray: BT.601 luma on a hand pixel
+    val px = Decoded(1, 1, 3, Array(1.0f, 0.5f, 0.25f))
+    assert(math.abs(toGray(px).data(0) - (0.299f + 0.587f * 0.5f + 0.114f * 0.25f)) < 1e-6)
+    val seeds = 0L until 40L
+    for (seed <- seeds) {
+      val img = smoothImage(seed)
+      val hOrig = dHash64(img)
+      val hPng = dHash64(ImageIoDecoder.decode(encodePng(img), Map.empty))
+      val hJpg = dHash64(ImageIoDecoder.decode(Avi.encodeJpegFrame(img), Map.empty))
+      // 8-bit quantization can flip near-tie gradients; JPEG adds its
+      // lossy wobble — both stay inside the q129 radius of 3
+      assert(ham(hOrig, hPng) <= 2, s"seed $seed png drift")
+      assert(ham(hPng, hJpg) <= 3, s"seed $seed cross-codec drift")
+      // a 2x render of the same plate downsamples to NEARLY the same
+      // 9x8 — soft tolerance (dHash is rescale-TOLERANT, not
+      // invariant: NN sampling phase shifts flip a few near-ties)
+      assert(ham(dHash64(smoothImage(seed, 64, 64)), hOrig) <= 10, s"seed $seed scale drift")
+    }
+    // distinct plates stay apart (probe: cross-seed min 4 over 150 seeds)
+    val hs = seeds.map(s0 => dHash64(smoothImage(s0)))
+    val cross = for (a <- hs.indices; b <- hs.indices if a < b) yield ham(hs(a), hs(b))
+    assert(cross.min > 3, s"cross-seed hashes inside the near-dup radius: min=${cross.min}")
+  }
+
+  test("imageNearDups: cross-codec twins pair through the banded engine, " +
+      "nothing else does at radius 3") {
+    import org.apache.spark.sql.functions.col
+    import graft.llm.Multimodal
+    val base = Multimodal.asMediaTable(
+      spark.read.parquet(s"$sfDir/documents.parquet")
+        .filter(col("doc_id") < 30), "doc_id", "text", "image", Map.empty)
+    val png = Multimodal.reencodeAsSmoothImage(base, jpeg = false)
+    val twins = Multimodal.reencodeAsSmoothImage(
+      base.filter(col("asset_id") % 3 === 0), jpeg = true)
+      .withColumn("asset_id", col("asset_id") + 100000)
+    val pairs = Multimodal.imageNearDups(
+      png.unionByName(twins), Multimodal.ImageIoDecoder, maxHamming = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    val planted = pairs.filter(p => p._2 - p._1 == 100000)
+    assert(planted.length == 10, s"want all 10 cross-codec twins: ${pairs.toSeq}")
+    assert(planted.forall(_._3 <= 3))
+    assert(pairs.length == planted.length,
+      s"no non-planted pair may sit inside radius 3: ${pairs.toSeq}")
+  }
 }
