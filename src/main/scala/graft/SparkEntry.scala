@@ -2645,6 +2645,34 @@ object SparkEntry {
           max(col("hamming")).as("max_hamming"))
     }),
 
+    // ---- Audio NEAR-DUP via spectral fingerprint: 150 deterministic
+    // smooth recordings rendered as REAL 16-bit PCM WAVs; every 6th
+    // also at HALF VOLUME under id+100000. Both decode through
+    // javax.sound.sampled, fingerprint through the Haitsma–Kalman-
+    // style sign-of-band-energy-change hash (volume-invariant by
+    // construction — energies scale by c², difference signs don't),
+    // and pair through the SAME banded engine as text/image near-dup.
+    // PerfProbe 11 calibrates: twins 0 bits apart, cross-seed min 9 —
+    // radius 3 separates with a wide margin. rows-only (DSP is not
+    // SQL-expressible); MultimodalSpec holds the per-step asserts.
+    "q130_audio_neardup" -> ((s, dir) => {
+      import graft.llm.Multimodal
+      val media = Multimodal.asMediaTable(
+        t(s, dir, "documents").filter(col("doc_id") < 150), "doc_id", "text",
+        "audio", Map.empty)
+      val full = Multimodal.reencodeAsSmoothAudio(media)
+      val halfTwins = Multimodal.reencodeAsSmoothAudio(
+        media.filter(col("asset_id") % 6 === 0), volume = 0.5f)
+        .withColumn("asset_id", col("asset_id") + 100000)
+      Multimodal.audioNearDups(
+          full.unionByName(halfTwins), Multimodal.WavDecoder, maxHamming = 3)
+        .groupBy(when(col("id2") - col("id1") === 100000, "planted_half_volume")
+          .otherwise("other").as("pair_type"))
+        .agg(count(lit(1)).as("n_pairs"),
+          min(col("hamming")).as("min_hamming"),
+          max(col("hamming")).as("max_hamming"))
+    }),
+
     // ---- CCNet in its PRODUCTION configuration: per-source
     // head/middle/tail thirds by the KenLM-class model's score — q98's
     // bucket machinery over MODIFIED-KN (q98 buckets on the unigram

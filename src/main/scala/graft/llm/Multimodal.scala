@@ -789,6 +789,175 @@ object Multimodal {
       perceptualHashes(df, decoder, idCol, contentCol, metaCol),
       maxHamming, bands, maxBucketSize)
 
+  /** 64-bit AUDIO fingerprint (the Haitsma–Kalman/Philips robust-hash
+    * bit derivation, reimplemented from the published description over
+    * a compact 9×8 energy grid): mono-mix → 9 equal time windows → 8
+    * Goertzel band energies per window (bins k=1..8 relative to the
+    * window, so the grid is sample-rate/duration RELATIVE) → each bit
+    * is the SIGN of the band-energy change between consecutive windows
+    * (8 bands × 8 transitions, row-major MSB-first). Invariances by
+    * construction: volume scaling (all energies scale by c², sign of
+    * differences unchanged), re-quantization (16-bit PCM wobble is far
+    * below band-energy contrasts), container re-encode. NOT robust to
+    * trims/offsets (published limitation of the un-windowed form).
+    * Buffer convention: [[WavDecoder]]'s (width = frame count,
+    * interleaved [-1,1] channels). */
+  def audioHash64(d: Decoded): Long = {
+    val n = d.width
+    require(n >= 18, s"audioHash64 needs >= 18 frames, got $n")
+    val mono = new Array[Double](n)
+    var i = 0
+    while (i < n) {
+      var c = 0
+      var acc = 0.0
+      while (c < d.channels) { acc += d.data(i * d.channels + c); c += 1 }
+      mono(i) = acc / d.channels
+      i += 1
+    }
+    val T = 9
+    val F = 8
+    val e = Array.ofDim[Double](T, F)
+    var t = 0
+    while (t < T) {
+      val lo = t * n / T
+      val hi = (t + 1) * n / T
+      val len = hi - lo
+      var f = 0
+      while (f < F) {
+        // Goertzel magnitude at bin k = f+1 over the window
+        val w = 2.0 * math.Pi * (f + 1) / len
+        val coeff = 2.0 * math.cos(w)
+        var s0 = 0.0; var s1 = 0.0; var s2 = 0.0
+        var j = lo
+        while (j < hi) {
+          s0 = mono(j) + coeff * s1 - s2
+          s2 = s1; s1 = s0
+          j += 1
+        }
+        e(t)(f) = s1 * s1 + s2 * s2 - coeff * s1 * s2
+        f += 1
+      }
+      t += 1
+    }
+    var h = 0L
+    t = 0
+    while (t < T - 1) {
+      var f = 0
+      while (f < F) {
+        h = (h << 1) | (if (e(t + 1)(f) > e(t)(f)) 1L else 0L)
+        f += 1
+      }
+      t += 1
+    }
+    h
+  }
+
+  /** Per-asset audio fingerprints `(id, sig)` — the audio analog of
+    * [[perceptualHashes]], same batched decode shape, same persistable
+    * state-frame contract. */
+  def audioHashes(
+      df: DataFrame,
+      decoder: MediaDecoder,
+      idCol: String = "asset_id",
+      contentCol: String = "content",
+      metaCol: String = "meta",
+      batchSize: Int = 64): DataFrame = {
+    val idType = df.schema(idCol).dataType
+    val schema = StructType(Seq(
+      StructField("id", idType, nullable = false),
+      StructField("sig", LongType, nullable = false)))
+    val (idIdx, cIdx, mIdx) =
+      (df.columns.indexOf(idCol), df.columns.indexOf(contentCol), df.columns.indexOf(metaCol))
+    df.mapPartitions { it =>
+      it.grouped(batchSize).flatMap { batch =>
+        batch.flatMap { row =>
+          val content = row.getAs[Array[Byte]](cIdx)
+          if (content == null) None
+          else {
+            val meta = Option(row.getMap[String, String](mIdx))
+              .map(_.toMap).getOrElse(Map.empty[String, String])
+            Some(Row(row.get(idIdx), audioHash64(decoder.decode(content, meta))))
+          }
+        }
+      }
+    }(Encoders.row(schema))
+  }
+
+  /** Audio NEAR-DUPLICATE pairs within `maxHamming` fingerprint bits —
+    * decode → [[audioHash64]] (one mapPartitions pass) → the shared
+    * banded engine ([[graft.llm.Dedup.sigNearDups]]). Catches volume
+    * changes, re-quantizations, and container re-encodes of the same
+    * recording; trims/offsets are outside the envelope. */
+  def audioNearDups(
+      df: DataFrame,
+      decoder: MediaDecoder,
+      idCol: String = "asset_id",
+      contentCol: String = "content",
+      metaCol: String = "meta",
+      maxHamming: Int = 3,
+      bands: Int = 4,
+      maxBucketSize: Int = 10000): DataFrame =
+    graft.llm.Dedup.sigNearDups(
+      audioHashes(df, decoder, idCol, contentCol, metaCol),
+      maxHamming, bands, maxBucketSize)
+
+  /** Deterministic smooth test RECORDING for a seed: three sinusoid
+    * components whose carrier bins and slow amplitude-modulation
+    * rates/phases derive from the split-mixed seed — band energies
+    * then OSCILLATE across the 9 analysis windows in a seed-specific
+    * pattern, so fingerprints differ across seeds while any volume
+    * scale / 16-bit render of the same seed fingerprints identically.
+    * Mono, [-1,1], `nFrames` samples. */
+  def smoothAudio(seed: Long, nFrames: Int = 4096): Decoded = {
+    var z = seed + 0x9E3779B97F4A7C15L
+    z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+    z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+    z = z ^ (z >>> 31)
+    val data = new Array[Float](nFrames)
+    var comp = 0
+    while (comp < 3) {
+      val bits = (z >>> (comp * 20)) & 0xFFFFFL
+      // carrier: 1..8 cycles per ninth-window (the Goertzel bins)
+      val carrier = 1 + (bits & 7L)
+      // LFO: 0.5..4.5 cycles over the whole clip, seed phase
+      val lfoRate = 0.5 + ((bits >> 3) & 255L) / 64.0
+      val lfoPh = ((bits >> 11) & 255L) / 255.0
+      var i = 0
+      while (i < nFrames) {
+        val x = i.toDouble / nFrames
+        val env = 0.5 + 0.5 * math.sin(2 * math.Pi * (lfoRate * x + lfoPh))
+        data(i) = (data(i) + env * math.sin(2 * math.Pi * carrier * 9 * x) / 3.0).toFloat
+        i += 1
+      }
+      comp += 1
+    }
+    Decoded(nFrames, 1, 1, data)
+  }
+
+  /** Replace each asset's payload with a REAL 16-bit PCM WAV rendering
+    * of the deterministic smooth recording keyed by `seedCol` —
+    * `volume` scales the samples first, so a (full, half-volume) pair
+    * of the SAME seed under different ids is two renderings of the
+    * same recording (the audio twin fixture). */
+  def reencodeAsSmoothAudio(
+      df: DataFrame,
+      volume: Float = 1.0f,
+      seedCol: String = "asset_id",
+      contentCol: String = "content",
+      nFrames: Int = 4096): DataFrame = {
+    val schema = df.schema
+    val cIdx = df.columns.indexOf(contentCol)
+    val sIdx = df.columns.indexOf(seedCol)
+    df.mapPartitions { it =>
+      it.map { row =>
+        val d = smoothAudio(row.getLong(sIdx), nFrames)
+        val scaled = if (volume == 1.0f) d
+          else Decoded(d.width, 1, 1, d.data.map(_ * volume))
+        Row.fromSeq(row.toSeq.updated(cIdx, encodeWav(scaled)))
+      }
+    }(Encoders.row(schema))
+  }
+
   /** Deterministic SMOOTH test image for a seed: a sinusoidal plate
     * whose frequencies and phase derive from the seed. Smooth content
     * is JPEG's representative case (FakeDecoder noise is its

@@ -22,8 +22,9 @@ object PerfProbe {
     case Some("8") => probe8(args.drop(1))
     case Some("9") => probe9(args.drop(1))
     case Some("10") => probe10(args.drop(1))
+    case Some("11") => probe11(args.drop(1))
     case other => sys.error(
-      s"usage: runMain graft.tools.PerfProbe <1-10> [probe args]; got $other")
+      s"usage: runMain graft.tools.PerfProbe <1-11> [probe args]; got $other")
   }
 
   /** Throwaway-style perf probe for round-5 tuning experiments (kept in
@@ -644,4 +645,30 @@ object PerfProbe {
     val rs = seeds.take(30).map(s => ham(dHash64(smoothImage(s, 64, 64)), origH(s)))
     println(s"scale-64-vs-32 max=${rs.max}")
     }
+
+  /** Round-11 audio-fingerprint calibration (thresholds in
+    * MultimodalSpec and the q130 gate come from this run). */
+  private def probe11(args: Array[String]): Unit = {
+    import graft.llm.Multimodal._
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    val seeds = 0L until 150L
+    val orig = seeds.map(s => s -> smoothAudio(s)).toMap
+    val h = seeds.map(s => s -> audioHash64(orig(s))).toMap
+    // 16-bit WAV render + real decode
+    val wavH = seeds.map { s =>
+      s -> audioHash64(WavDecoder.decode(encodeWav(orig(s)), Map.empty))
+    }.toMap
+    // half-volume twin
+    val halfH = seeds.map { s =>
+      val d = orig(s)
+      s -> audioHash64(Decoded(d.width, 1, 1, d.data.map(_ * 0.5f)))
+    }.toMap
+    val wavD = seeds.map(s => ham(h(s), wavH(s)))
+    val halfD = seeds.map(s => ham(wavH(s), halfH(s)))
+    println(s"orig-vs-wav  max=${wavD.max} avg=${wavD.sum / 150.0}")
+    println(s"wav-vs-half  max=${halfD.max} avg=${halfD.sum / 150.0}")
+    val cross = for (a <- seeds; b <- seeds if a < b) yield ham(wavH(a), wavH(b))
+    println(s"cross-seed min=${cross.min} avg=${cross.sum / cross.size.toDouble} " +
+      s"n_le6=${cross.count(_ <= 6)} n_le3=${cross.count(_ <= 3)}")
+  }
 }

@@ -161,6 +161,17 @@ class EntrySpec extends SparkTestBase {
     assert(p.getAs[Int]("max_hamming") <= 3)
   }
 
+  test("q130: every half-volume audio twin fingerprints identically; nothing else pairs") {
+    val rows = SparkEntry.queries("q130_audio_neardup")(spark, sfDir).collect()
+      .map(r => r.getString(0) -> r).toMap
+    assert(rows.keySet == Set("planted_half_volume"),
+      s"non-planted pairs inside the radius: ${rows.keySet}")
+    val p = rows("planted_half_volume")
+    assert(p.getAs[Long]("n_pairs") == 25L)
+    assert(p.getAs[Int]("max_hamming") == 0,
+      "volume scaling must not move a single fingerprint bit")
+  }
+
   test("q62: vector signature tier drops every rescaled echo, keeps fresh rows") {
     val rows = SparkEntry.queries("q62_incremental_vector_dedup")(spark, sfDir)
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap

@@ -418,4 +418,48 @@ class MultimodalSpec extends SparkTestBase {
     assert(pairs.length == planted.length,
       s"no non-planted pair may sit inside radius 3: ${pairs.toSeq}")
   }
+
+  test("audioHash64: volume/quantization-invariant, distinct across seeds " +
+      "(PerfProbe 11 calibration)") {
+    import graft.llm.Multimodal._
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    for (seed <- 0L until 40L) {
+      val d = smoothAudio(seed)
+      val h = audioHash64(d)
+      // real 16-bit WAV render + javax.sound decode: exact
+      assert(audioHash64(WavDecoder.decode(encodeWav(d), Map.empty)) == h,
+        s"seed $seed wav round-trip drift")
+      // volume scaling: energies scale by c^2, difference signs don't
+      assert(audioHash64(Decoded(d.width, 1, 1, d.data.map(_ * 0.3f))) == h,
+        s"seed $seed volume drift")
+    }
+    val hs = (0L until 40L).map(s0 => audioHash64(smoothAudio(s0)))
+    val cross = for (a <- hs.indices; b <- hs.indices if a < b) yield ham(hs(a), hs(b))
+    assert(cross.min > 3, s"cross-seed fingerprints inside the radius: min=${cross.min}")
+    // stereo mono-mix: duplicating the channel changes nothing
+    val m = smoothAudio(7L)
+    val stereo = Decoded(m.width, 1, 2, m.data.flatMap(v => Seq(v, v)))
+    assert(audioHash64(stereo) == audioHash64(m))
+    intercept[IllegalArgumentException](audioHash64(Decoded(4, 1, 1, new Array[Float](4))))
+  }
+
+  test("audioNearDups: half-volume twins pair through the banded engine, " +
+      "nothing else does at radius 3") {
+    import org.apache.spark.sql.functions.col
+    import graft.llm.Multimodal
+    val base = Multimodal.asMediaTable(
+      spark.read.parquet(s"$sfDir/documents.parquet")
+        .filter(col("doc_id") < 30), "doc_id", "text", "audio", Map.empty)
+    val full = Multimodal.reencodeAsSmoothAudio(base)
+    val twins = Multimodal.reencodeAsSmoothAudio(
+      base.filter(col("asset_id") % 3 === 0), volume = 0.5f)
+      .withColumn("asset_id", col("asset_id") + 100000)
+    val pairs = Multimodal.audioNearDups(
+      full.unionByName(twins), Multimodal.WavDecoder, maxHamming = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    val planted = pairs.filter(p => p._2 - p._1 == 100000)
+    assert(planted.length == 10, s"want all 10 half-volume twins: ${pairs.toSeq}")
+    assert(pairs.length == planted.length,
+      s"no non-planted pair may sit inside radius 3: ${pairs.toSeq}")
+  }
 }
