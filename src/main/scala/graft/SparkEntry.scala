@@ -2673,6 +2673,34 @@ object SparkEntry {
           max(col("hamming")).as("max_hamming"))
     }),
 
+    // ---- Video NEAR-DUP: 100 deterministic 3-frame smooth clips as
+    // REAL lossless-DIB AVIs; every 6th also as an MJPEG AVI of the
+    // SAME frames under id+100000. Frames explode declaratively, hash
+    // per-frame (dHash through the RIFF parser + both codecs), and
+    // clips pair when ALL 3 aligned frames land within Hamming 5
+    // (8 bands — MJPEG wobble reaches 3 bits on some plates, so the
+    // image gate's radius of 3 leaves no margin here) —
+    // the frame-aligned variant of the shared banded join
+    // (frame_idx rides the band key; never all-pairs). rows-only;
+    // MultimodalSpec holds the per-step asserts.
+    "q131_video_neardup" -> ((s, dir) => {
+      import graft.llm.Multimodal
+      val media = Multimodal.asMediaTable(
+        t(s, dir, "documents").filter(col("doc_id") < 100), "doc_id", "text",
+        "video", Map.empty)
+      val dib = Multimodal.reencodeAsSmoothAvi(media, nFrames = 3, mjpeg = false)
+      val mjpegTwins = Multimodal.reencodeAsSmoothAvi(
+        media.filter(col("asset_id") % 6 === 0), nFrames = 3, mjpeg = true)
+        .withColumn("asset_id", col("asset_id") + 100000)
+      Multimodal.videoNearDups(
+          dib.unionByName(mjpegTwins), minFrames = 3, maxHamming = 5, bands = 8)
+        .groupBy(when(col("id2") - col("id1") === 100000, "planted_cross_codec")
+          .otherwise("other").as("pair_type"))
+        .agg(count(lit(1)).as("n_pairs"),
+          min(col("n_frames_matched")).as("min_frames_matched"),
+          max(col("max_hamming")).as("max_hamming"))
+    }),
+
     // ---- CCNet in its PRODUCTION configuration: per-source
     // head/middle/tail thirds by the KenLM-class model's score — q98's
     // bucket machinery over MODIFIED-KN (q98 buckets on the unigram

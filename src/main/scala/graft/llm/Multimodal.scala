@@ -934,6 +934,116 @@ object Multimodal {
     Decoded(nFrames, 1, 1, data)
   }
 
+  /** Per-(clip, frame) perceptual hashes `(id, frame_idx, sig)`: the
+    * declarative frame explosion ([[sampleFrames]] on the probed
+    * `n_frames` + [[frameIdxIntoMeta]]) followed by one batched
+    * decode+dHash pass — the video analog of [[perceptualHashes]]. */
+  def videoFrameHashes(
+      df: DataFrame,
+      everyN: Int = 1,
+      idCol: String = "asset_id",
+      contentCol: String = "content",
+      metaCol: String = "meta",
+      batchSize: Int = 64): DataFrame = {
+    val frames = frameIdxIntoMeta(sampleFrames(df, everyN))
+    val idType = df.schema(idCol).dataType
+    val schema = StructType(Seq(
+      StructField("id", idType, nullable = false),
+      StructField("frame_idx", IntegerType, nullable = false),
+      StructField("sig", LongType, nullable = false)))
+    val (idIdx, cIdx, mIdx, fIdx) =
+      (frames.columns.indexOf(idCol), frames.columns.indexOf(contentCol),
+        frames.columns.indexOf(metaCol), frames.columns.indexOf("frame_idx"))
+    frames.mapPartitions { it =>
+      it.grouped(batchSize).flatMap { batch =>
+        batch.flatMap { row =>
+          val content = row.getAs[Array[Byte]](cIdx)
+          if (content == null) None
+          else {
+            val meta = Option(row.getMap[String, String](mIdx))
+              .map(_.toMap).getOrElse(Map.empty[String, String])
+            Some(Row(row.get(idIdx), row.getInt(fIdx),
+              dHash64(AviDecoder.decode(content, meta))))
+          }
+        }
+      }
+    }(Encoders.row(schema))
+  }
+
+  /** Video NEAR-DUPLICATE pairs: clips pair when at least `minFrames`
+    * ALIGNED frames (same `frame_idx` — the re-encode/recompress case;
+    * temporal shifts are outside the envelope, like crops for dHash)
+    * land within `maxHamming` bits. The per-frame join is the same
+    * banded shape as every other near-dup tier, with `frame_idx`
+    * joining the band key so frames only ever meet their own index —
+    * never all-pairs, hot-bucket-guarded. Returns
+    * `(id1, id2, n_frames_matched, max_hamming)`. */
+  def videoNearDups(
+      df: DataFrame,
+      everyN: Int = 1,
+      minFrames: Int = 2,
+      idCol: String = "asset_id",
+      contentCol: String = "content",
+      metaCol: String = "meta",
+      maxHamming: Int = 3,
+      bands: Int = 4,
+      maxBucketSize: Int = 10000): DataFrame = {
+    val sigs = videoFrameHashes(df, everyN, idCol, contentCol, metaCol)
+      .select(struct(col("id").as("vid"), col("frame_idx").as("f")).as("id"),
+        col("sig"))
+    val banded = graft.llm.Dedup.dropHotBuckets(
+      graft.llm.Dedup.bandSignatures(sigs, bands), maxBucketSize)
+    val l = banded.select(col("band"), col("bits"),
+      col("id.vid").as("id1"), col("id.f").as("f"), col("sig").as("sig1"))
+    val r = banded.select(col("band"), col("bits"),
+      col("id.vid").as("id2"), col("id.f").as("f"), col("sig").as("sig2"))
+    l.join(r, Seq("band", "bits", "f"))
+      .filter(col("id1") < col("id2"))
+      .select(col("id1"), col("id2"), col("f"),
+        graft.llm.Dedup.hamming(col("sig1"), col("sig2")).as("hamming"))
+      .filter(col("hamming") <= maxHamming)
+      .distinct()
+      .groupBy(col("id1"), col("id2"))
+      .agg(count(lit(1)).as("n_frames_matched"),
+        max(col("hamming")).as("max_hamming"))
+      .filter(col("n_frames_matched") >= minFrames)
+  }
+
+  /** Replace each asset's payload with a REAL AVI (DIB or MJPEG) of
+    * `nFrames` deterministic smooth plates keyed by `seedCol` — the
+    * video twin fixture: render the same seed once as lossless DIB and
+    * once as MJPEG under different ids and the pair is two genuine
+    * codecs' renderings of the same clip. Smooth plates because noise
+    * is JPEG's adversarial worst case ([[reencodeAsAvi]] keeps the
+    * noise fixtures for the bit-exact DIB path). */
+  def reencodeAsSmoothAvi(
+      df: DataFrame,
+      nFrames: Int,
+      mjpeg: Boolean,
+      seedCol: String = "asset_id",
+      contentCol: String = "content",
+      metaCol: String = "meta",
+      w: Int = 32,
+      h: Int = 32): DataFrame = {
+    val schema = df.schema
+    val cIdx = df.columns.indexOf(contentCol)
+    val mIdx = df.columns.indexOf(metaCol)
+    val sIdx = df.columns.indexOf(seedCol)
+    df.mapPartitions { it =>
+      it.map { row =>
+        val seed = row.getLong(sIdx)
+        val frames = (0 until nFrames)
+          .map(f => smoothImage(seed * 1000003L + f, w, h))
+        val avi = encodeAvi(frames, mjpeg = mjpeg)
+        val meta = Option(row.getMap[String, String](mIdx))
+          .map(_.toMap).getOrElse(Map.empty[String, String])
+        Row.fromSeq(row.toSeq
+          .updated(cIdx, avi)
+          .updated(mIdx, meta ++ probeAvi(avi)))
+      }
+    }(Encoders.row(schema))
+  }
+
   /** Replace each asset's payload with a REAL 16-bit PCM WAV rendering
     * of the deterministic smooth recording keyed by `seedCol` —
     * `volume` scales the samples first, so a (full, half-volume) pair
@@ -1086,10 +1196,17 @@ object Multimodal {
       mediaType: String,
       meta: Map[String, String]): DataFrame = {
     val metaEntries = meta.flatMap { case (k, v) => Seq(lit(k), lit(v)) }.toSeq
+    // an EMPTY meta must still be map<string,string>: a zero-arg map()
+    // infers map<void,void>, and any downstream mapPartitions that
+    // re-encodes rows under that schema writes null keys (then
+    // element_at NPEs on the null-key comparison)
+    val metaExpr =
+      if (metaEntries.isEmpty) typedlit(Map.empty[String, String])
+      else map(metaEntries: _*)
     df.select(
       col(idCol).as("asset_id"),
       lit(mediaType).as("media_type"),
       encode(col(payloadCol), "UTF-8").as("content"),
-      map(metaEntries: _*).as("meta"))
+      metaExpr.as("meta"))
   }
 }

@@ -172,6 +172,16 @@ class EntrySpec extends SparkTestBase {
       "volume scaling must not move a single fingerprint bit")
   }
 
+  test("q131: every cross-codec clip twin matches on all 3 aligned frames; nothing else pairs") {
+    val rows = SparkEntry.queries("q131_video_neardup")(spark, sfDir).collect()
+      .map(r => r.getString(0) -> r).toMap
+    assert(rows.keySet == Set("planted_cross_codec"),
+      s"non-planted clip pairs inside the radius: ${rows.keySet}")
+    val p = rows("planted_cross_codec")
+    assert(p.getAs[Long]("n_pairs") == 17L) // doc_id % 6 == 0 in [0, 100)
+    assert(p.getAs[Long]("min_frames_matched") == 3L)
+  }
+
   test("q62: vector signature tier drops every rescaled echo, keeps fresh rows") {
     val rows = SparkEntry.queries("q62_incremental_vector_dedup")(spark, sfDir)
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap

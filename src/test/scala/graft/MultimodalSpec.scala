@@ -462,4 +462,47 @@ class MultimodalSpec extends SparkTestBase {
     assert(pairs.length == planted.length,
       s"no non-planted pair may sit inside radius 3: ${pairs.toSeq}")
   }
+
+  test("videoNearDups: cross-codec clip twins pair on ALL aligned frames, " +
+      "nothing else at radius 3; misaligned twins do not pair") {
+    import org.apache.spark.sql.functions.col
+    import graft.llm.Multimodal
+    val base = Multimodal.asMediaTable(
+      spark.read.parquet(s"$sfDir/documents.parquet")
+        .filter(col("doc_id") < 24), "doc_id", "text", "video", Map.empty)
+    val dib = Multimodal.reencodeAsSmoothAvi(base, nFrames = 3, mjpeg = false)
+    val twins = Multimodal.reencodeAsSmoothAvi(
+      base.filter(col("asset_id") % 3 === 0), nFrames = 3, mjpeg = true)
+      .withColumn("asset_id", col("asset_id") + 100000)
+    val pairs = Multimodal.videoNearDups(
+      dib.unionByName(twins), minFrames = 3, maxHamming = 5, bands = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getInt(3)))
+    val planted = pairs.filter(p => p._2 - p._1 == 100000)
+    assert(planted.length == 8, s"want all 8 cross-codec clip twins: ${pairs.toSeq}")
+    assert(planted.forall(_._3 == 3L), "all three aligned frames must match")
+    assert(pairs.length == planted.length,
+      s"no non-planted clip pair may sit inside the radius: ${pairs.toSeq}")
+    // frame ALIGNMENT is part of the contract: a clip whose frames are
+    // someone else's frames SHIFTED by one index shares pictures but
+    // never meets them at the same frame_idx -> no pair
+    val shifted = Multimodal.asMediaTable(
+      spark.read.parquet(s"$sfDir/documents.parquet")
+        .filter(col("doc_id") === 0), "doc_id", "text", "video", Map.empty)
+      .mapPartitions { it =>
+        it.map { row =>
+          val frames = (1 to 3).map(f => Multimodal.smoothImage(0L * 1000003L + f))
+          org.apache.spark.sql.Row.fromSeq(row.toSeq.updated(2, Multimodal.encodeAvi(frames))
+            .updated(0, 777777L))
+        }
+      }(org.apache.spark.sql.Encoders.row(base.schema))
+      .withColumn("meta", org.apache.spark.sql.functions.map(
+        org.apache.spark.sql.functions.lit("n_frames"),
+        org.apache.spark.sql.functions.lit("3")))
+    val withShift = Multimodal.videoNearDups(
+      dib.filter(col("asset_id") === 0).unionByName(shifted),
+      minFrames = 1, maxHamming = 5, bands = 8)
+      .collect()
+    assert(withShift.isEmpty,
+      s"shifted frames must not pair at any aligned index: ${withShift.toSeq}")
+  }
 }
