@@ -505,4 +505,26 @@ class MultimodalSpec extends SparkTestBase {
     assert(withShift.isEmpty,
       s"shifted frames must not pair at any aligned index: ${withShift.toSeq}")
   }
+
+  test("media near-dup plans stay banded: no cartesian / nested-loop join " +
+      "in image, audio, or video pairing") {
+    import org.apache.spark.sql.functions.col
+    import graft.llm.Multimodal
+    val base = Multimodal.asMediaTable(
+      spark.read.parquet(s"$sfDir/documents.parquet")
+        .filter(col("doc_id") < 6), "doc_id", "text", "image", Map.empty)
+    val plans = Seq(
+      "image" -> Multimodal.imageNearDups(
+        Multimodal.reencodeAsSmoothImage(base, jpeg = false),
+        Multimodal.ImageIoDecoder),
+      "audio" -> Multimodal.audioNearDups(
+        Multimodal.reencodeAsSmoothAudio(base), Multimodal.WavDecoder),
+      "video" -> Multimodal.videoNearDups(
+        Multimodal.reencodeAsSmoothAvi(base, nFrames = 2, mjpeg = false)))
+    for ((name, df) <- plans) {
+      val plan = df.queryExecution.executedPlan.toString
+      assert(!plan.contains("CartesianProduct") && !plan.contains("NestedLoop"),
+        s"$name near-dup degenerated to all-pairs:\n$plan")
+    }
+  }
 }
