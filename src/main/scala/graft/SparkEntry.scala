@@ -2701,6 +2701,27 @@ object SparkEntry {
           max(col("max_hamming")).as("max_hamming"))
     }),
 
+    // ---- Cluster-balanced (topic-diversity) subsampling: KMeans over
+    // the embeddings table (fixed seed), an equal deterministic quota
+    // per cluster (salted-digest bottom-k within each), docs joined to
+    // their cell tag by id. The gate reports the balance property
+    // itself: every cluster contributes min(perCluster, cluster size)
+    // docs — a dominant topic cannot crowd out the tail. KMeans is not
+    // SQL-expressible → rows-only; CorpusPrepSpec pins determinism and
+    // quota exactness.
+    "q132_cluster_balanced_sample" -> ((s, dir) => {
+      val kept = graft.llm.CorpusPrep.clusterBalancedSample(
+        t(s, dir, "documents").select(col("doc_id"), col("source")), "doc_id",
+        t(s, dir, "embeddings"), "vec_id", "embedding",
+        numClusters = 8, perCluster = 20)
+      kept.groupBy(col("cluster"))
+        .agg(count(lit(1)).as("n_kept"))
+        .agg(count(lit(1)).as("n_clusters"),
+          sum(col("n_kept")).as("n_docs_kept"),
+          min(col("n_kept")).as("min_per_cluster"),
+          max(col("n_kept")).as("max_per_cluster"))
+    }),
+
     // ---- CCNet in its PRODUCTION configuration: per-source
     // head/middle/tail thirds by the KenLM-class model's score — q98's
     // bucket machinery over MODIFIED-KN (q98 buckets on the unigram

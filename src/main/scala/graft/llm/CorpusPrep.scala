@@ -897,4 +897,49 @@ object CorpusPrep {
     // collide on the 128-bit digest (they won't, but total is free)
     ranged.sortWithinPartitions(col(keyCol), id)
   }
+
+  /** CLUSTER-BALANCED (topic-diversity) subsampling: KMeans-cluster
+    * the embedding space (the IVF machinery [[Similarity.ivfBuild]]
+    * already proves out), then take an EQUAL deterministic quota per
+    * cluster — the published diversity-preserving recipe (cluster-
+    * balanced subset selection, the DataComp/SemDeDup-adjacent shape):
+    * a dominant topic can no longer crowd the tail out of a fixed
+    * token budget the way source-blind digest sampling lets it.
+    *
+    * Determinism: within a cluster, rows rank by the salted digest of
+    * their id (the E–S bottom-k idiom every sampler here uses), so the
+    * same corpus + salt + cluster model always keeps the same rows.
+    * Scale shape: KMeans fits on the (small) embedding table; docs
+    * join their cell tag by id (one equi-join shuffle); the per-cell
+    * quota is [[graft.operators.Ops.proportionSamples]] — broadcast
+    * quotas, one window partitioned by cell. For heavily skewed cells
+    * at extreme scale use the skew-safe variant's thinning first; at
+    * equal quotas per cell the window state is bounded by the largest
+    * cluster, which is exactly what the balancing exists to expose.
+    * Output keeps a `cluster` column for downstream accounting. */
+  def clusterBalancedSample(
+      docs: DataFrame,
+      idCol: String,
+      embeddings: DataFrame,
+      embIdCol: String,
+      vecCol: String,
+      numClusters: Int,
+      perCluster: Int,
+      salt: String = "clusterbal",
+      maxIter: Int = 20): DataFrame = {
+    require(numClusters > 0, s"numClusters must be positive, got $numClusters")
+    require(perCluster > 0, s"perCluster must be positive, got $perCluster")
+    val (_, tagged) = Similarity.ivfBuild(
+      embeddings.select(col(embIdCol), col(vecCol)), numClusters, vecCol,
+      maxIter = maxIter)
+    val cells = tagged.select(col(embIdCol).as(idCol), col("cell").as("cluster"))
+    val quotas = cells.select(col("cluster")).distinct()
+      .withColumn("rows_count", lit(perCluster))
+    val withCell = docs.join(cells, Seq(idCol))
+    graft.operators.Ops.proportionSamples(
+      withCell, quotas, Seq("cluster"),
+      tieBreaker = Seq(
+        graft.operators.Ops.hashDigestCol(col(idCol).cast("string"), salt),
+        col(idCol)))
+  }
 }

@@ -753,4 +753,29 @@ class AsofRangeJoinSpec extends SparkTestBase {
     assert(nb(2L).isEmpty, "null score must bucket to null")
     assert(nb(1L).contains("head"))
   }
+
+  test("clusterBalancedSample: equal deterministic quota per cluster, " +
+      "salt steers the within-cluster pick, output carries the cluster tag") {
+    import org.apache.spark.sql.functions._
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select(col("doc_id"), col("source"))
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    def run(salt: String) = CorpusPrep.clusterBalancedSample(
+      docs, "doc_id", emb, "vec_id", "embedding",
+      numClusters = 6, perCluster = 10, salt = salt)
+    val a = run("s1").collect().map(r => (r.getAs[Long]("doc_id"), r.getAs[Int]("cluster")))
+    val b = run("s1").collect().map(r => (r.getAs[Long]("doc_id"), r.getAs[Int]("cluster")))
+    assert(a.sorted.toSeq == b.sorted.toSeq, "same salt must keep the same rows")
+    // quota: every cluster with >= 10 members contributes exactly 10,
+    // smaller clusters contribute all their members
+    val sizes = run("s1").groupBy("cluster").count()
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(sizes.values.forall(_ <= 10), s"quota exceeded: $sizes")
+    // with 500 docs over 6 clusters, every cluster holds >= 10 members
+    assert(sizes.size == 6 && sizes.values.forall(_ == 10L),
+      s"every cluster must fill its quota on this corpus: $sizes")
+    // a different salt picks a different within-cluster subset
+    val c = run("s2").collect().map(_.getAs[Long]("doc_id")).toSet
+    assert(c != a.map(_._1).toSet, "salt must steer the within-cluster pick")
+  }
 }

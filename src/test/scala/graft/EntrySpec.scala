@@ -182,6 +182,14 @@ class EntrySpec extends SparkTestBase {
     assert(p.getAs[Long]("min_frames_matched") == 3L)
   }
 
+  test("q132: cluster-balanced sample fills every cluster's quota, never exceeds it") {
+    val r = SparkEntry.queries("q132_cluster_balanced_sample")(spark, sfDir).head()
+    assert(r.getAs[Long]("n_clusters") == 8L)
+    assert(r.getAs[Long]("max_per_cluster") <= 20L, "quota must never be exceeded")
+    assert(r.getAs[Long]("min_per_cluster") >= 1L, "every cluster contributes")
+    assert(r.getAs[Long]("n_docs_kept") <= 160L)
+  }
+
   test("q62: vector signature tier drops every rescaled echo, keeps fresh rows") {
     val rows = SparkEntry.queries("q62_incremental_vector_dedup")(spark, sfDir)
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
