@@ -2660,6 +2660,79 @@ object Indexer {
   }
 }
 
+/** `mediadedup` (north-star, no reference counterpart): perceptual
+  * near-duplicate detection and removal over a MEDIA table — the
+  * operational surface of the modality fingerprint stack
+  * ([[graft.llm.Multimodal]]: image dHash, audio spectral hash,
+  * frame-aligned video dHash), all riding the shared banded near-dup
+  * engine (never all-pairs).
+  *
+  * Config under `media-dedup { }`:
+  *  - `source { }` — the media table (asset_id/content/meta layout;
+  *    `id-column`/`content-column`/`meta-column` rename);
+  *  - `modality = image | audio | video` (required — selects the
+  *    decoder: javax.imageio, javax.sound, or the RIFF/AVI parser);
+  *  - `max-hamming` (default 3; video default 5), `bands` (default 4;
+  *    video 8), `max-bucket-size` (default 10000), and for video
+  *    `min-frames` (default 2) + `every-n` frame sampling (default 1);
+  *  - `pairs-dir` — the near-dup pair report (always written when set:
+  *    operators need the evidence before trusting the drop);
+  *  - `mode = report | filter` (default report): `filter` collapses
+  *    each transitive near-dup cluster ([[graft.llm.Dedup
+  *    .connectedComponents]]) to its MINIMUM id and writes the
+  *    surviving rows to `target { }` — the curation semantics every
+  *    text dedup tier here uses. */
+object MediaDedup {
+  def main(args: Array[String]): Unit = Cli.run("mediadedup", args) { (conf, spark) =>
+    import org.apache.spark.sql.functions._
+    import graft.llm.{Dedup, Multimodal}
+    val c = conf.at("media-dedup")
+    val media = graft.sources.DataIO.read(spark, c.at("source"))
+    val idCol = c.getString("id-column").getOrElse("asset_id")
+    val contentCol = c.getString("content-column").getOrElse("content")
+    val metaCol = c.getString("meta-column").getOrElse("meta")
+    val modality = c.string("modality")
+    val bands = c.getInt("bands").getOrElse(if (modality == "video") 8 else 4)
+    val maxHamming = c.getInt("max-hamming")
+      .getOrElse(if (modality == "video") 5 else 3)
+    val maxBucket = c.getInt("max-bucket-size").getOrElse(10000)
+    // pairs normalized to (id1, id2, score) across modalities: score =
+    // hamming for image/audio, n_frames_matched for video
+    val pairs = (modality match {
+      case "image" => Multimodal.imageNearDups(media, Multimodal.ImageIoDecoder,
+          idCol, contentCol, metaCol, maxHamming, bands, maxBucket)
+        .withColumnRenamed("hamming", "score")
+      case "audio" => Multimodal.audioNearDups(media, Multimodal.WavDecoder,
+          idCol, contentCol, metaCol, maxHamming, bands, maxBucket)
+        .withColumnRenamed("hamming", "score")
+      case "video" => Multimodal.videoNearDups(media,
+          c.getInt("every-n").getOrElse(1), c.getInt("min-frames").getOrElse(2),
+          idCol, contentCol, metaCol, maxHamming, bands, maxBucket)
+        .select(col("id1"), col("id2"), col("n_frames_matched").as("score"))
+      case other => throw new IllegalArgumentException(
+        s"media-dedup.modality must be image | audio | video, got '$other'")
+    }).persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val nPairs = pairs.count()
+      Cli.log(s"$modality near-dup pairs within hamming $maxHamming: $nPairs")
+      c.getString("pairs-dir").foreach { d =>
+        pairs.write.mode("overwrite").parquet(d)
+        Cli.log(s"pair report -> $d")
+      }
+      if (c.getString("mode").getOrElse("report") == "filter") {
+        // transitive clusters -> keep the minimum id of each component
+        val drops = Dedup.connectedComponents(pairs)
+          .filter(col("id") =!= col("label"))
+          .select(col("id").as(idCol))
+        val survivors = media.join(drops, Seq(idCol), "left_anti")
+        graft.sources.DataIO.write(survivors, c.at("target"))
+        val kept = graft.sources.DataIO.read(spark, c.at("target")).count()
+        Cli.log(s"filter mode: ${media.count()} assets -> $kept survivors")
+      }
+    } finally { pairs.unpersist(); () }
+  }
+}
+
 /** `differ` (reference `datadiff.py` as an operational CLI): config-
   * driven distribution-drift check between two datasets — the nightly
   * "has the corpus/feature distribution moved" gate, with a report

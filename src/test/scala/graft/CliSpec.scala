@@ -3660,4 +3660,53 @@ class CliSpec extends SparkTestBase {
     assert(scores.columns.toSeq == Seq("model_name", "current_dt", "o_orderkey", "pred"))
     assert(scores.select("model_name").head().getString(0) == "doubler")
   }
+
+  test("mediadedup: report mode writes the pair evidence; filter mode collapses " +
+      "each near-dup cluster to its minimum id; bad modality rejected") {
+    import org.apache.spark.sql.functions.col
+    import graft.llm.Multimodal
+    val base = tmp()
+    // media table: 20 smooth plates as PNGs + JPEG twins of every 4th
+    // under id+100000 (5 clusters of 2)
+    val seedTable = Multimodal.asMediaTable(
+      spark.read.parquet(s"$sfDir/documents.parquet").filter(col("doc_id") < 20),
+      "doc_id", "text", "image", Map.empty)
+    val png = Multimodal.reencodeAsSmoothImage(seedTable, jpeg = false)
+    val twins = Multimodal.reencodeAsSmoothImage(
+      seedTable.filter(col("asset_id") % 4 === 0), jpeg = true)
+      .withColumn("asset_id", col("asset_id") + 100000)
+    val src = base.resolve("media").toString
+    png.unionByName(twins).write.parquet(src)
+    val out = base.resolve("deduped").toString
+    val pairsDir = base.resolve("pairs").toString
+    def conf(mode: String, modality: String = "image") = write(
+      base.resolve(s"md_$mode$modality.conf"),
+      s"""media-dedup {
+         |  source { storage-type = local, dataset-dir = $src }
+         |  target { storage-type = local, dataset-dir = $out, dataset-store-format = parquet, write-mode = overwrite }
+         |  modality = $modality
+         |  mode = $mode
+         |  pairs-dir = $pairsDir
+         |}
+         |""".stripMargin)
+    // report mode: pairs written, nothing filtered
+    graft.cli.MediaDedup.main(Array("--conf", conf("report")))
+    val pairs = spark.read.parquet(pairsDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    assert(pairs.length == 5 && pairs.forall(p => p._2 - p._1 == 100000),
+      s"want exactly the 5 planted twins: ${pairs.toSeq}")
+    assert(!new java.io.File(out).exists(), "report mode must not write a target")
+    // filter mode: each 2-asset cluster keeps its minimum id
+    graft.cli.MediaDedup.main(Array("--conf", conf("filter")))
+    val kept = spark.read.parquet(out).select("asset_id")
+      .collect().map(_.getLong(0)).toSet
+    assert(kept.size == 20, s"25 assets -> 20 survivors, got ${kept.size}")
+    assert(kept == (0L until 20L).toSet,
+      s"every cluster keeps its MINIMUM id (the PNG original): $kept")
+    // modality validation
+    val e = intercept[IllegalArgumentException] {
+      graft.cli.MediaDedup.main(Array("--conf", conf("report", "hologram")))
+    }
+    assert(e.getMessage.contains("modality"), e.getMessage)
+  }
 }
