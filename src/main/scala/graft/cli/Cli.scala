@@ -2681,7 +2681,16 @@ object Indexer {
   *    each transitive near-dup cluster ([[graft.llm.Dedup
   *    .connectedComponents]]) to its MINIMUM id and writes the
   *    surviving rows to `target { }` — the curation semantics every
-  *    text dedup tier here uses. */
+  *    text dedup tier here uses;
+  *  - INCREMENTAL mode (the daily-arrivals shape): `state-dir` points
+  *    at a previous run's `state-out-dir` — batch assets near a STORED
+  *    fingerprint drop too, and `state-out-dir` receives old state ∪
+  *    the survivors' own fingerprints for the next increment
+  *    (alternate A/B dirs between runs). The state carries a
+  *    modality + band-geometry fingerprint line; a drifted lineage is
+  *    rejected loudly, never silently under-matched. Signatures are
+  *    computed in ONE decode pass and all joins are sig-level — the
+  *    stored corpus is never re-decoded. */
 object MediaDedup {
   def main(args: Array[String]): Unit = Cli.run("mediadedup", args) { (conf, spark) =>
     import org.apache.spark.sql.functions._
@@ -2696,41 +2705,103 @@ object MediaDedup {
     val maxHamming = c.getInt("max-hamming")
       .getOrElse(if (modality == "video") 5 else 3)
     val maxBucket = c.getInt("max-bucket-size").getOrElse(10000)
-    // pairs normalized to (id1, id2, score) across modalities: score =
-    // hamming for image/audio, n_frames_matched for video
-    val pairs = (modality match {
-      case "image" => Multimodal.imageNearDups(media, Multimodal.ImageIoDecoder,
-          idCol, contentCol, metaCol, maxHamming, bands, maxBucket)
-        .withColumnRenamed("hamming", "score")
-      case "audio" => Multimodal.audioNearDups(media, Multimodal.WavDecoder,
-          idCol, contentCol, metaCol, maxHamming, bands, maxBucket)
-        .withColumnRenamed("hamming", "score")
-      case "video" => Multimodal.videoNearDups(media,
-          c.getInt("every-n").getOrElse(1), c.getInt("min-frames").getOrElse(2),
-          idCol, contentCol, metaCol, maxHamming, bands, maxBucket)
-        .select(col("id1"), col("id2"), col("n_frames_matched").as("score"))
-      case other => throw new IllegalArgumentException(
-        s"media-dedup.modality must be image | audio | video, got '$other'")
+    val minFrames = c.getInt("min-frames").getOrElse(2)
+    require(Set("image", "audio", "video")(modality),
+      s"media-dedup.modality must be image | audio | video, got '$modality'")
+    // validate any incoming state's modality/geometry fingerprint UP
+    // FRONT — a drifted lineage must fail before a single asset is
+    // decoded, not after the batch paid the decode pass
+    val stateFp = s"$modality|bands=$bands|maxHamming=$maxHamming"
+    c.getString("state-dir").foreach { d =>
+      val fpPath = new org.apache.hadoop.fs.Path(d, "fingerprint")
+      val fs = fpPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val in = fs.open(fpPath)
+      val stored = try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
+        finally in.close()
+      require(stored == stateFp,
+        s"media-dedup state at $d was built as '$stored' but this run is " +
+          s"'$stateFp' — fingerprints are not comparable across modalities " +
+          "or band geometries; rebuild the state")
+    }
+    // ONE decode pass builds the signatures; every join below is
+    // sig-level (and the persisted state never re-decodes the corpus)
+    val batchSigs = (modality match {
+      case "image" => Multimodal.perceptualHashes(media,
+        Multimodal.ImageIoDecoder, idCol, contentCol, metaCol)
+      case "audio" => Multimodal.audioHashes(media,
+        Multimodal.WavDecoder, idCol, contentCol, metaCol)
+      case "video" => Multimodal.videoFrameHashes(media,
+        c.getInt("every-n").getOrElse(1), idCol, contentCol, metaCol)
     }).persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
+      // in-batch pairs, normalized to (id1, id2, score): score = hamming
+      // for image/audio, n_frames_matched for video
+      val pairs =
+        if (modality == "video")
+          Multimodal.videoNearDupsFromSigs(batchSigs, minFrames, maxHamming,
+              bands, maxBucket)
+            .select(col("id1"), col("id2"), col("n_frames_matched").as("score"))
+        else Dedup.sigNearDups(batchSigs, maxHamming, bands, maxBucket)
+          .withColumnRenamed("hamming", "score")
       val nPairs = pairs.count()
-      Cli.log(s"$modality near-dup pairs within hamming $maxHamming: $nPairs")
+      Cli.log(s"$modality in-batch near-dup pairs: $nPairs")
       c.getString("pairs-dir").foreach { d =>
         pairs.write.mode("overwrite").parquet(d)
         Cli.log(s"pair report -> $d")
       }
-      if (c.getString("mode").getOrElse("report") == "filter") {
-        // transitive clusters -> keep the minimum id of each component
-        val drops = Dedup.connectedComponents(pairs)
-          .filter(col("id") =!= col("label"))
-          .select(col("id").as(idCol))
-        val survivors = media.join(drops, Seq(idCol), "left_anti")
-        graft.sources.DataIO.write(survivors, c.at("target"))
-        val kept = graft.sources.DataIO.read(spark, c.at("target")).count()
-        Cli.log(s"filter mode: ${media.count()} assets -> $kept survivors")
+      // INCREMENTAL tier (`state-dir` = a previous run's
+      // `state-out-dir`): batch assets near a STORED fingerprint drop
+      // too — the daily-arrivals shape; the state carries its modality
+      // and a fingerprint-geometry line so a drifted lineage is
+      // rejected loudly, never silently under-matched
+      val vsCorpusDrops = c.getString("state-dir").map { d =>
+        val corpusSigs = spark.read.parquet(s"$d/sigs")
+        val hits =
+          if (modality == "video")
+            Multimodal.videoNearDupsAgainst(batchSigs, corpusSigs, minFrames,
+              maxHamming, bands, maxBucket)
+          else Dedup.sigNearDupsAgainst(batchSigs, corpusSigs, maxHamming,
+            bands, maxBucket)
+        hits.select(col("batch_id")).distinct()
       }
-    } finally { pairs.unpersist(); () }
+      val filtered = c.getString("mode").getOrElse("report") == "filter"
+      if (filtered || c.getString("state-out-dir").isDefined) {
+        // transitive in-batch clusters -> keep each component's MINIMUM
+        // id; then anything near the stored corpus drops as well
+        val ccDrops = Dedup.connectedComponents(pairs)
+          .filter(col("id") =!= col("label")).select(col("id"))
+        val drops = vsCorpusDrops.fold(ccDrops)(v =>
+          ccDrops.unionByName(v.toDF("id"))).distinct()
+          .withColumnRenamed("id", idCol)
+        val survivors = media.join(broadcastIfSmall(drops), Seq(idCol), "left_anti")
+        if (filtered) {
+          graft.sources.DataIO.write(survivors, c.at("target"))
+          val kept = graft.sources.DataIO.read(spark, c.at("target")).count()
+          Cli.log(s"filter mode: ${media.count()} assets -> $kept survivors")
+        }
+        // state-out = old state (if any) UNION the survivors' own
+        // fingerprints — the next increment compares against both
+        c.getString("state-out-dir").foreach { outDir =>
+          val survivorSigs = batchSigs.join(
+            survivors.select(col(idCol).as("id")), Seq("id"), "left_semi")
+          val outSigs = c.getString("state-dir")
+            .map(d => spark.read.parquet(s"$d/sigs").unionByName(survivorSigs))
+            .getOrElse(survivorSigs)
+          outSigs.write.mode("overwrite").parquet(s"$outDir/sigs")
+          val fpPath = new org.apache.hadoop.fs.Path(outDir, "fingerprint")
+          val fs = fpPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+          val out = fs.create(fpPath, true)
+          try out.write(stateFp.getBytes("UTF-8")) finally out.close()
+          Cli.log(s"fingerprint state -> $outDir")
+        }
+      }
+    } finally { batchSigs.unpersist(); () }
   }
+
+  /** Drop lists are tiny relative to the corpus; hint the broadcast so
+    * the anti-join never shuffles the media table. */
+  private def broadcastIfSmall(df: org.apache.spark.sql.DataFrame) =
+    org.apache.spark.sql.functions.broadcast(df)
 }
 
 /** `differ` (reference `datadiff.py` as an operational CLI): config-

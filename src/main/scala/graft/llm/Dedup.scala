@@ -326,6 +326,22 @@ object Dedup {
       maxBucketSize, corpusHotBuckets)
   }
 
+  /** Batch-vs-corpus near-dup over ANY 64-bit signature frames — the
+    * incremental counterpart of [[sigNearDups]], shared by the text,
+    * image, and audio tiers (same pigeonhole contract). */
+  def sigNearDupsAgainst(
+      batchSigs: DataFrame,
+      corpusSigs: DataFrame,
+      maxHamming: Int = 3,
+      bands: Int = 4,
+      maxBucketSize: Int = 10000,
+      corpusHotBuckets: Option[DataFrame] = None): DataFrame = {
+    require(maxHamming < bands,
+      s"pigeonhole needs maxHamming < bands ($maxHamming >= $bands misses pairs)")
+    bandedSignaturesAgainst(batchSigs, corpusSigs, maxHamming, bands,
+      maxBucketSize, corpusHotBuckets)
+  }
+
   /** The banded batch-vs-corpus join core, signature-agnostic: any
     * `(id, sig)` 64-bit signature frames band the same way (text
     * SimHash here, vector SRP in [[Similarity]]). No pigeonhole check —

@@ -987,8 +987,20 @@ object Multimodal {
       metaCol: String = "meta",
       maxHamming: Int = 3,
       bands: Int = 4,
+      maxBucketSize: Int = 10000): DataFrame =
+    videoNearDupsFromSigs(videoFrameHashes(df, everyN, idCol, contentCol, metaCol),
+      minFrames, maxHamming, bands, maxBucketSize)
+
+  /** [[videoNearDups]] over an already-computed `(id, frame_idx, sig)`
+    * frame — the sig-level core the incremental tier reuses (persisted
+    * frame-hash state never re-decodes the corpus). */
+  def videoNearDupsFromSigs(
+      frameSigs: DataFrame,
+      minFrames: Int = 2,
+      maxHamming: Int = 3,
+      bands: Int = 4,
       maxBucketSize: Int = 10000): DataFrame = {
-    val sigs = videoFrameHashes(df, everyN, idCol, contentCol, metaCol)
+    val sigs = frameSigs
       .select(struct(col("id").as("vid"), col("frame_idx").as("f")).as("id"),
         col("sig"))
     val banded = graft.llm.Dedup.dropHotBuckets(
@@ -1004,6 +1016,37 @@ object Multimodal {
       .filter(col("hamming") <= maxHamming)
       .distinct()
       .groupBy(col("id1"), col("id2"))
+      .agg(count(lit(1)).as("n_frames_matched"),
+        max(col("hamming")).as("max_hamming"))
+      .filter(col("n_frames_matched") >= minFrames)
+  }
+
+  /** Batch-vs-corpus VIDEO near-dup over `(id, frame_idx, sig)` frames
+    * — the frame-aligned incremental tier: a batch clip pairs with a
+    * stored corpus clip when ≥ `minFrames` SAME-INDEX frames land
+    * within `maxHamming` bits. Returns
+    * `(batch_id, corpus_id, n_frames_matched, max_hamming)`. */
+  def videoNearDupsAgainst(
+      batchFrameSigs: DataFrame,
+      corpusFrameSigs: DataFrame,
+      minFrames: Int = 2,
+      maxHamming: Int = 3,
+      bands: Int = 4,
+      maxBucketSize: Int = 10000): DataFrame = {
+    def prep(df: DataFrame) = graft.llm.Dedup.dropHotBuckets(
+      graft.llm.Dedup.bandSignatures(
+        df.select(struct(col("id").as("vid"), col("frame_idx").as("f")).as("id"),
+          col("sig")), bands), maxBucketSize)
+    val b = prep(batchFrameSigs).select(col("band"), col("bits"),
+      col("id.vid").as("batch_id"), col("id.f").as("f"), col("sig").as("sig1"))
+    val c = prep(corpusFrameSigs).select(col("band"), col("bits"),
+      col("id.vid").as("corpus_id"), col("id.f").as("f"), col("sig").as("sig2"))
+    b.join(c, Seq("band", "bits", "f"))
+      .select(col("batch_id"), col("corpus_id"), col("f"),
+        graft.llm.Dedup.hamming(col("sig1"), col("sig2")).as("hamming"))
+      .filter(col("hamming") <= maxHamming)
+      .distinct()
+      .groupBy(col("batch_id"), col("corpus_id"))
       .agg(count(lit(1)).as("n_frames_matched"),
         max(col("hamming")).as("max_hamming"))
       .filter(col("n_frames_matched") >= minFrames)

@@ -3708,5 +3708,47 @@ class CliSpec extends SparkTestBase {
       graft.cli.MediaDedup.main(Array("--conf", conf("report", "hologram")))
     }
     assert(e.getMessage.contains("modality"), e.getMessage)
+    // INCREMENTAL: run 1 filters and writes fingerprint state; run 2
+    // feeds the SAME corpus against it -> every asset is near a stored
+    // fingerprint and drops (the text-tier incremental contract)
+    val st1 = base.resolve("mdstate1").toString
+    val out2 = base.resolve("dedup2").toString
+    def confInc(n: Int, stateIn: Option[String], stateOut: String, outDir: String) =
+      write(base.resolve(s"md_inc$n.conf"),
+        s"""media-dedup {
+           |  source { storage-type = local, dataset-dir = $src }
+           |  target { storage-type = local, dataset-dir = $outDir, dataset-store-format = parquet, write-mode = overwrite }
+           |  modality = image
+           |  mode = filter
+           |${stateIn.map(d => s"  state-dir = $d").getOrElse("")}
+           |  state-out-dir = $stateOut
+           |}
+           |""".stripMargin)
+    graft.cli.MediaDedup.main(Array("--conf",
+      confInc(1, None, st1, base.resolve("dedup1").toString)))
+    assert(new java.io.File(s"$st1/sigs").exists() &&
+      new java.io.File(s"$st1/fingerprint").exists())
+    // state holds exactly the 20 survivors' fingerprints
+    assert(spark.read.parquet(s"$st1/sigs").count() == 20)
+    graft.cli.MediaDedup.main(Array("--conf",
+      confInc(2, Some(st1), base.resolve("mdstate2").toString, out2)))
+    assert(spark.read.parquet(out2).count() == 0,
+      "re-feeding the same corpus against its own state must drop everything")
+    // fingerprint-geometry drift is rejected loudly
+    val badState = write(base.resolve(s"md_drift.conf"),
+      s"""media-dedup {
+         |  source { storage-type = local, dataset-dir = $src }
+         |  target { storage-type = local, dataset-dir = ${base.resolve("nope_md")}, dataset-store-format = parquet, write-mode = overwrite }
+         |  modality = audio
+         |  mode = filter
+         |  state-dir = $st1
+         |}
+         |""".stripMargin)
+    val de = intercept[Throwable] {
+      graft.cli.MediaDedup.main(Array("--conf", badState))
+    }
+    val msgs = Iterator.iterate(de)(_.getCause).takeWhile(_ != null)
+      .map(t => Option(t.getMessage).getOrElse("")).mkString(" | ")
+    assert(msgs.contains("not comparable"), msgs)
   }
 }
