@@ -312,6 +312,9 @@ object GraftFunctions {
   def byteUnicodeMap(c: Column): Column =
     ColumnBridge.column(ByteUnicodeMap(ColumnBridge.expression(c)))
 
+  def mediaHash(c: Column, modality: String): Column =
+    ColumnBridge.column(MediaHash(ColumnBridge.expression(c), modality))
+
   def bpeByteChunks(c: Column, mergesPath: String, budget: Int, overlap: Int): Column =
     ColumnBridge.column(BpeByteChunks(ColumnBridge.expression(c), mergesPath,
       budget, overlap))
@@ -643,6 +646,17 @@ object GraftFunctions {
           case s: UTF8String => BpeByteDecode(es.head, s.toString)
           case other => throw new IllegalArgumentException(
             s"graft_bpe_byte_decode vocab path must be a string literal, got $other")
+        }
+      }),
+    ("graft_media_hash",
+      new ExpressionInfo(classOf[MediaHash].getName, "graft_media_hash"),
+      (es: Seq[Expression]) => {
+        require(es.length == 2, s"graft_media_hash takes 2 arguments, got ${es.length}")
+        require(es(1).foldable, "graft_media_hash modality must be a literal")
+        es(1).eval() match {
+          case s: UTF8String => MediaHash(es.head, s.toString)
+          case other => throw new IllegalArgumentException(
+            s"graft_media_hash modality must be a string literal, got $other")
         }
       }),
     ("graft_bpe_byte_count",

@@ -368,6 +368,40 @@ object Streams {
       graft.llm.Similarity.defaultMaxHamming(minCosine), bands,
       maxBucketSize, corpusHotBuckets, timeCol, watermarkDelay)
 
+  /** Media counterpart of [[dropNearSeenStream]]: drop arriving IMAGE
+    * or AUDIO assets whose perceptual fingerprint
+    * (`graft_media_hash` — dHash / the spectral hash, decode + hash in
+    * one column call) lands within `maxHamming` bits of the persisted
+    * corpus state (a `MediaDedup` run's `state-out-dir/sigs`) — the
+    * streaming arrival path of the MediaDedup incremental tier. Same
+    * stateless stream-static shape as the text/vector forms: band bits
+    * live on the stream row, each band left-anti-joins a broadcastable
+    * slice of the STATIC state, no stream-side aggregation or shuffle
+    * state beyond the watermarked in-stream fingerprint dedup. Video
+    * is a frame-exploding path and stays on the batch increment. The
+    * state must come from the SAME modality and band geometry
+    * (MediaDedup's fingerprint line guards the batch side; here the
+    * caller owns it — mixed-geometry signatures have ~random Hamming
+    * distances and every near-dup sails through). */
+  def dropNearSeenMediaStream(
+      stream: DataFrame,
+      corpusSigs: DataFrame,
+      modality: String,
+      contentCol: String = "content",
+      maxHamming: Int = 3,
+      bands: Int = 4,
+      maxBucketSize: Int = 10000,
+      corpusHotBuckets: Option[DataFrame] = None,
+      timeCol: String = "ts",
+      watermarkDelay: String = "2 hours"): DataFrame = {
+    require(maxHamming < bands,
+      s"pigeonhole needs maxHamming < bands ($maxHamming >= $bands misses pairs)")
+    dropNearSigStream(stream,
+      graft.functions.GraftFunctions.mediaHash(col(contentCol), modality),
+      corpusSigs, maxHamming, bands, maxBucketSize, corpusHotBuckets,
+      timeCol, watermarkDelay)
+  }
+
   /** Shared signature-agnostic core of the two near-dup streams. */
   private def dropNearSigStream(
       stream: DataFrame,

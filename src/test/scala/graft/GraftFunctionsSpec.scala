@@ -133,4 +133,37 @@ class GraftFunctionsSpec extends SparkTestBase {
     // 1-arg hist form (default centroids) parses too
     assert(spark.sql("SELECT graft_hist_sketch(x) FROM __hs_t").head().getSeq[Any](0).size == 3)
   }
+
+  test("graft_media_hash: column form matches the batched hashers; SQL form; guards") {
+    import spark.implicits._
+    import graft.llm.Multimodal
+    val rows = Seq(
+      (1L, Multimodal.encodePng(Multimodal.smoothImage(5L)), Multimodal.encodeWav(Multimodal.smoothAudio(5L))),
+      (2L, Multimodal.encodePng(Multimodal.smoothImage(6L)), Multimodal.encodeWav(Multimodal.smoothAudio(6L))))
+      .toDF("id", "img", "wav")
+    val got = rows.select(col("id"),
+        GraftFunctions.mediaHash(col("img"), "image").as("ih"),
+        GraftFunctions.mediaHash(col("wav"), "audio").as("ah"))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    // parity with the library hashers on the same decoded bytes
+    for (seed <- Seq(5L, 6L)) {
+      val wantI = Multimodal.dHash64(Multimodal.ImageIoDecoder.decode(
+        Multimodal.encodePng(Multimodal.smoothImage(seed)), Map.empty))
+      val wantA = Multimodal.audioHash64(Multimodal.WavDecoder.decode(
+        Multimodal.encodeWav(Multimodal.smoothAudio(seed)), Map.empty))
+      assert(got(seed - 4) == ((wantI, wantA)))
+    }
+    // SQL registration path
+    GraftFunctions.register(spark)
+    rows.createOrReplaceTempView("mh_assets")
+    val viaSql = spark.sql(
+      "SELECT graft_media_hash(img, 'image') AS ih FROM mh_assets WHERE id = 1")
+      .head().getLong(0)
+    assert(viaSql == got(1L)._1)
+    // guards: bad modality, wrong input type
+    intercept[IllegalArgumentException](GraftFunctions.mediaHash(col("img"), "video"))
+    intercept[org.apache.spark.sql.AnalysisException] {
+      rows.select(GraftFunctions.mediaHash(col("id"), "image")).collect()
+    }
+  }
 }

@@ -437,6 +437,40 @@ class StreamsSpec extends SparkTestBase {
     assert(batch == got, s"batch $batch vs stream $got")
   }
 
+  test("dropNearSeenMediaStream: re-encoded corpus image dropped in-stream; " +
+      "fresh assets kept; batch parity") {
+    import spark.implicits._
+    import graft.llm.Multimodal
+    val dir = s"${java.nio.file.Files.createTempDirectory("stream_mediadup")}/assets"
+    val h = 3600L * 1000 * 1000 // us
+    // corpus state: dHash fingerprints of two PNG plates (seeds 1, 2) —
+    // what a MediaDedup run persists to state-out-dir/sigs
+    val corpus = Seq(
+      (100L, Multimodal.encodePng(Multimodal.smoothImage(1L))),
+      (101L, Multimodal.encodePng(Multimodal.smoothImage(2L)))).toDF("id", "content")
+    val sigs = corpus.select(col("id"),
+      graft.functions.GraftFunctions.mediaHash(col("content"), "image").as("sig"))
+    // stream: a JPEG re-encode of corpus plate 1 (near, must drop) plus
+    // two fresh plates
+    Seq(
+      (1L, Multimodal.Avi.encodeJpegFrame(Multimodal.smoothImage(7L)), 1 * h),
+      (2L, Multimodal.Avi.encodeJpegFrame(Multimodal.smoothImage(1L)), 2 * h), // echo
+      (3L, Multimodal.encodePng(Multimodal.smoothImage(8L)), 3 * h)
+    ).toDF("asset_id", "content", "ts")
+      .withColumn("ts", timestamp_micros(col("ts"))).write.parquet(dir)
+    val stream = Streams.dropNearSeenMediaStream(
+      spark.readStream.schema(spark.read.parquet(dir).schema).parquet(dir),
+      sigs, "image")
+    // stateless contract: no aggregation/join state on the stream side
+    // beyond the watermarked in-stream dedup
+    val got = Streams.runToMemory(stream, "stream_mediadup", OutputMode.Append())
+      .select("asset_id").as[Long].collect().toSet
+    assert(got == Set(1L, 3L), s"expected fresh {1,3}, got: $got")
+    val batch = Streams.dropNearSeenMediaStream(spark.read.parquet(dir), sigs, "image")
+      .select("asset_id").as[Long].collect().toSet
+    assert(batch == got, s"batch $batch vs stream $got")
+  }
+
   test("userRunningStats keeps per-key state across the stream") {
     val stream = Streams.userRunningStats(
       Streams.readEventStream(spark, eventsDir, "events.parquet"))
