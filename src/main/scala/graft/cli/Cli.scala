@@ -2712,6 +2712,11 @@ object MediaDedup {
     // FRONT — a drifted lineage must fail before a single asset is
     // decoded, not after the batch paid the decode pass
     val stateFp = s"$modality|bands=$bands|maxHamming=$maxHamming"
+    require(c.getString("state-dir").isEmpty ||
+        c.getString("state-dir") != c.getString("state-out-dir"),
+      "media-dedup.state-out-dir must differ from state-dir (alternate A/B " +
+        "dirs between runs — overwriting the state while reading it corrupts " +
+        "the lineage)")
     c.getString("state-dir").foreach { d =>
       val fpPath = new org.apache.hadoop.fs.Path(d, "fingerprint")
       val fs = fpPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -2773,7 +2778,11 @@ object MediaDedup {
         val drops = vsCorpusDrops.fold(ccDrops)(v =>
           ccDrops.unionByName(v.toDF("id"))).distinct()
           .withColumnRenamed("id", idCol)
-        val survivors = media.join(broadcastIfSmall(drops), Seq(idCol), "left_anti")
+        // plain left-anti: the drop list is usually tiny (AQE converts
+        // it to a broadcast join at runtime), but it CAN be a large
+        // fraction of a huge batch — never force a driver-side
+        // broadcast of it
+        val survivors = media.join(drops, Seq(idCol), "left_anti")
         if (filtered) {
           graft.sources.DataIO.write(survivors, c.at("target"))
           val kept = graft.sources.DataIO.read(spark, c.at("target")).count()
@@ -2798,10 +2807,6 @@ object MediaDedup {
     } finally { batchSigs.unpersist(); () }
   }
 
-  /** Drop lists are tiny relative to the corpus; hint the broadcast so
-    * the anti-join never shuffles the media table. */
-  private def broadcastIfSmall(df: org.apache.spark.sql.DataFrame) =
-    org.apache.spark.sql.functions.broadcast(df)
 }
 
 /** `differ` (reference `datadiff.py` as an operational CLI): config-

@@ -1000,6 +1000,8 @@ object Multimodal {
       maxHamming: Int = 3,
       bands: Int = 4,
       maxBucketSize: Int = 10000): DataFrame = {
+    require(maxHamming < bands,
+      s"pigeonhole needs maxHamming < bands ($maxHamming >= $bands misses pairs)")
     val sigs = frameSigs
       .select(struct(col("id").as("vid"), col("frame_idx").as("f")).as("id"),
         col("sig"))
@@ -1033,6 +1035,8 @@ object Multimodal {
       maxHamming: Int = 3,
       bands: Int = 4,
       maxBucketSize: Int = 10000): DataFrame = {
+    require(maxHamming < bands,
+      s"pigeonhole needs maxHamming < bands ($maxHamming >= $bands misses pairs)")
     def prep(df: DataFrame) = graft.llm.Dedup.dropHotBuckets(
       graft.llm.Dedup.bandSignatures(
         df.select(struct(col("id").as("vid"), col("frame_idx").as("f")).as("id"),
