@@ -23,8 +23,9 @@ object PerfProbe {
     case Some("9") => probe9(args.drop(1))
     case Some("10") => probe10(args.drop(1))
     case Some("11") => probe11(args.drop(1))
+    case Some("12") => probe12(args.drop(1))
     case other => sys.error(
-      s"usage: runMain graft.tools.PerfProbe <1-11> [probe args]; got $other")
+      s"usage: runMain graft.tools.PerfProbe <1-12> [probe args]; got $other")
   }
 
   /** Throwaway-style perf probe for round-5 tuning experiments (kept in
@@ -670,5 +671,38 @@ object PerfProbe {
     val cross = for (a <- seeds; b <- seeds if a < b) yield ham(wavH(a), wavH(b))
     println(s"cross-seed min=${cross.min} avg=${cross.sum / cross.size.toDouble} " +
       s"n_le6=${cross.count(_ <= 6)} n_le3=${cross.count(_ <= 3)}")
+  }
+
+  /** Round-11 banded-join scale probe: `Dedup.sigNearDups` over 1M
+    * synthetic 64-bit fingerprints (split-mixed ids -> uniform hashes,
+    * plus 10k planted twins at Hamming <= 2), timed at local[32] —
+    * the media near-dup join shape at corpus scale, decode excluded
+    * (hashing is embarrassingly parallel scan work; the join is the
+    * part whose scale behavior needs evidence). */
+  private def probe12(args: Array[String]): Unit = {
+    val spark = Local.session(sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
+    import spark.implicits._
+    val n = args.headOption.map(_.toInt).getOrElse(1 << 20)
+    def mix(x: Long): Long = {
+      var z = x + 0x9E3779B97F4A7C15L
+      z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+      z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+      z ^ (z >>> 31)
+    }
+    val base = spark.range(n).map(i => (i, mix(i))).toDF("id", "sig")
+    // 10k twins: flip 2 low bits of the source's sig under id+n
+    val twins = spark.range(10000).map { i =>
+      (i + n, mix(i * 97L % n) ^ 3L)
+    }.toDF("id", "sig")
+    val sigs = base.unionByName(twins)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    println(s"[probe12] sigs: ${sigs.count()}")
+    val t0 = System.nanoTime()
+    val pairs = graft.llm.Dedup.sigNearDups(sigs, maxHamming = 3, bands = 4)
+    val found = pairs.count()
+    println(f"[probe12] pairs=$found in ${(System.nanoTime() - t0) / 1e9}%.2f s " +
+      s"(expect ~10k planted + uniform-collision noise)")
+    sigs.unpersist()
+    spark.stop()
   }
 }

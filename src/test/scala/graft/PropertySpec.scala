@@ -361,4 +361,46 @@ class PropertySpec extends SparkTestBase {
       assert(got.size <= k)
     }
   }
+
+  test("dHash64 invariance laws: brightness scale/offset preserve every bit; " +
+      "determinism; inversion flips gradient bits") {
+    import graft.llm.Multimodal._
+    val imgs: Gen[Decoded] = for {
+      w <- Gen.chooseNum(9, 40)
+      h <- Gen.chooseNum(8, 40)
+      px <- Gen.listOfN(w * h * 3, Gen.chooseNum(0.05f, 0.95f))
+    } yield Decoded(w, h, 3, px.toArray)
+    samples(imgs, 25).foreach { img =>
+      val base = dHash64(img)
+      // positive affine transforms preserve gray-value ORDER, and dHash
+      // is gradient-sign only -> every bit survives
+      assert(dHash64(Decoded(img.width, img.height, 3, img.data.map(_ * 0.5f))) == base)
+      assert(dHash64(Decoded(img.width, img.height, 3, img.data.map(v => v * 0.9f + 0.05f))) == base)
+      assert(dHash64(img) == base, "determinism")
+      // value inversion reverses every strict gray order -> gradient
+      // bits flip wherever neighbors differ (ties stay 0: a>b is
+      // strict, so inverted ties contribute 0 too — bits that were 1
+      // MUST become 0)
+      val inv = dHash64(Decoded(img.width, img.height, 3, img.data.map(1.0f - _)))
+      assert((base & inv) == 0L, "a strict gradient cannot survive inversion")
+    }
+  }
+
+  test("audioHash64 invariance laws: volume scale preserves every bit; " +
+      "channel duplication (mono->stereo) preserves; determinism") {
+    import graft.llm.Multimodal._
+    val clips: Gen[Array[Float]] = for {
+      n <- Gen.chooseNum(64, 2048)
+      xs <- Gen.listOfN(n, Gen.chooseNum(-0.9f, 0.9f))
+    } yield xs.toArray
+    samples(clips, 25).foreach { mono =>
+      val d = Decoded(mono.length, 1, 1, mono)
+      val base = audioHash64(d)
+      assert(audioHash64(Decoded(mono.length, 1, 1, mono.map(_ * 0.25f))) == base,
+        "band energies scale by c^2 - difference signs must not move")
+      val stereo = Decoded(mono.length, 1, 2, mono.flatMap(v => Seq(v, v)))
+      assert(audioHash64(stereo) == base, "mono-mix of duplicated channels is identity")
+      assert(audioHash64(d) == base, "determinism")
+    }
+  }
 }
