@@ -253,6 +253,66 @@ object Scorer {
     println(s"scores generated: ${scored.count()}")
     Cli.log("saving scores ...")
     graft.sources.DataIO.write(scored, conf.at("target"))
+    // `evaluate { }` (beyond the reference, which scores blind): when a
+    // label rides the saved columns, measure the scores against it —
+    // binary AUC + accuracy@0.5 via MLlib, or regression RMSE/MAE —
+    // write the metrics artifact FIRST (operators need it most when
+    // the gate trips, the Differ convention), then enforce `min-auc` /
+    // `max-rmse` with a nonzero exit so schedulers can alert.
+    val ev = conf.at("evaluate")
+    ev.getString("label-column").foreach { labelCol =>
+      require(scored.columns.contains(labelCol),
+        s"evaluate.label-column '$labelCol' must ride cols-to-save")
+      val scoreCol = ev.getString("score-column").getOrElse(
+        if (scored.columns.contains("target_proba")) "target_proba" else "pred")
+      require(scored.columns.contains(scoreCol),
+        s"evaluate.score-column '$scoreCol' not in the scored output")
+      val kind = ev.getString("kind").getOrElse("binary")
+      val pairs = scored.select(col(scoreCol).cast("double").as("s"),
+        col(labelCol).cast("double").as("l")).na.drop()
+      val metrics: Seq[(String, Double)] = kind match {
+        case "binary" =>
+          val auc = new org.apache.spark.ml.evaluation.BinaryClassificationEvaluator()
+            .setRawPredictionCol("s").setLabelCol("l")
+            .setMetricName("areaUnderROC").evaluate(pairs)
+          val acc = pairs.select(
+            org.apache.spark.sql.functions.avg(
+              (((col("s") >= 0.5) === (col("l") >= 0.5))).cast("double")))
+            .head().getDouble(0)
+          Seq("auc" -> auc, "accuracy_at_0.5" -> acc)
+        case "regression" =>
+          val r = pairs.select(
+            org.apache.spark.sql.functions.sqrt(
+              org.apache.spark.sql.functions.avg(
+                (col("s") - col("l")) * (col("s") - col("l")))).as("rmse"),
+            org.apache.spark.sql.functions.avg(
+              org.apache.spark.sql.functions.abs(col("s") - col("l"))).as("mae"))
+            .head()
+          Seq("rmse" -> r.getDouble(0), "mae" -> r.getDouble(1))
+        case other => throw new IllegalArgumentException(
+          s"evaluate.kind must be binary | regression, got '$other'")
+      }
+      val n = pairs.count()
+      metrics.foreach { case (k, v) => Cli.log(f"evaluate: $k = $v%.6f (n=$n)") }
+      ev.getString("report-dir").foreach { d =>
+        import spark.implicits._
+        (metrics :+ ("n" -> n.toDouble))
+          .toDF("metric", "value")
+          .coalesce(1).write.mode("overwrite").parquet(d)
+        Cli.log(s"evaluation report -> $d")
+      }
+      val m = metrics.toMap
+      ev.getDouble("min-auc").foreach { floor =>
+        require(kind == "binary", "evaluate.min-auc needs kind = binary")
+        if (m("auc") < floor) throw new IllegalStateException(
+          f"evaluate: AUC ${m("auc")}%.4f below the $floor gate")
+      }
+      ev.getDouble("max-rmse").foreach { cap =>
+        require(kind == "regression", "evaluate.max-rmse needs kind = regression")
+        if (m("rmse") > cap) throw new IllegalStateException(
+          f"evaluate: RMSE ${m("rmse")}%.4f above the $cap gate")
+      }
+    }
     scored.unpersist()
   }
 }

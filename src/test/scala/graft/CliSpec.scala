@@ -3661,6 +3661,61 @@ class CliSpec extends SparkTestBase {
     assert(scores.select("model_name").head().getString(0) == "doubler")
   }
 
+  test("scorer evaluate block: AUC/accuracy metrics + report artifact; " +
+      "min-auc gate trips AFTER the report; regression kind; guards") {
+    import org.apache.spark.sql.functions.col
+    val base = tmp()
+    // dataset: feature x in [0,1], label = x > 0.5 — scoring with
+    // pred = x ranks perfectly (AUC 1.0, accuracy@0.5 = 1.0)
+    val src = base.resolve("eval_src").toString
+    spark.range(200).select(
+        col("id").as("uid"),
+        (col("id") / 200.0).as("x"),
+        (col("id") >= 100).cast("int").as("label"))
+      .write.parquet(src)
+    val rep = base.resolve("eval_rep").toString
+    def conf(name: String, expr: String, extra: String) = write(base.resolve(s"ev_$name.conf"),
+      s"""source { storage-type = local, dataset-dir = $src }
+         |target { storage-type = local, dataset-dir = ${base.resolve(s"sc_$name")}, dataset-store-format = parquet }
+         |uid-column = uid
+         |model-expr = "$expr"
+         |model-name = m
+         |cols-to-save = [uid, label]
+         |current-dt = 2026-01-01T00-00
+         |evaluate {
+         |  label-column = label
+         |  report-dir = $rep
+         |$extra
+         |}
+         |""".stripMargin)
+    // perfect ranking: AUC = 1, gate passes
+    graft.cli.Scorer.main(Array("--conf", conf("ok", "x", "  min-auc = 0.99")))
+    val m1 = spark.read.parquet(rep).collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(m1("auc") == 1.0 && m1("accuracy_at_0.5") == 1.0 && m1("n") == 200.0, s"$m1")
+    // anti-correlated scores: AUC = 0, gate trips — but the report
+    // must land FIRST (Differ convention)
+    val e = intercept[IllegalStateException] {
+      graft.cli.Scorer.main(Array("--conf", conf("bad", "1.0 - x", "  min-auc = 0.5")))
+    }
+    assert(e.getMessage.contains("below the"), e.getMessage)
+    val m2 = spark.read.parquet(rep).collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(m2("auc") == 0.0, "the failing run's report must still land")
+    // regression kind: pred == label -> rmse 0; max-rmse gate enforced
+    graft.cli.Scorer.main(Array("--conf",
+      conf("reg", "CAST(uid >= 100 AS DOUBLE)", "  kind = regression\n  max-rmse = 0.01")))
+    val m3 = spark.read.parquet(rep).collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(m3("rmse") == 0.0 && m3("mae") == 0.0, s"$m3")
+    // guard: min-auc with regression kind is rejected
+    val g = intercept[IllegalArgumentException] {
+      graft.cli.Scorer.main(Array("--conf",
+        conf("guard", "x", "  kind = regression\n  min-auc = 0.5")))
+    }
+    assert(g.getMessage.contains("min-auc"), g.getMessage)
+  }
+
   test("mediadedup: report mode writes the pair evidence; filter mode collapses " +
       "each near-dup cluster to its minimum id; bad modality rejected") {
     import org.apache.spark.sql.functions.col
