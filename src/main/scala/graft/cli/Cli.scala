@@ -2276,14 +2276,79 @@ object Streamer {
   * instead of `toPandas` + sklearn + joblib. */
 object Trainer {
   def main(args: Array[String]): Unit = Cli.run("trainer", args) { (conf, spark) =>
+    import org.apache.spark.sql.functions._
     Cli.log("loading data...")
     val md = conf.at("model-definition")
     val df = graft.operators.Ops.pandify(
       graft.sources.DataIO.read(spark, md.at("dataset")))
-    val model = graft.ml.Trainer.trainFromConf(df, md)
+    // `validation { }` (beyond the reference, which trains blind): a
+    // deterministic salted-digest holdout is carved BEFORE the fit,
+    // the model is measured on it after — binary AUC or regression
+    // RMSE — the metrics artifact lands FIRST, then `min-auc` /
+    // `max-rmse` fail the run nonzero. The model is saved either way
+    // (a failed gate should leave the artifact for inspection, the
+    // Indexer's report-then-gate order).
+    val v = conf.at("validation")
+    val holdout = v.getDouble("fraction").getOrElse(0.0)
+    require(holdout >= 0.0 && holdout < 1.0,
+      s"validation.fraction must be in [0, 1), got $holdout")
+    val idColOpt = v.getString("id-column")
+    require(holdout == 0.0 || idColOpt.isDefined,
+      "validation.fraction needs validation.id-column (the deterministic digest key)")
+    val (trainDf, valDf) =
+      if (holdout == 0.0) (df, None)
+      else {
+        val salt = v.getString("salt").getOrElse("trainval")
+        val digest = graft.operators.Ops.hashDigestCol(
+          col(idColOpt.get).cast("string"), salt)
+        val cut = graft.operators.Ops.hashThresholdHex(holdout)
+        (df.filter(digest >= lit(cut)), Some(df.filter(digest < lit(cut))))
+      }
+    val model = graft.ml.Trainer.trainFromConf(trainDf, md)
     val path = conf.string("model-path")
     graft.ml.Trainer.save(model, path)
     println(s"model is saved to $path")
+    valDf.foreach { vd =>
+      val targetCol = md.string("target-column")
+      val scored = graft.ml.Trainer.scoreModel(model, vd,
+        colsToSave = Seq(targetCol))
+      val kind = v.getString("kind").getOrElse("binary")
+      val scoreCol = if (scored.columns.contains("target_proba")) "target_proba" else "pred"
+      val pairs = scored.select(col(scoreCol).cast("double").as("s"),
+        col(targetCol).cast("double").as("l")).na.drop()
+      val n = pairs.count()
+      val metrics: Seq[(String, Double)] = kind match {
+        case "binary" =>
+          Seq("auc" -> new org.apache.spark.ml.evaluation.BinaryClassificationEvaluator()
+            .setRawPredictionCol("s").setLabelCol("l")
+            .setMetricName("areaUnderROC").evaluate(pairs))
+        case "regression" =>
+          Seq("rmse" -> pairs.select(sqrt(avg((col("s") - col("l")) * (col("s") - col("l")))))
+            .head().getDouble(0))
+        case other => throw new IllegalArgumentException(
+          s"validation.kind must be binary | regression, got '$other'")
+      }
+      metrics.foreach { case (k, m) => Cli.log(f"validation: $k = $m%.6f (n=$n)") }
+      v.getString("report-dir").foreach { d =>
+        import spark.implicits._
+        (metrics :+ ("n" -> n.toDouble)).toDF("metric", "value")
+          .coalesce(1).write.mode("overwrite").parquet(d)
+        Cli.log(s"validation report -> $d")
+      }
+      val m = metrics.toMap
+      v.getDouble("min-auc").foreach { floor =>
+        require(kind == "binary", "validation.min-auc needs kind = binary")
+        if (m("auc") < floor) throw new IllegalStateException(
+          f"validation: holdout AUC ${m("auc")}%.4f below the $floor gate " +
+            s"(model still saved to $path)")
+      }
+      v.getDouble("max-rmse").foreach { cap =>
+        require(kind == "regression", "validation.max-rmse needs kind = regression")
+        if (m("rmse") > cap) throw new IllegalStateException(
+          f"validation: holdout RMSE ${m("rmse")}%.4f above the $cap gate " +
+            s"(model still saved to $path)")
+      }
+    }
   }
 }
 

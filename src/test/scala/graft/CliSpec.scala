@@ -3661,6 +3661,65 @@ class CliSpec extends SparkTestBase {
     assert(scores.select("model_name").head().getString(0) == "doubler")
   }
 
+  test("trainer validation holdout: deterministic digest split, AUC on the " +
+      "holdout, report lands and the model saves even when the gate trips") {
+    import org.apache.spark.sql.functions.col
+    val base = tmp()
+    // separable data: label = x > 0.5 + a noise feature
+    val src = base.resolve("tv_src").toString
+    spark.range(400).select(
+        col("id").as("uid"),
+        (col("id") / 400.0).as("x"),
+        (col("id") % 7 / 7.0).as("noise"),
+        (col("id") >= 200).cast("int").as("label"))
+      .write.parquet(src)
+    val rep = base.resolve("tv_rep").toString
+    val modelDir = base.resolve("tv_model").toString
+    def conf(name: String, gate: String) = write(base.resolve(s"tv_$name.conf"),
+      s"""model-definition {
+         |  dataset { storage-type = local, dataset-dir = $src }
+         |  target-column = label
+         |  estimator = logistic-regression
+         |  feature-columns = [x, noise]
+         |}
+         |model-path = $modelDir
+         |validation {
+         |  fraction = 0.25
+         |  id-column = uid
+         |  report-dir = $rep
+         |$gate
+         |}
+         |""".stripMargin)
+    graft.cli.Trainer.main(Array("--conf", conf("ok", "  min-auc = 0.95")))
+    val m1 = spark.read.parquet(rep).collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(m1("auc") > 0.95, s"separable data must validate cleanly: $m1")
+    assert(m1("n") > 60 && m1("n") < 140, s"~25% holdout of 400: ${m1("n")}")
+    // determinism: the same salt carves the same holdout
+    graft.cli.Trainer.main(Array("--conf", conf("ok2", "  min-auc = 0.95")))
+    assert(spark.read.parquet(rep).collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).toMap == m1)
+    // an impossible gate trips AFTER the report and the model save
+    val e = intercept[IllegalStateException] {
+      graft.cli.Trainer.main(Array("--conf", conf("bad", "  min-auc = 1.01")))
+    }
+    assert(e.getMessage.contains("below the"), e.getMessage)
+    assert(new java.io.File(modelDir).exists(), "model must save even on a gate trip")
+    assert(spark.read.parquet(rep).count() > 0, "the failing run's report must land")
+    // fraction without an id column is rejected up front
+    val g = intercept[IllegalArgumentException] {
+      graft.cli.Trainer.main(Array("--conf", write(base.resolve("tv_noid.conf"),
+        s"""model-definition {
+           |  dataset { storage-type = local, dataset-dir = $src }
+           |  target-column = label
+           |}
+           |model-path = ${base.resolve("nope_tv")}
+           |validation { fraction = 0.25 }
+           |""".stripMargin)))
+    }
+    assert(g.getMessage.contains("id-column"), g.getMessage)
+  }
+
   test("scorer evaluate block: AUC/accuracy metrics + report artifact; " +
       "min-auc gate trips AFTER the report; regression kind; guards") {
     import org.apache.spark.sql.functions.col
