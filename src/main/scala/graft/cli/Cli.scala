@@ -2253,8 +2253,45 @@ object Streamer {
           knnModified = c.getBoolean("knn-modified").getOrElse(false),
           classifierPath = c.getString("classifier-path"),
           minClassifierScore = c.getDouble("min-classifier-score"))
+      case "media-near-dedup" =>
+        // media-asset stream vs a MediaDedup run's fingerprint state:
+        // arriving IMAGE/AUDIO assets near a stored fingerprint drop
+        // at the door (`Streams.dropNearSeenMediaStream` — stateless
+        // stream-static band joins). The state's fingerprint line
+        // pins the MODALITY (signatures from different modalities
+        // have ~random Hamming distances); band geometry is
+        // query-time here — the stored sigs are full 64-bit hashes.
+        // Video is a frame-exploding path: use the batch MediaDedup
+        // increment.
+        val dir = c.string("events-dir")
+        val assets = spark.readStream
+          .schema(spark.read.parquet(dir).schema).parquet(dir)
+        val stateDir = c.string("state-dir")
+        val fpPath = new org.apache.hadoop.fs.Path(stateDir, "fingerprint")
+        val fs = fpPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        require(fs.exists(fpPath),
+          s"streaming.state-dir '$stateDir' holds no MediaDedup fingerprint state")
+        val in = fs.open(fpPath)
+        val stored = try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
+          finally in.close()
+        val stateModality = stored.split('|').head
+        val modality = c.getString("modality").getOrElse(stateModality)
+        require(modality == stateModality,
+          s"streaming.modality=$modality but state-dir '$stateDir' holds " +
+            s"$stateModality fingerprints — not comparable")
+        require(modality != "video",
+          "video is a frame-exploding path — use the batch MediaDedup increment")
+        Streams.dropNearSeenMediaStream(assets,
+          spark.read.parquet(s"$stateDir/sigs"), modality,
+          contentCol = c.getString("content-column").getOrElse("content"),
+          maxHamming = c.getInt("max-hamming").getOrElse(3),
+          bands = c.getInt("bands").getOrElse(4),
+          maxBucketSize = c.getInt("max-bucket-size").getOrElse(10000),
+          timeCol = c.getString("time-column").getOrElse("ts"),
+          watermarkDelay = watermark)
       case other => throw new IllegalArgumentException(
-        s"unknown streaming.operation '$other' (window|sessions|dedup|near-dedup|filter)")
+        s"unknown streaming.operation '$other' " +
+          "(window|sessions|dedup|near-dedup|media-near-dedup|filter)")
     }
     val useRocksDB = c.getString("state-store") match {
       case None | Some("default") => false

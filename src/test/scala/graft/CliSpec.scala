@@ -3156,6 +3156,66 @@ class CliSpec extends SparkTestBase {
     intercept[IllegalArgumentException] { graft.cli.Streamer.main(Array("--conf", bad)) }
   }
 
+  test("streamer media-near-dedup drops a re-encoded corpus image at the door " +
+      "against MediaDedup state; modality drift rejected") {
+    import org.apache.spark.sql.functions.{col, timestamp_micros}
+    import graft.llm.Multimodal
+    import spark.implicits._
+    val base = tmp()
+    // 1. a MediaDedup run commits image fingerprint state
+    val corpusDir = base.resolve("media_corpus").toString
+    Multimodal.reencodeAsSmoothImage(
+      Multimodal.asMediaTable(
+        spark.read.parquet(s"$sfDir/documents.parquet").filter(col("doc_id") < 10),
+        "doc_id", "text", "image", Map.empty), jpeg = false)
+      .write.parquet(corpusDir)
+    val stateDir = base.resolve("media_state").toString
+    graft.cli.MediaDedup.main(Array("--conf", write(base.resolve("md_seed.conf"),
+      s"""media-dedup {
+         |  source { storage-type = local, dataset-dir = $corpusDir }
+         |  target { storage-type = local, dataset-dir = ${base.resolve("md_out")}, dataset-store-format = parquet, write-mode = overwrite }
+         |  modality = image
+         |  mode = filter
+         |  state-out-dir = $stateDir
+         |}
+         |""".stripMargin)))
+    // 2. landing dir: a JPEG re-encode of corpus plate 3 (near, must
+    //    drop) + a fresh plate
+    val landing = base.resolve("media_landing").toString
+    Seq(
+      (900001L, Multimodal.Avi.encodeJpegFrame(Multimodal.smoothImage(3L)), 1L),
+      (900002L, Multimodal.encodePng(Multimodal.smoothImage(77L)), 2L)
+    ).toDF("asset_id", "content", "ts")
+      .withColumn("ts", timestamp_micros(col("ts") * 3600L * 1000000L))
+      .write.parquet(landing)
+    val out = base.resolve("media_survivors").toString
+    graft.cli.Streamer.main(Array("--conf", write(base.resolve("mnd.conf"),
+      s"""streaming {
+         |  events-dir = $landing
+         |  target-dir = $out
+         |  checkpoint-location = ${base.resolve("mndckpt")}
+         |  operation = media-near-dedup
+         |  state-dir = $stateDir
+         |  shuffle-partitions = 4
+         |}
+         |""".stripMargin)))
+    val ids = spark.read.parquet(out).select("asset_id").as[Long].collect().toSet
+    assert(ids == Set(900002L), s"re-encoded corpus image must drop at the door: $ids")
+    // modality drift (explicit audio vs image state) is rejected
+    intercept[IllegalArgumentException] {
+      graft.cli.Streamer.main(Array("--conf", write(base.resolve("mnd_bad.conf"),
+        s"""streaming {
+           |  events-dir = $landing
+           |  target-dir = ${base.resolve("outC")}
+           |  checkpoint-location = ${base.resolve("ckptC")}
+           |  operation = media-near-dedup
+           |  modality = audio
+           |  state-dir = $stateDir
+           |}
+           |""".stripMargin)))
+    }
+  }
+
   test("curator dedup-lines: first-occurrence-wins line dedup with " +
       "accumulated cross-batch state; exemption-parameter drift rejected; " +
       "stage-off batches carry the evidence forward") {
