@@ -270,7 +270,12 @@ object Scorer {
       val kind = ev.getString("kind").getOrElse("binary")
       val pairs = scored.select(col(scoreCol).cast("double").as("s"),
         col(labelCol).cast("double").as("l")).na.drop()
+      // n first: an EMPTY pair set must report NaN metrics (and fail
+      // any gate loudly below), not NPE on a null aggregate
+      val n = pairs.count()
       val metrics: Seq[(String, Double)] = kind match {
+        case "binary" if n == 0 =>
+          Seq("auc" -> Double.NaN, "accuracy_at_0.5" -> Double.NaN)
         case "binary" =>
           val auc = new org.apache.spark.ml.evaluation.BinaryClassificationEvaluator()
             .setRawPredictionCol("s").setLabelCol("l")
@@ -280,6 +285,8 @@ object Scorer {
               (((col("s") >= 0.5) === (col("l") >= 0.5))).cast("double")))
             .head().getDouble(0)
           Seq("auc" -> auc, "accuracy_at_0.5" -> acc)
+        case "regression" if n == 0 =>
+          Seq("rmse" -> Double.NaN, "mae" -> Double.NaN)
         case "regression" =>
           val r = pairs.select(
             org.apache.spark.sql.functions.sqrt(
@@ -292,7 +299,6 @@ object Scorer {
         case other => throw new IllegalArgumentException(
           s"evaluate.kind must be binary | regression, got '$other'")
       }
-      val n = pairs.count()
       metrics.foreach { case (k, v) => Cli.log(f"evaluate: $k = $v%.6f (n=$n)") }
       ev.getString("report-dir").foreach { d =>
         import spark.implicits._
@@ -302,13 +308,32 @@ object Scorer {
         Cli.log(s"evaluation report -> $d")
       }
       val m = metrics.toMap
+      // a gate must never go green on a meaningless evaluation: an
+      // empty pair set yields NaN (and `NaN < floor` is false), and a
+      // SINGLE-CLASS label set makes MLlib report AUC = 1.0 — a
+      // vacuous pass over the exact check that exists to fail loudly
+      def gateable(metric: String, v: Double): Unit = {
+        if (n == 0) throw new IllegalStateException(
+          s"evaluate: the $metric gate cannot be applied — zero non-null " +
+            s"(score, label) pairs (is '$labelCol' populated?)")
+        if (v.isNaN) throw new IllegalStateException(
+          s"evaluate: the $metric gate cannot be applied — $metric is NaN " +
+            "on this evaluation set; check the label column")
+        if (metric == "auc" && pairs.select(col("l")).distinct().count() < 2)
+          throw new IllegalStateException(
+            "evaluate: the auc gate cannot be applied — the label column " +
+              s"'$labelCol' holds a single class, which makes AUC vacuous " +
+              "(MLlib reports 1.0 with no negatives); fix the evaluation set")
+      }
       ev.getDouble("min-auc").foreach { floor =>
         require(kind == "binary", "evaluate.min-auc needs kind = binary")
+        gateable("auc", m("auc"))
         if (m("auc") < floor) throw new IllegalStateException(
           f"evaluate: AUC ${m("auc")}%.4f below the $floor gate")
       }
       ev.getDouble("max-rmse").foreach { cap =>
         require(kind == "regression", "evaluate.max-rmse needs kind = regression")
+        gateable("rmse", m("rmse"))
         if (m("rmse") > cap) throw new IllegalStateException(
           f"evaluate: RMSE ${m("rmse")}%.4f above the $cap gate")
       }
@@ -1370,6 +1395,22 @@ object Curator {
     // budget (the model's context window) under the named merge table.
     // (Mutual exclusion + bpe-merges presence validated up front.)
     val bpeByteLevel = c.getBoolean("bpe-byte-level").getOrElse(false)
+    // `bpe-special-tokens` (read once; the encode stage shares it):
+    // protected spellings must stay ATOMIC through chunking too — the
+    // byte chunker carves them as cost-1 pretokens (a cut mid-spelling
+    // would re-encode the halves as ordinary text, silently violating
+    // the never-split/fixed-id contract); the whitespace-token chunker
+    // cuts only at whitespace, so whitespace-FREE spellings are atomic
+    // there by construction (enforced below — budgets for tokens
+    // containing a spelling over-estimate, which errs small, never
+    // over the context window).
+    val bpeSpecials = c.getList("bpe-special-tokens").getOrElse(Nil)
+    bpeSpecials.foreach { sp =>
+      require(sp.nonEmpty && !sp.exists(_.isWhitespace),
+        s"curation.bpe-special-tokens entry '$sp' must be non-empty and " +
+          "whitespace-free — a spelling containing whitespace could be cut " +
+          "through by the whitespace-token chunker")
+    }
     val out = (c.getInt("chunk-size"), c.getInt("bpe-budget")) match {
       case (Some(cs), _) => stages.timed("chunking") {
         graft.llm.CorpusPrep.chunkByTokensFast(labeled, idCol, textCol,
@@ -1379,10 +1420,12 @@ object Curator {
       case (_, Some(budget)) if bpeByteLevel => stages.timed("chunking") {
         // byte-level budgets count byte-level ids and cut at pretoken
         // boundaries — chunk_bpe_tokens is exactly what the byte-level
-        // token_ids encoding of chunk_text will emit
+        // token_ids encoding of chunk_text will emit (declared specials
+        // included: atomic, cost 1 in both)
         graft.llm.CorpusPrep.chunkByByteBudget(labeled, idCol, textCol,
           bpeBudget = budget, mergesPath = c.getString("bpe-merges").get,
-          overlap = c.getInt("chunk-overlap").getOrElse(0), keepCols = keepWithEpoch)
+          overlap = c.getInt("chunk-overlap").getOrElse(0), keepCols = keepWithEpoch,
+          specials = bpeSpecials)
       }
       case (_, Some(budget)) => stages.timed("chunking") {
         // with `bpe-vocab` alongside, the budget counts token IDS under
@@ -1411,7 +1454,7 @@ object Curator {
         // `bpe-special-tokens`: protected spellings (the Tokenizer
         // CLI's special-tokens contract) — each occurrence in the
         // text emits its single fixed vocab id, never merged across
-        val specials = c.getList("bpe-special-tokens").getOrElse(Nil)
+        val specials = bpeSpecials
         out.withColumn("token_ids",
           if (bpeByteLevel)
             graft.functions.GraftFunctions.bpeByteEncode(
@@ -2354,11 +2397,15 @@ object Trainer {
       val pairs = scored.select(col(scoreCol).cast("double").as("s"),
         col(targetCol).cast("double").as("l")).na.drop()
       val n = pairs.count()
+      // empty holdout → NaN metrics in the report (not an aggregate
+      // NPE); the gates below refuse to apply to them
       val metrics: Seq[(String, Double)] = kind match {
+        case "binary" if n == 0 => Seq("auc" -> Double.NaN)
         case "binary" =>
           Seq("auc" -> new org.apache.spark.ml.evaluation.BinaryClassificationEvaluator()
             .setRawPredictionCol("s").setLabelCol("l")
             .setMetricName("areaUnderROC").evaluate(pairs))
+        case "regression" if n == 0 => Seq("rmse" -> Double.NaN)
         case "regression" =>
           Seq("rmse" -> pairs.select(sqrt(avg((col("s") - col("l")) * (col("s") - col("l")))))
             .head().getDouble(0))
@@ -2373,14 +2420,32 @@ object Trainer {
         Cli.log(s"validation report -> $d")
       }
       val m = metrics.toMap
+      // a degenerate holdout must fail the gate loudly, never sail
+      // through it: empty → NaN (`NaN < floor` is false), and a
+      // single-class holdout makes MLlib report a vacuous AUC = 1.0
+      def gateable(metric: String, value: Double): Unit = {
+        if (n == 0) throw new IllegalStateException(
+          s"validation: the $metric gate cannot be applied — the holdout " +
+            s"has zero non-null (score, label) pairs (model still saved to $path)")
+        if (value.isNaN) throw new IllegalStateException(
+          s"validation: the $metric gate cannot be applied — $metric is NaN " +
+            s"on this holdout (model still saved to $path)")
+        if (metric == "auc" && pairs.select(col("l")).distinct().count() < 2)
+          throw new IllegalStateException(
+            "validation: the auc gate cannot be applied — the holdout holds " +
+              "a single label class, which makes AUC vacuous (MLlib reports " +
+              s"1.0 with no negatives); model still saved to $path")
+      }
       v.getDouble("min-auc").foreach { floor =>
         require(kind == "binary", "validation.min-auc needs kind = binary")
+        gateable("auc", m("auc"))
         if (m("auc") < floor) throw new IllegalStateException(
           f"validation: holdout AUC ${m("auc")}%.4f below the $floor gate " +
             s"(model still saved to $path)")
       }
       v.getDouble("max-rmse").foreach { cap =>
         require(kind == "regression", "validation.max-rmse needs kind = regression")
+        gateable("rmse", m("rmse"))
         if (m("rmse") > cap) throw new IllegalStateException(
           f"validation: holdout RMSE ${m("rmse")}%.4f above the $cap gate " +
             s"(model still saved to $path)")
@@ -2431,32 +2496,57 @@ object Tokenizer {
     val df = docs.select(col(textCol))
     // `merges-checkpoint-path`: crash resume for the multi-hour
     // distributed runs. The trainer's progress hook persists the
-    // merges-so-far (tmp + rename, so a crash mid-write leaves the
-    // previous checkpoint intact) every lineage-checkpoint round; on
-    // restart an existing file seeds `resumeFrom` and the loop
-    // continues from that round boundary (identical final merges under
-    // the same corpus and batch-k). In-heap runs (below max-words)
-    // ignore resume — they are fast enough to just retrain.
+    // merges-so-far (write .tmp, rename the live file ASIDE, promote
+    // the .tmp, then drop the aside — every step leaves a COMPLETE
+    // checkpoint under cp or cp.old, so a crash at any point resumes)
+    // every lineage-checkpoint round; on restart an existing file
+    // seeds `resumeFrom` and the loop continues from that round
+    // boundary (identical final merges under the same corpus and
+    // batch-k). In-heap runs (below max-words) ignore resume — they
+    // are fast enough to just retrain. Existence goes through the
+    // Hadoop FileSystem API like every state read here: a java.io.File
+    // probe is always false on HDFS/S3 — exactly the multi-hour
+    // distributed deployments resume exists for.
     val ckptPath = c.getString("merges-checkpoint-path")
-    val resumeFrom: Seq[(String, String)] = ckptPath match {
-      case Some(cp) if new java.io.File(cp).exists() =>
-        val prior = BpeTrainer.loadMerges(spark, cp)
+    val hconf = spark.sparkContext.hadoopConfiguration
+    def fsExists(p: String): Boolean = {
+      val hp = new org.apache.hadoop.fs.Path(p)
+      hp.getFileSystem(hconf).exists(hp)
+    }
+    // crash window between rename-aside and promote: only cp.old is
+    // complete — never the .tmp, whose own write may have crashed
+    val resumeSource: Option[String] = ckptPath.flatMap { cp =>
+      if (fsExists(cp)) Some(cp)
+      else if (fsExists(cp + ".old")) Some(cp + ".old")
+      else None
+    }
+    val resumeFrom: Seq[(String, String)] = resumeSource match {
+      case Some(src) =>
+        val prior = BpeTrainer.loadMerges(spark, src)
         require(prior.size <= numMerges,
-          s"checkpoint at $cp carries ${prior.size} merges > num-merges $numMerges — " +
+          s"checkpoint at $src carries ${prior.size} merges > num-merges $numMerges — " +
             "stale checkpoint from another configuration; delete it to retrain")
-        Cli.log(s"resuming from ${prior.size} checkpointed merges at $cp")
+        Cli.log(s"resuming from ${prior.size} checkpointed merges at $src")
         prior
-      case _ => Nil
+      case None => Nil
     }
     val onProgress: Seq[(String, String)] => Unit = ckptPath match {
       case Some(cp) => ms => {
+        import org.apache.hadoop.fs.Path
         val tmpCp = cp + ".tmp"
         BpeTrainer.saveMerges(spark, tmpCp, ms)
-        val p = new org.apache.hadoop.fs.Path(cp)
-        val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-        fs.delete(p, false)
-        require(fs.rename(new org.apache.hadoop.fs.Path(tmpCp), p),
+        val p = new Path(cp)
+        val old = new Path(cp + ".old")
+        val fs = p.getFileSystem(hconf)
+        // never delete-then-rename: that window has NO checkpoint. The
+        // previous checkpoint moves aside, stays loadable until the
+        // fresh one is live, then retires.
+        if (fs.exists(old)) fs.delete(old, false): Unit
+        if (fs.exists(p)) require(fs.rename(p, old),
+          s"could not retire merge checkpoint $cp -> $old")
+        require(fs.rename(new Path(tmpCp), p),
           s"could not promote merge checkpoint $tmpCp -> $cp")
+        fs.delete(old, false): Unit
       }
       case None => _ => ()
     }

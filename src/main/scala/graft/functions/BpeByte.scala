@@ -453,27 +453,61 @@ object BpeByteChunksImpl {
   import org.apache.spark.sql.catalyst.InternalRow
   import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 
-  def compute(mergesPath: String, text: UTF8String,
+  def compute(mergesPath: String, specialsKey: String, text: UTF8String,
       budget: Int, overlap: Int): ArrayData = {
     val bpe = BpeRegistry.get(mergesPath)
     val s = text.toString
-    // pretoken tiling: char offsets + per-pretoken byte-level id count
+    // pretoken tiling: char offsets + per-pretoken byte-level id count.
+    // Declared special spellings (`<|endoftext|>`-class) are carved out
+    // FIRST as ATOMIC pretokens of cost 1 — the same carve order as the
+    // encode path (SpecialTokensImpl.findNext over the same spans), so
+    // a chunk cut can never land mid-spelling (a split spelling would
+    // re-encode as ordinary text, silently breaking the never-split /
+    // fixed-id contract) and the budget counts the special as the ONE
+    // fixed id encode actually emits for it.
     var cap = 16
     var starts = new Array[Int](cap)
     var ends = new Array[Int](cap)
     var counts = new Array[Int](cap)
     var n = 0
-    val m = ByteUnicode.Pretoken.matcher(s)
-    while (m.find()) {
+    def addTok(st: Int, en: Int, cnt: Int): Unit = {
       if (n == cap) {
         cap *= 2
         starts = java.util.Arrays.copyOf(starts, cap)
         ends = java.util.Arrays.copyOf(ends, cap)
         counts = java.util.Arrays.copyOf(counts, cap)
       }
-      starts(n) = m.start(); ends(n) = m.end()
-      counts(n) = bpe.countWord(ByteUnicode.mapBytes(m.group()))
-      n += 1
+      starts(n) = st; ends(n) = en; counts(n) = cnt; n += 1
+    }
+    // pretokenize one special-free span, offsets shifted to `s` space
+    // (substring-per-span, matching the encode path's segmentation
+    // exactly so chunk_bpe_tokens == size(graft_bpe_byte_encode(chunk)))
+    def addSpan(from: Int, to: Int): Unit = {
+      if (to > from) {
+        val m = ByteUnicode.Pretoken.matcher(s.substring(from, to))
+        while (m.find())
+          addTok(from + m.start(), from + m.end(),
+            bpe.countWord(ByteUnicode.mapBytes(m.group())))
+      }
+    }
+    val spellings =
+      if (specialsKey.isEmpty) null else SpecialTokensImpl.parse(specialsKey)
+    if (spellings == null || spellings.isEmpty) addSpan(0, s.length)
+    else {
+      var pos = 0
+      while (pos < s.length) {
+        val hit = SpecialTokensImpl.findNext(s, pos, spellings)
+        if (hit < 0) {
+          addSpan(pos, s.length)
+          pos = s.length
+        } else {
+          val start = (hit >> 32).toInt
+          val spelling = spellings((hit & 0xFFFFFFFFL).toInt)
+          addSpan(pos, start)
+          addTok(start, start + spelling.length, 1)
+          pos = start + spelling.length
+        }
+      }
     }
     if (n == 0) return new GenericArrayData(Array.empty[Any])
     val out = new java.util.ArrayList[Any](8)
@@ -494,16 +528,21 @@ object BpeByteChunksImpl {
   }
 }
 
-/** `graft_bpe_byte_chunks(string, 'merges-path', budget, overlap) ->
-  * array<struct<chunk_text string, chunk_tokens int, chunk_bpe_tokens
-  * int>>` — budget and `chunk_bpe_tokens` in BYTE-LEVEL token ids
-  * (`graft_bpe_byte_count` units); `chunk_tokens` counts pretokens.
-  * With overlap 0 the chunk texts concatenate back to the input. */
+/** `graft_bpe_byte_chunks(string, 'merges-path', budget, overlap[,
+  * specials]) -> array<struct<chunk_text string, chunk_tokens int,
+  * chunk_bpe_tokens int>>` — budget and `chunk_bpe_tokens` in
+  * BYTE-LEVEL token ids (`graft_bpe_byte_count` units); `chunk_tokens`
+  * counts pretokens. With overlap 0 the chunk texts concatenate back
+  * to the input. `specials` declares protected spellings
+  * ([[SpecialTokensImpl]]): each occurrence is an atomic pretoken of
+  * budget cost 1 (its single fixed id), never cut through. */
 case class BpeByteChunks(child: Expression, mergesPath: String,
-    budget: Int, overlap: Int) extends UnaryExpression {
+    budget: Int, overlap: Int,
+    specials: Seq[String] = Nil) extends UnaryExpression {
   require(mergesPath.nonEmpty, "graft_bpe_byte_chunks needs a merges path")
   require(budget > 0, s"budget must be positive, got $budget")
   require(overlap >= 0, s"overlap must be non-negative, got $overlap")
+  private val specialsKey = SpecialTokensImpl.join(specials)
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
     case _: StringType => TypeCheckResult.TypeCheckSuccess
     case t => TypeCheckResult.TypeCheckFailure(s"graft_bpe_byte_chunks expects string, got $t")
@@ -515,13 +554,14 @@ case class BpeByteChunks(child: Expression, mergesPath: String,
   override def prettyName: String = "graft_bpe_byte_chunks"
 
   override protected def nullSafeEval(t: Any): Any =
-    BpeByteChunksImpl.compute(mergesPath, t.asInstanceOf[UTF8String],
+    BpeByteChunksImpl.compute(mergesPath, specialsKey, t.asInstanceOf[UTF8String],
       budget, overlap)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
     val mRef = ctx.addReferenceObj("bpeByteMergesPath", mergesPath, "java.lang.String")
+    val sRef = ctx.addReferenceObj("bpeByteChunkSpecials", specialsKey, "java.lang.String")
     defineCodeGen(ctx, ev,
-      c => s"graft.functions.BpeByteChunksImpl.compute($mRef, $c, $budget, $overlap)")
+      c => s"graft.functions.BpeByteChunksImpl.compute($mRef, $sRef, $c, $budget, $overlap)")
   }
 
   override protected def withNewChildInternal(c: Expression): Expression =

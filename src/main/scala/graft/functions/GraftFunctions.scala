@@ -315,9 +315,10 @@ object GraftFunctions {
   def mediaHash(c: Column, modality: String): Column =
     ColumnBridge.column(MediaHash(ColumnBridge.expression(c), modality))
 
-  def bpeByteChunks(c: Column, mergesPath: String, budget: Int, overlap: Int): Column =
+  def bpeByteChunks(c: Column, mergesPath: String, budget: Int, overlap: Int,
+      specials: Seq[String] = Nil): Column =
     ColumnBridge.column(BpeByteChunks(ColumnBridge.expression(c), mergesPath,
-      budget, overlap))
+      budget, overlap, specials))
 
   def chunks(c: Column, chunkSize: Int, overlap: Int): Column =
     ColumnBridge.column(DocChunks(ColumnBridge.expression(c), chunkSize, overlap))
@@ -713,13 +714,17 @@ object GraftFunctions {
     ("graft_bpe_byte_chunks",
       new ExpressionInfo(classOf[BpeByteChunks].getName, "graft_bpe_byte_chunks"),
       (es: Seq[Expression]) => {
-        require(es.length == 4, s"graft_bpe_byte_chunks takes 4 arguments, got ${es.length}")
-        require(es(1).foldable, "graft_bpe_byte_chunks merges path must be a literal")
-        val path = es(1).eval() match {
-          case s: UTF8String => s.toString
-          case other => throw new IllegalArgumentException(
-            s"graft_bpe_byte_chunks merges path must be a string literal, got $other")
+        require(es.length == 4 || es.length == 5,
+          s"graft_bpe_byte_chunks takes 4 or 5 arguments, got ${es.length}")
+        def litStr(e: Expression, name: String): String = {
+          require(e.foldable, s"graft_bpe_byte_chunks $name must be a literal")
+          e.eval() match {
+            case s: UTF8String => s.toString
+            case other => throw new IllegalArgumentException(
+              s"graft_bpe_byte_chunks $name must be a string literal, got $other")
+          }
         }
+        val path = litStr(es(1), "merges path")
         def litInt(e: Expression, name: String): Int = {
           require(e.foldable, s"graft_bpe_byte_chunks $name must be a literal")
           e.eval() match {
@@ -728,7 +733,13 @@ object GraftFunctions {
               s"graft_bpe_byte_chunks $name must be an integer literal, got $other")
           }
         }
-        BpeByteChunks(es.head, path, litInt(es(2), "budget"), litInt(es(3), "overlap"))
+        // optional 5th arg: comma-separated special spellings (the
+        // graft_bpe_encode SQL convention)
+        val specials =
+          if (es.length < 5) Nil
+          else litStr(es(4), "specials").split(",").toSeq.filter(_.nonEmpty)
+        BpeByteChunks(es.head, path, litInt(es(2), "budget"), litInt(es(3), "overlap"),
+          specials)
       }),
     ("graft_hist_sketch",
       new ExpressionInfo(classOf[HistogramSketchAgg].getName, "graft_hist_sketch"),

@@ -138,10 +138,11 @@ object CorpusPrep {
       bpeBudget: Int,
       mergesPath: String,
       overlap: Int = 0,
-      keepCols: Seq[String] = Nil): DataFrame =
+      keepCols: Seq[String] = Nil,
+      specials: Seq[String] = Nil): DataFrame =
     df.select(col(idCol) +: keepCols.map(col) :+
       posexplode(graft.functions.GraftFunctions.bpeByteChunks(
-        col(textCol), mergesPath, bpeBudget, overlap))
+        col(textCol), mergesPath, bpeBudget, overlap, specials))
         .as(Seq("chunk_id", "__c")): _*)
       .select(col(idCol) +: keepCols.map(col) :+
         col("chunk_id").cast("long").as("chunk_id") :+

@@ -303,4 +303,77 @@ class BpeByteSpec extends SparkTestBase {
       .head().getInt(0)
     assert(viaSql == chunks.filter(col("id") === 0).count())
   }
+
+  test("graft_bpe_byte_chunks with declared specials: a cut never lands " +
+      "mid-spelling, the spelling costs its one fixed id, and " +
+      "chunk_bpe_tokens equals what encode emits for every chunk") {
+    val special = "<|eot|>"
+    val corpus = Seq(
+      "the quick brown fox jumps over the lazy dog",
+      "ab cd ef gh ij kl")
+    val (mergesPath, _) = train(corpus, 16)
+    // the Tokenizer CLI layout: the special appended at the vocab tail
+    val dir = tmpDir()
+    val vocabPath = s"$dir/vocab_sp.txt"
+    BpeTrainer.saveVocab(spark, vocabPath,
+      BpeTrainer.buildByteVocab(
+        BpeTrainer.loadMerges(spark, mergesPath)) :+ special)
+    val docs = Seq(
+      (0L, s"ab$special" + "cd"),             // mid-"word" spelling
+      (1L, special),                          // the whole doc is one special
+      (2L, s"the quick$special$special fox"), // adjacent specials
+      (3L, "no specials here at all")
+    ).toDF("id", "text")
+    // budget 1: every pretoken its own chunk — the adversarial case
+    // where an unprotected cut is GUARANTEED to split the spelling
+    // (the pretokenizer tiles '<|eot|>' as '<|', 'eot', '|>')
+    def occurrences(s: String): Int = {
+      var (n, p) = (0, s.indexOf(special))
+      while (p >= 0) { n += 1; p = s.indexOf(special, p + special.length) }
+      n
+    }
+    val naive = docs.filter(col("id") === 0L)
+      .select(explode(GraftFunctions.bpeByteChunks(col("text"), mergesPath, 1, 0)))
+      .select(col("col.chunk_text")).collect().map(_.getString(0))
+    assert(naive.map(occurrences).sum == 0,
+      s"control: WITHOUT the carve, budget-1 chunking splits the spelling: ${naive.toSeq}")
+    val chunks = docs.select(col("id"),
+      posexplode(GraftFunctions.bpeByteChunks(
+        col("text"), mergesPath, 1, 0, Seq(special)))
+        .as(Seq("cid", "c")))
+      .select(col("id"), col("cid"), col("c.chunk_text").as("t"),
+        col("c.chunk_bpe_tokens").as("b"))
+    val rows = chunks.collect()
+    // every occurrence survives the tiling WHOLE: per-doc occurrence
+    // counts over the chunks equal the document's (a split spelling
+    // would drop its occurrence — the halves match nothing)
+    val perDoc = rows.groupBy(_.getLong(0))
+      .view.mapValues(_.map(r => occurrences(r.getString(2))).sum).toMap
+    assert(perDoc(0L) == 1 && perDoc(1L) == 1 && perDoc(2L) == 2 && perDoc(3L) == 0,
+      s"specials must stay atomic through chunking: $perDoc")
+    // overlap-0 chunks still tile the doc byte-for-byte
+    val rebuilt = chunks.groupBy("id")
+      .agg(concat_ws("", array_sort(collect_list(struct(col("cid"), col("t"))))
+        .getField("t")).as("r"))
+      .join(docs, "id")
+    assert(rebuilt.filter(col("r") =!= col("text")).count() == 0)
+    // budget parity: chunk_bpe_tokens == size(encode(chunk_text)) under
+    // the same specials — a special-bearing chunk costs 1 per spelling,
+    // exactly what encode emits (so context-window sizing stays honest)
+    assert(chunks.filter(
+      size(GraftFunctions.bpeByteEncode(col("t"), mergesPath, vocabPath,
+        Seq(special))) =!= col("b")).count() == 0,
+      "chunk budgets must count the special as its one fixed id")
+    // a pure-special chunk reports cost 1
+    assert(rows.filter(_.getString(2) == special).forall(_.getInt(3) == 1))
+    // SQL surface: 5th comma-separated specials argument
+    GraftFunctions.register(spark)
+    docs.createOrReplaceTempView("bpe_byte_sp_docs")
+    val viaSql = spark.sql(
+      s"SELECT graft_bpe_byte_chunks(text, '$mergesPath', 1, 0, '$special') " +
+        "FROM bpe_byte_sp_docs WHERE id = 1")
+      .head().getSeq[org.apache.spark.sql.Row](0)
+    assert(viaSql.length == 1 && viaSql.head.getString(0) == special &&
+      viaSql.head.getInt(2) == 1, s"$viaSql")
+  }
 }

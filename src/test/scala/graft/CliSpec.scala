@@ -2633,6 +2633,25 @@ class CliSpec extends SparkTestBase {
       graft.cli.Tokenizer.main(Array("--conf", conf("res2", byteLevel = false, ckptKnobs)))
     }
     assert(ce.getMessage.contains("stale checkpoint"), ce.getMessage)
+    // crash-window recovery: promotion renames the live checkpoint
+    // ASIDE (cp -> cp.old) before promoting the fresh .tmp, so a crash
+    // between the two leaves cp missing but cp.old complete — resume
+    // must pick the .old up (the prior delete-then-rename scheme left
+    // NOTHING there and silently retrained). The .tmp is never trusted
+    // (its own write may have crashed mid-line).
+    val fs = new org.apache.hadoop.fs.Path(ckpt)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(ckpt), false)
+    graft.llm.BpeTrainer.saveMerges(spark, ckpt + ".old", mid)
+    graft.llm.BpeTrainer.saveMerges(spark, ckpt + ".tmp",
+      fullMerges ++ fullMerges.take(5)) // a garbage tmp must be ignored
+    graft.cli.Tokenizer.main(Array("--conf", conf("res3", byteLevel = false, ckptKnobs)))
+    assert(graft.llm.BpeTrainer.loadMerges(spark,
+      base.resolve("m_res3.txt").toString) == fullMerges,
+      "resume from the renamed-aside checkpoint must reproduce the full run")
+    assert(graft.llm.BpeTrainer.loadMerges(spark, ckpt) == fullMerges)
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(ckpt + ".old")),
+      "a completed promotion retires the aside copy")
   }
 
   test("indexer compact: repeated appends pile files per cell; compact rewrites " +
@@ -3778,6 +3797,38 @@ class CliSpec extends SparkTestBase {
            |""".stripMargin)))
     }
     assert(g.getMessage.contains("id-column"), g.getMessage)
+    // single-class data: the holdout AUC is a vacuous 1.0 (MLlib with
+    // no negatives) — the gate must refuse to apply, never silently
+    // pass a meaningless validation (the model still saves;
+    // report-then-gate)
+    val oneSrc = base.resolve("tv_one").toString
+    spark.range(400).select(
+        col("id").as("uid"), (col("id") / 400.0).as("x"),
+        (col("id") % 7 / 7.0).as("noise"),
+        org.apache.spark.sql.functions.lit(1).as("label"))
+      .write.parquet(oneSrc)
+    val nanE = intercept[IllegalStateException] {
+      graft.cli.Trainer.main(Array("--conf", write(base.resolve("tv_one.conf"),
+        s"""model-definition {
+           |  dataset { storage-type = local, dataset-dir = $oneSrc }
+           |  target-column = label
+           |  estimator = logistic-regression
+           |  feature-columns = [x, noise]
+           |}
+           |model-path = ${base.resolve("tv_one_model")}
+           |validation {
+           |  fraction = 0.25
+           |  id-column = uid
+           |  report-dir = $rep
+           |  min-auc = 0.5
+           |}
+           |""".stripMargin)))
+    }
+    assert(nanE.getMessage.contains("single label class"), nanE.getMessage)
+    assert(new java.io.File(base.resolve("tv_one_model").toString).exists(),
+      "the model still saves when the gate refuses (report-then-gate)")
+    assert(spark.read.parquet(rep).count() > 0,
+      "the refusing run's report must still land")
   }
 
   test("scorer evaluate block: AUC/accuracy metrics + report artifact; " +
@@ -3833,6 +3884,43 @@ class CliSpec extends SparkTestBase {
         conf("guard", "x", "  kind = regression\n  min-auc = 0.5")))
     }
     assert(g.getMessage.contains("min-auc"), g.getMessage)
+    // single-class labels: MLlib reports a vacuous AUC of 1.0 (no
+    // negatives → every floor passes) — before the guard this gate
+    // went GREEN on the most broken input. It must fail loudly, after
+    // the report lands.
+    val oneSrc = base.resolve("eval_one").toString
+    spark.range(100).select(col("id").as("uid"), (col("id") / 100.0).as("x"),
+      org.apache.spark.sql.functions.lit(1).as("label")).write.parquet(oneSrc)
+    def degenConf(name: String, srcDir: String) = write(base.resolve(s"ev_$name.conf"),
+      s"""source { storage-type = local, dataset-dir = $srcDir }
+         |target { storage-type = local, dataset-dir = ${base.resolve(s"sc_$name")}, dataset-store-format = parquet }
+         |uid-column = uid
+         |model-expr = "x"
+         |model-name = m
+         |cols-to-save = [uid, label]
+         |current-dt = 2026-01-01T00-00
+         |evaluate {
+         |  label-column = label
+         |  report-dir = $rep
+         |  min-auc = 0.5
+         |}
+         |""".stripMargin)
+    val oneE = intercept[IllegalStateException] {
+      graft.cli.Scorer.main(Array("--conf", degenConf("one", oneSrc)))
+    }
+    assert(oneE.getMessage.contains("single class"), oneE.getMessage)
+    assert(spark.read.parquet(rep).count() > 0,
+      "the refusing run's report must still land (report-then-gate)")
+    // all-null labels: zero (score, label) pairs — same loud refusal
+    // (the aggregate path would otherwise NPE or report nothing)
+    val nullSrc = base.resolve("eval_null").toString
+    spark.range(100).select(col("id").as("uid"), (col("id") / 100.0).as("x"),
+      org.apache.spark.sql.functions.lit(null).cast("int").as("label"))
+      .write.parquet(nullSrc)
+    val emptyE = intercept[IllegalStateException] {
+      graft.cli.Scorer.main(Array("--conf", degenConf("null", nullSrc)))
+    }
+    assert(emptyE.getMessage.contains("zero non-null"), emptyE.getMessage)
   }
 
   test("mediadedup: report mode writes the pair evidence; filter mode collapses " +
