@@ -912,12 +912,15 @@ object CorpusPrep {
     * same corpus + salt + cluster model always keeps the same rows.
     * Scale shape: KMeans fits on the (small) embedding table; docs
     * join their cell tag by id (one equi-join shuffle); the per-cell
-    * quota is [[graft.operators.Ops.proportionSamples]] — broadcast
-    * quotas, one window partitioned by cell. For heavily skewed cells
-    * at extreme scale use the skew-safe variant's thinning first; at
-    * equal quotas per cell the window state is bounded by the largest
-    * cluster, which is exactly what the balancing exists to expose.
-    * Output keeps a `cluster` column for downstream accounting. */
+    * quota is [[graft.operators.Ops.proportionSamplesByDigest]] — the
+    * rank-aware digest-threshold pre-thin, so NO cluster's full
+    * membership ever sorts through one window task (with few clusters
+    * each stratum holds a large corpus share — the exact shape the
+    * keepTopQuantile scaladoc forbids for plain per-group windows);
+    * the exact window runs over `O(clusters × oversample × quota)`
+    * survivors, identical keep-set to the plain window form by
+    * construction. Output keeps a `cluster` column for downstream
+    * accounting. */
   def clusterBalancedSample(
       docs: DataFrame,
       idCol: String,
@@ -937,10 +940,9 @@ object CorpusPrep {
     val quotas = cells.select(col("cluster")).distinct()
       .withColumn("rows_count", lit(perCluster))
     val withCell = docs.join(cells, Seq(idCol))
-    graft.operators.Ops.proportionSamples(
+    graft.operators.Ops.proportionSamplesByDigest(
       withCell, quotas, Seq("cluster"),
-      tieBreaker = Seq(
-        graft.operators.Ops.hashDigestCol(col(idCol).cast("string"), salt),
-        col(idCol)))
+      digest = graft.operators.Ops.hashDigestCol(col(idCol).cast("string"), salt),
+      tieBreak = col(idCol))
   }
 }

@@ -122,6 +122,91 @@ object Ops {
       .drop(rn, countCol)
   }
 
+  /** Rank-AWARE skew-safe stratified quota sampling for the digest-keyed
+    * case — exact [[proportionSamples]] output without its per-stratum
+    * full-membership window sort. When the PRIMARY ranking key is a
+    * uniform salted digest (the bottom-k idiom every deterministic
+    * sampler here uses), rows that cannot be in a stratum's top quota
+    * are identified by a digest-threshold predicate BEFORE the window:
+    * keep rows whose digest sorts under `max(oversample×quota, minKeep)
+    * / n` of the hex space (the q58/q69 broadcast-threshold idiom), then
+    * rank only the survivors. Unlike [[proportionSamplesSkewSafe]]'s
+    * rank-blind Bernoulli thinning, the thinning key IS the ranking key,
+    * so the survivor pool always CONTAINS the true top quota — verified
+    * exactly: per-stratum survivor counts are checked against
+    * `min(quota, n)` and any under-filled stratum (a ~`exp(-quota)`
+    * tail event) is relaxed to its full membership, so the result
+    * equals the window form's on every input, by construction.
+    *
+    * At scale: two map-side-combined aggregates bounded by the stratum
+    * count (the proportions side is broadcastable by contract, so both
+    * are) plus one window over `O(strata × oversample × quota)` rows —
+    * a dominant stratum no longer sorts its full membership in one
+    * task. Deterministic: same input, salt, and quotas → same rows. */
+  def proportionSamplesByDigest(
+      df: DataFrame,
+      proportions: DataFrame,
+      groupers: Seq[String],
+      digest: Column,
+      tieBreak: Column,
+      countCol: String = "rows_count",
+      oversample: Double = 8.0,
+      minKeep: Int = 64): DataFrame = {
+    require(!df.columns.contains(countCol),
+      s"proportionSamplesByDigest: input already has a '$countCol' column")
+    require(oversample >= 1.0, s"oversample must be >= 1, got $oversample")
+    require(minKeep >= 1, s"minKeep must be >= 1, got $minKeep")
+    val spark = df.sparkSession
+    val taken = df.columns.toSet ++ proportions.columns
+    val dcol = Iterator.from(0).map(i => s"__digest$i").find(!taken(_)).get
+    val thrCol = Iterator.from(0).map(i => s"__thr$i").find(!taken(_)).get
+    val withD = df.withColumn(dcol, digest)
+    val gFields = groupers.map(g => withD.schema(g))
+    def keyOf(r: Row): Seq[Any] = groupers.indices.map(r.get)
+    // per-stratum sizes: ≤ |strata| rows after map-side combine
+    val sizes = withD.groupBy(groupers.map(col): _*)
+      .agg(count(lit(1)).as("__n")).collect()
+    val quotaMap = proportions
+      .select(groupers.map(col) :+ col(countCol): _*).collect()
+      .map(r => keyOf(r) -> r.getAs[Number](groupers.length).longValue()).toMap
+    val thrRows: Seq[Row] = sizes.toSeq.map { r =>
+      val n = r.getLong(groupers.length)
+      val q = quotaMap.getOrElse(keyOf(r), 0L)
+      val rate =
+        if (q <= 0L) 0.0
+        else math.min(1.0, math.max(oversample * q, minKeep.toDouble) / n)
+      Row.fromSeq(keyOf(r) :+ hashThresholdHex(rate))
+    }
+    import scala.jdk.CollectionConverters._
+    val thresholds = spark.createDataFrame(thrRows.asJava,
+      StructType(gFields :+ StructField(thrCol, org.apache.spark.sql.types.StringType)))
+    val survivors = withD.join(broadcast(thresholds), groupers)
+      .filter(col(dcol) < col(thrCol)).drop(thrCol)
+    // exactness check: a stratum whose survivor pool cannot hold its
+    // full top quota falls back to its complete membership (the window
+    // then ranks it exactly — correctness never rides the tail bound)
+    val survMap = survivors.groupBy(groupers.map(col): _*)
+      .agg(count(lit(1)).as("__s")).collect()
+      .map(r => keyOf(r) -> r.getLong(groupers.length)).toMap
+    val relaxedKeys = sizes.toSeq.flatMap { r =>
+      val n = r.getLong(groupers.length)
+      val q = quotaMap.getOrElse(keyOf(r), 0L)
+      if (q > 0L && survMap.getOrElse(keyOf(r), 0L) < math.min(q, n))
+        Some(Row.fromSeq(keyOf(r)))
+      else None
+    }
+    val pool =
+      if (relaxedKeys.isEmpty) survivors
+      else {
+        val rdf = spark.createDataFrame(relaxedKeys.asJava, StructType(gFields))
+        withD.join(broadcast(rdf), groupers, "left_semi")
+          .unionByName(survivors.join(broadcast(rdf), groupers, "left_anti"))
+      }
+    proportionSamples(pool, proportions, groupers,
+      tieBreaker = Seq(col(dcol), tieBreak), countCol = countCol)
+      .drop(dcol)
+  }
+
   /** Skew-safe equi-join: salt the skewed (big) side's key with a random
     * suffix in [0, saltFactor) and explode the other side across all
     * suffixes, so one hot key spreads over `saltFactor` reducers instead

@@ -778,4 +778,39 @@ class AsofRangeJoinSpec extends SparkTestBase {
     val c = run("s2").collect().map(_.getAs[Long]("doc_id")).toSet
     assert(c != a.map(_._1).toSet, "salt must steer the within-cluster pick")
   }
+
+  test("clusterBalancedSample scale path: keep-set equality with the plain " +
+      "per-cluster window form; the window input is digest-thinned, never " +
+      "a full-membership cluster sort") {
+    import org.apache.spark.sql.functions._
+    import graft.operators.Ops
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select(col("doc_id"), col("source"))
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val kept = CorpusPrep.clusterBalancedSample(
+      docs, "doc_id", emb, "vec_id", "embedding",
+      numClusters = 8, perCluster = 20)
+    val got = kept.collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Int]("cluster"))).sorted.toSeq
+    // the window-form comparator: same deterministic cell tags (fixed
+    // kmeans seed), same digest order, ranked by the plain window
+    val (_, tagged) = graft.llm.Similarity.ivfBuild(
+      emb.select(col("vec_id"), col("embedding")), 8, "embedding", maxIter = 20)
+    val cells = tagged.select(col("vec_id").as("doc_id"), col("cell").as("cluster"))
+    val quotas = cells.select("cluster").distinct().withColumn("rows_count", lit(20))
+    val windowForm = Ops.proportionSamples(
+      docs.join(cells, Seq("doc_id")), quotas, Seq("cluster"),
+      Seq(Ops.hashDigestCol(col("doc_id").cast("string"), "clusterbal"), col("doc_id")))
+      .collect().map(r => (r.getAs[Long]("doc_id"), r.getAs[Int]("cluster"))).sorted.toSeq
+    assert(got == windowForm,
+      "the digest-thinned scale path must keep EXACTLY the window form's rows")
+    // plan audit: the per-cluster window ranks a digest-THINNED pool —
+    // the threshold filter sits below the Window node, so no cluster's
+    // full membership sorts through one task (the q132 verdict finding)
+    val plan = kept.queryExecution.executedPlan.toString
+    val wIdx = plan.indexOf("Window")
+    val tIdx = plan.indexOf("__thr")
+    assert(wIdx >= 0 && tIdx > wIdx,
+      s"the digest-threshold filter must feed the window:\n$plan")
+  }
 }

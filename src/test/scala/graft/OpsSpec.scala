@@ -27,6 +27,59 @@ class SkewSafeSamplingSpec extends SparkTestBase {
       .collect().map(_.getLong(1)).toSet
     assert(safe == exact) // keepRate clamps to 1 → identical top-1 per stratum
   }
+
+  /** Driver-side replica of [[graft.operators.Ops.hashDigestCol]] for
+    * picking adversarial salts: md5 hex of "id|salt". */
+  private def md5Hex(s: String): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+
+  test("proportionSamplesByDigest: keep-set EQUALITY with the window form " +
+      "(rank-aware thinning, unlike the Bernoulli variant), digest filter " +
+      "below the window in the plan, under-filled strata relax exactly") {
+    import graft.operators.Ops
+    // skewed strata: one dominant, one mid, one smaller than its quota,
+    // one absent from the proportions side
+    val df = ((1 to 4000).map(i => ("big", i.toLong)) ++
+      (1 to 300).map(i => ("mid", 10000L + i)) ++
+      (1 to 3).map(i => ("tiny", 20000L + i)) ++
+      (1 to 50).map(i => ("orphan", 30000L + i))).toDF("k", "id")
+    val props = Seq(("big", 25), ("mid", 10), ("tiny", 10)).toDF("k", "rows_count")
+    def digest(salt: String) = Ops.hashDigestCol(col("id").cast("string"), salt)
+    def windowForm(salt: String) =
+      Ops.proportionSamples(df, props, Seq("k"), Seq(digest(salt), col("id")))
+        .collect().map(r => (r.getString(0), r.getLong(1))).sorted.toSeq
+    val fast = Ops.proportionSamplesByDigest(df, props, Seq("k"), digest("pbd"), col("id"))
+    val got = fast.collect().map(r => (r.getString(0), r.getLong(1))).sorted.toSeq
+    assert(got == windowForm("pbd"),
+      "the digest-thinned sampler must keep EXACTLY the window form's rows")
+    // tiny fills with all 3 of its members; orphan contributes nothing
+    val perK = got.groupBy(_._1).view.mapValues(_.size).toMap
+    assert(perK == Map("big" -> 25, "mid" -> 10, "tiny" -> 3), s"$perK")
+    // schema passthrough: the temp digest/threshold columns never leak
+    assert(fast.columns.toSeq == Seq("k", "id"))
+    // plan shape: the digest-threshold Filter feeds the Window — the
+    // dominant stratum's full membership is cut BEFORE the sort
+    val plan = fast.queryExecution.executedPlan.toString
+    val wIdx = plan.indexOf("Window")
+    val tIdx = plan.indexOf("__thr")
+    assert(wIdx >= 0 && tIdx > wIdx,
+      s"the threshold filter must sit below the window:\n$plan")
+    // relaxation exactness: pick a salt where the 'big' stratum
+    // UNDER-FILLS at the tight oversample-1 threshold (the ~exp(-q)
+    // tail the fallback exists for) and prove the result still equals
+    // the window form — correctness never rides the tail bound
+    val bigIds = (1 to 4000).map(_.toLong)
+    val relaxSalt = (0 until 200).map(i => s"r$i").find { salt =>
+      val t = Ops.hashThresholdHex(25.0 / 4000)
+      bigIds.count(id => md5Hex(s"$id|$salt") < t) < 25
+    }.getOrElse(fail("no under-filling salt in 200 candidates — check the threshold math"))
+    val relaxed = Ops.proportionSamplesByDigest(df, props, Seq("k"),
+      digest(relaxSalt), col("id"), oversample = 1.0, minKeep = 1)
+      .collect().map(r => (r.getString(0), r.getLong(1))).sorted.toSeq
+    assert(relaxed == windowForm(relaxSalt),
+      s"under-filled strata (salt $relaxSalt) must relax to the exact window result")
+  }
 }
 
 class SaltedJoinSpec extends SparkTestBase {
