@@ -2111,6 +2111,9 @@ object Compactor {
     copyFile("spanbloom")
     copyFile("spanparams")
     copyFile("lineparams")
+    // media-dedup lineages ride the same sigs/hotcounts table semantics;
+    // their modality/geometry line must survive compaction
+    copyFile("fingerprint")
     val m = fs.create(new Path(outPath, "_COMMITTED"), true)
     try m.write(stateParams.getBytes("UTF-8")) finally m.close()
     // ONLY now is it safe to drop superseded parts and retire the input
@@ -2324,12 +2327,29 @@ object Streamer {
             s"$stateModality fingerprints — not comparable")
         require(modality != "video",
           "video is a frame-exploding path — use the batch MediaDedup increment")
+        // manifest-transparent state read (parts-mode MediaDedup state
+        // works unchanged), and the persisted hot-bucket keys ride in so
+        // the stream never re-aggregates the corpus bands — but ONLY at
+        // the state's own band geometry (hot keys are (band, bits) under
+        // the fingerprint line's `bands=`; any other width re-derives)
+        val stateBands = stored.split('|')
+          .collectFirst { case kv if kv.startsWith("bands=") =>
+            kv.substring("bands=".length).toInt }
+        val bandsHere = c.getInt("bands").getOrElse(4)
+        val hotPath = new org.apache.hadoop.fs.Path(stateDir, "hot")
+        val corpusHot =
+          if (stateBands.contains(bandsHere) &&
+              hotPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+                .exists(hotPath))
+            Some(spark.read.parquet(s"$stateDir/hot"))
+          else None
         Streams.dropNearSeenMediaStream(assets,
-          spark.read.parquet(s"$stateDir/sigs"), modality,
+          Cli.readStateTable(spark, stateDir, "sigs"), modality,
           contentCol = c.getString("content-column").getOrElse("content"),
           maxHamming = c.getInt("max-hamming").getOrElse(3),
-          bands = c.getInt("bands").getOrElse(4),
+          bands = bandsHere,
           maxBucketSize = c.getInt("max-bucket-size").getOrElse(10000),
+          corpusHotBuckets = corpusHot,
           timeCol = c.getString("time-column").getOrElse("ts"),
           watermarkDelay = watermark)
       case other => throw new IllegalArgumentException(
@@ -2960,25 +2980,56 @@ object MediaDedup {
     val minFrames = c.getInt("min-frames").getOrElse(2)
     require(Set("image", "audio", "video")(modality),
       s"media-dedup.modality must be image | audio | video, got '$modality'")
+    import org.apache.hadoop.fs.Path
+    val hconf = spark.sparkContext.hadoopConfiguration
+    def qual(d: String): Path = {
+      val p = new Path(d); p.getFileSystem(hconf).makeQualified(p)
+    }
+    def exists(p: Path): Boolean = p.getFileSystem(hconf).exists(p)
+    def readSmall(p: Path): String = {
+      val in = p.getFileSystem(hconf).open(p)
+      try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim finally in.close()
+    }
     // validate any incoming state's modality/geometry fingerprint UP
     // FRONT — a drifted lineage must fail before a single asset is
-    // decoded, not after the batch paid the decode pass
+    // decoded, not after the batch paid the decode pass. A dir without
+    // a fingerprint line (e.g. a TEXT-dedup state dir — its `sigs`
+    // table name is the same) is refused by NAME, not by a confusing
+    // read error downstream.
     val stateFp = s"$modality|bands=$bands|maxHamming=$maxHamming"
-    require(c.getString("state-dir").isEmpty ||
-        c.getString("state-dir") != c.getString("state-out-dir"),
+    val stateDir = c.getString("state-dir")
+    val statePartsDir = c.getString("state-parts-dir")
+    require(stateDir.isEmpty || stateDir != c.getString("state-out-dir"),
       "media-dedup.state-out-dir must differ from state-dir (alternate A/B " +
         "dirs between runs — overwriting the state while reading it corrupts " +
         "the lineage)")
-    c.getString("state-dir").foreach { d =>
-      val fpPath = new org.apache.hadoop.fs.Path(d, "fingerprint")
-      val fs = fpPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
-      val in = fs.open(fpPath)
-      val stored = try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
-        finally in.close()
+    stateDir.foreach { d =>
+      val fpPath = new Path(qual(d), "fingerprint")
+      require(exists(fpPath),
+        s"media-dedup.state-dir '$d' holds no MediaDedup fingerprint state " +
+          "(a text-dedup state dir is not media state, even though both " +
+          "carry a 'sigs' table)")
+      val stored = readSmall(fpPath)
       require(stored == stateFp,
         s"media-dedup state at $d was built as '$stored' but this run is " +
           s"'$stateFp' — fingerprints are not comparable across modalities " +
           "or band geometries; rebuild the state")
+      // parts/rewrite mode is a LINEAGE property (the Curator's
+      // stateParams contract): a prior dir records its parts dir in the
+      // marker, and this run must continue with the same one — mixing
+      // modes would orphan parts or double-count rows
+      val marker = new Path(qual(d), "_COMMITTED")
+      val priorPartsDir = Some(marker).filter(exists).map(readSmall)
+        .flatMap(_.split(';').collectFirst {
+          case kv if kv.startsWith("state-parts-dir=") =>
+            kv.substring("state-parts-dir=".length)
+        })
+      require(priorPartsDir == statePartsDir.map(pd => qual(pd).toString),
+        s"media-dedup.state-parts-dir is ${statePartsDir.getOrElse("unset")} " +
+          s"but the state at $d was built with " +
+          s"${priorPartsDir.getOrElse("rewrite-mode (no parts dir)")} — " +
+          "a lineage never changes mode mid-stream (the Compactor works " +
+          "WITHIN parts mode)")
     }
     // ONE decode pass builds the signatures; every join below is
     // sig-level (and the persisted state never re-decodes the corpus)
@@ -3008,17 +3059,23 @@ object MediaDedup {
       }
       // INCREMENTAL tier (`state-dir` = a previous run's
       // `state-out-dir`): batch assets near a STORED fingerprint drop
-      // too — the daily-arrivals shape; the state carries its modality
-      // and a fingerprint-geometry line so a drifted lineage is
-      // rejected loudly, never silently under-matched
-      val vsCorpusDrops = c.getString("state-dir").map { d =>
-        val corpusSigs = spark.read.parquet(s"$d/sigs")
+      // too — the daily-arrivals shape. Reads go through the manifest-
+      // transparent accessor (parts mode costs the batch's rows, not a
+      // corpus rewrite), and the corpus hot-bucket guard comes from the
+      // PERSISTED mergeable counts — never a corpus-wide re-band per
+      // batch (the Curator's hotcounts protocol).
+      val vsCorpusDrops = stateDir.map { d =>
+        val corpusSigs = Cli.readStateTable(spark, d, "sigs")
+        val corpusHot: Option[org.apache.spark.sql.DataFrame] =
+          if (exists(new Path(qual(d), "hot")))
+            Some(spark.read.parquet(s"${qual(d)}/hot"))
+          else None // pre-hotcounts lineage: one-time on-the-fly guard
         val hits =
           if (modality == "video")
             Multimodal.videoNearDupsAgainst(batchSigs, corpusSigs, minFrames,
-              maxHamming, bands, maxBucket)
+              maxHamming, bands, maxBucket, corpusHot)
           else Dedup.sigNearDupsAgainst(batchSigs, corpusSigs, maxHamming,
-            bands, maxBucket)
+            bands, maxBucket, corpusHot)
         hits.select(col("batch_id")).distinct()
       }
       val filtered = c.getString("mode").getOrElse("report") == "filter"
@@ -3030,6 +3087,7 @@ object MediaDedup {
         val drops = vsCorpusDrops.fold(ccDrops)(v =>
           ccDrops.unionByName(v.toDF("id"))).distinct()
           .withColumnRenamed("id", idCol)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         // plain left-anti: the drop list is usually tiny (AQE converts
         // it to a broadcast join at runtime), but it CAN be a large
         // fraction of a huge batch — never force a driver-side
@@ -3037,24 +3095,98 @@ object MediaDedup {
         val survivors = media.join(drops, Seq(idCol), "left_anti")
         if (filtered) {
           graft.sources.DataIO.write(survivors, c.at("target"))
+          // count the persisted survivors + the (tiny) drop list — the
+          // source is never re-scanned just for a log line (the mover
+          // double-scan the SURVEY flags as a reference bug)
           val kept = graft.sources.DataIO.read(spark, c.at("target")).count()
-          Cli.log(s"filter mode: ${media.count()} assets -> $kept survivors")
+          Cli.log(s"filter mode: $kept survivors written, " +
+            s"${drops.count()} near-dup assets dropped")
         }
-        // state-out = old state (if any) UNION the survivors' own
-        // fingerprints — the next increment compares against both
+        // state-out = old state (if any) ∪ the survivors' own
+        // fingerprints — the next increment compares against both. With
+        // `state-parts-dir` only THIS batch's rows are written (a new
+        // write-once part + manifest; prior parts stay byte-identical);
+        // the hot-bucket evidence is persisted as mergeable per-bucket
+        // COUNTS, so upkeep never re-bands the corpus.
         c.getString("state-out-dir").foreach { outDir =>
+          val outPath = qual(outDir)
+          val fs = outPath.getFileSystem(hconf)
+          fs.mkdirs(outPath)
+          fs.delete(new Path(outPath, "_COMMITTED"), false): Unit
           val survivorSigs = batchSigs.join(
             survivors.select(col(idCol).as("id")), Seq("id"), "left_semi")
-          val outSigs = c.getString("state-dir")
-            .map(d => spark.read.parquet(s"$d/sigs").unionByName(survivorSigs))
-            .getOrElse(survivorSigs)
-          outSigs.write.mode("overwrite").parquet(s"$outDir/sigs")
-          val fpPath = new org.apache.hadoop.fs.Path(outDir, "fingerprint")
-          val fs = fpPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
-          val out = fs.create(fpPath, true)
+          // flat (id, sig) projection for bucket counting — video sigs
+          // carry frame_idx, which bands ignore
+          def flat(sigs: org.apache.spark.sql.DataFrame) =
+            sigs.select(col("id"), col("sig"))
+          statePartsDir match {
+            case Some(pd0) =>
+              val pd = qual(pd0).toString
+              if (stateDir.isEmpty) {
+                Cli.requireEmptyPartsDir(spark, pd, "sigs")
+                Cli.requireEmptyPartsDir(spark, pd, "hotcounts")
+              }
+              val priorSig = stateDir
+                .flatMap(d => Cli.stateTableParts(spark, d, "sigs"))
+                .getOrElse(Seq.empty)
+              val sigPart = s"$pd/sigs/part-${priorSig.length}"
+              survivorSigs.write.mode("overwrite").parquet(sigPart)
+              val sigParts = priorSig :+ sigPart
+              Cli.writeStateManifest(spark, outPath, "sigs", sigParts)
+              Cli.sweepOrphanParts(spark, pd, "sigs", sigParts)
+              val priorCnt = stateDir
+                .flatMap(d => Cli.stateTableParts(spark, d, "hotcounts"))
+                .getOrElse(Seq.empty)
+              val cntPart = s"$pd/hotcounts/part-${priorCnt.length}"
+              Dedup.bucketCounts(flat(survivorSigs), bands)
+                .write.mode("overwrite").parquet(cntPart)
+              val cntParts = priorCnt :+ cntPart
+              Cli.writeStateManifest(spark, outPath, "hotcounts", cntParts)
+              Cli.sweepOrphanParts(spark, pd, "hotcounts", cntParts)
+              Dedup.hotFromCounts(
+                  Dedup.mergeBucketCounts(spark.read.parquet(cntParts: _*)),
+                  maxBucket)
+                .write.mode("overwrite").parquet(s"$outPath/hot")
+            case None =>
+              val outSigs = stateDir
+                .map(d => Cli.readStateTable(spark, d, "sigs")
+                  .unionByName(survivorSigs))
+                .getOrElse(survivorSigs)
+              outSigs.write.mode("overwrite").parquet(s"$outPath/sigs")
+              // mergeable counts: prior counts + this batch's (one
+              // bounded-table merge); a pre-counts lineage bootstraps
+              // from the just-written union once
+              val batchCounts = Dedup.bucketCounts(flat(survivorSigs), bands)
+              val merged = stateDir match {
+                case Some(d) if exists(new Path(qual(d), "hotcounts")) ||
+                    Cli.stateTableParts(spark, d, "hotcounts").isDefined =>
+                  Dedup.mergeBucketCounts(
+                    Cli.readStateTable(spark, d, "hotcounts")
+                      .unionByName(batchCounts))
+                case Some(_) =>
+                  Dedup.bucketCounts(
+                    flat(spark.read.parquet(s"$outPath/sigs")), bands)
+                case None => batchCounts
+              }
+              merged.write.mode("overwrite").parquet(s"$outPath/hotcounts")
+              Dedup.hotFromCounts(
+                  Dedup.mergeBucketCounts(
+                    spark.read.parquet(s"$outPath/hotcounts")), maxBucket)
+                .write.mode("overwrite").parquet(s"$outPath/hot")
+          }
+          val out = fs.create(new Path(outPath, "fingerprint"), true)
           try out.write(stateFp.getBytes("UTF-8")) finally out.close()
-          Cli.log(s"fingerprint state -> $outDir")
+          // the marker commits the state and records the lineage mode —
+          // the Compactor consumes exactly this (its sigs/hotcounts
+          // table semantics apply to media state unchanged)
+          val params = s"kind=mediadedup;fingerprint=$stateFp" +
+            statePartsDir.map(pd => s";state-parts-dir=${qual(pd)}").getOrElse("")
+          val mOut = fs.create(new Path(outPath, "_COMMITTED"), true)
+          try mOut.write(params.getBytes("UTF-8")) finally mOut.close()
+          Cli.log(s"fingerprint state -> $outDir" +
+            statePartsDir.map(pd => s" (parts under $pd)").getOrElse(""))
         }
+        drops.unpersist(): Unit
       }
     } finally { batchSigs.unpersist(); () }
   }

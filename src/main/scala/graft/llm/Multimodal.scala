@@ -1034,16 +1034,17 @@ object Multimodal {
       minFrames: Int = 2,
       maxHamming: Int = 3,
       bands: Int = 4,
-      maxBucketSize: Int = 10000): DataFrame = {
+      maxBucketSize: Int = 10000,
+      corpusHotBuckets: Option[DataFrame] = None): DataFrame = {
     require(maxHamming < bands,
       s"pigeonhole needs maxHamming < bands ($maxHamming >= $bands misses pairs)")
-    def prep(df: DataFrame) = graft.llm.Dedup.dropHotBuckets(
+    def prep(df: DataFrame, hot: Option[DataFrame]) = graft.llm.Dedup.dropHotBuckets(
       graft.llm.Dedup.bandSignatures(
         df.select(struct(col("id").as("vid"), col("frame_idx").as("f")).as("id"),
-          col("sig")), bands), maxBucketSize)
-    val b = prep(batchFrameSigs).select(col("band"), col("bits"),
+          col("sig")), bands), maxBucketSize, hot)
+    val b = prep(batchFrameSigs, None).select(col("band"), col("bits"),
       col("id.vid").as("batch_id"), col("id.f").as("f"), col("sig").as("sig1"))
-    val c = prep(corpusFrameSigs).select(col("band"), col("bits"),
+    val c = prep(corpusFrameSigs, corpusHotBuckets).select(col("band"), col("bits"),
       col("id.vid").as("corpus_id"), col("id.f").as("f"), col("sig").as("sig2"))
     b.join(c, Seq("band", "bits", "f"))
       .select(col("batch_id"), col("corpus_id"), col("f"),

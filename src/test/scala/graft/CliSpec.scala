@@ -4013,4 +4013,119 @@ class CliSpec extends SparkTestBase {
       .map(t => Option(t.getMessage).getOrElse("")).mkString(" | ")
     assert(msgs.contains("not comparable"), msgs)
   }
+
+  /** md5 of every data file under a dir, keyed by relative path — the
+    * "prior parts stay byte-identical" witness. */
+  private def dirChecksums(dir: String): Map[String, String] = {
+    val root = java.nio.file.Paths.get(dir)
+    val md = java.security.MessageDigest.getInstance("MD5")
+    import scala.jdk.CollectionConverters._
+    java.nio.file.Files.walk(root).iterator().asScala
+      .filter(p => java.nio.file.Files.isRegularFile(p) &&
+        !p.getFileName.toString.startsWith(".")) // ignore CRC sidecars
+      .map { p =>
+        md.reset()
+        root.relativize(p).toString ->
+          md.digest(java.nio.file.Files.readAllBytes(p)).map("%02x".format(_)).mkString
+      }.toMap
+  }
+
+  test("mediadedup parts-mode lineage: per-batch write-once sig parts (prior " +
+      "parts byte-identical across commits), mergeable hotcounts equal the " +
+      "direct aggregate, the Compactor consolidates media state, and " +
+      "parts/rewrite mode mixing is rejected loudly") {
+    import org.apache.spark.sql.functions.col
+    import graft.llm.{Dedup, Multimodal}
+    val base = tmp()
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    def plates(lo: Int, hi: Int) = Multimodal.reencodeAsSmoothImage(
+      Multimodal.asMediaTable(
+        docs.filter(col("doc_id") >= lo && col("doc_id") < hi),
+        "doc_id", "text", "image", Map.empty), jpeg = false)
+    // batch 1: plates 0..19; batch 2: NEW plates 20..29 + JPEG re-encodes
+    // of 0/4/8 under shifted ids (near the STORED fingerprints -> drop)
+    val src1 = base.resolve("mb1").toString
+    val src2 = base.resolve("mb2").toString
+    plates(0, 20).write.parquet(src1)
+    val reenc = Multimodal.reencodeAsSmoothImage(
+      Multimodal.asMediaTable(
+        docs.filter(col("doc_id").isin(0, 4, 8)), "doc_id", "text", "image",
+        Map.empty), jpeg = true)
+      .withColumn("asset_id", col("asset_id") + 100000)
+    plates(20, 30).unionByName(reenc).write.parquet(src2)
+    val parts = base.resolve("mdparts").toString
+    val (st1, st2, st3) = (base.resolve("pst1").toString,
+      base.resolve("pst2").toString, base.resolve("pst3").toString)
+    def conf(n: Int, src: String, stateIn: Option[String], stateOut: String,
+        partsDir: Option[String] = Some(parts)) =
+      write(base.resolve(s"mdp_$n.conf"),
+        s"""media-dedup {
+           |  source { storage-type = local, dataset-dir = $src }
+           |  target { storage-type = local, dataset-dir = ${base.resolve(s"mdout$n")}, dataset-store-format = parquet, write-mode = overwrite }
+           |  modality = image
+           |  mode = filter
+           |${stateIn.map(d => s"  state-dir = $d").getOrElse("")}
+           |  state-out-dir = $stateOut
+           |${partsDir.map(d => s"  state-parts-dir = $d").getOrElse("")}
+           |}
+           |""".stripMargin)
+    // ---- batch 1: fresh parts lineage
+    graft.cli.MediaDedup.main(Array("--conf", conf(1, src1, None, st1)))
+    def manifest(d: String, t: String): Seq[String] =
+      scala.io.Source.fromFile(s"$d/${t}manifest", "UTF-8")
+        .getLines().filter(_.nonEmpty).toSeq
+    assert(manifest(st1, "sigs").length == 1 &&
+      manifest(st1, "hotcounts").length == 1,
+      "batch 1 commits one write-once part per table")
+    assert(new java.io.File(s"$st1/hot").exists(), "derived hot keys materialize")
+    val part0Sums = dirChecksums(s"$parts/sigs/part-0")
+    assert(spark.read.parquet(manifest(st1, "sigs"): _*).count() == 20)
+    // ---- batch 2: appends ONLY its own rows; batch-1 part untouched
+    graft.cli.MediaDedup.main(Array("--conf", conf(2, src2, Some(st1), st2)))
+    assert(dirChecksums(s"$parts/sigs/part-0") == part0Sums,
+      "a later commit must leave prior sig parts byte-identical")
+    assert(manifest(st2, "sigs") == manifest(st1, "sigs") :+
+      s"file:$parts/sigs/part-1",
+      s"batch 2's manifest = batch 1's + its own part: ${manifest(st2, "sigs")}")
+    val unionSigs = spark.read.parquet(manifest(st2, "sigs"): _*)
+    assert(unionSigs.count() == 30,
+      "state = 20 batch-1 survivors + 10 new batch-2 survivors (re-encodes dropped)")
+    assert(spark.read.parquet(s"${base.resolve("mdout2")}").count() == 10,
+      "the 3 JPEG re-encodes of stored plates drop at the door")
+    // mergeable-counts contract: summing the per-batch count parts
+    // equals one aggregate over the signature union
+    val merged = Dedup.mergeBucketCounts(
+      spark.read.parquet(manifest(st2, "hotcounts"): _*))
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2))).sorted.toSeq
+    val direct = Dedup.bucketCounts(unionSigs, 4)
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2))).sorted.toSeq
+    assert(merged == direct,
+      "merged per-batch hotcounts must equal the direct aggregate over the union")
+    // ---- Compactor consolidates the media lineage (same sigs/hotcounts
+    // semantics as Curator state; the fingerprint line rides along)
+    graft.cli.Compactor.main(Array("--conf", write(base.resolve("mdp_c.conf"),
+      s"""compaction {
+         |  state-dir = $st2
+         |  state-out-dir = $st3
+         |}
+         |""".stripMargin)))
+    assert(manifest(st3, "sigs").length == 1 &&
+      manifest(st3, "sigs").head.contains("part-c"),
+      s"compaction rewrites to one fresh-generation part: ${manifest(st3, "sigs")}")
+    assert(spark.read.parquet(manifest(st3, "sigs"): _*).count() == 30)
+    assert(new java.io.File(s"$st3/fingerprint").exists(),
+      "the modality/geometry fingerprint must survive compaction")
+    // the compacted lineage continues: re-feeding batch 1 drops all
+    graft.cli.MediaDedup.main(Array("--conf", conf(4, src1, Some(st3), base.resolve("pst4").toString)))
+    assert(spark.read.parquet(s"${base.resolve("mdout4")}").count() == 0,
+      "every batch-1 asset is near its own stored fingerprint")
+    // ---- mode mixing is rejected loudly (a lineage never switches)
+    val mix = intercept[Throwable] {
+      graft.cli.MediaDedup.main(Array("--conf",
+        conf(5, src1, Some(st3), base.resolve("nope_st").toString, partsDir = None)))
+    }
+    val mixMsgs = Iterator.iterate(mix)(_.getCause).takeWhile(_ != null)
+      .map(t => Option(t.getMessage).getOrElse("")).mkString(" | ")
+    assert(mixMsgs.contains("never changes mode"), mixMsgs)
+  }
 }
