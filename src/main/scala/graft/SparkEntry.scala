@@ -2722,6 +2722,97 @@ object SparkEntry {
           max(col("n_kept")).as("max_per_cluster"))
     }),
 
+    // ---- Audio TRIM near-dup: the windowed Haitsma–Kalman form. 150
+    // recordings as real WAVs; every 6th also with its first 1024
+    // samples CUT under id+100000 (a hop-multiple trim: the trimmed
+    // clip's windows are sample-identical to the original's two hops
+    // in). Overlapping 2048-frame windows (hop 512) hash per window and
+    // pair through the OFFSET-CONSISTENT engine (Dedup.seqSigNearDups):
+    // the twins match 3 windows at ONE delta (+2), strangers never
+    // reach minWindows=2 at any single delta (cross-seed window
+    // collisions within radius 3 are ~7e-5 per window pair, measured in
+    // MultimodalSpec's margins probe — two at the SAME delta is
+    // negligible). Closes q130's documented trim limitation. rows-only;
+    // MultimodalSpec pins the alignment arithmetic.
+    "q133_audio_trim_neardup" -> ((s, dir) => {
+      import graft.llm.Multimodal
+      val media = Multimodal.asMediaTable(
+        t(s, dir, "documents").filter(col("doc_id") < 150), "doc_id", "text",
+        "audio", Map.empty)
+      val full = Multimodal.reencodeAsSmoothAudio(media)
+      val trimmed = Multimodal.reencodeAsSmoothAudio(
+        media.filter(col("asset_id") % 6 === 0), trimFrames = 1024)
+        .withColumn("asset_id", col("asset_id") + 100000)
+      Multimodal.audioNearDupsShifted(
+          full.unionByName(trimmed), Multimodal.WavDecoder,
+          minWindows = 2, maxHamming = 3)
+        .groupBy(when(col("id2") - col("id1") === 100000, "planted_trimmed")
+          .otherwise("other").as("pair_type"))
+        .agg(countDistinct(col("id1"), col("id2")).as("n_pairs"),
+          min(col("n_matched")).as("min_windows_matched"),
+          max(col("max_hamming")).as("max_hamming"),
+          min(col("delta")).as("min_delta"),
+          max(col("delta")).as("max_delta"))
+    }),
+
+    // ---- Video TEMPORAL-SHIFT near-dup: 100 six-frame DIB clips;
+    // every 6th re-rendered as MJPEG starting TWO frames later under
+    // id+100000 (the prepend/drop-frames shape the frame-ALIGNED q131
+    // join misses by construction — delta 0 only). The same per-frame
+    // dHashes pair through the offset-consistent engine: twins overlap
+    // on 4 genuine frames at one delta (+2) within the MJPEG radius 5;
+    // a stranger pair would need 3 cross-seed frame collisions at ONE
+    // delta. rows-only; MultimodalSpec pins the arithmetic.
+    "q134_video_shift_neardup" -> ((s, dir) => {
+      import graft.llm.Multimodal
+      val media = Multimodal.asMediaTable(
+        t(s, dir, "documents").filter(col("doc_id") < 100), "doc_id", "text",
+        "video", Map.empty)
+      val dib = Multimodal.reencodeAsSmoothAvi(media, nFrames = 6, mjpeg = false)
+      val shifted = Multimodal.reencodeAsSmoothAvi(
+        media.filter(col("asset_id") % 6 === 0), nFrames = 6, mjpeg = true,
+        frameOffset = 2)
+        .withColumn("asset_id", col("asset_id") + 100000)
+      Multimodal.videoNearDupsShifted(
+          dib.unionByName(shifted), minFrames = 3, maxHamming = 5, bands = 8)
+        .groupBy(when(col("id2") - col("id1") === 100000, "planted_shifted")
+          .otherwise("other").as("pair_type"))
+        .agg(countDistinct(col("id1"), col("id2")).as("n_pairs"),
+          min(col("n_matched")).as("min_frames_matched"),
+          max(col("max_hamming")).as("max_hamming"),
+          min(col("delta")).as("min_delta"),
+          max(col("delta")).as("max_delta"))
+    }),
+
+    // ---- Image CENTER-CROP near-dup: 150 PNG plates; every 6th also
+    // as a PNG of its CENTER-HALF crop under id+100000 (outside plain
+    // dHash's envelope — q129 cannot pair these). The ten-tile state
+    // frame pairs them through the crop-hypothesis SLOT-ALIGNED join:
+    // the crop's full frame + quadrants match the original's
+    // center-half + its quadrants slot for slot — FIVE exact witnesses
+    // per true crop, while strangers reach at most THREE (small smooth
+    // patches collide, measured in MultimodalSpec's margins probe —
+    // also why tile-BLIND matching is unsafe and not offered); the
+    // gate sits at minSlots=4, one slot of margin each way. rows-only.
+    "q135_image_crop_neardup" -> ((s, dir) => {
+      import graft.llm.Multimodal
+      val media = Multimodal.asMediaTable(
+        t(s, dir, "documents").filter(col("doc_id") < 150), "doc_id", "text",
+        "image", Map.empty)
+      val png = Multimodal.reencodeAsSmoothImage(media, jpeg = false)
+      val crops = Multimodal.reencodeAsSmoothImageCrop(
+        media.filter(col("asset_id") % 6 === 0))
+        .withColumn("asset_id", col("asset_id") + 100000)
+      Multimodal.centerCropNearDups(
+          png.unionByName(crops), Multimodal.ImageIoDecoder,
+          minSlots = 4, maxHamming = 3)
+        .groupBy(when(col("crop_id") - col("orig_id") === 100000,
+            "planted_center_crop").otherwise("other").as("pair_type"))
+        .agg(countDistinct(col("orig_id"), col("crop_id")).as("n_pairs"),
+          min(col("n_slots_matched")).as("min_slots_matched"),
+          max(col("max_hamming")).as("max_hamming"))
+    }),
+
     // ---- CCNet in its PRODUCTION configuration: per-source
     // head/middle/tail thirds by the KenLM-class model's score — q98's
     // bucket machinery over MODIFIED-KN (q98 buckets on the unigram

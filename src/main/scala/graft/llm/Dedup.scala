@@ -368,6 +368,85 @@ object Dedup {
       .distinct()
   }
 
+  // ----------------------- offset-consistent (sequenced sub-signatures)
+
+  /** OFFSET-CONSISTENT near-dup over SEQUENCED sub-signatures
+    * `(id, seq_idx, sig)` — the published sub-fingerprint lookup shape
+    * (Haitsma–Kalman windowed audio fingerprints; temporally-shifted
+    * video): a trimmed or time-shifted copy shares many sub-signatures
+    * with its original at ONE consistent index delta, while strangers
+    * collide (rarely) at scattered deltas. The banded candidate join is
+    * [[sigNearDups]]'s (never all-pairs, hot-bucket-guarded); candidate
+    * sub-sig pairs Hamming-prune, then group by
+    * `(id1, id2, seq_idx1 − seq_idx2)` and keep deltas with at least
+    * `minMatches` matching sub-signatures.
+    *
+    * Unlike the frame-ALIGNED video join (seq_idx on the band key),
+    * the band join here is index-free, so one asset's sub-sigs can
+    * candidate with all of another's — the hot-bucket guard and the
+    * per-asset sub-sig count (windows/frames per asset, a small
+    * constant) bound the blow-up to k² per colliding asset pair.
+    * Returns `(id1, id2, delta, n_matched, max_hamming)`. */
+  def seqSigNearDups(
+      sigs: DataFrame, // (id, seq_idx, sig)
+      minMatches: Int = 2,
+      maxHamming: Int = 3,
+      bands: Int = 4,
+      maxBucketSize: Int = 10000): DataFrame = {
+    require(maxHamming < bands,
+      s"pigeonhole needs maxHamming < bands ($maxHamming >= $bands misses pairs)")
+    val keyed = sigs.select(
+      struct(col("id").as("aid"), col("seq_idx").as("s")).as("id"), col("sig"))
+    val banded = dropHotBuckets(bandSignatures(keyed, bands), maxBucketSize)
+    val l = banded.select(col("band"), col("bits"), col("id.aid").as("id1"),
+      col("id.s").as("s1"), col("sig").as("sig1"))
+    val r = banded.select(col("band"), col("bits"), col("id.aid").as("id2"),
+      col("id.s").as("s2"), col("sig").as("sig2"))
+    l.join(r, Seq("band", "bits"))
+      .filter(col("id1") < col("id2"))
+      .select(col("id1"), col("id2"), col("s1"), col("s2"),
+        hamming(col("sig1"), col("sig2")).as("hamming"))
+      .filter(col("hamming") <= maxHamming)
+      .distinct() // a sub-sig pair can collide in several bands
+      .groupBy(col("id1"), col("id2"), (col("s1") - col("s2")).as("delta"))
+      .agg(count(lit(1)).as("n_matched"), max(col("hamming")).as("max_hamming"))
+      .filter(col("n_matched") >= minMatches)
+  }
+
+  /** Batch-vs-corpus form of [[seqSigNearDups]] — the incremental tier
+    * for trimmed/offset arrivals. Same candidate/prune/delta-group
+    * shape; `corpusHotBuckets` is the persisted hot-key table (the
+    * mergeable-counts protocol). Returns
+    * `(batch_id, corpus_id, delta, n_matched, max_hamming)`. */
+  def seqSigNearDupsAgainst(
+      batchSigs: DataFrame,
+      corpusSigs: DataFrame,
+      minMatches: Int = 2,
+      maxHamming: Int = 3,
+      bands: Int = 4,
+      maxBucketSize: Int = 10000,
+      corpusHotBuckets: Option[DataFrame] = None): DataFrame = {
+    require(maxHamming < bands,
+      s"pigeonhole needs maxHamming < bands ($maxHamming >= $bands misses pairs)")
+    def keyed(df: DataFrame) = df.select(
+      struct(col("id").as("aid"), col("seq_idx").as("s")).as("id"), col("sig"))
+    val b = dropHotBuckets(bandSignatures(keyed(batchSigs), bands), maxBucketSize)
+      .select(col("band"), col("bits"), col("id.aid").as("batch_id"),
+        col("id.s").as("s1"), col("sig").as("sig1"))
+    val c = dropHotBuckets(bandSignatures(keyed(corpusSigs), bands),
+        maxBucketSize, corpusHotBuckets)
+      .select(col("band"), col("bits"), col("id.aid").as("corpus_id"),
+        col("id.s").as("s2"), col("sig").as("sig2"))
+    b.join(c, Seq("band", "bits"))
+      .select(col("batch_id"), col("corpus_id"), col("s1"), col("s2"),
+        hamming(col("sig1"), col("sig2")).as("hamming"))
+      .filter(col("hamming") <= maxHamming)
+      .distinct()
+      .groupBy(col("batch_id"), col("corpus_id"), (col("s1") - col("s2")).as("delta"))
+      .agg(count(lit(1)).as("n_matched"), max(col("hamming")).as("max_hamming"))
+      .filter(col("n_matched") >= minMatches)
+  }
+
   /** Incremental curation step: batch survivors after all three
     * incremental tiers — exact-vs-seen (and in-batch exact), in-batch
     * near-dup (drop the higher id per pair; otherwise a near-dup pair

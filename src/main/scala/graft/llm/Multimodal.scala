@@ -789,6 +789,131 @@ object Multimodal {
       perceptualHashes(df, decoder, idCol, contentCol, metaCol),
       maxHamming, bands, maxBucketSize)
 
+  /** Crop a rectangular pixel region out of a decoded frame. */
+  private[graft] def cropRegion(d: Decoded, x0: Int, y0: Int, w: Int, h: Int): Decoded = {
+    require(x0 >= 0 && y0 >= 0 && x0 + w <= d.width && y0 + h <= d.height,
+      s"crop ($x0,$y0,$w,$h) outside ${d.width}x${d.height}")
+    val out = new Array[Float](w * h * d.channels)
+    var y = 0
+    while (y < h) {
+      System.arraycopy(d.data, ((y0 + y) * d.width + x0) * d.channels,
+        out, y * w * d.channels, w * d.channels)
+      y += 1
+    }
+    Decoded(w, h, d.channels, out)
+  }
+
+  /** The ten tile regions of a w×h frame: 0 = full, 1–4 = quadrants
+    * (TL/TR/BL/BR), 5 = the center half (the middle 50% per axis),
+    * 6–9 = the QUADRANTS OF the center half. Fixed geometry is part of
+    * the signature contract — tile hashes only compare within one
+    * region table. Tiles 5–9 are the "as-original" witnesses of the
+    * center-crop hypothesis; tiles 0–4 the "as-crop" side (a center
+    * crop's full frame and quadrants are pixel-for-pixel the
+    * original's tiles 5 and 6–9). */
+  private[graft] def tileRegions(w: Int, h: Int): Seq[(Int, Int, Int, Int)] = Seq(
+    (0, 0, w, h),
+    (0, 0, w / 2, h / 2),
+    (w / 2, 0, w - w / 2, h / 2),
+    (0, h / 2, w / 2, h - h / 2),
+    (w / 2, h / 2, w - w / 2, h - h / 2),
+    (w / 4, h / 4, w / 2, h / 2),
+    (w / 4, h / 4, w / 4, h / 4),
+    (w / 2, h / 4, w / 4, h / 4),
+    (w / 4, h / 2, w / 4, h / 4),
+    (w / 2, h / 2, w / 4, h / 4))
+
+  /** Per-(image, tile) dHashes `(id, tile_idx, sig)` over the
+    * [[tileRegions]] layout — the CROP-tolerant image tier's state
+    * frame: one decode pass, ten fixed-region hashes per asset, still
+    * 8 B/signature. Tile hashes are NOT comparable tile-blind (small
+    * smooth regions collide across unrelated images — the margins
+    * probe in MultimodalSpec measures it); [[centerCropNearDups]]
+    * compares them slot-ALIGNED under the crop hypothesis only. */
+  def tileHashes(
+      df: DataFrame,
+      decoder: MediaDecoder,
+      idCol: String = "asset_id",
+      contentCol: String = "content",
+      metaCol: String = "meta",
+      batchSize: Int = 64): DataFrame = {
+    val idType = df.schema(idCol).dataType
+    val schema = StructType(Seq(
+      StructField("id", idType, nullable = false),
+      StructField("tile_idx", IntegerType, nullable = false),
+      StructField("sig", LongType, nullable = false)))
+    val (idIdx, cIdx, mIdx) =
+      (df.columns.indexOf(idCol), df.columns.indexOf(contentCol), df.columns.indexOf(metaCol))
+    df.mapPartitions { it =>
+      it.grouped(batchSize).flatMap { batch =>
+        batch.flatMap { row =>
+          val content = row.getAs[Array[Byte]](cIdx)
+          if (content == null) Seq.empty[Row]
+          else {
+            val meta = Option(row.getMap[String, String](mIdx))
+              .map(_.toMap).getOrElse(Map.empty[String, String])
+            val d = decoder.decode(content, meta)
+            tileRegions(d.width, d.height).zipWithIndex.map {
+              case ((x0, y0, w, h), t) =>
+                Row(row.get(idIdx), t, dHash64(cropRegion(d, x0, y0, w, h)))
+            }
+          }
+        }
+      }
+    }(Encoders.row(schema))
+  }
+
+  /** CENTER-CROP near-dup — the crop-hypothesis SLOT-ALIGNED banded
+    * join: asset B is a center crop of asset A when B's full frame and
+    * quadrants (tiles 0–4) match A's center-half and ITS quadrants
+    * (tiles 5–9) slot for slot. A true crop witnesses ALL FIVE slots
+    * (at Hamming 0 on re-rendered crops — the geometry is exact), while
+    * unrelated images collide on AT MOST THREE even at radius 3 (small
+    * smooth patches are low-entropy, so single- and even triple-slot
+    * collisions between strangers are real — measured in the
+    * MultimodalSpec margins probe; this is why tile-BLIND matching is
+    * deliberately not offered). `minSlots = 4` therefore separates
+    * with a slot of margin on both sides: one witness may be lost to
+    * rescale/quantization drift, and strangers stay a slot below the
+    * gate. Returns `(orig_id, crop_id, n_slots_matched, max_hamming)`;
+    * envelope: 50%-per-axis center crops (the remove-borders/watermark
+    * case) — quadrant or arbitrary-offset crops land one witness at
+    * most and stay below the gate. */
+  def centerCropNearDups(
+      df: DataFrame,
+      decoder: MediaDecoder,
+      idCol: String = "asset_id",
+      contentCol: String = "content",
+      metaCol: String = "meta",
+      minSlots: Int = 4,
+      maxHamming: Int = 3,
+      bands: Int = 4,
+      maxBucketSize: Int = 10000): DataFrame = {
+    require(maxHamming < bands,
+      s"pigeonhole needs maxHamming < bands ($maxHamming >= $bands misses pairs)")
+    val tiles = tileHashes(df, decoder, idCol, contentCol, metaCol)
+    def slotted(t: DataFrame, base: Int) = graft.llm.Dedup.dropHotBuckets(
+      graft.llm.Dedup.bandSignatures(
+        t.select(struct(col("id").as("aid"),
+          (col("tile_idx") - base).as("slot")).as("id"), col("sig")), bands),
+      maxBucketSize)
+    val orig = slotted(tiles.filter(col("tile_idx") >= 5), 5)
+      .select(col("band"), col("bits"), col("id.aid").as("orig_id"),
+        col("id.slot").as("slot"), col("sig").as("sig1"))
+    val crop = slotted(tiles.filter(col("tile_idx") <= 4), 0)
+      .select(col("band"), col("bits"), col("id.aid").as("crop_id"),
+        col("id.slot").as("slot"), col("sig").as("sig2"))
+    orig.join(crop, Seq("band", "bits", "slot"))
+      .filter(col("orig_id") =!= col("crop_id"))
+      .select(col("orig_id"), col("crop_id"), col("slot"),
+        graft.llm.Dedup.hamming(col("sig1"), col("sig2")).as("hamming"))
+      .filter(col("hamming") <= maxHamming)
+      .distinct()
+      .groupBy(col("orig_id"), col("crop_id"))
+      .agg(count(lit(1)).as("n_slots_matched"), max(col("hamming")).as("max_hamming"))
+      .filter(col("n_slots_matched") >= minSlots)
+  }
+
   /** 64-bit AUDIO fingerprint (the Haitsma–Kalman/Philips robust-hash
     * bit derivation, reimplemented from the published description over
     * a compact 9×8 energy grid): mono-mix → 9 equal time windows → 8
@@ -900,6 +1025,83 @@ object Multimodal {
     graft.llm.Dedup.sigNearDups(
       audioHashes(df, decoder, idCol, contentCol, metaCol),
       maxHamming, bands, maxBucketSize)
+
+  /** Per-(clip, window) sub-fingerprints `(id, window_idx, sig)` — the
+    * WINDOWED form of [[audioHash64]] (the Haitsma–Kalman sub-
+    * fingerprint recipe: many overlapping windows per clip, matched by
+    * consistent offset). Window `w` covers frames
+    * `[w·hop, w·hop + windowFrames)`; clips shorter than one window
+    * emit a single whole-clip hash. A trim of `m·hop` frames makes the
+    * trimmed clip's window `w` SAMPLE-IDENTICAL to the original's
+    * `w + m` (hash distance 0); arbitrary trims misalign by at most
+    * `hop/2` frames, which small hops keep inside the Hamming radius.
+    * Same batched mapPartitions decode shape as [[audioHashes]]. */
+  def audioWindowHashes(
+      df: DataFrame,
+      decoder: MediaDecoder,
+      idCol: String = "asset_id",
+      contentCol: String = "content",
+      metaCol: String = "meta",
+      windowFrames: Int = 2048,
+      hop: Int = 512,
+      batchSize: Int = 64): DataFrame = {
+    require(windowFrames >= 18, s"audioHash64 needs >= 18 frames per window, got $windowFrames")
+    require(hop > 0 && hop <= windowFrames,
+      s"hop must be in (0, windowFrames], got $hop (windows must tile or overlap)")
+    val idType = df.schema(idCol).dataType
+    val schema = StructType(Seq(
+      StructField("id", idType, nullable = false),
+      StructField("window_idx", IntegerType, nullable = false),
+      StructField("sig", LongType, nullable = false)))
+    val (idIdx, cIdx, mIdx) =
+      (df.columns.indexOf(idCol), df.columns.indexOf(contentCol), df.columns.indexOf(metaCol))
+    df.mapPartitions { it =>
+      it.grouped(batchSize).flatMap { batch =>
+        batch.flatMap { row =>
+          val content = row.getAs[Array[Byte]](cIdx)
+          if (content == null) Seq.empty[Row]
+          else {
+            val meta = Option(row.getMap[String, String](mIdx))
+              .map(_.toMap).getOrElse(Map.empty[String, String])
+            val d = decoder.decode(content, meta)
+            val n = d.width
+            if (n <= windowFrames) Seq(Row(row.get(idIdx), 0, audioHash64(d)))
+            else (0 to (n - windowFrames) / hop).map { w =>
+              val lo = w * hop
+              val slice = java.util.Arrays.copyOfRange(
+                d.data, lo * d.channels, (lo + windowFrames) * d.channels)
+              Row(row.get(idIdx), w,
+                audioHash64(Decoded(windowFrames, 1, d.channels, slice)))
+            }
+          }
+        }
+      }
+    }(Encoders.row(schema))
+  }
+
+  /** TRIM/OFFSET-robust audio near-dup — windowed sub-fingerprints
+    * through the offset-consistent engine
+    * ([[graft.llm.Dedup.seqSigNearDups]]): a trimmed copy matches many
+    * windows of its original at ONE index delta; strangers don't.
+    * Returns `(id1, id2, delta, n_matched, max_hamming)` with
+    * `n_matched >= minWindows`. Closes the un-windowed
+    * [[audioNearDups]] form's published trim limitation. */
+  def audioNearDupsShifted(
+      df: DataFrame,
+      decoder: MediaDecoder,
+      idCol: String = "asset_id",
+      contentCol: String = "content",
+      metaCol: String = "meta",
+      minWindows: Int = 2,
+      maxHamming: Int = 3,
+      bands: Int = 4,
+      maxBucketSize: Int = 10000,
+      windowFrames: Int = 2048,
+      hop: Int = 512): DataFrame =
+    graft.llm.Dedup.seqSigNearDups(
+      audioWindowHashes(df, decoder, idCol, contentCol, metaCol, windowFrames, hop)
+        .withColumnRenamed("window_idx", "seq_idx"),
+      minWindows, maxHamming, bands, maxBucketSize)
 
   /** Deterministic smooth test RECORDING for a seed: three sinusoid
     * components whose carrier bins and slow amplitude-modulation
@@ -1057,6 +1259,28 @@ object Multimodal {
       .filter(col("n_frames_matched") >= minFrames)
   }
 
+  /** TEMPORALLY-SHIFTED video near-dup: per-frame dHashes through the
+    * offset-consistent engine ([[graft.llm.Dedup.seqSigNearDups]]) —
+    * a re-encode that prepends/drops frames still pairs, because its
+    * overlapping frames match the original's at ONE consistent
+    * frame-index delta (the frame-ALIGNED [[videoNearDups]] requires
+    * delta 0 and misses it). Returns
+    * `(id1, id2, delta, n_matched, max_hamming)`. */
+  def videoNearDupsShifted(
+      df: DataFrame,
+      everyN: Int = 1,
+      idCol: String = "asset_id",
+      contentCol: String = "content",
+      metaCol: String = "meta",
+      minFrames: Int = 2,
+      maxHamming: Int = 3,
+      bands: Int = 4,
+      maxBucketSize: Int = 10000): DataFrame =
+    graft.llm.Dedup.seqSigNearDups(
+      videoFrameHashes(df, everyN, idCol, contentCol, metaCol)
+        .withColumnRenamed("frame_idx", "seq_idx"),
+      minFrames, maxHamming, bands, maxBucketSize)
+
   /** Replace each asset's payload with a REAL AVI (DIB or MJPEG) of
     * `nFrames` deterministic smooth plates keyed by `seedCol` — the
     * video twin fixture: render the same seed once as lossless DIB and
@@ -1072,7 +1296,12 @@ object Multimodal {
       contentCol: String = "content",
       metaCol: String = "meta",
       w: Int = 32,
-      h: Int = 32): DataFrame = {
+      h: Int = 32,
+      frameOffset: Int = 0): DataFrame = {
+    // frameOffset renders the SAME seed's plate sequence starting f
+    // frames in — the temporally-shifted twin fixture: (offset 0,
+    // offset m) clips of one seed overlap on nFrames − m genuine
+    // frames, at a consistent frame-index delta of m
     val schema = df.schema
     val cIdx = df.columns.indexOf(contentCol)
     val mIdx = df.columns.indexOf(metaCol)
@@ -1081,7 +1310,7 @@ object Multimodal {
       it.map { row =>
         val seed = row.getLong(sIdx)
         val frames = (0 until nFrames)
-          .map(f => smoothImage(seed * 1000003L + f, w, h))
+          .map(f => smoothImage(seed * 1000003L + f + frameOffset, w, h))
         val avi = encodeAvi(frames, mjpeg = mjpeg)
         val meta = Option(row.getMap[String, String](mIdx))
           .map(_.toMap).getOrElse(Map.empty[String, String])
@@ -1102,13 +1331,21 @@ object Multimodal {
       volume: Float = 1.0f,
       seedCol: String = "asset_id",
       contentCol: String = "content",
-      nFrames: Int = 4096): DataFrame = {
+      nFrames: Int = 4096,
+      trimFrames: Int = 0): DataFrame = {
+    // trimFrames drops the recording's FIRST samples — the trimmed-twin
+    // fixture: a (full, trimmed) pair of one seed is the same recording
+    // minus its head, sample-identical past the cut
+    require(trimFrames >= 0 && trimFrames < nFrames,
+      s"trimFrames must be in [0, nFrames), got $trimFrames")
     val schema = df.schema
     val cIdx = df.columns.indexOf(contentCol)
     val sIdx = df.columns.indexOf(seedCol)
     df.mapPartitions { it =>
       it.map { row =>
-        val d = smoothAudio(row.getLong(sIdx), nFrames)
+        val d0 = smoothAudio(row.getLong(sIdx), nFrames)
+        val d = if (trimFrames == 0) d0
+          else Decoded(nFrames - trimFrames, 1, 1, d0.data.drop(trimFrames))
         val scaled = if (volume == 1.0f) d
           else Decoded(d.width, 1, 1, d.data.map(_ * volume))
         Row.fromSeq(row.toSeq.updated(cIdx, encodeWav(scaled)))
@@ -1167,6 +1404,30 @@ object Multimodal {
         val img = smoothImage(row.getLong(sIdx), w, h)
         val bytes = if (jpeg) Avi.encodeJpegFrame(img) else encodePng(img)
         Row.fromSeq(row.toSeq.updated(cIdx, bytes))
+      }
+    }(Encoders.row(schema))
+  }
+
+  /** Replace each asset's payload with a PNG of the CENTER-HALF crop of
+    * the deterministic smooth plate keyed by `seedCol` — the crop-twin
+    * fixture: a (full, center-crop) pair of one seed is a genuine crop
+    * relationship, and the cropped pixels equal the full plate's tile-5
+    * region exactly (same [[tileRegions]] geometry), so the crop tier
+    * must pair them while plain full-frame dHash does not. */
+  def reencodeAsSmoothImageCrop(
+      df: DataFrame,
+      seedCol: String = "asset_id",
+      contentCol: String = "content",
+      w: Int = 32,
+      h: Int = 32): DataFrame = {
+    val schema = df.schema
+    val cIdx = df.columns.indexOf(contentCol)
+    val sIdx = df.columns.indexOf(seedCol)
+    df.mapPartitions { it =>
+      it.map { row =>
+        val img = smoothImage(row.getLong(sIdx), w, h)
+        val crop = cropRegion(img, w / 4, h / 4, w / 2, h / 2)
+        Row.fromSeq(row.toSeq.updated(cIdx, encodePng(crop)))
       }
     }(Encoders.row(schema))
   }

@@ -182,6 +182,51 @@ class EntrySpec extends SparkTestBase {
     assert(p.getAs[Long]("min_frames_matched") == 3L)
   }
 
+  test("q133: every trimmed audio twin matches 3 windows at ONE consistent " +
+      "delta with zero hash drift; nothing else pairs") {
+    val rows = SparkEntry.queries("q133_audio_trim_neardup")(spark, sfDir).collect()
+      .map(r => r.getString(0) -> r).toMap
+    assert(rows.keySet == Set("planted_trimmed"),
+      s"non-planted pairs reached minWindows at a single delta: ${rows.keySet}")
+    val p = rows("planted_trimmed")
+    assert(p.getAs[Long]("n_pairs") == 25L)
+    // trim = 2 hops: the original's window w+2 IS the trimmed clip's
+    // window w, so 3 of 5 windows match exactly at delta +2
+    assert(p.getAs[Long]("min_windows_matched") == 3L)
+    assert(p.getAs[Int]("max_hamming") == 0,
+      "hop-multiple trims are sample-identical — zero drift")
+    assert(p.getAs[Int]("min_delta") == 2 && p.getAs[Int]("max_delta") == 2,
+      "every planted pair aligns at the one true offset")
+  }
+
+  test("q134: every temporally-shifted video twin matches its 4 overlapping " +
+      "frames at ONE delta inside the MJPEG radius; nothing else pairs") {
+    val rows = SparkEntry.queries("q134_video_shift_neardup")(spark, sfDir).collect()
+      .map(r => r.getString(0) -> r).toMap
+    assert(rows.keySet == Set("planted_shifted"),
+      s"non-planted clip pairs at a consistent delta: ${rows.keySet}")
+    val p = rows("planted_shifted")
+    assert(p.getAs[Long]("n_pairs") == 17L) // doc_id % 6 == 0 in [0, 100)
+    assert(p.getAs[Long]("min_frames_matched") == 4L,
+      "6-frame clips shifted by 2 overlap on exactly 4 frames")
+    assert(p.getAs[Int]("max_hamming") <= 5)
+    assert(p.getAs[Int]("min_delta") == 2 && p.getAs[Int]("max_delta") == 2)
+  }
+
+  test("q135: every center-crop twin pairs through all five slot-aligned " +
+      "tile witnesses exactly; nothing else reaches minSlots") {
+    val rows = SparkEntry.queries("q135_image_crop_neardup")(spark, sfDir).collect()
+      .map(r => r.getString(0) -> r).toMap
+    assert(rows.keySet == Set("planted_center_crop"),
+      s"non-planted pairs reached minSlots: ${rows.keySet}")
+    val p = rows("planted_center_crop")
+    assert(p.getAs[Long]("n_pairs") == 25L)
+    assert(p.getAs[Long]("min_slots_matched") == 5L,
+      "a true center crop witnesses all five aligned tiles")
+    assert(p.getAs[Int]("max_hamming") == 0,
+      "the crop's pixels ARE the original's tile region — zero drift")
+  }
+
   test("q132: cluster-balanced sample fills every cluster's quota, never exceeds it") {
     val r = SparkEntry.queries("q132_cluster_balanced_sample")(spark, sfDir).head()
     assert(r.getAs[Long]("n_clusters") == 8L)

@@ -520,11 +520,118 @@ class MultimodalSpec extends SparkTestBase {
       "audio" -> Multimodal.audioNearDups(
         Multimodal.reencodeAsSmoothAudio(base), Multimodal.WavDecoder),
       "video" -> Multimodal.videoNearDups(
-        Multimodal.reencodeAsSmoothAvi(base, nFrames = 2, mjpeg = false)))
+        Multimodal.reencodeAsSmoothAvi(base, nFrames = 2, mjpeg = false)),
+      "audio-shifted" -> Multimodal.audioNearDupsShifted(
+        Multimodal.reencodeAsSmoothAudio(base), Multimodal.WavDecoder),
+      "video-shifted" -> Multimodal.videoNearDupsShifted(
+        Multimodal.reencodeAsSmoothAvi(base, nFrames = 2, mjpeg = false)),
+      "image-crop" -> Multimodal.centerCropNearDups(
+        Multimodal.reencodeAsSmoothImage(base, jpeg = false),
+        Multimodal.ImageIoDecoder))
     for ((name, df) <- plans) {
       val plan = df.queryExecution.executedPlan.toString
       assert(!plan.contains("CartesianProduct") && !plan.contains("NestedLoop"),
         s"$name near-dup degenerated to all-pairs:\n$plan")
     }
+  }
+
+  test("audioWindowHashes: window alignment arithmetic — a hop-multiple trim " +
+      "shifts window indices exactly; short clips emit one whole-clip hash; " +
+      "margins: misaligned same-recording windows stay outside the radius") {
+    import graft.llm.Multimodal._
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    // driver-side replica of the window slicing on raw buffers
+    def winHashes(d: Decoded, wf: Int, hop: Int): Seq[Long] =
+      if (d.width <= wf) Seq(audioHash64(d))
+      else (0 to (d.width - wf) / hop).map { w =>
+        audioHash64(Decoded(wf, 1, 1,
+          java.util.Arrays.copyOfRange(d.data, w * hop, w * hop + wf)))
+      }
+    for (seed <- 0L until 25L) {
+      val full = smoothAudio(seed, 4096)
+      val fullW = winHashes(full, 2048, 512)
+      assert(fullW.length == 5, "4096 frames, 2048 window, 512 hop -> 5 windows")
+      // trim = 2 hops: trimmed window w IS full window w+2, bit-exact
+      val trimmed = Decoded(3072, 1, 1, full.data.drop(1024))
+      val trimW = winHashes(trimmed, 2048, 512)
+      assert(trimW.length == 3)
+      assert(trimW == fullW.drop(2),
+        s"seed $seed: hop-multiple trims must shift window indices exactly")
+      // misaligned windows of the SAME recording stay outside radius 3 —
+      // offset-consistent grouping sees clean deltas, not self-noise
+      for (i <- fullW.indices; j <- fullW.indices if i != j)
+        assert(ham(fullW(i), fullW(j)) > 3,
+          s"seed $seed windows $i/$j inside the radius")
+    }
+    // short clip: one whole-clip window
+    assert(winHashes(smoothAudio(3L, 1500), 2048, 512).length == 1)
+    // the DataFrame surface agrees with the replica (real WAV round trip)
+    import org.apache.spark.sql.functions.col
+    val base = graft.llm.Multimodal.asMediaTable(
+      spark.read.parquet(s"$sfDir/documents.parquet").filter(col("doc_id") < 4),
+      "doc_id", "text", "audio", Map.empty)
+    val got = audioWindowHashes(reencodeAsSmoothAudio(base), WavDecoder)
+      .collect().map(r => (r.getLong(0), r.getInt(1)) -> r.getLong(2)).toMap
+    for (seed <- 0L until 4L; (h, w) <- winHashes(smoothAudio(seed, 4096), 2048, 512).zipWithIndex)
+      assert(got((seed, w)) == h, s"seed $seed window $w drift through the WAV path")
+  }
+
+  test("seqSigNearDups: groups candidate pairs by consistent index delta, " +
+      "enforces minMatches PER delta, never pairs an asset with itself") {
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    // hand-built sub-signatures: asset 1 = asset 0 shifted by +2 (3
+    // overlapping identical sigs); asset 2 shares ONE sig with asset 0
+    // at one delta and one at another (scattered — no consistent offset)
+    val sig = (i: Long) => i * 0x9E3779B97F4A7C15L | 1L
+    val rows = Seq(
+      (0L, 0, sig(10)), (0L, 1, sig(11)), (0L, 2, sig(12)), (0L, 3, sig(13)), (0L, 4, sig(14)),
+      (1L, 0, sig(12)), (1L, 1, sig(13)), (1L, 2, sig(14)),
+      (2L, 0, sig(10)), (2L, 3, sig(12)), (2L, 4, sig(99)))
+      .toDF("id", "seq_idx", "sig")
+    val out = graft.llm.Dedup.seqSigNearDups(rows, minMatches = 2, maxHamming = 0,
+      bands = 4, maxBucketSize = 100)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getLong(3))).toSeq
+    assert(out == Seq((0L, 1L, 2, 3L)),
+      s"only the consistent-offset pair survives (asset 2's scattered " +
+        s"single matches never reach minMatches at one delta): $out")
+    // radius honored: flip one low bit of asset 1's sigs -> still pairs
+    // at maxHamming 1, not at 0
+    val wobble = rows.withColumn("sig",
+      org.apache.spark.sql.functions.when(col("id") === 1L,
+        col("sig").bitwiseXOR(org.apache.spark.sql.functions.lit(1L)))
+        .otherwise(col("sig")))
+    assert(graft.llm.Dedup.seqSigNearDups(wobble, 2, 0, 4, 100).count() == 0)
+    val w1 = graft.llm.Dedup.seqSigNearDups(wobble, 2, 1, 4, 100).collect()
+    assert(w1.length == 1 && w1.head.getLong(3) == 3L)
+  }
+
+  test("centerCropNearDups margins (the q135 calibration): a true center " +
+      "crop witnesses all 5 slots at Hamming 0; strangers reach at most 3 " +
+      "slots at radius 3 — minSlots=4 separates with margin both ways") {
+    import org.apache.spark.sql.functions.col
+    import graft.llm.Multimodal
+    val base = Multimodal.asMediaTable(
+      spark.read.parquet(s"$sfDir/documents.parquet")
+        .filter(col("doc_id") < 60), "doc_id", "text", "image", Map.empty)
+    val png = Multimodal.reencodeAsSmoothImage(base, jpeg = false)
+    val crops = Multimodal.reencodeAsSmoothImageCrop(
+      base.filter(col("asset_id") % 3 === 0))
+      .withColumn("asset_id", col("asset_id") + 100000)
+    // minSlots=1 exposes the full collision distribution
+    val all = Multimodal.centerCropNearDups(png.unionByName(crops),
+      Multimodal.ImageIoDecoder, minSlots = 1, maxHamming = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getInt(3)))
+    val planted = all.filter(p => p._2 - p._1 == 100000)
+    assert(planted.length == 20 && planted.forall(p => p._3 == 5 && p._4 == 0),
+      s"every true crop must witness 5/5 slots exactly: ${planted.toSeq}")
+    val strangers = all.filterNot(p => p._2 - p._1 == 100000)
+    assert(strangers.forall(_._3 <= 3),
+      s"the stranger ceiling the minSlots=4 gate rests on: " +
+        s"${strangers.filter(_._3 > 3).toSeq}")
+    // strangers DO collide on single tiles (including exactly) — the
+    // measured fact that makes tile-blind matching unsafe by design
+    assert(strangers.nonEmpty,
+      "the margins probe expects real single-slot collisions on this corpus")
   }
 }
