@@ -2325,8 +2325,6 @@ object Streamer {
         require(modality == stateModality,
           s"streaming.modality=$modality but state-dir '$stateDir' holds " +
             s"$stateModality fingerprints — not comparable")
-        require(modality != "video",
-          "video is a frame-exploding path — use the batch MediaDedup increment")
         // manifest-transparent state read (parts-mode MediaDedup state
         // works unchanged), and the persisted hot-bucket keys ride in so
         // the stream never re-aggregates the corpus bands — but ONLY at
@@ -2335,7 +2333,8 @@ object Streamer {
         val stateBands = stored.split('|')
           .collectFirst { case kv if kv.startsWith("bands=") =>
             kv.substring("bands=".length).toInt }
-        val bandsHere = c.getInt("bands").getOrElse(4)
+        val bandsHere = c.getInt("bands")
+          .getOrElse(if (modality == "video") 8 else 4)
         val hotPath = new org.apache.hadoop.fs.Path(stateDir, "hot")
         val corpusHot =
           if (stateBands.contains(bandsHere) &&
@@ -2343,7 +2342,23 @@ object Streamer {
                 .exists(hotPath))
             Some(spark.read.parquet(s"$stateDir/hot"))
           else None
-        Streams.dropNearSeenMediaStream(assets,
+        if (modality == "video")
+          // one clip is many hashes: the bounded first-k-frames array
+          // column + per-frame band joins against the frame-sig state
+          // (`first-k-frames`/`min-frames` mirror the batch tier's
+          // every-n/min-frames contract at the arrival door)
+          Streams.dropNearSeenVideoStream(assets,
+            Cli.readStateTable(spark, stateDir, "sigs"),
+            firstKFrames = c.getInt("first-k-frames").getOrElse(3),
+            contentCol = c.getString("content-column").getOrElse("content"),
+            minFrames = c.getInt("min-frames").getOrElse(2),
+            maxHamming = c.getInt("max-hamming").getOrElse(5),
+            bands = bandsHere,
+            maxBucketSize = c.getInt("max-bucket-size").getOrElse(10000),
+            corpusHotBuckets = corpusHot,
+            timeCol = c.getString("time-column").getOrElse("ts"),
+            watermarkDelay = watermark)
+        else Streams.dropNearSeenMediaStream(assets,
           Cli.readStateTable(spark, stateDir, "sigs"), modality,
           contentCol = c.getString("content-column").getOrElse("content"),
           maxHamming = c.getInt("max-hamming").getOrElse(3),

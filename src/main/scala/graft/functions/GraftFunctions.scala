@@ -315,6 +315,9 @@ object GraftFunctions {
   def mediaHash(c: Column, modality: String): Column =
     ColumnBridge.column(MediaHash(ColumnBridge.expression(c), modality))
 
+  def mediaVideoHash(c: Column, k: Int): Column =
+    ColumnBridge.column(MediaVideoHash(ColumnBridge.expression(c), k))
+
   def bpeByteChunks(c: Column, mergesPath: String, budget: Int, overlap: Int,
       specials: Seq[String] = Nil): Column =
     ColumnBridge.column(BpeByteChunks(ColumnBridge.expression(c), mergesPath,
@@ -658,6 +661,17 @@ object GraftFunctions {
           case s: UTF8String => MediaHash(es.head, s.toString)
           case other => throw new IllegalArgumentException(
             s"graft_media_hash modality must be a string literal, got $other")
+        }
+      }),
+    ("graft_media_video_hash",
+      new ExpressionInfo(classOf[MediaVideoHash].getName, "graft_media_video_hash"),
+      (es: Seq[Expression]) => {
+        require(es.length == 2, s"graft_media_video_hash takes 2 arguments, got ${es.length}")
+        require(es(1).foldable, "graft_media_video_hash k must be a literal")
+        es(1).eval() match {
+          case n: Number => MediaVideoHash(es.head, n.intValue())
+          case other => throw new IllegalArgumentException(
+            s"graft_media_video_hash k must be an integer literal, got $other")
         }
       }),
     ("graft_bpe_byte_count",

@@ -29,6 +29,26 @@ object MediaHashImpl {
   def audio(content: Array[Byte]): Long =
     graft.llm.Multimodal.audioHash64(
       graft.llm.Multimodal.WavDecoder.decode(content, Map.empty))
+
+  /** First-`k`-frame dHashes of an AVI clip, index-ordered — the
+    * BOUNDED video fingerprint column (one clip is many hashes, so the
+    * video form is an array, never a scalar): frame i's hash sits at
+    * array slot i, which is what lets the streaming arrival filter
+    * band each slot against the persisted per-frame state at the SAME
+    * frame index (the batch tier's frame-aligned contract). Clips
+    * shorter than k emit their actual frame count. */
+  def videoFrames(content: Array[Byte], k: Int)
+      : org.apache.spark.sql.catalyst.util.ArrayData = {
+    val avi = graft.llm.Multimodal.Avi.parse(content)
+    val n = math.min(k, avi.frames.length)
+    val out = new Array[Any](n)
+    var i = 0
+    while (i < n) {
+      out(i) = graft.llm.Multimodal.dHash64(avi.decodeFrame(i))
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
 }
 
 case class MediaHash(child: Expression, modality: String)
@@ -52,6 +72,34 @@ case class MediaHash(child: Expression, modality: String)
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     defineCodeGen(ctx, ev,
       c => s"graft.functions.MediaHashImpl.${modality}($c)")
+
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
+}
+
+/** `graft_media_video_hash(binary, k) -> array<long>`: dHashes of a
+  * clip's first `k` frames, slot i = frame i ([[MediaHashImpl
+  * .videoFrames]]) — decode + hash in one column call, so the video
+  * modality composes with the streaming arrival filter
+  * (`Streams.dropNearSeenVideoStream` bands each slot against the
+  * persisted frame-sig state) and ad-hoc SQL, without the
+  * frame-exploding mapPartitions pass. Bounded by construction: an
+  * arrival decision needs the clip's HEAD, not every frame. */
+case class MediaVideoHash(child: Expression, k: Int) extends UnaryExpression {
+  require(k > 0, s"graft_media_video_hash needs k > 0 frames, got $k")
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case BinaryType => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(s"graft_media_video_hash expects binary, got $t")
+  }
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "graft_media_video_hash"
+
+  override protected def nullSafeEval(content: Any): Any =
+    MediaHashImpl.videoFrames(content.asInstanceOf[Array[Byte]], k)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.MediaHashImpl.videoFrames($c, $k)")
 
   override protected def withNewChildInternal(c: Expression): Expression =
     copy(child = c)

@@ -402,6 +402,97 @@ object Streams {
       timeCol, watermarkDelay)
   }
 
+  /** VIDEO counterpart of [[dropNearSeenMediaStream]] — the last
+    * arrival-time modality: a clip is MANY hashes, so its fingerprint
+    * column is the bounded first-k-frames array
+    * (`graft_media_video_hash`, slot i = frame i) and the filter
+    * re-creates the batch tier's frame-ALIGNED semantics statelessly:
+    * each slot's band bits join the persisted per-frame state at the
+    * SAME frame index, a slot "hits" when any band bucket holds a
+    * stored sig within `maxHamming`, and the row drops when at least
+    * `minFrames` slots hit — batch parity with
+    * `Multimodal.videoNearDupsAgainst` over the first k frames
+    * (spec-pinned). No stream-side aggregation: the per-(frame, band)
+    * state slices are PRE-aggregated static bucket arrays (bounded by
+    * `maxBucketSize` — hot buckets are dropped on the corpus side,
+    * like every near-dup stream), joined left-outer and folded into
+    * hit flags, so the plan is k × bands stream-static joins and the
+    * only streaming state is the watermarked in-stream fingerprint
+    * dedup. Keep k small (it is an ARRIVAL decision — the clip's head
+    * identifies a re-encode; default 3). */
+  def dropNearSeenVideoStream(
+      stream: DataFrame,
+      corpusFrameSigs: DataFrame, // (id, frame_idx, sig)
+      firstKFrames: Int = 3,
+      contentCol: String = "content",
+      minFrames: Int = 2,
+      maxHamming: Int = 5,
+      bands: Int = 8,
+      maxBucketSize: Int = 10000,
+      corpusHotBuckets: Option[DataFrame] = None,
+      timeCol: String = "ts",
+      watermarkDelay: String = "2 hours"): DataFrame = {
+    require(!corpusFrameSigs.isStreaming,
+      "corpusFrameSigs must be a static frame (persisted state)")
+    require(64 % bands == 0, s"bands must divide 64, got $bands")
+    require(maxHamming < bands,
+      s"pigeonhole needs maxHamming < bands ($maxHamming >= $bands misses pairs)")
+    require(firstKFrames >= minFrames,
+      s"firstKFrames ($firstKFrames) must cover minFrames ($minFrames)")
+    val width = 64 / bands
+    val mask = ((BigInt(1) << width) - 1).toLong
+    def fresh(base: String): String = Iterator.from(0).map(i => s"$base$i")
+      .find(!stream.columns.contains(_)).get
+    val framesCol = fresh("__vnd_frames")
+    val timeTmp = fresh("__vnd_event_time")
+    val hitBase = fresh("__vnd_hit")
+    val withSig = stream
+      .withColumn(framesCol,
+        graft.functions.GraftFunctions.mediaVideoHash(col(contentCol), firstKFrames))
+      .withColumn(timeTmp, eventTime(col(timeCol)))
+      .withWatermark(timeTmp, watermarkDelay)
+    // corpus side: band + hot-guard ONCE, then per-(frame, band) bucket
+    // arrays — `bits -> [sigs]`, each bounded by maxBucketSize
+    val banded = graft.llm.Dedup.dropHotBuckets(
+      graft.llm.Dedup.bandSignatures(
+        corpusFrameSigs.select(
+          struct(col("id").as("vid"), col("frame_idx").as("f")).as("id"),
+          col("sig")), bands),
+      maxBucketSize, corpusHotBuckets)
+      .select(col("id.f").as("f"), col("band"), col("bits"), col("sig"))
+    var cur = withSig
+    val hitCols = (0 until firstKFrames).map { f =>
+      // `get` (0-based) returns null past the clip's actual frame count
+      // (never an ANSI error); null bits join nothing -> slot no-hit
+      val frameHash = get(col(framesCol), lit(f))
+      val bandCols = (0 until bands).map { b =>
+        val kCol = s"$hitBase${f}_${b}k"
+        val vCol = s"$hitBase${f}_${b}v"
+        val slice = banded.filter(col("f") === f && col("band") === b)
+          .groupBy(col("bits").as(kCol))
+          .agg(collect_list(col("sig")).as(vCol))
+        val withBits = cur.withColumn(kCol + "s",
+          shiftright(frameHash, b * width).bitwiseAND(lit(mask)))
+        cur = withBits.join(slice, withBits(kCol + "s") === slice(kCol), "left_outer")
+          .drop(kCol, kCol + "s")
+        vCol
+      }
+      val hitCol = s"$hitBase${f}_"
+      cur = cur.withColumn(hitCol,
+        bandCols.map(v => coalesce(exists(col(v),
+            s => graft.llm.Dedup.hamming(frameHash, s) <= maxHamming), lit(false)))
+          .reduce(_ || _))
+        .drop(bandCols: _*)
+      hitCol
+    }
+    val matched = hitCols.map(h => when(col(h), 1).otherwise(0).cast("int"))
+      .reduce(_ + _)
+    val unseen = cur.filter(matched < minFrames)
+    (if (unseen.isStreaming) unseen.dropDuplicatesWithinWatermark(framesCol)
+     else unseen.dropDuplicates(framesCol))
+      .drop(framesCol +: timeTmp +: hitCols: _*)
+  }
+
   /** Shared signature-agnostic core of the two near-dup streams. */
   private def dropNearSigStream(
       stream: DataFrame,

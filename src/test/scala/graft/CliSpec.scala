@@ -3235,6 +3235,58 @@ class CliSpec extends SparkTestBase {
     }
   }
 
+  test("streamer media-near-dedup VIDEO: a re-encoded corpus clip drops at " +
+      "the door via the first-k-frames array; fresh clips land") {
+    import org.apache.spark.sql.functions.{col, timestamp_micros, when}
+    import graft.llm.Multimodal
+    import spark.implicits._
+    val base = tmp()
+    // 1. a video MediaDedup run commits per-frame fingerprint state
+    val corpusDir = base.resolve("vid_corpus").toString
+    Multimodal.reencodeAsSmoothAvi(
+      Multimodal.asMediaTable(
+        spark.read.parquet(s"$sfDir/documents.parquet").filter(col("doc_id") < 8),
+        "doc_id", "text", "video", Map.empty), nFrames = 4, mjpeg = false)
+      .write.parquet(corpusDir)
+    val stateDir = base.resolve("vid_state").toString
+    graft.cli.MediaDedup.main(Array("--conf", write(base.resolve("vmd_seed.conf"),
+      s"""media-dedup {
+         |  source { storage-type = local, dataset-dir = $corpusDir }
+         |  target { storage-type = local, dataset-dir = ${base.resolve("vmd_out")}, dataset-store-format = parquet, write-mode = overwrite }
+         |  modality = video
+         |  mode = filter
+         |  state-out-dir = $stateDir
+         |}
+         |""".stripMargin)))
+    // 2. landing dir: an MJPEG re-encode of corpus clip 3 + a fresh clip
+    val landing = base.resolve("vid_landing").toString
+    Multimodal.reencodeAsSmoothAvi(
+      Multimodal.asMediaTable(
+        Seq((900001L, "x"), (900002L, "x")).toDF("asset_id", "payload"),
+        "asset_id", "payload", "video", Map.empty)
+        .withColumn("seed", when(col("asset_id") === 900001L, 3L).otherwise(77L)),
+      nFrames = 4, mjpeg = true, seedCol = "seed")
+      .drop("seed")
+      .withColumn("ts", timestamp_micros(col("asset_id") % 100 * 3600L * 1000000L))
+      .write.parquet(landing)
+    val out = base.resolve("vid_survivors").toString
+    graft.cli.Streamer.main(Array("--conf", write(base.resolve("vmnd.conf"),
+      s"""streaming {
+         |  events-dir = $landing
+         |  target-dir = $out
+         |  checkpoint-location = ${base.resolve("vmndckpt")}
+         |  operation = media-near-dedup
+         |  state-dir = $stateDir
+         |  first-k-frames = 3
+         |  min-frames = 2
+         |  shuffle-partitions = 4
+         |}
+         |""".stripMargin)))
+    val ids = spark.read.parquet(out).select("asset_id").as[Long].collect().toSet
+    assert(ids == Set(900002L),
+      s"the re-encoded corpus clip must drop at the door: $ids")
+  }
+
   test("curator dedup-lines: first-occurrence-wins line dedup with " +
       "accumulated cross-batch state; exemption-parameter drift rejected; " +
       "stage-off batches carry the evidence forward") {

@@ -166,4 +166,41 @@ class GraftFunctionsSpec extends SparkTestBase {
       rows.select(GraftFunctions.mediaHash(col("id"), "image")).collect()
     }
   }
+
+  test("graft_media_video_hash: slot i equals frame i's batched dHash; short " +
+      "clips emit their actual frame count; SQL form; guards") {
+    import spark.implicits._
+    import graft.llm.Multimodal
+    // real 4-frame DIB AVIs keyed by seed (the videoFrameHashes fixture)
+    val media = Multimodal.reencodeAsSmoothAvi(
+      Multimodal.asMediaTable(
+        Seq((10L, "x"), (11L, "x")).toDF("asset_id", "payload"),
+        "asset_id", "payload", "video", Map.empty),
+      nFrames = 4, mjpeg = false)
+    val got = media.select(col("asset_id"),
+        GraftFunctions.mediaVideoHash(col("content"), 3).as("fh"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    // parity with the frame-exploding batch path, slot for slot
+    val want = Multimodal.videoFrameHashes(media).collect()
+      .map(r => (r.getLong(0), r.getInt(1)) -> r.getLong(2)).toMap
+    for (id <- Seq(10L, 11L)) {
+      assert(got(id).length == 3, "k=3 of a 4-frame clip")
+      for (f <- 0 until 3)
+        assert(got(id)(f) == want((id, f)), s"clip $id slot $f drift")
+    }
+    // k beyond the clip: the actual frame count, never padding
+    assert(media.select(GraftFunctions.mediaVideoHash(col("content"), 9))
+      .head().getSeq[Long](0).length == 4)
+    // SQL registration path
+    GraftFunctions.register(spark)
+    media.createOrReplaceTempView("mvh_assets")
+    assert(spark.sql(
+      "SELECT graft_media_video_hash(content, 2) FROM mvh_assets WHERE asset_id = 10")
+      .head().getSeq[Long](0) == got(10L).take(2))
+    // guards: non-positive k, wrong input type
+    intercept[IllegalArgumentException](GraftFunctions.mediaVideoHash(col("content"), 0))
+    intercept[org.apache.spark.sql.AnalysisException] {
+      media.select(GraftFunctions.mediaVideoHash(col("asset_id"), 2)).collect()
+    }
+  }
 }

@@ -471,6 +471,65 @@ class StreamsSpec extends SparkTestBase {
     assert(batch == got, s"batch $batch vs stream $got")
   }
 
+  test("dropNearSeenVideoStream: re-encoded corpus clip dropped at the door " +
+      "(frame-aligned, minFrames honored); fresh clips kept; batch parity " +
+      "with videoNearDupsAgainst over the first k frames") {
+    import spark.implicits._
+    import graft.llm.Multimodal
+    val dir = s"${java.nio.file.Files.createTempDirectory("stream_videodup")}/assets"
+    val h = 3600L * 1000 * 1000 // us
+    // corpus state: per-frame sigs of two 4-frame DIB clips (seeds
+    // 100/101) — what a video MediaDedup run persists
+    val corpusMedia = Multimodal.reencodeAsSmoothAvi(
+      Multimodal.asMediaTable(
+        Seq((100L, "x"), (101L, "x")).toDF("asset_id", "payload"),
+        "asset_id", "payload", "video", Map.empty),
+      nFrames = 4, mjpeg = false)
+    val stateSigs = Multimodal.videoFrameHashes(corpusMedia)
+    // stream: an MJPEG re-encode of corpus clip 100 (every frame near a
+    // stored sig — must drop) + two fresh clips (seeds 7 and 8)
+    val streamMedia = Multimodal.reencodeAsSmoothAvi(
+      Multimodal.asMediaTable(
+        Seq((1L, "x"), (2L, "x"), (3L, "x")).toDF("asset_id", "payload"),
+        "asset_id", "payload", "video", Map.empty)
+        .withColumn("seed",
+          when(col("asset_id") === 2L, 100L)
+            .when(col("asset_id") === 1L, 7L).otherwise(8L)),
+      nFrames = 4, mjpeg = true, seedCol = "seed")
+      .withColumn("ts", timestamp_micros(col("asset_id") * h))
+      .drop("seed")
+    streamMedia.write.parquet(dir)
+    val stream = Streams.dropNearSeenVideoStream(
+      spark.readStream.schema(spark.read.parquet(dir).schema).parquet(dir),
+      stateSigs, firstKFrames = 3, minFrames = 2, maxHamming = 5, bands = 8)
+    val got = Streams.runToMemory(stream, "stream_videodup", OutputMode.Append())
+      .select("asset_id").as[Long].collect().toSet
+    assert(got == Set(1L, 3L), s"expected fresh {1,3}, got: $got")
+    // batch parity 1: the same filter on the batch frame
+    val batch = Streams.dropNearSeenVideoStream(spark.read.parquet(dir),
+      stateSigs, firstKFrames = 3, minFrames = 2, maxHamming = 5, bands = 8)
+      .select("asset_id").as[Long].collect().toSet
+    assert(batch == got, s"batch $batch vs stream $got")
+    // batch parity 2: the batch increment tier's drop set over the same
+    // first-k frames agrees with the arrival filter's
+    val batchDrops = Multimodal.videoNearDupsAgainst(
+      Multimodal.videoFrameHashes(streamMedia).filter(col("frame_idx") < 3),
+      stateSigs, minFrames = 2, maxHamming = 5, bands = 8)
+      .select("batch_id").as[Long].collect().toSet
+    assert(batchDrops == Set(2L),
+      s"the batch tier must drop exactly the echo clip: $batchDrops")
+    // k must cover minFrames (a gate the filter could never reach is
+    // dead config — rejected at construction)
+    val e = intercept[IllegalArgumentException](
+      Streams.dropNearSeenVideoStream(spark.read.parquet(dir),
+        stateSigs, firstKFrames = 3, minFrames = 4, maxHamming = 5, bands = 8))
+    assert(e.getMessage.contains("cover"), e.getMessage)
+    val loose = Streams.dropNearSeenVideoStream(spark.read.parquet(dir),
+      stateSigs, firstKFrames = 4, minFrames = 4, maxHamming = 5, bands = 8)
+      .select("asset_id").as[Long].collect().toSet
+    assert(loose == Set(1L, 3L), "all 4 frames of the echo match -> still drops")
+  }
+
   test("userRunningStats keeps per-key state across the stream") {
     val stream = Streams.userRunningStats(
       Streams.readEventStream(spark, eventsDir, "events.parquet"))
