@@ -2813,6 +2813,32 @@ object SparkEntry {
           max(col("max_hamming")).as("max_hamming"))
     }),
 
+    // ---- MEDIA data card: the corpusReport counterpart for asset
+    // tables, over a deliberately DIRTY corpus — 100 plates with 5 null
+    // payloads and 5 corrupt assets planted (a release report must
+    // DESCRIBE a dirty corpus, not crash on it), plus 10 exact
+    // duplicates of plate 0 (an 11-asset fingerprint collision group —
+    // the "near-dup pass overdue" signal the card exists to surface).
+    // Integer-only aggregates (the corpusReport bit-exactness rule);
+    // decode is not SQL-expressible → rows-only, EntrySpec pins every
+    // planted number.
+    "q136_media_report" -> ((s, dir) => {
+      import graft.llm.Multimodal
+      val media = Multimodal.asMediaTable(
+        t(s, dir, "documents").filter(col("doc_id") < 100), "doc_id", "text",
+        "image", Map.empty)
+      val plates = Multimodal.reencodeAsSmoothImage(media, jpeg = false)
+      val doctored = plates.withColumn("content",
+        when(col("asset_id") % 20 === 7, lit(null).cast("binary"))
+          .when(col("asset_id") % 20 === 11, encode(lit("not an image"), "UTF-8"))
+          .otherwise(col("content")))
+      val dups = Multimodal.reencodeAsSmoothImage(
+        media.filter(col("asset_id") < 10).withColumn("seed", lit(0L)),
+        jpeg = false, seedCol = "seed")
+        .drop("seed").withColumn("asset_id", col("asset_id") + 100000)
+      Multimodal.mediaReport(doctored.unionByName(dups), "image")
+    }),
+
     // ---- CCNet in its PRODUCTION configuration: per-source
     // head/middle/tail thirds by the KenLM-class model's score — q98's
     // bucket machinery over MODIFIED-KN (q98 buckets on the unigram

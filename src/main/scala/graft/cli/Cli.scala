@@ -3046,6 +3046,94 @@ object MediaDedup {
           "a lineage never changes mode mid-stream (the Compactor works " +
           "WITHIN parts mode)")
     }
+    val mode = c.getString("mode").getOrElse("report")
+    require(Set("report", "filter", "calibrate")(mode),
+      s"media-dedup.mode must be report | filter | calibrate, got '$mode'")
+    // `card-dir`: the media data card (asset/null/decode-failure
+    // counts, sizes, dimensions, fingerprint-collision stats — the
+    // corpusReport counterpart) rides any mode
+    c.getString("card-dir").foreach { d =>
+      Multimodal.mediaReport(media, modality, idCol, contentCol, metaCol)
+        .coalesce(1).write.mode("overwrite").parquet(d)
+      Cli.log(s"media data card -> $d")
+    }
+    // `mode = calibrate`: turn the near-dup radius from an envelope
+    // CLAIM into per-corpus EVIDENCE — sample N of the corpus's own
+    // assets, re-render each through a genuinely different encoding
+    // (JPEG / half-volume / MJPEG), and report the twin vs stranger
+    // Hamming distributions next to the configured radius. The report
+    // lands FIRST; `calibrate-require-separation = true` then fails the
+    // run if the radius does not separate them (the Differ max-drift
+    // convention).
+    if (mode == "calibrate") {
+      val repDir = c.getString("calibrate-report-dir").getOrElse(
+        throw new IllegalArgumentException(
+          "media-dedup.calibrate-report-dir is required in calibrate mode"))
+      val n = c.getInt("calibrate-sample").getOrElse(100)
+      val sample = media
+        .orderBy(graft.operators.Ops.hashDigestCol(col(idCol).cast("string"), "mediacal"))
+        .limit(n)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      try {
+        def sigsOf(m: org.apache.spark.sql.DataFrame) = modality match {
+          case "image" => Multimodal.perceptualHashes(m,
+            Multimodal.ImageIoDecoder, idCol, contentCol, metaCol)
+          case "audio" => Multimodal.audioHashes(m,
+            Multimodal.WavDecoder, idCol, contentCol, metaCol)
+          case "video" => Multimodal.videoFrameHashes(m,
+            c.getInt("every-n").getOrElse(1), idCol, contentCol, metaCol)
+        }
+        val orig = sigsOf(sample)
+        val twin = sigsOf(Multimodal.reencodeAsCalibrationTwin(
+          sample, modality, contentCol, metaCol))
+          .withColumnRenamed("sig", "__tsig")
+        // twin distance per asset (video: the WORST aligned frame — the
+        // radius must hold for every frame the banded join compares)
+        val twinDist =
+          if (modality == "video")
+            orig.join(twin, Seq("id", "frame_idx"))
+              .select(col("id"), Dedup.hamming(col("sig"), col("__tsig")).as("hamming"))
+              .groupBy(col("id")).agg(max(col("hamming")).as("hamming"))
+          else orig.join(twin, Seq("id"))
+            .select(col("id"), Dedup.hamming(col("sig"), col("__tsig")).as("hamming"))
+        // stranger distances: all sampled asset pairs (clip HEADS for
+        // video — the arrival filter's slot-0 profile); N² bounded by
+        // calibrate-sample, never the corpus
+        val scalar = (if (modality == "video") orig.filter(col("frame_idx") === 0)
+          else orig).select(col("id"), col("sig"))
+        val strangerDist = scalar.select(col("id").as("id1"), col("sig").as("sig1"))
+          .crossJoin(scalar.select(col("id").as("id2"), col("sig").as("sig2")))
+          .filter(col("id1") < col("id2"))
+          .select(Dedup.hamming(col("sig1"), col("sig2")).as("hamming"))
+        val report = twinDist.select(lit("twin").as("kind"), col("hamming"))
+          .unionByName(strangerDist.select(lit("stranger").as("kind"), col("hamming")))
+          .groupBy(col("kind"), col("hamming"))
+          .agg(count(lit(1)).as("n_pairs"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        report.coalesce(1).write.mode("overwrite").parquet(repDir)
+        val rows = report.collect()
+        def bound(kind: String, worst: Boolean): Option[Int] = {
+          val hs = rows.filter(_.getString(0) == kind).map(_.getInt(1))
+          if (hs.isEmpty) None else Some(if (worst) hs.max else hs.min)
+        }
+        val maxTwin = bound("twin", worst = true)
+        val minStranger = bound("stranger", worst = false)
+        val separated = maxTwin.exists(_ <= maxHamming) &&
+          minStranger.forall(_ > maxHamming)
+        Cli.log(f"calibration ($modality, ${sample.count()} assets): twin max " +
+          s"${maxTwin.getOrElse(-1)}, stranger min ${minStranger.getOrElse(-1)}, " +
+          s"radius $maxHamming -> ${if (separated) "SEPARATED" else "NOT separated"} " +
+          s"(report at $repDir)")
+        if (c.getBoolean("calibrate-require-separation").getOrElse(false) && !separated)
+          throw new IllegalStateException(
+            s"calibrate: radius $maxHamming does not separate this corpus's twin " +
+              s"(max ${maxTwin.getOrElse(-1)}) and stranger " +
+              s"(min ${minStranger.getOrElse(-1)}) fingerprint distances — " +
+              s"adjust max-hamming/bands (report at $repDir)")
+        report.unpersist(): Unit
+      } finally { sample.unpersist(); () }
+      return
+    }
     // ONE decode pass builds the signatures; every join below is
     // sig-level (and the persisted state never re-decodes the corpus)
     val batchSigs = (modality match {

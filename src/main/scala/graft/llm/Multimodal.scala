@@ -1496,6 +1496,131 @@ object Multimodal {
       explode(when(n >= 1, sequence(lit(0), n - 1, lit(everyN)))))
   }
 
+  /** MEDIA data card — the [[TextAnalysis.corpusReport]] counterpart
+    * for an asset table: asset/null/decode-failure counts, byte sizes,
+    * dimension totals, and fingerprint-collision statistics, in ONE
+    * decode pass. DELIBERATELY integer-only aggregates (the corpus
+    * report's bit-exactness rule — derive means downstream). Decode
+    * failures COUNT rather than kill the card (a release report must
+    * describe a dirty corpus, not crash on it); every other surface in
+    * this module still fails loudly on corrupt assets. Fingerprint
+    * stats use the modality's scalar hash (frame 0 for video — the
+    * collision profile of clip heads); `n_distinct_fingerprints` far
+    * below `n_decoded` or a large `max_fingerprint_group` is the
+    * first sign a near-dup pass is overdue. */
+  def mediaReport(
+      df: DataFrame,
+      modality: String,
+      idCol: String = "asset_id",
+      contentCol: String = "content",
+      metaCol: String = "meta",
+      batchSize: Int = 64): DataFrame = {
+    require(Set("image", "audio", "video")(modality),
+      s"mediaReport modality must be image | audio | video, got '$modality'")
+    val perAsset = {
+      val schema = StructType(Seq(
+        StructField("bytes", LongType, nullable = false),
+        StructField("status", IntegerType, nullable = false), // 0 ok, 1 null, 2 failed
+        StructField("w", LongType, nullable = false),
+        StructField("h", LongType, nullable = false),
+        StructField("units", LongType, nullable = false), // samples / frames / 1
+        StructField("sig", LongType, nullable = true)))
+      val (cIdx, mIdx) = (df.columns.indexOf(contentCol), df.columns.indexOf(metaCol))
+      df.mapPartitions { it =>
+        it.grouped(batchSize).flatMap { batch =>
+          batch.map { row =>
+            val content = row.getAs[Array[Byte]](cIdx)
+            if (content == null) Row(0L, 1, 0L, 0L, 0L, null)
+            else {
+              val meta = Option(row.getMap[String, String](mIdx))
+                .map(_.toMap).getOrElse(Map.empty[String, String])
+              try {
+                modality match {
+                  case "image" =>
+                    val d = ImageIoDecoder.decode(content, meta)
+                    Row(content.length.toLong, 0, d.width.toLong, d.height.toLong,
+                      1L, dHash64(d))
+                  case "audio" =>
+                    val d = WavDecoder.decode(content, meta)
+                    Row(content.length.toLong, 0, 0L, 0L, d.width.toLong,
+                      audioHash64(d))
+                  case "video" =>
+                    val p = Avi.parse(content)
+                    Row(content.length.toLong, 0, p.width.toLong, p.height.toLong,
+                      p.frames.length.toLong,
+                      if (p.frames.isEmpty) null else dHash64(p.decodeFrame(0)))
+                }
+              } catch {
+                case scala.util.control.NonFatal(_) =>
+                  Row(content.length.toLong, 2, 0L, 0L, 0L, null)
+              }
+            }
+          }
+        }
+      }(Encoders.row(schema))
+    }
+    val base = perAsset.agg(
+      count(lit(1)).as("n_assets"),
+      sum((col("status") === 1).cast("long")).as("n_null_content"),
+      sum((col("status") === 2).cast("long")).as("n_decode_failed"),
+      sum(col("bytes")).as("total_bytes"),
+      min(when(col("status") === 0, col("bytes"))).as("min_bytes"),
+      max(when(col("status") === 0, col("bytes"))).as("max_bytes"),
+      sum(when(col("status") === 0, col("w"))).as("total_width"),
+      sum(when(col("status") === 0, col("h"))).as("total_height"),
+      sum(when(col("status") === 0, col("units"))).as("total_units"))
+    val sigStats = perAsset.filter(col("sig").isNotNull)
+      .groupBy(col("sig")).agg(count(lit(1)).as("__g"))
+      .agg(coalesce(count(lit(1)), lit(0L)).as("n_distinct_fingerprints"),
+        coalesce(max(col("__g")), lit(0L)).as("max_fingerprint_group"))
+    base.crossJoin(sigStats).withColumn("modality", lit(modality))
+  }
+
+  /** Re-render a REAL asset's content through a genuinely different
+    * encoding of the same signal — the per-corpus calibration twin
+    * (MediaDedup `calibrate` mode): image → the JDK JPEG codec over the
+    * decoded pixels, audio → a half-volume 16-bit re-render, video →
+    * MJPEG over the decoded frames. Twin fingerprint distances measured
+    * on the corpus's OWN assets turn the gate fixtures' envelope claim
+    * into per-corpus evidence. */
+  private[graft] def calibrationTwin(
+      modality: String, content: Array[Byte], meta: Map[String, String]): Array[Byte] =
+    modality match {
+      case "image" => Avi.encodeJpegFrame(ImageIoDecoder.decode(content, meta))
+      case "audio" =>
+        val d = WavDecoder.decode(content, meta)
+        encodeWav(Decoded(d.width, 1, d.channels, d.data.map(_ * 0.5f)))
+      case "video" =>
+        val p = Avi.parse(content)
+        encodeAvi((0 until p.frames.length).map(p.decodeFrame), mjpeg = true)
+      case other => throw new IllegalArgumentException(
+        s"calibrationTwin modality must be image | audio | video, got '$other'")
+    }
+
+  /** Replace each asset's content with its [[calibrationTwin]] — the
+    * distributed form the calibrate mode maps over its sample. */
+  def reencodeAsCalibrationTwin(
+      df: DataFrame,
+      modality: String,
+      contentCol: String = "content",
+      metaCol: String = "meta"): DataFrame = {
+    val schema = df.schema
+    val cIdx = df.columns.indexOf(contentCol)
+    val mIdx = df.columns.indexOf(metaCol)
+    df.mapPartitions { it =>
+      it.map { row =>
+        val content = row.getAs[Array[Byte]](cIdx)
+        if (content == null) row
+        else {
+          val meta = Option(row.getMap[String, String](mIdx))
+            .map(_.toMap).getOrElse(Map.empty[String, String])
+          Row.fromSeq(row.toSeq.updated(cIdx,
+            calibrationTwin(modality, content, meta)))
+        }
+      }
+    }(Encoders.row(schema))
+  }
+
   /** Wrap any table into the media layout for tests/examples: content =
     * utf-8 bytes of a string column, metadata from literal entries. */
   def asMediaTable(

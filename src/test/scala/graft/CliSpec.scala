@@ -4180,4 +4180,123 @@ class CliSpec extends SparkTestBase {
       .map(t => Option(t.getMessage).getOrElse("")).mkString(" | ")
     assert(mixMsgs.contains("never changes mode"), mixMsgs)
   }
+
+  test("mediadedup calibrate mode + card-dir: per-corpus twin/stranger " +
+      "Hamming evidence lands first, the separation gate trips on a radius " +
+      "that cannot separate; the data card rides any mode") {
+    import org.apache.spark.sql.functions.col
+    import graft.llm.Multimodal
+    val base = tmp()
+    val src = base.resolve("cal_media").toString
+    Multimodal.reencodeAsSmoothImage(
+      Multimodal.asMediaTable(
+        spark.read.parquet(s"$sfDir/documents.parquet").filter(col("doc_id") < 40),
+        "doc_id", "text", "image", Map.empty), jpeg = false)
+      .write.parquet(src)
+    val rep = base.resolve("cal_rep").toString
+    val card = base.resolve("cal_card").toString
+    def conf(name: String, radius: Int, extra: String = "") =
+      write(base.resolve(s"cal_$name.conf"),
+        s"""media-dedup {
+           |  source { storage-type = local, dataset-dir = $src }
+           |  modality = image
+           |  mode = calibrate
+           |  max-hamming = $radius
+           |  calibrate-sample = 30
+           |  calibrate-report-dir = $rep
+           |$extra
+           |}
+           |""".stripMargin)
+    // the q129 radius separates this corpus: JPEG twins within 3 bits,
+    // strangers beyond — the run PASSES with the gate on
+    graft.cli.MediaDedup.main(Array("--conf",
+      conf("ok", 3, s"  calibrate-require-separation = true\n  card-dir = $card\n")))
+    val rows = spark.read.parquet(rep).collect()
+      .map(r => (r.getString(0), r.getInt(1), r.getLong(2)))
+    val twins = rows.filter(_._1 == "twin")
+    val strangers = rows.filter(_._1 == "stranger")
+    assert(twins.map(_._3).sum == 30L, s"one twin distance per sampled asset: ${twins.toSeq}")
+    assert(strangers.map(_._3).sum == 30L * 29 / 2, "all sampled stranger pairs")
+    assert(twins.map(_._2).max <= 3 && strangers.map(_._2).min > 3,
+      s"the evidence itself must show the separation: ${rows.toSeq}")
+    // the card rode along
+    val cardRow = spark.read.parquet(card).head()
+    assert(cardRow.getAs[Long]("n_assets") == 40L &&
+      cardRow.getAs[Long]("n_decode_failed") == 0L)
+    // a radius of 0 cannot separate (JPEG twins drift) -> report still
+    // lands, THEN the gate trips
+    spark.read.parquet(rep).count() // warm check below re-reads
+    val e = intercept[IllegalStateException] {
+      graft.cli.MediaDedup.main(Array("--conf",
+        conf("bad", 0, "  calibrate-require-separation = true\n")))
+    }
+    assert(e.getMessage.contains("does not separate"), e.getMessage)
+    assert(spark.read.parquet(rep).count() > 0, "report-then-gate")
+    // calibrate-report-dir is required in calibrate mode
+    val g = intercept[IllegalArgumentException] {
+      graft.cli.MediaDedup.main(Array("--conf", write(base.resolve("cal_norep.conf"),
+        s"""media-dedup {
+           |  source { storage-type = local, dataset-dir = $src }
+           |  modality = image
+           |  mode = calibrate
+           |}
+           |""".stripMargin)))
+    }
+    assert(g.getMessage.contains("calibrate-report-dir"), g.getMessage)
+  }
+
+  test("differ over media fingerprint state: a shifted media batch shows as " +
+      "sig-histogram drift and breaches the gate; an identical batch does not") {
+    import org.apache.spark.sql.functions.col
+    import graft.llm.Multimodal
+    val base = tmp()
+    // two MediaDedup state dirs: plates 0..19 vs plates 10..29 (half
+    // the corpus replaced — the nightly drift shape)
+    def seed(name: String, lo: Int, hi: Int): String = {
+      val src = base.resolve(s"dm_src_$name").toString
+      Multimodal.reencodeAsSmoothImage(
+        Multimodal.asMediaTable(
+          spark.read.parquet(s"$sfDir/documents.parquet")
+            .filter(col("doc_id") >= lo && col("doc_id") < hi),
+          "doc_id", "text", "image", Map.empty), jpeg = false)
+        .write.parquet(src)
+      val st = base.resolve(s"dm_state_$name").toString
+      graft.cli.MediaDedup.main(Array("--conf", write(base.resolve(s"dm_$name.conf"),
+        s"""media-dedup {
+           |  source { storage-type = local, dataset-dir = $src }
+           |  target { storage-type = local, dataset-dir = ${base.resolve(s"dm_out_$name")}, dataset-store-format = parquet, write-mode = overwrite }
+           |  modality = image
+           |  mode = filter
+           |  state-out-dir = $st
+           |}
+           |""".stripMargin)))
+      st
+    }
+    val stA = seed("a", 0, 20)
+    val stB = seed("b", 10, 30)
+    val rep = base.resolve("dm_rep").toString
+    def diffConf(name: String, cur: String, refc: String, gate: String) =
+      write(base.resolve(s"dmdiff_$name.conf"),
+        s"""source { storage-type = local, dataset-dir = $cur/sigs }
+           |reference { storage-type = local, dataset-dir = $refc/sigs }
+           |diff {
+           |  discrete-columns = [sig]
+           |  report-dir = $rep
+           |$gate
+           |}
+           |""".stripMargin)
+    // identical fingerprint table: zero drift, gate passes
+    graft.cli.Differ.main(Array("--conf", diffConf("same", stA, stA, "  max-drift = 0.01")))
+    val same = spark.read.parquet(rep).head()
+    assert(same.getAs[Double]("drift") == 0.0)
+    // half the assets replaced: TVD ~0.5 over the sig histogram — the
+    // report lands, then the gate breaches
+    val e = intercept[IllegalStateException] {
+      graft.cli.Differ.main(Array("--conf", diffConf("moved", stB, stA, "  max-drift = 0.2")))
+    }
+    assert(e.getMessage.contains("distribution moved"), e.getMessage)
+    val moved = spark.read.parquet(rep).head()
+    assert(moved.getAs[Double]("drift") > 0.4 && moved.getAs[Double]("drift") < 0.6,
+      s"10 of 20 fingerprints replaced: ${moved.getAs[Double]("drift")}")
+  }
 }

@@ -227,6 +227,23 @@ class EntrySpec extends SparkTestBase {
       "the crop's pixels ARE the original's tile region — zero drift")
   }
 
+  test("q136: media data card counts every planted defect and collision " +
+      "group exactly — nulls, corrupt assets, the 11-plate fingerprint group") {
+    val r = SparkEntry.queries("q136_media_report")(spark, sfDir).head()
+    assert(r.getAs[Long]("n_assets") == 110L)
+    assert(r.getAs[Long]("n_null_content") == 5L)
+    assert(r.getAs[Long]("n_decode_failed") == 5L,
+      "corrupt assets must COUNT in the card, not kill it")
+    // 100 decoded 32x32 plates
+    assert(r.getAs[Long]("total_width") == 3200L && r.getAs[Long]("total_height") == 3200L)
+    // 90 decoded originals have distinct plates; the 10 duplicates of
+    // plate 0 join ITS group -> 90 distinct fingerprints, worst group 11
+    assert(r.getAs[Long]("n_distinct_fingerprints") == 90L)
+    assert(r.getAs[Long]("max_fingerprint_group") == 11L,
+      "the planted duplicate cluster is the near-dup-overdue signal")
+    assert(r.getAs[String]("modality") == "image")
+  }
+
   test("q132: cluster-balanced sample fills every cluster's quota, never exceeds it") {
     val r = SparkEntry.queries("q132_cluster_balanced_sample")(spark, sfDir).head()
     assert(r.getAs[Long]("n_clusters") == 8L)
