@@ -24,6 +24,8 @@ object PerfProbe {
     case Some("10") => probe10(args.drop(1))
     case Some("11") => probe11(args.drop(1))
     case Some("12") => probe12(args.drop(1))
+    case Some("13") => probe13(args.drop(1))
+    case Some("14") => probe14(args.drop(1))
     case other => sys.error(
       s"usage: runMain graft.tools.PerfProbe <1-12> [probe args]; got $other")
   }
@@ -703,6 +705,88 @@ object PerfProbe {
     println(f"[probe12] pairs=$found in ${(System.nanoTime() - t0) / 1e9}%.2f s " +
       s"(expect ~10k planted + uniform-collision noise)")
     sigs.unpersist()
+    spark.stop()
+  }
+
+  /** Round-12 probe: the OFFSET-CONSISTENT engine (`seqSigNearDups`) at
+    * scale — 200k synthetic clips × 5 sub-signatures (1M rows) plus 10k
+    * planted twins whose sub-sigs are the source's shifted by 2 window
+    * indices with 2 low bits flipped. Measures the candidate-join +
+    * delta-group wall time and verifies exactly the planted pairs come
+    * back at the planted delta — the q133/q134 shape at 1000× the gate
+    * corpus. `args(0)` overrides the clip count. */
+  private def probe13(args: Array[String]): Unit = {
+    val spark = Local.session(sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
+    import spark.implicits._
+    val clips = args.headOption.map(_.toInt).getOrElse(200000)
+    val k = 5
+    def mix(x: Long): Long = {
+      var z = x + 0x9E3779B97F4A7C15L
+      z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+      z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+      z ^ (z >>> 31)
+    }
+    // clip c window w -> sub-sig mix(c*16+w): unique content per window
+    val base = spark.range(clips.toLong * k)
+      .map(i => (i / k, (i % k).toInt, mix((i / k) * 16 + i % k)))
+      .toDF("id", "seq_idx", "sig")
+    // twin of clip c (every 20th): windows 0..2 = source windows 2..4
+    // with 2 bits flipped (the trimmed-arrival shape, delta +2)
+    val twins = spark.range(10000)
+      .flatMap { i =>
+        val src = i * 20 % clips
+        (0 until 3).map(w => (clips + i, w, mix(src * 16 + w + 2) ^ 3L))
+      }.toDF("id", "seq_idx", "sig")
+    val sigs = base.unionByName(twins)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    println(s"[probe13] sub-sigs: ${sigs.count()}")
+    val t0 = System.nanoTime()
+    val pairs = graft.llm.Dedup.seqSigNearDups(sigs, minMatches = 2,
+      maxHamming = 3, bands = 4)
+    val found = pairs.count()
+    val planted = pairs.filter(col("id2") >= clips && col("delta") === 2).count()
+    println(f"[probe13] pair-deltas=$found (planted-at-delta-2=$planted, " +
+      f"expect 10k) in ${(System.nanoTime() - t0) / 1e9}%.2f s")
+    sigs.unpersist()
+    spark.stop()
+  }
+
+  /** Round-12 probe: `proportionSamplesByDigest` vs the plain window
+    * form on a dominant-stratum frame (the q132 scale risk) — `args(0)`
+    * rows (default 5M) over 4 strata where one holds 85%. Reports both
+    * wall times and the survivor-pool size the exact window actually
+    * sorts (vs the full corpus for the plain form). */
+  private def probe14(args: Array[String]): Unit = {
+    val spark = Local.session(sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
+    import spark.implicits._
+    import graft.operators.Ops
+    val n = args.headOption.map(_.toInt).getOrElse(5000000)
+    val df = spark.range(n)
+      .select(col("id"),
+        when(pmod(col("id"), lit(100)) < 85, "dominant")
+          .when(pmod(col("id"), lit(100)) < 92, "mid")
+          .when(pmod(col("id"), lit(100)) < 99, "small")
+          .otherwise("tail").as("k"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    println(s"[probe14] rows: ${df.count()}")
+    val props = Seq(("dominant", 1000), ("mid", 1000), ("small", 1000), ("tail", 1000))
+      .toDF("k", "rows_count")
+    val digest = Ops.hashDigestCol(col("id").cast("string"), "p14")
+    val t0 = System.nanoTime()
+    val slow = Ops.proportionSamples(df, props, Seq("k"), Seq(digest, col("id"))).count()
+    val tSlow = (System.nanoTime() - t0) / 1e9
+    val t1 = System.nanoTime()
+    val fast = Ops.proportionSamplesByDigest(df, props, Seq("k"), digest, col("id")).count()
+    val tFast = (System.nanoTime() - t1) / 1e9
+    // the pool the exact window sorts under the fast form
+    val pool = df.withColumn("__d", digest)
+      .join(broadcast(props), Seq("k"))
+      .filter(col("__d") < lit(Ops.hashThresholdHex(8.0 * 1000 / (n * 0.85))))
+      .count()
+    println(f"[probe14] window form: $slow rows kept in $tSlow%.2f s " +
+      f"(sorts all $n); digest form: $fast rows kept in $tFast%.2f s " +
+      s"(window pool ≈ $pool rows)")
+    df.unpersist()
     spark.stop()
   }
 }
