@@ -2325,6 +2325,11 @@ object Streamer {
         require(modality == stateModality,
           s"streaming.modality=$modality but state-dir '$stateDir' holds " +
             s"$stateModality fingerprints — not comparable")
+        require(Set("image", "audio", "video")(modality),
+          s"state-dir '$stateDir' holds '$modality'-shaped state — the " +
+            "arrival filter runs on SCALAR fingerprints (or the video " +
+            "frame array); windowed/tile tiers belong to the batch " +
+            "MediaDedup increment")
         // manifest-transparent state read (parts-mode MediaDedup state
         // works unchanged), and the persisted hot-bucket keys ride in so
         // the stream never re-aggregates the corpus bands — but ONLY at
@@ -2977,7 +2982,18 @@ object Indexer {
   *    modality + band-geometry fingerprint line; a drifted lineage is
   *    rejected loudly, never silently under-matched. Signatures are
   *    computed in ONE decode pass and all joins are sig-level — the
-  *    stored corpus is never re-decoded. */
+  *    stored corpus is never re-decoded;
+  *  - robustness TIERS: audio `windowed` (+ `window-frames`/`hop`/
+  *    `min-windows`) pairs trimmed/offset copies via offset-consistent
+  *    sub-fingerprints; video `shift-tolerant` pairs temporally
+  *    shifted clips over the SAME frame-sig state; image `crop-tier`
+  *    (+ `min-slots`) pairs center crops via the ten-tile slot-aligned
+  *    join — each with its own state fingerprint line where the state
+  *    SHAPE differs;
+  *  - `card-dir` writes the media data card in any mode; `mode =
+  *    calibrate` (+ `calibrate-sample`/`calibrate-report-dir`/
+  *    `calibrate-require-separation`) reports per-corpus twin vs
+  *    stranger Hamming evidence for the configured radius. */
 object MediaDedup {
   def main(args: Array[String]): Unit = Cli.run("mediadedup", args) { (conf, spark) =>
     import org.apache.spark.sql.functions._
@@ -2995,6 +3011,32 @@ object MediaDedup {
     val minFrames = c.getInt("min-frames").getOrElse(2)
     require(Set("image", "audio", "video")(modality),
       s"media-dedup.modality must be image | audio | video, got '$modality'")
+    // robustness TIERS (each widens the envelope the r11 fingerprints
+    // documented as out of scope, riding the shared banded machinery):
+    //  - audio `windowed = true`: overlapping sub-fingerprints matched
+    //    by consistent offset — trims/offsets pair (q133's engine);
+    //    `window-frames`/`hop`/`min-windows` set the geometry;
+    //  - video `shift-tolerant = true`: the same per-frame hashes
+    //    matched by consistent frame delta instead of frame-ALIGNED —
+    //    prepended/dropped frames pair (q134's engine); signatures are
+    //    unchanged, so the knob is query-time on an existing lineage;
+    //  - image `crop-tier = true`: the ten-tile state frame + the
+    //    slot-aligned crop-hypothesis join — center crops pair
+    //    (q135's engine); `min-slots` gates the witnesses.
+    val windowed = c.getBoolean("windowed").getOrElse(false)
+    val shiftTolerant = c.getBoolean("shift-tolerant").getOrElse(false)
+    val cropTier = c.getBoolean("crop-tier").getOrElse(false)
+    require(!windowed || modality == "audio",
+      "media-dedup.windowed is the audio trim tier — video shifts are " +
+        "shift-tolerant, image crops crop-tier")
+    require(!shiftTolerant || modality == "video",
+      "media-dedup.shift-tolerant is the video tier — audio trims are 'windowed'")
+    require(!cropTier || modality == "image",
+      "media-dedup.crop-tier is the image tier")
+    val windowFrames = c.getInt("window-frames").getOrElse(2048)
+    val hop = c.getInt("hop").getOrElse(512)
+    val minWindows = c.getInt("min-windows").getOrElse(2)
+    val minSlots = c.getInt("min-slots").getOrElse(4)
     import org.apache.hadoop.fs.Path
     val hconf = spark.sparkContext.hadoopConfiguration
     def qual(d: String): Path = {
@@ -3010,8 +3052,14 @@ object MediaDedup {
     // decoded, not after the batch paid the decode pass. A dir without
     // a fingerprint line (e.g. a TEXT-dedup state dir — its `sigs`
     // table name is the same) is refused by NAME, not by a confusing
-    // read error downstream.
-    val stateFp = s"$modality|bands=$bands|maxHamming=$maxHamming"
+    // read error downstream. Tier state SHAPES get their own lines
+    // (windowed sub-sigs and tile sigs are not comparable to scalar
+    // hashes); video shift-tolerance is matching-time over the same
+    // frame sigs, so the video line is tier-free by design.
+    val stateFp =
+      if (windowed) s"audio-windowed|wf=$windowFrames|hop=$hop|bands=$bands|maxHamming=$maxHamming"
+      else if (cropTier) s"image-tiles|bands=$bands|maxHamming=$maxHamming"
+      else s"$modality|bands=$bands|maxHamming=$maxHamming"
     val stateDir = c.getString("state-dir")
     val statePartsDir = c.getString("state-parts-dir")
     require(stateDir.isEmpty || stateDir != c.getString("state-out-dir"),
@@ -3066,6 +3114,9 @@ object MediaDedup {
     // run if the radius does not separate them (the Differ max-drift
     // convention).
     if (mode == "calibrate") {
+      require(!windowed && !cropTier,
+        "media-dedup calibrate mode measures the scalar fingerprints — " +
+          "run it without tier knobs (the tiers share the same kernels)")
       val repDir = c.getString("calibrate-report-dir").getOrElse(
         throw new IllegalArgumentException(
           "media-dedup.calibrate-report-dir is required in calibrate mode"))
@@ -3136,19 +3187,39 @@ object MediaDedup {
     }
     // ONE decode pass builds the signatures; every join below is
     // sig-level (and the persisted state never re-decodes the corpus)
-    val batchSigs = (modality match {
-      case "image" => Multimodal.perceptualHashes(media,
+    val batchSigs = ((modality, windowed, cropTier) match {
+      case ("image", _, true) => Multimodal.tileHashes(media,
         Multimodal.ImageIoDecoder, idCol, contentCol, metaCol)
-      case "audio" => Multimodal.audioHashes(media,
+      case ("image", _, _) => Multimodal.perceptualHashes(media,
+        Multimodal.ImageIoDecoder, idCol, contentCol, metaCol)
+      case ("audio", true, _) => Multimodal.audioWindowHashes(media,
+        Multimodal.WavDecoder, idCol, contentCol, metaCol, windowFrames, hop)
+      case ("audio", _, _) => Multimodal.audioHashes(media,
         Multimodal.WavDecoder, idCol, contentCol, metaCol)
-      case "video" => Multimodal.videoFrameHashes(media,
+      case _ => Multimodal.videoFrameHashes(media,
         c.getInt("every-n").getOrElse(1), idCol, contentCol, metaCol)
     }).persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
       // in-batch pairs, normalized to (id1, id2, score): score = hamming
-      // for image/audio, n_frames_matched for video
+      // for scalar image/audio, matched-sub-signature counts for the
+      // sequenced tiers, matched-slot counts for the crop tier (where
+      // id1 is the ORIGINAL and id2 the crop — direction matters for
+      // the collapse below)
       val pairs =
-        if (modality == "video")
+        if (cropTier)
+          Multimodal.centerCropNearDupsFromSigs(batchSigs, minSlots,
+              maxHamming, bands, maxBucket)
+            .select(col("orig_id").as("id1"), col("crop_id").as("id2"),
+              col("n_slots_matched").as("score"))
+        else if (windowed)
+          Dedup.seqSigNearDups(batchSigs.withColumnRenamed("window_idx", "seq_idx"),
+              minWindows, maxHamming, bands, maxBucket)
+            .select(col("id1"), col("id2"), col("n_matched").as("score"))
+        else if (modality == "video" && shiftTolerant)
+          Dedup.seqSigNearDups(batchSigs.withColumnRenamed("frame_idx", "seq_idx"),
+              minFrames, maxHamming, bands, maxBucket)
+            .select(col("id1"), col("id2"), col("n_matched").as("score"))
+        else if (modality == "video")
           Multimodal.videoNearDupsFromSigs(batchSigs, minFrames, maxHamming,
               bands, maxBucket)
             .select(col("id1"), col("id2"), col("n_frames_matched").as("score"))
@@ -3174,7 +3245,20 @@ object MediaDedup {
             Some(spark.read.parquet(s"${qual(d)}/hot"))
           else None // pre-hotcounts lineage: one-time on-the-fly guard
         val hits =
-          if (modality == "video")
+          if (cropTier)
+            Multimodal.centerCropNearDupsAgainst(batchSigs, corpusSigs,
+              minSlots, maxHamming, bands, maxBucket, corpusHot)
+          else if (windowed)
+            Dedup.seqSigNearDupsAgainst(
+              batchSigs.withColumnRenamed("window_idx", "seq_idx"),
+              corpusSigs.withColumnRenamed("window_idx", "seq_idx"),
+              minWindows, maxHamming, bands, maxBucket, corpusHot)
+          else if (modality == "video" && shiftTolerant)
+            Dedup.seqSigNearDupsAgainst(
+              batchSigs.withColumnRenamed("frame_idx", "seq_idx"),
+              corpusSigs.withColumnRenamed("frame_idx", "seq_idx"),
+              minFrames, maxHamming, bands, maxBucket, corpusHot)
+          else if (modality == "video")
             Multimodal.videoNearDupsAgainst(batchSigs, corpusSigs, minFrames,
               maxHamming, bands, maxBucket, corpusHot)
           else Dedup.sigNearDupsAgainst(batchSigs, corpusSigs, maxHamming,
@@ -3184,9 +3268,13 @@ object MediaDedup {
       val filtered = c.getString("mode").getOrElse("report") == "filter"
       if (filtered || c.getString("state-out-dir").isDefined) {
         // transitive in-batch clusters -> keep each component's MINIMUM
-        // id; then anything near the stored corpus drops as well
-        val ccDrops = Dedup.connectedComponents(pairs)
-          .filter(col("id") =!= col("label")).select(col("id"))
+        // id (crop tier: the CROP side drops — direction is known, the
+        // derived asset never survives its original); then anything
+        // near the stored corpus drops as well
+        val ccDrops =
+          if (cropTier) pairs.select(col("id2").as("id")).distinct()
+          else Dedup.connectedComponents(pairs)
+            .filter(col("id") =!= col("label")).select(col("id"))
         val drops = vsCorpusDrops.fold(ccDrops)(v =>
           ccDrops.unionByName(v.toDF("id"))).distinct()
           .withColumnRenamed("id", idCol)

@@ -888,10 +888,21 @@ object Multimodal {
       minSlots: Int = 4,
       maxHamming: Int = 3,
       bands: Int = 4,
+      maxBucketSize: Int = 10000): DataFrame =
+    centerCropNearDupsFromSigs(tileHashes(df, decoder, idCol, contentCol, metaCol),
+      minSlots, maxHamming, bands, maxBucketSize)
+
+  /** [[centerCropNearDups]] over an existing TILE state frame
+    * `(id, tile_idx, sig)` — the one-decode-pass CLI shape (tiles are
+    * also what the incremental tier persists). */
+  def centerCropNearDupsFromSigs(
+      tiles: DataFrame,
+      minSlots: Int = 4,
+      maxHamming: Int = 3,
+      bands: Int = 4,
       maxBucketSize: Int = 10000): DataFrame = {
     require(maxHamming < bands,
       s"pigeonhole needs maxHamming < bands ($maxHamming >= $bands misses pairs)")
-    val tiles = tileHashes(df, decoder, idCol, contentCol, metaCol)
     def slotted(t: DataFrame, base: Int) = graft.llm.Dedup.dropHotBuckets(
       graft.llm.Dedup.bandSignatures(
         t.select(struct(col("id").as("aid"),
@@ -912,6 +923,61 @@ object Multimodal {
       .groupBy(col("orig_id"), col("crop_id"))
       .agg(count(lit(1)).as("n_slots_matched"), max(col("hamming")).as("max_hamming"))
       .filter(col("n_slots_matched") >= minSlots)
+  }
+
+  /** Batch-vs-corpus form of [[centerCropNearDups]] over persisted TILE
+    * state `(id, tile_idx, sig)` — the incremental crop tier: a batch
+    * asset hits when it is a center crop of stored content
+    * (`direction = "batch_is_crop"`) OR stored content is a crop of it
+    * (`"corpus_is_crop"` — the original arriving after its crop). Two
+    * slot-aligned banded joins, unioned with the direction tag;
+    * `corpusHotBuckets` is the persisted (band, bits) hot-key table
+    * (counted over ALL tiles — conservative for either slot subset).
+    * Returns `(batch_id, corpus_id, direction, n_slots_matched,
+    * max_hamming)`. */
+  def centerCropNearDupsAgainst(
+      batchTiles: DataFrame,
+      corpusTiles: DataFrame,
+      minSlots: Int = 4,
+      maxHamming: Int = 3,
+      bands: Int = 4,
+      maxBucketSize: Int = 10000,
+      corpusHotBuckets: Option[DataFrame] = None): DataFrame = {
+    require(maxHamming < bands,
+      s"pigeonhole needs maxHamming < bands ($maxHamming >= $bands misses pairs)")
+    def slotted(t: DataFrame, base: Int, hot: Option[DataFrame]) =
+      graft.llm.Dedup.dropHotBuckets(
+        graft.llm.Dedup.bandSignatures(
+          t.select(struct(col("id").as("aid"),
+            (col("tile_idx") - base).as("slot")).as("id"), col("sig")), bands),
+        maxBucketSize, hot)
+    def side(t: DataFrame, base: Int, idName: String, sigName: String,
+        hot: Option[DataFrame]) =
+      slotted(t.filter(if (base == 5) col("tile_idx") >= 5 else col("tile_idx") <= 4),
+          base, hot)
+        .select(col("band"), col("bits"), col("id.aid").as(idName),
+          col("id.slot").as("slot"), col("sig").as(sigName))
+    def direction(inner: DataFrame, outer: DataFrame, tag: String) =
+      inner.join(outer, Seq("band", "bits", "slot"))
+        .select(col("batch_id"), col("corpus_id"), col("slot"),
+          graft.llm.Dedup.hamming(col("__bsig"), col("__csig")).as("hamming"))
+        .filter(col("hamming") <= maxHamming)
+        .distinct()
+        .groupBy(col("batch_id"), col("corpus_id"))
+        .agg(count(lit(1)).as("n_slots_matched"), max(col("hamming")).as("max_hamming"))
+        .filter(col("n_slots_matched") >= minSlots)
+        .withColumn("direction", lit(tag))
+    // batch is the crop: batch tiles 0-4 vs corpus tiles 5-9
+    val a = direction(
+      side(corpusTiles, 5, "corpus_id", "__csig", corpusHotBuckets),
+      side(batchTiles, 0, "batch_id", "__bsig", None), "batch_is_crop")
+    // corpus is the crop: batch tiles 5-9 vs corpus tiles 0-4
+    val b = direction(
+      side(corpusTiles, 0, "corpus_id", "__csig", corpusHotBuckets),
+      side(batchTiles, 5, "batch_id", "__bsig", None), "corpus_is_crop")
+    a.unionByName(b)
+      .select(col("batch_id"), col("corpus_id"), col("direction"),
+        col("n_slots_matched"), col("max_hamming"))
   }
 
   /** 64-bit AUDIO fingerprint (the Haitsma–Kalman/Philips robust-hash

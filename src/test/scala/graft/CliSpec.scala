@@ -4181,6 +4181,204 @@ class CliSpec extends SparkTestBase {
     assert(mixMsgs.contains("never changes mode"), mixMsgs)
   }
 
+  test("mediadedup audio windowed tier: trimmed twins collapse in-batch, a " +
+      "trimmed arrival drops against windowed state, scalar state is not " +
+      "comparable") {
+    import org.apache.spark.sql.functions.col
+    import graft.llm.Multimodal
+    val base = tmp()
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val media = Multimodal.asMediaTable(docs.filter(col("doc_id") < 12),
+      "doc_id", "text", "audio", Map.empty)
+    val full = Multimodal.reencodeAsSmoothAudio(media)
+    val twins = Multimodal.reencodeAsSmoothAudio(
+      media.filter(col("asset_id") % 4 === 0), trimFrames = 1024)
+      .withColumn("asset_id", col("asset_id") + 100000)
+    val src1 = base.resolve("aw_src1").toString
+    full.unionByName(twins).write.parquet(src1)
+    val st1 = base.resolve("aw_st1").toString
+    def conf(n: Int, src: String, stateIn: Option[String], stateOut: String) =
+      write(base.resolve(s"aw_$n.conf"),
+        s"""media-dedup {
+           |  source { storage-type = local, dataset-dir = $src }
+           |  target { storage-type = local, dataset-dir = ${base.resolve(s"aw_out$n")}, dataset-store-format = parquet, write-mode = overwrite }
+           |  modality = audio
+           |  windowed = true
+           |  mode = filter
+           |${stateIn.map(d => s"  state-dir = $d").getOrElse("")}
+           |  state-out-dir = $stateOut
+           |}
+           |""".stripMargin)
+    graft.cli.MediaDedup.main(Array("--conf", conf(1, src1, None, st1)))
+    val kept1 = spark.read.parquet(base.resolve("aw_out1").toString)
+      .select("asset_id").collect().map(_.getLong(0)).toSet
+    assert(kept1 == (0L until 12L).toSet,
+      s"every trimmed twin collapses onto its original: $kept1")
+    assert(scala.io.Source.fromFile(s"$st1/fingerprint", "UTF-8").mkString.trim ==
+      "audio-windowed|wf=2048|hop=512|bands=4|maxHamming=3",
+      "the windowed state shape gets its own fingerprint line")
+    // incremental: a NEW trimmed rendering of stored recording 3 drops
+    // at the increment; a fresh recording lands
+    val src2 = base.resolve("aw_src2").toString
+    val arrivals = Multimodal.asMediaTable(
+      docs.filter(col("doc_id").isin(3, 499)), "doc_id", "text", "audio", Map.empty)
+    Multimodal.reencodeAsSmoothAudio(arrivals.filter(col("asset_id") === 3), trimFrames = 1024)
+      .withColumn("asset_id", col("asset_id") + 200000)
+      .unionByName(Multimodal.reencodeAsSmoothAudio(arrivals.filter(col("asset_id") === 499)))
+      .write.parquet(src2)
+    graft.cli.MediaDedup.main(Array("--conf",
+      conf(2, src2, Some(st1), base.resolve("aw_st2").toString)))
+    val kept2 = spark.read.parquet(base.resolve("aw_out2").toString)
+      .select("asset_id").collect().map(_.getLong(0)).toSet
+    assert(kept2 == Set(499L),
+      s"the trimmed arrival is near stored windowed state: $kept2")
+    // a windowed run cannot read scalar audio state (shape drift)
+    val scalarState = base.resolve("aw_scalar_st").toString
+    graft.cli.MediaDedup.main(Array("--conf", write(base.resolve("aw_scalar.conf"),
+      s"""media-dedup {
+         |  source { storage-type = local, dataset-dir = $src1 }
+         |  target { storage-type = local, dataset-dir = ${base.resolve("aw_outs")}, dataset-store-format = parquet, write-mode = overwrite }
+         |  modality = audio
+         |  mode = filter
+         |  state-out-dir = $scalarState
+         |}
+         |""".stripMargin)))
+    val de = intercept[Throwable] {
+      graft.cli.MediaDedup.main(Array("--conf",
+        conf(3, src2, Some(scalarState), base.resolve("aw_nope").toString)))
+    }
+    assert(Iterator.iterate(de)(_.getCause).takeWhile(_ != null)
+      .map(t => Option(t.getMessage).getOrElse("")).mkString(" | ")
+      .contains("not comparable"))
+  }
+
+  test("mediadedup video shift-tolerant tier: temporally shifted twins " +
+      "collapse in-batch and a shifted arrival drops against the SAME " +
+      "frame-sig state an aligned run wrote") {
+    import org.apache.spark.sql.functions.{col, when}
+    import graft.llm.Multimodal
+    val base = tmp()
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val media = Multimodal.asMediaTable(docs.filter(col("doc_id") < 10),
+      "doc_id", "text", "video", Map.empty)
+    val dib = Multimodal.reencodeAsSmoothAvi(media, nFrames = 6, mjpeg = false)
+    val shifted = Multimodal.reencodeAsSmoothAvi(
+      media.filter(col("asset_id") % 5 === 0), nFrames = 6, mjpeg = true,
+      frameOffset = 2).withColumn("asset_id", col("asset_id") + 100000)
+    val src = base.resolve("vs_src").toString
+    dib.unionByName(shifted).write.parquet(src)
+    val st = base.resolve("vs_st").toString
+    graft.cli.MediaDedup.main(Array("--conf", write(base.resolve("vs_1.conf"),
+      s"""media-dedup {
+         |  source { storage-type = local, dataset-dir = $src }
+         |  target { storage-type = local, dataset-dir = ${base.resolve("vs_out1")}, dataset-store-format = parquet, write-mode = overwrite }
+         |  modality = video
+         |  shift-tolerant = true
+         |  min-frames = 3
+         |  mode = filter
+         |  state-out-dir = $st
+         |}
+         |""".stripMargin)))
+    val kept = spark.read.parquet(base.resolve("vs_out1").toString)
+      .select("asset_id").collect().map(_.getLong(0)).toSet
+    assert(kept == (0L until 10L).toSet,
+      s"shifted twins collapse onto their originals: $kept")
+    // the state is plain frame sigs — the fingerprint line is tier-free
+    assert(scala.io.Source.fromFile(s"$st/fingerprint", "UTF-8").mkString.trim
+      .startsWith("video|"), "shift tolerance is matching-time, not a state shape")
+    // a shifted arrival of stored clip 7 drops; a fresh clip lands
+    val src2 = base.resolve("vs_src2").toString
+    Multimodal.reencodeAsSmoothAvi(
+      Multimodal.asMediaTable(docs.filter(col("doc_id").isin(7, 499)),
+        "doc_id", "text", "video", Map.empty)
+        .withColumn("seed", when(col("asset_id") === 7L, 7L).otherwise(col("asset_id"))),
+      nFrames = 6, mjpeg = true, seedCol = "seed",
+      frameOffset = 2)
+      .drop("seed")
+      .withColumn("asset_id", when(col("asset_id") === 7L, 200007L).otherwise(col("asset_id")))
+      .write.parquet(src2)
+    graft.cli.MediaDedup.main(Array("--conf", write(base.resolve("vs_2.conf"),
+      s"""media-dedup {
+         |  source { storage-type = local, dataset-dir = $src2 }
+         |  target { storage-type = local, dataset-dir = ${base.resolve("vs_out2")}, dataset-store-format = parquet, write-mode = overwrite }
+         |  modality = video
+         |  shift-tolerant = true
+         |  min-frames = 3
+         |  mode = filter
+         |  state-dir = $st
+         |  state-out-dir = ${base.resolve("vs_st2")}
+         |}
+         |""".stripMargin)))
+    val kept2 = spark.read.parquet(base.resolve("vs_out2").toString)
+      .select("asset_id").collect().map(_.getLong(0)).toSet
+    assert(kept2 == Set(499L),
+      s"the shifted arrival shares 4 frames at one delta with stored clip 7: $kept2")
+  }
+
+  test("mediadedup image crop-tier: the CROP side drops regardless of id " +
+      "order (directional collapse, not min-id), and a crop arrival drops " +
+      "against stored tile state") {
+    import org.apache.spark.sql.functions.col
+    import graft.llm.Multimodal
+    val base = tmp()
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    // originals under HIGH ids (1000+), crops under LOW ids (1..3) of
+    // seeds 1000/1004/1008 — min-id collapse would keep the CROPS; the
+    // directional collapse must keep the ORIGINALS
+    val originals = Multimodal.reencodeAsSmoothImage(
+      Multimodal.asMediaTable(docs.filter(col("doc_id") < 12), "doc_id", "text",
+        "image", Map.empty)
+        .withColumn("asset_id", col("asset_id") + 1000), jpeg = false)
+    val crops = Multimodal.reencodeAsSmoothImageCrop(
+      Multimodal.asMediaTable(docs.filter(col("doc_id").isin(0, 4, 8)), "doc_id",
+        "text", "image", Map.empty)
+        .withColumn("seed", col("asset_id") + 1000)
+        .withColumn("asset_id", (col("asset_id") / 4 + 1).cast("long")), seedCol = "seed")
+      .drop("seed")
+    val src = base.resolve("ct_src").toString
+    originals.unionByName(crops).write.parquet(src)
+    val st = base.resolve("ct_st").toString
+    def conf(n: Int, src0: String, stateIn: Option[String], stateOut: String) =
+      write(base.resolve(s"ct_$n.conf"),
+        s"""media-dedup {
+           |  source { storage-type = local, dataset-dir = $src0 }
+           |  target { storage-type = local, dataset-dir = ${base.resolve(s"ct_out$n")}, dataset-store-format = parquet, write-mode = overwrite }
+           |  modality = image
+           |  crop-tier = true
+           |  mode = filter
+           |${stateIn.map(d => s"  state-dir = $d").getOrElse("")}
+           |  state-out-dir = $stateOut
+           |}
+           |""".stripMargin)
+    graft.cli.MediaDedup.main(Array("--conf", conf(1, src, None, st)))
+    val kept = spark.read.parquet(base.resolve("ct_out1").toString)
+      .select("asset_id").collect().map(_.getLong(0)).toSet
+    assert(kept == (1000L until 1012L).toSet,
+      s"originals survive, crops drop — even at lower ids: $kept")
+    assert(scala.io.Source.fromFile(s"$st/fingerprint", "UTF-8").mkString.trim ==
+      "image-tiles|bands=4|maxHamming=3")
+    // a crop ARRIVAL of stored original 1006 drops (batch_is_crop); a
+    // fresh plate lands
+    val src2 = base.resolve("ct_src2").toString
+    Multimodal.reencodeAsSmoothImageCrop(
+      Multimodal.asMediaTable(docs.filter(col("doc_id") === 6), "doc_id", "text",
+        "image", Map.empty)
+        .withColumn("seed", col("asset_id") + 1000)
+        .withColumn("asset_id", col("asset_id") + 200000), seedCol = "seed")
+      .drop("seed")
+      .unionByName(Multimodal.reencodeAsSmoothImage(
+        Multimodal.asMediaTable(docs.filter(col("doc_id") === 7), "doc_id", "text",
+          "image", Map.empty)
+          .withColumn("asset_id", col("asset_id") + 700000), jpeg = false))
+      .write.parquet(src2)
+    graft.cli.MediaDedup.main(Array("--conf",
+      conf(2, src2, Some(st), base.resolve("ct_st2").toString)))
+    val kept2 = spark.read.parquet(base.resolve("ct_out2").toString)
+      .select("asset_id").collect().map(_.getLong(0)).toSet
+    assert(kept2 == Set(700007L),
+      s"the crop arrival is near stored tile state: $kept2")
+  }
+
   test("mediadedup calibrate mode + card-dir: per-corpus twin/stranger " +
       "Hamming evidence lands first, the separation gate trips on a radius " +
       "that cannot separate; the data card rides any mode") {

@@ -606,6 +606,41 @@ class MultimodalSpec extends SparkTestBase {
     assert(w1.length == 1 && w1.head.getLong(3) == 3L)
   }
 
+  test("centerCropNearDupsAgainst: both crop directions surface with their " +
+      "tags — a batch crop of stored content AND a stored crop of batch " +
+      "content; strangers in neither") {
+    import org.apache.spark.sql.functions.col
+    import graft.llm.Multimodal
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    def fulls(ids: Seq[Int], shift: Long) = Multimodal.tileHashes(
+      Multimodal.reencodeAsSmoothImage(
+        Multimodal.asMediaTable(docs.filter(col("doc_id").isin(ids.map(Integer.valueOf): _*)),
+          "doc_id", "text", "image", Map.empty)
+          .withColumn("asset_id", col("asset_id") + shift)
+          .withColumn("seed", col("asset_id") - shift + 0L), // seed = doc id
+        jpeg = false, seedCol = "seed").drop("seed"),
+      Multimodal.ImageIoDecoder)
+    def cropsOf(ids: Seq[Int], shift: Long) = Multimodal.tileHashes(
+      Multimodal.reencodeAsSmoothImageCrop(
+        Multimodal.asMediaTable(docs.filter(col("doc_id").isin(ids.map(Integer.valueOf): _*)),
+          "doc_id", "text", "image", Map.empty)
+          .withColumn("seed", col("asset_id") + 0L)
+          .withColumn("asset_id", col("asset_id") + shift), seedCol = "seed")
+        .drop("seed"),
+      Multimodal.ImageIoDecoder)
+    // corpus: full plates 0..5 AND a stored CROP of plate 20 (id 920)
+    val corpus = fulls(0 to 5, 0).unionByName(cropsOf(Seq(20), 900))
+    // batch: a crop of stored plate 3 (id 103), the FULL plate 20
+    // (id 20 — the stored asset 920 is a crop of it), a stranger (id 7)
+    val batch = cropsOf(Seq(3), 100).unionByName(fulls(Seq(20, 7), 0))
+    val hits = Multimodal.centerCropNearDupsAgainst(batch, corpus)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3)))
+    assert(hits.toSet == Set(
+      (103L, 3L, "batch_is_crop", 5L),
+      (20L, 920L, "corpus_is_crop", 5L)),
+      s"both directions, all five witnesses, nothing else: ${hits.toSeq}")
+  }
+
   test("centerCropNearDups margins (the q135 calibration): a true center " +
       "crop witnesses all 5 slots at Hamming 0; strangers reach at most 3 " +
       "slots at radius 3 — minSlots=4 separates with margin both ways") {
