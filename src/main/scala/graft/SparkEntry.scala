@@ -2813,6 +2813,38 @@ object SparkEntry {
           max(col("max_hamming")).as("max_hamming"))
     }),
 
+    // ---- Image ROTATION/MIRROR near-dup: 150 ANISOTROPIC PNG plates
+    // (the isotropic plate family is rotation-ALIASED — one seed's
+    // quarter-turn genuinely approximates another seed, a synthetic
+    // pathology real photos don't have; the pure-x component breaks
+    // it); every 6th also rotated a quarter-turn clockwise under
+    // id+100000 (outside plain dHash's envelope — q129 cannot pair
+    // these). Eight dihedral orientation hashes per asset; a pair
+    // needs witnesses in BOTH directions (A's orientation g vs B
+    // canonical AND B's g⁻¹ vs A canonical — pixel-equal for true
+    // pairs, independent accidents for strangers), the corroboration
+    // argument behind minWitnesses=2: single one-way collisions exist
+    // even on this corpus (margins probe), two-way ones don't.
+    // rows-only.
+    "q137_image_rotation_neardup" -> ((s, dir) => {
+      import graft.llm.Multimodal
+      val media = Multimodal.asMediaTable(
+        t(s, dir, "documents").filter(col("doc_id") < 150), "doc_id", "text",
+        "image", Map.empty)
+      val png = Multimodal.reencodeAsSmoothImageRotated(media, k = 0)
+      val rot = Multimodal.reencodeAsSmoothImageRotated(
+        media.filter(col("asset_id") % 6 === 0), k = 1)
+        .withColumn("asset_id", col("asset_id") + 100000)
+      Multimodal.rotationNearDups(
+          png.unionByName(rot), Multimodal.ImageIoDecoder,
+          minWitnesses = 2, maxHamming = 3)
+        .groupBy(when(col("id2") - col("id1") === 100000, "planted_rotated")
+          .otherwise("other").as("pair_type"))
+        .agg(countDistinct(col("id1"), col("id2")).as("n_pairs"),
+          min(col("n_witnesses")).as("min_witnesses"),
+          max(col("min_hamming")).as("max_hamming"))
+    }),
+
     // ---- MEDIA data card: the corpusReport counterpart for asset
     // tables, over a deliberately DIRTY corpus — 100 plates with 5 null
     // payloads and 5 corrupt assets planted (a release report must

@@ -3026,17 +3026,24 @@ object MediaDedup {
     val windowed = c.getBoolean("windowed").getOrElse(false)
     val shiftTolerant = c.getBoolean("shift-tolerant").getOrElse(false)
     val cropTier = c.getBoolean("crop-tier").getOrElse(false)
+    val rotationTier = c.getBoolean("rotation-tier").getOrElse(false)
     require(!windowed || modality == "audio",
       "media-dedup.windowed is the audio trim tier — video shifts are " +
-        "shift-tolerant, image crops crop-tier")
+        "shift-tolerant, image crops crop-tier, rotations rotation-tier")
     require(!shiftTolerant || modality == "video",
       "media-dedup.shift-tolerant is the video tier — audio trims are 'windowed'")
     require(!cropTier || modality == "image",
       "media-dedup.crop-tier is the image tier")
+    require(!rotationTier || modality == "image",
+      "media-dedup.rotation-tier is the image tier")
+    require(!(cropTier && rotationTier),
+      "media-dedup.crop-tier and rotation-tier persist DIFFERENT state " +
+        "shapes (tiles vs dihedral orientations) — run them as separate lineages")
     val windowFrames = c.getInt("window-frames").getOrElse(2048)
     val hop = c.getInt("hop").getOrElse(512)
     val minWindows = c.getInt("min-windows").getOrElse(2)
     val minSlots = c.getInt("min-slots").getOrElse(4)
+    val minWitnesses = c.getInt("min-witnesses").getOrElse(2)
     import org.apache.hadoop.fs.Path
     val hconf = spark.sparkContext.hadoopConfiguration
     def qual(d: String): Path = {
@@ -3059,6 +3066,7 @@ object MediaDedup {
     val stateFp =
       if (windowed) s"audio-windowed|wf=$windowFrames|hop=$hop|bands=$bands|maxHamming=$maxHamming"
       else if (cropTier) s"image-tiles|bands=$bands|maxHamming=$maxHamming"
+      else if (rotationTier) s"image-dihedral|bands=$bands|maxHamming=$maxHamming"
       else s"$modality|bands=$bands|maxHamming=$maxHamming"
     val stateDir = c.getString("state-dir")
     val statePartsDir = c.getString("state-parts-dir")
@@ -3114,7 +3122,7 @@ object MediaDedup {
     // run if the radius does not separate them (the Differ max-drift
     // convention).
     if (mode == "calibrate") {
-      require(!windowed && !cropTier,
+      require(!windowed && !cropTier && !rotationTier,
         "media-dedup calibrate mode measures the scalar fingerprints — " +
           "run it without tier knobs (the tiers share the same kernels)")
       val repDir = c.getString("calibrate-report-dir").getOrElse(
@@ -3190,6 +3198,8 @@ object MediaDedup {
     val batchSigs = ((modality, windowed, cropTier) match {
       case ("image", _, true) => Multimodal.tileHashes(media,
         Multimodal.ImageIoDecoder, idCol, contentCol, metaCol)
+      case ("image", _, _) if rotationTier => Multimodal.dihedralHashes(media,
+        Multimodal.ImageIoDecoder, idCol, contentCol, metaCol)
       case ("image", _, _) => Multimodal.perceptualHashes(media,
         Multimodal.ImageIoDecoder, idCol, contentCol, metaCol)
       case ("audio", true, _) => Multimodal.audioWindowHashes(media,
@@ -3211,6 +3221,10 @@ object MediaDedup {
               maxHamming, bands, maxBucket)
             .select(col("orig_id").as("id1"), col("crop_id").as("id2"),
               col("n_slots_matched").as("score"))
+        else if (rotationTier)
+          Multimodal.rotationNearDupsFromSigs(batchSigs, minWitnesses,
+              maxHamming, bands, maxBucket)
+            .select(col("id1"), col("id2"), col("min_hamming").as("score"))
         else if (windowed)
           Dedup.seqSigNearDups(batchSigs.withColumnRenamed("window_idx", "seq_idx"),
               minWindows, maxHamming, bands, maxBucket)
@@ -3248,6 +3262,9 @@ object MediaDedup {
           if (cropTier)
             Multimodal.centerCropNearDupsAgainst(batchSigs, corpusSigs,
               minSlots, maxHamming, bands, maxBucket, corpusHot)
+          else if (rotationTier)
+            Multimodal.rotationNearDupsAgainst(batchSigs, corpusSigs,
+              minWitnesses, maxHamming, bands, maxBucket, corpusHot)
           else if (windowed)
             Dedup.seqSigNearDupsAgainst(
               batchSigs.withColumnRenamed("window_idx", "seq_idx"),

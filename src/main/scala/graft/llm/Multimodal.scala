@@ -1562,6 +1562,281 @@ object Multimodal {
       explode(when(n >= 1, sequence(lit(0), n - 1, lit(everyN)))))
   }
 
+  /** One transform of the dihedral group D4 applied to a decoded frame:
+    * `k & 3` quarter-turns clockwise, after a horizontal mirror when
+    * `k & 4` is set — the eight orientations a re-posted image can
+    * arrive in. Pure pixel permutation (exact, any channel count);
+    * quarter-turns swap width and height. */
+  private[graft] def dihedral(d: Decoded, k: Int): Decoded = {
+    require(k >= 0 && k < 8, s"dihedral k must be in [0, 8), got $k")
+    val m = if ((k & 4) == 0) d else {
+      val out = new Array[Float](d.data.length)
+      var y = 0
+      while (y < d.height) {
+        var x = 0
+        while (x < d.width) {
+          System.arraycopy(d.data, (y * d.width + x) * d.channels,
+            out, (y * d.width + (d.width - 1 - x)) * d.channels, d.channels)
+          x += 1
+        }
+        y += 1
+      }
+      Decoded(d.width, d.height, d.channels, out)
+    }
+    var cur = m
+    var r = k & 3
+    while (r > 0) {
+      // clockwise quarter turn: out(x', y') = in(x' -> y, y' -> W-1-x)…
+      // concretely out has width = in.height, and out(y, x) takes
+      // in(in.height - 1 - x, y) — the standard rotate-right
+      val out = new Array[Float](cur.data.length)
+      val (w, h) = (cur.height, cur.width) // rotated dims
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          val sy = cur.height - 1 - x
+          val sx = y
+          System.arraycopy(cur.data, (sy * cur.width + sx) * cur.channels,
+            out, (y * w + x) * cur.channels, cur.channels)
+          x += 1
+        }
+        y += 1
+      }
+      cur = Decoded(w, h, cur.channels, out)
+      r -= 1
+    }
+    cur
+  }
+
+  /** Per-(image, orientation) dHashes `(id, orient, sig)` over all
+    * eight [[dihedral]] transforms — the ROTATION/MIRROR-tolerant
+    * image tier's state frame (one decode, eight pure pixel
+    * permutations + hashes; 64 B/asset). Because the transforms
+    * compose pixel-exactly, orientation i of A matching orientation j
+    * of B equals orientation i∘j⁻¹ of A matching B UNTRANSFORMED — so
+    * near-dup matching only ever compares ALL orientations of one side
+    * against orientation 0 of the other (8 combos per pair, not 64):
+    * see [[rotationNearDups]]. */
+  def dihedralHashes(
+      df: DataFrame,
+      decoder: MediaDecoder,
+      idCol: String = "asset_id",
+      contentCol: String = "content",
+      metaCol: String = "meta",
+      batchSize: Int = 64): DataFrame = {
+    val idType = df.schema(idCol).dataType
+    val schema = StructType(Seq(
+      StructField("id", idType, nullable = false),
+      StructField("orient", IntegerType, nullable = false),
+      StructField("sig", LongType, nullable = false)))
+    val (idIdx, cIdx, mIdx) =
+      (df.columns.indexOf(idCol), df.columns.indexOf(contentCol), df.columns.indexOf(metaCol))
+    df.mapPartitions { it =>
+      it.grouped(batchSize).flatMap { batch =>
+        batch.flatMap { row =>
+          val content = row.getAs[Array[Byte]](cIdx)
+          if (content == null) Seq.empty[Row]
+          else {
+            val meta = Option(row.getMap[String, String](mIdx))
+              .map(_.toMap).getOrElse(Map.empty[String, String])
+            val d = decoder.decode(content, meta)
+            (0 until 8).map(k => Row(row.get(idIdx), k, dHash64(dihedral(d, k))))
+          }
+        }
+      }
+    }(Encoders.row(schema))
+  }
+
+  /** ROTATION/MIRROR-tolerant image near-dup: assets pair when
+    * orientations of one land within `maxHamming` of the other's
+    * canonical (orientation-0) hash IN BOTH DIRECTIONS — catches
+    * 90/180/270° rotations and mirrors, which plain dHash misses by
+    * construction. Banded join of the full orientation table against
+    * the orientation-0 slice (8 combos per candidate pair per
+    * direction — the group-composition argument in [[dihedralHashes]]).
+    *
+    * WHY two witnesses: a true pair `B = g(A)` ALWAYS yields the
+    * forward witness (A's orientation g vs B canonical — pixel-equal)
+    * AND the independent reverse witness (B's orientation g⁻¹ vs A
+    * canonical), while an accidental hash collision between unrelated
+    * images is one-directional (the reverse comparison is a fresh
+    * ~random event). On smooth-plate corpora single cross-image
+    * orientation collisions at distance 0 are REAL (the plate family
+    * is rotation-aliased — measured in the MultimodalSpec margins
+    * probe), so `minWitnesses = 2` is the default gate, the same
+    * corroboration argument as the crop tier's slots and the video
+    * tier's frames. Returns `(id1, id2, n_witnesses, orient,
+    * min_hamming)` with `orient` the best witness's relative
+    * orientation (deterministic tie-break). */
+  def rotationNearDups(
+      df: DataFrame,
+      decoder: MediaDecoder,
+      idCol: String = "asset_id",
+      contentCol: String = "content",
+      metaCol: String = "meta",
+      minWitnesses: Int = 2,
+      maxHamming: Int = 3,
+      bands: Int = 4,
+      maxBucketSize: Int = 10000): DataFrame =
+    rotationNearDupsFromSigs(
+      dihedralHashes(df, decoder, idCol, contentCol, metaCol),
+      minWitnesses, maxHamming, bands, maxBucketSize)
+
+  /** [[rotationNearDups]] over an existing `(id, orient, sig)` state
+    * frame. */
+  def rotationNearDupsFromSigs(
+      sigs: DataFrame,
+      minWitnesses: Int = 2,
+      maxHamming: Int = 3,
+      bands: Int = 4,
+      maxBucketSize: Int = 10000): DataFrame = {
+    require(maxHamming < bands,
+      s"pigeonhole needs maxHamming < bands ($maxHamming >= $bands misses pairs)")
+    require(minWitnesses >= 1 && minWitnesses <= 2,
+      s"witnesses are DIRECTIONS (at most 2); got minWitnesses = $minWitnesses")
+    val all = graft.llm.Dedup.dropHotBuckets(
+      graft.llm.Dedup.bandSignatures(
+        sigs.select(struct(col("id").as("aid"), col("orient").as("o")).as("id"),
+          col("sig")), bands), maxBucketSize)
+      .select(col("band"), col("bits"), col("id.aid").as("ida"),
+        col("id.o").as("orient"), col("sig").as("siga"))
+    val canonical = all.filter(col("orient") === 0)
+      .select(col("band"), col("bits"), col("ida").as("idb"), col("siga").as("sigb"))
+    all.join(canonical, Seq("band", "bits"))
+      .filter(col("ida") =!= col("idb"))
+      .select(col("ida"), col("idb"), col("orient"),
+        graft.llm.Dedup.hamming(col("siga"), col("sigb")).as("hamming"))
+      .filter(col("hamming") <= maxHamming)
+      .distinct() // band multiplicity only — directions stay distinct rows
+      .select(
+        least(col("ida"), col("idb")).as("id1"),
+        greatest(col("ida"), col("idb")).as("id2"),
+        // direction tag: the forward and reverse witnesses of one pair
+        // must count separately even when orient+hamming coincide
+        when(col("ida") < col("idb"), lit(0)).otherwise(lit(1)).as("__dir"),
+        col("orient"), col("hamming"))
+      .groupBy(col("id1"), col("id2"))
+      // a WITNESS is a DIRECTION with at least one orientation inside
+      // the radius — two collisions in the same direction are NOT
+      // independent corroboration (one image's several orientations can
+      // drift near the same stranger hash together), so the count is
+      // capped at 2 by construction and minWitnesses = 2 means "both
+      // directions agree"
+      .agg(countDistinct(col("__dir")).as("n_witnesses"),
+        // deterministic best witness: smallest hamming, ties to the
+        // smallest orientation
+        min(struct(col("hamming"), col("orient"))).as("__best"))
+      .filter(col("n_witnesses") >= minWitnesses)
+      .select(col("id1"), col("id2"), col("n_witnesses"),
+        col("__best.orient").as("orient"),
+        col("__best.hamming").as("min_hamming"))
+  }
+
+  /** Deterministic ANISOTROPIC test image: the smooth plate PLUS a
+    * seed-keyed pure-horizontal sinusoid. The plain [[smoothImage]]
+    * family is CLOSED under rotation — one seed's quarter-turn can
+    * genuinely approximate another seed's plate (rotation-aliasing:
+    * measured ~7 both-direction stranger pairs per 150 seeds), which
+    * real photo corpora do not exhibit. The pure-x component leaves the
+    * family under rotation (it becomes pure-y), so rotated orientations
+    * of one seed never resemble another seed's canonical: the
+    * rotation-tier fixture (0 both-direction stranger pairs over 150
+    * seeds, twins exact — the margins probe pins it). */
+  def smoothImageAsym(seed: Long, w: Int = 32, h: Int = 32): Decoded = {
+    var z = seed + 0x9E3779B97F4A7C15L
+    z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+    z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+    z = z ^ (z >>> 31)
+    val fx = 0.5 + (z & 63L) / 16.0
+    val fy = 0.5 + ((z >> 6) & 63L) / 16.0
+    val ph = ((z >> 12) & 255L) / 255.0
+    val gx = 5.0 + ((z >> 20) & 31L) / 8.0
+    val phx = ((z >> 25) & 255L) / 255.0
+    val data = new Array[Float](w * h * 3)
+    var p = 0
+    while (p < w * h) {
+      val x = (p % w).toDouble / w
+      val y = (p / w).toDouble / h
+      val v = (0.5 + 0.25 * math.sin(2 * math.Pi * (fx * x + fy * y + ph)) +
+        0.25 * math.sin(2 * math.Pi * (gx * x + phx))).toFloat
+      data(p * 3) = v; data(p * 3 + 1) = v; data(p * 3 + 2) = v
+      p += 1
+    }
+    Decoded(w, h, 3, data)
+  }
+
+  /** Batch-vs-corpus form of [[rotationNearDups]] over persisted
+    * dihedral state `(id, orient, sig)` — the incremental rotation
+    * tier. Same two-directional witness rule: the batch asset's
+    * orientations must hit the stored canonical AND the stored
+    * orientations must hit the batch canonical. Returns
+    * `(batch_id, corpus_id, n_witnesses, orient, min_hamming)`. */
+  def rotationNearDupsAgainst(
+      batchSigs: DataFrame,
+      corpusSigs: DataFrame,
+      minWitnesses: Int = 2,
+      maxHamming: Int = 3,
+      bands: Int = 4,
+      maxBucketSize: Int = 10000,
+      corpusHotBuckets: Option[DataFrame] = None): DataFrame = {
+    require(maxHamming < bands,
+      s"pigeonhole needs maxHamming < bands ($maxHamming >= $bands misses pairs)")
+    require(minWitnesses >= 1 && minWitnesses <= 2,
+      s"witnesses are DIRECTIONS (at most 2); got minWitnesses = $minWitnesses")
+    def banded(t: DataFrame, hot: Option[DataFrame]) =
+      graft.llm.Dedup.dropHotBuckets(
+        graft.llm.Dedup.bandSignatures(
+          t.select(struct(col("id").as("aid"), col("orient").as("o")).as("id"),
+            col("sig")), bands), maxBucketSize, hot)
+    val b = banded(batchSigs, None)
+    val c = banded(corpusSigs, corpusHotBuckets)
+    def dir(all: DataFrame, canon: DataFrame, allIs: String, tag: Int) = {
+      val l = all.select(col("band"), col("bits"),
+        col("id.aid").as(if (allIs == "batch") "batch_id" else "corpus_id"),
+        col("id.o").as("orient"), col("sig").as("__asig"))
+      val r = canon.filter(col("id.o") === 0).select(col("band"), col("bits"),
+        col("id.aid").as(if (allIs == "batch") "corpus_id" else "batch_id"),
+        col("sig").as("__csig"))
+      l.join(r, Seq("band", "bits"))
+        .select(col("batch_id"), col("corpus_id"), col("orient"),
+          graft.llm.Dedup.hamming(col("__asig"), col("__csig")).as("hamming"))
+        .filter(col("hamming") <= maxHamming)
+        .distinct()
+        .withColumn("__dir", lit(tag))
+    }
+    dir(b, c, "batch", 0).unionByName(dir(c, b, "corpus", 1))
+      .groupBy(col("batch_id"), col("corpus_id"))
+      .agg(countDistinct(col("__dir")).as("n_witnesses"),
+        min(struct(col("hamming"), col("orient"))).as("__best"))
+      .filter(col("n_witnesses") >= minWitnesses)
+      .select(col("batch_id"), col("corpus_id"), col("n_witnesses"),
+        col("__best.orient").as("orient"),
+        col("__best.hamming").as("min_hamming"))
+  }
+
+  /** Replace each asset's payload with a PNG of the `k`-th [[dihedral]]
+    * transform of the deterministic ANISOTROPIC plate keyed by
+    * `seedCol` — the rotation-twin fixture (`k = 0` renders the
+    * originals). Anisotropic by necessity: see [[smoothImageAsym]]. */
+  def reencodeAsSmoothImageRotated(
+      df: DataFrame,
+      k: Int,
+      seedCol: String = "asset_id",
+      contentCol: String = "content",
+      w: Int = 32,
+      h: Int = 32): DataFrame = {
+    val schema = df.schema
+    val cIdx = df.columns.indexOf(contentCol)
+    val sIdx = df.columns.indexOf(seedCol)
+    df.mapPartitions { it =>
+      it.map { row =>
+        val img = dihedral(smoothImageAsym(row.getLong(sIdx), w, h), k)
+        Row.fromSeq(row.toSeq.updated(cIdx, encodePng(img)))
+      }
+    }(Encoders.row(schema))
+  }
+
   /** MEDIA data card — the [[TextAnalysis.corpusReport]] counterpart
     * for an asset table: asset/null/decode-failure counts, byte sizes,
     * dimension totals, and fingerprint-collision statistics, in ONE

@@ -439,6 +439,11 @@ object Streams {
       s"pigeonhole needs maxHamming < bands ($maxHamming >= $bands misses pairs)")
     require(firstKFrames >= minFrames,
       s"firstKFrames ($firstKFrames) must cover minFrames ($minFrames)")
+    require(firstKFrames <= 16,
+      s"firstKFrames is a PLAN size (k × bands stream-static joins) — " +
+        s"$firstKFrames would compile ${firstKFrames * bands} joins; an " +
+        "arrival decision reads the clip's head, use the batch MediaDedup " +
+        "increment for deep-frame matching")
     val width = 64 / bands
     val mask = ((BigInt(1) << width) - 1).toLong
     def fresh(base: String): String = Iterator.from(0).map(i => s"$base$i")

@@ -4379,6 +4379,79 @@ class CliSpec extends SparkTestBase {
       s"the crop arrival is near stored tile state: $kept2")
   }
 
+  test("mediadedup image rotation-tier: rotated/mirrored twins collapse " +
+      "in-batch (both directional witnesses), a rotated arrival drops " +
+      "against stored dihedral state, tile state is not comparable") {
+    import org.apache.spark.sql.functions.col
+    import graft.llm.Multimodal
+    val base = tmp()
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val media = Multimodal.asMediaTable(docs.filter(col("doc_id") < 12),
+      "doc_id", "text", "image", Map.empty)
+    val originals = Multimodal.reencodeAsSmoothImageRotated(media, k = 0)
+    // twins: a quarter-turn AND a mirror (k=4) under shifted ids
+    val rotTwins = Multimodal.reencodeAsSmoothImageRotated(
+      media.filter(col("asset_id") % 4 === 0), k = 1)
+      .withColumn("asset_id", col("asset_id") + 100000)
+    val mirTwins = Multimodal.reencodeAsSmoothImageRotated(
+      media.filter(col("asset_id") % 4 === 1), k = 4)
+      .withColumn("asset_id", col("asset_id") + 200000)
+    val src = base.resolve("rt_src").toString
+    originals.unionByName(rotTwins).unionByName(mirTwins).write.parquet(src)
+    val st = base.resolve("rt_st").toString
+    def conf(n: Int, src0: String, stateIn: Option[String], stateOut: String) =
+      write(base.resolve(s"rt_$n.conf"),
+        s"""media-dedup {
+           |  source { storage-type = local, dataset-dir = $src0 }
+           |  target { storage-type = local, dataset-dir = ${base.resolve(s"rt_out$n")}, dataset-store-format = parquet, write-mode = overwrite }
+           |  modality = image
+           |  rotation-tier = true
+           |  mode = filter
+           |${stateIn.map(d => s"  state-dir = $d").getOrElse("")}
+           |  state-out-dir = $stateOut
+           |}
+           |""".stripMargin)
+    graft.cli.MediaDedup.main(Array("--conf", conf(1, src, None, st)))
+    val kept = spark.read.parquet(base.resolve("rt_out1").toString)
+      .select("asset_id").collect().map(_.getLong(0)).toSet
+    assert(kept == (0L until 12L).toSet,
+      s"rotated AND mirrored twins collapse onto their originals: $kept")
+    assert(scala.io.Source.fromFile(s"$st/fingerprint", "UTF-8").mkString.trim ==
+      "image-dihedral|bands=4|maxHamming=3")
+    // a 180°-rotated arrival of stored plate 5 drops; a fresh plate lands
+    val src2 = base.resolve("rt_src2").toString
+    Multimodal.reencodeAsSmoothImageRotated(
+      Multimodal.asMediaTable(docs.filter(col("doc_id") === 5), "doc_id", "text",
+        "image", Map.empty)
+        .withColumn("asset_id", col("asset_id") + 300000)
+        .withColumn("seed", col("asset_id") - 300000), k = 2, seedCol = "seed")
+      .drop("seed")
+      .unionByName(Multimodal.reencodeAsSmoothImageRotated(
+        Multimodal.asMediaTable(docs.filter(col("doc_id") === 450), "doc_id",
+          "text", "image", Map.empty), k = 0))
+      .write.parquet(src2)
+    graft.cli.MediaDedup.main(Array("--conf",
+      conf(2, src2, Some(st), base.resolve("rt_st2").toString)))
+    val kept2 = spark.read.parquet(base.resolve("rt_out2").toString)
+      .select("asset_id").collect().map(_.getLong(0)).toSet
+    assert(kept2 == Set(450L),
+      s"the rotated arrival is near stored dihedral state: $kept2")
+    // crop-tier state (different shape) is rejected loudly; so is
+    // running both image tiers in one lineage
+    val g = intercept[IllegalArgumentException] {
+      graft.cli.MediaDedup.main(Array("--conf", write(base.resolve("rt_both.conf"),
+        s"""media-dedup {
+           |  source { storage-type = local, dataset-dir = $src }
+           |  modality = image
+           |  rotation-tier = true
+           |  crop-tier = true
+           |  mode = report
+           |}
+           |""".stripMargin)))
+    }
+    assert(g.getMessage.contains("separate lineages"), g.getMessage)
+  }
+
   test("mediadedup calibrate mode + card-dir: per-corpus twin/stranger " +
       "Hamming evidence lands first, the separation gate trips on a radius " +
       "that cannot separate; the data card rides any mode") {

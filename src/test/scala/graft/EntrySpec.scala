@@ -227,6 +227,20 @@ class EntrySpec extends SparkTestBase {
       "the crop's pixels ARE the original's tile region — zero drift")
   }
 
+  test("q137: every rotated twin pairs with BOTH directional witnesses at " +
+      "zero drift; nothing else reaches two witnesses") {
+    val rows = SparkEntry.queries("q137_image_rotation_neardup")(spark, sfDir)
+      .collect().map(r => r.getString(0) -> r).toMap
+    assert(rows.keySet == Set("planted_rotated"),
+      s"non-planted pairs reached two directional witnesses: ${rows.keySet}")
+    val p = rows("planted_rotated")
+    assert(p.getAs[Long]("n_pairs") == 25L)
+    assert(p.getAs[Long]("min_witnesses") >= 2L,
+      "a true rotation always has the forward AND reverse witness")
+    assert(p.getAs[Int]("max_hamming") == 0,
+      "rotation is a pixel permutation — zero drift through the PNG path")
+  }
+
   test("q136: media data card counts every planted defect and collision " +
       "group exactly — nulls, corrupt assets, the 11-plate fingerprint group") {
     val r = SparkEntry.queries("q136_media_report")(spark, sfDir).head()

@@ -606,6 +606,79 @@ class MultimodalSpec extends SparkTestBase {
     assert(w1.length == 1 && w1.head.getLong(3) == 3L)
   }
 
+  test("dihedral: the eight transforms are the full D4 orbit — rotations " +
+      "compose to identity, reflections are involutions, orbit members are " +
+      "pixel-distinct on an asymmetric frame, quantization commutes") {
+    import graft.llm.Multimodal
+    import graft.llm.Multimodal._
+    val d = smoothImageAsym(11L)
+    // rot90 four times = identity (pixel-exact)
+    val r4 = (1 to 4).foldLeft(d)((acc, _) => Multimodal.dihedral(acc, 1))
+    assert(r4.data.toSeq == d.data.toSeq && r4.width == d.width)
+    // each k in 0..7 is reachable and distinct on an asymmetric frame
+    val orbit = (0 until 8).map(k => Multimodal.dihedral(d, k).data.toSeq)
+    assert(orbit.distinct.length == 8, "the asym plate has no accidental symmetry")
+    // reflections (k >= 4) are involutions: applying the same composite
+    // twice returns the original
+    for (k <- 4 until 8) {
+      val once = Multimodal.dihedral(d, k)
+      assert(Multimodal.dihedral(once, k).data.toSeq == d.data.toSeq, s"k=$k not involutive")
+    }
+    // quantization commutes with the permutation: hashing the decoded
+    // PNG of a rotated plate equals hashing the rotation of the decoded
+    // PNG — the zero-drift guarantee the q137 gate relies on
+    for (k <- 0 until 8) {
+      val a = dHash64(ImageIoDecoder.decode(
+        encodePng(Multimodal.dihedral(d, k)), Map.empty))
+      val b = dHash64(Multimodal.dihedral(
+        ImageIoDecoder.decode(encodePng(d), Map.empty), k))
+      assert(a == b, s"orientation $k drift through the codec")
+    }
+  }
+
+  test("rotationNearDups margins (the q137 calibration): one-way stranger " +
+      "collisions exist even on the anisotropic corpus, two-way ones don't — " +
+      "minWitnesses=2 (both directions) is the load-bearing gate; the plain " +
+      "isotropic plate family is rotation-ALIASED and unusable here") {
+    import org.apache.spark.sql.functions.col
+    import graft.llm.Multimodal
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    // the measured fact that forced the anisotropic fixture: the plain
+    // smoothImage family is closed under rotation — some seed's
+    // quarter-turn genuinely approximates another seed's plate
+    val iso = (0 until 150).map { s =>
+      val d = Multimodal.ImageIoDecoder.decode(
+        Multimodal.encodePng(Multimodal.smoothImage(s)), Map.empty)
+      (0 until 8).map(k => Multimodal.dHash64(Multimodal.dihedral(d, k)))
+    }
+    val isoBothWays = (for {
+      i <- iso.indices; j <- iso.indices if i < j
+      if iso(i).exists(h => ham(h, iso(j)(0)) <= 3) &&
+        iso(j).exists(h => ham(h, iso(i)(0)) <= 3)
+    } yield 1).size
+    assert(isoBothWays > 0,
+      "the isotropic family must demonstrate the aliasing the fixture exists to avoid")
+    // the anisotropic corpus through the REAL engine: minWitnesses=1
+    // exposes one-way collisions (they are real), minWitnesses=2 keeps
+    // only the planted rotations
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val media = Multimodal.asMediaTable(docs.filter(col("doc_id") < 150),
+      "doc_id", "text", "image", Map.empty)
+    val all = Multimodal.reencodeAsSmoothImageRotated(media, k = 0)
+      .unionByName(Multimodal.reencodeAsSmoothImageRotated(
+        media.filter(col("asset_id") % 6 === 0), k = 1)
+        .withColumn("asset_id", col("asset_id") + 100000))
+    val oneWay = Multimodal.rotationNearDups(all, Multimodal.ImageIoDecoder,
+      minWitnesses = 1, maxHamming = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val strangers = oneWay.filterNot(p => p._2 - p._1 == 100000)
+    assert(strangers.forall(_._3 < 2),
+      s"no stranger pair may reach both directions: ${strangers.toSeq}")
+    val planted = oneWay.filter(p => p._2 - p._1 == 100000)
+    assert(planted.length == 25 && planted.forall(_._3 == 2),
+      s"every rotation twin carries both directional witnesses: ${planted.length}")
+  }
+
   test("centerCropNearDupsAgainst: both crop directions surface with their " +
       "tags — a batch crop of stored content AND a stored crop of batch " +
       "content; strangers in neither") {
