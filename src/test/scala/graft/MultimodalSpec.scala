@@ -443,6 +443,23 @@ class MultimodalSpec extends SparkTestBase {
     intercept[IllegalArgumentException](audioHash64(Decoded(4, 1, 1, new Array[Float](4))))
   }
 
+  test("audioHash64 sample-rate relativity: the same recording rendered at " +
+      "double and half the rate fingerprints within the near-dup radius — " +
+      "the 9×8 grid is duration-relative, so resampled re-encodes pair") {
+    import graft.llm.Multimodal._
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    for (seed <- 0L until 25L) {
+      val base = audioHash64(smoothAudio(seed, 4096))
+      // denser/sparser samplings of the SAME continuous recording
+      val double = audioHash64(smoothAudio(seed, 8192))
+      val half = audioHash64(smoothAudio(seed, 2048))
+      assert(ham(base, double) <= 3,
+        s"seed $seed: 2x resample drifted ${ham(base, double)} bits")
+      assert(ham(base, half) <= 3,
+        s"seed $seed: 0.5x resample drifted ${ham(base, half)} bits")
+    }
+  }
+
   test("audioNearDups: half-volume twins pair through the banded engine, " +
       "nothing else does at radius 3") {
     import org.apache.spark.sql.functions.col
