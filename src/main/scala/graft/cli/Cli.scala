@@ -3171,6 +3171,10 @@ object MediaDedup {
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         report.coalesce(1).write.mode("overwrite").parquet(repDir)
         val rows = report.collect()
+        // everything needed is on the driver now — release the cache
+        // BEFORE the separation gate can throw (a tripped gate must not
+        // leak cached blocks into a long-lived session)
+        report.unpersist(): Unit
         def bound(kind: String, worst: Boolean): Option[Int] = {
           val hs = rows.filter(_.getString(0) == kind).map(_.getInt(1))
           if (hs.isEmpty) None else Some(if (worst) hs.max else hs.min)
@@ -3189,7 +3193,6 @@ object MediaDedup {
               s"(max ${maxTwin.getOrElse(-1)}) and stranger " +
               s"(min ${minStranger.getOrElse(-1)}) fingerprint distances — " +
               s"adjust max-hamming/bands (report at $repDir)")
-        report.unpersist(): Unit
       } finally { sample.unpersist(); () }
       return
     }
@@ -3296,6 +3299,7 @@ object MediaDedup {
           ccDrops.unionByName(v.toDF("id"))).distinct()
           .withColumnRenamed("id", idCol)
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        try {
         // plain left-anti: the drop list is usually tiny (AQE converts
         // it to a broadcast join at runtime), but it CAN be a large
         // fraction of a huge batch — never force a driver-side
@@ -3394,7 +3398,7 @@ object MediaDedup {
           Cli.log(s"fingerprint state -> $outDir" +
             statePartsDir.map(pd => s" (parts under $pd)").getOrElse(""))
         }
-        drops.unpersist(): Unit
+        } finally { drops.unpersist(); () }
       }
     } finally { batchSigs.unpersist(); () }
   }
