@@ -2845,6 +2845,52 @@ object SparkEntry {
           max(col("min_hamming")).as("max_hamming"))
     }),
 
+    // ---- MEDIA curation END-TO-END bench line (the q128 idiom for the
+    // media stack): ALL THREE image tiers run back to back each
+    // invocation — scalar dHash over 150 plates + 25 JPEG re-encodes,
+    // the slot-aligned crop tier over 150 plates + 25 center crops,
+    // the two-witness rotation tier over 150 anisotropic plates + 25
+    // quarter-turns (each tier on ITS calibrated fixture family) —
+    // so the bench median times the full multi-tier media path and
+    // the per-query diff trends it round-over-round. One row of
+    // per-tier drop accounting: exactly the planted twins, nothing
+    // else (q129/q135/q137 hold the fine-grained margins). rows-only.
+    "q138_media_curation_e2e" -> ((s, dir) => {
+      import graft.llm.Multimodal
+      val media = Multimodal.asMediaTable(
+        t(s, dir, "documents").filter(col("doc_id") < 150), "doc_id", "text",
+        "image", Map.empty)
+      val sixth = media.filter(col("asset_id") % 6 === 0)
+      def shifted(df: org.apache.spark.sql.DataFrame) =
+        df.withColumn("asset_id", col("asset_id") + 100000)
+      // tier 1: scalar re-encode dedup (plain plate family, q129's)
+      val plainPng = Multimodal.reencodeAsSmoothImage(media, jpeg = false)
+      val scalarDrops = Multimodal.imageNearDups(
+          plainPng.unionByName(shifted(
+            Multimodal.reencodeAsSmoothImage(sixth, jpeg = true))),
+          Multimodal.ImageIoDecoder, maxHamming = 3)
+        .select(greatest(col("id1"), col("id2")).as("id")).distinct()
+      // tier 2: center-crop dedup (plain family + crop twins, q135's)
+      val cropDrops = Multimodal.centerCropNearDups(
+          plainPng.unionByName(shifted(
+            Multimodal.reencodeAsSmoothImageCrop(sixth))),
+          Multimodal.ImageIoDecoder, minSlots = 4, maxHamming = 3)
+        .select(col("crop_id").as("id")).distinct()
+      // tier 3: rotation dedup (anisotropic family, q137's)
+      val rotDrops = Multimodal.rotationNearDups(
+          Multimodal.reencodeAsSmoothImageRotated(media, k = 0)
+            .unionByName(shifted(
+              Multimodal.reencodeAsSmoothImageRotated(sixth, k = 1))),
+          Multimodal.ImageIoDecoder, minWitnesses = 2, maxHamming = 3)
+        .select(greatest(col("id1"), col("id2")).as("id")).distinct()
+      scalarDrops.select(lit("scalar_reencode").as("tier"), col("id"))
+        .unionByName(cropDrops.select(lit("center_crop").as("tier"), col("id")))
+        .unionByName(rotDrops.select(lit("rotation").as("tier"), col("id")))
+        .groupBy(col("tier"))
+        .agg(count(lit(1)).as("n_dropped"),
+          sum(when(col("id") >= 100000, 1).otherwise(0)).as("n_planted_dropped"))
+    }),
+
     // ---- MEDIA data card: the corpusReport counterpart for asset
     // tables, over a deliberately DIRTY corpus — 100 plates with 5 null
     // payloads and 5 corrupt assets planted (a release report must

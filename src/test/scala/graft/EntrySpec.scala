@@ -241,6 +241,17 @@ class EntrySpec extends SparkTestBase {
       "rotation is a pixel permutation — zero drift through the PNG path")
   }
 
+  test("q138: the media curation e2e drops exactly the 25 planted twins in " +
+      "every tier — re-encodes, crops, rotations — and nothing else") {
+    val rows = SparkEntry.queries("q138_media_curation_e2e")(spark, sfDir)
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(rows.keySet == Set("scalar_reencode", "center_crop", "rotation"))
+    for ((tier, (dropped, planted)) <- rows) {
+      assert(dropped == 25L && planted == 25L,
+        s"$tier must drop exactly the planted twins: dropped=$dropped planted=$planted")
+    }
+  }
+
   test("q136: media data card counts every planted defect and collision " +
       "group exactly — nulls, corrupt assets, the 11-plate fingerprint group") {
     val r = SparkEntry.queries("q136_media_report")(spark, sfDir).head()
