@@ -3242,10 +3242,28 @@ object MediaDedup {
             .select(col("id1"), col("id2"), col("n_frames_matched").as("score"))
         else Dedup.sigNearDups(batchSigs, maxHamming, bands, maxBucket)
           .withColumnRenamed("hamming", "score")
-      val nPairs = pairs.count()
+      // `verify-pairs` (image tiers): pixel-evidence confirmation of
+      // the signature nominations — the text tier's verified-dedup
+      // semantics (Jaccard there, 9×8 luma mean-abs-diff here, the
+      // hypothesis-aware form for crop/rotation); `max-mean-diff` sets
+      // the bar. Signatures nominate, pixels confirm, and only
+      // confirmed pairs drive the collapse and the report.
+      val confirmed =
+        if (!c.getBoolean("verify-pairs").getOrElse(false)) pairs
+        else {
+          require(modality == "image",
+            "media-dedup.verify-pairs is the image tiers' pixel " +
+              "confirmation (scalar, crop-tier, rotation-tier)")
+          Multimodal.verifyImagePairs(pairs, media, Multimodal.ImageIoDecoder,
+            idCol, contentCol, metaCol,
+            maxMeanDiff = c.getDouble("max-mean-diff").getOrElse(0.1),
+            orientationInvariant = rotationTier,
+            cropHypothesis = cropTier)
+        }
+      val nPairs = confirmed.count()
       Cli.log(s"$modality in-batch near-dup pairs: $nPairs")
       c.getString("pairs-dir").foreach { d =>
-        pairs.write.mode("overwrite").parquet(d)
+        confirmed.write.mode("overwrite").parquet(d)
         Cli.log(s"pair report -> $d")
       }
       // INCREMENTAL tier (`state-dir` = a previous run's
@@ -3292,8 +3310,8 @@ object MediaDedup {
         // derived asset never survives its original); then anything
         // near the stored corpus drops as well
         val ccDrops =
-          if (cropTier) pairs.select(col("id2").as("id")).distinct()
-          else Dedup.connectedComponents(pairs)
+          if (cropTier) confirmed.select(col("id2").as("id")).distinct()
+          else Dedup.connectedComponents(confirmed)
             .filter(col("id") =!= col("label")).select(col("id"))
         val drops = vsCorpusDrops.fold(ccDrops)(v =>
           ccDrops.unionByName(v.toDF("id"))).distinct()

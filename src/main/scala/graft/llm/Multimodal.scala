@@ -1837,6 +1837,81 @@ object Multimodal {
     }(Encoders.row(schema))
   }
 
+  /** Verify image near-dup candidate PAIRS against decoded PIXEL
+    * evidence — the media analog of the text tier's Jaccard
+    * `verifyPairs`: signatures nominate, pixels confirm. Each
+    * `(id1, id2)` candidate joins its two payloads, both decode to the
+    * same 9×8 grayscale grid dHash reads, and the score is the mean
+    * absolute luma difference in [0, 1] — re-encodes land near 0,
+    * unrelated images near the corpus's mean contrast (the
+    * MultimodalSpec margins pin both). With `orientationInvariant` the
+    * score is the MINIMUM over the candidate's eight dihedral
+    * orientations (verifies rotation-tier pairs); crops verify against
+    * the original's center region when `cropHypothesis` is set.
+    *
+    * Join-shaped: pairs × media twice (payloads travel by id), ONE
+    * decode per side per pair — run it AFTER a banded signature tier
+    * has cut candidates to a small set, never on a raw corpus.
+    * Returns the pairs with a `mean_diff` column, filtered to
+    * `<= maxMeanDiff`. */
+  def verifyImagePairs(
+      pairs: DataFrame, // (id1, id2, ...)
+      media: DataFrame,
+      decoder: MediaDecoder,
+      idCol: String = "asset_id",
+      contentCol: String = "content",
+      metaCol: String = "meta",
+      maxMeanDiff: Double = 0.1,
+      orientationInvariant: Boolean = false,
+      cropHypothesis: Boolean = false): DataFrame = {
+    require(!(orientationInvariant && cropHypothesis),
+      "verify one hypothesis per call: orientationInvariant XOR cropHypothesis")
+    val payload = media.select(col(idCol), col(contentCol).as("__vc"),
+      col(metaCol).as("__vm"))
+    val joined = pairs
+      .join(payload.withColumnRenamed(idCol, "__vid1")
+        .withColumnRenamed("__vc", "__vc1").withColumnRenamed("__vm", "__vm1"),
+        col("id1") === col("__vid1"))
+      .join(payload.withColumnRenamed(idCol, "__vid2")
+        .withColumnRenamed("__vc", "__vc2").withColumnRenamed("__vm", "__vm2"),
+        col("id2") === col("__vid2"))
+      .drop("__vid1", "__vid2")
+    val outSchema = StructType(pairs.schema.fields :+
+      StructField("mean_diff", DoubleType, nullable = false))
+    val nPairCols = pairs.columns.length
+    val (c1, m1, c2, m2) = (nPairCols, nPairCols + 1, nPairCols + 2, nPairCols + 3)
+    joined.mapPartitions { it =>
+      it.map { row =>
+        def meta(i: Int) = Option(row.getMap[String, String](i))
+          .map(_.toMap).getOrElse(Map.empty[String, String])
+        val d1 = decoder.decode(row.getAs[Array[Byte]](c1), meta(m1))
+        val d2 = decoder.decode(row.getAs[Array[Byte]](c2), meta(m2))
+        val g2v = verifyGrid(d2)
+        val score =
+          if (orientationInvariant)
+            (0 until 8).map(k => gridMad(verifyGrid(dihedral(d1, k)), g2v)).min
+          else if (cropHypothesis)
+            // id1 is the ORIGINAL, id2 the crop: the crop's pixels
+            // should equal the original's center-half region
+            gridMad(verifyGrid(cropRegion(d1, d1.width / 4, d1.height / 4,
+              d1.width / 2, d1.height / 2)), g2v)
+          else gridMad(verifyGrid(d1), g2v)
+        Row.fromSeq(row.toSeq.take(nPairCols) :+ score)
+      }
+    }(Encoders.row(outSchema))
+      .filter(col("mean_diff") <= maxMeanDiff)
+  }
+
+  /** The 9×8 grayscale grid dHash reads — the verification evidence. */
+  private def verifyGrid(d: Decoded): Array[Float] = resize(toGray(d), 9, 8).data
+
+  /** Mean absolute difference of two equal-length grids, in [0, 1]. */
+  private def gridMad(a: Array[Float], b: Array[Float]): Double = {
+    var s = 0.0; var i = 0
+    while (i < a.length) { s += math.abs(a(i) - b(i)); i += 1 }
+    s / a.length
+  }
+
   /** MEDIA data card — the [[TextAnalysis.corpusReport]] counterpart
     * for an asset table: asset/null/decode-failure counts, byte sizes,
     * dimension totals, and fingerprint-collision statistics, in ONE

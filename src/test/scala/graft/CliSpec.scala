@@ -4022,6 +4022,34 @@ class CliSpec extends SparkTestBase {
       graft.cli.MediaDedup.main(Array("--conf", conf("report", "hologram")))
     }
     assert(e.getMessage.contains("modality"), e.getMessage)
+    // verify-pairs: pixel confirmation keeps the same pair set on the
+    // clean corpus, and the report rows carry the evidence column
+    graft.cli.MediaDedup.main(Array("--conf", write(base.resolve("md_vp.conf"),
+      s"""media-dedup {
+         |  source { storage-type = local, dataset-dir = $src }
+         |  modality = image
+         |  mode = report
+         |  verify-pairs = true
+         |  pairs-dir = $pairsDir
+         |}
+         |""".stripMargin)))
+    val vRows = spark.read.parquet(pairsDir)
+    assert(vRows.columns.contains("mean_diff"),
+      "confirmed pairs must carry the pixel evidence")
+    assert(vRows.count() == 5 &&
+      vRows.collect().forall(_.getAs[Double]("mean_diff") <= 0.1))
+    // verification is an image-tier contract
+    val vg = intercept[IllegalArgumentException] {
+      graft.cli.MediaDedup.main(Array("--conf", write(base.resolve("md_vpa.conf"),
+        s"""media-dedup {
+           |  source { storage-type = local, dataset-dir = $src }
+           |  modality = audio
+           |  mode = report
+           |  verify-pairs = true
+           |}
+           |""".stripMargin)))
+    }
+    assert(vg.getMessage.contains("image"), vg.getMessage)
     // INCREMENTAL: run 1 filters and writes fingerprint state; run 2
     // feeds the SAME corpus against it -> every asset is near a stored
     // fingerprint and drops (the text-tier incremental contract)

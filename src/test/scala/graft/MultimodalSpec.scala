@@ -623,6 +623,62 @@ class MultimodalSpec extends SparkTestBase {
     assert(w1.length == 1 && w1.head.getLong(3) == 3L)
   }
 
+  test("verifyImagePairs: pixels confirm what signatures nominate — twins " +
+      "score near zero, strangers near the corpus contrast; the rotation " +
+      "and crop hypotheses verify their tiers' pairs and reject mismatches") {
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    import graft.llm.Multimodal
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val media = Multimodal.asMediaTable(docs.filter(col("doc_id") < 20),
+      "doc_id", "text", "image", Map.empty)
+    val png = Multimodal.reencodeAsSmoothImage(media, jpeg = false)
+    val jpg = Multimodal.reencodeAsSmoothImage(media, jpeg = true)
+      .withColumn("asset_id", col("asset_id") + 100)
+    val rot = Multimodal.reencodeAsSmoothImageRotated(media, k = 1)
+      .withColumn("asset_id", col("asset_id") + 200)
+    val crop = Multimodal.reencodeAsSmoothImageCrop(media)
+      .withColumn("asset_id", col("asset_id") + 300)
+    // the rotation fixture renders the ANISOTROPIC family — its
+    // unrotated originals live at +400 (the +0 plates are the plain
+    // family and are NOT the same pictures)
+    val asym = Multimodal.reencodeAsSmoothImageRotated(media, k = 0)
+      .withColumn("asset_id", col("asset_id") + 400)
+    val all = png.unionByName(jpg).unionByName(rot).unionByName(crop)
+      .unionByName(asym)
+    def pairsOf(delta: Long) = (0L until 20L).map(i => (i, i + delta))
+      .toDF("id1", "id2")
+    // scalar: JPEG twins confirm (tiny MAD), mismatched ids reject
+    val twins = Multimodal.verifyImagePairs(pairsOf(100), all,
+      Multimodal.ImageIoDecoder, maxMeanDiff = 0.05)
+    assert(twins.count() == 20, "every JPEG re-encode confirms at MAD <= 0.05")
+    assert(twins.columns.toSeq == Seq("id1", "id2", "mean_diff"))
+    val wrong = (0L until 20L).map(i => (i, (i + 1) % 20 + 100)).toDF("id1", "id2")
+    assert(Multimodal.verifyImagePairs(wrong, all,
+      Multimodal.ImageIoDecoder, maxMeanDiff = 0.05).count() == 0,
+      "stranger pairs must NOT confirm")
+    // rotation pairs need the orientation-invariant hypothesis: the
+    // plain verifier rejects them (a quarter-turn IS a big pixel diff),
+    // the invariant one confirms every pair
+    val rotPairs = (0L until 20L).map(i => (i + 400, i + 200)).toDF("id1", "id2")
+    assert(Multimodal.verifyImagePairs(rotPairs, all,
+      Multimodal.ImageIoDecoder, maxMeanDiff = 0.05).count() < 20)
+    assert(Multimodal.verifyImagePairs(rotPairs, all,
+      Multimodal.ImageIoDecoder, maxMeanDiff = 0.05,
+      orientationInvariant = true).count() == 20)
+    // crop pairs verify under the crop hypothesis (id1 = original);
+    // the plain verifier rejects (full frame vs crop differ)
+    assert(Multimodal.verifyImagePairs(pairsOf(300), all,
+      Multimodal.ImageIoDecoder, maxMeanDiff = 0.05,
+      cropHypothesis = true).count() == 20)
+    assert(Multimodal.verifyImagePairs(pairsOf(300), all,
+      Multimodal.ImageIoDecoder, maxMeanDiff = 0.05).count() < 20)
+    // one hypothesis per call
+    intercept[IllegalArgumentException](Multimodal.verifyImagePairs(
+      pairsOf(100), all, Multimodal.ImageIoDecoder,
+      orientationInvariant = true, cropHypothesis = true))
+  }
+
   test("dihedral: the eight transforms are the full D4 orbit — rotations " +
       "compose to identity, reflections are involutions, orbit members are " +
       "pixel-distinct on an asymmetric frame, quantization commutes") {
