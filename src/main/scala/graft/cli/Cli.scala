@@ -3250,16 +3250,23 @@ object MediaDedup {
       // confirmed pairs drive the collapse and the report.
       val confirmed =
         if (!c.getBoolean("verify-pairs").getOrElse(false)) pairs
-        else {
-          require(modality == "image",
-            "media-dedup.verify-pairs is the image tiers' pixel " +
-              "confirmation (scalar, crop-tier, rotation-tier)")
+        else if (modality == "image")
           Multimodal.verifyImagePairs(pairs, media, Multimodal.ImageIoDecoder,
             idCol, contentCol, metaCol,
             maxMeanDiff = c.getDouble("max-mean-diff").getOrElse(0.1),
             orientationInvariant = rotationTier,
             cropHypothesis = cropTier)
-        }
+        else if (modality == "audio" && !windowed)
+          // spectral evidence: the energy-normalized band grid (volume
+          // cancels); the windowed tier's offset pairs would need
+          // window-aligned evidence and stay signature-gated
+          Multimodal.verifyAudioPairs(pairs, media, Multimodal.WavDecoder,
+            idCol, contentCol, metaCol,
+            maxMeanDiff = c.getDouble("max-mean-diff").getOrElse(0.002))
+        else throw new IllegalArgumentException(
+          "media-dedup.verify-pairs covers the image tiers (pixel grid) " +
+            "and scalar audio (spectral grid); windowed audio and video " +
+            "pairs stay signature-gated")
       val nPairs = confirmed.count()
       Cli.log(s"$modality in-batch near-dup pairs: $nPairs")
       c.getString("pairs-dir").foreach { d =>

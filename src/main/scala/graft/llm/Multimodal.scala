@@ -994,6 +994,28 @@ object Multimodal {
     * Buffer convention: [[WavDecoder]]'s (width = frame count,
     * interleaved [-1,1] channels). */
   def audioHash64(d: Decoded): Long = {
+    val e = bandEnergies(d)
+    val T = e.length
+    val F = e(0).length
+    var h = 0L
+    var t = 0
+    while (t < T - 1) {
+      var f = 0
+      while (f < F) {
+        h = (h << 1) | (if (e(t + 1)(f) > e(t)(f)) 1L else 0L)
+        f += 1
+      }
+      t += 1
+    }
+    h
+  }
+
+  /** The 9×8 Goertzel band-energy grid [[audioHash64]] derives its bits
+    * from — also the verification EVIDENCE ([[verifyAudioPairs]]):
+    * mono-mix → 9 equal time windows → 8 band energies each (bins
+    * k = 1..8 relative to the window, so the grid is sample-rate/
+    * duration RELATIVE). */
+  private[graft] def bandEnergies(d: Decoded): Array[Array[Double]] = {
     val n = d.width
     require(n >= 18, s"audioHash64 needs >= 18 frames, got $n")
     val mono = new Array[Double](n)
@@ -1030,17 +1052,62 @@ object Multimodal {
       }
       t += 1
     }
-    var h = 0L
-    t = 0
-    while (t < T - 1) {
-      var f = 0
-      while (f < F) {
-        h = (h << 1) | (if (e(t + 1)(f) > e(t)(f)) 1L else 0L)
-        f += 1
+    e
+  }
+
+  /** Energy-NORMALIZED band grid: the 72 cells divided by their sum —
+    * volume scaling cancels (all energies scale by c²), so it compares
+    * recordings, not loudness. All-silent input → all-zero grid. */
+  private def audioEvidenceGrid(d: Decoded): Array[Double] = {
+    val e = bandEnergies(d)
+    val flat = e.flatten
+    val total = flat.sum
+    if (total <= 0) flat else flat.map(_ / total)
+  }
+
+  /** Verify AUDIO near-dup candidate pairs against spectral evidence —
+    * the audio form of [[verifyImagePairs]]: each candidate decodes
+    * both payloads to the energy-NORMALIZED 9×8 band grid (volume
+    * cancels by construction) and scores mean absolute difference.
+    * Same-recording re-renders land at ~0 (the grid is also
+    * sample-rate relative), unrelated recordings near the corpus's
+    * spectral spread — MultimodalSpec pins both margins. Scalar-tier
+    * pairs only (windowed/offset pairs would need window-aligned
+    * evidence). Returns the pairs + `mean_diff`, filtered. */
+  def verifyAudioPairs(
+      pairs: DataFrame, // (id1, id2, ...)
+      media: DataFrame,
+      decoder: MediaDecoder,
+      idCol: String = "asset_id",
+      contentCol: String = "content",
+      metaCol: String = "meta",
+      maxMeanDiff: Double = 0.002): DataFrame = {
+    val payload = media.select(col(idCol), col(contentCol).as("__vc"),
+      col(metaCol).as("__vm"))
+    val joined = pairs
+      .join(payload.withColumnRenamed(idCol, "__vid1")
+        .withColumnRenamed("__vc", "__vc1").withColumnRenamed("__vm", "__vm1"),
+        col("id1") === col("__vid1"))
+      .join(payload.withColumnRenamed(idCol, "__vid2")
+        .withColumnRenamed("__vc", "__vc2").withColumnRenamed("__vm", "__vm2"),
+        col("id2") === col("__vid2"))
+      .drop("__vid1", "__vid2")
+    val outSchema = StructType(pairs.schema.fields :+
+      StructField("mean_diff", DoubleType, nullable = false))
+    val nPairCols = pairs.columns.length
+    val (c1, m1, c2, m2) = (nPairCols, nPairCols + 1, nPairCols + 2, nPairCols + 3)
+    joined.mapPartitions { it =>
+      it.map { row =>
+        def meta(i: Int) = Option(row.getMap[String, String](i))
+          .map(_.toMap).getOrElse(Map.empty[String, String])
+        val g1 = audioEvidenceGrid(decoder.decode(row.getAs[Array[Byte]](c1), meta(m1)))
+        val g2 = audioEvidenceGrid(decoder.decode(row.getAs[Array[Byte]](c2), meta(m2)))
+        var s = 0.0; var i = 0
+        while (i < g1.length) { s += math.abs(g1(i) - g2(i)); i += 1 }
+        Row.fromSeq(row.toSeq.take(nPairCols) :+ s / g1.length)
       }
-      t += 1
-    }
-    h
+    }(Encoders.row(outSchema))
+      .filter(col("mean_diff") <= maxMeanDiff)
   }
 
   /** Per-asset audio fingerprints `(id, sig)` — the audio analog of

@@ -4038,18 +4038,21 @@ class CliSpec extends SparkTestBase {
       "confirmed pairs must carry the pixel evidence")
     assert(vRows.count() == 5 &&
       vRows.collect().forall(_.getAs[Double]("mean_diff") <= 0.1))
-    // verification is an image-tier contract
+    // verification covers image tiers + scalar audio; offset-matched
+    // windowed pairs stay signature-gated (their evidence would need
+    // window alignment)
     val vg = intercept[IllegalArgumentException] {
       graft.cli.MediaDedup.main(Array("--conf", write(base.resolve("md_vpa.conf"),
         s"""media-dedup {
            |  source { storage-type = local, dataset-dir = $src }
            |  modality = audio
+           |  windowed = true
            |  mode = report
            |  verify-pairs = true
            |}
            |""".stripMargin)))
     }
-    assert(vg.getMessage.contains("image"), vg.getMessage)
+    assert(vg.getMessage.contains("signature-gated"), vg.getMessage)
     // INCREMENTAL: run 1 filters and writes fingerprint state; run 2
     // feeds the SAME corpus against it -> every asset is near a stored
     // fingerprint and drops (the text-tier incremental contract)

@@ -679,6 +679,28 @@ class MultimodalSpec extends SparkTestBase {
       orientationInvariant = true, cropHypothesis = true))
   }
 
+  test("verifyAudioPairs: spectral evidence confirms re-renders (volume " +
+      "cancels in the normalized grid), rejects unrelated recordings") {
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    import graft.llm.Multimodal
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val media = Multimodal.asMediaTable(docs.filter(col("doc_id") < 20),
+      "doc_id", "text", "audio", Map.empty)
+    val full = Multimodal.reencodeAsSmoothAudio(media)
+    val half = Multimodal.reencodeAsSmoothAudio(media, volume = 0.5f)
+      .withColumn("asset_id", col("asset_id") + 100)
+    val all = full.unionByName(half)
+    val twins = (0L until 20L).map(i => (i, i + 100)).toDF("id1", "id2")
+    val confirmed = Multimodal.verifyAudioPairs(twins, all, Multimodal.WavDecoder)
+    assert(confirmed.count() == 20,
+      "every half-volume re-render confirms — volume cancels in the grid")
+    assert(confirmed.columns.toSeq == Seq("id1", "id2", "mean_diff"))
+    val strangers = (0L until 20L).map(i => (i, (i + 1) % 20 + 100)).toDF("id1", "id2")
+    assert(Multimodal.verifyAudioPairs(strangers, all, Multimodal.WavDecoder)
+      .count() == 0, "unrelated recordings must not confirm")
+  }
+
   test("dihedral: the eight transforms are the full D4 orbit — rotations " +
       "compose to identity, reflections are involutions, orbit members are " +
       "pixel-distinct on an asymmetric frame, quantization commutes") {
