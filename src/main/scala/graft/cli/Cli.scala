@@ -3263,10 +3263,20 @@ object MediaDedup {
           Multimodal.verifyAudioPairs(pairs, media, Multimodal.WavDecoder,
             idCol, contentCol, metaCol,
             maxMeanDiff = c.getDouble("max-mean-diff").getOrElse(0.002))
+        else if (modality == "video" && !shiftTolerant &&
+            c.getInt("every-n").getOrElse(1) == 1)
+          // frame-ALIGNED pixel evidence, the same minFrames agreement
+          // shape the signature tier nominates with; shift-tolerant
+          // pairs carry no alignment delta and stay signature-gated
+          Multimodal.verifyVideoPairs(pairs, media, idCol, contentCol, metaCol,
+            firstKFrames = c.getInt("verify-first-k-frames").getOrElse(4),
+            minFrames = minFrames,
+            maxMeanDiff = c.getDouble("max-mean-diff").getOrElse(0.1))
         else throw new IllegalArgumentException(
-          "media-dedup.verify-pairs covers the image tiers (pixel grid) " +
-            "and scalar audio (spectral grid); windowed audio and video " +
-            "pairs stay signature-gated")
+          "media-dedup.verify-pairs covers the image tiers (pixel grid), " +
+            "scalar audio (spectral grid), and frame-aligned video at " +
+            "every-n = 1 (per-frame pixel grids); windowed-audio and " +
+            "shift-tolerant pairs stay signature-gated")
       val nPairs = confirmed.count()
       Cli.log(s"$modality in-batch near-dup pairs: $nPairs")
       c.getString("pairs-dir").foreach { d =>

@@ -1969,6 +1969,62 @@ object Multimodal {
       .filter(col("mean_diff") <= maxMeanDiff)
   }
 
+  /** Verify VIDEO near-dup candidate pairs (the frame-ALIGNED tier)
+    * against pixel evidence — the clip form of [[verifyImagePairs]]:
+    * both clips' first `firstKFrames` decode, each ALIGNED frame pair
+    * scores its 9×8 luma grid MAD, and the pair confirms when at least
+    * `minFrames` aligned frames agree within `maxMeanDiff` — the same
+    * agreement shape the signature tier nominates with
+    * ([[videoNearDups]]' `minFrames`). Shift-TOLERANT pairs stay
+    * signature-gated (their alignment delta is not in the pair row).
+    * Returns the pairs + `n_frames_confirmed` + `max_confirmed_diff`,
+    * filtered. */
+  def verifyVideoPairs(
+      pairs: DataFrame, // (id1, id2, ...)
+      media: DataFrame,
+      idCol: String = "asset_id",
+      contentCol: String = "content",
+      metaCol: String = "meta",
+      firstKFrames: Int = 4,
+      minFrames: Int = 2,
+      maxMeanDiff: Double = 0.1): DataFrame = {
+    require(firstKFrames >= minFrames,
+      s"firstKFrames ($firstKFrames) must cover minFrames ($minFrames)")
+    val payload = media.select(col(idCol), col(contentCol).as("__vc"))
+    val joined = pairs
+      .join(payload.withColumnRenamed(idCol, "__vid1")
+        .withColumnRenamed("__vc", "__vc1"), col("id1") === col("__vid1"))
+      .join(payload.withColumnRenamed(idCol, "__vid2")
+        .withColumnRenamed("__vc", "__vc2"), col("id2") === col("__vid2"))
+      .drop("__vid1", "__vid2")
+    val outSchema = StructType(pairs.schema.fields ++ Seq(
+      StructField("n_frames_confirmed", IntegerType, nullable = false),
+      StructField("max_confirmed_diff", DoubleType, nullable = false)))
+    val nPairCols = pairs.columns.length
+    val (c1, c2) = (nPairCols, nPairCols + 1)
+    joined.mapPartitions { it =>
+      it.flatMap { row =>
+        val p1 = Avi.parse(row.getAs[Array[Byte]](c1))
+        val p2 = Avi.parse(row.getAs[Array[Byte]](c2))
+        val n = math.min(firstKFrames, math.min(p1.frames.length, p2.frames.length))
+        var confirmed = 0
+        var worst = 0.0
+        var f = 0
+        while (f < n) {
+          val d = gridMad(verifyGrid(p1.decodeFrame(f)), verifyGrid(p2.decodeFrame(f)))
+          if (d <= maxMeanDiff) {
+            confirmed += 1
+            if (d > worst) worst = d
+          }
+          f += 1
+        }
+        if (confirmed >= minFrames)
+          Some(Row.fromSeq(row.toSeq.take(nPairCols) :+ confirmed :+ worst))
+        else None
+      }
+    }(Encoders.row(outSchema))
+  }
+
   /** The 9×8 grayscale grid dHash reads — the verification evidence. */
   private def verifyGrid(d: Decoded): Array[Float] = resize(toGray(d), 9, 8).data
 

@@ -701,6 +701,38 @@ class MultimodalSpec extends SparkTestBase {
       .count() == 0, "unrelated recordings must not confirm")
   }
 
+  test("verifyVideoPairs: aligned-frame pixel evidence confirms cross-codec " +
+      "clip twins, rejects strangers AND temporally shifted clips (which is " +
+      "why shift-tolerant pairs stay signature-gated)") {
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    import graft.llm.Multimodal
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val media = Multimodal.asMediaTable(docs.filter(col("doc_id") < 12),
+      "doc_id", "text", "video", Map.empty)
+    val dib = Multimodal.reencodeAsSmoothAvi(media, nFrames = 4, mjpeg = false)
+    val mjpeg = Multimodal.reencodeAsSmoothAvi(media, nFrames = 4, mjpeg = true)
+      .withColumn("asset_id", col("asset_id") + 100)
+    val shifted = Multimodal.reencodeAsSmoothAvi(media, nFrames = 4, mjpeg = true,
+      frameOffset = 2).withColumn("asset_id", col("asset_id") + 200)
+    val all = dib.unionByName(mjpeg).unionByName(shifted)
+    val twins = (0L until 12L).map(i => (i, i + 100)).toDF("id1", "id2")
+    val confirmed = Multimodal.verifyVideoPairs(twins, all,
+      firstKFrames = 4, minFrames = 4, maxMeanDiff = 0.05)
+    assert(confirmed.count() == 12,
+      "every cross-codec twin confirms on ALL aligned frames")
+    assert(confirmed.collect().forall(_.getAs[Int]("n_frames_confirmed") == 4))
+    val strangers = (0L until 12L).map(i => (i, (i + 1) % 12 + 100)).toDF("id1", "id2")
+    assert(Multimodal.verifyVideoPairs(strangers, all,
+      firstKFrames = 4, minFrames = 1, maxMeanDiff = 0.05).count() == 0)
+    // a 2-frame temporal shift breaks frame ALIGNMENT: the aligned
+    // verifier rejects — the documented reason shift-tolerant pairs
+    // stay signature-gated
+    val shiftPairs = (0L until 12L).map(i => (i, i + 200)).toDF("id1", "id2")
+    assert(Multimodal.verifyVideoPairs(shiftPairs, all,
+      firstKFrames = 4, minFrames = 1, maxMeanDiff = 0.05).count() == 0)
+  }
+
   test("dihedral: the eight transforms are the full D4 orbit — rotations " +
       "compose to identity, reflections are involutions, orbit members are " +
       "pixel-distinct on an asymmetric frame, quantization commutes") {
