@@ -65,6 +65,10 @@ object Bench {
         "q25_ivf_recall", "q62_incremental_vector_dedup", "q73_semdedup",
         "q90_bpe_encode", "q103_pq_recall", "q109_bpe_byte_fallback",
         "q112_bpe_byte_roundtrip",
+        // marker-gated tokenizer artifacts (unigram EM model, WordPiece
+        // vocab): one-time training builds here, the gates then time
+        // steady-state encode/round-trip
+        "q139_unigram_roundtrip", "q141_wordpiece_roundtrip",
         // marker-gated shared KN artifacts (order 4 and 5): one-time
         // corpus state builds here, the six native/packed KN queries
         // then time steady-state scoring

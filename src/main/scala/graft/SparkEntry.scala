@@ -182,6 +182,50 @@ object SparkEntry {
     (mergesPath, vocabPath)
   }
 
+  /** Marker-gated unigram tokenizer artifact (the [[ensureBpeArtifacts]]
+    * idiom): a model trained on the docs<100 slice. The target size is
+    * alphabet-aware — every single codepoint is kept for lattice
+    * totality, and the synthetic corpus is multilingual (q125 spans 30
+    * codes), so a fixed target could undercut a large alphabet. */
+  private def ensureUnigramArtifact(s: SparkSession, dir: String): String = {
+    val base = statePath(dir, "unigram_tok")
+    val modelPath = s"$base/unigram.tsv"
+    val doneMarker = new java.io.File(base, "_DONE")
+    if (!doneMarker.exists()) {
+      val train = t(s, dir, "documents")
+        .filter(col("doc_id") < 100).select(col("text"))
+      val alpha = train
+        .select(explode(split(col("text"), "")).as("ch"))
+        .filter(length(col("ch")) > 0).distinct().count()
+      val pieces = graft.llm.UnigramTrainer.train(train, "text",
+        targetPieces = alpha.toInt + 256, maxPieceLen = 8)
+      graft.llm.UnigramTrainer.save(s, modelPath, pieces)
+      doneMarker.createNewFile(): Unit
+    }
+    modelPath
+  }
+
+  /** Marker-gated WordPiece vocab artifact: likelihood-scored merges on
+    * the docs<100 slice; vocab sized alphabet-aware (bare + `##` forms
+    * can double the distinct-char count) so ~200 merges always fit. */
+  private def ensureWordPieceArtifact(s: SparkSession, dir: String): String = {
+    val base = statePath(dir, "wordpiece_tok")
+    val vocabPath = s"$base/vocab.txt"
+    val doneMarker = new java.io.File(base, "_DONE")
+    if (!doneMarker.exists()) {
+      val train = t(s, dir, "documents")
+        .filter(col("doc_id") < 100).select(col("text"))
+      val alpha = train
+        .select(explode(split(col("text"), "")).as("ch"))
+        .filter(length(col("ch")) > 0).distinct().count()
+      val vocab = graft.llm.WordPieceTrainer.learnVocab(train, "text",
+        vocabSize = 2 * alpha.toInt + 5 + 200)
+      graft.llm.WordPieceTrainer.save(s, vocabPath, vocab)
+      doneMarker.createNewFile(): Unit
+    }
+    vocabPath
+  }
+
   /** Fixed id of a special at the tail of the vocab at `vocabPath`
     * (local artifact file): its line number. */
   private def vocabIdOf(vocabPath: String, spelling: String): Int = {
@@ -2917,6 +2961,65 @@ object SparkEntry {
       Multimodal.mediaReport(doctored.unionByName(dups), "image")
     }),
 
+    // ---- Unigram-LM tokenizer (Kudo 2018): train on the docs<100
+    // slice, then encode-lossless → decode over EVERY doc — with the
+    // q112 mutation (every 7th doc gets an OOV suffix) exercising the
+    // byte-fallback path. ORACLE-EXACT: the oracle replays the
+    // mutation; equality pins totality + losslessness end to end.
+    "q139_unigram_roundtrip" -> ((s, dir) => {
+      val modelPath = ensureUnigramArtifact(s, dir)
+      t(s, dir, "documents")
+        .select(col("doc_id"),
+          when(pmod(col("doc_id"), lit(7)) === 0,
+            concat(col("text"), lit(" naïve ☃😀")))
+            .otherwise(col("text")).as("text"))
+        .select(col("doc_id"),
+          graft.functions.GraftFunctions.unigramDecode(
+            graft.functions.GraftFunctions.unigramEncodeLossless(
+              col("text"), modelPath), modelPath).as("text"))
+    }),
+
+    // ---- Unigram token economy + internal consistency over the
+    // held-out slice: the learned pieces must COMPRESS (total ids <
+    // total non-whitespace UTF-16 units — singles alone would tie at
+    // codepoints, multis push below) and `graft_unigram_count` must
+    // equal `size(graft_unigram_encode)` on every doc (same memoized
+    // segmentation, counted two ways). rows-only (Viterbi not SQL-
+    // expressible); EntrySpec pins all four numbers' relations.
+    "q140_unigram_economy" -> ((s, dir) => {
+      val modelPath = ensureUnigramArtifact(s, dir)
+      t(s, dir, "documents").filter(col("doc_id") >= 100)
+        .select(
+          graft.functions.GraftFunctions.unigramCount(col("text"), modelPath)
+            .as("n_ids"),
+          size(graft.functions.GraftFunctions.unigramEncode(col("text"), modelPath))
+            .as("n_enc"),
+          length(regexp_replace(col("text"), "\\s", "")).as("n_chars"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_ids")).as("unigram_ids"),
+          sum(when(col("n_ids") === col("n_enc"), 1L).otherwise(0L)).as("consistent"),
+          sum(col("n_chars")).as("char_units"))
+    }),
+
+    // ---- WordPiece (Schuster & Nakajima 2012 / BERT): likelihood-
+    // scored vocab trained on docs<100, then the STRUCTURAL round-trip
+    // over every doc — segments re-joined with positional ##-stripping
+    // and original whitespace, failed words kept verbatim. ORACLE-
+    // EXACT against the identity (with the q112 OOV mutation): pins
+    // the pretoken walker + greedy join as lossless; greedy CHOICE
+    // semantics are WordPieceSpec's hand vocabularies.
+    "q141_wordpiece_roundtrip" -> ((s, dir) => {
+      val vocabPath = ensureWordPieceArtifact(s, dir)
+      t(s, dir, "documents")
+        .select(col("doc_id"),
+          when(pmod(col("doc_id"), lit(7)) === 0,
+            concat(col("text"), lit(" naïve ☃😀")))
+            .otherwise(col("text")).as("text"))
+        .select(col("doc_id"),
+          graft.functions.GraftFunctions.wordPieceRoundtrip(col("text"), vocabPath)
+            .as("text"))
+    }),
+
     // ---- CCNet in its PRODUCTION configuration: per-source
     // head/middle/tail thirds by the KenLM-class model's score — q98's
     // bucket machinery over MODIFIED-KN (q98 buckets on the unigram
@@ -4200,6 +4303,14 @@ object SparkEntry {
     // so a hash match proves the entire byte-level tokenize/detokenize
     // cycle is byte-exact over every document
     "q112_bpe_byte_roundtrip" ->
+      """SELECT doc_id,
+        |  CASE WHEN doc_id % 7 = 0 THEN text || ' naïve ☃😀' ELSE text END AS text
+        |FROM documents""".stripMargin,
+    "q139_unigram_roundtrip" ->
+      """SELECT doc_id,
+        |  CASE WHEN doc_id % 7 = 0 THEN text || ' naïve ☃😀' ELSE text END AS text
+        |FROM documents""".stripMargin,
+    "q141_wordpiece_roundtrip" ->
       """SELECT doc_id,
         |  CASE WHEN doc_id % 7 = 0 THEN text || ' naïve ☃😀' ELSE text END AS text
         |FROM documents""".stripMargin,

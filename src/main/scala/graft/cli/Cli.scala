@@ -2519,16 +2519,119 @@ object Trainer {
 object Tokenizer {
   def main(args: Array[String]): Unit = Cli.run("tokenizer", args) { (conf, spark) =>
     import org.apache.spark.sql.functions._
-    import graft.functions.GraftFunctions
-    import graft.llm.BpeTrainer
     val c = conf.at("tokenizer")
     val docs = graft.sources.DataIO.read(spark, c.at("source"))
     val textCol = c.getString("text-column").getOrElse("text")
-    val numMerges = c.getInt("num-merges").getOrElse(throw new IllegalArgumentException(
-      "tokenizer.num-merges is required"))
-    val byteLevel = c.getBoolean("byte-level").getOrElse(false)
+    // `algo`: which tokenizer family to train — classic BPE (default),
+    // byte-level BPE (also reachable via the legacy `byte-level` flag),
+    // the unigram LM model (Kudo 2018), or WordPiece (likelihood-scored
+    // merges). Each family saves its own published artifact format and
+    // self-checks through its own `graft_*` expression surface.
+    val algo = c.getString("algo").getOrElse(
+      if (c.getBoolean("byte-level").getOrElse(false)) "bpe-byte" else "bpe")
+    require(Seq("bpe", "bpe-byte", "unigram", "wordpiece").contains(algo),
+      s"unknown tokenizer.algo '$algo' (bpe | bpe-byte | unigram | wordpiece)")
     val maxWords = c.getInt("max-words").getOrElse(1 << 20)
     val batchK = c.getInt("batch-k").getOrElse(16)
+    if (algo == "unigram") runUnigram(spark, c, docs, textCol, maxWords)
+    else if (algo == "wordpiece") runWordPiece(spark, c, docs, textCol, maxWords, batchK)
+    else runBpe(spark, c, docs, textCol, maxWords, batchK, algo == "bpe-byte")
+  }
+
+  /** `algo = unigram`: train [[graft.llm.UnigramTrainer]] to
+    * `target-pieces` (alphabet singles always kept), save the TSV model
+    * at `model-path`, and self-check totality + losslessness on a
+    * digest-ordered sample through the `graft_unigram_*` expressions. */
+  private def runUnigram(spark: org.apache.spark.sql.SparkSession,
+      c: graft.conf.GraftConfig, docs: org.apache.spark.sql.DataFrame,
+      textCol: String, maxWords: Int): Unit = {
+    import org.apache.spark.sql.functions._
+    import graft.functions.GraftFunctions
+    import graft.llm.UnigramTrainer
+    val target = c.getInt("target-pieces").getOrElse(throw new IllegalArgumentException(
+      "tokenizer.target-pieces is required for algo = unigram"))
+    val maxPieceLen = c.getInt("max-piece-len").getOrElse(8)
+    val modelPath = c.string("model-path")
+    Cli.log(s"training unigram model ($target pieces, max piece length " +
+      s"$maxPieceLen, distributed above $maxWords words)...")
+    val pieces = UnigramTrainer.train(docs.select(col(textCol)), textCol,
+      targetPieces = target, maxPieceLen = maxPieceLen,
+      seedSize = c.getInt("seed-size").getOrElse(0),
+      minCount = c.getInt("min-count").getOrElse(2).toLong,
+      maxWords = maxWords)
+    UnigramTrainer.save(spark, modelPath, pieces)
+    Cli.log(s"saved ${pieces.size}-piece unigram model -> $modelPath")
+    val nVerify = c.getInt("verify-docs").getOrElse(100)
+    if (nVerify > 0) {
+      val sample = docs.select(col(textCol).as("t")).filter(col("t").isNotNull)
+        .orderBy(graft.operators.Ops.hashDigestCol(col("t"), "tokverify"))
+        .limit(nVerify)
+      val r = sample
+        .withColumn("ids", GraftFunctions.unigramEncodeLossless(col("t"), modelPath))
+        .agg(count(lit(1)),
+          count(when(GraftFunctions.unigramDecode(col("ids"), modelPath) === col("t"), 1)),
+          coalesce(sum(size(filter(col("ids"), i => i === 0))), lit(0L))).head()
+      val (n, ok, unks) = (r.getLong(0), r.getLong(1), r.getLong(2))
+      require(ok == n && unks == 0L,
+        s"tokenizer self-check FAILED: $ok/$n sampled docs round-trip, $unks <unk> " +
+          s"ids — the unigram model at $modelPath is not total/lossless on this corpus")
+      Cli.log(s"self-check: $n/$n sampled docs round-trip byte-exactly, zero <unk>")
+    }
+  }
+
+  /** `algo = wordpiece`: train [[graft.llm.WordPieceTrainer]] to
+    * `vocab-size` (likelihood-scored merges), save the published
+    * `vocab.txt` at `vocab-path`, and self-check the STRUCTURAL
+    * round-trip plus report the sample [UNK] rate (WordPiece is lossy
+    * by design — the rate is operational evidence, not a gate). */
+  private def runWordPiece(spark: org.apache.spark.sql.SparkSession,
+      c: graft.conf.GraftConfig, docs: org.apache.spark.sql.DataFrame,
+      textCol: String, maxWords: Int, batchK: Int): Unit = {
+    import org.apache.spark.sql.functions._
+    import graft.functions.GraftFunctions
+    import graft.llm.WordPieceTrainer
+    val vocabSize = c.getInt("vocab-size").getOrElse(throw new IllegalArgumentException(
+      "tokenizer.vocab-size is required for algo = wordpiece"))
+    val vocabPath = c.string("vocab-path")
+    val specials = c.getList("special-tokens").getOrElse(WordPieceTrainer.DefaultSpecials)
+    Cli.log(s"training wordpiece vocab ($vocabSize tokens, " +
+      s"distributed above $maxWords words)...")
+    val vocab = WordPieceTrainer.learnVocab(docs.select(col(textCol)), textCol,
+      vocabSize, specials, maxWords, batchK,
+      c.getInt("checkpoint-every").getOrElse(12))
+    WordPieceTrainer.save(spark, vocabPath, vocab)
+    Cli.log(s"saved ${vocab.size}-token wordpiece vocab " +
+      s"(${specials.size} specials at the head) -> $vocabPath")
+    val nVerify = c.getInt("verify-docs").getOrElse(100)
+    if (nVerify > 0) {
+      val sample = docs.select(col(textCol).as("t")).filter(col("t").isNotNull)
+        .orderBy(graft.operators.Ops.hashDigestCol(col("t"), "tokverify"))
+        .limit(nVerify)
+      val unkId = vocab.indexOf("[UNK]")
+      val r = sample
+        .withColumn("ids", GraftFunctions.wordPieceEncode(col("t"), vocabPath))
+        .agg(count(lit(1)),
+          count(when(GraftFunctions.wordPieceRoundtrip(col("t"), vocabPath) === col("t"), 1)),
+          coalesce(sum(size(filter(col("ids"), i => i === unkId))), lit(0L)),
+          coalesce(sum(size(col("ids"))), lit(0L))).head()
+      val (n, ok, unks, total) = (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
+      require(ok == n,
+        s"tokenizer self-check FAILED: $ok/$n sampled docs survive the structural " +
+          s"round-trip — the vocab at $vocabPath broke the walker/join contract")
+      Cli.log(f"self-check: $n/$n sampled docs round-trip structurally; " +
+        f"[UNK] rate ${if (total == 0) 0.0 else unks.toDouble / total}%.4f ($unks/$total ids)")
+    }
+  }
+
+  /** `algo = bpe | bpe-byte`: the original merge-table trainer. */
+  private def runBpe(spark: org.apache.spark.sql.SparkSession,
+      c: graft.conf.GraftConfig, docs: org.apache.spark.sql.DataFrame,
+      textCol: String, maxWords: Int, batchK: Int, byteLevel: Boolean): Unit = {
+    import org.apache.spark.sql.functions._
+    import graft.functions.GraftFunctions
+    import graft.llm.BpeTrainer
+    val numMerges = c.getInt("num-merges").getOrElse(throw new IllegalArgumentException(
+      "tokenizer.num-merges is required"))
     val mergesPath = c.string("merges-path")
     val vocabPath = c.string("vocab-path")
     Cli.log(s"training ${if (byteLevel) "byte-level" else "segment-level"} BPE " +

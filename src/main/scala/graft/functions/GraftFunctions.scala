@@ -312,6 +312,33 @@ object GraftFunctions {
   def byteUnicodeMap(c: Column): Column =
     ColumnBridge.column(ByteUnicodeMap(ColumnBridge.expression(c)))
 
+  def unigramSegments(c: Column, modelPath: String): Column =
+    ColumnBridge.column(UnigramSegments(ColumnBridge.expression(c), modelPath))
+
+  def unigramEncode(c: Column, modelPath: String): Column =
+    ColumnBridge.column(UnigramEncode(ColumnBridge.expression(c), modelPath))
+
+  def unigramEncodeLossless(c: Column, modelPath: String): Column =
+    ColumnBridge.column(UnigramEncodeLossless(ColumnBridge.expression(c), modelPath))
+
+  def unigramDecode(c: Column, modelPath: String): Column =
+    ColumnBridge.column(UnigramDecode(ColumnBridge.expression(c), modelPath))
+
+  def unigramCount(c: Column, modelPath: String): Column =
+    ColumnBridge.column(UnigramCount(ColumnBridge.expression(c), modelPath))
+
+  def wordPieceSegments(c: Column, vocabPath: String, keepRaw: Boolean = false): Column =
+    ColumnBridge.column(WordPieceSegments(ColumnBridge.expression(c), vocabPath, keepRaw))
+
+  def wordPieceEncode(c: Column, vocabPath: String): Column =
+    ColumnBridge.column(WordPieceEncode(ColumnBridge.expression(c), vocabPath))
+
+  def wordPieceCount(c: Column, vocabPath: String): Column =
+    ColumnBridge.column(WordPieceCount(ColumnBridge.expression(c), vocabPath))
+
+  def wordPieceRoundtrip(c: Column, vocabPath: String): Column =
+    ColumnBridge.column(WordPieceRoundtrip(ColumnBridge.expression(c), vocabPath))
+
   def mediaHash(c: Column, modality: String): Column =
     ColumnBridge.column(MediaHash(ColumnBridge.expression(c), modality))
 
@@ -398,6 +425,19 @@ object GraftFunctions {
 
   def knModLogProbPacked(c: Column, lmPath: String): Column =
     ColumnBridge.column(KnModLogProbPacked(ColumnBridge.expression(c), lmPath))
+
+  /** Shared 2-arg `(input, 'path-literal')` SQL-builder validation: the
+    * second argument must be a foldable string literal (artifact paths
+    * ride the expression tree as plain strings, never columns). */
+  private def litPath(es: Seq[Expression], fn: String, what: String): String = {
+    require(es.length == 2, s"$fn takes 2 arguments, got ${es.length}")
+    require(es(1).foldable, s"$fn $what must be a literal")
+    es(1).eval() match {
+      case s: UTF8String => s.toString
+      case other => throw new IllegalArgumentException(
+        s"$fn $what must be a string literal, got $other")
+    }
+  }
 
   val functions: Seq[(String, ExpressionInfo, Seq[Expression] => Expression)] = Seq(
     ("graft_cosine",
@@ -624,6 +664,63 @@ object GraftFunctions {
             s"graft_bpe_decode vocab path must be a string literal, got $other")
         }
       }),
+    ("graft_unigram_segments",
+      new ExpressionInfo(classOf[UnigramSegments].getName, "graft_unigram_segments"),
+      (es: Seq[Expression]) =>
+        UnigramSegments(es.head,
+          litPath(es, "graft_unigram_segments", "model path"))),
+    ("graft_unigram_encode",
+      new ExpressionInfo(classOf[UnigramEncode].getName, "graft_unigram_encode"),
+      (es: Seq[Expression]) =>
+        UnigramEncode(es.head,
+          litPath(es, "graft_unigram_encode", "model path"))),
+    ("graft_unigram_encode_lossless",
+      new ExpressionInfo(classOf[UnigramEncodeLossless].getName,
+        "graft_unigram_encode_lossless"),
+      (es: Seq[Expression]) =>
+        UnigramEncodeLossless(es.head,
+          litPath(es, "graft_unigram_encode_lossless", "model path"))),
+    ("graft_unigram_decode",
+      new ExpressionInfo(classOf[UnigramDecode].getName, "graft_unigram_decode"),
+      (es: Seq[Expression]) =>
+        UnigramDecode(es.head,
+          litPath(es, "graft_unigram_decode", "model path"))),
+    ("graft_unigram_count",
+      new ExpressionInfo(classOf[UnigramCount].getName, "graft_unigram_count"),
+      (es: Seq[Expression]) =>
+        UnigramCount(es.head,
+          litPath(es, "graft_unigram_count", "model path"))),
+    ("graft_wordpiece_segments",
+      new ExpressionInfo(classOf[WordPieceSegments].getName, "graft_wordpiece_segments"),
+      (es: Seq[Expression]) => {
+        require(es.length == 2 || es.length == 3,
+          s"graft_wordpiece_segments takes 2 or 3 arguments, got ${es.length}")
+        val keepRaw = es.length == 3 && {
+          require(es(2).foldable, "graft_wordpiece_segments keepRaw must be a literal")
+          es(2).eval() match {
+            case b: java.lang.Boolean => b.booleanValue()
+            case other => throw new IllegalArgumentException(
+              s"graft_wordpiece_segments keepRaw must be a boolean literal, got $other")
+          }
+        }
+        WordPieceSegments(es.head,
+          litPath(es.take(2), "graft_wordpiece_segments", "vocab path"), keepRaw)
+      }),
+    ("graft_wordpiece_encode",
+      new ExpressionInfo(classOf[WordPieceEncode].getName, "graft_wordpiece_encode"),
+      (es: Seq[Expression]) =>
+        WordPieceEncode(es.head,
+          litPath(es, "graft_wordpiece_encode", "vocab path"))),
+    ("graft_wordpiece_count",
+      new ExpressionInfo(classOf[WordPieceCount].getName, "graft_wordpiece_count"),
+      (es: Seq[Expression]) =>
+        WordPieceCount(es.head,
+          litPath(es, "graft_wordpiece_count", "vocab path"))),
+    ("graft_wordpiece_roundtrip",
+      new ExpressionInfo(classOf[WordPieceRoundtrip].getName, "graft_wordpiece_roundtrip"),
+      (es: Seq[Expression]) =>
+        WordPieceRoundtrip(es.head,
+          litPath(es, "graft_wordpiece_roundtrip", "vocab path"))),
     ("graft_bpe_byte_encode",
       new ExpressionInfo(classOf[BpeByteEncode].getName, "graft_bpe_byte_encode"),
       (es: Seq[Expression]) => {

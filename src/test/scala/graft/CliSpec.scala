@@ -2654,6 +2654,82 @@ class CliSpec extends SparkTestBase {
       "a completed promotion retires the aside copy")
   }
 
+  test("tokenizer algo = unigram | wordpiece: artifacts land in their published " +
+      "formats, drive the expression consumers, self-checks gate, bad algo rejected") {
+    import org.apache.spark.sql.functions.col
+    val base = tmp()
+    // unigram: TSV model, lossless through graft_unigram_* end to end
+    val ugModel = base.resolve("unigram.tsv").toString
+    val ugConf = write(base.resolve("tok_ug.conf"),
+      s"""tokenizer {
+         |  source { storage-type = local, dataset-dir = $sfDir/documents.parquet }
+         |  algo = unigram
+         |  target-pieces = 400
+         |  max-piece-len = 6
+         |  model-path = $ugModel
+         |}
+         |""".stripMargin)
+    graft.cli.Tokenizer.main(Array("--conf", ugConf))
+    val ugLines = scala.io.Source.fromFile(ugModel, "UTF-8").getLines().toList
+    assert(ugLines.head.startsWith("<unk>\t") && ugLines(1).startsWith("<eos>\t"))
+    assert(ugLines(2).startsWith("<0x00>\t") && ugLines(257).startsWith("<0xFF>\t"))
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet").limit(50)
+    val ugRt = docs.select(
+        graft.functions.GraftFunctions.unigramDecode(
+          graft.functions.GraftFunctions.unigramEncodeLossless(
+            col("text"), ugModel), ugModel).as("rt"),
+        col("text"))
+      .filter(col("rt") =!= col("text")).count()
+    assert(ugRt == 0, "CLI-trained unigram model must round-trip through the consumers")
+    // missing target-pieces is a clean failure
+    val ugBad = write(base.resolve("tok_ug_bad.conf"),
+      s"""tokenizer {
+         |  source { storage-type = local, dataset-dir = $sfDir/documents.parquet }
+         |  algo = unigram
+         |  model-path = ${base.resolve("ug_bad.tsv")}
+         |}
+         |""".stripMargin)
+    val e1 = intercept[IllegalArgumentException] {
+      graft.cli.Tokenizer.main(Array("--conf", ugBad))
+    }
+    assert(e1.getMessage.contains("target-pieces"), e1.getMessage)
+    // wordpiece: published vocab.txt, specials at the head, structural
+    // round-trip through graft_wordpiece_roundtrip
+    val wpVocab = base.resolve("wp_vocab.txt").toString
+    val wpConf = write(base.resolve("tok_wp.conf"),
+      s"""tokenizer {
+         |  source { storage-type = local, dataset-dir = $sfDir/documents.parquet }
+         |  algo = wordpiece
+         |  vocab-size = 400
+         |  vocab-path = $wpVocab
+         |}
+         |""".stripMargin)
+    graft.cli.Tokenizer.main(Array("--conf", wpConf))
+    val wpLines = scala.io.Source.fromFile(wpVocab, "UTF-8").getLines().toList
+    assert(wpLines.take(5) == graft.llm.WordPieceTrainer.DefaultSpecials.toList)
+    // the tiny sf0.001 corpus exhausts mergeable pairs early — learnVocab
+    // stops when no pair occurs twice, never pads
+    assert(wpLines.length > 50 && wpLines.length <= 400)
+    assert(wpLines.distinct.length == wpLines.length)
+    val wpRt = docs.select(
+        graft.functions.GraftFunctions.wordPieceRoundtrip(col("text"), wpVocab).as("rt"),
+        col("text"))
+      .filter(col("rt") =!= col("text")).count()
+    assert(wpRt == 0, "CLI-trained wordpiece vocab must survive the structural round-trip")
+    // unknown algo fails loudly before any work
+    val badAlgo = write(base.resolve("tok_bad_algo.conf"),
+      s"""tokenizer {
+         |  source { storage-type = local, dataset-dir = $sfDir/documents.parquet }
+         |  algo = sentencepiece
+         |  model-path = ${base.resolve("x.tsv")}
+         |}
+         |""".stripMargin)
+    val e2 = intercept[IllegalArgumentException] {
+      graft.cli.Tokenizer.main(Array("--conf", badAlgo))
+    }
+    assert(e2.getMessage.contains("sentencepiece"), e2.getMessage)
+  }
+
   test("indexer compact: repeated appends pile files per cell; compact rewrites " +
       "to one file per cell (corpus + codes, one marker window), recall is " +
       "unchanged, appends continue") {

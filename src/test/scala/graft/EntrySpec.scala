@@ -417,6 +417,36 @@ class EntrySpec extends SparkTestBase {
     assert(e.getAs[Long]("n_roundtrip_fallback") == n, "a fallback round-trip broke")
   }
 
+  test("q139/q140/q141: unigram + WordPiece gates — round-trips equal the " +
+      "planted input, unigram compresses, count == size(encode) corpus-wide") {
+    import org.apache.spark.sql.functions.{col, concat, lit, pmod, when}
+    val expected = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select(col("doc_id"),
+        when(pmod(col("doc_id"), lit(7)) === 0,
+          concat(col("text"), lit(" naïve ☃😀")))
+          .otherwise(col("text")).as("text"))
+    // q139: Viterbi encode-lossless → decode is the identity (API-level
+    // twin of the driver's oracle)
+    val ug = SparkEntry.queries("q139_unigram_roundtrip")(spark, sfDir)
+    assert(ug.except(expected).count() == 0 && expected.except(ug).count() == 0,
+      "unigram decode(encode_lossless(x)) diverged from x somewhere")
+    // q141: WordPiece structural round-trip is the identity too
+    val wp = SparkEntry.queries("q141_wordpiece_roundtrip")(spark, sfDir)
+    assert(wp.except(expected).count() == 0 && expected.except(wp).count() == 0,
+      "wordpiece roundtrip diverged from x somewhere")
+    // q140: the learned pieces compress, and the count expression
+    // agrees with the encode array on EVERY held-out doc
+    val e = SparkEntry.queries("q140_unigram_economy")(spark, sfDir).head()
+    val n = e.getAs[Long]("n_docs")
+    assert(n > 0)
+    assert(e.getAs[Long]("consistent") == n,
+      "graft_unigram_count != size(graft_unigram_encode) on some doc")
+    assert(e.getAs[Long]("unigram_ids") > 0)
+    assert(e.getAs[Long]("unigram_ids") < e.getAs[Long]("char_units"),
+      s"unigram ids (${e.getAs[Long]("unigram_ids")}) must compress below " +
+        s"non-whitespace units (${e.getAs[Long]("char_units")})")
+  }
+
   test("q78: learned merge table — dense ranks, true-argmax first merge, " +
       "table genuinely compresses the corpus under graft_bpe_count") {
     import org.apache.spark.sql.functions.col
