@@ -3020,6 +3020,19 @@ object SparkEntry {
             .as("text"))
     }),
 
+    // ---- Context-window chunking under the UNIGRAM id budget (the
+    // q60 shape on the third tokenizer family): greedy whitespace-
+    // boundary fill where each chunk's declared cost is exactly what
+    // graft_unigram_encode of its text emits. rows-only (Viterbi not
+    // SQL-expressible); EntrySpec re-derives costs and budgets.
+    "q142_unigram_chunking" -> ((s, dir) => {
+      val modelPath = ensureUnigramArtifact(s, dir)
+      graft.llm.CorpusPrep.chunkByUnigramBudget(
+        t(s, dir, "documents").filter(col("doc_id") < 200),
+        "doc_id", "text", budget = 128, modelPath = modelPath)
+        .select("doc_id", "chunk_id", "chunk_tokens", "chunk_bpe_tokens")
+    }),
+
     // ---- CCNet in its PRODUCTION configuration: per-source
     // head/middle/tail thirds by the KenLM-class model's score — q98's
     // bucket machinery over MODIFIED-KN (q98 buckets on the unigram

@@ -412,6 +412,12 @@ object Scorer {
   * the Tokenizer CLI's special-tokens contract, consumed here; budget
   * chunking counts a special span as plain text, an OVER-estimate of
   * its one-id cost, so budget-sized chunks never exceed the window);
+  * `unigram-model` runs the SAME token pipeline — `bpe-budget`
+  * chunking, `token_ids` encoding (`unigram-ids = true`, or implied by
+  * packing), and `pack-seq-len` packing — under a trained UNIGRAM
+  * model (Tokenizer CLI `algo = unigram`) instead of a merge table;
+  * mutually exclusive with every `bpe-*` tokenizer knob, one tokenizer
+  * per run;
   * `pack-seq-len` (+ `pack-buckets`, requires `bpe-vocab` with an
   * `<eos>`-bearing layout — byte-fallback or byte-level, both carry
   * it at id 1) replaces the per-row
@@ -652,11 +658,23 @@ object Curator {
     require(c.getInt("chunk-size").isEmpty || c.getInt("bpe-budget").isEmpty,
       "curation.chunk-size and curation.bpe-budget are mutually exclusive — " +
         "fixed whitespace-token windows vs a BPE subword budget; pick one")
-    require(c.getInt("bpe-budget").isEmpty || c.getString("bpe-merges").isDefined,
-      "curation.bpe-budget needs curation.bpe-merges (path to a merges.txt)")
-    require(c.getInt("pack-seq-len").isEmpty || c.getString("bpe-vocab").isDefined,
-      "curation.pack-seq-len needs curation.bpe-vocab — packed sequences are " +
-        "token ids, which only a tokenizer vocab defines")
+    // `unigram-model`: run the whole token pipeline (budget chunking,
+    // token_ids encoding, packing) under a trained UNIGRAM model
+    // (Tokenizer CLI algo = unigram) instead of a BPE merge table —
+    // one tokenizer per run, never a silent mix
+    require(c.getString("unigram-model").isEmpty || (
+        c.getString("bpe-merges").isEmpty && c.getString("bpe-vocab").isEmpty &&
+        c.getBoolean("bpe-byte-level").isEmpty && c.getList("bpe-special-tokens").isEmpty),
+      "curation.unigram-model is mutually exclusive with the bpe-* tokenizer " +
+        "knobs — token budgets, ids, and packing follow ONE tokenizer per run")
+    require(c.getInt("bpe-budget").isEmpty || c.getString("bpe-merges").isDefined ||
+        c.getString("unigram-model").isDefined,
+      "curation.bpe-budget needs curation.bpe-merges (path to a merges.txt) " +
+        "or curation.unigram-model (a trained unigram TSV)")
+    require(c.getInt("pack-seq-len").isEmpty || c.getString("bpe-vocab").isDefined ||
+        c.getString("unigram-model").isDefined,
+      "curation.pack-seq-len needs curation.bpe-vocab or curation.unigram-model " +
+        "— packed sequences are token ids, which only a tokenizer defines")
     // `bpe-byte-level = true` encodes token_ids (and packs) under the
     // GPT-2-style byte-level tokenizer: same merges.txt/vocab formats,
     // byte-level artifacts (BpeTrainer.learnByteMerges/buildByteVocab)
@@ -665,6 +683,8 @@ object Curator {
       "curation.bpe-byte-level without curation.bpe-vocab or " +
         "curation.bpe-budget is dead config — it selects the tokenizer " +
         "for budget chunking, token_ids encoding, and packing")
+    require(c.getBoolean("unigram-ids").isEmpty || c.getString("unigram-model").isDefined,
+      "curation.unigram-ids without curation.unigram-model is dead config")
     c.getInt("pack-seq-len").foreach(l => require(l > 0,
       s"curation.pack-seq-len must be positive, got $l"))
     require(c.getInt("pack-buckets").isEmpty || c.getInt("pack-seq-len").isDefined,
@@ -1395,6 +1415,7 @@ object Curator {
     // budget (the model's context window) under the named merge table.
     // (Mutual exclusion + bpe-merges presence validated up front.)
     val bpeByteLevel = c.getBoolean("bpe-byte-level").getOrElse(false)
+    val unigramModel = c.getString("unigram-model")
     // `bpe-special-tokens` (read once; the encode stage shares it):
     // protected spellings must stay ATOMIC through chunking too — the
     // byte chunker carves them as cost-1 pretokens (a cut mid-spelling
@@ -1416,6 +1437,13 @@ object Curator {
         graft.llm.CorpusPrep.chunkByTokensFast(labeled, idCol, textCol,
           chunkSize = cs, overlap = c.getInt("chunk-overlap").getOrElse(cs / 4),
           keepCols = keepWithEpoch)
+      }
+      case (_, Some(budget)) if unigramModel.isDefined => stages.timed("chunking") {
+        // unigram budgets count unigram ids — chunk_bpe_tokens is
+        // exactly what graft_unigram_encode of chunk_text will emit
+        graft.llm.CorpusPrep.chunkByUnigramBudget(labeled, idCol, textCol,
+          budget = budget, modelPath = unigramModel.get,
+          overlap = c.getInt("chunk-overlap").getOrElse(0), keepCols = keepWithEpoch)
       }
       case (_, Some(budget)) if bpeByteLevel => stages.timed("chunking") {
         // byte-level budgets count byte-level ids and cut at pretoken
@@ -1445,8 +1473,18 @@ object Curator {
     // encoded from the chunk text (or whole-doc text when chunking is
     // off) under the learned tokenizer. Scan-speed projection: table +
     // vocab load once per executor, zero shuffle added.
-    val encoded = c.getString("bpe-vocab") match {
-      case Some(vocabPath) => stages.timed("encode-ids") {
+    val encoded = (unigramModel, c.getString("bpe-vocab")) match {
+      case (Some(model), _)
+          if c.getBoolean("unigram-ids").getOrElse(false) ||
+            c.getInt("pack-seq-len").isDefined => stages.timed("encode-ids") {
+        // unigram token_ids: same scan-speed projection contract as the
+        // BPE families (model loads once per executor, zero shuffle)
+        val encCol =
+          if (out.columns.contains("chunk_text")) "chunk_text" else textCol
+        out.withColumn("token_ids",
+          graft.functions.GraftFunctions.unigramEncode(col(encCol), model))
+      }
+      case (_, Some(vocabPath)) => stages.timed("encode-ids") {
         val mergesPath = c.getString("bpe-merges").getOrElse(throw new IllegalArgumentException(
           "curation.bpe-vocab requires curation.bpe-merges (ids are defined by a merge table)"))
         val encCol =
@@ -1463,7 +1501,7 @@ object Curator {
             graft.functions.GraftFunctions.bpeEncode(
               col(encCol), mergesPath, vocabPath, specials))
       }
-      case None => out
+      case _ => out
     }
     // optional packed token-id export (`pack-seq-len`, requires
     // `bpe-vocab`): the terminal trainer contract — fixed-length
@@ -1475,7 +1513,7 @@ object Curator {
     val chunkedOn = c.getInt("chunk-size").isDefined || c.getInt("bpe-budget").isDefined
     val packedOut = c.getInt("pack-seq-len") match {
       case Some(seqLen) => stages.timed("pack-ids") {
-        val vocabPath = c.getString("bpe-vocab").get
+        val vocabPath = c.getString("bpe-vocab").orElse(unigramModel).get
         // `pack-eos-token`: use a NAMED vocab token (typically a
         // declared special like <|endoftext|> — the GPT-2-style
         // trainer contract, where the separator decodes to its
@@ -1484,7 +1522,8 @@ object Curator {
         // nothing).
         def idOf(tok: String): Int = {
           val id =
-            if (bpeByteLevel) graft.functions.BpeByteVocabRegistry.get(vocabPath).ids.get(tok)
+            if (unigramModel.isDefined) graft.functions.UnigramRegistry.get(vocabPath).ids.get(tok)
+            else if (bpeByteLevel) graft.functions.BpeByteVocabRegistry.get(vocabPath).ids.get(tok)
             else graft.functions.BpeVocabIdRegistry.get(vocabPath).ids.get(tok)
           require(id != null,
             s"curation.pack-eos-token '$tok' is not in the vocab at $vocabPath — " +
@@ -1493,7 +1532,8 @@ object Curator {
         }
         val eos = c.getString("pack-eos-token").map(idOf).getOrElse {
           val e =
-            if (bpeByteLevel) graft.functions.BpeByteVocabRegistry.get(vocabPath).eosId
+            if (unigramModel.isDefined) 1 // <eos> line 1, parse-enforced layout
+            else if (bpeByteLevel) graft.functions.BpeByteVocabRegistry.get(vocabPath).eosId
             else graft.functions.BpeVocabIdRegistry.get(vocabPath).eosId
           require(e >= 0,
             s"curation.pack-seq-len needs an <eos> token in the vocab at " +

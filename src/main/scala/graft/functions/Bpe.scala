@@ -693,8 +693,7 @@ case class BpeDecode(child: Expression, vocabPath: String) extends UnaryExpressi
   * is built by byte-range copies (no token-array materialization), and
   * the expression codegens to one static call. */
 object BpeChunksImpl {
-  import org.apache.spark.sql.catalyst.InternalRow
-  import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+  import org.apache.spark.sql.catalyst.util.ArrayData
 
   /** `vocabPath` empty = budget in SEGMENTS (the legacy contract,
     * `graft_bpe_count` units); non-empty = budget in token IDS under
@@ -708,6 +707,26 @@ object BpeChunksImpl {
     val countOf: String => Int =
       if (vocabPath.isEmpty) vocab.countText(_)
       else BpeVocabIdRegistry.idCountText(path, vocabPath, _)
+    TokenBudgetChunker.compute(countOf, text, budget, overlap)
+  }
+}
+
+/** The tokenizer-agnostic subword-budget chunker behind
+  * `graft_bpe_chunks` and `graft_unigram_chunks`: walk whitespace
+  * tokens left to right (byte-for-byte the same `\s+` semantics as
+  * `ChunksImpl`, so every chunker cuts at identical boundaries),
+  * accumulate each token's count under the supplied counter, cut
+  * BEFORE the token that would exceed `budget` (a single over-budget
+  * token forms its own chunk — progress guaranteed, nothing dropped),
+  * and restart `overlap` tokens back, always advancing. The counter is
+  * where the tokenizer family plugs in; each family's registry memo
+  * makes the per-token probe amortized ~0. */
+object TokenBudgetChunker {
+  import org.apache.spark.sql.catalyst.InternalRow
+  import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+
+  def compute(countOf: String => Int, text: UTF8String,
+      budget: Int, overlap: Int): ArrayData = {
     val bytes = text.getBytes
     val len = bytes.length
     // whitespace-token boundary scan — byte-for-byte the same `\s+`

@@ -327,6 +327,10 @@ object GraftFunctions {
   def unigramCount(c: Column, modelPath: String): Column =
     ColumnBridge.column(UnigramCount(ColumnBridge.expression(c), modelPath))
 
+  def unigramChunks(c: Column, modelPath: String, budget: Int, overlap: Int): Column =
+    ColumnBridge.column(UnigramChunks(ColumnBridge.expression(c), modelPath,
+      budget, overlap))
+
   def wordPieceSegments(c: Column, vocabPath: String, keepRaw: Boolean = false): Column =
     ColumnBridge.column(WordPieceSegments(ColumnBridge.expression(c), vocabPath, keepRaw))
 
@@ -690,6 +694,23 @@ object GraftFunctions {
       (es: Seq[Expression]) =>
         UnigramCount(es.head,
           litPath(es, "graft_unigram_count", "model path"))),
+    ("graft_unigram_chunks",
+      new ExpressionInfo(classOf[UnigramChunks].getName, "graft_unigram_chunks"),
+      (es: Seq[Expression]) => {
+        require(es.length == 4,
+          s"graft_unigram_chunks takes 4 arguments, got ${es.length}")
+        def litInt(e: Expression, name: String): Int = {
+          require(e.foldable, s"graft_unigram_chunks $name must be a literal")
+          e.eval() match {
+            case i: Integer => i.intValue()
+            case other => throw new IllegalArgumentException(
+              s"graft_unigram_chunks $name must be an integer literal, got $other")
+          }
+        }
+        UnigramChunks(es.head,
+          litPath(es.take(2), "graft_unigram_chunks", "model path"),
+          litInt(es(2), "budget"), litInt(es(3), "overlap"))
+      }),
     ("graft_wordpiece_segments",
       new ExpressionInfo(classOf[WordPieceSegments].getName, "graft_wordpiece_segments"),
       (es: Seq[Expression]) => {

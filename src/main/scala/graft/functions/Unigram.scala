@@ -365,6 +365,16 @@ object UnigramRegistry {
     get(path).decode(ids)
 
   def count(path: String, text: UTF8String): Int = get(path).idCount(text.toString)
+
+  /** Codegen / eval entry for budget chunking: the shared
+    * [[TokenBudgetChunker]] walk with the unigram id counter — each
+    * chunk's `chunk_bpe_tokens` is exactly what `graft_unigram_count`
+    * (and hence `size(graft_unigram_encode)`) returns on its text. */
+  def chunks(path: String, text: UTF8String, budget: Int,
+      overlap: Int): org.apache.spark.sql.catalyst.util.ArrayData = {
+    val v = get(path)
+    TokenBudgetChunker.compute(v.idCount(_), text, budget, overlap)
+  }
 }
 
 /** `graft_unigram_segments(string, 'model-path') -> array<string>`:
@@ -461,6 +471,41 @@ case class UnigramDecode(child: Expression, modelPath: String) extends UnaryExpr
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
     val ref = ctx.addReferenceObj("unigramModelPath", modelPath, "java.lang.String")
     defineCodeGen(ctx, ev, c => s"graft.functions.UnigramRegistry.decode($ref, $c)")
+  }
+
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
+}
+
+/** `graft_unigram_chunks(string, 'model-path', budget, overlap) ->
+  * array<struct<chunk_text string, chunk_tokens int, chunk_bpe_tokens
+  * int>>`: context-window chunking under the UNIGRAM id budget — the
+  * [[BpeChunks]] contract (same whitespace-boundary walk, same struct,
+  * so the two families are drop-in interchangeable downstream), with
+  * `chunk_bpe_tokens == graft_unigram_count(chunk_text) ==
+  * size(graft_unigram_encode(chunk_text))` by construction. */
+case class UnigramChunks(child: Expression, modelPath: String, budget: Int,
+    overlap: Int) extends UnaryExpression {
+  require(modelPath.nonEmpty, "graft_unigram_chunks needs a model path")
+  require(budget > 0, s"budget must be positive, got $budget")
+  require(overlap >= 0, s"overlap must be non-negative, got $overlap")
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case _: StringType => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(s"graft_unigram_chunks expects string, got $t")
+  }
+  override def dataType: DataType = ArrayType(StructType(Seq(
+    StructField("chunk_text", StringType, nullable = false),
+    StructField("chunk_tokens", IntegerType, nullable = false),
+    StructField("chunk_bpe_tokens", IntegerType, nullable = false))), containsNull = false)
+  override def prettyName: String = "graft_unigram_chunks"
+
+  override protected def nullSafeEval(t: Any): Any =
+    UnigramRegistry.chunks(modelPath, t.asInstanceOf[UTF8String], budget, overlap)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("unigramModelPath", modelPath, "java.lang.String")
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.UnigramRegistry.chunks($ref, $c, $budget, $overlap)")
   }
 
   override protected def withNewChildInternal(c: Expression): Expression =

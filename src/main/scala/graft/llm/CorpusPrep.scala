@@ -123,6 +123,32 @@ object CorpusPrep {
         col("__c.chunk_tokens").cast("long").as("chunk_tokens") :+
         col("__c.chunk_bpe_tokens").cast("long").as("chunk_bpe_tokens"): _*)
 
+  /** [[chunkByBpeBudget]] under the UNIGRAM tokenizer
+    * (`graft_unigram_chunks`): budgets and `chunk_bpe_tokens` count
+    * unigram ids — exactly what `graft_unigram_encode` of `chunk_text`
+    * emits, so budget-sized chunks never overflow the context window
+    * the exported ids are sized for. Same struct and same whitespace-
+    * boundary cuts as the BPE families (the chunkers are drop-in
+    * interchangeable downstream), same 100 TB shape: one scan-speed
+    * projection, no shuffle. */
+  def chunkByUnigramBudget(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      budget: Int,
+      modelPath: String,
+      overlap: Int = 0,
+      keepCols: Seq[String] = Nil): DataFrame =
+    df.select(col(idCol) +: keepCols.map(col) :+
+      posexplode(graft.functions.GraftFunctions.unigramChunks(
+        col(textCol), modelPath, budget, overlap))
+        .as(Seq("chunk_id", "__c")): _*)
+      .select(col(idCol) +: keepCols.map(col) :+
+        col("chunk_id").cast("long").as("chunk_id") :+
+        col("__c.chunk_text").as("chunk_text") :+
+        col("__c.chunk_tokens").cast("long").as("chunk_tokens") :+
+        col("__c.chunk_bpe_tokens").cast("long").as("chunk_bpe_tokens"): _*)
+
   /** [[chunkByBpeBudget]] under the BYTE-LEVEL tokenizer
     * (`graft_bpe_byte_chunks`): budgets and `chunk_bpe_tokens` count
     * byte-level ids, cuts land on pretoken boundaries, and with

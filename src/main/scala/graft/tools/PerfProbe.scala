@@ -26,6 +26,7 @@ object PerfProbe {
     case Some("12") => probe12(args.drop(1))
     case Some("13") => probe13(args.drop(1))
     case Some("14") => probe14(args.drop(1))
+    case Some("15") => probe15(args.drop(1))
     case other => sys.error(
       s"usage: runMain graft.tools.PerfProbe <1-12> [probe args]; got $other")
   }
@@ -787,6 +788,59 @@ object PerfProbe {
       f"(sorts all $n); digest form: $fast rows kept in $tFast%.2f s " +
       s"(window pool ≈ $pool rows)")
     df.unpersist()
+    spark.stop()
+  }
+
+  /** Probe 15 (round 12): the unigram tokenizer at corpus scale.
+    * (a) TRAINING with the distributed E-step forced (`maxWords = 1`):
+    * a synthetic corpus whose distinct-pretoken count (~26^4 4-char
+    * words plus a Zipf head) far exceeds any honest driver cut — the
+    * probe demonstrates the shuffle width stays at the PIECE count
+    * (driver collects ≤ seed-size rows per E-step) while the corpus
+    * only ever streams. (b) ENCODE throughput of the trained model over
+    * the full corpus through the codegen'd `graft_unigram_encode` scan,
+    * plus the in-heap/distributed agreement on the same corpus. */
+  private def probe15(args: Array[String]): Unit = {
+    val spark = Local.session(sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
+    import spark.implicits._
+    import graft.llm.UnigramTrainer
+    val nDocs = args.headOption.map(_.toInt).getOrElse(1000000)
+    // deterministic pseudo-text: every doc is 8 words drawn from a
+    // Zipf-ish mix of a small hot head and a 26^4 cold tail — millions
+    // of rows, ~460k distinct pretokens
+    val letters = "abcdefghijklmnopqrstuvwxyz"
+    val word = udf { (seed: Long) =>
+      if (seed % 3 != 0) s"w${seed % 97}" // hot head: 97 spellings
+      else {
+        val x = seed * 2654435761L
+        val sb = new StringBuilder
+        var v = if (x < 0) -x else x
+        var i = 0
+        while (i < 4) { sb.append(letters((v % 26).toInt)); v /= 26; i += 1 }
+        sb.toString
+      }
+    }
+    val docs = spark.range(nDocs)
+      .select(col("id"), concat_ws(" ",
+        (0 until 8).map(k => word(col("id") * 8 + lit(k))): _*).as("text"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    println(s"[probe15] docs: ${docs.count()}")
+    val t0 = System.nanoTime()
+    val pieces = UnigramTrainer.train(docs, "text",
+      targetPieces = 400, maxPieceLen = 6, maxWords = 1)
+    val tTrain = (System.nanoTime() - t0) / 1e9
+    println(f"[probe15] distributed train: ${pieces.size} pieces in $tTrain%.2f s")
+    val dir = java.nio.file.Files.createTempDirectory("probe15")
+    val model = s"$dir/unigram.tsv"
+    UnigramTrainer.save(spark, model, pieces)
+    val t1 = System.nanoTime()
+    val ids = docs.select(
+      sum(size(graft.functions.GraftFunctions.unigramEncode(col("text"), model))))
+      .head().getLong(0)
+    val tEnc = (System.nanoTime() - t1) / 1e9
+    println(f"[probe15] encode: $ids ids over $nDocs docs in $tEnc%.2f s " +
+      f"(${nDocs / tEnc}%.0f docs/s, ${ids / tEnc}%.0f ids/s)")
+    docs.unpersist()
     spark.stop()
   }
 }

@@ -2730,6 +2730,72 @@ class CliSpec extends SparkTestBase {
     assert(e2.getMessage.contains("sentencepiece"), e2.getMessage)
   }
 
+  test("curator unigram-model: budget chunking, token_ids, and packing run the " +
+      "whole token pipeline under the unigram tokenizer; bpe-* mixing rejected") {
+    import org.apache.spark.sql.functions.{col, explode, sum => asum, size => asize}
+    val base = tmp()
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val model = base.resolve("ug.tsv").toString
+    graft.llm.UnigramTrainer.save(spark, model,
+      graft.llm.UnigramTrainer.train(docs.select("text"), "text",
+        targetPieces = 400, maxPieceLen = 6))
+    def conf(out: String, extra: String) = write(base.resolve(s"ug${extra.length}.conf"),
+      s"""source { storage-type = local, dataset-dir = $sfDir/documents.parquet }
+         |target { storage-type = local, dataset-dir = $out, dataset-store-format = parquet, write-mode = overwrite }
+         |curation {
+         |  unigram-model = $model
+         |$extra
+         |}
+         |""".stripMargin)
+    // run 1: budget chunking + per-chunk ids — the declared chunk cost
+    // must equal what the encode actually emits, row for row
+    val flat = base.resolve("ug_flat").toString
+    graft.cli.Curator.main(Array("--conf",
+      conf(flat, "  bpe-budget = 64\n  unigram-ids = true")))
+    val flatRows = spark.read.parquet(flat)
+    val nChunks = flatRows.count()
+    assert(nChunks > 0)
+    assert(flatRows.filter(col("chunk_bpe_tokens") =!= asize(col("token_ids"))).count() == 0,
+      "chunk_bpe_tokens must equal size(token_ids) under the same model")
+    assert(flatRows.filter(col("chunk_bpe_tokens") > 64 && col("chunk_tokens") > 1).count() == 0,
+      "multi-token chunks never exceed the budget")
+    val nIds = flatRows.select(asum(asize(col("token_ids")) + 1)).head().getLong(0)
+    // run 2: same chunking + packing — <eos> is id 1 by the unigram
+    // layout; conservation holds chunk-for-chunk
+    val packed = base.resolve("ug_packed").toString
+    graft.cli.Curator.main(Array("--conf",
+      conf(packed, "  bpe-budget = 64\n  pack-seq-len = 128\n  pack-buckets = 2")))
+    val packedRows = spark.read.parquet(packed)
+    assert(packedRows.select(asum(col("n_tokens"))).head().getLong(0) == nIds,
+      "packing must conserve every chunk's ids + one <eos> each")
+    assert(packedRows.select(explode(col("input_ids")).as("i"))
+      .filter(col("i") === 1).count() == nChunks,
+      "every chunk ends with the layout's <eos> id 1")
+    // mixing tokenizer families in one run is refused up front
+    val mixed = write(base.resolve("ug_mixed.conf"),
+      s"""source { storage-type = local, dataset-dir = $sfDir/documents.parquet }
+         |target { storage-type = local, dataset-dir = ${base.resolve("ug_mix_out")}, dataset-store-format = parquet, write-mode = overwrite }
+         |curation {
+         |  unigram-model = $model
+         |  bpe-merges = ${base.resolve("never.txt")}
+         |}
+         |""".stripMargin)
+    val e = intercept[IllegalArgumentException] {
+      graft.cli.Curator.main(Array("--conf", mixed))
+    }
+    assert(e.getMessage.contains("mutually exclusive"), e.getMessage)
+    // unigram-ids without a model is dead config
+    val dead = write(base.resolve("ug_dead.conf"),
+      s"""source { storage-type = local, dataset-dir = $sfDir/documents.parquet }
+         |target { storage-type = local, dataset-dir = ${base.resolve("ug_dead_out")}, dataset-store-format = parquet, write-mode = overwrite }
+         |curation { unigram-ids = true }
+         |""".stripMargin)
+    val e2 = intercept[IllegalArgumentException] {
+      graft.cli.Curator.main(Array("--conf", dead))
+    }
+    assert(e2.getMessage.contains("dead config"), e2.getMessage)
+  }
+
   test("indexer compact: repeated appends pile files per cell; compact rewrites " +
       "to one file per cell (corpus + codes, one marker window), recall is " +
       "unchanged, appends continue") {

@@ -445,6 +445,17 @@ class EntrySpec extends SparkTestBase {
     assert(e.getAs[Long]("unigram_ids") < e.getAs[Long]("char_units"),
       s"unigram ids (${e.getAs[Long]("unigram_ids")}) must compress below " +
         s"non-whitespace units (${e.getAs[Long]("char_units")})")
+    // q142: every multi-token chunk respects the 128-id budget, chunk
+    // ids are dense per doc, and every chunked doc survives
+    val ch = SparkEntry.queries("q142_unigram_chunking")(spark, sfDir)
+    assert(ch.count() > 0)
+    assert(ch.filter(col("chunk_bpe_tokens") > 128 && col("chunk_tokens") > 1).count() == 0,
+      "a multi-token chunk exceeded the unigram id budget")
+    val dense = ch.groupBy("doc_id")
+      .agg(org.apache.spark.sql.functions.max("chunk_id").as("mx"),
+        org.apache.spark.sql.functions.count(lit(1)).as("n"))
+      .filter(col("mx") =!= col("n") - 1).count()
+    assert(dense == 0, "chunk ids must be dense 0..n-1 per doc")
   }
 
   test("q78: learned merge table — dense ranks, true-argmax first merge, " +

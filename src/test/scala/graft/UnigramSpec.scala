@@ -88,6 +88,36 @@ class UnigramSpec extends SparkTestBase {
     assert(c.map(_.getInt(0)).toSeq == r.map(_.getInt(2)).toSeq)
   }
 
+  test("graft_unigram_chunks: greedy fill under the id budget, tiling at overlap 0, " +
+      "chunk_bpe_tokens == graft_unigram_count, byte-fallback costs counted") {
+    GraftFunctions.register(spark)
+    // counts under tinyPath: "ab"=1, "abc"=1, "c"=1, "zq"=2 (two byte ids)
+    val df = Seq((1L, "ab ab ab abc c"), (2L, "zq ab")).toDF("id", "text")
+    df.createOrReplaceTempView("ug_chunk_docs")
+    val r = spark.sql(
+      s"""SELECT id, c.chunk_text, c.chunk_tokens, c.chunk_bpe_tokens,
+         |  graft_unigram_count(c.chunk_text, '$tinyPath') AS recount
+         |FROM ug_chunk_docs
+         |LATERAL VIEW explode(graft_unigram_chunks(text, '$tinyPath', 2, 0)) t AS c
+         |ORDER BY id, c.chunk_text""".stripMargin).collect()
+    // doc 1 at budget 2: [ab ab] [ab abc] [c]; doc 2: [zq] [ab]
+    val doc1 = r.filter(_.getLong(0) == 1L).map(_.getString(1)).sorted
+    assert(doc1.toSeq == Seq("ab ab", "ab abc", "c").sorted)
+    // every chunk's declared cost equals the count expression's answer
+    assert(r.forall(row => row.getInt(3) == row.getInt(4)))
+    // "zq" costs 2 byte ids — alone it fills the budget, "ab" starts fresh
+    val doc2 = r.filter(_.getLong(0) == 2L).map(_.getString(1)).sorted
+    assert(doc2.toSeq == Seq("ab", "zq"))
+    // overlap-0 tiling: single-space concat reproduces the normalized text
+    val tiled = df.select(col("id"),
+        concat_ws(" ", col("text")).as("norm"),
+        GraftFunctions.unigramChunks(col("text"), tinyPath, 1000, 0).as("cs"))
+      .selectExpr("id", "norm",
+        "array_join(transform(cs, c -> c.chunk_text), ' ') AS back")
+      .collect()
+    assert(tiled.forall(x => x.getString(2) == x.getString(1)))
+  }
+
   test("model parse fails loudly without the byte-fallback header") {
     val f = java.nio.file.Files.createTempFile("graft_unigram_bad", ".tsv")
     java.nio.file.Files.write(f, "<unk>\t-10\n<eos>\t0\nab\t-1\n".getBytes("UTF-8"))
