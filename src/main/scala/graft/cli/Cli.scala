@@ -418,6 +418,11 @@ object Scorer {
   * model (Tokenizer CLI `algo = unigram`) instead of a merge table;
   * mutually exclusive with every `bpe-*` tokenizer knob, one tokenizer
   * per run;
+  * `pack-mode = stream` (default) packs cross-doc windows — the
+  * pretraining contract — while `pack-mode = pad` emits one padded
+  * fixed-length sequence PER ROW (ids + separator + `pack-pad-token`,
+  * default the separator; truncation flagged) — the SFT/example-level
+  * contract, a pure projection with zero pack shuffle;
   * `pack-seq-len` (+ `pack-buckets`, requires `bpe-vocab` with an
   * `<eos>`-bearing layout — byte-fallback or byte-level, both carry
   * it at id 1) replaces the per-row
@@ -691,6 +696,19 @@ object Curator {
       "curation.pack-buckets without curation.pack-seq-len is dead config")
     require(c.getString("pack-report-dir").isEmpty || c.getInt("pack-seq-len").isDefined,
       "curation.pack-report-dir without curation.pack-seq-len is dead config")
+    // `pack-mode`: stream (default — cross-doc windows, the pretraining
+    // contract) | pad (one padded fixed-length sequence per row — the
+    // SFT/example-level contract, no cross-doc packing)
+    val packMode = c.getString("pack-mode").getOrElse("stream")
+    require(Set("stream", "pad")(packMode),
+      s"curation.pack-mode must be stream | pad, got $packMode")
+    require(c.getString("pack-mode").isEmpty || c.getInt("pack-seq-len").isDefined,
+      "curation.pack-mode without curation.pack-seq-len is dead config")
+    require(packMode == "stream" || c.getInt("pack-buckets").isEmpty,
+      "curation.pack-buckets applies to stream packing only — dead config " +
+        "under pack-mode = pad")
+    require(c.getString("pack-pad-token").isEmpty || packMode == "pad",
+      "curation.pack-pad-token without curation.pack-mode = pad is dead config")
     require(c.getDouble("min-lm-logp").isEmpty || c.getString("lm-path").isDefined,
       "curation.min-lm-logp needs curation.lm-path (a saved unigram LM file)")
     require(c.getDouble("min-lm2-logp").isEmpty || c.getString("lm2-path").isDefined,
@@ -1542,6 +1560,7 @@ object Curator {
               "separator via curation.pack-eos-token")
           e
         }
+        def packStream(): org.apache.spark.sql.DataFrame = {
         // the row identity within a bucket stream: epoch copies share
         // (doc, chunk), so chunk/epoch must join the stream order or
         // window assembly would be nondeterministic
@@ -1567,12 +1586,24 @@ object Curator {
         // across the split would contaminate held-out evaluation)
         val partitionCols =
           if (c.getList("splits").exists(_.nonEmpty)) Seq(splitCol) else Nil
-        val packed = graft.llm.CorpusPrep.packTokenIds(toPack, idCol, "token_ids",
+        graft.llm.CorpusPrep.packTokenIds(toPack, idCol, "token_ids",
           seqLen = seqLen, eosId = eos,
           buckets = c.getInt("pack-buckets").getOrElse(256),
           orderCols = orderCols, partitionCols = partitionCols)
+        }
+        val packed = if (packMode == "pad") {
+          // padded per-example export: every encoded row keeps its own
+          // sequence (ids + separator + padding, truncation flagged) —
+          // a pure projection, no pack shuffle at all. Padding defaults
+          // to the separator id (the GPT-2-style convention); a named
+          // `pack-pad-token` overrides it.
+          val pad = c.getString("pack-pad-token").map(idOf).getOrElse(eos)
+          graft.llm.CorpusPrep.padTokenIds(encoded, "token_ids",
+            seqLen = seqLen, eosId = eos, padId = pad).drop("token_ids")
+        } else packStream()
         // optional 1-row observability artifact (`pack-report-dir`):
-        // sequence/full/partial counts, packed-vs-capacity efficiency.
+        // sequence/full/partial counts, packed-vs-capacity efficiency —
+        // both modes emit the n_tokens/n_docs_started columns it reads.
         // (Separate action — the pack shuffle reruns for it, but its
         // upstream is the PERSISTED curated frame, so the cost is one
         // bounded shuffle, not a pipeline replay.)
@@ -1596,7 +1627,7 @@ object Curator {
       case Some(salt) => stages.timed("shuffle") {
         // (target layout conflicts rejected in the up-front block)
         var rowId =
-          if (c.getInt("pack-seq-len").isDefined) {
+          if (c.getInt("pack-seq-len").isDefined && packMode == "stream") {
             // seq_id is unique only within a split partition — the
             // split joins the identity so the shuffle digest stays a
             // total order
@@ -1611,7 +1642,8 @@ object Curator {
         // training), not adjacent under the same digest. (Packed rows
         // are already epoch-disambiguated: the epoch is in the stream
         // order, the seq_id is unique.)
-        if (epochWeights.nonEmpty && c.getInt("pack-seq-len").isEmpty)
+        if (epochWeights.nonEmpty &&
+            (c.getInt("pack-seq-len").isEmpty || packMode == "pad"))
           rowId = concat(rowId, lit("#"), col("epoch"))
         graft.llm.CorpusPrep.deterministicShuffleBy(packedOut, rowId, salt,
           numPartitions = c.getInt("shuffle-partitions"))

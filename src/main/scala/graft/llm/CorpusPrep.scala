@@ -387,6 +387,46 @@ object CorpusPrep {
     * docs cross boundaries, nothing pads), and docs-started totals.
     * Integer arithmetic plus two final divisions → engine-portable
     * (the q111 oracle replays it over the q110 packing replay). */
+  /** Padded PER-EXAMPLE token export — the SFT/finetuning trainer
+    * contract, the alternative to [[packTokenIds]]'s cross-doc stream
+    * packing: every input row becomes exactly ONE fixed-length
+    * sequence (its ids, the separator, then `padId` up to `seqLen`).
+    * Rows whose ids overflow `seqLen − 1` TRUNCATE — the separator
+    * still terminates the kept prefix — and set `truncated`; size the
+    * upstream chunker budget at `seqLen − 1` to avoid truncation
+    * entirely. Example-level columns (labels, split, epoch, chunk_id)
+    * ride along untouched because the row is never re-assembled.
+    *
+    * Scale shape: a pure projection — ZERO shuffle (stream packing
+    * pays one bounded (bucket, window) shuffle; padding pays none).
+    * Emits the same `input_ids` / `n_tokens` / `n_docs_started`
+    * columns [[packedIdsReport]] consumes (`n_docs_started` = 1: each
+    * sequence IS one example), so the efficiency report reads padding
+    * waste directly. */
+  def padTokenIds(
+      docs: DataFrame,
+      idsCol: String,
+      seqLen: Int,
+      eosId: Int,
+      padId: Int): DataFrame = {
+    require(seqLen > 1, s"seqLen must be > 1 (ids + separator), got $seqLen")
+    require(eosId >= 0, s"eosId must be non-negative, got $eosId")
+    require(padId >= 0, s"padId must be non-negative, got $padId")
+    docs
+      .withColumn("__body",
+        when(col(idsCol).isNull || exists(col(idsCol), x => x.isNull),
+          raise_error(lit(s"padTokenIds: null $idsCol array or null id " +
+            "element — filter or encode upstream")))
+          .otherwise(slice(col(idsCol), 1, seqLen - 1)))
+      .withColumn("n_tokens", (size(col("__body")) + 1).cast("long"))
+      .withColumn("input_ids",
+        concat(col("__body"), array(lit(eosId)),
+          array_repeat(lit(padId), lit(seqLen) - col("n_tokens").cast("int"))))
+      .withColumn("truncated", size(col(idsCol)) > seqLen - 1)
+      .withColumn("n_docs_started", lit(1L))
+      .drop("__body")
+  }
+
   def packedIdsReport(packed: DataFrame, seqLen: Int): DataFrame = {
     require(seqLen > 0, s"seqLen must be positive, got $seqLen")
     packed.agg(

@@ -2771,6 +2771,33 @@ class CliSpec extends SparkTestBase {
     assert(packedRows.select(explode(col("input_ids")).as("i"))
       .filter(col("i") === 1).count() == nChunks,
       "every chunk ends with the layout's <eos> id 1")
+    // run 3: pack-mode = pad — one padded sequence per chunk (the
+    // SFT-style export), zero cross-doc packing, report reads waste
+    val padOut = base.resolve("ug_pad").toString
+    val padRep = base.resolve("ug_pad_rep").toString
+    graft.cli.Curator.main(Array("--conf",
+      conf(padOut, "  bpe-budget = 64\n  pack-seq-len = 128\n" +
+        s"  pack-mode = pad\n  pack-report-dir = $padRep")))
+    val padRows = spark.read.parquet(padOut)
+    assert(padRows.count() == nChunks, "pad mode keeps one sequence per chunk")
+    assert(padRows.filter(asize(col("input_ids")) =!= 128).count() == 0)
+    assert(padRows.filter(col("truncated")).count() == 0,
+      "budget 64 chunks never overflow seqLen-1 = 127")
+    // the separator terminates the real ids at position n_tokens - 1
+    assert(padRows.filter(
+      org.apache.spark.sql.functions.element_at(
+        col("input_ids"), col("n_tokens").cast("int")) =!= 1).count() == 0)
+    val rep = spark.read.parquet(padRep).head()
+    assert(rep.getAs[Long]("n_sequences") == nChunks &&
+      rep.getAs[Double]("efficiency") < 1.0)
+    // pad-mode dead-config guards
+    val e3 = intercept[IllegalArgumentException] {
+      graft.cli.Curator.main(Array("--conf",
+        conf(base.resolve("ug_x1").toString,
+          "  bpe-budget = 64\n  pack-seq-len = 128\n  pack-mode = pad\n" +
+            "  pack-buckets = 2")))
+    }
+    assert(e3.getMessage.contains("stream packing only"), e3.getMessage)
     // mixing tokenizer families in one run is refused up front
     val mixed = write(base.resolve("ug_mixed.conf"),
       s"""source { storage-type = local, dataset-dir = $sfDir/documents.parquet }

@@ -200,6 +200,37 @@ class CorpusPrepSpec extends SparkTestBase {
     assert(got(0)._3(1) - got(0)._3(0) == 3 + 1)
   }
 
+  test("padTokenIds: one padded sequence per row, truncation flagged, " +
+      "example columns ride along, report-compatible, null ids rejected") {
+    val df = Seq(
+      (1L, "train", Seq(10, 11, 12)),   // fits: 3 ids + eos + 1 pad
+      (2L, "val", Seq(20)),             // mostly padding
+      (3L, "train", Seq(30, 31, 32, 33, 34, 35))) // overflows seqLen-1=4
+      .toDF("doc_id", "label", "ids")
+    val got = CorpusPrep.padTokenIds(df, "ids", seqLen = 5, eosId = 99, padId = 0)
+      .orderBy("doc_id")
+      .collect().map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("label"),
+        r.getAs[Seq[Int]]("input_ids").toList, r.getAs[Long]("n_tokens"),
+        r.getAs[Boolean]("truncated")))
+    assert(got.toList == List(
+      (1L, "train", List(10, 11, 12, 99, 0), 4L, false),
+      (2L, "val", List(20, 99, 0, 0, 0), 2L, false),
+      // truncated: first 4 ids kept, separator still terminates
+      (3L, "train", List(30, 31, 32, 33, 99), 5L, true)))
+    // the packing report reads padding waste directly
+    val rep = CorpusPrep.packedIdsReport(
+      CorpusPrep.padTokenIds(df, "ids", seqLen = 5, eosId = 99, padId = 0), 5).head()
+    assert(rep.getAs[Long]("n_sequences") == 3 &&
+      rep.getAs[Long]("tokens_packed") == 11 &&
+      rep.getAs[Long]("n_docs_started") == 3)
+    // null ids fail loudly, never pad silently
+    val bad = Seq((1L, "x", null.asInstanceOf[Seq[Int]])).toDF("doc_id", "label", "ids")
+    val e = intercept[Exception] {
+      CorpusPrep.padTokenIds(bad, "ids", seqLen = 5, eosId = 99, padId = 0).collect()
+    }
+    assert(e.getMessage.contains("padTokenIds"))
+  }
+
   test("packTokenIds: token conservation, fixed length, determinism under " +
       "repartitioning, empty docs, null ids rejected") {
     val docs = spark.read.parquet(s"$sfDir/documents.parquet")
