@@ -2605,9 +2605,109 @@ object Tokenizer {
       s"unknown tokenizer.algo '$algo' (bpe | bpe-byte | unigram | wordpiece)")
     val maxWords = c.getInt("max-words").getOrElse(1 << 20)
     val batchK = c.getInt("batch-k").getOrElse(16)
-    if (algo == "unigram") runUnigram(spark, c, docs, textCol, maxWords)
+    val mode = c.getString("mode").getOrElse("train")
+    require(Seq("train", "evaluate").contains(mode),
+      s"unknown tokenizer.mode '$mode' (train | evaluate)")
+    if (mode == "evaluate") runEvaluate(spark, c, docs, textCol)
+    else if (algo == "unigram") runUnigram(spark, c, docs, textCol, maxWords)
     else if (algo == "wordpiece") runWordPiece(spark, c, docs, textCol, maxWords, batchK)
     else runBpe(spark, c, docs, textCol, maxWords, batchK, algo == "bpe-byte")
+  }
+
+  /** `mode = evaluate`: compare trained tokenizer artifacts — possibly
+    * across FAMILIES — on one corpus, the operational "which tokenizer
+    * fits this data" answer. `evaluate = ["name|algo|path[|vocab]",
+    * ...]` names each artifact (`bpe`/`bpe-byte` take merges + vocab,
+    * `unigram` its TSV model, `wordpiece` its vocab.txt). One report
+    * row per artifact: doc/byte totals, total ids, ids per doc, BYTES
+    * PER ID (the compression yardstick — higher is denser), the
+    * round-trip-ok count under each family's own round-trip contract
+    * (lossless decode∘encode for bpe/bpe-byte/unigram; the structural
+    * re-join for wordpiece), and fallback/unk id counts (`<unk>`-class
+    * ids for the total families — structurally 0; `[UNK]` for
+    * wordpiece, where loss is by design). Report lands FIRST at
+    * `report-dir`; `require-lossless = true` then gates: every total
+    * family must round-trip every doc. One scan per artifact, all
+    * metrics in one aggregate — no collects, no shuffles beyond the
+    * 1-row agg. */
+  private def runEvaluate(spark: org.apache.spark.sql.SparkSession,
+      c: graft.conf.GraftConfig, docs: org.apache.spark.sql.DataFrame,
+      textCol: String): Unit = {
+    import org.apache.spark.sql.functions._
+    import graft.functions.GraftFunctions
+    val specs = c.getList("evaluate").getOrElse(throw new IllegalArgumentException(
+      "tokenizer.evaluate is required for mode = evaluate — a list of " +
+        "'name|algo|path[|vocab-path]' artifact specs"))
+    require(specs.nonEmpty, "tokenizer.evaluate must name at least one artifact")
+    val reportDir = c.string("report-dir")
+    val t = docs.select(col(textCol).as("t")).filter(col("t").isNotNull)
+    val rows = specs.map { spec =>
+      val parts = spec.split('|')
+      require(parts.length >= 3,
+        s"tokenizer.evaluate entry '$spec' must be 'name|algo|path[|vocab-path]'")
+      val (name, algo) = (parts(0), parts(1))
+      val (ids, back, fallbackId): (org.apache.spark.sql.Column,
+          org.apache.spark.sql.Column, Int) = algo match {
+        case "bpe" =>
+          require(parts.length == 4, s"evaluate '$spec': bpe needs merges|vocab")
+          (GraftFunctions.bpeEncode(col("t"), parts(2), parts(3)),
+            GraftFunctions.bpeDecode(GraftFunctions.bpeEncodeLossless(
+              col("t"), parts(2), parts(3)), parts(3)), 0)
+        case "bpe-byte" =>
+          require(parts.length == 4, s"evaluate '$spec': bpe-byte needs merges|vocab")
+          (GraftFunctions.bpeByteEncode(col("t"), parts(2), parts(3)),
+            GraftFunctions.bpeByteDecode(GraftFunctions.bpeByteEncode(
+              col("t"), parts(2), parts(3)), parts(3)), 0)
+        case "unigram" =>
+          require(parts.length == 3, s"evaluate '$spec': unigram takes one model path")
+          (GraftFunctions.unigramEncode(col("t"), parts(2)),
+            GraftFunctions.unigramDecode(GraftFunctions.unigramEncodeLossless(
+              col("t"), parts(2)), parts(2)), 0)
+        case "wordpiece" =>
+          require(parts.length == 3, s"evaluate '$spec': wordpiece takes one vocab path")
+          val unk = {
+            val lines = scala.io.Source.fromInputStream(
+              new org.apache.hadoop.fs.Path(parts(2)).getFileSystem(
+                spark.sparkContext.hadoopConfiguration)
+                .open(new org.apache.hadoop.fs.Path(parts(2))), "UTF-8")
+              .getLines().toList
+            lines.indexOf("[UNK]")
+          }
+          (GraftFunctions.wordPieceEncode(col("t"), parts(2)),
+            GraftFunctions.wordPieceRoundtrip(col("t"), parts(2)), unk)
+        case other => throw new IllegalArgumentException(
+          s"evaluate '$spec': unknown algo '$other' (bpe | bpe-byte | unigram | wordpiece)")
+      }
+      val r = t.select(ids.as("ids"), back.as("back"), col("t")).agg(
+        count(lit(1)).as("n_docs"),
+        sum(octet_length(col("t"))).as("text_bytes"),
+        sum(size(col("ids"))).as("total_ids"),
+        count(when(col("back") === col("t"), 1)).as("roundtrip_ok"),
+        coalesce(sum(size(filter(col("ids"), i => i === fallbackId))), lit(0L))
+          .as("fallback_ids")).head()
+      val nDocs = r.getAs[Long]("n_docs")
+      val totalIds = r.getAs[Long]("total_ids")
+      (name, algo, nDocs, r.getAs[Long]("text_bytes"), totalIds,
+        if (nDocs == 0) 0.0 else totalIds.toDouble / nDocs,
+        if (totalIds == 0) 0.0 else r.getAs[Long]("text_bytes").toDouble / totalIds,
+        r.getAs[Long]("roundtrip_ok"), r.getAs[Long]("fallback_ids"))
+    }
+    import spark.implicits._
+    val report = rows.toDF("name", "algo", "n_docs", "text_bytes", "total_ids",
+      "ids_per_doc", "bytes_per_id", "roundtrip_ok", "fallback_ids")
+    report.coalesce(1).write.mode("overwrite").parquet(reportDir)
+    rows.foreach { w =>
+      Cli.log(f"evaluate ${w._1} (${w._2}): ${w._5} ids over ${w._3} docs, " +
+        f"${w._7}%.3f bytes/id, round-trip ${w._8}/${w._3}, fallback ids ${w._9}")
+    }
+    Cli.log(s"tokenizer evaluation report written to $reportDir")
+    if (c.getBoolean("require-lossless").getOrElse(false)) {
+      rows.filter(_._2 != "wordpiece").foreach { w =>
+        require(w._8 == w._3,
+          s"tokenizer evaluate GATE failed: artifact '${w._1}' (${w._2}) " +
+            s"round-trips only ${w._8}/${w._3} docs — not lossless on this corpus")
+      }
+    }
   }
 
   /** `algo = unigram`: train [[graft.llm.UnigramTrainer]] to

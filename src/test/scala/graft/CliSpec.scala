@@ -2716,6 +2716,52 @@ class CliSpec extends SparkTestBase {
         col("text"))
       .filter(col("rt") =!= col("text")).count()
     assert(wpRt == 0, "CLI-trained wordpiece vocab must survive the structural round-trip")
+    // mode = evaluate: one report row per artifact across families,
+    // each family's own round-trip contract, the lossless gate
+    val merges = graft.llm.BpeTrainer.learnMerges(
+      spark.read.parquet(s"$sfDir/documents.parquet").select("text"),
+      "text", numMerges = 48)
+    val (bm, bv) = (base.resolve("ev_m.txt").toString, base.resolve("ev_v.txt").toString)
+    graft.llm.BpeTrainer.saveMerges(spark, bm, merges)
+    graft.llm.BpeTrainer.saveVocab(spark, bv, graft.llm.BpeTrainer.buildVocab(
+      spark.read.parquet(s"$sfDir/documents.parquet").select("text"), "text", merges))
+    val evRep = base.resolve("ev_report").toString
+    val evConf = write(base.resolve("tok_ev.conf"),
+      s"""tokenizer {
+         |  source { storage-type = local, dataset-dir = $sfDir/documents.parquet }
+         |  mode = evaluate
+         |  evaluate = ["seg|bpe|$bm|$bv", "ug|unigram|$ugModel", "wp|wordpiece|$wpVocab"]
+         |  report-dir = $evRep
+         |  require-lossless = true
+         |}
+         |""".stripMargin)
+    graft.cli.Tokenizer.main(Array("--conf", evConf))
+    val ev = spark.read.parquet(evRep).collect()
+      .map(r => r.getAs[String]("name") -> r).toMap
+    assert(ev.size == 3)
+    val n = ev("seg").getAs[Long]("n_docs")
+    assert(n > 0 && ev.values.forall(_.getAs[Long]("n_docs") == n))
+    // every family round-trips under its own contract on this corpus
+    assert(ev.values.forall(r => r.getAs[Long]("roundtrip_ok") == n))
+    // total families never emit <unk>-class ids
+    assert(ev("seg").getAs[Long]("fallback_ids") >= 0)
+    assert(ev("ug").getAs[Long]("fallback_ids") == 0)
+    // compression is measured, not asserted between families — but every
+    // artifact must beat one byte per id on natural text
+    assert(ev.values.forall(_.getAs[Double]("bytes_per_id") > 1.0))
+    // malformed spec is a clean failure
+    val evBad = write(base.resolve("tok_ev_bad.conf"),
+      s"""tokenizer {
+         |  source { storage-type = local, dataset-dir = $sfDir/documents.parquet }
+         |  mode = evaluate
+         |  evaluate = ["just-a-name"]
+         |  report-dir = ${base.resolve("ev_bad")}
+         |}
+         |""".stripMargin)
+    val e4 = intercept[IllegalArgumentException] {
+      graft.cli.Tokenizer.main(Array("--conf", evBad))
+    }
+    assert(e4.getMessage.contains("name|algo|path"), e4.getMessage)
     // unknown algo fails loudly before any work
     val badAlgo = write(base.resolve("tok_bad_algo.conf"),
       s"""tokenizer {
