@@ -2666,12 +2666,11 @@ object Tokenizer {
         case "wordpiece" =>
           require(parts.length == 3, s"evaluate '$spec': wordpiece takes one vocab path")
           val unk = {
-            val lines = scala.io.Source.fromInputStream(
-              new org.apache.hadoop.fs.Path(parts(2)).getFileSystem(
-                spark.sparkContext.hadoopConfiguration)
-                .open(new org.apache.hadoop.fs.Path(parts(2))), "UTF-8")
-              .getLines().toList
-            lines.indexOf("[UNK]")
+            val hp = new org.apache.hadoop.fs.Path(parts(2))
+            val in = hp.getFileSystem(spark.sparkContext.hadoopConfiguration).open(hp)
+            try scala.io.Source.fromInputStream(in, "UTF-8")
+              .getLines().indexWhere(_ == "[UNK]")
+            finally in.close()
           }
           (GraftFunctions.wordPieceEncode(col("t"), parts(2)),
             GraftFunctions.wordPieceRoundtrip(col("t"), parts(2)), unk)

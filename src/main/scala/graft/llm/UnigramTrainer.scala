@@ -17,8 +17,11 @@ import org.apache.spark.sql.functions._
   * `maxWords` contract): Spark always does the corpus-scale pretoken
   * frequency aggregate (the exact [[graft.functions.BpeVocab]]
   * pretokenization — training under any other walk would fit pieces
-  * that don't round-trip through segmentation). Below `maxWords`
-  * distinct pretokens the whole EM/prune loop runs in-heap over the
+  * that don't round-trip through segmentation) AND the substring-count
+  * SEEDING aggregate (a driver-side substring map over a 1M-word cut
+  * would retain tens of millions of entries; the Spark form is
+  * bit-equivalent — exact long counts, same ranking). Below `maxWords`
+  * distinct pretokens the EM/prune loop then runs in-heap over the
   * collected frequency table (deterministic to the bit — what
   * single-node SentencePiece does); above it the E-step distributes:
   * the word table stays a cached Dataset, each iteration broadcasts
@@ -201,38 +204,6 @@ object UnigramTrainer {
 
   private def cpLen(s: String): Int = s.codePointCount(0, s.length)
 
-  /** In-heap seed: every single codepoint (always kept — lattice
-    * totality over the training corpus) plus the top multi-codepoint
-    * substrings by `count × codepoints` (the practical stand-in for
-    * the suffix-array seed; ties by piece asc), initial probabilities
-    * proportional to raw substring counts. */
-  private def seedInHeap(
-      words: Array[(String, Long)],
-      maxPieceLen: Int,
-      seedSize: Int,
-      minCount: Long): (Array[String], Array[Double]) = {
-    val sub = new java.util.HashMap[String, java.lang.Long]()
-    for ((w, n) <- words if w.nonEmpty) {
-      val bounds = cpBounds(w)
-      val nCp = bounds.length - 1
-      var s = 0
-      while (s < nCp) {
-        var e = s + 1
-        val lim = math.min(nCp, s + maxPieceLen)
-        while (e <= lim) {
-          val k = w.substring(bounds(s), bounds(e))
-          val cur = sub.get(k)
-          sub.put(k, java.lang.Long.valueOf((if (cur == null) 0L else cur.longValue()) + n))
-          e += 1
-        }
-        s += 1
-      }
-    }
-    import scala.jdk.CollectionConverters._
-    val entries = sub.entrySet().asScala.map(e => (e.getKey, e.getValue.longValue())).toSeq
-    assembleSeed(entries, seedSize, minCount)
-  }
-
   /** Deterministic seed assembly from (substring, count) rows: all
     * singles, then top multis by (count × cpLen desc, piece asc). */
   private def assembleSeed(
@@ -398,26 +369,34 @@ object UnigramTrainer {
     val spark = df.sparkSession
     import spark.implicits._
     val counts = BpeTrainer.pretokenCounts(df, textCol)
-    val top = counts
-      .orderBy(desc("n"), asc("word")).limit(maxWords + 1)
-      .collect().map(r => r.getString(0) -> r.getLong(1))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // path choice by COUNT first — collecting a 1M-row string table to
+    // the driver only to discover the corpus is over the cut would pay
+    // the driver transfer for nothing on exactly the large corpora
+    val nDistinct = counts.limit(maxWords + 1).count()
     val seedN = if (seedSize > 0) seedSize else targetPieces * 4
-    if (top.length <= maxWords) {
-      val words = top
-      val (p0, s0) = seedInHeap(words, maxPieceLen, seedN, minCount)
-      runLoop(p0, s0, maxPieceLen, targetPieces, emIters, keepRatio,
-        (ps, sc, fl) => eStepInHeap(words, buildIndex(ps), sc, maxPieceLen, fl))
-    } else {
-      val words = counts.select(col("word"), col("n").cast("long"))
-        .as[(String, Long)]
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      try {
-        words.count() // materialize once; every E-step re-reads the cache
-        val (p0, s0) = seedDistributed(words, maxPieceLen, seedN, minCount)
+    val wordsDs = counts.select(col("word"), col("n").cast("long"))
+      .as[(String, Long)]
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      wordsDs.count() // materialize once; seeding (and distributed
+      // E-steps) re-read the cache. Seeding is ALWAYS the Spark
+      // aggregate — an in-heap substring map over a 1M-word cut would
+      // retain tens of millions of entries on the driver, and the
+      // distributed seed is bit-equivalent anyway (exact long counts,
+      // the same (score desc, piece asc) ranking).
+      val (p0, s0) = seedDistributed(wordsDs, maxPieceLen, seedN, minCount)
+      if (nDistinct <= maxWords) {
+        val words = wordsDs
+          .orderBy(desc("n"), asc("word")) // deterministic E-step sum order
+          .collect()
         runLoop(p0, s0, maxPieceLen, targetPieces, emIters, keepRatio,
-          (ps, sc, fl) => eStepDistributed(words, ps, sc, maxPieceLen, fl))
-      } finally { words.unpersist(); () }
-    }
+          (ps, sc, fl) => eStepInHeap(words, buildIndex(ps), sc, maxPieceLen, fl))
+      } else {
+        runLoop(p0, s0, maxPieceLen, targetPieces, emIters, keepRatio,
+          (ps, sc, fl) => eStepDistributed(wordsDs, ps, sc, maxPieceLen, fl))
+      }
+    } finally { wordsDs.unpersist(); counts.unpersist(); () }
   }
 
   /** EM + prune to target, shared by both paths. `eStep` maps (pieces,

@@ -223,6 +223,78 @@ class PropertySpec extends SparkTestBase {
     }
   }
 
+  test("unigram lossless round-trip, count==size(encode), and Viterbi optimality " +
+      "vs the all-singles cover on generated unicode soup") {
+    import graft.functions.{IdVocab, UnigramRegistry, UnigramVocab}
+    // a fixed tiny model: a few multi-char pieces over ascii + one CJK
+    val f = java.nio.file.Files.createTempFile("graft_prop_ug", ".tsv")
+    val sb = new StringBuilder
+    sb.append("<unk>\t-60.0\n<eos>\t0.0\n")
+    (0 until 256).foreach(b => sb.append(s"${IdVocab.byteToken(b)}\t-50.0\n"))
+    Seq("a" -> -2.0, "B" -> -2.5, "aB" -> -1.5, "x" -> -2.0, "y" -> -2.0,
+      "xy" -> -1.2, "\u4f60\u597d" -> -1.0, "\u4f60" -> -3.0, "\u597d" -> -3.0,
+      "0" -> -2.0, "42" -> -1.8, "4" -> -2.2, "2" -> -2.2)
+      .foreach { case (pc, sc) => sb.append(s"$pc\t$sc\n") }
+    java.nio.file.Files.write(f, sb.toString.getBytes("UTF-8"))
+    val v = UnigramRegistry.get(f.toString)
+    val soup: Gen[List[String]] = Gen.listOfN(25,
+      Gen.listOfN(14, Gen.oneOf(
+        "a", "B", "aB", "xy", " ", "\n", "\t",
+        "\u4f60\u597d", "\ud83d\ude00", "q", "42", "0", "!", "{", "\u0007"))
+        .map(_.mkString))
+    samples(soup, 6).foreach { ts =>
+      ts.foreach { t =>
+        // totality + losslessness on ANY string (OOV, emoji, controls)
+        val ids = v.encode(t, lossless = true)
+        val arr = org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(
+          Array.tabulate(ids.size)(i => ids.get(i).intValue()))
+        assert(v.decode(arr).toString == t, s"round-trip broke on '$t'")
+        // the count expression and the encode array always agree
+        assert(v.idCount(t) == v.encode(t, lossless = false).size)
+        // segments concatenate back to each pretoken, and never emit <unk>
+        assert(!ids.contains(Integer.valueOf(0)), "unigram must never emit <unk>")
+      }
+    }
+    // Viterbi optimality law: the chosen cover's score is >= the
+    // all-singles cover's score for any pretoken over model pieces
+    val words = Gen.listOfN(30, Gen.listOfN(6,
+      Gen.oneOf("a", "B", "x", "y", "0", "4", "2")).map(_.mkString))
+    val idx = new java.util.HashMap[String, Integer]()
+    val pieces = Seq("a", "B", "aB", "x", "y", "xy", "0", "42", "4", "2")
+    val scores = Array(-2.0, -2.5, -1.5, -2.0, -2.0, -1.2, -2.0, -1.8, -2.2, -2.2)
+    pieces.zipWithIndex.foreach { case (pc, i) => idx.put(pc, i) }
+    samples(words, 4).foreach(_.foreach { w =>
+      if (w.nonEmpty) {
+        val best = graft.llm.UnigramTrainer.viterbiScore(
+          w, idx, scores, 2, -50.0, exclude = -1)
+        val singles = w.map(ch => scores(idx.get(ch.toString).intValue())).sum
+        assert(best >= singles - 1e-9,
+          s"Viterbi ($best) must beat the all-singles cover ($singles) on '$w'")
+        // and the emitted segmentation concatenates back to the word
+        assert(v.segmentWord(w).mkString == w)
+      }
+    })
+  }
+
+  test("wordpiece structural round-trip is the identity on generated unicode soup") {
+    import graft.functions.WordPieceRegistry
+    val f = java.nio.file.Files.createTempFile("graft_prop_wp", ".txt")
+    java.nio.file.Files.write(f,
+      Seq("[UNK]", "a", "##a", "##B", "xy", "##z", "#", "##", "\u4f60")
+        .mkString("\n").getBytes("UTF-8"))
+    val v = WordPieceRegistry.get(f.toString)
+    val soup: Gen[List[String]] = Gen.listOfN(25,
+      Gen.listOfN(14, Gen.oneOf(
+        "a", "aa", "aB", "xyz", " ", "\n", "##", "####", "#a#",
+        "\u4f60\u597d", "\ud83d\ude00", "q", "42", "!", "\u0007"))
+        .map(_.mkString))
+    samples(soup, 6).foreach(_.foreach { t =>
+      assert(v.roundtrip(t) == t, s"wordpiece round-trip broke on '$t'")
+      // count always equals the id array the encoder emits
+      assert(v.idCount(t) == v.encode(t).size)
+    })
+  }
+
   test("graft_html_entities: identity without '&'; every table name decodes in " +
       "context; valid numerics round-trip; invalid forms pass through") {
     import scala.jdk.CollectionConverters._
