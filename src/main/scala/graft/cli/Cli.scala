@@ -417,7 +417,10 @@ object Scorer {
   * packing), and `pack-seq-len` packing — under a trained UNIGRAM
   * model (Tokenizer CLI `algo = unigram`) instead of a merge table;
   * mutually exclusive with every `bpe-*` tokenizer knob, one tokenizer
-  * per run;
+  * per run; `real-token-counts = true` re-annotates `n_tokens` with
+  * the configured tokenizer's TRUE id count (unigram or BPE family),
+  * so token budgets and the data card's `total_tokens` mean the
+  * training tokenizer's units instead of the heuristic proxy;
   * `pack-mode = stream` (default) packs cross-doc windows — the
   * pretraining contract — while `pack-mode = pad` emits one padded
   * fixed-length sequence PER ROW (ids + separator + `pack-pad-token`,
@@ -1196,6 +1199,27 @@ object Curator {
     batchToFree.foreach(_.unpersist()) // curated cache is materialized
     df0ToFree.foreach(_._2.unpersist()) // span-cut corpus no longer re-read
     vecToFree.foreach(_.unpersist())
+    // `real-token-counts = true`: re-annotate n_tokens with the
+    // CONFIGURED tokenizer's true id count (unigram-model, or
+    // bpe-merges under the segment/byte-level family) — so token
+    // budgets ("20 B web tokens") and the data card's total_tokens
+    // mean the TRAINING tokenizer's units, not the heuristic proxy.
+    // Scan-speed projection (registry-cached artifact, codegen'd).
+    val realCounter: Option[org.apache.spark.sql.Column => org.apache.spark.sql.Column] =
+      if (!c.getBoolean("real-token-counts").getOrElse(false)) None
+      else c.getString("unigram-model") match {
+        case Some(m) =>
+          Some(tc => graft.functions.GraftFunctions.unigramCount(tc, m))
+        case None =>
+          val m = c.getString("bpe-merges").getOrElse(throw new IllegalArgumentException(
+            "curation.real-token-counts needs curation.unigram-model or " +
+              "curation.bpe-merges — real counts are defined by a tokenizer"))
+          if (c.getBoolean("bpe-byte-level").getOrElse(false))
+            Some(tc => graft.functions.GraftFunctions.bpeByteCount(tc, m))
+          else Some(tc => graft.functions.GraftFunctions.bpeCount(tc, m))
+      }
+    val curatedTok = realCounter.fold(curated)(f =>
+      curated.withColumn("n_tokens", f(col(textCol)).cast("long")))
     // optional per-group quality-quantile filter on the curated
     // survivors ("keep the top X% by quality WITHIN each language" — a
     // global threshold gets this wrong because score distributions
@@ -1205,7 +1229,7 @@ object Curator {
     // records the full curated corpus.
     val (quantiled, quantToFree) = c.getDouble("quality-quantile") match {
       case Some(frac) => stages.timed("quality-quantile") {
-        val q = graft.llm.Curation.keepTopQuantile(curated,
+        val q = graft.llm.Curation.keepTopQuantile(curatedTok,
           c.getString("quantile-group-column").getOrElse("lang_id"),
           c.getString("quantile-score-column").getOrElse("quality"), frac,
           accuracy = c.getInt("quantile-accuracy").getOrElse(10000))
@@ -1223,7 +1247,7 @@ object Curator {
           (p, Some(p))
         }
       }
-      case None => (curated, None)
+      case None => (curatedTok, None)
     }
     // optional benchmark decontamination (train/test-overlap filter) on
     // the curated survivors: docs sharing >= min-hits distinct n-grams
@@ -1668,7 +1692,10 @@ object Curator {
     c.getString("report-dir").foreach { rdir =>
       stages.timed("corpus-report") {
         val groups = c.getList("report-group-columns").getOrElse(Seq("lang_id"))
-        graft.llm.TextAnalysis.corpusReport(curated, groups, textCol)
+        // with real-token-counts on, the card's total_tokens is the
+        // training tokenizer's count — same counter as the budgets
+        graft.llm.TextAnalysis.corpusReport(curated, groups, textCol,
+          realCounter.getOrElse(graft.llm.TextAnalysis.wsTokenCount))
           .coalesce(1).write.mode("overwrite").parquet(rdir)
         Cli.log(s"corpus report written to $rdir (grouped by ${groups.mkString(", ")})")
       }

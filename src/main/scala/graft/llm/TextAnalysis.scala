@@ -271,14 +271,18 @@ object TextAnalysis {
     * count (the q16 whitespace contract, which is what keeps the
     * oracle exact) is computed ONCE per row in a pre-aggregation
     * projection, not re-evaluated by each of the four aggregates that
-    * consume it. */
+    * consume it. `tokenCount` swaps the counter — pass
+    * `graft_unigram_count`/`graft_bpe_count` so `total_tokens` reports
+    * the TRAINING tokenizer's units (what a release data card should
+    * actually say); the default keeps the q81 oracle contract. */
   def corpusReport(
       df: org.apache.spark.sql.DataFrame,
       groupCols: Seq[String],
-      textCol: String = "text"): org.apache.spark.sql.DataFrame = {
+      textCol: String = "text",
+      tokenCount: Column => Column = wsTokenCount): org.apache.spark.sql.DataFrame = {
     require(groupCols.nonEmpty, "corpusReport needs at least one group column")
     df.select(groupCols.map(col) :+
-        wsTokenCount(col(textCol)).cast("long").as("__toks") :+
+        tokenCount(col(textCol)).cast("long").as("__toks") :+
         length(col(textCol)).cast("long").as("__chars"): _*)
       .groupBy(groupCols.map(col): _*).agg(
         count(lit(1)).as("n_docs"),

@@ -2844,6 +2844,55 @@ class CliSpec extends SparkTestBase {
             "  pack-buckets = 2")))
     }
     assert(e3.getMessage.contains("stream packing only"), e3.getMessage)
+    // run 4: real-token-counts — budgets and the data card in the
+    // TRAINING tokenizer's units, pinned against an independent
+    // recomputation through the expression surface
+    val rtOut = base.resolve("ug_rt").toString
+    val rtCard = base.resolve("ug_rt_card").toString
+    graft.cli.Curator.main(Array("--conf",
+      conf(rtOut, "  real-token-counts = true\n" +
+        "  token-budgets { src0 = 2000 }\n  token-budget-default = -1\n" +
+        s"  report-dir = $rtCard\n" +
+        "  report-group-columns = [\"source\"]")))
+    val rtRows = spark.read.parquet(rtOut)
+    // kept src0 token mass, measured in unigram ids, respects the cap
+    // (the crossing doc may finish over — the documented contract)
+    val kept = rtRows.filter(col("source") === "src0")
+    val keptIds = kept.select(org.apache.spark.sql.functions.sum(
+      graft.functions.GraftFunctions.unigramCount(col("text"), model))).head().getLong(0)
+    val maxDoc = kept.select(org.apache.spark.sql.functions.max(
+      graft.functions.GraftFunctions.unigramCount(col("text"), model))).head().getInt(0)
+    assert(keptIds <= 2000 + maxDoc, s"src0 kept $keptIds unigram ids vs budget 2000")
+    assert(keptIds > 0)
+    // the card's total_tokens equals the unigram count over the same
+    // docs — but the card covers the CURATED frame (pre-budget), so
+    // recompute against the budget-free run's source
+    val card = spark.read.parquet(rtCard)
+    val cardTotal = card.select(org.apache.spark.sql.functions.sum("total_tokens"))
+      .head().getLong(0)
+    assert(cardTotal > 0)
+    // same run WITHOUT the flag: same curated set (n_docs equal), but
+    // total_tokens reverts to the whitespace heuristic — proving the
+    // real counter actually drove the card
+    val wsCard = base.resolve("ug_ws_card").toString
+    graft.cli.Curator.main(Array("--conf",
+      conf(base.resolve("ug_ws_out").toString,
+        s"  report-dir = $wsCard\n  report-group-columns = [\"source\"]")))
+    val ws = spark.read.parquet(wsCard)
+    assert(card.select(org.apache.spark.sql.functions.sum("n_docs")).head().getLong(0) ==
+      ws.select(org.apache.spark.sql.functions.sum("n_docs")).head().getLong(0))
+    assert(cardTotal != ws.select(org.apache.spark.sql.functions.sum("total_tokens"))
+      .head().getLong(0), "the real-tokenizer card must differ from the heuristic card")
+    // real-token-counts without any tokenizer is refused
+    val rtBad = write(base.resolve("ug_rt_bad.conf"),
+      s"""source { storage-type = local, dataset-dir = $sfDir/documents.parquet }
+         |target { storage-type = local, dataset-dir = ${base.resolve("ug_rt_bad_out")}, dataset-store-format = parquet, write-mode = overwrite }
+         |curation { real-token-counts = true }
+         |""".stripMargin)
+    val eRt = intercept[IllegalArgumentException] {
+      graft.cli.Curator.main(Array("--conf", rtBad))
+    }
+    assert(eRt.getMessage.contains("real-token-counts"), eRt.getMessage)
     // mixing tokenizer families in one run is refused up front
     val mixed = write(base.resolve("ug_mixed.conf"),
       s"""source { storage-type = local, dataset-dir = $sfDir/documents.parquet }
