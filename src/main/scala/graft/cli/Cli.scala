@@ -2750,13 +2750,64 @@ object Tokenizer {
       "tokenizer.target-pieces is required for algo = unigram"))
     val maxPieceLen = c.getInt("max-piece-len").getOrElse(8)
     val modelPath = c.string("model-path")
+    val seedSz = c.getInt("seed-size").getOrElse(0)
+    val minCnt = c.getInt("min-count").getOrElse(2).toLong
+    // `model-checkpoint-path`: crash resume for the multi-hour
+    // distributed EM runs — the exact protocol the BPE trainer's
+    // merges-checkpoint uses (Hadoop-FS existence; write .tmp, rename
+    // the live file ASIDE, promote, drop the aside — every step leaves
+    // a COMPLETE checkpoint under cp or cp.old). The checkpoint is a
+    // ROUND-BOUNDARY (pieces, scores, counts) state, so resuming
+    // continues at the next prune and reproduces the uninterrupted
+    // run; a parameter record in the header refuses resumption under
+    // different training knobs, loudly.
+    val ckptPath = c.getString("model-checkpoint-path")
+    val hconf = spark.sparkContext.hadoopConfiguration
+    def fsExists(pth: String): Boolean = {
+      val hp = new org.apache.hadoop.fs.Path(pth)
+      hp.getFileSystem(hconf).exists(hp)
+    }
+    val paramRecord = s"target=$target;maxPieceLen=$maxPieceLen;" +
+      s"seedSize=$seedSz;minCount=$minCnt;maxWords=$maxWords"
+    val resume: Option[UnigramTrainer.TrainState] = ckptPath.flatMap { cp =>
+      val src =
+        if (fsExists(cp)) Some(cp)
+        else if (fsExists(cp + ".old")) Some(cp + ".old")
+        else None
+      src.map { sp =>
+        val (st, params) = UnigramTrainer.loadCheckpoint(spark, sp)
+        require(params == paramRecord,
+          s"unigram checkpoint at $sp was written under '$params' but this run " +
+            s"is '$paramRecord' — stale checkpoint from another configuration; " +
+            "delete it to retrain")
+        Cli.log(s"resuming unigram training from ${st.pieces.length} " +
+          s"checkpointed pieces at $sp")
+        st
+      }
+    }
+    val onRound: UnigramTrainer.TrainState => Unit = ckptPath match {
+      case Some(cp) => st => {
+        import org.apache.hadoop.fs.Path
+        val tmpCp = cp + ".tmp"
+        UnigramTrainer.saveCheckpoint(spark, tmpCp, st, paramRecord)
+        val pth = new Path(cp)
+        val old = new Path(cp + ".old")
+        val fs = pth.getFileSystem(hconf)
+        if (fs.exists(old)) fs.delete(old, false): Unit
+        if (fs.exists(pth)) require(fs.rename(pth, old),
+          s"could not retire unigram checkpoint $cp -> $old")
+        require(fs.rename(new Path(tmpCp), pth),
+          s"could not promote unigram checkpoint $tmpCp -> $cp")
+        fs.delete(old, false): Unit
+      }
+      case None => _ => ()
+    }
     Cli.log(s"training unigram model ($target pieces, max piece length " +
       s"$maxPieceLen, distributed above $maxWords words)...")
     val pieces = UnigramTrainer.train(docs.select(col(textCol)), textCol,
       targetPieces = target, maxPieceLen = maxPieceLen,
-      seedSize = c.getInt("seed-size").getOrElse(0),
-      minCount = c.getInt("min-count").getOrElse(2).toLong,
-      maxWords = maxWords)
+      seedSize = seedSz, minCount = minCnt,
+      maxWords = maxWords, resume = resume, onRound = onRound)
     UnigramTrainer.save(spark, modelPath, pieces)
     Cli.log(s"saved ${pieces.size}-piece unigram model -> $modelPath")
     val nVerify = c.getInt("verify-docs").getOrElse(100)

@@ -45,6 +45,22 @@ object UnigramTrainer {
   /** One seed/trained piece: spelling + natural-log probability. */
   final case class Piece(piece: String, logp: Double)
 
+  /** A ROUND-BOUNDARY snapshot of the EM/prune loop — the crash-resume
+    * unit. Captured after each `emRound` (scores AND the expected
+    * counts that round produced), so resuming continues with the next
+    * PRUNE and reproduces the uninterrupted run exactly (bit-exact on
+    * the in-heap path; the distributed path carries the same fp-sum
+    * caveat as any distributed EM). */
+  final case class TrainState(
+      pieces: Array[String],
+      scores: Array[Double],
+      counts: Array[Double]) {
+    require(pieces.length == scores.length && pieces.length == counts.length,
+      s"inconsistent checkpoint state: ${pieces.length} pieces, " +
+        s"${scores.length} scores, ${counts.length} counts")
+    require(pieces.nonEmpty, "checkpoint state must carry at least one piece")
+  }
+
   // ---------------------------------------------------------------
   // lattice kernel (shared by in-heap and distributed E-steps; object-
   // level so the distributed closure captures no enclosing state)
@@ -362,10 +378,16 @@ object UnigramTrainer {
       emIters: Int = 2,
       keepRatio: Double = 0.75,
       minCount: Long = 2L,
-      maxWords: Int = 1 << 20): Seq[Piece] = {
+      maxWords: Int = 1 << 20,
+      resume: Option[TrainState] = None,
+      onRound: TrainState => Unit = _ => ()): Seq[Piece] = {
     require(targetPieces > 0, s"targetPieces must be positive, got $targetPieces")
     require(maxPieceLen >= 2, s"maxPieceLen must be ≥ 2, got $maxPieceLen")
     require(keepRatio > 0 && keepRatio < 1, s"keepRatio must be in (0,1), got $keepRatio")
+    resume.foreach(st => require(
+      st.pieces.forall(pc => pc.codePointCount(0, pc.length) <= maxPieceLen),
+      "resume checkpoint carries pieces longer than maxPieceLen — " +
+        "stale checkpoint from another configuration; delete it to retrain"))
     val spark = df.sparkSession
     import spark.implicits._
     val counts = BpeTrainer.pretokenCounts(df, textCol)
@@ -385,16 +407,23 @@ object UnigramTrainer {
       // retain tens of millions of entries on the driver, and the
       // distributed seed is bit-equivalent anyway (exact long counts,
       // the same (score desc, piece asc) ranking).
-      val (p0, s0) = seedDistributed(wordsDs, maxPieceLen, seedN, minCount)
+      // resume skips the seed aggregate entirely — the checkpoint IS
+      // the live vocabulary state
+      val (p0, s0) = resume match {
+        case Some(st) => (st.pieces, st.scores)
+        case None => seedDistributed(wordsDs, maxPieceLen, seedN, minCount)
+      }
       if (nDistinct <= maxWords) {
         val words = wordsDs
           .orderBy(desc("n"), asc("word")) // deterministic E-step sum order
           .collect()
         runLoop(p0, s0, maxPieceLen, targetPieces, emIters, keepRatio,
-          (ps, sc, fl) => eStepInHeap(words, buildIndex(ps), sc, maxPieceLen, fl))
+          (ps, sc, fl) => eStepInHeap(words, buildIndex(ps), sc, maxPieceLen, fl),
+          resume, onRound)
       } else {
         runLoop(p0, s0, maxPieceLen, targetPieces, emIters, keepRatio,
-          (ps, sc, fl) => eStepDistributed(wordsDs, ps, sc, maxPieceLen, fl))
+          (ps, sc, fl) => eStepDistributed(wordsDs, ps, sc, maxPieceLen, fl),
+          resume, onRound)
       }
     } finally { wordsDs.unpersist(); counts.unpersist(); () }
   }
@@ -408,8 +437,9 @@ object UnigramTrainer {
       targetPieces: Int,
       emIters: Int,
       keepRatio: Double,
-      eStep: (Array[String], Array[Double], Double) => (Array[Double], Double))
-      : Seq[Piece] = {
+      eStep: (Array[String], Array[Double], Double) => (Array[Double], Double),
+      resume: Option[TrainState] = None,
+      onRound: TrainState => Unit = _ => ()): Seq[Piece] = {
     var pieces = seedPieces
     var scores = seedScores
     val nSingles = pieces.count(p => cpLen(p) == 1)
@@ -446,7 +476,13 @@ object UnigramTrainer {
       lastCounts
     }
 
-    var counts = emRound()
+    var counts = resume match {
+      case Some(st) => st.counts // round-boundary state: next step is the prune
+      case None =>
+        val c = emRound()
+        onRound(TrainState(pieces, scores, c))
+        c
+    }
     while (pieces.length > targetPieces) {
       // prune: singles always survive; multis ranked by likelihood loss
       // if removed ≈ expCount × (own score − best alternative cover)
@@ -465,8 +501,79 @@ object UnigramTrainer {
       pieces = nextIdx.map(pieces).toArray
       scores = nextIdx.map(scores).toArray
       counts = emRound()
+      onRound(TrainState(pieces, scores, counts))
     }
+    // final-state hook, unconditionally (the BPE trainer's final-round
+    // onProgress shape): when a RESUME landed on the terminal state the
+    // loop never ran, and without this the checkpoint cycle would end
+    // half-promoted (live file retired aside, nothing promoted)
+    onRound(TrainState(pieces, scores, counts))
     pieces.indices.map(i => Piece(pieces(i), scores(i)))
+  }
+
+  // ---------------------------------------------------------------
+  // crash-resume checkpoint I/O (the Tokenizer CLI's
+  // `model-checkpoint-path` rides these; the file is INTERNAL loop
+  // state — piece, score, AND that round's expected count — not the
+  // published model layout)
+  // ---------------------------------------------------------------
+
+  private val CheckpointHeader = "# graft-unigram-checkpoint "
+
+  /** Write a round-boundary state with a caller-supplied parameter
+    * record in the header — resuming under different training knobs
+    * would silently diverge, so the caller guards on it at load. */
+  def saveCheckpoint(
+      spark: org.apache.spark.sql.SparkSession,
+      path: String,
+      st: TrainState,
+      params: String): Unit = {
+    require(!params.contains('\n'), "checkpoint params must be one line")
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val out = new java.io.BufferedWriter(new java.io.OutputStreamWriter(
+      fs.create(p, true), java.nio.charset.StandardCharsets.UTF_8))
+    try {
+      out.write(CheckpointHeader); out.write(params); out.write('\n')
+      var i = 0
+      while (i < st.pieces.length) {
+        out.write(st.pieces(i)); out.write('\t')
+        out.write(st.scores(i).toString); out.write('\t')
+        out.write(st.counts(i).toString); out.write('\n')
+        i += 1
+      }
+    } finally out.close()
+  }
+
+  /** Read a checkpoint back: `(state, params)` — the caller compares
+    * `params` against its own configuration and refuses a mismatch. */
+  def loadCheckpoint(
+      spark: org.apache.spark.sql.SparkSession,
+      path: String): (TrainState, String) = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val in = fs.open(p)
+    try {
+      val lines = scala.io.Source.fromInputStream(in, "UTF-8").getLines()
+      require(lines.hasNext, s"empty unigram checkpoint at $path")
+      val header = lines.next()
+      require(header.startsWith(CheckpointHeader),
+        s"not a unigram checkpoint at $path (bad header)")
+      val params = header.substring(CheckpointHeader.length)
+      val pieces = scala.collection.mutable.ArrayBuffer.empty[String]
+      val scores = scala.collection.mutable.ArrayBuffer.empty[Double]
+      val counts = scala.collection.mutable.ArrayBuffer.empty[Double]
+      for (l <- lines if l.nonEmpty) {
+        val a = l.indexOf('\t')
+        val b = l.indexOf('\t', a + 1)
+        require(a > 0 && b > a && l.indexOf('\t', b + 1) < 0,
+          s"malformed unigram checkpoint line in $path: '$l'")
+        pieces += l.substring(0, a)
+        scores += java.lang.Double.parseDouble(l.substring(a + 1, b))
+        counts += java.lang.Double.parseDouble(l.substring(b + 1))
+      }
+      (TrainState(pieces.toArray, scores.toArray, counts.toArray), params)
+    } finally in.close()
   }
 
   // ---------------------------------------------------------------

@@ -2776,6 +2776,50 @@ class CliSpec extends SparkTestBase {
     assert(e2.getMessage.contains("sentencepiece"), e2.getMessage)
   }
 
+  test("tokenizer unigram crash-resume: round-boundary checkpoints under the " +
+      "write-aside-promote protocol; resume reproduces the run; stale rejected") {
+    val base = tmp()
+    val model = base.resolve("ug_cr.tsv").toString
+    val cp = base.resolve("ug_cr_ck.tsv").toString
+    def conf(target: Int) = write(base.resolve(s"tok_cr_$target.conf"),
+      s"""tokenizer {
+         |  source { storage-type = local, dataset-dir = $sfDir/documents.parquet }
+         |  algo = unigram
+         |  target-pieces = $target
+         |  max-piece-len = 6
+         |  model-path = $model
+         |  model-checkpoint-path = $cp
+         |}
+         |""".stripMargin)
+    graft.cli.Tokenizer.main(Array("--conf", conf(400)))
+    val modelBytes = java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(model))
+    assert(new java.io.File(cp).exists(), "the final round must leave a checkpoint")
+    assert(!new java.io.File(cp + ".old").exists(),
+      "a completed promotion retires the aside copy")
+    // crash after the last checkpoint: the model never landed — rerun
+    // resumes from the checkpoint and writes the identical model
+    java.nio.file.Files.delete(java.nio.file.Paths.get(model))
+    graft.cli.Tokenizer.main(Array("--conf", conf(400)))
+    assert(java.util.Arrays.equals(modelBytes,
+      java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(model))),
+      "resume must reproduce the uninterrupted model byte-for-byte")
+    // crash WINDOW between rename-aside and promote: only cp.old is
+    // complete, the .tmp is garbage — recovery resumes from the aside
+    java.nio.file.Files.move(java.nio.file.Paths.get(cp),
+      java.nio.file.Paths.get(cp + ".old"))
+    java.nio.file.Files.write(java.nio.file.Paths.get(cp + ".tmp"),
+      "garbage".getBytes("UTF-8"))
+    graft.cli.Tokenizer.main(Array("--conf", conf(400)))
+    assert(java.util.Arrays.equals(modelBytes,
+      java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(model))))
+    assert(!new java.io.File(cp + ".old").exists())
+    // a checkpoint from another configuration is refused by its header
+    val e = intercept[IllegalArgumentException] {
+      graft.cli.Tokenizer.main(Array("--conf", conf(300)))
+    }
+    assert(e.getMessage.contains("stale checkpoint"), e.getMessage)
+  }
+
   test("curator unigram-model: budget chunking, token_ids, and packing run the " +
       "whole token pipeline under the unigram tokenizer; bpe-* mixing rejected") {
     import org.apache.spark.sql.functions.{col, explode, sum => asum, size => asize}

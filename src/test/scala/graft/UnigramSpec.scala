@@ -199,6 +199,37 @@ class UnigramSpec extends SparkTestBase {
     assert(pairs.forall { case (x, y) => math.abs(x - y) < 1e-6 })
   }
 
+  test("crash resume: every round-boundary checkpoint reproduces the " +
+      "uninterrupted run bit-exactly; checkpoint file round-trips; stale guard") {
+    val docs = (Seq.fill(40)("banana band ran and ran") ++ Seq.fill(20)("ran off band"))
+      .zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("id", "text")
+    val states = scala.collection.mutable.ArrayBuffer.empty[UnigramTrainer.TrainState]
+    val full = UnigramTrainer.train(docs, "text", targetPieces = 12,
+      maxPieceLen = 5, onRound = states += _)
+    assert(states.size >= 2, "expected at least the seed round + one prune round")
+    // resuming from ANY captured boundary — first, middle, final —
+    // lands on the identical model (the in-heap path is bit-exact)
+    for (st <- states) {
+      val again = UnigramTrainer.train(docs, "text", targetPieces = 12,
+        maxPieceLen = 5, resume = Some(st))
+      assert(again == full, s"resume from a ${st.pieces.length}-piece state diverged")
+    }
+    // checkpoint file: header params + bit-exact state round-trip
+    val pth = java.nio.file.Files.createTempDirectory("ug_ck").toString + "/ck.tsv"
+    UnigramTrainer.saveCheckpoint(spark, pth, states.head, "target=12;len=5")
+    val (back, params) = UnigramTrainer.loadCheckpoint(spark, pth)
+    assert(params == "target=12;len=5")
+    assert(back.pieces.sameElements(states.head.pieces))
+    assert(back.scores.sameElements(states.head.scores))
+    assert(back.counts.sameElements(states.head.counts))
+    // a checkpoint carrying pieces longer than maxPieceLen is refused
+    val e = intercept[IllegalArgumentException] {
+      UnigramTrainer.train(docs, "text", targetPieces = 12, maxPieceLen = 2,
+        resume = Some(states.head))
+    }
+    assert(e.getMessage.contains("stale checkpoint"), e.getMessage)
+  }
+
   test("targetPieces below the alphabet fails loudly") {
     val docs = Seq((1L, "abcdefghij")).toDF("id", "text")
     val e = intercept[IllegalArgumentException] {
