@@ -27,6 +27,7 @@ object PerfProbe {
     case Some("13") => probe13(args.drop(1))
     case Some("14") => probe14(args.drop(1))
     case Some("15") => probe15(args.drop(1))
+    case Some("16") => probe16(args.drop(1))
     case other => sys.error(
       s"usage: runMain graft.tools.PerfProbe <1-12> [probe args]; got $other")
   }
@@ -840,6 +841,56 @@ object PerfProbe {
     val tEnc = (System.nanoTime() - t1) / 1e9
     println(f"[probe15] encode: $ids ids over $nDocs docs in $tEnc%.2f s " +
       f"(${nDocs / tEnc}%.0f docs/s, ${ids / tEnc}%.0f ids/s)")
+    docs.unpersist()
+    spark.stop()
+  }
+
+  /** Probe 16 (round 12): the DISTRIBUTED WordPiece merge loop at
+    * corpus scale — the probe15 corpus (1M docs, ~310k distinct
+    * pretokens) with `maxWords = 1` forcing the aggregate-per-round
+    * path: each round is one pair-count + one symbol-count aggregate
+    * over the cached word table, scores joined against the
+    * broadcast-small symbol table, non-interacting-prefix batches
+    * applied in one pass. Reports wall time for 200 merges and the
+    * trained vocab's greedy-encode throughput. */
+  private def probe16(args: Array[String]): Unit = {
+    val spark = Local.session(sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
+    import spark.implicits._
+    import graft.llm.WordPieceTrainer
+    val nDocs = args.headOption.map(_.toInt).getOrElse(1000000)
+    val letters = "abcdefghijklmnopqrstuvwxyz"
+    val word = udf { (seed: Long) =>
+      if (seed % 3 != 0) s"w${seed % 97}"
+      else {
+        val x = seed * 2654435761L
+        val sb = new StringBuilder
+        var v = if (x < 0) -x else x
+        var i = 0
+        while (i < 4) { sb.append(letters((v % 26).toInt)); v /= 26; i += 1 }
+        sb.toString
+      }
+    }
+    val docs = spark.range(nDocs)
+      .select(col("id"), concat_ws(" ",
+        (0 until 8).map(k => word(col("id") * 8 + lit(k))): _*).as("text"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    println(s"[probe16] docs: ${docs.count()}")
+    val t0 = System.nanoTime()
+    val vocab = WordPieceTrainer.learnVocab(docs, "text",
+      vocabSize = 5 + 2 * 36 + 200, maxWords = 1, batchK = 8)
+    val tTrain = (System.nanoTime() - t0) / 1e9
+    println(f"[probe16] distributed wordpiece: ${vocab.size}-token vocab " +
+      f"in $tTrain%.2f s")
+    val dir = java.nio.file.Files.createTempDirectory("probe16")
+    val path = s"$dir/vocab.txt"
+    WordPieceTrainer.save(spark, path, vocab)
+    val t1 = System.nanoTime()
+    val ids = docs.select(
+      sum(graft.functions.GraftFunctions.wordPieceCount(col("text"), path)))
+      .head().getLong(0)
+    val tEnc = (System.nanoTime() - t1) / 1e9
+    println(f"[probe16] encode: $ids ids over $nDocs docs in $tEnc%.2f s " +
+      f"(${nDocs / tEnc}%.0f docs/s)")
     docs.unpersist()
     spark.stop()
   }
