@@ -3033,6 +3033,33 @@ object SparkEntry {
         .select("doc_id", "chunk_id", "chunk_tokens", "chunk_bpe_tokens")
     }),
 
+    // ---- Markdown → plain-text ingest rewrite: every corpus doc's
+    // text, SANITIZED of marker characters, is wrapped in constructed
+    // markdown exercising the full rule set (header, bold+emphasis,
+    // link+inline code, blockquote, list, hr, fenced code, table row +
+    // separator), then stripped. ORACLE-EXACT: the oracle replays the
+    // sanitize + the hand-derived expected layout — so every rule's
+    // output is pinned against DuckDB on 500 real payloads.
+    "q143_markdown_strip" -> ((s, dir) => {
+      val p0 = trim(regexp_replace(regexp_replace(col("text"),
+        "[\\]\\[()*_`#>|\\\\=:.~{}!+<-]", ""), "\\s+", " "))
+      val p = when(length(p0) === 0, lit("x")).otherwise(p0)
+      val md = concat_ws("\n",
+        lit("# Header One"),
+        concat(lit("**"), p, lit("** mid *"), p, lit("*")),
+        concat(lit("["), p, lit("](http://ex.com/a) and `"), p, lit("`")),
+        concat(lit("> "), p),
+        concat(lit("- item "), p),
+        lit("---"),
+        lit("```"),
+        concat(lit("code "), p),
+        lit("```"),
+        concat(lit("| "), p, lit(" | cell |")),
+        lit("|---|---|"))
+      t(s, dir, "documents").select(col("doc_id"),
+        graft.functions.GraftFunctions.markdownStrip(md).as("text"))
+    }),
+
     // ---- CCNet in its PRODUCTION configuration: per-source
     // head/middle/tail thirds by the KenLM-class model's score — q98's
     // bucket machinery over MODIFIED-KN (q98 buckets on the unigram
@@ -4327,6 +4354,23 @@ object SparkEntry {
       """SELECT doc_id,
         |  CASE WHEN doc_id % 7 = 0 THEN text || ' naïve ☃😀' ELSE text END AS text
         |FROM documents""".stripMargin,
+    "q143_markdown_strip" ->
+      """WITH s AS (
+        |  SELECT doc_id,
+        |    trim(regexp_replace(regexp_replace(text,
+        |      '[\]\[()*_`#>|\\=:.~{}!+<-]', '', 'g'), '\s+', ' ', 'g')) AS pp
+        |  FROM documents),
+        |p AS (
+        |  SELECT doc_id, CASE WHEN length(pp) = 0 THEN 'x' ELSE pp END AS p FROM s)
+        |SELECT doc_id,
+        |  'Header One' || chr(10) ||
+        |  p || ' mid ' || p || chr(10) ||
+        |  p || ' and ' || p || chr(10) ||
+        |  p || chr(10) ||
+        |  'item ' || p || chr(10) ||
+        |  'code ' || p || chr(10) ||
+        |  p || ' cell' AS text
+        |FROM p""".stripMargin,
     "q104_gopher_rules" ->
       """WITH t AS (
         |  SELECT doc_id, text,

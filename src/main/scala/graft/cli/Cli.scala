@@ -353,6 +353,9 @@ object Scorer {
   * (the full published Gopher rule set as one more scan predicate),
   * `c4-rules = true` (the published C4 cleaning: line retention
   * rewrites the text FIRST, page rules drop pages),
+  * `strip-markdown = true` (markdown markup to plain text, fenced code
+  * kept verbatim — the code/docs-corpus ingest boundary, applied after
+  * the HTML one so HTML-rendered markdown sheds both layers),
   * `strip-html = true` (deterministic HTML-to-text extraction, first
   * of the text rewrites), `normalize-text = true` (mojibake repair +
   * CRLF/control cleanup + Unicode NFC, before redaction and all
@@ -550,13 +553,25 @@ object Curator {
           case None => graft.llm.TextAnalysis.stripHtmlFull(col(tcol))
         })
       }
+    // optional markdown strip next (`strip-markdown = true`): the
+    // ingest boundary for code/docs corpora (READMEs, wikis) — markup
+    // markers out, content (fenced code included) kept; one-shot, like
+    // the HTML boundary above. Runs AFTER strip-html so documents
+    // carrying both (HTML-rendered markdown) shed both layers.
+    val rawM =
+      if (!c.getBoolean("strip-markdown").getOrElse(false)) rawH
+      else stages.timed("strip-markdown") {
+        val tcol = c.getString("text-column").getOrElse("text")
+        rawH.withColumn(tcol,
+          graft.functions.GraftFunctions.markdownStrip(col(tcol)))
+      }
     // optional text normalization next (`normalize-text = true`):
     // mojibake repair, CRLF/control cleanup, Unicode NFC — BEFORE
     // redaction and any hashing, so PII regexes see repaired text and
     // dedup state hashes canonical bytes (the same visible string in
     // composed and decomposed form must carry ONE content hash)
     val rawN =
-      if (!c.getBoolean("normalize-text").getOrElse(false)) rawH
+      if (!c.getBoolean("normalize-text").getOrElse(false)) rawM
       else stages.timed("normalize-text") {
         val tcol = c.getString("text-column").getOrElse("text")
         // default = the ftfy-core ALGORITHM (re-decode any cp1252/
@@ -2245,7 +2260,8 @@ object Compactor {
   * explicit override that diverges from it is rejected
   * (`max-hamming` is a query-time radius, not baked into state).
   * `filter` is stateless curation-lite over a document stream —
-  * `strip-html`/`normalize-text` (the ingest rewrites, applied first),
+  * `strip-html`/`strip-markdown`/`normalize-text` (the ingest
+  * rewrites, applied first, in that order),
   * `min-quality`/`gopher-rules`/`c4-rules`/`langs`/
   * `max-repetition`(+`repetition-ngram`)/
   * `lm-path`+`min-lm-logp`/`kn3-path`+`min-kn3-logp`/
@@ -2375,6 +2391,7 @@ object Streamer {
           textCol = c.getString("text-column").getOrElse("text"),
           minQuality = c.getDouble("min-quality"),
           stripHtml = c.getString("strip-html").exists(_.toBoolean),
+          stripMarkdown = c.getString("strip-markdown").exists(_.toBoolean),
           normalizeText = c.getString("normalize-text").exists(_.toBoolean),
           gopherRules = c.getString("gopher-rules").exists(_.toBoolean),
           c4Rules = c.getString("c4-rules").exists(_.toBoolean),

@@ -374,6 +374,9 @@ object GraftFunctions {
   def fixMojibake(c: Column): Column =
     ColumnBridge.column(FixMojibake(ColumnBridge.expression(c)))
 
+  def markdownStrip(c: Column): Column =
+    ColumnBridge.column(MarkdownStrip(ColumnBridge.expression(c)))
+
   def deflateRatio(c: Column): Column =
     ColumnBridge.column(DeflateRatio(ColumnBridge.expression(c)))
 
@@ -941,6 +944,12 @@ object GraftFunctions {
       (es: Seq[Expression]) => {
         require(es.length == 1, s"graft_fix_mojibake takes 1 argument, got ${es.length}")
         FixMojibake(es.head)
+      }),
+    ("graft_markdown_strip",
+      new ExpressionInfo(classOf[MarkdownStrip].getName, "graft_markdown_strip"),
+      (es: Seq[Expression]) => {
+        require(es.length == 1, s"graft_markdown_strip takes 1 argument, got ${es.length}")
+        MarkdownStrip(es.head)
       }),
     ("graft_deflate_ratio",
       new ExpressionInfo(classOf[DeflateRatio].getName, "graft_deflate_ratio"),

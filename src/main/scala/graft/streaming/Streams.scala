@@ -187,6 +187,7 @@ object Streams {
       textCol: String = "text",
       minQuality: Option[Double] = None,
       stripHtml: Boolean = false,
+      stripMarkdown: Boolean = false,
       normalizeText: Boolean = false,
       gopherRules: Boolean = false,
       c4Rules: Boolean = false,
@@ -223,15 +224,22 @@ object Streams {
         case None => TextAnalysis.stripHtmlFull(col(textCol))
       })
       else docs
+    // markdown strip next (same order as the batch Curator: an
+    // HTML-rendered markdown doc sheds both layers)
+    val unMarked =
+      if (stripMarkdown)
+        unHtmled.withColumn(textCol,
+          graft.functions.GraftFunctions.markdownStrip(col(textCol)))
+      else unHtmled
     val normed =
       if (normalizeText)
-        unHtmled.withColumn(textCol, mojibakeList match {
+        unMarked.withColumn(textCol, mojibakeList match {
           // same default as the batch Curator: algorithmic ftfy-core
           // repair; a custom list switches to the chain form
           case Some(list) => TextAnalysis.normalizeText(col(textCol), list)
           case None => TextAnalysis.normalizeTextFull(col(textCol))
         })
-      else unHtmled
+      else unMarked
     val cleaned =
       if (c4Rules) TextAnalysis.c4Apply(normed, textCol,
         TextAnalysis.C4Thresholds(

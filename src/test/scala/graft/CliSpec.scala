@@ -1840,6 +1840,39 @@ class CliSpec extends SparkTestBase {
       "light PII scrubbed after the density gate")
   }
 
+  test("curator strip-markdown: markup stripped at ingest (after strip-html — " +
+      "an HTML-rendered markdown doc sheds both layers), code kept verbatim") {
+    import spark.implicits._
+    val base = tmp()
+    val docs = Seq(
+      (1L, "# Readme\n**install** with [pip](https://x)\n```\npip install x\n```"),
+      // both layers: html wrapping markdown
+      (2L, "<html><body><p># Title and **bold** words here</p></body></html>"),
+      (3L, "plain prose document with no markup at all"))
+      .toDF("doc_id", "text")
+    val src = base.resolve("mdsrc").toString
+    docs.write.parquet(src)
+    val out = base.resolve("mdout").toString
+    val f = write(base.resolve("curator_md.conf"),
+      s"""source { storage-type = local, dataset-dir = $src }
+         |target { storage-type = local, dataset-dir = $out, dataset-store-format = parquet, write-mode = overwrite }
+         |curation {
+         |  min-quality = 0.0
+         |  strip-html = true
+         |  strip-markdown = true
+         |}
+         |""".stripMargin)
+    graft.cli.Curator.main(Array("--conf", f))
+    val rows = spark.read.parquet(out).select("doc_id", "text")
+      .as[(Long, String)].collect().toMap
+    assert(rows(1L) == "Readme\ninstall with pip\npip install x",
+      s"markdown must strip with code kept: '${rows(1L)}'")
+    assert(rows(2L).contains("Title and bold words here") &&
+      !rows(2L).contains("**") && !rows(2L).contains("#"),
+      s"both layers must shed: '${rows(2L)}'")
+    assert(rows(3L) == "plain prose document with no markup at all")
+  }
+
   test("curator web-ingest chain: strip-html + normalize-text + c4 + gopher " +
       "+ budget compose in one config, each stage catching its own class") {
     import org.apache.spark.sql.functions.{col, sum}

@@ -150,6 +150,31 @@ class StreamsSpec extends SparkTestBase {
     assert(spark.read.parquet(out).count() == n1)
   }
 
+  test("filterDocStream strip-markdown: markup stripped at arrival before any " +
+      "signal; stream/batch parity") {
+    import spark.implicits._
+    val dir = s"${java.nio.file.Files.createTempDirectory("stream_md")}/docs"
+    Seq(
+      (1L, "# Title\n**bold** [link](http://x) `code()`"),
+      (2L, "plain prose stays untouched"))
+      .toDF("doc_id", "text").write.parquet(dir)
+    def stream() = spark.readStream
+      .schema(spark.read.parquet(dir).schema).parquet(dir)
+    val got = Streams.runToMemory(
+      Streams.filterDocStream(stream(), "text", stripMarkdown = true),
+      "md_docs", OutputMode.Append())
+    val byId = got.select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(byId(1L) == "Title\nbold link code()")
+    assert(byId(2L) == "plain prose stays untouched")
+    // batch parity through the same code path
+    val batch = Streams.filterDocStream(
+      spark.read.parquet(dir), "text", stripMarkdown = true)
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(batch == byId)
+  }
+
   test("filterDocStream: stateless curation-lite drops gibberish and " +
       "low-LM docs at arrival; batch parity; annotate-only keeps all") {
     import spark.implicits._
