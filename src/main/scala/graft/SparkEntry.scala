@@ -188,15 +188,29 @@ object SparkEntry {
     * totality, and the synthetic corpus is multilingual (q125 spans 30
     * codes), so a fixed target could undercut a large alphabet. */
   private def ensureUnigramArtifact(s: SparkSession, dir: String): String = {
-    val base = statePath(dir, "unigram_tok")
+    // v2: full-corpus alphabet coverage joined the training input — the
+    // version suffix invalidates any v1 artifact cached under the same
+    // testdata mtime (the state key hashes data, not trainer code)
+    val base = statePath(dir, "unigram_tok_v2")
     val modelPath = s"$base/unigram.tsv"
     val doneMarker = new java.io.File(base, "_DONE")
     if (!doneMarker.exists()) {
-      val train = t(s, dir, "documents")
+      // the statistics slice stays docs<100, but the ALPHABET covers the
+      // whole corpus: q140 scores held-out docs and gates ids <
+      // non-whitespace chars, which only holds if no scoring codepoint
+      // byte-falls-back (an unseen char costs up to 4 ids). Two copies
+      // of one synthetic all-distinct-chars doc (space-joined) clear the
+      // trainer's minCount=2 so every single survives seeding.
+      val slice = t(s, dir, "documents")
         .filter(col("doc_id") < 100).select(col("text"))
-      val alpha = train
+      val allChars = t(s, dir, "documents")
         .select(explode(split(col("text"), "")).as("ch"))
-        .filter(length(col("ch")) > 0).distinct().count()
+        .filter(length(col("ch")) > 0).distinct()
+      val alpha = allChars.count()
+      val alphaDoc = allChars.agg(concat_ws(" ", collect_list(col("ch"))))
+        .head().getString(0)
+      import s.implicits._
+      val train = slice.unionByName(Seq(alphaDoc, alphaDoc).toDF("text"))
       val pieces = graft.llm.UnigramTrainer.train(train, "text",
         targetPieces = alpha.toInt + 256, maxPieceLen = 8)
       graft.llm.UnigramTrainer.save(s, modelPath, pieces)
@@ -3041,8 +3055,12 @@ object SparkEntry {
     // sanitize + the hand-derived expected layout — so every rule's
     // output is pinned against DuckDB on 500 real payloads.
     "q143_markdown_strip" -> ((s, dir) => {
+      // explicit whitespace class, not \s: Java's \s includes U+000B
+      // while RE2's does not, so a doc containing a vertical tab would
+      // collapse differently in the two engines — the oracle uses the
+      // identical class
       val p0 = trim(regexp_replace(regexp_replace(col("text"),
-        "[\\]\\[()*_`#>|\\\\=:.~{}!+<-]", ""), "\\s+", " "))
+        "[\\]\\[()*_`#>|\\\\=:.~{}!+<-]", ""), "[ \\t\\n\\r\\f\\x0B]+", " "))
       val p = when(length(p0) === 0, lit("x")).otherwise(p0)
       val md = concat_ws("\n",
         lit("# Header One"),
@@ -4358,7 +4376,8 @@ object SparkEntry {
       """WITH s AS (
         |  SELECT doc_id,
         |    trim(regexp_replace(regexp_replace(text,
-        |      '[\]\[()*_`#>|\\=:.~{}!+<-]', '', 'g'), '\s+', ' ', 'g')) AS pp
+        |      '[\]\[()*_`#>|\\=:.~{}!+<-]', '', 'g'),
+        |      '[ \t\n\r\f\x0B]+', ' ', 'g')) AS pp
         |  FROM documents),
         |p AS (
         |  SELECT doc_id, CASE WHEN length(pp) = 0 THEN 'x' ELSE pp END AS p FROM s)

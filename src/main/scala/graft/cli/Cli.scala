@@ -1231,7 +1231,17 @@ object Curator {
               "curation.bpe-merges — real counts are defined by a tokenizer"))
           if (c.getBoolean("bpe-byte-level").getOrElse(false))
             Some(tc => graft.functions.GraftFunctions.bpeByteCount(tc, m))
-          else Some(tc => graft.functions.GraftFunctions.bpeCount(tc, m))
+          else c.getString("bpe-vocab") match {
+            // with a vocab alongside, count token IDS (byte fallback
+            // expands an OOV segment to its UTF-8 byte count of ids) —
+            // size(graft_bpe_encode) exactly, same contract as
+            // graft_bpe_chunks; without one, segment units are the only
+            // definable count and n_tokens is in SEGMENT units
+            case Some(v) =>
+              Some(tc => graft.functions.GraftFunctions.bpeIdCount(tc, m, v))
+            case None =>
+              Some(tc => graft.functions.GraftFunctions.bpeCount(tc, m))
+          }
       }
     val curatedTok = realCounter.fold(curated)(f =>
       curated.withColumn("n_tokens", f(col(textCol)).cast("long")))
@@ -2667,9 +2677,13 @@ object Tokenizer {
     * PER ID (the compression yardstick — higher is denser), the
     * round-trip-ok count under each family's own round-trip contract
     * (lossless decode∘encode for bpe/bpe-byte/unigram; the structural
-    * re-join for wordpiece), and fallback/unk id counts (`<unk>`-class
-    * ids for the total families — structurally 0; `[UNK]` for
-    * wordpiece, where loss is by design). Report lands FIRST at
+    * re-join for wordpiece), and fallback id counts — the ids the
+    * artifact emits when its learned pieces MISS: byte-fallback ids
+    * under a byte-fallback layout (bpe-with-vocab: the 256 reserved
+    * `<0xNN>` ids; unigram: layout ids 2-257), `<unk>` on a legacy
+    * vocab, `[UNK]` for wordpiece; byte-level bpe has no fallback
+    * concept → 0. A high fallback share is the "vocab doesn't fit
+    * this corpus" signal. Report lands FIRST at
     * `report-dir`; `require-lossless = true` then gates: every total
     * family must round-trip every doc. One scan per artifact, all
     * metrics in one aggregate — no collects, no shuffles beyond the
@@ -2690,23 +2704,39 @@ object Tokenizer {
       require(parts.length >= 3,
         s"tokenizer.evaluate entry '$spec' must be 'name|algo|path[|vocab-path]'")
       val (name, algo) = (parts(0), parts(1))
-      val (ids, back, fallbackId): (org.apache.spark.sql.Column,
-          org.apache.spark.sql.Column, Int) = algo match {
+      // fallback_ids counts the ids an id-complete vocab ACTUALLY emits
+      // when a segment misses: the byte-fallback ids under a
+      // byte-fallback layout (unk id 0 is structurally never emitted
+      // there — counting only it would pin the column at 0 and hide a
+      // poorly fitting vocab), `<unk>` on a legacy vocab, `[UNK]` for
+      // wordpiece. byte-level bpe has no fallback concept (every byte
+      // is a first-class token) → structurally 0.
+      val (ids, back, fallbackPred): (org.apache.spark.sql.Column,
+          org.apache.spark.sql.Column,
+          org.apache.spark.sql.Column => org.apache.spark.sql.Column) = algo match {
         case "bpe" =>
           require(parts.length == 4, s"evaluate '$spec': bpe needs merges|vocab")
+          val v = graft.functions.BpeVocabIdRegistry.get(parts(3))
+          val pred: org.apache.spark.sql.Column => org.apache.spark.sql.Column =
+            if (v.hasByteFallback) {
+              // the 256 reserved <0xNN> ids, wherever the vocab put them
+              val byteSet = typedLit(v.byteIds.toSeq)
+              i => array_contains(byteSet, i)
+            } else (i => i === 0)
           (GraftFunctions.bpeEncode(col("t"), parts(2), parts(3)),
             GraftFunctions.bpeDecode(GraftFunctions.bpeEncodeLossless(
-              col("t"), parts(2), parts(3)), parts(3)), 0)
+              col("t"), parts(2), parts(3)), parts(3)), pred)
         case "bpe-byte" =>
           require(parts.length == 4, s"evaluate '$spec': bpe-byte needs merges|vocab")
           (GraftFunctions.bpeByteEncode(col("t"), parts(2), parts(3)),
             GraftFunctions.bpeByteDecode(GraftFunctions.bpeByteEncode(
-              col("t"), parts(2), parts(3)), parts(3)), 0)
+              col("t"), parts(2), parts(3)), parts(3)), (_ => lit(false)))
         case "unigram" =>
           require(parts.length == 3, s"evaluate '$spec': unigram takes one model path")
+          // fixed SentencePiece-style layout: byte pieces are lines 2-257
           (GraftFunctions.unigramEncode(col("t"), parts(2)),
             GraftFunctions.unigramDecode(GraftFunctions.unigramEncodeLossless(
-              col("t"), parts(2)), parts(2)), 0)
+              col("t"), parts(2)), parts(2)), (i => i >= 2 && i <= 257))
         case "wordpiece" =>
           require(parts.length == 3, s"evaluate '$spec': wordpiece takes one vocab path")
           val unk = {
@@ -2717,7 +2747,7 @@ object Tokenizer {
             finally in.close()
           }
           (GraftFunctions.wordPieceEncode(col("t"), parts(2)),
-            GraftFunctions.wordPieceRoundtrip(col("t"), parts(2)), unk)
+            GraftFunctions.wordPieceRoundtrip(col("t"), parts(2)), (i => i === unk))
         case other => throw new IllegalArgumentException(
           s"evaluate '$spec': unknown algo '$other' (bpe | bpe-byte | unigram | wordpiece)")
       }
@@ -2726,7 +2756,7 @@ object Tokenizer {
         sum(octet_length(col("t"))).as("text_bytes"),
         sum(size(col("ids"))).as("total_ids"),
         count(when(col("back") === col("t"), 1)).as("roundtrip_ok"),
-        coalesce(sum(size(filter(col("ids"), i => i === fallbackId))), lit(0L))
+        coalesce(sum(size(filter(col("ids"), fallbackPred))), lit(0L))
           .as("fallback_ids")).head()
       val nDocs = r.getAs[Long]("n_docs")
       val totalIds = r.getAs[Long]("total_ids")

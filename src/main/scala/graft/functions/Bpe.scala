@@ -526,6 +526,11 @@ object BpeVocabIdRegistry {
       seg.getBytes(java.nio.charset.StandardCharsets.UTF_8).length
     else 1
 
+  /** Codegen entry for [[BpeIdCount]] — UTF8String bridge over
+    * [[idCountText]]. */
+  def idCount(mergesPath: String, vocabPath: String, text: UTF8String): Int =
+    idCountText(mergesPath, vocabPath, text.toString)
+
   /** Token-ID count of a text under (merges, vocab) — what
     * `size(graft_bpe_encode(text))` would return, without building the
     * array. This, not the segment count, is the budget a context
@@ -843,6 +848,38 @@ case class BpeCount(child: Expression, mergesPath: String) extends UnaryExpressi
     // no escaping hazards in generated Java
     val pathRef = ctx.addReferenceObj("bpeMergesPath", mergesPath, "java.lang.String")
     defineCodeGen(ctx, ev, c => s"graft.functions.BpeRegistry.count($pathRef, $c)")
+  }
+
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
+}
+
+/** `graft_bpe_id_count(string, 'merges-path', 'vocab-path') -> int` —
+  * the TRUE id count under (merges, vocab): `size(graft_bpe_encode)`
+  * without building the array. Differs from [[BpeCount]] exactly when
+  * byte fallback is live — an OOV segment costs its UTF-8 byte count
+  * of ids, not 1 — so this, not the segment count, is what
+  * `real-token-counts` and token budgets must use once a vocab is
+  * configured (same contract [[BpeChunksImpl]] already follows). */
+case class BpeIdCount(child: Expression, mergesPath: String,
+    vocabPath: String) extends UnaryExpression {
+  require(mergesPath.nonEmpty, "graft_bpe_id_count needs a merges path")
+  require(vocabPath.nonEmpty, "graft_bpe_id_count needs a vocab path")
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case _: StringType => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(s"graft_bpe_id_count expects string, got $t")
+  }
+  override def dataType: DataType = IntegerType
+  override def prettyName: String = "graft_bpe_id_count"
+
+  override protected def nullSafeEval(t: Any): Any =
+    BpeVocabIdRegistry.idCount(mergesPath, vocabPath, t.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val mRef = ctx.addReferenceObj("bpeMergesPath", mergesPath, "java.lang.String")
+    val vRef = ctx.addReferenceObj("bpeVocabPath", vocabPath, "java.lang.String")
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.BpeVocabIdRegistry.idCount($mRef, $vRef, $c)")
   }
 
   override protected def withNewChildInternal(c: Expression): Expression =

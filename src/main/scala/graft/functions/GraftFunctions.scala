@@ -276,11 +276,17 @@ object GraftFunctions {
   def simhash64(c: Column, gramSize: Int = 1): Column =
     ColumnBridge.column(SimHash64(ColumnBridge.expression(c), gramSize))
 
+  def cpCount(c: Column): Column =
+    ColumnBridge.column(CodePointCount(ColumnBridge.expression(c)))
+
   def fingerprint(c: Column, k: Int = 8, m: Int = 4): Column =
     ColumnBridge.column(DocFingerprint(ColumnBridge.expression(c), k, m))
 
   def bpeCount(c: Column, mergesPath: String): Column =
     ColumnBridge.column(BpeCount(ColumnBridge.expression(c), mergesPath))
+
+  def bpeIdCount(c: Column, mergesPath: String, vocabPath: String): Column =
+    ColumnBridge.column(BpeIdCount(ColumnBridge.expression(c), mergesPath, vocabPath))
 
   def bpeSegments(c: Column, mergesPath: String): Column =
     ColumnBridge.column(BpeSegments(ColumnBridge.expression(c), mergesPath))
@@ -459,6 +465,12 @@ object GraftFunctions {
         require(es.length == 1, s"graft_textstats takes 1 argument, got ${es.length}")
         TextStats(es.head)
       }),
+    ("graft_cp_count",
+      new ExpressionInfo(classOf[CodePointCount].getName, "graft_cp_count"),
+      (es: Seq[Expression]) => {
+        require(es.length == 1, s"graft_cp_count takes 1 argument, got ${es.length}")
+        CodePointCount(es.head)
+      }),
     ("graft_simhash",
       new ExpressionInfo(classOf[SimHash64].getName, "graft_simhash"),
       (es: Seq[Expression]) => es match {
@@ -499,6 +511,19 @@ object GraftFunctions {
           case s: UTF8String => BpeCount(es.head, s.toString)
           case other => throw new IllegalArgumentException(
             s"graft_bpe_count merges path must be a string literal, got $other")
+        }
+      }),
+    ("graft_bpe_id_count",
+      new ExpressionInfo(classOf[BpeIdCount].getName, "graft_bpe_id_count"),
+      (es: Seq[Expression]) => {
+        require(es.length == 3, s"graft_bpe_id_count takes 3 arguments, got ${es.length}")
+        require(es(1).foldable && es(2).foldable,
+          "graft_bpe_id_count merges/vocab paths must be literals")
+        (es(1).eval(), es(2).eval()) match {
+          case (m: UTF8String, v: UTF8String) =>
+            BpeIdCount(es.head, m.toString, v.toString)
+          case other => throw new IllegalArgumentException(
+            s"graft_bpe_id_count paths must be string literals, got $other")
         }
       }),
     ("graft_lm_logprob",

@@ -169,6 +169,36 @@ object TextStatsImpl {
 }
 
 /** `graft_textstats(string) -> struct<...>` (see TextStatsImpl). */
+/** `graft_cp_count(string) -> int` — Unicode code-point count (Java
+  * `String.codePointCount` semantics: a surrogate pair is ONE). The
+  * trainer-side piece-length filter needs the exact count on pieces
+  * with astral chars; kept as a codegen'd expression so the repo's
+  * "zero `udf()` in main" rule holds unqualified. */
+object CodePointCountImpl {
+  def compute(s: UTF8String): Int = {
+    val str = s.toString
+    str.codePointCount(0, str.length)
+  }
+}
+
+case class CodePointCount(child: Expression) extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case _: StringType => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(s"graft_cp_count expects string, got $t")
+  }
+  override def dataType: DataType = IntegerType
+  override def prettyName: String = "graft_cp_count"
+
+  override protected def nullSafeEval(t: Any): Any =
+    CodePointCountImpl.compute(t.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.CodePointCountImpl.compute($c)")
+
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
+}
+
 case class TextStats(child: Expression) extends UnaryExpression {
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
     case _: StringType => TypeCheckResult.TypeCheckSuccess

@@ -267,11 +267,11 @@ object UnigramTrainer {
     try {
       val singles = subs
         .filter(length(col("piece")) > 0)
-        .filter(udfCpLen(col("piece")) === 1)
+        .filter(cpLen(col("piece")) === 1)
         .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
       val multis = subs
-        .filter(udfCpLen(col("piece")) >= 2 && col("c") >= minCount)
-        .withColumn("score", col("c") * udfCpLen(col("piece")))
+        .filter(cpLen(col("piece")) >= 2 && col("c") >= minCount)
+        .withColumn("score", col("c") * cpLen(col("piece")))
         .orderBy(desc("score"), asc("piece"))
         .limit(math.max(0, seedSize - singles.size))
         .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
@@ -279,9 +279,10 @@ object UnigramTrainer {
     } finally { subs.unpersist(); () }
   }
 
-  // codepoint length as a column (BMP-dominant corpora: length() counts
-  // UTF-16 units; pieces with surrogates need the exact count)
-  private val udfCpLen = udf((s: String) => s.codePointCount(0, s.length))
+  // codepoint length as a column — the codegen'd graft_cp_count
+  // expression (Java codePointCount semantics: a surrogate pair is ONE)
+  private def cpLen(c: org.apache.spark.sql.Column) =
+    graft.functions.GraftFunctions.cpCount(c)
 
   // ---------------------------------------------------------------
   // E-steps

@@ -264,6 +264,42 @@ class BpeSpec extends SparkTestBase {
       String.valueOf(e.getCause).contains("byte-fallback"), s"got $e")
   }
 
+  test("graft_bpe_id_count: the TRUE id count — equals size(encode) on every " +
+      "doc and exceeds the segment count exactly when byte fallback fires") {
+    import graft.llm.BpeTrainer
+    val corpus = Seq("the quick brown fox", "the lazy dog").toDF("text")
+    val merges = BpeTrainer.learnMerges(corpus, "text", numMerges = 8)
+    val dir = java.nio.file.Files.createTempDirectory("graft_bpe_idcount")
+    val mPath = s"$dir/merges.txt"
+    val vPath = s"$dir/vocab.txt"
+    BpeTrainer.saveMerges(spark, mPath, merges)
+    BpeTrainer.saveVocab(spark, vPath, BpeTrainer.buildVocab(corpus, "text", merges))
+    // doc 1 is fully covered (id count == segment count); doc 2 carries
+    // OOV multi-byte chars (☃ = 3 ids, ü = 2 ids — one segment each)
+    val df = Seq((1L, "the quick dog"), (2L, "the ☃ü dog"),
+      (3L, null.asInstanceOf[String])).toDF("id", "text")
+    val got = df.select(col("id"),
+        GraftFunctions.bpeIdCount(col("text"), mPath, vPath).as("n_id"),
+        GraftFunctions.bpeCount(col("text"), mPath).as("n_seg"),
+        size(GraftFunctions.bpeEncode(col("text"), mPath, vPath)).as("n_enc"))
+      .collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(1)) null else (r.getInt(1), r.getInt(2), r.getInt(3)))).toMap
+    assert(got(3L) == null)
+    val (id1, seg1, enc1) = got(1L).asInstanceOf[(Int, Int, Int)]
+    assert(id1 == enc1 && id1 == seg1, s"covered doc: $id1/$seg1/$enc1")
+    val (id2, seg2, enc2) = got(2L).asInstanceOf[(Int, Int, Int)]
+    assert(id2 == enc2, s"id count must equal size(encode): $id2 vs $enc2")
+    // ☃ (3 bytes) + ü (2 bytes) = 5 ids from 2 segments → +3
+    assert(id2 == seg2 + 3, s"byte fallback gap: ids=$id2 segments=$seg2")
+    // SQL surface agrees
+    GraftFunctions.register(spark)
+    df.createOrReplaceTempView("bpe_idc_t")
+    val viaSql = spark.sql(
+      s"SELECT graft_bpe_id_count(text, '$mPath', '$vPath') FROM bpe_idc_t WHERE id = 2")
+      .head().getInt(0)
+    assert(viaSql == id2)
+  }
+
   test("id-aware BPE budget: with a byte-fallback vocab the chunker budgets " +
       "in token ids, so exported chunks never silently exceed the context " +
       "window the segment count would claim") {

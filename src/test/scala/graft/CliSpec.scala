@@ -2776,7 +2776,8 @@ class CliSpec extends SparkTestBase {
     assert(n > 0 && ev.values.forall(_.getAs[Long]("n_docs") == n))
     // every family round-trips under its own contract on this corpus
     assert(ev.values.forall(r => r.getAs[Long]("roundtrip_ok") == n))
-    // total families never emit <unk>-class ids
+    // fallback_ids now counts real byte-fallback emissions: the unigram
+    // artifact trained on this very corpus covers its alphabet → 0
     assert(ev("seg").getAs[Long]("fallback_ids") >= 0)
     assert(ev("ug").getAs[Long]("fallback_ids") == 0)
     // compression is measured, not asserted between families — but every

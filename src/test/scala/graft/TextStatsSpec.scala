@@ -114,4 +114,22 @@ class TextStatsSpec extends SparkTestBase {
       .select(TextAnalysis.stats(col("text"))).head()
     assert(r.isNullAt(0))
   }
+
+  test("graft_cp_count: codepoint semantics (surrogate pair = 1), null in " +
+      "null out, SQL surface, codegen") {
+    import graft.functions.GraftFunctions
+    val df = Seq((1L, "abc"), (2L, "naïve"), (3L, "☃"), (4L, "😀x"),
+      (5L, ""), (6L, null.asInstanceOf[String])).toDF("id", "t")
+    val got = df.select(col("id"), GraftFunctions.cpCount(col("t")).as("n"))
+      .collect().map(r => r.getLong(0) -> (if (r.isNullAt(1)) -1 else r.getInt(1))).toMap
+    // 😀 is 2 UTF-16 units but ONE codepoint — the case length() gets wrong
+    assert(got == Map(1L -> 3, 2L -> 5, 3L -> 1, 4L -> 2, 5L -> 0, 6L -> -1))
+    GraftFunctions.register(spark)
+    df.createOrReplaceTempView("cp_t")
+    assert(spark.sql("SELECT graft_cp_count(t) FROM cp_t WHERE id = 4")
+      .head().getInt(0) == 2)
+    val plan = docs.select(GraftFunctions.cpCount(col("text")))
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("*(1) Project"), s"no codegen span:\n$plan")
+  }
 }
