@@ -154,6 +154,39 @@ object SparkEntry {
     f.delete(): Unit
   }
 
+  /** Root of a run's REPLAY-INPUT dumps for the DuckDB oracle — the
+    * dump-and-replay idiom that converts the near-dup gates from
+    * rows-only to hash-exact: a gate computes its deterministic
+    * fingerprint/pair table once, dumps it here, consumes the
+    * READ-BACK copy for its own pairing, and the oracle SQL replays
+    * the identical pairing arithmetic (bit_count(xor), delta grouping,
+    * recursive closure) over the same parquet via `read_parquet`.
+    * What stays unverified is exactly the non-SQL-expressible DECODE
+    * step that produced the dump; every decision after it is
+    * cross-engine-pinned.
+    *
+    * Keyed by the sf dir (not mtime — the dump is overwritten by every
+    * run, staleness is impossible) so a bench run at another SF can
+    * never overwrite the verify run's dumps between `graft.Verify` and
+    * the driver's DuckDB compare. The SQL in [[oracleSql]] carries the
+    * literal `__AUX__` placeholder; [[Verify]] substitutes
+    * `auxRoot(sfDir)` when it writes oracle_sql.json (the SQL map is
+    * static and cannot know the dir). */
+  def auxRoot(dir: String): String =
+    new java.io.File(
+      new java.io.File(System.getProperty("java.io.tmpdir"), "graft_oracle_aux"),
+      dir.replaceAll("[^A-Za-z0-9.-]", "_")).toString
+
+  /** Dump `df` as the replay input named `name` and return the
+    * READ-BACK frame: both the Spark pairing and the DuckDB replay
+    * consume the exact same bytes (and the one mapPartitions decode
+    * pass is never re-run by the downstream join's two sides). */
+  private def dumpAux(df: DataFrame, dir: String, name: String): DataFrame = {
+    val path = s"${auxRoot(dir)}/$name"
+    df.coalesce(1).write.mode("overwrite").parquet(path)
+    df.sparkSession.read.parquet(path)
+  }
+
   /** Train-once BPE artifacts (mtime-keyed state dir, `_DONE` written
     * AFTER both files — the q90 crash-safety idiom), trained on
     * `doc_id < 100`. Shared by the gates that score with them: q109 and
@@ -734,8 +767,9 @@ object SparkEntry {
     // pair-drop mode (drop the higher id per verified pair) keeps BOTH
     // endpoints, while connected components keeps one survivor (min id)
     // per chain — the two modes must return different counts, which is
-    // the exact semantics this entry pins. Seeded MinHash-LSH, not
-    // SQL-expressible → rows-only; arithmetic asserted in EntrySpec.
+    // the exact semantics this entry pins. ORACLE-EXACT drop arithmetic
+    // via dump-and-replay (recursive min-label closure in DuckDB); the
+    // seeded MinHash candidate step stays rows-only by nature.
     "q38_transitive_dedup" -> ((s, dir) => {
       import s.implicits._
       import graft.llm.Dedup
@@ -754,11 +788,18 @@ object SparkEntry {
       // J≈0.86 with prob (1−J)^T — 0.3% per edge at T=3 is one broken
       // chain per ~6 corpus regenerations, while T=5 is 6e-5 (review
       // finding: the round-5 T=3 trim had no real margin)
-      val verified = Dedup.verifyPairs(
+      // ORACLE-EXACT drop arithmetic (r13): the verified pair graph and
+      // the planted node list dump as replay inputs — DuckDB replays
+      // BOTH drop disciplines (distinct-id2 for pair mode, WITH
+      // RECURSIVE min-label closure for transitive mode) over the same
+      // tables. What stays rows-only is exactly the seeded MinHash
+      // candidate generation that produced the pair graph.
+      val verified = dumpAux(Dedup.verifyPairs(
         Dedup.minHashNearDups(planted, "doc_id", "text", maxJaccardDistance = 0.2),
         planted, "doc_id", "text", minJaccard = 0.8)
-        .select("id1", "id2")
+        .select("id1", "id2"), dir, "q38_pairs")
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val nodes = dumpAux(planted.select(col("doc_id")), dir, "q38_nodes")
       // both drop disciplines counted in ONE job: planted left-joins the
       // two (tiny, broadcast) drop sets and a single aggregate
       // cross-tabulates survivors per mode × cohort — replacing two
@@ -770,7 +811,7 @@ object SparkEntry {
         .withColumn("__dc", lit(1)))
       val isEnd = col("doc_id") >= 10000 && col("doc_id") < 20000
       val isHub = col("doc_id") >= 20000
-      val r = planted
+      val r = nodes
         .join(dropPair, Seq("doc_id"), "left").join(dropCc, Seq("doc_id"), "left")
         .agg(
           count(when(col("__dp").isNull, 1)),
@@ -2680,9 +2721,10 @@ object SparkEntry {
     // banded engine as SimHash text near-dup (Dedup.sigNearDups —
     // never all-pairs). Every planted cross-codec twin must pair
     // within Hamming 3; PerfProbe 10 calibrates the margins (planted
-    // ≤ 2, cross-seed min 4 over these seeds). Pixels are not
-    // SQL-expressible → rows-only; MultimodalSpec holds the per-step
-    // asserts and EntrySpec the pair accounting.
+    // ≤ 2, cross-seed min 4 over these seeds). ORACLE-EXACT pairing
+    // via dump-and-replay (the hashes dump, DuckDB replays the radius
+    // decision over all pairs); the pixel decode itself stays
+    // SQL-inexpressible — MultimodalSpec holds its per-step asserts.
     "q129_image_neardup" -> ((s, dir) => {
       import graft.llm.Multimodal
       val media = Multimodal.asMediaTable(
@@ -2693,9 +2735,15 @@ object SparkEntry {
         media.filter(col("asset_id") % 6 === 0), jpeg = true,
         seedCol = "asset_id")
         .withColumn("asset_id", col("asset_id") + 100000)
-      val pairs = Multimodal.imageNearDups(
-        png.unionByName(jpgTwins), Multimodal.ImageIoDecoder, maxHamming = 3)
-      pairs
+      // ORACLE-EXACT pairing (r13): the per-asset dHashes dump as the
+      // replay input; DuckDB brute-forces the same Hamming decision
+      // (bit_count(xor) <= 3) over ALL pairs — so the banded engine is
+      // cross-engine-pinned to equal all-pairs-within-radius (no hot
+      // bucket fires here; pigeonhole guarantees no missed pair).
+      // Only the pixel decode stays rows-only, by nature.
+      val sigs = dumpAux(Multimodal.perceptualHashes(
+        png.unionByName(jpgTwins), Multimodal.ImageIoDecoder), dir, "q129_sigs")
+      graft.llm.Dedup.sigNearDups(sigs, maxHamming = 3)
         .groupBy(when(col("id2") - col("id1") === 100000, "planted_cross_codec")
           .otherwise("other").as("pair_type"))
         .agg(count(lit(1)).as("n_pairs"),
@@ -2711,8 +2759,9 @@ object SparkEntry {
     // construction — energies scale by c², difference signs don't),
     // and pair through the SAME banded engine as text/image near-dup.
     // PerfProbe 11 calibrates: twins 0 bits apart, cross-seed min 9 —
-    // radius 3 separates with a wide margin. rows-only (DSP is not
-    // SQL-expressible); MultimodalSpec holds the per-step asserts.
+    // radius 3 separates with a wide margin. ORACLE-EXACT pairing via
+    // dump-and-replay (q129 idiom); the DSP decode stays
+    // SQL-inexpressible — MultimodalSpec holds its per-step asserts.
     "q130_audio_neardup" -> ((s, dir) => {
       import graft.llm.Multimodal
       val media = Multimodal.asMediaTable(
@@ -2722,8 +2771,12 @@ object SparkEntry {
       val halfTwins = Multimodal.reencodeAsSmoothAudio(
         media.filter(col("asset_id") % 6 === 0), volume = 0.5f)
         .withColumn("asset_id", col("asset_id") + 100000)
-      Multimodal.audioNearDups(
-          full.unionByName(halfTwins), Multimodal.WavDecoder, maxHamming = 3)
+      // ORACLE-EXACT pairing (r13): same dump-and-replay as q129 — the
+      // spectral fingerprints dump, DuckDB replays the Hamming radius
+      // over all pairs; only the DSP decode stays rows-only.
+      val sigs = dumpAux(Multimodal.audioHashes(
+        full.unionByName(halfTwins), Multimodal.WavDecoder), dir, "q130_sigs")
+      graft.llm.Dedup.sigNearDups(sigs, maxHamming = 3)
         .groupBy(when(col("id2") - col("id1") === 100000, "planted_half_volume")
           .otherwise("other").as("pair_type"))
         .agg(count(lit(1)).as("n_pairs"),
@@ -2750,8 +2803,12 @@ object SparkEntry {
       val mjpegTwins = Multimodal.reencodeAsSmoothAvi(
         media.filter(col("asset_id") % 6 === 0), nFrames = 3, mjpeg = true)
         .withColumn("asset_id", col("asset_id") + 100000)
-      Multimodal.videoNearDups(
-          dib.unionByName(mjpegTwins), minFrames = 3, maxHamming = 5, bands = 8)
+      // ORACLE-EXACT pairing (r13): per-frame hashes dump; DuckDB
+      // replays the frame-aligned join + min-frames gate.
+      val sigs = dumpAux(Multimodal.videoFrameHashes(
+        dib.unionByName(mjpegTwins)), dir, "q131_sigs")
+      Multimodal.videoNearDupsFromSigs(sigs,
+          minFrames = 3, maxHamming = 5, bands = 8)
         .groupBy(when(col("id2") - col("id1") === 100000, "planted_cross_codec")
           .otherwise("other").as("pair_type"))
         .agg(count(lit(1)).as("n_pairs"),
@@ -2801,9 +2858,13 @@ object SparkEntry {
       val trimmed = Multimodal.reencodeAsSmoothAudio(
         media.filter(col("asset_id") % 6 === 0), trimFrames = 1024)
         .withColumn("asset_id", col("asset_id") + 100000)
-      Multimodal.audioNearDupsShifted(
-          full.unionByName(trimmed), Multimodal.WavDecoder,
-          minWindows = 2, maxHamming = 3)
+      // ORACLE-EXACT pairing (r13): windowed sub-sigs dump; DuckDB
+      // replays the offset-consistent (delta-grouped) decision.
+      val sigs = dumpAux(Multimodal.audioWindowHashes(
+        full.unionByName(trimmed), Multimodal.WavDecoder), dir, "q133_sigs")
+      graft.llm.Dedup.seqSigNearDups(
+          sigs.withColumnRenamed("window_idx", "seq_idx"),
+          minMatches = 2, maxHamming = 3)
         .groupBy(when(col("id2") - col("id1") === 100000, "planted_trimmed")
           .otherwise("other").as("pair_type"))
         .agg(countDistinct(col("id1"), col("id2")).as("n_pairs"),
@@ -2831,8 +2892,13 @@ object SparkEntry {
         media.filter(col("asset_id") % 6 === 0), nFrames = 6, mjpeg = true,
         frameOffset = 2)
         .withColumn("asset_id", col("asset_id") + 100000)
-      Multimodal.videoNearDupsShifted(
-          dib.unionByName(shifted), minFrames = 3, maxHamming = 5, bands = 8)
+      // ORACLE-EXACT pairing (r13): frame hashes dump; DuckDB replays
+      // the delta-grouped offset-consistent decision.
+      val sigs = dumpAux(Multimodal.videoFrameHashes(
+        dib.unionByName(shifted)), dir, "q134_sigs")
+      graft.llm.Dedup.seqSigNearDups(
+          sigs.withColumnRenamed("frame_idx", "seq_idx"),
+          minMatches = 3, maxHamming = 5, bands = 8)
         .groupBy(when(col("id2") - col("id1") === 100000, "planted_shifted")
           .otherwise("other").as("pair_type"))
         .agg(countDistinct(col("id1"), col("id2")).as("n_pairs"),
@@ -2861,9 +2927,11 @@ object SparkEntry {
       val crops = Multimodal.reencodeAsSmoothImageCrop(
         media.filter(col("asset_id") % 6 === 0))
         .withColumn("asset_id", col("asset_id") + 100000)
-      Multimodal.centerCropNearDups(
-          png.unionByName(crops), Multimodal.ImageIoDecoder,
-          minSlots = 4, maxHamming = 3)
+      // ORACLE-EXACT pairing (r13): the ten-tile hashes dump; DuckDB
+      // replays the slot-aligned crop-hypothesis decision.
+      val tiles = dumpAux(Multimodal.tileHashes(
+        png.unionByName(crops), Multimodal.ImageIoDecoder), dir, "q135_tiles")
+      Multimodal.centerCropNearDupsFromSigs(tiles, minSlots = 4, maxHamming = 3)
         .groupBy(when(col("crop_id") - col("orig_id") === 100000,
             "planted_center_crop").otherwise("other").as("pair_type"))
         .agg(countDistinct(col("orig_id"), col("crop_id")).as("n_pairs"),
@@ -2893,9 +2961,11 @@ object SparkEntry {
       val rot = Multimodal.reencodeAsSmoothImageRotated(
         media.filter(col("asset_id") % 6 === 0), k = 1)
         .withColumn("asset_id", col("asset_id") + 100000)
-      Multimodal.rotationNearDups(
-          png.unionByName(rot), Multimodal.ImageIoDecoder,
-          minWitnesses = 2, maxHamming = 3)
+      // ORACLE-EXACT pairing (r13): the eight dihedral orientation
+      // hashes dump; DuckDB replays the two-directional witness rule.
+      val sigs = dumpAux(Multimodal.dihedralHashes(
+        png.unionByName(rot), Multimodal.ImageIoDecoder), dir, "q137_sigs")
+      Multimodal.rotationNearDupsFromSigs(sigs, minWitnesses = 2, maxHamming = 3)
         .groupBy(when(col("id2") - col("id1") === 100000, "planted_rotated")
           .otherwise("other").as("pair_type"))
         .agg(countDistinct(col("id1"), col("id2")).as("n_pairs"),
@@ -3120,6 +3190,55 @@ object SparkEntry {
         .select(col("doc_id"), col("source"), col("lm_logp"), col("ppl_bucket"))
     }),
   )
+
+  /** DuckDB replay of [[graft.llm.Dedup.sigNearDups]] over a dumped
+    * `(id, sig)` table: all pairs within `maxHamming` bits
+    * (bit_count(xor) — DuckDB's BIGINT bit ops match Java's two's-
+    * complement longs exactly), summarized per pair type the way the
+    * media gates do. */
+  private def scalarSigPairOracleSql(auxName: String, maxHamming: Int,
+      plantedLabel: String): String =
+    s"""WITH s AS (SELECT id, sig FROM read_parquet('__AUX__/$auxName/*.parquet')),
+       |p AS (
+       |  SELECT a.id AS id1, b.id AS id2,
+       |    CAST(bit_count(xor(a.sig, b.sig)) AS INTEGER) AS hamming
+       |  FROM s a JOIN s b ON a.id < b.id
+       |  WHERE bit_count(xor(a.sig, b.sig)) <= $maxHamming)
+       |SELECT
+       |  CASE WHEN id2 - id1 = 100000 THEN '$plantedLabel' ELSE 'other' END AS pair_type,
+       |  count(*)::BIGINT AS n_pairs,
+       |  min(hamming) AS min_hamming,
+       |  max(hamming) AS max_hamming
+       |FROM p GROUP BY 1""".stripMargin
+
+  /** DuckDB replay of [[graft.llm.Dedup.seqSigNearDups]] over a dumped
+    * `(id, <seqCol>, sig)` table: sub-signature matches grouped per
+    * (pair, index delta), a pair passing when one delta accumulates
+    * `minMatches` — then the gates' distinct-pair summary. */
+  private def seqSigPairOracleSql(auxName: String, seqCol: String,
+      maxHamming: Int, minMatches: Int, plantedLabel: String,
+      minMatchedName: String): String =
+    s"""WITH s AS (SELECT id, $seqCol AS w, sig
+       |  FROM read_parquet('__AUX__/$auxName/*.parquet')),
+       |m AS (
+       |  SELECT a.id AS id1, b.id AS id2, a.w AS s1, b.w AS s2,
+       |    CAST(bit_count(xor(a.sig, b.sig)) AS INTEGER) AS hamming
+       |  FROM s a JOIN s b ON a.id < b.id
+       |  WHERE bit_count(xor(a.sig, b.sig)) <= $maxHamming),
+       |g AS (
+       |  SELECT id1, id2, CAST(s1 - s2 AS INTEGER) AS delta,
+       |    count(*)::BIGINT AS n_matched, max(hamming) AS max_hamming
+       |  FROM m GROUP BY id1, id2, s1 - s2
+       |  HAVING count(*) >= $minMatches)
+       |SELECT
+       |  CASE WHEN id2 - id1 = 100000 THEN '$plantedLabel'
+       |       ELSE 'other' END AS pair_type,
+       |  count(DISTINCT (id1, id2))::BIGINT AS n_pairs,
+       |  min(n_matched) AS $minMatchedName,
+       |  max(max_hamming) AS max_hamming,
+       |  min(delta) AS min_delta,
+       |  max(delta) AS max_delta
+       |FROM g GROUP BY 1""".stripMargin
 
   /** q76/q77's planted corpus: a shared 12-token passage appended to
     * every 5th doc, twice (a self-repeat) on doc 7. */
@@ -3939,6 +4058,132 @@ object SparkEntry {
       |FROM sized s, LATERAL (SELECT unnest(range(s.n)) AS i) u""".stripMargin
 
   def oracleSql: Map[String, String] = Map(
+    // ---- media near-dup pairing replays (the r13 dump-and-replay
+    // conversions): each gate dumps its deterministic fingerprint
+    // table under __AUX__ (substituted by Verify to auxRoot(sfDir));
+    // DuckDB brute-forces the identical pairing decision over it —
+    // all-pairs is fine at oracle scale, and equality proves the
+    // banded engine equals all-pairs-within-radius.
+    "q129_image_neardup" -> scalarSigPairOracleSql("q129_sigs", 3, "planted_cross_codec"),
+    "q130_audio_neardup" -> scalarSigPairOracleSql("q130_sigs", 3, "planted_half_volume"),
+    // frame-ALIGNED video pairing: per-frame Hamming join + the
+    // min-frames gate, replayed over the dumped (id, frame_idx, sig)
+    "q131_video_neardup" ->
+      """WITH s AS (SELECT id, frame_idx, sig
+        |  FROM read_parquet('__AUX__/q131_sigs/*.parquet')),
+        |m AS (
+        |  SELECT a.id AS id1, b.id AS id2,
+        |    CAST(bit_count(xor(a.sig, b.sig)) AS INTEGER) AS hamming
+        |  FROM s a JOIN s b ON a.frame_idx = b.frame_idx AND a.id < b.id
+        |  WHERE bit_count(xor(a.sig, b.sig)) <= 5),
+        |p AS (
+        |  SELECT id1, id2, count(*)::BIGINT AS n_frames_matched,
+        |    max(hamming) AS max_hamming
+        |  FROM m GROUP BY id1, id2
+        |  HAVING count(*) >= 3)
+        |SELECT
+        |  CASE WHEN id2 - id1 = 100000 THEN 'planted_cross_codec'
+        |       ELSE 'other' END AS pair_type,
+        |  count(*)::BIGINT AS n_pairs,
+        |  min(n_frames_matched) AS min_frames_matched,
+        |  max(max_hamming) AS max_hamming
+        |FROM p GROUP BY 1""".stripMargin,
+    // OFFSET-CONSISTENT (delta-grouped) pairing replays: audio windows
+    // and shifted video frames through the identical seqSigNearDups
+    // arithmetic — match counting happens PER DELTA, a pair passes
+    // when any single delta accumulates enough window/frame matches
+    "q133_audio_trim_neardup" ->
+      seqSigPairOracleSql("q133_sigs", "window_idx", 3, 2,
+        "planted_trimmed", "min_windows_matched"),
+    "q134_video_shift_neardup" ->
+      seqSigPairOracleSql("q134_sigs", "frame_idx", 5, 3,
+        "planted_shifted", "min_frames_matched"),
+    // SLOT-ALIGNED crop-hypothesis replay: the crop side's tiles 0-4
+    // against the original side's tiles 5-9, slot for slot
+    "q135_image_crop_neardup" ->
+      """WITH tl AS (SELECT id, tile_idx, sig
+        |  FROM read_parquet('__AUX__/q135_tiles/*.parquet')),
+        |m AS (
+        |  SELECT o.id AS orig_id, c.id AS crop_id,
+        |    CAST(bit_count(xor(o.sig, c.sig)) AS INTEGER) AS hamming
+        |  FROM tl o JOIN tl c
+        |    ON o.tile_idx - 5 = c.tile_idx AND o.id <> c.id
+        |  WHERE o.tile_idx >= 5 AND c.tile_idx <= 4
+        |    AND bit_count(xor(o.sig, c.sig)) <= 3),
+        |p AS (
+        |  SELECT orig_id, crop_id, count(*)::BIGINT AS n_slots_matched,
+        |    max(hamming) AS max_hamming
+        |  FROM m GROUP BY orig_id, crop_id
+        |  HAVING count(*) >= 4)
+        |SELECT
+        |  CASE WHEN crop_id - orig_id = 100000 THEN 'planted_center_crop'
+        |       ELSE 'other' END AS pair_type,
+        |  count(*)::BIGINT AS n_pairs,
+        |  min(n_slots_matched) AS min_slots_matched,
+        |  max(max_hamming) AS max_hamming
+        |FROM p GROUP BY 1""".stripMargin,
+    // TRANSITIVE-DEDUP drop replay: both drop disciplines over the
+    // dumped verified pair graph — pair mode drops every distinct
+    // higher id, transitive mode drops every node that is not its
+    // component's minimum (WITH RECURSIVE min-label closure; the
+    // planted chains keep components tiny, so the closure is bounded)
+    "q38_transitive_dedup" ->
+      """WITH RECURSIVE
+        |pr AS (SELECT id1, id2 FROM read_parquet('__AUX__/q38_pairs/*.parquet')),
+        |n AS (SELECT doc_id FROM read_parquet('__AUX__/q38_nodes/*.parquet')),
+        |e AS (SELECT id1 AS a, id2 AS b FROM pr UNION SELECT id2, id1 FROM pr),
+        |reach(id, r) AS (
+        |  SELECT a, b FROM e
+        |  UNION
+        |  SELECT re.id, e.b FROM reach re JOIN e ON re.r = e.a),
+        |lab AS (
+        |  SELECT n.doc_id,
+        |    least(n.doc_id, coalesce(min(re.r), n.doc_id)) AS label
+        |  FROM n LEFT JOIN reach re ON re.id = n.doc_id
+        |  GROUP BY n.doc_id),
+        |drp AS (SELECT DISTINCT id2 AS doc_id FROM pr),
+        |modes AS (
+        |  SELECT 'pair_drop' AS mode, n.doc_id,
+        |    CASE WHEN d.doc_id IS NULL THEN 1 ELSE 0 END AS surv
+        |  FROM n LEFT JOIN drp d USING (doc_id)
+        |  UNION ALL
+        |  SELECT 'transitive', lab.doc_id,
+        |    CASE WHEN lab.doc_id = lab.label THEN 1 ELSE 0 END
+        |  FROM lab)
+        |SELECT mode,
+        |  sum(surv)::BIGINT AS n_survivors,
+        |  sum(CASE WHEN doc_id >= 10000 AND doc_id < 20000
+        |      THEN surv ELSE 0 END)::BIGINT AS n_endpoint_survivors,
+        |  sum(CASE WHEN doc_id >= 20000
+        |      THEN surv ELSE 0 END)::BIGINT AS n_hub_survivors
+        |FROM modes GROUP BY mode""".stripMargin,
+    // TWO-DIRECTIONAL witness replay: every orientation of A against
+    // B's canonical (orient 0); a pair needs witnesses in BOTH
+    // directions, and its min_hamming is the best witness's distance
+    "q137_image_rotation_neardup" ->
+      """WITH s AS (SELECT id, orient, sig
+        |  FROM read_parquet('__AUX__/q137_sigs/*.parquet')),
+        |m AS (
+        |  SELECT a.id AS ida, b.id AS idb,
+        |    CAST(bit_count(xor(a.sig, b.sig)) AS INTEGER) AS hamming
+        |  FROM s a JOIN s b ON b.orient = 0 AND a.id <> b.id
+        |  WHERE bit_count(xor(a.sig, b.sig)) <= 3),
+        |d AS (
+        |  SELECT least(ida, idb) AS id1, greatest(ida, idb) AS id2,
+        |    CASE WHEN ida < idb THEN 0 ELSE 1 END AS dir, hamming
+        |  FROM m),
+        |p AS (
+        |  SELECT id1, id2, count(DISTINCT dir)::BIGINT AS n_witnesses,
+        |    min(hamming) AS min_hamming
+        |  FROM d GROUP BY id1, id2
+        |  HAVING count(DISTINCT dir) >= 2)
+        |SELECT
+        |  CASE WHEN id2 - id1 = 100000 THEN 'planted_rotated'
+        |       ELSE 'other' END AS pair_type,
+        |  count(*)::BIGINT AS n_pairs,
+        |  min(n_witnesses) AS min_witnesses,
+        |  max(min_hamming) AS max_hamming
+        |FROM p GROUP BY 1""".stripMargin,
     "q63_contamination" ->
       """WITH toks AS (
         |  SELECT doc_id,

@@ -49,8 +49,12 @@ object Verify {
       case c if c < ' ' => f"\\u${c.toInt}%04x"
       case c => c.toString
     } + "\""
+    // __AUX__ → this run's replay-dump root (see SparkEntry.auxRoot):
+    // the oracle SQL map is static, the dump location is per-sf-dir
+    val aux = SparkEntry.auxRoot(sfDir)
     val json = SparkEntry.oracleSql
-      .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
+      .map { case (k, v) => s"${q(k)}: ${q(v.replace("__AUX__", aux))}" }
+      .mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     spark.stop()
   }
