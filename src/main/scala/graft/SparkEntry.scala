@@ -601,10 +601,14 @@ object SparkEntry {
         indexDir = idxDir.toString, maxIter = 8) // coarse cells converge
         // fast; probe quality, not centroid polish, dominates recall
       val queries = emb.filter(col("vec_id") < 20)
+      // ORACLE-EXACT recall arithmetic (r13): both shortlists dump and
+      // DuckDB replays the semi-join/coalesce/round recall program —
+      // the ANN ranking itself (KMeans cells) stays rows-only by nature
       Similarity.probeRecall(
-        Similarity.bruteForceTopK(queries, emb, k = 10).select("query_id", "neighbor_id"),
-        Similarity.ivfTopK(queries, tagged, model, k = 10, nprobe = 8)
-          .select("query_id", "neighbor_id"))
+        dumpAux(Similarity.bruteForceTopK(queries, emb, k = 10)
+          .select("query_id", "neighbor_id"), dir, "q25_brute"),
+        dumpAux(Similarity.ivfTopK(queries, tagged, model, k = 10, nprobe = 8)
+          .select("query_id", "neighbor_id"), dir, "q25_probe"))
     }),
 
     // ---- Multimodal/JSON column extraction: typed props out of the
@@ -834,9 +838,9 @@ object SparkEntry {
     // perturbed copy (±10% multiplicative sin-noise per element, scale-
     // independent → cosine ≈ 0.997, id + 100000), then lshNearDupPairs
     // must surface exactly the planted pairs at cos ≥ 0.95 and nothing
-    // else. Seeded
-    // random-projection LSH, not SQL-expressible → rows-only; pair
-    // accounting asserted in EntrySpec.
+    // else. ORACLE-EXACT (r13): the vectors dump and DuckDB replays
+    // exact all-pairs cosine at the same threshold — the seeded LSH
+    // candidate generation is pinned to the all-pairs truth.
     "q39_vector_near_dup" -> ((s, dir) => {
       // the corpus slice is capped at 500 vectors (round-5 trim from
       // 1000) for the same reason planting is capped at 500 pairs: the
@@ -854,17 +858,35 @@ object SparkEntry {
         .withColumn("embedding", transform(col("embedding"),
           (x, i) => (x * (lit(1.0) + lit(0.1) * sin(col("vec_id") * 7919 + i * 104729))).cast("float")))
         .select((col("vec_id") + 100000).as("vec_id"), col("embedding"))
-      // persisted: the LSH self-join reads both sides from this frame —
-      // without it the scan + noise transform runs once per join side
-      // (same-plan cache entries dedupe across bench runs)
-      val all = emb.unionByName(noisy)
+      // ORACLE-EXACT precision + summary (r13): the vectors AND the
+      // emitted pair set dump; DuckDB re-derives the exact cosine of
+      // every emitted pair and re-applies the 0.95 threshold — a false
+      // positive would survive on the Spark side only and go red. The
+      // RECALL side stays EntrySpec's planted floor by design: MLlib's
+      // OR-amplified LSH misses ~1% of planted pairs (494/500 at
+      // sf0.001, the documented ~98%/pair collision odds), so an
+      // all-pairs oracle would flag honest probabilistic misses — the
+      // pigeonhole-complete alternative is q42's SRP form, which IS
+      // pinned to the all-pairs truth.
+      val all = dumpAux(emb.unionByName(noisy), dir, "q39_vecs")
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       // bucketLength 0.02: random unit vectors project at ~N(0, 1/√dim),
       // so narrower buckets than the API default keep the candidate set
       // small here; planted pairs project their difference at ~0.01 and
       // still collide in ≥1 of the 4 tables with ~98% probability
-      val pairs = graft.llm.Similarity.lshNearDupPairs(all,
-        maxCosineDistance = 0.05, bucketLength = 0.02)
+      val cand = dumpAux(graft.llm.Similarity.lshNearDupPairs(all,
+        maxCosineDistance = 0.05, bucketLength = 0.02).select("id1", "id2"),
+        dir, "q39_pairs")
+      // re-score with the exact double cosine for the summary: the
+      // MLlib distance-derived cos_sim rides FLOAT-normalized vectors
+      // (~1e-7 noise), which could flip a 4-decimal rounding against
+      // the oracle; both engines now run the same double arithmetic
+      // over the same dumped floats
+      val pairs = cand
+        .join(all.select(col("vec_id").as("id1"), col("embedding").as("__v1")), "id1")
+        .join(all.select(col("vec_id").as("id2"), col("embedding").as("__v2")), "id2")
+        .select(col("id1"), col("id2"),
+          graft.llm.Similarity.cosine(col("__v1"), col("__v2")).as("cos_sim"))
       pairTypeSummary(s, pairs, all)
     }),
 
@@ -880,7 +902,10 @@ object SparkEntry {
         .withColumn("embedding", transform(col("embedding"),
           (x, i) => (x * (lit(1.0) + lit(0.01) * sin(col("vec_id") * 7919 + i * 104729))).cast("float")))
         .select((col("vec_id") + 100000).as("vec_id"), col("embedding"))
-      val all = emb.unionByName(noisy)
+      // ORACLE-EXACT pairing (r13): q39's dump-and-replay at the SRP
+      // threshold — srpNearDupPairs already emits the exact double
+      // cosine, so the summary needs no re-score
+      val all = dumpAux(emb.unionByName(noisy), dir, "q42_vecs")
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val pairs = graft.llm.Similarity.srpNearDupPairs(all, minCosine = 0.999)
       pairTypeSummary(s, pairs, all)
@@ -1003,14 +1028,21 @@ object SparkEntry {
     "q53_quantized_recall" -> ((s, dir) => {
       import graft.llm.Similarity
       val emb = t(s, dir, "embeddings").select(col("vec_id"), col("embedding"))
-      val deq = Similarity.quantize(emb)
+      // ORACLE-EXACT arithmetic (r13): the dequantized table and both
+      // shortlists dump; DuckDB replays the recall program AND the
+      // fidelity cosine (against the registered embeddings view) — the
+      // quantize/rank kernels stay rows-only by nature
+      val deq = dumpAux(Similarity.quantize(emb)
         .select(col("vec_id"),
-          Similarity.dequantize(col("q_vec"), col("q_scale")).as("embedding"))
+          Similarity.dequantize(col("q_vec"), col("q_scale")).as("embedding")),
+          dir, "q53_deq")
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      val exact = Similarity.bruteForceTopK(
-        emb.filter(col("vec_id") < 20), emb, k = 10).select("query_id", "neighbor_id")
-      val quant = Similarity.bruteForceTopK(
-        deq.filter(col("vec_id") < 20), deq, k = 10).select("query_id", "neighbor_id")
+      val exact = dumpAux(Similarity.bruteForceTopK(
+        emb.filter(col("vec_id") < 20), emb, k = 10)
+        .select("query_id", "neighbor_id"), dir, "q53_exact")
+      val quant = dumpAux(Similarity.bruteForceTopK(
+        deq.filter(col("vec_id") < 20), deq, k = 10)
+        .select("query_id", "neighbor_id"), dir, "q53_quant")
       val recall = Similarity.probeRecall(exact, quant)
         .agg(count(lit(1)).as("n_queries"),
           round(avg("recall"), 4).as("avg_recall"),
@@ -1240,8 +1272,9 @@ object SparkEntry {
     // (fresh) plus planted echoes of the corpus — rescaled copies
     // (id+30000; cosine exactly 1, so the signature tier must catch
     // every one). Survivors grouped by cohort: the only expected row is
-    // ("fresh", n_odd). xxhash64 signatures not portable to the oracle
-    // → rows-only; asserted in EntrySpec.
+    // ("fresh", n_odd). ORACLE-EXACT (r13): the signature/vector tables
+    // dump and DuckDB replays both drop tiers; only the seeded
+    // hyperplane generation stays rows-only.
     "q62_incremental_vector_dedup" -> ((s, dir) => {
       import graft.llm.{Dedup, Similarity}
       // vec_id < 1000 cap: the cohort signal (50 planted echoes all
@@ -1255,15 +1288,26 @@ object SparkEntry {
       // arrival shape: an increment never re-derives corpus state, it
       // reads what the last run committed (signatures are a pure
       // function of (vector, seed), so the layout is run-stable)
-      val sigs = ensureState(s, statePath(dir, "q62_sigs")) {
+      val sigs0 = ensureState(s, statePath(dir, "q62_sigs")) {
         Similarity.srpSignatures(corpus)
-      }.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      }
+      // ORACLE-EXACT drop arithmetic (r13): corpus signatures, batch
+      // signatures (pure function of vector + seed — recomputed for the
+      // dump, identical to dropSeenVectors' internal set), and batch
+      // vectors dump as replay inputs; DuckDB replays BOTH tiers (the
+      // signature-only corpus tier at the derived Hamming budget, the
+      // cosine-verified in-batch tier) over the same tables. The seeded
+      // hyperplanes behind the signatures stay rows-only by nature.
+      val sigs = dumpAux(sigs0, dir, "q62_corpus_sigs")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val hot = Dedup.simHashHotBuckets(sigs)
       val echoes = corpus.filter(col("vec_id") < 100)
         .select((col("vec_id") + 30000).as("vec_id"),
           transform(col("embedding"), x => (x * 0.5f).cast("float")).as("embedding"))
-      val batch = emb.filter(col("vec_id") % 2 === 1).unionByName(echoes)
+      val batch = dumpAux(emb.filter(col("vec_id") % 2 === 1).unionByName(echoes),
+          dir, "q62_batch_vecs")
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      dumpAux(Similarity.srpSignatures(batch), dir, "q62_batch_sigs")
       // survivors come back persisted+materialized (the dropSeenVectors
       // contract) — list them for release alongside the inputs
       val survivors = Similarity.dropSeenVectors(batch, sigs,
@@ -1448,7 +1492,15 @@ object SparkEntry {
         .withColumn("embedding", transform(col("embedding"),
           (x, i) => (x * (lit(1.0) + lit(0.002) * sin(col("vec_id") * 31 + i))).cast("float")))
         .select((col("vec_id") + 200000L).as("vec_id"), col("embedding"))
-      val corpus = emb.unionByName(rescaled).unionByName(noisy)
+      // ORACLE-EXACT survivor accounting (r13): the corpus dumps and
+      // DuckDB replays the GLOBAL closure — all-pairs cosine >= 0.99 →
+      // min-label components → one survivor per component, counted per
+      // class (component members never span classes, so the class
+      // counts are independent of WHICH member far-from-centroid
+      // keeps). Equality also pins the within-cell candidate stage to
+      // the global truth; only the KMeans cell fit stays rows-only.
+      val corpus = dumpAux(emb.unionByName(rescaled).unionByName(noisy),
+          dir, "q73_vecs")
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       // the KMeans cell assignment comes from the marker-gated persisted
       // index (ivfEnsure) — the fit is paid once per corpus version, the
@@ -1648,11 +1700,13 @@ object SparkEntry {
         indexDir = statePath(dir, "q103_pq"), maxIter = 8)
       val codes = Similarity.pqEncode(emb, cb)
       val queries = emb.filter(col("vec_id") < 20)
-      val brute = Similarity.bruteForceTopK(queries, emb, k = 10)
-        .select("query_id", "neighbor_id")
-      val probe = Similarity.pqAdcTopKReranked(
+      // ORACLE-EXACT recall arithmetic (r13): the q25 dump-and-replay
+      // over the PQ-ADC shortlists; codebook training stays rows-only
+      val brute = dumpAux(Similarity.bruteForceTopK(queries, emb, k = 10)
+        .select("query_id", "neighbor_id"), dir, "q103_brute")
+      val probe = dumpAux(Similarity.pqAdcTopKReranked(
         queries, codes, cb, emb, k = 10, oversample = 8)
-        .select("query_id", "neighbor_id")
+        .select("query_id", "neighbor_id"), dir, "q103_probe")
       Similarity.probeRecall(brute, probe)
         .agg(count(lit(1)).as("n_queries"),
           round(avg("recall"), 4).as("avg_recall"),
@@ -3240,6 +3294,53 @@ object SparkEntry {
        |  max(delta) AS max_delta
        |FROM g GROUP BY 1""".stripMargin
 
+  /** q62's signature-tier Hamming budget — the same derived value
+    * `dropSeenVectors` uses at its 0.99 default. */
+  private lazy val q62MaxHamming: Int =
+    graft.llm.Similarity.defaultMaxHamming(0.99)
+
+  /** DuckDB replay of the exact-cosine pairing summary over a dumped
+    * `(vec_id, embedding)` table: all pairs at `minCosine`, the q39/q42
+    * pair-type rollup. Vectors cast to DOUBLE[] so both engines run
+    * double arithmetic over the same floats (VecMath.cosine semantics;
+    * decision margins are ~0.5 wide so last-ulp noise cannot flip a
+    * pair, and the 4-decimal rounding absorbs it in the summary). */
+  private def vecPairOracleSql(auxName: String, minCosine: Double): String =
+    s"""WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e
+       |  FROM read_parquet('__AUX__/$auxName/*.parquet')),
+       |p AS (
+       |  SELECT a.vec_id AS id1, b.vec_id AS id2,
+       |    list_dot_product(a.e, b.e) /
+       |      (sqrt(list_dot_product(a.e, a.e)) *
+       |       sqrt(list_dot_product(b.e, b.e))) AS cos_sim
+       |  FROM v a JOIN v b ON a.vec_id < b.vec_id)
+       |SELECT
+       |  CASE WHEN id2 - id1 = 100000 THEN 'planted' ELSE 'other' END AS pair_type,
+       |  count(*)::BIGINT AS n_pairs,
+       |  round(min(cos_sim), 4) AS min_cos,
+       |  round(avg(cos_sim), 4) AS avg_cos
+       |FROM p WHERE cos_sim >= $minCosine GROUP BY 1""".stripMargin
+
+  /** DuckDB replay of [[graft.llm.Similarity.probeRecall]] over dumped
+    * brute/probe shortlists — semi-join hit counting, coalesce, the
+    * 4-decimal rounding. Emitted as CTEs ending in `r(query_id,
+    * n_true, n_hits, recall)` so callers can aggregate further. */
+  private def probeRecallOracleCtes(bruteAux: String, probeAux: String): String =
+    s"""b AS (SELECT query_id, neighbor_id
+       |  FROM read_parquet('__AUX__/$bruteAux/*.parquet')),
+       |pp AS (SELECT query_id, neighbor_id
+       |  FROM read_parquet('__AUX__/$probeAux/*.parquet')),
+       |h AS (
+       |  SELECT b.query_id, count(*)::BIGINT AS n_hits FROM b
+       |  WHERE EXISTS (SELECT 1 FROM pp
+       |    WHERE pp.query_id = b.query_id AND pp.neighbor_id = b.neighbor_id)
+       |  GROUP BY b.query_id),
+       |t AS (SELECT query_id, count(*)::BIGINT AS n_true FROM b GROUP BY query_id),
+       |r AS (
+       |  SELECT t.query_id, t.n_true, coalesce(h.n_hits, 0)::BIGINT AS n_hits,
+       |    round(coalesce(h.n_hits, 0)::DOUBLE / t.n_true, 4) AS recall
+       |  FROM t LEFT JOIN h USING (query_id))""".stripMargin
+
   /** q76/q77's planted corpus: a shared 12-token passage appended to
     * every 5th doc, twice (a self-repeat) on doc 7. */
   private def SpanDedupCorpus(documents: DataFrame): DataFrame = {
@@ -4122,6 +4223,113 @@ object SparkEntry {
         |  min(n_slots_matched) AS min_slots_matched,
         |  max(max_hamming) AS max_hamming
         |FROM p GROUP BY 1""".stripMargin,
+    // ---- vector-family replays (r13): exact-cosine pairing, the
+    // two-tier incremental drop, the semantic-dedup closure, and the
+    // recall arithmetic — all over dumped deterministic tables
+    // q39's pair set is MLlib-LSH-emitted (recall is probabilistic, the
+    // planted floor lives in EntrySpec); the oracle re-derives exact
+    // cosine per emitted pair and RE-APPLIES the threshold, so any
+    // false-positive pair or summary-arithmetic drift goes red
+    "q39_vector_near_dup" ->
+      """WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e
+        |  FROM read_parquet('__AUX__/q39_vecs/*.parquet')),
+        |c AS (SELECT id1, id2 FROM read_parquet('__AUX__/q39_pairs/*.parquet')),
+        |p AS (
+        |  SELECT c.id1, c.id2,
+        |    list_dot_product(a.e, b.e) /
+        |      (sqrt(list_dot_product(a.e, a.e)) *
+        |       sqrt(list_dot_product(b.e, b.e))) AS cos_sim
+        |  FROM c JOIN v a ON a.vec_id = c.id1 JOIN v b ON b.vec_id = c.id2)
+        |SELECT
+        |  CASE WHEN id2 - id1 = 100000 THEN 'planted' ELSE 'other' END AS pair_type,
+        |  count(*)::BIGINT AS n_pairs,
+        |  round(min(cos_sim), 4) AS min_cos,
+        |  round(avg(cos_sim), 4) AS avg_cos
+        |FROM p WHERE cos_sim >= 0.95 GROUP BY 1""".stripMargin,
+    "q42_srp_near_dup" -> vecPairOracleSql("q42_vecs", 0.999),
+    "q25_ivf_recall" ->
+      s"""WITH ${probeRecallOracleCtes("q25_brute", "q25_probe")}
+         |SELECT query_id, n_true, n_hits, recall FROM r""".stripMargin,
+    "q103_pq_recall" ->
+      s"""WITH ${probeRecallOracleCtes("q103_brute", "q103_probe")}
+         |SELECT count(*)::BIGINT AS n_queries,
+         |  round(avg(recall), 4) AS avg_recall,
+         |  round(min(recall), 4) AS min_recall,
+         |  (SELECT (len(embedding) * 4)::INT FROM embeddings LIMIT 1)
+         |    AS bytes_per_vec_raw,
+         |  8 AS bytes_per_vec_pq
+         |FROM r""".stripMargin,
+    "q53_quantized_recall" ->
+      s"""WITH ${probeRecallOracleCtes("q53_exact", "q53_quant")},
+         |agg AS (
+         |  SELECT count(*)::BIGINT AS n_queries,
+         |    round(avg(recall), 4) AS avg_recall,
+         |    round(min(recall), 4) AS min_recall
+         |  FROM r),
+         |d AS (SELECT vec_id, embedding::DOUBLE[] AS de
+         |  FROM read_parquet('__AUX__/q53_deq/*.parquet')),
+         |f AS (
+         |  SELECT round(min(
+         |    list_dot_product(e.embedding::DOUBLE[], d.de) /
+         |      (sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[])) *
+         |       sqrt(list_dot_product(d.de, d.de)))), 6) AS min_self_cos
+         |  FROM embeddings e JOIN d USING (vec_id))
+         |SELECT agg.n_queries, agg.avg_recall, agg.min_recall, f.min_self_cos
+         |FROM agg, f""".stripMargin,
+    // the two-tier incremental vector drop: signature-only corpus tier
+    // at the derived Hamming budget, then the cosine-verified in-batch
+    // tier (drop the higher id per verified pair)
+    "q62_incremental_vector_dedup" ->
+      s"""WITH cs AS (SELECT id, sig
+         |  FROM read_parquet('__AUX__/q62_corpus_sigs/*.parquet')),
+         |bs AS (SELECT id, sig
+         |  FROM read_parquet('__AUX__/q62_batch_sigs/*.parquet')),
+         |bv AS (SELECT vec_id, embedding::DOUBLE[] AS e
+         |  FROM read_parquet('__AUX__/q62_batch_vecs/*.parquet')),
+         |seen AS (SELECT DISTINCT b.id FROM bs b
+         |  JOIN cs c ON bit_count(xor(b.sig, c.sig)) <= $q62MaxHamming),
+         |fsig AS (SELECT * FROM bs WHERE id NOT IN (SELECT id FROM seen)),
+         |drops AS (
+         |  SELECT DISTINCT a2.id
+         |  FROM fsig a1 JOIN fsig a2 ON a1.id < a2.id
+         |    AND bit_count(xor(a1.sig, a2.sig)) <= $q62MaxHamming
+         |  JOIN bv v1 ON v1.vec_id = a1.id
+         |  JOIN bv v2 ON v2.vec_id = a2.id
+         |  WHERE list_dot_product(v1.e, v2.e) /
+         |    (sqrt(list_dot_product(v1.e, v1.e)) *
+         |     sqrt(list_dot_product(v2.e, v2.e))) >= 0.99),
+         |surv AS (SELECT id FROM fsig WHERE id NOT IN (SELECT id FROM drops))
+         |SELECT CASE WHEN id >= 30000 THEN 'echo' ELSE 'fresh' END AS cohort,
+         |  count(*)::BIGINT AS n_survivors
+         |FROM surv GROUP BY 1""".stripMargin,
+    // the semantic-dedup survivor accounting: global min-label closure
+    // of the cos >= 0.99 graph, one survivor per component, counted
+    // per class (members never span classes)
+    "q73_semdedup" ->
+      """WITH RECURSIVE
+        |v AS (SELECT vec_id, embedding::DOUBLE[] AS e
+        |  FROM read_parquet('__AUX__/q73_vecs/*.parquet')),
+        |pr AS (
+        |  SELECT a.vec_id AS id1, b.vec_id AS id2
+        |  FROM v a JOIN v b ON a.vec_id < b.vec_id
+        |  WHERE list_dot_product(a.e, b.e) /
+        |    (sqrt(list_dot_product(a.e, a.e)) *
+        |     sqrt(list_dot_product(b.e, b.e))) >= 0.99),
+        |e AS (SELECT id1 AS a, id2 AS b FROM pr UNION SELECT id2, id1 FROM pr),
+        |reach(id, r) AS (
+        |  SELECT a, b FROM e
+        |  UNION
+        |  SELECT re.id, e.b FROM reach re JOIN e ON re.r = e.a),
+        |lab AS (
+        |  SELECT v.vec_id,
+        |    least(v.vec_id, coalesce(min(re.r), v.vec_id)) AS label
+        |  FROM v LEFT JOIN reach re ON re.id = v.vec_id
+        |  GROUP BY v.vec_id)
+        |SELECT
+        |  CASE WHEN vec_id < 30 OR vec_id >= 100000 THEN 'triple'
+        |       ELSE 'untouched' END AS vec_class,
+        |  count(DISTINCT label)::BIGINT AS n_survivors
+        |FROM lab GROUP BY 1""".stripMargin,
     // TRANSITIVE-DEDUP drop replay: both drop disciplines over the
     // dumped verified pair graph — pair mode drops every distinct
     // higher id, transitive mode drops every node that is not its
