@@ -37,6 +37,16 @@ object Bench {
   private def materialize(df: DataFrame): Unit =
     df.write.format("noop").mode("overwrite").save()
 
+  /** Host load (1/5/15-min from /proc/loadavg) — stamped into the
+    * artifact at start and end so a `suspect_env` round is diagnosable
+    * from the JSON alone (round-12 verdict: five same-code runs spread
+    * 103-129 s (+1 DNF) on co-tenant load the artifact couldn't show). */
+  private def loadAvg: String = try {
+    new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get("/proc/loadavg")), "UTF-8")
+      .split("\\s+").take(3).mkString(" ")
+  } catch { case _: Throwable => "unavailable" }
+
   private def gcMillis: Long = {
     import scala.jdk.CollectionConverters._
     java.lang.management.ManagementFactory.getGarbageCollectorMXBeans
@@ -50,6 +60,7 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val loadStart = loadAvg
     val spark = graft.tools.Local.session(cpus)
 
     // Warmup: one untimed pass per distinct machinery shape (agg, join,
@@ -92,14 +103,16 @@ object Bench {
     // environment-anomaly retime (round-10 verdict item 2) and the
     // end-of-run regression diff. Path overridable for testing the
     // retime machinery with a doctored prev file.
-    val prevTimes: Map[String, Double] = try {
+    val prevJson: Option[String] = try {
       val prevFile = new java.io.File(
         sys.env.getOrElse("SPARK_GRAFT_BENCH_PREV", "bench_prev.json"))
       if (prevFile.exists())
-        parseQueryTimes(new String(
+        Some(new String(
           java.nio.file.Files.readAllBytes(prevFile.toPath), "UTF-8"))
-      else Map.empty
-    } catch { case _: Throwable => Map.empty }
+      else None
+    } catch { case _: Throwable => None }
+    val prevTimes: Map[String, Double] =
+      prevJson.map(parseQueryTimes).getOrElse(Map.empty)
     // name -> (median, retime): queries whose median blew past 2× their
     // prev-round entry and were re-timed once after a fresh GC barrier
     val retimes = scala.collection.mutable.LinkedHashMap.empty[String, (Double, Double)]
@@ -195,7 +208,25 @@ object Bench {
       val suspect = prevTimes.get(k).exists(p => re <= 1.5 * p)
       s"\"" + k + s"\":{\"median\":$med,\"retime\":$re,\"suspect_env\":$suspect}"
     }.mkString("{", ",", "}")
-    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","runs":$runs,"failed":${failed.size},"baseline_set_total":$baseTotal,"n_queries":${results.size},"retimes":$retimesJson,"mem":$memJson}"""
+    // NORMALIZED gate reading (round-12 verdict item 3): host co-tenancy
+    // scales every query together, so total/baseline_set_total is
+    // load-invariant where raw total is not — the driver's 2× comparison
+    // should read norm_vs_prev (this run's ratio over the committed
+    // baseline's ratio, ~1.0 on identical code at any box load), with
+    // the loadavg stamps explaining any raw-total spread.
+    val loadEnd = loadAvg
+    val normRatio = if (baseTotal > 0) total / baseTotal else -1.0
+    val prevNormRatio = for {
+      pj <- prevJson
+      pv <- parseScalar(pj, "value")
+      pb <- parseScalar(pj, "baseline_set_total") if pb > 0
+    } yield pv / pb
+    val normVsPrev = prevNormRatio
+      .filter(_ > 0).map(p => normRatio / p).getOrElse(-1.0)
+    val normJson = s""""loadavg_start":"$loadStart","loadavg_end":"$loadEnd",""" +
+      s""""norm_ratio":$normRatio,"prev_norm_ratio":${prevNormRatio.getOrElse(-1.0)},""" +
+      s""""norm_vs_prev":$normVsPrev"""
+    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","runs":$runs,"failed":${failed.size},"baseline_set_total":$baseTotal,"n_queries":${results.size},$normJson,"retimes":$retimesJson,"mem":$memJson}"""
     // The FULL artifact (per-query timings + mem) goes to a file and an
     // early stdout line. It cannot be the driver's parse target: at 120+
     // queries the line is ~12 KB, and the driver keeps only the last
@@ -230,7 +261,7 @@ object Bench {
       val suspect = prevTimes.get(k).exists(p => re <= 1.5 * p)
       s"\"" + k + s"\":{\"median\":${r3(med)},\"retime\":${r3(re)},\"suspect_env\":$suspect}"
     }.mkString("{", ",", "}")
-    val compact = s"""{"metric":"total","value":${r3(total)},"unit":"sec","sf":"$sfDir","runs":$runs,"failed":${failed.size},"failed_queries":$failedJson,"baseline_set_total":${r3(baseTotal)},"n_queries":${results.size},"retimes":$compactRetimes,"queries":${headline.map { case (k, v) => s"\"" + k + "\":" + r3(v) }.mkString("{", ",", "}")},"queries_truncated":true,"full_queries":"target/bench.json"}"""
+    val compact = s"""{"metric":"total","value":${r3(total)},"unit":"sec","sf":"$sfDir","runs":$runs,"failed":${failed.size},"failed_queries":$failedJson,"baseline_set_total":${r3(baseTotal)},"n_queries":${results.size},"norm_ratio":${r3(normRatio)},"prev_norm_ratio":${r3(prevNormRatio.getOrElse(-1.0))},"norm_vs_prev":${r3(normVsPrev)},"loadavg_start":"$loadStart","loadavg_end":"$loadEnd","retimes":$compactRetimes,"queries":${headline.map { case (k, v) => s"\"" + k + "\":" + r3(v) }.mkString("{", ",", "}")},"queries_truncated":true,"full_queries":"target/bench.json"}"""
     org.apache.logging.log4j.core.config.Configurator.setLevel(
       "org.apache.spark.sql.execution.streaming.state",
       org.apache.logging.log4j.Level.OFF)
@@ -265,6 +296,21 @@ object Bench {
     }
   } catch { case e: Throwable =>
     System.err.println(s"[bench] regression diff skipped: ${e.getMessage}")
+  }
+
+  /** Minimal top-level numeric field extractor (no JSON library on the
+    * classpath by design); first occurrence wins, which for the bench
+    * artifacts is the headline scalar. */
+  private def parseScalar(json: String, field: String): Option[Double] = {
+    val key = "\"" + field + "\":"
+    val i = json.indexOf(key)
+    if (i < 0) None
+    else {
+      val rest = json.substring(i + key.length)
+      val end = rest.indexWhere(c => c == ',' || c == '}')
+      try Some(rest.substring(0, if (end < 0) rest.length else end).trim.toDouble)
+      catch { case _: NumberFormatException => None }
+    }
   }
 
   /** Minimal extractor for the flat `"queries":{"name":sec,…}` object in

@@ -180,12 +180,21 @@ object SparkEntry {
   /** Dump `df` as the replay input named `name` and return the
     * READ-BACK frame: both the Spark pairing and the DuckDB replay
     * consume the exact same bytes (and the one mapPartitions decode
-    * pass is never re-run by the downstream join's two sides). */
-  private def dumpAux(df: DataFrame, dir: String, name: String): DataFrame = {
-    val path = s"${auxRoot(dir)}/$name"
-    df.coalesce(1).write.mode("overwrite").parquet(path)
-    df.sparkSession.read.parquet(path)
-  }
+    * pass is never re-run by the downstream join's two sides).
+    *
+    * `SPARK_GRAFT_AUX_SKIP=1` turns the dump into a pass-through (no
+    * write, no read-back) — the production/diagnostic mode for runs
+    * that don't feed a DuckDB replay: the query plans are then
+    * byte-identical to the pre-dump (r12) forms, which is also how the
+    * dump side-channel's bench cost is isolated when triaging a
+    * per-query delta. Correctness runs (graft.Verify) must NOT set it. */
+  private def dumpAux(df: DataFrame, dir: String, name: String): DataFrame =
+    if (sys.env.get("SPARK_GRAFT_AUX_SKIP").contains("1")) df
+    else {
+      val path = s"${auxRoot(dir)}/$name"
+      df.coalesce(1).write.mode("overwrite").parquet(path)
+      df.sparkSession.read.parquet(path)
+    }
 
   /** Train-once BPE artifacts (mtime-keyed state dir, `_DONE` written
     * AFTER both files — the q90 crash-safety idiom), trained on

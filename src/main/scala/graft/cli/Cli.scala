@@ -3392,7 +3392,10 @@ object Indexer {
   *  - `card-dir` writes the media data card in any mode; `mode =
   *    calibrate` (+ `calibrate-sample`/`calibrate-report-dir`/
   *    `calibrate-require-separation`) reports per-corpus twin vs
-  *    stranger Hamming evidence for the configured radius. */
+  *    stranger Hamming evidence for the configured radius; `max-hamming
+  *    = auto` then CLOSES the loop in report/filter mode — the radius
+  *    is derived from that report (max-margin midpoint of the
+  *    twin/stranger gap), failing loudly when no gap exists. */
 object MediaDedup {
   def main(args: Array[String]): Unit = Cli.run("mediadedup", args) { (conf, spark) =>
     import org.apache.spark.sql.functions._
@@ -3404,8 +3407,44 @@ object MediaDedup {
     val metaCol = c.getString("meta-column").getOrElse("meta")
     val modality = c.string("modality")
     val bands = c.getInt("bands").getOrElse(if (modality == "video") 8 else 4)
-    val maxHamming = c.getInt("max-hamming")
-      .getOrElse(if (modality == "video") 5 else 3)
+    // `max-hamming = auto`: consume a PRIOR calibration report (mode =
+    // calibrate writes the twin/stranger Hamming distributions to
+    // calibrate-report-dir) instead of a hand-picked radius — the
+    // max-margin midpoint of the gap between the worst twin and the
+    // best stranger, failing loudly when the distributions leave no
+    // gap (then NO radius separates this corpus and hand-tuning one
+    // would silently buy false drops or misses — widen the fingerprint
+    // instead). This closes the calibrate loop: measure, derive, run.
+    val maxHammingAuto = c.getString("max-hamming").contains("auto")
+    val maxHamming =
+      if (maxHammingAuto) {
+        val repDir = c.getString("calibrate-report-dir").getOrElse(
+          throw new IllegalArgumentException(
+            "media-dedup.max-hamming = auto derives the radius from a " +
+              "calibration report — set calibrate-report-dir (and run " +
+              "mode = calibrate first)"))
+        val rows = spark.read.parquet(repDir)
+          .select(org.apache.spark.sql.functions.col("kind"),
+            org.apache.spark.sql.functions.col("hamming")).collect()
+        def hs(kind: String) = rows.filter(_.getString(0) == kind).map(_.getInt(1))
+        val twins = hs("twin")
+        val strangers = hs("stranger")
+        require(twins.nonEmpty,
+          s"media-dedup.max-hamming = auto: calibration report at $repDir " +
+            "holds no twin distances — rerun mode = calibrate")
+        val twinMax = twins.max
+        val strangerMin = if (strangers.isEmpty) 64 else strangers.min
+        require(twinMax < strangerMin,
+          s"media-dedup.max-hamming = auto: calibration at $repDir shows NO " +
+            s"separating gap (twin max $twinMax >= stranger min $strangerMin) " +
+            "— no radius separates this corpus's twins from its strangers; " +
+            "widen the fingerprint (bands / a robustness tier), don't hand-pick")
+        val r = (twinMax + strangerMin - 1) / 2
+        Cli.log(s"max-hamming = auto: twin max $twinMax, stranger min " +
+          s"$strangerMin -> radius $r (max-margin midpoint)")
+        r
+      } else c.getInt("max-hamming")
+        .getOrElse(if (modality == "video") 5 else 3)
     val maxBucket = c.getInt("max-bucket-size").getOrElse(10000)
     val minFrames = c.getInt("min-frames").getOrElse(2)
     require(Set("image", "audio", "video")(modality),
@@ -3524,6 +3563,10 @@ object MediaDedup {
       require(!windowed && !cropTier && !rotationTier,
         "media-dedup calibrate mode measures the scalar fingerprints — " +
           "run it without tier knobs (the tiers share the same kernels)")
+      require(!maxHammingAuto,
+        "media-dedup.max-hamming = auto CONSUMES a calibration report — " +
+          "calibrate with a fixed (or default) radius first, then run " +
+          "report/filter mode with auto")
       val repDir = c.getString("calibrate-report-dir").getOrElse(
         throw new IllegalArgumentException(
           "media-dedup.calibrate-report-dir is required in calibrate mode"))

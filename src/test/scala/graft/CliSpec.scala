@@ -4887,6 +4887,79 @@ class CliSpec extends SparkTestBase {
            |""".stripMargin)))
     }
     assert(g.getMessage.contains("calibrate-report-dir"), g.getMessage)
+
+    // ---- max-hamming = auto closes the loop: filter mode derives the
+    // radius from the calibration report above (max-margin midpoint of
+    // the twin/stranger gap) and that radius separates THIS corpus —
+    // exactly the planted JPEG twins drop, every original survives
+    val twinSrc = base.resolve("cal_twin_media").toString
+    val plates = spark.read.parquet(src)
+    plates.unionByName(
+      Multimodal.reencodeAsSmoothImage(
+          plates.filter(col("asset_id") < 20), jpeg = true, seedCol = "asset_id")
+        .withColumn("asset_id", col("asset_id") + 100000))
+      .write.parquet(twinSrc)
+    val autoOut = base.resolve("cal_auto_out").toString
+    graft.cli.MediaDedup.main(Array("--conf", write(base.resolve("cal_auto.conf"),
+      s"""media-dedup {
+         |  source { storage-type = local, dataset-dir = $twinSrc }
+         |  target { storage-type = local, dataset-dir = $autoOut, dataset-store-format = parquet, write-mode = overwrite }
+         |  modality = image
+         |  mode = filter
+         |  max-hamming = auto
+         |  calibrate-report-dir = $rep
+         |}
+         |""".stripMargin)))
+    val surv = spark.read.parquet(autoOut).select("asset_id")
+      .collect().map(_.getLong(0))
+    assert(surv.length == 40 && !surv.exists(_ >= 100000L),
+      s"auto radius must drop exactly the 20 planted twins: ${surv.sorted.toSeq}")
+    // auto in calibrate mode is circular and rejected
+    val circ = intercept[IllegalArgumentException] {
+      graft.cli.MediaDedup.main(Array("--conf",
+        write(base.resolve("cal_auto_circ.conf"),
+          s"""media-dedup {
+             |  source { storage-type = local, dataset-dir = $src }
+             |  modality = image
+             |  mode = calibrate
+             |  max-hamming = auto
+             |  calibrate-report-dir = $rep
+             |}
+             |""".stripMargin)))
+    }
+    assert(circ.getMessage.contains("CONSUMES"), circ.getMessage)
+    // auto without a report dir is rejected up front
+    val norep = intercept[IllegalArgumentException] {
+      graft.cli.MediaDedup.main(Array("--conf", write(base.resolve("cal_auto_norep.conf"),
+        s"""media-dedup {
+           |  source { storage-type = local, dataset-dir = $twinSrc }
+           |  modality = image
+           |  mode = report
+           |  max-hamming = auto
+           |}
+           |""".stripMargin)))
+    }
+    assert(norep.getMessage.contains("calibrate-report-dir"), norep.getMessage)
+    // a report with NO separating gap fails loudly instead of picking a
+    // radius that would silently false-drop or miss
+    val badRep = base.resolve("cal_bad_rep").toString
+    locally {
+      import spark.implicits._
+      Seq(("twin", 5, 1L), ("stranger", 3, 1L)).toDF("kind", "hamming", "n_pairs")
+        .write.parquet(badRep)
+    }
+    val nogap = intercept[IllegalArgumentException] {
+      graft.cli.MediaDedup.main(Array("--conf", write(base.resolve("cal_auto_nogap.conf"),
+        s"""media-dedup {
+           |  source { storage-type = local, dataset-dir = $twinSrc }
+           |  modality = image
+           |  mode = report
+           |  max-hamming = auto
+           |  calibrate-report-dir = $badRep
+           |}
+           |""".stripMargin)))
+    }
+    assert(nogap.getMessage.contains("NO separating gap"), nogap.getMessage)
   }
 
   test("differ over media fingerprint state: a shifted media batch shows as " +
