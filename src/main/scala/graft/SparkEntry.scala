@@ -3211,6 +3211,39 @@ object SparkEntry {
         graft.functions.GraftFunctions.markdownStrip(md).as("text"))
     }),
 
+    // ---- Image NEAR-DUP via DCT hash (pHash), blur+re-quantization:
+    // 150 deterministic TEXTURED plates (seed-random low-frequency
+    // spectra — the photo-like regime a DCT hash operates in; the
+    // single-sinusoid q129 plates are measured-degenerate for it)
+    // rendered as REAL PNGs; every 6th also as a 3×3-box-blurred JPEG
+    // at quality 0.3 of the SAME plate under id+100000 — a degradation
+    // OUTSIDE dHash's envelope (MediaEnvelopeProbe, 500 seeds: dHash
+    // twin max 10 vs stranger min 10, no radius separates; pHash twins
+    // ≤ 8 vs strangers ≥ 13). Hash through the published DCT pHash
+    // (gray → 32×32 → 2-D DCT → 8×8 low block → sign vs AC mean),
+    // pair through the SAME banded engine at radius 7 / 8 bands
+    // (pigeonhole-complete). ORACLE-EXACT pairing via dump-and-replay
+    // (q129 idiom); the pixel decode stays SQL-inexpressible —
+    // MultimodalSpec holds the kernel laws.
+    "q144_image_blur_neardup" -> ((s, dir) => {
+      import graft.llm.Multimodal
+      val media = Multimodal.asMediaTable(
+        t(s, dir, "documents").filter(col("doc_id") < 150), "doc_id", "text",
+        "image", Map.empty)
+      val png = Multimodal.reencodeAsTexturedImage(media)
+      val degradedTwins = Multimodal.reencodeAsTexturedImageDegraded(
+        media.filter(col("asset_id") % 6 === 0))
+        .withColumn("asset_id", col("asset_id") + 100000)
+      val sigs = dumpAux(Multimodal.dctHashes(
+        png.unionByName(degradedTwins), Multimodal.ImageIoDecoder), dir, "q144_sigs")
+      graft.llm.Dedup.sigNearDups(sigs, maxHamming = 7, bands = 8)
+        .groupBy(when(col("id2") - col("id1") === 100000, "planted_degraded")
+          .otherwise("other").as("pair_type"))
+        .agg(count(lit(1)).as("n_pairs"),
+          min(col("hamming")).as("min_hamming"),
+          max(col("hamming")).as("max_hamming"))
+    }),
+
     // ---- CCNet in its PRODUCTION configuration: per-source
     // head/middle/tail thirds by the KenLM-class model's score — q98's
     // bucket machinery over MODIFIED-KN (q98 buckets on the unigram
@@ -4176,6 +4209,7 @@ object SparkEntry {
     // banded engine equals all-pairs-within-radius.
     "q129_image_neardup" -> scalarSigPairOracleSql("q129_sigs", 3, "planted_cross_codec"),
     "q130_audio_neardup" -> scalarSigPairOracleSql("q130_sigs", 3, "planted_half_volume"),
+    "q144_image_blur_neardup" -> scalarSigPairOracleSql("q144_sigs", 7, "planted_degraded"),
     // frame-ALIGNED video pairing: per-frame Hamming join + the
     // min-frames gate, replayed over the dumped (id, frame_idx, sig)
     "q131_video_neardup" ->

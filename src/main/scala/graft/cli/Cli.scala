@@ -3366,6 +3366,13 @@ object Indexer {
   *  - `max-hamming` (default 3; video default 5), `bands` (default 4;
   *    video 8), `max-bucket-size` (default 10000), and for video
   *    `min-frames` (default 2) + `every-n` frame sampling (default 1);
+  *  - `image-hash = dhash | dct` (default dhash): the scalar image
+  *    kernel — `dct` (pHash) holds blur / heavy-re-quantization twins
+  *    dHash cannot, typically at `max-hamming = 7, bands = 8`, but is
+  *    corpus-dependent (degenerate on low-texture corpora: run
+  *    calibrate first). Scalar lineage only (the crop/rotation tier
+  *    states are dHash kernels) and its state carries its own
+  *    `image-dct` fingerprint line;
   *  - `pairs-dir` — the near-dup pair report (always written when set:
   *    operators need the evidence before trusting the drop);
   *  - `mode = report | filter` (default report): `filter` collapses
@@ -3406,6 +3413,21 @@ object MediaDedup {
     val contentCol = c.getString("content-column").getOrElse("content")
     val metaCol = c.getString("meta-column").getOrElse("meta")
     val modality = c.string("modality")
+    // `image-hash = dhash | dct` (default dhash): the scalar image
+    // KERNEL. dct (pHash: 32×32 → 2-D DCT → 8×8 low block signs) holds
+    // blur/heavy-re-quantization twins dHash cannot (MediaEnvelopeProbe:
+    // dHash twin max 10 = stranger min 10 on the textured family — no
+    // radius separates; pHash twins ≤ 8 vs strangers ≥ 13), but is
+    // corpus-dependent (degenerate on low-texture corpora) — calibrate
+    // mode is the arbiter, and dct typically runs wider (max-hamming 7 /
+    // bands 8). Scalar lineage only: the tile/dihedral tier states are
+    // dHash kernels.
+    val imageHash = c.getString("image-hash").getOrElse("dhash")
+    require(Set("dhash", "dct")(imageHash),
+      s"media-dedup.image-hash must be dhash | dct, got '$imageHash'")
+    require(imageHash == "dhash" || modality == "image",
+      "media-dedup.image-hash selects the image kernel — audio/video " +
+        "fingerprints are not DCT hashes")
     val bands = c.getInt("bands").getOrElse(if (modality == "video") 8 else 4)
     // `max-hamming = auto`: consume a PRIOR calibration report (mode =
     // calibrate writes the twin/stranger Hamming distributions to
@@ -3477,6 +3499,9 @@ object MediaDedup {
     require(!(cropTier && rotationTier),
       "media-dedup.crop-tier and rotation-tier persist DIFFERENT state " +
         "shapes (tiles vs dihedral orientations) — run them as separate lineages")
+    require(imageHash == "dhash" || (!cropTier && !rotationTier),
+      "media-dedup.image-hash = dct is the SCALAR image lineage — the " +
+        "tile/dihedral tier states are dHash kernels; run them separately")
     val windowFrames = c.getInt("window-frames").getOrElse(2048)
     val hop = c.getInt("hop").getOrElse(512)
     val minWindows = c.getInt("min-windows").getOrElse(2)
@@ -3505,6 +3530,8 @@ object MediaDedup {
       if (windowed) s"audio-windowed|wf=$windowFrames|hop=$hop|bands=$bands|maxHamming=$maxHamming"
       else if (cropTier) s"image-tiles|bands=$bands|maxHamming=$maxHamming"
       else if (rotationTier) s"image-dihedral|bands=$bands|maxHamming=$maxHamming"
+      else if (modality == "image" && imageHash == "dct")
+        s"image-dct|bands=$bands|maxHamming=$maxHamming"
       else s"$modality|bands=$bands|maxHamming=$maxHamming"
     val stateDir = c.getString("state-dir")
     val statePartsDir = c.getString("state-parts-dir")
@@ -3577,6 +3604,8 @@ object MediaDedup {
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       try {
         def sigsOf(m: org.apache.spark.sql.DataFrame) = modality match {
+          case "image" if imageHash == "dct" => Multimodal.dctHashes(m,
+            Multimodal.ImageIoDecoder, idCol, contentCol, metaCol)
           case "image" => Multimodal.perceptualHashes(m,
             Multimodal.ImageIoDecoder, idCol, contentCol, metaCol)
           case "audio" => Multimodal.audioHashes(m,
@@ -3644,6 +3673,8 @@ object MediaDedup {
       case ("image", _, true) => Multimodal.tileHashes(media,
         Multimodal.ImageIoDecoder, idCol, contentCol, metaCol)
       case ("image", _, _) if rotationTier => Multimodal.dihedralHashes(media,
+        Multimodal.ImageIoDecoder, idCol, contentCol, metaCol)
+      case ("image", _, _) if imageHash == "dct" => Multimodal.dctHashes(media,
         Multimodal.ImageIoDecoder, idCol, contentCol, metaCol)
       case ("image", _, _) => Multimodal.perceptualHashes(media,
         Multimodal.ImageIoDecoder, idCol, contentCol, metaCol)

@@ -736,6 +736,264 @@ object Multimodal {
     h
   }
 
+  /** 32-point DCT-II basis, precomputed once: `DctCos(u)(x) =
+    * cos((2x+1)uπ/64)`. */
+  private val DctCos: Array[Array[Double]] = Array.tabulate(32, 32) {
+    (u, x) => math.cos((2 * x + 1) * u * math.Pi / 64.0)
+  }
+
+  /** 64-bit DCT PERCEPTUAL HASH (pHash — the published DCT variant of
+    * the perceptual-hash family): grayscale → resize to 32×32 → 2-D
+    * DCT-II → the top-left 8×8 low-frequency block → each bit =
+    * "coefficient above the mean of the block's 63 AC coefficients"
+    * (the DC term is excluded from the mean, so its own bit is
+    * constant 1), row-major MSB-first.
+    *
+    * Envelope vs [[dHash64]] ([[graft.tools.MediaEnvelopeProbe]], 500
+    * seeds, quoted in DESIGN): on the photo-like [[texturedImage]]
+    * family, blur+JPEG-q30 twins read dHash up to 10 bits with
+    * strangers at 10 — NO dHash radius separates — while pHash holds
+    * twins ≤ 8 (mean 0.7) against strangers ≥ 13: low-frequency DCT
+    * signs are what JPEG itself preserves, while dHash's 8×9 pixel
+    * gradients wash out. The tier is CORPUS-DEPENDENT, not strictly
+    * wider: on the single-sinusoid [[smoothImage]]/[[smoothImageAsym]]
+    * plates every seed concentrates on one frequency bin, the AC sign
+    * pattern collapses, and cross-seed pHash collides at 0 bits (the
+    * probe's measured negative result) — MediaDedup's calibrate mode
+    * is the per-corpus arbiter. Exact invariance laws
+    * (property-tested): brightness shift and positive contrast scaling
+    * leave every AC sign relation unchanged → hash-identical (modulo
+    * pixel clipping). Like dHash: NOT robust to crops/rotations
+    * (compose with the tile and dihedral tiers, which share the
+    * banded engine). */
+  def pHash64(d: Decoded): Long = {
+    val g = resize(toGray(d), 32, 32).data
+    // row DCT then column DCT (separable); only the first 8 output
+    // frequencies of each pass are consumed downstream, but the row
+    // pass feeds all 32 columns, so compute rows fully
+    val rows = new Array[Double](32 * 32)
+    var y = 0
+    while (y < 32) {
+      var u = 0
+      while (u < 32) {
+        var s = 0.0
+        var x = 0
+        while (x < 32) { s += g(y * 32 + x) * DctCos(u)(x); x += 1 }
+        rows(y * 32 + u) = s
+        u += 1
+      }
+      y += 1
+    }
+    val block = new Array[Double](64)
+    var v = 0
+    while (v < 8) {
+      var u = 0
+      while (u < 8) {
+        var s = 0.0
+        var yy = 0
+        while (yy < 32) { s += rows(yy * 32 + u) * DctCos(v)(yy); yy += 1 }
+        block(v * 8 + u) = s
+        u += 1
+      }
+      v += 1
+    }
+    var mean = 0.0
+    var i = 1
+    while (i < 64) { mean += block(i); i += 1 }
+    mean /= 63.0
+    var h = 0L
+    i = 0
+    while (i < 64) { h = (h << 1) | (if (block(i) > mean) 1L else 0L); i += 1 }
+    h
+  }
+
+  /** 3×3 box blur with edge clamping — the degradation kernel of the
+    * pHash fixture family (and the round-13 envelope probe). */
+  private[graft] def boxBlur3(d: Decoded): Decoded = {
+    val out = new Array[Float](d.data.length)
+    val (w, h, c) = (d.width, d.height, d.channels)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        var ch = 0
+        while (ch < c) {
+          var sum = 0.0f; var n = 0
+          var dy = -1
+          while (dy <= 1) {
+            var dx = -1
+            while (dx <= 1) {
+              val yy = y + dy; val xx = x + dx
+              if (yy >= 0 && yy < h && xx >= 0 && xx < w) {
+                sum += d.data((yy * w + xx) * c + ch); n += 1
+              }
+              dx += 1
+            }
+            dy += 1
+          }
+          out((y * w + x) * c + ch) = sum / n
+          ch += 1
+        }
+        x += 1
+      }
+      y += 1
+    }
+    Decoded(w, h, c, out)
+  }
+
+  /** JPEG bytes at an EXPLICIT quality — the fixture/probe encoder for
+    * re-quantization twins harsher than the JDK default (~0.75). */
+  private[graft] def jpegBytesAtQuality(d: Decoded, quality: Float): Array[Byte] = {
+    import java.awt.image.BufferedImage
+    def q(f: Float): Int = math.max(0, math.min(255, math.round(f * 255.0f)))
+    val gray = d.channels == 1
+    val im = new BufferedImage(d.width, d.height, BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < d.height) {
+      var x = 0
+      while (x < d.width) {
+        val base = (y * d.width + x) * d.channels
+        val (r, gg, b) =
+          if (gray) (q(d.data(base)), q(d.data(base)), q(d.data(base)))
+          else (q(d.data(base)), q(d.data(base + 1)), q(d.data(base + 2)))
+        im.setRGB(x, y, (r << 16) | (gg << 8) | b)
+        x += 1
+      }
+      y += 1
+    }
+    val w = javax.imageio.ImageIO.getImageWritersByFormatName("jpg").next()
+    val p = w.getDefaultWriteParam
+    p.setCompressionMode(javax.imageio.ImageWriteParam.MODE_EXPLICIT)
+    p.setCompressionQuality(quality)
+    val baos = new java.io.ByteArrayOutputStream()
+    val ios = javax.imageio.ImageIO.createImageOutputStream(baos)
+    w.setOutput(ios)
+    w.write(null, new javax.imageio.IIOImage(im, null, null), p)
+    w.dispose(); ios.close()
+    baos.toByteArray
+  }
+
+  /** Deterministic TEXTURED test image for a seed: the 8×8
+    * low-frequency DCT block is drawn seed-random — independent sign
+    * and magnitude per AC coefficient, decaying `1/(1+u+v)` like a
+    * natural spectrum — then synthesized onto `w×h` via the inverse
+    * DCT and min-max normalized to [0,1]. The [[smoothImage]] family
+    * (one sinusoid) is JPEG's representative case but DEGENERATE for a
+    * DCT hash: every seed concentrates on ONE low-frequency bin, so
+    * the 63-AC-sign pattern barely varies by seed (the round-13
+    * envelope probe measured cross-seed [[pHash64]] collisions at 0
+    * bits on both plate families). This family gives each seed an
+    * essentially independent 63-bit AC sign vector — the photo-like
+    * regime a DCT perceptual hash actually operates in. Normalization
+    * is a positive affine map, which [[pHash64]] is invariant to by
+    * construction, so the planted signs survive rendering. Grayscale
+    * written to all three channels. */
+  def texturedImage(seed: Long, w: Int = 32, h: Int = 32): Decoded = {
+    // splitmix64 stream: one draw per AC coefficient so sequential
+    // seeds give decorrelated sign vectors, not neighbors
+    var z = seed
+    def next(): Long = {
+      z += 0x9E3779B97F4A7C15L
+      var x = z
+      x = (x ^ (x >>> 30)) * 0xBF58476D1CE4E5B9L
+      x = (x ^ (x >>> 27)) * 0x94D049BB133111EBL
+      x ^ (x >>> 31)
+    }
+    val amp = new Array[Double](64)
+    var i = 1
+    while (i < 64) {
+      val u = i % 8; val v = i / 8
+      val r = next()
+      val sign = if ((r & 1L) == 0L) -1.0 else 1.0
+      // magnitude bounded away from zero (0.55..1.0) so no planted
+      // sign sits within rendering-quantization noise of the flip point
+      val mag = 0.55 + 0.45 * (((r >>> 1) & 1023L).toDouble / 1023.0)
+      amp(i) = sign * mag / (1.0 + u + v)
+      i += 1
+    }
+    val cx = Array.tabulate(8, w)((u, x) =>
+      math.cos((2 * x + 1) * u * math.Pi / (2.0 * w)))
+    val cy = Array.tabulate(8, h)((v, y) =>
+      math.cos((2 * y + 1) * v * math.Pi / (2.0 * h)))
+    val raw = new Array[Double](w * h)
+    var mn = Double.MaxValue; var mx = Double.MinValue
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        var s = 0.0
+        var v = 0
+        while (v < 8) {
+          var u = 0
+          while (u < 8) {
+            val a = amp(v * 8 + u)
+            if (a != 0.0) s += a * cx(u)(x) * cy(v)(y)
+            u += 1
+          }
+          v += 1
+        }
+        raw(y * w + x) = s
+        if (s < mn) mn = s
+        if (s > mx) mx = s
+        x += 1
+      }
+      y += 1
+    }
+    val span = if (mx > mn) mx - mn else 1.0
+    val data = new Array[Float](w * h * 3)
+    var p = 0
+    while (p < w * h) {
+      val fv = ((raw(p) - mn) / span).toFloat
+      data(p * 3) = fv; data(p * 3 + 1) = fv; data(p * 3 + 2) = fv
+      p += 1
+    }
+    Decoded(w, h, 3, data)
+  }
+
+  /** Replace each asset's payload with a real PNG rendering of the
+    * deterministic TEXTURED plate keyed by `seedCol` — the base corpus
+    * of the DCT-tier fixture family (same mapPartitions shape as
+    * [[reencodeAsSmoothImage]], no shuffle). */
+  def reencodeAsTexturedImage(
+      df: DataFrame,
+      seedCol: String = "asset_id",
+      contentCol: String = "content",
+      w: Int = 32,
+      h: Int = 32): DataFrame = {
+    val schema = df.schema
+    val cIdx = df.columns.indexOf(contentCol)
+    val sIdx = df.columns.indexOf(seedCol)
+    df.mapPartitions { it =>
+      it.map { row =>
+        val bytes = encodePng(texturedImage(row.getLong(sIdx), w, h))
+        Row.fromSeq(row.toSeq.updated(cIdx, bytes))
+      }
+    }(Encoders.row(schema))
+  }
+
+  /** Replace each asset's payload with a DEGRADED rendering of its
+    * seed's textured plate: 3×3 box blur, then JPEG at `quality` — the
+    * blur+re-quantization twin OUTSIDE [[dHash64]]'s envelope that the
+    * DCT tier exists for (q144's fixture). */
+  def reencodeAsTexturedImageDegraded(
+      df: DataFrame,
+      quality: Float = 0.3f,
+      seedCol: String = "asset_id",
+      contentCol: String = "content",
+      w: Int = 32,
+      h: Int = 32): DataFrame = {
+    val schema = df.schema
+    val cIdx = df.columns.indexOf(contentCol)
+    val sIdx = df.columns.indexOf(seedCol)
+    df.mapPartitions { it =>
+      it.map { row =>
+        val bytes = jpegBytesAtQuality(
+          boxBlur3(texturedImage(row.getLong(sIdx), w, h)), quality)
+        Row.fromSeq(row.toSeq.updated(cIdx, bytes))
+      }
+    }(Encoders.row(schema))
+  }
+
   /** Per-asset perceptual hashes `(id, sig)` — the image analog of
     * [[graft.llm.Dedup.simHashSignatures]], and like them the per-run
     * STATE an incremental pipeline persists. Same batched mapPartitions
@@ -746,7 +1004,29 @@ object Multimodal {
       idCol: String = "asset_id",
       contentCol: String = "content",
       metaCol: String = "meta",
-      batchSize: Int = 64): DataFrame = {
+      batchSize: Int = 64): DataFrame =
+    scalarImageHashes(df, decoder, idCol, contentCol, metaCol, batchSize)(dHash64)
+
+  /** Per-asset DCT hashes `(id, sig)` — [[perceptualHashes]] with
+    * [[pHash64]] as the kernel: the blur/re-quantization-robust scalar
+    * state frame (NOT comparable to dHash state — the MediaDedup
+    * fingerprint line keeps the lineages apart). */
+  def dctHashes(
+      df: DataFrame,
+      decoder: MediaDecoder,
+      idCol: String = "asset_id",
+      contentCol: String = "content",
+      metaCol: String = "meta",
+      batchSize: Int = 64): DataFrame =
+    scalarImageHashes(df, decoder, idCol, contentCol, metaCol, batchSize)(pHash64)
+
+  private def scalarImageHashes(
+      df: DataFrame,
+      decoder: MediaDecoder,
+      idCol: String,
+      contentCol: String,
+      metaCol: String,
+      batchSize: Int)(hash: Decoded => Long): DataFrame = {
     val idType = df.schema(idCol).dataType
     val schema = StructType(Seq(
       StructField("id", idType, nullable = false),
@@ -761,12 +1041,35 @@ object Multimodal {
           else {
             val meta = Option(row.getMap[String, String](mIdx))
               .map(_.toMap).getOrElse(Map.empty[String, String])
-            Some(Row(row.get(idIdx), dHash64(decoder.decode(content, meta))))
+            Some(Row(row.get(idIdx), hash(decoder.decode(content, meta))))
           }
         }
       }
     }(Encoders.row(schema))
   }
+
+  /** Image near-dup pairs under the DCT hash — [[imageNearDups]] with
+    * [[pHash64]]: the heavy-blur / re-quantization tier (q144), same
+    * banded engine, never all-pairs. Defaults carry the probe's
+    * margins (twins ≤ 8, strangers ≥ 13 on the textured family):
+    * radius 7 needs 8 bands for the pigeonhole guarantee, which means
+    * 8-bit bucket keys — coarser buckets than the dHash tier's 16-bit
+    * ones, so at corpus scale this tier leans harder on the hot-bucket
+    * guard and pixel `verifyImagePairs`; when a corpus's degradations
+    * allow a radius ≤ 3 (JPEG-only twins measure ≤ 4), prefer it and
+    * let calibrate mode prove the envelope. */
+  def imageNearDupsDct(
+      df: DataFrame,
+      decoder: MediaDecoder,
+      idCol: String = "asset_id",
+      contentCol: String = "content",
+      metaCol: String = "meta",
+      maxHamming: Int = 7,
+      bands: Int = 8,
+      maxBucketSize: Int = 10000): DataFrame =
+    graft.llm.Dedup.sigNearDups(
+      dctHashes(df, decoder, idCol, contentCol, metaCol),
+      maxHamming, bands, maxBucketSize)
 
   /** Image NEAR-DUPLICATE pairs within `maxHamming` dHash bits — the
     * multimodal entry into the shared banded near-dup engine

@@ -1,0 +1,63 @@
+package graft.tools
+
+/** Envelope evidence for the round-13 DCT-tier decision: do realistic
+  * blur / re-quantization twins fall OUTSIDE the scalar dHash radius
+  * the image gates run at (3 bits), and does a DCT pHash separate them
+  * where dHash cannot?
+  *
+  * Per plate family (smooth q129 plates, anisotropic q137 plates, and
+  * the seed-random-spectrum TEXTURED family the DCT tier's q144
+  * fixture uses), per transform (3×3 box blur; JPEG at quality 0.3; a
+  * double JPEG 0.75 → 0.5 chain; blur-then-JPEG-0.3), the probe
+  * reports the twin Hamming distribution (max/mean) against the
+  * cross-seed stranger minimum over the same hashes — for dHash AND
+  * pHash. Driver-side only — 150 seeds × a few transforms is not a
+  * Spark job. Output is quoted in DESIGN.md: the smooth/asym families
+  * are DEGENERATE for a DCT hash (single-sinusoid spectra collapse
+  * the AC sign pattern → cross-seed pHash collisions at 0 bits),
+  * which is why the DCT tier's fixture family is the textured one. */
+object MediaEnvelopeProbe {
+  import graft.llm.Multimodal
+  import graft.llm.Multimodal.Decoded
+
+  private def decode(bytes: Array[Byte]): Decoded =
+    Multimodal.ImageIoDecoder.decode(bytes, Map.empty)
+
+  def main(args: Array[String]): Unit = {
+    val n = if (args.nonEmpty) args(0).toInt else 150
+    for ((famName, plate) <- Seq(
+        "smooth" -> ((s: Long) => Multimodal.smoothImage(s)),
+        "asym" -> ((s: Long) => Multimodal.smoothImageAsym(s)),
+        "textured" -> ((s: Long) => Multimodal.texturedImage(s)))) {
+      // canonical hashes: PNG-rendered plates, decoded back (the gates'
+      // own base-side pipeline)
+      val base = (0 until n).map { s =>
+        decode(Multimodal.encodePng(plate(s.toLong)))
+      }
+      val transforms: Seq[(String, Decoded => Array[Byte])] = Seq(
+        "blur3x3" -> (d => Multimodal.encodePng(Multimodal.boxBlur3(d))),
+        "jpeg_q30" -> (d => Multimodal.jpegBytesAtQuality(d, 0.3f)),
+        "jpeg_q75_then_q50" -> (d => Multimodal.jpegBytesAtQuality(
+          decode(Multimodal.jpegBytesAtQuality(d, 0.75f)), 0.5f)),
+        "blur_then_jpeg30" -> (d => Multimodal.jpegBytesAtQuality(
+          Multimodal.boxBlur3(d), 0.3f)))
+      for ((hashName, hash) <- Seq(
+          "dhash" -> ((d: Decoded) => Multimodal.dHash64(d)),
+          "phash" -> ((d: Decoded) => Multimodal.pHash64(d)))) {
+        val h0 = base.map(hash)
+        var strangerMin = 64
+        for (i <- 0 until n; j <- (i + 1) until n) {
+          val d = java.lang.Long.bitCount(h0(i) ^ h0(j))
+          if (d < strangerMin) strangerMin = d
+        }
+        for ((label, f) <- transforms) {
+          val ds = (0 until n).map { s =>
+            java.lang.Long.bitCount(h0(s) ^ hash(decode(f(base(s)))))
+          }
+          println(f"$famName%-8s $hashName%-5s $label%-18s twin max ${ds.max}%2d  " +
+            f"mean ${ds.sum.toDouble / n}%5.2f  stranger min $strangerMin%2d")
+        }
+      }
+    }
+  }
+}

@@ -4962,6 +4962,96 @@ class CliSpec extends SparkTestBase {
     assert(nogap.getMessage.contains("NO separating gap"), nogap.getMessage)
   }
 
+  test("mediadedup image-hash = dct: blur+requantized twins outside dHash's " +
+      "radius drop through the DCT lineage; the state fingerprint keeps the " +
+      "kernels apart") {
+    import org.apache.spark.sql.functions.col
+    import graft.llm.Multimodal
+    val base = tmp()
+    val media = Multimodal.asMediaTable(
+      spark.read.parquet(s"$sfDir/documents.parquet").filter(col("doc_id") < 40),
+      "doc_id", "text", "image", Map.empty)
+    // 40 textured PNG plates + 20 blur+JPEG-q30 twins under id+100000 —
+    // the degradation the per-seed probe measured: 11 of these 20 twins
+    // sit OUTSIDE dHash radius 3 while all 20 stay within pHash 2
+    val src = base.resolve("dct_media").toString
+    Multimodal.reencodeAsTexturedImage(media)
+      .unionByName(Multimodal.reencodeAsTexturedImageDegraded(
+          media.filter(col("asset_id") < 20))
+        .withColumn("asset_id", col("asset_id") + 100000))
+      .write.parquet(src)
+    // the dct lineage at the probe's radius drops ALL planted twins
+    val out = base.resolve("dct_out").toString
+    val stOut = base.resolve("dct_st").toString
+    graft.cli.MediaDedup.main(Array("--conf", write(base.resolve("dct.conf"),
+      s"""media-dedup {
+         |  source { storage-type = local, dataset-dir = $src }
+         |  target { storage-type = local, dataset-dir = $out, dataset-store-format = parquet, write-mode = overwrite }
+         |  modality = image
+         |  image-hash = dct
+         |  mode = filter
+         |  max-hamming = 7
+         |  bands = 8
+         |  state-out-dir = $stOut
+         |}
+         |""".stripMargin)))
+    val surv = spark.read.parquet(out).select("asset_id").collect().map(_.getLong(0))
+    assert(surv.length == 40 && !surv.exists(_ >= 100000L),
+      s"dct lineage must drop exactly the 20 degraded twins: ${surv.sorted.toSeq}")
+    // the dHash scalar kernel at ITS radius measurably misses twins on
+    // this corpus — the knob's reason to exist, pinned at the CLI level
+    val dhOut = base.resolve("dh_out").toString
+    graft.cli.MediaDedup.main(Array("--conf", write(base.resolve("dh.conf"),
+      s"""media-dedup {
+         |  source { storage-type = local, dataset-dir = $src }
+         |  target { storage-type = local, dataset-dir = $dhOut, dataset-store-format = parquet, write-mode = overwrite }
+         |  modality = image
+         |  mode = filter
+         |}
+         |""".stripMargin)))
+    val dhSurv = spark.read.parquet(dhOut).select("asset_id").collect().map(_.getLong(0))
+    assert(dhSurv.count(_ >= 100000L) > 0,
+      "expected dHash radius 3 to miss blur twins on the textured corpus")
+    // the dct state carries its own fingerprint line: a dHash run
+    // refuses it loudly instead of silently under-matching
+    val fp = intercept[IllegalArgumentException] {
+      graft.cli.MediaDedup.main(Array("--conf", write(base.resolve("dct_fp.conf"),
+        s"""media-dedup {
+           |  source { storage-type = local, dataset-dir = $src }
+           |  modality = image
+           |  mode = report
+           |  state-dir = $stOut
+           |}
+           |""".stripMargin)))
+    }
+    assert(fp.getMessage.contains("image-dct"), fp.getMessage)
+    // dct is the SCALAR lineage — tier states are dHash kernels
+    val tier = intercept[IllegalArgumentException] {
+      graft.cli.MediaDedup.main(Array("--conf", write(base.resolve("dct_tier.conf"),
+        s"""media-dedup {
+           |  source { storage-type = local, dataset-dir = $src }
+           |  modality = image
+           |  image-hash = dct
+           |  crop-tier = true
+           |  mode = report
+           |}
+           |""".stripMargin)))
+    }
+    assert(tier.getMessage.contains("SCALAR image lineage"), tier.getMessage)
+    // and the kernel knob is image-only
+    val mod = intercept[IllegalArgumentException] {
+      graft.cli.MediaDedup.main(Array("--conf", write(base.resolve("dct_mod.conf"),
+        s"""media-dedup {
+           |  source { storage-type = local, dataset-dir = $src }
+           |  modality = audio
+           |  image-hash = dct
+           |  mode = report
+           |}
+           |""".stripMargin)))
+    }
+    assert(mod.getMessage.contains("image kernel"), mod.getMessage)
+  }
+
   test("differ over media fingerprint state: a shifted media batch shows as " +
       "sig-histogram drift and breaches the gate; an identical batch does not") {
     import org.apache.spark.sql.functions.col

@@ -161,6 +161,17 @@ class EntrySpec extends SparkTestBase {
     assert(p.getAs[Int]("max_hamming") <= 3)
   }
 
+  test("q144: every blur+requantized twin pairs within pHash radius 7; nothing else does") {
+    val rows = SparkEntry.queries("q144_image_blur_neardup")(spark, sfDir).collect()
+      .map(r => r.getString(0) -> r).toMap
+    assert(rows.keySet == Set("planted_degraded"),
+      s"non-planted pairs inside the radius: ${rows.keySet}")
+    val p = rows("planted_degraded")
+    assert(p.getAs[Long]("n_pairs") == 25L, // 150 plates, every 6th twinned
+      s"want all 25 planted PNG<->degraded twins, got ${p.getAs[Long]("n_pairs")}")
+    assert(p.getAs[Int]("max_hamming") <= 7)
+  }
+
   test("q130: every half-volume audio twin fingerprints identically; nothing else pairs") {
     val rows = SparkEntry.queries("q130_audio_neardup")(spark, sfDir).collect()
       .map(r => r.getString(0) -> r).toMap

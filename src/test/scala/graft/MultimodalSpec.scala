@@ -398,6 +398,57 @@ class MultimodalSpec extends SparkTestBase {
     assert(cross.min > 3, s"cross-seed hashes inside the near-dup radius: min=${cross.min}")
   }
 
+  test("pHash64: affine-invariant, blur+requantization twins inside radius 7 " +
+      "where dHash's envelope closes (MediaEnvelopeProbe calibration)") {
+    import graft.llm.Multimodal._
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    val seeds = 0L until 40L
+    for (seed <- seeds) {
+      val img = texturedImage(seed)
+      // textured plates render in [0,1] and are deterministic per seed
+      assert(img.data.forall(v => v >= 0.0f && v <= 1.0f))
+      assert(texturedImage(seed).data.sameElements(img.data))
+      val h = pHash64(img)
+      // exact invariance laws: brightness shift + positive contrast
+      // scale preserve every AC sign relation (values kept clip-free)
+      val affine = Decoded(32, 32, 3, img.data.map(v => 0.1f + 0.8f * v))
+      assert(pHash64(affine) == h, s"seed $seed affine drift")
+      // PNG render round-trip: 8-bit quantization wobble only
+      val hPng = pHash64(ImageIoDecoder.decode(encodePng(img), Map.empty))
+      assert(ham(h, hPng) <= 2, s"seed $seed png drift")
+      // the tier's reason to exist: the blur+JPEG-q30 twin stays inside
+      // the q144 radius
+      val degraded = ImageIoDecoder.decode(
+        jpegBytesAtQuality(boxBlur3(img), 0.3f), Map.empty)
+      assert(ham(hPng, pHash64(degraded)) <= 7,
+        s"seed $seed degraded twin outside the pHash radius")
+    }
+    // cross-seed distinctness in pHash's operating regime (probe: min 13
+    // over 500 seeds)
+    val hs = seeds.map(s0 => pHash64(texturedImage(s0)))
+    val cross = for (a <- hs.indices; b <- hs.indices if a < b) yield ham(hs(a), hs(b))
+    assert(cross.min > 7, s"cross-seed pHashes inside the radius: min=${cross.min}")
+    // dHash on the SAME degradations cannot hold its radius-3 envelope
+    // (probe: twin max 10 = stranger min 10 at 500 seeds)
+    val dTwin = seeds.map { s0 =>
+      val img = texturedImage(s0)
+      ham(dHash64(ImageIoDecoder.decode(encodePng(img), Map.empty)),
+        dHash64(ImageIoDecoder.decode(
+          jpegBytesAtQuality(boxBlur3(img), 0.3f), Map.empty)))
+    }
+    assert(dTwin.max > 3,
+      "expected at least one blur twin outside the dHash radius-3 envelope")
+    // and the measured NEGATIVE result that keeps the tier honest: on
+    // the single-sinusoid plate family the AC sign pattern collapses —
+    // cross-seed pHash strangers land inside any usable radius, so the
+    // DCT tier is corpus-dependent (calibrate mode is the arbiter)
+    val smoothHs = (0L until 150L).map(s0 => pHash64(smoothImage(s0)))
+    val smoothCross = (for (a <- smoothHs.indices; b <- smoothHs.indices if a < b)
+      yield ham(smoothHs(a), smoothHs(b))).min
+    assert(smoothCross <= 3,
+      s"smooth plates were expected pHash-degenerate, got cross min $smoothCross")
+  }
+
   test("imageNearDups: cross-codec twins pair through the banded engine, " +
       "nothing else does at radius 3") {
     import org.apache.spark.sql.functions.col
