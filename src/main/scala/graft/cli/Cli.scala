@@ -2282,9 +2282,24 @@ object Streamer {
   def main(args: Array[String]): Unit = Cli.run("streamer", args) { (conf, spark) =>
     import graft.streaming.Streams
     val c = conf.at("streaming")
-    val events = Streams.readEventStream(spark, c.string("events-dir"))
     val watermark = c.getString("watermark").getOrElse("2 hours")
-    val stream = c.getString("operation").getOrElse("window") match {
+    val useRocksDB = c.getString("state-store") match {
+      case None | Some("default") => false
+      case Some("rocksdb") => true
+      case Some(other) => throw new IllegalArgumentException(
+        s"unknown streaming.state-store '$other' (rocksdb|default)")
+    }
+    val opts = Streams.RunOptions(
+      shufflePartitions = c.getInt("shuffle-partitions"),
+      useRocksDB = useRocksDB)
+    val operation = c.getString("operation").getOrElse("window")
+    if (operation == "near-dedup-cluster") {
+      // drives its own foreachBatch sink (per-batch multi-table state
+      // commits don't fit the single-file-sink tail below)
+      runClusteredNearDedup(spark, c, opts)
+    } else {
+    val events = Streams.readEventStream(spark, c.string("events-dir"))
+    val stream = operation match {
       case "window" =>
         Streams.windowedEventStats(events,
           c.getString("window-length").getOrElse("1 hour"), watermark)
@@ -2500,19 +2515,211 @@ object Streamer {
           watermarkDelay = watermark)
       case other => throw new IllegalArgumentException(
         s"unknown streaming.operation '$other' " +
-          "(window|sessions|dedup|near-dedup|media-near-dedup|filter)")
+          "(window|sessions|dedup|near-dedup|near-dedup-cluster|media-near-dedup|filter)")
     }
-    val useRocksDB = c.getString("state-store") match {
-      case None | Some("default") => false
-      case Some("rocksdb") => true
-      case Some(other) => throw new IllegalArgumentException(
-        s"unknown streaming.state-store '$other' (rocksdb|default)")
-    }
-    val opts = Streams.RunOptions(
-      shufflePartitions = c.getInt("shuffle-partitions"),
-      useRocksDB = useRocksDB)
     Cli.log("streaming run started (AvailableNow)...")
     Streams.runToFiles(stream, c.string("target-dir"), c.string("checkpoint-location"), opts)
+    Cli.log("streaming run finished")
+    }
+  }
+
+  /** `operation = near-dedup-cluster`: SINGLE-PASS incremental
+    * near-dedup over a document stream. The stateless arrival filters
+    * above deliberately leave within-stream HAMMING clustering to the
+    * batch Curator (a stream-side Hamming tier would need stateful
+    * band aggregation); this mode closes that gap with `foreachBatch`:
+    * a micro-batch IS a static frame, so the batch engine's three
+    * tiers ([[graft.llm.Dedup.dropSeenCounted]] — exact-vs-seen +
+    * in-batch exact, in-batch near-dup keep-lower-id, near-vs-corpus)
+    * run with EXACTLY the batch semantics, and the survivors'
+    * hash/signature state accretes between micro-batches.
+    *
+    * Crash contract: Structured Streaming retries a failed batch under
+    * the SAME batch id, so every write here is keyed by it — survivors
+    * land at `target-dir/batch-<id>` (overwrite), state parts at
+    * `cluster-state-dir/<table>/part-<id+1>` (overwrite; part-0 is the
+    * seed corpus's hot-count bootstrap), and each batch reads only
+    * parts strictly BELOW its own index — a half-written retry never
+    * sees its own rows (which would drop the whole batch against
+    * itself). Consumer-facing manifests + `_COMMITTED` land after the
+    * parts, so the cluster state dir is itself a readStateTable-
+    * compatible near-dedup state: `operation = near-dedup` (and the
+    * batch Curator's `dropSeen`) can point at it directly, and the
+    * manifests cover seed ∪ accreted parts.
+    *
+    * Scale shape: per-batch work is the batch's own rows against
+    * banded state (never corpus-vs-corpus); hot-bucket guards come
+    * from persisted mergeable per-bucket COUNTS (the Curator's
+    * protocol — bounded ≤ bands·2^(64/bands) rows), so no micro-batch
+    * ever re-bands the corpus. */
+  private def runClusteredNearDedup(
+      spark: org.apache.spark.sql.SparkSession,
+      c: graft.conf.GraftConfig,
+      opts: graft.streaming.Streams.RunOptions): Unit = {
+    import org.apache.spark.sql.functions._
+    import org.apache.hadoop.fs.Path
+    import graft.llm.Dedup
+    import graft.streaming.Streams
+    val dir = c.string("events-dir")
+    val docs = spark.readStream
+      .schema(spark.read.parquet(dir).schema).parquet(dir)
+    val textCol = c.getString("text-column").getOrElse("text")
+    val idCol = c.getString("id-column").getOrElse("doc_id")
+    val targetDir = c.string("target-dir")
+    val hconf = spark.sparkContext.hadoopConfiguration
+    def qual(d: String): Path = {
+      val p = new Path(d); p.getFileSystem(hconf).makeQualified(p)
+    }
+    val root = qual(c.string("cluster-state-dir"))
+    val fs = root.getFileSystem(hconf)
+    // optional SEED corpus state (a committed Curator/prior-cluster
+    // lineage): near-dup parameters default FROM its marker and
+    // explicit overrides that diverge are rejected — the
+    // `operation = near-dedup` contract
+    val seedDir = c.getString("state-dir").map(d => qual(d).toString)
+    val seedKv: Map[String, String] = seedDir.map { d =>
+      val marker = new Path(d, "_COMMITTED")
+      require(fs.exists(marker),
+        s"streaming.state-dir '$d' holds no committed state (_COMMITTED missing)")
+      val in = marker.getFileSystem(hconf).open(marker)
+      val txt = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+        finally in.close()
+      txt.split(";").iterator.map(_.split("=", 2))
+        .collect { case Array(k, v) => k -> v }.toMap
+    }.getOrElse(Map.empty)
+    def fromSeed(stateKey: String, confKey: String, default: Int): Int = {
+      val stored = seedKv.get(stateKey).map(_.trim.toInt)
+      (c.getInt(confKey), stored) match {
+        case (Some(g), Some(st)) =>
+          require(g == st, s"streaming.$confKey=$g but state-dir was built " +
+            s"with $stateKey=$st — signatures from different parameters do " +
+            "not compare; drop the override or re-curate")
+          g
+        case (Some(g), None) => g
+        case (None, Some(st)) => st
+        case (None, None) => default
+      }
+    }
+    val gramSize = fromSeed("shingle-size", "shingle-size", 3)
+    val bands = fromSeed("bands", "bands", 4)
+    val maxHamming = c.getInt("max-hamming").getOrElse(3)
+    val maxBucket = c.getInt("max-bucket-size").getOrElse(10000)
+    require(maxHamming < bands,
+      s"pigeonhole needs maxHamming < bands ($maxHamming >= $bands misses pairs)")
+    // the lineage fingerprint guards drifted RESTART parameters the way
+    // the MediaDedup state line does: same checkpoint + different knobs
+    // would silently mix incomparable signatures
+    val lineFp = s"cluster|shingle-size=$gramSize|bands=$bands|" +
+      s"maxHamming=$maxHamming|seed=${seedDir.getOrElse("none")}"
+    val fpPath = new Path(root, "fingerprint")
+    if (fs.exists(fpPath)) {
+      val in = fs.open(fpPath)
+      val stored = try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
+        finally in.close()
+      require(stored == lineFp,
+        s"cluster-state-dir '$root' was built as '$stored' but this run is " +
+          s"'$lineFp' — one lineage, one parameter set; point at a fresh dir " +
+          "or restore the original parameters")
+    } else {
+      // fresh lineage: refuse a parts dir holding another lineage's
+      // tables (the Curator's parts hygiene)
+      Seq("hashes", "sigs", "hotcounts")
+        .foreach(t => Cli.requireEmptyPartsDir(spark, root.toString, t))
+      val out = fs.create(fpPath, true)
+      try out.write(lineFp.getBytes("UTF-8")) finally out.close()
+    }
+    // seed tables read ONCE (lazy frames — re-planned per batch,
+    // broadcast when they fit); the seed's hot-bucket counts
+    // materialize as bootstrap part-0 so no batch re-bands the seed
+    val seedHashes = seedDir.map(d => Cli.readStateTable(spark, d, "hashes"))
+    val seedSigs = seedDir.map(d => Cli.readStateTable(spark, d, "sigs"))
+    val seedCountsPart = new Path(root, "hotcounts/part-0")
+    seedSigs.foreach { ss =>
+      if (!fs.exists(seedCountsPart))
+        Dedup.bucketCounts(ss, bands)
+          .write.mode("overwrite").parquet(seedCountsPart.toString)
+    }
+    def seedEntries(table: String): Seq[String] = seedDir.toSeq.flatMap { d =>
+      Cli.stateTableParts(spark, d, table).getOrElse(Seq(s"$d/$table"))
+    }
+    val logCounts = c.getBoolean("log-drop-counts").getOrElse(true)
+    Cli.log("streaming run started (AvailableNow, foreachBatch)...")
+    Streams.runForeachBatch(docs, c.string("checkpoint-location"), opts) {
+      (batchRaw, batchId) =>
+        val idx = batchId + 1 // part-0 is the seed bootstrap
+        def partsBefore(table: String): Seq[String] = {
+          val td = new Path(root, table)
+          if (!fs.exists(td)) Seq.empty
+          else fs.listStatus(td).map(_.getPath).toSeq
+            .flatMap(p => p.getName.stripPrefix("part-").toLongOption
+              .filter(i => i > 0 && i < idx).map(_ -> p.toString))
+            .sortBy(_._1).map(_._2)
+        }
+        val hashParts = partsBefore("hashes")
+        val sigParts = partsBefore("sigs")
+        val batch = batchRaw.persist()
+        try {
+          val seenHashes = (seedHashes.toSeq ++
+            (if (hashParts.nonEmpty) Seq(spark.read.parquet(hashParts: _*)) else Nil))
+            .reduceOption(_.unionByName(_))
+            .getOrElse(batch.limit(0)
+              .select(Dedup.contentHash(col(textCol)).as("content_hash")))
+          val corpusSigs = (seedSigs.toSeq ++
+            (if (sigParts.nonEmpty) Seq(spark.read.parquet(sigParts: _*)) else Nil))
+            .reduceOption(_.unionByName(_))
+            .getOrElse(Dedup.simHashSignatures(batch.limit(0), idCol, textCol, gramSize))
+          // hot keys from the persisted counts (part-0 seed + prior
+          // batches) — bounded tables, merged without touching sigs
+          val countParts = {
+            val td = new Path(root, "hotcounts")
+            if (!fs.exists(td)) Seq.empty[String]
+            else fs.listStatus(td).map(_.getPath).toSeq
+              .flatMap(p => p.getName.stripPrefix("part-").toLongOption
+                .filter(_ < idx).map(_ -> p.toString))
+              .sortBy(_._1).map(_._2)
+          }
+          val hot =
+            if (countParts.isEmpty) None
+            else Some(Dedup.hotFromCounts(
+              Dedup.mergeBucketCounts(spark.read.parquet(countParts: _*)), maxBucket))
+          val (survivors, n) = Dedup.dropSeenCounted(batch, textCol, idCol,
+            seenHashes, corpusSigs, maxHamming, bands, gramSize, maxBucket, hot)
+          try {
+            survivors.write.mode("overwrite").parquet(s"$targetDir/batch-$batchId")
+            survivors
+              .select(Dedup.contentHash(col(textCol)).as("content_hash"))
+              .write.mode("overwrite").parquet(s"$root/hashes/part-$idx")
+            Dedup.simHashSignatures(survivors, idCol, textCol, gramSize)
+              .write.mode("overwrite").parquet(s"$root/sigs/part-$idx")
+            Dedup.bucketCounts(spark.read.parquet(s"$root/sigs/part-$idx"), bands)
+              .write.mode("overwrite").parquet(s"$root/hotcounts/part-$idx")
+            // consumer-facing commit: manifests covering seed ∪ parts,
+            // the bounded hot table, and the Curator-style marker — the
+            // cluster dir is now a valid `state-dir` for operation =
+            // near-dedup and the batch tiers
+            Cli.writeStateManifest(spark, root, "hashes",
+              seedEntries("hashes") ++ hashParts :+ s"$root/hashes/part-$idx")
+            Cli.writeStateManifest(spark, root, "sigs",
+              seedEntries("sigs") ++ sigParts :+ s"$root/sigs/part-$idx")
+            Dedup.hotFromCounts(
+              Dedup.mergeBucketCounts(
+                spark.read.parquet((countParts :+ s"$root/hotcounts/part-$idx"): _*)),
+              maxBucket)
+              .write.mode("overwrite").parquet(s"$root/hot")
+            val marker = fs.create(new Path(root, "_COMMITTED"), true)
+            try marker.write(
+              s"shingle-size=$gramSize;bands=$bands;max-bucket=$maxBucket"
+                .getBytes("UTF-8"))
+            finally marker.close()
+            if (logCounts)
+              Cli.log(s"near-dedup-cluster batch $batchId: ${n.batchRows} rows, " +
+                s"exact tier dropped ${n.droppedExactTier}, " +
+                s"near tiers dropped ${n.droppedNearTier} " +
+                s"(in-batch keep-lower-id + vs-corpus), " +
+                s"${n.survivors} survivors -> $targetDir/batch-$batchId")
+          } finally survivors.unpersist()
+        } finally { batch.unpersist(); () }
+    }
     Cli.log("streaming run finished")
   }
 }

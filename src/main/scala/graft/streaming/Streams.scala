@@ -723,4 +723,32 @@ object Streams {
         .awaitTermination()
     }
   }
+
+  /** Run a stream through a `foreachBatch` sink to completion
+    * (AvailableNow, checkpointed, restartable). Each micro-batch
+    * arrives as a STATIC frame, so `body` can run whole-batch
+    * semantics the incremental plans above deliberately avoid —
+    * in-batch near-dup clustering, multi-pass aggregation, idempotent
+    * multi-table writes. Structured Streaming's contract transfers to
+    * `body`: a failed batch is RETRIED with the same `batchId`, so
+    * every write must be idempotent per batch id (overwrite a
+    * batch-id-keyed path; never blind-append). */
+  def runForeachBatch(
+      stream: DataFrame,
+      checkpointLocation: String,
+      opts: RunOptions = RunOptions())(
+      body: (DataFrame, Long) => Unit): Unit = {
+    require(opts.checkpointLocation.forall(_ == checkpointLocation),
+      "runForeachBatch: RunOptions.checkpointLocation conflicts with the " +
+        "checkpointLocation argument")
+    val spark = stream.sparkSession
+    withRunOptions(spark, opts) {
+      stream.writeStream
+        .foreachBatch(body)
+        .option("checkpointLocation", checkpointLocation)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+        .awaitTermination()
+    }
+  }
 }

@@ -3517,6 +3517,114 @@ class CliSpec extends SparkTestBase {
     intercept[IllegalArgumentException] { graft.cli.Streamer.main(Array("--conf", bad)) }
   }
 
+  test("streamer near-dedup-cluster: single-pass in-batch clustering + " +
+      "cross-batch state accretion, seeded by a committed corpus state") {
+    import org.apache.spark.sql.functions.{col, timestamp_micros}
+    import spark.implicits._
+    val base = tmp()
+    // 1. seed corpus state: a committed Curator lineage
+    val stateDir = base.resolve("seed_state").toString
+    graft.cli.Curator.main(Array("--conf", write(base.resolve("cur.conf"),
+      s"""source { storage-type = local, dataset-dir = $sfDir/documents.parquet }
+         |target { storage-type = local, dataset-dir = ${base.resolve("curated")}, dataset-store-format = parquet, write-mode = overwrite }
+         |curation {
+         |  state-out-dir = $stateDir
+         |}
+         |""".stripMargin)))
+    val curated = spark.read.parquet(base.resolve("curated").toString)
+    val seedSigRows = curated.count()
+    val echoText = curated.select("text").head().getString(0).toUpperCase
+    // 2. micro-batch 1: a corpus echo (vs-SEED near tier), an in-batch
+    //    near pair (case-changed -> same SimHash, different sha), an
+    //    in-batch exact dup, and a genuinely fresh doc
+    val freshA = "a genuinely fresh arriving document about volcanic glass tonight"
+    val freshB = "another unseen arrival discussing tidal harmonics and kelp forests"
+    val landing = base.resolve("landing").toString
+    def land(rows: Seq[(Long, String)]): Unit =
+      rows.toDF("doc_id", "text")
+        .withColumn("ts", timestamp_micros(col("doc_id") * 1000000L))
+        .write.mode("append").parquet(landing)
+    land(Seq(
+      900001L -> echoText,
+      900010L -> freshA,
+      900011L -> freshA.toUpperCase, // in-batch NEAR (hamming 0, sha differs)
+      900012L -> freshA,             // in-batch EXACT
+      900020L -> freshB))
+    val out = base.resolve("clustered").toString
+    val clusterState = base.resolve("cluster_state").toString
+    val conf = write(base.resolve("ndc.conf"),
+      s"""streaming {
+         |  events-dir = $landing
+         |  target-dir = $out
+         |  checkpoint-location = ${base.resolve("ndcckpt")}
+         |  operation = near-dedup-cluster
+         |  state-dir = $stateDir
+         |  cluster-state-dir = $clusterState
+         |  shuffle-partitions = 4
+         |}
+         |""".stripMargin)
+    graft.cli.Streamer.main(Array("--conf", conf))
+    val batch0 = spark.read.parquet(s"$out/batch-0")
+      .select("doc_id").as[Long].collect().toSet
+    assert(batch0 == Set(900010L, 900020L),
+      s"batch 0 must keep the lower id of each in-batch cluster and drop " +
+        s"the corpus echo: $batch0")
+    // 3. micro-batch 2 (same checkpoint, new file): near + exact echoes
+    //    of BATCH-1 SURVIVORS must drop via the accreted state
+    land(Seq(
+      900030L -> freshA.toUpperCase, // near a batch-1 survivor
+      900031L -> freshB,             // exact text of a batch-1 survivor
+      900040L -> "entirely new prose concerning glacier mice and moss balls"))
+    graft.cli.Streamer.main(Array("--conf", conf))
+    val batch1 = spark.read.parquet(s"$out/batch-1")
+      .select("doc_id").as[Long].collect().toSet
+    assert(batch1 == Set(900040L),
+      s"batch 1 must drop near/exact echoes of batch-0 survivors: $batch1")
+    // 4. the cluster state dir is itself a committed, manifest-readable
+    //    near-dedup state: seed ∪ accreted survivors
+    assert(new java.io.File(clusterState, "_COMMITTED").exists())
+    assert(Cli.readStateTable(spark, clusterState, "sigs").count() ==
+      seedSigRows + 3, "sigs manifest must cover seed + the 3 survivors")
+    // ... consumable by the stateless near-dedup arrival filter directly
+    val landing3 = base.resolve("landing3").toString
+    Seq(900050L -> "entirely NEW prose concerning GLACIER mice and moss balls",
+      900060L -> "completely unrelated sentence about antikythera gears")
+      .toDF("doc_id", "text")
+      .withColumn("ts", timestamp_micros(col("doc_id") * 1000000L))
+      .write.parquet(landing3)
+    val out3 = base.resolve("nd_out3").toString
+    graft.cli.Streamer.main(Array("--conf", write(base.resolve("nd3.conf"),
+      s"""streaming {
+         |  events-dir = $landing3
+         |  target-dir = $out3
+         |  checkpoint-location = ${base.resolve("ckpt3")}
+         |  operation = near-dedup
+         |  state-dir = $clusterState
+         |  shuffle-partitions = 4
+         |}
+         |""".stripMargin)))
+    val ids3 = spark.read.parquet(out3).select("doc_id").as[Long].collect().toSet
+    assert(ids3 == Set(900060L),
+      s"the arrival filter must drop the case-changed echo of an accreted " +
+        s"survivor: $ids3")
+    // 5. drifted restart parameters are refused — one lineage, one
+    //    parameter set
+    val drift = intercept[IllegalArgumentException] {
+      graft.cli.Streamer.main(Array("--conf", write(base.resolve("ndc_drift.conf"),
+        s"""streaming {
+           |  events-dir = $landing
+           |  target-dir = $out
+           |  checkpoint-location = ${base.resolve("ndcckpt")}
+           |  operation = near-dedup-cluster
+           |  state-dir = $stateDir
+           |  cluster-state-dir = $clusterState
+           |  max-hamming = 2
+           |}
+           |""".stripMargin)))
+    }
+    assert(drift.getMessage.contains("one lineage"), drift.getMessage)
+  }
+
   test("streamer media-near-dedup drops a re-encoded corpus image at the door " +
       "against MediaDedup state; modality drift rejected") {
     import org.apache.spark.sql.functions.{col, timestamp_micros}
