@@ -2466,21 +2466,28 @@ object Streamer {
         require(modality == stateModality,
           s"streaming.modality=$modality but state-dir '$stateDir' holds " +
             s"$stateModality fingerprints — not comparable")
-        require(Set("image", "audio", "video")(modality),
+        require(Set("image", "image-dct", "audio", "video")(modality),
           s"state-dir '$stateDir' holds '$modality'-shaped state — the " +
             "arrival filter runs on SCALAR fingerprints (or the video " +
             "frame array); windowed/tile tiers belong to the batch " +
             "MediaDedup increment")
+        // the state line records the lineage's own radius/bands — the
+        // calibrated values the state was built to separate at — so
+        // they are the arrival filter's defaults (a dct lineage
+        // typically runs 7/8 where dHash runs 3/4; hand-typed defaults
+        // would silently under-match it)
+        def lineInt(key: String): Option[Int] = stored.split('|')
+          .collectFirst { case kv if kv.startsWith(s"$key=") =>
+            kv.substring(key.length + 1).toInt }
         // manifest-transparent state read (parts-mode MediaDedup state
         // works unchanged), and the persisted hot-bucket keys ride in so
         // the stream never re-aggregates the corpus bands — but ONLY at
         // the state's own band geometry (hot keys are (band, bits) under
         // the fingerprint line's `bands=`; any other width re-derives)
-        val stateBands = stored.split('|')
-          .collectFirst { case kv if kv.startsWith("bands=") =>
-            kv.substring("bands=".length).toInt }
+        val stateBands = lineInt("bands")
         val bandsHere = c.getInt("bands")
-          .getOrElse(if (modality == "video") 8 else 4)
+          .getOrElse(stateBands.getOrElse(if (modality == "video") 8 else 4))
+        val stateMaxHamming = lineInt("maxHamming")
         val hotPath = new org.apache.hadoop.fs.Path(stateDir, "hot")
         val corpusHot =
           if (stateBands.contains(bandsHere) &&
@@ -2498,7 +2505,8 @@ object Streamer {
             firstKFrames = c.getInt("first-k-frames").getOrElse(3),
             contentCol = c.getString("content-column").getOrElse("content"),
             minFrames = c.getInt("min-frames").getOrElse(2),
-            maxHamming = c.getInt("max-hamming").getOrElse(5),
+            maxHamming = c.getInt("max-hamming")
+              .getOrElse(stateMaxHamming.getOrElse(5)),
             bands = bandsHere,
             maxBucketSize = c.getInt("max-bucket-size").getOrElse(10000),
             corpusHotBuckets = corpusHot,
@@ -2507,7 +2515,8 @@ object Streamer {
         else Streams.dropNearSeenMediaStream(assets,
           Cli.readStateTable(spark, stateDir, "sigs"), modality,
           contentCol = c.getString("content-column").getOrElse("content"),
-          maxHamming = c.getInt("max-hamming").getOrElse(3),
+          maxHamming = c.getInt("max-hamming")
+            .getOrElse(stateMaxHamming.getOrElse(3)),
           bands = bandsHere,
           maxBucketSize = c.getInt("max-bucket-size").getOrElse(10000),
           corpusHotBuckets = corpusHot,

@@ -5,10 +5,11 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.types._
 
-/** `graft_media_hash(binary, 'image' | 'audio') -> long`: the
-  * modality perceptual fingerprint as a COLUMN — decode + hash in one
-  * executor-side call ([[graft.llm.Multimodal.dHash64]] over
-  * javax.imageio for images, [[graft.llm.Multimodal.audioHash64]] over
+/** `graft_media_hash(binary, 'image' | 'image-dct' | 'audio') -> long`:
+  * the modality perceptual fingerprint as a COLUMN — decode + hash in
+  * one executor-side call ([[graft.llm.Multimodal.dHash64]] over
+  * javax.imageio for images, [[graft.llm.Multimodal.pHash64]] for the
+  * DCT kernel, [[graft.llm.Multimodal.audioHash64]] over
   * javax.sound for audio), so fingerprints compose with every
   * column-level surface: the streaming arrival filter
   * (`Streams.dropNearSeenMediaStream` bands this column against
@@ -24,6 +25,14 @@ import org.apache.spark.sql.types._
 object MediaHashImpl {
   def image(content: Array[Byte]): Long =
     graft.llm.Multimodal.dHash64(
+      graft.llm.Multimodal.ImageIoDecoder.decode(content, Map.empty))
+
+  /** The DCT (pHash) image kernel — modality `image-dct`: the arrival
+    * column for a MediaDedup `image-hash = dct` lineage (dHash and
+    * pHash signatures are NOT comparable; the state fingerprint line
+    * keeps them apart, and so must this column's modality). */
+  def imageDct(content: Array[Byte]): Long =
+    graft.llm.Multimodal.pHash64(
       graft.llm.Multimodal.ImageIoDecoder.decode(content, Map.empty))
 
   def audio(content: Array[Byte]): Long =
@@ -53,9 +62,13 @@ object MediaHashImpl {
 
 case class MediaHash(child: Expression, modality: String)
     extends UnaryExpression {
-  require(modality == "image" || modality == "audio",
-    s"graft_media_hash modality must be image | audio (video is a " +
-      s"frame-exploding path, not a scalar), got '$modality'")
+  require(modality == "image" || modality == "image-dct" || modality == "audio",
+    s"graft_media_hash modality must be image | image-dct | audio (video " +
+      s"is a frame-exploding path, not a scalar), got '$modality'")
+  private def implMethod: String = modality match {
+    case "image-dct" => "imageDct"
+    case m => m
+  }
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
     case BinaryType => TypeCheckResult.TypeCheckSuccess
     case t => TypeCheckResult.TypeCheckFailure(s"graft_media_hash expects binary, got $t")
@@ -65,13 +78,16 @@ case class MediaHash(child: Expression, modality: String)
 
   override protected def nullSafeEval(content: Any): Any = {
     val bytes = content.asInstanceOf[Array[Byte]]
-    if (modality == "image") MediaHashImpl.image(bytes)
-    else MediaHashImpl.audio(bytes)
+    modality match {
+      case "image" => MediaHashImpl.image(bytes)
+      case "image-dct" => MediaHashImpl.imageDct(bytes)
+      case _ => MediaHashImpl.audio(bytes)
+    }
   }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     defineCodeGen(ctx, ev,
-      c => s"graft.functions.MediaHashImpl.${modality}($c)")
+      c => s"graft.functions.MediaHashImpl.${implMethod}($c)")
 
   override protected def withNewChildInternal(c: Expression): Expression =
     copy(child = c)

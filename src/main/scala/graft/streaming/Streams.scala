@@ -378,10 +378,11 @@ object Streams {
 
   /** Media counterpart of [[dropNearSeenStream]]: drop arriving IMAGE
     * or AUDIO assets whose perceptual fingerprint
-    * (`graft_media_hash` — dHash / the spectral hash, decode + hash in
-    * one column call) lands within `maxHamming` bits of the persisted
-    * corpus state (a `MediaDedup` run's `state-out-dir/sigs`) — the
-    * streaming arrival path of the MediaDedup incremental tier. Same
+    * (`graft_media_hash` — dHash / pHash for `image-dct` lineages /
+    * the spectral hash, decode + hash in one column call) lands within
+    * `maxHamming` bits of the persisted corpus state (a `MediaDedup`
+    * run's `state-out-dir/sigs`) — the streaming arrival path of the
+    * MediaDedup incremental tier. Same
     * stateless stream-static shape as the text/vector forms: band bits
     * live on the stream row, each band left-anti-joins a broadcastable
     * slice of the STATIC state, no stream-side aggregation or shuffle

@@ -5158,6 +5158,38 @@ class CliSpec extends SparkTestBase {
            |""".stripMargin)))
     }
     assert(mod.getMessage.contains("image kernel"), mod.getMessage)
+    // the dct lineage feeds the streaming arrival filter end to end:
+    // the state line's modality selects the pHash kernel column
+    // (graft_media_hash 'image-dct') AND supplies the lineage's own
+    // radius/bands as defaults (7/8 here — the hand-typed dHash
+    // defaults would silently under-match), so a blur+requantized
+    // arrival of a stored plate drops at the door
+    import org.apache.spark.sql.functions.timestamp_micros
+    import spark.implicits._
+    val landing = base.resolve("dct_landing").toString
+    Seq(
+      (910001L, Multimodal.jpegBytesAtQuality(
+        Multimodal.boxBlur3(Multimodal.texturedImage(5L)), 0.3f), 1L),
+      (910002L, Multimodal.encodePng(Multimodal.texturedImage(450L)), 2L)
+    ).toDF("asset_id", "content", "ts")
+      .withColumn("ts", timestamp_micros(col("ts") * 3600L * 1000000L))
+      .write.parquet(landing)
+    val arrOut = base.resolve("dct_arrivals").toString
+    graft.cli.Streamer.main(Array("--conf", write(base.resolve("dct_arr.conf"),
+      s"""streaming {
+         |  events-dir = $landing
+         |  target-dir = $arrOut
+         |  checkpoint-location = ${base.resolve("dct_arr_ckpt")}
+         |  operation = media-near-dedup
+         |  state-dir = $stOut
+         |  shuffle-partitions = 4
+         |}
+         |""".stripMargin)))
+    val arrIds = spark.read.parquet(arrOut).select("asset_id")
+      .as[Long].collect().toSet
+    assert(arrIds == Set(910002L),
+      s"the degraded arrival of a stored plate must drop through the dct " +
+        s"kernel at the state's own radius: $arrIds")
   }
 
   test("differ over media fingerprint state: a shifted media batch shows as " +

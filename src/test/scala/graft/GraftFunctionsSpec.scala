@@ -160,6 +160,20 @@ class GraftFunctionsSpec extends SparkTestBase {
       "SELECT graft_media_hash(img, 'image') AS ih FROM mh_assets WHERE id = 1")
       .head().getLong(0)
     assert(viaSql == got(1L)._1)
+    // the DCT kernel ('image-dct') is pHash64 bit-for-bit — and NOT the
+    // dHash column (the lineages must stay apart)
+    val dct = rows.select(col("id"),
+        GraftFunctions.mediaHash(col("img"), "image-dct").as("dh"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    for (seed <- Seq(5L, 6L)) {
+      val wantD = Multimodal.pHash64(Multimodal.ImageIoDecoder.decode(
+        Multimodal.encodePng(Multimodal.smoothImage(seed)), Map.empty))
+      assert(dct(seed - 4) == wantD)
+      assert(dct(seed - 4) != got(seed - 4)._1)
+    }
+    assert(spark.sql(
+      "SELECT graft_media_hash(img, 'image-dct') AS dh FROM mh_assets WHERE id = 1")
+      .head().getLong(0) == dct(1L))
     // guards: bad modality, wrong input type
     intercept[IllegalArgumentException](GraftFunctions.mediaHash(col("img"), "video"))
     intercept[org.apache.spark.sql.AnalysisException] {
