@@ -2560,7 +2560,16 @@ object Streamer {
     * banded state (never corpus-vs-corpus); hot-bucket guards come
     * from persisted mergeable per-bucket COUNTS (the Curator's
     * protocol — bounded ≤ bands·2^(64/bands) rows), so no micro-batch
-    * ever re-bands the corpus. */
+    * ever re-bands the corpus.
+    *
+    * `embedding-column` adds the VECTOR tiers on the text-tier
+    * survivors (the Curator's composition —
+    * [[graft.llm.Similarity.dropSeenVectorsCounted]]: SRP-vs-corpus
+    * signature drop + cosine-verified in-batch keep-lower-id), with
+    * `vecsigs`/`vechotcounts` accreting through the identical parts
+    * protocol and the SRP seed/bands recorded in the marker. A
+    * vector-seeded lineage must continue as one — dropping the tier
+    * mid-stream is refused loudly. */
   private def runClusteredNearDedup(
       spark: org.apache.spark.sql.SparkSession,
       c: graft.conf.GraftConfig,
@@ -2615,11 +2624,39 @@ object Streamer {
     val maxBucket = c.getInt("max-bucket-size").getOrElse(10000)
     require(maxHamming < bands,
       s"pigeonhole needs maxHamming < bands ($maxHamming >= $bands misses pairs)")
+    // optional VECTOR tier (`embedding-column`) — the Curator's
+    // composition: SRP corpus tier + cosine-verified in-batch tier on
+    // the text-tier survivors, with its own vecsigs state accretion. A
+    // vector-seeded lineage must CONTINUE as one: silently dropping
+    // the tier would stop protecting the corpus the seed was built for
+    val embCol = c.getString("embedding-column")
+    require(seedKv.get("embedding").forall(e => embCol.contains(e)),
+      s"streaming.state-dir was built with embedding=${seedKv.get("embedding").get} " +
+        "but this run sets no (or a different) embedding-column — a vector-" +
+        "seeded lineage never drops its vector tier mid-stream")
+    def fromSeedL(stateKey: String, confKey: String, default: Long): Long = {
+      val stored = seedKv.get(stateKey).map(_.trim.toLong)
+      (c.getLong(confKey), stored) match {
+        case (Some(g), Some(st)) =>
+          require(g == st, s"streaming.$confKey=$g but state-dir was built " +
+            s"with $stateKey=$st — signatures from different parameters do " +
+            "not compare")
+          g
+        case (Some(g), None) => g
+        case (None, Some(st)) => st
+        case (None, None) => default
+      }
+    }
+    val vecSeed = fromSeedL("srp-seed", "srp-seed", 4233L)
+    val vecBands = fromSeed("srp-bands", "srp-bands", 4)
+    val vecMinCos = c.getDouble("vector-min-cosine").getOrElse(0.99)
     // the lineage fingerprint guards drifted RESTART parameters the way
     // the MediaDedup state line does: same checkpoint + different knobs
     // would silently mix incomparable signatures
     val lineFp = s"cluster|shingle-size=$gramSize|bands=$bands|" +
-      s"maxHamming=$maxHamming|seed=${seedDir.getOrElse("none")}"
+      s"maxHamming=$maxHamming|seed=${seedDir.getOrElse("none")}" +
+      embCol.map(e => s"|emb=$e|srp-seed=$vecSeed|srp-bands=$vecBands")
+        .getOrElse("")
     val fpPath = new Path(root, "fingerprint")
     if (fs.exists(fpPath)) {
       val in = fs.open(fpPath)
@@ -2632,7 +2669,7 @@ object Streamer {
     } else {
       // fresh lineage: refuse a parts dir holding another lineage's
       // tables (the Curator's parts hygiene)
-      Seq("hashes", "sigs", "hotcounts")
+      Seq("hashes", "sigs", "hotcounts", "vecsigs", "vechotcounts")
         .foreach(t => Cli.requireEmptyPartsDir(spark, root.toString, t))
       val out = fs.create(fpPath, true)
       try out.write(lineFp.getBytes("UTF-8")) finally out.close()
@@ -2647,6 +2684,18 @@ object Streamer {
       if (!fs.exists(seedCountsPart))
         Dedup.bucketCounts(ss, bands)
           .write.mode("overwrite").parquet(seedCountsPart.toString)
+    }
+    // vector seed state exists exactly when the seed lineage recorded
+    // an embedding (the Curator's marker contract)
+    val seedVecSigs =
+      if (embCol.isDefined && seedKv.contains("embedding"))
+        seedDir.map(d => Cli.readStateTable(spark, d, "vecsigs"))
+      else None
+    val seedVecCountsPart = new Path(root, "vechotcounts/part-0")
+    seedVecSigs.foreach { vs =>
+      if (!fs.exists(seedVecCountsPart))
+        Dedup.bucketCounts(vs, vecBands)
+          .write.mode("overwrite").parquet(seedVecCountsPart.toString)
     }
     def seedEntries(table: String): Seq[String] = seedDir.toSeq.flatMap { d =>
       Cli.stateTableParts(spark, d, table).getOrElse(Seq(s"$d/$table"))
@@ -2664,6 +2713,21 @@ object Streamer {
               .filter(i => i > 0 && i < idx).map(_ -> p.toString))
             .sortBy(_._1).map(_._2)
         }
+        // count parts INCLUDE part-0 (the seed bootstrap); row-level
+        // tables reserve part-0 (seed rows come in through the lazy
+        // seed frames, not a copy)
+        def countPartsBefore(table: String): Seq[String] = {
+          val td = new Path(root, table)
+          if (!fs.exists(td)) Seq.empty
+          else fs.listStatus(td).map(_.getPath).toSeq
+            .flatMap(p => p.getName.stripPrefix("part-").toLongOption
+              .filter(_ < idx).map(_ -> p.toString))
+            .sortBy(_._1).map(_._2)
+        }
+        def hotOf(countParts: Seq[String]): Option[org.apache.spark.sql.DataFrame] =
+          if (countParts.isEmpty) None
+          else Some(Dedup.hotFromCounts(
+            Dedup.mergeBucketCounts(spark.read.parquet(countParts: _*)), maxBucket))
         val hashParts = partsBefore("hashes")
         val sigParts = partsBefore("sigs")
         val batch = batchRaw.persist()
@@ -2677,22 +2741,26 @@ object Streamer {
             (if (sigParts.nonEmpty) Seq(spark.read.parquet(sigParts: _*)) else Nil))
             .reduceOption(_.unionByName(_))
             .getOrElse(Dedup.simHashSignatures(batch.limit(0), idCol, textCol, gramSize))
-          // hot keys from the persisted counts (part-0 seed + prior
-          // batches) — bounded tables, merged without touching sigs
-          val countParts = {
-            val td = new Path(root, "hotcounts")
-            if (!fs.exists(td)) Seq.empty[String]
-            else fs.listStatus(td).map(_.getPath).toSeq
-              .flatMap(p => p.getName.stripPrefix("part-").toLongOption
-                .filter(_ < idx).map(_ -> p.toString))
-              .sortBy(_._1).map(_._2)
+          val countParts = countPartsBefore("hotcounts")
+          val (textSurvivors, n) = Dedup.dropSeenCounted(batch, textCol, idCol,
+            seenHashes, corpusSigs, maxHamming, bands, gramSize, maxBucket,
+            hotOf(countParts))
+          // vector tiers on the text-tier survivors (the Curator's
+          // composition): SRP-vs-corpus signature drop + cosine-
+          // verified in-batch drop, against seed ∪ accreted vecsigs
+          val vecParts = partsBefore("vecsigs")
+          val vecCountParts = countPartsBefore("vechotcounts")
+          val vecResult = embCol.map { e =>
+            val corpusVecSigs = (seedVecSigs.toSeq ++
+              (if (vecParts.nonEmpty) Seq(spark.read.parquet(vecParts: _*)) else Nil))
+              .reduceOption(_.unionByName(_))
+              .getOrElse(graft.llm.Similarity.srpSignatures(
+                batch.limit(0), idCol, e, vecSeed))
+            graft.llm.Similarity.dropSeenVectorsCounted(textSurvivors,
+              corpusVecSigs, vecMinCos, idCol, e, vecBands, maxBucket,
+              hotOf(vecCountParts), vecSeed)
           }
-          val hot =
-            if (countParts.isEmpty) None
-            else Some(Dedup.hotFromCounts(
-              Dedup.mergeBucketCounts(spark.read.parquet(countParts: _*)), maxBucket))
-          val (survivors, n) = Dedup.dropSeenCounted(batch, textCol, idCol,
-            seenHashes, corpusSigs, maxHamming, bands, gramSize, maxBucket, hot)
+          val survivors = vecResult.map(_._1).getOrElse(textSurvivors)
           try {
             survivors.write.mode("overwrite").parquet(s"$targetDir/batch-$batchId")
             survivors
@@ -2702,8 +2770,15 @@ object Streamer {
               .write.mode("overwrite").parquet(s"$root/sigs/part-$idx")
             Dedup.bucketCounts(spark.read.parquet(s"$root/sigs/part-$idx"), bands)
               .write.mode("overwrite").parquet(s"$root/hotcounts/part-$idx")
+            embCol.foreach { e =>
+              graft.llm.Similarity.srpSignatures(survivors, idCol, e, vecSeed)
+                .write.mode("overwrite").parquet(s"$root/vecsigs/part-$idx")
+              Dedup.bucketCounts(
+                  spark.read.parquet(s"$root/vecsigs/part-$idx"), vecBands)
+                .write.mode("overwrite").parquet(s"$root/vechotcounts/part-$idx")
+            }
             // consumer-facing commit: manifests covering seed ∪ parts,
-            // the bounded hot table, and the Curator-style marker — the
+            // the bounded hot tables, and the Curator-style marker — the
             // cluster dir is now a valid `state-dir` for operation =
             // near-dedup and the batch tiers
             Cli.writeStateManifest(spark, root, "hashes",
@@ -2715,18 +2790,41 @@ object Streamer {
                 spark.read.parquet((countParts :+ s"$root/hotcounts/part-$idx"): _*)),
               maxBucket)
               .write.mode("overwrite").parquet(s"$root/hot")
+            embCol.foreach { _ =>
+              val vecSeedEntries =
+                if (seedVecSigs.isDefined) seedEntries("vecsigs") else Seq.empty
+              Cli.writeStateManifest(spark, root, "vecsigs",
+                vecSeedEntries ++ vecParts :+ s"$root/vecsigs/part-$idx")
+              Dedup.hotFromCounts(
+                Dedup.mergeBucketCounts(spark.read.parquet(
+                  (vecCountParts :+ s"$root/vechotcounts/part-$idx"): _*)),
+                maxBucket)
+                .write.mode("overwrite").parquet(s"$root/vechot")
+            }
             val marker = fs.create(new Path(root, "_COMMITTED"), true)
             try marker.write(
-              s"shingle-size=$gramSize;bands=$bands;max-bucket=$maxBucket"
+              (s"shingle-size=$gramSize;bands=$bands;max-bucket=$maxBucket" +
+                embCol.map(e => s";embedding=$e;srp-seed=$vecSeed;srp-bands=$vecBands")
+                  .getOrElse(""))
                 .getBytes("UTF-8"))
             finally marker.close()
-            if (logCounts)
+            if (logCounts) {
+              val vecNote = vecResult.map { case (_, v) =>
+                s", vector tiers dropped ${v.droppedCorpusTier} vs-corpus + " +
+                  s"${v.droppedInBatchTier} in-batch"
+              }.getOrElse("")
+              val kept = vecResult.map(_._2.survivors).getOrElse(n.survivors)
               Cli.log(s"near-dedup-cluster batch $batchId: ${n.batchRows} rows, " +
                 s"exact tier dropped ${n.droppedExactTier}, " +
                 s"near tiers dropped ${n.droppedNearTier} " +
-                s"(in-batch keep-lower-id + vs-corpus), " +
-                s"${n.survivors} survivors -> $targetDir/batch-$batchId")
-          } finally survivors.unpersist()
+                s"(in-batch keep-lower-id + vs-corpus)$vecNote, " +
+                s"$kept survivors -> $targetDir/batch-$batchId")
+            }
+          } finally {
+            survivors.unpersist()
+            if (vecResult.isDefined) textSurvivors.unpersist()
+            ()
+          }
         } finally { batch.unpersist(); () }
     }
     Cli.log("streaming run finished")

@@ -3625,6 +3625,75 @@ class CliSpec extends SparkTestBase {
     assert(drift.getMessage.contains("one lineage"), drift.getMessage)
   }
 
+  test("streamer near-dedup-cluster with embedding-column: vector tiers ride " +
+      "the same per-batch commit and accrete vecsigs state") {
+    import spark.implicits._
+    val base = tmp()
+    // distinct texts (no text-tier collisions) whose VECTORS collide:
+    // 101/102 share a vector in batch 1 (in-batch vector tier,
+    // cosine-verified keep-lower-id); batch 2 re-sends the same vector
+    // under a new text (vs-corpus signature tier over accreted vecsigs)
+    val vA = Seq(1.0f, 0.0f, 0.0f, 0.0f)
+    val vB = Seq(0.0f, 1.0f, 0.0f, 0.0f)
+    val vC = Seq(0.0f, 0.0f, 1.0f, 0.0f)
+    val landing = base.resolve("vlanding").toString
+    def land(rows: Seq[(Long, String, Seq[Float])]): Unit =
+      rows.toDF("doc_id", "text", "embedding")
+        .write.mode("append").parquet(landing)
+    land(Seq(
+      (101L, "first document about estuarine sediment transport", vA),
+      (102L, "second and textually unrelated note on glass frit", vA),
+      (103L, "third piece concerning migratory shorebird counts", vB)))
+    val out = base.resolve("vclustered").toString
+    val clusterState = base.resolve("vcluster_state").toString
+    val conf = write(base.resolve("vndc.conf"),
+      s"""streaming {
+         |  events-dir = $landing
+         |  target-dir = $out
+         |  checkpoint-location = ${base.resolve("vndcckpt")}
+         |  operation = near-dedup-cluster
+         |  cluster-state-dir = $clusterState
+         |  embedding-column = embedding
+         |  shuffle-partitions = 4
+         |}
+         |""".stripMargin)
+    graft.cli.Streamer.main(Array("--conf", conf))
+    val batch0 = spark.read.parquet(s"$out/batch-0")
+      .select("doc_id").as[Long].collect().toSet
+    assert(batch0 == Set(101L, 103L),
+      s"the in-batch vector twin must collapse to the lower id: $batch0")
+    land(Seq(
+      (201L, "entirely new words yet the same embedding as before", vA),
+      (202L, "genuinely novel vector and novel text about karst", vC)))
+    graft.cli.Streamer.main(Array("--conf", conf))
+    val batch1 = spark.read.parquet(s"$out/batch-1")
+      .select("doc_id").as[Long].collect().toSet
+    assert(batch1 == Set(202L),
+      s"the vector echo of an accreted survivor must drop vs-corpus: $batch1")
+    // the commit carries the vector lineage: vecsigs manifest + marker
+    // params (embedding/srp-seed/srp-bands — the Curator contract)
+    assert(Cli.readStateTable(spark, clusterState, "vecsigs").count() == 3,
+      "vecsigs must cover the 3 vector-distinct survivors")
+    val marker = scala.io.Source.fromFile(
+      new java.io.File(clusterState, "_COMMITTED")).mkString
+    assert(marker.contains("embedding=embedding") && marker.contains("srp-seed="),
+      marker)
+    // a vector-seeded lineage refuses to continue without its tier
+    val noVec = intercept[IllegalArgumentException] {
+      graft.cli.Streamer.main(Array("--conf", write(base.resolve("vndc_novec.conf"),
+        s"""streaming {
+           |  events-dir = $landing
+           |  target-dir = ${base.resolve("vout2")}
+           |  checkpoint-location = ${base.resolve("vckpt2")}
+           |  operation = near-dedup-cluster
+           |  state-dir = $clusterState
+           |  cluster-state-dir = ${base.resolve("vcluster2")}
+           |}
+           |""".stripMargin)))
+    }
+    assert(noVec.getMessage.contains("vector-seeded"), noVec.getMessage)
+  }
+
   test("streamer media-near-dedup drops a re-encoded corpus image at the door " +
       "against MediaDedup state; modality drift rejected") {
     import org.apache.spark.sql.functions.{col, timestamp_micros}
