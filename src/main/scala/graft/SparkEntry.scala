@@ -3211,6 +3211,71 @@ object SparkEntry {
         graft.functions.GraftFunctions.markdownStrip(md).as("text"))
     }),
 
+    // ---- Streaming SINGLE-PASS near-dedup (the foreachBatch cluster
+    // op, Streamer `operation = near-dedup-cluster`): two micro-batches
+    // through the CLI with planted in-batch near (case-changed echo —
+    // same SimHash, different sha) and exact dups, plus a cross-batch
+    // echo that must drop via the ACCRETED parts state. Rows = the
+    // per-batch survivors. Artifacts are marker-gated so bench
+    // re-invocations replay the committed checkpoint (AvailableNow
+    // with no new files is a no-op) — deterministic across runs.
+    // rows-only by design (a stateful CLI e2e, like q128/q138);
+    // EntrySpec pins the exact id sets per batch.
+    "q145_stream_cluster_e2e" -> ((s, dir) => {
+      val root = new java.io.File(System.getProperty("java.io.tmpdir"),
+        "graft_q145_" + Integer.toHexString(dir.hashCode))
+      root.mkdirs()
+      val landing = new java.io.File(root, "landing").toString
+      val out = new java.io.File(root, "clustered").toString
+      val confFile = new java.io.File(root, "streamer.conf")
+      java.nio.file.Files.writeString(confFile.toPath,
+        s"""streaming {
+           |  events-dir = $landing
+           |  target-dir = $out
+           |  checkpoint-location = ${new java.io.File(root, "ckpt")}
+           |  operation = near-dedup-cluster
+           |  cluster-state-dir = ${new java.io.File(root, "cluster_state")}
+           |}
+           |""".stripMargin)
+      // texts derived from each id's sha2 (8 hex words): pairwise FAR
+      // in shingle space by construction. The raw corpus is word-salad
+      // over a tiny vocabulary where natural SimHash near-collisions
+      // are routine (doc 12 pairs with a doc<10 at sf0.001) — planted
+      // echoes, not corpus accidents, must decide this gate's sets
+      val docs = t(s, dir, "documents").select(col("doc_id"),
+        concat_ws(" ", (0 until 8).map(i =>
+          substring(sha2(col("doc_id").cast("string"), 256), i * 8 + 1, 8)): _*)
+          .as("text"))
+      def run(markerName: String)(land: => Unit): Unit = {
+        val marker = new java.io.File(root, markerName)
+        if (!marker.exists()) {
+          land
+          graft.cli.Streamer.main(Array("--conf", confFile.toString))
+          marker.createNewFile(): Unit
+        }
+      }
+      run("_RAN1") {
+        docs.filter(col("doc_id") < 10)
+          .unionByName(docs.filter(col("doc_id") === 0)
+            .select((col("doc_id") + 900000).as("doc_id"),
+              upper(col("text")).as("text")))   // in-batch NEAR echo
+          .unionByName(docs.filter(col("doc_id") === 1)
+            .select((col("doc_id") + 900000).as("doc_id"), col("text")))
+          .coalesce(1).write.mode("append").parquet(landing) // in-batch EXACT
+      }
+      run("_RAN2") {
+        docs.filter(col("doc_id") >= 10 && col("doc_id") < 15)
+          .unionByName(docs.filter(col("doc_id") === 2)
+            .select((col("doc_id") + 900000).as("doc_id"),
+              upper(col("text")).as("text")))   // cross-batch echo vs state
+          .coalesce(1).write.mode("append").parquet(landing)
+      }
+      s.read.parquet(s"$out/batch-0").select(lit(0L).as("batch"), col("doc_id"))
+        .unionByName(
+          s.read.parquet(s"$out/batch-1").select(lit(1L).as("batch"), col("doc_id")))
+        .orderBy(col("batch"), col("doc_id"))
+    }),
+
     // ---- Image NEAR-DUP via DCT hash (pHash), blur+re-quantization:
     // 150 deterministic TEXTURED plates (seed-random low-frequency
     // spectra — the photo-like regime a DCT hash operates in; the

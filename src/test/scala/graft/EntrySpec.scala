@@ -172,6 +172,18 @@ class EntrySpec extends SparkTestBase {
     assert(p.getAs[Int]("max_hamming") <= 7)
   }
 
+  test("q145: streaming cluster e2e keeps the lower id of each in-batch " +
+      "cluster and drops cross-batch echoes via accreted state") {
+    val rows = SparkEntry.queries("q145_stream_cluster_e2e")(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val batch0 = rows.filter(_._1 == 0L).map(_._2).toSet
+    val batch1 = rows.filter(_._1 == 1L).map(_._2).toSet
+    assert(batch0 == (0L until 10L).toSet,
+      s"batch 0 must keep docs 0-9 and drop the planted near/exact echoes: $batch0")
+    assert(batch1 == (10L until 15L).toSet,
+      s"batch 1 must keep docs 10-14 and drop the cross-batch echo: $batch1")
+  }
+
   test("q130: every half-volume audio twin fingerprints identically; nothing else pairs") {
     val rows = SparkEntry.queries("q130_audio_neardup")(spark, sfDir).collect()
       .map(r => r.getString(0) -> r).toMap
