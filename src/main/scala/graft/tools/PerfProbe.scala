@@ -28,8 +28,9 @@ object PerfProbe {
     case Some("14") => probe14(args.drop(1))
     case Some("15") => probe15(args.drop(1))
     case Some("16") => probe16(args.drop(1))
+    case Some("17") => probe17(args.drop(1))
     case other => sys.error(
-      s"usage: runMain graft.tools.PerfProbe <1-12> [probe args]; got $other")
+      s"usage: runMain graft.tools.PerfProbe <1-17> [probe args]; got $other")
   }
 
   /** Throwaway-style perf probe for round-5 tuning experiments (kept in
@@ -892,6 +893,63 @@ object PerfProbe {
     println(f"[probe16] encode: $ids ids over $nDocs docs in $tEnc%.2f s " +
       f"(${nDocs / tEnc}%.0f docs/s)")
     docs.unpersist()
+    spark.stop()
+  }
+
+  /** Streaming near-dedup-cluster at scale: K micro-batches of M docs
+    * through the Streamer CLI (the production daily-arrival shape),
+    * each with 10% planted in-batch near twins and, from batch 1 on,
+    * 5% echoes of the PRIOR batch's docs. Reports per-batch wall time
+    * and asserts the drop counts land exactly on the planted structure.
+    * The claim under test: per-batch cost is the batch's own work plus
+    * one scan of the bounded state tables (16 B/doc sigs + the
+    * hot-count tables) — the same profile as a batch Curator
+    * increment — so time per batch grows only with the state-scan
+    * term as the corpus accretes, never with a corpus-vs-corpus
+    * join. Output quoted in DESIGN.md. */
+  private def probe17(args: Array[String]): Unit = {
+    val spark = Local.session(sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
+    val m = args.headOption.map(_.toInt).getOrElse(200000)
+    val k = args.drop(1).headOption.map(_.toInt).getOrElse(5)
+    val root = java.nio.file.Files.createTempDirectory("probe17")
+    val landing = s"$root/landing"
+    val conf = s"$root/streamer.conf"
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(conf),
+      s"""streaming {
+         |  events-dir = $landing
+         |  target-dir = $root/out
+         |  checkpoint-location = $root/ckpt
+         |  operation = near-dedup-cluster
+         |  cluster-state-dir = $root/state
+         |}
+         |""".stripMargin)
+    // sha2-chunk texts: pairwise far in shingle space by construction,
+    // so the planted twins/echoes are the ONLY near structure
+    def baseDocs(b: Int) = spark.range(m)
+      .select((col("id") + b.toLong * m).as("doc_id"))
+      .select(col("doc_id"), concat_ws(" ", (0 until 8).map(i =>
+        substring(sha2(col("doc_id").cast("string"), 256), i * 8 + 1, 8)): _*)
+        .as("text"))
+    for (b <- 0 until k) {
+      val base = baseDocs(b)
+      val nearTwins = base.filter(col("doc_id") % 10 === 0)
+        .select((col("doc_id") + 100000000L).as("doc_id"),
+          upper(col("text")).as("text"))
+      val echoes =
+        if (b == 0) Nil
+        else Seq(baseDocs(b - 1).filter(col("doc_id") % 20 === 3)
+          .select((col("doc_id") + 200000000L + b.toLong * m).as("doc_id"),
+            upper(col("text")).as("text")))
+      (Seq(base, nearTwins) ++ echoes).reduce(_.unionByName(_))
+        .write.mode("append").parquet(landing)
+      val t0 = System.nanoTime()
+      graft.cli.Streamer.main(Array("--conf", conf))
+      val sec = (System.nanoTime() - t0) / 1e9
+      val survivors = spark.read.parquet(s"$root/out/batch-$b").count()
+      println(f"[probe17] batch $b: $sec%.2f s, $survivors survivors " +
+        f"(want $m), state after = ${(b + 1).toLong * m} docs")
+      require(survivors == m, s"batch $b kept $survivors, want $m")
+    }
     spark.stop()
   }
 }
