@@ -3607,6 +3607,34 @@ class CliSpec extends SparkTestBase {
     assert(ids3 == Set(900060L),
       s"the arrival filter must drop the case-changed echo of an accreted " +
         s"survivor: $ids3")
+    // LINEAGE ROTATION — the part-list bound: the cluster loop reads
+    // its parts by batch index (retry self-consistency), so the bound
+    // is not in-place compaction but a fresh lineage SEEDED by the old
+    // dir, whose accreted parts collapse into the new lineage's lazy
+    // seed frames
+    val landing4 = base.resolve("landing4").toString
+    Seq(900070L -> freshB.toUpperCase, // near a lineage-1 survivor
+      900080L -> "brand new material on desert varnish formation")
+      .toDF("doc_id", "text")
+      .withColumn("ts", timestamp_micros(col("doc_id") * 1000000L))
+      .write.parquet(landing4)
+    val out4 = base.resolve("rotated").toString
+    graft.cli.Streamer.main(Array("--conf", write(base.resolve("rot.conf"),
+      s"""streaming {
+         |  events-dir = $landing4
+         |  target-dir = $out4
+         |  checkpoint-location = ${base.resolve("rot_ckpt")}
+         |  operation = near-dedup-cluster
+         |  state-dir = $clusterState
+         |  cluster-state-dir = ${base.resolve("rot_state")}
+         |  shuffle-partitions = 4
+         |}
+         |""".stripMargin)))
+    val ids4 = spark.read.parquet(s"$out4/batch-0").select("doc_id")
+      .as[Long].collect().toSet
+    assert(ids4 == Set(900080L),
+      s"the rotated lineage must drop near echoes of the OLD lineage's " +
+        s"accreted survivors through its seed frames: $ids4")
     // 5. drifted restart parameters are refused — one lineage, one
     //    parameter set
     val drift = intercept[IllegalArgumentException] {
