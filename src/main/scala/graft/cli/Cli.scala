@@ -2297,6 +2297,8 @@ object Streamer {
       // drives its own foreachBatch sink (per-batch multi-table state
       // commits don't fit the single-file-sink tail below)
       runClusteredNearDedup(spark, c, opts)
+    } else if (operation == "media-near-dedup-cluster") {
+      runClusteredMediaNearDedup(spark, c, opts)
     } else {
     val events = Streams.readEventStream(spark, c.string("events-dir"))
     val stream = operation match {
@@ -2523,8 +2525,9 @@ object Streamer {
           timeCol = c.getString("time-column").getOrElse("ts"),
           watermarkDelay = watermark)
       case other => throw new IllegalArgumentException(
-        s"unknown streaming.operation '$other' " +
-          "(window|sessions|dedup|near-dedup|near-dedup-cluster|media-near-dedup|filter)")
+        s"unknown streaming.operation '$other' (window|sessions|dedup|" +
+          "near-dedup|near-dedup-cluster|media-near-dedup|" +
+          "media-near-dedup-cluster|filter)")
     }
     Cli.log("streaming run started (AvailableNow)...")
     Streams.runToFiles(stream, c.string("target-dir"), c.string("checkpoint-location"), opts)
@@ -2705,25 +2708,10 @@ object Streamer {
     Streams.runForeachBatch(docs, c.string("checkpoint-location"), opts) {
       (batchRaw, batchId) =>
         val idx = batchId + 1 // part-0 is the seed bootstrap
-        def partsBefore(table: String): Seq[String] = {
-          val td = new Path(root, table)
-          if (!fs.exists(td)) Seq.empty
-          else fs.listStatus(td).map(_.getPath).toSeq
-            .flatMap(p => p.getName.stripPrefix("part-").toLongOption
-              .filter(i => i > 0 && i < idx).map(_ -> p.toString))
-            .sortBy(_._1).map(_._2)
-        }
-        // count parts INCLUDE part-0 (the seed bootstrap); row-level
-        // tables reserve part-0 (seed rows come in through the lazy
-        // seed frames, not a copy)
-        def countPartsBefore(table: String): Seq[String] = {
-          val td = new Path(root, table)
-          if (!fs.exists(td)) Seq.empty
-          else fs.listStatus(td).map(_.getPath).toSeq
-            .flatMap(p => p.getName.stripPrefix("part-").toLongOption
-              .filter(_ < idx).map(_ -> p.toString))
-            .sortBy(_._1).map(_._2)
-        }
+        def partsBefore(table: String): Seq[String] =
+          clusterPartsBefore(fs, root, table, idx, includeZero = false)
+        def countPartsBefore(table: String): Seq[String] =
+          clusterPartsBefore(fs, root, table, idx, includeZero = true)
         def hotOf(countParts: Seq[String]): Option[org.apache.spark.sql.DataFrame] =
           if (countParts.isEmpty) None
           else Some(Dedup.hotFromCounts(
@@ -2826,6 +2814,192 @@ object Streamer {
             ()
           }
         } finally { batch.unpersist(); () }
+    }
+    Cli.log("streaming run finished")
+  }
+
+  /** List a cluster-state table's batch-id-keyed parts strictly BELOW
+    * `idx` — `includeZero` admits the seed-bootstrap part-0 (the count
+    * tables); row-level tables reserve it (seed rows come in through
+    * lazy seed frames, never a copy). */
+  private def clusterPartsBefore(
+      fs: org.apache.hadoop.fs.FileSystem,
+      root: org.apache.hadoop.fs.Path,
+      table: String, idx: Long, includeZero: Boolean): Seq[String] = {
+    val td = new org.apache.hadoop.fs.Path(root, table)
+    if (!fs.exists(td)) Seq.empty
+    else fs.listStatus(td).map(_.getPath).toSeq
+      .flatMap(p => p.getName.stripPrefix("part-").toLongOption
+        .filter(i => (includeZero || i > 0) && i < idx).map(_ -> p.toString))
+      .sortBy(_._1).map(_._2)
+  }
+
+  /** `operation = media-near-dedup-cluster`: the media counterpart of
+    * [[runClusteredNearDedup]] — single-pass arrival clustering for
+    * IMAGE (dHash or DCT kernel) and AUDIO streams. Each micro-batch
+    * fingerprints ONCE through the codegen'd `graft_media_hash`
+    * column, drops assets near the accreted corpus state (the
+    * signature-level MediaDedup incremental tier), collapses in-batch
+    * near pairs keep-lower-id (the text cluster op's pair semantics),
+    * and appends survivors' signatures as batch-id-keyed write-once
+    * parts — the same retry-idempotence contract.
+    *
+    * The state dir carries the MediaDedup fingerprint LINE verbatim
+    * (`image|…`, `image-dct|…`, `audio|…`), so it is directly
+    * consumable by `operation = media-near-dedup` (the stateless
+    * arrival filter, which defaults its radius/bands from that line)
+    * and as the `state-dir` seed of a rotated lineage; the seed's own
+    * line must match this run's exactly (kernels and geometries never
+    * mix). A separate `clusterseed` record guards a RESTART against a
+    * swapped seed dir (the line alone cannot see that drift). VIDEO
+    * stays on the batch MediaDedup increment — one clip is many
+    * signatures, and frame-aligned pairing is the batch tier's job. */
+  private def runClusteredMediaNearDedup(
+      spark: org.apache.spark.sql.SparkSession,
+      c: graft.conf.GraftConfig,
+      opts: graft.streaming.Streams.RunOptions): Unit = {
+    import org.apache.spark.sql.functions._
+    import org.apache.hadoop.fs.Path
+    import graft.llm.Dedup
+    import graft.streaming.Streams
+    val dir = c.string("events-dir")
+    val assets = spark.readStream
+      .schema(spark.read.parquet(dir).schema).parquet(dir)
+    val idCol = c.getString("id-column").getOrElse("asset_id")
+    val contentCol = c.getString("content-column").getOrElse("content")
+    val modality = c.string("modality")
+    require(Set("image", "audio")(modality),
+      "media-near-dedup-cluster runs on SCALAR fingerprints (image | " +
+        "audio) — a video clip is many signatures; use the batch " +
+        "MediaDedup increment")
+    val imageHash = c.getString("image-hash").getOrElse("dhash")
+    require(Set("dhash", "dct")(imageHash),
+      s"streaming.image-hash must be dhash | dct, got '$imageHash'")
+    require(imageHash == "dhash" || modality == "image",
+      "streaming.image-hash selects the image kernel")
+    val dct = modality == "image" && imageHash == "dct"
+    val hashModality = if (dct) "image-dct" else modality
+    val bands = c.getInt("bands").getOrElse(if (dct) 8 else 4)
+    val maxHamming = c.getInt("max-hamming").getOrElse(if (dct) 7 else 3)
+    require(maxHamming < bands,
+      s"pigeonhole needs maxHamming < bands ($maxHamming >= $bands misses pairs)")
+    val maxBucket = c.getInt("max-bucket-size").getOrElse(10000)
+    val targetDir = c.string("target-dir")
+    val hconf = spark.sparkContext.hadoopConfiguration
+    def qual(d: String): Path = {
+      val p = new Path(d); p.getFileSystem(hconf).makeQualified(p)
+    }
+    val root = qual(c.string("cluster-state-dir"))
+    val fs = root.getFileSystem(hconf)
+    def readSmall(p: Path): String = {
+      val in = p.getFileSystem(hconf).open(p)
+      try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
+        finally in.close()
+    }
+    def writeSmall(p: Path, body: String): Unit = {
+      val out = fs.create(p, true)
+      try out.write(body.getBytes("UTF-8")) finally out.close()
+    }
+    val stateFp = s"$hashModality|bands=$bands|maxHamming=$maxHamming"
+    // optional SEED (a MediaDedup state-out-dir or a prior cluster
+    // lineage): its fingerprint line must equal this run's exactly
+    val seedDir = c.getString("state-dir").map(d => qual(d).toString)
+    seedDir.foreach { d =>
+      val p = new Path(d, "fingerprint")
+      require(fs.exists(p),
+        s"streaming.state-dir '$d' holds no MediaDedup fingerprint state")
+      val stored = readSmall(p)
+      require(stored == stateFp,
+        s"streaming.state-dir '$d' was built as '$stored' but this run is " +
+          s"'$stateFp' — kernels and band geometries never mix; rebuild or " +
+          "match the parameters")
+    }
+    val fpPath = new Path(root, "fingerprint")
+    val seedRecord = new Path(root, "clusterseed")
+    val seedLine = seedDir.getOrElse("none")
+    if (fs.exists(fpPath)) {
+      val stored = readSmall(fpPath)
+      require(stored == stateFp,
+        s"cluster-state-dir '$root' was built as '$stored' but this run is " +
+          s"'$stateFp' — one lineage, one parameter set")
+      val storedSeed = if (fs.exists(seedRecord)) readSmall(seedRecord) else "none"
+      require(storedSeed == seedLine,
+        s"cluster-state-dir '$root' was seeded from '$storedSeed' but this " +
+          s"run names '$seedLine' — a lineage never swaps its seed mid-stream")
+    } else {
+      Seq("sigs", "hotcounts")
+        .foreach(t => Cli.requireEmptyPartsDir(spark, root.toString, t))
+      writeSmall(fpPath, stateFp)
+      writeSmall(seedRecord, seedLine)
+    }
+    val seedSigs = seedDir.map(d => Cli.readStateTable(spark, d, "sigs"))
+    val seedCountsPart = new Path(root, "hotcounts/part-0")
+    seedSigs.foreach { ss =>
+      if (!fs.exists(seedCountsPart))
+        Dedup.bucketCounts(ss, bands)
+          .write.mode("overwrite").parquet(seedCountsPart.toString)
+    }
+    def seedEntries(table: String): Seq[String] = seedDir.toSeq.flatMap { d =>
+      Cli.stateTableParts(spark, d, table).getOrElse(Seq(s"$d/$table"))
+    }
+    val logCounts = c.getBoolean("log-drop-counts").getOrElse(true)
+    Cli.log("streaming run started (AvailableNow, foreachBatch)...")
+    Streams.runForeachBatch(assets, c.string("checkpoint-location"), opts) {
+      (batchRaw, batchId) =>
+        val idx = batchId + 1
+        val sigParts = clusterPartsBefore(fs, root, "sigs", idx, includeZero = false)
+        val countParts = clusterPartsBefore(fs, root, "hotcounts", idx, includeZero = true)
+        val batch = batchRaw.persist()
+        // ONE decode pass: the codegen'd hash column, cached — every
+        // join below is signature-level
+        val batchSigs = batch.select(col(idCol).as("id"),
+          graft.functions.GraftFunctions.mediaHash(col(contentCol), hashModality)
+            .as("sig")).persist()
+        try {
+          val corpusSigs = (seedSigs.toSeq ++
+            (if (sigParts.nonEmpty) Seq(spark.read.parquet(sigParts: _*)) else Nil))
+            .reduceOption(_.unionByName(_))
+            .getOrElse(batchSigs.limit(0))
+          val hot =
+            if (countParts.isEmpty) None
+            else Some(Dedup.hotFromCounts(
+              Dedup.mergeBucketCounts(spark.read.parquet(countParts: _*)), maxBucket))
+          // tier 1: near a STORED fingerprint (signature-level — the
+          // state keeps 8-byte sigs, not pixels)
+          val seen = Dedup.sigNearDupsAgainst(batchSigs, corpusSigs,
+            maxHamming, bands, maxBucket, hot)
+            .select(col("batch_id").as("id")).distinct()
+          // tier 2: in-batch near pairs among the remaining assets,
+          // keep-lower-id (the text cluster op's pair semantics)
+          val freshSigs = batchSigs.join(seen, Seq("id"), "left_anti")
+          val inBatchDrop = Dedup.sigNearDups(freshSigs, maxHamming, bands, maxBucket)
+            .select(col("id2").as("id"))
+          val dropIds = seen.unionByName(inBatchDrop)
+            .withColumnRenamed("id", idCol)
+          val survivors = batch.join(dropIds, Seq(idCol), "left_anti").persist()
+          try {
+            survivors.write.mode("overwrite").parquet(s"$targetDir/batch-$batchId")
+            batchSigs.join(dropIds.withColumnRenamed(idCol, "id"), Seq("id"), "left_anti")
+              .write.mode("overwrite").parquet(s"$root/sigs/part-$idx")
+            Dedup.bucketCounts(spark.read.parquet(s"$root/sigs/part-$idx"), bands)
+              .write.mode("overwrite").parquet(s"$root/hotcounts/part-$idx")
+            Cli.writeStateManifest(spark, root, "sigs",
+              seedEntries("sigs") ++ sigParts :+ s"$root/sigs/part-$idx")
+            Dedup.hotFromCounts(
+              Dedup.mergeBucketCounts(
+                spark.read.parquet((countParts :+ s"$root/hotcounts/part-$idx"): _*)),
+              maxBucket)
+              .write.mode("overwrite").parquet(s"$root/hot")
+            if (logCounts) {
+              val rows = batch.count()
+              val kept = survivors.count()
+              Cli.log(s"media-near-dedup-cluster batch $batchId ($hashModality): " +
+                s"$rows assets, dropped ${rows - kept} " +
+                s"(vs-corpus + in-batch keep-lower-id), " +
+                s"$kept survivors -> $targetDir/batch-$batchId")
+            }
+          } finally survivors.unpersist()
+        } finally { batchSigs.unpersist(); batch.unpersist(); () }
     }
     Cli.log("streaming run finished")
   }

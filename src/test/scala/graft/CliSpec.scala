@@ -5289,6 +5289,107 @@ class CliSpec extends SparkTestBase {
         s"kernel at the state's own radius: $arrIds")
   }
 
+  test("streamer media-near-dedup-cluster: in-batch and cross-batch degraded " +
+      "image twins collapse through the DCT kernel; the state feeds the " +
+      "arrival filter") {
+    import org.apache.spark.sql.functions.{col, timestamp_micros}
+    import graft.llm.Multimodal
+    import spark.implicits._
+    val base = tmp()
+    def png(seed: Long) = Multimodal.encodePng(Multimodal.texturedImage(seed))
+    def degraded(seed: Long) = Multimodal.jpegBytesAtQuality(
+      Multimodal.boxBlur3(Multimodal.texturedImage(seed)), 0.3f)
+    val landing = base.resolve("mc_landing").toString
+    def land(rows: Seq[(Long, Array[Byte])]): Unit =
+      rows.toDF("asset_id", "content")
+        .withColumn("ts", timestamp_micros(col("asset_id") * 1000000L))
+        .write.mode("append").parquet(landing)
+    // batch 1: 10 textured plates + an in-batch blur+JPEG-q30 twin of
+    // plate 0 under a higher id — outside dHash's radius, inside pHash 7
+    land((0L until 10L).map(s => s -> png(s)) :+ (100000L -> degraded(0L)))
+    val out = base.resolve("mc_out").toString
+    val state = base.resolve("mc_state").toString
+    val conf = write(base.resolve("mc.conf"),
+      s"""streaming {
+         |  events-dir = $landing
+         |  target-dir = $out
+         |  checkpoint-location = ${base.resolve("mc_ckpt")}
+         |  operation = media-near-dedup-cluster
+         |  modality = image
+         |  image-hash = dct
+         |  cluster-state-dir = $state
+         |  shuffle-partitions = 4
+         |}
+         |""".stripMargin)
+    graft.cli.Streamer.main(Array("--conf", conf))
+    val b0 = spark.read.parquet(s"$out/batch-0").select("asset_id")
+      .as[Long].collect().toSet
+    assert(b0 == (0L until 10L).toSet,
+      s"the in-batch degraded twin must collapse to the lower id: $b0")
+    // batch 2 (same checkpoint): fresh plates + a degraded echo of
+    // plate 1 — near the ACCRETED state, drops vs-corpus
+    land(Seq(10L -> png(10L), 11L -> png(11L), 100001L -> degraded(1L)))
+    graft.cli.Streamer.main(Array("--conf", conf))
+    val b1 = spark.read.parquet(s"$out/batch-1").select("asset_id")
+      .as[Long].collect().toSet
+    assert(b1 == Set(10L, 11L),
+      s"the cross-batch echo must drop against accreted state: $b1")
+    // the cluster state dir IS a media-near-dedup state: the stateless
+    // arrival filter consumes it directly (kernel + radius/bands from
+    // the fingerprint line) and drops a degraded echo of a survivor
+    val landing2 = base.resolve("mc_arr").toString
+    Seq((200001L, degraded(11L), 1L), (200002L, png(300L), 2L))
+      .toDF("asset_id", "content", "ts")
+      .withColumn("ts", timestamp_micros(col("ts") * 3600L * 1000000L))
+      .write.parquet(landing2)
+    val arrOut = base.resolve("mc_arr_out").toString
+    graft.cli.Streamer.main(Array("--conf", write(base.resolve("mc_arr.conf"),
+      s"""streaming {
+         |  events-dir = $landing2
+         |  target-dir = $arrOut
+         |  checkpoint-location = ${base.resolve("mc_arr_ckpt")}
+         |  operation = media-near-dedup
+         |  state-dir = $state
+         |  shuffle-partitions = 4
+         |}
+         |""".stripMargin)))
+    val arr = spark.read.parquet(arrOut).select("asset_id")
+      .as[Long].collect().toSet
+    assert(arr == Set(200002L),
+      s"the arrival echo must drop via the cluster state: $arr")
+    // video is scalar-incompatible and pointed at the batch increment
+    val vid = intercept[IllegalArgumentException] {
+      graft.cli.Streamer.main(Array("--conf", write(base.resolve("mc_vid.conf"),
+        s"""streaming {
+           |  events-dir = $landing
+           |  target-dir = ${base.resolve("mc_x")}
+           |  checkpoint-location = ${base.resolve("mc_xc")}
+           |  operation = media-near-dedup-cluster
+           |  modality = video
+           |  cluster-state-dir = ${base.resolve("mc_xs")}
+           |}
+           |""".stripMargin)))
+    }
+    assert(vid.getMessage.contains("SCALAR"), vid.getMessage)
+    // a restart that swaps the seed dir is refused (the line alone
+    // cannot see that drift)
+    val swap = intercept[IllegalArgumentException] {
+      graft.cli.Streamer.main(Array("--conf", write(base.resolve("mc_swap.conf"),
+        s"""streaming {
+           |  events-dir = $landing
+           |  target-dir = $out
+           |  checkpoint-location = ${base.resolve("mc_ckpt")}
+           |  operation = media-near-dedup-cluster
+           |  modality = image
+           |  image-hash = dct
+           |  cluster-state-dir = $state
+           |  state-dir = $state
+           |}
+           |""".stripMargin)))
+    }
+    assert(swap.getMessage.contains("never swaps its seed"), swap.getMessage)
+  }
+
   test("differ over media fingerprint state: a shifted media batch shows as " +
       "sig-histogram drift and breaches the gate; an identical batch does not") {
     import org.apache.spark.sql.functions.col
