@@ -2965,17 +2965,20 @@ object Streamer {
             else Some(Dedup.hotFromCounts(
               Dedup.mergeBucketCounts(spark.read.parquet(countParts: _*)), maxBucket))
           // tier 1: near a STORED fingerprint (signature-level — the
-          // state keeps 8-byte sigs, not pixels)
+          // state keeps 8-byte sigs, not pixels). Cached: it fans out
+          // to the in-batch tier's input AND the drop union (R19)
           val seen = Dedup.sigNearDupsAgainst(batchSigs, corpusSigs,
             maxHamming, bands, maxBucket, hot)
-            .select(col("batch_id").as("id")).distinct()
+            .select(col("batch_id").as("id")).distinct().persist()
           // tier 2: in-batch near pairs among the remaining assets,
           // keep-lower-id (the text cluster op's pair semantics)
           val freshSigs = batchSigs.join(seen, Seq("id"), "left_anti")
           val inBatchDrop = Dedup.sigNearDups(freshSigs, maxHamming, bands, maxBucket)
             .select(col("id2").as("id"))
+          // cached too: consumed by the survivor anti-join and the
+          // state-part anti-join below
           val dropIds = seen.unionByName(inBatchDrop)
-            .withColumnRenamed("id", idCol)
+            .withColumnRenamed("id", idCol).persist()
           val survivors = batch.join(dropIds, Seq(idCol), "left_anti").persist()
           try {
             survivors.write.mode("overwrite").parquet(s"$targetDir/batch-$batchId")
@@ -2998,7 +3001,9 @@ object Streamer {
                 s"(vs-corpus + in-batch keep-lower-id), " +
                 s"$kept survivors -> $targetDir/batch-$batchId")
             }
-          } finally survivors.unpersist()
+          } finally {
+            survivors.unpersist(); dropIds.unpersist(); seen.unpersist(); ()
+          }
         } finally { batchSigs.unpersist(); batch.unpersist(); () }
     }
     Cli.log("streaming run finished")
