@@ -2840,9 +2840,12 @@ object Streamer {
     * fingerprints ONCE through the codegen'd `graft_media_hash`
     * column, drops assets near the accreted corpus state (the
     * signature-level MediaDedup incremental tier), collapses in-batch
-    * near pairs keep-lower-id (the text cluster op's pair semantics),
-    * and appends survivors' signatures as batch-id-keyed write-once
-    * parts — the same retry-idempotence contract.
+    * near pairs keep-lower-id (the text cluster op's pair semantics;
+    * image `verify-pairs` confirms each in-batch nomination against
+    * pixels first — both assets are in the batch, so the batch CLI's
+    * semantics apply verbatim), and appends survivors' signatures as
+    * batch-id-keyed write-once parts — the same retry-idempotence
+    * contract.
     *
     * The state dir carries the MediaDedup fingerprint LINE verbatim
     * (`image|…`, `image-dct|…`, `audio|…`), so it is directly
@@ -2884,6 +2887,16 @@ object Streamer {
     require(maxHamming < bands,
       s"pigeonhole needs maxHamming < bands ($maxHamming >= $bands misses pairs)")
     val maxBucket = c.getInt("max-bucket-size").getOrElse(10000)
+    // `verify-pairs` (image): pixel-evidence confirmation of the
+    // IN-BATCH nominations — both assets' pixels are in the batch, so
+    // the batch CLI's "signatures nominate, pixels confirm" semantics
+    // apply verbatim; the vs-corpus tier stays signature-only by
+    // design (the state keeps 8-byte sigs, never pixels)
+    val verifyPairs = c.getBoolean("verify-pairs").getOrElse(false)
+    require(!verifyPairs || modality == "image",
+      "streaming.verify-pairs is the image pixel-confirmation tier")
+    val maxMeanDiff = c.getDouble("max-mean-diff").getOrElse(0.1)
+    val metaCol = c.getString("meta-column").getOrElse("meta")
     val targetDir = c.string("target-dir")
     val hconf = spark.sparkContext.hadoopConfiguration
     def qual(d: String): Path = {
@@ -2971,10 +2984,22 @@ object Streamer {
             maxHamming, bands, maxBucket, hot)
             .select(col("batch_id").as("id")).distinct().persist()
           // tier 2: in-batch near pairs among the remaining assets,
-          // keep-lower-id (the text cluster op's pair semantics)
+          // keep-lower-id (the text cluster op's pair semantics);
+          // verify-pairs confirms each nomination against pixels first
           val freshSigs = batchSigs.join(seen, Seq("id"), "left_anti")
-          val inBatchDrop = Dedup.sigNearDups(freshSigs, maxHamming, bands, maxBucket)
-            .select(col("id2").as("id"))
+          val inBatchPairs = Dedup.sigNearDups(freshSigs, maxHamming, bands, maxBucket)
+          val confirmedPairs =
+            if (!verifyPairs) inBatchPairs
+            else {
+              val mediaForVerify =
+                if (batch.columns.contains(metaCol)) batch
+                else batch.withColumn(metaCol,
+                  lit(null).cast("map<string,string>"))
+              graft.llm.Multimodal.verifyImagePairs(inBatchPairs, mediaForVerify,
+                graft.llm.Multimodal.ImageIoDecoder, idCol, contentCol, metaCol,
+                maxMeanDiff = maxMeanDiff)
+            }
+          val inBatchDrop = confirmedPairs.select(col("id2").as("id"))
           // cached too: consumed by the survivor anti-join and the
           // state-part anti-join below
           val dropIds = seen.unionByName(inBatchDrop)

@@ -5371,6 +5371,38 @@ class CliSpec extends SparkTestBase {
            |""".stripMargin)))
     }
     assert(vid.getMessage.contains("SCALAR"), vid.getMessage)
+    // verify-pairs: signatures nominate, pixels CONFIRM — an absurdly
+    // strict bar rejects the blur+JPEG twin (its pixel diff is real),
+    // the default bar confirms it
+    def vconf(name: String, extra: String) = write(base.resolve(s"$name.conf"),
+      s"""streaming {
+         |  events-dir = ${base.resolve(s"${name}_land")}
+         |  target-dir = ${base.resolve(s"${name}_out")}
+         |  checkpoint-location = ${base.resolve(s"${name}_ckpt")}
+         |  operation = media-near-dedup-cluster
+         |  modality = image
+         |  image-hash = dct
+         |  cluster-state-dir = ${base.resolve(s"${name}_state")}
+         |  verify-pairs = true
+         |$extra
+         |  shuffle-partitions = 4
+         |}
+         |""".stripMargin)
+    for ((name, bar, wantDrop) <- Seq(
+        ("vstrict", "  max-mean-diff = 0.000001\n", false),
+        ("vloose", "", true))) {
+      Seq(5L -> png(5L), 100005L -> degraded(5L))
+        .toDF("asset_id", "content")
+        .withColumn("ts", timestamp_micros(col("asset_id")))
+        .write.parquet(base.resolve(s"${name}_land").toString)
+      graft.cli.Streamer.main(Array("--conf", vconf(name, bar)))
+      val kept = spark.read.parquet(s"${base.resolve(s"${name}_out")}/batch-0")
+        .select("asset_id").as[Long].collect().toSet
+      if (wantDrop) assert(kept == Set(5L),
+        s"$name: confirmed twin must drop: $kept")
+      else assert(kept == Set(5L, 100005L),
+        s"$name: unconfirmed nomination must NOT drop: $kept")
+    }
     // a restart that swaps the seed dir is refused (the line alone
     // cannot see that drift)
     val swap = intercept[IllegalArgumentException] {
