@@ -3635,6 +3635,25 @@ class CliSpec extends SparkTestBase {
     assert(ids4 == Set(900080L),
       s"the rotated lineage must drop near echoes of the OLD lineage's " +
         s"accreted survivors through its seed frames: $ids4")
+    // ... and by the BATCH Curator itself: the cluster marker carries
+    // the Curator's own stateParams line, so `curation.state-dir` can
+    // point straight at the stream's accreted state
+    val batchSrc = base.resolve("batch_src").toString
+    Seq(900090L -> freshA, // exact text of a stream-accreted survivor
+      900091L -> "unmistakably fresh writing about tundra polygons")
+      .toDF("doc_id", "text").write.parquet(batchSrc)
+    val batchOut = base.resolve("batch_out").toString
+    graft.cli.Curator.main(Array("--conf", write(base.resolve("cur2.conf"),
+      s"""source { storage-type = local, dataset-dir = $batchSrc }
+         |target { storage-type = local, dataset-dir = $batchOut, dataset-store-format = parquet, write-mode = overwrite }
+         |curation {
+         |  state-dir = $clusterState
+         |}
+         |""".stripMargin)))
+    val batchIds = spark.read.parquet(batchOut).select("doc_id")
+      .as[Long].collect().toSet
+    assert(batchIds == Set(900091L),
+      s"the batch Curator must drop docs seen by the stream lineage: $batchIds")
     // 5. drifted restart parameters are refused — one lineage, one
     //    parameter set
     val drift = intercept[IllegalArgumentException] {
