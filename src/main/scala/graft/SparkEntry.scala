@@ -1066,8 +1066,13 @@ object SparkEntry {
     // pattern): per-group approx_percentile (mergeable sketch, bounded
     // buffers — the plan that survives 100 TB) joined against the exact
     // form (unbounded buffers — oracle-only), reporting worst relative
-    // error. Sketch internals aren't SQL-portable → rows-only; the
-    // error FLOOR is pinned in QuantilesSpec.
+    // error. ORACLE-EXACT (r13, the recall-as-data idiom upgraded): the
+    // approx side's per-group values dump, and DuckDB recomputes the
+    // EXACT side INDEPENDENTLY — same md5-predicate sample, its own
+    // quantile_cont (the same R-7 interpolation as Spark's percentile)
+    // — then replays the error arithmetic. Only the KLL-sketch
+    // internals stay unverified; the truth they're judged against is
+    // now cross-engine. QuantilesSpec keeps the error-floor pin.
     "q52_quantile_error" -> ((s, dir) => {
       // the EXACT side buffers every group value — monitoring runs it on
       // a deterministic 25% sample so the comparison stays bounded at
@@ -1080,8 +1085,9 @@ object SparkEntry {
         li, "l_extendedprice", Seq("l_returnflag"), probs, exact = exact)
       val ex = q(exact = true)
       val ap = q(exact = false)
-      val renamed = ap.columns.foldLeft(ap)((d, c) =>
-        if (c == "l_returnflag") d else d.withColumnRenamed(c, s"a_$c"))
+      val renamed = dumpAux(ap.columns.foldLeft(ap)((d, c) =>
+        if (c == "l_returnflag") d else d.withColumnRenamed(c, s"a_$c")),
+        dir, "q52_approx")
       ex.join(renamed, "l_returnflag")
         .select(col("l_returnflag") +: probs.map { p =>
           val n = f"p${(p * 100).toInt}%d"
@@ -1220,20 +1226,33 @@ object SparkEntry {
     // (id+30000, caught by the hash tier) and case-changed copies
     // (id+40000 — sha2 differs, but the simhash tokenizer lowercases so
     // the signature tier catches them). Survivors grouped by cohort:
-    // the only expected row is ("fresh", n_odd). sha2/xxhash64 not
-    // portable to the oracle → rows-only; asserted in EntrySpec.
+    // the only expected row is ("fresh", n_odd); EntrySpec asserts it.
     "q40_incremental_dedup" -> ((s, dir) => {
       import graft.llm.Dedup
       val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
       val corpus = docs.filter(col("doc_id") % 2 === 0)
-      val seen = Dedup.exactDuplicateGroups(corpus, "text", "doc_id").select("content_hash")
-      val sigs = Dedup.simHashSignatures(corpus, "doc_id", "text", gramSize = 3)
+      // ORACLE-EXACT drop arithmetic (r13, the q62 idiom for the TEXT
+      // tiers): corpus hash/signature state and the batch's own
+      // (hash, sig) projection — pure functions of text, recomputed for
+      // the dump, identical to dropSeen's internal set — dump as replay
+      // inputs; DuckDB replays all three tiers (in-batch exact keep-min,
+      // exact-vs-seen anti, in-batch + vs-corpus Hamming). Only the
+      // sha2/simhash computation itself stays rows-only.
+      val seen = dumpAux(
+        Dedup.exactDuplicateGroups(corpus, "text", "doc_id").select("content_hash"),
+        dir, "q40_seen")
+      val sigs = dumpAux(
+        Dedup.simHashSignatures(corpus, "doc_id", "text", gramSize = 3),
+        dir, "q40_corpus_sigs")
       val hot = Dedup.simHashHotBuckets(sigs)
       val planted = corpus.filter(col("doc_id") < 50)
       val batch = docs.filter(col("doc_id") % 2 === 1)
         .unionByName(planted.select((col("doc_id") + 30000).as("doc_id"), col("text")))
         .unionByName(planted.select((col("doc_id") + 40000).as("doc_id"),
           upper(col("text")).as("text")))
+      dumpAux(batch.select(col("doc_id"),
+        Dedup.contentHash(col("text")).as("content_hash"),
+        Dedup.simHash(col("text"), gramSize = 3).as("sig")), dir, "q40_batch")
       Dedup.dropSeen(batch, "text", "doc_id", seen, sigs,
         gramSize = 3, corpusHotBuckets = Some(hot))
         .groupBy(
@@ -1246,14 +1265,26 @@ object SparkEntry {
     // ---- BPE-budget chunking under the gate: greedy-pack whitespace
     // tokens until the chunk's REAL subword count (under a merge table
     // of common English merges, written deterministically at first use)
-    // would exceed the budget. Merge-table lookup + sequential greedy
-    // packing are not SQL-expressible → rows-only; budget adherence and
-    // recount parity are asserted in EntrySpec.
-    "q60_bpe_chunking" -> ((s, dir) =>
-      graft.llm.CorpusPrep.chunkByBpeBudget(
-        t(s, dir, "documents").filter(col("doc_id") < 200),
+    // would exceed the budget. ORACLE-EXACT packing (r13): the per-
+    // whitespace-token subword counts dump (`graft_bpe_count` per token
+    // — the chunker's own countOf) and DuckDB replays the sequential
+    // greedy fill as a recursive CTE (cut before the token that would
+    // exceed the budget; a lone over-budget token keeps its own chunk).
+    // Only the merge-table segmentation behind each count stays
+    // rows-only; EntrySpec keeps the budget-adherence asserts.
+    "q60_bpe_chunking" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").filter(col("doc_id") < 200)
+      dumpAux(docs.select(col("doc_id"),
+          posexplode(filter(split(col("text"), "\\s+"), t => length(t) > 0))
+            .as(Seq("idx", "tok")))
+        .select(col("doc_id"), col("idx"),
+          graft.functions.GraftFunctions.bpeCount(col("tok"), q60MergesPath)
+            .as("n_bpe")),
+        dir, "q60_tokens")
+      graft.llm.CorpusPrep.chunkByBpeBudget(docs,
         "doc_id", "text", bpeBudget = 128, mergesPath = q60MergesPath)
-        .select("doc_id", "chunk_id", "chunk_tokens", "chunk_bpe_tokens")),
+        .select("doc_id", "chunk_id", "chunk_tokens", "chunk_bpe_tokens")
+    }),
 
     // ---- Multimodal AUDIO plumbing through the REAL codec (the q18
     // pattern for sound): deterministic PCM derived from each document
@@ -2639,7 +2670,7 @@ object SparkEntry {
     // 40×-repeated template line — it must deflate far below prose.
     // The gate reports, per cohort, how many docs a 0.25 floor would
     // drop: templates all, prose none (EntrySpec value-asserts the
-    // separation; deflate output is not SQL-expressible → rows-only).
+    // separation).
     "q126_deflate_ratio" -> ((s, dir) => {
       val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
         .filter(col("doc_id") < 300)
@@ -2648,9 +2679,14 @@ object SparkEntry {
           concat_ws(" ", transform(sequence(lit(1), lit(40)),
             _ => lit("click here to win a free prize now"))))
           .otherwise(col("text")))
-      planted.select(col("doc_id"), (col("doc_id") % 5 === 0).as("is_template"),
-          graft.functions.GraftFunctions.deflateRatio(col("text")).as("ratio"))
-        .groupBy(col("is_template"))
+      // ORACLE-EXACT gating (r13): the per-doc ratios dump and DuckDB
+      // replays the floor test + cohort aggregates; the Deflater pass
+      // itself (a JVM codec, like the media decodes) stays rows-only.
+      val ratios = dumpAux(
+        planted.select(col("doc_id"), (col("doc_id") % 5 === 0).as("is_template"),
+          graft.functions.GraftFunctions.deflateRatio(col("text")).as("ratio")),
+        dir, "q126_ratios")
+      ratios.groupBy(col("is_template"))
         .agg(count(lit(1)).as("n_docs"),
           count(when(col("ratio") < 0.25, 1)).as("n_below_floor"),
           round(avg("ratio"), 2).as("avg_ratio"))
@@ -2884,14 +2920,23 @@ object SparkEntry {
     // per cluster (salted-digest bottom-k within each), docs joined to
     // their cell tag by id. The gate reports the balance property
     // itself: every cluster contributes min(perCluster, cluster size)
-    // docs — a dominant topic cannot crowd out the tail. KMeans is not
-    // SQL-expressible → rows-only; CorpusPrepSpec pins determinism and
-    // quota exactness.
+    // docs — a dominant topic cannot crowd out the tail. ORACLE-EXACT
+    // (r13): the cluster-tagged docs dump and DuckDB replays the ENTIRE
+    // selection — digest (md5 is cross-engine), per-cluster rank, quota
+    // cut — which also pins the digest-threshold pre-thin's exactness
+    // claim against an engine with no pre-thin. Only the seeded KMeans
+    // fit stays rows-only; CorpusPrepSpec pins determinism separately.
     "q132_cluster_balanced_sample" -> ((s, dir) => {
-      val kept = graft.llm.CorpusPrep.clusterBalancedSample(
-        t(s, dir, "documents").select(col("doc_id"), col("source")), "doc_id",
-        t(s, dir, "embeddings"), "vec_id", "embedding",
-        numClusters = 8, perCluster = 20)
+      val (_, tagged) = graft.llm.Similarity.ivfBuild(
+        t(s, dir, "embeddings").select(col("vec_id"), col("embedding")),
+        numCells = 8, vecCol = "embedding", maxIter = 20)
+      val cells = tagged.select(col("vec_id").as("doc_id"), col("cell").as("cluster"))
+      val withCell = dumpAux(
+        t(s, dir, "documents").select(col("doc_id"), col("source"))
+          .join(cells, Seq("doc_id")),
+        dir, "q132_cells")
+      val kept = graft.llm.CorpusPrep.clusterQuotaSample(withCell, "doc_id",
+        perCluster = 20)
       kept.groupBy(col("cluster"))
         .agg(count(lit(1)).as("n_kept"))
         .agg(count(lit(1)).as("n_clusters"),
@@ -3088,9 +3133,11 @@ object SparkEntry {
     // DESCRIBE a dirty corpus, not crash on it), plus 10 exact
     // duplicates of plate 0 (an 11-asset fingerprint collision group —
     // the "near-dup pass overdue" signal the card exists to surface).
-    // Integer-only aggregates (the corpusReport bit-exactness rule);
-    // decode is not SQL-expressible → rows-only, EntrySpec pins every
-    // planted number.
+    // Integer-only aggregates (the corpusReport bit-exactness rule).
+    // ORACLE-EXACT card arithmetic (r13): the per-asset decode frame
+    // dumps and DuckDB replays every aggregate (status cohorts, byte
+    // extrema over healthy assets, fingerprint-group stats); the decode
+    // pass itself stays rows-only. EntrySpec pins the planted numbers.
     "q136_media_report" -> ((s, dir) => {
       import graft.llm.Multimodal
       val media = Multimodal.asMediaTable(
@@ -3105,7 +3152,10 @@ object SparkEntry {
         media.filter(col("asset_id") < 10).withColumn("seed", lit(0L)),
         jpeg = false, seedCol = "seed")
         .drop("seed").withColumn("asset_id", col("asset_id") + 100000)
-      Multimodal.mediaReport(doctored.unionByName(dups), "image")
+      Multimodal.mediaReportFrom(
+        dumpAux(Multimodal.mediaReportRows(doctored.unionByName(dups), "image"),
+          dir, "q136_assets"),
+        "image")
     }),
 
     // ---- Unigram-LM tokenizer (Kudo 2018): train on the docs<100
@@ -4473,6 +4523,140 @@ object SparkEntry {
         |  sum(CASE WHEN doc_id >= 20000
         |      THEN surv ELSE 0 END)::BIGINT AS n_hub_survivors
         |FROM modes GROUP BY mode""".stripMargin,
+    // INCREMENTAL-TEXT-DEDUP drop replay (the q62 idiom): all three
+    // tiers over the dumped hash/signature state. The near tiers
+    // replay as all-pairs Hamming — pigeonhole-identical to the banded
+    // join (maxHamming 3 < bands 4) with empty hot sets at this scale
+    "q40_incremental_dedup" ->
+      """WITH b AS (SELECT doc_id, content_hash, sig
+        |  FROM read_parquet('__AUX__/q40_batch/*.parquet')),
+        |seen AS (SELECT content_hash
+        |  FROM read_parquet('__AUX__/q40_seen/*.parquet')),
+        |cs AS (SELECT id, sig
+        |  FROM read_parquet('__AUX__/q40_corpus_sigs/*.parquet')),
+        |ex AS (
+        |  SELECT doc_id, sig FROM (
+        |    SELECT doc_id, sig, content_hash,
+        |      row_number() OVER (PARTITION BY content_hash ORDER BY doc_id) AS rn
+        |    FROM b) t
+        |  WHERE rn = 1
+        |    AND content_hash NOT IN (SELECT content_hash FROM seen)),
+        |nearb AS (
+        |  SELECT DISTINCT a2.doc_id
+        |  FROM ex a1 JOIN ex a2 ON a1.doc_id < a2.doc_id
+        |  WHERE bit_count(xor(a1.sig, a2.sig)) <= 3),
+        |nearc AS (
+        |  SELECT DISTINCT e.doc_id
+        |  FROM ex e JOIN cs c ON bit_count(xor(e.sig, c.sig)) <= 3),
+        |surv AS (
+        |  SELECT doc_id FROM ex
+        |  WHERE doc_id NOT IN (SELECT doc_id FROM nearb)
+        |    AND doc_id NOT IN (SELECT doc_id FROM nearc))
+        |SELECT
+        |  CASE WHEN doc_id >= 40000 THEN 'near_echo'
+        |       WHEN doc_id >= 30000 THEN 'exact_echo'
+        |       ELSE 'fresh' END AS cohort,
+        |  count(*)::BIGINT AS n_survivors
+        |FROM surv GROUP BY 1""".stripMargin,
+    // GREEDY SUBWORD-BUDGET PACKING replay: walk each doc's whitespace
+    // tokens in order via a recursive CTE — same chunk while the
+    // accumulated count stays within the budget, cut before the token
+    // that would exceed it, a lone over-budget token keeps its own
+    // chunk (the first token of a chunk is always taken)
+    "q60_bpe_chunking" ->
+      """WITH RECURSIVE
+        |tk AS (SELECT doc_id, idx, n_bpe
+        |  FROM read_parquet('__AUX__/q60_tokens/*.parquet')),
+        |walk(doc_id, idx, chunk_id, acc) AS (
+        |  SELECT doc_id, idx, 0::BIGINT, n_bpe::BIGINT FROM tk WHERE idx = 0
+        |  UNION ALL
+        |  SELECT t.doc_id, t.idx,
+        |    CASE WHEN w.acc + t.n_bpe <= 128 THEN w.chunk_id
+        |         ELSE w.chunk_id + 1 END,
+        |    CASE WHEN w.acc + t.n_bpe <= 128 THEN w.acc + t.n_bpe
+        |         ELSE t.n_bpe::BIGINT END
+        |  FROM walk w JOIN tk t ON t.doc_id = w.doc_id AND t.idx = w.idx + 1)
+        |SELECT w.doc_id, w.chunk_id,
+        |  count(*)::BIGINT AS chunk_tokens,
+        |  sum(t.n_bpe)::BIGINT AS chunk_bpe_tokens
+        |FROM walk w JOIN tk t USING (doc_id, idx)
+        |GROUP BY w.doc_id, w.chunk_id""".stripMargin,
+    // DEFLATE-FLOOR gating replay over the dumped per-doc ratios (the
+    // Deflater pass is the rows-only step, like the media decodes)
+    "q126_deflate_ratio" ->
+      """SELECT is_template,
+        |  count(*)::BIGINT AS n_docs,
+        |  count(CASE WHEN ratio < 0.25 THEN 1 END)::BIGINT AS n_below_floor,
+        |  round(avg(ratio), 2) AS avg_ratio
+        |FROM read_parquet('__AUX__/q126_ratios/*.parquet')
+        |GROUP BY is_template""".stripMargin,
+    // CLUSTER-QUOTA selection replay over the dumped cluster-tagged
+    // docs: the ENTIRE selection — salted md5 digest, per-cluster
+    // (digest, id) rank, quota cut — re-derived with no pre-thin,
+    // which pins proportionSamplesByDigest's exactness claim
+    // cross-engine; only the seeded KMeans fit stays rows-only
+    "q132_cluster_balanced_sample" ->
+      """WITH wc AS (SELECT doc_id, cluster
+        |  FROM read_parquet('__AUX__/q132_cells/*.parquet')),
+        |ranked AS (
+        |  SELECT cluster, doc_id,
+        |    row_number() OVER (PARTITION BY cluster
+        |      ORDER BY md5(doc_id::VARCHAR || '|' || 'clusterbal'), doc_id) AS rn
+        |  FROM wc),
+        |per AS (
+        |  SELECT cluster, count(*) AS n_kept
+        |  FROM ranked WHERE rn <= 20 GROUP BY cluster)
+        |SELECT count(*)::BIGINT AS n_clusters,
+        |  sum(n_kept)::BIGINT AS n_docs_kept,
+        |  min(n_kept)::BIGINT AS min_per_cluster,
+        |  max(n_kept)::BIGINT AS max_per_cluster
+        |FROM per""".stripMargin,
+    // MEDIA DATA-CARD arithmetic replay over the dumped per-asset
+    // decode frame: status cohorts, byte extrema over healthy assets
+    // only, fingerprint-group stats (the decode stays rows-only)
+    "q136_media_report" ->
+      """WITH pa AS (SELECT *
+        |  FROM read_parquet('__AUX__/q136_assets/*.parquet')),
+        |base AS (SELECT
+        |  count(*)::BIGINT AS n_assets,
+        |  sum(CASE WHEN status = 1 THEN 1 ELSE 0 END)::BIGINT AS n_null_content,
+        |  sum(CASE WHEN status = 2 THEN 1 ELSE 0 END)::BIGINT AS n_decode_failed,
+        |  sum(bytes)::BIGINT AS total_bytes,
+        |  min(CASE WHEN status = 0 THEN bytes END)::BIGINT AS min_bytes,
+        |  max(CASE WHEN status = 0 THEN bytes END)::BIGINT AS max_bytes,
+        |  sum(CASE WHEN status = 0 THEN w END)::BIGINT AS total_width,
+        |  sum(CASE WHEN status = 0 THEN h END)::BIGINT AS total_height,
+        |  sum(CASE WHEN status = 0 THEN units END)::BIGINT AS total_units
+        |  FROM pa),
+        |g AS (SELECT sig, count(*) AS n FROM pa
+        |  WHERE sig IS NOT NULL GROUP BY sig),
+        |sg AS (SELECT
+        |  coalesce(count(*), 0)::BIGINT AS n_distinct_fingerprints,
+        |  coalesce(max(n), 0)::BIGINT AS max_fingerprint_group
+        |  FROM g)
+        |SELECT base.*, sg.*, 'image' AS modality FROM base, sg""".stripMargin,
+    // SKETCH-VS-TRUTH quantile error: the approx side's per-group
+    // values are the dump; the EXACT side is recomputed INDEPENDENTLY
+    // by DuckDB — same md5-predicate 25% sample (threshold hex =
+    // hashThresholdHex(0.25)), quantile_cont's R-7 interpolation ==
+    // Spark percentile's — then the relative-error arithmetic replays
+    "q52_quantile_error" ->
+      """WITH ap AS (SELECT *
+        |  FROM read_parquet('__AUX__/q52_approx/*.parquet')),
+        |li AS (SELECT l_returnflag, l_extendedprice::DOUBLE AS v
+        |  FROM lineitem
+        |  WHERE md5(l_orderkey::VARCHAR || '|' || 'q52')
+        |    < '40000000000000000000000000000000'),
+        |ex AS (SELECT l_returnflag,
+        |    quantile_cont(v, 0.5) AS p50,
+        |    quantile_cont(v, 0.95) AS p95,
+        |    quantile_cont(v, 0.99) AS p99
+        |  FROM li GROUP BY l_returnflag)
+        |SELECT count(*)::BIGINT AS n_groups,
+        |  round(max(abs(a_p50 - p50) / abs(p50)), 6) AS max_rel_err_p50,
+        |  round(max(abs(a_p95 - p95) / abs(p95)), 6) AS max_rel_err_p95,
+        |  round(max(abs(a_p99 - p99) / abs(p99)), 6) AS max_rel_err_p99
+        |FROM ex JOIN ap USING (l_returnflag)""".stripMargin,
     // TWO-DIRECTIONAL witness replay: every orientation of A against
     // B's canonical (orient 0); a pair needs witnesses in BOTH
     // directions, and its min_hamming is the best witness's distance

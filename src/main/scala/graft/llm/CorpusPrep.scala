@@ -1003,9 +1003,25 @@ object CorpusPrep {
       embeddings.select(col(embIdCol), col(vecCol)), numClusters, vecCol,
       maxIter = maxIter)
     val cells = tagged.select(col(embIdCol).as(idCol), col("cell").as("cluster"))
-    val quotas = cells.select(col("cluster")).distinct()
+    clusterQuotaSample(docs.join(cells, Seq(idCol)), idCol, perCluster, salt)
+  }
+
+  /** The selection stage of [[clusterBalancedSample]], split out so the
+    * two stages are independently consumable: given rows ALREADY tagged
+    * with a `cluster` column, keep the deterministic per-cluster quota
+    * (rank by salted md5 digest of the id, [[graft.operators.Ops
+    * .proportionSamplesByDigest]] pre-thin + exact window). Pure
+    * integer/string arithmetic over (id, cluster) — SQL-replayable,
+    * which is how the q132 gate pins it against DuckDB (the seeded
+    * KMeans fit upstream is the only rows-only step). */
+  def clusterQuotaSample(
+      withCell: DataFrame,
+      idCol: String,
+      perCluster: Int,
+      salt: String = "clusterbal"): DataFrame = {
+    require(perCluster > 0, s"perCluster must be positive, got $perCluster")
+    val quotas = withCell.select(col("cluster")).distinct()
       .withColumn("rows_count", lit(perCluster))
-    val withCell = docs.join(cells, Seq(idCol))
     graft.operators.Ops.proportionSamplesByDigest(
       withCell, quotas, Seq("cluster"),
       digest = graft.operators.Ops.hashDigestCol(col(idCol).cast("string"), salt),

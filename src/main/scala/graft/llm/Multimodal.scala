@@ -2356,10 +2356,27 @@ object Multimodal {
       idCol: String = "asset_id",
       contentCol: String = "content",
       metaCol: String = "meta",
+      batchSize: Int = 64): DataFrame =
+    mediaReportFrom(
+      mediaReportRows(df, modality, idCol, contentCol, metaCol, batchSize),
+      modality)
+
+  /** The per-asset decode stage of [[mediaReport]]: one row per asset
+    * `(bytes, status, w, h, units, sig)` — status 0 ok / 1 null
+    * content / 2 decode failed. Split out so the aggregate stage is
+    * independently consumable: the q136 gate dumps this frame and
+    * DuckDB replays [[mediaReportFrom]]'s arithmetic over it (the
+    * decode itself is the only rows-only step). */
+  def mediaReportRows(
+      df: DataFrame,
+      modality: String,
+      idCol: String = "asset_id",
+      contentCol: String = "content",
+      metaCol: String = "meta",
       batchSize: Int = 64): DataFrame = {
     require(Set("image", "audio", "video")(modality),
       s"mediaReport modality must be image | audio | video, got '$modality'")
-    val perAsset = {
+    locally {
       val schema = StructType(Seq(
         StructField("bytes", LongType, nullable = false),
         StructField("status", IntegerType, nullable = false), // 0 ok, 1 null, 2 failed
@@ -2401,6 +2418,12 @@ object Multimodal {
         }
       }(Encoders.row(schema))
     }
+  }
+
+  /** The aggregate stage of [[mediaReport]]: the data-card arithmetic
+    * over a [[mediaReportRows]] frame — pure SQL-replayable counts,
+    * sums, and fingerprint-group stats. */
+  def mediaReportFrom(perAsset: DataFrame, modality: String): DataFrame = {
     val base = perAsset.agg(
       count(lit(1)).as("n_assets"),
       sum((col("status") === 1).cast("long")).as("n_null_content"),
