@@ -3359,6 +3359,22 @@ object SparkEntry {
           max(col("hamming")).as("max_hamming"))
     }),
 
+    // ---- Fill-in-the-middle transform (Bavarian et al. 2022,
+    // 2207.14255 — the infilling-pretraining staple for code corpora):
+    // at fim_rate 0.5, split each selected doc at two md5-derived
+    // character cuts and re-emit as sentinel-delimited
+    // prefix/suffix/middle (PSM). Pure scan-speed column program —
+    // digest predicate, hex-parsed cuts, substr concat — so the oracle
+    // replays EVERY step: ORACLE-EXACT on the full transformed text.
+    // The sentinels are exactly the protected-special-token surface
+    // (q127) downstream tokenization rides. CorpusPrepSpec pins the
+    // reassembly law (prefix ⧺ middle ⧺ suffix == text) and both modes.
+    "q146_fim_transform" -> ((s, dir) =>
+      graft.llm.CorpusPrep.fimTransform(
+        t(s, dir, "documents").select(col("doc_id"), col("text")),
+        "doc_id", "text", rate = 0.5)
+        .select(col("doc_id"), col("fim_applied"), col("fim_text"))),
+
     // ---- CCNet in its PRODUCTION configuration: per-source
     // head/middle/tail thirds by the KenLM-class model's score — q98's
     // bucket machinery over MODIFIED-KN (q98 buckets on the unigram
@@ -4657,6 +4673,29 @@ object SparkEntry {
         |  round(max(abs(a_p95 - p95) / abs(p95)), 6) AS max_rel_err_p95,
         |  round(max(abs(a_p99 - p99) / abs(p99)), 6) AS max_rel_err_p99
         |FROM ex JOIN ap USING (l_returnflag)""".stripMargin,
+    // FULL FIM replay — nothing is dumped: the digest (md5), the rate
+    // threshold (hashThresholdHex(0.5)), the two hex-parsed cuts, and
+    // the sentinel concatenation are all re-derived from the documents
+    // table alone (both engines count length/substr in codepoints)
+    "q146_fim_transform" ->
+      """WITH d AS (SELECT doc_id, text,
+        |    md5(doc_id::VARCHAR || '|' || 'fim') AS dg,
+        |    length(text) AS n
+        |  FROM documents),
+        |c AS (SELECT doc_id, text, n, dg,
+        |    least(('0x' || substr(dg, 17, 5))::BIGINT % (n + 1),
+        |          ('0x' || substr(dg, 22, 5))::BIGINT % (n + 1)) AS lo,
+        |    greatest(('0x' || substr(dg, 17, 5))::BIGINT % (n + 1),
+        |             ('0x' || substr(dg, 22, 5))::BIGINT % (n + 1)) AS hi
+        |  FROM d)
+        |SELECT doc_id,
+        |  dg < '80000000000000000000000000000000' AS fim_applied,
+        |  CASE WHEN dg < '80000000000000000000000000000000' THEN
+        |    '<|fim_prefix|>' || substr(text, 1, lo) ||
+        |    '<|fim_suffix|>' || substr(text, hi + 1, n - hi) ||
+        |    '<|fim_middle|>' || substr(text, lo + 1, hi - lo)
+        |  ELSE text END AS fim_text
+        |FROM c""".stripMargin,
     // TWO-DIRECTIONAL witness replay: every orientation of A against
     // B's canonical (orient 0); a pair needs witnesses in BOTH
     // directions, and its min_hamming is the best witness's distance

@@ -511,6 +511,11 @@ object CorpusPrep {
     * with the same salt NESTS inside the first split rather than
     * cutting across all of them.
     *
+    * Leakage-safe GROUPED splits come free: pass the group key (a
+    * canonical domain, a dedup cluster label) as `idCol` and every row
+    * of a group lands in the same split — near-duplicates of one site
+    * can never straddle train/test.
+    *
     * At 100 TB this is a scan-speed projection (one md5 per row, CSE'd
     * across the branch comparisons); downstream filters on `splitCol`
     * stay plain predicates. */
@@ -539,6 +544,76 @@ object CorpusPrep {
         Some(acc.fold(when(cond, lit(name)))(_.when(cond, lit(name))))
     }.get.otherwise(lit(splits.last._1))
     df.withColumn(splitCol, label)
+  }
+
+  /** Deterministic fill-in-the-middle (FIM) transformation — the
+    * published infilling-pretraining recipe (Bavarian et al. 2022,
+    * 2207.14255): split a document at two character positions into
+    * (prefix, middle, suffix) and re-emit it with sentinel tokens so
+    * the model learns to fill the middle from both sides. `mode`:
+    *   - `psm` (the canonical form):
+    *     `preTok ⧺ prefix ⧺ sufTok ⧺ suffix ⧺ midTok ⧺ middle`
+    *   - `spm` (the paper's joint variant — suffix first, prefix moved
+    *     after the middle sentinel, same sentinels so one model trains
+    *     on both): `preTok ⧺ sufTok ⧺ suffix ⧺ midTok ⧺ prefix ⧺ middle`
+    *
+    * Everything is a pure function of (id, salt): the apply decision is
+    * the shared md5 sampling predicate ([[graft.operators.Ops
+    * .hashSamplePredicate]], `rate` of documents transformed — the
+    * paper's fim_rate), and the two cut points are uniform draws over
+    * `[0, length]` parsed from digest hex positions 17–21 and 22–26
+    * (disjoint from the leading chars the rate threshold orders on).
+    * So the transform is reproducible across retries/partitionings/
+    * engines, composes with [[hashSplit]]/[[mixtureSample]] under
+    * other salts, and is SQL-replayable end to end — the q146 gate
+    * pins digest, cuts, and concatenation against DuckDB. Downstream,
+    * the sentinels ride the tokenizer's protected special tokens
+    * (`graft_bpe_encode_special`, the q127 surface), so they encode to
+    * single ids and can never be split by merges.
+    *
+    * By construction `prefix ⧺ middle ⧺ suffix == text` (CorpusPrepSpec
+    * pins it), empty/degenerate cuts are legal (a zero-length middle
+    * still teaches end-of-span), and untransformed rows pass through
+    * verbatim with `appliedCol = false`. One md5 per row, CSE'd across
+    * predicate and cuts; scan-speed projection, no shuffle. */
+  def fimTransform(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      rate: Double,
+      preTok: String = "<|fim_prefix|>",
+      sufTok: String = "<|fim_suffix|>",
+      midTok: String = "<|fim_middle|>",
+      mode: String = "psm",
+      salt: String = "fim",
+      outCol: String = "fim_text",
+      appliedCol: String = "fim_applied"): DataFrame = {
+    require(rate >= 0.0 && rate <= 1.0, s"fimTransform: rate must be in [0,1], got $rate")
+    require(Set("psm", "spm")(mode), s"fimTransform: mode must be psm | spm, got '$mode'")
+    require(Seq(preTok, sufTok, midTok).distinct.size == 3,
+      s"fimTransform: sentinels must be distinct, got ($preTok, $sufTok, $midTok)")
+    require(!df.columns.contains(outCol) && !df.columns.contains(appliedCol),
+      s"fimTransform: output column $outCol/$appliedCol already exists")
+    val t = col(textCol)
+    val n = length(t)
+    val digest = graft.operators.Ops.hashDigestCol(col(idCol), salt)
+    // two independent 20-bit draws from the digest tail, uniform mod
+    // (n+1) — 5 hex chars each keeps the modulo bias ≤ n/2^20
+    def cut(pos: Int): Column =
+      pmod(conv(substring(digest, pos, 5), 16, 10).cast("long"), n + 1)
+    val (c1, c2) = (cut(17), cut(22))
+    val (lo, hi) = (least(c1, c2), greatest(c1, c2))
+    val prefix = t.substr(lit(1), lo)
+    val middle = t.substr(lo + 1, hi - lo)
+    val suffix = t.substr(hi + 1, n - hi)
+    val transformed =
+      if (mode == "psm")
+        concat(lit(preTok), prefix, lit(sufTok), suffix, lit(midTok), middle)
+      else
+        concat(lit(preTok), lit(sufTok), suffix, lit(midTok), prefix, middle)
+    val applied = graft.operators.Ops.hashSamplePredicate(col(idCol), rate, salt)
+    df.withColumn(appliedCol, applied)
+      .withColumn(outCol, when(col(appliedCol), transformed).otherwise(t))
   }
 
   /** Weighted mixture sampling: keep a per-source deterministic fraction
