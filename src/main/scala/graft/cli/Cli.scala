@@ -1499,6 +1499,34 @@ object Curator {
           "whitespace-free — a spelling containing whitespace could be cut " +
           "through by the whitespace-token chunker")
     }
+    // `fim-rate` contracts (the stage itself runs after chunking,
+    // below): sentinels must be whitespace-free (guards operator
+    // overrides — the chunkers never see them, but a downstream
+    // whitespace tokenization would shear one in half), and with
+    // token-id export each must be a declared protected special, else
+    // it would encode as ordinary text and silently lose its
+    // single-id identity. The unigram encoder has no protected-
+    // specials path, so FIM + unigram id export is refused outright.
+    val fimPre = c.getString("fim-prefix-token").getOrElse("<|fim_prefix|>")
+    val fimSuf = c.getString("fim-suffix-token").getOrElse("<|fim_suffix|>")
+    val fimMid = c.getString("fim-middle-token").getOrElse("<|fim_middle|>")
+    c.getDouble("fim-rate").foreach { _ =>
+      val sentinels = Seq(fimPre, fimSuf, fimMid)
+      require(sentinels.forall(sp => sp.nonEmpty && !sp.exists(_.isWhitespace)),
+        s"curation.fim-*-token sentinels must be non-empty and whitespace-free, got $sentinels")
+      if (c.getString("bpe-vocab").isDefined) sentinels.foreach { sp =>
+        require(bpeSpecials.contains(sp),
+          "curation.fim-rate with token-id export needs every FIM sentinel " +
+            s"declared in curation.bpe-special-tokens ('$sp' is missing) — " +
+            "an undeclared sentinel encodes as plain text and loses its id")
+      }
+      require(!(unigramModel.isDefined &&
+          (c.getBoolean("unigram-ids").getOrElse(false) ||
+            (c.getInt("pack-seq-len").isDefined && c.getString("bpe-vocab").isEmpty))),
+        "curation.fim-rate is not supported with unigram id export — the " +
+          "unigram encoder has no protected-specials path, so the sentinels " +
+          "would shatter into byte-fallback ids")
+    }
     val out = (c.getInt("chunk-size"), c.getInt("bpe-budget")) match {
       case (Some(cs), _) => stages.timed("chunking") {
         graft.llm.CorpusPrep.chunkByTokensFast(labeled, idCol, textCol,
@@ -1535,6 +1563,37 @@ object Curator {
       }
       case _ => labeled
     }
+    // optional fill-in-the-middle transform (`fim-rate`): re-emit that
+    // fraction of training rows as sentinel-delimited prefix/suffix/
+    // middle (CorpusPrep.fimTransform — Bavarian et al. 2022,
+    // 2207.14255) so infilling models can train on the export. Runs on
+    // the training UNIT — the chunk when chunking is on (each context
+    // window becomes an infilling example; the sentinels add ~3 ids,
+    // so size budgets should reserve that headroom), the document
+    // otherwise — and the row identity includes the epoch tag, so a
+    // doc's repetitions draw DIFFERENT cuts (the diversity the epochs
+    // exist to buy). With token-id export the sentinels must be
+    // declared protected specials (validated up front) so each encodes
+    // to its single fixed id; `fim_applied` rides the emitted rows.
+    val fimmed = c.getDouble("fim-rate") match {
+      case Some(rate) => stages.timed("fim") {
+        val tcol = if (out.columns.contains("chunk_text")) "chunk_text" else textCol
+        var rowId =
+          if (out.columns.contains("chunk_text"))
+            concat(col(idCol).cast("string"), lit(":"), col("chunk_id"))
+          else col(idCol).cast("string")
+        if (epochWeights.nonEmpty) rowId = concat(rowId, lit("#"), col("epoch"))
+        graft.llm.CorpusPrep.fimTransform(
+          out.withColumn("__fim_row", rowId), "__fim_row", tcol, rate,
+          preTok = fimPre, sufTok = fimSuf, midTok = fimMid,
+          mode = c.getString("fim-mode").getOrElse("psm"),
+          salt = c.getString("fim-salt").getOrElse("fim"),
+          outCol = "__fim_text")
+          .withColumn(tcol, col("__fim_text"))
+          .drop("__fim_text", "__fim_row")
+      }
+      case None => out
+    }
     // optional id encoding (`bpe-vocab`, requires `bpe-merges`): the
     // emitted rows carry `token_ids` — the int ids a trainer consumes —
     // encoded from the chunk text (or whole-doc text when chunking is
@@ -1547,20 +1606,20 @@ object Curator {
         // unigram token_ids: same scan-speed projection contract as the
         // BPE families (model loads once per executor, zero shuffle)
         val encCol =
-          if (out.columns.contains("chunk_text")) "chunk_text" else textCol
-        out.withColumn("token_ids",
+          if (fimmed.columns.contains("chunk_text")) "chunk_text" else textCol
+        fimmed.withColumn("token_ids",
           graft.functions.GraftFunctions.unigramEncode(col(encCol), model))
       }
       case (_, Some(vocabPath)) => stages.timed("encode-ids") {
         val mergesPath = c.getString("bpe-merges").getOrElse(throw new IllegalArgumentException(
           "curation.bpe-vocab requires curation.bpe-merges (ids are defined by a merge table)"))
         val encCol =
-          if (out.columns.contains("chunk_text")) "chunk_text" else textCol
+          if (fimmed.columns.contains("chunk_text")) "chunk_text" else textCol
         // `bpe-special-tokens`: protected spellings (the Tokenizer
         // CLI's special-tokens contract) — each occurrence in the
         // text emits its single fixed vocab id, never merged across
         val specials = bpeSpecials
-        out.withColumn("token_ids",
+        fimmed.withColumn("token_ids",
           if (bpeByteLevel)
             graft.functions.GraftFunctions.bpeByteEncode(
               col(encCol), mergesPath, vocabPath, specials)
@@ -1568,7 +1627,7 @@ object Curator {
             graft.functions.GraftFunctions.bpeEncode(
               col(encCol), mergesPath, vocabPath, specials))
       }
-      case _ => out
+      case _ => fimmed
     }
     // optional packed token-id export (`pack-seq-len`, requires
     // `bpe-vocab`): the terminal trainer contract — fixed-length

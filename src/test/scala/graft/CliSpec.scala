@@ -5495,4 +5495,79 @@ class CliSpec extends SparkTestBase {
     assert(moved.getAs[Double]("drift") > 0.4 && moved.getAs[Double]("drift") < 0.6,
       s"10 of 20 fingerprints replaced: ${moved.getAs[Double]("drift")}")
   }
+
+  test("curator fim-rate: each chunk becomes a sentinel-delimited PSM " +
+      "infilling example that reassembles to the untransformed chunk, the " +
+      "sentinels export as their single fixed ids, misconfigs fail loudly") {
+    import org.apache.spark.sql.functions.{col, explode}
+    val base = tmp()
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val merges = graft.llm.BpeTrainer.learnMerges(docs, "text", numMerges = 32)
+    val mPath = base.resolve("merges.txt").toString
+    val vPath = base.resolve("vocab.txt").toString
+    graft.llm.BpeTrainer.saveMerges(spark, mPath, merges)
+    val sentinels = Seq("<|fim_prefix|>", "<|fim_suffix|>", "<|fim_middle|>")
+    val vocab = graft.llm.BpeTrainer.buildVocab(docs, "text", merges) ++ sentinels
+    graft.llm.BpeTrainer.saveVocab(spark, vPath, vocab)
+    val sentinelIds = sentinels.map(sp => sp -> vocab.indexOf(sp)).toMap
+    def conf(out: String, name: String, extra: String) = write(base.resolve(name),
+      s"""source { storage-type = local, dataset-dir = $sfDir/documents.parquet }
+         |target { storage-type = local, dataset-dir = $out, dataset-store-format = parquet, write-mode = overwrite }
+         |curation {
+         |  chunk-size = 32
+         |  bpe-merges = $mPath
+         |  bpe-vocab = $vPath
+         |$extra
+         |}
+         |""".stripMargin)
+    // baseline: same curation, FIM off — the reassembly comparator
+    val flat = base.resolve("flat").toString
+    graft.cli.Curator.main(Array("--conf", conf(flat, "f0.conf", "")))
+    // FIM on at rate 1.0, sentinels declared protected
+    val out = base.resolve("fim").toString
+    graft.cli.Curator.main(Array("--conf", conf(out, "f1.conf",
+      s"""  fim-rate = 1.0
+         |  bpe-special-tokens = ["<|fim_prefix|>", "<|fim_suffix|>", "<|fim_middle|>"]""".stripMargin)))
+    val fimRows = spark.read.parquet(out)
+    assert(fimRows.count() > 0)
+    assert(fimRows.filter(!col("fim_applied")).count() == 0)
+    // reassembly per (doc, chunk) against the FIM-off baseline
+    val baseline = spark.read.parquet(flat)
+      .select(col("doc_id"), col("chunk_id"), col("chunk_text").as("orig"))
+    val joined = fimRows.select(col("doc_id"), col("chunk_id"), col("chunk_text"))
+      .join(baseline, Seq("doc_id", "chunk_id")).collect()
+    assert(joined.length == fimRows.count())
+    joined.foreach { r =>
+      val s = r.getAs[String]("chunk_text")
+      assert(s.startsWith("<|fim_prefix|>"), s)
+      val sufAt = s.indexOf("<|fim_suffix|>")
+      val midAt = s.indexOf("<|fim_middle|>")
+      assert(sufAt >= 0 && midAt > sufAt, s)
+      val prefix = s.substring("<|fim_prefix|>".length, sufAt)
+      val suffix = s.substring(sufAt + "<|fim_suffix|>".length, midAt)
+      val middle = s.substring(midAt + "<|fim_middle|>".length)
+      assert(prefix + middle + suffix == r.getAs[String]("orig"),
+        s"reassembly broke for (${r.getAs[Long]("doc_id")}, ${r.getAs[Long]("chunk_id")})")
+    }
+    // every sentinel encodes to its single fixed vocab id, once per row
+    val n = fimRows.count()
+    sentinels.foreach { sp =>
+      assert(fimRows.select(explode(col("token_ids")).as("i"))
+        .filter(col("i") === sentinelIds(sp)).count() == n,
+        s"sentinel $sp must emit exactly one fixed id per row")
+    }
+    // misconfig 1: token-id export without the sentinels declared special
+    val e1 = intercept[IllegalArgumentException] {
+      graft.cli.Curator.main(Array("--conf",
+        conf(base.resolve("x1").toString, "x1.conf", "  fim-rate = 1.0")))
+    }
+    assert(e1.getMessage.contains("bpe-special-tokens"), e1.getMessage)
+    // misconfig 2: whitespace in an overridden sentinel
+    val e2 = intercept[IllegalArgumentException] {
+      graft.cli.Curator.main(Array("--conf",
+        conf(base.resolve("x2").toString, "x2.conf",
+          "  fim-rate = 1.0\n  fim-prefix-token = \"<|fim pre|>\"")))
+    }
+    assert(e2.getMessage.contains("whitespace-free"), e2.getMessage)
+  }
 }
