@@ -3260,11 +3260,16 @@ object Tokenizer {
     * `<0xNN>` ids; unigram: layout ids 2-257), `<unk>` on a legacy
     * vocab, `[UNK]` for wordpiece; byte-level bpe has no fallback
     * concept → 0. A high fallback share is the "vocab doesn't fit
-    * this corpus" signal. Report lands FIRST at
-    * `report-dir`; `require-lossless = true` then gates: every total
-    * family must round-trip every doc. One scan per artifact, all
-    * metrics in one aggregate — no collects, no shuffles beyond the
-    * 1-row agg. */
+    * this corpus" signal. `group-column` (e.g. a `lang` tag) breaks
+    * every metric out per group — the per-language FERTILITY table
+    * tokenizer papers publish, and the operational answer to "which
+    * languages does this vocab shortchange" (a multilingual corpus can
+    * hide a 3× ids-per-doc skew inside one healthy-looking total).
+    * Report lands FIRST at `report-dir`; `require-lossless = true`
+    * then gates: every total family must round-trip every doc (summed
+    * over groups when grouped). One scan per artifact, all metrics in
+    * one aggregate — collects bounded at |groups| rows per artifact,
+    * no shuffles beyond the ≤|groups|-row agg. */
   private def runEvaluate(spark: org.apache.spark.sql.SparkSession,
       c: graft.conf.GraftConfig, docs: org.apache.spark.sql.DataFrame,
       textCol: String): Unit = {
@@ -3275,8 +3280,16 @@ object Tokenizer {
         "'name|algo|path[|vocab-path]' artifact specs"))
     require(specs.nonEmpty, "tokenizer.evaluate must name at least one artifact")
     val reportDir = c.string("report-dir")
-    val t = docs.select(col(textCol).as("t")).filter(col("t").isNotNull)
-    val rows = specs.map { spec =>
+    val groupCol = c.getString("group-column")
+    groupCol.foreach { g =>
+      require(docs.columns.contains(g),
+        s"tokenizer.group-column '$g' is not a corpus column " +
+          s"(${docs.columns.mkString(", ")})")
+    }
+    val t = docs.select(col(textCol).as("t") +:
+        groupCol.map(g => col(g).cast("string").as("g")).toSeq: _*)
+      .filter(col("t").isNotNull)
+    val rows = specs.flatMap { spec =>
       val parts = spec.split('|')
       require(parts.length >= 3,
         s"tokenizer.evaluate entry '$spec' must be 'name|algo|path[|vocab-path]'")
@@ -3328,34 +3341,55 @@ object Tokenizer {
         case other => throw new IllegalArgumentException(
           s"evaluate '$spec': unknown algo '$other' (bpe | bpe-byte | unigram | wordpiece)")
       }
-      val r = t.select(ids.as("ids"), back.as("back"), col("t")).agg(
+      val sel = t.select(Seq(ids.as("ids"), back.as("back"), col("t")) ++
+        groupCol.map(_ => col("g")): _*)
+      val aggs = Seq(
         count(lit(1)).as("n_docs"),
         sum(octet_length(col("t"))).as("text_bytes"),
         sum(size(col("ids"))).as("total_ids"),
         count(when(col("back") === col("t"), 1)).as("roundtrip_ok"),
         coalesce(sum(size(filter(col("ids"), fallbackPred))), lit(0L))
-          .as("fallback_ids")).head()
-      val nDocs = r.getAs[Long]("n_docs")
-      val totalIds = r.getAs[Long]("total_ids")
-      (name, algo, nDocs, r.getAs[Long]("text_bytes"), totalIds,
-        if (nDocs == 0) 0.0 else totalIds.toDouble / nDocs,
-        if (totalIds == 0) 0.0 else r.getAs[Long]("text_bytes").toDouble / totalIds,
-        r.getAs[Long]("roundtrip_ok"), r.getAs[Long]("fallback_ids"))
+          .as("fallback_ids"))
+      // ungrouped: the 1-row aggregate; grouped: ≤ |groups| rows, sorted
+      // so the report and the collect are deterministic
+      val rs = (groupCol match {
+        case Some(_) => sel.groupBy(col("g")).agg(aggs.head, aggs.tail: _*).orderBy("g")
+        case None => sel.agg(aggs.head, aggs.tail: _*)
+      }).collect()
+      rs.map { r =>
+        val nDocs = r.getAs[Long]("n_docs")
+        val totalIds = r.getAs[Long]("total_ids")
+        (name, algo, if (groupCol.isDefined) r.getAs[String]("g") else "",
+          nDocs, r.getAs[Long]("text_bytes"), totalIds,
+          if (nDocs == 0) 0.0 else totalIds.toDouble / nDocs,
+          if (totalIds == 0) 0.0 else r.getAs[Long]("text_bytes").toDouble / totalIds,
+          r.getAs[Long]("roundtrip_ok"), r.getAs[Long]("fallback_ids"))
+      }
     }
     import spark.implicits._
-    val report = rows.toDF("name", "algo", "n_docs", "text_bytes", "total_ids",
+    val allCols = Seq("name", "algo", "group", "n_docs", "text_bytes", "total_ids",
       "ids_per_doc", "bytes_per_id", "roundtrip_ok", "fallback_ids")
+    val report0 = rows.toDF(allCols: _*)
+    val report = if (groupCol.isDefined) report0 else report0.drop("group")
     report.coalesce(1).write.mode("overwrite").parquet(reportDir)
-    rows.foreach { w =>
-      Cli.log(f"evaluate ${w._1} (${w._2}): ${w._5} ids over ${w._3} docs, " +
-        f"${w._7}%.3f bytes/id, round-trip ${w._8}/${w._3}, fallback ids ${w._9}")
+    // per-artifact totals (the gate unit and the log line — identical to
+    // the ungrouped report row by sum-decomposition)
+    val totals = rows.groupBy(w => (w._1, w._2)).view.mapValues { ws =>
+      (ws.map(_._4).sum, ws.map(_._6).sum, ws.map(_._9).sum, ws.map(_._10).sum)
+    }.toMap
+    specs.map(_.split('|')).foreach { p =>
+      val (nm, al) = (p(0), p(1))
+      val (nd, ti, rt, fb) = totals((nm, al))
+      Cli.log(f"evaluate $nm ($al): $ti ids over $nd docs, " +
+        f"round-trip $rt/$nd, fallback ids $fb" +
+        (if (groupCol.isDefined) s" (per-${groupCol.get} rows in the report)" else ""))
     }
     Cli.log(s"tokenizer evaluation report written to $reportDir")
     if (c.getBoolean("require-lossless").getOrElse(false)) {
-      rows.filter(_._2 != "wordpiece").foreach { w =>
-        require(w._8 == w._3,
-          s"tokenizer evaluate GATE failed: artifact '${w._1}' (${w._2}) " +
-            s"round-trips only ${w._8}/${w._3} docs — not lossless on this corpus")
+      totals.filter(_._1._2 != "wordpiece").foreach { case ((nm, al), (nd, _, rt, _)) =>
+        require(rt == nd,
+          s"tokenizer evaluate GATE failed: artifact '$nm' ($al) " +
+            s"round-trips only $rt/$nd docs — not lossless on this corpus")
       }
     }
   }

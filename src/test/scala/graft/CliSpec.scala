@@ -2783,6 +2783,42 @@ class CliSpec extends SparkTestBase {
     // compression is measured, not asserted between families — but every
     // artifact must beat one byte per id on natural text
     assert(ev.values.forall(_.getAs[Double]("bytes_per_id") > 1.0))
+    // group-column: per-language fertility rows (one per artifact×lang)
+    // that sum-decompose the ungrouped totals exactly
+    val evRepG = base.resolve("ev_report_g").toString
+    graft.cli.Tokenizer.main(Array("--conf", write(base.resolve("tok_ev_g.conf"),
+      s"""tokenizer {
+         |  source { storage-type = local, dataset-dir = $sfDir/documents.parquet }
+         |  mode = evaluate
+         |  evaluate = ["seg|bpe|$bm|$bv", "ug|unigram|$ugModel"]
+         |  group-column = lang
+         |  report-dir = $evRepG
+         |}
+         |""".stripMargin)))
+    val evg = spark.read.parquet(evRepG)
+    val nLangs = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select("lang").distinct().count()
+    assert(evg.filter(col("name") === "seg").count() == nLangs)
+    val segTotals = evg.filter(col("name") === "seg").agg(
+      org.apache.spark.sql.functions.sum("n_docs"),
+      org.apache.spark.sql.functions.sum("total_ids"),
+      org.apache.spark.sql.functions.sum("roundtrip_ok")).head()
+    assert(segTotals.getLong(0) == n)
+    assert(segTotals.getLong(1) == ev("seg").getAs[Long]("total_ids"))
+    assert(segTotals.getLong(2) == n)
+    // unknown group column is a clean failure
+    val e5 = intercept[IllegalArgumentException] {
+      graft.cli.Tokenizer.main(Array("--conf", write(base.resolve("tok_ev_badg.conf"),
+        s"""tokenizer {
+           |  source { storage-type = local, dataset-dir = $sfDir/documents.parquet }
+           |  mode = evaluate
+           |  evaluate = ["seg|bpe|$bm|$bv"]
+           |  group-column = nope
+           |  report-dir = ${base.resolve("ev_badg")}
+           |}
+           |""".stripMargin)))
+    }
+    assert(e5.getMessage.contains("group-column"), e5.getMessage)
     // malformed spec is a clean failure
     val evBad = write(base.resolve("tok_ev_bad.conf"),
       s"""tokenizer {
