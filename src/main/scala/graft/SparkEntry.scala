@@ -2927,10 +2927,9 @@ object SparkEntry {
     // claim against an engine with no pre-thin. Only the seeded KMeans
     // fit stays rows-only; CorpusPrepSpec pins determinism separately.
     "q132_cluster_balanced_sample" -> ((s, dir) => {
-      val (_, tagged) = graft.llm.Similarity.ivfBuild(
-        t(s, dir, "embeddings").select(col("vec_id"), col("embedding")),
-        numCells = 8, vecCol = "embedding", maxIter = 20)
-      val cells = tagged.select(col("vec_id").as("doc_id"), col("cell").as("cluster"))
+      val cells = graft.llm.CorpusPrep.clusterCells(
+        t(s, dir, "embeddings"), "vec_id", "embedding",
+        numClusters = 8, idCol = "doc_id")
       val withCell = dumpAux(
         t(s, dir, "documents").select(col("doc_id"), col("source"))
           .join(cells, Seq("doc_id")),
@@ -4556,7 +4555,11 @@ object SparkEntry {
         |      row_number() OVER (PARTITION BY content_hash ORDER BY doc_id) AS rn
         |    FROM b) t
         |  WHERE rn = 1
-        |    AND content_hash NOT IN (SELECT content_hash FROM seen)),
+        |    -- NOT EXISTS, not NOT IN: a NULL hash in seen (a null-text
+        |    -- corpus row) must not vacate the tier — Spark's left_anti
+        |    -- keeps null-keyed batch rows, and so does this
+        |    AND NOT EXISTS (SELECT 1 FROM seen s
+        |      WHERE s.content_hash = t.content_hash)),
         |nearb AS (
         |  SELECT DISTINCT a2.doc_id
         |  FROM ex a1 JOIN ex a2 ON a1.doc_id < a2.doc_id

@@ -1520,9 +1520,12 @@ object Curator {
             s"declared in curation.bpe-special-tokens ('$sp' is missing) — " +
             "an undeclared sentinel encodes as plain text and loses its id")
       }
+      // the encode dispatch below selects the unigram encoder whenever
+      // the model is configured and ids are wanted — EVEN with bpe-vocab
+      // alongside — so the refusal must mirror that exact condition
       require(!(unigramModel.isDefined &&
           (c.getBoolean("unigram-ids").getOrElse(false) ||
-            (c.getInt("pack-seq-len").isDefined && c.getString("bpe-vocab").isEmpty))),
+            c.getInt("pack-seq-len").isDefined)),
         "curation.fim-rate is not supported with unigram id export — the " +
           "unigram encoder has no protected-specials path, so the sentinels " +
           "would shatter into byte-fallback ids")
@@ -1578,6 +1581,18 @@ object Curator {
     val fimmed = c.getDouble("fim-rate") match {
       case Some(rate) => stages.timed("fim") {
         val tcol = if (out.columns.contains("chunk_text")) "chunk_text" else textCol
+        // sentinel-collision observability (the protected-special sharp
+        // edge): rows whose text ALREADY contains a sentinel spelling
+        // alias the control downstream — count and log, never silently
+        if (!c.getString("log-drop-counts").exists(v => !v.toBoolean)) {
+          val nCollide = out.filter(
+            col(tcol).contains(fimPre) || col(tcol).contains(fimSuf) ||
+              col(tcol).contains(fimMid)).count()
+          if (nCollide > 0) Cli.log(
+            s"fim: $nCollide rows already contain a sentinel spelling — " +
+              "their in-text occurrences will alias the control tokens " +
+              "(filter or rewrite upstream if that is not intended)")
+        }
         var rowId =
           if (out.columns.contains("chunk_text"))
             concat(col(idCol).cast("string"), lit(":"), col("chunk_id"))
@@ -3289,7 +3304,7 @@ object Tokenizer {
     val t = docs.select(col(textCol).as("t") +:
         groupCol.map(g => col(g).cast("string").as("g")).toSeq: _*)
       .filter(col("t").isNotNull)
-    val rows = specs.flatMap { spec =>
+    val perSpec = specs.map { spec =>
       val parts = spec.split('|')
       require(parts.length >= 3,
         s"tokenizer.evaluate entry '$spec' must be 'name|algo|path[|vocab-path]'")
@@ -3356,7 +3371,7 @@ object Tokenizer {
         case Some(_) => sel.groupBy(col("g")).agg(aggs.head, aggs.tail: _*).orderBy("g")
         case None => sel.agg(aggs.head, aggs.tail: _*)
       }).collect()
-      rs.map { r =>
+      val tuples = rs.map { r =>
         val nDocs = r.getAs[Long]("n_docs")
         val totalIds = r.getAs[Long]("total_ids")
         (name, algo, if (groupCol.isDefined) r.getAs[String]("g") else "",
@@ -3364,29 +3379,31 @@ object Tokenizer {
           if (nDocs == 0) 0.0 else totalIds.toDouble / nDocs,
           if (totalIds == 0) 0.0 else r.getAs[Long]("text_bytes").toDouble / totalIds,
           r.getAs[Long]("roundtrip_ok"), r.getAs[Long]("fallback_ids"))
-      }
+      }.toSeq
+      (name, algo, tuples)
     }
+    val rows = perSpec.flatMap(_._3)
     import spark.implicits._
     val allCols = Seq("name", "algo", "group", "n_docs", "text_bytes", "total_ids",
       "ids_per_doc", "bytes_per_id", "roundtrip_ok", "fallback_ids")
     val report0 = rows.toDF(allCols: _*)
     val report = if (groupCol.isDefined) report0 else report0.drop("group")
     report.coalesce(1).write.mode("overwrite").parquet(reportDir)
-    // per-artifact totals (the gate unit and the log line — identical to
-    // the ungrouped report row by sum-decomposition)
-    val totals = rows.groupBy(w => (w._1, w._2)).view.mapValues { ws =>
-      (ws.map(_._4).sum, ws.map(_._6).sum, ws.map(_._9).sum, ws.map(_._10).sum)
-    }.toMap
-    specs.map(_.split('|')).foreach { p =>
-      val (nm, al) = (p(0), p(1))
-      val (nd, ti, rt, fb) = totals((nm, al))
+    // per-SPEC totals (the gate unit and the log line — identical to the
+    // ungrouped report row by sum-decomposition; keyed per spec, so two
+    // artifacts sharing a name never merge, and an empty grouped
+    // aggregate logs honest zeros instead of crashing)
+    val totals = perSpec.map { case (nm, al, ws) =>
+      (nm, al, ws.map(_._4).sum, ws.map(_._6).sum, ws.map(_._9).sum, ws.map(_._10).sum)
+    }
+    totals.foreach { case (nm, al, nd, ti, rt, fb) =>
       Cli.log(f"evaluate $nm ($al): $ti ids over $nd docs, " +
         f"round-trip $rt/$nd, fallback ids $fb" +
         (if (groupCol.isDefined) s" (per-${groupCol.get} rows in the report)" else ""))
     }
     Cli.log(s"tokenizer evaluation report written to $reportDir")
     if (c.getBoolean("require-lossless").getOrElse(false)) {
-      totals.filter(_._1._2 != "wordpiece").foreach { case ((nm, al), (nd, _, rt, _)) =>
+      totals.filter(_._2 != "wordpiece").foreach { case (nm, al, nd, _, rt, _) =>
         require(rt == nd,
           s"tokenizer evaluate GATE failed: artifact '$nm' ($al) " +
             s"round-trips only $rt/$nd docs — not lossless on this corpus")

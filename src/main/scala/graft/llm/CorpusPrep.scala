@@ -575,7 +575,15 @@ object CorpusPrep {
     * pins it), empty/degenerate cuts are legal (a zero-length middle
     * still teaches end-of-span), and untransformed rows pass through
     * verbatim with `appliedCol = false`. One md5 per row, CSE'd across
-    * predicate and cuts; scan-speed projection, no shuffle. */
+    * predicate and cuts; scan-speed projection, no shuffle.
+    *
+    * Sharp edge (the same one every protected special carries, e.g.
+    * `<|endoftext|>`): a document whose TEXT already contains a
+    * sentinel spelling aliases the control — downstream encode emits
+    * the control id for the in-text occurrence, and a parser cannot
+    * tell the planted sentinel from the literal. Filter or rewrite
+    * such documents upstream when the corpus may contain them (the
+    * Curator's `fim-rate` stage counts and logs the collisions). */
   def fimTransform(
       df: DataFrame,
       idCol: String,
@@ -1072,13 +1080,29 @@ object CorpusPrep {
       perCluster: Int,
       salt: String = "clusterbal",
       maxIter: Int = 20): DataFrame = {
-    require(numClusters > 0, s"numClusters must be positive, got $numClusters")
     require(perCluster > 0, s"perCluster must be positive, got $perCluster")
+    val cells = clusterCells(embeddings, embIdCol, vecCol, numClusters,
+      idCol = idCol, maxIter = maxIter)
+    clusterQuotaSample(docs.join(cells, Seq(idCol)), idCol, perCluster, salt)
+  }
+
+  /** The tagging stage of [[clusterBalancedSample]]: KMeans-cluster the
+    * embedding table ([[Similarity.ivfBuild]], fixed seed) and emit
+    * `(idCol, cluster)` tags. Split out so consumers of the selection
+    * stage ([[clusterQuotaSample]] — the q132 gate among them) tag
+    * through the SAME production recipe rather than re-deriving it. */
+  def clusterCells(
+      embeddings: DataFrame,
+      embIdCol: String,
+      vecCol: String,
+      numClusters: Int,
+      idCol: String,
+      maxIter: Int = 20): DataFrame = {
+    require(numClusters > 0, s"numClusters must be positive, got $numClusters")
     val (_, tagged) = Similarity.ivfBuild(
       embeddings.select(col(embIdCol), col(vecCol)), numClusters, vecCol,
       maxIter = maxIter)
-    val cells = tagged.select(col(embIdCol).as(idCol), col("cell").as("cluster"))
-    clusterQuotaSample(docs.join(cells, Seq(idCol)), idCol, perCluster, salt)
+    tagged.select(col(embIdCol).as(idCol), col("cell").as("cluster"))
   }
 
   /** The selection stage of [[clusterBalancedSample]], split out so the

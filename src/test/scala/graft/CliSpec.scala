@@ -5605,5 +5605,18 @@ class CliSpec extends SparkTestBase {
           "  fim-rate = 1.0\n  fim-prefix-token = \"<|fim pre|>\"")))
     }
     assert(e2.getMessage.contains("whitespace-free"), e2.getMessage)
+    // misconfig 3: the unigram encoder wins the encode dispatch whenever
+    // a model is set and ids are wanted — EVEN with bpe-vocab alongside
+    // — and it has no protected-specials path, so FIM must refuse
+    // (up-front: the dummy model path is never opened)
+    val e3 = intercept[IllegalArgumentException] {
+      graft.cli.Curator.main(Array("--conf",
+        conf(base.resolve("x3").toString, "x3.conf",
+          s"""  fim-rate = 1.0
+             |  bpe-special-tokens = ["<|fim_prefix|>", "<|fim_suffix|>", "<|fim_middle|>"]
+             |  unigram-model = ${base.resolve("no_such_model.tsv")}
+             |  pack-seq-len = 128""".stripMargin)))
+    }
+    assert(e3.getMessage.contains("unigram"), e3.getMessage)
   }
 }

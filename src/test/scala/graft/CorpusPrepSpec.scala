@@ -627,6 +627,88 @@ class CorpusPrepSpec extends SparkTestBase {
     intercept[IllegalArgumentException](graft.llm.CorpusPrep.deterministicShuffle(
       shuffled, "doc_id", salt = "x"))
   }
+  // ------------------------------------------------------------------ FIM
+
+  private val fimPre = "<|fim_prefix|>"
+  private val fimSuf = "<|fim_suffix|>"
+  private val fimMid = "<|fim_middle|>"
+
+  /** Parse a PSM-formatted fim_text back into (prefix, suffix, middle).
+    * Safe on the fixtures: no document contains a sentinel string. */
+  private def parsePsm(s: String): (String, String, String) = {
+    assert(s.startsWith(fimPre), s"no prefix sentinel: $s")
+    val sufAt = s.indexOf(fimSuf)
+    val midAt = s.indexOf(fimMid)
+    assert(sufAt >= 0 && midAt > sufAt, s"sentinel order broken: $s")
+    (s.substring(fimPre.length, sufAt),
+      s.substring(sufAt + fimSuf.length, midAt),
+      s.substring(midAt + fimMid.length))
+  }
+
+  test("fimTransform: prefix ⧺ middle ⧺ suffix reassembles every document " +
+      "bit-exactly at rate 1.0, and the same call is deterministic") {
+    val out = CorpusPrep.fimTransform(docs.select(col("doc_id"), col("text")),
+      "doc_id", "text", rate = 1.0).collect()
+    assert(out.nonEmpty && out.forall(_.getAs[Boolean]("fim_applied")))
+    out.foreach { r =>
+      val (p, s, m) = parsePsm(r.getAs[String]("fim_text"))
+      assert(p + m + s == r.getAs[String]("text"),
+        s"reassembly broke for doc ${r.getAs[Long]("doc_id")}")
+    }
+    val again = CorpusPrep.fimTransform(docs.select(col("doc_id"), col("text")),
+      "doc_id", "text", rate = 1.0).collect()
+    assert(out.map(_.getAs[String]("fim_text")).toSeq ==
+      again.map(_.getAs[String]("fim_text")).toSeq)
+  }
+
+  test("fimTransform: rate 0 passes every row through verbatim; the rate " +
+      "predicate is the shared sampling digest (nests with hashSample)") {
+    val zero = CorpusPrep.fimTransform(docs.select(col("doc_id"), col("text")),
+      "doc_id", "text", rate = 0.0)
+    assert(zero.filter(col("fim_applied")).count() == 0)
+    assert(zero.filter(col("fim_text") =!= col("text")).count() == 0)
+    // rate-r applied set == hashSample(r) with the same salt
+    val half = CorpusPrep.fimTransform(docs.select(col("doc_id"), col("text")),
+      "doc_id", "text", rate = 0.5, salt = "s4")
+    val applied = half.filter(col("fim_applied")).select("doc_id").collect()
+      .map(_.getLong(0)).sorted.toSeq
+    val sampled = Ops.hashSample(docs.select(col("doc_id")), "doc_id", 0.5, salt = "s4")
+      .collect().map(_.getLong(0)).sorted.toSeq
+    assert(applied == sampled)
+  }
+
+  test("fimTransform: spm mode reorders the SAME pieces (suffix before the " +
+      "middle sentinel, prefix after it); degenerate cuts are legal") {
+    val df = Seq((1L, "abcdefgh"), (2L, ""), (3L, "x")).toDF("doc_id", "text")
+    val psm = CorpusPrep.fimTransform(df, "doc_id", "text", rate = 1.0)
+      .collect().map(r => r.getLong(0) -> r.getAs[String]("fim_text")).toMap
+    val spm = CorpusPrep.fimTransform(df, "doc_id", "text", rate = 1.0, mode = "spm")
+      .collect().map(r => r.getLong(0) -> r.getAs[String]("fim_text")).toMap
+    for (id <- Seq(1L, 2L, 3L)) {
+      val (p, s, m) = parsePsm(psm(id))
+      assert(spm(id) == fimPre + fimSuf + s + fimMid + p + m)
+    }
+    // empty doc: all three pieces empty, sentinels alone survive
+    assert(psm(2L) == fimPre + fimSuf + fimMid)
+  }
+
+  test("fimTransform: misuse fails loudly") {
+    val df = Seq((1L, "a")).toDF("doc_id", "text")
+    intercept[IllegalArgumentException] {
+      CorpusPrep.fimTransform(df, "doc_id", "text", rate = 1.5)
+    }
+    intercept[IllegalArgumentException] {
+      CorpusPrep.fimTransform(df, "doc_id", "text", rate = 0.5, mode = "pms")
+    }
+    intercept[IllegalArgumentException] {
+      CorpusPrep.fimTransform(df, "doc_id", "text", rate = 0.5,
+        preTok = "<X>", sufTok = "<X>")
+    }
+    intercept[IllegalArgumentException] {
+      CorpusPrep.fimTransform(df.withColumn("fim_text", lit("")),
+        "doc_id", "text", rate = 0.5)
+    }
+  }
 }
 
 /** As-of join and broadcast range join. */
@@ -845,87 +927,4 @@ class AsofRangeJoinSpec extends SparkTestBase {
       s"the digest-threshold filter must feed the window:\n$plan")
   }
 
-  // ------------------------------------------------------------------ FIM
-
-  private lazy val docs = spark.read.parquet(s"$sfDir/documents.parquet")
-  private val fimPre = "<|fim_prefix|>"
-  private val fimSuf = "<|fim_suffix|>"
-  private val fimMid = "<|fim_middle|>"
-
-  /** Parse a PSM-formatted fim_text back into (prefix, suffix, middle).
-    * Safe on the fixtures: no document contains a sentinel string. */
-  private def parsePsm(s: String): (String, String, String) = {
-    assert(s.startsWith(fimPre), s"no prefix sentinel: $s")
-    val sufAt = s.indexOf(fimSuf)
-    val midAt = s.indexOf(fimMid)
-    assert(sufAt >= 0 && midAt > sufAt, s"sentinel order broken: $s")
-    (s.substring(fimPre.length, sufAt),
-      s.substring(sufAt + fimSuf.length, midAt),
-      s.substring(midAt + fimMid.length))
-  }
-
-  test("fimTransform: prefix ⧺ middle ⧺ suffix reassembles every document " +
-      "bit-exactly at rate 1.0, and the same call is deterministic") {
-    val out = CorpusPrep.fimTransform(docs.select(col("doc_id"), col("text")),
-      "doc_id", "text", rate = 1.0).collect()
-    assert(out.nonEmpty && out.forall(_.getAs[Boolean]("fim_applied")))
-    out.foreach { r =>
-      val (p, s, m) = parsePsm(r.getAs[String]("fim_text"))
-      assert(p + m + s == r.getAs[String]("text"),
-        s"reassembly broke for doc ${r.getAs[Long]("doc_id")}")
-    }
-    val again = CorpusPrep.fimTransform(docs.select(col("doc_id"), col("text")),
-      "doc_id", "text", rate = 1.0).collect()
-    assert(out.map(_.getAs[String]("fim_text")).toSeq ==
-      again.map(_.getAs[String]("fim_text")).toSeq)
-  }
-
-  test("fimTransform: rate 0 passes every row through verbatim; the rate " +
-      "predicate is the shared sampling digest (nests with hashSample)") {
-    val zero = CorpusPrep.fimTransform(docs.select(col("doc_id"), col("text")),
-      "doc_id", "text", rate = 0.0)
-    assert(zero.filter(col("fim_applied")).count() == 0)
-    assert(zero.filter(col("fim_text") =!= col("text")).count() == 0)
-    // rate-r applied set == hashSample(r) with the same salt
-    val half = CorpusPrep.fimTransform(docs.select(col("doc_id"), col("text")),
-      "doc_id", "text", rate = 0.5, salt = "s4")
-    val applied = half.filter(col("fim_applied")).select("doc_id").collect()
-      .map(_.getLong(0)).sorted.toSeq
-    val sampled = Ops.hashSample(docs.select(col("doc_id")), "doc_id", 0.5, salt = "s4")
-      .collect().map(_.getLong(0)).sorted.toSeq
-    assert(applied == sampled)
-  }
-
-  test("fimTransform: spm mode reorders the SAME pieces (suffix before the " +
-      "middle sentinel, prefix after it); degenerate cuts are legal") {
-    val df = Seq((1L, "abcdefgh"), (2L, ""), (3L, "x")).toDF("doc_id", "text")
-    val psm = CorpusPrep.fimTransform(df, "doc_id", "text", rate = 1.0)
-      .collect().map(r => r.getLong(0) -> r.getAs[String]("fim_text")).toMap
-    val spm = CorpusPrep.fimTransform(df, "doc_id", "text", rate = 1.0, mode = "spm")
-      .collect().map(r => r.getLong(0) -> r.getAs[String]("fim_text")).toMap
-    for (id <- Seq(1L, 2L, 3L)) {
-      val (p, s, m) = parsePsm(psm(id))
-      assert(spm(id) == fimPre + fimSuf + s + fimMid + p + m)
-    }
-    // empty doc: all three pieces empty, sentinels alone survive
-    assert(psm(2L) == fimPre + fimSuf + fimMid)
-  }
-
-  test("fimTransform: misuse fails loudly") {
-    val df = Seq((1L, "a")).toDF("doc_id", "text")
-    intercept[IllegalArgumentException] {
-      CorpusPrep.fimTransform(df, "doc_id", "text", rate = 1.5)
-    }
-    intercept[IllegalArgumentException] {
-      CorpusPrep.fimTransform(df, "doc_id", "text", rate = 0.5, mode = "pms")
-    }
-    intercept[IllegalArgumentException] {
-      CorpusPrep.fimTransform(df, "doc_id", "text", rate = 0.5,
-        preTok = "<X>", sufTok = "<X>")
-    }
-    intercept[IllegalArgumentException] {
-      CorpusPrep.fimTransform(df.withColumn("fim_text", lit("")),
-        "doc_id", "text", rate = 0.5)
-    }
-  }
 }
