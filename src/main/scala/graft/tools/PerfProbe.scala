@@ -29,8 +29,9 @@ object PerfProbe {
     case Some("15") => probe15(args.drop(1))
     case Some("16") => probe16(args.drop(1))
     case Some("17") => probe17(args.drop(1))
+    case Some("18") => probe18(args.drop(1))
     case other => sys.error(
-      s"usage: runMain graft.tools.PerfProbe <1-17> [probe args]; got $other")
+      s"usage: runMain graft.tools.PerfProbe <1-18> [probe args]; got $other")
   }
 
   /** Throwaway-style perf probe for round-5 tuning experiments (kept in
@@ -950,6 +951,42 @@ object PerfProbe {
         f"(want $m), state after = ${(b + 1).toLong * m} docs")
       require(survivors == m, s"batch $b kept $survivors, want $m")
     }
+    spark.stop()
+  }
+
+  /** Round-13 session-4 question: does fimTransform hold scan speed at
+    * corpus scale (it is one md5 + two hex parses + three substrs per
+    * row — the claim is "no measurable stage", ~the cost of the
+    * sampling digest alone)? `args(0)` docs (default 5M), ~60-token
+    * synthetic texts; reports docs/s for the transform at rate 0.5 vs
+    * the bare md5-predicate filter on the same frame (the floor). */
+  private def probe18(args: Array[String]): Unit = {
+    val spark = Local.session(sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
+    val m = args.headOption.map(_.toLong).getOrElse(5000000L)
+    val docs = spark.range(m).select(col("id").as("doc_id"),
+      concat_ws(" ", (0 until 8).map(i =>
+        substring(sha2(col("id").cast("string"), 256), i * 8 + 1, 8)): _*)
+        .as("text"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    println(s"[probe18] corpus ${docs.count()} docs materialized")
+    def time(label: String)(body: => Long): Unit = {
+      val t0 = System.nanoTime()
+      val n = body
+      val sec = (System.nanoTime() - t0) / 1e9
+      println(f"[probe18] $label: $sec%.2f s, ${m / sec / 1e6}%.2f M docs/s ($n rows)")
+    }
+    // the floor: the digest predicate alone (one md5 per row)
+    time("md5-predicate floor") {
+      docs.filter(graft.operators.Ops.hashSamplePredicate(
+        col("doc_id"), 0.5, "fim")).count()
+    }
+    // the transform: count rows AND force the concat (length sum reads
+    // every transformed byte — the projection cannot be pruned away)
+    time("fimTransform rate 0.5") {
+      graft.llm.CorpusPrep.fimTransform(docs, "doc_id", "text", rate = 0.5)
+        .agg(sum(length(col("fim_text")))).head().getLong(0)
+    }
+    docs.unpersist()
     spark.stop()
   }
 }
