@@ -1521,8 +1521,10 @@ object Curator {
             "an undeclared sentinel encodes as plain text and loses its id")
       }
       // the encode dispatch below selects the unigram encoder whenever
-      // the model is configured and ids are wanted — EVEN with bpe-vocab
-      // alongside — so the refusal must mirror that exact condition
+      // the model is configured and ids are wanted; the refusal mirrors
+      // that exact condition (the bpe-vocab-alongside case is already
+      // refused by the unigram/bpe mutual exclusion above — this guard
+      // must not depend on that ordering staying true)
       require(!(unigramModel.isDefined &&
           (c.getBoolean("unigram-ids").getOrElse(false) ||
             c.getInt("pack-seq-len").isDefined)),
@@ -1582,14 +1584,19 @@ object Curator {
       case Some(rate) => stages.timed("fim") {
         val tcol = if (out.columns.contains("chunk_text")) "chunk_text" else textCol
         // sentinel-collision observability (the protected-special sharp
-        // edge): rows whose text ALREADY contains a sentinel spelling
-        // alias the control downstream — count and log, never silently
+        // edge): text ALREADY containing a sentinel spelling aliases
+        // the control downstream — count and log, never silently. The
+        // count runs on the PRE-chunk frame: sentinels are whitespace-
+        // free, so a spelling survives chunking iff the document
+        // carries it (tokens are whitespace-free runs carried intact
+        // into chunks) — doc-level counting gives the same signal
+        // without re-running the chunker for one log line.
         if (!c.getString("log-drop-counts").exists(v => !v.toBoolean)) {
-          val nCollide = out.filter(
-            col(tcol).contains(fimPre) || col(tcol).contains(fimSuf) ||
-              col(tcol).contains(fimMid)).count()
+          val nCollide = labeled.filter(
+            col(textCol).contains(fimPre) || col(textCol).contains(fimSuf) ||
+              col(textCol).contains(fimMid)).count()
           if (nCollide > 0) Cli.log(
-            s"fim: $nCollide rows already contain a sentinel spelling — " +
+            s"fim: $nCollide documents already contain a sentinel spelling — " +
               "their in-text occurrences will alias the control tokens " +
               "(filter or rewrite upstream if that is not intended)")
         }

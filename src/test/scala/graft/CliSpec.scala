@@ -5605,18 +5605,24 @@ class CliSpec extends SparkTestBase {
           "  fim-rate = 1.0\n  fim-prefix-token = \"<|fim pre|>\"")))
     }
     assert(e2.getMessage.contains("whitespace-free"), e2.getMessage)
-    // misconfig 3: the unigram encoder wins the encode dispatch whenever
-    // a model is set and ids are wanted — EVEN with bpe-vocab alongside
-    // — and it has no protected-specials path, so FIM must refuse
-    // (up-front: the dummy model path is never opened)
+    // misconfig 3: FIM + unigram id export must trip the FIM-specific
+    // refusal (no protected-specials path on that encoder). The conf
+    // carries NO bpe-* knobs — with any of those the earlier
+    // unigram/bpe mutual-exclusion require fires first and this
+    // refusal would never be exercised — and the dummy model path
+    // proves the refusal is up-front (never opened).
     val e3 = intercept[IllegalArgumentException] {
-      graft.cli.Curator.main(Array("--conf",
-        conf(base.resolve("x3").toString, "x3.conf",
-          s"""  fim-rate = 1.0
-             |  bpe-special-tokens = ["<|fim_prefix|>", "<|fim_suffix|>", "<|fim_middle|>"]
-             |  unigram-model = ${base.resolve("no_such_model.tsv")}
-             |  pack-seq-len = 128""".stripMargin)))
+      graft.cli.Curator.main(Array("--conf", write(base.resolve("x3.conf"),
+        s"""source { storage-type = local, dataset-dir = $sfDir/documents.parquet }
+           |target { storage-type = local, dataset-dir = ${base.resolve("x3")}, dataset-store-format = parquet, write-mode = overwrite }
+           |curation {
+           |  fim-rate = 1.0
+           |  unigram-model = ${base.resolve("no_such_model.tsv")}
+           |  pack-seq-len = 128
+           |}
+           |""".stripMargin)))
     }
-    assert(e3.getMessage.contains("unigram"), e3.getMessage)
+    assert(e3.getMessage.contains("fim-rate is not supported with unigram"),
+      e3.getMessage)
   }
 }
