@@ -6,6 +6,13 @@ import java.nio.file.{Files, Paths}
 object Verify {
   def main(args: Array[String]): Unit = {
     val Array(sfDir, outDir) = args
+    // AUX_SKIP turns the oracle replay dumps into pass-throughs (a
+    // production/bench-triage mode) — under it every dump-and-replay
+    // oracle would compare against a stale or missing dump and the
+    // round's correctness would fail confusingly. Refuse up front.
+    require(!sys.env.get("SPARK_GRAFT_AUX_SKIP").contains("1"),
+      "graft.Verify must run WITHOUT SPARK_GRAFT_AUX_SKIP=1 — the " +
+        "dump-and-replay oracles need this run's own aux dumps")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = graft.tools.Local.session(cpus)
     new java.io.File(outDir).mkdirs()
