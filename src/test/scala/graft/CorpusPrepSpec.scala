@@ -692,6 +692,14 @@ class CorpusPrepSpec extends SparkTestBase {
     assert(psm(2L) == fimPre + fimSuf + fimMid)
   }
 
+  test("fimTransform stays shuffle-free and inside codegen (the q146 plan)") {
+    val plan = CorpusPrep.fimTransform(docs.select(col("doc_id"), col("text")),
+      "doc_id", "text", rate = 0.5)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"unexpected shuffle:\n$plan")
+    assert(plan.contains("*(1)"), s"expected WholeStageCodegen:\n$plan")
+  }
+
   test("fimTransform: misuse fails loudly") {
     val df = Seq((1L, "a")).toDF("doc_id", "text")
     intercept[IllegalArgumentException] {
