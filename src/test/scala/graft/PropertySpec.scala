@@ -475,4 +475,43 @@ class PropertySpec extends SparkTestBase {
       assert(audioHash64(d) == base, "determinism")
     }
   }
+
+  test("fimTransform reassembly law holds on generated unicode soup " +
+      "(astral pairs, combining marks — the codepoint-cut adversaries)") {
+    import graft.llm.CorpusPrep
+    val pre = "<|fim_prefix|>"; val suf = "<|fim_suffix|>"; val mid = "<|fim_middle|>"
+    // surrogate pairs and combining sequences sit AT the md5-derived cut
+    // positions for some seed — a UTF-16-unit slicer would shear them
+    val soup: Gen[List[String]] = Gen.listOfN(40,
+      Gen.chooseNum(0, 14).flatMap(n => Gen.listOfN(n, Gen.oneOf(
+        "a", "Z", " ", "\n", "é", "é", "你",
+        "😀", "👍🏽", "हि", "x",
+        "")).map(_.mkString)))
+    samples(soup, 4).foreach { ts =>
+      val df = ts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+        .toDF("doc_id", "text")
+      val out = CorpusPrep.fimTransform(df, "doc_id", "text", rate = 1.0)
+        .collect()
+      assert(out.length == ts.length)
+      out.foreach { r =>
+        val s = r.getAs[String]("fim_text")
+        val orig = r.getAs[String]("text")
+        assert(s.startsWith(pre), s)
+        val sufAt = s.indexOf(suf); val midAt = s.indexOf(mid)
+        assert(sufAt >= 0 && midAt > sufAt, s)
+        val p = s.substring(pre.length, sufAt)
+        val x = s.substring(sufAt + suf.length, midAt)
+        val m = s.substring(midAt + mid.length)
+        assert(p + m + x == orig,
+          s"reassembly broke on ${orig.map(_.toInt).mkString(",")}")
+        // no cut may shear a surrogate pair: every piece is well-formed
+        Seq(p, m, x).foreach { piece =>
+          assert(!piece.headOption.exists(Character.isLowSurrogate),
+            s"piece starts mid-pair: ${piece.map(_.toInt).mkString(",")}")
+          assert(!piece.lastOption.exists(Character.isHighSurrogate),
+            s"piece ends mid-pair: ${piece.map(_.toInt).mkString(",")}")
+        }
+      }
+    }
+  }
 }
