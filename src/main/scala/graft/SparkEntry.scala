@@ -3276,6 +3276,23 @@ object SparkEntry {
       root.mkdirs()
       val landing = new java.io.File(root, "landing").toString
       val out = new java.io.File(root, "clustered").toString
+      // torn-state detection: a crash between a streamer commit and its
+      // marker leaves landing/checkpoint out of lockstep — the retry
+      // would re-append the same rows, which the committed checkpoint
+      // processes as a NEW batch, shifting batch numbering permanently.
+      // Any run evidence without its marker → wipe and rebuild (every
+      // file under the root is regenerable).
+      locally {
+        def rmAll(f: java.io.File): Unit = {
+          Option(f.listFiles()).foreach(_.foreach(rmAll)); f.delete(); ()
+        }
+        val torn =
+          (!new java.io.File(root, "_RAN1").exists() &&
+            new java.io.File(root, "ckpt").exists()) ||
+          (!new java.io.File(root, "_RAN2").exists() &&
+            new java.io.File(out, "batch-1").exists())
+        if (torn) { rmAll(root); root.mkdirs(): Unit }
+      }
       val confFile = new java.io.File(root, "streamer.conf")
       java.nio.file.Files.writeString(confFile.toPath,
         s"""streaming {

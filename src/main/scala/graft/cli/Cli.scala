@@ -1229,14 +1229,32 @@ object Curator {
           val m = c.getString("bpe-merges").getOrElse(throw new IllegalArgumentException(
             "curation.real-token-counts needs curation.unigram-model or " +
               "curation.bpe-merges — real counts are defined by a tokenizer"))
+          // declared protected specials change what the encode stage
+          // EMITS (one fixed id per occurrence) — the dedicated count
+          // expressions have no specials path and would count a
+          // spelling's ordinary segmentation instead, so with specials
+          // + a vocab the honest count is size(encode) with the same
+          // specials list the encode stage uses
+          val specials = c.getList("bpe-special-tokens").getOrElse(Nil)
+          def sz(enc: org.apache.spark.sql.Column) =
+            org.apache.spark.sql.functions.size(enc).cast("long")
           if (c.getBoolean("bpe-byte-level").getOrElse(false))
-            Some(tc => graft.functions.GraftFunctions.bpeByteCount(tc, m))
+            c.getString("bpe-vocab") match {
+              case Some(v) if specials.nonEmpty =>
+                Some(tc => sz(graft.functions.GraftFunctions.bpeByteEncode(
+                  tc, m, v, specials)))
+              case _ =>
+                Some(tc => graft.functions.GraftFunctions.bpeByteCount(tc, m))
+            }
           else c.getString("bpe-vocab") match {
             // with a vocab alongside, count token IDS (byte fallback
             // expands an OOV segment to its UTF-8 byte count of ids) —
             // size(graft_bpe_encode) exactly, same contract as
             // graft_bpe_chunks; without one, segment units are the only
             // definable count and n_tokens is in SEGMENT units
+            case Some(v) if specials.nonEmpty =>
+              Some(tc => sz(graft.functions.GraftFunctions.bpeEncode(
+                tc, m, v, specials)))
             case Some(v) =>
               Some(tc => graft.functions.GraftFunctions.bpeIdCount(tc, m, v))
             case None =>
@@ -2733,7 +2751,12 @@ object Streamer {
     }
     val vecSeed = fromSeedL("srp-seed", "srp-seed", 4233L)
     val vecBands = fromSeed("srp-bands", "srp-bands", 4)
-    val vecMinCos = c.getDouble("vector-min-cosine").getOrElse(0.99)
+    // `vector-min-cosine`, falling back to `min-cosine` — the key the
+    // batch Curator's vector tier uses: a lineage ported between the
+    // two ops keeps its threshold instead of silently reverting to the
+    // default under the other op's spelling
+    val vecMinCos = c.getDouble("vector-min-cosine")
+      .orElse(c.getDouble("min-cosine")).getOrElse(0.99)
     // the lineage fingerprint guards drifted RESTART parameters the way
     // the MediaDedup state line does: same checkpoint + different knobs
     // would silently mix incomparable signatures
@@ -4063,7 +4086,14 @@ object MediaDedup {
     require(imageHash == "dhash" || modality == "image",
       "media-dedup.image-hash selects the image kernel — audio/video " +
         "fingerprints are not DCT hashes")
-    val bands = c.getInt("bands").getOrElse(if (modality == "video") 8 else 4)
+    // dct defaults mirror the streaming cluster op (bands 8 / radius 7
+    // — the measured pHash twin envelope); a dHash-geometry default on
+    // the dct kernel would silently miss the blur/re-quantization twins
+    // the tier exists for (an existing lineage's fingerprint line still
+    // refuses a geometry drift loudly)
+    val imageDct = modality == "image" && imageHash == "dct"
+    val bands = c.getInt("bands").getOrElse(
+      if (modality == "video" || imageDct) 8 else 4)
     // `max-hamming = auto`: consume a PRIOR calibration report (mode =
     // calibrate writes the twin/stranger Hamming distributions to
     // calibrate-report-dir) instead of a hand-picked radius — the
@@ -4089,19 +4119,33 @@ object MediaDedup {
         require(twins.nonEmpty,
           s"media-dedup.max-hamming = auto: calibration report at $repDir " +
             "holds no twin distances — rerun mode = calibrate")
+        // no stranger rows = no negative evidence — a derived radius
+        // would be an extrapolation from half the distribution
+        require(strangers.nonEmpty,
+          s"media-dedup.max-hamming = auto: calibration report at $repDir " +
+            "holds no stranger distances — rerun mode = calibrate on a " +
+            "sample large enough to include non-twin pairs")
         val twinMax = twins.max
-        val strangerMin = if (strangers.isEmpty) 64 else strangers.min
+        val strangerMin = strangers.min
         require(twinMax < strangerMin,
           s"media-dedup.max-hamming = auto: calibration at $repDir shows NO " +
             s"separating gap (twin max $twinMax >= stranger min $strangerMin) " +
             "— no radius separates this corpus's twins from its strangers; " +
             "widen the fingerprint (bands / a robustness tier), don't hand-pick")
         val r = (twinMax + strangerMin - 1) / 2
+        // the banded join is only complete for r < bands (pigeonhole) —
+        // fail HERE with the remedy, not deep in sigNearDups with a
+        // message that never mentions auto
+        require(r < bands,
+          s"media-dedup.max-hamming = auto derived radius $r, but the " +
+            s"banded join is only pigeonhole-complete below bands = $bands — " +
+            s"raise media-dedup.bands above $r (e.g. ${Integer.highestOneBit(r) * 2} " +
+            "if it divides 64) or widen the fingerprint")
         Cli.log(s"max-hamming = auto: twin max $twinMax, stranger min " +
           s"$strangerMin -> radius $r (max-margin midpoint)")
         r
       } else c.getInt("max-hamming")
-        .getOrElse(if (modality == "video") 5 else 3)
+        .getOrElse(if (modality == "video") 5 else if (imageDct) 7 else 3)
     val maxBucket = c.getInt("max-bucket-size").getOrElse(10000)
     val minFrames = c.getInt("min-frames").getOrElse(2)
     require(Set("image", "audio", "video")(modality),

@@ -5250,11 +5250,13 @@ class CliSpec extends SparkTestBase {
          |  modality = image
          |  image-hash = dct
          |  mode = filter
-         |  max-hamming = 7
-         |  bands = 8
          |  state-out-dir = $stOut
          |}
          |""".stripMargin)))
+    // NO bands/max-hamming knobs above: the dct kernel must DEFAULT to
+    // its own geometry (radius 7 / 8 bands — the measured pHash twin
+    // envelope), not inherit dHash's — a dHash-geometry default here
+    // silently misses the very twins the tier exists for
     val surv = spark.read.parquet(out).select("asset_id").collect().map(_.getLong(0))
     assert(surv.length == 40 && !surv.exists(_ >= 100000L),
       s"dct lineage must drop exactly the 20 degraded twins: ${surv.sorted.toSeq}")
