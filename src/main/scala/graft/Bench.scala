@@ -60,6 +60,17 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    // PRODUCTION-FORM timings (round-13 verdict item 3): the ~25
+    // dump-and-replay gates pay a `coalesce(1)` oracle-dump write that
+    // exists only for graft.Verify's DuckDB replay — timing it would
+    // grow the bench with every converted gate and stop measuring the
+    // production plan. Bench therefore sets the `graft.aux.skip`
+    // property (dumpAux honors it; Verify refuses it) so every gate
+    // times its r12-form production plan. SPARK_GRAFT_BENCH_TIME_DUMPS=1
+    // restores the old dumps-timed reading; the artifact stamps which
+    // form ran so a cross-form comparison can never pass silently.
+    val dumpsTimed = sys.env.get("SPARK_GRAFT_BENCH_TIME_DUMPS").contains("1")
+    if (!dumpsTimed) System.setProperty("graft.aux.skip", "1")
     val loadStart = loadAvg
     val spark = graft.tools.Local.session(cpus)
 
@@ -226,7 +237,16 @@ object Bench {
     val normJson = s""""loadavg_start":"$loadStart","loadavg_end":"$loadEnd",""" +
       s""""norm_ratio":$normRatio,"prev_norm_ratio":${prevNormRatio.getOrElse(-1.0)},""" +
       s""""norm_vs_prev":$normVsPrev"""
-    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","runs":$runs,"failed":${failed.size},"baseline_set_total":$baseTotal,"n_queries":${results.size},$normJson,"retimes":$retimesJson,"mem":$memJson}"""
+    // ESCALATION, not absorption (round-13 verdict item 4, the q38
+    // lesson): a retime that CONFIRMS >=2x prev on unchanged code is a
+    // regression signal the artifact must carry loudly, not a JSON note
+    // a reader can miss — the driver/judge greps this list.
+    val suspects = regressionSuspects(retimes.toMap, prevTimes)
+    val suspectsJson = suspects.map("\"" + _ + "\"").mkString("[", ",", "]")
+    if (suspects.nonEmpty)
+      System.err.println(s"[bench] REGRESSION SUSPECT (retime confirmed >=2x " +
+        s"prev): ${suspects.mkString(", ")}")
+    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","runs":$runs,"failed":${failed.size},"baseline_set_total":$baseTotal,"n_queries":${results.size},"dumps_timed":$dumpsTimed,"regression_suspect":$suspectsJson,$normJson,"retimes":$retimesJson,"mem":$memJson}"""
     // The FULL artifact (per-query timings + mem) goes to a file and an
     // early stdout line. It cannot be the driver's parse target: at 120+
     // queries the line is ~12 KB, and the driver keeps only the last
@@ -261,7 +281,7 @@ object Bench {
       val suspect = prevTimes.get(k).exists(p => re <= 1.5 * p)
       s"\"" + k + s"\":{\"median\":${r3(med)},\"retime\":${r3(re)},\"suspect_env\":$suspect}"
     }.mkString("{", ",", "}")
-    val compact = s"""{"metric":"total","value":${r3(total)},"unit":"sec","sf":"$sfDir","runs":$runs,"failed":${failed.size},"failed_queries":$failedJson,"baseline_set_total":${r3(baseTotal)},"n_queries":${results.size},"norm_ratio":${r3(normRatio)},"prev_norm_ratio":${r3(prevNormRatio.getOrElse(-1.0))},"norm_vs_prev":${r3(normVsPrev)},"loadavg_start":"$loadStart","loadavg_end":"$loadEnd","retimes":$compactRetimes,"queries":${headline.map { case (k, v) => s"\"" + k + "\":" + r3(v) }.mkString("{", ",", "}")},"queries_truncated":true,"full_queries":"target/bench.json"}"""
+    val compact = s"""{"metric":"total","value":${r3(total)},"unit":"sec","sf":"$sfDir","runs":$runs,"failed":${failed.size},"failed_queries":$failedJson,"baseline_set_total":${r3(baseTotal)},"n_queries":${results.size},"dumps_timed":$dumpsTimed,"regression_suspect":$suspectsJson,"norm_ratio":${r3(normRatio)},"prev_norm_ratio":${r3(prevNormRatio.getOrElse(-1.0))},"norm_vs_prev":${r3(normVsPrev)},"loadavg_start":"$loadStart","loadavg_end":"$loadEnd","retimes":$compactRetimes,"queries":${headline.map { case (k, v) => s"\"" + k + "\":" + r3(v) }.mkString("{", ",", "}")},"queries_truncated":true,"full_queries":"target/bench.json"}"""
     org.apache.logging.log4j.core.config.Configurator.setLevel(
       "org.apache.spark.sql.execution.streaming.state",
       org.apache.logging.log4j.Level.OFF)
@@ -298,6 +318,21 @@ object Bench {
     System.err.println(s"[bench] regression diff skipped: ${e.getMessage}")
   }
 
+  /** Queries whose environment-anomaly retime CONFIRMED the >=2x-vs-prev
+    * reading instead of clearing it: median > 2x prev triggered the
+    * retime (main loop), and the retime ALSO came back > 2x prev — two
+    * independent measurements agreeing on a doubling is a regression
+    * signal, not contention to absorb (round-13's q38: 2.02x with
+    * suspect_env=false shipped as a footnote). Stamped top-level into
+    * the artifact as `regression_suspect`. */
+  private[graft] def regressionSuspects(
+      retimes: Map[String, (Double, Double)],
+      prevTimes: Map[String, Double]): Seq[String] =
+    retimes.toSeq.collect {
+      case (name, (_, re)) if prevTimes.get(name).exists(p => p > 0 && re > 2 * p) =>
+        name
+    }.sorted
+
   /** Minimal top-level numeric field extractor (no JSON library on the
     * classpath by design); first occurrence wins, which for the bench
     * artifacts is the headline scalar. */
@@ -314,8 +349,12 @@ object Bench {
   }
 
   /** Minimal extractor for the flat `"queries":{"name":sec,…}` object in
-    * the bench JSON line — no JSON library on the classpath by design. */
-  private def parseQueryTimes(json: String): Map[String, Double] = {
+    * the bench JSON line — no JSON library on the classpath by design.
+    * NOTE the literal-substring contract: `bench_prev.json` must stay
+    * the exact one-line form Bench emits (a pretty-printed re-serialize
+    * silently defeats this parse and disables the retime + regression
+    * gates — BenchSpec pins both directions). */
+  private[graft] def parseQueryTimes(json: String): Map[String, Double] = {
     val start = json.indexOf("\"queries\":{")
     if (start < 0) return Map.empty
     val body = json.substring(start + "\"queries\":{".length)

@@ -182,14 +182,16 @@ object SparkEntry {
     * consume the exact same bytes (and the one mapPartitions decode
     * pass is never re-run by the downstream join's two sides).
     *
-    * `SPARK_GRAFT_AUX_SKIP=1` turns the dump into a pass-through (no
-    * write, no read-back) — the production/diagnostic mode for runs
-    * that don't feed a DuckDB replay: the query plans are then
+    * `SPARK_GRAFT_AUX_SKIP=1` (env) or `-Dgraft.aux.skip=1` (system
+    * property — what `graft.Bench` sets for its production-form
+    * timings, round-14 verdict item 3) turns the dump into a
+    * pass-through (no write, no read-back): the query plans are then
     * byte-identical to the pre-dump (r12) forms, which is also how the
     * dump side-channel's bench cost is isolated when triaging a
-    * per-query delta. Correctness runs (graft.Verify) must NOT set it. */
+    * per-query delta. Correctness runs (graft.Verify) refuse both. */
   private def dumpAux(df: DataFrame, dir: String, name: String): DataFrame =
-    if (sys.env.get("SPARK_GRAFT_AUX_SKIP").contains("1")) df
+    if (sys.env.get("SPARK_GRAFT_AUX_SKIP").contains("1") ||
+        sys.props.get("graft.aux.skip").contains("1")) df
     else {
       val path = s"${auxRoot(dir)}/$name"
       df.coalesce(1).write.mode("overwrite").parquet(path)
@@ -3352,8 +3354,14 @@ object SparkEntry {
     // twin max 10 vs stranger min 10, no radius separates; pHash twins
     // ≤ 8 vs strangers ≥ 13). Hash through the published DCT pHash
     // (gray → 32×32 → 2-D DCT → 8×8 low block → sign vs AC mean),
-    // pair through the SAME banded engine at radius 7 / 8 bands
-    // (pigeonhole-complete). ORACLE-EXACT pairing via dump-and-replay
+    // pair through the SAME banded engine at radius 7 over 4 bands of
+    // 16 bits with the Hamming-<=1 MULTI-PROBE (pigeonhole-complete:
+    // 7 differing bits over 4 bands leave some band with <=1; the
+    // r13 8-band form's 8-bit bucket keys saturated the hot-bucket
+    // guard at corpus scale — PerfProbe 19). The replay below is
+    // banding-agnostic (all pairs within the radius), so completeness
+    // of the probed geometry is exactly what the oracle pins.
+    // ORACLE-EXACT pairing via dump-and-replay
     // (q129 idiom); the pixel decode stays SQL-inexpressible —
     // MultimodalSpec holds the kernel laws.
     "q144_image_blur_neardup" -> ((s, dir) => {
@@ -3367,7 +3375,7 @@ object SparkEntry {
         .withColumn("asset_id", col("asset_id") + 100000)
       val sigs = dumpAux(Multimodal.dctHashes(
         png.unionByName(degradedTwins), Multimodal.ImageIoDecoder), dir, "q144_sigs")
-      graft.llm.Dedup.sigNearDups(sigs, maxHamming = 7, bands = 8)
+      graft.llm.Dedup.sigNearDups(sigs, maxHamming = 7, bands = 4, probe = 1)
         .groupBy(when(col("id2") - col("id1") === 100000, "planted_degraded")
           .otherwise("other").as("pair_type"))
         .agg(count(lit(1)).as("n_pairs"),

@@ -13,6 +13,12 @@ object Verify {
     require(!sys.env.get("SPARK_GRAFT_AUX_SKIP").contains("1"),
       "graft.Verify must run WITHOUT SPARK_GRAFT_AUX_SKIP=1 — the " +
         "dump-and-replay oracles need this run's own aux dumps")
+    // graft.Bench sets this property for its production-form timings;
+    // a Verify launched from the same JVM (or a copy-pasted -D flag)
+    // must refuse it for the same reason as the env var
+    require(!sys.props.get("graft.aux.skip").contains("1"),
+      "graft.Verify must run WITHOUT -Dgraft.aux.skip=1 — the " +
+        "dump-and-replay oracles need this run's own aux dumps")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = graft.tools.Local.session(cpus)
     new java.io.File(outDir).mkdirs()

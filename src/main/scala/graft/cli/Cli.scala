@@ -2575,8 +2575,8 @@ object Streamer {
         // the state line records the lineage's own radius/bands — the
         // calibrated values the state was built to separate at — so
         // they are the arrival filter's defaults (a dct lineage
-        // typically runs 7/8 where dHash runs 3/4; hand-typed defaults
-        // would silently under-match it)
+        // typically runs radius 7 multi-probed over 4 bands where dHash
+        // runs 3/4; hand-typed defaults would silently under-match it)
         def lineInt(key: String): Option[Int] = stored.split('|')
           .collectFirst { case kv if kv.startsWith(s"$key=") =>
             kv.substring(key.length + 1).toInt }
@@ -2613,16 +2613,23 @@ object Streamer {
             corpusHotBuckets = corpusHot,
             timeCol = c.getString("time-column").getOrElse("ts"),
             watermarkDelay = watermark)
-        else Streams.dropNearSeenMediaStream(assets,
-          Cli.readStateTable(spark, stateDir, "sigs"), modality,
-          contentCol = c.getString("content-column").getOrElse("content"),
-          maxHamming = c.getInt("max-hamming")
-            .getOrElse(stateMaxHamming.getOrElse(3)),
-          bands = bandsHere,
-          maxBucketSize = c.getInt("max-bucket-size").getOrElse(10000),
-          corpusHotBuckets = corpusHot,
-          timeCol = c.getString("time-column").getOrElse("ts"),
-          watermarkDelay = watermark)
+        else {
+          // a dct lineage's line typically reads 7/4 — the multi-probe
+          // geometry; the arrival filter derives the same minimal probe
+          // depth the batch/cluster tiers run, so the state's radius
+          // never silently under-matches here
+          val mh = c.getInt("max-hamming").getOrElse(stateMaxHamming.getOrElse(3))
+          Streams.dropNearSeenMediaStream(assets,
+            Cli.readStateTable(spark, stateDir, "sigs"), modality,
+            contentCol = c.getString("content-column").getOrElse("content"),
+            maxHamming = mh,
+            bands = bandsHere,
+            maxBucketSize = c.getInt("max-bucket-size").getOrElse(10000),
+            corpusHotBuckets = corpusHot,
+            timeCol = c.getString("time-column").getOrElse("ts"),
+            watermarkDelay = watermark,
+            probe = c.getInt("probe").getOrElse(mh / bandsHere))
+        }
       case other => throw new IllegalArgumentException(
         s"unknown streaming.operation '$other' (window|sessions|dedup|" +
           "near-dedup|near-dedup-cluster|media-near-dedup|" +
@@ -2986,10 +2993,21 @@ object Streamer {
       "streaming.image-hash selects the image kernel")
     val dct = modality == "image" && imageHash == "dct"
     val hashModality = if (dct) "image-dct" else modality
-    val bands = c.getInt("bands").getOrElse(if (dct) 8 else 4)
+    // dct geometry: radius 7 (the measured pHash twin envelope) over 4
+    // bands of 16 bits with a Hamming-<=1 multi-probe — the scale-safe
+    // form (round 13's 8 unprobed bands meant 256 possible buckets per
+    // band; PerfProbe 19). Probe depth derives from radius/bands and is
+    // matching-time only — the sigs/hotcounts lineage is probe-agnostic.
+    val bands = c.getInt("bands").getOrElse(4)
     val maxHamming = c.getInt("max-hamming").getOrElse(if (dct) 7 else 3)
-    require(maxHamming < bands,
-      s"pigeonhole needs maxHamming < bands ($maxHamming >= $bands misses pairs)")
+    val probe = c.getInt("probe").getOrElse(maxHamming / bands)
+    require(probe <= 1,
+      s"streaming: radius $maxHamming over $bands bands needs probe depth " +
+        s"$probe, but only depth <= 1 is implemented — raise bands (a " +
+        s"radius up to ${2 * bands - 1} runs at depth 1)")
+    require(maxHamming < bands * (probe + 1),
+      s"pigeonhole needs maxHamming < bands*(probe+1) " +
+        s"($maxHamming >= ${bands * (probe + 1)} misses pairs)")
     val maxBucket = c.getInt("max-bucket-size").getOrElse(10000)
     // `verify-pairs` (image): pixel-evidence confirmation of the
     // IN-BATCH nominations — both assets' pixels are in the batch, so
@@ -3085,13 +3103,14 @@ object Streamer {
           // state keeps 8-byte sigs, not pixels). Cached: it fans out
           // to the in-batch tier's input AND the drop union (R19)
           val seen = Dedup.sigNearDupsAgainst(batchSigs, corpusSigs,
-            maxHamming, bands, maxBucket, hot)
+            maxHamming, bands, maxBucket, hot, probe)
             .select(col("batch_id").as("id")).distinct().persist()
           // tier 2: in-batch near pairs among the remaining assets,
           // keep-lower-id (the text cluster op's pair semantics);
           // verify-pairs confirms each nomination against pixels first
           val freshSigs = batchSigs.join(seen, Seq("id"), "left_anti")
-          val inBatchPairs = Dedup.sigNearDups(freshSigs, maxHamming, bands, maxBucket)
+          val inBatchPairs =
+            Dedup.sigNearDups(freshSigs, maxHamming, bands, maxBucket, probe)
           val confirmedPairs =
             if (!verifyPairs) inBatchPairs
             else {
@@ -4077,23 +4096,25 @@ object MediaDedup {
     // dHash twin max 10 = stranger min 10 on the textured family — no
     // radius separates; pHash twins ≤ 8 vs strangers ≥ 13), but is
     // corpus-dependent (degenerate on low-texture corpora) — calibrate
-    // mode is the arbiter, and dct typically runs wider (max-hamming 7 /
-    // bands 8). Scalar lineage only: the tile/dihedral tier states are
-    // dHash kernels.
+    // mode is the arbiter, and dct typically runs wider (max-hamming 7,
+    // multi-probed over 4 bands — see `probe` below). Scalar lineage
+    // only: the tile/dihedral tier states are dHash kernels.
     val imageHash = c.getString("image-hash").getOrElse("dhash")
     require(Set("dhash", "dct")(imageHash),
       s"media-dedup.image-hash must be dhash | dct, got '$imageHash'")
     require(imageHash == "dhash" || modality == "image",
       "media-dedup.image-hash selects the image kernel — audio/video " +
         "fingerprints are not DCT hashes")
-    // dct defaults mirror the streaming cluster op (bands 8 / radius 7
-    // — the measured pHash twin envelope); a dHash-geometry default on
-    // the dct kernel would silently miss the blur/re-quantization twins
-    // the tier exists for (an existing lineage's fingerprint line still
-    // refuses a geometry drift loudly)
+    // dct defaults mirror the streaming cluster op: radius 7 (the
+    // measured pHash twin envelope) over 4 bands of 16 bits with a
+    // Hamming-<=1 multi-probe per band key. Round 13 ran 8 unprobed
+    // bands here, whose 8-bit bucket keys (256 possible buckets per
+    // band) saturated the hot-bucket guard beyond ~2.5M images and
+    // silently lost all recall (PerfProbe 19 measures both
+    // geometries); an existing bands=8 lineage's fingerprint line
+    // still refuses the new default loudly — rebuild the state.
     val imageDct = modality == "image" && imageHash == "dct"
-    val bands = c.getInt("bands").getOrElse(
-      if (modality == "video" || imageDct) 8 else 4)
+    val bands = c.getInt("bands").getOrElse(if (modality == "video") 8 else 4)
     // `max-hamming = auto`: consume a PRIOR calibration report (mode =
     // calibrate writes the twin/stranger Hamming distributions to
     // calibrate-report-dir) instead of a hand-picked radius — the
@@ -4133,14 +4154,9 @@ object MediaDedup {
             "— no radius separates this corpus's twins from its strangers; " +
             "widen the fingerprint (bands / a robustness tier), don't hand-pick")
         val r = (twinMax + strangerMin - 1) / 2
-        // the banded join is only complete for r < bands (pigeonhole) —
-        // fail HERE with the remedy, not deep in sigNearDups with a
-        // message that never mentions auto
-        require(r < bands,
-          s"media-dedup.max-hamming = auto derived radius $r, but the " +
-            s"banded join is only pigeonhole-complete below bands = $bands — " +
-            s"raise media-dedup.bands above $r (e.g. ${Integer.highestOneBit(r) * 2} " +
-            "if it divides 64) or widen the fingerprint")
+        // completeness (radius vs bands×(probe+1)) is checked below,
+        // once the tier knobs and the probe depth are known — the
+        // failure message there names auto when auto derived the radius
         Cli.log(s"max-hamming = auto: twin max $twinMax, stranger min " +
           s"$strangerMin -> radius $r (max-margin midpoint)")
         r
@@ -4186,6 +4202,35 @@ object MediaDedup {
     val minWindows = c.getInt("min-windows").getOrElse(2)
     val minSlots = c.getInt("min-slots").getOrElse(4)
     val minWitnesses = c.getInt("min-witnesses").getOrElse(2)
+    // `probe`: the scalar image/audio tiers' MULTI-PROBE depth
+    // (Dedup.sigNearDups) — 1 lets a radius up to 2*bands-1 run on
+    // wide (discriminating) bucket keys instead of forcing narrow
+    // bands; the default derives the minimal complete depth from the
+    // radius/band geometry, so the dct kernel's radius-7 default runs
+    // probed on 4x16-bit bands out of the box. Matching-time only:
+    // signature state and hotcounts are probe-agnostic.
+    val scalarTier = (modality == "image" && !cropTier && !rotationTier) ||
+      (modality == "audio" && !windowed)
+    val probe = c.getInt("probe").getOrElse(
+      if (scalarTier) maxHamming / bands else 0)
+    val autoHint =
+      if (maxHammingAuto) " (max-hamming = auto derived this radius from " +
+        "the calibration report — raise media-dedup.bands or widen the " +
+        "fingerprint, don't hand-pick a smaller radius)"
+      else ""
+    require(probe == 0 || scalarTier,
+      "media-dedup.probe is the scalar image/audio multi-probe knob — the " +
+        "windowed/crop/rotation/video tiers band exactly (keep radius < bands)")
+    require(probe <= 1,
+      s"media-dedup: radius $maxHamming over $bands bands needs probe " +
+        s"depth $probe, but only depth <= 1 is implemented — raise bands " +
+        s"(a radius up to ${2 * bands - 1} runs at depth 1)$autoHint")
+    require(maxHamming < bands * (probe + 1),
+      s"media-dedup: radius $maxHamming is not pigeonhole-complete over " +
+        s"$bands bands at probe depth $probe$autoHint")
+    require(scalarTier || maxHamming < bands,
+      s"media-dedup: the windowed/crop/rotation/video tiers band exactly — " +
+        s"radius $maxHamming needs bands > $maxHamming$autoHint")
     import org.apache.hadoop.fs.Path
     val hconf = spark.sparkContext.hadoopConfiguration
     def qual(d: String): Path = {
@@ -4392,7 +4437,7 @@ object MediaDedup {
           Multimodal.videoNearDupsFromSigs(batchSigs, minFrames, maxHamming,
               bands, maxBucket)
             .select(col("id1"), col("id2"), col("n_frames_matched").as("score"))
-        else Dedup.sigNearDups(batchSigs, maxHamming, bands, maxBucket)
+        else Dedup.sigNearDups(batchSigs, maxHamming, bands, maxBucket, probe)
           .withColumnRenamed("hamming", "score")
       // `verify-pairs` (image tiers): pixel-evidence confirmation of
       // the signature nominations — the text tier's verified-dedup
@@ -4469,7 +4514,7 @@ object MediaDedup {
             Multimodal.videoNearDupsAgainst(batchSigs, corpusSigs, minFrames,
               maxHamming, bands, maxBucket, corpusHot)
           else Dedup.sigNearDupsAgainst(batchSigs, corpusSigs, maxHamming,
-            bands, maxBucket, corpusHot)
+            bands, maxBucket, corpusHot, probe)
         hits.select(col("batch_id")).distinct()
       }
       val filtered = c.getString("mode").getOrElse("report") == "filter"

@@ -182,23 +182,103 @@ object Dedup {
     * image near-dup ([[Multimodal.imageNearDups]]): any 64-bit
     * fingerprint family with Hamming-distance semantics bands the same
     * way, so the pigeonhole argument, the hot-bucket guard, and the
-    * never-all-pairs shape are written once. */
+    * never-all-pairs shape are written once.
+    *
+    * `probe` = MULTI-PROBE depth (0 or 1). At probe 0 a pair must share
+    * one band's bits EXACTLY, so completeness needs maxHamming < bands —
+    * and a wide radius forces many narrow bands (radius 7 → 8 bands →
+    * 8-bit bucket keys, only 256 possible buckets per band: beyond
+    * ~cap×256 rows EVERY bucket trips the hot-bucket guard and recall
+    * silently collapses — the round-13 verdict's scale-killer). At
+    * probe 1 each row ALSO joins through the Hamming-≤1 neighborhood of
+    * each band key (width+1 probe keys per band), so by pigeonhole
+    * (some band carries ≤ ⌊maxHamming/bands⌋ of the pair's differing
+    * bits) completeness only needs maxHamming < 2×bands: radius 7 runs
+    * on 4 bands of 16 bits — 65,536-valued bucket keys the guard can
+    * actually discriminate — at a ×(width+1) candidate multiplier.
+    * Probing is matching-time only: signatures, bucket counts, and hot
+    * keys are computed on the UNPROBED banding, so persisted state
+    * lineages (sigs + mergeable hotcounts at `bands`) are probe-depth
+    * agnostic. Guard semantics under probe: exact rows in hot buckets
+    * drop, probe rows FROM a hot home bucket drop (else one mega-bucket
+    * re-enters through its neighbors' keys), and probe rows INTO a hot
+    * key drop (their exact side is empty — pure shuffle pruning); a
+    * pair within the radius is still found through any witnessing band
+    * where NEITHER member's home bucket is hot — the same loss mode,
+    * bound (≤ (width+1)·cap² candidates per key), and detectability as
+    * probe 0. */
   def sigNearDups(
       sigs: DataFrame, // (id, sig: long)
       maxHamming: Int = 3,
       bands: Int = 4,
-      maxBucketSize: Int = 10000): DataFrame = {
+      maxBucketSize: Int = 10000,
+      probe: Int = 0): DataFrame = {
     require(64 % bands == 0, s"bands must divide 64, got $bands")
-    require(maxHamming < bands,
-      s"pigeonhole needs maxHamming < bands ($maxHamming >= $bands misses pairs)")
-    val banded = dropHotBuckets(bandSignatures(sigs, bands), maxBucketSize)
-    val l = banded.select(col("band"), col("bits"), col("id").as("id1"), col("sig").as("sig1"))
-    val r = banded.select(col("band"), col("bits"), col("id").as("id2"), col("sig").as("sig2"))
+    requireProbeComplete(maxHamming, bands, probe)
+    val banded = bandSignatures(sigs, bands)
+    val r = dropHotBuckets(banded, maxBucketSize)
+      .select(col("band"), col("bits"), col("id").as("id2"), col("sig").as("sig2"))
+    val l = probedSide(sigs, banded, bands, maxBucketSize, probe)
+      .select(col("band"), col("bits"), col("id").as("id1"), col("sig").as("sig1"))
     l.join(r, Seq("band", "bits"))
       .filter(col("id1") < col("id2"))
       .select(col("id1"), col("id2"), hamming(col("sig1"), col("sig2")).as("hamming"))
       .filter(col("hamming") <= maxHamming)
       .distinct()
+  }
+
+  /** The pigeonhole completeness contract shared by every probed banded
+    * join: a pair differing in ≤ maxHamming bits has some band carrying
+    * ≤ ⌊maxHamming/bands⌋ of them, so probe depth ⌊maxHamming/bands⌋
+    * suffices — equivalently maxHamming < bands×(probe+1). Only depths
+    * 0 and 1 are implemented (depth ≥ 2 multiplies candidates by
+    * ~width²/2 — widen the fingerprint instead). */
+  private def requireProbeComplete(maxHamming: Int, bands: Int, probe: Int): Unit = {
+    require(probe == 0 || probe == 1,
+      s"probe depth must be 0 or 1, got $probe (a radius needing depth " +
+        ">= 2 wants a wider fingerprint, not a deeper probe)")
+    require(maxHamming < bands * (probe + 1),
+      s"pigeonhole needs maxHamming < bands*(probe+1) " +
+        s"($maxHamming >= ${bands * (probe + 1)} misses pairs) — raise bands " +
+        "or probe depth (probe=1 doubles the covered radius per band count)")
+  }
+
+  /** One side of a probed banded join: at probe 0 the hot-dropped exact
+    * banding; at probe 1 the Hamming-≤1 probe expansion of `sigs`' band
+    * keys, with probe rows from hot HOME buckets and into hot TARGET
+    * keys dropped (see [[sigNearDups]]). The hot-key aggregate appears
+    * in up to three subplans per query — identical subtrees, so the
+    * exchange-reuse pass evaluates it once. */
+  private def probedSide(sigs: DataFrame, banded: DataFrame, bands: Int,
+      maxBucketSize: Int, probe: Int,
+      precomputedHot: Option[DataFrame] = None): DataFrame =
+    if (probe == 0) dropHotBuckets(banded, maxBucketSize, precomputedHot)
+    else {
+      val probed = probeBandSignatures(sigs, bands)
+      val hot = precomputedHot.orElse(
+        if (maxBucketSize <= 0) None else Some(hotBucketKeys(banded, maxBucketSize)))
+      hot match {
+        case None => probed.drop("home_bits")
+        case Some(h) =>
+          probed
+            .join(broadcast(h.withColumnRenamed("bits", "home_bits")),
+              Seq("band", "home_bits"), "left_anti")
+            .join(broadcast(h), Seq("band", "bits"), "left_anti")
+            .drop("home_bits")
+      }
+    }
+
+  /** Explode `(id, sig)` into one row per (band, probe key): the band's
+    * own bits (`home_bits`) plus every key at Hamming distance 1 inside
+    * the band's width — the multi-probe expansion (width+1 keys per
+    * band, all inside whole-stage codegen). */
+  private[graft] def probeBandSignatures(sigs: DataFrame, bands: Int): DataFrame = {
+    val width = 64 / bands
+    bandSignatures(sigs, bands)
+      .withColumnRenamed("bits", "home_bits")
+      .select(col("id"), col("sig"), col("band"), col("home_bits"),
+        explode(array(col("home_bits") +: (0 until width).map(j =>
+          col("home_bits").bitwiseXOR(lit(1L << j))): _*)).as("bits"))
   }
 
   /** SimHash signatures `(id, sig)` — the per-run STATE an incremental
@@ -328,18 +408,21 @@ object Dedup {
 
   /** Batch-vs-corpus near-dup over ANY 64-bit signature frames — the
     * incremental counterpart of [[sigNearDups]], shared by the text,
-    * image, and audio tiers (same pigeonhole contract). */
+    * image, and audio tiers (same pigeonhole contract). `probe` = the
+    * multi-probe depth ([[sigNearDups]]): the BATCH side probes, the
+    * corpus side stays exact, so `corpusHotBuckets` and the persisted
+    * mergeable-counts protocol are untouched by probe depth. */
   def sigNearDupsAgainst(
       batchSigs: DataFrame,
       corpusSigs: DataFrame,
       maxHamming: Int = 3,
       bands: Int = 4,
       maxBucketSize: Int = 10000,
-      corpusHotBuckets: Option[DataFrame] = None): DataFrame = {
-    require(maxHamming < bands,
-      s"pigeonhole needs maxHamming < bands ($maxHamming >= $bands misses pairs)")
+      corpusHotBuckets: Option[DataFrame] = None,
+      probe: Int = 0): DataFrame = {
+    requireProbeComplete(maxHamming, bands, probe)
     bandedSignaturesAgainst(batchSigs, corpusSigs, maxHamming, bands,
-      maxBucketSize, corpusHotBuckets)
+      maxBucketSize, corpusHotBuckets, probe)
   }
 
   /** The banded batch-vs-corpus join core, signature-agnostic: any
@@ -355,9 +438,18 @@ object Dedup {
       maxHamming: Int,
       bands: Int,
       maxBucketSize: Int,
-      corpusHotBuckets: Option[DataFrame]): DataFrame = {
+      corpusHotBuckets: Option[DataFrame],
+      probe: Int = 0): DataFrame = {
     require(64 % bands == 0, s"bands must divide 64, got $bands")
-    val b = dropHotBuckets(bandSignatures(batchSigs, bands), maxBucketSize)
+    // probe rows drop against the BATCH's own hot home buckets (today's
+    // flood is in the batch) and against hot CORPUS target keys (their
+    // exact side is empty after the corpus-side drop — shuffle pruning)
+    val batchBanded = bandSignatures(batchSigs, bands)
+    val b0 = probedSide(batchSigs, batchBanded, bands, maxBucketSize, probe)
+    val b = (if (probe == 0 || maxBucketSize <= 0) b0
+             else b0.join(broadcast(corpusHotBuckets.getOrElse(
+                    hotBucketKeys(bandSignatures(corpusSigs, bands), maxBucketSize))),
+                    Seq("band", "bits"), "left_anti"))
       .select(col("band"), col("bits"), col("id").as("batch_id"), col("sig").as("__bsig"))
     val c = dropHotBuckets(bandSignatures(corpusSigs, bands), maxBucketSize, corpusHotBuckets)
       .select(col("band"), col("bits"), col("id").as("corpus_id"), col("sig").as("__csig"))

@@ -1050,14 +1050,19 @@ object Multimodal {
 
   /** Image near-dup pairs under the DCT hash — [[imageNearDups]] with
     * [[pHash64]]: the heavy-blur / re-quantization tier (q144), same
-    * banded engine, never all-pairs. Defaults carry the probe's
-    * margins (twins ≤ 8, strangers ≥ 13 on the textured family):
-    * radius 7 needs 8 bands for the pigeonhole guarantee, which means
-    * 8-bit bucket keys — coarser buckets than the dHash tier's 16-bit
-    * ones, so at corpus scale this tier leans harder on the hot-bucket
-    * guard and pixel `verifyImagePairs`; when a corpus's degradations
-    * allow a radius ≤ 3 (JPEG-only twins measure ≤ 4), prefer it and
-    * let calibrate mode prove the envelope. */
+    * banded engine, never all-pairs. Defaults carry the envelope
+    * probe's margins (twins ≤ 8, strangers ≥ 13 on the textured
+    * family): radius 7 over 4 bands of 16 bits with a Hamming-≤1
+    * MULTI-PROBE per band key (pigeonhole: 7 differing bits over 4
+    * bands leave some band with ≤ 1, which the probe reaches). The
+    * probed geometry replaced round-13's 8-band form, whose 8-bit
+    * bucket keys (256 possible buckets per band) saturated the
+    * hot-bucket guard beyond ~2.5 M images and silently lost all
+    * recall (PerfProbe 19 measures both). Bucket keys here stay
+    * 65,536-valued — the guard discriminates at corpus scale — at a
+    * ×17 candidate multiplier; when a corpus's degradations allow a
+    * radius ≤ 3 (JPEG-only twins measure ≤ 4), the unprobed radius-3
+    * geometry is cheaper — let calibrate mode prove the envelope. */
   def imageNearDupsDct(
       df: DataFrame,
       decoder: MediaDecoder,
@@ -1065,11 +1070,12 @@ object Multimodal {
       contentCol: String = "content",
       metaCol: String = "meta",
       maxHamming: Int = 7,
-      bands: Int = 8,
-      maxBucketSize: Int = 10000): DataFrame =
+      bands: Int = 4,
+      maxBucketSize: Int = 10000,
+      probe: Int = 1): DataFrame =
     graft.llm.Dedup.sigNearDups(
       dctHashes(df, decoder, idCol, contentCol, metaCol),
-      maxHamming, bands, maxBucketSize)
+      maxHamming, bands, maxBucketSize, probe)
 
   /** Image NEAR-DUPLICATE pairs within `maxHamming` dHash bits — the
     * multimodal entry into the shared banded near-dup engine

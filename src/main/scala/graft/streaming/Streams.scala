@@ -402,13 +402,16 @@ object Streams {
       maxBucketSize: Int = 10000,
       corpusHotBuckets: Option[DataFrame] = None,
       timeCol: String = "ts",
-      watermarkDelay: String = "2 hours"): DataFrame = {
-    require(maxHamming < bands,
-      s"pigeonhole needs maxHamming < bands ($maxHamming >= $bands misses pairs)")
+      watermarkDelay: String = "2 hours",
+      probe: Int = 0): DataFrame = {
+    require(probe == 0 || probe == 1, s"probe depth must be 0 or 1, got $probe")
+    require(maxHamming < bands * (probe + 1),
+      s"pigeonhole needs maxHamming < bands*(probe+1) " +
+        s"($maxHamming >= ${bands * (probe + 1)} misses pairs)")
     dropNearSigStream(stream,
       graft.functions.GraftFunctions.mediaHash(col(contentCol), modality),
       corpusSigs, maxHamming, bands, maxBucketSize, corpusHotBuckets,
-      timeCol, watermarkDelay)
+      timeCol, watermarkDelay, probe)
   }
 
   /** VIDEO counterpart of [[dropNearSeenMediaStream]] — the last
@@ -507,7 +510,14 @@ object Streams {
       .drop(framesCol +: timeTmp +: hitCols: _*)
   }
 
-  /** Shared signature-agnostic core of the two near-dup streams. */
+  /** Shared signature-agnostic core of the two near-dup streams.
+    * `probe` = the multi-probe depth of the wide-radius geometries
+    * (`Dedup.sigNearDups`): here the CORPUS side expands — each stored
+    * band key also registers under its Hamming-≤1 neighborhood
+    * (width+1 static rows per band key, after the hot drop) — so the
+    * stream side keeps its single home-key equi-join per band and the
+    * plan stays stateless stream-static. Same completeness contract:
+    * maxHamming < bands×(probe+1). */
   private def dropNearSigStream(
       stream: DataFrame,
       sig: Column,
@@ -517,7 +527,8 @@ object Streams {
       maxBucketSize: Int,
       corpusHotBuckets: Option[DataFrame],
       timeCol: String,
-      watermarkDelay: String): DataFrame = {
+      watermarkDelay: String,
+      probe: Int = 0): DataFrame = {
     require(!corpusSigs.isStreaming, "corpusSigs must be a static frame (persisted state)")
     require(64 % bands == 0, s"bands must divide 64, got $bands")
     val width = 64 / bands
@@ -540,9 +551,14 @@ object Streams {
       df.withColumn(s"$bitsBase$b",
         shiftright(col(sigCol), b * width).bitwiseAND(lit(mask)))
     }
-    val banded = graft.llm.Dedup.dropHotBuckets(
+    val banded0 = graft.llm.Dedup.dropHotBuckets(
       graft.llm.Dedup.bandSignatures(corpusSigs, bands), maxBucketSize,
       corpusHotBuckets)
+    val banded =
+      if (probe == 0) banded0
+      else banded0.select(col("band"), col("sig"),
+        explode(array(col("bits") +: (0 until width).map(j =>
+          col("bits").bitwiseXOR(lit(1L << j))): _*)).as("bits"))
     val unseen = (0 until bands).foldLeft(withBits) { (df, b) =>
       val cBits = s"${bitsBase}c$b"
       val cSig = s"${bitsBase}s$b"

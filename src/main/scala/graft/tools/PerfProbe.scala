@@ -30,8 +30,9 @@ object PerfProbe {
     case Some("16") => probe16(args.drop(1))
     case Some("17") => probe17(args.drop(1))
     case Some("18") => probe18(args.drop(1))
+    case Some("19") => probe19(args.drop(1))
     case other => sys.error(
-      s"usage: runMain graft.tools.PerfProbe <1-18> [probe args]; got $other")
+      s"usage: runMain graft.tools.PerfProbe <1-19> [probe args]; got $other")
   }
 
   /** Throwaway-style perf probe for round-5 tuning experiments (kept in
@@ -987,6 +988,82 @@ object PerfProbe {
         .agg(sum(length(col("fim_text")))).head().getLong(0)
     }
     docs.unpersist()
+    spark.stop()
+  }
+
+  /** Round-14 probe (verdict item 1): the dct tier's banding geometry
+    * at corpus scale. Round 13 ran radius 7 as 8 unprobed bands →
+    * 8-bit bucket keys, only 256 possible buckets per band: with the
+    * default 10k hot-bucket cap, any corpus beyond ~2.56M images
+    * saturates EVERY bucket, `dropHotBuckets` discards them all, and
+    * the tier silently finds nothing. The replacement is 4 bands of 16
+    * bits with the Hamming-<=1 multi-probe (pigeonhole still covers
+    * radius 7; 65,536-valued bucket keys the guard can discriminate).
+    * This probe measures both on `args(0)` (default 5M) uniform
+    * synthetic sigs + `args(1)` (default 1000) planted twins at the
+    * adversarial 1/2/2/2 bit spread (no band matches exactly — the
+    * probe, not luck, must find them):
+    *   old geometry → hot buckets 2048/2048, planted recall 0;
+    *   new geometry → hot buckets 0, planted recall 100%.
+    * The new form's honest cost is also printed: uniform sigs collide
+    * on a 16-bit band key at n²/2^16 pairs/band × 17 probe keys — the
+    * popcount-verify volume a cluster absorbs but a laptop feels. That
+    * growth is intrinsic to 64-bit signatures, not to the probe:
+    * beyond ~10^8 images widen the fingerprint (256-bit pHash family),
+    * don't narrow the bands. */
+  private def probe19(args: Array[String]): Unit = {
+    val spark = Local.session(sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
+    import spark.implicits._
+    val n = args.headOption.map(_.toLong).getOrElse(5000000L)
+    val twins = args.drop(1).headOption.map(_.toLong).getOrElse(1000L)
+    def mix(x: Long): Long = {
+      var z = x + 0x9E3779B97F4A7C15L
+      z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+      z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+      z ^ (z >>> 31)
+    }
+    // 7 bits spread 1/2/2/2 over the four 16-bit bands: defeats exact
+    // 4-band banding by construction; inside pHash's radius-7 envelope
+    val spread = (1L << 2) | (1L << 18) | (1L << 21) | (1L << 35) |
+      (1L << 38) | (1L << 55) | (1L << 58)
+    val base = spark.range(n).map(i => (i, mix(i))).toDF("id", "sig")
+    val planted = spark.range(twins)
+      .map(i => (i + n, mix(i * 4999L % n) ^ spread)).toDF("id", "sig")
+    val sigs = base.unionByName(planted).persist(StorageLevel.MEMORY_AND_DISK)
+    println(s"[probe19] sigs: ${sigs.count()} ($twins planted at hamming 7)")
+    def occupancy(bands: Int): Unit = {
+      val possible = bands.toLong << (64 / bands) // bands × 2^width keys
+      val occ = graft.llm.Dedup.bucketCounts(sigs, bands)
+        .agg(count(lit(1)).as("buckets"), max(col("n")).as("max_occ"),
+          sum(when(col("n") > 10000, 1L).otherwise(0L)).as("hot"))
+        .head()
+      println(s"[probe19] bands=$bands: occupied=${occ.getLong(0)} " +
+        s"of $possible possible buckets, max_occupancy=${occ.getLong(1)}, " +
+        s"hot(>10k)=${occ.getLong(2)}")
+    }
+    // -- old geometry: radius 7 / 8 unprobed bands
+    occupancy(8)
+    var t0 = System.nanoTime()
+    val oldPairs = graft.llm.Dedup.sigNearDups(sigs, maxHamming = 7, bands = 8)
+    val oldPlanted = oldPairs.filter(col("id2") >= n).count()
+    println(f"[probe19] OLD 8x8bit: planted recall $oldPlanted/$twins " +
+      f"in ${(System.nanoTime() - t0) / 1e9}%.2f s (guard saturation " +
+      "silently discards every bucket)")
+    // -- new geometry: radius 7 / 4 bands of 16 bits, Hamming-<=1 probe
+    occupancy(4)
+    t0 = System.nanoTime()
+    val newPairs = graft.llm.Dedup.sigNearDups(sigs, maxHamming = 7,
+      bands = 4, probe = 1)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val newPlanted = newPairs.filter(col("id2") >= n).count()
+    val newTotal = newPairs.count()
+    println(f"[probe19] NEW 4x16bit probe=1: planted recall " +
+      f"$newPlanted/$twins, total pairs $newTotal " +
+      f"in ${(System.nanoTime() - t0) / 1e9}%.2f s " +
+      f"(~${4.0 * n * n / 65536 * 17 / 1e9}%.1f B candidate popcounts at " +
+      "uniform density — scan-shaped verify work, embarrassingly parallel)")
+    newPairs.unpersist()
+    sigs.unpersist()
     spark.stop()
   }
 }

@@ -1,0 +1,58 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Unit coverage for graft.Bench's artifact machinery — the parts whose
+  * failure modes are silent (a format drift in `bench_prev.json`
+  * disables the retime/regression gates without an error; a confirmed
+  * 2x regression used to ship as a JSON footnote). Pure functions, no
+  * SparkSession. */
+class BenchSpec extends AnyFunSuite {
+
+  test("regressionSuspects: only retime-CONFIRMED >=2x-vs-prev queries " +
+      "are flagged (the round-13 q38 escalation)") {
+    val prev = Map("q38" -> 2.0, "q40" -> 3.0, "q50" -> 0.0, "q99" -> 1.0)
+    val retimes = Map(
+      // median doubled AND the retime confirmed it -> suspect
+      "q38" -> (4.1, 4.05),
+      // median doubled but the retime cleared it (contention) -> clean
+      "q40" -> (6.5, 3.2),
+      // prev entry is non-positive -> never flagged (no baseline)
+      "q50" -> (9.0, 9.0),
+      // no prev entry at all -> never flagged
+      "qNew" -> (5.0, 5.0))
+    assert(Bench.regressionSuspects(retimes, prev) == Seq("q38"))
+    // exactly-2x is NOT "past 2x" — boundary stays unflagged, matching
+    // the retime trigger's strict > in the main loop
+    assert(Bench.regressionSuspects(Map("q99" -> (2.5, 2.0)), prev).isEmpty)
+    // output is sorted for a stable artifact diff
+    val many = Map("qB" -> (4.0, 4.0), "qA" -> (4.0, 4.0))
+    val prevs = Map("qA" -> 1.0, "qB" -> 1.0)
+    assert(Bench.regressionSuspects(many, prevs) == Seq("qA", "qB"))
+  }
+
+  test("parseQueryTimes: reads the exact one-line Bench form; a " +
+      "pretty-printed bench_prev silently parses empty (the documented " +
+      "format trap — keep the committed file verbatim)") {
+    val oneLine = """{"metric":"total","value":12.5,"unit":"sec","queries":{"q1_pricing_summary":0.25,"q38_transitive_dedup":1.96},"sf":"/root/testdata/sf0.1"}"""
+    val parsed = Bench.parseQueryTimes(oneLine)
+    assert(parsed == Map(
+      "q1_pricing_summary" -> 0.25, "q38_transitive_dedup" -> 1.96))
+    // the trap, pinned: re-serializing with whitespace/newlines defeats
+    // the literal `"queries":{` substring scan — the gates degrade to
+    // no-prev mode rather than erroring, so the committed file must
+    // never be reformatted
+    val pretty =
+      """{
+        |  "metric": "total",
+        |  "queries": {
+        |    "q1_pricing_summary": 0.25
+        |  }
+        |}""".stripMargin
+    assert(Bench.parseQueryTimes(pretty).isEmpty)
+    // malformed entries are skipped, not fatal
+    assert(Bench.parseQueryTimes("""{"queries":{"q1":abc,"q2":1.5}}""") ==
+      Map("q2" -> 1.5))
+    assert(Bench.parseQueryTimes("""{"no_queries_here":1}""").isEmpty)
+  }
+}

@@ -127,6 +127,120 @@ class DedupSpec extends SparkTestBase {
     assert(unguarded.count { case (a, b) => a >= 100L && b >= 100L } == 30 * 29 / 2)
   }
 
+  test("multi-probe banding (probe=1): radius-7 pairs on 4 bands of 16 bits " +
+      "== brute force; the adversarial 2/2/2/1 spread that defeats exact " +
+      "banding is found") {
+    // adversarial pair: 7 differing bits spread 2/2/2/1 over the four
+    // 16-bit bands — NO band matches exactly (probe-0 at 4 bands misses
+    // by construction), but band 0 differs by 1 bit, which the
+    // Hamming-<=1 probe reaches (pigeonhole witness)
+    val a = 0x5A5A5A5A5A5A5A5AL
+    val b = a ^ ((1L << 3) | // band 0: 1 bit
+      (1L << 17) | (1L << 30) | // band 1: 2 bits
+      (1L << 33) | (1L << 40) | // band 2: 2 bits
+      (1L << 50) | (1L << 63)) // band 3: 2 bits
+    // + a deterministic random family with planted variants at flip
+    // counts 0..9 (some inside, some outside the radius)
+    val rnd = new scala.util.Random(4233)
+    val base = Seq.fill(30)(rnd.nextLong())
+    val flips = base.zipWithIndex.map { case (s, i) =>
+      val k = i % 10
+      var v = s
+      rnd.shuffle((0 until 64).toList).take(k).foreach(j => v ^= (1L << j))
+      v
+    }
+    val sigs = ((Seq(a, b) ++ base ++ flips).zipWithIndex.map {
+      case (s, i) => (i.toLong, s)
+    }).toDF("id", "sig")
+    val all = sigs.collect().map(r => (r.getLong(0), r.getLong(1)))
+    val want = (for {
+      (i1, s1) <- all; (i2, s2) <- all
+      if i1 < i2 && java.lang.Long.bitCount(s1 ^ s2) <= 7
+    } yield (i1, i2)).toSet
+    assert(want.contains((0L, 1L)) && want.size > 5, "fixture must be non-vacuous")
+    val got = Dedup.sigNearDups(sigs, maxHamming = 7, bands = 4, probe = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == want, s"probed banding != brute force: missing " +
+      s"${want -- got}, extra ${got -- want}")
+    // hamming column carries the true distance
+    val h = Dedup.sigNearDups(sigs.filter(col("id") < 2),
+      maxHamming = 7, bands = 4, probe = 1).collect()
+    assert(h.length == 1 && h.head.getInt(2) == 7)
+    // probe-0 at 4 bands over the same radius is refused (pigeonhole)
+    val e = intercept[IllegalArgumentException] {
+      Dedup.sigNearDups(sigs, maxHamming = 7, bands = 4)
+    }
+    assert(e.getMessage.contains("pigeonhole"), e.getMessage)
+    // depth >= 2 is refused with the widen-the-fingerprint remedy
+    val e2 = intercept[IllegalArgumentException] {
+      Dedup.sigNearDups(sigs, maxHamming = 9, bands = 4, probe = 2)
+    }
+    assert(e2.getMessage.contains("wider fingerprint"), e2.getMessage)
+  }
+
+  test("multi-probe hot-bucket guard: a hot HOME bucket cannot re-enter " +
+      "through its neighbors' keys; the documented loss mode is symmetric " +
+      "with probe 0") {
+    // A and B differ 1 bit in band 0 and 2 bits in each other band
+    // (total 7): band 0 is the ONLY pigeonhole witness. 12 fillers
+    // share A's band-0 bits exactly (13 > cap 10 → band-0 bucket hot)
+    // and are random elsewhere. With the guard, the A-B pair's every
+    // route runs through the hot bucket (A's probe FROM it, B's probe
+    // INTO it) → pair correctly lost, quadratic blowup correctly
+    // avoided; guard off → found.
+    val a = 0x0123456789ABCDEFL
+    val bandMask0 = 0xFFFFL
+    val b = a ^ ((1L << 5) |
+      (1L << 20) | (1L << 25) | (1L << 36) | (1L << 41) |
+      (1L << 52) | (1L << 57))
+    val rnd = new scala.util.Random(7)
+    val fillers = (0 until 12).map { i =>
+      (a & bandMask0) | (rnd.nextLong() & ~bandMask0)
+    }
+    val sigs = ((Seq(a, b) ++ fillers).zipWithIndex.map {
+      case (s, i) => (i.toLong, s)
+    }).toDF("id", "sig")
+    val guarded = Dedup.sigNearDups(sigs, maxHamming = 7, bands = 4,
+      maxBucketSize = 10, probe = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(!guarded.contains((0L, 1L)),
+      s"pair whose only witness band is hot must drop with the guard: $guarded")
+    val unguarded = Dedup.sigNearDups(sigs, maxHamming = 7, bands = 4,
+      maxBucketSize = 0, probe = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(unguarded.contains((0L, 1L)), s"guard off must find the pair: $unguarded")
+    // a pair with a COLD witness band survives the same hot bucket:
+    // C differs from A by 1 bit in band 3 only — bands 1..3 witness
+    val c = a ^ (1L << 60)
+    val sigs2 = ((Seq(a, b, c) ++ fillers).zipWithIndex.map {
+      case (s, i) => (i.toLong, s)
+    }).toDF("id", "sig")
+    val got2 = Dedup.sigNearDups(sigs2, maxHamming = 7, bands = 4,
+      maxBucketSize = 10, probe = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got2.contains((0L, 2L)),
+      s"cold-band witness must survive the band-0 hot bucket: $got2")
+  }
+
+  test("multi-probe against-form: batch probes, corpus stays exact — " +
+      "persisted corpusHotBuckets ride unchanged") {
+    val a = 0x00FF00FF00FF00FFL
+    val spread = ((1L << 2) | (1L << 18) | (1L << 21) | (1L << 35) |
+      (1L << 38) | (1L << 55) | (1L << 58)) // 1/2/2/2 over bands
+    val corpus = Seq((100L, a), (101L, 0x7777000012340000L)).toDF("id", "sig")
+    val batch = Seq((1L, a ^ spread), (2L, ~a)).toDF("id", "sig")
+    def pairs(hot: Option[org.apache.spark.sql.DataFrame]) =
+      Dedup.sigNearDupsAgainst(batch, corpus, maxHamming = 7, bands = 4,
+        maxBucketSize = 10000, corpusHotBuckets = hot, probe = 1)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val got = pairs(None)
+    assert(got == Set((1L, 100L)), s"pairs: $got")
+    // the probe-agnostic persisted hot state (empty at this cap) must
+    // not change the result — the mergeable-counts protocol is intact
+    val hot = Dedup.hotFromCounts(Dedup.bucketCounts(corpus, 4), 10000)
+    assert(pairs(Some(hot)) == got)
+  }
+
   test("bucketCounts merge across batches == one count over the union; " +
       "hotFromCounts == simHashHotBuckets") {
     // the mergeability that lets incremental state keep per-bucket
