@@ -2254,22 +2254,28 @@ object SparkEntry {
     // planted overlap. Numerator EXACT (distinct hit grams are bounded
     // by the benchmark — semi-join state, mergeable by union-distinct);
     // denominator = the mergeable HLL gram sketch (q89's state at
-    // gram_size 8). Sketch internals differ from DuckDB's HLL →
-    // rows-only; EntrySpec replays the arithmetic against exact counts.
+    // gram_size 8). Hashed grams — the scale form: native 64-bit gram
+    // hashes feed the sketch and the hit join, no 8-word gram String is
+    // ever built. ORACLE-EXACT via dump-and-replay on the
+    // estimateDistinct seam: the per-source sketch ESTIMATE (the one
+    // sketch-internal step — 20 rows) dumps as replay input, and DuckDB
+    // recomputes the exact numerator from the documents table with
+    // q63's string-shingle idiom (hashed and string gram counts agree
+    // at 2^-64 collision odds — EntrySpec's cross-representation
+    // assertion), the left join, and the fraction. What stays
+    // unverified is exactly the HLL register arithmetic; EntrySpec pins
+    // that estimate within 5% of exact.
     "q95_contamination_budget" -> ((s, dir) => {
       import graft.llm.Cardinality
       val docs = t(s, dir, "documents").select(col("doc_id"), col("source"), col("text"))
       val bench = docs.filter(col("doc_id") < 50).select(col("text"))
-      // hashed grams — the scale form: native 64-bit gram hashes feed
-      // the sketch and the hit join, no 8-word gram String is ever
-      // built. EntrySpec replays the budget with STRING shingles and
-      // the numbers must still agree (collisions are 2^-64-grade) —
-      // the cross-representation assertion.
       val state = Cardinality.sketchState(docs, Seq("source"), "text",
         gramSize = 8, hashGrams = true)
+      val est = dumpAux(
+        Cardinality.estimateDistinct(state, Seq("source")), dir, "q95_distinct")
       val hits = Cardinality.benchmarkHitGrams(docs, bench, Seq("source"),
         "text", "text", gramSize = 8, hashGrams = true)
-      Cardinality.contaminationReport(state, hits, Seq("source"))
+      Cardinality.contaminationReportFromEstimates(est, hits, Seq("source"))
         .select(col("source"), col("distinct_grams"), col("shared_grams"),
           round(col("contaminated_fraction"), 6).as("contaminated_fraction"))
     }),
@@ -4769,6 +4775,35 @@ object SparkEntry {
         |SELECT doc_id, count(*) AS n_hits
         |FROM docg WHERE gram IN (SELECT gram FROM benchg)
         |GROUP BY doc_id""".stripMargin,
+    // q95: the per-source sketch ESTIMATES are this run's dumped replay
+    // input (the one non-SQL-portable step); the exact shared-gram
+    // numerator replays from the documents table with q63's
+    // string-shingle idiom (hashed == string counts at 2^-64 collision
+    // odds, EntrySpec-pinned), then the left join + guarded fraction.
+    "q95_contamination_budget" ->
+      """WITH est AS (
+        |  SELECT source, distinct_grams
+        |  FROM read_parquet('__AUX__/q95_distinct/*.parquet')),
+        |toks AS (
+        |  SELECT doc_id, source,
+        |    list_filter(regexp_split_to_array(lower(trim(text)), '\s+'), t -> len(t) > 0) AS ts
+        |  FROM documents),
+        |grams AS (
+        |  SELECT doc_id, source, list_distinct(list_filter(list_transform(
+        |    range(0, greatest(len(ts) - 8, 0) + 1),
+        |    i -> array_to_string(ts[i+1:i+8], ' ')), s -> len(s) > 0)) AS gs
+        |  FROM toks),
+        |benchg AS (SELECT DISTINCT unnest(gs) AS gram FROM grams WHERE doc_id < 50),
+        |srcg AS (SELECT DISTINCT source, unnest(gs) AS gram FROM grams),
+        |sh AS (
+        |  SELECT source, count(*) AS shared_grams FROM srcg
+        |  WHERE gram IN (SELECT gram FROM benchg) GROUP BY source)
+        |SELECT est.source, est.distinct_grams,
+        |  CAST(coalesce(sh.shared_grams, 0) AS BIGINT) AS shared_grams,
+        |  round(CASE WHEN est.distinct_grams > 0
+        |    THEN coalesce(sh.shared_grams, 0) / CAST(est.distinct_grams AS DOUBLE)
+        |    ELSE 0.0 END, 6) AS contaminated_fraction
+        |FROM est LEFT JOIN sh ON est.source = sh.source""".stripMargin,
     "q64_repetition" -> RepetitionOracleSql,
     "q65_native_repetition" -> RepetitionOracleSql,
     "q66_pack_sequences" ->

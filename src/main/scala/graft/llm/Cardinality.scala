@@ -282,14 +282,38 @@ object Cardinality {
   def contaminationReport(
       state: DataFrame,
       hitGrams: DataFrame,
+      groupCols: Seq[String]): DataFrame =
+    contaminationReportFromEstimates(
+      estimateDistinct(state, groupCols), hitGrams, groupCols)
+
+  /** The sketch state's per-group distinct-gram ESTIMATES
+    * `(groupCols…, distinct_grams, gram_size)` — the decomposed first
+    * half of [[contaminationReport]], and the natural data-card
+    * artifact to PERSIST: the estimate is the only sketch-internal
+    * (non-SQL-portable) step of the budget, so once this tiny table
+    * (one row per group) is materialized, everything downstream — the
+    * exact shared-gram numerator, the join, the fraction — replays in
+    * plain SQL (the q95 dump-and-replay oracle rides exactly this
+    * seam). */
+  def estimateDistinct(state: DataFrame, groupCols: Seq[String]): DataFrame =
+    state.select(groupCols.map(col) :+
+      coalesce(hll_sketch_estimate(col("token_sketch")), lit(0L))
+        .as("distinct_grams") :+
+      col("gram_size"): _*)
+
+  /** [[contaminationReport]] over an already-materialized estimates
+    * table (from [[estimateDistinct]], possibly persisted/read back):
+    * exact numerator from the hit-gram state, left join (a group with
+    * zero hits reports 0, never drops), fraction guarded against an
+    * empty group. All plain relational arithmetic — SQL-replayable. */
+  def contaminationReportFromEstimates(
+      estimates: DataFrame,
+      hitGrams: DataFrame,
       groupCols: Seq[String]): DataFrame = {
     val shared = hitGrams
       .groupBy(groupCols.map(col): _*)
       .agg(count(lit(1)).as("shared_grams"))
-    state.select(groupCols.map(col) :+
-        coalesce(hll_sketch_estimate(col("token_sketch")), lit(0L))
-          .as("distinct_grams") :+
-        col("gram_size"): _*)
+    estimates
       .join(shared, groupCols, "left")
       .withColumn("shared_grams", coalesce(col("shared_grams"), lit(0L)))
       .withColumn("contaminated_fraction",
