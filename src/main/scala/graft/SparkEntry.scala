@@ -4723,8 +4723,8 @@ object SparkEntry {
         |             ('0x' || substr(dg, 22, 5))::BIGINT % (n + 1)) AS hi
         |  FROM d)
         |SELECT doc_id,
-        |  dg < '80000000000000000000000000000000' AS fim_applied,
-        |  CASE WHEN dg < '80000000000000000000000000000000' THEN
+        |  dg < '80000000000000000000000000000000' AND text IS NOT NULL AS fim_applied,
+        |  CASE WHEN dg < '80000000000000000000000000000000' AND text IS NOT NULL THEN
         |    '<|fim_prefix|>' || substr(text, 1, lo) ||
         |    '<|fim_suffix|>' || substr(text, hi + 1, n - hi) ||
         |    '<|fim_middle|>' || substr(text, lo + 1, hi - lo)

@@ -437,6 +437,21 @@ object Scorer {
   * attention masking (docs cross sequence boundaries, nothing padded);
   * `pack-eos-token` names a vocab token (typically a declared special
   * like `<|endoftext|>`) as the separator instead of `<eos>`.
+  * `fim-rate` re-emits that fraction of training rows as
+  * sentinel-delimited fill-in-the-middle examples (Bavarian et al.
+  * 2022; `fim-mode = psm | spm`, `fim-salt`, `fim-*-token` overrides;
+  * `fim_applied` rides the rows): runs on the training UNIT — the
+  * chunk when chunking is on, the document otherwise. HEADROOM RULE:
+  * the three sentinels add ~3 ids to every transformed row, so size
+  * budgets (`bpe-budget`, `pack-seq-len`) must reserve that headroom
+  * — configure `bpe-budget = window - 3` (and the padded `pack-mode =
+  * pad` export flags any overflow as truncation). On transformed rows
+  * `chunk_tokens` is recounted over the emitted text and
+  * `chunk_bpe_tokens` is re-derived from `token_ids` when id export
+  * is on (NULLed otherwise — a stale pre-FIM count would read as
+  * truth). With token-id export every sentinel must be a declared
+  * `bpe-special-tokens` entry (single fixed id, never split);
+  * FIM + unigram id export is refused.
   * Reporting: `report-dir` (+
   * `report-group-columns`) writes the per-group corpus data card;
   * `cardinality-group-columns` (+ `cardinality-report-dir`,
@@ -471,7 +486,7 @@ object Scorer {
   * next increment. Alternate A/B state dirs between runs. */
 object Curator {
   def main(args: Array[String]): Unit = Cli.run("curator", args) { (conf, spark) =>
-    import org.apache.spark.sql.functions.{col, concat, count, length, lit, row_number, sum, xxhash64}
+    import org.apache.spark.sql.functions.{coalesce, col, concat, count, length, lit, row_number, size, split, sum, when, xxhash64}
     Cli.log("loading corpus...")
     val rawIn = graft.sources.DataIO.read(spark, conf.at("source"))
     val c = conf.at("curation")
@@ -1208,7 +1223,30 @@ object Curator {
     val curated = stages.timed("curate") {
       graft.llm.Curation.curate(vecBatch, idCol, textCol, cc)
     }
-    val curatedN = curated.count()
+    // FIM sentinel spellings (full contract checks live with the fim
+    // stage below; resolved here so the collision count can ride the
+    // curated-count aggregate the pipeline already pays)
+    val fimPre = c.getString("fim-prefix-token").getOrElse("<|fim_prefix|>")
+    val fimSuf = c.getString("fim-suffix-token").getOrElse("<|fim_suffix|>")
+    val fimMid = c.getString("fim-middle-token").getOrElse("<|fim_middle|>")
+    // sentinel-collision observability (the protected-special sharp
+    // edge): text ALREADY containing a sentinel spelling aliases the
+    // control downstream — count and log, never silently. FOLDED into
+    // the curated-count action (advice: a separate whole-corpus pass
+    // for one log line is not a 100 TB shape); doc-level counting on
+    // the pre-epoch frame gives the per-document signal (sentinels are
+    // whitespace-free, so a spelling survives chunking iff the document
+    // carries it, and epoch copies would only multiply it).
+    val logDropCountsOn = !c.getString("log-drop-counts").exists(v => !v.toBoolean)
+    val (curatedN, fimSentinelCollisions) =
+      if (c.getDouble("fim-rate").isDefined && logDropCountsOn) {
+        val r = curated.agg(
+          count(lit(1)),
+          coalesce(sum(when(
+            col(textCol).contains(fimPre) || col(textCol).contains(fimSuf) ||
+              col(textCol).contains(fimMid), 1L).otherwise(0L)), lit(0L))).head()
+        (r.getLong(0), r.getLong(1))
+      } else (curated.count(), 0L)
     stages.rows("curate", curatedN)
     println(s"curated corpus size: $curatedN")
     batchToFree.foreach(_.unpersist()) // curated cache is materialized
@@ -1525,9 +1563,8 @@ object Curator {
     // it would encode as ordinary text and silently lose its
     // single-id identity. The unigram encoder has no protected-
     // specials path, so FIM + unigram id export is refused outright.
-    val fimPre = c.getString("fim-prefix-token").getOrElse("<|fim_prefix|>")
-    val fimSuf = c.getString("fim-suffix-token").getOrElse("<|fim_suffix|>")
-    val fimMid = c.getString("fim-middle-token").getOrElse("<|fim_middle|>")
+    // (fimPre/fimSuf/fimMid resolve next to the curated-count fold
+    // above.)
     c.getDouble("fim-rate").foreach { _ =>
       val sentinels = Seq(fimPre, fimSuf, fimMid)
       require(sentinels.forall(sp => sp.nonEmpty && !sp.exists(_.isWhitespace)),
@@ -1601,29 +1638,18 @@ object Curator {
     val fimmed = c.getDouble("fim-rate") match {
       case Some(rate) => stages.timed("fim") {
         val tcol = if (out.columns.contains("chunk_text")) "chunk_text" else textCol
-        // sentinel-collision observability (the protected-special sharp
-        // edge): text ALREADY containing a sentinel spelling aliases
-        // the control downstream — count and log, never silently. The
-        // count runs on the PRE-chunk frame: sentinels are whitespace-
-        // free, so a spelling survives chunking iff the document
-        // carries it (tokens are whitespace-free runs carried intact
-        // into chunks) — doc-level counting gives the same signal
-        // without re-running the chunker for one log line.
-        if (!c.getString("log-drop-counts").exists(v => !v.toBoolean)) {
-          val nCollide = labeled.filter(
-            col(textCol).contains(fimPre) || col(textCol).contains(fimSuf) ||
-              col(textCol).contains(fimMid)).count()
-          if (nCollide > 0) Cli.log(
-            s"fim: $nCollide documents already contain a sentinel spelling — " +
-              "their in-text occurrences will alias the control tokens " +
-              "(filter or rewrite upstream if that is not intended)")
-        }
+        // the collision count rode the curated-count aggregate above —
+        // here it only logs
+        if (fimSentinelCollisions > 0) Cli.log(
+          s"fim: $fimSentinelCollisions documents already contain a sentinel " +
+            "spelling — their in-text occurrences will alias the control " +
+            "tokens (filter or rewrite upstream if that is not intended)")
         var rowId =
           if (out.columns.contains("chunk_text"))
             concat(col(idCol).cast("string"), lit(":"), col("chunk_id"))
           else col(idCol).cast("string")
         if (epochWeights.nonEmpty) rowId = concat(rowId, lit("#"), col("epoch"))
-        graft.llm.CorpusPrep.fimTransform(
+        val transformed = graft.llm.CorpusPrep.fimTransform(
           out.withColumn("__fim_row", rowId), "__fim_row", tcol, rate,
           preTok = fimPre, sufTok = fimSuf, midTok = fimMid,
           mode = c.getString("fim-mode").getOrElse("psm"),
@@ -1631,6 +1657,26 @@ object Curator {
           outCol = "__fim_text")
           .withColumn(tcol, col("__fim_text"))
           .drop("__fim_text", "__fim_row")
+        // FIM rewrote the training text — count columns describing the
+        // pre-FIM text must not ride along stale (advice finding):
+        // whitespace counts recount at scan speed over the emitted
+        // text; subword counts are re-derived from token_ids by the
+        // encode stage below when id export is on, and NULLed here
+        // otherwise (without the encoder there is no honest subword
+        // count — NULL reads as "not counted", a stale number reads
+        // as truth).
+        val idExportOn = c.getString("bpe-vocab").isDefined
+        val recounted =
+          if (!transformed.columns.contains("chunk_tokens")) transformed
+          else transformed.withColumn("chunk_tokens",
+            when(col("fim_applied"),
+              size(org.apache.spark.sql.functions.filter(
+                split(col(tcol), "\\s+"), t => length(t) > 0)).cast("long"))
+              .otherwise(col("chunk_tokens")))
+        if (!recounted.columns.contains("chunk_bpe_tokens") || idExportOn) recounted
+        else recounted.withColumn("chunk_bpe_tokens",
+          when(col("fim_applied"), lit(null).cast("long"))
+            .otherwise(col("chunk_bpe_tokens")))
       }
       case None => out
     }
@@ -1639,7 +1685,7 @@ object Curator {
     // encoded from the chunk text (or whole-doc text when chunking is
     // off) under the learned tokenizer. Scan-speed projection: table +
     // vocab load once per executor, zero shuffle added.
-    val encoded = (unigramModel, c.getString("bpe-vocab")) match {
+    val encoded0 = (unigramModel, c.getString("bpe-vocab")) match {
       case (Some(model), _)
           if c.getBoolean("unigram-ids").getOrElse(false) ||
             c.getInt("pack-seq-len").isDefined => stages.timed("encode-ids") {
@@ -1669,6 +1715,18 @@ object Curator {
       }
       case _ => fimmed
     }
+    // post-FIM subword recount (pairs with the fim stage's stale-count
+    // rule): with id export on, size(token_ids) IS the true post-FIM
+    // id count under the actual encoder, declared specials included —
+    // chunk_bpe_tokens then means the same thing on every row
+    val encoded =
+      if (encoded0.columns.contains("token_ids") &&
+          encoded0.columns.contains("chunk_bpe_tokens") &&
+          encoded0.columns.contains("fim_applied"))
+        encoded0.withColumn("chunk_bpe_tokens",
+          when(col("fim_applied"), size(col("token_ids")).cast("long"))
+            .otherwise(col("chunk_bpe_tokens")))
+      else encoded0
     // optional packed token-id export (`pack-seq-len`, requires
     // `bpe-vocab`): the terminal trainer contract — fixed-length
     // `input_ids` with the vocab's <eos> id after every doc/chunk and
@@ -3353,6 +3411,18 @@ object Tokenizer {
     val t = docs.select(col(textCol).as("t") +:
         groupCol.map(g => col(g).cast("string").as("g")).toSeq: _*)
       .filter(col("t").isNotNull)
+    // the grouped report collects one row per group PER ARTIFACT to the
+    // driver — a mistaken high-cardinality group column (a doc id) would
+    // turn the 1-row aggregate into a driver OOM; fail loudly first
+    // (the same driver-side bound every collect in this file carries)
+    if (groupCol.isDefined) {
+      val nGroups = t.select(col("g")).distinct().count()
+      require(nGroups <= 10000,
+        s"tokenizer.group-column '${groupCol.get}' has $nGroups distinct " +
+          "values — the per-group evaluation report collects one row per " +
+          "group per artifact to the driver; group on a low-cardinality " +
+          "column (source, language), not an id")
+    }
     val perSpec = specs.map { spec =>
       val parts = spec.split('|')
       require(parts.length >= 3,

@@ -619,7 +619,11 @@ object CorpusPrep {
         concat(lit(preTok), prefix, lit(sufTok), suffix, lit(midTok), middle)
       else
         concat(lit(preTok), lit(sufTok), suffix, lit(midTok), prefix, middle)
-    val applied = graft.operators.Ops.hashSamplePredicate(col(idCol), rate, salt)
+    // null text never claims `applied` (concat over null is null — a
+    // consumer selecting applied rows must never receive null training
+    // text); such rows pass through verbatim like unsampled ones
+    val applied = graft.operators.Ops.hashSamplePredicate(col(idCol), rate, salt) &&
+      t.isNotNull
     df.withColumn(appliedCol, applied)
       .withColumn(outCol, when(col(appliedCol), transformed).otherwise(t))
   }

@@ -700,6 +700,27 @@ class CorpusPrepSpec extends SparkTestBase {
     assert(plan.contains("*(1)"), s"expected WholeStageCodegen:\n$plan")
   }
 
+  test("fimTransform: null text never claims fim_applied — a consumer " +
+      "selecting applied rows can never receive null training text " +
+      "(concat over null is null; the row passes through like an " +
+      "unsampled one)") {
+    val df = Seq((0L, Option("hello world")), (1L, Option.empty[String]),
+      (2L, Option.empty[String]), (3L, Option("abc")))
+      .toDF("doc_id", "text")
+    val out = CorpusPrep.fimTransform(df, "doc_id", "text", rate = 1.0).collect()
+    assert(out.length == 4)
+    out.foreach { r =>
+      if (r.isNullAt(r.fieldIndex("text"))) {
+        assert(!r.getAs[Boolean]("fim_applied"),
+          s"null text claimed applied: doc ${r.getAs[Long]("doc_id")}")
+        assert(r.isNullAt(r.fieldIndex("fim_text")))
+      } else {
+        assert(r.getAs[Boolean]("fim_applied"))
+        assert(r.getAs[String]("fim_text") != null)
+      }
+    }
+  }
+
   test("fimTransform: misuse fails loudly") {
     val df = Seq((1L, "a")).toDF("doc_id", "text")
     intercept[IllegalArgumentException] {
