@@ -2729,6 +2729,12 @@ object Streamer {
     * protocol — bounded ≤ bands·2^(64/bands) rows), so no micro-batch
     * ever re-bands the corpus.
     *
+    * `rotate-after-parts = N` bounds the lineage's part list: the
+    * batch past the bound is refused loudly with the exact reseed
+    * recipe (fresh cluster-state-dir/checkpoint/target seeded by this
+    * dir via `state-dir`) — rotation-as-reseed, never in-place
+    * compaction, which would break batch-index reads.
+    *
     * `embedding-column` adds the VECTOR tiers on the text-tier
     * survivors (the Curator's composition —
     * [[graft.llm.Similarity.dropSeenVectorsCounted]]: SRP-vs-corpus
@@ -2873,12 +2879,38 @@ object Streamer {
       Cli.stateTableParts(spark, d, table).getOrElse(Seq(s"$d/$table"))
     }
     val logCounts = c.getBoolean("log-drop-counts").getOrElse(true)
+    val rotateAfter = c.getInt("rotate-after-parts")
+    rotateAfter.foreach(n => require(n > 0,
+      s"streaming.rotate-after-parts must be positive, got $n"))
     Cli.log("streaming run started (AvailableNow, foreachBatch)...")
     Streams.runForeachBatch(docs, c.string("checkpoint-location"), opts) {
       (batchRaw, batchId) =>
         val idx = batchId + 1 // part-0 is the seed bootstrap
         def partsBefore(table: String): Seq[String] =
           clusterPartsBefore(fs, root, table, idx, includeZero = false)
+        // `rotate-after-parts`: a batch-id-keyed lineage's part list (and
+        // the per-batch read fan-in) grows one part per batch forever —
+        // rotation-as-reseed is the bound (in-place compaction would
+        // break batch-index reads), and this knob makes the bound LOUD
+        // instead of an operator memory. Checked per batch so a long
+        // AvailableNow run crossing the bound mid-run also refuses; a
+        // RETRY of the crossing batch counts only parts below its own
+        // index, so it refuses (or proceeds) exactly like the original.
+        rotateAfter.foreach { bound =>
+          val existing = partsBefore("sigs").length
+          if (existing >= bound) throw new IllegalStateException(
+            s"near-dedup-cluster: lineage at $root holds $existing accreted " +
+              s"parts — rotate-after-parts = $bound is reached. Rotate by " +
+              "RESEEDING (prior parts stay byte-identical): rerun with\n" +
+              s"  streaming.cluster-state-dir = <fresh empty dir>\n" +
+              s"  streaming.state-dir = $root\n" +
+              "  streaming.checkpoint-location = <fresh dir>\n" +
+              "  streaming.target-dir = <fresh dir>\n" +
+              "keeping every near-dup parameter identical (the seed's " +
+              "marker pins them); the old lineage becomes the new one's " +
+              "seed corpus and batch numbering restarts under the new " +
+              "checkpoint")
+        }
         def countPartsBefore(table: String): Seq[String] =
           clusterPartsBefore(fs, root, table, idx, includeZero = true)
         def hotOf(countParts: Seq[String]): Option[org.apache.spark.sql.DataFrame] =
@@ -3023,8 +3055,10 @@ object Streamer {
     * and as the `state-dir` seed of a rotated lineage; the seed's own
     * line must match this run's exactly (kernels and geometries never
     * mix). A separate `clusterseed` record guards a RESTART against a
-    * swapped seed dir (the line alone cannot see that drift). VIDEO
-    * stays on the batch MediaDedup increment — one clip is many
+    * swapped seed dir (the line alone cannot see that drift).
+    * `rotate-after-parts = N` bounds the part list with a loud
+    * reseed-recipe refusal (the text cluster op's contract, verbatim).
+    * VIDEO stays on the batch MediaDedup increment — one clip is many
     * signatures, and frame-aligned pairing is the batch tier's job. */
   private def runClusteredMediaNearDedup(
       spark: org.apache.spark.sql.SparkSession,
@@ -3136,11 +3170,32 @@ object Streamer {
       Cli.stateTableParts(spark, d, table).getOrElse(Seq(s"$d/$table"))
     }
     val logCounts = c.getBoolean("log-drop-counts").getOrElse(true)
+    val rotateAfter = c.getInt("rotate-after-parts")
+    rotateAfter.foreach(n => require(n > 0,
+      s"streaming.rotate-after-parts must be positive, got $n"))
     Cli.log("streaming run started (AvailableNow, foreachBatch)...")
     Streams.runForeachBatch(assets, c.string("checkpoint-location"), opts) {
       (batchRaw, batchId) =>
         val idx = batchId + 1
         val sigParts = clusterPartsBefore(fs, root, "sigs", idx, includeZero = false)
+        // the text cluster op's rotate-after-parts bound, verbatim
+        // semantics (see runClusteredNearDedup): loud refusal with the
+        // reseed recipe instead of an ever-growing part list
+        rotateAfter.foreach { bound =>
+          if (sigParts.length >= bound) throw new IllegalStateException(
+            s"media-near-dedup-cluster: lineage at $root holds " +
+              s"${sigParts.length} accreted parts — rotate-after-parts = " +
+              s"$bound is reached. Rotate by RESEEDING (prior parts stay " +
+              "byte-identical): rerun with\n" +
+              s"  streaming.cluster-state-dir = <fresh empty dir>\n" +
+              s"  streaming.state-dir = $root\n" +
+              "  streaming.checkpoint-location = <fresh dir>\n" +
+              "  streaming.target-dir = <fresh dir>\n" +
+              "keeping the kernel and band geometry identical (the seed's " +
+              "fingerprint line pins them); the old lineage becomes the " +
+              "new one's seed corpus and batch numbering restarts under " +
+              "the new checkpoint")
+        }
         val countParts = clusterPartsBefore(fs, root, "hotcounts", idx, includeZero = true)
         val batch = batchRaw.persist()
         // ONE decode pass: the codegen'd hash column, cached — every

@@ -3708,6 +3708,89 @@ class CliSpec extends SparkTestBase {
     assert(drift.getMessage.contains("one lineage"), drift.getMessage)
   }
 
+  test("streamer near-dedup-cluster rotate-after-parts: the part-list bound " +
+      "refuses loudly with the reseed recipe; the reseeded lineage continues " +
+      "and still drops echoes of the old lineage's survivors") {
+    import org.apache.spark.sql.functions.{col, timestamp_micros}
+    import spark.implicits._
+    val base = tmp()
+    val landing = base.resolve("landing").toString
+    def land(rows: Seq[(Long, String)]): Unit =
+      rows.toDF("doc_id", "text")
+        .withColumn("ts", timestamp_micros(col("doc_id") * 1000000L))
+        .write.mode("append").parquet(landing)
+    val out = base.resolve("out").toString
+    val state = base.resolve("state").toString
+    val conf = write(base.resolve("rot_bound.conf"),
+      s"""streaming {
+         |  events-dir = $landing
+         |  target-dir = $out
+         |  checkpoint-location = ${base.resolve("ckpt")}
+         |  operation = near-dedup-cluster
+         |  cluster-state-dir = $state
+         |  rotate-after-parts = 2
+         |  shuffle-partitions = 4
+         |}
+         |""".stripMargin)
+    // two batches fit inside the bound (parts 1 and 2 accrete)
+    land(Seq(1L -> "first arrival about basalt columns and hexagonal jointing"))
+    graft.cli.Streamer.main(Array("--conf", conf))
+    land(Seq(2L -> "second arrival describing estuarine silt deposition rates"))
+    graft.cli.Streamer.main(Array("--conf", conf))
+    assert(new java.io.File(s"$state/sigs/part-2").exists())
+    // the third batch crosses the bound: loud refusal carrying the
+    // exact reseed recipe (the error surfaces through the streaming
+    // query's cause chain)
+    land(Seq(3L -> "third arrival on lichen growth rings and dating"))
+    val e = intercept[Exception] { graft.cli.Streamer.main(Array("--conf", conf)) }
+    val chain = Iterator.iterate(e: Throwable)(_.getCause).takeWhile(_ != null)
+      .map(t => Option(t.getMessage).getOrElse("")).mkString("\n")
+    assert(chain.contains("rotate-after-parts = 2 is reached"), chain)
+    assert(chain.contains("state-dir = ") && chain.contains("RESEEDING"), chain)
+    // rotation = the recipe from the error: fresh lineage seeded by the
+    // old dir. A new events dir carries an echo of an OLD survivor + a
+    // fresh doc; the reseeded lineage numbers from batch-0 again and
+    // drops the echo through its seed frames
+    val landing2 = base.resolve("landing2").toString
+    Seq(10L -> "FIRST ARRIVAL ABOUT BASALT COLUMNS AND HEXAGONAL JOINTING",
+      11L -> "wholly fresh prose about carbonate platform drowning")
+      .toDF("doc_id", "text")
+      .withColumn("ts", timestamp_micros(col("doc_id") * 1000000L))
+      .write.parquet(landing2)
+    val out2 = base.resolve("out2").toString
+    graft.cli.Streamer.main(Array("--conf", write(base.resolve("rot2.conf"),
+      s"""streaming {
+         |  events-dir = $landing2
+         |  target-dir = $out2
+         |  checkpoint-location = ${base.resolve("ckpt2")}
+         |  operation = near-dedup-cluster
+         |  state-dir = $state
+         |  cluster-state-dir = ${base.resolve("state2")}
+         |  rotate-after-parts = 2
+         |  shuffle-partitions = 4
+         |}
+         |""".stripMargin)))
+    val kept = spark.read.parquet(s"$out2/batch-0").select("doc_id")
+      .as[Long].collect().toSet
+    assert(kept == Set(11L),
+      s"the reseeded lineage must drop the old survivor's echo and keep " +
+        s"the fresh doc: $kept")
+    // misconfig: a non-positive bound is refused up front
+    val bad = intercept[IllegalArgumentException] {
+      graft.cli.Streamer.main(Array("--conf", write(base.resolve("rot_bad.conf"),
+        s"""streaming {
+           |  events-dir = $landing2
+           |  target-dir = ${base.resolve("x")}
+           |  checkpoint-location = ${base.resolve("xc")}
+           |  operation = near-dedup-cluster
+           |  cluster-state-dir = ${base.resolve("xs")}
+           |  rotate-after-parts = 0
+           |}
+           |""".stripMargin)))
+    }
+    assert(bad.getMessage.contains("must be positive"), bad.getMessage)
+  }
+
   test("streamer near-dedup-cluster with embedding-column: vector tiers ride " +
       "the same per-batch commit and accrete vecsigs state") {
     import spark.implicits._
