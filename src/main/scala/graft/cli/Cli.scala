@@ -4168,13 +4168,17 @@ object Indexer {
   *  - `max-hamming` (default 3; video default 5), `bands` (default 4;
   *    video 8), `max-bucket-size` (default 10000), and for video
   *    `min-frames` (default 2) + `every-n` frame sampling (default 1);
-  *  - `image-hash = dhash | dct` (default dhash): the scalar image
-  *    kernel — `dct` (pHash) holds blur / heavy-re-quantization twins
-  *    dHash cannot, typically at `max-hamming = 7, bands = 8`, but is
-  *    corpus-dependent (degenerate on low-texture corpora: run
-  *    calibrate first). Scalar lineage only (the crop/rotation tier
-  *    states are dHash kernels) and its state carries its own
-  *    `image-dct` fingerprint line;
+  *  - `image-hash = dhash | dct` (default dhash): the image kernel —
+  *    `dct` (pHash) holds blur / heavy-re-quantization twins dHash
+  *    cannot, typically at `max-hamming = 7` multi-probed over 4 bands
+  *    (`probe`, derived automatically), but is corpus-dependent
+  *    (degenerate on low-texture corpora: run calibrate first).
+  *    Applies to the scalar lineage and the dihedral rotation tier
+  *    (blur+rotate composites measured separable only under pHash);
+  *    the CROP tier refuses it — degraded crops separate under
+  *    neither kernel (the measured negative), keep crops on dHash
+  *    with verify-pairs. Each dct state carries its own `image-dct` /
+  *    `image-dihedral-dct` fingerprint line;
   *  - `pairs-dir` — the near-dup pair report (always written when set:
   *    operators need the evidence before trusting the drop);
   *  - `mode = report | filter` (default report): `filter` collapses
@@ -4319,33 +4323,47 @@ object MediaDedup {
     require(!(cropTier && rotationTier),
       "media-dedup.crop-tier and rotation-tier persist DIFFERENT state " +
         "shapes (tiles vs dihedral orientations) — run them as separate lineages")
-    require(imageHash == "dhash" || (!cropTier && !rotationTier),
-      "media-dedup.image-hash = dct is the SCALAR image lineage — the " +
-        "tile/dihedral tier states are dHash kernels; run them separately")
+    // dct pairs the SCALAR image lineage and (since round 14) the
+    // DIHEDRAL rotation tier — MediaEnvelopeProbe measured blur+JPEG
+    // rotated arrivals at pHash twin max 7 vs stranger min 16 (cleanly
+    // separable at the dct radius) where dHash's margin thins to 7-8
+    // vs 11-12. The CROP tier is the measured NEGATIVE: degraded crops
+    // separate under NEITHER kernel (dHash twin max 14 vs stranger min
+    // 7; pHash 22 vs 6 — cropping rewrites the global DCT spectrum),
+    // so dct+crop is refused; degraded-crop recall needs a different
+    // mechanism than a kernel swap (run crops on dHash + verify-pairs).
+    require(imageHash == "dhash" || !cropTier,
+      "media-dedup.image-hash = dct is the SCALAR image lineage (or the " +
+        "dihedral rotation tier) — the crop tier's degraded arrivals " +
+        "separate under NEITHER kernel (MediaEnvelopeProbe); run crops " +
+        "on dHash with verify-pairs")
     val windowFrames = c.getInt("window-frames").getOrElse(2048)
     val hop = c.getInt("hop").getOrElse(512)
     val minWindows = c.getInt("min-windows").getOrElse(2)
     val minSlots = c.getInt("min-slots").getOrElse(4)
     val minWitnesses = c.getInt("min-witnesses").getOrElse(2)
-    // `probe`: the scalar image/audio tiers' MULTI-PROBE depth
-    // (Dedup.sigNearDups) — 1 lets a radius up to 2*bands-1 run on
-    // wide (discriminating) bucket keys instead of forcing narrow
-    // bands; the default derives the minimal complete depth from the
-    // radius/band geometry, so the dct kernel's radius-7 default runs
-    // probed on 4x16-bit bands out of the box. Matching-time only:
-    // signature state and hotcounts are probe-agnostic.
+    // `probe`: the MULTI-PROBE depth (Dedup.sigNearDups) of the
+    // probe-capable tiers — the scalar image/audio joins and the
+    // dihedral rotation tier. Depth 1 lets a radius up to 2*bands-1
+    // run on wide (discriminating) bucket keys instead of forcing
+    // narrow bands; the default derives the minimal complete depth
+    // from the radius/band geometry, so the dct kernel's radius-7
+    // default runs probed on 4x16-bit bands out of the box.
+    // Matching-time only: signature state and hotcounts are
+    // probe-agnostic.
     val scalarTier = (modality == "image" && !cropTier && !rotationTier) ||
       (modality == "audio" && !windowed)
+    val probeCapable = scalarTier || rotationTier
     val probe = c.getInt("probe").getOrElse(
-      if (scalarTier) maxHamming / bands else 0)
+      if (probeCapable) maxHamming / bands else 0)
     val autoHint =
       if (maxHammingAuto) " (max-hamming = auto derived this radius from " +
         "the calibration report — raise media-dedup.bands or widen the " +
         "fingerprint, don't hand-pick a smaller radius)"
       else ""
-    require(probe == 0 || scalarTier,
-      "media-dedup.probe is the scalar image/audio multi-probe knob — the " +
-        "windowed/crop/rotation/video tiers band exactly (keep radius < bands)")
+    require(probe == 0 || probeCapable,
+      "media-dedup.probe is the scalar/rotation multi-probe knob — the " +
+        "windowed/crop/video tiers band exactly (keep radius < bands)")
     require(probe <= 1,
       s"media-dedup: radius $maxHamming over $bands bands needs probe " +
         s"depth $probe, but only depth <= 1 is implemented — raise bands " +
@@ -4353,8 +4371,8 @@ object MediaDedup {
     require(maxHamming < bands * (probe + 1),
       s"media-dedup: radius $maxHamming is not pigeonhole-complete over " +
         s"$bands bands at probe depth $probe$autoHint")
-    require(scalarTier || maxHamming < bands,
-      s"media-dedup: the windowed/crop/rotation/video tiers band exactly — " +
+    require(probeCapable || maxHamming < bands,
+      s"media-dedup: the windowed/crop/video tiers band exactly — " +
         s"radius $maxHamming needs bands > $maxHamming$autoHint")
     import org.apache.hadoop.fs.Path
     val hconf = spark.sparkContext.hadoopConfiguration
@@ -4378,6 +4396,8 @@ object MediaDedup {
     val stateFp =
       if (windowed) s"audio-windowed|wf=$windowFrames|hop=$hop|bands=$bands|maxHamming=$maxHamming"
       else if (cropTier) s"image-tiles|bands=$bands|maxHamming=$maxHamming"
+      else if (rotationTier && imageHash == "dct")
+        s"image-dihedral-dct|bands=$bands|maxHamming=$maxHamming"
       else if (rotationTier) s"image-dihedral|bands=$bands|maxHamming=$maxHamming"
       else if (modality == "image" && imageHash == "dct")
         s"image-dct|bands=$bands|maxHamming=$maxHamming"
@@ -4522,7 +4542,8 @@ object MediaDedup {
       case ("image", _, true) => Multimodal.tileHashes(media,
         Multimodal.ImageIoDecoder, idCol, contentCol, metaCol)
       case ("image", _, _) if rotationTier => Multimodal.dihedralHashes(media,
-        Multimodal.ImageIoDecoder, idCol, contentCol, metaCol)
+        Multimodal.ImageIoDecoder, idCol, contentCol, metaCol,
+        kernel = imageHash)
       case ("image", _, _) if imageHash == "dct" => Multimodal.dctHashes(media,
         Multimodal.ImageIoDecoder, idCol, contentCol, metaCol)
       case ("image", _, _) => Multimodal.perceptualHashes(media,
@@ -4548,7 +4569,7 @@ object MediaDedup {
               col("n_slots_matched").as("score"))
         else if (rotationTier)
           Multimodal.rotationNearDupsFromSigs(batchSigs, minWitnesses,
-              maxHamming, bands, maxBucket)
+              maxHamming, bands, maxBucket, probe)
             .select(col("id1"), col("id2"), col("min_hamming").as("score"))
         else if (windowed)
           Dedup.seqSigNearDups(batchSigs.withColumnRenamed("window_idx", "seq_idx"),
@@ -4624,7 +4645,7 @@ object MediaDedup {
               minSlots, maxHamming, bands, maxBucket, corpusHot)
           else if (rotationTier)
             Multimodal.rotationNearDupsAgainst(batchSigs, corpusSigs,
-              minWitnesses, maxHamming, bands, maxBucket, corpusHot)
+              minWitnesses, maxHamming, bands, maxBucket, corpusHot, probe)
           else if (windowed)
             Dedup.seqSigNearDupsAgainst(
               batchSigs.withColumnRenamed("window_idx", "seq_idx"),

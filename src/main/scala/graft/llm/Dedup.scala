@@ -233,7 +233,7 @@ object Dedup {
     * suffices — equivalently maxHamming < bands×(probe+1). Only depths
     * 0 and 1 are implemented (depth ≥ 2 multiplies candidates by
     * ~width²/2 — widen the fingerprint instead). */
-  private def requireProbeComplete(maxHamming: Int, bands: Int, probe: Int): Unit = {
+  private[llm] def requireProbeComplete(maxHamming: Int, bands: Int, probe: Int): Unit = {
     require(probe == 0 || probe == 1,
       s"probe depth must be 0 or 1, got $probe (a radius needing depth " +
         ">= 2 wants a wider fingerprint, not a deeper probe)")
@@ -249,7 +249,7 @@ object Dedup {
     * keys dropped (see [[sigNearDups]]). The hot-key aggregate appears
     * in up to three subplans per query — identical subtrees, so the
     * exchange-reuse pass evaluates it once. */
-  private def probedSide(sigs: DataFrame, banded: DataFrame, bands: Int,
+  private[llm] def probedSide(sigs: DataFrame, banded: DataFrame, bands: Int,
       maxBucketSize: Int, probe: Int,
       precomputedHot: Option[DataFrame] = None): DataFrame =
     if (probe == 0) dropHotBuckets(banded, maxBucketSize, precomputedHot)

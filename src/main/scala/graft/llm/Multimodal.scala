@@ -1994,13 +1994,25 @@ object Multimodal {
     * near-dup matching only ever compares ALL orientations of one side
     * against orientation 0 of the other (8 combos per pair, not 64):
     * see [[rotationNearDups]]. */
+  /** `kernel = "dct"` hashes each orientation with [[pHash64]] instead
+    * of [[dHash64]] — the blur/re-quantization-robust DIHEDRAL lineage
+    * (MediaEnvelopeProbe, round 14, textured family: a blur+JPEG-q0.3
+    * rotated arrival sits at pHash twin max 7 vs stranger min 16 —
+    * cleanly inside the dct tier's radius-7 envelope — where dHash's
+    * margin thins to twin max 7-8 vs stranger min 11-12). NOT
+    * comparable to dHash dihedral state; the MediaDedup fingerprint
+    * line keeps the lineages apart. */
   def dihedralHashes(
       df: DataFrame,
       decoder: MediaDecoder,
       idCol: String = "asset_id",
       contentCol: String = "content",
       metaCol: String = "meta",
-      batchSize: Int = 64): DataFrame = {
+      batchSize: Int = 64,
+      kernel: String = "dhash"): DataFrame = {
+    require(Set("dhash", "dct")(kernel),
+      s"dihedralHashes kernel must be dhash | dct, got '$kernel'")
+    val useDct = kernel == "dct"
     val idType = df.schema(idCol).dataType
     val schema = StructType(Seq(
       StructField("id", idType, nullable = false),
@@ -2017,7 +2029,10 @@ object Multimodal {
             val meta = Option(row.getMap[String, String](mIdx))
               .map(_.toMap).getOrElse(Map.empty[String, String])
             val d = decoder.decode(content, meta)
-            (0 until 8).map(k => Row(row.get(idIdx), k, dHash64(dihedral(d, k))))
+            (0 until 8).map { k =>
+              val o = dihedral(d, k)
+              Row(row.get(idIdx), k, if (useDct) pHash64(o) else dHash64(o))
+            }
           }
         }
       }
@@ -2054,31 +2069,39 @@ object Multimodal {
       minWitnesses: Int = 2,
       maxHamming: Int = 3,
       bands: Int = 4,
-      maxBucketSize: Int = 10000): DataFrame =
+      maxBucketSize: Int = 10000,
+      kernel: String = "dhash",
+      probe: Int = 0): DataFrame =
     rotationNearDupsFromSigs(
-      dihedralHashes(df, decoder, idCol, contentCol, metaCol),
-      minWitnesses, maxHamming, bands, maxBucketSize)
+      dihedralHashes(df, decoder, idCol, contentCol, metaCol, kernel = kernel),
+      minWitnesses, maxHamming, bands, maxBucketSize, probe)
 
   /** [[rotationNearDups]] over an existing `(id, orient, sig)` state
-    * frame. */
+    * frame. `probe` = the multi-probe depth ([[graft.llm.Dedup
+    * .sigNearDups]]) — the dct kernel's radius-7 envelope runs on 4
+    * bands of 16 bits at depth 1, same geometry/guard contract as the
+    * scalar dct tier. The all-orientations side probes; the canonical
+    * slice stays exact. */
   def rotationNearDupsFromSigs(
       sigs: DataFrame,
       minWitnesses: Int = 2,
       maxHamming: Int = 3,
       bands: Int = 4,
-      maxBucketSize: Int = 10000): DataFrame = {
-    require(maxHamming < bands,
-      s"pigeonhole needs maxHamming < bands ($maxHamming >= $bands misses pairs)")
+      maxBucketSize: Int = 10000,
+      probe: Int = 0): DataFrame = {
+    graft.llm.Dedup.requireProbeComplete(maxHamming, bands, probe)
     require(minWitnesses >= 1 && minWitnesses <= 2,
       s"witnesses are DIRECTIONS (at most 2); got minWitnesses = $minWitnesses")
-    val all = graft.llm.Dedup.dropHotBuckets(
-      graft.llm.Dedup.bandSignatures(
-        sigs.select(struct(col("id").as("aid"), col("orient").as("o")).as("id"),
-          col("sig")), bands), maxBucketSize)
+    val keyed = sigs.select(
+      struct(col("id").as("aid"), col("orient").as("o")).as("id"), col("sig"))
+    val banded = graft.llm.Dedup.bandSignatures(keyed, bands)
+    val all = graft.llm.Dedup.probedSide(keyed, banded, bands, maxBucketSize, probe)
       .select(col("band"), col("bits"), col("id.aid").as("ida"),
         col("id.o").as("orient"), col("sig").as("siga"))
-    val canonical = all.filter(col("orient") === 0)
-      .select(col("band"), col("bits"), col("ida").as("idb"), col("siga").as("sigb"))
+    val canonical = graft.llm.Dedup.dropHotBuckets(banded, maxBucketSize)
+      .filter(col("id.o") === 0)
+      .select(col("band"), col("bits"), col("id.aid").as("idb"),
+        col("sig").as("sigb"))
     all.join(canonical, Seq("band", "bits"))
       .filter(col("ida") =!= col("idb"))
       .select(col("ida"), col("idb"), col("orient"),
@@ -2155,18 +2178,29 @@ object Multimodal {
       maxHamming: Int = 3,
       bands: Int = 4,
       maxBucketSize: Int = 10000,
-      corpusHotBuckets: Option[DataFrame] = None): DataFrame = {
-    require(maxHamming < bands,
-      s"pigeonhole needs maxHamming < bands ($maxHamming >= $bands misses pairs)")
+      corpusHotBuckets: Option[DataFrame] = None,
+      probe: Int = 0): DataFrame = {
+    graft.llm.Dedup.requireProbeComplete(maxHamming, bands, probe)
     require(minWitnesses >= 1 && minWitnesses <= 2,
       s"witnesses are DIRECTIONS (at most 2); got minWitnesses = $minWitnesses")
-    def banded(t: DataFrame, hot: Option[DataFrame]) =
+    def keyed(t: DataFrame) =
+      t.select(struct(col("id").as("aid"), col("orient").as("o")).as("id"),
+        col("sig"))
+    // per direction: the all-orientations side probes, the canonical
+    // slice stays exact (the sigNearDupsAgainst contract — persisted
+    // corpusHotBuckets ride unchanged, probe depth is matching-time)
+    def allSide(t: DataFrame, hot: Option[DataFrame]) = {
+      val k = keyed(t)
+      graft.llm.Dedup.probedSide(k, graft.llm.Dedup.bandSignatures(k, bands),
+        bands, maxBucketSize, probe, hot)
+    }
+    def canonSide(t: DataFrame, hot: Option[DataFrame]) =
       graft.llm.Dedup.dropHotBuckets(
-        graft.llm.Dedup.bandSignatures(
-          t.select(struct(col("id").as("aid"), col("orient").as("o")).as("id"),
-            col("sig")), bands), maxBucketSize, hot)
-    val b = banded(batchSigs, None)
-    val c = banded(corpusSigs, corpusHotBuckets)
+        graft.llm.Dedup.bandSignatures(keyed(t), bands), maxBucketSize, hot)
+    val bAll = allSide(batchSigs, None)
+    val bCanon = canonSide(batchSigs, None)
+    val cAll = allSide(corpusSigs, corpusHotBuckets)
+    val cCanon = canonSide(corpusSigs, corpusHotBuckets)
     def dir(all: DataFrame, canon: DataFrame, allIs: String, tag: Int) = {
       val l = all.select(col("band"), col("bits"),
         col("id.aid").as(if (allIs == "batch") "batch_id" else "corpus_id"),
@@ -2181,7 +2215,7 @@ object Multimodal {
         .distinct()
         .withColumn("__dir", lit(tag))
     }
-    dir(b, c, "batch", 0).unionByName(dir(c, b, "corpus", 1))
+    dir(bAll, cCanon, "batch", 0).unionByName(dir(cAll, bCanon, "corpus", 1))
       .groupBy(col("batch_id"), col("corpus_id"))
       .agg(countDistinct(col("__dir")).as("n_witnesses"),
         min(struct(col("hamming"), col("orient"))).as("__best"))

@@ -59,5 +59,78 @@ object MediaEnvelopeProbe {
         }
       }
     }
+    tierComposites(n)
+  }
+
+  /** Round-14 (verdict item 7): do blur/re-quantization COMPOSITES of
+    * the crop and rotation arrivals fall outside the dHash kernels the
+    * tile/dihedral tiers run at — and would a pHash kernel hold them?
+    *
+    * Crop tier: the stored state holds the original's tile hashes; a
+    * center-crop arrival matches its full frame (tile 0) against the
+    * original's center half (tile 5). Twin distance here = that exact
+    * comparison with the arrival degraded (JPEG q0.3 / blur+JPEG)
+    * after cropping; stranger = the same slot comparison cross-seed.
+    *
+    * Rotation tier: the arrival's eight orientations compare against
+    * the stored canonical (the q137 witness direction). Twin distance
+    * = min over the degraded rotated arrival's orientations vs the
+    * original's hash; stranger = the same minimum cross-seed (the
+    * honest comparison — the tier itself takes that minimum, so a
+    * stranger gets it too). Textured family only: the smooth families
+    * are DCT-degenerate (above) and the crop fixture family for q135
+    * is anisotropic, measured separately in the base loop. */
+  private def tierComposites(n: Int): Unit = {
+    val plates = (0 until n).map(s =>
+      decode(Multimodal.encodePng(Multimodal.texturedImage(s.toLong))))
+    val degrades: Seq[(String, Decoded => Decoded)] = Seq(
+      "png" -> (d => decode(Multimodal.encodePng(d))),
+      "jpeg_q30" -> (d => decode(Multimodal.jpegBytesAtQuality(d, 0.3f))),
+      "blur_then_jpeg30" -> (d => decode(
+        Multimodal.jpegBytesAtQuality(Multimodal.boxBlur3(d), 0.3f))))
+    for ((hashName, hash) <- Seq(
+        "dhash" -> ((d: Decoded) => Multimodal.dHash64(d)),
+        "phash" -> ((d: Decoded) => Multimodal.pHash64(d)))) {
+      // ---- crop tier: orig tile-5 (center half) vs degraded crop tile-0
+      val tile5 = plates.map { d =>
+        hash(Multimodal.cropRegion(d, d.width / 4, d.height / 4,
+          d.width / 2, d.height / 2))
+      }
+      for ((label, deg) <- degrades) {
+        val cropHash = plates.map { d =>
+          hash(deg(Multimodal.cropRegion(d, d.width / 4, d.height / 4,
+            d.width / 2, d.height / 2)))
+        }
+        val twins = (0 until n).map(s =>
+          java.lang.Long.bitCount(tile5(s) ^ cropHash(s)))
+        var strangerMin = 64
+        for (i <- 0 until n; j <- 0 until n if i != j) {
+          val d = java.lang.Long.bitCount(tile5(i) ^ cropHash(j))
+          if (d < strangerMin) strangerMin = d
+        }
+        println(f"tier=crop     $hashName%-5s $label%-18s twin max ${twins.max}%2d  " +
+          f"mean ${twins.sum.toDouble / n}%5.2f  stranger min $strangerMin%2d")
+      }
+      // ---- rotation tier: degraded rot90 arrival's 8 orientations vs
+      // the stored canonical, min-witness on both twin AND stranger
+      val canon = plates.map(hash)
+      for ((label, deg) <- degrades) {
+        val arrivalOrients = plates.map { d =>
+          val arrival = deg(Multimodal.dihedral(d, 1))
+          (0 until 8).map(k => hash(Multimodal.dihedral(arrival, k)))
+        }
+        def minDist(i: Int, j: Int): Int =
+          arrivalOrients(j).map(h =>
+            java.lang.Long.bitCount(canon(i) ^ h)).min
+        val twins = (0 until n).map(s => minDist(s, s))
+        var strangerMin = 64
+        for (i <- 0 until n; j <- 0 until n if i != j) {
+          val d = minDist(i, j)
+          if (d < strangerMin) strangerMin = d
+        }
+        println(f"tier=rotation $hashName%-5s $label%-18s twin max ${twins.max}%2d  " +
+          f"mean ${twins.sum.toDouble / n}%5.2f  stranger min $strangerMin%2d")
+      }
+    }
   }
 }

@@ -5168,6 +5168,99 @@ class CliSpec extends SparkTestBase {
     assert(g.getMessage.contains("separate lineages"), g.getMessage)
   }
 
+  test("mediadedup rotation-tier image-hash = dct: blur+JPEG rotated twins " +
+      "outside the dHash envelope collapse through the probed dihedral-dct " +
+      "lineage; its fingerprint line keeps the kernels apart; crop+dct " +
+      "stays refused (the measured negative)") {
+    import org.apache.spark.sql.functions.{col, lit}
+    import graft.llm.Multimodal
+    import spark.implicits._
+    val base = tmp()
+    def png(s: Long) = Multimodal.encodePng(Multimodal.texturedImage(s))
+    def rotDegraded(s: Long) = {
+      val d = Multimodal.ImageIoDecoder.decode(png(s), Map.empty)
+      Multimodal.jpegBytesAtQuality(
+        Multimodal.boxBlur3(Multimodal.dihedral(d, 1)), 0.3f)
+    }
+    val src = base.resolve("rdct_src").toString
+    // twins of seeds 0 and 19 measure dHash min-witness 6 and 7 — both
+    // OUTSIDE the dHash tier's radius 3; pHash holds them at 0
+    ((0L until 20L).map(s => s -> png(s)) ++
+      Seq(0L, 19L).map(s => (s + 100000L) -> rotDegraded(s)))
+      .toDF("asset_id", "content")
+      .withColumn("meta", lit(null).cast("map<string,string>"))
+      .write.parquet(src)
+    val st = base.resolve("rdct_st").toString
+    graft.cli.MediaDedup.main(Array("--conf", write(base.resolve("rdct.conf"),
+      s"""media-dedup {
+         |  source { storage-type = local, dataset-dir = $src }
+         |  target { storage-type = local, dataset-dir = ${base.resolve("rdct_out")}, dataset-store-format = parquet, write-mode = overwrite }
+         |  modality = image
+         |  rotation-tier = true
+         |  image-hash = dct
+         |  mode = filter
+         |  state-out-dir = $st
+         |}
+         |""".stripMargin)))
+    // NO bands/max-hamming/probe knobs above: the dihedral-dct lineage
+    // must default to the probed radius-7 geometry
+    val kept = spark.read.parquet(base.resolve("rdct_out").toString)
+      .select("asset_id").collect().map(_.getLong(0)).toSet
+    assert(kept == (0L until 20L).toSet,
+      s"blur+JPEG rotated twins must collapse onto their originals: $kept")
+    assert(scala.io.Source.fromFile(s"$st/fingerprint", "UTF-8").mkString.trim ==
+      "image-dihedral-dct|bands=4|maxHamming=7")
+    // the incremental tier rides the same lineage: a degraded rotated
+    // arrival of stored plate 5 drops, a fresh plate lands
+    val src2 = base.resolve("rdct_src2").toString
+    Seq((300005L, rotDegraded(5L)), (777L, png(777L)))
+      .toDF("asset_id", "content")
+      .withColumn("meta", lit(null).cast("map<string,string>"))
+      .write.parquet(src2)
+    graft.cli.MediaDedup.main(Array("--conf", write(base.resolve("rdct2.conf"),
+      s"""media-dedup {
+         |  source { storage-type = local, dataset-dir = $src2 }
+         |  target { storage-type = local, dataset-dir = ${base.resolve("rdct_out2")}, dataset-store-format = parquet, write-mode = overwrite }
+         |  modality = image
+         |  rotation-tier = true
+         |  image-hash = dct
+         |  mode = filter
+         |  state-dir = $st
+         |  state-out-dir = ${base.resolve("rdct_st2")}
+         |}
+         |""".stripMargin)))
+    val kept2 = spark.read.parquet(base.resolve("rdct_out2").toString)
+      .select("asset_id").collect().map(_.getLong(0)).toSet
+    assert(kept2 == Set(777L),
+      s"the degraded rotated arrival must drop against dihedral-dct state: $kept2")
+    // a dHash dihedral run cannot consume the dct lineage
+    val drift = intercept[IllegalArgumentException] {
+      graft.cli.MediaDedup.main(Array("--conf", write(base.resolve("rdct_drift.conf"),
+        s"""media-dedup {
+           |  source { storage-type = local, dataset-dir = $src2 }
+           |  modality = image
+           |  rotation-tier = true
+           |  mode = report
+           |  state-dir = $st
+           |}
+           |""".stripMargin)))
+    }
+    assert(drift.getMessage.contains("image-dihedral-dct"), drift.getMessage)
+    // crop + dct: the measured negative stays a loud refusal
+    val crop = intercept[IllegalArgumentException] {
+      graft.cli.MediaDedup.main(Array("--conf", write(base.resolve("rdct_crop.conf"),
+        s"""media-dedup {
+           |  source { storage-type = local, dataset-dir = $src }
+           |  modality = image
+           |  crop-tier = true
+           |  image-hash = dct
+           |  mode = report
+           |}
+           |""".stripMargin)))
+    }
+    assert(crop.getMessage.contains("NEITHER kernel"), crop.getMessage)
+  }
+
   test("mediadedup calibrate mode + card-dir: per-corpus twin/stranger " +
       "Hamming evidence lands first, the separation gate trips on a radius " +
       "that cannot separate; the data card rides any mode") {

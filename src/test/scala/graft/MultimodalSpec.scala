@@ -857,6 +857,57 @@ class MultimodalSpec extends SparkTestBase {
       s"every rotation twin carries both directional witnesses: ${planted.length}")
   }
 
+  test("rotationNearDups dct kernel (round-14 envelope): blur+JPEG-q0.3 " +
+      "rotated arrivals pair two-witness at the probed radius-7 geometry " +
+      "where the default dHash tier provably misses them; no strangers") {
+    import org.apache.spark.sql.functions.{col, lit}
+    import graft.llm.Multimodal
+    import spark.implicits._
+    def png(s: Long) = Multimodal.encodePng(Multimodal.texturedImage(s))
+    // the composite the MediaEnvelopeProbe measured: rotate 90°, 3x3
+    // box blur, JPEG at quality 0.3 — outside dHash's radius-3 margin
+    // on half these seeds (max 7), inside pHash's radius 7 (max 4 here)
+    def rotDegraded(s: Long) = {
+      val d = Multimodal.ImageIoDecoder.decode(png(s), Map.empty)
+      Multimodal.jpegBytesAtQuality(
+        Multimodal.boxBlur3(Multimodal.dihedral(d, 1)), 0.3f)
+    }
+    val media = ((0L until 20L).map(s => s -> png(s)) ++
+      (0L until 20L).map(s => (s + 100000L) -> rotDegraded(s)))
+      .toDF("asset_id", "content")
+      .withColumn("meta", lit(null).cast("map<string,string>"))
+    val dct = Multimodal.rotationNearDups(media, Multimodal.ImageIoDecoder,
+      minWitnesses = 2, maxHamming = 7, bands = 4, kernel = "dct", probe = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(dct.map(p => (p._1, p._2)).toSet ==
+      (0L until 20L).map(s => (s, s + 100000L)).toSet,
+      s"dct dihedral tier must pair exactly the 20 planted rotated twins: " +
+        s"${dct.toSeq.sorted}")
+    assert(dct.forall(_._3 == 2), "every planted pair carries both witnesses")
+    // the dHash tier at its default radius misses the measured-hard
+    // seeds (0 -> distance 6, 19 -> 7; deterministic codecs)
+    val dhash = Multimodal.rotationNearDups(media, Multimodal.ImageIoDecoder,
+      minWitnesses = 2, maxHamming = 3, bands = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(!dhash.contains((0L, 100000L)) && !dhash.contains((19L, 100019L)),
+      s"the dHash kernel at radius 3 must miss the blur+JPEG composites " +
+        s"the dct knob exists for: $dhash")
+    assert(dhash.size < 20, s"dhash must find strictly fewer: ${dhash.size}")
+    // the incremental form agrees: the degraded arrivals vs the stored
+    // canonical dihedral state, same probed geometry
+    val corpusState = Multimodal.dihedralHashes(
+      media.filter(col("asset_id") < 100000L), Multimodal.ImageIoDecoder,
+      kernel = "dct")
+    val batchState = Multimodal.dihedralHashes(
+      media.filter(col("asset_id") >= 100000L), Multimodal.ImageIoDecoder,
+      kernel = "dct")
+    val hits = Multimodal.rotationNearDupsAgainst(batchState, corpusState,
+      minWitnesses = 2, maxHamming = 7, bands = 4, probe = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(hits == (0L until 20L).map(s => (s + 100000L, s)).toSet,
+      s"incremental dct dihedral tier must match the self-join: $hits")
+  }
+
   test("centerCropNearDupsAgainst: both crop directions surface with their " +
       "tags — a batch crop of stored content AND a stored crop of batch " +
       "content; strangers in neither") {
