@@ -2914,8 +2914,11 @@ object SparkEntry {
       // replays the frame-aligned join + min-frames gate.
       val sigs = dumpAux(Multimodal.videoFrameHashes(
         dib.unionByName(mjpegTwins)), dir, "q131_sigs")
+      // radius 5 over 4 bands of 16 bits, Hamming-<=1 probed (round 14:
+      // 8 unprobed bands = 8-bit bucket keys, the dct tier's measured
+      // guard-saturation class; the replay below is banding-agnostic)
       Multimodal.videoNearDupsFromSigs(sigs,
-          minFrames = 3, maxHamming = 5, bands = 8)
+          minFrames = 3, maxHamming = 5, bands = 4, probe = 1)
         .groupBy(when(col("id2") - col("id1") === 100000, "planted_cross_codec")
           .otherwise("other").as("pair_type"))
         .agg(count(lit(1)).as("n_pairs"),
@@ -3011,9 +3014,10 @@ object SparkEntry {
       // the delta-grouped offset-consistent decision.
       val sigs = dumpAux(Multimodal.videoFrameHashes(
         dib.unionByName(shifted)), dir, "q134_sigs")
+      // radius 5 probed over 4x16-bit bands (round 14 — see q131)
       graft.llm.Dedup.seqSigNearDups(
           sigs.withColumnRenamed("frame_idx", "seq_idx"),
-          minMatches = 3, maxHamming = 5, bands = 8)
+          minMatches = 3, maxHamming = 5, bands = 4, probe = 1)
         .groupBy(when(col("id2") - col("id1") === 100000, "planted_shifted")
           .otherwise("other").as("pair_type"))
         .agg(countDistinct(col("id1"), col("id2")).as("n_pairs"),

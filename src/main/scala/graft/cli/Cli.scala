@@ -2644,8 +2644,7 @@ object Streamer {
         // the state's own band geometry (hot keys are (band, bits) under
         // the fingerprint line's `bands=`; any other width re-derives)
         val stateBands = lineInt("bands")
-        val bandsHere = c.getInt("bands")
-          .getOrElse(stateBands.getOrElse(if (modality == "video") 8 else 4))
+        val bandsHere = c.getInt("bands").getOrElse(stateBands.getOrElse(4))
         val stateMaxHamming = lineInt("maxHamming")
         val hotPath = new org.apache.hadoop.fs.Path(stateDir, "hot")
         val corpusHot =
@@ -2654,23 +2653,25 @@ object Streamer {
                 .exists(hotPath))
             Some(spark.read.parquet(s"$stateDir/hot"))
           else None
-        if (modality == "video")
+        if (modality == "video") {
           // one clip is many hashes: the bounded first-k-frames array
           // column + per-frame band joins against the frame-sig state
           // (`first-k-frames`/`min-frames` mirror the batch tier's
           // every-n/min-frames contract at the arrival door)
+          val mh = c.getInt("max-hamming").getOrElse(stateMaxHamming.getOrElse(5))
           Streams.dropNearSeenVideoStream(assets,
             Cli.readStateTable(spark, stateDir, "sigs"),
             firstKFrames = c.getInt("first-k-frames").getOrElse(3),
             contentCol = c.getString("content-column").getOrElse("content"),
             minFrames = c.getInt("min-frames").getOrElse(2),
-            maxHamming = c.getInt("max-hamming")
-              .getOrElse(stateMaxHamming.getOrElse(5)),
+            maxHamming = mh,
             bands = bandsHere,
             maxBucketSize = c.getInt("max-bucket-size").getOrElse(10000),
             corpusHotBuckets = corpusHot,
             timeCol = c.getString("time-column").getOrElse("ts"),
-            watermarkDelay = watermark)
+            watermarkDelay = watermark,
+            probe = c.getInt("probe").getOrElse(mh / bandsHere))
+        }
         else {
           // a dct lineage's line typically reads 7/4 — the multi-probe
           // geometry; the arrival filter derives the same minimal probe
@@ -4165,9 +4166,12 @@ object Indexer {
   *    `id-column`/`content-column`/`meta-column` rename);
   *  - `modality = image | audio | video` (required — selects the
   *    decoder: javax.imageio, javax.sound, or the RIFF/AVI parser);
-  *  - `max-hamming` (default 3; video default 5), `bands` (default 4;
-  *    video 8), `max-bucket-size` (default 10000), and for video
-  *    `min-frames` (default 2) + `every-n` frame sampling (default 1);
+  *  - `max-hamming` (default 3; video default 5), `bands` (default 4 —
+  *    16-bit bucket keys everywhere; wide radii run multi-probed via
+  *    `probe`, derived automatically, instead of forcing narrow
+  *    guard-saturating bands), `max-bucket-size` (default 10000), and
+  *    for video `min-frames` (default 2) + `every-n` frame sampling
+  *    (default 1);
   *  - `image-hash = dhash | dct` (default dhash): the image kernel —
   *    `dct` (pHash) holds blur / heavy-re-quantization twins dHash
   *    cannot, typically at `max-hamming = 7` multi-probed over 4 bands
@@ -4243,7 +4247,11 @@ object MediaDedup {
     // geometries); an existing bands=8 lineage's fingerprint line
     // still refuses the new default loudly — rebuild the state.
     val imageDct = modality == "image" && imageHash == "dct"
-    val bands = c.getInt("bands").getOrElse(if (modality == "video") 8 else 4)
+    // 4 bands of 16 bits everywhere (round 14): the old video default
+    // of 8 bands meant 8-bit bucket keys — the same guard-saturation
+    // scale-killer the dct tier had (256 possible buckets per band per
+    // frame slot); the video radius 5 now runs multi-probed instead
+    val bands = c.getInt("bands").getOrElse(4)
     // `max-hamming = auto`: consume a PRIOR calibration report (mode =
     // calibrate writes the twin/stranger Hamming distributions to
     // calibrate-report-dir) instead of a hand-picked radius — the
@@ -4342,18 +4350,17 @@ object MediaDedup {
     val minWindows = c.getInt("min-windows").getOrElse(2)
     val minSlots = c.getInt("min-slots").getOrElse(4)
     val minWitnesses = c.getInt("min-witnesses").getOrElse(2)
-    // `probe`: the MULTI-PROBE depth (Dedup.sigNearDups) of the
-    // probe-capable tiers — the scalar image/audio joins and the
-    // dihedral rotation tier. Depth 1 lets a radius up to 2*bands-1
-    // run on wide (discriminating) bucket keys instead of forcing
-    // narrow bands; the default derives the minimal complete depth
-    // from the radius/band geometry, so the dct kernel's radius-7
-    // default runs probed on 4x16-bit bands out of the box.
-    // Matching-time only: signature state and hotcounts are
+    // `probe`: the MULTI-PROBE depth (Dedup.sigNearDups) — every tier
+    // except crop is probe-capable (the crop tier's slot-aligned join
+    // has its own semantics and its radius-3/4-band geometry never
+    // needed a probe). Depth 1 lets a radius up to 2*bands-1 run on
+    // wide (discriminating) bucket keys instead of forcing narrow
+    // bands; the default derives the minimal complete depth from the
+    // radius/band geometry, so the dct kernel's radius 7 and the video
+    // tiers' radius 5 both run probed on 4x16-bit bands out of the
+    // box. Matching-time only: signature state and hotcounts are
     // probe-agnostic.
-    val scalarTier = (modality == "image" && !cropTier && !rotationTier) ||
-      (modality == "audio" && !windowed)
-    val probeCapable = scalarTier || rotationTier
+    val probeCapable = !cropTier
     val probe = c.getInt("probe").getOrElse(
       if (probeCapable) maxHamming / bands else 0)
     val autoHint =
@@ -4362,8 +4369,8 @@ object MediaDedup {
         "fingerprint, don't hand-pick a smaller radius)"
       else ""
     require(probe == 0 || probeCapable,
-      "media-dedup.probe is the scalar/rotation multi-probe knob — the " +
-        "windowed/crop/video tiers band exactly (keep radius < bands)")
+      "media-dedup.probe does not apply to the crop tier — its " +
+        "slot-aligned join bands exactly (keep radius < bands)")
     require(probe <= 1,
       s"media-dedup: radius $maxHamming over $bands bands needs probe " +
         s"depth $probe, but only depth <= 1 is implemented — raise bands " +
@@ -4372,7 +4379,7 @@ object MediaDedup {
       s"media-dedup: radius $maxHamming is not pigeonhole-complete over " +
         s"$bands bands at probe depth $probe$autoHint")
     require(probeCapable || maxHamming < bands,
-      s"media-dedup: the windowed/crop/video tiers band exactly — " +
+      s"media-dedup: the crop tier bands exactly — " +
         s"radius $maxHamming needs bands > $maxHamming$autoHint")
     import org.apache.hadoop.fs.Path
     val hconf = spark.sparkContext.hadoopConfiguration
@@ -4573,15 +4580,15 @@ object MediaDedup {
             .select(col("id1"), col("id2"), col("min_hamming").as("score"))
         else if (windowed)
           Dedup.seqSigNearDups(batchSigs.withColumnRenamed("window_idx", "seq_idx"),
-              minWindows, maxHamming, bands, maxBucket)
+              minWindows, maxHamming, bands, maxBucket, probe)
             .select(col("id1"), col("id2"), col("n_matched").as("score"))
         else if (modality == "video" && shiftTolerant)
           Dedup.seqSigNearDups(batchSigs.withColumnRenamed("frame_idx", "seq_idx"),
-              minFrames, maxHamming, bands, maxBucket)
+              minFrames, maxHamming, bands, maxBucket, probe)
             .select(col("id1"), col("id2"), col("n_matched").as("score"))
         else if (modality == "video")
           Multimodal.videoNearDupsFromSigs(batchSigs, minFrames, maxHamming,
-              bands, maxBucket)
+              bands, maxBucket, probe)
             .select(col("id1"), col("id2"), col("n_frames_matched").as("score"))
         else Dedup.sigNearDups(batchSigs, maxHamming, bands, maxBucket, probe)
           .withColumnRenamed("hamming", "score")
@@ -4650,15 +4657,15 @@ object MediaDedup {
             Dedup.seqSigNearDupsAgainst(
               batchSigs.withColumnRenamed("window_idx", "seq_idx"),
               corpusSigs.withColumnRenamed("window_idx", "seq_idx"),
-              minWindows, maxHamming, bands, maxBucket, corpusHot)
+              minWindows, maxHamming, bands, maxBucket, corpusHot, probe)
           else if (modality == "video" && shiftTolerant)
             Dedup.seqSigNearDupsAgainst(
               batchSigs.withColumnRenamed("frame_idx", "seq_idx"),
               corpusSigs.withColumnRenamed("frame_idx", "seq_idx"),
-              minFrames, maxHamming, bands, maxBucket, corpusHot)
+              minFrames, maxHamming, bands, maxBucket, corpusHot, probe)
           else if (modality == "video")
             Multimodal.videoNearDupsAgainst(batchSigs, corpusSigs, minFrames,
-              maxHamming, bands, maxBucket, corpusHot)
+              maxHamming, bands, maxBucket, corpusHot, probe)
           else Dedup.sigNearDupsAgainst(batchSigs, corpusSigs, maxHamming,
             bands, maxBucket, corpusHot, probe)
         hits.select(col("batch_id")).distinct()

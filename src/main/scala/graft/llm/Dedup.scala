@@ -484,14 +484,16 @@ object Dedup {
       minMatches: Int = 2,
       maxHamming: Int = 3,
       bands: Int = 4,
-      maxBucketSize: Int = 10000): DataFrame = {
-    require(maxHamming < bands,
-      s"pigeonhole needs maxHamming < bands ($maxHamming >= $bands misses pairs)")
+      maxBucketSize: Int = 10000,
+      probe: Int = 0): DataFrame = {
+    requireProbeComplete(maxHamming, bands, probe)
     val keyed = sigs.select(
       struct(col("id").as("aid"), col("seq_idx").as("s")).as("id"), col("sig"))
-    val banded = dropHotBuckets(bandSignatures(keyed, bands), maxBucketSize)
-    val l = banded.select(col("band"), col("bits"), col("id.aid").as("id1"),
-      col("id.s").as("s1"), col("sig").as("sig1"))
+    val banded0 = bandSignatures(keyed, bands)
+    val banded = dropHotBuckets(banded0, maxBucketSize)
+    val l = probedSide(keyed, banded0, bands, maxBucketSize, probe)
+      .select(col("band"), col("bits"), col("id.aid").as("id1"),
+        col("id.s").as("s1"), col("sig").as("sig1"))
     val r = banded.select(col("band"), col("bits"), col("id.aid").as("id2"),
       col("id.s").as("s2"), col("sig").as("sig2"))
     l.join(r, Seq("band", "bits"))
@@ -517,12 +519,14 @@ object Dedup {
       maxHamming: Int = 3,
       bands: Int = 4,
       maxBucketSize: Int = 10000,
-      corpusHotBuckets: Option[DataFrame] = None): DataFrame = {
-    require(maxHamming < bands,
-      s"pigeonhole needs maxHamming < bands ($maxHamming >= $bands misses pairs)")
+      corpusHotBuckets: Option[DataFrame] = None,
+      probe: Int = 0): DataFrame = {
+    requireProbeComplete(maxHamming, bands, probe)
     def keyed(df: DataFrame) = df.select(
       struct(col("id").as("aid"), col("seq_idx").as("s")).as("id"), col("sig"))
-    val b = dropHotBuckets(bandSignatures(keyed(batchSigs), bands), maxBucketSize)
+    val bKeyed = keyed(batchSigs)
+    val b = probedSide(bKeyed, bandSignatures(bKeyed, bands), bands,
+        maxBucketSize, probe)
       .select(col("band"), col("bits"), col("id.aid").as("batch_id"),
         col("id.s").as("s1"), col("sig").as("sig1"))
     val c = dropHotBuckets(bandSignatures(keyed(corpusSigs), bands),

@@ -1643,16 +1643,17 @@ object Multimodal {
       minFrames: Int = 2,
       maxHamming: Int = 3,
       bands: Int = 4,
-      maxBucketSize: Int = 10000): DataFrame = {
-    require(maxHamming < bands,
-      s"pigeonhole needs maxHamming < bands ($maxHamming >= $bands misses pairs)")
+      maxBucketSize: Int = 10000,
+      probe: Int = 0): DataFrame = {
+    graft.llm.Dedup.requireProbeComplete(maxHamming, bands, probe)
     val sigs = frameSigs
       .select(struct(col("id").as("vid"), col("frame_idx").as("f")).as("id"),
         col("sig"))
-    val banded = graft.llm.Dedup.dropHotBuckets(
-      graft.llm.Dedup.bandSignatures(sigs, bands), maxBucketSize)
-    val l = banded.select(col("band"), col("bits"),
-      col("id.vid").as("id1"), col("id.f").as("f"), col("sig").as("sig1"))
+    val banded0 = graft.llm.Dedup.bandSignatures(sigs, bands)
+    val banded = graft.llm.Dedup.dropHotBuckets(banded0, maxBucketSize)
+    val l = graft.llm.Dedup.probedSide(sigs, banded0, bands, maxBucketSize, probe)
+      .select(col("band"), col("bits"),
+        col("id.vid").as("id1"), col("id.f").as("f"), col("sig").as("sig1"))
     val r = banded.select(col("band"), col("bits"),
       col("id.vid").as("id2"), col("id.f").as("f"), col("sig").as("sig2"))
     l.join(r, Seq("band", "bits", "f"))
@@ -1679,17 +1680,22 @@ object Multimodal {
       maxHamming: Int = 3,
       bands: Int = 4,
       maxBucketSize: Int = 10000,
-      corpusHotBuckets: Option[DataFrame] = None): DataFrame = {
-    require(maxHamming < bands,
-      s"pigeonhole needs maxHamming < bands ($maxHamming >= $bands misses pairs)")
-    def prep(df: DataFrame, hot: Option[DataFrame]) = graft.llm.Dedup.dropHotBuckets(
-      graft.llm.Dedup.bandSignatures(
-        df.select(struct(col("id").as("vid"), col("frame_idx").as("f")).as("id"),
-          col("sig")), bands), maxBucketSize, hot)
-    val b = prep(batchFrameSigs, None).select(col("band"), col("bits"),
-      col("id.vid").as("batch_id"), col("id.f").as("f"), col("sig").as("sig1"))
-    val c = prep(corpusFrameSigs, corpusHotBuckets).select(col("band"), col("bits"),
-      col("id.vid").as("corpus_id"), col("id.f").as("f"), col("sig").as("sig2"))
+      corpusHotBuckets: Option[DataFrame] = None,
+      probe: Int = 0): DataFrame = {
+    graft.llm.Dedup.requireProbeComplete(maxHamming, bands, probe)
+    def keyed(df: DataFrame) =
+      df.select(struct(col("id").as("vid"), col("frame_idx").as("f")).as("id"),
+        col("sig"))
+    val bKeyed = keyed(batchFrameSigs)
+    val b = graft.llm.Dedup.probedSide(bKeyed,
+        graft.llm.Dedup.bandSignatures(bKeyed, bands), bands, maxBucketSize, probe)
+      .select(col("band"), col("bits"),
+        col("id.vid").as("batch_id"), col("id.f").as("f"), col("sig").as("sig1"))
+    val c = graft.llm.Dedup.dropHotBuckets(
+        graft.llm.Dedup.bandSignatures(keyed(corpusFrameSigs), bands),
+        maxBucketSize, corpusHotBuckets)
+      .select(col("band"), col("bits"),
+        col("id.vid").as("corpus_id"), col("id.f").as("f"), col("sig").as("sig2"))
     b.join(c, Seq("band", "bits", "f"))
       .select(col("batch_id"), col("corpus_id"), col("f"),
         graft.llm.Dedup.hamming(col("sig1"), col("sig2")).as("hamming"))
@@ -1717,11 +1723,12 @@ object Multimodal {
       minFrames: Int = 2,
       maxHamming: Int = 3,
       bands: Int = 4,
-      maxBucketSize: Int = 10000): DataFrame =
+      maxBucketSize: Int = 10000,
+      probe: Int = 0): DataFrame =
     graft.llm.Dedup.seqSigNearDups(
       videoFrameHashes(df, everyN, idCol, contentCol, metaCol)
         .withColumnRenamed("frame_idx", "seq_idx"),
-      minFrames, maxHamming, bands, maxBucketSize)
+      minFrames, maxHamming, bands, maxBucketSize, probe)
 
   /** Replace each asset's payload with a REAL AVI (DIB or MJPEG) of
     * `nFrames` deterministic smooth plates keyed by `seedCol` — the

@@ -443,12 +443,15 @@ object Streams {
       maxBucketSize: Int = 10000,
       corpusHotBuckets: Option[DataFrame] = None,
       timeCol: String = "ts",
-      watermarkDelay: String = "2 hours"): DataFrame = {
+      watermarkDelay: String = "2 hours",
+      probe: Int = 0): DataFrame = {
     require(!corpusFrameSigs.isStreaming,
       "corpusFrameSigs must be a static frame (persisted state)")
     require(64 % bands == 0, s"bands must divide 64, got $bands")
-    require(maxHamming < bands,
-      s"pigeonhole needs maxHamming < bands ($maxHamming >= $bands misses pairs)")
+    require(probe == 0 || probe == 1, s"probe depth must be 0 or 1, got $probe")
+    require(maxHamming < bands * (probe + 1),
+      s"pigeonhole needs maxHamming < bands*(probe+1) " +
+        s"($maxHamming >= ${bands * (probe + 1)} misses pairs)")
     require(firstKFrames >= minFrames,
       s"firstKFrames ($firstKFrames) must cover minFrames ($minFrames)")
     require(firstKFrames <= 16,
@@ -469,14 +472,23 @@ object Streams {
       .withColumn(timeTmp, eventTime(col(timeCol)))
       .withWatermark(timeTmp, watermarkDelay)
     // corpus side: band + hot-guard ONCE, then per-(frame, band) bucket
-    // arrays — `bits -> [sigs]`, each bounded by maxBucketSize
-    val banded = graft.llm.Dedup.dropHotBuckets(
+    // arrays — `bits -> [sigs]`, each bounded by maxBucketSize. Under
+    // multi-probe the CORPUS side expands (each stored key also
+    // registers under its Hamming-<=1 neighborhood, the
+    // dropNearSigStream idiom) so the stream side keeps one home-key
+    // equi-join per (frame, band).
+    val banded0 = graft.llm.Dedup.dropHotBuckets(
       graft.llm.Dedup.bandSignatures(
         corpusFrameSigs.select(
           struct(col("id").as("vid"), col("frame_idx").as("f")).as("id"),
           col("sig")), bands),
       maxBucketSize, corpusHotBuckets)
       .select(col("id.f").as("f"), col("band"), col("bits"), col("sig"))
+    val banded =
+      if (probe == 0) banded0
+      else banded0.select(col("f"), col("band"), col("sig"),
+        explode(array(col("bits") +: (0 until width).map(j =>
+          col("bits").bitwiseXOR(lit(1L << j))): _*)).as("bits"))
     var cur = withSig
     val hitCols = (0 until firstKFrames).map { f =>
       // `get` (0-based) returns null past the clip's actual frame count

@@ -241,6 +241,38 @@ class DedupSpec extends SparkTestBase {
     assert(pairs(Some(hot)) == got)
   }
 
+  test("seqSigNearDups probe=1: a radius-5 sub-sig pair spread 2/1/1/1 " +
+      "across the four bands (no exact band match) still accumulates its " +
+      "delta-consistent matches; the against-form agrees") {
+    // clip 1 windows 0..2; clip 2 = the same content trimmed by one
+    // window (delta +1) with 5 bits flipped per window, spread so no
+    // 16-bit band matches exactly — the video/audio tiers' radius-5
+    // regime that used to force 8-bit-key bands
+    val spread = (1L << 1) | (1L << 4) | // band 0: 2 bits
+      (1L << 20) | (1L << 36) | (1L << 52) // bands 1..3: 1 bit each
+    def sub(w: Int): Long = 0x1111222233334444L * (w + 1)
+    val rows = (0 until 3).map(w => (1L, w, sub(w))) ++
+      (0 until 2).map(w => (2L, w, sub(w + 1) ^ spread)) ++
+      Seq((3L, 0, 0x7A7A7A7A7A7A7A7AL)) // stranger
+    val sigs = rows.toDF("id", "seq_idx", "sig")
+    val got = Dedup.seqSigNearDups(sigs, minMatches = 2, maxHamming = 5,
+      bands = 4, probe = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getLong(3)))
+    assert(got.toSeq == Seq((1L, 2L, 1, 2L)),
+      s"delta-consistent probed matches: ${got.toSeq}")
+    // exact banding at the same geometry is refused (5 >= 4)
+    val e = intercept[IllegalArgumentException] {
+      Dedup.seqSigNearDups(sigs, minMatches = 2, maxHamming = 5, bands = 4)
+    }
+    assert(e.getMessage.contains("pigeonhole"), e.getMessage)
+    val vs = Dedup.seqSigNearDupsAgainst(
+      sigs.filter(col("id") === 2L), sigs.filter(col("id") =!= 2L),
+      minMatches = 2, maxHamming = 5, bands = 4, probe = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getLong(3)))
+    assert(vs.toSeq == Seq((2L, 1L, -1, 2L)),
+      s"against-form probed matches: ${vs.toSeq}")
+  }
+
   test("bucketCounts merge across batches == one count over the union; " +
       "hotFromCounts == simHashHotBuckets") {
     // the mergeability that lets incremental state keep per-bucket
