@@ -1223,20 +1223,32 @@ object Curator {
     val curated = stages.timed("curate") {
       graft.llm.Curation.curate(vecBatch, idCol, textCol, cc)
     }
-    // FIM sentinel spellings (full contract checks live with the fim
-    // stage below; resolved here so the collision count can ride the
-    // curated-count aggregate the pipeline already pays)
+    // FIM sentinel spellings (tokenizer/export contract checks live
+    // with the fim stage below; resolved here so the collision count
+    // can ride the curated-count aggregate the pipeline already pays).
+    // The FORMAT contract checks too — a degenerate sentinel (empty →
+    // contains() true on every row) must refuse BEFORE the aggregate
+    // below spends a corpus pass on it (review finding).
     val fimPre = c.getString("fim-prefix-token").getOrElse("<|fim_prefix|>")
     val fimSuf = c.getString("fim-suffix-token").getOrElse("<|fim_suffix|>")
     val fimMid = c.getString("fim-middle-token").getOrElse("<|fim_middle|>")
+    if (c.getDouble("fim-rate").isDefined) {
+      val sentinels = Seq(fimPre, fimSuf, fimMid)
+      require(sentinels.forall(sp => sp.nonEmpty && !sp.exists(_.isWhitespace)),
+        s"curation.fim-*-token sentinels must be non-empty and " +
+          s"whitespace-free, got $sentinels")
+    }
     // sentinel-collision observability (the protected-special sharp
     // edge): text ALREADY containing a sentinel spelling aliases the
     // control downstream — count and log, never silently. FOLDED into
     // the curated-count action (advice: a separate whole-corpus pass
-    // for one log line is not a 100 TB shape); doc-level counting on
-    // the pre-epoch frame gives the per-document signal (sentinels are
-    // whitespace-free, so a spelling survives chunking iff the document
-    // carries it, and epoch copies would only multiply it).
+    // for one log line is not a 100 TB shape). Counted on the CURATED
+    // frame — i.e. per document, BEFORE mixture/budget sampling and
+    // epoch repetition — so the number reads "documents in the curated
+    // corpus carrying a spelling" (the upstream-filtering decision it
+    // informs also acts pre-sampling); it can exceed what the FIM
+    // stage's own input still contains when later composition rules
+    // thin the corpus, and the log says so.
     val logDropCountsOn = !c.getString("log-drop-counts").exists(v => !v.toBoolean)
     val (curatedN, fimSentinelCollisions) =
       if (c.getDouble("fim-rate").isDefined && logDropCountsOn) {
@@ -1566,9 +1578,9 @@ object Curator {
     // (fimPre/fimSuf/fimMid resolve next to the curated-count fold
     // above.)
     c.getDouble("fim-rate").foreach { _ =>
+      // format contract (non-empty, whitespace-free) already enforced
+      // up front, before the collision-count aggregate
       val sentinels = Seq(fimPre, fimSuf, fimMid)
-      require(sentinels.forall(sp => sp.nonEmpty && !sp.exists(_.isWhitespace)),
-        s"curation.fim-*-token sentinels must be non-empty and whitespace-free, got $sentinels")
       if (c.getString("bpe-vocab").isDefined) sentinels.foreach { sp =>
         require(bpeSpecials.contains(sp),
           "curation.fim-rate with token-id export needs every FIM sentinel " +
@@ -1641,8 +1653,9 @@ object Curator {
         // the collision count rode the curated-count aggregate above —
         // here it only logs
         if (fimSentinelCollisions > 0) Cli.log(
-          s"fim: $fimSentinelCollisions documents already contain a sentinel " +
-            "spelling — their in-text occurrences will alias the control " +
+          s"fim: $fimSentinelCollisions curated documents (counted before " +
+            "any mixture/budget sampling or epoch repetition) contain a " +
+            "sentinel spelling — in-text occurrences alias the control " +
             "tokens (filter or rewrite upstream if that is not intended)")
         var rowId =
           if (out.columns.contains("chunk_text"))
@@ -1666,13 +1679,33 @@ object Curator {
         // count — NULL reads as "not counted", a stale number reads
         // as truth).
         val idExportOn = c.getString("bpe-vocab").isDefined
-        val recounted =
+        val wsCount = size(org.apache.spark.sql.functions.filter(
+          split(col(tcol), "\\s+"), t => length(t) > 0)).cast("long")
+        val recounted0 =
           if (!transformed.columns.contains("chunk_tokens")) transformed
           else transformed.withColumn("chunk_tokens",
-            when(col("fim_applied"),
-              size(org.apache.spark.sql.functions.filter(
-                split(col(tcol), "\\s+"), t => length(t) > 0)).cast("long"))
-              .otherwise(col("chunk_tokens")))
+            when(col("fim_applied"), wsCount).otherwise(col("chunk_tokens")))
+        // UNCHUNKED path: the doc-level n_tokens describes the text FIM
+        // just rewrote (review finding — same stale-count class as the
+        // chunk columns). Recount with the column's own definition: the
+        // configured tokenizer's counter when real-token-counts set it
+        // (with declared specials that is exactly what encode emits),
+        // the whitespace heuristic otherwise. Chunked rows keep
+        // n_tokens as-is — there it is DOC metadata, still accurate.
+        val recounted =
+          if (tcol != textCol || !recounted0.columns.contains("n_tokens"))
+            recounted0
+          else {
+            val ntType = recounted0.schema("n_tokens").dataType
+            val fresh = realCounter match {
+              case Some(f) => f(col(tcol))
+              case None => graft.llm.TextAnalysis.stats(col(tcol))
+                .getField("n_tokens")
+            }
+            recounted0.withColumn("n_tokens",
+              when(col("fim_applied"), fresh.cast(ntType))
+                .otherwise(col("n_tokens")))
+          }
         if (!recounted.columns.contains("chunk_bpe_tokens") || idExportOn) recounted
         else recounted.withColumn("chunk_bpe_tokens",
           when(col("fim_applied"), lit(null).cast("long"))
@@ -3467,18 +3500,6 @@ object Tokenizer {
     val t = docs.select(col(textCol).as("t") +:
         groupCol.map(g => col(g).cast("string").as("g")).toSeq: _*)
       .filter(col("t").isNotNull)
-    // the grouped report collects one row per group PER ARTIFACT to the
-    // driver — a mistaken high-cardinality group column (a doc id) would
-    // turn the 1-row aggregate into a driver OOM; fail loudly first
-    // (the same driver-side bound every collect in this file carries)
-    if (groupCol.isDefined) {
-      val nGroups = t.select(col("g")).distinct().count()
-      require(nGroups <= 10000,
-        s"tokenizer.group-column '${groupCol.get}' has $nGroups distinct " +
-          "values — the per-group evaluation report collects one row per " +
-          "group per artifact to the driver; group on a low-cardinality " +
-          "column (source, language), not an id")
-    }
     val perSpec = specs.map { spec =>
       val parts = spec.split('|')
       require(parts.length >= 3,
@@ -3541,11 +3562,23 @@ object Tokenizer {
         coalesce(sum(size(filter(col("ids"), fallbackPred))), lit(0L))
           .as("fallback_ids"))
       // ungrouped: the 1-row aggregate; grouped: ≤ |groups| rows, sorted
-      // so the report and the collect are deterministic
+      // so the report and the collect are deterministic. The grouped
+      // collect is one row per group PER ARTIFACT to the driver — a
+      // mistaken high-cardinality group column (a doc id) would OOM it,
+      // so the collect itself is bounded (orderBy + limit compiles to
+      // TakeOrdered — bounded driver memory) and >10k groups refuses
+      // loudly. No dedicated cardinality pass: the bound rides the
+      // aggregate the evaluation pays anyway (review finding).
       val rs = (groupCol match {
-        case Some(_) => sel.groupBy(col("g")).agg(aggs.head, aggs.tail: _*).orderBy("g")
+        case Some(_) => sel.groupBy(col("g")).agg(aggs.head, aggs.tail: _*)
+          .orderBy("g").limit(10001)
         case None => sel.agg(aggs.head, aggs.tail: _*)
       }).collect()
+      require(groupCol.isEmpty || rs.length <= 10000,
+        s"tokenizer.group-column '${groupCol.get}' has more than 10000 " +
+          "distinct values — the per-group evaluation report collects one " +
+          "row per group per artifact to the driver; group on a " +
+          "low-cardinality column (source, language), not an id")
       val tuples = rs.map { r =>
         val nDocs = r.getAs[Long]("n_docs")
         val totalIds = r.getAs[Long]("total_ids")

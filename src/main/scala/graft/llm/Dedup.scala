@@ -307,7 +307,7 @@ object Dedup {
     * pipelines this IS part of the persisted corpus state: computing it
     * costs a full aggregate over the corpus bands, so store it next to
     * the signatures instead of recomputing per increment. */
-  private def hotBucketKeys(banded: DataFrame, maxBucketSize: Int): DataFrame =
+  private[llm] def hotBucketKeys(banded: DataFrame, maxBucketSize: Int): DataFrame =
     banded.groupBy("band", "bits")
       .agg(count(lit(1)).as("__n"))
       .filter(col("__n") > maxBucketSize)
@@ -525,8 +525,15 @@ object Dedup {
     def keyed(df: DataFrame) = df.select(
       struct(col("id").as("aid"), col("seq_idx").as("s")).as("id"), col("sig"))
     val bKeyed = keyed(batchSigs)
-    val b = probedSide(bKeyed, bandSignatures(bKeyed, bands), bands,
-        maxBucketSize, probe)
+    val b0 = probedSide(bKeyed, bandSignatures(bKeyed, bands), bands,
+      maxBucketSize, probe)
+    // probe rows into hot CORPUS keys join nothing after the corpus-side
+    // drop — prune them before the shuffle (the bandedSignaturesAgainst
+    // contract; identical hot subplan → exchange reuse)
+    val b = (if (probe == 0 || maxBucketSize <= 0) b0
+      else b0.join(broadcast(corpusHotBuckets.getOrElse(
+          hotBucketKeys(bandSignatures(keyed(corpusSigs), bands), maxBucketSize))),
+        Seq("band", "bits"), "left_anti"))
       .select(col("band"), col("bits"), col("id.aid").as("batch_id"),
         col("id.s").as("s1"), col("sig").as("sig1"))
     val c = dropHotBuckets(bandSignatures(keyed(corpusSigs), bands),

@@ -1687,8 +1687,16 @@ object Multimodal {
       df.select(struct(col("id").as("vid"), col("frame_idx").as("f")).as("id"),
         col("sig"))
     val bKeyed = keyed(batchFrameSigs)
-    val b = graft.llm.Dedup.probedSide(bKeyed,
-        graft.llm.Dedup.bandSignatures(bKeyed, bands), bands, maxBucketSize, probe)
+    val b0 = graft.llm.Dedup.probedSide(bKeyed,
+      graft.llm.Dedup.bandSignatures(bKeyed, bands), bands, maxBucketSize, probe)
+    // prune probe rows into hot corpus keys before the shuffle (the
+    // bandedSignaturesAgainst contract — their exact side is empty)
+    val b = (if (probe == 0 || maxBucketSize <= 0) b0
+      else b0.join(broadcast(corpusHotBuckets.getOrElse(
+          graft.llm.Dedup.hotBucketKeys(
+            graft.llm.Dedup.bandSignatures(keyed(corpusFrameSigs), bands),
+            maxBucketSize))),
+        Seq("band", "bits"), "left_anti"))
       .select(col("band"), col("bits"),
         col("id.vid").as("batch_id"), col("id.f").as("f"), col("sig").as("sig1"))
     val c = graft.llm.Dedup.dropHotBuckets(
@@ -2204,9 +2212,21 @@ object Multimodal {
     def canonSide(t: DataFrame, hot: Option[DataFrame]) =
       graft.llm.Dedup.dropHotBuckets(
         graft.llm.Dedup.bandSignatures(keyed(t), bands), maxBucketSize, hot)
-    val bAll = allSide(batchSigs, None)
+    // per direction, prune probe rows into the OTHER side's hot keys
+    // before the shuffle (their canonical side is empty after its drop
+    // — the bandedSignaturesAgainst contract; identical hot subplans
+    // reuse the exchange)
+    def targetPruned(all: DataFrame, otherSigs: DataFrame,
+        otherHot: Option[DataFrame]) =
+      if (probe == 0 || maxBucketSize <= 0) all
+      else all.join(broadcast(otherHot.getOrElse(
+          graft.llm.Dedup.hotBucketKeys(
+            graft.llm.Dedup.bandSignatures(keyed(otherSigs), bands),
+            maxBucketSize))),
+        Seq("band", "bits"), "left_anti")
+    val bAll = targetPruned(allSide(batchSigs, None), corpusSigs, corpusHotBuckets)
     val bCanon = canonSide(batchSigs, None)
-    val cAll = allSide(corpusSigs, corpusHotBuckets)
+    val cAll = targetPruned(allSide(corpusSigs, corpusHotBuckets), batchSigs, None)
     val cCanon = canonSide(corpusSigs, corpusHotBuckets)
     def dir(all: DataFrame, canon: DataFrame, allIs: String, tag: Int) = {
       val l = all.select(col("band"), col("bits"),

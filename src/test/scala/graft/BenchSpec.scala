@@ -31,6 +31,18 @@ class BenchSpec extends AnyFunSuite {
     assert(Bench.regressionSuspects(many, prevs) == Seq("qA", "qB"))
   }
 
+  test("parseFlag: reads the dumps_timed stamp; artifacts predating it " +
+      "parse as None (treated as dumps-timed by the form-comparability " +
+      "gate — cross-form per-query comparisons must disarm, not flood " +
+      "regression_suspect with dump cost)") {
+    assert(Bench.parseFlag("""{"a":1,"dumps_timed":false,"b":2}""",
+      "dumps_timed").contains(false))
+    assert(Bench.parseFlag("""{"dumps_timed":true}""", "dumps_timed")
+      .contains(true))
+    assert(Bench.parseFlag("""{"value":1.0}""", "dumps_timed").isEmpty)
+    assert(Bench.parseFlag("""{"dumps_timed":"yes"}""", "dumps_timed").isEmpty)
+  }
+
   test("parseQueryTimes: reads the exact one-line Bench form; a " +
       "pretty-printed bench_prev silently parses empty (the documented " +
       "format trap — keep the committed file verbatim)") {

@@ -5710,6 +5710,51 @@ class CliSpec extends SparkTestBase {
       s"10 of 20 fingerprints replaced: ${moved.getAs[Double]("drift")}")
   }
 
+  test("curator fim-rate without chunking: doc-level n_tokens is recounted " +
+      "over the emitted sentinel-bearing text, never left describing the " +
+      "pre-FIM document; degenerate sentinels refuse before any corpus pass") {
+    import org.apache.spark.sql.functions.{col, length, size, split}
+    val base = tmp()
+    val out = base.resolve("fim_doc").toString
+    graft.cli.Curator.main(Array("--conf", write(base.resolve("fd.conf"),
+      s"""source { storage-type = local, dataset-dir = $sfDir/documents.parquet }
+         |target { storage-type = local, dataset-dir = $out, dataset-store-format = parquet, write-mode = overwrite }
+         |curation {
+         |  fim-rate = 1.0
+         |}
+         |""".stripMargin)))
+    val rows = spark.read.parquet(out)
+    assert(rows.filter(!col("fim_applied")).count() == 0)
+    // every row's n_tokens equals the annotate pass's own definition
+    // (TextAnalysis.stats) applied to the text actually emitted
+    def statCount(c: org.apache.spark.sql.Column) =
+      graft.llm.TextAnalysis.stats(c).getField("n_tokens")
+    val bad = rows.filter(col("n_tokens") =!= statCount(col("text"))).count()
+    assert(bad == 0, s"$bad rows carry an n_tokens that does not describe " +
+      "the emitted FIM text")
+    // and the recount is real: cuts split words, so some rows' counts
+    // moved vs the pre-FIM annotate pass
+    val pre = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select(col("doc_id"), statCount(col("text")).as("pre_n"))
+    val moved = rows.select(col("doc_id"), col("n_tokens"))
+      .join(pre, Seq("doc_id"))
+      .filter(col("n_tokens") =!= col("pre_n")).count()
+    assert(moved > 0, "fixture must exercise the recount (no cut split a token?)")
+    // an empty sentinel must refuse up front — before the collision
+    // count aggregate could burn a corpus pass on contains("")
+    val e = intercept[IllegalArgumentException] {
+      graft.cli.Curator.main(Array("--conf", write(base.resolve("fd_bad.conf"),
+        s"""source { storage-type = local, dataset-dir = $sfDir/documents.parquet }
+           |target { storage-type = local, dataset-dir = ${base.resolve("x")}, dataset-store-format = parquet, write-mode = overwrite }
+           |curation {
+           |  fim-rate = 1.0
+           |  fim-prefix-token = ""
+           |}
+           |""".stripMargin)))
+    }
+    assert(e.getMessage.contains("whitespace-free"), e.getMessage)
+  }
+
   test("curator fim-rate: each chunk becomes a sentinel-delimited PSM " +
       "infilling example that reassembles to the untransformed chunk, the " +
       "sentinels export as their single fixed ids, misconfigs fail loudly") {
