@@ -3242,10 +3242,24 @@ object Streamer {
             (if (sigParts.nonEmpty) Seq(spark.read.parquet(sigParts: _*)) else Nil))
             .reduceOption(_.unionByName(_))
             .getOrElse(batchSigs.limit(0))
-          val hot =
+          val mergedCounts =
             if (countParts.isEmpty) None
-            else Some(Dedup.hotFromCounts(
-              Dedup.mergeBucketCounts(spark.read.parquet(countParts: _*)), maxBucket))
+            else Some(Dedup.mergeBucketCounts(spark.read.parquet(countParts: _*)))
+          val hot = mergedCounts.map(Dedup.hotFromCounts(_, maxBucket))
+          // corpus-side guard saturation from the counts the batch
+          // already reads (near-free) — the accreted state's size is
+          // what saturates a too-narrow geometry, and it must never
+          // do so silently again (the r13 dct lesson)
+          if (logCounts) mergedCounts.foreach { mc =>
+            val sat = Dedup.guardSaturation(mc, maxBucket)
+            if (sat.hotBuckets > 0) Cli.log(
+              f"corpus hot-bucket guard: ${sat.hotBuckets}/${sat.occupiedBuckets} " +
+                f"buckets over cap $maxBucket (${sat.rowFraction * 100}%.1f%% of rows)")
+            if (sat.bucketFraction > 0.25 || sat.rowFraction > 0.5) Cli.log(
+              "WARNING: the accreted corpus saturates the hot-bucket guard — " +
+                "recall vs stored state is collapsing; use fewer, WIDER bands " +
+                "with a probe depth (rebuild the lineage), don't raise the cap")
+          }
           // tier 1: near a STORED fingerprint (signature-level — the
           // state keeps 8-byte sigs, not pixels). Cached: it fans out
           // to the in-batch tier's input AND the drop union (R19)
@@ -4660,6 +4674,29 @@ object MediaDedup {
             "scalar audio (spectral grid), and frame-aligned video at " +
             "every-n = 1 (per-frame pixel grids); windowed-audio and " +
             "shift-tolerant pairs stay signature-gated")
+      // guard-saturation observability (the round-14 lesson: the r13
+      // dct geometry failed SILENTLY — every bucket hot, zero recall,
+      // no error). One bounded aggregate over the CACHED signatures per
+      // run, placed AFTER every plan-time misconfig require above so a
+      // bad config still refuses before paying a decode pass; WARN when
+      // the guard stops being a skew valve and starts being the whole
+      // join. log-drop-counts = false opts out.
+      if (!c.getString("log-drop-counts").exists(v => !v.toBoolean) &&
+          maxBucket > 0) {
+        val sat = Dedup.guardSaturation(
+          Dedup.bucketCounts(batchSigs.select(col("id"), col("sig")), bands),
+          maxBucket)
+        Cli.log(f"hot-bucket guard: ${sat.hotBuckets}/${sat.occupiedBuckets} " +
+          f"occupied buckets over cap $maxBucket " +
+          f"(${sat.rowFraction * 100}%.1f%% of banded rows)")
+        if (sat.bucketFraction > 0.25 || sat.rowFraction > 0.5) Cli.log(
+          "WARNING: the hot-bucket guard is discarding a large share of " +
+            "this corpus's buckets — near-dup recall is collapsing. The " +
+            "bucket keys cannot discriminate at this corpus size: use " +
+            "fewer, WIDER bands with a probe depth (or a wider " +
+            "fingerprint); raising max-bucket-size only trades the loss " +
+            "for a quadratic join")
+      }
       val nPairs = confirmed.count()
       Cli.log(s"$modality in-batch near-dup pairs: $nPairs")
       c.getString("pairs-dir").foreach { d =>

@@ -358,6 +358,36 @@ object Dedup {
   def hotFromCounts(counts: DataFrame, maxBucketSize: Int): DataFrame =
     counts.filter(col("n") > maxBucketSize).select("band", "bits")
 
+  /** Hot-bucket guard SATURATION over a [[bucketCounts]] table: how
+    * many occupied buckets the guard would discard, and what fraction
+    * of the banded rows lives in them. The round-13 dct geometry
+    * failed SILENTLY exactly here — 8-bit bucket keys saturated every
+    * bucket past ~2.5M images and the tier quietly found nothing — so
+    * the CLIs read this and WARN loudly when the guard stops being a
+    * skew valve and starts being the whole join: high saturation means
+    * the bucket keys cannot discriminate at this corpus size (raise
+    * the probe depth with fewer, wider bands — or widen the
+    * fingerprint), not that the corpus is skewed. */
+  final case class GuardSaturation(
+      occupiedBuckets: Long, hotBuckets: Long,
+      totalRows: Long, rowsInHotBuckets: Long) {
+    def bucketFraction: Double =
+      if (occupiedBuckets == 0) 0.0 else hotBuckets.toDouble / occupiedBuckets
+    def rowFraction: Double =
+      if (totalRows == 0) 0.0 else rowsInHotBuckets.toDouble / totalRows
+  }
+
+  def guardSaturation(counts: DataFrame, maxBucketSize: Int): GuardSaturation = {
+    if (maxBucketSize <= 0) return GuardSaturation(0L, 0L, 0L, 0L)
+    val r = counts.agg(
+      count(lit(1)),
+      coalesce(sum(when(col("n") > maxBucketSize, 1L).otherwise(0L)), lit(0L)),
+      coalesce(sum(col("n")), lit(0L)),
+      coalesce(sum(when(col("n") > maxBucketSize, col("n")).otherwise(0L)), lit(0L)))
+      .head()
+    GuardSaturation(r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
+  }
+
   // --------------------------------------- incremental (batch vs corpus)
 
   /** Incremental exact dedup: drop `batch` rows whose content hash

@@ -273,6 +273,31 @@ class DedupSpec extends SparkTestBase {
       s"against-form probed matches: ${vs.toSeq}")
   }
 
+  test("guardSaturation reads the r13 failure mode off a counts table: " +
+      "saturated geometry -> ~all buckets hot; healthy geometry -> zero") {
+    // 30 sigs uniform over a tiny synthetic key space: with cap 1 every
+    // occupied bucket of every band is hot (the silent-collapse shape);
+    // with cap 10000 nothing is
+    val rnd = new scala.util.Random(11)
+    val sigs = (0 until 30).map(i => (i.toLong, rnd.nextLong())).toDF("id", "sig")
+    val counts = Dedup.bucketCounts(sigs, 4)
+    val sat = Dedup.guardSaturation(counts, 1)
+    // random 64-bit sigs almost never share a 16-bit band key at n=30,
+    // so occupied ≈ 120 buckets of exactly 1 row → cap 1 keeps all cold
+    assert(sat.totalRows == 120 && sat.hotBuckets == 0, sat.toString)
+    // the saturated shape: 8-bit keys via bands=8 and cap 1 with
+    // planted collisions — every duplicated bucket trips
+    val dup = sigs.unionByName(sigs.withColumn("id", col("id") + 100))
+    val satHot = Dedup.guardSaturation(Dedup.bucketCounts(dup, 8), 1)
+    assert(satHot.occupiedBuckets == satHot.hotBuckets,
+      s"byte-identical copies must saturate every occupied bucket: $satHot")
+    assert(satHot.rowFraction == 1.0 && satHot.bucketFraction == 1.0)
+    val healthy = Dedup.guardSaturation(Dedup.bucketCounts(dup, 4), 10000)
+    assert(healthy.hotBuckets == 0 && healthy.rowFraction == 0.0)
+    // guard disabled -> the zero object (callers skip the log)
+    assert(Dedup.guardSaturation(counts, 0) == Dedup.GuardSaturation(0, 0, 0, 0))
+  }
+
   test("bucketCounts merge across batches == one count over the union; " +
       "hotFromCounts == simHashHotBuckets") {
     // the mergeability that lets incremental state keep per-bucket
