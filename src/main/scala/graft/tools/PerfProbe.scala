@@ -1063,6 +1063,29 @@ object PerfProbe {
       f"(~${4.0 * n * n / 65536 * 17 / 1e9}%.1f B candidate popcounts at " +
       "uniform density — scan-shaped verify work, embarrassingly parallel)")
     newPairs.unpersist()
+    // -- the INCREMENTAL shape at the new geometry: a 100k arrival
+    // batch (every row a radius-7 twin of a corpus sig at the same
+    // adversarial spread) probes against the 5M corpus, with the guard
+    // riding PERSISTED mergeable counts — the daily-increment
+    // production path (batch x 68 probe rows vs corpus exact keys:
+    // linear in corpus occupancy, never corpus-vs-corpus).
+    val batchN = math.max(1000L, n / 50)
+    val batch = spark.range(batchN)
+      .map(i => (2 * n + i, mix(i * 7919L % n) ^ spread)).toDF("id", "sig")
+    val corpusCounts = graft.llm.Dedup.bucketCounts(base, 4)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    corpusCounts.count() // the persisted state a production lineage carries
+    val hot = Some(graft.llm.Dedup.hotFromCounts(corpusCounts, 10000))
+    t0 = System.nanoTime()
+    val arrivalHits = graft.llm.Dedup.sigNearDupsAgainst(batch, base,
+      maxHamming = 7, bands = 4, maxBucketSize = 10000,
+      corpusHotBuckets = hot, probe = 1)
+      .select(col("batch_id")).distinct().count()
+    println(f"[probe19] INCREMENTAL 4x16bit probe=1: $arrivalHits/$batchN " +
+      f"arrivals matched vs the ${n / 1000000}M corpus " +
+      f"in ${(System.nanoTime() - t0) / 1e9}%.2f s (guard from persisted " +
+      "mergeable counts — no corpus re-band)")
+    corpusCounts.unpersist()
     sigs.unpersist()
     spark.stop()
   }
