@@ -335,13 +335,18 @@ object Bench {
     * retime (main loop), and the retime ALSO came back > 2x prev — two
     * independent measurements agreeing on a doubling is a regression
     * signal, not contention to absorb (round-13's q38: 2.02x with
-    * suspect_env=false shipped as a footnote). Stamped top-level into
-    * the artifact as `regression_suspect`. */
+    * suspect_env=false shipped as a footnote). The confirm carries the
+    * SAME >0.25 s absolute floor as the retime trigger: a sub-second
+    * query drifting 0.2 s under box load can "double" in both readings
+    * without meaning anything (round-14: q59 at prev 0.15 s flagged on
+    * a 0.22 s delta during a loadavg-2.9 window). Stamped top-level
+    * into the artifact as `regression_suspect`. */
   private[graft] def regressionSuspects(
       retimes: Map[String, (Double, Double)],
       prevTimes: Map[String, Double]): Seq[String] =
     retimes.toSeq.collect {
-      case (name, (_, re)) if prevTimes.get(name).exists(p => p > 0 && re > 2 * p) =>
+      case (name, (_, re)) if prevTimes.get(name)
+          .exists(p => p > 0 && re > 2 * p && re - p > 0.25) =>
         name
     }.sorted
 

@@ -25,6 +25,13 @@ class BenchSpec extends AnyFunSuite {
     // exactly-2x is NOT "past 2x" — boundary stays unflagged, matching
     // the retime trigger's strict > in the main loop
     assert(Bench.regressionSuspects(Map("q99" -> (2.5, 2.0)), prev).isEmpty)
+    // the confirm carries the trigger's >0.25s absolute floor: a
+    // sub-second query "doubling" by 0.22s under box load is noise,
+    // not a regression (the round-14 q59 incident)
+    assert(Bench.regressionSuspects(
+      Map("q59" -> (0.45, 0.37)), Map("q59" -> 0.15)).isEmpty)
+    assert(Bench.regressionSuspects(
+      Map("q59" -> (0.9, 0.8)), Map("q59" -> 0.15)) == Seq("q59"))
     // output is sorted for a stable artifact diff
     val many = Map("qB" -> (4.0, 4.0), "qA" -> (4.0, 4.0))
     val prevs = Map("qA" -> 1.0, "qB" -> 1.0)
