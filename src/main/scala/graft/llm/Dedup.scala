@@ -218,7 +218,7 @@ object Dedup {
     val banded = bandSignatures(sigs, bands)
     val r = dropHotBuckets(banded, maxBucketSize)
       .select(col("band"), col("bits"), col("id").as("id2"), col("sig").as("sig2"))
-    val l = probedSide(sigs, banded, bands, maxBucketSize, probe)
+    val l = probedSide(banded, bands, maxBucketSize, probe)
       .select(col("band"), col("bits"), col("id").as("id1"), col("sig").as("sig1"))
     l.join(r, Seq("band", "bits"))
       .filter(col("id1") < col("id2"))
@@ -244,41 +244,36 @@ object Dedup {
   }
 
   /** One side of a probed banded join: at probe 0 the hot-dropped exact
-    * banding; at probe 1 the Hamming-≤1 probe expansion of `sigs`' band
-    * keys, with probe rows from hot HOME buckets and into hot TARGET
-    * keys dropped (see [[sigNearDups]]). The hot-key aggregate appears
-    * in up to three subplans per query — identical subtrees, so the
-    * exchange-reuse pass evaluates it once. */
-  private[llm] def probedSide(sigs: DataFrame, banded: DataFrame, bands: Int,
+    * banding; at probe 1 its Hamming-≤1 probe EXPANSION — the multi-
+    * probe keys explode from the already-hot-dropped frame, so "probe
+    * rows from hot home buckets drop" falls out of the one hot
+    * aggregate `dropHotBuckets` already pays (a plan-audit finding:
+    * the first formulation spent three identical hot aggregates +
+    * anti-joins per query that exchange reuse did not collapse).
+    * `targetHot`: a PERSISTED hot-key table of the join's OTHER side —
+    * when available for free (the incremental forms' corpusHotBuckets)
+    * probe rows into those keys are pruned before the shuffle (their
+    * exact side is empty); recomputing one just for the prune would
+    * cost more than the doomed rows' shuffle, so absent = no prune
+    * (post-join results are identical either way — a hot target key
+    * has no exact rows to meet). */
+  private[llm] def probedSide(banded: DataFrame, bands: Int,
       maxBucketSize: Int, probe: Int,
-      precomputedHot: Option[DataFrame] = None): DataFrame =
-    if (probe == 0) dropHotBuckets(banded, maxBucketSize, precomputedHot)
+      precomputedHot: Option[DataFrame] = None,
+      targetHot: Option[DataFrame] = None): DataFrame = {
+    val exact = dropHotBuckets(banded, maxBucketSize, precomputedHot)
+    if (probe == 0) exact
     else {
-      val probed = probeBandSignatures(sigs, bands)
-      val hot = precomputedHot.orElse(
-        if (maxBucketSize <= 0) None else Some(hotBucketKeys(banded, maxBucketSize)))
-      hot match {
-        case None => probed.drop("home_bits")
+      val width = 64 / bands
+      val expanded = exact.select(col("id"), col("sig"), col("band"),
+        explode(array(col("bits") +: (0 until width).map(j =>
+          col("bits").bitwiseXOR(lit(1L << j))): _*)).as("bits"))
+      targetHot match {
         case Some(h) =>
-          probed
-            .join(broadcast(h.withColumnRenamed("bits", "home_bits")),
-              Seq("band", "home_bits"), "left_anti")
-            .join(broadcast(h), Seq("band", "bits"), "left_anti")
-            .drop("home_bits")
+          expanded.join(broadcast(h), Seq("band", "bits"), "left_anti")
+        case None => expanded
       }
     }
-
-  /** Explode `(id, sig)` into one row per (band, probe key): the band's
-    * own bits (`home_bits`) plus every key at Hamming distance 1 inside
-    * the band's width — the multi-probe expansion (width+1 keys per
-    * band, all inside whole-stage codegen). */
-  private[graft] def probeBandSignatures(sigs: DataFrame, bands: Int): DataFrame = {
-    val width = 64 / bands
-    bandSignatures(sigs, bands)
-      .withColumnRenamed("bits", "home_bits")
-      .select(col("id"), col("sig"), col("band"), col("home_bits"),
-        explode(array(col("home_bits") +: (0 until width).map(j =>
-          col("home_bits").bitwiseXOR(lit(1L << j))): _*)).as("bits"))
   }
 
   /** SimHash signatures `(id, sig)` — the per-run STATE an incremental
@@ -474,12 +469,8 @@ object Dedup {
     // probe rows drop against the BATCH's own hot home buckets (today's
     // flood is in the batch) and against hot CORPUS target keys (their
     // exact side is empty after the corpus-side drop — shuffle pruning)
-    val batchBanded = bandSignatures(batchSigs, bands)
-    val b0 = probedSide(batchSigs, batchBanded, bands, maxBucketSize, probe)
-    val b = (if (probe == 0 || maxBucketSize <= 0) b0
-             else b0.join(broadcast(corpusHotBuckets.getOrElse(
-                    hotBucketKeys(bandSignatures(corpusSigs, bands), maxBucketSize))),
-                    Seq("band", "bits"), "left_anti"))
+    val b = probedSide(bandSignatures(batchSigs, bands), bands, maxBucketSize,
+        probe, targetHot = corpusHotBuckets.filter(_ => probe == 1))
       .select(col("band"), col("bits"), col("id").as("batch_id"), col("sig").as("__bsig"))
     val c = dropHotBuckets(bandSignatures(corpusSigs, bands), maxBucketSize, corpusHotBuckets)
       .select(col("band"), col("bits"), col("id").as("corpus_id"), col("sig").as("__csig"))
@@ -521,7 +512,7 @@ object Dedup {
       struct(col("id").as("aid"), col("seq_idx").as("s")).as("id"), col("sig"))
     val banded0 = bandSignatures(keyed, bands)
     val banded = dropHotBuckets(banded0, maxBucketSize)
-    val l = probedSide(keyed, banded0, bands, maxBucketSize, probe)
+    val l = probedSide(banded0, bands, maxBucketSize, probe)
       .select(col("band"), col("bits"), col("id.aid").as("id1"),
         col("id.s").as("s1"), col("sig").as("sig1"))
     val r = banded.select(col("band"), col("bits"), col("id.aid").as("id2"),
@@ -554,16 +545,8 @@ object Dedup {
     requireProbeComplete(maxHamming, bands, probe)
     def keyed(df: DataFrame) = df.select(
       struct(col("id").as("aid"), col("seq_idx").as("s")).as("id"), col("sig"))
-    val bKeyed = keyed(batchSigs)
-    val b0 = probedSide(bKeyed, bandSignatures(bKeyed, bands), bands,
-      maxBucketSize, probe)
-    // probe rows into hot CORPUS keys join nothing after the corpus-side
-    // drop — prune them before the shuffle (the bandedSignaturesAgainst
-    // contract; identical hot subplan → exchange reuse)
-    val b = (if (probe == 0 || maxBucketSize <= 0) b0
-      else b0.join(broadcast(corpusHotBuckets.getOrElse(
-          hotBucketKeys(bandSignatures(keyed(corpusSigs), bands), maxBucketSize))),
-        Seq("band", "bits"), "left_anti"))
+    val b = probedSide(bandSignatures(keyed(batchSigs), bands), bands,
+        maxBucketSize, probe, targetHot = corpusHotBuckets.filter(_ => probe == 1))
       .select(col("band"), col("bits"), col("id.aid").as("batch_id"),
         col("id.s").as("s1"), col("sig").as("sig1"))
     val c = dropHotBuckets(bandSignatures(keyed(corpusSigs), bands),

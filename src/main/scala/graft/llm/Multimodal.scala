@@ -1651,7 +1651,7 @@ object Multimodal {
         col("sig"))
     val banded0 = graft.llm.Dedup.bandSignatures(sigs, bands)
     val banded = graft.llm.Dedup.dropHotBuckets(banded0, maxBucketSize)
-    val l = graft.llm.Dedup.probedSide(sigs, banded0, bands, maxBucketSize, probe)
+    val l = graft.llm.Dedup.probedSide(banded0, bands, maxBucketSize, probe)
       .select(col("band"), col("bits"),
         col("id.vid").as("id1"), col("id.f").as("f"), col("sig").as("sig1"))
     val r = banded.select(col("band"), col("bits"),
@@ -1686,17 +1686,10 @@ object Multimodal {
     def keyed(df: DataFrame) =
       df.select(struct(col("id").as("vid"), col("frame_idx").as("f")).as("id"),
         col("sig"))
-    val bKeyed = keyed(batchFrameSigs)
-    val b0 = graft.llm.Dedup.probedSide(bKeyed,
-      graft.llm.Dedup.bandSignatures(bKeyed, bands), bands, maxBucketSize, probe)
-    // prune probe rows into hot corpus keys before the shuffle (the
-    // bandedSignaturesAgainst contract — their exact side is empty)
-    val b = (if (probe == 0 || maxBucketSize <= 0) b0
-      else b0.join(broadcast(corpusHotBuckets.getOrElse(
-          graft.llm.Dedup.hotBucketKeys(
-            graft.llm.Dedup.bandSignatures(keyed(corpusFrameSigs), bands),
-            maxBucketSize))),
-        Seq("band", "bits"), "left_anti"))
+    val b = graft.llm.Dedup.probedSide(
+        graft.llm.Dedup.bandSignatures(keyed(batchFrameSigs), bands), bands,
+        maxBucketSize, probe,
+        targetHot = corpusHotBuckets.filter(_ => probe == 1))
       .select(col("band"), col("bits"),
         col("id.vid").as("batch_id"), col("id.f").as("f"), col("sig").as("sig1"))
     val c = graft.llm.Dedup.dropHotBuckets(
@@ -2110,7 +2103,7 @@ object Multimodal {
     val keyed = sigs.select(
       struct(col("id").as("aid"), col("orient").as("o")).as("id"), col("sig"))
     val banded = graft.llm.Dedup.bandSignatures(keyed, bands)
-    val all = graft.llm.Dedup.probedSide(keyed, banded, bands, maxBucketSize, probe)
+    val all = graft.llm.Dedup.probedSide(banded, bands, maxBucketSize, probe)
       .select(col("band"), col("bits"), col("id.aid").as("ida"),
         col("id.o").as("orient"), col("sig").as("siga"))
     val canonical = graft.llm.Dedup.dropHotBuckets(banded, maxBucketSize)
@@ -2204,29 +2197,21 @@ object Multimodal {
     // per direction: the all-orientations side probes, the canonical
     // slice stays exact (the sigNearDupsAgainst contract — persisted
     // corpusHotBuckets ride unchanged, probe depth is matching-time)
-    def allSide(t: DataFrame, hot: Option[DataFrame]) = {
-      val k = keyed(t)
-      graft.llm.Dedup.probedSide(k, graft.llm.Dedup.bandSignatures(k, bands),
-        bands, maxBucketSize, probe, hot)
-    }
+    // the all-orientations side probes (home-drop falls out of the one
+    // hot aggregate); probe rows into the OTHER side's hot keys are
+    // pruned only when a PERSISTED hot table makes it free (the
+    // probedSide targetHot contract)
+    def allSide(t: DataFrame, hot: Option[DataFrame],
+        targetHot: Option[DataFrame]) =
+      graft.llm.Dedup.probedSide(
+        graft.llm.Dedup.bandSignatures(keyed(t), bands), bands,
+        maxBucketSize, probe, hot, targetHot.filter(_ => probe == 1))
     def canonSide(t: DataFrame, hot: Option[DataFrame]) =
       graft.llm.Dedup.dropHotBuckets(
         graft.llm.Dedup.bandSignatures(keyed(t), bands), maxBucketSize, hot)
-    // per direction, prune probe rows into the OTHER side's hot keys
-    // before the shuffle (their canonical side is empty after its drop
-    // — the bandedSignaturesAgainst contract; identical hot subplans
-    // reuse the exchange)
-    def targetPruned(all: DataFrame, otherSigs: DataFrame,
-        otherHot: Option[DataFrame]) =
-      if (probe == 0 || maxBucketSize <= 0) all
-      else all.join(broadcast(otherHot.getOrElse(
-          graft.llm.Dedup.hotBucketKeys(
-            graft.llm.Dedup.bandSignatures(keyed(otherSigs), bands),
-            maxBucketSize))),
-        Seq("band", "bits"), "left_anti")
-    val bAll = targetPruned(allSide(batchSigs, None), corpusSigs, corpusHotBuckets)
+    val bAll = allSide(batchSigs, None, corpusHotBuckets)
     val bCanon = canonSide(batchSigs, None)
-    val cAll = targetPruned(allSide(corpusSigs, corpusHotBuckets), batchSigs, None)
+    val cAll = allSide(corpusSigs, corpusHotBuckets, None)
     val cCanon = canonSide(corpusSigs, corpusHotBuckets)
     def dir(all: DataFrame, canon: DataFrame, allIs: String, tag: Int) = {
       val l = all.select(col("band"), col("bits"),
