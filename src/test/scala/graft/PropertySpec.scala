@@ -118,6 +118,39 @@ class PropertySpec extends SparkTestBase {
     }
   }
 
+  test("probed banded join equals brute force for any legal (radius, bands, " +
+      "probe) geometry on clustered random signatures") {
+    // generated sig families with planted flip-variants so pairs
+    // straddle every radius; geometry drawn from the legal grid
+    // (maxHamming < bands*(probe+1)) including the unprobed forms —
+    // completeness AND no-false-positives, guard off
+    val rnd = new scala.util.Random(4233)
+    val base = Seq.fill(20)(rnd.nextLong())
+    val sigsSeq = (base ++ base.flatMap { s =>
+      Seq.fill(2) {
+        var v = s
+        rnd.shuffle((0 until 64).toList).take(rnd.nextInt(10)).foreach(j => v ^= 1L << j)
+        v
+      }
+    }).zipWithIndex.map { case (s, i) => (i.toLong, s) }
+    val sigs = sigsSeq.toDF("id", "sig")
+    for {
+      (bands, probe) <- Seq((4, 0), (8, 0), (4, 1), (8, 1), (16, 1))
+      maxHamming <- Seq(1, 3, bands * (probe + 1) - 1).distinct
+    } {
+      val want = (for {
+        (i1, s1) <- sigsSeq; (i2, s2) <- sigsSeq
+        if i1 < i2 && java.lang.Long.bitCount(s1 ^ s2) <= maxHamming
+      } yield (i1, i2)).toSet
+      val got = graft.llm.Dedup.sigNearDups(sigs, maxHamming, bands,
+        maxBucketSize = 0, probe = probe)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(got == want,
+        s"(bands=$bands probe=$probe r=$maxHamming): missing ${want -- got}, " +
+          s"extra ${got -- want}")
+    }
+  }
+
   test("saltedJoin equals plain join for any salt factor") {
     val skewed = ((1 to 500).map(i => ("hot", i)) ++ (1 to 20).map(i => (s"k$i", i))).toDF("key", "v")
     val dim = Seq(("hot", "H"), ("k3", "C")).toDF("key", "name")
