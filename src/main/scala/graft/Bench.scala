@@ -252,13 +252,24 @@ object Bench {
     // ESCALATION, not absorption (round-13 verdict item 4, the q38
     // lesson): a retime that CONFIRMS >=2x prev on unchanged code is a
     // regression signal the artifact must carry loudly, not a JSON note
-    // a reader can miss — the driver/judge greps this list.
-    val suspects = regressionSuspects(retimes.toMap, prevTimes)
+    // a reader can miss — the driver/judge greps this list. The confirm
+    // is LOAD-CORRECTED (round-14: a sustained co-tenant window slowed
+    // an entire run ~1.35x and 7 untouched queries "confirmed" false
+    // doublings while norm_vs_prev read 1.006): the baseline-set queries
+    // are unchanged reference code by construction, so this run's
+    // baseline-set total over prev's is a pure box-load ratio; a query
+    // is only suspect when it doubled RELATIVE to that scale (clamped
+    // at 1 — a faster box never manufactures suspicion).
+    val loadScale = (for {
+      pj <- prevJsonC
+      pb <- parseScalar(pj, "baseline_set_total") if pb > 0 && baseTotal > 0
+    } yield math.max(1.0, baseTotal / pb)).getOrElse(1.0)
+    val suspects = regressionSuspects(retimes.toMap, prevTimes, loadScale)
     val suspectsJson = suspects.map("\"" + _ + "\"").mkString("[", ",", "]")
     if (suspects.nonEmpty)
       System.err.println(s"[bench] REGRESSION SUSPECT (retime confirmed >=2x " +
-        s"prev): ${suspects.mkString(", ")}")
-    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","runs":$runs,"failed":${failed.size},"baseline_set_total":$baseTotal,"n_queries":${results.size},"dumps_timed":$dumpsTimed,"regression_suspect":$suspectsJson,$normJson,"retimes":$retimesJson,"mem":$memJson}"""
+        f"prev at load scale $loadScale%.2f): ${suspects.mkString(", ")}")
+    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","runs":$runs,"failed":${failed.size},"baseline_set_total":$baseTotal,"n_queries":${results.size},"dumps_timed":$dumpsTimed,"load_scale":$loadScale,"regression_suspect":$suspectsJson,$normJson,"retimes":$retimesJson,"mem":$memJson}"""
     // The FULL artifact (per-query timings + mem) goes to a file and an
     // early stdout line. It cannot be the driver's parse target: at 120+
     // queries the line is ~12 KB, and the driver keeps only the last
@@ -336,19 +347,25 @@ object Bench {
     * independent measurements agreeing on a doubling is a regression
     * signal, not contention to absorb (round-13's q38: 2.02x with
     * suspect_env=false shipped as a footnote). The confirm carries the
-    * SAME >0.25 s absolute floor as the retime trigger: a sub-second
-    * query drifting 0.2 s under box load can "double" in both readings
-    * without meaning anything (round-14: q59 at prev 0.15 s flagged on
-    * a 0.22 s delta during a loadavg-2.9 window). Stamped top-level
-    * into the artifact as `regression_suspect`. */
+    * SAME >0.25 s absolute floor as the retime trigger (a sub-second
+    * query drifting 0.2 s under load can "double" in both readings
+    * without meaning anything) and is divided by `loadScale` — the
+    * run's baseline-set ratio over prev's, a pure box-load proxy since
+    * the q1-q10 reference code never changes — so a uniformly loaded
+    * window (which slows the retime exactly like the median) cannot
+    * confirm false doublings across the suite. Stamped top-level into
+    * the artifact as `regression_suspect` next to `load_scale`. */
   private[graft] def regressionSuspects(
       retimes: Map[String, (Double, Double)],
-      prevTimes: Map[String, Double]): Seq[String] =
+      prevTimes: Map[String, Double],
+      loadScale: Double = 1.0): Seq[String] = {
+    val scale = math.max(1.0, loadScale)
     retimes.toSeq.collect {
       case (name, (_, re)) if prevTimes.get(name)
-          .exists(p => p > 0 && re > 2 * p && re - p > 0.25) =>
+          .exists(p => p > 0 && re / scale > 2 * p && re / scale - p > 0.25) =>
         name
     }.sorted
+  }
 
   /** Minimal top-level boolean field extractor (`"field":true|false`);
     * absent/malformed → None. Used to compare bench artifact FORMS:

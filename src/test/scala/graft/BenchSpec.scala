@@ -32,6 +32,16 @@ class BenchSpec extends AnyFunSuite {
       Map("q59" -> (0.45, 0.37)), Map("q59" -> 0.15)).isEmpty)
     assert(Bench.regressionSuspects(
       Map("q59" -> (0.9, 0.8)), Map("q59" -> 0.15)) == Seq("q59"))
+    // load correction: a uniformly slowed window (baseline-set ratio
+    // 1.35) cannot confirm a 2.4x reading — divided by the load scale
+    // it is 1.8x; a true 4x survives the correction
+    assert(Bench.regressionSuspects(
+      Map("q30" -> (2.4, 2.4)), Map("q30" -> 1.0), loadScale = 1.35).isEmpty)
+    assert(Bench.regressionSuspects(
+      Map("q30" -> (4.0, 4.0)), Map("q30" -> 1.0), loadScale = 1.35) == Seq("q30"))
+    // a FASTER box (scale < 1) never manufactures suspicion — clamped
+    assert(Bench.regressionSuspects(
+      Map("q30" -> (1.9, 1.9)), Map("q30" -> 1.0), loadScale = 0.5).isEmpty)
     // output is sorted for a stable artifact diff
     val many = Map("qB" -> (4.0, 4.0), "qA" -> (4.0, 4.0))
     val prevs = Map("qA" -> 1.0, "qB" -> 1.0)
