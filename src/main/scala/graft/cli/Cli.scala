@@ -1681,10 +1681,23 @@ object Curator {
         val idExportOn = c.getString("bpe-vocab").isDefined
         val wsCount = size(org.apache.spark.sql.functions.filter(
           split(col(tcol), "\\s+"), t => length(t) > 0)).cast("long")
+        // chunk_tokens recounts under the ACTIVE chunker's own unit
+        // (advice finding): the byte-budget chunker counts PRETOKENS
+        // (declared specials atomic — graft_pretoken_count replays its
+        // carve order exactly), every other mode counts whitespace
+        // tokens; a whitespace recount on byte-budget rows would
+        // silently switch the column's definition on FIM rows only.
+        val byteBudgetChunked = c.getInt("chunk-size").isEmpty &&
+          c.getInt("bpe-budget").isDefined && unigramModel.isEmpty && bpeByteLevel
+        val chunkTokCount =
+          if (byteBudgetChunked)
+            graft.functions.GraftFunctions.pretokenCount(col(tcol), bpeSpecials)
+              .cast("long")
+          else wsCount
         val recounted0 =
           if (!transformed.columns.contains("chunk_tokens")) transformed
           else transformed.withColumn("chunk_tokens",
-            when(col("fim_applied"), wsCount).otherwise(col("chunk_tokens")))
+            when(col("fim_applied"), chunkTokCount).otherwise(col("chunk_tokens")))
         // UNCHUNKED path: the doc-level n_tokens describes the text FIM
         // just rewrote (review finding — same stale-count class as the
         // chunk columns). Recount with the column's own definition: the

@@ -567,3 +567,68 @@ case class BpeByteChunks(child: Expression, mergesPath: String,
   override protected def withNewChildInternal(c: Expression): Expression =
     copy(child = c)
 }
+
+/** PRETOKEN count under the GPT-2 pretokenizer with declared specials
+  * atomic — the exact unit [[BpeByteChunks]]' `chunk_tokens` counts, so
+  * a post-transform recount (the Curator's FIM stage rewrites chunk
+  * text after byte-budget chunking) keeps the column's counting
+  * definition instead of silently switching to whitespace tokens
+  * (advice finding). No merge table involved: specials carve first
+  * (cost 1 each, the chunker's carve order), the special-free spans
+  * count `ByteUnicode.Pretoken` matches. */
+object PretokenCountImpl {
+  def compute(specialsKey: String, text: UTF8String): Int = {
+    val s = text.toString
+    var n = 0
+    def countSpan(from: Int, to: Int): Unit =
+      if (to > from) {
+        val m = ByteUnicode.Pretoken.matcher(s.substring(from, to))
+        while (m.find()) n += 1
+      }
+    val spellings =
+      if (specialsKey.isEmpty) null else SpecialTokensImpl.parse(specialsKey)
+    if (spellings == null || spellings.isEmpty) countSpan(0, s.length)
+    else {
+      var pos = 0
+      while (pos < s.length) {
+        val hit = SpecialTokensImpl.findNext(s, pos, spellings)
+        if (hit < 0) {
+          countSpan(pos, s.length)
+          pos = s.length
+        } else {
+          val start = (hit >> 32).toInt
+          val spelling = spellings((hit & 0xFFFFFFFFL).toInt)
+          countSpan(pos, start)
+          n += 1
+          pos = start + spelling.length
+        }
+      }
+    }
+    n
+  }
+}
+
+/** `graft_pretoken_count(string[, specials]) -> int` — see
+  * [[PretokenCountImpl]]. */
+case class PretokenCount(child: Expression, specials: Seq[String] = Nil)
+    extends UnaryExpression {
+  private val specialsKey = SpecialTokensImpl.join(specials)
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case _: StringType => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(s"graft_pretoken_count expects string, got $t")
+  }
+  override def dataType: DataType = IntegerType
+  override def prettyName: String = "graft_pretoken_count"
+
+  override protected def nullSafeEval(t: Any): Any =
+    PretokenCountImpl.compute(specialsKey, t.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val sRef = ctx.addReferenceObj("pretokenCountSpecials", specialsKey, "java.lang.String")
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.PretokenCountImpl.compute($sRef, $c)")
+  }
+
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
+}

@@ -315,6 +315,9 @@ object GraftFunctions {
   def bpeByteCount(c: Column, mergesPath: String): Column =
     ColumnBridge.column(BpeByteCount(ColumnBridge.expression(c), mergesPath))
 
+  def pretokenCount(c: Column, specials: Seq[String] = Nil): Column =
+    ColumnBridge.column(PretokenCount(ColumnBridge.expression(c), specials))
+
   def byteUnicodeMap(c: Column): Column =
     ColumnBridge.column(ByteUnicodeMap(ColumnBridge.expression(c)))
 
@@ -900,6 +903,23 @@ object GraftFunctions {
           else litStr(es(4), "specials").split(",").toSeq.filter(_.nonEmpty)
         BpeByteChunks(es.head, path, litInt(es(2), "budget"), litInt(es(3), "overlap"),
           specials)
+      }),
+    ("graft_pretoken_count",
+      new ExpressionInfo(classOf[PretokenCount].getName, "graft_pretoken_count"),
+      (es: Seq[Expression]) => {
+        require(es.length == 1 || es.length == 2,
+          s"graft_pretoken_count takes 1 or 2 arguments, got ${es.length}")
+        val specials =
+          if (es.length < 2) Nil
+          else {
+            require(es(1).foldable, "graft_pretoken_count specials must be a literal")
+            es(1).eval() match {
+              case s: UTF8String => s.toString.split(",").toSeq.filter(_.nonEmpty)
+              case other => throw new IllegalArgumentException(
+                s"graft_pretoken_count specials must be a string literal, got $other")
+            }
+          }
+        PretokenCount(es.head, specials)
       }),
     ("graft_hist_sketch",
       new ExpressionInfo(classOf[HistogramSketchAgg].getName, "graft_hist_sketch"),

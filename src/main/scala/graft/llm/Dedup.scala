@@ -216,9 +216,10 @@ object Dedup {
     require(64 % bands == 0, s"bands must divide 64, got $bands")
     requireProbeComplete(maxHamming, bands, probe)
     val banded = bandSignatures(sigs, bands)
-    val r = dropHotBuckets(banded, maxBucketSize)
+    val (probed, exact) = selfJoinSides(banded, bands, maxBucketSize, probe)
+    val r = exact
       .select(col("band"), col("bits"), col("id").as("id2"), col("sig").as("sig2"))
-    val l = probedSide(banded, bands, maxBucketSize, probe)
+    val l = probed
       .select(col("band"), col("bits"), col("id").as("id1"), col("sig").as("sig1"))
     l.join(r, Seq("band", "bits"))
       .filter(col("id1") < col("id2"))
@@ -257,14 +258,33 @@ object Dedup {
     * cost more than the doomed rows' shuffle, so absent = no prune
     * (post-join results are identical either way — a hot target key
     * has no exact rows to meet). */
-  private[llm] def probedSide(banded: DataFrame, bands: Int,
+  /** The two sides of a probed banded SELF-join, sharing ONE hot-key
+    * aggregate: `(probedSide, exactSide)` over the same banded frame,
+    * both hot-dropped against the same `hotBucketKeys` subtree passed
+    * as `precomputedHot` — so the single hot aggregate is structural,
+    * not dependent on physical-plan exchange reuse collapsing two
+    * identical aggregates (advice finding: the implicit sharing held
+    * in practice but was never guaranteed). */
+  private[graft] def selfJoinSides(banded: DataFrame, bands: Int,
+      maxBucketSize: Int, probe: Int,
+      sigBits: Int = 64): (DataFrame, DataFrame) = {
+    val hot =
+      if (maxBucketSize <= 0) None
+      else Some(hotBucketKeys(banded, maxBucketSize))
+    (probedSide(banded, bands, maxBucketSize, probe, precomputedHot = hot,
+        sigBits = sigBits),
+      dropHotBuckets(banded, maxBucketSize, hot))
+  }
+
+  private[graft] def probedSide(banded: DataFrame, bands: Int,
       maxBucketSize: Int, probe: Int,
       precomputedHot: Option[DataFrame] = None,
-      targetHot: Option[DataFrame] = None): DataFrame = {
+      targetHot: Option[DataFrame] = None,
+      sigBits: Int = 64): DataFrame = {
     val exact = dropHotBuckets(banded, maxBucketSize, precomputedHot)
     if (probe == 0) exact
     else {
-      val width = 64 / bands
+      val width = sigBits / bands
       val expanded = exact.select(col("id"), col("sig"), col("band"),
         explode(array(col("bits") +: (0 until width).map(j =>
           col("bits").bitwiseXOR(lit(1L << j))): _*)).as("bits"))
@@ -511,8 +531,8 @@ object Dedup {
     val keyed = sigs.select(
       struct(col("id").as("aid"), col("seq_idx").as("s")).as("id"), col("sig"))
     val banded0 = bandSignatures(keyed, bands)
-    val banded = dropHotBuckets(banded0, maxBucketSize)
-    val l = probedSide(banded0, bands, maxBucketSize, probe)
+    val (probed, banded) = selfJoinSides(banded0, bands, maxBucketSize, probe)
+    val l = probed
       .select(col("band"), col("bits"), col("id.aid").as("id1"),
         col("id.s").as("s1"), col("sig").as("sig1"))
     val r = banded.select(col("band"), col("bits"), col("id.aid").as("id2"),

@@ -1650,8 +1650,9 @@ object Multimodal {
       .select(struct(col("id").as("vid"), col("frame_idx").as("f")).as("id"),
         col("sig"))
     val banded0 = graft.llm.Dedup.bandSignatures(sigs, bands)
-    val banded = graft.llm.Dedup.dropHotBuckets(banded0, maxBucketSize)
-    val l = graft.llm.Dedup.probedSide(banded0, bands, maxBucketSize, probe)
+    val (probed, banded) =
+      graft.llm.Dedup.selfJoinSides(banded0, bands, maxBucketSize, probe)
+    val l = probed
       .select(col("band"), col("bits"),
         col("id.vid").as("id1"), col("id.f").as("f"), col("sig").as("sig1"))
     val r = banded.select(col("band"), col("bits"),
@@ -2103,10 +2104,12 @@ object Multimodal {
     val keyed = sigs.select(
       struct(col("id").as("aid"), col("orient").as("o")).as("id"), col("sig"))
     val banded = graft.llm.Dedup.bandSignatures(keyed, bands)
-    val all = graft.llm.Dedup.probedSide(banded, bands, maxBucketSize, probe)
+    val (probed, exact) =
+      graft.llm.Dedup.selfJoinSides(banded, bands, maxBucketSize, probe)
+    val all = probed
       .select(col("band"), col("bits"), col("id.aid").as("ida"),
         col("id.o").as("orient"), col("sig").as("siga"))
-    val canonical = graft.llm.Dedup.dropHotBuckets(banded, maxBucketSize)
+    val canonical = exact
       .filter(col("id.o") === 0)
       .select(col("band"), col("bits"), col("id.aid").as("idb"),
         col("sig").as("sigb"))

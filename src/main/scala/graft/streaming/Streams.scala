@@ -472,11 +472,14 @@ object Streams {
       .withColumn(timeTmp, eventTime(col(timeCol)))
       .withWatermark(timeTmp, watermarkDelay)
     // corpus side: band + hot-guard ONCE, then per-(frame, band) bucket
-    // arrays — `bits -> [sigs]`, each bounded by maxBucketSize. Under
-    // multi-probe the CORPUS side expands (each stored key also
-    // registers under its Hamming-<=1 neighborhood, the
-    // dropNearSigStream idiom) so the stream side keeps one home-key
-    // equi-join per (frame, band).
+    // arrays — `bits -> [sigs]`. Under multi-probe the CORPUS side
+    // expands AFTER the hot drop (each stored key also registers under
+    // its Hamming-<=1 neighborhood, the dropNearSigStream idiom) so the
+    // stream side keeps one home-key equi-join per (frame, band) — and
+    // a probe-1 bucket array is therefore bounded by
+    // (width+1) x maxBucketSize (~17x at 16-bit bands), not
+    // maxBucketSize: the join payload broadcast per micro-batch carries
+    // that multiplier (advice finding — size corpus state accordingly).
     val banded0 = graft.llm.Dedup.dropHotBuckets(
       graft.llm.Dedup.bandSignatures(
         corpusFrameSigs.select(

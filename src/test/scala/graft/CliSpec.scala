@@ -5848,4 +5848,51 @@ class CliSpec extends SparkTestBase {
     assert(e3.getMessage.contains("fim-rate is not supported with unigram"),
       e3.getMessage)
   }
+
+  test("curator fim-rate after byte-budget chunking: chunk_tokens recounts " +
+      "in PRETOKENS (the byte chunker's own unit, specials atomic), not " +
+      "whitespace tokens (advice finding)") {
+    import org.apache.spark.sql.functions.col
+    val base = tmp()
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val merges = graft.llm.BpeTrainer.learnByteMerges(docs, "text", numMerges = 32)
+    val mPath = base.resolve("bmerges.txt").toString
+    val vPath = base.resolve("bvocab.txt").toString
+    val sentinels = Seq("<|fim_prefix|>", "<|fim_suffix|>", "<|fim_middle|>")
+    graft.llm.BpeTrainer.saveMerges(spark, mPath, merges)
+    graft.llm.BpeTrainer.saveVocab(spark, vPath,
+      graft.llm.BpeTrainer.buildByteVocab(merges) ++ sentinels)
+    val out = base.resolve("bfim").toString
+    graft.cli.Curator.main(Array("--conf", write(base.resolve("bfim.conf"),
+      s"""source { storage-type = local, dataset-dir = $sfDir/documents.parquet }
+         |target { storage-type = local, dataset-dir = $out, dataset-store-format = parquet, write-mode = overwrite }
+         |curation {
+         |  bpe-merges = $mPath
+         |  bpe-vocab = $vPath
+         |  bpe-byte-level = true
+         |  bpe-budget = 48
+         |  chunk-overlap = 0
+         |  fim-rate = 1.0
+         |  bpe-special-tokens = ["<|fim_prefix|>", "<|fim_suffix|>", "<|fim_middle|>"]
+         |}
+         |""".stripMargin)))
+    val rows = spark.read.parquet(out)
+    assert(rows.count() > 0)
+    assert(rows.filter(!col("fim_applied")).count() == 0)
+    // the recounted column must be the byte chunker's unit: pretokens
+    // with the declared sentinels atomic — a whitespace recount
+    // disagrees on every sentinel-glued boundary
+    val drift = rows.filter(col("chunk_tokens") =!=
+      graft.functions.GraftFunctions.pretokenCount(
+        col("chunk_text"), sentinels).cast("long")).count()
+    assert(drift == 0, s"$drift FIM rows recounted in the wrong unit")
+    // and it genuinely differs from the old whitespace recount on a
+    // meaningful fraction of rows (the bug this pins was silent)
+    val ws = org.apache.spark.sql.functions.size(
+      org.apache.spark.sql.functions.filter(
+        org.apache.spark.sql.functions.split(col("chunk_text"), "\\s+"),
+        t => org.apache.spark.sql.functions.length(t) > 0)).cast("long")
+    assert(rows.filter(col("chunk_tokens") =!= ws).count() > 0,
+      "fixture too weak: pretoken and whitespace counts agree everywhere")
+  }
 }

@@ -11,6 +11,13 @@ class GraftFunctionsSpec extends SparkTestBase {
   override def sfDir: String = "/root/testdata/sf0.001"
   private lazy val emb = spark.read.parquet(s"$sfDir/../sf0.01/embeddings.parquet")
   private lazy val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+  private lazy val bpeMergesPath = {
+    val p = java.nio.file.Files.createTempDirectory("graft-fn")
+      .resolve("bmerges.txt").toString
+    graft.llm.BpeTrainer.saveMerges(spark, p,
+      graft.llm.BpeTrainer.learnByteMerges(docs.limit(50), "text", numMerges = 16))
+    p
+  }
 
   GraftFunctions.register(spark)
 
@@ -216,5 +223,38 @@ class GraftFunctionsSpec extends SparkTestBase {
     intercept[org.apache.spark.sql.AnalysisException] {
       media.select(GraftFunctions.mediaVideoHash(col("asset_id"), 2)).collect()
     }
+  }
+
+  test("graft_pretoken_count == the byte-budget chunker's chunk_tokens unit " +
+      "(specials atomic, carve-order parity); SQL form; empty -> 0") {
+    // parity on real documents: a budget no doc exceeds -> one chunk per
+    // doc, whose chunk_tokens IS the doc's pretoken count
+    val one = docs.limit(40).select(
+      explode(GraftFunctions.bpeByteChunks(col("text"),
+        bpeMergesPath, 1 << 20, 0, Nil)).as("c"),
+      GraftFunctions.pretokenCount(col("text")).as("n"))
+    assert(one.filter(col("c.chunk_tokens") =!= col("n")).count() == 0,
+      "pretoken count must equal the single-chunk chunk_tokens")
+    // specials carve atomically, exactly like the chunker
+    val sp = Seq("<|fim_prefix|>", "<|fim_middle|>")
+    val planted = docs.limit(10).select(
+      concat(lit("<|fim_prefix|>"), col("text"), lit("<|fim_middle|>")).as("t"))
+    val cmp = planted.select(
+      explode(GraftFunctions.bpeByteChunks(col("t"),
+        bpeMergesPath, 1 << 20, 0, sp)).as("c"),
+      GraftFunctions.pretokenCount(col("t"), sp).as("n"))
+    assert(cmp.filter(col("c.chunk_tokens") =!= col("n")).count() == 0,
+      "specials-atomic pretoken count must match the chunker's carve")
+    // an UNDECLARED sentinel counts as ordinary text in both
+    val undecl = planted.select(
+      explode(GraftFunctions.bpeByteChunks(col("t"),
+        bpeMergesPath, 1 << 20, 0, Nil)).as("c"),
+      GraftFunctions.pretokenCount(col("t")).as("n"))
+    assert(undecl.filter(col("c.chunk_tokens") =!= col("n")).count() == 0)
+    // SQL registration + degenerate input
+    GraftFunctions.register(spark)
+    assert(spark.sql("SELECT graft_pretoken_count('')").head().getInt(0) == 0)
+    assert(spark.sql("SELECT graft_pretoken_count('a b', 'a')").head().getInt(0)
+      == spark.sql("SELECT graft_pretoken_count('a b')").head().getInt(0))
   }
 }
