@@ -532,13 +532,29 @@ object SparkEntry {
           graft.llm.TextAnalysis.stats(col("text"))).as("quality"))),
 
     // ---- One-pass drift sketch (custom TypedImperativeAggregate):
-    // both columns' histogram sketches from a single lineitem scan.
-    // Approximate + merge-order dependent → rows-only check.
+    // both columns' histogram sketches from a single lineitem scan,
+    // compared against the EXACT fixed-bin TVD the sketch approximates
+    // (continuousComparator semantics: side 1's range fixes the edges,
+    // side 2 clamps + renormalizes — HistogramSketchImpl.tvd mirrors
+    // exactly this). ORACLE-EXACT via dump-and-replay on the one
+    // sketch-internal value (the r14 q95 seam, applied per the r14
+    // verdict): the sketch TVD dumps as replay input; DuckDB recomputes
+    // the exact TVD from lineitem with the q24 binning idiom and
+    // replays the tolerance judgment as data. Columns: price vs the
+    // discount-adjusted price — overlapping ranges, so the TVD is a
+    // real distribution distance, not the disjoint-range degenerate.
     "q23_sketch_tvd" -> ((s, dir) => {
       import s.implicits._
+      val li = t(s, dir, "lineitem").withColumn("l_discounted",
+        col("l_extendedprice") * (lit(1.0) - col("l_discount")))
       val v = graft.datadiff.DataDiff.continuousComparatorSketchSameTable(
-        t(s, dir, "lineitem"), "l_quantity", "l_extendedprice", maxBins = 100)
-      Seq(v).toDF("tvd_sketch")
+        li, "l_extendedprice", "l_discounted", maxBins = 100)
+      val exact = graft.datadiff.DataDiff.continuousComparator(
+        li, "l_extendedprice", li, "l_discounted", maxBins = 100)
+      dumpAux(Seq(v).toDF("tvd_sketch"), dir, "q23_sketch")
+        .select(round(col("tvd_sketch"), 6).as("tvd_sketch"),
+          round(lit(exact), 6).as("tvd_exact"),
+          (abs(col("tvd_sketch") - lit(exact)) <= lit(0.05)).as("within_tol"))
     }),
 
     // ---- Structured Streaming: event-time tumbling windows + watermark
@@ -1475,10 +1491,14 @@ object SparkEntry {
     // mergeStates / report): per-lang distinct-doc and distinct-token
     // estimates from TWO batch HLL states (even/odd doc_ids) merged
     // without rescanning either batch — the mergeable data-card
-    // statistic exact counting cannot provide incrementally. The
-    // sketch is deterministic (hash-based) but engine-specific, so
-    // rows-only; EntrySpec asserts the estimates against exact
-    // distinct counts and merge-vs-single-pass identity.
+    // statistic exact counting cannot provide incrementally.
+    // ORACLE-EXACT via dump-and-replay on the report seam (the r14 q95
+    // idiom, applied per the r14 verdict): the merged per-lang
+    // ESTIMATES (the one sketch-internal step — one row per lang) dump
+    // as replay input; DuckDB recomputes the EXACT distinct docs and
+    // tokens from the documents table and replays the within-tolerance
+    // judgment as data. Only the HLL register arithmetic stays
+    // unverified; EntrySpec additionally pins merge == single-pass.
     "q89_cardinality" -> ((s, dir) => {
       import graft.llm.Cardinality
       val docs = t(s, dir, "documents").select(col("doc_id"), col("lang"), col("text"))
@@ -1486,7 +1506,25 @@ object SparkEntry {
         Cardinality.sketchState(docs.filter(col("doc_id") % 2 === 0), Seq("lang")),
         Cardinality.sketchState(docs.filter(col("doc_id") % 2 === 1), Seq("lang"))),
         Seq("lang"))
-      Cardinality.report(merged, Seq("lang")).orderBy("lang")
+      val est = dumpAux(
+        Cardinality.report(merged, Seq("lang")), dir, "q89_est")
+      val exactDocs = docs.groupBy("lang")
+        .agg(count_distinct(col("text")).as("exact_docs"))
+      val exactToks = docs
+        .select(col("lang"), explode(graft.llm.Dedup.tokens(col("text"))).as("__tok"))
+        .groupBy("lang")
+        .agg(count_distinct(col("__tok")).as("exact_tokens"))
+      // lgK=12 → ~1.6% RSE; 5% (floored at ±2 for tiny groups) is >3σ
+      def ok(estC: Column, exactC: Column) =
+        abs(estC - exactC) <= greatest(lit(2.0), lit(0.05) * exactC)
+      est.join(exactDocs, Seq("lang"))
+        .join(exactToks, Seq("lang"), "left")
+        .withColumn("exact_tokens", coalesce(col("exact_tokens"), lit(0L)))
+        .select(col("lang"), col("distinct_docs"), col("distinct_tokens"),
+          col("exact_docs"), col("exact_tokens"),
+          ok(col("distinct_docs"), col("exact_docs")).as("docs_within_tol"),
+          ok(col("distinct_tokens"), col("exact_tokens")).as("tokens_within_tol"))
+        .orderBy("lang")
     }),
 
     // ---- Per-group quantile filter: keep the top 25% of documents by
@@ -4808,6 +4846,66 @@ object SparkEntry {
         |    THEN coalesce(sh.shared_grams, 0) / CAST(est.distinct_grams AS DOUBLE)
         |    ELSE 0.0 END, 6) AS contaminated_fraction
         |FROM est LEFT JOIN sh ON est.source = sh.source""".stripMargin,
+    // q89: the merged per-lang HLL ESTIMATES are this run's dumped
+    // replay input (the one sketch-internal step — the q95 seam);
+    // DuckDB recomputes the exact distinct docs/tokens from the
+    // documents table (q95's token idiom) and replays the within-5%
+    // judgment. Tolerance arithmetic forced to DOUBLE on both sides —
+    // DuckDB's bare 0.05 is DECIMAL and could flip a knife-edge bound.
+    "q89_cardinality" ->
+      """WITH est AS (
+        |  SELECT lang, distinct_docs, distinct_tokens
+        |  FROM read_parquet('__AUX__/q89_est/*.parquet')),
+        |ed AS (
+        |  SELECT lang, count(DISTINCT text) AS exact_docs
+        |  FROM documents GROUP BY lang),
+        |toks AS (
+        |  SELECT lang, unnest(list_filter(
+        |    regexp_split_to_array(lower(trim(text)), '\s+'),
+        |    t -> len(t) > 0)) AS tok
+        |  FROM documents),
+        |et AS (SELECT lang, count(DISTINCT tok) AS exact_tokens
+        |  FROM toks GROUP BY lang)
+        |SELECT est.lang, est.distinct_docs, est.distinct_tokens,
+        |  ed.exact_docs,
+        |  CAST(coalesce(et.exact_tokens, 0) AS BIGINT) AS exact_tokens,
+        |  abs(est.distinct_docs - ed.exact_docs) <=
+        |    greatest(CAST(2.0 AS DOUBLE),
+        |      CAST(0.05 AS DOUBLE) * ed.exact_docs) AS docs_within_tol,
+        |  abs(est.distinct_tokens - coalesce(et.exact_tokens, 0)) <=
+        |    greatest(CAST(2.0 AS DOUBLE),
+        |      CAST(0.05 AS DOUBLE) * coalesce(et.exact_tokens, 0))
+        |    AS tokens_within_tol
+        |FROM est JOIN ed USING (lang) LEFT JOIN et USING (lang)""".stripMargin,
+    // q23: the sketch TVD is the dumped replay input (the q52
+    // sketch-vs-truth idiom); DuckDB recomputes the exact fixed-bin
+    // TVD with the q24 binning (side 1's range fixes the edges, side
+    // 2 clamps — continuousComparator semantics) and replays the
+    // tolerance judgment. All value arithmetic in DOUBLE.
+    "q23_sketch_tvd" ->
+      """WITH sk AS (
+        |  SELECT tvd_sketch FROM read_parquet('__AUX__/q23_sketch/*.parquet')),
+        |li AS (
+        |  SELECT CAST(l_extendedprice AS DOUBLE) AS p,
+        |    CAST(l_extendedprice AS DOUBLE) *
+        |      (1.0 - CAST(l_discount AS DOUBLE)) AS d
+        |  FROM lineitem),
+        |b AS (SELECT min(p) AS lo, max(p) AS hi FROM li),
+        |h1 AS (
+        |  SELECT least(CAST(floor((p - lo) / ((hi - lo) / 100)) AS BIGINT), 99) AS bin,
+        |    count(*) / (sum(count(*)) OVER ()) AS p1
+        |  FROM li, b WHERE p >= lo AND p <= hi GROUP BY 1),
+        |h2 AS (
+        |  SELECT least(CAST(floor((d - lo) / ((hi - lo) / 100)) AS BIGINT), 99) AS bin,
+        |    count(*) / (sum(count(*)) OVER ()) AS p2
+        |  FROM li, b WHERE d >= lo AND d <= hi GROUP BY 1),
+        |ex AS (
+        |  SELECT coalesce(sum(abs(coalesce(p1, 0) - coalesce(p2, 0))) / 2, 0) AS tvd_exact
+        |  FROM h1 FULL OUTER JOIN h2 USING (bin))
+        |SELECT round(sk.tvd_sketch, 6) AS tvd_sketch,
+        |  round(ex.tvd_exact, 6) AS tvd_exact,
+        |  abs(sk.tvd_sketch - ex.tvd_exact) <= 0.05 AS within_tol
+        |FROM sk, ex""".stripMargin,
     "q64_repetition" -> RepetitionOracleSql,
     "q65_native_repetition" -> RepetitionOracleSql,
     "q66_pack_sequences" ->
