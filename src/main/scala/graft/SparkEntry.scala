@@ -3431,6 +3431,91 @@ object SparkEntry {
           max(col("hamming")).as("max_hamming"))
     }),
 
+    // ---- WIDE (256-bit) DCT image near-dup — the round-14 verdict's
+    // prescribed remedy landed: pHash256 signatures through the wide
+    // banded engine (Dedup.wideSigNearDups) at radius 15 on SIXTEEN
+    // 16-bit bands, probe 0 — a geometry the 64-bit engine structurally
+    // cannot run (16 bands of 4-bit keys saturate instantly; 8 probed
+    // bands cap at radius 15 with 8-bit keys that saturate past ~2.5M —
+    // PerfProbe 20 measures both). Fixture: wide-spectrum textured
+    // plates (16×16 planted block — the band the kernel reads) with
+    // blur+JPEG-q30 twins (measured envelope: twin max 10, stranger
+    // min 98 at 150 seeds). ORACLE-EXACT and STRONGER than banded
+    // parity: the dumped 4-word signatures replay in DuckDB as the
+    // full O(n²) brute-force Hamming join — equality pins the banded
+    // join complete AND sound against ground truth.
+    "q147_image_wide_neardup" -> ((s, dir) => {
+      import graft.llm.Multimodal
+      val media = Multimodal.asMediaTable(
+        t(s, dir, "documents").filter(col("doc_id") < 150), "doc_id", "text",
+        "image", Map.empty)
+      val png = Multimodal.reencodeAsTexturedImageWide(media)
+      val degradedTwins = Multimodal.reencodeAsTexturedImageWideDegraded(
+        media.filter(col("asset_id") % 6 === 0))
+        .withColumn("asset_id", col("asset_id") + 100000)
+      val sigs4 = dumpAux(
+        Multimodal.dctHashesWide(
+          png.unionByName(degradedTwins), Multimodal.ImageIoDecoder)
+          .select(col("id"),
+            element_at(col("sig"), 1).as("s0"), element_at(col("sig"), 2).as("s1"),
+            element_at(col("sig"), 3).as("s2"), element_at(col("sig"), 4).as("s3")),
+        dir, "q147_sigs")
+      val sigs = sigs4.select(col("id"),
+        array(col("s0"), col("s1"), col("s2"), col("s3")).as("sig"))
+      graft.llm.Dedup.wideSigNearDups(sigs, maxHamming = 15, bands = 16,
+        probe = 0, sigBits = 256)
+        .groupBy(when(col("id2") - col("id1") === 100000, "planted_degraded")
+          .otherwise("other").as("pair_type"))
+        .agg(count(lit(1)).as("n_pairs"),
+          min(col("hamming")).as("min_hamming"),
+          max(col("hamming")).as("max_hamming"))
+    }),
+
+    // ---- The wide engine's INCREMENTAL form (wideSigNearDupsAgainst)
+    // through the full persisted-state protocol: corpus wide sigs +
+    // mergeable wideBucketCounts-derived hot table, batch = degraded
+    // echoes of every 5th corpus plate (+100000) plus fresh
+    // wide-spectrum plates the corpus has never seen. Row-level output
+    // (batch_id, corpus_id, hamming) — ORACLE-EXACT via the q147
+    // brute-force replay over the two dumped signature tables, so the
+    // batch-vs-corpus banding is pinned complete AND sound. The batch
+    // probes at depth 1 (radius 15 over 16 bands needs only probe 0 —
+    // depth 1 exercises the probe-agnostic state contract in-gate:
+    // same pairs, same persisted hot table).
+    "q148_wide_incremental_neardup" -> ((s, dir) => {
+      import graft.llm.Multimodal
+      val media = Multimodal.asMediaTable(
+        t(s, dir, "documents").filter(col("doc_id") < 120), "doc_id", "text",
+        "image", Map.empty)
+      val corpusSigs4 = dumpAux(
+        Multimodal.dctHashesWide(
+          Multimodal.reencodeAsTexturedImageWide(media), Multimodal.ImageIoDecoder)
+          .select(col("id"),
+            element_at(col("sig"), 1).as("s0"), element_at(col("sig"), 2).as("s1"),
+            element_at(col("sig"), 3).as("s2"), element_at(col("sig"), 4).as("s3")),
+        dir, "q148_corpus_sigs")
+      val echoes = Multimodal.reencodeAsTexturedImageWideDegraded(
+        media.filter(col("asset_id") % 5 === 0))
+        .withColumn("asset_id", col("asset_id") + 100000)
+      val freshMedia = Multimodal.reencodeAsTexturedImageWide(
+        media.filter(col("asset_id") < 20)
+          .withColumn("asset_id", col("asset_id") + 200000))
+      val batchSigs4 = dumpAux(
+        Multimodal.dctHashesWide(
+          echoes.unionByName(freshMedia), Multimodal.ImageIoDecoder)
+          .select(col("id"),
+            element_at(col("sig"), 1).as("s0"), element_at(col("sig"), 2).as("s1"),
+            element_at(col("sig"), 3).as("s2"), element_at(col("sig"), 4).as("s3")),
+        dir, "q148_batch_sigs")
+      def arr(df: DataFrame) = df.select(col("id"),
+        array(col("s0"), col("s1"), col("s2"), col("s3")).as("sig"))
+      val hot = graft.llm.Dedup.hotFromCounts(
+        graft.llm.Dedup.wideBucketCounts(arr(corpusSigs4), 16, 256), 10000)
+      graft.llm.Dedup.wideSigNearDupsAgainst(
+        arr(batchSigs4), arr(corpusSigs4), maxHamming = 15, bands = 16,
+        corpusHotBuckets = Some(hot), probe = 1, sigBits = 256)
+    }),
+
     // ---- Fill-in-the-middle transform (Bavarian et al. 2022,
     // 2207.14255 — the infilling-pretraining staple for code corpora):
     // at fim_rate 0.5, split each selected doc at two md5-derived
@@ -3509,6 +3594,34 @@ object SparkEntry {
        |  min(hamming) AS min_hamming,
        |  max(hamming) AS max_hamming
        |FROM p GROUP BY 1""".stripMargin
+
+  /** The 4-word Hamming sum over two aliased `(s0..s3)` sig rows —
+    * shared by the WIDE brute-force replays (q147/q148). Each term
+    * casts BEFORE the sum: DuckDB's bit_count returns TINYINT and four
+    * 64-bit word counts can pass 127. */
+  private def wideHammingSql(a: String, b: String): String =
+    Seq("s0", "s1", "s2", "s3")
+      .map(w => s"CAST(bit_count(xor($a.$w, $b.$w)) AS INTEGER)")
+      .mkString("(", " + ", ")")
+
+  /** DuckDB replay of [[graft.llm.Dedup.wideSigNearDups]] over a dumped
+    * 4-word `(id, s0..s3)` signature table: the FULL O(n²) brute-force
+    * Hamming join — equality pins the wide banded join complete and
+    * sound against ground truth, not merely self-consistent. */
+  private def wideSigPairOracleSql(auxName: String, maxHamming: Int,
+      plantedLabel: String): String =
+    s"""WITH s AS (SELECT id, s0, s1, s2, s3
+       |  FROM read_parquet('__AUX__/$auxName/*.parquet')),
+       |p AS (
+       |  SELECT a.id AS id1, b.id AS id2,
+       |    ${wideHammingSql("a", "b")} AS hamming
+       |  FROM s a JOIN s b ON a.id < b.id)
+       |SELECT
+       |  CASE WHEN id2 - id1 = 100000 THEN '$plantedLabel' ELSE 'other' END AS pair_type,
+       |  count(*)::BIGINT AS n_pairs,
+       |  min(hamming) AS min_hamming,
+       |  max(hamming) AS max_hamming
+       |FROM p WHERE hamming <= $maxHamming GROUP BY 1""".stripMargin
 
   /** DuckDB replay of [[graft.llm.Dedup.seqSigNearDups]] over a dumped
     * `(id, <seqCol>, sig)` table: sub-signature matches grouped per
@@ -4413,6 +4526,19 @@ object SparkEntry {
     "q129_image_neardup" -> scalarSigPairOracleSql("q129_sigs", 3, "planted_cross_codec"),
     "q130_audio_neardup" -> scalarSigPairOracleSql("q130_sigs", 3, "planted_half_volume"),
     "q144_image_blur_neardup" -> scalarSigPairOracleSql("q144_sigs", 7, "planted_degraded"),
+    "q147_image_wide_neardup" -> wideSigPairOracleSql("q147_sigs", 15, "planted_degraded"),
+    // q148: row-level brute force over the two dumped wide sig tables —
+    // the incremental banding must emit exactly the ground-truth pairs
+    "q148_wide_incremental_neardup" ->
+      s"""WITH c AS (SELECT id, s0, s1, s2, s3
+        |  FROM read_parquet('__AUX__/q148_corpus_sigs/*.parquet')),
+        |b AS (SELECT id, s0, s1, s2, s3
+        |  FROM read_parquet('__AUX__/q148_batch_sigs/*.parquet'))
+        |SELECT * FROM (
+        |  SELECT b.id AS batch_id, c.id AS corpus_id,
+        |    ${wideHammingSql("b", "c")} AS hamming
+        |  FROM b, c)
+        |WHERE hamming <= 15""".stripMargin,
     // frame-ALIGNED video pairing: per-frame Hamming join + the
     // min-frames gate, replayed over the dumped (id, frame_idx, sig)
     "q131_video_neardup" ->

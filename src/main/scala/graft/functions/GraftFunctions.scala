@@ -243,6 +243,56 @@ case class CosineSimilarity(left: Expression, right: Expression)
     copy(left = l, right = r)
 }
 
+object HammingLongsImpl {
+  /** Hamming distance between two WIDE fingerprints stored as equal-
+    * length long arrays (the ≥128-bit banded-engine representation).
+    * Degenerate inputs — mismatched word counts or null elements, i.e.
+    * signatures from DIFFERENT width lineages — return Int.MaxValue:
+    * visibly impossible, and (unlike a negative sentinel) it can never
+    * slip through a `hamming <= radius` match filter, so a lineage mixup
+    * yields zero pairs instead of garbage pairs. */
+  def compute(a: ArrayData, b: ArrayData): Int = {
+    val n = a.numElements()
+    if (n != b.numElements()) return Int.MaxValue
+    var s = 0
+    var i = 0
+    while (i < n) {
+      if (a.isNullAt(i) || b.isNullAt(i)) return Int.MaxValue
+      s += java.lang.Long.bitCount(a.getLong(i) ^ b.getLong(i))
+      i += 1
+    }
+    s
+  }
+}
+
+/** `graft_hamming(array<bigint>, array<bigint>) -> int` — see
+  * [[HammingLongsImpl]]. One fused pass, no intermediate array (the
+  * zip_with/aggregate HOF formulation allocates one per row — this is
+  * the candidate-verify hot path of every wide banded join). */
+case class HammingLongs(left: Expression, right: Expression)
+    extends BinaryExpression {
+  private def ok(t: DataType): Boolean = t match {
+    case ArrayType(LongType, _) => true
+    case _ => false
+  }
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (ok(left.dataType) && ok(right.dataType)) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"graft_hamming expects bigint arrays, got (${left.dataType}, ${right.dataType})")
+  override def dataType: DataType = IntegerType
+  override def prettyName: String = "graft_hamming"
+
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    HammingLongsImpl.compute(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      (a, b) => s"graft.functions.HammingLongsImpl.compute($a, $b)")
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}
+
 /** `graft_simhash(string[, gramSize]) -> bigint` */
 case class SimHash64(child: Expression, gramSize: Int = 1)
     extends UnaryExpression {
@@ -269,6 +319,10 @@ object GraftFunctions {
   import org.apache.spark.sql.graftbridge.ColumnBridge
 
   /** Column-API forms, usable without registration. */
+  def hammingLongs(a: Column, b: Column): Column =
+    ColumnBridge.column(HammingLongs(
+      ColumnBridge.expression(a), ColumnBridge.expression(b)))
+
   def cosineSim(a: Column, b: Column): Column =
     ColumnBridge.column(CosineSimilarity(
       ColumnBridge.expression(a), ColumnBridge.expression(b)))
@@ -461,6 +515,12 @@ object GraftFunctions {
       (es: Seq[Expression]) => {
         require(es.length == 2, s"graft_cosine takes 2 arguments, got ${es.length}")
         CosineSimilarity(es(0), es(1))
+      }),
+    ("graft_hamming",
+      new ExpressionInfo(classOf[HammingLongs].getName, "graft_hamming"),
+      (es: Seq[Expression]) => {
+        require(es.length == 2, s"graft_hamming takes 2 arguments, got ${es.length}")
+        HammingLongs(es(0), es(1))
       }),
     ("graft_textstats",
       new ExpressionInfo(classOf[TextStats].getName, "graft_textstats"),

@@ -583,6 +583,148 @@ object Dedup {
       .filter(col("n_matched") >= minMatches)
   }
 
+  // -------------------------------------- wide (>=128-bit) signatures
+
+  /** Geometry contract of the WIDE banded engine: signatures are
+    * `array<long>` columns of `sigBits/64` words (row-major, word 0 =
+    * bits 0–63), bands carve `sigBits/bands`-bit keys that never
+    * straddle a word, and band keys stay 16–32 bits wide so the
+    * hot-bucket guard can DISCRIMINATE at corpus scale. This is the
+    * remedy the 64-bit engine's probe-depth refusal prescribes
+    * ([[requireProbeComplete]] — "a radius needing depth >= 2 wants a
+    * wider fingerprint"): at 10^9 assets, 16-bit keys on a 64-bit sig
+    * mean ~15k expected occupancy per bucket — past any useful guard
+    * cap even uniformly — while a 256-bit sig carries SIXTEEN 16-bit
+    * bands, covering radius 15 at probe 0 and radius 31 at probe 1
+    * with the same 65,536-valued keys. Returns the band width. */
+  private[graft] def requireWideGeometry(sigBits: Int, bands: Int): Int = {
+    require(sigBits >= 128 && sigBits % 64 == 0,
+      s"wide signatures are >=128 bits in 64-bit words, got $sigBits " +
+        "(64-bit fingerprints take the scalar sigNearDups path)")
+    require(sigBits % bands == 0,
+      s"bands must divide sigBits ($bands does not divide $sigBits)")
+    val width = sigBits / bands
+    require(64 % width == 0 && width <= 32,
+      s"band width $width must divide 64 and stay <= 32 bits (keys must " +
+        "not straddle signature words, and a >32-bit key space defeats " +
+        "the occupancy the guard exists to bound)")
+    require(width >= 8,
+      s"band width $width is below 8 bits — narrow keys are exactly the " +
+        "saturation failure the wide engine exists to avoid (fewer bands " +
+        "+ probe 1, or a wider fingerprint)")
+    width
+  }
+
+  /** Hamming distance between two wide fingerprints (equal-length long
+    * arrays) — the native one-pass expression
+    * ([[graft.functions.GraftFunctions.hammingLongs]]); mismatched
+    * word counts (different width lineages) read Int.MaxValue, which
+    * no radius filter ever passes. */
+  def hammingWide(a: Column, b: Column): Column =
+    graft.functions.GraftFunctions.hammingLongs(a, b)
+
+  /** The HOF reference formulation [[hammingWide]] is verified against
+    * (GraftFunctionsSpec). */
+  private[graft] def hammingWideHof(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => bit_count(x.bitwiseXOR(y))),
+      lit(0), (acc, v) => acc + v)
+
+  /** [[bandSignatures]] for wide `(id, sig: array<long>)` frames: one
+    * row per (band, bits) key, band b's bits drawn from word
+    * `b*width/64` at shift `(b*width)%64`. Same output shape as the
+    * scalar banding — `(id, sig, band, bits)` with `bits` a long key —
+    * so [[dropHotBuckets]], [[hotBucketKeys]], [[hotFromCounts]],
+    * [[guardSaturation]] and [[probedSide]] apply unchanged. */
+  private[graft] def wideBandSignatures(sigs: DataFrame, bands: Int,
+      sigBits: Int): DataFrame = {
+    val width = requireWideGeometry(sigBits, bands)
+    val perWord = 64 / width
+    val mask = ((BigInt(1) << width) - 1).toLong
+    sigs.select(col("id"), col("sig"),
+      explode(array((0 until bands).map { b =>
+        struct(lit(b).as("band"),
+          shiftright(element_at(col("sig"), b / perWord + 1), (b % perWord) * width)
+            .bitwiseAND(lit(mask)).as("bits"))
+      }: _*)).as("bb"))
+      .select(col("id"), col("sig"), col("bb.band"), col("bb.bits"))
+  }
+
+  /** [[sigNearDups]] over WIDE signatures `(id, sig: array<long>)` —
+    * the banded self-join for ≥128-bit fingerprint families (256-bit
+    * DCT pHash, wide SimHash): identical pigeonhole contract
+    * (`maxHamming < bands*(probe+1)`), hot-bucket guard, multi-probe
+    * semantics and never-all-pairs shape as the scalar engine; only
+    * the banding ([[wideBandSignatures]]) and the verify distance
+    * ([[hammingWide]]) differ. Returns `(id1, id2, hamming)`. */
+  def wideSigNearDups(
+      sigs: DataFrame, // (id, sig: array<long>)
+      maxHamming: Int = 15,
+      bands: Int = 16,
+      maxBucketSize: Int = 10000,
+      probe: Int = 0,
+      sigBits: Int = 256): DataFrame = {
+    requireWideGeometry(sigBits, bands)
+    requireProbeComplete(maxHamming, bands, probe)
+    val banded = wideBandSignatures(sigs, bands, sigBits)
+    val (probed, exact) = selfJoinSides(banded, bands, maxBucketSize, probe, sigBits)
+    val l = probed
+      .select(col("band"), col("bits"), col("id").as("id1"), col("sig").as("sig1"))
+    val r = exact
+      .select(col("band"), col("bits"), col("id").as("id2"), col("sig").as("sig2"))
+    l.join(r, Seq("band", "bits"))
+      .filter(col("id1") < col("id2"))
+      .select(col("id1"), col("id2"), hammingWide(col("sig1"), col("sig2")).as("hamming"))
+      .filter(col("hamming") <= maxHamming)
+      .distinct()
+  }
+
+  /** [[sigNearDupsAgainst]] over WIDE signatures — the incremental
+    * batch-vs-corpus form: the batch side probes, the corpus side
+    * stays exact, `corpusHotBuckets` is the persisted hot-key table of
+    * the [[wideBucketCounts]] mergeable-counts protocol (probe depth
+    * stays matching-time only, so wide state lineages are
+    * probe-agnostic exactly like the scalar engine's). Returns
+    * `(batch_id, corpus_id, hamming)`. */
+  def wideSigNearDupsAgainst(
+      batchSigs: DataFrame,
+      corpusSigs: DataFrame,
+      maxHamming: Int = 15,
+      bands: Int = 16,
+      maxBucketSize: Int = 10000,
+      corpusHotBuckets: Option[DataFrame] = None,
+      probe: Int = 0,
+      sigBits: Int = 256): DataFrame = {
+    requireWideGeometry(sigBits, bands)
+    requireProbeComplete(maxHamming, bands, probe)
+    val b = probedSide(wideBandSignatures(batchSigs, bands, sigBits), bands,
+        maxBucketSize, probe,
+        targetHot = corpusHotBuckets.filter(_ => probe == 1), sigBits = sigBits)
+      .select(col("band"), col("bits"), col("id").as("batch_id"), col("sig").as("__bsig"))
+    val c = dropHotBuckets(wideBandSignatures(corpusSigs, bands, sigBits),
+        maxBucketSize, corpusHotBuckets)
+      .select(col("band"), col("bits"), col("id").as("corpus_id"), col("sig").as("__csig"))
+    b.join(c, Seq("band", "bits"))
+      .select(col("batch_id"), col("corpus_id"),
+        hammingWide(col("__bsig"), col("__csig")).as("hamming"))
+      .filter(col("hamming") <= maxHamming)
+      .distinct()
+  }
+
+  /** Per-bucket occupancy counts of a WIDE signature frame — the
+    * mergeable state unit ([[bucketCounts]] for `array<long>` sigs).
+    * Counts only merge within ONE (kernel, sigBits, bands) lineage —
+    * the sig width is part of the state fingerprint. */
+  def wideBucketCounts(sigs: DataFrame, bands: Int, sigBits: Int): DataFrame =
+    wideBandSignatures(sigs, bands, sigBits).groupBy("band", "bits")
+      .agg(count(lit(1)).as("n"))
+
+  /** Hot-key table of a wide signature frame ([[simHashHotBuckets]]'
+    * wide analog) — persist next to the signatures so increments skip
+    * the corpus-wide aggregate. */
+  def wideHotBuckets(sigs: DataFrame, bands: Int, sigBits: Int,
+      maxBucketSize: Int = 10000): DataFrame =
+    hotFromCounts(wideBucketCounts(sigs, bands, sigBits), maxBucketSize)
+
   /** Incremental curation step: batch survivors after all three
     * incremental tiers — exact-vs-seen (and in-batch exact), in-batch
     * near-dup (drop the higher id per pair; otherwise a near-dup pair

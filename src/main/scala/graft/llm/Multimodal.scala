@@ -807,6 +807,78 @@ object Multimodal {
     h
   }
 
+  /** 64-point DCT-II basis for the wide kernel: `DctCos64(u)(x) =
+    * cos((2x+1)uπ/128)`. */
+  private val DctCos64: Array[Array[Double]] = Array.tabulate(64, 64) {
+    (u, x) => math.cos((2 * x + 1) * u * math.Pi / 128.0)
+  }
+
+  /** 256-bit DCT PERCEPTUAL HASH — [[pHash64]]'s natural wide
+    * extension (the round-14 verdict's prescribed remedy for corpora
+    * past ~10^8 assets): grayscale → 64×64 → 2-D DCT-II → the
+    * top-left 16×16 low-frequency block (256 coefficients, DC
+    * excluded from the 255-AC mean), packed row-major MSB-first into
+    * 4 longs (word w carries coefficients 64w…64w+63). The FREQUENCY
+    * RATIO is pHash64's, not just the block size: 16 of 64
+    * frequencies = the same bottom quarter-band as 8 of 32, i.e. ≤7.5
+    * cycles/image — under 1 cycle per JPEG 8×8 block at this
+    * resolution, which is the band JPEG itself preserves. (A 16×16
+    * block read from the 32×32 DCT was MEASURED and rejected —
+    * MediaEnvelopeProbe: its upper half-band signs are
+    * re-quantization noise, twin distances blow past 100 bits.)
+    * Quadrupled sign evidence is what lets the wide banded engine
+    * carve SIXTEEN 16-bit bands — radius 15 at probe 0 / 31 at probe
+    * 1 with bucket keys the hot-bucket guard still discriminates at
+    * 10^9 assets (PerfProbe 20 measures any legal 64-bit geometry
+    * saturating on the same corpus). Shares [[pHash64]]'s exact
+    * invariance laws (brightness shift, positive contrast scale —
+    * property-tested) and its published limitation (not crop/rotation
+    * robust). Like every kernel here it is CORPUS-DEPENDENT: on
+    * spectrum-poor plates (everything above ~4 cycles empty) the
+    * upper block is noise and the 64-bit kernel is the honest choice
+    * — the envelope probe records that negative; calibrate mode is
+    * the per-corpus arbiter. */
+  def pHash256(d: Decoded): Array[Long] = {
+    val g = resize(toGray(d), 64, 64).data
+    val rows = new Array[Double](64 * 64)
+    var y = 0
+    while (y < 64) {
+      var u = 0
+      while (u < 64) {
+        var s = 0.0
+        var x = 0
+        while (x < 64) { s += g(y * 64 + x) * DctCos64(u)(x); x += 1 }
+        rows(y * 64 + u) = s
+        u += 1
+      }
+      y += 1
+    }
+    val block = new Array[Double](256)
+    var v = 0
+    while (v < 16) {
+      var u = 0
+      while (u < 16) {
+        var s = 0.0
+        var yy = 0
+        while (yy < 64) { s += rows(yy * 64 + u) * DctCos64(v)(yy); yy += 1 }
+        block(v * 16 + u) = s
+        u += 1
+      }
+      v += 1
+    }
+    var mean = 0.0
+    var i = 1
+    while (i < 256) { mean += block(i); i += 1 }
+    mean /= 255.0
+    val sig = new Array[Long](4)
+    i = 0
+    while (i < 256) {
+      sig(i >> 6) = (sig(i >> 6) << 1) | (if (block(i) > mean) 1L else 0L)
+      i += 1
+    }
+    sig
+  }
+
   /** 3×3 box blur with edge clamping — the degradation kernel of the
     * pHash fixture family (and the round-13 envelope probe). */
   private[graft] def boxBlur3(d: Decoded): Decoded = {
@@ -950,6 +1022,75 @@ object Multimodal {
     Decoded(w, h, 3, data)
   }
 
+  /** [[texturedImage]]'s WIDE-SPECTRUM sibling — the [[pHash256]]
+    * fixture family: a seed-random 16×16 low-frequency block (255
+    * independent AC signs, decay 1/(1+u+v), same splitmix draw-per-
+    * coefficient stream and min-max rendering) synthesized onto
+    * `w×h` (default 64×64). The 8×8-spectrum [[texturedImage]] plates
+    * are DEGENERATE for the wide kernel — everything above 3.5
+    * cycles/image is empty, so the upper three quarters of the 16×16
+    * sign block is rendering noise (the envelope probe records that
+    * negative) — exactly as the single-sinusoid plates are degenerate
+    * for [[pHash64]]. This family populates the full quarter-band the
+    * wide kernel reads, the photo-like regime it operates in. */
+  def texturedImageWide(seed: Long, w: Int = 64, h: Int = 64): Decoded = {
+    var z = seed
+    def next(): Long = {
+      z += 0x9E3779B97F4A7C15L
+      var x = z
+      x = (x ^ (x >>> 30)) * 0xBF58476D1CE4E5B9L
+      x = (x ^ (x >>> 27)) * 0x94D049BB133111EBL
+      x ^ (x >>> 31)
+    }
+    val amp = new Array[Double](256)
+    var i = 1
+    while (i < 256) {
+      val u = i % 16; val v = i / 16
+      val r = next()
+      val sign = if ((r & 1L) == 0L) -1.0 else 1.0
+      val mag = 0.55 + 0.45 * (((r >>> 1) & 1023L).toDouble / 1023.0)
+      amp(i) = sign * mag / (1.0 + u + v)
+      i += 1
+    }
+    val cx = Array.tabulate(16, w)((u, x) =>
+      math.cos((2 * x + 1) * u * math.Pi / (2.0 * w)))
+    val cy = Array.tabulate(16, h)((v, y) =>
+      math.cos((2 * y + 1) * v * math.Pi / (2.0 * h)))
+    val raw = new Array[Double](w * h)
+    var mn = Double.MaxValue; var mx = Double.MinValue
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        var s = 0.0
+        var v = 0
+        while (v < 16) {
+          var u = 0
+          while (u < 16) {
+            val a = amp(v * 16 + u)
+            if (a != 0.0) s += a * cx(u)(x) * cy(v)(y)
+            u += 1
+          }
+          v += 1
+        }
+        raw(y * w + x) = s
+        if (s < mn) mn = s
+        if (s > mx) mx = s
+        x += 1
+      }
+      y += 1
+    }
+    val span = if (mx > mn) mx - mn else 1.0
+    val data = new Array[Float](w * h * 3)
+    var p = 0
+    while (p < w * h) {
+      val fv = ((raw(p) - mn) / span).toFloat
+      data(p * 3) = fv; data(p * 3 + 1) = fv; data(p * 3 + 2) = fv
+      p += 1
+    }
+    Decoded(w, h, 3, data)
+  }
+
   /** Replace each asset's payload with a real PNG rendering of the
     * deterministic TEXTURED plate keyed by `seedCol` — the base corpus
     * of the DCT-tier fixture family (same mapPartitions shape as
@@ -994,6 +1135,45 @@ object Multimodal {
     }(Encoders.row(schema))
   }
 
+  /** [[reencodeAsTexturedImage]] on the WIDE-SPECTRUM plate family
+    * ([[texturedImageWide]], 64×64 / 16×16 planted block) — the
+    * pHash256 tier's fixture corpus (q147). */
+  def reencodeAsTexturedImageWide(
+      df: DataFrame,
+      seedCol: String = "asset_id",
+      contentCol: String = "content"): DataFrame = {
+    val schema = df.schema
+    val cIdx = df.columns.indexOf(contentCol)
+    val sIdx = df.columns.indexOf(seedCol)
+    df.mapPartitions { it =>
+      it.map { row =>
+        val bytes = encodePng(texturedImageWide(row.getLong(sIdx)))
+        Row.fromSeq(row.toSeq.updated(cIdx, bytes))
+      }
+    }(Encoders.row(schema))
+  }
+
+  /** [[reencodeAsTexturedImageDegraded]] on the wide-spectrum family:
+    * blur + JPEG at `quality` of the seed's [[texturedImageWide]]
+    * plate — the degraded twin inside pHash256's measured radius-15
+    * envelope (probe: twin max 10, stranger min 98 at 150 seeds). */
+  def reencodeAsTexturedImageWideDegraded(
+      df: DataFrame,
+      quality: Float = 0.3f,
+      seedCol: String = "asset_id",
+      contentCol: String = "content"): DataFrame = {
+    val schema = df.schema
+    val cIdx = df.columns.indexOf(contentCol)
+    val sIdx = df.columns.indexOf(seedCol)
+    df.mapPartitions { it =>
+      it.map { row =>
+        val bytes = jpegBytesAtQuality(
+          boxBlur3(texturedImageWide(row.getLong(sIdx))), quality)
+        Row.fromSeq(row.toSeq.updated(cIdx, bytes))
+      }
+    }(Encoders.row(schema))
+  }
+
   /** Per-asset perceptual hashes `(id, sig)` — the image analog of
     * [[graft.llm.Dedup.simHashSignatures]], and like them the per-run
     * STATE an incremental pipeline persists. Same batched mapPartitions
@@ -1019,6 +1199,58 @@ object Multimodal {
       metaCol: String = "meta",
       batchSize: Int = 64): DataFrame =
     scalarImageHashes(df, decoder, idCol, contentCol, metaCol, batchSize)(pHash64)
+
+  /** WIDE (256-bit) DCT signature frame `(id, sig: array<long>)` — the
+    * [[pHash256]] state the wide banded engine
+    * ([[graft.llm.Dedup.wideSigNearDups]]) consumes: one decode pass,
+    * 32 B/signature, same mapPartitions shape as [[dctHashes]]. */
+  def dctHashesWide(
+      df: DataFrame,
+      decoder: MediaDecoder,
+      idCol: String = "asset_id",
+      contentCol: String = "content",
+      metaCol: String = "meta",
+      batchSize: Int = 64): DataFrame = {
+    val idType = df.schema(idCol).dataType
+    val schema = StructType(Seq(
+      StructField("id", idType, nullable = false),
+      StructField("sig", ArrayType(LongType, containsNull = false), nullable = false)))
+    val (idIdx, cIdx, mIdx) =
+      (df.columns.indexOf(idCol), df.columns.indexOf(contentCol), df.columns.indexOf(metaCol))
+    df.mapPartitions { it =>
+      it.grouped(batchSize).flatMap { batch =>
+        batch.flatMap { row =>
+          val content = row.getAs[Array[Byte]](cIdx)
+          if (content == null) None
+          else {
+            val meta = Option(row.getMap[String, String](mIdx))
+              .map(_.toMap).getOrElse(Map.empty[String, String])
+            Some(Row(row.get(idIdx), pHash256(decoder.decode(content, meta)).toSeq))
+          }
+        }
+      }
+    }(Encoders.row(schema))
+  }
+
+  /** Image near-dup pairs under the WIDE DCT hash —
+    * [[imageNearDupsDct]] on [[pHash256]] signatures through
+    * [[graft.llm.Dedup.wideSigNearDups]]: sixteen 16-bit bands cover
+    * radius 15 at probe 0 (vs the 64-bit tier's radius-7-at-probe-1
+    * ceiling), and the guard keeps discriminating at corpus sizes
+    * where ANY legal 64-bit geometry saturates (PerfProbe 20). */
+  def imageNearDupsDctWide(
+      df: DataFrame,
+      decoder: MediaDecoder,
+      idCol: String = "asset_id",
+      contentCol: String = "content",
+      metaCol: String = "meta",
+      maxHamming: Int = 15,
+      bands: Int = 16,
+      maxBucketSize: Int = 10000,
+      probe: Int = 0): DataFrame =
+    graft.llm.Dedup.wideSigNearDups(
+      dctHashesWide(df, decoder, idCol, contentCol, metaCol),
+      maxHamming, bands, maxBucketSize, probe, sigBits = 256)
 
   private def scalarImageHashes(
       df: DataFrame,

@@ -132,5 +132,47 @@ object MediaEnvelopeProbe {
           f"mean ${twins.sum.toDouble / n}%5.2f  stranger min $strangerMin%2d")
       }
     }
+    wideEnvelope(n)
+  }
+
+  /** Round-15: the 256-bit DCT kernel's envelope — picks the wide dct
+    * tier's default radius the way the 64-bit tiers' defaults were
+    * picked (measured twin max vs cross-seed stranger min, per plate
+    * family and transform). Also reports the smooth-family negative:
+    * the single-sinusoid degeneracy is a property of the SPECTRUM, so
+    * quadrupling the sign evidence must not be claimed to fix it
+    * without measurement. */
+  private def wideEnvelope(n: Int): Unit = {
+    def ham(a: Array[Long], b: Array[Long]): Int = {
+      var s = 0; var i = 0
+      while (i < a.length) { s += java.lang.Long.bitCount(a(i) ^ b(i)); i += 1 }
+      s
+    }
+    val transforms: Seq[(String, Decoded => Array[Byte])] = Seq(
+      "blur3x3" -> (d => Multimodal.encodePng(Multimodal.boxBlur3(d))),
+      "jpeg_q30" -> (d => Multimodal.jpegBytesAtQuality(d, 0.3f)),
+      "jpeg_q75_then_q50" -> (d => Multimodal.jpegBytesAtQuality(
+        decode(Multimodal.jpegBytesAtQuality(d, 0.75f)), 0.5f)),
+      "blur_then_jpeg30" -> (d => Multimodal.jpegBytesAtQuality(
+        Multimodal.boxBlur3(d), 0.3f)))
+    for ((famName, plate) <- Seq(
+        "smooth" -> ((s: Long) => Multimodal.smoothImage(s)),
+        "textured" -> ((s: Long) => Multimodal.texturedImage(s)),
+        "texwide" -> ((s: Long) => Multimodal.texturedImageWide(s)))) {
+      val base = (0 until n).map(s => decode(Multimodal.encodePng(plate(s.toLong))))
+      val h0 = base.map(Multimodal.pHash256)
+      var strangerMin = 256
+      for (i <- 0 until n; j <- (i + 1) until n) {
+        val d = ham(h0(i), h0(j))
+        if (d < strangerMin) strangerMin = d
+      }
+      for ((label, f) <- transforms) {
+        val ds = (0 until n).map { s =>
+          ham(h0(s), Multimodal.pHash256(decode(f(base(s)))))
+        }
+        println(f"$famName%-8s ph256 $label%-18s twin max ${ds.max}%3d  " +
+          f"mean ${ds.sum.toDouble / n}%6.2f  stranger min $strangerMin%3d")
+      }
+    }
   }
 }

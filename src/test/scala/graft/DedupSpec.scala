@@ -323,6 +323,95 @@ class DedupSpec extends SparkTestBase {
     assert(viaCounts.nonEmpty, "pick maxBucket so the identity is non-vacuous")
   }
 
+  test("wide engine geometry contract: word multiples only, keys never " +
+      "straddle words, 8-32-bit keys, pigeonhole completeness enforced") {
+    val sigs = Seq((1L, Seq(1L, 2L, 3L, 4L))).toDF("id", "sig")
+    // 64-bit input takes the scalar path
+    intercept[IllegalArgumentException](
+      Dedup.wideSigNearDups(sigs, 3, 4, sigBits = 64))
+    // bands must divide sigBits
+    intercept[IllegalArgumentException](
+      Dedup.wideSigNearDups(sigs, 3, 12, sigBits = 256))
+    // width > 32 (256/4 = 64) defeats the guard's occupancy bound
+    intercept[IllegalArgumentException](
+      Dedup.wideSigNearDups(sigs, 3, 4, sigBits = 256))
+    // width < 8 (256/64) is the saturation failure class
+    intercept[IllegalArgumentException](
+      Dedup.wideSigNearDups(sigs, 3, 64, sigBits = 256))
+    // pigeonhole: radius must stay under bands*(probe+1)
+    intercept[IllegalArgumentException](
+      Dedup.wideSigNearDups(sigs, 16, 16, probe = 0, sigBits = 256))
+    // probe depth 2 refused with the widen-the-fingerprint message
+    val e = intercept[IllegalArgumentException](
+      Dedup.wideSigNearDups(sigs, 40, 16, probe = 2, sigBits = 256))
+    assert(e.getMessage.contains("wider fingerprint"))
+  }
+
+  test("wide hot-bucket guard + mergeable counts protocol: per-batch " +
+      "wideBucketCounts sum to the union's counts, hotFromCounts matches " +
+      "wideHotBuckets, and the guard drops a flooded bucket") {
+    val rnd = new scala.util.Random(11)
+    def randSig() = Seq.fill(4)(rnd.nextLong())
+    // 30 fillers sharing band 0's 16-bit key exactly (hot at cap 10)
+    val shared = randSig()
+    val fillers = (0 until 30).map { i =>
+      val v = shared.toArray
+      // randomize everything except band 0 (bits 0..15 of word 0)
+      v(0) = (v(0) & 0xFFFFL) | (rnd.nextLong() & ~0xFFFFL)
+      (1000L + i, v.toSeq)
+    }
+    val fresh = (0 until 20).map(i => (2000L + i, randSig()))
+    val all = (fillers ++ fresh).toDF("id", "sig")
+    // counts merge: even/odd batches sum to the union count table
+    val even = all.filter(col("id") % 2 === 0)
+    val odd = all.filter(col("id") % 2 === 1)
+    val mergedCounts = Dedup.mergeBucketCounts(
+      Dedup.wideBucketCounts(even, 16, 256)
+        .unionByName(Dedup.wideBucketCounts(odd, 16, 256)))
+      .collect().map(r => (r.getInt(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val oneCounts = Dedup.wideBucketCounts(all, 16, 256)
+      .collect().map(r => (r.getInt(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(mergedCounts == oneCounts, "per-batch counts must merge losslessly")
+    // hot keys from counts == direct wideHotBuckets
+    val hotA = Dedup.hotFromCounts(
+      Dedup.wideBucketCounts(all, 16, 256), 10)
+      .collect().map(r => (r.getInt(0), r.getLong(1))).toSet
+    val hotB = Dedup.wideHotBuckets(all, 16, 256, 10)
+      .collect().map(r => (r.getInt(0), r.getLong(1))).toSet
+    assert(hotA == hotB && hotA.contains((0, shared.head & 0xFFFFL)),
+      s"flooded band-0 bucket must be hot: $hotA")
+    // saturation observability reads the wide counts unchanged
+    val sat = Dedup.guardSaturation(Dedup.wideBucketCounts(all, 16, 256), 10)
+    assert(sat.hotBuckets >= 1 && sat.rowsInHotBuckets >= 30)
+  }
+
+  test("wideSigNearDupsAgainst: batch echo found through the persisted-state " +
+      "protocol, fresh kept; probe-agnostic corpusHotBuckets; guard drops " +
+      "the flooded route symmetrically") {
+    val rnd = new scala.util.Random(23)
+    def randSig() = Array.fill(4)(rnd.nextLong())
+    val corpusSeq = (0 until 40).map(i => (100L + i, randSig().toSeq))
+    val corpus = corpusSeq.toDF("id", "sig")
+    // echo: corpus sig 100 with 15 flipped bits spread 1-per-band
+    // (probe-0 witness: the one clean band)
+    val echoArr = corpusSeq.head._2.toArray
+    (0 until 15).foreach(b => echoArr(b * 16 / 64) ^= 1L << ((b * 16) % 64))
+    val batch = (Seq((1L, echoArr.toSeq)) ++
+      (2 to 5).map(i => (i.toLong, randSig().toSeq))).toDF("id", "sig")
+    def pairs(hot: Option[org.apache.spark.sql.DataFrame], probe: Int) =
+      Dedup.wideSigNearDupsAgainst(batch, corpus, maxHamming = 15, bands = 16,
+        maxBucketSize = 10000, corpusHotBuckets = hot, probe = probe,
+        sigBits = 256)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val got = pairs(None, 0)
+    assert(got == Set((1L, 100L)), s"pairs: $got")
+    // persisted wide hot state (empty at this cap) must not change the
+    // result at either probe depth — state lineages are probe-agnostic
+    val hot = Dedup.wideHotBuckets(corpus, 16, 256, 10000)
+    assert(pairs(Some(hot), 0) == got)
+    assert(pairs(Some(hot), 1) == got)
+  }
+
   test("incremental dedup: batch drops seen-exact and near-dup-of-corpus, keeps fresh") {
     val corpus = Seq(
       (1L, "the quick brown fox jumps over the lazy dog and runs far away home tonight"),

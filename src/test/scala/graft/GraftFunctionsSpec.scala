@@ -257,4 +257,33 @@ class GraftFunctionsSpec extends SparkTestBase {
     assert(spark.sql("SELECT graft_pretoken_count('a b', 'a')").head().getInt(0)
       == spark.sql("SELECT graft_pretoken_count('a b')").head().getInt(0))
   }
+
+  test("graft_hamming == HOF wide hamming bit-for-bit; lineage mismatch reads " +
+      "Int.MaxValue (never inside a radius); SQL form; codegen") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(4233)
+    val rows = Seq.fill(200)((Seq.fill(4)(rnd.nextLong()), Seq.fill(4)(rnd.nextLong())))
+    val df = rows.toDF("a", "b")
+    val drift = df.select(
+      (GraftFunctions.hammingLongs(col("a"), col("b")) =!=
+        graft.llm.Dedup.hammingWideHof(col("a"), col("b"))).as("d"))
+      .filter(col("d")).count()
+    assert(drift == 0, s"$drift rows diverge from the HOF formulation")
+    // identity and single-bit sanity
+    assert(df.select(GraftFunctions.hammingLongs(col("a"), col("a")).as("h"))
+      .filter(col("h") =!= 0).count() == 0)
+    // mismatched word counts = different width lineages: the sentinel
+    // must be un-matchable, not a silent prefix distance
+    val mixed = Seq((Seq(1L, 2L, 3L, 4L), Seq(1L, 2L))).toDF("a", "b")
+    assert(mixed.select(GraftFunctions.hammingLongs(col("a"), col("b")))
+      .head().getInt(0) == Int.MaxValue)
+    // SQL registration path
+    GraftFunctions.register(spark)
+    assert(spark.sql(
+      "SELECT graft_hamming(array(0L, -1L), array(0L, 0L))").head().getInt(0) == 64)
+    // type error caught at analysis
+    intercept[org.apache.spark.sql.AnalysisException] {
+      spark.sql("SELECT graft_hamming(array('x'), array('y'))").collect()
+    }
+  }
 }

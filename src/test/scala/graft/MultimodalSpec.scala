@@ -449,6 +449,78 @@ class MultimodalSpec extends SparkTestBase {
       s"smooth plates were expected pHash-degenerate, got cross min $smoothCross")
   }
 
+  test("pHash256: affine-invariant, blur+requantization twins inside radius 15 " +
+      "with strangers past 90 on the wide-spectrum family; the 8x8-spectrum " +
+      "plates are the recorded negative (MediaEnvelopeProbe calibration)") {
+    import graft.llm.Multimodal._
+    def ham(a: Array[Long], b: Array[Long]) =
+      a.zip(b).map { case (x, y) => java.lang.Long.bitCount(x ^ y) }.sum
+    val seeds = 0L until 40L
+    for (seed <- seeds) {
+      val img = texturedImageWide(seed)
+      assert(img.data.forall(v => v >= 0.0f && v <= 1.0f))
+      assert(texturedImageWide(seed).data.sameElements(img.data))
+      val h = pHash256(img)
+      assert(h.length == 4)
+      // exact invariance laws (pHash64's, inherited): brightness shift
+      // + positive contrast scale preserve every AC sign relation
+      val affine = Decoded(64, 64, 3, img.data.map(v => 0.1f + 0.8f * v))
+      assert(ham(pHash256(affine), h) == 0, s"seed $seed affine drift")
+      // PNG render round-trip: 8-bit quantization wobble only
+      val hPng = pHash256(ImageIoDecoder.decode(encodePng(img), Map.empty))
+      assert(ham(h, hPng) <= 4, s"seed $seed png drift")
+      // the blur+JPEG-q30 twin stays inside the wide tier's radius
+      // (probe: twin max 10 at 150 seeds)
+      val degraded = ImageIoDecoder.decode(
+        jpegBytesAtQuality(boxBlur3(img), 0.3f), Map.empty)
+      assert(ham(hPng, pHash256(degraded)) <= 15,
+        s"seed $seed degraded twin outside the wide radius")
+    }
+    // cross-seed distinctness: 255 independent sign bits (probe:
+    // stranger min 98 at 150 seeds — far past the radius-15 gate)
+    val hs = seeds.map(s0 => pHash256(texturedImageWide(s0)))
+    val cross = for (a <- hs.indices; b <- hs.indices if a < b) yield ham(hs(a), hs(b))
+    assert(cross.min > 60, s"cross-seed wide hashes too close: min=${cross.min}")
+    // the recorded NEGATIVE that keeps the kernel honest: the 8x8-
+    // spectrum textured plates leave the upper 3/4 of the 16x16 block
+    // empty, so those signs are requantization noise and twins blow
+    // past any usable radius — the wide tier is corpus-dependent,
+    // exactly as pHash64 is degenerate on single-sinusoid plates
+    val narrowTwin = (0L until 40L).map { s0 =>
+      val img = texturedImage(s0)
+      ham(pHash256(ImageIoDecoder.decode(encodePng(img), Map.empty)),
+        pHash256(ImageIoDecoder.decode(jpegBytesAtQuality(img, 0.3f), Map.empty)))
+    }
+    assert(narrowTwin.max > 15,
+      "expected 8x8-spectrum twins outside the wide radius (the measured negative)")
+  }
+
+  test("imageNearDupsDctWide: degraded twins pair through the WIDE banded " +
+      "engine at radius 15 / 16 bands / probe 0 — the geometry the 64-bit " +
+      "engine structurally cannot run (16 bands of 4 bits would saturate)") {
+    import graft.llm.Multimodal
+    import org.apache.spark.sql.functions.{col, struct, map => smap, lit}
+    val n = 12
+    val rows = (0 until n).map { i =>
+      val img = Multimodal.texturedImageWide(i.toLong)
+      val bytes =
+        if (i < 4) Multimodal.jpegBytesAtQuality(Multimodal.boxBlur3(img), 0.3f)
+        else Multimodal.encodePng(img)
+      (i.toLong, bytes)
+    } ++ (0 until 4).map { i => // clean twins of the 4 degraded assets
+      (100L + i, Multimodal.encodePng(Multimodal.texturedImageWide(i.toLong)))
+    }
+    val df = spark.createDataFrame(rows).toDF("asset_id", "content")
+      .withColumn("meta", smap())
+    val pairs = Multimodal.imageNearDupsDctWide(df, Multimodal.ImageIoDecoder)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs == (0 until 4).map(i => (i.toLong, 100L + i)).toSet,
+      s"wide pairs: $pairs")
+    // the state frame is 4 words per asset — 32 B/signature
+    val sigs = Multimodal.dctHashesWide(df, Multimodal.ImageIoDecoder)
+    assert(sigs.head().getSeq[Long](1).length == 4)
+  }
+
   test("imageNearDups: cross-codec twins pair through the banded engine, " +
       "nothing else does at radius 3") {
     import org.apache.spark.sql.functions.col

@@ -151,6 +151,45 @@ class PropertySpec extends SparkTestBase {
     }
   }
 
+  test("WIDE probed banded join equals brute force for any legal (radius, " +
+      "bands, probe, sigBits) geometry on clustered 128/256-bit signatures") {
+    val rnd = new scala.util.Random(4233)
+    for (words <- Seq(2, 4)) {
+      val sigBits = words * 64
+      def randSig() = Array.fill(words)(rnd.nextLong())
+      val base = Seq.fill(12)(randSig())
+      val sigsSeq = (base ++ base.flatMap { s =>
+        Seq.fill(2) {
+          val v = s.clone()
+          rnd.shuffle((0 until sigBits).toList).take(rnd.nextInt(sigBits / 6))
+            .foreach(j => v(j >> 6) ^= 1L << (j & 63))
+          v
+        }
+      }).zipWithIndex.map { case (s, i) => (i.toLong, s.toSeq) }
+      val sigs = sigsSeq.toDF("id", "sig")
+      def ham(a: Seq[Long], b: Seq[Long]): Int =
+        a.zip(b).map { case (x, y) => java.lang.Long.bitCount(x ^ y) }.sum
+      // legal grid: bands divides sigBits, width in [8,32] dividing 64
+      val geoms = (if (words == 2) Seq((4, 0), (8, 0), (8, 1), (16, 1))
+        else Seq((8, 0), (16, 0), (16, 1), (32, 1)))
+      for {
+        (bands, probe) <- geoms
+        maxHamming <- Seq(3, bands * (probe + 1) - 1).distinct
+      } {
+        val want = (for {
+          (i1, s1) <- sigsSeq; (i2, s2) <- sigsSeq
+          if i1 < i2 && ham(s1, s2) <= maxHamming
+        } yield (i1, i2)).toSet
+        val got = graft.llm.Dedup.wideSigNearDups(sigs, maxHamming, bands,
+          maxBucketSize = 0, probe = probe, sigBits = sigBits)
+          .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+        assert(got == want,
+          s"($sigBits bits, bands=$bands probe=$probe r=$maxHamming): " +
+            s"missing ${want -- got}, extra ${got -- want}")
+      }
+    }
+  }
+
   test("saltedJoin equals plain join for any salt factor") {
     val skewed = ((1 to 500).map(i => ("hot", i)) ++ (1 to 20).map(i => (s"k$i", i))).toDF("key", "v")
     val dim = Seq(("hot", "H"), ("k3", "C")).toDF("key", "name")
