@@ -31,8 +31,9 @@ object PerfProbe {
     case Some("17") => probe17(args.drop(1))
     case Some("18") => probe18(args.drop(1))
     case Some("19") => probe19(args.drop(1))
+    case Some("20") => probe20(args.drop(1))
     case other => sys.error(
-      s"usage: runMain graft.tools.PerfProbe <1-19> [probe args]; got $other")
+      s"usage: runMain graft.tools.PerfProbe <1-20> [probe args]; got $other")
   }
 
   /** Throwaway-style perf probe for round-5 tuning experiments (kept in
@@ -1087,6 +1088,107 @@ object PerfProbe {
       "mergeable counts — no corpus re-band)")
     corpusCounts.unpersist()
     sigs.unpersist()
+    spark.stop()
+  }
+
+  /** Round-15 (the r14 verdict's top item): does the WIDE (256-bit)
+    * engine hold recall at a (radius, corpus size) where EVERY legal
+    * 64-bit geometry saturates the hot-bucket guard?
+    *
+    * Scenario: a corpus whose twins need radius 15. On 64-bit sigs the
+    * legal geometries are 16×4-bit bands at probe 0 (16 possible
+    * buckets per band — all hot past cap×16 rows) and 8×8-bit bands at
+    * probe 1 (256 per band — all hot past cap×256 ≈ 2.5M, the
+    * PerfProbe-19 class). On 256-bit sigs the same radius runs probe 0
+    * on SIXTEEN 16-bit bands: 65,536 buckets per band, ~n/65536
+    * expected occupancy — the guard keeps discriminating for ~3 more
+    * orders of magnitude. Twins are planted ADVERSARIALLY for each
+    * representation (64-bit: 2 bits in 7 bands + 1 in the eighth, so
+    * probe-1 completeness holds through exactly one witness band;
+    * 256-bit: 1 bit in 15 of 16 bands, one clean witness at probe 0) —
+    * recall loss measured here is guard saturation, never pigeonhole.
+    * Phase 3 is the production shape: an arrival batch against the
+    * wide corpus with the guard riding PERSISTED mergeable
+    * wideBucketCounts. */
+  private def probe20(args: Array[String]): Unit = {
+    val spark = Local.session(sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
+    import spark.implicits._
+    val n = args.headOption.map(_.toLong).getOrElse(3000000L)
+    val twins = args.drop(1).headOption.map(_.toLong).getOrElse(1000L)
+    def mix(x: Long): Long = {
+      var z = x + 0x9E3779B97F4A7C15L
+      z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+      z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+      z ^ (z >>> 31)
+    }
+    // ---- 64-bit representation at radius 15: both legal geometries
+    val spread64 = { // 2/2/2/2/2/2/2/1 over eight 8-bit bands
+      var s = 0L
+      for (b <- 0 until 7) s |= (1L << (b * 8)) | (1L << (b * 8 + 3))
+      s | (1L << 58)
+    }
+    val base64 = spark.range(n).map(i => (i, mix(i))).toDF("id", "sig")
+    val planted64 = spark.range(twins)
+      .map(i => (i + n, mix(i * 4999L % n) ^ spread64)).toDF("id", "sig")
+    val sigs64 = base64.unionByName(planted64).persist(StorageLevel.MEMORY_AND_DISK)
+    println(s"[probe20] 64-bit sigs: ${sigs64.count()} ($twins planted at hamming 15)")
+    for ((bands, probe) <- Seq((16, 0), (8, 1))) {
+      val occ = graft.llm.Dedup.bucketCounts(sigs64, bands)
+        .agg(count(lit(1)).as("buckets"), max(col("n")).as("max_occ"),
+          sum(when(col("n") > 10000, 1L).otherwise(0L)).as("hot")).head()
+      val t0 = System.nanoTime()
+      val found = graft.llm.Dedup.sigNearDups(sigs64, maxHamming = 15,
+        bands = bands, probe = probe).filter(col("id2") >= n).count()
+      println(f"[probe20] 64-bit ${bands}x${64 / bands}bit probe=$probe: " +
+        f"planted recall $found/$twins in ${(System.nanoTime() - t0) / 1e9}%.2f s " +
+        s"(occupied=${occ.getLong(0)} of ${bands.toLong << (64 / bands)} " +
+        s"possible buckets, max_occ=${occ.getLong(1)}, hot(>10k)=${occ.getLong(2)})")
+    }
+    sigs64.unpersist()
+    // ---- 256-bit representation, same radius: 16x16-bit, probe 0
+    def wideSig(seed: Long): Seq[Long] =
+      Seq(mix(seed), mix(seed ^ 0x5555AAAA5555AAAAL),
+        mix(seed + 0x0123456789ABCDEFL), mix(~seed))
+    def flip15(s: Seq[Long]): Seq[Long] = {
+      val v = s.toArray // 1 bit in bands 0..14 (bit b*16+5), band 15 clean
+      for (b <- 0 until 15) v((b * 16) / 64) ^= 1L << ((b * 16 + 5) % 64)
+      v.toSeq
+    }
+    val baseW = spark.range(n).map(i => (i, wideSig(i))).toDF("id", "sig")
+    val plantedW = spark.range(twins)
+      .map(i => (i + n, flip15(wideSig(i * 4999L % n)))).toDF("id", "sig")
+    val sigsW = baseW.unionByName(plantedW).persist(StorageLevel.MEMORY_AND_DISK)
+    println(s"[probe20] 256-bit sigs: ${sigsW.count()} ($twins planted at hamming 15)")
+    val occW = graft.llm.Dedup.wideBucketCounts(sigsW, 16, 256)
+      .agg(count(lit(1)).as("buckets"), max(col("n")).as("max_occ"),
+        sum(when(col("n") > 10000, 1L).otherwise(0L)).as("hot")).head()
+    var t0 = System.nanoTime()
+    val wideFound = graft.llm.Dedup.wideSigNearDups(sigsW, maxHamming = 15,
+      bands = 16, probe = 0, sigBits = 256).filter(col("id2") >= n).count()
+    println(f"[probe20] 256-bit 16x16bit probe=0: planted recall " +
+      f"$wideFound/$twins in ${(System.nanoTime() - t0) / 1e9}%.2f s " +
+      s"(occupied=${occW.getLong(0)} of ${16L << 16} possible buckets, " +
+      s"max_occ=${occW.getLong(1)}, hot(>10k)=${occW.getLong(2)})")
+    // ---- incremental production shape: arrival batch vs wide corpus,
+    // guard from persisted mergeable wide counts
+    val batchN = math.max(1000L, n / 50)
+    val batch = spark.range(batchN)
+      .map(i => (2 * n + i, flip15(wideSig(i * 7919L % n)))).toDF("id", "sig")
+    val corpusCounts = graft.llm.Dedup.wideBucketCounts(baseW, 16, 256)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    corpusCounts.count()
+    val hot = Some(graft.llm.Dedup.hotFromCounts(corpusCounts, 10000))
+    t0 = System.nanoTime()
+    val arrivalHits = graft.llm.Dedup.wideSigNearDupsAgainst(batch, baseW,
+      maxHamming = 15, bands = 16, maxBucketSize = 10000,
+      corpusHotBuckets = hot, probe = 0, sigBits = 256)
+      .select(col("batch_id")).distinct().count()
+    println(f"[probe20] INCREMENTAL 256-bit 16x16bit: $arrivalHits/$batchN " +
+      f"arrivals matched vs the ${n / 1000000}M corpus " +
+      f"in ${(System.nanoTime() - t0) / 1e9}%.2f s (guard from persisted " +
+      "mergeable wide counts — no corpus re-band)")
+    corpusCounts.unpersist()
+    sigsW.unpersist()
     spark.stop()
   }
 }
