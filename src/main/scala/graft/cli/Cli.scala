@@ -4242,7 +4242,14 @@ object Indexer {
   *    the CROP tier refuses it — degraded crops separate under
   *    neither kernel (the measured negative), keep crops on dHash
   *    with verify-pairs. Each dct state carries its own `image-dct` /
-  *    `image-dihedral-dct` fingerprint line;
+  *    `image-dihedral-dct` fingerprint line. `dct256` (round 15) is
+  *    the WIDE 256-bit pHash lineage for corpora past ~10^8 images —
+  *    sixteen 16-bit bands at `max-hamming = 15`, probe 0 (PerfProbe
+  *    20: every legal 64-bit geometry saturates the guard at this
+  *    radius; the wide one holds full recall), 32 B/signature state
+  *    under its own `image-dct256|sigBits=256|…` fingerprint line;
+  *    scalar image lineage only, batch-side (the streaming arrival
+  *    filter refuses the lineage by fingerprint);
   *  - `pairs-dir` — the near-dup pair report (always written when set:
   *    operators need the evidence before trusting the drop);
   *  - `mode = report | filter` (default report): `filter` collapses
@@ -4293,8 +4300,8 @@ object MediaDedup {
     // multi-probed over 4 bands — see `probe` below). Scalar lineage
     // only: the tile/dihedral tier states are dHash kernels.
     val imageHash = c.getString("image-hash").getOrElse("dhash")
-    require(Set("dhash", "dct")(imageHash),
-      s"media-dedup.image-hash must be dhash | dct, got '$imageHash'")
+    require(Set("dhash", "dct", "dct256")(imageHash),
+      s"media-dedup.image-hash must be dhash | dct | dct256, got '$imageHash'")
     require(imageHash == "dhash" || modality == "image",
       "media-dedup.image-hash selects the image kernel — audio/video " +
         "fingerprints are not DCT hashes")
@@ -4307,11 +4314,22 @@ object MediaDedup {
     // geometries); an existing bands=8 lineage's fingerprint line
     // still refuses the new default loudly — rebuild the state.
     val imageDct = modality == "image" && imageHash == "dct"
+    // dct256 (round 15): the WIDE 256-bit pHash lineage — the remedy
+    // the probe-depth refusal prescribes for corpora past ~10^8
+    // images. SIXTEEN 16-bit bands at radius 15, probe 0 (measured
+    // envelope on the wide-spectrum family: twin max 10, stranger min
+    // 98 — MediaEnvelopeProbe; PerfProbe 20 measures every legal
+    // 64-bit geometry's guard saturating at this radius while the
+    // wide one holds 1000/1000 at 3M). Scalar image lineage only;
+    // state is 32 B/signature (array<long>), batch-side — the
+    // streaming arrival filter refuses the lineage by fingerprint.
+    val imageWide = modality == "image" && imageHash == "dct256"
     // 4 bands of 16 bits everywhere (round 14): the old video default
     // of 8 bands meant 8-bit bucket keys — the same guard-saturation
     // scale-killer the dct tier had (256 possible buckets per band per
-    // frame slot); the video radius 5 now runs multi-probed instead
-    val bands = c.getInt("bands").getOrElse(4)
+    // frame slot); the video radius 5 now runs multi-probed instead.
+    // The wide lineage defaults to 16 bands (still 16-bit keys).
+    val bands = c.getInt("bands").getOrElse(if (imageWide) 16 else 4)
     // `max-hamming = auto`: consume a PRIOR calibration report (mode =
     // calibrate writes the twin/stranger Hamming distributions to
     // calibrate-report-dir) instead of a hand-picked radius — the
@@ -4358,7 +4376,8 @@ object MediaDedup {
           s"$strangerMin -> radius $r (max-margin midpoint)")
         r
       } else c.getInt("max-hamming")
-        .getOrElse(if (modality == "video") 5 else if (imageDct) 7 else 3)
+        .getOrElse(if (modality == "video") 5
+          else if (imageWide) 15 else if (imageDct) 7 else 3)
     val maxBucket = c.getInt("max-bucket-size").getOrElse(10000)
     val minFrames = c.getInt("min-frames").getOrElse(2)
     require(Set("image", "audio", "video")(modality),
@@ -4405,6 +4424,10 @@ object MediaDedup {
         "dihedral rotation tier) — the crop tier's degraded arrivals " +
         "separate under NEITHER kernel (MediaEnvelopeProbe); run crops " +
         "on dHash with verify-pairs")
+    require(imageHash != "dct256" || !rotationTier,
+      "media-dedup.image-hash = dct256 is the SCALAR wide lineage — the " +
+        "dihedral tier's 64-bit kernels (dhash | dct) cover rotations; a " +
+        "wide dihedral state would be a new measured lineage, not a knob")
     val windowFrames = c.getInt("window-frames").getOrElse(2048)
     val hop = c.getInt("hop").getOrElse(512)
     val minWindows = c.getInt("min-windows").getOrElse(2)
@@ -4466,6 +4489,11 @@ object MediaDedup {
       else if (rotationTier && imageHash == "dct")
         s"image-dihedral-dct|bands=$bands|maxHamming=$maxHamming"
       else if (rotationTier) s"image-dihedral|bands=$bands|maxHamming=$maxHamming"
+      else if (imageWide) // sig WIDTH is part of the lineage: a 64-bit
+        // state and a 256-bit state have incomparable distances, and
+        // graft_hamming's Int.MaxValue on mismatched word counts means
+        // a silent mix would yield zero pairs — refuse by line instead
+        s"image-dct256|sigBits=256|bands=$bands|maxHamming=$maxHamming"
       else if (modality == "image" && imageHash == "dct")
         s"image-dct|bands=$bands|maxHamming=$maxHamming"
       else s"$modality|bands=$bands|maxHamming=$maxHamming"
@@ -4540,6 +4568,8 @@ object MediaDedup {
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       try {
         def sigsOf(m: org.apache.spark.sql.DataFrame) = modality match {
+          case "image" if imageWide => Multimodal.dctHashesWide(m,
+            Multimodal.ImageIoDecoder, idCol, contentCol, metaCol)
           case "image" if imageHash == "dct" => Multimodal.dctHashes(m,
             Multimodal.ImageIoDecoder, idCol, contentCol, metaCol)
           case "image" => Multimodal.perceptualHashes(m,
@@ -4549,6 +4579,11 @@ object MediaDedup {
           case "video" => Multimodal.videoFrameHashes(m,
             c.getInt("every-n").getOrElse(1), idCol, contentCol, metaCol)
         }
+        // the one kernel-dependent piece of the calibrate arithmetic:
+        // wide sigs distance through the native array hamming
+        val hamOf: (org.apache.spark.sql.Column, org.apache.spark.sql.Column) =>
+            org.apache.spark.sql.Column =
+          if (imageWide) Dedup.hammingWide else Dedup.hamming
         val orig = sigsOf(sample)
         val twin = sigsOf(Multimodal.reencodeAsCalibrationTwin(
           sample, modality, contentCol, metaCol))
@@ -4558,10 +4593,10 @@ object MediaDedup {
         val twinDist =
           if (modality == "video")
             orig.join(twin, Seq("id", "frame_idx"))
-              .select(col("id"), Dedup.hamming(col("sig"), col("__tsig")).as("hamming"))
+              .select(col("id"), hamOf(col("sig"), col("__tsig")).as("hamming"))
               .groupBy(col("id")).agg(max(col("hamming")).as("hamming"))
           else orig.join(twin, Seq("id"))
-            .select(col("id"), Dedup.hamming(col("sig"), col("__tsig")).as("hamming"))
+            .select(col("id"), hamOf(col("sig"), col("__tsig")).as("hamming"))
         // stranger distances: all sampled asset pairs (clip HEADS for
         // video — the arrival filter's slot-0 profile); N² bounded by
         // calibrate-sample, never the corpus
@@ -4570,7 +4605,7 @@ object MediaDedup {
         val strangerDist = scalar.select(col("id").as("id1"), col("sig").as("sig1"))
           .crossJoin(scalar.select(col("id").as("id2"), col("sig").as("sig2")))
           .filter(col("id1") < col("id2"))
-          .select(Dedup.hamming(col("sig1"), col("sig2")).as("hamming"))
+          .select(hamOf(col("sig1"), col("sig2")).as("hamming"))
         val report = twinDist.select(lit("twin").as("kind"), col("hamming"))
           .unionByName(strangerDist.select(lit("stranger").as("kind"), col("hamming")))
           .groupBy(col("kind"), col("hamming"))
@@ -4611,6 +4646,8 @@ object MediaDedup {
       case ("image", _, _) if rotationTier => Multimodal.dihedralHashes(media,
         Multimodal.ImageIoDecoder, idCol, contentCol, metaCol,
         kernel = imageHash)
+      case ("image", _, _) if imageWide => Multimodal.dctHashesWide(media,
+        Multimodal.ImageIoDecoder, idCol, contentCol, metaCol)
       case ("image", _, _) if imageHash == "dct" => Multimodal.dctHashes(media,
         Multimodal.ImageIoDecoder, idCol, contentCol, metaCol)
       case ("image", _, _) => Multimodal.perceptualHashes(media,
@@ -4650,6 +4687,10 @@ object MediaDedup {
           Multimodal.videoNearDupsFromSigs(batchSigs, minFrames, maxHamming,
               bands, maxBucket, probe)
             .select(col("id1"), col("id2"), col("n_frames_matched").as("score"))
+        else if (imageWide)
+          Dedup.wideSigNearDups(batchSigs, maxHamming, bands, maxBucket,
+              probe, sigBits = 256)
+            .withColumnRenamed("hamming", "score")
         else Dedup.sigNearDups(batchSigs, maxHamming, bands, maxBucket, probe)
           .withColumnRenamed("hamming", "score")
       // `verify-pairs` (image tiers): pixel-evidence confirmation of
@@ -4694,10 +4735,15 @@ object MediaDedup {
       // bad config still refuses before paying a decode pass; WARN when
       // the guard stops being a skew valve and starts being the whole
       // join. log-drop-counts = false opts out.
+      // the wide lineage's bucket counter — every state/guard count in
+      // this run must band the way the join bands
+      def countsOf(sigs: org.apache.spark.sql.DataFrame) =
+        if (imageWide) Dedup.wideBucketCounts(sigs, bands, 256)
+        else Dedup.bucketCounts(sigs, bands)
       if (!c.getString("log-drop-counts").exists(v => !v.toBoolean) &&
           maxBucket > 0) {
         val sat = Dedup.guardSaturation(
-          Dedup.bucketCounts(batchSigs.select(col("id"), col("sig")), bands),
+          countsOf(batchSigs.select(col("id"), col("sig"))),
           maxBucket)
         Cli.log(f"hot-bucket guard: ${sat.hotBuckets}/${sat.occupiedBuckets} " +
           f"occupied buckets over cap $maxBucket " +
@@ -4749,6 +4795,9 @@ object MediaDedup {
           else if (modality == "video")
             Multimodal.videoNearDupsAgainst(batchSigs, corpusSigs, minFrames,
               maxHamming, bands, maxBucket, corpusHot, probe)
+          else if (imageWide)
+            Dedup.wideSigNearDupsAgainst(batchSigs, corpusSigs, maxHamming,
+              bands, maxBucket, corpusHot, probe, sigBits = 256)
           else Dedup.sigNearDupsAgainst(batchSigs, corpusSigs, maxHamming,
             bands, maxBucket, corpusHot, probe)
         hits.select(col("batch_id")).distinct()
@@ -4818,7 +4867,7 @@ object MediaDedup {
                 .flatMap(d => Cli.stateTableParts(spark, d, "hotcounts"))
                 .getOrElse(Seq.empty)
               val cntPart = s"$pd/hotcounts/part-${priorCnt.length}"
-              Dedup.bucketCounts(flat(survivorSigs), bands)
+              countsOf(flat(survivorSigs))
                 .write.mode("overwrite").parquet(cntPart)
               val cntParts = priorCnt :+ cntPart
               Cli.writeStateManifest(spark, outPath, "hotcounts", cntParts)
@@ -4836,7 +4885,7 @@ object MediaDedup {
               // mergeable counts: prior counts + this batch's (one
               // bounded-table merge); a pre-counts lineage bootstraps
               // from the just-written union once
-              val batchCounts = Dedup.bucketCounts(flat(survivorSigs), bands)
+              val batchCounts = countsOf(flat(survivorSigs))
               val merged = stateDir match {
                 case Some(d) if exists(new Path(qual(d), "hotcounts")) ||
                     Cli.stateTableParts(spark, d, "hotcounts").isDefined =>
@@ -4844,8 +4893,7 @@ object MediaDedup {
                     Cli.readStateTable(spark, d, "hotcounts")
                       .unionByName(batchCounts))
                 case Some(_) =>
-                  Dedup.bucketCounts(
-                    flat(spark.read.parquet(s"$outPath/sigs")), bands)
+                  countsOf(flat(spark.read.parquet(s"$outPath/sigs")))
                 case None => batchCounts
               }
               merged.write.mode("overwrite").parquet(s"$outPath/hotcounts")

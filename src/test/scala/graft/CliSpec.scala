@@ -5398,6 +5398,126 @@ class CliSpec extends SparkTestBase {
     assert(nogap.getMessage.contains("NO separating gap"), nogap.getMessage)
   }
 
+  test("mediadedup image-hash = dct256: the WIDE lineage defaults to its own " +
+      "16x16-bit radius-15 geometry, drops degraded twins, runs the full " +
+      "incremental state protocol, and keeps its 256-bit state apart by " +
+      "fingerprint line") {
+    import org.apache.spark.sql.functions.col
+    import graft.llm.Multimodal
+    val base = tmp()
+    val media = Multimodal.asMediaTable(
+      spark.read.parquet(s"$sfDir/documents.parquet").filter(col("doc_id") < 40),
+      "doc_id", "text", "image", Map.empty)
+    // 40 wide-spectrum plates + 20 blur+JPEG-q30 twins under id+100000
+    // (measured wide envelope: twin max 10 vs stranger min 98)
+    val src = base.resolve("w_media").toString
+    Multimodal.reencodeAsTexturedImageWide(media)
+      .unionByName(Multimodal.reencodeAsTexturedImageWideDegraded(
+          media.filter(col("asset_id") < 20))
+        .withColumn("asset_id", col("asset_id") + 100000))
+      .write.parquet(src)
+    // NO bands/max-hamming knobs: dct256 must default to ITS geometry
+    // (radius 15 / 16 bands / probe 0), not inherit a 64-bit one
+    val out = base.resolve("w_out").toString
+    val stOut = base.resolve("w_st").toString
+    graft.cli.MediaDedup.main(Array("--conf", write(base.resolve("w.conf"),
+      s"""media-dedup {
+         |  source { storage-type = local, dataset-dir = $src }
+         |  target { storage-type = local, dataset-dir = $out, dataset-store-format = parquet, write-mode = overwrite }
+         |  modality = image
+         |  image-hash = dct256
+         |  mode = filter
+         |  state-out-dir = $stOut
+         |}
+         |""".stripMargin)))
+    val surv = spark.read.parquet(out).select("asset_id").collect().map(_.getLong(0))
+    assert(surv.length == 40 && !surv.exists(_ >= 100000L),
+      s"wide lineage must drop exactly the 20 degraded twins: ${surv.sorted.toSeq}")
+    // the state carries the width-versioned fingerprint line and the
+    // wide sig schema (array<bigint>), plus mergeable hotcounts + hot
+    val fpLine = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(stOut, "fingerprint")), "UTF-8").trim
+    assert(fpLine == "image-dct256|sigBits=256|bands=16|maxHamming=15", fpLine)
+    val stSigs = spark.read.parquet(s"$stOut/sigs")
+    // parquet round-trips arrays containsNull-relaxed — element type is
+    // the contract
+    assert(stSigs.schema("sig").dataType
+      .asInstanceOf[org.apache.spark.sql.types.ArrayType]
+      .elementType == org.apache.spark.sql.types.LongType)
+    assert(stSigs.count() == 40)
+    // INCREMENTAL: a second batch of degraded echoes of stored plates
+    // + fresh wide plates — echoes drop against the persisted state
+    // (hot guard from the persisted counts), fresh survive
+    val media2 = Multimodal.asMediaTable(
+      spark.read.parquet(s"$sfDir/documents.parquet")
+        .filter(col("doc_id") >= 20 && col("doc_id") < 30),
+      "doc_id", "text", "image", Map.empty)
+    val src2 = base.resolve("w_media2").toString
+    Multimodal.reencodeAsTexturedImageWideDegraded(media2)
+      .withColumn("asset_id", col("asset_id") + 300000) // echoes of 20..29
+      .unionByName(Multimodal.reencodeAsTexturedImageWide(
+          media2.withColumn("asset_id", col("asset_id") + 500000))) // fresh seeds
+      .write.parquet(src2)
+    val out2 = base.resolve("w_out2").toString
+    val stOut2 = base.resolve("w_st2").toString
+    graft.cli.MediaDedup.main(Array("--conf", write(base.resolve("w2.conf"),
+      s"""media-dedup {
+         |  source { storage-type = local, dataset-dir = $src2 }
+         |  target { storage-type = local, dataset-dir = $out2, dataset-store-format = parquet, write-mode = overwrite }
+         |  modality = image
+         |  image-hash = dct256
+         |  mode = filter
+         |  state-dir = $stOut
+         |  state-out-dir = $stOut2
+         |}
+         |""".stripMargin)))
+    val surv2 = spark.read.parquet(out2).select("asset_id").collect().map(_.getLong(0))
+    assert(surv2.forall(_ >= 500000L) && surv2.length == 10,
+      s"echoes of stored plates must drop, fresh survive: ${surv2.sorted.toSeq}")
+    assert(spark.read.parquet(s"$stOut2/sigs").count() == 50)
+    // a 64-bit dct run refuses the wide state by fingerprint line
+    val fp = intercept[IllegalArgumentException] {
+      graft.cli.MediaDedup.main(Array("--conf", write(base.resolve("w_fp.conf"),
+        s"""media-dedup {
+           |  source { storage-type = local, dataset-dir = $src }
+           |  modality = image
+           |  image-hash = dct
+           |  mode = report
+           |  state-dir = $stOut
+           |}
+           |""".stripMargin)))
+    }
+    assert(fp.getMessage.contains("image-dct256"), fp.getMessage)
+    // wide is the SCALAR lineage — no dihedral/crop composition knob
+    val tier = intercept[IllegalArgumentException] {
+      graft.cli.MediaDedup.main(Array("--conf", write(base.resolve("w_tier.conf"),
+        s"""media-dedup {
+           |  source { storage-type = local, dataset-dir = $src }
+           |  modality = image
+           |  image-hash = dct256
+           |  rotation-tier = true
+           |  mode = report
+           |}
+           |""".stripMargin)))
+    }
+    assert(tier.getMessage.contains("SCALAR wide lineage"), tier.getMessage)
+    // the streaming arrival filter refuses the wide lineage loudly
+    // (64-bit kernels only — the fingerprint line is the gate)
+    val arr = intercept[IllegalArgumentException] {
+      graft.cli.Streamer.main(Array("--conf", write(base.resolve("w_arr.conf"),
+        s"""streaming {
+           |  events-dir = $src
+           |  target-dir = ${base.resolve("w_arr_out")}
+           |  checkpoint-location = ${base.resolve("w_arr_ckpt")}
+           |  operation = media-near-dedup
+           |  state-dir = $stOut
+           |  shuffle-partitions = 4
+           |}
+           |""".stripMargin)))
+    }
+    assert(arr.getMessage.contains("SCALAR fingerprints"), arr.getMessage)
+  }
+
   test("mediadedup image-hash = dct: blur+requantized twins outside dHash's " +
       "radius drop through the DCT lineage; the state fingerprint keeps the " +
       "kernels apart") {
