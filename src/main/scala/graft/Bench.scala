@@ -215,14 +215,29 @@ object Bench {
       s"\"" + k + s"\":{\"heap_before_mb\":$hb,\"heap_after_mb\":$ha,\"gc_ms\":$gc,\"heap_transient_mb\":${math.max(0L, raw - ha)}}"
     }.mkString("{", ",", "}")
     val total = results.collect { case (_, v) if v >= 0 => v }.sum
-    // subtotal over the round-1 query set (q1-q10), the set BASELINE's
-    // 14.36 s total was measured on — the apples-to-apples comparison
-    // now that the suite has grown
+    // subtotal over the PINNED-UNTOUCHED reference set: the round-1
+    // queries (q1-q10) plus the round-15 MID-WEIGHT load-calibration
+    // query. This total is the box-load proxy behind load_scale /
+    // norm_vs_prev — r14 showed q1-q10 alone (tiny single-stage scans)
+    // under-read a uniform ~1.10x co-tenant slowdown as 1.01 because
+    // they barely feel the steal multi-stage shuffle queries pay; q149's
+    // 4-exchange shuffle plan is there to feel exactly that. The set's
+    // members never change within a bench_prev lineage (recompute below
+    // guards the comparison when they do across one).
     val baselineSet = Set(
       "q1_pricing_summary", "q2_filter_cast", "q3_literal_meta", "q4_limit",
       "q5_sample", "q6_join_agg", "q7_window_topn", "q8_stratified_sample",
-      "q9_group_count", "q10_minmax")
+      "q9_group_count", "q10_minmax", "q149_load_calibration")
     val baseTotal = results.collect { case (k, v) if baselineSet(k) && v >= 0 => v }.sum
+    // prev's baseline-set total RECOMPUTED from its own per-query map
+    // over THIS code's baseline set, so the ratio always compares the
+    // same members: trusting prev's stamped baseline_set_total across a
+    // set change would scale this run's 11-query total by prev's
+    // 10-query one and silently inflate load_scale. A prev missing any
+    // member (e.g. recorded before q149 existed) falls back to its
+    // stamp with a loud note — re-record bench_prev to re-arm.
+    val prevBaseTotal: Option[Double] =
+      prevJsonC.flatMap(prevBaselineTotal(_, baselineSet))
     // both readings for every environment-anomaly retime: the contended
     // median, the clean single re-pass, and whether the retime landing
     // back inside 1.5× prev marks the median as box contention rather
@@ -242,7 +257,7 @@ object Bench {
     val prevNormRatio = for {
       pj <- prevJsonC
       pv <- parseScalar(pj, "value")
-      pb <- parseScalar(pj, "baseline_set_total") if pb > 0
+      pb <- prevBaseTotal if pb > 0
     } yield pv / pb
     val normVsPrev = prevNormRatio
       .filter(_ > 0).map(p => normRatio / p).getOrElse(-1.0)
@@ -260,10 +275,9 @@ object Bench {
     // baseline-set total over prev's is a pure box-load ratio; a query
     // is only suspect when it doubled RELATIVE to that scale (clamped
     // at 1 — a faster box never manufactures suspicion).
-    val loadScale = (for {
-      pj <- prevJsonC
-      pb <- parseScalar(pj, "baseline_set_total") if pb > 0 && baseTotal > 0
-    } yield math.max(1.0, baseTotal / pb)).getOrElse(1.0)
+    val loadScale = prevBaseTotal
+      .filter(pb => pb > 0 && baseTotal > 0)
+      .map(pb => math.max(1.0, baseTotal / pb)).getOrElse(1.0)
     val suspects = regressionSuspects(retimes.toMap, prevTimes, loadScale)
     val suspectsJson = suspects.map("\"" + _ + "\"").mkString("[", ",", "]")
     if (suspects.nonEmpty)
@@ -365,6 +379,28 @@ object Bench {
           .exists(p => p > 0 && re / scale > 2 * p && re / scale - p > 0.25) =>
         name
     }.sorted
+  }
+
+  /** The prev artifact's baseline-set total, RECOMPUTED from its own
+    * per-query map over THIS code's baseline set — so load_scale and
+    * prev_norm_ratio always divide totals over the same members.
+    * Trusting the stamped `baseline_set_total` across a set change
+    * (round 15 added the mid-weight q149) would compare an 11-query
+    * total against a 10-query one and silently inflate the load proxy.
+    * A prev missing any member (or carrying a non-positive entry —
+    * a failed run) falls back to the stamp with a loud note. */
+  private[graft] def prevBaselineTotal(prevJson: String,
+      baselineSet: Set[String]): Option[Double] = {
+    val pt = parseQueryTimes(prevJson)
+    val vals = baselineSet.toSeq.map(pt.get)
+    if (vals.forall(_.exists(_ > 0))) Some(vals.flatten.sum)
+    else {
+      System.err.println("[bench] bench_prev.json lacks baseline-set " +
+        "entries (set drift) — falling back to its stamped " +
+        "baseline_set_total; re-record the baseline to restore the " +
+        "load-calibrated comparison")
+      parseScalar(prevJson, "baseline_set_total")
+    }
   }
 
   /** Minimal top-level boolean field extractor (`"field":true|false`);

@@ -48,6 +48,26 @@ class BenchSpec extends AnyFunSuite {
     assert(Bench.regressionSuspects(many, prevs) == Seq("qA", "qB"))
   }
 
+  test("prevBaselineTotal: recomputed from prev's per-query map over THIS " +
+      "code's baseline set; set drift falls back to the stamp (round-15 " +
+      "load-proxy fix)") {
+    val prev = """{"metric":"total","value":100.0,"unit":"sec","queries":{"q1":1.0,"q2":2.0,"q149":3.5,"qX":50.0},"baseline_set_total":3.0}"""
+    // all members present -> the recomputed sum, NOT the stamp
+    assert(Bench.prevBaselineTotal(prev, Set("q1", "q2", "q149")).contains(6.5))
+    // the mid-weight member dominates the proxy: a contended run that
+    // slows q149 2x moves the recomputed total where the stamp (3.0,
+    // recorded over a lighter set) would under-read the load
+    assert(Bench.prevBaselineTotal(prev, Set("q1", "q149")).contains(4.5))
+    // a member missing from prev (pre-q149 artifact) -> stamped value
+    assert(Bench.prevBaselineTotal(prev, Set("q1", "q999")).contains(3.0))
+    // a non-positive entry (failed run) is not a baseline -> stamp
+    val failed = """{"metric":"total","value":9.0,"queries":{"q1":1.0,"q149":-1.0},"baseline_set_total":2.5}"""
+    assert(Bench.prevBaselineTotal(failed, Set("q1", "q149")).contains(2.5))
+    // no stamp either -> None (gates disarm rather than divide by junk)
+    assert(Bench.prevBaselineTotal(
+      """{"metric":"total","queries":{"q1":1.0}}""", Set("q1", "q149")).isEmpty)
+  }
+
   test("parseFlag: reads the dumps_timed stamp; artifacts predating it " +
       "parse as None (treated as dumps-timed by the form-comparability " +
       "gate — cross-form per-query comparisons must disarm, not flood " +
