@@ -2724,16 +2724,32 @@ object Streamer {
           // depth the batch/cluster tiers run, so the state's radius
           // never silently under-matches here
           val mh = c.getInt("max-hamming").getOrElse(stateMaxHamming.getOrElse(3))
+          val mbs = c.getInt("max-bucket-size").getOrElse(10000)
+          val probeDepth = c.getInt("probe").getOrElse(mh / bandsHere)
+          // the static side is PREPARED ONCE and cached (r14 verdict
+          // nit): a stream-static join re-executes its static subtree
+          // every micro-batch, so without this the corpus re-bands —
+          // and a probed dct lineage re-pays its ×(width+1) probe
+          // explosion — per arrival batch (PerfProbe 21 measures the
+          // delta at 1M-sig state). Materialized before the stream
+          // starts so the first batch doesn't pay the build either.
+          val prepared = Streams.prepareNearSigState(
+            Cli.readStateTable(spark, stateDir, "sigs"), bandsHere, mbs,
+            corpusHot, probeDepth)
+            .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          Cli.log(s"arrival-filter state prepared: ${prepared.count()} " +
+            s"(band, bits) buckets cached (probe depth $probeDepth)")
           Streams.dropNearSeenMediaStream(assets,
             Cli.readStateTable(spark, stateDir, "sigs"), modality,
             contentCol = c.getString("content-column").getOrElse("content"),
             maxHamming = mh,
             bands = bandsHere,
-            maxBucketSize = c.getInt("max-bucket-size").getOrElse(10000),
+            maxBucketSize = mbs,
             corpusHotBuckets = corpusHot,
             timeCol = c.getString("time-column").getOrElse("ts"),
             watermarkDelay = watermark,
-            probe = c.getInt("probe").getOrElse(mh / bandsHere))
+            probe = probeDepth,
+            preparedState = Some(prepared))
         }
       case other => throw new IllegalArgumentException(
         s"unknown streaming.operation '$other' (window|sessions|dedup|" +

@@ -403,7 +403,8 @@ object Streams {
       corpusHotBuckets: Option[DataFrame] = None,
       timeCol: String = "ts",
       watermarkDelay: String = "2 hours",
-      probe: Int = 0): DataFrame = {
+      probe: Int = 0,
+      preparedState: Option[DataFrame] = None): DataFrame = {
     require(probe == 0 || probe == 1, s"probe depth must be 0 or 1, got $probe")
     require(maxHamming < bands * (probe + 1),
       s"pigeonhole needs maxHamming < bands*(probe+1) " +
@@ -411,7 +412,43 @@ object Streams {
     dropNearSigStream(stream,
       graft.functions.GraftFunctions.mediaHash(col(contentCol), modality),
       corpusSigs, maxHamming, bands, maxBucketSize, corpusHotBuckets,
-      timeCol, watermarkDelay, probe)
+      timeCol, watermarkDelay, probe, preparedState)
+  }
+
+  /** The PRE-AGGREGATED static side of a near-dup arrival filter: one
+    * row per occupied (band, bits) key with the bucket's signature
+    * array — hot-guarded, probe-EXPANDED (at probe 1 each stored key
+    * also registers under its Hamming-≤1 neighborhood), exactly the
+    * frame [[dropNearSigStream]] derives internally. Compute it ONCE,
+    * `.persist()` it (or write it to parquet next to the sigs state,
+    * probe depth recorded with the lineage), and pass it as
+    * `preparedState`: a stream-static join re-executes its static
+    * subtree EVERY micro-batch, so without this the corpus re-bands —
+    * and at probe 1 re-pays the ×(width+1) probe explosion — per
+    * batch (round-14 verdict nit; PerfProbe 21 measures the delta at
+    * 1M-sig state). Array sizes are bounded by maxBucketSize at probe
+    * 0 and (width+1)×maxBucketSize at probe 1. The frame is only
+    * valid for the (bands, maxBucketSize, probe, hot-table) it was
+    * built with — callers own that lineage, like corpusHotBuckets. */
+  def prepareNearSigState(
+      corpusSigs: DataFrame,
+      bands: Int = 4,
+      maxBucketSize: Int = 10000,
+      corpusHotBuckets: Option[DataFrame] = None,
+      probe: Int = 0): DataFrame = {
+    require(!corpusSigs.isStreaming, "corpusSigs must be a static frame (persisted state)")
+    require(64 % bands == 0, s"bands must divide 64, got $bands")
+    require(probe == 0 || probe == 1, s"probe depth must be 0 or 1, got $probe")
+    val width = 64 / bands
+    val banded0 = graft.llm.Dedup.dropHotBuckets(
+      graft.llm.Dedup.bandSignatures(corpusSigs, bands), maxBucketSize,
+      corpusHotBuckets)
+    val banded =
+      if (probe == 0) banded0
+      else banded0.select(col("band"), col("sig"),
+        explode(array(col("bits") +: (0 until width).map(j =>
+          col("bits").bitwiseXOR(lit(1L << j))): _*)).as("bits"))
+    banded.groupBy("band", "bits").agg(collect_list(col("sig")).as("sigs"))
   }
 
   /** VIDEO counterpart of [[dropNearSeenMediaStream]] — the last
@@ -527,12 +564,23 @@ object Streams {
 
   /** Shared signature-agnostic core of the two near-dup streams.
     * `probe` = the multi-probe depth of the wide-radius geometries
-    * (`Dedup.sigNearDups`): here the CORPUS side expands — each stored
-    * band key also registers under its Hamming-≤1 neighborhood
-    * (width+1 static rows per band key, after the hot drop) — so the
-    * stream side keeps its single home-key equi-join per band and the
-    * plan stays stateless stream-static. Same completeness contract:
-    * maxHamming < bands×(probe+1). */
+    * (`Dedup.sigNearDups`): the CORPUS side expands — each stored
+    * band key also registers under its Hamming-≤1 neighborhood — so
+    * the stream side keeps its single home-key lookup per band and
+    * the plan stays stateless stream-static. Same completeness
+    * contract: maxHamming < bands×(probe+1).
+    *
+    * The static side is the PER-(band, bits) BUCKET-ARRAY frame of
+    * [[prepareNearSigState]] (the r12 video-filter shape): one row
+    * per occupied key, so each band's membership test is a ≤1:1
+    * left-outer lookup + an `exists` Hamming scan over the bucket —
+    * row-for-row the same drop rule as the former per-band anti-join
+    * (drop iff some corpus sig shares a band key AND is within the
+    * budget; spec-pinned parity). `preparedState` substitutes a
+    * CACHED/persisted copy of that frame: a stream-static join
+    * re-executes its static subtree every micro-batch, so without it
+    * the corpus re-bands (and at probe 1 re-pays the ×(width+1)
+    * probe explosion) per batch. */
   private def dropNearSigStream(
       stream: DataFrame,
       sig: Column,
@@ -543,7 +591,8 @@ object Streams {
       corpusHotBuckets: Option[DataFrame],
       timeCol: String,
       watermarkDelay: String,
-      probe: Int = 0): DataFrame = {
+      probe: Int = 0,
+      preparedState: Option[DataFrame] = None): DataFrame = {
     require(!corpusSigs.isStreaming, "corpusSigs must be a static frame (persisted state)")
     require(64 % bands == 0, s"bands must divide 64, got $bands")
     val width = 64 / bands
@@ -566,23 +615,22 @@ object Streams {
       df.withColumn(s"$bitsBase$b",
         shiftright(col(sigCol), b * width).bitwiseAND(lit(mask)))
     }
-    val banded0 = graft.llm.Dedup.dropHotBuckets(
-      graft.llm.Dedup.bandSignatures(corpusSigs, bands), maxBucketSize,
-      corpusHotBuckets)
-    val banded =
-      if (probe == 0) banded0
-      else banded0.select(col("band"), col("sig"),
-        explode(array(col("bits") +: (0 until width).map(j =>
-          col("bits").bitwiseXOR(lit(1L << j))): _*)).as("bits"))
+    val buckets = preparedState.getOrElse(prepareNearSigState(
+      corpusSigs, bands, maxBucketSize, corpusHotBuckets, probe))
     val unseen = (0 until bands).foldLeft(withBits) { (df, b) =>
       val cBits = s"${bitsBase}c$b"
-      val cSig = s"${bitsBase}s$b"
-      val slice = banded.filter(col("band") === b)
-        .select(col("bits").as(cBits), col("sig").as(cSig))
-      df.join(slice,
-        df(s"$bitsBase$b") === slice(cBits) &&
-          graft.llm.Dedup.hamming(df(sigCol), slice(cSig)) <= maxHamming,
-        "left_anti")
+      val cSigs = s"${bitsBase}s$b"
+      val slice = buckets.filter(col("band") === b)
+        .select(col("bits").as(cBits), col("sigs").as(cSigs))
+      // bits are unique per band after the group-by, so the left-outer
+      // lookup never multiplies stream rows; a missed key reads null
+      // sigs -> no hit
+      df.join(slice, df(s"$bitsBase$b") === slice(cBits), "left_outer")
+        .filter(!coalesce(
+          exists(col(cSigs),
+            s => graft.llm.Dedup.hamming(col(sigCol), s) <= maxHamming),
+          lit(false)))
+        .drop(cBits, cSigs)
     }
     (if (unseen.isStreaming) unseen.dropDuplicatesWithinWatermark(sigCol)
      else unseen.dropDuplicates(sigCol))

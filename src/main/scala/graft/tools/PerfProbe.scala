@@ -32,8 +32,9 @@ object PerfProbe {
     case Some("18") => probe18(args.drop(1))
     case Some("19") => probe19(args.drop(1))
     case Some("20") => probe20(args.drop(1))
+    case Some("21") => probe21(args.drop(1))
     case other => sys.error(
-      s"usage: runMain graft.tools.PerfProbe <1-20> [probe args]; got $other")
+      s"usage: runMain graft.tools.PerfProbe <1-21> [probe args]; got $other")
   }
 
   /** Throwaway-style perf probe for round-5 tuning experiments (kept in
@@ -1189,6 +1190,77 @@ object PerfProbe {
       "mergeable wide counts — no corpus re-band)")
     corpusCounts.unpersist()
     sigsW.unpersist()
+    spark.stop()
+  }
+
+  /** Round-15 (the r14 verdict's streaming nit): what does the probed
+    * dct arrival filter pay PER MICRO-BATCH for its static side, and
+    * what does preparing it once (cached bucket arrays —
+    * `Streams.prepareNearSigState`) save? A stream-static join
+    * re-executes its static subtree every micro-batch, so the
+    * unprepared probe-1 plan re-bands the corpus and re-pays the
+    * ×(width+1) probe explosion per batch; the prepared plan reads
+    * the cached ≤ bands×2^16-row bucket frame. Measured as `batches`
+    * single-file micro-batches (maxFilesPerTrigger=1, AvailableNow)
+    * of PNG arrivals against an n-sig state at the dct lineage's
+    * geometry (radius 7, 4 bands, probe 1). */
+  private def probe21(args: Array[String]): Unit = {
+    val spark = Local.session(sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
+    import spark.implicits._
+    import graft.llm.Multimodal
+    val n = args.headOption.map(_.toLong).getOrElse(1000000L)
+    val batches = args.drop(1).headOption.map(_.toInt).getOrElse(5)
+    def mix(x: Long): Long = {
+      var z = x + 0x9E3779B97F4A7C15L
+      z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+      z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+      z ^ (z >>> 31)
+    }
+    val sigs = spark.range(n).map(i => (i, mix(i))).toDF("id", "sig")
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    println(s"[probe21] corpus state: ${sigs.count()} sigs; " +
+      s"$batches single-file arrival micro-batches of 20 assets")
+    val base = java.nio.file.Files.createTempDirectory("probe21")
+    val dir = s"$base/assets"
+    val h = 3600L * 1000000L
+    for (b <- 0 until batches)
+      (0 until 20).map { i =>
+        (b * 100L + i,
+          Multimodal.encodePng(Multimodal.texturedImage(b * 100L + i)), (b + 1) * h)
+      }.toDF("asset_id", "content", "ts")
+        .withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(col("ts")))
+        .coalesce(1).write.mode("append").parquet(dir)
+    val sch = spark.read.parquet(dir).schema
+    var run = 0
+    def timeRun(prepared: Option[org.apache.spark.sql.DataFrame]): Double = {
+      run += 1
+      val out = s"$base/out$run"
+      val t0 = System.nanoTime()
+      graft.streaming.Streams.runToFiles(
+        graft.streaming.Streams.dropNearSeenMediaStream(
+          spark.readStream.option("maxFilesPerTrigger", 1).schema(sch).parquet(dir),
+          sigs, "image-dct", maxHamming = 7, bands = 4, probe = 1,
+          preparedState = prepared),
+        out, s"$base/ckpt$run")
+      (System.nanoTime() - t0) / 1e9
+    }
+    timeRun(None) // warmup: stream bootstrap + codegen, charged to neither
+    val unprepared = timeRun(None)
+    println(f"[probe21] UNPREPARED probe=1: $unprepared%.2f s total " +
+      f"(${unprepared / batches}%.2f s/batch — corpus re-bands + x17 " +
+      "probe explode every micro-batch)")
+    val prepared = graft.streaming.Streams.prepareNearSigState(
+      sigs, bands = 4, probe = 1)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val tPrep0 = System.nanoTime()
+    val nBuckets = prepared.count()
+    val prepBuild = (System.nanoTime() - tPrep0) / 1e9
+    val preparedTime = timeRun(Some(prepared))
+    println(f"[probe21] PREPARED probe=1: $preparedTime%.2f s total " +
+      f"(${preparedTime / batches}%.2f s/batch) + one-time build " +
+      f"$prepBuild%.2f s ($nBuckets buckets cached)")
+    prepared.unpersist()
+    sigs.unpersist()
     spark.stop()
   }
 }

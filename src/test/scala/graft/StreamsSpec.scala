@@ -494,6 +494,25 @@ class StreamsSpec extends SparkTestBase {
     val batch = Streams.dropNearSeenMediaStream(spark.read.parquet(dir), sigs, "image")
       .select("asset_id").as[Long].collect().toSet
     assert(batch == got, s"batch $batch vs stream $got")
+    // preparedState parity: the cached bucket-array frame the CLI
+    // builds once per run substitutes the in-plan static subtree
+    // row-for-row — including at probe depth 1, where the corpus side
+    // carries the probe expansion (the r14-nit shape this exists for)
+    for (probe <- Seq(0, 1)) {
+      val prepared = Streams.prepareNearSigState(sigs, bands = 4, probe = probe)
+        .persist()
+      val withPrep = Streams.dropNearSeenMediaStream(
+        spark.read.parquet(dir), sigs, "image",
+        maxHamming = if (probe == 1) 7 else 3, probe = probe,
+        preparedState = Some(prepared))
+        .select("asset_id").as[Long].collect().toSet
+      val without = Streams.dropNearSeenMediaStream(
+        spark.read.parquet(dir), sigs, "image",
+        maxHamming = if (probe == 1) 7 else 3, probe = probe)
+        .select("asset_id").as[Long].collect().toSet
+      assert(withPrep == without, s"probe=$probe: $withPrep vs $without")
+      prepared.unpersist()
+    }
   }
 
   test("dropNearSeenVideoStream: re-encoded corpus clip dropped at the door " +
