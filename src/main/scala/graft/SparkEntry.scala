@@ -3516,6 +3516,28 @@ object SparkEntry {
         corpusHotBuckets = Some(hot), probe = 1, sigBits = 256)
     }),
 
+    // ---- S7's CAPABILITY, oracle-exact (round-15 verdict item 5):
+    // the reference's `sample` config satisfied by the DETERMINISTIC
+    // digest sampler under `sample-method = digest` — the md5 recipe
+    // (Ops.hashSample, q28's idiom) instead of Spark's engine-specific
+    // Bernoulli RNG, driven through the very DataIO.read config path
+    // S7 lives in. q5 stays as the fidelity pin on Spark's own sampler
+    // (rows-only by nature); THIS gate makes seeded sampling as a
+    // capability hash-verified: the predicate replays verbatim in any
+    // engine with md5.
+    "q150_digest_sample" -> ((s, dir) =>
+      graft.sources.DataIO.read(s, graft.conf.GraftConfig.parse(
+        s"""source {
+           |  storage-type = local
+           |  dataset-dir = $dir/lineitem.parquet
+           |  sample = 0.25
+           |  sample-method = digest
+           |  sample-id-column = l_orderkey
+           |  sample-salt = q150
+           |}
+           |""".stripMargin).at("source"))
+        .select("l_orderkey", "l_linenumber", "l_quantity")),
+
     // ---- Bench LOAD-CALIBRATION query (round-15 verdict item 3):
     // PINNED UNTOUCHED reference code, like q1-q10 — part of the
     // bench's baseline set, whose total is the box-load proxy behind
@@ -5076,6 +5098,12 @@ object SparkEntry {
         |  round(ex.tvd_exact, 6) AS tvd_exact,
         |  abs(sk.tvd_sketch - ex.tvd_exact) <= 0.05 AS within_tol
         |FROM sk, ex""".stripMargin,
+    // the digest-sample predicate verbatim (q28's idiom): seeded
+    // sampling as a capability, engine-portable
+    "q150_digest_sample" ->
+      s"""SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem
+         |WHERE md5(CAST(l_orderkey AS VARCHAR) || '|' || 'q150') <
+         |  '${graft.operators.Ops.hashThresholdHex(0.25)}'""".stripMargin,
     "q149_load_calibration" ->
       """WITH po AS (
         |  SELECT l_orderkey, sum(l_quantity) AS qty,

@@ -84,7 +84,28 @@ object DataIO {
       df = spark.sql(sql)
     }
     conf.getDouble("sample").foreach { fraction =>
-      df = df.sample(withReplacement = false, fraction, SampleSeed)
+      // `sample-method = rng | digest` (default rng — reference
+      // fidelity: Spark's Bernoulli sampler at the fixed seed,
+      // core.py's `sample` semantics). `digest` keeps the same
+      // CAPABILITY engine-portably: the md5 sampling digest over
+      // `sample-id-column` (+ optional `sample-salt`), the
+      // Ops.hashSample recipe every deterministic-sampling path
+      // shares — reproducible in any engine with md5 (oracle-exact,
+      // q150), stable under repartition/retry, and nestable across
+      // salts, where the RNG sample is engine-specific by nature.
+      conf.getString("sample-method").getOrElse("rng") match {
+        case "rng" =>
+          df = df.sample(withReplacement = false, fraction, SampleSeed)
+        case "digest" =>
+          val idc = conf.getString("sample-id-column").getOrElse(
+            throw new IllegalArgumentException(
+              "sample-method = digest keys the md5 sampling digest on a " +
+                "column — set sample-id-column"))
+          df = graft.operators.Ops.hashSample(df, idc, fraction,
+            conf.getString("sample-salt").getOrElse(""))
+        case other => throw new IllegalArgumentException(
+          s"sample-method must be rng | digest, got '$other'")
+      }
     }
     conf.getInt("limit").foreach { n => df = df.limit(n) }
     df

@@ -17,6 +17,37 @@ class DataIOSpec extends SparkTestBase {
     assert(DataIO.read(spark, c).count() == 50)
   }
 
+  test("sample-method = digest: S7's capability through the deterministic " +
+      "md5 sampler (Ops.hashSample recipe); rng stays the default; " +
+      "misconfigs refuse loudly") {
+    def conf(extra: String) = GraftConfig.parse(
+      s"""storage-type = local
+         |dataset-dir = "$sfDir/orders.parquet"
+         |sample = 0.25
+         |$extra""".stripMargin)
+    val digest = DataIO.read(spark, conf(
+      "sample-method = digest\nsample-id-column = o_orderkey\nsample-salt = s1"))
+    // identical to the shared hashSample recipe — the engine-portable
+    // contract the q150 oracle replays
+    val want = graft.operators.Ops.hashSample(
+      spark.read.parquet(s"$sfDir/orders.parquet"), "o_orderkey", 0.25, "s1")
+    assert(digest.exceptAll(want).isEmpty && want.exceptAll(digest).isEmpty)
+    assert(digest.count() > 0)
+    // deterministic: a second read is row-identical (the RNG path is
+    // seeded but engine/partitioning-specific — this one is a pure
+    // function of (id, salt))
+    val again = DataIO.read(spark, conf(
+      "sample-method = digest\nsample-id-column = o_orderkey\nsample-salt = s1"))
+    assert(again.exceptAll(digest).isEmpty)
+    // misconfigs: digest without an id column; unknown method
+    val e1 = intercept[IllegalArgumentException](
+      DataIO.read(spark, conf("sample-method = digest")))
+    assert(e1.getMessage.contains("sample-id-column"), e1.getMessage)
+    val e2 = intercept[IllegalArgumentException](
+      DataIO.read(spark, conf("sample-method = bogus")))
+    assert(e2.getMessage.contains("rng | digest"), e2.getMessage)
+  }
+
   test("json and orc roundtrip through the format passthrough (S2/K1)") {
     for (fmt <- Seq("json", "orc")) {
       val dir = s"${tmp()}/data"
