@@ -133,6 +133,78 @@ object MediaEnvelopeProbe {
       }
     }
     wideEnvelope(n)
+    cropTileScale(n)
+  }
+
+  /** Round-15 (verdict item 6): degraded-crop recall — the r14
+    * measurement closed the kernel-swap hypothesis (global dHash AND
+    * global pHash both fail on blur/JPEG'd crops); the next candidate
+    * is hashing each crop-hypothesis slot with a DCT AT THE TILE'S OWN
+    * SCALE (no resize through the global 32×32 kernel front end — an
+    * N-point 2-D DCT over the tile's native pixels, top 8×8 AC-sign
+    * block). Comparison is the crop tier's exact slot: orig tile-5
+    * (center half) vs the DEGRADED arrival's tile-0 (its full frame),
+    * twins same-seed, strangers cross-seed, textured family. */
+  private def cropTileScale(n: Int): Unit = {
+    def dctNative(d: Decoded): Long = {
+      val g = Multimodal.toGray(d)
+      val (w, h) = (g.width, g.height)
+      val cx = Array.tabulate(8, w)((u, x) =>
+        math.cos((2 * x + 1) * u * math.Pi / (2.0 * w)))
+      val cy = Array.tabulate(8, h)((v, y) =>
+        math.cos((2 * y + 1) * v * math.Pi / (2.0 * h)))
+      val block = new Array[Double](64)
+      var v = 0
+      while (v < 8) {
+        var u = 0
+        while (u < 8) {
+          var s = 0.0
+          var y = 0
+          while (y < h) {
+            var x = 0
+            while (x < w) { s += g.data(y * w + x) * cx(u)(x) * cy(v)(y); x += 1 }
+            y += 1
+          }
+          block(v * 8 + u) = s
+          u += 1
+        }
+        v += 1
+      }
+      var mean = 0.0
+      var i = 1
+      while (i < 64) { mean += block(i); i += 1 }
+      mean /= 63.0
+      var hh = 0L
+      i = 0
+      while (i < 64) { hh = (hh << 1) | (if (block(i) > mean) 1L else 0L); i += 1 }
+      hh
+    }
+    val plates = (0 until n).map(s =>
+      decode(Multimodal.encodePng(Multimodal.texturedImage(s.toLong))))
+    val degrades: Seq[(String, Decoded => Decoded)] = Seq(
+      "png" -> (d => decode(Multimodal.encodePng(d))),
+      "jpeg_q30" -> (d => decode(Multimodal.jpegBytesAtQuality(d, 0.3f))),
+      "blur_then_jpeg30" -> (d => decode(
+        Multimodal.jpegBytesAtQuality(Multimodal.boxBlur3(d), 0.3f))))
+    val tile5 = plates.map { d =>
+      dctNative(Multimodal.cropRegion(d, d.width / 4, d.height / 4,
+        d.width / 2, d.height / 2))
+    }
+    for ((label, deg) <- degrades) {
+      val cropHash = plates.map { d =>
+        dctNative(deg(Multimodal.cropRegion(d, d.width / 4, d.height / 4,
+          d.width / 2, d.height / 2)))
+      }
+      val twins = (0 until n).map(s =>
+        java.lang.Long.bitCount(tile5(s) ^ cropHash(s)))
+      var strangerMin = 64
+      for (i <- 0 until n; j <- 0 until n if i != j) {
+        val d = java.lang.Long.bitCount(tile5(i) ^ cropHash(j))
+        if (d < strangerMin) strangerMin = d
+      }
+      println(f"tier=crop     dctN  $label%-18s twin max ${twins.max}%2d  " +
+        f"mean ${twins.sum.toDouble / n}%5.2f  stranger min $strangerMin%2d")
+    }
   }
 
   /** Round-15: the 256-bit DCT kernel's envelope — picks the wide dct
