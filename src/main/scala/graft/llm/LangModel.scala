@@ -171,10 +171,17 @@ object LangModel {
       ref: DataFrame,
       textCol: String,
       minCount: Long = 1L): UnigramLm = {
+    // PERSISTED (r15 optimization): the vocab table is the model — every
+    // scorer joins it, every save collects it, and the two scalars below
+    // aggregate it. Unpersisted, EACH of those actions re-ran the full
+    // token explode + groupBy from the source (the r15 plan audit read
+    // 24 parquet scans in one q100 plan, zero ReusedExchange). The table
+    // is minCount-bounded reference vocab — small by construction.
     val counts = ref
       .select(explode(Dedup.tokens(col(textCol))).as("token"))
       .groupBy("token").agg(count(lit(1)).as("cnt"))
       .filter(col("cnt") >= minCount)
+      .persist()
     // one tiny aggregate for both scalars; bounded driver egress (2 longs)
     val row = counts
       .agg(coalesce(sum("cnt"), lit(0L)).as("n"), count(lit(1)).as("v"))
@@ -198,12 +205,15 @@ object LangModel {
       ref: DataFrame,
       textCol: String,
       minCount: Long = 1L): BigramLm = {
+    // persisted like the unigram vocab: every scoring branch and every
+    // derived fwd/bwd statistic re-aggregated the raw corpus otherwise
     val pairs = ref
       .select(Dedup.tokens(col(textCol)).as("tk"))
       .select(explode(pairsOf(col("tk"))).as("p"))
       .select(col("p.w1"), col("p.w2"))
       .groupBy("w1", "w2").agg(count(lit(1)).as("cnt2"))
       .filter(col("cnt2") >= minCount)
+      .persist()
     BigramLm(trainUnigram(ref, textCol, minCount), pairs)
   }
 
@@ -241,6 +251,7 @@ object LangModel {
       .select(col("t.w1"), col("t.w2"), col("t.w3"))
       .groupBy("w1", "w2", "w3").agg(count(lit(1)).as("cnt3"))
       .filter(col("cnt3") >= minCount)
+      .persist()
     TrigramLm(trainBigram(ref, textCol, minCount), triples)
   }
 
@@ -295,9 +306,11 @@ object LangModel {
       idCol: String,
       textCol: String): DataFrame = {
     val bt = lm.bigram.table
+    // persisted: each feeds two scoring branches (and `bwd` also the
+    // position-0 frame) — one tiny vocab-sized table apiece
     val fwd = bt.groupBy("w1")
-      .agg(sum("cnt2").as("__ctx"), count(lit(1)).as("__nfwd"))
-    val bwd = bt.groupBy("w2").agg(count(lit(1)).as("__nbwd"))
+      .agg(sum("cnt2").as("__ctx"), count(lit(1)).as("__nfwd")).persist()
+    val bwd = bt.groupBy("w2").agg(count(lit(1)).as("__nbwd")).persist()
     val r = bt.agg(count(lit(1))).head()
     val denomCont = (r.getLong(0) + lm.bigram.unigram.vocab + 1).toDouble
     def pcont(nbwd: Column): Column =
@@ -383,12 +396,15 @@ object LangModel {
       idCol: String,
       textCol: String): DataFrame = {
     val t3 = lm.trigram.table
-    val cbg = t3.groupBy("w2", "w3").agg(count(lit(1)).as("__ccnt"))
+    // persisted: cbg feeds fwd2/bwd1/bPrime AND two scoring branches;
+    // fwd2/bwd1 join into up to three branches each. All are bounded by
+    // the reference's gram-type counts.
+    val cbg = t3.groupBy("w2", "w3").agg(count(lit(1)).as("__ccnt")).persist()
     val fwd3 = t3.groupBy("w1", "w2")
-      .agg(sum("cnt3").as("__ctx3"), count(lit(1)).as("__nfwd3"))
+      .agg(sum("cnt3").as("__ctx3"), count(lit(1)).as("__nfwd3")).persist()
     val fwd2 = cbg.groupBy("w2")
-      .agg(sum("__ccnt").as("__ctx2"), count(lit(1)).as("__nfwd2"))
-    val bwd1 = cbg.groupBy("w3").agg(count(lit(1)).as("__nbwd1"))
+      .agg(sum("__ccnt").as("__ctx2"), count(lit(1)).as("__nfwd2")).persist()
+    val bwd1 = cbg.groupBy("w3").agg(count(lit(1)).as("__nbwd1")).persist()
     val bPrime = cbg.count()
     val denomCont = (bPrime + lm.trigram.bigram.unigram.vocab + 1).toDouble
     def p1cont(nbwd1: Column): Column =
@@ -474,6 +490,7 @@ object LangModel {
         .groupBy((1 to k).map(j => col(s"w$j")): _*)
         .agg(count(lit(1)).as(s"cnt$k"))
         .filter(col(s"cnt$k") >= minCount)
+        .persist()
     }
     NgramLm(order, trainUnigram(ref, textCol, minCount), tables)
   }
@@ -636,7 +653,10 @@ object LangModel {
     ds(order - 2) = discountOf(level, s"cnt$order")
     var k = order - 1
     while (k >= 2) {
-      level = continuationTable(level, k)
+      // persisted: each level feeds its own discount action AND the
+      // next level down — unpersisted, level k re-derived the whole
+      // chain from the top table per action
+      level = continuationTable(level, k).persist()
       ds(k - 2) = discountOf(level, s"cnt$k")
       k -= 1
     }
@@ -672,16 +692,21 @@ object LangModel {
       idCol: String,
       textCol: String): DataFrame = {
     val n = lm.order
-    // cnts(k) = the level-k count table, columns w1..wk, cnt{k}
+    // cnts(k) = the level-k count table, columns w1..wk, cnt{k}.
+    // All derived tables persist (r15): cnts(k) feeds the level below,
+    // its own fwd aggregate, and a hit join in every frame of order
+    // >= k; fwds(j)/bwd1 join into up to n frames each. Everything is
+    // bounded by the reference's gram-type counts.
     val cnts = new Array[DataFrame](n + 1)
     cnts(n) = lm.ngram.table(n)
     var k = n - 1
-    while (k >= 2) { cnts(k) = continuationTable(cnts(k + 1), k); k -= 1 }
+    while (k >= 2) { cnts(k) = continuationTable(cnts(k + 1), k).persist(); k -= 1 }
     val fwds = (2 to n).map { j =>
       j -> cnts(j).groupBy((1 until j).map(x => col(s"w$x")): _*)
         .agg(sum(s"cnt$j").as(s"__ctx$j"), count(lit(1)).as(s"__nfwd$j"))
+        .persist()
     }.toMap
-    val bwd1 = cnts(2).groupBy(col("w2")).agg(count(lit(1)).as("__nbwd1"))
+    val bwd1 = cnts(2).groupBy(col("w2")).agg(count(lit(1)).as("__nbwd1")).persist()
     val bPrime = cnts(2).count()
     val denomCont = (bPrime + lm.ngram.unigram.vocab + 1).toDouble
     def p1cont(nbwd: Column): Column =
@@ -783,7 +808,7 @@ object LangModel {
     ds(order - 2) = modDiscountsOf(level, s"cnt$order")
     var k = order - 1
     while (k >= 2) {
-      level = continuationTable(level, k)
+      level = continuationTable(level, k).persist()
       ds(k - 2) = modDiscountsOf(level, s"cnt$k")
       k -= 1
     }
@@ -808,10 +833,11 @@ object LangModel {
       idCol: String,
       textCol: String): DataFrame = {
     val n = lm.order
+    // same persist rationale as logProbPerDocKneserNeyN
     val cnts = new Array[DataFrame](n + 1)
     cnts(n) = lm.ngram.table(n)
     var k = n - 1
-    while (k >= 2) { cnts(k) = continuationTable(cnts(k + 1), k); k -= 1 }
+    while (k >= 2) { cnts(k) = continuationTable(cnts(k + 1), k).persist(); k -= 1 }
     // per-context denominator + exact discounted mass under the level's
     // (D1, D2, D3) — one map-side-collapsed groupBy per level
     val fwds = (2 to n).map { j =>
@@ -821,8 +847,9 @@ object LangModel {
           (lit(d1) * sum((col(s"cnt$j") === 1).cast("long")) +
             lit(d2) * sum((col(s"cnt$j") === 2).cast("long")) +
             lit(d3) * sum((col(s"cnt$j") >= 3).cast("long"))).as(s"__a$j"))
+        .persist()
     }.toMap
-    val bwd1 = cnts(2).groupBy(col("w2")).agg(count(lit(1)).as("__nbwd1"))
+    val bwd1 = cnts(2).groupBy(col("w2")).agg(count(lit(1)).as("__nbwd1")).persist()
     val bPrime = cnts(2).count()
     val denomCont = (bPrime + lm.ngram.unigram.vocab + 1).toDouble
     def p1cont(nbwd: Column): Column =
