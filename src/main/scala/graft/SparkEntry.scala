@@ -18,6 +18,18 @@ object SparkEntry {
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     s.read.parquet(s"$dir/$name.parquet")
 
+  /** [[t]] fanned out for per-row-HEAVY gates (r15 optimization): the
+    * local test parquets are single row groups, so every scan plans as
+    * ONE task and a gate whose cost is per-row expression work (regex
+    * normalization, langID, native LM scoring, tokenizer encode,
+    * deflate) runs serialized on one core. `Ops.fanOutForCompute` is a
+    * no-op on well-split inputs, so this changes nothing at production
+    * parallelism; rows are unchanged, only their order — use ONLY in
+    * gates whose result is order-insensitive (row-wise projections,
+    * aggregates), never where packing/limit/sampling reads order. */
+  private def tH(s: SparkSession, dir: String, name: String): DataFrame =
+    graft.operators.Ops.fanOutForCompute(t(s, dir, name))
+
   /** Unique memory-sink names so repeated runs (bench warmup + timed
     * pass) never collide on an active query name. */
   private val StreamRunSeq = new java.util.concurrent.atomic.AtomicInteger(0)
@@ -641,7 +653,7 @@ object SparkEntry {
     // ---- Multimodal/JSON column extraction: typed props out of the
     // events stream table + per-type aggregates (one bounded shuffle).
     "q17_events_json" -> ((s, dir) =>
-      t(s, dir, "events")
+      tH(s, dir, "events")
         .select(col("event_type"), col("value"),
           get_json_object(col("props"), "$.k").cast("long").as("k"))
         .groupBy("event_type")
@@ -1185,7 +1197,7 @@ object SparkEntry {
     // per-rule counts are hash-exact.
     "q48_pii_redaction" -> ((s, dir) => {
       val id = col("doc_id")
-      val planted = t(s, dir, "documents").select(col("doc_id"),
+      val planted = tH(s, dir, "documents").select(col("doc_id"),
         concat(col("text"),
           when(pmod(id, lit(3)) === 0, lit("")).otherwise(
             concat(lit(" contact user"), id.cast("string"), lit("@example.com"))),
@@ -1388,7 +1400,7 @@ object SparkEntry {
       // corpus slice doc_id < 1500: the gate signal (planted echoes
       // flagged, 5-gram-only overlaps not) is corpus-size-independent;
       // the 8-gram explode cost is not — same budget rule as q38/q39
-      val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
+      val docs = tH(s, dir, "documents").select(col("doc_id"), col("text"))
         .filter(col("doc_id") < 1500)
       val bench = docs.filter(col("doc_id") < 10)
       val corpus = docs.filter(col("doc_id") >= 10)
@@ -1407,7 +1419,7 @@ object SparkEntry {
     // form is the one that runs at scale, and TextAnalysisSpec proves
     // them bit-identical over the FULL table)
     "q64_repetition" -> ((s, dir) =>
-      t(s, dir, "documents").filter(col("doc_id") < 1500).select(col("doc_id"),
+      tH(s, dir, "documents").filter(col("doc_id") < 1500).select(col("doc_id"),
         round(graft.llm.TextAnalysis.repetitionScore(col("text"), 3), 6).as("rep3"))),
 
     // ---- The same semantics through the native one-pass expression
@@ -1689,7 +1701,7 @@ object SparkEntry {
         "bullet_line_frac", "ellipsis_line_frac", "alpha_word_frac", "stop_hits")
       val flags = Seq("ok_word_count", "ok_word_len", "ok_symbols", "ok_bullets",
         "ok_ellipsis_lines", "ok_alpha", "ok_stopwords", "keep")
-      t(s, dir, "documents")
+      tH(s, dir, "documents")
         .select(col("doc_id"), graft.llm.TextAnalysis.gopherFlags(col("text")).as("g"))
         .select(col("doc_id") +: (num.map(f => col(s"g.$f").as(f)) ++
           flags.map(f => col(s"g.$f").cast("int").as(f))): _*)
@@ -1899,7 +1911,7 @@ object SparkEntry {
     // not SQL-expressible; EntrySpec pins zero-unk on the WHOLE
     // held-out slice, fallback-fired, and round-trip parity.
     "q109_bpe_byte_fallback" -> ((s, dir) => {
-      val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
+      val docs = tH(s, dir, "documents").select(col("doc_id"), col("text"))
       val (mergesPath, vocabPath) =
         ensureBpeArtifacts(s, dir, "q109_bpe_fb", byteLevel = false)
       val heldOut = docs.filter(col("doc_id") >= 100)
@@ -2036,7 +2048,7 @@ object SparkEntry {
     }),
     "q80_dsir_native" -> ((s, dir) => {
       import graft.llm.{CorpusPrep, LangModel}
-      val docs = t(s, dir, "documents").select(col("doc_id"), col("source"), col("text"))
+      val docs = tH(s, dir, "documents").select(col("doc_id"), col("source"), col("text"))
       val base = new java.io.File(System.getProperty("java.io.tmpdir"), "graft_lm")
       val tag = dir.replaceAll("[^A-Za-z0-9.-]", "_")
       val tPath = new java.io.File(base, s"${tag}_dsir_target.lm").toString
@@ -2493,7 +2505,7 @@ object SparkEntry {
     // parity at round(6).
     "q101_kn3_native" -> ((s, dir) => {
       import graft.llm.LangModel
-      val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
+      val docs = tH(s, dir, "documents").select(col("doc_id"), col("text"))
       val lm = LangModel.trainKneserNey3(docs.filter(col("doc_id") < 100), "text")
       val lmPath = new java.io.File(
         new java.io.File(System.getProperty("java.io.tmpdir"), "graft_lm"),
@@ -2705,7 +2717,7 @@ object SparkEntry {
       import graft.llm.TextAnalysis
       val txt = element_at(array(Q125Samples.map(lit): _*),
         (col("doc_id") % Q125Samples.length + 1).cast("int"))
-      t(s, dir, "documents").select(col("doc_id"),
+      tH(s, dir, "documents").select(col("doc_id"),
         TextAnalysis.langId(txt).as("lang_id"),
         (TextAnalysis.langIdFast(TextAnalysis.stats(txt)) === TextAnalysis.langId(txt))
           .as("fast_agrees"))
@@ -2800,7 +2812,7 @@ object SparkEntry {
         ensureBpeArtifacts(s, dir, "q127_bpe_sp_byte", byteLevel = true, specials = sp)
       val segId = vocabIdOf(vSeg, Eot)
       val byteId = vocabIdOf(vByte, Eot)
-      val planted = t(s, dir, "documents").select(col("doc_id"),
+      val planted = tH(s, dir, "documents").select(col("doc_id"),
         when(col("doc_id") % 5 === 0,
           concat(lit("pre "), col("text"), lit(s" mid${Eot}post")))
           .otherwise(col("text")).as("text"))
@@ -3306,7 +3318,7 @@ object SparkEntry {
         lit("```"),
         concat(lit("| "), p, lit(" | cell |")),
         lit("|---|---|"))
-      t(s, dir, "documents").select(col("doc_id"),
+      tH(s, dir, "documents").select(col("doc_id"),
         graft.functions.GraftFunctions.markdownStrip(md).as("text"))
     }),
 

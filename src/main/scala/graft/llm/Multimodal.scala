@@ -1217,7 +1217,10 @@ object Multimodal {
       StructField("sig", ArrayType(LongType, containsNull = false), nullable = false)))
     val (idIdx, cIdx, mIdx) =
       (df.columns.indexOf(idCol), df.columns.indexOf(contentCol), df.columns.indexOf(metaCol))
-    df.mapPartitions { it =>
+    // fanned out (r15, measured 0.72x on q147): the 64x64 decode +
+    // 32x32 DCT per row is the heavy pass
+    val in0 = graft.operators.Ops.fanOutForCompute(df)
+    in0.mapPartitions { it =>
       it.grouped(batchSize).flatMap { batch =>
         batch.flatMap { row =>
           val content = row.getAs[Array[Byte]](cIdx)

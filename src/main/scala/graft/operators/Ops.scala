@@ -446,6 +446,44 @@ object Ops {
   def withMeta(df: DataFrame, meta: Seq[(String, String)]): DataFrame =
     df.select(meta.map { case (k, v) => lit(v).as(k) } ++ Seq(col("*")): _*)
 
+  /** Fan a per-row-HEAVY computation out over the cluster when the
+    * input's planned parallelism is below it (guide §2.5's unsplittable-
+    * input remedy: one row group / one gzip member / a handful of tiny
+    * files all plan as ~1 scan task, serializing everything downstream
+    * of the read on one core). A round-robin `repartition(parallelism)`
+    * fires ONLY when the planned partition count is under half the
+    * session's default parallelism — on well-split production inputs
+    * (thousands of splits) this is a no-op, so the scale path never
+    * pays an extra exchange; the shuffle that does fire carries only
+    * the frame's projected columns. Row ORDER changes, values do not —
+    * callers must be order-insensitive (per-row projections, decode/
+    * hash passes, aggregations).
+    *
+    * Sites: expensive per-row work directly over a source scan — media
+    * render/decode/hash passes, native LM scoring projections, text
+    * quality/normalization scans. NOT for cheap columnar aggregates,
+    * where the shuffle costs more than the single-core scan (measured:
+    * a 600k-row groupBy slows 3.5x under a blanket repartition). */
+  def fanOutForCompute(df: DataFrame): DataFrame = {
+    val target = df.sparkSession.sparkContext.defaultParallelism
+    // METADATA-ONLY probe. Never touch queryExecution.toRdd/executedPlan
+    // here: under AQE, `execute()` materializes every upstream query
+    // stage eagerly, so a partition-count check through the physical
+    // plan RUNS the whole DAG once per call (measured: the media tier
+    // slowed ~2x under exactly that bug before this form landed).
+    // Proxy for planned scan parallelism: the analyzed plan's input
+    // file count (each local test file is one row group = one split;
+    // production scans carry thousands of files). A frame already
+    // repartitioned upstream (this helper, distribute-by, salting)
+    // is left alone so stacked call sites cannot double-shuffle.
+    import org.apache.spark.sql.catalyst.plans.logical.{Repartition, RepartitionByExpression}
+    val repartitioned = df.queryExecution.logical.collectFirst {
+      case _: Repartition => (); case _: RepartitionByExpression => ()
+    }.isDefined
+    val nFiles = try df.inputFiles.length catch { case _: Throwable => Int.MaxValue }
+    if (!repartitioned && nFiles * 2 <= target) df.repartition(target) else df
+  }
+
   /** R15 partition-pruned iteration (reference `core.py:504-509`): iterate
     * the dataset one Spark partition at a time on the driver, without ever
     * holding more than one partition in memory. Unlike the reference
