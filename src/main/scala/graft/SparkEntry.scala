@@ -817,8 +817,12 @@ object SparkEntry {
       import s.implicits._
       import graft.llm.Dedup
       // persisted: the pair graph reads the planted frame several times
-      // (LSH fit, join sides, verify) — build the variants once
-      val planted = q38Planted(t(s, dir, "documents"))
+      // (LSH fit, join sides, verify) — build the variants once. Fanned
+      // out BEFORE the persist (r15): the single-row-group source plans
+      // as one task, so the cached frame held one partition and the LSH
+      // fit + candidate join + Jaccard verify all ran on one core.
+      val planted = graft.operators.Ops.fanOutForCompute(
+          q38Planted(t(s, dir, "documents")))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       // The MinHash candidate join + Jaccard verification run ONCE; both
       // drop disciplines derive from the same verified pair graph (the

@@ -226,7 +226,19 @@ object Ops {
       .find(c => !skewed.columns.contains(c) && !other.columns.contains(c)).get
     val left = skewed.withColumn(salt, pmod(spark_partition_id() + monotonically_increasing_id(), lit(saltFactor)))
     val right = other.withColumn(salt, explode(sequence(lit(0), lit(saltFactor - 1)).cast("array<long>")))
-    left.join(right, Seq(key, salt), "inner").drop(salt)
+    // SHUFFLE_HASH hint (r15 optimization, guide §3.1): salting exists
+    // to spread one hot key over saltFactor REDUCERS, which presumes a
+    // shuffled join on (key, salt). Left to the planner, the exploded
+    // side's estimated size can sit under the auto-broadcast threshold
+    // and the plan degenerates to a broadcast join — the salt is then
+    // pure overhead (a broadcast join has no key skew to fix) and the
+    // build side is xsaltFactor the data the caller deliberately kept
+    // off the driver (measured on q55: an 891 MB retained broadcast of
+    // the x16-exploded dimension, 0.8 s of GC per pass). Shuffled-hash
+    // beats sort-merge here: the exploded side divided by (key, salt)
+    // is small per partition by construction, and no sort is needed.
+    // Join RESULTS are unchanged — same inner equi-join semantics.
+    left.join(right.hint("shuffle_hash"), Seq(key, salt), "inner").drop(salt)
   }
 
   /** As-of join: attach to each left row the LATEST right row whose
