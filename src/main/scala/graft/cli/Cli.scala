@@ -488,7 +488,14 @@ object Curator {
   def main(args: Array[String]): Unit = Cli.run("curator", args) { (conf, spark) =>
     import org.apache.spark.sql.functions.{coalesce, col, concat, count, length, lit, row_number, size, split, sum, when, xxhash64}
     Cli.log("loading corpus...")
-    val rawIn = graft.sources.DataIO.read(spark, conf.at("source"))
+    // fanned out (r15): every stage below (entity decode, normalize,
+    // redact regexes, quality/gopher/c4 predicates, shingle hashing) is
+    // per-row-heavy scan work pipelined on the source's partitions — a
+    // single-row-group or single-gzip source plans as one task and the
+    // whole pre-shuffle pipeline then runs on one core. No-op on
+    // well-split inputs or when the source config already distributed.
+    val rawIn = graft.operators.Ops.fanOutForCompute(
+      graft.sources.DataIO.read(spark, conf.at("source")))
     val c = conf.at("curation")
     // per-stage artifact collector (written at the end when
     // `stage-log-path` is set) — every ENABLED stage appears, in run

@@ -126,26 +126,39 @@ object DataDiff {
       "profile: column names must not contain backticks or quotes")
     def src(c: String) = col(s"`$c`") // dotted names stay top-level refs
     def cd(c: Column) = if (exact) count_distinct(c) else approx_count_distinct(c)
-    // TWO aggregates, not one (r15 optimization): mixing count_distinct
-    // with min/max-of-string in a single agg makes the multi-distinct
-    // Expand rewrite plan as SortAggregate (string-typed agg buffers are
-    // not hash-aggregable), which inserts two full sorts of the
-    // x(cols+1)-expanded table by a (cols+1)-column key. Split so the
-    // distinct counts (long buffers) keep the Expand dedup in a
-    // HashAggregate and the min/max/null pass (grouping-free, so
+    // EXACT path: TWO aggregates, not one (r15 optimization). Mixing
+    // count_distinct with min/max-of-string in a single agg makes the
+    // multi-distinct Expand rewrite plan as SortAggregate (string-typed
+    // agg buffers are not hash-aggregable), which inserts two full
+    // sorts of the x(cols+1)-expanded table by a (cols+1)-column key.
+    // Split so the distinct counts (long buffers) keep the Expand dedup
+    // in a HashAggregate and the min/max/null pass (grouping-free, so
     // SortAggregate needs no sort) stays a single scan. Both sides are
-    // one-row frames; the cross join is a broadcast of one row. Values
-    // are identical — same inputs, same aggregate semantics.
-    val distinctCols = count(lit(1)).as("__n") +:
-      cols.map(c => cd(src(c)).as(s"__distinct__$c"))
-    val mmCols = cols.flatMap(c => Seq(
-      // coalesce: sum over ZERO rows is null — an empty table must
-      // profile as 0 nulls, not null nulls
-      coalesce(sum(when(src(c).isNull, 1L).otherwise(0L)), lit(0L)).as(s"__nulls__$c"),
-      min(src(c)).cast("string").as(s"__min__$c"),
-      max(src(c)).cast("string").as(s"__max__$c")))
-    val one = df.agg(distinctCols.head, distinctCols.tail: _*)
-      .crossJoin(df.agg(mmCols.head, mmCols.tail: _*))
+    // one-row frames; the cross join broadcasts one row. Values are
+    // identical — same inputs, same aggregate semantics.
+    // APPROX path: unchanged ONE-scan single aggregate —
+    // approx_count_distinct is a mergeable sketch with no Expand
+    // rewrite, so the split would only add a second scan
+    // (DataDiffSpec pins the approx plan to one scan).
+    val one = if (exact) {
+      val distinctCols = count(lit(1)).as("__n") +:
+        cols.map(c => cd(src(c)).as(s"__distinct__$c"))
+      val mmCols = cols.flatMap(c => Seq(
+        // coalesce: sum over ZERO rows is null — an empty table must
+        // profile as 0 nulls, not null nulls
+        coalesce(sum(when(src(c).isNull, 1L).otherwise(0L)), lit(0L)).as(s"__nulls__$c"),
+        min(src(c)).cast("string").as(s"__min__$c"),
+        max(src(c)).cast("string").as(s"__max__$c")))
+      df.agg(distinctCols.head, distinctCols.tail: _*)
+        .crossJoin(df.agg(mmCols.head, mmCols.tail: _*))
+    } else {
+      val aggCols = count(lit(1)).as("__n") +: cols.flatMap(c => Seq(
+        coalesce(sum(when(src(c).isNull, 1L).otherwise(0L)), lit(0L)).as(s"__nulls__$c"),
+        cd(src(c)).as(s"__distinct__$c"),
+        min(src(c)).cast("string").as(s"__min__$c"),
+        max(src(c)).cast("string").as(s"__max__$c")))
+      df.agg(aggCols.head, aggCols.tail: _*)
+    }
     val stackArgs = cols.map(c =>
       s"'$c', `__nulls__$c`, `__distinct__$c`, `__min__$c`, `__max__$c`").mkString(", ")
     one.select(
