@@ -1045,7 +1045,7 @@ object SparkEntry {
     // per-partition heaps, exchange carries ≤ k rows per partition.
     "q58_weighted_sample" -> ((s, dir) =>
       graft.operators.Ops.weightedSample(
-        t(s, dir, "lineitem")
+        tH(s, dir, "lineitem")
           .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity")),
         idCol = concat(col("l_orderkey"), lit("-"), col("l_linenumber")),
         weightCol = col("l_quantity"), k = 100, salt = "q58")),
