@@ -42,35 +42,48 @@ javaOptions ++= jdk17AddOpens ++ Seq(
 )
 
 // Parallel forked test groups (round-10 verdict item 8: `sbt test` was
-// 17 m of strictly sequential suites). Suites partition into 4 groups,
-// each a SEPARATE forked JVM with its own Spark session plus its own
-// warehouse/derby dirs (DataIOHolesSpec's catalog-table tests must not
-// share a metastore across concurrent JVMs). Suites within a group
-// stay sequential, so nothing shares a SparkSession concurrently; the
-// only cross-suite disk state (SparkEntry's statePath cache) is
-// touched by EntrySpec alone. Heavy suites are pinned to spread load;
-// unlisted suites hash into a group. Each JVM runs local[4], so 4
-// groups use 16 of the 32 cores.
+// 17 m of strictly sequential suites; round-16: the 4-group layout's
+// long pole was the unsplit 1,250 s CliSpec — the whole run sat right
+// at the verify runner's budget and exited non-zero). Suites partition
+// into 8 groups, each a SEPARATE forked JVM with its own Spark session,
+// its own warehouse/derby dirs (DataIOHolesSpec's catalog-table tests
+// must not share a metastore across concurrent JVMs), and — new in r16
+// — its OWN java.io.tmpdir: SparkEntry's statePath cache, the oracle
+// aux dumps, and every CLI test's temp roots all live under tmpdir, so
+// per-group tmpdirs are what make the CliSpec/EntryRunAll shards safe
+// to run concurrently. Suites within a group stay sequential, so
+// nothing shares a SparkSession concurrently. Heavy suites are pinned
+// from the r15 JUnit timings to balance groups at ~8 min each;
+// unlisted suites hash into a group. Each JVM runs local[4], so 8
+// groups use the box's 32 cores.
 Test / testGrouping := {
   val tests = (Test / definedTests).value
   val baseOpts = (Test / javaOptions).value.toVector
   val tgt = target.value
-  val n = 4
+  val n = 8
   val pinned = Map(
-    "graft.CliSpec" -> 0,
-    "graft.EntrySpec" -> 1, "graft.LangModelSpec" -> 1,
-    "graft.SimilaritySpec" -> 2, "graft.CorpusPrepSpec" -> 2,
-    "graft.StreamsSpec" -> 2, "graft.MultimodalSpec" -> 2,
-    "graft.TextAnalysisSpec" -> 3, "graft.DedupSpec" -> 3,
-    "graft.BpeSpec" -> 3, "graft.CurationSpec" -> 3)
+    "graft.CliSpec" -> 0, "graft.WordPieceSpec" -> 0,
+    "graft.CliSpecB" -> 1, "graft.StreamsSpec" -> 1,
+    "graft.CliSpecC" -> 2, "graft.DedupSpec" -> 2, "graft.CorpusPrepSpec" -> 2,
+    "graft.CliSpecD" -> 3, "graft.CurationSpec" -> 3, "graft.AsofRangeJoinSpec" -> 3,
+    "graft.SimilaritySpec" -> 4, "graft.BpeSpec" -> 4,
+    "graft.EntryRunAllSpecA" -> 5, "graft.PropertySpec" -> 5,
+      "graft.TextAnalysisSpec" -> 5,
+    "graft.EntryRunAllSpecB" -> 6, "graft.MultimodalSpec" -> 6,
+      "graft.EntrySpec" -> 6,
+    "graft.EntryRunAllSpecC" -> 7, "graft.EntryRunAllSpecD" -> 7,
+      "graft.LangModelSpec" -> 7)
   tests.groupBy(t => pinned.getOrElse(t.name, math.abs(t.name.hashCode) % n))
     .toSeq.sortBy(_._1).map { case (i, ts) =>
+      val tmpDir = tgt / s"tmp-g$i"
+      IO.createDirectory(tmpDir)
       val opts = baseOpts ++ Vector(
         s"-Dspark.sql.warehouse.dir=${(tgt / s"spark-warehouse-g$i").getAbsolutePath}",
-        s"-Dderby.system.home=${(tgt / s"derby-g$i").getAbsolutePath}")
+        s"-Dderby.system.home=${(tgt / s"derby-g$i").getAbsolutePath}",
+        s"-Djava.io.tmpdir=${tmpDir.getAbsolutePath}")
       Tests.Group(s"g$i", ts.sortBy(_.name),
         Tests.SubProcess(ForkOptions().withRunJVMOptions(opts)))
     }
 }
 Global / concurrentRestrictions := Seq(
-  Tags.limit(Tags.ForkedTestGroup, 4), Tags.limitAll(16))
+  Tags.limit(Tags.ForkedTestGroup, 8), Tags.limitAll(32))

@@ -1630,7 +1630,7 @@ object SparkEntry {
     // Scale note: this form shuffles corpus TOKENS (explode+groupBy) —
     // it exists as the oracle anchor; q72 is the shape you run at
     // 100 TB, and LangModelSpec pins the two bit-identical.
-    "q71_lm_logprob" -> ((s, dir) => {
+    "q71_lm_logprob" -> ((s, dir) => graft.llm.LangModel.releasingCaches(s) {
       import graft.llm.LangModel
       val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
       val lm = LangModel.trainUnigram(
@@ -1648,7 +1648,7 @@ object SparkEntry {
     // native expression hash-exactly (the q41/q65 pattern). Train+save
     // is paid per run because the reference slice is tiny; at scale
     // the artifact is built once and shipped like the BPE merges.
-    "q72_lm_native" -> ((s, dir) => {
+    "q72_lm_native" -> ((s, dir) => graft.llm.LangModel.releasingCaches(s) {
       import graft.llm.LangModel
       val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
       val lm = LangModel.trainUnigram(
@@ -2040,7 +2040,7 @@ object SparkEntry {
     // BOTH LM trainings, the ratio, and the rank arithmetic verbatim.
     // q80 is the same program through the zero-shuffle native scoring
     // path (saved LM files + graft_lm_logprob) under the SAME oracle.
-    "q79_dsir_sample" -> ((s, dir) => {
+    "q79_dsir_sample" -> ((s, dir) => graft.llm.LangModel.releasingCaches(s) {
       import graft.llm.{CorpusPrep, LangModel}
       val docs = t(s, dir, "documents").select(col("doc_id"), col("source"), col("text"))
       val target = LangModel.trainUnigram(
@@ -2050,7 +2050,7 @@ object SparkEntry {
           k = 150, salt = "q79", roundLogP = Some(6))
         .select(col("doc_id"), col("source"), round(col("dsir_weight"), 6).as("dsir_weight"))
     }),
-    "q80_dsir_native" -> ((s, dir) => {
+    "q80_dsir_native" -> ((s, dir) => graft.llm.LangModel.releasingCaches(s) {
       import graft.llm.{CorpusPrep, LangModel}
       val docs = tH(s, dir, "documents").select(col("doc_id"), col("source"), col("text"))
       val base = new java.io.File(System.getProperty("java.io.tmpdir"), "graft_lm")
@@ -2077,7 +2077,7 @@ object SparkEntry {
     // unigram can express (LangModelSpec proves the ordering property
     // on shuffled text). Oracle replays both trainings and every
     // position's arithmetic verbatim.
-    "q82_bigram_logprob" -> ((s, dir) => {
+    "q82_bigram_logprob" -> ((s, dir) => graft.llm.LangModel.releasingCaches(s) {
       import graft.llm.LangModel
       val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
       val lm = LangModel.trainBigram(
@@ -2094,7 +2094,7 @@ object SparkEntry {
     // codegen'd projection. Same oracle as q82 pins the parity at the
     // 6-decimal rounding (the union-vs-left-to-right float order is
     // inside the rounding, unlike the single-branch unigram pair).
-    "q83_bigram_native" -> ((s, dir) => {
+    "q83_bigram_native" -> ((s, dir) => graft.llm.LangModel.releasingCaches(s) {
       import graft.llm.LangModel
       val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
       val lm = LangModel.trainBigram(
@@ -2117,7 +2117,7 @@ object SparkEntry {
     // positions ≥2 trigram → bigram → unigram with ×0.4 per backoff
     // step. Order now matters TWO tokens back. Oracle replays all
     // three trainings and every position's CASE arithmetic.
-    "q85_trigram_logprob" -> ((s, dir) => {
+    "q85_trigram_logprob" -> ((s, dir) => graft.llm.LangModel.releasingCaches(s) {
       import graft.llm.LangModel
       val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
       val lm = LangModel.trainTrigram(
@@ -2140,7 +2140,7 @@ object SparkEntry {
     // zero-shuffle codegen'd projection. The same oracle PROGRAM as
     // q85 (full scored slice here vs q85's bounded anchor slice) pins
     // the parity at the 6-decimal rounding.
-    "q86_trigram_native" -> ((s, dir) => {
+    "q86_trigram_native" -> ((s, dir) => graft.llm.LangModel.releasingCaches(s) {
       import graft.llm.LangModel
       val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
       val lm = LangModel.trainTrigram(
@@ -2163,7 +2163,7 @@ object SparkEntry {
     // and adds log10(0.4) per backoff step down to the unigram Laplace
     // floor. round(5), not 6: the SHARED oracle also pins q94's
     // quantized native tables, whose float32 values carry ~6e-7 error.
-    "q93_quadgram_logprob" -> ((s, dir) => {
+    "q93_quadgram_logprob" -> ((s, dir) => graft.llm.LangModel.releasingCaches(s) {
       import graft.llm.LangModel
       val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
       val lm = LangModel.trainNgram(
@@ -2185,7 +2185,7 @@ object SparkEntry {
     // same oracle PROGRAM as q93 (full scored slice here vs q93's
     // bounded anchor slice) pins parity at round(5) — quantization's
     // one visible cost, documented in the registry scaladoc.
-    "q94_quadgram_native" -> ((s, dir) => {
+    "q94_quadgram_native" -> ((s, dir) => graft.llm.LangModel.releasingCaches(s) {
       import graft.llm.LangModel
       val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
       val lm = LangModel.trainNgram(
@@ -2417,10 +2417,19 @@ object SparkEntry {
       val train = docs.filter(col("doc_id") >= 100 && col("doc_id") < 1100)
       val ref = train.filter(col("doc_id") % 2 === 0)
       val neg = hexed(train.filter(col("doc_id") % 2 === 1), "t")
+      // The two fits are INDEPENDENT jobs over deliberately 1-2
+      // partition inputs (fanning the LBFGS gradient out is the r15
+      // measured negative), so run them CONCURRENTLY (guide §2.6):
+      // the char fit's stages back-fill the cores the word fit's
+      // gradient reduction leaves idle. Each fit is deterministic over
+      // its own lineage — the models (and the gate's rows) are
+      // unchanged, only the wall-clock overlap is new.
+      val charF = java.util.concurrent.CompletableFuture.supplyAsync(() =>
+        QualityClassifier.trainCharBow(ref, neg, "text",
+          numFeatures = 1 << 16, maxIter = 12))
       val wordModel = QualityClassifier.trainBow(ref, neg, "text",
         numFeatures = 1 << 16, maxIter = 12)
-      val charModel = QualityClassifier.trainCharBow(ref, neg, "text",
-        numFeatures = 1 << 16, maxIter = 12)
+      val charModel = charF.join()
       val holdout = docs.filter(col("doc_id") < 100)
       val testSet = holdout.filter(col("doc_id") % 2 === 0)
         .withColumn("cohort", lit("ref"))
@@ -2445,7 +2454,7 @@ object SparkEntry {
     // construction (the discount IS the singleton treatment). Training
     // AND scoring are count arithmetic, so the oracle replays both;
     // round(6) absorbs log10 libm variation (the q71 caveat class).
-    "q97_kneser_ney" -> ((s, dir) => {
+    "q97_kneser_ney" -> ((s, dir) => graft.llm.LangModel.releasingCaches(s) {
       import graft.llm.LangModel
       val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
       val lm = LangModel.trainKneserNey(docs.filter(col("doc_id") < 100), "text")
@@ -2464,7 +2473,7 @@ object SparkEntry {
     // the stored counts and precomputes stored-pair log-probs; scoring
     // is a zero-shuffle codegen'd projection. The SAME oracle as q97
     // pins parity at round(6).
-    "q99_kn_native" -> ((s, dir) => {
+    "q99_kn_native" -> ((s, dir) => graft.llm.LangModel.releasingCaches(s) {
       import graft.llm.LangModel
       val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
       val lm = LangModel.trainKneserNey(docs.filter(col("doc_id") < 100), "text")
@@ -2488,7 +2497,7 @@ object SparkEntry {
     // Laplace floor. One discount per level, each from its own
     // count-of-counts. Proper distribution at every level (spec-pinned);
     // training AND scoring replay in SQL, round(6) as q97.
-    "q100_kn3" -> ((s, dir) => {
+    "q100_kn3" -> ((s, dir) => graft.llm.LangModel.releasingCaches(s) {
       import graft.llm.LangModel
       val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
       val lm = LangModel.trainKneserNey3(docs.filter(col("doc_id") < 100), "text")
@@ -2507,7 +2516,7 @@ object SparkEntry {
     // and precomputes stored-triple log-probs; scoring is a
     // zero-shuffle codegen'd projection. The SAME oracle as q100 pins
     // parity at round(6).
-    "q101_kn3_native" -> ((s, dir) => {
+    "q101_kn3_native" -> ((s, dir) => graft.llm.LangModel.releasingCaches(s) {
       import graft.llm.LangModel
       val docs = tH(s, dir, "documents").select(col("doc_id"), col("text"))
       val lm = LangModel.trainKneserNey3(docs.filter(col("doc_id") < 100), "text")
@@ -2533,7 +2542,7 @@ object SparkEntry {
     // GENERATED CTE chain (kneserNeyNOracleSql(4, ·) — the same
     // program that would write the order-5 oracle). Scored slice
     // bounded like q100 (q115 is the scale path).
-    "q114_kn4" -> ((s, dir) => {
+    "q114_kn4" -> ((s, dir) => graft.llm.LangModel.releasingCaches(s) {
       import graft.llm.LangModel
       val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
       val lm = LangModel.trainKneserNeyN(
@@ -2593,7 +2602,7 @@ object SparkEntry {
     // clamped discount triples), per-context bucketed fan-outs, AND the
     // count-bucketed numerator all replayed. Composable anchor on the
     // bounded slice; q118/q119 are the scale paths.
-    "q117_mkn4" -> ((s, dir) => {
+    "q117_mkn4" -> ((s, dir) => graft.llm.LangModel.releasingCaches(s) {
       import graft.llm.LangModel
       val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
       val lm = LangModel.trainKneserNeyNMod(
@@ -3643,7 +3652,7 @@ object SparkEntry {
     // Spark and DuckDB (ties share a rank; a pr exactly on 1/3 is
     // middle in both). The scale path (threshold form, zero per-group
     // sort) is pinned against this exact form in CorpusPrepSpec.
-    "q98_ppl_buckets" -> ((s, dir) => {
+    "q98_ppl_buckets" -> ((s, dir) => graft.llm.LangModel.releasingCaches(s) {
       import graft.llm.{CorpusPrep, LangModel}
       val docs = t(s, dir, "documents").select(col("doc_id"), col("source"), col("text"))
       val lm = LangModel.trainUnigram(

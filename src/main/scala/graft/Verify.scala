@@ -45,6 +45,10 @@ object Verify {
         // queries returning persisted frames (q22 curation) must not
         // hold their cache across the remaining dumps
         df.unpersist()
+        // and queries that persist intermediates INSIDE their work (the
+        // LM model tables) must not pin them for the remaining ~150
+        // dumps either — one session runs the whole suite (r15 advice)
+        spark.catalog.clearCache()
         ()
       } catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")

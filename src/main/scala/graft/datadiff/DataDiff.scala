@@ -140,6 +140,12 @@ object DataDiff {
     // approx_count_distinct is a mergeable sketch with no Expand
     // rewrite, so the split would only add a second scan
     // (DataDiffSpec pins the approx plan to one scan).
+    // Snapshot caveat (r15 advice): the exact split scans df TWICE, so
+    // a source mutated between the scans (or a non-deterministic
+    // column) could pair __n/__distinct with __nulls/__min/__max from
+    // different snapshots. Every caller here profiles immutable parquet
+    // snapshots; persist/checkpoint df first if profiling a live or
+    // non-deterministic source with exact = true.
     val one = if (exact) {
       val distinctCols = count(lit(1)).as("__n") +:
         cols.map(c => cd(src(c)).as(s"__distinct__$c"))

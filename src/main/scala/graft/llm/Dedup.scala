@@ -887,12 +887,21 @@ object Dedup {
     val edges = pairs.select(col("id1").as("src"), col("id2").as("dst"))
       .union(pairs.select(col("id2").as("src"), col("id1").as("dst")))
       .localCheckpoint(false)
+    // lazy like the per-round checkpoints (r16): eager=true spent a
+    // dedicated driver action (plus its AQE stage-jobs) just to
+    // materialize the seed labels; lazy truncates the lineage the same
+    // way and materializes inside round 0's first job
     var labels = edges.groupBy("src").agg(min("dst").as("__nmin"))
       .select(col("src").as("id"), least(col("src"), col("__nmin")).as("label"))
-      .localCheckpoint(true)
+      .localCheckpoint(false)
     var changed = 1L
     var iter = 0
+    val sc = pairs.sparkSession.sparkContext
     while (changed > 0 && iter < maxIter) {
+      // label the per-round job (guide §1.5) — an e2e like q128 is a
+      // chain of small jobs and the UI/JobProbe breakdown is unreadable
+      // without names
+      sc.setJobDescription(s"cc: round $iter")
       // the previous label rides through the union as a tagged column
       // (exactly one non-null per id — the `labels` leg), so convergence
       // is a filter over the materialized result instead of an extra
@@ -914,6 +923,7 @@ object Dedup {
       labels = next.select("id", "label")
       iter += 1
     }
+    sc.setJobDescription(null)
     labels
   }
 

@@ -163,6 +163,51 @@ final case class UnigramLm(table: DataFrame, totalTokens: Long, vocab: Long) {
   */
 object LangModel {
 
+  /** Model-table persists created inside a [[releasingCaches]] scope —
+    * collected so the scope can unpersist them at exit. Thread-local:
+    * gates may train concurrently (guide §2.6 job overlap) without
+    * crossing trackers. */
+  private val trackedCaches =
+    new ThreadLocal[scala.collection.mutable.ListBuffer[DataFrame]]
+
+  /** `.persist()` for model tables (Dataset default storage level —
+    * MEMORY_AND_DISK, so an over-large model table spills instead of
+    * evicting or OOMing; guide §5), registered with the active
+    * [[releasingCaches]] scope when one is open. */
+  private implicit class TrackedPersist(private val df: DataFrame) {
+    def persistT(): DataFrame = {
+      df.persist()
+      val buf = trackedCaches.get()
+      if (buf != null) buf += df
+      df
+    }
+  }
+
+  /** Run a gate that trains/scores through this object, collect its
+    * SMALL result eagerly (a few hundred rows — the per-doc score
+    * slices), and unpersist every model table the body persisted —
+    * the [[graft.SparkEntry]] eagerSummary discipline applied to the
+    * LM family (r15 advice: the r15 `.persist()`s were never released,
+    * so a 150-query session pinned every model table it ever built,
+    * and a later identical pass silently re-used the cache instead of
+    * recomputing). Within the body the persists still do their job
+    * (every scoring branch and discount action reads each table once);
+    * at exit the footprint returns to zero. */
+  def releasingCaches(s: org.apache.spark.sql.SparkSession)(
+      body: => DataFrame): DataFrame = {
+    val buf = scala.collection.mutable.ListBuffer.empty[DataFrame]
+    trackedCaches.set(buf)
+    try {
+      val out = body
+      val rows = out.collect()
+      s.createDataFrame(java.util.Arrays.asList(rows: _*), out.schema)
+    } finally {
+      trackedCaches.remove()
+      buf.foreach(df => try df.unpersist()
+        catch { case scala.util.control.NonFatal(_) => () })
+    }
+  }
+
   /** Train the unigram table over `Dedup.tokens` (lowercased
     * whitespace tokens — the same tokenizer contract as shingling and
     * the native text expressions). `minCount` drops rare tokens from
@@ -181,7 +226,7 @@ object LangModel {
       .select(explode(Dedup.tokens(col(textCol))).as("token"))
       .groupBy("token").agg(count(lit(1)).as("cnt"))
       .filter(col("cnt") >= minCount)
-      .persist()
+      .persistT()
     // one tiny aggregate for both scalars; bounded driver egress (2 longs)
     val row = counts
       .agg(coalesce(sum("cnt"), lit(0L)).as("n"), count(lit(1)).as("v"))
@@ -213,7 +258,7 @@ object LangModel {
       .select(col("p.w1"), col("p.w2"))
       .groupBy("w1", "w2").agg(count(lit(1)).as("cnt2"))
       .filter(col("cnt2") >= minCount)
-      .persist()
+      .persistT()
     BigramLm(trainUnigram(ref, textCol, minCount), pairs)
   }
 
@@ -251,7 +296,7 @@ object LangModel {
       .select(col("t.w1"), col("t.w2"), col("t.w3"))
       .groupBy("w1", "w2", "w3").agg(count(lit(1)).as("cnt3"))
       .filter(col("cnt3") >= minCount)
-      .persist()
+      .persistT()
     TrigramLm(trainBigram(ref, textCol, minCount), triples)
   }
 
@@ -309,8 +354,8 @@ object LangModel {
     // persisted: each feeds two scoring branches (and `bwd` also the
     // position-0 frame) — one tiny vocab-sized table apiece
     val fwd = bt.groupBy("w1")
-      .agg(sum("cnt2").as("__ctx"), count(lit(1)).as("__nfwd")).persist()
-    val bwd = bt.groupBy("w2").agg(count(lit(1)).as("__nbwd")).persist()
+      .agg(sum("cnt2").as("__ctx"), count(lit(1)).as("__nfwd")).persistT()
+    val bwd = bt.groupBy("w2").agg(count(lit(1)).as("__nbwd")).persistT()
     val r = bt.agg(count(lit(1))).head()
     val denomCont = (r.getLong(0) + lm.bigram.unigram.vocab + 1).toDouble
     def pcont(nbwd: Column): Column =
@@ -399,12 +444,12 @@ object LangModel {
     // persisted: cbg feeds fwd2/bwd1/bPrime AND two scoring branches;
     // fwd2/bwd1 join into up to three branches each. All are bounded by
     // the reference's gram-type counts.
-    val cbg = t3.groupBy("w2", "w3").agg(count(lit(1)).as("__ccnt")).persist()
+    val cbg = t3.groupBy("w2", "w3").agg(count(lit(1)).as("__ccnt")).persistT()
     val fwd3 = t3.groupBy("w1", "w2")
-      .agg(sum("cnt3").as("__ctx3"), count(lit(1)).as("__nfwd3")).persist()
+      .agg(sum("cnt3").as("__ctx3"), count(lit(1)).as("__nfwd3")).persistT()
     val fwd2 = cbg.groupBy("w2")
-      .agg(sum("__ccnt").as("__ctx2"), count(lit(1)).as("__nfwd2")).persist()
-    val bwd1 = cbg.groupBy("w3").agg(count(lit(1)).as("__nbwd1")).persist()
+      .agg(sum("__ccnt").as("__ctx2"), count(lit(1)).as("__nfwd2")).persistT()
+    val bwd1 = cbg.groupBy("w3").agg(count(lit(1)).as("__nbwd1")).persistT()
     val bPrime = cbg.count()
     val denomCont = (bPrime + lm.trigram.bigram.unigram.vocab + 1).toDouble
     def p1cont(nbwd1: Column): Column =
@@ -490,7 +535,7 @@ object LangModel {
         .groupBy((1 to k).map(j => col(s"w$j")): _*)
         .agg(count(lit(1)).as(s"cnt$k"))
         .filter(col(s"cnt$k") >= minCount)
-        .persist()
+        .persistT()
     }
     NgramLm(order, trainUnigram(ref, textCol, minCount), tables)
   }
@@ -656,7 +701,7 @@ object LangModel {
       // persisted: each level feeds its own discount action AND the
       // next level down — unpersisted, level k re-derived the whole
       // chain from the top table per action
-      level = continuationTable(level, k).persist()
+      level = continuationTable(level, k).persistT()
       ds(k - 2) = discountOf(level, s"cnt$k")
       k -= 1
     }
@@ -700,13 +745,13 @@ object LangModel {
     val cnts = new Array[DataFrame](n + 1)
     cnts(n) = lm.ngram.table(n)
     var k = n - 1
-    while (k >= 2) { cnts(k) = continuationTable(cnts(k + 1), k).persist(); k -= 1 }
+    while (k >= 2) { cnts(k) = continuationTable(cnts(k + 1), k).persistT(); k -= 1 }
     val fwds = (2 to n).map { j =>
       j -> cnts(j).groupBy((1 until j).map(x => col(s"w$x")): _*)
         .agg(sum(s"cnt$j").as(s"__ctx$j"), count(lit(1)).as(s"__nfwd$j"))
-        .persist()
+        .persistT()
     }.toMap
-    val bwd1 = cnts(2).groupBy(col("w2")).agg(count(lit(1)).as("__nbwd1")).persist()
+    val bwd1 = cnts(2).groupBy(col("w2")).agg(count(lit(1)).as("__nbwd1")).persistT()
     val bPrime = cnts(2).count()
     val denomCont = (bPrime + lm.ngram.unigram.vocab + 1).toDouble
     def p1cont(nbwd: Column): Column =
@@ -808,7 +853,7 @@ object LangModel {
     ds(order - 2) = modDiscountsOf(level, s"cnt$order")
     var k = order - 1
     while (k >= 2) {
-      level = continuationTable(level, k).persist()
+      level = continuationTable(level, k).persistT()
       ds(k - 2) = modDiscountsOf(level, s"cnt$k")
       k -= 1
     }
@@ -837,7 +882,7 @@ object LangModel {
     val cnts = new Array[DataFrame](n + 1)
     cnts(n) = lm.ngram.table(n)
     var k = n - 1
-    while (k >= 2) { cnts(k) = continuationTable(cnts(k + 1), k).persist(); k -= 1 }
+    while (k >= 2) { cnts(k) = continuationTable(cnts(k + 1), k).persistT(); k -= 1 }
     // per-context denominator + exact discounted mass under the level's
     // (D1, D2, D3) — one map-side-collapsed groupBy per level
     val fwds = (2 to n).map { j =>
@@ -847,9 +892,9 @@ object LangModel {
           (lit(d1) * sum((col(s"cnt$j") === 1).cast("long")) +
             lit(d2) * sum((col(s"cnt$j") === 2).cast("long")) +
             lit(d3) * sum((col(s"cnt$j") >= 3).cast("long"))).as(s"__a$j"))
-        .persist()
+        .persistT()
     }.toMap
-    val bwd1 = cnts(2).groupBy(col("w2")).agg(count(lit(1)).as("__nbwd1")).persist()
+    val bwd1 = cnts(2).groupBy(col("w2")).agg(count(lit(1)).as("__nbwd1")).persistT()
     val bPrime = cnts(2).count()
     val denomCont = (bPrime + lm.ngram.unigram.vocab + 1).toDouble
     def p1cont(nbwd: Column): Column =

@@ -492,8 +492,17 @@ object Ops {
     val repartitioned = df.queryExecution.logical.collectFirst {
       case _: Repartition => (); case _: RepartitionByExpression => ()
     }.isDefined
-    val nFiles = try df.inputFiles.length catch { case _: Throwable => Int.MaxValue }
-    if (!repartitioned && nFiles * 2 <= target) df.repartition(target) else df
+    // inputFiles semantics (r16 advice fixes): 0 means a NON-FILE
+    // relation (JDBC/Hive/local) whose parallelism the file count says
+    // nothing about — a partition-column-bounded JDBC read carries no
+    // Repartition node, so repartitioning here would shrink it; skip.
+    // A thrown probe (-1) means unknown — also skip, and the comparison
+    // is Long so a sentinel can never overflow into "repartition".
+    val nFiles = try df.inputFiles.length
+      catch { case scala.util.control.NonFatal(_) => -1 }
+    if (!repartitioned && nFiles > 0 && nFiles.toLong * 2 <= target)
+      df.repartition(target)
+    else df
   }
 
   /** R15 partition-pruned iteration (reference `core.py:504-509`): iterate

@@ -6,13 +6,13 @@ class EntrySpec extends SparkTestBase {
     assert(SparkEntry.entry(spark).count() > 0)
   }
 
-  test("every query runs on sf0.001 and returns a schema") {
-    SparkEntry.queries.foreach { case (name, fn) =>
-      val df = fn(spark, sfDir)
-      assert(df.columns.nonEmpty, name)
-      assert(df.count() >= 0, name)
-    }
-  }
+  // "every query runs on sf0.001" moved to the EntryRunAllShard suites
+  // (EntryRunAllSpecs.scala): as ONE test it was an 828 s monolith that
+  // kept its forked group — and the whole `sbt test` run — pinned to a
+  // ~17-minute floor (the r15 verify exited non-zero right at the
+  // runner's budget). The four shards cover the same queries, pinned to
+  // different forked groups; EntryRunAllShard asserts the union is
+  // exhaustive by construction (index mod shard count).
 
   test("every oracleSql key has a queries entry") {
     val missing = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet
